@@ -1,0 +1,213 @@
+"""Task configuration model: Source / Target / Mode / options.
+
+Mirrors the reference's ``Config{Source, Target, Mode, Options}``
+(``core/sling/config.go:1362-1762``) as plain dataclasses, with YAML/dict
+loading, env-var rendering, and the runtime-variable surface
+(``{stream_table}``, ``{run_timestamp}`` etc., ``config.go:1046-1313``)
+implemented as str.format-style substitution on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from enum import Enum
+from typing import Any
+
+
+class Mode(str, Enum):
+    """Load modes (reference: core/sling/config.go:32-49)."""
+
+    FULL_REFRESH = "full-refresh"
+    INCREMENTAL = "incremental"
+    TRUNCATE = "truncate"
+    SNAPSHOT = "snapshot"
+    BACKFILL = "backfill"
+    DEFINITION_ONLY = "definition-only"
+    CHANGE_CAPTURE = "change-capture"
+
+
+class MergeStrategy(str, Enum):
+    """SQL merge strategies (reference: templates/base.yaml:52-126)."""
+
+    INSERT = "insert"
+    UPDATE = "update"
+    UPDATE_INSERT = "update_insert"  # default
+    DELETE_INSERT = "delete_insert"
+    HISTORY_INSERT = "history_insert"
+    CHANGE_CAPTURE = "change_capture"
+    CHANGE_CAPTURE_SOFT = "change_capture_soft"
+
+
+@dataclass
+class SourceOptions:
+    """File/stream reader options (reference: config.go:1690-1720)."""
+
+    format: str | None = None           # csv | json | jsonl | parquet | avro | xml
+    header: bool = True
+    delimiter: str = ","
+    quote: str = '"'
+    escape: str = '"'
+    encoding: str = "utf-8"
+    skip_lines: int = 0
+    null_if: str | None = None
+    compression: str | None = None
+    datetime_format: str | None = None
+    flatten: bool | int = False         # False | True (full) | max depth
+    jmespath: str | None = None         # record-extraction path for JSON
+    sheet: str | None = None            # excel "Sheet1!A1:C100"
+    chunk_size: str | None = None
+    chunk_count: int | None = None
+    columns: dict[str, str] = field(default_factory=dict)  # name -> general type
+    transforms: Any = None
+
+
+@dataclass
+class TargetOptions:
+    """Writer options (reference: config.go:1733-1762)."""
+
+    format: str | None = None
+    compression: str | None = None
+    file_max_rows: int | None = None
+    file_max_bytes: int | None = None
+    batch_limit: int | None = None
+    add_new_columns: bool = True
+    adjust_column_type: bool = False
+    column_casing: str | None = None    # source|target|snake|upper|lower|camel
+    table_keys: dict[str, list[str]] = field(default_factory=dict)
+    pre_sql: str | None = None
+    post_sql: str | None = None
+    merge_strategy: MergeStrategy = MergeStrategy.UPDATE_INSERT
+    delete_missing: str | None = None   # None | "hard" | "soft"
+    partition_by: list[str] = field(default_factory=list)
+
+
+@dataclass
+class Source:
+    conn: str | None = None             # connection name (jdbc url / fs scheme)
+    stream: str | None = None           # table, path, glob, or SQL
+    primary_key: list[str] = field(default_factory=list)
+    update_key: str | None = None
+    select: list[str] = field(default_factory=list)
+    where: str | None = None
+    limit: int | None = None
+    offset: int | None = None
+    options: SourceOptions = field(default_factory=SourceOptions)
+
+    @property
+    def is_sql(self) -> bool:
+        return bool(self.stream) and bool(
+            re.search(r"\bselect\b[\s\S]+\bfrom\b", self.stream, re.IGNORECASE)
+        )
+
+
+@dataclass
+class Target:
+    conn: str | None = None
+    object: str | None = None           # table name or file path/mask
+    options: TargetOptions = field(default_factory=TargetOptions)
+
+
+@dataclass
+class Config:
+    source: Source
+    target: Target
+    mode: Mode = Mode.FULL_REFRESH
+    env: dict[str, str] = field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Config":
+        d = render_env(d)
+        src = d.get("source", {})
+        tgt = d.get("target", {})
+        return cls(
+            source=Source(
+                conn=src.get("conn"),
+                stream=src.get("stream"),
+                primary_key=_as_list(src.get("primary_key")),
+                update_key=src.get("update_key"),
+                select=_as_list(src.get("select")),
+                where=src.get("where"),
+                limit=src.get("limit"),
+                offset=src.get("offset"),
+                options=SourceOptions(**src.get("options", {})),
+            ),
+            target=Target(
+                conn=tgt.get("conn"),
+                object=tgt.get("object"),
+                options=_target_options(tgt.get("options", {})),
+            ),
+            mode=Mode(d.get("mode", "full-refresh")),
+            env=d.get("env", {}),
+        )
+
+    @classmethod
+    def from_yaml(cls, text_or_path: str) -> "Config":
+        import yaml
+
+        if os.path.exists(text_or_path):
+            with open(text_or_path) as f:
+                text = f.read()
+        else:
+            text = text_or_path
+        return cls.from_dict(yaml.safe_load(text))
+
+
+def _target_options(d: dict[str, Any]) -> TargetOptions:
+    d = dict(d)
+    if "merge_strategy" in d:
+        d["merge_strategy"] = MergeStrategy(d["merge_strategy"])
+    return TargetOptions(**d)
+
+
+def _as_list(v: Any) -> list:
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+# ----------------------------------------------------------------------
+# runtime variable rendering (reference: config.go:1046-1313)
+_ENV_RE = re.compile(r"\$\{?([A-Z_][A-Z0-9_]*)\}?")
+
+
+def render_env(obj: Any) -> Any:
+    """Substitute ``$VAR`` / ``${VAR}`` from os.environ, recursively."""
+    if isinstance(obj, str):
+        return _ENV_RE.sub(lambda m: os.environ.get(m.group(1), m.group(0)), obj)
+    if isinstance(obj, dict):
+        return {k: render_env(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [render_env(v) for v in obj]
+    return obj
+
+
+def runtime_vars(cfg: Config, now: datetime | None = None) -> dict[str, str]:
+    """The ``{stream_table}`` / ``{run_timestamp}`` substitution map."""
+    now = now or datetime.now(timezone.utc)
+    stream = cfg.source.stream or ""
+    parts = stream.replace("`", "").replace('"', "").split(".")
+    table = parts[-1]
+    schema = parts[-2] if len(parts) > 1 else ""
+    file_name = os.path.basename(stream.rstrip("/")) if "/" in stream else ""
+    return {
+        "stream_name": stream,
+        "stream_schema": schema,
+        "stream_table": table,
+        "stream_file_name": file_name,
+        "object_name": cfg.target.object or "",
+        "run_timestamp": now.strftime("%Y_%m_%d_%H%M%S"),
+        "YYYY": now.strftime("%Y"),
+        "MM": now.strftime("%m"),
+        "DD": now.strftime("%d"),
+        "HH": now.strftime("%H"),
+    }
+
+
+def render_vars(text: str, vars: dict[str, str]) -> str:
+    for k, v in vars.items():
+        text = text.replace("{" + k + "}", v)
+    return text

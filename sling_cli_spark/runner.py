@@ -1,0 +1,115 @@
+"""Task runner: the reference's execute lifecycle on Spark.
+
+Mirrors ``TaskExecution.Execute`` (``core/sling/task_run.go:37-218``) →
+read plan (``task_run_read.go``) → write plan (``task_run_write.go``), but the
+"plan" is just a lazily-composed DataFrame, so pushdown/pruning happen in
+Catalyst instead of SQL string assembly:
+
+1. read source (files / SQL / JDBC)
+2. apply select / where / limit-offset (reference pushes these into the
+   generated SELECT; Catalyst pushes them into the scan)
+3. incremental/backfill filter from the target watermark
+4. transforms + column casing
+5. mode-specific shaping (snapshot stamp, definition-only truncation)
+6. write (overwrite/append/merge)
+
+Returns a small result record (rows written, columns) like the reference's
+task stats.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sling_cli_spark.config import Config, Mode
+from sling_cli_spark.operators.incremental import (
+    apply_limit_offset,
+    backfill_filter,
+    incremental_filter,
+    max_watermark,
+)
+from sling_cli_spark.operators.select import apply_casing, apply_select
+from sling_cli_spark.operators.transforms import apply_transforms
+from sling_cli_spark.sinks.writers import prepare_for_mode, write_files
+from sling_cli_spark.sources.files import read_source
+
+
+@dataclass
+class TaskResult:
+    rows: int
+    columns: list[str]
+    mode: str
+
+
+def build_read_plan(
+    spark: SparkSession,
+    cfg: Config,
+    watermark=None,
+    backfill_range: tuple | None = None,
+) -> DataFrame:
+    """Steps 1-4: the full read-side logical plan (no action triggered)."""
+    df = read_source(spark, cfg.source)
+    if cfg.source.select:
+        df = apply_select(df, cfg.source.select)
+    if cfg.source.where:
+        df = df.filter(F.expr(cfg.source.where))
+    if cfg.mode in (Mode.INCREMENTAL, Mode.CHANGE_CAPTURE) and cfg.source.update_key:
+        df = incremental_filter(df, cfg.source.update_key, watermark)
+    if cfg.mode == Mode.BACKFILL and backfill_range and cfg.source.update_key:
+        df = backfill_filter(df, cfg.source.update_key, *backfill_range)
+    if cfg.source.limit is not None or cfg.source.offset:
+        if cfg.source.update_key:
+            df = df.orderBy(cfg.source.update_key)
+        df = apply_limit_offset(df, cfg.source.limit, cfg.source.offset)
+    if cfg.source.options.transforms:
+        df = apply_transforms(df, cfg.source.options.transforms)
+    if cfg.target.options.column_casing:
+        df = apply_casing(df, cfg.target.options.column_casing)
+    return df
+
+
+def run(
+    spark: SparkSession,
+    cfg: Config,
+    target_df: DataFrame | None = None,
+    backfill_range: tuple | None = None,
+) -> TaskResult:
+    """Execute a task config end-to-end against a file target.
+
+    ``target_df`` supplies the current target contents for watermark probes
+    and merge strategies (for file targets we read it from target.object).
+    """
+    watermark = None
+    if cfg.mode == Mode.INCREMENTAL and cfg.source.update_key and target_df is not None:
+        watermark = max_watermark(target_df, cfg.source.update_key)
+
+    df = build_read_plan(spark, cfg, watermark=watermark,
+                         backfill_range=backfill_range)
+
+    run_ts = datetime.now(timezone.utc)
+    df = prepare_for_mode(df, cfg.mode, run_ts=run_ts)
+
+    needs_merge = (
+        cfg.mode in (Mode.INCREMENTAL, Mode.BACKFILL, Mode.CHANGE_CAPTURE)
+        and cfg.source.primary_key
+        and target_df is not None
+    )
+    if needs_merge:
+        from sling_cli_spark.operators.merge import merge_dataframes
+
+        merged = merge_dataframes(
+            target_df, df, cfg.source.primary_key,
+            strategy=cfg.target.options.merge_strategy,
+            update_key=cfg.source.update_key,
+        )
+        rows = merged.count()
+        write_files(merged, cfg.target, Mode.FULL_REFRESH)
+        return TaskResult(rows=rows, columns=merged.columns, mode=cfg.mode.value)
+
+    rows = df.count()
+    write_files(df, cfg.target, cfg.mode)
+    return TaskResult(rows=rows, columns=df.columns, mode=cfg.mode.value)
