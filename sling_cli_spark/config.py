@@ -51,6 +51,7 @@ class SourceOptions:
     quote: str = '"'
     escape: str = '"'
     encoding: str = "utf-8"
+    multi_line: bool = False            # quoted embedded newlines (unsplittable!)
     skip_lines: int = 0
     null_if: str | None = None
     compression: str | None = None

@@ -1,0 +1,238 @@
+"""Deduplication operators for large-scale document corpora.
+
+Beyond the reference's PK dedup (``dropDuplicates`` over primary keys,
+api/spec.go:344-345), a training-data pipeline needs content dedup. All
+operators here are bucketed-by-construction — no all-pairs comparison ever
+materializes, so every plan survives a 100 TB corpus:
+
+- exact_dedup: normalize -> sha256 -> keep first per hash (one shuffle on
+  the 32-byte digest, AQE-coalesced).
+- minhash_lsh_dedup: shingle -> k minhash signatures -> b bands -> explode
+  bands -> groupBy(band, band_hash). Candidates only meet inside a bucket;
+  bucket cardinality is controlled by (b, r), the standard S-curve knob.
+- simhash: 64-bit locality hash per document (bit-majority over token
+  hashes) — Hamming-near docs get equal/nearby keys; dedup = groupBy key.
+- ngram_jaccard: exact verify step for candidate pairs (array_intersect /
+  array_union on shingle sets).
+
+Everything is built-in Catalyst expressions (split/transform/aggregate/
+xxhash64) — zero Python UDFs on the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic coefficients for the universal-hash family
+# h_i(x) = (a_i * x + b_i) mod p. p = 2^31-1 (Mersenne prime) keeps
+# a*h+b < 2^62, safe under ANSI int64 arithmetic (Spark 4 default).
+_P = (1 << 31) - 1
+
+
+def _hash_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    # deterministic LCG so signatures are reproducible across runs/sessions
+    coeffs, state = [], seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def normalize_text(c: Column) -> Column:
+    """Lowercase, strip non-alphanumerics, collapse whitespace — the usual
+    near-dup normalization before hashing."""
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9\\s]", " ")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(normalize_text(text), " ")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (empty-safe)."""
+    toks = tokens_col(text)
+    cnt = F.size(toks)
+    return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one row per distinct (normalized) content hash.
+
+    Deterministic winner = min(id) per hash so results are stable and
+    SQL-expressible for the oracle. One hash-shuffle on the digest; with
+    AQE the skew of popular boilerplate dups is split automatically.
+    """
+    text = F.col(text_col)
+    norm = normalize_text(text) if normalize else text
+    h = F.sha2(norm, 256)
+    with_h = df.withColumn("__h", h)
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    return (
+        with_h.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 64, shingle_n: int = 3
+) -> Column:
+    """k-minhash signature as array<bigint>.
+
+    Shingle hashes are computed once (xxhash64), then each of the k
+    signature slots is an ``array_min`` over an affine re-hash — k narrow
+    expressions over an in-memory array, no extra passes over the data.
+    """
+    sh = shingles_col(text, shingle_n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+
+    def affine(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P)
+
+    slots = [
+        F.array_min(F.transform(base, affine(a, b)))
+        for a, b in _hash_coeffs(num_hashes)
+    ]
+    return F.array(*slots)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: -> (band_id, band_hash, id) exploded table.
+
+    Docs sharing any (band_id, band_hash) are near-dup candidates. The only
+    shuffle is the groupBy on band keys downstream — never an all-pairs
+    join. rows = num_docs * bands, each row ~24 bytes: at 100 TB of text
+    this table is a small fraction of the corpus.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    with_sig = df.select(F.col(id_col), sig.alias("__sig"))
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.xxhash64(F.concat_ws(
+                ",", *[F.element_at("__sig", i * r + j + 1).cast("string")
+                       for j in range(r)])).alias("band_hash"),
+        )
+        for i in range(bands)
+    ])
+    return (
+        with_sig.select(F.col(id_col), F.explode(band_structs).alias("b"))
+        .select(id_col, "b.band_id", "b.band_hash")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dedup: drop docs that share an LSH bucket with an earlier doc.
+
+    Standard scalable policy (min-id representative per bucket): a doc
+    survives iff it is the minimum id in every bucket it falls into.
+    Cost: the candidates table + one aggregation by id — no pairs join.
+    """
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n)
+    w = Window.partitionBy("band_id", "band_hash")
+    keep_ids = (
+        cand.withColumn("__min_id", F.min(F.col(id_col)).over(w))
+        .groupBy(id_col)
+        .agg(F.max(F.when(F.col(id_col) != F.col("__min_id"), 1).otherwise(0))
+             .alias("__is_dup"))
+        .filter(F.col("__is_dup") == 0)
+        .select(id_col)
+    )
+    return df.join(keep_ids, on=id_col, how="left_semi")
+
+
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """SimHash: per-bit majority over token hashes -> bigint key.
+
+    bit_i(doc) = sign( sum_tokens( bit_i(hash(tok)) ? +1 : -1 ) ).
+    Implemented as one ``aggregate`` over the token array accumulating a
+    64-slot count vector — single projection, no UDF, no shuffle.
+    """
+    toks = tokens_col(text)
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def token_bits(t):  # ±1 per bit of the token hash (static bit indices)
+        h = F.xxhash64(t)
+        return F.array(*[
+            F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+            for i in range(bits)
+        ])
+
+    acc = F.aggregate(
+        toks, zero,
+        lambda a, t: F.zip_with(a, token_bits(t), lambda x, y: x + y),
+    )
+    # pack sign bits into one bigint (bit 63 wraps to the sign bit)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        out = out.bitwiseOR(
+            F.when(F.element_at(acc, i + 1) > 0, F.lit(weight).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-simhash-collision dedup (Hamming distance 0 buckets)."""
+    with_h = df.withColumn("__sh", simhash_col(F.col(text_col)))
+    w = Window.partitionBy("__sh").orderBy(F.col(id_col))
+    return (
+        with_h.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__sh", "__rn")
+    )
+
+
+def jaccard_similarity(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two shingle arrays (the verify step after LSH)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, candidate_pairs: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate (id_a, id_b) pairs with exact n-gram Jaccard.
+
+    ``candidate_pairs`` comes from LSH buckets, so this join touches only
+    candidate rows — broadcastable when the candidate set is small.
+    """
+    sh = df.select(
+        F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh"))
+    a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a")
+    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "sh_b")
+    return (
+        candidate_pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", jaccard_similarity(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,234 @@
+"""Sample-based schema inference for dirty text sources (CSV/JSON-strings).
+
+The reference buffers 900 rows (``SampleSize``, datatype.go:22) and decides
+each column's general type from per-column value-class counts
+(``dataset.go:422-610`` classification, ``datatype.go:922-1010``
+InferFromStats decision rules). On Spark the schema must be fixed before the
+full scan, so we do exactly the same thing pre-flight:
+
+1. read the source with all-string schema (files.py does this for CSV),
+2. pull a ≤900-row sample to the driver (tiny, matches the reference),
+3. classify every value: null/int/decimal/bool/date/datetime/json/string,
+4. apply the reference's decision rules -> a general type per column,
+5. emit cast expressions (one ``select`` projection, codegen'd JVM-side).
+
+The full 100 TB scan then runs once with the final schema — the reference's
+mid-stream widening (pause, rewrite schema, new batch) is unnecessary
+because the sample decided types before the scan, and any stray unparsable
+value degrades to NULL under the same cast the database load would apply.
+
+Decision rules mirrored from InferFromStats (datatype.go:934-1000):
+- any string-classified value -> string (text if maxlen > 255)
+- all json (+nulls)          -> json (kept as string column in Spark)
+- all bool (+nulls)          -> bool
+- all int (+nulls)           -> integer, bigint if out of int32 range
+- dec+int (+nulls)           -> decimal(maxlen, maxdeclen)
+- all date (+nulls)          -> date
+- datetime/tz (+date,nulls)  -> timestamp (tz variant if any zone seen)
+- mixed/unknown              -> string
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sling_cli_spark.types import ColumnType, to_spark_type
+
+SAMPLE_SIZE = 900  # reference: datatype.go:22
+
+# integer: optional sign, digits, no leading zero (except "0") — the
+# reference's ParseString keeps zero-padded digits as string
+_INT_RE = re.compile(r"^[-+]?(0|[1-9]\d*)$")
+_DEC_RE = re.compile(r"^[-+]?(\d+)\.(\d+)$")
+_BOOL = {"true", "false"}
+
+# (regex, spark datetime pattern, kind) — kinds: date | datetime | datetimez
+_DT_LAYOUTS: list[tuple[re.Pattern, str, str]] = [
+    (re.compile(r"^\d{4}-\d{2}-\d{2}$"), "yyyy-MM-dd", "date"),
+    (re.compile(r"^\d{4}/\d{2}/\d{2}$"), "yyyy/MM/dd", "date"),
+    (re.compile(r"^\d{2}-\d{2}-\d{4}$"), "dd-MM-yyyy", "date"),
+    (re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$"),
+     "yyyy-MM-dd HH:mm:ss", "datetime"),
+    (re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$"),
+     "yyyy-MM-dd'T'HH:mm:ss", "datetime"),
+    (re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{1,6}$"),
+     "yyyy-MM-dd HH:mm:ss.SSSSSS", "datetime"),
+    (re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{1,6}$"),
+     "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", "datetime"),
+    (re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?"
+                r"(Z|[+-]\d{2}:?\d{2})$"), "", "datetimez"),
+    (re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}$"),
+     "yyyy-MM-dd HH:mm", "datetime"),
+    (re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}$"),
+     "yyyy-MM-dd'T'HH:mm", "datetime"),
+]
+
+
+def _looks_like_json(s: str) -> bool:
+    # reference: dataset.go:611 looksLikeJson
+    s = s.strip()
+    return (s.startswith("{") and s.endswith("}")) or (
+        s.startswith("[") and s.endswith("]"))
+
+
+@dataclass
+class ColStats:
+    """Per-column value-class tallies (reference: ColumnStats,
+    datatype.go:222-260 subset needed for inference)."""
+
+    total: int = 0
+    nulls: int = 0
+    ints: int = 0
+    decs: int = 0
+    bools: int = 0
+    dates: int = 0
+    datetimes: int = 0
+    datetimezs: int = 0
+    jsons: int = 0
+    strings: int = 0
+    max_len: int = 0
+    max_dec_len: int = 0
+    min_val: int = 0
+    max_val: int = 0
+    dt_formats: dict = field(default_factory=dict)  # spark pattern -> count
+
+
+def classify_value(v: str | None, st: ColStats, null_if: str | None = None) -> None:
+    st.total += 1
+    if v is None or v == "" or (null_if is not None and v == null_if):
+        st.nulls += 1
+        return
+    s = v.strip()
+    st.max_len = max(st.max_len, len(v))
+    if _INT_RE.match(s):
+        st.ints += 1
+        iv = int(s)
+        st.min_val = min(st.min_val, iv)
+        st.max_val = max(st.max_val, iv)
+        return
+    m = _DEC_RE.match(s)
+    if m:
+        st.decs += 1
+        st.max_dec_len = max(st.max_dec_len, len(m.group(2)))
+        iv = int(m.group(1).lstrip("+-") or 0)
+        st.min_val = min(st.min_val, -iv if s.lstrip().startswith("-") else iv)
+        st.max_val = max(st.max_val, iv)
+        return
+    if s.lower() in _BOOL:
+        st.bools += 1
+        return
+    for rx, pattern, kind in _DT_LAYOUTS:
+        if rx.match(s):
+            if kind == "date":
+                st.dates += 1
+            elif kind == "datetime":
+                st.datetimes += 1
+            else:
+                st.datetimezs += 1
+            if pattern:
+                st.dt_formats[pattern] = st.dt_formats.get(pattern, 0) + 1
+            return
+    if _looks_like_json(s):
+        try:
+            json.loads(s)
+            st.jsons += 1
+            return
+        except (ValueError, TypeError):
+            pass
+    st.strings += 1
+
+
+def decide_type(st: ColStats) -> ColumnType:
+    """The InferFromStats decision ladder (datatype.go:934-1000)."""
+    if st.total == 0 or st.nulls == st.total:
+        return ColumnType.STRING
+    nn = st.total - st.nulls  # non-null
+    if st.strings > 0 and (st.bools + st.ints + st.decs + st.dates
+                           + st.datetimes + st.datetimezs + st.jsons) == 0:
+        return ColumnType.TEXT if st.max_len > 255 else ColumnType.STRING
+    if st.jsons > 0 and st.jsons == nn:
+        return ColumnType.JSON
+    if st.bools > 0 and st.bools == nn:
+        return ColumnType.BOOL
+    if st.ints > 0 and st.ints == nn:
+        if st.min_val < -2147483648 or st.max_val > 2147483647:
+            return ColumnType.BIGINT
+        return ColumnType.INTEGER
+    if st.decs > 0 and st.decs + st.ints == nn:
+        return ColumnType.DECIMAL
+    if st.dates > 0 and st.dates == nn:
+        return ColumnType.DATE
+    if (st.datetimes + st.datetimezs) > 0 and (
+        st.datetimes + st.datetimezs + st.dates == nn
+    ):
+        return (ColumnType.TIMESTAMPZ if st.datetimezs > 0
+                else ColumnType.DATETIME)
+    return ColumnType.TEXT if st.max_len >= 4000 else ColumnType.STRING
+
+
+def infer_schema(
+    df: DataFrame, sample_size: int = SAMPLE_SIZE, null_if: str | None = None,
+) -> dict[str, tuple[ColumnType, ColStats]]:
+    """Classify a driver-side sample; returns per-column (type, stats)."""
+    sample = df.limit(sample_size).collect()
+    stats = {c: ColStats() for c in df.columns}
+    for row in sample:
+        for c in df.columns:
+            v = row[c]
+            classify_value(None if v is None else str(v), stats[c], null_if)
+    return {c: (decide_type(st), st) for c, st in stats.items()}
+
+
+def cast_expr(name: str, ctype: ColumnType, st: ColStats) -> Column:
+    c = F.col(f"`{name}`")
+    if ctype == ColumnType.DECIMAL:
+        # precision from observed digits (datatype.go:973-975): maxlen covers
+        # sign+dot+digits, so it's a safe upper bound; scale = max observed
+        prec = min(max(st.max_len, st.max_dec_len + 1), 38)
+        scale = min(st.max_dec_len, prec - 1) if prec > 1 else 0
+        return c.cast(to_spark_type(ColumnType.DECIMAL, prec, scale)).alias(name)
+    if ctype in (ColumnType.DATETIME, ColumnType.TIMESTAMP):
+        fmts = sorted(st.dt_formats, key=st.dt_formats.get, reverse=True)
+        if fmts:
+            # format arg must be a Column for to_timestamp_ntz
+            attempts = [F.to_timestamp_ntz(F.col(f"`{name}`"), F.lit(f))
+                        for f in fmts]
+            return F.coalesce(*attempts).alias(name)
+        return c.cast("timestamp_ntz").alias(name)
+    if ctype == ColumnType.TIMESTAMPZ:
+        return c.cast("timestamp").alias(name)
+    if ctype == ColumnType.DATE:
+        fmts = sorted(st.dt_formats, key=st.dt_formats.get, reverse=True)
+        if fmts:
+            return F.coalesce(
+                *[F.to_date(F.col(f"`{name}`"), f) for f in fmts]).alias(name)
+        return c.cast("date").alias(name)
+    if ctype in (ColumnType.STRING, ColumnType.TEXT, ColumnType.JSON,
+                 ColumnType.UUID):
+        return c.alias(name)
+    return c.cast(to_spark_type(ctype)).alias(name)
+
+
+def infer_and_cast(
+    df: DataFrame, sample_size: int = SAMPLE_SIZE, null_if: str | None = None,
+    overrides: dict[str, str] | None = None,
+) -> DataFrame:
+    """Full pipeline: sample -> classify -> one cast projection.
+
+    ``overrides`` is the config ``columns: {name: type}`` coercion surface
+    (reference: Columns.Coerce, applied after inference).
+    """
+    inferred = infer_schema(df, sample_size, null_if)
+    overrides = {k.lower(): v for k, v in (overrides or {}).items()}
+    exprs = []
+    for name in df.columns:
+        ctype, st = inferred[name]
+        if name.lower() in overrides:
+            ctype = ColumnType(overrides[name.lower()])
+        exprs.append(cast_expr(name, ctype, st))
+    return df.select(*exprs)

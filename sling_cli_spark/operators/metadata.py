@@ -18,7 +18,7 @@ would break pushdown and repeatability).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -32,10 +32,42 @@ def with_loaded_at(df: DataFrame, run_ts, col: str = "_sling_loaded_at") -> Data
 
 
 def with_row_num(
-    df: DataFrame, order_by: list[str], col: str = "_sling_row_num"
+    df: DataFrame, order_by: list[str] | None = None,
+    col: str = "_sling_row_num",
 ) -> DataFrame:
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    return df.withColumn(col, F.row_number().over(w))
+    """1-based global row number WITHOUT a global single-partition window.
+
+    ``Window.orderBy`` with no partition funnels the whole dataset through
+    one task — a scale-killer. Instead: (1) optionally establish a global
+    order with one range shuffle + local sort; (2) take
+    ``monotonically_increasing_id`` = ``(partition_id << 33) | local_index``;
+    (3) aggregate per-partition counts (tiny map-side-combined agg),
+    cumulative-sum them on the driver, and broadcast-join the offsets back.
+    The big side never funnels; cost = at most one range shuffle.
+    """
+    if order_by:
+        df = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
+    df = df.withColumn("__mid", F.monotonically_increasing_id())
+    pid = F.shiftrightunsigned(F.col("__mid"), 33)
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = sorted(
+        (r["pid"], r["cnt"])
+        for r in df.groupBy(pid.alias("pid"))
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for p, c in counts:
+        offsets.append((p, acc))
+        acc += c
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "pid bigint, __off bigint")
+    out = (
+        df.withColumn("__pid", pid)
+        .join(F.broadcast(off_df), F.col("__pid") == F.col("pid"), "left")
+        .withColumn(col, (F.col("__off") + local + 1).cast("bigint"))
+        .drop("__mid", "__pid", "pid", "__off")
+    )
+    return out
 
 
 def with_row_id(df: DataFrame, col: str = "_sling_row_id") -> DataFrame:

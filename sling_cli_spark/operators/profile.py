@@ -1,0 +1,124 @@
+"""Profiling / analysis suite.
+
+Re-expresses the reference's analysis templates
+(``core/dbio/templates/base.yaml:128-437``; runner
+``database.go:2179-2318`` RunAnalysis, ``analyzer.go:151-259``) as
+DataFrame aggregations:
+
+- field_stat: per-column count / null% / distinct% / dup count
+- distro_field: top-k value distribution with percentages
+- fill_rate: per-column non-null fill rates
+- test_pk: primary-key uniqueness check
+- table_join_match: left-join match-rate profiling between two tables
+
+Scale: field_stat is ONE pass over the table (count/countDistinct batched
+into a single agg); distro_field is a groupBy on the profiled field only
+(column-pruned scan) + a broadcast of the scalar total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def field_stat(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
+    """Per-column stats in one aggregate pass (base.yaml field_stat)."""
+    fields = fields or df.columns
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for f in fields:
+        c = F.col(f"`{f}`")
+        aggs += [
+            F.count(c).alias(f"__cnt_{f}"),
+            F.count_distinct(c).alias(f"__dst_{f}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    total = row["__total"]
+    out = []
+    for f in fields:
+        cnt, dst = row[f"__cnt_{f}"], row[f"__dst_{f}"]
+        out.append((
+            f, total, cnt, total - cnt, dst,
+            round(100.0 * (total - cnt) / total, 2) if total else 0.0,
+            round(100.0 * dst / total, 2) if total else 0.0,
+            cnt - dst,
+        ))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out,
+        "field string, total_cnt bigint, cnt bigint, null_cnt bigint, "
+        "uniq_cnt bigint, null_prct double, uniq_prct double, dup_cnt bigint",
+    )
+
+
+def distro_field(df: DataFrame, field: str, top_k: int = 20) -> DataFrame:
+    """Top-k value distribution with percentage (base.yaml distro_field).
+
+    groupBy on the single profiled column (scan prunes to one column);
+    the total is computed in the same plan via a window over the grouped
+    (small) result, not a second scan.
+    """
+    grouped = df.groupBy(F.col(f"`{field}`").alias("value")) \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w_tot = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("value"))
+    return (
+        grouped
+        .withColumn("prct", F.round(100.0 * F.col("cnt") / F.sum("cnt").over(w_tot), 2))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_k)
+        .select("value", "cnt", "prct", "rank")
+    )
+
+
+def fill_rate(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
+    """Non-null fill counts/rates per column (base.yaml fill_cnt/fill_rate),
+    one aggregate pass."""
+    fields = fields or df.columns
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    aggs += [F.count(F.col(f"`{f}`")).alias(f) for f in fields]
+    row = df.agg(*aggs).collect()[0]
+    total = row["__total"]
+    out = [(f, row[f], round(100.0 * row[f] / total, 2) if total else 0.0)
+           for f in fields]
+    return df.sparkSession.createDataFrame(
+        out, "field string, fill_cnt bigint, fill_rate double")
+
+
+def test_pk(df: DataFrame, pk: list[str]) -> DataFrame:
+    """PK uniqueness: total vs distinct-PK counts (base.yaml test_pk)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("total_cnt"),
+        F.count_distinct(*[F.col(f"`{c}`") for c in pk]).alias("pk_cnt"),
+    ).select(
+        "total_cnt", "pk_cnt",
+        (F.col("total_cnt") == F.col("pk_cnt")).alias("is_unique"),
+    )
+
+
+def table_join_match(
+    left: DataFrame, right: DataFrame, on: list[str] | dict[str, str],
+) -> DataFrame:
+    """Left-join match-rate profiling (base.yaml:136-187 table_join_match).
+
+    Aggregates both sides to distinct keys first (shuffles the *grouped*
+    keysets, not the raw tables), then one join on the key.
+    """
+    if isinstance(on, dict):
+        lcols, rcols = list(on.keys()), list(on.values())
+    else:
+        lcols = rcols = list(on)
+    lk = left.groupBy(*[F.col(f"`{c}`") for c in lcols]) \
+        .agg(F.count(F.lit(1)).alias("l_cnt"))
+    rk = right.groupBy(*[F.col(f"`{c}`").alias(lc) for c, lc in zip(rcols, lcols)]) \
+        .agg(F.count(F.lit(1)).alias("r_cnt"))
+    joined = lk.join(rk, on=lcols, how="left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("left_keys"),
+        F.count(F.col("r_cnt")).alias("matched_keys"),
+        F.round(100.0 * F.count(F.col("r_cnt")) / F.count(F.lit(1)), 2)
+        .alias("match_prct"),
+        F.sum("l_cnt").alias("left_rows"),
+    )

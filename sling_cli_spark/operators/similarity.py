@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, as a 100 TB pipeline needs both:
+
+- brute_force_topk: exact cosine top-k of the corpus against a (small)
+  query set. The query side broadcasts; the corpus streams through one
+  narrow projection (zip_with dot product) + a per-query top-k window.
+  Exact, and the right baseline for recall measurement.
+- lsh_topk: random-hyperplane LSH — corpus and queries bucket by sign
+  pattern; candidates meet only inside buckets, so the join is
+  equi-keyed and shuffle-partitioned instead of a cross product. The
+  scale path: cost ~ corpus * (1/2^bits) per probe.
+
+All arithmetic is Catalyst array expressions (zip_with / aggregate) —
+JVM-side, codegen'd, no Python on the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic pseudo-random hyperplanes, same trick as dedup._hash_coeffs
+_LCG_A, _LCG_C = 6364136223846793005, 1442695040888963407
+
+
+def _hyperplanes(num_planes: int, dim: int, seed: int = 11) -> list[list[float]]:
+    planes, state = [], seed
+    for _ in range(num_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * _LCG_A + _LCG_C) % (1 << 63)
+            v.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(v)
+    return planes
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. -> (query_id, vec_id, score).
+
+    The cross join broadcasts the query side (must be small — that is the
+    contract of a batch ANN probe); the corpus side never shuffles. Top-k
+    via window over query partitions: one shuffle on query_id, whose
+    cardinality = number of queries.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cv")
+    ).crossJoin(F.broadcast(q)).withColumn(
+        "score", cosine(F.col("__cv"), F.col("__qv")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "score")
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id (random-hyperplane LSH) as a bigint."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(x) for x in p])) >= 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    query_id_col: str = "query_id", num_planes: int = 8, dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Both sides add a bucket key (narrow projection), then an equi-join on
+    the bucket — at scale this is one hash-partitioned join where each
+    task sees ~corpus/2^planes rows, instead of a full cross product.
+    Recall is tuned by num_planes (fewer planes = bigger buckets).
+    """
+    planes = _hyperplanes(num_planes, dim)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cv"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"))
+    scored = c.join(q, on="__bucket").withColumn(
+        "score", cosine(F.col("__cv"), F.col("__qv")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "score")
+    )
+
+
+def pairwise_within_label(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    group_col: str = "label", threshold: float = 0.9,
+) -> DataFrame:
+    """All near-pairs within a grouping key (embedding-cosine near-dup).
+
+    The group key plays the LSH-bucket role: the self-join is equi-keyed on
+    it. For an unlabeled corpus, use hyperplane_bucket as the key first.
+    """
+    a = df.select(
+        F.col(group_col), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"))
+    b = df.select(
+        F.col(group_col), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, on=group_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= threshold)
+        .select(group_col, "id_a", "id_b", "score")
+    )

@@ -1,0 +1,139 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / punctuation
+/ stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting (shingle rolling hash). Everything is built-in
+Catalyst expressions over the ``documents`` table — narrow projections that
+scan once and push column pruning into parquet; no UDFs, no shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small high-frequency stopword sets per language (heuristic lang-id)
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "une", "dans", "que"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un", "por", "con"],
+}
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _lower_tokens(text: Column) -> Column:
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(text), "[^a-z\\s]", " ")), "\\s+")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of stopword occurrences for one language."""
+    toks = _lower_tokens(text)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Pick the language whose stopwords hit most (ties -> first of
+    en/de/fr/es; zero hits -> 'unknown')."""
+    hits = [(lang, stopword_hits(text, lang)) for lang in _STOPWORDS]
+    best_lang, best_cnt = F.lit("unknown"), F.lit(0)
+    # iterate in reverse so earlier languages win ties
+    for lang, cnt in reversed(hits):
+        cond = cnt > best_cnt if lang != "en" else cnt >= F.greatest(best_cnt, F.lit(1))
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_cnt = F.when(cond, cnt).otherwise(best_cnt)
+    return best_lang
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count via regexp matches (JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_RE), 0))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, "\\s+")))
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document stats: chars, words, lines, punct/alpha/space ratios,
+    mean word length. All SQL-expressible (oracle-checkable)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = whitespace_token_count(t)
+    stripped_alpha = F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    stripped_punct = F.length(F.regexp_replace(t, "[^A-Za-z0-9\\s]", ""))
+    stripped_space = F.length(F.regexp_replace(t, "\\s", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (F.size(F.split(t, "\n")) ).alias("n_lines"),
+        F.round((n_chars - stripped_punct) / F.greatest(n_chars, F.lit(1)), 4)
+        .alias("punct_ratio"),
+        F.round((n_chars - stripped_alpha) / F.greatest(n_chars, F.lit(1)), 4)
+        .alias("alpha_ratio"),
+        F.round((n_chars - stripped_space) / F.greatest(n_chars, F.lit(1)), 4)
+        .alias("space_ratio"),
+        F.round(stripped_space / F.greatest(n_words, F.lit(1)), 4)
+        .alias("mean_word_len"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_chars: int = 50, max_chars: int = 100_000,
+) -> DataFrame:
+    """Heuristic quality score in [0,1]: length window, punctuation sanity,
+    stopword presence, word-length sanity — the classic cheap pre-filters
+    (Gopher/C4-style rules) as one projection."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = whitespace_token_count(t)
+    mean_wl = (F.length(F.regexp_replace(t, "\\s", ""))
+               / F.greatest(n_words, F.lit(1)))
+    punct = (n_chars - F.length(F.regexp_replace(t, "[^A-Za-z0-9\\s]", ""))) \
+        / F.greatest(n_chars, F.lit(1))
+    sw = stopword_hits(t, "en") / F.greatest(n_words, F.lit(1))
+    len_ok = (n_chars >= min_chars) & (n_chars <= max_chars)
+    wl_ok = (mean_wl >= 2) & (mean_wl <= 12)
+    punct_ok = punct <= 0.3
+    score = (
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.when(wl_ok, 0.2).otherwise(0.0)
+        + F.when(punct_ok, 0.2).otherwise(0.0)
+        + F.least(F.round(sw * 2, 4), F.lit(0.2))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(score, 4).alias("quality"),
+        len_ok.alias("len_ok"), wl_ok.alias("wl_ok"), punct_ok.alias("punct_ok"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Document fingerprint: min/max rolling shingle hash + full-text hash.
+
+    The (min,max) shingle-hash pair is a cheap 'winnowing-lite' signature:
+    robust to small edits at the ends, usable as a blocking key.
+    """
+    from sling_cli_spark.operators.dedup import normalize_text, shingles_col
+
+    sh = shingles_col(F.col(text_col), shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    return df.select(
+        F.col(id_col),
+        F.xxhash64(normalize_text(F.col(text_col))).alias("text_hash"),
+        F.array_min(hashes).alias("min_shingle_hash"),
+        F.array_max(hashes).alias("max_shingle_hash"),
+    )

@@ -82,7 +82,16 @@ def run(
 
     ``target_df`` supplies the current target contents for watermark probes
     and merge strategies (for file targets we read it from target.object).
+
+    Row counts come from ``Observation`` piggybacked on the write — one
+    materialization, never a separate ``count()`` pass over the plan
+    (the reference counts rows as they stream for the same reason).
     """
+    from pyspark.sql import Observation
+
+    if cfg.target.options.pre_sql:
+        spark.sql(cfg.target.options.pre_sql)
+
     watermark = None
     if cfg.mode == Mode.INCREMENTAL and cfg.source.update_key and target_df is not None:
         watermark = max_watermark(target_df, cfg.source.update_key)
@@ -98,18 +107,35 @@ def run(
         and cfg.source.primary_key
         and target_df is not None
     )
+    update_key = cfg.source.update_key
     if needs_merge:
-        from sling_cli_spark.operators.merge import merge_dataframes
+        from sling_cli_spark.operators.merge import delete_missing, merge_dataframes
+        from sling_cli_spark.sinks.writers import write_swap
 
         merged = merge_dataframes(
             target_df, df, cfg.source.primary_key,
             strategy=cfg.target.options.merge_strategy,
-            update_key=cfg.source.update_key,
+            update_key=update_key,
         )
-        rows = merged.count()
-        write_files(merged, cfg.target, Mode.FULL_REFRESH)
-        return TaskResult(rows=rows, columns=merged.columns, mode=cfg.mode.value)
+        if cfg.target.options.delete_missing:
+            merged = delete_missing(
+                merged, df, cfg.source.primary_key,
+                soft=cfg.target.options.delete_missing == "soft",
+            )
+        obs = Observation("write_stats")
+        merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
+        # the merged plan still reads the current target files — stage to a
+        # temp path and swap, never overwrite a path being read
+        write_swap(merged, cfg.target, update_key=update_key)
+        rows = obs.get["rows"]
+        result = TaskResult(rows=rows, columns=merged.columns, mode=cfg.mode.value)
+    else:
+        obs = Observation("write_stats")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        write_files(df, cfg.target, cfg.mode, update_key=update_key)
+        rows = obs.get["rows"]
+        result = TaskResult(rows=rows, columns=df.columns, mode=cfg.mode.value)
 
-    rows = df.count()
-    write_files(df, cfg.target, cfg.mode)
-    return TaskResult(rows=rows, columns=df.columns, mode=cfg.mode.value)
+    if cfg.target.options.post_sql:
+        spark.sql(cfg.target.options.post_sql)
+    return result

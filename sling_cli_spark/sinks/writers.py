@@ -58,9 +58,15 @@ def parse_partition_mask(object_uri: str, update_key: str | None = None):
     return clean, parts
 
 
-def write_files(df: DataFrame, target: Target, mode: Mode, fmt: str | None = None):
+def write_files(
+    df: DataFrame, target: Target, mode: Mode, fmt: str | None = None,
+    update_key: str | None = None,
+):
+    """Physical write. ``update_key`` resolves bare ``{part_*}`` masks
+    (the reference defaults partition masks to the stream's update_key,
+    iop/partition.go:13-124)."""
     opts = target.options
-    uri, masks = parse_partition_mask(target.object or "", None)
+    uri, masks = parse_partition_mask(target.object or "", update_key)
     fmt = fmt or opts.format or _detect_format(uri)
 
     part_cols: list[str] = list(opts.partition_by)
@@ -81,6 +87,36 @@ def write_files(df: DataFrame, target: Target, mode: Mode, fmt: str | None = Non
 
 
 _WRITERS = {"parquet": "parquet", "csv": "csv", "json": "json", "orc": "orc"}
+
+
+def write_swap(
+    df: DataFrame, target: Target, fmt: str | None = None,
+    update_key: str | None = None,
+) -> None:
+    """Overwrite a path that ``df``'s plan may still be reading from.
+
+    A lazy merge plan reads the current target files; a direct
+    ``mode("overwrite")`` would delete them mid-recompute (data loss). The
+    reference stages into a temp table then atomically swaps
+    (``database.go:2955-2992`` SwapTable); we do the same with paths:
+    write to ``<uri>__swap``, then rename over the target. The rename is a
+    metadata operation on HDFS/local (object stores: per-file copy, still
+    safe because the write completed first).
+    """
+    uri, _ = parse_partition_mask(target.object or "", update_key)
+    tmp_uri = uri.rstrip("/") + "__swap"
+    tmp_target = Target(conn=target.conn, object=tmp_uri, options=target.options)
+    write_files(df, tmp_target, Mode.FULL_REFRESH, fmt=fmt, update_key=update_key)
+
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    final_p = jvm.org.apache.hadoop.fs.Path(uri)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp_uri)
+    fs = final_p.getFileSystem(conf)
+    if fs.exists(final_p):
+        fs.delete(final_p, True)
+    fs.rename(tmp_p, final_p)
 
 
 def _detect_format(uri: str) -> str:

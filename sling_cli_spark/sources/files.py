@@ -37,12 +37,21 @@ _EXT_FORMAT = {
 }
 
 
+_COMPRESS_EXTS = (".gz", ".bz2", ".zst", ".snappy", ".zip")
+
+
 def detect_format(path: str, opts: SourceOptions) -> str:
     if opts.format:
         return opts.format
     base = path.rstrip("/*")
-    for ext, fmt in _EXT_FORMAT.items():
-        if base.endswith(ext) or f"{ext}" in os.path.basename(base):
+    # strip compression suffixes so data.csv.gz detects as csv
+    for cext in _COMPRESS_EXTS:
+        if base.endswith(cext):
+            base = base[: -len(cext)]
+            break
+    # longest extension first so .jsonl beats .json
+    for ext, fmt in sorted(_EXT_FORMAT.items(), key=lambda kv: -len(kv[0])):
+        if base.endswith(ext):
             return fmt
     # directory of parquet is the common lake layout
     return "parquet"
@@ -59,11 +68,13 @@ def read_files(spark: SparkSession, path: str, opts: SourceOptions) -> DataFrame
             .option("quote", opts.quote)
             .option("escape", opts.escape)
             .option("encoding", opts.encoding)
-            .option("multiLine", "true")        # embedded newlines in quotes
+            # multiLine makes each file a single unsplittable task — at scale
+            # this serializes the scan. Off by default; opt in only for CSVs
+            # with quoted embedded newlines (reference parses those by
+            # default, but pays the same single-reader price per file).
+            .option("multiLine", str(opts.multi_line).lower())
             .option("mode", "PERMISSIVE")
         )
-        if opts.skip_lines:
-            reader = reader.option("skipRows", str(opts.skip_lines))
         if opts.null_if is not None:
             reader = reader.option("nullValue", opts.null_if)
         if opts.datetime_format:
@@ -71,10 +82,16 @@ def read_files(spark: SparkSession, path: str, opts: SourceOptions) -> DataFrame
         # read as strings; operators/inference.py supplies the casts
         # (reference: 900-row sample classifier, dataset.go:422-610)
         reader = reader.option("inferSchema", "false")
+        if opts.skip_lines:
+            # Spark CSV has no skip-rows option: drop the first N physical
+            # lines per file from a text read, then parse the remainder.
+            return _read_csv_skip_lines(spark, path, opts, reader)
         return reader.csv(path)
     if fmt in ("json", "jsonl"):
         reader = spark.read.option("multiLine", "true" if fmt == "json" else "false")
         df = reader.json(path)
+        if opts.jmespath:
+            df = _apply_record_path(df, opts.jmespath)
         if opts.flatten:
             depth = 0 if opts.flatten is True else int(opts.flatten)
             df = flatten(df, max_depth=depth)
@@ -86,6 +103,58 @@ def read_files(spark: SparkSession, path: str, opts: SourceOptions) -> DataFrame
     if fmt in ("excel", "sas7bdat"):
         return _read_via_pandas(spark, path, fmt, opts)
     raise ValueError(f"unsupported source format: {fmt!r}")
+
+
+def _apply_record_path(df: DataFrame, path: str) -> DataFrame:
+    """Record extraction for JSON sources (reference's jmespath/jq option,
+    ``core/dbio/iop/json.go:44-120``). Supports dotted paths where a
+    segment suffixed ``[]`` explodes an array: ``data[].record`` selects
+    each element of ``data`` then projects ``record.*``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for seg in path.split("."):
+        explode_it = seg.endswith("[]")
+        name = seg[:-2] if explode_it else seg
+        if name:
+            if name not in df.columns:
+                raise ValueError(f"jmespath: field not found: {name!r}")
+            df = df.select(F.col(f"`{name}`").alias("__rec"))
+        if explode_it:
+            df = df.select(F.explode(F.col("__rec" if name else "`__rec`"))
+                           .alias("__rec"))
+        if isinstance(df.schema["__rec"].dataType, T.StructType):
+            df = df.select("__rec.*")
+    return df
+
+
+def _read_csv_skip_lines(spark: SparkSession, path: str, opts, reader) -> DataFrame:
+    """Skip the first ``skip_lines`` physical lines of each file.
+
+    ``spark.read.text`` preserves in-file line order within the
+    (partition-id, monotonic-id) ordering, so a per-file ``row_number``
+    window identifies the leading lines exactly. The remaining lines are
+    re-parsed by the normal CSV reader from an in-memory dataset. Only used
+    when ``skip_lines > 0`` — a niche dirty-file path, so losing scan
+    pushdown here is acceptable (matches the reference, which also
+    re-streams such files through its line filter).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    txt = (
+        spark.read.text(path)
+        .select(F.input_file_name().alias("__f"),
+                F.monotonically_increasing_id().alias("__i"), "value")
+    )
+    w = Window.partitionBy("__f").orderBy("__i")
+    kept = (
+        txt.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > opts.skip_lines)
+        .orderBy("__f", "__i")
+        .select("value")
+    )
+    return reader.csv(kept.rdd.map(lambda r: r.value))
 
 
 def _read_via_pandas(
