@@ -1,38 +1,651 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per implemented operator from SURVEY.md §2 plus the
+LLM-pipeline operators; ``oracle_sql()`` carries the DuckDB-equivalent SQL
+for every SQL-expressible operator (the driver hash-compares both at
+sf=0.01). Non-SQL-expressible ops (minhash/simhash/LSH/xxhash-based
+fingerprints, heuristic lang-id) have queries but no oracle — driver
+records the weaker rows-only check.
+
+Float discipline: aggregates over doubles are cast per-row to decimal
+before summing (identical exact arithmetic in Spark and DuckDB); ratio
+outputs are rounded; cosine scores are computed in double on both sides.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df_path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects; read nanos as long and convert to µs timestamp_ntz
+        # (matches DuckDB's CAST(ts AS TIMESTAMP) truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(df_path)
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            .cast("timestamp_ntz"),
+        )
+    return spark.read.parquet(df_path)
+
+
+# ---------------------------------------------------------------------------
+# flagship: star-join revenue aggregate (lineitem ⋈ orders ⋈ customer).
+# Dims broadcast under the 64MB threshold; lineitem never shuffles for the
+# join, only for the final small groupBy.
+
+def _star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    # cast inputs (2dp source values, unambiguous) to decimal BEFORE the
+    # arithmetic so Spark and the oracle both sum exactly; emit double.
+    rev = F.expr(
+        "cast(l_extendedprice as decimal(12,2))"
+        " * (1 - cast(l_discount as decimal(12,2)))")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "l_returnflag")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.sum(F.expr("cast(l_quantity as decimal(12,2))"))
+            .cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _star_join_agg(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sling_cli_spark.operators.dedup import (
+        exact_dedup, minhash_lsh_dedup, simhash_dedup)
+    from sling_cli_spark.operators.incremental import (
+        apply_limit_offset, backfill_filter, incremental_filter, max_watermark)
+    from sling_cli_spark.operators.merge import (
+        dedup_last, delete_missing, merge_change_capture, merge_insert,
+        merge_update, merge_update_insert)
+    from sling_cli_spark.operators.metadata import with_loaded_at, with_row_num
+    from sling_cli_spark.operators.profile import (
+        distro_field, field_stat, fill_rate, table_join_match, test_pk)
+    from sling_cli_spark.operators.select import apply_casing, apply_select
+    from sling_cli_spark.operators.similarity import (
+        brute_force_topk, lsh_topk, pairwise_within_label)
+    from sling_cli_spark.operators.text import (
+        fingerprint, lang_id, quality_score, text_stats, token_count)
+    from sling_cli_spark.operators.transforms import apply_transforms
+    from sling_cli_spark.operators.validation import checksum_df
+    from sling_cli_spark.sources.files import sql_on_files
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- EL operators ---------------------------------------------------
+    def select_project(spark, sf):
+        return apply_select(
+            _t(spark, sf, "lineitem"),
+            ["l_orderkey", "l_quantity as qty", "-l_comment", "-l_tax", "*"],
+        )
+
+    def where_filter(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.filter(F.expr(
+            "l_discount > 0.05 and l_returnflag = 'R'"
+        )).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+    def limit_order(spark, sf):
+        o = _t(spark, sf, "orders")
+        return apply_limit_offset(
+            o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")), 20
+        ).select("o_orderkey", "o_totalprice")
+
+    def incremental_watermark(spark, sf):
+        o = _t(spark, sf, "orders")
+        target = o.filter("o_orderkey <= 500")
+        wm = max_watermark(target, "o_orderdate")
+        return incremental_filter(o, "o_orderdate", wm) \
+            .select("o_orderkey", "o_orderdate")
+
+    def backfill_range(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return backfill_filter(
+            li, "l_shipdate", "1996-01-01", "1996-12-31 23:59:59"
+        ).select("l_orderkey", "l_linenumber", "l_shipdate")
+
+    def column_casing_upper(spark, sf):
+        return apply_casing(_t(spark, sf, "customer"), "upper")
+
+    def transforms_hash(spark, sf):
+        c = _t(spark, sf, "customer")
+        out = apply_transforms(
+            c.select("c_custkey", "c_name", "c_mktsegment"),
+            {"c_mktsegment": ["lower", "trim_space"]},
+        )
+        return out.withColumn("name_md5", F.md5(F.col("c_name"))) \
+                  .withColumn("name_sha", F.sha2(F.col("c_name"), 256))
+
+    def flatten_json_extract(spark, sf):
+        e = _t(spark, sf, "events")
+        return e.select(
+            "event_id",
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+        )
+
+    def snapshot_stamp(spark, sf):
+        o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        stamp = F.lit("2026-01-01 00:00:00").cast("timestamp_ntz")
+        return with_loaded_at(o, stamp)
+
+    def definition_only(spark, sf):
+        return _t(spark, sf, "lineitem").limit(0)
+
+    def union_drift(spark, sf):
+        o = _t(spark, sf, "orders")
+        a = o.filter("o_orderkey < 300").drop("o_orderpriority")
+        b = o.filter("o_orderkey >= 300")
+        return a.unionByName(b, allowMissingColumns=True)
+
+    def sql_files(spark, sf):
+        return sql_on_files(
+            spark,
+            """
+            SELECT l_returnflag, l_linestatus,
+                   cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base,
+                   count(*) AS cnt
+            FROM li GROUP BY l_returnflag, l_linestatus
+            """,
+            {"li": os.path.join(sf, "lineitem.parquet")},
+        )
+
+    # --- merge strategies ------------------------------------------------
+    def _merge_frames(spark, sf):
+        o = _t(spark, sf, "orders")
+        target = o.filter("o_orderkey < 750")
+        src = o.filter("o_orderkey between 500 and 999") \
+            .withColumn("o_totalprice", F.col("o_totalprice") + 10000)
+        return target, src
+
+    def merge_ui(spark, sf):
+        t, s = _merge_frames(spark, sf)
+        return merge_update_insert(t, s, "o_orderkey")
+
+    def merge_ins(spark, sf):
+        t, s = _merge_frames(spark, sf)
+        return merge_insert(t, s, "o_orderkey")
+
+    def merge_upd(spark, sf):
+        t, s = _merge_frames(spark, sf)
+        return merge_update(t, s, "o_orderkey")
+
+    def merge_cdc(spark, sf):
+        o = _t(spark, sf, "orders")
+        t = o.filter("o_orderkey < 750") \
+            .withColumn("_sling_synced_op", F.lit("I")) \
+            .withColumn("_sling_synced_seq", F.lit(0))
+        s = o.filter("o_orderkey between 500 and 999") \
+            .withColumn("_sling_synced_op",
+                        F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U")) \
+            .withColumn("_sling_synced_seq", F.lit(1))
+        return merge_change_capture(t, s, "o_orderkey")
+
+    def delete_missing_hard(spark, sf):
+        o = _t(spark, sf, "orders")
+        t = o.filter("o_orderkey < 1000")
+        s = o.filter("o_orderkey between 250 and 750")
+        return delete_missing(t, s, "o_orderkey")
+
+    def dedup_last_event(spark, sf):
+        e = _t(spark, sf, "events")
+        # output ts truncated to ms: Spark rounds parquet-ns to µs while
+        # DuckDB truncates, so raw µs values can differ by 1
+        return dedup_last(e, "user_id", ["ts", "event_id"]).select(
+            "user_id", "event_id",
+            F.date_trunc("millisecond", F.col("ts"))
+            .cast("timestamp_ntz").alias("ts"))
+
+    def row_num_events(spark, sf):
+        e = _t(spark, sf, "events").select("event_id")
+        return with_row_num(e, ["event_id"])
+
+    # --- validation / profiling -----------------------------------------
+    def checksum_lineitem(spark, sf):
+        return checksum_df(_t(spark, sf, "lineitem"))
+
+    def field_stat_orders(spark, sf):
+        return field_stat(_t(spark, sf, "orders"),
+                          ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def distro_priority(spark, sf):
+        return distro_field(_t(spark, sf, "orders"), "o_orderpriority", 10)
+
+    def fill_rate_orders(spark, sf):
+        return fill_rate(_t(spark, sf, "orders"))
+
+    def test_pk_lineitem(spark, sf):
+        return test_pk(_t(spark, sf, "lineitem"),
+                       ["l_orderkey", "l_linenumber"])
+
+    def join_match(spark, sf):
+        return table_join_match(
+            _t(spark, sf, "orders"), _t(spark, sf, "customer"),
+            {"o_custkey": "c_custkey"})
+
+    def csv_inference_roundtrip(spark, sf):
+        from sling_cli_spark.operators.inference import infer_and_cast
+        from sling_cli_spark.config import SourceOptions
+        from sling_cli_spark.sources.files import read_files
+
+        li = _t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+            "l_shipdate")
+        path = f"/tmp/sling_csv_rt_{os.path.basename(sf.rstrip('/'))}"
+        li.write.mode("overwrite").option("header", "true").csv(path)
+        raw = read_files(spark, path, SourceOptions(format="csv"))
+        typed = infer_and_cast(raw)
+        # numeric columns inferred as int/decimal; present as the parquet
+        # schema's types for comparison
+        return typed.select(
+            F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+            "l_returnflag",
+            F.col("l_shipdate").alias("l_shipdate"),
+        )
+
+    # --- LLM-pipeline operators ------------------------------------------
+    def exact_dedup_docs(spark, sf):
+        return exact_dedup(_t(spark, sf, "documents")) \
+            .select("doc_id", "n_chars")
+
+    def minhash_dedup_docs(spark, sf):
+        return minhash_lsh_dedup(_t(spark, sf, "documents")).select("doc_id")
+
+    def simhash_dedup_docs(spark, sf):
+        return simhash_dedup(_t(spark, sf, "documents")).select("doc_id")
+
+    def text_stats_docs(spark, sf):
+        return text_stats(_t(spark, sf, "documents"))
+
+    def token_count_docs(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+    def quality_docs(spark, sf):
+        return quality_score(_t(spark, sf, "documents"))
+
+    def lang_id_docs(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+    def fingerprint_docs(spark, sf):
+        return fingerprint(_t(spark, sf, "documents"))
+
+    def ann_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        q = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return brute_force_topk(emb, q, k=10).select("query_id", "vec_id")
+
+    def ann_lsh_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        q = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return lsh_topk(emb, q, k=10).select("query_id", "vec_id")
+
+    def embedding_near_dup(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return pairwise_within_label(emb, threshold=0.9) \
+            .select("label", "id_a", "id_b")
+
+    return {
+        "star_join_agg": _star_join_agg,
+        "select_project": select_project,
+        "where_filter": where_filter,
+        "limit_order": limit_order,
+        "incremental_watermark": incremental_watermark,
+        "backfill_range": backfill_range,
+        "column_casing_upper": column_casing_upper,
+        "transforms_hash": transforms_hash,
+        "flatten_json_extract": flatten_json_extract,
+        "snapshot_stamp": snapshot_stamp,
+        "definition_only": definition_only,
+        "union_drift": union_drift,
+        "sql_on_files": sql_files,
+        "merge_update_insert": merge_ui,
+        "merge_insert": merge_ins,
+        "merge_update": merge_upd,
+        "merge_change_capture": merge_cdc,
+        "delete_missing": delete_missing_hard,
+        "dedup_last_event": dedup_last_event,
+        "row_num_events": row_num_events,
+        "checksum_lineitem": checksum_lineitem,
+        "field_stat_orders": field_stat_orders,
+        "distro_priority": distro_priority,
+        "fill_rate_orders": fill_rate_orders,
+        "test_pk_lineitem": test_pk_lineitem,
+        "join_match": join_match,
+        "csv_inference_roundtrip": csv_inference_roundtrip,
+        "exact_dedup_docs": exact_dedup_docs,
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "simhash_dedup_docs": simhash_dedup_docs,
+        "text_stats_docs": text_stats_docs,
+        "token_count_docs": token_count_docs,
+        "quality_docs": quality_docs,
+        "lang_id_docs": lang_id_docs,
+        "fingerprint_docs": fingerprint_docs,
+        "ann_topk": ann_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "embedding_near_dup": embedding_near_dup,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; tables pre-registered as views)
+
+_MERGE_SRC = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice + 10000 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey BETWEEN 500 AND 999
+"""
+
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text), "
+         "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "star_join_agg": """
+            SELECT c_mktsegment, l_returnflag,
+                   cast(sum(cast(l_extendedprice as decimal(12,2))
+                            * (1 - cast(l_discount as decimal(12,2)))) as double)
+                       AS revenue,
+                   cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, l_returnflag
+        """,
+        "select_project": """
+            SELECT l_orderkey, l_quantity AS qty, l_partkey, l_suppkey,
+                   l_linenumber, l_extendedprice, l_discount, l_returnflag,
+                   l_linestatus, l_shipdate
+            FROM lineitem
+        """,
+        "where_filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+            FROM lineitem WHERE l_discount > 0.05 AND l_returnflag = 'R'
+        """,
+        "limit_order": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "incremental_watermark": """
+            SELECT o_orderkey, o_orderdate FROM orders
+            WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders
+                                 WHERE o_orderkey <= 500)
+        """,
+        "backfill_range": """
+            SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                 AND TIMESTAMP '1996-12-31 23:59:59'
+        """,
+        "column_casing_upper": """
+            SELECT c_custkey AS C_CUSTKEY, c_name AS C_NAME,
+                   c_nationkey AS C_NATIONKEY, c_acctbal AS C_ACCTBAL,
+                   c_mktsegment AS C_MKTSEGMENT
+            FROM customer
+        """,
+        "transforms_hash": """
+            SELECT c_custkey, c_name, trim(lower(c_mktsegment)) AS c_mktsegment,
+                   md5(c_name) AS name_md5, sha256(c_name) AS name_sha
+            FROM customer
+        """,
+        "flatten_json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
+        """,
+        "snapshot_stamp": """
+            SELECT o_orderkey, o_totalprice,
+                   TIMESTAMP '2026-01-01 00:00:00' AS _sling_loaded_at
+            FROM orders
+        """,
+        "definition_only": "SELECT * FROM lineitem WHERE 1=0",
+        "union_drift": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, NULL AS o_orderpriority
+            FROM orders WHERE o_orderkey < 300
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey >= 300
+        """,
+        "sql_on_files": """
+            SELECT l_returnflag, l_linestatus,
+                   cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "merge_update_insert": f"""
+            WITH src AS ({_MERGE_SRC})
+            SELECT * FROM orders WHERE o_orderkey < 750
+              AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL SELECT * FROM src
+        """,
+        "merge_insert": f"""
+            WITH src AS ({_MERGE_SRC})
+            SELECT * FROM orders WHERE o_orderkey < 750
+            UNION ALL
+            SELECT * FROM src WHERE o_orderkey >= 750
+        """,
+        "merge_update": f"""
+            WITH src AS ({_MERGE_SRC})
+            SELECT * FROM orders WHERE o_orderkey < 500
+            UNION ALL
+            SELECT * FROM src WHERE o_orderkey < 750
+        """,
+        "merge_change_capture": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority,
+                   'I' AS _sling_synced_op, 0 AS _sling_synced_seq
+            FROM orders WHERE o_orderkey < 500
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority,
+                   'U' AS _sling_synced_op, 1 AS _sling_synced_seq
+            FROM orders
+            WHERE o_orderkey BETWEEN 500 AND 999 AND o_orderkey % 7 != 0
+        """,
+        "delete_missing": """
+            SELECT * FROM orders
+            WHERE o_orderkey < 1000 AND o_orderkey BETWEEN 250 AND 750
+        """,
+        "dedup_last_event": """
+            SELECT user_id, event_id,
+                   date_trunc('milliseconds', ts) AS ts FROM (
+                SELECT user_id, event_id, ts,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "row_num_events": """
+            SELECT event_id,
+                   row_number() OVER (ORDER BY event_id) AS _sling_row_num
+            FROM events
+        """,
+        "checksum_lineitem": """
+            SELECT count(*) AS _row_count,
+                   cast(sum(abs(l_orderkey)) as BIGINT) AS l_orderkey,
+                   cast(sum(abs(l_partkey)) as BIGINT) AS l_partkey,
+                   cast(sum(abs(l_suppkey)) as BIGINT) AS l_suppkey,
+                   cast(sum(abs(l_linenumber)) as BIGINT) AS l_linenumber,
+                   cast(sum(floor(abs(l_quantity))) as BIGINT) AS l_quantity,
+                   cast(sum(floor(abs(l_extendedprice))) as BIGINT) AS l_extendedprice,
+                   cast(sum(floor(abs(l_discount))) as BIGINT) AS l_discount,
+                   cast(sum(floor(abs(l_tax))) as BIGINT) AS l_tax,
+                   cast(sum(length(l_returnflag)) as BIGINT) AS l_returnflag,
+                   cast(sum(length(l_linestatus)) as BIGINT) AS l_linestatus
+            FROM lineitem
+        """,
+        "field_stat_orders": """
+            SELECT 'o_orderkey' AS field, count(*) AS total_cnt,
+                   count(o_orderkey) AS cnt,
+                   count(*) - count(o_orderkey) AS null_cnt,
+                   count(DISTINCT o_orderkey) AS uniq_cnt,
+                   round(100.0 * (count(*) - count(o_orderkey)) / count(*), 2) AS null_prct,
+                   round(100.0 * count(DISTINCT o_orderkey) / count(*), 2) AS uniq_prct,
+                   count(o_orderkey) - count(DISTINCT o_orderkey) AS dup_cnt
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*), count(o_custkey),
+                   count(*) - count(o_custkey), count(DISTINCT o_custkey),
+                   round(100.0 * (count(*) - count(o_custkey)) / count(*), 2),
+                   round(100.0 * count(DISTINCT o_custkey) / count(*), 2),
+                   count(o_custkey) - count(DISTINCT o_custkey)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+                   count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+                   round(100.0 * (count(*) - count(o_orderpriority)) / count(*), 2),
+                   round(100.0 * count(DISTINCT o_orderpriority) / count(*), 2),
+                   count(o_orderpriority) - count(DISTINCT o_orderpriority)
+            FROM orders
+        """,
+        "distro_priority": """
+            SELECT value, cnt, prct, rank FROM (
+                SELECT value, cnt,
+                       round(100.0 * cnt / sum(cnt) OVER (), 2) AS prct,
+                       row_number() OVER (ORDER BY cnt DESC, value) AS rank
+                FROM (SELECT o_orderpriority AS value, count(*) AS cnt
+                      FROM orders GROUP BY o_orderpriority))
+            WHERE rank <= 10
+        """,
+        "fill_rate_orders": """
+            SELECT 'o_orderkey' AS field, count(o_orderkey) AS fill_cnt,
+                   round(100.0 * count(o_orderkey) / count(*), 2) AS fill_rate FROM orders
+            UNION ALL SELECT 'o_custkey', count(o_custkey),
+                   round(100.0 * count(o_custkey) / count(*), 2) FROM orders
+            UNION ALL SELECT 'o_orderstatus', count(o_orderstatus),
+                   round(100.0 * count(o_orderstatus) / count(*), 2) FROM orders
+            UNION ALL SELECT 'o_totalprice', count(o_totalprice),
+                   round(100.0 * count(o_totalprice) / count(*), 2) FROM orders
+            UNION ALL SELECT 'o_orderdate', count(o_orderdate),
+                   round(100.0 * count(o_orderdate) / count(*), 2) FROM orders
+            UNION ALL SELECT 'o_orderpriority', count(o_orderpriority),
+                   round(100.0 * count(o_orderpriority) / count(*), 2) FROM orders
+        """,
+        "test_pk_lineitem": """
+            SELECT count(*) AS total_cnt,
+                   count(DISTINCT (l_orderkey, l_linenumber)) AS pk_cnt,
+                   count(*) = count(DISTINCT (l_orderkey, l_linenumber)) AS is_unique
+            FROM lineitem
+        """,
+        "join_match": """
+            WITH lk AS (SELECT o_custkey, count(*) AS l_cnt
+                        FROM orders GROUP BY o_custkey),
+                 rk AS (SELECT c_custkey, count(*) AS r_cnt
+                        FROM customer GROUP BY c_custkey)
+            SELECT count(*) AS left_keys, count(r_cnt) AS matched_keys,
+                   round(100.0 * count(r_cnt) / count(*), 2) AS match_prct,
+                   cast(sum(l_cnt) as BIGINT) AS left_rows
+            FROM lk LEFT JOIN rk ON lk.o_custkey = rk.c_custkey
+        """,
+        "csv_inference_roundtrip": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+                   l_shipdate
+            FROM lineitem
+        """,
+        "exact_dedup_docs": f"""
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (PARTITION BY sha256({_NORM})
+                                          ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1
+        """,
+        "text_stats_docs": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+                   len(string_split(text, chr(10))) AS n_lines,
+                   round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                         / greatest(length(text), 1), 4) AS punct_ratio,
+                   round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                         / greatest(length(text), 1), 4) AS alpha_ratio,
+                   round((length(text) - length(regexp_replace(text, '\\s', '', 'g')))
+                         / greatest(length(text), 1), 4) AS space_ratio,
+                   round(length(regexp_replace(text, '\\s', '', 'g'))
+                         / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                         ELSE len(string_split_regex(trim(text), '\\s+')) END, 1),
+                         4) AS mean_word_len
+            FROM documents
+        """,
+        "token_count_docs": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+            FROM documents
+        """,
+        "quality_docs": """
+            WITH q AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+                     length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+                     (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                       / greatest(length(text), 1) AS punct,
+                     len(list_filter(string_split_regex(
+                         trim(regexp_replace(lower(text), '[^a-z\\s]', ' ', 'g')), '\\s+'),
+                         x -> x IN ('the','and','of','to','in','is','that','it','was','for')))
+                       AS sw_hits
+              FROM documents)
+            SELECT doc_id,
+                   round(
+                     (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN n_nonspace / greatest(n_words,1) BETWEEN 2 AND 12
+                        THEN 0.2 ELSE 0.0 END)
+                     + (CASE WHEN punct <= 0.3 THEN 0.2 ELSE 0.0 END)
+                     + least(round(sw_hits * 2.0 / greatest(n_words,1), 4), 0.2), 4)
+                   AS quality,
+                   n_chars BETWEEN 50 AND 100000 AS len_ok,
+                   n_nonspace / greatest(n_words,1) BETWEEN 2 AND 12 AS wl_ok,
+                   punct <= 0.3 AS punct_ok
+            FROM q
+        """,
+        "ann_topk": """
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                           c.vec_id) AS rn
+                FROM embeddings c, embeddings q WHERE q.vec_id < 5)
+            WHERE rn <= 10
+        """,
+        "embedding_near_dup": """
+            SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.label = b.label
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.9
+        """,
+        # no oracle (rows-only check): minhash_dedup_docs, simhash_dedup_docs,
+        # lang_id_docs, fingerprint_docs, ann_lsh_topk — xxhash64 /
+        # LSH-approximation semantics aren't expressible in DuckDB SQL.
+    }

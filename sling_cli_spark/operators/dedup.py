@@ -111,6 +111,33 @@ def minhash_signature(
     return F.array(*slots)
 
 
+def minhash_signature_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 64, shingle_n: int = 3,
+) -> DataFrame:
+    """id -> k minhash slot columns ``__s0..__s{k-1}``.
+
+    Explodes shingles and computes the k slot-minima as hash-aggregate
+    columns: map-side partial aggregation + whole-stage codegen, vs. the
+    naive k-nested-array-transforms expression (which blows past the
+    codegen size limit and falls back to interpreted eval). The only
+    shuffle is the groupBy(id) over (id, 8-byte hash) rows.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode_outer(shingles_col(F.col(text_col), shingle_n)).alias("__s"),
+    ).select(
+        id_col,
+        F.pmod(F.xxhash64(F.coalesce("__s", F.lit(""))), F.lit(_P)).alias("__h"),
+    )
+    h = F.col("__h")
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"__s{i}")
+        for i, (a, b) in enumerate(_hash_coeffs(num_hashes))
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
 def minhash_lsh_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
@@ -118,25 +145,25 @@ def minhash_lsh_candidates(
     """LSH banding: -> (band_id, band_hash, id) exploded table.
 
     Docs sharing any (band_id, band_hash) are near-dup candidates. The only
-    shuffle is the groupBy on band keys downstream — never an all-pairs
-    join. rows = num_docs * bands, each row ~24 bytes: at 100 TB of text
-    this table is a small fraction of the corpus.
+    shuffles are the signature groupBy(id) and the groupBy on band keys
+    downstream — never an all-pairs join. rows = num_docs * bands, each row
+    ~24 bytes: at 100 TB of text this table is a small fraction of the
+    corpus.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    with_sig = df.select(F.col(id_col), sig.alias("__sig"))
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n)
     band_structs = F.array(*[
         F.struct(
             F.lit(i).alias("band_id"),
             F.xxhash64(F.concat_ws(
-                ",", *[F.element_at("__sig", i * r + j + 1).cast("string")
+                ",", *[F.col(f"__s{i * r + j}").cast("string")
                        for j in range(r)])).alias("band_hash"),
         )
         for i in range(bands)
     ])
     return (
-        with_sig.select(F.col(id_col), F.explode(band_structs).alias("b"))
+        sig.select(F.col(id_col), F.explode(band_structs).alias("b"))
         .select(id_col, "b.band_id", "b.band_hash")
     )
 
@@ -196,17 +223,44 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     return out
 
 
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """id -> simhash bigint, via explode + hash-aggregate (same rationale
+    as minhash_signature_table: k sum-aggregates stay inside codegen)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens_col(F.col(text_col))).alias("__t"),
+    ).select(id_col, F.xxhash64(F.coalesce("__t", F.lit(""))).alias("__h"))
+    h = F.col("__h")
+    aggs = [
+        F.sum(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("long")
+              * 2 - 1).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*aggs)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        out = out.bitwiseOR(
+            F.when(F.col(f"__b{i}") > 0, F.lit(weight).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return agg.select(F.col(id_col), out.alias("__sh"))
+
+
 def simhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact-simhash-collision dedup (Hamming distance 0 buckets)."""
-    with_h = df.withColumn("__sh", simhash_col(F.col(text_col)))
+    hashes = simhash_table(df, text_col, id_col)
     w = Window.partitionBy("__sh").orderBy(F.col(id_col))
-    return (
-        with_h.withColumn("__rn", F.row_number().over(w))
+    keep = (
+        hashes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__sh", "__rn")
+        .select(id_col)
     )
+    return df.join(keep, on=id_col, how="left_semi")
 
 
 def jaccard_similarity(a: Column, b: Column) -> Column:

@@ -185,33 +185,42 @@ def infer_schema(
 
 
 def cast_expr(name: str, ctype: ColumnType, st: ColStats) -> Column:
+    """Build the cast for one inferred column.
+
+    Every cast is a try_cast: the type decision comes from a SAMPLE
+    (900 rows, like the reference), so a malformed value past the sample
+    must degrade to NULL — under Spark's ANSI default a plain cast would
+    fail the whole job (reference behavior: failed parse -> null warn,
+    stream_processor.go CastVal error accounting).
+    """
     c = F.col(f"`{name}`")
     if ctype == ColumnType.DECIMAL:
         # precision from observed digits (datatype.go:973-975): maxlen covers
         # sign+dot+digits, so it's a safe upper bound; scale = max observed
         prec = min(max(st.max_len, st.max_dec_len + 1), 38)
         scale = min(st.max_dec_len, prec - 1) if prec > 1 else 0
-        return c.cast(to_spark_type(ColumnType.DECIMAL, prec, scale)).alias(name)
+        return c.try_cast(
+            to_spark_type(ColumnType.DECIMAL, prec, scale)).alias(name)
     if ctype in (ColumnType.DATETIME, ColumnType.TIMESTAMP):
         fmts = sorted(st.dt_formats, key=st.dt_formats.get, reverse=True)
-        if fmts:
-            # format arg must be a Column for to_timestamp_ntz
-            attempts = [F.to_timestamp_ntz(F.col(f"`{name}`"), F.lit(f))
-                        for f in fmts]
-            return F.coalesce(*attempts).alias(name)
-        return c.cast("timestamp_ntz").alias(name)
+        # try the sampled formats first; final try_cast fallback handles
+        # variant fraction lengths (e.g. '.000' vs '.000000')
+        attempts = [F.try_to_timestamp(F.col(f"`{name}`"), F.lit(f))
+                    .cast("timestamp_ntz") for f in fmts]
+        attempts.append(c.try_cast("timestamp_ntz"))
+        return F.coalesce(*attempts).alias(name)
     if ctype == ColumnType.TIMESTAMPZ:
-        return c.cast("timestamp").alias(name)
+        return c.try_cast("timestamp").alias(name)
     if ctype == ColumnType.DATE:
         fmts = sorted(st.dt_formats, key=st.dt_formats.get, reverse=True)
-        if fmts:
-            return F.coalesce(
-                *[F.to_date(F.col(f"`{name}`"), f) for f in fmts]).alias(name)
-        return c.cast("date").alias(name)
+        attempts = [F.try_to_timestamp(F.col(f"`{name}`"), F.lit(f))
+                    .cast("date") for f in fmts]
+        attempts.append(c.try_cast("date"))
+        return F.coalesce(*attempts).alias(name)
     if ctype in (ColumnType.STRING, ColumnType.TEXT, ColumnType.JSON,
                  ColumnType.UUID):
         return c.alias(name)
-    return c.cast(to_spark_type(ctype)).alias(name)
+    return c.try_cast(to_spark_type(ctype)).alias(name)
 
 
 def infer_and_cast(

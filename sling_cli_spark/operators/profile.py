@@ -67,7 +67,7 @@ def distro_field(df: DataFrame, field: str, top_k: int = 20) -> DataFrame:
     return (
         grouped
         .withColumn("prct", F.round(100.0 * F.col("cnt") / F.sum("cnt").over(w_tot), 2))
-        .withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= top_k)
         .select("value", "cnt", "prct", "rank")
     )

@@ -43,7 +43,10 @@ def parse_select_expr(expr: str) -> tuple[str, str | None, str | None, bool]:
     if m:
         expr, alias = m.group(1).strip(), m.group(2).strip()
     cast = None
-    if ":" in expr and not expr.startswith("*"):
+    if "::" in expr and not expr.startswith("*"):
+        expr, cast = expr.rsplit("::", 1)
+        expr, cast = expr.strip(), cast.strip()
+    elif ":" in expr and not expr.startswith("*"):
         expr, cast = expr.rsplit(":", 1)
         expr, cast = expr.strip(), cast.strip()
     return expr, alias, cast, exclude

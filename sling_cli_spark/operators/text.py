@@ -51,7 +51,7 @@ def lang_id(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     """BPE-ish token count via regexp matches (JVM-side)."""
-    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_RE), 0))
+    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_RE), 0)).cast("long")
 
 
 def whitespace_token_count(text: Column) -> Column:
@@ -73,9 +73,9 @@ def text_stats(
     stripped_space = F.length(F.regexp_replace(t, "\\s", ""))
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        (F.size(F.split(t, "\n")) ).alias("n_lines"),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.size(F.split(t, "\n")).cast("long").alias("n_lines"),
         F.round((n_chars - stripped_punct) / F.greatest(n_chars, F.lit(1)), 4)
         .alias("punct_ratio"),
         F.round((n_chars - stripped_alpha) / F.greatest(n_chars, F.lit(1)), 4)

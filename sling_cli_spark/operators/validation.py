@@ -33,8 +33,8 @@ def checksum_col(name: str, dtype: T.DataType) -> Column | None:
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return F.sum(F.abs(c))
     if isinstance(dtype, (T.DecimalType, T.DoubleType, T.FloatType)):
-        # trunc toward zero, then abs (checksum_decimal)
-        return F.sum(F.abs(c.cast("decimal(38,0)")))
+        # abs(trunc(x)) == floor(abs(x)) — checksum_decimal semantics
+        return F.sum(F.floor(F.abs(c)))
     if isinstance(dtype, T.BooleanType):
         return F.sum(F.length(c.cast("string")))
     if isinstance(dtype, T.StringType):
@@ -60,12 +60,16 @@ def checksums(df: DataFrame) -> dict[str, int]:
 
 
 def checksum_df(df: DataFrame) -> DataFrame:
-    """Same aggregate as a DataFrame (for the oracle comparison path)."""
+    """Same aggregate as a DataFrame (for the oracle comparison path).
+
+    Aggregates in decimal(38,0) (overflow-safe at scale), emits bigint —
+    the reference compares checksums as int64 strings too.
+    """
     aggs = [F.count(F.lit(1)).alias("_row_count")]
     for f in df.schema.fields:
         e = checksum_col(f.name, f.dataType)
         if e is not None:
-            aggs.append(e.cast("decimal(38,0)").alias(f.name))
+            aggs.append(e.cast("decimal(38,0)").cast("long").alias(f.name))
     return df.agg(*aggs)
 
 

@@ -1,0 +1,118 @@
+"""LLM-pipeline operators: dedup (exact/minhash/simhash), text analysis,
+similarity search. Includes a planted-duplicates LSH recall fixture."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sling_cli_spark.operators.dedup import (
+    exact_dedup, jaccard_similarity, minhash_lsh_candidates,
+    minhash_lsh_dedup, shingles_col, simhash_dedup)
+from sling_cli_spark.operators.similarity import brute_force_topk, lsh_topk
+from sling_cli_spark.operators.text import lang_id, text_stats, token_count
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from the loud hunters")
+
+
+def _docs(spark):
+    rows = [Row(doc_id=0, text=BASE)]
+    # near-dup: one word changed
+    rows.append(Row(doc_id=1, text=BASE.replace("green", "blue")))
+    # exact dup of 0
+    rows.append(Row(doc_id=2, text=BASE))
+    # unrelated docs
+    for i in range(3, 10):
+        rows.append(Row(doc_id=i, text=f"completely different document "
+                                       f"number {i} about topic {i * 7} "
+                                       f"with unique words item{i} thing{i}"))
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_drops_exact_only(spark):
+    out = exact_dedup(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 2 not in ids          # exact dup of 0 removed
+    assert 0 in ids and 1 in ids  # near-dup survives exact dedup
+
+
+def test_minhash_lsh_recall_on_planted_dups(spark):
+    out = minhash_lsh_dedup(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 0 in ids
+    assert 1 not in ids and 2 not in ids   # both near+exact dups caught
+    assert all(i in ids for i in range(3, 10))  # no false positives
+
+
+def test_minhash_candidates_bucket_together(spark):
+    cand = minhash_lsh_candidates(_docs(spark))
+    pairs = (cand.alias("a").join(cand.alias("b"),
+             (F.col("a.band_id") == F.col("b.band_id"))
+             & (F.col("a.band_hash") == F.col("b.band_hash"))
+             & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select("a.doc_id", "b.doc_id").distinct().collect())
+    got = {(r[0], r[1]) for r in pairs}
+    assert (0, 1) in got and (0, 2) in got
+
+
+def test_simhash_dedup_catches_exact(spark):
+    out = simhash_dedup(_docs(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 2 not in ids and 0 in ids
+
+
+def test_jaccard(spark):
+    df = spark.createDataFrame([Row(a=["x", "y", "z"], b=["x", "y", "w"])])
+    val = df.select(
+        jaccard_similarity(F.col("a"), F.col("b")).alias("j")).collect()[0]["j"]
+    assert val == pytest.approx(2 / 4)
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([Row(text="a b c d")])
+    sh = df.select(shingles_col(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert sh == ["a b c", "b c d"]
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="Hi there!\nBye.")])
+    r = text_stats(df).collect()[0]
+    assert r["n_chars"] == 14 and r["n_words"] == 3 and r["n_lines"] == 2
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([Row(t="hello world 123!")])
+    n = df.select(token_count(F.col("t")).alias("n")).collect()[0]["n"]
+    assert n == 4  # hello, world, 123, !
+
+
+def test_lang_id_english(spark):
+    df = spark.createDataFrame(
+        [Row(t="the cat and the dog went to the park and it was fun")])
+    assert df.select(lang_id(F.col("t")).alias("l")).collect()[0]["l"] == "en"
+
+
+def _vecs(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_brute_force_topk_ranks_by_cosine(spark):
+    emb = _vecs(spark)
+    q = spark.createDataFrame([Row(query_id=100, embedding=[1.0, 0.0, 0.0])])
+    out = brute_force_topk(emb, q, k=2).collect()
+    got = [r["vec_id"] for r in sorted(out, key=lambda r: -r["score"])]
+    assert got == [0, 1]
+
+
+def test_lsh_topk_subset_of_brute_force_space(spark):
+    emb = _vecs(spark)
+    q = spark.createDataFrame([Row(query_id=100, embedding=[1.0, 0.0, 0.0])])
+    out = lsh_topk(emb, q, k=2).collect()
+    assert all(r["vec_id"] in {0, 1, 2, 3} for r in out)
+    assert len(out) >= 1

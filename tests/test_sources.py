@@ -1,0 +1,64 @@
+"""File sources: format detection, CSV skip_lines, JSONL, sql_on_files,
+file-node listing (reference: core/dbio/filesys)."""
+
+import os
+
+from pyspark.sql import Row
+
+from sling_cli_spark.config import SourceOptions
+from sling_cli_spark.sources.files import (
+    detect_format, list_file_nodes, read_files, sql_on_files)
+
+
+def test_detect_format_extensions():
+    o = SourceOptions()
+    assert detect_format("/a/b.parquet", o) == "parquet"
+    assert detect_format("/a/b.csv", o) == "csv"
+    assert detect_format("/a/b.jsonl", o) == "jsonl"
+    assert detect_format("/a/b.ndjson", o) == "jsonl"
+    assert detect_format("/a/b.json", o) == "json"
+    assert detect_format("/a/b.csv.gz", o) == "csv"
+
+
+def test_detect_format_option_wins():
+    assert detect_format("/a/b.whatever", SourceOptions(format="csv")) == "csv"
+
+
+def test_csv_skip_lines(spark, tmp_path):
+    p = tmp_path / "junk.csv"
+    p.write_text("garbage line\nanother junk\nid,v\n1,a\n2,b\n")
+    df = read_files(spark, str(p), SourceOptions(format="csv", skip_lines=2))
+    rows = sorted((r["id"], r["v"]) for r in df.collect())
+    assert df.columns == ["id", "v"]
+    assert rows == [("1", "a"), ("2", "b")]
+
+
+def test_csv_plain_header(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id,v\n1,a\n2,b\n")
+    df = read_files(spark, str(p), SourceOptions(format="csv"))
+    assert df.count() == 2 and df.columns == ["id", "v"]
+
+
+def test_jsonl(spark, tmp_path):
+    p = tmp_path / "t.jsonl"
+    p.write_text('{"id": 1, "v": "a"}\n{"id": 2, "v": "b"}\n')
+    df = read_files(spark, str(p), SourceOptions(format="jsonl"))
+    assert df.count() == 2
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+
+
+def test_sql_on_files(spark, tmp_path):
+    p = str(tmp_path / "nums.parquet")
+    spark.createDataFrame([Row(x=i) for i in range(10)]).write.parquet(p)
+    out = sql_on_files(
+        spark, "SELECT count(*) AS n, sum(x) AS s FROM t", {"t": p})
+    r = out.collect()[0]
+    assert r["n"] == 10 and r["s"] == 45
+
+
+def test_list_file_nodes(spark, sf_dir):
+    nodes = list_file_nodes(spark, sf_dir).collect()
+    names = {os.path.basename(r["path"]) for r in nodes}
+    assert "lineitem.parquet" in names and "orders.parquet" in names
+    assert all(r["size"] > 0 for r in nodes)

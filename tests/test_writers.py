@@ -1,0 +1,71 @@
+"""Partition masks + physical writes + mode shaping (reference:
+core/dbio/iop/partition.go:13-124, task_run_write.go)."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from sling_cli_spark.config import Mode, Target, TargetOptions
+from sling_cli_spark.sinks.writers import (
+    parse_partition_mask, prepare_for_mode, write_files)
+
+
+def test_mask_explicit_column():
+    uri, parts = parse_partition_mask("/data/out/{part_year(ts)}")
+    assert uri == "/data/out"
+    assert parts == [("part_year", "ts")]
+
+
+def test_bare_mask_uses_update_key():
+    uri, parts = parse_partition_mask("/data/out/{part_month}", "updated_at")
+    assert parts == [("part_month", "updated_at")]
+
+
+def test_bare_mask_without_update_key_raises():
+    with pytest.raises(ValueError):
+        parse_partition_mask("/data/out/{part_year}", None)
+
+
+def test_no_mask_passthrough():
+    uri, parts = parse_partition_mask("/data/out.parquet")
+    assert uri == "/data/out.parquet" and parts == []
+
+
+def _events(spark):
+    return spark.createDataFrame([
+        Row(id=1, ts=datetime.datetime(2024, 1, 5), v="a"),
+        Row(id=2, ts=datetime.datetime(2024, 2, 6), v="b"),
+    ])
+
+
+def test_partitioned_write_layout(spark, tmp_path):
+    out = str(tmp_path / "events" / "{part_year_month(ts)}")
+    target = Target(conn="local", object=out, options=TargetOptions())
+    write_files(_events(spark), target, Mode.FULL_REFRESH, fmt="parquet")
+    base = str(tmp_path / "events")
+    dirs = sorted(d for d in os.listdir(base) if d.startswith("part_year_month="))
+    assert dirs == ["part_year_month=2024-01", "part_year_month=2024-02"]
+    back = spark.read.parquet(base)
+    assert back.count() == 2
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "out.csv")
+    target = Target(conn="local", object=out, options=TargetOptions())
+    write_files(_events(spark).drop("ts"), target, Mode.FULL_REFRESH, fmt="csv")
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 2 and set(back.columns) == {"id", "v"}
+
+
+def test_definition_only_writes_schema_no_rows(spark):
+    df = prepare_for_mode(_events(spark), Mode.DEFINITION_ONLY)
+    assert df.count() == 0 and df.columns == ["id", "ts", "v"]
+
+
+def test_snapshot_stamps_loaded_at(spark):
+    ts = datetime.datetime(2026, 1, 1)
+    df = prepare_for_mode(_events(spark), Mode.SNAPSHOT, run_ts=ts)
+    assert "_sling_loaded_at" in df.columns
+    assert df.filter("_sling_loaded_at is null").count() == 0
