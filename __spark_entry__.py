@@ -244,6 +244,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "orders"), _t(spark, sf, "customer"),
             {"o_custkey": "c_custkey"})
 
+    def row_constraints(spark, sf):
+        from sling_cli_spark.operators.constraints import constraints_report
+        return constraints_report(
+            _t(spark, sf, "lineitem"),
+            {"l_quantity": "value >= 1 and value <= 50",
+             "l_discount": "value between 0 and 0.05"})
+
     def csv_inference_roundtrip(spark, sf):
         from sling_cli_spark.operators.inference import infer_and_cast
         from sling_cli_spark.config import SourceOptions
@@ -338,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_rate_orders": fill_rate_orders,
         "test_pk_lineitem": test_pk_lineitem,
         "join_match": join_match,
+        "row_constraints": row_constraints,
         "csv_inference_roundtrip": csv_inference_roundtrip,
         "exact_dedup_docs": exact_dedup_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
@@ -564,6 +572,19 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * count(r_cnt) / count(*), 2) AS match_prct,
                    cast(sum(l_cnt) as BIGINT) AS left_rows
             FROM lk LEFT JOIN rk ON lk.o_custkey = rk.c_custkey
+        """,
+        "row_constraints": """
+            SELECT 'l_quantity' AS field,
+                   cast(sum(CASE WHEN NOT coalesce(
+                       l_quantity >= 1 AND l_quantity <= 50, TRUE)
+                       THEN 1 ELSE 0 END) as BIGINT) AS violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount',
+                   cast(sum(CASE WHEN NOT coalesce(
+                       l_discount BETWEEN 0 AND 0.05, TRUE)
+                       THEN 1 ELSE 0 END) as BIGINT)
+            FROM lineitem
         """,
         "csv_inference_roundtrip": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,

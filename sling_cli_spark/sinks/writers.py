@@ -75,8 +75,11 @@ def write_files(
         part_cols.append(mask)
 
     writer = df.write.mode(_spark_mode(mode))
-    if opts.file_max_rows:
-        writer = writer.option("maxRecordsPerFile", str(opts.file_max_rows))
+    max_rows = opts.file_max_rows
+    if opts.file_max_bytes and not max_rows:
+        max_rows = _rows_for_bytes(df, opts.file_max_bytes)
+    if max_rows:
+        writer = writer.option("maxRecordsPerFile", str(max_rows))
     if opts.compression:
         writer = writer.option("compression", opts.compression)
     if part_cols:
@@ -87,6 +90,18 @@ def write_files(
 
 
 _WRITERS = {"parquet": "parquet", "csv": "csv", "json": "json", "orc": "orc"}
+
+
+def _rows_for_bytes(df: DataFrame, max_bytes: int, sample: int = 1000) -> int:
+    """file_max_bytes -> maxRecordsPerFile via a small row-size probe
+    (reference sizes output files the same way: bytes budget / avg row
+    size, task_run_write.go:1110). One tiny limit() action, only when the
+    option is set."""
+    rows = df.limit(sample).toJSON().collect()
+    if not rows:
+        return 0
+    avg = max(1, sum(len(r) for r in rows) // len(rows))
+    return max(1, int(max_bytes) // avg)
 
 
 def write_swap(

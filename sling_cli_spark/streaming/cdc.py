@@ -1,0 +1,109 @@
+"""Change-capture on Structured Streaming.
+
+The reference's log-based CDC is closed-source (``core/sling/
+task_func.go:203-210``); its OSS surface is the config + the merge
+templates (``base.yaml:81-126``). On Spark the natural shape is:
+
+    readStream (file source / Kafka) ->
+    watermark + per-PK latest-op dedup ->
+    foreachBatch(merge into target)
+
+Each micro-batch applies the same ``merge_change_capture`` plan the batch
+path uses, so batch and streaming share one merge semantics (the Spark
+idiom for "exactly-once-ish upsert sink"). Kafka/Debezium is the
+production source; the file source below is the in-container testable
+path (same API, swap ``format``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+OP_COL = "_sling_synced_op"
+SEQ_COL = "_sling_synced_seq"
+
+
+def read_file_stream(
+    spark: SparkSession, path: str, schema, fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-watch stream: new files in ``path`` become micro-batches.
+
+    ``maxFilesPerTrigger`` bounds batch size (backpressure at scale —
+    without it the first batch after downtime loads the whole backlog)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return getattr(reader, fmt)(path)
+
+
+def stream_dedup_latest(
+    df: DataFrame, primary_key, seq_col: str = SEQ_COL,
+    watermark_col: str | None = None, delay: str = "10 minutes",
+) -> DataFrame:
+    """Best-effort in-stream dedup: drop exact (pk, seq) replays.
+
+    ``withWatermark`` bounds the dedup state store — without it state
+    grows forever (the 100 TB failure mode). Cross-batch last-op-wins is
+    enforced in the sink merge, not here (aggregation per PK would need
+    complete-mode state; the merge does it with zero state)."""
+    pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    if watermark_col:
+        df = df.withWatermark(watermark_col, delay)
+        return df.dropDuplicatesWithinWatermark(pk + [seq_col])
+    return df.dropDuplicates(pk + [seq_col])
+
+
+def run_cdc_stream(
+    spark: SparkSession,
+    src: DataFrame,
+    target_path: str,
+    primary_key,
+    checkpoint: str,
+    seq_col: str = SEQ_COL,
+    op_col: str = OP_COL,
+    soft: bool = False,
+    available_now: bool = True,
+):
+    """Drive a CDC stream into a parquet target via foreachBatch merge.
+
+    available_now=True drains the current backlog and stops (the testable
+    incremental-batch mode); False runs continuously. Checkpointing makes
+    restarts resume from the last committed batch.
+    """
+    from sling_cli_spark.operators.merge import merge_change_capture
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        try:
+            target = sess.read.parquet(target_path)
+            exists = True
+        except Exception:
+            exists = False
+        if exists:
+            merged = merge_change_capture(
+                target, batch, primary_key, seq_col=seq_col, op_col=op_col,
+                soft=soft)
+        else:
+            merged = batch if soft else batch.filter(
+                F.coalesce(F.col(op_col), F.lit("")) != F.lit("D"))
+        # target is being read by the merge plan: stage-and-swap
+        tmp = target_path.rstrip("/") + "__swap"
+        merged.write.mode("overwrite").parquet(tmp)
+        jvm = sess.sparkContext._jvm
+        conf = sess.sparkContext._jsc.hadoopConfiguration()
+        fs_path = jvm.org.apache.hadoop.fs.Path(target_path)
+        tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = fs_path.getFileSystem(conf)
+        if fs.exists(fs_path):
+            fs.delete(fs_path, True)
+        fs.rename(tmp_path, fs_path)
+
+    writer = src.writeStream.foreachBatch(_apply) \
+        .option("checkpointLocation", checkpoint)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

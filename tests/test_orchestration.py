@@ -1,0 +1,143 @@
+"""Replication compile + wildcard expansion + state store + constraints
++ JDBC option building (reference: core/sling/replication.go,
+task_func.go state, datatype.go constraints)."""
+
+import os
+
+from pyspark.sql import Row
+
+from sling_cli_spark.config import Config, Mode, Source, SourceOptions, Target
+from sling_cli_spark.operators.constraints import (
+    check_constraints, constraint_violations, constraints_report)
+from sling_cli_spark.plans.replication import (
+    ReplicationConfig, compile_replication, expand_wildcards,
+    run_replication)
+from sling_cli_spark.sources.jdbc import (
+    build_read_options, build_write_options)
+from sling_cli_spark.state import StateStore
+
+
+def test_expand_wildcards(tmp_path):
+    for n in ("a.csv", "b.csv", "c.json"):
+        (tmp_path / n).write_text("x\n1\n")
+    out = expand_wildcards({str(tmp_path / "*.csv"): {"mode": "incremental"}})
+    assert len(out) == 2
+    assert all(v == {"mode": "incremental"} for v in out.values())
+
+
+def test_expand_non_glob_passthrough():
+    out = expand_wildcards({"/data/x.csv": None})
+    assert out == {"/data/x.csv": {}}
+
+
+REPL_YAML = """
+source: local
+target: local
+defaults:
+  mode: full-refresh
+  target_options: {format: parquet}
+streams:
+  BASE/orders.parquet: {}
+  BASE/nation.parquet:
+    mode: incremental
+    update_key: n_nationkey
+    target_options: {compression: snappy}
+  BASE/region.parquet: {disabled: true}
+"""
+
+
+def test_compile_replication(sf_dir):
+    rc = ReplicationConfig.from_yaml(REPL_YAML.replace("BASE", sf_dir))
+    cfgs = compile_replication(rc)
+    assert len(cfgs) == 2  # disabled stream dropped
+    by_stream = {os.path.basename(c.source.stream): c for c in cfgs}
+    assert by_stream["orders.parquet"].mode == Mode.FULL_REFRESH
+    nat = by_stream["nation.parquet"]
+    assert nat.mode == Mode.INCREMENTAL and nat.source.update_key == "n_nationkey"
+    # defaults merged under stream override
+    assert nat.target.options.format == "parquet"
+    assert nat.target.options.compression == "snappy"
+    # runtime vars rendered into the target object
+    assert nat.target.object == "nation.parquet"
+
+
+def test_run_replication_moves_tables(spark, sf_dir, tmp_path):
+    rc = ReplicationConfig.from_yaml(REPL_YAML.replace("BASE", sf_dir))
+    results = run_replication(spark, rc, base_output=str(tmp_path))
+    assert len(results) == 2
+    out = spark.read.parquet(str(tmp_path / "orders.parquet"))
+    assert out.count() == results[os.path.join(sf_dir, "orders.parquet")].rows
+    assert out.count() > 0
+
+
+def test_state_store_roundtrip(tmp_path):
+    st = StateStore(str(tmp_path / "state.json"))
+    assert st.get("s1") is None
+    st.set("s1", 42)
+    st.set("s2", "2024-01-01")
+    assert st.get("s1") == 42 and st.get("s2") == "2024-01-01"
+    st.clear("s1")
+    assert st.get("s1") is None and st.get("s2") == "2024-01-01"
+
+
+def test_state_store_datetime(tmp_path):
+    import datetime
+
+    st = StateStore(str(tmp_path / "state.json"))
+    ts = datetime.datetime(2024, 5, 1, 12, 30)
+    st.set("s", ts)
+    assert StateStore(st.path).get("s") == ts
+
+
+def _cdf(spark):
+    return spark.createDataFrame(
+        [Row(id=1, qty=5), Row(id=2, qty=-1), Row(id=3, qty=0),
+         Row(id=None, qty=None)])
+
+
+def test_constraint_violations(spark):
+    out = constraint_violations(
+        _cdf(spark), {"qty": "value >= 0", "id": "value is not null"})
+    assert out == {"qty": 1, "id": 1}
+
+
+def test_constraints_report_df(spark):
+    rows = {r["field"]: r["violations"]
+            for r in constraints_report(
+                _cdf(spark), {"qty": "value >= 0"}).collect()}
+    assert rows == {"qty": 1}
+
+
+def test_check_constraints_drop(spark):
+    df, obs = check_constraints(
+        _cdf(spark), {"qty": "value >= 0"}, drop_failures=True)
+    assert df.count() == 3  # qty=-1 dropped; nulls pass
+    assert obs.get["violations_qty"] == 1
+
+
+def test_jdbc_read_options_chunked():
+    src = Source(stream="public.orders", update_key="o_orderkey",
+                 options=SourceOptions(chunk_count=8))
+    opts = build_read_options("jdbc:postgresql://h/db", src, bounds=(1, 1000))
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert opts["numPartitions"] == "8"
+    assert opts["lowerBound"] == "1" and opts["upperBound"] == "1000"
+
+
+def test_jdbc_read_options_chunk_size():
+    src = Source(stream="t", update_key="k",
+                 options=SourceOptions(chunk_size="100"))
+    opts = build_read_options("jdbc:x", src, bounds=(0, 999))
+    assert opts["numPartitions"] == "10"
+
+
+def test_jdbc_sql_stream_becomes_subquery():
+    src = Source(stream="SELECT a, b FROM t WHERE a > 5")
+    opts = build_read_options("jdbc:x", src)
+    assert opts["dbtable"].startswith("(SELECT")
+
+
+def test_jdbc_write_options_truncate():
+    t = Target(object="public.out")
+    opts = build_write_options("jdbc:x", t, Mode.TRUNCATE)
+    assert opts["truncate"] == "true" and opts["batchsize"] == "2000"

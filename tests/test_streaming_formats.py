@@ -1,0 +1,119 @@
+"""Structured Streaming CDC + Arrow IPC + GeoJSON + file sizing."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from sling_cli_spark.sinks.formats import (
+    write_geojson_collection, write_geojsonl)
+from sling_cli_spark.sources.arrow import read_arrow, write_arrow
+from sling_cli_spark.streaming.cdc import (
+    read_file_stream, run_cdc_stream, stream_dedup_latest)
+
+CDC_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("v", T.StringType()),
+    T.StructField("_sling_synced_op", T.StringType()),
+    T.StructField("_sling_synced_seq", T.LongType()),
+])
+
+
+def _write_batch(path, rows, name):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_cdc_stream_applies_upserts_and_deletes(spark, tmp_path):
+    src_dir = str(tmp_path / "cdc_in")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(src_dir, [
+        {"id": 1, "v": "a", "_sling_synced_op": "I", "_sling_synced_seq": 1},
+        {"id": 2, "v": "b", "_sling_synced_op": "I", "_sling_synced_seq": 1},
+    ], "b1.json")
+
+    stream = read_file_stream(spark, src_dir, CDC_SCHEMA, fmt="json")
+    run_cdc_stream(spark, stream, target, "id", ckpt)
+    got = {r["id"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # second batch: update 1, delete 2, insert 3 — resumes from checkpoint
+    _write_batch(src_dir, [
+        {"id": 1, "v": "a2", "_sling_synced_op": "U", "_sling_synced_seq": 2},
+        {"id": 2, "v": None, "_sling_synced_op": "D", "_sling_synced_seq": 2},
+        {"id": 3, "v": "c", "_sling_synced_op": "I", "_sling_synced_seq": 2},
+    ], "b2.json")
+    stream = read_file_stream(spark, src_dir, CDC_SCHEMA, fmt="json")
+    run_cdc_stream(spark, stream, target, "id", ckpt)
+    got = {r["id"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a2", 3: "c"}
+
+
+def test_stream_dedup_latest_batch_semantics(spark):
+    df = spark.createDataFrame([
+        Row(id=1, _sling_synced_seq=1, v="x"),
+        Row(id=1, _sling_synced_seq=1, v="x"),   # exact replay
+        Row(id=1, _sling_synced_seq=2, v="y"),
+    ])
+    out = stream_dedup_latest(df, "id")
+    assert out.count() == 2  # replay dropped, distinct seqs kept
+
+
+def test_arrow_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+    p = str(tmp_path / "t.arrow")
+    write_arrow(df, p)
+    back = read_arrow(spark, p)
+    assert sorted((r["a"], r["b"]) for r in back.collect()) == \
+        [(1, "x"), (2, "y")]
+
+
+def test_arrow_stream_format(spark, tmp_path):
+    df = spark.createDataFrame([Row(a=1)])
+    p = str(tmp_path / "t.arrows")
+    write_arrow(df, p, stream=True)
+    assert read_arrow(spark, p).count() == 1
+
+
+def test_geojsonl(spark, tmp_path):
+    df = spark.createDataFrame([
+        Row(name="pt1", geometry='{"type": "Point", "coordinates": [1.0, 2.0]}'),
+    ])
+    out = str(tmp_path / "out.geojsonl")
+    write_geojsonl(df, out)
+    lines = [json.loads(r["value"]) for r in spark.read.text(out).collect()]
+    assert lines[0]["type"] == "Feature"
+    assert lines[0]["geometry"]["coordinates"] == [1.0, 2.0]
+    assert lines[0]["properties"]["name"] == "pt1"
+
+
+def test_geojson_collection(spark, tmp_path):
+    df = spark.createDataFrame([
+        Row(name="a", geometry='{"type": "Point", "coordinates": [0, 0]}'),
+        Row(name="b", geometry='{"type": "Point", "coordinates": [1, 1]}'),
+    ])
+    out = str(tmp_path / "fc.geojson")
+    write_geojson_collection(df, out)
+    with open(out) as f:
+        fc = json.load(f)
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 2
+
+
+def test_file_max_bytes_splits_files(spark, tmp_path):
+    from sling_cli_spark.config import Mode, Target, TargetOptions
+    from sling_cli_spark.sinks.writers import write_files
+
+    df = spark.range(10000).selectExpr("id", "repeat('x', 100) AS pad") \
+        .coalesce(1)
+    out = str(tmp_path / "split")
+    target = Target(conn="local", object=out,
+                    options=TargetOptions(file_max_bytes=50_000))
+    write_files(df, target, Mode.FULL_REFRESH, fmt="json")
+    files = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(files) > 5  # ~1.2MB of json split into ~50KB files
+    assert spark.read.json(out).count() == 10000
