@@ -83,6 +83,7 @@ class TargetOptions:
     merge_strategy: MergeStrategy = MergeStrategy.UPDATE_INSERT
     delete_missing: str | None = None   # None | "hard" | "soft"
     partition_by: list[str] = field(default_factory=list)
+    ignore_existing: bool = False       # skip the load if target has data
 
 
 @dataclass

@@ -122,3 +122,71 @@ def table_join_match(
         .alias("match_prct"),
         F.sum("l_cnt").alias("left_rows"),
     )
+
+
+def discover_fks(
+    tables: dict[str, DataFrame],
+    min_match_prct: float = 95.0,
+    name_heuristic: bool = True,
+) -> list[dict]:
+    """FK-candidate discovery (reference: analyzer.go:151-259 — probes
+    column pairs across tables and keeps high match-rate pairs).
+
+    ``name_heuristic`` restricts candidate pairs to columns sharing a
+    name suffix (``o_custkey`` ~ ``c_custkey``) — the same pruning the
+    reference applies before probing, which keeps this O(matching pairs)
+    instead of all-columns². Each probe is one distinct-key left join.
+    """
+    def suffix(c: str) -> str:
+        return c.split("_", 1)[1] if "_" in c else c
+
+    out: list[dict] = []
+    names = list(tables)
+    for lt in names:
+        for rt in names:
+            if lt == rt:
+                continue
+            for lc in tables[lt].columns:
+                for rc in tables[rt].columns:
+                    if name_heuristic and suffix(lc) != suffix(rc):
+                        continue
+                    ldt = dict(tables[lt].dtypes)[lc]
+                    rdt = dict(tables[rt].dtypes)[rc]
+                    if ldt != rdt:
+                        continue
+                    # right side must be key-like (unique)
+                    r = tables[rt].agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count_distinct(F.col(f"`{rc}`")).alias("d"),
+                    ).collect()[0]
+                    if r["n"] == 0 or r["d"] != r["n"]:
+                        continue
+                    m = table_join_match(
+                        tables[lt], tables[rt], {lc: rc}).collect()[0]
+                    if m["match_prct"] >= min_match_prct:
+                        out.append({
+                            "table": lt, "column": lc,
+                            "ref_table": rt, "ref_column": rc,
+                            "match_prct": float(m["match_prct"]),
+                        })
+    return out
+
+
+def fk_order(fks: list[dict], tables: list[str]) -> list[str]:
+    """Topological order: referenced tables first (reference:
+    replication.go:2102-2200 FK-ordered streams). Cycles break on the
+    original order."""
+    deps: dict[str, set] = {t: set() for t in tables}
+    for fk in fks:
+        if fk["table"] in deps and fk["ref_table"] in deps:
+            deps[fk["table"]].add(fk["ref_table"])
+    out: list[str] = []
+    while deps:
+        ready = [t for t in tables if t in deps and not (deps[t] - set(out))]
+        if not ready:  # cycle — emit remaining in given order
+            out.extend(t for t in tables if t in deps)
+            break
+        for t in ready:
+            out.append(t)
+            del deps[t]
+    return out

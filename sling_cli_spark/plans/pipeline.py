@@ -1,0 +1,164 @@
+"""Pipeline steps & hooks.
+
+Reference surface: ``core/sling/hooks.go:11-137`` (hook kinds: query,
+http, copy, delete, log, inspect, command, replication, check) and
+``core/sling/pipeline.go:18-123`` (step list + retry/on_failure/id).
+The execution engine there is closed-source; the observable contract is
+the YAML surface plus ordering/retry semantics, re-expressed here as
+plain Python steps around Spark actions.
+
+    steps:
+      - type: log
+        message: "starting {stream}"
+      - type: query
+        sql: "SELECT count(*) FROM t"
+      - type: copy
+        from: /tmp/a.parquet
+        to: /tmp/b.parquet
+      - type: replication
+        path: repl.yaml
+      - type: check
+        expr: "rows > 0"
+        vars: {rows: 1}
+      - type: delete
+        path: /tmp/stale
+    on_failure: abort | continue
+    retries: 2
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+from typing import Any
+
+from sling_cli_spark.config import render_vars
+
+log = logging.getLogger("sling_cli_spark.pipeline")
+
+
+class StepError(RuntimeError):
+    pass
+
+
+def _step_log(spark, step, ctx):
+    msg = render_vars(str(step.get("message", "")), ctx)
+    log.info(msg)
+    return msg
+
+
+def _step_query(spark, step, ctx):
+    df = spark.sql(render_vars(step["sql"], ctx))
+    if step.get("into"):
+        df.createOrReplaceTempView(step["into"])
+        return step["into"]
+    # small result by contract (hooks run scalar checks); collect is the point
+    return [r.asDict() for r in df.limit(int(step.get("limit", 100))).collect()]
+
+
+def _step_copy(spark, step, ctx):
+    src = render_vars(step["from"], ctx)
+    dst = render_vars(step["to"], ctx)
+    if os.path.isdir(src):
+        shutil.copytree(src, dst, dirs_exist_ok=True)
+    else:
+        os.makedirs(os.path.dirname(os.path.abspath(dst)), exist_ok=True)
+        shutil.copy2(src, dst)
+    return dst
+
+
+def _step_delete(spark, step, ctx):
+    p = render_vars(step["path"], ctx)
+    if os.path.isdir(p):
+        shutil.rmtree(p, ignore_errors=True)
+    elif os.path.exists(p):
+        os.unlink(p)
+    return p
+
+
+def _step_inspect(spark, step, ctx):
+    p = render_vars(step["path"], ctx)
+    from sling_cli_spark.sources.files import list_file_nodes
+
+    nodes = list_file_nodes(spark, p).collect()
+    return {"exists": bool(nodes), "files": len(nodes),
+            "bytes": sum(r["size"] for r in nodes)}
+
+
+def _step_check(spark, step, ctx):
+    vars_ = {**ctx, **{k: v for k, v in (step.get("vars") or {}).items()}}
+    # evaluate via Spark SQL on a literal row — same expression language
+    # as everywhere else, no Python eval
+    cols = ", ".join(
+        f"{_sql_lit(v)} AS `{k}`" for k, v in vars_.items()) or "1 AS __one"
+    ok = spark.sql(
+        f"SELECT ({step['expr']}) AS ok FROM (SELECT {cols})"
+    ).collect()[0]["ok"]
+    if not ok:
+        raise StepError(f"check failed: {step['expr']!r}")
+    return True
+
+
+def _sql_lit(v: Any) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _step_replication(spark, step, ctx):
+    from sling_cli_spark.plans.replication import (
+        ReplicationConfig, run_replication)
+
+    rc = ReplicationConfig.from_yaml(render_vars(step["path"], ctx))
+    return {k: r.rows for k, r in
+            run_replication(spark, rc, step.get("base_output", "")).items()}
+
+
+_STEP_TYPES = {
+    "log": _step_log,
+    "query": _step_query,
+    "copy": _step_copy,
+    "delete": _step_delete,
+    "inspect": _step_inspect,
+    "check": _step_check,
+    "replication": _step_replication,
+}
+
+
+def run_pipeline(
+    spark, steps: list[dict[str, Any]], env: dict[str, str] | None = None,
+) -> list[Any]:
+    """Execute steps in order with per-step retry / on_failure semantics
+    (reference: pipeline.go:18-123 — retries, continue/abort, step ids).
+
+    Step results land in the context as ``{state.<id>}`` strings for
+    downstream ``render_vars`` templating.
+    """
+    ctx: dict[str, str] = dict(env or {})
+    results: list[Any] = []
+    for i, step in enumerate(steps):
+        kind = step.get("type")
+        if kind not in _STEP_TYPES:
+            raise ValueError(f"unknown step type: {kind!r}")
+        retries = int(step.get("retries", 0))
+        attempt = 0
+        while True:
+            try:
+                out = _STEP_TYPES[kind](spark, step, ctx)
+                break
+            except Exception:
+                attempt += 1
+                if attempt <= retries:
+                    continue
+                if step.get("on_failure") == "continue":
+                    out = None
+                    break
+                raise
+        results.append(out)
+        ctx[f"state.{step.get('id', i)}"] = str(out)
+    return results

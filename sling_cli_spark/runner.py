@@ -89,6 +89,9 @@ def run(
     """
     from pyspark.sql import Observation
 
+    if cfg.target.options.ignore_existing and _target_has_data(spark, cfg):
+        return TaskResult(rows=0, columns=[], mode=cfg.mode.value)
+
     if cfg.target.options.pre_sql:
         spark.sql(cfg.target.options.pre_sql)
 
@@ -109,9 +112,15 @@ def run(
     )
     update_key = cfg.source.update_key
     if needs_merge:
+        from sling_cli_spark.operators.evolution import reconcile_schemas
         from sling_cli_spark.operators.merge import delete_missing, merge_dataframes
         from sling_cli_spark.sinks.writers import write_swap
 
+        target_df, df = reconcile_schemas(
+            target_df, df,
+            add_new_columns=cfg.target.options.add_new_columns,
+            adjust_column_type=cfg.target.options.adjust_column_type,
+        )
         merged = merge_dataframes(
             target_df, df, cfg.source.primary_key,
             strategy=cfg.target.options.merge_strategy,
@@ -139,3 +148,23 @@ def run(
     if cfg.target.options.post_sql:
         spark.sql(cfg.target.options.post_sql)
     return result
+
+
+def _target_has_data(spark: SparkSession, cfg: Config) -> bool:
+    """ignore_existing probe (reference: config.go IgnoreExisting — skip
+    the task when the target object already holds data)."""
+    from sling_cli_spark.sinks.writers import parse_partition_mask
+
+    uri, _ = parse_partition_mask(
+        cfg.target.object or "", cfg.source.update_key)
+    try:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return False
+        summary = fs.getContentSummary(p)
+        return summary.getLength() > 0
+    except Exception:
+        return False

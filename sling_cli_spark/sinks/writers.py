@@ -86,6 +86,29 @@ def write_files(
         writer = writer.partitionBy(*part_cols)
     if fmt == "csv":
         writer = writer.option("header", "true")
+    if fmt in ("delta", "iceberg"):
+        try:
+            writer.format(fmt).save(uri)
+        except Exception as e:
+            raise NotImplementedError(
+                f"{fmt} write needs the {fmt} connector on the classpath"
+            ) from e
+        return
+    if fmt == "arrow":
+        from sling_cli_spark.sources.arrow import write_arrow
+
+        write_arrow(df, uri)
+        return
+    if fmt == "geojsonl":
+        from sling_cli_spark.sinks.formats import write_geojsonl
+
+        write_geojsonl(df, uri, mode=_spark_mode(mode))
+        return
+    if fmt == "excel":
+        from sling_cli_spark.sinks.formats import write_excel
+
+        write_excel(df, uri)
+        return
     getattr(writer, _WRITERS[fmt])(uri)
 
 

@@ -1,0 +1,118 @@
+"""Spec-driven API source.
+
+Reference: ``core/dbio/api/spec.go:123-359`` — endpoints with a request
+template, pagination rules (offset / cursor / next-URL), and a record
+JMESPath; ~3.6k LoC of spec machinery. The Spark-shaped subset here:
+
+- spec: {url, method, params, headers, records_path, pagination}
+- pagination: {type: offset|cursor|none, limit_param, offset_param,
+  cursor_param, cursor_path, page_size, max_pages}
+- transport: any callable ``(url, params, headers) -> (status, json)``
+  — tests inject a fake; the default uses urllib (stdlib only).
+
+Pagination is inherently serial per endpoint, so fetching happens on the
+driver and lands in a DataFrame per page-batch; PARALLELISM comes from
+fanning out over endpoint partitions (one call list -> many streams via
+``replication``), which is how the reference scales too (endpoint
+iterate/dependencies). The DataFrame conversion uses
+``spark.createDataFrame`` on the accumulated records with optional
+flatten — downstream operators are fully distributed.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import urllib.parse
+import urllib.request
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+Transport = Callable[[str, dict, dict], tuple[int, Any]]
+
+
+def _default_transport(url: str, params: dict, headers: dict):
+    qs = urllib.parse.urlencode(params or {})
+    full = f"{url}?{qs}" if qs else url
+    req = urllib.request.Request(full, headers=headers or {})
+    with urllib.request.urlopen(req) as resp:  # nosec - user-configured URL
+        return resp.status, _json.loads(resp.read().decode("utf-8"))
+
+
+def _extract_path(obj: Any, path: str | None) -> Any:
+    """Dotted-path extraction (``data.items``) — the spec's jmespath
+    subset that covers the reference's own test specs."""
+    if not path:
+        return obj
+    cur = obj
+    for seg in path.split("."):
+        if cur is None:
+            return None
+        if isinstance(cur, list):
+            try:
+                cur = cur[int(seg)]
+                continue
+            except (ValueError, IndexError):
+                return None
+        cur = cur.get(seg) if isinstance(cur, dict) else None
+    return cur
+
+
+def iter_records(
+    spec: dict[str, Any], transport: Transport | None = None,
+) -> Iterator[dict]:
+    """Drive pagination, yielding raw record dicts."""
+    transport = transport or _default_transport
+    pag = spec.get("pagination") or {}
+    ptype = pag.get("type", "none")
+    page_size = int(pag.get("page_size", 100))
+    max_pages = int(pag.get("max_pages", 10_000))
+    params = dict(spec.get("params") or {})
+    headers = dict(spec.get("headers") or {})
+    url = spec["url"]
+
+    offset, cursor = 0, None
+    for _page in range(max_pages):
+        p = dict(params)
+        if ptype == "offset":
+            p[pag.get("limit_param", "limit")] = page_size
+            p[pag.get("offset_param", "offset")] = offset
+        elif ptype == "cursor" and cursor is not None:
+            p[pag.get("cursor_param", "cursor")] = cursor
+        status, body = transport(url, p, headers)
+        if status >= 400:
+            raise RuntimeError(f"API error {status} from {url}")
+        records = _extract_path(body, spec.get("records_path"))
+        if records is None:
+            records = []
+        if isinstance(records, dict):
+            records = [records]
+        yield from records
+        if ptype == "none" or not records:
+            return
+        if ptype == "offset":
+            if len(records) < page_size:
+                return
+            offset += len(records)
+        elif ptype == "cursor":
+            cursor = _extract_path(body, pag.get("cursor_path", "next_cursor"))
+            if not cursor:
+                return
+
+
+def read_api(
+    spark: SparkSession, spec: dict[str, Any],
+    transport: Transport | None = None, flatten_records: bool = True,
+) -> DataFrame:
+    """Fetch all pages and land them as a DataFrame (schema inferred from
+    the JSON records, nested objects flattened like the JSON file path)."""
+    records = list(iter_records(spec, transport))
+    if not records:
+        raise ValueError(f"API returned no records for {spec.get('url')!r}")
+    df = spark.read.json(
+        spark.sparkContext.parallelize([_json.dumps(r) for r in records]))
+    if flatten_records:
+        from sling_cli_spark.operators.flatten import flatten
+
+        df = flatten(df)
+    return df

@@ -34,6 +34,7 @@ _EXT_FORMAT = {
     ".csv": "csv", ".tsv": "csv", ".json": "json", ".jsonl": "jsonl",
     ".ndjson": "jsonl", ".parquet": "parquet", ".avro": "avro",
     ".xml": "xml", ".xlsx": "excel", ".sas7bdat": "sas7bdat",
+    ".arrow": "arrow", ".feather": "arrow", ".arrows": "arrow",
 }
 
 
@@ -98,6 +99,19 @@ def read_files(spark: SparkSession, path: str, opts: SourceOptions) -> DataFrame
         return df
     if fmt == "avro":
         return spark.read.format("avro").load(path)
+    if fmt == "arrow":
+        from sling_cli_spark.sources.arrow import read_arrow
+
+        return read_arrow(spark, path)
+    if fmt in ("delta", "iceberg"):
+        # table formats need their connector jars on the cluster; the read
+        # itself is the stock DataSource API (delta.io / iceberg runtime)
+        try:
+            return spark.read.format(fmt).load(path)
+        except Exception as e:
+            raise NotImplementedError(
+                f"{fmt} read needs the {fmt} connector on the classpath"
+            ) from e
     if fmt == "xml":
         return spark.read.format("xml").option("rowTag", "row").load(path)
     if fmt in ("excel", "sas7bdat"):

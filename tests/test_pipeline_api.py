@@ -1,0 +1,170 @@
+"""Pipeline steps, schema evolution, FK discovery, API source."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from sling_cli_spark.operators.evolution import reconcile_schemas
+from sling_cli_spark.operators.profile import discover_fks, fk_order
+from sling_cli_spark.plans.pipeline import StepError, run_pipeline
+from sling_cli_spark.sources.api import iter_records, read_api
+
+
+# --- pipeline steps -----------------------------------------------------
+
+def test_pipeline_log_query_check(spark):
+    out = run_pipeline(spark, [
+        {"type": "log", "message": "hello {who}", "id": "greet"},
+        {"type": "query", "sql": "SELECT 1 AS one"},
+        {"type": "check", "expr": "rows > 0", "vars": {"rows": 5}},
+    ], env={"who": "world"})
+    assert out[0] == "hello world"
+    assert out[1] == [{"one": 1}]
+    assert out[2] is True
+
+
+def test_pipeline_check_fails(spark):
+    with pytest.raises(StepError):
+        run_pipeline(spark, [
+            {"type": "check", "expr": "rows > 10", "vars": {"rows": 5}}])
+
+
+def test_pipeline_on_failure_continue(spark):
+    out = run_pipeline(spark, [
+        {"type": "check", "expr": "false", "on_failure": "continue"},
+        {"type": "log", "message": "still here"},
+    ])
+    assert out == [None, "still here"]
+
+
+def test_pipeline_copy_inspect_delete(spark, tmp_path):
+    src = tmp_path / "a.txt"
+    src.write_text("data")
+    dst = tmp_path / "b.txt"
+    out = run_pipeline(spark, [
+        {"type": "copy", "from": str(src), "to": str(dst)},
+        {"type": "inspect", "path": str(dst)},
+        {"type": "delete", "path": str(dst)},
+    ])
+    assert out[1]["exists"] and out[1]["files"] == 1
+    assert not dst.exists()
+
+
+# --- schema evolution ---------------------------------------------------
+
+def test_reconcile_add_new_column(spark):
+    t = spark.createDataFrame([Row(id=1, v="a")])
+    s = spark.createDataFrame([Row(id=2, v="b", extra=1)])
+    t2, s2 = reconcile_schemas(t, s, add_new_columns=True)
+    assert "extra" in s2.columns
+    t2, s2 = reconcile_schemas(t, s, add_new_columns=False)
+    assert "extra" not in s2.columns
+
+
+def test_reconcile_cast_to_target_type(spark):
+    t = spark.createDataFrame([Row(id=1, v=10)])
+    s = spark.createDataFrame([Row(id=2, v="20")])
+    _, s2 = reconcile_schemas(t, s, adjust_column_type=False)
+    assert dict(s2.dtypes)["v"] == "bigint"
+    assert s2.collect()[0]["v"] == 20
+
+
+def test_reconcile_widen_types(spark):
+    t = spark.createDataFrame([Row(id=1, v=10)])
+    s = spark.createDataFrame([Row(id=2, v=1.5)])
+    t2, s2 = reconcile_schemas(t, s, adjust_column_type=True)
+    # int vs double widens to a common numeric type on both sides
+    assert dict(t2.dtypes)["v"] == dict(s2.dtypes)["v"]
+    assert dict(s2.dtypes)["v"] != "bigint"
+
+
+def test_reconcile_bad_value_degrades_to_null(spark):
+    t = spark.createDataFrame([Row(id=1, v=10)])
+    s = spark.createDataFrame([Row(id=2, v="oops")])
+    _, s2 = reconcile_schemas(t, s)
+    assert s2.collect()[0]["v"] is None
+
+
+# --- FK discovery -------------------------------------------------------
+
+def test_discover_fks_on_star_schema(spark, sf_dir):
+    tables = {
+        "orders": spark.read.parquet(os.path.join(sf_dir, "orders.parquet")),
+        "customer": spark.read.parquet(
+            os.path.join(sf_dir, "customer.parquet")),
+    }
+    fks = discover_fks(tables)
+    assert any(fk["table"] == "orders" and fk["ref_table"] == "customer"
+               and fk["column"] == "o_custkey" for fk in fks)
+
+
+def test_fk_order_topological():
+    fks = [{"table": "orders", "column": "o_custkey",
+            "ref_table": "customer", "ref_column": "c_custkey"},
+           {"table": "lineitem", "column": "l_orderkey",
+            "ref_table": "orders", "ref_column": "o_orderkey"}]
+    order = fk_order(fks, ["lineitem", "orders", "customer"])
+    assert order.index("customer") < order.index("orders") < \
+        order.index("lineitem")
+
+
+# --- API source ---------------------------------------------------------
+
+def _fake_transport(pages):
+    calls = []
+
+    def transport(url, params, headers):
+        calls.append(dict(params))
+        page = int(params.get("offset", 0)) // int(params.get("limit", 2)) \
+            if "offset" in params else len(calls) - 1
+        if page < len(pages):
+            return 200, pages[page]
+        return 200, {"items": []}
+
+    transport.calls = calls
+    return transport
+
+
+def test_api_offset_pagination():
+    pages = [
+        {"items": [{"id": 1}, {"id": 2}]},
+        {"items": [{"id": 3}]},
+    ]
+    t = _fake_transport(pages)
+    spec = {"url": "http://x/api", "records_path": "items",
+            "pagination": {"type": "offset", "page_size": 2}}
+    recs = list(iter_records(spec, t))
+    assert [r["id"] for r in recs] == [1, 2, 3]
+
+
+def test_api_cursor_pagination():
+    pages = {
+        None: {"data": [{"id": 1}], "next": "c1"},
+        "c1": {"data": [{"id": 2}], "next": None},
+    }
+
+    def t(url, params, headers):
+        return 200, pages[params.get("cursor")]
+
+    spec = {"url": "http://x", "records_path": "data",
+            "pagination": {"type": "cursor", "cursor_path": "next"}}
+    assert [r["id"] for r in list(iter_records(spec, t))] == [1, 2]
+
+
+def test_api_error_raises():
+    def t(url, params, headers):
+        return 500, {}
+
+    with pytest.raises(RuntimeError):
+        list(iter_records({"url": "http://x"}, t))
+
+
+def test_read_api_dataframe(spark):
+    def t(url, params, headers):
+        return 200, {"items": [{"id": 1, "meta": {"k": "a"}},
+                               {"id": 2, "meta": {"k": "b"}}]}
+
+    df = read_api(spark, {"url": "http://x", "records_path": "items"}, t)
+    assert sorted(r["id"] for r in df.collect()) == [1, 2]
+    assert "meta__k" in df.columns  # nested objects flattened
