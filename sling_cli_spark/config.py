@@ -59,6 +59,7 @@ class SourceOptions:
     flatten: bool | int = False         # False | True (full) | max depth
     jmespath: str | None = None         # record-extraction path for JSON
     sheet: str | None = None            # excel "Sheet1!A1:C100"
+    row_tag: str = "row"                # xml element per record
     chunk_size: str | None = None
     chunk_count: int | None = None
     columns: dict[str, str] = field(default_factory=dict)  # name -> general type

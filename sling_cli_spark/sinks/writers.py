@@ -99,6 +99,18 @@ def write_files(
 
         write_arrow(df, uri)
         return
+    if fmt == "xml":
+        writer.format("xml").option("rowTag", "row") \
+            .option("rootTag", "rows").save(uri)
+        return
+    if fmt == "avro":
+        try:
+            writer.format("avro").save(uri)
+        except Exception as e:
+            raise NotImplementedError(
+                "avro write needs the spark-avro module on the classpath"
+            ) from e
+        return
     if fmt == "geojsonl":
         from sling_cli_spark.sinks.formats import write_geojsonl
 

@@ -98,7 +98,12 @@ def read_files(spark: SparkSession, path: str, opts: SourceOptions) -> DataFrame
             df = flatten(df, max_depth=depth)
         return df
     if fmt == "avro":
-        return spark.read.format("avro").load(path)
+        try:
+            return spark.read.format("avro").load(path)
+        except Exception as e:
+            raise NotImplementedError(
+                "avro read needs the spark-avro module on the classpath "
+                "(external since Spark 2.4)") from e
     if fmt == "arrow":
         from sling_cli_spark.sources.arrow import read_arrow
 
@@ -113,7 +118,9 @@ def read_files(spark: SparkSession, path: str, opts: SourceOptions) -> DataFrame
                 f"{fmt} read needs the {fmt} connector on the classpath"
             ) from e
     if fmt == "xml":
-        return spark.read.format("xml").option("rowTag", "row").load(path)
+        # native in Spark 4 (SPARK-44265)
+        return spark.read.format("xml") \
+            .option("rowTag", opts.row_tag).load(path)
     if fmt in ("excel", "sas7bdat"):
         return _read_via_pandas(spark, path, fmt, opts)
     raise ValueError(f"unsupported source format: {fmt!r}")

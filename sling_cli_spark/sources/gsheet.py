@@ -1,0 +1,54 @@
+"""Google Sheets source.
+
+Reference: ``core/dbio/filesys/fs_google_sheets.go`` — reads a sheet via
+the Sheets API into a datastream. Here the sheet lands via the CSV
+export endpoint (no API key needed for link-shared sheets), is parsed
+with pandas on the driver (sheets are small by construction — the API
+caps cells), and becomes a DataFrame for distributed processing.
+
+``transport`` is injectable for tests: ``(url) -> bytes``.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import urllib.request
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+Transport = Callable[[str], bytes]
+
+_ID_RE = re.compile(r"/spreadsheets/d/([A-Za-z0-9_-]+)")
+
+
+def export_url(sheet_ref: str, gid: str | int = 0) -> str:
+    """Accepts a full sheet URL or a bare spreadsheet id."""
+    m = _ID_RE.search(sheet_ref)
+    sheet_id = m.group(1) if m else sheet_ref
+    return (f"https://docs.google.com/spreadsheets/d/{sheet_id}"
+            f"/export?format=csv&gid={gid}")
+
+
+def _default_transport(url: str) -> bytes:
+    with urllib.request.urlopen(url) as resp:  # nosec - user-configured URL
+        return resp.read()
+
+
+def read_gsheet(
+    spark: SparkSession, sheet_ref: str, gid: str | int = 0,
+    transport: Transport | None = None, infer: bool = True,
+) -> DataFrame:
+    import pandas as pd
+
+    transport = transport or _default_transport
+    raw = transport(export_url(sheet_ref, gid))
+    pdf = pd.read_csv(io.BytesIO(raw), dtype=str, keep_default_na=False)
+    pdf = pdf.replace({"": None})
+    df = spark.createDataFrame(pdf)
+    if infer:
+        from sling_cli_spark.operators.inference import infer_and_cast
+
+        df = infer_and_cast(df)
+    return df
