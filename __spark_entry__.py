@@ -191,6 +191,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t, s = _merge_frames(spark, sf)
         return merge_update(t, s, "o_orderkey")
 
+    def merge_di(spark, sf):
+        from sling_cli_spark.operators.merge import merge_delete_insert
+        t, s = _merge_frames(spark, sf)
+        return merge_delete_insert(t, s, "o_orderkey")
+
+    def merge_hi(spark, sf):
+        from sling_cli_spark.operators.merge import merge_history_insert
+        t, s = _merge_frames(spark, sf)
+        return merge_history_insert(t, s, "o_orderkey")
+
     def merge_cdc(spark, sf):
         o = _t(spark, sf, "orders")
         t = o.filter("o_orderkey < 750") \
@@ -294,6 +304,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def quality_docs(spark, sf):
         return quality_score(_t(spark, sf, "documents"))
 
+    def ws_token_docs(spark, sf):
+        from sling_cli_spark.operators.text import whitespace_token_count
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            whitespace_token_count(F.col("text")).cast("long")
+            .alias("n_ws_tokens"))
+
+    def distinct_rows(spark, sf):
+        return _t(spark, sf, "orders") \
+            .select("o_orderstatus", "o_orderpriority").distinct()
+
     def lang_id_docs(spark, sf):
         d = _t(spark, sf, "documents")
         return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
@@ -335,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_update_insert": merge_ui,
         "merge_insert": merge_ins,
         "merge_update": merge_upd,
+        "merge_delete_insert": merge_di,
+        "merge_history_insert": merge_hi,
         "merge_change_capture": merge_cdc,
         "delete_missing": delete_missing_hard,
         "dedup_last_event": dedup_last_event,
@@ -353,6 +377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_docs": text_stats_docs,
         "token_count_docs": token_count_docs,
         "quality_docs": quality_docs,
+        "ws_token_docs": ws_token_docs,
+        "distinct_rows": distinct_rows,
         "lang_id_docs": lang_id_docs,
         "fingerprint_docs": fingerprint_docs,
         "ann_topk": ann_topk,
@@ -466,6 +492,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM orders WHERE o_orderkey < 500
             UNION ALL
             SELECT * FROM src WHERE o_orderkey < 750
+        """,
+        "merge_delete_insert": f"""
+            WITH src AS ({_MERGE_SRC})
+            SELECT * FROM orders WHERE o_orderkey < 750
+              AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL SELECT * FROM src
+        """,
+        "merge_history_insert": f"""
+            WITH src AS ({_MERGE_SRC})
+            SELECT * FROM orders WHERE o_orderkey < 750
+            UNION ALL SELECT * FROM src
         """,
         "merge_change_capture": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -647,6 +684,16 @@ def oracle_sql() -> dict[str, str]:
                    n_nonspace / greatest(n_words,1) BETWEEN 2 AND 12 AS wl_ok,
                    punct <= 0.3 AS punct_ok
             FROM q
+        """,
+        "ws_token_docs": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END
+                   AS n_ws_tokens
+            FROM documents
+        """,
+        "distinct_rows": """
+            SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         """,
         "ann_topk": """
             SELECT query_id, vec_id FROM (
