@@ -231,6 +231,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _t(spark, sf, "events").select("event_id")
         return with_row_num(e, ["event_id"])
 
+    def asof_events(spark, sf):
+        from sling_cli_spark.operators.asof import asof_join
+        e = _t(spark, sf, "events").select("user_id", "event_id")
+        l = e.filter("event_id % 2 = 0")
+        r = e.filter("event_id % 2 = 1")
+        return asof_join(l, r, "user_id", "event_id") \
+            .select("user_id", "event_id", "r_event_id")
+
+    def sessionize_events(spark, sf):
+        from sling_cli_spark.operators.asof import sessionize
+        e = _t(spark, sf, "events").select("user_id", "ts")
+        s = sessionize(e, "user_id", "ts", gap="1 hour")
+        return s.groupBy("user_id").agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"))
+
     # --- validation / profiling -----------------------------------------
     def checksum_lineitem(spark, sf):
         return checksum_df(_t(spark, sf, "lineitem"))
@@ -363,6 +379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_missing": delete_missing_hard,
         "dedup_last_event": dedup_last_event,
         "row_num_events": row_num_events,
+        "asof_events": asof_events,
+        "sessionize_events": sessionize_events,
         "checksum_lineitem": checksum_lineitem,
         "field_stat_orders": field_stat_orders,
         "distro_priority": distro_priority,
@@ -396,8 +414,7 @@ _MERGE_SRC = """
     FROM orders WHERE o_orderkey BETWEEN 500 AND 999
 """
 
-_NORM = ("trim(regexp_replace(regexp_replace(lower(text), "
-         "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -532,6 +549,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    row_number() OVER (ORDER BY event_id) AS _sling_row_num
             FROM events
+        """,
+        "asof_events": """
+            SELECT l.user_id, l.event_id, r.event_id AS r_event_id
+            FROM (SELECT user_id, event_id FROM events
+                  WHERE event_id % 2 = 0) l
+            ASOF LEFT JOIN (SELECT user_id, event_id FROM events
+                            WHERE event_id % 2 = 1) r
+              ON l.user_id = r.user_id AND l.event_id >= r.event_id
+        """,
+        "sessionize_events": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                          WHEN epoch(ts) - epoch(lag(ts) OVER w) > 3600
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g)
+            SELECT user_id,
+                   cast(max(session_id) as BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id
         """,
         "checksum_lineitem": """
             SELECT count(*) AS _row_count,

@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "ann_topk",
     "minhash_dedup_docs",
     "simhash_dedup_docs",
+    "asof_events",
+    "sessionize_events",
 ]
 
 

@@ -44,11 +44,13 @@ def _hash_coeffs(k: int, seed: int = 7) -> list[tuple[int, int]]:
 
 def normalize_text(c: Column) -> Column:
     """Lowercase, strip non-alphanumerics, collapse whitespace — the usual
-    near-dup normalization before hashing."""
-    c = F.lower(c)
-    c = F.regexp_replace(c, "[^a-z0-9\\s]", " ")
-    c = F.regexp_replace(c, "\\s+", " ")
-    return F.trim(c)
+    near-dup normalization before hashing.
+
+    ONE regexp pass: any run of non-alphanumerics (punctuation and
+    whitespace alike) collapses to a single space — equivalent to the
+    two-pass strip-then-collapse, at half the regex cost over large docs.
+    """
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
 
 
 def tokens_col(text: Column) -> Column:

@@ -1,0 +1,81 @@
+"""Stateful streaming sessionization via applyInPandasWithState.
+
+The custom-stateful-operator pattern: per-key session state (start, last
+event, count) lives in the state store, sessions emit when the gap
+timeout fires. Batch twin: ``operators.asof.sessionize`` (same gap
+semantics, window-based).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.DoubleType()),
+    T.StructField("session_end", T.DoubleType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("start", T.DoubleType()),
+    T.StructField("last", T.DoubleType()),
+    T.StructField("count", T.LongType()),
+])
+
+
+def sessionize_stream(
+    events: DataFrame, gap_seconds: float = 1800.0,
+    ts_col: str = "ts_sec", key_col: str = "user_id",
+) -> DataFrame:
+    """events(user_id, ts_sec) stream -> closed-session rows.
+
+    State per user: (start, last, count). An incoming batch extends the
+    open session or closes it (emitting a row) when the gap is exceeded;
+    the processing-time timeout closes idle sessions. The grouping
+    shuffles by key exactly once per micro-batch; state is per-key O(1).
+    """
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, count = state.get
+                state.remove()
+                yield pd.DataFrame([
+                    {"user_id": user_id, "session_start": start,
+                     "session_end": last, "n_events": count}])
+            return
+
+        ts = sorted(
+            float(t) for pdf in pdfs for t in pdf[ts_col].tolist())
+        if not ts:
+            return
+        start, last, count = state.get if state.exists else (
+            ts[0], ts[0], 0)
+        closed = []
+        for t in ts:
+            if count and t - last > gap_seconds:
+                closed.append({"user_id": user_id, "session_start": start,
+                               "session_end": last, "n_events": count})
+                start, count = t, 0
+            last = max(last, t)
+            count += 1
+        state.update((start, last, count))
+        state.setTimeoutDuration(int(gap_seconds * 1000))
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
