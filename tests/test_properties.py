@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the pure driver-side logic:
+type widening, select parsing, partition masks, state store, intervals."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sling_cli_spark.operators.select import parse_select_expr
+from sling_cli_spark.sinks.writers import parse_partition_mask
+from sling_cli_spark.types import ColumnType, widen
+
+TYPES = list(ColumnType)
+
+
+@given(st.sampled_from(TYPES), st.sampled_from(TYPES))
+def test_widen_commutative(a, b):
+    assert widen(a, b) == widen(b, a)
+
+
+@given(st.sampled_from(TYPES))
+def test_widen_idempotent(a):
+    assert widen(a, a) == a
+
+
+@given(st.sampled_from(TYPES), st.sampled_from(TYPES),
+       st.sampled_from(TYPES))
+def test_widen_never_narrows_to_unrelated(a, b, c):
+    # widening twice is the same as widening with the widened result —
+    # associativity over the lattice
+    assert widen(widen(a, b), c) == widen(a, widen(b, c))
+
+
+_ident = st.text(alphabet=string.ascii_lowercase + "_", min_size=1,
+                 max_size=12).filter(lambda s: not s.startswith("_"))
+
+
+@given(_ident)
+def test_parse_plain_roundtrip(name):
+    assert parse_select_expr(name) == (name, None, None, False)
+
+
+@given(_ident)
+def test_parse_exclude_roundtrip(name):
+    got = parse_select_expr(f"-{name}")
+    assert got == (name, None, None, True)
+
+
+@given(_ident, _ident)
+def test_parse_alias_roundtrip(name, alias):
+    got_name, got_alias, cast, neg = parse_select_expr(f"{name} as {alias}")
+    assert (got_name, got_alias, neg) == (name, alias, False)
+
+
+@given(_ident, st.sampled_from(["int", "bigint", "string", "double"]))
+def test_parse_cast_roundtrip(name, typ):
+    got_name, alias, cast, neg = parse_select_expr(f"{name}::{typ}")
+    assert (got_name, cast, neg) == (name, typ, False)
+
+
+@given(_ident)
+def test_mask_with_column_always_parses(col):
+    uri, parts = parse_partition_mask(f"/d/{{part_year({col})}}")
+    assert parts == [("part_year", col)]
+
+
+def test_state_store_values_roundtrip(tmp_path):
+    from sling_cli_spark.state import StateStore
+
+    st_ = StateStore(str(tmp_path / "s.json"))
+    for v in [0, -5, 3.5, "x", "2024-01-01T00:00:00", None]:
+        st_.set("k", v)
+        assert st_.get("k") == v
+
+
+@given(st.integers(min_value=1, max_value=500),
+       st.sampled_from(["second", "minute", "hour", "day"]))
+def test_interval_seconds(n, unit):
+    from sling_cli_spark.operators.asof import _interval_seconds
+
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    assert _interval_seconds(f"{n} {unit}s") == n * mult[unit]
+    assert _interval_seconds(f"{n} {unit}") == n * mult[unit]
