@@ -64,6 +64,7 @@ class SourceOptions:
     chunk_count: int | None = None
     columns: dict[str, str] = field(default_factory=dict)  # name -> general type
     transforms: Any = None
+    infer_schema: bool = True           # sample-classify text sources
 
 
 @dataclass

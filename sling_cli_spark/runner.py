@@ -53,6 +53,7 @@ def build_read_plan(
 ) -> DataFrame:
     """Steps 1-4: the full read-side logical plan (no action triggered)."""
     df = read_source(spark, cfg.source)
+    df = _maybe_infer(df, cfg)
     if cfg.source.select:
         df = apply_select(df, cfg.source.select)
     if cfg.source.where:
@@ -70,6 +71,25 @@ def build_read_plan(
     if cfg.target.options.column_casing:
         df = apply_casing(df, cfg.target.options.column_casing)
     return df
+
+
+def _maybe_infer(df: DataFrame, cfg: Config) -> DataFrame:
+    """Sample-based typing for all-string text sources (csv/tsv), plus the
+    ``columns: {name: type}`` coercion surface — the reference runs its
+    900-row classifier on every text stream (stream_processor.go)."""
+    from sling_cli_spark.sources.files import detect_format
+
+    opts = cfg.source.options
+    fmt = detect_format(cfg.source.stream or "", opts)
+    if fmt != "csv":
+        return df
+    if not (opts.infer_schema or opts.columns):
+        return df
+    from sling_cli_spark.operators.inference import infer_and_cast
+
+    return infer_and_cast(
+        df, null_if=opts.null_if,
+        overrides=opts.columns or None)
 
 
 def run(

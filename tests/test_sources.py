@@ -62,3 +62,40 @@ def test_list_file_nodes(spark, sf_dir):
     names = {os.path.basename(r["path"]) for r in nodes}
     assert "lineitem.parquet" in names and "orders.parquet" in names
     assert all(r["size"] > 0 for r in nodes)
+
+
+def test_runner_infers_csv_types(spark, tmp_path):
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+
+    src = tmp_path / "in.csv"
+    src.write_text("id,amount,when\n1,2.5,2024-01-02\n2,3.75,2024-02-03\n")
+    out = str(tmp_path / "out.parquet")
+    cfg = Config.from_dict({
+        "source": {"stream": str(src)},
+        "target": {"object": out},
+        "mode": "full-refresh"})
+    run(spark, cfg)
+    back = spark.read.parquet(out)
+    dt = dict(back.dtypes)
+    assert dt["id"] in ("int", "bigint")
+    assert dt["amount"].startswith("decimal") or dt["amount"] == "double"
+    assert dt["when"] == "date"
+
+
+def test_runner_column_override_wins(spark, tmp_path):
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+
+    src = tmp_path / "in2.csv"
+    src.write_text("id,code\n1,0042\n2,0043\n")
+    out = str(tmp_path / "out2.parquet")
+    cfg = Config.from_dict({
+        "source": {"stream": str(src),
+                   "options": {"columns": {"code": "string"}}},
+        "target": {"object": out},
+        "mode": "full-refresh"})
+    run(spark, cfg)
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes)["code"] == "string"
+    assert sorted(r["code"] for r in back.collect()) == ["0042", "0043"]
