@@ -48,8 +48,12 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]")
     qs = entry_mod.queries()
 
-    # warm the JVM + parquet footers with a trivial action
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warm the JVM (codegen, shuffle machinery) + parquet footers so the
+    # first measured query doesn't carry session startup
+    for t in ("region", "lineitem", "orders", "customer", "documents",
+              "events", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")) \
+            .limit(1000).groupBy().count().collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -65,6 +65,7 @@ class SourceOptions:
     columns: dict[str, str] = field(default_factory=dict)  # name -> general type
     transforms: Any = None
     infer_schema: bool = True           # sample-classify text sources
+    merge_schemas: bool = False         # reconcile drift across files
 
 
 @dataclass

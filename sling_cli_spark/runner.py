@@ -66,6 +66,13 @@ def build_read_plan(
         if cfg.source.update_key:
             df = df.orderBy(cfg.source.update_key)
         df = apply_limit_offset(df, cfg.source.limit, cfg.source.offset)
+    if cfg.target.options.batch_limit:
+        # cap rows moved per run (reference: batch_limit on incremental
+        # loads); ordered by update_key so the next run resumes from the
+        # new watermark
+        if cfg.source.update_key:
+            df = df.orderBy(cfg.source.update_key)
+        df = df.limit(int(cfg.target.options.batch_limit))
     if cfg.source.options.transforms:
         df = apply_transforms(df, cfg.source.options.transforms)
     if cfg.target.options.column_casing:

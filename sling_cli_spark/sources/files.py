@@ -61,6 +61,10 @@ def detect_format(path: str, opts: SourceOptions) -> str:
 def read_files(spark: SparkSession, path: str, opts: SourceOptions) -> DataFrame:
     fmt = detect_format(path, opts)
     if fmt == "parquet":
+        if opts.merge_schemas:
+            # drift across files: union of all file schemas
+            # (reference: dataflow MergeColumns on multi-file streams)
+            return spark.read.option("mergeSchema", "true").parquet(path)
         return spark.read.parquet(path)
     if fmt == "csv":
         reader = (

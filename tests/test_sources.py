@@ -99,3 +99,16 @@ def test_runner_column_override_wins(spark, tmp_path):
     back = spark.read.parquet(out)
     assert dict(back.dtypes)["code"] == "string"
     assert sorted(r["code"] for r in back.collect()) == ["0042", "0043"]
+
+
+def test_merge_schemas_across_drifting_files(spark, tmp_path):
+    base = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .write.parquet(base + "/f1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double") \
+        .write.parquet(base + "/f2")
+    df = read_files(spark, base + "/*", SourceOptions(
+        format="parquet", merge_schemas=True))
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows[2] == 9.5 and rows[1] is None

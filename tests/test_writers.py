@@ -69,3 +69,22 @@ def test_snapshot_stamps_loaded_at(spark):
     df = prepare_for_mode(_events(spark), Mode.SNAPSHOT, run_ts=ts)
     assert "_sling_loaded_at" in df.columns
     assert df.filter("_sling_loaded_at is null").count() == 0
+
+
+def test_batch_limit_caps_rows(spark, tmp_path):
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+
+    src = tmp_path / "in.csv"
+    src.write_text("id,v\n" + "".join(f"{i},{i}\n" for i in range(100)))
+    out = str(tmp_path / "out.parquet")
+    cfg = Config.from_dict({
+        "source": {"stream": str(src), "update_key": "id"},
+        "target": {"object": out, "options": {"batch_limit": 10}},
+        "mode": "full-refresh"})
+    r = run(spark, cfg)
+    assert r.rows == 10
+    back = spark.read.parquet(out)
+    assert back.count() == 10
+    # ordered by update_key: the FIRST 10 ids moved, watermark resumes after
+    assert sorted(x["id"] for x in back.collect()) == list(range(10))
