@@ -255,6 +255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return field_stat(_t(spark, sf, "orders"),
                           ["o_orderkey", "o_custkey", "o_orderpriority"])
 
+    def field_stat_deep_li(spark, sf):
+        from sling_cli_spark.operators.profile import field_stat_deep
+        return field_stat_deep(_t(spark, sf, "lineitem"),
+                               ["l_quantity", "l_extendedprice"])
+
     def distro_priority(spark, sf):
         return distro_field(_t(spark, sf, "orders"), "o_orderpriority", 10)
 
@@ -383,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "checksum_lineitem": checksum_lineitem,
         "field_stat_orders": field_stat_orders,
+        "field_stat_deep_li": field_stat_deep_li,
         "distro_priority": distro_priority,
         "fill_rate_orders": fill_rate_orders,
         "test_pk_lineitem": test_pk_lineitem,
@@ -613,6 +619,23 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * count(DISTINCT o_orderpriority) / count(*), 2),
                    count(o_orderpriority) - count(DISTINCT o_orderpriority)
             FROM orders
+        """,
+        "field_stat_deep_li": """
+            SELECT 'l_quantity' AS field, count(l_quantity) AS cnt,
+                   cast(min(l_quantity) as double) AS min_val,
+                   cast(max(l_quantity) as double) AS max_val,
+                   cast(sum(cast(l_quantity as decimal(30,4))) as double) AS sum_val,
+                   round(cast(sum(cast(l_quantity as decimal(30,4))) as double)
+                         / count(l_quantity), 4) AS avg_val
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(l_extendedprice),
+                   cast(min(l_extendedprice) as double),
+                   cast(max(l_extendedprice) as double),
+                   cast(sum(cast(l_extendedprice as decimal(30,4))) as double),
+                   round(cast(sum(cast(l_extendedprice as decimal(30,4))) as double)
+                         / count(l_extendedprice), 4)
+            FROM lineitem
         """,
         "distro_priority": """
             SELECT value, cnt, prct, rank FROM (

@@ -50,6 +50,7 @@ def main() -> None:
 
     # warm the JVM (codegen, shuffle machinery) + parquet footers so the
     # first measured query doesn't carry session startup
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in ("region", "lineitem", "orders", "customer", "documents",
               "events", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")) \

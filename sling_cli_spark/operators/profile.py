@@ -73,6 +73,37 @@ def distro_field(df: DataFrame, field: str, top_k: int = 20) -> DataFrame:
     )
 
 
+def field_stat_deep(df: DataFrame, fields: list[str]) -> DataFrame:
+    """Numeric min/max/avg/sum per column in one aggregate pass
+    (base.yaml field_stat_deep). Sums computed in decimal for exactness,
+    emitted as double."""
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for f in fields:
+        c = F.col(f"`{f}`")
+        aggs += [
+            F.min(c).cast("double").alias(f"__min_{f}"),
+            F.max(c).cast("double").alias(f"__max_{f}"),
+            F.sum(c.cast("decimal(30,4)")).cast("double").alias(f"__sum_{f}"),
+            F.count(c).alias(f"__cnt_{f}"),
+        ]
+    from decimal import ROUND_HALF_UP, Decimal
+
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for f in fields:
+        cnt = row[f"__cnt_{f}"]
+        s = row[f"__sum_{f}"]
+        # HALF_UP like SQL round() — Python round() banker's-rounds ties
+        avg = (float(Decimal(str(s / cnt)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP)) if cnt else None)
+        out.append((
+            f, cnt, row[f"__min_{f}"], row[f"__max_{f}"], s, avg,
+        ))
+    return df.sparkSession.createDataFrame(
+        out, "field string, cnt bigint, min_val double, max_val double, "
+             "sum_val double, avg_val double")
+
+
 def fill_rate(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
     """Non-null fill counts/rates per column (base.yaml fill_cnt/fill_rate),
     one aggregate pass."""
