@@ -130,6 +130,23 @@ _STEP_TYPES = {
 }
 
 
+def load_pipeline(text_or_path: str) -> list[dict[str, Any]]:
+    """Pipeline YAML -> step list (reference: tests/pipelines/*.yaml —
+    top-level ``steps:`` plus optional ``env:``)."""
+    import yaml
+
+    text = text_or_path
+    if os.path.exists(text_or_path):
+        with open(text_or_path) as f:
+            text = f.read()
+    from sling_cli_spark.config import render_env
+
+    d = render_env(yaml.safe_load(text))
+    if isinstance(d, list):
+        return d
+    return d.get("steps") or []
+
+
 def run_pipeline(
     spark, steps: list[dict[str, Any]], env: dict[str, str] | None = None,
 ) -> list[Any]:

@@ -100,6 +100,39 @@ def iter_records(
                 return
 
 
+def apply_processors(
+    df: "DataFrame", processors: list[dict[str, Any]],
+) -> dict[str, Any]:
+    """API processors: per-record expression + aggregation into state
+    (reference: api/spec.go:1343-1368 — aggregation kinds maximum /
+    minimum / collect / first / last). One distributed aggregate pass;
+    the scalar results feed the next request's state (e.g. cursor
+    high-water marks)."""
+    from pyspark.sql import functions as F
+
+    aggs, names = [], []
+    for p in processors:
+        expr = F.expr(p["expression"])
+        kind = p.get("aggregation", "last")
+        name = p.get("output") or p["expression"]
+        if kind == "maximum":
+            aggs.append(F.max(expr))
+        elif kind == "minimum":
+            aggs.append(F.min(expr))
+        elif kind == "collect":
+            aggs.append(F.collect_list(expr))
+        elif kind == "first":
+            aggs.append(F.first(expr, ignorenulls=True))
+        elif kind == "last":
+            aggs.append(F.last(expr, ignorenulls=True))
+        else:
+            raise ValueError(f"unknown aggregation: {kind!r}")
+        names.append(name)
+    row = df.agg(*[a.alias(f"__p{i}") for i, a in enumerate(aggs)]) \
+        .collect()[0]
+    return {name: row[f"__p{i}"] for i, name in enumerate(names)}
+
+
 def read_api(
     spark: SparkSession, spec: dict[str, Any],
     transport: Transport | None = None, flatten_records: bool = True,

@@ -168,3 +168,27 @@ def test_read_api_dataframe(spark):
     df = read_api(spark, {"url": "http://x", "records_path": "items"}, t)
     assert sorted(r["id"] for r in df.collect()) == [1, 2]
     assert "meta__k" in df.columns  # nested objects flattened
+
+
+def test_api_processors(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, v=5.0), Row(id=2, v=9.0), Row(id=3, v=2.0)])
+    from sling_cli_spark.sources.api import apply_processors
+
+    state = apply_processors(df, [
+        {"expression": "id", "aggregation": "maximum", "output": "max_id"},
+        {"expression": "v", "aggregation": "minimum", "output": "min_v"},
+        {"expression": "id", "aggregation": "collect", "output": "ids"},
+    ])
+    assert state["max_id"] == 3 and state["min_v"] == 2.0
+    assert sorted(state["ids"]) == [1, 2, 3]
+
+
+def test_load_pipeline_yaml(tmp_path):
+    from sling_cli_spark.plans.pipeline import load_pipeline
+
+    p = tmp_path / "p.yaml"
+    p.write_text("steps:\n  - type: log\n    message: hi\n  - type: check\n"
+                 "    expr: 1 = 1\n")
+    steps = load_pipeline(str(p))
+    assert [s["type"] for s in steps] == ["log", "check"]
