@@ -725,6 +725,38 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
             FROM documents
         """,
+        # exact SQL twin of operators/text.py lang_id: per-language
+        # stopword-hit counts, scan order es<fr<de with strict >, en wins
+        # ties needing >= max(best, 1)
+        "lang_id_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(regexp_replace(lower(text),
+                         '[^a-z\\s]', ' ', 'g')), '\\s+') AS tk
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                len(list_filter(tk, x -> x IN
+                  ('the','and','of','to','in','is','that','it','was','for')))
+                  AS en,
+                len(list_filter(tk, x -> x IN
+                  ('der','die','und','das','ist','nicht','ein','mit','von','zu')))
+                  AS de,
+                len(list_filter(tk, x -> x IN
+                  ('le','la','et','les','des','est','pas','une','dans','que')))
+                  AS fr,
+                len(list_filter(tk, x -> x IN
+                  ('el','la','de','que','y','los','en','un','por','con')))
+                  AS es
+              FROM toks)
+            SELECT doc_id,
+                   CASE WHEN en >= greatest(de, fr, es, 1) THEN 'en'
+                        WHEN de > greatest(fr, es) THEN 'de'
+                        WHEN fr > es THEN 'fr'
+                        WHEN es > 0 THEN 'es'
+                        ELSE 'unknown' END AS lang_pred
+            FROM h
+        """,
         "quality_docs": """
             WITH q AS (
               SELECT doc_id, length(text) AS n_chars,
