@@ -356,6 +356,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").alias("query_id"), "embedding")
         return lsh_topk(emb, q, k=10).select("query_id", "vec_id")
 
+    def ann_ivf_topk(spark, sf):
+        from sling_cli_spark.operators.similarity import ivf_topk
+        emb = _t(spark, sf, "embeddings")
+        q = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return ivf_topk(emb, q, k=10, n_clusters=8, n_probe=2) \
+            .select("query_id", "vec_id")
+
     def embedding_near_dup(spark, sf):
         emb = _t(spark, sf, "embeddings")
         return pairwise_within_label(emb, threshold=0.9) \
@@ -407,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": fingerprint_docs,
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "embedding_near_dup": embedding_near_dup,
     }
 

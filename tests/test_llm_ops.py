@@ -116,3 +116,30 @@ def test_lsh_topk_subset_of_brute_force_space(spark):
     out = lsh_topk(emb, q, k=2).collect()
     assert all(r["vec_id"] in {0, 1, 2, 3} for r in out)
     assert len(out) >= 1
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    import numpy as np
+    from sling_cli_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(5)
+    rows = []
+    # 4 well-separated clusters of 25 vectors each
+    for c in range(4):
+        center = np.zeros(16); center[c * 4] = 10.0
+        for i in range(25):
+            v = center + rng.normal(0, 0.1, 16)
+            rows.append(Row(vec_id=c * 25 + i,
+                            embedding=[float(x) for x in v]))
+    emb = spark.createDataFrame(rows)
+    q = emb.filter("vec_id IN (0, 30, 60)").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(emb, q, k=5, n_clusters=4, n_probe=1)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    # each query finds itself and only same-cluster neighbors
+    for qid, ids in got.items():
+        assert qid in ids
+        assert all(i // 25 == qid // 25 for i in ids)
+    assert len(got) == 3
