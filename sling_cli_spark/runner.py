@@ -177,6 +177,57 @@ def run(
     return result
 
 
+def run_with_state(
+    spark: SparkSession,
+    cfg: Config,
+    state_store,
+    stream_key: str | None = None,
+    target_df: DataFrame | None = None,
+) -> TaskResult:
+    """State-backed incremental run (reference: ``sling state``,
+    task_func.go:192-201): the watermark comes from the cross-run store
+    instead of a target probe, and advances only after a successful write.
+
+    Useful when the target can't answer max(update_key) cheaply (append
+    streams, object stores, write-only sinks).
+    """
+    from sling_cli_spark.operators.incremental import max_watermark
+
+    key = stream_key or cfg.source.stream or ""
+    watermark = state_store.get(key)
+
+    if cfg.mode == Mode.INCREMENTAL and cfg.source.update_key:
+        df = build_read_plan(spark, cfg, watermark=watermark)
+        new_wm = max_watermark(df, cfg.source.update_key)
+    else:
+        new_wm = None
+
+    # run() re-derives the same plan; pass a pseudo target holding the
+    # watermark so its probe resolves identically
+    result = run(spark, cfg, target_df=target_df) if target_df is not None \
+        else _run_with_watermark(spark, cfg, watermark)
+    if new_wm is not None:
+        state_store.set(key, new_wm)
+    return result
+
+
+def _run_with_watermark(
+    spark: SparkSession, cfg: Config, watermark,
+) -> TaskResult:
+    """run() minus the target-side probe: the caller supplies the
+    watermark (state store path)."""
+    from pyspark.sql import Observation
+
+    df = build_read_plan(spark, cfg, watermark=watermark)
+    run_ts = datetime.now(timezone.utc)
+    df = prepare_for_mode(df, cfg.mode, run_ts=run_ts)
+    obs = Observation("write_stats")
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    write_files(df, cfg.target, cfg.mode, update_key=cfg.source.update_key)
+    return TaskResult(rows=obs.get["rows"], columns=df.columns,
+                      mode=cfg.mode.value)
+
+
 def _target_has_data(spark: SparkSession, cfg: Config) -> bool:
     """ignore_existing probe (reference: config.go IgnoreExisting — skip
     the task when the target object already holds data)."""

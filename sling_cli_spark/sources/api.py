@@ -71,6 +71,7 @@ def iter_records(
     headers = dict(spec.get("headers") or {})
     url = spec["url"]
 
+    retries = int(spec.get("retries", 2))
     offset, cursor = 0, None
     for _page in range(max_pages):
         p = dict(params)
@@ -79,7 +80,10 @@ def iter_records(
             p[pag.get("offset_param", "offset")] = offset
         elif ptype == "cursor" and cursor is not None:
             p[pag.get("cursor_param", "cursor")] = cursor
-        status, body = transport(url, p, headers)
+        for attempt in range(retries + 1):
+            status, body = transport(url, p, headers)
+            if status < 500 or attempt == retries:
+                break  # success, client error, or retries exhausted
         if status >= 400:
             raise RuntimeError(f"API error {status} from {url}")
         records = _extract_path(body, spec.get("records_path"))

@@ -141,3 +141,48 @@ def test_jdbc_write_options_truncate():
     t = Target(object="public.out")
     opts = build_write_options("jdbc:x", t, Mode.TRUNCATE)
     assert opts["truncate"] == "true" and opts["batchsize"] == "2000"
+
+
+def test_run_with_state_incremental(spark, tmp_path):
+    from sling_cli_spark.runner import run_with_state
+    from sling_cli_spark.state import StateStore
+
+    src = tmp_path / "in.csv"
+    src.write_text("id,v\n" + "".join(f"{i},{i}\n" for i in range(20)))
+    out1 = str(tmp_path / "out1.parquet")
+    st = StateStore(str(tmp_path / "state.json"))
+
+    cfg = Config.from_dict({
+        "source": {"stream": str(src), "update_key": "id"},
+        "target": {"object": out1},
+        "mode": "incremental"})
+    r1 = run_with_state(spark, cfg, st)
+    assert r1.rows == 20
+    assert st.get(str(src)) == 19  # watermark advanced
+
+    # second run: only rows past the stored watermark move
+    src.write_text("id,v\n" + "".join(f"{i},{i}\n" for i in range(25)))
+    cfg2 = Config.from_dict({
+        "source": {"stream": str(src), "update_key": "id"},
+        "target": {"object": str(tmp_path / "out2.parquet")},
+        "mode": "incremental"})
+    r2 = run_with_state(spark, cfg2, st)
+    assert r2.rows == 5
+    assert st.get(str(src)) == 24
+
+
+def test_api_retry_on_5xx():
+    from sling_cli_spark.sources.api import iter_records
+
+    calls = []
+
+    def flaky(url, params, headers):
+        calls.append(1)
+        if len(calls) < 3:
+            return 503, {}
+        return 200, {"items": [{"id": 1}]}
+
+    recs = list(iter_records(
+        {"url": "http://x", "records_path": "items", "retries": 3}, flaky))
+    assert [r["id"] for r in recs] == [1]
+    assert len(calls) == 3
