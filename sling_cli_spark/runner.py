@@ -43,6 +43,7 @@ class TaskResult:
     rows: int
     columns: list[str]
     mode: str
+    watermark: object = None  # max(update_key) observed during the write
 
 
 def build_read_plan(
@@ -191,23 +192,14 @@ def run_with_state(
     Useful when the target can't answer max(update_key) cheaply (append
     streams, object stores, write-only sinks).
     """
-    from sling_cli_spark.operators.incremental import max_watermark
 
     key = stream_key or cfg.source.stream or ""
     watermark = state_store.get(key)
 
-    if cfg.mode == Mode.INCREMENTAL and cfg.source.update_key:
-        df = build_read_plan(spark, cfg, watermark=watermark)
-        new_wm = max_watermark(df, cfg.source.update_key)
-    else:
-        new_wm = None
-
-    # run() re-derives the same plan; pass a pseudo target holding the
-    # watermark so its probe resolves identically
     result = run(spark, cfg, target_df=target_df) if target_df is not None \
         else _run_with_watermark(spark, cfg, watermark)
-    if new_wm is not None:
-        state_store.set(key, new_wm)
+    if result.watermark is not None:
+        state_store.set(key, result.watermark)
     return result
 
 
@@ -215,17 +207,23 @@ def _run_with_watermark(
     spark: SparkSession, cfg: Config, watermark,
 ) -> TaskResult:
     """run() minus the target-side probe: the caller supplies the
-    watermark (state store path)."""
+    watermark (state store path). The NEW watermark rides the write's
+    Observation — one materialization, no second source scan."""
     from pyspark.sql import Observation
 
     df = build_read_plan(spark, cfg, watermark=watermark)
     run_ts = datetime.now(timezone.utc)
     df = prepare_for_mode(df, cfg.mode, run_ts=run_ts)
     obs = Observation("write_stats")
-    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-    write_files(df, cfg.target, cfg.mode, update_key=cfg.source.update_key)
-    return TaskResult(rows=obs.get["rows"], columns=df.columns,
-                      mode=cfg.mode.value)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    uk = cfg.source.update_key
+    if uk and cfg.mode == Mode.INCREMENTAL:
+        aggs.append(F.max(F.col(f"`{uk}`")).alias("wm"))
+    df = df.observe(obs, *aggs)
+    write_files(df, cfg.target, cfg.mode, update_key=uk)
+    vals = obs.get
+    return TaskResult(rows=vals["rows"], columns=df.columns,
+                      mode=cfg.mode.value, watermark=vals.get("wm"))
 
 
 def _target_has_data(spark: SparkSession, cfg: Config) -> bool:
