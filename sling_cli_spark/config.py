@@ -76,6 +76,7 @@ class TargetOptions:
     compression: str | None = None
     file_max_rows: int | None = None
     file_max_bytes: int | None = None
+    file_bytes_per_row: int | None = None  # sizing hint for file_max_bytes
     batch_limit: int | None = None
     add_new_columns: bool = True
     adjust_column_type: bool = False

@@ -51,29 +51,34 @@ def build_read_plan(
     cfg: Config,
     watermark=None,
     backfill_range: tuple | None = None,
+    full_source: bool = False,
 ) -> DataFrame:
-    """Steps 1-4: the full read-side logical plan (no action triggered)."""
+    """Steps 1-4: the full read-side logical plan (no action triggered).
+
+    ``full_source=True`` skips the row-limiting steps (watermark/backfill/
+    limit/offset) but keeps select/where/transforms/casing — used for the
+    delete_missing keyset, which must see the WHOLE source snapshot, not
+    the incremental batch (reference: core.delete_where_not_exist runs its
+    own source scan, config.go:1838-1876).
+    """
     df = read_source(spark, cfg.source)
     df = _maybe_infer(df, cfg)
     if cfg.source.select:
         df = apply_select(df, cfg.source.select)
     if cfg.source.where:
         df = df.filter(F.expr(cfg.source.where))
-    if cfg.mode in (Mode.INCREMENTAL, Mode.CHANGE_CAPTURE) and cfg.source.update_key:
-        df = incremental_filter(df, cfg.source.update_key, watermark)
-    if cfg.mode == Mode.BACKFILL and backfill_range and cfg.source.update_key:
-        df = backfill_filter(df, cfg.source.update_key, *backfill_range)
-    if cfg.source.limit is not None or cfg.source.offset:
-        if cfg.source.update_key:
-            df = df.orderBy(cfg.source.update_key)
-        df = apply_limit_offset(df, cfg.source.limit, cfg.source.offset)
-    if cfg.target.options.batch_limit:
-        # cap rows moved per run (reference: batch_limit on incremental
-        # loads); ordered by update_key so the next run resumes from the
-        # new watermark
-        if cfg.source.update_key:
-            df = df.orderBy(cfg.source.update_key)
-        df = df.limit(int(cfg.target.options.batch_limit))
+    if not full_source:
+        if cfg.mode in (Mode.INCREMENTAL, Mode.CHANGE_CAPTURE) and cfg.source.update_key:
+            df = incremental_filter(df, cfg.source.update_key, watermark)
+        if cfg.mode == Mode.BACKFILL and backfill_range and cfg.source.update_key:
+            df = backfill_filter(df, cfg.source.update_key, *backfill_range)
+        if cfg.source.limit is not None or cfg.source.offset:
+            if cfg.source.update_key:
+                df = df.orderBy(cfg.source.update_key)
+            df = apply_limit_offset(df, cfg.source.limit, cfg.source.offset)
+    # batch_limit only splits the WRITE into batches (reference:
+    # SetBatchLimit, task_run_write.go:347) — it never drops rows; it is
+    # applied in write_files as maxRecordsPerFile.
     if cfg.source.options.transforms:
         df = apply_transforms(df, cfg.source.options.transforms)
     if cfg.target.options.column_casing:
@@ -155,27 +160,47 @@ def run(
             update_key=update_key,
         )
         if cfg.target.options.delete_missing:
+            # NEVER delete against the incremental batch: after the first
+            # run `df` is watermark-filtered, so its PK set is a tiny
+            # subset of the source and a semi-join against it would wipe
+            # the target. The keyset is a fresh full-source read.
+            keyset = build_read_plan(spark, cfg, full_source=True)
             merged = delete_missing(
-                merged, df, cfg.source.primary_key,
+                merged, keyset, cfg.source.primary_key,
                 soft=cfg.target.options.delete_missing == "soft",
             )
         obs = Observation("write_stats")
-        merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
+        merged = merged.observe(obs, *_write_aggs(cfg, merged.columns))
         # the merged plan still reads the current target files — stage to a
         # temp path and swap, never overwrite a path being read
         write_swap(merged, cfg.target, update_key=update_key)
-        rows = obs.get["rows"]
-        result = TaskResult(rows=rows, columns=merged.columns, mode=cfg.mode.value)
+        vals = obs.get
+        result = TaskResult(rows=vals["rows"], columns=merged.columns,
+                            mode=cfg.mode.value, watermark=vals.get("wm"))
     else:
         obs = Observation("write_stats")
-        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        df = df.observe(obs, *_write_aggs(cfg, df.columns))
         write_files(df, cfg.target, cfg.mode, update_key=update_key)
-        rows = obs.get["rows"]
-        result = TaskResult(rows=rows, columns=df.columns, mode=cfg.mode.value)
+        vals = obs.get
+        result = TaskResult(rows=vals["rows"], columns=df.columns,
+                            mode=cfg.mode.value, watermark=vals.get("wm"))
 
     if cfg.target.options.post_sql:
         spark.sql(cfg.target.options.post_sql)
     return result
+
+
+def _write_aggs(cfg: Config, columns: list[str]):
+    """Observation aggregates riding the write: row count always; the new
+    max(update_key) watermark too, so state-backed callers can advance
+    their store without a second scan (run_with_state + target_df path)."""
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    uk = cfg.source.update_key
+    if uk and uk in columns and cfg.mode in (
+        Mode.INCREMENTAL, Mode.BACKFILL, Mode.CHANGE_CAPTURE,
+    ):
+        aggs.append(F.max(F.col(f"`{uk}`")).alias("wm"))
+    return aggs
 
 
 def run_with_state(

@@ -76,8 +76,13 @@ def write_files(
 
     writer = df.write.mode(_spark_mode(mode))
     max_rows = opts.file_max_rows
+    if not max_rows and opts.batch_limit:
+        # batch_limit splits the write into batches of N rows — it never
+        # drops rows (reference: SetBatchLimit, task_run_write.go:347)
+        max_rows = int(opts.batch_limit)
     if opts.file_max_bytes and not max_rows:
-        max_rows = _rows_for_bytes(df, opts.file_max_bytes)
+        max_rows = _rows_for_bytes(df, opts.file_max_bytes,
+                                   hint=opts.file_bytes_per_row)
     if max_rows:
         writer = writer.option("maxRecordsPerFile", str(max_rows))
     if opts.compression:
@@ -127,16 +132,29 @@ def write_files(
 _WRITERS = {"parquet": "parquet", "csv": "csv", "json": "json", "orc": "orc"}
 
 
-def _rows_for_bytes(df: DataFrame, max_bytes: int, sample: int = 1000) -> int:
-    """file_max_bytes -> maxRecordsPerFile via a small row-size probe
-    (reference sizes output files the same way: bytes budget / avg row
-    size, task_run_write.go:1110). One tiny limit() action, only when the
-    option is set."""
-    rows = df.limit(sample).toJSON().collect()
-    if not rows:
-        return 0
-    avg = max(1, sum(len(r) for r in rows) // len(rows))
-    return max(1, int(max_bytes) // avg)
+# Catalyst-style default width per type (JVM defaultSize, strings bumped to
+# a realistic payload width). Good enough for file-size budgeting.
+_TYPE_BYTES = {
+    "boolean": 1, "byte": 1, "short": 2, "integer": 4, "long": 8,
+    "float": 4, "double": 8, "date": 4, "timestamp": 8,
+    "timestamp_ntz": 8, "decimal": 16, "string": 24, "binary": 64,
+}
+
+
+def _rows_for_bytes(df: DataFrame, max_bytes: int, hint: int | None = None) -> int:
+    """file_max_bytes -> maxRecordsPerFile from a schema-width estimate
+    (reference sizes output files as bytes budget / avg row size,
+    task_run_write.go:1110).
+
+    Deliberately ZERO Spark actions: the caller may already have attached
+    an ``Observation`` to this plan, and any probe action here would
+    fulfill it with sample-sized metrics (wrong row counts, partial
+    watermarks) besides re-scanning the source. ``file_bytes_per_row``
+    overrides the estimate when the user knows better."""
+    per_row = hint or sum(
+        _TYPE_BYTES.get(f.dataType.typeName(), 48) for f in df.schema.fields
+    )
+    return max(1, int(max_bytes) // max(1, per_row))
 
 
 def write_swap(
@@ -157,16 +175,38 @@ def write_swap(
     tmp_uri = uri.rstrip("/") + "__swap"
     tmp_target = Target(conn=target.conn, object=tmp_uri, options=target.options)
     write_files(df, tmp_target, Mode.FULL_REFRESH, fmt=fmt, update_key=update_key)
+    promote_swap(df.sparkSession, uri, tmp_uri)
 
-    spark = df.sparkSession
+
+def promote_swap(spark, uri: str, tmp_uri: str) -> None:
+    """Promote a fully-written ``tmp_uri`` over ``uri`` without a window
+    where the target is missing.
+
+    The reference's SwapTable renames the live table ASIDE before
+    promoting (``database.go:2955-2992``); delete-then-rename instead
+    would leave the target empty if the process dies between the two.
+    Sequence: target -> ``__old``, swap -> target, delete ``__old``; on a
+    failed promote the ``__old`` copy is restored."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     final_p = jvm.org.apache.hadoop.fs.Path(uri)
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp_uri)
+    old_p = jvm.org.apache.hadoop.fs.Path(uri.rstrip("/") + "__old")
     fs = final_p.getFileSystem(conf)
-    if fs.exists(final_p):
-        fs.delete(final_p, True)
-    fs.rename(tmp_p, final_p)
+    if fs.exists(old_p):
+        fs.delete(old_p, True)
+    had_target = bool(fs.exists(final_p))
+    if had_target and not fs.rename(final_p, old_p):
+        raise IOError(f"swap: could not stage {uri} aside")
+    try:
+        if not fs.rename(tmp_p, final_p):
+            raise IOError(f"swap: could not promote {tmp_uri} over {uri}")
+    except Exception:
+        if had_target and fs.exists(old_p) and not fs.exists(final_p):
+            fs.rename(old_p, final_p)  # restore the previous target
+        raise
+    if had_target:
+        fs.delete(old_p, True)
 
 
 def _detect_format(uri: str) -> str:

@@ -156,30 +156,56 @@ def _apply_record_path(df: DataFrame, path: str) -> DataFrame:
 def _read_csv_skip_lines(spark: SparkSession, path: str, opts, reader) -> DataFrame:
     """Skip the first ``skip_lines`` physical lines of each file.
 
-    ``spark.read.text`` preserves in-file line order within the
-    (partition-id, monotonic-id) ordering, so a per-file ``row_number``
-    window identifies the leading lines exactly. The remaining lines are
-    re-parsed by the normal CSV reader from an in-memory dataset. Only used
-    when ``skip_lines > 0`` — a niche dirty-file path, so losing scan
-    pushdown here is acceptable (matches the reference, which also
-    re-streams such files through its line filter).
+    All-JVM plan: text scan -> per-file window filter -> ``from_csv``
+    projection. Line position within a file is recovered by ordering on
+    ``(_metadata.file_block_start, monotonically_increasing_id)``: ids
+    increase with read order inside a partition, and blocks of one file
+    are ordered by their start offset — a documented file-source column,
+    unlike bare monotonic ids across partitions. No global sort (the
+    window filter is enough; row order of the parsed body is irrelevant)
+    and no RDD/Python hop (the old ``reader.csv(rdd)`` round-tripped
+    every row through Python). The one driver action is a single-row
+    header sniff — the same cost as any header read.
     """
+    import csv as _csv
+
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     txt = (
         spark.read.text(path)
-        .select(F.input_file_name().alias("__f"),
-                F.monotonically_increasing_id().alias("__i"), "value")
+        .select(
+            F.col("_metadata.file_path").alias("__f"),
+            F.col("_metadata.file_block_start").alias("__b"),
+            F.monotonically_increasing_id().alias("__i"),
+            "value",
+        )
     )
-    w = Window.partitionBy("__f").orderBy("__i")
+    w = Window.partitionBy("__f").orderBy("__b", "__i")
     kept = (
         txt.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") > opts.skip_lines)
-        .orderBy("__f", "__i")
-        .select("value")
+        .filter(F.col("__rn") > int(opts.skip_lines))
     )
-    return reader.csv(kept.rdd.map(lambda r: r.value))
+    first_data = int(opts.skip_lines) + 1
+    head = kept.filter(F.col("__rn") == first_data).select("value").limit(1).collect()
+    if not head:
+        return spark.range(0).drop("id")
+    fields = next(_csv.reader(
+        [head[0]["value"]], delimiter=opts.delimiter, quotechar=opts.quote))
+    if opts.header:
+        names = fields
+        body = kept.filter(F.col("__rn") > first_data)
+    else:
+        names = [f"_c{i}" for i in range(len(fields))]
+        body = kept
+    schema = ", ".join(f"`{n}` string" for n in names)
+    csv_opts = {"sep": opts.delimiter, "quote": opts.quote,
+                "escape": opts.escape, "mode": "PERMISSIVE"}
+    if opts.null_if is not None:
+        csv_opts["nullValue"] = opts.null_if
+    return body.select(
+        F.from_csv(F.col("value"), schema, csv_opts).alias("__r")
+    ).select("__r.*")
 
 
 def _read_via_pandas(

@@ -89,16 +89,11 @@ def run_cdc_stream(
             merged = batch if soft else batch.filter(
                 F.coalesce(F.col(op_col), F.lit("")) != F.lit("D"))
         # target is being read by the merge plan: stage-and-swap
+        from sling_cli_spark.sinks.writers import promote_swap
+
         tmp = target_path.rstrip("/") + "__swap"
         merged.write.mode("overwrite").parquet(tmp)
-        jvm = sess.sparkContext._jvm
-        conf = sess.sparkContext._jsc.hadoopConfiguration()
-        fs_path = jvm.org.apache.hadoop.fs.Path(target_path)
-        tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
-        fs = fs_path.getFileSystem(conf)
-        if fs.exists(fs_path):
-            fs.delete(fs_path, True)
-        fs.rename(tmp_path, fs_path)
+        promote_swap(sess, target_path, tmp)
 
     writer = src.writeStream.foreachBatch(_apply) \
         .option("checkpointLocation", checkpoint)

@@ -71,7 +71,13 @@ def test_snapshot_stamps_loaded_at(spark):
     assert df.filter("_sling_loaded_at is null").count() == 0
 
 
-def test_batch_limit_caps_rows(spark, tmp_path):
+def test_batch_limit_splits_write_never_drops_rows(spark, tmp_path):
+    # reference: batch_limit splits the write into batches
+    # (SetBatchLimit, task_run_write.go:347); it must NOT cap rows moved —
+    # a row cap combined with the '>' watermark filter silently skips
+    # boundary rows on the next run.
+    import glob
+
     from sling_cli_spark.config import Config
     from sling_cli_spark.runner import run
 
@@ -83,8 +89,11 @@ def test_batch_limit_caps_rows(spark, tmp_path):
         "target": {"object": out, "options": {"batch_limit": 10}},
         "mode": "full-refresh"})
     r = run(spark, cfg)
-    assert r.rows == 10
+    assert r.rows == 100
     back = spark.read.parquet(out)
-    assert back.count() == 10
-    # ordered by update_key: the FIRST 10 ids moved, watermark resumes after
-    assert sorted(x["id"] for x in back.collect()) == list(range(10))
+    assert sorted(x["id"] for x in back.collect()) == list(range(100))
+    # the batches became separate files of <= 10 rows
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) >= 10
+    for f in files:
+        assert spark.read.parquet(f).count() <= 10
