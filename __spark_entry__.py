@@ -196,6 +196,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t, s = _merge_frames(spark, sf)
         return merge_delete_insert(t, s, "o_orderkey")
 
+    def merge_sql_render(spark, sf):
+        """Dialect-template merge executed in DuckDB — the JDBC-target
+        twin: ``sling_cli_spark.dialects`` renders the duckdb
+        delete_insert merge statement, the in-process DuckDB executes it
+        against target/src tables staged from the same parquet, and the
+        merged table comes back as a DataFrame. Verifies the SQL
+        *generator* end-to-end (reference: templates/base.yaml:72-79,
+        database.go:3053-3234)."""
+        import duckdb
+
+        from sling_cli_spark.dialects import generate_merge_sql, get_dialect
+
+        op = os.path.join(sf, "orders.parquet")
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        con = duckdb.connect()
+        con.execute(f"""
+            create table tgt as
+            select o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            from read_parquet('{op}') where o_orderkey < 750;
+            create table src as
+            select o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice + 10000 as o_totalprice
+            from read_parquet('{op}') where o_orderkey between 500 and 999;
+        """)
+        con.execute(generate_merge_sql(
+            get_dialect("duckdb"), "src", "tgt",
+            cols, ["o_orderkey"], "delete_insert"))
+        pdf = con.execute("select * from tgt order by o_orderkey").df()
+        return spark.createDataFrame(pdf)
+
     def merge_hi(spark, sf):
         from sling_cli_spark.operators.merge import merge_history_insert
         t, s = _merge_frames(spark, sf)
@@ -387,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_insert": merge_ins,
         "merge_update": merge_upd,
         "merge_delete_insert": merge_di,
+        "merge_sql_render": merge_sql_render,
         "merge_history_insert": merge_hi,
         "merge_change_capture": merge_cdc,
         "delete_missing": delete_missing_hard,
@@ -528,6 +559,17 @@ def oracle_sql() -> dict[str, str]:
         "merge_delete_insert": f"""
             WITH src AS ({_MERGE_SRC})
             SELECT * FROM orders WHERE o_orderkey < 750
+              AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL SELECT * FROM src
+        """,
+        "merge_sql_render": """
+            WITH src AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 10000 AS o_totalprice
+              FROM orders WHERE o_orderkey BETWEEN 500 AND 999
+            )
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey < 750
               AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
             UNION ALL SELECT * FROM src
         """,

@@ -1,0 +1,500 @@
+"""Per-database SQL dialect template packs + placeholder rendering.
+
+The reference drives every DB target through YAML template packs — a base
+pack (``core/dbio/templates/base.yaml:28-126``) overridden per dialect
+(42 files) — rendered by simple ``{placeholder}`` substitution and pushed
+to the target over one connection (``database.go:2993-3234``
+GenerateMergeSQLWithStrategy builds the placeholder map;
+``database.go:3001-3034`` renders). This module ports that machinery:
+the engine is pure Python (testable without a driver jar — the reference
+tests it the same way, ``cmd/sling/sling_test.go:620-629``), and the
+DuckDB dialect doubles as an executable twin: rendered merge SQL runs in
+the in-process DuckDB against the same parquet the Spark plans read, so
+the generator is verified end-to-end by the correctness gate.
+
+On a real cluster this is the scale path for DB targets: executors bulk-
+stage the batch (``df.write.jdbc`` into a temp table), then the driver
+issues ONE rendered merge statement — the database does the merge, no
+row ever crosses back through Spark.
+
+Simplification vs the reference: we stage the temp table ourselves with
+the target's exact schema, so the per-column cast machinery
+(CastColumnForSelect) collapses to quoted column references.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from datetime import date, datetime
+from typing import Any, Mapping
+
+# ---------------------------------------------------------------------------
+# template packs
+#
+# Semantics match /root/reference/core/dbio/templates/{base,duckdb,postgres,
+# mysql}.yaml (cited per key); text re-expressed for this engine.
+
+_BASE_CORE = {
+    # reference base.yaml:2-49
+    "drop_table": "drop table {table}",
+    "create_schema": "create schema {schema}",
+    "create_table": "create table {table} ({col_types})",
+    "create_index": "create index {index} on {table} ({cols})",
+    "insert": "insert into {table} ({fields}) values ({values})",
+    "truncate_table": "truncate table {table}",
+    "add_column": "alter table {table} add column {column} {type}",
+    "limit": "select {fields} from {table}{where_clause} limit {limit} offset {offset}",
+    "incremental_select": (
+        "select {fields} from {table} where ({incremental_where_cond})"
+        "{where_and}"),
+    "incremental_select_limit": (
+        "select {fields} from {table} where ({incremental_where_cond})"
+        "{where_and} order by {update_key} asc limit {limit}"),
+    "incremental_where": "{update_key} {gt} {value}",
+    "backfill_where": (
+        "{update_key} >= {start_value} and {update_key} <= {end_value}"),
+    # reference base.yaml:13-27 (delete_missing templates)
+    "delete_where_not_exist": (
+        "delete from {target_table}\n"
+        "where {where}\n"
+        "  and not exists (\n"
+        "      select 1 from {temp_table}\n"
+        "      where {join_where}\n"
+        "  )"),
+    "update_where_not_exist": (
+        "update {target_table}\n"
+        "set {set_fields}\n"
+        "where {where}\n"
+        "  and not exists (\n"
+        "      select 1 from {temp_table}\n"
+        "      where {join_where}\n"
+        "  )"),
+    # reference base.yaml:52-79 (merge strategies)
+    "merge_insert": (
+        "INSERT INTO {tgt_table} ({insert_fields})\n"
+        "SELECT {src_fields} FROM {src_table} src\n"
+        "WHERE NOT EXISTS (\n"
+        "  SELECT 1 FROM {tgt_table} tgt WHERE {src_tgt_pk_equal}\n"
+        ")"),
+    "merge_update": (
+        "UPDATE {tgt_table} tgt\n"
+        "SET {set_fields}\n"
+        "FROM {src_table} src\n"
+        "WHERE {src_tgt_pk_equal}"),
+    "merge_update_insert": (
+        "MERGE INTO {tgt_table} tgt\n"
+        "USING (SELECT {src_fields} FROM {src_table}) src\n"
+        "ON ({src_tgt_pk_equal})\n"
+        "WHEN MATCHED THEN UPDATE SET {set_fields}\n"
+        "WHEN NOT MATCHED THEN INSERT ({insert_fields}) "
+        "VALUES ({src_insert_fields})"),
+    "merge_delete_insert": (
+        "DELETE FROM {tgt_table} tgt\n"
+        "WHERE EXISTS (\n"
+        "  SELECT 1 FROM {src_table} src\n"
+        "  WHERE {src_tgt_pk_equal}\n"
+        ");\n"
+        "INSERT INTO {tgt_table} ({insert_fields})\n"
+        "SELECT {src_fields} FROM {src_table} src"),
+    # reference base.yaml:81-101 (CDC last-op-wins merge)
+    "merge_change_capture": (
+        "DELETE FROM {tgt_table} tgt\n"
+        "WHERE EXISTS (\n"
+        "  SELECT 1 FROM (\n"
+        "    SELECT *, ROW_NUMBER() OVER (PARTITION BY {pk_fields} "
+        "ORDER BY _sling_cdc_seq DESC) as _rn\n"
+        "    FROM {src_table}\n"
+        "  ) src\n"
+        "  WHERE src._rn = 1 AND src._sling_synced_op = 'D'\n"
+        "  AND {src_tgt_pk_equal}\n"
+        ");\n"
+        "MERGE INTO {tgt_table} tgt\n"
+        "USING (\n"
+        "  SELECT * FROM (\n"
+        "    SELECT *, ROW_NUMBER() OVER (PARTITION BY {pk_fields} "
+        "ORDER BY _sling_cdc_seq DESC) as _rn\n"
+        "    FROM {src_table}\n"
+        "    WHERE _sling_synced_op != 'D'\n"
+        "  ) sub WHERE _rn = 1\n"
+        ") src\n"
+        "ON ({src_tgt_pk_equal})\n"
+        "WHEN MATCHED THEN UPDATE SET {set_fields}\n"
+        "WHEN NOT MATCHED THEN INSERT ({insert_fields}) "
+        "VALUES ({src_insert_fields})"),
+}
+
+# general type -> native DDL type (reference: per-dialect general_type_map;
+# "varchar()" / "decimal(,)" get sizes injected by create_table_ddl)
+_BASE_TYPES = {
+    "bigint": "bigint", "integer": "integer", "smallint": "smallint",
+    "float": "double precision", "decimal": "numeric({p},{s})",
+    "bool": "boolean", "string": "varchar({len})", "text": "text",
+    "date": "date", "datetime": "timestamp", "timestamp": "timestamp",
+    "timestampz": "timestamptz", "binary": "bytea", "json": "text",
+}
+
+_DIALECT_SPECS: dict[str, dict] = {
+    "duckdb": {
+        # reference duckdb.yaml:1-12,39-63 + variable:323-325
+        "quote_char": '"',
+        "default_merge_strategy": "delete_insert",
+        "batch_rows": 2000,
+        "core": {
+            "drop_table": "drop table if exists {table}",
+            "create_table": "create table if not exists {table} ({col_types})",
+            "truncate_table": "delete from {table}",
+            # DuckDB: INSERT OR REPLACE needs a PK constraint sling never
+            # creates -> update_insert unsupported (duckdb.yaml:52-54)
+            "merge_update_insert": None,
+        },
+        "types": {"float": "double", "binary": "blob", "json": "json",
+                  "datetime": "timestamp"},
+    },
+    "postgres": {
+        # reference postgres.yaml:54-130 + variable:631
+        "quote_char": '"',
+        "default_merge_strategy": "update_insert",
+        "batch_rows": 2000,
+        "core": {
+            # no MERGE pre-pg15: update-returning temp table, then
+            # anti-insert (postgres.yaml:67-92)
+            "merge_update_insert": (
+                "create temporary table {temp_table} as\n"
+                "with src_table as (\n"
+                "  select {src_fields} from {src_table}\n"
+                ")\n"
+                ", updates as (\n"
+                "  update {tgt_table} tgt\n"
+                "  set {set_fields}\n"
+                "  from src_table src\n"
+                "  where {src_tgt_pk_equal}\n"
+                "  returning tgt.*\n"
+                ")\n"
+                "select * from updates;\n"
+                "{temp_table_index_sql};\n"
+                "with src_table as (\n"
+                "  select {src_fields} from {src_table}\n"
+                ")\n"
+                "insert into {tgt_table}\n"
+                "({insert_fields})\n"
+                "select {src_fields} from src_table src\n"
+                "where not exists (\n"
+                "  select 1\n"
+                "  from {temp_table} upd\n"
+                "  where {src_upd_pk_equal}\n"
+                ")"),
+        },
+        "types": {"json": "jsonb"},
+    },
+    "mysql": {
+        # reference mysql.yaml:14-70 + variable:535-545
+        "quote_char": "`",
+        "default_merge_strategy": "delete_insert",
+        "batch_rows": 500,
+        "core": {
+            # error 1093: can't reference the insert target in a subquery
+            # -> plain INSERT (mysql.yaml:14-20)
+            "merge_insert": (
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table} src"),
+            "merge_delete_insert": (
+                "DELETE FROM {tgt_table}\n"
+                "WHERE EXISTS (\n"
+                "  SELECT 1 FROM {src_table}\n"
+                "  WHERE {src_tgt_pk_equal_tbl}\n"
+                ");\n"
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table}"),
+            # no native MERGE (mysql.yaml:33-34)
+            "merge_update": None,
+            "merge_update_insert": None,
+        },
+        "types": {"float": "double", "timestampz": "timestamp(6)",
+                  "datetime": "datetime(6)", "binary": "longblob",
+                  "text": "mediumtext", "bool": "tinyint(1)"},
+    },
+}
+
+
+@dataclass
+class Dialect:
+    """One database dialect: quoting + resolved template pack."""
+
+    name: str
+    quote_char: str = '"'
+    default_merge_strategy: str = "update_insert"
+    batch_rows: int = 2000
+    core: dict = field(default_factory=dict)
+    types: dict = field(default_factory=dict)
+
+    def quote(self, name: str) -> str:
+        q = self.quote_char
+        return f"{q}{name}{q}"
+
+    def template(self, key: str) -> str | None:
+        """None means the dialect explicitly doesn't support the op."""
+        return self.core[key] if key in self.core else _BASE_CORE.get(key)
+
+    def supported_merge_strategies(self) -> list[str]:
+        out = []
+        for k in ("insert", "update", "update_insert", "delete_insert",
+                  "change_capture"):
+            if self.template(f"merge_{k}") is not None:
+                out.append(k)
+        return out
+
+
+def get_dialect(name: str) -> Dialect:
+    spec = _DIALECT_SPECS.get(name, {})
+    return Dialect(
+        name=name,
+        quote_char=spec.get("quote_char", '"'),
+        default_merge_strategy=spec.get(
+            "default_merge_strategy", "update_insert"),
+        batch_rows=spec.get("batch_rows", 2000),
+        core=spec.get("core", {}),
+        types={**_BASE_TYPES, **spec.get("types", {})},
+    )
+
+
+_PH_RE = re.compile(r"\{([a-z_][a-z0-9_]*)\}")
+
+
+def render(template: str, values: Mapping[str, str], strict: bool = True) -> str:
+    """``{placeholder}`` substitution (the reference's whole template
+    engine). strict=True raises on unresolved placeholders so a missing
+    map entry fails in tests, not at the database."""
+    missing: list[str] = []
+
+    def _sub(m: re.Match) -> str:
+        k = m.group(1)
+        if k in values:
+            return str(values[k])
+        missing.append(k)
+        return m.group(0)
+
+    out = _PH_RE.sub(_sub, template)
+    if strict and missing:
+        raise KeyError(f"unresolved placeholders: {sorted(set(missing))}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# merge SQL generation (reference: database.go:3053-3234)
+
+
+def merge_placeholder_map(
+    dialect: Dialect,
+    src_table: str,
+    tgt_table: str,
+    columns: list[str],
+    primary_key: list[str],
+) -> dict[str, str]:
+    """Build the placeholder map GenerateMergeConfigWithStrategy builds.
+
+    We stage the temp table with the target's exact schema, so the
+    reference's cast-on-select machinery reduces to quoted references.
+    """
+    q = dialect.quote
+    pk = list(primary_key)
+    pk_equal = [f"src.{q(c)} = tgt.{q(c)}" for c in pk]
+    set_fields = [f"{q(c)} = src.{q(c)}" for c in columns if c not in pk]
+    if not set_fields:  # PK spans every column
+        set_fields = [f"{q(c)} = src.{q(c)}" for c in columns]
+    src_tgt_pk_equal = " and ".join(pk_equal)
+    temp_table = re.sub(r"\W", "_", tgt_table) + "_upd_tmp"
+    return {
+        "src_table": src_table,
+        "tgt_table": tgt_table,
+        "src_tgt_pk_equal": src_tgt_pk_equal,
+        "src_tgt_pk_equal_tbl": src_tgt_pk_equal.replace(
+            "tgt.", f"{tgt_table}."),
+        "src_upd_pk_equal": src_tgt_pk_equal.replace("tgt.", "upd."),
+        "src_del_pk_equal": src_tgt_pk_equal.replace("tgt.", "del."),
+        "src_fields": ", ".join(q(c) for c in columns),
+        "tgt_fields": ", ".join(q(c) for c in columns),
+        "insert_fields": ", ".join(q(c) for c in columns),
+        "src_insert_fields": ", ".join(f"src.{q(c)}" for c in columns),
+        "pk_fields": ", ".join(q(c) for c in pk),
+        "src_pk_fields": ", ".join(q(c) for c in pk),
+        "tgt_pk_fields": ", ".join(q(c) for c in pk),
+        "set_fields": ", ".join(set_fields),
+        "set_fields_excluded": ", ".join(set_fields).replace(
+            "src.", "excluded."),
+        "set_fields_values": ", ".join(
+            f"{q(c)} = VALUES({q(c)})" for c in columns if c not in pk),
+        "temp_table": temp_table,
+        "temp_table_index_sql": (
+            f"create index {temp_table}_idx on {temp_table} "
+            f"({', '.join(q(c) for c in pk)})"),
+    }
+
+
+def generate_merge_sql(
+    dialect: Dialect,
+    src_table: str,
+    tgt_table: str,
+    columns: list[str],
+    primary_key: list[str],
+    strategy: str | None = None,
+) -> str:
+    """Render the merge statement(s) for a dialect + strategy.
+
+    Raises ValueError with the dialect's supported list when the
+    strategy has no template (reference: database.go:3226-3231; the
+    e2e suite skips those cases the same way, sling_test.go:620-629).
+    """
+    strategy = strategy or dialect.default_merge_strategy
+    tmpl = dialect.template(f"merge_{strategy}")
+    if tmpl is None:
+        raise ValueError(
+            f"merge strategy {strategy!r} not supported for {dialect.name} "
+            f"(supported: {', '.join(dialect.supported_merge_strategies())})")
+    values = merge_placeholder_map(
+        dialect, src_table, tgt_table, columns, primary_key)
+    return render(tmpl, values)
+
+
+def delete_missing_sql(
+    dialect: Dialect,
+    target_table: str,
+    keyset_table: str,
+    primary_key: list[str],
+    soft: bool = False,
+    where: str = "1=1",
+) -> str:
+    """delete_missing pushed to the DB (reference:
+    core.delete_where_not_exist / update_where_not_exist,
+    base.yaml:13-27; driver core/sling/config.go:1838-1876)."""
+    q = dialect.quote
+    join_where = " and ".join(
+        f"{target_table}.{q(c)} = {keyset_table}.{q(c)}"
+        for c in primary_key)
+    if soft:
+        return render(dialect.template("update_where_not_exist"), {
+            "target_table": target_table,
+            "temp_table": keyset_table,
+            "set_fields": "_sling_synced_op = 'D'",
+            "where": where,
+            "join_where": join_where,
+        })
+    return render(dialect.template("delete_where_not_exist"), {
+        "target_table": target_table,
+        "temp_table": keyset_table,
+        "where": where,
+        "join_where": join_where,
+    })
+
+
+# ---------------------------------------------------------------------------
+# incremental / backfill SELECT generation (reference:
+# task_run_read.go:141-261 + base.yaml:45-49)
+
+
+def sql_literal(v: Any) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return str(v)
+    if isinstance(v, (datetime, date)):
+        return f"'{v.isoformat(sep=' ') if isinstance(v, datetime) else v.isoformat()}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def incremental_select_sql(
+    dialect: Dialect,
+    table: str,
+    update_key: str,
+    watermark: Any,
+    fields: list[str] | None = None,
+    where: str | None = None,
+    gte: bool = False,
+    limit: int | None = None,
+) -> str:
+    """The SELECT pushed to a source database for an incremental read."""
+    q = dialect.quote
+    cond = render(dialect.template("incremental_where"), {
+        "update_key": q(update_key),
+        "gt": ">=" if gte else ">",
+        "value": sql_literal(watermark),
+    })
+    values = {
+        "fields": ", ".join(q(f) for f in fields) if fields else "*",
+        "table": table,
+        "incremental_where_cond": cond,
+        "where_and": f" and ({where})" if where else "",
+        "update_key": q(update_key),
+    }
+    if limit is not None:
+        values["limit"] = str(limit)
+        return render(dialect.template("incremental_select_limit"), values)
+    return render(dialect.template("incremental_select"), values)
+
+
+def backfill_where_sql(
+    dialect: Dialect, update_key: str, start: Any, end: Any,
+) -> str:
+    return render(dialect.template("backfill_where"), {
+        "update_key": dialect.quote(update_key),
+        "start_value": sql_literal(start),
+        "end_value": sql_literal(end),
+    })
+
+
+# ---------------------------------------------------------------------------
+# DDL generation (reference: database.go:2513-2741 GenerateDDL — types from
+# the general_type_map, varchar lengths from observed column stats)
+
+_SPARK_TO_GENERAL = {
+    "long": "bigint", "integer": "integer", "short": "smallint",
+    "byte": "smallint", "double": "float", "float": "float",
+    "boolean": "bool", "string": "string", "date": "date",
+    "timestamp": "timestampz", "timestamp_ntz": "datetime",
+    "binary": "binary",
+}
+
+DEFAULT_STRING_LEN = 255     # reference default when no stats
+MAX_VARCHAR_LEN = 4000       # beyond this -> text (stream_processor.go:776-779)
+STRING_LEN_FACTOR = 1.5      # headroom over observed max (datatype.go:2508+)
+
+
+def native_type_for(
+    dialect: Dialect, spark_type, max_len: int | None = None,
+) -> str:
+    """Map a Spark DataType to the dialect's native DDL type."""
+    tname = spark_type.typeName()
+    if tname == "decimal":
+        tmpl = dialect.types["decimal"]
+        return tmpl.format(p=spark_type.precision, s=spark_type.scale)
+    gen = _SPARK_TO_GENERAL.get(tname)
+    if gen is None:
+        return dialect.types["text"]  # arrays/structs/maps -> serialized
+    if gen == "string":
+        if max_len is not None:
+            sized = int(max_len * STRING_LEN_FACTOR) or DEFAULT_STRING_LEN
+            if sized > MAX_VARCHAR_LEN:
+                return dialect.types["text"]
+            return dialect.types["string"].format(len=sized)
+        return dialect.types["string"].format(len=DEFAULT_STRING_LEN)
+    return dialect.types[gen]
+
+
+def create_table_ddl(
+    dialect: Dialect,
+    table: str,
+    schema,
+    max_lens: dict[str, int] | None = None,
+) -> str:
+    """CREATE TABLE from a Spark schema; ``max_lens`` carries observed
+    string lengths for stats-driven varchar sizing."""
+    max_lens = max_lens or {}
+    cols = ", ".join(
+        f"{dialect.quote(f.name)} "
+        f"{native_type_for(dialect, f.dataType, max_lens.get(f.name))}"
+        for f in schema.fields)
+    return render(dialect.template("create_table"),
+                  {"table": table, "col_types": cols})

@@ -22,6 +22,7 @@ through ``build_read_options``/``build_write_options`` unit tests; the
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,21 +41,53 @@ def _as_query(stream: str) -> str | None:
     return None
 
 
+def dialect_from_url(url: str) -> str:
+    """jdbc:postgresql://… -> postgres (reference: connection URL sniffing)."""
+    m = re.match(r"jdbc:([a-z0-9]+)", url or "")
+    scheme = m.group(1) if m else ""
+    return {"postgresql": "postgres", "mysql": "mysql", "mariadb": "mysql",
+            "duckdb": "duckdb"}.get(scheme, scheme or "postgres")
+
+
 def build_read_options(
     url: str, source: Source,
     bounds: tuple[Any, Any] | None = None,
+    watermark: Any = None,
+    mode: Mode | None = None,
+    backfill_range: tuple[Any, Any] | None = None,
 ) -> dict[str, str]:
     """JDBC reader options incl. the chunked-parallel-read mapping.
 
     ``chunk_count``/``chunk_size`` (reference: replication.go:688-933)
     become partitionColumn/numPartitions; ``bounds`` carries the min/max
     probe result (run ``probe_bounds`` first — the reference issues the
-    same probe query).
+    same probe query). A ``watermark`` (or ``backfill_range``) renders the
+    dialect's incremental/backfill SELECT so the filter executes IN the
+    source database (reference: core.incremental_select,
+    templates/base.yaml:45-49) — at scale this is the difference between
+    moving a day and moving the table.
     """
     opts: dict[str, str] = {"url": url}
     stream = source.stream or ""
     q = _as_query(stream)
     opts["dbtable"] = q if q else stream
+    if not q and source.update_key and (
+        watermark is not None or backfill_range is not None
+    ):
+        from sling_cli_spark.dialects import (
+            backfill_where_sql, get_dialect, incremental_select_sql)
+
+        d = get_dialect(dialect_from_url(url))
+        if backfill_range is not None:
+            cond = backfill_where_sql(
+                d, source.update_key, *backfill_range)
+            where = f" and ({source.where})" if source.where else ""
+            sql = f"select * from {stream} where ({cond}){where}"
+        else:
+            sql = incremental_select_sql(
+                d, stream, source.update_key, watermark,
+                where=source.where)
+        opts["dbtable"] = f"({sql}) AS __sling_src"
 
     chunk_col = source.update_key
     n = source.options.chunk_count
@@ -122,6 +155,59 @@ def build_write_options(
         # reuse the table definition, delete rows (reference TRUNCATE path)
         opts["truncate"] = "true"
     return opts
+
+
+def staged_db_load(
+    execute,
+    fetch_one,
+    dialect_name: str,
+    target_table: str,
+    columns: list[str],
+    primary_key: list[str],
+    write_stage,
+    strategy: str | None = None,
+    expect_count: int | None = None,
+    delete_missing: str | None = None,
+    keyset_table: str | None = None,
+) -> dict:
+    """Temp-table transactional staging for DB targets (reference:
+    ``task_run_write.go:228-498``): bulk-load a temp table, validate the
+    landed row count, render+run the merge in a second transaction, then
+    drop the temp table — the failure path never touches the final table.
+
+    Driver-side SQL goes through caller-supplied ``execute(sql)`` /
+    ``fetch_one(sql)`` so the same orchestration runs over a JDBC
+    connection in production and over DuckDB in tests (no driver jar in
+    this sandbox). ``write_stage(temp_table)`` performs the bulk load —
+    in production that is ``df.write.jdbc(mode="append")`` executed from
+    the executors, which is why it is a callable and not a DataFrame
+    argument here.
+    """
+    from sling_cli_spark.dialects import (
+        delete_missing_sql, generate_merge_sql, get_dialect)
+
+    d = get_dialect(dialect_name)
+    temp = re.sub(r"\W", "_", target_table) + "_sling_tmp"
+    execute(f"drop table if exists {temp}")
+    write_stage(temp)  # tx 1: bulk stage
+    landed = fetch_one(f"select count(*) from {temp}")
+    landed = landed[0] if isinstance(landed, (tuple, list)) else landed
+    if expect_count is not None and landed != expect_count:
+        execute(f"drop table if exists {temp}")
+        raise ValueError(
+            f"staged count {landed} != expected {expect_count}; "
+            f"aborting before merge (final table untouched)")
+    try:
+        # tx 2: merge rendered for the dialect
+        execute(generate_merge_sql(
+            d, temp, target_table, columns, primary_key, strategy))
+        if delete_missing:
+            execute(delete_missing_sql(
+                d, target_table, keyset_table or temp, primary_key,
+                soft=delete_missing == "soft"))
+    finally:
+        execute(f"drop table if exists {temp}")
+    return {"temp_table": temp, "staged_rows": landed}
 
 
 def write_jdbc(

@@ -1,0 +1,272 @@
+"""Dialect template packs: render-and-assert (like the reference's suite,
+cmd/sling/sling_test.go:620-629) plus EXECUTION of the rendered DuckDB SQL
+against an in-process DuckDB, with parity checked against the Spark-side
+merge plans in operators/merge.py."""
+
+import duckdb
+import pytest
+
+from sling_cli_spark.dialects import (
+    backfill_where_sql, create_table_ddl, delete_missing_sql,
+    generate_merge_sql, get_dialect, incremental_select_sql, render,
+)
+
+COLS = ["id", "v", "ts"]
+
+
+def test_render_strict_raises_on_missing():
+    with pytest.raises(KeyError):
+        render("select {fields} from {table}", {"fields": "*"})
+
+
+def test_render_fills_everything():
+    out = render("select {fields} from {table}", {"fields": "*", "table": "t"})
+    assert out == "select * from t"
+
+
+def test_duckdb_update_insert_unsupported():
+    d = get_dialect("duckdb")
+    with pytest.raises(ValueError, match="delete_insert"):
+        generate_merge_sql(d, "src", "tgt", COLS, ["id"], "update_insert")
+
+
+def test_mysql_update_unsupported():
+    d = get_dialect("mysql")
+    with pytest.raises(ValueError):
+        generate_merge_sql(d, "src", "tgt", COLS, ["id"], "update")
+    with pytest.raises(ValueError):
+        generate_merge_sql(d, "src", "tgt", COLS, ["id"], "update_insert")
+
+
+def test_mysql_quoting_and_default_strategy():
+    d = get_dialect("mysql")
+    sql = generate_merge_sql(d, "src_t", "tgt_t", COLS, ["id"])
+    # default strategy delete_insert, backtick quoting, no subquery on the
+    # insert target (error 1093)
+    assert "DELETE FROM tgt_t" in sql and "`id`" in sql
+    assert "{" not in sql
+
+
+def test_postgres_update_insert_renders_temp_table_dance():
+    d = get_dialect("postgres")
+    sql = generate_merge_sql(d, "stage.src", "public.tgt", COLS, ["id"],
+                             "update_insert")
+    assert "create temporary table" in sql
+    assert "returning tgt.*" in sql
+    assert "upd." in sql          # src_upd_pk_equal resolved
+    assert "{" not in sql         # every placeholder filled
+
+
+def test_composite_pk_and_pk_only_table():
+    d = get_dialect("postgres")
+    sql = generate_merge_sql(d, "s", "t", ["a", "b"], ["a", "b"], "update")
+    # PK spans all columns -> set_fields falls back to all columns
+    assert '"a" = src."a"' in sql and '"b" = src."b"' in sql
+
+
+def test_incremental_select_literals():
+    import datetime
+
+    d = get_dialect("duckdb")
+    sql = incremental_select_sql(
+        d, "events", "ts", datetime.datetime(2026, 1, 2, 3, 4, 5),
+        fields=["id", "ts"], where="kind = 'click'")
+    assert '"ts" > \'2026-01-02 03:04:05\'' in sql
+    assert "and (kind = 'click')" in sql
+    sql2 = incremental_select_sql(d, "t", "id", 42, gte=True, limit=10)
+    assert '"id" >= 42' in sql2 and "limit 10" in sql2
+    # string watermark quotes are escaped
+    sql3 = incremental_select_sql(d, "t", "name", "O'Brien")
+    assert "'O''Brien'" in sql3
+
+
+def test_backfill_where():
+    d = get_dialect("postgres")
+    assert backfill_where_sql(d, "id", 5, 10) == '"id" >= 5 and "id" <= 10'
+
+
+def test_delete_missing_sql_hard_and_soft():
+    d = get_dialect("postgres")
+    hard = delete_missing_sql(d, "tgt", "keys", ["id"])
+    assert hard.startswith("delete from tgt")
+    assert 'tgt."id" = keys."id"' in hard
+    soft = delete_missing_sql(d, "tgt", "keys", ["id"], soft=True)
+    assert "_sling_synced_op = 'D'" in soft and soft.startswith("update tgt")
+
+
+def test_create_table_ddl_types_and_sizing(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("note", T.StringType()),
+        T.StructField("amt", T.DecimalType(12, 2)),
+        T.StructField("ok", T.BooleanType()),
+    ])
+    pg = create_table_ddl(get_dialect("postgres"), "public.t", schema,
+                          max_lens={"name": 40, "note": 9000})
+    assert '"id" bigint' in pg
+    assert '"name" varchar(60)' in pg      # 40 * 1.5 factor
+    assert '"note" text' in pg             # beyond 4000 -> text
+    assert '"amt" numeric(12,2)' in pg
+    my = create_table_ddl(get_dialect("mysql"), "t", schema)
+    assert "`ok` tinyint(1)" in my and "`name` varchar(255)" in my
+
+
+# ---------------------------------------------------------------------------
+# executable twin: rendered DuckDB SQL vs the Spark merge plans
+
+
+def _duck_with_tables():
+    con = duckdb.connect()
+    con.execute("""
+        create table tgt(id bigint, v varchar, ts bigint);
+        insert into tgt values (1,'a',1),(2,'b',1),(3,'c',1);
+        create table src(id bigint, v varchar, ts bigint);
+        insert into src values (2,'B',2),(3,'C',2),(4,'D',2);
+    """)
+    return con
+
+
+def _spark_frames(spark):
+    t = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "id long, v string, ts long")
+    s = spark.createDataFrame(
+        [(2, "B", 2), (3, "C", 2), (4, "D", 2)], "id long, v string, ts long")
+    return t, s
+
+
+@pytest.mark.parametrize("strategy,spark_fn", [
+    ("insert", "merge_insert"),
+    ("update", "merge_update"),
+    ("delete_insert", "merge_delete_insert"),
+])
+def test_rendered_duckdb_merge_matches_spark_plan(spark, strategy, spark_fn):
+    import sling_cli_spark.operators.merge as M
+
+    con = _duck_with_tables()
+    sql = generate_merge_sql(
+        get_dialect("duckdb"), "src", "tgt", COLS, ["id"], strategy)
+    con.execute(sql)
+    duck = sorted(map(tuple, con.execute("select * from tgt").fetchall()))
+
+    t, s = _spark_frames(spark)
+    via_spark = sorted(
+        tuple(r) for r in getattr(M, spark_fn)(t, s, "id").collect())
+    assert duck == via_spark
+
+
+def test_rendered_delete_missing_executes():
+    con = _duck_with_tables()
+    con.execute("create table keys as select id from src")
+    sql = delete_missing_sql(get_dialect("duckdb"), "tgt", "keys", ["id"])
+    con.execute(sql)
+    assert sorted(r[0] for r in con.execute("select id from tgt").fetchall()) \
+        == [2, 3]  # id=1 absent from keyset -> deleted
+
+
+def test_rendered_incremental_select_executes():
+    con = _duck_with_tables()
+    sql = incremental_select_sql(
+        get_dialect("duckdb"), "src", "ts", 1, fields=["id", "ts"])
+    rows = con.execute(sql).fetchall()
+    assert sorted(r[0] for r in rows) == [2, 3, 4]
+
+
+def test_rendered_ddl_executes():
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amt", T.DecimalType(10, 2)),
+    ])
+    con = duckdb.connect()
+    con.execute(create_table_ddl(get_dialect("duckdb"), "t", schema))
+    cols = con.execute(
+        "select column_name, data_type from information_schema.columns "
+        "where table_name='t' order by ordinal_position").fetchall()
+    assert cols[0] == ("id", "BIGINT")
+    assert cols[2][1] == "DECIMAL(10,2)"
+
+
+# ---------------------------------------------------------------------------
+# staged transactional load orchestration (task_run_write.go:228-498),
+# exercised against DuckDB in place of a JDBC connection
+
+
+def _staged_env():
+    con = duckdb.connect()
+    con.execute("""
+        create table tgt(id bigint, v varchar, ts bigint);
+        insert into tgt values (1,'a',1),(2,'b',1),(3,'c',1);
+    """)
+    return con
+
+
+def test_staged_db_load_merges_and_cleans_up():
+    from sling_cli_spark.sources.jdbc import staged_db_load
+
+    con = _staged_env()
+
+    def write_stage(temp):
+        con.execute(f"create table {temp}(id bigint, v varchar, ts bigint)")
+        con.execute(
+            f"insert into {temp} values (2,'B',2),(3,'C',2),(4,'D',2)")
+
+    out = staged_db_load(
+        execute=con.execute,
+        fetch_one=lambda s: con.execute(s).fetchone(),
+        dialect_name="duckdb", target_table="tgt",
+        columns=COLS, primary_key=["id"],
+        write_stage=write_stage, expect_count=3)
+    assert out["staged_rows"] == 3
+    rows = sorted(map(tuple, con.execute("select * from tgt").fetchall()))
+    assert rows == [(1, "a", 1), (2, "B", 2), (3, "C", 2), (4, "D", 2)]
+    # temp table dropped
+    left = con.execute(
+        "select count(*) from information_schema.tables "
+        "where table_name like '%_sling_tmp'").fetchone()[0]
+    assert left == 0
+
+
+def test_staged_db_load_count_mismatch_aborts_before_merge():
+    from sling_cli_spark.sources.jdbc import staged_db_load
+
+    con = _staged_env()
+
+    def write_stage(temp):
+        con.execute(f"create table {temp}(id bigint, v varchar, ts bigint)")
+        con.execute(f"insert into {temp} values (9,'X',9)")
+
+    with pytest.raises(ValueError, match="staged count"):
+        staged_db_load(
+            execute=con.execute,
+            fetch_one=lambda s: con.execute(s).fetchone(),
+            dialect_name="duckdb", target_table="tgt",
+            columns=COLS, primary_key=["id"],
+            write_stage=write_stage, expect_count=5)
+    # final table untouched, temp cleaned
+    assert con.execute("select count(*) from tgt").fetchone()[0] == 3
+    left = con.execute(
+        "select count(*) from information_schema.tables "
+        "where table_name like '%_sling_tmp'").fetchone()[0]
+    assert left == 0
+
+
+def test_jdbc_incremental_pushdown_renders_dialect_sql():
+    from sling_cli_spark.config import Source
+    from sling_cli_spark.sources.jdbc import build_read_options, dialect_from_url
+
+    assert dialect_from_url("jdbc:postgresql://h/db") == "postgres"
+    assert dialect_from_url("jdbc:mysql://h/db") == "mysql"
+    src = Source(stream="public.events", update_key="ts", where="k='a'")
+    opts = build_read_options("jdbc:postgresql://h/db", src, watermark=100)
+    assert opts["dbtable"].startswith("(select * from public.events")
+    assert '"ts" > 100' in opts["dbtable"]
+    assert "(k='a')" in opts["dbtable"]
+    # backfill variant
+    opts2 = build_read_options(
+        "jdbc:mysql://h/db", src, backfill_range=(5, 9))
+    assert "`ts` >= 5 and `ts` <= 9" in opts2["dbtable"]
