@@ -196,6 +196,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t, s = _merge_frames(spark, sf)
         return merge_delete_insert(t, s, "o_orderkey")
 
+    def merge_file_granular(spark, sf):
+        """Copy-on-write merge at file granularity (operators/file_merge):
+        stage the target as a multi-file parquet dir, merge the batch in
+        place rewriting only touched files, read the dir back. Result must
+        hash-match the same oracle as the full-rewrite update_insert."""
+        import tempfile
+
+        from sling_cli_spark.operators.file_merge import merge_files
+
+        t, s = _merge_frames(spark, sf)
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="sling_fgm_"), "t.parquet")
+        t.repartition(4).write.parquet(path)
+        merge_files(spark, path, s, "o_orderkey")
+        return spark.read.parquet(path)
+
     def merge_sql_render(spark, sf):
         """Dialect-template merge executed in DuckDB — the JDBC-target
         twin: ``sling_cli_spark.dialects`` renders the duckdb
@@ -417,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_insert": merge_ins,
         "merge_update": merge_upd,
         "merge_delete_insert": merge_di,
+        "merge_file_granular": merge_file_granular,
         "merge_sql_render": merge_sql_render,
         "merge_history_insert": merge_hi,
         "merge_change_capture": merge_cdc,
@@ -557,6 +574,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM src WHERE o_orderkey < 750
         """,
         "merge_delete_insert": f"""
+            WITH src AS ({_MERGE_SRC})
+            SELECT * FROM orders WHERE o_orderkey < 750
+              AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL SELECT * FROM src
+        """,
+        "merge_file_granular": f"""
             WITH src AS ({_MERGE_SRC})
             SELECT * FROM orders WHERE o_orderkey < 750
               AND o_orderkey NOT IN (SELECT o_orderkey FROM src)

@@ -1,0 +1,158 @@
+"""File-granular merge for parquet targets: rewrite only touched files.
+
+The reference's whole value on incremental+PK loads is in-place merge
+(``templates/base.yaml:52-126``, ``task_run_write.go:997-1179``) — the
+database touches only matched rows. A parquet-directory target has no
+MERGE, and the naive plan (this repo's previous posture) rewrites the
+ENTIRE target per batch: at 100 TB an incremental run that changes 0.1%
+of rows still writes 100 TB. This module is the copy-on-write-at-file-
+granularity fix, the same mechanism Delta/Iceberg/Hudi CoW use, minus
+the transaction log (no lake-format jars ship in this sandbox):
+
+1. scan the target with ``_metadata.file_path``, PK columns only
+   (column-pruned scan — reads two columns, not the table)
+2. semi-join against the batch PK set -> the set of TOUCHED files
+   (file paths only on the driver; bounded by file count, never rows)
+3. merge = merge_dataframes(rows-of-touched-files, batch) — the same
+   strategy plans operators/merge.py already proves correct
+4. write replacement files to a temp dir, hide the touched originals
+   (dot-prefix: parquet readers skip hidden files), move replacements
+   in, delete hidden
+
+Write amplification drops from O(target) to O(touched files + batch).
+With batch PKs spread uniformly this degrades to all files touched (same
+cost as before, plus one cheap PK scan); with time-clustered update keys
+— the common incremental shape — it is a tiny fraction.
+
+Crash safety (documented contract, weaker than a real table format):
+replacements are fully written before any original is hidden, and
+originals are deleted only after replacements are in place, so no
+committed row is ever lost; a crash mid-promote can leave matched rows
+temporarily missing for concurrent readers (recover: un-hide ``.stale``
+files or re-run the merge). Concurrent-reader isolation needs a log —
+that is exactly what Delta adds; swap this module for ``MERGE INTO``
+when the delta-spark jars are on the classpath.
+
+Limits: flat (unpartitioned) parquet directories; schema drift between
+batch and target falls back to the full-rewrite swap path (the caller
+checks — new columns force rewriting every file anyway).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sling_cli_spark.config import MergeStrategy
+from sling_cli_spark.operators.merge import merge_dataframes
+
+
+def _pk(primary_key) -> list[str]:
+    return [primary_key] if isinstance(primary_key, str) else list(primary_key)
+
+
+def _fs(spark: SparkSession, uri: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(uri)
+    return jvm, p.getFileSystem(conf), p
+
+
+def touched_files(
+    target: DataFrame, src: DataFrame, primary_key,
+) -> list[str]:
+    """Files of ``target`` holding at least one row whose PK appears in
+    ``src``. The scan is pruned to PK + _metadata; the batch side of the
+    semi-join broadcasts under the threshold. Driver materializes file
+    PATHS only."""
+    pk = _pk(primary_key)
+    paths = (
+        target.select(F.col("_metadata.file_path").alias("__file"), *pk)
+        .join(src.select(*pk).distinct(), on=pk, how="left_semi")
+        .select("__file").distinct().collect()
+    )
+    return sorted(r["__file"] for r in paths)
+
+
+def has_subdirs(spark: SparkSession, path: str) -> bool:
+    """Partitioned (hive-layout) targets are out of scope — fall back."""
+    _, fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return False
+    for st in fs.listStatus(p):
+        if st.isDirectory():
+            return True
+    return False
+
+
+def merge_files(
+    spark: SparkSession,
+    target_path: str,
+    src: DataFrame,
+    primary_key,
+    strategy: MergeStrategy = MergeStrategy.UPDATE_INSERT,
+    update_key: str | None = None,
+) -> dict:
+    """Merge ``src`` into the parquet directory at ``target_path``,
+    rewriting only the files that contain matched PKs.
+
+    Returns ``{"touched": n_rewritten, "kept": n_untouched}`` so callers
+    (and tests) can assert the write amplification.
+    """
+    pk = _pk(primary_key)
+    target = spark.read.parquet(target_path)
+
+    touched: list[str] = []
+    if strategy == MergeStrategy.INSERT:
+        # append-only: new-PK rows only, zero rewrites — but the anti-join
+        # must see the FULL target PK set (an anti against just the
+        # touched files would re-insert existing PKs)
+        replacement = src.join(
+            target.select(*pk), on=pk, how="left_anti")
+    elif strategy == MergeStrategy.HISTORY_INSERT:
+        # keep-all-history append: zero rewrites
+        replacement = src
+    else:
+        touched = touched_files(target, src, pk)
+        if touched:
+            touched_rows = spark.read.parquet(*touched)
+        else:
+            touched_rows = spark.createDataFrame([], target.schema)
+        replacement = merge_dataframes(
+            touched_rows, src, pk, strategy=strategy, update_key=update_key)
+
+    jvm, fs, target_p = _fs(spark, target_path)
+    tmp_uri = target_path.rstrip("/") + f"__merge_{uuid.uuid4().hex[:8]}"
+    replacement.write.parquet(tmp_uri)
+
+    # promote: hide originals (readers skip dot-files), move replacements
+    # in (part-file names carry job UUIDs — no collisions), drop hidden
+    hidden: list = []
+    for f in touched:
+        src_p = jvm.org.apache.hadoop.fs.Path(f)
+        hid_p = jvm.org.apache.hadoop.fs.Path(
+            src_p.getParent(), "." + src_p.getName() + ".stale")
+        if not fs.rename(src_p, hid_p):
+            raise IOError(f"merge_files: could not retire {f}")
+        hidden.append(hid_p)
+    n_new = 0
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp_uri)
+    for st in fs.listStatus(tmp_p):
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        if not fs.rename(st.getPath(),
+                         jvm.org.apache.hadoop.fs.Path(target_p, name)):
+            raise IOError(f"merge_files: could not promote {name}")
+        n_new += 1
+    for hid_p in hidden:
+        fs.delete(hid_p, False)
+    fs.delete(tmp_p, True)
+
+    total_files = sum(
+        1 for st in fs.listStatus(target_p)
+        if not st.getPath().getName().startswith(("_", ".")))
+    return {"touched": len(touched), "new_files": n_new,
+            "kept": total_files - n_new}

@@ -44,6 +44,7 @@ class TaskResult:
     columns: list[str]
     mode: str
     watermark: object = None  # max(update_key) observed during the write
+    merge_stats: dict | None = None  # file-granular merge: touched/kept
 
 
 def build_read_plan(
@@ -144,6 +145,32 @@ def run(
         and target_df is not None
     )
     update_key = cfg.source.update_key
+    if needs_merge and _file_merge_eligible(spark, cfg, target_df, df):
+        # copy-on-write at file granularity: only parquet files holding
+        # matched PKs are rewritten — O(touched + batch), not O(target).
+        # This is the 100x-scale posture; the swap path below rewrites
+        # the whole target and remains the fallback for schema drift /
+        # partition masks / delete_missing.
+        from sling_cli_spark.operators.file_merge import merge_files
+        from sling_cli_spark.sinks.writers import parse_partition_mask
+
+        uri, _ = parse_partition_mask(cfg.target.object or "", update_key)
+        # merge_files consumes the batch plan in two actions (touched-file
+        # probe + replacement write), so an Observation can't ride it;
+        # count/watermark come from one agg over the batch — batch-sized,
+        # not target-sized
+        vals = df.agg(*_write_aggs(cfg, df.columns)).collect()[0].asDict()
+        stats = merge_files(
+            spark, uri, df, cfg.source.primary_key,
+            strategy=cfg.target.options.merge_strategy,
+            update_key=update_key,
+        )
+        result = TaskResult(rows=vals["rows"], columns=df.columns,
+                            mode=cfg.mode.value, watermark=vals.get("wm"),
+                            merge_stats=stats)
+        if cfg.target.options.post_sql:
+            spark.sql(cfg.target.options.post_sql)
+        return result
     if needs_merge:
         from sling_cli_spark.operators.evolution import reconcile_schemas
         from sling_cli_spark.operators.merge import delete_missing, merge_dataframes
@@ -188,6 +215,34 @@ def run(
     if cfg.target.options.post_sql:
         spark.sql(cfg.target.options.post_sql)
     return result
+
+
+def _file_merge_eligible(
+    spark: SparkSession, cfg: Config, target_df: DataFrame, df: DataFrame,
+) -> bool:
+    """File-granular merge preconditions: parquet target, flat layout,
+    no schema drift, no delete_missing (which must see every file).
+    Anything else falls back to the full-rewrite swap path."""
+    opts = cfg.target.options
+    if not opts.file_granular_merge or opts.delete_missing:
+        return False
+    if (opts.format or "parquet") != "parquet":
+        return False
+    obj = cfg.target.object or ""
+    if "{part_" in obj or opts.partition_by:
+        return False
+    if dict(df.dtypes) != dict(target_df.dtypes):
+        return False  # drift -> every file rewritten anyway; use swap
+    from sling_cli_spark.operators.file_merge import has_subdirs
+    from sling_cli_spark.sinks.writers import _detect_format, parse_partition_mask
+
+    uri, _ = parse_partition_mask(obj, cfg.source.update_key)
+    if _detect_format(uri) != "parquet":
+        return False
+    try:
+        return not has_subdirs(spark, uri)
+    except Exception:
+        return False
 
 
 def _write_aggs(cfg: Config, columns: list[str]):
