@@ -156,9 +156,20 @@ def run_pipeline(
     Step results land in the context as ``{state.<id>}`` strings for
     downstream ``render_vars`` templating.
     """
+    from sling_cli_spark.expressions import Evaluator
+
     ctx: dict[str, str] = dict(env or {})
+    state_ns: dict[str, Any] = {}  # TYPED step results, keyed by step id
+    evaluator = Evaluator(
+        state={"env": dict(env or {}), "state": state_ns},
+        keep_missing=True,  # later-stage spans (runtime vars) stay intact
+    )
     results: list[Any] = []
     for i, step in enumerate(steps):
+        # `{ expr }` rendering over env/state namespaces (reference routes
+        # every hook payload through the Evaluator, transforms.go:729+);
+        # flat `{state.N}` render_vars below stays for legacy templates
+        step = evaluator.render(step)
         kind = step.get("type")
         if kind not in _STEP_TYPES:
             raise ValueError(f"unknown step type: {kind!r}")
@@ -177,5 +188,6 @@ def run_pipeline(
                     break
                 raise
         results.append(out)
+        state_ns[str(step.get("id", i))] = out
         ctx[f"state.{step.get('id', i)}"] = str(out)
     return results

@@ -52,6 +52,15 @@ class ReplicationConfig:
             with open(text_or_path) as f:
                 text = f.read()
         d = render_env(yaml.safe_load(text))
+        # `{ expr }` rendering over the env namespace (reference renders
+        # the whole replication payload through the Evaluator); runtime
+        # vars like {stream_table} are unprefixed and stay for
+        # compile_replication's render_vars pass
+        from sling_cli_spark.expressions import Evaluator
+
+        env = dict(os.environ)
+        env.update(d.get("env") or {})
+        d = Evaluator(state={"env": env}, keep_missing=True).render(d)
         return cls(
             source=d.get("source"),
             target=d.get("target"),

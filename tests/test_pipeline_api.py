@@ -192,3 +192,17 @@ def test_load_pipeline_yaml(tmp_path):
                  "    expr: 1 = 1\n")
     steps = load_pipeline(str(p))
     assert [s["type"] for s in steps] == ["log", "check"]
+
+
+def test_pipeline_expression_rendering(spark):
+    """Steps render `{ expr }` spans over env/state namespaces
+    (reference: every hook payload goes through the Evaluator)."""
+    out = run_pipeline(spark, [
+        {"type": "query", "sql": "SELECT 21 AS n", "id": "probe"},
+        {"type": "log", "id": "msg",
+         "message": 'n is { jmespath(state.probe, "[0].n") }, '
+                    'env says {coalesce(env.MISSING, "fallback")}'},
+        {"type": "check", "expr": "{ length(state.probe) } > 0"},
+    ], env={})
+    assert out[1] == "n is 21, env says fallback"
+    assert out[2] is True
