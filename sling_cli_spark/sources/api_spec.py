@@ -1,0 +1,451 @@
+"""API spec machinery: auth flows, endpoint DAG, queues.
+
+Reference surface (public repo ``slingdata-io/sling-cli``):
+
+- ``core/dbio/api/auth.go`` — authenticator kinds. Implemented here:
+  ``bearer`` (static token header), ``basic`` (base64 user:pass),
+  ``static`` (arbitrary rendered headers), ``oauth2`` with the
+  ``client_credentials`` flow (POST to ``authentication_url``, token into
+  ``auth.token`` state, Bearer header), plus 401-triggered re-auth
+  (``EnsureAuthenticated`` / ``IsAuthExpired``, auth.go:100-193).
+  Browser-interactive OAuth2 flows (authorization-code, device-code) are
+  out of scope for a headless engine.
+- ``core/dbio/api/spec.go:1041-1205`` — endpoint ``iterate`` (loop a
+  request template over a value list / parent queue with per-iteration
+  state) and dependency ordering between endpoints.
+- ``core/dbio/iop/queue.go:20-60`` — the queue bridging producer and
+  consumer endpoints, with a done-sentinel and two consume modes
+  (``deferred`` waits for the producer; ``immediate`` tails it).
+
+Spark posture: HTTP fetch is inherently driver-side (serial pages per
+iteration); the DISTRIBUTED part starts when records land in a
+DataFrame. Iterations fan out over a bounded thread pool (I/O-bound), so
+a parent with 10k child iterations doesn't serialize — this mirrors the
+reference's iteration concurrency (spec.go Iterate.Concurrency).
+
+All request fields render through ``sling_cli_spark.expressions`` with
+the reference's namespaces: ``env`` / ``state`` / ``secrets`` / ``auth``
+/ ``response`` / ``sync``.
+"""
+
+from __future__ import annotations
+
+import base64
+import itertools
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterator
+
+from sling_cli_spark.expressions import Evaluator
+from sling_cli_spark.sources.api import Transport, _default_transport, _extract_path
+
+
+# ------------------------------------------------------------------ queue
+
+class Queue:
+    """In-memory producer/consumer queue (reference: iop/queue.go).
+
+    ``consume(deferred=True)`` (the default mode) waits until the
+    producer calls :meth:`mark_done`, then yields from the start —
+    matching ConsumeDeferred. ``deferred=False`` tails the queue live
+    (ConsumeImmediate), yielding as items arrive until done."""
+
+    def __init__(self, name: str = ""):
+        self.name = name
+        self._items: list[Any] = []
+        self._done = threading.Event()
+        self._cond = threading.Condition()
+
+    def append(self, item: Any) -> None:
+        with self._cond:
+            self._items.append(item)
+            self._cond.notify_all()
+
+    def extend(self, items) -> None:
+        with self._cond:
+            self._items.extend(items)
+            self._cond.notify_all()
+
+    def mark_done(self) -> None:
+        self._done.set()
+        with self._cond:
+            self._cond.notify_all()
+
+    @property
+    def done(self) -> bool:
+        return self._done.is_set()
+
+    def __len__(self) -> int:
+        with self._cond:
+            return len(self._items)
+
+    def consume(self, deferred: bool = True) -> Iterator[Any]:
+        if deferred:
+            self._done.wait()
+            yield from list(self._items)
+            return
+        i = 0
+        while True:
+            with self._cond:
+                while i >= len(self._items) and not self.done:
+                    self._cond.wait(timeout=1.0)
+                if i < len(self._items):
+                    item = self._items[i]
+                    i += 1
+                else:  # done and drained
+                    return
+            yield item
+
+
+# ------------------------------------------------------------------- auth
+
+class Authenticator:
+    """Produces request headers; re-authenticates on 401 (reference:
+    EnsureAuthenticated, auth.go:109-193)."""
+
+    def __init__(self):
+        self.headers: dict[str, str] = {}
+        self.token: str | None = None
+
+    def authenticate(self) -> None:  # pragma: no cover - overridden
+        pass
+
+    def handle_unauthorized(self) -> bool:
+        """Return True if a retry makes sense (token refreshed)."""
+        return False
+
+    def state(self) -> dict[str, Any]:
+        """The ``auth.*`` namespace for expression rendering."""
+        return {"token": self.token, "headers": dict(self.headers)}
+
+
+class _NoAuth(Authenticator):
+    pass
+
+
+class BearerAuth(Authenticator):
+    def __init__(self, token: str):
+        super().__init__()
+        self.token = token
+        self.headers = {"Authorization": f"Bearer {token}"}
+
+
+class BasicAuth(Authenticator):
+    """auth.go:274-291 — base64(user:pass) Basic header."""
+
+    def __init__(self, username: str, password: str):
+        super().__init__()
+        b64 = base64.b64encode(f"{username}:{password}".encode()).decode()
+        self.headers = {"Authorization": f"Basic {b64}"}
+
+
+class StaticAuth(Authenticator):
+    """auth.go:294-314 — arbitrary pre-rendered headers."""
+
+    def __init__(self, headers: dict[str, str]):
+        super().__init__()
+        self.headers = dict(headers)
+
+
+class OAuth2ClientCredentials(Authenticator):
+    """auth.go:355-514 client_credentials flow: POST the token endpoint,
+    stash ``access_token``, emit a Bearer header; a 401 triggers one
+    re-authentication and retry."""
+
+    def __init__(
+        self, token_url: str, client_id: str, client_secret: str,
+        scopes: list[str] | None = None, transport: Transport | None = None,
+    ):
+        super().__init__()
+        self.token_url = token_url
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.scopes = scopes or []
+        self.transport = transport or _default_transport
+
+    def authenticate(self) -> None:
+        params = {
+            "grant_type": "client_credentials",
+            "client_id": self.client_id,
+            "client_secret": self.client_secret,
+        }
+        if self.scopes:
+            params["scope"] = " ".join(self.scopes)
+        status, body = self.transport(self.token_url, params, {})
+        if status >= 400 or not isinstance(body, dict):
+            raise RuntimeError(
+                f"oauth2 token endpoint returned {status}: {body}")
+        self.token = body.get("access_token")
+        if not self.token:
+            raise RuntimeError("oauth2 response missing access_token")
+        self.headers = {"Authorization": f"Bearer {self.token}"}
+
+    def handle_unauthorized(self) -> bool:
+        self.authenticate()  # token likely expired -> fetch a fresh one
+        return True
+
+
+def make_authenticator(
+    auth: dict[str, Any] | None,
+    evaluator: Evaluator | None = None,
+    transport: Transport | None = None,
+) -> Authenticator:
+    """Spec ``authentication:`` block -> Authenticator. Values render
+    through the evaluator first (``{secrets.API_KEY}`` etc.,
+    auth.go renderString)."""
+    if not auth:
+        return _NoAuth()
+    ev = evaluator or Evaluator()
+    r = ev.render_string
+    kind = (auth.get("type") or "").lower()
+    if kind == "bearer":
+        a: Authenticator = BearerAuth(r(auth.get("token", "")))
+    elif kind == "basic":
+        a = BasicAuth(r(auth.get("username", "")), r(auth.get("password", "")))
+    elif kind == "static":
+        a = StaticAuth({k: r(v) for k, v in (auth.get("headers") or {}).items()})
+    elif kind in ("oauth2", "oauth2_client_credentials"):
+        flow = (auth.get("flow") or "client_credentials").lower()
+        if flow != "client_credentials":
+            raise NotImplementedError(
+                f"oauth2 flow {flow!r} needs a browser; headless engine "
+                "supports client_credentials (reference auth.go:516-669)")
+        a = OAuth2ClientCredentials(
+            r(auth.get("authentication_url", "")),
+            r(auth.get("client_id", "")),
+            r(auth.get("client_secret", "")),
+            [r(s) for s in (auth.get("scopes") or [])],
+            transport=transport,
+        )
+    else:
+        raise ValueError(f"unsupported authentication type: {kind!r}")
+    a.authenticate()
+    return a
+
+
+# --------------------------------------------------------------- endpoint
+
+class APIConnection:
+    """Spec-driven multi-endpoint API source with dependency ordering.
+
+    Spec shape (the reference's ``api/spec.go`` YAML surface, subset)::
+
+        name: my_api
+        authentication: {type: oauth2, authentication_url: ..., ...}
+        defaults:                      # merged under every endpoint
+          request: {headers: {...}}
+        endpoints:
+          customers:
+            request: {url: "https://api/x/customers", method: GET}
+            response: {records: {jmespath: "data"}}
+            pagination: {type: cursor, cursor_path: next}
+          orders:
+            iterate:                  # one request sequence per parent id
+              over: "queue.customers"
+              into: customer
+              concurrency: 4
+            request:
+              url: "https://api/x/customers/{state.customer.id}/orders"
+            response: {records: {jmespath: "data"}}
+
+    ``iterate.over`` accepts ``queue.<endpoint>`` (consume that
+    endpoint's record queue — also an implicit dependency) or any
+    expression returning a list (``{int_range(1, 10)}``). Endpoint order
+    is topological over queue references + explicit ``depends_on``.
+    """
+
+    def __init__(
+        self,
+        spec: dict[str, Any],
+        env: dict[str, str] | None = None,
+        secrets: dict[str, Any] | None = None,
+        transport: Transport | None = None,
+    ):
+        self.spec = spec
+        self.transport = transport or _default_transport
+        self.state: dict[str, Any] = dict(spec.get("state") or {})
+        self.evaluator = Evaluator(
+            state={
+                "env": dict(env or {}),
+                "secrets": dict(secrets or {}),
+                "state": self.state,
+                "sync": {},
+            },
+            keep_missing=False,
+        )
+        self.auth = make_authenticator(
+            spec.get("authentication"), self.evaluator, self.transport)
+        self.queues: dict[str, Queue] = {}
+
+    # -- dependency ordering ----------------------------------------------
+
+    def _deps(self, ep: dict[str, Any]) -> set[str]:
+        deps = set(ep.get("depends_on") or [])
+        over = ((ep.get("iterate") or {}).get("over")) or ""
+        if isinstance(over, str) and over.strip().startswith("queue."):
+            deps.add(over.strip().split(".", 1)[1].split(".", 1)[0])
+        return deps
+
+    def _topo_order(self, names: list[str]) -> list[str]:
+        eps = self.spec.get("endpoints") or {}
+        order: list[str] = []
+        seen: dict[str, int] = {}  # 0=visiting 1=done
+
+        def visit(n: str):
+            if seen.get(n) == 1:
+                return
+            if seen.get(n) == 0:
+                raise ValueError(f"endpoint dependency cycle at {n!r}")
+            seen[n] = 0
+            for d in self._deps(eps.get(n) or {}):
+                if d in eps:
+                    visit(d)
+            seen[n] = 1
+            order.append(n)
+
+        for n in names:
+            visit(n)
+        return order
+
+    # -- request execution ------------------------------------------------
+
+    def _render(self, val: Any, extra_state: dict[str, Any]) -> Any:
+        extras = {
+            "state": {**self.state, **extra_state},
+            "auth": self.auth.state(),
+        }
+        return self.evaluator.render(val, extras)
+
+    def _request(self, url: str, params: dict, headers: dict) -> tuple[int, Any]:
+        hdrs = {**self.auth.headers, **(headers or {})}
+        status, body = self.transport(url, params, hdrs)
+        if status == 401 and self.auth.handle_unauthorized():
+            hdrs = {**self.auth.headers, **(headers or {})}
+            status, body = self.transport(url, params, hdrs)
+        return status, body
+
+    def _fetch_iteration(
+        self, ep: dict[str, Any], iter_state: dict[str, Any],
+    ) -> list[dict]:
+        """One request sequence (all pages) for one iteration state."""
+        req = {**(self.spec.get("defaults", {}).get("request") or {}),
+               **(ep.get("request") or {})}
+        resp_cfg = ep.get("response") or {}
+        records_path = ((resp_cfg.get("records") or {}).get("jmespath")
+                        or ep.get("records_path"))
+        pag = ep.get("pagination") or {}
+        ptype = pag.get("type", "none")
+        page_size = int(pag.get("page_size", 100))
+        max_pages = int(pag.get("max_pages", 10_000))
+        retries = int(ep.get("retries", 2))
+
+        out: list[dict] = []
+        offset, cursor = 0, None
+        for _page in range(max_pages):
+            st = dict(iter_state)
+            st["offset"], st["cursor"] = offset, cursor
+            url = self._render(req.get("url", ""), st)
+            params = self._render(dict(req.get("parameters") or {}), st)
+            headers = self._render(dict(req.get("headers") or {}), st)
+            if ptype == "offset":
+                params[pag.get("limit_param", "limit")] = page_size
+                params[pag.get("offset_param", "offset")] = offset
+            elif ptype == "cursor" and cursor is not None:
+                params[pag.get("cursor_param", "cursor")] = cursor
+            for attempt in range(retries + 1):
+                status, body = self._request(url, params, headers)
+                if status < 500 or attempt == retries:
+                    break
+            if status >= 400:
+                raise RuntimeError(f"API error {status} from {url}")
+            records = _extract_path(body, records_path)
+            records = [] if records is None else (
+                [records] if isinstance(records, dict) else list(records))
+            out.extend(records)
+            # stop_condition renders with the response namespace
+            stop = pag.get("stop_condition")
+            if stop:
+                extras = {"response": {"json": body, "status": status},
+                          "state": {**self.state, **st},
+                          "auth": self.auth.state()}
+                # reference stop_condition is a bare expression; braces
+                # also accepted ({response.json.done})
+                val = (self.evaluator.render(stop, extras) if "{" in stop
+                       else self.evaluator.evaluate(stop, extras))
+                if val is True or val == "true":
+                    break
+            if ptype == "none" or not records:
+                break
+            if ptype == "offset":
+                if len(records) < page_size:
+                    break
+                offset += len(records)
+            elif ptype == "cursor":
+                cursor = _extract_path(body, pag.get("cursor_path", "next_cursor"))
+                if not cursor:
+                    break
+        return out
+
+    def fetch_endpoint(self, name: str) -> list[dict]:
+        """All records for one endpoint: resolve the iteration source,
+        fan out sequences over a bounded pool, feed this endpoint's
+        queue as records arrive."""
+        ep = (self.spec.get("endpoints") or {})[name]
+        q = self.queues.setdefault(name, Queue(name))
+        it = ep.get("iterate") or {}
+        into = it.get("into", "value")
+        over = it.get("over")
+
+        if over is None:
+            iter_states: list[dict[str, Any]] = [{}]
+        elif isinstance(over, str) and over.strip().startswith("queue."):
+            parent = over.strip().split(".", 1)[1]
+            deferred = (it.get("consume", "deferred") != "immediate")
+            src = self.queues[parent].consume(deferred=deferred)
+            iter_states = [{into: v} for v in src]
+        else:
+            vals = self.evaluator.render(over, {"state": dict(self.state)})
+            if not isinstance(vals, (list, tuple)):
+                raise ValueError(
+                    f"iterate.over must yield a list, got {type(vals).__name__}")
+            iter_states = [{into: v} for v in vals]
+
+        conc = max(1, int(it.get("concurrency", 1)))
+        if conc == 1 or len(iter_states) <= 1:
+            batches = [self._fetch_iteration(ep, st) for st in iter_states]
+        else:
+            with ThreadPoolExecutor(max_workers=conc) as pool:
+                batches = list(pool.map(
+                    lambda st: self._fetch_iteration(ep, st), iter_states))
+        records = list(itertools.chain.from_iterable(batches))
+        q.extend(records)
+        q.mark_done()
+        return records
+
+    def run(
+        self, spark=None, endpoints: list[str] | None = None,
+        flatten_records: bool = True,
+    ) -> dict[str, Any]:
+        """Execute endpoints in dependency order. With ``spark``,
+        each endpoint's records land as a DataFrame (flattened like the
+        JSON file path); without, raw record lists are returned."""
+        eps = self.spec.get("endpoints") or {}
+        names = endpoints or list(eps)
+        out: dict[str, Any] = {}
+        for name in self._topo_order(names):
+            records = self.fetch_endpoint(name)
+            if spark is None:
+                out[name] = records
+                continue
+            import json as _json
+            if not records:
+                out[name] = spark.createDataFrame([], "skipped string")
+                continue
+            df = spark.read.json(spark.sparkContext.parallelize(
+                [_json.dumps(r) for r in records]))
+            if flatten_records:
+                from sling_cli_spark.operators.flatten import flatten
+
+                df = flatten(df)
+            out[name] = df
+        return out

@@ -1,0 +1,238 @@
+"""API spec machinery: auth flows, endpoint DAG, queues.
+
+Scenario parity with the reference's ``core/dbio/api/api_test.go``
+(dependent endpoints feeding child requests, cursor pagination,
+401-then-refresh) using an injected fake transport — no network.
+"""
+
+import threading
+
+import pytest
+
+from sling_cli_spark.sources.api_spec import (
+    APIConnection, BasicAuth, BearerAuth, OAuth2ClientCredentials, Queue,
+    make_authenticator,
+)
+
+
+# ------------------------------------------------------------------ queue
+
+def test_queue_deferred_waits_for_done():
+    q = Queue("t")
+    q.extend([1, 2])
+    got = []
+
+    t = threading.Thread(target=lambda: got.extend(q.consume(deferred=True)))
+    t.start()
+    q.append(3)
+    q.mark_done()
+    t.join(timeout=5)
+    assert got == [1, 2, 3]
+
+
+def test_queue_immediate_tails_live():
+    q = Queue("t")
+    got = []
+    t = threading.Thread(target=lambda: got.extend(q.consume(deferred=False)))
+    t.start()
+    for i in range(5):
+        q.append(i)
+    q.mark_done()
+    t.join(timeout=5)
+    assert got == [0, 1, 2, 3, 4]
+
+
+# ------------------------------------------------------------------- auth
+
+def test_bearer_and_basic_headers():
+    assert BearerAuth("tok").headers == {"Authorization": "Bearer tok"}
+    # base64("u:p") == dTpw
+    assert BasicAuth("u", "p").headers == {"Authorization": "Basic dTpw"}
+
+
+def test_static_auth_renders_secrets():
+    from sling_cli_spark.expressions import Evaluator
+
+    ev = Evaluator(state={"secrets": {"API_KEY": "sk-123"}})
+    a = make_authenticator(
+        {"type": "static", "headers": {"X-Key": "{secrets.API_KEY}"}}, ev)
+    assert a.headers == {"X-Key": "sk-123"}
+
+
+def test_oauth2_client_credentials_flow_and_401_refresh():
+    calls = {"token": 0, "api": 0}
+
+    def transport(url, params, headers):
+        if url.endswith("/oauth/token"):
+            calls["token"] += 1
+            assert params["grant_type"] == "client_credentials"
+            assert params["client_id"] == "cid"
+            return 200, {"access_token": f"tok{calls['token']}"}
+        calls["api"] += 1
+        # first api call sees an expired token -> 401 -> refresh -> retry
+        if headers.get("Authorization") == "Bearer tok1":
+            return 401, {"error": "expired"}
+        assert headers["Authorization"] == "Bearer tok2"
+        return 200, {"data": [{"id": 1}]}
+
+    conn = APIConnection({
+        "authentication": {
+            "type": "oauth2",
+            "authentication_url": "https://x/oauth/token",
+            "client_id": "cid", "client_secret": "sec",
+        },
+        "endpoints": {
+            "things": {
+                "request": {"url": "https://x/api/things"},
+                "response": {"records": {"jmespath": "data"}},
+            },
+        },
+    }, transport=transport)
+    out = conn.run()
+    assert out["things"] == [{"id": 1}]
+    assert calls["token"] == 2  # initial auth + 401-triggered refresh
+    assert calls["api"] == 2    # 401 then success
+
+
+def test_oauth2_interactive_flows_rejected():
+    with pytest.raises(NotImplementedError, match="browser"):
+        make_authenticator({
+            "type": "oauth2", "flow": "authorization_code",
+            "authentication_url": "https://x/t"})
+
+
+# ------------------------------------------------------------ endpoint DAG
+
+def _crm_transport(log=None):
+    """Fake CRM: /customers pages by cursor; /customers/<id>/orders."""
+    customers = [{"id": 1, "name": "a"}, {"id": 2, "name": "b"},
+                 {"id": 3, "name": "c"}]
+    orders = {1: [{"oid": 10, "amt": 5}], 2: [],
+              3: [{"oid": 30, "amt": 7}, {"oid": 31, "amt": 9}]}
+
+    def transport(url, params, headers):
+        if log is not None:
+            log.append((url, dict(params or {})))
+        if url.endswith("/customers"):
+            cur = int(params.get("cursor", 0))
+            page = customers[cur:cur + 2]
+            nxt = cur + 2 if cur + 2 < len(customers) else None
+            return 200, {"data": page, "next": nxt}
+        if "/customers/" in url and url.endswith("/orders"):
+            cid = int(url.split("/customers/")[1].split("/")[0])
+            return 200, {"data": orders[cid]}
+        return 404, {}
+
+    return transport
+
+
+CRM_SPEC = {
+    "endpoints": {
+        "customers": {
+            "request": {"url": "https://crm/customers"},
+            "response": {"records": {"jmespath": "data"}},
+            "pagination": {"type": "cursor", "cursor_path": "next",
+                           "cursor_param": "cursor"},
+        },
+        "orders": {
+            "iterate": {"over": "queue.customers", "into": "customer",
+                        "concurrency": 3},
+            "request": {
+                "url": "https://crm/customers/{state.customer.id}/orders"},
+            "response": {"records": {"jmespath": "data"}},
+        },
+    },
+}
+
+
+def test_endpoint_dag_parent_feeds_child():
+    log = []
+    conn = APIConnection(CRM_SPEC, transport=_crm_transport(log))
+    out = conn.run(endpoints=["orders"])  # parent pulled in as dependency
+    assert sorted(r["oid"] for r in out["orders"]) == [10, 30, 31]
+    assert len(out["customers"]) == 3
+    # cursor pagination: customers fetched in 2 pages
+    cust_calls = [(u, p) for u, p in log if u.endswith("/customers")]
+    assert len(cust_calls) == 2 and cust_calls[1][1]["cursor"] == 2
+    # one orders request per parent record
+    assert sum("/orders" in u for u, _ in log) == 3
+
+
+def test_dependency_cycle_detected():
+    spec = {"endpoints": {
+        "a": {"depends_on": ["b"], "request": {"url": "x"}},
+        "b": {"depends_on": ["a"], "request": {"url": "x"}},
+    }}
+    with pytest.raises(ValueError, match="cycle"):
+        APIConnection(spec, transport=lambda *a: (200, {})).run()
+
+
+def test_iterate_over_expression():
+    seen = []
+
+    def transport(url, params, headers):
+        seen.append(url)
+        return 200, {"data": [{"n": url.rsplit("/", 1)[1]}]}
+
+    conn = APIConnection({
+        "endpoints": {
+            "shards": {
+                "iterate": {"over": "{int_range(1, 3)}", "into": "shard"},
+                "request": {"url": "https://x/shard/{state.shard}"},
+                "response": {"records": {"jmespath": "data"}},
+            },
+        },
+    }, transport=transport)
+    out = conn.run()
+    assert sorted(r["n"] for r in out["shards"]) == ["1", "2", "3"]
+    assert len(seen) == 3
+
+
+def test_stop_condition_halts_pagination():
+    def transport(url, params, headers):
+        page = int(params.get("offset", 0)) // 2
+        return 200, {"data": [{"i": page * 2}, {"i": page * 2 + 1}],
+                     "done": page >= 1}
+
+    conn = APIConnection({
+        "endpoints": {
+            "x": {
+                "request": {"url": "https://x/items"},
+                "response": {"records": {"jmespath": "data"}},
+                "pagination": {"type": "offset", "page_size": 2,
+                               "stop_condition": "response.json.done"},
+            },
+        },
+    }, transport=transport)
+    out = conn.run()
+    assert [r["i"] for r in out["x"]] == [0, 1, 2, 3]
+
+
+def test_run_to_dataframes(spark):
+    conn = APIConnection(CRM_SPEC, transport=_crm_transport())
+    out = conn.run(spark=spark)
+    assert out["customers"].count() == 3
+    rows = {r["oid"]: r["amt"] for r in out["orders"].collect()}
+    assert rows == {10: 5, 30: 7, 31: 9}
+
+
+def test_defaults_request_merged_and_env_rendered():
+    seen = {}
+
+    def transport(url, params, headers):
+        seen.update(headers=dict(headers), params=dict(params))
+        return 200, {"data": [{"ok": 1}]}
+
+    conn = APIConnection({
+        "defaults": {"request": {"headers": {"X-App": "{env.APP}"}}},
+        "endpoints": {
+            "e": {"request": {"url": "https://x/e",
+                              "parameters": {"since": "{state.start}"}},
+                  "response": {"records": {"jmespath": "data"}}},
+        },
+        "state": {"start": "2025-01-01"},
+    }, env={"APP": "sling"}, transport=transport)
+    out = conn.run()
+    assert out["e"] == [{"ok": 1}]
+    assert seen["headers"]["X-App"] == "sling"
+    assert seen["params"]["since"] == "2025-01-01"
