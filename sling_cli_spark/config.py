@@ -86,6 +86,7 @@ class TargetOptions:
     post_sql: str | None = None
     merge_strategy: MergeStrategy = MergeStrategy.UPDATE_INSERT
     delete_missing: str | None = None   # None | "hard" | "soft"
+    column_typing: dict | None = None   # string/decimal/boolean/json policy
     file_granular_merge: bool = True    # rewrite only touched parquet files
     partition_by: list[str] = field(default_factory=list)
     ignore_existing: bool = False       # skip the load if target has data

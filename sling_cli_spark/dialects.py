@@ -464,22 +464,33 @@ STRING_LEN_FACTOR = 1.5      # headroom over observed max (datatype.go:2508+)
 
 def native_type_for(
     dialect: Dialect, spark_type, max_len: int | None = None,
+    column_typing=None,
 ) -> str:
-    """Map a Spark DataType to the dialect's native DDL type."""
+    """Map a Spark DataType to the dialect's native DDL type.
+    ``column_typing`` (operators/typing_policy.ColumnTyping) overrides
+    the default string sizing (datatype.go:2530-2576)."""
     tname = spark_type.typeName()
     if tname == "decimal":
-        tmpl = dialect.types["decimal"]
-        return tmpl.format(p=spark_type.precision, s=spark_type.scale)
+        p, s = spark_type.precision, spark_type.scale
+        dec = getattr(column_typing, "decimal", None)
+        if dec is not None:
+            p, s = dec.apply(p, s)
+        return dialect.types["decimal"].format(p=p, s=s)
     gen = _SPARK_TO_GENERAL.get(tname)
     if gen is None:
         return dialect.types["text"]  # arrays/structs/maps -> serialized
     if gen == "string":
-        if max_len is not None:
+        if getattr(column_typing, "string", None) is not None:
+            sized = column_typing.string.apply(
+                max_len if max_len is not None else DEFAULT_STRING_LEN,
+                MAX_VARCHAR_LEN)
+        elif max_len is not None:
             sized = int(max_len * STRING_LEN_FACTOR) or DEFAULT_STRING_LEN
-            if sized > MAX_VARCHAR_LEN:
-                return dialect.types["text"]
-            return dialect.types["string"].format(len=sized)
-        return dialect.types["string"].format(len=DEFAULT_STRING_LEN)
+        else:
+            sized = DEFAULT_STRING_LEN
+        if sized > MAX_VARCHAR_LEN:
+            return dialect.types["text"]
+        return dialect.types["string"].format(len=sized)
     return dialect.types[gen]
 
 
@@ -488,13 +499,19 @@ def create_table_ddl(
     table: str,
     schema,
     max_lens: dict[str, int] | None = None,
+    column_typing=None,
 ) -> str:
     """CREATE TABLE from a Spark schema; ``max_lens`` carries observed
-    string lengths for stats-driven varchar sizing."""
+    string lengths for stats-driven varchar sizing, ``column_typing``
+    the user policy (reference ``column_typing`` target option)."""
+    from sling_cli_spark.operators.typing_policy import ColumnTyping
+
+    if isinstance(column_typing, dict):
+        column_typing = ColumnTyping.from_dict(column_typing)
     max_lens = max_lens or {}
     cols = ", ".join(
         f"{dialect.quote(f.name)} "
-        f"{native_type_for(dialect, f.dataType, max_lens.get(f.name))}"
+        f"{native_type_for(dialect, f.dataType, max_lens.get(f.name), column_typing)}"
         for f in schema.fields)
     return render(dialect.template("create_table"),
                   {"table": table, "col_types": cols})

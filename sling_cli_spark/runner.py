@@ -84,6 +84,10 @@ def build_read_plan(
         df = apply_transforms(df, cfg.source.options.transforms)
     if cfg.target.options.column_casing:
         df = apply_casing(df, cfg.target.options.column_casing)
+    if cfg.target.options.column_typing:
+        from sling_cli_spark.operators.typing_policy import apply_column_typing
+
+        df = apply_column_typing(df, cfg.target.options.column_typing)
     return df
 
 
