@@ -155,10 +155,25 @@ def table_join_match(
     )
 
 
+def _unique_cols(df: DataFrame, cols: list[str]) -> set[str]:
+    """Which of ``cols`` are key-like (all-distinct, non-empty) — ONE
+    aggregate job for the whole table, not one per candidate column."""
+    if not cols:
+        return set()
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count_distinct(F.col(f"`{c}`")).alias(f"__d{i}"))
+    r = df.agg(*aggs).collect()[0]
+    if r["__n"] == 0:
+        return set()
+    return {c for i, c in enumerate(cols) if r[f"__d{i}"] == r["__n"]}
+
+
 def discover_fks(
     tables: dict[str, DataFrame],
     min_match_prct: float = 95.0,
     name_heuristic: bool = True,
+    probe_concurrency: int = 8,
 ) -> list[dict]:
     """FK-candidate discovery (reference: analyzer.go:151-259 — probes
     column pairs across tables and keeps high match-rate pairs).
@@ -166,13 +181,23 @@ def discover_fks(
     ``name_heuristic`` restricts candidate pairs to columns sharing a
     name suffix (``o_custkey`` ~ ``c_custkey``) — the same pruning the
     reference applies before probing, which keeps this O(matching pairs)
-    instead of all-columns². Each probe is one distinct-key left join.
+    instead of all-columns². Spark-job shape for a warehouse-sized
+    catalog: candidate enumeration runs driver-side with no jobs,
+    uniqueness is ONE aggregate per referenced table (all its candidate
+    columns batched), and the match probes fan out over a thread pool —
+    N concurrent Spark jobs instead of 2·pairs sequential ones.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     def suffix(c: str) -> str:
         return c.split("_", 1)[1] if "_" in c else c
 
-    out: list[dict] = []
     names = list(tables)
+    dtypes = {t: dict(tables[t].dtypes) for t in names}
+
+    # 1. enumerate typed, name-matched candidate pairs (no Spark jobs)
+    pairs: list[tuple[str, str, str, str]] = []
+    ref_cols: dict[str, set[str]] = {t: set() for t in names}
     for lt in names:
         for rt in names:
             if lt == rt:
@@ -181,26 +206,34 @@ def discover_fks(
                 for rc in tables[rt].columns:
                     if name_heuristic and suffix(lc) != suffix(rc):
                         continue
-                    ldt = dict(tables[lt].dtypes)[lc]
-                    rdt = dict(tables[rt].dtypes)[rc]
-                    if ldt != rdt:
+                    if dtypes[lt][lc] != dtypes[rt][rc]:
                         continue
-                    # right side must be key-like (unique)
-                    r = tables[rt].agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.count_distinct(F.col(f"`{rc}`")).alias("d"),
-                    ).collect()[0]
-                    if r["n"] == 0 or r["d"] != r["n"]:
-                        continue
-                    m = table_join_match(
-                        tables[lt], tables[rt], {lc: rc}).collect()[0]
-                    if m["match_prct"] >= min_match_prct:
-                        out.append({
-                            "table": lt, "column": lc,
-                            "ref_table": rt, "ref_column": rc,
-                            "match_prct": float(m["match_prct"]),
-                        })
-    return out
+                    pairs.append((lt, lc, rt, rc))
+                    ref_cols[rt].add(rc)
+
+    # 2. uniqueness: one agg per referenced table
+    unique: dict[str, set[str]] = {
+        t: _unique_cols(tables[t], sorted(cols))
+        for t, cols in ref_cols.items() if cols}
+    pairs = [p for p in pairs if p[3] in unique.get(p[2], set())]
+
+    # 3. match probes, concurrently
+    def probe(p):
+        lt, lc, rt, rc = p
+        m = table_join_match(tables[lt], tables[rt], {lc: rc}).collect()[0]
+        return p, float(m["match_prct"])
+
+    if len(pairs) <= 1:
+        probed = [probe(p) for p in pairs]
+    else:
+        with ThreadPoolExecutor(max_workers=max(1, probe_concurrency)) as ex:
+            probed = list(ex.map(probe, pairs))
+
+    return [
+        {"table": lt, "column": lc, "ref_table": rt, "ref_column": rc,
+         "match_prct": prct}
+        for (lt, lc, rt, rc), prct in probed if prct >= min_match_prct
+    ]
 
 
 def fk_order(fks: list[dict], tables: list[str]) -> list[str]:

@@ -206,3 +206,28 @@ def test_pipeline_expression_rendering(spark):
     ], env={})
     assert out[1] == "n is 21, env says fallback"
     assert out[2] is True
+
+
+def test_discover_fks_batches_uniqueness_probes(spark, sf_dir, monkeypatch):
+    """One uniqueness aggregate per referenced table (not per pair)."""
+    import sling_cli_spark.operators.profile as prof
+
+    calls = []
+    real = prof._unique_cols
+
+    def counting(df, cols):
+        calls.append(tuple(cols))
+        return real(df, cols)
+
+    monkeypatch.setattr(prof, "_unique_cols", counting)
+    tables = {
+        "orders": spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        "customer": spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        "nation": spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    }
+    fks = prof.discover_fks(tables)
+    # one probe call per table that has candidate referenced columns
+    assert len(calls) <= len(tables)
+    pairs = {(f["table"], f["column"], f["ref_table"]) for f in fks}
+    assert ("orders", "o_custkey", "customer") in pairs
+    assert ("customer", "c_nationkey", "nation") in pairs
