@@ -75,6 +75,62 @@ def _parse_bit(c: Column) -> Column:
     return F.conv(F.hex(c), 16, 10)
 
 
+# FIX tag number -> snake_case field name. Well-known subset of the
+# public FIX 4.x tag dictionary (the reference loads the full wireshark
+# fix_mapping.tsv, transforms.go:446-481); unknown tags keep their
+# numeric key, same fallback as the reference.
+_FIX_TAGS = {
+    1: "account", 6: "avg_px", 8: "begin_string", 9: "body_length",
+    10: "check_sum", 11: "cl_ord_id", 14: "cum_qty", 15: "currency",
+    17: "exec_id", 20: "exec_trans_type", 21: "handl_inst",
+    22: "security_id_source", 31: "last_px", 32: "last_qty",
+    34: "msg_seq_num", 35: "msg_type", 37: "order_id", 38: "order_qty",
+    39: "ord_status", 40: "ord_type", 41: "orig_cl_ord_id", 44: "price",
+    48: "security_id", 49: "sender_comp_id", 52: "sending_time",
+    54: "side", 55: "symbol", 56: "target_comp_id", 58: "text",
+    59: "time_in_force", 60: "transact_time", 75: "trade_date",
+    100: "ex_destination", 150: "exec_type", 151: "leaves_qty",
+    167: "security_type", 207: "security_exchange",
+}
+
+
+def _parse_fix(c: Column) -> Column:
+    """FIX message -> JSON object string (transforms.go:621-628 ParseFIX).
+
+    All-JVM plan: delimiter normalization (SOH / ``|`` / newline /
+    space-before-tag) with ``regexp_replace``, ONE ``str_to_map``, tag
+    renaming via ``transform_keys`` against a foldable map literal, then
+    ``to_json`` — no Python in the row path."""
+    s = F.trim(c.cast("string"))
+    s = F.regexp_replace(s, "[\x01|\n]+", "\x01")
+    s = F.regexp_replace(s, r"\s+(?=[0-9]+=)", "\x01")  # space-delimited FIX
+    s = F.regexp_replace(s, "^\x01+|\x01+$", "")
+    m = F.str_to_map(s, F.lit("\x01"), F.lit("="))
+    tag_names = F.create_map(
+        *[F.lit(x) for t, n in sorted(_FIX_TAGS.items())
+          for x in (str(t), n)])
+    renamed = F.transform_keys(
+        m, lambda k, _v: F.coalesce(tag_names[F.trim(k)], F.trim(k)))
+    return F.to_json(F.transform_values(renamed, lambda _k, v: F.trim(v)))
+
+
+def _redecode(codec: str):
+    """latin1-misread repair for a single-byte charset: translate each
+    character whose ``codec`` glyph differs from its latin1 glyph."""
+    src, dst = [], []
+    for b in range(256):
+        latin1_ch = bytes([b]).decode("latin1")
+        try:
+            actual = bytes([b]).decode(codec)
+        except UnicodeDecodeError:
+            continue  # undefined byte in the charset: leave as-is
+        if actual != latin1_ch:
+            src.append(latin1_ch)
+            dst.append(actual)
+    smap, dmap = "".join(src), "".join(dst)
+    return lambda c: F.translate(c, smap, dmap)
+
+
 # name -> (fn, applies_to) where applies_to gates list-form application by
 # Spark type class: 'string' | 'binary' | 'any' | 'temporal'
 _REGISTRY: dict[str, tuple[Callable[[Column], Column], str]] = {
@@ -100,11 +156,24 @@ _REGISTRY: dict[str, tuple[Callable[[Column], Column], str]] = {
     "binary_to_decimal": (lambda c: F.conv(F.hex(c), 16, 10), "binary"),
     # list/json (transforms.go:231-236 duckdb_list_to_text)
     "list_to_text": (lambda c: F.concat_ws(",", c), "any"),
-    # encoding fix-ups: Spark text sources decode at read time (the
-    # `encoding` reader option), so decode_* become no-op markers here
+    # FIX protocol -> JSON (transforms.go:344-348, 429-521, 621-628)
+    "parse_fix": (_parse_fix, "string"),
+    # encoding fix-ups (transforms.go:52-120 TransformDecode*): the
+    # common misread is bytes of charset X decoded as latin1. Because
+    # latin1 maps byte<->codepoint 1:1, the repair is a per-character
+    # substitution — F.translate with the charset's difference map, fully
+    # JVM-side. decode_utf8/latin1 are identity (already correct bytes).
     "decode_utf8": (lambda c: c, "string"),
     "decode_utf8_bom": (lambda c: F.regexp_replace(c, "^﻿", ""), "string"),
     "decode_latin1": (lambda c: c, "string"),
+    "decode_windows1250": (_redecode("windows-1250"), "string"),
+    "decode_windows1252": (_redecode("windows-1252"), "string"),
+    "decode_latin5": (_redecode("iso-8859-9"), "string"),
+    "decode_latin9": (_redecode("iso-8859-15"), "string"),
+    # utf-16 isn't per-char: recover the raw bytes (latin1 encode is
+    # byte-exact) and decode as UTF-16 — both charsets Spark supports
+    "decode_utf16": (
+        lambda c: F.decode(F.encode(c, "ISO-8859-1"), "UTF-16"), "string"),
 }
 
 # argument-taking transforms: name(arg)
