@@ -62,7 +62,8 @@ class SourceOptions:
     row_tag: str = "row"                # xml element per record
     chunk_size: str | None = None
     chunk_count: int | None = None
-    columns: dict[str, str] = field(default_factory=dict)  # name -> general type
+    columns: dict[str, str] = field(default_factory=dict)  # name -> type [modifiers] [| constraint]
+    constraint_mode: str | None = None  # None (warn-only) | "skip" (drop rows)
     transforms: Any = None
     infer_schema: bool = True           # sample-classify text sources
     merge_schemas: bool = False         # reconcile drift across files

@@ -82,6 +82,22 @@ def build_read_plan(
     # applied in write_files as maxRecordsPerFile.
     if cfg.source.options.transforms:
         df = apply_transforms(df, cfg.source.options.transforms)
+    specs = _column_specs(cfg)
+    if specs:
+        from sling_cli_spark.operators.column_modifiers import (
+            specs_constraints)
+        from sling_cli_spark.operators.constraints import constraint_expr
+
+        cons = specs_constraints(specs)
+        if cons and cfg.source.options.constraint_mode == "skip":
+            # reference skip mode: constraint-violating rows dropped
+            keep = None
+            for cname, expr in cons.items():
+                if cname in df.columns:
+                    c = constraint_expr(cname, expr)
+                    keep = c if keep is None else (keep & c)
+            if keep is not None:
+                df = df.filter(keep)
     if cfg.target.options.column_casing:
         df = apply_casing(df, cfg.target.options.column_casing)
     if cfg.target.options.column_typing:
@@ -94,20 +110,56 @@ def build_read_plan(
 def _maybe_infer(df: DataFrame, cfg: Config) -> DataFrame:
     """Sample-based typing for all-string text sources (csv/tsv), plus the
     ``columns: {name: type}`` coercion surface — the reference runs its
-    900-row classifier on every text stream (stream_processor.go)."""
+    900-row classifier on every text stream (stream_processor.go).
+
+    ``columns`` values may carry the full modifier DSL
+    (``"bigint primary_key"``, ``"decimal(18,4) not_null | value >= 0"``,
+    column_modifiers.go:44-151): the type slot feeds the cast here; key /
+    constraint semantics are applied in :func:`run` via
+    :func:`_column_specs`."""
     from sling_cli_spark.sources.files import detect_format
 
     opts = cfg.source.options
+    specs = _column_specs(cfg)
     fmt = detect_format(cfg.source.stream or "", opts)
     if fmt != "csv":
+        if specs:  # typed sources: coerce to the declared spec types
+            from sling_cli_spark.operators.column_modifiers import (
+                apply_column_specs)
+
+            return apply_column_specs(df, specs)
         return df
     if not (opts.infer_schema or opts.columns):
         return df
     from sling_cli_spark.operators.inference import infer_and_cast
 
-    return infer_and_cast(
-        df, null_if=opts.null_if,
-        overrides=opts.columns or None)
+    overrides = {s.name: s.type.value for s in specs} if specs else None
+    df = infer_and_cast(df, null_if=opts.null_if, overrides=overrides)
+    if specs and any(s.precision is not None or s.length for s in specs):
+        # refine to the declared decimal(p,s) widths (inference casts by
+        # base type only)
+        from sling_cli_spark.operators.column_modifiers import (
+            apply_column_specs)
+
+        df = apply_column_specs(df, specs)
+    return df
+
+
+def _column_specs(cfg: Config):
+    """Parsed ``columns:`` modifier specs (cached on the config)."""
+    from sling_cli_spark.operators.column_modifiers import parse_columns
+
+    cols = cfg.source.options.columns
+    if not cols:
+        return []
+    cached = getattr(cfg, "_column_specs", None)
+    if cached is None:
+        cached = parse_columns(cols)
+        try:
+            object.__setattr__(cfg, "_column_specs", cached)
+        except Exception:
+            pass
+    return cached
 
 
 def run(
@@ -129,6 +181,14 @@ def run(
 
     if cfg.target.options.ignore_existing and _target_has_data(spark, cfg):
         return TaskResult(rows=0, columns=[], mode=cfg.mode.value)
+
+    specs = _column_specs(cfg)
+    if specs and not cfg.source.primary_key:
+        from sling_cli_spark.operators.column_modifiers import specs_primary_key
+
+        pk = specs_primary_key(specs)
+        if pk:  # columns: {id: "bigint primary_key"} defaults the stream PK
+            cfg.source.primary_key = pk
 
     if cfg.target.options.pre_sql:
         spark.sql(cfg.target.options.pre_sql)
