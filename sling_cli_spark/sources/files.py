@@ -240,10 +240,17 @@ def sql_on_files(
 
 
 def read_source(spark: SparkSession, source: Source, base_dir: str = "") -> DataFrame:
-    """Entry used by the task runner: stream may be a path, glob, or SQL."""
+    """Entry used by the task runner: stream may be a path, glob, SQL, or
+    a remote URI (http/https/ftp/sftp/gdrive — staged locally first,
+    sources/remote.py)."""
     stream = source.stream or ""
     if source.is_sql:
         return spark.sql(stream)
+    from sling_cli_spark.sources.remote import is_remote, stage_remote
+
+    if is_remote(stream):
+        staged = stage_remote(stream)
+        return read_files(spark, staged, source.options)
     path = stream if os.path.isabs(stream) else os.path.join(base_dir, stream)
     return read_files(spark, path, source.options)
 
