@@ -127,6 +127,26 @@ def lsh_topk(
     )
 
 
+def _pair_dot_udf():
+    """Arrow-batched numpy dot product over pair rows — one matmul-shaped
+    einsum per batch instead of an interpreted zip_with/aggregate lambda
+    per pair (the HOF path measured ~2x slower on the sf0.1 pair table;
+    the gap grows with pair count)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        av = np.stack(a.to_numpy())
+        bv = np.stack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", av, bv))
+
+    return pair_dot
+
+
 def pairwise_within_label(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
     group_col: str = "label", threshold: float = 0.9,
@@ -135,17 +155,24 @@ def pairwise_within_label(
 
     The group key plays the LSH-bucket role: the self-join is equi-keyed on
     it. For an unlabeled corpus, use hyperplane_bucket as the key first.
+
+    Cost shape: norms are computed ONCE per vector before the join (O(n));
+    the per-PAIR work (the O(n²/buckets) part) is a single Arrow-batched
+    numpy dot — no interpreted array lambdas in the quadratic path.
     """
+    pair_dot = _pair_dot_udf()
     a = df.select(
         F.col(group_col), F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"))
+        F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("na"))
     b = df.select(
         F.col(group_col), F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"))
+        F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("nb"))
     return (
         a.join(b, on=group_col)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "score", pair_dot(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb")))
         .filter(F.col("score") >= threshold)
         .select(group_col, "id_a", "id_b", "score")
     )

@@ -126,14 +126,27 @@ def fingerprint(
 
     The (min,max) shingle-hash pair is a cheap 'winnowing-lite' signature:
     robust to small edits at the ends, usable as a blocking key.
-    """
-    from sling_cli_spark.operators.dedup import normalize_text, shingles_col
 
-    sh = shingles_col(F.col(text_col), shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    return df.select(
+    Plan: the MinHash pipeline's posexplode + window-lead shingle rows
+    (shingle_table) -> xxhash64 -> one hash-aggregate on the doc id, then
+    an id-equi-join back for the full-text hash. Array higher-order
+    functions (``transform(shingles, xxhash64)`` + array_min/max, or the
+    sequence+slice shingle builder) run INTERPRETED outside whole-stage
+    codegen and measured ~2x slower at sf0.1 — same lesson as dedup.py.
+    Docs with no shingle rows (empty text) keep null min/max hashes.
+    """
+    from sling_cli_spark.operators.dedup import normalize_text, shingle_table
+
+    hashes = (
+        shingle_table(df, text_col, id_col, shingle_n)
+        .groupBy(id_col)
+        .agg(
+            F.min(F.xxhash64("shingle")).alias("min_shingle_hash"),
+            F.max(F.xxhash64("shingle")).alias("max_shingle_hash"),
+        )
+    )
+    base = df.select(
         F.col(id_col),
         F.xxhash64(normalize_text(F.col(text_col))).alias("text_hash"),
-        F.array_min(hashes).alias("min_shingle_hash"),
-        F.array_max(hashes).alias("max_shingle_hash"),
     )
+    return base.join(hashes, on=id_col, how="left")
