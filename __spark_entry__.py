@@ -242,6 +242,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pdf = con.execute("select * from tgt order by o_orderkey").df()
         return spark.createDataFrame(pdf)
 
+    def column_typing_clamp(spark, sf):
+        """Column typing policy (operators/typing_policy, reference
+        datatype.go:2508-2664): decimal precision/scale clamp + boolean
+        cast_as integer, as Catalyst cast projections."""
+        from sling_cli_spark.operators.typing_policy import apply_column_typing
+
+        o = _t(spark, sf, "orders").select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(38,10)").alias("amt"),
+            (F.col("o_orderkey") % 2 == 0).alias("flag"))
+        out = apply_column_typing(o, {
+            "decimal": {"max_precision": 18, "max_scale": 2},
+            "boolean": {"cast_as": "integer"}})
+        return out.select(
+            "o_orderkey",
+            F.col("amt").cast("double").alias("amt"),
+            F.col("flag").cast("long").alias("flag"))
+
+    def constraint_dsl_filter(spark, sf):
+        """Column modifier DSL end-to-end (column_modifiers.go:44-151 +
+        SetConstraint): the '| value >= N' runtime constraint parsed from
+        a columns: value, applied in skip mode."""
+        from sling_cli_spark.operators.column_modifiers import (
+            parse_modifiers, specs_constraints)
+        from sling_cli_spark.operators.constraints import constraint_expr
+
+        spec = parse_modifiers("o_totalprice", "float | value >= 100000")
+        cons = specs_constraints([spec])
+        df = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+        keep = None
+        for cname, e in cons.items():
+            c = constraint_expr(cname, e)
+            keep = c if keep is None else keep & c
+        return df.filter(keep)
+
+    def copy_load_duckdb(spark, sf):
+        """Per-DB fast loader rendered AND executed: dialects.fast_load_sql
+        renders duckdb's file-direct COPY for a staged parquet batch, the
+        in-process DuckDB ingests it, the table comes back as a DataFrame
+        (reference: per-DB bulk import, database_{postgres,mysql}.go
+        fast loaders; duckdb.yaml:15-35)."""
+        import duckdb
+
+        from sling_cli_spark.dialects import fast_load_sql, get_dialect
+
+        op = os.path.join(sf, "region.parquet")
+        con = duckdb.connect()
+        con.execute("create table t (r_regionkey integer, r_name varchar)")
+        con.execute(fast_load_sql(
+            get_dialect("duckdb"), "t",
+            ["r_regionkey", "r_name"], op, fmt="parquet"))
+        pdf = con.execute("select * from t order by r_regionkey").df()
+        return spark.createDataFrame(pdf)
+
     def merge_hi(spark, sf):
         from sling_cli_spark.operators.merge import merge_history_insert
         t, s = _merge_frames(spark, sf)
@@ -435,6 +489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_delete_insert": merge_di,
         "merge_file_granular": merge_file_granular,
         "merge_sql_render": merge_sql_render,
+        "column_typing_clamp": column_typing_clamp,
+        "constraint_dsl_filter": constraint_dsl_filter,
+        "copy_load_duckdb": copy_load_duckdb,
         "merge_history_insert": merge_hi,
         "merge_change_capture": merge_cdc,
         "delete_missing": delete_missing_hard,
@@ -595,6 +652,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderkey < 750
               AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
             UNION ALL SELECT * FROM src
+        """,
+        "column_typing_clamp": """
+            SELECT o_orderkey,
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(38,10))
+                             AS DECIMAL(18,2)) AS DOUBLE) AS amt,
+                   CAST(CAST(o_orderkey % 2 = 0 AS SMALLINT) AS BIGINT)
+                     AS flag
+            FROM orders
+        """,
+        "constraint_dsl_filter": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice >= 100000
+        """,
+        "copy_load_duckdb": """
+            SELECT * FROM region
         """,
         "merge_history_insert": f"""
             WITH src AS ({_MERGE_SRC})

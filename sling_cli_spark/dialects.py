@@ -147,6 +147,13 @@ _DIALECT_SPECS: dict[str, dict] = {
             # DuckDB: INSERT OR REPLACE needs a PK constraint sling never
             # creates -> update_insert unsupported (duckdb.yaml:52-54)
             "merge_update_insert": None,
+            # fast loader: file-direct COPY (duckdb.yaml:15-35 exports;
+            # the import twin reads staged parquet/csv straight in)
+            "copy_from_local": (
+                "COPY {table} FROM '{local_path}' (format '{format}')"),
+            "copy_to_local": (
+                "COPY (select {fields} from {table}) TO '{local_path}' "
+                "(format '{format}', compression '{compression}')"),
         },
         "types": {"float": "double", "binary": "blob", "json": "json",
                   "datetime": "timestamp"},
@@ -184,6 +191,11 @@ _DIALECT_SPECS: dict[str, dict] = {
                 "  from {temp_table} upd\n"
                 "  where {src_upd_pk_equal}\n"
                 ")"),
+            # fast loader: COPY over the wire (database_postgres.go
+            # CopyViaStdin — executors write csv, the driver streams it)
+            "copy_from_stdin": (
+                "COPY {table} ({fields}) FROM STDIN "
+                "WITH (FORMAT csv, HEADER true, NULL '')"),
         },
         "types": {"json": "jsonb"},
     },
@@ -209,6 +221,12 @@ _DIALECT_SPECS: dict[str, dict] = {
             # no native MERGE (mysql.yaml:33-34)
             "merge_update": None,
             "merge_update_insert": None,
+            # fast loader (database_mysql.go:411,540-560 LOAD DATA LOCAL)
+            "load_data_local": (
+                "LOAD DATA LOCAL INFILE '{local_path}' "
+                "INTO TABLE {table} "
+                "FIELDS TERMINATED BY ',' OPTIONALLY ENCLOSED BY '\"' "
+                "IGNORE 1 LINES ({fields})"),
         },
         "types": {"float": "double", "timestampz": "timestamp(6)",
                   "datetime": "datetime(6)", "binary": "longblob",
@@ -515,3 +533,38 @@ def create_table_ddl(
         for f in schema.fields)
     return render(dialect.template("create_table"),
                   {"table": table, "col_types": cols})
+
+
+# fast-loader template key per dialect (reference: per-DB bulk import —
+# duckdb file-direct COPY, postgres COPY FROM STDIN via CopyViaStdin,
+# mysql LOAD DATA LOCAL INFILE, database_{postgres,mysql}.go)
+_FAST_LOAD_KEYS = ("copy_from_local", "copy_from_stdin", "load_data_local")
+
+
+def fast_load_sql(
+    dialect: Dialect,
+    table: str,
+    columns: list[str],
+    local_path: str | None = None,
+    fmt: str = "csv",
+    compression: str = "none",
+) -> str:
+    """Render the dialect's fast bulk-load statement for a staged file.
+
+    The Spark mapping of the reference's per-DB fast loaders: executors
+    write the batch as csv/parquet to shared staging, then the driver
+    issues ONE of these against the target — the database ingests the
+    file; no row ever crosses back through Spark. Raises when the
+    dialect has no fast loader (caller falls back to batched INSERTs).
+    """
+    key = next((k for k in _FAST_LOAD_KEYS if dialect.template(k)), None)
+    if key is None:
+        raise ValueError(f"dialect {dialect.name!r} has no fast loader")
+    fields = ", ".join(dialect.quote(c) for c in columns)
+    return render(dialect.template(key), {
+        "table": table,
+        "fields": fields,
+        "local_path": local_path or "",
+        "format": fmt,
+        "compression": compression,
+    })

@@ -270,3 +270,39 @@ def test_jdbc_incremental_pushdown_renders_dialect_sql():
     opts2 = build_read_options(
         "jdbc:mysql://h/db", src, backfill_range=(5, 9))
     assert "`ts` >= 5 and `ts` <= 9" in opts2["dbtable"]
+
+
+# --- per-DB fast loaders ------------------------------------------------
+
+def test_fast_load_sql_renders_per_dialect():
+    from sling_cli_spark.dialects import fast_load_sql, get_dialect
+
+    d = fast_load_sql(get_dialect("duckdb"), "t", ["id", "v"],
+                      "/stage/b.parquet", fmt="parquet")
+    assert d == "COPY t FROM '/stage/b.parquet' (format 'parquet')"
+
+    p = fast_load_sql(get_dialect("postgres"), "t", ["id", "v"])
+    assert p.startswith('COPY t ("id", "v") FROM STDIN')
+
+    m = fast_load_sql(get_dialect("mysql"), "t", ["id", "v"],
+                      "/stage/b.csv")
+    assert "LOAD DATA LOCAL INFILE '/stage/b.csv'" in m
+    assert "(`id`, `v`)" in m
+
+
+def test_fast_load_executes_in_duckdb(tmp_path):
+    """The duckdb fast loader is executable end-to-end: stage a parquet
+    file, COPY it into a table, read it back."""
+    import duckdb
+
+    from sling_cli_spark.dialects import fast_load_sql, get_dialect
+
+    import pandas as pd
+    staged = str(tmp_path / "batch.parquet")
+    pd.DataFrame({"id": [1, 2, 3], "v": ["a", "b", "c"]}).to_parquet(staged)
+
+    con = duckdb.connect()
+    con.execute("create table t (id bigint, v varchar)")
+    con.execute(fast_load_sql(
+        get_dialect("duckdb"), "t", ["id", "v"], staged, fmt="parquet"))
+    assert con.execute("select count(*), max(v) from t").fetchone() == (3, "c")
