@@ -32,7 +32,9 @@ from __future__ import annotations
 
 import base64
 import itertools
+import re
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Iterator
 
@@ -324,6 +326,60 @@ class APIConnection:
             status, body = self.transport(url, params, hdrs)
         return status, body
 
+    _BACKOFFS = {
+        "": lambda base, n: 0.0,
+        "none": lambda base, n: 0.0,
+        "constant": lambda base, n: float(base),
+        "linear": lambda base, n: float(base) * n,
+        "exponential": lambda base, n: float(base) * (2 ** (n - 1)),
+        "jitter": lambda base, n: float(base) * (2 ** (n - 1)) * 0.5,
+    }
+
+    def _request_with_rules(
+        self, url: str, params: dict, headers: dict,
+        rules: list[dict], retries: int, iter_state: dict,
+    ) -> tuple[int, Any, str]:
+        """One request under the response-rule machinery (reference
+        spec.go Rule: actions retry / continue / stop / break / fail /
+        skip, condition expressions over the response namespace, backoff
+        constant / linear / exponential / jitter). Default rules —
+        retry on 5xx, fail on 4xx — run after the custom list, matching
+        the reference's hardcoded tail rules."""
+        attempt = 0
+        while True:
+            attempt += 1
+            status, body = self._request(url, params, headers)
+            extras = {"response": {"json": body, "status": status},
+                      "state": {**self.state, **iter_state},
+                      "auth": self.auth.state()}
+            action = "continue"
+            matched_rule: dict = {}
+            for rule in rules:
+                cond = rule.get("condition") or "true"
+                val = (self.evaluator.render(cond, extras) if "{" in cond
+                       else self.evaluator.evaluate(cond, extras))
+                if val is True or val == "true":
+                    action = (rule.get("action") or "continue").lower()
+                    matched_rule = rule
+                    break
+            else:  # hardcoded tail: 5xx retry, 4xx fail
+                if status >= 500:
+                    action, matched_rule = "retry", {"max_attempts": retries + 1}
+                elif status >= 400:
+                    action = "fail"
+            if action == "retry":
+                max_attempts = int(matched_rule.get("max_attempts", 3))
+                if attempt < max_attempts:
+                    delay = self._BACKOFFS.get(
+                        (matched_rule.get("backoff") or "").lower(),
+                        self._BACKOFFS["none"],
+                    )(matched_rule.get("backoff_base", 1), attempt)
+                    if delay:
+                        time.sleep(min(delay, 60.0))
+                    continue
+                action = "fail"  # retries exhausted
+            return status, body, action
+
     def _fetch_iteration(
         self, ep: dict[str, Any], iter_state: dict[str, Any],
     ) -> list[dict]:
@@ -352,16 +408,19 @@ class APIConnection:
                 params[pag.get("offset_param", "offset")] = offset
             elif ptype == "cursor" and cursor is not None:
                 params[pag.get("cursor_param", "cursor")] = cursor
-            for attempt in range(retries + 1):
-                status, body = self._request(url, params, headers)
-                if status < 500 or attempt == retries:
-                    break
-            if status >= 400:
+            status, body, action = self._request_with_rules(
+                url, params, headers,
+                rules=(resp_cfg.get("rules") or []), retries=retries,
+                iter_state=st)
+            if action == "fail":
                 raise RuntimeError(f"API error {status} from {url}")
+            if action in ("stop", "break"):
+                break
             records = _extract_path(body, records_path)
             records = [] if records is None else (
                 [records] if isinstance(records, dict) else list(records))
-            out.extend(records)
+            if action != "skip":  # skip: drop records, keep paginating
+                out.extend(records)
             # stop_condition renders with the response namespace
             stop = pag.get("stop_condition")
             if stop:
@@ -385,6 +444,46 @@ class APIConnection:
                 if not cursor:
                     break
         return out
+
+    def _postprocess_records(
+        self, ep: dict[str, Any], records: list[dict],
+    ) -> list[dict]:
+        """Records-block semantics (reference spec.go Records struct:
+        primary_key dedup via seen-set, limit, select include/exclude,
+        snake/camel casing — spec.go:344-345, 1331-1344)."""
+        rec_cfg = (ep.get("response") or {}).get("records") or {}
+        pk = rec_cfg.get("primary_key")
+        if pk:
+            pk = [pk] if isinstance(pk, str) else list(pk)
+            seen: set = set()
+            deduped = []
+            for r in records:
+                key = tuple(r.get(k) for k in pk)
+                if key in seen:
+                    continue
+                seen.add(key)
+                deduped.append(r)
+            records = deduped
+        sel = rec_cfg.get("select")
+        if sel:
+            include = [c for c in sel if not c.startswith("-")]
+            exclude = {c[1:] for c in sel if c.startswith("-")}
+            if include:
+                records = [{k: r.get(k) for k in include} for r in records]
+            elif exclude:
+                records = [{k: v for k, v in r.items() if k not in exclude}
+                           for r in records]
+        casing = (rec_cfg.get("casing") or "").lower()
+        if casing in ("snake", "lower", "upper"):
+            def recase(k: str) -> str:
+                if casing == "snake":
+                    return re.sub(r"(?<=[a-z0-9])([A-Z])", r"_\1", k).lower()
+                return k.lower() if casing == "lower" else k.upper()
+            records = [{recase(k): v for k, v in r.items()} for r in records]
+        limit = rec_cfg.get("limit")
+        if limit:
+            records = records[: int(limit)]
+        return records
 
     def fetch_endpoint(self, name: str) -> list[dict]:
         """All records for one endpoint: resolve the iteration source,
@@ -417,7 +516,8 @@ class APIConnection:
             with ThreadPoolExecutor(max_workers=conc) as pool:
                 batches = list(pool.map(
                     lambda st: self._fetch_iteration(ep, st), iter_states))
-        records = list(itertools.chain.from_iterable(batches))
+        records = self._postprocess_records(
+            ep, list(itertools.chain.from_iterable(batches)))
         q.extend(records)
         q.mark_done()
         return records

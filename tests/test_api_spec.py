@@ -236,3 +236,106 @@ def test_defaults_request_merged_and_env_rendered():
     assert out["e"] == [{"ok": 1}]
     assert seen["headers"]["X-App"] == "sling"
     assert seen["params"]["since"] == "2025-01-01"
+
+
+# ------------------------------------------------- records post-processing
+
+def test_records_pk_dedup_select_casing_limit():
+    pages = [{"data": [{"Id": 1, "Name": "a", "Tmp": "x"},
+                       {"Id": 2, "Name": "b", "Tmp": "y"},
+                       {"Id": 1, "Name": "a2", "Tmp": "z"},  # dup PK
+                       {"Id": 3, "Name": "c", "Tmp": "w"}]}]
+
+    conn = APIConnection({
+        "endpoints": {
+            "e": {
+                "request": {"url": "https://x/e"},
+                "response": {"records": {
+                    "jmespath": "data", "primary_key": "Id",
+                    "select": ["-Tmp"], "casing": "snake", "limit": 2}},
+            },
+        },
+    }, transport=lambda *a: (200, pages[0]))
+    out = conn.run()
+    assert out["e"] == [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+
+
+# ----------------------------------------------------------- response rules
+
+def test_rule_retry_with_backoff_then_success():
+    calls = {"n": 0}
+
+    def transport(url, params, headers):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            return 429, {"err": "rate limited"}
+        return 200, {"data": [{"ok": 1}]}
+
+    conn = APIConnection({
+        "endpoints": {
+            "e": {
+                "request": {"url": "https://x/e"},
+                "response": {
+                    "records": {"jmespath": "data"},
+                    "rules": [{"action": "retry",
+                               "condition": "response.status == 429",
+                               "max_attempts": 5,
+                               "backoff": "none"}]},
+            },
+        },
+    }, transport=transport)
+    assert conn.run()["e"] == [{"ok": 1}]
+    assert calls["n"] == 3
+
+
+def test_rule_retry_exhausted_fails():
+    conn = APIConnection({
+        "endpoints": {
+            "e": {"request": {"url": "https://x/e"},
+                  "response": {"rules": [
+                      {"action": "retry", "condition": "response.status == 429",
+                       "max_attempts": 2, "backoff": "none"}]}},
+        },
+    }, transport=lambda *a: (429, {}))
+    with pytest.raises(RuntimeError, match="API error 429"):
+        conn.run()
+
+
+def test_rule_stop_halts_endpoint():
+    def transport(url, params, headers):
+        off = int(params.get("offset", 0))
+        return 200, {"data": [{"i": off}], "quota": off >= 1}
+
+    conn = APIConnection({
+        "endpoints": {
+            "e": {"request": {"url": "https://x/e"},
+                  "response": {
+                      "records": {"jmespath": "data"},
+                      "rules": [{"action": "stop",
+                                 "condition": "response.json.quota == true"}]},
+                  "pagination": {"type": "offset", "page_size": 1}},
+        },
+    }, transport=transport)
+    # page0 ok; page1 matches stop -> its records are not consumed
+    assert conn.run()["e"] == [{"i": 0}]
+
+
+def test_rule_skip_drops_records_keeps_paging():
+    def transport(url, params, headers):
+        off = int(params.get("offset", 0))
+        flagged = off == 1
+        data = [{"i": off, "bad": flagged}]
+        return 200, {"data": data, "bad_page": flagged}
+
+    conn = APIConnection({
+        "endpoints": {
+            "e": {"request": {"url": "https://x/e"},
+                  "response": {
+                      "records": {"jmespath": "data"},
+                      "rules": [{"action": "skip",
+                                 "condition": "response.json.bad_page == true"}]},
+                  "pagination": {"type": "offset", "page_size": 1,
+                                 "max_pages": 3}},
+        },
+    }, transport=transport)
+    assert conn.run()["e"] == [{"i": 0, "bad": False}, {"i": 2, "bad": False}]
