@@ -41,6 +41,7 @@ _BASE_CORE = {
     "create_schema": "create schema {schema}",
     "create_table": "create table {table} ({col_types})",
     "create_index": "create index {index} on {table} ({cols})",
+    "create_unique_index": "create unique index {index} on {table} ({cols})",
     "insert": "insert into {table} ({fields}) values ({values})",
     "truncate_table": "truncate table {table}",
     "add_column": "alter table {table} add column {column} {type}",
@@ -568,3 +569,46 @@ def fast_load_sql(
         "format": fmt,
         "compression": compression,
     })
+
+
+def table_keys_ddl(
+    dialect: Dialect,
+    table: str,
+    table_keys: Mapping[str, list] | None,
+    column_specs: list | None = None,
+) -> list[str]:
+    """CREATE INDEX statements from ``target_options.table_keys`` plus
+    inline column-DSL index defs (reference: Table.SetKeys
+    ``schemata.go:116``, key kinds ``datatype.go:105``; rendered through
+    the ``create_index`` templates, base.yaml).
+
+    ``table_keys`` entries: ``index`` / ``unique`` -> one statement per
+    entry; an entry may be a single column or a composite list. Other
+    key kinds (primary/update/cluster/...) shape the load, not DDL here.
+    """
+    def norm(entries) -> list[list[str]]:
+        out = []
+        for e in entries or []:
+            out.append([e] if isinstance(e, str) else list(e))
+        return out
+
+    bare = table.replace('"', "").replace("`", "").replace(".", "_")
+    stmts: list[str] = []
+    for kind, tmpl_key in (("index", "create_index"),
+                           ("unique", "create_unique_index")):
+        for cols in norm((table_keys or {}).get(kind)):
+            name = f"idx_{bare}_{'_'.join(cols)}"[:63]
+            stmts.append(render(dialect.template(tmpl_key), {
+                "index": dialect.quote(name),
+                "table": table,
+                "cols": ", ".join(dialect.quote(c) for c in cols),
+            }))
+    for spec in column_specs or []:
+        for idx in getattr(spec, "indexes", []) or []:
+            name = idx.name or f"idx_{bare}_{spec.name}"
+            stmts.append(render(
+                dialect.template(
+                    "create_unique_index" if idx.unique else "create_index"),
+                {"index": dialect.quote(name[:63]), "table": table,
+                 "cols": dialect.quote(spec.name)}))
+    return stmts

@@ -306,3 +306,31 @@ def test_fast_load_executes_in_duckdb(tmp_path):
     con.execute(fast_load_sql(
         get_dialect("duckdb"), "t", ["id", "v"], staged, fmt="parquet"))
     assert con.execute("select count(*), max(v) from t").fetchone() == (3, "c")
+
+
+def test_table_keys_ddl_renders_and_executes():
+    import duckdb
+
+    from sling_cli_spark.dialects import get_dialect, table_keys_ddl
+    from sling_cli_spark.operators.column_modifiers import parse_columns
+
+    specs = parse_columns({"code": "string unique_index(name=ix_code)"})
+    stmts = table_keys_ddl(
+        get_dialect("duckdb"), "t",
+        {"index": ["a", ["b", "c"]], "unique": [["a", "b"]]},
+        column_specs=specs)
+    assert stmts == [
+        'create index "idx_t_a" on t ("a")',
+        'create index "idx_t_b_c" on t ("b", "c")',
+        'create unique index "idx_t_a_b" on t ("a", "b")',
+        'create unique index "ix_code" on t ("code")',
+    ]
+    con = duckdb.connect()
+    con.execute("create table t (a int, b int, c int, code varchar)")
+    for s in stmts:
+        con.execute(s)
+    # the unique index is enforced
+    con.execute("insert into t values (1, 1, 1, 'x')")
+    import pytest as _pytest
+    with _pytest.raises(duckdb.ConstraintException):
+        con.execute("insert into t values (1, 1, 2, 'y')")
