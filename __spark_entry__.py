@@ -347,6 +347,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.max("session_id").cast("long").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"))
 
+    def window_agg_events(spark, sf):
+        """Tumbling-window aggregate (streaming/windows.tumbling_agg in
+        batch form — the identical operator runs under readStream with a
+        watermark; beyond-reference streaming surface, SURVEY §2.8)."""
+        from sling_cli_spark.streaming.windows import tumbling_agg
+
+        e = _t(spark, sf, "events").select("ts", "event_type", "user_id")
+        out = tumbling_agg(
+            e, "ts", "1 hour", keys=["event_type"],
+            aggs=[F.count(F.lit(1)).alias("n_events"),
+                  F.count_distinct("user_id").alias("n_users")])
+        return out.select("window_start", "event_type", "n_events", "n_users")
+
     # --- validation / profiling -----------------------------------------
     def checksum_lineitem(spark, sf):
         return checksum_df(_t(spark, sf, "lineitem"))
@@ -414,6 +427,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def simhash_dedup_docs(spark, sf):
         return simhash_dedup(_t(spark, sf, "documents")).select("doc_id")
+
+    def jaccard_dedup_docs(spark, sf):
+        """Full n-gram-Jaccard near-dedup: LSH buckets propose candidate
+        pairs, exact shingle Jaccard >= threshold confirms, confirmed
+        dups (non-min id of a pair) drop. Only candidate pairs are ever
+        verified — never all pairs (operators/dedup.py
+        minhash_lsh_candidates + ngram_jaccard_pairs)."""
+        from sling_cli_spark.operators.dedup import (
+            minhash_lsh_candidates, ngram_jaccard_pairs)
+        from pyspark.sql import Window
+
+        d = _t(spark, sf, "documents")
+        cand = minhash_lsh_candidates(d)
+        w = Window.partitionBy("band_id", "band_hash")
+        pairs = (
+            cand.withColumn("__min_id", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") != F.col("__min_id"))
+            .select(F.col("__min_id").alias("id_a"),
+                    F.col("doc_id").alias("id_b"))
+            .distinct()
+        )
+        confirmed = ngram_jaccard_pairs(d, pairs, threshold=0.8)
+        return d.join(
+            confirmed.select(F.col("id_b").alias("doc_id")).distinct(),
+            on="doc_id", how="left_anti").select("doc_id")
 
     def text_stats_docs(spark, sf):
         return text_stats(_t(spark, sf, "documents"))
@@ -499,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_num_events": row_num_events,
         "asof_events": asof_events,
         "sessionize_events": sessionize_events,
+        "window_agg_events": window_agg_events,
         "checksum_lineitem": checksum_lineitem,
         "field_stat_orders": field_stat_orders,
         "field_stat_deep_li": field_stat_deep_li,
@@ -510,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_inference_roundtrip": csv_inference_roundtrip,
         "exact_dedup_docs": exact_dedup_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
+        "jaccard_dedup_docs": jaccard_dedup_docs,
         "simhash_dedup_docs": simhash_dedup_docs,
         "text_stats_docs": text_stats_docs,
         "token_count_docs": token_count_docs,
@@ -709,6 +749,14 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, event_id FROM events
                             WHERE event_id % 2 = 1) r
               ON l.user_id = r.user_id AND l.event_id >= r.event_id
+        """,
+        "window_agg_events": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY 1, 2
         """,
         "sessionize_events": """
             WITH g AS (

@@ -117,3 +117,66 @@ def test_file_max_bytes_splits_files(spark, tmp_path):
     files = [f for f in os.listdir(out) if f.startswith("part-")]
     assert len(files) > 5  # ~1.2MB of json split into ~50KB files
     assert spark.read.json(out).count() == 10000
+
+
+# --- windowed aggregations (streaming/windows.py) -----------------------
+
+def test_tumbling_agg_batch(spark):
+    from sling_cli_spark.streaming.windows import tumbling_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:05:00", "a"), ("2024-01-01 10:55:00", "a"),
+         ("2024-01-01 11:05:00", "a"), ("2024-01-01 10:30:00", "b")],
+        "ts string, k string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "k")
+    out = tumbling_agg(df, "ts", "1 hour", keys=["k"])
+    got = {(str(r["window_start"]), r["k"]): r["n_events"]
+           for r in out.collect()}
+    assert got == {("2024-01-01 10:00:00", "a"): 2,
+                   ("2024-01-01 11:00:00", "a"): 1,
+                   ("2024-01-01 10:00:00", "b"): 1}
+
+
+def test_sliding_agg_batch(spark):
+    from sling_cli_spark.streaming.windows import sliding_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:20:00",)], "ts string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    out = sliding_agg(df, "ts", "1 hour", "30 minutes")
+    starts = sorted(str(r["window_start"]) for r in out.collect())
+    # one event falls into 2 overlapping one-hour windows
+    assert starts == ["2024-01-01 09:30:00", "2024-01-01 10:00:00"]
+
+
+def test_tumbling_agg_streaming_with_watermark(spark, tmp_path):
+    """Same operator under readStream: watermark set, availableNow drain,
+    results equal the batch run."""
+    from pyspark.sql import types as T2
+
+    from sling_cli_spark.streaming.windows import tumbling_agg
+
+    src = str(tmp_path / "win_in")
+    schema = T2.StructType([
+        T2.StructField("ts", T2.TimestampType()),
+        T2.StructField("k", T2.StringType()),
+    ])
+    _write_batch(src, [
+        {"ts": "2024-01-01T10:05:00", "k": "a"},
+        {"ts": "2024-01-01T10:45:00", "k": "a"},
+        {"ts": "2024-01-01T11:10:00", "k": "b"},
+    ], "b1.json")
+
+    stream = spark.readStream.schema(schema).json(src)
+    agg = tumbling_agg(stream, "ts", "1 hour", keys=["k"],
+                       watermark="10 minutes")
+    assert agg.isStreaming
+    q = agg.writeStream.format("memory").queryName("win_out") \
+        .outputMode("complete").trigger(availableNow=True).start()
+    q.awaitTermination(60)
+    got = {(str(r["window_start"]), r["k"]): r["n_events"]
+           for r in spark.sql("select * from win_out").collect()}
+    assert got == {("2024-01-01 10:00:00", "a"): 2,
+                   ("2024-01-01 11:00:00", "b"): 1}
