@@ -22,15 +22,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def field_stat(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
-    """Per-column stats in one aggregate pass (base.yaml field_stat)."""
+def field_stat(
+    df: DataFrame, fields: list[str] | None = None, approx: bool = False,
+) -> DataFrame:
+    """Per-column stats in one aggregate pass (base.yaml field_stat).
+
+    ``approx=True`` swaps exact ``count_distinct`` for
+    ``approx_count_distinct`` (HLL, ~2% relative error): exact distinct
+    expands rows × #distinct-aggs before the shuffle, which at 100 TB
+    makes the profiling suite cost several table scans — the approx form
+    stays one map-side-combined pass. Default stays exact so the DuckDB
+    oracle hash-matches."""
     fields = fields or df.columns
+    distinct = F.approx_count_distinct if approx else F.count_distinct
     aggs = [F.count(F.lit(1)).alias("__total")]
     for f in fields:
         c = F.col(f"`{f}`")
         aggs += [
             F.count(c).alias(f"__cnt_{f}"),
-            F.count_distinct(c).alias(f"__dst_{f}"),
+            distinct(c).alias(f"__dst_{f}"),
         ]
     row = df.agg(*aggs).collect()[0]
     total = row["__total"]

@@ -110,6 +110,39 @@ def _sql_lit(v: Any) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+def _step_http(spark, step, ctx):
+    """http hook (reference hooks.go kind ``http``): one request, the
+    JSON/status lands in step state. ``transport`` is injectable via the
+    step dict for tests; the default uses the api source's urllib
+    transport."""
+    from sling_cli_spark.sources.api import _default_transport
+
+    transport = step.get("transport") or _default_transport
+    url = render_vars(step["url"], ctx)
+    status, body = transport(url, step.get("params") or {},
+                             step.get("headers") or {})
+    ok_codes = step.get("expect_status") or range(200, 300)
+    if status not in ok_codes:
+        raise StepError(f"http step got {status} from {url}")
+    return {"status": status, "json": body}
+
+
+def _step_command(spark, step, ctx):
+    """command hook (reference hooks.go kind ``command``): run a local
+    process, capture output. Commands come from the user's own pipeline
+    YAML — same trust model as the reference."""
+    import subprocess
+
+    cmd = [render_vars(str(c), ctx) for c in step["command"]]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True,
+        timeout=int(step.get("timeout", 300)), check=False)
+    if proc.returncode != 0 and not step.get("ignore_error"):
+        raise StepError(
+            f"command {cmd!r} exited {proc.returncode}: {proc.stderr[:500]}")
+    return {"returncode": proc.returncode, "stdout": proc.stdout.strip()}
+
+
 def _step_replication(spark, step, ctx):
     from sling_cli_spark.plans.replication import (
         ReplicationConfig, run_replication)
@@ -126,6 +159,8 @@ _STEP_TYPES = {
     "delete": _step_delete,
     "inspect": _step_inspect,
     "check": _step_check,
+    "http": _step_http,
+    "command": _step_command,
     "replication": _step_replication,
 }
 

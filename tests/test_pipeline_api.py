@@ -231,3 +231,44 @@ def test_discover_fks_batches_uniqueness_probes(spark, sf_dir, monkeypatch):
     pairs = {(f["table"], f["column"], f["ref_table"]) for f in fks}
     assert ("orders", "o_custkey", "customer") in pairs
     assert ("customer", "c_nationkey", "nation") in pairs
+
+
+def test_pipeline_http_and_command_steps(spark):
+    def fake_transport(url, params, headers):
+        return 200, {"rows": 7, "url": url}
+
+    out = run_pipeline(spark, [
+        {"type": "http", "id": "probe", "url": "https://x/health",
+         "transport": fake_transport},
+        {"type": "check", "expr": "{ state.probe.json.rows } > 0"},
+        {"type": "command", "id": "ver",
+         "command": ["python", "-c", "print('ok-{who}')"]},
+    ], env={"who": "world"})
+    assert out[0] == {"status": 200, "json": {"rows": 7, "url": "https://x/health"}}
+    assert out[1] is True
+    assert out[2]["returncode"] == 0 and out[2]["stdout"] == "ok-world"
+
+
+def test_pipeline_http_step_bad_status(spark):
+    with pytest.raises(StepError, match="503"):
+        run_pipeline(spark, [
+            {"type": "http", "url": "https://x/down",
+             "transport": lambda *a: (503, {})}])
+
+
+def test_pipeline_command_step_failure(spark):
+    with pytest.raises(StepError, match="exited 3"):
+        run_pipeline(spark, [
+            {"type": "command",
+             "command": ["python", "-c", "import sys; sys.exit(3)"]}])
+
+
+def test_field_stat_approx_mode(spark, sf_dir):
+    from sling_cli_spark.operators.profile import field_stat
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = field_stat(df, ["o_orderkey"]).collect()[0]
+    approx = field_stat(df, ["o_orderkey"], approx=True).collect()[0]
+    assert exact["uniq_cnt"] == exact["total_cnt"]
+    # HLL default rsd is 5%; allow 3 sigma
+    assert abs(approx["uniq_cnt"] - exact["uniq_cnt"]) <= exact["uniq_cnt"] * 0.15
