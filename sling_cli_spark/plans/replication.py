@@ -45,6 +45,8 @@ class ReplicationConfig:
     streams: dict[str, dict[str, Any] | None] = field(default_factory=dict)
     env: dict[str, str] = field(default_factory=dict)
 
+    hooks: dict[str, list] = field(default_factory=dict)
+
     @classmethod
     def from_yaml(cls, text_or_path: str) -> "ReplicationConfig":
         text = text_or_path
@@ -67,6 +69,7 @@ class ReplicationConfig:
             defaults=d.get("defaults") or {},
             streams=d.get("streams") or {},
             env=d.get("env") or {},
+            hooks=d.get("hooks") or {},
         )
 
 
@@ -142,12 +145,34 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = ""):
     Sequential like the reference's default (it parallelizes with a
     worker-pool limit; on Spark, per-stream parallelism already comes from
     the cluster, and sequential submission keeps memory bounded).
+
+    Replication-level hooks (reference: HookMap, ``hooks.go:49-56`` +
+    ``replication.go:518-560``): ``start`` runs before the first stream,
+    ``end`` after the last, ``pre``/``post`` around every stream — each a
+    pipeline-step list sharing one expression state, with per-stream
+    runtime vars exposed as ``{stream_name}``/``{object_name}`` and the
+    finished stream's rows as ``{state.<id>}``.
     """
+    from sling_cli_spark.plans.pipeline import run_pipeline
     from sling_cli_spark.runner import run
 
+    hooks = rc.hooks or {}
+
+    def run_hooks(stage: str, extra_env: dict | None = None):
+        steps = hooks.get(stage) or []
+        if steps:
+            run_pipeline(spark, steps, env={**rc.env, **(extra_env or {})})
+
+    run_hooks("start")
     results = {}
     for cfg in compile_replication(rc):
         if base_output and not os.path.isabs(cfg.target.object or ""):
             cfg.target.object = os.path.join(base_output, cfg.target.object)
-        results[cfg.source.stream] = run(spark, cfg)
+        stream_env = {"stream_name": cfg.source.stream or "",
+                      "object_name": cfg.target.object or ""}
+        run_hooks("pre", stream_env)
+        result = run(spark, cfg)
+        results[cfg.source.stream] = result
+        run_hooks("post", {**stream_env, "rows": str(result.rows)})
+    run_hooks("end")
     return results

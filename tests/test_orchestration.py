@@ -186,3 +186,39 @@ def test_api_retry_on_5xx():
         {"url": "http://x", "records_path": "items", "retries": 3}, flaky))
     assert [r["id"] for r in recs] == [1]
     assert len(calls) == 3
+
+
+def test_replication_hooks_run_in_order(spark, tmp_path, sf_dir):
+    """Replication-level hooks: start / pre / post / end around streams
+    (reference HookMap, hooks.go:49-56)."""
+    from sling_cli_spark.plans.replication import (
+        ReplicationConfig, run_replication)
+
+    marker = tmp_path / "hooklog"
+    yaml_text = f"""
+source: local
+target: local
+hooks:
+  start:
+    - type: command
+      command: [python, -c, 'open("{marker}", "a").write("start" + chr(10))']
+  pre:
+    - type: command
+      command: [python, -c, 'open("{marker}", "a").write("pre {{stream_name}}" + chr(10))']
+  post:
+    - type: command
+      command: [python, -c, 'open("{marker}", "a").write("post {{rows}}" + chr(10))']
+  end:
+    - type: command
+      command: [python, -c, 'open("{marker}", "a").write("end" + chr(10))']
+streams:
+  {sf_dir}/region.parquet:
+    object: "{tmp_path}/out/region.parquet"
+"""
+    res = run_replication(
+        spark, ReplicationConfig.from_yaml(yaml_text))
+    assert list(res.values())[0].rows == 5
+    lines = marker.read_text().strip().split("\n")
+    assert lines[0] == "start" and lines[-1] == "end"
+    assert lines[1].startswith("pre ") and "region.parquet" in lines[1]
+    assert lines[2] == "post 5"
