@@ -428,6 +428,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def simhash_dedup_docs(spark, sf):
         return simhash_dedup(_t(spark, sf, "documents")).select("doc_id")
 
+    def multimodal_bytes(spark, sf):
+        """Multimodal blob plumbing under the oracle: documents.text
+        bytes ride as an opaque binary column through the Arrow-batched
+        mapInPandas feature kernel (operators/multimodal.decode_features);
+        the kernel's byte-length metadata hash-matches DuckDB's
+        octet_length. Features themselves are pytest-asserted (stub
+        histogram — codec libs absent by design)."""
+        from sling_cli_spark.operators.multimodal import decode_features
+
+        d = _t(spark, sf, "documents").select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+            .alias("content"))
+        return decode_features(d).select("media_id", "n_bytes")
+
     def jaccard_dedup_docs(spark, sf):
         """Full n-gram-Jaccard near-dedup: LSH buckets propose candidate
         pairs, exact shingle Jaccard >= threshold confirms, confirmed
@@ -550,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": exact_dedup_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
         "jaccard_dedup_docs": jaccard_dedup_docs,
+        "multimodal_bytes": multimodal_bytes,
         "simhash_dedup_docs": simhash_dedup_docs,
         "text_stats_docs": text_stats_docs,
         "token_count_docs": token_count_docs,
@@ -749,6 +765,12 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, event_id FROM events
                             WHERE event_id % 2 = 1) r
               ON l.user_id = r.user_id AND l.event_id >= r.event_id
+        """,
+        "multimodal_bytes": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                     AS n_bytes
+            FROM documents
         """,
         "window_agg_events": """
             SELECT date_trunc('hour', ts) AS window_start,
