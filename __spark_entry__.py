@@ -51,9 +51,13 @@ def _star_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.expr(
         "cast(l_extendedprice as decimal(12,2))"
         " * (1 - cast(l_discount as decimal(12,2)))")
+    # no broadcast() hints: customer/orders auto-broadcast under the 64MB
+    # session threshold at test SFs, while at 100 TB orders is fact-sized
+    # and MUST shuffle — a forced hint would OOM the driver there. AQE
+    # picks the join strategy from runtime sizes either way.
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "l_returnflag")
         .agg(
             F.sum(rev).cast("double").alias("revenue"),
