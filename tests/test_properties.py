@@ -81,3 +81,60 @@ def test_interval_seconds(n, unit):
     mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
     assert _interval_seconds(f"{n} {unit}s") == n * mult[unit]
     assert _interval_seconds(f"{n} {unit}") == n * mult[unit]
+
+
+# --- expression evaluator properties ------------------------------------
+
+_json_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(-10**9, 10**9),
+    st.text(string.ascii_letters + string.digits + " _-", max_size=20))
+_state_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(
+            st.text(string.ascii_lowercase + "_", min_size=1, max_size=8),
+            children, max_size=4)),
+    max_leaves=10)
+_paths = st.lists(
+    st.text(string.ascii_lowercase + "_", min_size=1, max_size=8),
+    min_size=1, max_size=4).map(".".join)
+
+
+@given(_paths, st.dictionaries(
+    st.text(string.ascii_lowercase + "_", min_size=1, max_size=8),
+    _state_values, max_size=5))
+@settings(max_examples=200)
+def test_search_path_never_raises(path, state):
+    from sling_cli_spark.expressions import search_path
+
+    search_path(path, state)  # any (path, state) combo: None or a value
+
+
+@given(_paths)
+@settings(max_examples=100)
+def test_missing_prefixed_paths_render_empty(path):
+    from sling_cli_spark.expressions import Evaluator
+
+    ev = Evaluator(state={"state": {}})
+    out = ev.render("v=" + "{state." + path + "}!")
+    assert out == "v=!"
+
+
+@given(st.integers(-10**6, 10**6), st.integers(-10**6, 10**6))
+@settings(max_examples=100)
+def test_arithmetic_matches_python(a, b):
+    from sling_cli_spark.expressions import Evaluator
+
+    ev = Evaluator(state={"state": {"a": a, "b": b}})
+    assert ev.render("{state.a + state.b}") == a + b
+    assert ev.render("{state.a > state.b}") == (a > b)
+    assert ev.render("{state.a == state.b ? 1 : 0}") == (1 if a == b else 0)
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=200)
+def test_find_matches_never_raises(text):
+    from sling_cli_spark.expressions import find_matches
+
+    find_matches(text)  # arbitrary text: no crash, any result ok
