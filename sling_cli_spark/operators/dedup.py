@@ -310,9 +310,18 @@ def ngram_jaccard_pairs(
 
     ``candidate_pairs`` comes from LSH buckets, so this join touches only
     candidate rows — broadcastable when the candidate set is small.
+
+    Shingle sets come from ``shingle_table`` + ``collect_set`` (posexplode
+    + window + codegen'd aggregate) rather than the array-lambda builder:
+    HOF lambdas evaluate interpreted and measured ~3x slower (same lesson
+    as the MinHash path). ``array_intersect``/``array_union`` in the pair
+    scorer are native set expressions, not lambdas.
     """
-    sh = df.select(
-        F.col(id_col), shingles_col(F.col(text_col), shingle_n).alias("__sh"))
+    sh = (
+        shingle_table(df, text_col, id_col, shingle_n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("__sh"))
+    )
     a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a")
     b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "sh_b")
     return (

@@ -60,7 +60,11 @@ def write_geojson_collection(
 
 
 def write_excel(df: DataFrame, path: str, sheet: str = "Sheet1") -> None:
-    """Driver-side Excel writer (gated on an engine being installed)."""
+    """Driver-side Excel writer. Uses pandas+openpyxl/xlsxwriter when
+    available; otherwise the stdlib xlsx writer (sources/xlsx.py — a zip
+    of OOXML parts, no dependency needed). Sheets are driver-sized by
+    contract, like the reference's in-memory builder (sheet_excel.go)."""
+    engine = None
     try:
         import openpyxl  # noqa: F401
         engine = "openpyxl"
@@ -68,9 +72,15 @@ def write_excel(df: DataFrame, path: str, sheet: str = "Sheet1") -> None:
         try:
             import xlsxwriter  # noqa: F401
             engine = "xlsxwriter"
-        except ImportError as e:
-            raise NotImplementedError(
-                "excel write needs openpyxl or xlsxwriter installed") from e
-    pdf = df.toPandas()
-    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-    pdf.to_excel(path, sheet_name=sheet, index=False, engine=engine)
+        except ImportError:
+            pass
+    if engine:
+        pdf = df.toPandas()
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
+                    exist_ok=True)
+        pdf.to_excel(path, sheet_name=sheet, index=False, engine=engine)
+        return
+    from sling_cli_spark.sources.xlsx import write_xlsx
+
+    rows = [list(r) for r in df.collect()]
+    write_xlsx(rows, list(df.columns), path, sheet=sheet)

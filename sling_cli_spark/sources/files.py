@@ -216,8 +216,16 @@ def _read_via_pandas(
 
     try:
         if fmt == "excel":
-            import openpyxl  # noqa: F401
-            pdf = pd.read_excel(path, sheet_name=opts.sheet or 0)
+            try:
+                import openpyxl  # noqa: F401
+                pdf = pd.read_excel(path, sheet_name=opts.sheet or 0)
+            except ImportError:
+                # stdlib fallback: zero-dependency xlsx parser with the
+                # reference's Sheet1!A1:C100 range syntax (sources/xlsx.py)
+                from sling_cli_spark.sources.xlsx import read_xlsx
+
+                header, rows = read_xlsx(path, opts.sheet)
+                pdf = pd.DataFrame(rows, columns=header)
         else:
             pdf = pd.read_sas(path)
     except ImportError as e:
