@@ -432,6 +432,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def simhash_dedup_docs(spark, sf):
         return simhash_dedup(_t(spark, sf, "documents")).select("doc_id")
 
+    def excel_roundtrip(spark, sf):
+        """Excel sink+source active in-sandbox (sources/xlsx.py stdlib
+        OOXML implementation; reference iop/sheet_excel.go): write region
+        to xlsx, read it back, hash-match the original table."""
+        import tempfile
+
+        from sling_cli_spark.config import Source, SourceOptions
+        from sling_cli_spark.sinks.formats import write_excel
+        from sling_cli_spark.sources.files import read_source
+
+        path = os.path.join(tempfile.mkdtemp(prefix="sling_xl_"), "r.xlsx")
+        write_excel(_t(spark, sf, "region"), path)
+        back = read_source(spark, Source(
+            stream=path, options=SourceOptions(format="excel")))
+        return back.select(
+            F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name")
+
     def multimodal_bytes(spark, sf):
         """Multimodal blob plumbing under the oracle: documents.text
         bytes ride as an opaque binary column through the Arrow-batched
@@ -570,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_docs": minhash_dedup_docs,
         "jaccard_dedup_docs": jaccard_dedup_docs,
         "multimodal_bytes": multimodal_bytes,
+        "excel_roundtrip": excel_roundtrip,
         "simhash_dedup_docs": simhash_dedup_docs,
         "text_stats_docs": text_stats_docs,
         "token_count_docs": token_count_docs,
@@ -769,6 +787,10 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, event_id FROM events
                             WHERE event_id % 2 = 1) r
               ON l.user_id = r.user_id AND l.event_id >= r.event_id
+        """,
+        "excel_roundtrip": """
+            SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+            FROM region
         """,
         "multimodal_bytes": """
             SELECT doc_id AS media_id,
