@@ -449,6 +449,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return back.select(
             F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name")
 
+    def avro_roundtrip(spark, sf):
+        """Avro OCF active in-sandbox (sources/avro_py.py stdlib
+        implementation of the public Avro spec; reference iop/avro.go):
+        write nation to avro, read it back, hash-match the original."""
+        import tempfile
+
+        from sling_cli_spark.sources.avro_py import read_avro_df, write_avro_df
+
+        path = os.path.join(tempfile.mkdtemp(prefix="sling_av_"), "n.avro")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_avro_df(n, path)
+        return read_avro_df(spark, path)
+
     def multimodal_bytes(spark, sf):
         """Multimodal blob plumbing under the oracle: documents.text
         bytes ride as an opaque binary column through the Arrow-batched
@@ -588,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_dedup_docs": jaccard_dedup_docs,
         "multimodal_bytes": multimodal_bytes,
         "excel_roundtrip": excel_roundtrip,
+        "avro_roundtrip": avro_roundtrip,
         "simhash_dedup_docs": simhash_dedup_docs,
         "text_stats_docs": text_stats_docs,
         "token_count_docs": token_count_docs,
@@ -791,6 +808,11 @@ def oracle_sql() -> dict[str, str]:
         "excel_roundtrip": """
             SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
             FROM region
+        """,
+        "avro_roundtrip": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
         """,
         "multimodal_bytes": """
             SELECT doc_id AS media_id,

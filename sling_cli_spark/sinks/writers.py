@@ -111,10 +111,12 @@ def write_files(
     if fmt == "avro":
         try:
             writer.format("avro").save(uri)
-        except Exception as e:
-            raise NotImplementedError(
-                "avro write needs the spark-avro module on the classpath"
-            ) from e
+        except Exception:
+            # stdlib OCF fallback (sources/avro_py.py) when the
+            # spark-avro jar is absent
+            from sling_cli_spark.sources.avro_py import write_avro_df
+
+            write_avro_df(df, uri)
         return
     if fmt == "geojsonl":
         from sling_cli_spark.sinks.formats import write_geojsonl

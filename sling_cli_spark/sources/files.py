@@ -104,10 +104,13 @@ def read_files(spark: SparkSession, path: str, opts: SourceOptions) -> DataFrame
     if fmt == "avro":
         try:
             return spark.read.format("avro").load(path)
-        except Exception as e:
-            raise NotImplementedError(
-                "avro read needs the spark-avro module on the classpath "
-                "(external since Spark 2.4)") from e
+        except Exception:
+            # spark-avro jar absent (external since Spark 2.4): stdlib
+            # OCF parser on the driver (sources/avro_py.py) — native
+            # distributed reader preferred when the jar is present
+            from sling_cli_spark.sources.avro_py import read_avro_df
+
+            return read_avro_df(spark, path)
     if fmt == "arrow":
         from sling_cli_spark.sources.arrow import read_arrow
 
