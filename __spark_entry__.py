@@ -216,6 +216,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merge_files(spark, path, s, "o_orderkey")
         return spark.read.parquet(path)
 
+    def delta_roundtrip(spark, sf):
+        """Delta scan/write active in-sandbox (sources/delta_py.py —
+        protocol-level log replay; reference iop/delta.go): write nation
+        as a Delta table, read the snapshot back, hash-match the
+        original."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import read_delta, write_delta
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_dl_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_delta(n, t)
+        return read_delta(spark, t)
+
+    def merge_update_insert_delta(spark, sf):
+        """Copy-on-write MERGE into a Delta table (delta_py.merge_delta,
+        remove+add log commit) — must hash-match the same oracle as the
+        full-rewrite update_insert (VERDICT r2 next-step #1)."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            merge_delta, read_delta, write_delta)
+
+        t, s = _merge_frames(spark, sf)
+        path = os.path.join(tempfile.mkdtemp(prefix="sling_dm_"), "t")
+        write_delta(t.repartition(4), path)
+        merge_delta(spark, path, s, "o_orderkey")
+        return read_delta(spark, path)
+
     def merge_sql_render(spark, sf):
         """Dialect-template merge executed in DuckDB — the JDBC-target
         twin: ``sling_cli_spark.dialects`` renders the duckdb
@@ -578,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_update": merge_upd,
         "merge_delete_insert": merge_di,
         "merge_file_granular": merge_file_granular,
+        "delta_roundtrip": delta_roundtrip,
+        "merge_update_insert_delta": merge_update_insert_delta,
         "merge_sql_render": merge_sql_render,
         "column_typing_clamp": column_typing_clamp,
         "constraint_dsl_filter": constraint_dsl_filter,
@@ -732,6 +766,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM src
         """,
         "merge_file_granular": f"""
+            WITH src AS ({_MERGE_SRC})
+            SELECT * FROM orders WHERE o_orderkey < 750
+              AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL SELECT * FROM src
+        """,
+        "delta_roundtrip": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+        """,
+        "merge_update_insert_delta": f"""
             WITH src AS ({_MERGE_SRC})
             SELECT * FROM orders WHERE o_orderkey < 750
               AND o_orderkey NOT IN (SELECT o_orderkey FROM src)

@@ -209,6 +209,31 @@ def run(
         and target_df is not None
     )
     update_key = cfg.source.update_key
+    if needs_merge and _delta_merge_eligible(cfg):
+        # Delta target: copy-on-write merge committed to the transaction
+        # log — only touched files rewritten, readers see atomic versions
+        # (sources/delta_py.py; delta-spark MERGE INTO when jars exist)
+        from sling_cli_spark.operators.evolution import reconcile_schemas
+        from sling_cli_spark.sinks.writers import parse_partition_mask
+        from sling_cli_spark.sources.delta_py import merge_delta
+
+        uri, _ = parse_partition_mask(cfg.target.object or "", update_key)
+        if dict(df.dtypes) != dict(target_df.dtypes):
+            target_df, df = reconcile_schemas(
+                target_df, df,
+                add_new_columns=cfg.target.options.add_new_columns,
+                adjust_column_type=cfg.target.options.adjust_column_type)
+        vals = df.agg(*_write_aggs(cfg, df.columns)).collect()[0].asDict()
+        stats = merge_delta(
+            spark, uri, df, cfg.source.primary_key,
+            strategy=cfg.target.options.merge_strategy,
+            update_key=update_key)
+        result = TaskResult(rows=vals["rows"], columns=df.columns,
+                            mode=cfg.mode.value, watermark=vals.get("wm"),
+                            merge_stats=stats)
+        if cfg.target.options.post_sql:
+            spark.sql(cfg.target.options.post_sql)
+        return result
     if needs_merge and _file_merge_eligible(spark, cfg, target_df, df):
         # copy-on-write at file granularity: only parquet files holding
         # matched PKs are rewritten — O(touched + batch), not O(target).
@@ -279,6 +304,18 @@ def run(
     if cfg.target.options.post_sql:
         spark.sql(cfg.target.options.post_sql)
     return result
+
+
+def _delta_merge_eligible(cfg: Config) -> bool:
+    """Delta targets route merges through the transaction log (no
+    delete_missing yet — that still uses the full-rewrite swap)."""
+    if cfg.target.options.delete_missing:
+        return False
+    if (cfg.target.options.format or "") == "delta":
+        return True
+    from sling_cli_spark.sources.delta_py import is_delta_table
+
+    return is_delta_table(cfg.target.object or "")
 
 
 def _file_merge_eligible(

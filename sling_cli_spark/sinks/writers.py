@@ -95,6 +95,13 @@ def write_files(
         try:
             writer.format(fmt).save(uri)
         except Exception as e:
+            if fmt == "delta" and not part_cols:
+                # protocol-level fallback: atomic log-commit writer
+                # (sources/delta_py.py) when the jars are absent
+                from sling_cli_spark.sources.delta_py import write_delta
+
+                write_delta(df, uri, mode=_spark_mode(mode))
+                return
             raise NotImplementedError(
                 f"{fmt} write needs the {fmt} connector on the classpath"
             ) from e

@@ -116,11 +116,16 @@ def read_files(spark: SparkSession, path: str, opts: SourceOptions) -> DataFrame
 
         return read_arrow(spark, path)
     if fmt in ("delta", "iceberg"):
-        # table formats need their connector jars on the cluster; the read
-        # itself is the stock DataSource API (delta.io / iceberg runtime)
+        # table formats prefer their connector jars (stock DataSource
+        # API, distributed); without them, Delta falls back to the
+        # protocol-level log replay in sources/delta_py.py
         try:
             return spark.read.format(fmt).load(path)
         except Exception as e:
+            if fmt == "delta":
+                from sling_cli_spark.sources.delta_py import read_delta
+
+                return read_delta(spark, path)
             raise NotImplementedError(
                 f"{fmt} read needs the {fmt} connector on the classpath"
             ) from e

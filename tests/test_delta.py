@@ -1,0 +1,156 @@
+"""Protocol-level Delta table layer (sources/delta_py.py): log replay,
+atomic commits, time travel, copy-on-write MERGE, vacuum."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from sling_cli_spark.config import MergeStrategy
+from sling_cli_spark.sources.delta_py import (
+    is_delta_table, latest_version, merge_delta, read_delta, replay_log,
+    vacuum, write_delta,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def test_write_read_append_overwrite(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v0 = write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    assert v0 == 0 and is_delta_table(t)
+    v1 = write_delta(_df(spark, [(3, "c")]), t, mode="append")
+    assert v1 == 1
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+    write_delta(_df(spark, [(9, "z")]), t, mode="overwrite")
+    assert {r["id"] for r in read_delta(spark, t).collect()} == {9}
+
+
+def test_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    write_delta(_df(spark, [(3, "c")]), t, mode="overwrite")
+    assert {r["id"] for r in read_delta(spark, t, version=0).collect()} == {1}
+    assert {r["id"] for r in read_delta(spark, t, version=1).collect()} == {1, 2}
+    assert {r["id"] for r in read_delta(spark, t).collect()} == {3}
+
+
+def test_first_commit_has_protocol_and_metadata(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    log0 = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(x) for x in open(log0) if x.strip()]
+    assert actions[0]["protocol"]["minReaderVersion"] == 1
+    md = actions[1]["metaData"]
+    assert md["format"]["provider"] == "parquet"
+    assert "id" in json.loads(md["schemaString"])["fields"][0]["name"] \
+        or json.loads(md["schemaString"])["fields"][0]["name"] == "id"
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    from sling_cli_spark.sources.delta_py import _commit
+
+    with pytest.raises(FileExistsError):
+        _commit(t, 0, [{"add": {"path": "x", "size": 1,
+                                "partitionValues": {},
+                                "modificationTime": 0,
+                                "dataChange": True}}])
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    # 4 data files, ids clustered per file
+    for lo in (0, 100, 200, 300):
+        write_delta(
+            spark.range(lo, lo + 100)
+            .selectExpr("id", "cast(id as string) v").coalesce(1), t,
+            mode="append")
+    before = set(glob.glob(os.path.join(t, "part-*.parquet")))
+
+    batch = spark.createDataFrame(
+        [(150, "X"), (151, "X"), (999, "new")], "id long, v string")
+    stats = merge_delta(spark, t, batch, "id")
+    assert stats["touched"] == 1 and stats["version"] == 4
+    after_active = set(replay_log(t)[1])
+    # 3 of 4 original files still active, untouched on disk
+    surviving = {os.path.basename(p) for p in before} & after_active
+    assert len(surviving) == 3
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got[150] == "X" and got[151] == "X" and got[999] == "new"
+    assert len(got) == 401
+    # old snapshot still readable (isolation)
+    assert len(read_delta(spark, t, version=3).collect()) == 400
+
+
+def test_merge_insert_strategy_appends_only(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    stats = merge_delta(
+        spark, t, _df(spark, [(2, "DUP"), (3, "c")]), "id",
+        strategy=MergeStrategy.INSERT)
+    assert stats["touched"] == 0
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # no dup, 2 kept original
+
+
+def test_vacuum_removes_unreferenced(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    write_delta(_df(spark, [(2, "b")]), t, mode="overwrite")
+    n_parquet = len(glob.glob(os.path.join(t, "*.parquet")))
+    active = set(replay_log(t)[1])
+    deleted = vacuum(t, keep_versions=1)
+    assert len(deleted) == n_parquet - len(active) > 0
+    assert len(glob.glob(os.path.join(t, "*.parquet"))) == len(active)
+    assert {r["id"] for r in read_delta(spark, t).collect()} == {2}
+
+
+def test_runner_routes_delta_merge(spark, tmp_path):
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+
+    t = str(tmp_path / "dt")
+    for lo in (0, 100):
+        write_delta(
+            spark.range(lo, lo + 100)
+            .selectExpr("id", "cast(id as string) v", "id as ts")
+            .coalesce(1), t, mode="append")
+
+    src = tmp_path / "batch.csv"
+    src.write_text("id,v,ts\n150,VX,2000\n")
+    cfg = Config.from_dict({
+        "source": {"stream": str(src), "primary_key": "id",
+                   "update_key": "ts",
+                   "options": {"columns": {"id": "bigint", "ts": "bigint"}}},
+        "target": {"object": t, "options": {"format": "delta"}},
+        "mode": "incremental"})
+    r = run(spark, cfg, target_df=read_delta(spark, t))
+    assert r.merge_stats is not None and r.merge_stats["touched"] == 1
+    got = {x["id"]: x["v"] for x in read_delta(spark, t).collect()}
+    assert got[150] == "VX" and len(got) == 200
+    assert latest_version(t) == 2
+
+
+def test_el_task_writes_delta_target(spark, tmp_path):
+    from sling_cli_spark.config import Config, Source, SourceOptions
+    from sling_cli_spark.runner import run
+    from sling_cli_spark.sources.files import read_source
+
+    t = str(tmp_path / "out_delta")
+    cfg = Config.from_dict({
+        "source": {"stream": "/root/testdata/sf0.001/region.parquet"},
+        "target": {"object": t, "options": {"format": "delta"}},
+        "mode": "full-refresh"})
+    r = run(spark, cfg)
+    assert r.rows == 5 and is_delta_table(t)
+    back = read_source(spark, Source(
+        stream=t, options=SourceOptions(format="delta")))
+    assert back.count() == 5
