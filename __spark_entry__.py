@@ -233,6 +233,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         write_delta(n, t)
         return read_delta(spark, t)
 
+    def iceberg_roundtrip(spark, sf):
+        """Iceberg v1 scan/write active in-sandbox (sources/iceberg_py.py
+        — metadata json + manifest-list/manifest Avro chain per the open
+        spec; reference iop/iceberg.go): write region as an Iceberg
+        table, read the current snapshot, hash-match the original."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            read_iceberg, write_iceberg)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_ib_"), "t")
+        r = _t(spark, sf, "region").select(
+            F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name")
+        write_iceberg(r, t)
+        return read_iceberg(spark, t)
+
     def merge_update_insert_delta(spark, sf):
         """Copy-on-write MERGE into a Delta table (delta_py.merge_delta,
         remove+add log commit) — must hash-match the same oracle as the
@@ -611,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_delete_insert": merge_di,
         "merge_file_granular": merge_file_granular,
         "delta_roundtrip": delta_roundtrip,
+        "iceberg_roundtrip": iceberg_roundtrip,
         "merge_update_insert_delta": merge_update_insert_delta,
         "merge_sql_render": merge_sql_render,
         "column_typing_clamp": column_typing_clamp,
@@ -775,6 +792,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation
+        """,
+        "iceberg_roundtrip": """
+            SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+            FROM region
         """,
         "merge_update_insert_delta": f"""
             WITH src AS ({_MERGE_SRC})

@@ -95,16 +95,20 @@ def write_files(
         try:
             writer.format(fmt).save(uri)
         except Exception as e:
-            if fmt == "delta" and not part_cols:
-                # protocol-level fallback: atomic log-commit writer
-                # (sources/delta_py.py) when the jars are absent
+            if part_cols:
+                raise NotImplementedError(
+                    f"partitioned {fmt} write needs the {fmt} connector "
+                    "on the classpath") from e
+            # spec-level fallbacks when the jars are absent
+            if fmt == "delta":
                 from sling_cli_spark.sources.delta_py import write_delta
 
                 write_delta(df, uri, mode=_spark_mode(mode))
-                return
-            raise NotImplementedError(
-                f"{fmt} write needs the {fmt} connector on the classpath"
-            ) from e
+            else:
+                from sling_cli_spark.sources.iceberg_py import write_iceberg
+
+                write_iceberg(df, uri, mode=_spark_mode(mode))
+            return
         return
     if fmt == "arrow":
         from sling_cli_spark.sources.arrow import write_arrow

@@ -121,14 +121,15 @@ def read_files(spark: SparkSession, path: str, opts: SourceOptions) -> DataFrame
         # protocol-level log replay in sources/delta_py.py
         try:
             return spark.read.format(fmt).load(path)
-        except Exception as e:
+        except Exception:
             if fmt == "delta":
                 from sling_cli_spark.sources.delta_py import read_delta
 
                 return read_delta(spark, path)
-            raise NotImplementedError(
-                f"{fmt} read needs the {fmt} connector on the classpath"
-            ) from e
+            # iceberg: spec-level reader (sources/iceberg_py.py)
+            from sling_cli_spark.sources.iceberg_py import read_iceberg
+
+            return read_iceberg(spark, path)
     if fmt == "xml":
         # native in Spark 4 (SPARK-44265)
         return spark.read.format("xml") \

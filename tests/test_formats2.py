@@ -36,9 +36,13 @@ def test_read_gsheet_with_fake_transport(spark):
     assert dict(df.dtypes)["id"] in ("int", "bigint")
 
 
-def test_avro_raises_helpfully(spark, tmp_path):
-    df = spark.createDataFrame([Row(a=1)])
-    target = Target(conn="local", object=str(tmp_path / "t.avro"),
-                    options=TargetOptions())
-    with pytest.raises(NotImplementedError, match="spark-avro"):
-        write_files(df, target, Mode.FULL_REFRESH, fmt="avro")
+def test_avro_write_falls_back_to_stdlib_ocf(spark, tmp_path):
+    # without the spark-avro jar the stdlib OCF writer takes over
+    from sling_cli_spark.sources.avro_py import read_avro
+
+    df = spark.createDataFrame([Row(a=1), Row(a=2)])
+    path = str(tmp_path / "t.avro")
+    target = Target(conn="local", object=path, options=TargetOptions())
+    write_files(df, target, Mode.FULL_REFRESH, fmt="avro")
+    _, recs = read_avro(path)
+    assert sorted(r["a"] for r in recs) == [1, 2]
