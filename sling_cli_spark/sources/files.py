@@ -54,6 +54,12 @@ def detect_format(path: str, opts: SourceOptions) -> str:
     for ext, fmt in sorted(_EXT_FORMAT.items(), key=lambda kv: -len(kv[0])):
         if base.endswith(ext):
             return fmt
+    # table-format dirs MUST be detected: reading a delta dir as plain
+    # parquet would include removed (tombstoned) data files
+    if os.path.isdir(os.path.join(base, "_delta_log")):
+        return "delta"
+    if os.path.isfile(os.path.join(base, "metadata", "version-hint.text")):
+        return "iceberg"
     # directory of parquet is the common lake layout
     return "parquet"
 

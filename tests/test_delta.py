@@ -154,3 +154,24 @@ def test_el_task_writes_delta_target(spark, tmp_path):
     back = read_source(spark, Source(
         stream=t, options=SourceOptions(format="delta")))
     assert back.count() == 5
+
+
+def test_detect_format_table_dirs(spark, tmp_path):
+    """A delta/iceberg dir read WITHOUT an explicit format must not be
+    scanned as plain parquet (removed files would resurface)."""
+    from sling_cli_spark.config import Source, SourceOptions
+    from sling_cli_spark.sources.files import detect_format, read_source
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+
+    dt = str(tmp_path / "dt")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]), dt)
+    write_delta(_df(spark, [(9, "z")]), dt, mode="overwrite")
+    assert detect_format(dt, SourceOptions()) == "delta"
+    # auto-detected read sees only the live snapshot, not tombstoned files
+    got = {r["id"] for r in read_source(spark, Source(stream=dt)).collect()}
+    assert got == {9}
+
+    it = str(tmp_path / "it")
+    write_iceberg(_df(spark, [(5, "e")]), it)
+    assert detect_format(it, SourceOptions()) == "iceberg"
+    assert {r["id"] for r in read_source(spark, Source(stream=it)).collect()} == {5}
