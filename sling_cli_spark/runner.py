@@ -209,13 +209,20 @@ def run(
         and target_df is not None
     )
     update_key = cfg.source.update_key
-    if needs_merge and _delta_merge_eligible(cfg):
-        # Delta target: copy-on-write merge committed to the transaction
-        # log — only touched files rewritten, readers see atomic versions
-        # (sources/delta_py.py; delta-spark MERGE INTO when jars exist)
+    lake_fmt = _lake_merge_format(cfg)
+    if needs_merge and lake_fmt:
+        # Lake-format target: copy-on-write merge committed as a new
+        # table version/snapshot — only touched files rewritten, readers
+        # see atomic versions (sources/{delta,iceberg}_py; the jar-backed
+        # MERGE INTO is the cluster equivalent)
         from sling_cli_spark.operators.evolution import reconcile_schemas
         from sling_cli_spark.sinks.writers import parse_partition_mask
-        from sling_cli_spark.sources.delta_py import merge_delta
+
+        if lake_fmt == "delta":
+            from sling_cli_spark.sources.delta_py import merge_delta as _merge
+        else:
+            from sling_cli_spark.sources.iceberg_py import (
+                merge_iceberg as _merge)
 
         uri, _ = parse_partition_mask(cfg.target.object or "", update_key)
         if dict(df.dtypes) != dict(target_df.dtypes):
@@ -224,7 +231,7 @@ def run(
                 add_new_columns=cfg.target.options.add_new_columns,
                 adjust_column_type=cfg.target.options.adjust_column_type)
         vals = df.agg(*_write_aggs(cfg, df.columns)).collect()[0].asDict()
-        stats = merge_delta(
+        stats = _merge(
             spark, uri, df, cfg.source.primary_key,
             strategy=cfg.target.options.merge_strategy,
             update_key=update_key)
@@ -306,16 +313,24 @@ def run(
     return result
 
 
-def _delta_merge_eligible(cfg: Config) -> bool:
-    """Delta targets route merges through the transaction log (no
-    delete_missing yet — that still uses the full-rewrite swap)."""
+def _lake_merge_format(cfg: Config) -> str | None:
+    """'delta' / 'iceberg' when the target routes merges through a table
+    format's log/snapshot machinery (no delete_missing yet — that still
+    uses the full-rewrite swap), else None."""
     if cfg.target.options.delete_missing:
-        return False
-    if (cfg.target.options.format or "") == "delta":
-        return True
+        return None
+    fmt = cfg.target.options.format or ""
+    if fmt in ("delta", "iceberg"):
+        return fmt
     from sling_cli_spark.sources.delta_py import is_delta_table
+    from sling_cli_spark.sources.iceberg_py import is_iceberg_table
 
-    return is_delta_table(cfg.target.object or "")
+    obj = cfg.target.object or ""
+    if is_delta_table(obj):
+        return "delta"
+    if is_iceberg_table(obj):
+        return "iceberg"
+    return None
 
 
 def _file_merge_eligible(

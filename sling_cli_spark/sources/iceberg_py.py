@@ -127,37 +127,91 @@ def read_iceberg(
     return spark.read.parquet(*[f["file_path"] for f in files])
 
 
-def write_iceberg(
-    df: DataFrame, path: str, mode: str = "append",
+def merge_iceberg(
+    spark: SparkSession,
+    path: str,
+    src: DataFrame,
+    primary_key,
+    strategy=None,
+    update_key: str | None = None,
+) -> dict:
+    """Copy-on-write MERGE as a new snapshot: data files holding matched
+    PKs are replaced (carried forward files keep status 0, replaced ones
+    are simply not carried), so readers of older snapshots still see the
+    pre-merge table — same contract as :func:`delta_py.merge_delta`.
+
+    Returns {"touched": n, "new_files": n, "kept": n, "snapshot_id": id}.
+    """
+    from sling_cli_spark.config import MergeStrategy
+    from sling_cli_spark.operators.file_merge import touched_files
+    from sling_cli_spark.operators.merge import merge_dataframes
+
+    strategy = strategy or MergeStrategy.UPDATE_INSERT
+    pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    _, meta = _current_metadata(path)
+    active = _active_files(path, meta, None)
+    target = read_iceberg(spark, path)
+
+    touched: set[str] = set()
+    if strategy == MergeStrategy.INSERT:
+        replacement = src.join(target.select(*pk), on=pk, how="left_anti")
+    elif strategy == MergeStrategy.HISTORY_INSERT:
+        replacement = src
+    else:
+        from urllib.parse import urlparse
+
+        touched = {
+            os.path.abspath(urlparse(p).path or p)
+            for p in touched_files(target, src, pk)
+        }
+        touched_paths = sorted(touched)
+        touched_rows = spark.read.parquet(*touched_paths) if touched_paths \
+            else spark.createDataFrame([], target.schema)
+        replacement = merge_dataframes(
+            touched_rows, src, pk, strategy=strategy, update_key=update_key)
+
+    keep = [f for f in active
+            if os.path.abspath(f["file_path"]) not in touched]
+    snapshot_id = _commit_snapshot(df=replacement, path=path, meta=meta,
+                                   carried=keep)
+    return {"touched": len(touched),
+            "new_files": len(_active_files(path, meta, snapshot_id)) - len(keep),
+            "kept": len(keep), "snapshot_id": snapshot_id}
+
+
+def _init_meta(df: DataFrame, path: str) -> dict:
+    return {
+        "format-version": 1,
+        "table-uuid": str(uuid.uuid4()),
+        "location": os.path.abspath(path),
+        "last-updated-ms": 0,
+        "last-column-id": len(df.schema.fields),
+        "schemas": [_ice_schema_for(df)],
+        "schema": _ice_schema_for(df),  # v1 single-schema field
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {},
+        "snapshots": [],
+        "current-snapshot-id": -1,
+    }
+
+
+def _commit_snapshot(
+    df: DataFrame, path: str, meta: dict, carried: list[dict],
+    operation: str = "append",
 ) -> int:
-    """Append/overwrite as a new snapshot + metadata version; returns the
-    snapshot id."""
+    """Stage ``df`` as new data files, write manifest + manifest-list,
+    bump the metadata version; ``carried`` files join the snapshot with
+    status 0 (existing). Returns the new snapshot id."""
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     os.makedirs(_meta_dir(path), exist_ok=True)
-
+    version = 0
     if is_iceberg_table(path):
-        version, meta = _current_metadata(path)
-    else:
-        version, meta = 0, {
-            "format-version": 1,
-            "table-uuid": str(uuid.uuid4()),
-            "location": os.path.abspath(path),
-            "last-updated-ms": 0,
-            "last-column-id": len(df.schema.fields),
-            "schemas": [_ice_schema_for(df)],
-            "schema": _ice_schema_for(df),  # v1 single-schema field
-            "partition-spec": [],
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "default-spec-id": 0,
-            "properties": {},
-            "snapshots": [],
-            "current-snapshot-id": -1,
-        }
+        version, _ = _current_metadata(path)
 
-    # stage parquet data files
     tmp = os.path.join(path, "data", f".stage_{uuid.uuid4().hex[:8]}")
     df.write.parquet(tmp)
-    n_rows = 0
     data_files: list[dict] = []
     for fname in sorted(os.listdir(tmp)):
         if not fname.endswith(".parquet") or fname.startswith((".", "_")):
@@ -178,10 +232,8 @@ def write_iceberg(
     snapshot_id = int(time.time() * 1000) * 1000 + (version + 1)
     entries = [{"status": 1, "snapshot_id": snapshot_id, "data_file": f}
                for f in data_files]
-    if mode != "overwrite":  # carry forward previous snapshot's files
-        prev = _active_files(path, meta, None)
-        entries += [{"status": 0, "snapshot_id": snapshot_id, "data_file": f}
-                    for f in prev]
+    entries += [{"status": 0, "snapshot_id": snapshot_id, "data_file": f}
+                for f in carried]
 
     manifest_path = os.path.join(
         _meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
@@ -199,8 +251,7 @@ def write_iceberg(
         "snapshot-id": snapshot_id,
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": mlist_path,
-        "summary": {"operation": "overwrite" if mode == "overwrite"
-                    else "append"},
+        "summary": {"operation": operation},
     }]
     meta["current-snapshot-id"] = snapshot_id
     meta["last-updated-ms"] = int(time.time() * 1000)
@@ -214,3 +265,19 @@ def write_iceberg(
         f.write(str(new_version))
     os.replace(hint_tmp, os.path.join(_meta_dir(path), "version-hint.text"))
     return snapshot_id
+
+
+def write_iceberg(
+    df: DataFrame, path: str, mode: str = "append",
+) -> int:
+    """Append/overwrite as a new snapshot + metadata version; returns the
+    snapshot id."""
+    if is_iceberg_table(path):
+        _, meta = _current_metadata(path)
+    else:
+        meta = _init_meta(df, path)
+    carried = [] if mode == "overwrite" or not meta.get("snapshots") \
+        else _active_files(path, meta, None)
+    return _commit_snapshot(
+        df, path, meta, carried,
+        operation="overwrite" if mode == "overwrite" else "append")

@@ -59,3 +59,43 @@ def test_el_task_iceberg_roundtrip(spark, tmp_path):
     back = read_source(spark, Source(
         stream=t, options=SourceOptions(format="iceberg")))
     assert back.count() == 5
+
+
+def test_merge_iceberg_touched_files_only(spark, tmp_path):
+    from sling_cli_spark.sources.iceberg_py import merge_iceberg
+
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        write_iceberg(
+            spark.range(lo, lo + 100)
+            .selectExpr("id", "cast(id as string) v").coalesce(1), t)
+    batch = spark.createDataFrame([(150, "X"), (999, "new")],
+                                  "id long, v string")
+    stats = merge_iceberg(spark, t, batch, "id")
+    assert stats["touched"] == 1 and stats["kept"] == 2
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got[150] == "X" and got[999] == "new" and len(got) == 301
+
+
+def test_runner_routes_iceberg_merge(spark, tmp_path):
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+
+    t = str(tmp_path / "it")
+    for lo in (0, 100):
+        write_iceberg(
+            spark.range(lo, lo + 100)
+            .selectExpr("id", "cast(id as string) v", "id as ts")
+            .coalesce(1), t)
+    src = tmp_path / "b.csv"
+    src.write_text("id,v,ts\n50,VX,999\n")
+    cfg = Config.from_dict({
+        "source": {"stream": str(src), "primary_key": "id",
+                   "update_key": "ts",
+                   "options": {"columns": {"id": "bigint", "ts": "bigint"}}},
+        "target": {"object": t},
+        "mode": "incremental"})
+    r = run(spark, cfg, target_df=read_iceberg(spark, t))
+    assert r.merge_stats is not None and r.merge_stats["touched"] == 1
+    got = {x["id"]: x["v"] for x in read_iceberg(spark, t).collect()}
+    assert got[50] == "VX" and len(got) == 200
