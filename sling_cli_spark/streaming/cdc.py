@@ -66,16 +66,30 @@ def run_cdc_stream(
     soft: bool = False,
     available_now: bool = True,
 ):
-    """Drive a CDC stream into a parquet target via foreachBatch merge.
+    """Drive a CDC stream into a parquet or Delta target via foreachBatch
+    merge.
 
     available_now=True drains the current backlog and stops (the testable
     incremental-batch mode); False runs continuously. Checkpointing makes
     restarts resume from the last committed batch.
+
+    Delta targets (detected by ``_delta_log``) take the versioned path:
+    each micro-batch commits a copy-on-write change_capture merge — only
+    files holding the batch's PKs rewrite, and concurrent readers see
+    atomic versions instead of the brief swap-rename window.
     """
+    from sling_cli_spark.config import MergeStrategy
     from sling_cli_spark.operators.merge import merge_change_capture
+    from sling_cli_spark.sources.delta_py import is_delta_table, merge_delta
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        if is_delta_table(target_path):
+            merge_delta(
+                sess, target_path, batch, primary_key,
+                strategy=MergeStrategy.CHANGE_CAPTURE_SOFT if soft
+                else MergeStrategy.CHANGE_CAPTURE)
+            return
         try:
             target = sess.read.parquet(target_path)
             exists = True

@@ -175,3 +175,48 @@ def test_detect_format_table_dirs(spark, tmp_path):
     write_iceberg(_df(spark, [(5, "e")]), it)
     assert detect_format(it, SourceOptions()) == "iceberg"
     assert {r["id"] for r in read_source(spark, Source(stream=it)).collect()} == {5}
+
+
+def test_cdc_stream_into_delta_target(spark, tmp_path):
+    """Streaming CDC foreachBatch routes into the versioned delta merge."""
+    import json as _json
+
+    from pyspark.sql import types as T2
+
+    from sling_cli_spark.streaming.cdc import read_file_stream, run_cdc_stream
+
+    t = str(tmp_path / "dt")
+    write_delta(spark.createDataFrame(
+        [(1, "a", "I", 0), (2, "b", "I", 0)],
+        "id long, v string, _sling_synced_op string, _sling_synced_seq long",
+    ), t)
+
+    src_dir = str(tmp_path / "cdc_in")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "b1.json"), "w") as f:
+        for r in [
+            {"id": 2, "v": "b2", "_sling_synced_op": "U",
+             "_sling_synced_seq": 1},
+            {"id": 1, "v": None, "_sling_synced_op": "D",
+             "_sling_synced_seq": 1},
+            {"id": 3, "v": "c", "_sling_synced_op": "I",
+             "_sling_synced_seq": 1},
+        ]:
+            f.write(_json.dumps(r) + "\n")
+
+    schema = T2.StructType([
+        T2.StructField("id", T2.LongType()),
+        T2.StructField("v", T2.StringType()),
+        T2.StructField("_sling_synced_op", T2.StringType()),
+        T2.StructField("_sling_synced_seq", T2.LongType()),
+    ])
+    stream = read_file_stream(spark, src_dir, schema, fmt="json")
+    run_cdc_stream(spark, stream, t, "id",
+                   checkpoint=str(tmp_path / "ckpt"))
+
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {2: "b2", 3: "c"}  # 1 deleted, 2 updated, 3 inserted
+    assert latest_version(t) >= 1  # the merge landed as a log commit
+    # pre-stream snapshot still readable
+    v0 = {r["id"] for r in read_delta(spark, t, version=0).collect()}
+    assert v0 == {1, 2}
