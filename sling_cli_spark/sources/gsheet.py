@@ -52,3 +52,49 @@ def read_gsheet(
 
         df = infer_and_cast(df)
     return df
+
+
+def write_gsheet(
+    df,
+    sheet_ref: str,
+    sheet_name: str = "Sheet1",
+    token: str | None = None,
+    transport=None,
+) -> dict:
+    """Write a DataFrame to a sheet via the Sheets API values.update
+    endpoint (reference: fs_google_sheets write path —
+    ``Spreadsheets.Values.Update(... ).ValueInputOption("RAW")``,
+    sheet_google.go:420).
+
+    ``transport`` is ``(method, url, headers, json_body) -> (status,
+    json)`` — injectable for tests; the default posts with urllib using
+    a bearer ``token``. Sheets are driver-sized by API contract (cell
+    caps), so the collect here matches the reference's in-memory build.
+    """
+    import json as _json
+    import urllib.request
+
+    m = _ID_RE.search(sheet_ref)
+    sheet_id = m.group(1) if m else sheet_ref
+    rng = f"{sheet_name}!A1"
+    url = (f"https://sheets.googleapis.com/v4/spreadsheets/{sheet_id}"
+           f"/values/{urllib.request.quote(rng)}?valueInputOption=RAW")
+
+    def _default_put(method, u, headers, body):
+        req = urllib.request.Request(
+            u, method=method, headers=headers,
+            data=_json.dumps(body).encode())
+        with urllib.request.urlopen(req) as resp:  # nosec - user URL
+            return resp.status, _json.loads(resp.read().decode())
+
+    transport = transport or _default_put
+    values = [list(df.columns)] + [
+        ["" if v is None else v for v in row] for row in df.collect()]
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    status, body = transport("PUT", url, headers, {
+        "range": rng, "majorDimension": "ROWS", "values": values})
+    if status >= 400:
+        raise RuntimeError(f"sheets values.update returned {status}: {body}")
+    return body

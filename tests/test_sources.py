@@ -112,3 +112,24 @@ def test_merge_schemas_across_drifting_files(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "score"}
     rows = {r["id"]: r["score"] for r in df.collect()}
     assert rows[2] == 9.5 and rows[1] is None
+
+
+def test_write_gsheet_builds_values_update(spark):
+    from sling_cli_spark.sources.gsheet import write_gsheet
+
+    seen = {}
+
+    def transport(method, url, headers, body):
+        seen.update(method=method, url=url, headers=headers, body=body)
+        return 200, {"updatedCells": 6}
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id long, v string")
+    out = write_gsheet(df, "https://docs.google.com/spreadsheets/d/SHEETID99/edit",
+                       token="tok", transport=transport)
+    assert out == {"updatedCells": 6}
+    assert seen["method"] == "PUT"
+    assert "/spreadsheets/SHEETID99/values/" in seen["url"]
+    assert "valueInputOption=RAW" in seen["url"]
+    assert seen["headers"]["Authorization"] == "Bearer tok"
+    assert seen["body"]["values"][0] == ["id", "v"]
+    assert seen["body"]["values"][1:] == [[1, "a"], [2, ""]]
