@@ -230,11 +230,17 @@ def run(
                 target_df, df,
                 add_new_columns=cfg.target.options.add_new_columns,
                 adjust_column_type=cfg.target.options.adjust_column_type)
-        vals = df.agg(*_write_aggs(cfg, df.columns)).collect()[0].asDict()
-        stats = _merge(
-            spark, uri, df, cfg.source.primary_key,
-            strategy=cfg.target.options.merge_strategy,
-            update_key=update_key)
+        # the batch plan runs 3x (stats agg, touched probe, replacement
+        # write) — cache it for the merge; batch-sized, never target-sized
+        df = df.persist()
+        try:
+            vals = df.agg(*_write_aggs(cfg, df.columns)).collect()[0].asDict()
+            stats = _merge(
+                spark, uri, df, cfg.source.primary_key,
+                strategy=cfg.target.options.merge_strategy,
+                update_key=update_key)
+        finally:
+            df.unpersist()
         result = TaskResult(rows=vals["rows"], columns=df.columns,
                             mode=cfg.mode.value, watermark=vals.get("wm"),
                             merge_stats=stats)
@@ -252,15 +258,19 @@ def run(
 
         uri, _ = parse_partition_mask(cfg.target.object or "", update_key)
         # merge_files consumes the batch plan in two actions (touched-file
-        # probe + replacement write), so an Observation can't ride it;
-        # count/watermark come from one agg over the batch — batch-sized,
-        # not target-sized
-        vals = df.agg(*_write_aggs(cfg, df.columns)).collect()[0].asDict()
-        stats = merge_files(
-            spark, uri, df, cfg.source.primary_key,
-            strategy=cfg.target.options.merge_strategy,
-            update_key=update_key,
-        )
+        # probe + replacement write) plus the stats agg, so an Observation
+        # can't ride it; cache the batch for the merge — batch-sized,
+        # never target-sized
+        df = df.persist()
+        try:
+            vals = df.agg(*_write_aggs(cfg, df.columns)).collect()[0].asDict()
+            stats = merge_files(
+                spark, uri, df, cfg.source.primary_key,
+                strategy=cfg.target.options.merge_strategy,
+                update_key=update_key,
+            )
+        finally:
+            df.unpersist()
         result = TaskResult(rows=vals["rows"], columns=df.columns,
                             mode=cfg.mode.value, watermark=vals.get("wm"),
                             merge_stats=stats)
