@@ -607,40 +607,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pairwise_within_label(emb, threshold=0.9) \
             .select("label", "id_a", "id_b")
 
+    # NOTE on ordering: the correctness driver checks the FIRST 50 entries of
+    # this dict.  Queries that have never had an oracle row (or are new this
+    # round) go first; near-duplicate merge variants and trivial projections
+    # (all green in CORRECTNESS_r03) sit at the tail where falling outside
+    # the window costs the least information.
     return {
+        # -- never verified in r3 (dict-position window gap) --------------
+        "ann_topk": ann_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "embedding_near_dup": embedding_near_dup,
+        "distinct_rows": distinct_rows,
+        "lang_id_docs": lang_id_docs,
+        "quality_docs": quality_docs,
+        "token_count_docs": token_count_docs,
+        "ws_token_docs": ws_token_docs,
+        "fingerprint_docs": fingerprint_docs,
+        # -- flagship + LLM-pipeline ops ----------------------------------
         "star_join_agg": _star_join_agg,
-        "select_project": select_project,
-        "where_filter": where_filter,
-        "limit_order": limit_order,
-        "incremental_watermark": incremental_watermark,
-        "backfill_range": backfill_range,
-        "column_casing_upper": column_casing_upper,
-        "transforms_hash": transforms_hash,
-        "flatten_json_extract": flatten_json_extract,
-        "snapshot_stamp": snapshot_stamp,
-        "definition_only": definition_only,
-        "union_drift": union_drift,
-        "sql_on_files": sql_files,
-        "merge_update_insert": merge_ui,
-        "merge_insert": merge_ins,
-        "merge_update": merge_upd,
-        "merge_delete_insert": merge_di,
-        "merge_file_granular": merge_file_granular,
+        "exact_dedup_docs": exact_dedup_docs,
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "jaccard_dedup_docs": jaccard_dedup_docs,
+        "simhash_dedup_docs": simhash_dedup_docs,
+        "text_stats_docs": text_stats_docs,
+        "multimodal_bytes": multimodal_bytes,
+        # -- lake formats / file formats ----------------------------------
         "delta_roundtrip": delta_roundtrip,
         "iceberg_roundtrip": iceberg_roundtrip,
         "merge_update_insert_delta": merge_update_insert_delta,
+        "merge_file_granular": merge_file_granular,
+        "excel_roundtrip": excel_roundtrip,
+        "avro_roundtrip": avro_roundtrip,
+        "csv_inference_roundtrip": csv_inference_roundtrip,
+        "sql_on_files": sql_files,
+        # -- merge strategies (representative set) ------------------------
+        "merge_update_insert": merge_ui,
         "merge_sql_render": merge_sql_render,
-        "column_typing_clamp": column_typing_clamp,
-        "constraint_dsl_filter": constraint_dsl_filter,
-        "copy_load_duckdb": copy_load_duckdb,
-        "merge_history_insert": merge_hi,
         "merge_change_capture": merge_cdc,
         "delete_missing": delete_missing_hard,
         "dedup_last_event": dedup_last_event,
-        "row_num_events": row_num_events,
+        "copy_load_duckdb": copy_load_duckdb,
+        # -- incremental / typing / constraints ---------------------------
+        "incremental_watermark": incremental_watermark,
+        "backfill_range": backfill_range,
+        "column_typing_clamp": column_typing_clamp,
+        "constraint_dsl_filter": constraint_dsl_filter,
+        "row_constraints": row_constraints,
+        # -- events: windows / sessions / asof ----------------------------
         "asof_events": asof_events,
         "sessionize_events": sessionize_events,
         "window_agg_events": window_agg_events,
+        "row_num_events": row_num_events,
+        "flatten_json_extract": flatten_json_extract,
+        # -- profiling / validation ---------------------------------------
         "checksum_lineitem": checksum_lineitem,
         "field_stat_orders": field_stat_orders,
         "field_stat_deep_li": field_stat_deep_li,
@@ -648,26 +668,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_rate_orders": fill_rate_orders,
         "test_pk_lineitem": test_pk_lineitem,
         "join_match": join_match,
-        "row_constraints": row_constraints,
-        "csv_inference_roundtrip": csv_inference_roundtrip,
-        "exact_dedup_docs": exact_dedup_docs,
-        "minhash_dedup_docs": minhash_dedup_docs,
-        "jaccard_dedup_docs": jaccard_dedup_docs,
-        "multimodal_bytes": multimodal_bytes,
-        "excel_roundtrip": excel_roundtrip,
-        "avro_roundtrip": avro_roundtrip,
-        "simhash_dedup_docs": simhash_dedup_docs,
-        "text_stats_docs": text_stats_docs,
-        "token_count_docs": token_count_docs,
-        "quality_docs": quality_docs,
-        "ws_token_docs": ws_token_docs,
-        "distinct_rows": distinct_rows,
-        "lang_id_docs": lang_id_docs,
-        "fingerprint_docs": fingerprint_docs,
-        "ann_topk": ann_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "embedding_near_dup": embedding_near_dup,
+        "transforms_hash": transforms_hash,
+        "union_drift": union_drift,
+        # ---- tail: r3-green near-duplicates / trivial projections -------
+        "merge_insert": merge_ins,
+        "merge_update": merge_upd,
+        "merge_delete_insert": merge_di,
+        "merge_history_insert": merge_hi,
+        "select_project": select_project,
+        "where_filter": where_filter,
+        "limit_order": limit_order,
+        "column_casing_upper": column_casing_upper,
+        "snapshot_stamp": snapshot_stamp,
+        "definition_only": definition_only,
     }
 
 
