@@ -145,6 +145,8 @@ def merge_dataframes(
     primary_key,
     strategy: MergeStrategy = MergeStrategy.UPDATE_INSERT,
     update_key: str | None = None,
+    seq_col: str = SEQ_COL,
+    op_col: str = OP_COL,
 ) -> DataFrame:
     """Dispatch by strategy (reference: task_run_write.go:1152-1179).
 
@@ -170,7 +172,9 @@ def merge_dataframes(
     if strategy == MergeStrategy.HISTORY_INSERT:
         return merge_history_insert(target, src, pk)
     if strategy == MergeStrategy.CHANGE_CAPTURE:
-        return merge_change_capture(target, src, pk)
+        return merge_change_capture(target, src, pk,
+                                    seq_col=seq_col, op_col=op_col)
     if strategy == MergeStrategy.CHANGE_CAPTURE_SOFT:
-        return merge_change_capture(target, src, pk, soft=True)
+        return merge_change_capture(target, src, pk, soft=True,
+                                    seq_col=seq_col, op_col=op_col)
     raise ValueError(f"unknown merge strategy: {strategy!r}")

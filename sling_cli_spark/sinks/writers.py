@@ -92,21 +92,29 @@ def write_files(
     if fmt == "csv":
         writer = writer.option("header", "true")
     if fmt in ("delta", "iceberg"):
+        from sling_cli_spark.sources.files import is_missing_datasource
+
         try:
             writer.format(fmt).save(uri)
         except Exception as e:
-            if part_cols:
-                raise NotImplementedError(
-                    f"partitioned {fmt} write needs the {fmt} connector "
-                    "on the classpath") from e
+            # only the jar-absent case falls back; a genuine native-write
+            # failure re-raises (the fallback could double-write rows the
+            # failed native attempt already committed)
+            if not is_missing_datasource(e):
+                raise
             # spec-level fallbacks when the jars are absent
             if fmt == "delta":
                 from sling_cli_spark.sources.delta_py import write_delta
 
-                write_delta(df, uri, mode=_spark_mode(mode))
+                write_delta(df, uri, mode=_spark_mode(mode),
+                            partition_by=part_cols or None)
             else:
                 from sling_cli_spark.sources.iceberg_py import write_iceberg
 
+                if part_cols:
+                    raise NotImplementedError(
+                        "partitioned iceberg write needs the iceberg "
+                        "connector on the classpath") from e
                 write_iceberg(df, uri, mode=_spark_mode(mode))
             return
         return
@@ -120,9 +128,13 @@ def write_files(
             .option("rootTag", "rows").save(uri)
         return
     if fmt == "avro":
+        from sling_cli_spark.sources.files import is_missing_datasource
+
         try:
             writer.format("avro").save(uri)
-        except Exception:
+        except Exception as e:
+            if not is_missing_datasource(e):
+                raise
             # stdlib OCF fallback (sources/avro_py.py) when the
             # spark-avro jar is absent
             from sling_cli_spark.sources.avro_py import write_avro_df

@@ -185,14 +185,13 @@ def _read_value(buf: io.BytesIO, schema: Any) -> Any:
 
 # -------------------------------------------------------------- container
 
-def write_avro(
-    path: str, records: list[dict], schema: dict,
+def render_avro(
+    records: list[dict], schema: dict,
     codec: str = "deflate", sync: bytes = b"\x07" * 16,
     block_records: int = 1000,
-) -> None:
-    """Records -> one Avro OCF file."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-    with open(path, "wb") as f:
+) -> bytes:
+    """Records -> Avro OCF bytes (transport-agnostic)."""
+    with io.BytesIO() as f:
         f.write(MAGIC)
         meta = io.BytesIO()
         entries = [("avro.schema", json.dumps(schema).encode()),
@@ -222,12 +221,24 @@ def write_avro(
             f.write(head.getvalue())
             f.write(payload)
             f.write(sync)
+        return f.getvalue()
 
 
-def read_avro(path: str) -> tuple[dict, list[dict]]:
-    """Avro OCF file -> (schema, records)."""
-    with open(path, "rb") as f:
-        raw = f.read()
+def write_avro(
+    path: str, records: list[dict], schema: dict,
+    codec: str = "deflate", sync: bytes = b"\x07" * 16,
+    block_records: int = 1000,
+) -> None:
+    """Records -> one Avro OCF file (local path or any fsio URI)."""
+    from sling_cli_spark import fsio
+
+    data = render_avro(records, schema, codec=codec, sync=sync,
+                       block_records=block_records)
+    fsio.get_fs(path).write_bytes(path, data)
+
+
+def parse_avro(raw: bytes, path: str = "<bytes>") -> tuple[dict, list[dict]]:
+    """Avro OCF bytes -> (schema, records)."""
     buf = io.BytesIO(raw)
     if buf.read(4) != MAGIC:
         raise ValueError(f"{path}: not an avro object container file")
@@ -267,6 +278,13 @@ def read_avro(path: str) -> tuple[dict, list[dict]]:
     return schema, records
 
 
+def read_avro(path: str) -> tuple[dict, list[dict]]:
+    """Avro OCF file (local path or any fsio URI) -> (schema, records)."""
+    from sling_cli_spark import fsio
+
+    return parse_avro(fsio.get_fs(path).read_bytes(path), path)
+
+
 # ----------------------------------------------------------- spark bridge
 
 _SPARK_TO_AVRO = {
@@ -277,14 +295,68 @@ _SPARK_TO_AVRO = {
 
 
 def schema_for_df(df) -> dict:
-    """Spark schema -> nullable-union Avro record schema."""
+    """Spark schema -> nullable-union Avro record schema.
+
+    Temporal/decimal columns carry Avro logical types (spec §Logical
+    Types) so the fallback writer matches the jar-backed spark-avro
+    output instead of silently degrading them to strings:
+    timestamp -> long/timestamp-micros, timestamp_ntz ->
+    long/local-timestamp-micros, date -> int/date, decimal(p,s) ->
+    bytes/decimal."""
     fields = []
     for f in df.schema.fields:
-        t = _SPARK_TO_AVRO.get(f.dataType.typeName())
+        tn = f.dataType.typeName()
+        t: Any = _SPARK_TO_AVRO.get(tn)
         if t is None:
-            t = "string"  # complex types serialize as JSON text
+            if tn == "timestamp":
+                t = {"type": "long", "logicalType": "timestamp-micros"}
+            elif tn == "timestamp_ntz":
+                t = {"type": "long", "logicalType": "local-timestamp-micros"}
+            elif tn == "date":
+                t = {"type": "int", "logicalType": "date"}
+            elif tn == "decimal":
+                t = {"type": "bytes", "logicalType": "decimal",
+                     "precision": f.dataType.precision,
+                     "scale": f.dataType.scale}
+            else:
+                t = "string"  # complex types serialize as JSON text
         fields.append({"name": f.name, "type": ["null", t]})
     return {"type": "record", "name": "row", "fields": fields}
+
+
+_EPOCH_NAIVE = None  # set lazily to avoid importing datetime at module load
+
+
+def _avro_cell_converter(avro_type):
+    """Python-value converter for one field's (non-null branch) schema."""
+    import datetime as _dt
+    import decimal as _dec
+    import time as _time
+
+    if isinstance(avro_type, list):
+        avro_type = next(t for t in avro_type if t != "null")
+    lt = avro_type.get("logicalType") if isinstance(avro_type, dict) else None
+    if lt == "timestamp-micros":
+        def conv(v):
+            # naive datetime in session-local tz -> epoch micros
+            return (int(_time.mktime(v.timetuple())) * 1_000_000
+                    + v.microsecond)
+        return conv
+    if lt == "local-timestamp-micros":
+        epoch = _dt.datetime(1970, 1, 1)
+        return lambda v: (v - epoch) // _dt.timedelta(microseconds=1)
+    if lt == "date":
+        epoch_d = _dt.date(1970, 1, 1)
+        return lambda v: (v - epoch_d).days
+    if lt == "decimal":
+        scale = avro_type.get("scale", 0)
+
+        def conv(v):
+            unscaled = int(_dec.Decimal(v).scaleb(scale).to_integral_value())
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            return unscaled.to_bytes(nbytes, "big", signed=True)
+        return conv
+    return None
 
 
 def write_avro_df(df, path: str, codec: str = "deflate") -> None:
@@ -300,7 +372,17 @@ def write_avro_df(df, path: str, codec: str = "deflate") -> None:
         cols.append(c.alias(f.name))
     shaped = df.select(*cols)
     schema = schema_for_df(shaped)
-    rows = [r.asDict() for r in shaped.collect()]
+    converters = {
+        f["name"]: conv for f in schema["fields"]
+        if (conv := _avro_cell_converter(f["type"])) is not None
+    }
+    rows = []
+    for r in shaped.collect():
+        d = r.asDict()
+        for name, conv in converters.items():
+            if d[name] is not None:
+                d[name] = conv(d[name])
+        rows.append(d)
     write_avro(path, rows, schema, codec=codec)
 
 
@@ -320,15 +402,62 @@ def read_avro_df(spark, path: str):
     if schema is None:
         raise FileNotFoundError(f"no avro files at {path!r}")
 
-    def spark_type(avro_t):
+    def branch(avro_t):
         if isinstance(avro_t, list):
             avro_t = next(t for t in avro_t if t != "null")
+        return avro_t
+
+    def spark_type(avro_t):
+        avro_t = branch(avro_t)
+        if isinstance(avro_t, dict):
+            lt = avro_t.get("logicalType")
+            if lt == "timestamp-micros":
+                return "timestamp"
+            if lt == "local-timestamp-micros":
+                return "timestamp_ntz"
+            if lt == "date":
+                return "date"
+            if lt == "decimal":
+                return (f"decimal({avro_t.get('precision', 38)},"
+                        f"{avro_t.get('scale', 0)})")
+            avro_t = avro_t.get("type")
         return {"long": "bigint", "int": "int", "double": "double",
                 "float": "float", "string": "string", "boolean": "boolean",
                 "bytes": "binary"}.get(avro_t, "string")
 
+    def from_avro_conv(avro_t):
+        """Inverse of _avro_cell_converter for the read path."""
+        import datetime as _dt
+        import decimal as _dec
+
+        avro_t = branch(avro_t)
+        lt = avro_t.get("logicalType") if isinstance(avro_t, dict) else None
+        if lt == "timestamp-micros":
+            return lambda v: _dt.datetime.fromtimestamp(v // 1_000_000) \
+                + _dt.timedelta(microseconds=v % 1_000_000)
+        if lt == "local-timestamp-micros":
+            epoch = _dt.datetime(1970, 1, 1)
+            return lambda v: epoch + _dt.timedelta(microseconds=v)
+        if lt == "date":
+            epoch_d = _dt.date(1970, 1, 1)
+            return lambda v: epoch_d + _dt.timedelta(days=v)
+        if lt == "decimal":
+            scale = avro_t.get("scale", 0)
+            return lambda v: _dec.Decimal(
+                int.from_bytes(v, "big", signed=True)).scaleb(-scale)
+        return None
+
+    converters = {
+        f["name"]: conv for f in schema["fields"]
+        if (conv := from_avro_conv(f["type"])) is not None
+    }
     ddl = ", ".join(
         f"`{f['name']}` {spark_type(f['type'])}" for f in schema["fields"])
-    return spark.createDataFrame(
-        [tuple(r[f["name"]] for f in schema["fields"]) for r in records],
-        ddl)
+    data = []
+    for r in records:
+        data.append(tuple(
+            converters[f["name"]](r[f["name"]])
+            if f["name"] in converters and r[f["name"]] is not None
+            else r[f["name"]]
+            for f in schema["fields"]))
+    return spark.createDataFrame(data, ddl)

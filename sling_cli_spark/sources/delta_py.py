@@ -17,44 +17,76 @@ in this environment, so this module implements the subset directly:
 - :func:`write_delta` — append / overwrite with atomic log commits
   (``protocol`` minReader=1 / minWriter=2 + Spark-schema ``metaData`` on
   version 0, matching what delta-spark writes for simple tables).
+  ``partition_by`` writes Hive-layout data files with per-file
+  ``add.partitionValues`` (PROTOCOL.md Add File and Remove File).
 - :func:`merge_delta` — the REAL incremental-merge answer at scale:
   copy-on-write at file granularity (operators/file_merge's touched-file
   probe) committed as ``remove`` + ``add`` actions. An incremental batch
   touching 0.1% of PKs rewrites only the files holding them, and readers
-  at any version never see a partial merge.
+  at any version never see a partial merge. On a partitioned table the
+  probe scans only the partitions present in the batch (driver-side
+  prune over ``add.partitionValues`` — no file in an untouched
+  partition is even opened).
+- Parquet **checkpoints** (PROTOCOL.md Checkpoints): every
+  ``CHECKPOINT_INTERVAL`` commits the replayed state is written as
+  ``NNN.checkpoint.parquet`` + ``_last_checkpoint``, so readers load
+  one parquet file + the JSON tail instead of re-reading every commit —
+  the CDC-cadence fix (a commit per micro-batch made replay O(commits)).
 
-Not implemented (documented): checkpoints (logs are replayed from JSON
-— fine for the commit counts an EL tool produces), deletion vectors,
-column mapping, partitioned add.partitionValues beyond passthrough.
+All metadata I/O goes through :mod:`sling_cli_spark.fsio` — plain ``os``
+for schemeless local paths, Hadoop ``FileSystem`` for any URI scheme —
+so the fallback layer works on HDFS/object stores, not just a laptop.
+Data files are written by Spark executors directly (``df.write``); the
+driver never holds row data.
+
+Not implemented (documented): deletion vectors, column mapping,
+generated columns.
 """
 
 from __future__ import annotations
 
+import io
 import json
-import os
+import posixpath
 import time
 import uuid
 from typing import Any
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sling_cli_spark import fsio
+
 _LOG_DIR = "_delta_log"
+
+#: write a parquet checkpoint every N commits (delta-spark default: 10)
+CHECKPOINT_INTERVAL = 10
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _log_dir(path: str) -> str:
+    return fsio.join(path, _LOG_DIR)
 
 
 def is_delta_table(path: str) -> bool:
-    return os.path.isdir(os.path.join(path, _LOG_DIR))
+    try:
+        return fsio.get_fs(path).isdir(_log_dir(path))
+    except Exception:
+        return False
 
 
 def _log_path(path: str, version: int) -> str:
-    return os.path.join(path, _LOG_DIR, f"{version:020d}.json")
+    return fsio.join(path, _LOG_DIR, f"{version:020d}.json")
 
 
-def _list_versions(path: str) -> list[int]:
-    d = os.path.join(path, _LOG_DIR)
-    if not os.path.isdir(d):
+def _list_versions(path: str, fs=None) -> list[int]:
+    fs = fs or fsio.get_fs(path)
+    d = _log_dir(path)
+    if not fs.isdir(d):
         return []
     out = []
-    for f in os.listdir(d):
+    for f in fs.listdir(d):
         if f.endswith(".json") and f[:-5].isdigit():
             out.append(int(f[:-5]))
     return sorted(out)
@@ -65,89 +97,247 @@ def latest_version(path: str) -> int:
     return vs[-1] if vs else -1
 
 
-def replay_log(path: str, version: int | None = None):
-    """-> (metadata_action, {relative_file_path: add_action}) at
-    ``version`` (default: latest)."""
+# ------------------------------------------------------------- checkpoints
+
+def _last_checkpoint_info(path: str, fs) -> dict | None:
+    p = fsio.join(path, _LOG_DIR, "_last_checkpoint")
+    if not fs.exists(p):
+        return None
+    try:
+        return json.loads(fs.read_bytes(p).decode())
+    except Exception:
+        return None  # torn write: fall back to full JSON replay
+
+
+def _checkpoint_file(path: str, version: int) -> str:
+    return fsio.join(path, _LOG_DIR, f"{version:020d}.checkpoint.parquet")
+
+
+def _read_checkpoint(path: str, fs, version: int):
+    """checkpoint parquet -> (metadata_action, {rel_path: add_action})."""
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO(fs.read_bytes(_checkpoint_file(path, version)))
     meta: dict[str, Any] | None = None
     files: dict[str, dict] = {}
-    for v in _list_versions(path):
-        if version is not None and v > version:
-            break
-        with open(_log_path(path, v)) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "metaData" in action:
-                    meta = action["metaData"]
-                elif "add" in action:
-                    files[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    files.pop(action["remove"]["path"], None)
+    for row in pq.read_table(buf).to_pylist():
+        if row.get("metaData") is not None:
+            meta = dict(row["metaData"])
+            pv = meta.get("partitionColumns")
+            meta["partitionColumns"] = list(pv or [])
+        elif row.get("add") is not None:
+            add = dict(row["add"])
+            pv = add.get("partitionValues")
+            if isinstance(pv, list):  # pyarrow map -> list of (k, v)
+                pv = dict(pv)
+            add["partitionValues"] = pv or {}
+            files[add["path"]] = add
     return meta, files
 
 
+def _write_checkpoint(path: str, fs, version: int) -> None:
+    """Materialize the state at ``version`` as a parquet checkpoint +
+    ``_last_checkpoint`` pointer (PROTOCOL.md Checkpoints: one action per
+    row, one non-null action column per row)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta, files = replay_log(path, version)
+    adds = [files[p] for p in sorted(files)]
+
+    protocol_t = pa.struct([("minReaderVersion", pa.int32()),
+                            ("minWriterVersion", pa.int32())])
+    meta_t = pa.struct([
+        ("id", pa.string()),
+        ("format", pa.struct([("provider", pa.string())])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("createdTime", pa.int64()),
+    ])
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+    ])
+
+    n = 2 + len(adds)
+    protocol_col = [{"minReaderVersion": 1, "minWriterVersion": 2}] \
+        + [None] * (n - 1)
+    meta_col = [None, {
+        "id": (meta or {}).get("id"),
+        "format": {"provider": "parquet"},
+        "schemaString": (meta or {}).get("schemaString"),
+        "partitionColumns": (meta or {}).get("partitionColumns") or [],
+        "createdTime": (meta or {}).get("createdTime"),
+    }] + [None] * (n - 2)
+    add_col = [None, None] + [{
+        "path": a["path"],
+        "partitionValues": a.get("partitionValues") or {},
+        "size": a.get("size", 0),
+        "modificationTime": a.get("modificationTime", 0),
+        "dataChange": False,  # checkpoint adds are not data changes
+    } for a in adds]
+
+    table = pa.table({
+        "protocol": pa.array(protocol_col, type=protocol_t),
+        "metaData": pa.array(meta_col, type=meta_t),
+        "add": pa.array(add_col, type=add_t),
+    })
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    fs.write_bytes(_checkpoint_file(path, version), buf.getvalue())
+    fs.write_bytes(fsio.join(path, _LOG_DIR, "_last_checkpoint"),
+                   json.dumps({"version": version, "size": n}).encode())
+
+
+# -------------------------------------------------------------- log replay
+
+def _replay_json_into(path: str, fs, versions, meta, files):
+    for v in versions:
+        for line in fs.read_bytes(_log_path(path, v)).decode().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "metaData" in action:
+                meta = action["metaData"]
+            elif "add" in action:
+                files[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                files.pop(action["remove"]["path"], None)
+    return meta, files
+
+
+def replay_log(path: str, version: int | None = None):
+    """-> (metadata_action, {relative_file_path: add_action}) at
+    ``version`` (default: latest). Reads the newest checkpoint at or
+    below ``version`` plus the JSON tail — O(tail), not O(commits)."""
+    fs = fsio.get_fs(path)
+    meta: dict[str, Any] | None = None
+    files: dict[str, dict] = {}
+    start = -1
+    cp = _last_checkpoint_info(path, fs)
+    if cp is not None and (version is None or cp.get("version", -1) <= version):
+        try:
+            meta, files = _read_checkpoint(path, fs, cp["version"])
+            start = cp["version"]
+        except Exception:
+            meta, files, start = None, {}, -1  # missing/corrupt cp: replay
+    tail = [v for v in _list_versions(path, fs)
+            if v > start and (version is None or v <= version)]
+    return _replay_json_into(path, fs, tail, meta, files)
+
+
+# ------------------------------------------------------------------ commit
+
 def _commit(path: str, version: int, actions: list[dict]) -> None:
-    """Atomic commit: temp file + O_EXCL-ish rename of the next version.
-    A concurrent committer of the same version loses the rename race and
+    """Atomic commit via exclusive create of the next version file.
+    A concurrent committer of the same version loses the claim and
     raises — the optimistic-concurrency contract of the protocol."""
-    os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
-    target = _log_path(path, version)
-    if os.path.exists(target):
+    fs = fsio.get_fs(path)
+    fs.mkdirs(_log_dir(path))
+    payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
+    try:
+        fs.create_exclusive(_log_path(path, version), payload)
+    except FileExistsError:
         raise FileExistsError(
             f"delta: version {version} already committed at {path}")
-    tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    try:
-        os.link(tmp, target)  # fails if the version appeared concurrently
-    finally:
-        os.unlink(tmp)
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        _write_checkpoint(path, fs, version)
 
 
 def _schema_string(df: DataFrame) -> str:
     return df.schema.json()
 
 
-def _first_commit_actions(df: DataFrame) -> list[dict]:
+def _first_commit_actions(
+    df: DataFrame, partition_by: list[str] | None = None,
+) -> list[dict]:
     return [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         {"metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": _schema_string(df),
-            "partitionColumns": [],
+            "partitionColumns": list(partition_by or []),
             "configuration": {},
             "createdTime": int(time.time() * 1000),
         }},
     ]
 
 
-def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
-    """Write ``df`` as parquet part files INTO the table dir (unique
-    names; invisible until committed) -> list of add actions."""
-    os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, f".stage_{uuid.uuid4().hex[:8]}")
-    df.write.parquet(tmp)
-    adds = []
-    now = int(time.time() * 1000)
-    for fname in sorted(os.listdir(tmp)):
-        if not fname.endswith(".parquet") or fname.startswith((".", "_")):
-            continue
-        new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-        os.rename(os.path.join(tmp, fname), os.path.join(path, new_name))
-        adds.append({"add": {
-            "path": new_name,
-            "size": os.path.getsize(os.path.join(path, new_name)),
-            "partitionValues": {},
-            "modificationTime": now,
-            "dataChange": True,
-        }})
-    import shutil
+def _partition_values(rel_dir: str) -> dict[str, str]:
+    """'k1=v1/k2=v2' -> {'k1': 'v1', ...} (URL-unescaped, Hive layout)."""
+    out: dict[str, str] = {}
+    for seg in rel_dir.split("/"):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = unquote(v)
+    return out
 
-    shutil.rmtree(tmp, ignore_errors=True)
+
+def _stage_data_files(
+    df: DataFrame, path: str, partition_by: list[str] | None = None,
+) -> list[dict]:
+    """Write ``df`` as parquet part files INTO the table dir (unique
+    names; invisible until committed) -> list of add actions. With
+    ``partition_by`` the Hive subdir layout is preserved and each add
+    carries its ``partitionValues``."""
+    fs = fsio.get_fs(path)
+    fs.mkdirs(path)
+    tmp = fsio.join(path, f".stage_{uuid.uuid4().hex[:8]}")
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    adds: list[dict] = []
+    now = int(time.time() * 1000)
+
+    def walk(rel_dir: str) -> None:
+        base = fsio.join(tmp, rel_dir) if rel_dir else tmp
+        for fname in sorted(fs.listdir(base)):
+            if fname.startswith((".", "_")):
+                continue
+            full = fsio.join(base, fname)
+            if fs.isdir(full):
+                walk(f"{rel_dir}/{fname}" if rel_dir else fname)
+                continue
+            if not fname.endswith(".parquet"):
+                continue
+            new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            if rel_dir:
+                fs.mkdirs(fsio.join(path, rel_dir))
+            dest_rel = f"{rel_dir}/{new_name}" if rel_dir else new_name
+            dest = fsio.join(path, dest_rel)
+            if not fs.rename(full, dest):
+                raise IOError(f"delta stage: could not place {dest_rel}")
+            adds.append({"add": {
+                "path": dest_rel,
+                "size": fs.getsize(dest),
+                "partitionValues": _partition_values(rel_dir),
+                "modificationTime": now,
+                "dataChange": True,
+            }})
+
+    walk("")
+    fs.delete(tmp, True)
     return adds
+
+
+# -------------------------------------------------------------- read/write
+
+def _apply_table_schema(df: DataFrame, meta: dict) -> DataFrame:
+    """Cast/reorder to the table schema. Partition columns come back
+    from Hive-dir inference (stringly) — the cast restores their
+    declared types; for unpartitioned tables this is a no-op
+    projection Catalyst elides."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
 
 
 def read_delta(
@@ -162,26 +352,56 @@ def read_delta(
 
         return spark.createDataFrame(
             [], T.StructType.fromJson(json.loads(meta["schemaString"])))
-    return spark.read.parquet(
-        *[os.path.join(path, p) for p in sorted(files)])
+    reader = spark.read
+    if meta.get("partitionColumns"):
+        reader = reader.option("basePath", path)
+    df = reader.parquet(*[fsio.join(path, p) for p in sorted(files)])
+    return _apply_table_schema(df, meta)
 
 
 def write_delta(
     df: DataFrame, path: str, mode: str = "append",
+    partition_by: list[str] | None = None,
 ) -> int:
-    """Append or overwrite; returns the committed version."""
+    """Append or overwrite; returns the committed version. On an
+    existing table the recorded partitioning wins (append must not
+    change layout); ``partition_by`` takes effect on table creation or
+    full overwrite."""
     version = latest_version(path) + 1
     actions: list[dict] = []
     if version == 0:
-        actions += _first_commit_actions(df)
-    elif mode == "overwrite":
-        _, files = replay_log(path)
-        now = int(time.time() * 1000)
-        actions += [{"remove": {"path": p, "deletionTimestamp": now,
-                                "dataChange": True}} for p in sorted(files)]
-    actions += _stage_data_files(df, path)
+        actions += _first_commit_actions(df, partition_by)
+    else:
+        meta, files = replay_log(path)
+        existing_parts = (meta or {}).get("partitionColumns") or []
+        if mode == "overwrite":
+            if partition_by is not None \
+                    and list(partition_by) != existing_parts:
+                actions += [_first_commit_actions(df, partition_by)[1]]
+                existing_parts = list(partition_by)
+            now = int(time.time() * 1000)
+            actions += [{"remove": {"path": p, "deletionTimestamp": now,
+                                    "dataChange": True}}
+                        for p in sorted(files)]
+        elif partition_by is not None \
+                and list(partition_by) != existing_parts:
+            raise ValueError(
+                f"append partitioning {partition_by} != table's "
+                f"{existing_parts}")
+        partition_by = existing_parts
+    actions += _stage_data_files(df, path, partition_by)
     _commit(path, version, actions)
     return version
+
+
+def _rel_to_table(file_uri: str, path: str) -> str:
+    """_metadata.file_path URI -> path relative to the table root."""
+    import os as _os
+
+    child = urlparse(file_uri).path or file_uri
+    parsed = urlparse(path)
+    base = parsed.path if parsed.scheme else _os.path.abspath(path)
+    return posixpath.relpath(child, base)
 
 
 def merge_delta(
@@ -191,11 +411,18 @@ def merge_delta(
     primary_key,
     strategy=None,
     update_key: str | None = None,
+    seq_col: str | None = None,
+    op_col: str | None = None,
 ) -> dict:
     """Copy-on-write MERGE: rewrite only data files holding matched PKs,
     committed atomically as remove+add (reference semantics:
     base.yaml:52-126 merge strategies; delta-spark MERGE INTO is the
     jar-backed equivalent).
+
+    On a partitioned table, the touched-file probe reads only files
+    whose ``partitionValues`` match a partition present in the batch —
+    the driver filters the add-list, so untouched partitions cost
+    nothing (not even a footer read).
 
     Returns {"touched": n, "new_files": n, "kept": n, "version": v}.
     """
@@ -208,34 +435,64 @@ def merge_delta(
     meta, files = replay_log(path)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
-    target = read_delta(spark, path)
+    part_cols = meta.get("partitionColumns") or []
 
-    touched_abs: list[str] = []
+    touched_rel: list[str] = []
     if strategy == MergeStrategy.INSERT:
+        # anti-join must see the FULL target PK set
+        target = read_delta(spark, path)
         replacement = src.join(target.select(*pk), on=pk, how="left_anti")
     elif strategy == MergeStrategy.HISTORY_INSERT:
         replacement = src
     else:
-        touched_abs = touched_files(target, src, pk)
-        touched_rows = spark.read.parquet(*touched_abs) if touched_abs \
-            else spark.createDataFrame([], target.schema)
+        # partition prune: restrict the probe to partitions in the batch
+        candidates = files
+        if part_cols and all(c in src.columns for c in part_cols):
+            batch_parts = {
+                tuple(_HIVE_NULL if r[c] is None else str(r[c])
+                      for c in part_cols)
+                for r in src.select(*part_cols).distinct().collect()
+            }
+            candidates = {
+                p: a for p, a in files.items()
+                if tuple((a.get("partitionValues") or {}).get(c, _HIVE_NULL)
+                         for c in part_cols) in batch_parts
+            }
+        if candidates:
+            reader = spark.read
+            if part_cols:
+                reader = reader.option("basePath", path)
+            cand_df = _apply_table_schema(
+                reader.parquet(*[fsio.join(path, p) for p in sorted(candidates)]),
+                meta)
+            touched_uris = touched_files(cand_df, src, pk)
+            touched_rel = [_rel_to_table(u, path) for u in touched_uris]
+        if touched_rel:
+            reader = spark.read
+            if part_cols:
+                reader = reader.option("basePath", path)
+            touched_rows = _apply_table_schema(
+                reader.parquet(*[fsio.join(path, p) for p in touched_rel]),
+                meta)
+        else:
+            from pyspark.sql import types as T
+
+            touched_rows = spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(meta["schemaString"])))
+        cdc_cols = {}
+        if seq_col:
+            cdc_cols["seq_col"] = seq_col
+        if op_col:
+            cdc_cols["op_col"] = op_col
         replacement = merge_dataframes(
-            touched_rows, src, pk, strategy=strategy, update_key=update_key)
+            touched_rows, src, pk, strategy=strategy, update_key=update_key,
+            **cdc_cols)
 
-    adds = _stage_data_files(replacement, path)
+    adds = _stage_data_files(replacement, path, part_cols or None)
     now = int(time.time() * 1000)
-
-    def rel(p: str) -> str:
-        # touched_files yields file:// URIs (_metadata.file_path)
-        from urllib.parse import urlparse
-
-        local = urlparse(p).path or p  # handles file:/x, file:///x, /x
-        return os.path.relpath(os.path.abspath(local), os.path.abspath(path))
-
     removes = [
-        {"remove": {"path": rel(p), "deletionTimestamp": now,
-                    "dataChange": True}}
-        for p in touched_abs
+        {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+        for p in touched_rel
     ]
     version = latest_version(path) + 1
     _commit(path, version, removes + adds)
@@ -244,10 +501,26 @@ def merge_delta(
             "kept": len(active) - len(adds), "version": version}
 
 
+def _walk_data_files(fs, path: str, rel: str = "") -> list[str]:
+    out: list[str] = []
+    base = fsio.join(path, rel) if rel else path
+    for fname in fs.listdir(base):
+        if fname.startswith((".", "_")):
+            continue
+        full = fsio.join(base, fname)
+        r = f"{rel}/{fname}" if rel else fname
+        if fs.isdir(full):
+            out.extend(_walk_data_files(fs, path, r))
+        elif fname.endswith(".parquet"):
+            out.append(r)
+    return out
+
+
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     """Delete data files no longer referenced by the retained versions
     (delta VACUUM without the retention-hours knob — EL-tool sized)."""
-    vs = _list_versions(path)
+    fs = fsio.get_fs(path)
+    vs = _list_versions(path, fs)
     keep_after = vs[-keep_versions] if len(vs) >= keep_versions else 0
     _, active = replay_log(path)
     referenced = set(active)
@@ -256,9 +529,8 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
             _, f = replay_log(path, v)
             referenced |= set(f)
     deleted = []
-    for fname in os.listdir(path):
-        if fname.endswith(".parquet") and not fname.startswith((".", "_")) \
-                and fname not in referenced:
-            os.unlink(os.path.join(path, fname))
-            deleted.append(fname)
+    for rel in _walk_data_files(fs, path):
+        if rel not in referenced:
+            fs.delete(fsio.join(path, rel))
+            deleted.append(rel)
     return deleted

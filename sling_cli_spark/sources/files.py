@@ -40,6 +40,25 @@ _EXT_FORMAT = {
 
 _COMPRESS_EXTS = (".gz", ".bz2", ".zst", ".snappy", ".zip")
 
+# Markers that a Spark DataSource is simply absent from the classpath —
+# the ONLY condition under which the spec-level driver fallbacks engage.
+# Any other failure (corrupt data, permissions, partial write) re-raises:
+# silently re-running it through the fallback could double-apply work.
+_MISSING_DS_MARKERS = (
+    "Failed to find data source",
+    "Failed to find the data source",
+    "DATA_SOURCE_NOT_FOUND",
+    "ClassNotFoundException",
+    "Multiple sources found",  # conflicting jars: also a classpath issue
+)
+
+
+def is_missing_datasource(e: Exception) -> bool:
+    """True iff ``e`` means the format's connector jar is not on the
+    classpath (vs. a genuine read/write failure)."""
+    s = f"{type(e).__name__}: {e}"
+    return any(m in s for m in _MISSING_DS_MARKERS)
+
 
 def detect_format(path: str, opts: SourceOptions) -> str:
     if opts.format:
@@ -110,7 +129,9 @@ def read_files(spark: SparkSession, path: str, opts: SourceOptions) -> DataFrame
     if fmt == "avro":
         try:
             return spark.read.format("avro").load(path)
-        except Exception:
+        except Exception as e:
+            if not is_missing_datasource(e):
+                raise
             # spark-avro jar absent (external since Spark 2.4): stdlib
             # OCF parser on the driver (sources/avro_py.py) — native
             # distributed reader preferred when the jar is present
@@ -127,7 +148,9 @@ def read_files(spark: SparkSession, path: str, opts: SourceOptions) -> DataFrame
         # protocol-level log replay in sources/delta_py.py
         try:
             return spark.read.format(fmt).load(path)
-        except Exception:
+        except Exception as e:
+            if not is_missing_datasource(e):
+                raise
             if fmt == "delta":
                 from sling_cli_spark.sources.delta_py import read_delta
 

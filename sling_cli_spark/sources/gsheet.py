@@ -88,8 +88,29 @@ def write_gsheet(
             return resp.status, _json.loads(resp.read().decode())
 
     transport = transport or _default_put
+
+    def _cell(v):
+        # Sheets RAW values must be JSON-native: isoformat temporals,
+        # stringify Decimal/bytes/struct rows — json.dumps would raise
+        # TypeError on a datetime cell otherwise.
+        import datetime as _dt
+        import decimal as _dec
+
+        if v is None:
+            return ""
+        if isinstance(v, (str, bool, int, float)):
+            return v
+        if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
+            return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) \
+                else v.isoformat()
+        if isinstance(v, _dec.Decimal):
+            return str(v)
+        if isinstance(v, (bytes, bytearray)):
+            return v.hex()
+        return str(v)
+
     values = [list(df.columns)] + [
-        ["" if v is None else v for v in row] for row in df.collect()]
+        [_cell(v) for v in row] for row in df.collect()]
     headers = {"Content-Type": "application/json"}
     if token:
         headers["Authorization"] = f"Bearer {token}"

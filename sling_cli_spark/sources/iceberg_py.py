@@ -19,6 +19,14 @@ EL-tool snapshots: :func:`write_iceberg` (append/overwrite creating a
 new snapshot + metadata version) and :func:`read_iceberg` (current or
 ``snapshot_id=`` time travel). The jar-backed Spark DataSource takes
 precedence when present (sources/files.py).
+
+All metadata I/O goes through :mod:`sling_cli_spark.fsio` (plain ``os``
+locally, Hadoop ``FileSystem`` for URI schemes), so the fallback works
+on HDFS/object stores. The metadata version file is claimed with an
+EXCLUSIVE create — two writers committing the same version race on the
+claim and the loser raises instead of silently overwriting (the
+optimistic-concurrency contract; same mechanism as
+:func:`delta_py._commit`).
 """
 
 from __future__ import annotations
@@ -27,9 +35,11 @@ import json
 import os
 import time
 import uuid
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sling_cli_spark import fsio
 from sling_cli_spark.sources.avro_py import read_avro, write_avro
 
 _SPARK_TO_ICE = {
@@ -66,19 +76,39 @@ _MANIFEST_ENTRY_SCHEMA = {
 }
 
 
+def _absolute(path: str) -> str:
+    """Local paths -> abspath; URIs stay as-is (manifest file_path is
+    required to be a full location by the spec)."""
+    return path if urlparse(path).scheme and len(urlparse(path).scheme) > 1 \
+        else os.path.abspath(path)
+
+
+def _canon(p: str) -> str:
+    """Canonical comparison form for file paths from manifests and
+    ``_metadata.file_path`` URIs alike."""
+    local = urlparse(p).path or p
+    return os.path.abspath(local)
+
+
 def _meta_dir(path: str) -> str:
-    return os.path.join(path, "metadata")
+    return fsio.join(path, "metadata")
 
 
 def is_iceberg_table(path: str) -> bool:
-    return os.path.isfile(os.path.join(_meta_dir(path), "version-hint.text"))
+    try:
+        return fsio.get_fs(path).exists(
+            fsio.join(_meta_dir(path), "version-hint.text"))
+    except Exception:
+        return False
 
 
 def _current_metadata(path: str) -> tuple[int, dict]:
-    with open(os.path.join(_meta_dir(path), "version-hint.text")) as f:
-        v = int(f.read().strip())
-    with open(os.path.join(_meta_dir(path), f"v{v}.metadata.json")) as f:
-        return v, json.load(f)
+    fs = fsio.get_fs(path)
+    v = int(fs.read_bytes(
+        fsio.join(_meta_dir(path), "version-hint.text")).decode().strip())
+    meta = json.loads(fs.read_bytes(
+        fsio.join(_meta_dir(path), f"v{v}.metadata.json")).decode())
+    return v, meta
 
 
 def _ice_schema_for(df: DataFrame) -> dict:
@@ -134,6 +164,8 @@ def merge_iceberg(
     primary_key,
     strategy=None,
     update_key: str | None = None,
+    seq_col: str | None = None,
+    op_col: str | None = None,
 ) -> dict:
     """Copy-on-write MERGE as a new snapshot: data files holding matched
     PKs are replaced (carried forward files keep status 0, replaced ones
@@ -158,20 +190,21 @@ def merge_iceberg(
     elif strategy == MergeStrategy.HISTORY_INSERT:
         replacement = src
     else:
-        from urllib.parse import urlparse
-
-        touched = {
-            os.path.abspath(urlparse(p).path or p)
-            for p in touched_files(target, src, pk)
-        }
-        touched_paths = sorted(touched)
+        touched = {_canon(p) for p in touched_files(target, src, pk)}
+        touched_paths = sorted(
+            f["file_path"] for f in active if _canon(f["file_path"]) in touched)
         touched_rows = spark.read.parquet(*touched_paths) if touched_paths \
             else spark.createDataFrame([], target.schema)
+        cdc_cols = {}
+        if seq_col:
+            cdc_cols["seq_col"] = seq_col
+        if op_col:
+            cdc_cols["op_col"] = op_col
         replacement = merge_dataframes(
-            touched_rows, src, pk, strategy=strategy, update_key=update_key)
+            touched_rows, src, pk, strategy=strategy, update_key=update_key,
+            **cdc_cols)
 
-    keep = [f for f in active
-            if os.path.abspath(f["file_path"]) not in touched]
+    keep = [f for f in active if _canon(f["file_path"]) not in touched]
     snapshot_id = _commit_snapshot(df=replacement, path=path, meta=meta,
                                    carried=keep)
     return {"touched": len(touched),
@@ -183,7 +216,7 @@ def _init_meta(df: DataFrame, path: str) -> dict:
     return {
         "format-version": 1,
         "table-uuid": str(uuid.uuid4()),
-        "location": os.path.abspath(path),
+        "location": _absolute(path),
         "last-updated-ms": 0,
         "last-column-id": len(df.schema.fields),
         "schemas": [_ice_schema_for(df)],
@@ -203,31 +236,35 @@ def _commit_snapshot(
 ) -> int:
     """Stage ``df`` as new data files, write manifest + manifest-list,
     bump the metadata version; ``carried`` files join the snapshot with
-    status 0 (existing). Returns the new snapshot id."""
-    os.makedirs(os.path.join(path, "data"), exist_ok=True)
-    os.makedirs(_meta_dir(path), exist_ok=True)
+    status 0 (existing). The new ``v{N}.metadata.json`` is claimed with
+    an exclusive create — a concurrent committer of the same version
+    raises FileExistsError instead of silently winning. Returns the new
+    snapshot id."""
+    fs = fsio.get_fs(path)
+    data_dir = fsio.join(path, "data")
+    fs.mkdirs(data_dir)
+    fs.mkdirs(_meta_dir(path))
     version = 0
     if is_iceberg_table(path):
         version, _ = _current_metadata(path)
 
-    tmp = os.path.join(path, "data", f".stage_{uuid.uuid4().hex[:8]}")
+    tmp = fsio.join(data_dir, f".stage_{uuid.uuid4().hex[:8]}")
     df.write.parquet(tmp)
     data_files: list[dict] = []
-    for fname in sorted(os.listdir(tmp)):
+    for fname in sorted(fs.listdir(tmp)):
         if not fname.endswith(".parquet") or fname.startswith((".", "_")):
             continue
         new_name = f"{uuid.uuid4().hex}.parquet"
-        dest = os.path.join(path, "data", new_name)
-        os.rename(os.path.join(tmp, fname), dest)
+        dest = fsio.join(data_dir, new_name)
+        if not fs.rename(fsio.join(tmp, fname), dest):
+            raise IOError(f"iceberg stage: could not place {new_name}")
         data_files.append({
-            "file_path": os.path.abspath(dest),
+            "file_path": _absolute(dest),
             "file_format": "PARQUET",
             "record_count": 0,  # stats optional in v1
-            "file_size_in_bytes": os.path.getsize(dest),
+            "file_size_in_bytes": fs.getsize(dest),
         })
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.delete(tmp, True)
 
     snapshot_id = int(time.time() * 1000) * 1000 + (version + 1)
     entries = [{"status": 1, "snapshot_id": snapshot_id, "data_file": f}
@@ -235,14 +272,12 @@ def _commit_snapshot(
     entries += [{"status": 0, "snapshot_id": snapshot_id, "data_file": f}
                 for f in carried]
 
-    manifest_path = os.path.join(
-        _meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+    manifest_path = fsio.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
     write_avro(manifest_path, entries, _MANIFEST_ENTRY_SCHEMA)
-    mlist_path = os.path.join(
-        _meta_dir(path), f"snap-{snapshot_id}.avro")
+    mlist_path = fsio.join(_meta_dir(path), f"snap-{snapshot_id}.avro")
     write_avro(mlist_path, [{
         "manifest_path": manifest_path,
-        "manifest_length": os.path.getsize(manifest_path),
+        "manifest_length": fs.getsize(manifest_path),
         "partition_spec_id": 0,
         "added_snapshot_id": snapshot_id,
     }], _MANIFEST_FILE_SCHEMA)
@@ -257,13 +292,16 @@ def _commit_snapshot(
     meta["last-updated-ms"] = int(time.time() * 1000)
 
     new_version = version + 1
-    with open(os.path.join(
-            _meta_dir(path), f"v{new_version}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    hint_tmp = os.path.join(_meta_dir(path), f".hint_{uuid.uuid4().hex[:6]}")
-    with open(hint_tmp, "w") as f:
-        f.write(str(new_version))
-    os.replace(hint_tmp, os.path.join(_meta_dir(path), "version-hint.text"))
+    try:
+        fs.create_exclusive(
+            fsio.join(_meta_dir(path), f"v{new_version}.metadata.json"),
+            json.dumps(meta).encode())
+    except FileExistsError:
+        raise FileExistsError(
+            f"iceberg: metadata version {new_version} already committed "
+            f"at {path} (concurrent writer won the race)")
+    fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
+                   str(new_version).encode())
     return snapshot_id
 
 

@@ -88,7 +88,8 @@ def run_cdc_stream(
             merge_delta(
                 sess, target_path, batch, primary_key,
                 strategy=MergeStrategy.CHANGE_CAPTURE_SOFT if soft
-                else MergeStrategy.CHANGE_CAPTURE)
+                else MergeStrategy.CHANGE_CAPTURE,
+                seq_col=seq_col, op_col=op_col)
             return
         try:
             target = sess.read.parquet(target_path)

@@ -92,3 +92,43 @@ def test_avro_el_task_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out)
     assert sorted(x["r_name"] for x in back.collect()) == \
         ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+# ---------------------------------------------------------------- round 4
+
+def test_logical_types_roundtrip(spark, tmp_path):
+    """timestamp/date/decimal survive the fallback writer as Avro
+    logical types (not degraded to strings)."""
+    import datetime
+    from decimal import Decimal
+
+    from sling_cli_spark.sources.avro_py import (
+        read_avro, read_avro_df, write_avro_df)
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 3, 1, 12, 30, 45, 123456),
+          datetime.date(2024, 3, 1), Decimal("1234.56"))],
+        "id long, ts timestamp, d date, amt decimal(10,2)")
+    p = str(tmp_path / "lt.avro")
+    write_avro_df(df, p)
+
+    schema, records = read_avro(p)
+    by_name = {f["name"]: f["type"] for f in schema["fields"]}
+
+    def branch(t):
+        return next(x for x in t if x != "null")
+
+    assert branch(by_name["ts"])["logicalType"] == "timestamp-micros"
+    assert branch(by_name["d"])["logicalType"] == "date"
+    dec = branch(by_name["amt"])
+    assert dec["logicalType"] == "decimal" and dec["scale"] == 2
+    assert isinstance(records[0]["ts"], int)
+
+    back = read_avro_df(spark, p)
+    types = dict(back.dtypes)
+    assert types["ts"] == "timestamp" and types["d"] == "date"
+    assert types["amt"] == "decimal(10,2)"
+    r = back.collect()[0]
+    assert r["ts"] == datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    assert r["d"] == datetime.date(2024, 3, 1)
+    assert r["amt"] == Decimal("1234.56")
