@@ -233,6 +233,177 @@ _DIALECT_SPECS: dict[str, dict] = {
                   "datetime": "datetime(6)", "binary": "longblob",
                   "text": "mediumtext", "bool": "tinyint(1)"},
     },
+    "snowflake": {
+        # reference snowflake.yaml:1-210 (stage COPY), 645-707 (vars +
+        # general_type_map); database_snowflake.go:818-1010 CopyViaStage
+        "quote_char": '"',
+        "default_merge_strategy": "update_insert",
+        "batch_rows": 2000,
+        "max_varchar": 16_777_216,  # snowflake.yaml:650 max_string_length
+        "core": {
+            "drop_table": "drop table if exists {table}",
+            # snowflake.yaml:3,6 — indexes don't exist; render a no-op
+            "create_index": "select 'indexes do not apply for snowflake'",
+            "create_unique_index":
+                "select 'indexes do not apply for snowflake'",
+            # staged fast loader (CopyViaStage): executors stage the batch
+            # as files, driver PUTs them to an internal stage and issues
+            # ONE COPY INTO (snowflake.yaml:14-41; go:1078 PUT)
+            "create_stage": "CREATE STAGE IF NOT EXISTS {stage}",
+            "put_to_stage": ("PUT '{local_uri}' @{stage} "
+                             "PARALLEL={parallel} AUTO_COMPRESS=FALSE"),
+            "copy_from_stage_csv": (
+                "COPY INTO {table} ({tgt_columns})\n"
+                "FROM (\n"
+                "  select {src_columns}\n"
+                "  from @{stage} as T\n"
+                ")\n"
+                "FILE_FORMAT = (\n"
+                "  TYPE = CSV\n"
+                "  RECORD_DELIMITER = '\\n'\n"
+                "  ESCAPE_UNENCLOSED_FIELD = NONE\n"
+                "  FIELD_OPTIONALLY_ENCLOSED_BY = '0x22'\n"
+                "  EMPTY_FIELD_AS_NULL = FALSE\n"
+                "  NULL_IF = '\\\\N'\n"
+                "  SKIP_HEADER = 1\n"
+                "  REPLACE_INVALID_CHARACTERS = TRUE\n"
+                ")\n"
+                "ON_ERROR = ABORT_STATEMENT"),
+            "copy_from_stage_parquet": (
+                "COPY INTO {table}\n"
+                "FROM @{stage}\n"
+                "FILE_FORMAT = (\n"
+                "  TYPE = PARQUET\n"
+                "  COMPRESSION = AUTO\n"
+                "  REPLACE_INVALID_CHARACTERS = TRUE\n"
+                "  BINARY_AS_TEXT = FALSE\n"
+                ")\n"
+                "ON_ERROR = ABORT_STATEMENT\n"
+                "MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE"),
+        },
+        "types": {"json": "variant", "timestamp": "timestamp_ntz",
+                  "timestampz": "timestamp_tz", "datetime": "timestamp",
+                  "binary": "binary", "float": "float"},
+    },
+    "sqlserver": {
+        # reference sqlserver.yaml:1-110 (top-N limits, DELETE tgt FROM,
+        # UPDATE..INNER JOIN merges), 519-586 (vars + general_type_map);
+        # database_sqlserver.go:666-698 BULK INSERT / bcp
+        "quote_char": '"',
+        "default_merge_strategy": "update_insert",
+        "batch_rows": 1000,
+        "max_varchar": 4000,  # nvarchar(n) caps at 4000
+        "core": {
+            "drop_table": ("IF OBJECT_ID(N'{table}', N'U') IS NOT NULL "
+                           "DROP TABLE {table}"),
+            "limit": ("select top {limit} {fields} from {table}"
+                      "{where_clause}"),
+            "incremental_select_limit": (
+                "select top {limit} {fields} from {table} "
+                "where ({incremental_where_cond}){where_and} "
+                "order by {update_key} asc"),
+            "add_column": "alter table {table} add {column} {type}",
+            # sqlserver.yaml:63-67: UPDATE tgt ... INNER JOIN (no
+            # UPDATE..FROM..WHERE base form)
+            "merge_update": (
+                "UPDATE tgt\n"
+                "SET {set_fields}\n"
+                "FROM {tgt_table} tgt\n"
+                "INNER JOIN {src_table} src\n"
+                "ON {src_tgt_pk_equal}"),
+            # sqlserver.yaml:76-83: DELETE <alias> FROM syntax
+            "merge_delete_insert": (
+                "DELETE tgt FROM {tgt_table} tgt\n"
+                "WHERE EXISTS (\n"
+                "  SELECT 1 FROM {src_table} src\n"
+                "  WHERE {src_tgt_pk_equal}\n"
+                ");\n"
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table} src"),
+            # fast loader (sqlserver.yaml:36-46; go bcp is the CLI twin)
+            "bulk_insert": (
+                "BULK INSERT {table}\n"
+                "FROM '{local_path}'\n"
+                "WITH (\n"
+                "  BATCHSIZE = 5000,\n"
+                "  MAXERRORS = 0,\n"
+                "  FORMAT = 'CSV',\n"
+                "  FIRSTROW = 2,\n"
+                "  FIELDTERMINATOR = ','\n"
+                ")"),
+        },
+        "types": {"string": "nvarchar({len})", "text": "nvarchar(max)",
+                  "bool": "bit", "datetime": "datetime2",
+                  "timestamp": "datetime2", "timestampz": "datetimeoffset",
+                  "binary": "varbinary(max)", "json": "nvarchar(max)",
+                  "float": "float"},
+    },
+    "bigquery": {
+        # reference bigquery.yaml:41-115 (merges), 556-607 (vars +
+        # general_type_map); database_bigquery.go loads via GCS load jobs
+        "quote_char": "`",
+        "default_merge_strategy": "delete_insert",
+        "batch_rows": 10000,
+        "core": {
+            "drop_table": "drop table if exists {table}",
+            "create_index": "select 'indexes do not apply for bigquery'",
+            "create_unique_index":
+                "select 'indexes do not apply for bigquery'",
+            # the SQL twin of the reference's GCS load job (public
+            # LOAD DATA statement, GoogleSQL)
+            "load_from_gcs": (
+                "LOAD DATA INTO {table}\n"
+                "FROM FILES (format = '{format}', uris = ['{gcs_path}'])"),
+        },
+        "types": {"bigint": "int64", "integer": "int64",
+                  "smallint": "int64", "float": "float64",
+                  "decimal": "numeric", "bool": "bool",
+                  "string": "string", "text": "string",
+                  "datetime": "timestamp", "timestamp": "timestamp",
+                  "timestampz": "timestamp", "binary": "bytes",
+                  "json": "json"},
+    },
+    "oracle": {
+        # reference oracle.yaml:50-160 (rownum limits, MERGE-based
+        # update), 497-514 general_type_map; database_oracle.go:250-340
+        # sqlldr bulk import
+        "quote_char": '"',
+        "default_merge_strategy": "update_insert",
+        "batch_rows": 500,
+        "max_varchar": 4000,
+        "core": {
+            "limit": ("select {fields} from {table} "
+                      "where rownum <= {limit}{where_and}"),
+            "incremental_select_limit": (
+                "select {fields} from {table} where rownum <= {limit}"
+                "{where_and} and ({incremental_where_cond}) "
+                "order by {update_key} asc"),
+            "add_column": "alter table {table} add {column} {type}",
+            # oracle.yaml:96-100: no UPDATE..FROM — update via MERGE
+            "merge_update": (
+                "MERGE INTO {tgt_table} tgt\n"
+                "USING (SELECT {src_fields} FROM {src_table}) src\n"
+                "ON ({src_tgt_pk_equal})\n"
+                "WHEN MATCHED THEN UPDATE SET {set_fields}"),
+            # fast loader: sqlldr control file (database_oracle.go:290
+            # SQLLoad); rendered as the ctl text the CLI twin consumes
+            "sqlldr_ctl": (
+                "LOAD DATA\n"
+                "INFILE '{local_path}'\n"
+                "APPEND INTO TABLE {table}\n"
+                "FIELDS TERMINATED BY ',' "
+                "OPTIONALLY ENCLOSED BY '\"'\n"
+                "TRAILING NULLCOLS\n"
+                "({fields})"),
+        },
+        "types": {"bigint": "number(19)", "integer": "number(10)",
+                  "smallint": "number(5)", "float": "number",
+                  "decimal": "number({p},{s})", "bool": "varchar2(5)",
+                  "string": "varchar2({len})", "text": "clob",
+                  "datetime": "timestamp(9)", "timestamp": "timestamp(9)",
+                  "timestampz": "timestamp(9) with time zone",
+                  "binary": "blob", "json": "clob"},
+    },
 }
 
 
@@ -246,6 +417,7 @@ class Dialect:
     batch_rows: int = 2000
     core: dict = field(default_factory=dict)
     types: dict = field(default_factory=dict)
+    max_varchar: int = 4000  # beyond -> text type (per-dialect cap)
 
     def quote(self, name: str) -> str:
         q = self.quote_char
@@ -274,7 +446,12 @@ def get_dialect(name: str) -> Dialect:
         batch_rows=spec.get("batch_rows", 2000),
         core=spec.get("core", {}),
         types={**_BASE_TYPES, **spec.get("types", {})},
+        max_varchar=spec.get("max_varchar", MAX_VARCHAR_LEN),
     )
+
+
+def dialect_names() -> list[str]:
+    return sorted(_DIALECT_SPECS)
 
 
 _PH_RE = re.compile(r"\{([a-z_][a-z0-9_]*)\}")
@@ -502,12 +679,12 @@ def native_type_for(
         if getattr(column_typing, "string", None) is not None:
             sized = column_typing.string.apply(
                 max_len if max_len is not None else DEFAULT_STRING_LEN,
-                MAX_VARCHAR_LEN)
+                dialect.max_varchar)
         elif max_len is not None:
             sized = int(max_len * STRING_LEN_FACTOR) or DEFAULT_STRING_LEN
         else:
             sized = DEFAULT_STRING_LEN
-        if sized > MAX_VARCHAR_LEN:
+        if sized > dialect.max_varchar:
             return dialect.types["text"]
         return dialect.types["string"].format(len=sized)
     return dialect.types[gen]
@@ -569,6 +746,53 @@ def fast_load_sql(
         "format": fmt,
         "compression": compression,
     })
+
+
+def fast_load_plan(
+    dialect: Dialect,
+    table: str,
+    columns: list[str],
+    local_path: str,
+    fmt: str = "csv",
+    stage: str | None = None,
+    parallel: int = 8,
+) -> list[str]:
+    """Full bulk-load statement sequence for a staged batch file.
+
+    Single-statement dialects (duckdb/postgres/mysql/sqlserver/bigquery)
+    return one statement; snowflake returns the CREATE STAGE + PUT +
+    COPY INTO sequence (database_snowflake.go:818-1010 CopyViaStage);
+    oracle returns the rendered sqlldr control file (the CLI twin,
+    database_oracle.go:290 SQLLoad). Raises ValueError when the dialect
+    has no bulk path (caller falls back to batched INSERTs).
+    """
+    q = dialect.quote
+    fields = ", ".join(q(c) for c in columns)
+    if dialect.template("put_to_stage"):  # snowflake
+        stage = stage or "sling_stage"
+        copy_key = ("copy_from_stage_parquet" if fmt == "parquet"
+                    else "copy_from_stage_csv")
+        return [
+            render(dialect.template("create_stage"), {"stage": stage}),
+            render(dialect.template("put_to_stage"), {
+                "local_uri": f"file://{local_path}", "stage": stage,
+                "parallel": str(parallel)}),
+            render(dialect.template(copy_key), {
+                "table": table, "stage": stage, "tgt_columns": fields,
+                "src_columns": ", ".join(
+                    f"T.${i}" for i in range(1, len(columns) + 1))}),
+        ]
+    if dialect.template("bulk_insert"):  # sqlserver
+        return [render(dialect.template("bulk_insert"),
+                       {"table": table, "local_path": local_path})]
+    if dialect.template("load_from_gcs"):  # bigquery
+        return [render(dialect.template("load_from_gcs"), {
+            "table": table, "format": fmt, "gcs_path": local_path})]
+    if dialect.template("sqlldr_ctl"):  # oracle (control file, not SQL)
+        return [render(dialect.template("sqlldr_ctl"),
+                       {"table": table, "local_path": local_path,
+                        "fields": fields})]
+    return [fast_load_sql(dialect, table, columns, local_path, fmt)]
 
 
 def table_keys_ddl(

@@ -334,3 +334,124 @@ def test_table_keys_ddl_renders_and_executes():
     import pytest as _pytest
     with _pytest.raises(duckdb.ConstraintException):
         con.execute("insert into t values (1, 1, 2, 'y')")
+
+
+# ------------------------------------------------------- round 4: new packs
+
+from sling_cli_spark.dialects import dialect_names, fast_load_plan
+
+
+def test_new_dialects_registered():
+    assert {"snowflake", "sqlserver", "bigquery", "oracle"} <= \
+        set(dialect_names())
+
+
+@pytest.mark.parametrize("name,strategies", [
+    # parity with the reference templates: all four support every strategy
+    # (snowflake.yaml:127, sqlserver.yaml:50, bigquery.yaml:41,
+    # oracle.yaml:89 — "supports all 4 merge strategies")
+    ("snowflake", {"insert", "update", "update_insert", "delete_insert",
+                   "change_capture"}),
+    ("sqlserver", {"insert", "update", "update_insert", "delete_insert",
+                   "change_capture"}),
+    ("bigquery", {"insert", "update", "update_insert", "delete_insert",
+                  "change_capture"}),
+    ("oracle", {"insert", "update", "update_insert", "delete_insert",
+                "change_capture"}),
+    ("mysql", {"insert", "delete_insert", "change_capture"}),
+    ("duckdb", {"insert", "update", "delete_insert", "change_capture"}),
+])
+def test_supported_merge_strategy_parity(name, strategies):
+    assert set(get_dialect(name).supported_merge_strategies()) == strategies
+
+
+@pytest.mark.parametrize("name", ["snowflake", "sqlserver", "bigquery",
+                                  "oracle"])
+@pytest.mark.parametrize("strategy", ["insert", "update", "update_insert",
+                                      "delete_insert"])
+def test_new_dialect_merges_render_fully(name, strategy):
+    d = get_dialect(name)
+    sql = generate_merge_sql(d, "stg.src", "db.tgt", COLS, ["id"], strategy)
+    assert "{" not in sql and "}" not in sql  # no unresolved placeholders
+    assert "db.tgt" in sql and "stg.src" in sql
+
+
+def test_sqlserver_dialect_shapes():
+    d = get_dialect("sqlserver")
+    up = generate_merge_sql(d, "s", "t", COLS, ["id"], "update")
+    assert "INNER JOIN" in up  # no UPDATE..FROM..WHERE on sqlserver
+    di = generate_merge_sql(d, "s", "t", COLS, ["id"], "delete_insert")
+    assert di.startswith("DELETE tgt FROM")  # T-SQL alias-delete form
+    lim = render(d.template("limit"), {
+        "limit": "10", "fields": "*", "table": "t", "where_clause": ""})
+    assert lim.startswith("select top 10")
+
+
+def test_oracle_dialect_shapes():
+    d = get_dialect("oracle")
+    up = generate_merge_sql(d, "s", "t", COLS, ["id"], "update")
+    assert up.startswith("MERGE INTO")  # no UPDATE..FROM on oracle
+    assert "WHEN NOT MATCHED" not in up  # update-only MERGE
+    lim = render(d.template("limit"), {
+        "limit": "5", "fields": "*", "table": "t", "where_and": ""})
+    assert "rownum <= 5" in lim
+
+
+def test_snowflake_fast_load_plan_is_stage_put_copy():
+    d = get_dialect("snowflake")
+    plan = fast_load_plan(d, "db.t", COLS, "/tmp/batch.csv")
+    assert len(plan) == 3
+    assert plan[0].startswith("CREATE STAGE IF NOT EXISTS")
+    assert plan[1].startswith("PUT 'file:///tmp/batch.csv'")
+    assert "COPY INTO db.t" in plan[2] and "SKIP_HEADER = 1" in plan[2]
+    # parquet variant matches by column name instead of positions
+    pq = fast_load_plan(d, "db.t", COLS, "/tmp/b.parquet", fmt="parquet")
+    assert "MATCH_BY_COLUMN_NAME" in pq[2]
+
+
+def test_sqlserver_bigquery_oracle_fast_load_plans():
+    assert "BULK INSERT db.t" in fast_load_plan(
+        get_dialect("sqlserver"), "db.t", COLS, "/tmp/b.csv")[0]
+    bq = fast_load_plan(get_dialect("bigquery"), "db.t", COLS,
+                        "gs://bkt/b.csv")[0]
+    assert bq.startswith("LOAD DATA INTO db.t") and "gs://bkt/b.csv" in bq
+    ctl = fast_load_plan(get_dialect("oracle"), "db.t", COLS,
+                         "/tmp/b.csv")[0]
+    assert ctl.startswith("LOAD DATA") and "APPEND INTO TABLE db.t" in ctl
+
+
+def test_dialect_type_maps(spark):
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amt", T.DecimalType(12, 2)),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    sf = create_table_ddl(get_dialect("snowflake"), "t", schema)
+    assert "timestamp_tz" in sf and "boolean" in sf
+    ms = create_table_ddl(get_dialect("sqlserver"), "t", schema,
+                          max_lens={"name": 50})
+    assert "nvarchar(75)" in ms and "bit" in ms and "datetimeoffset" in ms
+    bq = create_table_ddl(get_dialect("bigquery"), "t", schema)
+    assert "int64" in bq and "numeric" in bq and "bytes" in bq
+    ora = create_table_ddl(get_dialect("oracle"), "t", schema)
+    assert "number(19)" in ora and "number(12,2)" in ora \
+        and "varchar2(5)" in ora
+
+
+def test_snowflake_long_string_stays_varchar():
+    # snowflake's 16 MB varchar cap: a 100k-char column still renders as
+    # varchar (sqlserver would fall to nvarchar(max))
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("body", T.StringType())])
+    sf = create_table_ddl(get_dialect("snowflake"), "t", schema,
+                          max_lens={"body": 100_000})
+    assert "varchar(150000)" in sf
+    ms = create_table_ddl(get_dialect("sqlserver"), "t", schema,
+                          max_lens={"body": 100_000})
+    assert "nvarchar(max)" in ms
