@@ -200,6 +200,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t, s = _merge_frames(spark, sf)
         return merge_delete_insert(t, s, "o_orderkey")
 
+    def merge_partitioned_delta(spark, sf):
+        """Partitioned Delta CoW merge (sources/delta_py round 4): the
+        target is partitioned by o_orderstatus, the probe is pruned to
+        the batch's partitions via add.partitionValues, and only touched
+        partitions' files rewrite. Must hash-match the same oracle as
+        the flat update_insert."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            merge_delta, read_delta, write_delta)
+
+        t, s = _merge_frames(spark, sf)
+        path = os.path.join(tempfile.mkdtemp(prefix="sling_pdm_"), "t")
+        write_delta(t, path, partition_by=["o_orderstatus"])
+        merge_delta(spark, path, s, "o_orderkey")
+        return read_delta(spark, path)
+
     def merge_file_granular(spark, sf):
         """Copy-on-write merge at file granularity (operators/file_merge):
         stage the target as a multi-file parquet dir, merge the batch in
@@ -636,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_roundtrip": delta_roundtrip,
         "iceberg_roundtrip": iceberg_roundtrip,
         "merge_update_insert_delta": merge_update_insert_delta,
+        "merge_partitioned_delta": merge_partitioned_delta,
         "merge_file_granular": merge_file_granular,
         "excel_roundtrip": excel_roundtrip,
         "avro_roundtrip": avro_roundtrip,
@@ -796,6 +814,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM src
         """,
         "merge_file_granular": f"""
+            WITH src AS ({_MERGE_SRC})
+            SELECT * FROM orders WHERE o_orderkey < 750
+              AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL SELECT * FROM src
+        """,
+        "merge_partitioned_delta": f"""
             WITH src AS ({_MERGE_SRC})
             SELECT * FROM orders WHERE o_orderkey < 750
               AND o_orderkey NOT IN (SELECT o_orderkey FROM src)

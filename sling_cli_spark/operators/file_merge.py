@@ -24,6 +24,14 @@ With batch PKs spread uniformly this degrades to all files touched (same
 cost as before, plus one cheap PK scan); with time-clustered update keys
 — the common incremental shape — it is a tiny fraction.
 
+Hive-partitioned targets (``k=v`` subdir layout, reference
+``iop/partition.go:13-124``) keep the O(touched) property: the partition
+columns are detected from the directory chain, the probe is pre-filtered
+to the partitions PRESENT IN THE BATCH (a driver-built predicate on
+partition columns — Catalyst prunes the directory scan, so untouched
+partitions are never opened), and replacements are written back through
+``partitionBy`` preserving the layout.
+
 Crash safety (documented contract, weaker than a real table format):
 replacements are fully written before any original is hidden, and
 originals are deleted only after replacements are in place, so no
@@ -33,14 +41,15 @@ files or re-run the merge). Concurrent-reader isolation needs a log —
 that is exactly what Delta adds; swap this module for ``MERGE INTO``
 when the delta-spark jars are on the classpath.
 
-Limits: flat (unpartitioned) parquet directories; schema drift between
-batch and target falls back to the full-rewrite swap path (the caller
-checks — new columns force rewriting every file anyway).
+Limits: schema drift between batch and target falls back to the
+full-rewrite swap path (the caller checks — new columns force rewriting
+every file anyway).
 """
 
 from __future__ import annotations
 
 import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,7 +86,7 @@ def touched_files(
 
 
 def has_subdirs(spark: SparkSession, path: str) -> bool:
-    """Partitioned (hive-layout) targets are out of scope — fall back."""
+    """True when the target uses a (hive-partitioned) subdir layout."""
     _, fs, p = _fs(spark, path)
     if not fs.exists(p):
         return False
@@ -85,6 +94,46 @@ def has_subdirs(spark: SparkSession, path: str) -> bool:
         if st.isDirectory():
             return True
     return False
+
+
+def partition_columns(spark: SparkSession, path: str) -> list[str]:
+    """Partition column names from the ``k=v`` directory chain (empty
+    for a flat layout)."""
+    _, fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    cols: list[str] = []
+    cur = p
+    while True:
+        nxt = None
+        for st in fs.listStatus(cur):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name \
+                    and not name.startswith((".", "_")):
+                nxt = st.getPath()
+                col = name.split("=", 1)[0]
+                break
+        if nxt is None:
+            return cols
+        cols.append(col)
+        cur = nxt
+
+
+def _batch_partition_filter(src: DataFrame, part_cols: list[str]):
+    """Predicate limiting a partitioned target scan to the partitions
+    present in the batch. The distinct-collect is bounded by the number
+    of partitions a batch touches (small by construction); Catalyst
+    turns the predicate into partition pruning, so untouched partitions
+    are never read."""
+    parts = src.select(*part_cols).distinct().collect()
+    if not parts:
+        return F.lit(False)
+    clauses = []
+    for r in parts:
+        eqs = [F.col(c).isNull() if r[c] is None else (F.col(c) == F.lit(r[c]))
+               for c in part_cols]
+        clauses.append(reduce(lambda a, b: a & b, eqs))
+    return reduce(lambda a, b: a | b, clauses)
 
 
 def merge_files(
@@ -102,7 +151,26 @@ def merge_files(
     (and tests) can assert the write amplification.
     """
     pk = _pk(primary_key)
-    target = spark.read.parquet(target_path)
+    part_cols = partition_columns(spark, target_path)
+
+    def _read(*paths: str) -> DataFrame:
+        reader = spark.read
+        if part_cols:
+            reader = reader.option("basePath", target_path)
+        df = reader.parquet(*paths)
+        # partition-dir type inference (bucket=1 -> int) may disagree
+        # with the batch's declared types; the batch wins so join/union
+        # keys line up and replacements carry the caller's types
+        src_types = dict(src.dtypes)
+        mis = [c for c in part_cols
+               if c in src_types and dict(df.dtypes).get(c) != src_types[c]]
+        if mis:
+            df = df.select(
+                *[F.col(c).cast(src_types[c]).alias(c) if c in mis
+                  else F.col(c) for c in df.columns])
+        return df
+
+    target = _read(target_path)
 
     touched: list[str] = []
     if strategy == MergeStrategy.INSERT:
@@ -115,9 +183,12 @@ def merge_files(
         # keep-all-history append: zero rewrites
         replacement = src
     else:
-        touched = touched_files(target, src, pk)
+        probe = target
+        if part_cols and all(c in src.columns for c in part_cols):
+            probe = target.filter(_batch_partition_filter(src, part_cols))
+        touched = touched_files(probe, src, pk)
         if touched:
-            touched_rows = spark.read.parquet(*touched)
+            touched_rows = _read(*touched)
         else:
             touched_rows = spark.createDataFrame([], target.schema)
         replacement = merge_dataframes(
@@ -125,7 +196,10 @@ def merge_files(
 
     jvm, fs, target_p = _fs(spark, target_path)
     tmp_uri = target_path.rstrip("/") + f"__merge_{uuid.uuid4().hex[:8]}"
-    replacement.write.parquet(tmp_uri)
+    writer = replacement.write
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp_uri)
 
     # promote: hide originals (readers skip dot-files), move replacements
     # in (part-file names carry job UUIDs — no collisions), drop hidden
@@ -137,22 +211,39 @@ def merge_files(
         if not fs.rename(src_p, hid_p):
             raise IOError(f"merge_files: could not retire {f}")
         hidden.append(hid_p)
-    n_new = 0
+
+    def _promote(src_dir, dst_dir) -> int:
+        n = 0
+        for st in fs.listStatus(src_dir):
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            if st.isDirectory():
+                sub_dst = jvm.org.apache.hadoop.fs.Path(dst_dir, name)
+                fs.mkdirs(sub_dst)
+                n += _promote(st.getPath(), sub_dst)
+                continue
+            if not fs.rename(st.getPath(),
+                             jvm.org.apache.hadoop.fs.Path(dst_dir, name)):
+                raise IOError(f"merge_files: could not promote {name}")
+            n += 1
+        return n
+
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp_uri)
-    for st in fs.listStatus(tmp_p):
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
-        if not fs.rename(st.getPath(),
-                         jvm.org.apache.hadoop.fs.Path(target_p, name)):
-            raise IOError(f"merge_files: could not promote {name}")
-        n_new += 1
+    n_new = _promote(tmp_p, target_p)
     for hid_p in hidden:
         fs.delete(hid_p, False)
     fs.delete(tmp_p, True)
 
-    total_files = sum(
-        1 for st in fs.listStatus(target_p)
-        if not st.getPath().getName().startswith(("_", ".")))
+    def _count_files(d) -> int:
+        n = 0
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            n += _count_files(st.getPath()) if st.isDirectory() else 1
+        return n
+
+    total_files = _count_files(target_p)
     return {"touched": len(touched), "new_files": n_new,
             "kept": total_files - n_new}

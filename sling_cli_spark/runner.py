@@ -346,29 +346,37 @@ def _lake_merge_format(cfg: Config) -> str | None:
 def _file_merge_eligible(
     spark: SparkSession, cfg: Config, target_df: DataFrame, df: DataFrame,
 ) -> bool:
-    """File-granular merge preconditions: parquet target, flat layout,
-    no schema drift, no delete_missing (which must see every file).
-    Anything else falls back to the full-rewrite swap path."""
+    """File-granular merge preconditions: parquet target, no schema
+    drift, no delete_missing (which must see every file). Hive-
+    partitioned layouts are eligible when the batch carries the
+    partition columns (merge_files prunes the probe to the batch's
+    partitions); anything else falls back to the full-rewrite swap
+    path."""
     opts = cfg.target.options
     if not opts.file_granular_merge or opts.delete_missing:
         return False
     if (opts.format or "parquet") != "parquet":
         return False
     obj = cfg.target.object or ""
-    if "{part_" in obj or opts.partition_by:
-        return False
+    if "{part_" in obj:
+        return False  # mask columns are derived at write time, not in df
     if dict(df.dtypes) != dict(target_df.dtypes):
         return False  # drift -> every file rewritten anyway; use swap
-    from sling_cli_spark.operators.file_merge import has_subdirs
+    from sling_cli_spark.operators.file_merge import (
+        has_subdirs, partition_columns)
     from sling_cli_spark.sinks.writers import _detect_format, parse_partition_mask
 
     uri, _ = parse_partition_mask(obj, cfg.source.update_key)
     if _detect_format(uri) != "parquet":
         return False
     try:
-        return not has_subdirs(spark, uri)
+        part_cols = partition_columns(spark, uri)
+        if not part_cols and has_subdirs(spark, uri):
+            return False  # non-hive subdir layout: shape unknown, swap
     except Exception:
         return False
+    # layout partitioning must be derivable from the batch itself
+    return all(c in df.columns for c in part_cols)
 
 
 def _write_aggs(cfg: Config, columns: list[str]):

@@ -143,3 +143,58 @@ def test_runner_falls_back_on_schema_drift(spark, tmp_path):
     assert r.merge_stats is None  # swap path took over
     back = spark.read.parquet(tgt)
     assert "extra" in back.columns and back.count() == 20
+
+
+# ---------------------------------------------------------------- round 4
+
+def test_partitioned_merge_rewrites_only_touched_partition(spark, tmp_path):
+    """Hive-layout target: only files in partitions present in the batch
+    are probed/rewritten; other partitions' files stay byte-identical."""
+    import glob
+
+    from sling_cli_spark.operators.file_merge import (
+        merge_files, partition_columns)
+
+    t = str(tmp_path / "pt")
+    spark.range(0, 300).selectExpr(
+        "id", "cast(id as string) v", "cast(id % 3 as string) bucket") \
+        .repartition(3, "bucket") \
+        .write.partitionBy("bucket").parquet(t)
+    assert partition_columns(spark, t) == ["bucket"]
+    before = {p: os.path.getmtime(p)
+              for p in glob.glob(os.path.join(t, "bucket=*", "*.parquet"))}
+    untouched = {p for p in before if "bucket=1" not in p}
+
+    batch = spark.createDataFrame(
+        [(1, "X", "1"), (301, "new", "1")], "id long, v string, bucket string")
+    stats = merge_files(spark, t, batch, "id")
+    assert stats["touched"] >= 1
+    # untouched partitions' files still exist with original mtimes
+    for p in untouched:
+        assert os.path.exists(p) and os.path.getmtime(p) == before[p]
+    got = {r["id"]: (r["v"], str(r["bucket"])) for r in
+           spark.read.parquet(t).collect()}
+    assert got[1] == ("X", "1") and got[301] == ("new", "1")
+    assert len(got) == 301
+
+
+def test_runner_eligibility_partitioned(spark, tmp_path):
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import _file_merge_eligible
+
+    t = str(tmp_path / "pe")
+    spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id long, v string, part string") \
+        .write.partitionBy("part").parquet(t)
+    target_df = spark.read.parquet(t)
+    cfg = Config.from_dict({
+        "source": {"stream": "dummy", "primary_key": "id"},
+        "target": {"object": t},
+        "mode": "incremental"})
+    # batch WITH the partition column: eligible
+    df = spark.createDataFrame([(1, "X", "x")], "id long, v string, part string")
+    df = df.select(*target_df.columns)
+    assert _file_merge_eligible(spark, cfg, target_df, df)
+    # batch WITHOUT it: falls back
+    df2 = spark.createDataFrame([(1, "X")], "id long, v string")
+    assert not _file_merge_eligible(spark, cfg, target_df, df2)
