@@ -71,7 +71,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name, fn in qs.items():
+    # headline queries run FIRST (right after warm-up) so their timings
+    # are comparable across rounds regardless of how many other queries
+    # are registered; r3 timed them after ~45 other queries and the
+    # accumulated JVM/GC pressure showed up as a phantom 2x on the
+    # sub-second ones (asof/sessionize)
+    ordered = {n: qs[n] for n in BENCH_QUERIES if n in qs}
+    ordered.update(qs)
+    for name, fn in ordered.items():
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)

@@ -131,12 +131,15 @@ def shingle_table(
         F.posexplode_outer(tokens_col(F.col(text_col))).alias("pos", "tok"),
     )
     w = Window.partitionBy(id_col).orderBy("pos")
-    wcnt = Window.partitionBy(id_col)
     leads = [F.lead("tok", i).over(w).alias(f"t{i}")
              for i in range(1, shingle_n)]
-    tri = toks.select(
-        id_col, "pos", "tok", *leads,
-        F.count(F.lit(1)).over(wcnt).alias("__cnt"))
+    # the doc token count uses the SAME partition+order spec as the
+    # leads (unbounded frame), so Catalyst evaluates every frame in ONE
+    # Window exec — a separate unordered count-window would add a full
+    # extra pass over the exploded rows
+    cnt = F.count(F.lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    tri = toks.select(id_col, "pos", "tok", cnt.alias("__cnt"), *leads)
     last = F.col(f"t{shingle_n - 1}")
     full = tri.filter(
         last.isNotNull()
