@@ -64,6 +64,14 @@ def write_excel(df: DataFrame, path: str, sheet: str = "Sheet1") -> None:
     available; otherwise the stdlib xlsx writer (sources/xlsx.py — a zip
     of OOXML parts, no dependency needed). Sheets are driver-sized by
     contract, like the reference's in-memory builder (sheet_excel.go)."""
+    from sling_cli_spark.limits import ensure_driver_rows
+
+    # xlsx itself caps a sheet at 1,048,576 rows; the guard also keeps
+    # the driver collect bounded
+    ensure_driver_rows(
+        df, "xlsx write (sinks/formats)",
+        "csv/parquet output (xlsx caps at 1,048,576 rows per sheet)")
+
     engine = None
     try:
         import openpyxl  # noqa: F401

@@ -364,6 +364,12 @@ def write_avro_df(df, path: str, codec: str = "deflate") -> None:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    from sling_cli_spark.limits import ensure_driver_rows
+
+    ensure_driver_rows(
+        df, "stdlib avro write (sources/avro_py)",
+        "the spark-avro package (distributed writer)")
+
     cols = []
     for f in df.schema.fields:
         c = F.col(f"`{f.name}`")
@@ -394,6 +400,12 @@ def read_avro_df(spark, path: str):
         else [path]
     if len(paths) == 1 and os.path.isdir(paths[0]):
         paths = sorted(_glob.glob(os.path.join(paths[0], "*.avro")))
+    from sling_cli_spark.limits import ensure_driver_bytes
+
+    ensure_driver_bytes(
+        sum(os.path.getsize(p) for p in paths if os.path.exists(p)),
+        "stdlib avro read (sources/avro_py)",
+        "the spark-avro package (distributed reader)")
     schema, records = None, []
     for p in paths:
         s, recs = read_avro(p)

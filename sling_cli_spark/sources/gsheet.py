@@ -74,6 +74,14 @@ def write_gsheet(
     import json as _json
     import urllib.request
 
+    from sling_cli_spark.limits import ensure_driver_rows
+
+    # Sheets caps a spreadsheet at 10M cells — anything near that must
+    # not be collected to the driver anyway
+    ensure_driver_rows(
+        df, "Sheets values.update write (sources/gsheet)",
+        "a warehouse/file target (Sheets caps at 10M cells)")
+
     m = _ID_RE.search(sheet_ref)
     sheet_id = m.group(1) if m else sheet_ref
     rng = f"{sheet_name}!A1"

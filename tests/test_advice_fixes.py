@@ -146,3 +146,76 @@ def test_skip_lines_plan_stays_jvm_side(spark, tmp_path):
     assert "rangepartitioning" not in plan    # no global sort
     rows = sorted((r["id"], r["v"]) for r in df.collect())
     assert rows == [("1", "a"), ("2", "b"), ("3", "c")]
+
+
+# ------------------------------------------------- round 4: fallback caps
+
+def test_avro_write_fallback_refuses_oversized(spark, tmp_path, monkeypatch):
+    from sling_cli_spark.limits import DriverSizeError
+    from sling_cli_spark.sources.avro_py import write_avro_df
+
+    monkeypatch.setenv("SLING_DRIVER_ROW_CAP", "100")
+    df = spark.range(0, 200).selectExpr("id", "cast(id as string) v")
+    with pytest.raises(DriverSizeError, match="spark-avro"):
+        write_avro_df(df, str(tmp_path / "big.avro"))
+    # under the cap: works
+    write_avro_df(df.limit(50), str(tmp_path / "ok.avro"))
+
+
+def test_avro_read_fallback_refuses_oversized(spark, tmp_path, monkeypatch):
+    from sling_cli_spark.limits import DriverSizeError
+    from sling_cli_spark.sources.avro_py import read_avro_df, write_avro_df
+
+    p = str(tmp_path / "r.avro")
+    write_avro_df(spark.range(5).selectExpr("id"), p)
+    monkeypatch.setenv("SLING_DRIVER_BYTE_CAP", "10")
+    with pytest.raises(DriverSizeError, match="spark-avro"):
+        read_avro_df(spark, p)
+
+
+def test_xlsx_write_refuses_oversized(spark, tmp_path, monkeypatch):
+    from sling_cli_spark.limits import DriverSizeError
+    from sling_cli_spark.sinks.formats import write_excel
+
+    monkeypatch.setenv("SLING_DRIVER_ROW_CAP", "100")
+    with pytest.raises(DriverSizeError, match="1,048,576"):
+        write_excel(spark.range(0, 200).selectExpr("id"),
+                    str(tmp_path / "big.xlsx"))
+
+
+def test_gsheet_write_refuses_oversized(spark, monkeypatch):
+    from sling_cli_spark.limits import DriverSizeError
+    from sling_cli_spark.sources.gsheet import write_gsheet
+
+    monkeypatch.setenv("SLING_DRIVER_ROW_CAP", "100")
+    calls = []
+    with pytest.raises(DriverSizeError):
+        write_gsheet(spark.range(0, 200).selectExpr("id"), "sheetid",
+                     transport=lambda *a: calls.append(a) or (200, {}))
+    assert not calls  # refused before any network call
+
+
+def test_gsheet_write_serializes_temporal_and_decimal(spark):
+    """ADVICE r3: datetime/Decimal cells must not blow up json.dumps."""
+    import datetime
+    from decimal import Decimal
+
+    from sling_cli_spark.sources.gsheet import write_gsheet
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 2, 3, 4, 5),
+          datetime.date(2024, 1, 2), Decimal("12.50"))],
+        "id long, ts timestamp, d date, amt decimal(10,2)")
+    sent = {}
+
+    def transport(method, url, headers, body):
+        import json as j
+        j.dumps(body)  # must be JSON-serializable
+        sent.update(body)
+        return 200, {"updatedCells": 8}
+
+    write_gsheet(df, "abc123", transport=transport)
+    row = sent["values"][1]
+    assert row[1] == "2024-01-02 03:04:05"
+    assert row[2] == "2024-01-02"
+    assert row[3] == "12.50"
