@@ -52,21 +52,52 @@ class Queue:
     matching ConsumeDeferred. ``deferred=False`` tails the queue live
     (ConsumeImmediate), yielding as items arrive until done."""
 
-    def __init__(self, name: str = ""):
+    def __init__(self, name: str = "", path: str | None = None):
         self.name = name
         self._items: list[Any] = []
         self._done = threading.Event()
         self._cond = threading.Condition()
+        self._path = path
+        self._fh = None
+        if path:
+            # durable mode (reference iop/queue.go:20-33: queues are
+            # backed by JSONL files): replay whatever a previous process
+            # appended, then keep appending with per-item flush so a
+            # crash loses at most the in-flight item
+            import json as _json
+            import os as _os
+
+            if _os.path.exists(path):
+                with open(path) as f:
+                    for line in f:
+                        if line.strip():
+                            self._items.append(_json.loads(line))
+            self._fh = open(path, "a")
+
+    def _persist(self, item: Any) -> None:
+        if self._fh is not None:
+            import json as _json
+
+            self._fh.write(_json.dumps(item) + "\n")
+            self._fh.flush()
 
     def append(self, item: Any) -> None:
         with self._cond:
             self._items.append(item)
+            self._persist(item)
             self._cond.notify_all()
 
     def extend(self, items) -> None:
         with self._cond:
-            self._items.extend(items)
+            for it in items:
+                self._items.append(it)
+                self._persist(it)
             self._cond.notify_all()
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
 
     def mark_done(self) -> None:
         self._done.set()
@@ -187,6 +218,123 @@ class OAuth2ClientCredentials(Authenticator):
         return True
 
 
+class OAuth2AuthorizationCode(Authenticator):
+    """authorization_code + refresh_token grants (auth.go:448-620).
+
+    The reference's interactive leg (browser + localhost callback +
+    PKCE) cannot run in a headless engine; this covers the
+    NON-interactive legs around it, which is what a pipeline actually
+    replays:
+
+    - exchange a supplied one-time ``code`` (from the operator's browser
+      dance) at the token endpoint;
+    - on startup prefer a stored refresh token (``token_store`` JSON
+      file), refreshing immediately — auth.go:448-469 loads the stored
+      token the same way;
+    - persist rotation: a refresh response carrying a NEW refresh token
+      replaces the stored one (auth.go:456-459);
+    - a 401 mid-run refreshes once and retries.
+    """
+
+    def __init__(
+        self, token_url: str, client_id: str, client_secret: str = "",
+        code: str | None = None, redirect_uri: str | None = None,
+        scopes: list[str] | None = None, token_store: str | None = None,
+        transport: Transport | None = None,
+    ):
+        super().__init__()
+        self.token_url = token_url
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.code = code
+        self.redirect_uri = redirect_uri
+        self.scopes = scopes or []
+        self.token_store = token_store
+        self.transport = transport or _default_transport
+        self.refresh_token: str | None = None
+
+    # -- token store -----------------------------------------------------
+    def _load_store(self) -> dict[str, Any] | None:
+        if not self.token_store:
+            return None
+        import json as _json
+        import os as _os
+
+        if not _os.path.exists(self.token_store):
+            return None
+        try:
+            with open(self.token_store) as f:
+                return _json.load(f)
+        except Exception:
+            return None
+
+    def _save_store(self) -> None:
+        if not self.token_store:
+            return
+        import json as _json
+
+        with open(self.token_store, "w") as f:
+            _json.dump({"access_token": self.token,
+                        "refresh_token": self.refresh_token}, f)
+
+    # -- grants ----------------------------------------------------------
+    def _token_request(self, params: dict[str, str]) -> None:
+        params = dict(params, client_id=self.client_id)
+        if self.client_secret:
+            params["client_secret"] = self.client_secret
+        if self.scopes:
+            params["scope"] = " ".join(self.scopes)
+        status, body = self.transport(self.token_url, params, {})
+        if status >= 400 or not isinstance(body, dict):
+            raise RuntimeError(
+                f"oauth2 token endpoint returned {status}: {body}")
+        self.token = body.get("access_token")
+        if not self.token:
+            raise RuntimeError("oauth2 response missing access_token")
+        # rotation: only overwrite the refresh token when a new one came
+        if body.get("refresh_token"):
+            self.refresh_token = body["refresh_token"]
+        self.headers = {"Authorization": f"Bearer {self.token}"}
+        self._save_store()
+
+    def _exchange_code(self) -> None:
+        params = {"grant_type": "authorization_code", "code": self.code}
+        if self.redirect_uri:
+            params["redirect_uri"] = self.redirect_uri
+        self._token_request(params)
+
+    def _refresh(self) -> None:
+        self._token_request({"grant_type": "refresh_token",
+                             "refresh_token": self.refresh_token})
+
+    def authenticate(self) -> None:
+        stored = self._load_store()
+        if stored and stored.get("refresh_token"):
+            self.refresh_token = stored["refresh_token"]
+            try:
+                self._refresh()
+                return
+            except RuntimeError:
+                if not self.code:
+                    raise RuntimeError(
+                        "stored refresh token is invalid and no "
+                        "authorization code supplied — re-run the "
+                        "interactive authorization (auth.go:469)")
+        if not self.code:
+            raise RuntimeError(
+                "authorization_code flow needs `code` (from the one-time "
+                "browser authorization) or a token_store holding a "
+                "refresh token")
+        self._exchange_code()
+
+    def handle_unauthorized(self) -> bool:
+        if self.refresh_token:
+            self._refresh()
+        else:
+            self.authenticate()
+        return True
+
+
 def make_authenticator(
     auth: dict[str, Any] | None,
     evaluator: Evaluator | None = None,
@@ -208,17 +356,30 @@ def make_authenticator(
         a = StaticAuth({k: r(v) for k, v in (auth.get("headers") or {}).items()})
     elif kind in ("oauth2", "oauth2_client_credentials"):
         flow = (auth.get("flow") or "client_credentials").lower()
-        if flow != "client_credentials":
+        if flow == "client_credentials":
+            a = OAuth2ClientCredentials(
+                r(auth.get("authentication_url", "")),
+                r(auth.get("client_id", "")),
+                r(auth.get("client_secret", "")),
+                [r(s) for s in (auth.get("scopes") or [])],
+                transport=transport,
+            )
+        elif flow in ("authorization_code", "refresh_token"):
+            a = OAuth2AuthorizationCode(
+                r(auth.get("authentication_url", "")),
+                r(auth.get("client_id", "")),
+                r(auth.get("client_secret", "") or ""),
+                code=r(auth["code"]) if auth.get("code") else None,
+                redirect_uri=r(auth.get("redirect_uri", "") or "") or None,
+                scopes=[r(s) for s in (auth.get("scopes") or [])],
+                token_store=r(auth.get("token_store", "") or "") or None,
+                transport=transport,
+            )
+        else:
             raise NotImplementedError(
-                f"oauth2 flow {flow!r} needs a browser; headless engine "
-                "supports client_credentials (reference auth.go:516-669)")
-        a = OAuth2ClientCredentials(
-            r(auth.get("authentication_url", "")),
-            r(auth.get("client_id", "")),
-            r(auth.get("client_secret", "")),
-            [r(s) for s in (auth.get("scopes") or [])],
-            transport=transport,
-        )
+                f"oauth2 flow {flow!r} needs a browser/device; supported: "
+                "client_credentials, authorization_code, refresh_token "
+                "(reference auth.go:516-669)")
     else:
         raise ValueError(f"unsupported authentication type: {kind!r}")
     a.authenticate()

@@ -95,9 +95,11 @@ def test_oauth2_client_credentials_flow_and_401_refresh():
 
 
 def test_oauth2_interactive_flows_rejected():
+    # device_code still needs a human; authorization_code is supported
+    # round 4 via supplied code / stored refresh token (see below)
     with pytest.raises(NotImplementedError, match="browser"):
         make_authenticator({
-            "type": "oauth2", "flow": "authorization_code",
+            "type": "oauth2", "flow": "device_code",
             "authentication_url": "https://x/t"})
 
 
@@ -339,3 +341,132 @@ def test_rule_skip_drops_records_keeps_paging():
         },
     }, transport=transport)
     assert conn.run()["e"] == [{"i": 0, "bad": False}, {"i": 2, "bad": False}]
+
+
+# ----------------------------------------- round 4: oauth2 + durable queue
+
+class _TokenServer:
+    """Fake token endpoint: code -> token exchange, refresh grant with
+    rotation, and expiring access tokens."""
+
+    def __init__(self):
+        self.n = 0
+        self.calls = []
+
+    def __call__(self, url, params, headers):
+        self.calls.append(dict(params))
+        grant = params.get("grant_type")
+        if grant == "authorization_code":
+            if params.get("code") != "goodcode":
+                return 400, {"error": "invalid_grant"}
+            self.n += 1
+            return 200, {"access_token": f"AT{self.n}",
+                         "refresh_token": f"RT{self.n}"}
+        if grant == "refresh_token":
+            if not str(params.get("refresh_token", "")).startswith("RT"):
+                return 400, {"error": "invalid_grant"}
+            self.n += 1
+            return 200, {"access_token": f"AT{self.n}",
+                         "refresh_token": f"RT{self.n}"}
+        return 400, {"error": "unsupported_grant_type"}
+
+
+def test_auth_code_exchange_and_store(tmp_path):
+    from sling_cli_spark.sources.api_spec import OAuth2AuthorizationCode
+
+    srv = _TokenServer()
+    store = str(tmp_path / "tok.json")
+    a = OAuth2AuthorizationCode(
+        "https://idp/token", "cid", "sec", code="goodcode",
+        redirect_uri="http://localhost/callback", token_store=store,
+        transport=srv)
+    a.authenticate()
+    assert a.headers["Authorization"] == "Bearer AT1"
+    assert srv.calls[0]["grant_type"] == "authorization_code"
+    assert srv.calls[0]["redirect_uri"] == "http://localhost/callback"
+    import json
+    assert json.load(open(store))["refresh_token"] == "RT1"
+
+
+def test_stored_refresh_token_survives_restart(tmp_path):
+    """A new process with only the token_store refreshes without a code,
+    and rotation persists the NEW refresh token (auth.go:448-469)."""
+    from sling_cli_spark.sources.api_spec import OAuth2AuthorizationCode
+
+    srv = _TokenServer()
+    store = str(tmp_path / "tok.json")
+    a1 = OAuth2AuthorizationCode("https://idp/token", "cid", "sec",
+                                 code="goodcode", token_store=store,
+                                 transport=srv)
+    a1.authenticate()
+
+    a2 = OAuth2AuthorizationCode("https://idp/token", "cid", "sec",
+                                 token_store=store, transport=srv)
+    a2.authenticate()  # no code: refresh grant from the store
+    assert a2.headers["Authorization"] == "Bearer AT2"
+    assert srv.calls[-1] == {
+        "grant_type": "refresh_token", "refresh_token": "RT1",
+        "client_id": "cid", "client_secret": "sec"}
+    import json
+    assert json.load(open(store))["refresh_token"] == "RT2"
+
+
+def test_401_triggers_refresh_and_retry(tmp_path):
+    """An endpoint 401 mid-run refreshes the token once and retries."""
+    from sling_cli_spark.sources.api_spec import APIConnection
+
+    srv = _TokenServer()
+    seen_tokens = []
+
+    def api_transport(url, params, headers):
+        if "idp/token" in url:
+            return srv(url, params, headers)
+        tok = headers.get("Authorization")
+        seen_tokens.append(tok)
+        if tok == "Bearer AT1":
+            return 401, {"error": "expired"}
+        return 200, {"items": [{"id": 1}]}
+
+    conn = APIConnection({
+        "name": "t",
+        "authentication": {
+            "type": "oauth2", "flow": "authorization_code",
+            "authentication_url": "https://idp/token",
+            "client_id": "cid", "client_secret": "sec",
+            "code": "goodcode",
+        },
+        "endpoints": {
+            "items": {"request": {"url": "https://api/items"},
+                      "response": {"records": {"jmespath": "items"}}},
+        },
+    }, transport=api_transport)
+    rows = conn.fetch_endpoint("items")
+    assert rows == [{"id": 1}]
+    assert seen_tokens == ["Bearer AT1", "Bearer AT2"]
+
+
+def test_auth_code_without_code_or_store_raises():
+    import pytest as _pytest
+
+    from sling_cli_spark.sources.api_spec import OAuth2AuthorizationCode
+
+    a = OAuth2AuthorizationCode("https://idp/token", "cid", transport=_TokenServer())
+    with _pytest.raises(RuntimeError, match="browser authorization"):
+        a.authenticate()
+
+
+def test_durable_queue_survives_restart(tmp_path):
+    from sling_cli_spark.sources.api_spec import Queue
+
+    p = str(tmp_path / "q.jsonl")
+    q1 = Queue("jobs", path=p)
+    q1.extend([{"page": 1}, {"page": 2}])
+    q1.append({"page": 3})
+    q1.close()  # simulated crash/restart boundary
+
+    q2 = Queue("jobs", path=p)
+    assert len(q2) == 3
+    q2.append({"page": 4})
+    q2.mark_done()
+    assert [i["page"] for i in q2.consume()] == [1, 2, 3, 4]
+    q2.close()
