@@ -55,6 +55,133 @@ def stream_dedup_latest(
     return df.dropDuplicates(pk + [seq_col])
 
 
+def debezium_value_schema(row_schema):
+    """Spark schema for a Debezium change-event VALUE (the public
+    Debezium envelope: before/after row images + op + source.ts_ms;
+    debezium.io/documentation — the reference consumes the same shape
+    from its Kafka source)."""
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("before", row_schema),
+        T.StructField("after", row_schema),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+
+
+def unwrap_debezium(
+    df: DataFrame, row_schema, value_col: str = "value",
+    payload_wrapped: bool = False,
+    seq_col: str = SEQ_COL, op_col: str = OP_COL,
+) -> DataFrame:
+    """Debezium JSON envelope -> flat CDC rows the merge understands.
+
+    - row image: ``after`` normally, ``before`` for deletes
+    - ``op`` c/r -> I, u -> U, d -> D (matching the _sling_synced_op
+      domain merge_change_capture consumes)
+    - ``ts_ms`` becomes the ordering sequence
+
+    Works identically on a stream (Kafka ``value`` bytes) and a batch
+    (testing) because it is a pure projection.
+    """
+    env = debezium_value_schema(row_schema)
+    if payload_wrapped:  # non-schemaless connector configs nest payload
+        from pyspark.sql import types as T
+
+        env = T.StructType([T.StructField("payload", env)])
+    parsed = df.select(
+        F.from_json(F.col(value_col).cast("string"), env).alias("__e"))
+    p = "__e.payload" if payload_wrapped else "__e"
+    img = F.when(F.col(f"{p}.op") == "d", F.col(f"{p}.before")) \
+        .otherwise(F.col(f"{p}.after"))
+    out = parsed.select(
+        img.alias("__row"),
+        F.when(F.col(f"{p}.op") == "d", F.lit("D"))
+        .when(F.col(f"{p}.op") == "u", F.lit("U"))
+        .otherwise(F.lit("I")).alias(op_col),
+        F.col(f"{p}.ts_ms").alias(seq_col),
+    )
+    return out.select("__row.*", op_col, seq_col)
+
+
+def build_cdc_source(spark: SparkSession, conf: dict, row_schema) -> DataFrame:
+    """Config-driven CDC source stream.
+
+    ``conf`` (the reference's source-options surface, re-shaped)::
+
+        {"format": "kafka",                  # or json/csv/parquet (files)
+         "options": {"kafka.bootstrap.servers": "...",
+                     "subscribe": "topic", ...},
+         "path": "...",                      # file formats only
+         "envelope": "debezium" | "flat",    # value shape
+         "payload_wrapped": false,
+         "max_files_per_trigger": N}
+
+    Kafka is the production source; a file format with the same
+    ``envelope`` config is the in-container testable twin — the
+    downstream unwrap + foreachBatch merge is byte-identical.
+    """
+    fmt = (conf.get("format") or "json").lower()
+    envelope = (conf.get("envelope") or "flat").lower()
+    if fmt == "kafka":
+        opts = conf.get("options") or {}
+        for req in ("kafka.bootstrap.servers", "subscribe"):
+            if req not in opts:
+                raise ValueError(f"kafka source requires option {req!r}")
+        reader = spark.readStream.format("kafka")
+        for k, v in opts.items():
+            reader = reader.option(k, str(v))
+        raw = reader.load()  # schema: key/value binary + metadata
+    elif envelope == "debezium":
+        # envelope in files: each line is one change-event JSON string
+        reader = spark.readStream
+        if conf.get("max_files_per_trigger"):
+            reader = reader.option(
+                "maxFilesPerTrigger", str(conf["max_files_per_trigger"]))
+        raw = reader.text(conf["path"])
+    else:
+        return read_file_stream(
+            spark, conf["path"], row_schema, fmt=fmt,
+            max_files_per_trigger=conf.get("max_files_per_trigger"))
+    if envelope == "debezium":
+        return unwrap_debezium(
+            raw, row_schema,
+            payload_wrapped=bool(conf.get("payload_wrapped")),
+            seq_col=conf.get("seq_col", SEQ_COL),
+            op_col=conf.get("op_col", OP_COL))
+    # flat kafka: value is already the row JSON + op/seq fields
+    from pyspark.sql import types as T
+
+    flat = T.StructType(list(row_schema.fields) + [
+        T.StructField(conf.get("op_col", OP_COL), T.StringType()),
+        T.StructField(conf.get("seq_col", SEQ_COL), T.LongType()),
+    ])
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), flat).alias("__r")
+    ).select("__r.*")
+
+
+def run_cdc_pipeline(
+    spark: SparkSession,
+    source_conf: dict,
+    row_schema,
+    target_path: str,
+    primary_key,
+    checkpoint: str,
+    soft: bool = False,
+    available_now: bool = True,
+):
+    """Config -> source stream -> foreachBatch merge, one call
+    (the reference's replication `mode: change_capture` surface)."""
+    src = build_cdc_source(spark, source_conf, row_schema)
+    return run_cdc_stream(
+        spark, src, target_path, primary_key, checkpoint,
+        seq_col=source_conf.get("seq_col", SEQ_COL),
+        op_col=source_conf.get("op_col", OP_COL),
+        soft=soft, available_now=available_now)
+
+
 def run_cdc_stream(
     spark: SparkSession,
     src: DataFrame,

@@ -180,3 +180,114 @@ def test_tumbling_agg_streaming_with_watermark(spark, tmp_path):
            for r in spark.sql("select * from win_out").collect()}
     assert got == {("2024-01-01 10:00:00", "a"): 2,
                    ("2024-01-01 11:00:00", "b"): 1}
+
+
+# -------------------------------------------- round 4: kafka/debezium CDC
+
+ROW_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("v", T.StringType()),
+])
+
+
+def _dbz(op, before, after, ts):
+    return {"before": before, "after": after, "op": op, "ts_ms": ts}
+
+
+def test_unwrap_debezium_batch(spark):
+    from sling_cli_spark.streaming.cdc import unwrap_debezium
+
+    events = [
+        _dbz("c", None, {"id": 1, "v": "a"}, 100),
+        _dbz("u", {"id": 1, "v": "a"}, {"id": 1, "v": "b"}, 200),
+        _dbz("d", {"id": 2, "v": "x"}, None, 300),
+        _dbz("r", None, {"id": 3, "v": "snap"}, 50),  # snapshot read
+    ]
+    df = spark.createDataFrame([(json.dumps(e),) for e in events],
+                               "value string")
+    out = unwrap_debezium(df, ROW_SCHEMA).collect()
+    got = {(r["id"], r["_sling_synced_op"], r["_sling_synced_seq"])
+           for r in out}
+    assert got == {(1, "I", 100), (1, "U", 200), (2, "D", 300),
+                   (3, "I", 50)}
+    assert {r["v"] for r in out if r["id"] == 2} == {"x"}  # before image
+
+
+def test_unwrap_debezium_payload_wrapped(spark):
+    from sling_cli_spark.streaming.cdc import unwrap_debezium
+
+    e = {"payload": _dbz("c", None, {"id": 9, "v": "w"}, 42)}
+    df = spark.createDataFrame([(json.dumps(e),)], "value string")
+    r = unwrap_debezium(df, ROW_SCHEMA, payload_wrapped=True).collect()[0]
+    assert (r["id"], r["v"], r["_sling_synced_op"]) == (9, "w", "I")
+
+
+def test_kafka_source_requires_options(spark):
+    from sling_cli_spark.streaming.cdc import build_cdc_source
+
+    with pytest.raises(ValueError, match="kafka.bootstrap.servers"):
+        build_cdc_source(spark, {"format": "kafka"}, ROW_SCHEMA)
+    with pytest.raises(ValueError, match="subscribe"):
+        build_cdc_source(
+            spark, {"format": "kafka",
+                    "options": {"kafka.bootstrap.servers": "b:9092"}},
+            ROW_SCHEMA)
+
+
+def test_cdc_pipeline_debezium_files_to_parquet(spark, tmp_path):
+    """The full config-driven path: debezium-envelope JSONL files ->
+    unwrap -> foreachBatch change-capture merge into parquet. Swapping
+    format:kafka in the same config is the production path (identical
+    downstream plan)."""
+    from sling_cli_spark.streaming.cdc import run_cdc_pipeline
+
+    src_dir = str(tmp_path / "events")
+    target = str(tmp_path / "target.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(src_dir, [
+        _dbz("c", None, {"id": 1, "v": "a"}, 100),
+        _dbz("c", None, {"id": 2, "v": "b"}, 101),
+    ], "b1.jsonl")
+
+    conf = {"format": "json", "envelope": "debezium", "path": src_dir}
+    run_cdc_pipeline(spark, conf, ROW_SCHEMA, target, "id", ckpt)
+    got = {r["id"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # batch 2: update 1, delete 2, insert 3 — resumes from checkpoint
+    _write_batch(src_dir, [
+        _dbz("u", {"id": 1, "v": "a"}, {"id": 1, "v": "A2"}, 200),
+        _dbz("d", {"id": 2, "v": "b"}, None, 201),
+        _dbz("c", None, {"id": 3, "v": "c"}, 202),
+    ], "b2.jsonl")
+    run_cdc_pipeline(spark, conf, ROW_SCHEMA, target, "id", ckpt)
+    got = {r["id"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "A2", 3: "c"}
+
+
+def test_cdc_pipeline_custom_cdc_columns_to_delta(spark, tmp_path):
+    """Custom seq/op column names thread through to a Delta target
+    (ADVICE r3: the delta branch used to drop them)."""
+    from sling_cli_spark.sources.delta_py import read_delta, write_delta
+    from sling_cli_spark.streaming.cdc import run_cdc_pipeline
+
+    src_dir = str(tmp_path / "ev2")
+    target = str(tmp_path / "dt")
+    ckpt = str(tmp_path / "ck2")
+    write_delta(spark.createDataFrame([(1, "a"), (2, "b")],
+                                      "id long, v string"), target)
+
+    _write_batch(src_dir, [
+        {"id": 1, "v": "A2", "my_op": "U", "my_seq": 10},
+        {"id": 2, "v": None, "my_op": "D", "my_seq": 11},
+        {"id": 5, "v": "new", "my_op": "I", "my_seq": 12},
+    ], "b1.jsonl")
+    conf = {"format": "json", "path": src_dir,
+            "seq_col": "my_seq", "op_col": "my_op"}
+    schema = T.StructType(list(ROW_SCHEMA.fields) + [
+        T.StructField("my_op", T.StringType()),
+        T.StructField("my_seq", T.LongType()),
+    ])
+    run_cdc_pipeline(spark, conf, schema, target, "id", ckpt)
+    got = {r["id"]: r["v"] for r in read_delta(spark, target).collect()}
+    assert got == {1: "A2", 5: "new"}
