@@ -530,6 +530,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         write_avro_df(n, path)
         return read_avro_df(spark, path)
 
+    def sas_roundtrip(spark, sf):
+        """SAS7BDAT active in-sandbox: the stdlib writer
+        (sources/sas7bdat_py, public format layout) generates the file,
+        the engine's pandas-backed source path reads it back; values
+        hash-match the original (numerics ride as SAS doubles)."""
+        import tempfile
+
+        from sling_cli_spark.config import SourceOptions
+        from sling_cli_spark.sources.files import read_files
+        from sling_cli_spark.sources.sas7bdat_py import write_sas7bdat_df
+
+        path = os.path.join(tempfile.mkdtemp(prefix="sling_sas_"),
+                            "n.sas7bdat")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("double").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("double").alias("n_regionkey"))
+        write_sas7bdat_df(n, path)
+        return read_files(spark, path, SourceOptions()) \
+            .select("n_nationkey", "n_name", "n_regionkey")
+
     def multimodal_bytes(spark, sf):
         """Multimodal blob plumbing under the oracle: documents.text
         bytes ride as an opaque binary column through the Arrow-batched
@@ -657,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_file_granular": merge_file_granular,
         "excel_roundtrip": excel_roundtrip,
         "avro_roundtrip": avro_roundtrip,
+        "sas_roundtrip": sas_roundtrip,
         "csv_inference_roundtrip": csv_inference_roundtrip,
         "sql_on_files": sql_files,
         # -- merge strategies (representative set) ------------------------
@@ -915,6 +937,11 @@ def oracle_sql() -> dict[str, str]:
         "avro_roundtrip": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+        """,
+        "sas_roundtrip": """
+            SELECT CAST(n_nationkey AS DOUBLE) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS DOUBLE) AS n_regionkey
             FROM nation
         """,
         "multimodal_bytes": """

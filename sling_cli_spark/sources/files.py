@@ -265,7 +265,14 @@ def _read_via_pandas(
                 header, rows = read_xlsx(path, opts.sheet)
                 pdf = pd.DataFrame(rows, columns=header)
         else:
-            pdf = pd.read_sas(path)
+            pdf = pd.read_sas(path, encoding="infer")
+            # readers without an in-file encoding hint return bytes cells
+            for c in pdf.columns:
+                if pdf[c].dtype == object and pdf[c].map(
+                        lambda v: isinstance(v, bytes)).any():
+                    pdf[c] = pdf[c].map(
+                        lambda v: v.decode("utf-8", "replace")
+                        if isinstance(v, bytes) else v)
     except ImportError as e:
         raise NotImplementedError(
             f"{fmt} source requires a reader library not present in this "

@@ -133,3 +133,54 @@ def test_write_gsheet_builds_values_update(spark):
     assert seen["headers"]["Authorization"] == "Bearer tok"
     assert seen["body"]["values"][0] == ["id", "v"]
     assert seen["body"]["values"][1:] == [[1, "a"], [2, ""]]
+
+
+# ----------------------------------------------- round 4: sas7bdat active
+
+def test_sas7bdat_roundtrip(spark, tmp_path):
+    """Generate a sas7bdat with the stdlib writer (public format spec),
+    read it back through the engine's source path (pandas reader)."""
+    from sling_cli_spark.config import SourceOptions
+    from sling_cli_spark.sources.files import read_files
+    from sling_cli_spark.sources.sas7bdat_py import write_sas7bdat
+
+    p = str(tmp_path / "t.sas7bdat")
+    write_sas7bdat(p, ["id", "score", "name"], [
+        (1, 9.5, "alpha"), (2, 8.25, "bravo"), (3, None, "charlie"),
+    ])
+    df = read_files(spark, p, SourceOptions())
+    rows = {int(r["id"]): (r["score"], r["name"]) for r in df.collect()}
+    assert rows[1] == (9.5, "alpha")
+    assert rows[2] == (8.25, "bravo")
+    assert rows[3][0] is None or rows[3][0] != rows[3][0]  # NaN
+    assert rows[3][1] == "charlie"
+
+
+def test_sas7bdat_multi_page(spark, tmp_path):
+    """More rows than fit one page -> multiple data pages."""
+    import pandas as pd
+
+    from sling_cli_spark.sources.sas7bdat_py import write_sas7bdat
+
+    p = str(tmp_path / "big.sas7bdat")
+    rows = [(i, f"v{i}") for i in range(5000)]
+    write_sas7bdat(p, ["id", "v"], rows, page_size=4096)
+    pdf = pd.read_sas(p, encoding="infer")
+    assert len(pdf) == 5000
+    assert pdf["id"].iloc[-1] == 4999.0
+
+
+def test_sas7bdat_df_writer_capped(spark, tmp_path, monkeypatch):
+    import pytest
+
+    from sling_cli_spark.limits import DriverSizeError
+    from sling_cli_spark.sources.sas7bdat_py import write_sas7bdat_df
+
+    monkeypatch.setenv("SLING_DRIVER_ROW_CAP", "10")
+    with pytest.raises(DriverSizeError):
+        write_sas7bdat_df(spark.range(100).selectExpr("id"),
+                          str(tmp_path / "x.sas7bdat"))
+    write_sas7bdat_df(spark.range(5).selectExpr("id"),
+                      str(tmp_path / "ok.sas7bdat"))
+    import pandas as pd
+    assert len(pd.read_sas(str(tmp_path / "ok.sas7bdat"))) == 5
