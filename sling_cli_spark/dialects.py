@@ -363,6 +363,166 @@ _DIALECT_SPECS: dict[str, dict] = {
                   "timestampz": "timestamp", "binary": "bytes",
                   "json": "json"},
     },
+    "clickhouse": {
+        # reference clickhouse.yaml:29-70 (mutation-based deletes, no
+        # MERGE), 399-458 (vars + Nullable type map)
+        "quote_char": "`",
+        "default_merge_strategy": "delete_insert",
+        "batch_rows": 10000,
+        "core": {
+            "drop_table": "drop table if exists {table}",
+            "truncate_table": "truncate table {table}",
+            "merge_insert": (
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table} src\n"
+                "WHERE ({src_pk_fields}) NOT IN (\n"
+                "  SELECT {tgt_pk_fields} FROM {tgt_table}\n"
+                ")"),
+            # deletes are ALTER TABLE mutations; mutations_sync=1 blocks
+            # until applied so the follow-up INSERT sees the delete
+            "merge_delete_insert": (
+                "ALTER TABLE {tgt_table} DELETE\n"
+                "WHERE ({tgt_pk_fields}) IN (\n"
+                "  SELECT {src_pk_fields} FROM {src_table}\n"
+                ") SETTINGS mutations_sync = 1;\n"
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table} src"),
+            "merge_update": None,         # no UPDATE..FROM / MERGE
+            "merge_update_insert": None,
+            "merge_change_capture": (
+                "ALTER TABLE {tgt_table} DELETE\n"
+                "WHERE ({tgt_pk_fields}) IN (\n"
+                "  SELECT {src_pk_fields} FROM {src_table}\n"
+                ") SETTINGS mutations_sync = 1;\n"
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM (\n"
+                "  SELECT *, row_number() OVER (PARTITION BY {pk_fields} "
+                "ORDER BY _sling_cdc_seq DESC) as _rn\n"
+                "  FROM {src_table}\n"
+                "  WHERE _sling_synced_op != 'D'\n"
+                ") src WHERE _rn = 1"),
+        },
+        "types": {"bigint": "Nullable(Int64)", "integer": "Nullable(Int64)",
+                  "smallint": "Nullable(Int32)", "float": "Nullable(Float64)",
+                  "decimal": "Nullable(Decimal({p},{s}))",
+                  "bool": "Nullable(Bool)", "string": "Nullable(String)",
+                  "text": "Nullable(String)", "date": "Nullable(Date)",
+                  "datetime": "Nullable(DateTime64(6))",
+                  "timestamp": "Nullable(DateTime64(6))",
+                  "timestampz": "Nullable(DateTime64(6))",
+                  "binary": "Nullable(String)", "json": "Nullable(String)"},
+    },
+    "redshift": {
+        # reference redshift.yaml:49-110 (no-alias DELETE/UPDATE, no
+        # MERGE), 710-762 (vars + type map); loads via S3 COPY
+        "quote_char": '"',
+        "default_merge_strategy": "delete_insert",
+        "batch_rows": 2000,
+        "max_varchar": 65535,
+        "core": {
+            "drop_table": "drop table if exists {table}",
+            # DELETE takes no table alias on redshift: USING form
+            "merge_delete_insert": (
+                "DELETE FROM {tgt_table}\n"
+                "USING {src_table} src\n"
+                "WHERE {src_tgt_pk_equal_tbl};\n"
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table} src"),
+            "merge_update": None,         # no UPDATE..FROM alias / MERGE
+            "merge_update_insert": None,
+            # fast loader (redshift.yaml copy_from_s3): executors stage
+            # to S3, ONE COPY ingests
+            "copy_from_s3": (
+                "COPY {table} ({fields})\n"
+                "FROM '{s3_path}'\n"
+                "IAM_ROLE '{iam_role}'\n"
+                "FORMAT AS CSV IGNOREHEADER 1"),
+        },
+        "types": {"float": "double precision", "binary": "varchar(65535)",
+                  "text": "varchar(65535)", "json": "varchar(65535)",
+                  "datetime": "timestamp"},
+    },
+    "athena": {
+        # reference athena.yaml:65-80: standard tables support INSERT
+        # only (use Iceberg tables for merges), 338-386 vars + types
+        "quote_char": "`",
+        "default_merge_strategy": "insert",
+        "batch_rows": 1000,
+        "core": {
+            "drop_table": "drop table if exists {table}",
+            "merge_update": None,
+            "merge_update_insert": None,
+            "merge_delete_insert": None,
+            "merge_change_capture": None,
+        },
+        "types": {"integer": "int", "float": "double", "bool": "boolean",
+                  "string": "string", "text": "string", "json": "string",
+                  "datetime": "timestamp", "timestampz": "timestamp",
+                  "binary": "binary"},
+    },
+    "mariadb": {
+        # reference mariadb.yaml:18-70 (mysql-shaped merges), 534-611
+        "quote_char": "`",
+        "default_merge_strategy": "delete_insert",
+        "batch_rows": 500,
+        "core": {
+            "merge_insert": (
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table} src"),
+            "merge_delete_insert": (
+                "DELETE FROM {tgt_table}\n"
+                "WHERE EXISTS (\n"
+                "  SELECT 1 FROM {src_table}\n"
+                "  WHERE {src_tgt_pk_equal_tbl}\n"
+                ");\n"
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table}"),
+            "merge_update": None,
+            "merge_update_insert": None,
+            "load_data_local": (
+                "LOAD DATA LOCAL INFILE '{local_path}' "
+                "INTO TABLE {table} "
+                "FIELDS TERMINATED BY ',' OPTIONALLY ENCLOSED BY '\"' "
+                "IGNORE 1 LINES ({fields})"),
+        },
+        "types": {"float": "double", "timestampz": "datetime(6)",
+                  "timestamp": "datetime(6)", "datetime": "datetime(6)",
+                  "binary": "longblob", "text": "mediumtext",
+                  "bool": "tinyint(1)", "json": "json"},
+    },
+    "starrocks": {
+        # reference starrocks.yaml:29-60 (DELETE+INSERT in place of
+        # MERGE; PK-model tables upsert on insert), 495-572
+        "quote_char": "`",
+        "default_merge_strategy": "insert",
+        "batch_rows": 5000,
+        "core": {
+            "drop_table": "drop table if exists {table}",
+            "merge_insert": (
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table} src"),
+            "merge_update": None,  # UPDATE..FROM takes no target alias
+            "merge_update_insert": (
+                "DELETE FROM {tgt_table}\n"
+                "WHERE ({tgt_pk_fields}) IN (\n"
+                "  SELECT {src_pk_fields} FROM {src_table}\n"
+                ");\n"
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table} src"),
+            "merge_delete_insert": (
+                "DELETE FROM {tgt_table}\n"
+                "WHERE ({tgt_pk_fields}) IN (\n"
+                "  SELECT {src_pk_fields} FROM {src_table}\n"
+                ");\n"
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table} src"),
+        },
+        "types": {"integer": "bigint", "float": "double",
+                  "bool": "boolean", "text": "varchar(65533)",
+                  "datetime": "datetime", "timestamp": "datetime",
+                  "timestampz": "datetime", "binary": "varbinary",
+                  "json": "json"},
+    },
     "oracle": {
         # reference oracle.yaml:50-160 (rownum limits, MERGE-based
         # update), 497-514 general_type_map; database_oracle.go:250-340
@@ -785,6 +945,10 @@ def fast_load_plan(
     if dialect.template("bulk_insert"):  # sqlserver
         return [render(dialect.template("bulk_insert"),
                        {"table": table, "local_path": local_path})]
+    if dialect.template("copy_from_s3"):  # redshift
+        return [render(dialect.template("copy_from_s3"), {
+            "table": table, "fields": fields, "s3_path": local_path,
+            "iam_role": stage or ""})]
     if dialect.template("load_from_gcs"):  # bigquery
         return [render(dialect.template("load_from_gcs"), {
             "table": table, "format": fmt, "gcs_path": local_path})]

@@ -455,3 +455,55 @@ def test_snowflake_long_string_stays_varchar():
     ms = create_table_ddl(get_dialect("sqlserver"), "t", schema,
                           max_lens={"body": 100_000})
     assert "nvarchar(max)" in ms
+
+
+@pytest.mark.parametrize("name,strategies", [
+    ("clickhouse", {"insert", "delete_insert", "change_capture"}),
+    ("redshift", {"insert", "delete_insert", "change_capture"}),
+    ("athena", {"insert"}),
+    ("mariadb", {"insert", "delete_insert", "change_capture"}),
+    ("starrocks", {"insert", "update_insert", "delete_insert",
+                   "change_capture"}),
+])
+def test_round4_extra_dialect_strategy_parity(name, strategies):
+    assert set(get_dialect(name).supported_merge_strategies()) == strategies
+
+
+@pytest.mark.parametrize("name", ["clickhouse", "redshift", "athena",
+                                  "mariadb", "starrocks"])
+def test_round4_extra_dialects_render(name):
+    d = get_dialect(name)
+    for strat in d.supported_merge_strategies():
+        if strat == "change_capture":
+            continue  # rendered via the cdc path, distinct placeholders
+        sql = generate_merge_sql(d, "stg.src", "db.tgt", COLS, ["id"], strat)
+        assert "{" not in sql and "db.tgt" in sql
+
+
+def test_clickhouse_mutation_delete_shape():
+    sql = generate_merge_sql(get_dialect("clickhouse"), "s", "t", COLS,
+                             ["id"], "delete_insert")
+    assert sql.startswith("ALTER TABLE t DELETE")
+    assert "mutations_sync = 1" in sql
+
+
+def test_redshift_no_alias_delete_shape():
+    sql = generate_merge_sql(get_dialect("redshift"), "s", "t", COLS,
+                             ["id"], "delete_insert")
+    assert sql.startswith("DELETE FROM t\nUSING")
+    with pytest.raises(ValueError):
+        generate_merge_sql(get_dialect("redshift"), "s", "t", COLS,
+                           ["id"], "update_insert")
+
+
+def test_athena_insert_only():
+    d = get_dialect("athena")
+    for strat in ("update", "update_insert", "delete_insert"):
+        with pytest.raises(ValueError):
+            generate_merge_sql(d, "s", "t", COLS, ["id"], strat)
+
+
+def test_redshift_fast_load_is_s3_copy():
+    sql = fast_load_plan(get_dialect("redshift"), "db.t", COLS,
+                         "s3://bkt/stage/batch.csv")[0]
+    assert sql.startswith("COPY db.t") and "s3://bkt/stage/batch.csv" in sql
