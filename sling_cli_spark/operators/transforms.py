@@ -174,6 +174,21 @@ _REGISTRY: dict[str, tuple[Callable[[Column], Column], str]] = {
     # byte-exact) and decode as UTF-16 — both charsets Spark supports
     "decode_utf16": (
         lambda c: F.decode(F.encode(c, "ISO-8859-1"), "UTF-16"), "string"),
+    # geometry conversions (datastream.go:2526-2574 geometry->GeoJSON;
+    # operators/geo.py pandas-UDF codecs — parsing is not expressible in
+    # Catalyst built-ins)
+    "geometry_to_geojson": (
+        lambda c: __import__(
+            "sling_cli_spark.operators.geo", fromlist=["geo_udfs"]
+        ).geo_udfs()[2](c), "any"),
+    "wkt_to_geojson": (
+        lambda c: __import__(
+            "sling_cli_spark.operators.geo", fromlist=["geo_udfs"]
+        ).geo_udfs()[0](c), "string"),
+    "geojson_to_wkt": (
+        lambda c: __import__(
+            "sling_cli_spark.operators.geo", fromlist=["geo_udfs"]
+        ).geo_udfs()[1](c), "string"),
 }
 
 # argument-taking transforms: name(arg)
