@@ -62,12 +62,17 @@ def main() -> None:
               "events", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")) \
             .limit(1000).groupBy().count().collect()
-    # ...and run one broadcast-join query end-to-end, unmeasured: codegen
-    # compilation, broadcast machinery, and the noop sink all warm up here
-    # instead of inside the first timed query (r2: star_join_agg paid 4s
-    # of warm-up at sf0.1 where the actual work is milliseconds)
-    for warm in ("star_join_agg", "text_stats_docs"):
-        qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # ...and run every HEADLINE query once end-to-end, unmeasured: the
+    # measured pass then reports steady-state execution, not whole-stage
+    # codegen JIT compilation (the 64-aggregate dedup queries spend more
+    # time compiling than executing on their first run — r3 hid this by
+    # timing them after ~40 other queries had warmed the JIT)
+    for warm in BENCH_QUERIES:
+        try:
+            qs[warm](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+        except Exception:
+            pass  # the measured loop reports the failure
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
