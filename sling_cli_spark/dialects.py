@@ -363,6 +363,71 @@ _DIALECT_SPECS: dict[str, dict] = {
                   "timestampz": "timestamp", "binary": "bytes",
                   "json": "json"},
     },
+    "sqlite": {
+        # reference sqlite.yaml:13-60, 280-296 (text-affinity type map);
+        # upsert rides INSERT..ON CONFLICT (needs the PK unique index
+        # the loader creates — table_keys_ddl here)
+        "quote_char": '"',
+        "default_merge_strategy": "update_insert",
+        "batch_rows": 500,
+        "core": {
+            "drop_table": "drop table if exists {table}",
+            "truncate_table": "delete from {table}",
+            "merge_insert": (
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table} src\n"
+                "WHERE ({src_pk_fields}) NOT IN (\n"
+                "  SELECT {tgt_pk_fields} FROM {tgt_table}\n"
+                ")"),
+            "merge_update": (
+                "UPDATE {tgt_table} AS tgt\n"
+                "SET {set_fields}\n"
+                "FROM {src_table} AS src\n"
+                "WHERE {src_tgt_pk_equal}"),
+            # WHERE true disambiguates the upsert from a join (sqlite
+            # parser quirk, documented on sqlite.org/lang_upsert)
+            "merge_update_insert": (
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table} src WHERE true\n"
+                "ON CONFLICT ({tgt_pk_fields})\n"
+                "DO UPDATE SET {set_fields_excluded}"),
+            "merge_delete_insert": (
+                "DELETE FROM {tgt_table}\n"
+                "WHERE ({tgt_pk_fields}) IN (\n"
+                "  SELECT {src_pk_fields} FROM {src_table}\n"
+                ");\n"
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table} src"),
+        },
+        "types": {"float": "real", "decimal": "real", "bool": "boolean",
+                  "string": "text", "date": "text", "datetime": "text",
+                  "timestamp": "text", "timestampz": "text",
+                  "binary": "blob", "json": "json"},
+    },
+    "databricks": {
+        # reference databricks.yaml:146-200, 695 (quote), 724-740
+        # (type map: timestamp -> timestamp_ntz); loads via COPY INTO
+        "quote_char": "`",
+        "default_merge_strategy": "update_insert",
+        "batch_rows": 10000,
+        "core": {
+            "drop_table": "drop table if exists {table}",
+            "create_index": "select 'indexes do not apply for databricks'",
+            "create_unique_index":
+                "select 'indexes do not apply for databricks'",
+            # public COPY INTO (Delta ingest) — the fast-load twin of
+            # the reference's volume-staged load
+            "copy_into": (
+                "COPY INTO {table}\n"
+                "FROM '{stage_path}'\n"
+                "FILEFORMAT = {format}\n"
+                "FORMAT_OPTIONS ('header' = 'true')"),
+        },
+        "types": {"integer": "int", "float": "double", "bool": "boolean",
+                  "string": "string", "text": "string", "json": "string",
+                  "datetime": "timestamp", "timestamp": "timestamp_ntz",
+                  "timestampz": "timestamp", "binary": "binary"},
+    },
     "clickhouse": {
         # reference clickhouse.yaml:29-70 (mutation-based deletes, no
         # MERGE), 399-458 (vars + Nullable type map)
@@ -949,6 +1014,10 @@ def fast_load_plan(
         return [render(dialect.template("copy_from_s3"), {
             "table": table, "fields": fields, "s3_path": local_path,
             "iam_role": stage or ""})]
+    if dialect.template("copy_into"):  # databricks
+        return [render(dialect.template("copy_into"), {
+            "table": table, "stage_path": local_path,
+            "format": fmt.upper()})]
     if dialect.template("load_from_gcs"):  # bigquery
         return [render(dialect.template("load_from_gcs"), {
             "table": table, "format": fmt, "gcs_path": local_path})]

@@ -507,3 +507,59 @@ def test_redshift_fast_load_is_s3_copy():
     sql = fast_load_plan(get_dialect("redshift"), "db.t", COLS,
                          "s3://bkt/stage/batch.csv")[0]
     assert sql.startswith("COPY db.t") and "s3://bkt/stage/batch.csv" in sql
+
+
+@pytest.mark.parametrize("name,strategies", [
+    ("sqlite", {"insert", "update", "update_insert", "delete_insert",
+                "change_capture"}),
+    ("databricks", {"insert", "update", "update_insert", "delete_insert",
+                    "change_capture"}),
+])
+def test_sqlite_databricks_strategy_parity(name, strategies):
+    assert set(get_dialect(name).supported_merge_strategies()) == strategies
+
+
+def test_sqlite_upsert_is_on_conflict():
+    sql = generate_merge_sql(get_dialect("sqlite"), "s", "t", COLS,
+                             ["id"], "update_insert")
+    assert "ON CONFLICT" in sql and "excluded." in sql
+    assert "WHERE true" in sql  # upsert/join parser disambiguation
+
+
+def test_databricks_copy_into_plan():
+    plan = fast_load_plan(get_dialect("databricks"), "cat.sch.t", COLS,
+                          "/Volumes/stage/batch", fmt="parquet")
+    assert plan[0].startswith("COPY INTO cat.sch.t")
+    assert "FILEFORMAT = PARQUET" in plan[0]
+
+
+def test_sqlite_rendered_merges_execute():
+    """sqlite ships in the stdlib — execute the rendered SQL for real,
+    like the duckdb executable-twin tests."""
+    import sqlite3
+
+    d = get_dialect("sqlite")
+    con = sqlite3.connect(":memory:")
+    con.execute("create table tgt (id integer primary key, v text, ts int)")
+    con.execute("create table src (id integer, v text, ts int)")
+    con.executemany("insert into tgt values (?,?,?)",
+                    [(1, "a", 10), (2, "b", 10)])
+    con.executemany("insert into src values (?,?,?)",
+                    [(2, "B2", 20), (3, "c", 20)])
+    sql = generate_merge_sql(d, "src", "tgt", ["id", "v", "ts"], ["id"],
+                             "update_insert")
+    con.executescript(sql)
+    got = dict((r[0], r[1]) for r in con.execute(
+        "select id, v from tgt order by id"))
+    assert got == {1: "a", 2: "B2", 3: "c"}
+
+    # delete_insert twin
+    con2 = sqlite3.connect(":memory:")
+    con2.execute("create table tgt (id integer primary key, v text)")
+    con2.execute("create table src (id integer, v text)")
+    con2.executemany("insert into tgt values (?,?)", [(1, "a"), (2, "b")])
+    con2.executemany("insert into src values (?,?)", [(2, "B"), (4, "d")])
+    con2.executescript(generate_merge_sql(
+        d, "src", "tgt", ["id", "v"], ["id"], "delete_insert"))
+    got2 = dict(con2.execute("select id, v from tgt order by id"))
+    assert got2 == {1: "a", 2: "B", 4: "d"}
