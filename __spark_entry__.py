@@ -217,6 +217,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merge_delta(spark, path, s, "o_orderkey")
         return read_delta(spark, path)
 
+    def delete_missing_delta_q(spark, sf):
+        """delete_missing as a Delta CoW commit (delta_py.
+        delete_missing_delta, round 4): only files holding a PK absent
+        from the keyset rewrite; the partitioned target also exercises
+        the schema-carrying read. Must hash-match the swap-path
+        delete_missing oracle."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            delete_missing_delta, read_delta, write_delta)
+
+        o = _t(spark, sf, "orders")
+        t = o.filter("o_orderkey < 1000")
+        keyset = o.filter("o_orderkey between 250 and 750") \
+            .select("o_orderkey")
+        path = os.path.join(tempfile.mkdtemp(prefix="sling_ddm_"), "t")
+        write_delta(t, path, partition_by=["o_orderstatus"])
+        delete_missing_delta(spark, path, keyset, "o_orderkey")
+        return read_delta(spark, path).select(*o.columns)
+
     def merge_file_granular(spark, sf):
         """Copy-on-write merge at file granularity (operators/file_merge):
         stage the target as a multi-file parquet dir, merge the batch in
@@ -686,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_sql_render": merge_sql_render,
         "merge_change_capture": merge_cdc,
         "delete_missing": delete_missing_hard,
+        "delete_missing_delta": delete_missing_delta_q,
         "dedup_last_event": dedup_last_event,
         "copy_load_duckdb": copy_load_duckdb,
         # -- incremental / typing / constraints ---------------------------
@@ -906,6 +927,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey BETWEEN 500 AND 999 AND o_orderkey % 7 != 0
         """,
         "delete_missing": """
+            SELECT * FROM orders
+            WHERE o_orderkey < 1000 AND o_orderkey BETWEEN 250 AND 750
+        """,
+        "delete_missing_delta": """
             SELECT * FROM orders
             WHERE o_orderkey < 1000 AND o_orderkey BETWEEN 250 AND 750
         """,

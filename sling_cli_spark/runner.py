@@ -239,6 +239,20 @@ def run(
                 spark, uri, df, cfg.source.primary_key,
                 strategy=cfg.target.options.merge_strategy,
                 update_key=update_key)
+            if cfg.target.options.delete_missing:
+                # CoW delete: only files holding a PK absent from the
+                # FULL source snapshot rewrite (same keyset contract as
+                # the swap path — never the incremental batch)
+                if lake_fmt == "delta":
+                    from sling_cli_spark.sources.delta_py import (
+                        delete_missing_delta as _dm_lake)
+                else:
+                    from sling_cli_spark.sources.iceberg_py import (
+                        delete_missing_iceberg as _dm_lake)
+                keyset = build_read_plan(spark, cfg, full_source=True)
+                stats["delete_missing"] = _dm_lake(
+                    spark, uri, keyset, cfg.source.primary_key,
+                    soft=cfg.target.options.delete_missing == "soft")
         finally:
             df.unpersist()
         result = TaskResult(rows=vals["rows"], columns=df.columns,
@@ -325,10 +339,9 @@ def run(
 
 def _lake_merge_format(cfg: Config) -> str | None:
     """'delta' / 'iceberg' when the target routes merges through a table
-    format's log/snapshot machinery (no delete_missing yet — that still
-    uses the full-rewrite swap), else None."""
-    if cfg.target.options.delete_missing:
-        return None
+    format's log/snapshot machinery (delete_missing included: it commits
+    as a second CoW action touching only files with vanished PKs), else
+    None."""
     fmt = cfg.target.options.format or ""
     if fmt in ("delta", "iceberg"):
         return fmt

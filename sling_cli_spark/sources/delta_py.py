@@ -331,13 +331,18 @@ def _apply_table_schema(df: DataFrame, meta: dict) -> DataFrame:
     """Cast/reorder to the table schema. Partition columns come back
     from Hive-dir inference (stringly) — the cast restores their
     declared types; for unpartitioned tables this is a no-op
-    projection Catalyst elides."""
+    projection Catalyst elides. Columns the table schema declares but
+    the scanned files predate (schema evolution, e.g. the soft-delete
+    op column) read as typed nulls, per PROTOCOL.md Column Mapping /
+    delta-spark's missing-column semantics."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    have = set(df.columns)
     return df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields])
+        *[(F.col(f.name) if f.name in have else F.lit(None))
+          .cast(f.dataType).alias(f.name) for f in schema.fields])
 
 
 def read_delta(
@@ -352,7 +357,14 @@ def read_delta(
 
         return spark.createDataFrame(
             [], T.StructType.fromJson(json.loads(meta["schemaString"])))
-    reader = spark.read
+    from pyspark.sql import types as T
+
+    # explicit table schema: skips footer inference across N files and
+    # makes schema evolution work — files predating a column (e.g. the
+    # soft-delete op column) read it as null; bare inference would take
+    # ONE file's footer and silently drop evolved columns elsewhere
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    reader = spark.read.schema(schema)
     if meta.get("partitionColumns"):
         reader = reader.option("basePath", path)
     df = reader.parquet(*[fsio.join(path, p) for p in sorted(files)])
@@ -496,6 +508,69 @@ def merge_delta(
     ]
     version = latest_version(path) + 1
     _commit(path, version, removes + adds)
+    _, active = replay_log(path)
+    return {"touched": len(removes), "new_files": len(adds),
+            "kept": len(active) - len(adds), "version": version}
+
+
+def delete_missing_delta(
+    spark: SparkSession,
+    path: str,
+    keyset: DataFrame,
+    primary_key,
+    soft: bool = False,
+) -> dict:
+    """delete_missing on a Delta target, copy-on-write: only files
+    holding at least one row whose PK is ABSENT from the source keyset
+    rewrite (reference semantics: config.go:1838-1876; the swap-path
+    twin would rewrite — and de-Delta — the whole table).
+
+    soft=True flags missing rows ``_sling_synced_op='D'`` instead of
+    dropping them; the op column joining the schema is committed as an
+    updated metaData action.
+
+    Returns {"touched": n, "new_files": n, "kept": n, "version": v}.
+    """
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.operators.merge import delete_missing as _dm
+
+    pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    meta, files = replay_log(path)
+    if meta is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    part_cols = meta.get("partitionColumns") or []
+    target = read_delta(spark, path)
+
+    keys = keyset.select(*pk).distinct()
+    touched_uris = (
+        target.select(F.col("_metadata.file_path").alias("__file"), *pk)
+        .join(keys, on=pk, how="left_anti")
+        .select("__file").distinct().collect()
+    )
+    touched_rel = sorted(_rel_to_table(r["__file"], path)
+                         for r in touched_uris)
+    if not touched_rel:
+        return {"touched": 0, "new_files": 0, "kept": len(files),
+                "version": latest_version(path)}
+    reader = spark.read
+    if part_cols:
+        reader = reader.option("basePath", path)
+    touched_rows = _apply_table_schema(
+        reader.parquet(*[fsio.join(path, p) for p in touched_rel]), meta)
+    replacement = _dm(touched_rows, keys, pk, soft=soft)
+
+    actions: list[dict] = []
+    if soft and set(replacement.columns) != set(target.columns):
+        new_meta = dict(meta)
+        new_meta["schemaString"] = replacement.schema.json()
+        actions.append({"metaData": new_meta})
+    adds = _stage_data_files(replacement, path, part_cols or None)
+    now = int(time.time() * 1000)
+    removes = [{"remove": {"path": p, "deletionTimestamp": now,
+                           "dataChange": True}} for p in touched_rel]
+    version = latest_version(path) + 1
+    _commit(path, version, actions + removes + adds)
     _, active = replay_log(path)
     return {"touched": len(removes), "new_files": len(adds),
             "kept": len(active) - len(adds), "version": version}

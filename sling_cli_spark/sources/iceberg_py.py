@@ -125,6 +125,36 @@ def _ice_schema_for(df: DataFrame) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+_ICE_TO_SPARK = {
+    "long": "long", "int": "integer", "double": "double", "float": "float",
+    "string": "string", "boolean": "boolean", "binary": "binary",
+    "date": "date", "timestamptz": "timestamp", "timestamp": "timestamp_ntz",
+}
+
+
+def _spark_schema(meta: dict):
+    """Spark StructType for the table's current Iceberg schema (spec
+    §Schemas primitive types; decimals pass through verbatim)."""
+    from pyspark.sql import types as T
+
+    fields = []
+    for f in (meta.get("schema") or meta["schemas"][0])["fields"]:
+        ice_t = f["type"]
+        if isinstance(ice_t, str) and ice_t.startswith("decimal"):
+            spark_t = ice_t
+        else:
+            spark_t = _ICE_TO_SPARK.get(ice_t, "string")
+        fields.append(
+            T.StructField(f["name"], _parse_ddl_type(spark_t), True))
+    return T.StructType(fields)
+
+
+def _parse_ddl_type(name: str):
+    from pyspark.sql import types as T
+
+    return T._parse_datatype_string(name)
+
+
 def _active_files(path: str, meta: dict, snapshot_id: int | None) -> list[dict]:
     snaps = meta.get("snapshots") or []
     sid = snapshot_id if snapshot_id is not None \
@@ -145,16 +175,17 @@ def _active_files(path: str, meta: dict, snapshot_id: int | None) -> list[dict]:
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None,
 ) -> DataFrame:
-    """Scan the current (or a specific) snapshot."""
+    """Scan the current (or a specific) snapshot. ``mergeSchema`` unions
+    the footers so files predating an evolved column (e.g. the
+    soft-delete op column) read it as null — the spec's read-time
+    projection semantics. (Unlike delta_py, the v1 JSON schema here is
+    lossy for nested Spark types, so footers stay authoritative.)"""
     _, meta = _current_metadata(path)
     files = _active_files(path, meta, snapshot_id)
     if not files:
-        from pyspark.sql import types as T
-
-        fields = [T.StructField(f["name"], T.StringType())
-                  for f in meta["schemas"][0]["fields"]]
-        return spark.createDataFrame([], T.StructType(fields))
-    return spark.read.parquet(*[f["file_path"] for f in files])
+        return spark.createDataFrame([], _spark_schema(meta))
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[f["file_path"] for f in files])
 
 
 def merge_iceberg(
@@ -207,6 +238,46 @@ def merge_iceberg(
     keep = [f for f in active if _canon(f["file_path"]) not in touched]
     snapshot_id = _commit_snapshot(df=replacement, path=path, meta=meta,
                                    carried=keep)
+    return {"touched": len(touched),
+            "new_files": len(_active_files(path, meta, snapshot_id)) - len(keep),
+            "kept": len(keep), "snapshot_id": snapshot_id}
+
+
+def delete_missing_iceberg(
+    spark: SparkSession,
+    path: str,
+    keyset: DataFrame,
+    primary_key,
+    soft: bool = False,
+) -> dict:
+    """delete_missing as a new snapshot (CoW): only data files holding
+    rows whose PK is absent from the keyset are replaced; untouched
+    files carry forward — same contract as
+    :func:`delta_py.delete_missing_delta`."""
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.operators.merge import delete_missing as _dm
+
+    pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    _, meta = _current_metadata(path)
+    active = _active_files(path, meta, None)
+    target = read_iceberg(spark, path)
+    keys = keyset.select(*pk).distinct()
+    touched = {
+        _canon(r["__file"]) for r in
+        target.select(F.col("_metadata.file_path").alias("__file"), *pk)
+        .join(keys, on=pk, how="left_anti")
+        .select("__file").distinct().collect()
+    }
+    if not touched:
+        return {"touched": 0, "new_files": 0, "kept": len(active),
+                "snapshot_id": meta.get("current-snapshot-id")}
+    touched_paths = sorted(
+        f["file_path"] for f in active if _canon(f["file_path"]) in touched)
+    replacement = _dm(spark.read.parquet(*touched_paths), keys, pk, soft=soft)
+    keep = [f for f in active if _canon(f["file_path"]) not in touched]
+    snapshot_id = _commit_snapshot(replacement, path, meta, carried=keep,
+                                   operation="delete")
     return {"touched": len(touched),
             "new_files": len(_active_files(path, meta, snapshot_id)) - len(keep),
             "kept": len(keep), "snapshot_id": snapshot_id}
@@ -282,6 +353,14 @@ def _commit_snapshot(
         "added_snapshot_id": snapshot_id,
     }], _MANIFEST_FILE_SCHEMA)
 
+    recorded = [f["name"]
+                for f in (meta.get("schema") or {}).get("fields", [])]
+    if [f.name for f in df.schema.fields] != recorded:
+        # schema evolution rides the commit (spec: a new schema-id with
+        # the snapshot); v1 single-schema metadata just replaces it
+        ice = _ice_schema_for(df)
+        meta["schema"] = ice
+        meta["schemas"] = [ice]
     meta["snapshots"] = (meta.get("snapshots") or []) + [{
         "snapshot-id": snapshot_id,
         "timestamp-ms": int(time.time() * 1000),

@@ -324,3 +324,65 @@ def test_file_uri_via_hadoop_fs_route(spark, tmp_path):
                                 "partitionValues": {},
                                 "modificationTime": 0,
                                 "dataChange": True}}])
+
+
+def test_delete_missing_hard_touches_only_vanished_files(spark, tmp_path):
+    """delete_missing as a CoW commit: only files holding a PK absent
+    from the keyset rewrite; fully-present files carry forward."""
+    from sling_cli_spark.sources.delta_py import delete_missing_delta
+
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        write_delta(
+            spark.range(lo, lo + 100)
+            .selectExpr("id", "cast(id as string) v").coalesce(1), t,
+            mode="append")
+    before = set(glob.glob(os.path.join(t, "part-*.parquet")))
+    # keyset covers 0..249 -> files [0,100) and [100,200) untouched;
+    # [200,300) partially gone, [300,400) entirely gone
+    keyset = spark.range(0, 250).selectExpr("id")
+    stats = delete_missing_delta(spark, t, keyset, "id")
+    assert stats["touched"] == 2
+    after_active = set(replay_log(t)[1])
+    surviving = {os.path.basename(p) for p in before} & after_active
+    assert len(surviving) == 2
+    ids = {r["id"] for r in read_delta(spark, t).collect()}
+    assert ids == set(range(250))
+
+
+def test_delete_missing_soft_flags_rows(spark, tmp_path):
+    from sling_cli_spark.sources.delta_py import delete_missing_delta
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    keyset = _df(spark, [(1, "_"), (3, "_")])
+    stats = delete_missing_delta(spark, t, keyset, "id", soft=True)
+    assert stats["touched"] == 1
+    got = {r["id"]: r["_sling_synced_op"]
+           for r in read_delta(spark, t).collect()}
+    assert got[2] == "D" and len(got) == 3
+
+
+def test_runner_routes_lake_delete_missing(spark, tmp_path):
+    """An incremental+merge run with delete_missing on a Delta target
+    commits the delete as a second CoW action (no swap rewrite)."""
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+
+    src = str(tmp_path / "src.parquet")
+    tgt = str(tmp_path / "tgt")
+    spark.range(0, 100).selectExpr("id", "cast(id as string) v") \
+        .write.parquet(src)
+    write_delta(
+        spark.range(0, 120).selectExpr("id", "cast(id as string) v"), tgt)
+    cfg = Config.from_dict({
+        "source": {"stream": src, "primary_key": ["id"]},
+        "target": {"object": tgt,
+                   "options": {"format": "delta",
+                               "delete_missing": "hard"}},
+        "mode": "incremental",
+    })
+    res = run(spark, cfg, target_df=read_delta(spark, tgt))
+    assert res.merge_stats["delete_missing"]["touched"] >= 1
+    ids = {r["id"] for r in read_delta(spark, tgt).collect()}
+    assert ids == set(range(100))

@@ -148,3 +148,34 @@ def test_iceberg_file_uri_roundtrip(spark, tmp_path):
                           strategy=MergeStrategy.UPDATE_INSERT)
     got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
     assert got[2] == "X" and got[9] == "n" and len(got) == 4
+
+
+def test_delete_missing_iceberg_touches_only_vanished_files(spark, tmp_path):
+    from sling_cli_spark.sources.iceberg_py import delete_missing_iceberg
+
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        write_iceberg(
+            spark.range(lo, lo + 100)
+            .selectExpr("id", "cast(id as string) v").coalesce(1), t)
+    # keyset covers 0..149 -> [0,100) untouched, [100,200) partial,
+    # [200,300) entirely gone
+    keyset = spark.range(0, 150).selectExpr("id")
+    stats = delete_missing_iceberg(spark, t, keyset, "id")
+    assert stats["touched"] == 2 and stats["kept"] == 1
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == set(range(150))
+
+
+def test_delete_missing_iceberg_soft(spark, tmp_path):
+    from sling_cli_spark.sources.iceberg_py import (
+        delete_missing_iceberg, read_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), t)
+    keyset = spark.createDataFrame([(1,)], "id long")
+    delete_missing_iceberg(spark, t, keyset, "id", soft=True)
+    got = {r["id"]: r["_sling_synced_op"]
+           for r in read_iceberg(spark, t).collect()}
+    assert got[2] == "D" and len(got) == 2
