@@ -629,6 +629,240 @@ _DIALECT_SPECS: dict[str, dict] = {
                   "timestampz": "timestamp(9) with time zone",
                   "binary": "blob", "json": "clob"},
     },
+    "trino": {
+        # reference trino.yaml:1-30 (offset-first limit), 332-337 (vars),
+        # 355-372 general_type_map; base MERGE works (Trino MERGE INTO)
+        "quote_char": '"',
+        "default_merge_strategy": "update_insert",
+        "batch_rows": 2000,
+        "max_varchar": 1_000_000,  # trino.yaml:337 max_string_length
+        "core": {
+            "drop_table": "drop table if exists {table}",
+            "create_table": "create table if not exists {table} ({col_types})",
+            # trino.yaml:15 — OFFSET precedes LIMIT in Trino grammar
+            "limit": ("select {fields} from {table}{where_clause} "
+                      "offset {offset} limit {limit}"),
+        },
+        "types": {"float": "double", "binary": "varbinary",
+                  "string": "varchar", "text": "varchar",
+                  "datetime": "timestamp", "json": "json",
+                  "timestampz": "timestamp with time zone"},
+    },
+    "exasol": {
+        # reference exasol.yaml:55-128 (full merge set incl. CDC-soft),
+        # 311-328 general_type_map (2MB varchar everywhere)
+        "quote_char": '"',
+        "default_merge_strategy": "update_insert",
+        "batch_rows": 2000,
+        "max_varchar": 2_000_000,
+        "core": {
+            "drop_table": "drop table if exists {table}",
+            "create_table": "create table if not exists {table} ({col_types})",
+            # exasol.yaml:68-73: MERGE uses the bare src table (no
+            # SELECT wrapper) and VALUES over src columns
+            "merge_update_insert": (
+                "MERGE INTO {tgt_table} tgt\n"
+                "USING {src_table} src\n"
+                "ON ({src_tgt_pk_equal})\n"
+                "WHEN MATCHED THEN UPDATE SET {set_fields}\n"
+                "WHEN NOT MATCHED THEN INSERT ({insert_fields}) "
+                "VALUES ({src_insert_fields})"),
+        },
+        "types": {"float": "double precision", "binary": "varchar(2000000)",
+                  "json": "varchar(2000000)", "text": "varchar(2000000)",
+                  "datetime": "timestamp",
+                  "timestampz": "timestamp with local time zone"},
+    },
+    "db2": {
+        # reference db2.yaml:2-52 (handler-guarded drops, MERGE upsert),
+        # 404-412 (32672 varchar cap), 445-461 general_type_map
+        "quote_char": '"',
+        "default_merge_strategy": "update_insert",
+        "batch_rows": 1000,
+        "max_varchar": 32_672,
+        "core": {
+            # SQLSTATE 42704 (undefined object) swallowed in-block so
+            # drop-if-exists works pre-DB2 11.5 (db2.yaml:2-6)
+            "drop_table": (
+                "BEGIN\n"
+                "  DECLARE CONTINUE HANDLER FOR SQLSTATE '42704' "
+                "BEGIN END;\n"
+                "  EXECUTE IMMEDIATE 'DROP TABLE {table}';\n"
+                "END"),
+            "add_column": ("alter table {table} add column "
+                           "{column} {type}"),
+            "limit": ("select {fields} from {table}{where_clause} "
+                      "fetch first {limit} rows only"),
+            # db2.yaml:37-43: MERGE with bare src table
+            "merge_update_insert": (
+                "MERGE INTO {tgt_table} tgt\n"
+                "USING {src_table} src\n"
+                "ON ({src_tgt_pk_equal})\n"
+                "WHEN MATCHED THEN UPDATE SET {set_fields}\n"
+                "WHEN NOT MATCHED THEN INSERT ({insert_fields}) "
+                "VALUES ({src_insert_fields})"),
+        },
+        "types": {"float": "double", "binary": "varbinary(32672)",
+                  "text": "clob", "json": "clob", "datetime": "timestamp",
+                  "timestampz": "timestamp"},
+    },
+    "hive": {
+        # reference hive.yaml:1-8 — parquet-stored tables, drop..purge;
+        # no merge strategies (no ACID assumed), metadata via SHOW cmds
+        "quote_char": "`",
+        "default_merge_strategy": "insert",
+        "batch_rows": 5000,
+        "core": {
+            "drop_table": "drop table if exists {table} purge",
+            "create_table": ("create table {table} ({col_types}) "
+                             "stored as parquet"),
+            "truncate_table": "truncate table {table}",
+            "merge_insert": (
+                "INSERT INTO TABLE {tgt_table}\n"
+                "SELECT {src_fields} FROM {src_table} src"),
+            "merge_update": None,
+            "merge_update_insert": None,
+            "merge_delete_insert": None,
+            "merge_change_capture": None,
+        },
+        "types": {"integer": "int", "float": "double", "bool": "boolean",
+                  "string": "string", "text": "string", "json": "string",
+                  "datetime": "timestamp", "timestamp": "timestamp",
+                  "timestampz": "timestamp", "binary": "binary"},
+    },
+    "azuresql": {
+        # reference azuresql.yaml:2-96 — T-SQL pack: same statement
+        # shapes as sqlserver (top-N limit, INNER JOIN update, DELETE
+        # alias form), separate connection/loader surface
+        "inherits": "sqlserver",
+        "max_varchar": 4000,
+    },
+    "azuredwh": {
+        # reference azuredwh.yaml:2-56 — Synapse: T-SQL shapes + COPY
+        # INTO from Azure storage with SAS credential
+        "inherits": "sqlserver",
+        "core": {
+            "drop_table": "drop table {table}",
+            "copy_from_azure": (
+                "COPY INTO {table}\n"
+                "FROM '{azure_path}'\n"
+                "WITH (\n"
+                "  FILE_TYPE = 'CSV',\n"
+                "  FIELDQUOTE = '\"',\n"
+                "  FIELDTERMINATOR = ',',\n"
+                "  ROWTERMINATOR = '0X0A',\n"
+                "  FIRSTROW = 2,\n"
+                "  MAXERRORS = 0,\n"
+                "  ENCODING = 'UTF8'\n"
+                ")"),
+        },
+    },
+    "fabric": {
+        # reference fabric.yaml:2-96 (T-SQL merges), 399-476 (varchar()
+        # types, COPY INTO from OneLake); datetime2(6) precision
+        "inherits": "sqlserver",
+        "core": {
+            "copy_from_onelake_csv": (
+                "COPY INTO {table}\n"
+                "FROM '{onelake_path}'\n"
+                "WITH (\n"
+                "  FILE_TYPE = 'CSV',\n"
+                "  FIELDQUOTE = '\"',\n"
+                "  FIELDTERMINATOR = ',',\n"
+                "  FIRSTROW = 2\n"
+                ")"),
+            "copy_from_onelake_parquet": (
+                "COPY INTO {table}\n"
+                "FROM '{onelake_path}'\n"
+                "WITH (FILE_TYPE = 'PARQUET')"),
+        },
+        # fabric.yaml:459-476: varchar (not nvarchar), bit bools
+        "types": {"string": "varchar({len})", "text": "varchar(max)",
+                  "json": "varchar(max)", "datetime": "datetime2(6)",
+                  "timestamp": "datetime2(6)", "timestampz": "datetime2(6)",
+                  "bool": "bit", "binary": "varbinary",
+                  "float": "float"},
+    },
+    "motherduck": {
+        # reference motherduck.yaml:1-12 — duckdb pack over the md:
+        # transport (replace into, delete-based truncate)
+        "inherits": "duckdb",
+    },
+    "ducklake": {
+        # reference ducklake.yaml:1-60 — duckdb surface over lake
+        # storage; complex multi-table UPDATE plans unsupported, so
+        # update strategies drop to delete_insert
+        "inherits": "duckdb",
+        "core": {
+            "merge_update": None,
+            "create_temporary_table": (
+                "create temp table if not exists {table} ({col_types})"),
+        },
+    },
+    "d1": {
+        # reference d1.yaml:2-60 — SQLite engine over Cloudflare's HTTP
+        # API: same merge set as sqlite
+        "inherits": "sqlite",
+    },
+    "firebird": {
+        # reference firebird.yaml:2-60 (UPDATE OR INSERT..MATCHING,
+        # MERGE-based temp upserts, select-first sampling), 418-434
+        # general_type_map
+        "quote_char": '"',
+        "default_merge_strategy": "update_insert",
+        "batch_rows": 500,
+        "max_varchar": 8000,
+        "core": {
+            "limit": ("select first {limit} skip {offset} {fields} "
+                      "from {table}{where_clause}"),
+            # firebird.yaml:23-26: native upsert statement keyed on PK
+            "merge_update_insert": (
+                "MERGE INTO {tgt_table} tgt\n"
+                "USING {src_table} src\n"
+                "ON ({src_tgt_pk_equal})\n"
+                "WHEN MATCHED THEN UPDATE SET {set_fields}\n"
+                "WHEN NOT MATCHED THEN INSERT ({insert_fields}) "
+                "VALUES ({src_insert_fields})"),
+            "merge_update": (
+                "MERGE INTO {tgt_table} tgt\n"
+                "USING {src_table} src\n"
+                "ON ({src_tgt_pk_equal})\n"
+                "WHEN MATCHED THEN UPDATE SET {set_fields}"),
+        },
+        "types": {"float": "double precision", "binary": "blob",
+                  "text": "varchar(8000)", "json": "varchar(8000)",
+                  "datetime": "timestamp",
+                  "timestampz": "timestamp with local time zone"},
+    },
+    "proton": {
+        # reference proton.yaml:2-33, 309-326 — streaming engine:
+        # streams not tables, insert-only (updates/deletes null), reads
+        # from table({stream}), Nullable(...) ClickHouse-family types
+        "quote_char": "`",
+        "default_merge_strategy": "insert",
+        "batch_rows": 10000,
+        "core": {
+            "drop_table": "drop stream if exists {table}",
+            "create_table": "create stream {table} ({col_types})",
+            "truncate_table": "truncate stream {table}",
+            "merge_insert": (
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM table({src_table}) src"),
+            "merge_update": None,
+            "merge_update_insert": None,
+            "merge_delete_insert": None,
+            "merge_change_capture": None,
+        },
+        "types": {"bigint": "nullable(int64)", "integer": "nullable(int64)",
+                  "smallint": "nullable(int32)", "float": "nullable(float64)",
+                  "decimal": "nullable(decimal({p},{s}))",
+                  "bool": "nullable(string)", "string": "nullable(string)",
+                  "text": "nullable(string)", "date": "nullable(date)",
+                  "datetime": "nullable(datetime64(6))",
+                  "timestamp": "nullable(datetime64(6))",
+                  "timestampz": "nullable(datetime64(6))",
+                  "binary": "nullable(string)", "json": "nullable(string)"},
+    },
 }
 
 
@@ -661,8 +895,24 @@ class Dialect:
         return out
 
 
-def get_dialect(name: str) -> Dialect:
+def _resolve_spec(name: str) -> dict:
+    """Flatten an ``inherits`` chain (e.g. motherduck -> duckdb): the
+    child's scalar keys win, ``core``/``types`` merge over the parent's
+    — same effect as the reference's shared-template reuse between
+    engine-compatible dialects."""
     spec = _DIALECT_SPECS.get(name, {})
+    parent_name = spec.get("inherits")
+    if not parent_name:
+        return spec
+    parent = _resolve_spec(parent_name)
+    out = {**parent, **{k: v for k, v in spec.items() if k != "inherits"}}
+    out["core"] = {**parent.get("core", {}), **spec.get("core", {})}
+    out["types"] = {**parent.get("types", {}), **spec.get("types", {})}
+    return out
+
+
+def get_dialect(name: str) -> Dialect:
+    spec = _resolve_spec(name)
     return Dialect(
         name=name,
         quote_char=spec.get("quote_char", '"'),

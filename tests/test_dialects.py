@@ -563,3 +563,119 @@ def test_sqlite_rendered_merges_execute():
         d, "src", "tgt", ["id", "v"], ["id"], "delete_insert"))
     got2 = dict(con2.execute("select id, v from tgt order by id"))
     assert got2 == {1: "a", 2: "B", 4: "d"}
+
+
+# --- round-4 packs: trino/exasol/db2/hive + T-SQL family + inherited -----
+
+R4_DIALECTS = ["trino", "exasol", "db2", "hive", "azuresql", "azuredwh",
+               "fabric", "motherduck", "ducklake", "d1", "firebird",
+               "proton"]
+
+
+def test_r4_dialects_registered():
+    from sling_cli_spark.dialects import dialect_names
+
+    assert set(R4_DIALECTS) <= set(dialect_names())
+    assert len(dialect_names()) >= 26
+
+
+@pytest.mark.parametrize("name,strategies", [
+    # parity with the reference templates' merge sections
+    ("trino", {"insert", "update", "update_insert", "delete_insert",
+               "change_capture"}),          # trino.yaml inherits base
+    ("exasol", {"insert", "update", "update_insert", "delete_insert",
+                "change_capture"}),         # exasol.yaml:55-128
+    ("db2", {"insert", "update", "update_insert", "delete_insert",
+             "change_capture"}),            # db2.yaml:37-100
+    ("hive", {"insert"}),                   # hive.yaml: no ACID merges
+    ("azuresql", {"insert", "update", "update_insert", "delete_insert",
+                  "change_capture"}),       # azuresql.yaml:51-80
+    ("fabric", {"insert", "update", "update_insert", "delete_insert",
+                "change_capture"}),         # fabric.yaml:68-96
+    ("motherduck", {"insert", "update", "delete_insert",
+                    "change_capture"}),     # duckdb-inherited
+    ("ducklake", {"insert", "delete_insert",
+                  "change_capture"}),       # ducklake: no complex UPDATE
+    ("d1", {"insert", "update", "update_insert", "delete_insert",
+            "change_capture"}),             # d1.yaml:27-60 (sqlite set)
+    ("firebird", {"insert", "update", "update_insert", "delete_insert",
+                  "change_capture"}),       # firebird.yaml:23-40 MERGE
+    ("proton", {"insert"}),                 # proton.yaml:24-33 insert-only
+])
+def test_r4_merge_strategy_parity(name, strategies):
+    assert set(get_dialect(name).supported_merge_strategies()) == strategies
+
+
+@pytest.mark.parametrize("name", R4_DIALECTS)
+def test_r4_supported_merges_render_fully(name):
+    d = get_dialect(name)
+    for strategy in d.supported_merge_strategies():
+        sql = generate_merge_sql(d, "stg.src", "db.tgt", COLS, ["id"],
+                                 strategy)
+        assert "{" not in sql and "}" not in sql, (name, strategy)
+        assert "db.tgt" in sql and "stg.src" in sql
+
+
+def test_r4_dialect_shapes():
+    # trino: OFFSET precedes LIMIT (trino.yaml:15)
+    lim = render(get_dialect("trino").template("limit"), {
+        "limit": "10", "offset": "0", "fields": "*", "table": "t",
+        "where_clause": ""})
+    assert "offset 0 limit 10" in lim
+    # db2: fetch-first limit + handler-guarded drop (db2.yaml:2-6)
+    d2 = get_dialect("db2")
+    assert "fetch first 7 rows only" in render(
+        d2.template("limit"),
+        {"limit": "7", "fields": "*", "table": "t", "where_clause": ""})
+    assert "SQLSTATE '42704'" in d2.template("drop_table")
+    # firebird: select first..skip (firebird grammar)
+    fb = render(get_dialect("firebird").template("limit"), {
+        "limit": "5", "offset": "2", "fields": "*", "table": "t",
+        "where_clause": ""})
+    assert fb.startswith("select first 5 skip 2")
+    # proton: streams, not tables (proton.yaml:2-5)
+    pr = get_dialect("proton")
+    assert pr.template("drop_table").startswith("drop stream")
+    ins = generate_merge_sql(pr, "s", "t", COLS, ["id"], "insert")
+    assert "FROM table(s)" in ins
+    # hive: parquet-stored create, purge drop (hive.yaml:2-3)
+    hv = get_dialect("hive")
+    assert hv.template("create_table").endswith("stored as parquet")
+    assert hv.template("drop_table").endswith("purge")
+
+
+def test_r4_inheritance_resolves():
+    # motherduck rides the duckdb pack (motherduck.yaml duplicates it)
+    md, dd = get_dialect("motherduck"), get_dialect("duckdb")
+    assert md.template("truncate_table") == dd.template("truncate_table")
+    assert md.types == dd.types
+    # ducklake overrides update off while keeping duckdb's surface
+    dl = get_dialect("ducklake")
+    assert dl.template("merge_update") is None
+    assert dl.template("truncate_table") == dd.template("truncate_table")
+    # azuresql/fabric ride the sqlserver statement shapes
+    az = get_dialect("azuresql")
+    assert generate_merge_sql(az, "s", "t", COLS, ["id"],
+                              "delete_insert").startswith("DELETE tgt FROM")
+    fb = get_dialect("fabric")
+    assert "varchar" in fb.types["string"] and "nvarchar" not in \
+        fb.types["string"]
+    # d1 carries sqlite's upsert
+    d1 = get_dialect("d1")
+    assert "ON CONFLICT" in d1.template("merge_update_insert")
+
+
+def test_r4_create_table_ddl_renders(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amt", T.DecimalType(18, 2)),
+        T.StructField("at", T.TimestampType()),
+    ])
+    for name in R4_DIALECTS:
+        ddl = create_table_ddl(get_dialect(name), "db.t", schema,
+                               max_lens={"name": 80})
+        assert "{" not in ddl and "}" not in ddl, name
+        assert "db.t" in ddl, name
