@@ -111,11 +111,8 @@ def write_files(
             else:
                 from sling_cli_spark.sources.iceberg_py import write_iceberg
 
-                if part_cols:
-                    raise NotImplementedError(
-                        "partitioned iceberg write needs the iceberg "
-                        "connector on the classpath") from e
-                write_iceberg(df, uri, mode=_spark_mode(mode))
+                write_iceberg(df, uri, mode=_spark_mode(mode),
+                              partition_by=part_cols or None)
             return
         return
     if fmt == "arrow":

@@ -13,8 +13,10 @@ directly, reusing the stdlib Avro codec (``sources/avro_py``):
   DELETED — readers skip those files.
 - data files: plain parquet.
 
-Scope (documented): v1, unpartitioned, parquet data files, no deletes
-beyond whole-file remove, stats omitted (optional in v1). Enough for
+Scope (documented): v1, parquet data files, identity-transform
+partitioning (Hive-dir layout, values carried in the manifest), no
+deletes beyond whole-file remove, stats omitted (optional in v1; the
+manifest partition struct is simplified to a string map). Enough for
 EL-tool snapshots: :func:`write_iceberg` (append/overwrite creating a
 new snapshot + metadata version) and :func:`read_iceberg` (current or
 ``snapshot_id=`` time travel). The jar-backed Spark DataSource takes
@@ -70,6 +72,10 @@ _MANIFEST_ENTRY_SCHEMA = {
                 {"name": "file_format", "type": "string"},
                 {"name": "record_count", "type": "long"},
                 {"name": "file_size_in_bytes", "type": "long"},
+                # spec: per-spec typed partition struct; simplified here
+                # to a string map (values as written in the Hive dirs)
+                {"name": "partition",
+                 "type": ["null", {"type": "map", "values": "string"}]},
             ],
         }},
     ],
@@ -184,8 +190,25 @@ def read_iceberg(
     files = _active_files(path, meta, snapshot_id)
     if not files:
         return spark.createDataFrame([], _spark_schema(meta))
-    return spark.read.option("mergeSchema", "true").parquet(
-        *[f["file_path"] for f in files])
+    reader = spark.read.option("mergeSchema", "true")
+    if _part_cols(meta):
+        # partition values live in the Hive dirs (identity transform);
+        # basePath restores them as columns
+        reader = reader.option(
+            "basePath", _absolute(fsio.join(path, "data")))
+    return reader.parquet(*[f["file_path"] for f in files])
+
+
+def _read_files(spark, meta, path, file_paths, empty_schema):
+    """Scan specific data files with the table's partition layout
+    (basePath restores identity-partition columns from the Hive dirs)."""
+    if not file_paths:
+        return spark.createDataFrame([], empty_schema)
+    reader = spark.read.option("mergeSchema", "true")
+    if _part_cols(meta):
+        reader = reader.option(
+            "basePath", _absolute(fsio.join(path, "data")))
+    return reader.parquet(*sorted(file_paths))
 
 
 def merge_iceberg(
@@ -213,6 +236,7 @@ def merge_iceberg(
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
     _, meta = _current_metadata(path)
     active = _active_files(path, meta, None)
+    part_cols = _part_cols(meta)
     target = read_iceberg(spark, path)
 
     touched: set[str] = set()
@@ -221,11 +245,26 @@ def merge_iceberg(
     elif strategy == MergeStrategy.HISTORY_INSERT:
         replacement = src
     else:
-        touched = {_canon(p) for p in touched_files(target, src, pk)}
+        # partition prune: the probe scans only files whose manifest
+        # partition values match a partition present in the batch
+        candidates = active
+        if part_cols and all(c in src.columns for c in part_cols):
+            batch_parts = {
+                tuple("null" if r[c] is None else str(r[c])
+                      for c in part_cols)
+                for r in src.select(*part_cols).distinct().collect()}
+            candidates = [
+                f for f in active
+                if tuple((f.get("partition") or {}).get(c, "null")
+                         for c in part_cols) in batch_parts]
+        probe = _read_files(spark, meta, path,
+                            [f["file_path"] for f in candidates],
+                            target.schema)
+        touched = {_canon(p) for p in touched_files(probe, src, pk)}
         touched_paths = sorted(
             f["file_path"] for f in active if _canon(f["file_path"]) in touched)
-        touched_rows = spark.read.parquet(*touched_paths) if touched_paths \
-            else spark.createDataFrame([], target.schema)
+        touched_rows = _read_files(spark, meta, path, touched_paths,
+                                   target.schema)
         cdc_cols = {}
         if seq_col:
             cdc_cols["seq_col"] = seq_col
@@ -274,7 +313,9 @@ def delete_missing_iceberg(
                 "snapshot_id": meta.get("current-snapshot-id")}
     touched_paths = sorted(
         f["file_path"] for f in active if _canon(f["file_path"]) in touched)
-    replacement = _dm(spark.read.parquet(*touched_paths), keys, pk, soft=soft)
+    replacement = _dm(
+        _read_files(spark, meta, path, touched_paths, target.schema),
+        keys, pk, soft=soft)
     keep = [f for f in active if _canon(f["file_path"]) not in touched]
     snapshot_id = _commit_snapshot(replacement, path, meta, carried=keep,
                                    operation="delete")
@@ -283,22 +324,51 @@ def delete_missing_iceberg(
             "kept": len(keep), "snapshot_id": snapshot_id}
 
 
-def _init_meta(df: DataFrame, path: str) -> dict:
+def _init_meta(
+    df: DataFrame, path: str, partition_by: list[str] | None = None,
+) -> dict:
+    ice = _ice_schema_for(df)
+    by_name = {f["name"]: f["id"] for f in ice["fields"]}
+    spec_fields = [
+        {"name": c, "transform": "identity", "source-id": by_name[c],
+         "field-id": 1000 + i}
+        for i, c in enumerate(partition_by or [])]
     return {
         "format-version": 1,
         "table-uuid": str(uuid.uuid4()),
         "location": _absolute(path),
         "last-updated-ms": 0,
         "last-column-id": len(df.schema.fields),
-        "schemas": [_ice_schema_for(df)],
-        "schema": _ice_schema_for(df),  # v1 single-schema field
-        "partition-spec": [],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "schemas": [ice],
+        "schema": ice,  # v1 single-schema field
+        "partition-spec": spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
         "properties": {},
         "snapshots": [],
         "current-snapshot-id": -1,
     }
+
+
+def _part_cols(meta: dict) -> list[str]:
+    specs = meta.get("partition-specs") or [{}]
+    return [f["name"] for f in (specs[0].get("fields") or [])]
+
+
+def _walk_parquet(fs, base: str, rel: str = "") -> list[str]:
+    """Relative paths of all parquet files under ``base`` (partitioned
+    stages nest one dir level per partition column)."""
+    out: list[str] = []
+    cur = fsio.join(base, rel) if rel else base
+    for name in fs.listdir(cur):
+        if name.startswith((".", "_")):
+            continue
+        child = fsio.join(rel, name) if rel else name
+        if fs.isdir(fsio.join(base, child)):
+            out.extend(_walk_parquet(fs, base, child))
+        elif name.endswith(".parquet"):
+            out.append(child)
+    return out
 
 
 def _commit_snapshot(
@@ -319,21 +389,30 @@ def _commit_snapshot(
     if is_iceberg_table(path):
         version, _ = _current_metadata(path)
 
+    part_cols = _part_cols(meta)
     tmp = fsio.join(data_dir, f".stage_{uuid.uuid4().hex[:8]}")
-    df.write.parquet(tmp)
+    writer = df.write
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp)
     data_files: list[dict] = []
-    for fname in sorted(fs.listdir(tmp)):
-        if not fname.endswith(".parquet") or fname.startswith((".", "_")):
-            continue
+    for rel in sorted(_walk_parquet(fs, tmp)):
+        # rel like "c=v/.../part-....parquet" for partitioned stages
+        part_dirs, fname = os.path.split(rel)
+        partition = dict(
+            seg.split("=", 1) for seg in part_dirs.split("/") if "=" in seg)
         new_name = f"{uuid.uuid4().hex}.parquet"
-        dest = fsio.join(data_dir, new_name)
-        if not fs.rename(fsio.join(tmp, fname), dest):
+        dest_dir = fsio.join(data_dir, part_dirs) if part_dirs else data_dir
+        fs.mkdirs(dest_dir)
+        dest = fsio.join(dest_dir, new_name)
+        if not fs.rename(fsio.join(tmp, rel), dest):
             raise IOError(f"iceberg stage: could not place {new_name}")
         data_files.append({
             "file_path": _absolute(dest),
             "file_format": "PARQUET",
             "record_count": 0,  # stats optional in v1
             "file_size_in_bytes": fs.getsize(dest),
+            "partition": partition or None,
         })
     fs.delete(tmp, True)
 
@@ -386,13 +465,16 @@ def _commit_snapshot(
 
 def write_iceberg(
     df: DataFrame, path: str, mode: str = "append",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Append/overwrite as a new snapshot + metadata version; returns the
-    snapshot id."""
+    snapshot id. On an existing table the recorded identity partition
+    spec wins (append must not change layout); ``partition_by`` takes
+    effect on table creation."""
     if is_iceberg_table(path):
         _, meta = _current_metadata(path)
     else:
-        meta = _init_meta(df, path)
+        meta = _init_meta(df, path, partition_by)
     carried = [] if mode == "overwrite" or not meta.get("snapshots") \
         else _active_files(path, meta, None)
     return _commit_snapshot(

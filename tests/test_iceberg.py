@@ -179,3 +179,46 @@ def test_delete_missing_iceberg_soft(spark, tmp_path):
     got = {r["id"]: r["_sling_synced_op"]
            for r in read_iceberg(spark, t).collect()}
     assert got[2] == "D" and len(got) == 2
+
+
+def test_partitioned_write_read_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")],
+        "id long, v string, cat string")
+    write_iceberg(df, t, partition_by=["cat"])
+    got = read_iceberg(spark, t)
+    assert set(got.columns) == {"id", "v", "cat"}
+    rows = {(r["id"], r["cat"]) for r in got.collect()}
+    assert rows == {(1, "x"), (2, "x"), (3, "y")}
+    # data files live under Hive dirs and manifests carry the values
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_files, _current_metadata)
+    _, meta = _current_metadata(t)
+    files = _active_files(t, meta, None)
+    assert all(f["partition"] in ({"cat": "x"}, {"cat": "y"})
+               for f in files)
+
+
+def test_partitioned_merge_prunes_untouched_partitions(spark, tmp_path):
+    from sling_cli_spark.sources.iceberg_py import merge_iceberg
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 200).selectExpr(
+        "id", "cast(id as string) v",
+        "case when id < 100 then 'a' else 'b' end cat")
+    write_iceberg(df, t, partition_by=["cat"])
+    # batch touches only partition 'a'
+    batch = spark.createDataFrame(
+        [(5, "X", "a"), (999, "new", "a")], "id long, v string, cat string")
+    stats = merge_iceberg(spark, t, batch, "id")
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got[5] == "X" and got[999] == "new" and len(got) == 201
+    # partition 'b' files never rewrote
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_files, _current_metadata)
+    _, meta = _current_metadata(t)
+    b_files = [f for f in _active_files(t, meta, None)
+               if f["partition"] == {"cat": "b"}]
+    assert b_files and all("/cat=b/" in f["file_path"] for f in b_files)
+    assert stats["kept"] >= len(b_files)
