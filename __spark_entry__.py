@@ -637,6 +637,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
+    def geo_convert(spark, sf):
+        """WKT -> GeoJSON conversion (operators/geo.py, Arrow-batched
+        pandas UDF; reference datastream.go:2526-2574). Points are built
+        from integer order keys so the oracle can assemble the identical
+        GeoJSON text with string functions."""
+        from sling_cli_spark.operators.geo import geo_udfs
+
+        wkt_to_geojson, _, _ = geo_udfs()
+        o = _t(spark, sf, "orders").filter("o_orderkey < 2000")
+        wkt = F.concat(
+            F.lit("POINT ("), ((F.col("o_orderkey") % 360) - 180).cast("string"),
+            F.lit(" "), ((F.col("o_orderkey") % 171) - 85).cast("string"),
+            F.lit(")"))
+        return o.select("o_orderkey", wkt_to_geojson(wkt).alias("geojson"))
+
+    def chunk_docs(spark, sf):
+        """Fixed-token-window chunking with overlap (operators/
+        training.py, round 4): one projection + posexplode, no shuffle —
+        the pretraining/RAG chunk shape over the documents table."""
+        from sling_cli_spark.operators.training import chunk_documents
+
+        return chunk_documents(_t(spark, sf, "documents"),
+                               chunk_tokens=64, overlap=16)
+
+    def stratified_sample_docs(spark, sf):
+        """Deterministic per-language sample capped at 100 docs: ranked
+        by md5(doc_id) inside each stratum so the oracle reproduces the
+        exact sample (rand() never could)."""
+        from sling_cli_spark.operators.training import stratified_sample
+
+        return stratified_sample(
+            _t(spark, sf, "documents"), "lang", 100).select(
+                "doc_id", "lang")
+
+    def repetition_docs(spark, sf):
+        """Gopher-style duplicate-line/token fractions per document —
+        the boilerplate/spam filter signal, pure projection."""
+        from sling_cli_spark.operators.training import repetition_stats
+
+        return repetition_stats(_t(spark, sf, "documents"))
+
+    def pii_redact_docs(spark, sf):
+        """PII span redaction (emails/IPs/phones) with per-kind counts.
+        The corpus is synthetic, so deterministic PII is appended from
+        doc_id before redacting — the oracle constructs the same text."""
+        from sling_cli_spark.operators.training import pii_redact
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@ex"),
+                (F.col("doc_id") % 9).cast("string"), F.lit(".com via 10.1.2."),
+                (F.col("doc_id") % 200).cast("string"), F.lit(" tel 555-001-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ).alias("text"))
+        return pii_redact(d)
+
     def fingerprint_docs(spark, sf):
         return fingerprint(_t(spark, sf, "documents"))
 
@@ -681,6 +739,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": quality_docs,
         "token_count_docs": token_count_docs,
         "ws_token_docs": ws_token_docs,
+        "geo_convert": geo_convert,
+        "chunk_docs": chunk_docs,
+        "stratified_sample_docs": stratified_sample_docs,
+        "repetition_docs": repetition_docs,
+        "pii_redact_docs": pii_redact_docs,
         "fingerprint_docs": fingerprint_docs,
         # -- flagship + LLM-pipeline ops ----------------------------------
         "star_join_agg": _star_join_agg,
@@ -1147,6 +1210,104 @@ def oracle_sql() -> dict[str, str]:
         # exact SQL twin of operators/text.py lang_id: per-language
         # stopword-hit counts, scan order es<fr<de with strict >, en wins
         # ties needing >= max(best, 1)
+        "geo_convert": """
+            SELECT o_orderkey,
+                   '{"type": "Point", "coordinates": ['
+                     || CAST((o_orderkey % 360) - 180 AS DOUBLE) || ', '
+                     || CAST((o_orderkey % 171) - 85 AS DOUBLE)
+                     || ']}' AS geojson
+            FROM orders WHERE o_orderkey < 2000
+        """,
+        "chunk_docs": """
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), tok AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(t, ' ') END AS toks
+              FROM norm
+            ), ex AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(generate_series(
+                        1, greatest(len(toks) - 16, 1), 48)) AS s
+              FROM tok WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   CAST((s - 1) / 48 AS INT) AS chunk_id,
+                   array_to_string(list_slice(toks, s, s + 63), ' ')
+                     AS chunk_text,
+                   least(n - s + 1, 64) AS n_tokens
+            FROM ex
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents) WHERE rk <= 100
+        """,
+        "repetition_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(text, chr(10)) AS lines,
+                     string_split(
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                       ' ') AS toks
+              FROM documents)
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   CASE WHEN len(lines) <= 0 THEN 0.0
+                        ELSE round((len(lines) - len(list_distinct(lines)))
+                             / CAST(len(lines) AS DOUBLE), 6)
+                   END AS dup_line_frac,
+                   len(toks) AS n_tokens,
+                   CASE WHEN len(toks) <= 0 THEN 0.0
+                        ELSE round((len(toks) - len(list_distinct(toks)))
+                             / CAST(len(toks) AS DOUBLE), 6)
+                   END AS dup_token_frac
+            FROM t
+        """,
+        "pii_redact_docs": """
+            WITH built AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@ex' || CAST(doc_id % 9 AS VARCHAR)
+                       || '.com via 10.1.2.'
+                       || CAST(doc_id % 200 AS VARCHAR)
+                       || ' tel 555-001-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS text
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                  AS n_email,
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS text
+              FROM built
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                len(regexp_extract_all(text,
+                  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                  AS n_ip,
+                regexp_replace(text,
+                  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                  '<IP>', 'g') AS text
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_ip,
+              len(regexp_extract_all(text,
+                '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b')) AS n_phone,
+              regexp_replace(text,
+                '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b',
+                '<PHONE>', 'g') AS text
+            FROM s2
+        """,
         "lang_id_docs": """
             WITH toks AS (
               SELECT doc_id,

@@ -1,0 +1,178 @@
+"""Training-data preparation operators: chunking, stratified sampling,
+repetition filters, PII redaction.
+
+The ops a 100 TB pretraining pipeline runs after dedup/quality scoring
+(operators/dedup.py, operators/text.py): split documents into
+fixed-token-window chunks, draw deterministic per-stratum samples,
+score repetition (the Gopher-style duplicate-line/token fractions), and
+scrub PII spans. Everything is pure Catalyst — narrow projections and
+one keyed window for sampling; no UDFs, no driver-side state — so each
+op scales as a single scan (plus one shuffle for the sampler's
+per-stratum rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "chunk_documents", "stratified_sample", "repetition_stats",
+    "pii_redact", "PII_PATTERNS",
+]
+
+
+def _ws_norm(text: Column) -> Column:
+    """Whitespace-normalized text: runs of whitespace -> single space.
+
+    Tokenizing on ONE space after this keeps the Spark plan and any
+    SQL-engine twin (split on ' ') byte-identical, which is what the
+    correctness oracle hashes."""
+    return F.trim(F.regexp_replace(text, "\\s+", " "))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into whitespace-token windows of
+    ``chunk_tokens`` with ``overlap`` tokens shared between neighbors
+    (stride = chunk_tokens - overlap), the standard pretraining /
+    retrieval chunking shape.
+
+    One projection + one explode — no shuffle, no UDF: token arrays via
+    ``split``, window starts via ``sequence``, chunk text via
+    ``slice`` + ``array_join``. Short documents yield one chunk; empty
+    ones yield none. Output: (id, chunk_id, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    norm = _ws_norm(F.col(text_col))
+    # split('') yields [''] — make whitespace-only docs truly empty
+    toks = F.when(F.length(norm) == 0,
+                  F.array().cast("array<string>")) \
+        .otherwise(F.split(norm, " "))
+    n = F.size(toks)
+    # last start <= n - overlap: every window past the first contributes
+    # at least one new token, and the final window still reaches token n
+    # (start + chunk_tokens - 1 >= n by construction of the stride)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride))
+    out = (
+        df.select(F.col(id_col), toks.alias("__toks"), n.alias("__n"),
+                  F.posexplode(starts).alias("chunk_id", "__start"))
+        .filter(F.col("__n") > 0)
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start"),
+                        F.lit(chunk_tokens)), " ").alias("chunk_text"),
+            F.least(
+                F.col("__n") - F.col("__start") + 1,
+                F.lit(chunk_tokens)).cast("long").alias("n_tokens"),
+        )
+    )
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    n_per_stratum: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sample: rank rows inside each stratum
+    by ``md5(id)`` (a stable pseudo-random order any engine reproduces)
+    and keep the first ``n_per_stratum``.
+
+    The usual training-mix move — cap each language/source bucket — as
+    ONE window over the stratum key. Deterministic by construction:
+    re-running on the same corpus yields the same sample, and the
+    oracle can re-derive it exactly (vs rand()-based sampling, which
+    can't be verified or resumed). Skew note: the shuffle is keyed by
+    stratum; a stratum with billions of rows still ranks in one
+    partition, so for heavy strata pre-filter with a hash-range
+    predicate (``md5(id) < bound``) before ranking — the standard
+    two-phase top-K trim.
+    """
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition fractions per document: duplicate-line
+    fraction and duplicate-token fraction (1 - distinct/total), the
+    filters pretraining pipelines use to drop boilerplate/spam.
+
+    Pure per-row projection (array_distinct over split arrays) — scans
+    once, no shuffle. Output: (id, n_lines, dup_line_frac, n_tokens,
+    dup_token_frac).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    uniq_lines = F.size(F.array_distinct(lines))
+    toks = F.split(_ws_norm(F.col(text_col)), " ")
+    n_toks = F.size(toks)
+    uniq_toks = F.size(F.array_distinct(toks))
+    frac = (
+        lambda n, u: F.when(n <= 0, F.lit(0.0))
+        .otherwise(F.round((n - u) / n.cast("double"), 6)))
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        frac(n_lines, uniq_lines).alias("dup_line_frac"),
+        n_toks.cast("long").alias("n_tokens"),
+        frac(n_toks, uniq_toks).alias("dup_token_frac"),
+    )
+
+
+#: span patterns shared by redaction and its SQL twins — the RE2/Java
+#: common subset (no lookarounds), so Spark and the oracle engines
+#: compile them identically
+PII_PATTERNS = {
+    "email": ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "ip": ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+           "<IP>"),
+    "phone": ("\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>"),
+}
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict | None = None,
+) -> DataFrame:
+    """Replace PII spans (emails, IPv4s, phone numbers) with typed
+    placeholder tokens and count the redactions per kind.
+
+    A chain of ``regexp_replace`` calls — single projection, JVM
+    regex, no UDF. Order matters: emails first so their host parts
+    aren't half-eaten by the IP pattern. Output: (id, text,
+    n_<kind>... ) with the redacted text under the original column
+    name."""
+    pats = patterns or PII_PATTERNS
+    red = F.col(text_col)
+    counts = []
+    for kind, (pat, token) in pats.items():
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), 0))
+            .cast("long").alias(f"n_{kind}"))
+        red = F.regexp_replace(red, pat, token)
+    return df.select(F.col(id_col), *counts, red.alias(text_col))

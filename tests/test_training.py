@@ -1,0 +1,115 @@
+"""Training-data prep operators (operators/training.py): chunking,
+stratified sampling, repetition stats, PII redaction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sling_cli_spark.operators.training import (
+    chunk_documents, pii_redact, repetition_stats, stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunks_cover_all_tokens_with_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(1, 151))  # 150 tokens
+    df = _docs(spark, [(1, text)])
+    out = chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    assert [r["chunk_id"] for r in out] == [0, 1, 2]
+    # stride 48: windows [1,64],[49,112],[97,150]
+    assert out[0]["chunk_text"].startswith("t1 ") and \
+        out[0]["chunk_text"].endswith(" t64")
+    assert out[1]["chunk_text"].startswith("t49 ")
+    assert out[2]["chunk_text"].endswith(" t150")
+    assert [r["n_tokens"] for r in out] == [64, 64, 54]
+    # overlap: last 16 tokens of chunk 0 == first 16 of chunk 1
+    assert out[0]["chunk_text"].split()[-16:] == \
+        out[1]["chunk_text"].split()[:16]
+
+
+def test_chunk_short_and_empty_docs(spark):
+    df = _docs(spark, [(1, "a b c"), (2, ""), (3, "   ")])
+    out = chunk_documents(df, chunk_tokens=10, overlap=2).collect()
+    assert len(out) == 1  # empty/whitespace docs contribute nothing
+    assert out[0]["doc_id"] == 1 and out[0]["chunk_text"] == "a b c"
+    assert out[0]["n_tokens"] == 3
+
+
+def test_chunk_no_redundant_trailing_window(spark):
+    # 66 tokens, chunk 64 / overlap 16 -> window 2 would start at 49
+    # and only reach token 66 = 18 new tokens; window 3 (start 97) must
+    # not exist
+    df = _docs(spark, [(1, " ".join(f"t{i}" for i in range(66)))])
+    out = chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    assert [r["chunk_id"] for r in out] == [0, 1]
+    assert out[1]["n_tokens"] == 18
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "x")]), chunk_tokens=8, overlap=8)
+
+
+def test_stratified_sample_deterministic_and_capped(spark):
+    df = spark.range(0, 1000).selectExpr(
+        "id as doc_id", "concat('d', id) as text",
+        "case when id % 3 = 0 then 'en' else 'de' end as lang")
+    a = stratified_sample(df, "lang", 50)
+    b = stratified_sample(df, "lang", 50)
+    ra = {(r["doc_id"]) for r in a.collect()}
+    rb = {(r["doc_id"]) for r in b.collect()}
+    assert ra == rb  # deterministic
+    counts = {r["lang"]: r["n"] for r in
+              a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 50, "de": 50}
+    # strata smaller than the cap survive whole
+    small = stratified_sample(df.filter("doc_id < 30"), "lang", 50)
+    assert small.count() == 30
+
+
+def test_repetition_stats(spark):
+    df = _docs(spark, [
+        (1, "x\ny\nx"),              # 3 lines, 1 dup
+        (2, "a a a a"),              # 4 tokens, 3 dups
+        (3, "all unique lines"),
+    ])
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_lines"] == 3
+    assert got[1]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[2]["n_tokens"] == 4
+    assert got[2]["dup_token_frac"] == pytest.approx(0.75)
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["dup_token_frac"] == 0.0
+
+
+def test_pii_redact_spans_and_counts(spark):
+    df = _docs(spark, [
+        (1, "mail bob@x.io and jo.ann@sub.dom.org now"),
+        (2, "server 10.0.255.3 called 555-867-5309 x"),
+        (3, "clean text"),
+    ])
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert got[1]["text"] == "mail <EMAIL> and <EMAIL> now"
+    assert got[1]["n_email"] == 2 and got[1]["n_ip"] == 0
+    assert got[2]["text"] == "server <IP> called <PHONE> x"
+    assert got[2]["n_ip"] == 1 and got[2]["n_phone"] == 1
+    assert got[3]["text"] == "clean text"
+    assert got[3]["n_email"] == got[3]["n_ip"] == got[3]["n_phone"] == 0
+
+
+def test_pii_email_host_not_eaten_by_ip(spark):
+    # a numeric mail host must redact as ONE email, not email+IP
+    df = _docs(spark, [(1, "a@1.2.3.4x.com b")])
+    r = pii_redact(df).collect()[0]
+    assert r["n_email"] == 1 and "<EMAIL>" in r["text"]
+
+
+def test_chunk_plan_has_no_shuffle(spark):
+    df = _docs(spark, [(1, "a b c")])
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    plan2 = repetition_stats(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan2
