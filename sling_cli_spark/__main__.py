@@ -1,0 +1,260 @@
+"""Command-line twin of the reference CLI (``sling run`` / ``conns`` /
+``pipeline``): ``python -m sling_cli_spark <command>``.
+
+Reference surface: ``cmd/sling/sling_cli.go:45-238`` (flags),
+``sling_run.go`` (flag -> Config assembly), ``sling_conns.go``
+(env.yaml connection registry). Same shape here, Spark underneath:
+
+    python -m sling_cli_spark run -r replication.yaml
+    python -m sling_cli_spark run --src-stream /data/a.csv \\
+        --tgt-object /warehouse/a.parquet --mode full-refresh
+    python -m sling_cli_spark run --src-conn LANDING --src-stream x.csv \\
+        --tgt-object out.parquet --select 'id,name' --stdout
+    python -m sling_cli_spark conns list
+    python -m sling_cli_spark conns set LANDING type=local url=/data
+    python -m sling_cli_spark conns test LANDING
+    python -m sling_cli_spark pipeline pipeline.yaml
+
+Connections live in ``$SLING_HOME_DIR/env.yaml`` (default
+``~/.sling-spark/env.yaml``) under a ``connections:`` map, the
+reference's layout. File-type connections resolve stream/object paths
+against their ``url``; database connections carry a JDBC URL into the
+config (consumed by sources/jdbc.py when driver jars are present).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import yaml
+
+
+def _home_dir() -> str:
+    return os.environ.get(
+        "SLING_HOME_DIR", os.path.expanduser("~/.sling-spark"))
+
+
+def _env_path() -> str:
+    return os.path.join(_home_dir(), "env.yaml")
+
+
+def load_connections() -> dict:
+    p = _env_path()
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        doc = yaml.safe_load(f) or {}
+    return doc.get("connections") or {}
+
+
+def save_connections(conns: dict) -> None:
+    os.makedirs(_home_dir(), exist_ok=True)
+    p = _env_path()
+    doc = {}
+    if os.path.exists(p):
+        with open(p) as f:
+            doc = yaml.safe_load(f) or {}
+    doc["connections"] = conns
+    with open(p, "w") as f:
+        yaml.safe_dump(doc, f, sort_keys=True)
+
+
+def resolve_conn(name: str | None, stream: str | None) -> tuple[str | None, str | None]:
+    """(resolved_stream_or_object, jdbc_url). File-type connections
+    prefix the relative path with their url/base dir; database
+    connections pass their JDBC URL through."""
+    if not name:
+        return stream, None
+    conns = load_connections()
+    if name not in conns:
+        raise SystemExit(f"connection not found: {name} ({_env_path()})")
+    c = conns[name] or {}
+    url = c.get("url") or c.get("base") or ""
+    if url.startswith("jdbc:") or (c.get("type") or "") in (
+            "postgres", "mysql", "snowflake", "sqlserver", "oracle",
+            "bigquery", "redshift", "clickhouse", "duckdb", "sqlite"):
+        return stream, url or c.get("url")
+    if stream and not os.path.isabs(stream) and "://" not in stream:
+        return os.path.join(url, stream) if url else stream, None
+    return stream or url, None
+
+
+def _parse_opts(text: str | None) -> dict:
+    """--src-options / --tgt-options accept JSON or YAML flow text,
+    like the reference flags."""
+    if not text:
+        return {}
+    try:
+        return json.loads(text)
+    except (ValueError, TypeError):
+        return yaml.safe_load(text) or {}
+
+
+def _get_spark(debug: bool = False):
+    from sling_cli_spark.session import get_spark
+
+    spark = get_spark("sling-cli")
+    if not debug:
+        spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    from sling_cli_spark.config import Config
+
+    if args.replication:
+        from sling_cli_spark.plans.replication import (
+            ReplicationConfig, run_replication)
+
+        rc = ReplicationConfig.from_yaml(args.replication)
+        spark = _get_spark(args.debug)
+        results = run_replication(spark, rc)
+        for stream, res in results.items():
+            print(f"{stream}: {res.rows} rows ({res.mode})")
+        return 0
+
+    if not args.src_stream:
+        print("either -r or --src-stream is required", file=sys.stderr)
+        return 2
+
+    stream, src_jdbc = resolve_conn(args.src_conn, args.src_stream)
+    obj, tgt_jdbc = resolve_conn(args.tgt_conn, args.tgt_object)
+    d = {
+        "source": {
+            "conn": src_jdbc or args.src_conn,
+            "stream": stream,
+            "primary_key": [s for s in (args.primary_key or "").split(",") if s],
+            "update_key": args.update_key,
+            "select": [s for s in (args.select or "").split(",") if s],
+            "where": args.where,
+            "limit": args.limit,
+            "options": _parse_opts(args.src_options),
+        },
+        "target": {
+            "conn": tgt_jdbc or args.tgt_conn,
+            "object": obj,
+            "options": _parse_opts(args.tgt_options),
+        },
+        "mode": args.mode,
+    }
+    cfg = Config.from_dict(d)
+    spark = _get_spark(args.debug)
+
+    if args.stdout or not cfg.target.object:
+        # stream the (limited) result to stdout as CSV, reference
+        # `sling run --stdout`
+        from sling_cli_spark.runner import build_read_plan
+
+        df = build_read_plan(spark, cfg)
+        df.toPandas().to_csv(sys.stdout, index=False)
+        return 0
+
+    from sling_cli_spark.runner import run
+
+    res = run(spark, cfg)
+    print(f"{res.rows} rows -> {cfg.target.object} ({res.mode})")
+    return 0
+
+
+def cmd_conns(args: argparse.Namespace) -> int:
+    conns = load_connections()
+    if args.conns_cmd == "list":
+        if not conns:
+            print(f"no connections defined ({_env_path()})")
+            return 0
+        width = max(len(n) for n in conns) + 2
+        for name in sorted(conns):
+            c = conns[name] or {}
+            print(f"{name:<{width}}{c.get('type', '?'):<12}"
+                  f"{c.get('url', '')}")
+        return 0
+    if args.conns_cmd == "set":
+        kv = dict(p.split("=", 1) for p in args.pairs if "=" in p)
+        conns[args.name] = {**(conns.get(args.name) or {}), **kv}
+        save_connections(conns)
+        print(f"connection {args.name} saved to {_env_path()}")
+        return 0
+    if args.conns_cmd == "test":
+        if args.name not in conns:
+            print(f"connection not found: {args.name}", file=sys.stderr)
+            return 1
+        c = conns[args.name] or {}
+        url = c.get("url") or ""
+        if url.startswith("jdbc:"):
+            print(f"{args.name}: jdbc url recorded; needs the driver jar "
+                  "on the Spark classpath to probe")
+            return 0
+        ok = os.path.exists(url) or "://" in url
+        print(f"{args.name}: {'reachable' if ok else 'NOT FOUND'} ({url})")
+        return 0 if ok else 1
+    return 2
+
+
+def cmd_pipeline(args: argparse.Namespace) -> int:
+    from sling_cli_spark.plans.pipeline import run_pipeline
+
+    with open(args.file) as f:
+        doc = yaml.safe_load(f) or {}
+    steps = doc.get("steps") or doc if isinstance(doc, list) else \
+        doc.get("steps") or []
+    spark = _get_spark(args.debug)
+    state = run_pipeline(spark, steps, env=doc.get("env") if
+                         isinstance(doc, dict) else None)
+    print(f"pipeline done ({len(steps)} steps)")
+    return 0 if state is not None else 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sling-spark",
+        description="PySpark-native data movement (sling-compatible surface)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a task or replication")
+    r.add_argument("-r", "--replication", help="replication yaml path")
+    r.add_argument("--src-conn", help="source connection name")
+    r.add_argument("--src-stream", help="source table/path/glob/SQL")
+    r.add_argument("--src-options", help="source options (JSON/YAML)")
+    r.add_argument("--tgt-conn", help="target connection name")
+    r.add_argument("--tgt-object", help="target table/path")
+    r.add_argument("--tgt-options", help="target options (JSON/YAML)")
+    r.add_argument("--mode", default="full-refresh",
+                   choices=["full-refresh", "incremental", "truncate",
+                            "snapshot", "backfill"])
+    r.add_argument("--select", help="comma-separated column selection")
+    r.add_argument("--where", help="row filter expression")
+    r.add_argument("--primary-key", help="comma-separated PK columns")
+    r.add_argument("--update-key", help="incremental watermark column")
+    r.add_argument("--limit", type=int)
+    r.add_argument("--stdout", action="store_true",
+                   help="print result as CSV instead of writing the target")
+    r.add_argument("-d", "--debug", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    c = sub.add_parser("conns", help="manage connections")
+    cs = c.add_subparsers(dest="conns_cmd", required=True)
+    cs.add_parser("list", help="list connections")
+    ct = cs.add_parser("test", help="test a connection")
+    ct.add_argument("name")
+    cset = cs.add_parser("set", help="create/update a connection")
+    cset.add_argument("name")
+    cset.add_argument("pairs", nargs="+", help="key=value ...")
+    c.set_defaults(fn=cmd_conns)
+
+    pl = sub.add_parser("pipeline", help="run a pipeline yaml")
+    pl.add_argument("file")
+    pl.add_argument("-d", "--debug", action="store_true")
+    pl.set_defaults(fn=cmd_pipeline)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
