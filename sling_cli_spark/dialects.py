@@ -125,6 +125,31 @@ _BASE_CORE = {
         "VALUES ({src_insert_fields})"),
 }
 
+# metadata discovery SQL (reference: per-dialect `metadata:` sections,
+# base shapes from information_schema — trino.yaml:37-77,
+# postgres.yaml metadata, duckdb/motherduck.yaml). Used by wildcard
+# expansion (`schema.*` -> concrete streams) and schema probing.
+_BASE_METADATA = {
+    "schemas": (
+        "select schema_name from information_schema.schemata "
+        "order by schema_name"),
+    "tables": (
+        "select table_schema as schema_name, table_name "
+        "from information_schema.tables "
+        "where table_type = 'BASE TABLE' and table_schema = '{schema}' "
+        "order by table_name"),
+    "views": (
+        "select table_schema as schema_name, table_name "
+        "from information_schema.tables "
+        "where table_type = 'VIEW' and table_schema = '{schema}' "
+        "order by table_name"),
+    "columns": (
+        "select column_name, data_type "
+        "from information_schema.columns "
+        "where table_schema = '{schema}' and table_name = '{table}' "
+        "order by ordinal_position"),
+}
+
 # general type -> native DDL type (reference: per-dialect general_type_map;
 # "varchar()" / "decimal(,)" get sizes injected by create_table_ddl)
 _BASE_TYPES = {
@@ -877,6 +902,7 @@ class Dialect:
     core: dict = field(default_factory=dict)
     types: dict = field(default_factory=dict)
     max_varchar: int = 4000  # beyond -> text type (per-dialect cap)
+    metadata: dict = field(default_factory=dict)
 
     def quote(self, name: str) -> str:
         q = self.quote_char
@@ -885,6 +911,13 @@ class Dialect:
     def template(self, key: str) -> str | None:
         """None means the dialect explicitly doesn't support the op."""
         return self.core[key] if key in self.core else _BASE_CORE.get(key)
+
+    def metadata_sql(self, key: str, **values: str) -> str:
+        """Rendered discovery SQL (schemas/tables/views/columns) —
+        the reference's per-dialect ``metadata:`` section; overridable
+        via a ``metadata`` dict in the spec."""
+        tpl = self.metadata.get(key) or _BASE_METADATA[key]
+        return render(tpl, values)
 
     def supported_merge_strategies(self) -> list[str]:
         out = []
@@ -908,6 +941,8 @@ def _resolve_spec(name: str) -> dict:
     out = {**parent, **{k: v for k, v in spec.items() if k != "inherits"}}
     out["core"] = {**parent.get("core", {}), **spec.get("core", {})}
     out["types"] = {**parent.get("types", {}), **spec.get("types", {})}
+    out["metadata"] = {**parent.get("metadata", {}),
+                       **spec.get("metadata", {})}
     return out
 
 
@@ -922,6 +957,7 @@ def get_dialect(name: str) -> Dialect:
         core=spec.get("core", {}),
         types={**_BASE_TYPES, **spec.get("types", {})},
         max_varchar=spec.get("max_varchar", MAX_VARCHAR_LEN),
+        metadata=spec.get("metadata", {}),
     )
 
 

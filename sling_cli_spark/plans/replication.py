@@ -92,6 +92,45 @@ def expand_wildcards(streams: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
+def expand_db_wildcards(
+    streams: dict[str, Any],
+    run_sql,
+    dialect_name: str = "duckdb",
+) -> dict[str, Any]:
+    """Expand ``schema.*`` / ``schema.prefix*`` patterns against a
+    database's catalog (reference: replication.go:293-518 — the DB
+    branch runs the dialect's schemata query and fans out to N
+    table streams carrying the pattern's overrides).
+
+    ``run_sql(sql) -> iterable of rows`` executes on the source
+    database — over JDBC on a cluster; tests inject an in-process
+    DuckDB executor. The discovery SQL comes from the dialect pack's
+    ``metadata`` templates, so each engine's catalog quirks live with
+    its other templates.
+    """
+    import fnmatch
+
+    from sling_cli_spark.dialects import get_dialect
+
+    d = get_dialect(dialect_name)
+    out: dict[str, Any] = {}
+    for pattern, overrides in streams.items():
+        parts = pattern.split(".")
+        tbl_pat = parts[-1]
+        if len(parts) == 2 and any(ch in tbl_pat for ch in "*?[") \
+                and not (overrides or {}).get("no_expand"):
+            schema = parts[0]
+            rows = list(run_sql(d.metadata_sql("tables", schema=schema)))
+            names = [r[1] if not isinstance(r, str) else r for r in rows]
+            matched = [n for n in names
+                       if fnmatch.fnmatchcase(n.lower(), tbl_pat.lower())]
+            for n in sorted(matched):
+                out[f"{schema}.{n}"] = dict(overrides or {})
+            continue  # unmatched pattern -> dropped, like the reference
+        out[pattern] = dict(overrides or {})
+    return out
+
+
 def _merged(defaults: dict[str, Any], overrides: dict[str, Any]) -> dict[str, Any]:
     """defaults <- overrides, one level deep for the *_options dicts
     (reference merges stream config over defaults the same way,

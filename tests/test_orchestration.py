@@ -222,3 +222,48 @@ streams:
     assert lines[0] == "start" and lines[-1] == "end"
     assert lines[1].startswith("pre ") and "region.parquet" in lines[1]
     assert lines[2] == "post 5"
+
+
+def test_expand_db_wildcards_via_duckdb_catalog():
+    """DB `schema.*` expansion (replication.go:293-518): the dialect's
+    metadata SQL runs on the source DB; DuckDB is the in-process twin."""
+    import duckdb
+
+    from sling_cli_spark.plans.replication import expand_db_wildcards
+
+    con = duckdb.connect()
+    con.execute("""
+        create schema fin;
+        create table fin.accounts(id int);
+        create table fin.act_log(id int);
+        create table fin.users(id int);
+        create view fin.v_users as select * from fin.users;
+    """)
+
+    def run_sql(sql):
+        return con.execute(sql).fetchall()
+
+    out = expand_db_wildcards(
+        {"fin.*": {"mode": "incremental"}}, run_sql, "duckdb")
+    assert set(out) == {"fin.accounts", "fin.act_log", "fin.users"}
+    assert all(v == {"mode": "incremental"} for v in out.values())
+    # prefix patterns narrow the fan-out
+    out2 = expand_db_wildcards({"fin.ac*": {}}, run_sql, "duckdb")
+    assert set(out2) == {"fin.accounts", "fin.act_log"}
+    # non-patterns and no_expand pass through
+    out3 = expand_db_wildcards(
+        {"fin.users": {"k": 1}, "fin.x*": {"no_expand": True}},
+        run_sql, "duckdb")
+    assert out3 == {"fin.users": {"k": 1}, "fin.x*": {"no_expand": True}}
+
+
+def test_metadata_sql_renders_for_all_dialects():
+    from sling_cli_spark.dialects import dialect_names, get_dialect
+
+    for name in dialect_names():
+        d = get_dialect(name)
+        for key, kw in (("schemas", {}), ("tables", {"schema": "s"}),
+                        ("views", {"schema": "s"}),
+                        ("columns", {"schema": "s", "table": "t"})):
+            sql = d.metadata_sql(key, **kw)
+            assert "{" not in sql and "}" not in sql, (name, key)
