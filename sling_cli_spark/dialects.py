@@ -888,6 +888,139 @@ _DIALECT_SPECS: dict[str, dict] = {
                   "timestampz": "nullable(datetime64(6))",
                   "binary": "nullable(string)", "json": "nullable(string)"},
     },
+    "scylladb": {
+        # reference scylladb.yaml:1-47 — CQL: keyspace create_schema,
+        # system_schema metadata, insert-only merges (no UPDATE..FROM /
+        # MERGE in CQL), tiny batches
+        "quote_char": '"',
+        "default_merge_strategy": "insert",
+        "batch_rows": 100,
+        "core": {
+            "drop_table": "drop table if exists {table}",
+            # literal CQL map braces survive render(): only {word}
+            # tokens substitute
+            "create_schema": (
+                "create keyspace if not exists {schema} with replication "
+                "= {'class': 'NetworkTopologyStrategy', "
+                "'replication_factor': 1}"),
+            "create_table": "create table if not exists {table} ({col_types})",
+            "add_column": "alter table {table} add {column} {type}",
+            "merge_insert": (
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table} src"),
+            "merge_update": None,
+            "merge_update_insert": None,
+            "merge_delete_insert": None,
+            "merge_change_capture": None,
+        },
+        "metadata": {
+            "schemas": ("select keyspace_name as schema_name "
+                        "from system_schema.keyspaces"),
+            "tables": ("select keyspace_name as schema_name, table_name "
+                       "from system_schema.tables "
+                       "where keyspace_name = '{schema}'"),
+            "views": ("select keyspace_name as schema_name, "
+                      "view_name as table_name from system_schema.views "
+                      "where keyspace_name = '{schema}'"),
+            "columns": ("select column_name, type as data_type "
+                        "from system_schema.columns "
+                        "where keyspace_name = '{schema}' "
+                        "and table_name = '{table}'"),
+        },
+        "types": {"integer": "int", "float": "double", "bool": "boolean",
+                  "string": "varchar", "text": "text", "json": "text",
+                  "binary": "blob", "datetime": "timestamp",
+                  "timestampz": "timestamp", "decimal": "decimal"},
+    },
+    "mongodb": {
+        # reference mongodb.yaml:1-15 — no SQL: incremental/backfill
+        # conditions render as JSON filter documents the find() consumer
+        # applies; everything else (merges, DDL) is out of surface
+        "quote_char": "",
+        "default_merge_strategy": "insert",
+        "batch_rows": 1000,
+        "core": {
+            "incremental_select": "{incremental_where_cond}",
+            "incremental_where":
+                '{ "update_key": "{update_key}", "value": "{value}" }',
+            "backfill_where": (
+                '{ "update_key": "{update_key}", '
+                '"start_value": "{start_value}", '
+                '"end_value": "{end_value}" }'),
+            "merge_update": None,
+            "merge_update_insert": None,
+            "merge_delete_insert": None,
+            "merge_change_capture": None,
+        },
+    },
+    "elasticsearch": {
+        # reference elasticsearch.yaml:1-14 — same JSON-condition
+        # surface as mongodb (query DSL consumer), ISO-8601 layouts
+        "inherits": "mongodb",
+    },
+    "azuretable": {
+        # reference azuretable.yaml:1-15 — OData filter conditions,
+        # insert-only
+        "inherits": "mongodb",
+    },
+    "bigtable": {
+        # reference bigtable.yaml:1-11 — admin-action JSON for drops,
+        # insert-only writes
+        "inherits": "mongodb",
+        "core": {
+            "drop_table":
+                '{"action": "delete_table", "table": "{table}"}',
+        },
+    },
+    "prometheus": {
+        # reference prometheus.yaml:1-8 — read-only metrics source: no
+        # writes, no merges, PromQL handled by the API consumer
+        "quote_char": "",
+        "default_merge_strategy": "insert",
+        "core": {
+            "merge_insert": None, "merge_update": None,
+            "merge_update_insert": None, "merge_delete_insert": None,
+            "merge_change_capture": None,
+        },
+    },
+    "vertica": {
+        # reference vertica.yaml is an empty stub (driver URL comment
+        # only) — base templates apply, mirrored here
+        "quote_char": '"',
+    },
+    "adbc": {
+        # reference adbc.yaml — generic Arrow-native driver: pure base
+        # pass-through
+        "quote_char": '"',
+    },
+    "odbc": {
+        # reference odbc.yaml — generic ODBC bridge: pure base
+        # pass-through
+        "quote_char": '"',
+    },
+    "spark": {
+        # reference spark.yaml:1-32 — Spark Thrift/SQL target: hive-ish
+        # DDL (stored as parquet, purge drops), backtick quotes; MERGE
+        # INTO needs a v2 table (delta/iceberg), so row-merges stay off
+        # the plain-parquet surface like hive
+        "inherits": "hive",
+        "quote_char": "`",
+    },
+    "iceberg": {
+        # reference iceberg.yaml:1-20 — iceberg-catalog SQL surface:
+        # ordered incremental selects (the engine annotates them for its
+        # scan planner); Spark SQL MERGE INTO works on iceberg tables so
+        # the base merge set stays on
+        "quote_char": '"',
+        "default_merge_strategy": "update_insert",
+        "core": {
+            "drop_table": "drop table if exists {table}",
+            "create_table": "create table if not exists {table} ({col_types})",
+        },
+        "types": {"float": "double", "json": "string", "text": "string",
+                  "string": "string", "datetime": "timestamp",
+                  "timestampz": "timestamp", "binary": "binary"},
+    },
 }
 
 

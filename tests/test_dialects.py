@@ -679,3 +679,57 @@ def test_r4_create_table_ddl_renders(spark):
                                max_lens={"name": 80})
         assert "{" not in ddl and "}" not in ddl, name
         assert "db.t" in ddl, name
+
+
+# --- round-4 batch 2: NoSQL/generic packs --------------------------------
+
+def test_nosql_generic_packs_registered():
+    from sling_cli_spark.dialects import dialect_names
+
+    assert {"scylladb", "mongodb", "elasticsearch", "azuretable",
+            "bigtable", "prometheus", "vertica", "adbc", "odbc",
+            "spark", "iceberg"} <= set(dialect_names())
+    # every real DB template in the reference pack dir has a twin here
+    assert len(dialect_names()) >= 37
+
+
+def test_mongodb_incremental_renders_json_condition():
+    from sling_cli_spark.dialects import incremental_select_sql
+
+    d = get_dialect("mongodb")
+    sql = render(d.template("incremental_where"),
+                 {"update_key": "ts", "value": "5"})
+    assert sql == '{ "update_key": "ts", "value": "5" }'
+    bf = render(d.template("backfill_where"),
+                {"update_key": "ts", "start_value": "1",
+                 "end_value": "9"})
+    assert '"start_value": "1"' in bf and bf.startswith("{ ")
+    # elasticsearch/azuretable ride the same JSON-condition surface
+    assert get_dialect("elasticsearch").template("incremental_where") == \
+        d.template("incremental_where")
+
+
+def test_scylla_shapes():
+    d = get_dialect("scylladb")
+    assert d.supported_merge_strategies() == ["insert"]
+    ks = render(d.template("create_schema"), {"schema": "ks1"})
+    assert ks.startswith("create keyspace if not exists ks1") and \
+        "'NetworkTopologyStrategy'" in ks
+    tables = d.metadata_sql("tables", schema="ks1")
+    assert "system_schema.tables" in tables and "ks1" in tables
+
+
+def test_bigtable_prometheus_vertica_generic():
+    bt = get_dialect("bigtable")
+    assert render(bt.template("drop_table"), {"table": "t1"}) == \
+        '{"action": "delete_table", "table": "t1"}'
+    assert get_dialect("prometheus").supported_merge_strategies() == []
+    # vertica/adbc/odbc: base pass-through — full base merge set
+    for name in ("vertica", "adbc", "odbc"):
+        d = get_dialect(name)
+        assert set(d.supported_merge_strategies()) == {
+            "insert", "update", "update_insert", "delete_insert",
+            "change_capture"}
+        sql = generate_merge_sql(d, "s", "t", COLS, ["id"],
+                                 "update_insert")
+        assert "{" not in sql and "}" not in sql
