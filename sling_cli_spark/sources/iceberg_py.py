@@ -480,3 +480,67 @@ def write_iceberg(
     return _commit_snapshot(
         df, path, meta, carried,
         operation="overwrite" if mode == "overwrite" else "append")
+
+
+def expire_snapshots(path: str, keep: int = 1) -> dict:
+    """Expire all but the last ``keep`` snapshots and delete data files
+    / manifests no retained snapshot references (the spec's
+    expire-snapshots maintenance action; delta_py.vacuum is the
+    format twin). Commits a new metadata version whose snapshot list
+    holds only the survivors.
+
+    Returns {"expired": n_snapshots, "deleted_files": [...]}.
+    """
+    fs = fsio.get_fs(path)
+    version, meta = _current_metadata(path)
+    snaps = meta.get("snapshots") or []
+    if len(snaps) <= keep:
+        return {"expired": 0, "deleted_files": []}
+    kept, expired = snaps[-keep:], snaps[:-keep]
+
+    def _files_of(snap_list):
+        # canon key -> original manifest URI (deletion must use the
+        # URI as written; canon is only the comparison form)
+        out: dict[str, str] = {}
+        for s in snap_list:
+            _, manifests = read_avro(s["manifest-list"])
+            for m in manifests:
+                _, entries = read_avro(m["manifest_path"])
+                for e in entries:
+                    if e["status"] != 2:
+                        fp = e["data_file"]["file_path"]
+                        out[_canon(fp)] = fp
+        return out
+
+    referenced = set(_files_of(kept))
+    expired_files = _files_of(expired)
+    deletable = {k: v for k, v in expired_files.items()
+                 if k not in referenced}
+
+    new_meta = dict(meta)
+    new_meta["snapshots"] = kept
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    new_version = version + 1
+    fs.create_exclusive(
+        fsio.join(_meta_dir(path), f"v{new_version}.metadata.json"),
+        json.dumps(new_meta).encode())
+    hint = fsio.join(_meta_dir(path), "version-hint.text")
+    fs.write_bytes(hint, str(new_version).encode())
+
+    deleted = []
+    for fp in sorted(deletable.values()):
+        if fs.exists(fp):
+            fs.delete(fp)
+            deleted.append(fp)
+    kept_manifests = {
+        m["manifest_path"] for k in kept
+        for m in read_avro(k["manifest-list"])[1]}
+    for s in expired:
+        _, manifests = read_avro(s["manifest-list"])
+        for m in manifests:
+            if m["manifest_path"] not in kept_manifests and \
+                    fs.exists(m["manifest_path"]):
+                fs.delete(m["manifest_path"])
+        if fs.exists(s["manifest-list"]):
+            fs.delete(s["manifest-list"])
+    return {"expired": len(expired), "deleted_files": deleted}

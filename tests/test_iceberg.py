@@ -222,3 +222,23 @@ def test_partitioned_merge_prunes_untouched_partitions(spark, tmp_path):
                if f["partition"] == {"cat": "b"}]
     assert b_files and all("/cat=b/" in f["file_path"] for f in b_files)
     assert stats["kept"] >= len(b_files)
+
+
+def test_expire_snapshots_prunes_history(spark, tmp_path):
+    from sling_cli_spark.sources.iceberg_py import (
+        _current_metadata, expire_snapshots)
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a")]), t)
+    write_iceberg(_df(spark, [(2, "b")]), t)           # append
+    write_iceberg(_df(spark, [(9, "z")]), t, mode="overwrite")
+    res = expire_snapshots(t, keep=1)
+    assert res["expired"] == 2
+    # the overwritten v1/v2 data files are gone, current read intact
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == {9}
+    _, meta = _current_metadata(t)
+    assert len(meta["snapshots"]) == 1
+    assert len(res["deleted_files"]) >= 1
+    # expiring again is a no-op
+    assert expire_snapshots(t, keep=1)["expired"] == 0
