@@ -637,6 +637,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
+    def shard_docs(spark, sf):
+        """Global shuffle + shard assignment for training epochs
+        (operators/training.shard_assign): deterministic md5 permutation
+        keyed by (seed, id), one shard-keyed shuffle, per-shard
+        positions from a window — never a global sort."""
+        from sling_cli_spark.operators.training import shard_assign
+
+        return shard_assign(
+            _t(spark, sf, "documents"), n_shards=16, seed=3).select(
+                "doc_id", "shard", "pos")
+
     def geo_convert(spark, sf):
         """WKT -> GeoJSON conversion (operators/geo.py, Arrow-batched
         pandas UDF; reference datastream.go:2526-2574). Points are built
@@ -739,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": quality_docs,
         "token_count_docs": token_count_docs,
         "ws_token_docs": ws_token_docs,
+        "shard_docs": shard_docs,
         "geo_convert": geo_convert,
         "chunk_docs": chunk_docs,
         "stratified_sample_docs": stratified_sample_docs,
@@ -1210,6 +1222,19 @@ def oracle_sql() -> dict[str, str]:
         # exact SQL twin of operators/text.py lang_id: per-language
         # stopword-hit counts, scan order es<fr<de with strict >, en wins
         # ties needing >= max(best, 1)
+        "shard_docs": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     md5('3:' || CAST(doc_id AS VARCHAR)) AS k,
+                     CAST('0x' ||
+                       substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 16 AS shard
+              FROM documents)
+            SELECT doc_id, shard,
+                   row_number() OVER (
+                     PARTITION BY shard ORDER BY k, doc_id) AS pos
+            FROM keyed
+        """,
         "geo_convert": """
             SELECT o_orderkey,
                    '{"type": "Point", "coordinates": ['

@@ -19,7 +19,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "chunk_documents", "stratified_sample", "repetition_stats",
-    "pii_redact", "PII_PATTERNS",
+    "pii_redact", "shard_assign", "PII_PATTERNS",
 ]
 
 
@@ -138,6 +138,34 @@ def repetition_stats(
         frac(n_lines, uniq_lines).alias("dup_line_frac"),
         n_toks.cast("long").alias("n_tokens"),
         frac(n_toks, uniq_toks).alias("dup_token_frac"),
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 1024,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global shuffle + sharding for training epochs: every row gets a
+    pseudo-random ``shard`` and a position inside it, both functions of
+    (seed, id) only — change the seed, get a fresh permutation; rerun,
+    get the identical one (resumable, verifiable; rand() is neither).
+
+    shard = first 8 md5 hex digits mod n_shards; pos = rank by the full
+    digest inside the shard. ONE shuffle keyed by shard — positions
+    come from a per-shard window, never a global sort. At 100 TB pick
+    n_shards so a shard fits an executor (the usual shard-count knob).
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards))
+    out = df.withColumn("__key", key).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (
+        out.withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__key")
     )
 
 

@@ -5,7 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from sling_cli_spark.operators.training import (
-    chunk_documents, pii_redact, repetition_stats, stratified_sample,
+    chunk_documents, pii_redact, repetition_stats, shard_assign,
+    stratified_sample,
 )
 
 
@@ -113,3 +114,27 @@ def test_chunk_plan_has_no_shuffle(spark):
     plan2 = repetition_stats(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan2
+
+
+def test_shard_assign_deterministic_and_balanced(spark):
+    df = spark.range(0, 2000).selectExpr("id as doc_id")
+    a = shard_assign(df, n_shards=8, seed=1)
+    rows = a.collect()
+    assert {r["shard"] for r in rows} == set(range(8))
+    # deterministic across runs
+    b = {(r["doc_id"], r["shard"], r["pos"])
+         for r in shard_assign(df, n_shards=8, seed=1).collect()}
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in rows} == b
+    # a different seed permutes
+    c = {(r["doc_id"], r["shard"]) for r in
+         shard_assign(df, n_shards=8, seed=2).collect()}
+    assert {(r["doc_id"], r["shard"]) for r in rows} != c
+    # positions are 1..len(shard) within each shard
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in rows:
+        per[r["shard"]].append(r["pos"])
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # roughly balanced (8 shards x 2000 rows: no shard > 2x mean)
+    assert max(len(p) for p in per.values()) < 2 * (2000 / 8)
