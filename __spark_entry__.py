@@ -593,11 +593,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         verified — never all pairs (operators/dedup.py
         minhash_lsh_candidates + ngram_jaccard_pairs)."""
         from sling_cli_spark.operators.dedup import (
-            minhash_lsh_candidates, ngram_jaccard_pairs)
+            minhash_lsh_candidates, ngram_jaccard_pairs, shingle_hash_table)
         from pyspark.sql import Window
 
         d = _t(spark, sf, "documents")
-        cand = minhash_lsh_candidates(d)
+        # one shingle-hash pipeline feeds BOTH the LSH candidate stage
+        # and the exact verifier (shared exchange, longs not strings)
+        hashed = shingle_hash_table(d)
+        cand = minhash_lsh_candidates(d, hashed=hashed)
         w = Window.partitionBy("band_id", "band_hash")
         pairs = (
             cand.withColumn("__min_id", F.min("doc_id").over(w))
@@ -606,7 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("doc_id").alias("id_b"))
             .distinct()
         )
-        confirmed = ngram_jaccard_pairs(d, pairs, threshold=0.8)
+        confirmed = ngram_jaccard_pairs(d, pairs, threshold=0.8,
+                                        hashed=hashed)
         return d.join(
             confirmed.select(F.col("id_b").alias("doc_id")).distinct(),
             on="doc_id", how="left_anti").select("doc_id")

@@ -149,9 +149,23 @@ def shingle_table(
         id_col, F.concat_ws(" ", *parts).alias("shingle"))
 
 
+def shingle_hash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, __h) rows: xxhash64 of each shingle — the shared upstream of
+    the MinHash signature AND the exact-Jaccard verifier. Hashing once
+    here means (a) downstream shuffles move 8-byte longs instead of
+    shingle strings, and (b) both consumers hang off an identical
+    exchange subtree, which Spark's ReuseExchange executes once."""
+    return shingle_table(df, text_col, id_col, shingle_n).select(
+        id_col, F.xxhash64("shingle").alias("__h"))
+
+
 def minhash_signature_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 64, shingle_n: int = 3,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """id -> k minhash slot columns ``__s0..__s{k-1}``.
 
@@ -159,11 +173,13 @@ def minhash_signature_table(
     partial agg, whole-stage codegen) over the window's existing (id)
     partitioning — vs. the naive k-nested-array-transforms expression,
     which is interpreted HOF eval and measured ~3x slower.
+    ``hashed`` short-circuits the shingle pipeline with a precomputed
+    :func:`shingle_hash_table` (shared with the Jaccard verifier).
     """
-    shingled = shingle_table(df, text_col, id_col, shingle_n).select(
-        id_col,
-        F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("__h"),
-    )
+    if hashed is None:
+        hashed = shingle_hash_table(df, text_col, id_col, shingle_n)
+    shingled = hashed.select(
+        id_col, F.pmod(F.col("__h"), F.lit(_P)).alias("__h"))
     h = F.col("__h")
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"__s{i}")
@@ -175,6 +191,7 @@ def minhash_signature_table(
 def minhash_lsh_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: -> (band_id, band_hash, id) exploded table.
 
@@ -186,7 +203,8 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    sig = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signature_table(
+        df, text_col, id_col, num_hashes, shingle_n, hashed=hashed)
     band_structs = F.array(*[
         F.struct(
             F.lit(i).alias("band_id"),
@@ -308,23 +326,24 @@ def ngram_jaccard_pairs(
     df: DataFrame, candidate_pairs: DataFrame,
     text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, threshold: float = 0.8,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate (id_a, id_b) pairs with exact n-gram Jaccard.
 
     ``candidate_pairs`` comes from LSH buckets, so this join touches only
     candidate rows — broadcastable when the candidate set is small.
 
-    Shingle sets come from ``shingle_table`` + ``collect_set`` (posexplode
-    + window + codegen'd aggregate) rather than the array-lambda builder:
-    HOF lambdas evaluate interpreted and measured ~3x slower (same lesson
-    as the MinHash path). ``array_intersect``/``array_union`` in the pair
-    scorer are native set expressions, not lambdas.
+    Shingle sets are collected as xxhash64 longs (8 bytes vs the shingle
+    string): Jaccard over hashed shingles equals string Jaccard up to
+    64-bit collisions, and the collect_set shuffle + array_intersect
+    scorer shrink ~3x. Pass the same :func:`shingle_hash_table` the LSH
+    candidate stage used and the exploded-token exchange runs ONCE
+    (ReuseExchange) instead of once per stage. ``array_intersect``/
+    ``array_union`` are native set expressions, not interpreted lambdas.
     """
-    sh = (
-        shingle_table(df, text_col, id_col, shingle_n)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("__sh"))
-    )
+    if hashed is None:
+        hashed = shingle_hash_table(df, text_col, id_col, shingle_n)
+    sh = hashed.groupBy(id_col).agg(F.collect_set("__h").alias("__sh"))
     a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a")
     b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "sh_b")
     return (
