@@ -371,6 +371,25 @@ def read_delta(
     return _apply_table_schema(df, meta)
 
 
+def _evolve_schema_actions(df: DataFrame, meta: dict | None) -> list[dict]:
+    """A metaData action when ``df`` widens the recorded schema (new
+    columns; existing ones preserved) — delta-spark's mergeSchema
+    semantics. The explicit-schema read then projects the new columns
+    as nulls from pre-evolution files. A frame MISSING recorded columns
+    does not shrink the schema (dropping columns needs an explicit
+    overwrite)."""
+    if meta is None:
+        return []
+    recorded = [f["name"] for f in
+                json.loads(meta["schemaString"])["fields"]]
+    have = df.columns
+    if set(recorded) <= set(have) and set(have) != set(recorded):
+        new_meta = dict(meta)
+        new_meta["schemaString"] = df.schema.json()
+        return [{"metaData": new_meta}]
+    return []
+
+
 def write_delta(
     df: DataFrame, path: str, mode: str = "append",
     partition_by: list[str] | None = None,
@@ -378,7 +397,8 @@ def write_delta(
     """Append or overwrite; returns the committed version. On an
     existing table the recorded partitioning wins (append must not
     change layout); ``partition_by`` takes effect on table creation or
-    full overwrite."""
+    full overwrite. Appends that widen the schema ride a metaData
+    update (mergeSchema semantics)."""
     version = latest_version(path) + 1
     actions: list[dict] = []
     if version == 0:
@@ -391,6 +411,13 @@ def write_delta(
                     and list(partition_by) != existing_parts:
                 actions += [_first_commit_actions(df, partition_by)[1]]
                 existing_parts = list(partition_by)
+            else:
+                # overwrite replaces the schema wholesale
+                if meta is not None and \
+                        df.schema.json() != meta["schemaString"]:
+                    new_meta = dict(meta)
+                    new_meta["schemaString"] = df.schema.json()
+                    actions += [{"metaData": new_meta}]
             now = int(time.time() * 1000)
             actions += [{"remove": {"path": p, "deletionTimestamp": now,
                                     "dataChange": True}}
@@ -400,6 +427,8 @@ def write_delta(
             raise ValueError(
                 f"append partitioning {partition_by} != table's "
                 f"{existing_parts}")
+        else:
+            actions += _evolve_schema_actions(df, meta)
         partition_by = existing_parts
     actions += _stage_data_files(df, path, partition_by)
     _commit(path, version, actions)
@@ -506,8 +535,12 @@ def merge_delta(
         {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
         for p in touched_rel
     ]
+    # a batch carrying new columns evolves the table schema with the
+    # same commit (mergeSchema semantics; untouched files read the new
+    # columns as nulls)
+    schema_actions = _evolve_schema_actions(replacement, meta)
     version = latest_version(path) + 1
-    _commit(path, version, removes + adds)
+    _commit(path, version, schema_actions + removes + adds)
     _, active = replay_log(path)
     return {"touched": len(removes), "new_files": len(adds),
             "kept": len(active) - len(adds), "version": version}
@@ -560,11 +593,7 @@ def delete_missing_delta(
         reader.parquet(*[fsio.join(path, p) for p in touched_rel]), meta)
     replacement = _dm(touched_rows, keys, pk, soft=soft)
 
-    actions: list[dict] = []
-    if soft and set(replacement.columns) != set(target.columns):
-        new_meta = dict(meta)
-        new_meta["schemaString"] = replacement.schema.json()
-        actions.append({"metaData": new_meta})
+    actions: list[dict] = _evolve_schema_actions(replacement, meta)
     adds = _stage_data_files(replacement, path, part_cols or None)
     now = int(time.time() * 1000)
     removes = [{"remove": {"path": p, "deletionTimestamp": now,

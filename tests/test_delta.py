@@ -386,3 +386,39 @@ def test_runner_routes_lake_delete_missing(spark, tmp_path):
     assert res.merge_stats["delete_missing"]["touched"] >= 1
     ids = {r["id"] for r in read_delta(spark, tgt).collect()}
     assert ids == set(range(100))
+
+
+def test_merge_batch_with_new_column_evolves_schema(spark, tmp_path):
+    """A merge batch carrying a new column widens the table schema in
+    the same commit; untouched files read the column as null (delta
+    mergeSchema semantics)."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    batch = spark.createDataFrame(
+        [(2, "B", "x"), (9, "new", "y")], "id long, v string, extra string")
+    merge_delta(spark, t, batch, "id")
+    got = {r["id"]: (r["v"], r["extra"])
+           for r in read_delta(spark, t).collect()}
+    assert got[2] == ("B", "x") and got[9] == ("new", "y")
+    assert got[1] == ("a", None)  # pre-evolution file null-fills
+
+
+def test_append_with_new_column_evolves_schema(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    write_delta(
+        spark.createDataFrame([(2, "b", 7)], "id long, v string, n long"),
+        t, mode="append")
+    got = {r["id"]: r["n"] for r in read_delta(spark, t).collect()}
+    assert got[2] == 7 and got[1] is None
+
+
+def test_overwrite_replaces_schema(spark, tmp_path):
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    write_delta(
+        spark.createDataFrame([(5, 1.5)], "id long, score double"),
+        t, mode="overwrite")
+    out = read_delta(spark, t)
+    assert set(out.columns) == {"id", "score"}
+    assert out.collect()[0]["score"] == 1.5
