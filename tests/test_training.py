@@ -138,3 +138,31 @@ def test_shard_assign_deterministic_and_balanced(spark):
         assert sorted(ps) == list(range(1, len(ps) + 1))
     # roughly balanced (8 shards x 2000 rows: no shard > 2x mean)
     assert max(len(p) for p in per.values()) < 2 * (2000 / 8)
+
+
+def test_chunk_invariants_sweep(spark):
+    """Reconstruction invariant over a sweep of doc lengths and window
+    shapes: stripping each chunk's overlap prefix (past chunk 0) and
+    concatenating reproduces the document exactly — no token lost, none
+    duplicated, windows in order."""
+    for chunk, overlap in ((8, 2), (16, 15), (5, 0), (64, 16)):
+        docs = [(n, " ".join(f"w{i}" for i in range(n)))
+                for n in range(0, 140, 7)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap)
+        by_doc = {}
+        for r in out.collect():
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk_text"], r["n_tokens"]))
+        for n, text in docs:
+            chunks = sorted(by_doc.get(n, []))
+            if n == 0:
+                assert chunks == []
+                continue
+            assert [c[0] for c in chunks] == list(range(len(chunks)))
+            rebuilt = []
+            for cid, ctext, ntok in chunks:
+                toks = ctext.split(" ")
+                assert len(toks) == ntok  # n_tokens matches the text
+                rebuilt.extend(toks if cid == 0 else toks[overlap:])
+            assert rebuilt == text.split(" "), (chunk, overlap, n)
