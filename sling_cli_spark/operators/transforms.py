@@ -131,6 +131,26 @@ def _redecode(codec: str):
     return lambda c: F.translate(c, smap, dmap)
 
 
+def _reencode(codec: str):
+    """Encode twin of :func:`_redecode`: map each char to the latin1
+    glyph of its ``codec`` byte, then take raw bytes (latin1 encode is
+    byte-exact) — yields the string's bytes in the target charset.
+    Codepoints the charset lacks pass through the JVM encoder's
+    replacement (same stance as the reference's encoder)."""
+    src, dst = [], []
+    for b in range(256):
+        latin1_ch = bytes([b]).decode("latin1")
+        try:
+            actual = bytes([b]).decode(codec)
+        except UnicodeDecodeError:
+            continue
+        if actual != latin1_ch:
+            src.append(actual)
+            dst.append(latin1_ch)
+    smap, dmap = "".join(src), "".join(dst)
+    return lambda c: F.encode(F.translate(c, smap, dmap), "ISO-8859-1")
+
+
 # name -> (fn, applies_to) where applies_to gates list-form application by
 # Spark type class: 'string' | 'binary' | 'any' | 'temporal'
 _REGISTRY: dict[str, tuple[Callable[[Column], Column], str]] = {
@@ -174,6 +194,18 @@ _REGISTRY: dict[str, tuple[Callable[[Column], Column], str]] = {
     # byte-exact) and decode as UTF-16 — both charsets Spark supports
     "decode_utf16": (
         lambda c: F.decode(F.encode(c, "ISO-8859-1"), "UTF-16"), "string"),
+    # encode twins (transforms.go TransformEncode*): string -> bytes in
+    # the target charset, for writing legacy-encoded outputs
+    "encode_utf8": (lambda c: F.encode(c, "UTF-8"), "string"),
+    "encode_utf8_bom": (
+        lambda c: F.concat(F.lit(b"\xef\xbb\xbf"), F.encode(c, "UTF-8")),
+        "string"),
+    "encode_latin1": (lambda c: F.encode(c, "ISO-8859-1"), "string"),
+    "encode_utf16": (lambda c: F.encode(c, "UTF-16"), "string"),
+    "encode_windows1250": (_reencode("windows-1250"), "string"),
+    "encode_windows1252": (_reencode("windows-1252"), "string"),
+    "encode_latin5": (_reencode("iso-8859-9"), "string"),
+    "encode_latin9": (_reencode("iso-8859-15"), "string"),
     # geometry conversions (datastream.go:2526-2574 geometry->GeoJSON;
     # operators/geo.py pandas-UDF codecs — parsing is not expressible in
     # Catalyst built-ins)

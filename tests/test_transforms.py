@@ -153,3 +153,32 @@ def test_decode_utf16_from_bytes(spark):
     got = df.select(transform_column(F.col("s"), "decode_utf16")
                     .alias("x")).collect()[0]["x"]
     assert got == original
+
+
+def test_encode_decode_roundtrip_single_byte_charsets(spark):
+    """encode_* is the byte-exact inverse of the decode_* repair for
+    every char the charset defines (TransformEncode* twins)."""
+    from sling_cli_spark.operators.transforms import apply_transforms
+
+    samples = [
+        ("windows1252", "café € smart “quotes”"),
+        ("windows1250", "złoty š ž"),
+        ("latin5", "Türkçe ğı"),
+        ("latin9", "œuvre €"),
+    ]
+    for codec, text in samples:
+        df = spark.createDataFrame([(text,)], "t string")
+        enc = apply_transforms(df, {"t": [f"encode_{codec}"]})
+        dec_ready = enc.selectExpr("decode(t, 'ISO-8859-1') as t")
+        back = apply_transforms(dec_ready, {"t": [f"decode_{codec}"]})
+        assert back.collect()[0]["t"] == text, codec
+
+
+def test_encode_utf8_bom_and_utf16(spark):
+    from sling_cli_spark.operators.transforms import apply_transforms
+
+    df = spark.createDataFrame([("hi",)], "t string")
+    bom = apply_transforms(df, {"t": ["encode_utf8_bom"]}).collect()[0]["t"]
+    assert bytes(bom).startswith(b"\xef\xbb\xbf") and bytes(bom)[3:] == b"hi"
+    u16 = apply_transforms(df, {"t": ["encode_utf16"]}).collect()[0]["t"]
+    assert bytes(u16).decode("utf-16") == "hi"
