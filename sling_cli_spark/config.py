@@ -75,6 +75,10 @@ class TargetOptions:
 
     format: str | None = None
     compression: str | None = None
+    header: bool = True                 # csv header row (config.go:1734)
+    delimiter: str = ","                # csv field delimiter (:1740)
+    datetime_format: str | None = None  # csv/json timestamp layout (:1739)
+    max_decimals: int | None = None     # round doubles on write (:1744)
     file_max_rows: int | None = None
     file_max_bytes: int | None = None
     file_bytes_per_row: int | None = None  # sizing hint for file_max_bytes

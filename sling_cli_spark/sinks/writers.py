@@ -87,10 +87,29 @@ def write_files(
         writer = writer.option("maxRecordsPerFile", str(max_rows))
     if opts.compression:
         writer = writer.option("compression", opts.compression)
+    if opts.max_decimals is not None:
+        # round float columns on write (config.go:1744 MaxDecimals)
+        from pyspark.sql import types as T
+
+        df = df.select(*[
+            F.round(F.col(f"`{f.name}`"), opts.max_decimals).alias(f.name)
+            if isinstance(f.dataType, (T.DoubleType, T.FloatType)) else
+            F.col(f"`{f.name}`")
+            for f in df.schema.fields])
+        writer = df.write.mode(_spark_mode(mode))
+        if max_rows:
+            writer = writer.option("maxRecordsPerFile", str(max_rows))
+        if opts.compression:
+            writer = writer.option("compression", opts.compression)
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     if fmt == "csv":
-        writer = writer.option("header", "true")
+        writer = writer.option("header", str(opts.header).lower()) \
+            .option("sep", opts.delimiter)
+        if opts.datetime_format:
+            writer = writer.option("timestampFormat", opts.datetime_format)
+    if fmt in ("json", "jsonl") and opts.datetime_format:
+        writer = writer.option("timestampFormat", opts.datetime_format)
     if fmt in ("delta", "iceberg"):
         from sling_cli_spark.sources.files import is_missing_datasource
 

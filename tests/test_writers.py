@@ -97,3 +97,20 @@ def test_batch_limit_splits_write_never_drops_rows(spark, tmp_path):
     assert len(files) >= 10
     for f in files:
         assert spark.read.parquet(f).count() <= 10
+
+
+def test_csv_target_options(spark, tmp_path):
+    """Target-side csv shaping: delimiter, header off, max_decimals
+    (config.go:1733-1744 TargetOptions)."""
+    from sling_cli_spark.config import Mode, Target, TargetOptions
+    from sling_cli_spark.sinks.writers import write_files
+
+    df = spark.createDataFrame([(1, 2.123456, "x")],
+                               "id long, amt double, v string")
+    out = str(tmp_path / "o.csv")
+    write_files(df, Target(object=out, options=TargetOptions(
+        format="csv", delimiter="|", header=False, max_decimals=2)),
+        Mode.FULL_REFRESH)
+    import glob as g
+    text = open(g.glob(out + "/part-*.csv")[0]).read().strip()
+    assert text == "1|2.12|x"
