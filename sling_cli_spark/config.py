@@ -94,6 +94,8 @@ class TargetOptions:
     column_typing: dict | None = None   # string/decimal/boolean/json policy
     file_granular_merge: bool = True    # rewrite only touched parquet files
     partition_by: list[str] = field(default_factory=list)
+    bucket_by: list[str] = field(default_factory=list)  # co-located joins
+    bucket_count: int | None = None     # buckets per bucket_by table
     ignore_existing: bool = False       # skip the load if target has data
 
 

@@ -22,6 +22,7 @@ repartition, so no extra shuffle is introduced by file sizing.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame
@@ -73,6 +74,9 @@ def write_files(
     for mask, col in masks:
         df = df.withColumn(mask, _PART_FUNCS[mask](F.col(col)))
         part_cols.append(mask)
+
+    if opts.bucket_by:
+        return _write_bucketed(df, uri, fmt or "parquet", mode, opts)
 
     writer = df.write.mode(_spark_mode(mode))
     max_rows = opts.file_max_rows
@@ -168,6 +172,29 @@ def write_files(
         write_excel(df, uri)
         return
     getattr(writer, _WRITERS[fmt])(uri)
+
+
+def _write_bucketed(df, uri: str, fmt: str, mode: Mode, opts) -> None:
+    """Hash-bucketed write (``bucket_by`` + ``bucket_count``): rows land
+    in a fixed bucket file by key hash, and two tables bucketed the same
+    way join WITHOUT a shuffle — the pre-partitioning the reference
+    can't express but Spark rewards at 100 TB (co-located merge/join on
+    PK). Bucket layout requires the session catalog (saveAsTable); the
+    table name derives from the target path's basename, the files land
+    AT the path. On a cluster, back the catalog with a metastore so the
+    bucketing metadata outlives the session."""
+    name = re.sub(r"\W+", "_", os.path.basename(uri.rstrip("/"))) \
+        .strip("_") or "sling_bucketed"
+    n = opts.bucket_count or 8
+    spark = df.sparkSession
+    if _spark_mode(mode) == "overwrite":
+        spark.sql(f"drop table if exists `{name}`")
+    (df.write.mode(_spark_mode(mode))
+     .format(fmt if fmt in _WRITERS else "parquet")
+     .option("path", uri)
+     .bucketBy(n, *opts.bucket_by)
+     .sortBy(*opts.bucket_by)
+     .saveAsTable(name))
 
 
 _WRITERS = {"parquet": "parquet", "csv": "csv", "json": "json", "orc": "orc"}
