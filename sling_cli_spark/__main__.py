@@ -177,6 +177,36 @@ def cmd_conns(args: argparse.Namespace) -> int:
         save_connections(conns)
         print(f"connection {args.name} saved to {_env_path()}")
         return 0
+    if args.conns_cmd == "discover":
+        # reference `sling conns discover NAME [--pattern]`: list the
+        # connection's streams — files for file conns, the rendered
+        # catalog SQL for database conns (executed over JDBC when jars
+        # are present)
+        if args.name not in conns:
+            print(f"connection not found: {args.name}", file=sys.stderr)
+            return 1
+        c = conns[args.name] or {}
+        url = c.get("url") or ""
+        ctype = c.get("type") or ""
+        if url.startswith("jdbc:") or ctype in (
+                "postgres", "mysql", "snowflake", "sqlserver", "oracle",
+                "bigquery", "redshift", "clickhouse", "duckdb", "sqlite"):
+            from sling_cli_spark.dialects import get_dialect
+
+            d = get_dialect(ctype or "postgres")
+            print(d.metadata_sql("tables",
+                                 schema=args.pattern or "public"))
+            return 0
+        import fnmatch
+
+        pat = args.pattern or "*"
+        if not os.path.isdir(url):
+            print(f"{args.name}: not a directory ({url})", file=sys.stderr)
+            return 1
+        for name in sorted(os.listdir(url)):
+            if fnmatch.fnmatch(name, pat):
+                print(name)
+        return 0
     if args.conns_cmd == "test":
         if args.name not in conns:
             print(f"connection not found: {args.name}", file=sys.stderr)
@@ -239,6 +269,10 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_parser("list", help="list connections")
     ct = cs.add_parser("test", help="test a connection")
     ct.add_argument("name")
+    cd = cs.add_parser("discover",
+                       help="list a connection's streams/tables")
+    cd.add_argument("name")
+    cd.add_argument("--pattern", help="glob (files) or schema (DBs)")
     cset = cs.add_parser("set", help="create/update a connection")
     cset.add_argument("name")
     cset.add_argument("pairs", nargs="+", help="key=value ...")

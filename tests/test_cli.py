@@ -96,3 +96,50 @@ def test_run_requires_stream(home, capsys):
 def test_parser_rejects_bad_mode(home):
     with pytest.raises(SystemExit):
         build_parser().parse_args(["run", "--mode", "bogus"])
+
+
+def test_conns_discover_files(home, capsys):
+    d = home / "landing"
+    d.mkdir()
+    (d / "a.csv").write_text("x\n1\n")
+    (d / "b.parquet").write_text("")
+    (d / "c.csv").write_text("x\n2\n")
+    save_connections({"L": {"type": "local", "url": str(d)}})
+    assert main(["conns", "discover", "L"]) == 0
+    assert capsys.readouterr().out.split() == ["a.csv", "b.parquet", "c.csv"]
+    assert main(["conns", "discover", "L", "--pattern", "*.csv"]) == 0
+    assert capsys.readouterr().out.split() == ["a.csv", "c.csv"]
+    assert main(["conns", "discover", "NOPE"]) == 1
+
+
+def test_conns_discover_db_renders_catalog_sql(home, capsys):
+    save_connections({"PG": {"type": "postgres",
+                             "url": "jdbc:postgresql://h/db"}})
+    assert main(["conns", "discover", "PG", "--pattern", "fin"]) == 0
+    out = capsys.readouterr().out
+    assert "information_schema.tables" in out and "fin" in out
+
+
+def test_pipeline_via_cli(home, spark, capsys, tmp_path):
+    src = home / "p.csv"
+    src.write_text("id,v\n1,a\n")
+    repl = home / "repl.yaml"
+    repl.write_text(f"""
+defaults:
+  mode: full-refresh
+streams:
+  {src}:
+    object: {home}/p_out.parquet
+""")
+    pipe = home / "pipe.yaml"
+    pipe.write_text(f"""
+steps:
+  - type: log
+    message: starting
+  - type: replication
+    id: load
+    path: {repl}
+""")
+    rc = main(["pipeline", str(pipe)])
+    assert rc == 0
+    assert spark.read.parquet(str(home / "p_out.parquet")).count() == 1
