@@ -231,6 +231,12 @@ def replay_log(path: str, version: int | None = None):
 
 # ------------------------------------------------------------------ commit
 
+class ConcurrentModificationError(RuntimeError):
+    """A concurrent commit invalidated this transaction (a file this
+    commit removes was already removed) — the caller must re-run the
+    merge against the new snapshot."""
+
+
 def _commit(path: str, version: int, actions: list[dict]) -> None:
     """Atomic commit via exclusive create of the next version file.
     A concurrent committer of the same version loses the claim and
@@ -245,6 +251,37 @@ def _commit(path: str, version: int, actions: list[dict]) -> None:
             f"delta: version {version} already committed at {path}")
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         _write_checkpoint(path, fs, version)
+
+
+def _commit_with_retry(
+    path: str, version: int, actions: list[dict], max_retries: int = 10,
+) -> int:
+    """Commit with delta-spark's conflict resolution: when another
+    writer claims our version first, re-validate against the NEW
+    snapshot and retry at the next version.
+
+    - pure-append commits (no ``remove``) never conflict logically —
+      always safe to retry;
+    - commits removing files conflict iff a removed file is no longer
+      active (someone else rewrote it) -> ConcurrentModificationError,
+      the caller's merge must re-run on the new snapshot.
+
+    Returns the version actually committed."""
+    removes = {a["remove"]["path"] for a in actions if "remove" in a}
+    for _ in range(max_retries):
+        try:
+            _commit(path, version, actions)
+            return version
+        except FileExistsError:
+            _, active = replay_log(path)
+            if removes - set(active):
+                raise ConcurrentModificationError(
+                    f"delta: concurrent commit rewrote "
+                    f"{sorted(removes - set(active))[:3]}... at {path}")
+            version = latest_version(path) + 1
+    raise FileExistsError(
+        f"delta: could not claim a version after {max_retries} retries "
+        f"at {path}")
 
 
 def _schema_string(df: DataFrame) -> str:
@@ -431,6 +468,8 @@ def write_delta(
             actions += _evolve_schema_actions(df, meta)
         partition_by = existing_parts
     actions += _stage_data_files(df, path, partition_by)
+    if mode == "append" and version > 0:
+        return _commit_with_retry(path, version, actions)
     _commit(path, version, actions)
     return version
 
@@ -540,7 +579,8 @@ def merge_delta(
     # columns as nulls)
     schema_actions = _evolve_schema_actions(replacement, meta)
     version = latest_version(path) + 1
-    _commit(path, version, schema_actions + removes + adds)
+    version = _commit_with_retry(
+        path, version, schema_actions + removes + adds)
     _, active = replay_log(path)
     return {"touched": len(removes), "new_files": len(adds),
             "kept": len(active) - len(adds), "version": version}
@@ -599,7 +639,7 @@ def delete_missing_delta(
     removes = [{"remove": {"path": p, "deletionTimestamp": now,
                            "dataChange": True}} for p in touched_rel]
     version = latest_version(path) + 1
-    _commit(path, version, actions + removes + adds)
+    version = _commit_with_retry(path, version, actions + removes + adds)
     _, active = replay_log(path)
     return {"touched": len(removes), "new_files": len(adds),
             "kept": len(active) - len(adds), "version": version}

@@ -422,3 +422,37 @@ def test_overwrite_replaces_schema(spark, tmp_path):
     out = read_delta(spark, t)
     assert set(out.columns) == {"id", "score"}
     assert out.collect()[0]["score"] == 1.5
+
+
+def test_concurrent_append_retries_to_next_version(spark, tmp_path):
+    """Two appends race for the same version: the loser re-claims the
+    next one instead of failing (pure appends never conflict)."""
+    from sling_cli_spark.sources.delta_py import _commit, _stage_data_files
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    # simulate a racer claiming version 1 between read and commit
+    _commit(t, 1, _stage_data_files(_df(spark, [(50, "r")]), t, None))
+    # this append computed version 1 internally but must land at 2
+    v = write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    assert v == 2
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == {1, 2, 50}
+
+
+def test_concurrent_rewrite_conflict_raises(spark, tmp_path):
+    """A merge whose touched file was concurrently rewritten must raise
+    ConcurrentModificationError, not silently drop the other commit."""
+    from sling_cli_spark.sources.delta_py import (
+        ConcurrentModificationError, _commit_with_retry, replay_log)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    _, active = replay_log(t)
+    victim = sorted(active)[0]
+    # racer rewrites the file first (remove+add at version 1)
+    merge_delta(spark, t, _df(spark, [(1, "RACER")]), "id")
+    with pytest.raises(ConcurrentModificationError):
+        _commit_with_retry(t, 1, [
+            {"remove": {"path": victim, "deletionTimestamp": 0,
+                        "dataChange": True}}])
