@@ -237,6 +237,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         delete_missing_delta(spark, path, keyset, "o_orderkey")
         return read_delta(spark, path).select(*o.columns)
 
+    def delete_missing_iceberg_q(spark, sf):
+        """delete_missing as an Iceberg CoW snapshot (iceberg_py.
+        delete_missing_iceberg): only data files with vanished PKs are
+        replaced. Must hash-match the same swap-path oracle as the Delta
+        twin."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            delete_missing_iceberg, read_iceberg, write_iceberg)
+
+        o = _t(spark, sf, "orders")
+        t = o.filter("o_orderkey < 1000")
+        keyset = o.filter("o_orderkey between 250 and 750") \
+            .select("o_orderkey")
+        path = os.path.join(tempfile.mkdtemp(prefix="sling_idm_"), "t")
+        write_iceberg(t.repartition(4), path)
+        delete_missing_iceberg(spark, path, keyset, "o_orderkey")
+        return read_iceberg(spark, path).select(*o.columns)
+
     def merge_file_granular(spark, sf):
         """Copy-on-write merge at file granularity (operators/file_merge):
         stage the target as a multi-file parquet dir, merge the batch in
@@ -786,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_change_capture": merge_cdc,
         "delete_missing": delete_missing_hard,
         "delete_missing_delta": delete_missing_delta_q,
+        "delete_missing_iceberg": delete_missing_iceberg_q,
         "dedup_last_event": dedup_last_event,
         "copy_load_duckdb": copy_load_duckdb,
         # -- incremental / typing / constraints ---------------------------
@@ -1010,6 +1030,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey < 1000 AND o_orderkey BETWEEN 250 AND 750
         """,
         "delete_missing_delta": """
+            SELECT * FROM orders
+            WHERE o_orderkey < 1000 AND o_orderkey BETWEEN 250 AND 750
+        """,
+        "delete_missing_iceberg": """
             SELECT * FROM orders
             WHERE o_orderkey < 1000 AND o_orderkey BETWEEN 250 AND 750
         """,
