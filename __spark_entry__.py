@@ -660,6 +660,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
+    def training_pipeline_docs(spark, sf):
+        """The composite training-data flow as ONE declarative plan:
+        exact dedup -> repetition gate -> token-window chunking ->
+        deterministic shard assignment. Catalyst fuses the projections;
+        the only shuffles are the dedup hash window and the final
+        shard-keyed rank. Every stage's semantics are the individually
+        oracle-checked operators composed."""
+        from sling_cli_spark.operators.dedup import exact_dedup
+        from sling_cli_spark.operators.training import (
+            chunk_documents, repetition_stats)
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        deduped = exact_dedup(d)
+        gated = repetition_stats(deduped, keep_cols=["text"]) \
+            .filter((F.col("dup_line_frac") <= 0.3)
+                    & (F.col("n_tokens") >= 5)) \
+            .select("doc_id", "text")
+        chunks = chunk_documents(gated, chunk_tokens=64, overlap=16)
+        key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                             F.col("chunk_id").cast("string")))
+        shard = F.pmod(
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(8))
+        return chunks.select("doc_id", "chunk_id", "n_tokens",
+                             shard.alias("shard"))
+
     def shard_docs(spark, sf):
         """Global shuffle + shard assignment for training epochs
         (operators/training.shard_assign): deterministic md5 permutation
@@ -773,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": quality_docs,
         "token_count_docs": token_count_docs,
         "ws_token_docs": ws_token_docs,
+        "training_pipeline_docs": training_pipeline_docs,
         "shard_docs": shard_docs,
         "geo_convert": geo_convert,
         "chunk_docs": chunk_docs,
@@ -1250,6 +1276,46 @@ def oracle_sql() -> dict[str, str]:
         # exact SQL twin of operators/text.py lang_id: per-language
         # stopword-hit counts, scan order es<fr<de with strict >, en wins
         # ties needing >= max(best, 1)
+        "training_pipeline_docs": f"""
+            WITH deduped AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY sha256({_NORM})
+                                          ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1
+            ), gated AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              FROM deduped
+              WHERE (CASE WHEN len(string_split(text, chr(10))) <= 0
+                          THEN 0.0
+                          ELSE round((len(string_split(text, chr(10)))
+                               - len(list_distinct(
+                                     string_split(text, chr(10)))))
+                             / CAST(len(string_split(text, chr(10)))
+                                    AS DOUBLE), 6) END) <= 0.3
+                AND len(string_split(
+                      trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                      ' ')) >= 5
+            ), tok AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(t, ' ') END AS toks
+              FROM gated
+            ), ex AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(generate_series(
+                        1, greatest(len(toks) - 16, 1), 48)) AS s
+              FROM tok WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   CAST((s - 1) / 48 AS INT) AS chunk_id,
+                   least(n - s + 1, 64) AS n_tokens,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(CAST((s - 1) / 48 AS INT) AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 8 AS shard
+            FROM ex
+        """,
         "shard_docs": """
             WITH keyed AS (
               SELECT doc_id,

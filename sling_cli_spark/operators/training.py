@@ -114,6 +114,7 @@ def repetition_stats(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher-style repetition fractions per document: duplicate-line
     fraction and duplicate-token fraction (1 - distinct/total), the
@@ -138,6 +139,9 @@ def repetition_stats(
         frac(n_lines, uniq_lines).alias("dup_line_frac"),
         n_toks.cast("long").alias("n_tokens"),
         frac(n_toks, uniq_toks).alias("dup_token_frac"),
+        # keep_cols carries payload (e.g. text) through so a downstream
+        # filter-then-chunk composes without a self-join
+        *[F.col(f"`{c}`") for c in (keep_cols or [])],
     )
 
 
