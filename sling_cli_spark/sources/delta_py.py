@@ -316,11 +316,13 @@ def _partition_values(rel_dir: str) -> dict[str, str]:
 
 def _stage_data_files(
     df: DataFrame, path: str, partition_by: list[str] | None = None,
+    data_change: bool = True,
 ) -> list[dict]:
     """Write ``df`` as parquet part files INTO the table dir (unique
     names; invisible until committed) -> list of add actions. With
     ``partition_by`` the Hive subdir layout is preserved and each add
-    carries its ``partitionValues``."""
+    carries its ``partitionValues``. ``data_change=False`` marks
+    rearrangement-only adds (compaction)."""
     fs = fsio.get_fs(path)
     fs.mkdirs(path)
     tmp = fsio.join(path, f".stage_{uuid.uuid4().hex[:8]}")
@@ -354,7 +356,7 @@ def _stage_data_files(
                 "size": fs.getsize(dest),
                 "partitionValues": _partition_values(rel_dir),
                 "modificationTime": now,
-                "dataChange": True,
+                "dataChange": data_change,
             }})
 
     walk("")
@@ -678,3 +680,58 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
             fs.delete(fsio.join(path, rel))
             deleted.append(rel)
     return deleted
+
+
+def optimize_delta(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Bin-pack small data files (delta-spark's OPTIMIZE): active files
+    under ``target_file_bytes`` are rewritten as ~target-sized files and
+    committed as remove+add with ``dataChange: false`` — readers see
+    identical rows, time travel still works, and the CDC small-file
+    pile-up (one commit per micro-batch) stops degrading scans.
+
+    Partitioned tables compact within each partition (files never merge
+    across partition values). Returns {"compacted": n_in, "new_files":
+    n_out, "version": v} ({"compacted": 0} when nothing qualifies).
+    """
+    meta, files = replay_log(path)
+    if meta is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    part_cols = meta.get("partitionColumns") or []
+
+    # group candidates by partition tuple; only groups with >= min_files
+    # small files are worth rewriting
+    groups: dict[tuple, list[str]] = {}
+    for rel, add in files.items():
+        if add.get("size", 0) < target_file_bytes:
+            key = tuple(sorted((add.get("partitionValues") or {}).items()))
+            groups.setdefault(key, []).append(rel)
+    todo = {k: v for k, v in groups.items() if len(v) >= min_files}
+    if not todo:
+        return {"compacted": 0, "new_files": 0,
+                "version": latest_version(path)}
+
+    from pyspark.sql import types as T
+
+    compacted: list[str] = [rel for rels in todo.values() for rel in rels]
+    reader = spark.read.schema(
+        T.StructType.fromJson(json.loads(meta["schemaString"])))
+    if part_cols:
+        reader = reader.option("basePath", path)
+    rows = reader.parquet(*[fsio.join(path, p) for p in sorted(compacted)])
+    total = sum(files[p].get("size", 0) for p in compacted)
+    n_out = max(1, round(total / target_file_bytes))
+    adds = _stage_data_files(
+        rows.repartition(n_out), path, part_cols or None,
+        data_change=False)
+    now = int(time.time() * 1000)
+    removes = [{"remove": {"path": p, "deletionTimestamp": now,
+                           "dataChange": False}} for p in sorted(compacted)]
+    version = _commit_with_retry(
+        path, latest_version(path) + 1, removes + adds)
+    return {"compacted": len(compacted), "new_files": len(adds),
+            "version": version}

@@ -456,3 +456,48 @@ def test_concurrent_rewrite_conflict_raises(spark, tmp_path):
         _commit_with_retry(t, 1, [
             {"remove": {"path": victim, "deletionTimestamp": 0,
                         "dataChange": True}}])
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    """OPTIMIZE twin: many per-commit small files bin-pack into few,
+    rows identical, commit is dataChange=false, history intact."""
+    from sling_cli_spark.sources.delta_py import optimize_delta
+
+    t = str(tmp_path / "t")
+    for i in range(6):  # CDC-cadence: one small file per commit
+        write_delta(_df(spark, [(i, f"v{i}")]).coalesce(1), t,
+                    mode="append")
+    before_active = set(replay_log(t)[1])
+    assert len(before_active) == 6
+    stats = optimize_delta(spark, t, target_file_bytes=1 << 20)
+    assert stats["compacted"] == 6 and stats["new_files"] == 1
+    _, after = replay_log(t)
+    assert len(after) == 1
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {i: f"v{i}" for i in range(6)}
+    # pre-optimize version still readable (time travel)
+    assert len(read_delta(spark, t, version=5).collect()) == 6
+    # the compaction commit carries dataChange: false
+    log = os.path.join(t, "_delta_log", f"{stats['version']:020d}.json")
+    acts = [json.loads(x) for x in open(log) if x.strip()]
+    assert all(a[k]["dataChange"] is False
+               for a in acts for k in a if k in ("add", "remove"))
+
+
+def test_optimize_partitioned_compacts_within_partition(spark, tmp_path):
+    from sling_cli_spark.sources.delta_py import optimize_delta
+
+    t = str(tmp_path / "t")
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b")], "id long, cat string")
+        write_delta(df, t, mode="append",
+                    partition_by=["cat"] if i == 0 else None)
+    stats = optimize_delta(spark, t, target_file_bytes=1 << 20)
+    assert stats["compacted"] == 4
+    _, files = replay_log(t)
+    parts = {tuple(sorted(a.get("partitionValues", {}).items()))
+             for a in files.values()}
+    assert parts == {(("cat", "a"),), (("cat", "b"),)}
+    got = {(r["id"], r["cat"]) for r in read_delta(spark, t).collect()}
+    assert got == {(0, "a"), (1, "b"), (2, "a"), (3, "b")}
