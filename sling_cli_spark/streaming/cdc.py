@@ -192,6 +192,7 @@ def run_cdc_stream(
     op_col: str = OP_COL,
     soft: bool = False,
     available_now: bool = True,
+    compact_every: int | None = 20,
 ):
     """Drive a CDC stream into a parquet or Delta target via foreachBatch
     merge.
@@ -203,11 +204,15 @@ def run_cdc_stream(
     Delta targets (detected by ``_delta_log``) take the versioned path:
     each micro-batch commits a copy-on-write change_capture merge — only
     files holding the batch's PKs rewrite, and concurrent readers see
-    atomic versions instead of the brief swap-rename window.
+    atomic versions instead of the brief swap-rename window. Every
+    ``compact_every`` micro-batches an inline ``optimize_delta`` pass
+    bin-packs the accumulated per-batch small files (dataChange=false
+    commit), so long-running streams don't degrade scans; None disables.
     """
     from sling_cli_spark.config import MergeStrategy
     from sling_cli_spark.operators.merge import merge_change_capture
-    from sling_cli_spark.sources.delta_py import is_delta_table, merge_delta
+    from sling_cli_spark.sources.delta_py import (
+        is_delta_table, merge_delta, optimize_delta)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -217,6 +222,9 @@ def run_cdc_stream(
                 strategy=MergeStrategy.CHANGE_CAPTURE_SOFT if soft
                 else MergeStrategy.CHANGE_CAPTURE,
                 seq_col=seq_col, op_col=op_col)
+            if compact_every and batch_id > 0 \
+                    and batch_id % compact_every == 0:
+                optimize_delta(sess, target_path)
             return
         try:
             target = sess.read.parquet(target_path)
