@@ -228,8 +228,7 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
 
     with open(args.file) as f:
         doc = yaml.safe_load(f) or {}
-    steps = doc.get("steps") or doc if isinstance(doc, list) else \
-        doc.get("steps") or []
+    steps = doc if isinstance(doc, list) else (doc.get("steps") or [])
     spark = _get_spark(args.debug)
     state = run_pipeline(spark, steps, env=doc.get("env") if
                          isinstance(doc, dict) else None)

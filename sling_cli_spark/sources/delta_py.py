@@ -255,6 +255,7 @@ def _commit(path: str, version: int, actions: list[dict]) -> None:
 
 def _commit_with_retry(
     path: str, version: int, actions: list[dict], max_retries: int = 10,
+    read_files: set[str] | None = None,
 ) -> int:
     """Commit with delta-spark's conflict resolution: when another
     writer claims our version first, re-validate against the NEW
@@ -264,7 +265,12 @@ def _commit_with_retry(
       always safe to retry;
     - commits removing files conflict iff a removed file is no longer
       active (someone else rewrote it) -> ConcurrentModificationError,
-      the caller's merge must re-run on the new snapshot.
+      the caller's merge must re-run on the new snapshot;
+    - when the caller passes ``read_files`` (the active set its merge
+      READ), any file added since is also a conflict — the concurrent
+      append may hold the batch's PKs, and retrying without recomputing
+      would leave duplicates (delta-spark's ConcurrentAppendException
+      for appends overlapping a MERGE's read set).
 
     Returns the version actually committed."""
     removes = {a["remove"]["path"] for a in actions if "remove" in a}
@@ -278,6 +284,12 @@ def _commit_with_retry(
                 raise ConcurrentModificationError(
                     f"delta: concurrent commit rewrote "
                     f"{sorted(removes - set(active))[:3]}... at {path}")
+            if read_files is not None and set(active) - read_files:
+                raise ConcurrentModificationError(
+                    f"delta: concurrent commit added "
+                    f"{sorted(set(active) - read_files)[:3]}... since this "
+                    f"merge's snapshot at {path} — re-run the merge against "
+                    f"the new snapshot")
             version = latest_version(path) + 1
     raise FileExistsError(
         f"delta: could not claim a version after {max_retries} retries "
@@ -302,6 +314,20 @@ def _first_commit_actions(
             "createdTime": int(time.time() * 1000),
         }},
     ]
+
+
+def hive_partition_str(v) -> str:
+    """Spark's cast-to-string form of a partition value, as it appears
+    in a Hive dir name after URL-unquoting: None -> the Hive null
+    sentinel, booleans lowercase ("true"/"false", unlike Python's
+    str()). Used to compare driver-side batch values against
+    ``add.partitionValues`` — str(True) would never match Spark's
+    "true" and the prune would silently miss every candidate file."""
+    if v is None:
+        return _HIVE_NULL
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 def _partition_values(rel_dir: str) -> dict[str, str]:
@@ -477,10 +503,15 @@ def write_delta(
 
 
 def _rel_to_table(file_uri: str, path: str) -> str:
-    """_metadata.file_path URI -> path relative to the table root."""
+    """_metadata.file_path URI -> path relative to the table root.
+    Spark percent-encodes the URI over the ON-DISK file name (itself
+    already Hive-escaped: a ':' partition char stored as '%3A' surfaces
+    as '%253A'), so the URI path needs exactly one unquote to match the
+    log's literal relative paths."""
     import os as _os
 
-    child = urlparse(file_uri).path or file_uri
+    parsed_uri = urlparse(file_uri)
+    child = unquote(parsed_uri.path) if parsed_uri.scheme else file_uri
     parsed = urlparse(path)
     base = parsed.path if parsed.scheme else _os.path.abspath(path)
     return posixpath.relpath(child, base)
@@ -531,8 +562,7 @@ def merge_delta(
         candidates = files
         if part_cols and all(c in src.columns for c in part_cols):
             batch_parts = {
-                tuple(_HIVE_NULL if r[c] is None else str(r[c])
-                      for c in part_cols)
+                tuple(hive_partition_str(r[c]) for c in part_cols)
                 for r in src.select(*part_cols).distinct().collect()
             }
             candidates = {
@@ -582,7 +612,8 @@ def merge_delta(
     schema_actions = _evolve_schema_actions(replacement, meta)
     version = latest_version(path) + 1
     version = _commit_with_retry(
-        path, version, schema_actions + removes + adds)
+        path, version, schema_actions + removes + adds,
+        read_files=set(files))
     _, active = replay_log(path)
     return {"touched": len(removes), "new_files": len(adds),
             "kept": len(active) - len(adds), "version": version}
@@ -641,7 +672,8 @@ def delete_missing_delta(
     removes = [{"remove": {"path": p, "deletionTimestamp": now,
                            "dataChange": True}} for p in touched_rel]
     version = latest_version(path) + 1
-    version = _commit_with_retry(path, version, actions + removes + adds)
+    version = _commit_with_retry(path, version, actions + removes + adds,
+                                 read_files=set(files))
     _, active = replay_log(path)
     return {"touched": len(removes), "new_files": len(adds),
             "kept": len(active) - len(adds), "version": version}

@@ -37,12 +37,13 @@ import json
 import os
 import time
 import uuid
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
 from sling_cli_spark import fsio
 from sling_cli_spark.sources.avro_py import read_avro, write_avro
+from sling_cli_spark.sources.delta_py import _HIVE_NULL, hive_partition_str
 
 _SPARK_TO_ICE = {
     "long": "long", "integer": "int", "double": "double", "float": "float",
@@ -91,9 +92,15 @@ def _absolute(path: str) -> str:
 
 def _canon(p: str) -> str:
     """Canonical comparison form for file paths from manifests and
-    ``_metadata.file_path`` URIs alike."""
-    local = urlparse(p).path or p
-    return os.path.abspath(local)
+    ``_metadata.file_path`` URIs alike. Spark percent-encodes the URI
+    over the ON-DISK name (itself already Hive-escaped: a ':' dir char
+    is stored as '%3A' and surfaces as '%253A' in the URI), so URI
+    paths need exactly one unquote to match the manifest's literal
+    path."""
+    parsed = urlparse(p)
+    if parsed.scheme and len(parsed.scheme) > 1:
+        return os.path.abspath(unquote(parsed.path))
+    return os.path.abspath(p)
 
 
 def _meta_dir(path: str) -> str:
@@ -249,13 +256,15 @@ def merge_iceberg(
         # partition values match a partition present in the batch
         candidates = active
         if part_cols and all(c in src.columns for c in part_cols):
+            # both sides in Spark's unquoted Hive-dir string form
+            # (nulls -> __HIVE_DEFAULT_PARTITION__, booleans lowercase)
+            # so the comparison can't silently miss candidate files
             batch_parts = {
-                tuple("null" if r[c] is None else str(r[c])
-                      for c in part_cols)
+                tuple(hive_partition_str(r[c]) for c in part_cols)
                 for r in src.select(*part_cols).distinct().collect()}
             candidates = [
                 f for f in active
-                if tuple((f.get("partition") or {}).get(c, "null")
+                if tuple((f.get("partition") or {}).get(c, _HIVE_NULL)
                          for c in part_cols) in batch_parts]
         probe = _read_files(spark, meta, path,
                             [f["file_path"] for f in candidates],
@@ -397,10 +406,14 @@ def _commit_snapshot(
     writer.parquet(tmp)
     data_files: list[dict] = []
     for rel in sorted(_walk_parquet(fs, tmp)):
-        # rel like "c=v/.../part-....parquet" for partitioned stages
+        # rel like "c=v/.../part-....parquet" for partitioned stages;
+        # dir segments are URL-escaped by Spark (space, ':', '%') —
+        # store the UNQUOTED value so the merge prune compares like
+        # with like (delta_py._partition_values does the same)
         part_dirs, fname = os.path.split(rel)
-        partition = dict(
-            seg.split("=", 1) for seg in part_dirs.split("/") if "=" in seg)
+        partition = {
+            k: unquote(v) for k, _, v in
+            (seg.partition("=") for seg in part_dirs.split("/") if "=" in seg)}
         new_name = f"{uuid.uuid4().hex}.parquet"
         dest_dir = fsio.join(data_dir, part_dirs) if part_dirs else data_dir
         fs.mkdirs(dest_dir)

@@ -93,6 +93,10 @@ def unwrap_debezium(
     parsed = df.select(
         F.from_json(F.col(value_col).cast("string"), env).alias("__e"))
     p = "__e.payload" if payload_wrapped else "__e"
+    # Debezium emits a TOMBSTONE (null value) after every delete by
+    # default; from_json yields a null envelope whose projection would
+    # be a garbage op='I' row with a null PK — drop them here.
+    parsed = parsed.filter(F.col(f"{p}.op").isNotNull())
     img = F.when(F.col(f"{p}.op") == "d", F.col(f"{p}.before")) \
         .otherwise(F.col(f"{p}.after"))
     out = parsed.select(
