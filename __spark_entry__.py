@@ -24,11 +24,16 @@ from pyspark.sql import functions as F
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df_path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects; read nanos as long and convert to µs timestamp_ntz
-        # (matches DuckDB's CAST(ts AS TIMESTAMP) truncation).
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        # Spark only reads as long via nanosAsLong) and TIMESTAMP(MICROS)
+        # (read natively as a timestamp type). Branch on the loaded dtype
+        # so either vintage normalizes to µs timestamp_ntz — matching
+        # DuckDB's CAST(ts AS TIMESTAMP).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(df_path)
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type.startswith("timestamp"):
+            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         return df.withColumn(
             "ts",
             F.timestamp_micros((F.col("ts") / 1000).cast("long"))
