@@ -615,15 +615,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs, exact shingle Jaccard >= threshold confirms, confirmed
         dups (non-min id of a pair) drop. Only candidate pairs are ever
         verified — never all pairs (operators/dedup.py
-        minhash_lsh_candidates + ngram_jaccard_pairs)."""
+        minhash_lsh_candidates + ngram_jaccard_pairs).
+
+        Uses the md5-derived 60-bit shingle hash (dedup.md5_hash60) so
+        the ENTIRE pipeline — minhash slots, LSH buckets, exact Jaccard —
+        is reproducible in the DuckDB oracle (band bucketing still goes
+        through xxhash64 of the slot string, but a bucket hash collision
+        can only ADD a candidate pair, which the exact verifier then
+        scores identically on both sides)."""
         from sling_cli_spark.operators.dedup import (
-            minhash_lsh_candidates, ngram_jaccard_pairs, shingle_hash_table)
+            md5_hash60, minhash_lsh_candidates, ngram_jaccard_pairs,
+            shingle_hash_table)
         from pyspark.sql import Window
 
         d = _t(spark, sf, "documents")
         # one shingle-hash pipeline feeds BOTH the LSH candidate stage
         # and the exact verifier (shared exchange, longs not strings)
-        hashed = shingle_hash_table(d)
+        hashed = shingle_hash_table(d, hasher=md5_hash60)
         cand = minhash_lsh_candidates(d, hashed=hashed)
         w = Window.partitionBy("band_id", "band_hash")
         pairs = (
@@ -788,12 +796,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("label", "id_a", "id_b")
 
     # NOTE on ordering: the correctness driver checks the FIRST 50 entries of
-    # this dict.  Queries that have never had an oracle row (or are new this
-    # round) go first; near-duplicate merge variants and trivial projections
-    # (all green in CORRECTNESS_r03) sit at the tail where falling outside
-    # the window costs the least information.
+    # this dict.  Rotation policy (round 6): queries whose last green row is
+    # OLDEST go first — this round that's the 21 entries that sat past
+    # position 50 since round 3 — followed by anything fixed or changed this
+    # round (the six event queries, jaccard's new oracle).  Queries verified
+    # green in the immediately-previous round rotate to the tail, so no green
+    # claim is ever more than one round stale.
     return {
-        # -- never verified in r3 (dict-position window gap) --------------
+        # -- last green r03 (two rounds stale — verify first) --------------
+        "row_num_events": row_num_events,
+        "flatten_json_extract": flatten_json_extract,
+        "checksum_lineitem": checksum_lineitem,
+        "field_stat_orders": field_stat_orders,
+        "field_stat_deep_li": field_stat_deep_li,
+        "distro_priority": distro_priority,
+        "fill_rate_orders": fill_rate_orders,
+        "test_pk_lineitem": test_pk_lineitem,
+        "join_match": join_match,
+        "transforms_hash": transforms_hash,
+        "union_drift": union_drift,
+        "merge_insert": merge_ins,
+        "merge_update": merge_upd,
+        "merge_delete_insert": merge_di,
+        "merge_history_insert": merge_hi,
+        "select_project": select_project,
+        "where_filter": where_filter,
+        "limit_order": limit_order,
+        "column_casing_upper": column_casing_upper,
+        "snapshot_stamp": snapshot_stamp,
+        "definition_only": definition_only,
+        # -- fixed or changed this round -----------------------------------
+        "dedup_last_event": dedup_last_event,
+        "asof_events": asof_events,
+        "sessionize_events": sessionize_events,
+        "window_agg_events": window_agg_events,
+        "jaccard_dedup_docs": jaccard_dedup_docs,
+        # -- flagship / lake / format roundtrips ---------------------------
+        "star_join_agg": _star_join_agg,
+        "exact_dedup_docs": exact_dedup_docs,
+        "delta_roundtrip": delta_roundtrip,
+        "iceberg_roundtrip": iceberg_roundtrip,
+        "merge_update_insert_delta": merge_update_insert_delta,
+        "merge_partitioned_delta": merge_partitioned_delta,
+        "merge_file_granular": merge_file_granular,
+        "excel_roundtrip": excel_roundtrip,
+        "avro_roundtrip": avro_roundtrip,
+        "sas_roundtrip": sas_roundtrip,
+        "csv_inference_roundtrip": csv_inference_roundtrip,
+        "sql_on_files": sql_files,
+        # -- merge strategies / incremental / constraints ------------------
+        "merge_update_insert": merge_ui,
+        "merge_sql_render": merge_sql_render,
+        "merge_change_capture": merge_cdc,
+        "delete_missing": delete_missing_hard,
+        "delete_missing_delta": delete_missing_delta_q,
+        "delete_missing_iceberg": delete_missing_iceberg_q,
+        "copy_load_duckdb": copy_load_duckdb,
+        "incremental_watermark": incremental_watermark,
+        "backfill_range": backfill_range,
+        "column_typing_clamp": column_typing_clamp,
+        "constraint_dsl_filter": constraint_dsl_filter,
+        "row_constraints": row_constraints,
+        # ---- tail (51+): all green in CORRECTNESS_r05 — rotate back next
+        # round.  The five no_oracle rows-only entries also live here; bench
+        # still executes every query, so a crash would surface regardless.
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -811,67 +877,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": repetition_docs,
         "pii_redact_docs": pii_redact_docs,
         "fingerprint_docs": fingerprint_docs,
-        # -- flagship + LLM-pipeline ops ----------------------------------
-        "star_join_agg": _star_join_agg,
-        "exact_dedup_docs": exact_dedup_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
-        "jaccard_dedup_docs": jaccard_dedup_docs,
         "simhash_dedup_docs": simhash_dedup_docs,
         "text_stats_docs": text_stats_docs,
         "multimodal_bytes": multimodal_bytes,
-        # -- lake formats / file formats ----------------------------------
-        "delta_roundtrip": delta_roundtrip,
-        "iceberg_roundtrip": iceberg_roundtrip,
-        "merge_update_insert_delta": merge_update_insert_delta,
-        "merge_partitioned_delta": merge_partitioned_delta,
-        "merge_file_granular": merge_file_granular,
-        "excel_roundtrip": excel_roundtrip,
-        "avro_roundtrip": avro_roundtrip,
-        "sas_roundtrip": sas_roundtrip,
-        "csv_inference_roundtrip": csv_inference_roundtrip,
-        "sql_on_files": sql_files,
-        # -- merge strategies (representative set) ------------------------
-        "merge_update_insert": merge_ui,
-        "merge_sql_render": merge_sql_render,
-        "merge_change_capture": merge_cdc,
-        "delete_missing": delete_missing_hard,
-        "delete_missing_delta": delete_missing_delta_q,
-        "delete_missing_iceberg": delete_missing_iceberg_q,
-        "dedup_last_event": dedup_last_event,
-        "copy_load_duckdb": copy_load_duckdb,
-        # -- incremental / typing / constraints ---------------------------
-        "incremental_watermark": incremental_watermark,
-        "backfill_range": backfill_range,
-        "column_typing_clamp": column_typing_clamp,
-        "constraint_dsl_filter": constraint_dsl_filter,
-        "row_constraints": row_constraints,
-        # -- events: windows / sessions / asof ----------------------------
-        "asof_events": asof_events,
-        "sessionize_events": sessionize_events,
-        "window_agg_events": window_agg_events,
-        "row_num_events": row_num_events,
-        "flatten_json_extract": flatten_json_extract,
-        # -- profiling / validation ---------------------------------------
-        "checksum_lineitem": checksum_lineitem,
-        "field_stat_orders": field_stat_orders,
-        "field_stat_deep_li": field_stat_deep_li,
-        "distro_priority": distro_priority,
-        "fill_rate_orders": fill_rate_orders,
-        "test_pk_lineitem": test_pk_lineitem,
-        "join_match": join_match,
-        "transforms_hash": transforms_hash,
-        "union_drift": union_drift,
-        # ---- tail: r3-green near-duplicates / trivial projections -------
-        "merge_insert": merge_ins,
-        "merge_update": merge_upd,
-        "merge_delete_insert": merge_di,
-        "merge_history_insert": merge_hi,
-        "select_project": select_project,
-        "where_filter": where_filter,
-        "limit_order": limit_order,
-        "column_casing_upper": column_casing_upper,
-        "snapshot_stamp": snapshot_stamp,
-        "definition_only": definition_only,
     }
 
 
@@ -885,6 +894,76 @@ _MERGE_SRC = """
 """
 
 _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _jaccard_oracle() -> str:
+    """DuckDB twin of the full jaccard_dedup_docs pipeline.
+
+    Reproducible because the Spark side uses dedup.md5_hash60 (conv of
+    the first 15 md5 hex chars == DuckDB's ``('0x'||...)::BIGINT``) and
+    the minhash family coefficients are deterministic (_hash_coeffs) —
+    embedded here as literals. DuckDB buckets on the concatenated slot
+    string where Spark buckets on xxhash64 of it; a Spark-side hash
+    collision could only ADD a candidate pair, which the exact >= 0.8
+    verifier then rejects/accepts identically on both sides.
+    """
+    from sling_cli_spark.operators.dedup import _hash_coeffs
+
+    coeffs = _hash_coeffs(64)
+    slots = ",\n                   ".join(
+        f"min(({a} * hp + {b}) % 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(coeffs))
+    bands = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_id, concat_ws(',', "
+        f"s{4 * i}, s{4 * i + 1}, s{4 * i + 2}, s{4 * i + 3}) AS bh FROM sig"
+        for i in range(16))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, str_split({_NORM}, ' ') AS tk
+            FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                     ELSE list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+                END) AS shingle
+            FROM toks
+        ), hs AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+            FROM sh
+        ), hp AS (
+            SELECT doc_id, h % 2147483647 AS hp FROM hs
+        ), sig AS (
+            SELECT doc_id,
+                   {slots}
+            FROM hp GROUP BY doc_id
+        ), bands AS (
+            {bands}
+        ), pairs AS (
+            SELECT DISTINCT mn AS id_a, doc_id AS id_b FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY band_id, bh) AS mn
+                FROM bands)
+            WHERE doc_id <> mn
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id
+        ), inter AS (
+            SELECT p.id_a, p.id_b, count(*) AS i
+            FROM pairs p
+            JOIN hs x ON x.doc_id = p.id_a
+            JOIN hs y ON y.doc_id = p.id_b AND y.h = x.h
+            GROUP BY p.id_a, p.id_b
+        ), confirmed AS (
+            SELECT DISTINCT i2.id_b
+            FROM inter i2
+            JOIN counts ca ON ca.doc_id = i2.id_a
+            JOIN counts cb ON cb.doc_id = i2.id_b
+            WHERE CAST(i2.i AS DOUBLE) / (ca.n + cb.n - i2.i) >= 0.8
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM confirmed)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1515,7 +1594,8 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.9
         """,
+        "jaccard_dedup_docs": _jaccard_oracle(),
         # no oracle (rows-only check): minhash_dedup_docs, simhash_dedup_docs,
-        # lang_id_docs, fingerprint_docs, ann_lsh_topk — xxhash64 /
-        # LSH-approximation semantics aren't expressible in DuckDB SQL.
+        # fingerprint_docs, ann_lsh_topk, ann_ivf_topk — xxhash64 /
+        # kmeans-approximation semantics aren't expressible in DuckDB SQL.
     }

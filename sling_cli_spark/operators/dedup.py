@@ -149,17 +149,34 @@ def shingle_table(
         id_col, F.concat_ws(" ", *parts).alias("shingle"))
 
 
+def md5_hash60(c: Column) -> Column:
+    """Deterministic 60-bit shingle hash derived from md5.
+
+    ``conv(substr(md5(x),1,15),16,10)`` is exactly reproducible in DuckDB
+    as ``('0x'||substr(md5(x),1,15))::BIGINT``, which makes every pipeline
+    built on it fully oracle-checkable — unlike xxhash64, whose seed/impl
+    is Spark-private. ~2x the cost of xxhash64 per shingle (crypto hash),
+    so it's opt-in: the default production path stays xxhash64.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def shingle_hash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_n: int = 3,
+    shingle_n: int = 3, hasher=None,
 ) -> DataFrame:
-    """(id, __h) rows: xxhash64 of each shingle — the shared upstream of
-    the MinHash signature AND the exact-Jaccard verifier. Hashing once
+    """(id, __h) rows: a 64-bit hash of each shingle — the shared upstream
+    of the MinHash signature AND the exact-Jaccard verifier. Hashing once
     here means (a) downstream shuffles move 8-byte longs instead of
     shingle strings, and (b) both consumers hang off an identical
-    exchange subtree, which Spark's ReuseExchange executes once."""
+    exchange subtree, which Spark's ReuseExchange executes once.
+
+    ``hasher`` defaults to xxhash64 (fastest); pass :func:`md5_hash60`
+    when the run must be reproducible outside Spark (oracle checks).
+    """
+    hasher = hasher if hasher is not None else F.xxhash64
     return shingle_table(df, text_col, id_col, shingle_n).select(
-        id_col, F.xxhash64("shingle").alias("__h"))
+        id_col, hasher(F.col("shingle")).alias("__h"))
 
 
 def minhash_signature_table(
