@@ -114,14 +114,19 @@ def _checkpoint_file(path: str, version: int) -> str:
 
 
 def _read_checkpoint(path: str, fs, version: int):
-    """checkpoint parquet -> (metadata_action, {rel_path: add_action})."""
+    """checkpoint parquet -> (metadata_action, {rel_path: add_action},
+    protocol_action)."""
     import pyarrow.parquet as pq
 
     buf = io.BytesIO(fs.read_bytes(_checkpoint_file(path, version)))
     meta: dict[str, Any] | None = None
     files: dict[str, dict] = {}
+    protocol: dict[str, Any] | None = None
     for row in pq.read_table(buf).to_pylist():
-        if row.get("metaData") is not None:
+        if row.get("protocol") is not None:
+            protocol = {k: v for k, v in dict(row["protocol"]).items()
+                        if v is not None}
+        elif row.get("metaData") is not None:
             meta = dict(row["metaData"])
             pv = meta.get("partitionColumns")
             meta["partitionColumns"] = list(pv or [])
@@ -132,7 +137,7 @@ def _read_checkpoint(path: str, fs, version: int):
                 pv = dict(pv)
             add["partitionValues"] = pv or {}
             files[add["path"]] = add
-    return meta, files
+    return meta, files, protocol
 
 
 def _write_checkpoint(path: str, fs, version: int) -> None:
@@ -194,39 +199,69 @@ def _write_checkpoint(path: str, fs, version: int) -> None:
 
 # -------------------------------------------------------------- log replay
 
-def _replay_json_into(path: str, fs, versions, meta, files):
+class UnsupportedTableFeature(RuntimeError):
+    """The table requires a reader protocol feature this implementation
+    does not support (deletion vectors, column mapping, ...). Refusing
+    loudly beats silently returning deleted or mis-mapped rows."""
+
+
+def _check_reader_protocol(path: str, protocol: dict | None) -> None:
+    """PROTOCOL.md Reader Requirements: a reader MUST refuse tables whose
+    ``minReaderVersion`` exceeds what it implements. We implement reader
+    protocol v1 (plain add/remove replay); v2 adds column mapping, v3
+    adds readerFeatures such as deletion vectors — replaying those as v1
+    would resurrect deleted rows or mis-name columns."""
+    mrv = (protocol or {}).get("minReaderVersion") or 1
+    if mrv > 1:
+        feats = (protocol or {}).get("readerFeatures") or []
+        detail = f" (readerFeatures: {', '.join(sorted(feats))})" \
+            if feats else ""
+        raise UnsupportedTableFeature(
+            f"delta table at {path} requires reader protocol v{mrv}"
+            f"{detail}; this reader implements v1 only")
+
+
+def _replay_json_into(path: str, fs, versions, meta, files, protocol=None):
     for v in versions:
         for line in fs.read_bytes(_log_path(path, v)).decode().splitlines():
             if not line.strip():
                 continue
             action = json.loads(line)
-            if "metaData" in action:
+            if "protocol" in action:
+                protocol = action["protocol"]
+            elif "metaData" in action:
                 meta = action["metaData"]
             elif "add" in action:
                 files[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 files.pop(action["remove"]["path"], None)
-    return meta, files
+    return meta, files, protocol
 
 
 def replay_log(path: str, version: int | None = None):
     """-> (metadata_action, {relative_file_path: add_action}) at
     ``version`` (default: latest). Reads the newest checkpoint at or
-    below ``version`` plus the JSON tail — O(tail), not O(commits)."""
+    below ``version`` plus the JSON tail — O(tail), not O(commits).
+    Raises :class:`UnsupportedTableFeature` on reader protocol > v1."""
     fs = fsio.get_fs(path)
     meta: dict[str, Any] | None = None
     files: dict[str, dict] = {}
+    protocol: dict[str, Any] | None = None
     start = -1
     cp = _last_checkpoint_info(path, fs)
     if cp is not None and (version is None or cp.get("version", -1) <= version):
         try:
-            meta, files = _read_checkpoint(path, fs, cp["version"])
+            meta, files, protocol = _read_checkpoint(path, fs, cp["version"])
             start = cp["version"]
         except Exception:
-            meta, files, start = None, {}, -1  # missing/corrupt cp: replay
+            # missing/corrupt cp: replay from scratch
+            meta, files, protocol, start = None, {}, None, -1
     tail = [v for v in _list_versions(path, fs)
             if v > start and (version is None or v <= version)]
-    return _replay_json_into(path, fs, tail, meta, files)
+    meta, files, protocol = _replay_json_into(
+        path, fs, tail, meta, files, protocol)
+    _check_reader_protocol(path, protocol)
+    return meta, files
 
 
 # ------------------------------------------------------------------ commit

@@ -43,7 +43,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sling_cli_spark import fsio
 from sling_cli_spark.sources.avro_py import read_avro, write_avro
-from sling_cli_spark.sources.delta_py import _HIVE_NULL, hive_partition_str
+from sling_cli_spark.sources.delta_py import (
+    _HIVE_NULL, UnsupportedTableFeature, hive_partition_str)
 
 _SPARK_TO_ICE = {
     "long": "long", "integer": "int", "double": "double", "float": "float",
@@ -121,6 +122,16 @@ def _current_metadata(path: str) -> tuple[int, dict]:
         fsio.join(_meta_dir(path), "version-hint.text")).decode().strip())
     meta = json.loads(fs.read_bytes(
         fsio.join(_meta_dir(path), f"v{v}.metadata.json")).decode())
+    fv = meta.get("format-version", 1)
+    if fv > 1:
+        # v2 merge-on-read tables carry positional/equality delete files
+        # (spec §Row-level deletes) that a v1 scan would ignore,
+        # resurrecting deleted rows. Refuse loudly (spec: "readers must
+        # reject a table whose version is higher than supported").
+        raise UnsupportedTableFeature(
+            f"iceberg table at {path} is format-version {fv}; this "
+            "reader implements v1 only (v2 delete files would be "
+            "silently ignored)")
     return v, meta
 
 

@@ -501,3 +501,27 @@ def test_optimize_partitioned_compacts_within_partition(spark, tmp_path):
     assert parts == {(("cat", "a"),), (("cat", "b"),)}
     got = {(r["id"], r["cat"]) for r in read_delta(spark, t).collect()}
     assert got == {(0, "a"), (1, "b"), (2, "a"), (3, "b")}
+
+
+def test_reader_protocol_v3_refused(spark, tmp_path):
+    """A foreign table requiring reader protocol v3 (e.g. deletion
+    vectors) must refuse loudly — a v1 replay would resurrect rows the
+    deletion vectors mask (PROTOCOL.md Reader Requirements)."""
+    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    # foreign writer upgrades the table protocol in a later commit
+    log = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    with open(log, "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+        }}) + "\n")
+    with pytest.raises(UnsupportedTableFeature, match="deletionVectors"):
+        read_delta(spark, t)
+    with pytest.raises(UnsupportedTableFeature):
+        replay_log(t)
+    # time travel to BEFORE the upgrade still works
+    assert {r["id"] for r in read_delta(spark, t, version=0).collect()} \
+        == {1, 2}

@@ -242,3 +242,27 @@ def test_expire_snapshots_prunes_history(spark, tmp_path):
     assert len(res["deleted_files"]) >= 1
     # expiring again is a no-op
     assert expire_snapshots(t, keep=1)["expired"] == 0
+
+
+def test_format_version_2_refused(spark, tmp_path):
+    """A v2 (merge-on-read) table must refuse loudly: its positional/
+    equality delete files would be silently ignored by a v1 scan."""
+    import pytest
+    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+    from sling_cli_spark.sources.iceberg_py import _current_metadata
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a")]), t)
+    meta_dir = os.path.join(t, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read().strip())
+    mp = os.path.join(meta_dir, f"v{v}.metadata.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    meta["format-version"] = 2
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(UnsupportedTableFeature, match="format-version 2"):
+        read_iceberg(spark, t)
+    with pytest.raises(UnsupportedTableFeature):
+        _current_metadata(t)
