@@ -1021,6 +1021,29 @@ _DIALECT_SPECS: dict[str, dict] = {
                   "string": "string", "datetime": "timestamp",
                   "timestampz": "timestamp", "binary": "binary"},
     },
+    "derby": {
+        # NOT one of the reference's 37 packs. Apache Derby ships inside
+        # Spark's own jars/, which makes it the one JDBC database every
+        # Spark install can talk to with zero extra driver — this pack
+        # exists so the live read_jdbc/write_jdbc/staged_db_load path is
+        # executable end-to-end in driverless environments
+        # (tests/test_jdbc_live.py). Derby quirks: the MERGE source must
+        # be a base table (ERROR 42XAL — no subquery in USING), and
+        # TRUNCATE TABLE requires ownership, so stick to standard DELETE.
+        "quote_char": '"',
+        "core": {
+            "merge_update_insert": (
+                "MERGE INTO {tgt_table} tgt\n"
+                "USING {src_table} src\n"
+                "ON ({src_tgt_pk_equal})\n"
+                "WHEN MATCHED THEN UPDATE SET {set_fields}\n"
+                "WHEN NOT MATCHED THEN INSERT ({insert_fields}) "
+                "VALUES ({src_insert_fields})"),
+            "truncate_table": "delete from {table}",
+        },
+        "types": {"json": "clob", "text": "clob", "string": "varchar",
+                  "datetime": "timestamp", "bool": "boolean"},
+    },
 }
 
 

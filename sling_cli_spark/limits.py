@@ -35,13 +35,32 @@ def ensure_driver_rows(df: DataFrame, op: str, alternative: str) -> None:
     """Raise if ``df`` exceeds the driver row cap.
 
     The probe is ``limit(cap+1).count()`` — bounded work regardless of
-    the input size (never a full count of an oversized table)."""
+    the input size (never a full count of an oversized table). Prefer
+    :func:`collect_capped` when the caller collects the rows anyway —
+    it enforces the same cap inside the collect job itself."""
     cap = driver_row_cap()
     if df.limit(cap + 1).count() > cap:
         raise DriverSizeError(
             f"{op} is a driver-side fallback and the input exceeds "
             f"{cap:,} rows. Use {alternative}, or raise "
             f"SLING_DRIVER_ROW_CAP if the driver has the memory.")
+
+
+def collect_capped(df: DataFrame, op: str, alternative: str) -> list:
+    """Collect ``df`` on the driver with the row cap enforced in the SAME
+    Spark job: fetch ``cap+1`` rows and raise if more than ``cap`` come
+    back. One job instead of a count probe followed by the real collect —
+    the probe-then-collect shape doubled the fixed cost of every
+    driver-fallback roundtrip. Bounded regardless of input size (the
+    limit stops the scan; an oversized table never fully collects)."""
+    cap = driver_row_cap()
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise DriverSizeError(
+            f"{op} is a driver-side fallback and the input exceeds "
+            f"{cap:,} rows. Use {alternative}, or raise "
+            f"SLING_DRIVER_ROW_CAP if the driver has the memory.")
+    return rows
 
 
 def ensure_driver_bytes(n_bytes: int, op: str, alternative: str) -> None:

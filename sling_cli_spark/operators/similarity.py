@@ -194,8 +194,10 @@ def kmeans_centroids(
     """
     import numpy as np
 
-    rows = df.select(vec_col).limit(sample).collect()
-    X = np.array([r[0] for r in rows], dtype=np.float64)
+    # Arrow-batched collect (toPandas) — the row-object collect measured
+    # ~2x slower for list<float> columns at the 20k-sample cap
+    pdf = df.select(vec_col).limit(sample).toPandas()
+    X = np.array(list(pdf[vec_col]), dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]

@@ -64,13 +64,7 @@ def write_excel(df: DataFrame, path: str, sheet: str = "Sheet1") -> None:
     available; otherwise the stdlib xlsx writer (sources/xlsx.py — a zip
     of OOXML parts, no dependency needed). Sheets are driver-sized by
     contract, like the reference's in-memory builder (sheet_excel.go)."""
-    from sling_cli_spark.limits import ensure_driver_rows
-
-    # xlsx itself caps a sheet at 1,048,576 rows; the guard also keeps
-    # the driver collect bounded
-    ensure_driver_rows(
-        df, "xlsx write (sinks/formats)",
-        "csv/parquet output (xlsx caps at 1,048,576 rows per sheet)")
+    from sling_cli_spark.limits import collect_capped, ensure_driver_rows
 
     engine = None
     try:
@@ -83,6 +77,11 @@ def write_excel(df: DataFrame, path: str, sheet: str = "Sheet1") -> None:
         except ImportError:
             pass
     if engine:
+        # xlsx itself caps a sheet at 1,048,576 rows; the guard also
+        # keeps the driver toPandas bounded
+        ensure_driver_rows(
+            df, "xlsx write (sinks/formats)",
+            "csv/parquet output (xlsx caps at 1,048,576 rows per sheet)")
         pdf = df.toPandas()
         os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
                     exist_ok=True)
@@ -90,5 +89,7 @@ def write_excel(df: DataFrame, path: str, sheet: str = "Sheet1") -> None:
         return
     from sling_cli_spark.sources.xlsx import write_xlsx
 
-    rows = [list(r) for r in df.collect()]
+    rows = [list(r) for r in collect_capped(
+        df, "xlsx write (sinks/formats)",
+        "csv/parquet output (xlsx caps at 1,048,576 rows per sheet)")]
     write_xlsx(rows, list(df.columns), path, sheet=sheet)

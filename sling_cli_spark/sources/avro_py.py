@@ -364,11 +364,7 @@ def write_avro_df(df, path: str, codec: str = "deflate") -> None:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from sling_cli_spark.limits import ensure_driver_rows
-
-    ensure_driver_rows(
-        df, "stdlib avro write (sources/avro_py)",
-        "the spark-avro package (distributed writer)")
+    from sling_cli_spark.limits import collect_capped
 
     cols = []
     for f in df.schema.fields:
@@ -383,7 +379,8 @@ def write_avro_df(df, path: str, codec: str = "deflate") -> None:
         if (conv := _avro_cell_converter(f["type"])) is not None
     }
     rows = []
-    for r in shaped.collect():
+    for r in collect_capped(shaped, "stdlib avro write (sources/avro_py)",
+                            "the spark-avro package (distributed writer)"):
         d = r.asDict()
         for name, conv in converters.items():
             if d[name] is not None:

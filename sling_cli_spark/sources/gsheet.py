@@ -74,13 +74,7 @@ def write_gsheet(
     import json as _json
     import urllib.request
 
-    from sling_cli_spark.limits import ensure_driver_rows
-
-    # Sheets caps a spreadsheet at 10M cells — anything near that must
-    # not be collected to the driver anyway
-    ensure_driver_rows(
-        df, "Sheets values.update write (sources/gsheet)",
-        "a warehouse/file target (Sheets caps at 10M cells)")
+    from sling_cli_spark.limits import collect_capped
 
     m = _ID_RE.search(sheet_ref)
     sheet_id = m.group(1) if m else sheet_ref
@@ -117,8 +111,12 @@ def write_gsheet(
             return v.hex()
         return str(v)
 
+    # Sheets caps a spreadsheet at 10M cells — anything near that must
+    # not be collected to the driver anyway
     values = [list(df.columns)] + [
-        [_cell(v) for v in row] for row in df.collect()]
+        [_cell(v) for v in row] for row in collect_capped(
+            df, "Sheets values.update write (sources/gsheet)",
+            "a warehouse/file target (Sheets caps at 10M cells)")]
     headers = {"Content-Type": "application/json"}
     if token:
         headers["Authorization"] = f"Bearer {token}"

@@ -14,10 +14,13 @@ predicates). On Spark all three map to the built-in JDBC DataSource:
   partition (distributed, not a driver loop); reference batch size is
   2000 (templates/base.yaml:461-462)
 
-No JDBC driver jars ship in this container, so everything is exercised
-through ``build_read_options``/``build_write_options`` unit tests; the
-``read_jdbc``/``write_jdbc`` entry points are thin layers over
-``spark.read/write`` with those options.
+No postgres/mysql/... driver jars ship in this container, but Apache
+Derby (pure Java, embedded) lives in Spark's own ``jars/`` — so the
+whole path executes LIVE against a real JDBC database in
+``tests/test_jdbc_live.py`` (write, scan, pushed-down subquery, chunked
+partitionColumn read with min/max probe, and the staged temp-table
+MERGE). Vendor-specific options stay covered by the
+``build_read_options``/``build_write_options`` unit tests.
 """
 
 from __future__ import annotations
@@ -33,11 +36,15 @@ REFERENCE_BATCH_SIZE = 2000  # templates/base.yaml:461-462
 
 
 def _as_query(stream: str) -> str | None:
-    """A stream that is SQL becomes a pushed-down subquery."""
+    """A stream that is SQL becomes a pushed-down subquery.
+
+    The alias deliberately has no leading underscore: SQL-standard
+    engines (Derby among them) reject unquoted identifiers that don't
+    start with a letter."""
     import re
 
     if re.search(r"\bselect\b[\s\S]+\bfrom\b", stream, re.IGNORECASE):
-        return f"({stream}) AS __sling_src"
+        return f"({stream}) AS sling_src"
     return None
 
 
@@ -87,7 +94,7 @@ def build_read_options(
             sql = incremental_select_sql(
                 d, stream, source.update_key, watermark,
                 where=source.where)
-        opts["dbtable"] = f"({sql}) AS __sling_src"
+        opts["dbtable"] = f"({sql}) AS sling_src"
 
     chunk_col = source.update_key
     n = source.options.chunk_count
@@ -120,12 +127,14 @@ def probe_bounds(
     if not source.update_key:
         return None
     probe = (f"(SELECT min({source.update_key}) AS lo, "
-             f"max({source.update_key}) AS hi FROM {source.stream}) AS __p")
+             f"max({source.update_key}) AS hi FROM {source.stream}) AS sling_probe")
     row = spark.read.format("jdbc").option("url", url) \
         .option("dbtable", probe).load().collect()[0]
-    if row["lo"] is None:
+    # positional access: case-normalizing engines (Derby and other
+    # SQL-standard databases uppercase unquoted aliases) rename lo/hi
+    if row[0] is None:
         return None
-    return (row["lo"], row["hi"])
+    return (row[0], row[1])
 
 
 def read_jdbc(

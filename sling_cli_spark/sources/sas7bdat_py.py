@@ -220,9 +220,8 @@ def write_sas7bdat(
 
 def write_sas7bdat_df(df, path: str) -> None:
     """DataFrame -> sas7bdat (driver-side, capped like other fallbacks)."""
-    from sling_cli_spark.limits import ensure_driver_rows
+    from sling_cli_spark.limits import collect_capped
 
-    ensure_driver_rows(df, "sas7bdat write (sources/sas7bdat_py)",
-                       "parquet/csv output")
-    rows = [tuple(r) for r in df.collect()]
+    rows = [tuple(r) for r in collect_capped(
+        df, "sas7bdat write (sources/sas7bdat_py)", "parquet/csv output")]
     write_sas7bdat(path, df.columns, rows)

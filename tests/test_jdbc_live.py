@@ -1,0 +1,147 @@
+"""LIVE JDBC execution against Apache Derby (embedded, pure Java).
+
+Derby ships inside Spark's own ``jars/`` directory, so unlike
+postgres/mysql it needs no driver jar, no network, no server — which
+makes it the one database this sandbox can run real JDBC against.
+These tests retire the "JDBC is render-tested only" gap: the Spark
+JDBC DataSource write path (batched inserts from executors), the read
+path (full scan, pushed-down SQL subquery, chunked parallel
+partitionColumn read with a live min/max probe), and the temp-table
+staged merge (``staged_db_load``) all execute end-to-end.
+
+Reference parity: core/dbio/database/database.go:926-1084 (stream
+query), replication.go:688-933 (chunked read), task_run_write.go:228-498
+(staged load).
+"""
+
+import pytest
+
+from sling_cli_spark.config import Mode, Source, SourceOptions, Target
+from sling_cli_spark.sources.jdbc import (
+    dialect_from_url, probe_bounds, read_jdbc, staged_db_load, write_jdbc,
+)
+
+
+def _url(tmp_path) -> str:
+    return f"jdbc:derby:{tmp_path}/db;create=true"
+
+
+def _jdbc_exec(spark, url):
+    """Driver-side statement runner over the SAME JDBC stack Spark uses
+    (java.sql.DriverManager via py4j) — this is the execute/fetch_one
+    pair a production engine passes to staged_db_load."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+
+    def execute(sql: str) -> None:
+        s = sql.strip()
+        st = conn.createStatement()
+        try:
+            if s.lower().startswith("drop table if exists"):
+                # Derby has no DROP ... IF EXISTS; the client adapter
+                # maps it (same job as the reference's per-DB clients)
+                try:
+                    st.execute(f"drop table {s.split()[-1]}")
+                except Exception:
+                    pass
+                return
+            st.execute(s)
+        finally:
+            st.close()
+
+    def fetch_one(sql: str):
+        st = conn.createStatement()
+        try:
+            rs = st.executeQuery(sql)
+            rs.next()
+            return (rs.getLong(1),)
+        finally:
+            st.close()
+
+    return execute, fetch_one
+
+
+def test_write_read_roundtrip_and_pushdown(spark, tmp_path):
+    url = _url(tmp_path)
+    df = spark.range(100).selectExpr("id AS ID", "cast(id % 7 AS double) AS V")
+    write_jdbc(df, url, Target(object="t1"), Mode.FULL_REFRESH)
+
+    got = read_jdbc(spark, url, Source(stream="t1"))
+    assert got.count() == 100
+    assert set(got.columns) == {"ID", "V"}
+
+    # a SQL stream becomes a pushed-down subquery — the filter runs in
+    # the database, not in Spark
+    sub = read_jdbc(spark, url, Source(stream="select ID from t1 where ID < 10"))
+    assert sub.count() == 10
+    assert sub.columns == ["ID"]
+
+
+def test_chunked_parallel_read_with_live_probe(spark, tmp_path):
+    url = _url(tmp_path)
+    df = spark.range(1000).selectExpr("id AS ID", "id * 2 AS V")
+    write_jdbc(df, url, Target(object="t2"), Mode.FULL_REFRESH)
+
+    src = Source(stream="t2", update_key="ID",
+                 options=SourceOptions(chunk_count=4))
+    bounds = probe_bounds(spark, url, src)
+    assert bounds == (0, 999)
+
+    got = read_jdbc(spark, url, src)
+    # 4 concurrent range scans, all rows exactly once
+    assert got.rdd.getNumPartitions() == 4
+    assert got.count() == 1000
+    assert got.selectExpr("sum(ID)").collect()[0][0] == 999 * 1000 // 2
+
+
+def test_append_and_truncate_modes(spark, tmp_path):
+    url = _url(tmp_path)
+    df = spark.range(5).selectExpr("id AS ID")
+    write_jdbc(df, url, Target(object="t3"), Mode.FULL_REFRESH)
+    write_jdbc(df, url, Target(object="t3"), Mode.INCREMENTAL)  # append
+    assert read_jdbc(spark, url, Source(stream="t3")).count() == 10
+
+
+def test_staged_db_load_live_merge(spark, tmp_path):
+    """Full staged load: bulk-stage a temp table from Spark executors,
+    validate the landed count, run the dialect-rendered MERGE over a
+    real JDBC connection, and drop the stage."""
+    url = _url(tmp_path)
+    assert dialect_from_url(url) == "derby"
+
+    tgt = spark.createDataFrame([(1, "old"), (2, "old")], "ID long, V string")
+    write_jdbc(tgt, url, Target(object="tgt"), Mode.FULL_REFRESH)
+    batch = spark.createDataFrame([(2, "new"), (3, "new")], "ID long, V string")
+
+    execute, fetch_one = _jdbc_exec(spark, url)
+    stats = staged_db_load(
+        execute, fetch_one, "derby", "tgt", ["ID", "V"], ["ID"],
+        write_stage=lambda temp: write_jdbc(
+            batch, url, Target(object=temp), Mode.INCREMENTAL),
+        strategy="update_insert", expect_count=2)
+    assert stats["staged_rows"] == 2
+
+    got = {r["ID"]: r["V"]
+           for r in read_jdbc(spark, url, Source(stream="tgt")).collect()}
+    assert got == {1: "old", 2: "new", 3: "new"}
+    # the temp stage is gone
+    with pytest.raises(Exception):
+        read_jdbc(spark, url, Source(stream=stats["temp_table"])).count()
+
+
+def test_staged_db_load_count_mismatch_aborts(spark, tmp_path):
+    url = _url(tmp_path)
+    tgt = spark.createDataFrame([(1, "old")], "ID long, V string")
+    write_jdbc(tgt, url, Target(object="tgt2"), Mode.FULL_REFRESH)
+    batch = spark.createDataFrame([(9, "x")], "ID long, V string")
+
+    execute, fetch_one = _jdbc_exec(spark, url)
+    with pytest.raises(ValueError, match="staged count"):
+        staged_db_load(
+            execute, fetch_one, "derby", "tgt2", ["ID", "V"], ["ID"],
+            write_stage=lambda temp: write_jdbc(
+                batch, url, Target(object=temp), Mode.INCREMENTAL),
+            strategy="update_insert", expect_count=5)
+    # final table untouched
+    got = {r["ID"]: r["V"]
+           for r in read_jdbc(spark, url, Source(stream="tgt2")).collect()}
+    assert got == {1: "old"}
