@@ -536,10 +536,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "n_chars")
 
     def minhash_dedup_docs(spark, sf):
-        return minhash_lsh_dedup(_t(spark, sf, "documents")).select("doc_id")
+        """MinHash-LSH near-dedup over the md5-derived shingle hash
+        (dedup.md5_hash60) — the minhash slots and band buckets are
+        reproduced literally in the DuckDB oracle."""
+        from sling_cli_spark.operators.dedup import md5_hash60
+        return minhash_lsh_dedup(
+            _t(spark, sf, "documents"), hasher=md5_hash60).select("doc_id")
 
     def simhash_dedup_docs(spark, sf):
-        return simhash_dedup(_t(spark, sf, "documents")).select("doc_id")
+        """SimHash dedup over md5-derived 60-bit token hashes — the
+        per-bit majority sums and the packed signature are reproduced
+        literally in the DuckDB oracle."""
+        from sling_cli_spark.operators.dedup import md5_hash60
+        return simhash_dedup(
+            _t(spark, sf, "documents"), hasher=md5_hash60).select("doc_id")
 
     def excel_roundtrip(spark, sf):
         """Excel sink+source active in-sandbox (sources/xlsx.py stdlib
@@ -768,7 +778,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pii_redact(d)
 
     def fingerprint_docs(spark, sf):
-        return fingerprint(_t(spark, sf, "documents"))
+        """Winnowing-lite fingerprint over md5-derived 60-bit hashes —
+        min/max shingle hash + full-text hash all hash-match the DuckDB
+        oracle."""
+        from sling_cli_spark.operators.dedup import md5_hash60
+        return fingerprint(_t(spark, sf, "documents"), hasher=md5_hash60)
 
     def ann_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -896,29 +910,16 @@ _MERGE_SRC = """
 _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 
 
-def _jaccard_oracle() -> str:
-    """DuckDB twin of the full jaccard_dedup_docs pipeline.
+# DuckDB twin of dedup.md5_hash60: conv(substr(md5(x),1,15),16,10)
+_MD5H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
-    Reproducible because the Spark side uses dedup.md5_hash60 (conv of
-    the first 15 md5 hex chars == DuckDB's ``('0x'||...)::BIGINT``) and
-    the minhash family coefficients are deterministic (_hash_coeffs) —
-    embedded here as literals. DuckDB buckets on the concatenated slot
-    string where Spark buckets on xxhash64 of it; a Spark-side hash
-    collision could only ADD a candidate pair, which the exact >= 0.8
-    verifier then rejects/accepts identically on both sides.
-    """
-    from sling_cli_spark.operators.dedup import _hash_coeffs
 
-    coeffs = _hash_coeffs(64)
-    slots = ",\n                   ".join(
-        f"min(({a} * hp + {b}) % 2147483647) AS s{i}"
-        for i, (a, b) in enumerate(coeffs))
-    bands = "\n            UNION ALL ".join(
-        f"SELECT doc_id, {i} AS band_id, concat_ws(',', "
-        f"s{4 * i}, s{4 * i + 1}, s{4 * i + 2}, s{4 * i + 3}) AS bh FROM sig"
-        for i in range(16))
-    return f"""
-        WITH toks AS (
+def _shingle_ctes() -> str:
+    """Shared CTE prefix: documents -> word tokens -> 3-gram shingles ->
+    DISTINCT md5-60bit shingle hashes per doc. Mirrors
+    dedup.shingle_table + shingle_hash_table(hasher=md5_hash60); docs
+    with NULL text produce no shingle rows on either side."""
+    return f"""toks AS (
             SELECT doc_id, str_split({_NORM}, ' ') AS tk
             FROM documents WHERE text IS NOT NULL
         ), sh AS (
@@ -930,9 +931,28 @@ def _jaccard_oracle() -> str:
             FROM toks
         ), hs AS (
             SELECT DISTINCT doc_id,
-                   ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+                   {_MD5H.format(x='shingle')} AS h
             FROM sh
-        ), hp AS (
+        )"""
+
+
+def _minhash_band_ctes() -> str:
+    """Shared CTE suffix: shingle hashes -> 64 minhash slots (literal
+    deterministic coefficients from dedup._hash_coeffs) -> 16 banded
+    bucket keys. DuckDB buckets on the concatenated slot string where
+    Spark buckets on xxhash64 of it — a Spark-side band-hash collision
+    could only ADD a candidate, never lose one."""
+    from sling_cli_spark.operators.dedup import _hash_coeffs
+
+    coeffs = _hash_coeffs(64)
+    slots = ",\n                   ".join(
+        f"min(({a} * hp + {b}) % 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(coeffs))
+    bands = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_id, concat_ws(',', "
+        f"s{4 * i}, s{4 * i + 1}, s{4 * i + 2}, s{4 * i + 3}) AS bh FROM sig"
+        for i in range(16))
+    return f"""hp AS (
             SELECT doc_id, h % 2147483647 AS hp FROM hs
         ), sig AS (
             SELECT doc_id,
@@ -940,7 +960,14 @@ def _jaccard_oracle() -> str:
             FROM hp GROUP BY doc_id
         ), bands AS (
             {bands}
-        ), pairs AS (
+        )"""
+
+
+def _jaccard_oracle() -> str:
+    """DuckDB twin of the full jaccard_dedup_docs pipeline: LSH candidate
+    pairs -> exact shingle-set Jaccard >= 0.8 -> drop confirmed id_b."""
+    return f"""
+        WITH {_shingle_ctes()}, {_minhash_band_ctes()}, pairs AS (
             SELECT DISTINCT mn AS id_a, doc_id AS id_b FROM (
                 SELECT doc_id,
                        min(doc_id) OVER (PARTITION BY band_id, bh) AS mn
@@ -963,6 +990,106 @@ def _jaccard_oracle() -> str:
         )
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id_b FROM confirmed)
+    """
+
+
+def _minhash_oracle() -> str:
+    """DuckDB twin of minhash_lsh_dedup: a doc survives iff it is the
+    min id in EVERY band bucket it occupies (docs with no shingles —
+    NULL text — never enter a bucket and are dropped, matching the
+    Spark left-semi join)."""
+    return f"""
+        WITH {_shingle_ctes()}, {_minhash_band_ctes()}, marked AS (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY band_id, bh) AS mn
+            FROM bands
+        )
+        SELECT DISTINCT doc_id FROM marked
+        WHERE doc_id NOT IN (SELECT doc_id FROM marked WHERE doc_id <> mn)
+    """
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of simhash_dedup over md5-60bit token hashes: per-bit
+    majority vote over token hashes -> packed signature -> keep min doc
+    per signature. Only bits 0..59 are rendered — the top 4 bits of a
+    60-bit hash are 0, so their majority sum is -count < 0 and the bit
+    is never set on either side."""
+    bitsums = ",\n                   ".join(
+        f"sum(((h >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(60))
+    packed = "\n                 + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(60))
+    return f"""
+        WITH th AS (
+            SELECT doc_id, {_MD5H.format(x='t')} AS h
+            FROM (SELECT doc_id,
+                         unnest(COALESCE(str_split({_NORM}, ' '), [''])) AS t
+                  FROM documents)
+        ), sims AS (
+            SELECT doc_id,
+                   {bitsums}
+            FROM th GROUP BY doc_id
+        ), packed AS (
+            SELECT doc_id,
+                   CAST({packed} AS BIGINT) AS sh
+            FROM sims
+        )
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY sh ORDER BY doc_id) AS rn
+            FROM packed) WHERE rn = 1
+    """
+
+
+def _fingerprint_oracle() -> str:
+    """DuckDB twin of text.fingerprint(hasher=md5_hash60): min/max
+    shingle hash per doc + full-normalized-text hash; NULL-text docs
+    keep NULL hashes via the left join (and md5(NULL) is NULL)."""
+    return f"""
+        WITH {_shingle_ctes()}
+        SELECT d.doc_id,
+               {_MD5H.format(x=_NORM)} AS text_hash,
+               m.mn AS min_shingle_hash,
+               m.mx AS max_shingle_hash
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, min(h) AS mn, max(h) AS mx
+                   FROM hs GROUP BY doc_id) m ON d.doc_id = m.doc_id
+    """
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of lsh_topk: sign-pattern bucket over the same 8
+    deterministic hyperplanes (literal doubles — repr round-trips
+    exactly), equi-join on the bucket, cosine top-10 per query."""
+    from sling_cli_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(8, 64)
+
+    def arr(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bucket = "\n                 + ".join(
+        f"CASE WHEN list_dot_product(v, {arr(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes))
+    return f"""
+        WITH bk AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   CAST({bucket} AS BIGINT) AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, bucket
+            FROM bk WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, c.vec_id,
+                   list_cosine_similarity(c.v, q.qv) AS s
+            FROM bk c JOIN q ON c.bucket = q.bucket
+        )
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id) AS rn
+            FROM scored) WHERE rn <= 10
     """
 
 
@@ -1595,7 +1722,11 @@ def oracle_sql() -> dict[str, str]:
                                          b.embedding::DOUBLE[]) >= 0.9
         """,
         "jaccard_dedup_docs": _jaccard_oracle(),
-        # no oracle (rows-only check): minhash_dedup_docs, simhash_dedup_docs,
-        # fingerprint_docs, ann_lsh_topk, ann_ivf_topk — xxhash64 /
-        # kmeans-approximation semantics aren't expressible in DuckDB SQL.
+        "minhash_dedup_docs": _minhash_oracle(),
+        "simhash_dedup_docs": _simhash_oracle(),
+        "fingerprint_docs": _fingerprint_oracle(),
+        "ann_lsh_topk": _ann_lsh_oracle(),
+        # no oracle (rows-only check): ann_ivf_topk — the kmeans codebook
+        # is iterative (10 numpy refinement passes over a driver sample)
+        # and not expressible as a static SQL string.
     }

@@ -182,7 +182,7 @@ def shingle_hash_table(
 def minhash_signature_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 64, shingle_n: int = 3,
-    hashed: DataFrame | None = None,
+    hashed: DataFrame | None = None, hasher=None,
 ) -> DataFrame:
     """id -> k minhash slot columns ``__s0..__s{k-1}``.
 
@@ -191,10 +191,12 @@ def minhash_signature_table(
     partitioning — vs. the naive k-nested-array-transforms expression,
     which is interpreted HOF eval and measured ~3x slower.
     ``hashed`` short-circuits the shingle pipeline with a precomputed
-    :func:`shingle_hash_table` (shared with the Jaccard verifier).
+    :func:`shingle_hash_table` (shared with the Jaccard verifier);
+    ``hasher`` picks the shingle hash when building it here (see
+    :func:`md5_hash60` for the oracle-reproducible variant).
     """
     if hashed is None:
-        hashed = shingle_hash_table(df, text_col, id_col, shingle_n)
+        hashed = shingle_hash_table(df, text_col, id_col, shingle_n, hasher)
     shingled = hashed.select(
         id_col, F.pmod(F.col("__h"), F.lit(_P)).alias("__h"))
     h = F.col("__h")
@@ -208,7 +210,7 @@ def minhash_signature_table(
 def minhash_lsh_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
-    hashed: DataFrame | None = None,
+    hashed: DataFrame | None = None, hasher=None,
 ) -> DataFrame:
     """LSH banding: -> (band_id, band_hash, id) exploded table.
 
@@ -221,7 +223,8 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
     sig = minhash_signature_table(
-        df, text_col, id_col, num_hashes, shingle_n, hashed=hashed)
+        df, text_col, id_col, num_hashes, shingle_n, hashed=hashed,
+        hasher=hasher)
     band_structs = F.array(*[
         F.struct(
             F.lit(i).alias("band_id"),
@@ -240,6 +243,7 @@ def minhash_lsh_candidates(
 def minhash_lsh_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
+    hasher=None,
 ) -> DataFrame:
     """Near-dedup: drop docs that share an LSH bucket with an earlier doc.
 
@@ -248,7 +252,7 @@ def minhash_lsh_dedup(
     Cost: the candidates table + one aggregation by id — no pairs join.
     """
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n)
+        df, text_col, id_col, num_hashes, bands, shingle_n, hasher=hasher)
     w = Window.partitionBy("band_id", "band_hash")
     keep_ids = (
         cand.withColumn("__min_id", F.min(F.col(id_col)).over(w))
@@ -294,14 +298,18 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
 
 def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    bits: int = 64,
+    bits: int = 64, hasher=None,
 ) -> DataFrame:
     """id -> simhash bigint, via explode + hash-aggregate (same rationale
-    as minhash_signature_table: k sum-aggregates stay inside codegen)."""
+    as minhash_signature_table: k sum-aggregates stay inside codegen).
+    ``hasher`` picks the token hash; with :func:`md5_hash60` only the
+    low 60 bits carry signal (the top 4 stay 0 on both sides), which
+    keeps the signature oracle-reproducible at a 4-bit fidelity cost."""
+    hasher = hasher if hasher is not None else F.xxhash64
     toks = df.select(
         F.col(id_col),
         F.explode_outer(tokens_col(F.col(text_col))).alias("__t"),
-    ).select(id_col, F.xxhash64(F.coalesce("__t", F.lit(""))).alias("__h"))
+    ).select(id_col, hasher(F.coalesce(F.col("__t"), F.lit(""))).alias("__h"))
     h = F.col("__h")
     aggs = [
         F.sum(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("long")
@@ -320,9 +328,10 @@ def simhash_table(
 
 def simhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hasher=None,
 ) -> DataFrame:
     """Exact-simhash-collision dedup (Hamming distance 0 buckets)."""
-    hashes = simhash_table(df, text_col, id_col)
+    hashes = simhash_table(df, text_col, id_col, hasher=hasher)
     w = Window.partitionBy("__sh").orderBy(F.col(id_col))
     keep = (
         hashes.withColumn("__rn", F.row_number().over(w))

@@ -120,7 +120,7 @@ def quality_score(
 
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    shingle_n: int = 3,
+    shingle_n: int = 3, hasher=None,
 ) -> DataFrame:
     """Document fingerprint: min/max rolling shingle hash + full-text hash.
 
@@ -128,8 +128,9 @@ def fingerprint(
     robust to small edits at the ends, usable as a blocking key.
 
     Plan: the MinHash pipeline's posexplode + window-lead shingle rows
-    (shingle_table) -> xxhash64 -> one hash-aggregate on the doc id, then
-    an id-equi-join back for the full-text hash. Array higher-order
+    (shingle_table) -> shingle hash (xxhash64 by default; pass
+    dedup.md5_hash60 for oracle reproducibility) -> one hash-aggregate
+    on the doc id, then an id-equi-join back for the full-text hash. Array higher-order
     functions (``transform(shingles, xxhash64)`` + array_min/max, or the
     sequence+slice shingle builder) run INTERPRETED outside whole-stage
     codegen and measured ~2x slower at sf0.1 — same lesson as dedup.py.
@@ -137,16 +138,17 @@ def fingerprint(
     """
     from sling_cli_spark.operators.dedup import normalize_text, shingle_table
 
+    hasher = hasher if hasher is not None else F.xxhash64
     hashes = (
         shingle_table(df, text_col, id_col, shingle_n)
         .groupBy(id_col)
         .agg(
-            F.min(F.xxhash64("shingle")).alias("min_shingle_hash"),
-            F.max(F.xxhash64("shingle")).alias("max_shingle_hash"),
+            F.min(hasher(F.col("shingle"))).alias("min_shingle_hash"),
+            F.max(hasher(F.col("shingle"))).alias("max_shingle_hash"),
         )
     )
     base = df.select(
         F.col(id_col),
-        F.xxhash64(normalize_text(F.col(text_col))).alias("text_hash"),
+        hasher(normalize_text(F.col(text_col))).alias("text_hash"),
     )
     return base.join(hashes, on=id_col, how="left")
