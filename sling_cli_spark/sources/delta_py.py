@@ -205,20 +205,33 @@ class UnsupportedTableFeature(RuntimeError):
     loudly beats silently returning deleted or mis-mapped rows."""
 
 
+# reader features this implementation actually honors (PROTOCOL.md
+# Table Features): column mapping is applied at read time
+# (_column_mapping_mode / _physical_struct); anything else — deletion
+# vectors, v2 checkpoints, type widening, ... — must refuse.
+SUPPORTED_READER_FEATURES = {"columnMapping"}
+
+
 def _check_reader_protocol(path: str, protocol: dict | None) -> None:
     """PROTOCOL.md Reader Requirements: a reader MUST refuse tables whose
-    ``minReaderVersion`` exceeds what it implements. We implement reader
-    protocol v1 (plain add/remove replay); v2 adds column mapping, v3
-    adds readerFeatures such as deletion vectors — replaying those as v1
-    would resurrect deleted rows or mis-name columns."""
+    ``minReaderVersion`` (or listed readerFeatures) exceeds what it
+    implements. v1 = plain add/remove replay; v2 = column mapping
+    (supported, resolved at read time); v3 = table features — allowed
+    iff every listed readerFeature is in SUPPORTED_READER_FEATURES
+    (e.g. deletion vectors are NOT: replaying them as plain adds would
+    resurrect deleted rows)."""
     mrv = (protocol or {}).get("minReaderVersion") or 1
-    if mrv > 1:
-        feats = (protocol or {}).get("readerFeatures") or []
-        detail = f" (readerFeatures: {', '.join(sorted(feats))})" \
-            if feats else ""
+    if mrv <= 2:
+        return
+    feats = set((protocol or {}).get("readerFeatures") or [])
+    unsupported = feats - SUPPORTED_READER_FEATURES
+    if mrv > 3 or unsupported:
+        detail = f" (readerFeatures: {', '.join(sorted(unsupported))})" \
+            if unsupported else ""
         raise UnsupportedTableFeature(
             f"delta table at {path} requires reader protocol v{mrv}"
-            f"{detail}; this reader implements v1 only")
+            f"{detail}; supported: v1/v2 and v3 with features "
+            f"{sorted(SUPPORTED_READER_FEATURES)}")
 
 
 def _replay_json_into(path: str, fs, versions, meta, files, protocol=None):
@@ -445,30 +458,82 @@ def _apply_table_schema(df: DataFrame, meta: dict) -> DataFrame:
           .cast(f.dataType).alias(f.name) for f in schema.fields])
 
 
+def _column_mapping_mode(meta: dict | None) -> str:
+    return ((meta or {}).get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+
+
+def _physical_fields(fields: list[dict]) -> list[dict]:
+    """Recursively rename schema fields to their
+    ``delta.columnMapping.physicalName`` (PROTOCOL.md Column Mapping:
+    in ``name`` mode the parquet files store physical names at every
+    nesting level)."""
+    out = []
+    for f in fields:
+        pf = dict(f)
+        md = pf.get("metadata") or {}
+        pf["name"] = md.get("delta.columnMapping.physicalName", pf["name"])
+        t = pf.get("type")
+        if isinstance(t, dict) and t.get("type") == "struct":
+            pf["type"] = {**t, "fields": _physical_fields(t["fields"])}
+        out.append(pf)
+    return out
+
+
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None,
 ) -> DataFrame:
-    """Snapshot read at ``version`` (default latest)."""
+    """Snapshot read at ``version`` (default latest).
+
+    Column-mapped tables (``delta.columnMapping.mode = name``, reader
+    protocol v2 / v3+columnMapping) are read with the PHYSICAL schema
+    and projected back to logical names — nested struct fields rename
+    via the positional struct cast. ``id`` mode (parquet field-id
+    matching) and partitioned column-mapped tables (partition values
+    live only in ``add.partitionValues``, not in Hive dirs) refuse
+    loudly rather than mis-read."""
     meta, files = replay_log(path, version)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
-    if not files:
-        from pyspark.sql import types as T
-
-        return spark.createDataFrame(
-            [], T.StructType.fromJson(json.loads(meta["schemaString"])))
     from pyspark.sql import types as T
 
-    # explicit table schema: skips footer inference across N files and
-    # makes schema evolution work — files predating a column (e.g. the
-    # soft-delete op column) read it as null; bare inference would take
-    # ONE file's footer and silently drop evolved columns elsewhere
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    reader = spark.read.schema(schema)
+    schema_json = json.loads(meta["schemaString"])
+    logical = T.StructType.fromJson(schema_json)
+    if not files:
+        return spark.createDataFrame([], logical)
+
+    cm = _column_mapping_mode(meta)
+    if cm == "none":
+        # explicit table schema: skips footer inference across N files
+        # and makes schema evolution work — files predating a column
+        # (e.g. the soft-delete op column) read it as null; bare
+        # inference would take ONE file's footer and silently drop
+        # evolved columns elsewhere
+        reader = spark.read.schema(logical)
+        if meta.get("partitionColumns"):
+            reader = reader.option("basePath", path)
+        df = reader.parquet(*[fsio.join(path, p) for p in sorted(files)])
+        return _apply_table_schema(df, meta)
+    if cm != "name":
+        raise UnsupportedTableFeature(
+            f"delta table at {path} uses column mapping mode {cm!r}; "
+            "only 'name' (and 'none') are supported")
     if meta.get("partitionColumns"):
-        reader = reader.option("basePath", path)
-    df = reader.parquet(*[fsio.join(path, p) for p in sorted(files)])
-    return _apply_table_schema(df, meta)
+        raise UnsupportedTableFeature(
+            f"delta table at {path} is partitioned AND column-mapped; "
+            "partition values for mapped tables come from "
+            "add.partitionValues, which this reader does not yet apply")
+    from pyspark.sql import functions as F
+
+    phys = T.StructType.fromJson(
+        {"type": "struct", "fields": _physical_fields(schema_json["fields"])})
+    df = spark.read.schema(phys).parquet(
+        *[fsio.join(path, p) for p in sorted(files)])
+    # physical -> logical: top-level alias + cast to the logical type
+    # (struct casts are positional, which renames nested fields)
+    return df.select(*[
+        F.col(pf.name).cast(lf.dataType).alias(lf.name)
+        for pf, lf in zip(phys.fields, logical.fields)])
 
 
 def _evolve_schema_actions(df: DataFrame, meta: dict | None) -> list[dict]:

@@ -525,3 +525,103 @@ def test_reader_protocol_v3_refused(spark, tmp_path):
     # time travel to BEFORE the upgrade still works
     assert {r["id"] for r in read_delta(spark, t, version=0).collect()} \
         == {1, 2}
+
+
+def test_column_mapping_name_mode_read(spark, tmp_path):
+    """A foreign name-mapped table (reader protocol v2): parquet files
+    store physical names (col-xxxx) at every nesting level; the read
+    projects them back to logical names, including nested structs."""
+    t = str(tmp_path / "t")
+    os.makedirs(t)
+    # physical data file
+    spark.createDataFrame(
+        [(1, "a", (10, "x")), (2, "b", (20, "y"))],
+        "`col-aa` long, `col-bb` string, "
+        "`col-cc` struct<`col-dd`: long, `col-ee`: string>",
+    ).coalesce(1).write.parquet(t + "/files")
+    part = [f for f in os.listdir(t + "/files") if f.endswith(".parquet")][0]
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aa"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bb"}},
+            {"name": "nested", "nullable": True,
+             "type": {"type": "struct", "fields": [
+                 {"name": "n", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "col-dd"}},
+                 {"name": "s", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 5,
+                               "delta.columnMapping.physicalName": "col-ee"}},
+             ]},
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-cc"}},
+        ],
+    }
+    os.makedirs(t + "/_delta_log")
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "m", "format": {"provider": "parquet"},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "files/" + part, "size": 1, "partitionValues": {},
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "v", "nested"]
+    assert got.schema["nested"].dataType.fieldNames() == ["n", "s"]
+    rows = {r["id"]: (r["v"], r["nested"]["n"], r["nested"]["s"])
+            for r in got.collect()}
+    assert rows == {1: ("a", 10, "x"), 2: ("b", 20, "y")}
+
+
+def test_column_mapping_id_mode_and_partitioned_refused(spark, tmp_path):
+    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+
+    def mk(sub, config, partition_cols):
+        t = str(tmp_path / sub)
+        os.makedirs(t + "/_delta_log")
+        with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+            f.write(json.dumps({"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+            f.write(json.dumps({"metaData": {
+                "id": "m", "format": {"provider": "parquet"},
+                "schemaString": json.dumps({"type": "struct", "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {}}]}),
+                "partitionColumns": partition_cols,
+                "configuration": config,
+            }}) + "\n")
+            f.write(json.dumps({"add": {
+                "path": "x.parquet", "size": 1, "partitionValues": {},
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+        return t
+
+    with pytest.raises(UnsupportedTableFeature, match="mode 'id'"):
+        read_delta(spark, mk("a", {"delta.columnMapping.mode": "id"}, []))
+    with pytest.raises(UnsupportedTableFeature, match="partitioned AND"):
+        read_delta(spark, mk(
+            "b", {"delta.columnMapping.mode": "name"}, ["id"]))
+
+
+def test_reader_v3_with_column_mapping_feature_allowed(spark, tmp_path):
+    """v3 protocol whose readerFeatures list only columnMapping is
+    readable; unsupported features still refuse (see
+    test_reader_protocol_v3_refused)."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    log = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    with open(log, "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"]}}) + "\n")
+    assert {r["id"] for r in read_delta(spark, t).collect()} == {1}
