@@ -13,10 +13,12 @@ directly, reusing the stdlib Avro codec (``sources/avro_py``):
   DELETED — readers skip those files.
 - data files: plain parquet.
 
-Scope (documented): v1, parquet data files, identity-transform
-partitioning (Hive-dir layout, values carried in the manifest), no
-deletes beyond whole-file remove, stats omitted (optional in v1; the
-manifest partition struct is simplified to a string map). Enough for
+Scope (documented): writes are v1 (parquet data files,
+identity-transform partitioning via Hive-dir layout, whole-file
+removes, stats omitted — optional in v1; the manifest partition struct
+is simplified to a string map). READS additionally support v2
+merge-on-read positional deletes (applied via a `_metadata.row_index`
+anti-join); equality deletes and format-version 3 refuse loudly. Enough for
 EL-tool snapshots: :func:`write_iceberg` (append/overwrite creating a
 new snapshot + metadata version) and :func:`read_iceberg` (current or
 ``snapshot_id=`` time travel). The jar-backed Spark DataSource takes
@@ -116,22 +118,24 @@ def is_iceberg_table(path: str) -> bool:
         return False
 
 
-def _current_metadata(path: str) -> tuple[int, dict]:
+def _current_metadata(path: str, for_write: bool = False) -> tuple[int, dict]:
     fs = fsio.get_fs(path)
     v = int(fs.read_bytes(
         fsio.join(_meta_dir(path), "version-hint.text")).decode().strip())
     meta = json.loads(fs.read_bytes(
         fsio.join(_meta_dir(path), f"v{v}.metadata.json")).decode())
     fv = meta.get("format-version", 1)
-    if fv > 1:
-        # v2 merge-on-read tables carry positional/equality delete files
-        # (spec §Row-level deletes) that a v1 scan would ignore,
-        # resurrecting deleted rows. Refuse loudly (spec: "readers must
-        # reject a table whose version is higher than supported").
+    if fv > 2:
         raise UnsupportedTableFeature(
             f"iceberg table at {path} is format-version {fv}; this "
-            "reader implements v1 only (v2 delete files would be "
-            "silently ignored)")
+            "implementation reads v1/v2 (positional deletes) only")
+    if for_write and fv > 1:
+        # our commit path writes v1 snapshots; appending one to a v2
+        # table would produce snapshots that ignore its delete files,
+        # and expire/merge would mis-track them. Writes stay v1-only.
+        raise UnsupportedTableFeature(
+            f"iceberg table at {path} is format-version {fv}; writes "
+            "are v1-only (reads of v2 positional deletes are supported)")
     return v, meta
 
 
@@ -179,21 +183,73 @@ def _parse_ddl_type(name: str):
     return T._parse_datatype_string(name)
 
 
-def _active_files(path: str, meta: dict, snapshot_id: int | None) -> list[dict]:
+def _active_entries(
+    path: str, meta: dict, snapshot_id: int | None,
+) -> tuple[list[dict], list[dict]]:
+    """-> (data_files, positional_delete_files) for a snapshot.
+
+    v2 manifests mark ``data_file.content``: 0/absent = data, 1 =
+    position deletes (applied in read_iceberg), 2 = equality deletes —
+    refused: applying those needs per-file sequence-number ordering
+    this implementation does not track."""
     snaps = meta.get("snapshots") or []
     sid = snapshot_id if snapshot_id is not None \
         else meta.get("current-snapshot-id")
     snap = next((s for s in snaps if s["snapshot-id"] == sid), None)
     if snap is None:
-        return []
+        return [], []
     _, manifests = read_avro(snap["manifest-list"])
     files: list[dict] = []
+    deletes: list[dict] = []
     for m in manifests:
         _, entries = read_avro(m["manifest_path"])
         for e in entries:
-            if e["status"] != 2:  # 2 = DELETED
-                files.append(e["data_file"])
-    return files
+            if e["status"] == 2:  # 2 = DELETED
+                continue
+            df_ = e["data_file"]
+            content = df_.get("content") or 0
+            if content == 0:
+                files.append(df_)
+            elif content == 1:
+                deletes.append(df_)
+            else:
+                raise UnsupportedTableFeature(
+                    f"iceberg table at {path} carries equality delete "
+                    "files (content=2); only positional deletes are "
+                    "supported")
+    return files, deletes
+
+
+def _active_files(path: str, meta: dict, snapshot_id: int | None) -> list[dict]:
+    """Data files only — the write/merge paths call this, and they are
+    v1-gated (_current_metadata for_write) so no delete files exist."""
+    return _active_entries(path, meta, snapshot_id)[0]
+
+
+def _apply_positional_deletes(spark, df: DataFrame, deletes: list[dict]):
+    """Merge-on-read: anti-join the scan against the (file_path, pos)
+    rows of the snapshot's positional delete files (spec §Position
+    Delete Files). Spark-native: `_metadata.row_index` supplies the
+    row's ordinal within its parquet file, so no per-row Python and no
+    extra scan pass. Delete files are tiny next to data — AQE
+    broadcasts the anti-join side. Positional deletes name exact data
+    file paths (UUID names are never reused), so path+pos matching
+    needs no sequence-number ordering."""
+    from pyspark.sql import functions as F
+
+    def norm(c):
+        # manifests store literal absolute paths; _metadata.file_path
+        # is a percent-encoded file: URI — normalize both to one form
+        return F.url_decode(F.regexp_replace(c, "^file:(//)?", ""))
+
+    dd = spark.read.parquet(*[f["file_path"] for f in deletes])
+    left = (df
+            .withColumn("__fp", norm(F.col("_metadata.file_path")))
+            .withColumn("__pos", F.col("_metadata.row_index")))
+    right = dd.select(norm(F.col("file_path")).alias("__fp"),
+                      F.col("pos").alias("__pos"))
+    return left.join(right, ["__fp", "__pos"], "left_anti") \
+        .drop("__fp", "__pos")
 
 
 def read_iceberg(
@@ -203,9 +259,11 @@ def read_iceberg(
     the footers so files predating an evolved column (e.g. the
     soft-delete op column) read it as null — the spec's read-time
     projection semantics. (Unlike delta_py, the v1 JSON schema here is
-    lossy for nested Spark types, so footers stay authoritative.)"""
+    lossy for nested Spark types, so footers stay authoritative.)
+    v2 tables' positional delete files are applied merge-on-read
+    (_apply_positional_deletes); equality deletes refuse."""
     _, meta = _current_metadata(path)
-    files = _active_files(path, meta, snapshot_id)
+    files, deletes = _active_entries(path, meta, snapshot_id)
     if not files:
         return spark.createDataFrame([], _spark_schema(meta))
     reader = spark.read.option("mergeSchema", "true")
@@ -214,7 +272,10 @@ def read_iceberg(
         # basePath restores them as columns
         reader = reader.option(
             "basePath", _absolute(fsio.join(path, "data")))
-    return reader.parquet(*[f["file_path"] for f in files])
+    df = reader.parquet(*[f["file_path"] for f in files])
+    if deletes:
+        df = _apply_positional_deletes(spark, df, deletes)
+    return df
 
 
 def _read_files(spark, meta, path, file_paths, empty_schema):
@@ -252,7 +313,7 @@ def merge_iceberg(
 
     strategy = strategy or MergeStrategy.UPDATE_INSERT
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
-    _, meta = _current_metadata(path)
+    _, meta = _current_metadata(path, for_write=True)
     active = _active_files(path, meta, None)
     part_cols = _part_cols(meta)
     target = read_iceberg(spark, path)
@@ -318,7 +379,7 @@ def delete_missing_iceberg(
     from sling_cli_spark.operators.merge import delete_missing as _dm
 
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
-    _, meta = _current_metadata(path)
+    _, meta = _current_metadata(path, for_write=True)
     active = _active_files(path, meta, None)
     target = read_iceberg(spark, path)
     keys = keyset.select(*pk).distinct()
@@ -407,7 +468,7 @@ def _commit_snapshot(
     fs.mkdirs(_meta_dir(path))
     version = 0
     if is_iceberg_table(path):
-        version, _ = _current_metadata(path)
+        version, _ = _current_metadata(path, for_write=True)
 
     part_cols = _part_cols(meta)
     tmp = fsio.join(data_dir, f".stage_{uuid.uuid4().hex[:8]}")
@@ -496,7 +557,7 @@ def write_iceberg(
     spec wins (append must not change layout); ``partition_by`` takes
     effect on table creation."""
     if is_iceberg_table(path):
-        _, meta = _current_metadata(path)
+        _, meta = _current_metadata(path, for_write=True)
     else:
         meta = _init_meta(df, path, partition_by)
     carried = [] if mode == "overwrite" or not meta.get("snapshots") \
@@ -516,7 +577,7 @@ def expire_snapshots(path: str, keep: int = 1) -> dict:
     Returns {"expired": n_snapshots, "deleted_files": [...]}.
     """
     fs = fsio.get_fs(path)
-    version, meta = _current_metadata(path)
+    version, meta = _current_metadata(path, for_write=True)
     snaps = meta.get("snapshots") or []
     if len(snaps) <= keep:
         return {"expired": 0, "deleted_files": []}

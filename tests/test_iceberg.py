@@ -244,9 +244,10 @@ def test_expire_snapshots_prunes_history(spark, tmp_path):
     assert expire_snapshots(t, keep=1)["expired"] == 0
 
 
-def test_format_version_2_refused(spark, tmp_path):
-    """A v2 (merge-on-read) table must refuse loudly: its positional/
-    equality delete files would be silently ignored by a v1 scan."""
+def test_format_version_gating(spark, tmp_path):
+    """v2 tables READ fine (their positional deletes apply
+    merge-on-read) but refuse writes; format-version 3 refuses
+    everything."""
     import pytest
     from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
     from sling_cli_spark.sources.iceberg_py import _current_metadata
@@ -262,7 +263,120 @@ def test_format_version_2_refused(spark, tmp_path):
     meta["format-version"] = 2
     with open(mp, "w") as f:
         json.dump(meta, f)
-    with pytest.raises(UnsupportedTableFeature, match="format-version 2"):
-        read_iceberg(spark, t)
-    with pytest.raises(UnsupportedTableFeature):
+    # v2 with no delete files: same rows, writes refused
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1}
+    with pytest.raises(UnsupportedTableFeature, match="writes are v1-only"):
+        write_iceberg(_df(spark, [(2, "b")]), t)
+
+    meta["format-version"] = 3
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(UnsupportedTableFeature, match="format-version 3"):
         _current_metadata(t)
+    with pytest.raises(UnsupportedTableFeature):
+        read_iceberg(spark, t)
+
+
+def _upgrade_to_v2_with_delete(spark, t, content, del_rows):
+    """Hand-craft a v2 upgrade of a v1 table: write a delete parquet +
+    a delete manifest (data_file.content set), splice both into a new
+    manifest list, and commit a format-version-2 metadata version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sling_cli_spark.sources import iceberg_py as I
+    from sling_cli_spark.sources.avro_py import read_avro, write_avro
+
+    v, meta = I._current_metadata(t)
+    snap = meta["snapshots"][-1]
+
+    del_path = os.path.join(t, "data", "pos-delete-0.parquet")
+    pq.write_table(pa.table({
+        "file_path": [r[0] for r in del_rows],
+        "pos": [r[1] for r in del_rows]}), del_path)
+
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            }},
+        ],
+    }
+    del_manifest = os.path.join(t, "metadata", "delete-m0.avro")
+    write_avro(del_manifest, [{
+        "status": 1, "snapshot_id": snap["snapshot-id"],
+        "data_file": {
+            "content": content, "file_path": del_path,
+            "file_format": "PARQUET", "record_count": len(del_rows),
+            "file_size_in_bytes": os.path.getsize(del_path)}}],
+        entry_schema)
+
+    _, manifests = read_avro(snap["manifest-list"])
+    new_list = os.path.join(t, "metadata", "snap-v2-list.avro")
+    write_avro(new_list, list(manifests) + [{
+        "manifest_path": del_manifest,
+        "manifest_length": os.path.getsize(del_manifest),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snap["snapshot-id"]}],
+        I._MANIFEST_FILE_SCHEMA)
+
+    snap["manifest-list"] = new_list
+    meta["format-version"] = 2
+    nv = v + 1
+    with open(os.path.join(t, "metadata", f"v{nv}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(t, "metadata", "version-hint.text"), "w") as f:
+        f.write(str(nv))
+
+
+def test_v2_positional_deletes_applied(spark, tmp_path):
+    """Merge-on-read: rows named by (file_path, pos) in a positional
+    delete file vanish from the scan; writes to the v2 table refuse."""
+    import pytest
+
+    from sling_cli_spark.sources import iceberg_py as I
+    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    _, meta = I._current_metadata(t)
+    data_files = I._active_files(t, meta, None)
+    rows = spark.read.parquet(*[f["file_path"] for f in data_files]) \
+        .selectExpr("id", "_metadata.file_path AS fp",
+                    "_metadata.row_index AS pos").collect()
+    victim = next(r for r in rows if r["id"] == 2)
+    _upgrade_to_v2_with_delete(
+        spark, t, content=1, del_rows=[(I._canon(victim["fp"]),
+                                        victim["pos"])])
+
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "a", 3: "c"}
+    with pytest.raises(UnsupportedTableFeature, match="writes are v1-only"):
+        write_iceberg(_df(spark, [(9, "z")]), t)
+
+
+def test_v2_equality_deletes_refused(spark, tmp_path):
+    import pytest
+
+    from sling_cli_spark.sources import iceberg_py as I
+    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a")]), t)
+    _, meta = I._current_metadata(t)
+    data_files = I._active_files(t, meta, None)
+    _upgrade_to_v2_with_delete(
+        spark, t, content=2,
+        del_rows=[(I._canon(data_files[0]["file_path"]), 0)])
+    with pytest.raises(UnsupportedTableFeature, match="equality delete"):
+        read_iceberg(spark, t).collect()
