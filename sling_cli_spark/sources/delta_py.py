@@ -488,10 +488,10 @@ def read_delta(
     Column-mapped tables (``delta.columnMapping.mode = name``, reader
     protocol v2 / v3+columnMapping) are read with the PHYSICAL schema
     and projected back to logical names — nested struct fields rename
-    via the positional struct cast. ``id`` mode (parquet field-id
-    matching) and partitioned column-mapped tables (partition values
-    live only in ``add.partitionValues``, not in Hive dirs) refuse
-    loudly rather than mis-read."""
+    via the positional struct cast; partitioned mapped tables attach
+    partition values from ``add.partitionValues``
+    (_read_mapped_partitioned). ``id`` mode (parquet field-id matching)
+    refuses loudly rather than mis-read."""
     meta, files = replay_log(path, version)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
@@ -519,10 +519,8 @@ def read_delta(
             f"delta table at {path} uses column mapping mode {cm!r}; "
             "only 'name' (and 'none') are supported")
     if meta.get("partitionColumns"):
-        raise UnsupportedTableFeature(
-            f"delta table at {path} is partitioned AND column-mapped; "
-            "partition values for mapped tables come from "
-            "add.partitionValues, which this reader does not yet apply")
+        return _read_mapped_partitioned(
+            spark, path, meta, files, schema_json, logical)
     from pyspark.sql import functions as F
 
     phys = T.StructType.fromJson(
@@ -534,6 +532,72 @@ def read_delta(
     return df.select(*[
         F.col(pf.name).cast(lf.dataType).alias(lf.name)
         for pf, lf in zip(phys.fields, logical.fields)])
+
+
+def _read_mapped_partitioned(
+    spark, path: str, meta: dict, files: dict, schema_json: dict, logical,
+):
+    """Column-mapped AND partitioned: mapped tables keep partition
+    values ONLY in ``add.partitionValues`` (keys are physical names —
+    the data files hold no partition columns and the dir layout is
+    opaque), so the scan groups active files by their partition tuple
+    and attaches the values as typed literals, one union branch per
+    DISTINCT partition tuple in the snapshot. The driver already holds
+    every add action (that is what log replay is), so grouping is free;
+    the plan grows with distinct partition tuples, which a snapshot
+    bounds far below file count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    fields = schema_json["fields"]
+    by_logical = {f["name"]: f for f in fields}
+
+    def physname(f):
+        return (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"])
+
+    by_physical = {physname(f): f for f in fields}
+    part_fields = []
+    for name in meta["partitionColumns"]:
+        f = by_logical.get(name) or by_physical.get(name)
+        if f is None:
+            raise UnsupportedTableFeature(
+                f"delta table at {path}: partition column {name!r} not "
+                "found in the schema")
+        part_fields.append(f)
+    part_names = {f["name"] for f in part_fields}
+    data_fields = [f for f in fields if f["name"] not in part_names]
+    phys = T.StructType.fromJson(
+        {"type": "struct", "fields": _physical_fields(data_fields)})
+
+    groups: dict[tuple, list[str]] = {}
+    for rel, add in files.items():
+        pv = add.get("partitionValues") or {}
+        key = tuple(
+            pv.get(physname(f), pv.get(f["name"])) for f in part_fields)
+        groups.setdefault(key, []).append(rel)
+
+    logical_by_name = {f.name: f for f in logical.fields}
+    branches = []
+    for key, rels in sorted(
+            groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+        df = spark.read.schema(phys).parquet(
+            *[fsio.join(path, r) for r in sorted(rels)])
+        vals = {f["name"]: v for f, v in zip(part_fields, key)}
+        sel = []
+        for f in fields:
+            lf = logical_by_name[f["name"]]
+            if f["name"] in part_names:
+                sel.append(F.lit(vals[f["name"]])
+                           .cast(lf.dataType).alias(lf.name))
+            else:
+                sel.append(F.col(physname(f))
+                           .cast(lf.dataType).alias(lf.name))
+        branches.append(df.select(*sel))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def _evolve_schema_actions(df: DataFrame, meta: dict | None) -> list[dict]:

@@ -584,33 +584,69 @@ def test_column_mapping_name_mode_read(spark, tmp_path):
     assert rows == {1: ("a", 10, "x"), 2: ("b", 20, "y")}
 
 
-def test_column_mapping_id_mode_and_partitioned_refused(spark, tmp_path):
+def test_column_mapping_id_mode_refused(spark, tmp_path):
     from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
 
-    def mk(sub, config, partition_cols):
-        t = str(tmp_path / sub)
-        os.makedirs(t + "/_delta_log")
-        with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
-            f.write(json.dumps({"protocol": {
-                "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
-            f.write(json.dumps({"metaData": {
-                "id": "m", "format": {"provider": "parquet"},
-                "schemaString": json.dumps({"type": "struct", "fields": [
-                    {"name": "id", "type": "long", "nullable": True,
-                     "metadata": {}}]}),
-                "partitionColumns": partition_cols,
-                "configuration": config,
-            }}) + "\n")
-            f.write(json.dumps({"add": {
-                "path": "x.parquet", "size": 1, "partitionValues": {},
-                "modificationTime": 0, "dataChange": True}}) + "\n")
-        return t
-
+    t = str(tmp_path / "a")
+    os.makedirs(t + "/_delta_log")
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "m", "format": {"provider": "parquet"},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+        }}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "x.parquet", "size": 1, "partitionValues": {},
+            "modificationTime": 0, "dataChange": True}}) + "\n")
     with pytest.raises(UnsupportedTableFeature, match="mode 'id'"):
-        read_delta(spark, mk("a", {"delta.columnMapping.mode": "id"}, []))
-    with pytest.raises(UnsupportedTableFeature, match="partitioned AND"):
-        read_delta(spark, mk(
-            "b", {"delta.columnMapping.mode": "name"}, ["id"]))
+        read_delta(spark, t)
+
+
+def test_column_mapping_partitioned_read(spark, tmp_path):
+    """Partitioned + column-mapped: partition values come from
+    add.partitionValues (physical keys), attached as typed literals —
+    data files hold no partition column and live in opaque dirs."""
+    t = str(tmp_path / "t")
+    os.makedirs(t)
+    # two physical data files, NO partition column inside
+    for sub, vals in (("f1", [(1, "a"), (2, "b")]), ("f2", [(3, "c")])):
+        spark.createDataFrame(vals, "`col-aa` long, `col-bb` string") \
+            .coalesce(1).write.parquet(f"{t}/{sub}")
+    parts = {sub: [f for f in os.listdir(f"{t}/{sub}")
+                   if f.endswith(".parquet")][0] for sub in ("f1", "f2")}
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-aa"}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-bb"}},
+        {"name": "day", "type": "integer", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-pp"}},
+    ]}
+    os.makedirs(t + "/_delta_log")
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "m", "format": {"provider": "parquet"},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["day"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }}) + "\n")
+        for sub, day in (("f1", "7"), ("f2", "9")):
+            f.write(json.dumps({"add": {
+                "path": f"{sub}/{parts[sub]}", "size": 1,
+                "partitionValues": {"col-pp": day},
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "v", "day"]
+    rows = {r["id"]: (r["v"], r["day"]) for r in got.collect()}
+    assert rows == {1: ("a", 7), 2: ("b", 7), 3: ("c", 9)}
 
 
 def test_reader_v3_with_column_mapping_feature_allowed(spark, tmp_path):
