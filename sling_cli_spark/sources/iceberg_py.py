@@ -17,8 +17,9 @@ Scope (documented): writes are v1 (parquet data files,
 identity-transform partitioning via Hive-dir layout, whole-file
 removes, stats omitted — optional in v1; the manifest partition struct
 is simplified to a string map). READS additionally support v2
-merge-on-read positional deletes (applied via a `_metadata.row_index`
-anti-join); equality deletes and format-version 3 refuse loudly. Enough for
+merge-on-read: positional deletes (a `_metadata.row_index` anti-join)
+and equality deletes (null-safe anti-join scoped by data sequence
+number); format-version 3 refuses loudly. Enough for
 EL-tool snapshots: :func:`write_iceberg` (append/overwrite creating a
 new snapshot + metadata version) and :func:`read_iceberg` (current or
 ``snapshot_id=`` time travel). The jar-backed Spark DataSource takes
@@ -185,45 +186,117 @@ def _parse_ddl_type(name: str):
 
 def _active_entries(
     path: str, meta: dict, snapshot_id: int | None,
-) -> tuple[list[dict], list[dict]]:
-    """-> (data_files, positional_delete_files) for a snapshot.
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """-> (data_files, positional_delete_files, equality_delete_files)
+    for a snapshot.
 
     v2 manifests mark ``data_file.content``: 0/absent = data, 1 =
-    position deletes (applied in read_iceberg), 2 = equality deletes —
-    refused: applying those needs per-file sequence-number ordering
-    this implementation does not track."""
+    position deletes, 2 = equality deletes (both applied in
+    read_iceberg). Every returned dict carries ``__seq`` — the entry's
+    data sequence number, inherited from the manifest-list entry when
+    the manifest entry leaves it null (spec §Sequence Number
+    Inheritance); files from a pre-upgrade v1 table default to 0."""
     snaps = meta.get("snapshots") or []
     sid = snapshot_id if snapshot_id is not None \
         else meta.get("current-snapshot-id")
     snap = next((s for s in snaps if s["snapshot-id"] == sid), None)
     if snap is None:
-        return [], []
+        return [], [], []
     _, manifests = read_avro(snap["manifest-list"])
     files: list[dict] = []
-    deletes: list[dict] = []
+    pos_deletes: list[dict] = []
+    eq_deletes: list[dict] = []
     for m in manifests:
+        mseq = m.get("sequence_number")
         _, entries = read_avro(m["manifest_path"])
         for e in entries:
             if e["status"] == 2:  # 2 = DELETED
                 continue
-            df_ = e["data_file"]
+            df_ = dict(e["data_file"])
+            seq = e.get("sequence_number")
+            df_["__seq"] = mseq if seq is None else seq
             content = df_.get("content") or 0
             if content == 0:
                 files.append(df_)
             elif content == 1:
-                deletes.append(df_)
+                pos_deletes.append(df_)
             else:
-                raise UnsupportedTableFeature(
-                    f"iceberg table at {path} carries equality delete "
-                    "files (content=2); only positional deletes are "
-                    "supported")
-    return files, deletes
+                eq_deletes.append(df_)
+    return files, pos_deletes, eq_deletes
 
 
 def _active_files(path: str, meta: dict, snapshot_id: int | None) -> list[dict]:
     """Data files only — the write/merge paths call this, and they are
     v1-gated (_current_metadata for_write) so no delete files exist."""
     return _active_entries(path, meta, snapshot_id)[0]
+
+
+def _norm_path_col(c):
+    """SQL-side twin of :func:`_canon`: manifests store literal absolute
+    paths while ``_metadata.file_path`` is a percent-encoded file: URI —
+    normalize both to one comparable form."""
+    from pyspark.sql import functions as F
+
+    return F.url_decode(F.regexp_replace(c, "^file:(//)?", ""))
+
+
+def _apply_equality_deletes(
+    spark, df: DataFrame, eq_deletes: list[dict], meta: dict,
+    data_files: list[dict],
+) -> DataFrame:
+    """Merge-on-read equality deletes (spec §Equality Delete Files): a
+    delete row removes data rows whose values null-safe-equal it on the
+    ``equality_ids`` columns, in data files with a STRICTLY SMALLER data
+    sequence number. One left-anti join per distinct equality-column
+    set, with the seq bound folded into the join condition; the data
+    side learns its file's sequence number via a broadcast join on the
+    normalized file path (driver already holds the manifest entries)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    ice_fields = (meta.get("schema") or meta["schemas"][0])["fields"]
+    id_to_name = {f["id"]: f["name"] for f in ice_fields}
+
+    seq_rows = [(_canon(f["file_path"]), int(f["__seq"] or 0))
+                for f in data_files]
+    seq_df = spark.createDataFrame(seq_rows, "__fp string, __seq long")
+    left = df.withColumn(
+        "__fp", _norm_path_col(F.col("_metadata.file_path"))
+    ).join(F.broadcast(seq_df), "__fp")
+
+    groups: dict[tuple, list[dict]] = {}
+    for d in eq_deletes:
+        ids = tuple(sorted(d.get("equality_ids") or ()))
+        if not ids:
+            raise UnsupportedTableFeature(
+                "equality delete file without equality_ids")
+        groups.setdefault(ids, []).append(d)
+
+    for ids, dels in groups.items():
+        try:
+            cols = [id_to_name[i] for i in ids]
+        except KeyError as e:
+            raise UnsupportedTableFeature(
+                f"equality delete references unknown field id {e}")
+        branches = []
+        for d in dels:
+            if d["__seq"] is None:
+                raise UnsupportedTableFeature(
+                    "equality delete file without a sequence number")
+            branches.append(
+                spark.read.parquet(d["file_path"]).select(*cols)
+                .withColumn("__dseq", F.lit(int(d["__seq"]))))
+        dd = branches[0]
+        for b in branches[1:]:
+            dd = dd.unionByName(b)
+        dd = dd.select(*[F.col(c).alias(f"__d_{c}") for c in cols], "__dseq")
+        cond = reduce(
+            lambda a, b: a & b,
+            [left[c].eqNullSafe(dd[f"__d_{c}"]) for c in cols],
+        ) & (left["__seq"] < dd["__dseq"])
+        left = left.join(dd, cond, "left_anti")
+    return left.drop("__fp", "__seq")
 
 
 def _apply_positional_deletes(spark, df: DataFrame, deletes: list[dict]):
@@ -237,16 +310,11 @@ def _apply_positional_deletes(spark, df: DataFrame, deletes: list[dict]):
     needs no sequence-number ordering."""
     from pyspark.sql import functions as F
 
-    def norm(c):
-        # manifests store literal absolute paths; _metadata.file_path
-        # is a percent-encoded file: URI — normalize both to one form
-        return F.url_decode(F.regexp_replace(c, "^file:(//)?", ""))
-
     dd = spark.read.parquet(*[f["file_path"] for f in deletes])
     left = (df
-            .withColumn("__fp", norm(F.col("_metadata.file_path")))
+            .withColumn("__fp", _norm_path_col(F.col("_metadata.file_path")))
             .withColumn("__pos", F.col("_metadata.row_index")))
-    right = dd.select(norm(F.col("file_path")).alias("__fp"),
+    right = dd.select(_norm_path_col(F.col("file_path")).alias("__fp"),
                       F.col("pos").alias("__pos"))
     return left.join(right, ["__fp", "__pos"], "left_anti") \
         .drop("__fp", "__pos")
@@ -260,10 +328,11 @@ def read_iceberg(
     soft-delete op column) read it as null — the spec's read-time
     projection semantics. (Unlike delta_py, the v1 JSON schema here is
     lossy for nested Spark types, so footers stay authoritative.)
-    v2 tables' positional delete files are applied merge-on-read
-    (_apply_positional_deletes); equality deletes refuse."""
+    v2 tables' positional AND equality delete files are applied
+    merge-on-read (_apply_positional_deletes /
+    _apply_equality_deletes)."""
     _, meta = _current_metadata(path)
-    files, deletes = _active_entries(path, meta, snapshot_id)
+    files, pos_dels, eq_dels = _active_entries(path, meta, snapshot_id)
     if not files:
         return spark.createDataFrame([], _spark_schema(meta))
     reader = spark.read.option("mergeSchema", "true")
@@ -273,8 +342,10 @@ def read_iceberg(
         reader = reader.option(
             "basePath", _absolute(fsio.join(path, "data")))
     df = reader.parquet(*[f["file_path"] for f in files])
-    if deletes:
-        df = _apply_positional_deletes(spark, df, deletes)
+    if pos_dels:
+        df = _apply_positional_deletes(spark, df, pos_dels)
+    if eq_dels:
+        df = _apply_equality_deletes(spark, df, eq_dels, meta, files)
     return df
 
 

@@ -277,11 +277,13 @@ def test_format_version_gating(spark, tmp_path):
         read_iceberg(spark, t)
 
 
-def _upgrade_to_v2_with_delete(spark, t, content, del_rows):
+def _upgrade_to_v2_with_delete(
+        spark, t, content, del_table, equality_ids=None, seq=None):
     """Hand-craft a v2 upgrade of a v1 table: write a delete parquet +
-    a delete manifest (data_file.content set), splice both into a new
-    manifest list, and commit a format-version-2 metadata version."""
-    import pyarrow as pa
+    a delete manifest (data_file.content set, optional equality_ids),
+    splice both into a new manifest list (whose delete entry carries
+    ``sequence_number`` for inheritance), and commit a
+    format-version-2 metadata version."""
     import pyarrow.parquet as pq
 
     from sling_cli_spark.sources import iceberg_py as I
@@ -290,16 +292,15 @@ def _upgrade_to_v2_with_delete(spark, t, content, del_rows):
     v, meta = I._current_metadata(t)
     snap = meta["snapshots"][-1]
 
-    del_path = os.path.join(t, "data", "pos-delete-0.parquet")
-    pq.write_table(pa.table({
-        "file_path": [r[0] for r in del_rows],
-        "pos": [r[1] for r in del_rows]}), del_path)
+    del_path = os.path.join(t, "data", f"delete-{content}-{seq}.parquet")
+    pq.write_table(del_table, del_path)
 
     entry_schema = {
         "type": "record", "name": "manifest_entry",
         "fields": [
             {"name": "status", "type": "int"},
             {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
             {"name": "data_file", "type": {
                 "type": "record", "name": "r2",
                 "fields": [
@@ -308,27 +309,42 @@ def _upgrade_to_v2_with_delete(spark, t, content, del_rows):
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
                 ],
             }},
         ],
     }
-    del_manifest = os.path.join(t, "metadata", "delete-m0.avro")
+    del_manifest = os.path.join(t, "metadata", f"delete-m-{content}-{seq}.avro")
     write_avro(del_manifest, [{
         "status": 1, "snapshot_id": snap["snapshot-id"],
+        "sequence_number": None,  # inherited from the manifest list
         "data_file": {
             "content": content, "file_path": del_path,
-            "file_format": "PARQUET", "record_count": len(del_rows),
-            "file_size_in_bytes": os.path.getsize(del_path)}}],
+            "file_format": "PARQUET", "record_count": del_table.num_rows,
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "equality_ids": equality_ids}}],
         entry_schema)
 
+    list_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": I._MANIFEST_FILE_SCHEMA["fields"] + [
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "content", "type": ["null", "int"]},
+        ],
+    }
     _, manifests = read_avro(snap["manifest-list"])
-    new_list = os.path.join(t, "metadata", "snap-v2-list.avro")
-    write_avro(new_list, list(manifests) + [{
+    new_list = os.path.join(t, "metadata", f"list-v2-{content}-{seq}.avro")
+    entries = [{**m,
+                "sequence_number": m.get("sequence_number"),
+                "content": m.get("content", 0)} for m in manifests]
+    entries.append({
         "manifest_path": del_manifest,
         "manifest_length": os.path.getsize(del_manifest),
         "partition_spec_id": 0,
-        "added_snapshot_id": snap["snapshot-id"]}],
-        I._MANIFEST_FILE_SCHEMA)
+        "added_snapshot_id": snap["snapshot-id"],
+        "sequence_number": seq, "content": 1})
+    write_avro(new_list, entries, list_schema)
 
     snap["manifest-list"] = new_list
     meta["format-version"] = 2
@@ -342,6 +358,7 @@ def _upgrade_to_v2_with_delete(spark, t, content, del_rows):
 def test_v2_positional_deletes_applied(spark, tmp_path):
     """Merge-on-read: rows named by (file_path, pos) in a positional
     delete file vanish from the scan; writes to the v2 table refuse."""
+    import pyarrow as pa
     import pytest
 
     from sling_cli_spark.sources import iceberg_py as I
@@ -356,8 +373,9 @@ def test_v2_positional_deletes_applied(spark, tmp_path):
                     "_metadata.row_index AS pos").collect()
     victim = next(r for r in rows if r["id"] == 2)
     _upgrade_to_v2_with_delete(
-        spark, t, content=1, del_rows=[(I._canon(victim["fp"]),
-                                        victim["pos"])])
+        spark, t, content=1,
+        del_table=pa.table({"file_path": [I._canon(victim["fp"])],
+                            "pos": [victim["pos"]]}))
 
     got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
     assert got == {1: "a", 3: "c"}
@@ -365,18 +383,32 @@ def test_v2_positional_deletes_applied(spark, tmp_path):
         write_iceberg(_df(spark, [(9, "z")]), t)
 
 
-def test_v2_equality_deletes_refused(spark, tmp_path):
-    import pytest
-
-    from sling_cli_spark.sources import iceberg_py as I
-    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+def test_v2_equality_deletes_applied(spark, tmp_path):
+    """Equality deletes remove null-safe-matching rows ONLY from data
+    files with a strictly smaller sequence number (pre-upgrade v1 data
+    files sit at seq 0)."""
+    import pyarrow as pa
 
     t = str(tmp_path / "t")
-    write_iceberg(_df(spark, [(1, "a")]), t)
-    _, meta = I._current_metadata(t)
-    data_files = I._active_files(t, meta, None)
+    write_iceberg(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    # field id 1 == "id" (ids assigned in field order); delete id=2 at
+    # seq 2 -> applies to the seq-0 data files
     _upgrade_to_v2_with_delete(
-        spark, t, content=2,
-        del_rows=[(I._canon(data_files[0]["file_path"]), 0)])
-    with pytest.raises(UnsupportedTableFeature, match="equality delete"):
-        read_iceberg(spark, t).collect()
+        spark, t, content=2, del_table=pa.table({"id": [2]}),
+        equality_ids=[1], seq=2)
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "a", 3: "c"}
+
+
+def test_v2_equality_delete_seq_bound(spark, tmp_path):
+    """A delete whose sequence number does NOT exceed the data file\'s
+    (0 < 0 is false) must leave the rows alone."""
+    import pyarrow as pa
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b")]), t)
+    _upgrade_to_v2_with_delete(
+        spark, t, content=2, del_table=pa.table({"id": [2]}),
+        equality_ids=[1], seq=0)
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1, 2}
