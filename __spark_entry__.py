@@ -1093,6 +1093,69 @@ def _ann_lsh_oracle() -> str:
     """
 
 
+def _ann_ivf_oracle() -> str:
+    """DuckDB twin of ivf_topk(k=10, n_clusters=8, n_probe=2).
+
+    The kmeans codebook is deterministic given the data (bounded sample
+    in file order, fixed seed/iterations, float64 throughout), so this
+    retrains the BIT-IDENTICAL centroids from the raw parquet with
+    similarity.kmeans_np and embeds them as literals. Assignment is
+    argmax over raw dots (no row normalization on either side — argmax
+    is scale-invariant and the Spark UDF skips it too); the query side
+    probes its top-2 clusters with first-index tie-breaks, mirroring
+    numpy's stable argsort. Valid for the sf dir the driver's oracle
+    gate reads ($SPARK_GRAFT_ORACLE_SF_DIR, default sf0.01) — other
+    dirs retrain a different codebook.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sling_cli_spark.operators.similarity import kmeans_np
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    vecs = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding"]).column("embedding").to_pylist()[:20_000]
+    cent = kmeans_np(np.array(vecs, dtype=np.float64), n_clusters=8)
+
+    def arr(c):
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    ds = "[" + ", ".join(
+        f"list_dot_product(v, {arr(c)})" for c in cent) + "]"
+    return f"""
+        WITH c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), d AS (
+            SELECT vec_id, v, {ds} AS ds FROM c
+        ), asn AS (
+            SELECT vec_id, v,
+                   list_position(ds, list_max(ds)) - 1 AS cl, ds
+            FROM d
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, cl AS cl1,
+                   list_transform(range(1, 9),
+                       i -> CASE WHEN i = cl + 1 THEN -1e308
+                                 ELSE ds[i] END) AS ds2
+            FROM asn WHERE vec_id < 5
+        ), probes AS (
+            SELECT query_id, qv,
+                   unnest([cl1, list_position(ds2, list_max(ds2)) - 1]) AS cl
+            FROM q
+        ), scored AS (
+            SELECT p.query_id, a.vec_id,
+                   list_cosine_similarity(a.v, p.qv) AS s
+            FROM asn a JOIN probes p ON a.cl = p.cl
+        )
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id) AS rn
+            FROM scored) WHERE rn <= 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "star_join_agg": """
@@ -1726,7 +1789,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup_docs": _simhash_oracle(),
         "fingerprint_docs": _fingerprint_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
-        # no oracle (rows-only check): ann_ivf_topk — the kmeans codebook
-        # is iterative (10 numpy refinement passes over a driver sample)
-        # and not expressible as a static SQL string.
+        "ann_ivf_topk": _ann_ivf_oracle(),
+        # every registered query now carries a DuckDB oracle.
     }

@@ -198,6 +198,16 @@ def kmeans_centroids(
     # ~2x slower for list<float> columns at the 20k-sample cap
     pdf = df.select(vec_col).limit(sample).toPandas()
     X = np.array(list(pdf[vec_col]), dtype=np.float64)
+    return kmeans_np(X, n_clusters=n_clusters, iters=iters, seed=seed)
+
+
+def kmeans_np(X, n_clusters: int = 16, iters: int = 10, seed: int = 13):
+    """Deterministic spherical k-means core over a float64 (n, d)
+    sample. Split out so the correctness oracle can retrain the
+    IDENTICAL codebook from the raw parquet (same dtype, seed, and
+    iteration order -> bit-identical centroids)."""
+    import numpy as np
+
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
@@ -214,7 +224,12 @@ def kmeans_centroids(
 
 def _assign_udf(centroids, n_probe: int = 1):
     """Vectorized pandas UDF: batch matmul against the broadcast codebook
-    -> nearest cluster id(s). Arrow-batched, no per-row Python."""
+    -> nearest cluster id(s). Arrow-batched, no per-row Python.
+
+    Rows are NOT normalized before the matmul: the centroids are unit
+    vectors and argmax/argsort of v·C_j is invariant to the positive
+    per-row scale 1/||v|| — skipping it saves a pass AND keeps the dot
+    values literally reproducible in the SQL oracle."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -223,16 +238,14 @@ def _assign_udf(centroids, n_probe: int = 1):
     if n_probe == 1:
         @pandas_udf("int")
         def assign(v: pd.Series) -> pd.Series:
-            M = np.stack(v.to_numpy())
-            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            M = np.stack(v.to_numpy()).astype(np.float64)
             return pd.Series(np.argmax(M @ C.T, axis=1))
         return assign
 
     @pandas_udf("array<int>")
     def probe(v: pd.Series) -> pd.Series:
-        M = np.stack(v.to_numpy())
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        top = np.argsort(-(M @ C.T), axis=1)[:, :n_probe]
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        top = np.argsort(-(M @ C.T), axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(top))
     return probe
 
