@@ -97,14 +97,26 @@ def main() -> None:
     # sub-second ones (asof/sessionize)
     ordered = {n: qs[n] for n in BENCH_QUERIES if n in qs}
     ordered.update(qs)
+    # each query = min of 2 consecutive runs. The sandbox shows
+    # intermittent multi-second I/O stalls (r5's driver artifact
+    # recorded a 2x phantom regression from one; a 0.7s avro query has
+    # measured 36s during a stall) — min-of-2 reports steady-state
+    # execution instead of whichever run a stall landed on. r3-r5
+    # artifacts were single-run; the "runs" key marks the change.
     for name, fn in ordered.items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # keep the bench line parseable
-            failures[name] = f"{type(e).__name__}: {e}"[:200]
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                took = time.time() - t0
+                best = took if best is None else min(best, took)
+            except Exception as e:  # keep the bench line parseable
+                failures[name] = f"{type(e).__name__}: {e}"[:200]
+                break
+        if best is not None:
+            timings[name] = round(best, 3)
 
     total = round(sum(timings[n] for n in BENCH_QUERIES if n in timings), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -115,6 +127,7 @@ def main() -> None:
         "queries": timings,
         "headline": BENCH_QUERIES,
         "all_total": round(sum(timings.values()), 3),
+        "runs": 2,  # min-of-2 per query (see comment above)
         "sf": float(sf) if sf else sf_dir,
     }
     if failures:
