@@ -294,6 +294,119 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         write_delta(n, t)
         return read_delta(spark, t)
 
+    def delta_column_mapping(spark, sf):
+        """Read a foreign name-mapped Delta table (reader protocol v2,
+        delta_py._physical_fields round 6): parquet files store physical
+        col-* names; the scan projects them back to the logical nation
+        columns. Hash-matches a plain SELECT from nation."""
+        import json as _json
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import read_delta
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_cm_"), "t")
+        os.makedirs(t)
+        _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("col-aa"),
+            F.col("n_name").alias("col-bb"),
+            F.col("n_regionkey").cast("long").alias("col-cc"),
+        ).coalesce(1).write.parquet(t + "/files")
+        part = [f for f in os.listdir(t + "/files")
+                if f.endswith(".parquet")][0]
+
+        def fld(name, typ, phys):
+            return {"name": name, "type": typ, "nullable": True,
+                    "metadata": {"delta.columnMapping.physicalName": phys}}
+
+        schema = {"type": "struct", "fields": [
+            fld("n_nationkey", "long", "col-aa"),
+            fld("n_name", "string", "col-bb"),
+            fld("n_regionkey", "long", "col-cc")]}
+        os.makedirs(t + "/_delta_log")
+        with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                "id": "cm", "format": {"provider": "parquet"},
+                "schemaString": _json.dumps(schema), "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }}) + "\n")
+            f.write(_json.dumps({"add": {
+                "path": "files/" + part, "size": 1, "partitionValues": {},
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+        return read_delta(spark, t)
+
+    def iceberg_v2_pos_delete(spark, sf):
+        """Iceberg v2 merge-on-read (iceberg_py round 6): a positional
+        delete file removes every nation row with n_nationkey % 5 == 0
+        from the scan via the `_metadata.row_index` anti-join.
+        Hash-matches the complementary SELECT."""
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sling_cli_spark.sources import iceberg_py as I
+        from sling_cli_spark.sources.avro_py import read_avro, write_avro
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_i2_"), "t")
+        I.write_iceberg(
+            _t(spark, sf, "nation").select(
+                F.col("n_nationkey").cast("long").alias("n_nationkey"),
+                "n_name",
+                F.col("n_regionkey").cast("long").alias("n_regionkey"))
+            .coalesce(1), t)
+        _, meta = I._current_metadata(t)
+        snap = meta["snapshots"][-1]
+        victims = spark.read.parquet(
+            *[f["file_path"] for f in I._active_files(t, meta, None)]) \
+            .selectExpr("n_nationkey", "_metadata.file_path AS fp",
+                        "_metadata.row_index AS pos") \
+            .filter("n_nationkey % 5 = 0").collect()
+        del_path = os.path.join(t, "data", "pos-del.parquet")
+        pq.write_table(pa.table(
+            {"file_path": [I._canon(r["fp"]) for r in victims],
+             "pos": [r["pos"] for r in victims]}), del_path)
+        entry_schema = {
+            "type": "record", "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"]},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "r2", "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ]}}]}
+        dm = os.path.join(t, "metadata", "delete-m.avro")
+        write_avro(dm, [{
+            "status": 1, "snapshot_id": snap["snapshot-id"],
+            "data_file": {
+                "content": 1, "file_path": del_path,
+                "file_format": "PARQUET", "record_count": len(victims),
+                "file_size_in_bytes": os.path.getsize(del_path)}}],
+            entry_schema)
+        _, manifests = read_avro(snap["manifest-list"])
+        new_list = os.path.join(t, "metadata", "list-v2.avro")
+        write_avro(new_list, list(manifests) + [{
+            "manifest_path": dm, "manifest_length": os.path.getsize(dm),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snap["snapshot-id"]}],
+            I._MANIFEST_FILE_SCHEMA)
+        snap["manifest-list"] = new_list
+        meta["format-version"] = 2
+        import json as _json
+        v, _ = I._current_metadata(t)
+        with open(os.path.join(
+                t, "metadata", f"v{v + 1}.metadata.json"), "w") as f:
+            _json.dump(meta, f)
+        with open(os.path.join(
+                t, "metadata", "version-hint.text"), "w") as f:
+            f.write(str(v + 1))
+        return I.read_iceberg(spark, t)
+
     def iceberg_roundtrip(spark, sf):
         """Iceberg v1 scan/write active in-sandbox (sources/iceberg_py.py
         — metadata json + manifest-list/manifest Avro chain per the open
@@ -845,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "window_agg_events": window_agg_events,
         "jaccard_dedup_docs": jaccard_dedup_docs,
+        "delta_column_mapping": delta_column_mapping,
+        "iceberg_v2_pos_delete": iceberg_v2_pos_delete,
         # -- flagship / lake / format roundtrips ---------------------------
         "star_join_agg": _star_join_agg,
         "exact_dedup_docs": exact_dedup_docs,
@@ -869,11 +984,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_watermark": incremental_watermark,
         "backfill_range": backfill_range,
         "column_typing_clamp": column_typing_clamp,
+        # ---- tail (51+): all green in CORRECTNESS_r05 — rotate back next
+        # round.  bench still executes every query, so a crash would
+        # surface regardless of window position.
         "constraint_dsl_filter": constraint_dsl_filter,
         "row_constraints": row_constraints,
-        # ---- tail (51+): all green in CORRECTNESS_r05 — rotate back next
-        # round.  The five no_oracle rows-only entries also live here; bench
-        # still executes every query, so a crash would surface regardless.
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1271,6 +1386,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation
+        """,
+        "delta_column_mapping": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+        """,
+        "iceberg_v2_pos_delete": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation WHERE n_nationkey % 5 <> 0
         """,
         "iceberg_roundtrip": """
             SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
