@@ -42,6 +42,77 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(df_path)
 
 
+def _iceberg_v2_upgrade(
+    t: str, content: int, del_table, equality_ids=None, seq=None,
+) -> None:
+    """Upgrade a v1 iceberg table in place to v2 with one delete file
+    (content 1 = positional, 2 = equality): write the delete parquet +
+    a delete manifest, splice them into a new manifest list (whose
+    delete entry carries ``sequence_number`` for inheritance), and
+    commit a format-version-2 metadata version. Synthesizes the foreign
+    tables the v2 merge-on-read queries verify against."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from sling_cli_spark.sources import iceberg_py as I
+    from sling_cli_spark.sources.avro_py import read_avro, write_avro
+
+    v, meta = I._current_metadata(t)
+    snap = meta["snapshots"][-1]
+    del_path = os.path.join(t, "data", f"delete-{content}.parquet")
+    pq.write_table(del_table, del_path)
+    entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
+                ]}}]}
+    dm = os.path.join(t, "metadata", f"delete-m{content}.avro")
+    write_avro(dm, [{
+        "status": 1, "snapshot_id": snap["snapshot-id"],
+        "sequence_number": None,  # inherited from the manifest list
+        "data_file": {
+            "content": content, "file_path": del_path,
+            "file_format": "PARQUET", "record_count": del_table.num_rows,
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "equality_ids": equality_ids}}],
+        entry_schema)
+    list_schema = {
+        "type": "record", "name": "manifest_file",
+        "fields": I._MANIFEST_FILE_SCHEMA["fields"] + [
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "content", "type": ["null", "int"]},
+        ]}
+    _, manifests = read_avro(snap["manifest-list"])
+    entries = [{**m, "sequence_number": m.get("sequence_number"),
+                "content": m.get("content", 0)} for m in manifests]
+    entries.append({
+        "manifest_path": dm, "manifest_length": os.path.getsize(dm),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snap["snapshot-id"],
+        "sequence_number": seq, "content": 1})
+    new_list = os.path.join(t, "metadata", f"list-v2-{content}.avro")
+    write_avro(new_list, entries, list_schema)
+    snap["manifest-list"] = new_list
+    meta["format-version"] = 2
+    with open(os.path.join(t, "metadata", f"v{v + 1}.metadata.json"),
+              "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(t, "metadata", "version-hint.text"), "w") as f:
+        f.write(str(v + 1))
+
+
 # ---------------------------------------------------------------------------
 # flagship: star-join revenue aggregate (lineitem ⋈ orders ⋈ customer).
 # Dims broadcast under the 64MB threshold; lineitem never shuffles for the
@@ -336,18 +407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "modificationTime": 0, "dataChange": True}}) + "\n")
         return read_delta(spark, t)
 
-    def iceberg_v2_pos_delete(spark, sf):
-        """Iceberg v2 merge-on-read (iceberg_py round 6): a positional
-        delete file removes every nation row with n_nationkey % 5 == 0
-        from the scan via the `_metadata.row_index` anti-join.
-        Hash-matches the complementary SELECT."""
+    def _nation_iceberg_v1(spark, sf):
         import tempfile
 
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         from sling_cli_spark.sources import iceberg_py as I
-        from sling_cli_spark.sources.avro_py import read_avro, write_avro
 
         t = os.path.join(tempfile.mkdtemp(prefix="sling_i2_"), "t")
         I.write_iceberg(
@@ -356,55 +419,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "n_name",
                 F.col("n_regionkey").cast("long").alias("n_regionkey"))
             .coalesce(1), t)
+        return t
+
+    def iceberg_v2_pos_delete(spark, sf):
+        """Iceberg v2 merge-on-read (iceberg_py round 6): a positional
+        delete file removes every nation row with n_nationkey % 5 == 0
+        from the scan via the `_metadata.row_index` anti-join.
+        Hash-matches the complementary SELECT."""
+        import pyarrow as pa
+
+        from sling_cli_spark.sources import iceberg_py as I
+
+        t = _nation_iceberg_v1(spark, sf)
         _, meta = I._current_metadata(t)
-        snap = meta["snapshots"][-1]
         victims = spark.read.parquet(
             *[f["file_path"] for f in I._active_files(t, meta, None)]) \
             .selectExpr("n_nationkey", "_metadata.file_path AS fp",
                         "_metadata.row_index AS pos") \
             .filter("n_nationkey % 5 = 0").collect()
-        del_path = os.path.join(t, "data", "pos-del.parquet")
-        pq.write_table(pa.table(
-            {"file_path": [I._canon(r["fp"]) for r in victims],
-             "pos": [r["pos"] for r in victims]}), del_path)
-        entry_schema = {
-            "type": "record", "name": "manifest_entry",
-            "fields": [
-                {"name": "status", "type": "int"},
-                {"name": "snapshot_id", "type": ["null", "long"]},
-                {"name": "data_file", "type": {
-                    "type": "record", "name": "r2", "fields": [
-                        {"name": "content", "type": "int"},
-                        {"name": "file_path", "type": "string"},
-                        {"name": "file_format", "type": "string"},
-                        {"name": "record_count", "type": "long"},
-                        {"name": "file_size_in_bytes", "type": "long"},
-                    ]}}]}
-        dm = os.path.join(t, "metadata", "delete-m.avro")
-        write_avro(dm, [{
-            "status": 1, "snapshot_id": snap["snapshot-id"],
-            "data_file": {
-                "content": 1, "file_path": del_path,
-                "file_format": "PARQUET", "record_count": len(victims),
-                "file_size_in_bytes": os.path.getsize(del_path)}}],
-            entry_schema)
-        _, manifests = read_avro(snap["manifest-list"])
-        new_list = os.path.join(t, "metadata", "list-v2.avro")
-        write_avro(new_list, list(manifests) + [{
-            "manifest_path": dm, "manifest_length": os.path.getsize(dm),
-            "partition_spec_id": 0,
-            "added_snapshot_id": snap["snapshot-id"]}],
-            I._MANIFEST_FILE_SCHEMA)
-        snap["manifest-list"] = new_list
-        meta["format-version"] = 2
-        import json as _json
-        v, _ = I._current_metadata(t)
-        with open(os.path.join(
-                t, "metadata", f"v{v + 1}.metadata.json"), "w") as f:
-            _json.dump(meta, f)
-        with open(os.path.join(
-                t, "metadata", "version-hint.text"), "w") as f:
-            f.write(str(v + 1))
+        _iceberg_v2_upgrade(
+            t, content=1,
+            del_table=pa.table(
+                {"file_path": [I._canon(r["fp"]) for r in victims],
+                 "pos": [r["pos"] for r in victims]}))
+        return I.read_iceberg(spark, t)
+
+    def iceberg_v2_eq_delete(spark, sf):
+        """Iceberg v2 equality deletes (iceberg_py round 6): a delete
+        row matching n_regionkey = 0 at sequence 2 removes every such
+        row from the seq-0 data files (sequence-scoped null-safe
+        anti-join). Hash-matches the complementary SELECT."""
+        import pyarrow as pa
+
+        from sling_cli_spark.sources import iceberg_py as I
+
+        t = _nation_iceberg_v1(spark, sf)
+        # field ids are assigned in column order: n_regionkey == 3
+        _iceberg_v2_upgrade(
+            t, content=2, del_table=pa.table({"n_regionkey": [0]}),
+            equality_ids=[3], seq=2)
         return I.read_iceberg(spark, t)
 
     def iceberg_roundtrip(spark, sf):
@@ -960,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_dedup_docs": jaccard_dedup_docs,
         "delta_column_mapping": delta_column_mapping,
         "iceberg_v2_pos_delete": iceberg_v2_pos_delete,
+        "iceberg_v2_eq_delete": iceberg_v2_eq_delete,
         # -- flagship / lake / format roundtrips ---------------------------
         "star_join_agg": _star_join_agg,
         "exact_dedup_docs": exact_dedup_docs,
@@ -983,10 +1037,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copy_load_duckdb": copy_load_duckdb,
         "incremental_watermark": incremental_watermark,
         "backfill_range": backfill_range,
-        "column_typing_clamp": column_typing_clamp,
         # ---- tail (51+): all green in CORRECTNESS_r05 — rotate back next
         # round.  bench still executes every query, so a crash would
         # surface regardless of window position.
+        "column_typing_clamp": column_typing_clamp,
         "constraint_dsl_filter": constraint_dsl_filter,
         "row_constraints": row_constraints,
         "ann_topk": ann_topk,
@@ -1396,6 +1450,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation WHERE n_nationkey % 5 <> 0
+        """,
+        "iceberg_v2_eq_delete": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation WHERE n_regionkey <> 0
         """,
         "iceberg_roundtrip": """
             SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
