@@ -113,16 +113,35 @@ def _checkpoint_file(path: str, version: int) -> str:
     return fsio.join(path, _LOG_DIR, f"{version:020d}.checkpoint.parquet")
 
 
-def _read_checkpoint(path: str, fs, version: int):
+def _checkpoint_parts(path: str, version: int, parts: int) -> list[str]:
+    """Multi-part checkpoint names (PROTOCOL.md Checkpoints:
+    ``NNN.checkpoint.<part>.<parts>.parquet``, both fields 10 digits) —
+    foreign writers split large state; the parts union to one state."""
+    return [
+        fsio.join(path, _LOG_DIR,
+                  f"{version:020d}.checkpoint.{i + 1:010d}.{parts:010d}"
+                  ".parquet")
+        for i in range(parts)
+    ]
+
+
+def _read_checkpoint(path: str, fs, version: int, parts: int | None = None):
     """checkpoint parquet -> (metadata_action, {rel_path: add_action},
-    protocol_action)."""
+    protocol_action). ``parts`` (from ``_last_checkpoint``) selects the
+    multi-part layout; actions across parts are disjoint per the spec,
+    so rows just accumulate."""
     import pyarrow.parquet as pq
 
-    buf = io.BytesIO(fs.read_bytes(_checkpoint_file(path, version)))
+    names = _checkpoint_parts(path, version, parts) if parts \
+        else [_checkpoint_file(path, version)]
+    rows: list[dict] = []
+    for name in names:
+        buf = io.BytesIO(fs.read_bytes(name))
+        rows.extend(pq.read_table(buf).to_pylist())
     meta: dict[str, Any] | None = None
     files: dict[str, dict] = {}
     protocol: dict[str, Any] | None = None
-    for row in pq.read_table(buf).to_pylist():
+    for row in rows:
         if row.get("protocol") is not None:
             protocol = {k: v for k, v in dict(row["protocol"]).items()
                         if v is not None}
@@ -264,7 +283,8 @@ def replay_log(path: str, version: int | None = None):
     cp = _last_checkpoint_info(path, fs)
     if cp is not None and (version is None or cp.get("version", -1) <= version):
         try:
-            meta, files, protocol = _read_checkpoint(path, fs, cp["version"])
+            meta, files, protocol = _read_checkpoint(
+                path, fs, cp["version"], cp.get("parts"))
             start = cp["version"]
         except Exception:
             # missing/corrupt cp: replay from scratch

@@ -322,6 +322,7 @@ def _apply_positional_deletes(spark, df: DataFrame, deletes: list[dict]):
 
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Scan the current (or a specific) snapshot. ``mergeSchema`` unions
     the footers so files predating an evolved column (e.g. the
@@ -330,8 +331,18 @@ def read_iceberg(
     lossy for nested Spark types, so footers stay authoritative.)
     v2 tables' positional AND equality delete files are applied
     merge-on-read (_apply_positional_deletes /
-    _apply_equality_deletes)."""
+    _apply_equality_deletes). ``as_of_timestamp_ms`` time-travels to
+    the latest snapshot at or before the instant (the spec's
+    ``timestamp-ms`` snapshot field); an instant before the first
+    snapshot reads empty."""
     _, meta = _current_metadata(path)
+    if snapshot_id is None and as_of_timestamp_ms is not None:
+        eligible = [s for s in meta.get("snapshots") or []
+                    if s.get("timestamp-ms", 0) <= as_of_timestamp_ms]
+        if not eligible:
+            return spark.createDataFrame([], _spark_schema(meta))
+        snapshot_id = max(
+            eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
     files, pos_dels, eq_dels = _active_entries(path, meta, snapshot_id)
     if not files:
         return spark.createDataFrame([], _spark_schema(meta))

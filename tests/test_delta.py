@@ -661,3 +661,66 @@ def test_reader_v3_with_column_mapping_feature_allowed(spark, tmp_path):
             "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": ["columnMapping"]}}) + "\n")
     assert {r["id"] for r in read_delta(spark, t).collect()} == {1}
+
+
+def test_multipart_checkpoint_read(spark, tmp_path):
+    """Foreign writers split big checkpoints into
+    NNN.checkpoint.<part>.<parts>.parquet; the parts union to one
+    state. The JSON logs at/before the checkpoint are deleted, so a
+    fallback replay CANNOT reconstruct the rows — only the multi-part
+    read can."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sling_cli_spark.sources.delta_py import replay_log
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    meta, files = replay_log(t)
+    assert len(files) >= 2
+    adds = [files[p] for p in sorted(files)]
+
+    log = os.path.join(t, "_delta_log")
+    meta_t = pa.struct([
+        ("id", pa.string()), ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string()))])
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_())])
+    proto_t = pa.struct([("minReaderVersion", pa.int32()),
+                         ("minWriterVersion", pa.int32())])
+
+    def add_cell(a):
+        return {"path": a["path"],
+                "partitionValues": a.get("partitionValues") or {},
+                "size": a.get("size", 0), "modificationTime": 0,
+                "dataChange": False}
+
+    # part 1: protocol + metaData + first add; part 2: remaining adds
+    part1 = pa.table({
+        "protocol": pa.array(
+            [{"minReaderVersion": 1, "minWriterVersion": 2}, None, None],
+            type=proto_t),
+        "metaData": pa.array([None, {
+            "id": "m", "schemaString": meta["schemaString"],
+            "partitionColumns": []}, None], type=meta_t),
+        "add": pa.array([None, None, add_cell(adds[0])], type=add_t)})
+    part2 = pa.table({
+        "protocol": pa.array([None] * len(adds[1:]), type=proto_t),
+        "metaData": pa.array([None] * len(adds[1:]), type=meta_t),
+        "add": pa.array([add_cell(a) for a in adds[1:]], type=add_t)})
+    v = 1  # checkpoint at the latest version
+    pq.write_table(part1, os.path.join(
+        log, f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    pq.write_table(part2, os.path.join(
+        log, f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": v, "size": 3 + len(adds[1:]), "parts": 2}, f)
+    for j in (0, 1):  # force the checkpoint path
+        os.remove(os.path.join(log, f"{j:020d}.json"))
+
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {1: "a", 2: "b"}

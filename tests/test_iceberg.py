@@ -412,3 +412,23 @@ def test_v2_equality_delete_seq_bound(spark, tmp_path):
         equality_ids=[1], seq=0)
     got = {r["id"] for r in read_iceberg(spark, t).collect()}
     assert got == {1, 2}
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import time as _time
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a")]), t)
+    _time.sleep(0.05)
+    mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    write_iceberg(_df(spark, [(2, "b")]), t)
+
+    assert {r["id"] for r in read_iceberg(
+        spark, t, as_of_timestamp_ms=mid).collect()} == {1}
+    assert {r["id"] for r in read_iceberg(
+        spark, t, as_of_timestamp_ms=int(_time.time() * 1000)).collect()} \
+        == {1, 2}
+    # before the first snapshot: empty with the table schema
+    early = read_iceberg(spark, t, as_of_timestamp_ms=1)
+    assert early.count() == 0 and set(early.columns) == {"id", "v"}
