@@ -39,8 +39,11 @@ so the fallback layer works on HDFS/object stores, not just a laptop.
 Data files are written by Spark executors directly (``df.write``); the
 driver never holds row data.
 
-Not implemented (documented): deletion vectors, column mapping,
-generated columns.
+Column mapping (name mode, nested structs, partitioned) reads are
+supported; deletion vectors and generated columns are NOT — the
+reader/writer protocol gates (_check_reader_protocol /
+check_writer_protocol) refuse such tables loudly instead of returning
+wrong rows or breaking invariants.
 """
 
 from __future__ import annotations
@@ -295,6 +298,54 @@ def replay_log(path: str, version: int | None = None):
         path, fs, tail, meta, files, protocol)
     _check_reader_protocol(path, protocol)
     return meta, files
+
+
+# writer features this implementation honors when committing to an
+# existing table: plain add/remove with optimistic retry. appendOnly is
+# honored explicitly below; anything else (invariants, CDF generation,
+# identity columns, ...) must refuse rather than silently violate.
+SUPPORTED_WRITER_FEATURES = {"appendOnly"}
+
+
+def check_writer_protocol(path: str, removes_files: bool = False) -> None:
+    """PROTOCOL.md Writer Requirements: a writer MUST refuse tables
+    whose ``minWriterVersion`` (or listed writerFeatures) exceeds what
+    it implements — committing anyway can break invariants other
+    engines rely on (constraint checks, change-data files, ...). We
+    implement writer protocol v2 (plain appends/removes). Also honors
+    the ``delta.appendOnly`` table property: commits that REMOVE files
+    (overwrite/merge/delete/optimize) refuse on append-only tables."""
+    fs = fsio.get_fs(path)
+    meta: dict[str, Any] | None = None
+    protocol: dict[str, Any] | None = None
+    start = -1
+    cp = _last_checkpoint_info(path, fs)
+    if cp is not None:
+        try:
+            meta, _, protocol = _read_checkpoint(
+                path, fs, cp["version"], cp.get("parts"))
+            start = cp["version"]
+        except Exception:
+            meta, protocol, start = None, None, -1
+    tail = [v for v in _list_versions(path, fs) if v > start]
+    meta, _, protocol = _replay_json_into(path, fs, tail, meta, {}, protocol)
+    mwv = (protocol or {}).get("minWriterVersion") or 1
+    feats = set((protocol or {}).get("writerFeatures") or [])
+    if mwv > 2 and not (mwv == 7 and feats <= SUPPORTED_WRITER_FEATURES):
+        unsupported = sorted(feats - SUPPORTED_WRITER_FEATURES)
+        detail = f" (writerFeatures: {', '.join(unsupported)})" \
+            if unsupported else ""
+        raise UnsupportedTableFeature(
+            f"delta table at {path} requires writer protocol v{mwv}"
+            f"{detail}; this writer implements v2 (and v7 with features "
+            f"{sorted(SUPPORTED_WRITER_FEATURES)})")
+    append_only = ((meta or {}).get("configuration") or {}).get(
+        "delta.appendOnly") == "true"
+    if removes_files and append_only:
+        raise UnsupportedTableFeature(
+            f"delta table at {path} is append-only "
+            "(delta.appendOnly=true); refusing a commit that removes "
+            "files")
 
 
 # ------------------------------------------------------------------ commit
@@ -653,6 +704,7 @@ def write_delta(
     if version == 0:
         actions += _first_commit_actions(df, partition_by)
     else:
+        check_writer_protocol(path, removes_files=(mode == "overwrite"))
         meta, files = replay_log(path)
         existing_parts = (meta or {}).get("partitionColumns") or []
         if mode == "overwrite":
@@ -729,6 +781,7 @@ def merge_delta(
 
     strategy = strategy or MergeStrategy.UPDATE_INSERT
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    check_writer_protocol(path, removes_files=True)
     meta, files = replay_log(path)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
@@ -826,6 +879,7 @@ def delete_missing_delta(
     from sling_cli_spark.operators.merge import delete_missing as _dm
 
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    check_writer_protocol(path, removes_files=True)
     meta, files = replay_log(path)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
@@ -914,6 +968,7 @@ def optimize_delta(
     across partition values). Returns {"compacted": n_in, "new_files":
     n_out, "version": v} ({"compacted": 0} when nothing qualifies).
     """
+    check_writer_protocol(path, removes_files=True)
     meta, files = replay_log(path)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")

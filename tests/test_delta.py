@@ -724,3 +724,55 @@ def test_multipart_checkpoint_read(spark, tmp_path):
 
     got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_writer_protocol_gating(spark, tmp_path):
+    """Appends/merges to a foreign table with an unsupported writer
+    protocol refuse; v7 with only supported writerFeatures is fine."""
+    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    log = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    with open(log, "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 4}}) + "\n")
+    with pytest.raises(UnsupportedTableFeature, match="writer protocol v4"):
+        write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    with pytest.raises(UnsupportedTableFeature):
+        merge_delta(spark, t, _df(spark, [(1, "x")]), "id")
+    # reads still fine (reader protocol v1)
+    assert {r["id"] for r in read_delta(spark, t).collect()} == {1}
+
+    # v7 whose writerFeatures are all supported -> append allowed
+    with open(log, "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly"]}}) + "\n")
+    write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    assert {r["id"] for r in read_delta(spark, t).collect()} == {1, 2}
+
+
+def test_append_only_table_refuses_removes(spark, tmp_path):
+    """delta.appendOnly=true: appends fine; overwrite/merge/optimize
+    (anything committing removes) refuses."""
+    from sling_cli_spark.sources.delta_py import (
+        UnsupportedTableFeature, optimize_delta, replay_log)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    meta, _ = replay_log(t)
+    new_meta = dict(meta)
+    new_meta["configuration"] = {"delta.appendOnly": "true"}
+    log = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    with open(log, "w") as f:
+        f.write(json.dumps({"metaData": new_meta}) + "\n")
+
+    write_delta(_df(spark, [(2, "b")]), t, mode="append")  # ok
+    with pytest.raises(UnsupportedTableFeature, match="append-only"):
+        write_delta(_df(spark, [(9, "z")]), t, mode="overwrite")
+    with pytest.raises(UnsupportedTableFeature, match="append-only"):
+        merge_delta(spark, t, _df(spark, [(1, "x")]), "id")
+    with pytest.raises(UnsupportedTableFeature, match="append-only"):
+        optimize_delta(spark, t, target_file_bytes=1 << 20)
+    assert {r["id"] for r in read_delta(spark, t).collect()} == {1, 2}
