@@ -138,3 +138,39 @@ def test_find_matches_never_raises(text):
     from sling_cli_spark.expressions import find_matches
 
     find_matches(text)  # arbitrary text: no crash, any result ok
+
+
+def test_md5_hash60_matches_duckdb_on_arbitrary_text(spark):
+    """Five oracle queries (jaccard/minhash/simhash/fingerprint + the
+    shared shingle pipeline) rest on Spark's
+    conv(substr(md5(x),1,15),16,10) equaling DuckDB's
+    ('0x'||substr(md5(x),1,15))::BIGINT for every string. Pin the
+    cross-engine agreement on a hypothesis-generated corpus (hashing
+    operates on UTF-8 bytes, so unicode quirks are in scope)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sling_cli_spark.operators.dedup import md5_hash60
+
+    samples: list[str] = []
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=300, deadline=None)
+    def collect(s):
+        samples.append(s)
+
+    collect()
+    samples.extend(["", " ", "a b c", "é中\U0001f600"])
+
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r["s"]: r["h"]
+           for r in df.select("s", md5_hash60(F.col("s")).alias("h"))
+           .collect()}
+    con = duckdb.connect()
+    for s in samples:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()[0]
+        assert got[s] == want, (s, got[s], want)
