@@ -1043,6 +1043,35 @@ _DIALECT_SPECS: dict[str, dict] = {
         },
         "types": {"json": "clob", "text": "clob", "string": "varchar",
                   "datetime": "timestamp", "bool": "boolean"},
+        # Derby has no information_schema; discovery goes through the
+        # SYS catalog (TABLETYPE 'T' = base table, 'V' = view)
+        "metadata": {
+            "schemas": ("select schemaname from sys.sysschemas "
+                        "order by schemaname"),
+            "tables": (
+                "select s.schemaname as schema_name, "
+                "t.tablename as table_name "
+                "from sys.systables t "
+                "join sys.sysschemas s on t.schemaid = s.schemaid "
+                "where t.tabletype = 'T' and s.schemaname = '{schema}' "
+                "order by t.tablename"),
+            "views": (
+                "select s.schemaname as schema_name, "
+                "t.tablename as table_name "
+                "from sys.systables t "
+                "join sys.sysschemas s on t.schemaid = s.schemaid "
+                "where t.tabletype = 'V' and s.schemaname = '{schema}' "
+                "order by t.tablename"),
+            "columns": (
+                "select c.columnname, "
+                "cast(c.columndatatype as varchar(128)) "
+                "from sys.syscolumns c "
+                "join sys.systables t on c.referenceid = t.tableid "
+                "join sys.sysschemas s on t.schemaid = s.schemaid "
+                "where s.schemaname = '{schema}' "
+                "and t.tablename = '{table}' "
+                "order by c.columnnumber"),
+        },
     },
 }
 

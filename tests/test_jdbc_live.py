@@ -145,3 +145,42 @@ def test_staged_db_load_count_mismatch_aborts(spark, tmp_path):
     got = {r["ID"]: r["V"]
            for r in read_jdbc(spark, url, Source(stream="tgt2")).collect()}
     assert got == {1: "old"}
+
+
+def test_wildcard_discovery_live(spark, tmp_path):
+    """schema.* replication wildcards expand against Derby's live SYS
+    catalog through the dialect's metadata SQL (the reference's
+    replication.go:293-518 DB branch)."""
+    from sling_cli_spark.plans.replication import expand_db_wildcards
+
+    url = _url(tmp_path)
+    for name in ("orders_a", "orders_b", "misc"):
+        write_jdbc(spark.range(3).selectExpr("id AS ID"), url,
+                   Target(object=name), Mode.FULL_REFRESH)
+
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+
+    def run_sql(sql):
+        st = conn.createStatement()
+        try:
+            rs = st.executeQuery(sql)
+            out = []
+            n = rs.getMetaData().getColumnCount()
+            while rs.next():
+                out.append(tuple(rs.getString(i + 1) for i in range(n)))
+            return out
+        finally:
+            st.close()
+
+    # Spark's JDBC writer lands tables in Derby's default APP schema
+    got = expand_db_wildcards(
+        {"APP.ORDERS*": {"mode": "incremental"}}, run_sql, "derby")
+    assert set(got) == {"APP.ORDERS_A", "APP.ORDERS_B"}
+    assert got["APP.ORDERS_A"] == {"mode": "incremental"}
+
+    # column discovery resolves live types too
+    from sling_cli_spark.dialects import get_dialect
+    cols = run_sql(get_dialect("derby").metadata_sql(
+        "columns", schema="APP", table="MISC"))
+    assert [c[0] for c in cols] == ["ID"]
+    assert "BIGINT" in cols[0][1].upper()
