@@ -977,13 +977,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # NOTE on ordering: the correctness driver checks the FIRST 50 entries of
     # this dict.  Rotation policy (round 6): queries whose last green row is
-    # OLDEST go first — this round that's the 21 entries that sat past
-    # position 50 since round 3 — followed by anything fixed or changed this
-    # round (the six event queries, jaccard's new oracle).  Queries verified
-    # green in the immediately-previous round rotate to the tail, so no green
-    # claim is ever more than one round stale.
+    # OLDEST-driver-verified go first.  This round (r7) leads with the five
+    # LSH/ANN queries whose md5-hash60 oracles (added r6) have NEVER produced
+    # a driver-side hash row — they were `no_oracle` when last windowed in
+    # r5 — followed by the other 19 tail queries last driver-checked in r5,
+    # then anything changed this round.  Everything driver-green in
+    # CORRECTNESS_r06 rotates to the tail, so no green claim is ever more
+    # than one round stale.
     return {
-        # -- last green r03 (two rounds stale — verify first) --------------
+        # -- md5-hash60 oracles never hash-checked by the driver -----------
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "simhash_dedup_docs": simhash_dedup_docs,
+        "fingerprint_docs": fingerprint_docs,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        # -- rest of the r6 tail (last driver-checked r5) ------------------
+        "column_typing_clamp": column_typing_clamp,
+        "constraint_dsl_filter": constraint_dsl_filter,
+        "row_constraints": row_constraints,
+        "ann_topk": ann_topk,
+        "embedding_near_dup": embedding_near_dup,
+        "distinct_rows": distinct_rows,
+        "lang_id_docs": lang_id_docs,
+        "quality_docs": quality_docs,
+        "token_count_docs": token_count_docs,
+        "ws_token_docs": ws_token_docs,
+        "training_pipeline_docs": training_pipeline_docs,
+        "shard_docs": shard_docs,
+        "geo_convert": geo_convert,
+        "chunk_docs": chunk_docs,
+        "stratified_sample_docs": stratified_sample_docs,
+        "repetition_docs": repetition_docs,
+        "pii_redact_docs": pii_redact_docs,
+        "text_stats_docs": text_stats_docs,
+        "multimodal_bytes": multimodal_bytes,
+        # -- new or changed this round (r7) --------------------------------
+        "jaccard_dedup_docs": jaccard_dedup_docs,
+        # -- driver-green r06, rotated toward the tail ---------------------
+        "star_join_agg": _star_join_agg,
+        "exact_dedup_docs": exact_dedup_docs,
+        "delta_roundtrip": delta_roundtrip,
+        "iceberg_roundtrip": iceberg_roundtrip,
+        "merge_update_insert_delta": merge_update_insert_delta,
+        "merge_partitioned_delta": merge_partitioned_delta,
+        "merge_file_granular": merge_file_granular,
+        "excel_roundtrip": excel_roundtrip,
+        "avro_roundtrip": avro_roundtrip,
+        "sas_roundtrip": sas_roundtrip,
+        "csv_inference_roundtrip": csv_inference_roundtrip,
+        "sql_on_files": sql_files,
+        "merge_update_insert": merge_ui,
+        "merge_sql_render": merge_sql_render,
+        "merge_change_capture": merge_cdc,
+        "delete_missing": delete_missing_hard,
+        "delete_missing_delta": delete_missing_delta_q,
+        "delete_missing_iceberg": delete_missing_iceberg_q,
+        "copy_load_duckdb": copy_load_duckdb,
+        "incremental_watermark": incremental_watermark,
+        "backfill_range": backfill_range,
+        "delta_column_mapping": delta_column_mapping,
+        "iceberg_v2_pos_delete": iceberg_v2_pos_delete,
+        "iceberg_v2_eq_delete": iceberg_v2_eq_delete,
+        "dedup_last_event": dedup_last_event,
+        "asof_events": asof_events,
+        "sessionize_events": sessionize_events,
+        "window_agg_events": window_agg_events,
+        # ---- tail (51+): all driver-green in CORRECTNESS_r06 — rotate
+        # back next round.  bench still executes every query, so a crash
+        # would surface regardless of window position.
         "row_num_events": row_num_events,
         "flatten_json_extract": flatten_json_extract,
         "checksum_lineitem": checksum_lineitem,
@@ -1005,65 +1066,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_casing_upper": column_casing_upper,
         "snapshot_stamp": snapshot_stamp,
         "definition_only": definition_only,
-        # -- fixed or changed this round -----------------------------------
-        "dedup_last_event": dedup_last_event,
-        "asof_events": asof_events,
-        "sessionize_events": sessionize_events,
-        "window_agg_events": window_agg_events,
-        "jaccard_dedup_docs": jaccard_dedup_docs,
-        "delta_column_mapping": delta_column_mapping,
-        "iceberg_v2_pos_delete": iceberg_v2_pos_delete,
-        "iceberg_v2_eq_delete": iceberg_v2_eq_delete,
-        # -- flagship / lake / format roundtrips ---------------------------
-        "star_join_agg": _star_join_agg,
-        "exact_dedup_docs": exact_dedup_docs,
-        "delta_roundtrip": delta_roundtrip,
-        "iceberg_roundtrip": iceberg_roundtrip,
-        "merge_update_insert_delta": merge_update_insert_delta,
-        "merge_partitioned_delta": merge_partitioned_delta,
-        "merge_file_granular": merge_file_granular,
-        "excel_roundtrip": excel_roundtrip,
-        "avro_roundtrip": avro_roundtrip,
-        "sas_roundtrip": sas_roundtrip,
-        "csv_inference_roundtrip": csv_inference_roundtrip,
-        "sql_on_files": sql_files,
-        # -- merge strategies / incremental / constraints ------------------
-        "merge_update_insert": merge_ui,
-        "merge_sql_render": merge_sql_render,
-        "merge_change_capture": merge_cdc,
-        "delete_missing": delete_missing_hard,
-        "delete_missing_delta": delete_missing_delta_q,
-        "delete_missing_iceberg": delete_missing_iceberg_q,
-        "copy_load_duckdb": copy_load_duckdb,
-        "incremental_watermark": incremental_watermark,
-        "backfill_range": backfill_range,
-        # ---- tail (51+): all green in CORRECTNESS_r05 — rotate back next
-        # round.  bench still executes every query, so a crash would
-        # surface regardless of window position.
-        "column_typing_clamp": column_typing_clamp,
-        "constraint_dsl_filter": constraint_dsl_filter,
-        "row_constraints": row_constraints,
-        "ann_topk": ann_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "embedding_near_dup": embedding_near_dup,
-        "distinct_rows": distinct_rows,
-        "lang_id_docs": lang_id_docs,
-        "quality_docs": quality_docs,
-        "token_count_docs": token_count_docs,
-        "ws_token_docs": ws_token_docs,
-        "training_pipeline_docs": training_pipeline_docs,
-        "shard_docs": shard_docs,
-        "geo_convert": geo_convert,
-        "chunk_docs": chunk_docs,
-        "stratified_sample_docs": stratified_sample_docs,
-        "repetition_docs": repetition_docs,
-        "pii_redact_docs": pii_redact_docs,
-        "fingerprint_docs": fingerprint_docs,
-        "minhash_dedup_docs": minhash_dedup_docs,
-        "simhash_dedup_docs": simhash_dedup_docs,
-        "text_stats_docs": text_stats_docs,
-        "multimodal_bytes": multimodal_bytes,
     }
 
 
