@@ -798,7 +798,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         is reproducible in the DuckDB oracle (band bucketing still goes
         through xxhash64 of the slot string, but a bucket hash collision
         can only ADD a candidate pair, which the exact verifier then
-        scores identically on both sides)."""
+        scores identically on both sides).
+
+        The shingle explode+window pipeline runs ONCE: the (id, hash)
+        table is persisted and every consumer — the minhash signature
+        aggregate feeding LSH candidates, and both collect_set sides of
+        the verifier join — scans the cache. Catalyst does not
+        canonicalize the identical subtrees to a ReusedExchange (the r6
+        plan executed the explode 3x); an InMemoryRelation is computed
+        once by construction, and the downstream aggregates stay
+        whole-stage-codegen (a combined collect_set+minhash aggregate
+        measured ~30% slower — ObjectHashAggregate)."""
+        from pyspark import StorageLevel
         from sling_cli_spark.operators.dedup import (
             md5_hash60, minhash_lsh_candidates, ngram_jaccard_pairs,
             shingle_hash_table)
@@ -806,8 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = _t(spark, sf, "documents")
         # one shingle-hash pipeline feeds BOTH the LSH candidate stage
-        # and the exact verifier (shared exchange, longs not strings)
-        hashed = shingle_hash_table(d, hasher=md5_hash60)
+        # and the exact verifier (cached once, longs not strings)
+        hashed = shingle_hash_table(d, hasher=md5_hash60).persist(
+            StorageLevel.MEMORY_AND_DISK)
         cand = minhash_lsh_candidates(d, hashed=hashed)
         w = Window.partitionBy("band_id", "band_hash")
         pairs = (

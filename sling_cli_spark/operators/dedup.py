@@ -167,9 +167,13 @@ def shingle_hash_table(
 ) -> DataFrame:
     """(id, __h) rows: a 64-bit hash of each shingle — the shared upstream
     of the MinHash signature AND the exact-Jaccard verifier. Hashing once
-    here means (a) downstream shuffles move 8-byte longs instead of
-    shingle strings, and (b) both consumers hang off an identical
-    exchange subtree, which Spark's ReuseExchange executes once.
+    here means downstream shuffles move 8-byte longs instead of shingle
+    strings. When several consumers appear in ONE plan, ``.persist()``
+    the result: Catalyst does NOT canonicalize the identical
+    explode->window subtrees to a ReusedExchange (the r6 jaccard plan
+    executed the pipeline 3x); an InMemoryRelation is computed once by
+    construction, and the downstream min/collect_set aggregates stay
+    whole-stage-codegen over the cache scan.
 
     ``hasher`` defaults to xxhash64 (fastest); pass :func:`md5_hash60`
     when the run must be reproducible outside Spark (oracle checks).
@@ -207,24 +211,14 @@ def minhash_signature_table(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
-    hashed: DataFrame | None = None, hasher=None,
+def lsh_band_table(
+    sig: DataFrame, id_col: str = "doc_id",
+    num_hashes: int = 64, bands: int = 16,
 ) -> DataFrame:
-    """LSH banding: -> (band_id, band_hash, id) exploded table.
-
-    Docs sharing any (band_id, band_hash) are near-dup candidates. The only
-    shuffles are the signature groupBy(id) and the groupBy on band keys
-    downstream — never an all-pairs join. rows = num_docs * bands, each row
-    ~24 bytes: at 100 TB of text this table is a small fraction of the
-    corpus.
-    """
+    """Band a minhash signature table (``__s*`` slot columns) into the
+    (id, band_id, band_hash) candidate-bucket table."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    sig = minhash_signature_table(
-        df, text_col, id_col, num_hashes, shingle_n, hashed=hashed,
-        hasher=hasher)
     band_structs = F.array(*[
         F.struct(
             F.lit(i).alias("band_id"),
@@ -238,6 +232,25 @@ def minhash_lsh_candidates(
         sig.select(F.col(id_col), F.explode(band_structs).alias("b"))
         .select(id_col, "b.band_id", "b.band_hash")
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
+    hashed: DataFrame | None = None, hasher=None,
+) -> DataFrame:
+    """LSH banding: -> (band_id, band_hash, id) exploded table.
+
+    Docs sharing any (band_id, band_hash) are near-dup candidates. The only
+    shuffles are the signature groupBy(id) and the groupBy on band keys
+    downstream — never an all-pairs join. rows = num_docs * bands, each row
+    ~24 bytes: at 100 TB of text this table is a small fraction of the
+    corpus.
+    """
+    sig = minhash_signature_table(
+        df, text_col, id_col, num_hashes, shingle_n, hashed=hashed,
+        hasher=hasher)
+    return lsh_band_table(sig, id_col, num_hashes, bands)
 
 
 def minhash_lsh_dedup(
@@ -362,9 +375,10 @@ def ngram_jaccard_pairs(
     Shingle sets are collected as xxhash64 longs (8 bytes vs the shingle
     string): Jaccard over hashed shingles equals string Jaccard up to
     64-bit collisions, and the collect_set shuffle + array_intersect
-    scorer shrink ~3x. Pass the same :func:`shingle_hash_table` the LSH
-    candidate stage used and the exploded-token exchange runs ONCE
-    (ReuseExchange) instead of once per stage. ``array_intersect``/
+    scorer shrink ~3x. Pass the same (persisted) :func:`shingle_hash_table`
+    the LSH candidate stage used and the exploded-token pipeline executes
+    ONCE via the cache instead of once per consumer (Catalyst does not
+    ReuseExchange across these subtrees). ``array_intersect``/
     ``array_union`` are native set expressions, not interpreted lambdas.
     """
     if hashed is None:
