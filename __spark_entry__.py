@@ -365,6 +365,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         write_delta(n, t)
         return read_delta(spark, t)
 
+    def delta_deletion_vectors(spark, sf):
+        """Read a Delta table bearing deletion vectors (reader protocol
+        v3 + deletionVectors, PROTOCOL.md; sources/delta_dv.py parses
+        the z85 descriptor + roaring bitmap, delta_py applies them as a
+        merge-on-read anti-join on _metadata.row_index — reference
+        capability: core/dbio/iop/delta.go:1-40 via duckdb delta_scan).
+        orders is written sorted into one file, so row ordinals equal
+        the o_orderkey rank; the DV deletes every 7th ordinal and the
+        oracle reproduces that with a row_number() filter."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_dv import add_deletion_vectors
+        from sling_cli_spark.sources.delta_py import read_delta, write_delta
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_dv_"), "t")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderpriority").orderBy("o_orderkey").coalesce(1)
+        n = o.count()
+        write_delta(o, t)
+        from sling_cli_spark.sources.delta_py import replay_log
+        (rel,) = replay_log(t)[1].keys()
+        add_deletion_vectors(t, {rel: list(range(0, n, 7))})
+        return read_delta(spark, t).select("o_orderkey", "o_orderpriority")
+
     def delta_column_mapping(spark, sf):
         """Read a foreign name-mapped Delta table (reader protocol v2,
         delta_py._physical_fields round 6): parquet files store physical
@@ -1025,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bytes": multimodal_bytes,
         # -- new or changed this round (r7) --------------------------------
         "jaccard_dedup_docs": jaccard_dedup_docs,
+        "delta_deletion_vectors": delta_deletion_vectors,
         # -- driver-green r06, rotated toward the tail ---------------------
         "star_join_agg": _star_join_agg,
         "exact_dedup_docs": exact_dedup_docs,
@@ -1459,6 +1485,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation
+        """,
+        "delta_deletion_vectors": """
+            SELECT o_orderkey, o_orderpriority FROM (
+                SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                       o_orderpriority,
+                       row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+                FROM orders
+            ) WHERE rn % 7 <> 0
         """,
         "iceberg_v2_pos_delete": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

@@ -40,16 +40,19 @@ Data files are written by Spark executors directly (``df.write``); the
 driver never holds row data.
 
 Column mapping (name mode, nested structs, partitioned) reads are
-supported; deletion vectors and generated columns are NOT — the
-reader/writer protocol gates (_check_reader_protocol /
-check_writer_protocol) refuse such tables loudly instead of returning
-wrong rows or breaking invariants.
+supported, and so are **deletion vectors** (merge-on-read: descriptor +
+roaring-bitmap parse in :mod:`.delta_dv`, anti-join on
+``_metadata.row_index`` in :func:`_apply_deletion_vectors`); anything
+else (generated columns, v2 checkpoints, ...) the reader/writer protocol
+gates (_check_reader_protocol / check_writer_protocol) refuse loudly
+instead of returning wrong rows or breaking invariants.
 """
 
 from __future__ import annotations
 
 import io
 import json
+import os
 import posixpath
 import time
 import uuid
@@ -152,12 +155,22 @@ def _read_checkpoint(path: str, fs, version: int, parts: int | None = None):
             meta = dict(row["metaData"])
             pv = meta.get("partitionColumns")
             meta["partitionColumns"] = list(pv or [])
+            cfg = meta.get("configuration")
+            if isinstance(cfg, list):  # pyarrow map -> list of (k, v)
+                cfg = dict(cfg)
+            meta["configuration"] = cfg or {}
         elif row.get("add") is not None:
             add = dict(row["add"])
             pv = add.get("partitionValues")
             if isinstance(pv, list):  # pyarrow map -> list of (k, v)
                 pv = dict(pv)
             add["partitionValues"] = pv or {}
+            dv = add.get("deletionVector")
+            if dv is not None:
+                add["deletionVector"] = {
+                    k: v for k, v in dict(dv).items() if v is not None}
+            else:
+                add.pop("deletionVector", None)
             files[add["path"]] = add
     return meta, files, protocol
 
@@ -165,21 +178,38 @@ def _read_checkpoint(path: str, fs, version: int, parts: int | None = None):
 def _write_checkpoint(path: str, fs, version: int) -> None:
     """Materialize the state at ``version`` as a parquet checkpoint +
     ``_last_checkpoint`` pointer (PROTOCOL.md Checkpoints: one action per
-    row, one non-null action column per row)."""
+    row, one non-null action column per row).
+
+    The checkpoint must round-trip EVERYTHING replay produced — the
+    replayed protocol (incl. reader/writerFeatures), the full metaData
+    (incl. ``configuration``, which carries delta.appendOnly and the
+    column-mapping mode), and per-add ``deletionVector`` descriptors.
+    Dropping any of these would silently downgrade the table for every
+    later reader that starts from the checkpoint."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    meta, files = replay_log(path, version)
+    meta, files, protocol = _replay_state(path, version)
     adds = [files[p] for p in sorted(files)]
 
     protocol_t = pa.struct([("minReaderVersion", pa.int32()),
-                            ("minWriterVersion", pa.int32())])
+                            ("minWriterVersion", pa.int32()),
+                            ("readerFeatures", pa.list_(pa.string())),
+                            ("writerFeatures", pa.list_(pa.string()))])
     meta_t = pa.struct([
         ("id", pa.string()),
         ("format", pa.struct([("provider", pa.string())])),
         ("schemaString", pa.string()),
         ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
         ("createdTime", pa.int64()),
+    ])
+    dv_t = pa.struct([
+        ("storageType", pa.string()),
+        ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()),
+        ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
     ])
     add_t = pa.struct([
         ("path", pa.string()),
@@ -187,16 +217,23 @@ def _write_checkpoint(path: str, fs, version: int) -> None:
         ("size", pa.int64()),
         ("modificationTime", pa.int64()),
         ("dataChange", pa.bool_()),
+        ("deletionVector", dv_t),
     ])
 
     n = 2 + len(adds)
-    protocol_col = [{"minReaderVersion": 1, "minWriterVersion": 2}] \
-        + [None] * (n - 1)
+    proto = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    protocol_col = [{
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": proto.get("minWriterVersion", 2),
+        "readerFeatures": proto.get("readerFeatures"),
+        "writerFeatures": proto.get("writerFeatures"),
+    }] + [None] * (n - 1)
     meta_col = [None, {
         "id": (meta or {}).get("id"),
         "format": {"provider": "parquet"},
         "schemaString": (meta or {}).get("schemaString"),
         "partitionColumns": (meta or {}).get("partitionColumns") or [],
+        "configuration": (meta or {}).get("configuration") or {},
         "createdTime": (meta or {}).get("createdTime"),
     }] + [None] * (n - 2)
     add_col = [None, None] + [{
@@ -205,6 +242,7 @@ def _write_checkpoint(path: str, fs, version: int) -> None:
         "size": a.get("size", 0),
         "modificationTime": a.get("modificationTime", 0),
         "dataChange": False,  # checkpoint adds are not data changes
+        "deletionVector": a.get("deletionVector"),
     } for a in adds]
 
     table = pa.table({
@@ -229,9 +267,11 @@ class UnsupportedTableFeature(RuntimeError):
 
 # reader features this implementation actually honors (PROTOCOL.md
 # Table Features): column mapping is applied at read time
-# (_column_mapping_mode / _physical_struct); anything else — deletion
-# vectors, v2 checkpoints, type widening, ... — must refuse.
-SUPPORTED_READER_FEATURES = {"columnMapping"}
+# (_column_mapping_mode / _physical_struct); deletion vectors are applied
+# merge-on-read (_apply_deletion_vectors — descriptor parse + roaring
+# bitmap anti-join on _metadata.row_index, delta_dv.py); anything else —
+# v2 checkpoints, type widening, ... — must refuse.
+SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
 
 
 def _check_reader_protocol(path: str, protocol: dict | None) -> None:
@@ -273,11 +313,11 @@ def _replay_json_into(path: str, fs, versions, meta, files, protocol=None):
     return meta, files, protocol
 
 
-def replay_log(path: str, version: int | None = None):
-    """-> (metadata_action, {relative_file_path: add_action}) at
-    ``version`` (default: latest). Reads the newest checkpoint at or
+def _replay_state(path: str, version: int | None = None):
+    """-> (metadata_action, {relative_file_path: add_action}, protocol)
+    at ``version`` (default: latest). Reads the newest checkpoint at or
     below ``version`` plus the JSON tail — O(tail), not O(commits).
-    Raises :class:`UnsupportedTableFeature` on reader protocol > v1."""
+    No protocol gating — callers decide (reader vs writer checks)."""
     fs = fsio.get_fs(path)
     meta: dict[str, Any] | None = None
     files: dict[str, dict] = {}
@@ -294,8 +334,15 @@ def replay_log(path: str, version: int | None = None):
             meta, files, protocol, start = None, {}, None, -1
     tail = [v for v in _list_versions(path, fs)
             if v > start and (version is None or v <= version)]
-    meta, files, protocol = _replay_json_into(
-        path, fs, tail, meta, files, protocol)
+    return _replay_json_into(path, fs, tail, meta, files, protocol)
+
+
+def replay_log(path: str, version: int | None = None):
+    """-> (metadata_action, {relative_file_path: add_action}) at
+    ``version`` (default: latest), reader-gated: raises
+    :class:`UnsupportedTableFeature` when the protocol requires features
+    this reader does not implement."""
+    meta, files, protocol = _replay_state(path, version)
     _check_reader_protocol(path, protocol)
     return meta, files
 
@@ -315,20 +362,7 @@ def check_writer_protocol(path: str, removes_files: bool = False) -> None:
     implement writer protocol v2 (plain appends/removes). Also honors
     the ``delta.appendOnly`` table property: commits that REMOVE files
     (overwrite/merge/delete/optimize) refuse on append-only tables."""
-    fs = fsio.get_fs(path)
-    meta: dict[str, Any] | None = None
-    protocol: dict[str, Any] | None = None
-    start = -1
-    cp = _last_checkpoint_info(path, fs)
-    if cp is not None:
-        try:
-            meta, _, protocol = _read_checkpoint(
-                path, fs, cp["version"], cp.get("parts"))
-            start = cp["version"]
-        except Exception:
-            meta, protocol, start = None, None, -1
-    tail = [v for v in _list_versions(path, fs) if v > start]
-    meta, _, protocol = _replay_json_into(path, fs, tail, meta, {}, protocol)
+    meta, _, protocol = _replay_state(path)
     mwv = (protocol or {}).get("minWriterVersion") or 1
     feats = set((protocol or {}).get("writerFeatures") or [])
     if mwv > 2 and not (mwv == 7 and feats <= SUPPORTED_WRITER_FEATURES):
@@ -339,6 +373,15 @@ def check_writer_protocol(path: str, removes_files: bool = False) -> None:
             f"delta table at {path} requires writer protocol v{mwv}"
             f"{detail}; this writer implements v2 (and v7 with features "
             f"{sorted(SUPPORTED_WRITER_FEATURES)})")
+    # writer protocol v2 also obliges the writer to ENFORCE column
+    # invariants; this writer doesn't validate them, so tables declaring
+    # any must refuse — appending unvalidated rows would break a
+    # constraint other engines rely on (PROTOCOL.md Column Invariants)
+    if '"delta.invariants"' in ((meta or {}).get("schemaString") or ""):
+        raise UnsupportedTableFeature(
+            f"delta table at {path} declares column invariants "
+            "(delta.invariants); this writer does not enforce them, "
+            "refusing to write")
     append_only = ((meta or {}).get("configuration") or {}).get(
         "delta.appendOnly") == "true"
     if removes_files and append_only:
@@ -574,6 +617,13 @@ def read_delta(
         return spark.createDataFrame([], logical)
 
     cm = _column_mapping_mode(meta)
+    dvs = {rel: add["deletionVector"] for rel, add in files.items()
+           if add.get("deletionVector")}
+    if dvs and cm != "none":
+        raise UnsupportedTableFeature(
+            f"delta table at {path} combines deletion vectors with "
+            f"column mapping mode {cm!r}; this reader applies them only "
+            "on unmapped tables")
     if cm == "none":
         # explicit table schema: skips footer inference across N files
         # and makes schema evolution work — files predating a column
@@ -584,6 +634,8 @@ def read_delta(
         if meta.get("partitionColumns"):
             reader = reader.option("basePath", path)
         df = reader.parquet(*[fsio.join(path, p) for p in sorted(files)])
+        if dvs:
+            df = _apply_deletion_vectors(spark, df, path, dvs)
         return _apply_table_schema(df, meta)
     if cm != "name":
         raise UnsupportedTableFeature(
@@ -603,6 +655,51 @@ def read_delta(
     return df.select(*[
         F.col(pf.name).cast(lf.dataType).alias(lf.name)
         for pf, lf in zip(phys.fields, logical.fields)])
+
+
+def _apply_deletion_vectors(
+    spark, df: DataFrame, path: str, dvs: dict[str, dict],
+) -> DataFrame:
+    """Merge-on-read DVs (PROTOCOL.md §Deletion Vectors): drop the rows
+    whose ordinal appears in a file's deletion vector.
+
+    Spark-native shape, same as the Iceberg positional-delete path
+    (iceberg_py._apply_positional_deletes): ``_metadata.row_index``
+    supplies each row's ordinal within its parquet file, the descriptors
+    expand to (file, row_index) rows via ``mapInPandas`` ON EXECUTORS
+    (a 100 TB table's DVs can hold billions of positions — the driver
+    only ships the per-file descriptor JSON, ~100 bytes each), and a
+    left-anti join removes matches. DV rows are tiny next to data, so
+    AQE broadcasts the anti-join side when it fits."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from . import delta_dv
+
+    rows = [(os.path.abspath(os.path.join(path, rel)), json.dumps(desc))
+            for rel, desc in dvs.items()]
+    src = spark.createDataFrame(rows, "__fp string, __dv string")
+    if len(rows) > 1:
+        src = src.repartition(min(len(rows), 64), "__fp")
+    table_abs = os.path.abspath(path)
+
+    def expand(batches):
+        for pdf in batches:
+            for fp, dvj in zip(pdf["__fp"], pdf["__dv"]):
+                idx = delta_dv.dv_indices(table_abs, json.loads(dvj))
+                step = 1 << 20  # bound per-batch memory
+                for i in range(0, len(idx), step):
+                    yield pd.DataFrame(
+                        {"__fp": fp, "__pos": idx[i:i + step]})
+
+    deleted = src.mapInPandas(expand, "__fp string, __pos long")
+    left = (df
+            .withColumn("__fp", F.url_decode(
+                F.regexp_replace(F.col("_metadata.file_path"),
+                                 "^file:(//)?", "")))
+            .withColumn("__pos", F.col("_metadata.row_index")))
+    return left.join(deleted, ["__fp", "__pos"], "left_anti") \
+        .drop("__fp", "__pos")
 
 
 def _read_mapped_partitioned(

@@ -504,9 +504,10 @@ def test_optimize_partitioned_compacts_within_partition(spark, tmp_path):
 
 
 def test_reader_protocol_v3_refused(spark, tmp_path):
-    """A foreign table requiring reader protocol v3 (e.g. deletion
-    vectors) must refuse loudly — a v1 replay would resurrect rows the
-    deletion vectors mask (PROTOCOL.md Reader Requirements)."""
+    """A foreign table requiring a reader v3 feature we don't implement
+    (e.g. v2Checkpoint) must refuse loudly — replaying anyway would
+    return wrong rows (PROTOCOL.md Reader Requirements). deletionVectors
+    and columnMapping are supported and no longer refuse."""
     from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
 
     t = str(tmp_path / "t")
@@ -516,9 +517,9 @@ def test_reader_protocol_v3_refused(spark, tmp_path):
     with open(log, "w") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
+            "readerFeatures": ["v2Checkpoint"],
         }}) + "\n")
-    with pytest.raises(UnsupportedTableFeature, match="deletionVectors"):
+    with pytest.raises(UnsupportedTableFeature, match="v2Checkpoint"):
         read_delta(spark, t)
     with pytest.raises(UnsupportedTableFeature):
         replay_log(t)
@@ -776,3 +777,156 @@ def test_append_only_table_refuses_removes(spark, tmp_path):
     with pytest.raises(UnsupportedTableFeature, match="append-only"):
         optimize_delta(spark, t, target_file_bytes=1 << 20)
     assert {r["id"] for r in read_delta(spark, t).collect()} == {1, 2}
+
+
+# ---------------------------------------------------------- deletion vectors
+
+def test_dv_codec_roundtrip():
+    """z85 + RoaringBitmapArray serialize/parse roundtrip across array,
+    bitmap, and multi-key (high-bits) containers."""
+    from sling_cli_spark.sources import delta_dv as dv
+
+    raw = bytes(range(16))
+    assert dv.z85_decode(dv.z85_encode(raw)) == raw
+    for idxs in ([], [0], [5, 1, 7, 5], list(range(5000)),
+                 [2 ** 32 + 5, 3, 70000], list(range(0, 200000, 3))):
+        got = dv.deserialize_bitmap(dv.serialize_bitmap(idxs)).tolist()
+        assert got == sorted(set(idxs))
+
+
+def test_dv_parses_run_containers():
+    """Foreign writers may emit run containers (cookie 12347); the parser
+    must read them even though our writer never produces them."""
+    import struct
+
+    import numpy as np
+
+    from sling_cli_spark.sources import delta_dv as dv
+
+    # hand-build: 1 bitmap, 1 run container [10, 14] (5 values)
+    rb = struct.pack("<i", (0 << 16) | 12347)  # cookie, n-1=0
+    rb += b"\x01"  # run bitset: container 0 is a run
+    rb += struct.pack("<HH", 0, 4)  # key 0, card-1 = 4
+    rb += struct.pack("<H", 1)  # 1 run
+    rb += struct.pack("<HH", 10, 4)  # start 10, len-1 = 4
+    data = struct.pack("<iq", 1681511377, 1) + rb
+    assert dv.deserialize_bitmap(data).tolist() == [10, 11, 12, 13, 14]
+
+
+def test_dv_read_applies_deletes(spark, tmp_path):
+    """End-to-end merge-on-read: attach a DV, deleted ordinals vanish,
+    time travel to the pre-DV version still sees them."""
+    from sling_cli_spark.sources import delta_dv as dv
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr("id", "cast(id as string) v")
+    write_delta(df.coalesce(1), t)
+    (rel,) = replay_log(t)[1].keys()
+    dv.add_deletion_vectors(t, {rel: [0, 3, 50, 99]})
+    ids = {r["id"] for r in read_delta(spark, t).collect()}
+    assert len(ids) == 96 and not ids & {0, 3, 50, 99}
+    assert read_delta(spark, t, version=0).count() == 100
+
+
+def test_dv_checkpoint_roundtrips_descriptor_and_protocol(spark, tmp_path):
+    """A checkpoint of a DV-bearing table must carry the descriptors AND
+    the v3/v7 feature protocol — dropping either silently corrupts the
+    table for checkpoint-based readers (r6 ADVICE)."""
+    import sling_cli_spark.fsio as fsio
+    from sling_cli_spark.sources import delta_dv as dv
+    from sling_cli_spark.sources.delta_py import (
+        _read_checkpoint, _write_checkpoint, latest_version)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(i, "x") for i in range(10)]).coalesce(1), t)
+    (rel,) = replay_log(t)[1].keys()
+    dv.add_deletion_vectors(t, {rel: [1, 2]})
+    v = latest_version(t)
+    fs = fsio.get_fs(t)
+    _write_checkpoint(t, fs, v)
+    meta, files, protocol = _read_checkpoint(t, fs, v)
+    assert protocol["minReaderVersion"] == 3
+    assert protocol["readerFeatures"] == ["deletionVectors"]
+    assert files[rel]["deletionVector"]["cardinality"] == 2
+    # and a reader that starts from the checkpoint applies the DV
+    ids = {r["id"] for r in read_delta(spark, t).collect()}
+    assert ids == set(range(10)) - {1, 2}
+
+
+def test_dv_checkpoint_roundtrips_configuration(spark, tmp_path):
+    """metaData.configuration (delta.appendOnly etc.) must survive a
+    checkpoint (r6 ADVICE: it was dropped, disabling the gates)."""
+    import sling_cli_spark.fsio as fsio
+    from sling_cli_spark.sources.delta_py import (
+        UnsupportedTableFeature, _read_checkpoint, _write_checkpoint,
+        latest_version)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    meta, _ = replay_log(t)
+    new_meta = dict(meta)
+    new_meta["configuration"] = {"delta.appendOnly": "true"}
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"metaData": new_meta}) + "\n")
+    fs = fsio.get_fs(t)
+    _write_checkpoint(t, fs, latest_version(t))
+    meta2, _, _ = _read_checkpoint(t, fs, latest_version(t))
+    assert meta2["configuration"] == {"delta.appendOnly": "true"}
+    with pytest.raises(UnsupportedTableFeature, match="append-only"):
+        write_delta(_df(spark, [(9, "z")]), t, mode="overwrite")
+
+
+def test_dv_corrupt_checksum_fails_loudly(spark, tmp_path):
+    """A DV whose bytes don't match its CRC must raise, not silently
+    under-delete."""
+    from sling_cli_spark.sources import delta_dv as dv
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(i, "x") for i in range(10)]).coalesce(1), t)
+    (rel,) = replay_log(t)[1].keys()
+    dv.add_deletion_vectors(t, {rel: [1, 2]})
+    binp = glob.glob(os.path.join(t, "ab", "deletion_vector_*.bin"))[0]
+    blob = bytearray(open(binp, "rb").read())
+    blob[-1] ^= 0xFF  # corrupt the checksum
+    open(binp, "wb").write(bytes(blob))
+    with pytest.raises(Exception, match="checksum|cardinality"):
+        read_delta(spark, t).collect()
+
+
+def test_dv_with_column_mapping_refuses(spark, tmp_path):
+    """DV + column mapping together is untested territory — refuse
+    loudly rather than risk mis-application."""
+    from sling_cli_spark.sources import delta_dv as dv
+    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]).coalesce(1), t)
+    meta, files = replay_log(t)
+    (rel,) = files.keys()
+    dv.add_deletion_vectors(t, {rel: [0]})
+    new_meta = dict(meta)
+    new_meta["configuration"] = {"delta.columnMapping.mode": "name"}
+    v = latest_version(t) + 1
+    with open(os.path.join(t, "_delta_log", f"{v:020d}.json"), "w") as f:
+        f.write(json.dumps({"metaData": new_meta}) + "\n")
+    with pytest.raises(UnsupportedTableFeature, match="column mapping"):
+        read_delta(spark, t)
+
+
+def test_writer_refuses_column_invariants(spark, tmp_path):
+    """Writer v2 obliges invariant enforcement; we don't validate them,
+    so tables declaring delta.invariants refuse writes (r6 ADVICE)."""
+    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    meta, _ = replay_log(t)
+    schema = json.loads(meta["schemaString"])
+    schema["fields"][0]["metadata"] = {
+        "delta.invariants": '{"expression":{"expression":"id > 0"}}'}
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema)
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"metaData": new_meta}) + "\n")
+    with pytest.raises(UnsupportedTableFeature, match="invariants"):
+        write_delta(_df(spark, [(2, "b")]), t, mode="append")
