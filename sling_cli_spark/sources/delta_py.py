@@ -577,19 +577,35 @@ def _column_mapping_mode(meta: dict | None) -> str:
         "delta.columnMapping.mode", "none")
 
 
+def _physical_type(t):
+    """Recurse into nested types for :func:`_physical_fields` — structs
+    rename their fields; arrays and maps may hold structs whose fields
+    also carry physical names (leaving those logical would make Spark's
+    by-name parquet resolution silently read them as null)."""
+    if not isinstance(t, dict):
+        return t
+    kind = t.get("type")
+    if kind == "struct":
+        return {**t, "fields": _physical_fields(t["fields"])}
+    if kind == "array":
+        return {**t, "elementType": _physical_type(t["elementType"])}
+    if kind == "map":
+        return {**t, "keyType": _physical_type(t["keyType"]),
+                "valueType": _physical_type(t["valueType"])}
+    return t
+
+
 def _physical_fields(fields: list[dict]) -> list[dict]:
     """Recursively rename schema fields to their
     ``delta.columnMapping.physicalName`` (PROTOCOL.md Column Mapping:
     in ``name`` mode the parquet files store physical names at every
-    nesting level)."""
+    nesting level, including structs nested under arrays and maps)."""
     out = []
     for f in fields:
         pf = dict(f)
         md = pf.get("metadata") or {}
         pf["name"] = md.get("delta.columnMapping.physicalName", pf["name"])
-        t = pf.get("type")
-        if isinstance(t, dict) and t.get("type") == "struct":
-            pf["type"] = {**t, "fields": _physical_fields(t["fields"])}
+        pf["type"] = _physical_type(pf.get("type"))
         out.append(pf)
     return out
 

@@ -255,15 +255,32 @@ def _apply_equality_deletes(
 
     from pyspark.sql import functions as F
 
-    ice_fields = (meta.get("schema") or meta["schemas"][0])["fields"]
-    id_to_name = {f["id"]: f["name"] for f in ice_fields}
+    # resolve field ids against the CURRENT schema (spec: current-schema-id
+    # picks from schemas[]; names from an older schema would be wrong
+    # after a rename/evolution). Fall back to v1's inline "schema".
+    cur_id = meta.get("current-schema-id")
+    schemas = meta.get("schemas") or []
+    current = next((s for s in schemas if s.get("schema-id") == cur_id),
+                   None) or meta.get("schema") or (schemas or [None])[0]
+    if current is None:
+        raise UnsupportedTableFeature("iceberg metadata carries no schema")
+    id_to_name = {f["id"]: f["name"] for f in current["fields"]}
 
     seq_rows = [(_canon(f["file_path"]), int(f["__seq"] or 0))
                 for f in data_files]
     seq_df = spark.createDataFrame(seq_rows, "__fp string, __seq long")
+    # left join + loud null check: an inner join would silently DROP any
+    # data row whose path failed to match the manifest (e.g. an escaping
+    # quirk between _canon and _norm_path_col) — losing rows beats
+    # nothing, erroring beats both
     left = df.withColumn(
         "__fp", _norm_path_col(F.col("_metadata.file_path"))
-    ).join(F.broadcast(seq_df), "__fp")
+    ).join(F.broadcast(seq_df), "__fp", "left").withColumn(
+        "__seq",
+        F.when(F.col("__seq").isNull(), F.raise_error(F.lit(
+            "iceberg equality-delete: data file path not found in "
+            "manifest sequence map — path normalization mismatch"
+        ))).otherwise(F.col("__seq")))
 
     groups: dict[tuple, list[dict]] = {}
     for d in eq_deletes:

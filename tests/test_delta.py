@@ -930,3 +930,32 @@ def test_writer_refuses_column_invariants(spark, tmp_path):
         f.write(json.dumps({"metaData": new_meta}) + "\n")
     with pytest.raises(UnsupportedTableFeature, match="invariants"):
         write_delta(_df(spark, [(2, "b")]), t, mode="append")
+
+
+def test_physical_fields_recurse_into_array_and_map():
+    """Column-mapping physical names nested under array<struct> and
+    map<...,struct> must be applied (r6 ADVICE: only direct struct
+    nesting recursed, nested fields read as null)."""
+    from sling_cli_spark.sources.delta_py import _physical_fields
+
+    fields = [
+        {"name": "arr", "type": {
+            "type": "array", "containsNull": True,
+            "elementType": {"type": "struct", "fields": [
+                {"name": "x", "type": "long", "nullable": True,
+                 "metadata": {
+                     "delta.columnMapping.physicalName": "col-x"}}]}},
+         "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-arr"}},
+        {"name": "m", "type": {
+            "type": "map", "valueContainsNull": True, "keyType": "string",
+            "valueType": {"type": "struct", "fields": [
+                {"name": "y", "type": "string", "nullable": True,
+                 "metadata": {
+                     "delta.columnMapping.physicalName": "col-y"}}]}},
+         "nullable": True, "metadata": {}},
+    ]
+    out = _physical_fields(fields)
+    assert out[0]["name"] == "col-arr"
+    assert out[0]["type"]["elementType"]["fields"][0]["name"] == "col-x"
+    assert out[1]["type"]["valueType"]["fields"][0]["name"] == "col-y"

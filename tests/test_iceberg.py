@@ -432,3 +432,36 @@ def test_timestamp_time_travel(spark, tmp_path):
     # before the first snapshot: empty with the table schema
     early = read_iceberg(spark, t, as_of_timestamp_ms=1)
     assert early.count() == 0 and set(early.columns) == {"id", "v"}
+
+
+def test_v2_equality_delete_resolves_current_schema(spark, tmp_path):
+    """Field-id -> name resolution must use the schema named by
+    current-schema-id, not schemas[0] — after schema evolution the
+    stale entry maps ids to old names (r6 ADVICE)."""
+    import pyarrow as pa
+
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    _upgrade_to_v2_with_delete(
+        spark, t, content=2, del_table=pa.table({"id": [2]}),
+        equality_ids=[1], seq=2)
+    # rewrite metadata: schemas[0] is a STALE pre-evolution schema whose
+    # field 1 has an obsolete name; current-schema-id points at the real one
+    v, meta = I._current_metadata(t)
+    real_fields = (meta.get("schema") or meta["schemas"][0])["fields"]
+    stale = {"schema-id": 0, "type": "struct", "fields": [
+        {"id": 1, "name": "obsolete_name", "required": False,
+         "type": "long"}]}
+    current = {"schema-id": 7, "type": "struct", "fields": real_fields}
+    meta.pop("schema", None)
+    meta["schemas"] = [stale, current]
+    meta["current-schema-id"] = 7
+    mp = os.path.join(t, "metadata", f"v{v + 1}.metadata.json")
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(t, "metadata", "version-hint.text"), "w") as f:
+        f.write(str(v + 1))
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "a", 3: "c"}
