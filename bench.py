@@ -7,7 +7,8 @@ that survives front-truncating log capture.
 
 ``value`` stays the sum over the 15-query HEADLINE set (comparable
 across rounds); ``queries`` carries per-query timings for every entry in
-``queries()`` so regressions are attributable. A warm-up pass (one
+``queries()`` so regressions are attributable (min of 2 runs, a third
+when the two disagree by >1.5x; per-run times in ``run_times``). A warm-up pass (one
 broadcast-join query + one documents scan, unmeasured) runs first so the
 first measured query doesn't pay JVM/codegen/broadcast warm-up.
 
@@ -97,26 +98,44 @@ def main() -> None:
     # sub-second ones (asof/sessionize)
     ordered = {n: qs[n] for n in BENCH_QUERIES if n in qs}
     ordered.update(qs)
-    # each query = min of 2 consecutive runs. The sandbox shows
-    # intermittent multi-second I/O stalls (r5's driver artifact
-    # recorded a 2x phantom regression from one; a 0.7s avro query has
-    # measured 36s during a stall) — min-of-2 reports steady-state
-    # execution instead of whichever run a stall landed on. r3-r5
-    # artifacts were single-run; the "runs" key marks the change.
+    # each query = min of 2 consecutive runs, escalating to 3 when the
+    # two disagree by >1.5x. The sandbox shows intermittent multi-second
+    # I/O stalls (r5's driver artifact recorded a 2x phantom regression
+    # from one; a 0.7s avro query has measured 36s during a stall; r6's
+    # driver all_total ran 1.6x a controlled rerun — min-of-2 wasn't
+    # enough under contention). Per-run times are emitted in
+    # "run_times" so the artifact is self-diagnosing. A query lands in
+    # exactly ONE of timings/failures: any successful run counts as a
+    # timing; failures only when no run succeeded.
+    run_log: dict[str, list[float]] = {}
+
+    def run_once(fn):
+        # a query's persist() (e.g. jaccard's shared shingle cache) is
+        # part of its cost — clear so no run rides an earlier run's cache
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
     for name, fn in ordered.items():
-        best = None
+        runs: list[float] = []
+        err = None
         for _ in range(2):
-            t0 = time.time()
             try:
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                took = time.time() - t0
-                best = took if best is None else min(best, took)
+                runs.append(run_once(fn))
             except Exception as e:  # keep the bench line parseable
-                failures[name] = f"{type(e).__name__}: {e}"[:200]
+                err = f"{type(e).__name__}: {e}"[:200]
                 break
-        if best is not None:
-            timings[name] = round(best, 3)
+        if len(runs) == 2 and max(runs) > 1.5 * min(runs):
+            try:
+                runs.append(run_once(fn))
+            except Exception:
+                pass  # two successful runs already bound the timing
+        if runs:
+            timings[name] = round(min(runs), 3)
+            run_log[name] = [round(t, 3) for t in runs]
+        elif err is not None:
+            failures[name] = err
 
     total = round(sum(timings[n] for n in BENCH_QUERIES if n in timings), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -127,7 +146,8 @@ def main() -> None:
         "queries": timings,
         "headline": BENCH_QUERIES,
         "all_total": round(sum(timings.values()), 3),
-        "runs": 2,  # min-of-2 per query (see comment above)
+        "runs": "2-3",  # min-of-2, third run on >1.5x disagreement
+        "run_times": run_log,
         "sf": float(sf) if sf else sf_dir,
     }
     if failures:
