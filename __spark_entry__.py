@@ -365,6 +365,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         write_delta(n, t)
         return read_delta(spark, t)
 
+    def jdbc_live_roundtrip(spark, sf):
+        """LIVE JDBC under the oracle: write nation into an embedded
+        Apache Derby database (batched executor inserts, sources/jdbc.py
+        write_jdbc), read it back with a chunked parallel read — live
+        min/max bounds probe -> partitionColumn range scans (reference:
+        database.go:926-1084, replication.go:688-933) — and hash-match
+        the original parquet. Uppercase aliases keep Derby's unquoted
+        identifier uppercasing out of the comparison."""
+        import tempfile
+
+        from sling_cli_spark.config import Mode, Source, SourceOptions, Target
+        from sling_cli_spark.sources.jdbc import read_jdbc, write_jdbc
+
+        db = os.path.join(tempfile.mkdtemp(prefix="sling_jdbc_"), "db")
+        url = f"jdbc:derby:{db};create=true"
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("N_NATIONKEY"),
+            F.col("n_name").alias("N_NAME"),
+            F.col("n_regionkey").cast("long").alias("N_REGIONKEY"))
+        write_jdbc(n, url, Target(object="nation_rt"), Mode.FULL_REFRESH)
+        got = read_jdbc(spark, url, Source(
+            stream="nation_rt", update_key="N_NATIONKEY",
+            options=SourceOptions(chunk_count=4)))
+        return got.select(
+            F.col("N_NATIONKEY").alias("n_nationkey"),
+            F.col("N_NAME").alias("n_name"),
+            F.col("N_REGIONKEY").alias("n_regionkey"))
+
     def delta_deletion_vectors(spark, sf):
         """Read a Delta table bearing deletion vectors (reader protocol
         v3 + deletionVectors, PROTOCOL.md; sources/delta_dv.py parses
@@ -1051,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new or changed this round (r7) --------------------------------
         "jaccard_dedup_docs": jaccard_dedup_docs,
         "delta_deletion_vectors": delta_deletion_vectors,
+        "jdbc_live_roundtrip": jdbc_live_roundtrip,
         # -- driver-green r06, rotated toward the tail ---------------------
         "star_join_agg": _star_join_agg,
         "exact_dedup_docs": exact_dedup_docs,
@@ -1482,6 +1511,11 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
         """,
         "delta_column_mapping": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+        """,
+        "jdbc_live_roundtrip": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation
