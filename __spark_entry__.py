@@ -500,8 +500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def iceberg_v2_eq_delete(spark, sf):
         """Iceberg v2 equality deletes (iceberg_py round 6): a delete
         row matching n_regionkey = 0 at sequence 2 removes every such
-        row from the seq-0 data files (sequence-scoped null-safe
-        anti-join). Hash-matches the complementary SELECT."""
+        row from the lower-sequence data files (sequence-scoped
+        null-safe anti-join). Hash-matches the complementary SELECT."""
         import pyarrow as pa
 
         from sling_cli_spark.sources import iceberg_py as I
@@ -514,10 +514,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return I.read_iceberg(spark, t)
 
     def iceberg_roundtrip(spark, sf):
-        """Iceberg v1 scan/write active in-sandbox (sources/iceberg_py.py
+        """Iceberg scan/write active in-sandbox (sources/iceberg_py.py
         — metadata json + manifest-list/manifest Avro chain per the open
-        spec; reference iop/iceberg.go): write region as an Iceberg
-        table, read the current snapshot, hash-match the original."""
+        spec; reference iop/iceberg.go): write region as a
+        format-version-2 Iceberg table (sequence numbers, schemas +
+        current-schema-id), read the current snapshot, hash-match the
+        original."""
         import tempfile
 
         from sling_cli_spark.sources.iceberg_py import (
@@ -528,6 +530,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name")
         write_iceberg(r, t)
         return read_iceberg(spark, t)
+
+    def iceberg_v2_merge_mor(spark, sf):
+        """Iceberg v2 WRITE path (iceberg_py round 7): write nation as
+        a format-version-2 table in two appends (data sequence numbers
+        1 and 2, added entries inheriting from the manifest list),
+        splice a foreign positional delete removing every n_nationkey
+        multiple of 5, then MERGE a batch (update names for keys < 5,
+        insert key 99). Verifies no deleted row resurrects into the
+        rewritten file, the delete file carries forward so the KEPT
+        file stays merge-on-read (15, 20 remain gone), and the new
+        snapshot lands above the old sequence numbers."""
+        import tempfile
+
+        import pyarrow as pa
+
+        from sling_cli_spark.sources import iceberg_py as I
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_i2w_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        I.write_iceberg(n.filter("n_nationkey < 12").coalesce(1), t)
+        I.write_iceberg(n.filter("n_nationkey >= 12").coalesce(1), t)
+        _, meta = I._current_metadata(t)
+        victims = spark.read.parquet(
+            *[f["file_path"] for f in I._active_files(t, meta, None)]) \
+            .selectExpr("n_nationkey", "_metadata.file_path AS fp",
+                        "_metadata.row_index AS pos") \
+            .filter("n_nationkey % 5 = 0").collect()
+        _iceberg_v2_upgrade(
+            t, content=1,
+            del_table=pa.table(
+                {"file_path": [I._canon(r["fp"]) for r in victims],
+                 "pos": [r["pos"] for r in victims]}))
+        batch = n.filter("n_nationkey < 5") \
+            .withColumn("n_name", F.concat("n_name", F.lit("_u"))) \
+            .unionByName(spark.createDataFrame(
+                [(99, "NEWLAND", 0)],
+                "n_nationkey long, n_name string, n_regionkey long"))
+        I.merge_iceberg(spark, t, batch, "n_nationkey")
+        return I.read_iceberg(spark, t).select(
+            "n_nationkey", "n_name", "n_regionkey")
 
     def merge_update_insert_delta(spark, sf):
         """Copy-on-write MERGE into a Delta table (delta_py.merge_delta,
@@ -1080,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_dedup_docs": jaccard_dedup_docs,
         "delta_deletion_vectors": delta_deletion_vectors,
         "jdbc_live_roundtrip": jdbc_live_roundtrip,
+        "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
         # -- driver-green r06, rotated toward the tail ---------------------
         "star_join_agg": _star_join_agg,
         "exact_dedup_docs": exact_dedup_docs,
@@ -1541,6 +1587,18 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_roundtrip": """
             SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
             FROM region
+        """,
+        "iceberg_v2_merge_mor": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   n_name || '_u' AS n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation WHERE n_nationkey < 5
+            UNION ALL
+            SELECT CAST(99 AS BIGINT), 'NEWLAND', CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT CAST(n_nationkey AS BIGINT), n_name,
+                   CAST(n_regionkey AS BIGINT)
+            FROM nation WHERE n_nationkey >= 5 AND n_nationkey % 5 <> 0
         """,
         "merge_update_insert_delta": f"""
             WITH src AS ({_MERGE_SRC})

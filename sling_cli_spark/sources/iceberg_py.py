@@ -1,4 +1,4 @@
-"""Minimal Iceberg v1 table reader/writer over the PUBLIC table spec.
+"""Minimal Iceberg v1/v2 table reader/writer over the PUBLIC table spec.
 
 Reference surface: ``core/dbio/iop/iceberg.go`` (scans via DuckDB's
 iceberg extension — not installable offline here). The open Iceberg spec
@@ -13,10 +13,17 @@ directly, reusing the stdlib Avro codec (``sources/avro_py``):
   DELETED — readers skip those files.
 - data files: plain parquet.
 
-Scope (documented): writes are v1 (parquet data files,
-identity-transform partitioning via Hive-dir layout, whole-file
-removes, stats omitted — optional in v1; the manifest partition struct
-is simplified to a string map). READS additionally support v2
+Scope (documented): WRITES default to format-version 2 — parquet data
+files, identity-transform partitioning via Hive-dir layout, whole-file
+removes (copy-on-write), per-snapshot data sequence numbers
+(``last-sequence-number`` in metadata, inherited by added manifest
+entries from the manifest list per spec §Sequence Number Inheritance,
+explicit on carried EXISTING entries), schema evolution as a new
+``schema-id`` appended to ``schemas``. Appends/merges to a v2 table
+with delete files CARRY the delete files forward (kept data files stay
+merge-on-read; replaced/added files sit at a higher sequence number so
+old equality deletes no longer bind them). ``format_version=1`` still
+writes the v1 single-schema layout. READS support v1 and v2
 merge-on-read: positional deletes (a `_metadata.row_index` anti-join)
 and equality deletes (null-safe anti-join scoped by data sequence
 number); format-version 3 refuses loudly. Enough for
@@ -86,6 +93,63 @@ _MANIFEST_ENTRY_SCHEMA = {
     ],
 }
 
+# v2 manifest list: entries additionally carry the data sequence number
+# of the snapshot that added the manifest (inherited by its added
+# entries), the minimum sequence number across its live entries, and
+# content (0 = data manifest, 1 = delete manifest).
+_MANIFEST_FILE_SCHEMA_V2 = {
+    "type": "record", "name": "manifest_file",
+    "fields": _MANIFEST_FILE_SCHEMA["fields"] + [
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "min_sequence_number", "type": ["null", "long"]},
+        {"name": "content", "type": ["null", "int"]},
+    ],
+}
+
+# v2 manifest entry: per-entry data sequence number (null on ADDED
+# entries -> inherited from the manifest list; explicit on EXISTING
+# entries carried across snapshots, spec §Sequence Number Inheritance);
+# data_file gains content (0 data / 1 position deletes / 2 equality
+# deletes) and equality_ids.
+_MANIFEST_ENTRY_SCHEMA_V2 = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2",
+            "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "partition",
+                 "type": ["null", {"type": "map", "values": "string"}]},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}]},
+            ],
+        }},
+    ],
+}
+
+
+def _v2_data_file(f: dict) -> dict:
+    """Normalize a file dict (fresh or round-tripped through a foreign
+    manifest whose record lacks some fields) to the v2 data_file shape —
+    the stdlib Avro encoder writes by schema field, so every key must be
+    present and non-union fields non-null."""
+    return {
+        "content": f.get("content") or 0,
+        "file_path": f["file_path"],
+        "file_format": f.get("file_format") or "PARQUET",
+        "record_count": int(f.get("record_count") or 0),
+        "file_size_in_bytes": int(f.get("file_size_in_bytes") or 0),
+        "partition": f.get("partition"),
+        "equality_ids": f.get("equality_ids"),
+    }
+
 
 def _absolute(path: str) -> str:
     """Local paths -> abspath; URIs stay as-is (manifest file_path is
@@ -129,20 +193,22 @@ def _current_metadata(path: str, for_write: bool = False) -> tuple[int, dict]:
     if fv > 2:
         raise UnsupportedTableFeature(
             f"iceberg table at {path} is format-version {fv}; this "
-            "implementation reads v1/v2 (positional deletes) only")
-    if for_write and fv > 1:
-        # our commit path writes v1 snapshots; appending one to a v2
-        # table would produce snapshots that ignore its delete files,
-        # and expire/merge would mis-track them. Writes stay v1-only.
-        raise UnsupportedTableFeature(
-            f"iceberg table at {path} is format-version {fv}; writes "
-            "are v1-only (reads of v2 positional deletes are supported)")
+            "implementation reads/writes v1 and v2 only")
     return v, meta
 
 
-def _ice_schema_for(df: DataFrame) -> dict:
+def _ice_schema_for(
+    df: DataFrame, base: dict | None = None, last_column_id: int = 0,
+) -> dict:
+    """Iceberg schema for ``df``. With ``base`` (the table's current
+    schema), field ids are STABLE: columns present in the base keep
+    their ids, new columns get fresh ids past ``last_column_id`` — the
+    spec's evolution rule, and what keeps equality-delete field ids
+    meaningful across commits."""
+    by_name = {f["name"]: f["id"] for f in (base or {}).get("fields", [])}
+    next_id = max([last_column_id, *by_name.values()], default=0)
     fields = []
-    for i, f in enumerate(df.schema.fields, 1):
+    for f in df.schema.fields:
         t = _SPARK_TO_ICE.get(f.dataType.typeName())
         if t is None:
             tn = f.dataType.typeName()
@@ -150,7 +216,12 @@ def _ice_schema_for(df: DataFrame) -> dict:
                 t = f"decimal({f.dataType.precision}, {f.dataType.scale})"
             else:
                 t = "string"
-        fields.append({"id": i, "name": f.name, "required": False, "type": t})
+        fid = by_name.get(f.name)
+        if fid is None:
+            next_id += 1
+            fid = next_id
+        fields.append(
+            {"id": fid, "name": f.name, "required": False, "type": t})
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
@@ -161,13 +232,23 @@ _ICE_TO_SPARK = {
 }
 
 
+def _current_schema(meta: dict) -> dict | None:
+    """The table's current schema: the ``schemas`` entry named by
+    ``current-schema-id`` (v2), else the inline v1 ``schema``, else the
+    first ``schemas`` entry."""
+    cur_id = meta.get("current-schema-id")
+    schemas = meta.get("schemas") or []
+    return next((s for s in schemas if s.get("schema-id") == cur_id),
+                None) or meta.get("schema") or (schemas or [None])[0]
+
+
 def _spark_schema(meta: dict):
     """Spark StructType for the table's current Iceberg schema (spec
     §Schemas primitive types; decimals pass through verbatim)."""
     from pyspark.sql import types as T
 
     fields = []
-    for f in (meta.get("schema") or meta["schemas"][0])["fields"]:
+    for f in _current_schema(meta)["fields"]:
         ice_t = f["type"]
         if isinstance(ice_t, str) and ice_t.startswith("decimal"):
             spark_t = ice_t
@@ -226,8 +307,7 @@ def _active_entries(
 
 
 def _active_files(path: str, meta: dict, snapshot_id: int | None) -> list[dict]:
-    """Data files only — the write/merge paths call this, and they are
-    v1-gated (_current_metadata for_write) so no delete files exist."""
+    """Data files only (delete files excluded)."""
     return _active_entries(path, meta, snapshot_id)[0]
 
 
@@ -250,7 +330,11 @@ def _apply_equality_deletes(
     sequence number. One left-anti join per distinct equality-column
     set, with the seq bound folded into the join condition; the data
     side learns its file's sequence number via a broadcast join on the
-    normalized file path (driver already holds the manifest entries)."""
+    normalized file path (driver already holds the manifest entries).
+
+    Expects ``__fp`` (normalized file path) precomputed on ``df`` by
+    :func:`_mor_read` — ``_metadata`` only resolves directly on the file
+    scan, not after joins — and leaves it in place."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -258,10 +342,7 @@ def _apply_equality_deletes(
     # resolve field ids against the CURRENT schema (spec: current-schema-id
     # picks from schemas[]; names from an older schema would be wrong
     # after a rename/evolution). Fall back to v1's inline "schema".
-    cur_id = meta.get("current-schema-id")
-    schemas = meta.get("schemas") or []
-    current = next((s for s in schemas if s.get("schema-id") == cur_id),
-                   None) or meta.get("schema") or (schemas or [None])[0]
+    current = _current_schema(meta)
     if current is None:
         raise UnsupportedTableFeature("iceberg metadata carries no schema")
     id_to_name = {f["id"]: f["name"] for f in current["fields"]}
@@ -273,9 +354,7 @@ def _apply_equality_deletes(
     # data row whose path failed to match the manifest (e.g. an escaping
     # quirk between _canon and _norm_path_col) — losing rows beats
     # nothing, erroring beats both
-    left = df.withColumn(
-        "__fp", _norm_path_col(F.col("_metadata.file_path"))
-    ).join(F.broadcast(seq_df), "__fp", "left").withColumn(
+    left = df.join(F.broadcast(seq_df), "__fp", "left").withColumn(
         "__seq",
         F.when(F.col("__seq").isNull(), F.raise_error(F.lit(
             "iceberg equality-delete: data file path not found in "
@@ -313,7 +392,7 @@ def _apply_equality_deletes(
             [left[c].eqNullSafe(dd[f"__d_{c}"]) for c in cols],
         ) & (left["__seq"] < dd["__dseq"])
         left = left.join(dd, cond, "left_anti")
-    return left.drop("__fp", "__seq")
+    return left.drop("__seq")
 
 
 def _apply_positional_deletes(spark, df: DataFrame, deletes: list[dict]):
@@ -324,17 +403,56 @@ def _apply_positional_deletes(spark, df: DataFrame, deletes: list[dict]):
     extra scan pass. Delete files are tiny next to data — AQE
     broadcasts the anti-join side. Positional deletes name exact data
     file paths (UUID names are never reused), so path+pos matching
-    needs no sequence-number ordering."""
+    needs no sequence-number ordering.
+
+    Expects ``__fp``/``__pos`` precomputed on ``df`` by
+    :func:`_mor_read`; drops ``__pos``, leaves ``__fp``."""
     from pyspark.sql import functions as F
 
     dd = spark.read.parquet(*[f["file_path"] for f in deletes])
-    left = (df
-            .withColumn("__fp", _norm_path_col(F.col("_metadata.file_path")))
-            .withColumn("__pos", F.col("_metadata.row_index")))
     right = dd.select(_norm_path_col(F.col("file_path")).alias("__fp"),
                       F.col("pos").alias("__pos"))
-    return left.join(right, ["__fp", "__pos"], "left_anti") \
-        .drop("__fp", "__pos")
+    return df.join(right, ["__fp", "__pos"], "left_anti").drop("__pos")
+
+
+def _mor_read(
+    spark, path: str, meta: dict, files: list[dict],
+    pos_dels: list[dict], eq_dels: list[dict],
+    empty_schema=None, keep_file_col: bool = False,
+) -> DataFrame:
+    """Scan a set of data-file entries with the snapshot's delete files
+    applied merge-on-read. ``_metadata.file_path`` / ``row_index`` are
+    captured into ``__fp``/``__pos`` ONCE, directly on the scan (they do
+    not resolve after a join), then shared by the positional anti-join,
+    the equality sequence map, and (``keep_file_col=True``) the caller's
+    touched-file detection via ``__file``."""
+    from pyspark.sql import functions as F
+
+    if not files:
+        df = spark.createDataFrame([], empty_schema or _spark_schema(meta))
+        return df.withColumn("__file", F.lit(None).cast("string")) \
+            if keep_file_col else df
+    reader = spark.read.option("mergeSchema", "true")
+    if _part_cols(meta):
+        # partition values live in the Hive dirs (identity transform);
+        # basePath restores them as columns
+        reader = reader.option(
+            "basePath", _absolute(fsio.join(path, "data")))
+    df = reader.parquet(*sorted(f["file_path"] for f in files))
+    need_fp = keep_file_col or bool(pos_dels) or bool(eq_dels)
+    if need_fp:
+        df = df.withColumn(
+            "__fp", _norm_path_col(F.col("_metadata.file_path")))
+    if pos_dels:
+        df = df.withColumn("__pos", F.col("_metadata.row_index"))
+        df = _apply_positional_deletes(spark, df, pos_dels)
+    if eq_dels:
+        df = _apply_equality_deletes(spark, df, eq_dels, meta, files)
+    if keep_file_col:
+        df = df.withColumnRenamed("__fp", "__file")
+    elif need_fp:
+        df = df.drop("__fp")
+    return df
 
 
 def read_iceberg(
@@ -361,32 +479,7 @@ def read_iceberg(
         snapshot_id = max(
             eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
     files, pos_dels, eq_dels = _active_entries(path, meta, snapshot_id)
-    if not files:
-        return spark.createDataFrame([], _spark_schema(meta))
-    reader = spark.read.option("mergeSchema", "true")
-    if _part_cols(meta):
-        # partition values live in the Hive dirs (identity transform);
-        # basePath restores them as columns
-        reader = reader.option(
-            "basePath", _absolute(fsio.join(path, "data")))
-    df = reader.parquet(*[f["file_path"] for f in files])
-    if pos_dels:
-        df = _apply_positional_deletes(spark, df, pos_dels)
-    if eq_dels:
-        df = _apply_equality_deletes(spark, df, eq_dels, meta, files)
-    return df
-
-
-def _read_files(spark, meta, path, file_paths, empty_schema):
-    """Scan specific data files with the table's partition layout
-    (basePath restores identity-partition columns from the Hive dirs)."""
-    if not file_paths:
-        return spark.createDataFrame([], empty_schema)
-    reader = spark.read.option("mergeSchema", "true")
-    if _part_cols(meta):
-        reader = reader.option(
-            "basePath", _absolute(fsio.join(path, "data")))
-    return reader.parquet(*sorted(file_paths))
+    return _mor_read(spark, path, meta, files, pos_dels, eq_dels)
 
 
 def merge_iceberg(
@@ -406,16 +499,17 @@ def merge_iceberg(
 
     Returns {"touched": n, "new_files": n, "kept": n, "snapshot_id": id}.
     """
+    from pyspark.sql import functions as F
+
     from sling_cli_spark.config import MergeStrategy
-    from sling_cli_spark.operators.file_merge import touched_files
     from sling_cli_spark.operators.merge import merge_dataframes
 
     strategy = strategy or MergeStrategy.UPDATE_INSERT
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
     _, meta = _current_metadata(path, for_write=True)
-    active = _active_files(path, meta, None)
+    active, pos_dels, eq_dels = _active_entries(path, meta, None)
     part_cols = _part_cols(meta)
-    target = read_iceberg(spark, path)
+    target = _mor_read(spark, path, meta, active, pos_dels, eq_dels)
 
     touched: set[str] = set()
     if strategy == MergeStrategy.INSERT:
@@ -437,14 +531,21 @@ def merge_iceberg(
                 f for f in active
                 if tuple((f.get("partition") or {}).get(c, _HIVE_NULL)
                          for c in part_cols) in batch_parts]
-        probe = _read_files(spark, meta, path,
-                            [f["file_path"] for f in candidates],
-                            target.schema)
-        touched = {_canon(p) for p in touched_files(probe, src, pk)}
-        touched_paths = sorted(
-            f["file_path"] for f in active if _canon(f["file_path"]) in touched)
-        touched_rows = _read_files(spark, meta, path, touched_paths,
-                                   target.schema)
+        # the probe is delete-applied so a row that only exists in a
+        # delete-shadowed state can't mark its file touched; __file
+        # (captured pre-join by _mor_read) supplies the path
+        probe = _mor_read(spark, path, meta, candidates, pos_dels, eq_dels,
+                          empty_schema=target.schema, keep_file_col=True)
+        touched = {
+            _canon(r["__file"]) for r in
+            probe.select("__file", *pk)
+            .join(src.select(*pk).distinct(), on=pk, how="left_semi")
+            .select("__file").distinct().collect()}
+        touched_entries = [f for f in active
+                           if _canon(f["file_path"]) in touched]
+        touched_rows = _mor_read(spark, path, meta, touched_entries,
+                                 pos_dels, eq_dels,
+                                 empty_schema=target.schema)
         cdc_cols = {}
         if seq_col:
             cdc_cols["seq_col"] = seq_col
@@ -455,8 +556,13 @@ def merge_iceberg(
             **cdc_cols)
 
     keep = [f for f in active if _canon(f["file_path"]) not in touched]
+    # delete files carry forward: kept data files stay merge-on-read;
+    # replacement files land at a HIGHER sequence number so old equality
+    # deletes no longer bind them, and positional deletes name replaced
+    # paths that no longer exist in the snapshot (inert)
     snapshot_id = _commit_snapshot(df=replacement, path=path, meta=meta,
-                                   carried=keep)
+                                   carried=keep,
+                                   carried_deletes=pos_dels + eq_dels)
     return {"touched": len(touched),
             "new_files": len(_active_files(path, meta, snapshot_id)) - len(keep),
             "kept": len(keep), "snapshot_id": snapshot_id}
@@ -473,32 +579,32 @@ def delete_missing_iceberg(
     rows whose PK is absent from the keyset are replaced; untouched
     files carry forward — same contract as
     :func:`delta_py.delete_missing_delta`."""
-    from pyspark.sql import functions as F
-
     from sling_cli_spark.operators.merge import delete_missing as _dm
 
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
     _, meta = _current_metadata(path, for_write=True)
-    active = _active_files(path, meta, None)
-    target = read_iceberg(spark, path)
+    active, pos_dels, eq_dels = _active_entries(path, meta, None)
+    scan = _mor_read(spark, path, meta, active, pos_dels, eq_dels,
+                     keep_file_col=True)
     keys = keyset.select(*pk).distinct()
     touched = {
         _canon(r["__file"]) for r in
-        target.select(F.col("_metadata.file_path").alias("__file"), *pk)
+        scan.select("__file", *pk)
         .join(keys, on=pk, how="left_anti")
         .select("__file").distinct().collect()
     }
     if not touched:
         return {"touched": 0, "new_files": 0, "kept": len(active),
                 "snapshot_id": meta.get("current-snapshot-id")}
-    touched_paths = sorted(
-        f["file_path"] for f in active if _canon(f["file_path"]) in touched)
+    touched_entries = [f for f in active
+                       if _canon(f["file_path"]) in touched]
     replacement = _dm(
-        _read_files(spark, meta, path, touched_paths, target.schema),
+        _mor_read(spark, path, meta, touched_entries, pos_dels, eq_dels),
         keys, pk, soft=soft)
     keep = [f for f in active if _canon(f["file_path"]) not in touched]
     snapshot_id = _commit_snapshot(replacement, path, meta, carried=keep,
-                                   operation="delete")
+                                   operation="delete",
+                                   carried_deletes=pos_dels + eq_dels)
     return {"touched": len(touched),
             "new_files": len(_active_files(path, meta, snapshot_id)) - len(keep),
             "kept": len(keep), "snapshot_id": snapshot_id}
@@ -506,6 +612,7 @@ def delete_missing_iceberg(
 
 def _init_meta(
     df: DataFrame, path: str, partition_by: list[str] | None = None,
+    format_version: int = 2,
 ) -> dict:
     ice = _ice_schema_for(df)
     by_name = {f["name"]: f["id"] for f in ice["fields"]}
@@ -513,21 +620,30 @@ def _init_meta(
         {"name": c, "transform": "identity", "source-id": by_name[c],
          "field-id": 1000 + i}
         for i, c in enumerate(partition_by or [])]
-    return {
-        "format-version": 1,
+    meta = {
+        "format-version": format_version,
         "table-uuid": str(uuid.uuid4()),
         "location": _absolute(path),
         "last-updated-ms": 0,
-        "last-column-id": len(df.schema.fields),
+        "last-column-id": max(
+            (f["id"] for f in ice["fields"]), default=0),
         "schemas": [ice],
-        "schema": ice,  # v1 single-schema field
-        "partition-spec": spec_fields,
+        "current-schema-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
         "properties": {},
         "snapshots": [],
         "current-snapshot-id": -1,
     }
+    if format_version == 1:
+        # v1's inline single-schema / single-spec fields (removed in v2)
+        meta["schema"] = ice
+        meta["partition-spec"] = spec_fields
+    else:
+        meta["last-sequence-number"] = 0
+        meta["sort-orders"] = [{"order-id": 0, "fields": []}]
+        meta["default-sort-order-id"] = 0
+    return meta
 
 
 def _part_cols(meta: dict) -> list[str]:
@@ -551,16 +667,36 @@ def _walk_parquet(fs, base: str, rel: str = "") -> list[str]:
     return out
 
 
+def _local_record_count(dest: str) -> int:
+    """Row count from the parquet footer (required data_file stat in
+    v2). Footer-only read — cheap at any file size; 0 for non-local
+    URIs (the stat is informational for our own reader)."""
+    try:
+        import pyarrow.parquet as pq
+
+        local = _canon(dest)
+        if os.path.exists(local):
+            return pq.read_metadata(local).num_rows
+    except Exception:
+        pass
+    return 0
+
+
 def _commit_snapshot(
     df: DataFrame, path: str, meta: dict, carried: list[dict],
-    operation: str = "append",
+    operation: str = "append", carried_deletes: list[dict] | None = None,
 ) -> int:
-    """Stage ``df`` as new data files, write manifest + manifest-list,
-    bump the metadata version; ``carried`` files join the snapshot with
-    status 0 (existing). The new ``v{N}.metadata.json`` is claimed with
-    an exclusive create — a concurrent committer of the same version
-    raises FileExistsError instead of silently winning. Returns the new
-    snapshot id."""
+    """Stage ``df`` as new data files, write manifest(s) +
+    manifest-list, bump the metadata version; ``carried`` files join the
+    snapshot with status 0 (existing). On a format-version-2 table the
+    snapshot takes the next data sequence number: added entries inherit
+    it from the manifest list, carried entries keep their original
+    sequence number explicitly (spec §Sequence Number Inheritance), and
+    ``carried_deletes`` (positional/equality delete files of the prior
+    snapshot) ride along in a content=1 delete manifest. The new
+    ``v{N}.metadata.json`` is claimed with an exclusive create — a
+    concurrent committer of the same version raises FileExistsError
+    instead of silently winning. Returns the new snapshot id."""
     fs = fsio.get_fs(path)
     data_dir = fsio.join(path, "data")
     fs.mkdirs(data_dir)
@@ -568,6 +704,17 @@ def _commit_snapshot(
     version = 0
     if is_iceberg_table(path):
         version, _ = _current_metadata(path, for_write=True)
+
+    fv = meta.get("format-version", 1)
+    carried_deletes = carried_deletes or []
+    # next data sequence number: past last-sequence-number, but also past
+    # every carried entry's seq (foreign tables may lack the metadata
+    # field — a new snapshot at seq <= an existing equality delete's
+    # would wrongly re-expose its rows)
+    new_seq = 1 + max(
+        [int(meta.get("last-sequence-number") or 0)]
+        + [int(f.get("__seq") or 0) for f in carried + carried_deletes]) \
+        if fv >= 2 else None
 
     part_cols = _part_cols(meta)
     tmp = fsio.join(data_dir, f".stage_{uuid.uuid4().hex[:8]}")
@@ -594,42 +741,103 @@ def _commit_snapshot(
         data_files.append({
             "file_path": _absolute(dest),
             "file_format": "PARQUET",
-            "record_count": 0,  # stats optional in v1
+            "record_count": _local_record_count(dest),
             "file_size_in_bytes": fs.getsize(dest),
             "partition": partition or None,
         })
     fs.delete(tmp, True)
 
     snapshot_id = int(time.time() * 1000) * 1000 + (version + 1)
-    entries = [{"status": 1, "snapshot_id": snapshot_id, "data_file": f}
-               for f in data_files]
-    entries += [{"status": 0, "snapshot_id": snapshot_id, "data_file": f}
-                for f in carried]
+    mlist_entries: list[dict] = []
 
-    manifest_path = fsio.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
-    write_avro(manifest_path, entries, _MANIFEST_ENTRY_SCHEMA)
+    if fv >= 2:
+        entries = [{"status": 1, "snapshot_id": snapshot_id,
+                    "sequence_number": None,  # inherit new_seq from list
+                    "data_file": _v2_data_file(f)} for f in data_files]
+        entries += [{"status": 0, "snapshot_id": snapshot_id,
+                     "sequence_number": int(f.get("__seq") or 0),
+                     "data_file": _v2_data_file(f)} for f in carried]
+        manifest_path = fsio.join(
+            _meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+        write_avro(manifest_path, entries, _MANIFEST_ENTRY_SCHEMA_V2)
+        mlist_entries.append({
+            "manifest_path": manifest_path,
+            "manifest_length": fs.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+            "sequence_number": new_seq,
+            "min_sequence_number": min(
+                [new_seq] + [int(f.get("__seq") or 0) for f in carried]),
+            "content": 0,
+        })
+        if carried_deletes:
+            del_entries = [{"status": 0, "snapshot_id": snapshot_id,
+                            "sequence_number": int(f.get("__seq") or 0),
+                            "data_file": _v2_data_file(f)}
+                           for f in carried_deletes]
+            del_manifest = fsio.join(
+                _meta_dir(path), f"{uuid.uuid4().hex}-d0.avro")
+            write_avro(del_manifest, del_entries, _MANIFEST_ENTRY_SCHEMA_V2)
+            mlist_entries.append({
+                "manifest_path": del_manifest,
+                "manifest_length": fs.getsize(del_manifest),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "sequence_number": new_seq,
+                "min_sequence_number": min(
+                    int(f.get("__seq") or 0) for f in carried_deletes),
+                "content": 1,
+            })
+    else:
+        entries = [{"status": 1, "snapshot_id": snapshot_id, "data_file": f}
+                   for f in data_files]
+        entries += [{"status": 0, "snapshot_id": snapshot_id, "data_file": f}
+                    for f in carried]
+        manifest_path = fsio.join(
+            _meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+        write_avro(manifest_path, entries, _MANIFEST_ENTRY_SCHEMA)
+        mlist_entries.append({
+            "manifest_path": manifest_path,
+            "manifest_length": fs.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+        })
+
     mlist_path = fsio.join(_meta_dir(path), f"snap-{snapshot_id}.avro")
-    write_avro(mlist_path, [{
-        "manifest_path": manifest_path,
-        "manifest_length": fs.getsize(manifest_path),
-        "partition_spec_id": 0,
-        "added_snapshot_id": snapshot_id,
-    }], _MANIFEST_FILE_SCHEMA)
+    write_avro(mlist_path, mlist_entries,
+               _MANIFEST_FILE_SCHEMA_V2 if fv >= 2 else _MANIFEST_FILE_SCHEMA)
 
-    recorded = [f["name"]
-                for f in (meta.get("schema") or {}).get("fields", [])]
+    cur_schema = _current_schema(meta) or {}
+    recorded = [f["name"] for f in cur_schema.get("fields", [])]
     if [f.name for f in df.schema.fields] != recorded:
-        # schema evolution rides the commit (spec: a new schema-id with
-        # the snapshot); v1 single-schema metadata just replaces it
-        ice = _ice_schema_for(df)
-        meta["schema"] = ice
-        meta["schemas"] = [ice]
-    meta["snapshots"] = (meta.get("snapshots") or []) + [{
+        # schema evolution rides the commit. v2: a NEW schema-id appended
+        # to schemas (field ids stable by name, new columns take fresh
+        # ids — spec §Schema Evolution); v1 single-schema just replaces.
+        ice = _ice_schema_for(df, base=cur_schema,
+                              last_column_id=meta.get("last-column-id", 0))
+        if fv >= 2:
+            new_sid = 1 + max(
+                (s.get("schema-id", 0) for s in meta.get("schemas") or []),
+                default=-1)
+            ice["schema-id"] = new_sid
+            meta["schemas"] = (meta.get("schemas") or []) + [ice]
+            meta["current-schema-id"] = new_sid
+        else:
+            meta["schema"] = ice
+            meta["schemas"] = [ice]
+        meta["last-column-id"] = max(
+            [meta.get("last-column-id", 0)]
+            + [f["id"] for f in ice["fields"]])
+    snapshot = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": mlist_path,
         "summary": {"operation": operation},
-    }]
+    }
+    if fv >= 2:
+        snapshot["sequence-number"] = new_seq
+        meta["last-sequence-number"] = new_seq
+    meta["snapshots"] = (meta.get("snapshots") or []) + [snapshot]
     meta["current-snapshot-id"] = snapshot_id
     meta["last-updated-ms"] = int(time.time() * 1000)
 
@@ -649,21 +857,28 @@ def _commit_snapshot(
 
 def write_iceberg(
     df: DataFrame, path: str, mode: str = "append",
-    partition_by: list[str] | None = None,
+    partition_by: list[str] | None = None, format_version: int = 2,
 ) -> int:
     """Append/overwrite as a new snapshot + metadata version; returns the
     snapshot id. On an existing table the recorded identity partition
-    spec wins (append must not change layout); ``partition_by`` takes
-    effect on table creation."""
+    spec and format version win (append must not change layout);
+    ``partition_by``/``format_version`` take effect on table creation.
+    An append to a v2 table with delete files carries them forward so
+    kept data files stay merge-on-read; an overwrite drops them with the
+    replaced data."""
     if is_iceberg_table(path):
         _, meta = _current_metadata(path, for_write=True)
     else:
-        meta = _init_meta(df, path, partition_by)
-    carried = [] if mode == "overwrite" or not meta.get("snapshots") \
-        else _active_files(path, meta, None)
+        meta = _init_meta(df, path, partition_by, format_version)
+    if mode == "overwrite" or not meta.get("snapshots"):
+        carried, carried_dels = [], []
+    else:
+        carried, pos_d, eq_d = _active_entries(path, meta, None)
+        carried_dels = pos_d + eq_d
     return _commit_snapshot(
         df, path, meta, carried,
-        operation="overwrite" if mode == "overwrite" else "append")
+        operation="overwrite" if mode == "overwrite" else "append",
+        carried_deletes=carried_dels)
 
 
 def expire_snapshots(path: str, keep: int = 1) -> dict:

@@ -1,5 +1,6 @@
-"""Minimal Iceberg v1 layer (sources/iceberg_py.py): snapshot
-append/overwrite, manifest-list/manifest avro chain, time travel."""
+"""Minimal Iceberg v1/v2 layer (sources/iceberg_py.py): snapshot
+append/overwrite, manifest-list/manifest avro chain, time travel,
+v2 sequence numbers + merge-on-read delete files."""
 
 import json
 import os
@@ -33,15 +34,64 @@ def test_overwrite_and_time_travel(spark, tmp_path):
 
 
 def test_metadata_layout(spark, tmp_path):
+    """New tables default to format-version 2: sequence numbers in
+    metadata + snapshot, schemas/current-schema-id, sort-orders."""
     t = str(tmp_path / "t")
     write_iceberg(_df(spark, [(1, "a")]), t)
     md = os.path.join(t, "metadata")
     v = int(open(os.path.join(md, "version-hint.text")).read())
     meta = json.load(open(os.path.join(md, f"v{v}.metadata.json")))
-    assert meta["format-version"] == 1
+    assert meta["format-version"] == 2
+    assert meta["last-sequence-number"] == 1
     assert meta["current-snapshot-id"] == meta["snapshots"][-1]["snapshot-id"]
+    assert meta["snapshots"][-1]["sequence-number"] == 1
+    assert meta["current-schema-id"] == 0
     assert meta["schemas"][0]["fields"][0]["id"] == 1
+    assert "schema" not in meta  # v1-only inline field
+    assert meta["default-sort-order-id"] == 0
     assert any(f.endswith(".avro") for f in os.listdir(md))
+
+
+def test_metadata_layout_v1_explicit(spark, tmp_path):
+    """format_version=1 still writes the v1 single-schema layout."""
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a")]), t, format_version=1)
+    md = os.path.join(t, "metadata")
+    v = int(open(os.path.join(md, "version-hint.text")).read())
+    meta = json.load(open(os.path.join(md, f"v{v}.metadata.json")))
+    assert meta["format-version"] == 1
+    assert "last-sequence-number" not in meta
+    assert meta["schema"]["fields"][0]["id"] == 1
+    write_iceberg(_df(spark, [(2, "b")]), t)  # append keeps v1
+    meta = json.load(open(os.path.join(md, "v2.metadata.json")))
+    assert meta["format-version"] == 1
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1, 2}
+
+
+def test_v2_sequence_numbers_advance(spark, tmp_path):
+    """Each commit takes the next data sequence number; added manifest
+    entries inherit it from the manifest list, carried EXISTING entries
+    keep their original explicitly."""
+    from sling_cli_spark.sources import iceberg_py as I
+    from sling_cli_spark.sources.avro_py import read_avro
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a")]).coalesce(1), t)
+    write_iceberg(_df(spark, [(2, "b")]).coalesce(1), t)
+    _, meta = I._current_metadata(t)
+    assert meta["last-sequence-number"] == 2
+    _, manifests = read_avro(meta["snapshots"][-1]["manifest-list"])
+    assert [m["sequence_number"] for m in manifests] == [2]
+    assert manifests[0]["min_sequence_number"] == 1  # carried entry
+    _, entries = read_avro(manifests[0]["manifest_path"])
+    by_status = {e["status"]: e for e in entries}
+    assert by_status[1]["sequence_number"] is None  # added -> inherited
+    assert by_status[0]["sequence_number"] == 1     # carried -> explicit
+    # the reader resolves inheritance: both files scan
+    files = I._active_files(t, meta, None)
+    assert sorted(f["__seq"] for f in files) == [1, 2]
+    assert all(f["record_count"] == 1 for f in files)
 
 
 def test_el_task_iceberg_roundtrip(spark, tmp_path):
@@ -245,15 +295,15 @@ def test_expire_snapshots_prunes_history(spark, tmp_path):
 
 
 def test_format_version_gating(spark, tmp_path):
-    """v2 tables READ fine (their positional deletes apply
-    merge-on-read) but refuse writes; format-version 3 refuses
+    """A foreign v1 table upgraded in place to v2 (no last-sequence-
+    number field) reads AND accepts appends; format-version 3 refuses
     everything."""
     import pytest
     from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
     from sling_cli_spark.sources.iceberg_py import _current_metadata
 
     t = str(tmp_path / "t")
-    write_iceberg(_df(spark, [(1, "a")]), t)
+    write_iceberg(_df(spark, [(1, "a")]), t, format_version=1)
     meta_dir = os.path.join(t, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as f:
         v = int(f.read().strip())
@@ -263,18 +313,24 @@ def test_format_version_gating(spark, tmp_path):
     meta["format-version"] = 2
     with open(mp, "w") as f:
         json.dump(meta, f)
-    # v2 with no delete files: same rows, writes refused
     assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1}
-    with pytest.raises(UnsupportedTableFeature, match="writes are v1-only"):
-        write_iceberg(_df(spark, [(2, "b")]), t)
+    write_iceberg(_df(spark, [(2, "b")]), t)
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 2}
+    _, meta = _current_metadata(t)
+    assert meta["last-sequence-number"] >= 1
 
     meta["format-version"] = 3
-    with open(mp, "w") as f:
+    with open(os.path.join(
+            meta_dir, "version-hint.text")) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json"), "w") as f:
         json.dump(meta, f)
     with pytest.raises(UnsupportedTableFeature, match="format-version 3"):
         _current_metadata(t)
     with pytest.raises(UnsupportedTableFeature):
         read_iceberg(spark, t)
+    with pytest.raises(UnsupportedTableFeature):
+        write_iceberg(_df(spark, [(9, "z")]), t)
 
 
 def _upgrade_to_v2_with_delete(
@@ -357,12 +413,11 @@ def _upgrade_to_v2_with_delete(
 
 def test_v2_positional_deletes_applied(spark, tmp_path):
     """Merge-on-read: rows named by (file_path, pos) in a positional
-    delete file vanish from the scan; writes to the v2 table refuse."""
+    delete file vanish from the scan; an append CARRIES the delete file
+    forward so the kept data file stays merge-on-read."""
     import pyarrow as pa
-    import pytest
 
     from sling_cli_spark.sources import iceberg_py as I
-    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
 
     t = str(tmp_path / "t")
     write_iceberg(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
@@ -379,14 +434,90 @@ def test_v2_positional_deletes_applied(spark, tmp_path):
 
     got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
     assert got == {1: "a", 3: "c"}
-    with pytest.raises(UnsupportedTableFeature, match="writes are v1-only"):
-        write_iceberg(_df(spark, [(9, "z")]), t)
+    write_iceberg(_df(spark, [(9, "z")]), t)
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "a", 3: "c", 9: "z"}
+
+
+def test_v2_merge_carries_deletes_no_resurrection(spark, tmp_path):
+    """merge_iceberg on a v2 table with a positional delete: the
+    replacement is computed from the delete-APPLIED scan (a deleted row
+    must not resurrect into the rewritten file), kept files keep their
+    delete files, and new files land above the old sequence numbers."""
+    import pyarrow as pa
+
+    from sling_cli_spark.sources import iceberg_py as I
+    from sling_cli_spark.sources.iceberg_py import merge_iceberg
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), t)
+    write_iceberg(_df(spark, [(4, "d")]).coalesce(1), t)
+    _, meta = I._current_metadata(t)
+    rows = spark.read.parquet(
+        *[f["file_path"] for f in I._active_files(t, meta, None)]) \
+        .selectExpr("id", "_metadata.file_path AS fp",
+                    "_metadata.row_index AS pos").collect()
+    victim = next(r for r in rows if r["id"] == 2)
+    _upgrade_to_v2_with_delete(
+        spark, t, content=1,
+        del_table=pa.table({"file_path": [I._canon(victim["fp"])],
+                            "pos": [victim["pos"]]}))
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 3, 4}
+
+    # batch touches the file holding {1,2(deleted),3} — id 2 must NOT
+    # come back in the rewrite; the {4} file is kept untouched
+    batch = spark.createDataFrame([(3, "X"), (9, "n")], "id long, v string")
+    stats = merge_iceberg(spark, t, batch, "id")
+    assert stats["touched"] == 1 and stats["kept"] == 1
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "a", 3: "X", 4: "d", 9: "n"}
+
+
+def test_v2_eq_delete_does_not_bind_new_appends(spark, tmp_path):
+    """An equality delete at sequence s applies only to data files with
+    seq < s: rows appended AFTER the delete (higher seq) survive even
+    when they match the delete values."""
+    import pyarrow as pa
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b")]), t)
+    _upgrade_to_v2_with_delete(
+        spark, t, content=2, del_table=pa.table({"id": [2]}),
+        equality_ids=[1], seq=5)
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1}
+    # re-insert id=2 at a higher sequence number — must survive the
+    # carried equality delete
+    write_iceberg(_df(spark, [(2, "b2")]), t)
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "a", 2: "b2"}
+
+
+def test_v2_schema_evolution_appends_schema_id(spark, tmp_path):
+    """v2 schema evolution: a commit with a drifted schema appends a
+    NEW schemas entry (stable field ids for existing columns, fresh ids
+    for new ones) and repoints current-schema-id."""
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a")]), t)
+    drifted = spark.createDataFrame([(2, "b", 7.5)],
+                                    "id long, v string, score double")
+    write_iceberg(drifted, t)
+    _, meta = I._current_metadata(t)
+    assert len(meta["schemas"]) == 2
+    cur = I._current_schema(meta)
+    assert cur["schema-id"] == meta["current-schema-id"] == 1
+    by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    assert by_name["id"] == 1 and by_name["v"] == 2  # stable
+    assert by_name["score"] == 3 and meta["last-column-id"] == 3
+    got = {r["id"]: r["score"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: None, 2: 7.5}
 
 
 def test_v2_equality_deletes_applied(spark, tmp_path):
     """Equality deletes remove null-safe-matching rows ONLY from data
-    files with a strictly smaller sequence number (pre-upgrade v1 data
-    files sit at seq 0)."""
+    files with a strictly smaller sequence number (the base table's
+    data files sit at seq 1)."""
     import pyarrow as pa
 
     t = str(tmp_path / "t")
