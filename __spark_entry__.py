@@ -753,6 +753,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def distro_priority(spark, sf):
         return distro_field(_t(spark, sf, "orders"), "o_orderpriority", 10)
 
+    def distro_date_orders(spark, sf):
+        """Year/month distribution of o_orderdate (operators/profile.
+        distro_field_date; reference base.yaml:349-377): one
+        map-side-combined (year, month) groupBy + a window total over
+        the tiny grouped result — no second table scan."""
+        from sling_cli_spark.operators.profile import distro_field_date
+        return distro_field_date(_t(spark, sf, "orders"), "o_orderdate")
+
+    def distro_group_orders(spark, sf):
+        """Value distribution per group bucket (operators/profile.
+        distro_field_group; reference base.yaml:319-347):
+        o_orderpriority counts per o_orderstatus with percentage of the
+        table total, same single-scan shape."""
+        from sling_cli_spark.operators.profile import distro_field_group
+        return distro_field_group(
+            _t(spark, sf, "orders"), "o_orderpriority", "o_orderstatus")
+
+    def field_stat_len_orders(spark, sf):
+        """Min/max value lengths per column in one aggregate pass
+        (operators/profile.field_stat_len; reference base.yaml:241-251)
+        over the orders string columns."""
+        from sling_cli_spark.operators.profile import field_stat_len
+        return field_stat_len(
+            _t(spark, sf, "orders"),
+            ["o_orderstatus", "o_orderpriority", "o_orderdate"])
+
     def fill_rate_orders(spark, sf):
         return fill_rate(_t(spark, sf, "orders"))
 
@@ -1126,6 +1152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_deletion_vectors": delta_deletion_vectors,
         "jdbc_live_roundtrip": jdbc_live_roundtrip,
         "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
+        "distro_date_orders": distro_date_orders,
+        "distro_group_orders": distro_group_orders,
+        "field_stat_len_orders": field_stat_len_orders,
         # -- driver-green r06, rotated toward the tail ---------------------
         "star_join_agg": _star_join_agg,
         "exact_dedup_docs": exact_dedup_docs,
@@ -1599,6 +1628,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT), n_name,
                    CAST(n_regionkey AS BIGINT)
             FROM nation WHERE n_nationkey >= 5 AND n_nationkey % 5 <> 0
+        """,
+        "distro_date_orders": """
+            SELECT 'o_orderdate' AS field,
+                   CAST(year(o_orderdate) AS BIGINT) AS year,
+                   CAST(month(o_orderdate) AS BIGINT) AS month,
+                   count(*) AS cnt,
+                   round(100.0 * count(*)
+                         / (SELECT count(*) FROM orders), 2) AS prct
+            FROM orders GROUP BY 2, 3
+        """,
+        "distro_group_orders": """
+            SELECT 'o_orderpriority' AS field,
+                   o_orderstatus AS group_exp,
+                   o_orderpriority AS value, count(*) AS cnt,
+                   round(100.0 * count(*)
+                         / (SELECT count(*) FROM orders), 2) AS prct
+            FROM orders GROUP BY 2, 3
+        """,
+        "field_stat_len_orders": """
+            SELECT 'o_orderstatus' AS field, count(*) AS tot_cnt,
+                   min(length(o_orderstatus)) AS f_min_len,
+                   max(length(o_orderstatus)) AS f_max_len FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   min(length(o_orderpriority)),
+                   max(length(o_orderpriority)) FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', count(*),
+                   min(length(CAST(o_orderdate AS VARCHAR))),
+                   max(length(CAST(o_orderdate AS VARCHAR))) FROM orders
         """,
         "merge_update_insert_delta": f"""
             WITH src AS ({_MERGE_SRC})

@@ -114,6 +114,75 @@ def field_stat_deep(df: DataFrame, fields: list[str]) -> DataFrame:
              "sum_val double, avg_val double")
 
 
+def field_stat_len(
+    df: DataFrame, fields: list[str] | None = None,
+) -> DataFrame:
+    """Min/max value length per column in ONE aggregate pass
+    (base.yaml:241-251 field_stat_len). Defaults to the string columns;
+    non-string fields profile the length of their string form, like the
+    SQL template's length() on a cast."""
+    fields = fields or [f for f, t in df.dtypes if t == "string"]
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for f in fields:
+        c = F.length(F.col(f"`{f}`").cast("string"))
+        aggs += [F.min(c).alias(f"__min_{f}"),
+                 F.max(c).alias(f"__max_{f}")]
+    row = df.agg(*aggs).collect()[0]
+    out = [(f, row["__total"],
+            row[f"__min_{f}"], row[f"__max_{f}"]) for f in fields]
+    return df.sparkSession.createDataFrame(
+        out, "field string, tot_cnt bigint, "
+             "f_min_len bigint, f_max_len bigint")
+
+
+def distro_field_group(
+    df: DataFrame, field: str, group_expr: str, top_k: int | None = None,
+) -> DataFrame:
+    """Value distribution of ``field`` per ``group_expr`` bucket with
+    percentage of the TABLE total (base.yaml:319-347
+    distro_field_group). One map-side-combined groupBy on
+    (group, value); the total comes from a window over the small
+    grouped result instead of the template's second scan."""
+    from pyspark.sql import Window
+
+    g = df.groupBy(
+        F.expr(group_expr).alias("group_exp"),
+        F.col(f"`{field}`").alias("value"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_tot = Window.partitionBy()
+    out = g.withColumn(
+        "prct",
+        F.round(100.0 * F.col("cnt") / F.sum("cnt").over(w_tot), 2),
+    ).select(F.lit(field).alias("field"), "group_exp", "value",
+             "cnt", "prct")
+    if top_k is not None:
+        w_rank = Window.orderBy(
+            F.col("cnt").desc(), "group_exp", "value")
+        out = out.withColumn("rank", F.row_number().over(w_rank)) \
+            .filter(F.col("rank") <= top_k).drop("rank")
+    return out
+
+
+def distro_field_date(df: DataFrame, field: str) -> DataFrame:
+    """Year/month distribution of a date/timestamp column with
+    percentage of the table total (base.yaml:349-377
+    distro_field_date). Same single-scan shape as distro_field: a
+    (year, month) groupBy with map-side combine, window total over the
+    grouped (tiny) result."""
+    from pyspark.sql import Window
+
+    c = F.col(f"`{field}`")
+    g = df.groupBy(
+        F.year(c).cast("long").alias("year"),
+        F.month(c).cast("long").alias("month"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_tot = Window.partitionBy()
+    return g.withColumn(
+        "prct",
+        F.round(100.0 * F.col("cnt") / F.sum("cnt").over(w_tot), 2),
+    ).select(F.lit(field).alias("field"), "year", "month", "cnt", "prct")
+
+
 def fill_rate(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
     """Non-null fill counts/rates per column (base.yaml fill_cnt/fill_rate),
     one aggregate pass."""

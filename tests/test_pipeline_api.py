@@ -272,3 +272,47 @@ def test_field_stat_approx_mode(spark, sf_dir):
     assert exact["uniq_cnt"] == exact["total_cnt"]
     # HLL default rsd is 5%; allow 3 sigma
     assert abs(approx["uniq_cnt"] - exact["uniq_cnt"]) <= exact["uniq_cnt"] * 0.15
+
+
+def test_field_stat_len(spark):
+    from sling_cli_spark.operators.profile import field_stat_len
+
+    df = spark.createDataFrame(
+        [("a", "xx"), ("bbb", None), ("cc", "yyyy")], "s string, t string")
+    got = {r["field"]: r for r in field_stat_len(df).collect()}
+    assert set(got) == {"s", "t"}  # defaults to string columns
+    assert (got["s"]["f_min_len"], got["s"]["f_max_len"]) == (1, 3)
+    assert (got["t"]["f_min_len"], got["t"]["f_max_len"]) == (2, 4)
+    assert got["s"]["tot_cnt"] == 3
+
+
+def test_distro_field_group(spark):
+    from sling_cli_spark.operators.profile import distro_field_group
+
+    df = spark.createDataFrame(
+        [("O", "HI"), ("O", "HI"), ("O", "LO"), ("F", "HI")],
+        "st string, pr string")
+    rows = {(r["group_exp"], r["value"]): (r["cnt"], r["prct"])
+            for r in distro_field_group(df, "pr", "st").collect()}
+    assert rows[("O", "HI")] == (2, 50.0)
+    assert rows[("O", "LO")] == (1, 25.0)
+    assert rows[("F", "HI")] == (1, 25.0)
+    # top_k keeps the most frequent buckets only
+    top = distro_field_group(df, "pr", "st", top_k=1).collect()
+    assert len(top) == 1 and top[0]["cnt"] == 2
+
+
+def test_distro_field_date(spark):
+    import datetime
+
+    from sling_cli_spark.operators.profile import distro_field_date
+
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, 5),), (datetime.date(2024, 1, 9),),
+         (datetime.date(2024, 3, 1),), (datetime.date(2025, 1, 1),)],
+        "d date")
+    rows = {(r["year"], r["month"]): (r["cnt"], r["prct"])
+            for r in distro_field_date(df, "d").collect()}
+    assert rows[(2024, 1)] == (2, 50.0)
+    assert rows[(2024, 3)] == (1, 25.0)
+    assert rows[(2025, 1)] == (1, 25.0)
