@@ -1045,6 +1045,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunk_documents(_t(spark, sf, "documents"),
                                chunk_tokens=64, overlap=16)
 
+    def decontaminate_docs(spark, sf):
+        """Benchmark decontamination (operators/training.decontaminate,
+        round 7): drop every document sharing ANY 3-gram shingle with
+        the synthetic eval set (doc_id % 97 == 0 — eval members
+        self-flag, near-copies flag too). Eval grams aggregate small
+        and BROADCAST; the corpus explodes its grams once with no
+        shuffle — the test-set-leakage guard a pretraining pipeline
+        runs before training."""
+        from sling_cli_spark.operators.training import decontaminate
+
+        d = _t(spark, sf, "documents")
+        return decontaminate(
+            d, d.filter("doc_id % 97 = 0"), n=3).select("doc_id")
+
+    def pack_chunks_docs(spark, sf):
+        """GPT-style sequence packing (operators/training.
+        pack_sequences, round 7): chunk documents into 64-token windows,
+        lay each language shard's chunk stream end-to-end, and split it
+        into 512-token training sequences — one cumulative-sum window
+        per shard (keyed, parallel across shards), deterministic
+        (doc_id, chunk_id) order so the packing is reproducible."""
+        from sling_cli_spark.operators.training import (
+            chunk_documents, pack_sequences)
+
+        d = _t(spark, sf, "documents")
+        ch = chunk_documents(d, chunk_tokens=64, overlap=16) \
+            .join(d.select("doc_id", "lang"), "doc_id")
+        return pack_sequences(
+            ch.select("doc_id", "chunk_id", "lang", "n_tokens"),
+            token_col="n_tokens", seq_len=512, shard_col="lang",
+            order_cols=["doc_id", "chunk_id"])
+
     def stratified_sample_docs(spark, sf):
         """Deterministic per-language sample capped at 100 docs: ranked
         by md5(doc_id) inside each stratum so the oracle reproduces the
@@ -1155,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distro_date_orders": distro_date_orders,
         "distro_group_orders": distro_group_orders,
         "field_stat_len_orders": field_stat_len_orders,
+        "decontaminate_docs": decontaminate_docs,
+        "pack_chunks_docs": pack_chunks_docs,
         # -- driver-green r06, rotated toward the tail ---------------------
         "star_join_agg": _star_join_agg,
         "exact_dedup_docs": exact_dedup_docs,
@@ -2016,6 +2050,64 @@ def oracle_sql() -> dict[str, str]:
                      AS chunk_text,
                    least(n - s + 1, 64) AS n_tokens
             FROM ex
+        """,
+        "decontaminate_docs": f"""
+            WITH toks AS (
+              SELECT doc_id, str_split({_NORM}, ' ') AS tk
+              FROM documents WHERE text IS NOT NULL
+            ), sh AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                     ELSE list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+                END) AS g
+              FROM toks
+            ), ev AS (
+              SELECT DISTINCT g FROM sh
+              WHERE doc_id % 97 = 0 AND length(g) > 0
+            ), bad AS (
+              SELECT DISTINCT doc_id FROM sh
+              WHERE g IN (SELECT g FROM ev)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "pack_chunks_docs": """
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ), tok AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(t, ' ') END AS toks
+              FROM norm
+            ), ex AS (
+              SELECT doc_id, len(toks) AS n,
+                     unnest(generate_series(
+                        1, greatest(len(toks) - 16, 1), 48)) AS s
+              FROM tok WHERE len(toks) > 0
+            ), ch AS (
+              SELECT doc_id,
+                     CAST((s - 1) / 48 AS INT) AS chunk_id,
+                     CAST(least(n - s + 1, 64) AS BIGINT) AS n_tokens
+              FROM ex
+            ), j AS (
+              SELECT c.doc_id, c.chunk_id, d.lang, c.n_tokens
+              FROM ch c JOIN documents d USING (doc_id)
+            ), w AS (
+              SELECT *,
+                     CAST(sum(n_tokens) OVER (
+                        PARTITION BY lang ORDER BY doc_id, chunk_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM j
+            )
+            SELECT doc_id, chunk_id, lang, n_tokens,
+                   CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
+                     AS seq_id,
+                   CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset,
+                   CAST(floor((cum - 1) / 512.0) AS BIGINT) AS end_seq_id
+            FROM w
         """,
         "stratified_sample_docs": """
             SELECT doc_id, lang FROM (

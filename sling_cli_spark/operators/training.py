@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "chunk_documents", "stratified_sample", "repetition_stats",
     "pii_redact", "shard_assign", "PII_PATTERNS",
+    "decontaminate", "pack_sequences",
 ]
 
 
@@ -208,3 +209,88 @@ def pii_redact(
             .cast("long").alias(f"n_{kind}"))
         red = F.regexp_replace(red, pat, token)
     return df.select(F.col(id_col), *counts, red.alias(text_col))
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    n: int = 3,
+    mode: str = "drop",
+) -> DataFrame:
+    """Benchmark decontamination: remove (``mode='drop'``) or flag
+    (``mode='flag'``, adds boolean ``contaminated``) every training
+    document that shares ANY word n-gram with the evaluation set — the
+    standard guard against test-set leakage into pretraining data
+    (the reference has no twin; this extends SURVEY §2 for the
+    LLM-pipeline surface, same normalization as operators/dedup).
+
+    Spark shape for 100 TB: the eval side (benchmarks are ~1e4-1e6
+    grams) aggregates to DISTINCT grams and BROADCASTS; the corpus
+    explodes its grams ONCE (narrow projection + generate, no shuffle)
+    into a broadcast left-semi join, so contaminated ids surface
+    without shuffling the corpus; the final anti/flag join is again
+    broadcast-able (contaminated ids are a subset of eval-gram
+    matches). No all-pairs comparison anywhere. With an eval set too
+    large to broadcast, the same plan degrades gracefully to one
+    shuffled semi-join on the gram hash.
+    """
+    from sling_cli_spark.operators.dedup import shingles_col
+
+    if mode not in ("drop", "flag"):
+        raise ValueError("mode must be 'drop' or 'flag'")
+    ecol = eval_text_col or text_col
+    eval_grams = (
+        eval_df.select(F.explode(
+            shingles_col(F.col(ecol), n)).alias("__g"))
+        .filter(F.length("__g") > 0).distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), n)).alias("__g"))
+    contaminated = (
+        doc_grams.join(F.broadcast(eval_grams), "__g", "left_semi")
+        .select(id_col).distinct()
+    )
+    if mode == "drop":
+        return df.join(F.broadcast(contaminated), id_col, "left_anti")
+    return df.join(
+        F.broadcast(contaminated.withColumn("contaminated", F.lit(True))),
+        id_col, "left").fillna(False, ["contaminated"])
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    seq_len: int = 2048,
+    shard_col: str | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """GPT-style sequence packing: lay the chunk stream end-to-end and
+    split it into fixed ``seq_len``-token training sequences. Each row
+    learns the sequence its first token lands in (``seq_id``), its
+    offset inside that sequence (``seq_offset``), and the sequence its
+    last token lands in (``end_seq_id`` > seq_id means the chunk
+    straddles a boundary and is split across sequences at load time).
+
+    Pure Catalyst: one cumulative-sum window per shard — partitioned by
+    ``shard_col`` so packing parallelizes across shards (a global
+    single-partition window would serialize 100 TB; pass the
+    shard_assign output or any balanced key). Deterministic: the order
+    inside a shard is ``order_cols`` (default: the natural id columns),
+    so re-runs produce identical packing — resumable and
+    oracle-verifiable, unlike random-shuffle packing.
+    """
+    part = F.col(shard_col) if shard_col else F.lit(0)
+    order = [F.col(c) for c in (order_cols or df.columns[:1])]
+    w = Window.partitionBy(part).orderBy(*order)
+    cum = F.sum(F.col(token_col)).over(w).cast("long")
+    start = (cum - F.col(token_col)).cast("long")
+    return df.select(
+        "*",
+        F.floor(start / seq_len).alias("seq_id"),
+        (start % seq_len).cast("long").alias("seq_offset"),
+        F.floor((cum - 1) / seq_len).alias("end_seq_id"),
+    )

@@ -166,3 +166,70 @@ def test_chunk_invariants_sweep(spark):
                 assert len(toks) == ntok  # n_tokens matches the text
                 rebuilt.extend(toks if cid == 0 else toks[overlap:])
             assert rebuilt == text.split(" "), (chunk, overlap, n)
+
+
+# ---------------------------------------------------------------- round 7
+
+def test_decontaminate_drop_and_flag(spark):
+    from sling_cli_spark.operators.training import decontaminate
+
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a completely different sentence about databases"),
+        (3, "we all know the quick brown fox story well"),   # shares 3-gram
+        (4, None),                                           # null survives
+        (5, "short text"),                                   # < 3 tokens
+    ], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox running")], "doc_id long, text string")
+    kept = {r["doc_id"] for r in decontaminate(docs, ev, n=3).collect()}
+    assert kept == {2, 4, 5}  # 1 and 3 share "quick brown fox"
+
+    flagged = {r["doc_id"]: r["contaminated"]
+               for r in decontaminate(docs, ev, n=3, mode="flag").collect()}
+    assert flagged == {1: True, 2: False, 3: True, 4: False, 5: False}
+
+
+def test_decontaminate_short_eval_gram(spark):
+    """An eval doc shorter than n tokens contributes its full text as
+    the gram — it can only hit docs with the identical short text."""
+    from sling_cli_spark.operators.training import decontaminate
+
+    docs = spark.createDataFrame([
+        (1, "hello world"), (2, "hello world again and again"),
+    ], "doc_id long, text string")
+    ev = spark.createDataFrame([(9, "hello world")], "doc_id long, text string")
+    kept = {r["doc_id"] for r in decontaminate(docs, ev, n=3).collect()}
+    assert kept == {2}  # doc 2's grams are 3-grams, never "hello world"
+
+
+def test_pack_sequences_boundaries(spark):
+    from sling_cli_spark.operators.training import pack_sequences
+
+    rows = [(1, i, 60) for i in range(10)]  # 600 tokens in 60s
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id int, n_tokens long")
+    out = {r["chunk_id"]: (r["seq_id"], r["seq_offset"], r["end_seq_id"])
+           for r in pack_sequences(
+               df, seq_len=128, order_cols=["doc_id", "chunk_id"]).collect()}
+    # chunk 0: tokens [0,60) -> seq 0; chunk 2: [120,180) straddles 128
+    assert out[0] == (0, 0, 0)
+    assert out[1] == (0, 60, 0)
+    assert out[2] == (0, 120, 1)   # straddles the first boundary
+    assert out[3] == (1, 52, 1)
+    assert out[9] == (4, 28, 4)    # 540..600 -> seq 4
+
+
+def test_pack_sequences_sharded_parallel(spark):
+    """Packing restarts at token 0 inside each shard and is independent
+    across shards (the keyed-window contract)."""
+    from sling_cli_spark.operators.training import pack_sequences
+
+    rows = [("a", 1, 100), ("a", 2, 100), ("b", 1, 100)]
+    df = spark.createDataFrame(rows, "shard string, cid int, n_tokens long")
+    out = {(r["shard"], r["cid"]): (r["seq_id"], r["seq_offset"])
+           for r in pack_sequences(
+               df, seq_len=150, shard_col="shard",
+               order_cols=["cid"]).collect()}
+    assert out[("a", 1)] == (0, 0)
+    assert out[("a", 2)] == (0, 100)
+    assert out[("b", 1)] == (0, 0)  # shard b starts fresh
