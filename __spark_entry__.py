@@ -833,6 +833,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh_dedup(
             _t(spark, sf, "documents"), hasher=md5_hash60).select("doc_id")
 
+    def dedup_clusters_docs(spark, sf):
+        """Transitive near-dup clustering (dedup.duplicate_clusters,
+        round 7): LSH bucket-star edges -> iterative min-label
+        connected components (Pregel-shape driver loop, one shuffle per
+        round over the candidate GRAPH, localCheckpoint lineage cuts)
+        -> (doc_id, cluster_id = component min). The oracle recomputes
+        the same components with a recursive CTE."""
+        from sling_cli_spark.operators.dedup import (
+            duplicate_clusters, md5_hash60)
+        return duplicate_clusters(
+            _t(spark, sf, "documents"), hasher=md5_hash60)
+
     def simhash_dedup_docs(spark, sf):
         """SimHash dedup over md5-derived 60-bit token hashes — the
         per-bit majority sums and the packed signature are reproduced
@@ -1189,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_stat_len_orders": field_stat_len_orders,
         "decontaminate_docs": decontaminate_docs,
         "pack_chunks_docs": pack_chunks_docs,
+        "dedup_clusters_docs": dedup_clusters_docs,
         # -- driver-green r06, rotated toward the tail ---------------------
         "star_join_agg": _star_join_agg,
         "exact_dedup_docs": exact_dedup_docs,
@@ -1353,6 +1366,33 @@ def _minhash_oracle() -> str:
         )
         SELECT DISTINCT doc_id FROM marked
         WHERE doc_id NOT IN (SELECT doc_id FROM marked WHERE doc_id <> mn)
+    """
+
+
+def _clusters_oracle() -> str:
+    """DuckDB twin of dedup.duplicate_clusters: the same bucket-star
+    edges (bucket-min -> member), components via a recursive
+    min-label walk (UNION-deduped, terminates on the component closure),
+    singleton docs keep their own id through the left join."""
+    return f"""
+        WITH RECURSIVE {_shingle_ctes()}, {_minhash_band_ctes()}, edges AS (
+            SELECT DISTINCT mn AS src, doc_id AS dst FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY band_id, bh) AS mn
+                FROM bands)
+            WHERE doc_id <> mn
+        ), sym AS (
+            SELECT src AS a, dst AS b FROM edges
+            UNION SELECT dst, src FROM edges
+        ), walk(id, label) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.id
+        ), cc AS (
+            SELECT id, min(label) AS label FROM walk GROUP BY id
+        )
+        SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cc c ON c.id = d.doc_id
     """
 
 
@@ -2261,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jaccard_dedup_docs": _jaccard_oracle(),
         "minhash_dedup_docs": _minhash_oracle(),
+        "dedup_clusters_docs": _clusters_oracle(),
         "simhash_dedup_docs": _simhash_oracle(),
         "fingerprint_docs": _fingerprint_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),

@@ -392,3 +392,86 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation (the Pregel/GraphX shape, driver-side loop):
+    every node starts labeled with its own id, and each round takes the
+    min of its own and its neighbors' labels. Returns (id, label) for
+    every node appearing in ``edges``; label = min node id in the
+    component.
+
+    Spark-job shape per round: ONE shuffle (edge ⋈ label join + min
+    aggregate on node id) over the label table — which is sized by the
+    candidate GRAPH, not the corpus. ``localCheckpoint`` after each
+    round truncates lineage so the plan doesn't grow exponentially.
+    Rounds needed = graph diameter; near-dup candidate graphs are
+    star-shaped around bucket minima (diameter ~2 per bucket chain), so
+    3-5 rounds is typical. Convergence is detected by the (monotonically
+    non-increasing) label sum going stationary; exhausting
+    ``max_iterations`` without a fixpoint raises instead of returning a
+    half-propagated labeling. For adversarially deep chain graphs,
+    alternate large-star/small-star contraction (Kiveris et al.) to get
+    O(log n) rounds — not needed for LSH bucket graphs.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct().localCheckpoint()
+    labels = sym.select(F.col("a").alias("id")).distinct() \
+        .withColumn("label", F.col("id"))
+    prev_sum = None
+    for _ in range(max_iterations):
+        neighbor = (
+            sym.join(labels.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"), "label"))
+        labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        s = labels.agg(F.sum("label")).collect()[0][0]
+        if s == prev_sum:
+            return labels
+        prev_sum = s
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iterations} "
+        "rounds (graph diameter exceeds the iteration budget)")
+
+
+def duplicate_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
+    hasher=None, max_iterations: int = 50,
+) -> DataFrame:
+    """Transitive near-duplicate clusters: (id, cluster_id) where
+    cluster_id is the min doc id of the document's connected component
+    in the LSH candidate graph — the structure dedup-at-scale pipelines
+    actually want (pick one representative per cluster, count cluster
+    sizes, audit what got merged), and strictly stronger than pairwise
+    min-id dropping: A~B and B~C land in ONE cluster even when A and C
+    share no bucket.
+
+    Edges are the bucket STARS (bucket-min -> member), not all pairs
+    within a bucket: a k-doc bucket contributes k-1 edges instead of
+    k(k-1)/2 with identical connectivity, so the graph stays linear in
+    the candidate table. Docs in no bucket pair are singleton clusters
+    (cluster_id = own id) via the final left join.
+    """
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, hasher=hasher)
+    w = Window.partitionBy("band_id", "band_hash")
+    edges = (
+        cand.withColumn("__mn", F.min(F.col(id_col)).over(w))
+        .filter(F.col(id_col) != F.col("__mn"))
+        .select(F.col("__mn").alias("src"), F.col(id_col).alias("dst"))
+        .distinct())
+    cc = connected_components(edges, "src", "dst", max_iterations)
+    return (
+        df.select(id_col)
+        .join(cc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(id_col,
+                F.coalesce(F.col("label"), F.col(id_col))
+                .alias("cluster_id")))

@@ -143,3 +143,55 @@ def test_ivf_topk_recall_on_clustered_data(spark):
         assert qid in ids
         assert all(i // 25 == qid // 25 for i in ids)
     assert len(got) == 3
+
+
+# ---------------------------------------------------------------- round 7
+
+def test_connected_components_chain_and_islands(spark):
+    """A chain A-B-C plus an island D-E resolves to two components
+    labeled by their minima; propagation crosses multiple hops."""
+    from sling_cli_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "src long, dst long")
+    got = {r["id"]: r["label"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_iteration_budget(spark):
+    import pytest
+
+    from sling_cli_spark.operators.dedup import connected_components
+
+    # a 6-hop path needs ~3 rounds; a budget of 1 must raise loudly
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iterations=1)
+    got = {r["id"]: r["label"]
+           for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_duplicate_clusters_transitive(spark):
+    """A~B and B~C must land in one cluster even when A and C share no
+    bucket; unrelated docs are singletons labeled by their own id."""
+    from sling_cli_spark.operators.dedup import duplicate_clusters
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame([
+        (1, base + "alpha beta gamma delta epsilon zeta"),
+        (2, base + "alpha beta gamma delta epsilon eta theta"),
+        (3, base + "alpha beta gamma NOPE NADA epsilon eta theta iota"),
+        (9, "an entirely different document about databases and joins "
+            "with nothing shared at all " * 4),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(docs, bands=16).collect()}
+    assert got[1] == 1 and got[2] == 1   # near-dups cluster to min id
+    assert got[9] == 9                   # singleton
+    assert got[3] in (1, 3)              # links via 2 if any bucket hits
+    if got[3] == 1:
+        # transitivity: 3 joined through 2, never directly through 1
+        pass

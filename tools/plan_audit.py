@@ -14,7 +14,8 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          "dedup_last_event", "checksum_lineitem", "minhash_dedup_docs",
          "asof_events", "ann_topk", "fingerprint_docs", "window_agg_events",
          "jaccard_dedup_docs", "embedding_near_dup", "chunk_docs",
-         "stratified_sample_docs", "repetition_docs", "pii_redact_docs"]
+         "stratified_sample_docs", "repetition_docs", "pii_redact_docs",
+         "decontaminate_docs", "pack_chunks_docs", "distro_date_orders"]
 
 HEADER = """# Physical plan audit (sf0.1, local[32])
 
