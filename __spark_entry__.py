@@ -833,6 +833,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh_dedup(
             _t(spark, sf, "documents"), hasher=md5_hash60).select("doc_id")
 
+    def dedup_store_docs(spark, sf):
+        """Incremental exact dedup against a persisted fingerprint
+        store (dedup.dedup_against_store, round 7): the store is seeded
+        with the sha256 content digests of docs with doc_id % 7 == 0;
+        the full corpus then runs as one batch — rows matching a seeded
+        digest drop, the rest dedup internally (min doc_id per digest),
+        survivors' digests append to the store. The per-batch shape of
+        a rolling crawl pipeline; state is the 32-byte digest set, not
+        the corpus."""
+        import tempfile
+
+        from sling_cli_spark.operators.dedup import (
+            content_digest, dedup_against_store)
+
+        d = _t(spark, sf, "documents")
+        store = os.path.join(tempfile.mkdtemp(prefix="sling_ds_"), "store")
+        d.filter("doc_id % 7 = 0").select(
+            content_digest(F.col("text")).alias("digest")).distinct() \
+            .write.parquet(store)
+        return dedup_against_store(spark, d, store).select("doc_id")
+
     def dedup_clusters_docs(spark, sf):
         """Transitive near-dup clustering (dedup.duplicate_clusters,
         round 7): LSH bucket-star edges -> iterative min-label
@@ -1202,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "pack_chunks_docs": pack_chunks_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
+        "dedup_store_docs": dedup_store_docs,
         # -- driver-green r06, rotated toward the tail ---------------------
         "star_join_agg": _star_join_agg,
         "exact_dedup_docs": exact_dedup_docs,
@@ -2302,6 +2324,20 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_dedup_docs": _jaccard_oracle(),
         "minhash_dedup_docs": _minhash_oracle(),
         "dedup_clusters_docs": _clusters_oracle(),
+        "dedup_store_docs": f"""
+            WITH seeded AS (
+              SELECT DISTINCT sha256({_NORM}) AS digest
+              FROM documents WHERE doc_id % 7 = 0
+            ), internal AS (
+              SELECT doc_id, sha256({_NORM}) AS h,
+                     row_number() OVER (PARTITION BY sha256({_NORM})
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            )
+            SELECT doc_id FROM internal i
+            WHERE rn = 1
+              AND NOT EXISTS (SELECT 1 FROM seeded s WHERE s.digest = i.h)
+        """,
         "simhash_dedup_docs": _simhash_oracle(),
         "fingerprint_docs": _fingerprint_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),

@@ -475,3 +475,62 @@ def duplicate_clusters(
         .select(id_col,
                 F.coalesce(F.col("label"), F.col(id_col))
                 .alias("cluster_id")))
+
+
+def content_digest(text: Column, normalize: bool = True) -> Column:
+    """The exact-dedup content fingerprint: sha256 over the normalized
+    text (one shared definition so batch dedup, the store probe, and
+    SQL oracles all hash identically)."""
+    return F.sha2(normalize_text(text) if normalize else text, 256)
+
+
+def dedup_against_store(
+    spark,
+    batch: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    update_store: bool = True,
+) -> DataFrame:
+    """Continuous-ingest exact dedup: drop batch rows whose content
+    digest is already in a persisted fingerprint STORE, dedup the batch
+    internally (min id per digest), and append the survivors' digests
+    back to the store — the per-batch shape of a rolling crawl pipeline,
+    where state is the digest set, not the corpus.
+
+    Store layout: a parquet directory of ``(digest string)`` — ~32
+    bytes/doc, readable by any engine. Spark shape: the probe is ONE
+    left-anti join on the digest (AQE broadcasts the batch side or the
+    store side, whichever is small; at 100 TB-of-history scale the
+    store anti-join shuffles on the digest — perfectly uniform keys, no
+    skew by construction). The store append writes only the NEW
+    digests. Crash contract: the append is the last step, so a retry
+    re-deduplicates correctly (digests are idempotent set inserts);
+    readers of a half-written parquet dir are the same hazard as any
+    non-transactional parquet sink — point the store at a Delta path
+    for stronger guarantees.
+    """
+    from sling_cli_spark import fsio
+
+    digest = content_digest(F.col(text_col), normalize)
+    with_h = batch.withColumn("__h", digest)
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    internal = (with_h.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
+    fs = fsio.get_fs(store_path)
+    store_exists = fs.exists(store_path) and any(
+        not n.startswith((".", "_")) for n in fs.listdir(store_path))
+    if store_exists:
+        seen = spark.read.parquet(store_path).select("digest")
+        survivors = internal.join(
+            seen, internal["__h"] == seen["digest"], "left_anti")
+    else:
+        survivors = internal
+    if update_store:
+        # materialize survivors BEFORE the append: the store write must
+        # not re-trigger a probe against the store it is appending to
+        survivors = survivors.localCheckpoint()
+        survivors.select(F.col("__h").alias("digest")) \
+            .write.mode("append").parquet(store_path)
+    return survivors.drop("__h")

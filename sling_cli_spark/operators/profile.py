@@ -183,6 +183,31 @@ def distro_field_date(df: DataFrame, field: str) -> DataFrame:
     ).select(F.lit(field).alias("field"), "year", "month", "cnt", "prct")
 
 
+def distro_field_date_wide(
+    df: DataFrame, date_field: str, agg_cols: list[str],
+    where: str | None = None,
+) -> DataFrame:
+    """Wide year/month rollup: one row per (year, month) carrying
+    count + sum/min/max per requested column (base.yaml:378-389
+    distro_field_date_wide). Single map-side-combined groupBy; the
+    optional ``where`` predicate pushes into the scan."""
+    if where:
+        df = df.filter(where)
+    c = F.col(f"`{date_field}`")
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for f in agg_cols:
+        col = F.col(f"`{f}`")
+        aggs += [F.sum(col).alias(f"sum_{f}"),
+                 F.min(col).alias(f"min_{f}"),
+                 F.max(col).alias(f"max_{f}")]
+    return df.groupBy(
+        F.year(c).cast("long").alias("year"),
+        F.month(c).cast("long").alias("month"),
+    ).agg(*aggs).select(
+        F.lit(date_field).alias("date_field"), "year", "month", "cnt",
+        *[f"{k}_{f}" for f in agg_cols for k in ("sum", "min", "max")])
+
+
 def fill_rate(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
     """Non-null fill counts/rates per column (base.yaml fill_cnt/fill_rate),
     one aggregate pass."""

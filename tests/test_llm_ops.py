@@ -195,3 +195,39 @@ def test_duplicate_clusters_transitive(spark):
     if got[3] == 1:
         # transitivity: 3 joined through 2, never directly through 1
         pass
+
+
+def test_dedup_against_store_batches(spark, tmp_path):
+    """Batch 2 drops rows whose digest batch 1 already registered,
+    dedups itself internally, and appends only new digests."""
+    from sling_cli_spark.operators.dedup import dedup_against_store
+
+    store = str(tmp_path / "store")
+    b1 = spark.createDataFrame(
+        [(1, "hello world"), (2, "unique one")], "doc_id long, text string")
+    out1 = dedup_against_store(spark, b1, store)
+    assert {r["doc_id"] for r in out1.collect()} == {1, 2}
+
+    b2 = spark.createDataFrame([
+        (10, "HELLO,  world!"),   # normalizes to batch-1's digest
+        (11, "fresh content"),
+        (12, "fresh   content"),  # internal dup of 11 (min id wins)
+        (13, None),               # null text: digest NULL, survives probe
+    ], "doc_id long, text string")
+    out2 = dedup_against_store(spark, b2, store)
+    assert {r["doc_id"] for r in out2.collect()} == {11, 13}
+
+    # store now carries all four distinct digests (incl. the NULL row)
+    b3 = spark.createDataFrame(
+        [(20, "fresh content")], "doc_id long, text string")
+    assert dedup_against_store(spark, b3, store).count() == 0
+
+
+def test_dedup_against_store_no_update(spark, tmp_path):
+    from sling_cli_spark.operators.dedup import dedup_against_store
+
+    store = str(tmp_path / "store")
+    b = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    dedup_against_store(spark, b, store, update_store=False)
+    import os
+    assert not os.path.exists(store)

@@ -316,3 +316,20 @@ def test_distro_field_date(spark):
     assert rows[(2024, 1)] == (2, 50.0)
     assert rows[(2024, 3)] == (1, 25.0)
     assert rows[(2025, 1)] == (1, 25.0)
+
+
+def test_distro_field_date_wide(spark):
+    import datetime
+
+    from sling_cli_spark.operators.profile import distro_field_date_wide
+
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, 5), 10.0), (datetime.date(2024, 1, 9), 30.0),
+         (datetime.date(2024, 3, 1), 5.0)], "d date, amt double")
+    rows = {(r["year"], r["month"]): r
+            for r in distro_field_date_wide(df, "d", ["amt"]).collect()}
+    r = rows[(2024, 1)]
+    assert (r["cnt"], r["sum_amt"], r["min_amt"], r["max_amt"]) \
+        == (2, 40.0, 10.0, 30.0)
+    assert rows[(2024, 3)]["cnt"] == 1
+    assert r["date_field"] == "d"
