@@ -111,8 +111,16 @@ def main() -> None:
 
     def run_once(fn):
         # a query's persist() (e.g. jaccard's shared shingle cache) is
-        # part of its cost — clear so no run rides an earlier run's cache
+        # part of its cost — clear so no run rides an earlier run's
+        # cache. localCheckpoint blocks (connected-components rounds,
+        # the digest-store snapshot) are RDD-level and survive
+        # clearCache until the ContextCleaner gets to them — unpersist
+        # explicitly so ~170 query executions don't accumulate heap
+        # that lands as GC pauses on whichever query runs next.
         spark.catalog.clearCache()
+        for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0

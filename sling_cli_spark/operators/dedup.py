@@ -113,6 +113,30 @@ def minhash_signature(
     return F.array(*slots)
 
 
+def spread_small_input(df: DataFrame, factor: int = 2) -> DataFrame:
+    """OPT-IN parallelism floor: a small parquet input (one file / one
+    row group) scans as ONE partition, serializing per-row work on a
+    many-core executor. When the scan has far fewer partitions than the
+    cluster parallelism, repartition up front.
+
+    Measured guidance (32-core box, sf0.1 documents): worth it ONLY for
+    pipelines whose expensive per-row work has NO downstream shuffle to
+    parallelize it — the interpreted array-HOF shingle explode went 5x
+    faster. Pipelines that already shuffle right after the projection
+    (shingle_table's id-window, the minhash aggregate) measured
+    SLIGHTLY SLOWER with the extra round-robin exchange than with the
+    serial-but-codegen scan prefix — don't wire it in front of those.
+    At 100 TB the scan has >= parallelism partitions and this is a
+    no-op either way."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        parts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if parts * factor <= target else df
+
+
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3,

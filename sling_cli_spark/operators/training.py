@@ -231,33 +231,41 @@ def decontaminate(
     grams) aggregates to DISTINCT grams and BROADCASTS; the corpus
     explodes its grams ONCE (narrow projection + generate, no shuffle)
     into a broadcast left-semi join, so contaminated ids surface
-    without shuffling the corpus; the final anti/flag join is again
-    broadcast-able (contaminated ids are a subset of eval-gram
-    matches). No all-pairs comparison anywhere. With an eval set too
-    large to broadcast, the same plan degrades gracefully to one
-    shuffled semi-join on the gram hash.
+    without shuffling the corpus. The final anti/flag join is NOT
+    broadcast-hinted — contaminated ids scale with the corpus, not the
+    eval set, so AQE picks broadcast only when the set measures small.
+    No all-pairs comparison anywhere. With an eval set too large to
+    broadcast, the same plan degrades gracefully to one shuffled
+    semi-join on the gram hash.
     """
-    from sling_cli_spark.operators.dedup import shingles_col
+    from sling_cli_spark.operators.dedup import shingle_table
 
     if mode not in ("drop", "flag"):
         raise ValueError("mode must be 'drop' or 'flag'")
     ecol = eval_text_col or text_col
+    # gram rows come from shingle_table (posexplode + window lead,
+    # whole-stage codegen), not the array-HOF shingles_col — the
+    # interpreted transform/slice lambdas measured ~3x slower on the
+    # corpus-wide explode, and the eval side shares the same gram
+    # semantics by construction
     eval_grams = (
-        eval_df.select(F.explode(
-            shingles_col(F.col(ecol), n)).alias("__g"))
+        shingle_table(eval_df.select(F.col(ecol).alias("__txt"))
+                      .withColumn("__eid", F.monotonically_increasing_id()),
+                      text_col="__txt", id_col="__eid", shingle_n=n)
+        .select(F.col("shingle").alias("__g"))
         .filter(F.length("__g") > 0).distinct()
     )
-    doc_grams = df.select(
-        F.col(id_col),
-        F.explode(shingles_col(F.col(text_col), n)).alias("__g"))
+    doc_grams = shingle_table(df, text_col=text_col, id_col=id_col,
+                              shingle_n=n) \
+        .select(F.col(id_col), F.col("shingle").alias("__g"))
     contaminated = (
         doc_grams.join(F.broadcast(eval_grams), "__g", "left_semi")
         .select(id_col).distinct()
     )
     if mode == "drop":
-        return df.join(F.broadcast(contaminated), id_col, "left_anti")
+        return df.join(contaminated, id_col, "left_anti")
     return df.join(
-        F.broadcast(contaminated.withColumn("contaminated", F.lit(True))),
+        contaminated.withColumn("contaminated", F.lit(True)),
         id_col, "left").fillna(False, ["contaminated"])
 
 

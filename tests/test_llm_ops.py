@@ -231,3 +231,15 @@ def test_dedup_against_store_no_update(spark, tmp_path):
     dedup_against_store(spark, b, store, update_store=False)
     import os
     assert not os.path.exists(store)
+
+
+def test_spread_small_input(spark):
+    from sling_cli_spark.operators.dedup import spread_small_input
+
+    one = spark.range(100).coalesce(1)
+    assert spread_small_input(one).rdd.getNumPartitions() \
+        == spark.sparkContext.defaultParallelism
+    wide = spark.range(100).repartition(
+        spark.sparkContext.defaultParallelism)
+    assert spread_small_input(wide).rdd.getNumPartitions() \
+        == spark.sparkContext.defaultParallelism  # unchanged (no-op)
