@@ -79,10 +79,8 @@ def exact_dedup(
     SQL-expressible for the oracle. One hash-shuffle on the digest; with
     AQE the skew of popular boilerplate dups is split automatically.
     """
-    text = F.col(text_col)
-    norm = normalize_text(text) if normalize else text
-    h = F.sha2(norm, 256)
-    with_h = df.withColumn("__h", h)
+    with_h = df.withColumn(
+        "__h", content_digest(F.col(text_col), normalize))
     w = Window.partitionBy("__h").orderBy(F.col(id_col))
     return (
         with_h.withColumn("__rn", F.row_number().over(w))
@@ -435,8 +433,9 @@ def connected_components(
     round truncates lineage so the plan doesn't grow exponentially.
     Rounds needed = graph diameter; near-dup candidate graphs are
     star-shaped around bucket minima (diameter ~2 per bucket chain), so
-    3-5 rounds is typical. Convergence is detected by the (monotonically
-    non-increasing) label sum going stationary; exhausting
+    3-5 rounds is typical. Convergence = zero labels changed this round
+    (a short-circuiting ``limit(1)`` probe join, type-agnostic — node
+    ids can be strings/UUIDs, not just numbers); exhausting
     ``max_iterations`` without a fixpoint raises instead of returning a
     half-propagated labeling. For adversarially deep chain graphs,
     alternate large-star/small-star contraction (Kiveris et al.) to get
@@ -447,19 +446,22 @@ def connected_components(
     ).distinct().localCheckpoint()
     labels = sym.select(F.col("a").alias("id")).distinct() \
         .withColumn("label", F.col("id"))
-    prev_sum = None
     for _ in range(max_iterations):
         neighbor = (
             sym.join(labels.withColumnRenamed("id", "a"), "a")
             .select(F.col("b").alias("id"), "label"))
-        labels = (
+        new_labels = (
             labels.unionByName(neighbor)
             .groupBy("id").agg(F.min("label").alias("label"))
         ).localCheckpoint()
-        s = labels.agg(F.sum("label")).collect()[0][0]
-        if s == prev_sum:
+        changed = (
+            new_labels.select("id", F.col("label").alias("__new"))
+            .join(labels, "id")
+            .filter(F.col("__new") != F.col("label"))
+            .limit(1).count())
+        labels = new_labels
+        if changed == 0:
             return labels
-        prev_sum = s
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iterations} "
         "rounds (graph diameter exceeds the iteration budget)")

@@ -228,15 +228,14 @@ def decontaminate(
     LLM-pipeline surface, same normalization as operators/dedup).
 
     Spark shape for 100 TB: the eval side (benchmarks are ~1e4-1e6
-    grams) aggregates to DISTINCT grams and BROADCASTS; the corpus
-    explodes its grams ONCE (narrow projection + generate, no shuffle)
-    into a broadcast left-semi join, so contaminated ids surface
-    without shuffling the corpus. The final anti/flag join is NOT
-    broadcast-hinted — contaminated ids scale with the corpus, not the
-    eval set, so AQE picks broadcast only when the set measures small.
-    No all-pairs comparison anywhere. With an eval set too large to
-    broadcast, the same plan degrades gracefully to one shuffled
-    semi-join on the gram hash.
+    grams) aggregates to DISTINCT grams — small enough that AQE picks a
+    broadcast semi-join at runtime, so the corpus explodes its grams
+    ONCE (narrow projection + generate) and never shuffles for the
+    probe. Neither join is broadcast-HINTED: a hint would bypass the
+    size threshold, and an eval set too large to broadcast (or the
+    corpus-scaled contaminated-id set) must degrade to a shuffled
+    semi-join instead of OOMing the driver — AQE makes that call from
+    measured sizes. No all-pairs comparison anywhere.
     """
     from sling_cli_spark.operators.dedup import shingle_table
 
@@ -259,7 +258,7 @@ def decontaminate(
                               shingle_n=n) \
         .select(F.col(id_col), F.col("shingle").alias("__g"))
     contaminated = (
-        doc_grams.join(F.broadcast(eval_grams), "__g", "left_semi")
+        doc_grams.join(eval_grams, "__g", "left_semi")
         .select(id_col).distinct()
     )
     if mode == "drop":
@@ -287,12 +286,16 @@ def pack_sequences(
     ``shard_col`` so packing parallelizes across shards (a global
     single-partition window would serialize 100 TB; pass the
     shard_assign output or any balanced key). Deterministic: the order
-    inside a shard is ``order_cols`` (default: the natural id columns),
-    so re-runs produce identical packing — resumable and
-    oracle-verifiable, unlike random-shuffle packing.
+    inside a shard is ``order_cols`` — defaulting to EVERY column except
+    the shard key, so ties are impossible whenever rows are distinct;
+    re-runs produce identical packing — resumable and oracle-verifiable,
+    unlike random-shuffle packing. Pass explicit ``order_cols`` (e.g.
+    the id columns) when the frame is wide — ordering by a unique key
+    sorts cheaper than ordering by everything.
     """
     part = F.col(shard_col) if shard_col else F.lit(0)
-    order = [F.col(c) for c in (order_cols or df.columns[:1])]
+    order = [F.col(c) for c in
+             (order_cols or [c for c in df.columns if c != shard_col])]
     w = Window.partitionBy(part).orderBy(*order)
     cum = F.sum(F.col(token_col)).over(w).cast("long")
     start = (cum - F.col(token_col)).cast("long")

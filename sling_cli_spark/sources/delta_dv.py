@@ -82,11 +82,17 @@ _ARRAY_MAX = 4096
 _MAGIC = 1681511377  # RoaringBitmapArray portable magic (delta PROTOCOL.md)
 
 
-def _parse_rb32(buf: bytes) -> np.ndarray:
-    """Standard 32-bit RoaringBitmap serialization -> sorted uint32 array.
+def _parse_rb32(buf: bytes) -> tuple[np.ndarray, int]:
+    """Standard 32-bit RoaringBitmap serialization -> (sorted uint32
+    array, bytes consumed).
 
     Handles all three container kinds (array / bitmap / run) per the
-    public RoaringFormatSpec. ``buf`` must start at the cookie.
+    public RoaringFormatSpec. ``buf`` must start at the cookie. The
+    consumed-byte count comes from the SAME walk that produced the
+    values — a RoaringBitmapArray holds one serialization per 32-bit
+    high key back-to-back, and framing them with a second,
+    independently-maintained length walk risks the two drifting apart
+    and mis-framing every subsequent bitmap.
     """
     (cookie32,) = struct.unpack_from("<i", buf, 0)
     cookie = cookie32 & 0xFFFF
@@ -130,8 +136,8 @@ def _parse_rb32(buf: bytes) -> np.ndarray:
             pos += 2 * card
             parts.append(base + vals.astype(np.uint32))
     if not parts:
-        return np.empty(0, dtype=np.uint32)
-    return np.concatenate(parts)
+        return np.empty(0, dtype=np.uint32), pos
+    return np.concatenate(parts), pos
 
 
 def _serialize_rb32(values: np.ndarray) -> bytes:
@@ -195,45 +201,14 @@ def deserialize_bitmap(data: bytes) -> np.ndarray:
     pos = 12
     parts = []
     for k in range(n_maps):
-        vals = _parse_rb32(data[pos:])
-        pos += _rb32_byte_len(data[pos:])
+        vals, consumed = _parse_rb32(data[pos:])
+        pos += consumed
         if len(vals):
             parts.append(vals.astype(np.int64)
                          + (np.int64(k) << np.int64(32)))
     if not parts:
         return np.empty(0, dtype=np.int64)
     return np.concatenate(parts)
-
-
-def _rb32_byte_len(buf: bytes) -> int:
-    """Byte length of the 32-bit serialization at the head of ``buf``
-    (sequential walk mirroring :func:`_parse_rb32`)."""
-    (cookie32,) = struct.unpack_from("<i", buf, 0)
-    cookie = cookie32 & 0xFFFF
-    if cookie == _SERIAL_COOKIE:
-        n = (cookie32 >> 16) + 1
-        run_bits = buf[4:4 + (n + 7) // 8]
-        pos = 4 + (n + 7) // 8
-        has_offsets = n >= _NO_OFFSET_THRESHOLD
-    else:
-        (n,) = struct.unpack_from("<i", buf, 4)
-        run_bits = b"\x00" * ((n + 7) // 8)
-        pos = 8
-        has_offsets = True
-    keys_cards = struct.unpack_from(f"<{2 * n}H", buf, pos)
-    pos += 4 * n
-    if has_offsets:
-        pos += 4 * n
-    for i in range(n):
-        card = keys_cards[2 * i + 1] + 1
-        if run_bits[i // 8] & (1 << (i % 8)):
-            (n_runs,) = struct.unpack_from("<H", buf, pos)
-            pos += 2 + 4 * n_runs
-        elif card > _ARRAY_MAX:
-            pos += 8192
-        else:
-            pos += 2 * card
-    return pos
 
 
 # ------------------------------------------------------- descriptor I/O
@@ -253,20 +228,27 @@ def dv_absolute_path(table_path: str, desc: dict) -> str:
         else os.path.join(table_path, name)
 
 
-def dv_indices(table_path: str, desc: dict) -> np.ndarray:
+def dv_indices(
+    table_path: str, desc: dict, blob: bytes | None = None,
+) -> np.ndarray:
     """Descriptor -> sorted int64 array of deleted row indices.
 
     Verifies the framing (size field vs ``sizeInBytes``, CRC-32) for
     file-backed vectors and the ``cardinality`` for all of them —
     corrupt DVs must fail loudly, not resurrect/over-delete rows.
+    ``blob`` supplies the DV file bytes pre-read by the caller (the
+    driver does this for non-local tables, where executors have no
+    filesystem client); without it, u/p descriptors resolve against the
+    local filesystem.
     """
     st = desc["storageType"]
     if st == "i":
         data = z85_decode(desc["pathOrInlineDv"])
     else:
         p = dv_absolute_path(table_path, desc)
-        with open(p, "rb") as f:
-            blob = f.read()
+        if blob is None:
+            with open(p, "rb") as f:
+                blob = f.read()
         if not blob or blob[0] != 1:
             raise ValueError(f"unsupported DV file version at {p}")
         off = int(desc.get("offset") or 1)

@@ -684,35 +684,66 @@ def _apply_deletion_vectors(
     supplies each row's ordinal within its parquet file, the descriptors
     expand to (file, row_index) rows via ``mapInPandas`` ON EXECUTORS
     (a 100 TB table's DVs can hold billions of positions — the driver
-    only ships the per-file descriptor JSON, ~100 bytes each), and a
-    left-anti join removes matches. DV rows are tiny next to data, so
-    AQE broadcasts the anti-join side when it fits."""
+    ships per-file descriptor JSON, not positions), and a left-anti
+    join removes matches. DV rows are tiny next to data, so AQE
+    broadcasts the anti-join side when it fits.
+
+    The join key is the TABLE-RELATIVE path on both sides (the log's
+    literal ``add.path`` vs ``_metadata.file_path`` with scheme +
+    authority stripped, one url-decode, and the table base removed —
+    the SQL twin of :func:`_rel_to_table`), so hdfs://-style tables
+    match exactly like local ones. For those non-local tables the
+    driver also pre-reads u/p DV files through fsio — executors run
+    plain Python with no JVM filesystem client — and ships the raw
+    bitmap blobs (MBs of compressed roaring, never expanded positions)
+    inline."""
+    import base64
+
     import pandas as pd
     from pyspark.sql import functions as F
 
     from . import delta_dv
 
-    rows = [(os.path.abspath(os.path.join(path, rel)), json.dumps(desc))
-            for rel, desc in dvs.items()]
-    src = spark.createDataFrame(rows, "__fp string, __dv string")
+    parsed = urlparse(path)
+    is_uri = bool(parsed.scheme and len(parsed.scheme) > 1)
+    base = parsed.path if is_uri else os.path.abspath(path)
+    base = base.rstrip("/")
+    table_ref = path if is_uri else base
+
+    rows = []
+    for rel, desc in dvs.items():
+        blob64 = ""
+        if is_uri and desc.get("storageType") in ("u", "p"):
+            p = delta_dv.dv_absolute_path(table_ref, desc)
+            blob64 = base64.b64encode(
+                fsio.get_fs(p).read_bytes(p)).decode()
+        rows.append((rel, json.dumps(desc), blob64))
+    src = spark.createDataFrame(rows, "__fp string, __dv string, __b string")
     if len(rows) > 1:
         src = src.repartition(min(len(rows), 64), "__fp")
-    table_abs = os.path.abspath(path)
 
     def expand(batches):
         for pdf in batches:
-            for fp, dvj in zip(pdf["__fp"], pdf["__dv"]):
-                idx = delta_dv.dv_indices(table_abs, json.loads(dvj))
+            for fp, dvj, b64 in zip(pdf["__fp"], pdf["__dv"], pdf["__b"]):
+                idx = delta_dv.dv_indices(
+                    table_ref, json.loads(dvj),
+                    blob=base64.b64decode(b64) if b64 else None)
                 step = 1 << 20  # bound per-batch memory
                 for i in range(0, len(idx), step):
                     yield pd.DataFrame(
                         {"__fp": fp, "__pos": idx[i:i + step]})
 
-    deleted = src.mapInPandas(expand, "__fp string, __pos long")
+    deleted = src.select("__fp", "__dv", "__b") \
+        .mapInPandas(expand, "__fp string, __pos long")
+    # scheme://authority stripped, ONE url-decode (Spark encodes the URI
+    # over the on-disk name), then the table base prefix + '/' removed —
+    # leaving the log's literal relative path
+    decoded = F.url_decode(F.regexp_replace(
+        F.col("_metadata.file_path"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""))
     left = (df
-            .withColumn("__fp", F.url_decode(
-                F.regexp_replace(F.col("_metadata.file_path"),
-                                 "^file:(//)?", "")))
+            .withColumn("__fp", F.substring(decoded, len(base) + 2,
+                                            1 << 30))
             .withColumn("__pos", F.col("_metadata.row_index")))
     return left.join(deleted, ["__fp", "__pos"], "left_anti") \
         .drop("__fp", "__pos")

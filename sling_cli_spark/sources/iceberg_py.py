@@ -667,19 +667,23 @@ def _walk_parquet(fs, base: str, rel: str = "") -> list[str]:
     return out
 
 
-def _local_record_count(dest: str) -> int:
-    """Row count from the parquet footer (required data_file stat in
-    v2). Footer-only read — cheap at any file size; 0 for non-local
-    URIs (the stat is informational for our own reader)."""
-    try:
-        import pyarrow.parquet as pq
+def _staged_record_counts(df: DataFrame, tmp: str) -> dict[str, int]:
+    """Per-file row counts of the freshly staged directory, keyed by
+    canonical path (required data_file stat in v2 — foreign engines
+    trust it for metadata-only count(*)). ONE Spark job with zero data
+    columns — the vectorized reader answers from row-group metadata —
+    and fs-agnostic, unlike a local pyarrow footer read (a commit to
+    hdfs://-style storage would otherwise record 0)."""
+    from pyspark.sql import functions as F
 
-        local = _canon(dest)
-        if os.path.exists(local):
-            return pq.read_metadata(local).num_rows
+    try:
+        return {
+            _canon(r["__fp"]): int(r["count"])
+            for r in df.sparkSession.read.parquet(tmp)
+            .groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .count().collect()}
     except Exception:
-        pass
-    return 0
+        return {}
 
 
 def _commit_snapshot(
@@ -722,6 +726,7 @@ def _commit_snapshot(
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(tmp)
+    staged_counts = _staged_record_counts(df, tmp)
     data_files: list[dict] = []
     for rel in sorted(_walk_parquet(fs, tmp)):
         # rel like "c=v/.../part-....parquet" for partitioned stages;
@@ -741,7 +746,8 @@ def _commit_snapshot(
         data_files.append({
             "file_path": _absolute(dest),
             "file_format": "PARQUET",
-            "record_count": _local_record_count(dest),
+            "record_count": staged_counts.get(
+                _canon(fsio.join(tmp, rel)), 0),
             "file_size_in_bytes": fs.getsize(dest),
             "partition": partition or None,
         })

@@ -959,3 +959,21 @@ def test_physical_fields_recurse_into_array_and_map():
     assert out[0]["name"] == "col-arr"
     assert out[0]["type"]["elementType"]["fields"][0]["name"] == "col-x"
     assert out[1]["type"]["valueType"]["fields"][0]["name"] == "col-y"
+
+
+def test_dv_read_via_file_uri(spark, tmp_path):
+    """DV-bearing table addressed by a file:// URI (the JvmFS path):
+    the table-relative join key and the driver-side fsio blob pre-read
+    must line up — a path-normalization mismatch would silently
+    resurrect every deleted row (r7 review)."""
+    from sling_cli_spark.sources import delta_dv as dv
+
+    local = str(tmp_path / "t")
+    df = spark.range(0, 50).selectExpr("id", "cast(id as string) v")
+    write_delta(df.coalesce(1), local)
+    (rel,) = replay_log(local)[1].keys()
+    dv.add_deletion_vectors(local, {rel: [7, 8, 9]})
+
+    uri = "file://" + local
+    got = {r["id"] for r in read_delta(spark, uri).collect()}
+    assert len(got) == 47 and not got & {7, 8, 9}
