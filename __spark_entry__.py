@@ -418,6 +418,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         add_deletion_vectors(t, {rel: list(range(0, n, 7))})
         return read_delta(spark, t).select("o_orderkey", "o_orderpriority")
 
+    def delta_dv_merge(spark, sf):
+        """Copy-on-write MERGE into a deletion-vector table (delta_py
+        round 7, writer feature deletionVectors): nation lands in two
+        files, a DV deletes every n_nationkey multiple of 5, then a
+        batch updates names for keys < 5 and inserts key 99. Verifies
+        the rewrite is computed from the DV-applied scan (no
+        resurrection), the KEPT file's DV carries (15, 20 stay gone),
+        and the commit's remove actions carry descriptors — the Delta
+        twin of iceberg_v2_merge_mor."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_dv import add_deletion_vectors
+        from sling_cli_spark.sources.delta_py import (
+            merge_delta, read_delta, replay_log, write_delta)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_dvm_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_delta(
+            n.filter("n_nationkey < 12").orderBy("n_nationkey").coalesce(1),
+            t)
+        write_delta(
+            n.filter("n_nationkey >= 12").orderBy("n_nationkey").coalesce(1),
+            t)
+        # per-file ordinals of the multiple-of-5 keys (files are sorted)
+        dv_rows = {}
+        for rel, add in replay_log(t)[1].items():
+            ids = sorted(r["n_nationkey"] for r in spark.read.parquet(
+                os.path.join(t, rel)).select("n_nationkey").collect())
+            pos = [i for i, k in enumerate(ids) if k % 5 == 0]
+            if pos:
+                dv_rows[rel] = pos
+        add_deletion_vectors(t, dv_rows)
+        batch = n.filter("n_nationkey < 5") \
+            .withColumn("n_name", F.concat("n_name", F.lit("_u"))) \
+            .unionByName(spark.createDataFrame(
+                [(99, "NEWLAND", 0)],
+                "n_nationkey long, n_name string, n_regionkey long"))
+        merge_delta(spark, t, batch, "n_nationkey")
+        return read_delta(spark, t).select(
+            "n_nationkey", "n_name", "n_regionkey")
+
     def delta_column_mapping(spark, sf):
         """Read a foreign name-mapped Delta table (reader protocol v2,
         delta_py._physical_fields round 6): parquet files store physical
@@ -1224,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks_docs": pack_chunks_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
         "dedup_store_docs": dedup_store_docs,
+        "delta_dv_merge": delta_dv_merge,
         # -- driver-green r06, rotated toward the tail ---------------------
         "star_join_agg": _star_join_agg,
         "exact_dedup_docs": exact_dedup_docs,
@@ -1714,6 +1759,18 @@ def oracle_sql() -> dict[str, str]:
             FROM region
         """,
         "iceberg_v2_merge_mor": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   n_name || '_u' AS n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation WHERE n_nationkey < 5
+            UNION ALL
+            SELECT CAST(99 AS BIGINT), 'NEWLAND', CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT CAST(n_nationkey AS BIGINT), n_name,
+                   CAST(n_regionkey AS BIGINT)
+            FROM nation WHERE n_nationkey >= 5 AND n_nationkey % 5 <> 0
+        """,
+        "delta_dv_merge": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
                    n_name || '_u' AS n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey

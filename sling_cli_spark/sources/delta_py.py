@@ -351,7 +351,12 @@ def replay_log(path: str, version: int | None = None):
 # existing table: plain add/remove with optimistic retry. appendOnly is
 # honored explicitly below; anything else (invariants, CDF generation,
 # identity columns, ...) must refuse rather than silently violate.
-SUPPORTED_WRITER_FEATURES = {"appendOnly"}
+# deletionVectors as a WRITER feature obliges an engine to RESPECT
+# existing DVs, not to produce them: appends leave foreign adds (and
+# their descriptors) untouched, and every CoW rewrite reads touched
+# files merge-on-read (_read_files_mor) and drops the descriptor with
+# the rewritten file — PROTOCOL.md Writer Requirements for the feature.
+SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors"}
 
 
 def check_writer_protocol(path: str, removes_files: bool = False) -> None:
@@ -749,6 +754,45 @@ def _apply_deletion_vectors(
         .drop("__fp", "__pos")
 
 
+def _read_files_mor(
+    spark, path: str, meta: dict, files: dict, rels,
+) -> DataFrame:
+    """Scan a subset of active files with the table schema applied and
+    their deletion vectors anti-joined away — the read the CoW write
+    paths (merge / delete_missing / optimize) must use for TOUCHED
+    files: rewriting from the raw parquet would resurrect every
+    DV-deleted row into the replacement file."""
+    from pyspark.sql import types as T
+
+    rels = sorted(rels)
+    if not rels:
+        return spark.createDataFrame(
+            [], T.StructType.fromJson(json.loads(meta["schemaString"])))
+    reader = spark.read
+    if meta.get("partitionColumns"):
+        reader = reader.option("basePath", path)
+    df = _apply_table_schema(
+        reader.parquet(*[fsio.join(path, p) for p in rels]), meta)
+    dvs = {rel: files[rel]["deletionVector"] for rel in rels
+           if files[rel].get("deletionVector")}
+    if dvs:
+        df = _apply_deletion_vectors(spark, df, path, dvs)
+    return df
+
+
+def _remove_action(
+    rel: str, add: dict, now: int, data_change: bool = True,
+) -> dict:
+    """Remove action for an active file; a DV-bearing add's descriptor
+    rides along (PROTOCOL.md: remove should carry the deletionVector of
+    the version it removes so foreign readers reconcile (path, dvId)
+    pairs exactly)."""
+    r = {"path": rel, "deletionTimestamp": now, "dataChange": data_change}
+    if add.get("deletionVector"):
+        r["deletionVector"] = add["deletionVector"]
+    return {"remove": r}
+
+
 def _read_mapped_partitioned(
     spark, path: str, meta: dict, files: dict, schema_json: dict, logical,
 ):
@@ -864,8 +908,7 @@ def write_delta(
                     new_meta["schemaString"] = df.schema.json()
                     actions += [{"metaData": new_meta}]
             now = int(time.time() * 1000)
-            actions += [{"remove": {"path": p, "deletionTimestamp": now,
-                                    "dataChange": True}}
+            actions += [_remove_action(p, files[p], now)
                         for p in sorted(files)]
         elif partition_by is not None \
                 and list(partition_by) != existing_parts:
@@ -960,18 +1003,12 @@ def merge_delta(
                 meta)
             touched_uris = touched_files(cand_df, src, pk)
             touched_rel = [_rel_to_table(u, path) for u in touched_uris]
-        if touched_rel:
-            reader = spark.read
-            if part_cols:
-                reader = reader.option("basePath", path)
-            touched_rows = _apply_table_schema(
-                reader.parquet(*[fsio.join(path, p) for p in touched_rel]),
-                meta)
-        else:
-            from pyspark.sql import types as T
-
-            touched_rows = spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(meta["schemaString"])))
+        # DV-applied read: a touched file's DV-deleted rows must not
+        # resurrect into the rewritten file (the probe above may run
+        # raw — a deleted row can only mark an extra file touched,
+        # never corrupt the result)
+        touched_rows = _read_files_mor(spark, path, meta, files,
+                                       touched_rel)
         cdc_cols = {}
         if seq_col:
             cdc_cols["seq_col"] = seq_col
@@ -983,10 +1020,7 @@ def merge_delta(
 
     adds = _stage_data_files(replacement, path, part_cols or None)
     now = int(time.time() * 1000)
-    removes = [
-        {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
-        for p in touched_rel
-    ]
+    removes = [_remove_action(p, files[p], now) for p in touched_rel]
     # a batch carrying new columns evolves the table schema with the
     # same commit (mergeSchema semantics; untouched files read the new
     # columns as nulls)
@@ -1028,11 +1062,23 @@ def delete_missing_delta(
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
     part_cols = meta.get("partitionColumns") or []
-    target = read_delta(spark, path)
+    # the scan captures its file BEFORE the DV anti-join (``_metadata``
+    # does not resolve past a join), so DV-deleted rows can neither
+    # mark a file touched nor resurrect into the rewrite
+    reader = spark.read
+    if part_cols:
+        reader = reader.option("basePath", path)
+    scan = _apply_table_schema(
+        reader.parquet(*[fsio.join(path, p) for p in sorted(files)]),
+        meta).withColumn("__file", F.col("_metadata.file_path"))
+    dvs = {rel: add["deletionVector"] for rel, add in files.items()
+           if add.get("deletionVector")}
+    if dvs:
+        scan = _apply_deletion_vectors(spark, scan, path, dvs)
 
     keys = keyset.select(*pk).distinct()
     touched_uris = (
-        target.select(F.col("_metadata.file_path").alias("__file"), *pk)
+        scan.select("__file", *pk)
         .join(keys, on=pk, how="left_anti")
         .select("__file").distinct().collect()
     )
@@ -1041,18 +1087,13 @@ def delete_missing_delta(
     if not touched_rel:
         return {"touched": 0, "new_files": 0, "kept": len(files),
                 "version": latest_version(path)}
-    reader = spark.read
-    if part_cols:
-        reader = reader.option("basePath", path)
-    touched_rows = _apply_table_schema(
-        reader.parquet(*[fsio.join(path, p) for p in touched_rel]), meta)
+    touched_rows = _read_files_mor(spark, path, meta, files, touched_rel)
     replacement = _dm(touched_rows, keys, pk, soft=soft)
 
     actions: list[dict] = _evolve_schema_actions(replacement, meta)
     adds = _stage_data_files(replacement, path, part_cols or None)
     now = int(time.time() * 1000)
-    removes = [{"remove": {"path": p, "deletionTimestamp": now,
-                           "dataChange": True}} for p in touched_rel]
+    removes = [_remove_action(p, files[p], now) for p in touched_rel]
     version = latest_version(path) + 1
     version = _commit_with_retry(path, version, actions + removes + adds,
                                  read_files=set(files))
@@ -1130,22 +1171,19 @@ def optimize_delta(
         return {"compacted": 0, "new_files": 0,
                 "version": latest_version(path)}
 
-    from pyspark.sql import types as T
-
     compacted: list[str] = [rel for rels in todo.values() for rel in rels]
-    reader = spark.read.schema(
-        T.StructType.fromJson(json.loads(meta["schemaString"])))
-    if part_cols:
-        reader = reader.option("basePath", path)
-    rows = reader.parquet(*[fsio.join(path, p) for p in sorted(compacted)])
+    # DV-applied: compaction materializes the LOGICAL rows (dropping the
+    # descriptor with the rewrite); dataChange stays false because the
+    # visible row set is identical
+    rows = _read_files_mor(spark, path, meta, files, compacted)
     total = sum(files[p].get("size", 0) for p in compacted)
     n_out = max(1, round(total / target_file_bytes))
     adds = _stage_data_files(
         rows.repartition(n_out), path, part_cols or None,
         data_change=False)
     now = int(time.time() * 1000)
-    removes = [{"remove": {"path": p, "deletionTimestamp": now,
-                           "dataChange": False}} for p in sorted(compacted)]
+    removes = [_remove_action(p, files[p], now, data_change=False)
+               for p in sorted(compacted)]
     version = _commit_with_retry(
         path, latest_version(path) + 1, removes + adds)
     return {"compacted": len(compacted), "new_files": len(adds),

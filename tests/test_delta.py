@@ -977,3 +977,96 @@ def test_dv_read_via_file_uri(spark, tmp_path):
     uri = "file://" + local
     got = {r["id"] for r in read_delta(spark, uri).collect()}
     assert len(got) == 47 and not got & {7, 8, 9}
+
+
+def test_dv_merge_no_resurrection_and_kept_file_mor(spark, tmp_path):
+    """merge into a DV-bearing table (writer feature deletionVectors):
+    the replacement is computed from the DV-applied scan (a deleted row
+    must not resurrect into the rewrite), the KEPT file's DV survives
+    the commit, and the remove action carries the descriptor."""
+    import json as _json
+
+    from sling_cli_spark.sources import delta_dv as dv
+    from sling_cli_spark.sources.delta_py import merge_delta
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string").coalesce(1), t)
+    write_delta(spark.createDataFrame(
+        [(10, "j"), (11, "k")], "id long, v string").coalesce(1), t)
+    _, files = replay_log(t)
+    # find per-file victims by reading each file's ids
+    by_rel = {rel: {r["id"] for r in
+                    spark.read.parquet(str(tmp_path / "t" / rel)).collect()}
+              for rel in files}
+    rel_a = next(r for r, ids in by_rel.items() if 2 in ids)
+    rel_b = next(r for r, ids in by_rel.items() if 11 in ids)
+    # positions: id order == write order within each coalesced file
+    dv.add_deletion_vectors(t, {rel_a: [1], rel_b: [1]})  # deletes 2, 11
+    assert {r["id"] for r in read_delta(spark, t).collect()} == {1, 3, 10}
+
+    batch = spark.createDataFrame([(3, "X"), (9, "n")], "id long, v string")
+    stats = merge_delta(spark, t, batch, "id")
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    # 2 must NOT resurrect (its file was rewritten DV-applied);
+    # 11 stays deleted via the kept file's carried DV
+    assert got == {1: "a", 3: "X", 9: "n", 10: "j"}
+    assert stats["touched"] == 1
+    # the commit's remove carried the descriptor
+    log_files = sorted((tmp_path / "t" / "_delta_log").glob("*.json"))
+    last = log_files[-1].read_text().splitlines()
+    removes = [_json.loads(l)["remove"] for l in last
+               if '"remove"' in l and "remove" in _json.loads(l)]
+    assert any(r.get("deletionVector") for r in removes)
+
+
+def test_dv_delete_missing_applies_dvs(spark, tmp_path):
+    from sling_cli_spark.sources import delta_dv as dv
+    from sling_cli_spark.sources.delta_py import delete_missing_delta
+
+    t = str(tmp_path / "t")
+    write_delta(spark.range(0, 10).selectExpr(
+        "id", "cast(id as string) v").coalesce(1), t)
+    (rel,) = replay_log(t)[1].keys()
+    dv.add_deletion_vectors(t, {rel: [0]})  # id 0 deleted
+    keyset = spark.range(0, 5).selectExpr("id")
+    delete_missing_delta(spark, t, keyset, "id")
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == {1, 2, 3, 4}  # 0 stays gone, 5..9 removed
+
+
+def test_dv_optimize_materializes_logical_rows(spark, tmp_path):
+    from sling_cli_spark.sources import delta_dv as dv
+    from sling_cli_spark.sources.delta_py import optimize_delta
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1), t)
+    write_delta(spark.createDataFrame(
+        [(3, "c")], "id long, v string").coalesce(1), t)
+    _, files = replay_log(t)
+    rel = next(r for r in files
+               if 1 in {x["id"] for x in
+                        spark.read.parquet(str(tmp_path / "t" / r)).collect()})
+    dv.add_deletion_vectors(t, {rel: [0]})  # id 1 deleted
+    res = optimize_delta(spark, t, min_files=2)
+    assert res["compacted"] >= 2
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == {2, 3}
+    # compaction dropped every descriptor (logical rows materialized)
+    _, active = replay_log(t)
+    assert not any(a.get("deletionVector") for a in active.values())
+
+
+def test_dv_append_preserves_foreign_dvs(spark, tmp_path):
+    from sling_cli_spark.sources import delta_dv as dv
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1), t)
+    (rel,) = replay_log(t)[1].keys()
+    dv.add_deletion_vectors(t, {rel: [0]})
+    write_delta(spark.createDataFrame(
+        [(9, "z")], "id long, v string").coalesce(1), t)  # append allowed
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == {2, 9}
