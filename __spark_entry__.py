@@ -462,6 +462,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return read_delta(spark, t).select(
             "n_nationkey", "n_name", "n_regionkey")
 
+    def delta_stats_skipping(spark, sf):
+        """Stats-based data skipping (delta_py round 7, PROTOCOL.md
+        Per-file Statistics): orders lands as a delta table in 4
+        range-partitioned files whose add.stats bound o_orderkey; a
+        watermark-style read with skip_filters opens ONLY files that can
+        hold keys past the bound (file-level pruning from the log — no
+        footer even read), and the row filter on top hash-matches the
+        plain SQL. The same pruning rides the incremental runner's
+        watermark automatically for delta-log sources."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import read_delta, write_delta
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_sk_"), "t")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderpriority")
+        write_delta(o.repartitionByRange(4, "o_orderkey"), t)
+        bound = 10000
+        return read_delta(
+            spark, t, skip_filters=[("o_orderkey", ">", bound)]) \
+            .filter(F.col("o_orderkey") > bound)
+
     def delta_column_mapping(spark, sf):
         """Read a foreign name-mapped Delta table (reader protocol v2,
         delta_py._physical_fields round 6): parquet files store physical
@@ -1269,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": dedup_clusters_docs,
         "dedup_store_docs": dedup_store_docs,
         "delta_dv_merge": delta_dv_merge,
+        "delta_stats_skipping": delta_stats_skipping,
         # -- driver-green r06, rotated toward the tail ---------------------
         "star_join_agg": _star_join_agg,
         "exact_dedup_docs": exact_dedup_docs,
@@ -1769,6 +1793,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT), n_name,
                    CAST(n_regionkey AS BIGINT)
             FROM nation WHERE n_nationkey >= 5 AND n_nationkey % 5 <> 0
+        """,
+        "delta_stats_skipping": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderpriority
+            FROM orders WHERE o_orderkey > 10000
         """,
         "delta_dv_merge": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,

@@ -62,7 +62,14 @@ def build_read_plan(
     the incremental batch (reference: core.delete_where_not_exist runs its
     own source scan, config.go:1838-1876).
     """
-    df = read_source(spark, cfg.source)
+    # incremental watermark doubles as a Delta stats skip-filter: files
+    # whose add.stats bound update_key <= watermark are never opened
+    # (row-level filtering below stays authoritative)
+    skip = None
+    if (not full_source and watermark is not None and cfg.source.update_key
+            and cfg.mode in (Mode.INCREMENTAL, Mode.CHANGE_CAPTURE)):
+        skip = [(cfg.source.update_key, ">", watermark)]
+    df = read_source(spark, cfg.source, skip_filters=skip)
     df = _maybe_infer(df, cfg)
     if cfg.source.select:
         df = apply_select(df, cfg.source.select)

@@ -218,6 +218,7 @@ def _write_checkpoint(path: str, fs, version: int) -> None:
         ("modificationTime", pa.int64()),
         ("dataChange", pa.bool_()),
         ("deletionVector", dv_t),
+        ("stats", pa.string()),
     ])
 
     n = 2 + len(adds)
@@ -243,6 +244,7 @@ def _write_checkpoint(path: str, fs, version: int) -> None:
         "modificationTime": a.get("modificationTime", 0),
         "dataChange": False,  # checkpoint adds are not data changes
         "deletionVector": a.get("deletionVector"),
+        "stats": a.get("stats"),
     } for a in adds]
 
     table = pa.table({
@@ -507,15 +509,78 @@ def _partition_values(rel_dir: str) -> dict[str, str]:
     return out
 
 
+_STATS_MAX_COLS = 32  # delta's dataSkippingNumIndexedCols default
+
+
+def _stats_serializable(v):
+    """Stats values in a form that is JSON-clean AND whose string order
+    matches the value order — fixed-width timestamp rendering so
+    lexicographic comparison in the pruner equals chronological."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        return float(v)
+    return v
+
+
+def _staged_stats(df: DataFrame, tmp: str) -> dict[str, str]:
+    """Per-staged-file skipping stats (PROTOCOL.md Per-file Statistics:
+    numRecords / minValues / maxValues / nullCount over the first
+    ``_STATS_MAX_COLS`` atomic columns), keyed by canonical staged
+    path. ONE Spark job over the just-written files; failure degrades
+    to no stats, never a failed commit."""
+    from pyspark.sql import functions as F
+
+    cols = [f.name for f in df.schema.fields
+            if f.dataType.typeName() in (
+                "long", "integer", "short", "byte", "double", "float",
+                "decimal", "string", "date", "timestamp", "timestamp_ntz",
+                "boolean")][:_STATS_MAX_COLS]
+    if not cols:
+        return {}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(f"`{c}`")
+        aggs += [F.min(col).alias(f"__mn{i}"),
+                 F.max(col).alias(f"__mx{i}"),
+                 F.count(F.when(col.isNull(), 1)).alias(f"__nl{i}")]
+    try:
+        rows = (df.sparkSession.read.parquet(tmp)
+                .groupBy(F.col("_metadata.file_path").alias("__fp"))
+                .agg(*aggs).collect())
+    except Exception:
+        return {}
+    out: dict[str, str] = {}
+    for r in rows:
+        mins, maxs, nulls = {}, {}, {}
+        for i, c in enumerate(cols):
+            if r[f"__mn{i}"] is not None:
+                mins[c] = _stats_serializable(r[f"__mn{i}"])
+                maxs[c] = _stats_serializable(r[f"__mx{i}"])
+            nulls[c] = r[f"__nl{i}"]
+        parsed = urlparse(r["__fp"])
+        key = unquote(parsed.path) if parsed.scheme else r["__fp"]
+        out[key] = json.dumps({
+            "numRecords": r["__n"], "minValues": mins,
+            "maxValues": maxs, "nullCount": nulls})
+    return out
+
+
 def _stage_data_files(
     df: DataFrame, path: str, partition_by: list[str] | None = None,
     data_change: bool = True,
 ) -> list[dict]:
     """Write ``df`` as parquet part files INTO the table dir (unique
-    names; invisible until committed) -> list of add actions. With
-    ``partition_by`` the Hive subdir layout is preserved and each add
-    carries its ``partitionValues``. ``data_change=False`` marks
-    rearrangement-only adds (compaction)."""
+    names; invisible until committed) -> list of add actions carrying
+    per-file skipping stats. With ``partition_by`` the Hive subdir
+    layout is preserved and each add carries its ``partitionValues``.
+    ``data_change=False`` marks rearrangement-only adds (compaction)."""
     fs = fsio.get_fs(path)
     fs.mkdirs(path)
     tmp = fsio.join(path, f".stage_{uuid.uuid4().hex[:8]}")
@@ -523,6 +588,7 @@ def _stage_data_files(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
+    staged_stats = _staged_stats(df, tmp)
     adds: list[dict] = []
     now = int(time.time() * 1000)
 
@@ -542,15 +608,21 @@ def _stage_data_files(
                 fs.mkdirs(fsio.join(path, rel_dir))
             dest_rel = f"{rel_dir}/{new_name}" if rel_dir else new_name
             dest = fsio.join(path, dest_rel)
+            p2 = urlparse(full)
+            skey = unquote(p2.path) if (p2.scheme and len(p2.scheme) > 1) \
+                else os.path.abspath(full)
             if not fs.rename(full, dest):
                 raise IOError(f"delta stage: could not place {dest_rel}")
-            adds.append({"add": {
+            add = {
                 "path": dest_rel,
                 "size": fs.getsize(dest),
                 "partitionValues": _partition_values(rel_dir),
                 "modificationTime": now,
                 "dataChange": data_change,
-            }})
+            }
+            if skey in staged_stats:
+                add["stats"] = staged_stats[skey]
+            adds.append({"add": add})
 
     walk("")
     fs.delete(tmp, True)
@@ -615,8 +687,60 @@ def _physical_fields(fields: list[dict]) -> list[dict]:
     return out
 
 
+def prune_files_by_stats(files: dict, skip_filters) -> dict:
+    """Data skipping over ``add.stats`` (PROTOCOL.md Per-file
+    Statistics): drop every file whose min/max/nullCount PROVE no row
+    can satisfy the conjunction of ``(col, op, value)`` filters, op in
+    > >= < <= =. Conservative by construction — a file with missing or
+    unparseable stats, or a type mismatch, is always KEPT, so pruning
+    can never change results, only skip I/O. This is the file-level
+    skipping a 100 TB incremental load needs: the watermark predicate
+    eliminates files without opening a single footer (Spark's own
+    row-group skipping only helps after the file is listed + opened)."""
+    out: dict[str, dict] = {}
+    for rel, add in files.items():
+        stats_raw = add.get("stats")
+        keep = True
+        if stats_raw:
+            try:
+                s = json.loads(stats_raw)
+            except Exception:
+                s = None
+            for col, op, val in (skip_filters if s else []):
+                mn = (s.get("minValues") or {}).get(col)
+                mx = (s.get("maxValues") or {}).get(col)
+                v = _stats_serializable(val)
+                if mn is None or mx is None:
+                    # no bounds: all-null column (comparisons never
+                    # match -> prune) only when nullCount proves it
+                    n = s.get("numRecords")
+                    nn = (s.get("nullCount") or {}).get(col)
+                    if n is not None and nn == n and n > 0:
+                        keep = False
+                    if not keep:
+                        break
+                    continue
+                num = (int, float)
+                comparable = type(mn) is type(v) or (
+                    isinstance(mn, num) and not isinstance(mn, bool)
+                    and isinstance(v, num) and not isinstance(v, bool))
+                if not comparable:
+                    continue
+                if ((op == ">" and not mx > v)
+                        or (op == ">=" and not mx >= v)
+                        or (op == "<" and not mn < v)
+                        or (op == "<=" and not mn <= v)
+                        or (op == "=" and not mn <= v <= mx)):
+                    keep = False
+                    break
+        if keep:
+            out[rel] = add
+    return out
+
+
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None,
+    skip_filters=None,
 ) -> DataFrame:
     """Snapshot read at ``version`` (default latest).
 
@@ -626,12 +750,19 @@ def read_delta(
     via the positional struct cast; partitioned mapped tables attach
     partition values from ``add.partitionValues``
     (_read_mapped_partitioned). ``id`` mode (parquet field-id matching)
-    refuses loudly rather than mis-read."""
+    refuses loudly rather than mis-read.
+
+    ``skip_filters`` — a list of ``(col, op, value)`` conjuncts — prunes
+    the file list via per-file stats BEFORE the scan is built
+    (:func:`prune_files_by_stats`); the caller still applies the actual
+    filter (pruning is file-granular, not row-granular)."""
     meta, files = replay_log(path, version)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
     from pyspark.sql import types as T
 
+    if skip_filters:
+        files = prune_files_by_stats(files, skip_filters)
     schema_json = json.loads(meta["schemaString"])
     logical = T.StructType.fromJson(schema_json)
     if not files:

@@ -83,7 +83,10 @@ def detect_format(path: str, opts: SourceOptions) -> str:
     return "parquet"
 
 
-def read_files(spark: SparkSession, path: str, opts: SourceOptions) -> DataFrame:
+def read_files(
+    spark: SparkSession, path: str, opts: SourceOptions,
+    skip_filters=None,
+) -> DataFrame:
     fmt = detect_format(path, opts)
     if fmt == "parquet":
         if opts.merge_schemas:
@@ -154,7 +157,7 @@ def read_files(spark: SparkSession, path: str, opts: SourceOptions) -> DataFrame
             if fmt == "delta":
                 from sling_cli_spark.sources.delta_py import read_delta
 
-                return read_delta(spark, path)
+                return read_delta(spark, path, skip_filters=skip_filters)
             # iceberg: spec-level reader (sources/iceberg_py.py)
             from sling_cli_spark.sources.iceberg_py import read_iceberg
 
@@ -292,10 +295,16 @@ def sql_on_files(
     return spark.sql(sql)
 
 
-def read_source(spark: SparkSession, source: Source, base_dir: str = "") -> DataFrame:
+def read_source(
+    spark: SparkSession, source: Source, base_dir: str = "",
+    skip_filters=None,
+) -> DataFrame:
     """Entry used by the task runner: stream may be a path, glob, SQL, or
     a remote URI (http/https/ftp/sftp/gdrive — staged locally first,
-    sources/remote.py)."""
+    sources/remote.py). ``skip_filters`` (``(col, op, value)`` conjuncts,
+    e.g. the incremental watermark) reach Delta-log sources as
+    stats-based FILE pruning; other formats ignore them (parquet gets
+    row-group skipping from the pushed row filter instead)."""
     stream = source.stream or ""
     if source.is_sql:
         return spark.sql(stream)
@@ -303,9 +312,11 @@ def read_source(spark: SparkSession, source: Source, base_dir: str = "") -> Data
 
     if is_remote(stream):
         staged = stage_remote(stream)
-        return read_files(spark, staged, source.options)
+        return read_files(spark, staged, source.options,
+                          skip_filters=skip_filters)
     path = stream if os.path.isabs(stream) else os.path.join(base_dir, stream)
-    return read_files(spark, path, source.options)
+    return read_files(spark, path, source.options,
+                      skip_filters=skip_filters)
 
 
 def list_file_nodes(spark: SparkSession, path: str) -> DataFrame:

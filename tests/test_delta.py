@@ -1070,3 +1070,101 @@ def test_dv_append_preserves_foreign_dvs(spark, tmp_path):
         [(9, "z")], "id long, v string").coalesce(1), t)  # append allowed
     got = {r["id"] for r in read_delta(spark, t).collect()}
     assert got == {2, 9}
+
+
+def test_add_stats_written_and_checkpointed(spark, tmp_path):
+    """Every add carries per-file skipping stats (numRecords, min/max,
+    nullCount) and a checkpoint round-trips them."""
+    import json as _json
+
+    import sling_cli_spark.fsio as fsio
+    from sling_cli_spark.sources.delta_py import (
+        _read_checkpoint, _write_checkpoint, latest_version)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0)], "id long, v string, x double")
+    write_delta(df.coalesce(1), t)
+    _, files = replay_log(t)
+    (add,) = files.values()
+    s = _json.loads(add["stats"])
+    assert s["numRecords"] == 2
+    assert s["minValues"]["id"] == 1 and s["maxValues"]["id"] == 2
+    assert s["minValues"]["v"] == "a" and s["maxValues"]["v"] == "b"
+    assert s["nullCount"]["x"] == 1
+    fs = fsio.get_fs(t)
+    _write_checkpoint(t, fs, latest_version(t))
+    _, cfiles, _ = _read_checkpoint(t, fs, latest_version(t))
+    (cadd,) = cfiles.values()
+    assert _json.loads(cadd["stats"]) == s
+
+
+def test_prune_files_by_stats_semantics():
+    import json as _json
+
+    from sling_cli_spark.sources.delta_py import prune_files_by_stats
+
+    def f(mn, mx, nrec=10, nnull=0):
+        return {"stats": _json.dumps({
+            "numRecords": nrec,
+            "minValues": {"k": mn} if mn is not None else {},
+            "maxValues": {"k": mx} if mx is not None else {},
+            "nullCount": {"k": nnull}})}
+
+    files = {
+        "lo": f(0, 10), "mid": f(11, 20), "hi": f(21, 30),
+        "nostats": {},
+        "allnull": f(None, None, nrec=5, nnull=5),
+    }
+    got = prune_files_by_stats(files, [("k", ">", 15)])
+    # lo provably disjoint; allnull provably no match; nostats kept
+    assert set(got) == {"mid", "hi", "nostats"}
+    assert set(prune_files_by_stats(files, [("k", "<=", 10)])) \
+        == {"lo", "nostats"}
+    assert set(prune_files_by_stats(files, [("k", "=", 25)])) \
+        == {"hi", "nostats"}
+    # type mismatch -> conservative keep for bounded files; the
+    # all-null file still prunes (NULL satisfies no comparison of any
+    # type)
+    assert set(prune_files_by_stats(files, [("k", ">", "zzz")])) \
+        == set(files) - {"allnull"}
+
+
+def test_read_delta_skip_filters_prunes_scan(spark, tmp_path):
+    """A watermark-style filter prunes FILES (inputFiles shrinks), and
+    result rows match the plain filtered read."""
+    from sling_cli_spark.sources.delta_py import read_delta, write_delta
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+    write_delta(df.repartitionByRange(4, "id"), t)
+    full = read_delta(spark, t)
+    assert len(full.inputFiles()) >= 4
+    pruned = read_delta(spark, t, skip_filters=[("id", ">", 800)])
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = {r["id"] for r in pruned.filter("id > 800").collect()}
+    assert got == set(range(801, 1000))
+
+
+def test_runner_incremental_delta_source_prunes(spark, tmp_path):
+    """End-to-end: an incremental run whose SOURCE is a delta-log table
+    applies the watermark as a stats skip-filter and still produces
+    exactly the post-watermark rows."""
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+    from sling_cli_spark.sources.delta_py import write_delta
+
+    src_t = str(tmp_path / "src")
+    write_delta(spark.range(0, 100).selectExpr(
+        "id", "id AS ts").repartitionByRange(4, "id"), src_t)
+    tgt = str(tmp_path / "tgt.parquet")
+    spark.range(0, 50).selectExpr("id", "id AS ts").write.parquet(tgt)
+    cfg = Config.from_dict({
+        "source": {"stream": src_t, "primary_key": "id",
+                   "update_key": "ts"},
+        "target": {"object": tgt},
+        "mode": "incremental"})
+    r = run(spark, cfg, target_df=spark.read.parquet(tgt))
+    assert r.rows == 50  # ids 50..99 past the watermark 49
+    got = {x["id"] for x in spark.read.parquet(tgt).collect()}
+    assert got == set(range(100))
