@@ -580,6 +580,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             equality_ids=[3], seq=2)
         return I.read_iceberg(spark, t)
 
+    def iceberg_bounds_skipping(spark, sf):
+        """Value-bounds data skipping (iceberg_py round 7, spec
+        data_file.lower_bounds/upper_bounds, single-value binary
+        serialization keyed by field id): orders lands as a
+        format-version-2 table in 4 range-partitioned files; a
+        watermark-style read with skip_filters prunes files from the
+        MANIFESTS alone (pytest asserts the file list shrinks) and the
+        row filter on top hash-matches the plain SQL — the Iceberg twin
+        of delta_stats_skipping."""
+        import tempfile
+
+        from sling_cli_spark.sources import iceberg_py as I
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_ibk_"), "t")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderpriority")
+        I.write_iceberg(o.repartitionByRange(4, "o_orderkey"), t)
+        return I.read_iceberg(
+            spark, t, skip_filters=[("o_orderkey", ">", 10000)]) \
+            .filter(F.col("o_orderkey") > 10000)
+
     def iceberg_roundtrip(spark, sf):
         """Iceberg scan/write active in-sandbox (sources/iceberg_py.py
         — metadata json + manifest-list/manifest Avro chain per the open
@@ -1293,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_store_docs": dedup_store_docs,
         "delta_dv_merge": delta_dv_merge,
         "delta_stats_skipping": delta_stats_skipping,
+        "iceberg_bounds_skipping": iceberg_bounds_skipping,
         # -- driver-green r06, rotated toward the tail ---------------------
         "star_join_agg": _star_join_agg,
         "exact_dedup_docs": exact_dedup_docs,
@@ -1795,6 +1818,11 @@ def oracle_sql() -> dict[str, str]:
             FROM nation WHERE n_nationkey >= 5 AND n_nationkey % 5 <> 0
         """,
         "delta_stats_skipping": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderpriority
+            FROM orders WHERE o_orderkey > 10000
+        """,
+        "iceberg_bounds_skipping": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                    o_orderpriority
             FROM orders WHERE o_orderkey > 10000

@@ -161,7 +161,7 @@ def read_files(
             # iceberg: spec-level reader (sources/iceberg_py.py)
             from sling_cli_spark.sources.iceberg_py import read_iceberg
 
-            return read_iceberg(spark, path)
+            return read_iceberg(spark, path, skip_filters=skip_filters)
     if fmt == "xml":
         # native in Spark 4 (SPARK-44265)
         return spark.read.format("xml") \

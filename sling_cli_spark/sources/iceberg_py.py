@@ -129,6 +129,12 @@ _MANIFEST_ENTRY_SCHEMA_V2 = {
                  "type": ["null", {"type": "map", "values": "string"}]},
                 {"name": "equality_ids",
                  "type": ["null", {"type": "array", "items": "int"}]},
+                # spec: map<int, bytes> (single-value serialization);
+                # this stdlib codec renders map keys as str(field-id)
+                {"name": "lower_bounds",
+                 "type": ["null", {"type": "map", "values": "bytes"}]},
+                {"name": "upper_bounds",
+                 "type": ["null", {"type": "map", "values": "bytes"}]},
             ],
         }},
     ],
@@ -148,7 +154,139 @@ def _v2_data_file(f: dict) -> dict:
         "file_size_in_bytes": int(f.get("file_size_in_bytes") or 0),
         "partition": f.get("partition"),
         "equality_ids": f.get("equality_ids"),
+        "lower_bounds": f.get("lower_bounds"),
+        "upper_bounds": f.get("upper_bounds"),
     }
+
+
+# --- single-value serialization for bounds (spec Appendix D) ----------
+
+_BOUND_TYPES = {"int", "long", "float", "double", "string", "date",
+                "timestamp", "timestamptz", "boolean"}
+
+
+def _encode_bound(ice_type: str, v):
+    """Python value -> the spec's single-value binary serialization
+    (little-endian numerics, UTF-8 strings, date as days-from-epoch
+    int32, timestamps as micros-from-epoch int64)."""
+    import datetime
+    import struct
+
+    if v is None:
+        return None
+    if ice_type == "int":
+        return struct.pack("<i", int(v))
+    if ice_type == "long":
+        return struct.pack("<q", int(v))
+    if ice_type == "float":
+        return struct.pack("<f", float(v))
+    if ice_type == "double":
+        return struct.pack("<d", float(v))
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type == "date":
+        days = (v - datetime.date(1970, 1, 1)).days \
+            if isinstance(v, datetime.date) else int(v)
+        return struct.pack("<i", days)
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, datetime.datetime):
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            v = int((v - epoch).total_seconds() * 1_000_000)
+        return struct.pack("<q", int(v))
+    return None
+
+
+def _decode_bound(ice_type: str, b: bytes):
+    import struct
+
+    if b is None:
+        return None
+    if ice_type == "int":
+        return struct.unpack("<i", b)[0]
+    if ice_type == "long":
+        return struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", b)[0]
+    if ice_type == "string":
+        return b.decode("utf-8")
+    if ice_type == "boolean":
+        return b == b"\x01"
+    if ice_type == "date":
+        return struct.unpack("<i", b)[0]
+    if ice_type in ("timestamp", "timestamptz"):
+        return struct.unpack("<q", b)[0]
+    return None
+
+
+def _norm_bound_value(ice_type: str, v):
+    """Normalize a caller's predicate literal to the decoded-bound
+    domain (dates -> epoch days, datetimes -> epoch micros) so pruning
+    compares like with like."""
+    import datetime
+
+    if ice_type == "date" and isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if ice_type in ("timestamp", "timestamptz") \
+            and isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    return v
+
+
+def prune_files_by_bounds(
+    files: list[dict], skip_filters, meta: dict,
+) -> list[dict]:
+    """Data skipping over the manifests' per-file value bounds
+    (spec: data_file.lower_bounds / upper_bounds) — drop files whose
+    bounds PROVE no row satisfies the conjunction of ``(col, op,
+    value)`` filters, op in > >= < <= =. Conservative: missing bounds,
+    unknown columns, or undecodable values keep the file, so pruning
+    can only skip I/O, never change results — the Iceberg twin of
+    delta_py.prune_files_by_stats."""
+    current = _current_schema(meta) or {"fields": []}
+    by_name = {f["name"]: f for f in current["fields"]}
+    out = []
+    for f in files:
+        lo_raw = f.get("lower_bounds") or {}
+        hi_raw = f.get("upper_bounds") or {}
+        keep = True
+        for col, op, val in skip_filters:
+            fld = by_name.get(col)
+            if fld is None or not isinstance(fld.get("type"), str) \
+                    or fld["type"] not in _BOUND_TYPES:
+                continue
+            fid = str(fld["id"])
+            lo_b, hi_b = lo_raw.get(fid), hi_raw.get(fid)
+            if lo_b is None or hi_b is None:
+                continue
+            try:
+                mn = _decode_bound(fld["type"], lo_b)
+                mx = _decode_bound(fld["type"], hi_b)
+                v = _norm_bound_value(fld["type"], val)
+            except Exception:
+                continue
+            if mn is None or mx is None or v is None:
+                continue
+            num = (int, float)
+            comparable = type(mn) is type(v) or (
+                isinstance(mn, num) and not isinstance(mn, bool)
+                and isinstance(v, num) and not isinstance(v, bool))
+            if not comparable:
+                continue
+            if ((op == ">" and not mx > v)
+                    or (op == ">=" and not mx >= v)
+                    or (op == "<" and not mn < v)
+                    or (op == "<=" and not mn <= v)
+                    or (op == "=" and not mn <= v <= mx)):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
 
 
 def _absolute(path: str) -> str:
@@ -457,7 +595,7 @@ def _mor_read(
 
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None,
-    as_of_timestamp_ms: int | None = None,
+    as_of_timestamp_ms: int | None = None, skip_filters=None,
 ) -> DataFrame:
     """Scan the current (or a specific) snapshot. ``mergeSchema`` unions
     the footers so files predating an evolved column (e.g. the
@@ -469,7 +607,10 @@ def read_iceberg(
     _apply_equality_deletes). ``as_of_timestamp_ms`` time-travels to
     the latest snapshot at or before the instant (the spec's
     ``timestamp-ms`` snapshot field); an instant before the first
-    snapshot reads empty."""
+    snapshot reads empty. ``skip_filters`` (``(col, op, value)``
+    conjuncts) prunes data files via the manifests' value bounds
+    BEFORE the scan is built (:func:`prune_files_by_bounds`); the
+    caller still applies the row filter."""
     _, meta = _current_metadata(path)
     if snapshot_id is None and as_of_timestamp_ms is not None:
         eligible = [s for s in meta.get("snapshots") or []
@@ -479,6 +620,8 @@ def read_iceberg(
         snapshot_id = max(
             eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
     files, pos_dels, eq_dels = _active_entries(path, meta, snapshot_id)
+    if skip_filters:
+        files = prune_files_by_bounds(files, skip_filters, meta)
     return _mor_read(spark, path, meta, files, pos_dels, eq_dels)
 
 
@@ -667,23 +810,50 @@ def _walk_parquet(fs, base: str, rel: str = "") -> list[str]:
     return out
 
 
-def _staged_record_counts(df: DataFrame, tmp: str) -> dict[str, int]:
-    """Per-file row counts of the freshly staged directory, keyed by
-    canonical path (required data_file stat in v2 — foreign engines
-    trust it for metadata-only count(*)). ONE Spark job with zero data
-    columns — the vectorized reader answers from row-group metadata —
-    and fs-agnostic, unlike a local pyarrow footer read (a commit to
-    hdfs://-style storage would otherwise record 0)."""
+def _staged_file_stats(
+    df: DataFrame, tmp: str, ice_schema: dict,
+) -> dict[str, dict]:
+    """Per-file stats of the freshly staged directory, keyed by
+    canonical path: row count (required data_file stat in v2 — foreign
+    engines trust it for metadata-only count(*)) plus value bounds for
+    the boundable columns (spec data_file.lower_bounds/upper_bounds,
+    keyed by field id, single-value binary serialization). ONE Spark
+    job — the count and every min/max batch into a single hash
+    aggregate over the files just written — and fs-agnostic, unlike a
+    local pyarrow footer read (a commit to hdfs://-style storage would
+    otherwise record 0). Failure degrades to no stats, never a failed
+    commit."""
     from pyspark.sql import functions as F
 
+    cols = [(f["name"], str(f["id"]), f["type"])
+            for f in ice_schema.get("fields", [])
+            if isinstance(f.get("type"), str)
+            and f["type"] in _BOUND_TYPES and f["name"] in df.columns]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (name, _, _t) in enumerate(cols):
+        c = F.col(f"`{name}`")
+        aggs += [F.min(c).alias(f"__mn{i}"), F.max(c).alias(f"__mx{i}")]
     try:
-        return {
-            _canon(r["__fp"]): int(r["count"])
-            for r in df.sparkSession.read.parquet(tmp)
-            .groupBy(F.col("_metadata.file_path").alias("__fp"))
-            .count().collect()}
+        rows = (df.sparkSession.read.parquet(tmp)
+                .groupBy(F.col("_metadata.file_path").alias("__fp"))
+                .agg(*aggs).collect())
     except Exception:
         return {}
+    out: dict[str, dict] = {}
+    for r in rows:
+        lo, hi = {}, {}
+        for i, (name, fid, t) in enumerate(cols):
+            try:
+                lb = _encode_bound(t, r[f"__mn{i}"])
+                ub = _encode_bound(t, r[f"__mx{i}"])
+            except Exception:
+                lb = ub = None
+            if lb is not None and ub is not None:
+                lo[fid], hi[fid] = lb, ub
+        out[_canon(r["__fp"])] = {
+            "n": int(r["__n"]),
+            "lower": lo or None, "upper": hi or None}
+    return out
 
 
 def _commit_snapshot(
@@ -726,7 +896,13 @@ def _commit_snapshot(
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(tmp)
-    staged_counts = _staged_record_counts(df, tmp)
+    # the schema this commit will record (stable field ids by name,
+    # fresh ids for new columns) — shared by the bounds stats below and
+    # the schema-evolution branch at the end
+    cur_schema0 = _current_schema(meta) or {}
+    ice_for_df = _ice_schema_for(df, base=cur_schema0,
+                                 last_column_id=meta.get("last-column-id", 0))
+    staged_stats = _staged_file_stats(df, tmp, ice_for_df)
     data_files: list[dict] = []
     for rel in sorted(_walk_parquet(fs, tmp)):
         # rel like "c=v/.../part-....parquet" for partitioned stages;
@@ -743,13 +919,15 @@ def _commit_snapshot(
         dest = fsio.join(dest_dir, new_name)
         if not fs.rename(fsio.join(tmp, rel), dest):
             raise IOError(f"iceberg stage: could not place {new_name}")
+        st = staged_stats.get(_canon(fsio.join(tmp, rel))) or {}
         data_files.append({
             "file_path": _absolute(dest),
             "file_format": "PARQUET",
-            "record_count": staged_counts.get(
-                _canon(fsio.join(tmp, rel)), 0),
+            "record_count": st.get("n", 0),
             "file_size_in_bytes": fs.getsize(dest),
             "partition": partition or None,
+            "lower_bounds": st.get("lower"),
+            "upper_bounds": st.get("upper"),
         })
     fs.delete(tmp, True)
 
@@ -813,14 +991,12 @@ def _commit_snapshot(
     write_avro(mlist_path, mlist_entries,
                _MANIFEST_FILE_SCHEMA_V2 if fv >= 2 else _MANIFEST_FILE_SCHEMA)
 
-    cur_schema = _current_schema(meta) or {}
-    recorded = [f["name"] for f in cur_schema.get("fields", [])]
+    recorded = [f["name"] for f in cur_schema0.get("fields", [])]
     if [f.name for f in df.schema.fields] != recorded:
         # schema evolution rides the commit. v2: a NEW schema-id appended
         # to schemas (field ids stable by name, new columns take fresh
         # ids — spec §Schema Evolution); v1 single-schema just replaces.
-        ice = _ice_schema_for(df, base=cur_schema,
-                              last_column_id=meta.get("last-column-id", 0))
+        ice = ice_for_df
         if fv >= 2:
             new_sid = 1 + max(
                 (s.get("schema-id", 0) for s in meta.get("schemas") or []),

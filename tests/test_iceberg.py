@@ -596,3 +596,58 @@ def test_v2_equality_delete_resolves_current_schema(spark, tmp_path):
         f.write(str(v + 1))
     got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
     assert got == {1: "a", 3: "c"}
+
+
+# ---------------------------------------------------- round 7: value bounds
+
+def test_v2_bounds_written_and_prune(spark, tmp_path):
+    """v2 commits carry per-file lower/upper bounds (single-value
+    serialization keyed by field id); skip_filters prunes files whose
+    bounds prove no match, and results still equal the filtered read."""
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr(
+        "id", "cast(id as string) v", "cast(id as double) d")
+    write_iceberg(df.repartitionByRange(4, "id"), t)
+    _, meta = I._current_metadata(t)
+    files = I._active_files(t, meta, None)
+    assert len(files) >= 4
+    fid = "1"  # id is field 1
+    los = [I._decode_bound("long", f["lower_bounds"][fid]) for f in files]
+    his = [I._decode_bound("long", f["upper_bounds"][fid]) for f in files]
+    assert min(los) == 0 and max(his) == 999
+
+    pruned = I.prune_files_by_bounds(files, [("id", ">", 800)], meta)
+    assert 0 < len(pruned) < len(files)
+    got = {r["id"] for r in I.read_iceberg(
+        spark, t, skip_filters=[("id", ">", 800)])
+        .filter("id > 800").collect()}
+    assert got == set(range(801, 1000))
+    # unknown column / missing bounds -> conservative keep
+    assert len(I.prune_files_by_bounds(
+        files, [("nope", ">", 5)], meta)) == len(files)
+
+
+def test_v2_bounds_string_and_date(spark, tmp_path):
+    import datetime
+
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("apple", datetime.date(2024, 1, 1)),
+         ("banana", datetime.date(2024, 6, 1)),
+         ("cherry", datetime.date(2024, 12, 31))], "s string, d date")
+    write_iceberg(df.coalesce(1), t)
+    _, meta = I._current_metadata(t)
+    (f,) = I._active_files(t, meta, None)
+    assert I._decode_bound("string", f["lower_bounds"]["1"]) == "apple"
+    assert I._decode_bound("string", f["upper_bounds"]["1"]) == "cherry"
+    # date bounds are epoch days; a literal date normalizes to the same
+    pruned = I.prune_files_by_bounds(
+        [f], [("d", ">", datetime.date(2025, 1, 1))], meta)
+    assert pruned == []
+    kept = I.prune_files_by_bounds(
+        [f], [("d", ">", datetime.date(2024, 6, 2))], meta)
+    assert kept == [f]
