@@ -580,6 +580,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             equality_ids=[3], seq=2)
         return I.read_iceberg(spark, t)
 
+    def bucketed_join_agg(spark, sf):
+        """Zero-shuffle co-located join (sinks/writers._write_bucketed:
+        bucketBy + sortBy + saveAsTable): orders and customer land
+        hash-bucketed by custkey (8 buckets each) and the merge join
+        runs with NO Exchange on either side — the bucketing metadata
+        proves co-partitioning, the layout 100 TB PK merges want
+        (test_writers asserts the Exchange-free plan). Order counts and
+        exact revenue per market segment, hash-matched."""
+        import tempfile
+
+        from sling_cli_spark.config import Mode, Target, TargetOptions
+        from sling_cli_spark.sinks.writers import write_files
+
+        base = tempfile.mkdtemp(prefix="sling_bkt_")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("o_price"))
+        c = _t(spark, sf, "customer").select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_mktsegment")
+        write_files(o, Target(
+            object=os.path.join(base, "bkt_orders"),
+            options=TargetOptions(format="parquet", bucket_by=["o_custkey"],
+                                  bucket_count=8)), Mode.FULL_REFRESH)
+        write_files(c.withColumnRenamed("c_custkey", "o_custkey"), Target(
+            object=os.path.join(base, "bkt_customer"),
+            options=TargetOptions(format="parquet", bucket_by=["o_custkey"],
+                                  bucket_count=8)), Mode.FULL_REFRESH)
+        to = spark.table("bkt_orders").hint("merge")
+        tc = spark.table("bkt_customer").hint("merge")
+        return (to.join(tc, "o_custkey")
+                .groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.sum("o_price").cast("double").alias("revenue")))
+
     def iceberg_bounds_skipping(spark, sf):
         """Value-bounds data skipping (iceberg_py round 7, spec
         data_file.lower_bounds/upper_bounds, single-value binary
@@ -1316,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dv_merge": delta_dv_merge,
         "delta_stats_skipping": delta_stats_skipping,
         "iceberg_bounds_skipping": iceberg_bounds_skipping,
+        "bucketed_join_agg": bucketed_join_agg,
         # -- driver-green r06, rotated toward the tail ---------------------
         "star_join_agg": _star_join_agg,
         "exact_dedup_docs": exact_dedup_docs,
@@ -1826,6 +1862,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                    o_orderpriority
             FROM orders WHERE o_orderkey > 10000
+        """,
+        "bucketed_join_agg": """
+            SELECT c.c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2)))
+                        AS DOUBLE) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
         "delta_dv_merge": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
