@@ -15,7 +15,9 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          "asof_events", "ann_topk", "fingerprint_docs", "window_agg_events",
          "jaccard_dedup_docs", "embedding_near_dup", "chunk_docs",
          "stratified_sample_docs", "repetition_docs", "pii_redact_docs",
-         "decontaminate_docs", "pack_chunks_docs", "distro_date_orders"]
+         "decontaminate_docs", "pack_chunks_docs", "distro_date_orders",
+         "delta_stats_skipping", "iceberg_bounds_skipping",
+         "bucketed_join_agg"]
 
 HEADER = """# Physical plan audit (sf0.1, local[32])
 
