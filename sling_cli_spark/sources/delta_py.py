@@ -537,10 +537,13 @@ def _staged_stats(df: DataFrame, tmp: str) -> dict[str, str]:
     to no stats, never a failed commit."""
     from pyspark.sql import functions as F
 
+    # decimals are deliberately EXCLUDED: serializing them as float can
+    # collapse >2^53 values onto one double, and a collapsed bound could
+    # wrongly disprove a watermark — conservative no-stats beats that
     cols = [f.name for f in df.schema.fields
             if f.dataType.typeName() in (
                 "long", "integer", "short", "byte", "double", "float",
-                "decimal", "string", "date", "timestamp", "timestamp_ntz",
+                "string", "date", "timestamp", "timestamp_ntz",
                 "boolean")][:_STATS_MAX_COLS]
     if not cols:
         return {}
@@ -556,13 +559,22 @@ def _staged_stats(df: DataFrame, tmp: str) -> dict[str, str]:
                 .agg(*aggs).collect())
     except Exception:
         return {}
+    import math
+
+    def _nan(x):
+        return isinstance(x, float) and math.isnan(x)
+
     out: dict[str, str] = {}
     for r in rows:
         mins, maxs, nulls = {}, {}, {}
         for i, c in enumerate(cols):
-            if r[f"__mn{i}"] is not None:
-                mins[c] = _stats_serializable(r[f"__mn{i}"])
-                maxs[c] = _stats_serializable(r[f"__mx{i}"])
+            mn, mx = r[f"__mn{i}"], r[f"__mx{i}"]
+            # a NaN bound (Spark sorts NaN greatest, so any NaN in the
+            # file surfaces as max) must be OMITTED, per the spec — a
+            # recorded NaN would disprove every comparison downstream
+            if mn is not None and not _nan(mn) and not _nan(mx):
+                mins[c] = _stats_serializable(mn)
+                maxs[c] = _stats_serializable(mx)
             nulls[c] = r[f"__nl{i}"]
         parsed = urlparse(r["__fp"])
         key = unquote(parsed.path) if parsed.scheme else r["__fp"]
@@ -687,6 +699,53 @@ def _physical_fields(fields: list[dict]) -> list[dict]:
     return out
 
 
+def bounds_disprove(mn, mx, op, v) -> bool:
+    """True iff the closed range [mn, mx] PROVES no value satisfies
+    ``(op, v)`` — the shared disproof kernel of Delta stats pruning and
+    Iceberg bounds pruning. Conservative on every edge: NaN bounds or
+    values (floating max=NaN would otherwise disprove everything),
+    incomparable types, tz-aware vs naive timestamps, and comparison
+    errors all return False (keep the file). Timestamp STRINGS from
+    different writers render differently (' ' vs 'T' separators,
+    trailing 'Z', millis vs micros) — when both sides parse as ISO
+    timestamps they compare as instants, so lexicographic quirks can't
+    wrongly disprove."""
+    import datetime
+    import math
+
+    def _nan(x):
+        return isinstance(x, float) and math.isnan(x)
+
+    if _nan(mn) or _nan(mx) or _nan(v):
+        return False
+    if isinstance(mn, str) and isinstance(mx, str) and isinstance(v, str):
+        def _ts(x):
+            try:
+                return datetime.datetime.fromisoformat(
+                    x.replace("Z", "+00:00"))
+            except Exception:
+                return None
+        pmn, pmx, pv = _ts(mn), _ts(mx), _ts(v)
+        if pmn is not None and pmx is not None and pv is not None:
+            if (pmn.tzinfo is None) != (pv.tzinfo is None):
+                return False
+            mn, mx, v = pmn, pmx, pv
+    num = (int, float)
+    comparable = type(mn) is type(v) or (
+        isinstance(mn, num) and not isinstance(mn, bool)
+        and isinstance(v, num) and not isinstance(v, bool))
+    if not comparable:
+        return False
+    try:
+        return ((op == ">" and not mx > v)
+                or (op == ">=" and not mx >= v)
+                or (op == "<" and not mn < v)
+                or (op == "<=" and not mn <= v)
+                or (op == "=" and not mn <= v <= mx))
+    except TypeError:
+        return False
+
+
 def prune_files_by_stats(files: dict, skip_filters) -> dict:
     """Data skipping over ``add.stats`` (PROTOCOL.md Per-file
     Statistics): drop every file whose min/max/nullCount PROVE no row
@@ -720,17 +779,7 @@ def prune_files_by_stats(files: dict, skip_filters) -> dict:
                     if not keep:
                         break
                     continue
-                num = (int, float)
-                comparable = type(mn) is type(v) or (
-                    isinstance(mn, num) and not isinstance(mn, bool)
-                    and isinstance(v, num) and not isinstance(v, bool))
-                if not comparable:
-                    continue
-                if ((op == ">" and not mx > v)
-                        or (op == ">=" and not mx >= v)
-                        or (op == "<" and not mn < v)
-                        or (op == "<=" and not mn <= v)
-                        or (op == "=" and not mn <= v <= mx)):
+                if bounds_disprove(mn, mx, op, v):
                     keep = False
                     break
         if keep:
@@ -895,11 +944,15 @@ def _read_files_mor(
     DV-deleted row into the replacement file."""
     from pyspark.sql import types as T
 
+    logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
     rels = sorted(rels)
     if not rels:
-        return spark.createDataFrame(
-            [], T.StructType.fromJson(json.loads(meta["schemaString"])))
-    reader = spark.read
+        return spark.createDataFrame([], logical)
+    # EXPLICIT table schema, exactly like read_delta: bare inference
+    # takes ONE footer, so compacting/merging across schema-evolved
+    # files would silently null an evolved column for every row when
+    # the sampled file predates it
+    reader = spark.read.schema(logical)
     if meta.get("partitionColumns"):
         reader = reader.option("basePath", path)
     df = _apply_table_schema(

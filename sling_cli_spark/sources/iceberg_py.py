@@ -141,6 +141,22 @@ _MANIFEST_ENTRY_SCHEMA_V2 = {
 }
 
 
+def _bounds_map(v):
+    """Normalize a bounds value to {str(field-id): bytes} | None.
+    Foreign manifests encode map<int, bytes> as the Avro LOGICAL map —
+    an array of {key, value} records — which our codec surfaces as a
+    list; a shape we can't interpret degrades to None (conservative:
+    no bounds -> no pruning, and a carried entry re-serializes clean)."""
+    if v is None or isinstance(v, dict):
+        return v or None
+    if isinstance(v, list):
+        try:
+            return {str(e["key"]): e["value"] for e in v} or None
+        except Exception:
+            return None
+    return None
+
+
 def _v2_data_file(f: dict) -> dict:
     """Normalize a file dict (fresh or round-tripped through a foreign
     manifest whose record lacks some fields) to the v2 data_file shape —
@@ -154,8 +170,8 @@ def _v2_data_file(f: dict) -> dict:
         "file_size_in_bytes": int(f.get("file_size_in_bytes") or 0),
         "partition": f.get("partition"),
         "equality_ids": f.get("equality_ids"),
-        "lower_bounds": f.get("lower_bounds"),
-        "upper_bounds": f.get("upper_bounds"),
+        "lower_bounds": _bounds_map(f.get("lower_bounds")),
+        "upper_bounds": _bounds_map(f.get("upper_bounds")),
     }
 
 
@@ -172,7 +188,11 @@ def _encode_bound(ice_type: str, v):
     import datetime
     import struct
 
-    if v is None:
+    import math
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        # spec: NaN must never be written to bounds (nan_value_counts
+        # exists for that) — a NaN bound would disprove every comparison
         return None
     if ice_type == "int":
         return struct.pack("<i", int(v))
@@ -246,13 +266,15 @@ def prune_files_by_bounds(
     value)`` filters, op in > >= < <= =. Conservative: missing bounds,
     unknown columns, or undecodable values keep the file, so pruning
     can only skip I/O, never change results — the Iceberg twin of
-    delta_py.prune_files_by_stats."""
+    delta_py.prune_files_by_stats, sharing its disproof kernel."""
+    from sling_cli_spark.sources.delta_py import bounds_disprove
+
     current = _current_schema(meta) or {"fields": []}
     by_name = {f["name"]: f for f in current["fields"]}
     out = []
     for f in files:
-        lo_raw = f.get("lower_bounds") or {}
-        hi_raw = f.get("upper_bounds") or {}
+        lo_raw = _bounds_map(f.get("lower_bounds")) or {}
+        hi_raw = _bounds_map(f.get("upper_bounds")) or {}
         keep = True
         for col, op, val in skip_filters:
             fld = by_name.get(col)
@@ -271,17 +293,7 @@ def prune_files_by_bounds(
                 continue
             if mn is None or mx is None or v is None:
                 continue
-            num = (int, float)
-            comparable = type(mn) is type(v) or (
-                isinstance(mn, num) and not isinstance(mn, bool)
-                and isinstance(v, num) and not isinstance(v, bool))
-            if not comparable:
-                continue
-            if ((op == ">" and not mx > v)
-                    or (op == ">=" and not mx >= v)
-                    or (op == "<" and not mn < v)
-                    or (op == "<=" and not mn <= v)
-                    or (op == "=" and not mn <= v <= mx)):
+            if bounds_disprove(mn, mx, op, v):
                 keep = False
                 break
         if keep:

@@ -1168,3 +1168,65 @@ def test_runner_incremental_delta_source_prunes(spark, tmp_path):
     assert r.rows == 50  # ids 50..99 past the watermark 49
     got = {x["id"] for x in spark.read.parquet(tgt).collect()}
     assert got == set(range(100))
+
+
+def test_optimize_preserves_evolved_columns(spark, tmp_path):
+    """Compaction across schema-evolved files must read with the TABLE
+    schema: bare footer inference from the pre-evolution file would
+    null the evolved column for every row, permanently (r7 review)."""
+    from sling_cli_spark.sources.delta_py import optimize_delta
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), t)
+    write_delta(spark.createDataFrame(
+        [(2, "b", 7.5)], "id long, v string, score double").coalesce(1), t)
+    res = optimize_delta(spark, t, min_files=2)
+    assert res["compacted"] == 2
+    got = {r["id"]: r["score"] for r in read_delta(spark, t).collect()}
+    assert got == {1: None, 2: 7.5}
+
+
+def test_nan_bounds_never_prune(spark, tmp_path):
+    """A double column containing NaN (Spark sorts it greatest, so it
+    surfaces as max) must yield NO min/max stats for that column, and
+    the pruner must keep the file (r7 review)."""
+    import json as _json
+
+    from sling_cli_spark.sources.delta_py import read_delta, write_delta
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 999.0), (3, float("nan"))], "id long, d double")
+    write_delta(df.coalesce(1), t)
+    _, files = replay_log(t)
+    (add,) = files.values()
+    s = _json.loads(add["stats"])
+    assert "d" not in s["minValues"] and "d" not in s["maxValues"]
+    assert s["minValues"]["id"] == 1  # clean columns keep bounds
+    pruned = read_delta(spark, t, skip_filters=[("d", ">", 500.0)])
+    assert len(pruned.inputFiles()) == 1  # kept: 999.0 must survive
+    assert pruned.filter("d > 500").count() >= 1
+
+
+def test_bounds_disprove_timestamp_formats():
+    """Timestamp strings from different writers (' ' vs 'T', 'Z',
+    millis vs micros) compare as instants, not bytes (r7 review)."""
+    from sling_cli_spark.sources.delta_py import bounds_disprove
+
+    # lexicographically ' ' < 'T', but 23:59 is AFTER the watermark —
+    # byte comparison would wrongly disprove '>'
+    assert not bounds_disprove(
+        "2024-01-01 00:00:00", "2024-01-01 23:59:00",
+        ">", "2024-01-01T12:00:00.000000")
+    assert bounds_disprove(
+        "2024-01-01 00:00:00", "2024-01-01 11:00:00",
+        ">", "2024-01-01T12:00:00.000000")
+    # aware vs naive: incomparable -> keep
+    assert not bounds_disprove(
+        "2024-01-01T00:00:00Z", "2024-01-01T01:00:00Z",
+        ">", "2024-01-02T00:00:00.000000")
+    # NaN anywhere -> keep
+    assert not bounds_disprove(1.0, float("nan"), ">", 500.0)
+    # plain strings still compare
+    assert bounds_disprove("a", "c", ">", "x")

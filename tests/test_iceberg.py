@@ -651,3 +651,32 @@ def test_v2_bounds_string_and_date(spark, tmp_path):
     kept = I.prune_files_by_bounds(
         [f], [("d", ">", datetime.date(2024, 6, 2))], meta)
     assert kept == [f]
+
+
+def test_bounds_nan_omitted_and_foreign_list_maps(spark, tmp_path):
+    """NaN never reaches bounds (spec), and foreign manifests' logical
+    map encoding (list of key/value records) degrades to conservative
+    no-bounds instead of crashing prune or re-commit (r7 review)."""
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 999.0), (3, float("nan"))], "id long, d double")
+    write_iceberg(df.coalesce(1), t)
+    _, meta = I._current_metadata(t)
+    (f,) = I._active_files(t, meta, None)
+    assert "2" not in (f.get("lower_bounds") or {})  # d: NaN -> omitted
+    assert I.prune_files_by_bounds([f], [("d", ">", 500.0)], meta) == [f]
+
+    # foreign logical-map shape: list of {key, value} records
+    foreign = dict(f)
+    foreign["lower_bounds"] = [{"key": 1, "value": b"\x05\0\0\0\0\0\0\0"}]
+    foreign["upper_bounds"] = [{"key": 1, "value": b"\x09\0\0\0\0\0\0\0"}]
+    assert I.prune_files_by_bounds(
+        [foreign], [("id", ">", 100)], meta) == []  # max 9 disproves
+    nf = I._v2_data_file(foreign)
+    assert nf["lower_bounds"] == {"1": b"\x05\0\0\0\0\0\0\0"}
+    garbage = dict(f)
+    garbage["lower_bounds"] = [{"wat": 1}]
+    assert I.prune_files_by_bounds(
+        [garbage], [("id", ">", 100)], meta) == [garbage]  # keep
