@@ -746,26 +746,70 @@ def bounds_disprove(mn, mx, op, v) -> bool:
         return False
 
 
-def prune_files_by_stats(files: dict, skip_filters) -> dict:
+def partition_value_disprove(
+    raw: str | None, op: str, v, hive_null: str = _HIVE_NULL,
+) -> bool:
+    """True iff a file's literal partition value PROVES no row matches
+    ``(op, v)``. The stringly Hive value parses into the literal's
+    domain (a partition value is both min and max, so the shared
+    kernel applies pointwise); the NULL sentinel satisfies no
+    comparison; unparseable values keep the file."""
+    import datetime
+
+    if raw is None:
+        return False
+    if raw == hive_null:
+        return True
+    try:
+        if isinstance(v, bool):
+            pv = raw.lower() == "true"
+        elif isinstance(v, int):
+            pv = int(raw)
+        elif isinstance(v, float):
+            pv = float(raw)
+        elif isinstance(v, datetime.datetime):
+            pv = datetime.datetime.fromisoformat(raw)
+        elif isinstance(v, datetime.date):
+            pv = datetime.date.fromisoformat(raw)
+        else:
+            pv = raw
+    except Exception:
+        return False
+    return bounds_disprove(pv, pv, op, v)
+
+
+def prune_files_by_stats(files: dict, skip_filters, part_cols=()) -> dict:
     """Data skipping over ``add.stats`` (PROTOCOL.md Per-file
-    Statistics): drop every file whose min/max/nullCount PROVE no row
-    can satisfy the conjunction of ``(col, op, value)`` filters, op in
-    > >= < <= =. Conservative by construction — a file with missing or
-    unparseable stats, or a type mismatch, is always KEPT, so pruning
-    can never change results, only skip I/O. This is the file-level
-    skipping a 100 TB incremental load needs: the watermark predicate
-    eliminates files without opening a single footer (Spark's own
-    row-group skipping only helps after the file is listed + opened)."""
+    Statistics) AND ``add.partitionValues``: drop every file whose
+    min/max/nullCount — or literal partition value, for filters on a
+    partition column — PROVE no row can satisfy the conjunction of
+    ``(col, op, value)`` filters, op in > >= < <= =. Conservative by
+    construction — a file with missing or unparseable stats, or a type
+    mismatch, is always KEPT, so pruning can never change results, only
+    skip I/O. This is the file-level skipping a 100 TB incremental load
+    needs: the watermark predicate eliminates files (and whole
+    partitions) without opening a single footer (Spark's own row-group
+    skipping only helps after the file is listed + opened)."""
+    part_cols = set(part_cols or ())
     out: dict[str, dict] = {}
     for rel, add in files.items():
-        stats_raw = add.get("stats")
         keep = True
+        # partition conjuncts apply regardless of stats presence —
+        # partition columns never appear in data-file stats
+        for col, op, val in skip_filters:
+            if col in part_cols and partition_value_disprove(
+                    (add.get("partitionValues") or {}).get(col), op, val):
+                keep = False
+                break
+        stats_raw = add.get("stats") if keep else None
         if stats_raw:
             try:
                 s = json.loads(stats_raw)
             except Exception:
                 s = None
             for col, op, val in (skip_filters if s else []):
+                if col in part_cols:
+                    continue
                 mn = (s.get("minValues") or {}).get(col)
                 mx = (s.get("maxValues") or {}).get(col)
                 v = _stats_serializable(val)
@@ -811,7 +855,8 @@ def read_delta(
     from pyspark.sql import types as T
 
     if skip_filters:
-        files = prune_files_by_stats(files, skip_filters)
+        files = prune_files_by_stats(
+            files, skip_filters, meta.get("partitionColumns") or ())
     schema_json = json.loads(meta["schemaString"])
     logical = T.StructType.fromJson(schema_json)
     if not files:

@@ -266,17 +266,27 @@ def prune_files_by_bounds(
     value)`` filters, op in > >= < <= =. Conservative: missing bounds,
     unknown columns, or undecodable values keep the file, so pruning
     can only skip I/O, never change results — the Iceberg twin of
-    delta_py.prune_files_by_stats, sharing its disproof kernel."""
-    from sling_cli_spark.sources.delta_py import bounds_disprove
+    delta_py.prune_files_by_stats, sharing its disproof kernel. Filters
+    on identity-partition columns prune from the manifest's literal
+    partition values instead (those columns never carry bounds)."""
+    from sling_cli_spark.sources.delta_py import (
+        bounds_disprove, partition_value_disprove)
 
     current = _current_schema(meta) or {"fields": []}
     by_name = {f["name"]: f for f in current["fields"]}
+    part_cols = set(_part_cols(meta))
     out = []
     for f in files:
         lo_raw = _bounds_map(f.get("lower_bounds")) or {}
         hi_raw = _bounds_map(f.get("upper_bounds")) or {}
         keep = True
         for col, op, val in skip_filters:
+            if col in part_cols:
+                if partition_value_disprove(
+                        (f.get("partition") or {}).get(col), op, val):
+                    keep = False
+                    break
+                continue
             fld = by_name.get(col)
             if fld is None or not isinstance(fld.get("type"), str) \
                     or fld["type"] not in _BOUND_TYPES:

@@ -1230,3 +1230,34 @@ def test_bounds_disprove_timestamp_formats():
     assert not bounds_disprove(1.0, float("nan"), ">", 500.0)
     # plain strings still compare
     assert bounds_disprove("a", "c", ">", "x")
+
+
+def test_partition_value_pruning(spark, tmp_path):
+    """Filters on a partition column prune from add.partitionValues
+    (partition cols never carry data-file stats); the NULL sentinel
+    satisfies no comparison; unparseable values keep the file."""
+    from sling_cli_spark.sources.delta_py import (
+        partition_value_disprove, read_delta, write_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-02-01"), (3, None)],
+        "id long, day string")
+    write_delta(df, t, partition_by=["day"])
+    full = read_delta(spark, t)
+    pruned = read_delta(
+        spark, t, skip_filters=[("day", ">", "2024-01-15")])
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = {r["id"] for r in pruned.filter("day > '2024-01-15'").collect()}
+    assert got == {2}
+
+    import datetime
+    assert partition_value_disprove("2024-01-01", ">",
+                                    datetime.date(2024, 6, 1))
+    assert not partition_value_disprove("2024-01-01", "<",
+                                        datetime.date(2024, 6, 1))
+    assert partition_value_disprove("__HIVE_DEFAULT_PARTITION__", ">", 1)
+    assert not partition_value_disprove("garbage", ">",
+                                        datetime.date(2024, 6, 1))
+    assert partition_value_disprove("10", ">", 99)   # int domain: 10<99
+    assert not partition_value_disprove("100", ">", 99)

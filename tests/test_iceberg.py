@@ -680,3 +680,24 @@ def test_bounds_nan_omitted_and_foreign_list_maps(spark, tmp_path):
     garbage["lower_bounds"] = [{"wat": 1}]
     assert I.prune_files_by_bounds(
         [garbage], [("id", ">", 100)], meta) == [garbage]  # keep
+
+
+def test_partition_pruning_via_skip_filters(spark, tmp_path):
+    """Identity-partition values in the manifests prune the scan for
+    filters on partition columns — the Iceberg side of
+    partition_value_disprove."""
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "y")],
+        "id long, v string, cat string")
+    write_iceberg(df, t, partition_by=["cat"])
+    _, meta = I._current_metadata(t)
+    files = I._active_files(t, meta, None)
+    kept = I.prune_files_by_bounds(files, [("cat", "=", "y")], meta)
+    assert 0 < len(kept) < len(files)
+    got = {r["id"] for r in I.read_iceberg(
+        spark, t, skip_filters=[("cat", "=", "y")])
+        .filter("cat = 'y'").collect()}
+    assert got == {2, 3}
