@@ -903,6 +903,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "orders"),
             ["o_orderstatus", "o_orderpriority", "o_orderdate"])
 
+    def distro_date_wide_orders(spark, sf):
+        """Wide year/month rollup (operators/profile.
+        distro_field_date_wide; reference base.yaml:378-389): one row
+        per month carrying count + sum/min/max of o_totalprice, a
+        single map-side-combined groupBy."""
+        from sling_cli_spark.operators.profile import distro_field_date_wide
+        out = distro_field_date_wide(
+            _t(spark, sf, "orders"), "o_orderdate", ["o_totalprice"])
+        return out.select(
+            "date_field", "year", "month", "cnt",
+            F.round("sum_o_totalprice", 2).alias("sum_p"),
+            F.round("min_o_totalprice", 2).alias("min_p"),
+            F.round("max_o_totalprice", 2).alias("max_p"))
+
     def fill_rate_orders(spark, sf):
         return fill_rate(_t(spark, sf, "orders"))
 
@@ -1343,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
         "distro_date_orders": distro_date_orders,
         "distro_group_orders": distro_group_orders,
+        "distro_date_wide_orders": distro_date_wide_orders,
         "field_stat_len_orders": field_stat_len_orders,
         "decontaminate_docs": decontaminate_docs,
         "pack_chunks_docs": pack_chunks_docs,
@@ -1889,6 +1904,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt,
                    round(100.0 * count(*)
                          / (SELECT count(*) FROM orders), 2) AS prct
+            FROM orders GROUP BY 2, 3
+        """,
+        "distro_date_wide_orders": """
+            SELECT 'o_orderdate' AS date_field,
+                   CAST(year(o_orderdate) AS BIGINT) AS year,
+                   CAST(month(o_orderdate) AS BIGINT) AS month,
+                   count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS sum_p,
+                   round(min(o_totalprice), 2) AS min_p,
+                   round(max(o_totalprice), 2) AS max_p
             FROM orders GROUP BY 2, 3
         """,
         "distro_group_orders": """
