@@ -1147,3 +1147,54 @@ def expire_snapshots(path: str, keep: int = 1) -> dict:
         if fs.exists(s["manifest-list"]):
             fs.delete(s["manifest-list"])
     return {"expired": len(expired), "deleted_files": deleted}
+
+
+def compact_iceberg(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Bin-pack small data files as a new snapshot (the spec's
+    rewrite-data-files maintenance action; delta_py.optimize_delta is
+    the format twin): active files under ``target_file_bytes`` are read
+    MERGE-ON-READ (their delete-file rows never resurrect into the
+    rewrite), rewritten as ~target-sized files, and committed with the
+    untouched files carried forward — fixing the small-file pile-up a
+    per-batch commit cadence creates.
+
+    Partitioned tables compact within each partition (files never merge
+    across partition values — the staged write re-partitions by the
+    identity columns). Delete files carry forward for the KEPT files;
+    the rewritten rows land at a higher sequence number so old equality
+    deletes no longer bind them. Returns
+    {"compacted": n_in, "new_files": n_out, "snapshot_id": id}
+    ({"compacted": 0} when nothing qualifies).
+    """
+    _, meta = _current_metadata(path, for_write=True)
+    active, pos_dels, eq_dels = _active_entries(path, meta, None)
+
+    groups: dict[tuple, list[dict]] = {}
+    for f in active:
+        if int(f.get("file_size_in_bytes") or 0) < target_file_bytes:
+            key = tuple(sorted((f.get("partition") or {}).items()))
+            groups.setdefault(key, []).append(f)
+    todo = [f for fs_ in groups.values() if len(fs_) >= min_files
+            for f in fs_]
+    if not todo:
+        return {"compacted": 0, "new_files": 0,
+                "snapshot_id": meta.get("current-snapshot-id")}
+
+    rows = _mor_read(spark, path, meta, todo, pos_dels, eq_dels)
+    total = sum(int(f.get("file_size_in_bytes") or 0) for f in todo)
+    n_out = max(1, round(total / target_file_bytes))
+    compacted_paths = {_canon(f["file_path"]) for f in todo}
+    keep = [f for f in active
+            if _canon(f["file_path"]) not in compacted_paths]
+    snapshot_id = _commit_snapshot(
+        rows.repartition(n_out), path, meta, carried=keep,
+        operation="replace", carried_deletes=pos_dels + eq_dels)
+    return {"compacted": len(todo),
+            "new_files": len(_active_files(path, meta, snapshot_id))
+            - len(keep),
+            "snapshot_id": snapshot_id}

@@ -701,3 +701,55 @@ def test_partition_pruning_via_skip_filters(spark, tmp_path):
         spark, t, skip_filters=[("cat", "=", "y")])
         .filter("cat = 'y'").collect()}
     assert got == {2, 3}
+
+
+def test_compact_iceberg_binpacks_and_respects_deletes(spark, tmp_path):
+    """Small files compact into one as a new snapshot; rows removed by
+    a positional delete do NOT resurrect in the rewrite; pre-compaction
+    snapshots still read via time travel."""
+    import pyarrow as pa
+
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    write_iceberg(_df(spark, [(3, "c")]).coalesce(1), t)
+    _, meta = I._current_metadata(t)
+    rows = spark.read.parquet(
+        *[f["file_path"] for f in I._active_files(t, meta, None)]) \
+        .selectExpr("id", "_metadata.file_path AS fp",
+                    "_metadata.row_index AS pos").collect()
+    victim = next(r for r in rows if r["id"] == 2)
+    _upgrade_to_v2_with_delete(
+        spark, t, content=1,
+        del_table=pa.table({"file_path": [I._canon(victim["fp"])],
+                            "pos": [victim["pos"]]}))
+    pre_snapshot = I._current_metadata(t)[1]["current-snapshot-id"]
+
+    res = I.compact_iceberg(spark, t, min_files=2)
+    assert res["compacted"] >= 2 and res["new_files"] >= 1
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "a", 3: "c"}  # id 2 stays deleted
+    # the pre-compaction snapshot still resolves
+    old = {r["id"] for r in read_iceberg(
+        spark, t, snapshot_id=pre_snapshot).collect()}
+    assert old == {1, 3}
+
+
+def test_compact_iceberg_partitioned_within_partition(spark, tmp_path):
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    for batch in ([(1, "a", "x"), (2, "b", "y")],
+                  [(3, "c", "x"), (4, "d", "y")]):
+        write_iceberg(spark.createDataFrame(
+            batch, "id long, v string, cat string"), t,
+            partition_by=["cat"])
+    res = I.compact_iceberg(spark, t, min_files=2)
+    assert res["compacted"] >= 4
+    _, meta = I._current_metadata(t)
+    files = I._active_files(t, meta, None)
+    # every active file still belongs to exactly one partition dir
+    assert all(("cat" in (f.get("partition") or {})) for f in files)
+    got = {r["id"]: r["cat"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "x", 2: "y", 3: "x", 4: "y"}
