@@ -82,7 +82,12 @@ def main() -> None:
     # codegen JIT compilation (the 64-aggregate dedup queries spend more
     # time compiling than executing on their first run — r3 hid this by
     # timing them after ~40 other queries had warmed the JIT)
-    for warm in BENCH_QUERIES:
+    # ...plus the non-headline queries whose first run is dominated by
+    # codegen JIT of deep multi-stage plans (measured: jaccard's first
+    # in-context run is ~2x its steady state)
+    WARM_EXTRA = ["jaccard_dedup_docs", "dedup_clusters_docs",
+                  "decontaminate_docs"]
+    for warm in BENCH_QUERIES + WARM_EXTRA:
         try:
             qs[warm](spark, sf_dir).write.format("noop") \
                 .mode("overwrite").save()
