@@ -808,8 +808,9 @@ def prune_files_by_stats(files: dict, skip_filters, part_cols=()) -> dict:
             except Exception:
                 s = None
             for col, op, val in (skip_filters if s else []):
-                if col in part_cols:
-                    continue
+                # partition columns fall through here too: the staged
+                # scan restores them via directory discovery, so stats
+                # may prune where the stringly partition check could not
                 mn = (s.get("minValues") or {}).get(col)
                 mx = (s.get("maxValues") or {}).get(col)
                 v = _stats_serializable(val)
@@ -1407,9 +1408,15 @@ def optimize_delta(
     rows = _read_files_mor(spark, path, meta, files, compacted)
     total = sum(files[p].get("size", 0) for p in compacted)
     n_out = max(1, round(total / target_file_bytes))
+    # partitioned tables repartition BY the partition columns: a plain
+    # round-robin would spread every partition's rows across all n_out
+    # tasks and partitionBy would then write n_out files per partition —
+    # MORE, smaller files than were compacted. Hash co-locates each
+    # partition in one task (one output file per partition from it).
+    rows = rows.repartition(n_out, *part_cols) if part_cols \
+        else rows.repartition(n_out)
     adds = _stage_data_files(
-        rows.repartition(n_out), path, part_cols or None,
-        data_change=False)
+        rows, path, part_cols or None, data_change=False)
     now = int(time.time() * 1000)
     removes = [_remove_action(p, files[p], now, data_change=False)
                for p in sorted(compacted)]

@@ -267,26 +267,27 @@ def prune_files_by_bounds(
     unknown columns, or undecodable values keep the file, so pruning
     can only skip I/O, never change results — the Iceberg twin of
     delta_py.prune_files_by_stats, sharing its disproof kernel. Filters
-    on identity-partition columns prune from the manifest's literal
-    partition values instead (those columns never carry bounds)."""
+    on IDENTITY-partition columns additionally prune from the
+    manifest's literal partition values (bucket/truncate/day-
+    transformed fields store transformed values and are never compared
+    against source-column filters); an inconclusive partition check
+    still falls through to the value bounds."""
     from sling_cli_spark.sources.delta_py import (
         bounds_disprove, partition_value_disprove)
 
     current = _current_schema(meta) or {"fields": []}
     by_name = {f["name"]: f for f in current["fields"]}
-    part_cols = set(_part_cols(meta))
+    part_cols = _identity_part_cols(meta)
     out = []
     for f in files:
         lo_raw = _bounds_map(f.get("lower_bounds")) or {}
         hi_raw = _bounds_map(f.get("upper_bounds")) or {}
         keep = True
         for col, op, val in skip_filters:
-            if col in part_cols:
-                if partition_value_disprove(
-                        (f.get("partition") or {}).get(col), op, val):
-                    keep = False
-                    break
-                continue
+            if col in part_cols and partition_value_disprove(
+                    (f.get("partition") or {}).get(col), op, val):
+                keep = False
+                break
             fld = by_name.get(col)
             if fld is None or not isinstance(fld.get("type"), str) \
                     or fld["type"] not in _BOUND_TYPES:
@@ -469,6 +470,25 @@ def _active_entries(
 def _active_files(path: str, meta: dict, snapshot_id: int | None) -> list[dict]:
     """Data files only (delete files excluded)."""
     return _active_entries(path, meta, snapshot_id)[0]
+
+
+def _live_delete_files(
+    keep: list[dict], pos_dels: list[dict], eq_dels: list[dict],
+) -> list[dict]:
+    """The delete files still capable of binding a KEPT data file —
+    what a new snapshot should carry. When nothing is kept, none are
+    (rewritten rows sit at a higher sequence number). An equality
+    delete binds only data files with a STRICTLY smaller sequence
+    number, so one at or below every kept file's seq is dead and
+    retires — otherwise every compaction/merge would grow the delete
+    manifest monotonically and every read would scan dead delete files
+    forever. Positional deletes name exact paths (unknown without
+    reading them) and stay while any file is kept."""
+    if not keep:
+        return []
+    min_kept = min(int(f.get("__seq") or 0) for f in keep)
+    return pos_dels + [d for d in eq_dels
+                       if int(d.get("__seq") or 0) > min_kept]
 
 
 def _norm_path_col(c):
@@ -725,9 +745,9 @@ def merge_iceberg(
     # replacement files land at a HIGHER sequence number so old equality
     # deletes no longer bind them, and positional deletes name replaced
     # paths that no longer exist in the snapshot (inert)
-    snapshot_id = _commit_snapshot(df=replacement, path=path, meta=meta,
-                                   carried=keep,
-                                   carried_deletes=pos_dels + eq_dels)
+    snapshot_id = _commit_snapshot(
+        df=replacement, path=path, meta=meta, carried=keep,
+        carried_deletes=_live_delete_files(keep, pos_dels, eq_dels))
     return {"touched": len(touched),
             "new_files": len(_active_files(path, meta, snapshot_id)) - len(keep),
             "kept": len(keep), "snapshot_id": snapshot_id}
@@ -767,9 +787,9 @@ def delete_missing_iceberg(
         _mor_read(spark, path, meta, touched_entries, pos_dels, eq_dels),
         keys, pk, soft=soft)
     keep = [f for f in active if _canon(f["file_path"]) not in touched]
-    snapshot_id = _commit_snapshot(replacement, path, meta, carried=keep,
-                                   operation="delete",
-                                   carried_deletes=pos_dels + eq_dels)
+    snapshot_id = _commit_snapshot(
+        replacement, path, meta, carried=keep, operation="delete",
+        carried_deletes=_live_delete_files(keep, pos_dels, eq_dels))
     return {"touched": len(touched),
             "new_files": len(_active_files(path, meta, snapshot_id)) - len(keep),
             "kept": len(keep), "snapshot_id": snapshot_id}
@@ -814,6 +834,16 @@ def _init_meta(
 def _part_cols(meta: dict) -> list[str]:
     specs = meta.get("partition-specs") or [{}]
     return [f["name"] for f in (specs[0].get("fields") or [])]
+
+
+def _identity_part_cols(meta: dict) -> set[str]:
+    """Partition-spec fields with the IDENTITY transform only — a
+    foreign table's bucket/truncate/day field stores transformed values
+    under the source column's name, and pruning a source-column filter
+    against those would silently drop matching rows."""
+    specs = meta.get("partition-specs") or [{}]
+    return {f["name"] for f in (specs[0].get("fields") or [])
+            if f.get("transform", "identity") == "identity"}
 
 
 def _walk_parquet(fs, base: str, rel: str = "") -> list[str]:
@@ -1078,7 +1108,7 @@ def write_iceberg(
         carried, carried_dels = [], []
     else:
         carried, pos_d, eq_d = _active_entries(path, meta, None)
-        carried_dels = pos_d + eq_d
+        carried_dels = _live_delete_files(carried, pos_d, eq_d)
     return _commit_snapshot(
         df, path, meta, carried,
         operation="overwrite" if mode == "overwrite" else "append",
@@ -1188,12 +1218,18 @@ def compact_iceberg(
     rows = _mor_read(spark, path, meta, todo, pos_dels, eq_dels)
     total = sum(int(f.get("file_size_in_bytes") or 0) for f in todo)
     n_out = max(1, round(total / target_file_bytes))
+    # see delta_py.optimize_delta: hash by the partition columns so the
+    # partitionBy write emits one file per partition per task, not
+    # n_out fragments per partition
+    pcols = _part_cols(meta)
+    rows = rows.repartition(n_out, *pcols) if pcols \
+        else rows.repartition(n_out)
     compacted_paths = {_canon(f["file_path"]) for f in todo}
     keep = [f for f in active
             if _canon(f["file_path"]) not in compacted_paths]
     snapshot_id = _commit_snapshot(
-        rows.repartition(n_out), path, meta, carried=keep,
-        operation="replace", carried_deletes=pos_dels + eq_dels)
+        rows, path, meta, carried=keep, operation="replace",
+        carried_deletes=_live_delete_files(keep, pos_dels, eq_dels))
     return {"compacted": len(todo),
             "new_files": len(_active_files(path, meta, snapshot_id))
             - len(keep),

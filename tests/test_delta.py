@@ -1261,3 +1261,41 @@ def test_partition_value_pruning(spark, tmp_path):
                                         datetime.date(2024, 6, 1))
     assert partition_value_disprove("10", ">", 99)   # int domain: 10<99
     assert not partition_value_disprove("100", ">", 99)
+
+
+def test_partition_filter_falls_through_to_stats(spark, tmp_path):
+    """An inconclusive partition-value parse must not disable stats
+    pruning for the same column (r7 review): the staged scan restores
+    partition columns, so their stats exist."""
+    import json as _json
+
+    from sling_cli_spark.sources.delta_py import prune_files_by_stats
+
+    add = {
+        "partitionValues": {"f": "1.5"},
+        "stats": _json.dumps({
+            "numRecords": 10,
+            "minValues": {"f": 1.5}, "maxValues": {"f": 1.5},
+            "nullCount": {"f": 0}})}
+    # int literal: partition parse (int("1.5")) fails -> inconclusive;
+    # stats still disprove f > 99
+    got = prune_files_by_stats({"a": add}, [("f", ">", 99)],
+                               part_cols=("f",))
+    assert got == {}
+
+
+def test_optimize_partitioned_no_fanout(spark, tmp_path):
+    from sling_cli_spark.sources.delta_py import optimize_delta
+
+    t = str(tmp_path / "t")
+    for batch in ([(1, "x"), (2, "y")], [(3, "x"), (4, "y")]):
+        write_delta(spark.createDataFrame(
+            batch, "id long, cat string"), t, partition_by=["cat"])
+    res = optimize_delta(spark, t, target_file_bytes=10 ** 9, min_files=2)
+    assert res["compacted"] >= 4
+    _, files = replay_log(t)
+    per_part = {}
+    for rel, add in files.items():
+        c = add["partitionValues"]["cat"]
+        per_part[c] = per_part.get(c, 0) + 1
+    assert per_part == {"x": 1, "y": 1}

@@ -753,3 +753,76 @@ def test_compact_iceberg_partitioned_within_partition(spark, tmp_path):
     assert all(("cat" in (f.get("partition") or {})) for f in files)
     got = {r["id"]: r["cat"] for r in read_iceberg(spark, t).collect()}
     assert got == {1: "x", 2: "y", 3: "x", 4: "y"}
+
+
+def test_prune_skips_non_identity_transforms(spark, tmp_path):
+    """A foreign bucket-transformed partition field stores bucket
+    ordinals under the source column name — pruning a source-column
+    filter against those would drop matching rows; only identity
+    fields may partition-prune (r7 review)."""
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame(
+        [(500, "a")], "id long, v string").coalesce(1), t)
+    v, meta = I._current_metadata(t)
+    meta["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "id", "transform": "bucket[16]", "source-id": 1,
+         "field-id": 1000}]}]
+    f = dict(I._active_files(t, meta, None)[0])
+    f["partition"] = {"id": "3"}   # bucket ordinal, NOT the value
+    f["lower_bounds"] = f["upper_bounds"] = None
+    kept = I.prune_files_by_bounds([f], [("id", ">", 100)], meta)
+    assert kept == [f]  # must NOT prune on the bucket ordinal
+
+
+def test_compact_partitioned_no_fanout(spark, tmp_path):
+    """With a tiny target size (large n_out), the partition-hashed
+    repartition still yields ONE file per partition — round-robin
+    would have written n_out fragments per partition (r7 review)."""
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    for batch in ([(1, "x"), (2, "y")], [(3, "x"), (4, "y")]):
+        write_iceberg(spark.createDataFrame(
+            batch, "id long, cat string"), t, partition_by=["cat"])
+    res = I.compact_iceberg(spark, t, target_file_bytes=10 ** 9,
+                            min_files=2)
+    assert res["compacted"] >= 4
+    _, meta = I._current_metadata(t)
+    files = I._active_files(t, meta, None)
+    per_part = {}
+    for f in files:
+        per_part.setdefault(f["partition"]["cat"], 0)
+        per_part[f["partition"]["cat"]] += 1
+    assert per_part == {"x": 1, "y": 1}
+
+
+def test_compaction_retires_dead_delete_files(spark, tmp_path):
+    """When every data file is rewritten, delete files do not ride into
+    the new snapshot; an equality delete at or below every kept file's
+    sequence retires too (r7 review)."""
+    import pyarrow as pa
+
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    write_iceberg(_df(spark, [(3, "c")]).coalesce(1), t)
+    _upgrade_to_v2_with_delete(
+        spark, t, content=2, del_table=pa.table({"id": [2]}),
+        equality_ids=[1], seq=2)
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 3}
+    res = I.compact_iceberg(spark, t, min_files=2)
+    assert res["compacted"] >= 2
+    _, meta = I._current_metadata(t)
+    _, pos_d, eq_d = I._active_entries(t, meta, None)
+    assert pos_d == [] and eq_d == []   # everything rewritten -> retired
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 3}
+
+    # helper semantics directly: delete at seq 2 vs kept files at 2/3
+    assert I._live_delete_files(
+        [{"__seq": 2}], [], [{"__seq": 2}]) == []      # 2 <= 2: dead
+    assert I._live_delete_files(
+        [{"__seq": 1}], [], [{"__seq": 2}]) \
+        == [{"__seq": 2}]                              # binds seq-1 file
