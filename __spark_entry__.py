@@ -698,6 +698,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return I.read_iceberg(spark, t).select(
             "n_nationkey", "n_name", "n_regionkey")
 
+    def iceberg_v3_dv(spark, sf):
+        """Iceberg format-version 3 deletion vectors (iceberg_py +
+        sources/puffin.py round 7, spec v3 §Deletion Vectors): orders
+        lands as a v2 table in two single-file appends split by
+        o_orderkey parity (each sorted, so row ordinals equal the
+        within-parity o_orderkey rank), then add_deletion_vectors
+        upgrades to v3 with ONE Puffin file holding a
+        deletion-vector-v1 roaring blob per data file — every 7th
+        ordinal of the even file and every 9th of the odd file. The
+        scan anti-joins `_metadata.row_index` against the
+        executor-expanded bitmaps; the oracle reproduces the ordinals
+        with a parity-partitioned row_number."""
+        import tempfile
+
+        from sling_cli_spark.sources import iceberg_py as I
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_i3dv_"), "t")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderpriority")
+        even = o.filter("o_orderkey % 2 = 0").orderBy("o_orderkey")
+        odd = o.filter("o_orderkey % 2 = 1").orderBy("o_orderkey")
+        I.write_iceberg(even.coalesce(1), t)
+        I.write_iceberg(odd.coalesce(1), t)
+        _, meta = I._current_metadata(t)
+        f_even, f_odd = sorted(I._active_files(t, meta, None),
+                               key=lambda f: int(f["__seq"]))
+        I.add_deletion_vectors(t, {
+            f_even["file_path"]: range(0, int(f_even["record_count"]), 7),
+            f_odd["file_path"]: range(0, int(f_odd["record_count"]), 9),
+        })
+        return I.read_iceberg(spark, t).select(
+            "o_orderkey", "o_orderpriority")
+
     def merge_update_insert_delta(spark, sf):
         """Copy-on-write MERGE into a Delta table (delta_py.merge_delta,
         remove+add log commit) — must hash-match the same oracle as the
@@ -1355,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_deletion_vectors": delta_deletion_vectors,
         "jdbc_live_roundtrip": jdbc_live_roundtrip,
         "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
+        "iceberg_v3_dv": iceberg_v3_dv,
         "distro_date_orders": distro_date_orders,
         "distro_group_orders": distro_group_orders,
         "distro_date_wide_orders": distro_date_wide_orders,
@@ -1855,6 +1890,18 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_roundtrip": """
             SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
             FROM region
+        """,
+        "iceberg_v3_dv": """
+            SELECT o_orderkey, o_orderpriority FROM (
+                SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                       o_orderpriority,
+                       o_orderkey % 2 AS par,
+                       row_number() OVER (
+                           PARTITION BY o_orderkey % 2
+                           ORDER BY o_orderkey) - 1 AS rn
+                FROM orders
+            ) WHERE NOT ((par = 0 AND rn % 7 = 0)
+                      OR (par = 1 AND rn % 9 = 0))
         """,
         "iceberg_v2_merge_mor": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,

@@ -23,10 +23,13 @@ explicit on carried EXISTING entries), schema evolution as a new
 with delete files CARRY the delete files forward (kept data files stay
 merge-on-read; replaced/added files sit at a higher sequence number so
 old equality deletes no longer bind them). ``format_version=1`` still
-writes the v1 single-schema layout. READS support v1 and v2
-merge-on-read: positional deletes (a `_metadata.row_index` anti-join)
-and equality deletes (null-safe anti-join scoped by data sequence
-number); format-version 3 refuses loudly. Enough for
+writes the v1 single-schema layout. READS support v1-v3
+merge-on-read: positional deletes (a `_metadata.row_index` anti-join),
+equality deletes (null-safe anti-join scoped by data sequence
+number), and v3 Puffin-stored deletion vectors (spec v3 §Deletion
+Vectors; :mod:`.puffin` parses the blobs, executors expand the
+roaring bitmaps); v3 WRITES and v3-only types (variant/geometry/
+timestamp_ns/initial-default) refuse loudly. Enough for
 EL-tool snapshots: :func:`write_iceberg` (append/overwrite creating a
 new snapshot + metadata version) and :func:`read_iceberg` (current or
 ``snapshot_id=`` time travel). The jar-backed Spark DataSource takes
@@ -135,6 +138,36 @@ _MANIFEST_ENTRY_SCHEMA_V2 = {
                  "type": ["null", {"type": "map", "values": "bytes"}]},
                 {"name": "upper_bounds",
                  "type": ["null", {"type": "map", "values": "bytes"}]},
+            ],
+        }},
+    ],
+}
+
+
+# v3 delete manifest entry: deletion vectors are Puffin blobs; the
+# entry pins the ONE data file the vector applies to and the blob's
+# byte range (spec v3: referenced_data_file field 143, content_offset
+# 144, content_size_in_bytes 145).
+_MANIFEST_ENTRY_SCHEMA_V3 = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2",
+            "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "partition",
+                 "type": ["null", {"type": "map", "values": "string"}]},
+                {"name": "referenced_data_file",
+                 "type": ["null", "string"]},
+                {"name": "content_offset", "type": ["null", "long"]},
+                {"name": "content_size_in_bytes", "type": ["null", "long"]},
             ],
         }},
     ],
@@ -351,11 +384,43 @@ def _current_metadata(path: str, for_write: bool = False) -> tuple[int, dict]:
     meta = json.loads(fs.read_bytes(
         fsio.join(_meta_dir(path), f"v{v}.metadata.json")).decode())
     fv = meta.get("format-version", 1)
-    if fv > 2:
+    if fv > 3 or (fv == 3 and for_write):
         raise UnsupportedTableFeature(
             f"iceberg table at {path} is format-version {fv}; this "
-            "implementation reads/writes v1 and v2 only")
+            "implementation reads v1-v3 and writes v1/v2 only (v3 "
+            "writes would have to assign row-lineage ids)")
+    if fv == 3:
+        _gate_v3_schema(path, meta)
     return v, meta
+
+
+# v3 adds types this engine cannot faithfully project into Spark —
+# refuse loudly rather than silently coerce (spec v3 §Primitive Types).
+_UNSUPPORTED_V3_TYPES = {
+    "unknown", "variant", "geometry", "geography",
+    "timestamp_ns", "timestamptz_ns",
+}
+
+
+def _gate_v3_schema(path: str, meta: dict) -> None:
+    """Refuse v3 tables whose schema uses v3-only types or non-null
+    ``initial-default`` field defaults (a default-bearing column must be
+    filled per-file — only for data files written BEFORE the column was
+    added — which this reader does not track)."""
+    for schema in meta.get("schemas") or [meta.get("schema") or {}]:
+        for f in schema.get("fields") or []:
+            t = f.get("type")
+            if isinstance(t, str) and (
+                    t in _UNSUPPORTED_V3_TYPES
+                    or t.startswith(("geometry(", "geography("))):
+                raise UnsupportedTableFeature(
+                    f"iceberg v3 table at {path} uses type {t!r} "
+                    f"(field {f.get('name')!r}) — unsupported")
+            if f.get("initial-default") is not None:
+                raise UnsupportedTableFeature(
+                    f"iceberg v3 table at {path}: field "
+                    f"{f.get('name')!r} carries initial-default — "
+                    "per-file default filling is unsupported")
 
 
 def _ice_schema_for(
@@ -578,21 +643,89 @@ def _apply_equality_deletes(
 def _apply_positional_deletes(spark, df: DataFrame, deletes: list[dict]):
     """Merge-on-read: anti-join the scan against the (file_path, pos)
     rows of the snapshot's positional delete files (spec §Position
-    Delete Files). Spark-native: `_metadata.row_index` supplies the
-    row's ordinal within its parquet file, so no per-row Python and no
-    extra scan pass. Delete files are tiny next to data — AQE
-    broadcasts the anti-join side. Positional deletes name exact data
-    file paths (UUID names are never reused), so path+pos matching
-    needs no sequence-number ordering.
+    Delete Files) and v3 deletion vectors (spec v3 §Deletion Vectors,
+    Puffin-stored — entries with ``file_format`` PUFFIN). Spark-native:
+    `_metadata.row_index` supplies the row's ordinal within its parquet
+    file, so no per-row Python and no extra scan pass. Delete rows are
+    tiny next to data — AQE broadcasts the anti-join side. Both kinds
+    name exact data file paths (UUID names are never reused), so
+    path+pos matching needs no sequence-number ordering.
 
     Expects ``__fp``/``__pos`` precomputed on ``df`` by
     :func:`_mor_read`; drops ``__pos``, leaves ``__fp``."""
     from pyspark.sql import functions as F
 
-    dd = spark.read.parquet(*[f["file_path"] for f in deletes])
-    right = dd.select(_norm_path_col(F.col("file_path")).alias("__fp"),
-                      F.col("pos").alias("__pos"))
+    parq, dvs = [], []
+    for f in deletes:
+        fmt = (f.get("file_format") or "PARQUET").upper()
+        (dvs if fmt == "PUFFIN" else parq).append(f)
+    right = None
+    if parq:
+        dd = spark.read.parquet(*[f["file_path"] for f in parq])
+        right = dd.select(_norm_path_col(F.col("file_path")).alias("__fp"),
+                          F.col("pos").alias("__pos"))
+    if dvs:
+        dv_rows = _expand_dvs(spark, dvs)
+        right = dv_rows if right is None else right.unionByName(dv_rows)
     return df.join(right, ["__fp", "__pos"], "left_anti").drop("__pos")
+
+
+def _expand_dvs(spark, dvs: list[dict]) -> DataFrame:
+    """v3 deletion-vector entries -> a (__fp, __pos) DataFrame.
+
+    The driver reads each Puffin delete file ONCE through fsio (they
+    are tiny next to data; entries sharing a file share the read),
+    slices each blob by the manifest's ``content_offset``/
+    ``content_size_in_bytes``, and ships the compressed roaring bytes
+    to executors, which expand positions via ``mapInPandas`` — a 100 TB
+    table's vectors can hold billions of positions, so the driver moves
+    MBs of bitmap, never expanded rows. Same shape as
+    delta_py._apply_deletion_vectors."""
+    import base64
+
+    import pandas as pd
+
+    from sling_cli_spark.sources import puffin
+
+    file_bytes: dict[str, bytes] = {}
+    rows = []
+    for d in dvs:
+        ref = d.get("referenced_data_file")
+        if not ref:
+            raise UnsupportedTableFeature(
+                "iceberg v3 deletion vector without referenced_data_file")
+        off, size = d.get("content_offset"), d.get("content_size_in_bytes")
+        if off is None or size is None:
+            raise UnsupportedTableFeature(
+                "iceberg v3 deletion vector without content_offset/"
+                "content_size_in_bytes")
+        p = d["file_path"]
+        if p not in file_bytes:
+            file_bytes[p] = fsio.get_fs(p).read_bytes(p)
+        blob = file_bytes[p][int(off):int(off) + int(size)]
+        if len(blob) != int(size):
+            raise ValueError(
+                f"puffin blob at {p}:{off} truncated "
+                f"({len(blob)} of {size} bytes)")
+        rows.append((_canon(ref), base64.b64encode(blob).decode(),
+                     int(d.get("record_count") or 0)))
+    src = spark.createDataFrame(rows, "__fp string, __b string, __n long")
+    if len(rows) > 1:
+        src = src.repartition(min(len(rows), 64), "__fp")
+
+    def expand(batches):
+        for pdf in batches:
+            for fp, b64, card in zip(pdf["__fp"], pdf["__b"], pdf["__n"]):
+                idx = puffin.dv_blob_indices(base64.b64decode(b64))
+                if card and len(idx) != card:
+                    raise ValueError(
+                        f"deletion vector for {fp}: bitmap holds "
+                        f"{len(idx)} positions, manifest says {card}")
+                step = 1 << 20  # bound per-batch memory
+                for i in range(0, len(idx), step):
+                    yield pd.DataFrame({"__fp": fp, "__pos": idx[i:i + step]})
+
+    return src.mapInPandas(expand, "__fp string, __pos long")
 
 
 def _mor_read(
@@ -1234,3 +1367,113 @@ def compact_iceberg(
             "new_files": len(_active_files(path, meta, snapshot_id))
             - len(keep),
             "snapshot_id": snapshot_id}
+
+
+def add_deletion_vectors(path: str, dv_rows: dict[str, list[int]]) -> int:
+    """Upgrade a v2 table to format-version 3 with deletion vectors
+    attached to existing data files (test/fixture path — mirrors what a
+    v3 engine's DELETE commits; the production write paths stay
+    copy-on-write and v2). ``dv_rows`` maps data-file basenames (or full
+    paths) to deleted row ordinals.
+
+    Writes ONE Puffin file holding a ``deletion-vector-v1`` blob per
+    referenced data file, appends a content=1 delete manifest whose
+    entries pin ``referenced_data_file`` + the blob byte range, reuses
+    the prior snapshot's manifests as-is in the new manifest list
+    (manifests are immutable), and commits metadata with
+    ``format-version`` 3 + the v3 row-lineage bookkeeping fields
+    (``next-row-id``; snapshot ``first-row-id``). Returns the new
+    snapshot id.
+    """
+    from sling_cli_spark.sources import puffin
+
+    fs = fsio.get_fs(path)
+    version, meta = _current_metadata(path)
+    if meta.get("format-version", 1) < 2:
+        raise UnsupportedTableFeature(
+            "deletion vectors need a v2+ table (sequence numbers)")
+    files, pos_dels, _ = _active_entries(path, meta, None)
+    if pos_dels:
+        raise UnsupportedTableFeature(
+            "v3 forbids position delete files — rewrite them as "
+            "deletion vectors before upgrading (spec v3)")
+    by_name = {os.path.basename(f["file_path"]): f for f in files}
+    by_path = {_canon(f["file_path"]): f for f in files}
+    targets: dict[str, tuple[dict, list[int]]] = {}
+    for key, rows in dv_rows.items():
+        f = by_name.get(os.path.basename(key)) or by_path.get(_canon(key))
+        if f is None:
+            raise ValueError(f"no such data file in table: {key}")
+        targets[f["file_path"]] = (f, sorted(set(int(r) for r in rows)))
+
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    _, mlist = read_avro(snap["manifest-list"])
+    new_seq = 1 + max(
+        [int(meta.get("last-sequence-number") or 0)]
+        + [int(m.get("sequence_number") or 0) for m in mlist])
+    snapshot_id = int(time.time() * 1000) * 1000 + version + 1
+
+    puffin_path = fsio.join(fsio.join(path, "data"),
+                            f"{uuid.uuid4().hex}-deletes.puffin")
+    blobs = [({"type": puffin.DV_BLOB_TYPE, "fields": [],
+               "snapshot-id": snapshot_id, "sequence-number": new_seq,
+               "properties": {"referenced-data-file": fp,
+                              "cardinality": str(len(rows))}},
+              puffin.dv_blob(rows))
+             for fp, (_, rows) in sorted(targets.items())]
+    metas = puffin.write_puffin(puffin_path, blobs)
+    psize = fs.getsize(puffin_path)
+
+    del_entries = []
+    for m, (fp, (f, rows)) in zip(metas, sorted(targets.items())):
+        del_entries.append({
+            "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": None,  # inherit new_seq from the list
+            "data_file": {
+                "content": 1,
+                "file_path": _absolute(puffin_path),
+                "file_format": "PUFFIN",
+                "record_count": len(rows),
+                "file_size_in_bytes": psize,
+                "partition": f.get("partition"),
+                "referenced_data_file": f["file_path"],
+                "content_offset": int(m["offset"]),
+                "content_size_in_bytes": int(m["length"]),
+            }})
+    del_manifest = fsio.join(_meta_dir(path), f"{uuid.uuid4().hex}-dv0.avro")
+    write_avro(del_manifest, del_entries, _MANIFEST_ENTRY_SCHEMA_V3)
+
+    mlist_entries = list(mlist) + [{
+        "manifest_path": del_manifest,
+        "manifest_length": fs.getsize(del_manifest),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+        "sequence_number": new_seq,
+        "min_sequence_number": new_seq,
+        "content": 1,
+    }]
+    mlist_path = fsio.join(_meta_dir(path), f"snap-{snapshot_id}.avro")
+    write_avro(mlist_path, mlist_entries, _MANIFEST_FILE_SCHEMA_V2)
+
+    next_row_id = sum(int(f.get("record_count") or 0) for f in files)
+    meta["format-version"] = 3
+    meta["next-row-id"] = next_row_id
+    meta["last-sequence-number"] = new_seq
+    meta["snapshots"] = (meta.get("snapshots") or []) + [{
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": int(time.time() * 1000),
+        "sequence-number": new_seq,
+        "first-row-id": next_row_id,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "delete"},
+    }]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    new_version = version + 1
+    fs.create_exclusive(
+        fsio.join(_meta_dir(path), f"v{new_version}.metadata.json"),
+        json.dumps(meta).encode())
+    fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
+                   str(new_version).encode())
+    return snapshot_id

@@ -296,7 +296,8 @@ def test_expire_snapshots_prunes_history(spark, tmp_path):
 
 def test_format_version_gating(spark, tmp_path):
     """A foreign v1 table upgraded in place to v2 (no last-sequence-
-    number field) reads AND accepts appends; format-version 3 refuses
+    number field) reads AND accepts appends; format-version 3 reads
+    (DV-capable, r7) but refuses writes; format-version 4 refuses
     everything."""
     import pytest
     from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
@@ -319,13 +320,22 @@ def test_format_version_gating(spark, tmp_path):
     _, meta = _current_metadata(t)
     assert meta["last-sequence-number"] >= 1
 
-    meta["format-version"] = 3
     with open(os.path.join(
             meta_dir, "version-hint.text")) as f:
         v = int(f.read().strip())
-    with open(os.path.join(meta_dir, f"v{v}.metadata.json"), "w") as f:
+    mp = os.path.join(meta_dir, f"v{v}.metadata.json")
+    meta["format-version"] = 3
+    with open(mp, "w") as f:
         json.dump(meta, f)
+    # v3 reads fine (no DVs present), writes refuse
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 2}
     with pytest.raises(UnsupportedTableFeature, match="format-version 3"):
+        write_iceberg(_df(spark, [(9, "z")]), t)
+
+    meta["format-version"] = 4
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(UnsupportedTableFeature, match="format-version 4"):
         _current_metadata(t)
     with pytest.raises(UnsupportedTableFeature):
         read_iceberg(spark, t)
@@ -826,3 +836,132 @@ def test_compaction_retires_dead_delete_files(spark, tmp_path):
     assert I._live_delete_files(
         [{"__seq": 1}], [], [{"__seq": 2}]) \
         == [{"__seq": 2}]                              # binds seq-1 file
+
+
+# ----------------------------------------------------- v3 deletion vectors
+
+def test_puffin_dv_blob_roundtrip(tmp_path):
+    """Puffin writer/reader + deletion-vector-v1 blob codec: footer
+    coordinates frame the blobs, CRC/magic corruption fails loudly."""
+    import struct
+
+    import pytest
+
+    from sling_cli_spark.sources import puffin
+
+    p = str(tmp_path / "d.puffin")
+    rows_a, rows_b = [0, 2, 5, 70000], [1, (1 << 33) + 7]
+    metas = puffin.write_puffin(p, [
+        ({"type": puffin.DV_BLOB_TYPE, "fields": [],
+          "properties": {"referenced-data-file": "a.parquet"}},
+         puffin.dv_blob(rows_a)),
+        ({"type": puffin.DV_BLOB_TYPE, "fields": [],
+          "properties": {"referenced-data-file": "b.parquet"}},
+         puffin.dv_blob(rows_b)),
+    ])
+    footer = puffin.read_footer(p)
+    assert [b["type"] for b in footer["blobs"]] == [puffin.DV_BLOB_TYPE] * 2
+    assert footer["blobs"] == metas
+    for m, rows in zip(metas, (rows_a, rows_b)):
+        blob = puffin.read_blob(p, m["offset"], m["length"])
+        assert list(puffin.dv_blob_indices(blob)) == rows
+    # corrupt one byte of the first vector -> CRC failure
+    blob = bytearray(puffin.read_blob(p, metas[0]["offset"],
+                                      metas[0]["length"]))
+    blob[10] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|magic"):
+        puffin.dv_blob_indices(bytes(blob))
+    # bad length framing
+    short = bytes(blob[:6])
+    with pytest.raises(ValueError, match="truncated"):
+        puffin.dv_blob_indices(struct.pack(">i", 999) + short)
+
+
+def test_v3_deletion_vector_read(spark, tmp_path):
+    """add_deletion_vectors upgrades a v2 table to v3; the scan drops
+    exactly the vectored ordinals, time travel predating the DV still
+    sees every row, and v3 writes refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, add_deletion_vectors)
+
+    t = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")).coalesce(1)
+    s1 = write_iceberg(df, t)
+    files = _active_entries(t, _current_metadata(t)[1], None)[0]
+    assert len(files) == 1
+    # drop ordinals 3, 4, 97 of the single data file
+    add_deletion_vectors(t, {files[0]["file_path"]: [3, 4, 97]})
+    _, meta = _current_metadata(t)
+    assert meta["format-version"] == 3
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == set(range(100)) - {3, 4, 97}
+    # the pre-DV snapshot still reads complete
+    old = {r["id"] for r in read_iceberg(spark, t, snapshot_id=s1).collect()}
+    assert old == set(range(100))
+    with pytest.raises(UnsupportedTableFeature):
+        write_iceberg(df, t)
+
+
+def test_v3_deletion_vectors_multiple_files(spark, tmp_path):
+    """One Puffin file carries one DV blob per referenced data file;
+    each vector binds ONLY its file (same ordinals, different files)."""
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, add_deletion_vectors)
+
+    t = str(tmp_path / "t")
+    write_iceberg(spark.range(0, 10).select(
+        F.col("id"), F.lit("a").alias("v")).coalesce(1), t)
+    write_iceberg(spark.range(10, 20).select(
+        F.col("id"), F.lit("b").alias("v")).coalesce(1), t)
+    files = sorted(
+        _active_entries(t, _current_metadata(t)[1], None)[0],
+        key=lambda f: f["__seq"])
+    assert len(files) == 2
+    add_deletion_vectors(t, {
+        files[0]["file_path"]: [0, 1],    # ids 0,1
+        files[1]["file_path"]: [0, 9],    # ids 10,19
+    })
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == set(range(20)) - {0, 1, 10, 19}
+
+
+def test_v3_schema_gates(spark, tmp_path):
+    """v3-only types and initial-default fields refuse loudly instead
+    of silently coercing."""
+    import pytest
+
+    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+    from sling_cli_spark.sources.iceberg_py import _current_metadata
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a")]), t)
+    meta_dir = os.path.join(t, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read().strip())
+    mp = os.path.join(meta_dir, f"v{v}.metadata.json")
+    with open(mp) as f:
+        base = json.load(f)
+
+    bad_type = json.loads(json.dumps(base))
+    bad_type["format-version"] = 3
+    bad_type["schemas"][0]["fields"].append(
+        {"id": 99, "name": "vr", "type": "variant", "required": False})
+    with open(mp, "w") as f:
+        json.dump(bad_type, f)
+    with pytest.raises(UnsupportedTableFeature, match="variant"):
+        _current_metadata(t)
+
+    bad_default = json.loads(json.dumps(base))
+    bad_default["format-version"] = 3
+    bad_default["schemas"][0]["fields"][1]["initial-default"] = "zz"
+    with open(mp, "w") as f:
+        json.dump(bad_default, f)
+    with pytest.raises(UnsupportedTableFeature, match="initial-default"):
+        _current_metadata(t)
