@@ -1348,6 +1348,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pairwise_within_label(emb, threshold=0.9) \
             .select("label", "id_a", "id_b")
 
+    def semdedup_docs(spark, sf):
+        """SemDeDup semantic dedup (similarity.semdedup, round 7): the
+        corpus k-means-clusters on the deterministic 8-centroid
+        codebook, and inside each cluster every row ≥0.4-cosine-similar
+        to a lower-id row drops — the embedding-space twin of
+        MinHash-LSH (cluster id plays the bucket). τ=0.4 because the
+        synthetic embeddings top out at 0.51 pairwise cosine (0.9
+        would bind nothing); the nearest pair sits 5e-4 from the
+        boundary, far beyond float64 noise. The oracle retrains the
+        bit-identical codebook and applies the same min-id-keeper rule
+        as a NOT EXISTS."""
+        from sling_cli_spark.operators.similarity import semdedup
+
+        emb = _t(spark, sf, "embeddings")
+        return semdedup(emb, n_clusters=8, threshold=0.4).select(
+            "vec_id", F.col("cluster").cast("int").alias("cluster"))
+
     # NOTE on ordering: the correctness driver checks the FIRST 50 entries of
     # this dict.  Rotation policy (round 6): queries whose last green row is
     # OLDEST-driver-verified go first.  This round (r7) leads with the five
@@ -1370,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_constraints": row_constraints,
         "ann_topk": ann_topk,
         "embedding_near_dup": embedding_near_dup,
+        "semdedup_docs": semdedup_docs,
         "distinct_rows": distinct_rows,
         "lang_id_docs": lang_id_docs,
         "quality_docs": quality_docs,
@@ -1680,20 +1698,15 @@ def _ann_lsh_oracle() -> str:
     """
 
 
-def _ann_ivf_oracle() -> str:
-    """DuckDB twin of ivf_topk(k=10, n_clusters=8, n_probe=2).
-
-    The kmeans codebook is deterministic given the data (bounded sample
-    in file order, fixed seed/iterations, float64 throughout), so this
-    retrains the BIT-IDENTICAL centroids from the raw parquet with
-    similarity.kmeans_np and embeds them as literals. Assignment is
-    argmax over raw dots (no row normalization on either side — argmax
-    is scale-invariant and the Spark UDF skips it too); the query side
-    probes its top-2 clusters with first-index tie-breaks, mirroring
-    numpy's stable argsort. Valid for the sf dir the driver's oracle
-    gate reads ($SPARK_GRAFT_ORACLE_SF_DIR, default sf0.01) — other
-    dirs retrain a different codebook.
-    """
+def _centroid_asn_cte(n_clusters: int = 8) -> str:
+    """Shared oracle prefix: retrain the deterministic kmeans codebook
+    from the raw parquet (bounded sample in file order, fixed
+    seed/iterations, float64 throughout — bit-identical to
+    similarity.kmeans_centroids) and embed the centroids as literals in
+    an ``asn`` CTE assigning every embedding its argmax-dot cluster.
+    Valid for the sf dir the driver's oracle gate reads
+    ($SPARK_GRAFT_ORACLE_SF_DIR, default sf0.01) — other dirs retrain a
+    different codebook."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -1704,7 +1717,8 @@ def _ann_ivf_oracle() -> str:
     vecs = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["embedding"]).column("embedding").to_pylist()[:20_000]
-    cent = kmeans_np(np.array(vecs, dtype=np.float64), n_clusters=8)
+    cent = kmeans_np(np.array(vecs, dtype=np.float64),
+                     n_clusters=n_clusters)
 
     def arr(c):
         return "[" + ", ".join(repr(float(x)) for x in c) + "]"
@@ -1720,7 +1734,17 @@ def _ann_ivf_oracle() -> str:
             SELECT vec_id, v,
                    list_position(ds, list_max(ds)) - 1 AS cl, ds
             FROM d
-        ), q AS (
+        )"""
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB twin of ivf_topk(k=10, n_clusters=8, n_probe=2) over the
+    shared literal-centroid ``asn`` CTE (:func:`_centroid_asn_cte`).
+    Assignment is argmax over raw dots (no row normalization on either
+    side — argmax is scale-invariant and the Spark UDF skips it too);
+    the query side probes its top-2 clusters with first-index
+    tie-breaks, mirroring numpy's stable argsort."""
+    return _centroid_asn_cte(8) + """, q AS (
             SELECT vec_id AS query_id, v AS qv, cl AS cl1,
                    list_transform(range(1, 9),
                        i -> CASE WHEN i = cl + 1 THEN -1e308
@@ -2571,5 +2595,13 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": _fingerprint_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "semdedup_docs": _centroid_asn_cte(8) + """
+            SELECT a.vec_id, CAST(a.cl AS INTEGER) AS cluster
+            FROM asn a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM asn b
+                WHERE b.cl = a.cl AND b.vec_id < a.vec_id
+                  AND list_cosine_similarity(a.v, b.v) >= 0.4)
+        """,
         # every registered query now carries a DuckDB oracle.
     }

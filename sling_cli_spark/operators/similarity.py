@@ -283,3 +283,45 @@ def ivf_topk(
         .filter(F.col("__rn") <= k)
         .select(query_id_col, id_col, "score")
     )
+
+
+def semdedup(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    n_clusters: int = 16, threshold: float = 0.9, centroids=None,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embeddings, then inside each
+    cluster drop every row that is ≥ ``threshold`` cosine-similar to a
+    LOWER-id row of the same cluster (the paper's keep-one-per-
+    duplicate-group rule with a deterministic min-id keeper). Returns
+    the survivors as (id, cluster).
+
+    100 TB posture: this is the embedding-space twin of MinHash-LSH —
+    the codebook assignment makes the O(n²) similarity check
+    equi-keyed on the cluster id (cost ~ Σ cluster_size², tuned by
+    ``n_clusters``), the per-pair work is one Arrow-batched numpy dot,
+    and nothing driver-side ever holds more than the bounded kmeans
+    sample. Vectors are cast to float64 BEFORE the pair dot so the
+    threshold decision is reproducible bit-for-bit in the DuckDB
+    oracle (list_cosine_similarity over DOUBLE[]).
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(df, vec_col, n_clusters=n_clusters)
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"),
+        _assign_udf(centroids)(F.col(vec_col)).alias("__cl"))
+    pair_dot = _pair_dot_udf()
+    a = base.select(F.col("__cl"), F.col(id_col).alias("__id_a"),
+                    F.col("__v").alias("__va"), norm("__v").alias("__na"))
+    b = base.select(F.col("__cl"), F.col(id_col).alias("__id_b"),
+                    F.col("__v").alias("__vb"), norm("__v").alias("__nb"))
+    dupes = (
+        a.join(b, on="__cl")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .withColumn("__s", pair_dot(F.col("__va"), F.col("__vb"))
+                    / (F.col("__na") * F.col("__nb")))
+        .filter(F.col("__s") >= threshold)
+        .select(F.col("__id_b").alias(id_col))
+        .distinct())
+    return (base.join(dupes, on=id_col, how="left_anti")
+            .select(F.col(id_col), F.col("__cl").alias("cluster")))

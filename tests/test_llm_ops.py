@@ -243,3 +243,29 @@ def test_spread_small_input(spark):
         spark.sparkContext.defaultParallelism)
     assert spread_small_input(wide).rdd.getNumPartitions() \
         == spark.sparkContext.defaultParallelism  # unchanged (no-op)
+
+
+def test_semdedup_drops_within_cluster_near_dups(spark):
+    """SemDeDup: rows ≥ threshold cosine to a lower-id SAME-CLUSTER row
+    drop; near-identical rows in different clusters both survive."""
+    import numpy as np
+
+    from sling_cli_spark.operators.similarity import semdedup
+
+    # two well-separated clusters in R^4; explicit centroids pin the
+    # assignment so the test never depends on the kmeans sample
+    cents = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])
+    rows = [
+        (1, [1.0, 0.01, 0.0, 0.0]),   # cluster 0, keeper (min id)
+        (2, [0.99, 0.02, 0.0, 0.0]),  # cluster 0, ~1.0 cos to id 1 -> drop
+        (3, [0.0, 1.0, 0.01, 0.0]),   # cluster 1, keeper
+        (4, [0.01, 0.99, 0.0, 0.0]),  # cluster 1, near id 3 -> drop
+        (5, [0.7, 0.0, 0.7, 0.0]),    # cluster 0, ~0.7 cos to id 1 -> keep
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(df, threshold=0.95, centroids=cents)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert got == {1: 0, 3: 1, 5: 0}
+
+    # threshold above every off-diagonal similarity -> nothing drops
+    assert semdedup(df, threshold=0.999999, centroids=cents).count() == 5
