@@ -1182,6 +1182,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             whitespace_token_count(F.col("text")).cast("long")
             .alias("n_ws_tokens"))
 
+    def vocab_topk_docs(spark, sf):
+        """Corpus vocabulary health check (text.vocab_topk, round 7):
+        top-30 unigrams and top-30 bigrams by frequency over documents,
+        pure-Catalyst tokenize + explode + codegen hash aggregate +
+        TakeOrderedAndProject. Ties break on the term, so both engines
+        pick the identical boundary rows."""
+        from sling_cli_spark.operators.text import vocab_topk
+
+        d = _t(spark, sf, "documents")
+        uni = vocab_topk(d, k=30, n=1) \
+            .select(F.lit(1).alias("n"), "term", "cnt")
+        bi = vocab_topk(d, k=30, n=2) \
+            .select(F.lit(2).alias("n"), "term", "cnt")
+        return uni.unionByName(bi)
+
     def distinct_rows(spark, sf):
         return _t(spark, sf, "orders") \
             .select("o_orderstatus", "o_orderpriority").distinct()
@@ -1393,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs": quality_docs,
         "token_count_docs": token_count_docs,
         "ws_token_docs": ws_token_docs,
+        "vocab_topk_docs": vocab_topk_docs,
         "training_pipeline_docs": training_pipeline_docs,
         "shard_docs": shard_docs,
         "geo_convert": geo_convert,
@@ -2552,6 +2568,29 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\\s+')) END
                    AS n_ws_tokens
             FROM documents
+        """,
+        "vocab_topk_docs": """
+            WITH toks AS (
+                SELECT list_filter(
+                    string_split_regex(
+                        trim(regexp_replace(lower(text),
+                                            '[^a-z\\s]', ' ', 'g')),
+                        '\\s+'),
+                    t -> t <> '') AS tk
+                FROM documents
+            ), uni AS (
+                SELECT 1 AS n, term, count(*) AS cnt FROM (
+                    SELECT unnest(tk) AS term FROM toks)
+                GROUP BY term ORDER BY cnt DESC, term LIMIT 30
+            ), bi AS (
+                SELECT 2 AS n, term, count(*) AS cnt FROM (
+                    SELECT unnest(CASE WHEN len(tk) >= 2
+                        THEN list_transform(range(1, len(tk)),
+                                            i -> tk[i] || ' ' || tk[i+1])
+                        ELSE []::VARCHAR[] END) AS term FROM toks)
+                GROUP BY term ORDER BY cnt DESC, term LIMIT 30
+            )
+            SELECT * FROM uni UNION ALL SELECT * FROM bi
         """,
         "distinct_rows": """
             SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders

@@ -152,3 +152,36 @@ def fingerprint(
         hasher(normalize_text(F.col(text_col))).alias("text_hash"),
     )
     return base.join(hashes, on=id_col, how="left")
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 50, n: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary analysis: the ``k`` most frequent lowercase
+    word ``n``-grams -> (term, cnt), ties broken by term. The standard
+    pre-training corpus health check (boilerplate phrases, templating
+    artifacts, vocabulary skew) — reference has no twin; this extends
+    the engine's text-analysis surface (SURVEY.md §2.10).
+
+    100 TB posture: tokenization + n-gram construction are pure
+    Catalyst array expressions (no UDFs); the explode feeds a codegen
+    hash aggregate whose map-side partials shrink the shuffle to one
+    row per distinct term per task; the global top-k is
+    TakeOrderedAndProject over the vocabulary-sized aggregate — no
+    full sort, no driver collect."""
+    toks = F.filter(_lower_tokens(F.col(text_col)), lambda t: t != "")
+    if n == 1:
+        terms = toks
+    else:
+        # sequence(1, 0) would generate DESCENDING [1, 0] — short docs
+        # (fewer than n tokens) must yield an empty n-gram array instead
+        terms = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.explode(terms).alias("term"))
+            .groupBy("term").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "term")
+            .limit(k))

@@ -269,3 +269,20 @@ def test_semdedup_drops_within_cluster_near_dups(spark):
 
     # threshold above every off-diagonal similarity -> nothing drops
     assert semdedup(df, threshold=0.999999, centroids=cents).count() == 5
+
+
+def test_vocab_topk_unigrams_and_bigrams(spark):
+    from sling_cli_spark.operators.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The cat!"), (2, "a CAT"), (3, "x")],
+        "doc_id long, text string")
+    uni = {(r["term"], r["cnt"]) for r in vocab_topk(df, k=3).collect()}
+    assert uni == {("cat", 3), ("the", 2), ("a", 1)} \
+        or ("cat", 3) in uni and ("the", 2) in uni  # k=3 tie at cnt=1
+    bi = {(r["term"], r["cnt"])
+          for r in vocab_topk(df, k=10, n=2).collect()}
+    # single-token docs (2: "a cat" has one bigram; 3: none) handled
+    assert ("the cat", 2) in bi and ("cat sat", 1) in bi
+    assert ("a cat", 1) in bi
+    assert all(" " in t for t, _ in bi)
