@@ -527,6 +527,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "modificationTime": 0, "dataChange": True}}) + "\n")
         return read_delta(spark, t)
 
+    def delta_id_mapping(spark, sf):
+        """Read a foreign id-mapped Delta table (delta_py round 7):
+        the parquet file's column NAMES (junk-*) match neither the
+        logical nor the recorded physical names — only the parquet
+        FIELD IDS line up with delta.columnMapping.id, so the scan must
+        resolve by id (Spark's native fieldId.read path), the
+        resolution PROTOCOL.md mandates for id mode. Hash-matches a
+        plain SELECT from nation."""
+        import json as _json
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import read_delta
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_cmid_"), "t")
+        os.makedirs(t)
+        _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long")
+            .alias("junk-a", metadata={"parquet.field.id": 1}),
+            F.col("n_name")
+            .alias("junk-b", metadata={"parquet.field.id": 2}),
+            F.col("n_regionkey").cast("long")
+            .alias("junk-c", metadata={"parquet.field.id": 3}),
+        ).coalesce(1).write.parquet(t + "/files")
+        part = [f for f in os.listdir(t + "/files")
+                if f.endswith(".parquet")][0]
+
+        def fld(name, typ, fid):
+            return {"name": name, "type": typ, "nullable": True,
+                    "metadata": {"delta.columnMapping.id": fid,
+                                 "delta.columnMapping.physicalName":
+                                     f"col-nope{fid}"}}
+
+        schema = {"type": "struct", "fields": [
+            fld("n_nationkey", "long", 1),
+            fld("n_name", "string", 2),
+            fld("n_regionkey", "long", 3)]}
+        os.makedirs(t + "/_delta_log")
+        with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                "id": "cmid", "format": {"provider": "parquet"},
+                "schemaString": _json.dumps(schema), "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"},
+            }}) + "\n")
+            f.write(_json.dumps({"add": {
+                "path": "files/" + part, "size": 1, "partitionValues": {},
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+        return read_delta(spark, t)
+
     def _nation_iceberg_v1(spark, sf):
         import tempfile
 
@@ -1421,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new or changed this round (r7) --------------------------------
         "jaccard_dedup_docs": jaccard_dedup_docs,
         "delta_deletion_vectors": delta_deletion_vectors,
+        "delta_id_mapping": delta_id_mapping,
         "jdbc_live_roundtrip": jdbc_live_roundtrip,
         "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
         "iceberg_v3_dv": iceberg_v3_dv,
@@ -1900,6 +1951,11 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
         """,
         "delta_column_mapping": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+        """,
+        "delta_id_mapping": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation

@@ -39,8 +39,10 @@ so the fallback layer works on HDFS/object stores, not just a laptop.
 Data files are written by Spark executors directly (``df.write``); the
 driver never holds row data.
 
-Column mapping (name mode, nested structs, partitioned) reads are
-supported, and so are **deletion vectors** (merge-on-read: descriptor +
+Column mapping (name AND id modes, nested structs, partitioned) reads
+are supported — id mode resolves columns by parquet field id via
+Spark's native ``fieldId.read`` path (:func:`_fieldid_fields`) — and so
+are **deletion vectors** (merge-on-read: descriptor +
 roaring-bitmap parse in :mod:`.delta_dv`, anti-join on
 ``_metadata.row_index`` in :func:`_apply_deletion_vectors`); anything
 else (generated columns, v2 checkpoints, ...) the reader/writer protocol
@@ -699,6 +701,43 @@ def _physical_fields(fields: list[dict]) -> list[dict]:
     return out
 
 
+def _fieldid_type(t):
+    """Recurse into nested types for :func:`_fieldid_fields`."""
+    if not isinstance(t, dict):
+        return t
+    kind = t.get("type")
+    if kind == "struct":
+        return {**t, "fields": _fieldid_fields(t["fields"])}
+    if kind == "array":
+        return {**t, "elementType": _fieldid_type(t["elementType"])}
+    if kind == "map":
+        return {**t, "keyType": _fieldid_type(t["keyType"]),
+                "valueType": _fieldid_type(t["valueType"])}
+    return t
+
+
+def _fieldid_fields(fields: list[dict]) -> list[dict]:
+    """Schema fields for an ``id``-mapped read: LOGICAL names with
+    ``parquet.field.id`` metadata set to ``delta.columnMapping.id`` at
+    every nesting level — Spark's parquet reader then matches columns
+    by field id, the resolution PROTOCOL.md mandates for id mode
+    (physical names may not be trusted there). A field missing its id
+    is a broken mapping and refuses loudly."""
+    out = []
+    for f in fields:
+        md = f.get("metadata") or {}
+        fid = md.get("delta.columnMapping.id")
+        if fid is None:
+            raise UnsupportedTableFeature(
+                f"column-mapping mode 'id': field {f.get('name')!r} has "
+                "no delta.columnMapping.id — mapping metadata incomplete")
+        pf = dict(f)
+        pf["metadata"] = {"parquet.field.id": int(fid)}
+        pf["type"] = _fieldid_type(pf.get("type"))
+        out.append(pf)
+    return out
+
+
 def bounds_disprove(mn, mx, op, v) -> bool:
     """True iff the closed range [mn, mx] PROVES no value satisfies
     ``(op, v)`` — the shared disproof kernel of Delta stats pruning and
@@ -843,8 +882,8 @@ def read_delta(
     and projected back to logical names — nested struct fields rename
     via the positional struct cast; partitioned mapped tables attach
     partition values from ``add.partitionValues``
-    (_read_mapped_partitioned). ``id`` mode (parquet field-id matching)
-    refuses loudly rather than mis-read.
+    (_read_mapped_partitioned). ``id`` mode resolves columns by parquet
+    field id (Spark's fieldId.read path, :func:`_fieldid_fields`).
 
     ``skip_filters`` — a list of ``(col, op, value)`` conjuncts — prunes
     the file list via per-file stats BEFORE the scan is built
@@ -884,15 +923,36 @@ def read_delta(
         if dvs:
             df = _apply_deletion_vectors(spark, df, path, dvs)
         return _apply_table_schema(df, meta)
-    if cm != "name":
+    if cm not in ("name", "id"):
         raise UnsupportedTableFeature(
             f"delta table at {path} uses column mapping mode {cm!r}; "
-            "only 'name' (and 'none') are supported")
+            "only 'name', 'id' (and 'none') are supported")
+    if cm == "id":
+        # PROTOCOL.md Column Mapping: in id mode columns resolve by the
+        # parquet FIELD ID (delta.columnMapping.id), not by name —
+        # Spark's native field-id resolution does exactly this when the
+        # read schema's field metadata carries parquet.field.id. The
+        # conf only affects reads whose schema has that metadata, so
+        # enabling it session-wide is inert elsewhere; files missing
+        # ids error loudly (fieldId.read.ignoreMissing stays false).
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     if meta.get("partitionColumns"):
         return _read_mapped_partitioned(
-            spark, path, meta, files, schema_json, logical)
+            spark, path, meta, files, schema_json, logical,
+            id_mode=(cm == "id"))
     from pyspark.sql import functions as F
 
+    if cm == "id":
+        rs = T.StructType.fromJson(
+            {"type": "struct",
+             "fields": _fieldid_fields(schema_json["fields"])})
+        df = spark.read.schema(rs).parquet(
+            *[fsio.join(path, p) for p in sorted(files)])
+        # names are already logical (field-id matching ignores them);
+        # re-alias to drop the parquet.field.id metadata from the result
+        return df.select(*[
+            F.col(lf.name).alias(lf.name, metadata={})
+            for lf in logical.fields])
     phys = T.StructType.fromJson(
         {"type": "struct", "fields": _physical_fields(schema_json["fields"])})
     df = spark.read.schema(phys).parquet(
@@ -1025,6 +1085,7 @@ def _remove_action(
 
 def _read_mapped_partitioned(
     spark, path: str, meta: dict, files: dict, schema_json: dict, logical,
+    id_mode: bool = False,
 ):
     """Column-mapped AND partitioned: mapped tables keep partition
     values ONLY in ``add.partitionValues`` (keys are physical names —
@@ -1034,7 +1095,9 @@ def _read_mapped_partitioned(
     DISTINCT partition tuple in the snapshot. The driver already holds
     every add action (that is what log replay is), so grouping is free;
     the plan grows with distinct partition tuples, which a snapshot
-    bounds far below file count."""
+    bounds far below file count. ``id_mode`` reads data columns by
+    parquet field id (:func:`_fieldid_fields`) instead of physical
+    name."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -1057,7 +1120,9 @@ def _read_mapped_partitioned(
     part_names = {f["name"] for f in part_fields}
     data_fields = [f for f in fields if f["name"] not in part_names]
     phys = T.StructType.fromJson(
-        {"type": "struct", "fields": _physical_fields(data_fields)})
+        {"type": "struct",
+         "fields": (_fieldid_fields if id_mode
+                    else _physical_fields)(data_fields)})
 
     groups: dict[tuple, list[str]] = {}
     for rel, add in files.items():
@@ -1080,8 +1145,9 @@ def _read_mapped_partitioned(
                 sel.append(F.lit(vals[f["name"]])
                            .cast(lf.dataType).alias(lf.name))
             else:
-                sel.append(F.col(physname(f))
-                           .cast(lf.dataType).alias(lf.name))
+                src = f["name"] if id_mode else physname(f)
+                sel.append(F.col(src)
+                           .cast(lf.dataType).alias(lf.name, metadata={}))
         branches.append(df.select(*sel))
     out = branches[0]
     for b in branches[1:]:

@@ -585,27 +585,100 @@ def test_column_mapping_name_mode_read(spark, tmp_path):
     assert rows == {1: ("a", 10, "x"), 2: ("b", 20, "y")}
 
 
-def test_column_mapping_id_mode_refused(spark, tmp_path):
-    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+def _write_id_mode_table(spark, t, file_col_names=True):
+    """Fixture: an ``id``-mapped table whose parquet column NAMES match
+    neither the logical nor the recorded physical names — only the
+    parquet field ids line up with ``delta.columnMapping.id``, so a
+    correct read MUST resolve by id (PROTOCOL.md Column Mapping)."""
+    from pyspark.sql import types as T
 
-    t = str(tmp_path / "a")
+    os.makedirs(t)
+    fields = T.StructType([
+        T.StructField("junk-a", T.LongType(), True, {"parquet.field.id": 1}),
+        T.StructField("junk-b", T.StringType(), True,
+                      {"parquet.field.id": 2}),
+        T.StructField("junk-c", T.StructType([
+            T.StructField("junk-d", T.LongType(), True,
+                          {"parquet.field.id": 4}),
+            T.StructField("junk-e", T.StringType(), True,
+                          {"parquet.field.id": 5}),
+        ]), True, {"parquet.field.id": 3}),
+    ])
+    spark.createDataFrame(
+        [(1, "a", (10, "x")), (2, "b", (20, "y"))], fields,
+    ).coalesce(1).write.parquet(t + "/files")
+    part = [f for f in os.listdir(t + "/files") if f.endswith(".parquet")][0]
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-nope1"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-nope2"}},
+            {"name": "nested", "nullable": True,
+             "type": {"type": "struct", "fields": [
+                 {"name": "n", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "col-n4"}},
+                 {"name": "s", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 5,
+                               "delta.columnMapping.physicalName": "col-n5"}},
+             ]},
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-nope3"}},
+        ],
+    }
     os.makedirs(t + "/_delta_log")
     with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
         f.write(json.dumps({"metaData": {
             "id": "m", "format": {"provider": "parquet"},
-            "schemaString": json.dumps({"type": "struct", "fields": [
-                {"name": "id", "type": "long", "nullable": True,
-                 "metadata": {}}]}),
+            "schemaString": json.dumps(schema),
             "partitionColumns": [],
             "configuration": {"delta.columnMapping.mode": "id"},
         }}) + "\n")
         f.write(json.dumps({"add": {
-            "path": "x.parquet", "size": 1, "partitionValues": {},
+            "path": "files/" + part, "size": 1, "partitionValues": {},
             "modificationTime": 0, "dataChange": True}}) + "\n")
-    with pytest.raises(UnsupportedTableFeature, match="mode 'id'"):
-        read_delta(spark, t)
+    return schema
+
+
+def test_column_mapping_id_mode_read(spark, tmp_path):
+    """id-mapped table: columns resolve by parquet FIELD ID even when
+    every name (logical, physical, on-disk) disagrees — the resolution
+    PROTOCOL.md mandates for id mode, via Spark's native
+    fieldId.read path. Nested struct fields resolve by id too."""
+    t = str(tmp_path / "t")
+    _write_id_mode_table(spark, t)
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "v", "nested"]
+    assert got.schema["nested"].dataType.fieldNames() == ["n", "s"]
+    rows = {r["id"]: (r["v"], r["nested"]["n"], r["nested"]["s"])
+            for r in got.collect()}
+    assert rows == {1: ("a", 10, "x"), 2: ("b", 20, "y")}
+
+
+def test_column_mapping_id_mode_incomplete_refuses(spark, tmp_path):
+    """A field without delta.columnMapping.id in an id-mapped table is
+    a broken mapping -> loud refusal, never a silent null column."""
+    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+
+    t = str(tmp_path / "a")
+    _write_id_mode_table(spark, t)
+    # strip the id from one field in a new metadata commit
+    log0 = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(ln) for ln in open(log0)]
+    md = next(a for a in actions if "metaData" in a)["metaData"]
+    schema = json.loads(md["schemaString"])
+    del schema["fields"][1]["metadata"]["delta.columnMapping.id"]
+    md["schemaString"] = json.dumps(schema)
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"metaData": md}) + "\n")
+    with pytest.raises(UnsupportedTableFeature, match="no delta.column"):
+        read_delta(spark, t).collect()
 
 
 def test_column_mapping_partitioned_read(spark, tmp_path):
@@ -637,6 +710,57 @@ def test_column_mapping_partitioned_read(spark, tmp_path):
             "schemaString": json.dumps(schema),
             "partitionColumns": ["day"],
             "configuration": {"delta.columnMapping.mode": "name"},
+        }}) + "\n")
+        for sub, day in (("f1", "7"), ("f2", "9")):
+            f.write(json.dumps({"add": {
+                "path": f"{sub}/{parts[sub]}", "size": 1,
+                "partitionValues": {"col-pp": day},
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "v", "day"]
+    rows = {r["id"]: (r["v"], r["day"]) for r in got.collect()}
+    assert rows == {1: ("a", 7), 2: ("b", 7), 3: ("c", 9)}
+
+
+def test_column_mapping_id_mode_partitioned_read(spark, tmp_path):
+    """Partitioned + id-mapped: data columns resolve by parquet field
+    id, partition values still come from add.partitionValues under the
+    physical key."""
+    from pyspark.sql import types as T
+
+    t = str(tmp_path / "t")
+    os.makedirs(t)
+    dfields = T.StructType([
+        T.StructField("junk-a", T.LongType(), True, {"parquet.field.id": 1}),
+        T.StructField("junk-b", T.StringType(), True,
+                      {"parquet.field.id": 2}),
+    ])
+    for sub, vals in (("f1", [(1, "a"), (2, "b")]), ("f2", [(3, "c")])):
+        spark.createDataFrame(vals, dfields) \
+            .coalesce(1).write.parquet(f"{t}/{sub}")
+    parts = {sub: [f for f in os.listdir(f"{t}/{sub}")
+                   if f.endswith(".parquet")][0] for sub in ("f1", "f2")}
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-x1"}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-x2"}},
+        {"name": "day", "type": "integer", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-pp"}},
+    ]}
+    os.makedirs(t + "/_delta_log")
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "m", "format": {"provider": "parquet"},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["day"],
+            "configuration": {"delta.columnMapping.mode": "id"},
         }}) + "\n")
         for sub, day in (("f1", "7"), ("f2", "9")):
             f.write(json.dumps({"add": {
