@@ -527,6 +527,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "modificationTime": 0, "dataChange": True}}) + "\n")
         return read_delta(spark, t)
 
+    def delta_dv_mapped(spark, sf):
+        """Deletion vectors COMBINED with column mapping (delta_py
+        round 7) — the default Databricks table shape: nation lands as
+        one sorted physical col-* file under a name-mapped log, then a
+        DV deletes every ordinal divisible by 4; the anti-join runs on
+        the raw physical scan before the logical projection. The
+        oracle reproduces the ordinals with a row_number filter."""
+        import json as _json
+        import tempfile
+
+        from sling_cli_spark.sources.delta_dv import add_deletion_vectors
+        from sling_cli_spark.sources.delta_py import read_delta
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_dvm2_"), "t")
+        os.makedirs(t)
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("col-aa"),
+            F.col("n_name").alias("col-bb"))
+        cnt = n.count()
+        n.orderBy("`col-aa`").coalesce(1).write.parquet(t + "/files")
+        part = [f for f in os.listdir(t + "/files")
+                if f.endswith(".parquet")][0]
+
+        def fld(name, typ, phys, fid):
+            return {"name": name, "type": typ, "nullable": True,
+                    "metadata": {"delta.columnMapping.id": fid,
+                                 "delta.columnMapping.physicalName": phys}}
+
+        schema = {"type": "struct", "fields": [
+            fld("n_nationkey", "long", "col-aa", 1),
+            fld("n_name", "string", "col-bb", 2)]}
+        os.makedirs(t + "/_delta_log")
+        with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+            f.write(_json.dumps({"metaData": {
+                "id": "dvm", "format": {"provider": "parquet"},
+                "schemaString": _json.dumps(schema), "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }}) + "\n")
+            f.write(_json.dumps({"add": {
+                "path": "files/" + part, "size": 1, "partitionValues": {},
+                "modificationTime": 0, "dataChange": True}}) + "\n")
+        add_deletion_vectors(t, {"files/" + part: list(range(0, cnt, 4))})
+        return read_delta(spark, t)
+
     def delta_id_mapping(spark, sf):
         """Read a foreign id-mapped Delta table (delta_py round 7):
         the parquet file's column NAMES (junk-*) match neither the
@@ -1234,18 +1280,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def vocab_topk_docs(spark, sf):
         """Corpus vocabulary health check (text.vocab_topk, round 7):
-        top-30 unigrams and top-30 bigrams by frequency over documents,
-        pure-Catalyst tokenize + explode + codegen hash aggregate +
-        TakeOrderedAndProject. Ties break on the term, so both engines
-        pick the identical boundary rows."""
+        top-30 unigrams and top-30 bigrams by frequency over documents
+        in ONE pass — pure-Catalyst tokenize + tagged n-gram explode +
+        codegen hash aggregate + WindowGroupLimit-pruned per-size rank.
+        Ties break on the term, so both engines pick the identical
+        boundary rows."""
         from sling_cli_spark.operators.text import vocab_topk
 
-        d = _t(spark, sf, "documents")
-        uni = vocab_topk(d, k=30, n=1) \
-            .select(F.lit(1).alias("n"), "term", "cnt")
-        bi = vocab_topk(d, k=30, n=2) \
-            .select(F.lit(2).alias("n"), "term", "cnt")
-        return uni.unionByName(bi)
+        return vocab_topk(_t(spark, sf, "documents"), k=30, n=(1, 2))
 
     def distinct_rows(spark, sf):
         return _t(spark, sf, "orders") \
@@ -1472,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_dedup_docs": jaccard_dedup_docs,
         "delta_deletion_vectors": delta_deletion_vectors,
         "delta_id_mapping": delta_id_mapping,
+        "delta_dv_mapped": delta_dv_mapped,
         "jdbc_live_roundtrip": jdbc_live_roundtrip,
         "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
         "iceberg_v3_dv": iceberg_v3_dv,
@@ -1959,6 +2002,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation
+        """,
+        "delta_dv_mapped": """
+            SELECT n_nationkey, n_name FROM (
+                SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                       row_number() OVER (ORDER BY n_nationkey) - 1 AS rn
+                FROM nation
+            ) WHERE rn % 4 <> 0
         """,
         "jdbc_live_roundtrip": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

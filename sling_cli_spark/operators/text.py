@@ -154,34 +154,63 @@ def fingerprint(
     return base.join(hashes, on=id_col, how="left")
 
 
+def _ngram_terms(toks, n: int):
+    """Token array -> ``n``-gram term array (n=1 is the tokens
+    themselves). sequence(1, 0) would generate DESCENDING [1, 0] —
+    short docs (fewer than n tokens) must yield an empty array."""
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def vocab_topk(
-    df: DataFrame, text_col: str = "text", k: int = 50, n: int = 1,
+    df: DataFrame, text_col: str = "text", k: int = 50, n=1,
 ) -> DataFrame:
     """Corpus vocabulary analysis: the ``k`` most frequent lowercase
-    word ``n``-grams -> (term, cnt), ties broken by term. The standard
-    pre-training corpus health check (boilerplate phrases, templating
-    artifacts, vocabulary skew) — reference has no twin; this extends
-    the engine's text-analysis surface (SURVEY.md §2.10).
+    word ``n``-grams, ties broken by term. ``n`` may be an int ->
+    (term, cnt), or a sequence of gram sizes -> (n, term, cnt) with
+    the per-size top-k computed in ONE pass over the corpus. The
+    standard pre-training corpus health check (boilerplate phrases,
+    templating artifacts, vocabulary skew) — reference has no twin;
+    this extends the engine's text-analysis surface (SURVEY.md §2.10).
 
     100 TB posture: tokenization + n-gram construction are pure
-    Catalyst array expressions (no UDFs); the explode feeds a codegen
-    hash aggregate whose map-side partials shrink the shuffle to one
-    row per distinct term per task; the global top-k is
-    TakeOrderedAndProject over the vocabulary-sized aggregate — no
-    full sort, no driver collect."""
+    Catalyst array expressions (no UDFs); all gram sizes explode from
+    one tokenization into one codegen hash aggregate whose map-side
+    partials shrink the shuffle to one row per distinct (n, term) per
+    task; the top-k is TakeOrderedAndProject (int ``n``) or a
+    WindowGroupLimit-pruned rank (multi ``n``) over the
+    vocabulary-sized aggregate — no full sort, no driver collect.
+    The scan prefix is spread via :func:`~.dedup.spread_small_input`:
+    the explode + partial aggregate IS the expensive per-row work and
+    sits before the first shuffle (measured ~4x on a one-file corpus;
+    a no-op once the input has >= parallelism partitions)."""
+    from pyspark.sql import Window
+
+    from sling_cli_spark.operators.dedup import spread_small_input
+
+    single = isinstance(n, int)
+    ns = (n,) if single else tuple(n)
     toks = F.filter(_lower_tokens(F.col(text_col)), lambda t: t != "")
-    if n == 1:
-        terms = toks
-    else:
-        # sequence(1, 0) would generate DESCENDING [1, 0] — short docs
-        # (fewer than n tokens) must yield an empty n-gram array instead
-        terms = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-        ).otherwise(F.array().cast("array<string>"))
-    return (df.select(F.explode(terms).alias("term"))
-            .groupBy("term").agg(F.count("*").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "term")
-            .limit(k))
+
+    def _tag(i):  # closure factory: HOF lambdas must take exactly 1 arg
+        return lambda t: F.struct(F.lit(i).alias("n"), t.alias("term"))
+
+    tagged = F.flatten(F.array(*[
+        F.transform(_ngram_terms(toks, i), _tag(i)) for i in ns]))
+    agg = (spread_small_input(df)
+           .select(F.explode(tagged).alias("g"))
+           .select("g.n", "g.term")
+           .groupBy("n", "term").agg(F.count("*").alias("cnt")))
+    if single:
+        return agg.select("term", "cnt") \
+            .orderBy(F.col("cnt").desc(), "term").limit(k)
+    w = Window.partitionBy("n").orderBy(F.col("cnt").desc(), "term")
+    return (agg.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("n", "term", "cnt"))

@@ -287,10 +287,21 @@ def add_deletion_vectors(
         raise ValueError(f"no such data files in table: {sorted(unknown)}")
     descs = write_dv_file(table_path, dv_rows, prefix)
     now = int(__import__("time").time() * 1000)
+    # preserve features the table already requires (e.g. columnMapping on
+    # a mapped table) — dropping them would let non-mapping readers
+    # mis-read the table after this commit
+    rf = {"deletionVectors"}
+    wf = {"deletionVectors"}
+    prot = delta_py._replay_state(table_path)[2]
+    if prot:
+        rf |= set(prot.get("readerFeatures") or ())
+        wf |= set(prot.get("writerFeatures") or ())
+        if prot.get("minReaderVersion", 1) == 2:
+            rf.add("columnMapping")  # v2's implicit reader requirement
     actions: list[dict] = [{"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"],
-        "writerFeatures": ["deletionVectors"]}}]
+        "readerFeatures": sorted(rf),
+        "writerFeatures": sorted(wf)}}]
     for rel, desc in descs.items():
         old = files[rel]
         actions.append({"remove": {

@@ -884,6 +884,9 @@ def read_delta(
     partition values from ``add.partitionValues``
     (_read_mapped_partitioned). ``id`` mode resolves columns by parquet
     field id (Spark's fieldId.read path, :func:`_fieldid_fields`).
+    Deletion vectors combine with every mapping mode: the anti-join
+    runs on the raw physical scan (where ``_metadata`` resolves),
+    before the logical projection.
 
     ``skip_filters`` — a list of ``(col, op, value)`` conjuncts — prunes
     the file list via per-file stats BEFORE the scan is built
@@ -905,11 +908,6 @@ def read_delta(
     cm = _column_mapping_mode(meta)
     dvs = {rel: add["deletionVector"] for rel, add in files.items()
            if add.get("deletionVector")}
-    if dvs and cm != "none":
-        raise UnsupportedTableFeature(
-            f"delta table at {path} combines deletion vectors with "
-            f"column mapping mode {cm!r}; this reader applies them only "
-            "on unmapped tables")
     if cm == "none":
         # explicit table schema: skips footer inference across N files
         # and makes schema evolution work — files predating a column
@@ -939,7 +937,7 @@ def read_delta(
     if meta.get("partitionColumns"):
         return _read_mapped_partitioned(
             spark, path, meta, files, schema_json, logical,
-            id_mode=(cm == "id"))
+            id_mode=(cm == "id"), dvs=dvs)
     from pyspark.sql import functions as F
 
     if cm == "id":
@@ -948,6 +946,8 @@ def read_delta(
              "fields": _fieldid_fields(schema_json["fields"])})
         df = spark.read.schema(rs).parquet(
             *[fsio.join(path, p) for p in sorted(files)])
+        if dvs:  # on the raw scan — _metadata resolves only there
+            df = _apply_deletion_vectors(spark, df, path, dvs)
         # names are already logical (field-id matching ignores them);
         # re-alias to drop the parquet.field.id metadata from the result
         return df.select(*[
@@ -957,6 +957,8 @@ def read_delta(
         {"type": "struct", "fields": _physical_fields(schema_json["fields"])})
     df = spark.read.schema(phys).parquet(
         *[fsio.join(path, p) for p in sorted(files)])
+    if dvs:  # on the raw scan — _metadata resolves only there
+        df = _apply_deletion_vectors(spark, df, path, dvs)
     # physical -> logical: top-level alias + cast to the logical type
     # (struct casts are positional, which renames nested fields)
     return df.select(*[
@@ -1085,7 +1087,7 @@ def _remove_action(
 
 def _read_mapped_partitioned(
     spark, path: str, meta: dict, files: dict, schema_json: dict, logical,
-    id_mode: bool = False,
+    id_mode: bool = False, dvs: dict | None = None,
 ):
     """Column-mapped AND partitioned: mapped tables keep partition
     values ONLY in ``add.partitionValues`` (keys are physical names —
@@ -1097,7 +1099,8 @@ def _read_mapped_partitioned(
     the plan grows with distinct partition tuples, which a snapshot
     bounds far below file count. ``id_mode`` reads data columns by
     parquet field id (:func:`_fieldid_fields`) instead of physical
-    name."""
+    name; ``dvs`` (rel path -> descriptor) anti-join each branch's raw
+    scan before the projection."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -1137,6 +1140,9 @@ def _read_mapped_partitioned(
             groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(phys).parquet(
             *[fsio.join(path, r) for r in sorted(rels)])
+        branch_dvs = {r: (dvs or {})[r] for r in rels if r in (dvs or {})}
+        if branch_dvs:  # on the raw scan — _metadata resolves only there
+            df = _apply_deletion_vectors(spark, df, path, branch_dvs)
         vals = {f["name"]: v for f, v in zip(part_fields, key)}
         sel = []
         for f in fields:

@@ -1017,24 +1017,52 @@ def test_dv_corrupt_checksum_fails_loudly(spark, tmp_path):
         read_delta(spark, t).collect()
 
 
-def test_dv_with_column_mapping_refuses(spark, tmp_path):
-    """DV + column mapping together is untested territory — refuse
-    loudly rather than risk mis-application."""
+def test_dv_with_column_mapping_reads(spark, tmp_path):
+    """DV + column mapping combined (the default Databricks table
+    shape: columnMapping=name AND deletionVectors enabled): the DV
+    anti-join runs on the raw physical scan, then the projection maps
+    back to logical names. The DV commit's protocol upgrade carries
+    the implicit columnMapping requirement forward as a v3 feature."""
     from sling_cli_spark.sources import delta_dv as dv
-    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+    from sling_cli_spark.sources import delta_py as D
 
     t = str(tmp_path / "t")
-    write_delta(_df(spark, [(1, "a")]).coalesce(1), t)
-    meta, files = replay_log(t)
-    (rel,) = files.keys()
-    dv.add_deletion_vectors(t, {rel: [0]})
-    new_meta = dict(meta)
-    new_meta["configuration"] = {"delta.columnMapping.mode": "name"}
-    v = latest_version(t) + 1
-    with open(os.path.join(t, "_delta_log", f"{v:020d}.json"), "w") as f:
-        f.write(json.dumps({"metaData": new_meta}) + "\n")
-    with pytest.raises(UnsupportedTableFeature, match="column mapping"):
-        read_delta(spark, t)
+    os.makedirs(t)
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)],
+        "`col-aa` long, `col-bb` string",
+    ).orderBy("`col-aa`").coalesce(1).write.parquet(t + "/files")
+    part = [f for f in os.listdir(t + "/files") if f.endswith(".parquet")][0]
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aa"}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bb"}},
+    ]}
+    os.makedirs(t + "/_delta_log")
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "m", "format": {"provider": "parquet"},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "files/" + part, "size": 1, "partitionValues": {},
+            "modificationTime": 0, "dataChange": True}}) + "\n")
+    # sanity: mapped read before the DV
+    assert {r["id"] for r in read_delta(spark, t).collect()} == set(range(10))
+
+    dv.add_deletion_vectors(t, {"files/" + part: [0, 3, 7]})
+    prot = D._replay_state(t)[2]
+    assert set(prot["readerFeatures"]) >= {"columnMapping",
+                                           "deletionVectors"}
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert set(got) == set(range(10)) - {0, 3, 7}
+    assert got[1] == "v1"
 
 
 def test_writer_refuses_column_invariants(spark, tmp_path):
