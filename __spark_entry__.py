@@ -1289,6 +1289,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return vocab_topk(_t(spark, sf, "documents"), k=30, n=(1, 2))
 
+    def surprisal_docs(spark, sf):
+        """Unigram-LM surprisal quality signal (text.unigram_surprisal,
+        round 7): each document's mean -ln p(token) under the corpus's
+        own add-one-smoothed top-1000 unigram LM, OOV tokens at the
+        smoothing floor — the cheap stand-in for a perplexity filter.
+        vocab_size=1000 so the OOV path actually exercises; mean
+        rounded to 4 decimals (sum-order float noise ~1e-14 is far
+        below the rounding unit)."""
+        from sling_cli_spark.operators.text import unigram_surprisal
+
+        out = unigram_surprisal(
+            _t(spark, sf, "documents"), vocab_size=1000)
+        return out.select(
+            "doc_id", "n_scored_tokens",
+            F.round("mean_nll", 4).alias("mean_nll"))
+
     def distinct_rows(spark, sf):
         return _t(spark, sf, "orders") \
             .select("o_orderstatus", "o_orderpriority").distinct()
@@ -1501,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_docs": token_count_docs,
         "ws_token_docs": ws_token_docs,
         "vocab_topk_docs": vocab_topk_docs,
+        "surprisal_docs": surprisal_docs,
         "training_pipeline_docs": training_pipeline_docs,
         "shard_docs": shard_docs,
         "geo_convert": geo_convert,
@@ -2697,6 +2714,32 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY term ORDER BY cnt DESC, term LIMIT 30
             )
             SELECT * FROM uni UNION ALL SELECT * FROM bi
+        """,
+        "surprisal_docs": """
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(
+                        trim(regexp_replace(lower(text),
+                                            '[^a-z\\s]', ' ', 'g')),
+                        '\\s+'),
+                    t -> t <> '')) AS term
+                FROM documents
+            ), vocab AS (
+                SELECT term, cnt FROM (
+                    SELECT term, count(*) AS cnt,
+                           row_number() OVER (
+                               ORDER BY count(*) DESC, term) AS rn
+                    FROM toks GROUP BY term) WHERE rn <= 1000
+            ), tot AS (
+                SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM vocab
+            )
+            SELECT t.doc_id, count(*) AS n_scored_tokens,
+                   round(avg(CASE WHEN v.cnt IS NULL
+                       THEN -ln(1.0 / (tot.n + 1001.0))
+                       ELSE -ln((v.cnt + 1.0) / (tot.n + 1001.0)) END),
+                       4) AS mean_nll
+            FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN tot
+            GROUP BY t.doc_id
         """,
         "distinct_rows": """
             SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders

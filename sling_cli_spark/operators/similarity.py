@@ -303,13 +303,20 @@ def semdedup(
     and nothing driver-side ever holds more than the bounded kmeans
     sample. Vectors are cast to float64 BEFORE the pair dot so the
     threshold decision is reproducible bit-for-bit in the DuckDB
-    oracle (list_cosine_similarity over DOUBLE[]).
+    oracle (list_cosine_similarity over DOUBLE[]). The assigned table
+    feeds THREE plan consumers (both pair sides + the survivor
+    anti-join) — it persists so the scan + Arrow assignment run once,
+    not per consumer (Catalyst does not canonicalize the identical
+    subtrees to a ReusedExchange; same lesson as the r6 jaccard plan).
     """
+    from pyspark.storagelevel import StorageLevel
+
     if centroids is None:
         centroids = kmeans_centroids(df, vec_col, n_clusters=n_clusters)
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"),
-        _assign_udf(centroids)(F.col(vec_col)).alias("__cl"))
+        _assign_udf(centroids)(F.col(vec_col)).alias("__cl"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pair_dot = _pair_dot_udf()
     a = base.select(F.col("__cl"), F.col(id_col).alias("__id_a"),
                     F.col("__v").alias("__va"), norm("__v").alias("__na"))

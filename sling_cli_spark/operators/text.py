@@ -214,3 +214,47 @@ def vocab_topk(
     return (agg.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .select("n", "term", "cnt"))
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    vocab_size: int = 50_000, vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean unigram surprisal -> (id, n_scored_tokens,
+    mean_nll): the average -ln p(token) under the corpus's own add-one-
+    smoothed top-``vocab_size`` unigram LM (out-of-vocabulary tokens
+    take the smoothing floor 1/(N+V+1)). The classic cheap
+    quality-filter signal — documents far from the corpus distribution
+    (gibberish: high; boilerplate: low) — used where a real LM
+    perplexity filter would run (CCNet-style), without a model
+    dependency.
+
+    ``vocab_df`` lets a SCORING corpus reuse a reference corpus's LM
+    (term, cnt rows, e.g. a persisted :func:`vocab_topk` output).
+
+    100 TB posture: the LM is the vocabulary-capped aggregate (one
+    explode + codegen hash agg, same shape as vocab_topk) and joins
+    the exploded corpus on the term — an equi-join Spark broadcasts
+    while the capped vocab fits (50k rows ~ MBs); per-doc means are
+    one keyed aggregate. Everything is Catalyst; fractions stay exact
+    until one final ln()."""
+    from sling_cli_spark.operators.dedup import spread_small_input
+
+    if vocab_df is None:
+        vocab_df = vocab_topk(df, text_col, k=vocab_size, n=1)
+    n_total = vocab_df.agg(F.sum("cnt")).collect()[0][0] or 0
+    denom = float(n_total + vocab_size + 1)  # add-one over V + one OOV bin
+
+    toks = F.filter(_lower_tokens(F.col(text_col)), lambda t: t != "")
+    exploded = spread_small_input(df).select(
+        F.col(id_col), F.explode(toks).alias("term"))
+    lm = vocab_df.select(
+        "term",
+        (-F.log((F.col("cnt") + F.lit(1.0)) / F.lit(denom))).alias("__nll"))
+    floor = -float(__import__("math").log(1.0 / denom))
+    return (exploded
+            .join(F.broadcast(lm), on="term", how="left")
+            .withColumn("__nll", F.coalesce(F.col("__nll"), F.lit(floor)))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_scored_tokens"),
+                 F.avg("__nll").alias("mean_nll")))

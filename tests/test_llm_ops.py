@@ -286,3 +286,36 @@ def test_vocab_topk_unigrams_and_bigrams(spark):
     assert ("the cat", 2) in bi and ("cat sat", 1) in bi
     assert ("a cat", 1) in bi
     assert all(" " in t for t, _ in bi)
+
+
+def test_unigram_surprisal_orders_docs_by_typicality(spark):
+    import math
+
+    from sling_cli_spark.operators.text import unigram_surprisal
+
+    # "common common common" is maximally typical; "zzz qqq" is OOV
+    df = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "common rare"),
+         (3, ""),                       # no tokens -> absent from output
+         ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           unigram_surprisal(df, vocab_size=1).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_scored_tokens"] == 4
+    assert out[2]["n_scored_tokens"] == 2
+    # vocab_size=1 keeps only "common" (cnt=5); "rare" is OOV
+    n = 5.0
+    denom = n + 1 + 1
+    nll_common = -math.log(6.0 / denom)
+    nll_oov = -math.log(1.0 / denom)
+    assert abs(out[1]["mean_nll"] - nll_common) < 1e-9
+    assert abs(out[2]["mean_nll"] - (nll_common + nll_oov) / 2) < 1e-9
+    assert out[2]["mean_nll"] > out[1]["mean_nll"]
+
+    # external reference LM: score one corpus under another's vocab
+    ref = spark.createDataFrame([("common", 5)], "term string, cnt long")
+    out2 = {r["doc_id"]: r for r in unigram_surprisal(
+        df, vocab_size=1, vocab_df=ref).collect()}
+    assert abs(out2[1]["mean_nll"] - nll_common) < 1e-9

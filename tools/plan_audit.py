@@ -17,7 +17,7 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          "stratified_sample_docs", "repetition_docs", "pii_redact_docs",
          "decontaminate_docs", "pack_chunks_docs", "distro_date_orders",
          "delta_stats_skipping", "iceberg_bounds_skipping",
-         "bucketed_join_agg"]
+         "bucketed_join_agg", "semdedup_docs", "vocab_topk_docs"]
 
 HEADER = """# Physical plan audit (sf0.1, local[32])
 
