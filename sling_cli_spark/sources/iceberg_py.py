@@ -746,9 +746,16 @@ def _mor_read(
         return df.withColumn("__file", F.lit(None).cast("string")) \
             if keep_file_col else df
     reader = spark.read.option("mergeSchema", "true")
-    if _part_cols(meta):
-        # partition values live in the Hive dirs (identity transform);
-        # basePath restores them as columns
+    part = _part_cols(meta)
+    if part and set(part) <= _identity_part_cols(meta):
+        # identity-transform spec: partition values live in the Hive
+        # dirs; basePath restores them as columns. A TRANSFORM spec
+        # (day/bucket/truncate) must NOT do this — the dirs hold
+        # transformed values under a derived name (e.g. ts_day) and
+        # basePath would graft that spurious column onto the scan; the
+        # SOURCE columns are already inside the data files (spec:
+        # transformed fields never replace their source column), so a
+        # plain file-path read returns the correct table schema
         reader = reader.option(
             "basePath", _absolute(fsio.join(path, "data")))
     df = reader.parquet(*sorted(f["file_path"] for f in files))
@@ -1076,6 +1083,13 @@ def _commit_snapshot(
         if fv >= 2 else None
 
     part_cols = _part_cols(meta)
+    non_identity = set(part_cols) - _identity_part_cols(meta)
+    if non_identity:
+        raise UnsupportedTableFeature(
+            f"iceberg table at {path} is partitioned by transform "
+            f"fields {sorted(non_identity)}; this writer stages "
+            "identity (Hive-dir) partitioning only — reads are "
+            "supported, writes would mis-place files")
     tmp = fsio.join(data_dir, f".stage_{uuid.uuid4().hex[:8]}")
     writer = df.write
     if part_cols:

@@ -965,3 +965,72 @@ def test_v3_schema_gates(spark, tmp_path):
         json.dump(bad_default, f)
     with pytest.raises(UnsupportedTableFeature, match="initial-default"):
         _current_metadata(t)
+
+
+def test_foreign_transform_partitioned_read(spark, tmp_path):
+    """A foreign table partitioned by a TRANSFORM (day(ts) -> dirs like
+    ts_day=2020-01-01) must read with the table schema only: the source
+    column lives inside the data files, and grafting the dir name on
+    via basePath would add a spurious ts_day column (r7 fix)."""
+    import shutil
+
+    from sling_cli_spark.sources import iceberg_py as I
+    from sling_cli_spark.sources.avro_py import read_avro, write_avro
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2020-01-01T05:00:00"), (2, "2020-01-01T09:00:00")],
+        "id long, ts string")
+    write_iceberg(df.coalesce(1), t)
+
+    # relocate the data file under a transform-value dir, the way a
+    # foreign day(ts)-partitioned writer lays it out
+    v, meta = I._current_metadata(t)
+    snap = meta["snapshots"][-1]
+    _, mlist = read_avro(snap["manifest-list"])
+    _, entries = read_avro(mlist[0]["manifest_path"])
+    old_path = entries[0]["data_file"]["file_path"]
+    part_dir = os.path.join(t, "data", "ts_day=2020-01-01")
+    os.makedirs(part_dir)
+    new_path = os.path.join(part_dir, os.path.basename(old_path))
+    shutil.move(old_path, new_path)
+    entries[0]["data_file"]["file_path"] = os.path.abspath(new_path)
+    entries[0]["data_file"]["partition"] = {"ts_day": "2020-01-01"}
+    write_avro(mlist[0]["manifest_path"], entries,
+               I._MANIFEST_ENTRY_SCHEMA_V2)
+    mlist[0]["manifest_length"] = os.path.getsize(mlist[0]["manifest_path"])
+    write_avro(snap["manifest-list"], mlist, I._MANIFEST_FILE_SCHEMA_V2)
+
+    # day(ts) partition spec: field name derives from the source column
+    meta["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "ts_day", "transform": "day", "source-id": 2,
+         "field-id": 1000}]}]
+    meta["default-spec-id"] = 0
+    mp = os.path.join(t, "metadata", f"v{v}.metadata.json")
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+
+    got = read_iceberg(spark, t)
+    assert got.columns == ["id", "ts"]          # no spurious ts_day
+    assert {r["id"]: r["ts"][:10] for r in got.collect()} \
+        == {1: "2020-01-01", 2: "2020-01-01"}
+
+
+def test_transform_partitioned_write_refuses(spark, tmp_path):
+    """Writes to a transform-partitioned table refuse loudly (the
+    identity Hive-dir stager would mis-place files)."""
+    import pytest
+
+    from sling_cli_spark.sources import iceberg_py as I
+    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a")]).coalesce(1), t)
+    v, meta = I._current_metadata(t)
+    meta["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "id_bucket", "transform": "bucket[16]", "source-id": 1,
+         "field-id": 1000}]}]
+    with open(os.path.join(t, "metadata", f"v{v}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(UnsupportedTableFeature, match="transform"):
+        write_iceberg(_df(spark, [(2, "b")]), t)
