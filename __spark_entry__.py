@@ -828,6 +828,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return I.read_iceberg(spark, t).select(
             "o_orderkey", "o_orderpriority")
 
+    def iceberg_v3_defaults(spark, sf):
+        """Iceberg v3 initial-default fill (iceberg_py round 7, spec v3
+        §Default values): nation lands in two appends — the first
+        WITHOUT n_regionkey, the second evolved to carry it — then the
+        metadata upgrades to v3 with initial-default 99 on
+        n_regionkey. Rows from the pre-evolution file read 99 (keyed
+        on each row's source file via the parquet footer probe), rows
+        from the evolved file keep their stored values."""
+        import json as _json
+        import tempfile
+
+        from sling_cli_spark.sources import iceberg_py as I
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_i3df_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        I.write_iceberg(
+            n.filter("n_nationkey < 12").drop("n_regionkey").coalesce(1), t)
+        I.write_iceberg(n.filter("n_nationkey >= 12").coalesce(1), t)
+        v, meta = I._current_metadata(t)
+        meta["format-version"] = 3
+        for f in meta["schemas"][-1]["fields"]:
+            if f["name"] == "n_regionkey":
+                f["initial-default"] = 99
+        with open(os.path.join(t, "metadata",
+                               f"v{v}.metadata.json"), "w") as fh:
+            fh.write(_json.dumps(meta))
+        return I.read_iceberg(spark, t).select(
+            "n_nationkey", "n_name", "n_regionkey")
+
     def merge_update_insert_delta(spark, sf):
         """Copy-on-write MERGE into a Delta table (delta_py.merge_delta,
         remove+add log commit) — must hash-match the same oracle as the
@@ -1535,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jdbc_live_roundtrip": jdbc_live_roundtrip,
         "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
         "iceberg_v3_dv": iceberg_v3_dv,
+        "iceberg_v3_defaults": iceberg_v3_defaults,
         "distro_date_orders": distro_date_orders,
         "distro_group_orders": distro_group_orders,
         "distro_date_wide_orders": distro_date_wide_orders,
@@ -2065,6 +2098,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE NOT ((par = 0 AND rn % 7 = 0)
                       OR (par = 1 AND rn % 9 = 0))
+        """,
+        "iceberg_v3_defaults": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CASE WHEN n_nationkey < 12 THEN CAST(99 AS BIGINT)
+                        ELSE CAST(n_regionkey AS BIGINT) END AS n_regionkey
+            FROM nation
         """,
         "iceberg_v2_merge_mor": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,

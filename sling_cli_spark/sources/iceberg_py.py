@@ -26,10 +26,13 @@ old equality deletes no longer bind them). ``format_version=1`` still
 writes the v1 single-schema layout. READS support v1-v3
 merge-on-read: positional deletes (a `_metadata.row_index` anti-join),
 equality deletes (null-safe anti-join scoped by data sequence
-number), and v3 Puffin-stored deletion vectors (spec v3 §Deletion
+number), v3 Puffin-stored deletion vectors (spec v3 §Deletion
 Vectors; :mod:`.puffin` parses the blobs, executors expand the
-roaring bitmaps); v3 WRITES and v3-only types (variant/geometry/
-timestamp_ns/initial-default) refuse loudly. Enough for
+roaring bitmaps), and v3 primitive ``initial-default`` values (filled
+per source FILE via a driver-side footer probe — rows predating the
+column take the default, later genuine nulls stay null); v3 WRITES
+and v3-only types (variant/geometry/timestamp_ns) refuse loudly.
+Enough for
 EL-tool snapshots: :func:`write_iceberg` (append/overwrite creating a
 new snapshot + metadata version) and :func:`read_iceberg` (current or
 ``snapshot_id=`` time travel). The jar-backed Spark DataSource takes
@@ -417,10 +420,14 @@ def _gate_v3_schema(path: str, meta: dict) -> None:
                     f"iceberg v3 table at {path} uses type {t!r} "
                     f"(field {f.get('name')!r}) — unsupported")
             if f.get("initial-default") is not None:
-                raise UnsupportedTableFeature(
-                    f"iceberg v3 table at {path}: field "
-                    f"{f.get('name')!r} carries initial-default — "
-                    "per-file default filling is unsupported")
+                dt = f.get("type")
+                ok = isinstance(dt, str) and (
+                    dt in _ICE_TO_SPARK or dt.startswith("decimal"))
+                if not ok:
+                    raise UnsupportedTableFeature(
+                        f"iceberg v3 table at {path}: field "
+                        f"{f.get('name')!r} carries an initial-default "
+                        f"of non-primitive type {dt!r} — unsupported")
 
 
 def _ice_schema_for(
@@ -728,6 +735,58 @@ def _expand_dvs(spark, dvs: list[dict]) -> DataFrame:
     return src.mapInPandas(expand, "__fp string, __pos long")
 
 
+def _initial_defaults(meta: dict) -> dict[str, tuple]:
+    """Current-schema fields carrying a v3 ``initial-default`` ->
+    {name: (json_value, iceberg_type)}."""
+    cur = _current_schema(meta) or {}
+    return {f["name"]: (f["initial-default"], f["type"])
+            for f in cur.get("fields") or []
+            if f.get("initial-default") is not None}
+
+
+def _fill_initial_defaults(df, files: list[dict], defaults: dict):
+    """v3 §Default values: a field's ``initial-default`` is the value
+    of every row written BEFORE the field was added — i.e. rows from
+    data files whose parquet footer lacks the column. Rows from files
+    that HAVE the column keep their stored value, including genuine
+    nulls, so a blanket coalesce would be wrong; the fill keys on the
+    row's source file (``__fp``, precomputed on the raw scan).
+
+    The footer probe (pyarrow, driver-side, one tiny read per file)
+    runs ONLY when the current schema actually carries defaults —
+    tables without them never pay it. A column absent from EVERY file
+    appends as a constant (mergeSchema would not surface it at all)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    spark_type = {
+        t: _ICE_TO_SPARK.get(t, t) for t in
+        {it for _, it in defaults.values()}}
+    missing: dict[str, list[str]] = {}
+    for f in files:
+        p = f["file_path"]
+        try:
+            names = set(pq.read_schema(p).names)
+        except Exception as ex:
+            raise UnsupportedTableFeature(
+                f"initial-default fill needs the parquet footer of {p} "
+                f"({ex}) — cannot tell which rows predate the column")
+        for name in defaults:
+            if name not in names:
+                missing.setdefault(name, []).append(_canon(p))
+    for name, (val, ice_t) in defaults.items():
+        st = spark_type[ice_t] if not str(ice_t).startswith("decimal") \
+            else str(ice_t)
+        lit = F.lit(val).cast(st)
+        if name not in df.columns:
+            df = df.withColumn(name, lit)
+        elif name in missing:
+            df = df.withColumn(
+                name, F.when(F.col("__fp").isin(missing[name]), lit)
+                .otherwise(F.col(name)))
+    return df
+
+
 def _mor_read(
     spark, path: str, meta: dict, files: list[dict],
     pos_dels: list[dict], eq_dels: list[dict],
@@ -737,8 +796,9 @@ def _mor_read(
     applied merge-on-read. ``_metadata.file_path`` / ``row_index`` are
     captured into ``__fp``/``__pos`` ONCE, directly on the scan (they do
     not resolve after a join), then shared by the positional anti-join,
-    the equality sequence map, and (``keep_file_col=True``) the caller's
-    touched-file detection via ``__file``."""
+    the equality sequence map, the v3 initial-default fill, and
+    (``keep_file_col=True``) the caller's touched-file detection via
+    ``__file``."""
     from pyspark.sql import functions as F
 
     if not files:
@@ -759,10 +819,15 @@ def _mor_read(
         reader = reader.option(
             "basePath", _absolute(fsio.join(path, "data")))
     df = reader.parquet(*sorted(f["file_path"] for f in files))
-    need_fp = keep_file_col or bool(pos_dels) or bool(eq_dels)
+    defaults = _initial_defaults(meta) \
+        if meta.get("format-version", 1) >= 3 else {}
+    need_fp = keep_file_col or bool(pos_dels) or bool(eq_dels) \
+        or bool(defaults)
     if need_fp:
         df = df.withColumn(
             "__fp", _norm_path_col(F.col("_metadata.file_path")))
+    if defaults:
+        df = _fill_initial_defaults(df, files, defaults)
     if pos_dels:
         df = df.withColumn("__pos", F.col("_metadata.row_index"))
         df = _apply_positional_deletes(spark, df, pos_dels)

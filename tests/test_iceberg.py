@@ -958,13 +958,43 @@ def test_v3_schema_gates(spark, tmp_path):
     with pytest.raises(UnsupportedTableFeature, match="variant"):
         _current_metadata(t)
 
+    # a non-primitive initial-default (struct) still refuses; primitive
+    # defaults are filled per-file (test_v3_initial_default_fill)
     bad_default = json.loads(json.dumps(base))
     bad_default["format-version"] = 3
-    bad_default["schemas"][0]["fields"][1]["initial-default"] = "zz"
+    bad_default["schemas"][0]["fields"].append(
+        {"id": 98, "name": "st", "required": False,
+         "type": {"type": "struct", "fields": []},
+         "initial-default": {}})
     with open(mp, "w") as f:
         json.dump(bad_default, f)
     with pytest.raises(UnsupportedTableFeature, match="initial-default"):
         _current_metadata(t)
+
+
+def test_v3_initial_default_fill(spark, tmp_path):
+    """v3 §Default values: rows from files predating a column read its
+    initial-default; rows from files that HAVE the column keep their
+    stored values INCLUDING genuine nulls (a blanket coalesce would be
+    wrong — the fill keys on each row's source file)."""
+    from sling_cli_spark.sources.iceberg_py import _current_metadata
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    # schema evolution: second file carries w, with one GENUINE null
+    evolved = spark.createDataFrame(
+        [(3, "c", "x"), (4, "d", None)], "id long, v string, w string")
+    write_iceberg(evolved.coalesce(1), t)
+    v, meta = _current_metadata(t)
+    meta["format-version"] = 3
+    for f in meta["schemas"][-1]["fields"]:
+        if f["name"] == "w":
+            f["initial-default"] = "zz"
+    mp = os.path.join(t, "metadata", f"v{v}.metadata.json")
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    got = {r["id"]: r["w"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "zz", 2: "zz", 3: "x", 4: None}
 
 
 def test_foreign_transform_partitioned_read(spark, tmp_path):
