@@ -411,9 +411,15 @@ class ConcurrentModificationError(RuntimeError):
 def _commit(path: str, version: int, actions: list[dict]) -> None:
     """Atomic commit via exclusive create of the next version file.
     A concurrent committer of the same version loses the claim and
-    raises — the optimistic-concurrency contract of the protocol."""
+    raises — the optimistic-concurrency contract of the protocol.
+    A ``commitInfo`` action (timestamp) leads every commit unless the
+    caller supplied one — that is what timestamp time travel reads, so
+    it survives file copies that reset modification times."""
     fs = fsio.get_fs(path)
     fs.mkdirs(_log_dir(path))
+    if not any("commitInfo" in a for a in actions):
+        actions = [{"commitInfo": {
+            "timestamp": int(time.time() * 1000)}}] + list(actions)
     payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
     try:
         fs.create_exclusive(_log_path(path, version), payload)
@@ -871,11 +877,50 @@ def prune_files_by_stats(files: dict, skip_filters, part_cols=()) -> dict:
     return out
 
 
+def commit_timestamp_ms(path: str, version: int) -> int:
+    """A commit's timestamp: the leading ``commitInfo.timestamp`` when
+    present (what delta-spark writes, and what :func:`_commit` stamps;
+    survives file copies), else the log file's modification time — the
+    same precedence delta-spark's timestamp travel applies."""
+    fs = fsio.get_fs(path)
+    p = _log_path(path, version)
+    for line in fs.read_bytes(p).decode().splitlines():
+        if not line.strip():
+            continue
+        a = json.loads(line)
+        if "commitInfo" in a:
+            ts = a["commitInfo"].get("timestamp")
+            if ts is not None:
+                return int(ts)
+    try:
+        lp = fsio.local_path(p)
+    except ValueError:
+        raise UnsupportedTableFeature(
+            f"delta commit {version} at {path} has no commitInfo "
+            "timestamp and is not on a local filesystem — timestamp "
+            "time travel needs one of the two")
+    return int(os.path.getmtime(lp) * 1000)
+
+
+def version_at_timestamp(path: str, ts_ms: int) -> int | None:
+    """The latest version whose commit timestamp is <= ``ts_ms``
+    (delta-spark's timestampAsOf rule); None when the instant predates
+    the first commit."""
+    best = None
+    for v in _list_versions(path):
+        if commit_timestamp_ms(path, v) <= ts_ms:
+            best = v
+    return best
+
+
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None,
-    skip_filters=None,
+    skip_filters=None, as_of_timestamp_ms: int | None = None,
 ) -> DataFrame:
-    """Snapshot read at ``version`` (default latest).
+    """Snapshot read at ``version`` (default latest), or at the latest
+    version committed at or before ``as_of_timestamp_ms``
+    (:func:`version_at_timestamp`; an instant before the first commit
+    reads empty).
 
     Column-mapped tables (``delta.columnMapping.mode = name``, reader
     protocol v2 / v3+columnMapping) are read with the PHYSICAL schema
@@ -892,6 +937,13 @@ def read_delta(
     the file list via per-file stats BEFORE the scan is built
     (:func:`prune_files_by_stats`); the caller still applies the actual
     filter (pruning is file-granular, not row-granular)."""
+    if version is None and as_of_timestamp_ms is not None:
+        version = version_at_timestamp(path, as_of_timestamp_ms)
+        if version is None:  # instant predates the first commit
+            meta, _ = replay_log(path)
+            from pyspark.sql import types as T
+            return spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(meta["schemaString"])))
     meta, files = replay_log(path, version)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")

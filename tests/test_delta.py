@@ -46,8 +46,10 @@ def test_first_commit_has_protocol_and_metadata(spark, tmp_path):
     write_delta(_df(spark, [(1, "a")]), t)
     log0 = os.path.join(t, "_delta_log", f"{0:020d}.json")
     actions = [json.loads(x) for x in open(log0) if x.strip()]
-    assert actions[0]["protocol"]["minReaderVersion"] == 1
-    md = actions[1]["metaData"]
+    # commitInfo (timestamp, r7) leads, as delta-spark writes it
+    assert actions[0]["commitInfo"]["timestamp"] > 0
+    assert actions[1]["protocol"]["minReaderVersion"] == 1
+    md = actions[2]["metaData"]
     assert md["format"]["provider"] == "parquet"
     assert "id" in json.loads(md["schemaString"])["fields"][0]["name"] \
         or json.loads(md["schemaString"])["fields"][0]["name"] == "id"
@@ -1451,3 +1453,35 @@ def test_optimize_partitioned_no_fanout(spark, tmp_path):
         c = add["partitionValues"]["cat"]
         per_part[c] = per_part.get(c, 0) + 1
     assert per_part == {"x": 1, "y": 1}
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """timestampAsOf semantics: the latest version committed at or
+    before the instant; commitInfo.timestamp is authoritative (survives
+    mtime-resetting copies), an instant before v0 reads empty."""
+    from sling_cli_spark.sources.delta_py import (
+        commit_timestamp_ms, read_delta, version_at_timestamp, write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    t0 = commit_timestamp_ms(t, 0)
+    t1 = commit_timestamp_ms(t, 1)
+    assert t0 <= t1
+    # rewrite v1's commitInfo to a far-future instant: the commitInfo
+    # path (not mtime) must drive the choice
+    log1 = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    lines = [json.loads(ln) for ln in open(log1) if ln.strip()]
+    for a in lines:
+        if "commitInfo" in a:
+            a["commitInfo"]["timestamp"] = t1 + 10_000_000
+    with open(log1, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+
+    assert version_at_timestamp(t, t0 - 1) is None
+    assert read_delta(spark, t, as_of_timestamp_ms=t0 - 1).count() == 0
+    assert {r["id"] for r in read_delta(
+        spark, t, as_of_timestamp_ms=t1 + 1).collect()} == {1}  # v1 moved
+    assert {r["id"] for r in read_delta(
+        spark, t, as_of_timestamp_ms=t1 + 20_000_000).collect()} == {1, 2}
