@@ -573,6 +573,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         add_deletion_vectors(t, {"files/" + part: list(range(0, cnt, 4))})
         return read_delta(spark, t)
 
+    def delta_v2_checkpoint(spark, sf):
+        """V2-checkpoint replay (delta_py round 7, PROTOCOL.md V2
+        Checkpoints): nation lands in two appends, the state is
+        checkpointed in V2 form (UUID-named top JSON + parquet add
+        sidecar under _delta_log/_sidecars/), the pre-checkpoint JSON
+        commits are expired, and a third append rides on top — the
+        scan must reconstruct v0/v1 purely from the checkpoint."""
+        import tempfile
+
+        from sling_cli_spark import fsio as _fsio
+        from sling_cli_spark.sources import delta_py as D
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_v2cp_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        D.write_delta(n.filter("n_nationkey < 12").coalesce(1), t)
+        D.write_delta(n.filter("n_nationkey >= 12").coalesce(1), t,
+                      mode="append")
+        # adopt the v2Checkpoint protocol, then checkpoint at v2 form
+        D._commit(t, 2, [{"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"]}}])
+        D._write_checkpoint(t, _fsio.get_fs(t), 2)
+        for v in (0, 1, 2):
+            os.remove(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+        D.write_delta(spark.createDataFrame(
+            [(99, "NEWLAND", 0)],
+            "n_nationkey long, n_name string, n_regionkey long"),
+            t, mode="append")
+        return D.read_delta(spark, t)
+
     def delta_id_mapping(spark, sf):
         """Read a foreign id-mapped Delta table (delta_py round 7):
         the parquet file's column NAMES (junk-*) match neither the
@@ -1564,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_deletion_vectors": delta_deletion_vectors,
         "delta_id_mapping": delta_id_mapping,
         "delta_dv_mapped": delta_dv_mapped,
+        "delta_v2_checkpoint": delta_v2_checkpoint,
         "jdbc_live_roundtrip": jdbc_live_roundtrip,
         "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
         "iceberg_v3_dv": iceberg_v3_dv,
@@ -2059,6 +2094,13 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (ORDER BY n_nationkey) - 1 AS rn
                 FROM nation
             ) WHERE rn % 4 <> 0
+        """,
+        "delta_v2_checkpoint": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+            UNION ALL
+            SELECT CAST(99 AS BIGINT), 'NEWLAND', CAST(0 AS BIGINT)
         """,
         "jdbc_live_roundtrip": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

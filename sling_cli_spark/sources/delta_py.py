@@ -101,8 +101,16 @@ def _list_versions(path: str, fs=None) -> list[int]:
 
 
 def latest_version(path: str) -> int:
+    """Highest committed version: max of the JSON commits and the
+    checkpointed version — after metadata cleanup a table may hold
+    ONLY a checkpoint, and ignoring it would re-claim (and silently
+    orphan) an already-used version number."""
     vs = _list_versions(path)
-    return vs[-1] if vs else -1
+    latest = vs[-1] if vs else -1
+    cp = _last_checkpoint_info(path, fsio.get_fs(path))
+    if cp is not None:
+        latest = max(latest, int(cp.get("version", -1)))
+    return latest
 
 
 # ------------------------------------------------------------- checkpoints
@@ -133,48 +141,118 @@ def _checkpoint_parts(path: str, version: int, parts: int) -> list[str]:
     ]
 
 
-def _read_checkpoint(path: str, fs, version: int, parts: int | None = None):
-    """checkpoint parquet -> (metadata_action, {rel_path: add_action},
-    protocol_action). ``parts`` (from ``_last_checkpoint``) selects the
-    multi-part layout; actions across parts are disjoint per the spec,
-    so rows just accumulate."""
-    import pyarrow.parquet as pq
+def _norm_checkpoint_meta(m: dict) -> dict:
+    meta = dict(m)
+    meta["partitionColumns"] = list(meta.get("partitionColumns") or [])
+    cfg = meta.get("configuration")
+    if isinstance(cfg, list):  # pyarrow map -> list of (k, v)
+        cfg = dict(cfg)
+    meta["configuration"] = cfg or {}
+    return meta
 
-    names = _checkpoint_parts(path, version, parts) if parts \
-        else [_checkpoint_file(path, version)]
-    rows: list[dict] = []
-    for name in names:
-        buf = io.BytesIO(fs.read_bytes(name))
-        rows.extend(pq.read_table(buf).to_pylist())
-    meta: dict[str, Any] | None = None
-    files: dict[str, dict] = {}
-    protocol: dict[str, Any] | None = None
+
+def _norm_checkpoint_add(a: dict) -> dict:
+    add = dict(a)
+    pv = add.get("partitionValues")
+    if isinstance(pv, list):  # pyarrow map -> list of (k, v)
+        pv = dict(pv)
+    add["partitionValues"] = pv or {}
+    dv = add.get("deletionVector")
+    if dv is not None:
+        add["deletionVector"] = {
+            k: v for k, v in dict(dv).items() if v is not None}
+    else:
+        add.pop("deletionVector", None)
+    return add
+
+
+def _fold_checkpoint_rows(rows, meta, files, protocol):
+    """Accumulate checkpoint action rows (dicts with one non-null
+    action field) into the (meta, files, protocol) state."""
     for row in rows:
         if row.get("protocol") is not None:
             protocol = {k: v for k, v in dict(row["protocol"]).items()
                         if v is not None}
         elif row.get("metaData") is not None:
-            meta = dict(row["metaData"])
-            pv = meta.get("partitionColumns")
-            meta["partitionColumns"] = list(pv or [])
-            cfg = meta.get("configuration")
-            if isinstance(cfg, list):  # pyarrow map -> list of (k, v)
-                cfg = dict(cfg)
-            meta["configuration"] = cfg or {}
+            meta = _norm_checkpoint_meta(dict(row["metaData"]))
         elif row.get("add") is not None:
-            add = dict(row["add"])
-            pv = add.get("partitionValues")
-            if isinstance(pv, list):  # pyarrow map -> list of (k, v)
-                pv = dict(pv)
-            add["partitionValues"] = pv or {}
-            dv = add.get("deletionVector")
-            if dv is not None:
-                add["deletionVector"] = {
-                    k: v for k, v in dict(dv).items() if v is not None}
-            else:
-                add.pop("deletionVector", None)
+            add = _norm_checkpoint_add(row["add"])
             files[add["path"]] = add
     return meta, files, protocol
+
+
+def _read_checkpoint(path: str, fs, version: int, parts: int | None = None):
+    """checkpoint parquet -> (metadata_action, {rel_path: add_action},
+    protocol_action). ``parts`` (from ``_last_checkpoint``) selects the
+    multi-part layout; actions across parts are disjoint per the spec,
+    so rows just accumulate. When the classic single-file name is
+    absent, the UUID-named V2 checkpoint layout is searched
+    (:func:`_read_checkpoint_v2`)."""
+    import pyarrow.parquet as pq
+
+    if parts:
+        names = _checkpoint_parts(path, version, parts)
+    else:
+        classic = _checkpoint_file(path, version)
+        if not fs.exists(classic):
+            return _read_checkpoint_v2(path, fs, version)
+        names = [classic]
+    rows: list[dict] = []
+    for name in names:
+        buf = io.BytesIO(fs.read_bytes(name))
+        rows.extend(pq.read_table(buf).to_pylist())
+    return _fold_checkpoint_rows(rows, None, {}, None)
+
+
+def _read_checkpoint_v2(path: str, fs, version: int):
+    """PROTOCOL.md V2 Checkpoints: a UUID-named
+    ``NNN.checkpoint.<uuid>.{json|parquet}`` top-level file carrying
+    checkpointMetadata / protocol / metaData plus either inline file
+    actions or ``sidecar`` actions whose parquet files (under
+    ``_delta_log/_sidecars/``) hold the adds. Any one v2 checkpoint of
+    a version is complete, so the lexically first candidate is read."""
+    log = fsio.join(path, _LOG_DIR)
+    prefix = f"{version:020d}.checkpoint."
+    cands = []
+    for name in fs.listdir(log):
+        if not name.startswith(prefix):
+            continue
+        rest = name[len(prefix):]
+        if rest.endswith(".json") or (
+                rest.endswith(".parquet")
+                and not _is_multipart_suffix(rest)):
+            cands.append(name)
+    if not cands:
+        raise FileNotFoundError(
+            f"no checkpoint file for version {version} at {path}")
+    top = fsio.join(log, sorted(cands)[0])
+    if top.endswith(".json"):
+        rows = [json.loads(ln)
+                for ln in fs.read_bytes(top).decode().splitlines()
+                if ln.strip()]
+    else:
+        import pyarrow.parquet as pq
+        rows = pq.read_table(io.BytesIO(fs.read_bytes(top))).to_pylist()
+    meta, files, protocol = _fold_checkpoint_rows(rows, None, {}, None)
+    import pyarrow.parquet as pq
+    for row in rows:
+        sc = row.get("sidecar")
+        if sc is None:
+            continue
+        sp = fsio.join(log, fsio.join("_sidecars", sc["path"])) \
+            if "/" not in sc["path"] else sc["path"]
+        side = pq.read_table(io.BytesIO(fs.read_bytes(sp))).to_pylist()
+        meta, files, protocol = _fold_checkpoint_rows(
+            side, meta, files, protocol)
+    return meta, files, protocol
+
+
+def _is_multipart_suffix(rest: str) -> bool:
+    """True for the classic multi-part tail ``<part>.<parts>.parquet``
+    (two 10-digit fields) — NOT a v2 UUID name."""
+    bits = rest[:-len(".parquet")].split(".")
+    return len(bits) == 2 and all(b.isdigit() and len(b) == 10
+                                  for b in bits)
 
 
 def _write_checkpoint(path: str, fs, version: int) -> None:
@@ -192,7 +270,49 @@ def _write_checkpoint(path: str, fs, version: int) -> None:
     import pyarrow.parquet as pq
 
     meta, files, protocol = _replay_state(path, version)
+    if "v2Checkpoint" in set((protocol or {}).get("writerFeatures") or ()):
+        # the v2Checkpoint writer feature obliges checkpoints in V2
+        # form — a classic one would violate the table contract
+        return _write_checkpoint_v2(path, fs, version,
+                                    meta, files, protocol)
     adds = [files[p] for p in sorted(files)]
+
+    protocol_t, meta_t, add_t = _checkpoint_arrow_types()
+
+    n = 2 + len(adds)
+    proto = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    protocol_col = [{
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": proto.get("minWriterVersion", 2),
+        "readerFeatures": proto.get("readerFeatures"),
+        "writerFeatures": proto.get("writerFeatures"),
+    }] + [None] * (n - 1)
+    meta_col = [None, {
+        "id": (meta or {}).get("id"),
+        "format": {"provider": "parquet"},
+        "schemaString": (meta or {}).get("schemaString"),
+        "partitionColumns": (meta or {}).get("partitionColumns") or [],
+        "configuration": (meta or {}).get("configuration") or {},
+        "createdTime": (meta or {}).get("createdTime"),
+    }] + [None] * (n - 2)
+    add_col = [None, None] + [_checkpoint_add_row(a) for a in adds]
+
+    table = pa.table({
+        "protocol": pa.array(protocol_col, type=protocol_t),
+        "metaData": pa.array(meta_col, type=meta_t),
+        "add": pa.array(add_col, type=add_t),
+    })
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    fs.write_bytes(_checkpoint_file(path, version), buf.getvalue())
+    fs.write_bytes(fsio.join(path, _LOG_DIR, "_last_checkpoint"),
+                   json.dumps({"version": version, "size": n}).encode())
+
+
+def _checkpoint_arrow_types():
+    """(protocol, metaData, add) arrow struct types shared by the
+    classic checkpoint writer and the V2 sidecar writer."""
+    import pyarrow as pa
 
     protocol_t = pa.struct([("minReaderVersion", pa.int32()),
                             ("minWriterVersion", pa.int32()),
@@ -222,24 +342,11 @@ def _write_checkpoint(path: str, fs, version: int) -> None:
         ("deletionVector", dv_t),
         ("stats", pa.string()),
     ])
+    return protocol_t, meta_t, add_t
 
-    n = 2 + len(adds)
-    proto = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
-    protocol_col = [{
-        "minReaderVersion": proto.get("minReaderVersion", 1),
-        "minWriterVersion": proto.get("minWriterVersion", 2),
-        "readerFeatures": proto.get("readerFeatures"),
-        "writerFeatures": proto.get("writerFeatures"),
-    }] + [None] * (n - 1)
-    meta_col = [None, {
-        "id": (meta or {}).get("id"),
-        "format": {"provider": "parquet"},
-        "schemaString": (meta or {}).get("schemaString"),
-        "partitionColumns": (meta or {}).get("partitionColumns") or [],
-        "configuration": (meta or {}).get("configuration") or {},
-        "createdTime": (meta or {}).get("createdTime"),
-    }] + [None] * (n - 2)
-    add_col = [None, None] + [{
+
+def _checkpoint_add_row(a: dict) -> dict:
+    return {
         "path": a["path"],
         "partitionValues": a.get("partitionValues") or {},
         "size": a.get("size", 0),
@@ -247,18 +354,45 @@ def _write_checkpoint(path: str, fs, version: int) -> None:
         "dataChange": False,  # checkpoint adds are not data changes
         "deletionVector": a.get("deletionVector"),
         "stats": a.get("stats"),
-    } for a in adds]
+    }
 
-    table = pa.table({
-        "protocol": pa.array(protocol_col, type=protocol_t),
-        "metaData": pa.array(meta_col, type=meta_t),
-        "add": pa.array(add_col, type=add_t),
-    })
+
+def _write_checkpoint_v2(path: str, fs, version: int,
+                         meta, files, protocol) -> None:
+    """PROTOCOL.md V2 Checkpoints: the add actions land in ONE parquet
+    sidecar under ``_delta_log/_sidecars/`` (full fidelity — stats and
+    deletionVector descriptors included, same schema as the classic
+    writer), and a UUID-named top-level JSON carries
+    checkpointMetadata + protocol + metaData + the sidecar pointer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _, _, add_t = _checkpoint_arrow_types()
+    adds = [_checkpoint_add_row(files[p]) for p in sorted(files)]
+    side_dir = fsio.join(path, fsio.join(_LOG_DIR, "_sidecars"))
+    fs.mkdirs(side_dir)
+    side_name = f"{uuid.uuid4().hex}.parquet"
     buf = io.BytesIO()
-    pq.write_table(table, buf)
-    fs.write_bytes(_checkpoint_file(path, version), buf.getvalue())
+    pq.write_table(pa.table({"add": pa.array(adds, type=add_t)}), buf)
+    fs.write_bytes(fsio.join(side_dir, side_name), buf.getvalue())
+
+    top = fsio.join(
+        path, fsio.join(
+            _LOG_DIR, f"{version:020d}.checkpoint.{uuid.uuid4().hex}.json"))
+    lines = [
+        {"checkpointMetadata": {"version": version, "tags": {}}},
+        {"protocol": protocol or {"minReaderVersion": 1,
+                                  "minWriterVersion": 2}},
+        {"metaData": meta or {}},
+        {"sidecar": {"path": side_name,
+                     "sizeInBytes": len(buf.getvalue()),
+                     "modificationTime": int(time.time() * 1000)}},
+    ]
+    fs.write_bytes(top, "".join(
+        json.dumps(ln) + "\n" for ln in lines).encode())
     fs.write_bytes(fsio.join(path, _LOG_DIR, "_last_checkpoint"),
-                   json.dumps({"version": version, "size": n}).encode())
+                   json.dumps({"version": version,
+                               "size": len(adds) + 3}).encode())
 
 
 # -------------------------------------------------------------- log replay
@@ -273,9 +407,12 @@ class UnsupportedTableFeature(RuntimeError):
 # Table Features): column mapping is applied at read time
 # (_column_mapping_mode / _physical_struct); deletion vectors are applied
 # merge-on-read (_apply_deletion_vectors — descriptor parse + roaring
-# bitmap anti-join on _metadata.row_index, delta_dv.py); anything else —
-# v2 checkpoints, type widening, ... — must refuse.
-SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
+# bitmap anti-join on _metadata.row_index, delta_dv.py); v2 checkpoints
+# are read via the UUID-named top file + sidecars
+# (_read_checkpoint_v2); anything else — type widening, ... — must
+# refuse.
+SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors",
+                             "v2Checkpoint"}
 
 
 def _check_reader_protocol(path: str, protocol: dict | None) -> None:
@@ -360,7 +497,8 @@ def replay_log(path: str, version: int | None = None):
 # their descriptors) untouched, and every CoW rewrite reads touched
 # files merge-on-read (_read_files_mor) and drops the descriptor with
 # the rewritten file — PROTOCOL.md Writer Requirements for the feature.
-SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors"}
+SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
+                             "v2Checkpoint"}
 
 
 def check_writer_protocol(path: str, removes_files: bool = False) -> None:

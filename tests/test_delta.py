@@ -507,7 +507,7 @@ def test_optimize_partitioned_compacts_within_partition(spark, tmp_path):
 
 def test_reader_protocol_v3_refused(spark, tmp_path):
     """A foreign table requiring a reader v3 feature we don't implement
-    (e.g. v2Checkpoint) must refuse loudly — replaying anyway would
+    (e.g. typeWidening) must refuse loudly — replaying anyway would
     return wrong rows (PROTOCOL.md Reader Requirements). deletionVectors
     and columnMapping are supported and no longer refuse."""
     from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
@@ -519,9 +519,9 @@ def test_reader_protocol_v3_refused(spark, tmp_path):
     with open(log, "w") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["v2Checkpoint"],
+            "readerFeatures": ["typeWidening"],
         }}) + "\n")
-    with pytest.raises(UnsupportedTableFeature, match="v2Checkpoint"):
+    with pytest.raises(UnsupportedTableFeature, match="typeWidening"):
         read_delta(spark, t)
     with pytest.raises(UnsupportedTableFeature):
         replay_log(t)
@@ -1485,3 +1485,100 @@ def test_timestamp_time_travel(spark, tmp_path):
         spark, t, as_of_timestamp_ms=t1 + 1).collect()} == {1}  # v1 moved
     assert {r["id"] for r in read_delta(
         spark, t, as_of_timestamp_ms=t1 + 20_000_000).collect()} == {1, 2}
+
+
+def _write_v2_checkpoint(t, version):
+    """Fixture: rewrite the table state at ``version`` as a foreign V2
+    checkpoint — UUID-named top-level JSON (checkpointMetadata +
+    protocol + metaData + sidecar actions) with the add actions in a
+    parquet sidecar under _delta_log/_sidecars/ — then point
+    _last_checkpoint at it."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sling_cli_spark.sources import delta_py as D
+
+    meta, files, protocol = D._replay_state(t, version)
+    side_dir = os.path.join(t, "_delta_log", "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    add_t = pa.struct([
+        ("path", pa.string()), ("size", pa.int64()),
+        ("modificationTime", pa.int64()), ("dataChange", pa.bool_()),
+        ("partitionValues", pa.map_(pa.string(), pa.string()))])
+    adds = [{"path": a["path"], "size": a.get("size", 0),
+             "modificationTime": a.get("modificationTime", 0),
+             "dataChange": True,
+             "partitionValues": list((a.get("partitionValues")
+                                      or {}).items())}
+            for a in files.values()]
+    side_name = f"{_uuid.uuid4().hex}.parquet"
+    pq.write_table(
+        pa.table({"add": pa.array(adds, type=add_t)}),
+        os.path.join(side_dir, side_name))
+    ssize = os.path.getsize(os.path.join(side_dir, side_name))
+
+    top = os.path.join(
+        t, "_delta_log",
+        f"{version:020d}.checkpoint.{_uuid.uuid4().hex}.json")
+    with open(top, "w") as f:
+        f.write(json.dumps({"checkpointMetadata": {
+            "version": version, "tags": {}}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"]}}) + "\n")
+        f.write(json.dumps({"metaData": meta}) + "\n")
+        f.write(json.dumps({"sidecar": {
+            "path": side_name, "sizeInBytes": ssize,
+            "modificationTime": 0}}) + "\n")
+    with open(os.path.join(t, "_delta_log", "_last_checkpoint"), "w") as f:
+        f.write(json.dumps({"version": version, "size": len(adds) + 3}))
+
+
+def test_v2_checkpoint_read(spark, tmp_path):
+    """A foreign table whose history was checkpointed in V2 form (and
+    whose pre-checkpoint JSON commits were cleaned up) replays from the
+    UUID-named checkpoint + sidecar; the v2Checkpoint reader feature no
+    longer refuses."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]).coalesce(1), t)
+    write_delta(_df(spark, [(2, "b")]).coalesce(1), t, mode="append")
+    _write_v2_checkpoint(t, 1)
+    write_delta(_df(spark, [(3, "c")]).coalesce(1), t, mode="append")
+    # expire the pre-checkpoint commits: only the checkpoint can
+    # reconstruct v0/v1 state now
+    for v in (0, 1):
+        os.remove(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    # time travel TO the checkpointed version also works
+    assert {r["id"] for r in read_delta(spark, t, version=1).collect()} \
+        == {1, 2}
+
+
+def test_v2_checkpoint_write(spark, tmp_path):
+    """On a v2Checkpoint table this engine's own checkpointer emits the
+    V2 form (UUID top file + parquet sidecar), never a classic one."""
+    from sling_cli_spark.sources import delta_py as D
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]).coalesce(1), t)
+    write_delta(_df(spark, [(2, "b")]).coalesce(1), t, mode="append")
+    _write_v2_checkpoint(t, 1)          # adopt the v2 protocol
+    write_delta(_df(spark, [(3, "c")]).coalesce(1), t, mode="append")
+    from sling_cli_spark import fsio
+    D._write_checkpoint(t, fsio.get_fs(t), 2)
+    log = os.listdir(os.path.join(t, "_delta_log"))
+    assert not any(n.endswith(".checkpoint.parquet") for n in log)
+    v2s = [n for n in log if n.startswith(f"{2:020d}.checkpoint.")
+           and n.endswith(".json")]
+    assert len(v2s) == 1
+    # the new checkpoint alone reconstructs the state
+    for v in (0, 1, 2):
+        p = os.path.join(t, "_delta_log", f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
