@@ -1065,6 +1065,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return field_stat(_t(spark, sf, "orders"),
                           ["o_orderkey", "o_custkey", "o_orderpriority"])
 
+    def field_stat_approx_orders(spark, sf):
+        """The 100 TB profiling path: field_stat with approx=True swaps
+        exact count_distinct (rows x #distinct-aggs expansion before
+        the shuffle) for HLL approx_count_distinct — one
+        map-side-combined pass. Oracle-checkable because HLL++ runs in
+        its EXACT sparse mode below ~thousands of distincts, and these
+        status/priority columns have 3 and 5 — so the sketch answer
+        equals the exact one bit-for-bit at every sf."""
+        return field_stat(_t(spark, sf, "orders"),
+                          ["o_orderstatus", "o_orderpriority"],
+                          approx=True)
+
     def field_stat_deep_li(spark, sf):
         from sling_cli_spark.operators.profile import field_stat_deep
         return field_stat_deep(_t(spark, sf, "lineitem"),
@@ -1607,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distro_group_orders": distro_group_orders,
         "distro_date_wide_orders": distro_date_wide_orders,
         "field_stat_len_orders": field_stat_len_orders,
+        "field_stat_approx_orders": field_stat_approx_orders,
         "decontaminate_docs": decontaminate_docs,
         "pack_chunks_docs": pack_chunks_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
@@ -2369,6 +2382,29 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(length(l_returnflag)) as BIGINT) AS l_returnflag,
                    cast(sum(length(l_linestatus)) as BIGINT) AS l_linestatus
             FROM lineitem
+        """,
+        "field_stat_approx_orders": """
+            SELECT 'o_orderstatus' AS field, count(*) AS total_cnt,
+                   count(o_orderstatus) AS cnt,
+                   count(*) - count(o_orderstatus) AS null_cnt,
+                   count(DISTINCT o_orderstatus) AS uniq_cnt,
+                   round(100.0 * (count(*) - count(o_orderstatus))
+                         / count(*), 2) AS null_prct,
+                   round(100.0 * count(DISTINCT o_orderstatus)
+                         / count(*), 2) AS uniq_prct,
+                   count(o_orderstatus) - count(DISTINCT o_orderstatus)
+                       AS dup_cnt
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+                   count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority),
+                   round(100.0 * (count(*) - count(o_orderpriority))
+                         / count(*), 2),
+                   round(100.0 * count(DISTINCT o_orderpriority)
+                         / count(*), 2),
+                   count(o_orderpriority) - count(DISTINCT o_orderpriority)
+            FROM orders
         """,
         "field_stat_orders": """
             SELECT 'o_orderkey' AS field, count(*) AS total_cnt,

@@ -1027,7 +1027,10 @@ def commit_timestamp_ms(path: str, version: int) -> int:
             continue
         a = json.loads(line)
         if "commitInfo" in a:
-            ts = a["commitInfo"].get("timestamp")
+            # inCommitTimestamp (the ICT table feature's monotonic
+            # field) outranks the plain wall-clock timestamp
+            ts = a["commitInfo"].get("inCommitTimestamp",
+                                     a["commitInfo"].get("timestamp"))
             if ts is not None:
                 return int(ts)
     try:

@@ -1582,3 +1582,22 @@ def test_v2_checkpoint_write(spark, tmp_path):
             os.remove(p)
     got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
     assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_in_commit_timestamp_precedence(tmp_path, spark):
+    """commitInfo.inCommitTimestamp (the ICT feature's monotonic field)
+    outranks the wall-clock timestamp field."""
+    from sling_cli_spark.sources.delta_py import (
+        commit_timestamp_ms, write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    log0 = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(ln) for ln in open(log0) if ln.strip()]
+    for a in lines:
+        if "commitInfo" in a:
+            a["commitInfo"]["inCommitTimestamp"] = 123456789
+    with open(log0, "w") as f:
+        for a in lines:
+            f.write(json.dumps(a) + "\n")
+    assert commit_timestamp_ms(t, 0) == 123456789
