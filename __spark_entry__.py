@@ -1451,6 +1451,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunk_documents(_t(spark, sf, "documents"),
                                chunk_tokens=64, overlap=16)
 
+    def mix_corpora_docs(spark, sf):
+        """Deterministic weighted corpus mixing (training.mix_corpora,
+        round 7): even doc_ids play 'web' at weight 0.5 (Bernoulli on
+        the md5-derived uniform), odd ids play 'books' at 1.5 (one
+        full epoch + a 0.5 remainder epoch). Pure projection + union —
+        no shuffle, no RNG state; the oracle reproduces every epoch
+        membership from the same md5 expression."""
+        from sling_cli_spark.operators.training import mix_corpora
+
+        d = _t(spark, sf, "documents")
+        return mix_corpora(
+            {"web": d.filter("doc_id % 2 = 0"),
+             "books": d.filter("doc_id % 2 = 1")},
+            {"web": 0.5, "books": 1.5})
+
     def decontaminate_docs(spark, sf):
         """Benchmark decontamination (operators/training.decontaminate,
         round 7): drop every document sharing ANY 3-gram shingle with
@@ -1621,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_stat_len_orders": field_stat_len_orders,
         "field_stat_approx_orders": field_stat_approx_orders,
         "decontaminate_docs": decontaminate_docs,
+        "mix_corpora_docs": mix_corpora_docs,
         "pack_chunks_docs": pack_chunks_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
         "dedup_store_docs": dedup_store_docs,
@@ -2642,6 +2658,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "mix_corpora_docs": """
+            WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+                       FROM documents)
+            SELECT 'web' AS source, doc_id, 0 AS epoch FROM d
+            WHERE doc_id % 2 = 0
+              AND ('0x' || substr(md5('web|' || doc_id || '|0|7'),
+                                  1, 15))::BIGINT < 576460752303423488
+            UNION ALL
+            SELECT 'books', doc_id, 0 FROM d WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT 'books', doc_id, 1 FROM d
+            WHERE doc_id % 2 = 1
+              AND ('0x' || substr(md5('books|' || doc_id || '|1|7'),
+                                  1, 15))::BIGINT < 576460752303423488
         """,
         "pack_chunks_docs": """
             WITH norm AS (

@@ -305,3 +305,50 @@ def pack_sequences(
         (start % seq_len).cast("long").alias("seq_offset"),
         F.floor((cum - 1) / seq_len).alias("end_seq_id"),
     )
+
+
+def mix_corpora(
+    sources, weights: dict[str, float], id_col: str = "doc_id",
+    seed: int = 7,
+):
+    """Deterministic weighted corpus mixing (the pretraining
+    domain-mixture step: webtext x0.5, books x1.5, ...): each source
+    contributes floor(weight) full copies (epoch-tagged) plus a
+    Bernoulli remainder — a row joins the remainder epoch iff its
+    md5-derived 60-bit uniform over (source, id, epoch, seed) falls
+    below the fractional weight. Returns (source, id, epoch) rows.
+
+    Everything is a projection + filter + union — no shuffle, no RNG
+    state: the same (source, id, seed) always lands in the same
+    epochs, so the mixture is reproducible run-to-run, resumable, and
+    exactly checkable by the DuckDB oracle (the hash is
+    dedup.md5_hash60's conv(substr(md5, 1, 15)) form).
+
+    ``sources``: {name: DataFrame}. Weights >= 0; epoch numbering is
+    0-based so weight 1.0 yields exactly epoch 0.
+    """
+    from functools import reduce
+
+    from sling_cli_spark.operators.dedup import md5_hash60
+
+    _SCALE = 1 << 60  # md5_hash60 range
+    branches = []
+    for name, df in sources.items():
+        w = float(weights.get(name, 0.0))
+        if w < 0:
+            raise ValueError(f"negative mix weight for {name!r}: {w}")
+        full, frac = int(w), w - int(w)
+        base = df.select(F.lit(name).alias("source"),
+                         F.col(id_col).cast("long").alias(id_col))
+        for epoch in range(full):
+            branches.append(base.withColumn("epoch", F.lit(epoch)))
+        if frac > 0:
+            key = F.concat_ws(
+                "|", F.lit(name), F.col(id_col).cast("string"),
+                F.lit(full).cast("string"), F.lit(seed).cast("string"))
+            branches.append(
+                base.filter(md5_hash60(key) < int(frac * _SCALE))
+                .withColumn("epoch", F.lit(full)))
+    if not branches:
+        raise ValueError("mix_corpora: no source carries positive weight")
+    return reduce(lambda a, b: a.unionByName(b), branches)

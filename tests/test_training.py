@@ -233,3 +233,33 @@ def test_pack_sequences_sharded_parallel(spark):
     assert out[("a", 1)] == (0, 0)
     assert out[("a", 2)] == (0, 100)
     assert out[("b", 1)] == (0, 0)  # shard b starts fresh
+
+
+def test_mix_corpora_weights_and_determinism(spark):
+    from sling_cli_spark.operators.training import mix_corpora
+
+    a = spark.range(1000).selectExpr("id AS doc_id")
+    b = spark.range(1000, 1200).selectExpr("id AS doc_id")
+    out = mix_corpora({"a": a, "b": b}, {"a": 0.5, "b": 2.0})
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r["source"], r["epoch"]), set()).add(r["doc_id"])
+    # b at weight 2.0: two FULL epochs, no remainder
+    assert by[("b", 0)] == set(range(1000, 1200))
+    assert by[("b", 1)] == set(range(1000, 1200))
+    assert ("b", 2) not in by
+    # a at 0.5: one Bernoulli epoch, roughly half, deterministic
+    n = len(by[("a", 0)])
+    assert 400 < n < 600
+    again = mix_corpora({"a": a, "b": b}, {"a": 0.5, "b": 2.0}).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in rows}
+    # different seed -> different membership
+    other = mix_corpora({"a": a}, {"a": 0.5}, seed=99)
+    assert {r["doc_id"] for r in other.collect()} != by[("a", 0)]
+
+    import pytest
+    with pytest.raises(ValueError, match="negative"):
+        mix_corpora({"a": a}, {"a": -1.0}).collect()
+    with pytest.raises(ValueError, match="positive weight"):
+        mix_corpora({"a": a}, {"a": 0.0})
