@@ -1466,6 +1466,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              "books": d.filter("doc_id % 2 = 1")},
             {"web": 0.5, "books": 1.5})
 
+    def wds_roundtrip(spark, sf):
+        """WebDataset shard sink round-trip (sinks/wds.py, round 7):
+        documents write as 4 deterministic md5-sharded tar files (one
+        applyInPandas group per shard, members key-sorted, stable
+        bytes), read back by parsing each tar on an executor, and the
+        member byte lengths hash-match the UTF-8 lengths of the source
+        text — the multimodal-corpus export/import path."""
+        import tempfile
+
+        from sling_cli_spark.sinks.wds import (
+            read_webdataset, write_webdataset)
+
+        d = os.path.join(tempfile.mkdtemp(prefix="sling_wds_"), "shards")
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        write_webdataset(docs, d, "doc_id", {"text": "txt"}, shards=4)
+        back = read_webdataset(spark, d)
+        return back.select(
+            F.col("key").cast("long").alias("doc_id"),
+            "ext",
+            F.length(F.col("data")).cast("long").alias("n_bytes"))
+
     def decontaminate_docs(spark, sf):
         """Benchmark decontamination (operators/training.decontaminate,
         round 7): drop every document sharing ANY 3-gram shingle with
@@ -1637,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_stat_approx_orders": field_stat_approx_orders,
         "decontaminate_docs": decontaminate_docs,
         "mix_corpora_docs": mix_corpora_docs,
+        "wds_roundtrip": wds_roundtrip,
         "pack_chunks_docs": pack_chunks_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
         "dedup_store_docs": dedup_store_docs,
@@ -2658,6 +2680,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "wds_roundtrip": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, 'txt' AS ext,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes
+            FROM documents WHERE text IS NOT NULL
         """,
         "mix_corpora_docs": """
             WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id

@@ -1,6 +1,8 @@
 """Multimodal column plumbing: decode stub, blob partitioning, frame
 sampling."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -57,3 +59,39 @@ def test_metadata_only_query_prunes_blob(spark):
     meta = media.select("media_id", "media_type", "duration_ms")
     assert "content" not in meta.columns
     assert meta.count() == 5
+
+
+def test_webdataset_roundtrip(spark, tmp_path):
+    """WebDataset sink/reader: rows shard deterministically, members
+    name <key>.<ext>, binary and text columns round-trip byte-exact,
+    nulls skip their member."""
+    from sling_cli_spark.sinks.wds import read_webdataset, write_webdataset
+
+    d = str(tmp_path / "wds")
+    df = spark.createDataFrame(
+        [(1, "hello", b"\x00\x01"), (2, "world", None),
+         (3, None, b"zz"), (4, "x", b"y")],
+        "doc_id long, text string, blob binary")
+    out = write_webdataset(
+        df, d, "doc_id", {"text": "txt", "blob": "bin"}, shards=2)
+    stats = {r["shard"]: r for r in out.collect()}
+    assert sum(r["n_samples"] for r in stats.values()) == 4
+    assert all(r["path"].endswith(".tar") for r in stats.values())
+
+    back = read_webdataset(spark, d)
+    got = {(r["key"], r["ext"]): bytes(r["data"]) for r in back.collect()}
+    assert got == {
+        ("1", "txt"): b"hello", ("1", "bin"): b"\x00\x01",
+        ("2", "txt"): b"world",
+        ("3", "bin"): b"zz",
+        ("4", "txt"): b"x", ("4", "bin"): b"y",
+    }
+    # determinism: a second write produces byte-identical shards
+    import hashlib
+    d2 = str(tmp_path / "wds2")
+    write_webdataset(df, d2, "doc_id", {"text": "txt", "blob": "bin"},
+                     shards=2)
+    for n in sorted(os.listdir(d)):
+        h1 = hashlib.md5(open(os.path.join(d, n), "rb").read()).hexdigest()
+        h2 = hashlib.md5(open(os.path.join(d2, n), "rb").read()).hexdigest()
+        assert h1 == h2
