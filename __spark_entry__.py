@@ -862,6 +862,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return I.read_iceberg(spark, t).select(
             "o_orderkey", "o_orderpriority")
 
+    def iceberg_v3_merge(spark, sf):
+        """Iceberg v3 WRITE path (iceberg_py round 7): nation lands as
+        a v2 table in two appends, upgrades to v3 with deletion
+        vectors hiding every n_nationkey multiple of 5, then a CoW
+        MERGE updates names for keys < 5 and inserts key 99. Verifies
+        no DV-deleted row resurrects into the rewritten file, the KEPT
+        file's DV carries forward with its Puffin coordinates, and the
+        commit assigns row-lineage ids — same oracle as the v2
+        merge-on-read twin."""
+        import tempfile
+
+        from sling_cli_spark.sources import iceberg_py as I
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_i3m_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        I.write_iceberg(n.filter("n_nationkey < 12").coalesce(1), t)
+        I.write_iceberg(n.filter("n_nationkey >= 12").coalesce(1), t)
+        _, meta = I._current_metadata(t)
+        victims = spark.read.parquet(
+            *[f["file_path"] for f in I._active_files(t, meta, None)]) \
+            .selectExpr("n_nationkey", "_metadata.file_path AS fp",
+                        "_metadata.row_index AS pos") \
+            .filter("n_nationkey % 5 = 0").collect()
+        dv_rows: dict[str, list[int]] = {}
+        for r in victims:
+            dv_rows.setdefault(I._canon(r["fp"]), []).append(r["pos"])
+        I.add_deletion_vectors(t, dv_rows)
+        batch = n.filter("n_nationkey < 5") \
+            .withColumn("n_name", F.concat("n_name", F.lit("_u"))) \
+            .unionByName(spark.createDataFrame(
+                [(99, "NEWLAND", 0)],
+                "n_nationkey long, n_name string, n_regionkey long"))
+        I.merge_iceberg(spark, t, batch, "n_nationkey")
+        return I.read_iceberg(spark, t).select(
+            "n_nationkey", "n_name", "n_regionkey")
+
     def iceberg_v3_defaults(spark, sf):
         """Iceberg v3 initial-default fill (iceberg_py round 7, spec v3
         §Default values): nation lands in two appends — the first
@@ -1651,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
         "iceberg_v3_dv": iceberg_v3_dv,
         "iceberg_v3_defaults": iceberg_v3_defaults,
+        "iceberg_v3_merge": iceberg_v3_merge,
         "distro_date_orders": distro_date_orders,
         "distro_group_orders": distro_group_orders,
         "distro_date_wide_orders": distro_date_wide_orders,
@@ -2197,6 +2237,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_nationkey < 12 THEN CAST(99 AS BIGINT)
                         ELSE CAST(n_regionkey AS BIGINT) END AS n_regionkey
             FROM nation
+        """,
+        "iceberg_v3_merge": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   n_name || '_u' AS n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation WHERE n_nationkey < 5
+            UNION ALL
+            SELECT CAST(99 AS BIGINT), 'NEWLAND', CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT CAST(n_nationkey AS BIGINT), n_name,
+                   CAST(n_regionkey AS BIGINT)
+            FROM nation WHERE n_nationkey >= 5 AND n_nationkey % 5 <> 0
         """,
         "iceberg_v2_merge_mor": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,

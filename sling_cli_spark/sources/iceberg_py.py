@@ -30,9 +30,11 @@ number), v3 Puffin-stored deletion vectors (spec v3 §Deletion
 Vectors; :mod:`.puffin` parses the blobs, executors expand the
 roaring bitmaps), and v3 primitive ``initial-default`` values (filled
 per source FILE via a driver-side footer probe — rows predating the
-column take the default, later genuine nulls stay null); v3 WRITES
-and v3-only types (variant/geometry/timestamp_ns) refuse loudly.
-Enough for
+column take the default, later genuine nulls stay null). WRITES to v3
+tables assign row lineage at commit (contiguous ``first_row_id``
+ranges from ``next-row-id``, snapshot ``first-row-id``; spec v3 §Row
+Lineage) and carry DV entries with their blob coordinates; v3-only
+types (variant/geometry/timestamp_ns) refuse loudly. Enough for
 EL-tool snapshots: :func:`write_iceberg` (append/overwrite creating a
 new snapshot + metadata version) and :func:`read_iceberg` (current or
 ``snapshot_id=`` time travel). The jar-backed Spark DataSource takes
@@ -141,40 +143,22 @@ _MANIFEST_ENTRY_SCHEMA_V2 = {
                  "type": ["null", {"type": "map", "values": "bytes"}]},
                 {"name": "upper_bounds",
                  "type": ["null", {"type": "map", "values": "bytes"}]},
-            ],
-        }},
-    ],
-}
-
-
-# v3 delete manifest entry: deletion vectors are Puffin blobs; the
-# entry pins the ONE data file the vector applies to and the blob's
-# byte range (spec v3: referenced_data_file field 143, content_offset
-# 144, content_size_in_bytes 145).
-_MANIFEST_ENTRY_SCHEMA_V3 = {
-    "type": "record", "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"]},
-        {"name": "sequence_number", "type": ["null", "long"]},
-        {"name": "data_file", "type": {
-            "type": "record", "name": "r2",
-            "fields": [
-                {"name": "content", "type": "int"},
-                {"name": "file_path", "type": "string"},
-                {"name": "file_format", "type": "string"},
-                {"name": "record_count", "type": "long"},
-                {"name": "file_size_in_bytes", "type": "long"},
-                {"name": "partition",
-                 "type": ["null", {"type": "map", "values": "string"}]},
+                # v3 fields, null on v1/v2 entries: deletion-vector
+                # blob coordinates (spec v3: referenced_data_file 143,
+                # content_offset 144, content_size_in_bytes 145) and
+                # row-lineage base (first_row_id 142)
                 {"name": "referenced_data_file",
                  "type": ["null", "string"]},
                 {"name": "content_offset", "type": ["null", "long"]},
                 {"name": "content_size_in_bytes", "type": ["null", "long"]},
+                {"name": "first_row_id", "type": ["null", "long"]},
             ],
         }},
     ],
 }
+
+# the DV fixture writes with the same unified entry schema
+_MANIFEST_ENTRY_SCHEMA_V3 = _MANIFEST_ENTRY_SCHEMA_V2
 
 
 def _bounds_map(v):
@@ -208,6 +192,12 @@ def _v2_data_file(f: dict) -> dict:
         "equality_ids": f.get("equality_ids"),
         "lower_bounds": _bounds_map(f.get("lower_bounds")),
         "upper_bounds": _bounds_map(f.get("upper_bounds")),
+        # v3 carriage: a kept DV entry must NOT lose its blob
+        # coordinates, nor a kept data file its row-lineage base
+        "referenced_data_file": f.get("referenced_data_file"),
+        "content_offset": f.get("content_offset"),
+        "content_size_in_bytes": f.get("content_size_in_bytes"),
+        "first_row_id": f.get("first_row_id"),
     }
 
 
@@ -387,11 +377,10 @@ def _current_metadata(path: str, for_write: bool = False) -> tuple[int, dict]:
     meta = json.loads(fs.read_bytes(
         fsio.join(_meta_dir(path), f"v{v}.metadata.json")).decode())
     fv = meta.get("format-version", 1)
-    if fv > 3 or (fv == 3 and for_write):
+    if fv > 3:
         raise UnsupportedTableFeature(
             f"iceberg table at {path} is format-version {fv}; this "
-            "implementation reads v1-v3 and writes v1/v2 only (v3 "
-            "writes would have to assign row-lineage ids)")
+            "implementation reads and writes v1-v3 only")
     if fv == 3:
         _gate_v3_schema(path, meta)
     return v, meta
@@ -1025,6 +1014,8 @@ def _init_meta(
         "snapshots": [],
         "current-snapshot-id": -1,
     }
+    if format_version >= 3:
+        meta["next-row-id"] = 0  # spec v3 §Row Lineage
     if format_version == 1:
         # v1's inline single-schema / single-spec fields (removed in v2)
         meta["schema"] = ice
@@ -1199,6 +1190,18 @@ def _commit_snapshot(
     mlist_entries: list[dict] = []
 
     if fv >= 2:
+        first_row_base = None
+        if fv >= 3:
+            # spec v3 §Row Lineage: added files take contiguous
+            # first_row_id ranges starting at the table's next-row-id;
+            # carried files keep theirs (None on pre-upgrade entries —
+            # readers then derive ids positionally, per spec)
+            first_row_base = int(meta.get("next-row-id") or 0)
+            rid = first_row_base
+            for f in data_files:
+                f["first_row_id"] = rid
+                rid += int(f.get("record_count") or 0)
+            meta["next-row-id"] = rid
         entries = [{"status": 1, "snapshot_id": snapshot_id,
                     "sequence_number": None,  # inherit new_seq from list
                     "data_file": _v2_data_file(f)} for f in data_files]
@@ -1283,6 +1286,8 @@ def _commit_snapshot(
     if fv >= 2:
         snapshot["sequence-number"] = new_seq
         meta["last-sequence-number"] = new_seq
+    if fv >= 3 and first_row_base is not None:
+        snapshot["first-row-id"] = first_row_base
     meta["snapshots"] = (meta.get("snapshots") or []) + [snapshot]
     meta["current-snapshot-id"] = snapshot_id
     meta["last-updated-ms"] = int(time.time() * 1000)
@@ -1509,7 +1514,7 @@ def add_deletion_vectors(path: str, dv_rows: dict[str, list[int]]) -> int:
         del_entries.append({
             "status": 1, "snapshot_id": snapshot_id,
             "sequence_number": None,  # inherit new_seq from the list
-            "data_file": {
+            "data_file": _v2_data_file({
                 "content": 1,
                 "file_path": _absolute(puffin_path),
                 "file_format": "PUFFIN",
@@ -1519,7 +1524,7 @@ def add_deletion_vectors(path: str, dv_rows: dict[str, list[int]]) -> int:
                 "referenced_data_file": f["file_path"],
                 "content_offset": int(m["offset"]),
                 "content_size_in_bytes": int(m["length"]),
-            }})
+            })})
     del_manifest = fsio.join(_meta_dir(path), f"{uuid.uuid4().hex}-dv0.avro")
     write_avro(del_manifest, del_entries, _MANIFEST_ENTRY_SCHEMA_V3)
 

@@ -327,11 +327,22 @@ def test_format_version_gating(spark, tmp_path):
     meta["format-version"] = 3
     with open(mp, "w") as f:
         json.dump(meta, f)
-    # v3 reads fine (no DVs present), writes refuse
+    # v3 reads fine (no DVs present) and accepts appends (row-lineage
+    # bookkeeping assigned at commit, r7)
     assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 2}
-    with pytest.raises(UnsupportedTableFeature, match="format-version 3"):
-        write_iceberg(_df(spark, [(9, "z")]), t)
+    write_iceberg(_df(spark, [(9, "z")]).coalesce(1), t)
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 2, 9}
+    _, m3 = _current_metadata(t)
+    assert m3["format-version"] == 3
+    assert m3["next-row-id"] == 1           # one row appended, base 0
+    assert m3["snapshots"][-1]["first-row-id"] == 0
 
+    # the append committed a newer metadata version — stamp THAT one
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read().strip())
+    mp = os.path.join(meta_dir, f"v{v}.metadata.json")
+    with open(mp) as f:
+        meta = json.load(f)
     meta["format-version"] = 4
     with open(mp, "w") as f:
         json.dump(meta, f)
@@ -880,11 +891,10 @@ def test_puffin_dv_blob_roundtrip(tmp_path):
 def test_v3_deletion_vector_read(spark, tmp_path):
     """add_deletion_vectors upgrades a v2 table to v3; the scan drops
     exactly the vectored ordinals, time travel predating the DV still
-    sees every row, and v3 writes refuse."""
-    import pytest
+    sees every row, and an append on the v3 table carries the DV
+    forward while advancing row lineage."""
     from pyspark.sql import functions as F
 
-    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
     from sling_cli_spark.sources.iceberg_py import (
         _active_entries, _current_metadata, add_deletion_vectors)
 
@@ -903,8 +913,13 @@ def test_v3_deletion_vector_read(spark, tmp_path):
     # the pre-DV snapshot still reads complete
     old = {r["id"] for r in read_iceberg(spark, t, snapshot_id=s1).collect()}
     assert old == set(range(100))
-    with pytest.raises(UnsupportedTableFeature):
-        write_iceberg(df, t)
+    # append on the v3 table: DV carries forward, lineage advances
+    write_iceberg(spark.range(200, 203).select(
+        F.col("id"), (F.col("id") % 7).alias("v")).coalesce(1), t)
+    got2 = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got2 == (set(range(100)) - {3, 4, 97}) | {200, 201, 202}
+    _, m = _current_metadata(t)
+    assert m["next-row-id"] >= 103
 
 
 def test_v3_deletion_vectors_multiple_files(spark, tmp_path):
@@ -1064,3 +1079,39 @@ def test_transform_partitioned_write_refuses(spark, tmp_path):
         json.dump(meta, f)
     with pytest.raises(UnsupportedTableFeature, match="transform"):
         write_iceberg(_df(spark, [(2, "b")]), t)
+
+
+def test_v3_merge_respects_deletion_vectors(spark, tmp_path):
+    """CoW MERGE into a v3 DV table: the touched file's rewrite is
+    computed from the DV-applied scan (no resurrection), the KEPT
+    file's DV carries forward with its blob coordinates intact, and
+    the new snapshot advances row lineage."""
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, add_deletion_vectors,
+        merge_iceberg)
+
+    t = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v"))
+    write_iceberg(mk(0, 10).orderBy("id").coalesce(1), t)
+    write_iceberg(mk(10, 20).orderBy("id").coalesce(1), t)
+    f1, f2 = sorted(_active_entries(t, _current_metadata(t)[1], None)[0],
+                    key=lambda f: int(f["__seq"]))
+    # DV ordinals: ids 2,5 gone from file1; ids 13,19 gone from file2
+    add_deletion_vectors(t, {f1["file_path"]: [2, 5],
+                             f2["file_path"]: [3, 9]})
+    batch = spark.createDataFrame(
+        [(7, "UPDATED"), (99, "NEW")], "id long, v string")
+    stats = merge_iceberg(spark, t, batch, "id")
+    assert stats["touched"] == 1        # only file1 holds id 7
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert 2 not in got and 5 not in got       # rewrite didn't resurrect
+    assert 13 not in got and 19 not in got     # kept file's DV survives
+    assert got[7] == "UPDATED" and got[99] == "NEW"
+    assert got[0] == "v0" and got[12] == "v12"
+    assert len(got) == 17   # 20 - 4 DV-deleted + 1 insert
+    _, m = _current_metadata(t)
+    assert m["format-version"] == 3
+    assert m["next-row-id"] >= 9        # rewritten file1 rows + insert
