@@ -607,6 +607,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t, mode="append")
         return D.read_delta(spark, t)
 
+    def delta_type_widening(spark, sf):
+        """typeWidening table read (delta_py round 7): the first file
+        stores n_nationkey as parquet INT32, a foreign commit widens
+        the column to long + stamps the feature, a second file appends
+        with INT64 — the explicit-schema scan promotes the old file
+        natively and both halves read as bigint."""
+        import json as _json
+        import tempfile
+
+        from sling_cli_spark.sources import delta_py as D
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_tw_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("int").alias("n_nationkey"),
+            "n_name")
+        D.write_delta(n.filter("n_nationkey < 12").coalesce(1), t)
+        meta, _ = D.replay_log(t)
+        schema = _json.loads(meta["schemaString"])
+        schema["fields"][0]["type"] = "long"
+        schema["fields"][0]["metadata"] = {"delta.typeChanges": [
+            {"fromType": "integer", "toType": "long"}]}
+        new_meta = dict(meta)
+        new_meta["schemaString"] = _json.dumps(schema)
+        v = D.latest_version(t) + 1
+        with open(os.path.join(t, "_delta_log", f"{v:020d}.json"),
+                  "w") as f:
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["typeWidening"],
+                "writerFeatures": ["typeWidening"]}}) + "\n")
+            f.write(_json.dumps({"metaData": new_meta}) + "\n")
+        D.write_delta(
+            _t(spark, sf, "nation").select(
+                F.col("n_nationkey").cast("long").alias("n_nationkey"),
+                "n_name").filter("n_nationkey >= 12").coalesce(1),
+            t, mode="append")
+        return D.read_delta(spark, t)
+
     def delta_id_mapping(spark, sf):
         """Read a foreign id-mapped Delta table (delta_py round 7):
         the parquet file's column NAMES (junk-*) match neither the
@@ -1686,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_id_mapping": delta_id_mapping,
         "delta_dv_mapped": delta_dv_mapped,
         "delta_v2_checkpoint": delta_v2_checkpoint,
+        "delta_type_widening": delta_type_widening,
         "jdbc_live_roundtrip": jdbc_live_roundtrip,
         "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
         "iceberg_v3_dv": iceberg_v3_dv,
@@ -2192,6 +2231,10 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
             UNION ALL
             SELECT CAST(99 AS BIGINT), 'NEWLAND', CAST(0 AS BIGINT)
+        """,
+        "delta_type_widening": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+            FROM nation
         """,
         "jdbc_live_roundtrip": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

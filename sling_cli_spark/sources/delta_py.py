@@ -408,11 +408,16 @@ class UnsupportedTableFeature(RuntimeError):
 # (_column_mapping_mode / _physical_struct); deletion vectors are applied
 # merge-on-read (_apply_deletion_vectors — descriptor parse + roaring
 # bitmap anti-join on _metadata.row_index, delta_dv.py); v2 checkpoints
-# are read via the UUID-named top file + sidecars
-# (_read_checkpoint_v2); anything else — type widening, ... — must
+# are read via the UUID-named top file + sidecars (_read_checkpoint_v2);
+# typeWidening needs NO special handling here because every read uses
+# the explicit table schema and Spark's parquet reader promotes
+# narrower file types (int->long/double/decimal, float->double,
+# decimal widening, date->timestampNtz) — a promotion outside that set
+# errors loudly at scan time, never silently; anything else must
 # refuse.
 SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors",
-                             "v2Checkpoint"}
+                             "v2Checkpoint", "typeWidening",
+                             "typeWidening-preview"}
 
 
 def _check_reader_protocol(path: str, protocol: dict | None) -> None:
@@ -497,8 +502,13 @@ def replay_log(path: str, version: int | None = None):
 # their descriptors) untouched, and every CoW rewrite reads touched
 # files merge-on-read (_read_files_mor) and drops the descriptor with
 # the rewritten file — PROTOCOL.md Writer Requirements for the feature.
+# typeWidening as a writer feature obliges recording typeChanges
+# metadata WHEN widening a type — this writer never changes an existing
+# column's type (schema evolution only ADDS columns), so the obligation
+# never triggers and writes to widened tables are safe.
 SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
-                             "v2Checkpoint"}
+                             "v2Checkpoint", "typeWidening",
+                             "typeWidening-preview"}
 
 
 def check_writer_protocol(path: str, removes_files: bool = False) -> None:

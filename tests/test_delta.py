@@ -507,7 +507,7 @@ def test_optimize_partitioned_compacts_within_partition(spark, tmp_path):
 
 def test_reader_protocol_v3_refused(spark, tmp_path):
     """A foreign table requiring a reader v3 feature we don't implement
-    (e.g. typeWidening) must refuse loudly — replaying anyway would
+    (e.g. variantType) must refuse loudly — replaying anyway would
     return wrong rows (PROTOCOL.md Reader Requirements). deletionVectors
     and columnMapping are supported and no longer refuse."""
     from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
@@ -519,9 +519,9 @@ def test_reader_protocol_v3_refused(spark, tmp_path):
     with open(log, "w") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["typeWidening"],
+            "readerFeatures": ["variantType"],
         }}) + "\n")
-    with pytest.raises(UnsupportedTableFeature, match="typeWidening"):
+    with pytest.raises(UnsupportedTableFeature, match="variantType"):
         read_delta(spark, t)
     with pytest.raises(UnsupportedTableFeature):
         replay_log(t)
@@ -1601,3 +1601,36 @@ def test_in_commit_timestamp_precedence(tmp_path, spark):
         for a in lines:
             f.write(json.dumps(a) + "\n")
     assert commit_timestamp_ms(t, 0) == 123456789
+
+
+def test_type_widening_read(spark, tmp_path):
+    """A foreign typeWidening table: old files carry the narrower
+    parquet type (int), the table schema the widened one (long);
+    the explicit-schema scan promotes old files natively, new files
+    read as-is, and appends still work (this writer never widens, so
+    the feature's write obligation never triggers)."""
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "id int, v string"), t)
+    meta, _ = replay_log(t)
+    schema = json.loads(meta["schemaString"])
+    # foreign engine widens id to long and stamps the feature
+    schema["fields"][0]["type"] = "long"
+    schema["fields"][0]["metadata"] = {"delta.typeChanges": [
+        {"fromType": "integer", "toType": "long"}]}
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema)
+    v = latest_version(t) + 1
+    with open(os.path.join(t, "_delta_log", f"{v:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"]}}) + "\n")
+        f.write(json.dumps({"metaData": new_meta}) + "\n")
+    got = read_delta(spark, t)
+    assert dict(got.dtypes)["id"] == "bigint"
+    assert {r["id"] for r in got.collect()} == {1}
+    # append post-widening data
+    write_delta(spark.createDataFrame(
+        [(5_000_000_000, "b")], "id long, v string"), t, mode="append")
+    rows = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert rows == {1: "a", 5_000_000_000: "b"}
