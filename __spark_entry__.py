@@ -1681,13 +1681,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # NOTE on ordering: the correctness driver checks the FIRST 50 entries of
     # this dict.  Rotation policy (round 6): queries whose last green row is
-    # OLDEST-driver-verified go first.  This round (r7) leads with the five
-    # LSH/ANN queries whose md5-hash60 oracles (added r6) have NEVER produced
-    # a driver-side hash row — they were `no_oracle` when last windowed in
-    # r5 — followed by the other 19 tail queries last driver-checked in r5,
-    # then anything changed this round.  Everything driver-green in
-    # CORRECTNESS_r06 rotates to the tail, so no green claim is ever more
-    # than one round stale.
+    # OLDEST-driver-verified go first.  This round (r7) the window holds
+    # EVERY query the driver has never hash-checked — the five md5-hash60
+    # LSH/ANN oracles (added r6, `no_oracle` when last windowed in r5) plus
+    # all ~30 queries new in round 7 (lake v3/DV/checkpoint/widening,
+    # semdedup/vocab/surprisal/mix/wds, skipping/bucketed, profiling
+    # variants) — padded with the oldest r5-checked tail.  Everything
+    # driver-green in CORRECTNESS_r06 rotates to the tail, so no green
+    # claim is ever more than one round stale.
     return {
         # -- md5-hash60 oracles never hash-checked by the driver -----------
         "minhash_dedup_docs": minhash_dedup_docs,
@@ -1696,9 +1697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         # -- rest of the r6 tail (last driver-checked r5) ------------------
-        "column_typing_clamp": column_typing_clamp,
-        "constraint_dsl_filter": constraint_dsl_filter,
-        "row_constraints": row_constraints,
         "ann_topk": ann_topk,
         "embedding_near_dup": embedding_near_dup,
         "semdedup_docs": semdedup_docs,
@@ -1745,6 +1743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_stats_skipping": delta_stats_skipping,
         "iceberg_bounds_skipping": iceberg_bounds_skipping,
         "bucketed_join_agg": bucketed_join_agg,
+        "column_typing_clamp": column_typing_clamp,
+        "constraint_dsl_filter": constraint_dsl_filter,
+        "row_constraints": row_constraints,
         # -- driver-green r06, rotated toward the tail ---------------------
         "star_join_agg": _star_join_agg,
         "exact_dedup_docs": exact_dedup_docs,
