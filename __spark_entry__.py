@@ -645,6 +645,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t, mode="append")
         return D.read_delta(spark, t)
 
+    def delta_change_feed(spark, sf):
+        """Change data feed round-trip (delta_py round 7, PROTOCOL.md
+        Change Data Files): nation lands as a CDF-enabled table, a
+        MERGE updates names for keys < 5 and inserts key 99, and
+        read_change_feed returns exactly the per-row diff the commit
+        staged under _change_data/ — update pre/post images + the
+        insert, nothing for unchanged rewritten rows. The EL domain's
+        flagship surface: this is what downstream CDC consumers read."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            merge_delta, read_change_feed, set_table_properties,
+            write_delta)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_cdf_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        write_delta(n.coalesce(1), t)
+        set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
+        batch = n.filter("n_nationkey < 5") \
+            .withColumn("n_name", F.concat("n_name", F.lit("_u"))) \
+            .unionByName(spark.createDataFrame(
+                [(99, "NEWLAND")], "n_nationkey long, n_name string"))
+        stats = merge_delta(spark, t, batch, "n_nationkey")
+        return read_change_feed(
+            spark, t, starting_version=stats["version"]).select(
+            "_change_type", "n_nationkey", "n_name")
+
     def delta_id_mapping(spark, sf):
         """Read a foreign id-mapped Delta table (delta_py round 7):
         the parquet file's column NAMES (junk-*) match neither the
@@ -1723,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dv_mapped": delta_dv_mapped,
         "delta_v2_checkpoint": delta_v2_checkpoint,
         "delta_type_widening": delta_type_widening,
+        "delta_change_feed": delta_change_feed,
         "jdbc_live_roundtrip": jdbc_live_roundtrip,
         "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
         "iceberg_v3_dv": iceberg_v3_dv,
@@ -2236,6 +2266,17 @@ def oracle_sql() -> dict[str, str]:
         "delta_type_widening": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
             FROM nation
+        """,
+        "delta_change_feed": """
+            SELECT 'update_preimage' AS _change_type,
+                   CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+            FROM nation WHERE n_nationkey < 5
+            UNION ALL
+            SELECT 'update_postimage', CAST(n_nationkey AS BIGINT),
+                   n_name || '_u'
+            FROM nation WHERE n_nationkey < 5
+            UNION ALL
+            SELECT 'insert', CAST(99 AS BIGINT), 'NEWLAND'
         """,
         "jdbc_live_roundtrip": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

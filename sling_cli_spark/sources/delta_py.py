@@ -742,15 +742,18 @@ def _staged_stats(df: DataFrame, tmp: str) -> dict[str, str]:
 
 def _stage_data_files(
     df: DataFrame, path: str, partition_by: list[str] | None = None,
-    data_change: bool = True,
+    data_change: bool = True, subdir: str | None = None,
 ) -> list[dict]:
     """Write ``df`` as parquet part files INTO the table dir (unique
     names; invisible until committed) -> list of add actions carrying
     per-file skipping stats. With ``partition_by`` the Hive subdir
     layout is preserved and each add carries its ``partitionValues``.
-    ``data_change=False`` marks rearrangement-only adds (compaction)."""
+    ``data_change=False`` marks rearrangement-only adds (compaction);
+    ``subdir`` places files under a table subdirectory (the CDF path
+    stages change files under ``_change_data/``)."""
     fs = fsio.get_fs(path)
-    fs.mkdirs(path)
+    base_dir = fsio.join(path, subdir) if subdir else path
+    fs.mkdirs(base_dir)
     tmp = fsio.join(path, f".stage_{uuid.uuid4().hex[:8]}")
     writer = df.write
     if partition_by:
@@ -772,9 +775,11 @@ def _stage_data_files(
             if not fname.endswith(".parquet"):
                 continue
             new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            if rel_dir:
-                fs.mkdirs(fsio.join(path, rel_dir))
             dest_rel = f"{rel_dir}/{new_name}" if rel_dir else new_name
+            if subdir:
+                dest_rel = f"{subdir}/{dest_rel}"
+            if "/" in dest_rel:
+                fs.mkdirs(fsio.join(path, dest_rel.rsplit("/", 1)[0]))
             dest = fsio.join(path, dest_rel)
             p2 = urlparse(full)
             skey = unquote(p2.path) if (p2.scheme and len(p2.scheme) > 1) \
@@ -1526,13 +1531,23 @@ def merge_delta(
     adds = _stage_data_files(replacement, path, part_cols or None)
     now = int(time.time() * 1000)
     removes = [_remove_action(p, files[p], now) for p in touched_rel]
+    # CDF (PROTOCOL.md Change Data Files): a rewriting commit on a
+    # delta.enableChangeDataFeed table must record row-level changes —
+    # the pre-image of touched files diffed against the rewrite.
+    # Blind appends (no removes) stay derivable from the add actions
+    # and write no change files, delta-spark's behavior.
+    cdc_actions: list[dict] = []
+    if cdf_enabled(meta) and touched_rel:
+        cdc_actions = _stage_cdc_actions(
+            _cdf_diff(touched_rows, replacement, pk), path,
+            part_cols or None)
     # a batch carrying new columns evolves the table schema with the
     # same commit (mergeSchema semantics; untouched files read the new
     # columns as nulls)
     schema_actions = _evolve_schema_actions(replacement, meta)
     version = latest_version(path) + 1
     version = _commit_with_retry(
-        path, version, schema_actions + removes + adds,
+        path, version, schema_actions + removes + adds + cdc_actions,
         read_files=set(files))
     _, active = replay_log(path)
     return {"touched": len(removes), "new_files": len(adds),
@@ -1599,9 +1614,15 @@ def delete_missing_delta(
     adds = _stage_data_files(replacement, path, part_cols or None)
     now = int(time.time() * 1000)
     removes = [_remove_action(p, files[p], now) for p in touched_rel]
+    cdc_actions: list[dict] = []
+    if cdf_enabled(meta):  # deletes (or soft-delete flips) per row
+        cdc_actions = _stage_cdc_actions(
+            _cdf_diff(touched_rows, replacement, pk), path,
+            part_cols or None)
     version = latest_version(path) + 1
-    version = _commit_with_retry(path, version, actions + removes + adds,
-                                 read_files=set(files))
+    version = _commit_with_retry(
+        path, version, actions + removes + adds + cdc_actions,
+        read_files=set(files))
     _, active = replay_log(path)
     return {"touched": len(removes), "new_files": len(adds),
             "kept": len(active) - len(adds), "version": version}
@@ -1699,3 +1720,157 @@ def optimize_delta(
         path, latest_version(path) + 1, removes + adds)
     return {"compacted": len(compacted), "new_files": len(adds),
             "version": version}
+
+
+# ------------------------------------------------- change data feed (CDF)
+
+def cdf_enabled(meta: dict | None) -> bool:
+    return str(((meta or {}).get("configuration") or {})
+               .get("delta.enableChangeDataFeed", "")).lower() == "true"
+
+
+def set_table_properties(path: str, props: dict[str, str]) -> int:
+    """Commit an updated ``metaData.configuration`` (how
+    ``delta.enableChangeDataFeed`` switches on). Returns the version."""
+    meta, _ = replay_log(path)
+    if meta is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    new_meta = dict(meta)
+    new_meta["configuration"] = {
+        **(meta.get("configuration") or {}),
+        **{k: str(v) for k, v in props.items()}}
+    v = latest_version(path) + 1
+    _commit(path, v, [{"metaData": new_meta}])
+    return v
+
+
+def _cdf_diff(pre: DataFrame, post: DataFrame, pk: list[str]) -> DataFrame:
+    """Row-level changes between the touched files' PRE-image and the
+    rewrite (PROTOCOL.md Change Data Files): pk only in pre -> delete,
+    only in post -> insert, in both with differing values ->
+    update_preimage + update_postimage; identical rows (rewritten
+    only because their file was touched) produce NO change row. One
+    full-outer join on the pk; struct null-safe equality compares all
+    non-key columns at once."""
+    from pyspark.sql import functions as F
+
+    cols = post.columns
+    for c in cols:  # align pre to post (schema may have evolved)
+        if c not in pre.columns:
+            pre = pre.withColumn(c, F.lit(None).cast(dict(post.dtypes)[c]))
+    rest = [c for c in cols if c not in pk]
+    p = pre.select(*pk, F.struct(*rest).alias("__pre"))
+    q = post.select(*pk, F.struct(*rest).alias("__post"))
+    j = p.join(q, on=pk, how="full_outer")
+
+    def unpack(side, ct):
+        return (j.filter(side_filters[ct])
+                .select(*pk,
+                        *[F.col(f"{side}.{c}").alias(c) for c in rest])
+                .withColumn("_change_type", F.lit(ct)))
+
+    side_filters = {
+        "delete": F.col("__post").isNull() & F.col("__pre").isNotNull(),
+        "insert": F.col("__pre").isNull() & F.col("__post").isNotNull(),
+        "update_preimage":
+            F.col("__pre").isNotNull() & F.col("__post").isNotNull()
+            & ~F.col("__pre").eqNullSafe(F.col("__post")),
+    }
+    side_filters["update_postimage"] = side_filters["update_preimage"]
+    out = unpack("__pre", "delete") \
+        .unionByName(unpack("__post", "insert")) \
+        .unionByName(unpack("__pre", "update_preimage")) \
+        .unionByName(unpack("__post", "update_postimage"))
+    return out.select(*cols, "_change_type")
+
+
+def _stage_cdc_actions(
+    cdf: DataFrame, path: str, part_cols: list[str] | None,
+) -> list[dict]:
+    """Stage a change DataFrame under ``_change_data/`` -> ``cdc``
+    actions (PROTOCOL.md Add CDC File: change files never count as
+    data, so ``dataChange`` is false and replay ignores them)."""
+    staged = _stage_data_files(
+        cdf, path, partition_by=part_cols or None,
+        data_change=False, subdir="_change_data")
+    return [{"cdc": {
+        "path": a["add"]["path"],
+        "partitionValues": a["add"]["partitionValues"],
+        "size": a["add"]["size"],
+        "dataChange": False,
+    }} for a in staged]
+
+
+def read_change_feed(
+    spark: SparkSession, path: str, starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """The table's row-level changes across a version range — data
+    columns + ``_change_type`` / ``_commit_version`` /
+    ``_commit_timestamp`` (delta-spark's ``table_changes`` surface).
+
+    Commits carrying ``cdc`` actions read exactly those files
+    (update_preimage/postimage fidelity); commits without them derive
+    changes per the protocol: dataChange adds -> ``insert`` rows,
+    dataChange removes -> ``delete`` rows (reading the removed file,
+    which vacuum has not yet reclaimed). A derived commit whose add
+    carries a deletion vector cannot be reconstructed this way and
+    refuses loudly."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    meta, _ = replay_log(path)  # reader-protocol gate + schema
+    if meta is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    fs = fsio.get_fs(path)
+    versions = [v for v in _list_versions(path)
+                if v >= starting_version
+                and (ending_version is None or v <= ending_version)]
+    branches = []
+    for v in versions:
+        ts = commit_timestamp_ms(path, v)
+        actions = [json.loads(ln) for ln in
+                   fs.read_bytes(_log_path(path, v)).decode().splitlines()
+                   if ln.strip()]
+        cdcs = [a["cdc"] for a in actions if "cdc" in a]
+        stamp = lambda df, ct: df.withColumn(
+            "_change_type", F.lit(ct)) if ct else df
+
+        def final(df, ct=None):
+            out = stamp(df, ct)
+            branches.append(out
+                            .withColumn("_commit_version", F.lit(v))
+                            .withColumn("_commit_timestamp",
+                                        F.lit(ts).cast("long")))
+
+        if cdcs:
+            final(spark.read.parquet(
+                *[fsio.join(path, c["path"]) for c in cdcs]))
+            continue
+        adds = [a["add"] for a in actions
+                if "add" in a and a["add"].get("dataChange")]
+        removes = [a["remove"] for a in actions
+                   if "remove" in a and a["remove"].get("dataChange")]
+        for a in adds:
+            if a.get("deletionVector"):
+                raise UnsupportedTableFeature(
+                    f"change feed: commit {v} attaches a deletion "
+                    "vector without cdc files — underivable")
+        if adds:
+            final(_apply_table_schema(spark.read.parquet(
+                *[fsio.join(path, a["path"]) for a in adds]), meta),
+                "insert")
+        if removes:
+            final(_apply_table_schema(spark.read.parquet(
+                *[fsio.join(path, r["path"]) for r in removes]), meta),
+                "delete")
+    if not branches:
+        from pyspark.sql import types as T
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"])) \
+            .add("_change_type", "string") \
+            .add("_commit_version", "long") \
+            .add("_commit_timestamp", "long")
+        return spark.createDataFrame([], schema)
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), branches)

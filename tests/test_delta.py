@@ -1634,3 +1634,57 @@ def test_type_widening_read(spark, tmp_path):
         [(5_000_000_000, "b")], "id long, v string"), t, mode="append")
     rows = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
     assert rows == {1: "a", 5_000_000_000: "b"}
+
+
+def test_change_data_feed_merge(spark, tmp_path):
+    """CDF on a rewriting MERGE: the commit stages _change_data files
+    holding exactly the row-level diff (update pre/post images +
+    inserts; unchanged rewritten rows produce nothing), and
+    read_change_feed returns them stamped with version/timestamp."""
+    from sling_cli_spark.sources.delta_py import (
+        merge_delta, read_change_feed, set_table_properties, write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string").coalesce(1), t)
+    set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
+    batch = spark.createDataFrame([(2, "X"), (99, "new")],
+                                  "id long, v string")
+    stats = merge_delta(spark, t, batch, "id")
+    v = stats["version"]
+    assert os.path.isdir(os.path.join(t, "_change_data"))
+    cdf = read_change_feed(spark, t, starting_version=v)
+    rows = {(r["_change_type"], r["id"]): r["v"] for r in cdf.collect()}
+    assert rows == {
+        ("update_preimage", 2): "b",
+        ("update_postimage", 2): "X",
+        ("insert", 99): "new",
+    }
+    assert {r["_commit_version"] for r in cdf.collect()} == {v}
+    assert all(r["_commit_timestamp"] > 0 for r in cdf.collect())
+
+
+def test_change_data_feed_derived_and_deletes(spark, tmp_path):
+    """Commits without cdc files derive: dataChange adds -> insert
+    rows (blind appends write NO change files); delete_missing on a
+    CDF table records per-row deletes in change files."""
+    from sling_cli_spark.sources.delta_py import (
+        delete_missing_delta, read_change_feed, set_table_properties,
+        write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1), t)
+    set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
+    write_delta(spark.createDataFrame(
+        [(3, "c")], "id long, v string").coalesce(1), t, mode="append")
+    assert not os.path.isdir(os.path.join(t, "_change_data"))
+    cdf0 = read_change_feed(spark, t)
+    ins = {r["id"]: r["_change_type"] for r in cdf0.collect()}
+    assert ins == {1: "insert", 2: "insert", 3: "insert"}  # all derived
+
+    keep = spark.createDataFrame([(1,), (3,)], "id long")
+    stats = delete_missing_delta(spark, t, keep, "id")
+    cdf = read_change_feed(spark, t, starting_version=stats["version"])
+    got = [(r["_change_type"], r["id"]) for r in cdf.collect()]
+    assert got == [("delete", 2)]
