@@ -1729,7 +1729,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "embedding_near_dup": embedding_near_dup,
         "semdedup_docs": semdedup_docs,
-        "distinct_rows": distinct_rows,
         "lang_id_docs": lang_id_docs,
         "quality_docs": quality_docs,
         "token_count_docs": token_count_docs,
@@ -1773,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_stats_skipping": delta_stats_skipping,
         "iceberg_bounds_skipping": iceberg_bounds_skipping,
         "bucketed_join_agg": bucketed_join_agg,
+        "distinct_rows": distinct_rows,
         "column_typing_clamp": column_typing_clamp,
         "constraint_dsl_filter": constraint_dsl_filter,
         "row_constraints": row_constraints,
