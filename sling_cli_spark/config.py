@@ -67,6 +67,8 @@ class SourceOptions:
     transforms: Any = None
     infer_schema: bool = True           # sample-classify text sources
     merge_schemas: bool = False         # reconcile drift across files
+    change_feed: bool = False           # delta: read table_changes rows
+    starting_version: int | None = None  # change_feed range start
 
 
 @dataclass

@@ -145,6 +145,15 @@ def read_files(
         from sling_cli_spark.sources.arrow import read_arrow
 
         return read_arrow(spark, path)
+    if fmt == "delta" and getattr(opts, "change_feed", False):
+        # CDC-style EL: the source is the table's CHANGE FEED, not its
+        # state — rows arrive with _change_type/_commit_version, the
+        # shape a change_capture replication consumes downstream
+        from sling_cli_spark.sources.delta_py import read_change_feed
+
+        return read_change_feed(
+            spark, path,
+            starting_version=getattr(opts, "starting_version", None) or 0)
     if fmt in ("delta", "iceberg"):
         # table formats prefer their connector jars (stock DataSource
         # API, distributed); without them, Delta falls back to the

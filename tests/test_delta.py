@@ -1688,3 +1688,27 @@ def test_change_data_feed_derived_and_deletes(spark, tmp_path):
     cdf = read_change_feed(spark, t, starting_version=stats["version"])
     got = [(r["_change_type"], r["id"]) for r in cdf.collect()]
     assert got == [("delete", 2)]
+
+
+def test_change_feed_as_el_source(spark, tmp_path):
+    """The EL surface reads a CDF-enabled Delta table's CHANGE FEED via
+    SourceOptions(change_feed=True) — the CDC-replication source
+    shape (rows + _change_type/_commit_version)."""
+    from sling_cli_spark.config import Source, SourceOptions
+    from sling_cli_spark.sources.delta_py import (
+        merge_delta, set_table_properties, write_delta)
+    from sling_cli_spark.sources.files import read_source
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1), t)
+    set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
+    stats = merge_delta(spark, t, spark.createDataFrame(
+        [(2, "X")], "id long, v string"), "id")
+    got = read_source(spark, Source(
+        stream=t, options=SourceOptions(
+            format="delta", change_feed=True,
+            starting_version=stats["version"])))
+    rows = {(r["_change_type"], r["id"]): r["v"] for r in got.collect()}
+    assert rows == {("update_preimage", 2): "b",
+                    ("update_postimage", 2): "X"}
