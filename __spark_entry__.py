@@ -968,6 +968,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return I.read_iceberg(spark, t).select(
             "n_nationkey", "n_name", "n_regionkey")
 
+    def iceberg_changelog(spark, sf):
+        """Iceberg changelog scan (iceberg_py round 7 — the
+        create_changelog_view semantics, derived from file turnover):
+        nation lands as one file, a CoW MERGE updates names for keys
+        < 5 and inserts key 99; the changelog after the first snapshot
+        is the touched file's rows as deletes plus the rewrite's rows
+        as inserts — the Iceberg twin of the Delta change feed."""
+        import tempfile
+
+        from sling_cli_spark.sources import iceberg_py as I
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_icl_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        s1 = I.write_iceberg(n.coalesce(1), t)
+        batch = n.filter("n_nationkey < 5") \
+            .withColumn("n_name", F.concat("n_name", F.lit("_u"))) \
+            .unionByName(spark.createDataFrame(
+                [(99, "NEWLAND")], "n_nationkey long, n_name string"))
+        I.merge_iceberg(spark, t, batch, "n_nationkey")
+        return I.iceberg_changelog(spark, t, from_snapshot_id=s1).select(
+            "_change_type", "n_nationkey", "n_name")
+
     def iceberg_v3_defaults(spark, sf):
         """Iceberg v3 initial-default fill (iceberg_py round 7, spec v3
         §Default values): nation lands in two appends — the first
@@ -1729,7 +1753,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "embedding_near_dup": embedding_near_dup,
         "semdedup_docs": semdedup_docs,
-        "lang_id_docs": lang_id_docs,
         "quality_docs": quality_docs,
         "token_count_docs": token_count_docs,
         "ws_token_docs": ws_token_docs,
@@ -1757,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_v3_dv": iceberg_v3_dv,
         "iceberg_v3_defaults": iceberg_v3_defaults,
         "iceberg_v3_merge": iceberg_v3_merge,
+        "iceberg_changelog": iceberg_changelog,
         "distro_date_orders": distro_date_orders,
         "distro_group_orders": distro_group_orders,
         "distro_date_wide_orders": distro_date_wide_orders,
@@ -1772,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_stats_skipping": delta_stats_skipping,
         "iceberg_bounds_skipping": iceberg_bounds_skipping,
         "bucketed_join_agg": bucketed_join_agg,
+        "lang_id_docs": lang_id_docs,
         "distinct_rows": distinct_rows,
         "column_typing_clamp": column_typing_clamp,
         "constraint_dsl_filter": constraint_dsl_filter,
@@ -2322,6 +2347,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_nationkey < 12 THEN CAST(99 AS BIGINT)
                         ELSE CAST(n_regionkey AS BIGINT) END AS n_regionkey
             FROM nation
+        """,
+        "iceberg_changelog": """
+            SELECT 'delete' AS _change_type,
+                   CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+            FROM nation
+            UNION ALL
+            SELECT 'insert', CAST(n_nationkey AS BIGINT),
+                   CASE WHEN n_nationkey < 5 THEN n_name || '_u'
+                        ELSE n_name END
+            FROM nation
+            UNION ALL
+            SELECT 'insert', CAST(99 AS BIGINT), 'NEWLAND'
         """,
         "iceberg_v3_merge": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,

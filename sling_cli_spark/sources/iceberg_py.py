@@ -1561,3 +1561,119 @@ def add_deletion_vectors(path: str, dv_rows: dict[str, list[int]]) -> int:
     fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
                    str(new_version).encode())
     return snapshot_id
+
+
+def iceberg_changelog(
+    spark: SparkSession, path: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Row-level changes AFTER ``from_snapshot_id`` (exclusive) up to
+    ``to_snapshot_id`` (inclusive, default current) — the file-diff
+    changelog Spark's create_changelog_view / incremental scans derive
+    (there are no change files in Iceberg; CoW commits express changes
+    as file turnover):
+
+    - data files ADDED by a snapshot -> ``insert`` rows,
+    - data files REMOVED -> ``delete`` rows (a rewrite therefore emits
+      delete+insert pairs for carried rows, the documented derived
+      semantics),
+    - position-delete/DV entries ADDED -> ``delete`` rows for exactly
+      the newly-deleted positions of their referenced files,
+    - equality-delete entries ADDED refuse loudly (their row set
+      depends on sequence-number scoping — underivable per snapshot
+      without replaying history).
+
+    Output: data columns + ``_change_type`` / ``_snapshot_id`` /
+    ``_commit_timestamp_ms``. Driver work is manifest-sized; all row
+    data moves executor-side."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    _, meta = _current_metadata(path)
+    snaps = meta.get("snapshots") or []  # metadata lists in commit order
+    order = [s["snapshot-id"] for s in snaps]
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id")
+    lo = order.index(from_snapshot_id) if from_snapshot_id is not None \
+        else -1
+    hi = order.index(to_snapshot_id)
+    ts_of = {s["snapshot-id"]: s["timestamp-ms"] for s in snaps}
+
+    branches = []
+
+    def tag(df, ct, sid):
+        branches.append(
+            df.withColumn("_change_type", F.lit(ct))
+            .withColumn("_snapshot_id", F.lit(sid))
+            .withColumn("_commit_timestamp_ms",
+                        F.lit(int(ts_of[sid])).cast("long")))
+
+    prev = _active_entries(path, meta, order[lo])[0] if lo >= 0 \
+        else []
+    prev_paths = {_canon(f["file_path"]) for f in prev}
+    prev_dels: set[tuple] = set()
+    if lo >= 0:
+        _, p_pos, p_eq = _active_entries(path, meta, order[lo])
+        prev_dels = {(_canon(d["file_path"]),
+                      d.get("content_offset")) for d in p_pos}
+    for i in range(lo + 1, hi + 1):
+        sid = order[i]
+        files, pos_dels, eq_dels = _active_entries(path, meta, sid)
+        paths = {_canon(f["file_path"]) for f in files}
+        added = [f for f in files if _canon(f["file_path"])
+                 not in prev_paths]
+        removed_paths = prev_paths - paths
+        removed = [f for f in prev if _canon(f["file_path"])
+                   in removed_paths]
+        if added:
+            tag(_mor_read(spark, path, meta, added, [], []), "insert", sid)
+        if removed:
+            tag(_mor_read(spark, path, meta, removed, [], []),
+                "delete", sid)
+        del_keys = {(_canon(d["file_path"]), d.get("content_offset"))
+                    for d in pos_dels}
+        new_dels = [d for d in pos_dels
+                    if (_canon(d["file_path"]), d.get("content_offset"))
+                    not in prev_dels]
+        new_eq = [d for d in eq_dels if int(d.get("__seq") or 0) >
+                  max([int(f.get("__seq") or 0) for f in prev] or [0])] \
+            if lo >= 0 else eq_dels
+        if new_eq:
+            raise UnsupportedTableFeature(
+                "iceberg changelog: the range adds equality-delete "
+                "files — underivable per snapshot")
+        if new_dels:
+            # the newly-deleted positions of still-referenced files
+            refd = {}
+            for d in new_dels:
+                fmt = (d.get("file_format") or "PARQUET").upper()
+                if fmt == "PUFFIN":
+                    refd.setdefault("dv", []).append(d)
+                else:
+                    refd.setdefault("pos", []).append(d)
+            sides = []
+            if refd.get("pos"):
+                dd = spark.read.parquet(
+                    *[d["file_path"] for d in refd["pos"]])
+                sides.append(dd.select(
+                    _norm_path_col(F.col("file_path")).alias("__fp"),
+                    F.col("pos").alias("__pos")))
+            if refd.get("dv"):
+                sides.append(_expand_dvs(spark, refd["dv"]))
+            dele = reduce(lambda a, b: a.unionByName(b), sides)
+            scan = _mor_read(spark, path, meta, files, [], [],
+                             keep_file_col=True)
+            scan = scan.withColumnRenamed("__file", "__fp") \
+                .withColumn("__pos", F.col("_metadata.row_index"))
+            tag(scan.join(dele, ["__fp", "__pos"], "inner")
+                .drop("__fp", "__pos"), "delete", sid)
+        prev, prev_paths, prev_dels = files, paths, del_keys
+    if not branches:
+        schema = _spark_schema(meta) \
+            .add("_change_type", "string") \
+            .add("_snapshot_id", "long") \
+            .add("_commit_timestamp_ms", "long")
+        return spark.createDataFrame([], schema)
+    return reduce(lambda a, b: a.unionByName(b), branches)

@@ -1115,3 +1115,50 @@ def test_v3_merge_respects_deletion_vectors(spark, tmp_path):
     _, m = _current_metadata(t)
     assert m["format-version"] == 3
     assert m["next-row-id"] >= 9        # rewritten file1 rows + insert
+
+
+def test_changelog_file_diff(spark, tmp_path):
+    """Changelog between snapshots: appended files -> insert rows,
+    rewrites -> delete+insert pairs, a from-snapshot scopes the range,
+    DV additions surface as per-position delete rows."""
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, add_deletion_vectors,
+        iceberg_changelog, merge_iceberg)
+
+    t = str(tmp_path / "t")
+    s1 = write_iceberg(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    s2 = write_iceberg(_df(spark, [(3, "c")]).coalesce(1), t)
+    # full history: three inserts
+    full = iceberg_changelog(spark, t)
+    assert sorted((r["_change_type"], r["id"]) for r in full.collect()) \
+        == [("insert", 1), ("insert", 2), ("insert", 3)]
+    # from s1: only the second append
+    tail = iceberg_changelog(spark, t, from_snapshot_id=s1)
+    assert [(r["_change_type"], r["id"], r["_snapshot_id"])
+            for r in tail.collect()] == [("insert", 3, s2)]
+
+    # a rewriting merge -> delete+insert pairs for the touched file
+    merge_iceberg(spark, t, spark.createDataFrame(
+        [(2, "X")], "id long, v string"), "id")
+    ch = iceberg_changelog(spark, t, from_snapshot_id=s2)
+    got = sorted((r["_change_type"], r["id"]) for r in ch.collect())
+    assert got == [("delete", 1), ("delete", 2),
+                   ("insert", 1), ("insert", 2)]
+    post = {(r["_change_type"], r["id"]): r["v"] for r in ch.collect()}
+    assert post[("insert", 2)] == "X" and post[("delete", 2)] == "b"
+
+    # DV addition -> delete rows for exactly the vectored positions
+    from sling_cli_spark.sources import iceberg_py as I
+
+    s4 = _current_metadata(t)[1]["current-snapshot-id"]
+    files = _active_entries(t, _current_metadata(t)[1], None)[0]
+    row = spark.read.parquet(*[f["file_path"] for f in files]) \
+        .selectExpr("id", "_metadata.file_path AS fp",
+                    "_metadata.row_index AS pos") \
+        .filter("id = 3").collect()[0]
+    add_deletion_vectors(t, {I._canon(row["fp"]): [row["pos"]]})
+    ch2 = iceberg_changelog(spark, t, from_snapshot_id=s4)
+    assert [(r["_change_type"], r["id"], r["v"])
+            for r in ch2.collect()] == [("delete", 3, "c")]
