@@ -67,8 +67,9 @@ class SourceOptions:
     transforms: Any = None
     infer_schema: bool = True           # sample-classify text sources
     merge_schemas: bool = False         # reconcile drift across files
-    change_feed: bool = False           # delta: read table_changes rows
-    starting_version: int | None = None  # change_feed range start
+    change_feed: bool = False           # delta/iceberg: read change rows
+    starting_version: int | None = None  # delta change_feed range start
+    starting_snapshot_id: int | None = None  # iceberg changelog start
 
 
 @dataclass

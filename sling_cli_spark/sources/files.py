@@ -145,15 +145,22 @@ def read_files(
         from sling_cli_spark.sources.arrow import read_arrow
 
         return read_arrow(spark, path)
-    if fmt == "delta" and getattr(opts, "change_feed", False):
+    if getattr(opts, "change_feed", False) and fmt in ("delta", "iceberg"):
         # CDC-style EL: the source is the table's CHANGE FEED, not its
-        # state — rows arrive with _change_type/_commit_version, the
-        # shape a change_capture replication consumes downstream
-        from sling_cli_spark.sources.delta_py import read_change_feed
+        # state — rows arrive with _change_type (+ version/snapshot
+        # stamps), the shape a change_capture replication consumes
+        if fmt == "delta":
+            from sling_cli_spark.sources.delta_py import read_change_feed
 
-        return read_change_feed(
+            return read_change_feed(
+                spark, path,
+                starting_version=getattr(
+                    opts, "starting_version", None) or 0)
+        from sling_cli_spark.sources.iceberg_py import iceberg_changelog
+
+        return iceberg_changelog(
             spark, path,
-            starting_version=getattr(opts, "starting_version", None) or 0)
+            from_snapshot_id=getattr(opts, "starting_snapshot_id", None))
     if fmt in ("delta", "iceberg"):
         # table formats prefer their connector jars (stock DataSource
         # API, distributed); without them, Delta falls back to the

@@ -1162,3 +1162,20 @@ def test_changelog_file_diff(spark, tmp_path):
     ch2 = iceberg_changelog(spark, t, from_snapshot_id=s4)
     assert [(r["_change_type"], r["id"], r["v"])
             for r in ch2.collect()] == [("delete", 3, "c")]
+
+
+def test_changelog_as_el_source(spark, tmp_path):
+    """SourceOptions(change_feed=True) on an Iceberg stream reads the
+    changelog — symmetry with the Delta CDF source option."""
+    from sling_cli_spark.config import Source, SourceOptions
+    from sling_cli_spark.sources.files import read_source
+
+    t = str(tmp_path / "t")
+    s1 = write_iceberg(_df(spark, [(1, "a")]).coalesce(1), t)
+    write_iceberg(_df(spark, [(2, "b")]).coalesce(1), t)
+    got = read_source(spark, Source(
+        stream=t, options=SourceOptions(
+            format="iceberg", change_feed=True,
+            starting_snapshot_id=s1)))
+    assert [(r["_change_type"], r["id"]) for r in got.collect()] \
+        == [("insert", 2)]
