@@ -241,7 +241,13 @@ def unigram_surprisal(
     from sling_cli_spark.operators.dedup import spread_small_input
 
     if vocab_df is None:
-        vocab_df = vocab_topk(df, text_col, k=vocab_size, n=1)
+        # persisted: the LM aggregate feeds BOTH the total-count
+        # collect and the broadcast join — without it the full corpus
+        # tokenize+aggregate would run twice
+        from pyspark.storagelevel import StorageLevel
+
+        vocab_df = vocab_topk(df, text_col, k=vocab_size, n=1) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
     n_total = vocab_df.agg(F.sum("cnt")).collect()[0][0] or 0
     denom = float(n_total + vocab_size + 1)  # add-one over V + one OOV bin
 

@@ -338,8 +338,10 @@ def mix_corpora(
         if w < 0:
             raise ValueError(f"negative mix weight for {name!r}: {w}")
         full, frac = int(w), w - int(w)
-        base = df.select(F.lit(name).alias("source"),
-                         F.col(id_col).cast("long").alias(id_col))
+        # ids keep their native type: a cast("long") would silently
+        # null every UUID/string id AND collapse the Bernoulli key to
+        # one shared hash (all-or-nothing remainder epochs)
+        base = df.select(F.lit(name).alias("source"), F.col(id_col))
         for epoch in range(full):
             branches.append(base.withColumn("epoch", F.lit(epoch)))
         if frac > 0:

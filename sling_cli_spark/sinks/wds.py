@@ -60,6 +60,11 @@ def write_webdataset(
         with tarfile.open(dest, "w") as tar:
             for _, row in pdf.iterrows():
                 key = str(row[key_col])
+                if "." in key:
+                    raise ValueError(
+                        f"WebDataset keys must not contain '.' "
+                        f"(got {key!r}): readers split the sample key "
+                        "at the first dot")
                 for col, ext in cols.items():
                     v = row[col]
                     if v is None or (isinstance(v, float) and pd.isna(v)):
@@ -102,7 +107,11 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                     for m in tar.getmembers():
                         if not m.isfile():
                             continue
-                        stem, _, ext = m.name.rpartition(".")
+                        # WebDataset convention: the sample KEY is
+                        # everything before the FIRST dot — compound
+                        # extensions (seg.png, json.gz) belong to the
+                        # extension, so foreign shards group correctly
+                        stem, _, ext = m.name.partition(".")
                         keys.append(stem)
                         exts.append(ext)
                         datas.append(tar.extractfile(m).read())

@@ -289,15 +289,19 @@ def add_deletion_vectors(
     now = int(__import__("time").time() * 1000)
     # preserve features the table already requires (e.g. columnMapping on
     # a mapped table) — dropping them would let non-mapping readers
-    # mis-read the table after this commit
+    # mis-read (or foreign v7 writers mis-write) the table after this
+    # commit; a legacy protocol's implicit obligations become explicit
+    # on BOTH sides of the v3/v7 upgrade
     rf = {"deletionVectors"}
-    wf = {"deletionVectors"}
+    wf = {"deletionVectors", "appendOnly"}  # appendOnly: v2-implied
     prot = delta_py._replay_state(table_path)[2]
     if prot:
         rf |= set(prot.get("readerFeatures") or ())
         wf |= set(prot.get("writerFeatures") or ())
-        if prot.get("minReaderVersion", 1) == 2:
-            rf.add("columnMapping")  # v2's implicit reader requirement
+        if prot.get("minReaderVersion", 1) == 2 \
+                or prot.get("minWriterVersion", 2) >= 5:
+            rf.add("columnMapping")
+            wf.add("columnMapping")
     actions: list[dict] = [{"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
         "readerFeatures": sorted(rf),

@@ -506,9 +506,13 @@ def replay_log(path: str, version: int | None = None):
 # metadata WHEN widening a type — this writer never changes an existing
 # column's type (schema evolution only ADDS columns), so the obligation
 # never triggers and writes to widened tables are safe.
+# changeDataFeed obliges writing change files for updates/deletes/
+# merges when delta.enableChangeDataFeed is set — merge_delta /
+# delete_missing_delta do exactly that (_stage_cdc_actions), and blind
+# appends are derivable per the protocol.
 SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
                              "v2Checkpoint", "typeWidening",
-                             "typeWidening-preview"}
+                             "typeWidening-preview", "changeDataFeed"}
 
 
 def check_writer_protocol(path: str, removes_files: bool = False) -> None:
@@ -1095,8 +1099,20 @@ def read_delta(
     filter (pruning is file-granular, not row-granular)."""
     if version is None and as_of_timestamp_ms is not None:
         version = version_at_timestamp(path, as_of_timestamp_ms)
-        if version is None:  # instant predates the first commit
-            meta, _ = replay_log(path)
+        if version is None:
+            meta, _ = replay_log(path)  # also: not-a-table raises here
+            if meta is None:
+                raise FileNotFoundError(f"not a delta table: {path}")
+            vs = _list_versions(path)
+            if not vs or vs[0] != 0:
+                # history truncated (checkpoint-only / expired commits):
+                # data may have existed at the instant — erroring like
+                # delta-spark beats silently returning an empty frame
+                raise ValueError(
+                    f"timestamp {as_of_timestamp_ms} predates the "
+                    f"earliest retained commit of {path} — cannot "
+                    "time travel there")
+            # full history retained: the instant truly predates v0
             from pyspark.sql import types as T
             return spark.createDataFrame(
                 [], T.StructType.fromJson(json.loads(meta["schemaString"])))
@@ -1731,17 +1747,56 @@ def cdf_enabled(meta: dict | None) -> bool:
 
 def set_table_properties(path: str, props: dict[str, str]) -> int:
     """Commit an updated ``metaData.configuration`` (how
-    ``delta.enableChangeDataFeed`` switches on). Returns the version."""
-    meta, _ = replay_log(path)
+    ``delta.enableChangeDataFeed`` switches on). Enabling CDF also
+    upgrades the protocol to list the ``changeDataFeed`` writer
+    feature when the current protocol does not already authorize it
+    (PROTOCOL.md: the property requires writer version 4+ or the
+    feature) — existing reader/writer features carry forward, plus the
+    legacy obligations the v7 upgrade makes explicit. Returns the
+    version."""
+    meta, files, protocol = _replay_state(path)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
     new_meta = dict(meta)
     new_meta["configuration"] = {
         **(meta.get("configuration") or {}),
         **{k: str(v) for k, v in props.items()}}
+    actions: list[dict] = []
+    enabling_cdf = str(props.get(
+        "delta.enableChangeDataFeed", "")).lower() == "true"
+    prot = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    mwv = prot.get("minWriterVersion", 2)
+    wf = set(prot.get("writerFeatures") or ())
+    if enabling_cdf and mwv < 4 and "changeDataFeed" not in wf:
+        rf = set(prot.get("readerFeatures") or ())
+        wf |= {"appendOnly", "changeDataFeed"}  # v2-implied + the new one
+        if _column_mapping_mode(meta) != "none" or mwv >= 5:
+            wf.add("columnMapping")
+            rf.add("columnMapping")
+        if any(a.get("deletionVector") for a in files.values()):
+            wf.add("deletionVectors")
+            rf.add("deletionVectors")
+        if _schema_has_invariants(meta):
+            wf.add("invariants")  # our own writer then refuses, loudly
+        actions.append({"protocol": {
+            "minReaderVersion": max(prot.get("minReaderVersion", 1),
+                                    3 if rf else 1),
+            "minWriterVersion": 7,
+            **({"readerFeatures": sorted(rf)} if rf else {}),
+            "writerFeatures": sorted(wf)}})
+    actions.append({"metaData": new_meta})
     v = latest_version(path) + 1
-    _commit(path, v, [{"metaData": new_meta}])
+    _commit(path, v, actions)
     return v
+
+
+def _schema_has_invariants(meta: dict) -> bool:
+    try:
+        fields = json.loads(meta["schemaString"]).get("fields") or []
+    except Exception:
+        return False
+    return any("delta.invariants" in (f.get("metadata") or {})
+               for f in fields)
 
 
 def _cdf_diff(pre: DataFrame, post: DataFrame, pk: list[str]) -> DataFrame:
@@ -1801,6 +1856,42 @@ def _stage_cdc_actions(
     }} for a in staged]
 
 
+def _read_actions_with_partitions(
+    spark, path: str, actions: list[dict], meta: dict,
+) -> DataFrame:
+    """Read the parquet files behind add/remove/cdc actions with each
+    action's ``partitionValues`` attached as typed literals — staged
+    files carry NO partition columns (the log is authoritative, not
+    the dir layout), so a raw read would surface them as nulls. One
+    union branch per distinct partition tuple, same shape as
+    _read_mapped_partitioned."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    part_cols = meta.get("partitionColumns") or []
+    if not part_cols:
+        return spark.read.parquet(
+            *[fsio.join(path, a["path"]) for a in actions])
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    types = {f.name: f.dataType for f in schema.fields}
+    groups: dict[tuple, list[str]] = {}
+    for a in actions:
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(a["path"])
+    branches = []
+    for key, rels in sorted(groups.items(),
+                            key=lambda kv: tuple(map(str, kv[0]))):
+        df = spark.read.parquet(*[fsio.join(path, p) for p in rels])
+        for c, val in zip(part_cols, key):
+            df = df.withColumn(c, F.lit(val).cast(types[c]))
+        branches.append(df)
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), branches)
+
+
 def read_change_feed(
     spark: SparkSession, path: str, starting_version: int = 0,
     ending_version: int | None = None,
@@ -1813,9 +1904,13 @@ def read_change_feed(
     (update_preimage/postimage fidelity); commits without them derive
     changes per the protocol: dataChange adds -> ``insert`` rows,
     dataChange removes -> ``delete`` rows (reading the removed file,
-    which vacuum has not yet reclaimed). A derived commit whose add
-    carries a deletion vector cannot be reconstructed this way and
-    refuses loudly."""
+    which vacuum has not yet reclaimed). A derived commit whose add OR
+    remove carries a deletion vector cannot be reconstructed this way
+    and refuses loudly, as do column-mapped tables (the change files /
+    removed files store physical names this reader does not project
+    back yet). Partitioned tables attach each action's
+    ``partitionValues`` as typed literals — staged files hold no
+    partition columns."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -1823,6 +1918,11 @@ def read_change_feed(
     meta, _ = replay_log(path)  # reader-protocol gate + schema
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
+    if _column_mapping_mode(meta) != "none":
+        raise UnsupportedTableFeature(
+            f"change feed on {path}: column-mapped tables are not "
+            "supported here (physical-name projection of change files "
+            "is not implemented) — read the table state instead")
     fs = fsio.get_fs(path)
     versions = [v for v in _list_versions(path)
                 if v >= starting_version
@@ -1845,26 +1945,23 @@ def read_change_feed(
                                         F.lit(ts).cast("long")))
 
         if cdcs:
-            final(spark.read.parquet(
-                *[fsio.join(path, c["path"]) for c in cdcs]))
+            final(_read_actions_with_partitions(spark, path, cdcs, meta))
             continue
         adds = [a["add"] for a in actions
                 if "add" in a and a["add"].get("dataChange")]
         removes = [a["remove"] for a in actions
                    if "remove" in a and a["remove"].get("dataChange")]
-        for a in adds:
+        for a in adds + removes:
             if a.get("deletionVector"):
                 raise UnsupportedTableFeature(
                     f"change feed: commit {v} attaches a deletion "
                     "vector without cdc files — underivable")
         if adds:
-            final(_apply_table_schema(spark.read.parquet(
-                *[fsio.join(path, a["path"]) for a in adds]), meta),
-                "insert")
+            final(_apply_table_schema(_read_actions_with_partitions(
+                spark, path, adds, meta), meta), "insert")
         if removes:
-            final(_apply_table_schema(spark.read.parquet(
-                *[fsio.join(path, r["path"]) for r in removes]), meta),
-                "delete")
+            final(_apply_table_schema(_read_actions_with_partitions(
+                spark, path, removes, meta), meta), "delete")
     if not branches:
         from pyspark.sql import types as T
         schema = T.StructType.fromJson(json.loads(meta["schemaString"])) \

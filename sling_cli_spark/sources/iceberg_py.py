@@ -1610,14 +1610,28 @@ def iceberg_changelog(
             .withColumn("_commit_timestamp_ms",
                         F.lit(int(ts_of[sid])).cast("long")))
 
-    prev = _active_entries(path, meta, order[lo])[0] if lo >= 0 \
-        else []
-    prev_paths = {_canon(f["file_path"]) for f in prev}
-    prev_dels: set[tuple] = set()
+    def _del_positions(dels):
+        """Position-delete/DV entries -> (__fp, __pos) rows, or None."""
+        sides = []
+        parq = [d for d in dels
+                if (d.get("file_format") or "PARQUET").upper() != "PUFFIN"]
+        dvs = [d for d in dels if d not in parq]
+        if parq:
+            dd = spark.read.parquet(*[d["file_path"] for d in parq])
+            sides.append(dd.select(
+                _norm_path_col(F.col("file_path")).alias("__fp"),
+                F.col("pos").alias("__pos")))
+        if dvs:
+            sides.append(_expand_dvs(spark, dvs))
+        if not sides:
+            return None
+        return reduce(lambda a, b: a.unionByName(b), sides)
+
     if lo >= 0:
-        _, p_pos, p_eq = _active_entries(path, meta, order[lo])
-        prev_dels = {(_canon(d["file_path"]),
-                      d.get("content_offset")) for d in p_pos}
+        prev, prev_pos, prev_eq = _active_entries(path, meta, order[lo])
+    else:
+        prev, prev_pos, prev_eq = [], [], []
+    prev_paths = {_canon(f["file_path"]) for f in prev}
     for i in range(lo + 1, hi + 1):
         sid = order[i]
         files, pos_dels, eq_dels = _active_entries(path, meta, sid)
@@ -1628,15 +1642,15 @@ def iceberg_changelog(
         removed = [f for f in prev if _canon(f["file_path"])
                    in removed_paths]
         if added:
-            tag(_mor_read(spark, path, meta, added, [], []), "insert", sid)
+            # the snapshot's own deletes may already bind a file it
+            # adds (v3 DV in the same commit) — apply them
+            tag(_mor_read(spark, path, meta, added, pos_dels, eq_dels),
+                "insert", sid)
         if removed:
-            tag(_mor_read(spark, path, meta, removed, [], []),
+            # only rows LIVE at the previous snapshot were deleted —
+            # the prior deletes must not resurrect as delete events
+            tag(_mor_read(spark, path, meta, removed, prev_pos, prev_eq),
                 "delete", sid)
-        del_keys = {(_canon(d["file_path"]), d.get("content_offset"))
-                    for d in pos_dels}
-        new_dels = [d for d in pos_dels
-                    if (_canon(d["file_path"]), d.get("content_offset"))
-                    not in prev_dels]
         new_eq = [d for d in eq_dels if int(d.get("__seq") or 0) >
                   max([int(f.get("__seq") or 0) for f in prev] or [0])] \
             if lo >= 0 else eq_dels
@@ -1644,36 +1658,31 @@ def iceberg_changelog(
             raise UnsupportedTableFeature(
                 "iceberg changelog: the range adds equality-delete "
                 "files — underivable per snapshot")
-        if new_dels:
-            # the newly-deleted positions of still-referenced files
-            refd = {}
-            for d in new_dels:
-                fmt = (d.get("file_format") or "PARQUET").upper()
-                if fmt == "PUFFIN":
-                    refd.setdefault("dv", []).append(d)
-                else:
-                    refd.setdefault("pos", []).append(d)
-            sides = []
-            if refd.get("pos"):
-                dd = spark.read.parquet(
-                    *[d["file_path"] for d in refd["pos"]])
-                sides.append(dd.select(
-                    _norm_path_col(F.col("file_path")).alias("__fp"),
-                    F.col("pos").alias("__pos")))
-            if refd.get("dv"):
-                sides.append(_expand_dvs(spark, refd["dv"]))
-            dele = reduce(lambda a, b: a.unionByName(b), sides)
+        cur_rows = _del_positions(pos_dels)
+        if cur_rows is not None:
+            # POSITION diff, not file diff: a v3 DV REPLACES its
+            # predecessor with the union, so only positions absent
+            # from the previous snapshot's delete set are new events —
+            # and only for files still referenced (removed files
+            # already emitted their live rows as deletes above)
+            prev_rows = _del_positions(prev_pos)
+            fresh = cur_rows if prev_rows is None else \
+                cur_rows.join(prev_rows, ["__fp", "__pos"], "left_anti")
             scan = _mor_read(spark, path, meta, files, [], [],
                              keep_file_col=True)
             scan = scan.withColumnRenamed("__file", "__fp") \
                 .withColumn("__pos", F.col("_metadata.row_index"))
-            tag(scan.join(dele, ["__fp", "__pos"], "inner")
+            tag(scan.join(fresh, ["__fp", "__pos"], "inner")
                 .drop("__fp", "__pos"), "delete", sid)
-        prev, prev_paths, prev_dels = files, paths, del_keys
+        prev, prev_pos, prev_eq, prev_paths = \
+            files, pos_dels, eq_dels, paths
     if not branches:
         schema = _spark_schema(meta) \
             .add("_change_type", "string") \
             .add("_snapshot_id", "long") \
             .add("_commit_timestamp_ms", "long")
         return spark.createDataFrame([], schema)
-    return reduce(lambda a, b: a.unionByName(b), branches)
+    # allowMissingColumns: branches over a schema-evolved range carry
+    # different column sets; older branches fill the new columns null
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), branches)

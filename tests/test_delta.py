@@ -1712,3 +1712,48 @@ def test_change_feed_as_el_source(spark, tmp_path):
     rows = {(r["_change_type"], r["id"]): r["v"] for r in got.collect()}
     assert rows == {("update_preimage", 2): "b",
                     ("update_postimage", 2): "X"}
+
+
+def test_change_data_feed_partitioned(spark, tmp_path):
+    """CDF on a PARTITIONED table: change rows carry their partition
+    column values (attached from the actions' partitionValues — the
+    staged files hold no partition columns)."""
+    from sling_cli_spark.sources.delta_py import (
+        merge_delta, read_change_feed, set_table_properties, write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a", 7), (2, "b", 7), (3, "c", 9)],
+        "id long, v string, day int"), t, partition_by=["day"])
+    set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
+    stats = merge_delta(spark, t, spark.createDataFrame(
+        [(2, "X", 7)], "id long, v string, day int"), "id")
+    cdf = read_change_feed(spark, t, starting_version=stats["version"])
+    rows = {(r["_change_type"], r["id"]): (r["v"], r["day"])
+            for r in cdf.collect()}
+    assert rows == {("update_preimage", 2): ("b", 7),
+                    ("update_postimage", 2): ("X", 7)}
+    # derived branch too: an append commit's insert rows carry day
+    write_delta(spark.createDataFrame(
+        [(9, "z", 11)], "id long, v string, day int"), t,
+        mode="append", partition_by=["day"])
+    tail = read_change_feed(spark, t,
+                            starting_version=stats["version"] + 1)
+    assert [(r["_change_type"], r["id"], r["day"])
+            for r in tail.collect()] == [("insert", 9, 11)]
+
+
+def test_cdf_enable_upgrades_protocol(spark, tmp_path):
+    """Enabling delta.enableChangeDataFeed on a legacy-protocol table
+    commits a conforming v7 protocol listing the changeDataFeed writer
+    feature (plus the legacy-implied appendOnly); writes still work."""
+    from sling_cli_spark.sources import delta_py as D
+
+    t = str(tmp_path / "t")
+    D.write_delta(_df(spark, [(1, "a")]), t)
+    D.set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
+    prot = D._replay_state(t)[2]
+    assert prot["minWriterVersion"] == 7
+    assert {"appendOnly", "changeDataFeed"} <= set(prot["writerFeatures"])
+    D.write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    assert {r["id"] for r in read_delta(spark, t).collect()} == {1, 2}
