@@ -1179,3 +1179,32 @@ def test_changelog_as_el_source(spark, tmp_path):
             starting_snapshot_id=s1)))
     assert [(r["_change_type"], r["id"]) for r in got.collect()] \
         == [("insert", 2)]
+
+
+def test_compact_v3_dv_table_retires_vectors(spark, tmp_path):
+    """compact_iceberg on a v3 DV table rewrites from the DV-applied
+    scan and retires the dead vectors (nothing kept), leaving a clean
+    equivalent table with row lineage advanced."""
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, add_deletion_vectors,
+        compact_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(spark.range(0, 10).select(
+        F.col("id"), F.lit("x").alias("v")).coalesce(1), t)
+    write_iceberg(spark.range(10, 20).select(
+        F.col("id"), F.lit("y").alias("v")).coalesce(1), t)
+    f1, f2 = sorted(_active_entries(t, _current_metadata(t)[1], None)[0],
+                    key=lambda f: int(f["__seq"]))
+    add_deletion_vectors(t, {f1["file_path"]: [0], f2["file_path"]: [9]})
+    before = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert before == set(range(20)) - {0, 19}
+    compact_iceberg(spark, t)
+    files, pos, eq = _active_entries(t, _current_metadata(t)[1], None)
+    assert pos == [] and eq == []       # dead DVs retired
+    after = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert after == before              # no resurrection, no loss
+    _, m = _current_metadata(t)
+    assert m["format-version"] == 3 and m["next-row-id"] >= 18
