@@ -1617,6 +1617,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ext",
             F.length(F.col("data")).cast("long").alias("n_bytes"))
 
+    def c4_filter_docs(spark, sf):
+        """C4-style page cleaning (training.c4_line_filter, round 7,
+        Raffel et al. 2020 §2.2): keep lines ending in terminal
+        punctuation with >= 5 words, gate pages on >= 3 kept lines and
+        no lorem-ipsum/curly-brace — the canonical pretraining web
+        cleanup, as one pure-Catalyst projection. The synthetic corpus
+        is single-line without terminal punctuation, so (like
+        pii_redact_docs) deterministic page structure is appended from
+        doc_id before filtering: three keepable sentences, one
+        too-short line, and doc_id-gated lorem-ipsum / brace / broken
+        lines so EVERY rule binds on some docs."""
+        from sling_cli_spark.operators.training import c4_line_filter
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\nThis first sentence has enough words to keep "
+                      "number "),
+                F.col("doc_id").cast("string"), F.lit("."),
+                F.lit("\ntoo short."),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.lit("\nno terminal punctuation on this line "
+                             "at all"))
+                .otherwise(F.concat(
+                    F.lit("\nAnother valid sentence appears right "
+                          "here for doc "),
+                    F.col("doc_id").cast("string"), F.lit("!"))),
+                F.lit("\nA third full sentence rounds out the page "
+                      "nicely?"),
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.lit("\nlorem ipsum dolor sit amet"))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 11 == 0,
+                       F.lit("\ncode { block }"))
+                .otherwise(F.lit("")),
+            ).alias("text"))
+        return c4_line_filter(d)
+
     def decontaminate_docs(spark, sf):
         """Benchmark decontamination (operators/training.decontaminate,
         round 7): drop every document sharing ANY 3-gram shingle with
@@ -1753,7 +1792,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "embedding_near_dup": embedding_near_dup,
         "semdedup_docs": semdedup_docs,
-        "quality_docs": quality_docs,
         "token_count_docs": token_count_docs,
         "ws_token_docs": ws_token_docs,
         "vocab_topk_docs": vocab_topk_docs,
@@ -1789,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "mix_corpora_docs": mix_corpora_docs,
         "wds_roundtrip": wds_roundtrip,
+        "c4_filter_docs": c4_filter_docs,
         "pack_chunks_docs": pack_chunks_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
         "dedup_store_docs": dedup_store_docs,
@@ -1796,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_stats_skipping": delta_stats_skipping,
         "iceberg_bounds_skipping": iceberg_bounds_skipping,
         "bucketed_join_agg": bucketed_join_agg,
+        "quality_docs": quality_docs,
         "lang_id_docs": lang_id_docs,
         "distinct_rows": distinct_rows,
         "column_typing_clamp": column_typing_clamp,
@@ -2859,6 +2899,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id, 'txt' AS ext,
                    CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents WHERE text IS NOT NULL
+        """,
+        "c4_filter_docs": """
+            WITH A AS (
+                SELECT doc_id,
+                       text
+                       || chr(10) || 'This first sentence has enough '
+                       || 'words to keep number ' || doc_id || '.'
+                       || chr(10) || 'too short.'
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN chr(10) || 'no terminal punctuation on '
+                               || 'this line at all'
+                          ELSE chr(10) || 'Another valid sentence '
+                               || 'appears right here for doc '
+                               || doc_id || '!' END
+                       || chr(10) || 'A third full sentence rounds '
+                       || 'out the page nicely?'
+                       || CASE WHEN doc_id % 7 = 0
+                          THEN chr(10) || 'lorem ipsum dolor sit amet'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                          THEN chr(10) || 'code { block }'
+                          ELSE '' END AS text
+                FROM documents
+            ), L AS (
+                SELECT doc_id, text,
+                       string_split(text, chr(10)) AS lines
+                FROM A
+            ), K AS (
+                SELECT doc_id, text, len(lines) AS n_lines,
+                       list_filter(lines, l ->
+                           length(trim(l)) > 0
+                           AND (ends_with(trim(l), '.')
+                                OR ends_with(trim(l), '!')
+                                OR ends_with(trim(l), '?')
+                                OR ends_with(trim(l), '"'))
+                           AND len(string_split_regex(trim(l),
+                                                      '\\s+')) >= 5
+                       ) AS kept_lines
+                FROM L
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(kept_lines, chr(10)), '')
+                       AS clean_text,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(len(kept_lines) AS BIGINT) AS n_kept,
+                   (len(kept_lines) >= 3
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')) AS kept
+            FROM K
         """,
         "mix_corpora_docs": """
             WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id

@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "chunk_documents", "stratified_sample", "repetition_stats",
     "pii_redact", "shard_assign", "PII_PATTERNS",
-    "decontaminate", "pack_sequences",
+    "decontaminate", "pack_sequences", "mix_corpora", "c4_line_filter",
 ]
 
 
@@ -354,3 +354,44 @@ def mix_corpora(
     if not branches:
         raise ValueError("mix_corpora: no source carries positive weight")
     return reduce(lambda a, b: a.unionByName(b), branches)
+
+
+def c4_line_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_words_per_line: int = 5, min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2, the public C4
+    rules): keep only lines that END in terminal punctuation (. ! ? ")
+    and carry at least ``min_words_per_line`` words; then gate the
+    page — it survives only with >= ``min_kept_lines`` kept lines and
+    no 'lorem ipsum' / curly brace anywhere (the code/boilerplate
+    tells). Returns (id, clean_text, n_lines, n_kept, kept) for every
+    input page, so the caller can filter or audit.
+
+    100 TB posture: one pure-Catalyst projection — split, array
+    filter, array_join, boolean gates — zero UDFs, zero shuffles, and
+    the text column is the only one read."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _line_ok(line):
+        s = F.trim(line)
+        ends = (s.endswith(".") | s.endswith("!")
+                | s.endswith("?") | s.endswith('"'))
+        words = F.size(F.split(s, "\\s+")) >= min_words_per_line
+        return (F.length(s) > 0) & ends & words
+
+    kept_lines = F.filter(lines, _line_ok)
+    lower = F.lower(t)
+    page_ok = (
+        (F.size(kept_lines) >= min_kept_lines)
+        & ~lower.contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept_lines, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept_lines).cast("long").alias("n_kept"),
+        page_ok.alias("kept"),
+    )

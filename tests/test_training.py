@@ -263,3 +263,25 @@ def test_mix_corpora_weights_and_determinism(spark):
         mix_corpora({"a": a}, {"a": -1.0}).collect()
     with pytest.raises(ValueError, match="positive weight"):
         mix_corpora({"a": a}, {"a": 0.0})
+
+
+def test_c4_line_filter_rules(spark):
+    from sling_cli_spark.operators.training import c4_line_filter
+
+    good = ("A first proper sentence with enough words here.\n"
+            "tiny line.\n"
+            "Another complete sentence that also qualifies today!\n"
+            "And a third one finishes the page correctly?")
+    df = spark.createDataFrame([
+        (1, good),                                    # keeps 3 lines
+        (2, good + "\nlorem ipsum dolor"),            # page gate: lorem
+        (3, good + "\nvar x = { a: 1 }"),             # page gate: brace
+        (4, "No punctuation line here at all\nshort."),  # < 3 kept
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert out[1]["kept"] is True and out[1]["n_kept"] == 3
+    assert "tiny line." not in out[1]["clean_text"]   # < 5 words drops
+    assert out[2]["kept"] is False                    # lorem ipsum
+    assert out[3]["kept"] is False                    # curly brace
+    assert out[4]["kept"] is False and out[4]["n_kept"] == 0
+    assert out[4]["clean_text"] == ""
