@@ -236,6 +236,55 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
     return 0 if state is not None else 1
 
 
+def cmd_lake(args: argparse.Namespace) -> int:
+    """Table-maintenance verbs for Delta/Iceberg dirs — the OPTIMIZE /
+    VACUUM / history-expiry surface a lakehouse operator runs between
+    loads."""
+    path = args.path
+    op = args.lake_cmd
+    is_delta = os.path.isdir(os.path.join(path, "_delta_log"))
+    if op == "vacuum":
+        if not is_delta:
+            print("vacuum applies to Delta tables "
+                  "(iceberg: use expire-snapshots)", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.delta_py import vacuum
+        removed = vacuum(path, keep_versions=args.keep)
+        print(json.dumps({"removed_files": len(removed)}))
+        return 0
+    if op == "expire-snapshots":
+        if is_delta:
+            print("expire-snapshots applies to Iceberg tables "
+                  "(delta: use vacuum)", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.iceberg_py import expire_snapshots
+        print(json.dumps(expire_snapshots(path, keep=args.keep),
+                         default=str))
+        return 0
+    spark = _get_spark(args.debug)
+    if op == "optimize":
+        target = args.target_mb * 1024 * 1024
+        if is_delta:
+            from sling_cli_spark.sources.delta_py import optimize_delta
+            stats = optimize_delta(spark, path, target_file_bytes=target)
+        else:
+            from sling_cli_spark.sources.iceberg_py import compact_iceberg
+            stats = compact_iceberg(spark, path, target_file_bytes=target)
+        print(json.dumps(stats, default=str))
+        return 0
+    # op == "changes": stream the table's row-level changes as CSV
+    if is_delta:
+        from sling_cli_spark.sources.delta_py import read_change_feed
+        df = read_change_feed(
+            spark, path, starting_version=args.starting_version or 0)
+    else:
+        from sling_cli_spark.sources.iceberg_py import iceberg_changelog
+        df = iceberg_changelog(
+            spark, path, from_snapshot_id=args.from_snapshot)
+    df.toPandas().to_csv(sys.stdout, index=False)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="sling-spark",
@@ -281,6 +330,29 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("file")
     pl.add_argument("-d", "--debug", action="store_true")
     pl.set_defaults(fn=cmd_pipeline)
+
+    lk = sub.add_parser("lake", help="Delta/Iceberg table maintenance")
+    ls = lk.add_subparsers(dest="lake_cmd", required=True)
+    lo = ls.add_parser("optimize", help="bin-pack small files")
+    lo.add_argument("path")
+    lo.add_argument("--target-mb", type=int, default=128)
+    lv = ls.add_parser("vacuum", help="delta: drop unreferenced files")
+    lv.add_argument("path")
+    lv.add_argument("--keep", type=int, default=1,
+                    help="versions whose files stay reachable")
+    le = ls.add_parser("expire-snapshots",
+                       help="iceberg: prune snapshot history")
+    le.add_argument("path")
+    le.add_argument("--keep", type=int, default=1)
+    lc = ls.add_parser("changes",
+                       help="stream row-level changes as CSV")
+    lc.add_argument("path")
+    lc.add_argument("--starting-version", type=int,
+                    help="delta change-feed start version")
+    lc.add_argument("--from-snapshot", type=int,
+                    help="iceberg changelog start snapshot id")
+    lk.add_argument("-d", "--debug", action="store_true")
+    lk.set_defaults(fn=cmd_lake)
     return p
 
 

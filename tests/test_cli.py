@@ -143,3 +143,48 @@ steps:
     rc = main(["pipeline", str(pipe)])
     assert rc == 0
     assert spark.read.parquet(str(home / "p_out.parquet")).count() == 1
+
+
+def test_cli_lake_maintenance(spark, tmp_path, capsys):
+    """`lake` subcommand: optimize/vacuum on Delta, expire-snapshots on
+    Iceberg, `changes` streams the CDF as CSV."""
+    import json as _json
+
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.delta_py import (
+        merge_delta, set_table_properties, write_delta)
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+
+    d = str(tmp_path / "d")
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), d)
+    write_delta(spark.createDataFrame(
+        [(2, "b")], "id long, v string").coalesce(1), d, mode="append")
+    assert main(["lake", "optimize", d]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted"] >= 2 or out.get("new_files", 0) >= 1
+
+    assert main(["lake", "vacuum", d]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["removed_files"] >= 1
+
+    set_table_properties(d, {"delta.enableChangeDataFeed": "true"})
+    stats = merge_delta(spark, d, spark.createDataFrame(
+        [(1, "X")], "id long, v string"), "id")
+    assert main(["lake", "changes", d,
+                 "--starting-version", str(stats["version"])]) == 0
+    csv = capsys.readouterr().out
+    assert "update_preimage" in csv and "update_postimage" in csv
+
+    i = str(tmp_path / "i")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), i)
+    write_iceberg(spark.createDataFrame(
+        [(2, "b")], "id long, v string").coalesce(1), i)
+    assert main(["lake", "expire-snapshots", i, "--keep", "1"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out  # stats dict printed
+
+    # wrong-format guards
+    assert main(["lake", "vacuum", i]) == 2
+    assert main(["lake", "expire-snapshots", d]) == 2
