@@ -1617,6 +1617,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ext",
             F.length(F.col("data")).cast("long").alias("n_bytes"))
 
+    def gopher_filter_docs(spark, sf):
+        """Gopher quality rules (text.gopher_quality_filter, round 7,
+        Rae et al. 2021 Table A1) at the PUBLISHED thresholds. The
+        synthetic corpus' word counts straddle the min-words=50 bound
+        (median 56) so that rule bifurcates naturally; its word salad
+        contains NO English stopwords, so (like pii_redact_docs) a
+        deterministic suffix gives even doc_ids the stopword evidence
+        — both branches of every binding rule occur."""
+        from sling_cli_spark.operators.text import gopher_quality_filter
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.lit(" and that sentence would have ended "
+                             "with the point"))
+                .otherwise(F.lit(" plain closing words finish this "
+                                 "document instead")),
+            ).alias("text"))
+        return gopher_quality_filter(d)
+
     def c4_filter_docs(spark, sf):
         """C4-style page cleaning (training.c4_line_filter, round 7,
         Raffel et al. 2020 §2.2): keep lines ending in terminal
@@ -1792,7 +1814,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "embedding_near_dup": embedding_near_dup,
         "semdedup_docs": semdedup_docs,
-        "token_count_docs": token_count_docs,
         "ws_token_docs": ws_token_docs,
         "vocab_topk_docs": vocab_topk_docs,
         "surprisal_docs": surprisal_docs,
@@ -1828,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora_docs": mix_corpora_docs,
         "wds_roundtrip": wds_roundtrip,
         "c4_filter_docs": c4_filter_docs,
+        "gopher_filter_docs": gopher_filter_docs,
         "pack_chunks_docs": pack_chunks_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
         "dedup_store_docs": dedup_store_docs,
@@ -1835,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_stats_skipping": delta_stats_skipping,
         "iceberg_bounds_skipping": iceberg_bounds_skipping,
         "bucketed_join_agg": bucketed_join_agg,
+        "token_count_docs": token_count_docs,
         "quality_docs": quality_docs,
         "lang_id_docs": lang_id_docs,
         "distinct_rows": distinct_rows,
@@ -2899,6 +2922,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id, 'txt' AS ext,
                    CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents WHERE text IS NOT NULL
+        """,
+        "gopher_filter_docs": """
+            WITH A AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 2 = 0
+                           THEN ' and that sentence would have ended '
+                                || 'with the point'
+                           ELSE ' plain closing words finish this '
+                                || 'document instead' END AS text
+                FROM documents
+            ), W AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS nrm
+                FROM A
+            ), X AS (
+                SELECT doc_id, text,
+                       CASE WHEN length(nrm) = 0 THEN []::VARCHAR[]
+                            ELSE string_split(nrm, ' ') END AS words,
+                       string_split(text, chr(10)) AS lines
+                FROM W
+            ), M AS (
+                SELECT doc_id, text, words, lines,
+                       len(words) AS n_words,
+                       greatest(len(words), 1) AS safe_n,
+                       greatest(len(lines), 1) AS n_lines
+                FROM X
+            ), S AS (
+                -- rules evaluate on RAW fractions (the Spark operator
+                -- does the same); rounding is display-only
+                SELECT doc_id, n_words,
+                    length(regexp_replace(text, '\\s', '', 'g'))
+                        * 1.0 / safe_n AS mwl,
+                    len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                        * 1.0 / safe_n AS sym,
+                    len(list_filter(lines, l ->
+                        starts_with(trim(l), '-')
+                        OR starts_with(trim(l), '*')
+                        OR starts_with(trim(l), '•')))
+                        * 1.0 / n_lines AS bul,
+                    len(list_filter(lines, l ->
+                        ends_with(trim(l), '...')
+                        OR ends_with(trim(l), '…')))
+                        * 1.0 / n_lines AS ell,
+                    len(list_filter(words, w ->
+                        regexp_matches(w, '[A-Za-z]')))
+                        * 1.0 / safe_n AS alp,
+                    len(list_intersect(
+                        list_distinct(list_transform(words,
+                                                     w -> lower(w))),
+                        ['the','be','to','of','and','that','have',
+                         'with'])) AS stop_hits
+                FROM M
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   round(mwl, 4) AS mean_word_len,
+                   round(sym, 4) AS symbol_ratio,
+                   round(bul, 4) AS bullet_frac,
+                   round(ell, 4) AS ellipsis_frac,
+                   round(alp, 4) AS alpha_frac,
+                   CAST(stop_hits AS BIGINT) AS stop_hits,
+                   (n_words >= 50 AND n_words <= 100000) AS ok_words,
+                   (mwl >= 3.0 AND mwl <= 10.0) AS ok_word_len,
+                   (sym <= 0.1) AS ok_symbols,
+                   (bul <= 0.9) AS ok_bullets,
+                   (ell <= 0.3) AS ok_ellipsis,
+                   (alp >= 0.8) AS ok_alpha,
+                   (stop_hits >= 2) AS ok_stops,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND mwl >= 3.0 AND mwl <= 10.0
+                    AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3
+                    AND alp >= 0.8 AND stop_hits >= 2) AS "pass"
+            FROM S
         """,
         "c4_filter_docs": """
             WITH A AS (

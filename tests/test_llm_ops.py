@@ -319,3 +319,24 @@ def test_unigram_surprisal_orders_docs_by_typicality(spark):
     out2 = {r["doc_id"]: r for r in unigram_surprisal(
         df, vocab_size=1, vocab_df=ref).collect()}
     assert abs(out2[1]["mean_nll"] - nll_common) < 1e-9
+
+
+def test_gopher_quality_filter_rules(spark):
+    from sling_cli_spark.operators.text import gopher_quality_filter
+
+    good = ("the quick brown fox jumps over and over to be sure of "
+            "that outcome with plenty of ordinary natural words " * 3)
+    df = spark.createDataFrame([
+        (1, good),                                   # passes everything
+        (2, "word " * 10),                           # too few words
+        (3, good + " ### ## # # # # # # # # # #"),   # symbol ratio
+        (4, "- one bullet\n- two bullet\n- three"),  # bullets + words
+        (5, ("12 34 " * 30) + "the be"),             # alpha fraction
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           gopher_quality_filter(df, min_words=20).collect()}
+    assert out[1]["pass"] is True
+    assert out[2]["pass"] is False and out[2]["ok_words"] is False
+    assert out[3]["ok_symbols"] is False
+    assert out[4]["ok_bullets"] is False
+    assert out[5]["ok_alpha"] is False and out[5]["ok_stops"] is True
