@@ -17,7 +17,9 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          "stratified_sample_docs", "repetition_docs", "pii_redact_docs",
          "decontaminate_docs", "pack_chunks_docs", "distro_date_orders",
          "delta_stats_skipping", "iceberg_bounds_skipping",
-         "bucketed_join_agg", "semdedup_docs", "vocab_topk_docs"]
+         "bucketed_join_agg", "semdedup_docs", "vocab_topk_docs",
+         "surprisal_docs", "mix_corpora_docs", "c4_filter_docs",
+         "gopher_filter_docs"]
 
 HEADER = """# Physical plan audit (sf0.1, local[32])
 
