@@ -243,6 +243,13 @@ def cmd_lake(args: argparse.Namespace) -> int:
     path = args.path
     op = args.lake_cmd
     is_delta = os.path.isdir(os.path.join(path, "_delta_log"))
+    if not is_delta:
+        from sling_cli_spark.sources.iceberg_py import is_iceberg_table
+        if not is_iceberg_table(path):
+            print(f"{path} is not a Delta or Iceberg table "
+                  "(no _delta_log/ or metadata/version-hint.text)",
+                  file=sys.stderr)
+            return 2
     if op == "vacuum":
         if not is_delta:
             print("vacuum applies to Delta tables "
@@ -274,10 +281,24 @@ def cmd_lake(args: argparse.Namespace) -> int:
         return 0
     # op == "changes": stream the table's row-level changes as CSV
     if is_delta:
-        from sling_cli_spark.sources.delta_py import read_change_feed
-        df = read_change_feed(
-            spark, path, starting_version=args.starting_version or 0)
+        if args.from_snapshot is not None:
+            print("--from-snapshot is an Iceberg option; Delta tables "
+                  "take --starting-version", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.delta_py import (
+            latest_version, read_change_feed)
+        start = args.starting_version
+        if start is None:
+            # default to the LATEST commit's changes: starting at 0
+            # would try to re-derive history whose files vacuum may
+            # already have reclaimed
+            start = latest_version(path)
+        df = read_change_feed(spark, path, starting_version=start)
     else:
+        if args.starting_version is not None:
+            print("--starting-version is a Delta option; Iceberg "
+                  "tables take --from-snapshot", file=sys.stderr)
+            return 2
         from sling_cli_spark.sources.iceberg_py import iceberg_changelog
         df = iceberg_changelog(
             spark, path, from_snapshot_id=args.from_snapshot)
@@ -345,13 +366,15 @@ def build_parser() -> argparse.ArgumentParser:
     le.add_argument("path")
     le.add_argument("--keep", type=int, default=1)
     lc = ls.add_parser("changes",
-                       help="stream row-level changes as CSV")
+                       help="stream row-level changes as CSV "
+                            "(default: the latest commit's)")
     lc.add_argument("path")
     lc.add_argument("--starting-version", type=int,
                     help="delta change-feed start version")
     lc.add_argument("--from-snapshot", type=int,
                     help="iceberg changelog start snapshot id")
-    lk.add_argument("-d", "--debug", action="store_true")
+    for sp in (lo, lv, le, lc):  # trailing -d parses like run/pipeline
+        sp.add_argument("-d", "--debug", action="store_true")
     lk.set_defaults(fn=cmd_lake)
     return p
 

@@ -188,3 +188,32 @@ def test_cli_lake_maintenance(spark, tmp_path, capsys):
     # wrong-format guards
     assert main(["lake", "vacuum", i]) == 2
     assert main(["lake", "expire-snapshots", d]) == 2
+
+
+def test_cli_lake_guards(spark, tmp_path, capsys):
+    """Review fixes: not-a-table paths exit 2 with a diagnostic (never
+    a traceback), cross-format start options error instead of silently
+    streaming the full history, `changes` defaults to the LATEST
+    commit (vacuum-safe), and trailing -d parses."""
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.delta_py import (
+        merge_delta, set_table_properties, write_delta)
+
+    assert main(["lake", "optimize", str(tmp_path / "nope")]) == 2
+    assert "not a Delta or Iceberg table" in capsys.readouterr().err
+
+    d = str(tmp_path / "d")
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1), d)
+    set_table_properties(d, {"delta.enableChangeDataFeed": "true"})
+    merge_delta(spark, d, spark.createDataFrame(
+        [(2, "X")], "id long, v string"), "id")
+    # wrong-format start option -> loud error
+    assert main(["lake", "changes", d, "--from-snapshot", "1"]) == 2
+    capsys.readouterr()
+    # no start option -> the latest commit's changes only
+    assert main(["lake", "changes", d]) == 0
+    csv = capsys.readouterr().out
+    assert "update_postimage" in csv and csv.count("insert") == 0
+    # trailing -d now parses like every other subcommand
+    assert main(["lake", "optimize", d, "-d"]) == 0
