@@ -1617,6 +1617,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ext",
             F.length(F.col("data")).cast("long").alias("n_bytes"))
 
+    def exact_substring_dedup_docs(spark, sf):
+        """Exact-substring dedup (dedup.exact_substring_dedup, round 7,
+        Lee et al. 2021's ExactSubstr criterion as a 20-token-window
+        hash grouping): documents sharing any verbatim 20-token span
+        with a lower-id document drop; md5-hash60 keeps the window
+        grouping bit-identical in DuckDB."""
+        from sling_cli_spark.operators.dedup import (
+            exact_substring_dedup, md5_hash60)
+
+        return exact_substring_dedup(
+            _t(spark, sf, "documents"),
+            hasher=md5_hash60).select("doc_id")
+
     def gopher_filter_docs(spark, sf):
         """Gopher quality rules (text.gopher_quality_filter, round 7,
         Rae et al. 2021 Table A1) at the PUBLISHED thresholds. The
@@ -1814,7 +1827,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "embedding_near_dup": embedding_near_dup,
         "semdedup_docs": semdedup_docs,
-        "ws_token_docs": ws_token_docs,
         "vocab_topk_docs": vocab_topk_docs,
         "surprisal_docs": surprisal_docs,
         "training_pipeline_docs": training_pipeline_docs,
@@ -1850,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_roundtrip": wds_roundtrip,
         "c4_filter_docs": c4_filter_docs,
         "gopher_filter_docs": gopher_filter_docs,
+        "exact_substring_dedup_docs": exact_substring_dedup_docs,
         "pack_chunks_docs": pack_chunks_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
         "dedup_store_docs": dedup_store_docs,
@@ -1857,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_stats_skipping": delta_stats_skipping,
         "iceberg_bounds_skipping": iceberg_bounds_skipping,
         "bucketed_join_agg": bucketed_join_agg,
+        "ws_token_docs": ws_token_docs,
         "token_count_docs": token_count_docs,
         "quality_docs": quality_docs,
         "lang_id_docs": lang_id_docs,
@@ -2922,6 +2936,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id, 'txt' AS ext,
                    CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents WHERE text IS NOT NULL
+        """,
+        "exact_substring_dedup_docs": f"""
+            WITH T AS (
+                SELECT doc_id, {_NORM} AS nrm FROM documents
+            ), X AS (
+                SELECT doc_id, string_split(nrm, ' ') AS tk FROM T
+            ), S AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(tk) < 20
+                         THEN [array_to_string(tk, ' ')]
+                         ELSE list_transform(range(1, len(tk) - 18),
+                              i -> array_to_string(
+                                  list_slice(tk, i, i + 19), ' '))
+                    END) AS s
+                FROM X
+            ), H AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+                FROM S
+            ), M AS (
+                SELECT h, min(doc_id) AS m FROM H GROUP BY h
+            ), D AS (
+                SELECT DISTINCT doc_id FROM H JOIN M USING (h)
+                WHERE doc_id > m
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM D)
         """,
         "gopher_filter_docs": """
             WITH A AS (

@@ -560,3 +560,36 @@ def dedup_against_store(
         survivors.select(F.col("__h").alias("digest")) \
             .write.mode("append").parquet(store_path)
     return survivors.drop("__h")
+
+
+def exact_substring_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    gram_n: int = 20, hasher=None,
+) -> DataFrame:
+    """Exact-substring dedup, n-gram approximation (Lee et al. 2021,
+    arXiv:2107.06499 — the ExactSubstr criterion): a document sharing
+    ANY full ``gram_n``-token window with a LOWER-id document drops.
+    Where the paper builds a corpus-wide suffix array, this keys every
+    window's hash to its minimum holder — the same "verbatim span
+    appears elsewhere" signal, grouped by Spark's hash shuffle instead
+    of driver-side suffix sorting.
+
+    100 TB posture: one shingle explode (hashed to 8-byte longs before
+    any shuffle), one codegen hash-aggregate for the per-window min
+    owner, one equi-join back — bucketed by the window hash, never
+    all-pairs; the shingle table persists because BOTH consumers (min
+    aggregate, ownership join) would otherwise re-run the explode.
+    ``hasher`` defaults to xxhash64; pass :func:`md5_hash60` for
+    oracle-reproducible runs. Returns the surviving rows of ``df``."""
+    from pyspark.storagelevel import StorageLevel
+
+    hasher = hasher if hasher is not None else F.xxhash64
+    sh = shingle_table(df, text_col, id_col, gram_n).select(
+        F.col(id_col), hasher(F.col("shingle")).alias("__h"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    mins = sh.groupBy("__h").agg(F.min(id_col).alias("__min_id"))
+    dropped = (
+        sh.join(mins, on="__h")
+        .filter(F.col(id_col) > F.col("__min_id"))
+        .select(id_col).distinct())
+    return df.join(dropped, on=id_col, how="left_anti")

@@ -340,3 +340,20 @@ def test_gopher_quality_filter_rules(spark):
     assert out[3]["ok_symbols"] is False
     assert out[4]["ok_bullets"] is False
     assert out[5]["ok_alpha"] is False and out[5]["ok_stops"] is True
+
+
+def test_exact_substring_dedup(spark):
+    """A document sharing any full 20-token window with a LOWER-id
+    document drops; partial overlap below the window length survives."""
+    from sling_cli_spark.operators.dedup import exact_substring_dedup
+
+    span = " ".join(f"w{i}" for i in range(20))       # exactly 20 tokens
+    df = spark.createDataFrame([
+        (1, "prefix " + span + " suffix"),
+        (2, "other opening words then " + span),      # shares the span
+        (3, " ".join(f"w{i}" for i in range(19))),    # 19-token prefix only
+        (4, "completely unrelated text with enough distinct words"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"] for r in
+           exact_substring_dedup(df).select("doc_id").collect()}
+    assert got == {1, 3, 4}     # 2 drops (verbatim span), 3 survives
