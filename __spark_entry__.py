@@ -462,6 +462,163 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return read_delta(spark, t).select(
             "n_nationkey", "n_name", "n_regionkey")
 
+    def delta_dv_produce(spark, sf):
+        """Write-side deletion-vector PRODUCTION (delta_py round 8,
+        _produce_dv_actions / delta_dv.write_dv_file; PROTOCOL.md
+        §Deletion Vectors Writer Requirements): nation lands in two
+        files on a delta.enableDeletionVectors=true table.
+        delete_missing then commits roaring-bitmap DVs against both
+        files — VERIFIED by log diff that no data file is rewritten —
+        and a follow-up merge DV-deletes its matched rows in place
+        (superseding the first file's DV by position union) while
+        appending only the merge output as new files. A 1-row delete in
+        a 1 GB file now costs a bitmap, not a rewrite. Oracle: the same
+        delete + upsert as plain SQL."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            delete_missing_delta, merge_delta, read_delta, replay_log,
+            set_table_properties, write_delta)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_dvp_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_delta(n.filter("n_nationkey < 12").coalesce(1), t)
+        write_delta(n.filter("n_nationkey >= 12").coalesce(1), t)
+        set_table_properties(t, {"delta.enableDeletionVectors": "true"})
+        before = set(replay_log(t)[1])
+        res = delete_missing_delta(
+            spark, t,
+            n.filter("n_nationkey % 5 != 0").select("n_nationkey"),
+            "n_nationkey")
+        files = replay_log(t)[1]
+        assert res.get("dv_files") and set(files) == before, \
+            "sparse DV delete must not rewrite or add data files"
+        assert all(files[r].get("deletionVector") for r in before), \
+            "both files hold doomed rows -> both must carry a DV"
+        batch = (
+            n.filter("n_nationkey < 4")
+            .withColumn("n_name", F.concat("n_name", F.lit("_u")))
+            .unionByName(spark.createDataFrame(
+                [(99, "NEWLAND", 0)],
+                "n_nationkey long, n_name string, n_regionkey long")))
+        res = merge_delta(spark, t, batch, "n_nationkey")
+        files = replay_log(t)[1]
+        assert res.get("dv_files") == 1 and before <= set(files), \
+            "DV merge must keep the original data files in place"
+        return read_delta(spark, t).select(
+            "n_nationkey", "n_name", "n_regionkey")
+
+    def iceberg_v3_dv_produce(spark, sf):
+        """Iceberg v3 write-side DV production (iceberg_py round 8,
+        _produce_dvs_ice / _dv_delete_entries; spec v3 §Deletion
+        Vectors): nation in two files on a format-version-3 table; a
+        sparse delete_missing commits ONE Puffin file of
+        deletion-vector-v1 blobs and carries every data file forward
+        unchanged; a SECOND sparse delete supersedes each file's DV
+        (old positions merged into the new vector — one DV per data
+        file, the v3 invariant). Verified by manifest diff: zero data
+        files rewritten across both deletes."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            _active_entries, _current_metadata, delete_missing_iceberg,
+            read_iceberg, write_iceberg)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_ivp_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_iceberg(n.filter("n_nationkey < 12").coalesce(1), t,
+                      format_version=3)
+        write_iceberg(n.filter("n_nationkey >= 12").coalesce(1), t)
+        _, meta = _current_metadata(t)
+        before = sorted(
+            f["file_path"] for f in _active_entries(t, meta, None)[0])
+        res = delete_missing_iceberg(
+            spark, t,
+            n.filter("n_nationkey % 5 != 0").select("n_nationkey"),
+            "n_nationkey", use_dvs=True)
+        res2 = delete_missing_iceberg(
+            spark, t,
+            n.filter("n_nationkey % 5 != 0 AND n_nationkey % 7 != 0")
+            .select("n_nationkey"),
+            "n_nationkey", use_dvs=True)
+        _, meta = _current_metadata(t)
+        active, pos_dels, _ = _active_entries(t, meta, None)
+        assert sorted(f["file_path"] for f in active) == before, \
+            "DV deletes must not rewrite or drop data files"
+        assert res.get("dv_files") == 2 and res2.get("dv_files") == 2
+        assert all((d.get("file_format") or "").upper() == "PUFFIN"
+                   for d in pos_dels)
+        refs = [d["referenced_data_file"] for d in pos_dels]
+        assert len(refs) == len(set(refs)) == 2, \
+            "exactly one live DV per data file (supersede invariant)"
+        return read_iceberg(spark, t).select(
+            "n_nationkey", "n_name", "n_regionkey")
+
+    def cdc_foreachbatch_merge(spark, sf):
+        """Streaming CDC end-to-end under the oracle (streaming/cdc.py:
+        build_cdc_source -> unwrap_debezium -> foreachBatch
+        change-capture merge into a Delta target; reference surface:
+        replication mode change_capture, base.yaml:81-126 window-dedup
+        semantics). The events table becomes a Debezium-envelope JSONL
+        stream — signup=c, error=d, else=u, ts_ms=event_id — split into
+        3 micro-batch files BY USER (per-key batching, the Kafka
+        partition-ordering contract: one user's ops never straddle
+        batches, so batch arrival order cannot change the result).
+        maxFilesPerTrigger=1 forces 3 separate foreachBatch merges.
+        Oracle: last-op-wins window dedup, deletes dropped."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from sling_cli_spark.sources.delta_py import read_delta, write_delta
+        from sling_cli_spark.streaming.cdc import run_cdc_pipeline
+
+        base = tempfile.mkdtemp(prefix="sling_cdcq_")
+        src_dir = os.path.join(base, "in")
+        os.makedirs(src_dir)
+        ev = _t(spark, sf, "events").select("event_id", "user_id", "value",
+                                            "event_type")
+        img = F.struct("user_id", "value", "event_id")
+        env = F.to_json(F.struct(
+            F.when(F.col("event_type") == "error", img).alias("before"),
+            F.when(F.col("event_type") != "error", img).alias("after"),
+            F.when(F.col("event_type") == "signup", F.lit("c"))
+            .when(F.col("event_type") == "error", F.lit("d"))
+            .otherwise(F.lit("u")).alias("op"),
+            F.col("event_id").alias("ts_ms")))
+        for k in range(3):
+            stage = os.path.join(base, f"stage{k}")
+            ev.filter(F.col("user_id") % 3 == k).select(
+                env.alias("value")).coalesce(1) \
+                .write.mode("overwrite").text(stage)
+            part = next(f for f in sorted(os.listdir(stage))
+                        if f.startswith("part-"))
+            shutil.move(os.path.join(stage, part),
+                        os.path.join(src_dir, f"b{k:03d}.jsonl"))
+        row_schema = T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_id", T.LongType())])
+        target = os.path.join(base, "t")
+        write_delta(
+            spark.createDataFrame([], row_schema), target)
+        run_cdc_pipeline(
+            spark,
+            {"format": "json", "envelope": "debezium", "path": src_dir,
+             "max_files_per_trigger": 1},
+            row_schema, target, "user_id",
+            checkpoint=os.path.join(base, "ckpt"))
+        return read_delta(spark, target).select(
+            "user_id", F.col("value").alias("val"),
+            F.col("event_id").alias("seq"))
+
     def delta_stats_skipping(spark, sf):
         """Stats-based data skipping (delta_py round 7, PROTOCOL.md
         Per-file Statistics): orders lands as a delta table in 4
@@ -1867,6 +2024,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": dedup_clusters_docs,
         "dedup_store_docs": dedup_store_docs,
         "delta_dv_merge": delta_dv_merge,
+        "delta_dv_produce": delta_dv_produce,
+        "iceberg_v3_dv_produce": iceberg_v3_dv_produce,
+        "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "delta_stats_skipping": delta_stats_skipping,
         "iceberg_bounds_skipping": iceberg_bounds_skipping,
         "bucketed_join_agg": bucketed_join_agg,
@@ -2489,6 +2649,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT), n_name,
                    CAST(n_regionkey AS BIGINT)
             FROM nation WHERE n_nationkey >= 5 AND n_nationkey % 5 <> 0
+        """,
+        # delete multiples of 5 (DV), then upsert keys<4 with '_u' names
+        # (DV-delete + append) + insert 99 — key 0 re-enters via upsert
+        "delta_dv_produce": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   CASE WHEN n_nationkey < 4 THEN n_name || '_u'
+                        ELSE n_name END AS n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+            WHERE n_nationkey % 5 <> 0 OR n_nationkey < 4
+            UNION ALL
+            SELECT CAST(99 AS BIGINT), 'NEWLAND', CAST(0 AS BIGINT)
+        """,
+        # two successive sparse DV deletes: multiples of 5, then of 7
+        "iceberg_v3_dv_produce": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+            WHERE n_nationkey % 5 <> 0 AND n_nationkey % 7 <> 0
+        """,
+        # last-op-wins per user by event_id; a final 'error' (op d)
+        # deletes the row — base.yaml:81-126 window-dedup semantics
+        "cdc_foreachbatch_merge": """
+            SELECT user_id, val, seq FROM (
+                SELECT user_id, value AS val, event_id AS seq, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         "distro_date_orders": """
             SELECT 'o_orderdate' AS field,

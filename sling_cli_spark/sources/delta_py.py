@@ -62,6 +62,7 @@ from typing import Any
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sling_cli_spark import fsio
 
@@ -1309,6 +1310,172 @@ def _remove_action(
     return {"remove": r}
 
 
+# ----------------------------------------------- deletion-vector production
+
+def _dv_writes_enabled(meta: dict | None, use_dvs: bool | None) -> bool:
+    """Should this write produce deletion vectors instead of CoW
+    rewrites? Explicit ``use_dvs`` wins; default follows the public
+    ``delta.enableDeletionVectors`` table property (the switch modern
+    Databricks writers key DV production on). Column-mapped tables
+    stay CoW — the raw position scan reads physical names."""
+    if _column_mapping_mode(meta) != "none":
+        return False
+    if use_dvs is not None:
+        return bool(use_dvs)
+    return ((meta or {}).get("configuration") or {}).get(
+        "delta.enableDeletionVectors") == "true"
+
+
+def _dv_protocol_action(path: str) -> dict | None:
+    """Protocol action authorizing deletionVectors (reader v3/writer v7,
+    PROTOCOL.md §Deletion Vectors), or None when the table's protocol
+    already lists the feature. Existing features — and the implicit
+    obligations of legacy versions — carry forward explicitly."""
+    prot = _replay_state(path)[2] or {}
+    rf = set(prot.get("readerFeatures") or ())
+    wf = set(prot.get("writerFeatures") or ())
+    if "deletionVectors" in rf and "deletionVectors" in wf:
+        return None
+    rf.add("deletionVectors")
+    wf |= {"deletionVectors", "appendOnly"}  # appendOnly: v2-implied
+    if prot.get("minReaderVersion", 1) == 2 \
+            or prot.get("minWriterVersion", 2) >= 5:
+        rf.add("columnMapping")
+        wf.add("columnMapping")
+    if prot.get("minWriterVersion", 2) >= 4:
+        wf.add("changeDataFeed")
+    return {"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": sorted(rf), "writerFeatures": sorted(wf)}}
+
+
+def _raw_position_scan(spark, path: str, meta: dict, rels) -> DataFrame:
+    """Raw (NOT DV-applied) scan of ``rels`` with each row's physical
+    coordinates: ``__fp`` (table-relative path) and ``__pos``
+    (``_metadata.row_index``) — the coordinate space deletion vectors
+    address. Explicit table schema, same rationale as
+    :func:`_read_files_mor`."""
+    from pyspark.sql import types as T
+
+    logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    reader = spark.read.schema(logical)
+    if meta.get("partitionColumns"):
+        reader = reader.option("basePath", path)
+    df = _apply_table_schema(
+        reader.parquet(*[fsio.join(path, p) for p in sorted(rels)]), meta)
+    return df.withColumn("__fp", F.col("_metadata.file_path")) \
+             .withColumn("__pos", F.col("_metadata.row_index"))
+
+
+def _dv_census(
+    spark, path: str, meta: dict, rels, pk: list[str], keys: DataFrame,
+    doom_matched: bool,
+) -> dict[str, tuple[int, int]]:
+    """One aggregate pass over the raw scan of ``rels``:
+    {rel: (physical_rows, doomed_rows)}. ``doom_matched=True`` dooms
+    rows whose PK appears in ``keys`` (merge: matched rows move to new
+    files); False dooms rows whose PK is ABSENT (delete_missing).
+    Counts only — positions are collected in a second pass restricted
+    to the files the caller decides to DV, so a dense delete never
+    pulls positions to the driver just to discard them."""
+    scan = _raw_position_scan(spark, path, meta, rels)
+    marked = scan.join(
+        keys.select(*pk).distinct().withColumn("__hit", F.lit(1)),
+        on=pk, how="left")
+    doomed = F.col("__hit").isNotNull() if doom_matched \
+        else F.col("__hit").isNull()
+    rows = marked.groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("__phys"),
+        F.count(F.when(doomed, 1)).alias("__doom")).collect()
+    return {_rel_to_table(r["__fp"], path): (r["__phys"], r["__doom"])
+            for r in rows}
+
+
+def _dv_positions(
+    spark, path: str, meta: dict, rels, pk: list[str], keys: DataFrame,
+    doom_matched: bool,
+) -> dict[str, list[int]]:
+    """Physical row positions of doomed rows, per file — the second
+    pass, run only for files the census marked sparse enough to DV.
+    Driver memory is bounded by the doomed cardinality the caller
+    already capped."""
+    scan = _raw_position_scan(spark, path, meta, rels)
+    keyset = keys.select(*pk).distinct()
+    how = "left_semi" if doom_matched else "left_anti"
+    rows = scan.join(keyset, on=pk, how=how) \
+        .groupBy("__fp") \
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__ps")) \
+        .collect()
+    return {_rel_to_table(r["__fp"], path): list(r["__ps"]) for r in rows}
+
+
+def _loosen_stats(stats_json: str | None) -> str | None:
+    """Re-added DV file keeps its stats for skipping, marked
+    ``tightBounds: false`` (PROTOCOL.md §Per-file Statistics: with a DV
+    attached, min/max remain valid BOUNDS but no longer tight values;
+    numRecords stays the physical count)."""
+    if not stats_json:
+        return stats_json
+    try:
+        s = json.loads(stats_json)
+    except Exception:
+        return stats_json
+    s["tightBounds"] = False
+    return json.dumps(s)
+
+
+def _produce_dv_actions(
+    spark, path: str, meta: dict, files: dict, rels, pk: list[str],
+    keys: DataFrame, doom_matched: bool, now: int,
+    max_dv_rows: int = 4_000_000,
+) -> tuple[list[dict], int, int] | None:
+    """Deletion-vector actions for a sparse delete over ``rels``
+    (PROTOCOL.md §Deletion Vectors, Writer Requirements): each touched
+    file gets remove+add on the SAME data file with a new DV descriptor
+    (old DV positions unioned in — one DV per file), fully-dead files
+    become plain removes, untouched files produce nothing. Returns
+    ``(actions, n_dv, n_dead)``, or None when the delete is dense
+    enough (> ``max_dv_rows`` doomed positions) that a CoW rewrite is
+    the better plan — the caller falls back."""
+    from . import delta_dv
+
+    census = _dv_census(spark, path, meta, rels, pk, keys, doom_matched)
+    doomed_rels = [r for r, (_, d) in census.items() if d]
+    if not doomed_rels:
+        return [], 0, 0
+    if sum(census[r][1] for r in doomed_rels) > max_dv_rows:
+        return None
+    positions = _dv_positions(
+        spark, path, meta, doomed_rels, pk, keys, doom_matched)
+    dv_rows: dict[str, list[int]] = {}
+    dead: list[str] = []
+    for rel in doomed_rels:
+        merged = set(positions.get(rel) or ())
+        desc = files[rel].get("deletionVector")
+        if desc:
+            merged |= {int(i) for i in delta_dv.dv_indices(path, desc)}
+        if len(merged) >= census[rel][0]:
+            dead.append(rel)  # every physical row deleted -> drop file
+        else:
+            dv_rows[rel] = sorted(merged)
+    actions: list[dict] = []
+    if dv_rows:
+        descs = delta_dv.write_dv_file(path, dv_rows)
+        for rel, desc in descs.items():
+            old = files[rel]
+            actions.append(_remove_action(rel, old, now))
+            actions.append({"add": {
+                **{k: v for k, v in old.items()
+                   if k not in ("deletionVector", "stats")},
+                **({"stats": _loosen_stats(old.get("stats"))}
+                   if old.get("stats") else {}),
+                "modificationTime": now, "dataChange": True,
+                "deletionVector": desc}})
+    for rel in dead:
+        actions.append(_remove_action(rel, files[rel], now))
+    return actions, len(dv_rows), len(dead)
+
+
 def _read_mapped_partitioned(
     spark, path: str, meta: dict, files: dict, schema_json: dict, logical,
     id_mode: bool = False, dvs: dict | None = None,
@@ -1475,18 +1642,30 @@ def merge_delta(
     update_key: str | None = None,
     seq_col: str | None = None,
     op_col: str | None = None,
+    use_dvs: bool | None = None,
+    max_dv_rows: int = 4_000_000,
 ) -> dict:
-    """Copy-on-write MERGE: rewrite only data files holding matched PKs,
-    committed atomically as remove+add (reference semantics:
-    base.yaml:52-126 merge strategies; delta-spark MERGE INTO is the
-    jar-backed equivalent).
+    """MERGE: rewrite only data files holding matched PKs, committed
+    atomically as remove+add (reference semantics: base.yaml:52-126
+    merge strategies; delta-spark MERGE INTO is the jar-backed
+    equivalent).
 
     On a partitioned table, the touched-file probe reads only files
     whose ``partitionValues`` match a partition present in the batch —
     the driver filters the add-list, so untouched partitions cost
     nothing (not even a footer read).
 
-    Returns {"touched": n, "new_files": n, "kept": n, "version": v}.
+    When DV production is on (``use_dvs=True``, or the table property
+    ``delta.enableDeletionVectors=true``), matched rows are instead
+    DELETED from their files via deletion vectors and the merge output
+    lands in NEW files — a 10-row merge into a 1 GB file costs a
+    roaring bitmap, not a 1 GB rewrite (PROTOCOL.md §Deletion Vectors;
+    the write-side twin of the r7 read support). Dense merges
+    (> ``max_dv_rows`` matched positions) fall back to CoW — rewriting
+    is the better plan when most of the file changes anyway.
+
+    Returns {"touched": n, "new_files": n, "kept": n, "version": v}
+    (+ "dv_files" on the DV path).
     """
     from sling_cli_spark.config import MergeStrategy
     from sling_cli_spark.operators.file_merge import touched_files
@@ -1540,6 +1719,40 @@ def merge_delta(
             cdc_cols["seq_col"] = seq_col
         if op_col:
             cdc_cols["op_col"] = op_col
+        if _dv_writes_enabled(meta, use_dvs) and touched_rel:
+            # DV path: matched rows are DV-deleted in place; the merge
+            # output (updated matched rows + inserted rows — exactly
+            # merge_dataframes over the MATCHED subset, since unmatched
+            # target rows never leave their file) appends as new files.
+            now = int(time.time() * 1000)
+            dv = _produce_dv_actions(
+                spark, path, meta, files, touched_rel, pk, src,
+                doom_matched=True, now=now, max_dv_rows=max_dv_rows)
+            if dv is not None:
+                dv_actions, n_dv, n_dead = dv
+                matched_rows = touched_rows.join(
+                    src.select(*pk).distinct(), on=pk, how="left_semi")
+                appended = merge_dataframes(
+                    matched_rows, src, pk, strategy=strategy,
+                    update_key=update_key, **cdc_cols)
+                adds = _stage_data_files(appended, path, part_cols or None)
+                cdc_actions = []
+                if cdf_enabled(meta):
+                    cdc_actions = _stage_cdc_actions(
+                        _cdf_diff(matched_rows, appended, pk), path,
+                        part_cols or None)
+                prot = _dv_protocol_action(path)
+                schema_actions = ([prot] if prot else []) \
+                    + _evolve_schema_actions(appended, meta)
+                version = _commit_with_retry(
+                    path, latest_version(path) + 1,
+                    schema_actions + dv_actions + adds + cdc_actions,
+                    read_files=set(files))
+                _, active = replay_log(path)
+                return {"touched": n_dv + n_dead, "new_files": len(adds),
+                        "dv_files": n_dv,
+                        "kept": len(active) - len(adds), "version": version}
+            # dense merge: fall through to the CoW rewrite below
         replacement = merge_dataframes(
             touched_rows, src, pk, strategy=strategy, update_key=update_key,
             **cdc_cols)
@@ -1576,17 +1789,28 @@ def delete_missing_delta(
     keyset: DataFrame,
     primary_key,
     soft: bool = False,
+    use_dvs: bool | None = None,
+    max_dv_rows: int = 4_000_000,
 ) -> dict:
-    """delete_missing on a Delta target, copy-on-write: only files
-    holding at least one row whose PK is ABSENT from the source keyset
-    rewrite (reference semantics: config.go:1838-1876; the swap-path
-    twin would rewrite — and de-Delta — the whole table).
+    """delete_missing on a Delta target: only files holding at least
+    one row whose PK is ABSENT from the source keyset are touched
+    (reference semantics: config.go:1838-1876; the swap-path twin would
+    rewrite — and de-Delta — the whole table).
 
     soft=True flags missing rows ``_sling_synced_op='D'`` instead of
     dropping them; the op column joining the schema is committed as an
     updated metaData action.
 
-    Returns {"touched": n, "new_files": n, "kept": n, "version": v}.
+    With DV production on (``use_dvs=True`` or table property
+    ``delta.enableDeletionVectors=true``; hard deletes only — a soft
+    delete CHANGES row values, which a DV cannot express), doomed rows
+    are committed as deletion vectors against their files instead of
+    CoW rewrites: remove+add on the same data file with a roaring
+    bitmap descriptor, plain remove when every physical row dies, CoW
+    fallback past ``max_dv_rows`` doomed positions.
+
+    Returns {"touched": n, "new_files": n, "kept": n, "version": v}
+    (+ "dv_files" on the DV path).
     """
     from pyspark.sql import functions as F
 
@@ -1623,6 +1847,32 @@ def delete_missing_delta(
     if not touched_rel:
         return {"touched": 0, "new_files": 0, "kept": len(files),
                 "version": latest_version(path)}
+    if not soft and _dv_writes_enabled(meta, use_dvs):
+        now = int(time.time() * 1000)
+        dv = _produce_dv_actions(
+            spark, path, meta, files, touched_rel, pk, keys,
+            doom_matched=False, now=now, max_dv_rows=max_dv_rows)
+        if dv is not None:
+            dv_actions, n_dv, n_dead = dv
+            cdc_actions = []
+            if cdf_enabled(meta):
+                # pre-image of doomed rows only: kept rows never move
+                touched_live = _read_files_mor(
+                    spark, path, meta, files, touched_rel)
+                cdc_actions = _stage_cdc_actions(
+                    _cdf_diff(touched_live,
+                              _dm(touched_live, keys, pk), pk),
+                    path, part_cols or None)
+            prot = _dv_protocol_action(path)
+            version = _commit_with_retry(
+                path, latest_version(path) + 1,
+                ([prot] if prot else []) + dv_actions + cdc_actions,
+                read_files=set(files))
+            _, active = replay_log(path)
+            return {"touched": n_dv + n_dead, "new_files": 0,
+                    "dv_files": n_dv, "kept": len(active),
+                    "version": version}
+        # dense delete: fall through to the CoW rewrite below
     touched_rows = _read_files_mor(spark, path, meta, files, touched_rel)
     replacement = _dm(touched_rows, keys, pk, soft=soft)
 

@@ -870,13 +870,25 @@ def merge_iceberg(
     update_key: str | None = None,
     seq_col: str | None = None,
     op_col: str | None = None,
+    use_dvs: bool | None = None,
+    max_dv_rows: int = 4_000_000,
 ) -> dict:
-    """Copy-on-write MERGE as a new snapshot: data files holding matched
-    PKs are replaced (carried forward files keep status 0, replaced ones
-    are simply not carried), so readers of older snapshots still see the
-    pre-merge table — same contract as :func:`delta_py.merge_delta`.
+    """MERGE as a new snapshot: data files holding matched PKs are
+    replaced copy-on-write (carried forward files keep status 0,
+    replaced ones are simply not carried), so readers of older
+    snapshots still see the pre-merge table — same contract as
+    :func:`delta_py.merge_delta`.
 
-    Returns {"touched": n, "new_files": n, "kept": n, "snapshot_id": id}.
+    With DV production on (``use_dvs=True``, or a v3 table with
+    ``write.delete.mode=merge-on-read``), matched rows are instead
+    DV-deleted in place (spec v3 §Deletion Vectors: new Puffin vector
+    per touched file, superseding any prior DV) and the merge output
+    appends as new files — a sparse merge never rewrites a data file.
+    Dense merges (> ``max_dv_rows`` matched positions) fall back to
+    CoW.
+
+    Returns {"touched": n, "new_files": n, "kept": n, "snapshot_id": id}
+    (+ "dv_files" on the DV path).
     """
     from pyspark.sql import functions as F
 
@@ -930,6 +942,47 @@ def merge_iceberg(
             cdc_cols["seq_col"] = seq_col
         if op_col:
             cdc_cols["op_col"] = op_col
+        if touched and _dv_writes_enabled_ice(meta, use_dvs) and all(
+                (d.get("file_format") or "PARQUET").upper() == "PUFFIN"
+                for d in pos_dels):
+            dv = _produce_dvs_ice(
+                spark, path, meta, touched_entries, pos_dels, pk, src,
+                doom_matched=True, max_dv_rows=max_dv_rows)
+            if dv is not None:
+                # matched rows DV-delete in place; the merge output over
+                # the MATCHED subset (updated + inserted rows — unmatched
+                # target rows never leave their file) appends as new files
+                dv_rows, superseded, dead = dv
+                matched_rows = touched_rows.join(
+                    src.select(*pk).distinct(), on=pk, how="left_semi")
+                appended = merge_dataframes(
+                    matched_rows, src, pk, strategy=strategy,
+                    update_key=update_key, **cdc_cols)
+                carried = [f for f in active
+                           if _canon(f["file_path"]) not in dead]
+                live_pos = [
+                    d for d in pos_dels
+                    if (d["file_path"], d.get("content_offset"))
+                    not in superseded
+                    and not (d.get("referenced_data_file")
+                             and _canon(d["referenced_data_file"]) in dead)]
+                cd = _live_delete_files(carried, live_pos, eq_dels)
+                snapshot_id, new_seq = _next_ids(path, meta, carried, cd)
+                by_fp = {_canon(f["file_path"]): f
+                         for f in touched_entries}
+                nd = _dv_delete_entries(
+                    path, dv_rows, by_fp, snapshot_id, new_seq) \
+                    if dv_rows else []
+                sid = _commit_snapshot(
+                    appended, path, meta, carried=carried,
+                    operation="overwrite", carried_deletes=cd,
+                    new_deletes=nd, snapshot_id=snapshot_id)
+                return {"touched": len(dv_rows) + len(dead),
+                        "new_files": len(_active_files(path, meta, sid))
+                        - len(carried),
+                        "dv_files": len(dv_rows), "kept": len(carried),
+                        "snapshot_id": sid}
+            # dense merge: fall through to the CoW rewrite below
         replacement = merge_dataframes(
             touched_rows, src, pk, strategy=strategy, update_key=update_key,
             **cdc_cols)
@@ -953,11 +1006,21 @@ def delete_missing_iceberg(
     keyset: DataFrame,
     primary_key,
     soft: bool = False,
+    use_dvs: bool | None = None,
+    max_dv_rows: int = 4_000_000,
 ) -> dict:
-    """delete_missing as a new snapshot (CoW): only data files holding
-    rows whose PK is absent from the keyset are replaced; untouched
-    files carry forward — same contract as
-    :func:`delta_py.delete_missing_delta`."""
+    """delete_missing as a new snapshot: only data files holding rows
+    whose PK is absent from the keyset are touched; untouched files
+    carry forward — same contract as
+    :func:`delta_py.delete_missing_delta`.
+
+    With DV production on (``use_dvs=True``, or a v3 table with
+    ``write.delete.mode=merge-on-read``; hard deletes only), doomed
+    rows commit as Puffin deletion vectors against their files instead
+    of CoW rewrites (spec v3 §Deletion Vectors) — data files carry
+    forward unchanged, superseded per-file DVs retire merged into the
+    new vector, fully-dead files drop from the snapshot, and dense
+    deletes (> ``max_dv_rows`` positions) fall back to CoW."""
     from sling_cli_spark.operators.merge import delete_missing as _dm
 
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
@@ -977,6 +1040,39 @@ def delete_missing_iceberg(
                 "snapshot_id": meta.get("current-snapshot-id")}
     touched_entries = [f for f in active
                        if _canon(f["file_path"]) in touched]
+    # parquet position-delete files shadow unknown (file, pos) pairs a
+    # raw census can't see — DV production needs a DV-only (or
+    # delete-free) table; v3 tables are by construction
+    if not soft and _dv_writes_enabled_ice(meta, use_dvs) and all(
+            (d.get("file_format") or "PARQUET").upper() == "PUFFIN"
+            for d in pos_dels):
+        dv = _produce_dvs_ice(
+            spark, path, meta, touched_entries, pos_dels, pk, keys,
+            doom_matched=False, max_dv_rows=max_dv_rows)
+        if dv is not None:
+            dv_rows, superseded, dead = dv
+            carried = [f for f in active
+                       if _canon(f["file_path"]) not in dead]
+            live_pos = [
+                d for d in pos_dels
+                if (d["file_path"], d.get("content_offset"))
+                not in superseded
+                and not (d.get("referenced_data_file")
+                         and _canon(d["referenced_data_file"]) in dead)]
+            cd = _live_delete_files(carried, live_pos, eq_dels)
+            snapshot_id, new_seq = _next_ids(path, meta, carried, cd)
+            by_fp = {_canon(f["file_path"]): f for f in touched_entries}
+            nd = _dv_delete_entries(
+                path, dv_rows, by_fp, snapshot_id, new_seq) \
+                if dv_rows else []
+            sid = _commit_snapshot(
+                None, path, meta, carried=carried, operation="delete",
+                carried_deletes=cd, new_deletes=nd,
+                snapshot_id=snapshot_id)
+            return {"touched": len(dv_rows) + len(dead), "new_files": 0,
+                    "dv_files": len(dv_rows), "kept": len(carried),
+                    "snapshot_id": sid}
+        # dense delete: fall through to the CoW rewrite below
     replacement = _dm(
         _mor_read(spark, path, meta, touched_entries, pos_dels, eq_dels),
         keys, pk, soft=soft)
@@ -1105,8 +1201,10 @@ def _staged_file_stats(
 
 
 def _commit_snapshot(
-    df: DataFrame, path: str, meta: dict, carried: list[dict],
+    df: DataFrame | None, path: str, meta: dict, carried: list[dict],
     operation: str = "append", carried_deletes: list[dict] | None = None,
+    new_deletes: list[dict] | None = None,
+    snapshot_id: int | None = None,
 ) -> int:
     """Stage ``df`` as new data files, write manifest(s) +
     manifest-list, bump the metadata version; ``carried`` files join the
@@ -1118,7 +1216,15 @@ def _commit_snapshot(
     snapshot) ride along in a content=1 delete manifest. The new
     ``v{N}.metadata.json`` is claimed with an exclusive create — a
     concurrent committer of the same version raises FileExistsError
-    instead of silently winning. Returns the new snapshot id."""
+    instead of silently winning. Returns the new snapshot id.
+
+    ``df=None`` commits a metadata-only change (e.g. a delete-only DV
+    snapshot: no data files staged). ``new_deletes`` are freshly ADDED
+    delete files (v3 deletion-vector entries) — status 1 in their own
+    content=1 manifest, sequence number inherited from the list.
+    ``snapshot_id`` lets DV producers pre-compute the id the Puffin
+    blob metadata must name (:func:`_next_ids` yields a matching
+    (snapshot_id, seq) pair)."""
     fs = fsio.get_fs(path)
     data_dir = fsio.join(path, "data")
     fs.mkdirs(data_dir)
@@ -1146,47 +1252,53 @@ def _commit_snapshot(
             f"fields {sorted(non_identity)}; this writer stages "
             "identity (Hive-dir) partitioning only — reads are "
             "supported, writes would mis-place files")
-    tmp = fsio.join(data_dir, f".stage_{uuid.uuid4().hex[:8]}")
-    writer = df.write
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(tmp)
-    # the schema this commit will record (stable field ids by name,
-    # fresh ids for new columns) — shared by the bounds stats below and
-    # the schema-evolution branch at the end
     cur_schema0 = _current_schema(meta) or {}
-    ice_for_df = _ice_schema_for(df, base=cur_schema0,
-                                 last_column_id=meta.get("last-column-id", 0))
-    staged_stats = _staged_file_stats(df, tmp, ice_for_df)
     data_files: list[dict] = []
-    for rel in sorted(_walk_parquet(fs, tmp)):
-        # rel like "c=v/.../part-....parquet" for partitioned stages;
-        # dir segments are URL-escaped by Spark (space, ':', '%') —
-        # store the UNQUOTED value so the merge prune compares like
-        # with like (delta_py._partition_values does the same)
-        part_dirs, fname = os.path.split(rel)
-        partition = {
-            k: unquote(v) for k, _, v in
-            (seg.partition("=") for seg in part_dirs.split("/") if "=" in seg)}
-        new_name = f"{uuid.uuid4().hex}.parquet"
-        dest_dir = fsio.join(data_dir, part_dirs) if part_dirs else data_dir
-        fs.mkdirs(dest_dir)
-        dest = fsio.join(dest_dir, new_name)
-        if not fs.rename(fsio.join(tmp, rel), dest):
-            raise IOError(f"iceberg stage: could not place {new_name}")
-        st = staged_stats.get(_canon(fsio.join(tmp, rel))) or {}
-        data_files.append({
-            "file_path": _absolute(dest),
-            "file_format": "PARQUET",
-            "record_count": st.get("n", 0),
-            "file_size_in_bytes": fs.getsize(dest),
-            "partition": partition or None,
-            "lower_bounds": st.get("lower"),
-            "upper_bounds": st.get("upper"),
-        })
-    fs.delete(tmp, True)
+    if df is not None:
+        tmp = fsio.join(data_dir, f".stage_{uuid.uuid4().hex[:8]}")
+        writer = df.write
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp)
+        # the schema this commit will record (stable field ids by name,
+        # fresh ids for new columns) — shared by the bounds stats below
+        # and the schema-evolution branch at the end
+        ice_for_df = _ice_schema_for(
+            df, base=cur_schema0,
+            last_column_id=meta.get("last-column-id", 0))
+        staged_stats = _staged_file_stats(df, tmp, ice_for_df)
+        for rel in sorted(_walk_parquet(fs, tmp)):
+            # rel like "c=v/.../part-....parquet" for partitioned
+            # stages; dir segments are URL-escaped by Spark (space,
+            # ':', '%') — store the UNQUOTED value so the merge prune
+            # compares like with like (delta_py._partition_values does
+            # the same)
+            part_dirs, fname = os.path.split(rel)
+            partition = {
+                k: unquote(v) for k, _, v in
+                (seg.partition("=")
+                 for seg in part_dirs.split("/") if "=" in seg)}
+            new_name = f"{uuid.uuid4().hex}.parquet"
+            dest_dir = fsio.join(data_dir, part_dirs) \
+                if part_dirs else data_dir
+            fs.mkdirs(dest_dir)
+            dest = fsio.join(dest_dir, new_name)
+            if not fs.rename(fsio.join(tmp, rel), dest):
+                raise IOError(f"iceberg stage: could not place {new_name}")
+            st = staged_stats.get(_canon(fsio.join(tmp, rel))) or {}
+            data_files.append({
+                "file_path": _absolute(dest),
+                "file_format": "PARQUET",
+                "record_count": st.get("n", 0),
+                "file_size_in_bytes": fs.getsize(dest),
+                "partition": partition or None,
+                "lower_bounds": st.get("lower"),
+                "upper_bounds": st.get("upper"),
+            })
+        fs.delete(tmp, True)
 
-    snapshot_id = int(time.time() * 1000) * 1000 + (version + 1)
+    if snapshot_id is None:
+        snapshot_id = int(time.time() * 1000) * 1000 + (version + 1)
     mlist_entries: list[dict] = []
 
     if fv >= 2:
@@ -1239,6 +1351,25 @@ def _commit_snapshot(
                     int(f.get("__seq") or 0) for f in carried_deletes),
                 "content": 1,
             })
+        if new_deletes:
+            # freshly produced delete files (v3 deletion vectors):
+            # status 1, sequence number inherited from the list entry
+            nd_entries = [{"status": 1, "snapshot_id": snapshot_id,
+                           "sequence_number": None,
+                           "data_file": _v2_data_file(f)}
+                          for f in new_deletes]
+            nd_manifest = fsio.join(
+                _meta_dir(path), f"{uuid.uuid4().hex}-dv0.avro")
+            write_avro(nd_manifest, nd_entries, _MANIFEST_ENTRY_SCHEMA_V3)
+            mlist_entries.append({
+                "manifest_path": nd_manifest,
+                "manifest_length": fs.getsize(nd_manifest),
+                "partition_spec_id": 0,
+                "added_snapshot_id": snapshot_id,
+                "sequence_number": new_seq,
+                "min_sequence_number": new_seq,
+                "content": 1,
+            })
     else:
         entries = [{"status": 1, "snapshot_id": snapshot_id, "data_file": f}
                    for f in data_files]
@@ -1259,7 +1390,7 @@ def _commit_snapshot(
                _MANIFEST_FILE_SCHEMA_V2 if fv >= 2 else _MANIFEST_FILE_SCHEMA)
 
     recorded = [f["name"] for f in cur_schema0.get("fields", [])]
-    if [f.name for f in df.schema.fields] != recorded:
+    if df is not None and [f.name for f in df.schema.fields] != recorded:
         # schema evolution rides the commit. v2: a NEW schema-id appended
         # to schemas (field ids stable by name, new columns take fresh
         # ids — spec §Schema Evolution); v1 single-schema just replaces.
@@ -1453,11 +1584,175 @@ def compact_iceberg(
             "snapshot_id": snapshot_id}
 
 
+# ----------------------------------------------- deletion-vector production
+
+def _dv_writes_enabled_ice(meta: dict, use_dvs: bool | None) -> bool:
+    """Should this write produce v3 deletion vectors instead of CoW
+    rewrites? Explicit ``use_dvs`` wins; default follows the public
+    ``write.delete.mode=merge-on-read`` table property (spec v3 engines
+    key MoR deletes on it; Iceberg's default is copy-on-write)."""
+    if use_dvs is not None:
+        return bool(use_dvs)
+    return meta.get("format-version", 1) >= 3 and \
+        (meta.get("properties") or {}).get(
+            "write.delete.mode") == "merge-on-read"
+
+
+def _next_ids(path: str, meta: dict, carried: list[dict],
+              carried_deletes: list[dict]) -> tuple[int, int]:
+    """The (snapshot_id, sequence_number) the next
+    :func:`_commit_snapshot` over the SAME carried lists will assign —
+    precomputed so a Puffin DV blob's metadata can name them."""
+    version, _ = _current_metadata(path, for_write=True)
+    snapshot_id = int(time.time() * 1000) * 1000 + (version + 1)
+    new_seq = 1 + max(
+        [int(meta.get("last-sequence-number") or 0)]
+        + [int(f.get("__seq") or 0) for f in carried + carried_deletes])
+    return snapshot_id, new_seq
+
+
+def _raw_position_scan_ice(spark, path: str, meta: dict,
+                           entries: list[dict]) -> DataFrame:
+    """Raw (NOT delete-applied) scan of data-file entries with each
+    row's physical coordinates ``__fp`` (canonical path) / ``__pos``
+    (``_metadata.row_index``) — the coordinate space deletion vectors
+    address. Mirrors :func:`_mor_read`'s reader options."""
+    from pyspark.sql import functions as F
+
+    reader = spark.read.option("mergeSchema", "true")
+    part = _part_cols(meta)
+    if part and set(part) <= _identity_part_cols(meta):
+        reader = reader.option(
+            "basePath", _absolute(fsio.join(path, "data")))
+    df = reader.parquet(*sorted(f["file_path"] for f in entries))
+    return df.withColumn(
+        "__fp", _norm_path_col(F.col("_metadata.file_path"))) \
+        .withColumn("__pos", F.col("_metadata.row_index"))
+
+
+def _produce_dvs_ice(
+    spark, path: str, meta: dict, touched_entries: list[dict],
+    pos_dels: list[dict], pk: list[str], keys: DataFrame,
+    doom_matched: bool, max_dv_rows: int = 4_000_000,
+) -> tuple[list[dict], set, set, int] | None:
+    """Produce v3 deletion vectors for a sparse delete over
+    ``touched_entries`` (spec v3 §Deletion Vectors: one DV per data
+    file; a new DV must supersede the old by merging its positions).
+
+    Census pass counts physical/doomed rows per file; positions are
+    collected only for doomed files. Returns ``(dv_rows, superseded,
+    dead)`` — merged positions per surviving file (existing DV
+    positions unioned in: one DV per file, the new vector supersedes
+    the old), the ``(file_path, content_offset)`` keys of replaced DV
+    manifest entries, and canonical paths of fully-dead files (every
+    physical row deleted — they simply drop from the carried list, no
+    DV needed) — or None when the delete is dense (> ``max_dv_rows``
+    doomed positions) and CoW is the better plan.
+    :func:`_dv_delete_entries` turns ``dv_rows`` into the Puffin file +
+    manifest entries once the snapshot ids are known.
+    """
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.sources import puffin
+
+    scan = _raw_position_scan_ice(spark, path, meta, touched_entries)
+    keyset = keys.select(*pk).distinct()
+    marked = scan.join(
+        keyset.withColumn("__hit", F.lit(1)), on=pk, how="left")
+    doomed = F.col("__hit").isNotNull() if doom_matched \
+        else F.col("__hit").isNull()
+    census = {r["__fp"]: (r["__phys"], r["__doom"]) for r in
+              marked.groupBy("__fp").agg(
+                  F.count(F.lit(1)).alias("__phys"),
+                  F.count(F.when(doomed, 1)).alias("__doom")).collect()}
+    doomed_fps = {fp for fp, (_, d) in census.items() if d}
+    if not doomed_fps:
+        return {}, set(), set()
+    if sum(census[fp][1] for fp in doomed_fps) > max_dv_rows:
+        return None
+    by_fp = {_canon(f["file_path"]): f for f in touched_entries}
+    doomed_entries = [by_fp[fp] for fp in sorted(doomed_fps)]
+    how = "left_semi" if doom_matched else "left_anti"
+    pos_rows = _raw_position_scan_ice(spark, path, meta, doomed_entries) \
+        .join(keyset, on=pk, how=how) \
+        .groupBy("__fp") \
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__ps")).collect()
+    positions = {r["__fp"]: list(r["__ps"]) for r in pos_rows}
+
+    # merge existing DV positions (one DV per file: the new vector
+    # supersedes the old, which must not carry forward)
+    superseded: set = set()
+    dv_by_ref: dict[str, dict] = {}
+    for d in pos_dels:
+        if (d.get("file_format") or "PARQUET").upper() == "PUFFIN" \
+                and d.get("referenced_data_file"):
+            dv_by_ref[_canon(d["referenced_data_file"])] = d
+    dead: set = set()
+    dv_rows: dict[str, list[int]] = {}
+    for fp in sorted(doomed_fps):
+        merged = set(positions.get(fp) or ())
+        old = dv_by_ref.get(fp)
+        if old is not None:
+            blob = puffin.read_blob(
+                old["file_path"], int(old["content_offset"]),
+                int(old["content_size_in_bytes"]))
+            merged |= {int(i) for i in puffin.dv_blob_indices(blob)}
+            superseded.add((old["file_path"], old["content_offset"]))
+        if len(merged) >= census[fp][0]:
+            dead.add(fp)  # every physical row deleted -> drop the file
+        else:
+            dv_rows[fp] = sorted(merged)
+    return dv_rows, superseded, dead
+
+
+def _dv_delete_entries(
+    path: str, dv_rows: dict[str, list[int]], entries_by_fp: dict,
+    snapshot_id: int, new_seq: int,
+) -> list[dict]:
+    """Write ONE Puffin file holding a ``deletion-vector-v1`` blob per
+    file in ``dv_rows`` and return the content=1 data_file dicts for
+    the delete manifest (spec v3: ``referenced_data_file`` + blob byte
+    range; partition copied from the referenced data entry so partition
+    pruning binds the DV to its file's partition)."""
+    from sling_cli_spark.sources import puffin
+
+    fs = fsio.get_fs(path)
+    puffin_path = fsio.join(fsio.join(path, "data"),
+                            f"{uuid.uuid4().hex}-deletes.puffin")
+    ordered = sorted(dv_rows)
+    blobs = [({"type": puffin.DV_BLOB_TYPE, "fields": [],
+               "snapshot-id": snapshot_id, "sequence-number": new_seq,
+               "properties": {
+                   "referenced-data-file": entries_by_fp[fp]["file_path"],
+                   "cardinality": str(len(dv_rows[fp]))}},
+              puffin.dv_blob(dv_rows[fp]))
+             for fp in ordered]
+    metas = puffin.write_puffin(puffin_path, blobs)
+    psize = fs.getsize(puffin_path)
+    out = []
+    for m, fp in zip(metas, ordered):
+        f = entries_by_fp[fp]
+        out.append({
+            "content": 1,
+            "file_path": _absolute(puffin_path),
+            "file_format": "PUFFIN",
+            "record_count": len(dv_rows[fp]),
+            "file_size_in_bytes": psize,
+            "partition": f.get("partition"),
+            "referenced_data_file": f["file_path"],
+            "content_offset": int(m["offset"]),
+            "content_size_in_bytes": int(m["length"]),
+        })
+    return out
+
+
 def add_deletion_vectors(path: str, dv_rows: dict[str, list[int]]) -> int:
     """Upgrade a v2 table to format-version 3 with deletion vectors
-    attached to existing data files (test/fixture path — mirrors what a
-    v3 engine's DELETE commits; the production write paths stay
-    copy-on-write and v2). ``dv_rows`` maps data-file basenames (or full
+    attached to existing data files (test/fixture path — synthesizes a
+    FOREIGN v3 table with explicit row ordinals; the production write
+    paths produce DVs themselves via :func:`_produce_dvs_ice` when
+    ``use_dvs`` / ``write.delete.mode=merge-on-read`` is on).
+    ``dv_rows`` maps data-file basenames (or full
     paths) to deleted row ordinals.
 
     Writes ONE Puffin file holding a ``deletion-vector-v1`` blob per
