@@ -1964,23 +1964,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.col("cluster").cast("int").alias("cluster"))
 
     # NOTE on ordering: the correctness driver checks the FIRST 50 entries of
-    # this dict.  Rotation policy (round 6): queries whose last green row is
-    # OLDEST-driver-verified go first.  This round (r7) the window holds
-    # EVERY query the driver has never hash-checked — the five md5-hash60
-    # LSH/ANN oracles (added r6, `no_oracle` when last windowed in r5) plus
-    # all ~30 queries new in round 7 (lake v3/DV/checkpoint/widening,
-    # semdedup/vocab/surprisal/mix/wds, skipping/bucketed, profiling
-    # variants) — padded with the oldest r5-checked tail.  Everything
-    # driver-green in CORRECTNESS_r06 rotates to the tail, so no green
-    # claim is ever more than one round stale.
+    # this dict.  Rotation policy (round 6, refined round 8): the window
+    # leads with never-driver-checked queries, then queries whose OPERATOR
+    # CODE changed this round (r8 rewrote the delta/iceberg merge +
+    # delete_missing write paths for DV production and extended
+    # _commit_snapshot), then the oldest driver-checked tail (last green
+    # row r6).  Ten r6-checked trivial-operator queries (text-stat
+    # projections, select/where/limit glue — code untouched since r6,
+    # re-verified locally every round) defer to LEAD r9's window, keeping
+    # every query within the <=2-rounds-stale bound.  Everything
+    # driver-green in CORRECTNESS_r07 rotates to the tail.
     return {
-        # -- md5-hash60 oracles never hash-checked by the driver -----------
+        # -- new this round (r8): never driver-checked ---------------------
+        "delta_dv_produce": delta_dv_produce,
+        "iceberg_v3_dv_produce": iceberg_v3_dv_produce,
+        "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
+        # -- write-path operator code changed in r8 ------------------------
+        "delete_missing_delta": delete_missing_delta_q,
+        "delete_missing_iceberg": delete_missing_iceberg_q,
+        "merge_update_insert_delta": merge_update_insert_delta,
+        "merge_partitioned_delta": merge_partitioned_delta,
+        "delta_roundtrip": delta_roundtrip,
+        "iceberg_roundtrip": iceberg_roundtrip,
+        "merge_file_granular": merge_file_granular,
+        # -- last driver-checked r6 (oldest green rows) ---------------------
+        "star_join_agg": _star_join_agg,
+        "exact_dedup_docs": exact_dedup_docs,
+        "excel_roundtrip": excel_roundtrip,
+        "avro_roundtrip": avro_roundtrip,
+        "sas_roundtrip": sas_roundtrip,
+        "csv_inference_roundtrip": csv_inference_roundtrip,
+        "sql_on_files": sql_files,
+        "merge_update_insert": merge_ui,
+        "merge_sql_render": merge_sql_render,
+        "merge_change_capture": merge_cdc,
+        "delete_missing": delete_missing_hard,
+        "copy_load_duckdb": copy_load_duckdb,
+        "incremental_watermark": incremental_watermark,
+        "backfill_range": backfill_range,
+        "delta_column_mapping": delta_column_mapping,
+        "iceberg_v2_pos_delete": iceberg_v2_pos_delete,
+        "iceberg_v2_eq_delete": iceberg_v2_eq_delete,
+        "dedup_last_event": dedup_last_event,
+        "asof_events": asof_events,
+        "sessionize_events": sessionize_events,
+        "window_agg_events": window_agg_events,
+        "row_num_events": row_num_events,
+        "flatten_json_extract": flatten_json_extract,
+        "checksum_lineitem": checksum_lineitem,
+        "field_stat_orders": field_stat_orders,
+        "field_stat_deep_li": field_stat_deep_li,
+        "distro_priority": distro_priority,
+        "fill_rate_orders": fill_rate_orders,
+        "test_pk_lineitem": test_pk_lineitem,
+        "join_match": join_match,
+        "transforms_hash": transforms_hash,
+        "union_drift": union_drift,
+        "merge_insert": merge_ins,
+        "merge_update": merge_upd,
+        "merge_delete_insert": merge_di,
+        "merge_history_insert": merge_hi,
+        "snapshot_stamp": snapshot_stamp,
+        "column_typing_clamp": column_typing_clamp,
+        "constraint_dsl_filter": constraint_dsl_filter,
+        "row_constraints": row_constraints,
+        # ---- tail (51+): r6-checked trivial glue deferred to LEAD r9 ------
+        "ws_token_docs": ws_token_docs,
+        "token_count_docs": token_count_docs,
+        "quality_docs": quality_docs,
+        "lang_id_docs": lang_id_docs,
+        "distinct_rows": distinct_rows,
+        "select_project": select_project,
+        "where_filter": where_filter,
+        "limit_order": limit_order,
+        "column_casing_upper": column_casing_upper,
+        "definition_only": definition_only,
+        # ---- driver-green in CORRECTNESS_r07 — rotate back next round.
+        # bench still executes every query, so a crash would surface
+        # regardless of window position.
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_dedup_docs": simhash_dedup_docs,
         "fingerprint_docs": fingerprint_docs,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
-        # -- rest of the r6 tail (last driver-checked r5) ------------------
         "ann_topk": ann_topk,
         "embedding_near_dup": embedding_near_dup,
         "semdedup_docs": semdedup_docs,
@@ -1995,7 +2061,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_docs": pii_redact_docs,
         "text_stats_docs": text_stats_docs,
         "multimodal_bytes": multimodal_bytes,
-        # -- new or changed this round (r7) --------------------------------
         "jaccard_dedup_docs": jaccard_dedup_docs,
         "delta_deletion_vectors": delta_deletion_vectors,
         "delta_id_mapping": delta_id_mapping,
@@ -2024,73 +2089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": dedup_clusters_docs,
         "dedup_store_docs": dedup_store_docs,
         "delta_dv_merge": delta_dv_merge,
-        "delta_dv_produce": delta_dv_produce,
-        "iceberg_v3_dv_produce": iceberg_v3_dv_produce,
-        "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "delta_stats_skipping": delta_stats_skipping,
         "iceberg_bounds_skipping": iceberg_bounds_skipping,
         "bucketed_join_agg": bucketed_join_agg,
-        "ws_token_docs": ws_token_docs,
-        "token_count_docs": token_count_docs,
-        "quality_docs": quality_docs,
-        "lang_id_docs": lang_id_docs,
-        "distinct_rows": distinct_rows,
-        "column_typing_clamp": column_typing_clamp,
-        "constraint_dsl_filter": constraint_dsl_filter,
-        "row_constraints": row_constraints,
-        # -- driver-green r06, rotated toward the tail ---------------------
-        "star_join_agg": _star_join_agg,
-        "exact_dedup_docs": exact_dedup_docs,
-        "delta_roundtrip": delta_roundtrip,
-        "iceberg_roundtrip": iceberg_roundtrip,
-        "merge_update_insert_delta": merge_update_insert_delta,
-        "merge_partitioned_delta": merge_partitioned_delta,
-        "merge_file_granular": merge_file_granular,
-        "excel_roundtrip": excel_roundtrip,
-        "avro_roundtrip": avro_roundtrip,
-        "sas_roundtrip": sas_roundtrip,
-        "csv_inference_roundtrip": csv_inference_roundtrip,
-        "sql_on_files": sql_files,
-        "merge_update_insert": merge_ui,
-        "merge_sql_render": merge_sql_render,
-        "merge_change_capture": merge_cdc,
-        "delete_missing": delete_missing_hard,
-        "delete_missing_delta": delete_missing_delta_q,
-        "delete_missing_iceberg": delete_missing_iceberg_q,
-        "copy_load_duckdb": copy_load_duckdb,
-        "incremental_watermark": incremental_watermark,
-        "backfill_range": backfill_range,
-        "delta_column_mapping": delta_column_mapping,
-        "iceberg_v2_pos_delete": iceberg_v2_pos_delete,
-        "iceberg_v2_eq_delete": iceberg_v2_eq_delete,
-        "dedup_last_event": dedup_last_event,
-        "asof_events": asof_events,
-        "sessionize_events": sessionize_events,
-        "window_agg_events": window_agg_events,
-        # ---- tail (51+): all driver-green in CORRECTNESS_r06 — rotate
-        # back next round.  bench still executes every query, so a crash
-        # would surface regardless of window position.
-        "row_num_events": row_num_events,
-        "flatten_json_extract": flatten_json_extract,
-        "checksum_lineitem": checksum_lineitem,
-        "field_stat_orders": field_stat_orders,
-        "field_stat_deep_li": field_stat_deep_li,
-        "distro_priority": distro_priority,
-        "fill_rate_orders": fill_rate_orders,
-        "test_pk_lineitem": test_pk_lineitem,
-        "join_match": join_match,
-        "transforms_hash": transforms_hash,
-        "union_drift": union_drift,
-        "merge_insert": merge_ins,
-        "merge_update": merge_upd,
-        "merge_delete_insert": merge_di,
-        "merge_history_insert": merge_hi,
-        "select_project": select_project,
-        "where_filter": where_filter,
-        "limit_order": limit_order,
-        "column_casing_upper": column_casing_upper,
-        "snapshot_stamp": snapshot_stamp,
-        "definition_only": definition_only,
     }
 
 

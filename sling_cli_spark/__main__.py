@@ -32,6 +32,33 @@ import sys
 import yaml
 
 
+def _stream_csv_stdout(df, chunk_rows: int = 10_000) -> None:
+    """Stream a DataFrame to stdout as CSV with CONSTANT driver memory
+    (reference behavior: rows stream incrementally,
+    core/dbio/iop/datastream.go:2218-2379). ``toLocalIterator`` pulls
+    one partition at a time — an unbounded source never materializes
+    through the driver, unlike ``toPandas`` (the pre-r8 shape). Rows
+    buffer into small pandas chunks purely for CSV quoting fidelity."""
+    import pandas as pd
+
+    cols = df.columns
+    buf: list = []
+    header = True
+
+    def flush() -> None:
+        nonlocal header
+        pd.DataFrame(buf, columns=cols).to_csv(
+            sys.stdout, index=False, header=header)
+        header = False
+        buf.clear()
+
+    for row in df.toLocalIterator():
+        buf.append(row)
+        if len(buf) >= chunk_rows:
+            flush()
+    flush()  # remaining rows — or just the header for an empty result
+
+
 def _home_dir() -> str:
     return os.environ.get(
         "SLING_HOME_DIR", os.path.expanduser("~/.sling-spark"))
@@ -149,7 +176,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         from sling_cli_spark.runner import build_read_plan
 
         df = build_read_plan(spark, cfg)
-        df.toPandas().to_csv(sys.stdout, index=False)
+        _stream_csv_stdout(df)
         return 0
 
     from sling_cli_spark.runner import run
@@ -302,7 +329,7 @@ def cmd_lake(args: argparse.Namespace) -> int:
         from sling_cli_spark.sources.iceberg_py import iceberg_changelog
         df = iceberg_changelog(
             spark, path, from_snapshot_id=args.from_snapshot)
-    df.toPandas().to_csv(sys.stdout, index=False)
+    _stream_csv_stdout(df)
     return 0
 
 

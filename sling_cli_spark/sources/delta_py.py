@@ -496,8 +496,12 @@ def replay_log(path: str, version: int | None = None):
 
 # writer features this implementation honors when committing to an
 # existing table: plain add/remove with optimistic retry. appendOnly is
-# honored explicitly below; anything else (invariants, CDF generation,
-# identity columns, ...) must refuse rather than silently violate.
+# honored explicitly below; anything else (identity columns, generated
+# columns, ...) must refuse rather than silently violate.
+# invariants (writer v2 / the "invariants" feature) are ENFORCED (r8):
+# _with_invariant_guard wraps each declared column so any batch row
+# whose expression evaluates to FALSE fails the write before commit
+# (PROTOCOL.md §Column Invariants; SQL CHECK semantics — NULL passes).
 # deletionVectors as a WRITER feature obliges an engine to RESPECT
 # existing DVs, not to produce them: appends leave foreign adds (and
 # their descriptors) untouched, and every CoW rewrite reads touched
@@ -513,7 +517,8 @@ def replay_log(path: str, version: int | None = None):
 # appends are derivable per the protocol.
 SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
                              "v2Checkpoint", "typeWidening",
-                             "typeWidening-preview", "changeDataFeed"}
+                             "typeWidening-preview", "changeDataFeed",
+                             "invariants"}
 
 
 def check_writer_protocol(path: str, removes_files: bool = False) -> None:
@@ -535,15 +540,6 @@ def check_writer_protocol(path: str, removes_files: bool = False) -> None:
             f"delta table at {path} requires writer protocol v{mwv}"
             f"{detail}; this writer implements v2 (and v7 with features "
             f"{sorted(SUPPORTED_WRITER_FEATURES)})")
-    # writer protocol v2 also obliges the writer to ENFORCE column
-    # invariants; this writer doesn't validate them, so tables declaring
-    # any must refuse — appending unvalidated rows would break a
-    # constraint other engines rely on (PROTOCOL.md Column Invariants)
-    if '"delta.invariants"' in ((meta or {}).get("schemaString") or ""):
-        raise UnsupportedTableFeature(
-            f"delta table at {path} declares column invariants "
-            "(delta.invariants); this writer does not enforce them, "
-            "refusing to write")
     append_only = ((meta or {}).get("configuration") or {}).get(
         "delta.appendOnly") == "true"
     if removes_files and append_only:
@@ -763,7 +759,15 @@ def _stage_data_files(
     writer = df.write
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
+    try:
+        writer.parquet(tmp)
+    except Exception as e:
+        # surface an inline invariant-guard trip (raise_error during
+        # the write pass) as the typed violation, not a Py4J wall
+        if "delta.invariants violated" in str(e):
+            fs.delete(tmp, True)
+            raise InvariantViolation(str(e)[:500]) from None
+        raise
     staged_stats = _staged_stats(df, tmp)
     adds: list[dict] = []
     now = int(time.time() * 1000)
@@ -1610,6 +1614,12 @@ def write_delta(
                 f"{existing_parts}")
         else:
             actions += _evolve_schema_actions(df, meta)
+        # enforce declared column invariants on the batch — unless this
+        # overwrite just replaced the schema (the declarations are gone
+        # from the post-commit table, so there is nothing to enforce)
+        if mode == "append" or (meta is not None
+                                and df.schema.json() == meta["schemaString"]):
+            df = _with_invariant_guard(df, meta)
         partition_by = existing_parts
     actions += _stage_data_files(df, path, partition_by)
     if mode == "append" and version > 0:
@@ -1732,9 +1742,9 @@ def merge_delta(
                 dv_actions, n_dv, n_dead = dv
                 matched_rows = touched_rows.join(
                     src.select(*pk).distinct(), on=pk, how="left_semi")
-                appended = merge_dataframes(
+                appended = _with_invariant_guard(merge_dataframes(
                     matched_rows, src, pk, strategy=strategy,
-                    update_key=update_key, **cdc_cols)
+                    update_key=update_key, **cdc_cols), meta)
                 adds = _stage_data_files(appended, path, part_cols or None)
                 cdc_actions = []
                 if cdf_enabled(meta):
@@ -1757,6 +1767,7 @@ def merge_delta(
             touched_rows, src, pk, strategy=strategy, update_key=update_key,
             **cdc_cols)
 
+    replacement = _with_invariant_guard(replacement, meta)
     adds = _stage_data_files(replacement, path, part_cols or None)
     now = int(time.time() * 1000)
     removes = [_remove_action(p, files[p], now) for p in touched_rel]
@@ -2027,7 +2038,7 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             wf.add("deletionVectors")
             rf.add("deletionVectors")
         if _schema_has_invariants(meta):
-            wf.add("invariants")  # our own writer then refuses, loudly
+            wf.add("invariants")  # enforced on write (r8 guard)
         actions.append({"protocol": {
             "minReaderVersion": max(prot.get("minReaderVersion", 1),
                                     3 if rf else 1),
@@ -2047,6 +2058,73 @@ def _schema_has_invariants(meta: dict) -> bool:
         return False
     return any("delta.invariants" in (f.get("metadata") or {})
                for f in fields)
+
+
+class InvariantViolation(RuntimeError):
+    """A batch row violated a ``delta.invariants`` expression — the
+    write failed before commit (PROTOCOL.md §Column Invariants)."""
+
+
+def _invariant_exprs(meta: dict | None) -> list[tuple[str, str]]:
+    """(column, SQL expression) pairs from field metadata
+    ``delta.invariants`` — the writer-v2 constraint form
+    ``{"expression": {"expression": "<sql>"}}`` (PROTOCOL.md §Column
+    Invariants). An unparseable declaration refuses loudly: writing
+    rows a foreign engine would have validated breaks the contract."""
+    try:
+        fields = json.loads(
+            (meta or {}).get("schemaString") or "{}").get("fields") or []
+    except Exception:
+        return []
+    out: list[tuple[str, str]] = []
+    for f in fields:
+        inv = (f.get("metadata") or {}).get("delta.invariants")
+        if not inv:
+            continue
+        try:
+            expr = json.loads(inv)["expression"]["expression"]
+        except Exception as ex:
+            raise UnsupportedTableFeature(
+                f"unparseable delta.invariants on column "
+                f"{f.get('name')!r}: {inv!r} ({ex})")
+        out.append((f["name"], expr))
+    return out
+
+
+def _with_invariant_guard(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Enforce column invariants INLINE on the write pass (PROTOCOL.md
+    §Column Invariants, writer v2 / feature "invariants"): each
+    declared column is wrapped so a row whose expression evaluates to
+    FALSE raises during staging — zero extra jobs, the check rides the
+    same scan that writes the files. SQL CHECK semantics: only FALSE
+    violates, NULL passes. A column absent from the batch stages as
+    null for every row — its expression null-propagates to non-FALSE —
+    so absent columns need (and get) no guard. The guard wraps the
+    declared column itself, never a dropped helper column Catalyst
+    would prune away (and the check with it)."""
+    exprs = [(name, e) for name, e in _invariant_exprs(meta)
+             if name in df.columns]
+    if not exprs:
+        return df
+    cols = []
+    for c in df.columns:
+        guards = [e for name, e in exprs if name == c]
+        if not guards:
+            cols.append(F.col(f"`{c}`"))
+            continue
+        col = F.col(f"`{c}`")
+        ctype = dict(df.dtypes)[c]
+        for e in guards:
+            col = F.when(
+                F.expr(f"({e}) IS FALSE"),
+                F.raise_error(F.concat(
+                    F.lit(f"delta.invariants violated on {c}: ({e}) "
+                          "IS FALSE for row "),
+                    F.to_json(F.struct(*[F.col(f"`{x}`")
+                                         for x in df.columns]))))
+                .cast(ctype)).otherwise(col)
+        cols.append(col.alias(c))
+    return df.select(*cols)
 
 
 def _cdf_diff(pre: DataFrame, post: DataFrame, pk: list[str]) -> DataFrame:

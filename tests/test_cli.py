@@ -217,3 +217,26 @@ def test_cli_lake_guards(spark, tmp_path, capsys):
     assert "update_postimage" in csv and csv.count("insert") == 0
     # trailing -d now parses like every other subcommand
     assert main(["lake", "optimize", d, "-d"]) == 0
+
+
+def test_stream_csv_stdout_chunked_constant_memory(spark, capsys):
+    """_stream_csv_stdout (r8): toLocalIterator-chunked emission — one
+    header, every row, correct CSV quoting across chunk boundaries, no
+    toPandas of the whole result (the pre-r8 driver-memory shape)."""
+    from sling_cli_spark.__main__ import _stream_csv_stdout
+
+    df = spark.range(25).selectExpr(
+        "id", "concat('x,', id) AS v")  # embedded comma forces quoting
+    _stream_csv_stdout(df, chunk_rows=7)  # 4 chunks, uneven tail
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "id,v"
+    assert len(out) == 26 and out.count("id,v") == 1
+    assert '0,"x,0"' in out and '24,"x,24"' in out
+
+
+def test_stream_csv_stdout_empty_result_prints_header(spark, capsys):
+    from sling_cli_spark.__main__ import _stream_csv_stdout
+
+    _stream_csv_stdout(spark.range(5).filter("id < 0"))
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["id"]

@@ -1067,10 +1067,13 @@ def test_dv_with_column_mapping_reads(spark, tmp_path):
     assert got[1] == "v1"
 
 
-def test_writer_refuses_column_invariants(spark, tmp_path):
-    """Writer v2 obliges invariant enforcement; we don't validate them,
-    so tables declaring delta.invariants refuse writes (r6 ADVICE)."""
-    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+def test_writer_enforces_column_invariants(spark, tmp_path):
+    """Writer v2 obliges invariant enforcement (PROTOCOL.md §Column
+    Invariants; refusal upgraded to enforcement in r8): a passing batch
+    commits, a violating batch fails BEFORE commit with the typed
+    error, and NULL passes (SQL CHECK semantics)."""
+    from sling_cli_spark.sources.delta_py import (
+        InvariantViolation, read_delta)
 
     t = str(tmp_path / "t")
     write_delta(_df(spark, [(1, "a")]), t)
@@ -1082,8 +1085,17 @@ def test_writer_refuses_column_invariants(spark, tmp_path):
     new_meta["schemaString"] = json.dumps(schema)
     with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
         f.write(json.dumps({"metaData": new_meta}) + "\n")
-    with pytest.raises(UnsupportedTableFeature, match="invariants"):
-        write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    # passing batch commits
+    write_delta(_df(spark, [(2, "b")]), t, mode="append")
+    # NULL invariant result passes (null > 0 -> null, not FALSE)
+    write_delta(spark.createDataFrame([(None, "n")], "id long, v string"),
+                t, mode="append")
+    v_before = latest_version(t)
+    with pytest.raises(InvariantViolation, match="id > 0"):
+        write_delta(_df(spark, [(-3, "bad")]), t, mode="append")
+    assert latest_version(t) == v_before, "violating batch must not commit"
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == {1, 2, None}
 
 
 def test_physical_fields_recurse_into_array_and_map():
@@ -1757,3 +1769,109 @@ def test_cdf_enable_upgrades_protocol(spark, tmp_path):
     assert {"appendOnly", "changeDataFeed"} <= set(prot["writerFeatures"])
     D.write_delta(_df(spark, [(2, "b")]), t, mode="append")
     assert {r["id"] for r in read_delta(spark, t).collect()} == {1, 2}
+
+
+# ------------------------------------------------ DV production (round 8)
+
+def _dv_table(spark, tmp_path, name="dvt"):
+    """Two single-file commits + the DV-production property."""
+    from sling_cli_spark.sources.delta_py import set_table_properties
+
+    t = str(tmp_path / name)
+    write_delta(_df(spark, [(i, f"v{i}") for i in range(10)])
+                .coalesce(1), t)
+    write_delta(_df(spark, [(i, f"v{i}") for i in range(10, 20)])
+                .coalesce(1), t, mode="append")
+    set_table_properties(t, {"delta.enableDeletionVectors": "true"})
+    return t
+
+
+def test_delete_missing_produces_dv_no_rewrite(spark, tmp_path):
+    """Sparse delete on a DV-enabled table commits deletion vectors:
+    same data files before and after, descriptors attached, rows gone
+    (PROTOCOL.md §Deletion Vectors, write side — r8)."""
+    from sling_cli_spark.sources.delta_py import delete_missing_delta
+
+    t = _dv_table(spark, tmp_path)
+    before = set(replay_log(t)[1])
+    keep = _df(spark, [(i, "") for i in range(20) if i % 4 != 0]) \
+        .select("id")
+    res = delete_missing_delta(spark, t, keep, "id")
+    assert res["dv_files"] == 2 and res["new_files"] == 0
+    files = replay_log(t)[1]
+    assert set(files) == before
+    descs = {r: a["deletionVector"] for r, a in files.items()}
+    assert all(d["cardinality"] > 0 for d in descs.values())
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == {i for i in range(20) if i % 4 != 0}
+
+
+def test_merge_dv_deletes_in_place_and_appends(spark, tmp_path):
+    """DV merge: matched rows DV-delete from their file, the merge
+    output appends as new files, original files never rewrite; a second
+    merge UNIONS the existing DV positions (one DV per file)."""
+    from sling_cli_spark.sources.delta_py import merge_delta
+
+    t = _dv_table(spark, tmp_path)
+    before = set(replay_log(t)[1])
+    res = merge_delta(spark, t, _df(spark, [(3, "u3"), (99, "new")]), "id")
+    assert res["dv_files"] == 1 and res["new_files"] >= 1
+    files = replay_log(t)[1]
+    assert before <= set(files)
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got[3] == "u3" and got[99] == "new" and got[4] == "v4"
+    # second merge touching the same file: positions union
+    merge_delta(spark, t, _df(spark, [(5, "u5")]), "id")
+    files = replay_log(t)[1]
+    first = next(r for r in before
+                 if files[r].get("deletionVector"))
+    assert files[first]["deletionVector"]["cardinality"] == 2  # ids 3+5
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got[5] == "u5" and got[3] == "u3" and len(got) == 21
+
+
+def test_dv_fully_dead_file_becomes_plain_remove(spark, tmp_path):
+    """When every physical row of a file dies, the commit drops the
+    file instead of attaching a full DV."""
+    from sling_cli_spark.sources.delta_py import delete_missing_delta
+
+    t = _dv_table(spark, tmp_path)
+    keep = _df(spark, [(i, "") for i in range(10, 19)]).select("id")
+    res = delete_missing_delta(spark, t, keep, "id")
+    # file 1 (ids 0-9) fully dead -> removed; file 2 keeps a DV for 19
+    assert res["dv_files"] == 1 and res["touched"] == 2
+    files = replay_log(t)[1]
+    assert len(files) == 1
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == set(range(10, 19))
+
+
+def test_dv_dense_delete_falls_back_to_cow(spark, tmp_path):
+    """A delete denser than max_dv_rows rewrites copy-on-write — DVs
+    are the sparse-delete path, not a mandate."""
+    from sling_cli_spark.sources.delta_py import delete_missing_delta
+
+    t = _dv_table(spark, tmp_path)
+    keep = _df(spark, [(i, "") for i in range(20) if i % 2 == 0]) \
+        .select("id")
+    res = delete_missing_delta(spark, t, keep, "id", max_dv_rows=3)
+    assert res.get("dv_files") is None and res["new_files"] >= 1
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == {i for i in range(20) if i % 2 == 0}
+
+
+def test_dv_produce_respects_cdf(spark, tmp_path):
+    """DV-path deletes on a CDF table still write change files: the
+    doomed rows appear as _change_type='delete'."""
+    from sling_cli_spark.sources.delta_py import (
+        delete_missing_delta, read_change_feed, set_table_properties)
+
+    t = _dv_table(spark, tmp_path)
+    set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
+    v_before = latest_version(t)
+    keep = _df(spark, [(i, "") for i in range(1, 20)]).select("id")
+    res = delete_missing_delta(spark, t, keep, "id")
+    assert res["dv_files"] == 1
+    cdf = read_change_feed(spark, t, starting_version=v_before + 1)
+    changes = [(r["id"], r["_change_type"]) for r in cdf.collect()]
+    assert changes == [(0, "delete")]

@@ -1208,3 +1208,139 @@ def test_compact_v3_dv_table_retires_vectors(spark, tmp_path):
     assert after == before              # no resurrection, no loss
     _, m = _current_metadata(t)
     assert m["format-version"] == 3 and m["next-row-id"] >= 18
+
+
+# ------------------------------------------------ DV production (round 8)
+
+def _v3_table(spark, tmp_path, name="dvt"):
+    t = str(tmp_path / name)
+    write_iceberg(_df(spark, [(i, f"v{i}") for i in range(10)])
+                  .coalesce(1), t, format_version=3)
+    write_iceberg(_df(spark, [(i, f"v{i}") for i in range(10, 20)])
+                  .coalesce(1), t)
+    return t
+
+
+def test_v3_delete_missing_produces_puffin_dv(spark, tmp_path):
+    """Sparse delete on a v3 table (use_dvs) commits Puffin deletion
+    vectors: data files unchanged, one DV per file, rows gone (spec v3
+    §Deletion Vectors, write side — r8)."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, delete_missing_iceberg)
+
+    t = _v3_table(spark, tmp_path)
+    _, meta = _current_metadata(t)
+    before = sorted(f["file_path"]
+                    for f in _active_entries(t, meta, None)[0])
+    keep = _df(spark, [(i, "") for i in range(20) if i % 4 != 0]) \
+        .select("id")
+    res = delete_missing_iceberg(spark, t, keep, "id", use_dvs=True)
+    assert res["dv_files"] == 2 and res["new_files"] == 0
+    _, meta = _current_metadata(t)
+    active, pos_dels, _ = _active_entries(t, meta, None)
+    assert sorted(f["file_path"] for f in active) == before
+    assert len(pos_dels) == 2
+    assert all((d["file_format"] or "").upper() == "PUFFIN"
+               for d in pos_dels)
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == {i for i in range(20) if i % 4 != 0}
+
+
+def test_v3_dv_supersede_merges_positions(spark, tmp_path):
+    """A second DV-producing delete on the same file supersedes the
+    first vector: exactly one live DV per data file, positions merged."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, delete_missing_iceberg)
+
+    t = _v3_table(spark, tmp_path)
+    delete_missing_iceberg(
+        spark, t, _df(spark, [(i, "") for i in range(20) if i != 3])
+        .select("id"), "id", use_dvs=True)
+    delete_missing_iceberg(
+        spark, t, _df(spark, [(i, "") for i in range(20)
+                              if i not in (3, 7)]).select("id"),
+        "id", use_dvs=True)
+    _, meta = _current_metadata(t)
+    _, pos_dels, _ = _active_entries(t, meta, None)
+    assert len(pos_dels) == 1  # one file touched, exactly one live DV
+    assert pos_dels[0]["record_count"] == 2  # positions of 3 and 7
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == set(range(20)) - {3, 7}
+
+
+def test_v3_merge_dv_deletes_and_appends(spark, tmp_path):
+    """DV merge on v3: matched rows DV-delete in place, merge output
+    appends at a higher sequence number, untouched files carry."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, merge_iceberg)
+
+    t = _v3_table(spark, tmp_path)
+    _, meta = _current_metadata(t)
+    before = sorted(f["file_path"]
+                    for f in _active_entries(t, meta, None)[0])
+    res = merge_iceberg(spark, t, _df(spark, [(3, "u3"), (99, "new")]),
+                        "id", use_dvs=True)
+    assert res["dv_files"] == 1 and res["new_files"] >= 1
+    _, meta = _current_metadata(t)
+    active, pos_dels, _ = _active_entries(t, meta, None)
+    assert set(before) <= {f["file_path"] for f in active}
+    assert len(pos_dels) == 1 and pos_dels[0]["record_count"] == 1
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got[3] == "u3" and got[99] == "new" and got[4] == "v4"
+    assert len(got) == 21
+
+
+def test_v3_dv_fully_dead_file_drops(spark, tmp_path):
+    """All physical rows of a file deleted -> the file (and any DV that
+    referenced it) leaves the snapshot instead of a full-cover DV."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, delete_missing_iceberg)
+
+    t = _v3_table(spark, tmp_path)
+    keep = _df(spark, [(i, "") for i in range(10, 19)]).select("id")
+    res = delete_missing_iceberg(spark, t, keep, "id", use_dvs=True)
+    assert res["dv_files"] == 1 and res["touched"] == 2
+    _, meta = _current_metadata(t)
+    active, pos_dels, _ = _active_entries(t, meta, None)
+    assert len(active) == 1 and len(pos_dels) == 1
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == set(range(10, 19))
+
+
+def test_v3_dense_delete_falls_back_to_cow(spark, tmp_path):
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, delete_missing_iceberg)
+
+    t = _v3_table(spark, tmp_path)
+    keep = _df(spark, [(i, "") for i in range(20) if i % 2 == 0]) \
+        .select("id")
+    res = delete_missing_iceberg(spark, t, keep, "id", use_dvs=True,
+                                 max_dv_rows=3)
+    assert res.get("dv_files") is None and res["new_files"] >= 1
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == {i for i in range(20) if i % 2 == 0}
+
+
+def test_v3_dv_auto_on_property(spark, tmp_path):
+    """write.delete.mode=merge-on-read switches DV production on
+    without an explicit flag (spec table property)."""
+    import json as _json
+
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, _meta_dir,
+        delete_missing_iceberg)
+
+    t = _v3_table(spark, tmp_path)
+    version, meta = _current_metadata(t)
+    meta["properties"]["write.delete.mode"] = "merge-on-read"
+    p = os.path.join(_meta_dir(t), f"v{version + 1}.metadata.json")
+    with open(p, "w") as f:
+        f.write(_json.dumps(meta))
+    with open(os.path.join(_meta_dir(t), "version-hint.text"), "w") as f:
+        f.write(str(version + 1))
+    res = delete_missing_iceberg(
+        spark, t, _df(spark, [(i, "") for i in range(1, 20)])
+        .select("id"), "id")
+    assert res["dv_files"] == 1
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == set(range(1, 20))
