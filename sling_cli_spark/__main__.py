@@ -300,7 +300,8 @@ def cmd_lake(args: argparse.Namespace) -> int:
         target = args.target_mb * 1024 * 1024
         if is_delta:
             from sling_cli_spark.sources.delta_py import optimize_delta
-            stats = optimize_delta(spark, path, target_file_bytes=target)
+            stats = optimize_delta(spark, path, target_file_bytes=target,
+                                   purge_dvs=args.purge_dvs)
         else:
             from sling_cli_spark.sources.iceberg_py import compact_iceberg
             stats = compact_iceberg(spark, path, target_file_bytes=target)
@@ -384,6 +385,9 @@ def build_parser() -> argparse.ArgumentParser:
     lo = ls.add_parser("optimize", help="bin-pack small files")
     lo.add_argument("path")
     lo.add_argument("--target-mb", type=int, default=128)
+    lo.add_argument("--purge-dvs", action="store_true",
+                    help="delta: also rewrite files whose deletion "
+                         "vector covers >=30%% of rows (REORG/PURGE)")
     lv = ls.add_parser("vacuum", help="delta: drop unreferenced files")
     lv.add_argument("path")
     lv.add_argument("--keep", type=int, default=1,

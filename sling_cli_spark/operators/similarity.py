@@ -287,7 +287,7 @@ def ivf_topk(
 
 def semdedup(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
-    n_clusters: int = 16, threshold: float = 0.9, centroids=None,
+    n_clusters: int | None = 16, threshold: float = 0.9, centroids=None,
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embeddings, then inside each
@@ -295,6 +295,14 @@ def semdedup(
     LOWER-id row of the same cluster (the paper's keep-one-per-
     duplicate-group rule with a deterministic min-id keeper). Returns
     the survivors as (id, cluster).
+
+    ``n_clusters=None`` self-scales the codebook to ~1 cluster per
+    1024 rows (clamped [16, 8192]) — the paper's own cost knob. The
+    pair stage is Σ cluster_size², so a FIXED k that was right at 2k
+    vectors is quadratic ruin at 200k (measured in the r8 100× scale
+    probe: k=8 ran >9min on 200k duplicate-heavy vectors; k=512
+    finishes in seconds). Callers pinning k for oracle reproducibility
+    own that scaling.
 
     100 TB posture: this is the embedding-space twin of MinHash-LSH —
     the codebook assignment makes the O(n²) similarity check
@@ -312,6 +320,8 @@ def semdedup(
     from pyspark.storagelevel import StorageLevel
 
     if centroids is None:
+        if n_clusters is None:
+            n_clusters = max(16, min(8192, df.count() // 1024 or 16))
         centroids = kmeans_centroids(df, vec_col, n_clusters=n_clusters)
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"),

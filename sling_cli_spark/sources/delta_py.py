@@ -1940,17 +1940,42 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     return deleted
 
 
+def _dv_fraction(add: dict) -> float:
+    """Deleted fraction of a DV-bearing file: descriptor cardinality
+    over the stats' physical numRecords (1.0 when stats are absent —
+    without a row count the conservative purge choice is rewrite)."""
+    desc = add.get("deletionVector")
+    if not desc:
+        return 0.0
+    try:
+        n = int(json.loads(add.get("stats") or "{}").get("numRecords"))
+    except (TypeError, ValueError):
+        return 1.0
+    return (int(desc.get("cardinality") or 0) / n) if n else 1.0
+
+
 def optimize_delta(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    purge_dvs: bool = False,
+    dv_purge_ratio: float = 0.3,
 ) -> dict:
     """Bin-pack small data files (delta-spark's OPTIMIZE): active files
     under ``target_file_bytes`` are rewritten as ~target-sized files and
     committed as remove+add with ``dataChange: false`` — readers see
     identical rows, time travel still works, and the CDC small-file
     pile-up (one commit per micro-batch) stops degrading scans.
+
+    ``purge_dvs=True`` (the ``REORG TABLE ... APPLY (PURGE)``
+    equivalent, completing the produce->respect->purge DV lifecycle)
+    also rewrites any file whose deletion vector covers at least
+    ``dv_purge_ratio`` of its physical rows, regardless of size — the
+    rewrite materializes the live rows and drops the descriptor, so
+    long-lived tables reclaim the scan cost DV-producing deletes defer.
+    These files qualify alone (``min_files`` governs only small-file
+    bin-packing).
 
     Partitioned tables compact within each partition (files never merge
     across partition values). Returns {"compacted": n_in, "new_files":
@@ -1965,16 +1990,20 @@ def optimize_delta(
     # group candidates by partition tuple; only groups with >= min_files
     # small files are worth rewriting
     groups: dict[tuple, list[str]] = {}
+    purge: list[str] = []
     for rel, add in files.items():
-        if add.get("size", 0) < target_file_bytes:
+        if purge_dvs and _dv_fraction(add) >= dv_purge_ratio:
+            purge.append(rel)
+        elif add.get("size", 0) < target_file_bytes:
             key = tuple(sorted((add.get("partitionValues") or {}).items()))
             groups.setdefault(key, []).append(rel)
     todo = {k: v for k, v in groups.items() if len(v) >= min_files}
-    if not todo:
+    if not todo and not purge:
         return {"compacted": 0, "new_files": 0,
                 "version": latest_version(path)}
 
-    compacted: list[str] = [rel for rels in todo.values() for rel in rels]
+    compacted: list[str] = \
+        [rel for rels in todo.values() for rel in rels] + purge
     # DV-applied: compaction materializes the LOGICAL rows (dropping the
     # descriptor with the rewrite); dataChange stays false because the
     # visible row set is identical

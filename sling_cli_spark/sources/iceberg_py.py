@@ -942,9 +942,9 @@ def merge_iceberg(
             cdc_cols["seq_col"] = seq_col
         if op_col:
             cdc_cols["op_col"] = op_col
-        if touched and _dv_writes_enabled_ice(meta, use_dvs) and all(
-                (d.get("file_format") or "PARQUET").upper() == "PUFFIN"
-                for d in pos_dels):
+        if touched and _dv_writes_enabled_ice(meta, use_dvs, "merge") \
+                and all((d.get("file_format") or "PARQUET").upper()
+                        == "PUFFIN" for d in pos_dels):
             dv = _produce_dvs_ice(
                 spark, path, meta, touched_entries, pos_dels, pk, src,
                 doom_matched=True, max_dv_rows=max_dv_rows)
@@ -1586,16 +1586,18 @@ def compact_iceberg(
 
 # ----------------------------------------------- deletion-vector production
 
-def _dv_writes_enabled_ice(meta: dict, use_dvs: bool | None) -> bool:
+def _dv_writes_enabled_ice(meta: dict, use_dvs: bool | None,
+                           op: str = "delete") -> bool:
     """Should this write produce v3 deletion vectors instead of CoW
     rewrites? Explicit ``use_dvs`` wins; default follows the public
-    ``write.delete.mode=merge-on-read`` table property (spec v3 engines
-    key MoR deletes on it; Iceberg's default is copy-on-write)."""
+    per-operation table properties ``write.delete.mode`` /
+    ``write.merge.mode`` = merge-on-read (Iceberg's documented
+    row-level-operation switches; default copy-on-write)."""
     if use_dvs is not None:
         return bool(use_dvs)
     return meta.get("format-version", 1) >= 3 and \
         (meta.get("properties") or {}).get(
-            "write.delete.mode") == "merge-on-read"
+            f"write.{op}.mode") == "merge-on-read"
 
 
 def _next_ids(path: str, meta: dict, carried: list[dict],

@@ -1875,3 +1875,62 @@ def test_dv_produce_respects_cdf(spark, tmp_path):
     cdf = read_change_feed(spark, t, starting_version=v_before + 1)
     changes = [(r["id"], r["_change_type"]) for r in cdf.collect()]
     assert changes == [(0, "delete")]
+
+
+def test_optimize_purge_dvs_rewrites_heavy_files(spark, tmp_path):
+    """REORG/PURGE equivalent (r8): purge_dvs=True rewrites files whose
+    DV covers >= dv_purge_ratio of rows — dropping the descriptor and
+    materializing live rows — while a lightly-deleted file keeps its
+    DV. Visible rows identical, dataChange stays false."""
+    from sling_cli_spark.sources.delta_py import (
+        delete_missing_delta, optimize_delta)
+
+    t = _dv_table(spark, tmp_path)
+    # file 1 (0-9): delete 6 of 10 rows (heavy); file 2: delete 1 of 10
+    keep = _df(spark, [(i, "") for i in (0, 1, 2, 3) ]
+               + [(i, "") for i in range(10, 19)]).select("id")
+    res = delete_missing_delta(spark, t, keep, "id")
+    assert res["dv_files"] == 2
+    before_rows = {r["id"] for r in read_delta(spark, t).collect()}
+    stats = optimize_delta(spark, t, target_file_bytes=1, purge_dvs=True,
+                           dv_purge_ratio=0.5)
+    assert stats["compacted"] == 1  # only the 60%-deleted file
+    files = replay_log(t)[1]
+    heavy = [a for a in files.values() if a.get("deletionVector")]
+    assert len(heavy) == 1  # light file keeps its DV; heavy one purged
+    assert {r["id"] for r in read_delta(spark, t).collect()} == before_rows
+
+
+def test_dv_produce_on_partitioned_table(spark, tmp_path):
+    """DV production on a Hive-partitioned table: positions resolve
+    against the basePath scan, re-added files keep partitionValues,
+    partition pruning still binds."""
+    from sling_cli_spark.sources.delta_py import (
+        delete_missing_delta, merge_delta, set_table_properties,
+        write_delta)
+
+    t = str(tmp_path / "pt")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 2) for i in range(20)],
+        "id long, v string, p int")
+    write_delta(df.repartition(2, "p"), t, partition_by=["p"])
+    set_table_properties(t, {"delta.enableDeletionVectors": "true"})
+    before = set(replay_log(t)[1])
+    keep = spark.createDataFrame(
+        [(i,) for i in range(20) if i % 5 != 0], "id long")
+    res = delete_missing_delta(spark, t, keep, "id")
+    assert res["dv_files"] >= 1 and res["new_files"] == 0
+    files = replay_log(t)[1]
+    assert set(files) == before
+    for rel, a in files.items():
+        if a.get("deletionVector"):
+            assert a["partitionValues"], "DV re-add lost partitionValues"
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == {i for i in range(20) if i % 5 != 0}
+    # partition-pruned DV merge: batch only touches p=1
+    res = merge_delta(spark, t,
+                      spark.createDataFrame([(3, "u3", 1)], df.schema),
+                      "id")
+    assert res["dv_files"] == 1
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got[3] == "u3" and got[4] == "v4"
