@@ -496,12 +496,21 @@ def replay_log(path: str, version: int | None = None):
 
 # writer features this implementation honors when committing to an
 # existing table: plain add/remove with optimistic retry. appendOnly is
-# honored explicitly below; anything else (identity columns, generated
-# columns, ...) must refuse rather than silently violate.
+# honored explicitly below; anything else must refuse rather than
+# silently violate.
 # invariants (writer v2 / the "invariants" feature) are ENFORCED (r8):
 # _with_invariant_guard wraps each declared column so any batch row
 # whose expression evaluates to FALSE fails the write before commit
 # (PROTOCOL.md §Column Invariants; SQL CHECK semantics — NULL passes).
+# generatedColumns are HONORED (r8): a batch missing a generated column
+# gets it computed from delta.generationExpression; a batch providing
+# one is validated value-by-value against the expression (PROTOCOL.md
+# §Default Columns / Generated Columns Writer Requirements).
+# identityColumns are HONORED (r8): a batch missing the column gets
+# per-task disjoint fresh values beyond the high watermark; the new
+# watermark (derived from the staged stats) commits in the same
+# version; explicit inserts refuse unless allowExplicitInsert
+# (PROTOCOL.md §Identity Columns).
 # deletionVectors as a WRITER feature obliges an engine to RESPECT
 # existing DVs, not to produce them: appends leave foreign adds (and
 # their descriptors) untouched, and every CoW rewrite reads touched
@@ -518,7 +527,8 @@ def replay_log(path: str, version: int | None = None):
 SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
                              "v2Checkpoint", "typeWidening",
                              "typeWidening-preview", "changeDataFeed",
-                             "invariants"}
+                             "invariants", "generatedColumns",
+                             "identityColumns"}
 
 
 def check_writer_protocol(path: str, removes_files: bool = False) -> None:
@@ -762,9 +772,10 @@ def _stage_data_files(
     try:
         writer.parquet(tmp)
     except Exception as e:
-        # surface an inline invariant-guard trip (raise_error during
+        # surface an inline constraint-guard trip (raise_error during
         # the write pass) as the typed violation, not a Py4J wall
-        if "delta.invariants violated" in str(e):
+        if "delta.invariants violated" in str(e) \
+                or "delta generated column" in str(e):
             fs.delete(tmp, True)
             raise InvariantViolation(str(e)[:500]) from None
         raise
@@ -1586,6 +1597,7 @@ def write_delta(
     update (mergeSchema semantics)."""
     version = latest_version(path) + 1
     actions: list[dict] = []
+    honor_meta = None  # table whose column contracts bind this batch
     if version == 0:
         actions += _first_commit_actions(df, partition_by)
     else:
@@ -1614,14 +1626,21 @@ def write_delta(
                 f"{existing_parts}")
         else:
             actions += _evolve_schema_actions(df, meta)
-        # enforce declared column invariants on the batch — unless this
-        # overwrite just replaced the schema (the declarations are gone
-        # from the post-commit table, so there is nothing to enforce)
+        # honor identity + generated columns and enforce declared
+        # invariants on the batch — unless this overwrite just replaced
+        # the schema (the declarations are gone from the post-commit
+        # table, so there is nothing to honor)
         if mode == "append" or (meta is not None
                                 and df.schema.json() == meta["schemaString"]):
-            df = _with_invariant_guard(df, meta)
+            honor_meta = meta
+            df = _with_invariant_guard(
+                _with_generated_columns(
+                    _with_identity_columns(df, meta), meta), meta)
         partition_by = existing_parts
-    actions += _stage_data_files(df, path, partition_by)
+    staged = _stage_data_files(df, path, partition_by)
+    actions += staged
+    if honor_meta is not None:
+        actions += _identity_hwm_action(honor_meta, staged)
     if mode == "append" and version > 0:
         return _commit_with_retry(path, version, actions)
     _commit(path, version, actions)
@@ -1687,6 +1706,10 @@ def merge_delta(
     meta, files = replay_log(path)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
+    # identity + generated columns fill/validate on the BATCH (before
+    # the merge): a src row missing the column would otherwise merge a
+    # null where foreign readers expect the derived value
+    src = _with_generated_columns(_with_identity_columns(src, meta), meta)
     part_cols = meta.get("partitionColumns") or []
 
     touched_rel: list[str] = []
@@ -1752,8 +1775,12 @@ def merge_delta(
                         _cdf_diff(matched_rows, appended, pk), path,
                         part_cols or None)
                 prot = _dv_protocol_action(path)
-                schema_actions = ([prot] if prot else []) \
-                    + _evolve_schema_actions(appended, meta)
+                evolve = _evolve_schema_actions(appended, meta)
+                hwm = _identity_hwm_action(
+                    evolve[-1]["metaData"] if evolve else meta, adds)
+                if hwm:  # hwm metaData already carries any evolution
+                    evolve = []
+                schema_actions = ([prot] if prot else []) + evolve + hwm
                 version = _commit_with_retry(
                     path, latest_version(path) + 1,
                     schema_actions + dv_actions + adds + cdc_actions,
@@ -1783,8 +1810,13 @@ def merge_delta(
             part_cols or None)
     # a batch carrying new columns evolves the table schema with the
     # same commit (mergeSchema semantics; untouched files read the new
-    # columns as nulls)
+    # columns as nulls); an identity watermark advance rides the same
+    # metaData action when both apply
     schema_actions = _evolve_schema_actions(replacement, meta)
+    hwm = _identity_hwm_action(
+        schema_actions[-1]["metaData"] if schema_actions else meta, adds)
+    if hwm:
+        schema_actions = hwm
     version = latest_version(path) + 1
     version = _commit_with_retry(
         path, version, schema_actions + removes + adds + cdc_actions,
@@ -2118,6 +2150,171 @@ def _invariant_exprs(meta: dict | None) -> list[tuple[str, str]]:
                 f"{f.get('name')!r}: {inv!r} ({ex})")
         out.append((f["name"], expr))
     return out
+
+
+def _generation_exprs(meta: dict | None) -> list[tuple[str, str, str]]:
+    """(column, SQL expression, spark type) triples from field metadata
+    ``delta.generationExpression`` (PROTOCOL.md Generated Columns)."""
+    try:
+        fields = json.loads(
+            (meta or {}).get("schemaString") or "{}").get("fields") or []
+    except Exception:
+        return []
+    return [(f["name"], (f.get("metadata") or {})
+             ["delta.generationExpression"],
+             json.dumps(f.get("type")))
+            for f in fields
+            if "delta.generationExpression" in (f.get("metadata") or {})]
+
+
+def _with_generated_columns(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Honor generated columns on write (PROTOCOL.md Generated Columns
+    Writer Requirements): a batch MISSING a generated column gets it
+    computed from its ``delta.generationExpression``; a batch that
+    PROVIDES one is validated row-by-row — a stored value differing
+    from the expression result fails the write (null-safe comparison),
+    because foreign readers treat the stored value as derived truth.
+    Same inline raise_error shape as the invariant guard: the check
+    rides the write pass, nothing extra to prune away."""
+    from pyspark.sql import types as T
+
+    gens = _generation_exprs(meta)
+    if not gens:
+        return df
+    out = df
+    for name, expr, type_json in gens:
+        gen = F.expr(expr)
+        if name not in out.columns:
+            t = T._parse_datatype_json_string(type_json)
+            out = out.withColumn(name, gen.cast(t))
+            continue
+        ctype = dict(out.dtypes)[name]
+        out = out.withColumn(name, F.when(
+            ~F.col(f"`{name}`").eqNullSafe(gen.cast(ctype)),
+            F.raise_error(F.concat(
+                F.lit(f"delta generated column {name} mismatch: "
+                      f"stored value != ({expr}) for row "),
+                F.to_json(F.struct(*[F.col(f"`{x}`")
+                                     for x in df.columns]))))
+            .cast(ctype)).otherwise(F.col(f"`{name}`")))
+    return out
+
+
+def _identity_fields(meta: dict | None) -> list[dict]:
+    """Identity-column declarations from field metadata (PROTOCOL.md
+    §Identity Columns): delta.identity.{start,step,highWaterMark,
+    allowExplicitInsert}."""
+    try:
+        fields = json.loads(
+            (meta or {}).get("schemaString") or "{}").get("fields") or []
+    except Exception:
+        return []
+    out = []
+    for f in fields:
+        md = f.get("metadata") or {}
+        if "delta.identity.start" not in md \
+                and "delta.identity.step" not in md:
+            continue
+        step = int(md.get("delta.identity.step", 1))
+        if step == 0:
+            raise UnsupportedTableFeature(
+                f"identity column {f['name']!r} declares step 0")
+        out.append({
+            "name": f["name"],
+            "start": int(md.get("delta.identity.start", 1)),
+            "step": step,
+            "hwm": md.get("delta.identity.highWaterMark"),
+            "allow_explicit": bool(
+                md.get("delta.identity.allowExplicitInsert", False)),
+        })
+    return out
+
+
+def _with_identity_columns(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Honor identity columns on write (PROTOCOL.md §Identity Columns
+    Writer Requirements): a batch missing the column gets fresh values
+    ``hwm + step * (1 + monotonically_increasing_id())`` — per-task
+    disjoint ranges, exactly delta-spark's reservation shape: unique,
+    beyond the high watermark in the step direction, and aligned to
+    start + k*step since the watermark itself is; gaps are legal. A
+    batch PROVIDING the column refuses unless the declaration sets
+    allowExplicitInsert. The new high watermark is derived from the
+    staged files' stats by :func:`_identity_hwm_action` and committed
+    in the same version. Concurrent identity writers race the
+    watermark exactly as delta-spark's optimistic writers do — the
+    commit-version CAS makes one retry."""
+    ids = _identity_fields(meta)
+    if not ids:
+        return df
+    for d in ids:
+        if d["name"] in df.columns:
+            if not d["allow_explicit"]:
+                raise UnsupportedTableFeature(
+                    f"identity column {d['name']!r} does not allow "
+                    "explicit inserts (delta.identity."
+                    "allowExplicitInsert is false)")
+            continue
+        base = int(d["hwm"]) if d["hwm"] is not None \
+            else d["start"] - d["step"]
+        df = df.withColumn(
+            d["name"],
+            (F.lit(base)
+             + F.lit(d["step"])
+             * (F.lit(1) + F.monotonically_increasing_id()))
+            .cast("long"))
+    return df
+
+
+def _identity_hwm_action(meta: dict | None, adds: list[dict]) -> list[dict]:
+    """metaData action advancing each identity column's
+    ``delta.identity.highWaterMark`` to the furthest value the staged
+    adds' per-file stats record (max for positive step, min for
+    negative) — no extra job, the watermark rides the stats the stage
+    already computed. No stats or no movement -> no action."""
+    ids = _identity_fields(meta)
+    if not ids or not adds:
+        return []
+    extremes: dict[str, int] = {}
+    for a in adds:
+        st = a.get("add", a).get("stats")
+        if not st:
+            continue
+        try:
+            s = json.loads(st)
+        except Exception:
+            continue
+        for d in ids:
+            key = "maxValues" if d["step"] > 0 else "minValues"
+            v = (s.get(key) or {}).get(d["name"])
+            if v is None:
+                continue
+            v = int(v)
+            cur = extremes.get(d["name"])
+            further = cur is None or (v > cur if d["step"] > 0 else v < cur)
+            if further:
+                extremes[d["name"]] = v
+    moved = False
+    schema = json.loads(meta["schemaString"])
+    for f in schema.get("fields") or []:
+        name = f.get("name")
+        if name not in extremes:
+            continue
+        md = f.get("metadata") or {}
+        old = md.get("delta.identity.highWaterMark")
+        step = int(md.get("delta.identity.step", 1))
+        new = extremes[name]
+        if old is not None and (
+                (step > 0 and int(old) >= new)
+                or (step < 0 and int(old) <= new)):
+            continue
+        md["delta.identity.highWaterMark"] = new
+        f["metadata"] = md
+        moved = True
+    if not moved:
+        return []
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema)
+    return [{"metaData": new_meta}]
 
 
 def _with_invariant_guard(df: DataFrame, meta: dict | None) -> DataFrame:

@@ -1934,3 +1934,96 @@ def test_dv_produce_on_partitioned_table(spark, tmp_path):
     assert res["dv_files"] == 1
     got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
     assert got[3] == "u3" and got[4] == "v4"
+
+
+def test_writer_honors_generated_columns(spark, tmp_path):
+    """Generated columns (PROTOCOL.md, r8 refusal->support): a batch
+    missing the column gets it computed from
+    delta.generationExpression; a batch providing a WRONG value fails
+    before commit; a correct provided value passes."""
+    from sling_cli_spark.sources.delta_py import (
+        InvariantViolation, read_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a", 1)],
+                                      "id long, v string, id2 long"), t)
+    meta, _ = replay_log(t)
+    schema = json.loads(meta["schemaString"])
+    assert schema["fields"][2]["name"] == "id2"
+    schema["fields"][2]["metadata"] = {
+        "delta.generationExpression": "id * 1"}
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema)
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"metaData": new_meta}) + "\n")
+    # batch WITHOUT the generated column: computed on write
+    write_delta(spark.createDataFrame([(2, "b")], "id long, v string"),
+                t, mode="append")
+    # batch WITH a correct value: passes validation
+    write_delta(spark.createDataFrame([(3, "c", 3)],
+                                      "id long, v string, id2 long"),
+                t, mode="append")
+    v_before = latest_version(t)
+    with pytest.raises(InvariantViolation, match="generated column"):
+        write_delta(spark.createDataFrame([(4, "d", 99)],
+                                          "id long, v string, id2 long"),
+                    t, mode="append")
+    assert latest_version(t) == v_before
+    got = {r["id"]: r["id2"] for r in read_delta(spark, t).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+    # merge path: batch missing the column gets it computed too
+    from sling_cli_spark.sources.delta_py import merge_delta
+    merge_delta(spark, t,
+                spark.createDataFrame([(2, "B2"), (5, "e")],
+                                      "id long, v string"), "id")
+    got = {r["id"]: (r["v"], r["id2"])
+           for r in read_delta(spark, t).collect()}
+    assert got[2] == ("B2", 2) and got[5] == ("e", 5)
+
+
+def test_writer_honors_identity_columns(spark, tmp_path):
+    """Identity columns (PROTOCOL.md §Identity Columns, r8
+    refusal->support): batches missing the column get fresh values
+    beyond the high watermark, the watermark advances in the same
+    commit, values stay unique and aligned to start + k*step, and
+    explicit inserts refuse without allowExplicitInsert."""
+    from sling_cli_spark.sources.delta_py import (
+        UnsupportedTableFeature, _identity_fields, read_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([("seed", 100)],
+                                      "v string, uid long"), t)
+    meta, _ = replay_log(t)
+    schema = json.loads(meta["schemaString"])
+    assert schema["fields"][1]["name"] == "uid"
+    schema["fields"][1]["metadata"] = {
+        "delta.identity.start": 100,
+        "delta.identity.step": 10,
+        "delta.identity.highWaterMark": 100,
+    }
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema)
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"metaData": new_meta}) + "\n")
+    write_delta(spark.createDataFrame([("a",), ("b",)], "v string")
+                .coalesce(1), t, mode="append")
+    rows = {r["v"]: r["uid"] for r in read_delta(spark, t).collect()}
+    assert rows["seed"] == 100
+    assigned = {rows["a"], rows["b"]}
+    assert len(assigned) == 2
+    assert all(u > 100 and (u - 100) % 10 == 0 for u in assigned)
+    meta2, _ = replay_log(t)
+    hwm = next(d for d in _identity_fields(meta2)
+               if d["name"] == "uid")["hwm"]
+    assert int(hwm) == max(assigned), "watermark must advance in-commit"
+    # second batch: fresh values strictly beyond the new watermark
+    write_delta(spark.createDataFrame([("c",)], "v string"), t,
+                mode="append")
+    rows2 = {r["v"]: r["uid"] for r in read_delta(spark, t).collect()}
+    assert rows2["c"] > max(assigned)
+    assert len(set(rows2.values())) == 4  # all unique
+    # explicit insert refuses (allowExplicitInsert unset)
+    with pytest.raises(UnsupportedTableFeature, match="explicit"):
+        write_delta(spark.createDataFrame([("x", 999)],
+                                          "v string, uid long"), t,
+                    mode="append")
