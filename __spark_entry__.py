@@ -462,6 +462,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return read_delta(spark, t).select(
             "n_nationkey", "n_name", "n_regionkey")
 
+    def delta_identity_generated(spark, sf):
+        """Identity + generated columns on the Delta write path
+        (delta_py round 8, _with_identity_columns /
+        _with_generated_columns; PROTOCOL.md §Identity Columns /
+        Generated Columns): a seed table declares uid as identity
+        (start 1000, step 10, highWaterMark from the seed) and
+        name_len as generated length(n_name); an APPEND missing both
+        columns gets uid assigned beyond the watermark and name_len
+        computed, with the watermark advancing in the same commit.
+        Determinism: the append stages as ONE sorted partition, so the
+        per-task identity reservation degenerates to
+        hwm + step * row_number — exactly the oracle's window."""
+        import json as _json
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            _identity_fields, read_delta, replay_log, write_delta)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_idg_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        seed = (n.filter("n_nationkey < 5")
+                .withColumn("uid", F.lit(1000) + F.col("n_nationkey")
+                            * F.lit(10))
+                .withColumn("name_len",
+                            F.length("n_name").cast("long")))
+        write_delta(seed.repartition(1)
+                    .sortWithinPartitions("n_nationkey"), t)
+        meta, _ = replay_log(t)
+        schema = _json.loads(meta["schemaString"])
+        by_name = {f["name"]: f for f in schema["fields"]}
+        by_name["uid"]["metadata"] = {
+            "delta.identity.start": 1000, "delta.identity.step": 10,
+            "delta.identity.highWaterMark": 1040}
+        by_name["name_len"]["metadata"] = {
+            "delta.generationExpression": "CAST(length(n_name) AS LONG)"}
+        new_meta = dict(meta)
+        new_meta["schemaString"] = _json.dumps(schema)
+        with open(os.path.join(t, "_delta_log", "%020d.json" % 1),
+                  "w") as f:
+            f.write(_json.dumps({"metaData": new_meta}) + "\n")
+        write_delta(
+            n.filter("n_nationkey >= 5 AND n_nationkey < 15")
+            .repartition(1).sortWithinPartitions("n_nationkey"),
+            t, mode="append")
+        hwm = next(d for d in _identity_fields(replay_log(t)[0])
+                   if d["name"] == "uid")["hwm"]
+        assert int(hwm) == 1140, f"watermark must advance in-commit: {hwm}"
+        return read_delta(spark, t).select(
+            "n_nationkey", "n_name", "uid", "name_len")
+
     def delta_dv_produce(spark, sf):
         """Write-side deletion-vector PRODUCTION (delta_py round 8,
         _produce_dv_actions / delta_dv.write_dv_file; PROTOCOL.md
@@ -1979,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dv_produce": delta_dv_produce,
         "iceberg_v3_dv_produce": iceberg_v3_dv_produce,
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
+        "delta_identity_generated": delta_identity_generated,
         # -- write-path operator code changed in r8 ------------------------
         "delete_missing_delta": delete_missing_delta_q,
         "delete_missing_iceberg": delete_missing_iceberg_q,
@@ -2027,8 +2080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_stamp": snapshot_stamp,
         "column_typing_clamp": column_typing_clamp,
         "constraint_dsl_filter": constraint_dsl_filter,
-        "row_constraints": row_constraints,
         # ---- tail (51+): r6-checked trivial glue deferred to LEAD r9 ------
+        "row_constraints": row_constraints,
         "ws_token_docs": ws_token_docs,
         "token_count_docs": token_count_docs,
         "quality_docs": quality_docs,
@@ -2650,6 +2703,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT), n_name,
                    CAST(n_regionkey AS BIGINT)
             FROM nation WHERE n_nationkey >= 5 AND n_nationkey % 5 <> 0
+        """,
+        # seed keys<5 carry uid=1000+10*key; the appended keys 5..14
+        # take identity values hwm(1040) + 10*row_number in sorted
+        # order; name_len is the generated length(n_name) everywhere
+        "delta_identity_generated": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(1000 + 10 * n_nationkey AS BIGINT) AS uid,
+                   CAST(length(n_name) AS BIGINT) AS name_len
+            FROM nation WHERE n_nationkey < 5
+            UNION ALL
+            SELECT n_nationkey, n_name,
+                   CAST(1040 + 10 * row_number()
+                        OVER (ORDER BY n_nationkey) AS BIGINT) AS uid,
+                   CAST(length(n_name) AS BIGINT) AS name_len
+            FROM (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                         n_name
+                  FROM nation
+                  WHERE n_nationkey >= 5 AND n_nationkey < 15)
         """,
         # delete multiples of 5 (DV), then upsert keys<4 with '_u' names
         # (DV-delete + append) + insert 99 — key 0 re-enters via upsert
