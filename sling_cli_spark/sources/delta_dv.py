@@ -247,8 +247,8 @@ def dv_indices(
     else:
         p = dv_absolute_path(table_path, desc)
         if blob is None:
-            with open(p, "rb") as f:
-                blob = f.read()
+            from sling_cli_spark import fsio
+            blob = fsio.get_fs(p).read_bytes(p)
         if not blob or blob[0] != 1:
             raise ValueError(f"unsupported DV file version at {p}")
         off = int(desc.get("offset") or 1)
@@ -323,10 +323,14 @@ def add_deletion_vectors(
 def write_dv_file(
     table_path: str, dv_rows: dict[str, list[int]], prefix: str = "ab",
 ) -> dict[str, dict]:
-    """Synthesize ONE ``deletion_vector_<uuid>.bin`` holding a vector per
+    """Write ONE ``deletion_vector_<uuid>.bin`` holding a vector per
     data file (the spec's multi-DV file layout) -> {rel_data_path:
-    descriptor}. Test/fixture writer — the production write path stays
-    copy-on-write (merge_delta), which never emits DVs."""
+    descriptor}. Serves both the production write path
+    (delta_py._produce_dv_actions) and the foreign-table fixture
+    (add_deletion_vectors); fsio-backed so URI tables (hdfs://-style)
+    take the same path as local ones."""
+    from sling_cli_spark import fsio
+
     u = uuid.uuid4()
     blob = io.BytesIO()
     blob.write(b"\x01")
@@ -343,8 +347,9 @@ def write_dv_file(
             "sizeInBytes": len(data),
             "cardinality": len(set(int(i) for i in indices)),
         }
-    d = os.path.join(table_path, prefix) if prefix else table_path
-    os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, f"deletion_vector_{u}.bin"), "wb") as f:
-        f.write(blob.getvalue())
+    fs = fsio.get_fs(table_path)
+    d = fsio.join(table_path, prefix) if prefix else table_path
+    fs.mkdirs(d)
+    fs.write_bytes(fsio.join(d, f"deletion_vector_{u}.bin"),
+                   blob.getvalue())
     return descs

@@ -922,9 +922,64 @@ def merge_iceberg(
                 f for f in active
                 if tuple((f.get("partition") or {}).get(c, _HIVE_NULL)
                          for c in part_cols) in batch_parts]
-        # the probe is delete-applied so a row that only exists in a
-        # delete-shadowed state can't mark its file touched; __file
-        # (captured pre-join by _mor_read) supplies the path
+        cdc_cols = {}
+        if seq_col:
+            cdc_cols["seq_col"] = seq_col
+        if op_col:
+            cdc_cols["op_col"] = op_col
+        dv = None
+        if candidates and _dv_writes_enabled_ice(meta, use_dvs, "merge") \
+                and all((d.get("file_format") or "PARQUET").upper()
+                        == "PUFFIN" for d in pos_dels):
+            # the census over the pruned candidates doubles as the
+            # touched-file probe: one scan, not two
+            dv = _produce_dvs_ice(
+                spark, path, meta, candidates, pos_dels, pk, src,
+                doom_matched=True, max_dv_rows=max_dv_rows)
+        if dv is not None:
+            # matched rows DV-delete in place; the merge output over
+            # the MATCHED subset (updated + inserted rows — unmatched
+            # target rows never leave their file) appends as new files.
+            # doomed may be EMPTY (pure-insert batch): the merge over
+            # zero matched rows still appends the inserted rows.
+            dv_rows, superseded, dead = dv
+            doomed = set(dv_rows) | dead
+            doomed_entries = [f for f in candidates
+                              if _canon(f["file_path"]) in doomed]
+            matched_rows = _mor_read(
+                spark, path, meta, doomed_entries, pos_dels, eq_dels,
+                empty_schema=target.schema).join(
+                src.select(*pk).distinct(), on=pk, how="left_semi")
+            appended = merge_dataframes(
+                matched_rows, src, pk, strategy=strategy,
+                update_key=update_key, **cdc_cols)
+            carried = [f for f in active
+                       if _canon(f["file_path"]) not in dead]
+            live_pos = [
+                d for d in pos_dels
+                if (d["file_path"], d.get("content_offset"))
+                not in superseded
+                and not (d.get("referenced_data_file")
+                         and _canon(d["referenced_data_file"]) in dead)]
+            cd = _live_delete_files(carried, live_pos, eq_dels)
+            snapshot_id, new_seq = _next_ids(path, meta, carried, cd)
+            by_fp = {_canon(f["file_path"]): f for f in candidates}
+            nd = _dv_delete_entries(
+                path, dv_rows, by_fp, snapshot_id, new_seq) \
+                if dv_rows else []
+            sid = _commit_snapshot(
+                appended, path, meta, carried=carried,
+                operation="overwrite", carried_deletes=cd,
+                new_deletes=nd, snapshot_id=snapshot_id)
+            return {"touched": len(dv_rows) + len(dead),
+                    "new_files": len(_active_files(path, meta, sid))
+                    - len(carried),
+                    "dv_files": len(dv_rows), "kept": len(carried),
+                    "snapshot_id": sid}
+        # CoW (or dense-fallback) probe: delete-applied so a row that
+        # only exists in a delete-shadowed state can't mark its file
+        # touched; __file (captured pre-join by _mor_read) supplies the
+        # path
         probe = _mor_read(spark, path, meta, candidates, pos_dels, eq_dels,
                           empty_schema=target.schema, keep_file_col=True)
         touched = {
@@ -937,52 +992,6 @@ def merge_iceberg(
         touched_rows = _mor_read(spark, path, meta, touched_entries,
                                  pos_dels, eq_dels,
                                  empty_schema=target.schema)
-        cdc_cols = {}
-        if seq_col:
-            cdc_cols["seq_col"] = seq_col
-        if op_col:
-            cdc_cols["op_col"] = op_col
-        if touched and _dv_writes_enabled_ice(meta, use_dvs, "merge") \
-                and all((d.get("file_format") or "PARQUET").upper()
-                        == "PUFFIN" for d in pos_dels):
-            dv = _produce_dvs_ice(
-                spark, path, meta, touched_entries, pos_dels, pk, src,
-                doom_matched=True, max_dv_rows=max_dv_rows)
-            if dv is not None:
-                # matched rows DV-delete in place; the merge output over
-                # the MATCHED subset (updated + inserted rows — unmatched
-                # target rows never leave their file) appends as new files
-                dv_rows, superseded, dead = dv
-                matched_rows = touched_rows.join(
-                    src.select(*pk).distinct(), on=pk, how="left_semi")
-                appended = merge_dataframes(
-                    matched_rows, src, pk, strategy=strategy,
-                    update_key=update_key, **cdc_cols)
-                carried = [f for f in active
-                           if _canon(f["file_path"]) not in dead]
-                live_pos = [
-                    d for d in pos_dels
-                    if (d["file_path"], d.get("content_offset"))
-                    not in superseded
-                    and not (d.get("referenced_data_file")
-                             and _canon(d["referenced_data_file"]) in dead)]
-                cd = _live_delete_files(carried, live_pos, eq_dels)
-                snapshot_id, new_seq = _next_ids(path, meta, carried, cd)
-                by_fp = {_canon(f["file_path"]): f
-                         for f in touched_entries}
-                nd = _dv_delete_entries(
-                    path, dv_rows, by_fp, snapshot_id, new_seq) \
-                    if dv_rows else []
-                sid = _commit_snapshot(
-                    appended, path, meta, carried=carried,
-                    operation="overwrite", carried_deletes=cd,
-                    new_deletes=nd, snapshot_id=snapshot_id)
-                return {"touched": len(dv_rows) + len(dead),
-                        "new_files": len(_active_files(path, meta, sid))
-                        - len(carried),
-                        "dv_files": len(dv_rows), "kept": len(carried),
-                        "snapshot_id": sid}
-            # dense merge: fall through to the CoW rewrite below
         replacement = merge_dataframes(
             touched_rows, src, pk, strategy=strategy, update_key=update_key,
             **cdc_cols)
@@ -1026,31 +1035,24 @@ def delete_missing_iceberg(
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
     _, meta = _current_metadata(path, for_write=True)
     active, pos_dels, eq_dels = _active_entries(path, meta, None)
-    scan = _mor_read(spark, path, meta, active, pos_dels, eq_dels,
-                     keep_file_col=True)
     keys = keyset.select(*pk).distinct()
-    touched = {
-        _canon(r["__file"]) for r in
-        scan.select("__file", *pk)
-        .join(keys, on=pk, how="left_anti")
-        .select("__file").distinct().collect()
-    }
-    if not touched:
-        return {"touched": 0, "new_files": 0, "kept": len(active),
-                "snapshot_id": meta.get("current-snapshot-id")}
-    touched_entries = [f for f in active
-                       if _canon(f["file_path"]) in touched]
     # parquet position-delete files shadow unknown (file, pos) pairs a
     # raw census can't see — DV production needs a DV-only (or
     # delete-free) table; v3 tables are by construction
-    if not soft and _dv_writes_enabled_ice(meta, use_dvs) and all(
-            (d.get("file_format") or "PARQUET").upper() == "PUFFIN"
-            for d in pos_dels):
+    if active and not soft and _dv_writes_enabled_ice(meta, use_dvs) \
+            and all((d.get("file_format") or "PARQUET").upper() == "PUFFIN"
+                    for d in pos_dels):
+        # the census over ALL active entries doubles as the
+        # touched-file probe: one scan of the table, not two
         dv = _produce_dvs_ice(
-            spark, path, meta, touched_entries, pos_dels, pk, keys,
+            spark, path, meta, active, pos_dels, pk, keys,
             doom_matched=False, max_dv_rows=max_dv_rows)
         if dv is not None:
             dv_rows, superseded, dead = dv
+            if not dv_rows and not dead:
+                return {"touched": 0, "new_files": 0,
+                        "kept": len(active),
+                        "snapshot_id": meta.get("current-snapshot-id")}
             carried = [f for f in active
                        if _canon(f["file_path"]) not in dead]
             live_pos = [
@@ -1061,7 +1063,7 @@ def delete_missing_iceberg(
                          and _canon(d["referenced_data_file"]) in dead)]
             cd = _live_delete_files(carried, live_pos, eq_dels)
             snapshot_id, new_seq = _next_ids(path, meta, carried, cd)
-            by_fp = {_canon(f["file_path"]): f for f in touched_entries}
+            by_fp = {_canon(f["file_path"]): f for f in active}
             nd = _dv_delete_entries(
                 path, dv_rows, by_fp, snapshot_id, new_seq) \
                 if dv_rows else []
@@ -1073,6 +1075,19 @@ def delete_missing_iceberg(
                     "dv_files": len(dv_rows), "kept": len(carried),
                     "snapshot_id": sid}
         # dense delete: fall through to the CoW rewrite below
+    scan = _mor_read(spark, path, meta, active, pos_dels, eq_dels,
+                     keep_file_col=True)
+    touched = {
+        _canon(r["__file"]) for r in
+        scan.select("__file", *pk)
+        .join(keys, on=pk, how="left_anti")
+        .select("__file").distinct().collect()
+    }
+    if not touched:
+        return {"touched": 0, "new_files": 0, "kept": len(active),
+                "snapshot_id": meta.get("current-snapshot-id")}
+    touched_entries = [f for f in active
+                       if _canon(f["file_path"]) in touched]
     replacement = _dm(
         _mor_read(spark, path, meta, touched_entries, pos_dels, eq_dels),
         keys, pk, soft=soft)
