@@ -1976,21 +1976,58 @@ def _walk_data_files(fs, path: str, rel: str = "") -> list[str]:
     return out
 
 
+def _walk_dv_files(fs, path: str, rel: str = "") -> list[str]:
+    """Relative paths of deletion_vector_*.bin files under the table
+    (they live at the root or under short random-prefix dirs)."""
+    out: list[str] = []
+    base = fsio.join(path, rel) if rel else path
+    for fname in fs.listdir(base):
+        if fname.startswith((".", "_")):
+            continue
+        full = fsio.join(base, fname)
+        r = f"{rel}/{fname}" if rel else fname
+        if fs.isdir(full):
+            out.extend(_walk_dv_files(fs, path, r))
+        elif fname.startswith("deletion_vector_") and fname.endswith(".bin"):
+            out.append(r)
+    return out
+
+
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:
-    """Delete data files no longer referenced by the retained versions
-    (delta VACUUM without the retention-hours knob — EL-tool sized)."""
+    """Delete data files — and deletion-vector .bin files (r8: DV
+    production superseded-vector cleanup) — no longer referenced by the
+    retained versions (delta VACUUM without the retention-hours knob —
+    EL-tool sized)."""
+    from . import delta_dv
+
     fs = fsio.get_fs(path)
     vs = _list_versions(path, fs)
     keep_after = vs[-keep_versions] if len(vs) >= keep_versions else 0
-    _, active = replay_log(path)
-    referenced = set(active)
+    referenced: set[str] = set()
+    ref_dv: set[str] = set()
+
+    def note(files: dict) -> None:
+        referenced.update(files)
+        for a in files.values():
+            desc = a.get("deletionVector")
+            if desc and desc.get("storageType") in ("u", "p"):
+                p = delta_dv.dv_absolute_path(path, desc)
+                base = path.rstrip("/") + "/"
+                # prefix strip, not os.path.relpath — URI table paths
+                # (scheme://...) would be normalized into mismatch
+                ref_dv.add(p[len(base):] if p.startswith(base) else p)
+
+    note(replay_log(path)[1])
     for v in vs:
         if v >= keep_after:
-            _, f = replay_log(path, v)
-            referenced |= set(f)
+            note(replay_log(path, v)[1])
     deleted = []
     for rel in _walk_data_files(fs, path):
         if rel not in referenced:
+            fs.delete(fsio.join(path, rel))
+            deleted.append(rel)
+    for rel in _walk_dv_files(fs, path):
+        if rel not in ref_dv:
             fs.delete(fsio.join(path, rel))
             deleted.append(rel)
     return deleted

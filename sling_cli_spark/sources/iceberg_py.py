@@ -1547,6 +1547,8 @@ def compact_iceberg(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    purge_dvs: bool = False,
+    dv_purge_ratio: float = 0.3,
 ) -> dict:
     """Bin-pack small data files as a new snapshot (the spec's
     rewrite-data-files maintenance action; delta_py.optimize_delta is
@@ -1555,6 +1557,12 @@ def compact_iceberg(
     rewrite), rewritten as ~target-sized files, and committed with the
     untouched files carried forward — fixing the small-file pile-up a
     per-batch commit cadence creates.
+
+    ``purge_dvs=True`` (the rewrite-position-delete-files twin of
+    delta_py's REORG/PURGE) also rewrites any data file whose deletion
+    vector covers at least ``dv_purge_ratio`` of its rows, regardless
+    of size — these qualify alone, reclaiming the scan cost DV
+    deletes defer.
 
     Partitioned tables compact within each partition (files never merge
     across partition values — the staged write re-partitions by the
@@ -1567,13 +1575,25 @@ def compact_iceberg(
     _, meta = _current_metadata(path, for_write=True)
     active, pos_dels, eq_dels = _active_entries(path, meta, None)
 
+    dv_card: dict[str, int] = {}
+    if purge_dvs:
+        for d in pos_dels:
+            if (d.get("file_format") or "").upper() == "PUFFIN" \
+                    and d.get("referenced_data_file"):
+                dv_card[_canon(d["referenced_data_file"])] = \
+                    int(d.get("record_count") or 0)
     groups: dict[tuple, list[dict]] = {}
+    purge: list[dict] = []
     for f in active:
-        if int(f.get("file_size_in_bytes") or 0) < target_file_bytes:
+        n = int(f.get("record_count") or 0)
+        card = dv_card.get(_canon(f["file_path"]), 0)
+        if purge_dvs and card and (not n or card / n >= dv_purge_ratio):
+            purge.append(f)
+        elif int(f.get("file_size_in_bytes") or 0) < target_file_bytes:
             key = tuple(sorted((f.get("partition") or {}).items()))
             groups.setdefault(key, []).append(f)
     todo = [f for fs_ in groups.values() if len(fs_) >= min_files
-            for f in fs_]
+            for f in fs_] + purge
     if not todo:
         return {"compacted": 0, "new_files": 0,
                 "snapshot_id": meta.get("current-snapshot-id")}
@@ -1590,9 +1610,16 @@ def compact_iceberg(
     compacted_paths = {_canon(f["file_path"]) for f in todo}
     keep = [f for f in active
             if _canon(f["file_path"]) not in compacted_paths]
+    # a DV whose referenced data file was just rewritten retires with
+    # it (the rewrite materialized the live rows) — carrying it would
+    # be inert but grow the delete manifests forever
+    live_pos = [d for d in pos_dels
+                if not (d.get("referenced_data_file")
+                        and _canon(d["referenced_data_file"])
+                        in compacted_paths)]
     snapshot_id = _commit_snapshot(
         rows, path, meta, carried=keep, operation="replace",
-        carried_deletes=_live_delete_files(keep, pos_dels, eq_dels))
+        carried_deletes=_live_delete_files(keep, live_pos, eq_dels))
     return {"compacted": len(todo),
             "new_files": len(_active_files(path, meta, snapshot_id))
             - len(keep),

@@ -2027,3 +2027,31 @@ def test_writer_honors_identity_columns(spark, tmp_path):
         write_delta(spark.createDataFrame([("x", 999)],
                                           "v string, uid long"), t,
                     mode="append")
+
+
+def test_vacuum_reclaims_superseded_dv_files(spark, tmp_path):
+    """vacuum (r8): deletion_vector_*.bin files referenced by no
+    retained version are reclaimed; the live vector survives."""
+    import glob as _glob
+
+    from sling_cli_spark.sources.delta_py import (
+        delete_missing_delta, vacuum)
+
+    t = _dv_table(spark, tmp_path)
+    # two successive sparse deletes: the second supersedes file DVs
+    delete_missing_delta(
+        spark, t, _df(spark, [(i, "") for i in range(20) if i != 3])
+        .select("id"), "id")
+    delete_missing_delta(
+        spark, t, _df(spark, [(i, "") for i in range(20)
+                              if i not in (3, 7)]).select("id"), "id")
+    bins = _glob.glob(os.path.join(t, "**", "deletion_vector_*.bin"),
+                      recursive=True)
+    assert len(bins) == 2  # superseded + live
+    dropped = vacuum(t, keep_versions=1)
+    bins_after = _glob.glob(
+        os.path.join(t, "**", "deletion_vector_*.bin"), recursive=True)
+    assert len(bins_after) == 1
+    assert any(d.endswith(".bin") for d in dropped)
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == set(range(20)) - {3, 7}

@@ -1344,3 +1344,27 @@ def test_v3_dv_auto_on_property(spark, tmp_path):
     assert res["dv_files"] == 1
     got = {r["id"] for r in read_iceberg(spark, t).collect()}
     assert got == set(range(1, 20))
+
+
+def test_compact_purge_dvs_rewrites_heavy_files(spark, tmp_path):
+    """compact_iceberg(purge_dvs=True): a data file whose DV covers >=
+    ratio of rows rewrites (dropping its vector); a lightly-deleted
+    file keeps its DV; rows identical."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, compact_iceberg,
+        delete_missing_iceberg)
+
+    t = _v3_table(spark, tmp_path)
+    # file 1 (0-9): 6 of 10 rows die; file 2 (10-19): 1 of 10
+    keep = _df(spark, [(i, "") for i in (0, 1, 2, 3)]
+               + [(i, "") for i in range(10, 19)]).select("id")
+    res = delete_missing_iceberg(spark, t, keep, "id", use_dvs=True)
+    assert res["dv_files"] == 2
+    before = {r["id"] for r in read_iceberg(spark, t).collect()}
+    stats = compact_iceberg(spark, t, target_file_bytes=1,
+                            purge_dvs=True, dv_purge_ratio=0.5)
+    assert stats["compacted"] == 1  # only the 60%-deleted file
+    _, meta = _current_metadata(t)
+    _, pos_dels, _ = _active_entries(t, meta, None)
+    assert len(pos_dels) == 1  # the heavy file's DV retired with it
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == before
