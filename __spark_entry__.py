@@ -514,6 +514,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return read_delta(spark, t).select(
             "n_nationkey", "n_name", "uid", "name_len")
 
+    def delta_zorder_skipping(spark, sf):
+        """OPTIMIZE ZORDER BY (delta_py round 8, _zorder_value /
+        optimize_delta(zorder_by=...)): orders lands in 8 round-robin
+        files (every file spans the full range of both columns — zero
+        skipping), re-clusters along the Morton curve of (o_custkey,
+        o_totalprice), and a filter on the SECOND dimension then prunes
+        files via per-file stats — verified in-code with
+        prune_files_by_stats before returning the filtered read. A
+        linear sort only ever helps its leading column; the z-curve
+        makes BOTH dimensions skippable at once."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            optimize_delta, prune_files_by_stats, read_delta, replay_log,
+            write_delta)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_zo_"), "t")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            "o_totalprice")
+        write_delta(o.repartition(8), t)
+        optimize_delta(spark, t, target_file_bytes=64 * 1024,
+                       zorder_by=["o_custkey", "o_totalprice"])
+        _, files = replay_log(t)
+        pruned = prune_files_by_stats(
+            files, [("o_totalprice", "<", 50000.0)])
+        assert len(files) > 1 and len(pruned) < len(files), \
+            f"zorder must enable stats skipping ({len(pruned)}/{len(files)})"
+        return read_delta(spark, t).filter("o_totalprice < 50000") \
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+
     def delta_dv_produce(spark, sf):
         """Write-side deletion-vector PRODUCTION (delta_py round 8,
         _produce_dv_actions / delta_dv.write_dv_file; PROTOCOL.md
@@ -2032,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_v3_dv_produce": iceberg_v3_dv_produce,
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "delta_identity_generated": delta_identity_generated,
+        "delta_zorder_skipping": delta_zorder_skipping,
         # -- write-path operator code changed in r8 ------------------------
         "delete_missing_delta": delete_missing_delta_q,
         "delete_missing_iceberg": delete_missing_iceberg_q,
@@ -2077,10 +2110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_update": merge_upd,
         "merge_delete_insert": merge_di,
         "merge_history_insert": merge_hi,
+        # ---- tail (51+): r6-checked trivial glue deferred to LEAD r9 ------
         "snapshot_stamp": snapshot_stamp,
         "column_typing_clamp": column_typing_clamp,
         "constraint_dsl_filter": constraint_dsl_filter,
-        # ---- tail (51+): r6-checked trivial glue deferred to LEAD r9 ------
         "row_constraints": row_constraints,
         "ws_token_docs": ws_token_docs,
         "token_count_docs": token_count_docs,
@@ -2703,6 +2736,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT), n_name,
                    CAST(n_regionkey AS BIGINT)
             FROM nation WHERE n_nationkey >= 5 AND n_nationkey % 5 <> 0
+        """,
+        # zorder rearranges rows, never changes them — the filtered
+        # read equals the plain SQL filter
+        "delta_zorder_skipping": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o_custkey AS BIGINT) AS o_custkey,
+                   o_totalprice
+            FROM orders WHERE o_totalprice < 50000
         """,
         # seed keys<5 carry uid=1000+10*key; the appended keys 5..14
         # take identity values hwm(1040) + 10*row_number in sorted

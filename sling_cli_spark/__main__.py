@@ -300,8 +300,11 @@ def cmd_lake(args: argparse.Namespace) -> int:
         target = args.target_mb * 1024 * 1024
         if is_delta:
             from sling_cli_spark.sources.delta_py import optimize_delta
-            stats = optimize_delta(spark, path, target_file_bytes=target,
-                                   purge_dvs=args.purge_dvs)
+            stats = optimize_delta(
+                spark, path, target_file_bytes=target,
+                purge_dvs=args.purge_dvs,
+                zorder_by=[c for c in (args.zorder or "").split(",")
+                           if c] or None)
         else:
             from sling_cli_spark.sources.iceberg_py import compact_iceberg
             stats = compact_iceberg(spark, path, target_file_bytes=target)
@@ -388,6 +391,9 @@ def build_parser() -> argparse.ArgumentParser:
     lo.add_argument("--purge-dvs", action="store_true",
                     help="delta: also rewrite files whose deletion "
                          "vector covers >=30%% of rows (REORG/PURGE)")
+    lo.add_argument("--zorder",
+                    help="delta: comma-separated columns to re-cluster "
+                         "along the Morton curve (OPTIMIZE ZORDER BY)")
     lv = ls.add_parser("vacuum", help="delta: drop unreferenced files")
     lv.add_argument("path")
     lv.add_argument("--keep", type=int, default=1,

@@ -2033,6 +2033,62 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     return deleted
 
 
+def _zorder_value(df: DataFrame, cols: list[str], bits: int = 10):
+    """Z-order (Morton) curve value over ``cols`` — the multi-dim
+    clustering key Delta's OPTIMIZE ZORDER BY sorts by, so each
+    rewritten file's min/max stats become TIGHT in every listed
+    dimension at once and stats-based skipping prunes on any of them.
+
+    Scale shape: each column linearly buckets into 2**bits cells
+    against its global min/max (ONE tiny scalar aggregate — no global
+    window/ntile, which would serialize the table through one
+    partition), then the bucket bits interleave via pure Catalyst
+    shift/mask expressions. Linear (not quantile) bucketing trades
+    skew-optimality for zero extra passes; heavily skewed dimensions
+    still benefit, just with coarser cells where values crowd.
+    Numeric, date, and timestamp columns are supported."""
+    from functools import reduce
+
+    def as_double(c: str):
+        t = dict(df.dtypes)[c]
+        col = F.col(f"`{c}`")
+        if t == "date":
+            return F.datediff(col, F.lit("1970-01-01")).cast("double")
+        if t.startswith("timestamp"):
+            return col.cast("double")
+        if t in ("string", "boolean", "binary") or t.startswith(
+                ("array", "map", "struct")):
+            raise ValueError(
+                f"zorder_by column {c!r} has type {t}; numeric/date/"
+                "timestamp only")
+        return col.cast("double")
+
+    aggs = []
+    for c in cols:
+        d = as_double(c)
+        aggs += [F.min(d).alias(f"__lo_{c}"), F.max(d).alias(f"__hi_{c}")]
+    row = df.agg(*aggs).first()
+    n = len(cols)
+    terms = []
+    for ci, c in enumerate(cols):
+        lo = row[f"__lo_{c}"]
+        hi = row[f"__hi_{c}"]
+        if lo is None or hi is None or hi <= lo:
+            continue  # constant/all-null dimension carries no bits
+        cells = float(2 ** bits)
+        b = F.floor((as_double(c) - F.lit(float(lo)))
+                    / F.lit((hi - lo) / cells + 1e-12)).cast("long")
+        b = F.coalesce(
+            F.least(F.greatest(b, F.lit(0)), F.lit(2 ** bits - 1)),
+            F.lit(0))
+        for i in range(bits):
+            terms.append(F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + ci))
+    if not terms:
+        return F.lit(0).cast("long")
+    return reduce(lambda a, x: a.bitwiseOR(x), terms)
+
+
 def _dv_fraction(add: dict) -> float:
     """Deleted fraction of a DV-bearing file: descriptor cardinality
     over the stats' physical numRecords (1.0 when stats are absent —
@@ -2054,6 +2110,7 @@ def optimize_delta(
     min_files: int = 2,
     purge_dvs: bool = False,
     dv_purge_ratio: float = 0.3,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Bin-pack small data files (delta-spark's OPTIMIZE): active files
     under ``target_file_bytes`` are rewritten as ~target-sized files and
@@ -2070,6 +2127,14 @@ def optimize_delta(
     These files qualify alone (``min_files`` governs only small-file
     bin-packing).
 
+    ``zorder_by=[cols...]`` (delta-spark's OPTIMIZE ZORDER BY)
+    re-clusters EVERY active file along the Morton curve of the listed
+    columns — rewritten files take range-disjoint z-value spans, so
+    their per-file min/max stats become tight in all listed dimensions
+    at once and :func:`prune_files_by_stats` skips on ANY of them
+    (single-column sorts only help the leading column). The rewrite is
+    ``dataChange: false`` (same visible rows, rearranged).
+
     Partitioned tables compact within each partition (files never merge
     across partition values). Returns {"compacted": n_in, "new_files":
     n_out, "version": v} ({"compacted": 0} when nothing qualifies).
@@ -2085,7 +2150,9 @@ def optimize_delta(
     groups: dict[tuple, list[str]] = {}
     purge: list[str] = []
     for rel, add in files.items():
-        if purge_dvs and _dv_fraction(add) >= dv_purge_ratio:
+        if zorder_by:
+            purge.append(rel)  # re-clustering rewrites every file
+        elif purge_dvs and _dv_fraction(add) >= dv_purge_ratio:
             purge.append(rel)
         elif add.get("size", 0) < target_file_bytes:
             key = tuple(sorted((add.get("partitionValues") or {}).items()))
@@ -2103,13 +2170,24 @@ def optimize_delta(
     rows = _read_files_mor(spark, path, meta, files, compacted)
     total = sum(files[p].get("size", 0) for p in compacted)
     n_out = max(1, round(total / target_file_bytes))
+    if zorder_by:
+        # range-partition by the Morton value so each output file owns
+        # a disjoint z-span (tight multi-dim bounds), then sort within;
+        # Hive partition columns lead the range so a partitioned
+        # table's tasks stay partition-contiguous and the partitionBy
+        # write doesn't re-fragment them
+        rows = rows.withColumn("__z", _zorder_value(rows, zorder_by)) \
+            .repartitionByRange(n_out, *part_cols, "__z") \
+            .sortWithinPartitions(*part_cols, "__z").drop("__z")
     # partitioned tables repartition BY the partition columns: a plain
     # round-robin would spread every partition's rows across all n_out
     # tasks and partitionBy would then write n_out files per partition —
     # MORE, smaller files than were compacted. Hash co-locates each
     # partition in one task (one output file per partition from it).
-    rows = rows.repartition(n_out, *part_cols) if part_cols \
-        else rows.repartition(n_out)
+    elif part_cols:
+        rows = rows.repartition(n_out, *part_cols)
+    else:
+        rows = rows.repartition(n_out)
     adds = _stage_data_files(
         rows, path, part_cols or None, data_change=False)
     now = int(time.time() * 1000)

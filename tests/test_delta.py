@@ -2055,3 +2055,39 @@ def test_vacuum_reclaims_superseded_dv_files(spark, tmp_path):
     assert any(d.endswith(".bin") for d in dropped)
     got = {r["id"] for r in read_delta(spark, t).collect()}
     assert got == set(range(20)) - {3, 7}
+
+
+def test_optimize_zorder_improves_multidim_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (r8): after re-clustering on (a, b), a
+    point-ish filter on EITHER column prunes most files via stats
+    (a linear layout only ever helps its leading sort column), rows
+    identical, dataChange stays false."""
+    from sling_cli_spark.sources.delta_py import (
+        optimize_delta, prune_files_by_stats, write_delta)
+
+    t = str(tmp_path / "zt")
+    # (a, b) uniform grid, written in round-robin order so every file
+    # initially spans the whole range of BOTH columns (worst case)
+    df = spark.range(4096).selectExpr(
+        "id", "CAST(id % 64 AS LONG) AS a",
+        "CAST(CAST(id / 64 AS LONG) % 64 AS LONG) AS b")
+    write_delta(df.repartition(8), t)
+    meta, files0 = replay_log(t)
+    pruned0a = prune_files_by_stats(files0, [("a", ">=", 48)])
+    pruned0b = prune_files_by_stats(files0, [("b", "<", 8)])
+    # worst-case layout: stats prune nothing
+    assert len(pruned0a) == len(files0) and len(pruned0b) == len(files0)
+    before = df.count()
+
+    stats = optimize_delta(spark, t, target_file_bytes=8 * 1024,
+                           zorder_by=["a", "b"])
+    assert stats["compacted"] == 8 and stats["new_files"] >= 4
+    meta, files1 = replay_log(t)
+    pruned1a = prune_files_by_stats(files1, [("a", ">=", 48)])
+    pruned1b = prune_files_by_stats(files1, [("b", "<", 8)])
+    assert len(pruned1a) < len(files1), "zorder must enable a-pruning"
+    assert len(pruned1b) < len(files1), "zorder must enable b-pruning"
+    got = read_delta(spark, t)
+    assert got.count() == before
+    assert got.filter("a >= 48").count() == \
+        df.filter("a >= 48").count()
