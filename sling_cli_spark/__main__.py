@@ -307,7 +307,11 @@ def cmd_lake(args: argparse.Namespace) -> int:
                            if c] or None)
         else:
             from sling_cli_spark.sources.iceberg_py import compact_iceberg
-            stats = compact_iceberg(spark, path, target_file_bytes=target)
+            stats = compact_iceberg(
+                spark, path, target_file_bytes=target,
+                purge_dvs=args.purge_dvs,
+                zorder_by=[c for c in (args.zorder or "").split(",")
+                           if c] or None)
         print(json.dumps(stats, default=str))
         return 0
     # op == "changes": stream the table's row-level changes as CSV

@@ -1549,6 +1549,7 @@ def compact_iceberg(
     min_files: int = 2,
     purge_dvs: bool = False,
     dv_purge_ratio: float = 0.3,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Bin-pack small data files as a new snapshot (the spec's
     rewrite-data-files maintenance action; delta_py.optimize_delta is
@@ -1563,6 +1564,12 @@ def compact_iceberg(
     vector covers at least ``dv_purge_ratio`` of its rows, regardless
     of size — these qualify alone, reclaiming the scan cost DV
     deletes defer.
+
+    ``zorder_by=[cols...]`` re-clusters EVERY active file along the
+    Morton curve of the listed columns (delta_py._zorder_value is the
+    shared kernel) — each rewritten file then owns a disjoint z-span,
+    its manifest lower/upper bounds become tight in all listed
+    dimensions, and bounds-based scan pruning skips on any of them.
 
     Partitioned tables compact within each partition (files never merge
     across partition values — the staged write re-partitions by the
@@ -1587,7 +1594,9 @@ def compact_iceberg(
     for f in active:
         n = int(f.get("record_count") or 0)
         card = dv_card.get(_canon(f["file_path"]), 0)
-        if purge_dvs and card and (not n or card / n >= dv_purge_ratio):
+        if zorder_by:
+            purge.append(f)  # re-clustering rewrites every file
+        elif purge_dvs and card and (not n or card / n >= dv_purge_ratio):
             purge.append(f)
         elif int(f.get("file_size_in_bytes") or 0) < target_file_bytes:
             key = tuple(sorted((f.get("partition") or {}).items()))
@@ -1605,8 +1614,17 @@ def compact_iceberg(
     # partitionBy write emits one file per partition per task, not
     # n_out fragments per partition
     pcols = _part_cols(meta)
-    rows = rows.repartition(n_out, *pcols) if pcols \
-        else rows.repartition(n_out)
+    if zorder_by:
+        from sling_cli_spark.sources.delta_py import _zorder_value
+
+        from pyspark.sql import functions as F  # noqa: F401 (kernel dep)
+        rows = rows.withColumn("__z", _zorder_value(rows, zorder_by)) \
+            .repartitionByRange(n_out, *pcols, "__z") \
+            .sortWithinPartitions(*pcols, "__z").drop("__z")
+    elif pcols:
+        rows = rows.repartition(n_out, *pcols)
+    else:
+        rows = rows.repartition(n_out)
     compacted_paths = {_canon(f["file_path"]) for f in todo}
     keep = [f for f in active
             if _canon(f["file_path"]) not in compacted_paths]

@@ -1368,3 +1368,33 @@ def test_compact_purge_dvs_rewrites_heavy_files(spark, tmp_path):
     _, pos_dels, _ = _active_entries(t, meta, None)
     assert len(pos_dels) == 1  # the heavy file's DV retired with it
     assert {r["id"] for r in read_iceberg(spark, t).collect()} == before
+
+
+def test_compact_zorder_enables_bounds_skipping(spark, tmp_path):
+    """compact_iceberg(zorder_by): after Morton re-clustering on
+    (a, b), manifest bounds prune on EITHER column; rows identical."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, compact_iceberg,
+        prune_files_by_bounds)
+
+    t = str(tmp_path / "zt")
+    df = spark.range(4096).selectExpr(
+        "id", "CAST(id % 64 AS LONG) AS a",
+        "CAST(CAST(id / 64 AS LONG) % 64 AS LONG) AS b")
+    write_iceberg(df.repartition(8), t)
+    _, meta = _current_metadata(t)
+    files0, _, _ = _active_entries(t, meta, None)
+    assert len(prune_files_by_bounds(
+        files0, [("b", "<", 8)], meta)) == len(files0)  # worst case
+    stats = compact_iceberg(spark, t, target_file_bytes=8 * 1024,
+                            zorder_by=["a", "b"])
+    assert stats["compacted"] == 8 and stats["new_files"] >= 4
+    _, meta = _current_metadata(t)
+    files1, _, _ = _active_entries(t, meta, None)
+    assert len(prune_files_by_bounds(
+        files1, [("a", ">=", 48)], meta)) < len(files1)
+    assert len(prune_files_by_bounds(
+        files1, [("b", "<", 8)], meta)) < len(files1)
+    got = read_iceberg(spark, t)
+    assert got.count() == 4096
+    assert got.filter("b < 8").count() == df.filter("b < 8").count()
