@@ -2091,3 +2091,31 @@ def test_optimize_zorder_improves_multidim_skipping(spark, tmp_path):
     assert got.count() == before
     assert got.filter("a >= 48").count() == \
         df.filter("a >= 48").count()
+
+
+def test_identity_watermark_monotone_across_writers(spark, tmp_path):
+    """Two writers appending in turn each read the watermark the prior
+    commit advanced — allocations never collide and stay monotone."""
+    from sling_cli_spark.sources.delta_py import read_delta
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([("seed", 0)],
+                                      "v string, uid long"), t)
+    meta, _ = replay_log(t)
+    schema = json.loads(meta["schemaString"])
+    schema["fields"][1]["metadata"] = {
+        "delta.identity.start": 1, "delta.identity.step": 1,
+        "delta.identity.highWaterMark": 0}
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema)
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"metaData": new_meta}) + "\n")
+    seen: set = {0}
+    for k in range(4):  # alternating "writers" (fresh metadata reads)
+        write_delta(spark.createDataFrame(
+            [(f"w{k}a",), (f"w{k}b",)], "v string").coalesce(1),
+            t, mode="append")
+        ids = {r["uid"] for r in read_delta(spark, t).collect()}
+        assert len(ids) == 1 + 2 * (k + 1), "collision detected"
+        assert max(ids) > max(seen)
+        seen = ids

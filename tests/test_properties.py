@@ -174,3 +174,61 @@ def test_md5_hash60_matches_duckdb_on_arbitrary_text(spark):
             "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
         ).fetchone()[0]
         assert got[s] == want, (s, got[s], want)
+
+
+# ------------------------------------------------ DV binary codecs (r8)
+
+@given(st.lists(st.integers(min_value=0, max_value=1 << 40),
+                max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_roaring_bitmap_roundtrip(indices):
+    """Delta RoaringBitmapArray portable serialization: serialize ->
+    deserialize is the identity on any sorted-deduped index set,
+    including multi-high-key (>2^32) values."""
+    from sling_cli_spark.sources.delta_dv import (
+        deserialize_bitmap, serialize_bitmap)
+
+    want = sorted(set(indices))
+    got = deserialize_bitmap(serialize_bitmap(indices)).tolist()
+    assert got == want
+
+
+@given(st.integers(min_value=0, max_value=1 << 16),
+       st.integers(min_value=1, max_value=6000))
+@settings(max_examples=20, deadline=None)
+def test_roaring_bitmap_dense_run(start, length):
+    """Contiguous runs crossing the 4096 array->bitmap container
+    boundary round-trip exactly (the container-kind switch is the
+    format's sharpest edge)."""
+    from sling_cli_spark.sources.delta_dv import (
+        deserialize_bitmap, serialize_bitmap)
+
+    vals = list(range(start, start + length))
+    got = deserialize_bitmap(serialize_bitmap(vals)).tolist()
+    assert got == vals
+
+
+@given(st.lists(st.integers(min_value=0, max_value=1 << 33),
+                max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_puffin_dv_blob_roundtrip(indices):
+    """Iceberg v3 deletion-vector-v1 blob: dv_blob -> dv_blob_indices
+    is the identity (magic-prefixed delta-compatible bitmap + CRC)."""
+    from sling_cli_spark.sources.puffin import dv_blob, dv_blob_indices
+
+    want = sorted(set(indices))
+    got = dv_blob_indices(dv_blob(indices)).tolist()
+    assert got == want
+
+
+@given(st.binary(min_size=4, max_size=64).map(
+    lambda b: b[:len(b) - len(b) % 4]))
+@settings(max_examples=100, deadline=None)
+def test_z85_roundtrip(data):
+    """ZeroMQ Z85 encode/decode identity on 4-byte-aligned input (the
+    DV descriptor's UUID and inline-bitmap carrier)."""
+    from sling_cli_spark.sources.delta_dv import z85_decode, z85_encode
+
+    if not data:
+        return
+    assert z85_decode(z85_encode(data)) == data
