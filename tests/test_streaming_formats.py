@@ -291,3 +291,43 @@ def test_cdc_pipeline_custom_cdc_columns_to_delta(spark, tmp_path):
     run_cdc_pipeline(spark, conf, schema, target, "id", ckpt)
     got = {r["id"]: r["v"] for r in read_delta(spark, target).collect()}
     assert got == {1: "A2", 5: "new"}
+
+
+def test_cdc_stream_into_dv_enabled_delta_target(spark, tmp_path):
+    """r8 integration: foreachBatch change-capture merges into a
+    delta.enableDeletionVectors target produce DVs per micro-batch —
+    the seeded data files never rewrite, deletes/updates land as
+    roaring bitmaps + appended merge output, and the final table
+    matches last-op-wins semantics."""
+    from sling_cli_spark.sources.delta_py import (
+        read_delta, replay_log, set_table_properties, write_delta)
+    from sling_cli_spark.streaming.cdc import (
+        read_file_stream, run_cdc_stream)
+
+    src_dir = str(tmp_path / "in")
+    target = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    write_delta(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string")
+        .coalesce(1), target)
+    set_table_properties(target, {"delta.enableDeletionVectors": "true"})
+    seeded = set(replay_log(target)[1])
+
+    _write_batch(src_dir, [
+        {"id": 2, "v": "u2", "_sling_synced_op": "U",
+         "_sling_synced_seq": 1},
+        {"id": 5, "v": None, "_sling_synced_op": "D",
+         "_sling_synced_seq": 2},
+        {"id": 77, "v": "new", "_sling_synced_op": "I",
+         "_sling_synced_seq": 3},
+    ], "b1.json")
+    stream = read_file_stream(spark, src_dir, CDC_SCHEMA, fmt="json")
+    run_cdc_stream(spark, stream, target, "id", ckpt)
+
+    files = replay_log(target)[1]
+    assert seeded <= set(files), "seeded data file must never rewrite"
+    assert any(files[r].get("deletionVector") for r in seeded), \
+        "the micro-batch merge must have produced a DV"
+    got = {r["id"]: r["v"] for r in read_delta(spark, target).collect()}
+    assert got[2] == "u2" and got[77] == "new" and 5 not in got
+    assert got[3] == "v3" and len(got) == 10
