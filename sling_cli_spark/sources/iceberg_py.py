@@ -1617,7 +1617,6 @@ def compact_iceberg(
     if zorder_by:
         from sling_cli_spark.sources.delta_py import _zorder_value
 
-        from pyspark.sql import functions as F  # noqa: F401 (kernel dep)
         rows = rows.withColumn("__z", _zorder_value(rows, zorder_by)) \
             .repartitionByRange(n_out, *pcols, "__z") \
             .sortWithinPartitions(*pcols, "__z").drop("__z")
