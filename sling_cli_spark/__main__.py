@@ -295,6 +295,16 @@ def cmd_lake(args: argparse.Namespace) -> int:
         print(json.dumps(expire_snapshots(path, keep=args.keep),
                          default=str))
         return 0
+    if op == "remove-orphans":
+        if is_delta:
+            print("remove-orphans applies to Iceberg tables "
+                  "(delta: vacuum also reclaims orphaned DV files)",
+                  file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.iceberg_py import remove_orphan_files
+        removed = remove_orphan_files(path)
+        print(json.dumps({"removed_files": len(removed)}))
+        return 0
     spark = _get_spark(args.debug)
     if op == "optimize":
         target = args.target_mb * 1024 * 1024
@@ -406,6 +416,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="iceberg: prune snapshot history")
     le.add_argument("path")
     le.add_argument("--keep", type=int, default=1)
+    lr = ls.add_parser("remove-orphans",
+                       help="iceberg: delete data/ files no snapshot "
+                            "references")
+    lr.add_argument("path")
     lc = ls.add_parser("changes",
                        help="stream row-level changes as CSV "
                             "(default: the latest commit's)")

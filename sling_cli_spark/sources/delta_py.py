@@ -418,7 +418,7 @@ class UnsupportedTableFeature(RuntimeError):
 # refuse.
 SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors",
                              "v2Checkpoint", "typeWidening",
-                             "typeWidening-preview"}
+                             "typeWidening-preview", "timestampNtz"}
 
 
 def _check_reader_protocol(path: str, protocol: dict | None) -> None:
@@ -528,7 +528,8 @@ SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
                              "v2Checkpoint", "typeWidening",
                              "typeWidening-preview", "changeDataFeed",
                              "invariants", "generatedColumns",
-                             "identityColumns"}
+                             "identityColumns", "checkConstraints",
+                             "timestampNtz"}
 
 
 def check_writer_protocol(path: str, removes_files: bool = False) -> None:
@@ -639,8 +640,16 @@ def _schema_string(df: DataFrame) -> str:
 def _first_commit_actions(
     df: DataFrame, partition_by: list[str] | None = None,
 ) -> list[dict]:
+    # PROTOCOL.md §timestampNtz: a table USING timestamp without time
+    # zone must announce the reader+writer feature — foreign readers
+    # key the parquet isAdjustedToUTC handling on it
+    prot: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+    if "timestamp_ntz" in _schema_string(df):
+        prot = {"minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["timestampNtz"],
+                "writerFeatures": ["appendOnly", "timestampNtz"]}
     return [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": prot},
         {"metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
@@ -775,6 +784,7 @@ def _stage_data_files(
         # surface an inline constraint-guard trip (raise_error during
         # the write pass) as the typed violation, not a Py4J wall
         if "delta.invariants violated" in str(e) \
+                or "delta constraint" in str(e) \
                 or "delta generated column" in str(e):
             fs.delete(tmp, True)
             raise InvariantViolation(str(e)[:500]) from None
@@ -2225,12 +2235,23 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
     actions: list[dict] = []
     enabling_cdf = str(props.get(
         "delta.enableChangeDataFeed", "")).lower() == "true"
+    enabling_check = any(k.startswith("delta.constraints.")
+                         for k in props)
     prot = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     mwv = prot.get("minWriterVersion", 2)
     wf = set(prot.get("writerFeatures") or ())
-    if enabling_cdf and mwv < 4 and "changeDataFeed" not in wf:
+    needs_upgrade = (enabling_cdf and mwv < 4
+                     and "changeDataFeed" not in wf) or \
+        (enabling_check and mwv < 3 and "checkConstraints" not in wf)
+    if needs_upgrade:
         rf = set(prot.get("readerFeatures") or ())
-        wf |= {"appendOnly", "changeDataFeed"}  # v2-implied + the new one
+        wf.add("appendOnly")  # v2-implied
+        if enabling_cdf:
+            wf.add("changeDataFeed")
+        if enabling_check or any(
+                k.startswith("delta.constraints.")
+                for k in new_meta["configuration"]):
+            wf.add("checkConstraints")  # PROTOCOL.md: writer v3+
         if _column_mapping_mode(meta) != "none" or mwv >= 5:
             wf.add("columnMapping")
             rf.add("columnMapping")
@@ -2456,38 +2477,56 @@ def _identity_hwm_action(meta: dict | None, adds: list[dict]) -> list[dict]:
     return [{"metaData": new_meta}]
 
 
+def _check_constraint_exprs(meta: dict | None) -> list[tuple[str, str]]:
+    """(name, SQL expression) pairs from ``delta.constraints.<name>``
+    table configuration (PROTOCOL.md §CHECK Constraints, the writer-v3
+    feature "checkConstraints" — the modern form of invariants)."""
+    conf = (meta or {}).get("configuration") or {}
+    pfx = "delta.constraints."
+    return [(k[len(pfx):], v) for k, v in sorted(conf.items())
+            if k.startswith(pfx) and v]
+
+
 def _with_invariant_guard(df: DataFrame, meta: dict | None) -> DataFrame:
-    """Enforce column invariants INLINE on the write pass (PROTOCOL.md
-    §Column Invariants, writer v2 / feature "invariants"): each
-    declared column is wrapped so a row whose expression evaluates to
-    FALSE raises during staging — zero extra jobs, the check rides the
-    same scan that writes the files. SQL CHECK semantics: only FALSE
-    violates, NULL passes. A column absent from the batch stages as
-    null for every row — its expression null-propagates to non-FALSE —
-    so absent columns need (and get) no guard. The guard wraps the
-    declared column itself, never a dropped helper column Catalyst
-    would prune away (and the check with it)."""
+    """Enforce column invariants AND CHECK constraints INLINE on the
+    write pass (PROTOCOL.md §Column Invariants / §CHECK Constraints):
+    guarded expressions raise during staging when a row evaluates them
+    to FALSE — zero extra jobs, the check rides the same scan that
+    writes the files. SQL CHECK semantics: only FALSE violates, NULL
+    passes. An invariant column absent from the batch stages as null
+    for every row — its expression null-propagates to non-FALSE — so
+    absent columns need (and get) no guard; table-level CHECK
+    constraints attach to the first column (always kept, so Catalyst
+    can never prune the check away with a dropped helper column)."""
     exprs = [(name, e) for name, e in _invariant_exprs(meta)
              if name in df.columns]
-    if not exprs:
+    checks = _check_constraint_exprs(meta)
+    if not exprs and not checks:
         return df
+
+    def row_json():
+        return F.to_json(F.struct(*[F.col(f"`{x}`")
+                                    for x in df.columns]))
+
+    first = df.columns[0]
     cols = []
     for c in df.columns:
-        guards = [e for name, e in exprs if name == c]
+        guards = [(f"delta.invariants violated on {c}", e)
+                  for name, e in exprs if name == c]
+        if c == first:
+            guards += [(f"delta constraint {name} violated", e)
+                       for name, e in checks]
         if not guards:
             cols.append(F.col(f"`{c}`"))
             continue
         col = F.col(f"`{c}`")
         ctype = dict(df.dtypes)[c]
-        for e in guards:
+        for label, e in guards:
             col = F.when(
                 F.expr(f"({e}) IS FALSE"),
                 F.raise_error(F.concat(
-                    F.lit(f"delta.invariants violated on {c}: ({e}) "
-                          "IS FALSE for row "),
-                    F.to_json(F.struct(*[F.col(f"`{x}`")
-                                         for x in df.columns]))))
-                .cast(ctype)).otherwise(col)
+                    F.lit(f"{label}: ({e}) IS FALSE for row "),
+                    row_json())).cast(ctype)).otherwise(col)
         cols.append(col.alias(c))
     return df.select(*cols)
 

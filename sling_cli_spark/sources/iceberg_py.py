@@ -1478,6 +1478,42 @@ def write_iceberg(
         carried_deletes=carried_dels)
 
 
+def remove_orphan_files(path: str) -> list[str]:
+    """Delete files under ``data/`` that NO snapshot references (the
+    spec's remove_orphan_files maintenance action; failed-stage
+    leftovers and unreferenced Puffin files accumulate otherwise).
+    References are gathered across EVERY retained snapshot — data,
+    positional-delete, equality-delete, and Puffin DV files all appear
+    as manifest ``file_path`` entries, so one walk covers them."""
+    fs = fsio.get_fs(path)
+    _, meta = _current_metadata(path)
+    referenced: set[str] = set()
+    for s in meta.get("snapshots") or []:
+        _, manifests = read_avro(s["manifest-list"])
+        for m in manifests:
+            _, entries = read_avro(m["manifest_path"])
+            for e in entries:
+                referenced.add(_canon(e["data_file"]["file_path"]))
+    data_dir = fsio.join(path, "data")
+    deleted: list[str] = []
+
+    def walk(rel: str) -> None:
+        base = fsio.join(data_dir, rel) if rel else data_dir
+        for name in fs.listdir(base):
+            full = fsio.join(base, name)
+            r = f"{rel}/{name}" if rel else name
+            if fs.isdir(full):
+                walk(r)
+            elif not name.startswith((".", "_")) \
+                    and _canon(full) not in referenced:
+                fs.delete(full)
+                deleted.append(r)
+
+    if fs.exists(data_dir):
+        walk("")
+    return deleted
+
+
 def expire_snapshots(path: str, keep: int = 1) -> dict:
     """Expire all but the last ``keep`` snapshots and delete data files
     / manifests no retained snapshot references (the spec's

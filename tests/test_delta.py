@@ -2119,3 +2119,52 @@ def test_identity_watermark_monotone_across_writers(spark, tmp_path):
         assert len(ids) == 1 + 2 * (k + 1), "collision detected"
         assert max(ids) > max(seen)
         seen = ids
+
+
+def test_writer_enforces_check_constraints(spark, tmp_path):
+    """CHECK constraints (PROTOCOL.md, writer-v3 feature — r8): setting
+    delta.constraints.* upgrades the protocol, passing batches commit,
+    a violating batch fails typed before commit; NULL passes."""
+    from sling_cli_spark.sources.delta_py import (
+        InvariantViolation, read_delta, set_table_properties)
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, 5)], "id long, qty long"), t)
+    set_table_properties(t, {"delta.constraints.qty_pos": "qty > 0"})
+    from sling_cli_spark.sources import delta_py as D
+    prot = D._replay_state(t)[2]
+    assert "checkConstraints" in set(prot.get("writerFeatures") or ())
+    write_delta(spark.createDataFrame([(2, 7)], "id long, qty long"),
+                t, mode="append")
+    write_delta(spark.createDataFrame([(4, None)], "id long, qty long"),
+                t, mode="append")  # NULL passes (SQL CHECK)
+    v = latest_version(t)
+    with pytest.raises(InvariantViolation, match="qty_pos"):
+        write_delta(spark.createDataFrame([(3, -1)],
+                                          "id long, qty long"),
+                    t, mode="append")
+    assert latest_version(t) == v
+    got = {r["id"]: r["qty"] for r in read_delta(spark, t).collect()}
+    assert got == {1: 5, 2: 7, 4: None}
+
+
+def test_timestamp_ntz_feature_roundtrip(spark, tmp_path):
+    """timestampNtz (PROTOCOL.md feature — r8): a table created with a
+    TIMESTAMP_NTZ column announces the reader+writer feature, reads
+    back exactly, and the featured table is writable."""
+    from sling_cli_spark.sources.delta_py import read_delta
+
+    t = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT CAST(1 AS LONG) AS id, "
+        "TIMESTAMP_NTZ'2024-03-01 10:00:00' AS ts")
+    write_delta(df, t)
+    from sling_cli_spark.sources import delta_py as D
+    prot = D._replay_state(t)[2]
+    assert "timestampNtz" in set(prot.get("readerFeatures") or ())
+    assert "timestampNtz" in set(prot.get("writerFeatures") or ())
+    write_delta(spark.sql(
+        "SELECT CAST(2 AS LONG) AS id, "
+        "TIMESTAMP_NTZ'2024-03-02 11:30:00' AS ts"), t, mode="append")
+    got = {r["id"]: str(r["ts"]) for r in read_delta(spark, t).collect()}
+    assert got == {1: "2024-03-01 10:00:00", 2: "2024-03-02 11:30:00"}

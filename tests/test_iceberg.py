@@ -1398,3 +1398,22 @@ def test_compact_zorder_enables_bounds_skipping(spark, tmp_path):
     got = read_iceberg(spark, t)
     assert got.count() == 4096
     assert got.filter("b < 8").count() == df.filter("b < 8").count()
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """remove_orphan_files (r8): unreferenced leftovers under data/
+    are reclaimed; referenced data + Puffin DV files survive."""
+    from sling_cli_spark.sources.iceberg_py import (
+        delete_missing_iceberg, remove_orphan_files)
+
+    t = _v3_table(spark, tmp_path)
+    delete_missing_iceberg(
+        spark, t, _df(spark, [(i, "") for i in range(1, 20)])
+        .select("id"), "id", use_dvs=True)
+    orphan = os.path.join(t, "data", "deadbeef.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    deleted = remove_orphan_files(t)
+    assert deleted == ["deadbeef.parquet"]
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == set(range(1, 20))  # DV still applies -> puffin kept
