@@ -529,7 +529,7 @@ SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
                              "typeWidening-preview", "changeDataFeed",
                              "invariants", "generatedColumns",
                              "identityColumns", "checkConstraints",
-                             "timestampNtz"}
+                             "timestampNtz", "allowColumnDefaults"}
 
 
 def check_writer_protocol(path: str, removes_files: bool = False) -> None:
@@ -1649,7 +1649,9 @@ def write_delta(
             honor_meta = meta
             df = _with_invariant_guard(
                 _with_generated_columns(
-                    _with_identity_columns(df, meta), meta), meta)
+                    _with_identity_columns(
+                        _with_column_defaults(df, meta), meta),
+                    meta), meta)
         partition_by = existing_parts
     staged = _stage_data_files(df, path, partition_by)
     actions += staged
@@ -1723,7 +1725,9 @@ def merge_delta(
     # identity + generated columns fill/validate on the BATCH (before
     # the merge): a src row missing the column would otherwise merge a
     # null where foreign readers expect the derived value
-    src = _with_generated_columns(_with_identity_columns(src, meta), meta)
+    src = _with_generated_columns(
+        _with_identity_columns(_with_column_defaults(src, meta), meta),
+        meta)
     part_cols = meta.get("partitionColumns") or []
 
     touched_rel: list[str] = []
@@ -2387,6 +2391,31 @@ def _identity_fields(meta: dict | None) -> list[dict]:
             "allow_explicit": bool(
                 md.get("delta.identity.allowExplicitInsert", False)),
         })
+    return out
+
+
+def _with_column_defaults(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Honor column DEFAULT values on write (PROTOCOL.md §Default
+    Columns, writer feature "allowColumnDefaults"): a batch MISSING a
+    column whose field metadata carries ``CURRENT_DEFAULT`` gets the
+    default expression computed for every row — the write-time
+    semantics of INSERT omitting the column. A batch PROVIDING the
+    column keeps its values verbatim (defaults never validate, unlike
+    generated columns), including explicit nulls."""
+    from pyspark.sql import types as T
+
+    try:
+        fields = json.loads(
+            (meta or {}).get("schemaString") or "{}").get("fields") or []
+    except Exception:
+        return df
+    out = df
+    for f in fields:
+        dflt = (f.get("metadata") or {}).get("CURRENT_DEFAULT")
+        if dflt is None or f["name"] in out.columns:
+            continue
+        t = T._parse_datatype_json_string(json.dumps(f.get("type")))
+        out = out.withColumn(f["name"], F.expr(str(dflt)).cast(t))
     return out
 
 

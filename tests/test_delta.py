@@ -2168,3 +2168,34 @@ def test_timestamp_ntz_feature_roundtrip(spark, tmp_path):
         "TIMESTAMP_NTZ'2024-03-02 11:30:00' AS ts"), t, mode="append")
     got = {r["id"]: str(r["ts"]) for r in read_delta(spark, t).collect()}
     assert got == {1: "2024-03-01 10:00:00", 2: "2024-03-02 11:30:00"}
+
+
+def test_writer_honors_column_defaults(spark, tmp_path):
+    """Column DEFAULT values (PROTOCOL.md §Default Columns, r8): a
+    batch missing the column gets CURRENT_DEFAULT computed; a provided
+    value — including explicit NULL — stays verbatim (defaults never
+    validate, unlike generated columns)."""
+    from sling_cli_spark.sources.delta_py import read_delta
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "eu")],
+                                      "id long, region string"), t)
+    meta, _ = replay_log(t)
+    schema = json.loads(meta["schemaString"])
+    schema["fields"][1]["metadata"] = {"CURRENT_DEFAULT": "'us'"}
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema)
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"metaData": new_meta}) + "\n")
+    write_delta(spark.createDataFrame([(2,)], "id long"), t,
+                mode="append")  # missing -> default
+    write_delta(spark.createDataFrame([(3, None)],
+                                      "id long, region string"), t,
+                mode="append")  # explicit NULL stays
+    got = {r["id"]: r["region"] for r in read_delta(spark, t).collect()}
+    assert got == {1: "eu", 2: "us", 3: None}
+    # merge path fills too
+    from sling_cli_spark.sources.delta_py import merge_delta
+    merge_delta(spark, t, spark.createDataFrame([(9,)], "id long"), "id")
+    got = {r["id"]: r["region"] for r in read_delta(spark, t).collect()}
+    assert got[9] == "us"
