@@ -2035,6 +2035,23 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     for v in vs:
         if v >= keep_after:
             note(replay_log(path, v)[1])
+    # change-data files (CDF) belong to the COMMIT that wrote them:
+    # keep those of retained versions so read_change_feed still serves
+    # them; drop the rest with the history they describe
+    ref_cdc: set[str] = set()
+    for v in vs:
+        if v < keep_after:
+            continue
+        try:
+            lines = fs.read_bytes(_log_path(path, v)).decode().splitlines()
+        except FileNotFoundError:
+            continue
+        for line in lines:
+            if '"cdc"' not in line:
+                continue
+            a = json.loads(line)
+            if "cdc" in a:
+                ref_cdc.add(a["cdc"]["path"])
     deleted = []
     for rel in _walk_data_files(fs, path):
         if rel not in referenced:
@@ -2044,6 +2061,13 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         if rel not in ref_dv:
             fs.delete(fsio.join(path, rel))
             deleted.append(rel)
+    cdf_dir = fsio.join(path, "_change_data")
+    if fs.exists(cdf_dir):
+        for rel in _walk_data_files(fs, cdf_dir):
+            full_rel = f"_change_data/{rel}"
+            if full_rel not in ref_cdc:
+                fs.delete(fsio.join(path, full_rel))
+                deleted.append(full_rel)
     return deleted
 
 

@@ -2199,3 +2199,31 @@ def test_writer_honors_column_defaults(spark, tmp_path):
     merge_delta(spark, t, spark.createDataFrame([(9,)], "id long"), "id")
     got = {r["id"]: r["region"] for r in read_delta(spark, t).collect()}
     assert got[9] == "us"
+
+
+def test_vacuum_reclaims_expired_cdf_files(spark, tmp_path):
+    """vacuum (r8): _change_data files of versions older than the
+    retention window are reclaimed; retained versions' change files
+    survive and read_change_feed still serves them."""
+    import glob as _glob
+
+    from sling_cli_spark.sources.delta_py import (
+        latest_version, merge_delta, read_change_feed,
+        set_table_properties, vacuum)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
+    merge_delta(spark, t, _df(spark, [(1, "a2")]), "id")
+    merge_delta(spark, t, _df(spark, [(2, "b2")]), "id")
+    v_last = latest_version(t)
+    n0 = len(_glob.glob(os.path.join(t, "_change_data", "*")))
+    assert n0 >= 2
+    vacuum(t, keep_versions=1)
+    n1 = len(_glob.glob(os.path.join(t, "_change_data", "*")))
+    assert 0 < n1 < n0, "old change files reclaimed, last kept"
+    changes = {(r["id"], r["_change_type"])
+               for r in read_change_feed(
+                   spark, t, starting_version=v_last).collect()}
+    assert ("2", "update_postimage") in {(str(i), c) for i, c in changes} \
+        or (2, "update_postimage") in changes
