@@ -418,7 +418,8 @@ class UnsupportedTableFeature(RuntimeError):
 # refuse.
 SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors",
                              "v2Checkpoint", "typeWidening",
-                             "typeWidening-preview", "timestampNtz"}
+                             "typeWidening-preview", "timestampNtz",
+                             "variantType", "variantType-preview"}
 
 
 def _check_reader_protocol(path: str, protocol: dict | None) -> None:
@@ -529,7 +530,8 @@ SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
                              "typeWidening-preview", "changeDataFeed",
                              "invariants", "generatedColumns",
                              "identityColumns", "checkConstraints",
-                             "timestampNtz", "allowColumnDefaults"}
+                             "timestampNtz", "allowColumnDefaults",
+                             "variantType", "variantType-preview"}
 
 
 def check_writer_protocol(path: str, removes_files: bool = False) -> None:
@@ -640,14 +642,17 @@ def _schema_string(df: DataFrame) -> str:
 def _first_commit_actions(
     df: DataFrame, partition_by: list[str] | None = None,
 ) -> list[dict]:
-    # PROTOCOL.md §timestampNtz: a table USING timestamp without time
-    # zone must announce the reader+writer feature — foreign readers
-    # key the parquet isAdjustedToUTC handling on it
+    # PROTOCOL.md §timestampNtz / §variantType: a table USING the type
+    # must announce the reader+writer feature — foreign readers key the
+    # parquet handling (isAdjustedToUTC; variant struct encoding) on it
     prot: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
-    if "timestamp_ntz" in _schema_string(df):
+    feats = [f for f, marker in (("timestampNtz", '"timestamp_ntz"'),
+                                 ("variantType", '"variant"'))
+             if marker in _schema_string(df)]
+    if feats:
         prot = {"minReaderVersion": 3, "minWriterVersion": 7,
-                "readerFeatures": ["timestampNtz"],
-                "writerFeatures": ["appendOnly", "timestampNtz"]}
+                "readerFeatures": sorted(feats),
+                "writerFeatures": sorted(["appendOnly"] + feats)}
     return [
         {"protocol": prot},
         {"metaData": {

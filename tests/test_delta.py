@@ -2227,3 +2227,44 @@ def test_vacuum_reclaims_expired_cdf_files(spark, tmp_path):
                    spark, t, starting_version=v_last).collect()}
     assert ("2", "update_postimage") in {(str(i), c) for i, c in changes} \
         or (2, "update_postimage") in changes
+
+
+def test_variant_type_feature_roundtrip(spark, tmp_path):
+    """variantType (PROTOCOL.md feature — r8): a table created with a
+    VARIANT column announces the reader+writer feature and semi-
+    structured values round-trip exactly (Spark 4 native parquet
+    variant encoding)."""
+    from sling_cli_spark.sources.delta_py import read_delta
+
+    t = str(tmp_path / "t")
+    df = spark.sql(
+        'SELECT CAST(1 AS LONG) AS id, '
+        'PARSE_JSON(\'{"a": 1, "b": [1, 2]}\') AS v')
+    write_delta(df, t)
+    from sling_cli_spark.sources import delta_py as D
+    prot = D._replay_state(t)[2]
+    assert "variantType" in set(prot.get("readerFeatures") or ())
+    write_delta(spark.sql(
+        'SELECT CAST(2 AS LONG) AS id, '
+        'PARSE_JSON(\'{"c": null}\') AS v'), t, mode="append")
+    got = {r["id"]: r["j"] for r in read_delta(spark, t)
+           .selectExpr("id", "to_json(v) AS j").collect()}
+    assert got == {1: '{"a":1,"b":[1,2]}', 2: '{"c":null}'}
+
+
+def test_merge_pure_insert_on_dv_table(spark, tmp_path):
+    """A pure-insert merge batch on a DV-enabled table appends through
+    the DV path with zero descriptors and zero touched files."""
+    from sling_cli_spark.sources.delta_py import merge_delta
+
+    t = _dv_table(spark, tmp_path)
+    before = set(replay_log(t)[1])
+    res = merge_delta(spark, t, _df(spark, [(100, "x"), (101, "y")]),
+                      "id")
+    assert res["touched"] == 0 and res.get("dv_files") == 0
+    assert res["new_files"] >= 1
+    files = replay_log(t)[1]
+    assert before <= set(files)
+    assert not any(files[r].get("deletionVector") for r in before)
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == set(range(20)) | {100, 101}
