@@ -256,6 +256,70 @@ def _is_multipart_suffix(rest: str) -> bool:
                                   for b in bits)
 
 
+def _domain_metadata(path: str, version: int | None = None) -> dict:
+    """{domain: configuration} — latest wins, ``removed`` tombstones
+    drop the domain (PROTOCOL.md §Domain Metadata). Seeds from the
+    newest checkpoint when early log files were cleaned (foreign
+    tables), then folds the retained JSON commits."""
+    fs = fsio.get_fs(path)
+    vs = [v for v in _list_versions(path, fs)
+          if version is None or v <= version]
+    domains: dict[str, str] = {}
+    if vs and vs[0] > 0:
+        info = _last_checkpoint_info(path, fs)
+        cp_v = (info or {}).get("version")
+        # retained logs are a SUFFIX; the checkpoint reflects state at
+        # cp_v, and replaying any overlapping suffix commits after the
+        # seed is idempotent for latest-wins domains
+        if cp_v is not None and (version is None or cp_v <= version):
+            for dm in _checkpoint_domain_rows(path, fs, int(cp_v)):
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration")
+    for v in vs:
+        for line in fs.read_bytes(_log_path(path, v)).decode().splitlines():
+            if '"domainMetadata"' not in line:
+                continue
+            dm = json.loads(line).get("domainMetadata")
+            if not dm:
+                continue
+            if dm.get("removed"):
+                domains.pop(dm["domain"], None)
+            else:
+                domains[dm["domain"]] = dm.get("configuration")
+    return domains
+
+
+def _checkpoint_domain_rows(path: str, fs, version: int) -> list[dict]:
+    """domainMetadata rows stored in a checkpoint (classic parquet
+    column, or action lines in a V2 top-level JSON). Best-effort: a
+    checkpoint without the column yields []."""
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    classic = _checkpoint_file(path, version)
+    if fs.exists(classic):
+        t = pq.read_table(io.BytesIO(fs.read_bytes(classic)))
+        if "domainMetadata" in t.column_names:
+            out = [dict(r) for r in t.column("domainMetadata").to_pylist()
+                   if r is not None]
+        return out
+    # V2: UUID-named top JSON
+    for name in fs.listdir(fsio.join(path, _LOG_DIR)):
+        if name.startswith(f"{version:020d}.checkpoint.") \
+                and name.endswith(".json"):
+            for line in fs.read_bytes(
+                    fsio.join(path, fsio.join(_LOG_DIR, name))
+            ).decode().splitlines():
+                if '"domainMetadata"' in line:
+                    dm = json.loads(line).get("domainMetadata")
+                    if dm:
+                        out.append(dm)
+            break
+    return out
+
+
 def _write_checkpoint(path: str, fs, version: int) -> None:
     """Materialize the state at ``version`` as a parquet checkpoint +
     ``_last_checkpoint`` pointer (PROTOCOL.md Checkpoints: one action per
@@ -298,11 +362,29 @@ def _write_checkpoint(path: str, fs, version: int) -> None:
     }] + [None] * (n - 2)
     add_col = [None, None] + [_checkpoint_add_row(a) for a in adds]
 
-    table = pa.table({
+    cols = {
         "protocol": pa.array(protocol_col, type=protocol_t),
         "metaData": pa.array(meta_col, type=meta_t),
         "add": pa.array(add_col, type=add_t),
-    })
+    }
+    # domain metadata must survive the checkpoint (PROTOCOL.md §Domain
+    # Metadata: replay from a checkpoint that dropped them would lose
+    # every domain for readers that never see the earlier JSON
+    # commits). One action per row: domains APPEND as fresh rows.
+    domains = _domain_metadata(path, version)
+    if domains:
+        dm_t = pa.struct([("domain", pa.string()),
+                          ("configuration", pa.string()),
+                          ("removed", pa.bool_())])
+        dm_rows = [{"domain": d, "configuration": c, "removed": False}
+                   for d, c in sorted(domains.items())]
+        for k in list(cols):
+            cols[k] = pa.concat_arrays(
+                [cols[k], pa.nulls(len(dm_rows), type=cols[k].type)])
+        cols["domainMetadata"] = pa.array(
+            [None] * n + dm_rows, type=dm_t)
+        n += len(dm_rows)
+    table = pa.table(cols)
     buf = io.BytesIO()
     pq.write_table(table, buf)
     fs.write_bytes(_checkpoint_file(path, version), buf.getvalue())
@@ -385,6 +467,11 @@ def _write_checkpoint_v2(path: str, fs, version: int,
         {"protocol": protocol or {"minReaderVersion": 1,
                                   "minWriterVersion": 2}},
         {"metaData": meta or {}},
+    ] + [
+        {"domainMetadata": {"domain": d, "configuration": c,
+                            "removed": False}}
+        for d, c in sorted(_domain_metadata(path, version).items())
+    ] + [
         {"sidecar": {"path": side_name,
                      "sizeInBytes": len(buf.getvalue()),
                      "modificationTime": int(time.time() * 1000)}},
@@ -531,7 +618,8 @@ SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
                              "invariants", "generatedColumns",
                              "identityColumns", "checkConstraints",
                              "timestampNtz", "allowColumnDefaults",
-                             "variantType", "variantType-preview"}
+                             "variantType", "variantType-preview",
+                             "domainMetadata"}
 
 
 def check_writer_protocol(path: str, removes_files: bool = False) -> None:

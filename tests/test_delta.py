@@ -2268,3 +2268,40 @@ def test_merge_pure_insert_on_dv_table(spark, tmp_path):
     assert not any(files[r].get("deletionVector") for r in before)
     got = {r["id"] for r in read_delta(spark, t).collect()}
     assert got == set(range(20)) | {100, 101}
+
+
+def test_domain_metadata_survives_checkpoint(spark, tmp_path):
+    """domainMetadata (PROTOCOL.md — r8): latest-wins tracking with
+    removed tombstones, carried through a classic checkpoint so a
+    reader starting there (early JSON commits cleaned) still sees
+    every live domain."""
+    from sling_cli_spark.sources.delta_py import (
+        _checkpoint_file, _domain_metadata, _write_checkpoint, latest_version)
+    from sling_cli_spark import fsio
+
+    from sling_cli_spark.sources import delta_py as D
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    v = latest_version(t) + 1
+    D._commit(t, v, [
+        {"domainMetadata": {"domain": "myapp.settings",
+                            "configuration": '{"x": 1}',
+                            "removed": False}},
+        {"domainMetadata": {"domain": "myapp.gone",
+                            "configuration": "{}", "removed": False}},
+    ])
+    D._commit(t, v + 1, [
+        {"domainMetadata": {"domain": "myapp.gone",
+                            "configuration": "{}", "removed": True}},
+    ])
+    assert _domain_metadata(t) == {"myapp.settings": '{"x": 1}'}
+    fs = fsio.get_fs(t)
+    _write_checkpoint(t, fs, latest_version(t))
+    # simulate metadata cleanup: drop the pre-checkpoint JSON commits
+    for vv in range(latest_version(t)):
+        os.remove(os.path.join(t, "_delta_log", f"{vv:020d}.json"))
+    assert _domain_metadata(t) == {"myapp.settings": '{"x": 1}'}
+    # and the table itself still replays from the checkpoint
+    got = {r["id"] for r in read_delta(spark, t).collect()}
+    assert got == {1}
