@@ -506,7 +506,8 @@ class UnsupportedTableFeature(RuntimeError):
 SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors",
                              "v2Checkpoint", "typeWidening",
                              "typeWidening-preview", "timestampNtz",
-                             "variantType", "variantType-preview"}
+                             "variantType", "variantType-preview",
+                             "vacuumProtocolCheck"}
 
 
 def _check_reader_protocol(path: str, protocol: dict | None) -> None:
@@ -619,7 +620,7 @@ SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
                              "identityColumns", "checkConstraints",
                              "timestampNtz", "allowColumnDefaults",
                              "variantType", "variantType-preview",
-                             "domainMetadata"}
+                             "domainMetadata", "vacuumProtocolCheck"}
 
 
 def check_writer_protocol(path: str, removes_files: bool = False) -> None:
@@ -2102,11 +2103,29 @@ def _walk_dv_files(fs, path: str, rel: str = "") -> list[str]:
 
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     """Delete data files — and deletion-vector .bin files (r8: DV
-    production superseded-vector cleanup) — no longer referenced by the
-    retained versions (delta VACUUM without the retention-hours knob —
-    EL-tool sized)."""
+    production superseded-vector cleanup) plus expired change-data
+    files — no longer referenced by the retained versions (delta
+    VACUUM without the retention-hours knob — EL-tool sized).
+
+    vacuumProtocolCheck (PROTOCOL.md): vacuum consults the table
+    protocol before deleting anything — a protocol listing features
+    this implementation doesn't understand refuses, because an unknown
+    feature may change which files are referenced (exactly the failure
+    the feature exists to gate)."""
     from . import delta_dv
 
+    meta_p, _, protocol = _replay_state(path)
+    if meta_p is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    unknown = (set((protocol or {}).get("writerFeatures") or ())
+               - SUPPORTED_WRITER_FEATURES) \
+        | (set((protocol or {}).get("readerFeatures") or ())
+           - SUPPORTED_READER_FEATURES)
+    if unknown:
+        raise UnsupportedTableFeature(
+            f"vacuum on {path} refused: protocol lists features "
+            f"{sorted(unknown)} this implementation does not "
+            "understand — they may change which files are referenced")
     fs = fsio.get_fs(path)
     vs = _list_versions(path, fs)
     keep_after = vs[-keep_versions] if len(vs) >= keep_versions else 0

@@ -2305,3 +2305,27 @@ def test_domain_metadata_survives_checkpoint(spark, tmp_path):
     # and the table itself still replays from the checkpoint
     got = {r["id"] for r in read_delta(spark, t).collect()}
     assert got == {1}
+
+
+def test_vacuum_protocol_check(spark, tmp_path):
+    """vacuumProtocolCheck (r8): vacuum consults the protocol and
+    refuses tables listing features it doesn't understand; a table
+    listing only the feature itself vacuums fine."""
+    from sling_cli_spark.sources import delta_py as D
+    from sling_cli_spark.sources.delta_py import (
+        UnsupportedTableFeature, vacuum)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    v = latest_version(t) + 1
+    D._commit(t, v, [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["vacuumProtocolCheck"],
+        "writerFeatures": ["appendOnly", "vacuumProtocolCheck"]}}])
+    assert vacuum(t) == []  # understood feature -> proceeds
+    D._commit(t, v + 1, [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["vacuumProtocolCheck"],
+        "writerFeatures": ["appendOnly", "futureMagicFeature"]}}])
+    with pytest.raises(UnsupportedTableFeature, match="futureMagic"):
+        vacuum(t)
