@@ -507,9 +507,10 @@ def test_optimize_partitioned_compacts_within_partition(spark, tmp_path):
 
 def test_reader_protocol_v3_refused(spark, tmp_path):
     """A foreign table requiring a reader v3 feature we don't implement
-    (e.g. variantType) must refuse loudly — replaying anyway would
-    return wrong rows (PROTOCOL.md Reader Requirements). deletionVectors
-    and columnMapping are supported and no longer refuse."""
+    (e.g. collations) must refuse loudly — replaying anyway would
+    return wrong rows (PROTOCOL.md Reader Requirements). deletionVectors,
+    columnMapping, timestampNtz, and variantType are supported and no
+    longer refuse."""
     from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
 
     t = str(tmp_path / "t")
@@ -519,9 +520,9 @@ def test_reader_protocol_v3_refused(spark, tmp_path):
     with open(log, "w") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["variantType"],
+            "readerFeatures": ["collations"],
         }}) + "\n")
-    with pytest.raises(UnsupportedTableFeature, match="variantType"):
+    with pytest.raises(UnsupportedTableFeature, match="collations"):
         read_delta(spark, t)
     with pytest.raises(UnsupportedTableFeature):
         replay_log(t)
