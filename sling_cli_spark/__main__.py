@@ -306,6 +306,15 @@ def cmd_lake(args: argparse.Namespace) -> int:
         print(json.dumps({"removed_files": len(removed)}))
         return 0
     spark = _get_spark(args.debug)
+    if op == "history":
+        if is_delta:
+            from sling_cli_spark.sources.delta_py import describe_history
+            df = describe_history(spark, path)
+        else:
+            from sling_cli_spark.sources.iceberg_py import iceberg_history
+            df = iceberg_history(spark, path)
+        _stream_csv_stdout(df)
+        return 0
     if op == "optimize":
         target = args.target_mb * 1024 * 1024
         if is_delta:
@@ -420,6 +429,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="iceberg: delete data/ files no snapshot "
                             "references")
     lr.add_argument("path")
+    lh = ls.add_parser("history",
+                       help="commit/snapshot history as CSV "
+                            "(DESCRIBE HISTORY twin)")
+    lh.add_argument("path")
     lc = ls.add_parser("changes",
                        help="stream row-level changes as CSV "
                             "(default: the latest commit's)")
@@ -428,7 +441,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="delta change-feed start version")
     lc.add_argument("--from-snapshot", type=int,
                     help="iceberg changelog start snapshot id")
-    for sp in (lo, lv, le, lc):  # trailing -d parses like run/pipeline
+    for sp in (lo, lv, le, lc, lh):  # trailing -d parses like run/pipeline
         sp.add_argument("-d", "--debug", action="store_true")
     lk.set_defaults(fn=cmd_lake)
     return p

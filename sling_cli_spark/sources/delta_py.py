@@ -2412,6 +2412,59 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
     return v
 
 
+def describe_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY twin: one row per commit — version, timestamp
+    (commitInfo when present, else the inCommitTimestamp/file order),
+    operation (commitInfo's, else inferred from the action mix), and
+    action counts. Metadata-sized (the log is the table's control
+    plane), so the rows build driver-side like the add-list replay
+    every operation already performs."""
+    fs = fsio.get_fs(path)
+    rows = []
+    for v in _list_versions(path, fs):
+        n_add = n_remove = n_cdc = 0
+        has_meta = has_protocol = False
+        info: dict = {}
+        ts = None
+        for line in fs.read_bytes(_log_path(path, v)).decode().splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "add" in a:
+                n_add += 1
+            elif "remove" in a:
+                n_remove += 1
+            elif "cdc" in a:
+                n_cdc += 1
+            elif "metaData" in a:
+                has_meta = True
+            elif "protocol" in a:
+                has_protocol = True
+            elif "commitInfo" in a:
+                info = a["commitInfo"] or {}
+                ts = info.get("inCommitTimestamp") or info.get("timestamp")
+        op = info.get("operation")
+        if not op:
+            if n_remove and n_add:
+                op = "MERGE" if n_cdc else "REWRITE"
+            elif n_add:
+                op = "WRITE"
+            elif n_remove:
+                op = "DELETE"
+            elif has_meta:
+                op = "SET TBLPROPERTIES"
+            elif has_protocol:
+                op = "UPGRADE PROTOCOL"
+            else:
+                op = "COMMIT"
+        if ts is None:
+            ts = commit_timestamp_ms(path, v)
+        rows.append((v, int(ts), op, n_add, n_remove, n_cdc))
+    return spark.createDataFrame(
+        rows, "version long, timestamp_ms long, operation string, "
+              "n_added long, n_removed long, n_change_files long")
+
+
 def _schema_has_invariants(meta: dict) -> bool:
     try:
         fields = json.loads(meta["schemaString"]).get("fields") or []

@@ -1478,6 +1478,23 @@ def write_iceberg(
         carried_deletes=carried_dels)
 
 
+def iceberg_history(spark: SparkSession, path: str) -> DataFrame:
+    """history metadata-table twin: one row per snapshot — id,
+    timestamp, sequence number, operation, whether it is an ancestor
+    of the current snapshot (linear history here, so every retained
+    snapshot is)."""
+    _, meta = _current_metadata(path)
+    cur = meta.get("current-snapshot-id")
+    rows = [(int(s["snapshot-id"]), int(s.get("timestamp-ms") or 0),
+             int(s.get("sequence-number") or 0),
+             (s.get("summary") or {}).get("operation"),
+             s["snapshot-id"] == cur)
+            for s in meta.get("snapshots") or []]
+    return spark.createDataFrame(
+        rows, "snapshot_id long, timestamp_ms long, "
+              "sequence_number long, operation string, is_current boolean")
+
+
 def remove_orphan_files(path: str) -> list[str]:
     """Delete files under ``data/`` that NO snapshot references (the
     spec's remove_orphan_files maintenance action; failed-stage

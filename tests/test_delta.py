@@ -2330,3 +2330,22 @@ def test_vacuum_protocol_check(spark, tmp_path):
         "writerFeatures": ["appendOnly", "futureMagicFeature"]}}])
     with pytest.raises(UnsupportedTableFeature, match="futureMagic"):
         vacuum(t)
+
+
+def test_describe_history(spark, tmp_path):
+    """DESCRIBE HISTORY twin (r8): one row per commit with inferred
+    operations and action counts."""
+    from sling_cli_spark.sources.delta_py import (
+        describe_history, merge_delta, set_table_properties)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    set_table_properties(t, {"delta.appendOnly": "false"})
+    merge_delta(spark, t, _df(spark, [(1, "a2"), (2, "b")]), "id")
+    h = {r["version"]: (r["operation"], r["n_added"], r["n_removed"])
+         for r in describe_history(spark, t).collect()}
+    assert h[0][0] == "WRITE" and h[0][1] >= 1
+    assert h[1][0] == "SET TBLPROPERTIES"
+    assert h[2][0] == "REWRITE" and h[2][2] >= 1
+    assert all(r["timestamp_ms"] > 0
+               for r in describe_history(spark, t).collect())

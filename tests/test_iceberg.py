@@ -1417,3 +1417,16 @@ def test_remove_orphan_files(spark, tmp_path):
     assert deleted == ["deadbeef.parquet"]
     got = {r["id"] for r in read_iceberg(spark, t).collect()}
     assert got == set(range(1, 20))  # DV still applies -> puffin kept
+
+
+def test_iceberg_history(spark, tmp_path):
+    from sling_cli_spark.sources.iceberg_py import iceberg_history
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a")]), t)
+    write_iceberg(_df(spark, [(2, "b")]), t)
+    rows = iceberg_history(spark, t).orderBy("sequence_number").collect()
+    assert len(rows) == 2
+    assert [r["is_current"] for r in rows] == [False, True]
+    assert rows[0]["operation"] in ("append", "overwrite")
+    assert rows[1]["sequence_number"] > rows[0]["sequence_number"]
