@@ -595,6 +595,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return read_delta(spark, t).select(
             "n_nationkey", "n_name", "n_regionkey")
 
+    def delta_row_tracking(spark, sf):
+        """Row tracking end-to-end (delta_py round 8,
+        _assign_fresh_row_ids / _scan_with_row_ids /
+        _rt_attach_preserved; PROTOCOL.md §Row Tracking): nation lands
+        sorted in ONE file (row id == n_nationkey), enabling
+        delta.enableRowTracking backfills baseRowId + the watermark
+        domain, a DV-producing merge UPDATES every multiple of 7 —
+        their row ids survive the move to a new file via the
+        materialized column while kept rows ride the re-added file's
+        baseRowId — and a final append takes fresh ids past the
+        watermark (29, 30: the merge's new file reserved 25-28).
+        read_delta(with_row_ids=True) computes ids JVM-side:
+        coalesce(materialized, baseRowId + _metadata.row_index) over a
+        broadcast per-file map. Oracle: row ids/versions as CASE
+        arithmetic on the key."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            merge_delta, read_delta, replay_log, set_table_properties,
+            write_delta)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_rt_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_delta(n.coalesce(1).sortWithinPartitions("n_nationkey"), t)
+        set_table_properties(t, {"delta.enableRowTracking": "true",
+                                 "delta.enableDeletionVectors": "true"})
+        before = set(replay_log(t)[1])
+        res = merge_delta(
+            spark, t,
+            n.filter("n_nationkey % 7 = 0")
+            .withColumn("n_name", F.concat("n_name", F.lit("_u"))),
+            "n_nationkey")
+        assert res.get("dv_files") == 1 and before <= set(
+            replay_log(t)[1]), "update-only merge must DV, not rewrite"
+        write_delta(
+            spark.createDataFrame(
+                [(90, "APPENDLAND_A", 0), (91, "APPENDLAND_B", 1)],
+                "n_nationkey long, n_name string, n_regionkey long")
+            .coalesce(1).sortWithinPartitions("n_nationkey"),
+            t, mode="append")
+        out = read_delta(spark, t, with_row_ids=True)
+        return out.select(
+            "n_nationkey", "n_name", "n_regionkey",
+            F.col("_row_id").alias("row_id"),
+            F.col("_row_commit_version").alias("row_commit_version"))
+
     def iceberg_v3_dv_produce(spark, sf):
         """Iceberg v3 write-side DV production (iceberg_py round 8,
         _produce_dvs_ice / _dv_delete_entries; spec v3 §Deletion
@@ -2061,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round (r8): never driver-checked ---------------------
         "delta_dv_produce": delta_dv_produce,
+        "delta_row_tracking": delta_row_tracking,
         "iceberg_v3_dv_produce": iceberg_v3_dv_produce,
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "delta_identity_generated": delta_identity_generated,
@@ -2774,6 +2824,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_nationkey % 5 <> 0 OR n_nationkey < 4
             UNION ALL
             SELECT CAST(99 AS BIGINT), 'NEWLAND', CAST(0 AS BIGINT)
+        """,
+        # one sorted file -> row id == key; merge updates multiples of
+        # 7 (ids preserved, version -> 2); append at v3 takes 29, 30
+        # (the merge's 4-row file reserved 25-28 off the watermark)
+        "delta_row_tracking": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   CASE WHEN n_nationkey % 7 = 0 THEN n_name || '_u'
+                        ELSE n_name END AS n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   CAST(n_nationkey AS BIGINT) AS row_id,
+                   CAST(CASE WHEN n_nationkey % 7 = 0 THEN 2 ELSE 1
+                        END AS BIGINT) AS row_commit_version
+            FROM nation
+            UNION ALL
+            SELECT 90, 'APPENDLAND_A', 0, 29, 3
+            UNION ALL
+            SELECT 91, 'APPENDLAND_B', 1, 30, 3
         """,
         # two successive sparse DV deletes: multiples of 5, then of 7
         "iceberg_v3_dv_produce": """

@@ -164,6 +164,9 @@ def _norm_checkpoint_add(a: dict) -> dict:
             k: v for k, v in dict(dv).items() if v is not None}
     else:
         add.pop("deletionVector", None)
+    for k in ("baseRowId", "defaultRowCommitVersion"):
+        if add.get(k) is None:  # non-row-tracked checkpoint rows
+            add.pop(k, None)
     return add
 
 
@@ -424,6 +427,8 @@ def _checkpoint_arrow_types():
         ("dataChange", pa.bool_()),
         ("deletionVector", dv_t),
         ("stats", pa.string()),
+        ("baseRowId", pa.int64()),
+        ("defaultRowCommitVersion", pa.int64()),
     ])
     return protocol_t, meta_t, add_t
 
@@ -437,6 +442,8 @@ def _checkpoint_add_row(a: dict) -> dict:
         "dataChange": False,  # checkpoint adds are not data changes
         "deletionVector": a.get("deletionVector"),
         "stats": a.get("stats"),
+        "baseRowId": a.get("baseRowId"),
+        "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
     }
 
 
@@ -620,17 +627,21 @@ SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
                              "identityColumns", "checkConstraints",
                              "timestampNtz", "allowColumnDefaults",
                              "variantType", "variantType-preview",
-                             "domainMetadata", "vacuumProtocolCheck"}
+                             "domainMetadata", "vacuumProtocolCheck",
+                             "rowTracking"}
 
 
-def check_writer_protocol(path: str, removes_files: bool = False) -> None:
+def check_writer_protocol(path: str, removes_files: bool = False) -> dict:
     """PROTOCOL.md Writer Requirements: a writer MUST refuse tables
     whose ``minWriterVersion`` (or listed writerFeatures) exceeds what
     it implements — committing anyway can break invariants other
     engines rely on (constraint checks, change-data files, ...). We
     implement writer protocol v2 (plain appends/removes). Also honors
     the ``delta.appendOnly`` table property: commits that REMOVE files
-    (overwrite/merge/delete/optimize) refuse on append-only tables."""
+    (overwrite/merge/delete/optimize) refuse on append-only tables.
+    Returns the protocol action (callers gating feature-specific write
+    obligations — row-id assignment — reuse it instead of replaying
+    again)."""
     meta, _, protocol = _replay_state(path)
     mwv = (protocol or {}).get("minWriterVersion") or 1
     feats = set((protocol or {}).get("writerFeatures") or [])
@@ -649,6 +660,7 @@ def check_writer_protocol(path: str, removes_files: bool = False) -> None:
             f"delta table at {path} is append-only "
             "(delta.appendOnly=true); refusing a commit that removes "
             "files")
+    return protocol or {}
 
 
 # ------------------------------------------------------------------ commit
@@ -718,7 +730,23 @@ def _commit_with_retry(
                     f"{sorted(set(active) - read_files)[:3]}... since this "
                     f"merge's snapshot at {path} — re-run the merge against "
                     f"the new snapshot")
-            version = latest_version(path) + 1
+            prev, version = version, latest_version(path) + 1
+            # row-tracked commits: the concurrent winner may have
+            # advanced the row-id watermark — reassign the FRESH adds
+            # (the ones stamped with the lost version; DV re-adds keep
+            # their original ids) against the new snapshot, and refresh
+            # defaultRowCommitVersion to the version actually claimed
+            rt = [a for a in actions
+                  if (a.get("domainMetadata") or {}).get("domain")
+                  == _ROW_TRACKING_DOMAIN]
+            if rt:
+                fresh = [a for a in actions if "add" in a and
+                         a["add"].get("defaultRowCommitVersion") == prev]
+                for a in fresh:
+                    a["add"].pop("baseRowId", None)
+                    a["add"].pop("defaultRowCommitVersion", None)
+                actions = [a for a in actions if a not in rt] + \
+                    _assign_fresh_row_ids(path, fresh, version)
     raise FileExistsError(
         f"delta: could not claim a version after {max_retries} retries "
         f"at {path}")
@@ -1196,6 +1224,7 @@ def version_at_timestamp(path: str, ts_ms: int) -> int | None:
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None,
     skip_filters=None, as_of_timestamp_ms: int | None = None,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Snapshot read at ``version`` (default latest), or at the latest
     version committed at or before ``as_of_timestamp_ms``
@@ -1246,10 +1275,19 @@ def read_delta(
             files, skip_filters, meta.get("partitionColumns") or ())
     schema_json = json.loads(meta["schemaString"])
     logical = T.StructType.fromJson(schema_json)
+    cm = _column_mapping_mode(meta)
+    if with_row_ids:
+        # PROTOCOL.md §Row Tracking: table columns + _row_id +
+        # _row_commit_version (materialized value when a rewrite
+        # threaded one through, else baseRowId + row_index)
+        if cm != "none":
+            raise UnsupportedTableFeature(
+                f"delta table at {path}: row-id reads are not "
+                "implemented for column-mapped tables")
+        return _scan_with_row_ids(spark, path, meta, files, sorted(files))
     if not files:
         return spark.createDataFrame([], logical)
 
-    cm = _column_mapping_mode(meta)
     dvs = {rel: add["deletionVector"] for rel, add in files.items()
            if add.get("deletionVector")}
     if cm == "none":
@@ -1334,18 +1372,57 @@ def _apply_deletion_vectors(
     plain Python with no JVM filesystem client — and ships the raw
     bitmap blobs (MBs of compressed roaring, never expanded positions)
     inline."""
+    from pyspark.sql import functions as F
+
+    deleted = _dv_deleted_df(spark, path, dvs)
+    left = (df
+            .withColumn("__fp", _rel_fp_col(path))
+            .withColumn("__pos", F.col("_metadata.row_index")))
+    return left.join(deleted, ["__fp", "__pos"], "left_anti") \
+        .drop("__fp", "__pos")
+
+
+def _table_base(path: str) -> str:
+    """Filesystem path of the table root (scheme/authority stripped for
+    URI tables), no trailing slash — the prefix :func:`_rel_fp_col`
+    removes."""
+    parsed = urlparse(path)
+    base = parsed.path if (parsed.scheme and len(parsed.scheme) > 1) \
+        else os.path.abspath(path)
+    return base.rstrip("/")
+
+
+def _rel_fp_col(path: str):
+    """Column expression: ``_metadata.file_path`` reduced to the log's
+    literal table-relative path — scheme://authority stripped, ONE
+    url-decode (Spark encodes the URI over the on-disk name), then the
+    table base prefix + '/' removed. The SQL twin of
+    :func:`_rel_to_table`."""
+    from pyspark.sql import functions as F
+
+    decoded = F.url_decode(F.regexp_replace(
+        F.col("_metadata.file_path"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""))
+    return F.substring(decoded, len(_table_base(path)) + 2, 1 << 30)
+
+
+def _dv_deleted_df(spark, path: str, dvs: dict[str, dict]) -> DataFrame:
+    """``(__fp, __pos)`` rows for every DV-deleted position of ``dvs``
+    (rel path -> descriptor), expanded on EXECUTORS via ``mapInPandas``
+    (a 100 TB table's DVs can hold billions of positions — the driver
+    ships per-file descriptor JSON, not positions). Non-local tables
+    pre-read u/p DV blobs through fsio on the driver and ship the raw
+    compressed roaring inline (executors run plain Python with no JVM
+    filesystem client)."""
     import base64
 
     import pandas as pd
-    from pyspark.sql import functions as F
 
     from . import delta_dv
 
     parsed = urlparse(path)
     is_uri = bool(parsed.scheme and len(parsed.scheme) > 1)
-    base = parsed.path if is_uri else os.path.abspath(path)
-    base = base.rstrip("/")
-    table_ref = path if is_uri else base
+    table_ref = path if is_uri else _table_base(path)
 
     rows = []
     for rel, desc in dvs.items():
@@ -1370,20 +1447,8 @@ def _apply_deletion_vectors(
                     yield pd.DataFrame(
                         {"__fp": fp, "__pos": idx[i:i + step]})
 
-    deleted = src.select("__fp", "__dv", "__b") \
+    return src.select("__fp", "__dv", "__b") \
         .mapInPandas(expand, "__fp string, __pos long")
-    # scheme://authority stripped, ONE url-decode (Spark encodes the URI
-    # over the on-disk name), then the table base prefix + '/' removed —
-    # leaving the log's literal relative path
-    decoded = F.url_decode(F.regexp_replace(
-        F.col("_metadata.file_path"),
-        "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""))
-    left = (df
-            .withColumn("__fp", F.substring(decoded, len(base) + 2,
-                                            1 << 30))
-            .withColumn("__pos", F.col("_metadata.row_index")))
-    return left.join(deleted, ["__fp", "__pos"], "left_anti") \
-        .drop("__fp", "__pos")
 
 
 def _read_files_mor(
@@ -1457,11 +1522,15 @@ def _dv_protocol_action(path: str) -> dict | None:
         return None
     rf.add("deletionVectors")
     wf |= {"deletionVectors", "appendOnly"}  # appendOnly: v2-implied
-    if prot.get("minReaderVersion", 1) == 2 \
-            or prot.get("minWriterVersion", 2) >= 5:
+    # legacy version numbers IMPLY features; a protocol already on v7
+    # lists its features explicitly — re-deriving from the version
+    # would bolt on obligations (columnMapping) the table never had
+    legacy = not prot.get("writerFeatures")
+    if legacy and (prot.get("minReaderVersion", 1) == 2
+                   or prot.get("minWriterVersion", 2) >= 5):
         rf.add("columnMapping")
         wf.add("columnMapping")
-    if prot.get("minWriterVersion", 2) >= 4:
+    if legacy and prot.get("minWriterVersion", 2) >= 4:
         wf.add("changeDataFeed")
     return {"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
@@ -1599,6 +1668,188 @@ def _produce_dv_actions(
     return actions, len(dv_rows), len(dead), doomed_rels
 
 
+# ------------------------------------------------------------ row tracking
+
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+_RID_CONF = "delta.rowTracking.materializedRowIdColumnName"
+_RCV_CONF = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+
+def row_tracking_enabled(meta: dict | None) -> bool:
+    """Row-id PRESERVATION is required of rewrites when the public
+    ``delta.enableRowTracking`` property is set (PROTOCOL.md §Row
+    Tracking); mere protocol support only obliges fresh-id assignment
+    (:func:`_assign_fresh_row_ids` keys on the feature instead)."""
+    return ((meta or {}).get("configuration") or {}).get(
+        "delta.enableRowTracking") == "true"
+
+
+def _rt_cols(meta: dict | None) -> tuple[str | None, str | None]:
+    """Materialized (row-id, row-commit-version) physical column names
+    the enabling writer recorded in the table configuration."""
+    conf = (meta or {}).get("configuration") or {}
+    return conf.get(_RID_CONF), conf.get(_RCV_CONF)
+
+
+def _row_id_hwm(path: str) -> int:
+    """Current row-id high watermark from the ``delta.rowTracking``
+    domain (PROTOCOL.md §Row Tracking: a JSON configuration holding
+    ``rowIdHighWaterMark``); -1 before any assignment."""
+    cfg = _domain_metadata(path).get(_ROW_TRACKING_DOMAIN)
+    if not cfg:
+        return -1
+    try:
+        return int(json.loads(cfg).get("rowIdHighWaterMark", -1))
+    except (ValueError, TypeError):
+        return -1
+
+
+def _add_num_records(path: str, add: dict) -> int:
+    """Physical row count of a staged add — from its stats when present
+    (the stage computes them), else the parquet footer."""
+    st = add.get("stats")
+    if st:
+        try:
+            return int(json.loads(st)["numRecords"])
+        except (ValueError, KeyError, TypeError):
+            pass
+    import pyarrow.parquet as pq
+
+    fs = fsio.get_fs(path)
+    return pq.ParquetFile(io.BytesIO(
+        fs.read_bytes(fsio.join(path, add["path"])))).metadata.num_rows
+
+
+def _assign_fresh_row_ids(
+    path: str, adds: list[dict], version: int, protocol: dict | None = None,
+) -> list[dict]:
+    """Assign ``baseRowId`` / ``defaultRowCommitVersion`` to staged add
+    actions (mutated in place) and return the domainMetadata action
+    advancing the row-id high watermark — PROTOCOL.md §Row Tracking
+    Writer Requirements: once the protocol lists the feature, EVERY new
+    add gets fresh ids past the watermark. Adds that already carry a
+    ``baseRowId`` (DV re-adds of existing files) keep it. Returns []
+    when the feature is absent or nothing was assigned."""
+    if protocol is None:
+        protocol = _replay_state(path)[2]
+    if "rowTracking" not in set((protocol or {}).get("writerFeatures")
+                                or ()):
+        return []
+    hwm = _row_id_hwm(path)
+    assigned = False
+    for a in adds:
+        add = a.get("add", a)
+        if add.get("baseRowId") is not None:
+            continue
+        add["baseRowId"] = hwm + 1
+        add["defaultRowCommitVersion"] = version
+        hwm += max(1, _add_num_records(path, add))
+        assigned = True
+    if not assigned:
+        return []
+    return [{"domainMetadata": {
+        "domain": _ROW_TRACKING_DOMAIN,
+        "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+        "removed": False}}]
+
+
+def _scan_with_row_ids(
+    spark, path: str, meta: dict, files: dict, rels,
+    rid_out: str = "_row_id", rcv_out: str = "_row_commit_version",
+) -> DataFrame:
+    """DV-applied scan of ``rels`` with two extra columns: each row's
+    stable row id and row commit version (PROTOCOL.md §Row Tracking:
+    the materialized column value when the physical file carries one —
+    rewrites thread it through — else the fresh
+    ``baseRowId + row_index`` / ``defaultRowCommitVersion``).
+
+    The per-file (baseRowId, defaultRowCommitVersion) map is metadata
+    the log replay already holds, broadcast-joined on the relative
+    file path; id arithmetic is whole-stage-codegen column math, so
+    the scan stays one JVM-side pass at any scale."""
+    from pyspark.sql import types as T
+
+    logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    rid_col, rcv_col = _rt_cols(meta)
+    rels = sorted(rels)
+    out = T.StructType(list(logical.fields) + [
+        T.StructField(rid_out, T.LongType()),
+        T.StructField(rcv_out, T.LongType())])
+    if not rels:
+        return spark.createDataFrame([], out)
+    missing = [r for r in rels if files[r].get("baseRowId") is None]
+    if missing:
+        raise UnsupportedTableFeature(
+            f"delta table at {path}: row tracking requires every active "
+            f"file to carry baseRowId; missing on {missing[:3]} — enable "
+            "row tracking via set_table_properties to backfill")
+    read_schema = T.StructType(list(logical.fields) + [
+        T.StructField(c, T.LongType()) for c in (rid_col, rcv_col) if c])
+    reader = spark.read.schema(read_schema)
+    if meta.get("partitionColumns"):
+        reader = reader.option("basePath", path)
+    df = reader.parquet(*[fsio.join(path, r) for r in rels])
+    df = df.withColumn("__fp", _rel_fp_col(path)) \
+           .withColumn("__pos", F.col("_metadata.row_index"))
+    dvs = {r: files[r]["deletionVector"] for r in rels
+           if files[r].get("deletionVector")}
+    if dvs:
+        df = df.join(_dv_deleted_df(spark, path, dvs),
+                     ["__fp", "__pos"], "left_anti")
+    fmap = spark.createDataFrame(
+        [(r, int(files[r]["baseRowId"]),
+          int(files[r].get("defaultRowCommitVersion") or 0))
+         for r in rels],
+        "__fp string, __base long, __dcv long")
+    df = df.join(F.broadcast(fmap), "__fp", "left")
+    rid_val = F.col("__base") + F.col("__pos")
+    rcv_val = F.col("__dcv")
+    if rid_col:
+        rid_val = F.coalesce(F.col(f"`{rid_col}`"), rid_val)
+    if rcv_col:
+        rcv_val = F.coalesce(F.col(f"`{rcv_col}`"), rcv_val)
+    sel = [F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+           for f in logical.fields]
+    sel += [rid_val.cast("long").alias(rid_out),
+            rcv_val.cast("long").alias(rcv_out)]
+    return df.select(*sel)
+
+
+def _rt_attach_preserved(
+    spark, path: str, meta: dict, files: dict, rels,
+    replacement: DataFrame, updated_keys: DataFrame | None, pk: list[str],
+) -> DataFrame:
+    """Materialize row ids into a rewrite's output (PROTOCOL.md Row
+    Tracking Writer Requirements: rewritten rows keep their row ids;
+    UPDATED rows take the new commit's version, untouched rows keep
+    theirs). Joins the rewrite output back to the touched files'
+    (pk -> id) mapping — merge semantics already assume pk uniqueness
+    in the target. Rows absent from the mapping (inserts) materialize
+    NULL and read fresh ids from the new file's baseRowId.
+    ``updated_keys`` (None = pure rearrangement) marks the rows whose
+    commit version must reset to the new commit's default."""
+    rid_col, rcv_col = _rt_cols(meta)
+    if not rid_col:
+        return replacement
+    mapping = _scan_with_row_ids(
+        spark, path, meta, files, rels, "__rt_rid", "__rt_rcv") \
+        .select(*pk, "__rt_rid", "__rt_rcv")
+    out = replacement.join(mapping, on=pk, how="left")
+    drop = ["__rt_rid", "__rt_rcv"]
+    out = out.withColumn(rid_col, F.col("__rt_rid"))
+    if rcv_col:
+        if updated_keys is not None:
+            out = out.join(
+                updated_keys.select(*pk).distinct()
+                .withColumn("__rt_hit", F.lit(1)), on=pk, how="left")
+            out = out.withColumn(rcv_col, F.when(
+                F.col("__rt_hit").isNull(), F.col("__rt_rcv")))
+            drop.append("__rt_hit")
+        else:
+            out = out.withColumn(rcv_col, F.col("__rt_rcv"))
+    return out.drop(*drop)
+
+
 def _read_mapped_partitioned(
     spark, path: str, meta: dict, files: dict, schema_json: dict, logical,
     id_mode: bool = False, dvs: dict | None = None,
@@ -1706,10 +1957,12 @@ def write_delta(
     version = latest_version(path) + 1
     actions: list[dict] = []
     honor_meta = None  # table whose column contracts bind this batch
+    prot: dict = {}
     if version == 0:
         actions += _first_commit_actions(df, partition_by)
     else:
-        check_writer_protocol(path, removes_files=(mode == "overwrite"))
+        prot = check_writer_protocol(path,
+                                     removes_files=(mode == "overwrite"))
         meta, files = replay_log(path)
         existing_parts = (meta or {}).get("partitionColumns") or []
         if mode == "overwrite":
@@ -1751,6 +2004,7 @@ def write_delta(
     actions += staged
     if honor_meta is not None:
         actions += _identity_hwm_action(honor_meta, staged)
+    actions += _assign_fresh_row_ids(path, staged, version, protocol=prot)
     if mode == "append" and version > 0:
         return _commit_with_retry(path, version, actions)
     _commit(path, version, actions)
@@ -1812,7 +2066,7 @@ def merge_delta(
 
     strategy = strategy or MergeStrategy.UPDATE_INSERT
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
-    check_writer_protocol(path, removes_files=True)
+    wprot = check_writer_protocol(path, removes_files=True)
     meta, files = replay_log(path)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
@@ -1884,21 +2138,32 @@ def merge_delta(
             appended = _with_invariant_guard(merge_dataframes(
                 matched_rows, src, pk, strategy=strategy,
                 update_key=update_key, **cdc_cols), meta)
+            data_appended = appended
+            if doomed_rels and row_tracking_enabled(meta):
+                # matched rows moved to new files keep their row ids
+                # via the materialized column; all of them are UPDATES
+                # so their commit version resets to the new default
+                appended = _rt_attach_preserved(
+                    spark, path, meta, files, doomed_rels, appended,
+                    src, pk)
             adds = _stage_data_files(appended, path, part_cols or None)
             cdc_actions = []
             if cdf_enabled(meta):
                 cdc_actions = _stage_cdc_actions(
-                    _cdf_diff(matched_rows, appended, pk), path,
+                    _cdf_diff(matched_rows, data_appended, pk), path,
                     part_cols or None)
             prot = _dv_protocol_action(path) if dv_actions else None
-            evolve = _evolve_schema_actions(appended, meta)
+            evolve = _evolve_schema_actions(data_appended, meta)
             hwm = _identity_hwm_action(
                 evolve[-1]["metaData"] if evolve else meta, adds)
             if hwm:  # hwm metaData already carries any evolution
                 evolve = []
             schema_actions = ([prot] if prot else []) + evolve + hwm
+            version = latest_version(path) + 1
+            schema_actions += _assign_fresh_row_ids(
+                path, adds, version, protocol=wprot)
             version = _commit_with_retry(
-                path, latest_version(path) + 1,
+                path, version,
                 schema_actions + dv_actions + adds + cdc_actions,
                 read_files=set(files))
             _, active = replay_log(path)
@@ -1917,6 +2182,12 @@ def merge_delta(
             **cdc_cols)
 
     replacement = _with_invariant_guard(replacement, meta)
+    data_repl = replacement
+    if touched_rel and row_tracking_enabled(meta):
+        # rewritten rows keep their ids (materialized); updated rows
+        # (pk in the batch) reset to the new commit's version
+        replacement = _rt_attach_preserved(
+            spark, path, meta, files, touched_rel, replacement, src, pk)
     adds = _stage_data_files(replacement, path, part_cols or None)
     now = int(time.time() * 1000)
     removes = [_remove_action(p, files[p], now) for p in touched_rel]
@@ -1928,18 +2199,20 @@ def merge_delta(
     cdc_actions: list[dict] = []
     if cdf_enabled(meta) and touched_rel:
         cdc_actions = _stage_cdc_actions(
-            _cdf_diff(touched_rows, replacement, pk), path,
+            _cdf_diff(touched_rows, data_repl, pk), path,
             part_cols or None)
     # a batch carrying new columns evolves the table schema with the
     # same commit (mergeSchema semantics; untouched files read the new
     # columns as nulls); an identity watermark advance rides the same
     # metaData action when both apply
-    schema_actions = _evolve_schema_actions(replacement, meta)
+    schema_actions = _evolve_schema_actions(data_repl, meta)
     hwm = _identity_hwm_action(
         schema_actions[-1]["metaData"] if schema_actions else meta, adds)
     if hwm:
         schema_actions = hwm
     version = latest_version(path) + 1
+    schema_actions += _assign_fresh_row_ids(
+        path, adds, version, protocol=wprot)
     version = _commit_with_retry(
         path, version, schema_actions + removes + adds + cdc_actions,
         read_files=set(files))
@@ -1982,7 +2255,7 @@ def delete_missing_delta(
     from sling_cli_spark.operators.merge import delete_missing as _dm
 
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
-    check_writer_protocol(path, removes_files=True)
+    wprot = check_writer_protocol(path, removes_files=True)
     meta, files = replay_log(path)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
@@ -2051,16 +2324,26 @@ def delete_missing_delta(
     touched_rows = _read_files_mor(spark, path, meta, files, touched_rel)
     replacement = _dm(touched_rows, keys, pk, soft=soft)
 
-    actions: list[dict] = _evolve_schema_actions(replacement, meta)
+    data_repl = replacement
+    if row_tracking_enabled(meta):
+        # surviving rows keep both id and commit version; a SOFT
+        # delete modifies the rows it flags (pk absent from the
+        # keyset), so those reset to the new commit's version
+        upd = touched_rows.select(*pk).join(keys, on=pk, how="left_anti") \
+            if soft else None
+        replacement = _rt_attach_preserved(
+            spark, path, meta, files, touched_rel, replacement, upd, pk)
+    actions: list[dict] = _evolve_schema_actions(data_repl, meta)
     adds = _stage_data_files(replacement, path, part_cols or None)
     now = int(time.time() * 1000)
     removes = [_remove_action(p, files[p], now) for p in touched_rel]
     cdc_actions: list[dict] = []
     if cdf_enabled(meta):  # deletes (or soft-delete flips) per row
         cdc_actions = _stage_cdc_actions(
-            _cdf_diff(touched_rows, replacement, pk), path,
+            _cdf_diff(touched_rows, data_repl, pk), path,
             part_cols or None)
     version = latest_version(path) + 1
+    actions += _assign_fresh_row_ids(path, adds, version, protocol=wprot)
     version = _commit_with_retry(
         path, version, actions + removes + adds + cdc_actions,
         read_files=set(files))
@@ -2289,7 +2572,7 @@ def optimize_delta(
     across partition values). Returns {"compacted": n_in, "new_files":
     n_out, "version": v} ({"compacted": 0} when nothing qualifies).
     """
-    check_writer_protocol(path, removes_files=True)
+    wprot = check_writer_protocol(path, removes_files=True)
     meta, files = replay_log(path)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
@@ -2317,7 +2600,18 @@ def optimize_delta(
     # DV-applied: compaction materializes the LOGICAL rows (dropping the
     # descriptor with the rewrite); dataChange stays false because the
     # visible row set is identical
-    rows = _read_files_mor(spark, path, meta, files, compacted)
+    rid_col, rcv_col = _rt_cols(meta)
+    if row_tracking_enabled(meta) and rid_col:
+        # pure rearrangement: EVERY row keeps its id and commit version
+        # — materialize both straight into the rewrite's columns, no
+        # pk join needed
+        rows = _scan_with_row_ids(
+            spark, path, meta, files, compacted, rid_col,
+            rcv_col or "__rt_rcv_drop")
+        if not rcv_col:
+            rows = rows.drop("__rt_rcv_drop")
+    else:
+        rows = _read_files_mor(spark, path, meta, files, compacted)
     total = sum(files[p].get("size", 0) for p in compacted)
     n_out = max(1, round(total / target_file_bytes))
     if zorder_by:
@@ -2343,8 +2637,10 @@ def optimize_delta(
     now = int(time.time() * 1000)
     removes = [_remove_action(p, files[p], now, data_change=False)
                for p in sorted(compacted)]
+    version = latest_version(path) + 1
+    rt_actions = _assign_fresh_row_ids(path, adds, version, protocol=wprot)
     version = _commit_with_retry(
-        path, latest_version(path) + 1, removes + adds)
+        path, version, rt_actions + removes + adds)
     return {"compacted": len(compacted), "new_files": len(adds),
             "version": version}
 
@@ -2377,12 +2673,23 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
         "delta.enableChangeDataFeed", "")).lower() == "true"
     enabling_check = any(k.startswith("delta.constraints.")
                          for k in props)
+    enabling_rt = str(props.get(
+        "delta.enableRowTracking", "")).lower() == "true" \
+        and not row_tracking_enabled(meta)
+    if enabling_rt:
+        # PROTOCOL.md §Row Tracking: the enabling writer records the
+        # materialized column names rewrites thread row ids through
+        cfg = new_meta["configuration"]
+        cfg.setdefault(_RID_CONF, f"_row-id-col-{uuid.uuid4().hex[:8]}")
+        cfg.setdefault(
+            _RCV_CONF, f"_row-commit-version-col-{uuid.uuid4().hex[:8]}")
     prot = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     mwv = prot.get("minWriterVersion", 2)
     wf = set(prot.get("writerFeatures") or ())
     needs_upgrade = (enabling_cdf and mwv < 4
                      and "changeDataFeed" not in wf) or \
-        (enabling_check and mwv < 3 and "checkConstraints" not in wf)
+        (enabling_check and mwv < 3 and "checkConstraints" not in wf) or \
+        (enabling_rt and "rowTracking" not in wf)
     if needs_upgrade:
         rf = set(prot.get("readerFeatures") or ())
         wf.add("appendOnly")  # v2-implied
@@ -2400,6 +2707,8 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             rf.add("deletionVectors")
         if _schema_has_invariants(meta):
             wf.add("invariants")  # enforced on write (r8 guard)
+        if enabling_rt:  # rowTracking's watermark lives in a domain
+            wf |= {"rowTracking", "domainMetadata"}
         actions.append({"protocol": {
             "minReaderVersion": max(prot.get("minReaderVersion", 1),
                                     3 if rf else 1),
@@ -2408,6 +2717,16 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             "writerFeatures": sorted(wf)}})
     actions.append({"metaData": new_meta})
     v = latest_version(path) + 1
+    if enabling_rt:
+        # backfill (delta-spark's ALTER TABLE enablement): re-add every
+        # active file with a fresh baseRowId in the SAME commit —
+        # metadata only, no data rewrite; re-adds replace on replay
+        backfill = [{"add": {**files[rel], "dataChange": False}}
+                    for rel in sorted(files)
+                    if files[rel].get("baseRowId") is None]
+        actions += backfill
+        actions += _assign_fresh_row_ids(
+            path, backfill, v, protocol={"writerFeatures": ["rowTracking"]})
     _commit(path, v, actions)
     return v
 

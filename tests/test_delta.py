@@ -2349,3 +2349,139 @@ def test_describe_history(spark, tmp_path):
     assert h[2][0] == "REWRITE" and h[2][2] >= 1
     assert all(r["timestamp_ms"] > 0
                for r in describe_history(spark, t).collect())
+
+
+# ------------------------------------------------------------ row tracking
+
+def _rt_table(spark, tmp_path, rows=((1, "a"), (2, "b"), (3, "c"), (4, "d"))):
+    """One-file table (deterministic positions), row tracking enabled at
+    v1 (backfill)."""
+    from sling_cli_spark.sources.delta_py import set_table_properties
+
+    t = str(tmp_path / "t")
+    df = _df(spark, list(rows)).coalesce(1).sortWithinPartitions("id")
+    write_delta(df, t)
+    set_table_properties(t, {"delta.enableRowTracking": "true"})
+    return t
+
+
+def test_row_tracking_enable_backfills_and_reads(spark, tmp_path):
+    """Enabling delta.enableRowTracking upgrades the protocol, re-adds
+    every file with baseRowId (backfill), records the watermark domain,
+    and read_delta(with_row_ids=True) surfaces stable ids."""
+    from sling_cli_spark.sources.delta_py import (
+        _domain_metadata, _replay_state, set_table_properties)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    write_delta(_df(spark, [(3, "c")]).coalesce(1), t, mode="append")
+    set_table_properties(t, {"delta.enableRowTracking": "true"})
+
+    meta, files, prot = _replay_state(t)
+    assert "rowTracking" in prot["writerFeatures"]
+    assert all(a.get("baseRowId") is not None for a in files.values())
+    hwm = json.loads(_domain_metadata(t)["delta.rowTracking"])
+    assert hwm["rowIdHighWaterMark"] == 2
+    got = read_delta(spark, t, with_row_ids=True).collect()
+    assert {r["_row_id"] for r in got} == {0, 1, 2}
+    assert all(r["_row_commit_version"] == 2 for r in got)  # backfill v2
+
+
+def test_row_tracking_fresh_ids_on_append(spark, tmp_path):
+    from sling_cli_spark.sources.delta_py import _domain_metadata
+
+    t = _rt_table(spark, tmp_path)
+    v = write_delta(_df(spark, [(5, "e"), (6, "f")]).coalesce(1), t,
+                    mode="append")
+    got = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+           for r in read_delta(spark, t, with_row_ids=True).collect()}
+    assert sorted(rid for rid, _ in got.values()) == [0, 1, 2, 3, 4, 5]
+    assert got[5][1] == v and got[6][1] == v
+    hwm = json.loads(_domain_metadata(t)["delta.rowTracking"])
+    assert hwm["rowIdHighWaterMark"] == 5
+
+
+def test_row_tracking_merge_cow_preserves_ids(spark, tmp_path):
+    """CoW merge: updated rows keep their row id (commit version
+    resets); untouched rows in the rewritten file keep BOTH; inserts
+    get fresh ids past the watermark."""
+    t = _rt_table(spark, tmp_path)
+    base = {r["id"]: r["_row_id"]
+            for r in read_delta(spark, t, with_row_ids=True).collect()}
+    res = merge_delta(
+        spark, t, _df(spark, [(2, "B"), (5, "E")]).coalesce(1), "id")
+    got = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+           for r in read_delta(spark, t, with_row_ids=True).collect()}
+    assert got[2][0] == base[2] and got[2][1] == res["version"]
+    for kept in (1, 3, 4):  # rewritten but unmodified: id AND version
+        assert got[kept][0] == base[kept] and got[kept][1] == 1
+    assert got[5][0] >= 4 and got[5][1] == res["version"]
+    assert len({rid for rid, _ in got.values()}) == 5
+
+
+def test_row_tracking_merge_dv_preserves_ids(spark, tmp_path):
+    """DV-producing merge: the kept file's baseRowId rides the re-add,
+    so untouched rows keep ids with no materialization; moved (updated)
+    rows thread theirs through the materialized column."""
+    from sling_cli_spark.sources.delta_py import set_table_properties
+
+    t = _rt_table(spark, tmp_path)
+    set_table_properties(t, {"delta.enableDeletionVectors": "true"})
+    base = {r["id"]: r["_row_id"]
+            for r in read_delta(spark, t, with_row_ids=True).collect()}
+    res = merge_delta(spark, t, _df(spark, [(2, "B")]).coalesce(1), "id")
+    assert res["dv_files"] == 1
+    got = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+           for r in read_delta(spark, t, with_row_ids=True).collect()}
+    assert got[2][0] == base[2] and got[2][1] == res["version"]
+    for kept in (1, 3, 4):
+        assert got[kept][0] == base[kept]
+    assert len({rid for rid, _ in got.values()}) == 4
+
+
+def test_row_tracking_optimize_stable(spark, tmp_path):
+    """Compaction is pure rearrangement: every row keeps id AND commit
+    version across the rewrite."""
+    from sling_cli_spark.sources.delta_py import optimize_delta
+
+    t = _rt_table(spark, tmp_path)
+    write_delta(_df(spark, [(5, "e")]).coalesce(1), t, mode="append")
+    before = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+              for r in read_delta(spark, t, with_row_ids=True).collect()}
+    res = optimize_delta(spark, t)
+    assert res["compacted"] == 2 and res["new_files"] == 1
+    after = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+             for r in read_delta(spark, t, with_row_ids=True).collect()}
+    assert after == before
+
+
+def test_row_tracking_delete_missing_survivors_keep_ids(spark, tmp_path):
+    from sling_cli_spark.sources.delta_py import delete_missing_delta
+
+    t = _rt_table(spark, tmp_path)
+    before = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+              for r in read_delta(spark, t, with_row_ids=True).collect()}
+    delete_missing_delta(spark, t, _df(spark, [(1, "a"), (3, "c")]), "id")
+    after = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+             for r in read_delta(spark, t, with_row_ids=True).collect()}
+    assert set(after) == {1, 3}
+    assert after[1] == before[1] and after[3] == before[3]
+
+
+def test_row_tracking_checkpoint_roundtrip(spark, tmp_path):
+    """baseRowId/defaultRowCommitVersion survive the checkpoint add
+    schema; replay from the checkpoint still serves row ids."""
+    import sling_cli_spark.fsio as fsio
+    from sling_cli_spark.sources.delta_py import (
+        _replay_state, _write_checkpoint, latest_version)
+
+    t = _rt_table(spark, tmp_path)
+    before = {r["id"]: r["_row_id"]
+              for r in read_delta(spark, t, with_row_ids=True).collect()}
+    _write_checkpoint(t, fsio.get_fs(t), latest_version(t))
+    # state now replays from the checkpoint (empty JSON tail)
+    _, files, _ = _replay_state(t)
+    assert all(a.get("baseRowId") is not None for a in files.values())
+    after = {r["id"]: r["_row_id"]
+             for r in read_delta(spark, t, with_row_ids=True).collect()}
+    assert after == before
