@@ -546,6 +546,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return read_delta(spark, t).filter("o_totalprice < 50000") \
             .select("o_orderkey", "o_custkey", "o_totalprice")
 
+    def delta_clustering_skipping(spark, sf):
+        """Liquid clustering (delta_py round 8, set_clustering /
+        clustering_columns; PROTOCOL.md §Clustered Tables): orders
+        lands in 8 round-robin files, ALTER ... CLUSTER BY records
+        (o_custkey, o_totalprice) in the delta.clustering domain, and a
+        PLAIN optimize (no zorder_by) lazily re-clusters along the
+        recorded columns — rewritten adds tagged
+        clusteringProvider=liquid, second-dimension filters pruned via
+        per-file stats, verified in-code before the filtered read."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            optimize_delta, prune_files_by_stats, read_delta, replay_log,
+            set_clustering, write_delta)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_lc_"), "t")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            "o_totalprice")
+        write_delta(o.repartition(8), t)
+        set_clustering(t, ["o_custkey", "o_totalprice"])
+        optimize_delta(spark, t, target_file_bytes=64 * 1024)
+        _, files = replay_log(t)
+        assert all(a.get("clusteringProvider") == "liquid"
+                   for a in files.values()), "rewrites must tag liquid"
+        pruned = prune_files_by_stats(
+            files, [("o_totalprice", "<", 50000.0)])
+        assert len(files) > 1 and len(pruned) < len(files), \
+            f"clustering must enable skipping ({len(pruned)}/{len(files)})"
+        return read_delta(spark, t).filter("o_totalprice < 50000") \
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+
     def delta_dv_produce(spark, sf):
         """Write-side deletion-vector PRODUCTION (delta_py round 8,
         _produce_dv_actions / delta_dv.write_dv_file; PROTOCOL.md
@@ -2111,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (r8): never driver-checked ---------------------
         "delta_dv_produce": delta_dv_produce,
         "delta_row_tracking": delta_row_tracking,
+        "delta_clustering_skipping": delta_clustering_skipping,
         "iceberg_v3_dv_produce": iceberg_v3_dv_produce,
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "delta_identity_generated": delta_identity_generated,
@@ -2790,6 +2824,14 @@ def oracle_sql() -> dict[str, str]:
         # zorder rearranges rows, never changes them — the filtered
         # read equals the plain SQL filter
         "delta_zorder_skipping": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o_custkey AS BIGINT) AS o_custkey,
+                   o_totalprice
+            FROM orders WHERE o_totalprice < 50000
+        """,
+        # same rows as zorder — clustering is the LAZY route to the
+        # same multi-dim layout (domain + plain OPTIMIZE)
+        "delta_clustering_skipping": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                    CAST(o_custkey AS BIGINT) AS o_custkey,
                    o_totalprice

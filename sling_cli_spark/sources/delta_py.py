@@ -164,8 +164,9 @@ def _norm_checkpoint_add(a: dict) -> dict:
             k: v for k, v in dict(dv).items() if v is not None}
     else:
         add.pop("deletionVector", None)
-    for k in ("baseRowId", "defaultRowCommitVersion"):
-        if add.get(k) is None:  # non-row-tracked checkpoint rows
+    for k in ("baseRowId", "defaultRowCommitVersion",
+              "clusteringProvider"):
+        if add.get(k) is None:  # non-row-tracked/clustered rows
             add.pop(k, None)
     return add
 
@@ -429,6 +430,7 @@ def _checkpoint_arrow_types():
         ("stats", pa.string()),
         ("baseRowId", pa.int64()),
         ("defaultRowCommitVersion", pa.int64()),
+        ("clusteringProvider", pa.string()),
     ])
     return protocol_t, meta_t, add_t
 
@@ -444,6 +446,7 @@ def _checkpoint_add_row(a: dict) -> dict:
         "stats": a.get("stats"),
         "baseRowId": a.get("baseRowId"),
         "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
+        "clusteringProvider": a.get("clusteringProvider"),
     }
 
 
@@ -628,7 +631,7 @@ SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
                              "timestampNtz", "allowColumnDefaults",
                              "variantType", "variantType-preview",
                              "domainMetadata", "vacuumProtocolCheck",
-                             "rowTracking"}
+                             "rowTracking", "clustering"}
 
 
 def check_writer_protocol(path: str, removes_files: bool = False) -> dict:
@@ -2522,6 +2525,67 @@ def _zorder_value(df: DataFrame, cols: list[str], bits: int = 10):
     return reduce(lambda a, x: a.bitwiseOR(x), terms)
 
 
+_CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def clustering_columns(path: str) -> list[str]:
+    """Clustering columns from the ``delta.clustering`` domain
+    (PROTOCOL.md §Clustered Tables: the domain configuration holds
+    ``clusteringColumns`` as column-name paths). This writer clusters
+    only unmapped tables, where physical names equal logical ones."""
+    cfg = _domain_metadata(path).get(_CLUSTERING_DOMAIN)
+    if not cfg:
+        return []
+    try:
+        cols = json.loads(cfg).get("clusteringColumns") or []
+    except (ValueError, TypeError):
+        return []
+    return [".".join(p) if isinstance(p, list) else str(p) for p in cols]
+
+
+def set_clustering(path: str, cols: list[str]) -> int:
+    """ALTER TABLE ... CLUSTER BY (PROTOCOL.md §Clustered Tables):
+    record the clustering columns in the ``delta.clustering`` domain
+    and list the ``clustering`` + ``domainMetadata`` writer features.
+    Clustering is LAZY, matching delta-spark's contract — writes land
+    unclustered and the next :func:`optimize_delta` re-clusters along
+    the recorded columns (no ``zorder_by`` needed). Returns the
+    committed version."""
+    meta, _, protocol = _replay_state(path)
+    if meta is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    if _column_mapping_mode(meta) != "none":
+        raise UnsupportedTableFeature(
+            f"delta table at {path}: clustering on column-mapped tables "
+            "is not supported (the domain stores physical names)")
+    have = {f["name"] for f in
+            json.loads(meta["schemaString"])["fields"]}
+    missing = [c for c in cols if c.split(".")[0] not in have]
+    if missing:
+        raise ValueError(f"clustering columns not in schema: {missing}")
+    actions: list[dict] = []
+    prot = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    wf = set(prot.get("writerFeatures") or ())
+    if "clustering" not in wf or "domainMetadata" not in wf:
+        if not prot.get("writerFeatures"):
+            wf.add("appendOnly")  # v2-implied obligation, made explicit
+        wf |= {"clustering", "domainMetadata"}
+        rf = set(prot.get("readerFeatures") or ())
+        actions.append({"protocol": {
+            "minReaderVersion": prot.get("minReaderVersion", 1),
+            "minWriterVersion": 7,
+            **({"readerFeatures": sorted(rf)} if rf else {}),
+            "writerFeatures": sorted(wf)}})
+    actions.append({"domainMetadata": {
+        "domain": _CLUSTERING_DOMAIN,
+        "configuration": json.dumps(
+            {"clusteringColumns": [c.split(".") for c in cols]}),
+        "removed": False}})
+    v = latest_version(path) + 1
+    _commit(path, v, actions)
+    return v
+
+
 def _dv_fraction(add: dict) -> float:
     """Deleted fraction of a DV-bearing file: descriptor cardinality
     over the stats' physical numRecords (1.0 when stats are absent —
@@ -2577,6 +2641,11 @@ def optimize_delta(
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
     part_cols = meta.get("partitionColumns") or []
+    clustered = clustering_columns(path)
+    if zorder_by is None and clustered:
+        # clustered table (PROTOCOL.md §Clustered Tables): clustering
+        # is lazy — OPTIMIZE re-clusters along the recorded columns
+        zorder_by = clustered
 
     # group candidates by partition tuple; only groups with >= min_files
     # small files are worth rewriting
@@ -2634,6 +2703,9 @@ def optimize_delta(
         rows = rows.repartition(n_out)
     adds = _stage_data_files(
         rows, path, part_cols or None, data_change=False)
+    if clustered and zorder_by == clustered:
+        for a in adds:  # spec: clustered rewrites tag their provider
+            a["add"]["clusteringProvider"] = "liquid"
     now = int(time.time() * 1000)
     removes = [_remove_action(p, files[p], now, data_change=False)
                for p in sorted(compacted)]

@@ -2485,3 +2485,58 @@ def test_row_tracking_checkpoint_roundtrip(spark, tmp_path):
     after = {r["id"]: r["_row_id"]
              for r in read_delta(spark, t, with_row_ids=True).collect()}
     assert after == before
+
+
+# -------------------------------------------------------- liquid clustering
+
+def test_clustering_lazy_optimize(spark, tmp_path):
+    """set_clustering records the domain + feature; a plain OPTIMIZE
+    (no zorder_by) then re-clusters along the recorded columns so
+    stats-based skipping prunes on BOTH dimensions, and the rewritten
+    adds carry clusteringProvider=liquid."""
+    from sling_cli_spark.sources.delta_py import (
+        _replay_state, clustering_columns, optimize_delta,
+        prune_files_by_stats, set_clustering)
+
+    t = str(tmp_path / "t")
+    df = spark.range(4000).selectExpr(
+        "id", "CAST(id % 63 AS LONG) AS a", "CAST(id % 97 AS LONG) AS b")
+    write_delta(df.repartition(8), t)
+    set_clustering(t, ["a", "b"])
+    assert clustering_columns(t) == ["a", "b"]
+    _, _, prot = _replay_state(t)
+    assert {"clustering", "domainMetadata"} <= set(prot["writerFeatures"])
+
+    res = optimize_delta(spark, t, target_file_bytes=16 * 1024)
+    assert res["new_files"] > 1
+    _, files, _ = _replay_state(t)
+    assert all(a.get("clusteringProvider") == "liquid"
+               for a in files.values())
+    pruned = prune_files_by_stats(files, [("b", "<", 10)])
+    assert len(pruned) < len(files), "clustered rewrite must enable skipping"
+    got = read_delta(spark, t)
+    assert got.count() == 4000
+
+
+def test_clustering_writes_stay_legal(spark, tmp_path):
+    """The clustering writer feature imposes no write-time obligation:
+    appends and merges to a clustered table commit fine (unclustered
+    until the next OPTIMIZE)."""
+    from sling_cli_spark.sources.delta_py import set_clustering
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    set_clustering(t, ["id"])
+    write_delta(_df(spark, [(3, "c")]), t, mode="append")
+    merge_delta(spark, t, _df(spark, [(2, "B")]), "id")
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_clustering_unknown_column_refused(spark, tmp_path):
+    from sling_cli_spark.sources.delta_py import set_clustering
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="nope"):
+        set_clustering(t, ["nope"])
