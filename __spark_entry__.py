@@ -677,6 +677,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("_row_id").alias("row_id"),
             F.col("_row_commit_version").alias("row_commit_version"))
 
+    def iceberg_refs(spark, sf):
+        """Snapshot refs (iceberg_py round 8, create_tag /
+        write_iceberg(branch=...) / read_iceberg(ref=...); spec §Refs):
+        nation keys < 12 land as snapshot 1, tagged 'v1'; the rest
+        append on main; a branch write adds two rows that fork from —
+        and stay isolated from — the main line. One frame reads all
+        three views by name, labeled by source. expire_snapshots
+        guards tagged snapshots (tested in pytest)."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            create_tag, read_iceberg, write_iceberg)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_ref_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        s1 = write_iceberg(n.filter("n_nationkey < 12"), t)
+        create_tag(t, "v1", s1)
+        write_iceberg(n.filter("n_nationkey >= 12"), t)
+        write_iceberg(
+            spark.createDataFrame(
+                [(90, "BRANCHLAND_A"), (91, "BRANCHLAND_B")],
+                "n_nationkey long, n_name string"),
+            t, branch="audit")
+        lab = F.lit
+        return (read_iceberg(spark, t).withColumn("src", lab("main"))
+                .unionByName(read_iceberg(spark, t, ref="v1")
+                             .withColumn("src", lab("v1")))
+                .unionByName(read_iceberg(spark, t, ref="audit")
+                             .withColumn("src", lab("audit")))
+                .select("src", "n_nationkey", "n_name"))
+
     def iceberg_v3_dv_produce(spark, sf):
         """Iceberg v3 write-side DV production (iceberg_py round 8,
         _produce_dvs_ice / _dv_delete_entries; spec v3 §Deletion
@@ -2146,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_row_tracking": delta_row_tracking,
         "delta_clustering_skipping": delta_clustering_skipping,
         "iceberg_v3_dv_produce": iceberg_v3_dv_produce,
+        "iceberg_refs": iceberg_refs,
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "delta_identity_generated": delta_identity_generated,
         "delta_zorder_skipping": delta_zorder_skipping,
@@ -2883,6 +2917,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 90, 'APPENDLAND_A', 0, 29, 3
             UNION ALL
             SELECT 91, 'APPENDLAND_B', 1, 30, 3
+        """,
+        # main = all nation; tag v1 = keys < 12; branch audit = main at
+        # fork (all 25) + two branch-only rows
+        "iceberg_refs": """
+            SELECT 'main' AS src, CAST(n_nationkey AS BIGINT)
+                   AS n_nationkey, n_name FROM nation
+            UNION ALL
+            SELECT 'v1', CAST(n_nationkey AS BIGINT), n_name
+            FROM nation WHERE n_nationkey < 12
+            UNION ALL
+            SELECT 'audit', CAST(n_nationkey AS BIGINT), n_name
+            FROM nation
+            UNION ALL SELECT 'audit', 90, 'BRANCHLAND_A'
+            UNION ALL SELECT 'audit', 91, 'BRANCHLAND_B'
         """,
         # two successive sparse DV deletes: multiples of 5, then of 7
         "iceberg_v3_dv_produce": """

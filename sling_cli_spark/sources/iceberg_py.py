@@ -832,6 +832,7 @@ def _mor_read(
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None, skip_filters=None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Scan the current (or a specific) snapshot. ``mergeSchema`` unions
     the footers so files predating an evolved column (e.g. the
@@ -846,8 +847,14 @@ def read_iceberg(
     snapshot reads empty. ``skip_filters`` (``(col, op, value)``
     conjuncts) prunes data files via the manifests' value bounds
     BEFORE the scan is built (:func:`prune_files_by_bounds`); the
-    caller still applies the row filter."""
+    caller still applies the row filter. ``ref`` (spec §Refs) reads at
+    a named tag or branch head — ``VERSION AS OF 'name'``."""
     _, meta = _current_metadata(path)
+    if ref is not None:
+        r = (meta.get("refs") or {}).get(ref)
+        if not r:
+            raise ValueError(f"unknown ref {ref!r} at {path}")
+        snapshot_id = int(r["snapshot-id"])
     if snapshot_id is None and as_of_timestamp_ms is not None:
         eligible = [s for s in meta.get("snapshots") or []
                     if s.get("timestamp-ms", 0) <= as_of_timestamp_ms]
@@ -1219,7 +1226,7 @@ def _commit_snapshot(
     df: DataFrame | None, path: str, meta: dict, carried: list[dict],
     operation: str = "append", carried_deletes: list[dict] | None = None,
     new_deletes: list[dict] | None = None,
-    snapshot_id: int | None = None,
+    snapshot_id: int | None = None, branch: str = "main",
 ) -> int:
     """Stage ``df`` as new data files, write manifest(s) +
     manifest-list, bump the metadata version; ``carried`` files join the
@@ -1429,13 +1436,29 @@ def _commit_snapshot(
         "manifest-list": mlist_path,
         "summary": {"operation": operation},
     }
+    # spec §Refs: every branch is a named ref; ``main`` mirrors
+    # current-snapshot-id. A non-main branch advances its own head
+    # (parent = the branch head; forks from current on first write)
+    # and leaves the main line untouched.
+    refs = dict(meta.get("refs") or {})
+    parent = meta.get("current-snapshot-id")
+    if branch != "main" and (refs.get(branch) or {}).get("snapshot-id") \
+            is not None:
+        parent = refs[branch]["snapshot-id"]
+    if parent is not None:
+        snapshot["parent-snapshot-id"] = int(parent)
     if fv >= 2:
         snapshot["sequence-number"] = new_seq
         meta["last-sequence-number"] = new_seq
     if fv >= 3 and first_row_base is not None:
         snapshot["first-row-id"] = first_row_base
     meta["snapshots"] = (meta.get("snapshots") or []) + [snapshot]
-    meta["current-snapshot-id"] = snapshot_id
+    ref = dict(refs.get(branch) or {})
+    ref.update({"snapshot-id": snapshot_id, "type": "branch"})
+    refs[branch] = ref
+    meta["refs"] = refs
+    if branch == "main":
+        meta["current-snapshot-id"] = snapshot_id
     meta["last-updated-ms"] = int(time.time() * 1000)
 
     new_version = version + 1
@@ -1455,6 +1478,7 @@ def _commit_snapshot(
 def write_iceberg(
     df: DataFrame, path: str, mode: str = "append",
     partition_by: list[str] | None = None, format_version: int = 2,
+    branch: str = "main",
 ) -> int:
     """Append/overwrite as a new snapshot + metadata version; returns the
     snapshot id. On an existing table the recorded identity partition
@@ -1462,7 +1486,10 @@ def write_iceberg(
     ``partition_by``/``format_version`` take effect on table creation.
     An append to a v2 table with delete files carries them forward so
     kept data files stay merge-on-read; an overwrite drops them with the
-    replaced data."""
+    replaced data. ``branch`` (spec §Refs) targets a named branch: the
+    snapshot parents at the branch head (forking from current on the
+    first write) and only that ref advances — the main line reads
+    unchanged."""
     if is_iceberg_table(path):
         _, meta = _current_metadata(path, for_write=True)
     else:
@@ -1470,12 +1497,79 @@ def write_iceberg(
     if mode == "overwrite" or not meta.get("snapshots"):
         carried, carried_dels = [], []
     else:
-        carried, pos_d, eq_d = _active_entries(path, meta, None)
+        head = None  # None -> current snapshot (also the fork point)
+        if branch != "main":
+            head = ((meta.get("refs") or {}).get(branch)
+                    or {}).get("snapshot-id")
+        carried, pos_d, eq_d = _active_entries(path, meta, head)
         carried_dels = _live_delete_files(carried, pos_d, eq_d)
     return _commit_snapshot(
         df, path, meta, carried,
         operation="overwrite" if mode == "overwrite" else "append",
-        carried_deletes=carried_dels)
+        carried_deletes=carried_dels, branch=branch)
+
+
+def _set_ref(path: str, name: str, ref_type: str,
+             snapshot_id: int | None) -> int:
+    """Record a named snapshot reference (spec §Refs) in a new
+    metadata version; returns the referenced snapshot id."""
+    fs = fsio.get_fs(path)
+    version, meta = _current_metadata(path, for_write=True)
+    sid = snapshot_id if snapshot_id is not None \
+        else meta.get("current-snapshot-id")
+    known = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+    if sid not in known:
+        raise ValueError(
+            f"iceberg table at {path}: snapshot {sid} does not exist")
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": int(sid), "type": ref_type}
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    fs.create_exclusive(
+        fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+        json.dumps(meta).encode())
+    fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
+                   str(version + 1).encode())
+    return int(sid)
+
+
+def create_tag(path: str, name: str,
+               snapshot_id: int | None = None) -> int:
+    """ALTER TABLE ... CREATE TAG: an immutable named pointer to a
+    snapshot (default: current). Tagged snapshots survive
+    expire_snapshots; reads resolve it via read_iceberg(ref=...)."""
+    if name == "main":
+        raise ValueError("'main' is the reserved branch ref")
+    return _set_ref(path, name, "tag", snapshot_id)
+
+
+def create_branch(path: str, name: str,
+                  snapshot_id: int | None = None) -> int:
+    """ALTER TABLE ... CREATE BRANCH: a movable named head (default:
+    forked at the current snapshot). write_iceberg(branch=...)
+    advances it independently of main."""
+    if name == "main":
+        raise ValueError("'main' is the reserved branch ref")
+    return _set_ref(path, name, "branch", snapshot_id)
+
+
+def drop_ref(path: str, name: str) -> None:
+    """Remove a tag or branch ref; its snapshots become expirable."""
+    if name == "main":
+        raise ValueError("cannot drop the 'main' branch ref")
+    fs = fsio.get_fs(path)
+    version, meta = _current_metadata(path, for_write=True)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise KeyError(f"no ref {name!r} at {path}")
+    del refs[name]
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    fs.create_exclusive(
+        fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+        json.dumps(meta).encode())
+    fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
+                   str(version + 1).encode())
 
 
 def iceberg_history(spark: SparkSession, path: str) -> DataFrame:
@@ -1545,7 +1639,17 @@ def expire_snapshots(path: str, keep: int = 1) -> dict:
     snaps = meta.get("snapshots") or []
     if len(snaps) <= keep:
         return {"expired": 0, "deleted_files": []}
-    kept, expired = snaps[-keep:], snaps[:-keep]
+    # spec §Refs: snapshots a tag or branch head names are PROTECTED —
+    # expiring them would break every read through the ref
+    protected = {int(r["snapshot-id"])
+                 for r in (meta.get("refs") or {}).values()
+                 if r.get("snapshot-id") is not None}
+    tail = {s["snapshot-id"] for s in snaps[-keep:]}
+    kept = [s for s in snaps
+            if s["snapshot-id"] in tail or s["snapshot-id"] in protected]
+    expired = [s for s in snaps if s not in kept]
+    if not expired:
+        return {"expired": 0, "deleted_files": []}
 
     def _files_of(snap_list):
         # canon key -> original manifest URI (deletion must use the

@@ -5,6 +5,8 @@ v2 sequence numbers + merge-on-read delete files."""
 import json
 import os
 
+import pytest
+
 from sling_cli_spark.sources.iceberg_py import (
     is_iceberg_table, read_iceberg, write_iceberg,
 )
@@ -1430,3 +1432,72 @@ def test_iceberg_history(spark, tmp_path):
     assert [r["is_current"] for r in rows] == [False, True]
     assert rows[0]["operation"] in ("append", "overwrite")
     assert rows[1]["sequence_number"] > rows[0]["sequence_number"]
+
+
+# ----------------------------------------------------- snapshot refs (§Refs)
+
+def test_iceberg_tag_time_travel_and_expire_protection(spark, tmp_path):
+    """A tag pins a snapshot: reads resolve by name, and
+    expire_snapshots keeps the tagged snapshot alive past the retention
+    tail until the ref is dropped."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _current_metadata, create_tag, drop_ref, expire_snapshots,
+        read_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    s1 = write_iceberg(_df(spark, [(1, "a")]), t)
+    write_iceberg(_df(spark, [(2, "b")]), t)
+    write_iceberg(_df(spark, [(3, "c")]), t)
+    create_tag(t, "v1", s1)
+    assert {r["id"] for r in read_iceberg(spark, t, ref="v1").collect()} \
+        == {1}
+    res = expire_snapshots(t, keep=1)
+    assert res["expired"] == 1  # the middle snapshot only; tag protects s1
+    assert {r["id"] for r in read_iceberg(spark, t, ref="v1").collect()} \
+        == {1}
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 2, 3}
+    drop_ref(t, "v1")
+    assert expire_snapshots(t, keep=1)["expired"] == 1
+    meta = _current_metadata(t)[1]
+    assert "v1" not in (meta.get("refs") or {})
+    with pytest.raises(ValueError, match="unknown ref"):
+        read_iceberg(spark, t, ref="v1")
+
+
+def test_iceberg_branch_writes_isolated_from_main(spark, tmp_path):
+    """write_iceberg(branch=...) forks at current, parents at the
+    branch head, advances only its own ref; main reads never see
+    branch-only snapshots."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _current_metadata, read_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    s_main = write_iceberg(_df(spark, [(1, "a")]), t)
+    s_dev1 = write_iceberg(_df(spark, [(10, "x")]), t, branch="dev")
+    s_dev2 = write_iceberg(_df(spark, [(11, "y")]), t, branch="dev")
+    write_iceberg(_df(spark, [(2, "b")]), t)  # main advances separately
+
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 2}
+    assert {r["id"] for r in
+            read_iceberg(spark, t, ref="dev").collect()} == {1, 10, 11}
+    meta = _current_metadata(t)[1]
+    refs = meta["refs"]
+    assert refs["dev"] == {"snapshot-id": s_dev2, "type": "branch"}
+    assert refs["main"]["snapshot-id"] == meta["current-snapshot-id"]
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert by_id[s_dev1]["parent-snapshot-id"] == s_main  # forked here
+    assert by_id[s_dev2]["parent-snapshot-id"] == s_dev1
+
+
+def test_iceberg_ref_guards(spark, tmp_path):
+    from sling_cli_spark.sources.iceberg_py import (
+        create_branch, create_tag, drop_ref, write_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="reserved"):
+        create_tag(t, "main")
+    with pytest.raises(ValueError, match="does not exist"):
+        create_branch(t, "dev", snapshot_id=123)
+    with pytest.raises(KeyError):
+        drop_ref(t, "nope")
