@@ -2173,7 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified locally every round) defer to LEAD r9's window, keeping
     # every query within the <=2-rounds-stale bound.  Everything
     # driver-green in CORRECTNESS_r07 rotates to the tail.
-    return {
+    d = {
         # -- new this round (r8): never driver-checked ---------------------
         "delta_dv_produce": delta_dv_produce,
         "delta_row_tracking": delta_row_tracking,
@@ -2297,6 +2297,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_bounds_skipping": iceberg_bounds_skipping,
         "bucketed_join_agg": bucketed_join_agg,
     }
+    # The driver checks the FIRST 50 entries; with 115 queries and this
+    # window, 65 are never-checked or >=2 rounds stale, so the window is
+    # computed, not positional: the 8 never-driver-checked r8 queries,
+    # the 8 stalest (last green row r5), then 34 of the 49 r6-checked —
+    # preferring the trivial-glue set memory flagged as 2-rounds-stale.
+    # The 15 deferred r6 queries (merge_* EL variants, field_stat/
+    # distro family — operators untouched since r6 and pytest-heavy)
+    # MUST lead the next round's window.
+    window = [
+        "delta_dv_produce", "delta_row_tracking",
+        "delta_clustering_skipping", "iceberg_v3_dv_produce",
+        "iceberg_refs", "cdc_foreachbatch_merge",
+        "delta_identity_generated", "delta_zorder_skipping",
+        # last driver-checked r5
+        "column_typing_clamp", "constraint_dsl_filter", "row_constraints",
+        "ws_token_docs", "token_count_docs", "quality_docs",
+        "lang_id_docs", "distinct_rows",
+        # last driver-checked r6
+        "delete_missing_delta", "delete_missing_iceberg",
+        "merge_update_insert_delta", "merge_partitioned_delta",
+        "delta_roundtrip", "iceberg_roundtrip", "merge_file_granular",
+        "star_join_agg", "exact_dedup_docs", "excel_roundtrip",
+        "avro_roundtrip", "sas_roundtrip", "csv_inference_roundtrip",
+        "sql_on_files", "copy_load_duckdb", "incremental_watermark",
+        "backfill_range", "delta_column_mapping", "iceberg_v2_pos_delete",
+        "iceberg_v2_eq_delete", "dedup_last_event", "asof_events",
+        "sessionize_events", "flatten_json_extract", "test_pk_lineitem",
+        "join_match", "transforms_hash", "union_drift", "snapshot_stamp",
+        "select_project", "where_filter", "limit_order",
+        "column_casing_upper", "definition_only",
+    ]
+    out = {k: d[k] for k in window}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
 
 
 # ---------------------------------------------------------------------------
