@@ -305,6 +305,21 @@ def cmd_lake(args: argparse.Namespace) -> int:
         removed = remove_orphan_files(path)
         print(json.dumps({"removed_files": len(removed)}))
         return 0
+    if op in ("tag", "branch", "drop-ref"):  # metadata-only, no Spark
+        if is_delta:
+            print(f"{op} applies to Iceberg tables (spec §Refs)",
+                  file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources import iceberg_py as ice
+        if op == "drop-ref":
+            ice.drop_ref(path, args.name)
+            print(json.dumps({"dropped": args.name}))
+        else:
+            fn = ice.create_tag if op == "tag" else ice.create_branch
+            sid = fn(path, args.name, snapshot_id=args.snapshot)
+            print(json.dumps({"ref": args.name, "type": op,
+                              "snapshot_id": sid}))
+        return 0
     spark = _get_spark(args.debug)
     if op == "history":
         if is_delta:
@@ -433,6 +448,16 @@ def build_parser() -> argparse.ArgumentParser:
                        help="commit/snapshot history as CSV "
                             "(DESCRIBE HISTORY twin)")
     lh.add_argument("path")
+    for ref_op, ref_help in (
+            ("tag", "iceberg: pin a named tag to a snapshot"),
+            ("branch", "iceberg: create a named branch head"),
+            ("drop-ref", "iceberg: remove a tag or branch ref")):
+        lt = ls.add_parser(ref_op, help=ref_help)
+        lt.add_argument("path")
+        lt.add_argument("name")
+        if ref_op != "drop-ref":
+            lt.add_argument("--snapshot", type=int,
+                            help="snapshot id (default: current)")
     lc = ls.add_parser("changes",
                        help="stream row-level changes as CSV "
                             "(default: the latest commit's)")

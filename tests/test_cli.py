@@ -240,3 +240,36 @@ def test_stream_csv_stdout_empty_result_prints_header(spark, capsys):
     _stream_csv_stdout(spark.range(5).filter("id < 0"))
     out = capsys.readouterr().out.strip().splitlines()
     assert out == ["id"]
+
+
+def test_cli_lake_refs(spark, tmp_path, capsys):
+    """`lake tag/branch/drop-ref`: metadata-only ref management on an
+    Iceberg table, plus `lake history` on both verbs' output shape."""
+    import json as _json
+
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.iceberg_py import (
+        _current_metadata, write_iceberg)
+
+    i = str(tmp_path / "i")
+    s1 = write_iceberg(spark.createDataFrame(
+        [(1, "a")], "id long, v string"), i)
+    write_iceberg(spark.createDataFrame(
+        [(2, "b")], "id long, v string"), i)
+
+    assert main(["lake", "tag", i, "v1", "--snapshot", str(s1)]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"ref": "v1", "type": "tag", "snapshot_id": s1}
+    assert main(["lake", "branch", i, "dev"]) == 0
+    capsys.readouterr()
+    refs = _current_metadata(i)[1]["refs"]
+    assert refs["v1"]["type"] == "tag" and refs["dev"]["type"] == "branch"
+    assert main(["lake", "drop-ref", i, "dev"]) == 0
+    capsys.readouterr()
+    assert "dev" not in _current_metadata(i)[1]["refs"]
+
+    d = str(tmp_path / "d")
+    from sling_cli_spark.sources.delta_py import write_delta
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string"), d)
+    assert main(["lake", "tag", d, "x"]) == 2  # delta has no refs
