@@ -710,6 +710,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              .withColumn("src", lab("audit")))
                 .select("src", "n_nationkey", "n_name"))
 
+    def iceberg_partition_evolution(spark, sf):
+        """Partition spec evolution (iceberg_py round 8,
+        evolve_partition_spec / _grouped_partition_read; spec
+        §Partition Evolution): nation keys < 12 land UNPARTITIONED,
+        the spec evolves to identity(n_regionkey) metadata-only, the
+        rest append under the new Hive layout, and a merge updates
+        keys spanning BOTH layouts (the old files stay candidates even
+        though their manifest partition dict lacks the new key). The
+        read unions one branch per partition tuple with manifest
+        values attached — no dir inference across layouts."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            _active_entries, _current_metadata, evolve_partition_spec,
+            merge_iceberg, read_iceberg, write_iceberg)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_pe_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_iceberg(n.filter("n_nationkey < 12"), t)
+        evolve_partition_spec(t, ["n_regionkey"])
+        write_iceberg(n.filter("n_nationkey >= 12"), t)
+        files, _, _ = _active_entries(t, _current_metadata(t)[1], None)
+        assert {f["__spec_id"] for f in files} == {0, 1}, \
+            "both layouts must be live"
+        merge_iceberg(
+            spark, t,
+            n.filter("n_nationkey % 6 = 0")
+            .withColumn("n_name", F.concat("n_name", F.lit("_u"))),
+            "n_nationkey")
+        return read_iceberg(spark, t).select(
+            "n_nationkey", "n_name", "n_regionkey")
+
     def iceberg_v3_dv_produce(spark, sf):
         """Iceberg v3 write-side DV production (iceberg_py round 8,
         _produce_dvs_ice / _dv_delete_entries; spec v3 §Deletion
@@ -2180,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_clustering_skipping": delta_clustering_skipping,
         "iceberg_v3_dv_produce": iceberg_v3_dv_produce,
         "iceberg_refs": iceberg_refs,
+        "iceberg_partition_evolution": iceberg_partition_evolution,
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "delta_identity_generated": delta_identity_generated,
         "delta_zorder_skipping": delta_zorder_skipping,
@@ -2308,7 +2344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         "delta_dv_produce", "delta_row_tracking",
         "delta_clustering_skipping", "iceberg_v3_dv_produce",
-        "iceberg_refs", "cdc_foreachbatch_merge",
+        "iceberg_refs", "iceberg_partition_evolution",
+        "cdc_foreachbatch_merge",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
         "column_typing_clamp", "constraint_dsl_filter", "row_constraints",
@@ -2326,7 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events", "flatten_json_extract", "test_pk_lineitem",
         "join_match", "transforms_hash", "union_drift", "snapshot_stamp",
         "select_project", "where_filter", "limit_order",
-        "column_casing_upper", "definition_only",
+        "column_casing_upper",
     ]
     out = {k: d[k] for k in window}
     out.update((k, v) for k, v in d.items() if k not in out)
@@ -2951,6 +2988,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 90, 'APPENDLAND_A', 0, 29, 3
             UNION ALL
             SELECT 91, 'APPENDLAND_B', 1, 30, 3
+        """,
+        # all 25 nation rows; keys % 6 == 0 merged with an '_u' suffix
+        # across the pre/post-evolution layouts
+        "iceberg_partition_evolution": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   CASE WHEN n_nationkey % 6 = 0 THEN n_name || '_u'
+                        ELSE n_name END AS n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
         """,
         # main = all nation; tag v1 = keys < 12; branch audit = main at
         # fork (all 25) + two branch-only rows

@@ -518,6 +518,10 @@ def _active_entries(
             df_ = dict(e["data_file"])
             seq = e.get("sequence_number")
             df_["__seq"] = mseq if seq is None else seq
+            # the spec this file was written under rides the manifest
+            # header; carried files keep it across commits (partition
+            # evolution: one manifest per spec id)
+            df_["__spec_id"] = int(m.get("partition_spec_id") or 0)
             content = df_.get("content") or 0
             if content == 0:
                 files.append(df_)
@@ -794,31 +798,54 @@ def _mor_read(
         df = spark.createDataFrame([], empty_schema or _spark_schema(meta))
         return df.withColumn("__file", F.lit(None).cast("string")) \
             if keep_file_col else df
-    reader = spark.read.option("mergeSchema", "true")
-    part = _part_cols(meta)
-    if part and set(part) <= _identity_part_cols(meta):
-        # identity-transform spec: partition values live in the Hive
-        # dirs; basePath restores them as columns. A TRANSFORM spec
-        # (day/bucket/truncate) must NOT do this — the dirs hold
-        # transformed values under a derived name (e.g. ts_day) and
-        # basePath would graft that spurious column onto the scan; the
-        # SOURCE columns are already inside the data files (spec:
-        # transformed fields never replace their source column), so a
-        # plain file-path read returns the correct table schema
-        reader = reader.option(
-            "basePath", _absolute(fsio.join(path, "data")))
-    df = reader.parquet(*sorted(f["file_path"] for f in files))
     defaults = _initial_defaults(meta) \
         if meta.get("format-version", 1) >= 3 else {}
     need_fp = keep_file_col or bool(pos_dels) or bool(eq_dels) \
         or bool(defaults)
-    if need_fp:
-        df = df.withColumn(
-            "__fp", _norm_path_col(F.col("_metadata.file_path")))
+    shapes = {frozenset((f.get("partition") or {}).keys()) for f in files}
+    if len(shapes) > 1:
+        # partition evolution left files under MORE THAN ONE layout —
+        # dir inference cannot span them, so union one branch per
+        # distinct partition tuple with the manifests' values attached
+        df = _grouped_partition_read(
+            spark, meta, files, need_fp, need_pos=bool(pos_dels))
+    else:
+        reader = spark.read.option("mergeSchema", "true")
+        shape = next(iter(shapes))
+        identity = {f["name"] for s in meta.get("partition-specs") or []
+                    for f in (s.get("fields") or [])
+                    if f.get("transform", "identity") == "identity"}
+        if shape and shape <= identity:
+            # identity-transform layout: partition values live in the
+            # Hive dirs; basePath restores them as columns. A TRANSFORM
+            # layout (day/bucket/truncate) must NOT do this — the dirs
+            # hold transformed values under a derived name (e.g.
+            # ts_day) and basePath would graft that spurious column
+            # onto the scan; the SOURCE columns are already inside the
+            # data files (spec: transformed fields never replace their
+            # source column), so a plain file-path read returns the
+            # correct table schema. Keyed on the FILES' shape, not the
+            # default spec — after evolution every retained file may
+            # still sit under an older uniform layout.
+            reader = reader.option(
+                "basePath", _absolute(fsio.join(path, "data")))
+        df = reader.parquet(*sorted(f["file_path"] for f in files))
+        if shape:
+            # dir inference types partition columns from their string
+            # values (int for "10"); the table schema is authoritative
+            # (a long column must not come back int)
+            types = {f.name: f.dataType for f in _spark_schema(meta).fields}
+            for c in sorted(shape):
+                if c in types and c in df.columns:
+                    df = df.withColumn(c, F.col(c).cast(types[c]))
+        if need_fp:
+            df = df.withColumn(
+                "__fp", _norm_path_col(F.col("_metadata.file_path")))
     if defaults:
         df = _fill_initial_defaults(df, files, defaults)
     if pos_dels:
-        df = df.withColumn("__pos", F.col("_metadata.row_index"))
+        if "__pos" not in df.columns:  # grouped path captured per-branch
+            df = df.withColumn("__pos", F.col("_metadata.row_index"))
         df = _apply_positional_deletes(spark, df, pos_dels)
     if eq_dels:
         df = _apply_equality_deletes(spark, df, eq_dels, meta, files)
@@ -827,6 +854,46 @@ def _mor_read(
     elif need_fp:
         df = df.drop("__fp")
     return df
+
+
+def _grouped_partition_read(
+    spark, meta: dict, files: list[dict], need_fp: bool,
+    need_pos: bool = False,
+) -> DataFrame:
+    """Scan for a snapshot whose files span MULTIPLE partition layouts
+    (spec §Partition Evolution): one plain parquet branch per distinct
+    partition TUPLE, identity partition values attached as typed
+    literals from the manifests (the log already holds them — no dir
+    inference), unioned by name with nulls where a branch's files
+    predate a column. ``__fp``/``__pos`` are captured per branch —
+    metadata columns do not resolve through a union. The plan grows
+    with distinct partition tuples in the snapshot, the same bound as
+    delta_py's mapped-partitioned read."""
+    from pyspark.sql import functions as F
+
+    types = {f.name: f.dataType for f in _spark_schema(meta).fields}
+    groups: dict[tuple, list[dict]] = {}
+    for f in files:
+        key = tuple(sorted((f.get("partition") or {}).items()))
+        groups.setdefault(key, []).append(f)
+    branches = []
+    for key, grp in sorted(groups.items(),
+                           key=lambda kv: tuple(map(str, kv[0]))):
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *sorted(g["file_path"] for g in grp))
+        if need_fp:
+            df = df.withColumn(
+                "__fp", _norm_path_col(F.col("_metadata.file_path")))
+        if need_pos:
+            df = df.withColumn("__pos", F.col("_metadata.row_index"))
+        for name, val in key:
+            if name in types and name not in df.columns:
+                df = df.withColumn(name, F.lit(val).cast(types[name]))
+        branches.append(df)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out
 
 
 def read_iceberg(
@@ -927,7 +994,12 @@ def merge_iceberg(
                 for r in src.select(*part_cols).distinct().collect()}
             candidates = [
                 f for f in active
-                if tuple((f.get("partition") or {}).get(c, _HIVE_NULL)
+                # a file written under an OLDER spec (partition
+                # evolution) lacks the default spec's keys — it stays
+                # a candidate (scanning more is safe; pruning it could
+                # skip matched rows)
+                if not set(part_cols) <= set(f.get("partition") or {})
+                or tuple((f.get("partition") or {}).get(c, _HIVE_NULL)
                          for c in part_cols) in batch_parts]
         cdc_cols = {}
         if seq_col:
@@ -1145,18 +1217,26 @@ def _init_meta(
     return meta
 
 
-def _part_cols(meta: dict) -> list[str]:
+def _default_spec(meta: dict) -> dict:
+    """The table's DEFAULT partition spec (spec §Partition Evolution:
+    ``default-spec-id`` selects it; older specs stay in
+    ``partition-specs`` for the files written under them)."""
     specs = meta.get("partition-specs") or [{}]
-    return [f["name"] for f in (specs[0].get("fields") or [])]
+    did = meta.get("default-spec-id", 0)
+    return next((s for s in specs if s.get("spec-id", 0) == did),
+                specs[0])
+
+
+def _part_cols(meta: dict) -> list[str]:
+    return [f["name"] for f in (_default_spec(meta).get("fields") or [])]
 
 
 def _identity_part_cols(meta: dict) -> set[str]:
-    """Partition-spec fields with the IDENTITY transform only — a
+    """Default-spec fields with the IDENTITY transform only — a
     foreign table's bucket/truncate/day field stores transformed values
     under the source column's name, and pruning a source-column filter
     against those would silently drop matching rows."""
-    specs = meta.get("partition-specs") or [{}]
-    return {f["name"] for f in (specs[0].get("fields") or [])
+    return {f["name"] for f in (_default_spec(meta).get("fields") or [])
             if f.get("transform", "identity") == "identity"}
 
 
@@ -1336,25 +1416,57 @@ def _commit_snapshot(
                 f["first_row_id"] = rid
                 rid += int(f.get("record_count") or 0)
             meta["next-row-id"] = rid
+        # partition evolution (spec §Partition Evolution): a manifest's
+        # header names ONE spec id, so new files and carried files that
+        # share the default spec pack together, while carried files
+        # written under an older spec keep their own manifest per spec
+        did = int(_default_spec(meta).get("spec-id") or 0)
+
+        def _fspec(f: dict) -> int:
+            v = f.get("__spec_id")  # 0 is a valid spec id — no `or`
+            return did if v is None else int(v)
+
+        same_spec = [f for f in carried if _fspec(f) == did]
+        older: dict[int, list[dict]] = {}
+        for f in carried:
+            if _fspec(f) != did:
+                older.setdefault(_fspec(f), []).append(f)
         entries = [{"status": 1, "snapshot_id": snapshot_id,
                     "sequence_number": None,  # inherit new_seq from list
                     "data_file": _v2_data_file(f)} for f in data_files]
         entries += [{"status": 0, "snapshot_id": snapshot_id,
                      "sequence_number": int(f.get("__seq") or 0),
-                     "data_file": _v2_data_file(f)} for f in carried]
+                     "data_file": _v2_data_file(f)} for f in same_spec]
         manifest_path = fsio.join(
             _meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
         write_avro(manifest_path, entries, _MANIFEST_ENTRY_SCHEMA_V2)
         mlist_entries.append({
             "manifest_path": manifest_path,
             "manifest_length": fs.getsize(manifest_path),
-            "partition_spec_id": 0,
+            "partition_spec_id": did,
             "added_snapshot_id": snapshot_id,
             "sequence_number": new_seq,
             "min_sequence_number": min(
-                [new_seq] + [int(f.get("__seq") or 0) for f in carried]),
+                [new_seq] + [int(f.get("__seq") or 0) for f in same_spec]),
             "content": 0,
         })
+        for sid_, grp in sorted(older.items()):
+            grp_entries = [{"status": 0, "snapshot_id": snapshot_id,
+                            "sequence_number": int(f.get("__seq") or 0),
+                            "data_file": _v2_data_file(f)} for f in grp]
+            grp_path = fsio.join(
+                _meta_dir(path), f"{uuid.uuid4().hex}-m{sid_}.avro")
+            write_avro(grp_path, grp_entries, _MANIFEST_ENTRY_SCHEMA_V2)
+            mlist_entries.append({
+                "manifest_path": grp_path,
+                "manifest_length": fs.getsize(grp_path),
+                "partition_spec_id": sid_,
+                "added_snapshot_id": snapshot_id,
+                "sequence_number": new_seq,
+                "min_sequence_number": min(
+                    int(f.get("__seq") or 0) for f in grp),
+                "content": 0,
+            })
         if carried_deletes:
             del_entries = [{"status": 0, "snapshot_id": snapshot_id,
                             "sequence_number": int(f.get("__seq") or 0),
@@ -1507,6 +1619,57 @@ def write_iceberg(
         df, path, meta, carried,
         operation="overwrite" if mode == "overwrite" else "append",
         carried_deletes=carried_dels, branch=branch)
+
+
+def evolve_partition_spec(path: str, partition_by: list[str]) -> int:
+    """ALTER TABLE ... [ADD/REPLACE] PARTITION FIELD (spec §Partition
+    Evolution): append a new IDENTITY partition spec and make it the
+    default — a METADATA-ONLY commit. Existing files keep their old
+    spec (their manifests keep its id; :func:`_commit_snapshot` groups
+    carried entries per spec), new writes stage under the new Hive
+    layout, and reads union the layouts per partition shape
+    (:func:`_mor_read`). ``partition_by=[]`` evolves back to
+    unpartitioned. Returns the new default spec id."""
+    fs = fsio.get_fs(path)
+    version, meta = _current_metadata(path, for_write=True)
+    if meta.get("format-version", 1) < 2:
+        raise UnsupportedTableFeature(
+            f"iceberg table at {path} is format-version 1; partition "
+            "evolution needs the v2 manifest-list spec-id field")
+    schema = _current_schema(meta) or {}
+    ids = {f["name"]: f["id"] for f in schema.get("fields", [])}
+    missing = [c for c in partition_by if c not in ids]
+    if missing:
+        raise ValueError(f"partition columns not in schema: {missing}")
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    want = [(c, ids[c]) for c in partition_by]
+    for s in specs:  # identical spec already recorded -> just re-default
+        have = [(f["name"], f.get("source-id"))
+                for f in (s.get("fields") or [])
+                if f.get("transform", "identity") == "identity"]
+        if have == want and len(have) == len(s.get("fields") or []):
+            new_id = s.get("spec-id", 0)
+            break
+    else:
+        new_id = 1 + max(s.get("spec-id", 0) for s in specs)
+        last_pid = max(
+            [int(meta.get("last-partition-id") or 999)]
+            + [int(f.get("field-id") or 999)
+               for s in specs for f in (s.get("fields") or [])])
+        fields = [{"name": c, "transform": "identity",
+                   "source-id": ids[c], "field-id": last_pid + 1 + i}
+                  for i, c in enumerate(partition_by)]
+        specs = specs + [{"spec-id": new_id, "fields": fields}]
+        meta["partition-specs"] = specs
+        meta["last-partition-id"] = last_pid + len(fields)
+    meta["default-spec-id"] = new_id
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    fs.create_exclusive(
+        fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+        json.dumps(meta).encode())
+    fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
+                   str(version + 1).encode())
+    return int(new_id)
 
 
 def _set_ref(path: str, name: str, ref_type: str,

@@ -1501,3 +1501,79 @@ def test_iceberg_ref_guards(spark, tmp_path):
         create_branch(t, "dev", snapshot_id=123)
     with pytest.raises(KeyError):
         drop_ref(t, "nope")
+
+
+# ------------------------------------------------- partition spec evolution
+
+def test_partition_evolution_read_and_write(spark, tmp_path):
+    """Unpartitioned files + post-evolution partitioned files coexist:
+    manifests keep per-spec ids, reads union the layouts with manifest
+    partition values attached, and new writes stage under the new
+    Hive dirs."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, evolve_partition_spec,
+        write_iceberg)
+
+    t = str(tmp_path / "t")
+    df0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, v string, grp int")
+    write_iceberg(df0, t)
+    sid = evolve_partition_spec(t, ["grp"])
+    assert sid == 1
+    meta = _current_metadata(t)[1]
+    assert meta["default-spec-id"] == 1
+    assert meta["partition-specs"][1]["fields"][0]["transform"] \
+        == "identity"
+    write_iceberg(spark.createDataFrame(
+        [(3, "c", 10), (4, "d", 30)], "id long, v string, grp int"), t)
+
+    files, _, _ = _active_entries(t, meta := _current_metadata(t)[1],
+                                  None)
+    specs = {f["__spec_id"] for f in files}
+    assert specs == {0, 1}
+    new = [f for f in files if f["__spec_id"] == 1]
+    assert all((f.get("partition") or {}).get("grp") for f in new)
+
+    got = {r["id"]: (r["v"], r["grp"])
+           for r in read_iceberg(spark, t).collect()}
+    assert got == {1: ("a", 10), 2: ("b", 20),
+                   3: ("c", 10), 4: ("d", 30)}
+    # filter crossing both layouts
+    assert {r["id"] for r in read_iceberg(spark, t)
+            .filter("grp = 10").collect()} == {1, 3}
+
+
+def test_partition_evolution_merge_touches_old_files(spark, tmp_path):
+    """A merge keyed on the NEW partition column must not prune away
+    pre-evolution files that lack the column in their manifest
+    partition dict."""
+    from sling_cli_spark.sources.iceberg_py import (
+        evolve_partition_spec, merge_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, v string, grp int"), t)
+    evolve_partition_spec(t, ["grp"])
+    write_iceberg(spark.createDataFrame(
+        [(3, "c", 10)], "id long, v string, grp int"), t)
+    merge_iceberg(spark, t, spark.createDataFrame(
+        [(1, "A", 10), (3, "C", 10), (9, "Z", 30)],
+        "id long, v string, grp int"), "id")
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "A", 2: "b", 3: "C", 9: "Z"}
+
+
+def test_partition_evolution_dedupe_and_guards(spark, tmp_path):
+    from sling_cli_spark.sources.iceberg_py import (
+        _current_metadata, evolve_partition_spec, write_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a", 10)], "id long, v string, grp int"), t)
+    s1 = evolve_partition_spec(t, ["grp"])
+    s2 = evolve_partition_spec(t, [])      # back to spec 0 (unpart.)
+    s3 = evolve_partition_spec(t, ["grp"])  # identical spec -> reuse id
+    assert s1 == s3 and s2 == 0 and s2 != s1
+    assert len(_current_metadata(t)[1]["partition-specs"]) == 2
+    with pytest.raises(ValueError, match="nope"):
+        evolve_partition_spec(t, ["nope"])
