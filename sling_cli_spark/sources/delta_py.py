@@ -631,7 +631,14 @@ SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
                              "timestampNtz", "allowColumnDefaults",
                              "variantType", "variantType-preview",
                              "domainMetadata", "vacuumProtocolCheck",
-                             "rowTracking", "clustering"}
+                             "rowTracking", "clustering",
+                             # collations: metadata preserved verbatim,
+                             # collated columns excluded from min/max
+                             # stats (binary order may disagree);
+                             # icebergCompat: DV production forced off
+                             # so every commit stays convertible
+                             "collations", "collations-preview",
+                             "icebergCompatV1", "icebergCompatV2"}
 
 
 def check_writer_protocol(path: str, removes_files: bool = False) -> dict:
@@ -830,19 +837,41 @@ def _stats_serializable(v):
     return v
 
 
-def _staged_stats(df: DataFrame, tmp: str) -> dict[str, str]:
+def _collated_cols(meta: dict | None) -> set[str]:
+    """Top-level columns carrying COLLATION metadata (PROTOCOL.md
+    String Collation, the ``collations`` writer feature). Detection is
+    deliberately loose — any field-metadata key mentioning 'collation'
+    — so preview/finalized key spellings are all honored
+    conservatively: the obligation is to never record min/max bounds
+    whose binary order could disagree with the collation's."""
+    try:
+        fields = json.loads((meta or {}).get("schemaString") or "{}") \
+            .get("fields") or []
+    except (ValueError, TypeError):
+        return set()
+    return {f["name"] for f in fields
+            if any("collation" in str(k).lower()
+                   for k in (f.get("metadata") or {}))}
+
+
+def _staged_stats(
+    df: DataFrame, tmp: str, exclude: set[str] | None = None,
+) -> dict[str, str]:
     """Per-staged-file skipping stats (PROTOCOL.md Per-file Statistics:
     numRecords / minValues / maxValues / nullCount over the first
     ``_STATS_MAX_COLS`` atomic columns), keyed by canonical staged
     path. ONE Spark job over the just-written files; failure degrades
-    to no stats, never a failed commit."""
+    to no stats, never a failed commit. ``exclude`` drops columns whose
+    bounds must not be recorded (collated strings: binary min/max can
+    disagree with the collation's ordering)."""
     from pyspark.sql import functions as F
 
     # decimals are deliberately EXCLUDED: serializing them as float can
     # collapse >2^53 values onto one double, and a collapsed bound could
     # wrongly disprove a watermark — conservative no-stats beats that
     cols = [f.name for f in df.schema.fields
-            if f.dataType.typeName() in (
+            if f.name not in (exclude or ())
+            and f.dataType.typeName() in (
                 "long", "integer", "short", "byte", "double", "float",
                 "string", "date", "timestamp", "timestamp_ntz",
                 "boolean")][:_STATS_MAX_COLS]
@@ -914,7 +943,11 @@ def _stage_data_files(
             fs.delete(tmp, True)
             raise InvariantViolation(str(e)[:500]) from None
         raise
-    staged_stats = _staged_stats(df, tmp)
+    try:  # new table (v0) has no recorded schema yet -> nothing collated
+        excl = _collated_cols(_replay_state(path)[0])
+    except Exception:
+        excl = set()
+    staged_stats = _staged_stats(df, tmp, exclude=excl)
     adds: list[dict] = []
     now = int(time.time() * 1000)
 
@@ -1507,10 +1540,17 @@ def _dv_writes_enabled(meta: dict | None, use_dvs: bool | None) -> bool:
     stay CoW — the raw position scan reads physical names."""
     if _column_mapping_mode(meta) != "none":
         return False
+    conf = (meta or {}).get("configuration") or {}
+    if conf.get("delta.enableIcebergCompatV1") == "true" \
+            or conf.get("delta.enableIcebergCompatV2") == "true":
+        # icebergCompat writer requirement: commits must stay
+        # Iceberg-convertible — deletes/merges rewrite CoW, never DV
+        # (overrides an explicit use_dvs=True: honoring it would
+        # violate the table contract foreign converters rely on)
+        return False
     if use_dvs is not None:
         return bool(use_dvs)
-    return ((meta or {}).get("configuration") or {}).get(
-        "delta.enableDeletionVectors") == "true"
+    return conf.get("delta.enableDeletionVectors") == "true"
 
 
 def _dv_protocol_action(path: str) -> dict | None:

@@ -2540,3 +2540,58 @@ def test_clustering_unknown_column_refused(spark, tmp_path):
     write_delta(_df(spark, [(1, "a")]), t)
     with pytest.raises(ValueError, match="nope"):
         set_clustering(t, ["nope"])
+
+
+# ------------------------------------------- collations + icebergCompat
+
+def test_collated_column_stats_omitted(spark, tmp_path):
+    """collations writer feature: collation metadata survives writes
+    verbatim, and collated string columns get NO min/max bounds (binary
+    order may disagree with the collation's) while other columns keep
+    theirs."""
+    from sling_cli_spark.sources.delta_py import _replay_state
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]).coalesce(1), t)
+    # foreign writer declares a collation on v + the feature
+    meta, _, _ = _replay_state(t)
+    schema = json.loads(meta["schemaString"])
+    schema["fields"][1]["metadata"] = {
+        "delta.collation.collationName": "ICU.de_DE"}
+    new_meta = dict(meta, schemaString=json.dumps(schema))
+    with open(os.path.join(t, "_delta_log", "%020d.json" % 1), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["appendOnly", "collations"]}}) + "\n")
+        f.write(json.dumps({"metaData": new_meta}) + "\n")
+
+    write_delta(_df(spark, [(2, "b")]).coalesce(1), t, mode="append")
+    _, files, _ = _replay_state(t)
+    newest = max(files.values(), key=lambda a: a["modificationTime"])
+    st = json.loads(newest["stats"])
+    assert "id" in st["minValues"] and "v" not in st["minValues"]
+    assert st["numRecords"] == 1
+    # metadata untouched by the append
+    meta2, _, _ = _replay_state(t)
+    assert "delta.collation.collationName" in json.loads(
+        meta2["schemaString"])["fields"][1]["metadata"]
+
+
+def test_iceberg_compat_forces_cow(spark, tmp_path):
+    """icebergCompatV2 writer requirement: deletes stay copy-on-write
+    even with delta.enableDeletionVectors=true — every commit remains
+    convertible."""
+    from sling_cli_spark.sources.delta_py import (
+        delete_missing_delta, set_table_properties)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(i, f"v{i}") for i in range(10)])
+                .coalesce(1), t)
+    set_table_properties(t, {"delta.enableDeletionVectors": "true",
+                             "delta.enableIcebergCompatV2": "true"})
+    res = delete_missing_delta(
+        spark, t, _df(spark, [(i, f"v{i}") for i in range(9)]), "id")
+    assert "dv_files" not in res or not res["dv_files"]
+    assert res["touched"] == 1 and res["new_files"] == 1  # CoW rewrite
+    assert {r["id"] for r in read_delta(spark, t).collect()} \
+        == set(range(9))
