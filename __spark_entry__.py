@@ -710,6 +710,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              .withColumn("src", lab("audit")))
                 .select("src", "n_nationkey", "n_name"))
 
+    def delta_restore(spark, sf):
+        """RESTORE TO VERSION AS OF (delta_py round 8, restore_delta):
+        nation lands at v0, a DV delete drops multiples of 5, a merge
+        rewrites keys < 4 — then RESTORE v0 commits the exact
+        add/remove delta back (re-adding the DV'd file WITHOUT its
+        vector, removing the merge output). The read must equal plain
+        nation while the post-merge version stays time-travelable
+        (asserted in-code)."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            delete_missing_delta, merge_delta, read_delta, restore_delta,
+            set_table_properties, write_delta)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_rs_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_delta(n.coalesce(1).sortWithinPartitions("n_nationkey"), t)
+        set_table_properties(t, {"delta.enableDeletionVectors": "true"})
+        delete_missing_delta(
+            spark, t, n.filter("n_nationkey % 5 != 0"), "n_nationkey")
+        vm = merge_delta(
+            spark, t,
+            n.filter("n_nationkey < 4")
+            .withColumn("n_name", F.concat("n_name", F.lit("_m"))),
+            "n_nationkey")
+        res = restore_delta(t, version=0)
+        assert res["restored_version"] == 0 and res["re_added"] >= 1
+        assert read_delta(spark, t, version=vm["version"]).count() < 25, \
+            "history must stay time-travelable past the restore"
+        return read_delta(spark, t).select(
+            "n_nationkey", "n_name", "n_regionkey")
+
+    def iceberg_rollback(spark, sf):
+        """rollback_to_snapshot (iceberg_py round 8): nation appends in
+        two snapshots, rolls back to the first metadata-only, then a
+        third write parents at the rolled-back head — the abandoned
+        second snapshot stays retained but unreachable from main
+        (asserted in-code via parent-snapshot-id)."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            _current_metadata, read_iceberg, rollback_to_snapshot,
+            write_iceberg)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_rb_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        s1 = write_iceberg(n.filter("n_nationkey < 12"), t)
+        write_iceberg(n.filter("n_nationkey >= 12"), t)
+        rollback_to_snapshot(t, s1)
+        s3 = write_iceberg(n.filter("n_nationkey >= 20"), t)
+        by_id = {s["snapshot-id"]: s for s in
+                 _current_metadata(t)[1]["snapshots"]}
+        assert by_id[s3]["parent-snapshot-id"] == s1, \
+            "post-rollback write must parent at the rolled-back head"
+        return read_iceberg(spark, t).select("n_nationkey", "n_name")
+
     def iceberg_partition_evolution(spark, sf):
         """Partition spec evolution (iceberg_py round 8,
         evolve_partition_spec / _grouped_partition_read; spec
@@ -2216,6 +2277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_v3_dv_produce": iceberg_v3_dv_produce,
         "iceberg_refs": iceberg_refs,
         "iceberg_partition_evolution": iceberg_partition_evolution,
+        "delta_restore": delta_restore,
+        "iceberg_rollback": iceberg_rollback,
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "delta_identity_generated": delta_identity_generated,
         "delta_zorder_skipping": delta_zorder_skipping,
@@ -2345,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dv_produce", "delta_row_tracking",
         "delta_clustering_skipping", "iceberg_v3_dv_produce",
         "iceberg_refs", "iceberg_partition_evolution",
+        "delta_restore", "iceberg_rollback",
         "cdc_foreachbatch_merge",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
@@ -2361,8 +2425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_range", "delta_column_mapping", "iceberg_v2_pos_delete",
         "iceberg_v2_eq_delete", "dedup_last_event", "asof_events",
         "sessionize_events", "flatten_json_extract", "test_pk_lineitem",
-        "join_match", "transforms_hash", "union_drift", "snapshot_stamp",
-        "select_project", "where_filter", "limit_order",
+        "join_match", "transforms_hash", "union_drift",
+        "select_project", "where_filter",
         "column_casing_upper",
     ]
     out = {k: d[k] for k in window}
@@ -2988,6 +3052,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 90, 'APPENDLAND_A', 0, 29, 3
             UNION ALL
             SELECT 91, 'APPENDLAND_B', 1, 30, 3
+        """,
+        # restore to v0 == plain nation, whatever happened in between
+        "delta_restore": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+        """,
+        # rolled back to keys<12, then re-appended keys>=20
+        "iceberg_rollback": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+            FROM nation WHERE n_nationkey < 12 OR n_nationkey >= 20
         """,
         # all 25 nation rows; keys % 6 == 0 merged with an '_u' suffix
         # across the pre/post-evolution layouts

@@ -305,6 +305,23 @@ def cmd_lake(args: argparse.Namespace) -> int:
         removed = remove_orphan_files(path)
         print(json.dumps({"removed_files": len(removed)}))
         return 0
+    if op == "restore":
+        if not is_delta:
+            print("restore applies to Delta tables "
+                  "(iceberg: use rollback)", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.delta_py import restore_delta
+        print(json.dumps(restore_delta(path, version=args.version)))
+        return 0
+    if op == "rollback":
+        if is_delta:
+            print("rollback applies to Iceberg tables "
+                  "(delta: use restore)", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.iceberg_py import rollback_to_snapshot
+        sid = rollback_to_snapshot(path, args.snapshot)
+        print(json.dumps({"current_snapshot_id": sid}))
+        return 0
     if op in ("tag", "branch", "drop-ref"):  # metadata-only, no Spark
         if is_delta:
             print(f"{op} applies to Iceberg tables (spec §Refs)",
@@ -448,6 +465,14 @@ def build_parser() -> argparse.ArgumentParser:
                        help="commit/snapshot history as CSV "
                             "(DESCRIBE HISTORY twin)")
     lh.add_argument("path")
+    lrs = ls.add_parser("restore",
+                        help="delta: RESTORE TO VERSION AS OF")
+    lrs.add_argument("path")
+    lrs.add_argument("--version", type=int, required=True)
+    lrb = ls.add_parser("rollback",
+                        help="iceberg: roll current back to a snapshot")
+    lrb.add_argument("path")
+    lrb.add_argument("--snapshot", type=int, required=True)
     for ref_op, ref_help in (
             ("tag", "iceberg: pin a named tag to a snapshot"),
             ("branch", "iceberg: create a named branch head"),

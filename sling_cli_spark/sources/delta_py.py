@@ -2843,6 +2843,65 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
     return v
 
 
+def restore_delta(
+    path: str, version: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+) -> dict:
+    """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF (delta-spark's
+    RESTORE): commit the add/remove delta that makes the CURRENT state
+    equal the target version's — metadata-only when the files still
+    exist; time travel keeps working because history is append-only.
+    Re-added files must still be on disk (vacuum may have reclaimed
+    them — refuse loudly, delta-spark's missing-file semantics), and a
+    re-add restores the target's deletion vector and stats verbatim.
+    Returns {"restored_version", "re_added", "removed", "version"}."""
+    if version is None:
+        if as_of_timestamp_ms is None:
+            raise ValueError("restore needs version or timestamp")
+        version = version_at_timestamp(path, as_of_timestamp_ms)
+        if version is None:
+            raise ValueError(
+                f"no commit at or before {as_of_timestamp_ms}")
+    check_writer_protocol(path, removes_files=True)
+    tgt_meta, tgt_files = replay_log(path, version)
+    cur_meta, cur_files = replay_log(path)
+    if tgt_meta is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    fs = fsio.get_fs(path)
+
+    def _dv_key(a: dict):
+        dv = a.get("deletionVector")
+        return (dv or {}).get("pathOrInlineDv")
+
+    now = int(time.time() * 1000)
+    actions: list[dict] = []
+    if json.dumps(tgt_meta, sort_keys=True) != \
+            json.dumps(cur_meta, sort_keys=True):
+        actions.append({"metaData": tgt_meta})
+    removes = [rel for rel in cur_files if rel not in tgt_files]
+    re_adds = [rel for rel, a in tgt_files.items()
+               if rel not in cur_files
+               or _dv_key(cur_files[rel]) != _dv_key(a)]
+    missing = [rel for rel in re_adds
+               if not fs.exists(fsio.join(path, rel))]
+    if missing:
+        raise FileNotFoundError(
+            f"restore to v{version} needs vacuumed files: "
+            f"{missing[:3]}...")
+    actions += [_remove_action(rel, cur_files[rel], now)
+                for rel in sorted(removes)]
+    # a file whose DV changed gets remove+add (foreign readers
+    # reconcile (path, dvId) pairs); a fresh re-add replaces on replay
+    actions += [_remove_action(rel, cur_files[rel], now)
+                for rel in sorted(re_adds) if rel in cur_files]
+    actions += [{"add": {**tgt_files[rel], "modificationTime": now,
+                         "dataChange": True}}
+                for rel in sorted(re_adds)]
+    new_v = _commit_with_retry(path, latest_version(path) + 1, actions)
+    return {"restored_version": version, "re_added": len(re_adds),
+            "removed": len(removes), "version": new_v}
+
+
 def describe_history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY twin: one row per commit — version, timestamp
     (commitInfo when present, else the inCommitTimestamp/file order),

@@ -1672,6 +1672,34 @@ def evolve_partition_spec(path: str, partition_by: list[str]) -> int:
     return int(new_id)
 
 
+def rollback_to_snapshot(path: str, snapshot_id: int) -> int:
+    """rollback_to_snapshot maintenance action (spec/Spark procedure):
+    point ``current-snapshot-id`` — and the ``main`` ref — back at an
+    earlier retained snapshot, METADATA-ONLY; later snapshots stay in
+    history (and expirable). The next write parents at the rolled-back
+    head, exactly like a write after time travel."""
+    fs = fsio.get_fs(path)
+    version, meta = _current_metadata(path, for_write=True)
+    known = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+    if snapshot_id not in known:
+        raise ValueError(
+            f"iceberg table at {path}: snapshot {snapshot_id} is not "
+            "retained — cannot roll back to it")
+    meta["current-snapshot-id"] = int(snapshot_id)
+    refs = dict(meta.get("refs") or {})
+    main = dict(refs.get("main") or {"type": "branch"})
+    main["snapshot-id"] = int(snapshot_id)
+    refs["main"] = main
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    fs.create_exclusive(
+        fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+        json.dumps(meta).encode())
+    fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
+                   str(version + 1).encode())
+    return int(snapshot_id)
+
+
 def _set_ref(path: str, name: str, ref_type: str,
              snapshot_id: int | None) -> int:
     """Record a named snapshot reference (spec §Refs) in a new

@@ -2595,3 +2595,40 @@ def test_iceberg_compat_forces_cow(spark, tmp_path):
     assert res["touched"] == 1 and res["new_files"] == 1  # CoW rewrite
     assert {r["id"] for r in read_delta(spark, t).collect()} \
         == set(range(9))
+
+
+def test_restore_to_version(spark, tmp_path):
+    """RESTORE: a DV delete + a CoW merge are rolled back by one
+    add/remove commit; time travel to the post-merge version still
+    works; vacuumed targets refuse."""
+    from sling_cli_spark.sources.delta_py import (
+        delete_missing_delta, restore_delta, set_table_properties)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(i, f"v{i}") for i in range(8)])
+                .coalesce(1).sortWithinPartitions("id"), t)
+    set_table_properties(t, {"delta.enableDeletionVectors": "true"})
+    delete_missing_delta(
+        spark, t, _df(spark, [(i, "x") for i in range(6)]), "id")  # DV
+    vm = merge_delta(spark, t, _df(spark, [(0, "V0"), (9, "V9")]), "id")
+    assert {r["id"] for r in read_delta(spark, t).collect()} \
+        == {0, 1, 2, 3, 4, 5, 9}
+
+    res = restore_delta(t, version=0)
+    assert res["restored_version"] == 0 and res["re_added"] >= 1
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {i: f"v{i}" for i in range(8)}  # exact v0 state
+    post_merge = {r["id"] for r in
+                  read_delta(spark, t, version=vm["version"]).collect()}
+    assert post_merge == {0, 1, 2, 3, 4, 5, 9}  # history intact
+
+
+def test_restore_missing_file_refuses(spark, tmp_path):
+    from sling_cli_spark.sources.delta_py import restore_delta, vacuum
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]).coalesce(1), t)
+    write_delta(_df(spark, [(2, "b")]).coalesce(1), t, mode="overwrite")
+    vacuum(t, keep_versions=1)  # v0's file reclaimed
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        restore_delta(t, version=0)

@@ -1577,3 +1577,27 @@ def test_partition_evolution_dedupe_and_guards(spark, tmp_path):
     assert len(_current_metadata(t)[1]["partition-specs"]) == 2
     with pytest.raises(ValueError, match="nope"):
         evolve_partition_spec(t, ["nope"])
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    """rollback: current + main ref move back metadata-only; later
+    snapshots stay retained; the next write parents at the rolled-back
+    head."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _current_metadata, rollback_to_snapshot, write_iceberg)
+
+    t = str(tmp_path / "t")
+    s1 = write_iceberg(_df(spark, [(1, "a")]), t)
+    s2 = write_iceberg(_df(spark, [(2, "b")]), t)
+    rollback_to_snapshot(t, s1)
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1}
+    meta = _current_metadata(t)[1]
+    assert meta["refs"]["main"]["snapshot-id"] == s1
+    assert {s["snapshot-id"] for s in meta["snapshots"]} >= {s1, s2}
+    s3 = write_iceberg(_df(spark, [(3, "c")]), t)
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 3}
+    by_id = {s["snapshot-id"]: s for s in
+             _current_metadata(t)[1]["snapshots"]}
+    assert by_id[s3]["parent-snapshot-id"] == s1
+    with pytest.raises(ValueError, match="not\\s+retained"):
+        rollback_to_snapshot(t, 42)
