@@ -338,6 +338,22 @@ def cmd_lake(args: argparse.Namespace) -> int:
                               "snapshot_id": sid}))
         return 0
     spark = _get_spark(args.debug)
+    if op == "detail":
+        if not is_delta:
+            print("detail applies to Delta tables (iceberg: use files)",
+                  file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.delta_py import describe_detail
+        _stream_csv_stdout(describe_detail(spark, path))
+        return 0
+    if op == "files":
+        if is_delta:
+            print("files applies to Iceberg tables (delta: use detail)",
+                  file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.iceberg_py import iceberg_files
+        _stream_csv_stdout(iceberg_files(spark, path))
+        return 0
     if op == "history":
         if is_delta:
             from sling_cli_spark.sources.delta_py import describe_history
@@ -465,6 +481,12 @@ def build_parser() -> argparse.ArgumentParser:
                        help="commit/snapshot history as CSV "
                             "(DESCRIBE HISTORY twin)")
     lh.add_argument("path")
+    ld = ls.add_parser("detail",
+                       help="delta: DESCRIBE DETAIL as CSV")
+    ld.add_argument("path")
+    lf = ls.add_parser("files",
+                       help="iceberg: files metadata table as CSV")
+    lf.add_argument("path")
     lrs = ls.add_parser("restore",
                         help="delta: RESTORE TO VERSION AS OF")
     lrs.add_argument("path")
@@ -491,7 +513,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="delta change-feed start version")
     lc.add_argument("--from-snapshot", type=int,
                     help="iceberg changelog start snapshot id")
-    for sp in (lo, lv, le, lc, lh):  # trailing -d parses like run/pipeline
+    for sp in (lo, lv, le, lc, lh, ld, lf):  # trailing -d like run/pipeline
         sp.add_argument("-d", "--debug", action="store_true")
     lk.set_defaults(fn=cmd_lake)
     return p

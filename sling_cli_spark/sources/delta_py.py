@@ -638,7 +638,12 @@ SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
                              # icebergCompat: DV production forced off
                              # so every commit stays convertible
                              "collations", "collations-preview",
-                             "icebergCompatV1", "icebergCompatV2"}
+                             "icebergCompatV1", "icebergCompatV2",
+                             # _commit stamps a monotonic
+                             # inCommitTimestamp once the table carries
+                             # one (or the commit enables the property)
+                             "inCommitTimestamp",
+                             "inCommitTimestamp-preview"}
 
 
 def check_writer_protocol(path: str, removes_files: bool = False) -> dict:
@@ -681,18 +686,49 @@ class ConcurrentModificationError(RuntimeError):
     merge against the new snapshot."""
 
 
+def _prev_ict(path: str, fs, version: int) -> int | None:
+    """The previous commit's ``inCommitTimestamp``, or None when it has
+    none (table not ICT-enabled) or its log was checkpointed away
+    (monotonicity is then enforced against wall clock only)."""
+    if version <= 0:
+        return None
+    try:
+        for line in fs.read_bytes(
+                _log_path(path, version - 1)).decode().splitlines():
+            if '"commitInfo"' not in line:
+                continue
+            info = json.loads(line).get("commitInfo") or {}
+            v = info.get("inCommitTimestamp")
+            return int(v) if v is not None else None
+    except Exception:
+        return None
+    return None
+
+
 def _commit(path: str, version: int, actions: list[dict]) -> None:
     """Atomic commit via exclusive create of the next version file.
     A concurrent committer of the same version loses the claim and
     raises — the optimistic-concurrency contract of the protocol.
     A ``commitInfo`` action (timestamp) leads every commit unless the
     caller supplied one — that is what timestamp time travel reads, so
-    it survives file copies that reset modification times."""
+    it survives file copies that reset modification times. On an
+    ICT table (PROTOCOL.md §In-Commit Timestamps: the previous commit
+    carries ``inCommitTimestamp``, or this commit enables the
+    property) the commitInfo also records a MONOTONIC
+    inCommitTimestamp = max(wall clock, previous + 1)."""
     fs = fsio.get_fs(path)
     fs.mkdirs(_log_dir(path))
     if not any("commitInfo" in a for a in actions):
-        actions = [{"commitInfo": {
-            "timestamp": int(time.time() * 1000)}}] + list(actions)
+        ts = int(time.time() * 1000)
+        prev = _prev_ict(path, fs, version)
+        enabling = any(
+            ((a.get("metaData") or {}).get("configuration") or {})
+            .get("delta.enableInCommitTimestamps") == "true"
+            for a in actions)
+        info = {"timestamp": ts}
+        if prev is not None or enabling:
+            info["inCommitTimestamp"] = max(ts, (prev or 0) + 1)
+        actions = [{"commitInfo": info}] + list(actions)
     payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
     try:
         fs.create_exclusive(_log_path(path, version), payload)
@@ -2788,6 +2824,8 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
     enabling_rt = str(props.get(
         "delta.enableRowTracking", "")).lower() == "true" \
         and not row_tracking_enabled(meta)
+    enabling_ict = str(props.get(
+        "delta.enableInCommitTimestamps", "")).lower() == "true"
     if enabling_rt:
         # PROTOCOL.md §Row Tracking: the enabling writer records the
         # materialized column names rewrites thread row ids through
@@ -2801,7 +2839,8 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
     needs_upgrade = (enabling_cdf and mwv < 4
                      and "changeDataFeed" not in wf) or \
         (enabling_check and mwv < 3 and "checkConstraints" not in wf) or \
-        (enabling_rt and "rowTracking" not in wf)
+        (enabling_rt and "rowTracking" not in wf) or \
+        (enabling_ict and "inCommitTimestamp" not in wf)
     if needs_upgrade:
         rf = set(prot.get("readerFeatures") or ())
         wf.add("appendOnly")  # v2-implied
@@ -2821,6 +2860,8 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             wf.add("invariants")  # enforced on write (r8 guard)
         if enabling_rt:  # rowTracking's watermark lives in a domain
             wf |= {"rowTracking", "domainMetadata"}
+        if enabling_ict:
+            wf.add("inCommitTimestamp")
         actions.append({"protocol": {
             "minReaderVersion": max(prot.get("minReaderVersion", 1),
                                     3 if rf else 1),
@@ -2829,6 +2870,19 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             "writerFeatures": sorted(wf)}})
     actions.append({"metaData": new_meta})
     v = latest_version(path) + 1
+    if enabling_ict:
+        # enablement provenance (PROTOCOL.md §In-Commit Timestamps):
+        # readers use it to bound timestamp travel across the
+        # wall-clock/ICT boundary. new_meta is the object the metaData
+        # action above holds — mutating it before commit is the point.
+        ict = max(int(time.time() * 1000),
+                  (_prev_ict(path, fsio.get_fs(path), v) or 0) + 1)
+        new_meta["configuration"][
+            "delta.inCommitTimestampEnablementVersion"] = str(v)
+        new_meta["configuration"][
+            "delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+        actions.insert(0, {"commitInfo": {
+            "timestamp": ict, "inCommitTimestamp": ict}})
     if enabling_rt:
         # backfill (delta-spark's ALTER TABLE enablement): re-add every
         # active file with a fresh baseRowId in the SAME commit —
@@ -2841,6 +2895,39 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             path, backfill, v, protocol={"writerFeatures": ["rowTracking"]})
     _commit(path, v, actions)
     return v
+
+
+def describe_detail(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE DETAIL twin: one row of table-level facts from the
+    replayed state (metadata-sized — the log IS the control plane)."""
+    meta, files, protocol = _replay_state(path)
+    if meta is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    prot = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    n_dv = sum(1 for a in files.values() if a.get("deletionVector"))
+    row = (
+        "delta", meta.get("id"), os.path.abspath(path)
+        if not urlparse(path).scheme else path,
+        int(meta.get("createdTime") or 0),
+        latest_version(path),
+        list(meta.get("partitionColumns") or []),
+        sorted(clustering_columns(path)),
+        len(files),
+        sum(int(a.get("size") or 0) for a in files.values()),
+        n_dv,
+        json.dumps(meta.get("configuration") or {}, sort_keys=True),
+        int(prot.get("minReaderVersion") or 1),
+        int(prot.get("minWriterVersion") or 2),
+        sorted(prot.get("readerFeatures") or []),
+        sorted(prot.get("writerFeatures") or []),
+    )
+    return spark.createDataFrame([row], (
+        "format string, id string, location string, created_time long, "
+        "version long, partition_columns array<string>, "
+        "clustering_columns array<string>, num_files long, "
+        "size_in_bytes long, num_files_with_dvs long, properties string, "
+        "min_reader_version int, min_writer_version int, "
+        "reader_features array<string>, writer_features array<string>"))
 
 
 def restore_delta(

@@ -1763,6 +1763,33 @@ def drop_ref(path: str, name: str) -> None:
                    str(version + 1).encode())
 
 
+def iceberg_files(spark: SparkSession, path: str,
+                  snapshot_id: int | None = None) -> DataFrame:
+    """``files`` metadata-table twin: one row per live content file of
+    the (current or named) snapshot — data files and delete files with
+    their spec id, sequence number, partition tuple, and size facts.
+    Metadata-sized: the manifests the snapshot already lists."""
+    _, meta = _current_metadata(path)
+    data, pos_d, eq_d = _active_entries(path, meta, snapshot_id)
+    rows = []
+    for kind, group in (("data", data), ("position-deletes", pos_d),
+                        ("equality-deletes", eq_d)):
+        for f in group:
+            rows.append((
+                kind, f["file_path"],
+                (f.get("file_format") or "PARQUET"),
+                int(f.get("record_count") or 0),
+                int(f.get("file_size_in_bytes") or 0),
+                json.dumps(f.get("partition") or {}, sort_keys=True),
+                int(f.get("__spec_id") or 0),
+                int(f.get("__seq") or 0),
+            ))
+    return spark.createDataFrame(rows, (
+        "content string, file_path string, file_format string, "
+        "record_count long, file_size_in_bytes long, partition string, "
+        "spec_id int, sequence_number long"))
+
+
 def iceberg_history(spark: SparkSession, path: str) -> DataFrame:
     """history metadata-table twin: one row per snapshot — id,
     timestamp, sequence number, operation, whether it is an ancestor

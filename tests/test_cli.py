@@ -273,3 +273,30 @@ def test_cli_lake_refs(spark, tmp_path, capsys):
     write_delta(spark.createDataFrame(
         [(1, "a")], "id long, v string"), d)
     assert main(["lake", "tag", d, "x"]) == 2  # delta has no refs
+
+
+def test_cli_lake_detail_and_files(spark, tmp_path, capsys):
+    """`lake detail` (Delta DESCRIBE DETAIL twin) and `lake files`
+    (Iceberg files metadata table) stream table facts as CSV."""
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.delta_py import write_delta
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+
+    d = str(tmp_path / "d")
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), d)
+    assert main(["lake", "detail", d]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    hdr, row = out[0].split(","), out[1]
+    assert "num_files" in hdr and "min_writer_version" in hdr
+    assert ",1," in row  # one file
+
+    i = str(tmp_path / "i")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), i)
+    assert main(["lake", "files", i]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith("content,file_path")
+    assert len(out) == 2 and out[1].startswith("data,")
+    assert main(["lake", "files", d]) == 2
+    capsys.readouterr()

@@ -2632,3 +2632,26 @@ def test_restore_missing_file_refuses(spark, tmp_path):
     vacuum(t, keep_versions=1)  # v0's file reclaimed
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         restore_delta(t, version=0)
+
+
+def test_in_commit_timestamps_monotonic(spark, tmp_path):
+    """ICT write side: enabling stamps provenance + the feature; every
+    later commit's inCommitTimestamp is strictly increasing even when
+    wall clock repeats; timestamp travel reads the ICT."""
+    from sling_cli_spark.sources.delta_py import (
+        _replay_state, commit_timestamp_ms, set_table_properties)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]).coalesce(1), t)
+    v1 = set_table_properties(t, {"delta.enableInCommitTimestamps": "true"})
+    meta, _, prot = _replay_state(t)
+    assert "inCommitTimestamp" in prot["writerFeatures"]
+    conf = meta["configuration"]
+    assert conf["delta.inCommitTimestampEnablementVersion"] == str(v1)
+    v2 = write_delta(_df(spark, [(2, "b")]).coalesce(1), t, mode="append")
+    v3 = write_delta(_df(spark, [(3, "c")]).coalesce(1), t, mode="append")
+    t1, t2, t3 = (commit_timestamp_ms(t, v) for v in (v1, v2, v3))
+    assert t1 < t2 < t3  # strict, not merely non-decreasing
+    assert int(conf["delta.inCommitTimestampEnablementTimestamp"]) == t1
+    got = read_delta(spark, t, as_of_timestamp_ms=t2)
+    assert {r["id"] for r in got.collect()} == {1, 2}
