@@ -19,7 +19,11 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          "delta_stats_skipping", "iceberg_bounds_skipping",
          "bucketed_join_agg", "semdedup_docs", "vocab_topk_docs",
          "surprisal_docs", "mix_corpora_docs", "c4_filter_docs",
-         "gopher_filter_docs"]
+         "gopher_filter_docs",
+         # round-8 continuation: row tracking / clustering / refs /
+         # partition evolution / restore — the new lake read paths
+         "delta_row_tracking", "delta_clustering_skipping",
+         "iceberg_partition_evolution", "iceberg_refs", "delta_restore"]
 
 HEADER = """# Physical plan audit (sf0.1, local[32])
 
