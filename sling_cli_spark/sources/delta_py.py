@@ -2850,7 +2850,12 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
                 k.startswith("delta.constraints.")
                 for k in new_meta["configuration"]):
             wf.add("checkConstraints")  # PROTOCOL.md: writer v3+
-        if _column_mapping_mode(meta) != "none" or mwv >= 5:
+        # legacy VERSION NUMBERS imply features; a protocol already
+        # carrying an explicit feature list says exactly what it has —
+        # re-deriving from the version would bolt columnMapping onto
+        # e.g. a v7+timestampNtz table that never mapped a column
+        if _column_mapping_mode(meta) != "none" \
+                or (not prot.get("writerFeatures") and mwv >= 5):
             wf.add("columnMapping")
             rf.add("columnMapping")
         if any(a.get("deletionVector") for a in files.values()):

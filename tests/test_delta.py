@@ -2655,3 +2655,24 @@ def test_in_commit_timestamps_monotonic(spark, tmp_path):
     assert int(conf["delta.inCommitTimestampEnablementTimestamp"]) == t1
     got = read_delta(spark, t, as_of_timestamp_ms=t2)
     assert {r["id"] for r in got.collect()} == {1, 2}
+
+
+def test_enable_on_v7_table_keeps_feature_list_exact(spark, tmp_path):
+    """Regression: enabling a property on a table ALREADY at writer v7
+    (explicit feature list, e.g. timestampNtz creation) must not
+    re-derive legacy implications — columnMapping was wrongly bolted
+    on from mwv >= 5."""
+    from sling_cli_spark.sources.delta_py import (
+        _replay_state, set_table_properties)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, v string") \
+        .selectExpr("id", "v", "TIMESTAMP_NTZ'2024-01-01 00:00:00' AS ts")
+    write_delta(df.coalesce(1), t)
+    _, _, prot = _replay_state(t)
+    assert prot["minWriterVersion"] == 7  # created featured
+    set_table_properties(t, {"delta.enableRowTracking": "true"})
+    _, _, prot = _replay_state(t)
+    assert "columnMapping" not in prot["writerFeatures"]
+    assert "columnMapping" not in (prot.get("readerFeatures") or [])
+    assert {"rowTracking", "timestampNtz"} <= set(prot["writerFeatures"])
