@@ -745,6 +745,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return read_delta(spark, t).select(
             "n_nationkey", "n_name", "n_regionkey")
 
+    def delta_shallow_clone(spark, sf):
+        """SHALLOW CLONE (delta_py round 8, clone_delta / _add_uri /
+        _abs_of_add; PROTOCOL.md absolute add paths): nation with a DV
+        delete clones METADATA-ONLY (asserted: zero parquet under the
+        clone), the clone reads the source's files by absolute path
+        with the DV applied through its re-pointed 'p' descriptor, then
+        DIVERGES — a merge updates keys < 3 and inserts 99 in the
+        clone while the source must keep reading its original state
+        (asserted). Returns both labeled views from one frame."""
+        import glob as _glob
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            clone_delta, delete_missing_delta, merge_delta, read_delta,
+            set_table_properties, write_delta)
+
+        base = tempfile.mkdtemp(prefix="sling_cl_")
+        src, dst = os.path.join(base, "src"), os.path.join(base, "dst")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        write_delta(n.coalesce(1).sortWithinPartitions("n_nationkey"),
+                    src)
+        set_table_properties(src, {"delta.enableDeletionVectors": "true"})
+        delete_missing_delta(
+            spark, src, n.filter("n_nationkey % 5 != 0"), "n_nationkey")
+        clone_delta(src, dst)
+        assert not _glob.glob(os.path.join(dst, "*.parquet")), \
+            "shallow clone must copy zero data files"
+        merge_delta(
+            spark, dst,
+            n.filter("n_nationkey < 3")
+            .withColumn("n_name", F.concat("n_name", F.lit("_c")))
+            .unionByName(spark.createDataFrame(
+                [(99, "CLONELAND")], "n_nationkey long, n_name string")),
+            "n_nationkey")
+        src_now = {r["n_nationkey"] for r in
+                   read_delta(spark, src).collect()}
+        assert 99 not in src_now and len(src_now) == 20, \
+            "the clone's divergence must not leak into the source"
+        return (read_delta(spark, src).withColumn("src", F.lit("source"))
+                .unionByName(read_delta(spark, dst)
+                             .withColumn("src", F.lit("clone")))
+                .select("src", "n_nationkey", "n_name"))
+
     def iceberg_rollback(spark, sf):
         """rollback_to_snapshot (iceberg_py round 8): nation appends in
         two snapshots, rolls back to the first metadata-only, then a
@@ -2278,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_refs": iceberg_refs,
         "iceberg_partition_evolution": iceberg_partition_evolution,
         "delta_restore": delta_restore,
+        "delta_shallow_clone": delta_shallow_clone,
         "iceberg_rollback": iceberg_rollback,
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "delta_identity_generated": delta_identity_generated,
@@ -2408,7 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dv_produce", "delta_row_tracking",
         "delta_clustering_skipping", "iceberg_v3_dv_produce",
         "iceberg_refs", "iceberg_partition_evolution",
-        "delta_restore", "iceberg_rollback",
+        "delta_restore", "iceberg_rollback", "delta_shallow_clone",
         "cdc_foreachbatch_merge",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
@@ -2425,7 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_range", "delta_column_mapping", "iceberg_v2_pos_delete",
         "iceberg_v2_eq_delete", "dedup_last_event", "asof_events",
         "sessionize_events", "flatten_json_extract", "test_pk_lineitem",
-        "join_match", "transforms_hash", "union_drift",
+        "join_match", "union_drift",
         "select_project", "where_filter",
         "column_casing_upper",
     ]
@@ -3052,6 +3098,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 90, 'APPENDLAND_A', 0, 29, 3
             UNION ALL
             SELECT 91, 'APPENDLAND_B', 1, 30, 3
+        """,
+        # source: multiples of 5 DV-deleted; clone diverges with a
+        # '_c' merge on keys < 3 (0 re-enters as an insert) + 99
+        "delta_shallow_clone": """
+            SELECT 'source' AS src, CAST(n_nationkey AS BIGINT)
+                   AS n_nationkey, n_name
+            FROM nation WHERE n_nationkey % 5 <> 0
+            UNION ALL
+            SELECT 'clone', CAST(n_nationkey AS BIGINT),
+                   CASE WHEN n_nationkey < 3 THEN n_name || '_c'
+                        ELSE n_name END
+            FROM nation WHERE n_nationkey % 5 <> 0 OR n_nationkey < 3
+            UNION ALL
+            SELECT 'clone', 99, 'CLONELAND'
         """,
         # restore to v0 == plain nation, whatever happened in between
         "delta_restore": """

@@ -1371,7 +1371,7 @@ def read_delta(
         reader = spark.read.schema(logical)
         if meta.get("partitionColumns"):
             reader = reader.option("basePath", path)
-        df = reader.parquet(*[fsio.join(path, p) for p in sorted(files)])
+        df = reader.parquet(*[_add_uri(path, p) for p in sorted(files)])
         if dvs:
             df = _apply_deletion_vectors(spark, df, path, dvs)
         return _apply_table_schema(df, meta)
@@ -1399,7 +1399,7 @@ def read_delta(
             {"type": "struct",
              "fields": _fieldid_fields(schema_json["fields"])})
         df = spark.read.schema(rs).parquet(
-            *[fsio.join(path, p) for p in sorted(files)])
+            *[_add_uri(path, p) for p in sorted(files)])
         if dvs:  # on the raw scan — _metadata resolves only there
             df = _apply_deletion_vectors(spark, df, path, dvs)
         # names are already logical (field-id matching ignores them);
@@ -1410,7 +1410,7 @@ def read_delta(
     phys = T.StructType.fromJson(
         {"type": "struct", "fields": _physical_fields(schema_json["fields"])})
     df = spark.read.schema(phys).parquet(
-        *[fsio.join(path, p) for p in sorted(files)])
+        *[_add_uri(path, p) for p in sorted(files)])
     if dvs:  # on the raw scan — _metadata resolves only there
         df = _apply_deletion_vectors(spark, df, path, dvs)
     # physical -> logical: top-level alias + cast to the logical type
@@ -1448,10 +1448,46 @@ def _apply_deletion_vectors(
 
     deleted = _dv_deleted_df(spark, path, dvs)
     left = (df
-            .withColumn("__fp", _rel_fp_col(path))
+            .withColumn("__fp", _abs_fp_col())
             .withColumn("__pos", F.col("_metadata.row_index")))
     return left.join(deleted, ["__fp", "__pos"], "left_anti") \
         .drop("__fp", "__pos")
+
+
+def _add_uri(path: str, p: str) -> str:
+    """An add's scan path: the log records table-relative paths for
+    managed files and absolute paths/URIs for EXTERNAL ones (shallow
+    clones — PROTOCOL.md: ``path`` may be absolute)."""
+    if p.startswith("/") or (urlparse(p).scheme
+                             and len(urlparse(p).scheme) > 1):
+        return p
+    return fsio.join(path, p)
+
+
+def _abs_of_add(path: str, p: str) -> str:
+    """Scheme-free absolute on-disk path of an add's file — the
+    comparison key scan-side URIs reduce to (:func:`_uri_abs`)."""
+    parsed = urlparse(p)
+    if parsed.scheme and len(parsed.scheme) > 1:
+        return parsed.path
+    if p.startswith("/"):
+        return p
+    return _table_base(path) + "/" + p
+
+
+def _uri_abs(uri: str) -> str:
+    """``_metadata.file_path`` (or any scan URI) -> scheme-free
+    absolute on-disk path, one url-decode (Spark encodes the URI over
+    the on-disk name)."""
+    parsed = urlparse(uri)
+    return unquote(parsed.path) if parsed.scheme else os.path.abspath(uri)
+
+
+def _add_key_map(path: str, rels) -> dict[str, str]:
+    """{absolute on-disk path: add key} for the given add-path keys —
+    how scan-side URIs map back to log entries on tables that mix
+    relative and absolute (cloned) adds."""
+    return {_abs_of_add(path, r): r for r in rels}
 
 
 def _table_base(path: str) -> str:
@@ -1472,10 +1508,19 @@ def _rel_fp_col(path: str):
     :func:`_rel_to_table`."""
     from pyspark.sql import functions as F
 
-    decoded = F.url_decode(F.regexp_replace(
+    return F.substring(_abs_fp_col(), len(_table_base(path)) + 2, 1 << 30)
+
+
+def _abs_fp_col():
+    """Column expression: ``_metadata.file_path`` reduced to the
+    scheme-free absolute on-disk path — the SQL twin of
+    :func:`_uri_abs`, and the join key that still matches when a
+    shallow clone's adds point OUTSIDE the table root."""
+    from pyspark.sql import functions as F
+
+    return F.url_decode(F.regexp_replace(
         F.col("_metadata.file_path"),
         "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""))
-    return F.substring(decoded, len(_table_base(path)) + 2, 1 << 30)
 
 
 def _dv_deleted_df(spark, path: str, dvs: dict[str, dict]) -> DataFrame:
@@ -1503,7 +1548,10 @@ def _dv_deleted_df(spark, path: str, dvs: dict[str, dict]) -> DataFrame:
             p = delta_dv.dv_absolute_path(table_ref, desc)
             blob64 = base64.b64encode(
                 fsio.get_fs(p).read_bytes(p)).decode()
-        rows.append((rel, json.dumps(desc), blob64))
+        # join key = the file's ABSOLUTE on-disk path (shallow-cloned
+        # adds point outside the table root, where a relative key
+        # cannot match)
+        rows.append((_abs_of_add(path, rel), json.dumps(desc), blob64))
     src = spark.createDataFrame(rows, "__fp string, __dv string, __b string")
     if len(rows) > 1:
         src = src.repartition(min(len(rows), 64), "__fp")
@@ -1545,7 +1593,7 @@ def _read_files_mor(
     if meta.get("partitionColumns"):
         reader = reader.option("basePath", path)
     df = _apply_table_schema(
-        reader.parquet(*[fsio.join(path, p) for p in rels]), meta)
+        reader.parquet(*[_add_uri(path, p) for p in rels]), meta)
     dvs = {rel: files[rel]["deletionVector"] for rel in rels
            if files[rel].get("deletionVector")}
     if dvs:
@@ -1629,7 +1677,7 @@ def _raw_position_scan(spark, path: str, meta: dict, rels) -> DataFrame:
     if meta.get("partitionColumns"):
         reader = reader.option("basePath", path)
     df = _apply_table_schema(
-        reader.parquet(*[fsio.join(path, p) for p in sorted(rels)]), meta)
+        reader.parquet(*[_add_uri(path, p) for p in sorted(rels)]), meta)
     return df.withColumn("__fp", F.col("_metadata.file_path")) \
              .withColumn("__pos", F.col("_metadata.row_index"))
 
@@ -1654,7 +1702,8 @@ def _dv_census(
     rows = marked.groupBy("__fp").agg(
         F.count(F.lit(1)).alias("__phys"),
         F.count(F.when(doomed, 1)).alias("__doom")).collect()
-    return {_rel_to_table(r["__fp"], path): (r["__phys"], r["__doom"])
+    amap = _add_key_map(path, rels)
+    return {amap[_uri_abs(r["__fp"])]: (r["__phys"], r["__doom"])
             for r in rows}
 
 
@@ -1673,7 +1722,8 @@ def _dv_positions(
         .groupBy("__fp") \
         .agg(F.sort_array(F.collect_list("__pos")).alias("__ps")) \
         .collect()
-    return {_rel_to_table(r["__fp"], path): list(r["__ps"]) for r in rows}
+    amap = _add_key_map(path, rels)
+    return {amap[_uri_abs(r["__fp"])]: list(r["__ps"]) for r in rows}
 
 
 def _loosen_stats(stats_json: str | None) -> str | None:
@@ -1867,8 +1917,8 @@ def _scan_with_row_ids(
     reader = spark.read.schema(read_schema)
     if meta.get("partitionColumns"):
         reader = reader.option("basePath", path)
-    df = reader.parquet(*[fsio.join(path, r) for r in rels])
-    df = df.withColumn("__fp", _rel_fp_col(path)) \
+    df = reader.parquet(*[_add_uri(path, r) for r in rels])
+    df = df.withColumn("__fp", _abs_fp_col()) \
            .withColumn("__pos", F.col("_metadata.row_index"))
     dvs = {r: files[r]["deletionVector"] for r in rels
            if files[r].get("deletionVector")}
@@ -1876,7 +1926,7 @@ def _scan_with_row_ids(
         df = df.join(_dv_deleted_df(spark, path, dvs),
                      ["__fp", "__pos"], "left_anti")
     fmap = spark.createDataFrame(
-        [(r, int(files[r]["baseRowId"]),
+        [(_abs_of_add(path, r), int(files[r]["baseRowId"]),
           int(files[r].get("defaultRowCommitVersion") or 0))
          for r in rels],
         "__fp string, __base long, __dcv long")
@@ -1983,7 +2033,7 @@ def _read_mapped_partitioned(
     for key, rels in sorted(
             groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(phys).parquet(
-            *[fsio.join(path, r) for r in sorted(rels)])
+            *[_add_uri(path, r) for r in sorted(rels)])
         branch_dvs = {r: (dvs or {})[r] for r in rels if r in (dvs or {})}
         if branch_dvs:  # on the raw scan — _metadata resolves only there
             df = _apply_deletion_vectors(spark, df, path, branch_dvs)
@@ -2201,10 +2251,11 @@ def merge_delta(
             if part_cols:
                 reader = reader.option("basePath", path)
             cand_df = _apply_table_schema(
-                reader.parquet(*[fsio.join(path, p) for p in sorted(candidates)]),
+                reader.parquet(*[_add_uri(path, p) for p in sorted(candidates)]),
                 meta)
             touched_uris = touched_files(cand_df, src, pk)
-            touched_rel = [_rel_to_table(u, path) for u in touched_uris]
+            amap = _add_key_map(path, candidates)
+            touched_rel = [amap[_uri_abs(u)] for u in touched_uris]
         if dv is not None:
             dv_actions, n_dv, n_dead, doomed_rels = dv
             # DV-applied read of just the doomed files: their DV-deleted
@@ -2383,7 +2434,7 @@ def delete_missing_delta(
     if part_cols:
         reader = reader.option("basePath", path)
     scan = _apply_table_schema(
-        reader.parquet(*[fsio.join(path, p) for p in sorted(files)]),
+        reader.parquet(*[_add_uri(path, p) for p in sorted(files)]),
         meta).withColumn("__file", F.col("_metadata.file_path"))
     dvs = {rel: add["deletionVector"] for rel, add in files.items()
            if add.get("deletionVector")}
@@ -2395,7 +2446,8 @@ def delete_missing_delta(
         .join(keys, on=pk, how="left_anti")
         .select("__file").distinct().collect()
     )
-    touched_rel = sorted(_rel_to_table(r["__file"], path)
+    amap = _add_key_map(path, files)
+    touched_rel = sorted(amap[_uri_abs(r["__file"])]
                          for r in touched_uris)
     if not touched_rel:
         return {"touched": 0, "new_files": 0, "kept": len(files),
@@ -2902,6 +2954,59 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
     return v
 
 
+def clone_delta(src: str, dst: str) -> int:
+    """SHALLOW CLONE (delta-spark's CREATE TABLE ... SHALLOW CLONE):
+    a new table whose commit 0 references the source's CURRENT data
+    files by ABSOLUTE path — metadata only, zero data copied
+    (PROTOCOL.md: ``add.path`` may be absolute). DV descriptors
+    convert to absolute ``p`` storage so they keep resolving from the
+    clone. The clone evolves independently afterwards: appends land
+    inside the clone dir, rewrites (merge/delete/optimize) materialize
+    only the touched files' rows into it (the absolute->add-key maps
+    route every path op), and vacuum walks only the clone dir so
+    source data is never reclaimed from here. Unpartitioned sources
+    only — a partitioned scan pins ``basePath``, which absolute
+    foreign files cannot live under."""
+    from . import delta_dv
+
+    meta, files, protocol = _replay_state(src)
+    if meta is None:
+        raise FileNotFoundError(f"not a delta table: {src}")
+    _check_reader_protocol(src, protocol)
+    if meta.get("partitionColumns"):
+        raise UnsupportedTableFeature(
+            f"shallow clone of partitioned table {src}: absolute adds "
+            "cannot share the clone's basePath — not implemented")
+    if latest_version(dst) >= 0:
+        raise FileExistsError(f"delta table already exists at {dst}")
+    new_meta = dict(meta)
+    new_meta["id"] = str(uuid.uuid4())
+    new_meta["createdTime"] = int(time.time() * 1000)
+    actions: list[dict] = []
+    if protocol:
+        actions.append({"protocol": protocol})
+    actions.append({"metaData": new_meta})
+    for d, c in sorted(_domain_metadata(src).items()):
+        # the rowTracking watermark (and any other domain) carries so
+        # fresh ids in the clone keep extending the source's space
+        actions.append({"domainMetadata": {
+            "domain": d, "configuration": c, "removed": False}})
+    now = int(time.time() * 1000)
+    for rel in sorted(files):
+        add = dict(files[rel])
+        add["path"] = _abs_of_add(src, rel)
+        add["modificationTime"] = now
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            add["deletionVector"] = {
+                **dv, "storageType": "p",
+                "pathOrInlineDv": delta_dv.dv_absolute_path(
+                    _table_base(src), dv)}
+        actions.append({"add": add})
+    _commit(dst, 0, actions)
+    return 0
+
+
 def describe_detail(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE DETAIL twin: one row of table-level facts from the
     replayed state (metadata-sized — the log IS the control plane)."""
@@ -2975,7 +3080,7 @@ def restore_delta(
                if rel not in cur_files
                or _dv_key(cur_files[rel]) != _dv_key(a)]
     missing = [rel for rel in re_adds
-               if not fs.exists(fsio.join(path, rel))]
+               if not fs.exists(_add_uri(path, rel))]
     if missing:
         raise FileNotFoundError(
             f"restore to v{version} needs vacuumed files: "
@@ -3416,7 +3521,7 @@ def _read_actions_with_partitions(
     branches = []
     for key, rels in sorted(groups.items(),
                             key=lambda kv: tuple(map(str, kv[0]))):
-        df = spark.read.parquet(*[fsio.join(path, p) for p in rels])
+        df = spark.read.parquet(*[_add_uri(path, p) for p in rels])
         for c, val in zip(part_cols, key):
             df = df.withColumn(c, F.lit(val).cast(types[c]))
         branches.append(df)

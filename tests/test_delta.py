@@ -2676,3 +2676,56 @@ def test_enable_on_v7_table_keeps_feature_list_exact(spark, tmp_path):
     assert "columnMapping" not in prot["writerFeatures"]
     assert "columnMapping" not in (prot.get("readerFeatures") or [])
     assert {"rowTracking", "timestampNtz"} <= set(prot["writerFeatures"])
+
+
+# --------------------------------------------------------- shallow clone
+
+def test_shallow_clone_reads_and_diverges(spark, tmp_path):
+    """clone_delta: zero data copied (absolute adds), DVs keep applying
+    via 'p' descriptors, and the clone diverges independently — a merge
+    materializes only touched rows into the clone while the source
+    stays untouched."""
+    import glob as _glob
+
+    from sling_cli_spark.sources.delta_py import (
+        clone_delta, delete_missing_delta, merge_delta,
+        set_table_properties)
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_delta(_df(spark, [(i, f"v{i}") for i in range(10)])
+                .coalesce(1), src)
+    write_delta(_df(spark, [(i, f"v{i}") for i in range(10, 20)])
+                .coalesce(1), src, mode="append")
+    set_table_properties(src, {"delta.enableDeletionVectors": "true"})
+    delete_missing_delta(
+        spark, src, _df(spark, [(i, "x") for i in range(2, 20)]), "id")
+
+    clone_delta(src, dst)
+    assert _glob.glob(os.path.join(dst, "*.parquet")) == []  # no data
+    got = {r["id"]: r["v"] for r in read_delta(spark, dst).collect()}
+    assert got == {i: f"v{i}" for i in range(2, 20)}  # DV applied
+
+    merge_delta(spark, dst, _df(spark, [(2, "CLONE"), (99, "NEW")]), "id")
+    got = {r["id"]: r["v"] for r in read_delta(spark, dst).collect()}
+    assert got[2] == "CLONE" and got[99] == "NEW" and len(got) == 19
+    # source untouched by the clone's divergence
+    src_got = {r["id"]: r["v"] for r in read_delta(spark, src).collect()}
+    assert src_got[2] == "v2" and 99 not in src_got
+    # the touched file's rows materialized INTO the clone dir
+    assert len(_glob.glob(os.path.join(dst, "*.parquet"))) >= 1
+
+
+def test_shallow_clone_vacuum_never_touches_source(spark, tmp_path):
+    from sling_cli_spark.sources.delta_py import (
+        clone_delta, merge_delta, vacuum)
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), src)
+    clone_delta(src, dst)
+    merge_delta(spark, dst, _df(spark, [(1, "A")]), "id")  # rewrites
+    removed = vacuum(dst, keep_versions=1)
+    assert all(str(tmp_path / "src") not in p for p in removed)
+    assert {r["id"] for r in read_delta(spark, src).collect()} == {1, 2}
+    assert {r["v"] for r in read_delta(spark, dst).collect()} == {"A", "b"}
