@@ -946,6 +946,7 @@ def merge_iceberg(
     op_col: str | None = None,
     use_dvs: bool | None = None,
     max_dv_rows: int = 4_000_000,
+    branch: str = "main",
 ) -> dict:
     """MERGE as a new snapshot: data files holding matched PKs are
     replaced copy-on-write (carried forward files keep status 0,
@@ -972,7 +973,8 @@ def merge_iceberg(
     strategy = strategy or MergeStrategy.UPDATE_INSERT
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
     _, meta = _current_metadata(path, for_write=True)
-    active, pos_dels, eq_dels = _active_entries(path, meta, None)
+    active, pos_dels, eq_dels = _active_entries(
+        path, meta, _branch_head(meta, branch))
     part_cols = _part_cols(meta)
     target = _mor_read(spark, path, meta, active, pos_dels, eq_dels)
 
@@ -1049,7 +1051,7 @@ def merge_iceberg(
             sid = _commit_snapshot(
                 appended, path, meta, carried=carried,
                 operation="overwrite", carried_deletes=cd,
-                new_deletes=nd, snapshot_id=snapshot_id)
+                new_deletes=nd, snapshot_id=snapshot_id, branch=branch)
             return {"touched": len(dv_rows) + len(dead),
                     "new_files": len(_active_files(path, meta, sid))
                     - len(carried),
@@ -1082,7 +1084,8 @@ def merge_iceberg(
     # paths that no longer exist in the snapshot (inert)
     snapshot_id = _commit_snapshot(
         df=replacement, path=path, meta=meta, carried=keep,
-        carried_deletes=_live_delete_files(keep, pos_dels, eq_dels))
+        carried_deletes=_live_delete_files(keep, pos_dels, eq_dels),
+        branch=branch)
     return {"touched": len(touched),
             "new_files": len(_active_files(path, meta, snapshot_id)) - len(keep),
             "kept": len(keep), "snapshot_id": snapshot_id}
@@ -1096,6 +1099,7 @@ def delete_missing_iceberg(
     soft: bool = False,
     use_dvs: bool | None = None,
     max_dv_rows: int = 4_000_000,
+    branch: str = "main",
 ) -> dict:
     """delete_missing as a new snapshot: only data files holding rows
     whose PK is absent from the keyset are touched; untouched files
@@ -1113,7 +1117,8 @@ def delete_missing_iceberg(
 
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
     _, meta = _current_metadata(path, for_write=True)
-    active, pos_dels, eq_dels = _active_entries(path, meta, None)
+    active, pos_dels, eq_dels = _active_entries(
+        path, meta, _branch_head(meta, branch))
     keys = keyset.select(*pk).distinct()
     # parquet position-delete files shadow unknown (file, pos) pairs a
     # raw census can't see — DV production needs a DV-only (or
@@ -1149,7 +1154,7 @@ def delete_missing_iceberg(
             sid = _commit_snapshot(
                 None, path, meta, carried=carried, operation="delete",
                 carried_deletes=cd, new_deletes=nd,
-                snapshot_id=snapshot_id)
+                snapshot_id=snapshot_id, branch=branch)
             return {"touched": len(dv_rows) + len(dead), "new_files": 0,
                     "dv_files": len(dv_rows), "kept": len(carried),
                     "snapshot_id": sid}
@@ -1173,7 +1178,8 @@ def delete_missing_iceberg(
     keep = [f for f in active if _canon(f["file_path"]) not in touched]
     snapshot_id = _commit_snapshot(
         replacement, path, meta, carried=keep, operation="delete",
-        carried_deletes=_live_delete_files(keep, pos_dels, eq_dels))
+        carried_deletes=_live_delete_files(keep, pos_dels, eq_dels),
+        branch=branch)
     return {"touched": len(touched),
             "new_files": len(_active_files(path, meta, snapshot_id)) - len(keep),
             "kept": len(keep), "snapshot_id": snapshot_id}
@@ -1300,6 +1306,15 @@ def _staged_file_stats(
             "n": int(r["__n"]),
             "lower": lo or None, "upper": hi or None}
     return out
+
+
+def _branch_head(meta: dict, branch: str) -> int | None:
+    """Snapshot id a write targeting ``branch`` reads its actives from
+    — None means the current snapshot (main, or a branch forking at
+    current on its first write)."""
+    if branch == "main":
+        return None
+    return ((meta.get("refs") or {}).get(branch) or {}).get("snapshot-id")
 
 
 def _commit_snapshot(

@@ -1601,3 +1601,25 @@ def test_rollback_to_snapshot(spark, tmp_path):
     assert by_id[s3]["parent-snapshot-id"] == s1
     with pytest.raises(ValueError, match="not\\s+retained"):
         rollback_to_snapshot(t, 42)
+
+
+def test_branch_merge_and_delete_isolated(spark, tmp_path):
+    """merge_iceberg/delete_missing_iceberg on a branch read the
+    branch's actives and advance only its ref — main stays bit-exact."""
+    from sling_cli_spark.sources.iceberg_py import (
+        delete_missing_iceberg, merge_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    write_iceberg(_df(spark, [(10, "x")]), t, branch="dev")
+    merge_iceberg(spark, t, _df(spark, [(2, "B"), (11, "y")]), "id",
+                  branch="dev")
+    delete_missing_iceberg(
+        spark, t, _df(spark, [(2, "B"), (10, "x"), (11, "y")]), "id",
+        branch="dev")
+    assert {r["id"]: r["v"] for r in
+            read_iceberg(spark, t).collect()} \
+        == {1: "a", 2: "b", 3: "c"}  # main untouched
+    assert {r["id"]: r["v"] for r in
+            read_iceberg(spark, t, ref="dev").collect()} \
+        == {2: "B", 10: "x", 11: "y"}
