@@ -790,6 +790,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              .withColumn("src", F.lit("clone")))
                 .select("src", "n_nationkey", "n_name"))
 
+    def delta_uniform(spark, sf):
+        """Universal format twin (iceberg_py round 8, sync_uniform):
+        nation lands as Delta, a CoW merge updates keys < 4 and
+        inserts 99, and sync_uniform generates Iceberg metadata BESIDE
+        the Delta log referencing the same parquet absolutely — ONE
+        copy of data, both protocols must read identical rows
+        (returned as two labeled views from one frame)."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            merge_delta, read_delta, write_delta)
+        from sling_cli_spark.sources.iceberg_py import (
+            read_iceberg, sync_uniform)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_uf_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        write_delta(n.coalesce(1).sortWithinPartitions("n_nationkey"), t)
+        merge_delta(
+            spark, t,
+            n.filter("n_nationkey < 4")
+            .withColumn("n_name", F.concat("n_name", F.lit("_u")))
+            .unionByName(spark.createDataFrame(
+                [(99, "UNILAND")], "n_nationkey long, n_name string")),
+            "n_nationkey")
+        sync_uniform(t)
+        return (read_delta(spark, t).withColumn("proto", F.lit("delta"))
+                .unionByName(read_iceberg(spark, t)
+                             .withColumn("proto", F.lit("iceberg")))
+                .select("proto", "n_nationkey", "n_name"))
+
     def iceberg_rollback(spark, sf):
         """rollback_to_snapshot (iceberg_py round 8): nation appends in
         two snapshots, rolls back to the first metadata-only, then a
@@ -2324,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_evolution": iceberg_partition_evolution,
         "delta_restore": delta_restore,
         "delta_shallow_clone": delta_shallow_clone,
+        "delta_uniform": delta_uniform,
         "iceberg_rollback": iceberg_rollback,
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "delta_identity_generated": delta_identity_generated,
@@ -2455,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_clustering_skipping", "iceberg_v3_dv_produce",
         "iceberg_refs", "iceberg_partition_evolution",
         "delta_restore", "iceberg_rollback", "delta_shallow_clone",
+        "delta_uniform",
         "cdc_foreachbatch_merge",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
@@ -2471,7 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_range", "delta_column_mapping", "iceberg_v2_pos_delete",
         "iceberg_v2_eq_delete", "dedup_last_event", "asof_events",
         "sessionize_events", "flatten_json_extract", "test_pk_lineitem",
-        "join_match", "union_drift",
+        "join_match",
         "select_project", "where_filter",
         "column_casing_upper",
     ]
@@ -3112,6 +3146,17 @@ def oracle_sql() -> dict[str, str]:
             FROM nation WHERE n_nationkey % 5 <> 0 OR n_nationkey < 3
             UNION ALL
             SELECT 'clone', 99, 'CLONELAND'
+        """,
+        # identical rows through BOTH protocols: keys < 4 suffixed, 99
+        # inserted
+        "delta_uniform": """
+            SELECT p.proto, CAST(n.n_nationkey AS BIGINT) AS n_nationkey,
+                   CASE WHEN n.n_nationkey < 4 THEN n.n_name || '_u'
+                        ELSE n.n_name END AS n_name
+            FROM nation n, (SELECT 'delta' AS proto
+                            UNION ALL SELECT 'iceberg') p
+            UNION ALL SELECT 'delta', 99, 'UNILAND'
+            UNION ALL SELECT 'iceberg', 99, 'UNILAND'
         """,
         # restore to v0 == plain nation, whatever happened in between
         "delta_restore": """

@@ -322,6 +322,13 @@ def cmd_lake(args: argparse.Namespace) -> int:
         sid = rollback_to_snapshot(path, args.snapshot)
         print(json.dumps({"current_snapshot_id": sid}))
         return 0
+    if op == "uniform":
+        if not is_delta:
+            print("uniform applies to Delta tables", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.iceberg_py import sync_uniform
+        print(json.dumps({"iceberg_snapshot_id": sync_uniform(path)}))
+        return 0
     if op in ("tag", "branch", "drop-ref"):  # metadata-only, no Spark
         if is_delta:
             print(f"{op} applies to Iceberg tables (spec §Refs)",
@@ -487,6 +494,10 @@ def build_parser() -> argparse.ArgumentParser:
     lf = ls.add_parser("files",
                        help="iceberg: files metadata table as CSV")
     lf.add_argument("path")
+    lu = ls.add_parser("uniform",
+                       help="delta: generate/refresh Iceberg metadata "
+                            "beside the log (universal format)")
+    lu.add_argument("path")
     lrs = ls.add_parser("restore",
                         help="delta: RESTORE TO VERSION AS OF")
     lrs.add_argument("path")

@@ -827,8 +827,15 @@ def _mor_read(
             # correct table schema. Keyed on the FILES' shape, not the
             # default spec — after evolution every retained file may
             # still sit under an older uniform layout.
-            reader = reader.option(
-                "basePath", _absolute(fsio.join(path, "data")))
+            # UniForm metadata references the DELTA table's files,
+            # which live under the table ROOT, not data/ — pick the
+            # base every file actually sits under
+            for base in (_absolute(fsio.join(path, "data")),
+                         _absolute(path)):
+                if all(_canon(f["file_path"]).startswith(base + "/")
+                       for f in files):
+                    reader = reader.option("basePath", base)
+                    break
         df = reader.parquet(*sorted(f["file_path"] for f in files))
         if shape:
             # dir inference types partition columns from their string
@@ -1685,6 +1692,79 @@ def evolve_partition_spec(path: str, partition_by: list[str]) -> int:
     fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
                    str(version + 1).encode())
     return int(new_id)
+
+
+def sync_uniform(delta_path: str) -> int:
+    """Universal-format twin (Databricks UniForm's public behavior):
+    generate — or refresh — Iceberg metadata BESIDE the Delta log so
+    ONE copy of parquet serves both protocols. The Iceberg snapshot's
+    entries reference the Delta table's ACTIVE files by absolute path;
+    re-running after more Delta commits appends a fresh snapshot (a
+    reader holding an old snapshot keeps working until Delta vacuum
+    passes the retention it saw). Refuses DV-bearing or column-mapped
+    sources — an Iceberg reader would resurrect deleted rows or
+    mis-read physical names; the icebergCompat enforcement
+    (delta_py._dv_writes_enabled) keeps compat-enabled tables inside
+    this safe envelope. Returns the Iceberg snapshot id."""
+    from pyspark.sql import types as T
+
+    from . import delta_py
+
+    dmeta, dfiles = delta_py.replay_log(delta_path)
+    if dmeta is None:
+        raise FileNotFoundError(f"not a delta table: {delta_path}")
+    if any(a.get("deletionVector") for a in dfiles.values()):
+        raise UnsupportedTableFeature(
+            f"uniform sync of {delta_path}: table carries deletion "
+            "vectors — purge them first (optimize purge_dvs) or keep "
+            "icebergCompat enabled so deletes stay copy-on-write")
+    if ((dmeta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none")) != "none":
+        raise UnsupportedTableFeature(
+            f"uniform sync of {delta_path}: column-mapped tables store "
+            "physical names Iceberg readers would mis-read")
+
+    class _Shim:  # _ice_schema_for/_init_meta only touch .schema
+        schema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
+
+    part_cols = dmeta.get("partitionColumns") or []
+    if is_iceberg_table(delta_path):
+        _, imeta = _current_metadata(delta_path, for_write=True)
+        base = _current_schema(imeta) or {}
+        ice = _ice_schema_for(_Shim, base=base,
+                              last_column_id=imeta.get("last-column-id", 0))
+        if [f["name"] for f in ice["fields"]] != \
+                [f["name"] for f in base.get("fields", [])]:
+            new_sid = 1 + max((s.get("schema-id", 0)
+                               for s in imeta.get("schemas") or []),
+                              default=-1)
+            ice["schema-id"] = new_sid
+            imeta["schemas"] = (imeta.get("schemas") or []) + [ice]
+            imeta["current-schema-id"] = new_sid
+            imeta["last-column-id"] = max(
+                [imeta.get("last-column-id", 0)]
+                + [f["id"] for f in ice["fields"]])
+    else:
+        imeta = _init_meta(_Shim, delta_path, part_cols, 2)
+
+    entries = []
+    for rel in sorted(dfiles):
+        add = dfiles[rel]
+        try:
+            n = int(json.loads(add.get("stats") or "{}")["numRecords"])
+        except (ValueError, KeyError, TypeError):
+            n = delta_py._add_num_records(delta_path, add)
+        pv = add.get("partitionValues") or {}
+        entries.append({
+            "file_path": delta_py._abs_of_add(delta_path, rel),
+            "file_format": "PARQUET",
+            "record_count": n,
+            "file_size_in_bytes": int(add.get("size") or 0),
+            "partition": dict(pv) or None,
+            "__seq": 0,
+        })
+    return _commit_snapshot(None, delta_path, imeta, carried=entries,
+                            operation="replace")
 
 
 def rollback_to_snapshot(path: str, snapshot_id: int) -> int:

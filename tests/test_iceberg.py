@@ -1623,3 +1623,56 @@ def test_branch_merge_and_delete_isolated(spark, tmp_path):
     assert {r["id"]: r["v"] for r in
             read_iceberg(spark, t, ref="dev").collect()} \
         == {2: "B", 10: "x", 11: "y"}
+
+
+# ------------------------------------------------------------- UniForm twin
+
+def test_uniform_sync_reads_both_protocols(spark, tmp_path):
+    """sync_uniform: one parquet copy, two protocols — the Iceberg
+    snapshot references the Delta actives by absolute path; a resync
+    after more Delta commits appends a new snapshot; DV tables refuse."""
+    from sling_cli_spark.sources.delta_py import (
+        merge_delta, read_delta, set_table_properties, write_delta)
+    from sling_cli_spark.sources.iceberg_py import (
+        UnsupportedTableFeature, sync_uniform)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    s1 = sync_uniform(t)
+    assert is_iceberg_table(t)
+    assert {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()} \
+        == {1: "a", 2: "b"}
+    merge_delta(spark, t, _df(spark, [(2, "B"), (3, "c")]), "id")
+    s2 = sync_uniform(t)
+    assert s2 != s1
+    assert {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()} \
+        == {1: "a", 2: "B", 3: "c"}
+    # old snapshot still serves the pre-merge view
+    assert {r["v"] for r in
+            read_iceberg(spark, t, snapshot_id=s1).collect()} \
+        == {"a", "b"}
+    assert read_delta(spark, t).count() == 3  # delta side untouched
+    set_table_properties(t, {"delta.enableDeletionVectors": "true"})
+    from sling_cli_spark.sources.delta_py import delete_missing_delta
+    write_delta(_df(spark, [(i, "z") for i in range(10, 20)])
+                .coalesce(1), t, mode="append")
+    keep = [(i, "z") for i in range(10, 19)] + [(1, "a"), (2, "B"), (3, "c")]
+    delete_missing_delta(spark, t, _df(spark, keep), "id")  # sparse DV
+    with pytest.raises(UnsupportedTableFeature, match="deletion"):
+        sync_uniform(t)
+
+
+def test_uniform_sync_partitioned(spark, tmp_path):
+    from sling_cli_spark.sources.delta_py import write_delta
+    from sling_cli_spark.sources.iceberg_py import sync_uniform
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 10)],
+        "id long, v string, grp long")
+    write_delta(df, t, partition_by=["grp"])
+    sync_uniform(t)
+    got = {r["id"]: r["grp"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: 10, 2: 20, 3: 10}
+    assert {r["id"] for r in read_iceberg(spark, t)
+            .filter("grp = 10").collect()} == {1, 3}
