@@ -822,6 +822,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              .withColumn("proto", F.lit("iceberg")))
                 .select("proto", "n_nationkey", "n_name"))
 
+    def delta_stream_source(spark, sf):
+        """Streaming Delta SOURCE (streaming/delta_source.py round 8;
+        PySpark 4 Python DataSource API): nation lands across two
+        Delta commits, format('delta_stream') drains them availableNow
+        into a parquet sink (per-version offsets, one InputPartition
+        per data file read as Arrow batches on executors), a third
+        commit lands, and a SECOND checkpointed drain emits only the
+        new rows. The returned frame is the sink's content — exactly
+        nation or the incremental contract broke."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import write_delta
+        from sling_cli_spark.streaming.delta_source import (
+            register_delta_stream)
+
+        register_delta_stream(spark)
+        base = tempfile.mkdtemp(prefix="sling_ds_")
+        t, out, ck = (os.path.join(base, d) for d in ("t", "out", "ck"))
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        write_delta(n.filter("n_nationkey < 10").coalesce(1), t)
+        write_delta(n.filter("n_nationkey >= 10 AND n_nationkey < 20")
+                    .coalesce(1), t, mode="append")
+
+        def drain():
+            (spark.readStream.format("delta_stream").option("path", t)
+             .load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start().awaitTermination())
+
+        drain()
+        write_delta(n.filter("n_nationkey >= 20").coalesce(1), t,
+                    mode="append")
+        drain()
+        return spark.read.parquet(out).select("n_nationkey", "n_name")
+
     def iceberg_rollback(spark, sf):
         """rollback_to_snapshot (iceberg_py round 8): nation appends in
         two snapshots, rolls back to the first metadata-only, then a
@@ -2357,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_restore": delta_restore,
         "delta_shallow_clone": delta_shallow_clone,
         "delta_uniform": delta_uniform,
+        "delta_stream_source": delta_stream_source,
         "iceberg_rollback": iceberg_rollback,
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "delta_identity_generated": delta_identity_generated,
@@ -2488,7 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_clustering_skipping", "iceberg_v3_dv_produce",
         "iceberg_refs", "iceberg_partition_evolution",
         "delta_restore", "iceberg_rollback", "delta_shallow_clone",
-        "delta_uniform",
+        "delta_uniform", "delta_stream_source",
         "cdc_foreachbatch_merge",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
@@ -2507,7 +2546,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events", "flatten_json_extract", "test_pk_lineitem",
         "join_match",
         "select_project", "where_filter",
-        "column_casing_upper",
     ]
     out = {k: d[k] for k in window}
     out.update((k, v) for k, v in d.items() if k not in out)
@@ -3146,6 +3184,11 @@ def oracle_sql() -> dict[str, str]:
             FROM nation WHERE n_nationkey % 5 <> 0 OR n_nationkey < 3
             UNION ALL
             SELECT 'clone', 99, 'CLONELAND'
+        """,
+        # the checkpointed drains must reconstruct exactly nation
+        "delta_stream_source": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+            FROM nation
         """,
         # identical rows through BOTH protocols: keys < 4 suffixed, 99
         # inserted

@@ -1,0 +1,182 @@
+"""Structured Streaming SOURCE over the delta_py table layer, built on
+PySpark 4's public Python DataSource API (pyspark.sql.datasource) —
+``spark.readStream.format("delta_stream").option("path", t).load()``
+micro-batches one Delta COMMIT RANGE at a time, the same offset model
+as delta-spark's streaming source (reference surface:
+core/sling/task.go streaming reads are file-watch based; this is the
+Spark-native equivalent over the transaction log).
+
+Semantics (delta-spark's): each micro-batch covers the versions
+committed since the last checkpointed offset; only dataChange adds
+emit rows (compaction rearrangements are silent). A version that
+REMOVES data (update/delete/overwrite) is not expressible as an
+append-only stream — it raises unless ``ignoreChanges=true``, which
+re-emits touched files whole (delta-spark's documented contract).
+
+Scale shape: offsets and version parsing are driver-side metadata;
+each data FILE is one ``InputPartition`` read executor-side as Arrow
+record batches (zero-copy into Spark), so a 1000-file commit fans out
+across the cluster like any file source. Partition-column values ride
+the partition object and attach as constant arrays.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TYPE_CHECKING
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceStreamReader, InputPartition)
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+
+class _FilePart(InputPartition):
+    def __init__(self, uri: str, schema_json: str, part_values: dict):
+        self.uri = uri
+        self.schema_json = schema_json
+        self.part_values = part_values or {}
+
+
+def _arrow_type(spark_type: str):
+    import pyarrow as pa
+
+    return {
+        "long": pa.int64(), "integer": pa.int32(), "short": pa.int16(),
+        "byte": pa.int8(), "double": pa.float64(), "float": pa.float32(),
+        "boolean": pa.bool_(), "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+        "binary": pa.binary(),
+    }.get(spark_type, pa.string())
+
+
+def _py_value(spark_type: str, s: str):
+    if s is None:
+        return None
+    if spark_type in ("long", "integer", "short", "byte"):
+        return int(s)
+    if spark_type in ("double", "float"):
+        return float(s)
+    if spark_type == "boolean":
+        return s.lower() == "true"
+    if spark_type == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(s)
+    return s
+
+
+class DeltaStreamSource(DataSource):
+    """``format("delta_stream")`` — register once per session with
+    :func:`register_delta_stream`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_stream"
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        from sling_cli_spark.sources.delta_py import replay_log
+
+        meta, _ = replay_log(self.options["path"])
+        if meta is None:
+            raise FileNotFoundError(
+                f"not a delta table: {self.options['path']}")
+        return T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def streamReader(self, schema):
+        return _DeltaStreamReader(self.options)
+
+
+class _DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self._path = options["path"]
+        self._ignore_changes = str(
+            options.get("ignorechanges",
+                        options.get("ignoreChanges", "false"))
+        ).lower() == "true"
+        self._starting = int(options.get("startingversion",
+                                         options.get("startingVersion", 0)))
+
+    def initialOffset(self) -> dict:
+        return {"version": self._starting - 1}
+
+    def latestOffset(self) -> dict:
+        from sling_cli_spark.sources.delta_py import latest_version
+
+        return {"version": latest_version(self._path)}
+
+    def partitions(self, start: dict, end: dict):
+        from sling_cli_spark import fsio
+        from sling_cli_spark.sources.delta_py import (
+            _add_uri, _list_versions, _log_path, replay_log)
+
+        meta, _ = replay_log(self._path)
+        schema_json = meta["schemaString"]
+        fields = {f["name"]: f for f in
+                  json.loads(schema_json).get("fields") or []}
+        part_cols = meta.get("partitionColumns") or []
+        fs = fsio.get_fs(self._path)
+        parts: list[_FilePart] = []
+        versions = [v for v in _list_versions(self._path, fs)
+                    if start["version"] < v <= end["version"]]
+        for v in versions:
+            adds, removes = [], 0
+            for line in fs.read_bytes(
+                    _log_path(self._path, v)).decode().splitlines():
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a and a["add"].get("dataChange", True):
+                    adds.append(a["add"])
+                elif "remove" in a and a["remove"].get("dataChange", True):
+                    removes += 1
+            if removes and not self._ignore_changes:
+                raise ValueError(
+                    f"delta_stream: version {v} of {self._path} removes "
+                    "data (update/delete/overwrite) — an append-only "
+                    "stream cannot express it; set ignoreChanges=true "
+                    "to re-emit touched files whole")
+            for add in adds:
+                pv = {
+                    c: (fields.get(c, {}).get("type", "string"),
+                        (add.get("partitionValues") or {}).get(c))
+                    for c in part_cols}
+                parts.append(_FilePart(
+                    _add_uri(self._path, add["path"]), schema_json, pv))
+        return parts
+
+    def read(self, partition: _FilePart):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fields = json.loads(partition.schema_json).get("fields") or []
+        tbl = pq.read_table(partition.uri)
+        n = tbl.num_rows
+        cols, names = [], []
+        for f in fields:
+            name, typ = f["name"], f.get("type")
+            typ = typ if isinstance(typ, str) else "string"
+            names.append(name)
+            if name in partition.part_values:
+                ptyp, raw = partition.part_values[name]
+                val = _py_value(ptyp if isinstance(ptyp, str) else "string",
+                                raw)
+                cols.append(pa.array([val] * n, type=_arrow_type(
+                    ptyp if isinstance(ptyp, str) else "string")))
+            elif name in tbl.column_names:
+                cols.append(tbl.column(name).combine_chunks())
+            else:  # file predates an evolved column -> typed nulls
+                cols.append(pa.nulls(n, type=_arrow_type(typ)))
+        yield from pa.table(dict(zip(names, cols))).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def register_delta_stream(spark) -> None:
+    """Idempotently register ``format("delta_stream")`` on a session."""
+    spark.dataSource.register(DeltaStreamSource)

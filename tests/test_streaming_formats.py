@@ -331,3 +331,77 @@ def test_cdc_stream_into_dv_enabled_delta_target(spark, tmp_path):
     got = {r["id"]: r["v"] for r in read_delta(spark, target).collect()}
     assert got[2] == "u2" and got[77] == "new" and 5 not in got
     assert got[3] == "v3" and len(got) == 10
+
+
+# ------------------------------------------- delta structured-stream source
+
+def test_delta_stream_source_incremental(spark, tmp_path):
+    """format("delta_stream") (Python DataSource API): availableNow
+    drains the committed versions; a second run after an append emits
+    ONLY the new commit's rows (checkpointed offsets); a destructive
+    commit fails the stream unless ignoreChanges."""
+    import pyspark.sql.utils  # noqa: F401
+
+    from sling_cli_spark.sources.delta_py import write_delta
+    from sling_cli_spark.streaming.delta_source import (
+        register_delta_stream)
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1), t)
+
+    def drain():
+        q = (spark.readStream.format("delta_stream").option("path", t)
+             .load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    assert {r["id"] for r in spark.read.parquet(out).collect()} == {1, 2}
+    write_delta(spark.createDataFrame(
+        [(3, "c")], "id long, v string").coalesce(1), t, mode="append")
+    drain()
+    got = spark.read.parquet(out).collect()
+    assert {r["id"] for r in got} == {1, 2, 3} and len(got) == 3
+
+    write_delta(spark.createDataFrame(
+        [(9, "z")], "id long, v string").coalesce(1), t, mode="overwrite")
+    try:
+        drain()
+        raised = False
+    except Exception as e:
+        raised = "removes data" in str(e)
+    assert raised, "destructive commit must fail the append-only stream"
+
+
+def test_delta_stream_source_partitioned_and_evolved(spark, tmp_path):
+    """Partition values attach as constant arrays; files predating an
+    evolved column stream it as typed nulls."""
+    from sling_cli_spark.sources.delta_py import write_delta
+    from sling_cli_spark.streaming.delta_source import (
+        register_delta_stream)
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    write_delta(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, v string, grp long"),
+        t, partition_by=["grp"])
+    write_delta(spark.createDataFrame(
+        [(3, "c", 10, 7.5)],
+        "id long, v string, grp long, score double"), t, mode="append")
+    q = (spark.readStream.format("delta_stream").option("path", t)
+         .load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["id"]: (r["grp"], r["score"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {1: (10, None), 2: (20, None), 3: (10, 7.5)}
