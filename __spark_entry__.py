@@ -823,17 +823,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("proto", "n_nationkey", "n_name"))
 
     def delta_stream_source(spark, sf):
-        """Streaming Delta SOURCE (streaming/delta_source.py round 8;
-        PySpark 4 Python DataSource API): nation lands across two
-        Delta commits, format('delta_stream') drains them availableNow
-        into a parquet sink (per-version offsets, one InputPartition
-        per data file read as Arrow batches on executors), a third
-        commit lands, and a SECOND checkpointed drain emits only the
-        new rows. The returned frame is the sink's content — exactly
-        nation or the incremental contract broke."""
+        """Streaming Delta SOURCE + exactly-once Delta SINK
+        (streaming/delta_source.py round 8; PySpark 4 Python
+        DataSource API): nation lands across two Delta commits,
+        format('delta_stream') drains them availableNow INTO ANOTHER
+        DELTA TABLE through the streaming sink (per-version offsets,
+        one InputPartition per file read as Arrow batches; the sink
+        commits adds + a SetTransaction idempotence marker per batch),
+        a third commit lands, and a SECOND checkpointed drain emits
+        only the new rows. Returns the destination Delta table —
+        exactly nation or the incremental/exactly-once contract
+        broke (the txn watermark is asserted in-code)."""
         import tempfile
 
-        from sling_cli_spark.sources.delta_py import write_delta
+        from sling_cli_spark.sources.delta_py import (
+            last_txn_version, read_delta, write_delta)
         from sling_cli_spark.streaming.delta_source import (
             register_delta_stream)
 
@@ -850,7 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def drain():
             (spark.readStream.format("delta_stream").option("path", t)
              .load()
-             .writeStream.format("parquet").option("path", out)
+             .writeStream.format("delta_stream").option("path", out)
+             .option("txnAppId", "sling-pipe")
              .option("checkpointLocation", ck)
              .trigger(availableNow=True).start().awaitTermination())
 
@@ -858,7 +863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         write_delta(n.filter("n_nationkey >= 20").coalesce(1), t,
                     mode="append")
         drain()
-        return spark.read.parquet(out).select("n_nationkey", "n_name")
+        assert last_txn_version(out, "sling-pipe") == 1, \
+            "two drains -> batch ids 0 and 1 recorded via SetTransaction"
+        return read_delta(spark, out).select("n_nationkey", "n_name")
 
     def iceberg_rollback(spark, sf):
         """rollback_to_snapshot (iceberg_py round 8): nation appends in

@@ -295,6 +295,66 @@ def _domain_metadata(path: str, version: int | None = None) -> dict:
     return domains
 
 
+def _txn_versions(path: str) -> dict[str, int]:
+    """{appId: last committed transaction version} (PROTOCOL.md
+    §Transaction Identifiers — the SetTransaction action streaming
+    sinks key exactly-once idempotence on). Seeds from the newest
+    checkpoint's txn rows, then folds the retained JSON commits
+    (latest wins)."""
+    fs = fsio.get_fs(path)
+    vs = _list_versions(path, fs)
+    txns: dict[str, int] = {}
+    if vs and vs[0] > 0:
+        info = _last_checkpoint_info(path, fs)
+        cp_v = (info or {}).get("version")
+        if cp_v is not None:
+            for t in _checkpoint_txn_rows(path, fs, int(cp_v)):
+                txns[t["appId"]] = int(t["version"])
+    for v in vs:
+        for line in fs.read_bytes(_log_path(path, v)).decode().splitlines():
+            if '"txn"' not in line:
+                continue
+            t = json.loads(line).get("txn")
+            if t and t.get("appId") is not None:
+                txns[t["appId"]] = int(t.get("version") or 0)
+    return txns
+
+
+def last_txn_version(path: str, app_id: str) -> int | None:
+    """Latest SetTransaction version for ``app_id``, or None — the
+    idempotence probe (re-delivered micro-batches compare their batch
+    id against it and skip)."""
+    return _txn_versions(path).get(app_id)
+
+
+def _checkpoint_txn_rows(path: str, fs, version: int) -> list[dict]:
+    """txn rows stored in a checkpoint (classic parquet column, or
+    action lines in a V2 top-level JSON). Best-effort: a checkpoint
+    without them yields []."""
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    classic = _checkpoint_file(path, version)
+    if fs.exists(classic):
+        t = pq.read_table(io.BytesIO(fs.read_bytes(classic)))
+        if "txn" in t.column_names:
+            out = [dict(r) for r in t.column("txn").to_pylist()
+                   if r is not None]
+        return out
+    for name in fs.listdir(fsio.join(path, _LOG_DIR)):
+        if name.startswith(f"{version:020d}.checkpoint.") \
+                and name.endswith(".json"):
+            for line in fs.read_bytes(
+                    fsio.join(path, fsio.join(_LOG_DIR, name))
+            ).decode().splitlines():
+                if '"txn"' in line:
+                    t = json.loads(line).get("txn")
+                    if t:
+                        out.append(t)
+            break
+    return out
+
+
 def _checkpoint_domain_rows(path: str, fs, version: int) -> list[dict]:
     """domainMetadata rows stored in a checkpoint (classic parquet
     column, or action lines in a V2 top-level JSON). Best-effort: a
@@ -388,6 +448,19 @@ def _write_checkpoint(path: str, fs, version: int) -> None:
         cols["domainMetadata"] = pa.array(
             [None] * n + dm_rows, type=dm_t)
         n += len(dm_rows)
+    txns = _txn_versions(path)  # checkpoints are written at latest,
+    if txns:                    # so the unbounded fold matches
+        txn_t = pa.struct([("appId", pa.string()),
+                           ("version", pa.int64()),
+                           ("lastUpdated", pa.int64())])
+        txn_rows = [{"appId": a, "version": v, "lastUpdated": None}
+                    for a, v in sorted(txns.items())]
+        for k in list(cols):
+            cols[k] = pa.concat_arrays(
+                [cols[k], pa.nulls(len(txn_rows), type=cols[k].type)])
+        cols["txn"] = pa.array(
+            [None] * n + txn_rows, type=txn_t)
+        n += len(txn_rows)
     table = pa.table(cols)
     buf = io.BytesIO()
     pq.write_table(table, buf)
@@ -481,6 +554,9 @@ def _write_checkpoint_v2(path: str, fs, version: int,
         {"domainMetadata": {"domain": d, "configuration": c,
                             "removed": False}}
         for d, c in sorted(_domain_metadata(path, version).items())
+    ] + [
+        {"txn": {"appId": a, "version": v}}
+        for a, v in sorted(_txn_versions(path).items())
     ] + [
         {"sidecar": {"path": side_name,
                      "sizeInBytes": len(buf.getvalue()),

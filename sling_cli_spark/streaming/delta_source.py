@@ -26,7 +26,8 @@ import json
 from typing import TYPE_CHECKING
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceStreamReader, InputPartition)
+    DataSource, DataSourceStreamReader, DataSourceStreamWriter,
+    InputPartition, WriterCommitMessage)
 
 if TYPE_CHECKING:  # pragma: no cover
     pass
@@ -89,6 +90,9 @@ class DeltaStreamSource(DataSource):
 
     def streamReader(self, schema):
         return _DeltaStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return _DeltaStreamWriter(self.options, schema)
 
 
 class _DeltaStreamReader(DataSourceStreamReader):
@@ -175,6 +179,148 @@ class _DeltaStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class _SinkMsg(WriterCommitMessage):
+    def __init__(self, rel: str | None, size: int, n: int):
+        self.rel = rel
+        self.size = size
+        self.n = n
+
+
+class _SchemaShim:
+    """delta_py's first-commit/evolution helpers only touch
+    ``.schema``/``.columns`` of the frame they receive."""
+
+    def __init__(self, schema):
+        self.schema = schema
+        self.columns = [f.name for f in schema.fields]
+
+
+_SINK_SIMPLE = {"long", "integer", "short", "byte", "double", "float",
+                "boolean", "date", "timestamp", "timestamp_ntz",
+                "string", "binary"}
+
+
+class _DeltaStreamWriter(DataSourceStreamWriter):
+    """Exactly-once streaming SINK: executors write final-named parquet
+    straight into the table dir (invisible until committed — the
+    delta invariant), the driver commits adds + a SetTransaction
+    action per micro-batch (PROTOCOL.md §Transaction Identifiers), and
+    a re-delivered batch id is recognized via
+    :func:`delta_py.last_txn_version` and dropped (its re-written
+    files deleted). Pass ``txnAppId`` for idempotence that survives
+    query restarts — it defaults per-writer, which is at-least-once
+    across a restart."""
+
+    def __init__(self, options, schema):
+        import uuid as _uuid
+
+        from sling_cli_spark import fsio
+        from sling_cli_spark.sources.delta_py import replay_log
+
+        self._path = options["path"]
+        fsio.local_path(self._path)  # executors write with plain I/O
+        self._app = options.get("txnappid") or options.get("txnAppId") \
+            or f"delta_stream-{_uuid.uuid4().hex[:12]}"
+        self._schema = schema
+        bad = [f.name for f in schema.fields
+               if f.dataType.typeName() not in _SINK_SIMPLE]
+        if bad:
+            raise ValueError(
+                f"delta_stream sink: unsupported column types on {bad} "
+                f"(supported: {sorted(_SINK_SIMPLE)})")
+        try:
+            meta, _ = replay_log(self._path)
+        except FileNotFoundError:
+            meta = None
+        if meta is not None:
+            if meta.get("partitionColumns"):
+                raise ValueError(
+                    "delta_stream sink: partitioned targets are not "
+                    "supported")
+            conf = meta.get("configuration") or {}
+            declared = [k for k in conf if k.startswith(
+                "delta.constraints.")]
+            if declared:
+                raise ValueError(
+                    "delta_stream sink: target declares CHECK "
+                    f"constraints {declared} this sink does not "
+                    "evaluate — use foreachBatch + write_delta")
+
+    def write(self, iterator):
+        import os as _os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [r.asDict(recursive=True) for r in iterator]
+        if not rows:
+            return _SinkMsg(None, 0, 0)
+        aschema = pa.schema([
+            (f.name, _arrow_type(f.dataType.typeName()))
+            for f in self._schema.fields])
+        tbl = pa.Table.from_pylist(rows, schema=aschema)
+        from sling_cli_spark import fsio
+
+        base = fsio.local_path(self._path)
+        _os.makedirs(base, exist_ok=True)
+        rel = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+        dest = _os.path.join(base, rel)
+        pq.write_table(tbl, dest, compression="snappy")
+        return _SinkMsg(rel, _os.path.getsize(dest), len(rows))
+
+    def _cleanup(self, messages):
+        import os as _os
+
+        from sling_cli_spark import fsio
+
+        base = fsio.local_path(self._path)
+        for m in messages:
+            if m is not None and getattr(m, "rel", None):
+                p = _os.path.join(base, m.rel)
+                if _os.path.exists(p):
+                    _os.remove(p)
+
+    def commit(self, messages, batchId) -> None:
+        import time as _time
+
+        from sling_cli_spark.sources.delta_py import (
+            _assign_fresh_row_ids, _commit_with_retry, _evolve_schema_actions,
+            _first_commit_actions, check_writer_protocol, last_txn_version,
+            latest_version, replay_log)
+
+        seen = last_txn_version(self._path, self._app)
+        if seen is not None and seen >= batchId:
+            self._cleanup(messages)  # engine re-ran a committed batch
+            return
+        msgs = [m for m in messages if m is not None and m.rel]
+        now = int(_time.time() * 1000)
+        version = latest_version(self._path) + 1
+        shim = _SchemaShim(self._schema)
+        actions: list[dict] = []
+        wprot: dict = {}
+        if version == 0:
+            actions += _first_commit_actions(shim)
+        else:
+            wprot = check_writer_protocol(self._path)
+            meta, _ = replay_log(self._path)
+            actions += _evolve_schema_actions(shim, meta)
+        adds = [{"add": {
+            "path": m.rel, "size": m.size, "partitionValues": {},
+            "modificationTime": now, "dataChange": True,
+            "stats": json.dumps({"numRecords": m.n})}} for m in msgs]
+        actions += adds
+        actions.append({"txn": {
+            "appId": self._app, "version": int(batchId),
+            "lastUpdated": now}})
+        actions += _assign_fresh_row_ids(
+            self._path, adds, version, protocol=wprot)
+        _commit_with_retry(self._path, version, actions)
+
+    def abort(self, messages, batchId) -> None:
+        self._cleanup(messages)
 
 
 def register_delta_stream(spark) -> None:

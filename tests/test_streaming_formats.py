@@ -405,3 +405,69 @@ def test_delta_stream_source_partitioned_and_evolved(spark, tmp_path):
     got = {r["id"]: (r["grp"], r["score"])
            for r in spark.read.parquet(out).collect()}
     assert got == {1: (10, None), 2: (20, None), 3: (10, 7.5)}
+
+
+def test_delta_stream_sink_exactly_once(spark, tmp_path):
+    """writeStream.format("delta_stream"): a delta->delta streaming
+    pipe lands commits with SetTransaction idempotence — a replayed
+    batch id is dropped and its re-written files cleaned up."""
+    from sling_cli_spark.sources.delta_py import (
+        _txn_versions, last_txn_version, latest_version, read_delta,
+        write_delta)
+    from sling_cli_spark.streaming.delta_source import (
+        _DeltaStreamWriter, _SinkMsg, register_delta_stream)
+
+    register_delta_stream(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1), src)
+
+    def drain():
+        q = (spark.readStream.format("delta_stream").option("path", src)
+             .load()
+             .writeStream.format("delta_stream").option("path", dst)
+             .option("txnAppId", "pipe-1")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    assert {r["id"]: r["v"] for r in read_delta(spark, dst).collect()} \
+        == {1: "a", 2: "b"}
+    assert last_txn_version(dst, "pipe-1") == 0
+    write_delta(spark.createDataFrame(
+        [(3, "c")], "id long, v string").coalesce(1), src, mode="append")
+    drain()
+    got = read_delta(spark, dst).collect()
+    assert {r["id"] for r in got} == {1, 2, 3} and len(got) == 3
+    assert last_txn_version(dst, "pipe-1") == 1
+
+    # simulate an engine re-delivery of an already-committed batch:
+    # the writer must drop it (no new commit) and delete the re-write
+    w = _DeltaStreamWriter.__new__(_DeltaStreamWriter)
+    w._path, w._app = dst, "pipe-1"
+    open(os.path.join(dst, "part-deadbeef.snappy.parquet"), "wb").close()
+    v_before = latest_version(dst)
+    w.commit([_SinkMsg("part-deadbeef.snappy.parquet", 0, 0)], 1)
+    assert latest_version(dst) == v_before
+    assert not os.path.exists(
+        os.path.join(dst, "part-deadbeef.snappy.parquet"))
+    assert len(read_delta(spark, dst).collect()) == 3
+    assert _txn_versions(dst) == {"pipe-1": 1}
+
+
+def test_delta_stream_sink_guards(spark, tmp_path):
+    from sling_cli_spark.sources.delta_py import (
+        set_table_properties, write_delta)
+    from sling_cli_spark.streaming.delta_source import _DeltaStreamWriter
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string"), t)
+    set_table_properties(t, {"delta.constraints.c1": "id > 0"})
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="CHECK"):
+        _DeltaStreamWriter({"path": t}, spark.createDataFrame(
+            [(1, "a")], "id long, v string").schema)
