@@ -239,14 +239,19 @@ class _DeltaStreamWriter(DataSourceStreamWriter):
                 raise ValueError(
                     "delta_stream sink: partitioned targets are not "
                     "supported")
+            from sling_cli_spark.sources.delta_py import (
+                _generation_exprs, _identity_fields, _schema_has_invariants)
+
             conf = meta.get("configuration") or {}
             declared = [k for k in conf if k.startswith(
                 "delta.constraints.")]
-            if declared:
+            if declared or _schema_has_invariants(meta) \
+                    or _generation_exprs(meta) or _identity_fields(meta):
                 raise ValueError(
-                    "delta_stream sink: target declares CHECK "
-                    f"constraints {declared} this sink does not "
-                    "evaluate — use foreachBatch + write_delta")
+                    "delta_stream sink: target declares column "
+                    "contracts (CHECK constraints, invariants, "
+                    "generated or identity columns) this sink does "
+                    "not evaluate — use foreachBatch + write_delta")
 
     def write(self, iterator):
         import os as _os
