@@ -1427,11 +1427,8 @@ def read_delta(
     if with_row_ids:
         # PROTOCOL.md §Row Tracking: table columns + _row_id +
         # _row_commit_version (materialized value when a rewrite
-        # threaded one through, else baseRowId + row_index)
-        if cm != "none":
-            raise UnsupportedTableFeature(
-                f"delta table at {path}: row-id reads are not "
-                "implemented for column-mapped tables")
+        # threaded one through, else baseRowId + row_index); column
+        # mapping handled inside the scan (mapped+partitioned refuses)
         return _scan_with_row_ids(spark, path, meta, files, sorted(files))
     if not files:
         return spark.createDataFrame([], logical)
@@ -1971,10 +1968,20 @@ def _scan_with_row_ids(
     The per-file (baseRowId, defaultRowCommitVersion) map is metadata
     the log replay already holds, broadcast-joined on the relative
     file path; id arithmetic is whole-stage-codegen column math, so
-    the scan stays one JVM-side pass at any scale."""
+    the scan stays one JVM-side pass at any scale.
+
+    Column-mapped tables read with the PHYSICAL (``name`` mode) or
+    field-id (``id`` mode) schema exactly like :func:`read_delta`; the
+    materialized row-tracking columns need no translation — their
+    on-disk names ARE the configured physical names
+    (``delta.rowTracking.materializedRowIdColumnName``). Mapped AND
+    partitioned stays refused (partition values live only in
+    ``add.partitionValues``, and the grouped union read does not
+    thread ``_metadata`` ordinals through)."""
     from pyspark.sql import types as T
 
-    logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    schema_json = json.loads(meta["schemaString"])
+    logical = T.StructType.fromJson(schema_json)
     rid_col, rcv_col = _rt_cols(meta)
     rels = sorted(rels)
     out = T.StructType(list(logical.fields) + [
@@ -1988,9 +1995,40 @@ def _scan_with_row_ids(
             f"delta table at {path}: row tracking requires every active "
             f"file to carry baseRowId; missing on {missing[:3]} — enable "
             "row tracking via set_table_properties to backfill")
-    read_schema = T.StructType(list(logical.fields) + [
-        T.StructField(c, T.LongType()) for c in (rid_col, rcv_col) if c])
-    reader = spark.read.schema(read_schema)
+    cm = _column_mapping_mode(meta)
+    if cm != "none" and meta.get("partitionColumns"):
+        raise UnsupportedTableFeature(
+            f"delta table at {path}: row-id reads on column-mapped "
+            "PARTITIONED tables are not implemented")
+    rt_fields = [T.StructField(c, T.LongType())
+                 for c in (rid_col, rcv_col) if c]
+    if cm == "name":
+        phys = T.StructType.fromJson({
+            "type": "struct",
+            "fields": _physical_fields(schema_json["fields"])})
+        read_fields = list(phys.fields)
+        sel = [F.col(f"`{pf.name}`").cast(lf.dataType).alias(lf.name)
+               for pf, lf in zip(phys.fields, logical.fields)]
+    elif cm == "id":
+        # field-id resolution: fields carrying parquet.field.id match
+        # by id, the rt columns (no id — they are writer-internal)
+        # still match by name
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        fid = T.StructType.fromJson({
+            "type": "struct",
+            "fields": _fieldid_fields(schema_json["fields"])})
+        read_fields = list(fid.fields)
+        sel = [F.col(f"`{lf.name}`").cast(lf.dataType)
+               .alias(lf.name, metadata={}) for lf in logical.fields]
+    else:
+        if cm != "none":
+            raise UnsupportedTableFeature(
+                f"delta table at {path} uses column mapping mode "
+                f"{cm!r}; only 'name', 'id' (and 'none') are supported")
+        read_fields = list(logical.fields)
+        sel = [F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+               for f in logical.fields]
+    reader = spark.read.schema(T.StructType(read_fields + rt_fields))
     if meta.get("partitionColumns"):
         reader = reader.option("basePath", path)
     df = reader.parquet(*[_add_uri(path, r) for r in rels])
@@ -2013,10 +2051,8 @@ def _scan_with_row_ids(
         rid_val = F.coalesce(F.col(f"`{rid_col}`"), rid_val)
     if rcv_col:
         rcv_val = F.coalesce(F.col(f"`{rcv_col}`"), rcv_val)
-    sel = [F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
-           for f in logical.fields]
-    sel += [rid_val.cast("long").alias(rid_out),
-            rcv_val.cast("long").alias(rcv_out)]
+    sel = sel + [rid_val.cast("long").alias(rid_out),
+                 rcv_val.cast("long").alias(rcv_out)]
     return df.select(*sel)
 
 

@@ -2487,6 +2487,75 @@ def test_row_tracking_checkpoint_roundtrip(spark, tmp_path):
     assert after == before
 
 
+def _mapped_rt_table(spark, tmp_path, partitioned=False):
+    """Hand-built externally-written table: column mapping mode=name
+    (physical col-aa/col-bb), row tracking with baseRowId on every add,
+    file 2 also materializes explicit row ids in the configured
+    physical column."""
+    t = str(tmp_path / "mrt")
+    os.makedirs(t)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "`col-aa` long, `col-bb` string",
+    ).coalesce(1).sortWithinPartitions("col-aa").write.parquet(t + "/f1")
+    spark.createDataFrame(
+        [(3, "c", 7), (4, "d", 9)],
+        "`col-aa` long, `col-bb` string, `_rid-phys` long",
+    ).coalesce(1).sortWithinPartitions("col-aa").write.parquet(t + "/f2")
+    part = {d: [f for f in os.listdir(os.path.join(t, d))
+                if f.endswith(".parquet")][0] for d in ("f1", "f2")}
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aa"}},
+        {"name": "v", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bb"}}]}
+    os.makedirs(t + "/_delta_log")
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping"],
+            "writerFeatures": ["columnMapping", "rowTracking",
+                               "domainMetadata"]}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "m", "format": {"provider": "parquet"},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["id"] if partitioned else [],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.rowTracking.materializedRowIdColumnName":
+                    "_rid-phys"}}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f1/" + part["f1"], "size": 1, "partitionValues": {},
+            "modificationTime": 0, "dataChange": True,
+            "baseRowId": 0, "defaultRowCommitVersion": 0}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f2/" + part["f2"], "size": 1, "partitionValues": {},
+            "modificationTime": 0, "dataChange": True,
+            "baseRowId": 2, "defaultRowCommitVersion": 0}}) + "\n")
+    return t
+
+
+def test_row_ids_on_column_mapped_table(spark, tmp_path):
+    """Row-id reads combine with column mapping: logical names come
+    back, fresh ids derive from baseRowId + position, and the
+    materialized physical rid column (its on-disk name IS the
+    configured physical name) overrides where present."""
+    t = _mapped_rt_table(spark, tmp_path)
+    got = read_delta(spark, t, with_row_ids=True)
+    assert got.columns == ["id", "v", "_row_id", "_row_commit_version"]
+    rows = {r["id"]: r["_row_id"] for r in got.collect()}
+    assert rows == {1: 0, 2: 1, 3: 7, 4: 9}
+
+
+def test_row_ids_mapped_partitioned_refused(spark, tmp_path):
+    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+
+    t = _mapped_rt_table(spark, tmp_path, partitioned=True)
+    with pytest.raises(UnsupportedTableFeature, match="PARTITIONED"):
+        read_delta(spark, t, with_row_ids=True)
+
+
 # -------------------------------------------------------- liquid clustering
 
 def test_clustering_lazy_optimize(spark, tmp_path):
