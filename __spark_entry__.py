@@ -790,6 +790,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              .withColumn("src", F.lit("clone")))
                 .select("src", "n_nationkey", "n_name"))
 
+    def delta_clone_partitioned(spark, sf):
+        """SHALLOW CLONE of a PARTITIONED source (delta_py round 8,
+        clone_delta + _scan_log_partitioned): the foreign absolute
+        adds cannot pin the clone's basePath, so partition values
+        attach from add.partitionValues via a broadcast per-FILE map —
+        still one multi-file scan, file pruning already done
+        driver-side. Asserted: zero parquet copied into the clone; a
+        CoW merge into the clone (update keys 500-749, insert
+        750-999) touches only matched partitions and must NOT leak
+        into the source; result hash-matches the flat update_insert
+        oracle."""
+        import glob as _glob
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            clone_delta, merge_delta, read_delta, write_delta)
+
+        t, s = _merge_frames(spark, sf)
+        base = tempfile.mkdtemp(prefix="sling_clp_")
+        src, dst = os.path.join(base, "src"), os.path.join(base, "dst")
+        write_delta(t, src, partition_by=["o_orderstatus"])
+        clone_delta(src, dst)
+        assert not _glob.glob(os.path.join(dst, "o_orderstatus=*/*.parquet")), \
+            "shallow clone must copy zero data files"
+        merge_delta(spark, dst, s, "o_orderkey")
+        assert read_delta(spark, src).count() == t.count(), \
+            "the clone's merge must not leak into the source"
+        return read_delta(spark, dst).select(*t.columns)
+
     def delta_uniform(spark, sf):
         """Universal format twin (iceberg_py round 8, sync_uniform):
         nation lands as Delta, a CoW merge updates keys < 4 and
@@ -2401,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_evolution": iceberg_partition_evolution,
         "delta_restore": delta_restore,
         "delta_shallow_clone": delta_shallow_clone,
+        "delta_clone_partitioned": delta_clone_partitioned,
         "delta_uniform": delta_uniform,
         "delta_stream_source": delta_stream_source,
         "iceberg_rollback": iceberg_rollback,
@@ -2534,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_clustering_skipping", "iceberg_v3_dv_produce",
         "iceberg_refs", "iceberg_partition_evolution",
         "delta_restore", "iceberg_rollback", "delta_shallow_clone",
+        "delta_clone_partitioned",
         "delta_uniform", "delta_stream_source",
         "cdc_foreachbatch_merge",
         "delta_identity_generated", "delta_zorder_skipping",
@@ -2956,6 +2987,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM src
         """,
         "merge_partitioned_delta": f"""
+            WITH src AS ({_MERGE_SRC})
+            SELECT * FROM orders WHERE o_orderkey < 750
+              AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL SELECT * FROM src
+        """,
+        "delta_clone_partitioned": f"""
             WITH src AS ({_MERGE_SRC})
             SELECT * FROM orders WHERE o_orderkey < 750
               AND o_orderkey NOT IN (SELECT o_orderkey FROM src)

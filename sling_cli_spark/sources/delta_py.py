@@ -1436,6 +1436,15 @@ def read_delta(
     dvs = {rel: add["deletionVector"] for rel, add in files.items()
            if add.get("deletionVector")}
     if cm == "none":
+        if meta.get("partitionColumns") and _has_foreign_adds(files):
+            # shallow clone of a partitioned source: no shared
+            # basePath — partition values attach from the log
+            df = _scan_log_partitioned(
+                spark, path, meta, files, sorted(files))
+            if dvs:
+                df = df.join(_dv_deleted_df(spark, path, dvs),
+                             ["__fp", "__pos"], "left_anti")
+            return _apply_table_schema(df.drop("__fp", "__pos"), meta)
         # explicit table schema: skips footer inference across N files
         # and makes schema evolution work — files predating a column
         # (e.g. the soft-delete op column) read it as null; bare
@@ -1658,6 +1667,14 @@ def _read_files_mor(
     rels = sorted(rels)
     if not rels:
         return spark.createDataFrame([], logical)
+    dvs = {rel: files[rel]["deletionVector"] for rel in rels
+           if files[rel].get("deletionVector")}
+    if meta.get("partitionColumns") and _has_foreign_adds(rels):
+        df = _scan_log_partitioned(spark, path, meta, files, rels)
+        if dvs:
+            df = df.join(_dv_deleted_df(spark, path, dvs),
+                         ["__fp", "__pos"], "left_anti")
+        return _apply_table_schema(df.drop("__fp", "__pos"), meta)
     # EXPLICIT table schema, exactly like read_delta: bare inference
     # takes ONE footer, so compacting/merging across schema-evolved
     # files would silently null an evolved column for every row when
@@ -1667,11 +1684,68 @@ def _read_files_mor(
         reader = reader.option("basePath", path)
     df = _apply_table_schema(
         reader.parquet(*[_add_uri(path, p) for p in rels]), meta)
-    dvs = {rel: files[rel]["deletionVector"] for rel in rels
-           if files[rel].get("deletionVector")}
     if dvs:
         df = _apply_deletion_vectors(spark, df, path, dvs)
     return df
+
+
+def _has_foreign_adds(rels) -> bool:
+    """Any add path absolute or a URI — files living OUTSIDE the table
+    root (shallow clones reference the source's files that way)."""
+    return any(
+        r.startswith("/") or (urlparse(r).scheme
+                              and len(urlparse(r).scheme) > 1)
+        for r in rels)
+
+
+def _scan_log_partitioned(
+    spark, path: str, meta: dict, files: dict, rels,
+    extra_fields=(),
+) -> DataFrame:
+    """Partitioned scan that cannot pin ``basePath`` (foreign absolute
+    adds — a shallow clone of a partitioned source, possibly mixed
+    with the clone's own relative adds): the data files are read
+    WITHOUT partition columns (the Hive layout keeps them out of the
+    files) and each file's values attach from the authoritative
+    ``add.partitionValues`` via a broadcast one-row-per-FILE map join
+    — still one multi-file parquet scan, and file-level pruning
+    already happened driver-side (:func:`prune_files_by_stats`), so no
+    Catalyst partition pruning is lost at any scale. Returns logical
+    columns (+ ``extra_fields``) with ``__fp``/``__pos`` coordinate
+    columns retained — callers anti-join deletion vectors on those,
+    then drop them."""
+    from pyspark.sql import types as T
+
+    logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    parts = list(meta.get("partitionColumns") or [])
+    data_fields = [f for f in logical.fields if f.name not in parts]
+    rels = sorted(rels)
+    df = spark.read.schema(
+        T.StructType(data_fields + list(extra_fields))).parquet(
+        *[_add_uri(path, r) for r in rels])
+    df = df.withColumn("__fp", _abs_fp_col()) \
+           .withColumn("__pos", F.col("_metadata.row_index"))
+    def _pv(r, c):  # JSON null (spec) and the Hive dir sentinel (ours)
+        v = (files[r].get("partitionValues") or {}).get(c)
+        return None if v is None or v == _HIVE_NULL else v
+
+    pmap = spark.createDataFrame(
+        [tuple([_abs_of_add(path, r)] + [_pv(r, c) for c in parts])
+         for r in rels],
+        T.StructType(
+            [T.StructField("__fp", T.StringType())]
+            + [T.StructField(f"__pv_{i}", T.StringType())
+               for i in range(len(parts))]))
+    df = df.join(F.broadcast(pmap), "__fp", "left")
+    sel = []
+    for f in logical.fields:
+        if f.name in parts:
+            sel.append(F.col(f"__pv_{parts.index(f.name)}")
+                       .cast(f.dataType).alias(f.name))
+        else:
+            sel.append(F.col(f"`{f.name}`"))
+    sel += [F.col(f"`{ef.name}`") for ef in extra_fields]
+    return df.select(*sel, "__fp", "__pos")
 
 
 def _remove_action(
@@ -2028,12 +2102,18 @@ def _scan_with_row_ids(
         read_fields = list(logical.fields)
         sel = [F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
                for f in logical.fields]
-    reader = spark.read.schema(T.StructType(read_fields + rt_fields))
-    if meta.get("partitionColumns"):
-        reader = reader.option("basePath", path)
-    df = reader.parquet(*[_add_uri(path, r) for r in rels])
-    df = df.withColumn("__fp", _abs_fp_col()) \
-           .withColumn("__pos", F.col("_metadata.row_index"))
+    if meta.get("partitionColumns") and _has_foreign_adds(rels):
+        # partitioned shallow clone (cm is "none" here — mapped +
+        # partitioned refused above): partition values from the log
+        df = _scan_log_partitioned(
+            spark, path, meta, files, rels, rt_fields)
+    else:
+        reader = spark.read.schema(T.StructType(read_fields + rt_fields))
+        if meta.get("partitionColumns"):
+            reader = reader.option("basePath", path)
+        df = reader.parquet(*[_add_uri(path, r) for r in rels])
+        df = df.withColumn("__fp", _abs_fp_col()) \
+               .withColumn("__pos", F.col("_metadata.row_index"))
     dvs = {r: files[r]["deletionVector"] for r in rels
            if files[r].get("deletionVector")}
     if dvs:
@@ -2345,7 +2425,10 @@ def merge_delta(
         if op_col:
             cdc_cols["op_col"] = op_col
         dv = None
-        if candidates and _dv_writes_enabled(meta, use_dvs):
+        if candidates and _dv_writes_enabled(meta, use_dvs) \
+                and not (part_cols and _has_foreign_adds(candidates)):
+            # (partitioned shallow-clone candidates stay CoW: the raw
+            # position scan has no basePath to pin)
             # DV path: the census over the pruned candidates doubles as
             # the touched-file probe (one scan); matched rows are
             # DV-deleted in place and the merge output (updated matched
@@ -2359,15 +2442,25 @@ def merge_delta(
         if dv is None and candidates:
             # CoW (or dense-fallback) probe: which candidates hold
             # matched PKs
-            reader = spark.read
-            if part_cols:
-                reader = reader.option("basePath", path)
-            cand_df = _apply_table_schema(
-                reader.parquet(*[_add_uri(path, p) for p in sorted(candidates)]),
-                meta)
-            touched_uris = touched_files(cand_df, src, pk)
             amap = _add_key_map(path, candidates)
-            touched_rel = [amap[_uri_abs(u)] for u in touched_uris]
+            if part_cols and _has_foreign_adds(candidates):
+                cand = _scan_log_partitioned(
+                    spark, path, meta, files, sorted(candidates))
+                hits = (cand.select("__fp", *pk)
+                        .join(src.select(*pk).distinct(), on=pk,
+                              how="left_semi")
+                        .select("__fp").distinct().collect())
+                touched_rel = [amap[r["__fp"]] for r in hits]
+            else:
+                reader = spark.read
+                if part_cols:
+                    reader = reader.option("basePath", path)
+                cand_df = _apply_table_schema(
+                    reader.parquet(
+                        *[_add_uri(path, p) for p in sorted(candidates)]),
+                    meta)
+                touched_uris = touched_files(cand_df, src, pk)
+                touched_rel = [amap[_uri_abs(u)] for u in touched_uris]
         if dv is not None:
             dv_actions, n_dv, n_dead, doomed_rels = dv
             # DV-applied read of just the doomed files: their DV-deleted
@@ -2504,7 +2597,8 @@ def delete_missing_delta(
     part_cols = meta.get("partitionColumns") or []
     keys = keyset.select(*pk).distinct()
 
-    if files and not soft and _dv_writes_enabled(meta, use_dvs):
+    if files and not soft and _dv_writes_enabled(meta, use_dvs) \
+            and not (part_cols and _has_foreign_adds(files)):
         # DV path: the census over ALL files doubles as the
         # touched-file probe (one scan of the table, not two; an
         # already-DV-deleted doomed row only re-unions its own
@@ -2542,25 +2636,35 @@ def delete_missing_delta(
     # the scan captures its file BEFORE the DV anti-join (``_metadata``
     # does not resolve past a join), so DV-deleted rows can neither
     # mark a file touched nor resurrect into the rewrite
-    reader = spark.read
-    if part_cols:
-        reader = reader.option("basePath", path)
-    scan = _apply_table_schema(
-        reader.parquet(*[_add_uri(path, p) for p in sorted(files)]),
-        meta).withColumn("__file", F.col("_metadata.file_path"))
     dvs = {rel: add["deletionVector"] for rel, add in files.items()
            if add.get("deletionVector")}
-    if dvs:
-        scan = _apply_deletion_vectors(spark, scan, path, dvs)
-
-    touched_uris = (
-        scan.select("__file", *pk)
-        .join(keys, on=pk, how="left_anti")
-        .select("__file").distinct().collect()
-    )
     amap = _add_key_map(path, files)
-    touched_rel = sorted(amap[_uri_abs(r["__file"])]
-                         for r in touched_uris)
+    if part_cols and _has_foreign_adds(files):
+        scan = _scan_log_partitioned(spark, path, meta, files,
+                                     sorted(files))
+        if dvs:
+            scan = scan.join(_dv_deleted_df(spark, path, dvs),
+                             ["__fp", "__pos"], "left_anti")
+        hits = (scan.select("__fp", *pk)
+                .join(keys, on=pk, how="left_anti")
+                .select("__fp").distinct().collect())
+        touched_rel = sorted(amap[r["__fp"]] for r in hits)
+    else:
+        reader = spark.read
+        if part_cols:
+            reader = reader.option("basePath", path)
+        scan = _apply_table_schema(
+            reader.parquet(*[_add_uri(path, p) for p in sorted(files)]),
+            meta).withColumn("__file", F.col("_metadata.file_path"))
+        if dvs:
+            scan = _apply_deletion_vectors(spark, scan, path, dvs)
+        touched_uris = (
+            scan.select("__file", *pk)
+            .join(keys, on=pk, how="left_anti")
+            .select("__file").distinct().collect()
+        )
+        touched_rel = sorted(amap[_uri_abs(r["__file"])]
+                             for r in touched_uris)
     if not touched_rel:
         return {"touched": 0, "new_files": 0, "kept": len(files),
                 "version": latest_version(path)}
@@ -3076,19 +3180,18 @@ def clone_delta(src: str, dst: str) -> int:
     inside the clone dir, rewrites (merge/delete/optimize) materialize
     only the touched files' rows into it (the absolute->add-key maps
     route every path op), and vacuum walks only the clone dir so
-    source data is never reclaimed from here. Unpartitioned sources
-    only — a partitioned scan pins ``basePath``, which absolute
-    foreign files cannot live under."""
+    source data is never reclaimed from here. Partitioned sources
+    work too: foreign adds cannot share the clone's ``basePath``, so
+    every read path attaches their partition values from the
+    authoritative ``add.partitionValues``
+    (:func:`_scan_log_partitioned`); rewrites on such clones stay CoW
+    (DV production needs the pinned-basePath position scan)."""
     from . import delta_dv
 
     meta, files, protocol = _replay_state(src)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {src}")
     _check_reader_protocol(src, protocol)
-    if meta.get("partitionColumns"):
-        raise UnsupportedTableFeature(
-            f"shallow clone of partitioned table {src}: absolute adds "
-            "cannot share the clone's basePath — not implemented")
     if latest_version(dst) >= 0:
         raise FileExistsError(f"delta table already exists at {dst}")
     new_meta = dict(meta)

@@ -2798,3 +2798,53 @@ def test_shallow_clone_vacuum_never_touches_source(spark, tmp_path):
     assert all(str(tmp_path / "src") not in p for p in removed)
     assert {r["id"] for r in read_delta(spark, src).collect()} == {1, 2}
     assert {r["v"] for r in read_delta(spark, dst).collect()} == {"A", "b"}
+
+
+def test_shallow_clone_partitioned(spark, tmp_path):
+    """Clone of a PARTITIONED source: partition values attach from
+    add.partitionValues (no shared basePath), reads/merges/appends/
+    delete_missing all work, and the clone diverges independently."""
+    import glob as _glob
+
+    from sling_cli_spark.sources.delta_py import (
+        clone_delta, delete_missing_delta, merge_delta)
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(12)],
+        "id long, v string, p long")
+    write_delta(df, src, partition_by=["p"])
+
+    clone_delta(src, dst)
+    assert _glob.glob(os.path.join(dst, "p=*/*.parquet")) == []
+    got = {r["id"]: (r["v"], r["p"])
+           for r in read_delta(spark, dst).collect()}
+    assert got == {i: (f"v{i}", i % 3) for i in range(12)}
+
+    # filter on the partition column (values came from the log)
+    assert {r["id"] for r in
+            read_delta(spark, dst).filter("p = 1").collect()} \
+        == {1, 4, 7, 10}
+
+    # merge: only touched partitions rewrite, into the CLONE dir
+    merge_delta(spark, dst, spark.createDataFrame(
+        [(1, "CLONE", 1), (99, "NEW", 0)],
+        "id long, v string, p long"), "id")
+    got = {r["id"]: r["v"] for r in read_delta(spark, dst).collect()}
+    assert got[1] == "CLONE" and got[99] == "NEW" and len(got) == 13
+    assert len(_glob.glob(os.path.join(dst, "p=*/*.parquet"))) >= 1
+    src_got = {r["id"]: r["v"] for r in read_delta(spark, src).collect()}
+    assert src_got[1] == "v1" and 99 not in src_got
+
+    # append lands relative adds beside the foreign ones (mixed read)
+    write_delta(spark.createDataFrame(
+        [(100, "APP", 2)], "id long, v string, p long"), dst,
+        mode="append")
+    assert read_delta(spark, dst).count() == 14
+
+    # delete_missing prunes by log-attached partition values too
+    keep = read_delta(spark, dst).filter("id < 50").select("id", "v", "p")
+    delete_missing_delta(spark, dst, keep, "id")
+    assert {r["id"] for r in read_delta(spark, dst).collect()} \
+        == set(range(12))
