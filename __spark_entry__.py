@@ -1790,6 +1790,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   F.count_distinct("user_id").alias("n_users")])
         return out.select("window_start", "event_type", "n_events", "n_users")
 
+    def stream_sessionize_events(spark, sf):
+        """Custom STATEFUL streaming operator under the oracle
+        (streaming/sessions.sessionize_stream, applyInPandasWithState —
+        SURVEY §2.8; beyond stock Spark's session_window because the
+        per-key state machine is user code). events split into 4
+        chronological micro-batch files (+ a flush batch whose
+        far-future event closes every open session), the stream groups
+        by user and emits a row per CLOSED session; the processing-time
+        timeout (1h wall) never fires inside the run, so the emitted
+        set is deterministic and equals the batch window-twin
+        (operators/asof.sessionize — the poll target AND the oracle).
+        Timestamps ride as exact µs-integer doubles (< 2^53) so the
+        gap comparison is exact on both engines."""
+        import shutil
+        import tempfile
+        import time as _time
+        import uuid as _uuid
+
+        from sling_cli_spark.operators.asof import sessionize
+        from sling_cli_spark.streaming.sessions import sessionize_stream
+
+        GAP_US = 3_600_000_000.0  # 1 hour of data time, in µs
+        e = _t(spark, sf, "events").select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            .cast("double").alias("ts_us"))
+        expected = sessionize(e, "user_id", "ts_us", gap=GAP_US) \
+            .groupBy("user_id").agg(F.max("session_id").alias("m")) \
+            .agg(F.sum("m")).first()[0]
+
+        base = tempfile.mkdtemp(prefix="sling_ssn_")
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        bounds = e.agg(F.expr(
+            "percentile(ts_us, array(0.25, 0.5, 0.75))")).first()[0]
+        flush = e.select("user_id").distinct() \
+            .withColumn("ts_us", F.lit(8.0e15))  # > any epoch, < 2^53
+        slices, lo = [], None
+        for hi in list(bounds) + [None]:
+            c = F.lit(True) if lo is None else (F.col("ts_us") > lo)
+            if hi is not None:
+                c = c & (F.col("ts_us") <= hi)
+            slices.append(e.filter(c))
+            lo = hi
+        slices.append(flush)
+        now = _time.time()
+        for k, sl in enumerate(slices):
+            stage = os.path.join(base, f"st{k}")
+            sl.select(F.to_json(F.struct("user_id", "ts_us"))
+                      .alias("v")).coalesce(1) \
+                .write.mode("overwrite").text(stage)
+            part = next(f for f in sorted(os.listdir(stage))
+                        if f.startswith("part-"))
+            dstf = os.path.join(src, f"b{k:03d}.jsonl")
+            shutil.move(os.path.join(stage, part), dstf)
+            # FileStreamSource batches in modification-time order
+            os.utime(dstf, (now + k, now + k))
+
+        stream = spark.readStream.schema(
+            "user_id long, ts_us double") \
+            .option("maxFilesPerTrigger", "1").json(src)
+        out = sessionize_stream(
+            stream, gap_seconds=GAP_US, ts_col="ts_us",
+            key_col="user_id")
+        qn = "ssn_" + _uuid.uuid4().hex[:8]
+        q = out.writeStream.format("memory").queryName(qn) \
+            .outputMode("append") \
+            .option("checkpointLocation", os.path.join(base, "ckpt")) \
+            .start()
+        got = 0
+        try:
+            deadline = _time.time() + 300
+            while _time.time() < deadline:
+                got = spark.sql(
+                    f"SELECT count(*) AS c FROM {qn}").first()["c"]
+                if got >= expected:
+                    break
+                _time.sleep(1)
+        finally:
+            q.stop()
+        assert got == expected, \
+            f"streaming closed {got} sessions, batch twin says {expected}"
+        return spark.table(qn).select(
+            "user_id",
+            F.round(F.col("session_start")).cast("long").alias("start_us"),
+            F.round(F.col("session_end")).cast("long").alias("end_us"),
+            "n_events")
+
     # --- validation / profiling -----------------------------------------
     def checksum_lineitem(spark, sf):
         return checksum_df(_t(spark, sf, "lineitem"))
@@ -2435,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_stream_source": delta_stream_source,
         "iceberg_rollback": iceberg_rollback,
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
+        "stream_sessionize_events": stream_sessionize_events,
         "delta_identity_generated": delta_identity_generated,
         "delta_zorder_skipping": delta_zorder_skipping,
         # -- write-path operator code changed in r8 ------------------------
@@ -2566,7 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_restore", "iceberg_rollback", "delta_shallow_clone",
         "delta_clone_partitioned",
         "delta_uniform", "delta_stream_source",
-        "cdc_foreachbatch_merge",
+        "cdc_foreachbatch_merge", "stream_sessionize_events",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
         "column_typing_clamp", "constraint_dsl_filter", "row_constraints",
@@ -3446,6 +3535,25 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events
             GROUP BY 1, 2
+        """,
+        "stream_sessionize_events": """
+            WITH g AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                          WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 3600000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, t,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+            SELECT user_id, cast(min(t) AS BIGINT) AS start_us,
+                   cast(max(t) AS BIGINT) AS end_us,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "sessionize_events": """
             WITH g AS (
