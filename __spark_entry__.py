@@ -313,6 +313,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         delete_missing_delta(spark, path, keyset, "o_orderkey")
         return read_delta(spark, path).select(*o.columns)
 
+    def iceberg_eq_upsert(spark, sf):
+        """Flink-style streaming upsert via EQUALITY DELETES
+        (iceberg_py.upsert_iceberg, spec v2 §Equality Delete Files):
+        the commit writes one eq-delete file over the batch PKs + the
+        batch as new data WITHOUT ever scanning the target (O(batch)
+        at any table size — the 100 TB CDC-upsert path); the delete
+        binds only strictly-smaller sequence numbers so the batch
+        can't delete itself. Asserted: zero files rewritten (touched
+        == 0). The MoR read must hash-match the same oracle as the
+        CoW update_insert merge."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            read_iceberg, upsert_iceberg, write_iceberg)
+
+        t, s = _merge_frames(spark, sf)
+        path = os.path.join(tempfile.mkdtemp(prefix="sling_equ_"), "t")
+        write_iceberg(t, path, format_version=2)
+        res = upsert_iceberg(spark, path, s, "o_orderkey")
+        assert res["touched"] == 0 and res["eq_delete_files"] >= 1, \
+            "upsert must not rewrite existing files"
+        return read_iceberg(spark, path).select(*t.columns)
+
     def delete_missing_iceberg_q(spark, sf):
         """delete_missing as an Iceberg CoW snapshot (iceberg_py.
         delete_missing_iceberg): only data files with vanished PKs are
@@ -2524,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_rollback": iceberg_rollback,
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "stream_sessionize_events": stream_sessionize_events,
+        "iceberg_eq_upsert": iceberg_eq_upsert,
         "delta_identity_generated": delta_identity_generated,
         "delta_zorder_skipping": delta_zorder_skipping,
         # -- write-path operator code changed in r8 ------------------------
@@ -2656,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_clone_partitioned",
         "delta_uniform", "delta_stream_source",
         "cdc_foreachbatch_merge", "stream_sessionize_events",
+        "iceberg_eq_upsert",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
         "column_typing_clamp", "constraint_dsl_filter", "row_constraints",
@@ -3082,6 +3107,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM src
         """,
         "delta_clone_partitioned": f"""
+            WITH src AS ({_MERGE_SRC})
+            SELECT * FROM orders WHERE o_orderkey < 750
+              AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL SELECT * FROM src
+        """,
+        "iceberg_eq_upsert": f"""
             WITH src AS ({_MERGE_SRC})
             SELECT * FROM orders WHERE o_orderkey < 750
               AND o_orderkey NOT IN (SELECT o_orderkey FROM src)

@@ -94,6 +94,7 @@ class TargetOptions:
     post_sql: str | None = None
     merge_strategy: MergeStrategy = MergeStrategy.UPDATE_INSERT
     delete_missing: str | None = None   # None | "hard" | "soft"
+    eq_upsert: bool = False  # iceberg: equality-delete upsert, no scan
     column_typing: dict | None = None   # string/decimal/boolean/json policy
     file_granular_merge: bool = True    # rewrite only touched parquet files
     partition_by: list[str] = field(default_factory=list)

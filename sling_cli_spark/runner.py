@@ -227,6 +227,22 @@ def run(
 
         if lake_fmt == "delta":
             from sling_cli_spark.sources.delta_py import merge_delta as _merge
+        elif cfg.target.options.eq_upsert:
+            # Flink-style streaming upsert: the commit writes an
+            # equality-delete file over the batch PKs + the batch as
+            # new data, never scanning the target — O(batch) per
+            # micro-batch at any table size (update_insert semantics
+            # only; the MoR read pays until compaction)
+            from sling_cli_spark.config import MergeStrategy
+            from sling_cli_spark.sources.iceberg_py import upsert_iceberg
+            if cfg.target.options.merge_strategy not in (
+                    MergeStrategy.UPDATE_INSERT,):
+                raise ValueError(
+                    "eq_upsert implements update_insert semantics only")
+
+            def _merge(spark_, uri_, df_, pk_, strategy=None,
+                       update_key=None):
+                return upsert_iceberg(spark_, uri_, df_, pk_)
         else:
             from sling_cli_spark.sources.iceberg_py import (
                 merge_iceberg as _merge)

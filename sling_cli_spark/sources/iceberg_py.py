@@ -1192,6 +1192,88 @@ def delete_missing_iceberg(
             "kept": len(keep), "snapshot_id": snapshot_id}
 
 
+def upsert_iceberg(
+    spark: SparkSession,
+    path: str,
+    src: DataFrame,
+    primary_key,
+    branch: str = "main",
+) -> dict:
+    """Flink-style streaming UPSERT via EQUALITY DELETES (spec v2
+    §Equality Delete Files): one snapshot commits (a) equality-delete
+    files listing the batch's distinct PKs (``equality_ids`` = the PK
+    field ids, value bounds recorded for delete-file skipping) and (b)
+    the batch itself as new data files. The target is NEVER scanned —
+    an O(batch) commit regardless of table size, the property that
+    makes per-micro-batch CDC upserts viable at 100 TB (contrast
+    :func:`merge_iceberg`, whose probe reads candidate files). The
+    delete binds only files at STRICTLY SMALLER sequence numbers, so
+    the batch cannot delete itself, and successive upserts are
+    last-write-wins by sequence order. Readers pay the MoR anti-join
+    until :func:`compact_iceberg` folds the deletes in.
+
+    Unpartitioned targets only: these delete files are partition-global
+    and our delete manifests claim spec 0 — on a partitioned table a
+    strict foreign reader could scope them wrongly (merge_iceberg
+    covers partitioned upserts CoW/DV)."""
+    pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    _, meta = _current_metadata(path, for_write=True)
+    if int(meta.get("format-version", 1)) < 2:
+        raise UnsupportedTableFeature(
+            f"iceberg table at {path} is format v1 — equality deletes "
+            "need v2+ (merge_iceberg handles v1 copy-on-write)")
+    if _part_cols(meta):
+        raise UnsupportedTableFeature(
+            f"iceberg table at {path} is partitioned — partition-global "
+            "equality deletes are not written here; use merge_iceberg")
+    current = _current_schema(meta) or {"fields": []}
+    name_to_id = {f["name"]: f["id"] for f in current["fields"]}
+    missing = [c for c in pk if c not in name_to_id]
+    if missing:
+        raise ValueError(f"upsert key(s) {missing} not in table schema")
+    eq_ids = [int(name_to_id[c]) for c in pk]
+
+    active, pos_dels, eq_dels = _active_entries(
+        path, meta, _branch_head(meta, branch))
+
+    fs = fsio.get_fs(path)
+    data_dir = fsio.join(path, "data")
+    fs.mkdirs(data_dir)
+    tmp = fsio.join(data_dir, f".eqstage_{uuid.uuid4().hex[:8]}")
+    keys = src.select(*pk).distinct()
+    keys.write.parquet(tmp)
+    ice_keys = _ice_schema_for(
+        keys, base=current, last_column_id=meta.get("last-column-id", 0))
+    staged = _staged_file_stats(keys, tmp, ice_keys)
+    del_entries: list[dict] = []
+    for rel in sorted(_walk_parquet(fs, tmp)):
+        dest = fsio.join(data_dir, f"{uuid.uuid4().hex}-deletes.parquet")
+        if not fs.rename(fsio.join(tmp, rel), dest):
+            raise IOError(f"iceberg eq-delete stage: could not place {rel}")
+        st = staged.get(_canon(fsio.join(tmp, rel))) or {}
+        del_entries.append({
+            "content": 2,  # EQUALITY_DELETES
+            "file_path": _absolute(dest),
+            "file_format": "PARQUET",
+            "record_count": st.get("n", 0),
+            "file_size_in_bytes": fs.getsize(dest),
+            "partition": None,
+            "equality_ids": eq_ids,
+            "lower_bounds": st.get("lower"),
+            "upper_bounds": st.get("upper"),
+        })
+    fs.delete(tmp, True)
+
+    snapshot_id = _commit_snapshot(
+        src, path, meta, carried=active, operation="overwrite",
+        carried_deletes=_live_delete_files(active, pos_dels, eq_dels),
+        new_deletes=del_entries, branch=branch)
+    return {"touched": 0, "new_files":
+            len(_active_files(path, meta, snapshot_id)) - len(active),
+            "eq_delete_files": len(del_entries), "kept": len(active),
+            "snapshot_id": snapshot_id}
+
+
 def _init_meta(
     df: DataFrame, path: str, partition_by: list[str] | None = None,
     format_version: int = 2,

@@ -153,6 +153,33 @@ def test_runner_routes_iceberg_merge(spark, tmp_path):
     assert got[50] == "VX" and len(got) == 200
 
 
+def test_runner_routes_iceberg_eq_upsert(spark, tmp_path):
+    """target.options.eq_upsert=true routes the incremental merge
+    through upsert_iceberg: no file rewrites, eq-delete committed."""
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+
+    t = str(tmp_path / "it")
+    write_iceberg(
+        spark.range(100)
+        .selectExpr("id", "cast(id as string) v", "id as ts")
+        .coalesce(1), t, format_version=2)
+    src = tmp_path / "b.csv"
+    src.write_text("id,v,ts\n50,VX,999\n150,NEW,1000\n")
+    cfg = Config.from_dict({
+        "source": {"stream": str(src), "primary_key": "id",
+                   "update_key": "ts",
+                   "options": {"columns": {"id": "bigint", "ts": "bigint"}}},
+        "target": {"object": t, "options": {"eq_upsert": True}},
+        "mode": "incremental"})
+    r = run(spark, cfg, target_df=read_iceberg(spark, t))
+    assert r.merge_stats is not None
+    assert r.merge_stats["touched"] == 0
+    assert r.merge_stats["eq_delete_files"] >= 1
+    got = {x["id"]: x["v"] for x in read_iceberg(spark, t).collect()}
+    assert got[50] == "VX" and got[150] == "NEW" and len(got) == 101
+
+
 # ---------------------------------------------------------------- round 4
 
 def test_concurrent_metadata_commit_raises(spark, tmp_path):
@@ -1676,3 +1703,86 @@ def test_uniform_sync_partitioned(spark, tmp_path):
     assert got == {1: 10, 2: 20, 3: 10}
     assert {r["id"] for r in read_iceberg(spark, t)
             .filter("grp = 10").collect()} == {1, 3}
+
+
+# -------------------------------------------------------- equality upsert
+
+def test_upsert_eq_delete_basic(spark, tmp_path):
+    """upsert_iceberg: one snapshot = eq-delete file over the batch PKs
+    + the batch as new data; existing files are never rewritten, the
+    read applies the delete MoR, successive upserts are
+    last-write-wins."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, upsert_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1),
+                  t, format_version=2)
+    res = upsert_iceberg(
+        spark, t, _df(spark, [(2, "B"), (4, "d")]), "id")
+    assert res["kept"] == 1 and res["eq_delete_files"] >= 1
+
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    # second upsert wins over the first (sequence order)
+    upsert_iceberg(spark, t, _df(spark, [(4, "D2"), (5, "e")]), "id")
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "D2", 5: "e"}
+
+    # the original data file was carried, never rewritten
+    _, meta = _current_metadata(t)
+    active, pos_d, eq_d = _active_entries(t, meta, None)
+    assert len(eq_d) >= 2
+    assert res["touched"] == 0
+
+
+def test_upsert_eq_delete_time_travel(spark, tmp_path):
+    """Older snapshots keep reading the pre-upsert state (the delete
+    only exists from its snapshot on)."""
+    from sling_cli_spark.sources.iceberg_py import upsert_iceberg
+
+    t = str(tmp_path / "t")
+    s0 = write_iceberg(_df(spark, [(1, "a"), (2, "b")]), t,
+                       format_version=2)
+    upsert_iceberg(spark, t, _df(spark, [(2, "B")]), "id")
+    assert {r["v"] for r in
+            read_iceberg(spark, t, snapshot_id=s0).collect()} == {"a", "b"}
+    assert {r["v"] for r in read_iceberg(spark, t).collect()} == {"a", "B"}
+
+
+def test_upsert_refuses_v1_and_partitioned(spark, tmp_path):
+    from sling_cli_spark.sources.iceberg_py import (
+        UnsupportedTableFeature, upsert_iceberg)
+
+    t1 = str(tmp_path / "v1")
+    write_iceberg(_df(spark, [(1, "a")]), t1, format_version=1)
+    with pytest.raises(UnsupportedTableFeature, match="v2"):
+        upsert_iceberg(spark, t1, _df(spark, [(1, "x")]), "id")
+
+    t2 = str(tmp_path / "part")
+    write_iceberg(
+        spark.createDataFrame([(1, "a", 1)], "id long, v string, p long"),
+        t2, partition_by=["p"], format_version=2)
+    with pytest.raises(UnsupportedTableFeature, match="partitioned"):
+        upsert_iceberg(spark, t2, spark.createDataFrame(
+            [(1, "x", 1)], "id long, v string, p long"), "id")
+
+
+def test_upsert_compaction_folds_deletes(spark, tmp_path):
+    """compact_iceberg after upserts materializes the MoR state and
+    drops the equality-delete files."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, compact_iceberg,
+        upsert_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t,
+                  format_version=2)
+    upsert_iceberg(spark, t, _df(spark, [(2, "B"), (3, "c")]), "id")
+    compact_iceberg(spark, t)
+    _, meta = _current_metadata(t)
+    active, pos_d, eq_d = _active_entries(t, meta, None)
+    assert eq_d == []
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
