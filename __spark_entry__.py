@@ -313,6 +313,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         delete_missing_delta(spark, path, keyset, "o_orderkey")
         return read_delta(spark, path).select(*o.columns)
 
+    def delta_rename_evolution(spark, sf):
+        """Column-mapping DDL + mapped WRITES end-to-end (delta_py
+        round 8: enable_column_mapping assigns ids + physical names =
+        current names so old files keep reading; rename_column is
+        METADATA-ONLY — asserted zero data files touched; _to_physical
+        stages physical names on every subsequent write). orders lands
+        as Delta, o_totalprice renames to price, then an update_insert
+        merge runs through the renamed schema (mapped read, mapped
+        probe, physical staging). Hash-matches the flat update_insert
+        oracle with the renamed output column."""
+        import glob as _glob
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            enable_column_mapping, merge_delta, read_delta,
+            rename_column, write_delta)
+
+        t, s = _merge_frames(spark, sf)
+        path = os.path.join(tempfile.mkdtemp(prefix="sling_ren_"), "t")
+        write_delta(t, path)
+        enable_column_mapping(path)
+        before = set(_glob.glob(os.path.join(path, "*.parquet")))
+        rename_column(path, "o_totalprice", "price")
+        assert set(_glob.glob(os.path.join(path, "*.parquet"))) \
+            == before, "RENAME COLUMN must touch zero data files"
+        merge_delta(spark, path,
+                    s.withColumnRenamed("o_totalprice", "price"),
+                    "o_orderkey")
+        return read_delta(spark, path)
+
     def iceberg_eq_upsert(spark, sf):
         """Flink-style streaming upsert via EQUALITY DELETES
         (iceberg_py.upsert_iceberg, spec v2 §Equality Delete Files):
@@ -2548,6 +2578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "stream_sessionize_events": stream_sessionize_events,
         "iceberg_eq_upsert": iceberg_eq_upsert,
+        "delta_rename_evolution": delta_rename_evolution,
         "delta_identity_generated": delta_identity_generated,
         "delta_zorder_skipping": delta_zorder_skipping,
         # -- write-path operator code changed in r8 ------------------------
@@ -2680,7 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_clone_partitioned",
         "delta_uniform", "delta_stream_source",
         "cdc_foreachbatch_merge", "stream_sessionize_events",
-        "iceberg_eq_upsert",
+        "iceberg_eq_upsert", "delta_rename_evolution",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
         "column_typing_clamp", "constraint_dsl_filter", "row_constraints",
@@ -3117,6 +3148,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM orders WHERE o_orderkey < 750
               AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
             UNION ALL SELECT * FROM src
+        """,
+        "delta_rename_evolution": f"""
+            WITH src AS ({_MERGE_SRC}), m AS (
+              SELECT * FROM orders WHERE o_orderkey < 750
+                AND o_orderkey NOT IN (SELECT o_orderkey FROM src)
+              UNION ALL SELECT * FROM src)
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice AS price, o_orderdate, o_orderpriority
+            FROM m
         """,
         "delta_roundtrip": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

@@ -344,6 +344,23 @@ def cmd_lake(args: argparse.Namespace) -> int:
             print(json.dumps({"ref": args.name, "type": op,
                               "snapshot_id": sid}))
         return 0
+    if op in ("enable-mapping", "rename-column", "drop-column",
+              "add-column"):  # metadata-only DDL, no Spark needed
+        if not is_delta:
+            print(f"{op} applies to Delta tables (PROTOCOL.md Column "
+                  "Mapping)", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources import delta_py as dl
+        if op == "enable-mapping":
+            v = dl.enable_column_mapping(path)
+        elif op == "rename-column":
+            v = dl.rename_column(path, args.old, args.new)
+        elif op == "drop-column":
+            v = dl.drop_column(path, args.name)
+        else:
+            v = dl.add_column(path, args.name, args.type)
+        print(json.dumps({"version": v}))
+        return 0
     spark = _get_spark(args.debug)
     if op == "detail":
         if not is_delta:
@@ -516,6 +533,24 @@ def build_parser() -> argparse.ArgumentParser:
         if ref_op != "drop-ref":
             lt.add_argument("--snapshot", type=int,
                             help="snapshot id (default: current)")
+    lem = ls.add_parser("enable-mapping",
+                        help="delta: enable column mapping (name mode)")
+    lem.add_argument("path")
+    lrc = ls.add_parser("rename-column",
+                        help="delta: metadata-only column rename")
+    lrc.add_argument("path")
+    lrc.add_argument("old")
+    lrc.add_argument("new")
+    ldc = ls.add_parser("drop-column",
+                        help="delta: metadata-only column drop")
+    ldc.add_argument("path")
+    ldc.add_argument("name")
+    lac = ls.add_parser("add-column",
+                        help="delta: add a nullable column (fresh "
+                             "mapping id)")
+    lac.add_argument("path")
+    lac.add_argument("name")
+    lac.add_argument("type", help="spark DDL type, e.g. 'double'")
     lc = ls.add_parser("changes",
                        help="stream row-level changes as CSV "
                             "(default: the latest commit's)")

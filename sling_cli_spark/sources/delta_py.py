@@ -56,6 +56,7 @@ import io
 import json
 import os
 import posixpath
+import re
 import time
 import uuid
 from typing import Any
@@ -708,6 +709,11 @@ SUPPORTED_WRITER_FEATURES = {"appendOnly", "deletionVectors",
                              "variantType", "variantType-preview",
                              "domainMetadata", "vacuumProtocolCheck",
                              "rowTracking", "clustering",
+                             # columnMapping: writes stage PHYSICAL
+                             # names (_to_physical), stats/partition
+                             # values keyed physical; rename/drop/add
+                             # DDL is metadata-only
+                             "columnMapping",
                              # collations: metadata preserved verbatim,
                              # collated columns excluded from min/max
                              # stats (binary order may disagree);
@@ -1037,6 +1043,19 @@ def _stage_data_files(
     ``data_change=False`` marks rearrangement-only adds (compaction);
     ``subdir`` places files under a table subdirectory (the CDF path
     stages change files under ``_change_data/``)."""
+    try:  # v0 (new table): nothing recorded yet to honor
+        meta0 = _replay_state(path)[0]
+    except Exception:
+        meta0 = None
+    if meta0 is not None and _column_mapping_mode(meta0) != "none":
+        # PROTOCOL.md Column Mapping Writer Requirements: data files
+        # (and change files) store PHYSICAL names; partition dirs and
+        # add.partitionValues key on them too. Stats below are computed
+        # from the translated frame, so they land physical as well.
+        l2p = _logical_physical_names(meta0)
+        df = _to_physical(df, meta0)
+        if partition_by:
+            partition_by = [l2p.get(c, c) for c in partition_by]
     fs = fsio.get_fs(path)
     base_dir = fsio.join(path, subdir) if subdir else path
     fs.mkdirs(base_dir)
@@ -1055,10 +1074,9 @@ def _stage_data_files(
             fs.delete(tmp, True)
             raise InvariantViolation(str(e)[:500]) from None
         raise
-    try:  # new table (v0) has no recorded schema yet -> nothing collated
-        excl = _collated_cols(_replay_state(path)[0])
-    except Exception:
-        excl = set()
+    excl = _collated_cols(meta0) if meta0 is not None else set()
+    if meta0 is not None and _column_mapping_mode(meta0) != "none":
+        excl = {_logical_physical_names(meta0).get(c, c) for c in excl}
     staged_stats = _staged_stats(df, tmp, exclude=excl)
     adds: list[dict] = []
     now = int(time.time() * 1000)
@@ -1655,38 +1673,87 @@ def _dv_deleted_df(spark, path: str, dvs: dict[str, dict]) -> DataFrame:
 
 def _read_files_mor(
     spark, path: str, meta: dict, files: dict, rels,
+    keep_fp: bool = False,
 ) -> DataFrame:
     """Scan a subset of active files with the table schema applied and
     their deletion vectors anti-joined away — the read the CoW write
     paths (merge / delete_missing / optimize) must use for TOUCHED
     files: rewriting from the raw parquet would resurrect every
-    DV-deleted row into the replacement file."""
+    DV-deleted row into the replacement file. Handles every table
+    shape read_delta does: column mapping (name/id), partitioned via
+    ``basePath``, and foreign absolute adds (shallow clones) via
+    log-attached partition values. ``keep_fp=True`` appends each
+    row's ``__fp`` (scheme-free absolute file path, captured on the
+    raw scan before any join) — the probe column the write paths key
+    touched-file decisions on."""
     from pyspark.sql import types as T
 
-    logical = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    schema_json = json.loads(meta["schemaString"])
+    logical = T.StructType.fromJson(schema_json)
     rels = sorted(rels)
     if not rels:
-        return spark.createDataFrame([], logical)
+        out = T.StructType(list(logical.fields) + (
+            [T.StructField("__fp", T.StringType())] if keep_fp else []))
+        return spark.createDataFrame([], out)
     dvs = {rel: files[rel]["deletionVector"] for rel in rels
            if files[rel].get("deletionVector")}
-    if meta.get("partitionColumns") and _has_foreign_adds(rels):
-        df = _scan_log_partitioned(spark, path, meta, files, rels)
-        if dvs:
-            df = df.join(_dv_deleted_df(spark, path, dvs),
-                         ["__fp", "__pos"], "left_anti")
-        return _apply_table_schema(df.drop("__fp", "__pos"), meta)
-    # EXPLICIT table schema, exactly like read_delta: bare inference
-    # takes ONE footer, so compacting/merging across schema-evolved
-    # files would silently null an evolved column for every row when
-    # the sampled file predates it
-    reader = spark.read.schema(logical)
-    if meta.get("partitionColumns"):
+    cm = _column_mapping_mode(meta)
+    parted = bool(meta.get("partitionColumns"))
+    if cm not in ("none", "name", "id"):
+        raise UnsupportedTableFeature(
+            f"delta table at {path} uses column mapping mode {cm!r}; "
+            "only 'name', 'id' (and 'none') are supported")
+    if cm != "none" and parted:
+        return _read_mapped_partitioned(
+            spark, path, meta, {r: files[r] for r in rels}, schema_json,
+            logical, id_mode=(cm == "id"), dvs=dvs, keep_file=keep_fp)
+    if cm == "name":
+        rs = T.StructType.fromJson({
+            "type": "struct",
+            "fields": _physical_fields(schema_json["fields"])})
+        sel = [F.col(f"`{pf.name}`").cast(lf.dataType).alias(lf.name)
+               for pf, lf in zip(rs.fields, logical.fields)]
+    elif cm == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        rs = T.StructType.fromJson({
+            "type": "struct",
+            "fields": _fieldid_fields(schema_json["fields"])})
+        sel = [F.col(f"`{lf.name}`").cast(lf.dataType)
+               .alias(lf.name, metadata={}) for lf in logical.fields]
+    else:
+        # EXPLICIT table schema, exactly like read_delta: bare
+        # inference takes ONE footer, so compacting/merging across
+        # schema-evolved files would silently null an evolved column
+        # for every row when the sampled file predates it
+        rs, sel = logical, None
+        if parted and _has_foreign_adds(rels):
+            df = _scan_log_partitioned(spark, path, meta, files, rels)
+            if dvs:
+                df = df.join(_dv_deleted_df(spark, path, dvs),
+                             ["__fp", "__pos"], "left_anti")
+            df = df.drop("__pos")
+            have = set(df.columns)
+            cols = [(F.col(f"`{f.name}`") if f.name in have
+                     else F.lit(None)).cast(f.dataType).alias(f.name)
+                    for f in logical.fields]
+            if keep_fp:
+                cols.append(F.col("__fp"))
+            return df.select(*cols)
+    reader = spark.read.schema(rs)
+    if parted:
         reader = reader.option("basePath", path)
-    df = _apply_table_schema(
-        reader.parquet(*[_add_uri(path, p) for p in rels]), meta)
+    df = reader.parquet(*[_add_uri(path, p) for p in rels])
+    if keep_fp:  # before any DV join — _metadata resolves only here
+        df = df.withColumn("__fp0", _abs_fp_col())
     if dvs:
         df = _apply_deletion_vectors(spark, df, path, dvs)
-    return df
+    if sel is None:  # unmapped: evolution-tolerant table-schema apply
+        have = set(df.columns)
+        sel = [(F.col(f"`{f.name}`") if f.name in have else F.lit(None))
+               .cast(f.dataType).alias(f.name) for f in logical.fields]
+    if keep_fp:
+        sel = sel + [F.col("__fp0").alias("__fp")]
+    return df.select(*sel)
 
 
 def _has_foreign_adds(rels) -> bool:
@@ -2174,6 +2241,7 @@ def _rt_attach_preserved(
 def _read_mapped_partitioned(
     spark, path: str, meta: dict, files: dict, schema_json: dict, logical,
     id_mode: bool = False, dvs: dict | None = None,
+    keep_file: bool = False,
 ):
     """Column-mapped AND partitioned: mapped tables keep partition
     values ONLY in ``add.partitionValues`` (keys are physical names —
@@ -2226,6 +2294,8 @@ def _read_mapped_partitioned(
             groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(phys).parquet(
             *[_add_uri(path, r) for r in sorted(rels)])
+        if keep_file:  # pre-join — _metadata resolves only on the scan
+            df = df.withColumn("__fp0", _abs_fp_col())
         branch_dvs = {r: (dvs or {})[r] for r in rels if r in (dvs or {})}
         if branch_dvs:  # on the raw scan — _metadata resolves only there
             df = _apply_deletion_vectors(spark, df, path, branch_dvs)
@@ -2240,6 +2310,8 @@ def _read_mapped_partitioned(
                 src = f["name"] if id_mode else physname(f)
                 sel.append(F.col(src)
                            .cast(lf.dataType).alias(lf.name, metadata={}))
+        if keep_file:
+            sel.append(F.col("__fp0").alias("__fp"))
         branches.append(df.select(*sel))
     out = branches[0]
     for b in branches[1:]:
@@ -2260,6 +2332,12 @@ def _evolve_schema_actions(df: DataFrame, meta: dict | None) -> list[dict]:
                 json.loads(meta["schemaString"])["fields"]]
     have = df.columns
     if set(recorded) <= set(have) and set(have) != set(recorded):
+        if _column_mapping_mode(meta) != "none":
+            raise UnsupportedTableFeature(
+                "implicit schema evolution on a column-mapped table: "
+                f"new column(s) {sorted(set(have) - set(recorded))} "
+                "need mapping metadata — add them explicitly via "
+                "add_column first")
         new_meta = dict(meta)
         new_meta["schemaString"] = df.schema.json()
         return [{"metaData": new_meta}]
@@ -2295,9 +2373,19 @@ def write_delta(
                 # overwrite replaces the schema wholesale
                 if meta is not None and \
                         df.schema.json() != meta["schemaString"]:
-                    new_meta = dict(meta)
-                    new_meta["schemaString"] = df.schema.json()
-                    actions += [{"metaData": new_meta}]
+                    if _column_mapping_mode(meta) != "none" and \
+                            [f.name for f in df.schema.fields] != \
+                            [f["name"] for f in json.loads(
+                                meta["schemaString"])["fields"]]:
+                        raise UnsupportedTableFeature(
+                            "overwrite must not replace a column-mapped "
+                            "table's schema (mapping metadata would be "
+                            "lost) — use rename/drop/add_column DDL")
+                    # same column names: keep the mapped schemaString
+                    if _column_mapping_mode(meta) == "none":
+                        new_meta = dict(meta)
+                        new_meta["schemaString"] = df.schema.json()
+                        actions += [{"metaData": new_meta}]
             now = int(time.time() * 1000)
             actions += [_remove_action(p, files[p], now)
                         for p in sorted(files)]
@@ -2382,7 +2470,6 @@ def merge_delta(
     (+ "dv_files" on the DV path).
     """
     from sling_cli_spark.config import MergeStrategy
-    from sling_cli_spark.operators.file_merge import touched_files
     from sling_cli_spark.operators.merge import merge_dataframes
 
     strategy = strategy or MergeStrategy.UPDATE_INSERT
@@ -2414,9 +2501,12 @@ def merge_delta(
                 tuple(hive_partition_str(r[c]) for c in part_cols)
                 for r in src.select(*part_cols).distinct().collect()
             }
+            l2p = _logical_physical_names(meta)  # mapped: physical keys
             candidates = {
                 p: a for p, a in files.items()
-                if tuple((a.get("partitionValues") or {}).get(c, _HIVE_NULL)
+                if tuple((a.get("partitionValues") or {}).get(
+                    l2p.get(c, c),
+                    (a.get("partitionValues") or {}).get(c, _HIVE_NULL))
                          for c in part_cols) in batch_parts
             }
         cdc_cols = {}
@@ -2441,26 +2531,17 @@ def merge_delta(
                 doom_matched=True, now=now, max_dv_rows=max_dv_rows)
         if dv is None and candidates:
             # CoW (or dense-fallback) probe: which candidates hold
-            # matched PKs
+            # matched PKs. DV-applied + mapping-aware (_read_files_mor
+            # serves every table shape); __fp keys the add map.
             amap = _add_key_map(path, candidates)
-            if part_cols and _has_foreign_adds(candidates):
-                cand = _scan_log_partitioned(
-                    spark, path, meta, files, sorted(candidates))
-                hits = (cand.select("__fp", *pk)
-                        .join(src.select(*pk).distinct(), on=pk,
-                              how="left_semi")
-                        .select("__fp").distinct().collect())
-                touched_rel = [amap[r["__fp"]] for r in hits]
-            else:
-                reader = spark.read
-                if part_cols:
-                    reader = reader.option("basePath", path)
-                cand_df = _apply_table_schema(
-                    reader.parquet(
-                        *[_add_uri(path, p) for p in sorted(candidates)]),
-                    meta)
-                touched_uris = touched_files(cand_df, src, pk)
-                touched_rel = [amap[_uri_abs(u)] for u in touched_uris]
+            probe = _read_files_mor(
+                spark, path, meta, files, sorted(candidates),
+                keep_fp=True)
+            hits = (probe.select("__fp", *pk)
+                    .join(src.select(*pk).distinct(), on=pk,
+                          how="left_semi")
+                    .select("__fp").distinct().collect())
+            touched_rel = [amap[r["__fp"]] for r in hits]
         if dv is not None:
             dv_actions, n_dv, n_dead, doomed_rels = dv
             # DV-applied read of just the doomed files: their DV-deleted
@@ -2633,38 +2714,17 @@ def delete_missing_delta(
                     "version": version}
         # dense delete: fall through to the CoW rewrite below
 
-    # the scan captures its file BEFORE the DV anti-join (``_metadata``
-    # does not resolve past a join), so DV-deleted rows can neither
-    # mark a file touched nor resurrect into the rewrite
-    dvs = {rel: add["deletionVector"] for rel, add in files.items()
-           if add.get("deletionVector")}
+    # DV-applied + mapping-aware probe (file captured BEFORE the DV
+    # anti-join inside _read_files_mor — ``_metadata`` does not resolve
+    # past a join), so DV-deleted rows can neither mark a file touched
+    # nor resurrect into the rewrite
     amap = _add_key_map(path, files)
-    if part_cols and _has_foreign_adds(files):
-        scan = _scan_log_partitioned(spark, path, meta, files,
-                                     sorted(files))
-        if dvs:
-            scan = scan.join(_dv_deleted_df(spark, path, dvs),
-                             ["__fp", "__pos"], "left_anti")
-        hits = (scan.select("__fp", *pk)
-                .join(keys, on=pk, how="left_anti")
-                .select("__fp").distinct().collect())
-        touched_rel = sorted(amap[r["__fp"]] for r in hits)
-    else:
-        reader = spark.read
-        if part_cols:
-            reader = reader.option("basePath", path)
-        scan = _apply_table_schema(
-            reader.parquet(*[_add_uri(path, p) for p in sorted(files)]),
-            meta).withColumn("__file", F.col("_metadata.file_path"))
-        if dvs:
-            scan = _apply_deletion_vectors(spark, scan, path, dvs)
-        touched_uris = (
-            scan.select("__file", *pk)
+    scan = _read_files_mor(spark, path, meta, files, sorted(files),
+                           keep_fp=True)
+    hits = (scan.select("__fp", *pk)
             .join(keys, on=pk, how="left_anti")
-            .select("__file").distinct().collect()
-        )
-        touched_rel = sorted(amap[_uri_abs(r["__file"])]
-                             for r in touched_uris)
+            .select("__fp").distinct().collect())
+    touched_rel = sorted(amap[r["__fp"]] for r in hits)
     if not touched_rel:
         return {"touched": 0, "new_files": 0, "kept": len(files),
                 "version": latest_version(path)}
@@ -3167,6 +3227,271 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
         actions += _assign_fresh_row_ids(
             path, backfill, v, protocol={"writerFeatures": ["rowTracking"]})
     _commit(path, v, actions)
+    return v
+
+
+# ------------------------------------------- column mapping DDL + writes
+
+def _logical_physical_names(meta: dict | None) -> dict[str, str]:
+    """Top-level {logical name: physical name} for a mapped table
+    (identity map entries when no mapping metadata is present)."""
+    if meta is None:
+        return {}
+    fields = json.loads(meta["schemaString"])["fields"]
+    return {f["name"]: (f.get("metadata") or {}).get(
+        "delta.columnMapping.physicalName", f["name"]) for f in fields}
+
+
+def _to_physical(df: DataFrame, meta: dict | None) -> DataFrame:
+    """Logical-named batch -> the physical column names a
+    column-mapped table's data files must store (PROTOCOL.md Column
+    Mapping Writer Requirements). Nested struct fields rename via the
+    positional struct cast (same trick the read path inverts). Columns
+    NOT in the table schema pass through unchanged — writer internals
+    like the materialized row-id columns already carry their physical
+    names."""
+    from pyspark.sql import types as T
+
+    if _column_mapping_mode(meta) == "none":
+        return df
+    schema_json = json.loads(meta["schemaString"])
+    logical = T.StructType.fromJson(schema_json)
+    phys = T.StructType.fromJson({
+        "type": "struct",
+        "fields": _physical_fields(schema_json["fields"])})
+    by_name = {lf.name: pf for lf, pf in zip(logical.fields, phys.fields)}
+    sel = []
+    for c in df.columns:
+        pf = by_name.get(c)
+        if pf is None:
+            sel.append(F.col(f"`{c}`"))
+        else:
+            sel.append(F.col(f"`{c}`").cast(pf.dataType)
+                       .alias(pf.name, metadata={}))
+    return df.select(*sel)
+
+
+def _assign_mapping_fields(fields: list[dict], counter: list) -> list[dict]:
+    """Recursively assign ``delta.columnMapping.id`` (next from
+    ``counter``) and ``physicalName`` (existing columns KEEP their
+    current name — on-disk files stay readable, delta-spark's upgrade
+    semantics) to every field, including nested struct fields."""
+
+    def walk_type(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return {**t,
+                        "fields": _assign_mapping_fields(
+                            t["fields"], counter)}
+            if t.get("type") == "array":
+                return {**t, "elementType": walk_type(t["elementType"])}
+            if t.get("type") == "map":
+                return {**t, "keyType": walk_type(t["keyType"]),
+                        "valueType": walk_type(t["valueType"])}
+        return t
+
+    out = []
+    for f in fields:
+        nf = dict(f)
+        md = dict(nf.get("metadata") or {})
+        if "delta.columnMapping.id" not in md:
+            counter[0] += 1
+            md["delta.columnMapping.id"] = counter[0]
+        md.setdefault("delta.columnMapping.physicalName", nf["name"])
+        nf["metadata"] = md
+        nf["type"] = walk_type(nf.get("type"))
+        out.append(nf)
+    return out
+
+
+def enable_column_mapping(path: str) -> int:
+    """ALTER TABLE ... SET ('delta.columnMapping.mode' = 'name') twin
+    (PROTOCOL.md §Column Mapping): every field — nested included —
+    takes a ``columnMapping.id`` and a ``physicalName`` equal to its
+    CURRENT name, so every existing file keeps reading unchanged; the
+    protocol upgrades to reader-v3/writer-v7 with the columnMapping
+    feature on both lists. From here RENAME/DROP COLUMN are
+    metadata-only commits and new writes stage physical names.
+    Idempotent. Returns the committed version."""
+    meta, files, protocol = _replay_state(path)
+    if meta is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    if _column_mapping_mode(meta) != "none":
+        return latest_version(path)
+    check_writer_protocol(path)
+    if _identity_fields(meta):
+        raise UnsupportedTableFeature(
+            f"delta table at {path} declares identity columns; their "
+            "watermark bookkeeping reads staged stats by logical name "
+            "— enabling column mapping here is not supported")
+    conf = meta.get("configuration") or {}
+    counter = [int(conf.get("delta.columnMapping.maxColumnId") or 0)]
+    schema_json = json.loads(meta["schemaString"])
+    schema_json["fields"] = _assign_mapping_fields(
+        schema_json["fields"], counter)
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema_json)
+    new_meta["configuration"] = {
+        **conf, "delta.columnMapping.mode": "name",
+        "delta.columnMapping.maxColumnId": str(counter[0])}
+    prot = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    rf = set(prot.get("readerFeatures") or ())
+    wf = set(prot.get("writerFeatures") or ())
+    if not wf:  # legacy version numbers -> explicit feature form
+        wf.add("appendOnly")
+        if _schema_has_invariants(meta):
+            wf.add("invariants")
+    if any(a.get("deletionVector") for a in files.values()):
+        wf.add("deletionVectors")
+        rf.add("deletionVectors")
+    wf.add("columnMapping")
+    rf.add("columnMapping")
+    actions = [{"protocol": {
+        "minReaderVersion": max(int(prot.get("minReaderVersion") or 1), 3),
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rf),
+        "writerFeatures": sorted(wf)}},
+        {"metaData": new_meta}]
+    v = latest_version(path) + 1
+    _commit(path, v, actions)
+    return v
+
+
+def _refuse_column_referenced(meta: dict, name: str, verb: str) -> None:
+    """A column referenced by CHECK constraints, invariants, or
+    generated-column expressions cannot be renamed/dropped — the
+    stored expression would dangle (delta-spark refuses the same)."""
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(name)}\b")
+    conf = meta.get("configuration") or {}
+    for k, expr in conf.items():
+        if k.startswith("delta.constraints.") and pat.search(expr or ""):
+            raise UnsupportedTableFeature(
+                f"cannot {verb} column {name!r}: referenced by "
+                f"constraint {k.removeprefix('delta.constraints.')!r}")
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        for key in ("delta.generationExpression", "delta.invariants"):
+            if pat.search(md.get(key) or "") and f["name"] != name:
+                raise UnsupportedTableFeature(
+                    f"cannot {verb} column {name!r}: referenced by "
+                    f"{key} on {f['name']!r}")
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN — a metadata-only commit on a
+    column-mapped table: the LOGICAL name changes, the field keeps its
+    id and physicalName, so no data file is touched and old files keep
+    serving the column (PROTOCOL.md Column Mapping — the whole point
+    of the feature). Top-level columns; partitionColumns entries
+    follow the rename."""
+    meta, _, _ = _replay_state(path)
+    if meta is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    if _column_mapping_mode(meta) == "none":
+        raise UnsupportedTableFeature(
+            f"delta table at {path}: RENAME COLUMN needs column "
+            "mapping — call enable_column_mapping first")
+    check_writer_protocol(path)
+    schema_json = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema_json["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} in {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    _refuse_column_referenced(meta, old, "rename")
+    schema_json["fields"] = [
+        {**f, "name": new} if f["name"] == old else f
+        for f in schema_json["fields"]]
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema_json)
+    new_meta["partitionColumns"] = [
+        new if c == old else c
+        for c in (meta.get("partitionColumns") or [])]
+    v = latest_version(path) + 1
+    _commit(path, v, [{"metaData": new_meta}])
+    return v
+
+
+def drop_column(path: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — metadata-only on a column-mapped
+    table: the field leaves the schema, its physical data stays in the
+    files (unreadable until a rewrite drops it physically); reads
+    simply stop projecting it. Partition columns refuse."""
+    meta, _, _ = _replay_state(path)
+    if meta is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    if _column_mapping_mode(meta) == "none":
+        raise UnsupportedTableFeature(
+            f"delta table at {path}: DROP COLUMN needs column "
+            "mapping — call enable_column_mapping first")
+    check_writer_protocol(path)
+    if name in (meta.get("partitionColumns") or []):
+        raise UnsupportedTableFeature(
+            f"cannot drop partition column {name!r}")
+    schema_json = json.loads(meta["schemaString"])
+    names = [f["name"] for f in schema_json["fields"]]
+    if name not in names:
+        raise ValueError(f"no column {name!r} in {names}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    _refuse_column_referenced(meta, name, "drop")
+    schema_json["fields"] = [
+        f for f in schema_json["fields"] if f["name"] != name]
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema_json)
+    v = latest_version(path) + 1
+    _commit(path, v, [{"metaData": new_meta}])
+    return v
+
+
+def add_column(path: str, name: str, ddl_type: str) -> int:
+    """ALTER TABLE ... ADD COLUMN on a column-mapped table: the new
+    nullable field takes a FRESH columnMapping id and a
+    ``col-<uuid>`` physical name (never reuses a dropped column's
+    physical slot — old files must not resurrect stale bytes into the
+    new column). On unmapped tables schema evolution via write/merge
+    already covers widening."""
+    from pyspark.sql import types as T
+
+    meta, _, _ = _replay_state(path)
+    if meta is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    if _column_mapping_mode(meta) == "none":
+        raise UnsupportedTableFeature(
+            f"delta table at {path}: explicit ADD COLUMN targets "
+            "mapped tables; unmapped tables evolve on write")
+    check_writer_protocol(path)
+    schema_json = json.loads(meta["schemaString"])
+    if name in [f["name"] for f in schema_json["fields"]]:
+        raise ValueError(f"column {name!r} already exists")
+    conf = meta.get("configuration") or {}
+    next_id = int(conf.get("delta.columnMapping.maxColumnId") or 0) + 1
+    s = ddl_type.strip().lower()
+    atomic = {"string", "long", "integer", "short", "byte", "double",
+              "float", "boolean", "binary", "date", "timestamp",
+              "timestamp_ntz"}
+    alias = {"bigint": "long", "int": "integer", "smallint": "short",
+             "tinyint": "byte", "bool": "boolean", "varchar": "string",
+             "text": "string"}
+    s = alias.get(s, s)
+    if s in atomic or re.fullmatch(r"decimal\(\d+,\s*\d+\)", s):
+        type_json = s.replace(" ", "")
+    else:  # complex types: Spark's DDL parser (needs a session)
+        type_json = json.loads(T.DataType.fromDDL(ddl_type).json())
+    schema_json["fields"].append({
+        "name": name, "type": type_json, "nullable": True,
+        "metadata": {
+            "delta.columnMapping.id": next_id,
+            "delta.columnMapping.physicalName":
+                f"col-{uuid.uuid4().hex[:12]}"}})
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema_json)
+    new_meta["configuration"] = {
+        **conf, "delta.columnMapping.maxColumnId": str(next_id)}
+    v = latest_version(path) + 1
+    _commit(path, v, [{"metaData": new_meta}])
     return v
 
 

@@ -300,3 +300,27 @@ def test_cli_lake_detail_and_files(spark, tmp_path, capsys):
     assert len(out) == 2 and out[1].startswith("data,")
     assert main(["lake", "files", d]) == 2
     capsys.readouterr()
+
+
+def test_cli_lake_column_ddl(spark, tmp_path, capsys):
+    """`lake enable-mapping / rename-column / add-column / drop-column`:
+    metadata-only Delta DDL, no Spark session spun up."""
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.delta_py import read_delta, write_delta
+
+    d = str(tmp_path / "d")
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string"), d)
+    assert main(["lake", "enable-mapping", d]) == 0
+    assert main(["lake", "rename-column", d, "v", "val"]) == 0
+    assert main(["lake", "add-column", d, "score", "double"]) == 0
+    assert main(["lake", "drop-column", d, "score"]) == 0
+    capsys.readouterr()
+    assert read_delta(spark, d).columns == ["id", "val"]
+
+    i = str(tmp_path / "i")
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+    write_iceberg(spark.createDataFrame(
+        [(1, "a")], "id long, v string"), i)
+    assert main(["lake", "rename-column", i, "v", "val"]) == 2
+    capsys.readouterr()

@@ -2848,3 +2848,145 @@ def test_shallow_clone_partitioned(spark, tmp_path):
     delete_missing_delta(spark, dst, keep, "id")
     assert {r["id"] for r in read_delta(spark, dst).collect()} \
         == set(range(12))
+
+
+# --------------------------------------------- column mapping DDL + writes
+
+def test_enable_column_mapping_and_append(spark, tmp_path):
+    """enable_column_mapping: existing files keep reading (physical =
+    current names), protocol gains the feature, and appends stage
+    physical names."""
+    from sling_cli_spark.sources.delta_py import (
+        _replay_state, enable_column_mapping)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    enable_column_mapping(t)
+    meta, _, prot = _replay_state(t)
+    assert "columnMapping" in prot["writerFeatures"]
+    assert "columnMapping" in prot["readerFeatures"]
+    fields = json.loads(meta["schemaString"])["fields"]
+    assert all(f["metadata"]["delta.columnMapping.physicalName"]
+               == f["name"] for f in fields)
+    assert all("delta.columnMapping.id" in f["metadata"] for f in fields)
+
+    write_delta(_df(spark, [(3, "c")]), t, mode="append")
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """RENAME COLUMN: logical name flips, zero data files touched; old
+    files keep serving through the physical name; appends and merges
+    use the new logical name and stage the PHYSICAL one."""
+    import glob as _glob
+
+    from sling_cli_spark.sources.delta_py import (
+        enable_column_mapping, merge_delta, rename_column)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    enable_column_mapping(t)
+    before = set(_glob.glob(os.path.join(t, "*.parquet")))
+    rename_column(t, "v", "val")
+    assert set(_glob.glob(os.path.join(t, "*.parquet"))) == before
+
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "val"]
+    assert {r["id"]: r["val"] for r in got.collect()} == {1: "a", 2: "b"}
+
+    # append under the new logical name
+    write_delta(spark.createDataFrame([(3, "c")], "id long, val string"),
+                t, mode="append")
+    # merge updates through the mapped read/probe/stage pipeline
+    merge_delta(spark, t, spark.createDataFrame(
+        [(2, "B"), (4, "d")], "id long, val string"), "id")
+    got = {r["id"]: r["val"] for r in read_delta(spark, t).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # the new files physically store 'v' (the physical name)
+    import pyarrow.parquet as pq
+    newest = max(_glob.glob(os.path.join(t, "*.parquet")),
+                 key=os.path.getmtime)
+    assert "v" in pq.read_schema(newest).names
+    assert "val" not in pq.read_schema(newest).names
+
+
+def test_mapped_partitioned_write_and_merge(spark, tmp_path):
+    """Partitioned mapped table: staged dirs / partitionValues key on
+    the physical name; prune + merge still work after a partition
+    column rename."""
+    from sling_cli_spark.sources.delta_py import (
+        _replay_state, enable_column_mapping, merge_delta, rename_column)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 2) for i in range(8)],
+        "id long, v string, p long")
+    write_delta(df, t, partition_by=["p"])
+    enable_column_mapping(t)
+    rename_column(t, "p", "part")
+    meta, _, _ = _replay_state(t)
+    assert meta["partitionColumns"] == ["part"]
+
+    got = read_delta(spark, t)
+    assert sorted(got.columns) == ["id", "part", "v"]
+    assert got.count() == 8
+    merge_delta(spark, t, spark.createDataFrame(
+        [(1, "ONE", 1), (99, "NEW", 1)], "id long, v string, part long"),
+        "id")
+    got = {r["id"]: (r["v"], r["part"])
+           for r in read_delta(spark, t).collect()}
+    assert got[1] == ("ONE", 1) and got[99] == ("NEW", 1) and len(got) == 9
+    # physical partition key recorded in the new adds
+    _, files, _ = _replay_state(t)
+    assert any("p" in (a.get("partitionValues") or {})
+               for a in files.values())
+
+
+def test_drop_and_add_column(spark, tmp_path):
+    from sling_cli_spark.sources.delta_py import (
+        add_column, drop_column, enable_column_mapping)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    enable_column_mapping(t)
+    drop_column(t, "v")
+    assert read_delta(spark, t).columns == ["id"]
+
+    add_column(t, "score", "double")
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "score"]
+    # old files read the new column as null; its physical slot is fresh
+    # (never the dropped column's bytes)
+    assert all(r["score"] is None for r in got.collect())
+    write_delta(spark.createDataFrame([(3, 1.5)], "id long, score double"),
+                t, mode="append")
+    got = {r["id"]: r["score"] for r in read_delta(spark, t).collect()}
+    assert got == {1: None, 2: None, 3: 1.5}
+
+
+def test_column_mapping_ddl_refusals(spark, tmp_path):
+    from sling_cli_spark.sources.delta_py import (
+        UnsupportedTableFeature, enable_column_mapping, rename_column,
+        set_table_properties)
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t)
+    with pytest.raises(UnsupportedTableFeature, match="column mapping"):
+        rename_column(t, "v", "val")
+
+    enable_column_mapping(t)
+    # implicit evolution must point at add_column
+    with pytest.raises(UnsupportedTableFeature, match="add_column"):
+        write_delta(spark.createDataFrame(
+            [(9, "z", 1.0)], "id long, v string, extra double"),
+            t, mode="append")
+    # overwrite with different columns refuses
+    with pytest.raises(UnsupportedTableFeature, match="overwrite"):
+        write_delta(spark.createDataFrame([(1,)], "id long"), t,
+                    mode="overwrite")
+    # constraint-referenced column refuses rename
+    set_table_properties(t, {"delta.constraints.vnotnull":
+                             "v IS NOT NULL"})
+    with pytest.raises(UnsupportedTableFeature, match="constraint"):
+        rename_column(t, "v", "val")
