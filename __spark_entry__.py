@@ -949,6 +949,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "two drains -> batch ids 0 and 1 recorded via SetTransaction"
         return read_delta(spark, out).select("n_nationkey", "n_name")
 
+    def iceberg_stream_source(spark, sf):
+        """Streaming Iceberg SOURCE + exactly-once Iceberg SINK
+        (streaming/iceberg_source.py round 8; PySpark 4 Python
+        DataSource API): nation lands across two Iceberg snapshots,
+        format('iceberg_stream') drains them availableNow INTO ANOTHER
+        ICEBERG TABLE through the streaming sink (sequence-number
+        offsets over the main parent chain; one InputPartition per
+        data file read as Arrow batches; the sink commits one append
+        snapshot per batch with streaming-app/batch-id summary
+        idempotence and executor-computed value bounds), a third
+        snapshot lands, and a SECOND checkpointed drain emits only the
+        new rows. Returns the destination Iceberg table — exactly
+        nation or the incremental/exactly-once contract broke (the
+        batch-id watermark is asserted in-code)."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            _current_metadata, read_iceberg, write_iceberg)
+        from sling_cli_spark.streaming.iceberg_source import (
+            register_iceberg_stream)
+
+        register_iceberg_stream(spark)
+        base = tempfile.mkdtemp(prefix="sling_is_")
+        t, out, ck = (os.path.join(base, d) for d in ("t", "out", "ck"))
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        write_iceberg(n.filter("n_nationkey < 10").coalesce(1), t)
+        write_iceberg(n.filter("n_nationkey >= 10 AND n_nationkey < 20")
+                      .coalesce(1), t, mode="append")
+
+        def drain():
+            (spark.readStream.format("iceberg_stream").option("path", t)
+             .load()
+             .writeStream.format("iceberg_stream").option("path", out)
+             .option("txnAppId", "sling-ice-pipe")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start().awaitTermination())
+
+        drain()
+        write_iceberg(n.filter("n_nationkey >= 20").coalesce(1), t,
+                      mode="append")
+        drain()
+        _, m = _current_metadata(out)
+        committed = {s["summary"].get("streaming-batch-id")
+                     for s in m["snapshots"]
+                     if s["summary"].get("streaming-app-id")
+                     == "sling-ice-pipe"}
+        assert committed == {"0", "1"}, \
+            "two drains -> batch ids 0 and 1 in the snapshot summaries"
+        return read_iceberg(spark, out).select("n_nationkey", "n_name")
+
     def iceberg_rollback(spark, sf):
         """rollback_to_snapshot (iceberg_py round 8): nation appends in
         two snapshots, rolls back to the first metadata-only, then a
@@ -2574,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_clone_partitioned": delta_clone_partitioned,
         "delta_uniform": delta_uniform,
         "delta_stream_source": delta_stream_source,
+        "iceberg_stream_source": iceberg_stream_source,
         "iceberg_rollback": iceberg_rollback,
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "stream_sessionize_events": stream_sessionize_events,
@@ -2709,7 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_refs", "iceberg_partition_evolution",
         "delta_restore", "iceberg_rollback", "delta_shallow_clone",
         "delta_clone_partitioned",
-        "delta_uniform", "delta_stream_source",
+        "delta_uniform", "delta_stream_source", "iceberg_stream_source",
         "cdc_foreachbatch_merge", "stream_sessionize_events",
         "iceberg_eq_upsert", "delta_rename_evolution",
         "delta_identity_generated", "delta_zorder_skipping",
@@ -3391,6 +3444,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the checkpointed drains must reconstruct exactly nation
         "delta_stream_source": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+            FROM nation
+        """,
+        "iceberg_stream_source": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
             FROM nation
         """,

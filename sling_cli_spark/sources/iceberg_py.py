@@ -484,7 +484,13 @@ def _spark_schema(meta: dict):
 def _parse_ddl_type(name: str):
     from pyspark.sql import types as T
 
-    return T._parse_datatype_string(name)
+    try:
+        return T._parse_datatype_string(name)
+    except Exception:
+        # no active SparkContext (a Python DataSource worker resolving
+        # the stream schema): the pure JSON-name parser covers every
+        # atomic name this module generates, incl. decimal(p, s)
+        return T._parse_datatype_json_value(name.replace(" ", ""))
 
 
 def _active_entries(
@@ -1411,6 +1417,8 @@ def _commit_snapshot(
     operation: str = "append", carried_deletes: list[dict] | None = None,
     new_deletes: list[dict] | None = None,
     snapshot_id: int | None = None, branch: str = "main",
+    staged_files: list[dict] | None = None,
+    summary_extra: dict | None = None,
 ) -> int:
     """Stage ``df`` as new data files, write manifest(s) +
     manifest-list, bump the metadata version; ``carried`` files join the
@@ -1430,7 +1438,13 @@ def _commit_snapshot(
     content=1 manifest, sequence number inherited from the list.
     ``snapshot_id`` lets DV producers pre-compute the id the Puffin
     blob metadata must name (:func:`_next_ids` yields a matching
-    (snapshot_id, seq) pair)."""
+    (snapshot_id, seq) pair).
+
+    ``staged_files`` are data_file dicts for parquet the caller already
+    placed under ``data/`` (the streaming sink: executors write final
+    names, the driver only commits) — they join the snapshot as ADDED
+    entries without a staging job. ``summary_extra`` merges extra keys
+    into the snapshot summary (the sink's idempotence markers)."""
     fs = fsio.get_fs(path)
     data_dir = fsio.join(path, "data")
     fs.mkdirs(data_dir)
@@ -1502,6 +1516,8 @@ def _commit_snapshot(
                 "upper_bounds": st.get("upper"),
             })
         fs.delete(tmp, True)
+    if staged_files is not None:
+        data_files += [dict(f) for f in staged_files]
 
     if snapshot_id is None:
         snapshot_id = int(time.time() * 1000) * 1000 + (version + 1)
@@ -1650,7 +1666,7 @@ def _commit_snapshot(
         "snapshot-id": snapshot_id,
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": mlist_path,
-        "summary": {"operation": operation},
+        "summary": {"operation": operation, **(summary_extra or {})},
     }
     # spec §Refs: every branch is a named ref; ``main`` mirrors
     # current-snapshot-id. A non-main branch advances its own head

@@ -1,0 +1,409 @@
+"""Structured Streaming SOURCE + exactly-once SINK over the
+iceberg_py table layer, built on PySpark 4's public Python DataSource
+API — ``spark.readStream.format("iceberg_stream").option("path", t)``
+micro-batches one SNAPSHOT RANGE at a time, the same incremental-scan
+model as Apache Iceberg's own Spark streaming source (reference
+surface: core/sling/task.go streaming reads are file-watch based; this
+is the Spark-native equivalent over the snapshot chain).
+
+Offsets are DATA SEQUENCE NUMBERS (spec v2 §Sequence Numbers): each
+micro-batch covers the main-branch snapshots with ``start.seq < seq <=
+end.seq``, so an offset survives snapshot expiry and concurrent branch
+writes (branch commits bump the table's last-sequence-number but never
+enter the main parent chain this source walks). v1 tables have no
+sequence numbers and are refused. Per snapshot:
+
+- ``append``  -> emit the entries ADDED by that snapshot (status=1,
+  snapshot_id=self, content=data), discovered via the manifests whose
+  list entry names it as ``added_snapshot_id`` — O(new files), never a
+  full-table diff;
+- ``replace`` (compaction / rewrite, no logical change) -> silent;
+- anything else (``overwrite`` / ``delete`` — CoW merges, eq-delete
+  upserts, delete_missing) removes or supersedes rows, which an
+  append-only stream cannot express -> raise, unless
+  ``ignoreChanges=true`` re-emits that snapshot's added files whole
+  (the documented delta-spark/iceberg streaming contract).
+
+Scale shape: offsets and manifest walks are driver-side METADATA (one
+avro manifest list + the added manifests per batch); each data FILE is
+one ``InputPartition`` read executor-side as Arrow record batches, so
+a 1000-file commit fans out across the cluster like any file source.
+Identity-partition values ride the manifest entry's ``partition``
+struct and attach as constant arrays (the files themselves don't store
+them); columns a file predates read as typed nulls.
+
+The SINK commits one Iceberg append snapshot per micro-batch:
+executors write final-named parquet straight into ``data/`` (invisible
+until the manifest names them — the Iceberg invariant) and return
+per-file record counts + value bounds in their commit messages, so the
+driver writes real ``lower_bounds``/``upper_bounds`` without re-reading
+a single footer (at 1000 files/batch a driver-side footer sweep would
+be the bottleneck). Exactly-once rides the snapshot summary —
+``streaming-app-id`` + ``streaming-batch-id``, the same mechanism
+Iceberg's own Spark sink uses (``spark.app.id`` + epoch id in the
+summary): a re-delivered batch id is recognized by scanning retained
+snapshots' summaries and dropped, its re-written files deleted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceStreamReader, DataSourceStreamWriter,
+    InputPartition, WriterCommitMessage)
+
+from sling_cli_spark.streaming.delta_source import _arrow_type, _py_value
+
+_SINK_SIMPLE = {"long", "integer", "short", "byte", "double", "float",
+                "boolean", "date", "timestamp", "timestamp_ntz",
+                "string", "binary"}
+
+# spark typeName -> iceberg bound type the sink can encode executor-side
+_SPARK_TO_BOUND = {"long": "long", "integer": "int", "double": "double",
+                   "float": "float", "string": "string", "date": "date",
+                   "boolean": "boolean", "timestamp": "timestamptz",
+                   "timestamp_ntz": "timestamp"}
+
+
+def _main_chain(meta: dict) -> list[dict]:
+    """Main-branch snapshots, oldest first, by walking parent ids from
+    the current head — the lineage a rollback or branch write never
+    contaminates."""
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    cur = meta.get("current-snapshot-id")
+    chain: list[dict] = []
+    while cur is not None and cur in by_id:
+        s = by_id[cur]
+        chain.append(s)
+        cur = s.get("parent-snapshot-id")
+    return chain[::-1]
+
+
+def _added_entries(snap: dict, want_content: int = 0) -> list[dict]:
+    """Manifest entries ADDED by ``snap`` (status=1 committed by this
+    snapshot id), pruned via ``added_snapshot_id`` so only the new
+    manifests are opened."""
+    from sling_cli_spark.sources.avro_py import read_avro
+
+    sid = snap["snapshot-id"]
+    out: list[dict] = []
+    _, manifests = read_avro(snap["manifest-list"])
+    for m in manifests:
+        if int(m.get("added_snapshot_id") or -1) != sid:
+            continue
+        _, entries = read_avro(m["manifest_path"])
+        for e in entries:
+            if e.get("status") != 1 or e.get("snapshot_id") != sid:
+                continue
+            f = dict(e["data_file"])
+            if (f.get("content") or 0) == want_content:
+                out.append(f)
+    return out
+
+
+class _IceFilePart(InputPartition):
+    def __init__(self, uri: str, schema_json: str, part_values: dict):
+        self.uri = uri
+        self.schema_json = schema_json
+        self.part_values = part_values or {}
+
+
+class IcebergStreamSource(DataSource):
+    """``format("iceberg_stream")`` — register once per session with
+    :func:`register_iceberg_stream`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_stream"
+
+    def schema(self):
+        from sling_cli_spark.sources.iceberg_py import (
+            _current_metadata, _spark_schema)
+
+        _, meta = _current_metadata(self.options["path"])
+        if meta.get("format-version", 1) < 2:
+            raise ValueError(
+                "iceberg_stream: format-version 1 tables have no "
+                "sequence numbers to anchor streaming offsets on — "
+                "upgrade the table to v2")
+        return _spark_schema(meta)
+
+    def streamReader(self, schema):
+        return _IceStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return _IceStreamWriter(self.options, schema)
+
+
+class _IceStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self._path = options["path"]
+        self._ignore_changes = str(
+            options.get("ignorechanges",
+                        options.get("ignoreChanges", "false"))
+        ).lower() == "true"
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def latestOffset(self) -> dict:
+        from sling_cli_spark.sources.iceberg_py import _current_metadata
+
+        _, meta = _current_metadata(self._path)
+        chain = _main_chain(meta)
+        return {"seq": int(chain[-1].get("sequence-number") or 0)
+                if chain else 0}
+
+    def partitions(self, start: dict, end: dict):
+        from sling_cli_spark.sources.iceberg_py import (
+            _current_metadata, _spark_schema)
+
+        _, meta = _current_metadata(self._path)
+        schema = _spark_schema(meta)
+        schema_json = schema.json()
+        field_types = {f.name: f.dataType.typeName()
+                       for f in schema.fields}
+        parts: list[_IceFilePart] = []
+        for snap in _main_chain(meta):
+            seq = int(snap.get("sequence-number") or 0)
+            if not (start["seq"] < seq <= end["seq"]):
+                continue
+            op = (snap.get("summary") or {}).get("operation", "append")
+            if op == "replace":
+                continue  # compaction: rearrangement only, no new rows
+            if op != "append" and not self._ignore_changes:
+                raise ValueError(
+                    f"iceberg_stream: snapshot {snap['snapshot-id']} of "
+                    f"{self._path} is a {op!r} (rows removed or "
+                    "superseded) — an append-only stream cannot express "
+                    "it; set ignoreChanges=true to re-emit its added "
+                    "files whole")
+            if op == "append" and not self._ignore_changes \
+                    and _added_entries(snap, want_content=1) \
+                    + _added_entries(snap, want_content=2):
+                raise ValueError(
+                    f"iceberg_stream: snapshot {snap['snapshot-id']} "
+                    "adds delete files under an 'append' summary — "
+                    "rows are superseded; set ignoreChanges=true")
+            for f in _added_entries(snap, want_content=0):
+                pv = {
+                    c: (field_types.get(c, "string"), v)
+                    for c, v in (f.get("partition") or {}).items()
+                    if c in field_types}
+                parts.append(_IceFilePart(f["file_path"], schema_json, pv))
+        return parts
+
+    def read(self, partition: _IceFilePart):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fields = json.loads(partition.schema_json).get("fields") or []
+        tbl = pq.read_table(partition.uri)
+        n = tbl.num_rows
+        cols, names = [], []
+        for f in fields:
+            name, typ = f["name"], f.get("type")
+            typ = typ if isinstance(typ, str) else "string"
+            names.append(name)
+            if name in tbl.column_names:
+                cols.append(tbl.column(name).combine_chunks()
+                            .cast(_arrow_type(typ)))
+            elif name in partition.part_values:
+                # identity-partitioned: the value lives in the manifest
+                # entry, not the file
+                ptyp, raw = partition.part_values[name]
+                val = _py_value(ptyp, raw) if isinstance(raw, str) else raw
+                cols.append(pa.array([val] * n, type=_arrow_type(ptyp)))
+            else:  # file predates an evolved column -> typed nulls
+                cols.append(pa.nulls(n, type=_arrow_type(typ)))
+        yield from pa.table(dict(zip(names, cols))).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class _IceSinkMsg(WriterCommitMessage):
+    def __init__(self, rel, size, n, bounds):
+        self.rel = rel
+        self.size = size
+        self.n = n
+        self.bounds = bounds  # {col: (min_py, max_py)}
+
+
+class _SchemaShim:
+    """iceberg_py's schema helpers only touch ``.schema``/``.columns``
+    of the frame they receive."""
+
+    def __init__(self, schema):
+        self.schema = schema
+        self.columns = [f.name for f in schema.fields]
+
+
+class _IceStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options, schema):
+        import uuid as _uuid
+
+        from sling_cli_spark import fsio
+        from sling_cli_spark.sources.iceberg_py import (
+            _current_metadata, _part_cols, is_iceberg_table)
+
+        self._path = options["path"]
+        fsio.local_path(self._path)  # executors write with plain I/O
+        self._app = options.get("txnappid") or options.get("txnAppId") \
+            or f"iceberg_stream-{_uuid.uuid4().hex[:12]}"
+        self._schema = schema
+        bad = [f.name for f in schema.fields
+               if f.dataType.typeName() not in _SINK_SIMPLE]
+        if bad:
+            raise ValueError(
+                f"iceberg_stream sink: unsupported column types on {bad} "
+                f"(supported: {sorted(_SINK_SIMPLE)})")
+        if is_iceberg_table(self._path):
+            _, meta = _current_metadata(self._path)
+            if meta.get("format-version", 1) < 2:
+                raise ValueError(
+                    "iceberg_stream sink: v1 targets are not supported "
+                    "(no sequence numbers)")
+            if _part_cols(meta):
+                raise ValueError(
+                    "iceberg_stream sink: partitioned targets are not "
+                    "supported — use foreachBatch + write_iceberg")
+            from sling_cli_spark.sources.iceberg_py import _spark_schema
+
+            cur = [f.name for f in _spark_schema(meta).fields]
+            if [f.name for f in schema.fields] != cur:
+                raise ValueError(
+                    f"iceberg_stream sink: stream columns "
+                    f"{[f.name for f in schema.fields]} != table columns "
+                    f"{cur} — evolve via foreachBatch + write_iceberg")
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from sling_cli_spark import fsio
+
+        rows = [r.asDict(recursive=True) for r in iterator]
+        if not rows:
+            return _IceSinkMsg(None, 0, 0, {})
+        aschema = pa.schema([
+            (f.name, _arrow_type(f.dataType.typeName()))
+            for f in self._schema.fields])
+        tbl = pa.Table.from_pylist(rows, schema=aschema)
+        base = os.path.join(fsio.local_path(self._path), "data")
+        os.makedirs(base, exist_ok=True)
+        rel = f"{_uuid.uuid4().hex}.parquet"
+        dest = os.path.join(base, rel)
+        pq.write_table(tbl, dest, compression="snappy")
+        bounds = {}
+        for f in self._schema.fields:
+            if f.dataType.typeName() not in _SPARK_TO_BOUND:
+                continue
+            col = tbl.column(f.name)
+            if col.null_count == len(col):
+                continue
+            try:
+                mm = pc.min_max(col)
+                bounds[f.name] = (mm["min"].as_py(), mm["max"].as_py())
+            except Exception:
+                pass
+        return _IceSinkMsg(rel, os.path.getsize(dest), len(rows), bounds)
+
+    def _cleanup(self, messages):
+        from sling_cli_spark import fsio
+
+        base = os.path.join(fsio.local_path(self._path), "data")
+        for m in messages:
+            if m is not None and getattr(m, "rel", None):
+                p = os.path.join(base, m.rel)
+                if os.path.exists(p):
+                    os.remove(p)
+
+    def _committed_batch(self, meta: dict) -> int | None:
+        """Highest batch id a retained snapshot's summary records for
+        this app — the exactly-once watermark."""
+        best = None
+        for s in meta.get("snapshots") or []:
+            sm = s.get("summary") or {}
+            if sm.get("streaming-app-id") == self._app:
+                b = int(sm.get("streaming-batch-id", -1))
+                best = b if best is None else max(best, b)
+        return best
+
+    def commit(self, messages, batchId) -> None:
+        from sling_cli_spark import fsio
+        from sling_cli_spark.sources.iceberg_py import (
+            _absolute, _active_entries, _commit_snapshot, _current_schema,
+            _encode_bound, _init_meta, is_iceberg_table)
+
+        msgs = [m for m in messages if m is not None and m.rel]
+        shim = _SchemaShim(self._schema)
+        for _attempt in range(10):
+            if is_iceberg_table(self._path):
+                from sling_cli_spark.sources.iceberg_py import \
+                    _current_metadata
+
+                _, meta = _current_metadata(self._path)
+                carried, pos, eq = _active_entries(self._path, meta, None)
+            else:
+                meta = _init_meta(shim, self._path, format_version=2)
+                carried, pos, eq = [], [], []
+            seen = self._committed_batch(meta)
+            if seen is not None and seen >= batchId:
+                self._cleanup(messages)  # engine re-ran a committed batch
+                return
+            fid_of = {f["name"]: (str(f["id"]), f["type"])
+                      for f in (_current_schema(meta) or {}).get(
+                          "fields", [])
+                      if isinstance(f.get("type"), str)}
+            staged = []
+            for m in msgs:
+                lo, hi = {}, {}
+                for col, (mn, mx) in (m.bounds or {}).items():
+                    fid, t = fid_of.get(col, (None, None))
+                    if fid is None:
+                        continue
+                    try:
+                        lb, ub = _encode_bound(t, mn), _encode_bound(t, mx)
+                    except Exception:
+                        lb = ub = None
+                    if lb is not None and ub is not None:
+                        lo[fid], hi[fid] = lb, ub
+                staged.append({
+                    "file_path": _absolute(
+                        fsio.join(self._path, "data", m.rel)),
+                    "file_format": "PARQUET",
+                    "record_count": m.n,
+                    "file_size_in_bytes": m.size,
+                    "partition": None,
+                    "lower_bounds": lo or None,
+                    "upper_bounds": hi or None,
+                })
+            try:
+                _commit_snapshot(
+                    None, self._path, meta, carried=carried,
+                    carried_deletes=pos + eq, staged_files=staged,
+                    operation="append",
+                    summary_extra={
+                        "streaming-app-id": self._app,
+                        "streaming-batch-id": str(int(batchId))})
+                return
+            except FileExistsError:
+                continue  # concurrent committer won; re-read and retry
+        raise FileExistsError(
+            f"iceberg_stream sink: lost the commit race 10 times at "
+            f"{self._path}")
+
+    def abort(self, messages, batchId) -> None:
+        self._cleanup(messages)
+
+
+def register_iceberg_stream(spark) -> None:
+    """Idempotently register ``format("iceberg_stream")`` on a
+    session."""
+    spark.dataSource.register(IcebergStreamSource)

@@ -471,3 +471,179 @@ def test_delta_stream_sink_guards(spark, tmp_path):
     with _pytest.raises(ValueError, match="CHECK"):
         _DeltaStreamWriter({"path": t}, spark.createDataFrame(
             [(1, "a")], "id long, v string").schema)
+
+
+# ----------------------------------------- iceberg structured-stream source
+
+def test_iceberg_stream_source_incremental(spark, tmp_path):
+    """format("iceberg_stream"): sequence-number offsets drain the
+    committed snapshots; a second run after an append emits ONLY the
+    new snapshot's rows; a destructive snapshot fails the stream
+    unless ignoreChanges."""
+    from sling_cli_spark.sources.iceberg_py import (
+        delete_missing_iceberg, write_iceberg)
+    from sling_cli_spark.streaming.iceberg_source import (
+        register_iceberg_stream)
+
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1), t)
+
+    def drain():
+        q = (spark.readStream.format("iceberg_stream").option("path", t)
+             .load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    assert {r["id"] for r in spark.read.parquet(out).collect()} == {1, 2}
+    write_iceberg(spark.createDataFrame(
+        [(3, "c")], "id long, v string").coalesce(1), t, mode="append")
+    drain()
+    got = spark.read.parquet(out).collect()
+    assert {r["id"] for r in got} == {1, 2, 3} and len(got) == 3
+
+    delete_missing_iceberg(
+        spark, t,
+        spark.createDataFrame([(1,), (3,)], "id long"), "id")
+    try:
+        drain()
+        raised = False
+    except Exception as e:
+        raised = "append-only stream" in str(e)
+    assert raised, "destructive snapshot must fail the append-only stream"
+
+
+def test_iceberg_stream_source_partitioned_and_evolved(spark, tmp_path):
+    """Identity-partition values attach from the manifest entry's
+    partition struct; files predating an evolved column stream it as
+    typed nulls; a replace (compaction) snapshot is silent."""
+    from sling_cli_spark.sources.iceberg_py import (
+        compact_iceberg, write_iceberg)
+    from sling_cli_spark.streaming.iceberg_source import (
+        register_iceberg_stream)
+
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, v string, grp long"),
+        t, partition_by=["grp"])
+    write_iceberg(spark.createDataFrame(
+        [(3, "c", 10, 7.5)],
+        "id long, v string, grp long, score double"), t, mode="append")
+    q = (spark.readStream.format("iceberg_stream").option("path", t)
+         .load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["id"]: (r["grp"], r["score"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {1: (10, None), 2: (20, None), 3: (10, 7.5)}
+
+
+def test_iceberg_stream_sink_exactly_once_with_bounds(spark, tmp_path):
+    """writeStream.format("iceberg_stream"): an iceberg->iceberg pipe
+    commits one append snapshot per batch with streaming-app/batch-id
+    summary idempotence; a replayed batch id is dropped and its
+    re-written file cleaned up; committed entries carry REAL value
+    bounds computed executor-side (no driver footer sweep)."""
+    from sling_cli_spark.sources.avro_py import read_avro
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, _decode_bound, read_iceberg,
+        write_iceberg)
+    from sling_cli_spark.streaming.iceberg_source import (
+        _IceSinkMsg, _IceStreamWriter, register_iceberg_stream)
+
+    register_iceberg_stream(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1), src)
+
+    def drain():
+        q = (spark.readStream.format("iceberg_stream").option("path", src)
+             .load()
+             .writeStream.format("iceberg_stream").option("path", dst)
+             .option("txnAppId", "pipe-ice")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    assert {r["id"]: r["v"] for r in read_iceberg(spark, dst).collect()} \
+        == {1: "a", 2: "b"}
+    write_iceberg(spark.createDataFrame(
+        [(3, "c")], "id long, v string").coalesce(1), src, mode="append")
+    drain()
+    got = read_iceberg(spark, dst).collect()
+    assert {r["id"] for r in got} == {1, 2, 3} and len(got) == 3
+
+    _, meta = _current_metadata(dst)
+    assert meta["current-snapshot-id"] >= 0
+    summaries = [s["summary"] for s in meta["snapshots"]]
+    assert {sm.get("streaming-batch-id") for sm in summaries} == {"0", "1"}
+    files, _, _ = _active_entries(dst, meta, None)
+    ids = set()
+    for f in files:
+        assert f["record_count"] > 0
+        lo = f.get("lower_bounds") or {}
+        hi = f.get("upper_bounds") or {}
+        assert lo and hi, "sink must record executor-computed bounds"
+        fid = next(iter(sorted(lo)))
+        ids.add((_decode_bound("long", lo[fid]),
+                 _decode_bound("long", hi[fid])))
+    assert (1, 2) in ids and (3, 3) in ids
+
+    # simulate an engine re-delivery of an already-committed batch
+    w = _IceStreamWriter.__new__(_IceStreamWriter)
+    w._path, w._app = dst, "pipe-ice"
+    w._schema = spark.createDataFrame([], "id long, v string").schema
+    stray = os.path.join(dst, "data", "deadbeef.parquet")
+    open(stray, "wb").close()
+    v_before = _current_metadata(dst)[0]
+    w.commit([_IceSinkMsg("deadbeef.parquet", 0, 1, {})], 1)
+    assert _current_metadata(dst)[0] == v_before, "replay must not commit"
+    assert not os.path.exists(stray)
+    assert len(read_iceberg(spark, dst).collect()) == 3
+    assert read_avro is not None
+
+
+def test_iceberg_stream_guards(spark, tmp_path):
+    """v1 sources/targets, partitioned targets and schema drift are
+    refused loudly."""
+    import pytest as _pytest
+
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+    from sling_cli_spark.streaming.iceberg_source import (
+        IcebergStreamSource, _IceStreamWriter)
+
+    t1 = str(tmp_path / "v1")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a")], "id long, v string"), t1, format_version=1)
+    with _pytest.raises(ValueError, match="format-version 1"):
+        IcebergStreamSource({"path": t1}).schema()
+
+    tp = str(tmp_path / "parted")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a", 10)], "id long, v string, grp long"), tp,
+        partition_by=["grp"])
+    sch = spark.createDataFrame([], "id long, v string, grp long").schema
+    with _pytest.raises(ValueError, match="partitioned"):
+        _IceStreamWriter({"path": tp}, sch)
+
+    t2 = str(tmp_path / "drift")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a")], "id long, v string"), t2)
+    with _pytest.raises(ValueError, match="columns"):
+        _IceStreamWriter(
+            {"path": t2},
+            spark.createDataFrame([], "id long, other string").schema)
