@@ -2580,6 +2580,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_topk(emb, q, k=10, n_clusters=8, n_probe=2) \
             .select("query_id", "vec_id")
 
+    def ann_pq_topk(spark, sf):
+        """Product-quantization ANN (similarity.pq_topk, round 8;
+        Jégou et al. TPAMI 2011): the 64-dim corpus encodes once to 4
+        sub-codebook ids (argmin ||x_s - c||² per 16-dim subspace,
+        deterministic L2 k-means codebooks), queries precompute an
+        (m, ksub) dot LUT, and the ADC score Σ_s lut[s][code_s] is
+        pure Catalyst zip_with/aggregate — the scan side reads 4 ints
+        per row, never the vector. The oracle retrains bit-identical
+        codebooks from the raw parquet and replays the same
+        ||c||²-2x·c argmin + LUT-sum as literal-centroid SQL."""
+        from sling_cli_spark.operators.similarity import pq_topk
+        emb = _t(spark, sf, "embeddings")
+        q = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return pq_topk(emb, q, k=10, m=4, ksub=8) \
+            .select("query_id", "vec_id")
+
     def embedding_near_dup(spark, sf):
         emb = _t(spark, sf, "embeddings")
         return pairwise_within_label(emb, threshold=0.9) \
@@ -2702,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": fingerprint_docs,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_pq_topk": ann_pq_topk,
         "ann_topk": ann_topk,
         "embedding_near_dup": embedding_near_dup,
         "semdedup_docs": semdedup_docs,
@@ -2764,7 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_clone_partitioned",
         "delta_uniform", "delta_stream_source", "iceberg_stream_source",
         "cdc_foreachbatch_merge", "stream_sessionize_events",
-        "iceberg_eq_upsert", "delta_rename_evolution",
+        "iceberg_eq_upsert", "delta_rename_evolution", "ann_pq_topk",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
         "column_typing_clamp", "constraint_dsl_filter", "row_constraints",
@@ -3070,6 +3088,70 @@ def _ann_ivf_oracle() -> str:
             SELECT p.query_id, a.vec_id,
                    list_cosine_similarity(a.v, p.qv) AS s
             FROM asn a JOIN probes p ON a.cl = p.cl
+        )
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id) AS rn
+            FROM scored) WHERE rn <= 10
+    """
+
+
+def _ann_pq_oracle() -> str:
+    """DuckDB twin of pq_topk(k=10, m=4, ksub=8): retrain the
+    bit-identical per-subspace L2 codebooks from the raw parquet
+    (:func:`similarity.kmeans_l2_np`, seed 13+s), embed every centroid
+    and its precomputed ||c||² as literals, encode each corpus row by
+    argmin(||c||² - 2 x_s·c) with first-index tie-breaks (numpy argmin
+    ≡ list_position(list_min)), and score via the per-query dot LUT
+    summed left-to-right — the fold order of Spark's aggregate()."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sling_cli_spark.operators.similarity import kmeans_l2_np
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    X = np.array(pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding"]).column("embedding").to_pylist()[:20_000],
+        dtype=np.float64)
+    m, ksub = 4, 8
+    dsub = X.shape[1] // m
+    cbs = [kmeans_l2_np(X[:, s * dsub:(s + 1) * dsub],
+                        n_clusters=ksub, seed=13 + s) for s in range(m)]
+
+    def arr(c):
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]"
+
+    dists, codes, luts, sub = [], [], [], []
+    for s, cs in enumerate(cbs):
+        cn = (cs * cs).sum(axis=1)
+        a, b = s * dsub + 1, (s + 1) * dsub
+        sub.append(f"v[{a}:{b}]")
+        dists.append(
+            "[" + ", ".join(
+                f"{float(cn[j])!r} - 2.0*list_dot_product({sub[s]}, "
+                f"{arr(cs[j])})" for j in range(ksub)) + f"] AS d{s}")
+        codes.append(f"list_position(d{s}, list_min(d{s})) - 1 AS c{s}")
+        luts.append(
+            "[" + ", ".join(
+                f"list_dot_product({sub[s]}, {arr(cs[j])})"
+                for j in range(ksub)) + f"] AS l{s}")
+    score = " + ".join(f"q.l{s}[e.c{s} + 1]" for s in range(m))
+    return f"""
+        WITH c AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), d AS (
+            SELECT vec_id, v, {', '.join(dists)} FROM c
+        ), enc AS (
+            SELECT vec_id, {', '.join(codes)} FROM d
+        ), q AS (
+            SELECT vec_id AS query_id, {', '.join(luts)}
+            FROM c WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, e.vec_id, {score} AS s
+            FROM enc e CROSS JOIN q
         )
         SELECT query_id, vec_id FROM (
             SELECT query_id, vec_id,
@@ -4400,6 +4482,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": _fingerprint_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "ann_pq_topk": _ann_pq_oracle(),
         "semdedup_docs": _centroid_asn_cte(8) + """
             SELECT a.vec_id, CAST(a.cl AS INTEGER) AS cluster
             FROM asn a

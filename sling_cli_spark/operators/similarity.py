@@ -342,3 +342,140 @@ def semdedup(
         .distinct())
     return (base.join(dupes, on=id_col, how="left_anti")
             .select(F.col(id_col), F.col("__cl").alias("cluster")))
+
+
+# ------------------------------------------------- product quantization
+
+def kmeans_l2_np(X, n_clusters: int = 8, iters: int = 10, seed: int = 13):
+    """Deterministic EUCLIDEAN k-means over a float64 (n, d) sample —
+    the PQ sub-codebook trainer (unlike :func:`kmeans_np`, centroids
+    are NOT normalized: PQ reconstructs magnitudes, so Lloyd updates
+    keep the plain mean). Assignment minimizes ||x - c||^2 via the
+    expansion ||c||^2 - 2 x.c (the per-row ||x||^2 is constant under
+    argmin and dropped) — the EXACT formula the encode UDF and the SQL
+    oracle replay, so a near-tie resolves identically everywhere.
+    Split out so the correctness oracle can retrain the bit-identical
+    codebook from the raw parquet."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_clusters, len(X)),
+                        replace=False)].copy()
+    for _ in range(iters):
+        d = (cent * cent).sum(axis=1) - 2.0 * (X @ cent.T)
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_codebooks(
+    df: DataFrame, vec_col: str = "embedding", m: int = 4,
+    ksub: int = 8, sample: int = 20_000, iters: int = 10,
+    seed: int = 13,
+):
+    """Train ``m`` per-subspace codebooks of ``ksub`` centroids each on
+    a bounded driver-side sample (the standard PQ recipe — codebooks
+    train on samples at any corpus size; everything downstream is
+    distributed). Returns a list of m (ksub, d/m) float64 arrays.
+    Subspace ``s`` trains with seed ``seed + s`` so codebooks differ
+    across subspaces deterministically."""
+    import numpy as np
+
+    pdf = df.select(vec_col).limit(sample).toPandas()
+    X = np.array(list(pdf[vec_col]), dtype=np.float64)
+    dsub = X.shape[1] // m
+    if dsub * m != X.shape[1]:
+        raise ValueError(
+            f"pq: dim {X.shape[1]} not divisible by m={m} subspaces")
+    return [kmeans_l2_np(X[:, s * dsub:(s + 1) * dsub],
+                         n_clusters=ksub, iters=iters, seed=seed + s)
+            for s in range(m)]
+
+
+def _pq_encode_udf(codebooks):
+    """Vectorized pandas UDF: batch matmul per subspace against the
+    broadcast codebooks -> array of m code ids (argmin ||x_s - c||^2
+    via the ||c||^2 - 2 x_s.c expansion). Arrow-batched — the corpus
+    compresses to m small ints per vector in ONE pass, no per-row
+    Python."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    cn = [(c * c).sum(axis=1) for c in C]
+    dsub = C[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        codes = np.empty((len(M), len(C)), dtype=np.int32)
+        for s, (cs, cns) in enumerate(zip(C, cn)):
+            sub = M[:, s * dsub:(s + 1) * dsub]
+            codes[:, s] = np.argmin(cns - 2.0 * (sub @ cs.T), axis=1)
+        return pd.Series(list(codes))
+    return encode
+
+
+def _pq_lut_udf(codebooks):
+    """Per-query ADC lookup table: lut[s][j] = q_s . C_s[j] — an
+    (m, ksub) array column the SCORING stage consumes with pure
+    Catalyst array ops. Runs over the (small, broadcast) query frame
+    only."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    dsub = C[0].shape[1]
+
+    @pandas_udf("array<array<double>>")
+    def lut(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        out = []
+        for row in M:
+            out.append([list(row[s * dsub:(s + 1) * dsub] @ cs.T)
+                        for s, cs in enumerate(C)])
+        return pd.Series(out)
+    return lut
+
+
+def pq_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    m: int = 4, ksub: int = 8, codebooks=None,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011) for max-inner-product:
+    the corpus encodes ONCE to m sub-codebook ids (m bytes/vector at
+    ksub<=256 — a 64-dim float corpus compresses 64x), each query
+    precomputes an (m, ksub) dot-product lookup table, and the
+    asymmetric-distance score  sum_s lut[s][code_s]  is a pure
+    Catalyst zip_with/aggregate over the broadcast query set — the
+    scan side never touches floats again, so at 100 TB the scoring
+    pass reads m ints per row instead of the full vector. Exactness is
+    traded for compression (scores are quantized); brute_force_topk is
+    the recall baseline."""
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, vec_col, m=m, ksub=ksub)
+    codes = corpus.select(
+        F.col(id_col),
+        _pq_encode_udf(codebooks)(F.col(vec_col)).alias("__code"))
+    q = queries.select(
+        F.col(query_id_col),
+        _pq_lut_udf(codebooks)(F.col(vec_col)).alias("__lut"))
+    scored = codes.crossJoin(F.broadcast(q)).withColumn(
+        "score",
+        F.aggregate(
+            F.expr("zip_with(__code, __lut, (c, l) -> l[c])"),
+            F.lit(0.0), lambda acc, x: acc + x))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "score")
+    )

@@ -357,3 +357,56 @@ def test_exact_substring_dedup(spark):
     got = {r["doc_id"] for r in
            exact_substring_dedup(df).select("doc_id").collect()}
     assert got == {1, 3, 4}     # 2 drops (verbatim span), 3 survives
+
+
+# ------------------------------------------------------- round 8: PQ ANN
+
+def test_pq_topk_recall_on_clustered_data(spark):
+    """PQ ADC scoring finds same-cluster neighbors on well-separated
+    clusters (quantization noise is far below the cluster gap), and
+    the corpus-side plan carries only the m-int code column."""
+    import numpy as np
+
+    from sling_cli_spark.operators.similarity import pq_topk
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for c in range(4):
+        center = np.zeros(16); center[c * 4] = 10.0
+        for i in range(25):
+            v = center + rng.normal(0, 0.1, 16)
+            rows.append(Row(vec_id=c * 25 + i,
+                            embedding=[float(x) for x in v]))
+    emb = spark.createDataFrame(rows)
+    q = emb.filter("vec_id IN (0, 30, 60)").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = pq_topk(emb, q, k=5, m=4, ksub=8)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qid, ids in got.items():
+        assert all(i // 25 == qid // 25 for i in ids), \
+            f"query {qid} leaked outside its cluster: {ids}"
+    assert len(got) == 3
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark):
+    import numpy as np
+
+    from sling_cli_spark.operators.similarity import (
+        kmeans_l2_np, pq_codebooks)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cbs = pq_codebooks(emb, m=4, ksub=8)
+    assert len(cbs) == 4 and all(c.shape == (8, 16) for c in cbs)
+    # bit-identical retrain from the raw parquet (the oracle's path)
+    import pyarrow.parquet as pq
+
+    X = np.array(pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["embedding"]).column("embedding").to_pylist()[:20_000],
+        dtype=np.float64)
+    for s in range(4):
+        again = kmeans_l2_np(X[:, s * 16:(s + 1) * 16],
+                             n_clusters=8, seed=13 + s)
+        assert (cbs[s] == again).all()
