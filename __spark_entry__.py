@@ -2580,6 +2580,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_topk(emb, q, k=10, n_clusters=8, n_probe=2) \
             .select("query_id", "vec_id")
 
+    def iceberg_partitions_meta(spark, sf):
+        """partitions metadata-table twin (iceberg_py round 8,
+        Spark-Iceberg's ``SELECT * FROM t.partitions``): orders lands
+        identity-partitioned by priority (repartitioned first, so each
+        partition takes exactly one file — deterministic file_count),
+        and the per-partition record/file counts answer from MANIFEST
+        arithmetic alone — zero data files opened (asserted in the
+        pytest by deleting the payloads). Oracle: the GROUP BY the
+        metadata table replaces."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            iceberg_partitions, write_iceberg)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_ipm_"), "t")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderpriority", "o_totalprice")
+        write_iceberg(o.repartition("o_orderpriority"), t,
+                      partition_by=["o_orderpriority"])
+        return iceberg_partitions(spark, t).select(
+            F.get_json_object("partition", "$.o_orderpriority")
+            .alias("o_orderpriority"),
+            "record_count", "file_count")
+
     def ann_pq_topk(spark, sf):
         """Product-quantization ANN (similarity.pq_topk, round 8;
         Jégou et al. TPAMI 2011): the 64-dim corpus encodes once to 4
@@ -2648,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_foreachbatch_merge": cdc_foreachbatch_merge,
         "stream_sessionize_events": stream_sessionize_events,
         "iceberg_eq_upsert": iceberg_eq_upsert,
+        "iceberg_partitions_meta": iceberg_partitions_meta,
         "delta_rename_evolution": delta_rename_evolution,
         "delta_identity_generated": delta_identity_generated,
         "delta_zorder_skipping": delta_zorder_skipping,
@@ -2783,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_uniform", "delta_stream_source", "iceberg_stream_source",
         "cdc_foreachbatch_merge", "stream_sessionize_events",
         "iceberg_eq_upsert", "delta_rename_evolution", "ann_pq_topk",
+        "iceberg_partitions_meta",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
         "column_typing_clamp", "constraint_dsl_filter", "row_constraints",
@@ -4482,6 +4509,11 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": _fingerprint_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "iceberg_partitions_meta": """
+            SELECT o_orderpriority, count(*) AS record_count,
+                   CAST(1 AS BIGINT) AS file_count
+            FROM orders GROUP BY o_orderpriority
+        """,
         "ann_pq_topk": _ann_pq_oracle(),
         "semdedup_docs": _centroid_asn_cte(8) + """
             SELECT a.vec_id, CAST(a.cl AS INTEGER) AS cluster

@@ -378,6 +378,13 @@ def cmd_lake(args: argparse.Namespace) -> int:
         from sling_cli_spark.sources.iceberg_py import iceberg_files
         _stream_csv_stdout(iceberg_files(spark, path))
         return 0
+    if op == "partitions":
+        if is_delta:
+            print("partitions applies to Iceberg tables", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.iceberg_py import iceberg_partitions
+        _stream_csv_stdout(iceberg_partitions(spark, path))
+        return 0
     if op == "history":
         if is_delta:
             from sling_cli_spark.sources.delta_py import describe_history
@@ -511,6 +518,10 @@ def build_parser() -> argparse.ArgumentParser:
     lf = ls.add_parser("files",
                        help="iceberg: files metadata table as CSV")
     lf.add_argument("path")
+    lp = ls.add_parser("partitions",
+                       help="iceberg: partitions metadata table as CSV "
+                            "(manifest-only per-partition stats)")
+    lp.add_argument("path")
     lu = ls.add_parser("uniform",
                        help="delta: generate/refresh Iceberg metadata "
                             "beside the log (universal format)")

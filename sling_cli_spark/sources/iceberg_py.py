@@ -1983,6 +1983,52 @@ def iceberg_files(spark: SparkSession, path: str,
         "spec_id int, sequence_number long"))
 
 
+def iceberg_partitions(spark: SparkSession, path: str,
+                       snapshot_id: int | None = None) -> DataFrame:
+    """``partitions`` metadata-table twin (Spark-Iceberg's
+    ``SELECT * FROM t.partitions``): one row per live partition tuple
+    with record / file counts, total bytes, and MoR delete-file debt.
+    METADATA-ONLY — aggregated from the manifests the snapshot already
+    lists, zero data files opened: the count(*) GROUP BY partition a
+    100 TB scan would cost answers from manifest arithmetic (the
+    record_count every v2 writer is required to stamp). Delete-file
+    rows count against the partition their entries target, so a
+    partition's ``position_delete_record_count`` > 0 flags compaction
+    debt."""
+    _, meta = _current_metadata(path)
+    data, pos_d, eq_d = _active_entries(path, meta, snapshot_id)
+    agg: dict[str, dict] = {}
+
+    def _bucket(f: dict) -> dict:
+        key = json.dumps(f.get("partition") or {}, sort_keys=True)
+        return agg.setdefault(key, {
+            "partition": key, "record_count": 0, "file_count": 0,
+            "total_size_bytes": 0, "position_delete_record_count": 0,
+            "equality_delete_record_count": 0, "spec_ids": set()})
+
+    for f in data:
+        b = _bucket(f)
+        b["record_count"] += int(f.get("record_count") or 0)
+        b["file_count"] += 1
+        b["total_size_bytes"] += int(f.get("file_size_in_bytes") or 0)
+        b["spec_ids"].add(int(f.get("__spec_id") or 0))
+    for f in pos_d:
+        _bucket(f)["position_delete_record_count"] += \
+            int(f.get("record_count") or 0)
+    for f in eq_d:
+        _bucket(f)["equality_delete_record_count"] += \
+            int(f.get("record_count") or 0)
+    rows = [(b["partition"], b["record_count"], b["file_count"],
+             b["total_size_bytes"], b["position_delete_record_count"],
+             b["equality_delete_record_count"],
+             sorted(b["spec_ids"]))
+            for b in agg.values()]
+    return spark.createDataFrame(rows, (
+        "partition string, record_count long, file_count long, "
+        "total_size_bytes long, position_delete_record_count long, "
+        "equality_delete_record_count long, spec_ids array<int>"))
+
+
 def iceberg_history(spark: SparkSession, path: str) -> DataFrame:
     """history metadata-table twin: one row per snapshot — id,
     timestamp, sequence number, operation, whether it is an ancestor

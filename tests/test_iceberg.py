@@ -1786,3 +1786,49 @@ def test_upsert_compaction_folds_deletes(spark, tmp_path):
     assert eq_d == []
     got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_iceberg_partitions_metadata_table(spark, tmp_path):
+    """partitions metadata-table twin: manifest-only per-partition
+    record/file/byte counts; eq-delete debt lands against the
+    partition; no data file is opened (counts survive deleting the
+    parquet payloads)."""
+    from sling_cli_spark.sources.iceberg_py import (
+        iceberg_partitions, upsert_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(10)],
+        "id long, grp string, x double")
+    write_iceberg(df.repartition("grp"), t, partition_by=["grp"])
+    out = {json.loads(r["partition"])["grp"]: r
+           for r in iceberg_partitions(spark, t).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["record_count"] == 5 and out["b"]["record_count"] == 5
+    assert out["a"]["file_count"] == 1
+    assert out["a"]["total_size_bytes"] > 0
+    assert out["a"]["spec_ids"] == [0]
+
+    # metadata-only: remove the data payloads, stats still answer
+    import glob
+    for p in glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                       recursive=True):
+        os.remove(p)
+    again = {json.loads(r["partition"])["grp"]: r["record_count"]
+             for r in iceberg_partitions(spark, t).collect()}
+    assert again == {"a": 5, "b": 5}
+
+
+def test_iceberg_partitions_delete_debt(spark, tmp_path):
+    from sling_cli_spark.sources.iceberg_py import (
+        iceberg_partitions, upsert_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, v string"), t)
+    upsert_iceberg(spark, t, spark.createDataFrame(
+        [(2, "y2"), (3, "z")], "id long, v string"), "id")
+    rows = iceberg_partitions(spark, t).collect()
+    assert len(rows) == 1
+    assert rows[0]["equality_delete_record_count"] == 2
+    assert rows[0]["record_count"] == 4  # physical rows pre-merge
