@@ -2792,14 +2792,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_bounds_skipping": iceberg_bounds_skipping,
         "bucketed_join_agg": bucketed_join_agg,
     }
-    # The driver checks the FIRST 50 entries; with 115 queries and this
-    # window, 65 are never-checked or >=2 rounds stale, so the window is
-    # computed, not positional: the 8 never-driver-checked r8 queries,
-    # the 8 stalest (last green row r5), then 34 of the 49 r6-checked —
-    # preferring the trivial-glue set memory flagged as 2-rounds-stale.
-    # The 15 deferred r6 queries (merge_* EL variants, field_stat/
-    # distro family — operators untouched since r6 and pytest-heavy)
-    # MUST lead the next round's window.
+    # The driver checks the FIRST 50 entries; with 128 queries, the
+    # window is computed, not positional: the 21 never-driver-checked
+    # r8 queries, the 8 stalest (last green row r5), then 21 of the
+    # r6-checked set. The deferred r6 queries (asof/sessionize/flatten/
+    # test_pk/join_match/select/where plus the merge_* EL variants and
+    # field_stat/distro family — operators untouched since r6,
+    # re-verified locally every round) MUST lead the next round's
+    # window.
     window = [
         "delta_dv_produce", "delta_row_tracking",
         "delta_clustering_skipping", "iceberg_v3_dv_produce",
@@ -2823,11 +2823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip", "sas_roundtrip", "csv_inference_roundtrip",
         "sql_on_files", "copy_load_duckdb", "incremental_watermark",
         "backfill_range", "delta_column_mapping", "iceberg_v2_pos_delete",
-        "iceberg_v2_eq_delete", "dedup_last_event", "asof_events",
-        "sessionize_events", "flatten_json_extract", "test_pk_lineitem",
-        "join_match",
-        "select_project", "where_filter",
+        "iceberg_v2_eq_delete", "dedup_last_event",
     ]
+    assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     out = {k: d[k] for k in window}
     out.update((k, v) for k, v in d.items() if k not in out)
     return out
