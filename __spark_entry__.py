@@ -904,6 +904,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              .withColumn("proto", F.lit("iceberg")))
                 .select("proto", "n_nationkey", "n_name"))
 
+    def iceberg_delta_sync(spark, sf):
+        """Reverse universal format (iceberg_py round 8, sync_delta —
+        the XTable direction): orders lands identity-PARTITIONED as
+        Iceberg, sync_delta generates a Delta log beside it (absolute
+        foreign adds, partition values log-attached, stats carried
+        from the manifests), then an Iceberg CoW delete rewrites the
+        table and a REFRESH diffs the log (removes + adds). Both
+        protocols must read identical rows off the single parquet
+        copy (two labeled views of one frame)."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import read_delta
+        from sling_cli_spark.sources.iceberg_py import (
+            delete_missing_iceberg, read_iceberg, sync_delta,
+            write_iceberg)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_xd_"), "t")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderpriority", "o_totalprice")
+        write_iceberg(o.repartition("o_orderpriority"), t,
+                      partition_by=["o_orderpriority"])
+        sync_delta(t)
+        keep = o.filter("o_orderkey < 800").select("o_orderkey")
+        delete_missing_iceberg(spark, t, keep, "o_orderkey")
+        sync_delta(t)  # refresh rides the rewrite
+        cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+        return (read_delta(spark, t).withColumn("proto", F.lit("delta"))
+                .unionByName(read_iceberg(spark, t)
+                             .withColumn("proto", F.lit("iceberg")))
+                .select("proto", *cols))
+
     def delta_stream_source(spark, sf):
         """Streaming Delta SOURCE + exactly-once Delta SINK
         (streaming/delta_source.py round 8; PySpark 4 Python
@@ -2674,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_events": stream_sessionize_events,
         "iceberg_eq_upsert": iceberg_eq_upsert,
         "iceberg_partitions_meta": iceberg_partitions_meta,
+        "iceberg_delta_sync": iceberg_delta_sync,
         "delta_rename_evolution": delta_rename_evolution,
         "delta_identity_generated": delta_identity_generated,
         "delta_zorder_skipping": delta_zorder_skipping,
@@ -2809,7 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_uniform", "delta_stream_source", "iceberg_stream_source",
         "cdc_foreachbatch_merge", "stream_sessionize_events",
         "iceberg_eq_upsert", "delta_rename_evolution", "ann_pq_topk",
-        "iceberg_partitions_meta",
+        "iceberg_partitions_meta", "iceberg_delta_sync",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
         "column_typing_clamp", "constraint_dsl_filter", "row_constraints",
@@ -2823,7 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip", "sas_roundtrip", "csv_inference_roundtrip",
         "sql_on_files", "copy_load_duckdb", "incremental_watermark",
         "backfill_range", "delta_column_mapping", "iceberg_v2_pos_delete",
-        "iceberg_v2_eq_delete", "dedup_last_event",
+        "iceberg_v2_eq_delete",
     ]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     out = {k: d[k] for k in window}
@@ -4511,6 +4544,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS record_count,
                    CAST(1 AS BIGINT) AS file_count
             FROM orders GROUP BY o_orderpriority
+        """,
+        "iceberg_delta_sync": """
+            SELECT p.proto, o_orderkey, o_orderpriority, o_totalprice
+            FROM orders
+            CROSS JOIN (SELECT unnest(['delta', 'iceberg']) AS proto) p
+            WHERE o_orderkey < 800
         """,
         "ann_pq_topk": _ann_pq_oracle(),
         "semdedup_docs": _centroid_asn_cte(8) + """

@@ -322,6 +322,14 @@ def cmd_lake(args: argparse.Namespace) -> int:
         sid = rollback_to_snapshot(path, args.snapshot)
         print(json.dumps({"current_snapshot_id": sid}))
         return 0
+    if op == "sync-delta":
+        from sling_cli_spark.sources.iceberg_py import (
+            is_iceberg_table, sync_delta)
+        if not is_iceberg_table(path):
+            print("sync-delta applies to Iceberg tables", file=sys.stderr)
+            return 2
+        print(json.dumps({"delta_version": sync_delta(path)}))
+        return 0
     if op == "uniform":
         if not is_delta:
             print("uniform applies to Delta tables", file=sys.stderr)
@@ -522,6 +530,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="iceberg: partitions metadata table as CSV "
                             "(manifest-only per-partition stats)")
     lp.add_argument("path")
+    lsd = ls.add_parser("sync-delta",
+                        help="iceberg: generate/refresh a Delta log "
+                             "beside the metadata (reverse universal "
+                             "format)")
+    lsd.add_argument("path")
     lu = ls.add_parser("uniform",
                        help="delta: generate/refresh Iceberg metadata "
                             "beside the log (universal format)")

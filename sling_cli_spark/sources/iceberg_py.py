@@ -1865,6 +1865,96 @@ def sync_uniform(delta_path: str) -> int:
                             operation="replace")
 
 
+def sync_delta(iceberg_path: str) -> int:
+    """Reverse universal-format sync (the XTable direction —
+    :func:`sync_uniform` mirrored): generate — or refresh — a DELTA
+    LOG beside the Iceberg metadata so ONE copy of parquet serves both
+    protocols. The Delta commit references the Iceberg snapshot's
+    ACTIVE data files by ABSOLUTE path (PROTOCOL.md: ``add.path`` may
+    be absolute — the shallow-clone machinery), with partition values
+    carried in ``add.partitionValues`` (identity layouts keep them out
+    of the files; the log, not dir inference, is authoritative — the
+    same log-attached read path partitioned clones use). Re-running
+    after more Iceberg snapshots commits a diff: vanished files get
+    ``remove`` actions, new ones ``add``, schema evolution rides a
+    fresh ``metaData``. Refuses MoR debt (positional/equality deletes
+    incl. DVs — a Delta reader would resurrect deleted rows; compact
+    first), transform partition layouts (Delta has no transform
+    partitioning), and v3 initial defaults (Delta would null-fill
+    pre-evolution files instead). Returns the Delta version
+    committed."""
+    from . import delta_py
+
+    _, meta = _current_metadata(iceberg_path)
+    files, pos_d, eq_d = _active_entries(iceberg_path, meta, None)
+    if pos_d or eq_d:
+        raise UnsupportedTableFeature(
+            f"delta sync of {iceberg_path}: snapshot carries "
+            f"{len(pos_d)} positional / {len(eq_d)} equality delete "
+            "files a Delta reader cannot apply — compact_iceberg first")
+    if _initial_defaults(meta):
+        raise UnsupportedTableFeature(
+            f"delta sync of {iceberg_path}: v3 initial-defaults would "
+            "read as NULL under Delta for pre-evolution files")
+    part_cols = _part_cols(meta)
+    non_identity = set(part_cols) - _identity_part_cols(meta)
+    if non_identity:
+        raise UnsupportedTableFeature(
+            f"delta sync of {iceberg_path}: transform partition fields "
+            f"{sorted(non_identity)} have no Delta equivalent")
+
+    class _Shim:  # _first_commit_actions only touches .schema
+        schema = _spark_schema(meta)
+
+    schema_string = _Shim.schema.json()
+    now = int(time.time() * 1000)
+    adds: dict[str, dict] = {}
+    for f in files:
+        abs_p = _canon(f["file_path"])
+        pv = f.get("partition") or {}
+        adds[abs_p] = {
+            "path": abs_p,
+            "partitionValues": {c: pv.get(c) for c in part_cols},
+            "size": int(f.get("file_size_in_bytes") or 0),
+            "modificationTime": now,
+            "dataChange": True,
+            "stats": json.dumps(
+                {"numRecords": int(f.get("record_count") or 0)}),
+        }
+
+    try:
+        dmeta, dfiles = delta_py.replay_log(iceberg_path)
+    except FileNotFoundError:
+        dmeta, dfiles = None, {}
+    actions: list[dict] = []
+    if dmeta is None:
+        actions += delta_py._first_commit_actions(_Shim, part_cols)
+        version = 0
+        prior: dict[str, dict] = {}
+    else:
+        version = delta_py.latest_version(iceberg_path) + 1
+        prior = {delta_py._abs_of_add(iceberg_path, rel): rel
+                 for rel in dfiles}
+        if dmeta.get("schemaString") != schema_string or \
+                list(dmeta.get("partitionColumns") or []) != part_cols:
+            new_meta = dict(dmeta)
+            new_meta["schemaString"] = schema_string
+            new_meta["partitionColumns"] = part_cols
+            actions.append({"metaData": new_meta})
+    for abs_p, rel in sorted(prior.items()):
+        if abs_p not in adds:
+            actions.append({"remove": {
+                "path": rel, "deletionTimestamp": now,
+                "dataChange": True}})
+    for abs_p in sorted(adds):
+        if abs_p not in prior:
+            actions.append({"add": adds[abs_p]})
+    if version > 0 and not any("add" in a or "remove" in a
+                               or "metaData" in a for a in actions):
+        return version - 1  # already in sync: no empty commit
+    return delta_py._commit_with_retry(iceberg_path, version, actions)
+
+
 def rollback_to_snapshot(path: str, snapshot_id: int) -> int:
     """rollback_to_snapshot maintenance action (spec/Spark procedure):
     point ``current-snapshot-id`` — and the ``main`` ref — back at an

@@ -324,3 +324,18 @@ def test_cli_lake_column_ddl(spark, tmp_path, capsys):
         [(1, "a")], "id long, v string"), i)
     assert main(["lake", "rename-column", i, "v", "val"]) == 2
     capsys.readouterr()
+
+
+def test_cli_lake_sync_delta(spark, tmp_path, capsys):
+    import json
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+
+    t = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, v string"), t)
+    assert main(["lake", "sync-delta", t]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"delta_version": 0}
+    from sling_cli_spark.sources.delta_py import read_delta
+    assert {r["id"] for r in read_delta(spark, t).collect()} == {1, 2}

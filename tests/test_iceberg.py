@@ -1832,3 +1832,50 @@ def test_iceberg_partitions_delete_debt(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["equality_delete_record_count"] == 2
     assert rows[0]["record_count"] == 4  # physical rows pre-merge
+
+
+def test_sync_delta_one_copy_two_protocols(spark, tmp_path):
+    """sync_delta (UniForm reversed): a Delta log generated over an
+    identity-partitioned Iceberg table — absolute foreign adds,
+    partition values log-attached — reads identically through BOTH
+    protocols; a refresh after an Iceberg rewrite diffs removes/adds."""
+    from sling_cli_spark.sources.delta_py import read_delta
+    from sling_cli_spark.sources.iceberg_py import (
+        delete_missing_iceberg, read_iceberg, sync_delta, write_iceberg)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(10)],
+        "id long, grp string, x double")
+    write_iceberg(df.repartition("grp"), t, partition_by=["grp"])
+    v = sync_delta(t)
+    assert v == 0
+    ice = {(r["id"], r["grp"], r["x"])
+           for r in read_iceberg(spark, t).collect()}
+    dlt = {(r["id"], r["grp"], r["x"])
+           for r in read_delta(spark, t).collect()}
+    assert dlt == ice and len(dlt) == 10
+
+    # iceberg evolves: CoW delete rewrites files; refresh diffs the log
+    delete_missing_iceberg(
+        spark, t, spark.createDataFrame(
+            [(i,) for i in range(6)], "id long"), "id")
+    v2 = sync_delta(t)
+    assert v2 == 1
+    dlt2 = {r["id"] for r in read_delta(spark, t).collect()}
+    assert dlt2 == {0, 1, 2, 3, 4, 5}
+    # idempotent: nothing changed -> no empty commit
+    assert sync_delta(t) == 1
+
+
+def test_sync_delta_refuses_mor_debt(spark, tmp_path):
+    from sling_cli_spark.sources.iceberg_py import (
+        UnsupportedTableFeature, sync_delta, upsert_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame(
+        [(1, "x")], "id long, v string"), t)
+    upsert_iceberg(spark, t, spark.createDataFrame(
+        [(1, "x2")], "id long, v string"), "id")
+    with pytest.raises(UnsupportedTableFeature, match="delete"):
+        sync_delta(t)
