@@ -182,10 +182,23 @@ class _DeltaStreamReader(DataSourceStreamReader):
 
 
 class _SinkMsg(WriterCommitMessage):
-    def __init__(self, rel: str | None, size: int, n: int):
+    """``files`` (partitioned writes: one task stages one file per
+    partition value it held) supersedes the single-file fields; the
+    scalar form survives for unpartitioned writes and old tests."""
+
+    def __init__(self, rel: str | None, size: int, n: int, files=None):
         self.rel = rel
         self.size = size
         self.n = n
+        self.files = files  # [{rel, size, n, partitionValues}]
+
+    def file_entries(self):
+        if self.files is not None:
+            return self.files
+        if not self.rel:
+            return []
+        return [{"rel": self.rel, "size": self.size, "n": self.n,
+                 "partitionValues": {}}]
 
 
 class _SchemaShim:
@@ -230,17 +243,32 @@ class _DeltaStreamWriter(DataSourceStreamWriter):
             raise ValueError(
                 f"delta_stream sink: unsupported column types on {bad} "
                 f"(supported: {sorted(_SINK_SIMPLE)})")
+        self._part_cols: list[str] = list(options.get("partitionby",
+                                          options.get("partitionBy",
+                                                      "")).split(","))
+        self._part_cols = [c for c in self._part_cols if c]
         try:
             meta, _ = replay_log(self._path)
         except FileNotFoundError:
             meta = None
         if meta is not None:
-            if meta.get("partitionColumns"):
+            # the recorded layout wins — a partitionBy option that
+            # disagrees is a config error, not a re-layout
+            recorded = list(meta.get("partitionColumns") or [])
+            if self._part_cols and self._part_cols != recorded:
                 raise ValueError(
-                    "delta_stream sink: partitioned targets are not "
-                    "supported")
+                    f"delta_stream sink: partitionBy={self._part_cols} "
+                    f"!= the table's recorded layout {recorded}")
+            self._part_cols = recorded
             from sling_cli_spark.sources.delta_py import (
-                _generation_exprs, _identity_fields, _schema_has_invariants)
+                _column_mapping_mode, _generation_exprs, _identity_fields,
+                _schema_has_invariants)
+
+            if _column_mapping_mode(meta) != "none":
+                raise ValueError(
+                    "delta_stream sink: column-mapped targets need "
+                    "physical-name staging this sink does not do — "
+                    "use foreachBatch + write_delta")
 
             conf = meta.get("configuration") or {}
             declared = [k for k in conf if k.startswith(
@@ -252,29 +280,60 @@ class _DeltaStreamWriter(DataSourceStreamWriter):
                     "contracts (CHECK constraints, invariants, "
                     "generated or identity columns) this sink does "
                     "not evaluate — use foreachBatch + write_delta")
+        missing = [c for c in self._part_cols
+                   if c not in {f.name for f in schema.fields}]
+        if missing:
+            raise ValueError(
+                f"delta_stream sink: partition columns {missing} not in "
+                f"the stream schema")
 
     def write(self, iterator):
         import os as _os
         import uuid as _uuid
+        from urllib.parse import quote
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from sling_cli_spark import fsio
+        from sling_cli_spark.sources.delta_py import hive_partition_str
+
         rows = [r.asDict(recursive=True) for r in iterator]
         if not rows:
             return _SinkMsg(None, 0, 0)
+        base = fsio.local_path(self._path)
+        pc = self._part_cols
         aschema = pa.schema([
             (f.name, _arrow_type(f.dataType.typeName()))
-            for f in self._schema.fields])
-        tbl = pa.Table.from_pylist(rows, schema=aschema)
-        from sling_cli_spark import fsio
-
-        base = fsio.local_path(self._path)
-        _os.makedirs(base, exist_ok=True)
-        rel = f"part-{_uuid.uuid4().hex}.snappy.parquet"
-        dest = _os.path.join(base, rel)
-        pq.write_table(tbl, dest, compression="snappy")
-        return _SinkMsg(rel, _os.path.getsize(dest), len(rows))
+            for f in self._schema.fields if f.name not in pc])
+        # one file per partition value this task held (the Hive dir is
+        # over-escaped vs Spark's escapePathName — both unescape %hh, so
+        # a stricter writer is still a compatible reader)
+        groups: dict[tuple, list[dict]] = {}
+        for r in rows:
+            groups.setdefault(tuple(r[c] for c in pc), []).append(r)
+        files = []
+        for key, grp in groups.items():
+            pv = {c: (None if v is None else hive_partition_str(v))
+                  for c, v in zip(pc, key)}
+            if any(v is None for v in pv.values()):
+                raise ValueError(
+                    "delta_stream sink: NULL partition values are not "
+                    "supported")
+            subdir = "/".join(
+                f"{c}={quote(pv[c], safe='')}" for c in pc)
+            ddir = _os.path.join(base, subdir) if subdir else base
+            _os.makedirs(ddir, exist_ok=True)
+            rel = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+            rel = f"{subdir}/{rel}" if subdir else rel
+            dest = _os.path.join(base, rel)
+            tbl = pa.Table.from_pylist(
+                [{k: v for k, v in r.items() if k not in pc}
+                 for r in grp], schema=aschema)
+            pq.write_table(tbl, dest, compression="snappy")
+            files.append({"rel": rel, "size": _os.path.getsize(dest),
+                          "n": len(grp), "partitionValues": pv})
+        return _SinkMsg(None, 0, 0, files=files)
 
     def _cleanup(self, messages):
         import os as _os
@@ -283,8 +342,10 @@ class _DeltaStreamWriter(DataSourceStreamWriter):
 
         base = fsio.local_path(self._path)
         for m in messages:
-            if m is not None and getattr(m, "rel", None):
-                p = _os.path.join(base, m.rel)
+            if m is None:
+                continue
+            for f in m.file_entries():
+                p = _os.path.join(base, f["rel"])
                 if _os.path.exists(p):
                     _os.remove(p)
 
@@ -300,22 +361,25 @@ class _DeltaStreamWriter(DataSourceStreamWriter):
         if seen is not None and seen >= batchId:
             self._cleanup(messages)  # engine re-ran a committed batch
             return
-        msgs = [m for m in messages if m is not None and m.rel]
+        entries = [f for m in messages if m is not None
+                   for f in m.file_entries()]
         now = int(_time.time() * 1000)
         version = latest_version(self._path) + 1
         shim = _SchemaShim(self._schema)
         actions: list[dict] = []
         wprot: dict = {}
         if version == 0:
-            actions += _first_commit_actions(shim)
+            actions += _first_commit_actions(shim, self._part_cols)
         else:
             wprot = check_writer_protocol(self._path)
             meta, _ = replay_log(self._path)
             actions += _evolve_schema_actions(shim, meta)
         adds = [{"add": {
-            "path": m.rel, "size": m.size, "partitionValues": {},
+            "path": f["rel"], "size": f["size"],
+            "partitionValues": f.get("partitionValues") or {},
             "modificationTime": now, "dataChange": True,
-            "stats": json.dumps({"numRecords": m.n})}} for m in msgs]
+            "stats": json.dumps({"numRecords": f["n"]})}}
+            for f in entries]
         actions += adds
         actions.append({"txn": {
             "appId": self._app, "version": int(batchId),

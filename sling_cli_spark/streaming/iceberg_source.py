@@ -225,11 +225,24 @@ class _IceStreamReader(DataSourceStreamReader):
 
 
 class _IceSinkMsg(WriterCommitMessage):
-    def __init__(self, rel, size, n, bounds):
+    """``files`` (partitioned writes: one task stages one file per
+    partition value it held) supersedes the single-file fields; the
+    scalar form survives for unpartitioned writes and old tests."""
+
+    def __init__(self, rel, size, n, bounds, files=None):
         self.rel = rel
         self.size = size
         self.n = n
         self.bounds = bounds  # {col: (min_py, max_py)}
+        self.files = files  # [{rel, size, n, bounds, partition}]
+
+    def file_entries(self):
+        if self.files is not None:
+            return self.files
+        if not self.rel:
+            return []
+        return [{"rel": self.rel, "size": self.size, "n": self.n,
+                 "bounds": self.bounds, "partition": None}]
 
 
 class _SchemaShim:
@@ -260,67 +273,110 @@ class _IceStreamWriter(DataSourceStreamWriter):
             raise ValueError(
                 f"iceberg_stream sink: unsupported column types on {bad} "
                 f"(supported: {sorted(_SINK_SIMPLE)})")
+        self._part_cols: list[str] = [
+            c for c in options.get("partitionby",
+                                   options.get("partitionBy", "")).split(",")
+            if c]
         if is_iceberg_table(self._path):
+            from sling_cli_spark.sources.iceberg_py import (
+                _identity_part_cols, _spark_schema)
+
             _, meta = _current_metadata(self._path)
             if meta.get("format-version", 1) < 2:
                 raise ValueError(
                     "iceberg_stream sink: v1 targets are not supported "
                     "(no sequence numbers)")
-            if _part_cols(meta):
+            recorded = _part_cols(meta)
+            if set(recorded) - _identity_part_cols(meta):
                 raise ValueError(
-                    "iceberg_stream sink: partitioned targets are not "
-                    "supported — use foreachBatch + write_iceberg")
-            from sling_cli_spark.sources.iceberg_py import _spark_schema
-
+                    "iceberg_stream sink: transform partition layouts "
+                    "are not supported — use foreachBatch")
+            if self._part_cols and self._part_cols != recorded:
+                raise ValueError(
+                    f"iceberg_stream sink: partitionBy={self._part_cols} "
+                    f"!= the table's recorded layout {recorded}")
+            self._part_cols = recorded
             cur = [f.name for f in _spark_schema(meta).fields]
             if [f.name for f in schema.fields] != cur:
                 raise ValueError(
                     f"iceberg_stream sink: stream columns "
                     f"{[f.name for f in schema.fields]} != table columns "
                     f"{cur} — evolve via foreachBatch + write_iceberg")
+        missing = [c for c in self._part_cols
+                   if c not in {f.name for f in schema.fields}]
+        if missing:
+            raise ValueError(
+                f"iceberg_stream sink: partition columns {missing} not "
+                f"in the stream schema")
 
     def write(self, iterator):
         import uuid as _uuid
+        from urllib.parse import quote
 
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         from sling_cli_spark import fsio
+        from sling_cli_spark.sources.delta_py import hive_partition_str
 
         rows = [r.asDict(recursive=True) for r in iterator]
         if not rows:
             return _IceSinkMsg(None, 0, 0, {})
+        base = os.path.join(fsio.local_path(self._path), "data")
+        pc_cols = self._part_cols
         aschema = pa.schema([
             (f.name, _arrow_type(f.dataType.typeName()))
-            for f in self._schema.fields])
-        tbl = pa.Table.from_pylist(rows, schema=aschema)
-        base = os.path.join(fsio.local_path(self._path), "data")
-        os.makedirs(base, exist_ok=True)
-        rel = f"{_uuid.uuid4().hex}.parquet"
-        dest = os.path.join(base, rel)
-        pq.write_table(tbl, dest, compression="snappy")
-        bounds = {}
-        for f in self._schema.fields:
-            if f.dataType.typeName() not in _SPARK_TO_BOUND:
-                continue
-            col = tbl.column(f.name)
-            if col.null_count == len(col):
-                continue
-            try:
-                mm = pc.min_max(col)
-                bounds[f.name] = (mm["min"].as_py(), mm["max"].as_py())
-            except Exception:
-                pass
-        return _IceSinkMsg(rel, os.path.getsize(dest), len(rows), bounds)
+            for f in self._schema.fields if f.name not in pc_cols])
+        groups: dict[tuple, list[dict]] = {}
+        for r in rows:
+            groups.setdefault(
+                tuple(r[c] for c in pc_cols), []).append(r)
+        files = []
+        for key, grp in groups.items():
+            if any(v is None for v in key):
+                raise ValueError(
+                    "iceberg_stream sink: NULL partition values are "
+                    "not supported")
+            pv = {c: hive_partition_str(v) for c, v in zip(pc_cols, key)}
+            subdir = "/".join(
+                f"{c}={quote(pv[c], safe='')}" for c in pc_cols)
+            ddir = os.path.join(base, subdir) if subdir else base
+            os.makedirs(ddir, exist_ok=True)
+            rel = f"{_uuid.uuid4().hex}.parquet"
+            rel = f"{subdir}/{rel}" if subdir else rel
+            dest = os.path.join(base, rel)
+            tbl = pa.Table.from_pylist(
+                [{k: v for k, v in r.items() if k not in pc_cols}
+                 for r in grp], schema=aschema)
+            pq.write_table(tbl, dest, compression="snappy")
+            bounds = {}
+            for f in self._schema.fields:
+                if f.name in pc_cols \
+                        or f.dataType.typeName() not in _SPARK_TO_BOUND:
+                    continue
+                col = tbl.column(f.name)
+                if col.null_count == len(col):
+                    continue
+                try:
+                    mm = pc.min_max(col)
+                    bounds[f.name] = (mm["min"].as_py(), mm["max"].as_py())
+                except Exception:
+                    pass
+            files.append({"rel": rel, "size": os.path.getsize(dest),
+                          "n": len(grp), "bounds": bounds,
+                          "partition": pv or None})
+        return _IceSinkMsg(None, 0, 0, {}, files=files)
 
     def _cleanup(self, messages):
         from sling_cli_spark import fsio
 
         base = os.path.join(fsio.local_path(self._path), "data")
         for m in messages:
-            if m is not None and getattr(m, "rel", None):
-                p = os.path.join(base, m.rel)
+            if m is None:
+                continue
+            for f in m.file_entries():
+                p = os.path.join(base, f["rel"])
                 if os.path.exists(p):
                     os.remove(p)
 
@@ -341,7 +397,8 @@ class _IceStreamWriter(DataSourceStreamWriter):
             _absolute, _active_entries, _commit_snapshot, _current_schema,
             _encode_bound, _init_meta, is_iceberg_table)
 
-        msgs = [m for m in messages if m is not None and m.rel]
+        entries = [f for m in messages if m is not None
+                   for f in m.file_entries()]
         shim = _SchemaShim(self._schema)
         for _attempt in range(10):
             if is_iceberg_table(self._path):
@@ -351,7 +408,8 @@ class _IceStreamWriter(DataSourceStreamWriter):
                 _, meta = _current_metadata(self._path)
                 carried, pos, eq = _active_entries(self._path, meta, None)
             else:
-                meta = _init_meta(shim, self._path, format_version=2)
+                meta = _init_meta(shim, self._path, self._part_cols,
+                                  format_version=2)
                 carried, pos, eq = [], [], []
             seen = self._committed_batch(meta)
             if seen is not None and seen >= batchId:
@@ -362,9 +420,9 @@ class _IceStreamWriter(DataSourceStreamWriter):
                           "fields", [])
                       if isinstance(f.get("type"), str)}
             staged = []
-            for m in msgs:
+            for f in entries:
                 lo, hi = {}, {}
-                for col, (mn, mx) in (m.bounds or {}).items():
+                for col, (mn, mx) in (f.get("bounds") or {}).items():
                     fid, t = fid_of.get(col, (None, None))
                     if fid is None:
                         continue
@@ -376,11 +434,11 @@ class _IceStreamWriter(DataSourceStreamWriter):
                         lo[fid], hi[fid] = lb, ub
                 staged.append({
                     "file_path": _absolute(
-                        fsio.join(self._path, "data", m.rel)),
+                        fsio.join(self._path, "data", f["rel"])),
                     "file_format": "PARQUET",
-                    "record_count": m.n,
-                    "file_size_in_bytes": m.size,
-                    "partition": None,
+                    "record_count": f["n"],
+                    "file_size_in_bytes": f["size"],
+                    "partition": f.get("partition"),
                     "lower_bounds": lo or None,
                     "upper_bounds": hi or None,
                 })

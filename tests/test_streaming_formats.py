@@ -637,8 +637,11 @@ def test_iceberg_stream_guards(spark, tmp_path):
         [(1, "a", 10)], "id long, v string, grp long"), tp,
         partition_by=["grp"])
     sch = spark.createDataFrame([], "id long, v string, grp long").schema
-    with _pytest.raises(ValueError, match="partitioned"):
-        _IceStreamWriter({"path": tp}, sch)
+    # partitioned targets are SUPPORTED (r8): the writer adopts the
+    # recorded layout; only a disagreeing partitionBy refuses
+    assert _IceStreamWriter({"path": tp}, sch)._part_cols == ["grp"]
+    with _pytest.raises(ValueError, match="recorded layout"):
+        _IceStreamWriter({"path": tp, "partitionby": "id"}, sch)
 
     t2 = str(tmp_path / "drift")
     write_iceberg(spark.createDataFrame(
@@ -647,3 +650,66 @@ def test_iceberg_stream_guards(spark, tmp_path):
         _IceStreamWriter(
             {"path": t2},
             spark.createDataFrame([], "id long, other string").schema)
+
+
+def test_delta_stream_sink_partitioned(spark, tmp_path):
+    """Partitioned streaming Delta sink: one file per partition value
+    per task, Hive dirs + add.partitionValues, layout recorded at
+    first commit; the batch reader restores partition columns."""
+    from sling_cli_spark.sources.delta_py import (
+        read_delta, replay_log, write_delta)
+    from sling_cli_spark.streaming.delta_source import (
+        register_delta_stream)
+
+    register_delta_stream(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    write_delta(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 10)],
+        "id long, v string, grp long").coalesce(1), src)
+    (spark.readStream.format("delta_stream").option("path", src).load()
+     .writeStream.format("delta_stream").option("path", dst)
+     .option("partitionBy", "grp")
+     .option("checkpointLocation", ck)
+     .trigger(availableNow=True).start().awaitTermination())
+    meta, files = replay_log(dst)
+    assert meta["partitionColumns"] == ["grp"]
+    assert all(a["partitionValues"].get("grp") in ("10", "20")
+               for a in files.values())
+    assert all(rel.startswith("grp=") for rel in files)
+    got = {r["id"]: r["grp"] for r in read_delta(spark, dst).collect()}
+    assert got == {1: 10, 2: 20, 3: 10}
+
+
+def test_iceberg_stream_sink_partitioned(spark, tmp_path):
+    """Partitioned streaming Iceberg sink: identity layout under
+    data/, manifest entries carry the partition tuple, reads restore
+    the column; a mismatched partitionBy refuses."""
+    import pytest as _pytest
+
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, read_iceberg, write_iceberg)
+    from sling_cli_spark.streaming.iceberg_source import (
+        _IceStreamWriter, register_iceberg_stream)
+
+    register_iceberg_stream(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 10)],
+        "id long, v string, grp long").coalesce(1), src)
+    (spark.readStream.format("iceberg_stream").option("path", src).load()
+     .writeStream.format("iceberg_stream").option("path", dst)
+     .option("partitionBy", "grp")
+     .option("checkpointLocation", ck)
+     .trigger(availableNow=True).start().awaitTermination())
+    _, meta = _current_metadata(dst)
+    files, _, _ = _active_entries(dst, meta, None)
+    assert {f["partition"]["grp"] for f in files} == {"10", "20"}
+    got = {r["id"]: r["grp"] for r in read_iceberg(spark, dst).collect()}
+    assert got == {1: 10, 2: 20, 3: 10}
+    sch = spark.createDataFrame([], "id long, v string, grp long").schema
+    with _pytest.raises(ValueError, match="recorded layout"):
+        _IceStreamWriter({"path": dst, "partitionby": "id"}, sch)
