@@ -2089,6 +2089,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type", "n_events")
 
     # --- validation / profiling -----------------------------------------
+    def percentile_orders(spark, sf):
+        """Exact-percentile distribution profiling (profile.
+        percentile_stat, round 8): min / p25 / p50 / p75 / p95 / max
+        for two orders columns in ONE aggregate pass. Order statistics,
+        not moments — deterministic under any partitioning, so the
+        DuckDB quantile_cont twin (same linear interpolation between
+        closest ranks) hash-matches to the bit."""
+        from sling_cli_spark.operators.profile import percentile_stat
+
+        return percentile_stat(
+            _t(spark, sf, "orders"), ["o_totalprice", "o_custkey"])
+
     def checksum_lineitem(spark, sf):
         return checksum_df(_t(spark, sf, "lineitem"))
 
@@ -2816,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_agg_events": window_agg_events,
         "row_num_events": row_num_events,
         "flatten_json_extract": flatten_json_extract,
+        "percentile_orders": percentile_orders,
         "checksum_lineitem": checksum_lineitem,
         "field_stat_orders": field_stat_orders,
         "field_stat_deep_li": field_stat_deep_li,
@@ -2917,7 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_foreachbatch_merge", "stream_sessionize_events",
         "iceberg_eq_upsert", "delta_rename_evolution", "ann_pq_topk",
         "iceberg_partitions_meta", "iceberg_delta_sync",
-        "stream_window_watermark_events",
+        "stream_window_watermark_events", "percentile_orders",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
         "column_typing_clamp", "constraint_dsl_filter", "row_constraints",
@@ -3919,6 +3932,20 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(session_id) as BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "percentile_orders": """
+            SELECT 'o_totalprice' AS field, 0.25 AS prob, quantile_cont(o_totalprice::DOUBLE, 0.25) AS value FROM orders
+            UNION ALL SELECT 'o_totalprice' AS field, 0.5 AS prob, quantile_cont(o_totalprice::DOUBLE, 0.5) AS value FROM orders
+            UNION ALL SELECT 'o_totalprice' AS field, 0.75 AS prob, quantile_cont(o_totalprice::DOUBLE, 0.75) AS value FROM orders
+            UNION ALL SELECT 'o_totalprice' AS field, 0.95 AS prob, quantile_cont(o_totalprice::DOUBLE, 0.95) AS value FROM orders
+            UNION ALL SELECT 'o_totalprice', 0.0, min(o_totalprice::DOUBLE) FROM orders
+            UNION ALL SELECT 'o_totalprice', 1.0, max(o_totalprice::DOUBLE) FROM orders
+            UNION ALL SELECT 'o_custkey' AS field, 0.25 AS prob, quantile_cont(o_custkey::DOUBLE, 0.25) AS value FROM orders
+            UNION ALL SELECT 'o_custkey' AS field, 0.5 AS prob, quantile_cont(o_custkey::DOUBLE, 0.5) AS value FROM orders
+            UNION ALL SELECT 'o_custkey' AS field, 0.75 AS prob, quantile_cont(o_custkey::DOUBLE, 0.75) AS value FROM orders
+            UNION ALL SELECT 'o_custkey' AS field, 0.95 AS prob, quantile_cont(o_custkey::DOUBLE, 0.95) AS value FROM orders
+            UNION ALL SELECT 'o_custkey', 0.0, min(o_custkey::DOUBLE) FROM orders
+            UNION ALL SELECT 'o_custkey', 1.0, max(o_custkey::DOUBLE) FROM orders
         """,
         "checksum_lineitem": """
             SELECT count(*) AS _row_count,

@@ -61,6 +61,39 @@ def field_stat(
     )
 
 
+def percentile_stat(
+    df: DataFrame, fields: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Order statistics per numeric column — min / exact percentiles /
+    max — in ONE aggregate pass (the profiling suite's distribution
+    view; reference surface: base.yaml field_stat_deep's min/max).
+    Exact ``percentile`` (linear interpolation between closest ranks)
+    rather than mean/stddev: order statistics are DETERMINISTIC under
+    any partitioning, while a float mean's partial-sum order is not —
+    the wrong default for a correctness-gated profiler. At scale the
+    percentiles are one sort-based aggregate; swap
+    ``F.percentile_approx`` in via ``approx=True``-style callers when
+    several table scans matter more than exactness."""
+    aggs = []
+    for f in fields:
+        c = F.col(f"`{f}`").cast("double")
+        aggs += [F.min(c).alias(f"__mn_{f}"),
+                 F.max(c).alias(f"__mx_{f}"),
+                 F.percentile(c, F.array(
+                     *[F.lit(p) for p in probs])).alias(f"__pc_{f}")]
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for f in fields:
+        pcs = row[f"__pc_{f}"] or [None] * len(probs)
+        for p, v in zip(probs, pcs):
+            out.append((f, float(p), v))
+        out.append((f, 0.0, row[f"__mn_{f}"]))
+        out.append((f, 1.0, row[f"__mx_{f}"]))
+    return df.sparkSession.createDataFrame(
+        out, "field string, prob double, value double")
+
+
 def distro_field(df: DataFrame, field: str, top_k: int = 20) -> DataFrame:
     """Top-k value distribution with percentage (base.yaml distro_field).
 

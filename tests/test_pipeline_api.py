@@ -333,3 +333,16 @@ def test_distro_field_date_wide(spark):
         == (2, 40.0, 10.0, 30.0)
     assert rows[(2024, 3)]["cnt"] == 1
     assert r["date_field"] == "d"
+
+
+def test_percentile_stat_exact_order_statistics(spark):
+    from sling_cli_spark.operators.profile import percentile_stat
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "x double")
+    out = {(r["field"], r["prob"]): r["value"]
+           for r in percentile_stat(df, ["x"]).collect()}
+    assert out[("x", 0.0)] == 1.0 and out[("x", 1.0)] == 100.0
+    assert out[("x", 0.5)] == 50.5  # linear interpolation, exact
+    assert out[("x", 0.25)] == 25.75
+    assert len(out) == 6
