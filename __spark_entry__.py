@@ -2739,6 +2739,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pq_topk(emb, q, k=10, m=4, ksub=8) \
             .select("query_id", "vec_id")
 
+    def ann_pq_refine(spark, sf):
+        """IVF-PQ re-ranking refinement (similarity.pq_topk
+        refine=50, round 8): the ADC top-50 candidates per query —
+        quantized scores, zero vector reads — re-score by EXACT cosine
+        via one broadcast semi-join back into the corpus (nq*50 rows,
+        never the full scan), exact top-10 out. The oracle replays the
+        identical two-stage ranking with literal codebooks."""
+        from sling_cli_spark.operators.similarity import pq_topk
+        emb = _t(spark, sf, "embeddings")
+        q = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return pq_topk(emb, q, k=10, m=4, ksub=8, refine=50) \
+            .select("query_id", "vec_id")
+
     def embedding_near_dup(spark, sf):
         emb = _t(spark, sf, "embeddings")
         return pairwise_within_label(emb, threshold=0.9) \
@@ -2866,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_pq_topk": ann_pq_topk,
+        "ann_pq_refine": ann_pq_refine,
         "ann_topk": ann_topk,
         "embedding_near_dup": embedding_near_dup,
         "semdedup_docs": semdedup_docs,
@@ -2931,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_eq_upsert", "delta_rename_evolution", "ann_pq_topk",
         "iceberg_partitions_meta", "iceberg_delta_sync",
         "stream_window_watermark_events", "percentile_orders",
+        "ann_pq_refine",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
         "column_typing_clamp", "constraint_dsl_filter", "row_constraints",
@@ -3242,7 +3258,7 @@ def _ann_ivf_oracle() -> str:
     """
 
 
-def _ann_pq_oracle() -> str:
+def _ann_pq_oracle(refine: int | None = None) -> str:
     """DuckDB twin of pq_topk(k=10, m=4, ksub=8): retrain the
     bit-identical per-subspace L2 codebooks from the raw parquet
     (:func:`similarity.kmeans_l2_np`, seed 13+s), embed every centroid
@@ -3284,7 +3300,7 @@ def _ann_pq_oracle() -> str:
                 f"list_dot_product({sub[s]}, {arr(cs[j])})"
                 for j in range(ksub)) + f"] AS l{s}")
     score = " + ".join(f"q.l{s}[e.c{s} + 1]" for s in range(m))
-    return f"""
+    prefix = f"""
         WITH c AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ), d AS (
@@ -3297,12 +3313,28 @@ def _ann_pq_oracle() -> str:
         ), scored AS (
             SELECT q.query_id, e.vec_id, {score} AS s
             FROM enc e CROSS JOIN q
-        )
+        ), adc AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, vec_id) AS rn
+                FROM scored) WHERE rn <= {{adc_k}}
+        )"""
+    if refine is None:
+        return prefix.format(adc_k=10) + " SELECT query_id, vec_id FROM adc"
+    # re-rank the ADC top-`refine` by exact cosine (the standard IVF-PQ
+    # refinement), exact top-10 of the candidate set
+    return prefix.format(adc_k=refine) + """
         SELECT query_id, vec_id FROM (
-            SELECT query_id, vec_id,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY s DESC, vec_id) AS rn
-            FROM scored) WHERE rn <= 10
+            SELECT a.query_id, a.vec_id,
+                   row_number() OVER (
+                       PARTITION BY a.query_id
+                       ORDER BY list_cosine_similarity(
+                           cv.v, qv.v) DESC, a.vec_id) AS rn
+            FROM adc a
+            JOIN c cv ON cv.vec_id = a.vec_id
+            JOIN c qv ON qv.vec_id = a.query_id)
+        WHERE rn <= 10
     """
 
 
@@ -4658,6 +4690,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey < 800
         """,
         "ann_pq_topk": _ann_pq_oracle(),
+        "ann_pq_refine": _ann_pq_oracle(refine=50),
         "semdedup_docs": _centroid_asn_cte(8) + """
             SELECT a.vec_id, CAST(a.cl AS INTEGER) AS cluster
             FROM asn a

@@ -447,6 +447,7 @@ def pq_topk(
     vec_col: str = "embedding", id_col: str = "vec_id",
     query_id_col: str = "query_id",
     m: int = 4, ksub: int = 8, codebooks=None,
+    refine: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al., "Product Quantization
     for Nearest Neighbor Search", TPAMI 2011) for max-inner-product:
@@ -458,7 +459,14 @@ def pq_topk(
     scan side never touches floats again, so at 100 TB the scoring
     pass reads m ints per row instead of the full vector. Exactness is
     traded for compression (scores are quantized); brute_force_topk is
-    the recall baseline."""
+    the recall baseline.
+
+    ``refine`` (the standard IVF-PQ re-ranking step): take the ADC
+    top-``refine`` candidates per query, re-score ONLY those against
+    the true vectors (exact cosine — one broadcast semi-join back
+    into the corpus, nq*refine rows, never the full scan), return the
+    exact top-k. Buys back quantization error at the cost of reading
+    nq*refine real vectors instead of zero."""
     if codebooks is None:
         codebooks = pq_codebooks(corpus, vec_col, m=m, ksub=ksub)
     codes = corpus.select(
@@ -474,8 +482,23 @@ def pq_topk(
             F.lit(0.0), lambda acc, x: acc + x))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col))
-    return (
+    adc = (
         scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= (refine or k))
+        .select(query_id_col, id_col, "score")
+    )
+    if refine is None:
+        return adc
+    cands = F.broadcast(adc.select(query_id_col, id_col))
+    qv = F.broadcast(
+        queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("__qv")))
+    exact = (corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+             .join(cands, on=id_col)
+             .join(qv, on=query_id_col)
+             .withColumn("score", cosine(F.col("__cv"), F.col("__qv"))))
+    return (
+        exact.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select(query_id_col, id_col, "score")
     )

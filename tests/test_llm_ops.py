@@ -410,3 +410,26 @@ def test_pq_codebooks_deterministic_and_shaped(spark):
         again = kmeans_l2_np(X[:, s * 16:(s + 1) * 16],
                              n_clusters=8, seed=13 + s)
         assert (cbs[s] == again).all()
+
+
+def test_pq_refine_restores_exact_ranking(spark):
+    """ADC quantization error is bought back by the refine step: the
+    refined top-k equals brute force's when refine covers the corpus."""
+    import numpy as np
+
+    from sling_cli_spark.operators.similarity import (
+        brute_force_topk, pq_topk)
+
+    rng = np.random.RandomState(7)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in
+                                     rng.normal(0, 1, 16)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows)
+    q = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    refined = {(r["query_id"], r["vec_id"])
+               for r in pq_topk(emb, q, k=5, m=4, ksub=8,
+                                refine=60).collect()}
+    assert refined == exact
