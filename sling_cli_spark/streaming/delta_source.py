@@ -104,20 +104,42 @@ class _DeltaStreamReader(DataSourceStreamReader):
         ).lower() == "true"
         self._starting = int(options.get("startingversion",
                                          options.get("startingVersion", 0)))
+        # admission control: at most N table versions per micro-batch,
+        # so a source that BURSTS (a backfill writer, a compactor
+        # replaying history) cannot make one trigger the whole backlog
+        # — state, shuffle and retry unit all scale with it. The Python
+        # DataSource API has no ReadLimit channel and the engine fixes
+        # a stream's FIRST range before consulting initialOffset, so
+        # the cap binds from the second trigger of a reader instance
+        # (batch 0 of a fresh start or restart is uncapped); the anchor
+        # only moves forward (engine-logged offsets never regress).
+        self._max_versions = int(
+            options.get("maxversionspertrigger",
+                        options.get("maxVersionsPerTrigger", 0))) or None
+        self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
+        if self._last_end is None:
+            self._last_end = self._starting - 1
         return {"version": self._starting - 1}
 
     def latestOffset(self) -> dict:
         from sling_cli_spark.sources.delta_py import latest_version
 
-        return {"version": latest_version(self._path)}
+        head = latest_version(self._path)
+        if self._max_versions and self._last_end is not None:
+            # never return less than the anchor — a capped value below
+            # an engine-logged offset would regress the checkpoint
+            head = max(min(head, self._last_end + self._max_versions),
+                       self._last_end)
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict):
         from sling_cli_spark import fsio
         from sling_cli_spark.sources.delta_py import (
             _add_uri, _list_versions, _log_path, replay_log)
 
+        self._last_end = end["version"]
         meta, _ = replay_log(self._path)
         schema_json = meta["schemaString"]
         fields = {f["name"]: f for f in
@@ -178,7 +200,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
         yield from pa.table(dict(zip(names, cols))).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass
+        self._last_end = end["version"]
 
 
 class _SinkMsg(WriterCommitMessage):

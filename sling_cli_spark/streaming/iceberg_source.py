@@ -144,8 +144,22 @@ class _IceStreamReader(DataSourceStreamReader):
             options.get("ignorechanges",
                         options.get("ignoreChanges", "false"))
         ).lower() == "true"
+        # admission control: at most N snapshots per micro-batch (the
+        # delta source's maxVersionsPerTrigger, counted in snapshots
+        # because branch commits make sequence numbers non-contiguous
+        # on main). The Python DataSource API has no ReadLimit channel
+        # and the engine fixes a stream's FIRST range before consulting
+        # initialOffset, so the cap binds from the second trigger of a
+        # reader instance (batch 0 of a fresh start or restart is
+        # uncapped); the anchor only moves forward.
+        self._max_snapshots = int(
+            options.get("maxsnapshotspertrigger",
+                        options.get("maxSnapshotsPerTrigger", 0))) or None
+        self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
+        if self._last_end is None:
+            self._last_end = 0
         return {"seq": 0}
 
     def latestOffset(self) -> dict:
@@ -153,13 +167,25 @@ class _IceStreamReader(DataSourceStreamReader):
 
         _, meta = _current_metadata(self._path)
         chain = _main_chain(meta)
-        return {"seq": int(chain[-1].get("sequence-number") or 0)
-                if chain else 0}
+        if not chain:
+            return {"seq": 0}
+        head = int(chain[-1].get("sequence-number") or 0)
+        if self._max_snapshots and self._last_end is not None:
+            pending = [int(s.get("sequence-number") or 0) for s in chain
+                       if int(s.get("sequence-number") or 0)
+                       > self._last_end]
+            if pending:
+                # forward-only: a capped value below an engine-logged
+                # offset would regress the checkpoint
+                head = max(pending[:self._max_snapshots][-1],
+                           self._last_end)
+        return {"seq": head}
 
     def partitions(self, start: dict, end: dict):
         from sling_cli_spark.sources.iceberg_py import (
             _current_metadata, _spark_schema)
 
+        self._last_end = end["seq"]
         _, meta = _current_metadata(self._path)
         schema = _spark_schema(meta)
         schema_json = schema.json()
@@ -221,7 +247,7 @@ class _IceStreamReader(DataSourceStreamReader):
         yield from pa.table(dict(zip(names, cols))).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass
+        self._last_end = end["seq"]
 
 
 class _IceSinkMsg(WriterCommitMessage):

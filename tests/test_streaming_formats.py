@@ -713,3 +713,93 @@ def test_iceberg_stream_sink_partitioned(spark, tmp_path):
     sch = spark.createDataFrame([], "id long, v string, grp long").schema
     with _pytest.raises(ValueError, match="recorded layout"):
         _IceStreamWriter({"path": dst, "partitionby": "id"}, sch)
+
+
+def test_delta_stream_rate_limit_max_versions(spark, tmp_path):
+    """maxVersionsPerTrigger=1: a BURST of three source commits landing
+    mid-stream drains as THREE capped micro-batches (batch ids advance
+    one version at a time in the sink's SetTransaction), not one
+    backlog batch. Batch 0 is uncapped by API contract (the engine
+    fixes the first range before consulting initialOffset)."""
+    import time as _time
+
+    from sling_cli_spark.sources.delta_py import (
+        last_txn_version, read_delta, write_delta)
+    from sling_cli_spark.streaming.delta_source import (
+        register_delta_stream)
+
+    register_delta_stream(spark)
+    src, dst, ck = (str(tmp_path / d) for d in ("src", "dst", "ck"))
+    write_delta(spark.createDataFrame(
+        [(0, "v0")], "id long, v string").coalesce(1), src)
+    q = (spark.readStream.format("delta_stream").option("path", src)
+         .option("maxVersionsPerTrigger", "1").load()
+         .writeStream.format("delta_stream").option("path", dst)
+         .option("txnAppId", "rate-pipe")
+         .option("checkpointLocation", ck)
+         .trigger(processingTime="300 milliseconds").start())
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline \
+                and last_txn_version(dst, "rate-pipe") is None:
+            _time.sleep(0.2)  # batch 0 (uncapped) = version 0 only
+        assert last_txn_version(dst, "rate-pipe") == 0
+        for i in (1, 2, 3):  # the burst
+            write_delta(spark.createDataFrame(
+                [(i, f"v{i}")], "id long, v string").coalesce(1), src,
+                mode="append")
+        while _time.time() < deadline \
+                and last_txn_version(dst, "rate-pipe") != 3:
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    assert last_txn_version(dst, "rate-pipe") == 3, \
+        "3 burst versions at 1/trigger -> 3 more batches (ids 1..3)"
+    assert {r["id"] for r in read_delta(spark, dst).collect()} \
+        == {0, 1, 2, 3}
+
+
+def test_iceberg_stream_rate_limit_max_snapshots(spark, tmp_path):
+    import time as _time
+
+    from sling_cli_spark.sources.iceberg_py import (
+        _current_metadata, read_iceberg, write_iceberg)
+    from sling_cli_spark.streaming.iceberg_source import (
+        register_iceberg_stream)
+
+    def batches(path):
+        try:
+            _, meta = _current_metadata(path)
+        except Exception:
+            return set()
+        return {s["summary"].get("streaming-batch-id")
+                for s in meta["snapshots"]
+                if s["summary"].get("streaming-app-id") == "rate-ice"}
+
+    register_iceberg_stream(spark)
+    src, dst, ck = (str(tmp_path / d) for d in ("src", "dst", "ck"))
+    write_iceberg(spark.createDataFrame(
+        [(0, "v0")], "id long, v string").coalesce(1), src)
+    q = (spark.readStream.format("iceberg_stream").option("path", src)
+         .option("maxSnapshotsPerTrigger", "1").load()
+         .writeStream.format("iceberg_stream").option("path", dst)
+         .option("txnAppId", "rate-ice")
+         .option("checkpointLocation", ck)
+         .trigger(processingTime="300 milliseconds").start())
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline and not batches(dst):
+            _time.sleep(0.2)
+        assert batches(dst) == {"0"}
+        for i in (1, 2, 3):
+            write_iceberg(spark.createDataFrame(
+                [(i, f"v{i}")], "id long, v string").coalesce(1), src,
+                mode="append")
+        while _time.time() < deadline and "3" not in batches(dst):
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    assert batches(dst) == {"0", "1", "2", "3"}, \
+        "3 burst snapshots at 1/trigger -> 3 more batches"
+    assert {r["id"] for r in read_iceberg(spark, dst).collect()} \
+        == {0, 1, 2, 3}

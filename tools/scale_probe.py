@@ -25,7 +25,7 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PROBE_QUERIES = [
     "exact_dedup_docs", "minhash_dedup_docs", "jaccard_dedup_docs",
     "exact_substring_dedup_docs", "dedup_clusters_docs", "semdedup_docs",
-    "simhash_dedup_docs", "ann_topk",
+    "simhash_dedup_docs", "ann_topk", "ann_pq_topk", "ann_pq_refine",
 ]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events"]
