@@ -1414,6 +1414,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, t, starting_version=stats["version"]).select(
             "_change_type", "n_nationkey", "n_name")
 
+    def delta_cdf_stream(spark, sf):
+        """STREAMING change-data-feed source (delta_source round 8,
+        readChangeFeed=true — delta-spark's streaming table_changes):
+        nation lands as a CDF-enabled Delta table, a MERGE stages
+        update pre/post images + an insert under _change_data/, and
+        the stream drains every version's row changes availableNow —
+        the creating commit derives as inserts per the protocol, the
+        merge commit reads its cdc files verbatim (_change_type rides
+        IN the file). Hash-matches the full change history the batch
+        reader (and the SQL twin) produces."""
+        import tempfile
+        import uuid as _uuid
+
+        from sling_cli_spark.sources.delta_py import (
+            merge_delta, set_table_properties, write_delta)
+        from sling_cli_spark.streaming.delta_source import (
+            register_delta_stream)
+
+        register_delta_stream(spark)
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_cdfs_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        write_delta(n.coalesce(1), t)
+        set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
+        merge_delta(spark, t, n.filter("n_nationkey < 5")
+                    .withColumn("n_name", F.concat("n_name", F.lit("_u")))
+                    .unionByName(spark.createDataFrame(
+                        [(99, "NEWLAND")],
+                        "n_nationkey long, n_name string")),
+                    "n_nationkey")
+        qn = "cdfs_" + _uuid.uuid4().hex[:8]
+        (spark.readStream.format("delta_stream").option("path", t)
+         .option("readChangeFeed", "true").load()
+         .writeStream.format("memory").queryName(qn)
+         .trigger(availableNow=True).start().awaitTermination(300))
+        return spark.table(qn).select(
+            "_change_type", "n_nationkey", "n_name")
+
     def delta_id_mapping(spark, sf):
         """Read a foreign id-mapped Delta table (delta_py round 7):
         the parquet file's column NAMES (junk-*) match neither the
@@ -2807,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partitions_meta": iceberg_partitions_meta,
         "iceberg_delta_sync": iceberg_delta_sync,
         "stream_window_watermark_events": stream_window_watermark_events,
+        "delta_cdf_stream": delta_cdf_stream,
         "delta_rename_evolution": delta_rename_evolution,
         "delta_identity_generated": delta_identity_generated,
         "delta_zorder_skipping": delta_zorder_skipping,
@@ -2946,7 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_eq_upsert", "delta_rename_evolution", "ann_pq_topk",
         "iceberg_partitions_meta", "iceberg_delta_sync",
         "stream_window_watermark_events", "percentile_orders",
-        "ann_pq_refine",
+        "ann_pq_refine", "delta_cdf_stream",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
         "column_typing_clamp", "constraint_dsl_filter", "row_constraints",
@@ -3506,6 +3546,20 @@ def oracle_sql() -> dict[str, str]:
         "delta_change_feed": """
             SELECT 'update_preimage' AS _change_type,
                    CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+            FROM nation WHERE n_nationkey < 5
+            UNION ALL
+            SELECT 'update_postimage', CAST(n_nationkey AS BIGINT),
+                   n_name || '_u'
+            FROM nation WHERE n_nationkey < 5
+            UNION ALL
+            SELECT 'insert', CAST(99 AS BIGINT), 'NEWLAND'
+        """,
+        "delta_cdf_stream": """
+            SELECT 'insert' AS _change_type,
+                   CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+            FROM nation
+            UNION ALL
+            SELECT 'update_preimage', CAST(n_nationkey AS BIGINT), n_name
             FROM nation WHERE n_nationkey < 5
             UNION ALL
             SELECT 'update_postimage', CAST(n_nationkey AS BIGINT),

@@ -34,10 +34,15 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 class _FilePart(InputPartition):
-    def __init__(self, uri: str, schema_json: str, part_values: dict):
+    def __init__(self, uri: str, schema_json: str, part_values: dict,
+                 cdf: tuple | None = None):
         self.uri = uri
         self.schema_json = schema_json
         self.part_values = part_values or {}
+        # (change_type|None, commit_version, commit_ts) — change feed
+        # partitions; change_type None = the cdc file carries its own
+        # _change_type column (update pre/post images)
+        self.cdf = cdf
 
 
 def _arrow_type(spark_type: str):
@@ -86,9 +91,21 @@ class DeltaStreamSource(DataSource):
         if meta is None:
             raise FileNotFoundError(
                 f"not a delta table: {self.options['path']}")
-        return T.StructType.fromJson(json.loads(meta["schemaString"]))
+        base = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        if self._cdf():
+            return base.add("_change_type", "string") \
+                .add("_commit_version", "long") \
+                .add("_commit_timestamp", "long")
+        return base
+
+    def _cdf(self) -> bool:
+        return str(self.options.get(
+            "readchangefeed",
+            self.options.get("readChangeFeed", "false"))).lower() == "true"
 
     def streamReader(self, schema):
+        if self._cdf():
+            return _DeltaCdfStreamReader(self.options)
         return _DeltaStreamReader(self.options)
 
     def streamWriter(self, schema, overwrite):
@@ -197,10 +214,91 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 cols.append(tbl.column(name).combine_chunks())
             else:  # file predates an evolved column -> typed nulls
                 cols.append(pa.nulls(n, type=_arrow_type(typ)))
+        if partition.cdf is not None:
+            ct, cv, cts = partition.cdf
+            names.append("_change_type")
+            if ct is None:  # cdc file: pre/post images carry their own
+                cols.append(tbl.column("_change_type").combine_chunks()
+                            .cast(pa.string()))
+            else:
+                cols.append(pa.array([ct] * n, type=pa.string()))
+            names += ["_commit_version", "_commit_timestamp"]
+            cols.append(pa.array([cv] * n, type=pa.int64()))
+            cols.append(pa.array([cts] * n, type=pa.int64()))
         yield from pa.table(dict(zip(names, cols))).to_batches()
 
     def commit(self, end: dict) -> None:
         self._last_end = end["version"]
+
+
+class _DeltaCdfStreamReader(_DeltaStreamReader):
+    """``readChangeFeed=true``: micro-batches emit the versions' ROW
+    CHANGES instead of their table state — delta-spark's streaming
+    ``table_changes`` surface, same offsets/rate-limit as the plain
+    source. Commits carrying ``cdc`` actions read exactly those files
+    (update pre/post image fidelity, the _change_type column lives IN
+    the file); commits without them derive per the protocol —
+    dataChange adds are ``insert`` rows, dataChange removes are
+    ``delete`` rows read from the not-yet-vacuumed file. Destructive
+    commits are the POINT here, so nothing refuses; a derived commit
+    carrying a deletion vector (underivable) and column-mapped tables
+    do, exactly like the batch reader (delta_py.read_change_feed)."""
+
+    def partitions(self, start: dict, end: dict):
+        from sling_cli_spark import fsio
+        from sling_cli_spark.sources.delta_py import (
+            UnsupportedTableFeature, _add_uri, _column_mapping_mode,
+            _list_versions, _log_path, commit_timestamp_ms, replay_log)
+
+        self._last_end = end["version"]
+        meta, _ = replay_log(self._path)
+        if _column_mapping_mode(meta) != "none":
+            raise UnsupportedTableFeature(
+                f"delta_stream change feed on {self._path}: "
+                "column-mapped tables are not supported (physical-name "
+                "projection of change files is not implemented)")
+        schema_json = meta["schemaString"]
+        fields = {f["name"]: f for f in
+                  json.loads(schema_json).get("fields") or []}
+        part_cols = meta.get("partitionColumns") or []
+        fs = fsio.get_fs(self._path)
+        parts: list[_FilePart] = []
+        versions = [v for v in _list_versions(self._path, fs)
+                    if start["version"] < v <= end["version"]]
+        for v in versions:
+            ts = commit_timestamp_ms(self._path, v)
+            actions = [json.loads(ln) for ln in fs.read_bytes(
+                _log_path(self._path, v)).decode().splitlines()
+                if ln.strip()]
+
+            def emit(a: dict, ct: str | None):
+                pv = {c: (fields.get(c, {}).get("type", "string"),
+                          (a.get("partitionValues") or {}).get(c))
+                      for c in part_cols}
+                parts.append(_FilePart(
+                    _add_uri(self._path, a["path"]), schema_json, pv,
+                    cdf=(ct, v, ts)))
+
+            cdcs = [a["cdc"] for a in actions if "cdc" in a]
+            if cdcs:
+                for a in cdcs:
+                    emit(a, None)  # _change_type rides in the file
+                continue
+            adds = [a["add"] for a in actions
+                    if "add" in a and a["add"].get("dataChange")]
+            removes = [a["remove"] for a in actions
+                       if "remove" in a and a["remove"].get("dataChange")]
+            for a in adds + removes:
+                if a.get("deletionVector"):
+                    raise UnsupportedTableFeature(
+                        f"delta_stream change feed: commit {v} attaches "
+                        "a deletion vector without cdc files — "
+                        "underivable")
+            for a in adds:
+                emit(a, "insert")
+            for a in removes:
+                emit(a, "delete")
+        return parts
 
 
 class _SinkMsg(WriterCommitMessage):

@@ -803,3 +803,51 @@ def test_iceberg_stream_rate_limit_max_snapshots(spark, tmp_path):
         "3 burst snapshots at 1/trigger -> 3 more batches"
     assert {r["id"] for r in read_iceberg(spark, dst).collect()} \
         == {0, 1, 2, 3}
+
+
+def test_delta_stream_change_feed(spark, tmp_path):
+    """readChangeFeed=true streams row CHANGES: cdc-file commits emit
+    update pre/post images (the _change_type rides IN the file),
+    derived commits emit insert/delete rows; an incremental second
+    drain emits only the new commit's changes."""
+    from sling_cli_spark.sources.delta_py import (
+        delete_missing_delta, merge_delta, set_table_properties,
+        write_delta)
+    from sling_cli_spark.streaming.delta_source import (
+        register_delta_stream)
+
+    register_delta_stream(spark)
+    t, out, ck = (str(tmp_path / d) for d in ("t", "out", "ck"))
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")],
+        "id long, v string").coalesce(1), t)
+    set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
+    merge_delta(spark, t, spark.createDataFrame(
+        [(2, "b2"), (9, "new")], "id long, v string"), "id")
+
+    def drain():
+        (spark.readStream.format("delta_stream").option("path", t)
+         .option("readChangeFeed", "true").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start().awaitTermination())
+
+    drain()
+    got = {(r["_change_type"], r["id"], r["v"], r["_commit_version"])
+           for r in spark.read.parquet(out).collect()}
+    assert ("insert", 1, "a", 0) in got and ("insert", 3, "c", 0) in got
+    assert ("update_preimage", 2, "b", 2) in got
+    assert ("update_postimage", 2, "b2", 2) in got
+    assert ("insert", 9, "new", 2) in got
+
+    # a delete commits cdc files too (CDF table) — second drain emits
+    # ONLY the new version's changes
+    before = spark.read.parquet(out).count()
+    delete_missing_delta(spark, t, spark.createDataFrame(
+        [(2,), (9,)], "id long"), "id")
+    drain()
+    rows = spark.read.parquet(out).collect()
+    new = [(r["_change_type"], r["id"]) for r in rows
+           if r["_commit_version"] == 3]
+    assert len(rows) == before + len(new) and len(new) > 0
+    assert set(new) == {("delete", 1), ("delete", 3)}
