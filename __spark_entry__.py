@@ -1771,6 +1771,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return I.iceberg_changelog(spark, t, from_snapshot_id=s1).select(
             "_change_type", "n_nationkey", "n_name")
 
+    def iceberg_changelog_stream(spark, sf):
+        """STREAMING Iceberg changelog source (iceberg_source round 8,
+        readChangelog=true — the streaming twin of iceberg_changelog /
+        Spark-Iceberg's create_changelog_view): nation lands as one
+        snapshot, a CoW MERGE rewrites the touched file, and the
+        stream (startingSequence = the first snapshot's) derives the
+        diff from file turnover — the replaced file's rows as deletes,
+        the rewrite's as inserts. Hash-matches the batch changelog's
+        SQL twin."""
+        import tempfile
+        import uuid as _uuid
+
+        from sling_cli_spark.sources import iceberg_py as I
+        from sling_cli_spark.streaming.iceberg_source import (
+            register_iceberg_stream)
+
+        register_iceberg_stream(spark)
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_icls_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        I.write_iceberg(n.coalesce(1), t)
+        _, meta = I._current_metadata(t)
+        s1_seq = meta["last-sequence-number"]
+        I.merge_iceberg(spark, t, n.filter("n_nationkey < 5")
+                        .withColumn("n_name",
+                                    F.concat("n_name", F.lit("_u")))
+                        .unionByName(spark.createDataFrame(
+                            [(99, "NEWLAND")],
+                            "n_nationkey long, n_name string")),
+                        "n_nationkey")
+        qn = "icls_" + _uuid.uuid4().hex[:8]
+        (spark.readStream.format("iceberg_stream").option("path", t)
+         .option("readChangelog", "true")
+         .option("startingSequence", str(s1_seq)).load()
+         .writeStream.format("memory").queryName(qn)
+         .trigger(availableNow=True).start().awaitTermination(300))
+        return spark.table(qn).select(
+            "_change_type", "n_nationkey", "n_name")
+
     def iceberg_v3_defaults(spark, sf):
         """Iceberg v3 initial-default fill (iceberg_py round 7, spec v3
         §Default values): nation lands in two appends — the first
@@ -2847,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_delta_sync": iceberg_delta_sync,
         "stream_window_watermark_events": stream_window_watermark_events,
         "delta_cdf_stream": delta_cdf_stream,
+        "iceberg_changelog_stream": iceberg_changelog_stream,
         "delta_rename_evolution": delta_rename_evolution,
         "delta_identity_generated": delta_identity_generated,
         "delta_zorder_skipping": delta_zorder_skipping,
@@ -2986,7 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_eq_upsert", "delta_rename_evolution", "ann_pq_topk",
         "iceberg_partitions_meta", "iceberg_delta_sync",
         "stream_window_watermark_events", "percentile_orders",
-        "ann_pq_refine", "delta_cdf_stream",
+        "ann_pq_refine", "delta_cdf_stream", "iceberg_changelog_stream",
         "delta_identity_generated", "delta_zorder_skipping",
         # last driver-checked r5
         "column_typing_clamp", "constraint_dsl_filter", "row_constraints",
@@ -3614,6 +3655,18 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
         """,
         "iceberg_changelog": """
+            SELECT 'delete' AS _change_type,
+                   CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+            FROM nation
+            UNION ALL
+            SELECT 'insert', CAST(n_nationkey AS BIGINT),
+                   CASE WHEN n_nationkey < 5 THEN n_name || '_u'
+                        ELSE n_name END
+            FROM nation
+            UNION ALL
+            SELECT 'insert', CAST(99 AS BIGINT), 'NEWLAND'
+        """,
+        "iceberg_changelog_stream": """
             SELECT 'delete' AS _change_type,
                    CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
             FROM nation

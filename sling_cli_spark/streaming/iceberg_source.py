@@ -104,10 +104,13 @@ def _added_entries(snap: dict, want_content: int = 0) -> list[dict]:
 
 
 class _IceFilePart(InputPartition):
-    def __init__(self, uri: str, schema_json: str, part_values: dict):
+    def __init__(self, uri: str, schema_json: str, part_values: dict,
+                 cdf: tuple | None = None):
         self.uri = uri
         self.schema_json = schema_json
         self.part_values = part_values or {}
+        # (change_type, snapshot_id, commit_ts_ms) — changelog parts
+        self.cdf = cdf
 
 
 class IcebergStreamSource(DataSource):
@@ -128,9 +131,21 @@ class IcebergStreamSource(DataSource):
                 "iceberg_stream: format-version 1 tables have no "
                 "sequence numbers to anchor streaming offsets on — "
                 "upgrade the table to v2")
-        return _spark_schema(meta)
+        base = _spark_schema(meta)
+        if self._changelog():
+            return base.add("_change_type", "string") \
+                .add("_snapshot_id", "long") \
+                .add("_commit_timestamp_ms", "long")
+        return base
+
+    def _changelog(self) -> bool:
+        return str(self.options.get(
+            "readchangelog",
+            self.options.get("readChangelog", "false"))).lower() == "true"
 
     def streamReader(self, schema):
+        if self._changelog():
+            return _IceChangelogStreamReader(self.options)
         return _IceStreamReader(self.options)
 
     def streamWriter(self, schema, overwrite):
@@ -155,12 +170,15 @@ class _IceStreamReader(DataSourceStreamReader):
         self._max_snapshots = int(
             options.get("maxsnapshotspertrigger",
                         options.get("maxSnapshotsPerTrigger", 0))) or None
+        self._starting = int(options.get("startingsequence",
+                                         options.get("startingSequence",
+                                                     0)))
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
         if self._last_end is None:
-            self._last_end = 0
-        return {"seq": 0}
+            self._last_end = self._starting
+        return {"seq": self._starting}
 
     def latestOffset(self) -> dict:
         from sling_cli_spark.sources.iceberg_py import _current_metadata
@@ -244,10 +262,78 @@ class _IceStreamReader(DataSourceStreamReader):
                 cols.append(pa.array([val] * n, type=_arrow_type(ptyp)))
             else:  # file predates an evolved column -> typed nulls
                 cols.append(pa.nulls(n, type=_arrow_type(typ)))
+        if partition.cdf is not None:
+            ct, sid, ts = partition.cdf
+            names += ["_change_type", "_snapshot_id",
+                      "_commit_timestamp_ms"]
+            cols.append(pa.array([ct] * n, type=pa.string()))
+            cols.append(pa.array([sid] * n, type=pa.int64()))
+            cols.append(pa.array([ts] * n, type=pa.int64()))
         yield from pa.table(dict(zip(names, cols))).to_batches()
 
     def commit(self, end: dict) -> None:
         self._last_end = end["seq"]
+
+
+class _IceChangelogStreamReader(_IceStreamReader):
+    """``readChangelog=true``: micro-batches emit each snapshot's ROW
+    CHANGES derived from file turnover — the same semantics as the
+    batch :func:`iceberg_py.iceberg_changelog` (Spark-Iceberg's
+    create_changelog_view): files a snapshot ADDS stream as ``insert``
+    rows, files it drops from the active set as ``delete`` rows (a
+    rewrite emits delete+insert pairs for carried rows — the
+    documented derived contract), so destructive snapshots are the
+    point and nothing refuses on operation. Snapshots that ADD
+    position/equality delete files (DV or eq-upsert paths) refuse —
+    their row sets need sequence-number scoping the per-file stream
+    cannot carry; read those with the batch changelog. Driver work is
+    two manifest walks per snapshot (parent actives vs own), data
+    moves executor-side as Arrow batches."""
+
+    def partitions(self, start: dict, end: dict):
+        from sling_cli_spark.sources.iceberg_py import (
+            UnsupportedTableFeature, _active_entries, _canon,
+            _current_metadata, _spark_schema)
+
+        self._last_end = end["seq"]
+        _, meta = _current_metadata(self._path)
+        schema = _spark_schema(meta)
+        schema_json = schema.json()
+        field_types = {f.name: f.dataType.typeName()
+                       for f in schema.fields}
+        parts: list[_IceFilePart] = []
+        for snap in _main_chain(meta):
+            seq = int(snap.get("sequence-number") or 0)
+            if not (start["seq"] < seq <= end["seq"]):
+                continue
+            sid = snap["snapshot-id"]
+            ts = int(snap.get("timestamp-ms") or 0)
+            if _added_entries(snap, want_content=1) \
+                    + _added_entries(snap, want_content=2):
+                raise UnsupportedTableFeature(
+                    f"iceberg_stream changelog: snapshot {sid} adds "
+                    "position/equality delete files — their row sets "
+                    "need sequence-number scoping; use the batch "
+                    "iceberg_changelog")
+            parent = snap.get("parent-snapshot-id")
+            prev = _active_entries(self._path, meta, parent)[0] \
+                if parent is not None else []
+            cur = _active_entries(self._path, meta, sid)[0]
+            prev_by = {_canon(f["file_path"]): f for f in prev}
+            cur_by = {_canon(f["file_path"]): f for f in cur}
+
+            def emit(f: dict, ct: str):
+                pv = {c: (field_types.get(c, "string"), v)
+                      for c, v in (f.get("partition") or {}).items()
+                      if c in field_types}
+                parts.append(_IceFilePart(
+                    f["file_path"], schema_json, pv, cdf=(ct, sid, ts)))
+
+            for p in sorted(set(cur_by) - set(prev_by)):
+                emit(cur_by[p], "insert")
+            for p in sorted(set(prev_by) - set(cur_by)):
+                emit(prev_by[p], "delete")
+        return parts
 
 
 class _IceSinkMsg(WriterCommitMessage):

@@ -851,3 +851,47 @@ def test_delta_stream_change_feed(spark, tmp_path):
            if r["_commit_version"] == 3]
     assert len(rows) == before + len(new) and len(new) > 0
     assert set(new) == {("delete", 1), ("delete", 3)}
+
+
+def test_iceberg_stream_changelog(spark, tmp_path):
+    """readChangelog=true streams file-turnover row changes: a CoW
+    merge emits delete rows for the touched file + insert rows for the
+    rewrite; startingSequence skips the initial load; an eq-delete
+    snapshot refuses toward the batch changelog."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _current_metadata, merge_iceberg, upsert_iceberg, write_iceberg)
+    from sling_cli_spark.streaming.iceberg_source import (
+        register_iceberg_stream)
+
+    register_iceberg_stream(spark)
+    t, out, ck = (str(tmp_path / d) for d in ("t", "out", "ck"))
+    write_iceberg(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1), t)
+    _, meta = _current_metadata(t)
+    s1_seq = meta["last-sequence-number"]
+    merge_iceberg(spark, t, spark.createDataFrame(
+        [(2, "b2"), (9, "new")], "id long, v string"), "id")
+
+    def drain():
+        (spark.readStream.format("iceberg_stream").option("path", t)
+         .option("readChangelog", "true")
+         .option("startingSequence", str(s1_seq)).load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start().awaitTermination())
+
+    drain()
+    got = {(r["_change_type"], r["id"], r["v"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {("delete", 1, "a"), ("delete", 2, "b"),
+                   ("insert", 1, "a"), ("insert", 2, "b2"),
+                   ("insert", 9, "new")}
+
+    upsert_iceberg(spark, t, spark.createDataFrame(
+        [(1, "a9")], "id long, v string"), "id")
+    try:
+        drain()
+        raised = False
+    except Exception as e:
+        raised = "sequence-number scoping" in str(e)
+    assert raised, "eq-delete snapshot must refuse in changelog mode"
