@@ -2412,7 +2412,7 @@ def write_delta(
     staged = _stage_data_files(df, path, partition_by)
     actions += staged
     if honor_meta is not None:
-        actions += _identity_hwm_action(honor_meta, staged)
+        actions += _identity_hwm_action(honor_meta, staged, frame=df)
     actions += _assign_fresh_row_ids(path, staged, version, protocol=prot)
     if mode == "append" and version > 0:
         return _commit_with_retry(path, version, actions)
@@ -2571,7 +2571,8 @@ def merge_delta(
             prot = _dv_protocol_action(path) if dv_actions else None
             evolve = _evolve_schema_actions(data_appended, meta)
             hwm = _identity_hwm_action(
-                evolve[-1]["metaData"] if evolve else meta, adds)
+                evolve[-1]["metaData"] if evolve else meta, adds,
+                frame=appended)
             if hwm:  # hwm metaData already carries any evolution
                 evolve = []
             schema_actions = ([prot] if prot else []) + evolve + hwm
@@ -2623,7 +2624,8 @@ def merge_delta(
     # metaData action when both apply
     schema_actions = _evolve_schema_actions(data_repl, meta)
     hwm = _identity_hwm_action(
-        schema_actions[-1]["metaData"] if schema_actions else meta, adds)
+        schema_actions[-1]["metaData"] if schema_actions else meta, adds,
+        frame=replacement)
     if hwm:
         schema_actions = hwm
     version = latest_version(path) + 1
@@ -3870,12 +3872,22 @@ def _with_identity_columns(df: DataFrame, meta: dict | None) -> DataFrame:
     return df
 
 
-def _identity_hwm_action(meta: dict | None, adds: list[dict]) -> list[dict]:
+def _identity_hwm_action(
+    meta: dict | None, adds: list[dict], frame: DataFrame | None = None,
+) -> list[dict]:
     """metaData action advancing each identity column's
     ``delta.identity.highWaterMark`` to the furthest value the staged
     adds' per-file stats record (max for positive step, min for
     negative) — no extra job, the watermark rides the stats the stage
-    already computed. No stats or no movement -> no action."""
+    already computed. No stats or no movement -> no action.
+
+    Stats are best-effort (capped at ``_STATS_MAX_COLS`` columns;
+    degraded to nothing on failure) but the watermark is NOT optional —
+    a stale watermark reissues the same identity values on the next
+    append (PROTOCOL.md Identity Columns). So any identity column the
+    staged stats DON'T cover is recomputed with one dedicated aggregate
+    over ``frame`` (the exact rows that were staged); without a frame
+    to fall back on, the write fails rather than silently skipping."""
     ids = _identity_fields(meta)
     if not ids or not adds:
         return []
@@ -3898,6 +3910,26 @@ def _identity_hwm_action(meta: dict | None, adds: list[dict]) -> list[dict]:
             further = cur is None or (v > cur if d["step"] > 0 else v < cur)
             if further:
                 extremes[d["name"]] = v
+    missing = [d for d in ids if d["name"] not in extremes]
+    if missing:
+        from pyspark.sql import functions as F
+
+        if frame is None or any(d["name"] not in frame.columns
+                                for d in missing):
+            raise ValueError(
+                "delta identity: staged per-file stats do not cover "
+                f"identity column(s) {[d['name'] for d in missing]} "
+                "(stats cap or stats failure) and no staged frame is "
+                "available to recompute the high-water mark — refusing "
+                "to commit a stale watermark")
+        row = frame.agg(*[
+            (F.max if d["step"] > 0 else F.min)(
+                F.col(f"`{d['name']}`")).alias(d["name"])
+            for d in missing]).collect()[0]
+        for d in missing:
+            v = row[d["name"]]
+            if v is not None:  # empty staged frame: nothing to advance
+                extremes[d["name"]] = int(v)
     moved = False
     schema = json.loads(meta["schemaString"])
     for f in schema.get("fields") or []:

@@ -35,7 +35,7 @@ if TYPE_CHECKING:  # pragma: no cover
 
 class _FilePart(InputPartition):
     def __init__(self, uri: str, schema_json: str, part_values: dict,
-                 cdf: tuple | None = None):
+                 cdf: tuple | None = None, dv: tuple | None = None):
         self.uri = uri
         self.schema_json = schema_json
         self.part_values = part_values or {}
@@ -43,19 +43,73 @@ class _FilePart(InputPartition):
         # partitions; change_type None = the cdc file carries its own
         # _change_type column (update pre/post images)
         self.cdf = cdf
+        # (descriptor, blob|None) — the add's deletionVector: rows it
+        # dooms must NOT be emitted (ignoreChanges re-emits touched
+        # files whole, but a DV'd row is DELETED, not duplicated). The
+        # blob is pre-read driver-side so executors need no fs client.
+        self.dv = dv
 
 
-def _arrow_type(spark_type: str):
+def _arrow_type_opt(spark_type: str):
+    """Arrow type for a Spark typeName, or None when no 1:1 mapping
+    exists (complex types): callers must NOT cast in that case — the
+    parquet file's own physical type is already what Spark expects."""
+    import re as _re
+
     import pyarrow as pa
 
+    m = _re.fullmatch(r"decimal\((\d+),\s*(-?\d+)\)", spark_type)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
     return {
         "long": pa.int64(), "integer": pa.int32(), "short": pa.int16(),
         "byte": pa.int8(), "double": pa.float64(), "float": pa.float32(),
         "boolean": pa.bool_(), "date": pa.date32(),
         "timestamp": pa.timestamp("us", tz="UTC"),
         "timestamp_ntz": pa.timestamp("us"),
-        "binary": pa.binary(),
-    }.get(spark_type, pa.string())
+        "binary": pa.binary(), "string": pa.string(),
+    }.get(spark_type)
+
+
+def _arrow_type(spark_type: str):
+    import pyarrow as pa
+
+    return _arrow_type_opt(spark_type) or pa.string()
+
+
+def _require_full_range(versions: list[int], start: int, end: int,
+                        path: str) -> None:
+    """A micro-batch covers (start, end]; any version in that range
+    whose JSON commit was cleaned up after checkpointing is silent
+    DATA LOSS in the stream — fail like delta-spark's source does when
+    a starting version's log is unavailable."""
+    if end <= start:
+        return
+    first = min(versions) if versions else None
+    if first is None or first > start + 1:
+        raise ValueError(
+            f"delta_stream: commit log for versions "
+            f"{start + 1}..{first - 1 if first else end} of {path} has "
+            "been cleaned up (checkpoint retention) — the requested "
+            "range is not fully covered by retained JSON commits; "
+            "restart the stream from a retained version")
+
+
+def _dv_payload(table_path: str, add: dict) -> tuple | None:
+    """(descriptor, blob|None) for an add carrying a deletion vector —
+    the blob pre-read driver-side for u/p storage so executors filter
+    with zero fs access; inline ('i') vectors ride the descriptor."""
+    desc = add.get("deletionVector")
+    if not desc or not int(desc.get("cardinality") or 0):
+        return None
+    blob = None
+    if desc.get("storageType") != "i":
+        from sling_cli_spark import fsio
+        from sling_cli_spark.sources.delta_dv import dv_absolute_path
+
+        p = dv_absolute_path(table_path, desc)
+        blob = fsio.get_fs(p).read_bytes(p)
+    return (dict(desc), blob, table_path)
 
 
 def _py_value(spark_type: str, s: str):
@@ -166,6 +220,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
         parts: list[_FilePart] = []
         versions = [v for v in _list_versions(self._path, fs)
                     if start["version"] < v <= end["version"]]
+        _require_full_range(versions, start["version"], end["version"],
+                            self._path)
         for v in versions:
             adds, removes = [], 0
             for line in fs.read_bytes(
@@ -189,7 +245,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         (add.get("partitionValues") or {}).get(c))
                     for c in part_cols}
                 parts.append(_FilePart(
-                    _add_uri(self._path, add["path"]), schema_json, pv))
+                    _add_uri(self._path, add["path"]), schema_json, pv,
+                    dv=_dv_payload(self._path, add)))
         return parts
 
     def read(self, partition: _FilePart):
@@ -198,6 +255,16 @@ class _DeltaStreamReader(DataSourceStreamReader):
 
         fields = json.loads(partition.schema_json).get("fields") or []
         tbl = pq.read_table(partition.uri)
+        if partition.dv is not None:
+            import numpy as np
+
+            from sling_cli_spark.sources.delta_dv import dv_indices
+
+            desc, blob, tpath = partition.dv
+            doomed = dv_indices(tpath, desc, blob)
+            keep = np.ones(tbl.num_rows, dtype=bool)
+            keep[doomed[doomed < tbl.num_rows]] = False
+            tbl = tbl.filter(pa.array(keep))
         n = tbl.num_rows
         cols, names = [], []
         for f in fields:
@@ -265,6 +332,8 @@ class _DeltaCdfStreamReader(_DeltaStreamReader):
         parts: list[_FilePart] = []
         versions = [v for v in _list_versions(self._path, fs)
                     if start["version"] < v <= end["version"]]
+        _require_full_range(versions, start["version"], end["version"],
+                            self._path)
         for v in versions:
             ts = commit_timestamp_ms(self._path, v)
             actions = [json.loads(ln) for ln in fs.read_bytes(
@@ -473,40 +542,53 @@ class _DeltaStreamWriter(DataSourceStreamWriter):
         import time as _time
 
         from sling_cli_spark.sources.delta_py import (
-            _assign_fresh_row_ids, _commit_with_retry, _evolve_schema_actions,
+            _assign_fresh_row_ids, _commit, _evolve_schema_actions,
             _first_commit_actions, check_writer_protocol, last_txn_version,
             latest_version, replay_log)
 
-        seen = last_txn_version(self._path, self._app)
-        if seen is not None and seen >= batchId:
-            self._cleanup(messages)  # engine re-ran a committed batch
-            return
         entries = [f for m in messages if m is not None
                    for f in m.file_entries()]
-        now = int(_time.time() * 1000)
-        version = latest_version(self._path) + 1
-        shim = _SchemaShim(self._schema)
-        actions: list[dict] = []
-        wprot: dict = {}
-        if version == 0:
-            actions += _first_commit_actions(shim, self._part_cols)
-        else:
-            wprot = check_writer_protocol(self._path)
-            meta, _ = replay_log(self._path)
-            actions += _evolve_schema_actions(shim, meta)
-        adds = [{"add": {
-            "path": f["rel"], "size": f["size"],
-            "partitionValues": f.get("partitionValues") or {},
-            "modificationTime": now, "dataChange": True,
-            "stats": json.dumps({"numRecords": f["n"]})}}
-            for f in entries]
-        actions += adds
-        actions.append({"txn": {
-            "appId": self._app, "version": int(batchId),
-            "lastUpdated": now}})
-        actions += _assign_fresh_row_ids(
-            self._path, adds, version, protocol=wprot)
-        _commit_with_retry(self._path, version, actions)
+        # Re-check idempotence on EVERY claim attempt, not just once up
+        # front: a zombie driver's concurrent commit of the same
+        # (txnAppId, batchId) can land between our check and our claim —
+        # losing the version race must re-read the transaction watermark
+        # before re-claiming, or the batch commits twice.
+        for _ in range(10):
+            seen = last_txn_version(self._path, self._app)
+            if seen is not None and seen >= batchId:
+                self._cleanup(messages)  # batch already committed
+                return
+            now = int(_time.time() * 1000)
+            version = latest_version(self._path) + 1
+            shim = _SchemaShim(self._schema)
+            actions: list[dict] = []
+            wprot: dict = {}
+            if version == 0:
+                actions += _first_commit_actions(shim, self._part_cols)
+            else:
+                wprot = check_writer_protocol(self._path)
+                meta, _ = replay_log(self._path)
+                actions += _evolve_schema_actions(shim, meta)
+            adds = [{"add": {
+                "path": f["rel"], "size": f["size"],
+                "partitionValues": f.get("partitionValues") or {},
+                "modificationTime": now, "dataChange": True,
+                "stats": json.dumps({"numRecords": f["n"]})}}
+                for f in entries]
+            actions += adds
+            actions.append({"txn": {
+                "appId": self._app, "version": int(batchId),
+                "lastUpdated": now}})
+            actions += _assign_fresh_row_ids(
+                self._path, adds, version, protocol=wprot)
+            try:  # pure append: losing the race is always retryable
+                _commit(self._path, version, actions)
+                return
+            except FileExistsError:
+                continue
+        raise FileExistsError(
+            f"delta_stream sink: could not claim a version after 10 "
+            f"retries at {self._path}")
 
     def abort(self, messages, batchId) -> None:
         self._cleanup(messages)

@@ -54,7 +54,8 @@ from pyspark.sql.datasource import (
     DataSource, DataSourceStreamReader, DataSourceStreamWriter,
     InputPartition, WriterCommitMessage)
 
-from sling_cli_spark.streaming.delta_source import _arrow_type, _py_value
+from sling_cli_spark.streaming.delta_source import (
+    _arrow_type, _arrow_type_opt, _py_value)
 
 _SINK_SIMPLE = {"long", "integer", "short", "byte", "double", "float",
                 "boolean", "date", "timestamp", "timestamp_ntz",
@@ -252,8 +253,12 @@ class _IceStreamReader(DataSourceStreamReader):
             typ = typ if isinstance(typ, str) else "string"
             names.append(name)
             if name in tbl.column_names:
-                cols.append(tbl.column(name).combine_chunks()
-                            .cast(_arrow_type(typ)))
+                col = tbl.column(name).combine_chunks()
+                at = _arrow_type_opt(typ)
+                # cast only when the Spark type maps 1:1 to Arrow
+                # (decimal included); otherwise the file's physical
+                # type already matches the declared stream schema
+                cols.append(col.cast(at) if at is not None else col)
             elif name in partition.part_values:
                 # identity-partitioned: the value lives in the manifest
                 # entry, not the file

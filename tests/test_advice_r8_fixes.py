@@ -1,0 +1,207 @@
+"""Round-9 regression tests for the ADVICE.md (r8) findings:
+
+1. iceberg_source._IceStreamReader.read must not string-cast decimal
+   columns (decimal(p,s) -> pa.decimal128, unmapped types -> no cast).
+2. delta_stream with ignoreChanges must NOT resurrect rows deleted by
+   a deletion vector (the add re-emits the file MINUS its DV rows).
+3. _identity_hwm_action must advance the identity watermark even when
+   staged stats miss the identity column (stats cap / stats failure).
+4. delta stream sink re-checks last_txn_version on every claim attempt
+   (zombie-driver duplicate batch commit).
+5. delta_stream partitions() raises when the requested version range is
+   not fully covered by retained JSON commits (log cleanup = data loss).
+"""
+
+import json
+import os
+from decimal import Decimal
+
+import pytest
+
+
+def _drain(spark, t, out, ck, fmt="delta_stream", **opts):
+    r = spark.readStream.format(fmt).option("path", t)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (r.load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def test_iceberg_stream_decimal_column(spark, tmp_path):
+    """ADVICE r8 #1: decimal columns stream through iceberg_stream with
+    their declared DecimalType, not a string-cast Arrow batch."""
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+    from sling_cli_spark.streaming.iceberg_source import (
+        register_iceberg_stream)
+
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = spark.createDataFrame(
+        [(1, Decimal("12.34")), (2, Decimal("56.78"))],
+        "id long, amt decimal(10,2)").coalesce(1)
+    write_iceberg(df, t)
+    _drain(spark, t, out, ck, fmt="iceberg_stream")
+    back = spark.read.parquet(out)
+    assert back.schema["amt"].dataType.simpleString() == "decimal(10,2)"
+    assert sorted((r["id"], r["amt"]) for r in back.collect()) == \
+        [(1, Decimal("12.34")), (2, Decimal("56.78"))]
+
+
+def test_delta_stream_ignore_changes_respects_dv(spark, tmp_path):
+    """ADVICE r8 #2: a DV-producing delete re-adds the file with a
+    deletion vector; ignoreChanges re-emits the file WITHOUT the
+    DV-deleted rows (deleted != duplicated)."""
+    from sling_cli_spark.sources.delta_py import (
+        delete_missing_delta, set_table_properties, write_delta)
+    from sling_cli_spark.streaming.delta_source import (
+        register_delta_stream)
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    write_delta(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string")
+        .coalesce(1), t)
+    set_table_properties(t, {"delta.enableDeletionVectors": "true"})
+    _drain(spark, t, out, ck)  # batch 0: the original insert, ids 0-9
+    # hard-delete ids 3 and 7 — with DVs enabled this re-adds the file
+    # with a deletionVector descriptor instead of a CoW rewrite
+    keyset = spark.createDataFrame(
+        [(i,) for i in range(10) if i not in (3, 7)], "id long")
+    stats = delete_missing_delta(spark, t, keyset, "id")
+    assert stats.get("dv_files", 0) >= 1, \
+        f"precondition: delete must produce a DV, got {stats}"
+    # batch 1 covers ONLY the DV commit: the touched file re-emits
+    # whole per ignoreChanges, but MINUS its DV-deleted rows
+    _drain(spark, t, out, ck, ignoreChanges="true")
+    from collections import Counter
+    counts = Counter(r["id"] for r in spark.read.parquet(out).collect())
+    assert counts[3] == 1 and counts[7] == 1, \
+        "DV-deleted rows resurrected through ignoreChanges"
+    assert all(counts[i] == 2 for i in range(10) if i not in (3, 7)), \
+        f"survivors must re-emit once per ignoreChanges: {counts}"
+
+
+def test_identity_hwm_fallback_aggregate(spark):
+    """ADVICE r8 #3: identity column absent from every add's stats ->
+    dedicated aggregate over the staged frame; absent frame -> fail."""
+    from sling_cli_spark.sources.delta_py import _identity_hwm_action
+
+    meta = {
+        "schemaString": json.dumps({"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.identity.start": 1,
+                          "delta.identity.step": 1,
+                          "delta.identity.highWaterMark": 5,
+                          "delta.identity.allowExplicitInsert": False}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {}},
+        ]}),
+        "partitionColumns": [], "configuration": {},
+    }
+    # stats cover v but NOT id (the >32-column cap scenario)
+    adds = [{"add": {"path": "p1", "stats": json.dumps(
+        {"numRecords": 2, "minValues": {"v": "a"},
+         "maxValues": {"v": "b"}, "nullCount": {"v": 0}})}}]
+    frame = spark.createDataFrame([(8, "a"), (9, "b")],
+                                  "id long, v string")
+    out = _identity_hwm_action(meta, adds, frame=frame)
+    assert out, "watermark must advance via the fallback aggregate"
+    fields = json.loads(out[0]["metaData"]["schemaString"])["fields"]
+    hwm = fields[0]["metadata"]["delta.identity.highWaterMark"]
+    assert hwm == 9
+    # no frame to recompute from -> refuse, never skip silently
+    with pytest.raises(ValueError, match="high-water mark"):
+        _identity_hwm_action(meta, adds, frame=None)
+    # empty staged frame: nothing to advance, no action, no error
+    empty = spark.createDataFrame([], "id long, v string")
+    assert _identity_hwm_action(meta, adds, frame=empty) == []
+
+
+def test_delta_sink_rechecks_txn_on_retry(spark, tmp_path):
+    """ADVICE r8 #4: the sink's claim loop re-reads last_txn_version
+    each attempt — a concurrent commit of the same (appId, batchId)
+    that lands mid-race is detected and the batch is NOT re-committed."""
+    from pyspark.sql import types as T
+
+    import sling_cli_spark.streaming.delta_source as ds
+    from sling_cli_spark.sources.delta_py import (
+        latest_version, read_delta, write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), t)
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    w = ds._DeltaStreamWriter({"path": t}, schema)
+
+    # stage one file for batch 0 the way an executor task would
+    row = type("R", (), {"asDict": lambda self, recursive=True:
+                         {"id": 2, "v": "b"}})()
+    msg = w.write(iter([row]))
+
+    # zombie twin: same appId commits batch 0 between our check and our
+    # claim — simulate by making the FIRST _commit attempt lose the race
+    # to a twin commit carrying the same txn action
+    real_commit = ds.__dict__.get("_commit")  # noqa: F841 (import below)
+    from sling_cli_spark.sources import delta_py
+
+    orig = delta_py._commit
+    state = {"raced": False}
+
+    def racing_commit(path, version, actions):
+        if not state["raced"] and any("txn" in a for a in actions):
+            state["raced"] = True
+            # twin claims this version first with the SAME batch txn
+            import time as _t
+            orig(path, version, [
+                {"txn": {"appId": w._app, "version": 0,
+                         "lastUpdated": int(_t.time() * 1000)}}])
+            raise FileExistsError(version)
+        return orig(path, version, actions)
+
+    delta_py._commit = racing_commit
+    try:
+        w.commit([msg], 0)
+    finally:
+        delta_py._commit = orig
+    # the twin's txn-only commit won; our duplicate was dropped: the
+    # staged file must be cleaned up and the data NOT doubled
+    rows = read_delta(spark, t).collect()
+    assert sorted(r["id"] for r in rows) == [1]
+    assert latest_version(t) == 1  # init + twin commit, no third
+
+
+def test_delta_stream_raises_on_cleaned_up_versions(spark, tmp_path):
+    """ADVICE r8 #5: versions inside (start, end] whose JSON commit was
+    cleaned up must fail the micro-batch, not silently drop rows."""
+    from sling_cli_spark import fsio
+    from sling_cli_spark.sources.delta_py import (
+        _write_checkpoint, write_delta)
+    from sling_cli_spark.streaming.delta_source import (
+        register_delta_stream)
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), t)
+    for i in range(2, 5):
+        write_delta(spark.createDataFrame(
+            [(i, "x")], "id long, v string").coalesce(1), t,
+            mode="append")
+    # checkpoint at version 2, then retention-clean versions 0..2 —
+    # batch reads stay fine (checkpoint replay), but a stream asked to
+    # start at 0 can no longer derive those commits' row additions
+    _write_checkpoint(t, fsio.get_fs(t), 2)
+    for v in range(0, 3):
+        os.remove(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    with pytest.raises(Exception, match="cleaned up|not fully covered"):
+        _drain(spark, t, out, ck, startingVersion="0")
