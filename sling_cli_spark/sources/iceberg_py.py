@@ -300,10 +300,20 @@ def prune_files_by_bounds(
     still falls through to the value bounds."""
     from sling_cli_spark.sources.delta_py import (
         bounds_disprove, partition_value_disprove)
+    from sling_cli_spark.sources.iceberg_transforms import (
+        spec_transform_fields, transform_partition_disprove)
 
     current = _current_schema(meta) or {"fields": []}
     by_name = {f["name"]: f for f in current["fields"]}
     part_cols = _identity_part_cols(meta)
+    # source column -> [(partition field name, transform, src type)]:
+    # a filter on the SOURCE column prunes via the file's recorded
+    # TRANSFORMED partition value (bucket equality, truncate/temporal
+    # interval disproof — see transform_partition_disprove)
+    tf_by_src: dict[str, list[tuple[str, str, str]]] = {}
+    for fname, (transform, src, styp) in spec_transform_fields(
+            meta).items():
+        tf_by_src.setdefault(src, []).append((fname, transform, styp))
     out = []
     for f in files:
         lo_raw = _bounds_map(f.get("lower_bounds")) or {}
@@ -312,6 +322,12 @@ def prune_files_by_bounds(
         for col, op, val in skip_filters:
             if col in part_cols and partition_value_disprove(
                     (f.get("partition") or {}).get(col), op, val):
+                keep = False
+                break
+            if any(transform_partition_disprove(
+                    transform, (f.get("partition") or {}).get(fname),
+                    op, val, styp)
+                    for fname, transform, styp in tf_by_src.get(col, ())):
                 keep = False
                 break
             fld = by_name.get(col)
@@ -998,15 +1014,20 @@ def merge_iceberg(
         replacement = src
     else:
         # partition prune: the probe scans only files whose manifest
-        # partition values match a partition present in the batch
+        # partition values match a partition present in the batch —
+        # transform fields included (the batch's DERIVED partition
+        # values are computed with the same Catalyst transform exprs
+        # the writer stages with)
         candidates = active
-        if part_cols and all(c in src.columns for c in part_cols):
+        src_parts = _with_spec_partition_cols(src, meta)
+        if part_cols and src_parts is not None:
             # both sides in Spark's unquoted Hive-dir string form
             # (nulls -> __HIVE_DEFAULT_PARTITION__, booleans lowercase)
             # so the comparison can't silently miss candidate files
             batch_parts = {
                 tuple(hive_partition_str(r[c]) for c in part_cols)
-                for r in src.select(*part_cols).distinct().collect()}
+                for r in
+                src_parts.select(*part_cols).distinct().collect()}
             candidates = [
                 f for f in active
                 # a file written under an OLDER spec (partition
@@ -1284,12 +1305,20 @@ def _init_meta(
     df: DataFrame, path: str, partition_by: list[str] | None = None,
     format_version: int = 2,
 ) -> dict:
+    from sling_cli_spark.sources.iceberg_transforms import (
+        parse_partition_field)
+
     ice = _ice_schema_for(df)
     by_name = {f["name"]: f["id"] for f in ice["fields"]}
-    spec_fields = [
-        {"name": c, "transform": "identity", "source-id": by_name[c],
-         "field-id": 1000 + i}
-        for i, c in enumerate(partition_by or [])]
+    spec_fields = []
+    for i, entry in enumerate(partition_by or []):
+        transform, src, fname = parse_partition_field(entry)
+        if src not in by_name:
+            raise ValueError(
+                f"partition source column {src!r} not in the frame")
+        spec_fields.append(
+            {"name": fname, "transform": transform,
+             "source-id": by_name[src], "field-id": 1000 + i})
     meta = {
         "format-version": format_version,
         "table-uuid": str(uuid.uuid4()),
@@ -1339,6 +1368,38 @@ def _identity_part_cols(meta: dict) -> set[str]:
     against those would silently drop matching rows."""
     return {f["name"] for f in (_default_spec(meta).get("fields") or [])
             if f.get("transform", "identity") == "identity"}
+
+
+def _with_spec_partition_cols(df: DataFrame, meta: dict):
+    """``df`` with every default-spec partition column available —
+    identity columns must already be present, transform columns are
+    DERIVED with the same Catalyst expressions the writer stages with
+    — or None when a spec field can't be satisfied from ``df`` (the
+    caller then skips partition pruning; scanning more is safe)."""
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.sources.iceberg_transforms import (
+        UnsupportedTransform, transform_expr)
+
+    cur = _current_schema(meta) or {"fields": []}
+    by_id = {f["id"]: f["name"] for f in cur.get("fields", [])}
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    out = df
+    for pf in _default_spec(meta).get("fields") or []:
+        transform = pf.get("transform", "identity")
+        if transform == "identity":
+            if pf["name"] not in df.columns:
+                return None
+            continue
+        src = by_id.get(pf.get("source-id"))
+        if src is None or src not in types:
+            return None
+        try:
+            out = out.withColumn(pf["name"], transform_expr(
+                transform, F.col(f"`{src}`"), types[src]))
+        except UnsupportedTransform:
+            return None
+    return out
 
 
 def _walk_parquet(fs, base: str, rel: str = "") -> list[str]:
@@ -1465,18 +1526,46 @@ def _commit_snapshot(
         if fv >= 2 else None
 
     part_cols = _part_cols(meta)
-    non_identity = set(part_cols) - _identity_part_cols(meta)
-    if non_identity:
-        raise UnsupportedTableFeature(
-            f"iceberg table at {path} is partitioned by transform "
-            f"fields {sorted(non_identity)}; this writer stages "
-            "identity (Hive-dir) partitioning only — reads are "
-            "supported, writes would mis-place files")
+    transform_fields = [
+        f for f in (_default_spec(meta).get("fields") or [])
+        if f.get("transform", "identity") != "identity"]
     cur_schema0 = _current_schema(meta) or {}
     data_files: list[dict] = []
     if df is not None:
+        from pyspark.sql import functions as F
+
+        from sling_cli_spark.sources.iceberg_transforms import (
+            UnsupportedTransform, transform_expr)
+
         tmp = fsio.join(data_dir, f".stage_{uuid.uuid4().hex[:8]}")
-        writer = df.write
+        # transform fields (spec §Partition Transforms) partition by a
+        # DERIVED column (bucket hash / truncated prefix / temporal
+        # ordinal) computed JVM-side; the source column stays inside
+        # the data files (transformed fields never replace their
+        # source), so only the derived value rides the Hive dir name
+        stage_df = df
+        if transform_fields:
+            by_id = {f["id"]: f["name"]
+                     for f in cur_schema0.get("fields") or []}
+            types = {f.name: f.dataType.typeName()
+                     for f in df.schema.fields}
+            for pf in transform_fields:
+                src = by_id.get(pf.get("source-id"))
+                if src is None or src not in types:
+                    raise UnsupportedTableFeature(
+                        f"iceberg table at {path}: partition field "
+                        f"{pf['name']!r} transforms source-id "
+                        f"{pf.get('source-id')} which is absent from "
+                        "the staged frame")
+                try:
+                    stage_df = stage_df.withColumn(
+                        pf["name"], transform_expr(
+                            pf["transform"], F.col(f"`{src}`"),
+                            types[src]))
+                except UnsupportedTransform as e:
+                    raise UnsupportedTableFeature(
+                        f"iceberg table at {path}: {e}") from e
+        writer = stage_df.write
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(tmp)
@@ -1743,13 +1832,18 @@ def write_iceberg(
 
 def evolve_partition_spec(path: str, partition_by: list[str]) -> int:
     """ALTER TABLE ... [ADD/REPLACE] PARTITION FIELD (spec §Partition
-    Evolution): append a new IDENTITY partition spec and make it the
-    default — a METADATA-ONLY commit. Existing files keep their old
-    spec (their manifests keep its id; :func:`_commit_snapshot` groups
-    carried entries per spec), new writes stage under the new Hive
-    layout, and reads union the layouts per partition shape
-    (:func:`_mor_read`). ``partition_by=[]`` evolves back to
-    unpartitioned. Returns the new default spec id."""
+    Evolution): append a new partition spec and make it the default —
+    a METADATA-ONLY commit. Entries accept the same transform syntax
+    as write_iceberg's partition_by (``col``, ``bucket(N, col)``,
+    ``truncate(W, col)``, ``year/month/day/hour(col)``). Existing
+    files keep their old spec (their manifests keep its id;
+    :func:`_commit_snapshot` groups carried entries per spec), new
+    writes stage under the new layout, and reads union the layouts per
+    partition shape (:func:`_mor_read`). ``partition_by=[]`` evolves
+    back to unpartitioned. Returns the new default spec id."""
+    from sling_cli_spark.sources.iceberg_transforms import (
+        parse_partition_field)
+
     fs = fsio.get_fs(path)
     version, meta = _current_metadata(path, for_write=True)
     if meta.get("format-version", 1) < 2:
@@ -1758,16 +1852,18 @@ def evolve_partition_spec(path: str, partition_by: list[str]) -> int:
             "evolution needs the v2 manifest-list spec-id field")
     schema = _current_schema(meta) or {}
     ids = {f["name"]: f["id"] for f in schema.get("fields", [])}
-    missing = [c for c in partition_by if c not in ids]
+    parsed = [parse_partition_field(e) for e in partition_by]
+    missing = [src for _, src, _ in parsed if src not in ids]
     if missing:
         raise ValueError(f"partition columns not in schema: {missing}")
     specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
-    want = [(c, ids[c]) for c in partition_by]
+    want = [(fname, transform, ids[src])
+            for transform, src, fname in parsed]
     for s in specs:  # identical spec already recorded -> just re-default
-        have = [(f["name"], f.get("source-id"))
-                for f in (s.get("fields") or [])
-                if f.get("transform", "identity") == "identity"]
-        if have == want and len(have) == len(s.get("fields") or []):
+        have = [(f["name"], f.get("transform", "identity"),
+                 f.get("source-id"))
+                for f in (s.get("fields") or [])]
+        if have == want:
             new_id = s.get("spec-id", 0)
             break
     else:
@@ -1776,9 +1872,9 @@ def evolve_partition_spec(path: str, partition_by: list[str]) -> int:
             [int(meta.get("last-partition-id") or 999)]
             + [int(f.get("field-id") or 999)
                for s in specs for f in (s.get("fields") or [])])
-        fields = [{"name": c, "transform": "identity",
-                   "source-id": ids[c], "field-id": last_pid + 1 + i}
-                  for i, c in enumerate(partition_by)]
+        fields = [{"name": fname, "transform": transform,
+                   "source-id": sid, "field-id": last_pid + 1 + i}
+                  for i, (fname, transform, sid) in enumerate(want)]
         specs = specs + [{"spec-id": new_id, "fields": fields}]
         meta["partition-specs"] = specs
         meta["last-partition-id"] = last_pid + len(fields)

@@ -1090,13 +1090,14 @@ def test_foreign_transform_partitioned_read(spark, tmp_path):
         == {1: "2020-01-01", 2: "2020-01-01"}
 
 
-def test_transform_partitioned_write_refuses(spark, tmp_path):
-    """Writes to a transform-partitioned table refuse loudly (the
-    identity Hive-dir stager would mis-place files)."""
-    import pytest
-
+def test_transform_partitioned_write_stages_correctly(spark, tmp_path):
+    """Appends to a (foreign) transform-partitioned table stage under
+    the spec's DERIVED layout — r9 lifted the old refusal (r8 and
+    earlier raised here; transforms are now first-class, see
+    test_iceberg_transforms.py)."""
     from sling_cli_spark.sources import iceberg_py as I
-    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+    from sling_cli_spark.sources.iceberg_transforms import (
+        transform_literal)
 
     t = str(tmp_path / "t")
     write_iceberg(_df(spark, [(1, "a")]).coalesce(1), t)
@@ -1106,8 +1107,15 @@ def test_transform_partitioned_write_refuses(spark, tmp_path):
          "field-id": 1000}]}]
     with open(os.path.join(t, "metadata", f"v{v}.metadata.json"), "w") as f:
         json.dump(meta, f)
-    with pytest.raises(UnsupportedTableFeature, match="transform"):
-        write_iceberg(_df(spark, [(2, "b")]), t)
+    write_iceberg(_df(spark, [(2, "b")]).coalesce(1), t)
+    _, meta2 = I._current_metadata(t)
+    new = [f for f in I._active_files(t, meta2, None)
+           if "id_bucket=" in f["file_path"]]
+    assert new and all(
+        int(f["partition"]["id_bucket"])
+        == transform_literal("bucket[16]", 2, "long") for f in new)
+    got = read_iceberg(spark, t)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2]
 
 
 def test_v3_merge_respects_deletion_vectors(spark, tmp_path):
