@@ -1408,6 +1408,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t, mode="append")
         return D.read_delta(spark, t)
 
+    def delta_v2_checkpoint_write(spark, sf):
+        """PUBLIC v2-checkpoint production (delta_py round 9,
+        create_checkpoint; PROTOCOL.md V2 Checkpoints): nation lands in
+        FOUR appends, create_checkpoint(v2=True) adopts the feature
+        (protocol-upgrade commit) and writes the UUID top file with
+        MULTIPLE parquet sidecars (max_actions_per_sidecar=2 forces the
+        split the spec exists for), every JSON commit is expired, and
+        the scan reconstructs the whole table from the checkpoint
+        alone."""
+        import tempfile
+
+        from sling_cli_spark.sources import delta_py as D
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_v2cw_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        for lo, hi in ((0, 7), (7, 14), (14, 20), (20, 99)):
+            D.write_delta(
+                n.filter(f"n_nationkey >= {lo} and n_nationkey < {hi}")
+                .coalesce(1), t)
+        cp = D.create_checkpoint(t, v2=True, max_actions_per_sidecar=2)
+        log = os.path.join(t, "_delta_log")
+        top = [x for x in os.listdir(log)
+               if x.startswith(f"{cp:020d}.checkpoint.")
+               and x.endswith(".json")][0]
+        n_side = sum(1 for ln in open(os.path.join(log, top))
+                     if '"sidecar"' in ln)
+        assert n_side == 2, f"4 adds / 2 per sidecar, got {n_side}"
+        for x in list(os.listdir(log)):
+            if x.endswith(".json") and ".checkpoint." not in x:
+                os.remove(os.path.join(log, x))
+        return D.read_delta(spark, t)
+
     def delta_type_widening(spark, sf):
         """typeWidening table read (delta_py round 7): the first file
         stores n_nationkey as parquet INT32, a foreign commit widens
@@ -3044,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_id_mapping": delta_id_mapping,
         "delta_dv_mapped": delta_dv_mapped,
         "delta_v2_checkpoint": delta_v2_checkpoint,
+        "delta_v2_checkpoint_write": delta_v2_checkpoint_write,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
         "jdbc_live_roundtrip": jdbc_live_roundtrip,
@@ -3644,6 +3680,13 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
             UNION ALL
             SELECT CAST(99 AS BIGINT), 'NEWLAND', CAST(0 AS BIGINT)
+        """,
+        # checkpointing must not change results: replay from the
+        # own-written v2 checkpoint equals the source table
+        "delta_v2_checkpoint_write": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
         """,
         "delta_type_widening": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name

@@ -525,12 +525,18 @@ def _checkpoint_add_row(a: dict) -> dict:
 
 
 def _write_checkpoint_v2(path: str, fs, version: int,
-                         meta, files, protocol) -> None:
-    """PROTOCOL.md V2 Checkpoints: the add actions land in ONE parquet
-    sidecar under ``_delta_log/_sidecars/`` (full fidelity — stats and
-    deletionVector descriptors included, same schema as the classic
-    writer), and a UUID-named top-level JSON carries
-    checkpointMetadata + protocol + metaData + the sidecar pointer."""
+                         meta, files, protocol,
+                         max_actions_per_sidecar: int = 50_000) -> None:
+    """PROTOCOL.md V2 Checkpoints: the add actions land in parquet
+    sidecars under ``_delta_log/_sidecars/`` (full fidelity — stats
+    and deletionVector descriptors included, same schema as the
+    classic writer), and a UUID-named top-level JSON carries
+    checkpointMetadata + protocol + metaData + the sidecar pointers.
+
+    Adds split across sidecars every ``max_actions_per_sidecar``
+    actions — the scale point of the V2 form: a 10M-file table's state
+    parallelizes across sidecar files readers can fetch and decode
+    concurrently, instead of one monolithic classic checkpoint."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -538,10 +544,18 @@ def _write_checkpoint_v2(path: str, fs, version: int,
     adds = [_checkpoint_add_row(files[p]) for p in sorted(files)]
     side_dir = fsio.join(path, fsio.join(_LOG_DIR, "_sidecars"))
     fs.mkdirs(side_dir)
-    side_name = f"{uuid.uuid4().hex}.parquet"
-    buf = io.BytesIO()
-    pq.write_table(pa.table({"add": pa.array(adds, type=add_t)}), buf)
-    fs.write_bytes(fsio.join(side_dir, side_name), buf.getvalue())
+    now = int(time.time() * 1000)
+    sidecars: list[dict] = []
+    for i in range(0, max(len(adds), 1), max_actions_per_sidecar):
+        chunk = adds[i:i + max_actions_per_sidecar]
+        side_name = f"{uuid.uuid4().hex}.parquet"
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table({"add": pa.array(chunk, type=add_t)}), buf)
+        fs.write_bytes(fsio.join(side_dir, side_name), buf.getvalue())
+        sidecars.append({"path": side_name,
+                         "sizeInBytes": len(buf.getvalue()),
+                         "modificationTime": now})
 
     top = fsio.join(
         path, fsio.join(
@@ -559,15 +573,57 @@ def _write_checkpoint_v2(path: str, fs, version: int,
         {"txn": {"appId": a, "version": v}}
         for a, v in sorted(_txn_versions(path).items())
     ] + [
-        {"sidecar": {"path": side_name,
-                     "sizeInBytes": len(buf.getvalue()),
-                     "modificationTime": int(time.time() * 1000)}},
+        {"sidecar": sc} for sc in sidecars
     ]
     fs.write_bytes(top, "".join(
         json.dumps(ln) + "\n" for ln in lines).encode())
     fs.write_bytes(fsio.join(path, _LOG_DIR, "_last_checkpoint"),
                    json.dumps({"version": version,
                                "size": len(adds) + 3}).encode())
+
+
+def create_checkpoint(path: str, version: int | None = None,
+                      v2: bool | None = None,
+                      max_actions_per_sidecar: int = 50_000) -> int:
+    """Public checkpoint verb. ``version`` defaults to the latest;
+    ``v2=None`` honors the table's protocol (the ``v2Checkpoint``
+    feature obliges the V2 form), ``v2=True`` ADOPTS the feature first
+    (protocol-upgrade commit, reader v3 / writer v7, existing features
+    carried forward) then writes the UUID-top-file + sidecar layout,
+    ``v2=False`` refuses on a v2-obliged table rather than violating
+    its contract. Returns the checkpointed version."""
+    fs = fsio.get_fs(path)
+    prot = _replay_state(path)[2] or {}
+    has_v2 = "v2Checkpoint" in set(prot.get("writerFeatures") or ())
+    if v2 is False and has_v2:
+        raise UnsupportedTableFeature(
+            f"delta table at {path} carries the v2Checkpoint feature; "
+            "a classic checkpoint would violate the table contract")
+    if v2 and not has_v2:
+        rf = set(prot.get("readerFeatures") or ())
+        wf = set(prot.get("writerFeatures") or ())
+        legacy = not prot.get("writerFeatures")
+        if legacy and (prot.get("minReaderVersion", 1) == 2
+                       or prot.get("minWriterVersion", 2) >= 5):
+            rf.add("columnMapping")
+            wf.add("columnMapping")
+        if legacy and prot.get("minWriterVersion", 2) >= 4:
+            wf.add("changeDataFeed")
+        rf.add("v2Checkpoint")
+        wf |= {"v2Checkpoint", "appendOnly"}
+        _commit_with_retry(path, latest_version(path) + 1, [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": sorted(rf),
+                          "writerFeatures": sorted(wf)}}])
+    if version is None:
+        version = latest_version(path)
+    if v2:
+        meta, files, protocol = _replay_state(path, version)
+        _write_checkpoint_v2(path, fs, version, meta, files, protocol,
+                             max_actions_per_sidecar)
+    else:
+        _write_checkpoint(path, fs, version)
+    return int(version)
 
 
 # -------------------------------------------------------------- log replay
