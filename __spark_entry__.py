@@ -1510,6 +1510,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, t, starting_version=stats["version"]).select(
             "_change_type", "n_nationkey", "n_name")
 
+    def delta_cdf_mapped(spark, sf):
+        """Change data feed on a COLUMN-MAPPED table (delta_py round 9,
+        _read_cdf_actions; PROTOCOL.md Column Mapping + Change Data
+        Files): nation becomes a mapped table whose n_name is RENAMED
+        to nation_name (physical parquet name now differs from
+        logical), CDF is enabled, a MERGE updates keys < 5 and inserts
+        key 99 — the change files store physical names + verbatim
+        _change_type, and the feed projects them back to logical
+        through the same machinery the state read uses. r8 refused
+        this; delta-spark serves it."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            enable_column_mapping, merge_delta, read_change_feed,
+            rename_column, set_table_properties, write_delta)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_cdfm_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_delta(n.coalesce(1), t, partition_by=["n_regionkey"])
+        enable_column_mapping(t)
+        rename_column(t, "n_name", "nation_name")
+        set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
+        batch = n.filter("n_nationkey < 5") \
+            .withColumnRenamed("n_name", "nation_name") \
+            .withColumn("nation_name",
+                        F.concat("nation_name", F.lit("_u"))) \
+            .unionByName(spark.createDataFrame(
+                [(99, "NEWLAND", 0)],
+                "n_nationkey long, nation_name string, n_regionkey long"))
+        stats = merge_delta(spark, t, batch, "n_nationkey")
+        return read_change_feed(
+            spark, t, starting_version=stats["version"]).select(
+            "_change_type", "n_nationkey", "nation_name", "n_regionkey")
+
     def delta_cdf_stream(spark, sf):
         """STREAMING change-data-feed source (delta_source round 8,
         readChangeFeed=true — delta-spark's streaming table_changes):
@@ -2263,6 +2300,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("window_start"),
             "event_type", "n_events")
 
+    def stream_dedup_events(spark, sf):
+        """STREAMING dedup under the oracle (streaming/cdc.
+        stream_dedup_latest -> dropDuplicatesWithinWatermark; the
+        reference's CDC replay guard, base.yaml:81-126, on an unbounded
+        source — the streaming sibling of dedup_last_event): events
+        slice into 3 chronological micro-batches, then a 4th batch
+        REPLAYS the first slice byte-identically (an at-least-once
+        redelivery). The watermark delay exceeds the corpus span, so
+        every replayed row is provably dropped by keyed state — the
+        assert pins output rows == distinct event_ids, and the final
+        set hash-matches plain DISTINCT."""
+        import shutil
+        import tempfile
+        import time as _time
+        import uuid as _uuid
+
+        from sling_cli_spark.streaming.cdc import stream_dedup_latest
+
+        e = _t(spark, sf, "events").select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            .cast("double").alias("ts_us"))
+        base = tempfile.mkdtemp(prefix="sling_sdd_")
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        b1, b2 = e.agg(F.expr(
+            "percentile(ts_us, array(0.34, 0.67))")).first()[0]
+        slices = [e.filter(F.col("ts_us") <= b1),
+                  e.filter((F.col("ts_us") > b1)
+                           & (F.col("ts_us") <= b2)),
+                  e.filter(F.col("ts_us") > b2),
+                  e.filter(F.col("ts_us") <= b1)]  # the replay
+        now = _time.time()
+        cols = ["event_id", "user_id", "event_type", "ts_us"]
+        for k, sl in enumerate(slices):
+            stage = os.path.join(base, f"st{k}")
+            sl.select(F.to_json(F.struct(*cols)).alias("v")).coalesce(1) \
+                .write.mode("overwrite").text(stage)
+            part = next(f for f in sorted(os.listdir(stage))
+                        if f.startswith("part-"))
+            dstf = os.path.join(src, f"b{k:03d}.jsonl")
+            shutil.move(os.path.join(stage, part), dstf)
+            os.utime(dstf, (now + k, now + k))  # batch = mod-time order
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string, "
+            "ts_us double") \
+            .option("maxFilesPerTrigger", "1").json(src) \
+            .withColumn("ts", F.timestamp_micros(
+                F.col("ts_us").cast("long")))
+        out = stream_dedup_latest(
+            stream, "event_id", seq_col=None,
+            watermark_col="ts", delay="3650 days")
+        qn = "sdd_" + _uuid.uuid4().hex[:8]
+        (out.writeStream.format("memory").queryName(qn)
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(base, "ckpt"))
+         .trigger(availableNow=True).start().awaitTermination(300))
+        raw = spark.table(qn)
+        n_distinct = e.select("event_id").distinct().count()
+        assert raw.count() == n_distinct, \
+            "replayed micro-batch must be dropped by dedup state " \
+            f"(got {raw.count()}, want {n_distinct})"
+        return raw.select("event_id", "user_id", "event_type")
+
     # --- validation / profiling -----------------------------------------
     def percentile_orders(spark, sf):
         """Exact-percentile distribution profiling (profile.
@@ -2984,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partitions_meta": iceberg_partitions_meta,
         "iceberg_delta_sync": iceberg_delta_sync,
         "stream_window_watermark_events": stream_window_watermark_events,
+        "stream_dedup_events": stream_dedup_events,
         "delta_cdf_stream": delta_cdf_stream,
         "iceberg_changelog_stream": iceberg_changelog_stream,
         "delta_rename_evolution": delta_rename_evolution,
@@ -3082,6 +3186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_v2_checkpoint_write": delta_v2_checkpoint_write,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
+        "delta_cdf_mapped": delta_cdf_mapped,
         "jdbc_live_roundtrip": jdbc_live_roundtrip,
         "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
         "iceberg_v3_dv": iceberg_v3_dv,
@@ -3703,6 +3808,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'insert', CAST(99 AS BIGINT), 'NEWLAND'
         """,
+        # mapped CDF: same per-row diff, column RENAMED logical-side
+        # (physical parquet names differ; projection must restore)
+        "delta_cdf_mapped": """
+            SELECT 'update_preimage' AS _change_type,
+                   CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   n_name AS nation_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation WHERE n_nationkey < 5
+            UNION ALL
+            SELECT 'update_postimage', CAST(n_nationkey AS BIGINT),
+                   n_name || '_u', CAST(n_regionkey AS BIGINT)
+            FROM nation WHERE n_nationkey < 5
+            UNION ALL
+            SELECT 'insert', CAST(99 AS BIGINT), 'NEWLAND',
+                   CAST(0 AS BIGINT)
+        """,
         "delta_cdf_stream": """
             SELECT 'insert' AS _change_type,
                    CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
@@ -4159,6 +4280,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
                    event_type, count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        # an at-least-once replay of the first micro-batch must vanish:
+        # the streamed result equals plain DISTINCT over the source
+        "stream_dedup_events": """
+            SELECT DISTINCT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id, event_type
+            FROM events
         """,
         "stream_sessionize_events": """
             WITH g AS (

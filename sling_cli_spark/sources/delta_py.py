@@ -2297,7 +2297,7 @@ def _rt_attach_preserved(
 def _read_mapped_partitioned(
     spark, path: str, meta: dict, files: dict, schema_json: dict, logical,
     id_mode: bool = False, dvs: dict | None = None,
-    keep_file: bool = False,
+    keep_file: bool = False, extra_cols: list[tuple] | None = None,
 ):
     """Column-mapped AND partitioned: mapped tables keep partition
     values ONLY in ``add.partitionValues`` (keys are physical names —
@@ -2332,10 +2332,15 @@ def _read_mapped_partitioned(
         part_fields.append(f)
     part_names = {f["name"] for f in part_fields}
     data_fields = [f for f in fields if f["name"] not in part_names]
+    phys_fields = (_fieldid_fields if id_mode
+                   else _physical_fields)(data_fields)
+    # extra UNMAPPED physical columns (the change files' _change_type:
+    # not part of the table schema, stored verbatim, matched by name
+    # even under fieldId reads since it carries no id metadata)
+    phys_fields += [{"name": n, "type": t, "nullable": True,
+                     "metadata": {}} for n, t in (extra_cols or [])]
     phys = T.StructType.fromJson(
-        {"type": "struct",
-         "fields": (_fieldid_fields if id_mode
-                    else _physical_fields)(data_fields)})
+        {"type": "struct", "fields": phys_fields})
 
     groups: dict[tuple, list[str]] = {}
     for rel, add in files.items():
@@ -2366,6 +2371,8 @@ def _read_mapped_partitioned(
                 src = f["name"] if id_mode else physname(f)
                 sel.append(F.col(src)
                            .cast(lf.dataType).alias(lf.name, metadata={}))
+        for n, _t in (extra_cols or []):
+            sel.append(F.col(n))
         if keep_file:
             sel.append(F.col("__fp0").alias("__fp"))
         branches.append(df.select(*sel))
@@ -4157,6 +4164,30 @@ def _read_actions_with_partitions(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), branches)
 
 
+def _read_cdf_actions(
+    spark, path: str, actions: list[dict], meta: dict, cdc: bool = False,
+) -> DataFrame:
+    """Read the files behind CDF add/remove/cdc actions with partition
+    values attached — column-mapped tables project physical names (or
+    parquet field ids in ``id`` mode) back to logical through the SAME
+    machinery the state read uses (:func:`_read_mapped_partitioned`);
+    change files' ``_change_type`` column is unmapped by the protocol
+    and rides through verbatim."""
+    from pyspark.sql import types as T
+
+    if _column_mapping_mode(meta) == "none":
+        return _read_actions_with_partitions(spark, path, actions, meta)
+    schema_json = json.loads(meta["schemaString"])
+    logical = T.StructType.fromJson(schema_json)
+    id_mode = _column_mapping_mode(meta) == "id"
+    if id_mode:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    return _read_mapped_partitioned(
+        spark, path, meta, {a["path"]: a for a in actions},
+        schema_json, logical, id_mode=id_mode,
+        extra_cols=[("_change_type", "string")] if cdc else None)
+
+
 def read_change_feed(
     spark: SparkSession, path: str, starting_version: int = 0,
     ending_version: int | None = None,
@@ -4171,11 +4202,11 @@ def read_change_feed(
     dataChange removes -> ``delete`` rows (reading the removed file,
     which vacuum has not yet reclaimed). A derived commit whose add OR
     remove carries a deletion vector cannot be reconstructed this way
-    and refuses loudly, as do column-mapped tables (the change files /
-    removed files store physical names this reader does not project
-    back yet). Partitioned tables attach each action's
-    ``partitionValues`` as typed literals — staged files hold no
-    partition columns."""
+    and refuses loudly. Column-mapped tables (both modes) project the
+    change files' physical names back to logical
+    (:func:`_read_cdf_actions`, round 9). Partitioned tables attach
+    each action's ``partitionValues`` as typed literals — staged files
+    hold no partition columns."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -4183,11 +4214,6 @@ def read_change_feed(
     meta, _ = replay_log(path)  # reader-protocol gate + schema
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
-    if _column_mapping_mode(meta) != "none":
-        raise UnsupportedTableFeature(
-            f"change feed on {path}: column-mapped tables are not "
-            "supported here (physical-name projection of change files "
-            "is not implemented) — read the table state instead")
     fs = fsio.get_fs(path)
     versions = [v for v in _list_versions(path)
                 if v >= starting_version
@@ -4210,7 +4236,7 @@ def read_change_feed(
                                         F.lit(ts).cast("long")))
 
         if cdcs:
-            final(_read_actions_with_partitions(spark, path, cdcs, meta))
+            final(_read_cdf_actions(spark, path, cdcs, meta, cdc=True))
             continue
         adds = [a["add"] for a in actions
                 if "add" in a and a["add"].get("dataChange")]
@@ -4222,10 +4248,10 @@ def read_change_feed(
                     f"change feed: commit {v} attaches a deletion "
                     "vector without cdc files — underivable")
         if adds:
-            final(_apply_table_schema(_read_actions_with_partitions(
+            final(_apply_table_schema(_read_cdf_actions(
                 spark, path, adds, meta), meta), "insert")
         if removes:
-            final(_apply_table_schema(_read_actions_with_partitions(
+            final(_apply_table_schema(_read_cdf_actions(
                 spark, path, removes, meta), meta), "delete")
     if not branches:
         from pyspark.sql import types as T

@@ -39,20 +39,29 @@ def read_file_stream(
 
 
 def stream_dedup_latest(
-    df: DataFrame, primary_key, seq_col: str = SEQ_COL,
+    df: DataFrame, primary_key, seq_col: str | None = SEQ_COL,
     watermark_col: str | None = None, delay: str = "10 minutes",
 ) -> DataFrame:
-    """Best-effort in-stream dedup: drop exact (pk, seq) replays.
+    """Best-effort in-stream dedup: drop exact (pk, seq) replays —
+    ``seq_col=None`` dedups on the key alone (first arrival wins),
+    the reference's CDC replay guard (base.yaml:81-126 last-op-wins is
+    enforced in the sink merge; THIS drops byte-identical redeliveries
+    before they cost a merge).
 
     ``withWatermark`` bounds the dedup state store — without it state
-    grows forever (the 100 TB failure mode). Cross-batch last-op-wins is
-    enforced in the sink merge, not here (aggregation per PK would need
-    complete-mode state; the merge does it with zero state)."""
+    grows forever (the 100 TB failure mode): a key's dedup state
+    evicts once the watermark passes its event time + delay, so
+    duplicates are dropped with certainty only while they arrive
+    within ``delay`` of the first occurrence (Spark's
+    dropDuplicatesWithinWatermark contract). Cross-batch last-op-wins
+    is enforced in the sink merge, not here (aggregation per PK would
+    need complete-mode state; the merge does it with zero state)."""
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    keys = pk + ([seq_col] if seq_col else [])
     if watermark_col:
         df = df.withWatermark(watermark_col, delay)
-        return df.dropDuplicatesWithinWatermark(pk + [seq_col])
-    return df.dropDuplicates(pk + [seq_col])
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
 
 
 def debezium_value_schema(row_schema):

@@ -35,7 +35,8 @@ if TYPE_CHECKING:  # pragma: no cover
 
 class _FilePart(InputPartition):
     def __init__(self, uri: str, schema_json: str, part_values: dict,
-                 cdf: tuple | None = None, dv: tuple | None = None):
+                 cdf: tuple | None = None, dv: tuple | None = None,
+                 phys: dict | None = None):
         self.uri = uri
         self.schema_json = schema_json
         self.part_values = part_values or {}
@@ -48,6 +49,25 @@ class _FilePart(InputPartition):
         # files whole, but a DV'd row is DELETED, not duplicated). The
         # blob is pre-read driver-side so executors need no fs client.
         self.dv = dv
+        # column-mapped tables: logical name -> PHYSICAL parquet column
+        # name (files store physical; the stream schema is logical)
+        self.phys = phys
+
+
+def _phys_map(meta: dict) -> dict | None:
+    """logical -> physical column names for a column-mapped table
+    (PROTOCOL.md Column Mapping), or None when unmapped."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+    if mode == "none":
+        return None
+    out = {}
+    for f in json.loads(meta["schemaString"]).get("fields") or []:
+        p = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName")
+        if p:
+            out[f["name"]] = p
+    return out
 
 
 def _arrow_type_opt(spark_type: str):
@@ -216,6 +236,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
         fields = {f["name"]: f for f in
                   json.loads(schema_json).get("fields") or []}
         part_cols = meta.get("partitionColumns") or []
+        phys = _phys_map(meta)
         fs = fsio.get_fs(self._path)
         parts: list[_FilePart] = []
         versions = [v for v in _list_versions(self._path, fs)
@@ -240,13 +261,14 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     "stream cannot express it; set ignoreChanges=true "
                     "to re-emit touched files whole")
             for add in adds:
+                raw = add.get("partitionValues") or {}
                 pv = {
                     c: (fields.get(c, {}).get("type", "string"),
-                        (add.get("partitionValues") or {}).get(c))
+                        raw.get((phys or {}).get(c, c), raw.get(c)))
                     for c in part_cols}
                 parts.append(_FilePart(
                     _add_uri(self._path, add["path"]), schema_json, pv,
-                    dv=_dv_payload(self._path, add)))
+                    dv=_dv_payload(self._path, add), phys=phys))
         return parts
 
     def read(self, partition: _FilePart):
@@ -270,6 +292,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
         for f in fields:
             name, typ = f["name"], f.get("type")
             typ = typ if isinstance(typ, str) else "string"
+            src = (partition.phys or {}).get(name, name)
             names.append(name)
             if name in partition.part_values:
                 ptyp, raw = partition.part_values[name]
@@ -277,8 +300,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                                 raw)
                 cols.append(pa.array([val] * n, type=_arrow_type(
                     ptyp if isinstance(ptyp, str) else "string")))
-            elif name in tbl.column_names:
-                cols.append(tbl.column(name).combine_chunks())
+            elif src in tbl.column_names:
+                cols.append(tbl.column(src).combine_chunks())
             else:  # file predates an evolved column -> typed nulls
                 cols.append(pa.nulls(n, type=_arrow_type(typ)))
         if partition.cdf is not None:
@@ -308,26 +331,24 @@ class _DeltaCdfStreamReader(_DeltaStreamReader):
     dataChange adds are ``insert`` rows, dataChange removes are
     ``delete`` rows read from the not-yet-vacuumed file. Destructive
     commits are the POINT here, so nothing refuses; a derived commit
-    carrying a deletion vector (underivable) and column-mapped tables
-    do, exactly like the batch reader (delta_py.read_change_feed)."""
+    carrying a deletion vector (underivable) does, exactly like the
+    batch reader (delta_py.read_change_feed). Column-mapped tables
+    project physical names back to logical (round 9, same contract as
+    delta_py._read_cdf_actions)."""
 
     def partitions(self, start: dict, end: dict):
         from sling_cli_spark import fsio
         from sling_cli_spark.sources.delta_py import (
-            UnsupportedTableFeature, _add_uri, _column_mapping_mode,
-            _list_versions, _log_path, commit_timestamp_ms, replay_log)
+            _add_uri, _list_versions, _log_path, commit_timestamp_ms,
+            replay_log)
 
         self._last_end = end["version"]
         meta, _ = replay_log(self._path)
-        if _column_mapping_mode(meta) != "none":
-            raise UnsupportedTableFeature(
-                f"delta_stream change feed on {self._path}: "
-                "column-mapped tables are not supported (physical-name "
-                "projection of change files is not implemented)")
         schema_json = meta["schemaString"]
         fields = {f["name"]: f for f in
                   json.loads(schema_json).get("fields") or []}
         part_cols = meta.get("partitionColumns") or []
+        phys = _phys_map(meta)
         fs = fsio.get_fs(self._path)
         parts: list[_FilePart] = []
         versions = [v for v in _list_versions(self._path, fs)
@@ -341,12 +362,13 @@ class _DeltaCdfStreamReader(_DeltaStreamReader):
                 if ln.strip()]
 
             def emit(a: dict, ct: str | None):
+                raw = a.get("partitionValues") or {}
                 pv = {c: (fields.get(c, {}).get("type", "string"),
-                          (a.get("partitionValues") or {}).get(c))
+                          raw.get((phys or {}).get(c, c), raw.get(c)))
                       for c in part_cols}
                 parts.append(_FilePart(
                     _add_uri(self._path, a["path"]), schema_json, pv,
-                    cdf=(ct, v, ts)))
+                    cdf=(ct, v, ts), phys=phys))
 
             cdcs = [a["cdc"] for a in actions if "cdc" in a]
             if cdcs:

@@ -256,3 +256,91 @@ def test_create_checkpoint_classic_refuses_on_v2_table(spark, tmp_path):
     create_checkpoint(t, v2=True)
     with pytest.raises(UnsupportedTableFeature, match="v2Checkpoint"):
         create_checkpoint(t, v2=False)
+
+
+def test_cdf_on_column_mapped_table(spark, tmp_path):
+    """r9: read_change_feed on a column-mapped table — physical names
+    in change/removed files project back to logical, partition values
+    (physical-keyed) attach as logical columns, and cdc files'
+    _change_type rides through verbatim."""
+    from sling_cli_spark.sources.delta_py import (
+        enable_column_mapping, merge_delta, read_change_feed,
+        rename_column, set_table_properties, write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(i, f"v{i}", i % 2) for i in range(6)],
+        "id long, v string, g long").coalesce(1), t,
+        partition_by=["g"])
+    enable_column_mapping(t)
+    rename_column(t, "v", "val")  # physical name now differs for sure
+    set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
+    v0 = 3  # versions 0..3 so far (write, enable, rename, cdf on)
+    # a CDF-recorded merge: update id=2, insert id=10
+    merge_delta(spark, t, spark.createDataFrame(
+        [(2, "UPD", 0), (10, "NEW", 0)], "id long, val string, g long"),
+        ["id"])
+    cdf = read_change_feed(spark, t, starting_version=v0 + 1)
+    rows = {(r["id"], r["_change_type"]): (r["val"], r["g"])
+            for r in cdf.collect()}
+    assert rows[(2, "update_preimage")] == ("v2", 0)
+    assert rows[(2, "update_postimage")] == ("UPD", 0)
+    assert rows[(10, "insert")] == ("NEW", 0)
+    # an append derives inserts from adds (no cdc files): physical
+    # file columns still project back
+    write_delta(spark.createDataFrame(
+        [(11, "APP", 1)], "id long, val string, g long").coalesce(1),
+        t, mode="append")
+    cdf2 = read_change_feed(spark, t,
+                            starting_version=v0 + 2).collect()
+    assert {(r["id"], r["_change_type"], r["val"], r["g"])
+            for r in cdf2} == {(11, "insert", "APP", 1)}
+
+
+def test_cdf_stream_on_column_mapped_table(spark, tmp_path):
+    """r9: readChangeFeed=true streams a column-mapped table — change
+    files' physical names project back to logical executor-side, and
+    the plain delta_stream also reads mapped files (no silent nulls)."""
+    from sling_cli_spark.sources.delta_py import (
+        enable_column_mapping, merge_delta, rename_column,
+        set_table_properties, write_delta)
+    from sling_cli_spark.streaming.delta_source import (
+        register_delta_stream)
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    write_delta(spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "id long, v string, g long")
+        .coalesce(1), t, partition_by=["g"])
+    enable_column_mapping(t)
+    rename_column(t, "v", "val")
+    set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
+    merge_delta(spark, t, spark.createDataFrame(
+        [(2, "B2", 1)], "id long, val string, g long"), ["id"])
+
+    q = (spark.readStream.format("delta_stream").option("path", t)
+         .option("readChangeFeed", "true").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {(r["id"], r["_change_type"]): (r["val"], r["g"])
+            for r in spark.read.parquet(out).collect()}
+    assert rows[(1, "insert")] == ("a", 0)
+    assert rows[(2, "update_preimage")] == ("b", 1)
+    assert rows[(2, "update_postimage")] == ("B2", 1)
+    # plain (state) stream on the mapped table: logical values, not
+    # nulls from a physical-name miss
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    q = (spark.readStream.format("delta_stream").option("path", t)
+         .option("ignoreChanges", "true").load()
+         .writeStream.format("parquet").option("path", out2)
+         .option("checkpointLocation", ck2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["id"], r["val"], r["g"])
+           for r in spark.read.parquet(out2).collect()}
+    assert (2, "B2", 1) in got and (1, "a", 0) in got
+    assert not any(v is None for _, v, _ in got)
