@@ -3000,6 +3000,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .alias("o_orderpriority"),
             "record_count", "file_count")
 
+    def iceberg_snapshots_meta(spark, sf):
+        """snapshots metadata-table twin (iceberg_py round 9,
+        Spark-Iceberg's ``t.snapshots``): nation lands in two appends
+        and a MERGE — the twin reports each retained snapshot's
+        operation and parent linkage straight from the table metadata
+        (ids/instants are wall-clock, so the oracle pins the
+        DETERMINISTIC facts: commit ordinal, operation, parentage)."""
+        import tempfile
+
+        from pyspark.sql import Window
+
+        from sling_cli_spark.sources.iceberg_py import (
+            iceberg_snapshots, write_iceberg)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_ism_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        write_iceberg(n.filter("n_nationkey < 12").coalesce(1), t)
+        write_iceberg(n.filter("n_nationkey >= 12").coalesce(1), t,
+                      mode="append")
+        write_iceberg(n.coalesce(1), t, mode="overwrite")
+        snaps = iceberg_snapshots(spark, t)
+        w = Window.orderBy("snapshot_id")
+        return snaps.select(
+            F.row_number().over(w).alias("ord"), "operation",
+            F.col("parent_id").isNotNull().alias("has_parent"))
+
+    def iceberg_manifests_meta(spark, sf):
+        """manifests + entries metadata-table twins (iceberg_py round
+        9): three single-file appends — the current snapshot packs the
+        new file and both carried files into ONE data manifest, whose
+        per-status counts (1 added / 2 existing) the manifests twin
+        reads from one avro pass, and whose raw rows the entries twin
+        exposes with inherited sequence numbers. Both cross-checked in
+        one result against the record counts the source table
+        implies."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            iceberg_entries, iceberg_manifests, write_iceberg)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_imm_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        write_iceberg(n.filter("n_nationkey < 8").coalesce(1), t)
+        write_iceberg(
+            n.filter("n_nationkey >= 8 and n_nationkey < 16")
+            .coalesce(1), t, mode="append")
+        write_iceberg(n.filter("n_nationkey >= 16").coalesce(1), t,
+                      mode="append")
+        m = iceberg_manifests(spark, t).select(
+            "content", "partition_spec_id",
+            "added_data_files_count", "existing_data_files_count",
+            "deleted_data_files_count")
+        e = iceberg_entries(spark, t).groupBy("status").agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.sum("record_count").alias("n_records"))
+        return m.crossJoin(e)
+
     def ann_pq_topk(spark, sf):
         """Product-quantization ANN (similarity.pq_topk, round 8;
         Jégou et al. TPAMI 2011): the 64-dim corpus encodes once to 4
@@ -3085,6 +3146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_events": stream_sessionize_events,
         "iceberg_eq_upsert": iceberg_eq_upsert,
         "iceberg_partitions_meta": iceberg_partitions_meta,
+        "iceberg_snapshots_meta": iceberg_snapshots_meta,
+        "iceberg_manifests_meta": iceberg_manifests_meta,
         "iceberg_delta_sync": iceberg_delta_sync,
         "stream_window_watermark_events": stream_window_watermark_events,
         "stream_dedup_events": stream_dedup_events,
@@ -5042,6 +5105,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*) AS record_count,
                    CAST(1 AS BIGINT) AS file_count
             FROM orders GROUP BY o_orderpriority
+        """,
+        # snapshot ids/instants are wall-clock; the deterministic facts
+        # are ordinal, operation, and parent linkage
+        "iceberg_snapshots_meta": """
+            SELECT 1 AS ord, 'append' AS operation, false AS has_parent
+            UNION ALL SELECT 2, 'append', true
+            UNION ALL SELECT 3, 'overwrite', true
+        """,
+        # one data manifest: the 3rd append's file (status 1) packs
+        # with both carried files (status 0); record sums derive from
+        # the source rows each append took
+        "iceberg_manifests_meta": """
+            WITH m AS (
+              SELECT 0 AS content, 0 AS partition_spec_id,
+                     1 AS added_data_files_count,
+                     2 AS existing_data_files_count,
+                     0 AS deleted_data_files_count),
+            e AS (
+              SELECT 1 AS status, CAST(1 AS BIGINT) AS n_entries,
+                     (SELECT count(*) FROM nation
+                      WHERE n_nationkey >= 16) AS n_records
+              UNION ALL
+              SELECT 0, CAST(2 AS BIGINT),
+                     (SELECT count(*) FROM nation
+                      WHERE n_nationkey < 16))
+            SELECT m.*, e.* FROM m CROSS JOIN e
         """,
         "iceberg_delta_sync": """
             SELECT p.proto, o_orderkey, o_orderpriority, o_totalprice

@@ -402,6 +402,17 @@ def cmd_lake(args: argparse.Namespace) -> int:
             df = iceberg_history(spark, path)
         _stream_csv_stdout(df)
         return 0
+    if op in ("snapshots", "manifests", "entries"):
+        if is_delta:
+            print(f"{op} applies to Iceberg tables (delta: use history)",
+                  file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources import iceberg_py as ice
+        fn = {"snapshots": ice.iceberg_snapshots,
+              "manifests": ice.iceberg_manifests,
+              "entries": ice.iceberg_entries}[op]
+        _stream_csv_stdout(fn(spark, path))
+        return 0
     if op == "optimize":
         target = args.target_mb * 1024 * 1024
         if is_delta:
@@ -530,6 +541,15 @@ def build_parser() -> argparse.ArgumentParser:
                        help="iceberg: partitions metadata table as CSV "
                             "(manifest-only per-partition stats)")
     lp.add_argument("path")
+    lsn = ls.add_parser("snapshots",
+                        help="iceberg: snapshots metadata table as CSV")
+    lsn.add_argument("path")
+    lmf = ls.add_parser("manifests",
+                        help="iceberg: manifests metadata table as CSV")
+    lmf.add_argument("path")
+    len_ = ls.add_parser("entries",
+                         help="iceberg: raw manifest entries as CSV")
+    len_.add_argument("path")
     lsd = ls.add_parser("sync-delta",
                         help="iceberg: generate/refresh a Delta log "
                              "beside the metadata (reverse universal "

@@ -1766,7 +1766,9 @@ def _commit_snapshot(
     if branch != "main" and (refs.get(branch) or {}).get("snapshot-id") \
             is not None:
         parent = refs[branch]["snapshot-id"]
-    if parent is not None:
+    if parent is not None and int(parent) != -1:
+        # -1 is this module's pre-first-snapshot sentinel, not a real
+        # snapshot — the spec omits parent-snapshot-id entirely there
         snapshot["parent-snapshot-id"] = int(parent)
     if fv >= 2:
         snapshot["sequence-number"] = new_seq
@@ -2230,6 +2232,106 @@ def iceberg_history(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "snapshot_id long, timestamp_ms long, "
               "sequence_number long, operation string, is_current boolean")
+
+
+def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
+    """``snapshots`` metadata-table twin (Spark-Iceberg's ``SELECT *
+    FROM t.snapshots``): one row per retained snapshot — commit
+    instant, ids, operation, manifest-list path, and the summary map
+    as a sorted-key JSON string. Pure metadata (the table metadata
+    file already holds every row)."""
+    _, meta = _current_metadata(path)
+    rows = [(int(s.get("timestamp-ms") or 0),
+             int(s["snapshot-id"]),
+             int(s["parent-snapshot-id"])
+             if s.get("parent-snapshot-id") is not None
+             and int(s["parent-snapshot-id"]) != -1 else None,
+             (s.get("summary") or {}).get("operation"),
+             s.get("manifest-list"),
+             json.dumps(s.get("summary") or {}, sort_keys=True))
+            for s in meta.get("snapshots") or []]
+    return spark.createDataFrame(rows, (
+        "committed_at_ms long, snapshot_id long, parent_id long, "
+        "operation string, manifest_list string, summary string"))
+
+
+def iceberg_manifests(spark: SparkSession, path: str,
+                      snapshot_id: int | None = None) -> DataFrame:
+    """``manifests`` metadata-table twin: one row per manifest the
+    (current or named) snapshot lists, with per-status entry counts
+    split by content kind — added/existing/deleted data and delete
+    files. Counts come from one avro read per manifest (the foreign
+    *_files_count header fields are optional and this writer's
+    stdlib encoder omits them), still metadata-scale: manifests, not
+    data files."""
+    _, meta = _current_metadata(path)
+    snaps = meta.get("snapshots") or []
+    sid = snapshot_id if snapshot_id is not None \
+        else meta.get("current-snapshot-id")
+    snap = next((s for s in snaps if s["snapshot-id"] == sid), None)
+    rows = []
+    if snap is not None:
+        _, manifests = read_avro(snap["manifest-list"])
+        for m in manifests:
+            counts = {(st, kind): 0 for st in (0, 1, 2)
+                      for kind in ("data", "delete")}
+            _, entries = read_avro(m["manifest_path"])
+            for e in entries:
+                kind = "data" if not (e["data_file"].get("content")
+                                      or 0) else "delete"
+                counts[(int(e.get("status") or 0), kind)] += 1
+            rows.append((
+                int(m.get("content") or 0), m["manifest_path"],
+                int(m.get("manifest_length") or 0),
+                int(m.get("partition_spec_id") or 0),
+                int(m.get("added_snapshot_id") or 0),
+                counts[(1, "data")], counts[(0, "data")],
+                counts[(2, "data")],
+                counts[(1, "delete")], counts[(0, "delete")],
+                counts[(2, "delete")]))
+    return spark.createDataFrame(rows, (
+        "content int, path string, length long, partition_spec_id int, "
+        "added_snapshot_id long, added_data_files_count int, "
+        "existing_data_files_count int, deleted_data_files_count int, "
+        "added_delete_files_count int, existing_delete_files_count int, "
+        "deleted_delete_files_count int"))
+
+
+def iceberg_entries(spark: SparkSession, path: str,
+                    snapshot_id: int | None = None) -> DataFrame:
+    """``entries`` metadata-table twin: one row per manifest ENTRY of
+    the snapshot — status (0 existing / 1 added / 2 deleted), the
+    entry's snapshot id, its (inherited) sequence number, and the
+    file facts. The raw form ``files``/``manifests`` aggregate."""
+    _, meta = _current_metadata(path)
+    snaps = meta.get("snapshots") or []
+    sid = snapshot_id if snapshot_id is not None \
+        else meta.get("current-snapshot-id")
+    snap = next((s for s in snaps if s["snapshot-id"] == sid), None)
+    rows = []
+    if snap is not None:
+        _, manifests = read_avro(snap["manifest-list"])
+        for m in manifests:
+            mseq = m.get("sequence_number")
+            _, entries = read_avro(m["manifest_path"])
+            for e in entries:
+                df_ = e["data_file"]
+                seq = e.get("sequence_number")
+                rows.append((
+                    int(e.get("status") or 0),
+                    int(e.get("snapshot_id")
+                        or m.get("added_snapshot_id") or 0),
+                    int((mseq if seq is None else seq) or 0),
+                    int(df_.get("content") or 0),
+                    df_["file_path"],
+                    int(df_.get("record_count") or 0),
+                    int(df_.get("file_size_in_bytes") or 0),
+                    json.dumps(df_.get("partition") or {},
+                               sort_keys=True)))
+    return spark.createDataFrame(rows, (
+        "status int, snapshot_id long, sequence_number long, "
+        "content int, file_path string, record_count long, "
+        "file_size_in_bytes long, partition string"))
 
 
 def remove_orphan_files(path: str) -> list[str]:
