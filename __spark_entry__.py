@@ -446,6 +446,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("N_NAME").alias("n_name"),
             F.col("N_REGIONKEY").alias("n_regionkey"))
 
+    def jdbc_live_merge(spark, sf):
+        """LIVE JDBC merge strategies on embedded Derby (round 9; r8
+        proved load+read live, merge SQL only on the DuckDB twin):
+        orders keys < 750 land as the target over real JDBC, then TWO
+        staged_db_load cycles execute dialect-RENDERED merges on the
+        live connection — native MERGE (update_insert, derby pack) for
+        keys 500..999 at +10000, then the multi-statement
+        delete_insert (DELETE; INSERT, split at statement boundaries
+        because java.sql.Statement takes one statement) for keys
+        250..599 at +20000. The final table read back over JDBC
+        hash-matches the CASE arithmetic oracle. Reference:
+        task_run_write.go:228-498 staged load, base.yaml:52-79."""
+        import tempfile
+
+        from sling_cli_spark.config import Mode, Source, Target
+        from sling_cli_spark.sources.jdbc import (
+            read_jdbc, staged_db_load, write_jdbc)
+
+        db = os.path.join(tempfile.mkdtemp(prefix="sling_jlm_"), "db")
+        url = f"jdbc:derby:{db};create=true"
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long").alias("O_ORDERKEY"),
+            F.col("o_orderstatus").alias("O_ORDERSTATUS"),
+            F.col("o_totalprice").cast("double").alias("O_TOTALPRICE"))
+        write_jdbc(o.filter("O_ORDERKEY < 750"), url,
+                   Target(object="tgt_lm"), Mode.FULL_REFRESH)
+
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+
+        def execute(sql):
+            s = sql.strip()
+            st = conn.createStatement()
+            try:
+                if s.lower().startswith("drop table if exists"):
+                    try:  # Derby has no DROP .. IF EXISTS
+                        st.execute(f"drop table {s.split()[-1]}")
+                    except Exception:
+                        pass
+                    return
+                st.execute(s)
+            finally:
+                st.close()
+
+        def fetch_one(sql):
+            st = conn.createStatement()
+            try:
+                rs = st.executeQuery(sql)
+                rs.next()
+                return (rs.getLong(1),)
+            finally:
+                st.close()
+
+        cols = ["O_ORDERKEY", "O_ORDERSTATUS", "O_TOTALPRICE"]
+        b1 = o.filter("O_ORDERKEY between 500 and 999").withColumn(
+            "O_TOTALPRICE", F.col("O_TOTALPRICE") + 10000)
+        n1 = b1.count()
+        staged_db_load(
+            execute, fetch_one, "derby", "tgt_lm", cols, ["O_ORDERKEY"],
+            write_stage=lambda temp: write_jdbc(
+                b1, url, Target(object=temp), Mode.INCREMENTAL),
+            strategy="update_insert", expect_count=n1)
+        b2 = o.filter("O_ORDERKEY between 250 and 599").withColumn(
+            "O_TOTALPRICE", F.col("O_TOTALPRICE") + 20000)
+        n2 = b2.count()
+        staged_db_load(
+            execute, fetch_one, "derby", "tgt_lm", cols, ["O_ORDERKEY"],
+            write_stage=lambda temp: write_jdbc(
+                b2, url, Target(object=temp), Mode.INCREMENTAL),
+            strategy="delete_insert", expect_count=n2)
+        got = read_jdbc(spark, url, Source(stream="tgt_lm"))
+        return got.select(
+            F.col("O_ORDERKEY").alias("o_orderkey"),
+            F.col("O_ORDERSTATUS").alias("o_orderstatus"),
+            F.col("O_TOTALPRICE").alias("o_totalprice"))
+
     def delta_deletion_vectors(spark, sf):
         """Read a Delta table bearing deletion vectors (reader protocol
         v3 + deletionVectors, PROTOCOL.md; sources/delta_dv.py parses
@@ -3251,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_change_feed": delta_change_feed,
         "delta_cdf_mapped": delta_cdf_mapped,
         "jdbc_live_roundtrip": jdbc_live_roundtrip,
+        "jdbc_live_merge": jdbc_live_merge,
         "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
         "iceberg_v3_dv": iceberg_v3_dv,
         "iceberg_v3_defaults": iceberg_v3_defaults,
@@ -3905,6 +3981,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation
+        """,
+        # target keys < 750; update_insert +10000 on 500..999, then
+        # delete_insert +20000 on 250..599 (later write wins in range)
+        "jdbc_live_merge": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderstatus,
+                   CAST(o_totalprice AS DOUBLE) +
+                   CASE WHEN o_orderkey BETWEEN 250 AND 599 THEN 20000
+                        WHEN o_orderkey >= 600 THEN 10000
+                        ELSE 0 END AS o_totalprice
+            FROM orders WHERE o_orderkey < 1000
         """,
         "delta_deletion_vectors": """
             SELECT o_orderkey, o_orderpriority FROM (

@@ -207,16 +207,43 @@ def staged_db_load(
             f"staged count {landed} != expected {expect_count}; "
             f"aborting before merge (final table untouched)")
     try:
-        # tx 2: merge rendered for the dialect
-        execute(generate_merge_sql(
-            d, temp, target_table, columns, primary_key, strategy))
+        # tx 2: merge rendered for the dialect — multi-statement
+        # strategies (delete_insert, change_capture: DELETE then
+        # INSERT) split at top-level semicolons because JDBC
+        # Statement.execute takes ONE statement (the DuckDB twin
+        # tolerates batches; live drivers do not)
+        for stmt in split_sql_statements(generate_merge_sql(
+                d, temp, target_table, columns, primary_key, strategy)):
+            execute(stmt)
         if delete_missing:
-            execute(delete_missing_sql(
-                d, target_table, keyset_table or temp, primary_key,
-                soft=delete_missing == "soft"))
+            for stmt in split_sql_statements(delete_missing_sql(
+                    d, target_table, keyset_table or temp, primary_key,
+                    soft=delete_missing == "soft")):
+                execute(stmt)
     finally:
         execute(f"drop table if exists {temp}")
     return {"temp_table": temp, "staged_rows": landed}
+
+
+def split_sql_statements(sql: str) -> list[str]:
+    """Split rendered SQL on semicolons OUTSIDE single-quoted literals
+    (the dialect templates join multi-statement strategies with ';')."""
+    out, buf, in_str = [], [], False
+    for ch in sql:
+        if ch == "'":
+            in_str = not in_str
+            buf.append(ch)
+        elif ch == ";" and not in_str:
+            s = "".join(buf).strip()
+            if s:
+                out.append(s)
+            buf = []
+        else:
+            buf.append(ch)
+    s = "".join(buf).strip()
+    if s:
+        out.append(s)
+    return out
 
 
 def write_jdbc(
