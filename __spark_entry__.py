@@ -3384,10 +3384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_docs",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
-    # names still being built this round drop out silently; the dict
-    # backfills with the newest registered queries so the driver always
-    # sees a full 50-slot window
-    window = [k for k in window if k in d]
+    missing = [k for k in window if k not in d]
+    assert not missing, f"window names unregistered queries: {missing}"
     out = {k: d[k] for k in window}
     out.update((k, v) for k, v in d.items() if k not in out)
     return out

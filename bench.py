@@ -181,7 +181,11 @@ def main() -> None:
     # times gone). Emit the per-query map again in SHORT chunked lines —
     # none long enough to clip — so the artifact keeps every timing even
     # when the full record above is cut.
-    names = sorted(timings)
+    # chunk order = ascending cost, so the EXPENSIVE queries (the ones
+    # a perf reviewer needs) land in the LAST chunks — the ones tail
+    # capture keeps (r8's artifact lost parts 1-8: alphabetical order
+    # put heavy queries anywhere)
+    names = sorted(timings, key=lambda n: (timings[n], n))
     step = 10
     chunks = [names[i:i + step] for i in range(0, len(names), step)]
     for i, chunk in enumerate(chunks):
@@ -192,6 +196,12 @@ def main() -> None:
     if failures:
         print(json.dumps({"metric": "bench_failures",
                           "failures": failures}))
+    # the full HEADLINE map in one short line, right before the summary,
+    # so the round-over-round comparison set always survives tail capture
+    print(json.dumps({
+        "metric": "bench_headline_chunk",
+        "queries": {n: timings[n] for n in BENCH_QUERIES
+                    if n in timings}}))
     # short, self-contained summary as the FINAL line so the headline
     # number always survives tail capture
     print(json.dumps({

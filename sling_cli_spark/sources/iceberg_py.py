@@ -1994,12 +1994,31 @@ def sync_delta(iceberg_path: str) -> int:
         raise UnsupportedTableFeature(
             f"delta sync of {iceberg_path}: v3 initial-defaults would "
             "read as NULL under Delta for pre-evolution files")
-    part_cols = _part_cols(meta)
-    non_identity = set(part_cols) - _identity_part_cols(meta)
-    if non_identity:
-        raise UnsupportedTableFeature(
-            f"delta sync of {iceberg_path}: transform partition fields "
-            f"{sorted(non_identity)} have no Delta equivalent")
+    # Delta has no transform partitioning, but it does not need one:
+    # transform fields keep their SOURCE columns inside the data files
+    # (spec: transformed fields never replace their source), so they
+    # simply drop out of the Delta partitioning — a pure-transform
+    # layout syncs as an unpartitioned Delta table (round 9; r8
+    # refused here). IDENTITY fields are the opposite: their values
+    # live only in dirs/manifests, so every live file's spec identity
+    # fields must be covered by the Delta partitioning or a Delta
+    # reader would null-fill them.
+    default_fields = _default_spec(meta).get("fields") or []
+    part_cols = [f["name"] for f in default_fields
+                 if f.get("transform", "identity") == "identity"]
+    spec_by_id = {s.get("spec-id", 0): s
+                  for s in meta.get("partition-specs") or []}
+    for f in files:
+        sid = int(f.get("__spec_id") or 0)
+        for pf in (spec_by_id.get(sid) or {}).get("fields") or []:
+            if pf.get("transform", "identity") == "identity" \
+                    and pf["name"] not in part_cols:
+                raise UnsupportedTableFeature(
+                    f"delta sync of {iceberg_path}: live file under "
+                    f"spec {sid} holds identity partition field "
+                    f"{pf['name']!r} outside the default spec — its "
+                    "values live only in the manifests and the synced "
+                    "Delta partitioning would null-fill them")
 
     class _Shim:  # _first_commit_actions only touches .schema
         schema = _spark_schema(meta)

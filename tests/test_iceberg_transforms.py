@@ -193,3 +193,47 @@ def test_hour_transform_on_timestamps(spark, tmp_path):
     cut_h = transform_literal("hour", cut, "timestamp")
     assert all(int(f["partition"]["ts_hour"]) >= cut_h for f in pruned)
     assert len(pruned) < len(files)
+
+
+def test_sync_delta_on_transform_layout(spark, tmp_path):
+    """r9: a pure-transform (bucket) Iceberg layout syncs to a Delta
+    log as an UNPARTITIONED table — the source columns live inside the
+    files, so one parquet copy serves both protocols (r8 refused)."""
+    from sling_cli_spark.sources.delta_py import read_delta
+    from sling_cli_spark.sources.iceberg_py import sync_delta
+
+    t, rows = _mk(spark, tmp_path, ["bucket(4, id)"])
+    v = sync_delta(t)
+    assert v == 0
+    back = read_delta(spark, t)
+    assert sorted(r["id"] for r in back.collect()) == \
+        sorted(r[0] for r in rows)
+    meta_back = back.schema.fieldNames()
+    assert "id_bucket" not in meta_back
+    # refresh after another append commits a diff, not a full relog
+    write_iceberg(spark.createDataFrame(
+        [(999, "late", datetime.date(2030, 1, 1))],
+        "id long, name string, d date"), t, mode="append")
+    v2 = sync_delta(t)
+    assert v2 == 1
+    assert read_delta(spark, t).count() == len(rows) + 1
+
+
+def test_sync_delta_refuses_identity_outside_default_spec(spark, tmp_path):
+    """Identity values live only in manifests: a live file under an
+    old identity spec that the default (transform) spec no longer
+    covers must refuse, not null-fill."""
+    from sling_cli_spark.sources.delta_py import UnsupportedTableFeature
+    from sling_cli_spark.sources.iceberg_py import (
+        evolve_partition_spec, sync_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", datetime.date(2024, 1, 1 + i)) for i in range(6)],
+        "id long, name string, d date")
+    write_iceberg(df.filter("id < 3").coalesce(1), t,
+                  partition_by=["id"])  # identity
+    evolve_partition_spec(t, ["bucket(4, id)"])
+    write_iceberg(df.filter("id >= 3").coalesce(1), t, mode="append")
+    with pytest.raises(UnsupportedTableFeature, match="identity"):
+        sync_delta(t)
