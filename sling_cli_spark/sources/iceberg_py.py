@@ -1379,11 +1379,12 @@ def _with_spec_partition_cols(df: DataFrame, meta: dict):
     from pyspark.sql import functions as F
 
     from sling_cli_spark.sources.iceberg_transforms import (
-        UnsupportedTransform, transform_expr)
+        UnsupportedTransform, spark_type_name, transform_expr)
 
     cur = _current_schema(meta) or {"fields": []}
     by_id = {f["id"]: f["name"] for f in cur.get("fields", [])}
-    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    types = {f.name: spark_type_name(f.dataType)
+             for f in df.schema.fields}
     out = df
     for pf in _default_spec(meta).get("fields") or []:
         transform = pf.get("transform", "identity")
@@ -1545,9 +1546,12 @@ def _commit_snapshot(
         # source), so only the derived value rides the Hive dir name
         stage_df = df
         if transform_fields:
+            from sling_cli_spark.sources.iceberg_transforms import (
+                spark_type_name)
+
             by_id = {f["id"]: f["name"]
                      for f in cur_schema0.get("fields") or []}
-            types = {f.name: f.dataType.typeName()
+            types = {f.name: spark_type_name(f.dataType)
                      for f in df.schema.fields}
             for pf in transform_fields:
                 src = by_id.get(pf.get("source-id"))

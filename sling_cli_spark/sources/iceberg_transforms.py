@@ -131,6 +131,14 @@ def _hash_long(v: int) -> int:
     return murmur3_32(struct.pack("<q", v))
 
 
+def _decimal_bytes(unscaled: int) -> bytes:
+    """Minimal big-endian two's-complement of a decimal's UNSCALED
+    value — the byte layout spec Appendix B hashes (1420 -> 0x058C ->
+    -500754589, verified in tests)."""
+    return unscaled.to_bytes(
+        max(1, (unscaled.bit_length() + 8) // 8), "big", signed=True)
+
+
 # --------------------------------------------------------------------
 # Catalyst murmur3 for 8-byte (long) input
 
@@ -245,9 +253,17 @@ def transform_expr(transform: str, col, type_name: str):
                 "long" if type_name == "long" else "int")
         if type_name == "string":
             return F.substring(col, 1, w)
+        if _RX_DECIMAL.match(type_name):
+            # spec: W applies to the UNSCALED value — decimal(10,2)
+            # truncate[50] rounds down to 0.50 increments
+            import decimal
+
+            s = _decimal_scale(type_name)
+            ws = decimal.Decimal(w).scaleb(-s)
+            return (col - F.pmod(col, F.lit(ws))).cast(type_name)
         raise UnsupportedTransform(
             f"truncate transform over {type_name} is not supported "
-            "(int/long/string sources only)")
+            "(int/long/string/decimal sources only)")
     if _RX_SPEC_BUCKET.match(transform):
         n = _bucket_n(transform)
         if type_name in _INTEGRAL:
@@ -258,10 +274,13 @@ def transform_expr(transform: str, col, type_name: str):
             as_long = F.unix_micros(col)
         elif type_name in ("string", "binary"):
             return _bucket_bytes_udf(n, type_name)(col)
+        elif _RX_DECIMAL.match(type_name):
+            return _bucket_decimal_udf(n, _decimal_scale(type_name))(col)
         else:
             raise UnsupportedTransform(
                 f"bucket transform over {type_name} is not supported "
-                "(int/long/date/timestamp/string/binary sources only)")
+                "(int/long/date/timestamp/string/binary/decimal "
+                "sources only)")
         h = murmur3_long_expr(as_long)
         return F.pmod(h.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(n)) \
             .cast("int")
@@ -291,8 +310,52 @@ def _bucket_bytes_udf(n: int, type_name: str):
     return F.pandas_udf(_bucket, "int")
 
 
+def _bucket_decimal_udf(n: int, scale: int):
+    """Arrow-batched decimal bucket: minimal big-endian
+    two's-complement of the unscaled value (spec Appendix B; the 14.20
+    -> -500754589 vector is pinned in tests)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _bucket(s):
+        return s.map(
+            lambda x: None if x is None
+            else (murmur3_32(_decimal_bytes(
+                int(_quantized(x, scale).scaleb(scale))))
+                & 0x7FFFFFFF) % n)
+
+    _bucket.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_bucket, "int")
+
+
 class UnsupportedTransform(ValueError):
     pass
+
+
+_RX_DECIMAL = re.compile(r"^decimal\((\d+),\s*(-?\d+)\)$")
+
+
+def spark_type_name(dt) -> str:
+    """DataType -> the name transform_expr keys on: typeName() for
+    atomics, simpleString() for decimals (typeName loses (p,s) and
+    the scale determines both truncate width scaling and the unscaled
+    value bucket hashing operates on)."""
+    n = dt.typeName()
+    return dt.simpleString() if n == "decimal" else n
+
+
+def _decimal_scale(type_name: str) -> int:
+    m = _RX_DECIMAL.match(type_name)
+    if not m:
+        raise UnsupportedTransform(f"not a decimal type: {type_name}")
+    return int(m.group(2))
+
+
+def _quantized(v, scale: int):
+    import decimal
+
+    d = v if isinstance(v, decimal.Decimal) else decimal.Decimal(str(v))
+    return d.quantize(decimal.Decimal(1).scaleb(-scale))
 
 
 # --------------------------------------------------------------------
@@ -344,10 +407,24 @@ def transform_literal(transform: str, v, type_name: str):
         w = _trunc_w(transform)
         if isinstance(v, str):
             return v[:w]
+        if type_name and _RX_DECIMAL.match(type_name):
+            import decimal
+
+            s = _decimal_scale(type_name)
+            ws = decimal.Decimal(w).scaleb(-s)
+            q = _quantized(v, s)
+            r = q % ws  # floor remainder (spec: v % W must be >= 0)
+            if r < 0:
+                r += ws
+            return q - r
         return int(v) - (int(v) % w)
     if _RX_SPEC_BUCKET.match(transform):
         n = _bucket_n(transform)
-        if isinstance(v, str):
+        if type_name and _RX_DECIMAL.match(type_name):
+            s = _decimal_scale(type_name)
+            h = murmur3_32(_decimal_bytes(
+                int(_quantized(v, s).scaleb(s))))
+        elif isinstance(v, str):
             h = murmur3_32(v.encode("utf-8"))
         elif isinstance(v, (bytes, bytearray)):
             h = murmur3_32(bytes(v))
@@ -433,7 +510,7 @@ def spec_transform_fields(meta: dict) -> dict[str, tuple[str, str, str]]:
 
     cur = _current_schema(meta) or {"fields": []}
     by_id = {f["id"]: f["name"] for f in cur.get("fields", [])}
-    types = {f.name: f.dataType.typeName()
+    types = {f.name: spark_type_name(f.dataType)
              for f in _spark_schema(meta).fields}
     out: dict[str, tuple[str, str, str]] = {}
     for s in meta.get("partition-specs") or []:

@@ -237,3 +237,79 @@ def test_sync_delta_refuses_identity_outside_default_spec(spark, tmp_path):
     write_iceberg(df.filter("id >= 3").coalesce(1), t, mode="append")
     with pytest.raises(UnsupportedTableFeature, match="identity"):
         sync_delta(t)
+
+
+def test_iceberg_stream_source_on_transform_layout(spark, tmp_path):
+    """The streaming source reads transform-partitioned snapshots: the
+    derived dir names are NOT table columns (no spurious attach) and
+    the source columns come straight from the files."""
+    from sling_cli_spark.streaming.iceberg_source import (
+        register_iceberg_stream)
+
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", datetime.date(2024, 1 + i % 3, 5))
+         for i in range(12)], "id long, name string, d date")
+    write_iceberg(df.repartition(2), t,
+                  partition_by=["bucket(4, id)", "month(d)"])
+    q = (spark.readStream.format("iceberg_stream").option("path", t)
+         .load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    assert sorted(back.columns) == ["d", "id", "name"]
+    assert sorted(r["id"] for r in back.collect()) == list(range(12))
+    got = {r["id"]: (r["name"], r["d"]) for r in back.collect()}
+    assert got[3] == ("n3", datetime.date(2024, 1, 5))
+
+
+def test_decimal_transforms(spark, tmp_path):
+    """Decimal bucket (spec Appendix B: 14.20 -> -500754589) and
+    truncate (unscaled-value increments: truncate[50] of decimal(10,2)
+    rounds down to 0.50 steps) — exprs match the literal twins and a
+    bucket-partitioned decimal table round-trips with pruning."""
+    from decimal import Decimal
+
+    from sling_cli_spark.sources.iceberg_transforms import (
+        _decimal_bytes, transform_expr)
+
+    assert murmur3_32(_decimal_bytes(1420)) == -500754589  # spec vector
+    assert transform_literal("bucket[8]", Decimal("14.20"), "decimal(10,2)") \
+        == ((-500754589 & 0x7FFFFFFF) % 8)
+    assert transform_literal("truncate[50]", Decimal("10.65"),
+                             "decimal(10,2)") == Decimal("10.50")
+    assert transform_literal("truncate[50]", Decimal("-0.05"),
+                             "decimal(10,2)") == Decimal("-0.50")
+
+    df = spark.createDataFrame(
+        [(i, Decimal(f"{i}.{i % 100:02d}")) for i in range(40)],
+        "id long, amt decimal(10,2)")
+    out = df.select(
+        "amt",
+        transform_expr("bucket[8]", F.col("amt"),
+                       "decimal(10,2)").alias("b"),
+        transform_expr("truncate[50]", F.col("amt"),
+                       "decimal(10,2)").alias("t")).collect()
+    for r in out:
+        assert r["b"] == transform_literal(
+            "bucket[8]", r["amt"], "decimal(10,2)")
+        assert r["t"] == transform_literal(
+            "truncate[50]", r["amt"], "decimal(10,2)")
+
+    t = str(tmp_path / "t")
+    write_iceberg(df.repartition(3), t, partition_by=["bucket(4, amt)"])
+    back = read_iceberg(spark, t)
+    assert back.count() == 40
+    _, meta = _current_metadata(t)
+    files = _active_files(t, meta, None)
+    probe = Decimal("7.07")
+    pruned = prune_files_by_bounds(files, [("amt", "=", probe)], meta)
+    want = transform_literal("bucket[4]", probe, "decimal(10,2)")
+    assert pruned and all(
+        int(f["partition"]["amt_bucket"]) == want for f in pruned)
+    assert len(pruned) < len(files)
