@@ -603,7 +603,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="delta change-feed start version")
     lc.add_argument("--from-snapshot", type=int,
                     help="iceberg changelog start snapshot id")
-    for sp in (lo, lv, le, lc, lh, ld, lf):  # trailing -d like run/pipeline
+    for sp in (lo, lv, le, lc, lh, ld, lf, lp, lsn, lmf, len_):
+        # trailing -d like run/pipeline
         sp.add_argument("-d", "--debug", action="store_true")
     lk.set_defaults(fn=cmd_lake)
     return p

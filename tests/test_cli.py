@@ -339,3 +339,38 @@ def test_cli_lake_sync_delta(spark, tmp_path, capsys):
     assert out == {"delta_version": 0}
     from sling_cli_spark.sources.delta_py import read_delta
     assert {r["id"] for r in read_delta(spark, t).collect()} == {1, 2}
+
+
+def test_cli_lake_metadata_tables(spark, tmp_path, capsys):
+    """r9: `lake snapshots / manifests / entries` stream the Iceberg
+    metadata-table twins as CSV; Delta targets refuse with guidance."""
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.delta_py import write_delta
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+
+    i = str(tmp_path / "i")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), i)
+    write_iceberg(spark.createDataFrame(
+        [(2, "b")], "id long, v string").coalesce(1), i, mode="append")
+
+    assert main(["lake", "snapshots", i]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith("committed_at_ms,snapshot_id,parent_id")
+    assert len(out) == 3  # header + 2 snapshots
+
+    assert main(["lake", "manifests", i]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith("content,path,length,partition_spec_id")
+    assert len(out) == 2  # one packed data manifest
+
+    assert main(["lake", "entries", i]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith("status,snapshot_id,sequence_number")
+    assert len(out) == 3  # 1 added + 1 existing entry
+
+    d = str(tmp_path / "d")
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), d)
+    assert main(["lake", "snapshots", d]) == 2
+    capsys.readouterr()
