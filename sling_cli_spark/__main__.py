@@ -402,7 +402,7 @@ def cmd_lake(args: argparse.Namespace) -> int:
             df = iceberg_history(spark, path)
         _stream_csv_stdout(df)
         return 0
-    if op in ("snapshots", "manifests", "entries"):
+    if op in ("snapshots", "manifests", "entries", "refs"):
         if is_delta:
             print(f"{op} applies to Iceberg tables (delta: use history)",
                   file=sys.stderr)
@@ -410,7 +410,8 @@ def cmd_lake(args: argparse.Namespace) -> int:
         from sling_cli_spark.sources import iceberg_py as ice
         fn = {"snapshots": ice.iceberg_snapshots,
               "manifests": ice.iceberg_manifests,
-              "entries": ice.iceberg_entries}[op]
+              "entries": ice.iceberg_entries,
+              "refs": ice.iceberg_refs_meta}[op]
         _stream_csv_stdout(fn(spark, path))
         return 0
     if op == "optimize":
@@ -550,6 +551,9 @@ def build_parser() -> argparse.ArgumentParser:
     len_ = ls.add_parser("entries",
                          help="iceberg: raw manifest entries as CSV")
     len_.add_argument("path")
+    lrf = ls.add_parser("refs",
+                        help="iceberg: refs metadata table as CSV")
+    lrf.add_argument("path")
     lsd = ls.add_parser("sync-delta",
                         help="iceberg: generate/refresh a Delta log "
                              "beside the metadata (reverse universal "
@@ -603,7 +607,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="delta change-feed start version")
     lc.add_argument("--from-snapshot", type=int,
                     help="iceberg changelog start snapshot id")
-    for sp in (lo, lv, le, lc, lh, ld, lf, lp, lsn, lmf, len_):
+    for sp in (lo, lv, le, lc, lh, ld, lf, lp, lsn, lmf, len_, lrf):
         # trailing -d like run/pipeline
         sp.add_argument("-d", "--debug", action="store_true")
     lk.set_defaults(fn=cmd_lake)

@@ -2278,6 +2278,28 @@ def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
         "operation string, manifest_list string, summary string"))
 
 
+def iceberg_refs_meta(spark: SparkSession, path: str) -> DataFrame:
+    """``refs`` metadata-table twin: one row per named ref — ``main``
+    mirrors the current snapshot (spec §Refs), tags and branches carry
+    their retention knobs when set."""
+    _, meta = _current_metadata(path)
+    refs = dict(meta.get("refs") or {})
+    if "main" not in refs and meta.get("current-snapshot-id", -1) != -1:
+        refs["main"] = {"snapshot-id": meta["current-snapshot-id"],
+                        "type": "branch"}
+    rows = [(name,
+             (r.get("type") or "branch").upper(),
+             int(r.get("snapshot-id")),
+             r.get("max-ref-age-ms"),
+             r.get("min-snapshots-to-keep"),
+             r.get("max-snapshot-age-ms"))
+            for name, r in sorted(refs.items())]
+    return spark.createDataFrame(rows, (
+        "name string, type string, snapshot_id long, "
+        "max_reference_age_in_ms long, min_snapshots_to_keep int, "
+        "max_snapshot_age_in_ms long"))
+
+
 def iceberg_manifests(spark: SparkSession, path: str,
                       snapshot_id: int | None = None) -> DataFrame:
     """``manifests`` metadata-table twin: one row per manifest the

@@ -374,3 +374,22 @@ def test_cli_lake_metadata_tables(spark, tmp_path, capsys):
         [(1, "a")], "id long, v string").coalesce(1), d)
     assert main(["lake", "snapshots", d]) == 2
     capsys.readouterr()
+
+
+def test_cli_lake_refs_metadata_table(spark, tmp_path, capsys):
+    """r9: `lake refs` streams the refs metadata-table twin — main +
+    tags + branches with retention knobs."""
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.iceberg_py import (
+        create_branch, create_tag, write_iceberg)
+
+    i = str(tmp_path / "i")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), i)
+    create_tag(i, "v1")
+    create_branch(i, "dev")
+    assert main(["lake", "refs", i]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith("name,type,snapshot_id")
+    body = {ln.split(",")[0]: ln.split(",")[1] for ln in out[1:]}
+    assert body == {"main": "BRANCH", "dev": "BRANCH", "v1": "TAG"}
