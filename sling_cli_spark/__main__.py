@@ -286,6 +286,24 @@ def cmd_lake(args: argparse.Namespace) -> int:
         removed = vacuum(path, keep_versions=args.keep)
         print(json.dumps({"removed_files": len(removed)}))
         return 0
+    if op == "checkpoint":
+        if not is_delta:
+            print("checkpoint applies to Delta tables", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.delta_py import create_checkpoint
+        v = create_checkpoint(
+            path, v2=True if args.v2 else None)
+        print(json.dumps({"checkpointed_version": v}))
+        return 0
+    if op == "cleanup-logs":
+        if not is_delta:
+            print("cleanup-logs applies to Delta tables "
+                  "(iceberg: use expire-snapshots)", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.delta_py import cleanup_logs
+        removed = cleanup_logs(path, keep_versions=args.keep)
+        print(json.dumps({"removed_log_files": len(removed)}))
+        return 0
     if op == "expire-snapshots":
         if is_delta:
             print("expire-snapshots applies to Iceberg tables "
@@ -524,6 +542,17 @@ def build_parser() -> argparse.ArgumentParser:
                        help="iceberg: prune snapshot history")
     le.add_argument("path")
     le.add_argument("--keep", type=int, default=1)
+    lcp = ls.add_parser("checkpoint",
+                        help="delta: write a checkpoint (--v2 adopts "
+                             "the v2Checkpoint feature)")
+    lcp.add_argument("path")
+    lcp.add_argument("--v2", action="store_true")
+    lcl = ls.add_parser("cleanup-logs",
+                        help="delta: drop checkpoint-covered JSON "
+                             "commits + superseded checkpoints")
+    lcl.add_argument("path")
+    lcl.add_argument("--keep", type=int, default=10,
+                     help="newest commits always retained")
     lr = ls.add_parser("remove-orphans",
                        help="iceberg: delete data/ files no snapshot "
                             "references")

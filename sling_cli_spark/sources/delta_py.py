@@ -2856,6 +2856,67 @@ def _walk_dv_files(fs, path: str, rel: str = "") -> list[str]:
     return out
 
 
+def cleanup_logs(path: str, keep_versions: int = 10) -> list[str]:
+    """Metadata retention (delta.logRetentionDuration twin, commit-count
+    sized like :func:`vacuum`): delete JSON commits — and superseded
+    checkpoints + their orphaned sidecars — that the newest checkpoint
+    makes redundant, always retaining the last ``keep_versions``
+    commits. Replay correctness is the invariant: state at any retained
+    point reconstructs from the newest kept checkpoint plus the JSON
+    suffix after it; time travel BELOW the cut stops working (delta-
+    spark's documented trade), and the delta_stream source fails loudly
+    if asked to start inside the removed range
+    (streaming/delta_source._require_full_range). No checkpoint ->
+    nothing is removable. Returns the deleted log-relative names."""
+    fs = fsio.get_fs(path)
+    vs = _list_versions(path, fs)
+    if not vs:
+        return []
+    info = _last_checkpoint_info(path, fs)
+    cp_v = (info or {}).get("version")
+    if cp_v is None:
+        return []
+    head = vs[-1]
+    # deletable JSON: covered by the checkpoint AND older than the
+    # retained window
+    cut = min(int(cp_v), head - keep_versions)
+    log = fsio.join(path, _LOG_DIR)
+    deleted: list[str] = []
+    retained_tops: list[str] = []
+    names = list(fs.listdir(log))
+    for name in names:
+        if name.endswith(".json") and name[:20].isdigit() \
+                and ".checkpoint." not in name:
+            if int(name[:20]) <= cut:
+                fs.delete(fsio.join(log, name))
+                deleted.append(name)
+        elif ".checkpoint." in name:
+            v = int(name[:20])
+            if v < int(cp_v):  # superseded checkpoint (any layout)
+                fs.delete(fsio.join(log, name))
+                deleted.append(name)
+            elif name.endswith(".json"):
+                retained_tops.append(name)
+    # sidecars referenced by RETAINED v2 checkpoint tops stay; the rest
+    # belonged to checkpoints deleted above
+    side_dir = fsio.join(log, "_sidecars")
+    if fs.exists(side_dir):
+        keep_sc = set()
+        for top in retained_tops:
+            for ln in fs.read_bytes(
+                    fsio.join(log, top)).decode().splitlines():
+                if not ln.strip():
+                    continue
+                sc = json.loads(ln).get("sidecar")
+                if sc:
+                    keep_sc.add(sc["path"].rsplit("/", 1)[-1])
+        for name in fs.listdir(side_dir):
+            if name.endswith(".parquet") and name not in keep_sc:
+                fs.delete(fsio.join(side_dir, name))
+                deleted.append(f"_sidecars/{name}")
+    return deleted
+
+
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     """Delete data files — and deletion-vector .bin files (r8: DV
     production superseded-vector cleanup) plus expired change-data

@@ -344,3 +344,50 @@ def test_cdf_stream_on_column_mapped_table(spark, tmp_path):
            for r in spark.read.parquet(out2).collect()}
     assert (2, "B2", 1) in got and (1, "a", 0) in got
     assert not any(v is None for _, v, _ in got)
+
+
+def test_cleanup_logs_retention(spark, tmp_path):
+    """r9: cleanup_logs deletes checkpoint-covered JSON commits and
+    superseded checkpoints/sidecars; replay still works from the kept
+    checkpoint + suffix, and a stream asked to start inside the
+    removed range fails loudly instead of dropping rows."""
+    from sling_cli_spark.sources.delta_py import (
+        cleanup_logs, create_checkpoint, read_delta, write_delta)
+    from sling_cli_spark.streaming.delta_source import (
+        register_delta_stream)
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    for i in range(8):
+        write_delta(spark.createDataFrame(
+            [(i, f"v{i}")], "id long, v string").coalesce(1), t,
+            mode="append")
+    assert cleanup_logs(t) == []  # no checkpoint -> nothing removable
+    create_checkpoint(t, v2=True, max_actions_per_sidecar=3)  # v8
+    write_delta(spark.createDataFrame(
+        [(8, "v8")], "id long, v string").coalesce(1), t, mode="append")
+    cp2 = create_checkpoint(t)  # newer v2 checkpoint supersedes
+    deleted = cleanup_logs(t, keep_versions=2)
+    log = os.path.join(t, "_delta_log")
+    names = os.listdir(log)
+    # JSON <= min(cp, head-2) gone; suffix retained
+    assert not any(n == f"{0:020d}.json" for n in names)
+    assert any(n == f"{cp2:020d}.json" for n in names)
+    # exactly one checkpoint top retained, its sidecars intact
+    tops = [n for n in names if ".checkpoint." in n]
+    assert len(tops) == 1 and tops[0].startswith(f"{cp2:020d}")
+    kept_sc = os.listdir(os.path.join(log, "_sidecars"))
+    assert len(kept_sc) == 1  # newest cp: 9 adds, default split
+    assert any(d.startswith("_sidecars/") for d in deleted)
+    # full state still replays
+    got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+    assert got == {i: f"v{i}" for i in range(9)}
+    # a stream from version 0 cannot silently skip the removed commits
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    with pytest.raises(Exception, match="cleaned up|not fully covered"):
+        q = (spark.readStream.format("delta_stream").option("path", t)
+             .option("startingVersion", "0").load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()

@@ -2,6 +2,7 @@
 ``sling`` command twins (cmd/sling/sling_cli.go:45-238)."""
 
 import io
+import json
 import os
 import sys
 
@@ -393,3 +394,27 @@ def test_cli_lake_refs_metadata_table(spark, tmp_path, capsys):
     assert out[0].startswith("name,type,snapshot_id")
     body = {ln.split(",")[0]: ln.split(",")[1] for ln in out[1:]}
     assert body == {"main": "BRANCH", "dev": "BRANCH", "v1": "TAG"}
+
+
+def test_cli_lake_checkpoint_and_cleanup_logs(spark, tmp_path, capsys):
+    """r9: `lake checkpoint --v2` + `lake cleanup-logs` run the
+    metadata-retention lifecycle end-to-end."""
+    import os as _os
+
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.delta_py import read_delta, write_delta
+
+    t = str(tmp_path / "t")
+    for i in range(5):
+        write_delta(spark.createDataFrame(
+            [(i, "x")], "id long, v string").coalesce(1), t,
+            mode="append")
+    assert main(["lake", "checkpoint", t, "--v2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["checkpointed_version"] == 5  # +1 protocol commit
+    assert main(["lake", "cleanup-logs", t, "--keep", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["removed_log_files"] >= 3
+    log = _os.path.join(t, "_delta_log")
+    assert not any(n == f"{0:020d}.json" for n in _os.listdir(log))
+    assert read_delta(spark, t).count() == 5
