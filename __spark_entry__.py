@@ -1486,6 +1486,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t, mode="append")
         return D.read_delta(spark, t)
 
+    def convert_inplace_roundtrip(spark, sf):
+        """CONVERT TO DELTA + migrate-to-Iceberg twins (round 9,
+        delta_py.convert_to_delta / iceberg_py.migrate_to_iceberg):
+        the SAME partitioned plain-parquet directory of orders rows is
+        adopted in place by BOTH protocols (two copies of the dir, one
+        per protocol; zero files rewritten — commit 0 / snapshot 0
+        reference the existing parquet with stats), then a merge
+        updates each adopted table and the union of both reads must
+        match the arithmetic oracle. Exercises mixed-root reads (the
+        merge's new files land under data/ while adopted files sit at
+        the table root)."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            convert_to_delta, merge_delta, read_delta)
+        from sling_cli_spark.sources.iceberg_py import (
+            merge_iceberg, migrate_to_iceberg, read_iceberg)
+
+        base = tempfile.mkdtemp(prefix="sling_cvt_")
+        o = _t(spark, sf, "orders").filter("o_orderkey < 1000").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        outs = []
+        for proto in ("delta", "iceberg"):
+            p = os.path.join(base, proto)
+            o.repartition(2).write.partitionBy("o_orderpriority") \
+                .parquet(p)
+            batch = o.filter("o_orderkey < 300").withColumn(
+                "o_totalprice", F.col("o_totalprice") + 10000)
+            if proto == "delta":
+                convert_to_delta(spark, p)
+                merge_delta(spark, p, batch, ["o_orderkey"])
+                back = read_delta(spark, p)
+            else:
+                migrate_to_iceberg(spark, p)
+                merge_iceberg(spark, p, batch, ["o_orderkey"])
+                back = read_iceberg(spark, p)
+            outs.append(back.withColumn("proto", F.lit(proto)))
+        return outs[0].unionByName(outs[1]).select(
+            "proto", "o_orderkey", "o_orderpriority", "o_totalprice")
+
     def delta_v2_checkpoint_write(spark, sf):
         """PUBLIC v2-checkpoint production (delta_py round 9,
         create_checkpoint; PROTOCOL.md V2 Checkpoints): nation lands in
@@ -3325,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dv_mapped": delta_dv_mapped,
         "delta_v2_checkpoint": delta_v2_checkpoint,
         "delta_v2_checkpoint_write": delta_v2_checkpoint_write,
+        "convert_inplace_roundtrip": convert_inplace_roundtrip,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
         "delta_cdf_mapped": delta_cdf_mapped,
@@ -3925,6 +3968,19 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
             UNION ALL
             SELECT CAST(99 AS BIGINT), 'NEWLAND', CAST(0 AS BIGINT)
+        """,
+        # in-place adoption must not change results: both protocols
+        # over the same dir equal the merged source arithmetic
+        "convert_inplace_roundtrip": """
+            SELECT p.proto,
+                   CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderpriority,
+                   CAST(o_totalprice AS DOUBLE) +
+                   CASE WHEN o_orderkey < 300 THEN 10000 ELSE 0 END
+                   AS o_totalprice
+            FROM orders
+            CROSS JOIN (SELECT unnest(['delta', 'iceberg']) AS proto) p
+            WHERE o_orderkey < 1000
         """,
         # checkpointing must not change results: replay from the
         # own-written v2 checkpoint equals the source table

@@ -270,6 +270,19 @@ def cmd_lake(args: argparse.Namespace) -> int:
     path = args.path
     op = args.lake_cmd
     is_delta = os.path.isdir(os.path.join(path, "_delta_log"))
+    if op in ("convert", "migrate"):  # adopt a PLAIN parquet dir
+        spark = _get_spark(args.debug)
+        if op == "convert":
+            from sling_cli_spark.sources.delta_py import convert_to_delta
+            convert_to_delta(spark, path)
+            print(json.dumps({"converted": "delta", "version": 0}))
+        else:
+            from sling_cli_spark.sources.iceberg_py import (
+                migrate_to_iceberg)
+            sid = migrate_to_iceberg(spark, path)
+            print(json.dumps({"converted": "iceberg",
+                              "snapshot_id": sid}))
+        return 0
     if not is_delta:
         from sling_cli_spark.sources.iceberg_py import is_iceberg_table
         if not is_iceberg_table(path):
@@ -542,6 +555,14 @@ def build_parser() -> argparse.ArgumentParser:
                        help="iceberg: prune snapshot history")
     le.add_argument("path")
     le.add_argument("--keep", type=int, default=1)
+    lcv = ls.add_parser("convert",
+                        help="adopt a plain parquet dir as a Delta "
+                             "table IN PLACE (CONVERT TO DELTA twin)")
+    lcv.add_argument("path")
+    lmg = ls.add_parser("migrate",
+                        help="adopt a plain parquet dir as an Iceberg "
+                             "table IN PLACE (migrate procedure twin)")
+    lmg.add_argument("path")
     lcp = ls.add_parser("checkpoint",
                         help="delta: write a checkpoint (--v2 adopts "
                              "the v2Checkpoint feature)")
@@ -636,7 +657,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="delta change-feed start version")
     lc.add_argument("--from-snapshot", type=int,
                     help="iceberg changelog start snapshot id")
-    for sp in (lo, lv, le, lc, lh, ld, lf, lp, lsn, lmf, len_, lrf):
+    for sp in (lo, lv, le, lc, lh, ld, lf, lp, lsn, lmf, len_, lrf,
+               lcv, lmg):
         # trailing -d like run/pipeline
         sp.add_argument("-d", "--debug", action="store_true")
     lk.set_defaults(fn=cmd_lake)

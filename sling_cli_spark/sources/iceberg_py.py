@@ -825,7 +825,17 @@ def _mor_read(
     need_fp = keep_file_col or bool(pos_dels) or bool(eq_dels) \
         or bool(defaults)
     shapes = {frozenset((f.get("partition") or {}).keys()) for f in files}
-    if len(shapes) > 1:
+    # migrated tables (migrate_to_iceberg): adopted files sit at the
+    # table ROOT's Hive dirs while later commits land under data/ —
+    # partition dirs at mixed depths break Spark's inference
+    # (CONFLICTING_DIRECTORY_STRUCTURES), so such snapshots read via
+    # the manifest-attached grouped branches like evolved layouts
+    data_base = _absolute(fsio.join(path, "data")) + "/"
+    under_data = [_canon(f["file_path"]).startswith(data_base)
+                  for f in files]
+    mixed_roots = any(under_data) and not all(under_data) \
+        and next(iter(shapes))  # unpartitioned mixed roots are fine
+    if len(shapes) > 1 or mixed_roots:
         # partition evolution left files under MORE THAN ONE layout —
         # dir inference cannot span them, so union one branch per
         # distinct partition tuple with the manifests' values attached
@@ -1834,6 +1844,64 @@ def write_iceberg(
         df, path, meta, carried,
         operation="overwrite" if mode == "overwrite" else "append",
         carried_deletes=carried_dels, branch=branch)
+
+
+def migrate_to_iceberg(
+    spark: SparkSession, path: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Spark-Iceberg's ``migrate`` procedure twin: an existing
+    (Hive-layout) parquet directory becomes an Iceberg table IN PLACE
+    — snapshot 0 references the files already there by absolute path
+    (zero rewrite), partition dirs map to an identity spec + manifest
+    partition values, and per-file record counts + value bounds ride
+    the entries from ONE Spark aggregate so bounds pruning works from
+    the first snapshot. Refuses directories that are already Iceberg
+    or Delta tables. Returns the snapshot id."""
+    from sling_cli_spark.sources.delta_py import (
+        _partition_values, _walk_data_files)
+
+    fs = fsio.get_fs(path)
+    if is_iceberg_table(path):
+        raise ValueError(f"{path} is already an iceberg table")
+    if fs.exists(fsio.join(path, "_delta_log")):
+        raise ValueError(
+            f"{path} is a delta table — use sync_uniform for a "
+            "shared-copy iceberg metadata layer")
+    rels = _walk_data_files(fs, path)
+    if not rels:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    inferred = sorted({k for rel in rels
+                       for k in _partition_values(
+                           os.path.dirname(rel))})
+    part_cols = partition_by if partition_by is not None else inferred
+    if set(part_cols) != set(inferred):
+        raise ValueError(
+            f"partition_by {part_cols} != the directory layout's "
+            f"partition keys {inferred}")
+    reader = spark.read.option("basePath", path) if part_cols \
+        else spark.read
+    df = reader.parquet(path)
+    meta = _init_meta(df, path, part_cols)
+    ice_schema = _current_schema(meta) or {"fields": []}
+    data_cols = df.drop(*part_cols) if part_cols else df
+    stats = _staged_file_stats(data_cols, path, ice_schema)
+    staged = []
+    for rel in sorted(rels):
+        full = fsio.join(path, rel)
+        st = stats.get(_canon(full)) or {}
+        staged.append({
+            "file_path": _absolute(full),
+            "file_format": "PARQUET",
+            "record_count": st.get("n", 0),
+            "file_size_in_bytes": fs.getsize(full),
+            "partition": _partition_values(os.path.dirname(rel))
+            or None,
+            "lower_bounds": st.get("lower"),
+            "upper_bounds": st.get("upper"),
+        })
+    return _commit_snapshot(None, path, meta, carried=[],
+                            staged_files=staged)
 
 
 def evolve_partition_spec(path: str, partition_by: list[str]) -> int:

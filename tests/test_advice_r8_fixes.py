@@ -391,3 +391,45 @@ def test_cleanup_logs_retention(spark, tmp_path):
              .option("checkpointLocation", ck)
              .trigger(availableNow=True).start())
         q.awaitTermination()
+
+
+def test_convert_to_delta_in_place(spark, tmp_path):
+    """r9: CONVERT TO DELTA adopts an existing (partitioned) parquet
+    directory — commit 0 references the files in place with stats, no
+    rewrite; the table then merges like any Delta table."""
+    from sling_cli_spark.sources.delta_py import (
+        convert_to_delta, merge_delta, read_delta, replay_log,
+        write_delta)
+
+    p = str(tmp_path / "p")
+    spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(12)],
+        "id long, v string, g int").repartition(2, "g") \
+        .write.partitionBy("g").parquet(p)
+    before = {f for f in __import__("glob").glob(p + "/**/*.parquet",
+                                                recursive=True)}
+    assert convert_to_delta(spark, p) == 0
+    meta, files = replay_log(p)
+    assert meta["partitionColumns"] == ["g"]
+    assert len(files) == len(before)
+    st = json.loads(next(iter(files.values()))["stats"])
+    assert st["numRecords"] > 0 and "id" in st["minValues"]
+    got = {r["id"]: (r["v"], r["g"]) for r in read_delta(spark, p).collect()}
+    assert got == {i: (f"v{i}", i % 3) for i in range(12)}
+    # no files were rewritten by the conversion
+    after = {f for f in __import__("glob").glob(p + "/**/*.parquet",
+                                                recursive=True)}
+    assert after == before
+    # and the converted table is a first-class merge target
+    merge_delta(spark, p, spark.createDataFrame(
+        [(3, "UPD", 0), (99, "NEW", 0)], "id long, v string, g int"),
+        ["id"])
+    got = {r["id"]: r["v"] for r in read_delta(spark, p).collect()}
+    assert got[3] == "UPD" and got[99] == "NEW" and len(got) == 13
+    # refusals
+    with pytest.raises(ValueError, match="already a delta"):
+        convert_to_delta(spark, p)
+    q = str(tmp_path / "q")
+    write_delta(spark.createDataFrame([(1,)], "id long"), q)
+    with pytest.raises(ValueError, match="already a delta"):
+        convert_to_delta(spark, q)

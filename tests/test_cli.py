@@ -418,3 +418,22 @@ def test_cli_lake_checkpoint_and_cleanup_logs(spark, tmp_path, capsys):
     log = _os.path.join(t, "_delta_log")
     assert not any(n == f"{0:020d}.json" for n in _os.listdir(log))
     assert read_delta(spark, t).count() == 5
+
+
+def test_cli_lake_convert_and_migrate(spark, tmp_path, capsys):
+    """r9: `lake convert` / `lake migrate` adopt plain parquet dirs."""
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.delta_py import read_delta
+    from sling_cli_spark.sources.iceberg_py import read_iceberg
+
+    p1 = str(tmp_path / "p1")
+    p2 = str(tmp_path / "p2")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df.coalesce(1).write.parquet(p1)
+    df.coalesce(1).write.parquet(p2)
+    assert main(["lake", "convert", p1]) == 0
+    assert json.loads(capsys.readouterr().out)["converted"] == "delta"
+    assert read_delta(spark, p1).count() == 2
+    assert main(["lake", "migrate", p2]) == 0
+    assert json.loads(capsys.readouterr().out)["converted"] == "iceberg"
+    assert read_iceberg(spark, p2).count() == 2

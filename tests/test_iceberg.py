@@ -1887,3 +1887,48 @@ def test_sync_delta_refuses_mor_debt(spark, tmp_path):
         [(1, "x2")], "id long, v string"), "id")
     with pytest.raises(UnsupportedTableFeature, match="delete"):
         sync_delta(t)
+
+
+def test_migrate_to_iceberg_in_place(spark, tmp_path):
+    """r9: migrate adopts a partitioned parquet directory as an
+    Iceberg table — snapshot 0 references files in place with bounds,
+    and the table then merges/prunes like any Iceberg table."""
+    import glob as _glob
+
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_files, _current_metadata, iceberg_partitions,
+        merge_iceberg, migrate_to_iceberg, prune_files_by_bounds)
+
+    p = str(tmp_path / "p")
+    spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(12)],
+        "id long, v string, g int").repartition(2, "g") \
+        .write.partitionBy("g").parquet(p)
+    before = set(_glob.glob(p + "/**/*.parquet", recursive=True))
+    migrate_to_iceberg(spark, p)
+    _, meta = _current_metadata(p)
+    spec = meta["partition-specs"][0]["fields"]
+    assert [f["name"] for f in spec] == ["g"] and \
+        spec[0]["transform"] == "identity"
+    files = _active_files(p, meta, None)
+    assert len(files) == len(before)
+    assert all(int(f["record_count"]) > 0 for f in files)
+    got = {r["id"]: (r["v"], r["g"])
+           for r in read_iceberg(spark, p).collect()}
+    assert got == {i: (f"v{i}", i % 3) for i in range(12)}
+    assert set(_glob.glob(p + "/**/*.parquet", recursive=True)) \
+        == before, "no files rewritten"
+    # bounds pruning works from snapshot 0
+    pruned = prune_files_by_bounds(files, [("id", ">", 100)], meta)
+    assert len(pruned) < len(files)
+    # partitions metadata twin sees the layout
+    parts = {r["partition"] for r in iceberg_partitions(spark, p).collect()}
+    assert parts == {'{"g": "0"}', '{"g": "1"}', '{"g": "2"}'}
+    # first-class merge target
+    merge_iceberg(spark, p, spark.createDataFrame(
+        [(3, "UPD", 0), (99, "NEW", 0)], "id long, v string, g int"),
+        ["id"])
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, p).collect()}
+    assert got[3] == "UPD" and got[99] == "NEW" and len(got) == 13
+    with pytest.raises(ValueError, match="already an iceberg"):
+        migrate_to_iceberg(spark, p)
