@@ -309,12 +309,13 @@ def cmd_lake(args: argparse.Namespace) -> int:
         print(json.dumps({"checkpointed_version": v}))
         return 0
     if op == "cleanup-logs":
-        if not is_delta:
-            print("cleanup-logs applies to Delta tables "
-                  "(iceberg: use expire-snapshots)", file=sys.stderr)
-            return 2
-        from sling_cli_spark.sources.delta_py import cleanup_logs
-        removed = cleanup_logs(path, keep_versions=args.keep)
+        if is_delta:
+            from sling_cli_spark.sources.delta_py import cleanup_logs
+            removed = cleanup_logs(path, keep_versions=args.keep)
+        else:
+            from sling_cli_spark.sources.iceberg_py import (
+                cleanup_metadata)
+            removed = cleanup_metadata(path, keep=args.keep)
         print(json.dumps({"removed_log_files": len(removed)}))
         return 0
     if op == "expire-snapshots":
@@ -402,12 +403,12 @@ def cmd_lake(args: argparse.Namespace) -> int:
         return 0
     spark = _get_spark(args.debug)
     if op == "detail":
-        if not is_delta:
-            print("detail applies to Delta tables (iceberg: use files)",
-                  file=sys.stderr)
-            return 2
-        from sling_cli_spark.sources.delta_py import describe_detail
-        _stream_csv_stdout(describe_detail(spark, path))
+        if is_delta:
+            from sling_cli_spark.sources.delta_py import describe_detail
+            _stream_csv_stdout(describe_detail(spark, path))
+        else:
+            from sling_cli_spark.sources.iceberg_py import iceberg_detail
+            _stream_csv_stdout(iceberg_detail(spark, path))
         return 0
     if op == "files":
         if is_delta:
@@ -569,8 +570,10 @@ def build_parser() -> argparse.ArgumentParser:
     lcp.add_argument("path")
     lcp.add_argument("--v2", action="store_true")
     lcl = ls.add_parser("cleanup-logs",
-                        help="delta: drop checkpoint-covered JSON "
-                             "commits + superseded checkpoints")
+                        help="metadata retention: delta drops "
+                             "checkpoint-covered JSON commits + "
+                             "superseded checkpoints; iceberg drops "
+                             "old vN.metadata.json")
     lcl.add_argument("path")
     lcl.add_argument("--keep", type=int, default=10,
                      help="newest commits always retained")
@@ -583,7 +586,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "(DESCRIBE HISTORY twin)")
     lh.add_argument("path")
     ld = ls.add_parser("detail",
-                       help="delta: DESCRIBE DETAIL as CSV")
+                       help="DESCRIBE DETAIL as CSV (both formats)")
     ld.add_argument("path")
     lf = ls.add_parser("files",
                        help="iceberg: files metadata table as CSV")

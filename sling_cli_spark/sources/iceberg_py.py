@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from urllib.parse import unquote, urlparse
@@ -2325,6 +2326,37 @@ def iceberg_history(spark: SparkSession, path: str) -> DataFrame:
               "sequence_number long, operation string, is_current boolean")
 
 
+def iceberg_detail(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE DETAIL twin for Iceberg (delta_py.describe_detail's
+    format sibling): one row of table facts from metadata + manifest
+    arithmetic — zero data files opened."""
+    _, meta = _current_metadata(path)
+    files, pos_d, eq_d = _active_entries(path, meta, None)
+    spec = _default_spec(meta).get("fields") or []
+    row = (
+        "iceberg",
+        meta.get("table-uuid"),
+        _absolute(path),
+        int(meta.get("format-version", 1)),
+        ",".join(f"{f['name']}:{f.get('transform', 'identity')}"
+                 for f in spec),
+        len(files),
+        sum(int(f.get("file_size_in_bytes") or 0) for f in files),
+        sum(int(f.get("record_count") or 0) for f in files),
+        len(pos_d) + len(eq_d),
+        len(meta.get("snapshots") or []),
+        int(meta.get("current-snapshot-id") or -1),
+        len(meta.get("partition-specs") or []),
+        len(meta.get("refs") or {}),
+    )
+    return spark.createDataFrame([row], (
+        "format string, id string, location string, format_version int, "
+        "partition_spec string, num_files long, size_in_bytes long, "
+        "num_records long, num_delete_files long, num_snapshots long, "
+        "current_snapshot_id long, num_partition_specs int, "
+        "num_refs int"))
+
+
 def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
     """``snapshots`` metadata-table twin (Spark-Iceberg's ``SELECT *
     FROM t.snapshots``): one row per retained snapshot — commit
@@ -2480,6 +2512,26 @@ def remove_orphan_files(path: str) -> list[str]:
 
     if fs.exists(data_dir):
         walk("")
+    return deleted
+
+
+def cleanup_metadata(path: str, keep: int = 10) -> list[str]:
+    """Metadata-file retention (the catalog property
+    ``write.metadata.previous-versions-max``, spec §Table Metadata):
+    delete ``v{N}.metadata.json`` files older than the newest ``keep``
+    versions. Snapshot history is UNAFFECTED — every retained snapshot
+    lives inside the current metadata file; old metadata versions only
+    serve metadata-level rollback, which delta-spark-style engines cap
+    exactly like this. Returns the deleted file names."""
+    fs = fsio.get_fs(path)
+    version, _ = _current_metadata(path)
+    deleted = []
+    md = _meta_dir(path)
+    for name in fs.listdir(md):
+        m = re.match(r"^v(\d+)\.metadata\.json$", name)
+        if m and int(m.group(1)) <= version - keep:
+            fs.delete(fsio.join(md, name))
+            deleted.append(name)
     return deleted
 
 

@@ -437,3 +437,32 @@ def test_cli_lake_convert_and_migrate(spark, tmp_path, capsys):
     assert main(["lake", "migrate", p2]) == 0
     assert json.loads(capsys.readouterr().out)["converted"] == "iceberg"
     assert read_iceberg(spark, p2).count() == 2
+
+
+def test_cli_lake_detail_iceberg_and_cleanup_metadata(spark, tmp_path,
+                                                      capsys):
+    """r9: `lake detail` serves Iceberg facts; `lake cleanup-logs` on
+    Iceberg drops old vN.metadata.json past the retention window."""
+    import os as _os
+
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.iceberg_py import (
+        read_iceberg, write_iceberg)
+
+    i = str(tmp_path / "i")
+    for k in range(5):
+        write_iceberg(spark.createDataFrame(
+            [(k, "x")], "id long, v string").coalesce(1), i,
+            mode="append")
+    assert main(["lake", "detail", i]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    hdr = out[0].split(",")
+    row = dict(zip(hdr, out[1].split(",")))
+    assert row["format"] == "iceberg" and row["num_files"] == "5"
+    assert row["num_snapshots"] == "5" and row["num_records"] == "5"
+    assert main(["lake", "cleanup-logs", i, "--keep", "2"]) == 0
+    n = json.loads(capsys.readouterr().out.strip())["removed_log_files"]
+    assert n == 3  # v1..v5 metadata; keep v4,v5
+    md = _os.path.join(i, "metadata")
+    assert not _os.path.exists(_os.path.join(md, "v1.metadata.json"))
+    assert read_iceberg(spark, i).count() == 5  # history intact
