@@ -101,6 +101,8 @@ class TargetOptions:
     bucket_by: list[str] = field(default_factory=list)  # co-located joins
     bucket_count: int | None = None     # buckets per bucket_by table
     ignore_existing: bool = False       # skip the load if target has data
+    txn_app_id: str | None = None       # delta idempotent writes (r9):
+    txn_version: int | None = None      # a re-run committed batch no-ops
 
 
 @dataclass

@@ -189,6 +189,22 @@ def run(
     if cfg.target.options.ignore_existing and _target_has_data(spark, cfg):
         return TaskResult(rows=0, columns=[], mode=cfg.mode.value)
 
+    if cfg.target.options.txn_app_id is not None:
+        # idempotent EL retry (PROTOCOL.md §Transaction Identifiers):
+        # a batch the delta log already records commits NOTHING — the
+        # short-circuit happens here, before any plan executes, so the
+        # result honestly reports zero rows moved
+        from sling_cli_spark.sources.delta_py import last_txn_version
+
+        try:
+            seen = last_txn_version(
+                cfg.target.object, cfg.target.options.txn_app_id)
+        except FileNotFoundError:
+            seen = None
+        if seen is not None and cfg.target.options.txn_version is not None \
+                and seen >= cfg.target.options.txn_version:
+            return TaskResult(rows=0, columns=[], mode=cfg.mode.value)
+
     specs = _column_specs(cfg)
     if specs and not cfg.source.primary_key:
         from sling_cli_spark.operators.column_modifiers import specs_primary_key

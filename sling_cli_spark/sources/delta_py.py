@@ -2410,12 +2410,27 @@ def _evolve_schema_actions(df: DataFrame, meta: dict | None) -> list[dict]:
 def write_delta(
     df: DataFrame, path: str, mode: str = "append",
     partition_by: list[str] | None = None,
+    txn_app_id: str | None = None, txn_version: int | None = None,
 ) -> int:
     """Append or overwrite; returns the committed version. On an
     existing table the recorded partitioning wins (append must not
     change layout); ``partition_by`` takes effect on table creation or
     full overwrite. Appends that widen the schema ride a metaData
-    update (mergeSchema semantics)."""
+    update (mergeSchema semantics).
+
+    ``txn_app_id`` + ``txn_version`` make the write IDEMPOTENT
+    (delta-spark's txnAppId/txnVersion DataFrame options, PROTOCOL.md
+    §Transaction Identifiers): a retried batch whose (app, version)
+    the log already records is silently skipped — the retry contract
+    an EL orchestrator needs when a task re-runs after a driver
+    failure that may or may not have committed."""
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError(
+            "txn_app_id and txn_version must be passed together")
+    if txn_app_id is not None:
+        seen = last_txn_version(path, txn_app_id)
+        if seen is not None and seen >= txn_version:
+            return latest_version(path)  # already committed: no-op
     version = latest_version(path) + 1
     actions: list[dict] = []
     honor_meta = None  # table whose column contracts bind this batch
@@ -2477,6 +2492,10 @@ def write_delta(
     if honor_meta is not None:
         actions += _identity_hwm_action(honor_meta, staged, frame=df)
     actions += _assign_fresh_row_ids(path, staged, version, protocol=prot)
+    if txn_app_id is not None:
+        actions.append({"txn": {
+            "appId": txn_app_id, "version": int(txn_version),
+            "lastUpdated": int(time.time() * 1000)}})
     if mode == "append" and version > 0:
         return _commit_with_retry(path, version, actions)
     _commit(path, version, actions)

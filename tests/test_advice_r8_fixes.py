@@ -433,3 +433,33 @@ def test_convert_to_delta_in_place(spark, tmp_path):
     write_delta(spark.createDataFrame([(1,)], "id long"), q)
     with pytest.raises(ValueError, match="already a delta"):
         convert_to_delta(spark, q)
+
+
+def test_write_delta_idempotent_txn(spark, tmp_path):
+    """r9: txn_app_id/txn_version make batch writes idempotent — the
+    re-run of a committed batch is a no-op (PROTOCOL.md §Transaction
+    Identifiers), a HIGHER version commits, and the guard needs both
+    knobs."""
+    from sling_cli_spark.sources.delta_py import read_delta, write_delta
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string"), t,
+        txn_app_id="etl", txn_version=1)
+    # the retry of batch 1: silently skipped
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string"), t,
+        txn_app_id="etl", txn_version=1)
+    assert read_delta(spark, t).count() == 1
+    # batch 2 commits; an unrelated app is independent
+    write_delta(spark.createDataFrame(
+        [(2, "b")], "id long, v string"), t,
+        txn_app_id="etl", txn_version=2)
+    write_delta(spark.createDataFrame(
+        [(3, "c")], "id long, v string"), t,
+        txn_app_id="other", txn_version=1)
+    assert sorted(r["id"] for r in read_delta(spark, t).collect()) \
+        == [1, 2, 3]
+    with pytest.raises(ValueError, match="together"):
+        write_delta(spark.createDataFrame(
+            [(9, "z")], "id long, v string"), t, txn_app_id="etl")

@@ -145,3 +145,29 @@ def test_bucketed_write_joins_without_shuffle(spark, tmp_path):
     assert g.glob(str(tmp_path / "bkt_a" / "*.parquet"))
     spark.sql("drop table if exists bkt_a")
     spark.sql("drop table if exists bkt_b")
+
+
+def test_el_delta_write_idempotent_txn(spark, tmp_path):
+    """r9: target.options.txn_app_id/txn_version make the EL delta
+    write a no-op on re-run (task retry after an uncertain commit)."""
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+    from sling_cli_spark.sources.delta_py import read_delta
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").write.parquet(src)
+    t = str(tmp_path / "t")
+    cfg = {
+        "source": {"stream": src},
+        "target": {"object": t,
+                   "options": {"format": "delta", "txn_app_id": "job7",
+                               "txn_version": 1}},
+        "mode": "incremental",
+    }
+    run(spark, Config.from_dict(cfg))
+    run(spark, Config.from_dict(cfg))  # the retry: must not double
+    assert read_delta(spark, t).count() == 2
+    cfg["target"]["options"]["txn_version"] = 2
+    run(spark, Config.from_dict(cfg))  # a new batch id commits
+    assert read_delta(spark, t).count() == 4
