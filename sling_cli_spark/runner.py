@@ -189,20 +189,14 @@ def run(
     if cfg.target.options.ignore_existing and _target_has_data(spark, cfg):
         return TaskResult(rows=0, columns=[], mode=cfg.mode.value)
 
-    if cfg.target.options.txn_app_id is not None:
-        # idempotent EL retry (PROTOCOL.md §Transaction Identifiers):
-        # a batch the delta log already records commits NOTHING — the
-        # short-circuit happens here, before any plan executes, so the
-        # result honestly reports zero rows moved
-        from sling_cli_spark.sources.delta_py import last_txn_version
-
-        try:
-            seen = last_txn_version(
-                cfg.target.object, cfg.target.options.txn_app_id)
-        except FileNotFoundError:
-            seen = None
-        if seen is not None and cfg.target.options.txn_version is not None \
-                and seen >= cfg.target.options.txn_version:
+    if cfg.target.options.txn_app_id is not None \
+            and cfg.target.options.txn_version is not None:
+        # idempotent EL retry (delta: PROTOCOL.md §Transaction
+        # Identifiers; iceberg: snapshot summary keys): a batch the
+        # table already records commits NOTHING — the short-circuit
+        # happens here, before any plan executes, so the result
+        # honestly reports zero rows moved
+        if _txn_already_committed(cfg):
             return TaskResult(rows=0, columns=[], mode=cfg.mode.value)
 
     specs = _column_specs(cfg)
@@ -490,6 +484,35 @@ def _run_with_watermark(
     vals = obs.get
     return TaskResult(rows=vals["rows"], columns=df.columns,
                       mode=cfg.mode.value, watermark=vals.get("wm"))
+
+
+def _txn_already_committed(cfg: Config) -> bool:
+    """True when the target table already records this batch's
+    (txn_app_id, txn_version) — delta via SetTransaction actions,
+    iceberg via snapshot summary keys. A missing or not-yet-created
+    table never blocks the write."""
+    obj = cfg.target.object
+    app = cfg.target.options.txn_app_id
+    want = int(cfg.target.options.txn_version)
+    try:
+        from sling_cli_spark.sources.iceberg_py import is_iceberg_table
+
+        if is_iceberg_table(obj):
+            from sling_cli_spark.sources.iceberg_py import _current_metadata
+
+            _, meta = _current_metadata(obj)
+            seen = max((int((s.get("summary") or {})
+                            .get("txn-version", -1))
+                        for s in meta.get("snapshots") or []
+                        if (s.get("summary") or {})
+                        .get("txn-app-id") == app), default=None)
+            return seen is not None and seen >= want
+        from sling_cli_spark.sources.delta_py import last_txn_version
+
+        seen = last_txn_version(obj, app)
+        return seen is not None and seen >= want
+    except FileNotFoundError:
+        return False
 
 
 def _target_has_data(spark: SparkSession, cfg: Config) -> bool:

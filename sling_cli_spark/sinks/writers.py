@@ -117,16 +117,26 @@ def write_files(
     if fmt in ("delta", "iceberg"):
         from sling_cli_spark.sources.files import is_missing_datasource
 
-        if fmt == "delta" and opts.txn_app_id is not None:
-            # idempotent EL retry (PROTOCOL.md §Transaction
-            # Identifiers) needs the txn action in the SAME commit as
-            # the data — only the spec-level writer threads it
-            from sling_cli_spark.sources.delta_py import write_delta
+        if opts.txn_app_id is not None:
+            # idempotent EL retry (delta: PROTOCOL.md §Transaction
+            # Identifiers; iceberg: snapshot summary keys) needs the
+            # marker in the SAME commit as the data — only the
+            # spec-level writers thread it
+            if fmt == "delta":
+                from sling_cli_spark.sources.delta_py import write_delta
 
-            write_delta(df, uri, mode=_spark_mode(mode),
-                        partition_by=part_cols or None,
-                        txn_app_id=opts.txn_app_id,
-                        txn_version=opts.txn_version)
+                write_delta(df, uri, mode=_spark_mode(mode),
+                            partition_by=part_cols or None,
+                            txn_app_id=opts.txn_app_id,
+                            txn_version=opts.txn_version)
+            else:
+                from sling_cli_spark.sources.iceberg_py import (
+                    write_iceberg)
+
+                write_iceberg(df, uri, mode=_spark_mode(mode),
+                              partition_by=part_cols or None,
+                              txn_app_id=opts.txn_app_id,
+                              txn_version=opts.txn_version)
             return
         try:
             writer.format(fmt).save(uri)

@@ -1817,6 +1817,7 @@ def write_iceberg(
     df: DataFrame, path: str, mode: str = "append",
     partition_by: list[str] | None = None, format_version: int = 2,
     branch: str = "main",
+    txn_app_id: str | None = None, txn_version: int | None = None,
 ) -> int:
     """Append/overwrite as a new snapshot + metadata version; returns the
     snapshot id. On an existing table the recorded identity partition
@@ -1827,9 +1828,27 @@ def write_iceberg(
     replaced data. ``branch`` (spec §Refs) targets a named branch: the
     snapshot parents at the branch head (forking from current on the
     first write) and only that ref advances — the main line reads
-    unchanged."""
+    unchanged.
+
+    ``txn_app_id`` + ``txn_version`` make the write IDEMPOTENT via
+    snapshot summary keys — the mechanism Iceberg's own Spark sink
+    uses for exactly-once (the streaming sink here shares it): a
+    retried batch whose (app, version) a retained snapshot already
+    records is silently skipped."""
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError(
+            "txn_app_id and txn_version must be passed together")
     if is_iceberg_table(path):
         _, meta = _current_metadata(path, for_write=True)
+        if txn_app_id is not None:
+            seen = max((int((s.get("summary") or {})
+                            .get("txn-version", -1))
+                        for s in meta.get("snapshots") or []
+                        if (s.get("summary") or {})
+                        .get("txn-app-id") == txn_app_id),
+                       default=None)
+            if seen is not None and seen >= txn_version:
+                return int(meta.get("current-snapshot-id") or -1)
     else:
         meta = _init_meta(df, path, partition_by, format_version)
     if mode == "overwrite" or not meta.get("snapshots"):
@@ -1841,10 +1860,15 @@ def write_iceberg(
                     or {}).get("snapshot-id")
         carried, pos_d, eq_d = _active_entries(path, meta, head)
         carried_dels = _live_delete_files(carried, pos_d, eq_d)
+    extra = None
+    if txn_app_id is not None:
+        extra = {"txn-app-id": txn_app_id,
+                 "txn-version": str(int(txn_version))}
     return _commit_snapshot(
         df, path, meta, carried,
         operation="overwrite" if mode == "overwrite" else "append",
-        carried_deletes=carried_dels, branch=branch)
+        carried_deletes=carried_dels, branch=branch,
+        summary_extra=extra)
 
 
 def migrate_to_iceberg(

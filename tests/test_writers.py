@@ -171,3 +171,31 @@ def test_el_delta_write_idempotent_txn(spark, tmp_path):
     cfg["target"]["options"]["txn_version"] = 2
     run(spark, Config.from_dict(cfg))  # a new batch id commits
     assert read_delta(spark, t).count() == 4
+
+
+def test_el_iceberg_write_idempotent_txn(spark, tmp_path):
+    """r9: the same retry contract on an Iceberg target — snapshot
+    summary keys, the mechanism the streaming sink shares."""
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+    from sling_cli_spark.sources.iceberg_py import read_iceberg
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").write.parquet(src)
+    t = str(tmp_path / "t")
+    cfg = {
+        "source": {"stream": src},
+        "target": {"object": t,
+                   "options": {"format": "iceberg",
+                               "txn_app_id": "job8",
+                               "txn_version": 1}},
+        "mode": "incremental",
+    }
+    run(spark, Config.from_dict(cfg))
+    r = run(spark, Config.from_dict(cfg))  # the retry
+    assert r.rows == 0
+    assert read_iceberg(spark, t).count() == 2
+    cfg["target"]["options"]["txn_version"] = 2
+    run(spark, Config.from_dict(cfg))
+    assert read_iceberg(spark, t).count() == 4
