@@ -184,3 +184,17 @@ def test_wildcard_discovery_live(spark, tmp_path):
         "columns", schema="APP", table="MISC"))
     assert [c[0] for c in cols] == ["ID"]
     assert "BIGINT" in cols[0][1].upper()
+
+
+def test_split_sql_statements_quote_aware():
+    """Semicolons inside string literals must not split (r9)."""
+    from sling_cli_spark.sources.jdbc import split_sql_statements
+
+    sql = ("UPDATE t SET v = 'a;b' WHERE id = 1;\n"
+           "INSERT INTO t VALUES (2, ';;');\n")
+    out = split_sql_statements(sql)
+    assert len(out) == 2
+    assert out[0].endswith("'a;b' WHERE id = 1")
+    assert out[1].endswith("(2, ';;')")
+    assert split_sql_statements("SELECT 1") == ["SELECT 1"]
+    assert split_sql_statements("  ;; ") == []
