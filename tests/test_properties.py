@@ -232,3 +232,55 @@ def test_z85_roundtrip(data):
     if not data:
         return
     assert z85_decode(z85_encode(data)) == data
+
+
+# --- iceberg transform twins (r9) -----------------------------------
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_murmur3_long_twin_matches_reference_impl(v):
+    """The Python scalar murmur3 (pruning twin) over the 8-byte LE
+    layout must agree with an independent pure re-derivation for any
+    long — protects the transform_literal side of bucket pruning."""
+    import struct
+
+    from sling_cli_spark.sources.iceberg_transforms import (
+        _hash_long, murmur3_32)
+
+    assert _hash_long(v) == murmur3_32(struct.pack("<q", v))
+    assert -(2**31) <= _hash_long(v) < 2**31
+
+
+@given(st.integers(min_value=-10**12, max_value=10**12),
+       st.integers(min_value=1, max_value=10**6))
+def test_truncate_literal_is_floor_multiple(v, w):
+    from sling_cli_spark.sources.iceberg_transforms import (
+        transform_literal)
+
+    t = transform_literal(f"truncate[{w}]", v, "long")
+    assert t % w == 0 and t <= v < t + w
+
+
+@given(st.dates(), st.integers(min_value=1, max_value=4096))
+def test_bucket_literal_in_range(d, n):
+    from sling_cli_spark.sources.iceberg_transforms import (
+        transform_literal)
+
+    b = transform_literal(f"bucket[{n}]", d, "date")
+    assert 0 <= b < n
+
+
+@given(st.dates())
+def test_temporal_transforms_are_monotone_consistent(d):
+    """year/month/day of the same date must be mutually consistent
+    (the interval-disproof kernel relies on this monotonicity)."""
+    import datetime
+
+    from sling_cli_spark.sources.iceberg_transforms import (
+        transform_literal)
+
+    y = transform_literal("year", d, "date")
+    m = transform_literal("month", d, "date")
+    dd = transform_literal("day", d, "date")
+    assert y == d.year - 1970
+    assert m == (d.year - 1970) * 12 + d.month - 1
+    assert datetime.date(1970, 1, 1) + datetime.timedelta(days=dd) == d
