@@ -82,6 +82,37 @@ def _main_chain(meta: dict) -> list[dict]:
     return chain[::-1]
 
 
+def _require_chain_coverage(meta: dict, start: int, end: int,
+                            path: str) -> None:
+    """A micro-batch covers sequence numbers (start, end]; snapshots
+    EXPIRED out of that range would silently drop their rows from the
+    stream (the iceberg sibling of delta's retention-cleaned commits,
+    r9). Detection: expire_snapshots removes a PREFIX of the main
+    chain, leaving the oldest retained snapshot with a DANGLING parent
+    pointer — if that truncation point sits above ``start + 1``, the
+    requested range is not fully covered. Branch snapshots taking
+    intermediate sequence numbers never false-positive this (the walk
+    follows main parents only)."""
+    if end <= start:
+        return
+    chain = _main_chain(meta)
+    if not chain:
+        return
+    oldest = chain[0]
+    parent = oldest.get("parent-snapshot-id")
+    by_id = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+    truncated = parent is not None and int(parent) != -1 \
+        and parent not in by_id
+    first_seq = int(oldest.get("sequence-number") or 0)
+    if truncated and first_seq > start + 1:
+        raise ValueError(
+            f"iceberg_stream: snapshots covering sequence numbers "
+            f"{start + 1}..{first_seq - 1} of {path} were expired "
+            "(expire_snapshots) — the requested range is not fully "
+            "covered by retained snapshots; restart the stream from a "
+            "retained sequence number")
+
+
 def _added_entries(snap: dict, want_content: int = 0) -> list[dict]:
     """Manifest entries ADDED by ``snap`` (status=1 committed by this
     snapshot id), pruned via ``added_snapshot_id`` so only the new
@@ -206,6 +237,8 @@ class _IceStreamReader(DataSourceStreamReader):
 
         self._last_end = end["seq"]
         _, meta = _current_metadata(self._path)
+        _require_chain_coverage(meta, start["seq"], end["seq"],
+                                self._path)
         schema = _spark_schema(meta)
         schema_json = schema.json()
         field_types = {f.name: f.dataType.typeName()

@@ -463,3 +463,39 @@ def test_write_delta_idempotent_txn(spark, tmp_path):
     with pytest.raises(ValueError, match="together"):
         write_delta(spark.createDataFrame(
             [(9, "z")], "id long, v string"), t, txn_app_id="etl")
+
+
+def test_iceberg_stream_raises_on_expired_range(spark, tmp_path):
+    """r9 (iceberg sibling of #5): sequence numbers expired out of the
+    requested range fail the micro-batch loudly instead of silently
+    dropping their rows; a stream over the retained suffix works."""
+    from sling_cli_spark.sources.iceberg_py import (
+        expire_snapshots, write_iceberg)
+    from sling_cli_spark.streaming.iceberg_source import (
+        register_iceberg_stream)
+
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    for i in range(5):
+        write_iceberg(spark.createDataFrame(
+            [(i, "x")], "id long, v string").coalesce(1), t,
+            mode="append")
+    expire_snapshots(t, keep=2)  # seqs 1..3 gone
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    with pytest.raises(Exception, match="expired|not fully covered"):
+        q = (spark.readStream.format("iceberg_stream")
+             .option("path", t).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    # starting INSIDE the retained suffix is fine
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    q = (spark.readStream.format("iceberg_stream")
+         .option("path", t).option("startingSequence", "3").load()
+         .writeStream.format("parquet").option("path", out2)
+         .option("checkpointLocation", ck2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert {r["id"] for r in spark.read.parquet(out2).collect()} \
+        == {3, 4}
