@@ -335,6 +335,8 @@ class _IceChangelogStreamReader(_IceStreamReader):
 
         self._last_end = end["seq"]
         _, meta = _current_metadata(self._path)
+        _require_chain_coverage(meta, start["seq"], end["seq"],
+                                self._path)
         schema = _spark_schema(meta)
         schema_json = schema.json()
         field_types = {f.name: f.dataType.typeName()
