@@ -144,6 +144,9 @@ _MANIFEST_ENTRY_SCHEMA_V2 = {
                  "type": ["null", {"type": "map", "values": "bytes"}]},
                 {"name": "upper_bounds",
                  "type": ["null", {"type": "map", "values": "bytes"}]},
+                # spec field 140: the sort order the file was written
+                # under (null/0 = unsorted)
+                {"name": "sort_order_id", "type": ["null", "int"]},
                 # v3 fields, null on v1/v2 entries: deletion-vector
                 # blob coordinates (spec v3: referenced_data_file 143,
                 # content_offset 144, content_size_in_bytes 145) and
@@ -193,6 +196,7 @@ def _v2_data_file(f: dict) -> dict:
         "equality_ids": f.get("equality_ids"),
         "lower_bounds": _bounds_map(f.get("lower_bounds")),
         "upper_bounds": _bounds_map(f.get("upper_bounds")),
+        "sort_order_id": f.get("sort_order_id"),
         # v3 carriage: a kept DV entry must NOT lose its blob
         # coordinates, nor a kept data file its row-lineage base
         "referenced_data_file": f.get("referenced_data_file"),
@@ -1314,10 +1318,10 @@ def upsert_iceberg(
 
 def _init_meta(
     df: DataFrame, path: str, partition_by: list[str] | None = None,
-    format_version: int = 2,
+    format_version: int = 2, sort_by: list[str] | None = None,
 ) -> dict:
     from sling_cli_spark.sources.iceberg_transforms import (
-        parse_partition_field)
+        parse_partition_field, parse_sort_field)
 
     ice = _ice_schema_for(df)
     by_name = {f["name"]: f["id"] for f in ice["fields"]}
@@ -1355,6 +1359,17 @@ def _init_meta(
         meta["last-sequence-number"] = 0
         meta["sort-orders"] = [{"order-id": 0, "fields": []}]
         meta["default-sort-order-id"] = 0
+    if sort_by:
+        fields = []
+        for e in sort_by:
+            sf = parse_sort_field(e)
+            src = sf.pop("source")
+            if src not in by_name:
+                raise ValueError(f"sort column {src!r} not in the frame")
+            fields.append({**sf, "source-id": by_name[src]})
+        meta["sort-orders"] = [{"order-id": 0, "fields": []},
+                               {"order-id": 1, "fields": fields}]
+        meta["default-sort-order-id"] = 1
     return meta
 
 
@@ -1366,6 +1381,57 @@ def _default_spec(meta: dict) -> dict:
     did = meta.get("default-spec-id", 0)
     return next((s for s in specs if s.get("spec-id", 0) == did),
                 specs[0])
+
+
+def _default_sort_fields(meta: dict) -> list[dict]:
+    """Fields of the table's DEFAULT sort order (spec §Sort Orders:
+    ``default-sort-order-id`` selects it; order-id 0 is the reserved
+    unsorted order, whose field list is empty)."""
+    oid = meta.get("default-sort-order-id", 0)
+    for o in meta.get("sort-orders") or []:
+        if o.get("order-id", 0) == oid:
+            return o.get("fields") or []
+    return []
+
+
+def _sort_exprs(df: DataFrame, meta: dict,
+                fields: list[dict]) -> list | None:
+    """Spark sort Columns realizing a spec sort order over ``df`` —
+    transform fields (``truncate[W]``/``bucket[N]``/temporal) sort by
+    the SAME Catalyst expressions the partition writer derives with,
+    direction and null placement per field. None when a source column
+    is absent from the frame (the caller then writes unsorted —
+    sortedness is an optimization, never a correctness gate)."""
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.sources.iceberg_transforms import (
+        UnsupportedTransform, spark_type_name, transform_expr)
+
+    cur = _current_schema(meta) or {"fields": []}
+    by_id = {f["id"]: f["name"] for f in cur.get("fields", [])}
+    types = {f.name: spark_type_name(f.dataType)
+             for f in df.schema.fields}
+    out = []
+    for sf in fields:
+        src = by_id.get(sf.get("source-id"))
+        if src is None or src not in types:
+            return None
+        col = F.col(f"`{src}`")
+        transform = sf.get("transform", "identity")
+        if transform != "identity":
+            try:
+                col = transform_expr(transform, col, types[src])
+            except UnsupportedTransform:
+                return None
+        desc = (sf.get("direction") or "asc").lower() == "desc"
+        nf = (sf.get("null-order") or (
+            "nulls-last" if desc else "nulls-first")
+        ).lower() == "nulls-first"
+        out.append(
+            (col.desc_nulls_first() if nf else col.desc_nulls_last())
+            if desc else
+            (col.asc_nulls_first() if nf else col.asc_nulls_last()))
+    return out
 
 
 def _part_cols(meta: dict) -> list[str]:
@@ -1492,6 +1558,7 @@ def _commit_snapshot(
     snapshot_id: int | None = None, branch: str = "main",
     staged_files: list[dict] | None = None,
     summary_extra: dict | None = None,
+    apply_sort: bool = True,
 ) -> int:
     """Stage ``df`` as new data files, write manifest(s) +
     manifest-list, bump the metadata version; ``carried`` files join the
@@ -1580,6 +1647,21 @@ def _commit_snapshot(
                 except UnsupportedTransform as e:
                     raise UnsupportedTableFeature(
                         f"iceberg table at {path}: {e}") from e
+        # default sort order (spec §Sort Orders): order rows WITHIN
+        # each task by (partition cols, sort fields) — partition cols
+        # lead so FileFormatWriter's required per-task ordering is
+        # already satisfied and Spark does not re-sort (which would
+        # keep only the partition-col prefix); every emitted file is
+        # then internally ordered and its bounds tight
+        sort_oid = None
+        sfields = _default_sort_fields(meta) if apply_sort else []
+        if sfields:
+            from pyspark.sql import functions as F2
+            exprs = _sort_exprs(stage_df, meta, sfields)
+            if exprs is not None:
+                stage_df = stage_df.sortWithinPartitions(
+                    *[F2.col(f"`{c}`") for c in part_cols], *exprs)
+                sort_oid = int(meta.get("default-sort-order-id") or 0)
         writer = stage_df.write
         if part_cols:
             writer = writer.partitionBy(*part_cols)
@@ -1618,6 +1700,7 @@ def _commit_snapshot(
                 "partition": partition or None,
                 "lower_bounds": st.get("lower"),
                 "upper_bounds": st.get("upper"),
+                "sort_order_id": sort_oid,
             })
         fs.delete(tmp, True)
     if staged_files is not None:
@@ -1818,6 +1901,7 @@ def write_iceberg(
     partition_by: list[str] | None = None, format_version: int = 2,
     branch: str = "main",
     txn_app_id: str | None = None, txn_version: int | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Append/overwrite as a new snapshot + metadata version; returns the
     snapshot id. On an existing table the recorded identity partition
@@ -1829,6 +1913,10 @@ def write_iceberg(
     snapshot parents at the branch head (forking from current on the
     first write) and only that ref advances — the main line reads
     unchanged.
+
+    ``sort_by`` (table creation only, like ``partition_by``) declares
+    a default sort order — see :func:`set_sort_order` for the syntax
+    and write-path semantics on an existing table.
 
     ``txn_app_id`` + ``txn_version`` make the write IDEMPOTENT via
     snapshot summary keys — the mechanism Iceberg's own Spark sink
@@ -1850,7 +1938,8 @@ def write_iceberg(
             if seen is not None and seen >= txn_version:
                 return int(meta.get("current-snapshot-id") or -1)
     else:
-        meta = _init_meta(df, path, partition_by, format_version)
+        meta = _init_meta(df, path, partition_by, format_version,
+                          sort_by=sort_by)
     if mode == "overwrite" or not meta.get("snapshots"):
         carried, carried_dels = [], []
     else:
@@ -1978,6 +2067,62 @@ def evolve_partition_spec(path: str, partition_by: list[str]) -> int:
         meta["partition-specs"] = specs
         meta["last-partition-id"] = last_pid + len(fields)
     meta["default-spec-id"] = new_id
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    fs.create_exclusive(
+        fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+        json.dumps(meta).encode())
+    fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
+                   str(version + 1).encode())
+    return int(new_id)
+
+
+def set_sort_order(path: str, order_by: list[str]) -> int:
+    """ALTER TABLE ... WRITE ORDERED BY (spec §Sort Orders): append a
+    sort order and make it the default — a METADATA-ONLY commit.
+    Entries are ``"col"``, ``"col desc"``, ``"col asc nulls-last"``,
+    or a transform over a column (``"truncate(4, col) desc"``).
+    Subsequent :func:`write_iceberg` appends sort rows WITHIN each
+    staged task by (partition columns, sort fields) — so every data
+    file is internally ordered, its manifest bounds are tight in the
+    leading sort dimension, and bounds pruning skips files on sorted
+    predicates — and record the order's id on their manifest entries
+    (``data_file.sort_order_id``, spec field 140).
+    ``order_by=[]`` resets the default to the reserved unsorted order
+    0. Returns the new default sort-order id.
+
+    The reference delegates table maintenance to warehouse engines
+    (core/dbio/iop/iceberg.go reads via DuckDB); sort orders are part
+    of the public spec surface those warehouses produce."""
+    from sling_cli_spark.sources.iceberg_transforms import (
+        parse_sort_field)
+
+    fs = fsio.get_fs(path)
+    version, meta = _current_metadata(path, for_write=True)
+    schema = _current_schema(meta) or {}
+    ids = {f["name"]: f["id"] for f in schema.get("fields", [])}
+    want = []
+    for e in order_by:
+        sf = parse_sort_field(e)
+        src = sf.pop("source")
+        if src not in ids:
+            raise ValueError(f"sort column {src!r} not in schema")
+        want.append({**sf, "source-id": ids[src]})
+    orders = meta.get("sort-orders") or [{"order-id": 0, "fields": []}]
+    key = [(f["transform"], f["source-id"], f["direction"],
+            f["null-order"]) for f in want]
+    for o in orders:  # identical order already recorded -> re-default
+        have = [(f.get("transform", "identity"), f.get("source-id"),
+                 f.get("direction", "asc"),
+                 f.get("null-order", "nulls-first"))
+                for f in (o.get("fields") or [])]
+        if have == key:
+            new_id = o.get("order-id", 0)
+            break
+    else:
+        new_id = 1 + max(o.get("order-id", 0) for o in orders)
+        meta["sort-orders"] = orders + [
+            {"order-id": new_id, "fields": want}]
+    meta["default-sort-order-id"] = new_id
     meta["last-updated-ms"] = int(time.time() * 1000)
     fs.create_exclusive(
         fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
@@ -2372,13 +2517,18 @@ def iceberg_detail(spark: SparkSession, path: str) -> DataFrame:
         int(meta.get("current-snapshot-id") or -1),
         len(meta.get("partition-specs") or []),
         len(meta.get("refs") or {}),
+        ",".join(
+            f"{sf.get('source-id')}:{sf.get('transform', 'identity')} "
+            f"{sf.get('direction', 'asc')} "
+            f"{sf.get('null-order', 'nulls-first')}"
+            for sf in _default_sort_fields(meta)),
     )
     return spark.createDataFrame([row], (
         "format string, id string, location string, format_version int, "
         "partition_spec string, num_files long, size_in_bytes long, "
         "num_records long, num_delete_files long, num_snapshots long, "
         "current_snapshot_id long, num_partition_specs int, "
-        "num_refs int"))
+        "num_refs int, sort_order string"))
 
 
 def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
@@ -2641,6 +2791,7 @@ def compact_iceberg(
     purge_dvs: bool = False,
     dv_purge_ratio: float = 0.3,
     zorder_by: list[str] | None = None,
+    sort: bool = False,
 ) -> dict:
     """Bin-pack small data files as a new snapshot (the spec's
     rewrite-data-files maintenance action; delta_py.optimize_delta is
@@ -2662,6 +2813,13 @@ def compact_iceberg(
     its manifest lower/upper bounds become tight in all listed
     dimensions, and bounds-based scan pruning skips on any of them.
 
+    ``sort=True`` (rewrite_data_files strategy => 'sort' twin)
+    rewrites EVERY active file RANGE-partitioned by the table's
+    default sort order (:func:`set_sort_order`), so rewritten files
+    own disjoint key ranges table-wide — the within-file ordering
+    itself comes from the commit path, which honors the default order
+    on any staged write. Requires a non-empty default sort order.
+
     Partitioned tables compact within each partition (files never merge
     across partition values — the staged write re-partitions by the
     identity columns). Delete files carry forward for the KEPT files;
@@ -2672,6 +2830,10 @@ def compact_iceberg(
     """
     _, meta = _current_metadata(path, for_write=True)
     active, pos_dels, eq_dels = _active_entries(path, meta, None)
+    if sort and not _default_sort_fields(meta):
+        raise ValueError(
+            f"compact(sort=True) on {path}: the table has no default "
+            "sort order — set one with set_sort_order() first")
 
     dv_card: dict[str, int] = {}
     if purge_dvs:
@@ -2685,7 +2847,7 @@ def compact_iceberg(
     for f in active:
         n = int(f.get("record_count") or 0)
         card = dv_card.get(_canon(f["file_path"]), 0)
-        if zorder_by:
+        if zorder_by or sort:
             purge.append(f)  # re-clustering rewrites every file
         elif purge_dvs and card and (not n or card / n >= dv_purge_ratio):
             purge.append(f)
@@ -2711,6 +2873,15 @@ def compact_iceberg(
         rows = rows.withColumn("__z", _zorder_value(rows, zorder_by)) \
             .repartitionByRange(n_out, *pcols, "__z") \
             .sortWithinPartitions(*pcols, "__z").drop("__z")
+    elif sort:
+        exprs = _sort_exprs(rows, meta, _default_sort_fields(meta))
+        if exprs is None:
+            raise ValueError(
+                f"compact(sort=True) on {path}: a sort-order source "
+                "column is absent from the table's current schema")
+        from pyspark.sql import functions as Fc
+        rows = rows.repartitionByRange(
+            n_out, *[Fc.col(f"`{c}`") for c in pcols], *exprs)
     elif pcols:
         rows = rows.repartition(n_out, *pcols)
     else:
@@ -2727,7 +2898,10 @@ def compact_iceberg(
                         in compacted_paths)]
     snapshot_id = _commit_snapshot(
         rows, path, meta, carried=keep, operation="replace",
-        carried_deletes=_live_delete_files(keep, live_pos, eq_dels))
+        carried_deletes=_live_delete_files(keep, live_pos, eq_dels),
+        # a z-order rewrite owns its clustering — the default sort
+        # order must not re-order the staged rows out of z-span
+        apply_sort=not zorder_by)
     return {"compacted": len(todo),
             "new_files": len(_active_files(path, meta, snapshot_id))
             - len(keep),

@@ -80,6 +80,26 @@ def parse_partition_field(entry: str) -> tuple[str, str, str]:
         "truncate(W, col) / year / month / day / hour / void")
 
 
+_RX_SORT_TAIL = re.compile(
+    r"(?:\s+(asc|desc))?(?:\s+nulls[-_ ](first|last))?\s*$", re.I)
+
+
+def parse_sort_field(entry: str) -> dict:
+    """One ``order_by`` entry -> a spec §Sort Orders field dict
+    (minus ``source-id``, which the caller resolves from the schema):
+    ``"col"``, ``"col desc"``, ``"truncate(4, col) asc nulls-last"``.
+    Defaults follow the spec's SQL mapping: ``asc`` -> nulls-first,
+    ``desc`` -> nulls-last."""
+    m = _RX_SORT_TAIL.search(entry)
+    direction = (m.group(1) or "asc").lower()
+    nulls = m.group(2)
+    null_order = f"nulls-{nulls.lower()}" if nulls else (
+        "nulls-first" if direction == "asc" else "nulls-last")
+    transform, src, _ = parse_partition_field(entry[:m.start()])
+    return {"transform": transform, "source": src,
+            "direction": direction, "null-order": null_order}
+
+
 def _bucket_n(transform: str) -> int:
     m = _RX_SPEC_BUCKET.match(transform)
     if not m:
