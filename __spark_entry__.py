@@ -1233,6 +1233,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return read_iceberg(spark, t).select(
             "n_nationkey", "n_name", "n_regionkey")
 
+    def iceberg_sort_order(spark, sf):
+        """Sort orders (iceberg_py round 9, spec §Sort Orders; the ref
+        reads Iceberg via DuckDB and leaves maintenance to warehouse
+        engines): orders written under WRITE ORDERED BY o_totalprice
+        desc — every staged file is internally ordered (asserted
+        against the parquet bytes), its manifest entry records
+        data_file.sort_order_id (spec field 140), and a sorted-key
+        range filter prunes on the resulting tight bounds. Content
+        round-trips unchanged — sortedness is layout, not semantics."""
+        import tempfile
+
+        from sling_cli_spark.sources.avro_py import read_avro
+        from sling_cli_spark.sources.iceberg_py import (
+            _current_metadata, read_iceberg, write_iceberg)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_srt_"), "t")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderpriority")
+        write_iceberg(o.repartition(4), t,
+                      sort_by=["o_totalprice desc"])
+        _, meta = _current_metadata(t)
+        snap = next(s for s in meta["snapshots"]
+                    if s["snapshot-id"] == meta["current-snapshot-id"])
+        entries = [e for m in read_avro(snap["manifest-list"])[1]
+                   for e in read_avro(m["manifest_path"])[1]
+                   if e["status"] == 1]
+        assert entries and all(
+            e["data_file"]["sort_order_id"] == 1 for e in entries), \
+            "added entries must record the sort order id"
+        import pyarrow.parquet as pq
+        vals = pq.read_table(
+            entries[0]["data_file"]["file_path"],
+            columns=["o_totalprice"])["o_totalprice"].to_pylist()
+        assert vals == sorted(vals, reverse=True), \
+            "file must be internally ordered by the declared key"
+        return read_iceberg(spark, t).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority")
+
+    def iceberg_ndv_stats(spark, sf):
+        """ANALYZE twin (iceberg_py.analyze_iceberg round 9, spec
+        §Table Statistics + Puffin spec; beyond the ref, which has no
+        ANALYZE surface): per-column NDV theta sketches
+        (murmur3_x64_128 over Appendix-D single-value bytes,
+        DataSketches CompactSketch layout) written to a Puffin
+        statistics file and registered in table metadata; in the
+        exact range the sketch estimate IS the true distinct count,
+        so the oracle is COUNT(DISTINCT). The returned rows come from
+        the metadata READER (iceberg_ndv), proving the round trip."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            analyze_iceberg, iceberg_ndv, write_iceberg)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_ndv_"), "t")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            "o_orderstatus", "o_orderpriority")
+        write_iceberg(o.repartition(4), t)
+        cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+        # 200k keeps the sketch exact for o_custkey at oracle scale
+        # (sf0.01); at bench sf the KMV path may engage — layout, not
+        # values, is what bench times
+        analyze_iceberg(spark, t, columns=cols,
+                        max_exact_distinct=200_000)
+        got = iceberg_ndv(t)
+        return spark.createDataFrame(
+            [(c, int(got[c])) for c in cols],
+            "column_name string, ndv long")
+
     def iceberg_v3_dv_produce(spark, sf):
         """Iceberg v3 write-side DV production (iceberg_py round 8,
         _produce_dvs_ice / _dv_delete_entries; spec v3 §Deletion
@@ -3253,6 +3324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_v3_dv_produce": iceberg_v3_dv_produce,
         "iceberg_refs": iceberg_refs,
         "iceberg_partition_evolution": iceberg_partition_evolution,
+        "iceberg_sort_order": iceberg_sort_order,
+        "iceberg_ndv_stats": iceberg_ndv_stats,
         "iceberg_transform_partitioning": iceberg_transform_partitioning,
         "iceberg_transform_merge": iceberg_transform_merge,
         "delta_restore": delta_restore,
@@ -3406,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified locally each round (tools/check_correctness.py).
     window = [
         # --- new in r9 ---
+        "iceberg_sort_order", "iceberg_ndv_stats",
         "iceberg_transform_partitioning", "iceberg_transform_merge",
         "delta_v2_checkpoint_write", "stream_dedup_events",
         "delta_cdf_mapped", "iceberg_snapshots_meta",
@@ -4286,6 +4360,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # partitioning must not change results: the transform-pruned
         # scan equals the plain filter over the source table
+        "iceberg_sort_order": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                   o_orderpriority
+            FROM orders
+        """,
+        "iceberg_ndv_stats": """
+            SELECT 'o_custkey' AS column_name,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus',
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority',
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+            FROM orders
+        """,
         "iceberg_transform_partitioning": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                    CAST(o_custkey AS BIGINT) AS o_custkey,

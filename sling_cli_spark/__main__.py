@@ -401,6 +401,15 @@ def cmd_lake(args: argparse.Namespace) -> int:
             v = dl.add_column(path, args.name, args.type)
         print(json.dumps({"version": v}))
         return 0
+    if op == "sort-order":
+        if is_delta:
+            print("sort-order applies to Iceberg tables "
+                  "(delta: use optimize --zorder)", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.iceberg_py import set_sort_order
+        oid = set_sort_order(path, args.fields)
+        print(json.dumps({"default_sort_order_id": oid}))
+        return 0
     spark = _get_spark(args.debug)
     if op == "detail":
         if is_delta:
@@ -434,7 +443,7 @@ def cmd_lake(args: argparse.Namespace) -> int:
             df = iceberg_history(spark, path)
         _stream_csv_stdout(df)
         return 0
-    if op in ("snapshots", "manifests", "entries", "refs"):
+    if op in ("snapshots", "manifests", "entries", "refs", "stats"):
         if is_delta:
             print(f"{op} applies to Iceberg tables (delta: use history)",
                   file=sys.stderr)
@@ -443,8 +452,17 @@ def cmd_lake(args: argparse.Namespace) -> int:
         fn = {"snapshots": ice.iceberg_snapshots,
               "manifests": ice.iceberg_manifests,
               "entries": ice.iceberg_entries,
-              "refs": ice.iceberg_refs_meta}[op]
+              "refs": ice.iceberg_refs_meta,
+              "stats": ice.iceberg_statistics}[op]
         _stream_csv_stdout(fn(spark, path))
+        return 0
+    if op == "analyze":
+        if is_delta:
+            print("analyze applies to Iceberg tables", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.iceberg_py import analyze_iceberg
+        cols = [c for c in (args.columns or "").split(",") if c] or None
+        print(json.dumps(analyze_iceberg(spark, path, columns=cols)))
         return 0
     if op == "optimize":
         target = args.target_mb * 1024 * 1024
@@ -461,7 +479,8 @@ def cmd_lake(args: argparse.Namespace) -> int:
                 spark, path, target_file_bytes=target,
                 purge_dvs=args.purge_dvs,
                 zorder_by=[c for c in (args.zorder or "").split(",")
-                           if c] or None)
+                           if c] or None,
+                sort=getattr(args, "sort", False))
         print(json.dumps(stats, default=str))
         return 0
     # op == "changes": stream the table's row-level changes as CSV
@@ -548,6 +567,10 @@ def build_parser() -> argparse.ArgumentParser:
     lo.add_argument("--zorder",
                     help="delta: comma-separated columns to re-cluster "
                          "along the Morton curve (OPTIMIZE ZORDER BY)")
+    lo.add_argument("--sort", action="store_true",
+                    help="iceberg: rewrite every file range-partitioned"
+                         " by the table's default sort order "
+                         "(rewrite_data_files strategy => 'sort')")
     lv = ls.add_parser("vacuum", help="delta: drop unreferenced files")
     lv.add_argument("path")
     lv.add_argument("--keep", type=int, default=1,
@@ -607,6 +630,24 @@ def build_parser() -> argparse.ArgumentParser:
     lrf = ls.add_parser("refs",
                         help="iceberg: refs metadata table as CSV")
     lrf.add_argument("path")
+    lst = ls.add_parser("stats",
+                        help="iceberg: registered NDV statistics "
+                             "(Puffin) as CSV")
+    lst.add_argument("path")
+    lan = ls.add_parser("analyze",
+                        help="iceberg: compute per-column NDV theta "
+                             "sketches into a Puffin statistics file")
+    lan.add_argument("path")
+    lan.add_argument("--columns",
+                     help="comma-separated columns (default: all "
+                          "eligible primitives)")
+    lso = ls.add_parser("sort-order",
+                        help="iceberg: set the default write sort "
+                             "order (WRITE ORDERED BY)")
+    lso.add_argument("path")
+    lso.add_argument("fields", nargs="*",
+                     help="e.g. 'o_totalprice desc' 'o_orderkey'; "
+                          "empty resets to unsorted")
     lsd = ls.add_parser("sync-delta",
                         help="iceberg: generate/refresh a Delta log "
                              "beside the metadata (reverse universal "
@@ -661,7 +702,7 @@ def build_parser() -> argparse.ArgumentParser:
     lc.add_argument("--from-snapshot", type=int,
                     help="iceberg changelog start snapshot id")
     for sp in (lo, lv, le, lc, lh, ld, lf, lp, lsn, lmf, len_, lrf,
-               lcv, lmg):
+               lcv, lmg, lst, lan):
         # trailing -d like run/pipeline
         sp.add_argument("-d", "--debug", action="store_true")
     lk.set_defaults(fn=cmd_lake)

@@ -2653,6 +2653,221 @@ def iceberg_entries(spark: SparkSession, path: str,
         "file_size_in_bytes long, partition string"))
 
 
+def analyze_iceberg(
+    spark: SparkSession, path: str, columns: list[str] | None = None,
+    k: int = 4096, max_exact_distinct: int = 50_000,
+) -> dict:
+    """ANALYZE TABLE twin (spec §Table Statistics + Puffin spec): write
+    per-column NDV statistics as a Puffin file and register it in
+    table metadata (``statistics``), exactly the artifact Spark's
+    ANALYZE / Trino's ANALYZE exchange. Returns {column: ndv}.
+
+    Two per-column strategies, chosen by a ONE-PASS
+    ``approx_count_distinct`` probe:
+
+    - ndv <= ``max_exact_distinct``: ONE shared ``collect_set`` pass
+      over every such column; the driver hashes only the DISTINCT
+      values through the DataSketches update pipeline
+      (murmur3_x64_128, seed 9001, over the spec's Appendix-D
+      single-value bytes) and serializes a spec-format compact theta
+      sketch (``apache-datasketches-theta-v1``) — EXACT in this range,
+      and byte-compatible for foreign readers that merge sketches.
+      Bounded: the probe proves each set fits before anything
+      collects.
+    - larger: a KMV top-k over JVM-side ``xxhash64`` — per column one
+      distinct + ``TakeOrderedAndProject`` job (map-side partial
+      top-k, k+1-row shuffle), no Python on the data path and no
+      unbounded collect at ANY cardinality. Serialized under the
+      honest custom blob type ``ndv-kmv-xxhash64-v1`` (a DataSketches
+      reader must not merge non-murmur hashes); the ``ndv``
+      blob-metadata property — what Iceberg planners actually read —
+      carries the estimate either way.
+
+    Scale shape: 2 + n_large_columns scans (probe, shared exact pass,
+    one top-k per large column); no scan collects more than
+    max_exact_distinct values per column.
+    """
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.sources import puffin
+    from sling_cli_spark.sources.theta_sketch import (
+        THETA_BLOB_TYPE, sketch_from_hashes, update_hash)
+
+    fs = fsio.get_fs(path)
+    version, meta = _current_metadata(path, for_write=True)
+    sid = int(meta.get("current-snapshot-id") or -1)
+    if sid == -1:
+        raise ValueError(f"iceberg table at {path} has no snapshot")
+    snap = next((s for s in meta.get("snapshots") or []
+                 if s.get("snapshot-id") == sid), {})
+    seq = int(snap.get("sequence-number") or 0)
+    schema = _current_schema(meta) or {"fields": []}
+    fields = [(f["name"], int(f["id"]), f["type"])
+              for f in schema.get("fields", [])
+              if isinstance(f.get("type"), str)
+              and f["type"] in _BOUND_TYPES]
+    if columns is not None:
+        have = {n for n, _, _ in fields}
+        missing = [c for c in columns if c not in have]
+        if missing:
+            raise ValueError(
+                f"analyze: columns not in schema (or of a type "
+                f"without single-value serialization): {missing}")
+        fields = [f for f in fields if f[0] in columns]
+    if not fields:
+        raise ValueError(f"analyze: no eligible columns at {path}")
+
+    df = read_iceberg(spark, path)
+    probe = df.agg(*[
+        F.approx_count_distinct(f"`{n}`").alias(n)
+        for n, _, _ in fields]).collect()[0]
+    exact = [f for f in fields if probe[f[0]] <= max_exact_distinct]
+    large = [f for f in fields if probe[f[0]] > max_exact_distinct]
+
+    ndvs: dict[str, int] = {}
+    hashes_by_col: dict[str, list[int]] = {}
+    if exact:
+        row = df.agg(*[
+            F.collect_set(f"`{n}`").alias(n)
+            for n, _, _ in exact]).collect()[0]
+        for n, _, t in exact:
+            vals = row[n] or []
+            ndvs[n] = len(vals)
+            hs = []
+            for v in vals:
+                b = _encode_bound(t, v)
+                if b is None:
+                    continue
+                h = update_hash(b)
+                if h:
+                    hs.append(h)
+            hashes_by_col[n] = hs
+
+    blobs: list[tuple[dict, bytes]] = []
+    for n, fid, _t in exact:
+        blobs.append((
+            {"type": THETA_BLOB_TYPE, "fields": [fid],
+             "snapshot-id": sid, "sequence-number": seq,
+             "properties": {"ndv": str(ndvs[n])}},
+            sketch_from_hashes(hashes_by_col[n], k=k)))
+    for n, fid, _t in large:
+        c = F.col(f"`{n}`")
+        rows = (df.select(F.xxhash64(c).alias("h"))
+                .where(c.isNotNull()).distinct()
+                .orderBy("h").limit(k + 1).collect())
+        hs = [r["h"] for r in rows]
+        if len(hs) <= k:
+            ndv = len(hs)
+        else:
+            # KMV estimator over the uniform (0,1) mapping of the
+            # (k+1)-th smallest signed-int64 hash
+            u = (hs[k] + (1 << 63)) / float(1 << 64)
+            ndv = max(k, round(k / u) - 1)
+        ndvs[n] = int(ndv)
+        import struct as _s
+        payload = b"KMV1" + _s.pack("<ii", k, len(hs)) + b"".join(
+            _s.pack("<q", h) for h in hs)
+        blobs.append((
+            {"type": "ndv-kmv-xxhash64-v1", "fields": [fid],
+             "snapshot-id": sid, "sequence-number": seq,
+             "properties": {"ndv": str(ndvs[n])}},
+            payload))
+
+    stats_path = fsio.join(
+        _meta_dir(path), f"{sid}-{uuid.uuid4().hex}.stats")
+    metas = puffin.write_puffin(stats_path, blobs)
+    file_size = fs.getsize(stats_path)
+    footer_size = file_size - len(puffin.MAGIC) \
+        - sum(m["length"] for m in metas)
+    entry = {
+        "snapshot-id": sid,
+        "statistics-path": _absolute(stats_path),
+        "file-size-in-bytes": int(file_size),
+        "file-footer-size-in-bytes": int(footer_size),
+        "blob-metadata": metas,
+    }
+    meta["statistics"] = [
+        s for s in meta.get("statistics") or []
+        if s.get("snapshot-id") != sid] + [entry]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    fs.create_exclusive(
+        fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+        json.dumps(meta).encode())
+    fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
+                   str(version + 1).encode())
+    return ndvs
+
+
+def iceberg_ndv(path: str, snapshot_id: int | None = None) -> dict:
+    """Read per-column NDV from the table's registered statistics
+    files (spec §Table Statistics): {column: ndv}. Resolution order
+    per blob: the ``ndv`` blob-metadata property (what planners read),
+    else — for ``apache-datasketches-theta-v1`` blobs, including ones
+    a FOREIGN engine's ANALYZE wrote — the decoded sketch's estimate.
+    Empty when the (current) snapshot has no statistics entry."""
+    from sling_cli_spark.sources import puffin
+    from sling_cli_spark.sources.theta_sketch import (
+        THETA_BLOB_TYPE, parse_sketch)
+
+    _, meta = _current_metadata(path)
+    sid = snapshot_id if snapshot_id is not None \
+        else int(meta.get("current-snapshot-id") or -1)
+    entry = next((s for s in meta.get("statistics") or []
+                  if s.get("snapshot-id") == sid), None)
+    if entry is None:
+        return {}
+    by_id = {f["id"]: f["name"]
+             for f in (_current_schema(meta) or {}).get("fields", [])}
+    spath = entry["statistics-path"]
+    footer = puffin.read_footer(spath)
+    out: dict[str, int] = {}
+    for b in footer.get("blobs", []):
+        fids = b.get("fields") or []
+        if len(fids) != 1 or fids[0] not in by_id:
+            continue
+        name = by_id[fids[0]]
+        ndv = (b.get("properties") or {}).get("ndv")
+        if ndv is not None:
+            out[name] = int(float(ndv))
+        elif b.get("type") == THETA_BLOB_TYPE:
+            blob = puffin.read_blob(spath, int(b["offset"]),
+                                    int(b["length"]))
+            out[name] = round(parse_sketch(blob)["estimate"])
+    return out
+
+
+def iceberg_statistics(spark: SparkSession, path: str) -> DataFrame:
+    """``statistics`` metadata twin: one row per registered blob —
+    snapshot, column, blob type, ndv, file coordinates. Pure
+    metadata + Puffin footers; zero data files opened."""
+    from sling_cli_spark.sources import puffin
+
+    _, meta = _current_metadata(path)
+    by_id = {f["id"]: f["name"]
+             for f in (_current_schema(meta) or {}).get("fields", [])}
+    rows = []
+    for s in meta.get("statistics") or []:
+        spath = s.get("statistics-path")
+        for b in (s.get("blob-metadata")
+                  or puffin.read_footer(spath).get("blobs", [])):
+            fids = b.get("fields") or []
+            ndv = (b.get("properties") or {}).get("ndv")
+            rows.append((
+                int(s.get("snapshot-id") or -1),
+                by_id.get(fids[0]) if len(fids) == 1 else None,
+                b.get("type"),
+                int(float(ndv)) if ndv is not None else None,
+                spath,
+                int(s.get("file-size-in-bytes") or 0),
+            ))
+    return spark.createDataFrame(rows, (
+        "snapshot_id long, column string, blob_type string, ndv long, "
+        "statistics_path string, file_size_in_bytes long")) \
+        if rows else spark.createDataFrame([], (
+            "snapshot_id long, column string, blob_type string, "
+            "ndv long, statistics_path string, file_size_in_bytes long"))
+
+
 def remove_orphan_files(path: str) -> list[str]:
     """Delete files under ``data/`` that NO snapshot references (the
     spec's remove_orphan_files maintenance action; failed-stage
@@ -2756,6 +2971,15 @@ def expire_snapshots(path: str, keep: int = 1) -> dict:
 
     new_meta = dict(meta)
     new_meta["snapshots"] = kept
+    # statistics files (spec §Table Statistics) are keyed to ONE
+    # snapshot — entries for expired snapshots dangle, so drop them
+    # and reclaim their Puffin files
+    kept_ids = {s["snapshot-id"] for s in kept}
+    stale_stats = [s for s in new_meta.get("statistics") or []
+                   if s.get("snapshot-id") not in kept_ids]
+    if stale_stats:
+        new_meta["statistics"] = [
+            s for s in new_meta["statistics"] if s not in stale_stats]
     new_meta["last-updated-ms"] = int(time.time() * 1000)
     new_version = version + 1
     fs.create_exclusive(
@@ -2780,6 +3004,11 @@ def expire_snapshots(path: str, keep: int = 1) -> dict:
                 fs.delete(m["manifest_path"])
         if fs.exists(s["manifest-list"]):
             fs.delete(s["manifest-list"])
+    for s in stale_stats:
+        sp = s.get("statistics-path")
+        if sp and fs.exists(sp):
+            fs.delete(sp)
+            deleted.append(sp)
     return {"expired": len(expired), "deleted_files": deleted}
 
 

@@ -466,3 +466,40 @@ def test_cli_lake_detail_iceberg_and_cleanup_metadata(spark, tmp_path,
     md = _os.path.join(i, "metadata")
     assert not _os.path.exists(_os.path.join(md, "v1.metadata.json"))
     assert read_iceberg(spark, i).count() == 5  # history intact
+
+
+def test_cli_lake_sort_order_analyze_stats(spark, orders, tmp_path,
+                                           capsys):
+    """r9 continuation: `lake sort-order` sets WRITE ORDERED BY
+    metadata-only; `lake analyze` writes Puffin NDV statistics;
+    `lake stats` streams the registered blobs; `lake optimize --sort`
+    rewrites range-partitioned by the order."""
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.iceberg_py import (
+        iceberg_ndv, read_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(orders.select("o_orderkey", "o_orderstatus")
+                  .limit(500), t)
+    assert main(["lake", "sort-order", t, "o_orderkey desc"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) \
+        == {"default_sort_order_id": 1}
+    assert main(["lake", "analyze", t,
+                 "--columns", "o_orderstatus"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) \
+        == {"o_orderstatus": 3}
+    assert iceberg_ndv(t) == {"o_orderstatus": 3}
+    assert main(["lake", "stats", t]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert any("apache-datasketches-theta-v1" in ln for ln in out)
+    assert main(["lake", "optimize", t, "--sort",
+                 "--target-mb", "1"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip())
+    assert stats["compacted"] >= 1
+    assert read_iceberg(spark, t).count() == 500
+    # delta tables refuse the iceberg-only verbs
+    d = str(tmp_path / "d")
+    from sling_cli_spark.sources.delta_py import write_delta
+    write_delta(orders.limit(5), d)
+    assert main(["lake", "analyze", d]) == 2
+    assert main(["lake", "sort-order", d, "o_orderkey"]) == 2
