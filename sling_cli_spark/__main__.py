@@ -460,6 +460,11 @@ def cmd_lake(args: argparse.Namespace) -> int:
         if is_delta:
             print("analyze applies to Iceberg tables", file=sys.stderr)
             return 2
+        if args.partitions:
+            from sling_cli_spark.sources.iceberg_py import (
+                compute_partition_stats)
+            print(json.dumps(compute_partition_stats(path)))
+            return 0
         from sling_cli_spark.sources.iceberg_py import analyze_iceberg
         cols = [c for c in (args.columns or "").split(",") if c] or None
         print(json.dumps(analyze_iceberg(spark, path, columns=cols)))
@@ -641,6 +646,9 @@ def build_parser() -> argparse.ArgumentParser:
     lan.add_argument("--columns",
                      help="comma-separated columns (default: all "
                           "eligible primitives)")
+    lan.add_argument("--partitions", action="store_true",
+                     help="write the spec's partition-statistics file "
+                          "instead (manifest arithmetic, no scan)")
     lso = ls.add_parser("sort-order",
                         help="iceberg: set the default write sort "
                              "order (WRITE ORDERED BY)")

@@ -545,6 +545,7 @@ def _active_entries(
             df_ = dict(e["data_file"])
             seq = e.get("sequence_number")
             df_["__seq"] = mseq if seq is None else seq
+            df_["__snap_id"] = e.get("snapshot_id")
             # the spec this file was written under rides the manifest
             # header; carried files keep it across commits (partition
             # evolution: one manifest per spec id)
@@ -2836,6 +2837,155 @@ def iceberg_ndv(path: str, snapshot_id: int | None = None) -> dict:
     return out
 
 
+def compute_partition_stats(path: str) -> dict:
+    """Partition statistics file (spec §Partition Statistics): one
+    parquet row per live (spec_id, partition) with data/delete record
+    and file counts, byte totals, and last-updated lineage, registered
+    under table metadata ``partition-statistics`` keyed to the current
+    snapshot. METADATA-SCALE: pure manifest arithmetic on the driver —
+    the count(*) GROUP BY partition a 100 TB scan would cost — and a
+    one-file pyarrow write; zero data files opened, zero Spark jobs.
+
+    The ``partition`` struct carries the values as written in the
+    manifests (this writer's simplified string encoding — the same
+    representation :func:`iceberg_partitions` serves); field order is
+    the union of partition field names across specs. Returns
+    ``{"rows": n, "statistics-path": p}``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fs = fsio.get_fs(path)
+    version, meta = _current_metadata(path, for_write=True)
+    sid = int(meta.get("current-snapshot-id") or -1)
+    if sid == -1:
+        raise ValueError(f"iceberg table at {path} has no snapshot")
+    part_names: list[str] = []
+    for s in meta.get("partition-specs") or []:
+        for f in s.get("fields") or []:
+            if f["name"] not in part_names:
+                part_names.append(f["name"])
+    if not part_names:
+        raise ValueError(
+            f"iceberg table at {path} is unpartitioned — partition "
+            "statistics would be a single all-table row; use "
+            "analyze_iceberg / iceberg_detail instead")
+    data, pos_d, eq_d = _active_entries(path, meta, None)
+    snap_ts = {s["snapshot-id"]: int(s.get("timestamp-ms") or 0)
+               for s in meta.get("snapshots") or []}
+
+    agg: dict[tuple, dict] = {}
+
+    def _bucket(f: dict) -> dict:
+        key = (int(f.get("__spec_id") or 0),
+               json.dumps(f.get("partition") or {}, sort_keys=True))
+        b = agg.setdefault(key, {
+            "spec_id": key[0], "partition": f.get("partition") or {},
+            "data_record_count": 0, "data_file_count": 0,
+            "total_data_file_size_in_bytes": 0,
+            "position_delete_record_count": 0,
+            "position_delete_file_count": 0,
+            "equality_delete_record_count": 0,
+            "equality_delete_file_count": 0,
+            "__seq": -1, "last_updated_snapshot_id": None})
+        seq = int(f.get("__seq") or 0)
+        if seq > b["__seq"] and f.get("__snap_id") is not None:
+            b["__seq"] = seq
+            b["last_updated_snapshot_id"] = int(f["__snap_id"])
+        return b
+
+    for f in data:
+        b = _bucket(f)
+        b["data_record_count"] += int(f.get("record_count") or 0)
+        b["data_file_count"] += 1
+        b["total_data_file_size_in_bytes"] += \
+            int(f.get("file_size_in_bytes") or 0)
+    for f in pos_d:
+        b = _bucket(f)
+        b["position_delete_record_count"] += \
+            int(f.get("record_count") or 0)
+        b["position_delete_file_count"] += 1
+    for f in eq_d:
+        b = _bucket(f)
+        b["equality_delete_record_count"] += \
+            int(f.get("record_count") or 0)
+        b["equality_delete_file_count"] += 1
+
+    rows = sorted(agg.values(),
+                  key=lambda b: (b["spec_id"],
+                                 json.dumps(b["partition"],
+                                            sort_keys=True)))
+    cols = {
+        "partition": pa.array(
+            [{n: (b["partition"].get(n)) for n in part_names}
+             for b in rows],
+            type=pa.struct([(n, pa.string()) for n in part_names])),
+        "spec_id": pa.array([b["spec_id"] for b in rows],
+                            pa.int32()),
+        "data_record_count": pa.array(
+            [b["data_record_count"] for b in rows], pa.int64()),
+        "data_file_count": pa.array(
+            [b["data_file_count"] for b in rows], pa.int32()),
+        "total_data_file_size_in_bytes": pa.array(
+            [b["total_data_file_size_in_bytes"] for b in rows],
+            pa.int64()),
+        "position_delete_record_count": pa.array(
+            [b["position_delete_record_count"] for b in rows],
+            pa.int64()),
+        "position_delete_file_count": pa.array(
+            [b["position_delete_file_count"] for b in rows],
+            pa.int32()),
+        "equality_delete_record_count": pa.array(
+            [b["equality_delete_record_count"] for b in rows],
+            pa.int64()),
+        "equality_delete_file_count": pa.array(
+            [b["equality_delete_file_count"] for b in rows],
+            pa.int32()),
+        "last_updated_at": pa.array(
+            [snap_ts.get(b["last_updated_snapshot_id"])
+             for b in rows], pa.int64()),
+        "last_updated_snapshot_id": pa.array(
+            [b["last_updated_snapshot_id"] for b in rows],
+            pa.int64()),
+    }
+    stats_path = fsio.join(
+        _meta_dir(path),
+        f"partition-stats-{sid}-{uuid.uuid4().hex}.parquet")
+    buf = pa.BufferOutputStream()
+    pq.write_table(pa.table(cols), buf)
+    payload = buf.getvalue().to_pybytes()
+    fs.write_bytes(stats_path, payload)
+    entry = {"snapshot-id": sid,
+             "statistics-path": _absolute(stats_path),
+             "file-size-in-bytes": len(payload)}
+    meta["partition-statistics"] = [
+        s for s in meta.get("partition-statistics") or []
+        if s.get("snapshot-id") != sid] + [entry]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    fs.create_exclusive(
+        fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+        json.dumps(meta).encode())
+    fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
+                   str(version + 1).encode())
+    return {"rows": len(rows), "statistics-path": entry["statistics-path"]}
+
+
+def read_partition_stats(spark: SparkSession, path: str,
+                         snapshot_id: int | None = None) -> DataFrame:
+    """The registered partition-statistics file (current snapshot by
+    default) as a DataFrame — what a planner joins against to route
+    partition-level decisions without scanning manifests."""
+    _, meta = _current_metadata(path)
+    sid = snapshot_id if snapshot_id is not None \
+        else int(meta.get("current-snapshot-id") or -1)
+    entry = next((s for s in meta.get("partition-statistics") or []
+                  if s.get("snapshot-id") == sid), None)
+    if entry is None:
+        raise FileNotFoundError(
+            f"no partition statistics registered for snapshot {sid} "
+            f"at {path} (run compute_partition_stats)")
+    return spark.read.parquet(entry["statistics-path"])
+
+
 def iceberg_statistics(spark: SparkSession, path: str) -> DataFrame:
     """``statistics`` metadata twin: one row per registered blob —
     snapshot, column, blob type, ndv, file coordinates. Pure
@@ -2980,6 +3130,13 @@ def expire_snapshots(path: str, keep: int = 1) -> dict:
     if stale_stats:
         new_meta["statistics"] = [
             s for s in new_meta["statistics"] if s not in stale_stats]
+    stale_pstats = [s for s in new_meta.get("partition-statistics") or []
+                    if s.get("snapshot-id") not in kept_ids]
+    if stale_pstats:
+        new_meta["partition-statistics"] = [
+            s for s in new_meta["partition-statistics"]
+            if s not in stale_pstats]
+    stale_stats += stale_pstats
     new_meta["last-updated-ms"] = int(time.time() * 1000)
     new_version = version + 1
     fs.create_exclusive(

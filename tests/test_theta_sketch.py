@@ -166,3 +166,84 @@ def test_expire_snapshots_reclaims_stale_stats(spark, orders,
     import os
     assert not os.path.exists(old_stats)
     assert old_stats in res["deleted_files"]
+
+
+def test_partition_stats_file_roundtrip(spark, orders, tmp_path):
+    """spec §Partition Statistics: the registered parquet file's rows
+    agree with the manifests-arithmetic twin (iceberg_partitions),
+    including MoR delete debt and last-updated lineage."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _current_metadata, compute_partition_stats,
+        delete_missing_iceberg, iceberg_partitions,
+        read_partition_stats, write_iceberg)
+
+    path = str(tmp_path / "t")
+    src = orders.select("o_orderkey", "o_orderstatus").limit(600)
+    write_iceberg(src, path, partition_by=["o_orderstatus"])
+    keep = src.filter("o_orderstatus <> 'F' or o_orderkey % 2 = 0")
+    delete_missing_iceberg(spark, path, keep, ["o_orderkey"],
+                           use_dvs=True)
+
+    res = compute_partition_stats(path)
+    got = {r["partition"]["o_orderstatus"]: r
+           for r in read_partition_stats(spark, path).collect()}
+    twin = {}
+    import json as _json
+    for r in iceberg_partitions(spark, path).collect():
+        twin[_json.loads(r["partition"])["o_orderstatus"]] = r
+    assert set(got) == set(twin) and res["rows"] == len(twin)
+    for k, r in got.items():
+        t = twin[k]
+        assert r["data_record_count"] == t["record_count"]
+        assert r["data_file_count"] == t["file_count"]
+        assert r["equality_delete_record_count"] \
+            == t["equality_delete_record_count"]
+    # delete debt is visible where it was created (this path produces
+    # position deletes / DVs; equality-delete columns mirror the twin)
+    assert any(r["position_delete_file_count"] > 0
+               or r["equality_delete_file_count"] > 0
+               for r in got.values())
+    for k, r in got.items():
+        assert r["position_delete_record_count"] \
+            == twin[k]["position_delete_record_count"]
+    # lineage points at retained snapshots with real timestamps
+    _, meta = _current_metadata(path)
+    ids = {s["snapshot-id"] for s in meta["snapshots"]}
+    for r in got.values():
+        assert r["last_updated_snapshot_id"] in ids
+        assert r["last_updated_at"] > 0
+
+    # recompute for the same snapshot replaces, not duplicates
+    compute_partition_stats(path)
+    _, meta = _current_metadata(path)
+    assert len(meta["partition-statistics"]) == 1
+
+
+def test_partition_stats_refuses_unpartitioned(spark, orders,
+                                               tmp_path):
+    from sling_cli_spark.sources.iceberg_py import (
+        compute_partition_stats, write_iceberg)
+
+    path = str(tmp_path / "t")
+    write_iceberg(orders.limit(10), path)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        compute_partition_stats(path)
+
+
+def test_expire_snapshots_reclaims_partition_stats(spark, orders,
+                                                   tmp_path):
+    from sling_cli_spark.sources.iceberg_py import (
+        _current_metadata, compute_partition_stats, expire_snapshots,
+        write_iceberg)
+
+    path = str(tmp_path / "t")
+    src = orders.select("o_orderkey", "o_orderstatus").limit(100)
+    write_iceberg(src, path, partition_by=["o_orderstatus"])
+    old = compute_partition_stats(path)["statistics-path"]
+    write_iceberg(src, path, mode="append")
+    res = expire_snapshots(path, keep=1)
+    _, meta = _current_metadata(path)
+    assert not meta.get("partition-statistics")
+    import os
+    assert not os.path.exists(old)
+    assert old in res["deleted_files"]
