@@ -401,6 +401,21 @@ def cmd_lake(args: argparse.Namespace) -> int:
             v = dl.add_column(path, args.name, args.type)
         print(json.dumps({"version": v}))
         return 0
+    if op == "set-property":
+        kvs = {}
+        for kv in args.pairs:
+            k, eq, v = kv.partition("=")
+            kvs[k] = (v if eq else None)
+        if is_delta:
+            from sling_cli_spark.sources.delta_py import (
+                set_table_properties)
+            v = set_table_properties(path, kvs)
+            print(json.dumps({"version": v}))
+        else:
+            from sling_cli_spark.sources.iceberg_py import (
+                set_iceberg_properties)
+            print(json.dumps(set_iceberg_properties(path, kvs)))
+        return 0
     if op == "sort-order":
         if is_delta:
             print("sort-order applies to Iceberg tables "
@@ -649,6 +664,12 @@ def build_parser() -> argparse.ArgumentParser:
     lan.add_argument("--partitions", action="store_true",
                      help="write the spec's partition-statistics file "
                           "instead (manifest arithmetic, no scan)")
+    lsp = ls.add_parser("set-property",
+                        help="set/unset table properties "
+                             "(key=value; bare key unsets)")
+    lsp.add_argument("path")
+    lsp.add_argument("pairs", nargs="+",
+                     help="e.g. write.distribution-mode=hash")
     lso = ls.add_parser("sort-order",
                         help="iceberg: set the default write sort "
                              "order (WRITE ORDERED BY)")

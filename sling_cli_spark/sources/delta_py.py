@@ -3286,9 +3286,12 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
     new_meta = dict(meta)
-    new_meta["configuration"] = {
-        **(meta.get("configuration") or {}),
-        **{k: str(v) for k, v in props.items()}}
+    cfg0 = {**(meta.get("configuration") or {}),
+            **{k: str(v) for k, v in props.items() if v is not None}}
+    for k, v in props.items():  # None unsets (ALTER ... UNSET twin)
+        if v is None:
+            cfg0.pop(k, None)
+    new_meta["configuration"] = cfg0
     actions: list[dict] = []
     enabling_cdf = str(props.get(
         "delta.enableChangeDataFeed", "")).lower() == "true"

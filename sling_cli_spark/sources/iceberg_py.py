@@ -1656,13 +1656,31 @@ def _commit_snapshot(
         # then internally ordered and its bounds tight
         sort_oid = None
         sfields = _default_sort_fields(meta) if apply_sort else []
-        if sfields:
+        sort_exprs = _sort_exprs(stage_df, meta, sfields) \
+            if sfields else None
+        # write.distribution-mode (table property, Iceberg's Spark
+        # write conventions): 'hash' clusters rows by partition key
+        # before the write — each partition value lands in ONE task
+        # instead of fragmenting into (input-partitions x values)
+        # small files; 'range' range-distributes by (partition key,
+        # sort order) so file spans are disjoint table-wide. 'none'
+        # (default) keeps the incoming distribution.
+        dist = str((meta.get("properties") or {})
+                   .get("write.distribution-mode", "none")).lower()
+        if dist in ("hash", "range"):
             from pyspark.sql import functions as F2
-            exprs = _sort_exprs(stage_df, meta, sfields)
-            if exprs is not None:
-                stage_df = stage_df.sortWithinPartitions(
-                    *[F2.col(f"`{c}`") for c in part_cols], *exprs)
-                sort_oid = int(meta.get("default-sort-order-id") or 0)
+            keys = [F2.col(f"`{c}`") for c in part_cols]
+            if dist == "range" and sort_exprs is not None:
+                keys += sort_exprs
+            if keys:
+                stage_df = stage_df.repartition(*keys) \
+                    if dist == "hash" \
+                    else stage_df.repartitionByRange(*keys)
+        if sort_exprs is not None:
+            from pyspark.sql import functions as F2
+            stage_df = stage_df.sortWithinPartitions(
+                *[F2.col(f"`{c}`") for c in part_cols], *sort_exprs)
+            sort_oid = int(meta.get("default-sort-order-id") or 0)
         writer = stage_df.write
         if part_cols:
             writer = writer.partitionBy(*part_cols)
@@ -2075,6 +2093,34 @@ def evolve_partition_spec(path: str, partition_by: list[str]) -> int:
     fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
                    str(version + 1).encode())
     return int(new_id)
+
+
+def set_iceberg_properties(path: str, props: dict) -> dict:
+    """ALTER TABLE ... SET/UNSET TBLPROPERTIES twin (metadata-only
+    commit; delta_py.set_table_properties is the format sibling). A
+    None value unsets the key. Returns the table's resulting property
+    map. Properties this engine HONORS: ``write.distribution-mode``
+    (none/hash/range — staged-write clustering), the
+    ``write.delete.mode``/``write.update.mode``/``write.merge.mode``
+    family (copy-on-write vs merge-on-read), and
+    ``commit.retry.num-retries``-style knobs pass through for foreign
+    engines."""
+    fs = fsio.get_fs(path)
+    version, meta = _current_metadata(path, for_write=True)
+    cur = dict(meta.get("properties") or {})
+    for k, v in props.items():
+        if v is None:
+            cur.pop(k, None)
+        else:
+            cur[k] = str(v)
+    meta["properties"] = cur
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    fs.create_exclusive(
+        fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+        json.dumps(meta).encode())
+    fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
+                   str(version + 1).encode())
+    return cur
 
 
 def set_sort_order(path: str, order_by: list[str]) -> int:

@@ -503,3 +503,33 @@ def test_cli_lake_sort_order_analyze_stats(spark, orders, tmp_path,
     write_delta(orders.limit(5), d)
     assert main(["lake", "analyze", d]) == 2
     assert main(["lake", "sort-order", d, "o_orderkey"]) == 2
+
+
+def test_cli_lake_set_property_both_formats(spark, orders, tmp_path,
+                                            capsys):
+    """`lake set-property` sets/unsets table properties on both
+    formats (bare key unsets)."""
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.delta_py import (
+        _replay_state, write_delta)
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+
+    i = str(tmp_path / "i")
+    write_iceberg(orders.limit(5), i)
+    assert main(["lake", "set-property", i,
+                 "write.distribution-mode=hash", "custom.k=v"]) == 0
+    props = json.loads(capsys.readouterr().out.strip())
+    assert props["write.distribution-mode"] == "hash"
+    assert main(["lake", "set-property", i, "custom.k"]) == 0
+    assert "custom.k" not in json.loads(capsys.readouterr().out.strip())
+
+    d = str(tmp_path / "d")
+    write_delta(orders.limit(5), d)
+    assert main(["lake", "set-property", d, "custom.x=1"]) == 0
+    json.loads(capsys.readouterr().out.strip())
+    meta, _, _ = _replay_state(d)
+    assert meta["configuration"]["custom.x"] == "1"
+    assert main(["lake", "set-property", d, "custom.x"]) == 0
+    capsys.readouterr()
+    meta, _, _ = _replay_state(d)
+    assert "custom.x" not in (meta.get("configuration") or {})

@@ -152,3 +152,76 @@ def test_detail_shows_sort_order(spark, orders, tmp_path):
     from sling_cli_spark.sources.iceberg_py import iceberg_detail
     row = iceberg_detail(spark, path).collect()[0]
     assert "desc" in row["sort_order"]
+
+
+def test_distribution_mode_hash_one_file_per_partition(spark, orders,
+                                                       tmp_path):
+    """write.distribution-mode=hash: a fragmented input (8 tasks x 3
+    statuses) lands ONE file per partition value instead of up to 24
+    — the table-property-driven small-file control Iceberg's own
+    Spark writer applies."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_files, _current_metadata, read_iceberg,
+        set_iceberg_properties, write_iceberg)
+
+    src = orders.select("o_orderkey", "o_orderstatus").limit(3000)
+
+    base = str(tmp_path / "none")
+    write_iceberg(src.repartition(8), base,
+                  partition_by=["o_orderstatus"])
+    n_none = len(_active_files(base, _current_metadata(base)[1], None))
+
+    t = str(tmp_path / "hash")
+    write_iceberg(src.limit(1), t, partition_by=["o_orderstatus"])
+    props = set_iceberg_properties(
+        t, {"write.distribution-mode": "hash"})
+    assert props["write.distribution-mode"] == "hash"
+    write_iceberg(src.repartition(8), t, mode="overwrite")
+    files = _active_files(t, _current_metadata(t)[1], None)
+    parts = {json.dumps(f.get("partition")) for f in files}
+    assert len(files) == len(parts) == 3
+    assert n_none > len(files)
+    assert read_iceberg(spark, t).count() == src.count()
+
+    # unset restores the incoming distribution
+    props = set_iceberg_properties(
+        t, {"write.distribution-mode": None})
+    assert "write.distribution-mode" not in props
+
+
+def test_distribution_mode_range_with_sort_order(spark, orders,
+                                                 tmp_path):
+    """range distribution keys on (partition cols, sort order): an
+    unpartitioned sorted table gets table-wide disjoint file spans
+    straight from the WRITE, no compaction pass needed."""
+    import pyarrow.parquet as pq
+
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_files, _current_metadata, set_iceberg_properties,
+        write_iceberg)
+
+    t = str(tmp_path / "t")
+    src = orders.select("o_orderkey", "o_totalprice").limit(4000)
+    write_iceberg(src.limit(1), t, sort_by=["o_orderkey"])
+    set_iceberg_properties(t, {"write.distribution-mode": "range"})
+    # test-scale data coalesces to one range partition under AQE
+    # (the desired behavior at scale); pin it off to observe spans
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "true")
+    try:
+        spark.conf.set(key, "false")
+        write_iceberg(src.repartition(6), t, mode="overwrite")
+    finally:
+        spark.conf.set(key, prev)
+    files = _active_files(t, _current_metadata(t)[1], None)
+    assert len(files) >= 2
+    spans = []
+    for f in files:
+        vals = pq.read_table(
+            f["file_path"],
+            columns=["o_orderkey"])["o_orderkey"].to_pylist()
+        assert vals == sorted(vals)
+        spans.append((vals[0], vals[-1]))
+    spans.sort()
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
