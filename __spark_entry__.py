@@ -1304,6 +1304,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(c, int(got[c])) for c in cols],
             "column_name string, ndv long")
 
+    def iceberg_variant_nested(spark, sf):
+        """Nested struct/list/map + v3 variant columns round-trip
+        (iceberg_py round 9 cont., spec §Schemas nested field ids +
+        v3 §Variant; the ref flattens nested data via its JSON path
+        — task_func.go flatten — rather than typing it): orders
+        wrapped into struct/array/variant columns, written as a v3
+        table (nested ids allocated from the table-wide id space,
+        variant recorded as the spec type), read back natively, and
+        projected back to scalars the oracle can state exactly."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            read_iceberg, write_iceberg)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_var_"), "t")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.struct(
+                F.col("o_custkey").cast("long").alias("ck"),
+                F.col("o_orderstatus").alias("st")).alias("s"),
+            F.array(F.col("o_totalprice").cast("double")).alias("arr"),
+            F.parse_json(F.concat(
+                F.lit('{"p": "'), F.col("o_orderpriority"),
+                F.lit('"}'))).alias("v"))
+        write_iceberg(o.repartition(4), t, format_version=3)
+        back = read_iceberg(spark, t)
+        return back.select(
+            "o_orderkey",
+            F.col("s.ck").alias("cust"),
+            F.col("s.st").alias("status"),
+            F.element_at("arr", 1).alias("price"),
+            F.variant_get("v", "$.p", "string").alias("prio"))
+
     def iceberg_v3_dv_produce(spark, sf):
         """Iceberg v3 write-side DV production (iceberg_py round 8,
         _produce_dvs_ice / _dv_delete_entries; spec v3 §Deletion
@@ -3326,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_evolution": iceberg_partition_evolution,
         "iceberg_sort_order": iceberg_sort_order,
         "iceberg_ndv_stats": iceberg_ndv_stats,
+        "iceberg_variant_nested": iceberg_variant_nested,
         "iceberg_transform_partitioning": iceberg_transform_partitioning,
         "iceberg_transform_merge": iceberg_transform_merge,
         "delta_restore": delta_restore,
@@ -3480,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # --- new in r9 ---
         "iceberg_sort_order", "iceberg_ndv_stats",
+        "iceberg_variant_nested",
         "iceberg_transform_partitioning", "iceberg_transform_merge",
         "delta_v2_checkpoint_write", "stream_dedup_events",
         "delta_cdf_mapped", "iceberg_snapshots_meta",
@@ -4360,6 +4395,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # partitioning must not change results: the transform-pruned
         # scan equals the plain filter over the source table
+        "iceberg_variant_nested": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o_custkey AS BIGINT) AS cust,
+                   o_orderstatus AS status,
+                   CAST(o_totalprice AS DOUBLE) AS price,
+                   o_orderpriority AS prio
+            FROM orders
+        """,
         "iceberg_sort_order": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                    CAST(o_totalprice AS DOUBLE) AS o_totalprice,

@@ -1169,6 +1169,13 @@ def _stage_data_files(
             }
             if skey in staged_stats:
                 add["stats"] = staged_stats[skey]
+            elif staged_stats:
+                # the stats job SUCCEEDED (other files have rows) and
+                # this file produced no group -> it holds zero rows;
+                # record the count so metadata-only consumers (uniform
+                # sync, count pushdown) never need its footer — which
+                # pyarrow cannot even open for v3 variant columns
+                add["stats"] = json.dumps({"numRecords": 0})
             adds.append({"add": add})
 
     walk("")

@@ -33,8 +33,11 @@ per source FILE via a driver-side footer probe — rows predating the
 column take the default, later genuine nulls stay null). WRITES to v3
 tables assign row lineage at commit (contiguous ``first_row_id``
 ranges from ``next-row-id``, snapshot ``first-row-id``; spec v3 §Row
-Lineage) and carry DV entries with their blob coordinates; v3-only
-types (variant/geometry/timestamp_ns) refuse loudly. Enough for
+Lineage) and carry DV entries with their blob coordinates; ``variant``
+round-trips natively on v3 tables (Spark's parquet variant encoding,
+batch only), the remaining v3-only types (geometry/timestamp_ns)
+refuse loudly. Nested struct/list/map columns round-trip with
+spec-conformant nested field ids (§Schemas). Enough for
 EL-tool snapshots: :func:`write_iceberg` (append/overwrite creating a
 new snapshot + metadata version) and :func:`read_iceberg` (current or
 ``snapshot_id=`` time travel). The jar-backed Spark DataSource takes
@@ -410,9 +413,42 @@ def _current_metadata(path: str, for_write: bool = False) -> tuple[int, dict]:
 # v3 adds types this engine cannot faithfully project into Spark —
 # refuse loudly rather than silently coerce (spec v3 §Primitive Types).
 _UNSUPPORTED_V3_TYPES = {
-    "unknown", "variant", "geometry", "geography",
+    "unknown", "geometry", "geography",
     "timestamp_ns", "timestamptz_ns",
 }
+
+
+def _type_field_ids(t):
+    """All field ids a (possibly nested) iceberg type allocates —
+    struct field ids, list element-id, map key-id/value-id (spec
+    §Schemas: every one draws from the same table-wide id space that
+    ``last-column-id`` must cover)."""
+    if not isinstance(t, dict):
+        return
+    kind = t.get("type")
+    if kind == "struct":
+        for f in t.get("fields") or []:
+            yield int(f["id"])
+            yield from _type_field_ids(f.get("type"))
+    elif kind == "list":
+        if t.get("element-id") is not None:
+            yield int(t["element-id"])
+        yield from _type_field_ids(t.get("element"))
+    elif kind == "map":
+        for k in ("key-id", "value-id"):
+            if t.get(k) is not None:
+                yield int(t[k])
+        yield from _type_field_ids(t.get("key"))
+        yield from _type_field_ids(t.get("value"))
+
+
+def _max_field_id(schema: dict) -> int:
+    """Highest field id a schema allocates, nested ids included."""
+    out = 0
+    for f in schema.get("fields") or []:
+        out = max(out, int(f["id"]),
+                  *(list(_type_field_ids(f.get("type"))) or [0]))
+    return out
 
 
 def _gate_v3_schema(path: str, meta: dict) -> None:
@@ -448,24 +484,97 @@ def _ice_schema_for(
     their ids, new columns get fresh ids past ``last_column_id`` — the
     spec's evolution rule, and what keeps equality-delete field ids
     meaningful across commits."""
-    by_name = {f["name"]: f["id"] for f in (base or {}).get("fields", [])}
-    next_id = max([last_column_id, *by_name.values()], default=0)
+    base_fields = {f["name"]: f for f in (base or {}).get("fields", [])}
+    counter = [max(last_column_id, _max_field_id(base or {}))]
     fields = []
     for f in df.schema.fields:
-        t = _SPARK_TO_ICE.get(f.dataType.typeName())
-        if t is None:
-            tn = f.dataType.typeName()
-            if tn == "decimal":
-                t = f"decimal({f.dataType.precision}, {f.dataType.scale})"
-            else:
-                t = "string"
-        fid = by_name.get(f.name)
-        if fid is None:
-            next_id += 1
-            fid = next_id
-        fields.append(
-            {"id": fid, "name": f.name, "required": False, "type": t})
+        bf = base_fields.get(f.name)
+        if bf is not None and \
+                _ice_to_spark_type(bf["type"]) == f.dataType:
+            # unchanged column: keep the base type VERBATIM — top-level
+            # and nested field ids stay stable across commits (spec
+            # §Schema Evolution)
+            fields.append({"id": bf["id"], "name": f.name,
+                           "required": False, "type": bf["type"]})
+            continue
+        if bf is not None and isinstance(bf["type"], str):
+            # same name, primitive then and now: id stays, type
+            # re-derives (promotion rides the same id)
+            fid = bf["id"]
+        else:
+            counter[0] += 1
+            fid = counter[0]
+        fields.append({"id": fid, "name": f.name, "required": False,
+                       "type": _spark_to_ice_type(f.dataType, counter)})
     return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def _spark_to_ice_type(dt, counter: list[int]):
+    """Recursive Spark DataType -> iceberg type (spec §Schemas).
+    Nested structures allocate fresh field ids from the shared
+    ``counter`` — struct fields, list element-id, map key-id/value-id
+    all draw from the table-wide id space."""
+    tn = dt.typeName()
+    prim = _SPARK_TO_ICE.get(tn)
+    if prim is not None:
+        return prim
+    if tn == "decimal":
+        return f"decimal({dt.precision}, {dt.scale})"
+    if tn == "variant":
+        return "variant"
+    if tn == "struct":
+        fields = []
+        for f in dt.fields:
+            counter[0] += 1
+            fid = counter[0]
+            fields.append({"id": fid, "name": f.name,
+                           "required": False,
+                           "type": _spark_to_ice_type(f.dataType,
+                                                      counter)})
+        return {"type": "struct", "fields": fields}
+    if tn == "array":
+        counter[0] += 1
+        eid = counter[0]
+        return {"type": "list", "element-id": eid,
+                "element-required": False,
+                "element": _spark_to_ice_type(dt.elementType, counter)}
+    if tn == "map":
+        counter[0] += 1
+        kid = counter[0]
+        counter[0] += 1
+        vid = counter[0]
+        return {"type": "map",
+                "key-id": kid,
+                "key": _spark_to_ice_type(dt.keyType, counter),
+                "value-id": vid, "value-required": False,
+                "value": _spark_to_ice_type(dt.valueType, counter)}
+    return "string"
+
+
+def _ice_to_spark_type(ice_t):
+    """Recursive iceberg type -> Spark DataType (spec §Schemas,
+    including v3 ``variant`` and the nested struct/list/map forms)."""
+    from pyspark.sql import types as T
+
+    if isinstance(ice_t, str):
+        if ice_t.startswith("decimal"):
+            return _parse_ddl_type(ice_t)
+        if ice_t == "variant":
+            return T.VariantType()
+        return _parse_ddl_type(_ICE_TO_SPARK.get(ice_t, "string"))
+    kind = (ice_t or {}).get("type")
+    if kind == "struct":
+        return T.StructType([
+            T.StructField(f["name"], _ice_to_spark_type(f.get("type")),
+                          True)
+            for f in ice_t.get("fields") or []])
+    if kind == "list":
+        return T.ArrayType(_ice_to_spark_type(ice_t.get("element")),
+                           True)
+    if kind == "map":
+        return T.MapType(_ice_to_spark_type(ice_t.get("key")),
+                         _ice_to_spark_type(ice_t.get("value")), True)
+    return T.StringType()
 
 
 _ICE_TO_SPARK = {
@@ -490,16 +599,9 @@ def _spark_schema(meta: dict):
     §Schemas primitive types; decimals pass through verbatim)."""
     from pyspark.sql import types as T
 
-    fields = []
-    for f in _current_schema(meta)["fields"]:
-        ice_t = f["type"]
-        if isinstance(ice_t, str) and ice_t.startswith("decimal"):
-            spark_t = ice_t
-        else:
-            spark_t = _ICE_TO_SPARK.get(ice_t, "string")
-        fields.append(
-            T.StructField(f["name"], _parse_ddl_type(spark_t), True))
-    return T.StructType(fields)
+    return T.StructType([
+        T.StructField(f["name"], _ice_to_spark_type(f["type"]), True)
+        for f in _current_schema(meta)["fields"]])
 
 
 def _parse_ddl_type(name: str):
@@ -1325,6 +1427,12 @@ def _init_meta(
         parse_partition_field, parse_sort_field)
 
     ice = _ice_schema_for(df)
+    if format_version < 3 and any(
+            f["type"] == "variant" for f in ice["fields"]):
+        raise UnsupportedTableFeature(
+            f"iceberg table at {path}: the frame carries a variant "
+            "column — a v3-only type (spec v3 §Variant); create with "
+            "format_version=3")
     by_name = {f["name"]: f["id"] for f in ice["fields"]}
     spec_fields = []
     for i, entry in enumerate(partition_by or []):
@@ -1340,8 +1448,7 @@ def _init_meta(
         "table-uuid": str(uuid.uuid4()),
         "location": _absolute(path),
         "last-updated-ms": 0,
-        "last-column-id": max(
-            (f["id"] for f in ice["fields"]), default=0),
+        "last-column-id": _max_field_id(ice),
         "schemas": [ice],
         "current-schema-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
@@ -1866,8 +1973,7 @@ def _commit_snapshot(
             meta["schema"] = ice
             meta["schemas"] = [ice]
         meta["last-column-id"] = max(
-            [meta.get("last-column-id", 0)]
-            + [f["id"] for f in ice["fields"]])
+            meta.get("last-column-id", 0), _max_field_id(ice))
     snapshot = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": int(time.time() * 1000),
@@ -2227,10 +2333,13 @@ def sync_uniform(delta_path: str) -> int:
             imeta["schemas"] = (imeta.get("schemas") or []) + [ice]
             imeta["current-schema-id"] = new_sid
             imeta["last-column-id"] = max(
-                [imeta.get("last-column-id", 0)]
-                + [f["id"] for f in ice["fields"]])
+                imeta.get("last-column-id", 0), _max_field_id(ice))
     else:
-        imeta = _init_meta(_Shim, delta_path, part_cols, 2)
+        # a variant column obliges the v3 metadata spec on the iceberg
+        # side, exactly like the delta table's variantType feature
+        fv = 3 if any(f.dataType.typeName() == "variant"
+                      for f in _Shim.schema.fields) else 2
+        imeta = _init_meta(_Shim, delta_path, part_cols, fv)
 
     entries = []
     for rel in sorted(dfiles):

@@ -164,6 +164,15 @@ class IcebergStreamSource(DataSource):
                 "sequence numbers to anchor streaming offsets on — "
                 "upgrade the table to v2")
         base = _spark_schema(meta)
+        if any(f.dataType.typeName() == "variant" for f in base.fields):
+            # the pyarrow-side reader has no variant arrow mapping —
+            # an emitted struct batch would mismatch the declared
+            # VariantType schema (same loud-refusal rule as the r8
+            # decimal fix); batch reads support variant fully
+            raise ValueError(
+                "iceberg_stream: variant columns are batch-only here "
+                "(no pyarrow variant mapping) — read_iceberg supports "
+                "them")
         if self._changelog():
             return base.add("_change_type", "string") \
                 .add("_snapshot_id", "long") \
