@@ -1,0 +1,217 @@
+"""SQL-backed Iceberg catalog (reference database_iceberg.go —
+IcebergConn over iceberg-go catalog/sql; see iceberg_catalog.py
+docstring for the line map)."""
+
+import json
+import os
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sling_cli_spark.sources.iceberg_catalog import (
+    CommitConflict, NamespaceNotEmpty, NoSuchNamespace, NoSuchTable,
+    SqlCatalog, TableAlreadyExists, create_table, max_value,
+    read_table, repair_pointer, table_columns, write_table)
+
+
+@pytest.fixture
+def cat(tmp_path):
+    return SqlCatalog(str(tmp_path / "catalog.db"),
+                      warehouse=str(tmp_path / "wh"))
+
+
+def test_namespace_crud(cat):
+    cat.create_namespace("analytics", {"owner": "etl"})
+    with pytest.raises(Exception):
+        cat.create_namespace("analytics")
+    cat.create_namespace("analytics", exists_ok=True)
+    assert cat.list_namespaces() == ["analytics"]
+    assert cat.namespace_properties("analytics")["owner"] == "etl"
+    with pytest.raises(NoSuchNamespace):
+        cat.namespace_properties("nope")
+    cat.drop_namespace("analytics")
+    assert cat.list_namespaces() == []
+
+
+def test_create_write_read_roundtrip(cat, spark):
+    cat.create_namespace("db")
+    loc = create_table(
+        cat, "db.orders", spark.range(0).select(
+            F.col("id").cast("long"),
+            F.lit("x").alias("v")).schema)
+    # created EMPTY (reference CreateTable:1015): pointer at v1,
+    # zero snapshots
+    assert read_table(cat, spark, "db.orders").count() == 0
+    assert cat.load_table("db.orders").endswith("v1.metadata.json")
+    assert loc.endswith(os.path.join("db.db", "orders"))
+
+    df = spark.range(5).select("id", F.lit("a").alias("v"))
+    write_table(df, cat, "db.orders")
+    write_table(df.withColumn("id", F.col("id") + 5), cat, "db.orders")
+    got = read_table(cat, spark, "db.orders")
+    assert {r["id"] for r in got.collect()} == set(range(10))
+    assert cat.load_table("db.orders").endswith("v3.metadata.json")
+    # overwrite replaces
+    write_table(df, cat, "db.orders", mode="overwrite")
+    assert read_table(cat, spark, "db.orders").count() == 5
+
+    assert table_columns(cat, "db.orders") == [
+        ("id", "long", False), ("v", "string", False)]
+    assert ("db", "orders") in cat.list_tables()
+    with pytest.raises(NoSuchTable):
+        cat.load_table("db.ghost")
+
+
+def test_pointer_cas_conflict_and_rollback(cat, spark):
+    cat.create_namespace("db")
+    create_table(cat, "db.t", spark.range(0).schema)
+    df = spark.range(3)
+    write_table(df, cat, "db.t")
+    ml = cat.load_table("db.t")
+    # a foreign committer moves the pointer behind our back
+    cat.commit_table("db.t", ml, ml.replace(
+        "v2.metadata.json", "v9.metadata.json"))
+    with pytest.raises(CommitConflict):
+        cat.commit_table("db.t", ml, "anything")
+
+
+def test_losing_writer_rolls_back_hint(cat, spark, tmp_path):
+    cat.create_namespace("db")
+    loc = create_table(cat, "db.t", spark.range(0).schema)
+    write_table(spark.range(3), cat, "db.t")
+    # simulate a racer: swap the catalog row under the live table
+    ml = cat.load_table("db.t")
+    fake = ml.replace("v2.metadata.json", "v0.metadata.json")
+    cat.commit_table("db.t", ml, fake)
+    cat.commit_table("db.t", fake, ml)  # back, but via two commits:
+    # now stage OUR write against a pointer that will move mid-flight
+    other = SqlCatalog(str(tmp_path / "catalog.db"))
+    hint = os.path.join(loc, "metadata", "version-hint.text")
+    before = open(hint).read()
+
+    orig = SqlCatalog.commit_table
+
+    def racing_commit(self, ident, expected, new):
+        # the racer commits first, exactly once
+        if not getattr(racing_commit, "hit", False):
+            racing_commit.hit = True
+            orig(other, "db.t", expected,
+                 expected.replace("v2.", "v99."))
+        return orig(self, ident, expected, new)
+
+    SqlCatalog.commit_table = racing_commit
+    try:
+        with pytest.raises(CommitConflict):
+            write_table(spark.range(5), cat, "db.t")
+    finally:
+        SqlCatalog.commit_table = orig
+    # loser rolled the hint back and withdrew its metadata file
+    assert open(hint).read() == before
+    assert not os.path.exists(
+        os.path.join(loc, "metadata", "v3.metadata.json"))
+
+
+def test_stale_pointer_guard_and_repair(cat, spark):
+    cat.create_namespace("db")
+    loc = create_table(cat, "db.t", spark.range(0).schema)
+    write_table(spark.range(3), cat, "db.t")
+    # catalog points at v2; a PATH writer advances the hint to v3
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+    write_iceberg(spark.range(3, 6), loc)
+    with pytest.raises(CommitConflict, match="hint v3"):
+        write_table(spark.range(9), cat, "db.t")
+    # catalog readers still see the catalog's snapshot (v2: 3 rows)
+    assert read_table(cat, spark, "db.t").count() == 3
+    # roll the pointer forward, then both converge
+    ml = repair_pointer(cat, "db.t")
+    assert ml.endswith("v3.metadata.json")
+    assert read_table(cat, spark, "db.t").count() == 6
+    write_table(spark.range(6, 9), cat, "db.t")
+    assert read_table(cat, spark, "db.t").count() == 9
+
+
+def test_rename_swap_drop(cat, spark):
+    cat.create_namespace("db")
+    create_table(cat, "db.a", spark.range(0).schema)
+    create_table(cat, "db.b", spark.range(0).schema)
+    write_table(spark.range(2), cat, "db.a")
+    write_table(spark.range(7), cat, "db.b")
+    # atomic swap (reference SwapTable:1185 needs 3 renames; SQL
+    # catalog does it in one transaction)
+    cat.swap_tables("db.a", "db.b")
+    assert read_table(cat, spark, "db.a").count() == 7
+    assert read_table(cat, spark, "db.b").count() == 2
+    cat.rename_table("db.b", "db.c")
+    assert cat.table_exists("db.c") and not cat.table_exists("db.b")
+    with pytest.raises(TableAlreadyExists):
+        cat.rename_table("db.c", "db.a")
+    with pytest.raises(NamespaceNotEmpty):
+        cat.drop_namespace("db")
+    cat.drop_table("db.a")
+    cat.drop_table("db.c")
+    cat.drop_namespace("db")
+
+
+def test_max_value_from_manifests_no_scan(cat, spark):
+    """Reference GetMaxValue:671 — watermark from manifest upper
+    bounds, zero data file reads."""
+    cat.create_namespace("db")
+    df = spark.range(100).select(
+        F.col("id").cast("long"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("d"),
+        F.col("id").cast("double").alias("x"),
+        F.concat(F.lit("k"), F.lpad(
+            F.col("id").cast("string"), 3, "0")).alias("s"))
+    create_table(cat, "db.t", df.schema)
+    write_table(df.repartition(4), cat, "db.t")
+    assert max_value(cat, "db.t", "id") == 99
+    assert max_value(cat, "db.t", "x") == 99.0
+    assert max_value(cat, "db.t", "s") == "k099"
+    # date bounds decode to epoch days per the spec's single-value form
+    import datetime
+    days = max_value(cat, "db.t", "d")
+    assert datetime.date(1970, 1, 1) + \
+        datetime.timedelta(days=days) == datetime.date(2024, 4, 9)
+
+
+def test_concurrent_commits_serialize(cat, spark, tmp_path):
+    """Two threads CAS against the same pointer: exactly one wins per
+    round — the sqlite conditional UPDATE serializes them."""
+    cat.create_namespace("db")
+    create_table(cat, "db.t", spark.range(0).schema)
+    write_table(spark.range(1), cat, "db.t")
+    ml = cat.load_table("db.t")
+    wins, losses = [], []
+
+    def contender(i):
+        c = SqlCatalog(str(tmp_path / "catalog.db"))
+        try:
+            c.commit_table("db.t", ml, f"{ml}.winner{i}")
+            wins.append(i)
+        except CommitConflict:
+            losses.append(i)
+
+    ts = [threading.Thread(target=contender, args=(i,))
+          for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert len(wins) == 1 and len(losses) == 7
+
+
+def test_register_existing_path_table(cat, spark, tmp_path):
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+    loc = str(tmp_path / "ext")
+    write_iceberg(spark.range(4), loc)
+    cat.create_namespace("db")
+    with open(os.path.join(loc, "metadata",
+                           "version-hint.text")) as f:
+        v = int(f.read())
+    cat.register_table(
+        "db.ext", os.path.join(loc, "metadata",
+                               f"v{v}.metadata.json"))
+    assert read_table(cat, spark, "db.ext").count() == 4
+    meta = json.loads(open(cat.load_table("db.ext")).read())
+    assert meta["location"]
