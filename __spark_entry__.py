@@ -1304,6 +1304,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(c, int(got[c])) for c in cols],
             "column_name string, ndv long")
 
+    def iceberg_catalog_roundtrip(spark, sf):
+        """Catalog-routed table lifecycle (iceberg_catalog.py round 9;
+        reference database_iceberg.go — CreateTable:1015 empty table,
+        BulkImportStream:1252 catalog-committed append,
+        StreamRowsContext:741 read-through-LoadTable,
+        GetMaxValue:671 manifest-bounds watermark): a sqlite pointer
+        store with pyiceberg's public iceberg_tables shape; create an
+        EMPTY orders table, two CAS-committed appends (pointer
+        v1->v2->v3), read through the pointer, and carry the
+        metadata-only max watermark alongside so the oracle checks it
+        against a real MAX() — zero data files were read to get it."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_catalog import (
+            SqlCatalog, create_table, max_value, read_table,
+            write_table)
+
+        d = tempfile.mkdtemp(prefix="sling_cat_")
+        cat = SqlCatalog(os.path.join(d, "c.db"),
+                         warehouse=os.path.join(d, "wh"))
+        cat.create_namespace("db")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long"),
+            F.col("o_custkey").cast("long"),
+            F.col("o_totalprice").cast("double"),
+            "o_orderstatus")
+        create_table(cat, "db.orders", o.schema)
+        write_table(o.where(F.col("o_orderkey") % 2 == 0),
+                    cat, "db.orders")
+        write_table(o.where(F.col("o_orderkey") % 2 == 1),
+                    cat, "db.orders")
+        wm = max_value(cat, "db.orders", "o_orderkey")
+        return read_table(cat, spark, "db.orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+            F.lit(int(wm)).cast("long").alias("wm_orderkey"))
+
+    def iceberg_rest_catalog(spark, sf):
+        """Same lifecycle over the REST stack (iceberg_rest.py round
+        9; reference connectREST:90-250 — bearer auth, spec
+        endpoints): in-process serving twin over the sqlite store,
+        client commits each append via the spec's requirements/updates
+        handshake (assert-table-uuid + assert-ref-snapshot-id
+        validated server-side), read resolves through loadTable."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_catalog import (
+            create_table, read_table, write_table)
+        from sling_cli_spark.sources.iceberg_catalog import SqlCatalog
+        from sling_cli_spark.sources.iceberg_rest import (
+            RestCatalog, RestCatalogServer)
+
+        d = tempfile.mkdtemp(prefix="sling_rest_")
+        store = SqlCatalog(os.path.join(d, "c.db"),
+                           warehouse=os.path.join(d, "wh"))
+        srv = RestCatalogServer(store, token="t").start()
+        try:
+            cat = RestCatalog(srv.uri, token="t")
+            cat.create_namespace("db")
+            c = _t(spark, sf, "customer").select(
+                F.col("c_custkey").cast("long"),
+                "c_name", "c_mktsegment")
+            create_table(cat, "db.customer", c.schema)
+            write_table(c.where(F.col("c_custkey") <= 700),
+                        cat, "db.customer")
+            write_table(c.where(F.col("c_custkey") > 700),
+                        cat, "db.customer")
+            out = read_table(cat, spark, "db.customer")
+            out.count()  # materialize before the server stops
+            return out
+        finally:
+            srv.stop()
+
     def iceberg_variant_nested(spark, sf):
         """Nested struct/list/map + v3 variant columns round-trip
         (iceberg_py round 9 cont., spec §Schemas nested field ids +
@@ -3359,6 +3431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_evolution": iceberg_partition_evolution,
         "iceberg_sort_order": iceberg_sort_order,
         "iceberg_ndv_stats": iceberg_ndv_stats,
+        "iceberg_catalog_roundtrip": iceberg_catalog_roundtrip,
+        "iceberg_rest_catalog": iceberg_rest_catalog,
         "iceberg_variant_nested": iceberg_variant_nested,
         "iceberg_transform_partitioning": iceberg_transform_partitioning,
         "iceberg_transform_merge": iceberg_transform_merge,
@@ -3515,6 +3589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r9 ---
         "iceberg_sort_order", "iceberg_ndv_stats",
         "iceberg_variant_nested",
+        "iceberg_catalog_roundtrip", "iceberg_rest_catalog",
         "iceberg_transform_partitioning", "iceberg_transform_merge",
         "delta_v2_checkpoint_write", "stream_dedup_events",
         "delta_cdf_mapped", "iceberg_snapshots_meta",
@@ -4395,6 +4470,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # partitioning must not change results: the transform-pruned
         # scan equals the plain filter over the source table
+        "iceberg_catalog_roundtrip": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o_custkey AS BIGINT) AS o_custkey,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                   o_orderstatus,
+                   (SELECT MAX(CAST(o_orderkey AS BIGINT))
+                    FROM orders) AS wm_orderkey
+            FROM orders
+        """,
+        "iceberg_rest_catalog": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                   c_name, c_mktsegment
+            FROM customer
+        """,
         "iceberg_variant_nested": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                    CAST(o_custkey AS BIGINT) AS cust,

@@ -263,6 +263,81 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
     return 0 if state is not None else 1
 
 
+def _open_catalog(args: argparse.Namespace):
+    """--db sqlite path (SQL catalog) or --uri http endpoint (REST) —
+    the reference's catalog_type sql|rest switch
+    (database_iceberg.go Connect:60-88)."""
+    if getattr(args, "uri", None):
+        from sling_cli_spark.sources.iceberg_rest import RestCatalog
+        return RestCatalog(args.uri, token=args.token,
+                           credential=args.credential,
+                           warehouse=args.warehouse)
+    if getattr(args, "db", None):
+        from sling_cli_spark.sources.iceberg_catalog import SqlCatalog
+        return SqlCatalog(args.db, warehouse=args.warehouse)
+    print("pass --db <sqlite file> or --uri <rest endpoint>",
+          file=sys.stderr)
+    return None
+
+
+def cmd_catalog(args: argparse.Namespace) -> int:
+    """Iceberg catalog verbs (reference database_iceberg.go —
+    GetSchemas:478 / GetTables:514 / GetColumns:562 / GetMaxValue:671 /
+    DropTable:1123 / SwapTable:1185)."""
+    from sling_cli_spark.sources import iceberg_catalog as ic
+
+    op = args.cat_cmd
+    if op == "serve":
+        from sling_cli_spark.sources.iceberg_catalog import SqlCatalog
+        from sling_cli_spark.sources.iceberg_rest import (
+            RestCatalogServer)
+        store = SqlCatalog(args.db, warehouse=args.warehouse)
+        srv = RestCatalogServer(store, port=args.port,
+                                token=args.token,
+                                credential=args.credential).start()
+        print(json.dumps({"serving": srv.uri}), flush=True)
+        try:
+            srv._thread.join()
+        except KeyboardInterrupt:
+            srv.stop()
+        return 0
+    cat = _open_catalog(args)
+    if cat is None:
+        return 2
+    if op == "ls-namespaces":
+        for ns in cat.list_namespaces():
+            print(ns)
+    elif op == "create-namespace":
+        cat.create_namespace(args.namespace, exists_ok=args.if_not_exists)
+    elif op == "drop-namespace":
+        cat.drop_namespace(args.namespace)
+    elif op == "ls":
+        for ns, name in cat.list_tables(args.namespace):
+            print(f"{ns}.{name}")
+    elif op == "load":
+        print(cat.load_table(args.table))
+    elif op == "columns":
+        for name, typ, required in ic.table_columns(cat, args.table):
+            print(f"{name}\t{typ}\t"
+                  f"{'not null' if required else 'nullable'}")
+    elif op == "max-value":
+        print(json.dumps({"column": args.column,
+                          "max": ic.max_value(cat, args.table,
+                                              args.column)},
+                         default=str))
+    elif op == "register":
+        cat.register_table(args.table, args.metadata_location)
+    elif op == "drop":
+        cat.drop_table(args.table)
+    elif op == "rename":
+        cat.rename_table(args.src, args.dst)
+    elif op == "swap":
+        cat.swap_tables(args.src, args.dst)
+    elif op == "repair":
+        print(ic.repair_pointer(cat, args.table))
+    return 0
+
+
 def cmd_lake(args: argparse.Namespace) -> int:
     """Table-maintenance verbs for Delta/Iceberg dirs — the OPTIMIZE /
     VACUUM / history-expiry surface a lakehouse operator runs between
@@ -735,6 +810,56 @@ def build_parser() -> argparse.ArgumentParser:
         # trailing -d like run/pipeline
         sp.add_argument("-d", "--debug", action="store_true")
     lk.set_defaults(fn=cmd_lake)
+
+    ca = sub.add_parser(
+        "catalog", help="iceberg catalog (sql or rest) verbs")
+    cc = ca.add_subparsers(dest="cat_cmd", required=True)
+
+    def _cat_common(sp):
+        sp.add_argument("--db", help="sqlite catalog store path")
+        sp.add_argument("--uri", help="REST catalog endpoint")
+        sp.add_argument("--token", help="bearer token (rest)")
+        sp.add_argument("--credential",
+                        help="id:secret OAuth2 client creds (rest)")
+        sp.add_argument("--warehouse",
+                        help="default table location root")
+
+    for name, hlp, pos in [
+            ("ls-namespaces", "list namespaces", []),
+            ("create-namespace", "create a namespace", ["namespace"]),
+            ("drop-namespace", "drop an empty namespace",
+             ["namespace"]),
+            ("load", "print a table's metadata location", ["table"]),
+            ("columns", "print a table's columns (no file I/O)",
+             ["table"]),
+            ("max-value",
+             "watermark from manifest bounds (no data scan)",
+             ["table", "column"]),
+            ("register", "adopt an existing table's metadata",
+             ["table", "metadata_location"]),
+            ("drop", "drop a table from the catalog", ["table"]),
+            ("rename", "rename a table", ["src", "dst"]),
+            ("swap", "exchange two tables' pointers", ["src", "dst"]),
+            ("repair", "roll the pointer forward to the table hint",
+             ["table"]),
+    ]:
+        sp = cc.add_parser(name, help=hlp)
+        for a in pos:
+            sp.add_argument(a)
+        if name == "create-namespace":
+            sp.add_argument("--if-not-exists", action="store_true")
+        _cat_common(sp)
+    sp = cc.add_parser("ls", help="list tables")
+    sp.add_argument("namespace", nargs="?", default=None)
+    _cat_common(sp)
+    sp = cc.add_parser("serve",
+                       help="serve a sqlite store over the REST API")
+    sp.add_argument("--db", required=True)
+    sp.add_argument("--port", type=int, default=8181)
+    sp.add_argument("--token")
+    sp.add_argument("--credential")
+    sp.add_argument("--warehouse")
+    ca.set_defaults(fn=cmd_catalog)
     return p
 
 

@@ -533,3 +533,53 @@ def test_cli_lake_set_property_both_formats(spark, orders, tmp_path,
     capsys.readouterr()
     meta, _, _ = _replay_state(d)
     assert "custom.x" not in (meta.get("configuration") or {})
+
+
+def test_cli_catalog_verbs_sql_and_serve(spark, tmp_path, capsys):
+    """`catalog` verbs over a sqlite store, then the same store served
+    over REST (reference database_iceberg.go catalog_type sql|rest)."""
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+
+    db = str(tmp_path / "c.db")
+    wh = str(tmp_path / "wh")
+    loc = str(tmp_path / "ext")
+    write_iceberg(spark.range(9).selectExpr(
+        "id", "cast(id as double) as x"), loc)
+
+    assert main(["catalog", "create-namespace", "db", "--db", db,
+                 "--warehouse", wh]) == 0
+    assert main(["catalog", "ls-namespaces", "--db", db]) == 0
+    assert capsys.readouterr().out.split() == ["db"]
+    ml = os.path.join(loc, "metadata", "v1.metadata.json")
+    assert main(["catalog", "register", "db.ext", ml, "--db", db]) == 0
+    assert main(["catalog", "ls", "--db", db]) == 0
+    assert capsys.readouterr().out.split() == ["db.ext"]
+    assert main(["catalog", "columns", "db.ext", "--db", db]) == 0
+    out = capsys.readouterr().out
+    assert "id\tlong" in out and "x\tdouble" in out
+    assert main(["catalog", "max-value", "db.ext", "x",
+                 "--db", db]) == 0
+    assert json.loads(capsys.readouterr().out)["max"] == 8.0
+    assert main(["catalog", "rename", "db.ext", "db.ext2",
+                 "--db", db]) == 0
+    assert main(["catalog", "load", "db.ext2", "--db", db]) == 0
+    assert capsys.readouterr().out.strip() == ml
+
+    # same store behind the REST twin
+    from sling_cli_spark.sources.iceberg_catalog import SqlCatalog
+    from sling_cli_spark.sources.iceberg_rest import RestCatalogServer
+    srv = RestCatalogServer(SqlCatalog(db), token="t").start()
+    try:
+        assert main(["catalog", "ls", "--uri", srv.uri,
+                     "--token", "t"]) == 0
+        assert capsys.readouterr().out.split() == ["db.ext2"]
+        assert main(["catalog", "max-value", "db.ext2", "id",
+                     "--uri", srv.uri, "--token", "t"]) == 0
+        assert json.loads(capsys.readouterr().out)["max"] == 8
+        assert main(["catalog", "drop", "db.ext2", "--uri", srv.uri,
+                     "--token", "t"]) == 0
+        assert main(["catalog", "drop-namespace", "db", "--uri",
+                     srv.uri, "--token", "t"]) == 0
+    finally:
+        srv.stop()
