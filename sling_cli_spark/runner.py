@@ -258,6 +258,26 @@ def run(
                 merge_iceberg as _merge)
 
         uri, _ = parse_partition_mask(cfg.target.object or "", update_key)
+        from sling_cli_spark.sources.iceberg_catalog import (
+            is_catalog_url)
+
+        if is_catalog_url(uri):
+            # catalog-managed target: the SAME local merge machinery
+            # runs on the resolved location, and every metadata
+            # version it advances is swapped in under the pointer CAS
+            # (losers roll back; reference commits merges through the
+            # catalog transaction the same way)
+            from sling_cli_spark.sources.iceberg_catalog import (
+                open_catalog_url, run_committed)
+
+            _cat, _ident = open_catalog_url(uri)
+            _inner_merge = _merge
+
+            def _merge(spark_, _url, df_, pk_, **kw2):
+                return run_committed(
+                    _cat, _ident,
+                    lambda loc: _inner_merge(spark_, loc, df_, pk_,
+                                             **kw2))
         if dict(df.dtypes) != dict(target_df.dtypes):
             target_df, df = reconcile_schemas(
                 target_df, df,
@@ -282,6 +302,17 @@ def run(
                 else:
                     from sling_cli_spark.sources.iceberg_py import (
                         delete_missing_iceberg as _dm_lake)
+                if is_catalog_url(uri):
+                    from sling_cli_spark.sources.iceberg_catalog \
+                        import open_catalog_url, run_committed
+                    _dcat, _dident = open_catalog_url(uri)
+                    _inner_dm = _dm_lake
+
+                    def _dm_lake(spark_, _url, ks_, pk_, **kw3):
+                        return run_committed(
+                            _dcat, _dident,
+                            lambda loc: _inner_dm(spark_, loc, ks_,
+                                                  pk_, **kw3))
                 keyset = build_read_plan(spark, cfg, full_source=True)
                 stats["delete_missing"] = _dm_lake(
                     spark, uri, keyset, cfg.source.primary_key,
@@ -375,13 +406,16 @@ def _lake_merge_format(cfg: Config) -> str | None:
     format's log/snapshot machinery (delete_missing included: it commits
     as a second CoW action touching only files with vanished PKs), else
     None."""
+    obj = cfg.target.object or ""
+    from sling_cli_spark.sources.iceberg_catalog import is_catalog_url
+
+    if is_catalog_url(obj):
+        return "iceberg"
     fmt = cfg.target.options.format or ""
     if fmt in ("delta", "iceberg"):
         return fmt
     from sling_cli_spark.sources.delta_py import is_delta_table
     from sling_cli_spark.sources.iceberg_py import is_iceberg_table
-
-    obj = cfg.target.object or ""
     if is_delta_table(obj):
         return "delta"
     if is_iceberg_table(obj):
@@ -494,6 +528,21 @@ def _txn_already_committed(cfg: Config) -> bool:
     obj = cfg.target.object
     app = cfg.target.options.txn_app_id
     want = int(cfg.target.options.txn_version)
+    from sling_cli_spark.sources.iceberg_catalog import is_catalog_url
+
+    if is_catalog_url(obj):
+        from sling_cli_spark.sources.iceberg_catalog import (
+            _read_meta, open_catalog_url)
+        try:
+            cat, ident = open_catalog_url(obj)
+            meta = _read_meta(cat.load_table(ident))
+        except Exception:
+            return False  # not created yet — never blocks the write
+        seen = max((int((s.get("summary") or {}).get("txn-version", -1))
+                    for s in meta.get("snapshots") or []
+                    if (s.get("summary") or {})
+                    .get("txn-app-id") == app), default=None)
+        return seen is not None and seen >= want
     try:
         from sling_cli_spark.sources.iceberg_py import is_iceberg_table
 
@@ -518,6 +567,18 @@ def _txn_already_committed(cfg: Config) -> bool:
 def _target_has_data(spark: SparkSession, cfg: Config) -> bool:
     """ignore_existing probe (reference: config.go IgnoreExisting — skip
     the task when the target object already holds data)."""
+    from sling_cli_spark.sources.iceberg_catalog import is_catalog_url
+
+    if is_catalog_url(cfg.target.object):
+        from sling_cli_spark.sources.iceberg_catalog import (
+            _read_meta, open_catalog_url)
+        try:
+            cat, ident = open_catalog_url(cfg.target.object)
+            meta = _read_meta(cat.load_table(ident))
+        except Exception:
+            return False
+        cur = meta.get("current-snapshot-id")
+        return cur is not None and int(cur) != -1
     from sling_cli_spark.sinks.writers import parse_partition_mask
 
     uri, _ = parse_partition_mask(

@@ -59,6 +59,29 @@ def parse_partition_mask(object_uri: str, update_key: str | None = None):
     return clean, parts
 
 
+def _write_catalog(df: DataFrame, url: str, mode: Mode, opts):
+    """Catalog-routed sink (reference BulkImportStream:1252 +
+    CreateNamespaceIfNotExists:1162 + CreateTable:1015): auto-create
+    the namespace and an EMPTY table on first load — like a DB target
+    auto-creating schema.table — then commit the batch under the
+    pointer CAS. Idempotent txn ids ride the snapshot summary exactly
+    as for path targets."""
+    from sling_cli_spark.sources.iceberg_catalog import (
+        create_table, open_catalog_url, split_ident, write_table)
+
+    cat, ident = open_catalog_url(url)
+    if not cat.table_exists(ident):
+        ns, _ = split_ident(ident)
+        cat.create_namespace(ns, exists_ok=True)
+        create_table(cat, ident, df.schema,
+                     partition_by=list(opts.partition_by) or None)
+    kw = {}
+    if opts.txn_app_id is not None:
+        kw = {"txn_app_id": opts.txn_app_id,
+              "txn_version": opts.txn_version}
+    write_table(df, cat, ident, mode=_spark_mode(mode), **kw)
+
+
 def write_files(
     df: DataFrame, target: Target, mode: Mode, fmt: str | None = None,
     update_key: str | None = None,
@@ -67,6 +90,10 @@ def write_files(
     (the reference defaults partition masks to the stream's update_key,
     iop/partition.go:13-124)."""
     opts = target.options
+    from sling_cli_spark.sources.iceberg_catalog import is_catalog_url
+
+    if is_catalog_url(target.object):
+        return _write_catalog(df, target.object, mode, opts)
     uri, masks = parse_partition_mask(target.object or "", update_key)
     fmt = fmt or opts.format or _detect_format(uri)
 

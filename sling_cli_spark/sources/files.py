@@ -324,6 +324,18 @@ def read_source(
     stream = source.stream or ""
     if source.is_sql:
         return spark.sql(stream)
+    from sling_cli_spark.sources.iceberg_catalog import is_catalog_url
+
+    if is_catalog_url(stream):
+        # catalog-managed iceberg table (reference
+        # database_iceberg.go StreamRowsContext:741): resolve the
+        # pointer, scan MoR; the watermark skip-filter prunes via
+        # manifest bounds exactly like the path case
+        from sling_cli_spark.sources.iceberg_catalog import (
+            open_catalog_url, read_table)
+
+        cat, ident = open_catalog_url(stream)
+        return read_table(cat, spark, ident, skip_filters=skip_filters)
     from sling_cli_spark.sources.remote import is_remote, stage_remote
 
     if is_remote(stream):

@@ -397,18 +397,16 @@ def create_table(catalog, ident, schema, partition_by=None,
     return location
 
 
-def write_table(df, catalog, ident, mode: str = "append", **kw) -> int:
-    """Append/overwrite THROUGH the catalog (reference
-    BulkImportStream:1252 — parquet write + transaction AddFiles +
-    catalog commit): ordinary :func:`iceberg_py.write_iceberg` on the
-    table location, then the pointer CAS. On losing the race the
-    table's hint rolls back to its pre-write version and the local
-    metadata file is withdrawn, so path-readers never see the
-    un-committed snapshot; data files stay as orphans for maintenance
-    (exactly Iceberg's failed-commit contract). Returns the snapshot
-    id."""
-    from sling_cli_spark.sources.iceberg_py import write_iceberg
-
+def run_committed(catalog, ident, fn):
+    """Run ANY hint-advancing table operation (write, merge,
+    delete_missing, upsert, compaction...) under the catalog's
+    pointer CAS. ``fn(location)`` performs the ordinary local commit;
+    every metadata version it advances is then swapped into the
+    catalog. On losing the race the table's hint rolls back to its
+    pre-run version and the local metadata files are withdrawn, so
+    path-readers never see the un-committed snapshots; data files
+    stay as orphans for maintenance (exactly Iceberg's failed-commit
+    contract). Returns ``fn``'s result."""
     expected_ml = catalog.load_table(ident)
     meta = _read_meta(expected_ml)
     location = meta["location"]
@@ -419,10 +417,10 @@ def write_table(df, catalog, ident, mode: str = "append", **kw) -> int:
             f"table at {location}: hint v{hint_v} != catalog pointer "
             f"v{expected_v} — a prior catalog commit failed midway; "
             "reconcile with repair_pointer()")
-    snap = write_iceberg(df, location, mode=mode, **kw)
+    out = fn(location)
     new_v = _hint_version(location)
     if new_v == hint_v:  # idempotent txn skip: nothing committed
-        return snap
+        return out
     new_ml = fsio.join(location, "metadata", f"v{new_v}.metadata.json")
     try:
         catalog.commit_table(ident, expected_ml, new_ml)
@@ -431,9 +429,24 @@ def write_table(df, catalog, ident, mode: str = "append", **kw) -> int:
         fs.write_bytes(
             fsio.join(location, "metadata", "version-hint.text"),
             str(hint_v).encode())
-        fs.delete(new_ml)
+        for v in range(hint_v + 1, new_v + 1):
+            fs.delete(fsio.join(location, "metadata",
+                                f"v{v}.metadata.json"))
         raise
-    return snap
+    return out
+
+
+def write_table(df, catalog, ident, mode: str = "append", **kw) -> int:
+    """Append/overwrite THROUGH the catalog (reference
+    BulkImportStream:1252 — parquet write + transaction AddFiles +
+    catalog commit): ordinary :func:`iceberg_py.write_iceberg` on the
+    table location under :func:`run_committed`. Returns the snapshot
+    id."""
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+
+    return run_committed(
+        catalog, ident,
+        lambda location: write_iceberg(df, location, mode=mode, **kw))
 
 
 def read_table(catalog, spark, ident, **kw):
@@ -506,6 +519,46 @@ def max_value(catalog, ident, column: str):
         if v is not None and (best is None or v > best):
             best = v
     return best
+
+
+_CATALOG_SCHEME = "catalog://"
+
+
+def is_catalog_url(s) -> bool:
+    """``catalog://ns.table?db=...`` / ``?uri=...`` — the EL runner's
+    routing scheme for catalog-managed tables (the reference routes
+    via a named connection with catalog_* props instead; a URL keeps
+    the single-string stream/object contract)."""
+    return bool(s) and str(s).startswith(_CATALOG_SCHEME)
+
+
+def open_catalog_url(url: str):
+    """``catalog://ns.table?db=/path/c.db&warehouse=/wh`` (SQL) or
+    ``catalog://ns.table?uri=http://host:8181&token=...`` (REST)
+    -> (catalog, "ns.table"). Query keys mirror the reference's
+    connection props (database_iceberg.go: catalog_type sql|rest,
+    rest_uri, token, credential, *_warehouse)."""
+    from urllib.parse import parse_qsl
+
+    rest = url[len(_CATALOG_SCHEME):]
+    ident, _, q = rest.partition("?")
+    params = dict(parse_qsl(q))
+    if not ident or "." not in ident:
+        raise CatalogError(
+            f"catalog url needs ns.table before '?': {url!r}")
+    if params.get("uri"):
+        from sling_cli_spark.sources.iceberg_rest import RestCatalog
+        cat = RestCatalog(params["uri"], token=params.get("token"),
+                          credential=params.get("credential"),
+                          warehouse=params.get("warehouse"))
+    elif params.get("db"):
+        cat = SqlCatalog(params["db"],
+                         warehouse=params.get("warehouse"))
+    else:
+        raise CatalogError(
+            f"catalog url needs db= (sqlite store) or uri= (REST "
+            f"endpoint): {url!r}")
+    return cat, ident
 
 
 def repair_pointer(catalog, ident) -> str:
