@@ -3594,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_v2_checkpoint_write", "stream_dedup_events",
         "delta_cdf_mapped", "iceberg_snapshots_meta",
         "iceberg_manifests_meta", "jdbc_live_merge",
+        "convert_inplace_roundtrip",
         # --- last driver-checked r6 or earlier (all 34) ---
         "merge_insert", "merge_update", "merge_update_insert",
         "merge_delete_insert", "merge_history_insert", "merge_sql_render",
