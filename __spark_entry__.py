@@ -1739,6 +1739,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 os.remove(os.path.join(log, x))
         return D.read_delta(spark, t)
 
+    def delta_log_compaction(spark, sf):
+        """Minor log compaction (delta_py round 9, compact_log;
+        delta-kernel {s}.{e}.compacted.json convention): nation lands
+        in two appends, an OVERWRITE mid-range tombstones them, a final
+        append completes the table; compact_log(0,3) writes ONE
+        reconciled log object, the covered per-version JSON commits are
+        expired, and the scan reconstructs the full state through the
+        compaction alone — one object-store read where a busy table
+        would need hundreds per snapshot resolution."""
+        import tempfile
+
+        from sling_cli_spark.sources import delta_py as D
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_lc_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        D.write_delta(n.filter("n_nationkey < 10").coalesce(1), t)
+        D.write_delta(n.filter("n_nationkey >= 10").coalesce(1), t)
+        D.write_delta(n.filter("n_nationkey < 5").coalesce(1), t,
+                      mode="overwrite")
+        D.write_delta(n.filter("n_nationkey >= 5").coalesce(1), t)
+        out = D.compact_log(t, 0, 3)
+        acts = [x for x in open(out) if x.strip()]
+        assert any('"remove"' in x for x in acts), \
+            "overwrite tombstones must survive reconciliation"
+        log = os.path.join(t, "_delta_log")
+        for v in range(3):  # keep v3 so latest_version still resolves
+            os.remove(os.path.join(log, f"{v:020d}.json"))
+        return D.read_delta(spark, t)
+
     def delta_type_widening(spark, sf):
         """typeWidening table read (delta_py round 7): the first file
         stores n_nationkey as parquet INT32, a foreign commit widens
@@ -3548,6 +3580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dv_mapped": delta_dv_mapped,
         "delta_v2_checkpoint": delta_v2_checkpoint,
         "delta_v2_checkpoint_write": delta_v2_checkpoint_write,
+        "delta_log_compaction": delta_log_compaction,
         "convert_inplace_roundtrip": convert_inplace_roundtrip,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
@@ -4170,6 +4203,11 @@ def oracle_sql() -> dict[str, str]:
         # checkpointing must not change results: replay from the
         # own-written v2 checkpoint equals the source table
         "delta_v2_checkpoint_write": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+        """,
+        "delta_log_compaction": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation

@@ -383,6 +383,14 @@ def cmd_lake(args: argparse.Namespace) -> int:
             path, v2=True if args.v2 else None)
         print(json.dumps({"checkpointed_version": v}))
         return 0
+    if op == "compact-log":
+        if not is_delta:
+            print("compact-log applies to Delta tables", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.delta_py import compact_log
+        out = compact_log(path, start=args.start, end=args.end)
+        print(json.dumps({"compacted_log": out.rsplit("/", 1)[-1]}))
+        return 0
     if op == "cleanup-logs":
         if is_delta:
             from sling_cli_spark.sources.delta_py import cleanup_logs
@@ -687,6 +695,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "the v2Checkpoint feature)")
     lcp.add_argument("path")
     lcp.add_argument("--v2", action="store_true")
+    lcg = ls.add_parser("compact-log",
+                        help="delta: minor log compaction — write one "
+                             "{s}.{e}.compacted.json holding the "
+                             "reconciled actions of commits s..e")
+    lcg.add_argument("path")
+    lcg.add_argument("--start", type=int, default=0)
+    lcg.add_argument("--end", type=int, default=None,
+                     help="default: latest version")
     lcl = ls.add_parser("cleanup-logs",
                         help="metadata retention: delta drops "
                              "checkpoint-covered JSON commits + "

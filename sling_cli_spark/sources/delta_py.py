@@ -282,8 +282,8 @@ def _domain_metadata(path: str, version: int | None = None) -> dict:
                     domains.pop(dm["domain"], None)
                 else:
                     domains[dm["domain"]] = dm.get("configuration")
-    for v in vs:
-        for line in fs.read_bytes(_log_path(path, v)).decode().splitlines():
+    for text in _log_texts(path, fs, -1, version):
+        for line in text.splitlines():
             if '"domainMetadata"' not in line:
                 continue
             dm = json.loads(line).get("domainMetadata")
@@ -675,20 +675,83 @@ def _check_reader_protocol(path: str, protocol: dict | None) -> None:
             f"{sorted(SUPPORTED_READER_FEATURES)}")
 
 
+def _apply_action_lines(text: str, meta, files, protocol):
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        action = json.loads(line)
+        if "protocol" in action:
+            protocol = action["protocol"]
+        elif "metaData" in action:
+            meta = action["metaData"]
+        elif "add" in action:
+            files[action["add"]["path"]] = action["add"]
+        elif "remove" in action:
+            files.pop(action["remove"]["path"], None)
+    return meta, files, protocol
+
+
 def _replay_json_into(path: str, fs, versions, meta, files, protocol=None):
     for v in versions:
-        for line in fs.read_bytes(_log_path(path, v)).decode().splitlines():
-            if not line.strip():
-                continue
-            action = json.loads(line)
-            if "protocol" in action:
-                protocol = action["protocol"]
-            elif "metaData" in action:
-                meta = action["metaData"]
-            elif "add" in action:
-                files[action["add"]["path"]] = action["add"]
-            elif "remove" in action:
-                files.pop(action["remove"]["path"], None)
+        meta, files, protocol = _apply_action_lines(
+            fs.read_bytes(_log_path(path, v)).decode(),
+            meta, files, protocol)
+    return meta, files, protocol
+
+
+_COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
+
+
+def _compaction_ranges(path: str, fs) -> dict[int, tuple[int, str]]:
+    """{start: (end, abs_path)} of minor log-compaction files
+    (``{s:020d}.{e:020d}.compacted.json`` — the public delta-kernel
+    log-compaction convention, delta-io/delta kernel docs): one file
+    holding the RECONCILED actions of JSON commits s..e inclusive.
+    When several files share a start, the widest wins."""
+    d = _log_dir(path)
+    out: dict[int, tuple[int, str]] = {}
+    if not fs.isdir(d):
+        return out
+    for name in fs.listdir(d):
+        m = _COMPACTED_RE.match(name)
+        if m:
+            s, e = int(m.group(1)), int(m.group(2))
+            if s not in out or e > out[s][0]:
+                out[s] = (e, fsio.join(d, name))
+    return out
+
+
+def _log_texts(path: str, fs, start: int, limit):
+    """Yield the decoded text of each log object covering commits
+    > ``start`` and <= ``limit`` (None = all), in commit order,
+    substituting a compaction file for its covered range whenever one
+    begins exactly at the next needed version and ends within the
+    limit — one object-store read instead of (e - s + 1). Per-version
+    JSON commits are authoritative when no compaction applies."""
+    vs = [v for v in _list_versions(path, fs)
+          if v > start and (limit is None or v <= limit)]
+    comp = _compaction_ranges(path, fs)
+    idx, cur = 0, start
+    while True:
+        c = comp.get(cur + 1) if comp else None
+        if c and (limit is None or c[0] <= limit):
+            yield fs.read_bytes(c[1]).decode()
+            cur = c[0]
+            while idx < len(vs) and vs[idx] <= cur:
+                idx += 1
+            continue
+        if idx < len(vs):
+            yield fs.read_bytes(_log_path(path, vs[idx])).decode()
+            cur = vs[idx]
+            idx += 1
+            continue
+        return
+
+
+def _replay_tail(path: str, fs, start: int, limit, meta, files, protocol):
+    for text in _log_texts(path, fs, start, limit):
+        meta, files, protocol = _apply_action_lines(
+            text, meta, files, protocol)
     return meta, files, protocol
 
 
@@ -711,9 +774,7 @@ def _replay_state(path: str, version: int | None = None):
         except Exception:
             # missing/corrupt cp: replay from scratch
             meta, files, protocol, start = None, {}, None, -1
-    tail = [v for v in _list_versions(path, fs)
-            if v > start and (version is None or v <= version)]
-    return _replay_json_into(path, fs, tail, meta, files, protocol)
+    return _replay_tail(path, fs, start, version, meta, files, protocol)
 
 
 def replay_log(path: str, version: int | None = None):
@@ -724,6 +785,85 @@ def replay_log(path: str, version: int | None = None):
     meta, files, protocol = _replay_state(path, version)
     _check_reader_protocol(path, protocol)
     return meta, files
+
+
+def compact_log(path: str, start: int = 0, end: int | None = None) -> str:
+    """Minor log compaction (the public delta-kernel convention,
+    ``{start:020d}.{end:020d}.compacted.json``): write ONE log object
+    holding the reconciled actions of JSON commits ``start..end``
+    inclusive. Additive — the per-version commits stay authoritative
+    and untouched; a convention-aware reader (:func:`_log_texts` here,
+    delta kernel elsewhere) substitutes the single object for the
+    range, turning an O(commits) tail replay into one object-store
+    read — the difference between 1 and 1000 S3 GETs per snapshot
+    resolution on a busy 100 TB table. Reconciliation per PROTOCOL.md
+    Action Reconciliation: latest protocol / metaData, net add set
+    (later remove cancels an add), remove tombstones for files dropped
+    in-range (so they still cancel pre-range adds), latest txn per
+    appId, latest domainMetadata per domain (``removed`` tombstones
+    KEPT — dropping them would resurrect a domain for readers seeded
+    before ``start``). commitInfo is not reconciled. Returns the
+    written path. Reference parity: delta log replay semantics,
+    reference/core/dbio ADR on incremental state."""
+    fs = fsio.get_fs(path)
+    if end is None:
+        vs = _list_versions(path, fs)
+        end = vs[-1] if vs else -1
+    start, end = int(start), int(end)
+    if end <= start:
+        raise ValueError(
+            f"compact_log needs end > start, got {start}..{end}")
+    have = set(_list_versions(path, fs))
+    missing = [v for v in range(start, end + 1) if v not in have]
+    if missing:
+        raise FileNotFoundError(
+            f"compact_log {start}..{end} on {path}: JSON commits "
+            f"{missing} are not retained — a compaction over a hole "
+            "would silently drop those versions' actions")
+    meta: dict | None = None
+    protocol: dict | None = None
+    added: dict[str, dict] = {}
+    removed: dict[str, dict] = {}
+    txns: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
+    for v in range(start, end + 1):
+        for line in fs.read_bytes(_log_path(path, v)).decode().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "protocol" in action:
+                protocol = action["protocol"]
+            elif "metaData" in action:
+                meta = action["metaData"]
+            elif "add" in action:
+                p = action["add"]["path"]
+                added[p] = action["add"]
+                removed.pop(p, None)
+            elif "remove" in action:
+                p = action["remove"]["path"]
+                removed[p] = action["remove"]
+                added.pop(p, None)
+            elif "txn" in action and action["txn"].get("appId") is not None:
+                txns[action["txn"]["appId"]] = action["txn"]
+            elif "domainMetadata" in action:
+                domains[action["domainMetadata"]["domain"]] = \
+                    action["domainMetadata"]
+    lines: list[str] = []
+    if protocol is not None:
+        lines.append(json.dumps({"protocol": protocol}))
+    if meta is not None:
+        lines.append(json.dumps({"metaData": meta}))
+    lines += [json.dumps({"txn": t}) for _, t in sorted(txns.items())]
+    lines += [json.dumps({"domainMetadata": d})
+              for _, d in sorted(domains.items())]
+    # removes BEFORE adds: _apply_action_lines folds in file order, so a
+    # path both removed and re-added in-range must end live
+    lines += [json.dumps({"remove": r}) for _, r in sorted(removed.items())]
+    lines += [json.dumps({"add": a}) for _, a in sorted(added.items())]
+    out = fsio.join(_log_dir(path),
+                    f"{start:020d}.{end:020d}.compacted.json")
+    fs.write_bytes(out, ("\n".join(lines) + "\n").encode())
+    return out
 
 
 # writer features this implementation honors when committing to an

@@ -420,6 +420,27 @@ def test_cli_lake_checkpoint_and_cleanup_logs(spark, tmp_path, capsys):
     assert read_delta(spark, t).count() == 5
 
 
+def test_cli_lake_compact_log(spark, tmp_path, capsys):
+    """r9: `lake compact-log` writes a minor log-compaction object the
+    reader substitutes for the covered per-version commits."""
+    import os as _os
+
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.delta_py import read_delta, write_delta
+
+    t = str(tmp_path / "t")
+    for i in range(4):
+        write_delta(spark.createDataFrame(
+            [(i, "x")], "id long, v string").coalesce(1), t,
+            mode="append")
+    assert main(["lake", "compact-log", t]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["compacted_log"] == f"{0:020d}.{3:020d}.compacted.json"
+    for v in range(3):
+        _os.remove(_os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    assert read_delta(spark, t).count() == 4
+
+
 def test_cli_lake_convert_and_migrate(spark, tmp_path, capsys):
     """r9: `lake convert` / `lake migrate` adopt plain parquet dirs."""
     from sling_cli_spark.__main__ import main
