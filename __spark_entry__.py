@@ -1771,6 +1771,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             os.remove(os.path.join(log, f"{v:020d}.json"))
         return D.read_delta(spark, t)
 
+    def iceberg_fast_append(spark, sf):
+        """FastAppend + rewrite_manifests (iceberg_py round 9; spec:
+        a manifest list MAY reference manifests added by earlier
+        snapshots): nation lands in FOUR appends, each reusing the
+        prior snapshot's manifests VERBATIM (commit cost O(new files),
+        not O(table files) — flat at 100 TB); the manifest list grows
+        to 4 entries (3 reused), rewrite_manifests consolidates them
+        into ONE data manifest as a metadata-only replace snapshot,
+        and the scan returns the full table."""
+        import tempfile
+
+        from sling_cli_spark.sources import iceberg_py as I
+        from sling_cli_spark.sources.avro_py import read_avro
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_fa_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        for lo, hi in ((0, 7), (7, 14), (14, 20), (20, 99)):
+            I.write_iceberg(
+                n.filter(f"n_nationkey >= {lo} and n_nationkey < {hi}")
+                .coalesce(1), t)
+        _, meta = I._current_metadata(t)
+        head = meta["snapshots"][-1]
+        mlist = read_avro(head["manifest-list"])[1]
+        reused = [m for m in mlist if int(m["added_snapshot_id"])
+                  != head["snapshot-id"]]
+        assert len(mlist) == 4 and len(reused) == 3, \
+            f"expected 4 manifests / 3 reused, got {len(mlist)}/" \
+            f"{len(reused)}"
+        res = I.rewrite_manifests(t)
+        assert res["replaced"] == 4 and res["created"] == 1, res
+        return I.read_iceberg(spark, t)
+
     def delta_type_widening(spark, sf):
         """typeWidening table read (delta_py round 7): the first file
         stores n_nationkey as parquet INT32, a foreign commit widens
@@ -3358,13 +3393,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def iceberg_manifests_meta(spark, sf):
         """manifests + entries metadata-table twins (iceberg_py round
-        9): three single-file appends — the current snapshot packs the
-        new file and both carried files into ONE data manifest, whose
-        per-status counts (1 added / 2 existing) the manifests twin
-        reads from one avro pass, and whose raw rows the entries twin
-        exposes with inherited sequence numbers. Both cross-checked in
-        one result against the record counts the source table
-        implies."""
+        9): three single-file FAST-APPENDS — the head snapshot's list
+        carries THREE manifests (two reused verbatim from earlier
+        snapshots, spec: a list MAY reference earlier snapshots'
+        manifests), each holding exactly its own ADDED entry (status
+        1); the manifests twin reads per-status counts in one avro
+        pass per manifest, the entries twin exposes the raw rows with
+        inherited sequence numbers. Both cross-checked in one result
+        against the record counts the source table implies."""
         import tempfile
 
         from sling_cli_spark.sources.iceberg_py import (
@@ -3581,6 +3617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_v2_checkpoint": delta_v2_checkpoint,
         "delta_v2_checkpoint_write": delta_v2_checkpoint_write,
         "delta_log_compaction": delta_log_compaction,
+        "iceberg_fast_append": iceberg_fast_append,
         "convert_inplace_roundtrip": convert_inplace_roundtrip,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
@@ -4208,6 +4245,11 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
         """,
         "delta_log_compaction": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+        """,
+        "iceberg_fast_append": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation
@@ -5528,17 +5570,17 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (
               SELECT 0 AS content, 0 AS partition_spec_id,
                      1 AS added_data_files_count,
-                     2 AS existing_data_files_count,
-                     0 AS deleted_data_files_count),
+                     0 AS existing_data_files_count,
+                     0 AS deleted_data_files_count
+              FROM range(3)),
             e AS (
-              SELECT 1 AS status, CAST(1 AS BIGINT) AS n_entries,
-                     (SELECT count(*) FROM nation
-                      WHERE n_nationkey >= 16) AS n_records
-              UNION ALL
-              SELECT 0, CAST(2 AS BIGINT),
-                     (SELECT count(*) FROM nation
-                      WHERE n_nationkey < 16))
-            SELECT m.*, e.* FROM m CROSS JOIN e
+              SELECT 1 AS status, CAST(3 AS BIGINT) AS n_entries,
+                     (SELECT count(*) FROM nation) AS n_records)
+            SELECT m.content, m.partition_spec_id,
+                   m.added_data_files_count, m.existing_data_files_count,
+                   m.deleted_data_files_count, e.status, e.n_entries,
+                   e.n_records
+            FROM m CROSS JOIN e
         """,
         "iceberg_delta_sync": """
             SELECT p.proto, o_orderkey, o_orderpriority, o_totalprice

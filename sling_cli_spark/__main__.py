@@ -410,6 +410,14 @@ def cmd_lake(args: argparse.Namespace) -> int:
         print(json.dumps(expire_snapshots(path, keep=args.keep),
                          default=str))
         return 0
+    if op == "rewrite-manifests":
+        if is_delta:
+            print("rewrite-manifests applies to Iceberg tables "
+                  "(delta: use compact-log)", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.iceberg_py import rewrite_manifests
+        print(json.dumps(rewrite_manifests(path)))
+        return 0
     if op == "remove-orphans":
         if is_delta:
             print("remove-orphans applies to Iceberg tables "
@@ -711,6 +719,11 @@ def build_parser() -> argparse.ArgumentParser:
     lcl.add_argument("path")
     lcl.add_argument("--keep", type=int, default=10,
                      help="newest commits always retained")
+    lrm = ls.add_parser("rewrite-manifests",
+                        help="iceberg: consolidate the per-commit "
+                             "manifest growth into one data manifest "
+                             "(metadata-only replace snapshot)")
+    lrm.add_argument("path")
     lr = ls.add_parser("remove-orphans",
                        help="iceberg: delete data/ files no snapshot "
                             "references")

@@ -626,6 +626,37 @@ def create_checkpoint(path: str, version: int | None = None,
     return int(version)
 
 
+def _maybe_auto_checkpoint(path: str, version: int) -> None:
+    """``delta.checkpointInterval`` (delta-spark table property): when
+    the table EXPLICITLY sets it, write a checkpoint after every
+    interval-th commit — the replay tail stays O(interval) instead of
+    O(commits since someone last ran ``lake checkpoint``), which on a
+    busy 100 TB table is the difference between 10 and 10,000 log GETs
+    per snapshot resolution. Opt-in by property (delta-spark defaults
+    to 10; an EL-tool engine keeps the log layout deterministic unless
+    asked). A failure here never fails the commit: the checkpoint is
+    an optimization, the JSON log stays the source of truth."""
+    if version <= 0:
+        return
+    try:
+        meta, files, protocol = _replay_state(path, version)
+        cfg = (meta or {}).get("configuration") or {}
+        iv = int(cfg.get("delta.checkpointInterval") or 0)
+        if iv <= 0 or version % iv != 0:
+            return
+        fs = fsio.get_fs(path)
+        info = _last_checkpoint_info(path, fs) or {}
+        if int(info.get("version", -1)) >= version:
+            return
+        if "v2Checkpoint" in set((protocol or {})
+                                 .get("writerFeatures") or ()):
+            _write_checkpoint_v2(path, fs, version, meta, files, protocol)
+        else:
+            _write_checkpoint(path, fs, version)
+    except Exception:
+        pass
+
+
 # -------------------------------------------------------------- log replay
 
 class UnsupportedTableFeature(RuntimeError):
@@ -1041,6 +1072,7 @@ def _commit_with_retry(
     for _ in range(max_retries):
         try:
             _commit(path, version, actions)
+            _maybe_auto_checkpoint(path, version)
             return version
         except FileExistsError:
             _, active = replay_log(path)
@@ -2646,6 +2678,7 @@ def write_delta(
     if mode == "append" and version > 0:
         return _commit_with_retry(path, version, actions)
     _commit(path, version, actions)
+    _maybe_auto_checkpoint(path, version)
     return version
 
 

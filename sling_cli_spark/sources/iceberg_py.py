@@ -1667,6 +1667,7 @@ def _commit_snapshot(
     staged_files: list[dict] | None = None,
     summary_extra: dict | None = None,
     apply_sort: bool = True,
+    reuse_manifests: list[dict] | None = None,
 ) -> int:
     """Stage ``df`` as new data files, write manifest(s) +
     manifest-list, bump the metadata version; ``carried`` files join the
@@ -1692,7 +1693,17 @@ def _commit_snapshot(
     placed under ``data/`` (the streaming sink: executors write final
     names, the driver only commits) — they join the snapshot as ADDED
     entries without a staging job. ``summary_extra`` merges extra keys
-    into the snapshot summary (the sink's idempotence markers)."""
+    into the snapshot summary (the sink's idempotence markers).
+
+    ``reuse_manifests`` (spec: a manifest list MAY reference manifests
+    added by earlier snapshots — Iceberg's FastAppend) carries prior
+    manifest-LIST entries VERBATIM into the new list: their manifests
+    are never re-read or rewritten, so an append costs O(new files)
+    driver work instead of O(table files) — the difference between a
+    constant-time commit and rewriting a million-entry manifest on
+    every micro-batch of a 100 TB table. Mutually sensible with
+    ``carried=[]``; rewrite ops (merge/compact/overwrite) keep the
+    rewrite path so tombstoned entries actually disappear."""
     fs = fsio.get_fs(path)
     data_dir = fsio.join(path, "data")
     fs.mkdirs(data_dir)
@@ -1709,7 +1720,9 @@ def _commit_snapshot(
     # would wrongly re-expose its rows)
     new_seq = 1 + max(
         [int(meta.get("last-sequence-number") or 0)]
-        + [int(f.get("__seq") or 0) for f in carried + carried_deletes]) \
+        + [int(f.get("__seq") or 0) for f in carried + carried_deletes]
+        + [int(m.get("sequence_number") or 0)
+           for m in reuse_manifests or []]) \
         if fv >= 2 else None
 
     part_cols = _part_cols(meta)
@@ -1870,19 +1883,23 @@ def _commit_snapshot(
         entries += [{"status": 0, "snapshot_id": snapshot_id,
                      "sequence_number": int(f.get("__seq") or 0),
                      "data_file": _v2_data_file(f)} for f in same_spec]
-        manifest_path = fsio.join(
-            _meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
-        write_avro(manifest_path, entries, _MANIFEST_ENTRY_SCHEMA_V2)
-        mlist_entries.append({
-            "manifest_path": manifest_path,
-            "manifest_length": fs.getsize(manifest_path),
-            "partition_spec_id": did,
-            "added_snapshot_id": snapshot_id,
-            "sequence_number": new_seq,
-            "min_sequence_number": min(
-                [new_seq] + [int(f.get("__seq") or 0) for f in same_spec]),
-            "content": 0,
-        })
+        if entries or not reuse_manifests:
+            # a reuse-append with zero new files must not mint an empty
+            # manifest; an overwrite-to-empty still needs one
+            manifest_path = fsio.join(
+                _meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+            write_avro(manifest_path, entries, _MANIFEST_ENTRY_SCHEMA_V2)
+            mlist_entries.append({
+                "manifest_path": manifest_path,
+                "manifest_length": fs.getsize(manifest_path),
+                "partition_spec_id": did,
+                "added_snapshot_id": snapshot_id,
+                "sequence_number": new_seq,
+                "min_sequence_number": min(
+                    [new_seq]
+                    + [int(f.get("__seq") or 0) for f in same_spec]),
+                "content": 0,
+            })
         for sid_, grp in sorted(older.items()):
             grp_entries = [{"status": 0, "snapshot_id": snapshot_id,
                             "sequence_number": int(f.get("__seq") or 0),
@@ -1952,6 +1969,11 @@ def _commit_snapshot(
             "added_snapshot_id": snapshot_id,
         })
 
+    if reuse_manifests:
+        # FastAppend: the prior snapshot's list entries ride verbatim —
+        # original added_snapshot_id / sequence bounds / spec id intact,
+        # their .avro files untouched on disk
+        mlist_entries += [dict(m) for m in reuse_manifests]
     mlist_path = fsio.join(_meta_dir(path), f"snap-{snapshot_id}.avro")
     write_avro(mlist_path, mlist_entries,
                _MANIFEST_FILE_SCHEMA_V2 if fv >= 2 else _MANIFEST_FILE_SCHEMA)
@@ -2065,24 +2087,31 @@ def write_iceberg(
     else:
         meta = _init_meta(df, path, partition_by, format_version,
                           sort_by=sort_by)
-    if mode == "overwrite" or not meta.get("snapshots"):
-        carried, carried_dels = [], []
-    else:
-        head = None  # None -> current snapshot (also the fork point)
+    reuse = None
+    if mode != "overwrite" and meta.get("snapshots"):
+        # FastAppend (Iceberg's MergeAppend-less default): reuse the
+        # head snapshot's manifest-list entries verbatim instead of
+        # re-reading every manifest and rewriting all carried entries —
+        # O(new files) commit cost, and prior delete files ride along
+        # untouched (they retire on the next rewrite op, as in Iceberg)
+        head_id = None  # None -> current snapshot (also the fork point)
         if branch != "main":
-            head = ((meta.get("refs") or {}).get(branch)
-                    or {}).get("snapshot-id")
-        carried, pos_d, eq_d = _active_entries(path, meta, head)
-        carried_dels = _live_delete_files(carried, pos_d, eq_d)
+            head_id = ((meta.get("refs") or {}).get(branch)
+                       or {}).get("snapshot-id")
+        if head_id is None:
+            head_id = meta.get("current-snapshot-id")
+        snap = next((s for s in meta.get("snapshots") or []
+                     if s["snapshot-id"] == head_id), None)
+        if snap is not None:
+            reuse = read_avro(snap["manifest-list"])[1]
     extra = None
     if txn_app_id is not None:
         extra = {"txn-app-id": txn_app_id,
                  "txn-version": str(int(txn_version))}
     return _commit_snapshot(
-        df, path, meta, carried,
+        df, path, meta, [],
         operation="overwrite" if mode == "overwrite" else "append",
-        carried_deletes=carried_dels, branch=branch,
-        summary_extra=extra)
+        branch=branch, summary_extra=extra, reuse_manifests=reuse)
 
 
 def migrate_to_iceberg(
@@ -3322,6 +3351,38 @@ def expire_snapshots(path: str, keep: int = 1) -> dict:
             fs.delete(sp)
             deleted.append(sp)
     return {"expired": len(expired), "deleted_files": deleted}
+
+
+def rewrite_manifests(path: str) -> dict:
+    """Consolidate the current snapshot's manifests into one data
+    manifest per spec id (+ one delete manifest while delete files are
+    live) — the spec's rewrite-manifests maintenance action and the
+    cleanup pass for FastAppend's manifest-per-commit growth: scan
+    planning opens every manifest in the list, so a 10k-trigger
+    streaming table pays 10k object-store GETs per query until
+    consolidated. Metadata-only (zero data-file movement); commits
+    ``operation=replace``; dead equality deletes retire
+    (:func:`_live_delete_files`). Returns {"replaced": n_before,
+    "created": n_after, "snapshot_id": id}."""
+    _, meta = _current_metadata(path, for_write=True)
+    snap = next((s for s in meta.get("snapshots") or []
+                 if s["snapshot-id"] == meta.get("current-snapshot-id")),
+                None)
+    if snap is None:
+        return {"replaced": 0, "created": 0, "snapshot_id": None}
+    n_before = len(read_avro(snap["manifest-list"])[1])
+    files, pos_d, eq_d = _active_entries(path, meta, None)
+    sid = _commit_snapshot(
+        None, path, meta, carried=files,
+        carried_deletes=_live_delete_files(files, pos_d, eq_d),
+        operation="replace",
+        summary_extra={"manifests-replaced": str(n_before)})
+    _, meta2 = _current_metadata(path)
+    snap2 = next(s for s in meta2["snapshots"]
+                 if s["snapshot-id"] == sid)
+    return {"replaced": n_before,
+            "created": len(read_avro(snap2["manifest-list"])[1]),
+            "snapshot_id": sid}
 
 
 def compact_iceberg(

@@ -554,24 +554,33 @@ class _IceStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId) -> None:
         from sling_cli_spark import fsio
+        from sling_cli_spark.sources.avro_py import read_avro
         from sling_cli_spark.sources.iceberg_py import (
-            _absolute, _active_entries, _commit_snapshot, _current_schema,
-            _encode_bound, _init_meta, is_iceberg_table)
+            _absolute, _commit_snapshot, _current_schema, _encode_bound,
+            _init_meta, is_iceberg_table)
 
         entries = [f for m in messages if m is not None
                    for f in m.file_entries()]
         shim = _SchemaShim(self._schema)
         for _attempt in range(10):
+            reuse = None
             if is_iceberg_table(self._path):
                 from sling_cli_spark.sources.iceberg_py import \
                     _current_metadata
 
                 _, meta = _current_metadata(self._path)
-                carried, pos, eq = _active_entries(self._path, meta, None)
+                # FastAppend: reuse the head's manifest-list entries
+                # verbatim — a micro-batch commit costs O(batch files),
+                # not O(table files); thousands of triggers stay flat
+                snap = next(
+                    (s for s in meta.get("snapshots") or []
+                     if s["snapshot-id"] == meta.get(
+                         "current-snapshot-id")), None)
+                if snap is not None:
+                    reuse = read_avro(snap["manifest-list"])[1]
             else:
                 meta = _init_meta(shim, self._path, self._part_cols,
                                   format_version=2)
-                carried, pos, eq = [], [], []
             seen = self._committed_batch(meta)
             if seen is not None and seen >= batchId:
                 self._cleanup(messages)  # engine re-ran a committed batch
@@ -605,8 +614,8 @@ class _IceStreamWriter(DataSourceStreamWriter):
                 })
             try:
                 _commit_snapshot(
-                    None, self._path, meta, carried=carried,
-                    carried_deletes=pos + eq, staged_files=staged,
+                    None, self._path, meta, carried=[],
+                    staged_files=staged, reuse_manifests=reuse,
                     operation="append",
                     summary_extra={
                         "streaming-app-id": self._app,

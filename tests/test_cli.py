@@ -363,12 +363,12 @@ def test_cli_lake_metadata_tables(spark, tmp_path, capsys):
     assert main(["lake", "manifests", i]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0].startswith("content,path,length,partition_spec_id")
-    assert len(out) == 2  # one packed data manifest
+    assert len(out) == 3  # fast-append: 1 new + 1 reused manifest
 
     assert main(["lake", "entries", i]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0].startswith("status,snapshot_id,sequence_number")
-    assert len(out) == 3  # 1 added + 1 existing entry
+    assert len(out) == 3  # one ADDED entry per manifest
 
     d = str(tmp_path / "d")
     write_delta(spark.createDataFrame(
@@ -439,6 +439,22 @@ def test_cli_lake_compact_log(spark, tmp_path, capsys):
     for v in range(3):
         _os.remove(_os.path.join(t, "_delta_log", f"{v:020d}.json"))
     assert read_delta(spark, t).count() == 4
+
+
+def test_cli_lake_rewrite_manifests(spark, tmp_path, capsys):
+    """r9: `lake rewrite-manifests` consolidates fast-append manifest
+    growth into one data manifest."""
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.iceberg_py import read_iceberg, write_iceberg
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        write_iceberg(spark.createDataFrame(
+            [(i, "x")], "id long, v string").coalesce(1), t)
+    assert main(["lake", "rewrite-manifests", t]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["replaced"] == 3 and out["created"] == 1
+    assert read_iceberg(spark, t).count() == 3
 
 
 def test_cli_lake_convert_and_migrate(spark, tmp_path, capsys):

@@ -2990,3 +2990,40 @@ def test_column_mapping_ddl_refusals(spark, tmp_path):
                              "v IS NOT NULL"})
     with pytest.raises(UnsupportedTableFeature, match="constraint"):
         rename_column(t, "v", "val")
+
+
+def test_auto_checkpoint_interval_property(spark, tmp_path):
+    """delta.checkpointInterval: every interval-th commit writes a
+    checkpoint automatically (classic or v2 per protocol); the replay
+    tail stays O(interval)."""
+    import glob as _glob
+
+    from sling_cli_spark.sources import delta_py as D
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(0, "a")]), t)                      # v0
+    D.set_table_properties(t, {"delta.checkpointInterval": "3"})  # v1
+    write_delta(_df(spark, [(1, "b")]), t, mode="append")       # v2
+    assert D._last_checkpoint_info(t, __import__(
+        "sling_cli_spark.fsio", fromlist=["x"]).get_fs(t)) is None
+    write_delta(_df(spark, [(2, "c")]), t, mode="append")       # v3
+    info = D._last_checkpoint_info(
+        t, __import__("sling_cli_spark.fsio", fromlist=["x"]).get_fs(t))
+    assert info and int(info["version"]) == 3
+    assert _glob.glob(os.path.join(
+        t, "_delta_log", f"{3:020d}.checkpoint*.parquet"))
+    # state reconstructs from the checkpoint alone
+    for v in range(0, 4):
+        os.remove(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    assert {r["id"] for r in read_delta(spark, t).collect()} == {0, 1, 2}
+    # v2-obliged table takes the v2 form
+    t2 = str(tmp_path / "t2")
+    write_delta(_df(spark, [(0, "a")]), t2)                     # v0
+    D.create_checkpoint(t2, v2=True)                            # v1 upgrade
+    D.set_table_properties(t2, {"delta.checkpointInterval": "3"})  # v2
+    write_delta(_df(spark, [(1, "b")]), t2, mode="append")      # v3
+    log = os.path.join(t2, "_delta_log")
+    tops = [x for x in os.listdir(log)
+            if x.startswith(f"{3:020d}.checkpoint.") and
+            x.endswith(".json")]
+    assert tops, "interval checkpoint on a v2 table must be v2-form"

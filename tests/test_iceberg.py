@@ -73,23 +73,30 @@ def test_metadata_layout_v1_explicit(spark, tmp_path):
 
 def test_v2_sequence_numbers_advance(spark, tmp_path):
     """Each commit takes the next data sequence number; added manifest
-    entries inherit it from the manifest list, carried EXISTING entries
-    keep their original explicitly."""
+    entries inherit it from the manifest list; a FastAppend REUSES the
+    prior snapshot's manifest verbatim (its own list-entry sequence
+    number intact) instead of rewriting carried entries."""
     from sling_cli_spark.sources import iceberg_py as I
     from sling_cli_spark.sources.avro_py import read_avro
 
     t = str(tmp_path / "t")
     write_iceberg(_df(spark, [(1, "a")]).coalesce(1), t)
+    _, meta1 = I._current_metadata(t)
+    _, mlist1 = read_avro(meta1["snapshots"][-1]["manifest-list"])
     write_iceberg(_df(spark, [(2, "b")]).coalesce(1), t)
     _, meta = I._current_metadata(t)
     assert meta["last-sequence-number"] == 2
     _, manifests = read_avro(meta["snapshots"][-1]["manifest-list"])
-    assert [m["sequence_number"] for m in manifests] == [2]
-    assert manifests[0]["min_sequence_number"] == 1  # carried entry
-    _, entries = read_avro(manifests[0]["manifest_path"])
-    by_status = {e["status"]: e for e in entries}
-    assert by_status[1]["sequence_number"] is None  # added -> inherited
-    assert by_status[0]["sequence_number"] == 1     # carried -> explicit
+    assert sorted(m["sequence_number"] for m in manifests) == [1, 2]
+    new = next(m for m in manifests if m["sequence_number"] == 2)
+    reused = next(m for m in manifests if m["sequence_number"] == 1)
+    # verbatim reuse: same path + original added_snapshot_id
+    assert reused["manifest_path"] == mlist1[0]["manifest_path"]
+    assert reused["added_snapshot_id"] \
+        == meta["snapshots"][0]["snapshot-id"]
+    _, entries = read_avro(new["manifest_path"])
+    assert [e["status"] for e in entries] == [1]
+    assert entries[0]["sequence_number"] is None  # added -> inherited
     # the reader resolves inheritance: both files scan
     files = I._active_files(t, meta, None)
     assert sorted(f["__seq"] for f in files) == [1, 2]
@@ -1934,3 +1941,55 @@ def test_migrate_to_iceberg_in_place(spark, tmp_path):
     assert got[3] == "UPD" and got[99] == "NEW" and len(got) == 13
     with pytest.raises(ValueError, match="already an iceberg"):
         migrate_to_iceberg(spark, p)
+
+
+def test_fast_append_reuses_manifests_and_rewrite_consolidates(
+        spark, tmp_path):
+    """Appends reuse prior manifests verbatim (commit cost O(new
+    files)); rewrite_manifests consolidates the per-commit growth into
+    one data manifest; expire_snapshots never deletes a manifest a
+    kept snapshot still references."""
+    from sling_cli_spark.sources import iceberg_py as I
+    from sling_cli_spark.sources.avro_py import read_avro
+
+    t = str(tmp_path / "t")
+    for i in range(5):
+        write_iceberg(_df(spark, [(i, f"v{i}")]).coalesce(1), t)
+    _, meta = I._current_metadata(t)
+    _, mlist = read_avro(meta["snapshots"][-1]["manifest-list"])
+    assert len(mlist) == 5  # one manifest per commit, 4 reused
+    own = [m for m in mlist if int(m["added_snapshot_id"])
+           == meta["snapshots"][-1]["snapshot-id"]]
+    assert len(own) == 1
+
+    res = I.rewrite_manifests(t)
+    assert res["replaced"] == 5 and res["created"] == 1
+    _, meta = I._current_metadata(t)
+    snap = meta["snapshots"][-1]
+    assert snap["summary"]["operation"] == "replace"
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got == {i: f"v{i}" for i in range(5)}
+    # consolidated entries carry explicit seqs; reader sees them all
+    files = I._active_files(t, meta, None)
+    assert sorted(f["__seq"] for f in files) == [1, 2, 3, 4, 5]
+
+    # one more fast-append on top of the consolidated manifest
+    write_iceberg(_df(spark, [(9, "z")]).coalesce(1), t)
+    # expire everything but the head: shared manifests must survive
+    I.expire_snapshots(t, keep=1)
+    got = {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()}
+    assert got == {0: "v0", 1: "v1", 2: "v2", 3: "v3", 4: "v4", 9: "z"}
+
+
+def test_fast_append_carries_delete_files_mor(spark, tmp_path):
+    """A fast-append after a DV/eq-delete-producing op must keep the
+    delete manifests riding the list — deleted rows stay dead."""
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), t)
+    I.delete_missing_iceberg(
+        spark, t, _df(spark, [(1, "a"), (3, "c")]), ["id"])  # drops id=2
+    write_iceberg(_df(spark, [(4, "d")]).coalesce(1), t)  # fast-append
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1, 3, 4}
