@@ -3679,10 +3679,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_drift", "snapshot_stamp", "select_project",
         "where_filter", "limit_order", "column_casing_upper",
         "definition_only",
+        # --- new in r9 (late additions, never driver-checked) ---
+        "delta_log_compaction", "iceberg_fast_append",
         # --- r7-checked fill (stalest tail) ---
         "minhash_dedup_docs", "simhash_dedup_docs", "fingerprint_docs",
-        "ann_lsh_topk", "ann_ivf_topk", "ann_topk", "embedding_near_dup",
-        "semdedup_docs",
+        "ann_lsh_topk", "ann_ivf_topk", "ann_topk",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     missing = [k for k in window if k not in d]

@@ -311,6 +311,7 @@ def discover_fks(
     min_match_prct: float = 95.0,
     name_heuristic: bool = True,
     probe_concurrency: int = 8,
+    max_probes: int = 512,
 ) -> list[dict]:
     """FK-candidate discovery (reference: analyzer.go:151-259 — probes
     column pairs across tables and keeps high match-rate pairs).
@@ -323,6 +324,12 @@ def discover_fks(
     uniqueness is ONE aggregate per referenced table (all its candidate
     columns batched), and the match probes fan out over a thread pool —
     N concurrent Spark jobs instead of 2·pairs sequential ones.
+
+    ``max_probes`` bounds the probe fan-out: a thousand-table catalog
+    with loose name matching can enumerate tens of thousands of
+    candidate pairs, and each probe is a join-shaped Spark job — refuse
+    past the cap instead of silently launching an hour of driver loops
+    (raise the cap deliberately for a big catalog sweep).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -353,6 +360,12 @@ def discover_fks(
         t: _unique_cols(tables[t], sorted(cols))
         for t, cols in ref_cols.items() if cols}
     pairs = [p for p in pairs if p[3] in unique.get(p[2], set())]
+
+    if len(pairs) > max_probes:
+        raise ValueError(
+            f"discover_fks: {len(pairs)} candidate pairs exceed "
+            f"max_probes={max_probes}; narrow the table set or raise "
+            "the cap explicitly")
 
     # 3. match probes, concurrently
     def probe(p):

@@ -300,8 +300,10 @@ def _txn_versions(path: str) -> dict[str, int]:
     """{appId: last committed transaction version} (PROTOCOL.md
     §Transaction Identifiers — the SetTransaction action streaming
     sinks key exactly-once idempotence on). Seeds from the newest
-    checkpoint's txn rows, then folds the retained JSON commits
-    (latest wins)."""
+    checkpoint's txn rows, then folds the retained log objects —
+    through :func:`_log_texts`, so a minor log compaction substitutes
+    for cleaned per-version commits and the exactly-once markers
+    survive retention (latest wins)."""
     fs = fsio.get_fs(path)
     vs = _list_versions(path, fs)
     txns: dict[str, int] = {}
@@ -311,8 +313,8 @@ def _txn_versions(path: str) -> dict[str, int]:
         if cp_v is not None:
             for t in _checkpoint_txn_rows(path, fs, int(cp_v)):
                 txns[t["appId"]] = int(t["version"])
-    for v in vs:
-        for line in fs.read_bytes(_log_path(path, v)).decode().splitlines():
+    for text in _log_texts(path, fs, -1, None):
+        for line in text.splitlines():
             if '"txn"' not in line:
                 continue
             t = json.loads(line).get("txn")

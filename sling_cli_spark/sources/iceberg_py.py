@@ -2027,7 +2027,22 @@ def _commit_snapshot(
     meta["refs"] = refs
     if branch == "main":
         meta["current-snapshot-id"] = snapshot_id
+    prev_updated = int(meta.get("last-updated-ms") or 0)
     meta["last-updated-ms"] = int(time.time() * 1000)
+
+    props = meta.get("properties") or {}
+    keep_meta = int(props.get(
+        "write.metadata.previous-versions-max") or 100)
+    if version > 0:
+        # spec §Table Metadata metadata-log: every commit records the
+        # file it supersedes (timestamped with when THAT file was
+        # current), capped at previous-versions-max — the lineage
+        # metadata-level rollback and foreign catalogs walk
+        mlog = list(meta.get("metadata-log") or [])
+        mlog.append({"timestamp-ms": prev_updated,
+                     "metadata-file": _absolute(fsio.join(
+                         _meta_dir(path), f"v{version}.metadata.json"))})
+        meta["metadata-log"] = mlog[-keep_meta:]
 
     new_version = version + 1
     try:
@@ -2040,6 +2055,23 @@ def _commit_snapshot(
             f"at {path} (concurrent writer won the race)")
     fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
                    str(new_version).encode())
+    if str(props.get("write.metadata.delete-after-commit.enabled",
+                     "")).lower() == "true":
+        # the catalog-property twin of `lake cleanup-logs`: metadata
+        # files outside the retained metadata-log window die with the
+        # commit — a 10k-commit streaming table stops accreting 10k
+        # JSON copies of its whole snapshot history. Best-effort: a
+        # cleanup failure never fails the committed write.
+        retained = {e["metadata-file"].rsplit("/", 1)[-1]
+                    for e in meta.get("metadata-log") or []}
+        retained.add(f"v{new_version}.metadata.json")
+        try:
+            for name in fs.listdir(_meta_dir(path)):
+                if re.match(r"^v\d+\.metadata\.json$", name) \
+                        and name not in retained:
+                    fs.delete(fsio.join(_meta_dir(path), name))
+        except Exception:
+            pass
     return snapshot_id
 
 

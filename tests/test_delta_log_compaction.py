@@ -121,3 +121,26 @@ def test_time_travel_prefers_raw_commits_within_limit(spark, tmp_path):
     compact_log(t, 0, 5)
     assert {r["id"] for r in read_delta(spark, t, version=1).collect()} \
         == {1, 2, 11}
+
+
+def test_compaction_preserves_txn_markers(spark, tmp_path):
+    """SetTransaction markers ride the compacted object: the streaming
+    sink's exactly-once probe must survive retention of the raw
+    commits."""
+    from sling_cli_spark.sources.delta_py import last_txn_version
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a")]), t,
+                txn_app_id="app1", txn_version=7)
+    write_delta(_df(spark, [(2, "b")]), t, mode="append",
+                txn_app_id="app1", txn_version=9)
+    write_delta(_df(spark, [(3, "c")]), t, mode="append")
+    assert last_txn_version(t, "app1") == 9
+    compact_log(t, 0, 2)
+    for v in range(0, 2):
+        os.remove(os.path.join(t, "_delta_log", f"{v:020d}.json"))
+    assert last_txn_version(t, "app1") == 9
+    # a replayed batch would still be skipped
+    write_delta(_df(spark, [(9, "x")]), t, mode="append",
+                txn_app_id="app1", txn_version=9)
+    assert {r["id"] for r in read_delta(spark, t).collect()} == {1, 2, 3}

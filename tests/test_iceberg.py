@@ -1993,3 +1993,35 @@ def test_fast_append_carries_delete_files_mor(spark, tmp_path):
     write_iceberg(_df(spark, [(4, "d")]).coalesce(1), t)  # fast-append
     got = {r["id"] for r in read_iceberg(spark, t).collect()}
     assert got == {1, 3, 4}
+
+
+def test_metadata_log_and_delete_after_commit(spark, tmp_path):
+    """spec §Table Metadata: every commit appends the superseded file
+    to metadata-log (capped at write.metadata.previous-versions-max);
+    write.metadata.delete-after-commit.enabled=true reclaims versions
+    outside the window at commit time."""
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a")]).coalesce(1), t)
+    write_iceberg(_df(spark, [(2, "b")]).coalesce(1), t)
+    write_iceberg(_df(spark, [(3, "c")]).coalesce(1), t)
+    _, meta = I._current_metadata(t)
+    mlog = meta.get("metadata-log") or []
+    assert [e["metadata-file"].rsplit("/", 1)[-1] for e in mlog] \
+        == ["v1.metadata.json", "v2.metadata.json"]
+    assert all(e["timestamp-ms"] > 0 for e in mlog)
+
+    I.set_iceberg_properties(t, {
+        "write.metadata.delete-after-commit.enabled": "true",
+        "write.metadata.previous-versions-max": "2"})
+    for i in range(4, 8):
+        write_iceberg(_df(spark, [(i, "x")]).coalesce(1), t)
+    md = os.path.join(t, "metadata")
+    vs = sorted(int(n[1:-14]) for n in os.listdir(md)
+                if n.startswith("v") and n.endswith(".metadata.json"))
+    v, meta = I._current_metadata(t)
+    assert vs == [v - 2, v - 1, v], vs  # window of 2 + current
+    assert len(meta["metadata-log"]) == 2
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == {1, 2, 3, 4, 5, 6, 7}
