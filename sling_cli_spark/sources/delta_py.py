@@ -628,7 +628,19 @@ def create_checkpoint(path: str, version: int | None = None,
     return int(version)
 
 
-def _maybe_auto_checkpoint(path: str, version: int) -> None:
+# {table path: delta.checkpointInterval} — the interval probe must not
+# cost a state replay on EVERY commit (2x the driver's log reads for a
+# feature most tables never enable). Seeded from the commit's own
+# metaData action when one rides along (set_table_properties always
+# commits one), else one replay per path per process. A foreign writer
+# flipping the property concurrently is seen at the next process or
+# metaData-carrying commit — benign, the interval only times an
+# optimization.
+_CKPT_INTERVAL_CACHE: dict[str, int] = {}
+
+
+def _maybe_auto_checkpoint(path: str, version: int,
+                           actions: list[dict] | None = None) -> None:
     """``delta.checkpointInterval`` (delta-spark table property): when
     the table EXPLICITLY sets it, write a checkpoint after every
     interval-th commit — the replay tail stays O(interval) instead of
@@ -641,11 +653,23 @@ def _maybe_auto_checkpoint(path: str, version: int) -> None:
     if version <= 0:
         return
     try:
-        meta, files, protocol = _replay_state(path, version)
-        cfg = (meta or {}).get("configuration") or {}
-        iv = int(cfg.get("delta.checkpointInterval") or 0)
+        iv = None
+        for a in actions or ():
+            md = a.get("metaData")
+            if md is not None:
+                iv = int((md.get("configuration") or {})
+                         .get("delta.checkpointInterval") or 0)
+                _CKPT_INTERVAL_CACHE[path] = iv
+        if iv is None:
+            iv = _CKPT_INTERVAL_CACHE.get(path)
+        if iv is None:
+            meta0 = _replay_state(path, version)[0]
+            iv = int(((meta0 or {}).get("configuration") or {})
+                     .get("delta.checkpointInterval") or 0)
+            _CKPT_INTERVAL_CACHE[path] = iv
         if iv <= 0 or version % iv != 0:
             return
+        meta, files, protocol = _replay_state(path, version)
         fs = fsio.get_fs(path)
         info = _last_checkpoint_info(path, fs) or {}
         if int(info.get("version", -1)) >= version:
@@ -1074,7 +1098,7 @@ def _commit_with_retry(
     for _ in range(max_retries):
         try:
             _commit(path, version, actions)
-            _maybe_auto_checkpoint(path, version)
+            _maybe_auto_checkpoint(path, version, actions)
             return version
         except FileExistsError:
             _, active = replay_log(path)
@@ -2680,7 +2704,7 @@ def write_delta(
     if mode == "append" and version > 0:
         return _commit_with_retry(path, version, actions)
     _commit(path, version, actions)
-    _maybe_auto_checkpoint(path, version)
+    _maybe_auto_checkpoint(path, version, actions)
     return version
 
 
@@ -3557,6 +3581,7 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
         actions += _assign_fresh_row_ids(
             path, backfill, v, protocol={"writerFeatures": ["rowTracking"]})
     _commit(path, v, actions)
+    _maybe_auto_checkpoint(path, v, actions)
     return v
 
 

@@ -638,9 +638,19 @@ def _active_entries(
     files: list[dict] = []
     pos_deletes: list[dict] = []
     eq_deletes: list[dict] = []
-    for m in manifests:
+    # manifests are independent objects — fan the reads out (FastAppend
+    # lists grow one manifest per commit between consolidations, and on
+    # an object store each read is a sequential round-trip otherwise)
+    if len(manifests) > 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(manifests))) as ex:
+            bodies = list(ex.map(
+                lambda m: read_avro(m["manifest_path"])[1], manifests))
+    else:
+        bodies = [read_avro(m["manifest_path"])[1] for m in manifests]
+    for m, entries in zip(manifests, bodies):
         mseq = m.get("sequence_number")
-        _, entries = read_avro(m["manifest_path"])
         for e in entries:
             if e["status"] == 2:  # 2 = DELETED
                 continue
