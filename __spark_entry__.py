@@ -1806,6 +1806,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assert res["replaced"] == 4 and res["created"] == 1, res
         return I.read_iceberg(spark, t)
 
+    def iceberg_wap_publish(spark, sf):
+        """Write-audit-publish (iceberg_py round 9,
+        cherry_pick_snapshot; Spark-Iceberg's cherrypick_snapshot
+        procedure): nations < 10 land on main, the rest stage on an
+        AUDIT branch (invisible to main readers — the audit gate),
+        main moves on with an independent append, then the publish
+        cherry-picks the staged snapshot onto the moved head as a
+        metadata-only append (staged files re-sequence at the new
+        snapshot; head manifests reuse verbatim)."""
+        import tempfile
+
+        from sling_cli_spark.sources import iceberg_py as I
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_wap_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        I.write_iceberg(n.filter("n_nationkey < 10").coalesce(1), t)
+        I.create_branch(t, "audit")
+        staged = I.write_iceberg(
+            n.filter("n_nationkey >= 10 and n_nationkey < 20")
+            .coalesce(1), t, branch="audit")
+        pre = I.read_iceberg(spark, t).count()
+        assert pre == 10, f"staged write leaked to main: {pre} rows"
+        I.write_iceberg(n.filter("n_nationkey >= 20").coalesce(1), t)
+        I.cherry_pick_snapshot(t, staged)
+        return I.read_iceberg(spark, t)
+
+    def iceberg_all_meta(spark, sf):
+        """all_manifests + all_files metadata twins (iceberg_py round
+        9): three fast-appends then an overwrite — all_manifests shows
+        manifest REUSE (one row per referencing snapshot: 1,2,3 rows
+        for the append chain, 1 for the overwrite rewrite), all_files
+        shows path-deduplicated live files across every retained
+        snapshot (the three pre-overwrite files stay visible while
+        history references them). Both reduced to deterministic
+        aggregates; wall-clock ids project to a commit ordinal."""
+        import tempfile
+
+        from pyspark.sql import Window
+
+        from sling_cli_spark.sources import iceberg_py as I
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_am_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        I.write_iceberg(n.filter("n_nationkey < 8").coalesce(1), t)
+        I.write_iceberg(
+            n.filter("n_nationkey >= 8 and n_nationkey < 16")
+            .coalesce(1), t)
+        I.write_iceberg(n.filter("n_nationkey >= 16").coalesce(1), t)
+        I.write_iceberg(n.filter("n_nationkey < 5").coalesce(1), t,
+                        mode="overwrite")
+        am = I.iceberg_all_manifests(spark, t) \
+            .withColumn("ord", F.dense_rank().over(
+                Window.orderBy("reference_snapshot_id"))) \
+            .groupBy("ord") \
+            .agg(F.count(F.lit(1)).alias("n_manifests")) \
+            .select("ord", "n_manifests")
+        af = I.iceberg_all_files(spark, t).groupBy("content").agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("record_count").alias("n_records"))
+        return am.crossJoin(af)
+
     def delta_type_widening(spark, sf):
         """typeWidening table read (delta_py round 7): the first file
         stores n_nationkey as parquet INT32, a foreign commit widens
@@ -3618,6 +3684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_v2_checkpoint_write": delta_v2_checkpoint_write,
         "delta_log_compaction": delta_log_compaction,
         "iceberg_fast_append": iceberg_fast_append,
+        "iceberg_wap_publish": iceberg_wap_publish,
+        "iceberg_all_meta": iceberg_all_meta,
         "convert_inplace_roundtrip": convert_inplace_roundtrip,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
@@ -4254,6 +4322,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation
+        """,
+        "iceberg_wap_publish": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+        """,
+        "iceberg_all_meta": """
+            WITH am AS (
+              SELECT * FROM (VALUES (1, CAST(1 AS BIGINT)),
+                                    (2, CAST(2 AS BIGINT)),
+                                    (3, CAST(3 AS BIGINT)),
+                                    (4, CAST(1 AS BIGINT)))
+                   t(ord, n_manifests)),
+            af AS (
+              SELECT 0 AS content, CAST(4 AS BIGINT) AS n_files,
+                     (SELECT count(*) FROM nation)
+                     + (SELECT count(*) FROM nation WHERE n_nationkey < 5)
+                     AS n_records)
+            SELECT am.ord, am.n_manifests, af.content, af.n_files,
+                   af.n_records
+            FROM am CROSS JOIN af
         """,
         "delta_type_widening": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name

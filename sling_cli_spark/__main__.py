@@ -436,6 +436,15 @@ def cmd_lake(args: argparse.Namespace) -> int:
         from sling_cli_spark.sources.delta_py import restore_delta
         print(json.dumps(restore_delta(path, version=args.version)))
         return 0
+    if op == "cherry-pick":
+        if is_delta:
+            print("cherry-pick applies to Iceberg tables",
+                  file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.iceberg_py import cherry_pick_snapshot
+        sid = cherry_pick_snapshot(path, args.snapshot)
+        print(json.dumps({"published_snapshot_id": sid}))
+        return 0
     if op == "rollback":
         if is_delta:
             print("rollback applies to Iceberg tables "
@@ -549,7 +558,8 @@ def cmd_lake(args: argparse.Namespace) -> int:
             df = iceberg_history(spark, path)
         _stream_csv_stdout(df)
         return 0
-    if op in ("snapshots", "manifests", "entries", "refs", "stats"):
+    if op in ("snapshots", "manifests", "entries", "refs", "stats",
+              "all-manifests", "all-files"):
         if is_delta:
             print(f"{op} applies to Iceberg tables (delta: use history)",
                   file=sys.stderr)
@@ -559,7 +569,9 @@ def cmd_lake(args: argparse.Namespace) -> int:
               "manifests": ice.iceberg_manifests,
               "entries": ice.iceberg_entries,
               "refs": ice.iceberg_refs_meta,
-              "stats": ice.iceberg_statistics}[op]
+              "stats": ice.iceberg_statistics,
+              "all-manifests": ice.iceberg_all_manifests,
+              "all-files": ice.iceberg_all_files}[op]
         _stream_csv_stdout(fn(spark, path))
         return 0
     if op == "analyze":
@@ -751,6 +763,15 @@ def build_parser() -> argparse.ArgumentParser:
     len_ = ls.add_parser("entries",
                          help="iceberg: raw manifest entries as CSV")
     len_.add_argument("path")
+    lam = ls.add_parser("all-manifests",
+                        help="iceberg: every retained snapshot's "
+                             "manifests as CSV (reference_snapshot_id "
+                             "per row)")
+    lam.add_argument("path")
+    laf = ls.add_parser("all-files",
+                        help="iceberg: live files across every "
+                             "retained snapshot, deduplicated, as CSV")
+    laf.add_argument("path")
     lrf = ls.add_parser("refs",
                         help="iceberg: refs metadata table as CSV")
     lrf.add_argument("path")
@@ -794,6 +815,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="delta: RESTORE TO VERSION AS OF")
     lrs.add_argument("path")
     lrs.add_argument("--version", type=int, required=True)
+    lcpk = ls.add_parser("cherry-pick",
+                         help="iceberg: publish a staged append "
+                              "snapshot (WAP) onto the current head")
+    lcpk.add_argument("path")
+    lcpk.add_argument("snapshot", type=int)
     lrb = ls.add_parser("rollback",
                         help="iceberg: roll current back to a snapshot")
     lrb.add_argument("path")
@@ -835,7 +861,7 @@ def build_parser() -> argparse.ArgumentParser:
     lc.add_argument("--from-snapshot", type=int,
                     help="iceberg changelog start snapshot id")
     for sp in (lo, lv, le, lc, lh, ld, lf, lp, lsn, lmf, len_, lrf,
-               lcv, lmg, lst, lan):
+               lcv, lmg, lst, lan, lam, laf):
         # trailing -d like run/pipeline
         sp.add_argument("-d", "--debug", action="store_true")
     lk.set_defaults(fn=cmd_lake)

@@ -2541,6 +2541,77 @@ def sync_delta(iceberg_path: str) -> int:
     return delta_py._commit_with_retry(iceberg_path, version, actions)
 
 
+def cherry_pick_snapshot(path: str, snapshot_id: int) -> int:
+    """WAP publish (Spark-Iceberg's ``cherrypick_snapshot`` procedure;
+    the write-audit-publish pattern): apply an APPEND-ONLY snapshot
+    staged off the main line — on an audit branch
+    (``write_iceberg(branch=...)``) or orphaned by a rollback — onto
+    the CURRENT main head as a new snapshot. Metadata-only: the staged
+    data files join a fresh manifest at the NEW sequence number
+    (matching Iceberg, which reassigns sequencing on publish so later
+    equality deletes scope correctly) while the head's manifests ride
+    verbatim (FastAppend reuse). Refuses non-append snapshots (a
+    staged overwrite/delete may conflict with main-line commits — the
+    same restriction the reference procedure enforces), snapshots
+    already on the main chain, and staged files already active.
+    Returns the new snapshot id."""
+    _, meta = _current_metadata(path, for_write=True)
+    snaps = meta.get("snapshots") or []
+    snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id),
+                None)
+    if snap is None:
+        raise ValueError(
+            f"iceberg table at {path}: snapshot {snapshot_id} is not "
+            "retained — cannot cherry-pick it")
+    if (snap.get("summary") or {}).get("operation") != "append":
+        raise ValueError(
+            f"cherry_pick_snapshot: snapshot {snapshot_id} is a "
+            f"{(snap.get('summary') or {}).get('operation')!r} — only "
+            "append snapshots publish safely onto a moved head")
+    # already on the main chain? walk parent links from current
+    cur = meta.get("current-snapshot-id")
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    walk = cur
+    while walk is not None and walk in by_id:
+        if walk == snapshot_id:
+            raise ValueError(
+                f"cherry_pick_snapshot: snapshot {snapshot_id} is "
+                "already on the main chain")
+        walk = by_id[walk].get("parent-snapshot-id")
+    staged: list[dict] = []
+    for m in read_avro(snap["manifest-list"])[1]:
+        if int(m.get("added_snapshot_id") or -1) != snapshot_id:
+            continue
+        for e in read_avro(m["manifest_path"])[1]:
+            if e.get("status") != 1 or e.get("snapshot_id") != snapshot_id:
+                continue
+            f = dict(e["data_file"])
+            if (f.get("content") or 0) != 0:
+                raise UnsupportedTableFeature(
+                    f"cherry_pick_snapshot: snapshot {snapshot_id} "
+                    "added delete files — their sequence scoping does "
+                    "not survive a publish")
+            staged.append(f)
+    head = next((s for s in snaps if s["snapshot-id"] == cur), None)
+    reuse = read_avro(head["manifest-list"])[1] if head else None
+    if reuse:
+        active = {_canon(e["data_file"]["file_path"])
+                  for m in reuse
+                  for e in read_avro(m["manifest_path"])[1]
+                  if e.get("status") != 2}
+        dup = [f["file_path"] for f in staged
+               if _canon(f["file_path"]) in active]
+        if dup:
+            raise ValueError(
+                f"cherry_pick_snapshot: {len(dup)} staged file(s) are "
+                f"already active on main (e.g. {dup[0]}) — the "
+                "snapshot looks already published")
+    return _commit_snapshot(
+        None, path, meta, carried=[], staged_files=staged,
+        reuse_manifests=reuse, operation="append",
+        summary_extra={"source-snapshot-id": str(int(snapshot_id))})
+
+
 def rollback_to_snapshot(path: str, snapshot_id: int) -> int:
     """rollback_to_snapshot maintenance action (spec/Spark procedure):
     point ``current-snapshot-id`` — and the ``main`` ref — back at an
@@ -2878,6 +2949,63 @@ def iceberg_entries(spark: SparkSession, path: str,
         "status int, snapshot_id long, sequence_number long, "
         "content int, file_path string, record_count long, "
         "file_size_in_bytes long, partition string"))
+
+
+def iceberg_all_manifests(spark: SparkSession, path: str) -> DataFrame:
+    """``all_manifests`` metadata-table twin: the manifests of EVERY
+    retained snapshot, one row per (manifest, referencing snapshot) —
+    ``reference_snapshot_id`` tells which snapshot's list carries it
+    (a FastAppend-reused manifest appears once per referencing
+    snapshot, exactly like Spark-Iceberg's table). One manifest-list
+    read per snapshot; manifest bodies are NOT opened — this stays
+    metadata-scale on a 10k-snapshot table."""
+    _, meta = _current_metadata(path)
+    rows = []
+    for s in meta.get("snapshots") or []:
+        for m in read_avro(s["manifest-list"])[1]:
+            rows.append((
+                int(m.get("content") or 0), m["manifest_path"],
+                int(m.get("manifest_length") or 0),
+                int(m.get("partition_spec_id") or 0),
+                int(m.get("added_snapshot_id") or 0),
+                int(s["snapshot-id"])))
+    return spark.createDataFrame(rows, (
+        "content int, path string, length long, partition_spec_id int, "
+        "added_snapshot_id long, reference_snapshot_id long"))
+
+
+def iceberg_all_files(spark: SparkSession, path: str) -> DataFrame:
+    """``all_files`` metadata-table twin: live (status != DELETED)
+    data AND delete files across EVERY retained snapshot, deduplicated
+    by file path (a file carried through ten snapshots appears once,
+    like Spark-Iceberg's table). Each shared manifest is opened once
+    even when many snapshots reference it."""
+    _, meta = _current_metadata(path)
+    man_paths: dict[str, dict] = {}
+    for s in meta.get("snapshots") or []:
+        for m in read_avro(s["manifest-list"])[1]:
+            man_paths.setdefault(m["manifest_path"], m)
+    rows, seen = [], set()
+    for mp, m in sorted(man_paths.items()):
+        mseq = m.get("sequence_number")
+        for e in read_avro(mp)[1]:
+            df_ = e["data_file"]
+            if int(e.get("status") or 0) == 2 or df_["file_path"] in seen:
+                continue
+            seen.add(df_["file_path"])
+            seq = e.get("sequence_number")
+            rows.append((
+                int(df_.get("content") or 0),
+                df_["file_path"],
+                (df_.get("file_format") or "PARQUET").upper(),
+                int(df_.get("record_count") or 0),
+                int(df_.get("file_size_in_bytes") or 0),
+                int((mseq if seq is None else seq) or 0),
+                json.dumps(df_.get("partition") or {}, sort_keys=True)))
+    return spark.createDataFrame(rows, (
+        "content int, file_path string, file_format string, "
+        "record_count long, file_size_in_bytes long, "
+        "sequence_number long, partition string"))
 
 
 def analyze_iceberg(

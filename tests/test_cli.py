@@ -457,6 +457,33 @@ def test_cli_lake_rewrite_manifests(spark, tmp_path, capsys):
     assert read_iceberg(spark, t).count() == 3
 
 
+def test_cli_lake_all_meta_and_cherry_pick(spark, tmp_path, capsys):
+    """r9: `lake all-manifests` / `lake all-files` stream the
+    cross-snapshot twins; `lake cherry-pick` publishes a staged
+    branch append."""
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.iceberg_py import (
+        create_branch, read_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), t)
+    create_branch(t, "audit")
+    staged = write_iceberg(spark.createDataFrame(
+        [(2, "b")], "id long, v string").coalesce(1), t, branch="audit")
+    assert main(["lake", "all-manifests", t]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith("content,path,length")
+    assert len(out) >= 3  # main's manifest + branch's two rows
+    assert main(["lake", "all-files", t]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3  # header + both files (branch incl.)
+    assert main(["lake", "cherry-pick", t, str(staged)]) == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["published_snapshot_id"]
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 2}
+
+
 def test_cli_lake_convert_and_migrate(spark, tmp_path, capsys):
     """r9: `lake convert` / `lake migrate` adopt plain parquet dirs."""
     from sling_cli_spark.__main__ import main

@@ -2025,3 +2025,74 @@ def test_metadata_log_and_delete_after_commit(spark, tmp_path):
     assert len(meta["metadata-log"]) == 2
     got = {r["id"] for r in read_iceberg(spark, t).collect()}
     assert got == {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_cherry_pick_publishes_branch_append(spark, tmp_path):
+    """WAP: stage an append on an audit branch, main moves on, the
+    publish cherry-picks the staged snapshot onto the NEW head as a
+    metadata-only append."""
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a")]).coalesce(1), t)
+    I.create_branch(t, "audit")
+    staged_sid = write_iceberg(_df(spark, [(2, "b")]).coalesce(1), t,
+                               branch="audit")
+    # main does not see the staged write; it moves on independently
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1}
+    write_iceberg(_df(spark, [(3, "c")]).coalesce(1), t)
+    new_sid = I.cherry_pick_snapshot(t, staged_sid)
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} \
+        == {1, 2, 3}
+    _, meta = I._current_metadata(t)
+    head = meta["snapshots"][-1]
+    assert head["snapshot-id"] == new_sid
+    assert head["summary"]["source-snapshot-id"] == str(staged_sid)
+    assert head["summary"]["operation"] == "append"
+    # double publish refuses (files already active)
+    with pytest.raises(ValueError, match="already"):
+        I.cherry_pick_snapshot(t, staged_sid)
+
+
+def test_cherry_pick_refusals(spark, tmp_path):
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    sid0 = write_iceberg(_df(spark, [(1, "a")]).coalesce(1), t)
+    with pytest.raises(ValueError, match="main chain"):
+        I.cherry_pick_snapshot(t, sid0)
+    with pytest.raises(ValueError, match="not"):
+        I.cherry_pick_snapshot(t, 123456789)
+    sid_ow = write_iceberg(_df(spark, [(2, "b")]).coalesce(1), t,
+                           mode="overwrite")
+    # orphan the overwrite via rollback, then try to publish it
+    I.rollback_to_snapshot(t, sid0)
+    with pytest.raises(ValueError, match="append snapshots"):
+        I.cherry_pick_snapshot(t, sid_ow)
+
+
+def test_all_manifests_and_all_files_twins(spark, tmp_path):
+    """all_manifests: one row per (manifest, referencing snapshot) —
+    FastAppend reuse makes a manifest appear under several snapshots;
+    all_files: live files across all snapshots deduplicated by path,
+    removed files included while ANY snapshot still references them."""
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a")]).coalesce(1), t)
+    write_iceberg(_df(spark, [(2, "b")]).coalesce(1), t)
+    write_iceberg(_df(spark, [(9, "z")]).coalesce(1), t,
+                  mode="overwrite")
+    am = I.iceberg_all_manifests(spark, t).collect()
+    # snap1: m1 | snap2: m2 + m1 reused | snap3: m3 (overwrite rewrites)
+    assert len(am) == 4
+    by_ref = {}
+    for r in am:
+        by_ref.setdefault(r["reference_snapshot_id"], []).append(r["path"])
+    assert sorted(len(v) for v in by_ref.values()) == [1, 1, 2]
+    af = I.iceberg_all_files(spark, t).collect()
+    # both pre-overwrite files still referenced by snaps 1-2 + the new
+    assert len(af) == 3 and len({r["file_path"] for r in af}) == 3
+    I.expire_snapshots(t, keep=1)
+    af2 = I.iceberg_all_files(spark, t).collect()
+    assert len(af2) == 1
