@@ -383,6 +383,15 @@ def cmd_lake(args: argparse.Namespace) -> int:
             path, v2=True if args.v2 else None)
         print(json.dumps({"checkpointed_version": v}))
         return 0
+    if op == "checksum":
+        if not is_delta:
+            print("checksum applies to Delta tables", file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.delta_py import verify_checksum
+        res = verify_checksum(path, version=args.version)
+        print(json.dumps({k: res[k] for k in
+                          ("version", "ok", "seeded")}))
+        return 0 if res["ok"] else 3
     if op == "compact-log":
         if not is_delta:
             print("compact-log applies to Delta tables", file=sys.stderr)
@@ -715,6 +724,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "the v2Checkpoint feature)")
     lcp.add_argument("path")
     lcp.add_argument("--v2", action="store_true")
+    lck = ls.add_parser("checksum",
+                        help="delta: verify (or seed) the {v}.crc "
+                             "version checksum against the replayed "
+                             "state")
+    lck.add_argument("path")
+    lck.add_argument("--version", type=int, default=None)
     lcg = ls.add_parser("compact-log",
                         help="delta: minor log compaction — write one "
                              "{s}.{e}.compacted.json holding the "

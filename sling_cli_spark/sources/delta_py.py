@@ -683,6 +683,101 @@ def _maybe_auto_checkpoint(path: str, version: int,
         pass
 
 
+def _crc_path(path: str, version: int) -> str:
+    return fsio.join(path, _LOG_DIR, f"{version:020d}.crc")
+
+
+def _crc_state(meta, files, protocol) -> dict:
+    return {
+        "tableSizeBytes": sum(int(f.get("size") or 0)
+                              for f in files.values()),
+        "numFiles": len(files),
+        "numMetadata": 1, "numProtocol": 1,
+        "metadata": meta, "protocol": protocol,
+    }
+
+
+def _update_crc(path: str, version: int, actions: list[dict]) -> None:
+    """Version checksum file (delta-spark OSS ``VersionChecksum`` /
+    the ``{v:020d}.crc`` beside each commit): table-level invariants —
+    total bytes, file count, current metadata + protocol — a reader or
+    auditor validates a reconstructed snapshot against. Maintained
+    INCREMENTALLY from the previous version's .crc plus this commit's
+    actions (O(commit), never O(table) — delta-spark does the same),
+    falling back to one full replay when the commit isn't incremental-
+    safe: a remove without the optional ``size`` field, or a
+    dataChange=false re-add without a paired remove (the row-tracking
+    backfill shape — the path may already be counted). No previous
+    .crc (a pre-feature table) -> skip; ``verify_checksum`` seeds the
+    chain. Best-effort: never fails the commit."""
+    try:
+        prev = None
+        fs = fsio.get_fs(path)
+        if version > 0:
+            p = _crc_path(path, version - 1)
+            if not fs.exists(p):
+                return
+            prev = json.loads(fs.read_bytes(p).decode())
+        adds = [a["add"] for a in actions if "add" in a]
+        rems = [a["remove"] for a in actions if "remove" in a]
+        rem_paths = {r["path"] for r in rems}
+        safe = all(r.get("size") is not None for r in rems) and all(
+            a.get("dataChange", True) or a["path"] in rem_paths
+            for a in adds)
+        if prev is not None and safe:
+            meta = prev["metadata"]
+            protocol = prev["protocol"]
+            for a in actions:
+                if "metaData" in a:
+                    meta = a["metaData"]
+                elif "protocol" in a:
+                    protocol = a["protocol"]
+            # order-independent: per-path net effect (remove+re-add of
+            # one path nets to the size delta)
+            size = prev["tableSizeBytes"] \
+                - sum(int(r["size"]) for r in rems) \
+                + sum(int(a.get("size") or 0) for a in adds)
+            nfiles = prev["numFiles"] - len(rem_paths) + len(adds)
+            state = {"tableSizeBytes": size, "numFiles": nfiles,
+                     "numMetadata": 1, "numProtocol": 1,
+                     "metadata": meta, "protocol": protocol}
+        else:
+            state = _crc_state(*_replay_state(path, version))
+        fs.write_bytes(_crc_path(path, version),
+                       json.dumps(state).encode())
+    except Exception:
+        pass
+
+
+def verify_checksum(path: str, version: int | None = None) -> dict:
+    """Compare the ``{v}.crc`` version checksum against the replayed
+    state (delta-spark's checksum validation); SEEDS the checksum
+    when the version has none (pre-feature tables start their
+    incremental chain here). Returns {"version", "ok", "seeded",
+    "crc", "actual"} — ``ok=False`` means the log and the checksum
+    disagree: the table state was mutated outside the commit
+    protocol."""
+    fs = fsio.get_fs(path)
+    if version is None:
+        version = latest_version(path)
+    meta, files, protocol = _replay_state(path, version)
+    if meta is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    actual = _crc_state(meta, files, protocol)
+    p = _crc_path(path, version)
+    if not fs.exists(p):
+        fs.write_bytes(p, json.dumps(actual).encode())
+        return {"version": int(version), "ok": True, "seeded": True,
+                "crc": actual, "actual": actual}
+    crc = json.loads(fs.read_bytes(p).decode())
+    ok = (int(crc.get("tableSizeBytes", -1)) == actual["tableSizeBytes"]
+          and int(crc.get("numFiles", -1)) == actual["numFiles"]
+          and crc.get("metadata", {}).get("id")
+          == actual["metadata"].get("id"))
+    return {"version": int(version), "ok": bool(ok), "seeded": False,
+            "crc": crc, "actual": actual}
+
+
 # -------------------------------------------------------------- log replay
 
 class UnsupportedTableFeature(RuntimeError):
@@ -1098,6 +1193,7 @@ def _commit_with_retry(
     for _ in range(max_retries):
         try:
             _commit(path, version, actions)
+            _update_crc(path, version, actions)
             _maybe_auto_checkpoint(path, version, actions)
             return version
         except FileExistsError:
@@ -2084,6 +2180,10 @@ def _remove_action(
     the version it removes so foreign readers reconcile (path, dvId)
     pairs exactly)."""
     r = {"path": rel, "deletionTimestamp": now, "dataChange": data_change}
+    if add.get("size") is not None:
+        # optional per PROTOCOL.md; carrying it keeps the version
+        # checksum (_update_crc) incremental — O(commit), not O(table)
+        r["size"] = int(add["size"])
     if add.get("deletionVector"):
         r["deletionVector"] = add["deletionVector"]
     return {"remove": r}
@@ -2704,6 +2804,7 @@ def write_delta(
     if mode == "append" and version > 0:
         return _commit_with_retry(path, version, actions)
     _commit(path, version, actions)
+    _update_crc(path, version, actions)
     _maybe_auto_checkpoint(path, version, actions)
     return version
 
@@ -3110,8 +3211,8 @@ def cleanup_logs(path: str, keep_versions: int = 10) -> list[str]:
     retained_tops: list[str] = []
     names = list(fs.listdir(log))
     for name in names:
-        if name.endswith(".json") and name[:20].isdigit() \
-                and ".checkpoint." not in name:
+        if (name.endswith(".json") or name.endswith(".crc")) \
+                and name[:20].isdigit() and ".checkpoint." not in name:
             if int(name[:20]) <= cut:
                 fs.delete(fsio.join(log, name))
                 deleted.append(name)
@@ -3338,6 +3439,7 @@ def set_clustering(path: str, cols: list[str]) -> int:
         "removed": False}})
     v = latest_version(path) + 1
     _commit(path, v, actions)
+    _update_crc(path, v, actions)
     return v
 
 
@@ -3581,6 +3683,7 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
         actions += _assign_fresh_row_ids(
             path, backfill, v, protocol={"writerFeatures": ["rowTracking"]})
     _commit(path, v, actions)
+    _update_crc(path, v, actions)
     _maybe_auto_checkpoint(path, v, actions)
     return v
 
@@ -3709,6 +3812,7 @@ def enable_column_mapping(path: str) -> int:
         {"metaData": new_meta}]
     v = latest_version(path) + 1
     _commit(path, v, actions)
+    _update_crc(path, v, actions)
     return v
 
 
@@ -3766,6 +3870,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         for c in (meta.get("partitionColumns") or [])]
     v = latest_version(path) + 1
     _commit(path, v, [{"metaData": new_meta}])
+    _update_crc(path, v, [{"metaData": new_meta}])
     return v
 
 
@@ -3798,6 +3903,7 @@ def drop_column(path: str, name: str) -> int:
     new_meta["schemaString"] = json.dumps(schema_json)
     v = latest_version(path) + 1
     _commit(path, v, [{"metaData": new_meta}])
+    _update_crc(path, v, [{"metaData": new_meta}])
     return v
 
 
@@ -3847,6 +3953,7 @@ def add_column(path: str, name: str, ddl_type: str) -> int:
         **conf, "delta.columnMapping.maxColumnId": str(next_id)}
     v = latest_version(path) + 1
     _commit(path, v, [{"metaData": new_meta}])
+    _update_crc(path, v, [{"metaData": new_meta}])
     return v
 
 
@@ -3904,6 +4011,7 @@ def convert_to_delta(
             "stats": stats.get(_canon_table_rel(path, rel)),
         }})
     _commit(path, 0, actions)
+    _update_crc(path, 0, actions)
     return 0
 
 
@@ -3966,6 +4074,7 @@ def clone_delta(src: str, dst: str) -> int:
                     _table_base(src), dv)}
         actions.append({"add": add})
     _commit(dst, 0, actions)
+    _update_crc(dst, 0, actions)
     return 0
 
 

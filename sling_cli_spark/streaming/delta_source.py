@@ -605,6 +605,8 @@ class _DeltaStreamWriter(DataSourceStreamWriter):
                 self._path, adds, version, protocol=wprot)
             try:  # pure append: losing the race is always retryable
                 _commit(self._path, version, actions)
+                from sling_cli_spark.sources.delta_py import _update_crc
+                _update_crc(self._path, version, actions)
                 return
             except FileExistsError:
                 continue

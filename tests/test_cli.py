@@ -647,3 +647,26 @@ def test_cli_catalog_verbs_sql_and_serve(spark, tmp_path, capsys):
                      srv.uri, "--token", "t"]) == 0
     finally:
         srv.stop()
+
+
+def test_cli_lake_checksum(spark, tmp_path, capsys):
+    """r9: `lake checksum` verifies the {v}.crc chain; exit 3 on
+    mismatch."""
+    import os as _os
+
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.delta_py import write_delta
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), t)
+    write_delta(spark.createDataFrame(
+        [(2, "b")], "id long, v string").coalesce(1), t, mode="append")
+    assert main(["lake", "checksum", t]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["ok"] and not out["seeded"] and out["version"] == 1
+    crc = _os.path.join(t, "_delta_log", f"{1:020d}.crc")
+    bad = json.load(open(crc)); bad["tableSizeBytes"] = 1
+    open(crc, "w").write(json.dumps(bad))
+    assert main(["lake", "checksum", t]) == 3
+    capsys.readouterr()

@@ -3027,3 +3027,42 @@ def test_auto_checkpoint_interval_property(spark, tmp_path):
             if x.startswith(f"{3:020d}.checkpoint.") and
             x.endswith(".json")]
     assert tops, "interval checkpoint on a v2 table must be v2-form"
+
+
+def test_version_checksum_incremental(spark, tmp_path):
+    """{v}.crc version checksum (delta-spark OSS VersionChecksum):
+    every commit writes one, maintained incrementally — appends,
+    merges (remove+add with size), DDL all keep tableSizeBytes/
+    numFiles true to the replayed state."""
+    from sling_cli_spark.sources import delta_py as D
+
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    write_delta(_df(spark, [(3, "c")]), t, mode="append")
+    merge_delta(spark, t, _df(spark, [(2, "UPD"), (9, "new")]), ["id"])
+    write_delta(_df(spark, [(5, "e")]), t, mode="overwrite")
+    v = D.latest_version(t)
+    for ver in range(v + 1):
+        assert os.path.exists(
+            os.path.join(t, "_delta_log", f"{ver:020d}.crc")), ver
+        res = D.verify_checksum(t, version=ver)
+        assert res["ok"] and not res["seeded"], (ver, res)
+    # chain survives DDL + keeps matching after more writes
+    D.set_table_properties(t, {"delta.appendOnly": "false"})
+    write_delta(_df(spark, [(6, "f")]), t, mode="append")
+    res = D.verify_checksum(t)
+    assert res["ok"] and not res["seeded"]
+    # a table whose chain was never seeded: verify seeds it
+    import glob as _glob
+    for c in _glob.glob(os.path.join(t, "_delta_log", "*.crc")):
+        os.remove(c)
+    res = D.verify_checksum(t)
+    assert res["ok"] and res["seeded"]
+    write_delta(_df(spark, [(7, "g")]), t, mode="append")
+    assert D.verify_checksum(t)["ok"]
+    # corruption detected
+    p = D._crc_path(t, D.latest_version(t))
+    crc = json.load(open(p))
+    crc["numFiles"] += 1
+    open(p, "w").write(json.dumps(crc))
+    assert D.verify_checksum(t)["ok"] is False
