@@ -1247,7 +1247,10 @@ def merge_iceberg(
     snapshot_id = _commit_snapshot(
         df=replacement, path=path, meta=meta, carried=keep,
         carried_deletes=_live_delete_files(keep, pos_dels, eq_dels),
-        branch=branch)
+        # Spark-Iceberg MERGE commits as "overwrite" — the label gates
+        # cherry-pick safety (a merge removes files implicitly; it must
+        # never be republished as if it were a pure append)
+        operation="overwrite", branch=branch)
     return {"touched": len(touched),
             "new_files": len(_active_files(path, meta, snapshot_id)) - len(keep),
             "kept": len(keep), "snapshot_id": snapshot_id}
@@ -2006,12 +2009,37 @@ def _commit_snapshot(
             meta["schemas"] = [ice]
         meta["last-column-id"] = max(
             meta.get("last-column-id", 0), _max_field_id(ice))
+    # spec Appendix F summary counters (what `t.snapshots` consumers
+    # and engines' fast COUNT(*) estimates read). Added-* from this
+    # commit's files; total-* exact on BOTH paths without O(table)
+    # work: the rewrite path holds the full carried list, the
+    # FastAppend path extends the parent's totals incrementally —
+    # omitted (never guessed) when the parent predates the feature.
+    added_recs = sum(int(f.get("record_count") or 0) for f in data_files)
+    added_size = sum(int(f.get("file_size_in_bytes") or 0)
+                     for f in data_files)
+    summary = {"operation": operation,
+               "added-data-files": str(len(data_files)),
+               "added-records": str(added_recs),
+               "added-files-size": str(added_size)}
+    if reuse_manifests is None:
+        summary["total-data-files"] = str(len(data_files) + len(carried))
+        summary["total-records"] = str(
+            added_recs + sum(int(f.get("record_count") or 0)
+                             for f in carried))
+        summary["total-files-size"] = str(
+            added_size + sum(int(f.get("file_size_in_bytes") or 0)
+                             for f in carried))
+        summary["total-delete-files"] = str(
+            len(carried_deletes) + len(new_deletes or []))
     snapshot = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": mlist_path,
-        "summary": {"operation": operation, **(summary_extra or {})},
+        "summary": summary,
     }
+    if summary_extra:
+        summary.update(summary_extra)
     # spec §Refs: every branch is a named ref; ``main`` mirrors
     # current-snapshot-id. A non-main branch advances its own head
     # (parent = the branch head; forks from current on first write)
@@ -2025,6 +2053,20 @@ def _commit_snapshot(
         # -1 is this module's pre-first-snapshot sentinel, not a real
         # snapshot — the spec omits parent-snapshot-id entirely there
         snapshot["parent-snapshot-id"] = int(parent)
+    if reuse_manifests is not None and "total-records" not in summary:
+        psum = next(((s.get("summary") or {})
+                     for s in meta.get("snapshots") or []
+                     if s["snapshot-id"] == parent), {})
+        if psum.get("total-records") is not None:
+            summary["total-data-files"] = str(
+                int(psum.get("total-data-files") or 0) + len(data_files))
+            summary["total-records"] = str(
+                int(psum["total-records"]) + added_recs)
+            summary["total-files-size"] = str(
+                int(psum.get("total-files-size") or 0) + added_size)
+            summary["total-delete-files"] = str(
+                int(psum.get("total-delete-files") or 0)
+                + len(new_deletes or []))
     if fv >= 2:
         snapshot["sequence-number"] = new_seq
         meta["last-sequence-number"] = new_seq

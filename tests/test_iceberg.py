@@ -2096,3 +2096,26 @@ def test_all_manifests_and_all_files_twins(spark, tmp_path):
     I.expire_snapshots(t, keep=1)
     af2 = I.iceberg_all_files(spark, t).collect()
     assert len(af2) == 1
+
+
+def test_snapshot_summary_counters(spark, tmp_path):
+    """spec Appendix F summary counters: added-*/total-* exact on both
+    the FastAppend path (parent totals + added) and the rewrite path
+    (full carried list)."""
+    from sling_cli_spark.sources import iceberg_py as I
+    from sling_cli_spark.sources.iceberg_py import merge_iceberg
+
+    t = str(tmp_path / "t")
+    write_iceberg(_df(spark, [(1, "a"), (2, "b")]).coalesce(1), t)
+    write_iceberg(_df(spark, [(3, "c")]).coalesce(1), t)
+    merge_iceberg(spark, t, _df(spark, [(3, "UPD"), (4, "d")]), ["id"])
+    write_iceberg(_df(spark, [(9, "z")]).coalesce(1), t,
+                  mode="overwrite")
+    _, meta = I._current_metadata(t)
+    sums = [s["summary"] for s in meta["snapshots"]]
+    assert [s["added-records"] for s in sums] == ["2", "1", "2", "1"]
+    assert [s["total-records"] for s in sums] == ["2", "3", "4", "1"]
+    assert [s["operation"] for s in sums] \
+        == ["append", "append", "overwrite", "overwrite"]
+    assert int(sums[-1]["total-data-files"]) == 1
+    assert all(int(s["total-files-size"]) > 0 for s in sums)
