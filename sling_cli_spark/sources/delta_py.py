@@ -469,7 +469,11 @@ def _write_checkpoint(path: str, fs, version: int) -> None:
     pq.write_table(table, buf)
     fs.write_bytes(_checkpoint_file(path, version), buf.getvalue())
     fs.write_bytes(fsio.join(path, _LOG_DIR, "_last_checkpoint"),
-                   json.dumps({"version": version, "size": n}).encode())
+                   json.dumps({"version": version, "size": n,
+                               # delta-spark pre-sizes snapshot state
+                               # from these optional fields
+                               "sizeInBytes": len(buf.getvalue()),
+                               "numOfAddFiles": len(adds)}).encode())
 
 
 def _checkpoint_arrow_types():
@@ -581,7 +585,9 @@ def _write_checkpoint_v2(path: str, fs, version: int,
         json.dumps(ln) + "\n" for ln in lines).encode())
     fs.write_bytes(fsio.join(path, _LOG_DIR, "_last_checkpoint"),
                    json.dumps({"version": version,
-                               "size": len(adds) + 3}).encode())
+                               "size": len(adds) + 3,
+                               "sizeInBytes": fs.getsize(top),
+                               "numOfAddFiles": len(adds)}).encode())
 
 
 def create_checkpoint(path: str, version: int | None = None,
