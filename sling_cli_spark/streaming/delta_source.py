@@ -207,6 +207,18 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self._max_versions = int(
             options.get("maxversionspertrigger",
                         options.get("maxVersionsPerTrigger", 0))) or None
+        # delta-spark's maxFilesPerTrigger / maxBytesPerTrigger twins.
+        # Version-granular: this source cannot split one commit across
+        # triggers, so each cap admits WHOLE versions until the budget
+        # is first met (always at least one version — a single commit
+        # larger than the cap must still drain). Same second-trigger
+        # binding caveat as maxVersionsPerTrigger above.
+        self._max_files = int(
+            options.get("maxfilespertrigger",
+                        options.get("maxFilesPerTrigger", 0))) or None
+        self._max_bytes = int(
+            options.get("maxbytespertrigger",
+                        options.get("maxBytesPerTrigger", 0))) or None
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
@@ -218,12 +230,39 @@ class _DeltaStreamReader(DataSourceStreamReader):
         from sling_cli_spark.sources.delta_py import latest_version
 
         head = latest_version(self._path)
-        if self._max_versions and self._last_end is not None:
-            # never return less than the anchor — a capped value below
-            # an engine-logged offset would regress the checkpoint
-            head = max(min(head, self._last_end + self._max_versions),
-                       self._last_end)
-        return {"version": head}
+        anchor = self._last_end
+        if anchor is None:
+            return {"version": head}
+        if self._max_versions:
+            head = min(head, anchor + self._max_versions)
+        if (self._max_files or self._max_bytes) and head > anchor:
+            from sling_cli_spark import fsio
+            from sling_cli_spark.sources.delta_py import _log_path
+
+            fs = fsio.get_fs(self._path)
+            nf = nb = 0
+            admitted = anchor
+            for v in range(anchor + 1, head + 1):
+                try:
+                    text = fs.read_bytes(
+                        _log_path(self._path, v)).decode()
+                except Exception:
+                    break  # hole — partitions() raises loudly there
+                for line in text.splitlines():
+                    if '"add"' not in line:
+                        continue
+                    a = json.loads(line).get("add")
+                    if a and a.get("dataChange", True):
+                        nf += 1
+                        nb += int(a.get("size") or 0)
+                admitted = v
+                if (self._max_files and nf >= self._max_files) or \
+                        (self._max_bytes and nb >= self._max_bytes):
+                    break
+            head = admitted
+        # never return less than the anchor — a capped value below an
+        # engine-logged offset would regress the checkpoint
+        return {"version": max(head, anchor)}
 
     def partitions(self, start: dict, end: dict):
         from sling_cli_spark import fsio

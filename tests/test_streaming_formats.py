@@ -895,3 +895,47 @@ def test_iceberg_stream_changelog(spark, tmp_path):
     except Exception as e:
         raised = "sequence-number scoping" in str(e)
     assert raised, "eq-delete snapshot must refuse in changelog mode"
+
+
+def test_delta_stream_file_and_byte_admission(spark, tmp_path):
+    """maxFilesPerTrigger / maxBytesPerTrigger: latestOffset admits
+    whole versions until the budget is first met (at least one), never
+    regressing the anchor — deterministic unit probe of the admission
+    arithmetic (the e2e burst shape is timing-dependent; the
+    maxVersionsPerTrigger e2e above covers the engine wiring)."""
+    from sling_cli_spark.sources.delta_py import write_delta
+    from sling_cli_spark.streaming.delta_source import _DeltaStreamReader
+
+    src = str(tmp_path / "src")
+    sizes = []
+    for i in range(5):  # v0..v4, one file each
+        write_delta(spark.createDataFrame(
+            [(i, "x" * (10 + i))], "id long, v string").coalesce(1), src,
+            mode="append")
+
+    def reader(**opts):
+        r = _DeltaStreamReader.__new__(_DeltaStreamReader)
+        r._path = src
+        r._ignore_changes = False
+        r._ignore_deletes = False
+        r._starting = 0
+        r._max_versions = int(opts.get("max_versions", 0)) or None
+        r._max_files = int(opts.get("max_files", 0)) or None
+        r._max_bytes = int(opts.get("max_bytes", 0)) or None
+        r._last_end = opts.get("anchor", -1)
+        return r
+
+    # 2 files per trigger: anchor=-1 admits v0..v1, then v2..v3, then v4
+    assert reader(max_files=2, anchor=-1).latestOffset() == {"version": 1}
+    assert reader(max_files=2, anchor=1).latestOffset() == {"version": 3}
+    assert reader(max_files=2, anchor=3).latestOffset() == {"version": 4}
+    # a 1-byte budget still admits one whole version per trigger
+    assert reader(max_bytes=1, anchor=-1).latestOffset() == {"version": 0}
+    assert reader(max_bytes=1, anchor=0).latestOffset() == {"version": 1}
+    # big budgets admit the whole backlog; version cap composes (min)
+    assert reader(max_files=100, anchor=-1).latestOffset() \
+        == {"version": 4}
+    assert reader(max_files=100, max_versions=2, anchor=-1) \
+        .latestOffset() == {"version": 1}
+    # anchor at head: nothing new, never regress
+    assert reader(max_files=2, anchor=4).latestOffset() == {"version": 4}
