@@ -211,6 +211,16 @@ class _IceStreamReader(DataSourceStreamReader):
         self._max_snapshots = int(
             options.get("maxsnapshotspertrigger",
                         options.get("maxSnapshotsPerTrigger", 0))) or None
+        # file/byte admission twins (Spark-Iceberg's streaming
+        # max-files-per-micro-batch): snapshot-granular, budgeted from
+        # the spec Appendix F summary counters when present (zero
+        # manifest reads), else one _added_entries manifest walk
+        self._max_files = int(
+            options.get("maxfilespertrigger",
+                        options.get("maxFilesPerTrigger", 0))) or None
+        self._max_bytes = int(
+            options.get("maxbytespertrigger",
+                        options.get("maxBytesPerTrigger", 0))) or None
         self._starting = int(options.get("startingsequence",
                                          options.get("startingSequence",
                                                      0)))
@@ -238,6 +248,28 @@ class _IceStreamReader(DataSourceStreamReader):
                 # offset would regress the checkpoint
                 head = max(pending[:self._max_snapshots][-1],
                            self._last_end)
+        if (self._max_files or self._max_bytes) \
+                and self._last_end is not None:
+            nf = nb = 0
+            admitted = self._last_end
+            for s in chain:
+                seq = int(s.get("sequence-number") or 0)
+                if not (self._last_end < seq <= head):
+                    continue
+                sm = s.get("summary") or {}
+                if sm.get("added-data-files") is not None:
+                    nf += int(sm["added-data-files"])
+                    nb += int(sm.get("added-files-size") or 0)
+                else:  # foreign/pre-counter snapshot: one manifest walk
+                    added = _added_entries(s)
+                    nf += len(added)
+                    nb += sum(int(f.get("file_size_in_bytes") or 0)
+                              for f in added)
+                admitted = seq
+                if (self._max_files and nf >= self._max_files) or \
+                        (self._max_bytes and nb >= self._max_bytes):
+                    break
+            head = max(admitted, self._last_end)
         return {"seq": head}
 
     def partitions(self, start: dict, end: dict):

@@ -939,3 +939,35 @@ def test_delta_stream_file_and_byte_admission(spark, tmp_path):
         .latestOffset() == {"version": 1}
     # anchor at head: nothing new, never regress
     assert reader(max_files=2, anchor=4).latestOffset() == {"version": 4}
+
+
+def test_iceberg_stream_file_and_byte_admission(spark, tmp_path):
+    """Iceberg twins of the delta file/byte caps: budgets read the
+    snapshot summary counters (no manifest opens) and admit whole
+    snapshots until first met."""
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+    from sling_cli_spark.streaming.iceberg_source import _IceStreamReader
+
+    src = str(tmp_path / "src")
+    for i in range(5):  # seq 1..5, one file each
+        write_iceberg(spark.createDataFrame(
+            [(i, "x")], "id long, v string").coalesce(1), src)
+
+    def reader(**opts):
+        r = _IceStreamReader.__new__(_IceStreamReader)
+        r._path = src
+        r._starting = 0
+        r._max_snapshots = int(opts.get("max_snapshots", 0)) or None
+        r._max_files = int(opts.get("max_files", 0)) or None
+        r._max_bytes = int(opts.get("max_bytes", 0)) or None
+        r._last_end = opts.get("anchor", 0)
+        return r
+
+    assert reader(max_files=2, anchor=0).latestOffset() == {"seq": 2}
+    assert reader(max_files=2, anchor=2).latestOffset() == {"seq": 4}
+    assert reader(max_files=2, anchor=4).latestOffset() == {"seq": 5}
+    assert reader(max_bytes=1, anchor=0).latestOffset() == {"seq": 1}
+    assert reader(max_files=100, anchor=0).latestOffset() == {"seq": 5}
+    assert reader(max_files=100, max_snapshots=3, anchor=0) \
+        .latestOffset() == {"seq": 3}
+    assert reader(max_files=2, anchor=5).latestOffset() == {"seq": 5}
