@@ -2645,7 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     f"SELECT count(*) AS c FROM {qn}").first()["c"]
                 if got >= expected:
                     break
-                _time.sleep(1)
+                _time.sleep(0.25)
         finally:
             q.stop()
         assert got == expected, \
