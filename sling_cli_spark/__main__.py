@@ -371,7 +371,8 @@ def cmd_lake(args: argparse.Namespace) -> int:
                   "(iceberg: use expire-snapshots)", file=sys.stderr)
             return 2
         from sling_cli_spark.sources.delta_py import vacuum
-        removed = vacuum(path, keep_versions=args.keep)
+        removed = vacuum(path, keep_versions=args.keep,
+                         retention_hours=args.retention_hours)
         print(json.dumps({"removed_files": len(removed)}))
         return 0
     if op == "checkpoint":
@@ -707,6 +708,9 @@ def build_parser() -> argparse.ArgumentParser:
     lv.add_argument("path")
     lv.add_argument("--keep", type=int, default=1,
                     help="versions whose files stay reachable")
+    lv.add_argument("--retention-hours", type=float, default=None,
+                    help="delta-spark RETAIN semantics: reclaim only "
+                         "files tombstoned longer ago than this")
     le = ls.add_parser("expire-snapshots",
                        help="iceberg: prune snapshot history")
     le.add_argument("path")

@@ -75,6 +75,9 @@ class LocalFS:
     def getsize(self, p: str) -> int:
         return os.path.getsize(p)
 
+    def getmtime_ms(self, p: str) -> int:
+        return int(os.path.getmtime(p) * 1000)
+
     def read_bytes(self, p: str) -> bytes:
         with open(p, "rb") as f:
             return f.read()
@@ -155,6 +158,10 @@ class JvmFS:
 
     def getsize(self, p: str) -> int:
         return int(self._jfs.getFileStatus(self._Path(p)).getLen())
+
+    def getmtime_ms(self, p: str) -> int:
+        return int(self._jfs.getFileStatus(
+            self._Path(p)).getModificationTime())
 
     def read_bytes(self, p: str) -> bytes:
         stream = self._jfs.open(self._Path(p))

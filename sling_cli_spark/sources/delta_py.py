@@ -3249,11 +3249,22 @@ def cleanup_logs(path: str, keep_versions: int = 10) -> list[str]:
     return deleted
 
 
-def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+def vacuum(path: str, keep_versions: int = 1,
+           retention_hours: float | None = None) -> list[str]:
     """Delete data files — and deletion-vector .bin files (r8: DV
     production superseded-vector cleanup) plus expired change-data
     files — no longer referenced by the retained versions (delta
-    VACUUM without the retention-hours knob — EL-tool sized).
+    VACUUM, commit-count sized by default — EL-tool shaped).
+
+    ``retention_hours`` switches to delta-spark's own retention
+    semantics (``VACUUM t RETAIN n HOURS`` /
+    ``delta.deletedFileRetentionDuration``): only files whose remove
+    tombstone's ``deletionTimestamp`` — or, for never-tracked strays,
+    the file's mtime — is older than ``now - retention_hours`` are
+    reclaimed, regardless of commit count. Time travel to versions
+    whose files aged out stops working, the documented trade. Younger
+    tombstones keep their files so a concurrent reader of a recent
+    snapshot never loses a file mid-scan — the reason the knob exists.
 
     vacuumProtocolCheck (PROTOCOL.md): vacuum consults the table
     protocol before deleting anything — a protocol listing features
@@ -3276,7 +3287,22 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
             "understand — they may change which files are referenced")
     fs = fsio.get_fs(path)
     vs = _list_versions(path, fs)
-    keep_after = vs[-keep_versions] if len(vs) >= keep_versions else 0
+    if retention_hours is not None:
+        # delta-spark retention semantics: reference only the CURRENT
+        # snapshot; age-gate everything else on its tombstone
+        keep_after = vs[-1] if vs else 0
+        cutoff_ms = int((time.time() - retention_hours * 3600) * 1000)
+        tomb: dict[str, int] = {}
+        for text in _log_texts(path, fs, -1, None):
+            for line in text.splitlines():
+                if '"remove"' not in line:
+                    continue
+                r = json.loads(line).get("remove")
+                if r and r.get("path"):
+                    ts = int(r.get("deletionTimestamp") or 0)
+                    tomb[r["path"]] = max(tomb.get(r["path"], 0), ts)
+    else:
+        keep_after = vs[-keep_versions] if len(vs) >= keep_versions else 0
     referenced: set[str] = set()
     ref_dv: set[str] = set()
 
@@ -3312,20 +3338,34 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
             a = json.loads(line)
             if "cdc" in a:
                 ref_cdc.add(a["cdc"]["path"])
+    def _aged_out(rel: str) -> bool:
+        """retention_hours mode: reclaim only when the file's tombstone
+        (or, for never-tracked strays, its mtime) predates the cutoff —
+        a reader of a recent snapshot never loses a file mid-scan."""
+        if retention_hours is None:
+            return True
+        ts = tomb.get(rel)
+        if ts is None or ts <= 0:
+            try:
+                ts = fs.getmtime_ms(fsio.join(path, rel))
+            except Exception:
+                return False
+        return ts <= cutoff_ms
+
     deleted = []
     for rel in _walk_data_files(fs, path):
-        if rel not in referenced:
+        if rel not in referenced and _aged_out(rel):
             fs.delete(fsio.join(path, rel))
             deleted.append(rel)
     for rel in _walk_dv_files(fs, path):
-        if rel not in ref_dv:
+        if rel not in ref_dv and _aged_out(rel):
             fs.delete(fsio.join(path, rel))
             deleted.append(rel)
     cdf_dir = fsio.join(path, "_change_data")
     if fs.exists(cdf_dir):
         for rel in _walk_data_files(fs, cdf_dir):
             full_rel = f"_change_data/{rel}"
-            if full_rel not in ref_cdc:
+            if full_rel not in ref_cdc and _aged_out(full_rel):
                 fs.delete(fsio.join(path, full_rel))
                 deleted.append(full_rel)
     return deleted

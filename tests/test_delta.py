@@ -3066,3 +3066,26 @@ def test_version_checksum_incremental(spark, tmp_path):
     crc["numFiles"] += 1
     open(p, "w").write(json.dumps(crc))
     assert D.verify_checksum(t)["ok"] is False
+
+
+def test_vacuum_retention_hours(spark, tmp_path):
+    """retention_hours mode (delta-spark RETAIN semantics): files with
+    YOUNG tombstones survive regardless of commit count — a reader of
+    a recent snapshot never loses a file mid-scan; retention 0
+    reclaims them; untracked strays gate on mtime."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, [(1, "a"), (2, "b")]), t)
+    write_delta(_df(spark, [(9, "z")]), t, mode="overwrite")  # tombstones
+    # a stray never tracked by the log, old mtime
+    stray = os.path.join(t, "stray-leftover.parquet")
+    open(stray, "wb").write(b"x")
+    os.utime(stray, (1, 1))
+
+    kept = vacuum(t, retention_hours=1.0)
+    assert all("stray" in r for r in kept), \
+        f"young tombstones must survive retention, deleted: {kept}"
+    assert read_delta(spark, t, version=0).count() == 2  # travel intact
+
+    removed = vacuum(t, retention_hours=0.0)
+    assert len(removed) >= 1  # the tombstoned v0 files
+    assert {r["id"] for r in read_delta(spark, t).collect()} == {9}
