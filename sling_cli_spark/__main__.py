@@ -416,9 +416,14 @@ def cmd_lake(args: argparse.Namespace) -> int:
             print("expire-snapshots applies to Iceberg tables "
                   "(delta: use vacuum)", file=sys.stderr)
             return 2
+        import time as _t
+
         from sling_cli_spark.sources.iceberg_py import expire_snapshots
-        print(json.dumps(expire_snapshots(path, keep=args.keep),
-                         default=str))
+        cut = None if args.older_than_hours is None else \
+            int((_t.time() - args.older_than_hours * 3600) * 1000)
+        print(json.dumps(
+            expire_snapshots(path, keep=args.keep, older_than_ms=cut),
+            default=str))
         return 0
     if op == "rewrite-manifests":
         if is_delta:
@@ -434,8 +439,12 @@ def cmd_lake(args: argparse.Namespace) -> int:
                   "(delta: vacuum also reclaims orphaned DV files)",
                   file=sys.stderr)
             return 2
+        import time as _t
+
         from sling_cli_spark.sources.iceberg_py import remove_orphan_files
-        removed = remove_orphan_files(path)
+        cut = None if args.older_than_hours is None else \
+            int((_t.time() - args.older_than_hours * 3600) * 1000)
+        removed = remove_orphan_files(path, older_than_ms=cut)
         print(json.dumps({"removed_files": len(removed)}))
         return 0
     if op == "restore":
@@ -715,6 +724,9 @@ def build_parser() -> argparse.ArgumentParser:
                        help="iceberg: prune snapshot history")
     le.add_argument("path")
     le.add_argument("--keep", type=int, default=1)
+    le.add_argument("--older-than-hours", type=float, default=None,
+                    help="retain snapshots younger than this "
+                         "(composes with --keep as retain-last)")
     lcv = ls.add_parser("convert",
                         help="adopt a plain parquet dir as a Delta "
                              "table IN PLACE (CONVERT TO DELTA twin)")
@@ -759,6 +771,9 @@ def build_parser() -> argparse.ArgumentParser:
                        help="iceberg: delete data/ files no snapshot "
                             "references")
     lr.add_argument("path")
+    lr.add_argument("--older-than-hours", type=float, default=None,
+                    help="only reap files older than this (in-flight "
+                         "stage guard; Iceberg defaults to 72h)")
     lh = ls.add_parser("history",
                        help="commit/snapshot history as CSV "
                             "(DESCRIBE HISTORY twin)")

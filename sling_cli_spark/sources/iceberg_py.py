@@ -3414,13 +3414,21 @@ def iceberg_statistics(spark: SparkSession, path: str) -> DataFrame:
             "ndv long, statistics_path string, file_size_in_bytes long"))
 
 
-def remove_orphan_files(path: str) -> list[str]:
+def remove_orphan_files(path: str,
+                        older_than_ms: int | None = None) -> list[str]:
     """Delete files under ``data/`` that NO snapshot references (the
     spec's remove_orphan_files maintenance action; failed-stage
     leftovers and unreferenced Puffin files accumulate otherwise).
     References are gathered across EVERY retained snapshot — data,
     positional-delete, equality-delete, and Puffin DV files all appear
-    as manifest ``file_path`` entries, so one walk covers them."""
+    as manifest ``file_path`` entries, so one walk covers them.
+
+    ``older_than_ms`` (Iceberg's ``older_than`` procedure arg, which
+    defaults to 3 days there): only files whose mtime predates the
+    instant are candidates — the guard that keeps a CONCURRENT
+    writer's staged-but-uncommitted parquet from being reaped between
+    its stage and its commit. None keeps this module's historical
+    reap-everything behavior (single-writer EL shape)."""
     fs = fsio.get_fs(path)
     _, meta = _current_metadata(path)
     referenced: set[str] = set()
@@ -3442,6 +3450,12 @@ def remove_orphan_files(path: str) -> list[str]:
                 walk(r)
             elif not name.startswith((".", "_")) \
                     and _canon(full) not in referenced:
+                if older_than_ms is not None:
+                    try:
+                        if fs.getmtime_ms(full) > older_than_ms:
+                            continue  # possibly an in-flight stage
+                    except Exception:
+                        continue
                 fs.delete(full)
                 deleted.append(r)
 
@@ -3470,12 +3484,19 @@ def cleanup_metadata(path: str, keep: int = 10) -> list[str]:
     return deleted
 
 
-def expire_snapshots(path: str, keep: int = 1) -> dict:
+def expire_snapshots(path: str, keep: int = 1,
+                     older_than_ms: int | None = None) -> dict:
     """Expire all but the last ``keep`` snapshots and delete data files
     / manifests no retained snapshot references (the spec's
     expire-snapshots maintenance action; delta_py.vacuum is the
     format twin). Commits a new metadata version whose snapshot list
     holds only the survivors.
+
+    ``older_than_ms`` (the procedure's ``older_than`` arg): only
+    snapshots whose ``timestamp-ms`` predates the instant expire —
+    composing with ``keep`` as retain-last (Iceberg's
+    ``retain_last``): a snapshot survives if it is in the newest
+    ``keep`` OR younger than the cutoff OR ref-protected.
 
     Returns {"expired": n_snapshots, "deleted_files": [...]}.
     """
@@ -3491,7 +3512,9 @@ def expire_snapshots(path: str, keep: int = 1) -> dict:
                  if r.get("snapshot-id") is not None}
     tail = {s["snapshot-id"] for s in snaps[-keep:]}
     kept = [s for s in snaps
-            if s["snapshot-id"] in tail or s["snapshot-id"] in protected]
+            if s["snapshot-id"] in tail or s["snapshot-id"] in protected
+            or (older_than_ms is not None
+                and int(s.get("timestamp-ms") or 0) > older_than_ms)]
     expired = [s for s in snaps if s not in kept]
     if not expired:
         return {"expired": 0, "deleted_files": []}

@@ -2119,3 +2119,38 @@ def test_snapshot_summary_counters(spark, tmp_path):
         == ["append", "append", "overwrite", "overwrite"]
     assert int(sums[-1]["total-data-files"]) == 1
     assert all(int(s["total-files-size"]) > 0 for s in sums)
+
+
+def test_expire_and_orphans_older_than(spark, tmp_path):
+    """Age knobs: expire_snapshots(older_than_ms) retains younger
+    snapshots beyond keep; remove_orphan_files(older_than_ms) skips
+    fresh strays (the in-flight-stage guard)."""
+    import time as _time
+
+    from sling_cli_spark.sources import iceberg_py as I
+
+    t = str(tmp_path / "t")
+    for i in range(4):
+        write_iceberg(_df(spark, [(i, "x")]).coalesce(1), t)
+    # every snapshot is younger than a 1-hour cutoff -> none expire
+    cut = int((_time.time() - 3600) * 1000)
+    res = I.expire_snapshots(t, keep=1, older_than_ms=cut)
+    assert res["expired"] == 0
+    _, meta = I._current_metadata(t)
+    assert len(meta["snapshots"]) == 4
+    # future cutoff -> behaves like plain keep=1
+    res = I.expire_snapshots(t, keep=1,
+                             older_than_ms=int(_time.time() * 1000) + 10_000)
+    assert res["expired"] == 3
+
+    fresh = os.path.join(t, "data", "stray-fresh.parquet")
+    old = os.path.join(t, "data", "stray-old.parquet")
+    for p in (fresh, old):
+        open(p, "wb").write(b"x")
+    os.utime(old, (1, 1))
+    removed = I.remove_orphan_files(t, older_than_ms=cut)
+    assert "stray-old.parquet" in removed
+    assert "stray-fresh.parquet" not in removed
+    assert os.path.exists(fresh) and not os.path.exists(old)
+    # read still intact
+    assert read_iceberg(spark, t).count() == 4
