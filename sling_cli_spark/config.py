@@ -103,6 +103,9 @@ class TargetOptions:
     ignore_existing: bool = False       # skip the load if target has data
     txn_app_id: str | None = None       # delta idempotent writes (r9):
     txn_version: int | None = None      # a re-run committed batch no-ops
+    audit_branch: str | None = None     # iceberg WAP: stage the load here
+    audit_sql: str | None = None        # rows returned = violations; the
+    #                                     `_audit` view is the branch read
 
 
 @dataclass

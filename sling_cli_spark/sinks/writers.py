@@ -82,6 +82,47 @@ def _write_catalog(df: DataFrame, url: str, mode: Mode, opts):
     write_table(df, cat, ident, mode=_spark_mode(mode), **kw)
 
 
+class AuditFailed(RuntimeError):
+    """The WAP audit gate returned violations — the staged branch is
+    left intact for inspection; nothing published to main."""
+
+
+def _write_audit_publish(df, uri: str, mode, opts, part_cols):
+    """Write-audit-publish (Iceberg's WAP workflow — the audit-branch
+    pattern behind write.wap.enabled): the load lands on an AUDIT
+    branch, invisible to main readers; ``audit_sql`` inspects the
+    branch through the ``_audit`` temp view (rows returned =
+    violations, dbt-test style); only a passing load PUBLISHES —
+    fast-forward when main hasn't moved (any operation kind), falling
+    back to cherry-pick for appends onto a moved head. A failing audit
+    raises :class:`AuditFailed` and leaves the branch for inspection
+    (drop-ref discards it; the next staged load otherwise publishes on
+    top of it)."""
+    from sling_cli_spark.sources.iceberg_py import (
+        cherry_pick_snapshot, fast_forward, read_iceberg, write_iceberg)
+
+    spark = df.sparkSession
+    branch = opts.audit_branch
+    sid = write_iceberg(df, uri, mode=_spark_mode(mode),
+                        partition_by=part_cols or None, branch=branch,
+                        txn_app_id=opts.txn_app_id,
+                        txn_version=opts.txn_version)
+    if opts.audit_sql:
+        read_iceberg(spark, uri, ref=branch) \
+            .createOrReplaceTempView("_audit")
+        if spark.sql(opts.audit_sql).limit(1).count() > 0:
+            raise AuditFailed(
+                f"WAP audit failed for branch {branch!r} at {uri}: "
+                f"audit_sql returned violations; staged snapshot {sid} "
+                "left unpublished (lake drop-ref discards it)")
+    try:
+        fast_forward(uri, branch)
+    except ValueError:
+        if _spark_mode(mode) != "append":
+            raise
+        cherry_pick_snapshot(uri, sid)  # append onto the moved head
+
+
 def write_files(
     df: DataFrame, target: Target, mode: Mode, fmt: str | None = None,
     update_key: str | None = None,
@@ -101,6 +142,9 @@ def write_files(
     for mask, col in masks:
         df = df.withColumn(mask, _PART_FUNCS[mask](F.col(col)))
         part_cols.append(mask)
+
+    if fmt == "iceberg" and opts.audit_branch:
+        return _write_audit_publish(df, uri, mode, opts, part_cols)
 
     if opts.bucket_by:
         return _write_bucketed(df, uri, fmt or "parquet", mode, opts)

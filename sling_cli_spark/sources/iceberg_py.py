@@ -2654,6 +2654,52 @@ def cherry_pick_snapshot(path: str, snapshot_id: int) -> int:
         summary_extra={"source-snapshot-id": str(int(snapshot_id))})
 
 
+def fast_forward(path: str, branch: str, to: str = "main") -> int:
+    """``fast_forward`` procedure twin (Spark-Iceberg): advance ref
+    ``to`` to ``branch``'s head — METADATA-ONLY and allowed only when
+    ``to``'s current head is an ANCESTOR of the branch head (the git
+    fast-forward rule: nothing on the target line is abandoned).
+    Handles any staged operation kind (overwrite/delete included),
+    which cherry-pick cannot; diverged lines refuse — merge the work
+    instead (cherry-pick per append, or rewrite). Returns the new head
+    snapshot id."""
+    fs = fsio.get_fs(path)
+    version, meta = _current_metadata(path, for_write=True)
+    refs = dict(meta.get("refs") or {})
+    head = (refs.get(branch) or {}).get("snapshot-id")
+    if head is None:
+        raise ValueError(f"fast_forward: no branch {branch!r} at {path}")
+    to_head = (refs.get(to) or {}).get("snapshot-id")
+    if to == "main" and to_head is None:
+        to_head = meta.get("current-snapshot-id")
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    walk = head
+    ancestor = to_head is None or int(to_head) == -1
+    while walk is not None and walk in by_id and not ancestor:
+        if walk == to_head:
+            ancestor = True
+            break
+        walk = by_id[walk].get("parent-snapshot-id")
+    if not ancestor:
+        raise ValueError(
+            f"fast_forward: {to!r} (head {to_head}) is not an ancestor "
+            f"of {branch!r} (head {head}) — the lines diverged; "
+            "cherry-pick or merge instead")
+    ref = dict(refs.get(to) or {})
+    ref.update({"snapshot-id": int(head), "type": "branch"})
+    refs[to] = ref
+    meta["refs"] = refs
+    if to == "main":
+        meta["current-snapshot-id"] = int(head)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    fs.create_exclusive(
+        fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
+        json.dumps(meta).encode())
+    fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
+                   str(version + 1).encode())
+    return int(head)
+
+
 def rollback_to_snapshot(path: str, snapshot_id: int) -> int:
     """rollback_to_snapshot maintenance action (spec/Spark procedure):
     point ``current-snapshot-id`` — and the ``main`` ref — back at an

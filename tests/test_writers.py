@@ -199,3 +199,51 @@ def test_el_iceberg_write_idempotent_txn(spark, tmp_path):
     cfg["target"]["options"]["txn_version"] = 2
     run(spark, Config.from_dict(cfg))
     assert read_iceberg(spark, t).count() == 4
+
+
+def test_el_write_audit_publish(spark, tmp_path):
+    """WAP EL load: the batch stages on the audit branch, the audit_sql
+    gate decides publication — a pass fast-forwards main, a failure
+    leaves main untouched with the branch intact for inspection."""
+    import pytest as _pytest
+
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+    from sling_cli_spark.sinks.writers import AuditFailed
+    from sling_cli_spark.sources.iceberg_py import (
+        _current_metadata, read_iceberg)
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").write.parquet(src)
+    t = str(tmp_path / "t")
+
+    cfg = Config.from_dict({
+        "source": {"stream": src},
+        "target": {"object": t, "options": {
+            "format": "iceberg", "audit_branch": "audit",
+            "audit_sql": "SELECT * FROM _audit WHERE id IS NULL"}},
+        "mode": "full-refresh"})
+    res = run(spark, cfg)
+    assert res.rows == 2
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 2}
+    _, meta = _current_metadata(t)
+    assert "audit" in (meta.get("refs") or {})
+
+    # failing audit: violations surface, main keeps the published state
+    src2 = str(tmp_path / "src2.parquet")
+    spark.createDataFrame(
+        [(None, "BAD"), (3, "c")], "id long, v string").write.parquet(src2)
+    cfg2 = Config.from_dict({
+        "source": {"stream": src2},
+        "target": {"object": t, "options": {
+            "format": "iceberg", "audit_branch": "audit",
+            "audit_sql": "SELECT * FROM _audit WHERE id IS NULL"}},
+        "mode": "incremental"})
+    cfg2.source.primary_key = ["id"]
+    with _pytest.raises(AuditFailed, match="unpublished"):
+        run(spark, cfg2)
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 2}
+    # the staged rows are inspectable on the branch
+    staged = read_iceberg(spark, t, ref="audit")
+    assert staged.filter("id IS NULL").count() == 1
