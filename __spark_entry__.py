@@ -1872,6 +1872,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("record_count").alias("n_records"))
         return am.crossJoin(af)
 
+    def iceberg_wap_el(spark, sf):
+        """Write-audit-publish through the EL RUNNER (sinks/writers.
+        _write_audit_publish, round 9; Iceberg's WAP workflow): a
+        full-refresh load of nation stages on the `audit` branch,
+        the audit_sql gate (rows = violations) passes, fast_forward
+        publishes to main; a second load carrying NULL keys FAILS the
+        gate — AuditFailed, main keeps the published state, the bad
+        batch stays inspectable on the branch."""
+        import tempfile
+
+        from sling_cli_spark.config import Config
+        from sling_cli_spark.runner import run as _run
+        from sling_cli_spark.sinks.writers import AuditFailed
+        from sling_cli_spark.sources import iceberg_py as I
+
+        base = tempfile.mkdtemp(prefix="sling_wapel_")
+        t = os.path.join(base, "t")
+        src = os.path.join(base, "src.parquet")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        n.write.parquet(src)
+        gate = "SELECT * FROM _audit WHERE n_nationkey IS NULL"
+        _run(spark, Config.from_dict({
+            "source": {"stream": src},
+            "target": {"object": t, "options": {
+                "format": "iceberg", "audit_branch": "audit",
+                "audit_sql": gate}},
+            "mode": "full-refresh"}))
+        bad = os.path.join(base, "bad.parquet")
+        n.withColumn("n_nationkey", F.lit(None).cast("long")) \
+            .limit(3).write.parquet(bad)
+        try:
+            _run(spark, Config.from_dict({
+                "source": {"stream": bad},
+                "target": {"object": t, "options": {
+                    "format": "iceberg", "audit_branch": "audit",
+                    "audit_sql": gate}},
+                "mode": "full-refresh"}))
+            raise AssertionError("audit gate must have refused")
+        except AuditFailed:
+            pass
+        staged = I.read_iceberg(spark, t, ref="audit")
+        assert staged.filter("n_nationkey IS NULL").count() == 3
+        return I.read_iceberg(spark, t)
+
     def delta_type_widening(spark, sf):
         """typeWidening table read (delta_py round 7): the first file
         stores n_nationkey as parquet INT32, a foreign commit widens
@@ -3686,6 +3733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_fast_append": iceberg_fast_append,
         "iceberg_wap_publish": iceberg_wap_publish,
         "iceberg_all_meta": iceberg_all_meta,
+        "iceberg_wap_el": iceberg_wap_el,
         "convert_inplace_roundtrip": convert_inplace_roundtrip,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
@@ -4324,6 +4372,11 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
         """,
         "iceberg_wap_publish": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+        """,
+        "iceberg_wap_el": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation

@@ -464,6 +464,15 @@ def cmd_lake(args: argparse.Namespace) -> int:
         sid = cherry_pick_snapshot(path, args.snapshot)
         print(json.dumps({"published_snapshot_id": sid}))
         return 0
+    if op == "fast-forward":
+        if is_delta:
+            print("fast-forward applies to Iceberg tables",
+                  file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.iceberg_py import fast_forward
+        sid = fast_forward(path, args.branch, to=args.to)
+        print(json.dumps({"head_snapshot_id": sid, "ref": args.to}))
+        return 0
     if op == "rollback":
         if is_delta:
             print("rollback applies to Iceberg tables "
@@ -854,6 +863,13 @@ def build_parser() -> argparse.ArgumentParser:
                               "snapshot (WAP) onto the current head")
     lcpk.add_argument("path")
     lcpk.add_argument("snapshot", type=int)
+    lff = ls.add_parser("fast-forward",
+                        help="iceberg: advance a ref to a branch head "
+                             "when it is an ancestor (WAP publish for "
+                             "any operation kind)")
+    lff.add_argument("path")
+    lff.add_argument("branch")
+    lff.add_argument("--to", default="main")
     lrb = ls.add_parser("rollback",
                         help="iceberg: roll current back to a snapshot")
     lrb.add_argument("path")
