@@ -134,6 +134,12 @@ def write_files(
     from sling_cli_spark.sources.iceberg_catalog import is_catalog_url
 
     if is_catalog_url(target.object):
+        if opts.audit_branch:
+            # refusing beats silently skipping a data-quality gate
+            raise ValueError(
+                "audit_branch (write-audit-publish) is not supported "
+                "for catalog:// targets yet — use a path target, or "
+                "drop the audit gate explicitly")
         return _write_catalog(df, target.object, mode, opts)
     uri, masks = parse_partition_mask(target.object or "", update_key)
     fmt = fmt or opts.format or _detect_format(uri)

@@ -670,3 +670,23 @@ def test_cli_lake_checksum(spark, tmp_path, capsys):
     open(crc, "w").write(json.dumps(bad))
     assert main(["lake", "checksum", t]) == 3
     capsys.readouterr()
+
+
+def test_cli_lake_fast_forward(spark, tmp_path, capsys):
+    """r9: `lake fast-forward` publishes a branch head onto main when
+    main is an ancestor."""
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.iceberg_py import (
+        create_branch, read_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), t)
+    create_branch(t, "audit")
+    write_iceberg(spark.createDataFrame(
+        [(2, "b")], "id long, v string").coalesce(1), t, branch="audit")
+    assert read_iceberg(spark, t).count() == 1
+    assert main(["lake", "fast-forward", t, "audit"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["ref"] == "main" and out["head_snapshot_id"]
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 2}

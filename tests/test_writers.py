@@ -247,3 +247,25 @@ def test_el_write_audit_publish(spark, tmp_path):
     # the staged rows are inspectable on the branch
     staged = read_iceberg(spark, t, ref="audit")
     assert staged.filter("id IS NULL").count() == 1
+
+
+def test_audit_branch_refuses_catalog_targets(spark, tmp_path):
+    """A silently-skipped audit gate is worse than no gate: catalog://
+    targets refuse audit_branch loudly until WAP threads through the
+    catalog commit path."""
+    import pytest as _pytest
+
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+
+    src = str(tmp_path / "s.parquet")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .write.parquet(src)
+    cfg = Config.from_dict({
+        "source": {"stream": src},
+        "target": {"object": f"catalog://sql@{tmp_path}/wh#ns.t",
+                   "options": {"format": "iceberg",
+                               "audit_branch": "audit"}},
+        "mode": "full-refresh"})
+    with _pytest.raises(ValueError, match="audit_branch"):
+        run(spark, cfg)
