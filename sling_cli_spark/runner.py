@@ -251,8 +251,9 @@ def run(
                     "eq_upsert implements update_insert semantics only")
 
             def _merge(spark_, uri_, df_, pk_, strategy=None,
-                       update_key=None):
-                return upsert_iceberg(spark_, uri_, df_, pk_)
+                       update_key=None, branch="main"):
+                return upsert_iceberg(spark_, uri_, df_, pk_,
+                                      branch=branch)
         else:
             from sling_cli_spark.sources.iceberg_py import (
                 merge_iceberg as _merge)
@@ -261,6 +262,16 @@ def run(
         from sling_cli_spark.sources.iceberg_catalog import (
             is_catalog_url)
 
+        audit = cfg.target.options.audit_branch
+        if audit and lake_fmt != "iceberg":
+            raise ValueError(
+                "audit_branch (write-audit-publish) applies to iceberg "
+                "targets — delta has no branches")
+        if audit and is_catalog_url(uri):
+            raise ValueError(
+                "audit_branch (write-audit-publish) is not supported "
+                "for catalog:// targets yet — use a path target, or "
+                "drop the audit gate explicitly")
         if is_catalog_url(uri):
             # catalog-managed target: the SAME local merge machinery
             # runs on the resolved location, and every metadata
@@ -288,10 +299,11 @@ def run(
         df = df.persist()
         try:
             vals = df.agg(*_write_aggs(cfg, df.columns)).collect()[0].asDict()
+            mkw = {"branch": audit} if audit else {}
             stats = _merge(
                 spark, uri, df, cfg.source.primary_key,
                 strategy=cfg.target.options.merge_strategy,
-                update_key=update_key)
+                update_key=update_key, **mkw)
             if cfg.target.options.delete_missing:
                 # CoW delete: only files holding a PK absent from the
                 # FULL source snapshot rewrite (same keyset contract as
@@ -316,9 +328,19 @@ def run(
                 keyset = build_read_plan(spark, cfg, full_source=True)
                 stats["delete_missing"] = _dm_lake(
                     spark, uri, keyset, cfg.source.primary_key,
-                    soft=cfg.target.options.delete_missing == "soft")
+                    soft=cfg.target.options.delete_missing == "soft",
+                    **mkw)
         finally:
             df.unpersist()
+        if audit:
+            # WAP: the merge (+delete_missing) landed on the audit
+            # branch — gate it, then publish by fast-forward (a merge
+            # rewrites files, so cherry-pick is never the fallback)
+            from sling_cli_spark.sinks.writers import (
+                audit_gate_and_publish)
+
+            audit_gate_and_publish(
+                spark, uri, audit, cfg.target.options.audit_sql)
         result = TaskResult(rows=vals["rows"], columns=df.columns,
                             mode=cfg.mode.value, watermark=vals.get("wm"),
                             merge_stats=stats)

@@ -98,29 +98,59 @@ def _write_audit_publish(df, uri: str, mode, opts, part_cols):
     raises :class:`AuditFailed` and leaves the branch for inspection
     (drop-ref discards it; the next staged load otherwise publishes on
     top of it)."""
-    from sling_cli_spark.sources.iceberg_py import (
-        cherry_pick_snapshot, fast_forward, read_iceberg, write_iceberg)
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
 
+    if opts.bucket_by:
+        raise ValueError(
+            "audit_branch + bucket_by is not supported (iceberg "
+            "clustering goes through partition transforms, not Spark "
+            "bucketed tables) — refusing beats silently dropping the "
+            "bucket layout")
     spark = df.sparkSession
     branch = opts.audit_branch
     sid = write_iceberg(df, uri, mode=_spark_mode(mode),
                         partition_by=part_cols or None, branch=branch,
                         txn_app_id=opts.txn_app_id,
                         txn_version=opts.txn_version)
-    if opts.audit_sql:
-        read_iceberg(spark, uri, ref=branch) \
-            .createOrReplaceTempView("_audit")
-        if spark.sql(opts.audit_sql).limit(1).count() > 0:
-            raise AuditFailed(
-                f"WAP audit failed for branch {branch!r} at {uri}: "
-                f"audit_sql returned violations; staged snapshot {sid} "
-                "left unpublished (lake drop-ref discards it)")
+    audit_gate_and_publish(
+        spark, uri, branch, opts.audit_sql, staged_sid=sid,
+        allow_cherry_pick=_spark_mode(mode) == "append")
+
+
+def audit_gate_and_publish(spark, uri: str, branch: str,
+                           audit_sql: str | None,
+                           staged_sid: int | None = None,
+                           allow_cherry_pick: bool = False) -> None:
+    """The audit + publish half of WAP, shared by the plain-write and
+    the lake-merge load paths: run ``audit_sql`` against the branch
+    (the ``_audit`` name in the SQL is the contract; the session view
+    is per-call unique so concurrent loads never gate against each
+    other's branch), then publish — fast-forward, with a cherry-pick
+    fallback only for appends onto a moved head."""
+    import re as _re
+    import uuid as _uuid
+
+    from sling_cli_spark.sources.iceberg_py import (
+        cherry_pick_snapshot, fast_forward, read_iceberg)
+
+    if audit_sql:
+        view = f"_audit_{_uuid.uuid4().hex[:12]}"
+        read_iceberg(spark, uri, ref=branch).createOrReplaceTempView(view)
+        try:
+            gate = _re.sub(r"\b_audit\b", view, audit_sql)
+            if spark.sql(gate).limit(1).count() > 0:
+                raise AuditFailed(
+                    f"WAP audit failed for branch {branch!r} at {uri}: "
+                    "audit_sql returned violations; the staged load is "
+                    "left unpublished (lake drop-ref discards it)")
+        finally:
+            spark.catalog.dropTempView(view)
     try:
         fast_forward(uri, branch)
     except ValueError:
-        if _spark_mode(mode) != "append":
+        if not (allow_cherry_pick and staged_sid is not None):
             raise
-        cherry_pick_snapshot(uri, sid)  # append onto the moved head
+        cherry_pick_snapshot(uri, staged_sid)  # append onto moved head
 
 
 def write_files(

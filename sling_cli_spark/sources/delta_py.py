@@ -387,10 +387,11 @@ def _checkpoint_domain_rows(path: str, fs, version: int) -> list[dict]:
     return out
 
 
-def _write_checkpoint(path: str, fs, version: int) -> None:
+def _write_checkpoint(path: str, fs, version: int, state=None) -> None:
     """Materialize the state at ``version`` as a parquet checkpoint +
     ``_last_checkpoint`` pointer (PROTOCOL.md Checkpoints: one action per
-    row, one non-null action column per row).
+    row, one non-null action column per row). ``state`` lets a caller
+    that already replayed (meta, files, protocol) skip the re-replay.
 
     The checkpoint must round-trip EVERYTHING replay produced — the
     replayed protocol (incl. reader/writerFeatures), the full metaData
@@ -401,7 +402,7 @@ def _write_checkpoint(path: str, fs, version: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    meta, files, protocol = _replay_state(path, version)
+    meta, files, protocol = state or _replay_state(path, version)
     if "v2Checkpoint" in set((protocol or {}).get("writerFeatures") or ()):
         # the v2Checkpoint writer feature obliges checkpoints in V2
         # form — a classic one would violate the table contract
@@ -675,16 +676,18 @@ def _maybe_auto_checkpoint(path: str, version: int,
             _CKPT_INTERVAL_CACHE[path] = iv
         if iv <= 0 or version % iv != 0:
             return
-        meta, files, protocol = _replay_state(path, version)
         fs = fsio.get_fs(path)
         info = _last_checkpoint_info(path, fs) or {}
         if int(info.get("version", -1)) >= version:
             return
+        meta, files, protocol = _replay_state(path, version)
         if "v2Checkpoint" in set((protocol or {})
                                  .get("writerFeatures") or ()):
             _write_checkpoint_v2(path, fs, version, meta, files, protocol)
         else:
-            _write_checkpoint(path, fs, version)
+            # one replay total: thread the state through
+            _write_checkpoint(path, fs, version,
+                              state=(meta, files, protocol))
     except Exception:
         pass
 

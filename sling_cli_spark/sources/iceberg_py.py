@@ -2636,18 +2636,20 @@ def cherry_pick_snapshot(path: str, snapshot_id: int) -> int:
             staged.append(f)
     head = next((s for s in snaps if s["snapshot-id"] == cur), None)
     reuse = read_avro(head["manifest-list"])[1] if head else None
-    if reuse:
-        active = {_canon(e["data_file"]["file_path"])
-                  for m in reuse
-                  for e in read_avro(m["manifest_path"])[1]
-                  if e.get("status") != 2}
-        dup = [f["file_path"] for f in staged
-               if _canon(f["file_path"]) in active]
-        if dup:
+    # double-publish guard, O(metadata): a prior cherry-pick of this
+    # snapshot stamped source-snapshot-id on a main-chain summary (the
+    # fast-forward case is the main-chain walk above). Scanning every
+    # head manifest's file paths instead would make each publish
+    # O(table manifests) — the cost curve FastAppend exists to avoid.
+    walk = cur
+    while walk is not None and walk in by_id:
+        s = by_id[walk]
+        if (s.get("summary") or {}).get("source-snapshot-id") \
+                == str(int(snapshot_id)):
             raise ValueError(
-                f"cherry_pick_snapshot: {len(dup)} staged file(s) are "
-                f"already active on main (e.g. {dup[0]}) — the "
-                "snapshot looks already published")
+                f"cherry_pick_snapshot: snapshot {snapshot_id} was "
+                f"already published onto main as {walk}")
+        walk = s.get("parent-snapshot-id")
     return _commit_snapshot(
         None, path, meta, carried=[], staged_files=staged,
         reuse_manifests=reuse, operation="append",

@@ -247,7 +247,13 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     text = fs.read_bytes(
                         _log_path(self._path, v)).decode()
                 except Exception:
-                    break  # hole — partitions() raises loudly there
+                    # hole (cleaned commit): ADMIT through it so the
+                    # range reaches partitions(), where
+                    # _require_full_range fails loudly — breaking at
+                    # the anchor would stall the stream forever while
+                    # reporting healthy
+                    admitted = v
+                    break
                 for line in text.splitlines():
                     if '"add"' not in line:
                         continue
@@ -644,8 +650,12 @@ class _DeltaStreamWriter(DataSourceStreamWriter):
                 self._path, adds, version, protocol=wprot)
             try:  # pure append: losing the race is always retryable
                 _commit(self._path, version, actions)
-                from sling_cli_spark.sources.delta_py import _update_crc
+                from sling_cli_spark.sources.delta_py import (
+                    _maybe_auto_checkpoint, _update_crc)
                 _update_crc(self._path, version, actions)
+                # the highest-commit-rate writer is exactly where
+                # delta.checkpointInterval matters most
+                _maybe_auto_checkpoint(self._path, version, actions)
                 return
             except FileExistsError:
                 continue

@@ -269,3 +269,52 @@ def test_audit_branch_refuses_catalog_targets(spark, tmp_path):
         "mode": "full-refresh"})
     with _pytest.raises(ValueError, match="audit_branch"):
         run(spark, cfg)
+
+
+def test_el_wap_merge_path(spark, tmp_path):
+    """WAP on the lake-MERGE path: an incremental upsert stages on the
+    audit branch (merge_iceberg(branch=...) merges against the branch
+    head), the gate passes, fast-forward publishes; a violating batch
+    leaves main at the published state."""
+    import pytest as _pytest
+
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+    from sling_cli_spark.sinks.writers import AuditFailed
+    from sling_cli_spark.sources.iceberg_py import read_iceberg
+
+    t = str(tmp_path / "t")
+    gate = "SELECT * FROM _audit WHERE v = 'BAD'"
+
+    def cfg_for(src_path):
+        return Config.from_dict({
+            "source": {"stream": src_path, "primary_key": ["id"]},
+            "target": {"object": t, "options": {
+                "format": "iceberg", "audit_branch": "audit",
+                "audit_sql": gate}},
+            "mode": "incremental"})
+
+    s1 = str(tmp_path / "s1.parquet")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").write.parquet(s1)
+    run(spark, cfg_for(s1))
+    assert {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()} \
+        == {1: "a", 2: "b"}
+
+    s2 = str(tmp_path / "s2.parquet")  # update + insert, passes gate
+    spark.createDataFrame(
+        [(2, "B2"), (3, "c")], "id long, v string").write.parquet(s2)
+    res = run(spark, cfg_for(s2), target_df=read_iceberg(spark, t))
+    assert res.merge_stats is not None, "expected the lake-merge path"
+    assert {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()} \
+        == {1: "a", 2: "B2", 3: "c"}
+
+    s3 = str(tmp_path / "s3.parquet")  # violating batch
+    spark.createDataFrame(
+        [(4, "BAD")], "id long, v string").write.parquet(s3)
+    with _pytest.raises(AuditFailed):
+        run(spark, cfg_for(s3), target_df=read_iceberg(spark, t))
+    assert {r["id"]: r["v"] for r in read_iceberg(spark, t).collect()} \
+        == {1: "a", 2: "B2", 3: "c"}
+    assert read_iceberg(spark, t, ref="audit") \
+        .filter("v = 'BAD'").count() == 1
