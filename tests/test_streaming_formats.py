@@ -971,3 +971,37 @@ def test_iceberg_stream_file_and_byte_admission(spark, tmp_path):
     assert reader(max_files=100, max_snapshots=3, anchor=0) \
         .latestOffset() == {"seq": 3}
     assert reader(max_files=2, anchor=5).latestOffset() == {"seq": 5}
+
+
+def test_delta_stream_caps_admit_through_log_holes(spark, tmp_path):
+    """A cleaned commit inside the pending range must be ADMITTED by
+    the budget walk so partitions() fails loudly — breaking at the
+    anchor would stall the stream forever while reporting healthy."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from sling_cli_spark.sources.delta_py import write_delta
+    from sling_cli_spark.streaming.delta_source import (
+        _DeltaStreamReader, _require_full_range)
+
+    src = str(tmp_path / "src")
+    for i in range(4):  # v0..v3
+        write_delta(spark.createDataFrame(
+            [(i, "x")], "id long, v string").coalesce(1), src,
+            mode="append")
+    _os.remove(_os.path.join(src, "_delta_log", f"{1:020d}.json"))
+
+    r = _DeltaStreamReader.__new__(_DeltaStreamReader)
+    r._path = src
+    r._starting = 0
+    r._max_versions = None
+    r._max_files = 1
+    r._max_bytes = None
+    r._last_end = 0
+    end = r.latestOffset()
+    assert end["version"] >= 1, "the hole version must be admitted"
+    with _pytest.raises(ValueError, match="cleaned|has"):
+        _require_full_range([v for v in (0, 2, 3)
+                             if 0 < v <= end["version"]],
+                            0, end["version"], src)
