@@ -1919,6 +1919,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assert staged.filter("n_nationkey IS NULL").count() == 3
         return I.read_iceberg(spark, t)
 
+    def delta_version_checksum(spark, sf):
+        """Version checksum lifecycle (delta_py round 9, _update_crc /
+        verify_checksum; delta-spark OSS VersionChecksum): nation lands
+        in two appends + an overwrite — every commit writes {v}.crc
+        INCREMENTALLY (removes carry size), verify_checksum confirms
+        each against a full replay, a hand-corrupted checksum is
+        DETECTED, and re-verifying after reseed goes green. Result =
+        one row per version with the deterministic facts."""
+        import json as _json
+        import tempfile
+
+        from sling_cli_spark.sources import delta_py as D
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_crc_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name")
+        D.write_delta(n.filter("n_nationkey < 12").coalesce(1), t)
+        D.write_delta(n.filter("n_nationkey >= 12").coalesce(1), t,
+                      mode="append")
+        D.write_delta(n.coalesce(1), t, mode="overwrite")
+        rows = []
+        for v in range(3):
+            res = D.verify_checksum(t, version=v)
+            rows.append((v, bool(res["ok"]), bool(res["seeded"]),
+                         int(res["crc"]["numFiles"])))
+        # corruption detected, reseed recovers
+        p = D._crc_path(t, 2)
+        bad = _json.loads(open(p).read())
+        bad["numFiles"] += 7
+        open(p, "w").write(_json.dumps(bad))
+        assert D.verify_checksum(t, version=2)["ok"] is False
+        os.remove(p)
+        assert D.verify_checksum(t, version=2)["seeded"] is True
+        assert D.verify_checksum(t, version=2)["ok"] is True
+        return spark.createDataFrame(
+            rows, "version int, ok boolean, seeded boolean, n_files int")
+
     def delta_type_widening(spark, sf):
         """typeWidening table read (delta_py round 7): the first file
         stores n_nationkey as parquet INT32, a foreign commit widens
@@ -3734,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_wap_publish": iceberg_wap_publish,
         "iceberg_all_meta": iceberg_all_meta,
         "iceberg_wap_el": iceberg_wap_el,
+        "delta_version_checksum": delta_version_checksum,
         "convert_inplace_roundtrip": convert_inplace_roundtrip,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
@@ -4380,6 +4419,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation
+        """,
+        "delta_version_checksum": """
+            SELECT 0 AS version, true AS ok, false AS seeded,
+                   1 AS n_files
+            UNION ALL SELECT 1, true, false, 2
+            UNION ALL SELECT 2, true, false, 1
         """,
         "iceberg_all_meta": """
             WITH am AS (
