@@ -805,6 +805,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("_row_id").alias("row_id"),
             F.col("_row_commit_version").alias("row_commit_version"))
 
+    def iceberg_row_lineage(spark, sf):
+        """Iceberg v3 row lineage READ surface (iceberg_py round 10,
+        read_iceberg(with_row_ids=True) / _rl_attach_preserved; spec
+        v3 §Row Lineage — the format twin of delta_row_tracking):
+        nation lands sorted in ONE v3 file so _row_id == n_nationkey
+        and _last_updated_sequence_number == 1; a CoW merge updates
+        every multiple of 7 — updated rows keep their row id and take
+        the merge commit's sequence number (2) while untouched rows in
+        the rewritten file keep BOTH via the materialized lineage
+        columns; a compaction rewrites the whole table again and must
+        change NOTHING (ids ride the materialized columns through the
+        second rewrite); a final append takes fresh positional ids
+        from next-row-id — 75/76, because the spec allocates every
+        added file a first_row_id range even when its rows are all
+        materialized (write reserves 0-24, merge 25-49, compact
+        50-74). Oracle: CASE arithmetic on the key."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            compact_iceberg, merge_iceberg, read_iceberg, write_iceberg)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_irl_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_iceberg(n.coalesce(1).sortWithinPartitions("n_nationkey"),
+                      t, format_version=3)
+        merge_iceberg(
+            spark, t,
+            n.filter("n_nationkey % 7 = 0")
+            .withColumn("n_name", F.concat("n_name", F.lit("_u"))),
+            "n_nationkey", use_dvs=False)
+        cols = ["n_nationkey", "_row_id", "_last_updated_sequence_number"]
+        pre = sorted(map(tuple, read_iceberg(
+            spark, t, with_row_ids=True).select(*cols).collect()))
+        res = compact_iceberg(spark, t, min_files=1)
+        post = sorted(map(tuple, read_iceberg(
+            spark, t, with_row_ids=True).select(*cols).collect()))
+        assert res["compacted"] >= 1 and pre == post, \
+            "row ids must survive the compaction rewrite verbatim"
+        write_iceberg(
+            spark.createDataFrame(
+                [(90, "APPENDLAND_A", 0), (91, "APPENDLAND_B", 1)],
+                "n_nationkey long, n_name string, n_regionkey long")
+            .coalesce(1).sortWithinPartitions("n_nationkey"),
+            t, mode="append")
+        out = read_iceberg(spark, t, with_row_ids=True)
+        return out.select(
+            "n_nationkey", "n_name", "n_regionkey",
+            F.col("_row_id").alias("row_id"),
+            F.col("_last_updated_sequence_number")
+            .alias("last_updated_seq"))
+
     def iceberg_refs(spark, sf):
         """Snapshot refs (iceberg_py round 8, create_tag /
         write_iceberg(branch=...) / read_iceberg(ref=...); spec §Refs):
@@ -3773,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_all_meta": iceberg_all_meta,
         "iceberg_wap_el": iceberg_wap_el,
         "delta_version_checksum": delta_version_checksum,
+        "iceberg_row_lineage": iceberg_row_lineage,
         "convert_inplace_roundtrip": convert_inplace_roundtrip,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
@@ -3815,6 +3870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified locally each round (tools/check_correctness.py) and
     # was judge-re-run green in r9 (VERDICT r9: 154/154).
     window = [
+        # --- new in r10 (never driver-checked) ---
+        "iceberg_row_lineage",
         # --- never driver-checked (r9 late additions) ---
         "iceberg_wap_publish", "iceberg_all_meta",
         "iceberg_wap_el", "delta_version_checksum",
@@ -3836,8 +3893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs", "dedup_store_docs", "delta_dv_merge",
         "delta_stats_skipping", "iceberg_bounds_skipping",
         "bucketed_join_agg",
-        # --- r7-checked fill (remaining slots) ---
-        "distro_date_orders", "distro_group_orders",
+        # --- r7-checked fill (remaining slot) ---
+        "distro_date_orders",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     missing = [k for k in window if k not in d]
@@ -4668,6 +4725,24 @@ def oracle_sql() -> dict[str, str]:
         # one sorted file -> row id == key; merge updates multiples of
         # 7 (ids preserved, version -> 2); append at v3 takes 29, 30
         # (the merge's 4-row file reserved 25-28 off the watermark)
+        # v3 row lineage: write reserves ids 0-24 (sorted single file:
+        # id == key), merge keeps ids / bumps updated rows' seq to 2,
+        # compact changes nothing, append lands at 75/76 (merge and
+        # compact each reserved a 25-row range) with seq 4
+        "iceberg_row_lineage": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   CASE WHEN n_nationkey % 7 = 0 THEN n_name || '_u'
+                        ELSE n_name END AS n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   CAST(n_nationkey AS BIGINT) AS row_id,
+                   CAST(CASE WHEN n_nationkey % 7 = 0 THEN 2 ELSE 1
+                        END AS BIGINT) AS last_updated_seq
+            FROM nation
+            UNION ALL
+            SELECT 90, 'APPENDLAND_A', 0, 75, 4
+            UNION ALL
+            SELECT 91, 'APPENDLAND_B', 1, 76, 4
+        """,
         "delta_row_tracking": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
                    CASE WHEN n_nationkey % 7 = 0 THEN n_name || '_u'

@@ -167,6 +167,13 @@ _MANIFEST_ENTRY_SCHEMA_V2 = {
 # the DV fixture writes with the same unified entry schema
 _MANIFEST_ENTRY_SCHEMA_V3 = _MANIFEST_ENTRY_SCHEMA_V2
 
+# spec v3 §Row Lineage: the reader-facing metadata columns. Rewrites
+# (compact/merge/delete) MATERIALIZE them as physical parquet columns in
+# the rewritten files so ids survive the move; fresh files leave them
+# absent and readers derive first_row_id + position. Writer-internal:
+# never part of the table schema, stripped from plain reads.
+_LINEAGE_COLS = ("_row_id", "_last_updated_sequence_number")
+
 
 def _bounds_map(v):
     """Normalize a bounds value to {str(field-id): bytes} | None.
@@ -924,6 +931,7 @@ def _mor_read(
     spark, path: str, meta: dict, files: list[dict],
     pos_dels: list[dict], eq_dels: list[dict],
     empty_schema=None, keep_file_col: bool = False,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Scan a set of data-file entries with the snapshot's delete files
     applied merge-on-read. ``_metadata.file_path`` / ``row_index`` are
@@ -931,17 +939,34 @@ def _mor_read(
     not resolve after a join), then shared by the positional anti-join,
     the equality sequence map, the v3 initial-default fill, and
     (``keep_file_col=True``) the caller's touched-file detection via
-    ``__file``."""
+    ``__file``.
+
+    ``with_row_ids=True`` (spec v3 §Row Lineage) appends ``_row_id`` /
+    ``_last_updated_sequence_number``: the file's MATERIALIZED column
+    value when non-null (rewrites thread ids through), else
+    ``first_row_id + row position`` / the file's data sequence number —
+    computed BEFORE delete application (a DV filters rows; positions
+    and therefore ids of survivors are unchanged). The per-file
+    (first_row_id, seq) pair is manifest metadata the driver already
+    holds, broadcast-joined on ``__fp``; the id arithmetic is
+    whole-stage-codegen column math — one JVM-side pass at any scale.
+    Files from pre-v3 manifests (null ``first_row_id``) yield null ids,
+    per spec."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     if not files:
-        df = spark.createDataFrame([], empty_schema or _spark_schema(meta))
+        sch = empty_schema or _spark_schema(meta)
+        if with_row_ids:
+            sch = T.StructType(list(sch.fields) + [
+                T.StructField(c, T.LongType()) for c in _LINEAGE_COLS])
+        df = spark.createDataFrame([], sch)
         return df.withColumn("__file", F.lit(None).cast("string")) \
             if keep_file_col else df
     defaults = _initial_defaults(meta) \
         if meta.get("format-version", 1) >= 3 else {}
     need_fp = keep_file_col or bool(pos_dels) or bool(eq_dels) \
-        or bool(defaults)
+        or bool(defaults) or with_row_ids
     shapes = {frozenset((f.get("partition") or {}).keys()) for f in files}
     # migrated tables (migrate_to_iceberg): adopted files sit at the
     # table ROOT's Hive dirs while later commits land under data/ —
@@ -958,7 +983,8 @@ def _mor_read(
         # dir inference cannot span them, so union one branch per
         # distinct partition tuple with the manifests' values attached
         df = _grouped_partition_read(
-            spark, meta, files, need_fp, need_pos=bool(pos_dels))
+            spark, meta, files, need_fp,
+            need_pos=bool(pos_dels) or with_row_ids)
     else:
         reader = spark.read.option("mergeSchema", "true")
         shape = next(iter(shapes))
@@ -998,6 +1024,33 @@ def _mor_read(
         if need_fp:
             df = df.withColumn(
                 "__fp", _norm_path_col(F.col("_metadata.file_path")))
+        if with_row_ids and "__pos" not in df.columns:
+            df = df.withColumn("__pos", F.col("_metadata.row_index"))
+    if with_row_ids:
+        fmap = spark.createDataFrame(
+            [(_canon(f["file_path"]),
+              None if f.get("first_row_id") is None
+              else int(f["first_row_id"]),
+              int(f.get("__seq") or 0)) for f in files],
+            "__fp string, __frid long, __fseq long")
+        df = df.join(F.broadcast(fmap), "__fp", "left")
+        rid = F.col("__frid") + F.col("__pos")
+        seq = F.when(F.col("__frid").isNotNull(), F.col("__fseq"))
+        if "_row_id" in df.columns:
+            rid = F.coalesce(F.col("_row_id"), rid)
+        if "_last_updated_sequence_number" in df.columns:
+            seq = F.coalesce(
+                F.col("_last_updated_sequence_number"), seq)
+        df = df.withColumn("_row_id", rid.cast("long")) \
+            .withColumn("_last_updated_sequence_number",
+                        seq.cast("long")) \
+            .drop("__frid", "__fseq")
+    else:
+        # a rewrite materialized lineage columns into some data files —
+        # mergeSchema would otherwise leak them into plain reads
+        stray = [c for c in _LINEAGE_COLS if c in df.columns]
+        if stray:
+            df = df.drop(*stray)
     if defaults:
         df = _fill_initial_defaults(df, files, defaults)
     if pos_dels:
@@ -1006,6 +1059,11 @@ def _mor_read(
         df = _apply_positional_deletes(spark, df, pos_dels)
     if eq_dels:
         df = _apply_equality_deletes(spark, df, eq_dels, meta, files)
+    if "__pos" in df.columns:
+        # internal — _apply_positional_deletes drops it on its path;
+        # the row-id path must too, or a downstream rewrite would
+        # stage it as a real table column
+        df = df.drop("__pos")
     if keep_file_col:
         df = df.withColumnRenamed("__fp", "__file")
     elif need_fp:
@@ -1053,10 +1111,50 @@ def _grouped_partition_read(
     return out
 
 
+def _rl_attach_preserved(
+    spark, path: str, meta: dict, entries: list[dict],
+    pos_dels: list[dict], eq_dels: list[dict],
+    replacement: DataFrame, updated_keys: DataFrame | None, pk: list[str],
+) -> DataFrame:
+    """Materialize row-lineage ids into a rewrite's output (spec v3
+    §Row Lineage Writer Requirements; the format twin of
+    ``delta_py._rt_attach_preserved``): rewritten rows keep their
+    ``_row_id``; UPDATED rows null their ``_last_updated_sequence_number``
+    (readers then derive the new file's data sequence number) while
+    untouched rows keep theirs. Joins the rewrite output back to the
+    touched entries' (pk -> id) mapping — merge semantics already
+    assume pk uniqueness in the target. Rows absent from the mapping
+    (inserts) materialize NULL and read fresh ids from the new file's
+    ``first_row_id``. ``updated_keys`` None = pure rearrangement
+    (compaction-style): both ids preserved verbatim. No-op below v3."""
+    if int(meta.get("format-version", 1)) < 3:
+        return replacement
+    from pyspark.sql import functions as F
+
+    mapping = _mor_read(spark, path, meta, entries, pos_dels, eq_dels,
+                        with_row_ids=True).select(
+        *pk, F.col("_row_id").alias("__rl_rid"),
+        F.col("_last_updated_sequence_number").alias("__rl_seq"))
+    out = replacement.join(mapping, on=pk, how="left") \
+        .withColumn("_row_id", F.col("__rl_rid"))
+    drop = ["__rl_rid", "__rl_seq"]
+    if updated_keys is not None:
+        out = out.join(
+            updated_keys.select(*pk).distinct()
+            .withColumn("__rl_hit", F.lit(1)), on=pk, how="left")
+        out = out.withColumn("_last_updated_sequence_number", F.when(
+            F.col("__rl_hit").isNull(), F.col("__rl_seq")))
+        drop.append("__rl_hit")
+    else:
+        out = out.withColumn(
+            "_last_updated_sequence_number", F.col("__rl_seq"))
+    return out.drop(*drop)
+
+
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None, skip_filters=None,
-    ref: str | None = None,
+    ref: str | None = None, with_row_ids: bool = False,
 ) -> DataFrame:
     """Scan the current (or a specific) snapshot. ``mergeSchema`` unions
     the footers so files predating an evolved column (e.g. the
@@ -1072,8 +1170,20 @@ def read_iceberg(
     conjuncts) prunes data files via the manifests' value bounds
     BEFORE the scan is built (:func:`prune_files_by_bounds`); the
     caller still applies the row filter. ``ref`` (spec §Refs) reads at
-    a named tag or branch head — ``VERSION AS OF 'name'``."""
+    a named tag or branch head — ``VERSION AS OF 'name'``.
+
+    ``with_row_ids=True`` (spec v3 §Row Lineage; the format twin of
+    ``delta_py.read_delta(with_row_ids=True)``) appends ``_row_id`` /
+    ``_last_updated_sequence_number`` — see :func:`_mor_read`. Requires
+    format-version 3 (where the writer assigns ``first_row_id`` ranges
+    and maintains ``next-row-id``)."""
     _, meta = _current_metadata(path)
+    if with_row_ids and int(meta.get("format-version", 1)) < 3:
+        raise UnsupportedTableFeature(
+            f"iceberg table at {path} is format-version "
+            f"{meta.get('format-version', 1)}; row lineage "
+            "(_row_id / _last_updated_sequence_number) requires v3 — "
+            "create the table with write_iceberg(format_version=3)")
     if ref is not None:
         r = (meta.get("refs") or {}).get(ref)
         if not r:
@@ -1089,7 +1199,8 @@ def read_iceberg(
     files, pos_dels, eq_dels = _active_entries(path, meta, snapshot_id)
     if skip_filters:
         files = prune_files_by_bounds(files, skip_filters, meta)
-    return _mor_read(spark, path, meta, files, pos_dels, eq_dels)
+    return _mor_read(spark, path, meta, files, pos_dels, eq_dels,
+                     with_row_ids=with_row_ids)
 
 
 def merge_iceberg(
@@ -1238,6 +1349,11 @@ def merge_iceberg(
         replacement = merge_dataframes(
             touched_rows, src, pk, strategy=strategy, update_key=update_key,
             **cdc_cols)
+        # v3: rewritten rows keep their row ids; rows the batch updated
+        # reset their last-updated sequence number to this commit's
+        replacement = _rl_attach_preserved(
+            spark, path, meta, touched_entries, pos_dels, eq_dels,
+            replacement, updated_keys=src, pk=pk)
 
     keep = [f for f in active if _canon(f["file_path"]) not in touched]
     # delete files carry forward: kept data files stay merge-on-read;
@@ -1340,6 +1456,13 @@ def delete_missing_iceberg(
     replacement = _dm(
         _mor_read(spark, path, meta, touched_entries, pos_dels, eq_dels),
         keys, pk, soft=soft)
+    # v3: survivors keep their row ids; a soft delete UPDATES the
+    # marked rows (absent from the keyset), resetting their seq
+    replacement = _rl_attach_preserved(
+        spark, path, meta, touched_entries, pos_dels, eq_dels,
+        replacement,
+        updated_keys=replacement.join(keys, on=pk, how="left_anti")
+        if soft else None, pk=pk)
     keep = [f for f in active if _canon(f["file_path"]) not in touched]
     snapshot_id = _commit_snapshot(
         replacement, path, meta, carried=keep, operation="delete",
@@ -1751,12 +1874,24 @@ def _commit_snapshot(
             UnsupportedTransform, transform_expr)
 
         tmp = fsio.join(data_dir, f".stage_{uuid.uuid4().hex[:8]}")
+        # rewrites materialize row-lineage ids as EXTRA parquet columns
+        # (spec v3 §Row Lineage Writer Requirements: rewritten rows
+        # keep their ids) — they ride the staged parquet write but
+        # never the table schema, stats, or schema-evolution check
+        lineage = [c for c in _LINEAGE_COLS if c in df.columns]
+        if lineage and fv < 3:
+            raise UnsupportedTableFeature(
+                f"iceberg table at {path} is format-version {fv}; "
+                f"staged columns {lineage} are v3 row-lineage "
+                "metadata and cannot be written to a v1/v2 table")
         # transform fields (spec §Partition Transforms) partition by a
         # DERIVED column (bucket hash / truncated prefix / temporal
         # ordinal) computed JVM-side; the source column stays inside
         # the data files (transformed fields never replace their
         # source), so only the derived value rides the Hive dir name
         stage_df = df
+        if lineage:
+            df = df.drop(*lineage)
         if transform_fields:
             from sling_cli_spark.sources.iceberg_transforms import (
                 spark_type_name)
@@ -3745,7 +3880,11 @@ def compact_iceberg(
         return {"compacted": 0, "new_files": 0,
                 "snapshot_id": meta.get("current-snapshot-id")}
 
-    rows = _mor_read(spark, path, meta, todo, pos_dels, eq_dels)
+    # v3 rewrite: a pure rearrangement materializes BOTH lineage ids
+    # into the rewritten files (spec v3 §Row Lineage) — no row was
+    # logically updated, so _last_updated_sequence_number survives too
+    rows = _mor_read(spark, path, meta, todo, pos_dels, eq_dels,
+                     with_row_ids=int(meta.get("format-version", 1)) >= 3)
     total = sum(int(f.get("file_size_in_bytes") or 0) for f in todo)
     n_out = max(1, round(total / target_file_bytes))
     # see delta_py.optimize_delta: hash by the partition columns so the

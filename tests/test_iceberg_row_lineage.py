@@ -1,0 +1,145 @@
+"""Iceberg v3 row lineage READ surface (spec v3 §Row Lineage).
+
+The write side has assigned ``first_row_id`` ranges / ``next-row-id``
+since round 8 (iceberg_py._commit_snapshot); these tests pin the r10
+read surface — ``read_iceberg(with_row_ids=True)`` materializing
+``_row_id`` / ``_last_updated_sequence_number`` — and the writer
+requirement that rewrites (merge / delete_missing / compact) preserve
+ids by materializing them into the rewritten files. Reference behavior:
+the public Iceberg spec v3; the repo's own Delta row tracking
+(delta_py._scan_with_row_ids / _rt_attach_preserved) is the format twin.
+"""
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sling_cli_spark.sources.iceberg_py import (
+    UnsupportedTableFeature, compact_iceberg, delete_missing_iceberg,
+    merge_iceberg, read_iceberg, write_iceberg)
+
+
+def _tbl(tmp_path, name="t"):
+    return os.path.join(str(tmp_path), name)
+
+
+def _rows(spark, t):
+    return {
+        r.k: (r.name, r._row_id, r._last_updated_sequence_number)
+        for r in read_iceberg(spark, t, with_row_ids=True).collect()}
+
+
+def test_fresh_write_assigns_positional_ids(spark, tmp_path):
+    t = _tbl(tmp_path)
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(8)], "k long, name string")
+    write_iceberg(df.coalesce(1).sortWithinPartitions("k"), t,
+                  format_version=3)
+    got = _rows(spark, t)
+    # one sorted file: _row_id == first_row_id (0) + position == k
+    assert got == {i: (f"n{i}", i, 1) for i in range(8)}
+
+
+def test_append_continues_from_next_row_id(spark, tmp_path):
+    t = _tbl(tmp_path)
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(5)], "k long, name string")
+    write_iceberg(df.coalesce(1).sortWithinPartitions("k"), t,
+                  format_version=3)
+    write_iceberg(
+        spark.createDataFrame([(90, "A"), (91, "B")],
+                              "k long, name string")
+        .coalesce(1).sortWithinPartitions("k"), t, mode="append")
+    got = _rows(spark, t)
+    assert got[90] == ("A", 5, 2) and got[91] == ("B", 6, 2)
+    assert got[0] == ("n0", 0, 1)
+
+
+def test_v2_table_refuses_row_id_read(spark, tmp_path):
+    t = _tbl(tmp_path)
+    write_iceberg(spark.range(3).withColumnRenamed("id", "k"), t,
+                  format_version=2)
+    with pytest.raises(UnsupportedTableFeature, match="format-version"):
+        read_iceberg(spark, t, with_row_ids=True)
+
+
+def test_plain_read_never_leaks_lineage_columns(spark, tmp_path):
+    t = _tbl(tmp_path)
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(6)], "k long, name string")
+    write_iceberg(df.coalesce(1), t, format_version=3)
+    compact_iceberg(spark, t, min_files=1)  # materializes the columns
+    out = read_iceberg(spark, t)
+    assert "_row_id" not in out.columns
+    assert "_last_updated_sequence_number" not in out.columns
+    assert out.count() == 6
+
+
+def test_merge_preserves_ids_and_resets_updated_seq(spark, tmp_path):
+    t = _tbl(tmp_path)
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(10)], "k long, name string")
+    write_iceberg(df.coalesce(1).sortWithinPartitions("k"), t,
+                  format_version=3)
+    src = spark.createDataFrame(
+        [(2, "U2"), (7, "U7"), (100, "I")], "k long, name string")
+    merge_iceberg(spark, t, src, "k", use_dvs=False)
+    got = _rows(spark, t)
+    # updated rows keep _row_id, take the merge commit's seq (2)
+    assert got[2] == ("U2", 2, 2) and got[7] == ("U7", 7, 2)
+    # untouched rows in the rewritten file keep BOTH (materialized)
+    for k in (0, 1, 3, 4, 5, 6, 8, 9):
+        assert got[k] == (f"n{k}", k, 1)
+    # inserted row takes a fresh id past every allocated range
+    assert got[100][1] >= 10 and got[100][2] == 2
+
+
+def test_compaction_preserves_ids_verbatim(spark, tmp_path):
+    t = _tbl(tmp_path)
+    write_iceberg(
+        spark.createDataFrame([(i, f"n{i}") for i in range(4)],
+                              "k long, name string")
+        .coalesce(1).sortWithinPartitions("k"), t, format_version=3)
+    write_iceberg(
+        spark.createDataFrame([(10, "x"), (11, "y")],
+                              "k long, name string")
+        .coalesce(1).sortWithinPartitions("k"), t, mode="append")
+    before = _rows(spark, t)
+    res = compact_iceberg(spark, t, min_files=2)
+    assert res["compacted"] == 2 and res["new_files"] == 1
+    assert _rows(spark, t) == before
+
+
+def test_delete_missing_survivors_keep_ids(spark, tmp_path):
+    t = _tbl(tmp_path)
+    write_iceberg(
+        spark.createDataFrame([(i, f"n{i}") for i in range(6)],
+                              "k long, name string")
+        .coalesce(1).sortWithinPartitions("k"), t, format_version=3)
+    keep = spark.createDataFrame([(0,), (2,), (5,)], "k long")
+    delete_missing_iceberg(spark, t, keep, "k")
+    got = _rows(spark, t)
+    assert got == {0: ("n0", 0, 1), 2: ("n2", 2, 1), 5: ("n5", 5, 1)}
+
+
+def test_dv_delete_retires_ids_without_rewrite(spark, tmp_path):
+    # v3 DV path: deleted rows vanish, survivors' positions (and
+    # therefore derived ids) are untouched — no materialization needed
+    t = _tbl(tmp_path)
+    write_iceberg(
+        spark.createDataFrame([(i, f"n{i}") for i in range(6)],
+                              "k long, name string")
+        .coalesce(1).sortWithinPartitions("k"), t, format_version=3)
+    keep = spark.createDataFrame([(i,) for i in (0, 3, 4)], "k long")
+    res = delete_missing_iceberg(spark, t, keep, "k", use_dvs=True)
+    assert res.get("dv_files")
+    got = _rows(spark, t)
+    assert got == {k: (f"n{k}", k, 1) for k in (0, 3, 4)}
+
+
+def test_staging_lineage_columns_refused_below_v3(spark, tmp_path):
+    t = _tbl(tmp_path)
+    df = spark.range(3).withColumnRenamed("id", "k") \
+        .withColumn("_row_id", F.col("k"))
+    with pytest.raises(UnsupportedTableFeature, match="row-lineage"):
+        write_iceberg(df, t, format_version=2)
