@@ -1973,6 +1973,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assert staged.filter("n_nationkey IS NULL").count() == 3
         return I.read_iceberg(spark, t)
 
+    def catalog_wap_el(spark, sf):
+        """Write-audit-publish through a CATALOG-ROUTED EL load
+        (sinks/writers._write_catalog_wap, round 10 — lifts the r8/r9
+        audit_branch+catalog:// refusal): the stage lands as a
+        pointer-CAS commit whose MAIN head is unchanged (branch-only),
+        the audit_sql gate decides publication, and the fast-forward
+        publish is a second pointer CAS. A NULL-key batch FAILS the
+        gate: the catalog's main view keeps the published state, the
+        pointer and path hint stay consistent, and the bad batch is
+        inspectable on the branch THROUGH the pointer."""
+        import tempfile
+
+        from sling_cli_spark.config import Config
+        from sling_cli_spark.runner import run as _run
+        from sling_cli_spark.sinks.writers import AuditFailed
+        from sling_cli_spark.sources import iceberg_py as I
+        from sling_cli_spark.sources.iceberg_catalog import (
+            _hint_version, _meta_version, _read_meta, open_catalog_url,
+            read_table)
+
+        base = tempfile.mkdtemp(prefix="sling_cwap_")
+        url = f"catalog://ns.t?db={base}/cat.db&warehouse={base}/wh"
+        src = os.path.join(base, "src.parquet")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        n.write.parquet(src)
+        gate = "SELECT * FROM _audit WHERE n_nationkey IS NULL"
+
+        def cfg(stream):
+            return Config.from_dict({
+                "source": {"stream": stream},
+                "target": {"object": url, "options": {
+                    "format": "iceberg", "audit_branch": "audit",
+                    "audit_sql": gate}},
+                "mode": "full-refresh"})
+
+        _run(spark, cfg(src))
+        cat, ident = open_catalog_url(url)
+        bad = os.path.join(base, "bad.parquet")
+        n.withColumn("n_nationkey", F.lit(None).cast("long")) \
+            .limit(3).write.parquet(bad)
+        try:
+            _run(spark, cfg(bad))
+            raise AssertionError("audit gate must have refused")
+        except AuditFailed:
+            pass
+        meta = _read_meta(cat.load_table(ident))
+        assert _hint_version(meta["location"]) == \
+            _meta_version(cat.load_table(ident)), \
+            "pointer and path hint must agree after the failed gate"
+        staged = I.read_iceberg(spark, meta["location"], ref="audit")
+        assert staged.filter("n_nationkey IS NULL").count() == 3
+        return read_table(cat, spark, ident)
+
     def delta_version_checksum(spark, sf):
         """Version checksum lifecycle (delta_py round 9, _update_crc /
         verify_checksum; delta-spark OSS VersionChecksum): nation lands
@@ -3828,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_wap_el": iceberg_wap_el,
         "delta_version_checksum": delta_version_checksum,
         "iceberg_row_lineage": iceberg_row_lineage,
+        "catalog_wap_el": catalog_wap_el,
         "convert_inplace_roundtrip": convert_inplace_roundtrip,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
@@ -3871,7 +3928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # was judge-re-run green in r9 (VERDICT r9: 154/154).
     window = [
         # --- new in r10 (never driver-checked) ---
-        "iceberg_row_lineage",
+        "iceberg_row_lineage", "catalog_wap_el",
         # --- never driver-checked (r9 late additions) ---
         "iceberg_wap_publish", "iceberg_all_meta",
         "iceberg_wap_el", "delta_version_checksum",
@@ -3893,8 +3950,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs", "dedup_store_docs", "delta_dv_merge",
         "delta_stats_skipping", "iceberg_bounds_skipping",
         "bucketed_join_agg",
-        # --- r7-checked fill (remaining slot) ---
-        "distro_date_orders",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     missing = [k for k in window if k not in d]
@@ -4472,6 +4527,12 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
         """,
         "iceberg_wap_el": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+        """,
+        # failed gate leaves the catalog main view at the published load
+        "catalog_wap_el": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation

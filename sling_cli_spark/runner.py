@@ -267,11 +267,6 @@ def run(
             raise ValueError(
                 "audit_branch (write-audit-publish) applies to iceberg "
                 "targets — delta has no branches")
-        if audit and is_catalog_url(uri):
-            raise ValueError(
-                "audit_branch (write-audit-publish) is not supported "
-                "for catalog:// targets yet — use a path target, or "
-                "drop the audit gate explicitly")
         if is_catalog_url(uri):
             # catalog-managed target: the SAME local merge machinery
             # runs on the resolved location, and every metadata
@@ -335,12 +330,24 @@ def run(
         if audit:
             # WAP: the merge (+delete_missing) landed on the audit
             # branch — gate it, then publish by fast-forward (a merge
-            # rewrites files, so cherry-pick is never the fallback)
-            from sling_cli_spark.sinks.writers import (
-                audit_gate_and_publish)
+            # rewrites files, so cherry-pick is never the fallback).
+            # Catalog targets publish under the pointer CAS; the
+            # staged branch is already pointer-visible (the wrapped
+            # merge committed it), so a failing gate leaves main and
+            # the pointer's main head untouched.
+            if is_catalog_url(uri):
+                from sling_cli_spark.sinks.writers import (
+                    audit_gate_and_publish_catalog)
 
-            audit_gate_and_publish(
-                spark, uri, audit, cfg.target.options.audit_sql)
+                audit_gate_and_publish_catalog(
+                    spark, _cat, _ident, audit,
+                    cfg.target.options.audit_sql)
+            else:
+                from sling_cli_spark.sinks.writers import (
+                    audit_gate_and_publish)
+
+                audit_gate_and_publish(
+                    spark, uri, audit, cfg.target.options.audit_sql)
         result = TaskResult(rows=vals["rows"], columns=df.columns,
                             mode=cfg.mode.value, watermark=vals.get("wm"),
                             merge_stats=stats)

@@ -59,22 +59,29 @@ def parse_partition_mask(object_uri: str, update_key: str | None = None):
     return clean, parts
 
 
-def _write_catalog(df: DataFrame, url: str, mode: Mode, opts):
-    """Catalog-routed sink (reference BulkImportStream:1252 +
-    CreateNamespaceIfNotExists:1162 + CreateTable:1015): auto-create
-    the namespace and an EMPTY table on first load — like a DB target
-    auto-creating schema.table — then commit the batch under the
-    pointer CAS. Idempotent txn ids ride the snapshot summary exactly
-    as for path targets."""
+def _ensure_catalog_table(cat, ident, df: DataFrame, opts):
+    """Auto-create the namespace and an EMPTY table on first load —
+    like a DB target auto-creating schema.table (reference
+    CreateNamespaceIfNotExists:1162 + CreateTable:1015)."""
     from sling_cli_spark.sources.iceberg_catalog import (
-        create_table, open_catalog_url, split_ident, write_table)
+        create_table, split_ident)
 
-    cat, ident = open_catalog_url(url)
     if not cat.table_exists(ident):
         ns, _ = split_ident(ident)
         cat.create_namespace(ns, exists_ok=True)
         create_table(cat, ident, df.schema,
                      partition_by=list(opts.partition_by) or None)
+
+
+def _write_catalog(df: DataFrame, url: str, mode: Mode, opts):
+    """Catalog-routed sink (reference BulkImportStream:1252): commit
+    the batch under the pointer CAS. Idempotent txn ids ride the
+    snapshot summary exactly as for path targets."""
+    from sling_cli_spark.sources.iceberg_catalog import (
+        open_catalog_url, write_table)
+
+    cat, ident = open_catalog_url(url)
+    _ensure_catalog_table(cat, ident, df, opts)
     kw = {}
     if opts.txn_app_id is not None:
         kw = {"txn_app_id": opts.txn_app_id,
@@ -153,6 +160,59 @@ def audit_gate_and_publish(spark, uri: str, branch: str,
         cherry_pick_snapshot(uri, staged_sid)  # append onto moved head
 
 
+def audit_gate_and_publish_catalog(
+    spark, cat, ident, branch: str, audit_sql: str | None,
+    staged_sid: int | None = None,
+    allow_cherry_pick: bool = False,
+) -> None:
+    """Catalog twin of :func:`audit_gate_and_publish`: the gate runs
+    against the pointed-at location's branch ref, and the PUBLISH
+    (fast-forward / cherry-pick — the only metadata it advances) lands
+    under the catalog's pointer CAS. A failing audit raises BEFORE any
+    metadata write, so main and the pointer stay untouched while the
+    staged branch remains catalog-visible for inspection; a lost
+    publish CAS withdraws the local publish metadata (run_committed's
+    contract) and leaves the staged branch intact for the retry."""
+    from sling_cli_spark.sources.iceberg_catalog import run_committed
+
+    run_committed(cat, ident, lambda location: audit_gate_and_publish(
+        spark, location, branch, audit_sql, staged_sid=staged_sid,
+        allow_cherry_pick=allow_cherry_pick))
+
+
+def _write_catalog_wap(df: DataFrame, url: str, mode: Mode, opts):
+    """Write-audit-publish for a ``catalog://`` target (VERDICT r9 ask
+    #3; lifts the r8/r9 refusal): TWO pointer commits. First the load
+    stages on the audit branch under the pointer CAS — spec-faithful:
+    a branch write IS a table commit, just invisible to main readers
+    (the pointed-at metadata gains the branch ref while main's head is
+    unchanged). Then the gate runs and a passing load publishes —
+    fast-forward (cherry-pick fallback for appends onto a moved head)
+    — under a second CAS. AuditFailed leaves main and the pointer's
+    main head untouched with the branch staged for inspection."""
+    from sling_cli_spark.sources.iceberg_catalog import (
+        open_catalog_url, run_committed)
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+
+    if opts.bucket_by:
+        raise ValueError(
+            "audit_branch + bucket_by is not supported (iceberg "
+            "clustering goes through partition transforms, not Spark "
+            "bucketed tables) — refusing beats silently dropping the "
+            "bucket layout")
+    cat, ident = open_catalog_url(url)
+    _ensure_catalog_table(cat, ident, df, opts)
+    sid = run_committed(cat, ident, lambda location: write_iceberg(
+        df, location, mode=_spark_mode(mode),
+        partition_by=list(opts.partition_by) or None,
+        branch=opts.audit_branch, txn_app_id=opts.txn_app_id,
+        txn_version=opts.txn_version))
+    audit_gate_and_publish_catalog(
+        df.sparkSession, cat, ident, opts.audit_branch, opts.audit_sql,
+        staged_sid=sid,
+        allow_cherry_pick=_spark_mode(mode) == "append")
+
+
 def write_files(
     df: DataFrame, target: Target, mode: Mode, fmt: str | None = None,
     update_key: str | None = None,
@@ -165,11 +225,7 @@ def write_files(
 
     if is_catalog_url(target.object):
         if opts.audit_branch:
-            # refusing beats silently skipping a data-quality gate
-            raise ValueError(
-                "audit_branch (write-audit-publish) is not supported "
-                "for catalog:// targets yet — use a path target, or "
-                "drop the audit gate explicitly")
+            return _write_catalog_wap(df, target.object, mode, opts)
         return _write_catalog(df, target.object, mode, opts)
     uri, masks = parse_partition_mask(target.object or "", update_key)
     fmt = fmt or opts.format or _detect_format(uri)

@@ -3236,6 +3236,7 @@ def iceberg_all_files(spark: SparkSession, path: str) -> DataFrame:
 def analyze_iceberg(
     spark: SparkSession, path: str, columns: list[str] | None = None,
     k: int = 4096, max_exact_distinct: int = 50_000,
+    ref: str | None = None,
 ) -> dict:
     """ANALYZE TABLE twin (spec §Table Statistics + Puffin spec): write
     per-column NDV statistics as a Puffin file and register it in
@@ -3275,7 +3276,16 @@ def analyze_iceberg(
 
     fs = fsio.get_fs(path)
     version, meta = _current_metadata(path, for_write=True)
-    sid = int(meta.get("current-snapshot-id") or -1)
+    if ref is not None:
+        # WAP: stats computed against a staged audit branch register
+        # keyed to the BRANCH head — fast_forward publishes that very
+        # snapshot id, so they resolve at the published head for free
+        r = (meta.get("refs") or {}).get(ref)
+        if not r:
+            raise ValueError(f"analyze: unknown ref {ref!r} at {path}")
+        sid = int(r["snapshot-id"])
+    else:
+        sid = int(meta.get("current-snapshot-id") or -1)
     if sid == -1:
         raise ValueError(f"iceberg table at {path} has no snapshot")
     snap = next((s for s in meta.get("snapshots") or []
@@ -3297,7 +3307,8 @@ def analyze_iceberg(
     if not fields:
         raise ValueError(f"analyze: no eligible columns at {path}")
 
-    df = read_iceberg(spark, path)
+    df = read_iceberg(spark, path, ref=ref) if ref is not None \
+        else read_iceberg(spark, path)
     probe = df.agg(*[
         F.approx_count_distinct(f"`{n}`").alias(n)
         for n, _, _ in fields]).collect()[0]
@@ -3416,7 +3427,7 @@ def iceberg_ndv(path: str, snapshot_id: int | None = None) -> dict:
     return out
 
 
-def compute_partition_stats(path: str) -> dict:
+def compute_partition_stats(path: str, ref: str | None = None) -> dict:
     """Partition statistics file (spec §Partition Statistics): one
     parquet row per live (spec_id, partition) with data/delete record
     and file counts, byte totals, and last-updated lineage, registered
@@ -3435,7 +3446,16 @@ def compute_partition_stats(path: str) -> dict:
 
     fs = fsio.get_fs(path)
     version, meta = _current_metadata(path, for_write=True)
-    sid = int(meta.get("current-snapshot-id") or -1)
+    if ref is not None:
+        # same WAP contract as analyze_iceberg(ref=...): keyed to the
+        # branch head, valid at the published head after fast_forward
+        r = (meta.get("refs") or {}).get(ref)
+        if not r:
+            raise ValueError(
+                f"partition stats: unknown ref {ref!r} at {path}")
+        sid = int(r["snapshot-id"])
+    else:
+        sid = int(meta.get("current-snapshot-id") or -1)
     if sid == -1:
         raise ValueError(f"iceberg table at {path} has no snapshot")
     part_names: list[str] = []
@@ -3448,7 +3468,7 @@ def compute_partition_stats(path: str) -> dict:
             f"iceberg table at {path} is unpartitioned — partition "
             "statistics would be a single all-table row; use "
             "analyze_iceberg / iceberg_detail instead")
-    data, pos_d, eq_d = _active_entries(path, meta, None)
+    data, pos_d, eq_d = _active_entries(path, meta, sid)
     snap_ts = {s["snapshot-id"]: int(s.get("timestamp-ms") or 0)
                for s in meta.get("snapshots") or []}
 

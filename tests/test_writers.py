@@ -249,26 +249,119 @@ def test_el_write_audit_publish(spark, tmp_path):
     assert staged.filter("id IS NULL").count() == 1
 
 
-def test_audit_branch_refuses_catalog_targets(spark, tmp_path):
-    """A silently-skipped audit gate is worse than no gate: catalog://
-    targets refuse audit_branch loudly until WAP threads through the
-    catalog commit path."""
+def test_el_wap_catalog_target(spark, tmp_path):
+    """WAP through a catalog:// target (r10 — lifts the r8/r9
+    refusal): the stage lands as a pointer-CAS commit whose main head
+    is unchanged (branch-only), the gate decides publication, and the
+    publish fast-forward is a second pointer CAS. A failing audit
+    leaves the catalog's main view untouched with the staged branch
+    inspectable THROUGH the pointer."""
     import pytest as _pytest
 
     from sling_cli_spark.config import Config
     from sling_cli_spark.runner import run
+    from sling_cli_spark.sinks.writers import AuditFailed
+    from sling_cli_spark.sources.iceberg_catalog import (
+        _hint_version, _meta_version, _read_meta, open_catalog_url,
+        read_table)
+    from sling_cli_spark.sources.iceberg_py import read_iceberg
+
+    url = (f"catalog://ns.t?db={tmp_path}/cat.db"
+           f"&warehouse={tmp_path}/wh")
+    gate = "SELECT * FROM _audit WHERE id IS NULL"
+
+    def cfg_for(src_path, mode="incremental"):
+        c = Config.from_dict({
+            "source": {"stream": src_path},
+            "target": {"object": url, "options": {
+                "format": "iceberg", "audit_branch": "audit",
+                "audit_sql": gate}},
+            "mode": mode})
+        if mode == "incremental":
+            c.source.primary_key = ["id"]
+        return c
 
     src = str(tmp_path / "s.parquet")
-    spark.createDataFrame([(1, "a")], "id long, v string") \
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
         .write.parquet(src)
-    cfg = Config.from_dict({
-        "source": {"stream": src},
-        "target": {"object": f"catalog://sql@{tmp_path}/wh#ns.t",
-                   "options": {"format": "iceberg",
-                               "audit_branch": "audit"}},
-        "mode": "full-refresh"})
-    with _pytest.raises(ValueError, match="audit_branch"):
-        run(spark, cfg)
+    run(spark, cfg_for(src, mode="full-refresh"))
+    cat, ident = open_catalog_url(url)
+    assert {r["id"] for r in read_table(cat, spark, ident).collect()} \
+        == {1, 2}
+    ml = cat.load_table(ident)
+    meta = _read_meta(ml)
+    assert "audit" in (meta.get("refs") or {})
+    # pointer and path hint agree after the two-CAS flow
+    assert _hint_version(meta["location"]) == _meta_version(ml)
+
+    # failing audit: pointer's MAIN head keeps the published state,
+    # the staged branch is pointer-visible for inspection
+    src2 = str(tmp_path / "s2.parquet")
+    spark.createDataFrame(
+        [(None, "BAD"), (3, "c")], "id long, v string").write.parquet(src2)
+    with _pytest.raises(AuditFailed, match="unpublished"):
+        run(spark, cfg_for(src2, mode="full-refresh"))
+    assert {r["id"] for r in read_table(cat, spark, ident).collect()} \
+        == {1, 2}
+    meta2 = _read_meta(cat.load_table(ident))
+    assert _hint_version(meta2["location"]) == \
+        _meta_version(cat.load_table(ident))
+    staged = read_iceberg(spark, meta2["location"], ref="audit")
+    assert staged.filter("id IS NULL").count() == 1
+
+
+def test_el_wap_catalog_merge_path(spark, tmp_path):
+    """WAP + catalog on the lake-MERGE path: the branch-threaded merge
+    commits under the pointer CAS, then the gate + fast-forward
+    publish as a second CAS; a violating batch leaves the catalog main
+    view at the published state."""
+    import pytest as _pytest
+
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+    from sling_cli_spark.sinks.writers import AuditFailed
+    from sling_cli_spark.sources.iceberg_catalog import (
+        open_catalog_url, read_table)
+
+    url = (f"catalog://ns.m?db={tmp_path}/cat.db"
+           f"&warehouse={tmp_path}/wh")
+    gate = "SELECT * FROM _audit WHERE v = 'BAD'"
+
+    def cfg_for(src_path):
+        return Config.from_dict({
+            "source": {"stream": src_path, "primary_key": ["id"]},
+            "target": {"object": url, "options": {
+                "format": "iceberg", "audit_branch": "audit",
+                "audit_sql": gate}},
+            "mode": "incremental"})
+
+    s1 = str(tmp_path / "m1.parquet")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").write.parquet(s1)
+    run(spark, cfg_for(s1))
+    cat, ident = open_catalog_url(url)
+    assert {r["id"]: r["v"]
+            for r in read_table(cat, spark, ident).collect()} \
+        == {1: "a", 2: "b"}
+
+    s2 = str(tmp_path / "m2.parquet")  # update + insert, passes gate
+    spark.createDataFrame(
+        [(2, "B2"), (3, "c")], "id long, v string").write.parquet(s2)
+    res = run(spark, cfg_for(s2),
+              target_df=read_table(cat, spark, ident))
+    assert res.merge_stats is not None, "expected the lake-merge path"
+    assert {r["id"]: r["v"]
+            for r in read_table(cat, spark, ident).collect()} \
+        == {1: "a", 2: "B2", 3: "c"}
+
+    s3 = str(tmp_path / "m3.parquet")  # violating batch
+    spark.createDataFrame(
+        [(4, "BAD")], "id long, v string").write.parquet(s3)
+    with _pytest.raises(AuditFailed):
+        run(spark, cfg_for(s3), target_df=read_table(cat, spark, ident))
+    assert {r["id"]: r["v"]
+            for r in read_table(cat, spark, ident).collect()} \
+        == {1: "a", 2: "B2", 3: "c"}
 
 
 def test_el_wap_merge_path(spark, tmp_path):
