@@ -609,11 +609,13 @@ def cmd_lake(args: argparse.Namespace) -> int:
         if args.partitions:
             from sling_cli_spark.sources.iceberg_py import (
                 compute_partition_stats)
-            print(json.dumps(compute_partition_stats(path)))
+            print(json.dumps(
+                compute_partition_stats(path, ref=args.ref)))
             return 0
         from sling_cli_spark.sources.iceberg_py import analyze_iceberg
         cols = [c for c in (args.columns or "").split(",") if c] or None
-        print(json.dumps(analyze_iceberg(spark, path, columns=cols)))
+        print(json.dumps(analyze_iceberg(
+            spark, path, columns=cols, ref=args.ref)))
         return 0
     if op == "optimize":
         target = args.target_mb * 1024 * 1024
@@ -832,6 +834,10 @@ def build_parser() -> argparse.ArgumentParser:
     lan.add_argument("--partitions", action="store_true",
                      help="write the spec's partition-statistics file "
                           "instead (manifest arithmetic, no scan)")
+    lan.add_argument("--ref",
+                     help="compute against a branch head (WAP: stats "
+                          "keyed to the branch snapshot resolve at the "
+                          "published head after fast-forward)")
     lsp = ls.add_parser("set-property",
                         help="set/unset table properties "
                              "(key=value; bare key unsets)")

@@ -1199,6 +1199,32 @@ def _commit_with_retry(
 
     Returns the version actually committed."""
     removes = {a["remove"]["path"] for a in actions if "remove" in a}
+
+    def _validate_against_current():
+        _, active = replay_log(path)
+        if removes - set(active):
+            raise ConcurrentModificationError(
+                f"delta: concurrent commit rewrote "
+                f"{sorted(removes - set(active))[:3]}... at {path}")
+        if read_files is not None and set(active) - read_files:
+            raise ConcurrentModificationError(
+                f"delta: concurrent commit added "
+                f"{sorted(set(active) - read_files)[:3]}... since this "
+                f"merge's snapshot at {path} — re-run the merge against "
+                f"the new snapshot")
+
+    if removes or read_files is not None:
+        # r10: validate BEFORE the first claim too. A rewrite plans
+        # against the snapshot it read, but ``version`` is computed at
+        # commit time — if a concurrent commit landed during the
+        # (long) replacement job, the claim SUCCEEDS at the advanced
+        # version and the stale remove set silently resurrects the
+        # concurrently-rewritten rows (caught by the r10 multi-process
+        # stress test: optimize + merge racing appends read 650 rows
+        # where 600 were ever committed). Any commit landing between
+        # this check and the claim collides on the version file and
+        # re-validates in the except branch below.
+        _validate_against_current()
     for _ in range(max_retries):
         try:
             _commit(path, version, actions)
@@ -1206,17 +1232,7 @@ def _commit_with_retry(
             _maybe_auto_checkpoint(path, version, actions)
             return version
         except FileExistsError:
-            _, active = replay_log(path)
-            if removes - set(active):
-                raise ConcurrentModificationError(
-                    f"delta: concurrent commit rewrote "
-                    f"{sorted(removes - set(active))[:3]}... at {path}")
-            if read_files is not None and set(active) - read_files:
-                raise ConcurrentModificationError(
-                    f"delta: concurrent commit added "
-                    f"{sorted(set(active) - read_files)[:3]}... since this "
-                    f"merge's snapshot at {path} — re-run the merge against "
-                    f"the new snapshot")
+            _validate_against_current()
             prev, version = version, latest_version(path) + 1
             # row-tracked commits: the concurrent winner may have
             # advanced the row-id watermark — reassign the FRESH adds

@@ -550,7 +550,9 @@ def open_catalog_url(url: str):
         from sling_cli_spark.sources.iceberg_rest import RestCatalog
         cat = RestCatalog(params["uri"], token=params.get("token"),
                           credential=params.get("credential"),
-                          warehouse=params.get("warehouse"))
+                          warehouse=params.get("warehouse"),
+                          page_size=int(params["pageSize"])
+                          if params.get("pageSize") else None)
     elif params.get("db"):
         cat = SqlCatalog(params["db"],
                          warehouse=params.get("warehouse"))

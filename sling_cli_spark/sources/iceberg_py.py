@@ -414,7 +414,20 @@ def _current_metadata(path: str, for_write: bool = False) -> tuple[int, dict]:
             "implementation reads and writes v1-v3 only")
     if fv == 3:
         _gate_v3_schema(path, meta)
+    if for_write:
+        # optimistic-concurrency basis (r10): _commit_snapshot compares
+        # this against the hint at CLAIM time — a writer that planned
+        # against v{N} must not commit v{M+1} over an interleaved
+        # commit's v{M} (its stale meta would silently drop that
+        # snapshot). Stripped by _dump_meta before serialization.
+        meta["__base_version"] = v
     return v, meta
+
+
+def _dump_meta(meta: dict) -> bytes:
+    """Serialize table metadata, stripping writer-internal keys."""
+    meta.pop("__base_version", None)
+    return json.dumps(meta).encode()
 
 
 # v3 adds types this engine cannot faithfully project into Spark —
@@ -1846,7 +1859,18 @@ def _commit_snapshot(
     fs.mkdirs(_meta_dir(path))
     version = 0
     if is_iceberg_table(path):
-        version, _ = _current_metadata(path, for_write=True)
+        version, _ = _current_metadata(path)
+        base = meta.get("__base_version")
+        if base is not None and int(base) != version:
+            # r10: the caller planned against v{base} but the table has
+            # advanced — committing from the stale meta would silently
+            # DROP every interleaved snapshot (this claim would succeed:
+            # v{version+1} is still free). Same exception shape as the
+            # claim race so caller retry loops treat both alike.
+            raise FileExistsError(
+                f"iceberg: table at {path} advanced from v{base} to "
+                f"v{version} since this write planned its snapshot "
+                "(concurrent writer won the race) — re-read and re-run")
 
     fv = meta.get("format-version", 1)
     carried_deletes = carried_deletes or []
@@ -2235,7 +2259,7 @@ def _commit_snapshot(
     try:
         fs.create_exclusive(
             fsio.join(_meta_dir(path), f"v{new_version}.metadata.json"),
-            json.dumps(meta).encode())
+            _dump_meta(meta))
     except FileExistsError:
         raise FileExistsError(
             f"iceberg: metadata version {new_version} already committed "
@@ -2443,7 +2467,7 @@ def evolve_partition_spec(path: str, partition_by: list[str]) -> int:
     meta["last-updated-ms"] = int(time.time() * 1000)
     fs.create_exclusive(
         fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
-        json.dumps(meta).encode())
+        _dump_meta(meta))
     fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
                    str(version + 1).encode())
     return int(new_id)
@@ -2471,7 +2495,7 @@ def set_iceberg_properties(path: str, props: dict) -> dict:
     meta["last-updated-ms"] = int(time.time() * 1000)
     fs.create_exclusive(
         fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
-        json.dumps(meta).encode())
+        _dump_meta(meta))
     fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
                    str(version + 1).encode())
     return cur
@@ -2527,7 +2551,7 @@ def set_sort_order(path: str, order_by: list[str]) -> int:
     meta["last-updated-ms"] = int(time.time() * 1000)
     fs.create_exclusive(
         fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
-        json.dumps(meta).encode())
+        _dump_meta(meta))
     fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
                    str(version + 1).encode())
     return int(new_id)
@@ -2831,7 +2855,7 @@ def fast_forward(path: str, branch: str, to: str = "main") -> int:
     meta["last-updated-ms"] = int(time.time() * 1000)
     fs.create_exclusive(
         fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
-        json.dumps(meta).encode())
+        _dump_meta(meta))
     fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
                    str(version + 1).encode())
     return int(head)
@@ -2859,7 +2883,7 @@ def rollback_to_snapshot(path: str, snapshot_id: int) -> int:
     meta["last-updated-ms"] = int(time.time() * 1000)
     fs.create_exclusive(
         fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
-        json.dumps(meta).encode())
+        _dump_meta(meta))
     fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
                    str(version + 1).encode())
     return int(snapshot_id)
@@ -2883,7 +2907,7 @@ def _set_ref(path: str, name: str, ref_type: str,
     meta["last-updated-ms"] = int(time.time() * 1000)
     fs.create_exclusive(
         fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
-        json.dumps(meta).encode())
+        _dump_meta(meta))
     fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
                    str(version + 1).encode())
     return int(sid)
@@ -2923,7 +2947,7 @@ def drop_ref(path: str, name: str) -> None:
     meta["last-updated-ms"] = int(time.time() * 1000)
     fs.create_exclusive(
         fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
-        json.dumps(meta).encode())
+        _dump_meta(meta))
     fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
                    str(version + 1).encode())
 
@@ -3383,7 +3407,7 @@ def analyze_iceberg(
     meta["last-updated-ms"] = int(time.time() * 1000)
     fs.create_exclusive(
         fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
-        json.dumps(meta).encode())
+        _dump_meta(meta))
     fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
                    str(version + 1).encode())
     return ndvs
@@ -3562,7 +3586,7 @@ def compute_partition_stats(path: str, ref: str | None = None) -> dict:
     meta["last-updated-ms"] = int(time.time() * 1000)
     fs.create_exclusive(
         fsio.join(_meta_dir(path), f"v{version + 1}.metadata.json"),
-        json.dumps(meta).encode())
+        _dump_meta(meta))
     fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
                    str(version + 1).encode())
     return {"rows": len(rows), "statistics-path": entry["statistics-path"]}
@@ -4043,6 +4067,11 @@ def _produce_dvs_ice(
     by_fp = {_canon(f["file_path"]): f for f in touched_entries}
     doomed_entries = [by_fp[fp] for fp in sorted(doomed_fps)]
     how = "left_semi" if doom_matched else "left_anti"
+    # driver-side collect is BOUNDED by max_dv_rows (the census gate
+    # above already returned None — CoW fallback — for dense deletes),
+    # so this holds <= max_dv_rows int64 positions, never O(table).
+    # Keep that gate if you touch this: an unbounded collect here is
+    # the 100 TB failure mode.
     pos_rows = _raw_position_scan_ice(spark, path, meta, doomed_entries) \
         .join(keyset, on=pk, how=how) \
         .groupBy("__fp") \
@@ -4222,7 +4251,7 @@ def add_deletion_vectors(path: str, dv_rows: dict[str, list[int]]) -> int:
     new_version = version + 1
     fs.create_exclusive(
         fsio.join(_meta_dir(path), f"v{new_version}.metadata.json"),
-        json.dumps(meta).encode())
+        _dump_meta(meta))
     fs.write_bytes(fsio.join(_meta_dir(path), "version-hint.text"),
                    str(new_version).encode())
     return snapshot_id

@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import re
 import threading
+import time
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -80,10 +81,12 @@ class RestCatalog:
 
     def __init__(self, uri: str, token: str | None = None,
                  credential: str | None = None,
-                 warehouse: str | None = None, name: str = "iceberg"):
+                 warehouse: str | None = None, name: str = "iceberg",
+                 page_size: int | None = None):
         self.uri = uri.rstrip("/")
         self.name = name
         self.warehouse = warehouse
+        self.page_size = page_size
         self.token = token
         if token is None and credential is not None:
             self.token = self._oauth(credential)
@@ -103,26 +106,49 @@ class RestCatalog:
         with urllib.request.urlopen(req, timeout=30) as r:
             return json.loads(r.read())["access_token"]
 
+    # transient statuses worth a backoff-and-retry (spec: servers
+    # signal throttling with 429 + optional Retry-After; gateway 5xx
+    # are transient). 500 retries only on GET — a POST that half
+    # -applied must not blind-repeat (commits are CAS-guarded, but the
+    # conflict error it would surface misleads).
+    _RETRY_CODES = frozenset({429, 502, 503, 504})
+    _MAX_RETRIES = 4
+
     def _req(self, method: str, path: str, body: dict | None = None):
         headers = {"Content-Type": "application/json"}
         if self.token:
             headers["Authorization"] = f"Bearer {self.token}"
-        req = urllib.request.Request(
-            self.uri + path, method=method, headers=headers,
-            data=json.dumps(body).encode() if body is not None
-            else None)
-        try:
-            with urllib.request.urlopen(req, timeout=30) as r:
-                data = r.read()
-                return json.loads(data) if data else {}
-        except urllib.error.HTTPError as e:
+        delay = 0.1
+        for attempt in range(self._MAX_RETRIES + 1):
+            req = urllib.request.Request(
+                self.uri + path, method=method, headers=headers,
+                data=json.dumps(body).encode() if body is not None
+                else None)
             try:
-                err = json.loads(e.read())["error"]
-            except Exception:
-                raise CatalogError(
-                    f"{method} {path}: HTTP {e.code}") from None
-            exc = _ERR_TYPES.get(err.get("type"), CatalogError)
-            raise exc(err.get("message", "")) from None
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    data = r.read()
+                    return json.loads(data) if data else {}
+            except urllib.error.HTTPError as e:
+                transient = e.code in self._RETRY_CODES or \
+                    (e.code == 500 and method == "GET")
+                if transient and attempt < self._MAX_RETRIES:
+                    retry_after = e.headers.get("Retry-After") \
+                        if e.headers else None
+                    try:
+                        wait = float(retry_after) if retry_after \
+                            else delay
+                    except ValueError:
+                        wait = delay
+                    time.sleep(min(wait, 10.0))
+                    delay *= 2
+                    continue
+                try:
+                    err = json.loads(e.read())["error"]
+                except Exception:
+                    raise CatalogError(
+                        f"{method} {path}: HTTP {e.code}") from None
+                exc = _ERR_TYPES.get(err.get("type"), CatalogError)
+                raise exc(err.get("message", "")) from None
 
     # -- namespaces --
 
@@ -143,9 +169,30 @@ class RestCatalog:
         except NoSuchNamespace:
             return False
 
+    def _paged(self, path: str, key: str) -> list:
+        """Drain a paginated list endpoint (spec: ``pageToken`` /
+        ``pageSize`` query params; the server returns
+        ``next-page-token`` while more pages remain — opaque, echoed
+        back verbatim). Servers that ignore pagination return
+        everything with no token: one round-trip, same result."""
+        out: list = []
+        token: str | None = None
+        while True:
+            q = {}
+            if self.page_size is not None:
+                q["pageSize"] = str(self.page_size)
+            if token is not None:
+                q["pageToken"] = token
+            sep = "?" + urllib.parse.urlencode(q) if q else ""
+            got = self._req("GET", path + sep)
+            out += got.get(key) or []
+            token = got.get("next-page-token")
+            if not token:
+                return out
+
     def list_namespaces(self) -> list[str]:
         return [".".join(n) for n in
-                self._req("GET", "/v1/namespaces")["namespaces"]]
+                self._paged("/v1/namespaces", "namespaces")]
 
     def namespace_properties(self, ns: str) -> dict:
         return self._req(
@@ -161,10 +208,11 @@ class RestCatalog:
         spaces = [ns] if ns is not None else self.list_namespaces()
         out = []
         for space in spaces:
-            got = self._req(
-                "GET", f"/v1/namespaces/{_ns_to_url(space)}/tables")
+            got = self._paged(
+                f"/v1/namespaces/{_ns_to_url(space)}/tables",
+                "identifiers")
             out += [(".".join(i["namespace"]), i["name"])
-                    for i in got["identifiers"]]
+                    for i in got]
         return sorted(out)
 
     def table_exists(self, ident) -> bool:
@@ -380,9 +428,40 @@ class _Handler(BaseHTTPRequestHandler):
             defaults["warehouse"] = self.cat.warehouse
         self._send(200, {"defaults": defaults, "overrides": {}})
 
+    def _page_params(self) -> tuple[int | None, int]:
+        """(pageSize, start offset) from the request's query string.
+        The served ``next-page-token`` is the next start offset as a
+        decimal string — opaque to clients per spec (they echo it
+        back verbatim); a malformed token reads as page one."""
+        q = dict(urllib.parse.parse_qsl(
+            urllib.parse.urlparse(self.path).query))
+        try:
+            size = int(q["pageSize"]) if "pageSize" in q else None
+            if size is not None and size <= 0:
+                size = None
+        except ValueError:
+            size = None
+        try:
+            start = int(q.get("pageToken") or 0)
+        except ValueError:
+            start = 0
+        return size, max(0, start)
+
+    def _send_page(self, key: str, items: list):
+        """Serve one page of a deterministic listing: no pageSize =
+        the whole list (pagination is spec-optional); otherwise the
+        slice plus ``next-page-token`` while more remain."""
+        size, start = self._page_params()
+        if size is None:
+            return self._send(200, {key: items})
+        body = {key: items[start:start + size]}
+        if start + size < len(items):
+            body["next-page-token"] = str(start + size)
+        self._send(200, body)
+
     def _list_ns(self):
-        self._send(200, {"namespaces": [
-            ns.split(".") for ns in self.cat.list_namespaces()]})
+        self._send_page("namespaces", [
+            ns.split(".") for ns in sorted(self.cat.list_namespaces())])
 
     def _create_ns(self):
         body = self._body()
@@ -406,9 +485,9 @@ class _Handler(BaseHTTPRequestHandler):
         ns = _ns_from_url(raw)
         if not self.cat.namespace_exists(ns):
             raise NoSuchNamespace(ns)
-        self._send(200, {"identifiers": [
+        self._send_page("identifiers", [
             {"namespace": tns.split("."), "name": name}
-            for tns, name in self.cat.list_tables(ns)]})
+            for tns, name in sorted(self.cat.list_tables(ns))])
 
     def _create_table(self, raw):
         """Server-side metadata authoring (spec createTable): the

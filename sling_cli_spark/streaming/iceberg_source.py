@@ -600,7 +600,12 @@ class _IceStreamWriter(DataSourceStreamWriter):
                 from sling_cli_spark.sources.iceberg_py import \
                     _current_metadata
 
-                _, meta = _current_metadata(self._path)
+                # for_write: the __base_version marker makes
+                # _commit_snapshot raise (-> this retry loop) if a
+                # concurrent committer lands between this read and the
+                # claim — committing from the stale meta would drop
+                # that snapshot (r10)
+                _, meta = _current_metadata(self._path, for_write=True)
                 # FastAppend: reuse the head's manifest-list entries
                 # verbatim — a micro-batch commit costs O(batch files),
                 # not O(table files); thousands of triggers stay flat

@@ -137,3 +137,99 @@ def test_rest_multilevel_namespace_unit_separator(served):
     with urllib.request.urlopen(req) as r:
         assert r.status == 200
     cat.drop_namespace("a.b.c")
+
+
+def test_rest_list_pagination_multi_page(served):
+    """>2 pages end-to-end over the socket (r10: pageToken/pageSize on
+    both list endpoints, spec-optional pagination): 7 namespaces and
+    25 tables drain through page size 3/10 with opaque tokens; an
+    unpaginated client still gets everything in one round-trip."""
+    srv, store = served
+    for i in range(7):
+        store.create_namespace(f"ns{i}")
+    for i in range(25):
+        store.register_table(
+            f"ns0.t{i:02d}", f"/nowhere/v{i}.metadata.json")
+
+    paged = RestCatalog(srv.uri, token="sekret", page_size=3)
+    assert paged.list_namespaces() == [f"ns{i}" for i in range(7)]
+    paged.page_size = 10  # 25 tables -> 3 pages
+    assert paged.list_tables("ns0") == [
+        ("ns0", f"t{i:02d}") for i in range(25)]
+
+    # raw wire check: page 2 carries a token, the last page none
+    req = urllib.request.Request(
+        srv.uri + "/v1/namespaces?pageSize=3",
+        headers={"Authorization": "Bearer sekret"})
+    import json as _json
+    with urllib.request.urlopen(req) as r:
+        body = _json.loads(r.read())
+    assert len(body["namespaces"]) == 3
+    assert body["next-page-token"] == "3"
+    req2 = urllib.request.Request(
+        srv.uri + "/v1/namespaces?pageSize=3&pageToken=6",
+        headers={"Authorization": "Bearer sekret"})
+    with urllib.request.urlopen(req2) as r:
+        body2 = _json.loads(r.read())
+    assert len(body2["namespaces"]) == 1
+    assert "next-page-token" not in body2
+
+    # a client with no page_size gets the full list, no token
+    plain = RestCatalog(srv.uri, token="sekret")
+    assert len(plain.list_namespaces()) == 7
+
+
+def test_rest_retry_backoff_on_429_and_5xx(served, monkeypatch):
+    """r10: _req backs off and retries transient statuses (429 +
+    gateway 5xx, honoring Retry-After); a non-transient 404 never
+    retries; attempts are bounded."""
+    import io
+    import urllib.error as ue
+    import urllib.request as ur
+
+    srv, store = served
+    store.create_namespace("db")
+    cat = RestCatalog(srv.uri, token="sekret")
+
+    real = ur.urlopen
+    calls = {"n": 0}
+
+    def flaky(req, timeout=None):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise ue.HTTPError(
+                req.full_url, 429, "slow down",
+                {"Retry-After": "0.01"}, io.BytesIO(b"{}"))
+        return real(req, timeout=timeout)
+
+    monkeypatch.setattr(ur, "urlopen", flaky)
+    assert cat.list_namespaces() == ["db"]
+    assert calls["n"] == 3  # 2 throttles + 1 success
+
+    calls["n"] = 0
+
+    def always_503(req, timeout=None):
+        calls["n"] += 1
+        raise ue.HTTPError(req.full_url, 503, "down", {},
+                           io.BytesIO(b"{}"))
+
+    monkeypatch.setattr(ur, "urlopen", always_503)
+    cat._MAX_RETRIES  # bounded by the class constant
+    with pytest.raises(CatalogError, match="503"):
+        cat.list_namespaces()
+    assert calls["n"] == RestCatalog._MAX_RETRIES + 1
+
+    calls["n"] = 0
+
+    def always_404(req, timeout=None):
+        calls["n"] += 1
+        raise ue.HTTPError(
+            req.full_url, 404, "nope", {}, io.BytesIO(
+                b'{"error": {"type": "NoSuchNamespaceException",'
+                b' "message": "x"}}'))
+
+    monkeypatch.setattr(ur, "urlopen", always_404)
+    from sling_cli_spark.sources.iceberg_catalog import NoSuchNamespace
+    with pytest.raises(NoSuchNamespace):
+        cat.namespace_properties("gone")
+    assert calls["n"] == 1  # non-transient: no retry

@@ -30,7 +30,10 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          # in-place adoption reads, live-JDBC partitioned scan
          "iceberg_transform_partitioning", "iceberg_transform_merge",
          "delta_cdf_mapped", "convert_inplace_roundtrip",
-         "jdbc_live_merge"]
+         "jdbc_live_merge",
+         # round 10: v3 row-lineage read (broadcast file-map join,
+         # codegen id arithmetic) + catalog-WAP published read
+         "iceberg_row_lineage", "catalog_wap_el"]
 
 HEADER = """# Physical plan audit (sf0.1, local[32])
 
