@@ -1430,6 +1430,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             srv.stop()
 
+    def rest_wap_el(spark, sf):
+        """WAP through a REST-catalog EL target (round 10 — composes
+        _write_catalog_wap with the RestCatalog's requirements/updates
+        commit handshake): the stage lands as a spec commit whose
+        add-snapshot rides the audit branch (main's
+        assert-ref-snapshot-id unchanged), the gate decides, and the
+        fast-forward publish commits set-snapshot-ref main under a
+        second handshake. A NULL-key batch fails the gate: the
+        catalog's main view keeps the published load, the bad batch
+        stays on the branch."""
+        import tempfile
+
+        from sling_cli_spark.config import Config
+        from sling_cli_spark.runner import run as _run
+        from sling_cli_spark.sinks.writers import AuditFailed
+        from sling_cli_spark.sources import iceberg_py as I
+        from sling_cli_spark.sources.iceberg_catalog import (
+            SqlCatalog, _read_meta, read_table)
+        from sling_cli_spark.sources.iceberg_rest import (
+            RestCatalog, RestCatalogServer)
+
+        d = tempfile.mkdtemp(prefix="sling_rwap_")
+        store = SqlCatalog(os.path.join(d, "c.db"),
+                           warehouse=os.path.join(d, "wh"))
+        srv = RestCatalogServer(store, token="t").start()
+        try:
+            url = f"catalog://ns.t?uri={srv.uri}&token=t"
+            src = os.path.join(d, "src.parquet")
+            n = _t(spark, sf, "nation").select(
+                F.col("n_nationkey").cast("long").alias("n_nationkey"),
+                "n_name",
+                F.col("n_regionkey").cast("long").alias("n_regionkey"))
+            n.write.parquet(src)
+            gate = "SELECT * FROM _audit WHERE n_nationkey IS NULL"
+
+            def cfg(stream):
+                return Config.from_dict({
+                    "source": {"stream": stream},
+                    "target": {"object": url, "options": {
+                        "format": "iceberg", "audit_branch": "audit",
+                        "audit_sql": gate}},
+                    "mode": "full-refresh"})
+
+            _run(spark, cfg(src))
+            bad = os.path.join(d, "bad.parquet")
+            n.withColumn("n_nationkey", F.lit(None).cast("long")) \
+                .limit(2).write.parquet(bad)
+            try:
+                _run(spark, cfg(bad))
+                raise AssertionError("audit gate must have refused")
+            except AuditFailed:
+                pass
+            cat = RestCatalog(srv.uri, token="t")
+            meta = _read_meta(cat.load_table("ns.t"))
+            staged = I.read_iceberg(spark, meta["location"],
+                                    ref="audit")
+            assert staged.filter("n_nationkey IS NULL").count() == 2
+            out = read_table(cat, spark, "ns.t")
+            out.count()  # materialize before the server stops
+            return out
+        finally:
+            srv.stop()
+
     def iceberg_variant_nested(spark, sf):
         """Nested struct/list/map + v3 variant columns round-trip
         (iceberg_py round 9 cont., spec §Schemas nested field ids +
@@ -3885,6 +3948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_version_checksum": delta_version_checksum,
         "iceberg_row_lineage": iceberg_row_lineage,
         "catalog_wap_el": catalog_wap_el,
+        "rest_wap_el": rest_wap_el,
         "convert_inplace_roundtrip": convert_inplace_roundtrip,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
@@ -3928,7 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # was judge-re-run green in r9 (VERDICT r9: 154/154).
     window = [
         # --- new in r10 (never driver-checked) ---
-        "iceberg_row_lineage", "catalog_wap_el",
+        "iceberg_row_lineage", "catalog_wap_el", "rest_wap_el",
         # --- never driver-checked (r9 late additions) ---
         "iceberg_wap_publish", "iceberg_all_meta",
         "iceberg_wap_el", "delta_version_checksum",
@@ -3949,7 +4013,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup_docs", "pack_chunks_docs",
         "dedup_clusters_docs", "dedup_store_docs", "delta_dv_merge",
         "delta_stats_skipping", "iceberg_bounds_skipping",
-        "bucketed_join_agg",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     missing = [k for k in window if k not in d]
@@ -4527,6 +4590,13 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
         """,
         "iceberg_wap_el": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+        """,
+        # failed gate leaves the REST catalog main view at the published
+        # load (same oracle: nation published once)
+        "rest_wap_el": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation

@@ -233,3 +233,48 @@ def test_rest_retry_backoff_on_429_and_5xx(served, monkeypatch):
     with pytest.raises(NoSuchNamespace):
         cat.namespace_properties("gone")
     assert calls["n"] == 1  # non-transient: no retry
+
+
+def test_rest_catalog_wap_el(served, spark, tmp_path):
+    """WAP through a catalog://...?uri= REST target (r10): staging
+    commits the branch snapshot via the requirements/updates handshake
+    (main's assert-ref-snapshot-id unchanged), publish moves main with
+    set-snapshot-ref; a failing gate leaves the REST main view at the
+    published state with the branch inspectable."""
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+    from sling_cli_spark.sinks.writers import AuditFailed
+    from sling_cli_spark.sources.iceberg_catalog import (
+        _read_meta, read_table)
+    from sling_cli_spark.sources.iceberg_py import read_iceberg
+
+    srv, _ = served
+    url = f"catalog://db.t?uri={srv.uri}&token=sekret"
+    gate = "SELECT * FROM _audit WHERE id IS NULL"
+
+    def cfg(stream):
+        return Config.from_dict({
+            "source": {"stream": stream},
+            "target": {"object": url, "options": {
+                "format": "iceberg", "audit_branch": "audit",
+                "audit_sql": gate}},
+            "mode": "full-refresh"})
+
+    src = str(tmp_path / "s.parquet")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+        .write.parquet(src)
+    run(spark, cfg(src))
+    cat = RestCatalog(srv.uri, token="sekret")
+    assert {r["id"] for r in read_table(cat, spark, "db.t").collect()} \
+        == {1, 2}
+
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([(None, "BAD")], "id long, v string") \
+        .write.parquet(bad)
+    with pytest.raises(AuditFailed):
+        run(spark, cfg(bad))
+    assert {r["id"] for r in read_table(cat, spark, "db.t").collect()} \
+        == {1, 2}
+    meta = _read_meta(cat.load_table("db.t"))
+    staged = read_iceberg(spark, meta["location"], ref="audit")
+    assert staged.filter("id IS NULL").count() == 1
