@@ -179,3 +179,94 @@ def test_three_processes_race_appends_merge_compaction(spark, tmp_path):
     # 2-char updated value
     assert d.filter("id < 1000 and v = 'w0'").count() == 50
     assert it.filter("id < 1000 and v = 'w0'").count() == 50
+
+
+_REST_WORKER = textwrap.dedent("""
+    import json, sys, time
+    sys.path.insert(0, {repo!r})
+    wid = int(sys.argv[1])
+    uri = sys.argv[2]
+    out_path = sys.argv[3]
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[2]")
+             .appName(f"rest-stress-w{{wid}}")
+             .config("spark.sql.shuffle.partitions", "2")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    from sling_cli_spark.sources.iceberg_catalog import (
+        CommitConflict, write_table)
+    from sling_cli_spark.sources.iceberg_rest import RestCatalog
+
+    cat = RestCatalog(uri, token="s3")
+    retries = 0
+    errors = []
+    for r in range(4):
+        df = spark.createDataFrame(
+            [(wid * 10_000 + r * 1_000 + i, f"w{{wid}}r{{r}}")
+             for i in range(50)], "id long, v string")
+        for attempt in range(40):
+            try:
+                write_table(df, cat, "db.t", mode="append")
+                break
+            except (CommitConflict, FileExistsError):
+                retries += 1
+                time.sleep(0.05 * (wid + 1))
+        else:
+            errors.append(f"round {{r}}: retries exhausted")
+    with open(out_path, "w") as f:
+        json.dump({{"retries": retries, "errors": errors}}, f)
+    spark.stop()
+""")
+
+
+def test_three_processes_race_rest_catalog_commits(spark, tmp_path):
+    """The same exactness contract through the REST commit handshake:
+    3 processes append via requirements/updates commits over a real
+    socket; a lost assert-ref-snapshot-id CAS surfaces as
+    CommitConflict (409) and the worker re-runs — final table holds
+    exactly the union."""
+    from sling_cli_spark.sources.iceberg_catalog import (
+        SqlCatalog, create_table, read_table)
+    from sling_cli_spark.sources.iceberg_rest import RestCatalogServer
+
+    base = str(tmp_path)
+    store = SqlCatalog(os.path.join(base, "cat.db"),
+                       warehouse=os.path.join(base, "wh"))
+    srv = RestCatalogServer(store, token="s3").start()
+    try:
+        store.create_namespace("db")
+        seed = spark.createDataFrame([], "id long, v string")
+        create_table(store, "db.t", seed.schema)
+
+        script = os.path.join(base, "rest_worker.py")
+        with open(script, "w") as f:
+            f.write(_REST_WORKER.format(
+                repo=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))))
+        procs, outs = [], []
+        for wid in range(3):
+            out = os.path.join(base, f"rw{wid}.json")
+            outs.append(out)
+            procs.append(subprocess.Popen(
+                [sys.executable, script, str(wid), srv.uri, out],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+        results = []
+        for p, out in zip(procs, outs):
+            _, stderr = p.communicate(timeout=600)
+            assert p.returncode == 0, \
+                f"worker died: {stderr.decode()[-2000:]}"
+            with open(out) as f:
+                results.append(json.load(f))
+        for i, res in enumerate(results):
+            assert res["errors"] == [], f"worker {i}: {res['errors']}"
+        print("REST commit-conflict retries:",
+              sum(r["retries"] for r in results))
+
+        expect = {w * 10_000 + r * 1_000 + i
+                  for w in range(3) for r in range(4) for i in range(50)}
+        got = read_table(store, spark, "db.t")
+        assert {r.id for r in got.select("id").collect()} == expect
+        assert got.count() == 600
+    finally:
+        srv.stop()
