@@ -1430,6 +1430,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             srv.stop()
 
+    def iceberg_incremental_lineage(spark, sf):
+        """Incremental consumption by row lineage (iceberg_py round
+        10, read_iceberg_incremental; spec v3 §Row Lineage — the
+        CDC-without-change-files read a v3 warehouse consumer runs):
+        nation lands as a v3 table (seq 1, the consumer's watermark);
+        a merge updates every multiple of 5 (seq 2) and an append adds
+        two rows (seq 3). The incremental read PRUNES every file at or
+        below the watermark from MANIFEST METADATA (the pre-merge
+        state never opens), scans only the post-watermark files, and
+        row-filters the rewritten file's carried-forward rows by their
+        materialized seq — returning exactly the updated + inserted
+        rows. Appended ids are 50/51 (write reserved 0-24, the merge
+        rewrite 25-49). Oracle: CASE arithmetic on the key."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            _current_metadata, merge_iceberg, read_iceberg_incremental,
+            write_iceberg)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_incl_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_iceberg(n.coalesce(1).sortWithinPartitions("n_nationkey"),
+                      t, format_version=3)
+        wm = int(_current_metadata(t)[1]["last-sequence-number"])
+        assert read_iceberg_incremental(spark, t, wm).count() == 0, \
+            "empty increment at the watermark"
+        merge_iceberg(
+            spark, t,
+            n.filter("n_nationkey % 5 = 0")
+            .withColumn("n_name", F.concat("n_name", F.lit("_u"))),
+            "n_nationkey", use_dvs=False)
+        write_iceberg(
+            spark.createDataFrame(
+                [(90, "APPENDLAND_A", 0), (91, "APPENDLAND_B", 1)],
+                "n_nationkey long, n_name string, n_regionkey long")
+            .coalesce(1).sortWithinPartitions("n_nationkey"),
+            t, mode="append")
+        out = read_iceberg_incremental(spark, t, wm)
+        return out.select(
+            "n_nationkey", "n_name", "n_regionkey",
+            F.col("_row_id").alias("row_id"),
+            F.col("_last_updated_sequence_number")
+            .alias("last_updated_seq"))
+
     def rest_wap_el(spark, sf):
         """WAP through a REST-catalog EL target (round 10 — composes
         _write_catalog_wap with the RestCatalog's requirements/updates
@@ -3949,6 +3996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_row_lineage": iceberg_row_lineage,
         "catalog_wap_el": catalog_wap_el,
         "rest_wap_el": rest_wap_el,
+        "iceberg_incremental_lineage": iceberg_incremental_lineage,
         "convert_inplace_roundtrip": convert_inplace_roundtrip,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
@@ -3993,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # --- new in r10 (never driver-checked) ---
         "iceberg_row_lineage", "catalog_wap_el", "rest_wap_el",
+        "iceberg_incremental_lineage",
         # --- never driver-checked (r9 late additions) ---
         "iceberg_wap_publish", "iceberg_all_meta",
         "iceberg_wap_el", "delta_version_checksum",
@@ -4012,7 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter_docs", "gopher_filter_docs",
         "exact_substring_dedup_docs", "pack_chunks_docs",
         "dedup_clusters_docs", "dedup_store_docs", "delta_dv_merge",
-        "delta_stats_skipping", "iceberg_bounds_skipping",
+        "iceberg_bounds_skipping",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     missing = [k for k in window if k not in d]
@@ -4856,6 +4905,20 @@ def oracle_sql() -> dict[str, str]:
         # one sorted file -> row id == key; merge updates multiples of
         # 7 (ids preserved, version -> 2); append at v3 takes 29, 30
         # (the merge's 4-row file reserved 25-28 off the watermark)
+        # increment past seq 1: the %5 updates (seq 2, id == key) and
+        # the two appends (seq 3, ids 50/51 after the merge's 25-49)
+        "iceberg_incremental_lineage": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   n_name || '_u' AS n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   CAST(n_nationkey AS BIGINT) AS row_id,
+                   CAST(2 AS BIGINT) AS last_updated_seq
+            FROM nation WHERE n_nationkey % 5 = 0
+            UNION ALL
+            SELECT 90, 'APPENDLAND_A', 0, 50, 3
+            UNION ALL
+            SELECT 91, 'APPENDLAND_B', 1, 51, 3
+        """,
         # v3 row lineage: write reserves ids 0-24 (sorted single file:
         # id == key), merge keeps ids / bumps updated rows' seq to 2,
         # compact changes nothing, append lands at 75/76 (merge and

@@ -1164,6 +1164,55 @@ def _rl_attach_preserved(
     return out.drop(*drop)
 
 
+def read_iceberg_incremental(
+    spark: SparkSession, path: str, since_seq: int,
+) -> DataFrame:
+    """Rows created OR updated after data sequence number ``since_seq``
+    — the v3-row-lineage incremental-consumer read (spec v3 §Row
+    Lineage: ``_last_updated_sequence_number``), and the reason a CDC
+    pipeline over a v3 warehouse table needs no change-data files.
+
+    METADATA-LEVEL pruning does the heavy lifting: a row's seq is its
+    materialized value (always <= the carrying file's data sequence
+    number — rewrites only carry ids BACKWARD in time) or the file's
+    own seq, so a file with ``__seq <= since_seq`` cannot hold a
+    qualifying row and is skipped WITHOUT opening — the driver decides
+    from manifest entries it already has. Only files committed after
+    the watermark scan, then a row filter drops their carried-forward
+    old rows (a rewrite copies untouched rows into new files at a
+    higher file seq; their materialized seq keeps them out). Cost
+    scales with data touched since the watermark, not table size.
+
+    Returns the table columns + ``_row_id`` +
+    ``_last_updated_sequence_number``; the caller's next watermark is
+    the table's ``last-sequence-number``. Requires format-version 3."""
+    from pyspark.sql import functions as F
+
+    _, meta = _current_metadata(path)
+    if int(meta.get("format-version", 1)) < 3:
+        raise UnsupportedTableFeature(
+            f"iceberg table at {path} is format-version "
+            f"{meta.get('format-version', 1)}; incremental-by-lineage "
+            "requires v3 (row lineage)")
+    files, pos_dels, eq_dels = _active_entries(path, meta, None)
+    fresh = [f for f in files if int(f.get("__seq") or 0) > since_seq]
+    untracked = [f for f in fresh if f.get("first_row_id") is None]
+    if untracked:
+        # pre-v3-upgrade files have no lineage: their rows' seq reads
+        # null and would be SILENTLY dropped from the increment —
+        # refuse loudly instead (our writer always assigns; this hits
+        # only foreign tables upgraded without manifest rewrite)
+        raise UnsupportedTableFeature(
+            f"iceberg table at {path}: {len(untracked)} active file(s) "
+            "past the watermark carry no first_row_id (written before "
+            "the v3 upgrade) — incremental-by-lineage cannot cover "
+            "them; rewrite them (compact) first")
+    out = _mor_read(spark, path, meta, fresh, pos_dels, eq_dels,
+                    with_row_ids=True)
+    return out.filter(
+        F.col("_last_updated_sequence_number") > F.lit(int(since_seq)))
+
+
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None, skip_filters=None,

@@ -143,3 +143,64 @@ def test_staging_lineage_columns_refused_below_v3(spark, tmp_path):
         .withColumn("_row_id", F.col("k"))
     with pytest.raises(UnsupportedTableFeature, match="row-lineage"):
         write_iceberg(df, t, format_version=2)
+
+
+def test_incremental_by_lineage_prunes_and_filters(spark, tmp_path):
+    """read_iceberg_incremental: files at or below the watermark seq
+    never open (metadata prune); rewritten files' carried-forward old
+    rows are row-filtered out; the increment is exactly the created +
+    updated rows."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _active_entries, _current_metadata, read_iceberg_incremental)
+
+    t = _tbl(tmp_path)
+    write_iceberg(
+        spark.createDataFrame([(i, f"n{i}") for i in range(6)],
+                              "k long, name string")
+        .coalesce(1).sortWithinPartitions("k"), t, format_version=3)
+    _, m1 = _current_metadata(t)
+    wm = int(m1["last-sequence-number"])  # consumer checkpoint
+
+    # nothing since the watermark: zero files scanned, zero rows
+    inc0 = read_iceberg_incremental(spark, t, wm)
+    assert inc0.count() == 0
+
+    # an update merge + an append land after the watermark
+    merge_iceberg(spark, t,
+                  spark.createDataFrame([(2, "U2")], "k long, name string"),
+                  "k", use_dvs=False)
+    write_iceberg(
+        spark.createDataFrame([(50, "new")], "k long, name string")
+        .coalesce(1), t, mode="append")
+    inc = read_iceberg_incremental(spark, t, wm)
+    got = {(r.k, r.name, r._last_updated_sequence_number)
+           for r in inc.collect()}
+    # ONLY the updated row and the insert — the merge's rewritten file
+    # carries rows 0,1,3,4,5 too, but their materialized seq (1) keeps
+    # them out of the increment
+    assert got == {(2, "U2", 2), (50, "new", 3)}
+
+    # metadata prune really skipped the pre-watermark state: after a
+    # fresh baseline write + watermark, the plan scans ZERO files
+    _, m2 = _current_metadata(t)
+    wm2 = int(m2["last-sequence-number"])
+    files, _, _ = _active_entries(t, m2, None)
+    pruned = [f for f in files if int(f.get("__seq") or 0) > wm2]
+    assert pruned == []  # the driver-side decision the scan is built on
+
+
+def test_incremental_by_lineage_refuses_untracked_files(spark, tmp_path):
+    """Foreign tables upgraded to v3 without rewriting old manifests
+    have null first_row_id on pre-upgrade files — the incremental read
+    refuses rather than silently dropping their rows."""
+    from sling_cli_spark.sources.iceberg_py import (
+        add_deletion_vectors, read_iceberg_incremental)
+
+    t = _tbl(tmp_path)
+    write_iceberg(
+        spark.createDataFrame([(i, f"n{i}") for i in range(5)],
+                              "k long, name string")
+        .coalesce(1), t, format_version=2)
+    add_deletion_vectors(t, {})  # upgrades to v3, no manifest rewrite
+    with pytest.raises(UnsupportedTableFeature, match="first_row_id"):
+        read_iceberg_incremental(spark, t, 0)
