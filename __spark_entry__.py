@@ -805,6 +805,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("_row_id").alias("row_id"),
             F.col("_row_commit_version").alias("row_commit_version"))
 
+    def delta_incremental_rowtracking(spark, sf):
+        """Incremental consumption by row tracking (delta_py round 10,
+        read_delta_incremental — the Delta twin of
+        iceberg_incremental_lineage; PROTOCOL.md §Row Tracking): nation
+        lands at v0, enabling row tracking backfills ids at v1 (the
+        consumer's watermark), a DV merge updates every multiple of 7
+        at v2 (updated rows move to a new file; untouched rows stay in
+        the v1-stamped original, which PRUNES from log metadata), and
+        an append lands at v3. The increment is exactly the updated +
+        inserted rows, ids stable (29/30 for the appends — the merge's
+        file reserved 25-28). Oracle: CASE arithmetic on the key."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            merge_delta, read_delta_incremental, set_table_properties,
+            write_delta)
+
+        t = os.path.join(tempfile.mkdtemp(prefix="sling_dinc_"), "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_delta(n.coalesce(1).sortWithinPartitions("n_nationkey"), t)
+        set_table_properties(t, {"delta.enableRowTracking": "true",
+                                 "delta.enableDeletionVectors": "true"})
+        wm = 1  # the enabling commit — ids backfilled here
+        assert read_delta_incremental(spark, t, wm).count() == 0, \
+            "empty increment at the watermark"
+        merge_delta(
+            spark, t,
+            n.filter("n_nationkey % 7 = 0")
+            .withColumn("n_name", F.concat("n_name", F.lit("_u"))),
+            "n_nationkey")
+        write_delta(
+            spark.createDataFrame(
+                [(90, "APPENDLAND_A", 0), (91, "APPENDLAND_B", 1)],
+                "n_nationkey long, n_name string, n_regionkey long")
+            .coalesce(1).sortWithinPartitions("n_nationkey"),
+            t, mode="append")
+        out = read_delta_incremental(spark, t, wm)
+        return out.select(
+            "n_nationkey", "n_name", "n_regionkey",
+            F.col("_row_id").alias("row_id"),
+            F.col("_row_commit_version").alias("row_commit_version"))
+
     def iceberg_row_lineage(spark, sf):
         """Iceberg v3 row lineage READ surface (iceberg_py round 10,
         read_iceberg(with_row_ids=True) / _rl_attach_preserved; spec
@@ -3997,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_wap_el": catalog_wap_el,
         "rest_wap_el": rest_wap_el,
         "iceberg_incremental_lineage": iceberg_incremental_lineage,
+        "delta_incremental_rowtracking": delta_incremental_rowtracking,
         "convert_inplace_roundtrip": convert_inplace_roundtrip,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
@@ -4041,7 +4087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # --- new in r10 (never driver-checked) ---
         "iceberg_row_lineage", "catalog_wap_el", "rest_wap_el",
-        "iceberg_incremental_lineage",
+        "iceberg_incremental_lineage", "delta_incremental_rowtracking",
         # --- never driver-checked (r9 late additions) ---
         "iceberg_wap_publish", "iceberg_all_meta",
         "iceberg_wap_el", "delta_version_checksum",
@@ -4060,7 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs", "mix_corpora_docs", "wds_roundtrip",
         "c4_filter_docs", "gopher_filter_docs",
         "exact_substring_dedup_docs", "pack_chunks_docs",
-        "dedup_clusters_docs", "dedup_store_docs", "delta_dv_merge",
+        "dedup_clusters_docs", "dedup_store_docs",
         "iceberg_bounds_skipping",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
@@ -4905,6 +4951,20 @@ def oracle_sql() -> dict[str, str]:
         # one sorted file -> row id == key; merge updates multiples of
         # 7 (ids preserved, version -> 2); append at v3 takes 29, 30
         # (the merge's 4-row file reserved 25-28 off the watermark)
+        # increment past v1: the %7 DV-merge updates (v2, id == key)
+        # and the two appends (v3, ids 29/30 after the merge's 25-28)
+        "delta_incremental_rowtracking": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   n_name || '_u' AS n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   CAST(n_nationkey AS BIGINT) AS row_id,
+                   CAST(2 AS BIGINT) AS row_commit_version
+            FROM nation WHERE n_nationkey % 7 = 0
+            UNION ALL
+            SELECT 90, 'APPENDLAND_A', 0, 29, 3
+            UNION ALL
+            SELECT 91, 'APPENDLAND_B', 1, 30, 3
+        """,
         # increment past seq 1: the %5 updates (seq 2, id == key) and
         # the two appends (seq 3, ids 50/51 after the merge's 25-49)
         "iceberg_incremental_lineage": """

@@ -1769,6 +1769,43 @@ def version_at_timestamp(path: str, ts_ms: int) -> int | None:
     return best
 
 
+def read_delta_incremental(
+    spark: SparkSession, path: str, since_version: int,
+) -> DataFrame:
+    """Rows created OR updated after commit ``since_version`` via row
+    tracking (PROTOCOL.md §Row Tracking; the format twin of
+    ``iceberg_py.read_iceberg_incremental``) — incremental consumption
+    WITHOUT change-data files: a row's commit version is its
+    materialized value (always <= the carrying file's
+    ``defaultRowCommitVersion`` — rewrites only carry versions
+    backward) or the file default, so files with
+    ``defaultRowCommitVersion <= since_version`` cannot hold a
+    qualifying row and PRUNE FROM LOG METADATA without opening. Only
+    files added after the watermark scan; a row filter drops their
+    rewrite-carried old rows. Cost scales with data touched since the
+    watermark, not table size.
+
+    Returns table columns + ``_row_id`` + ``_row_commit_version``; the
+    caller's next watermark is ``latest_version(path)``. Requires row
+    tracking (missing ``baseRowId`` past the watermark raises — enable
+    ``delta.enableRowTracking`` to backfill)."""
+    from pyspark.sql import functions as F
+
+    meta, files = replay_log(path)
+    if meta is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    if not row_tracking_enabled(meta):
+        raise UnsupportedTableFeature(
+            f"delta table at {path}: incremental-by-row-tracking "
+            "requires delta.enableRowTracking=true")
+    fresh = {
+        rel: add for rel, add in files.items()
+        if int(add.get("defaultRowCommitVersion") or 0) > since_version}
+    out = _scan_with_row_ids(spark, path, meta, fresh, sorted(fresh))
+    return out.filter(
+        F.col("_row_commit_version") > F.lit(int(since_version)))
+
+
 def read_delta(
     spark: SparkSession, path: str, version: int | None = None,
     skip_filters=None, as_of_timestamp_ms: int | None = None,

@@ -3089,3 +3089,50 @@ def test_vacuum_retention_hours(spark, tmp_path):
     removed = vacuum(t, retention_hours=0.0)
     assert len(removed) >= 1  # the tombstoned v0 files
     assert {r["id"] for r in read_delta(spark, t).collect()} == {9}
+
+
+def test_read_delta_incremental_by_row_tracking(spark, tmp_path):
+    """read_delta_incremental (r10, the iceberg incremental-by-lineage
+    twin): files at or below the version watermark prune from log
+    metadata; a DV merge's updated rows and an append surface exactly
+    once; rewrite-carried old rows stay out via their materialized
+    commit version."""
+    import pytest as _pytest
+
+    from sling_cli_spark.sources.delta_py import (
+        UnsupportedTableFeature, merge_delta, read_delta_incremental,
+        replay_log, set_table_properties, write_delta)
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(8)], "k long, name string")
+    write_delta(df.coalesce(1).sortWithinPartitions("k"), t)  # v0
+    with _pytest.raises(UnsupportedTableFeature, match="RowTracking"):
+        read_delta_incremental(spark, t, 0)
+    set_table_properties(t, {"delta.enableRowTracking": "true",
+                             "delta.enableDeletionVectors": "true"})
+    wm = 1  # the property commit; consumer checkpoint
+
+    assert read_delta_incremental(spark, t, wm).count() == 0
+
+    # DV merge updates k in {2,5} (v2): updated rows move to a new
+    # file, untouched rows keep their old file (pruned)
+    merge_delta(spark, t,
+                spark.createDataFrame([(2, "U2"), (5, "U5")],
+                                      "k long, name string"), "k")
+    write_delta(
+        spark.createDataFrame([(90, "new")], "k long, name string")
+        .coalesce(1), t, mode="append")  # v3
+    inc = read_delta_incremental(spark, t, wm)
+    got = {(r.k, r.name, r._row_commit_version) for r in inc.collect()}
+    assert got == {(2, "U2", 2), (5, "U5", 2), (90, "new", 3)}
+    # row ids stable: updated rows kept theirs
+    ids = {r.k: r._row_id for r in inc.collect()}
+    assert ids[2] == 2 and ids[5] == 5
+
+    # metadata prune: the original file (defaultRowCommitVersion 0,
+    # DV re-add keeps it) is not in the incremental scan's file set
+    _, files = replay_log(t)
+    fresh = [rel for rel, add in files.items()
+             if int(add.get("defaultRowCommitVersion") or 0) > wm]
+    assert 0 < len(fresh) < len(files)
