@@ -32,8 +32,10 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          "delta_cdf_mapped", "convert_inplace_roundtrip",
          "jdbc_live_merge",
          # round 10: v3 row-lineage read (broadcast file-map join,
-         # codegen id arithmetic) + catalog-WAP published read
-         "iceberg_row_lineage", "catalog_wap_el"]
+         # codegen id arithmetic), catalog-WAP published read, and the
+         # metadata-pruned incremental-by-lineage reads (both formats)
+         "iceberg_row_lineage", "catalog_wap_el",
+         "iceberg_incremental_lineage", "delta_incremental_rowtracking"]
 
 HEADER = """# Physical plan audit (sf0.1, local[32])
 
