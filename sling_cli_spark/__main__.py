@@ -586,6 +586,17 @@ def cmd_lake(args: argparse.Namespace) -> int:
             df = iceberg_history(spark, path)
         _stream_csv_stdout(df)
         return 0
+    if op == "incremental":
+        if is_delta:
+            from sling_cli_spark.sources.delta_py import (
+                read_delta_incremental)
+            df = read_delta_incremental(spark, path, args.since)
+        else:
+            from sling_cli_spark.sources.iceberg_py import (
+                read_iceberg_incremental)
+            df = read_iceberg_incremental(spark, path, args.since)
+        _stream_csv_stdout(df)
+        return 0
     if op in ("snapshots", "manifests", "entries", "refs", "stats",
               "all-manifests", "all-files"):
         if is_delta:
@@ -785,6 +796,15 @@ def build_parser() -> argparse.ArgumentParser:
     lr.add_argument("--older-than-hours", type=float, default=None,
                     help="only reap files older than this (in-flight "
                          "stage guard; Iceberg defaults to 72h)")
+    li = ls.add_parser(
+        "incremental",
+        help="rows created/updated after a watermark via row lineage "
+             "(iceberg: data sequence number; delta: commit version) — "
+             "pre-watermark files prune from metadata, no change files")
+    li.add_argument("path")
+    li.add_argument("since", type=int,
+                    help="the consumer's checkpoint: iceberg "
+                         "last-sequence-number / delta version")
     lh = ls.add_parser("history",
                        help="commit/snapshot history as CSV "
                             "(DESCRIBE HISTORY twin)")
@@ -917,7 +937,7 @@ def build_parser() -> argparse.ArgumentParser:
     lc.add_argument("--from-snapshot", type=int,
                     help="iceberg changelog start snapshot id")
     for sp in (lo, lv, le, lc, lh, ld, lf, lp, lsn, lmf, len_, lrf,
-               lcv, lmg, lst, lan, lam, laf):
+               lcv, lmg, lst, lan, lam, laf, li):
         # trailing -d like run/pipeline
         sp.add_argument("-d", "--debug", action="store_true")
     lk.set_defaults(fn=cmd_lake)
