@@ -1475,6 +1475,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             srv.stop()
 
+    def iceberg_view_roundtrip(spark, sf):
+        """Iceberg views (iceberg_views.py round 10; public View Spec
+        v1 — beyond the reference, whose Iceberg connection is
+        tables-only: database_iceberg.go GetTables:514): create a view
+        over a catalog orders table, REPLACE it (new version appended,
+        history retained), then read a NESTED view (view over view)
+        whose SQL resolves through the catalog — every referenced
+        table lands as an ordinary pruned iceberg scan before Catalyst
+        plans the final query. n_versions pins the replace history the
+        oracle can't see."""
+        import tempfile
+
+        from sling_cli_spark.sources import iceberg_views as V
+        from sling_cli_spark.sources.iceberg_catalog import (
+            SqlCatalog, create_table, write_table)
+
+        d = tempfile.mkdtemp(prefix="sling_view_")
+        cat = SqlCatalog(os.path.join(d, "c.db"),
+                         warehouse=os.path.join(d, "wh"))
+        cat.create_namespace("db")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long"),
+            F.col("o_totalprice").cast("double"),
+            "o_orderstatus")
+        create_table(cat, "db.orders", o.schema)
+        write_table(o, cat, "db.orders")
+        V.create_view(
+            cat, spark, "db.by_status",
+            "SELECT o_orderstatus, COUNT(*) AS n FROM db.orders "
+            "GROUP BY o_orderstatus")
+        V.replace_view(
+            cat, spark, "db.by_status",
+            "SELECT o_orderstatus, COUNT(*) AS n, "
+            "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total, "
+            "MAX(o_totalprice) AS mx FROM orders "
+            "GROUP BY o_orderstatus")
+        V.create_view(
+            cat, spark, "db.top",
+            "SELECT o_orderstatus, n, total, mx FROM db.by_status "
+            "WHERE n > 0")
+        meta = V.load_view_metadata(cat, "db.by_status")
+        return V.read_view(cat, spark, "db.top").select(
+            "o_orderstatus", "n",
+            F.col("total").cast("double").alias("total"), "mx",
+            F.lit(len(meta["versions"])).cast("int")
+            .alias("n_versions"))
+
+    def rest_view_roundtrip(spark, sf):
+        """The same view lifecycle over the REST catalog (spec view
+        endpoints createView/loadView/replaceView served + consumed;
+        the SERVER authors metadata, replace goes through the spec's
+        assert-view-uuid + add-schema/add-view-version/
+        set-current-view-version handshake)."""
+        import tempfile
+
+        from sling_cli_spark.sources import iceberg_views as V
+        from sling_cli_spark.sources.iceberg_catalog import (
+            SqlCatalog, create_table, write_table)
+        from sling_cli_spark.sources.iceberg_rest import (
+            RestCatalog, RestCatalogServer)
+
+        d = tempfile.mkdtemp(prefix="sling_rview_")
+        store = SqlCatalog(os.path.join(d, "c.db"),
+                           warehouse=os.path.join(d, "wh"))
+        srv = RestCatalogServer(store, token="t").start()
+        try:
+            cat = RestCatalog(srv.uri, token="t")
+            cat.create_namespace("db")
+            c = _t(spark, sf, "customer").select(
+                F.col("c_custkey").cast("long"),
+                F.col("c_acctbal").cast("double"), "c_mktsegment")
+            create_table(cat, "db.customer", c.schema)
+            write_table(c, cat, "db.customer")
+            V.create_view(
+                cat, spark, "db.seg",
+                "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+                "GROUP BY c_mktsegment")
+            V.replace_view(
+                cat, spark, "db.seg",
+                "SELECT c_mktsegment, COUNT(*) AS n, "
+                "MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi "
+                "FROM db.customer GROUP BY c_mktsegment")
+            meta = V.load_view_metadata(cat, "db.seg")
+            out = V.read_view(cat, spark, "db.seg").select(
+                "c_mktsegment", "n", "lo", "hi",
+                F.lit(int(meta["current-version-id"])).cast("int")
+                .alias("current_version"))
+            out.count()  # materialize before the server stops
+            return out
+        finally:
+            srv.stop()
+
     def iceberg_incremental_lineage(spark, sf):
         """Incremental consumption by row lineage (iceberg_py round
         10, read_iceberg_incremental; spec v3 §Row Lineage — the
@@ -4038,6 +4130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_all_meta": iceberg_all_meta,
         "iceberg_wap_el": iceberg_wap_el,
         "delta_version_checksum": delta_version_checksum,
+        "iceberg_view_roundtrip": iceberg_view_roundtrip,
+        "rest_view_roundtrip": rest_view_roundtrip,
         "iceberg_row_lineage": iceberg_row_lineage,
         "catalog_wap_el": catalog_wap_el,
         "rest_wap_el": rest_wap_el,
@@ -5080,6 +5174,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
                    c_name, c_mktsegment
             FROM customer
+        """,
+        "iceberg_view_roundtrip": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS total,
+                   MAX(CAST(o_totalprice AS DOUBLE)) AS mx,
+                   CAST(2 AS INTEGER) AS n_versions
+            FROM orders
+            GROUP BY o_orderstatus
+            HAVING COUNT(*) > 0
+        """,
+        "rest_view_roundtrip": """
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   MIN(CAST(c_acctbal AS DOUBLE)) AS lo,
+                   MAX(CAST(c_acctbal AS DOUBLE)) AS hi,
+                   CAST(2 AS INTEGER) AS current_version
+            FROM customer
+            GROUP BY c_mktsegment
         """,
         "iceberg_variant_nested": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

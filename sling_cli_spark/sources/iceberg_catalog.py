@@ -63,6 +63,14 @@ class TableAlreadyExists(CatalogError):
     pass
 
 
+class NoSuchView(CatalogError):
+    pass
+
+
+class ViewAlreadyExists(CatalogError):
+    pass
+
+
 class CommitConflict(CatalogError):
     """The pointer moved between load and commit (another committer
     won) — retry by reloading, like iceberg-go's CommitFailedException."""
@@ -91,6 +99,10 @@ def _check_name(kind: str, name: str) -> str:
             (kind == "table" and "." in name):
         raise ValueError(f"invalid {kind} name: {name!r}")
     return name
+
+
+_KIND_TABLE = "(iceberg_type = 'TABLE' OR iceberg_type IS NULL)"
+_KIND_VIEW = "iceberg_type = 'VIEW'"
 
 
 class SqlCatalog:
@@ -201,7 +213,7 @@ class SqlCatalog:
 
     def list_tables(self, ns: str | None = None) -> list[tuple[str, str]]:
         q = ("SELECT table_namespace, table_name FROM iceberg_tables "
-             "WHERE catalog_name = ?")
+             "WHERE catalog_name = ? AND " + _KIND_TABLE)
         args: tuple = (self.name,)
         if ns is not None:
             q += " AND table_namespace = ?"
@@ -215,8 +227,8 @@ class SqlCatalog:
         with self._conn() as c:
             return bool(c.execute(
                 "SELECT 1 FROM iceberg_tables WHERE catalog_name = ? "
-                "AND table_namespace = ? AND table_name = ?",
-                (self.name, ns, name)).fetchone())
+                "AND table_namespace = ? AND table_name = ? AND " +
+                _KIND_TABLE, (self.name, ns, name)).fetchone())
 
     def load_table(self, ident) -> str:
         """Identifier -> current metadata_location (reference
@@ -226,7 +238,8 @@ class SqlCatalog:
             row = c.execute(
                 "SELECT metadata_location FROM iceberg_tables WHERE "
                 "catalog_name = ? AND table_namespace = ? AND "
-                "table_name = ?", (self.name, ns, name)).fetchone()
+                "table_name = ? AND " + _KIND_TABLE,
+                (self.name, ns, name)).fetchone()
         if not row or not row[0]:
             raise NoSuchTable(f"{ns}.{name}")
         return row[0]
@@ -244,8 +257,9 @@ class SqlCatalog:
                 c.execute(
                     "INSERT INTO iceberg_tables (catalog_name, "
                     "table_namespace, table_name, metadata_location, "
-                    "previous_metadata_location) VALUES (?, ?, ?, ?, "
-                    "NULL)", (self.name, ns, name, metadata_location))
+                    "previous_metadata_location, iceberg_type) VALUES "
+                    "(?, ?, ?, ?, NULL, 'TABLE')",
+                    (self.name, ns, name, metadata_location))
         except sqlite3.IntegrityError:
             raise TableAlreadyExists(f"{ns}.{name}") from None
 
@@ -262,7 +276,7 @@ class SqlCatalog:
                 "UPDATE iceberg_tables SET metadata_location = ?, "
                 "previous_metadata_location = ? WHERE catalog_name = ? "
                 "AND table_namespace = ? AND table_name = ? AND "
-                "metadata_location = ?",
+                "metadata_location = ? AND " + _KIND_TABLE,
                 (new_metadata_location, expected_metadata_location,
                  self.name, ns, name, expected_metadata_location))
             if cur.rowcount == 0:
@@ -282,8 +296,8 @@ class SqlCatalog:
         with self._conn() as c:
             cur = c.execute(
                 "DELETE FROM iceberg_tables WHERE catalog_name = ? AND "
-                "table_namespace = ? AND table_name = ?",
-                (self.name, ns, name))
+                "table_namespace = ? AND table_name = ? AND " +
+                _KIND_TABLE, (self.name, ns, name))
             if cur.rowcount == 0:
                 raise NoSuchTable(f"{ns}.{name}")
 
@@ -296,8 +310,8 @@ class SqlCatalog:
                 cur = c.execute(
                     "UPDATE iceberg_tables SET table_namespace = ?, "
                     "table_name = ? WHERE catalog_name = ? AND "
-                    "table_namespace = ? AND table_name = ?",
-                    (dns, dname, self.name, sns, sname))
+                    "table_namespace = ? AND table_name = ? AND " +
+                    _KIND_TABLE, (dns, dname, self.name, sns, sname))
                 if cur.rowcount == 0:
                     raise NoSuchTable(f"{sns}.{sname}")
         except sqlite3.IntegrityError:
@@ -331,6 +345,114 @@ class SqlCatalog:
                     "catalog_name = ? AND table_namespace = ? AND "
                     "table_name = ?",
                     (other[0], other[1], self.name, ns, name))
+
+    # -- views (Iceberg View Spec v1 pointers; the pyiceberg/JDBC-
+    #    catalog convention keeps them in iceberg_tables rows with
+    #    iceberg_type='VIEW' — same CAS contract as tables) -----------
+
+    def list_views(self, ns: str | None = None) -> list[tuple[str, str]]:
+        q = ("SELECT table_namespace, table_name FROM iceberg_tables "
+             "WHERE catalog_name = ? AND " + _KIND_VIEW)
+        args: tuple = (self.name,)
+        if ns is not None:
+            q += " AND table_namespace = ?"
+            args += (ns,)
+        with self._conn() as c:
+            return [tuple(r) for r in
+                    c.execute(q + " ORDER BY 1, 2", args).fetchall()]
+
+    def view_exists(self, ident) -> bool:
+        ns, name = split_ident(ident)
+        with self._conn() as c:
+            return bool(c.execute(
+                "SELECT 1 FROM iceberg_tables WHERE catalog_name = ? "
+                "AND table_namespace = ? AND table_name = ? AND " +
+                _KIND_VIEW, (self.name, ns, name)).fetchone())
+
+    def load_view(self, ident) -> str:
+        """Identifier -> current view metadata_location."""
+        ns, name = split_ident(ident)
+        with self._conn() as c:
+            row = c.execute(
+                "SELECT metadata_location FROM iceberg_tables WHERE "
+                "catalog_name = ? AND table_namespace = ? AND "
+                "table_name = ? AND " + _KIND_VIEW,
+                (self.name, ns, name)).fetchone()
+        if not row or not row[0]:
+            raise NoSuchView(f"{ns}.{name}")
+        return row[0]
+
+    def register_view(self, ident, metadata_location: str) -> None:
+        ns, name = split_ident(ident)
+        _check_name("table", name)
+        if not self.namespace_exists(ns):
+            raise NoSuchNamespace(ns)
+        try:
+            with self._conn() as c:
+                c.execute(
+                    "INSERT INTO iceberg_tables (catalog_name, "
+                    "table_namespace, table_name, metadata_location, "
+                    "previous_metadata_location, iceberg_type) VALUES "
+                    "(?, ?, ?, ?, NULL, 'VIEW')",
+                    (self.name, ns, name, metadata_location))
+        except sqlite3.IntegrityError:
+            # the PK spans tables AND views: a same-named table also
+            # collides (spec: view/table identifiers share a namespace)
+            raise ViewAlreadyExists(f"{ns}.{name}") from None
+
+    def commit_view(self, ident, expected_metadata_location: str | None,
+                    new_metadata_location: str) -> None:
+        """Pointer CAS for a view replace — same optimistic contract
+        as :meth:`commit_table`."""
+        ns, name = split_ident(ident)
+        if expected_metadata_location is None:
+            return self.register_view(ident, new_metadata_location)
+        with self._conn() as c:
+            cur = c.execute(
+                "UPDATE iceberg_tables SET metadata_location = ?, "
+                "previous_metadata_location = ? WHERE catalog_name = ? "
+                "AND table_namespace = ? AND table_name = ? AND "
+                "metadata_location = ? AND " + _KIND_VIEW,
+                (new_metadata_location, expected_metadata_location,
+                 self.name, ns, name, expected_metadata_location))
+            if cur.rowcount == 0:
+                row = c.execute(
+                    "SELECT metadata_location FROM iceberg_tables "
+                    "WHERE catalog_name = ? AND table_namespace = ? "
+                    "AND table_name = ? AND " + _KIND_VIEW,
+                    (self.name, ns, name)).fetchone()
+                if not row:
+                    raise NoSuchView(f"{ns}.{name}")
+                raise CommitConflict(
+                    f"view {ns}.{name}: expected "
+                    f"{expected_metadata_location}, catalog holds "
+                    f"{row[0]}")
+
+    def drop_view(self, ident) -> None:
+        ns, name = split_ident(ident)
+        with self._conn() as c:
+            cur = c.execute(
+                "DELETE FROM iceberg_tables WHERE catalog_name = ? AND "
+                "table_namespace = ? AND table_name = ? AND " +
+                _KIND_VIEW, (self.name, ns, name))
+            if cur.rowcount == 0:
+                raise NoSuchView(f"{ns}.{name}")
+
+    def rename_view(self, src, dst) -> None:
+        sns, sname = split_ident(src)
+        dns, dname = split_ident(dst)
+        _check_name("table", dname)
+        try:
+            with self._conn() as c:
+                cur = c.execute(
+                    "UPDATE iceberg_tables SET table_namespace = ?, "
+                    "table_name = ? WHERE catalog_name = ? AND "
+                    "table_namespace = ? AND table_name = ? AND " +
+                    _KIND_VIEW, (dns, dname, self.name, sns, sname))
+                if cur.rowcount == 0:
+                    raise NoSuchView(f"{sns}.{sname}")
+        except sqlite3.IntegrityError:
+            raise ViewAlreadyExists(f"{dns}.{dname}") from None
 
     def default_location(self, ident) -> str:
         if not self.warehouse:

@@ -46,9 +46,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from sling_cli_spark import fsio
 from sling_cli_spark.sources.iceberg_catalog import (
     CatalogError, CommitConflict, NamespaceAlreadyExists,
-    NamespaceNotEmpty, NoSuchNamespace, NoSuchTable, SqlCatalog,
-    TableAlreadyExists, _hint_version, _meta_version, _read_meta,
-    split_ident)
+    NamespaceNotEmpty, NoSuchNamespace, NoSuchTable, NoSuchView,
+    SqlCatalog, TableAlreadyExists, ViewAlreadyExists, _hint_version,
+    _meta_version, _read_meta, split_ident)
 
 _SEP = "\x1f"  # the REST spec's multi-level namespace separator
 
@@ -67,6 +67,8 @@ _ERR_TYPES = {
     "NamespaceNotEmptyException": NamespaceNotEmpty,
     "NoSuchTableException": NoSuchTable,
     "TableAlreadyExistsException": TableAlreadyExists,
+    "NoSuchViewException": NoSuchView,
+    "ViewAlreadyExistsException": ViewAlreadyExists,
     "CommitFailedException": CommitConflict,
 }
 
@@ -323,6 +325,81 @@ class RestCatalog:
         ns, name = split_ident(ident)
         return fsio.join(self.warehouse, f"{ns}.db", name)
 
+    # -- views (REST spec createView/loadView/replaceView/dropView/
+    #    renameView; the SERVER authors + commits metadata) -----------
+
+    def list_views(self, ns: str | None = None) \
+            -> list[tuple[str, str]]:
+        spaces = [ns] if ns is not None else self.list_namespaces()
+        out = []
+        for space in spaces:
+            got = self._paged(
+                f"/v1/namespaces/{_ns_to_url(space)}/views",
+                "identifiers")
+            out += [(".".join(i["namespace"]), i["name"])
+                    for i in got]
+        return sorted(out)
+
+    def view_exists(self, ident) -> bool:
+        try:
+            self.load_view(ident)
+            return True
+        except NoSuchView:
+            return False
+
+    def load_view(self, ident) -> str:
+        ns, name = split_ident(ident)
+        got = self._req(
+            "GET", f"/v1/namespaces/{_ns_to_url(ns)}/views/{name}")
+        return got["metadata-location"]
+
+    def post_create_view(self, ident, ice_schema: dict, version: dict,
+                         location: str | None = None,
+                         properties: dict | None = None) -> str:
+        """Spec createView: the request carries the schema + the
+        initial view-version; the server authors the metadata file."""
+        ns, name = split_ident(ident)
+        got = self._req(
+            "POST", f"/v1/namespaces/{_ns_to_url(ns)}/views",
+            {"name": name, "location": location,
+             "schema": ice_schema, "view-version": version,
+             "properties": properties or {}})
+        return got["metadata-location"]
+
+    def post_replace_view(self, ident, base_meta: dict,
+                          ice_schema: dict, version: dict) -> str:
+        """Spec replaceView (UpdateViewRequest): assert-view-uuid +
+        add-schema / add-view-version / set-current-view-version,
+        validated and applied server-side."""
+        ns, name = split_ident(ident)
+        got = self._req(
+            "POST", f"/v1/namespaces/{_ns_to_url(ns)}/views/{name}",
+            {"identifier": {"namespace": ns.split("."), "name": name},
+             "requirements": [{"type": "assert-view-uuid",
+                               "uuid": base_meta["view-uuid"]}],
+             "updates": [
+                 {"action": "add-schema",
+                  "schema": {**ice_schema, "schema-id": -1}},
+                 {"action": "add-view-version",
+                  "view-version": {**version, "version-id": -1,
+                                   "schema-id": -1}},
+                 {"action": "set-current-view-version",
+                  "view-version-id": -1}]})
+        return got["metadata-location"]
+
+    def drop_view(self, ident) -> None:
+        ns, name = split_ident(ident)
+        self._req("DELETE",
+                  f"/v1/namespaces/{_ns_to_url(ns)}/views/{name}")
+
+    def rename_view(self, src, dst) -> None:
+        sns, sname = split_ident(src)
+        dns, dname = split_ident(dst)
+        self._req("POST", "/v1/views/rename", {
+            "source": {"namespace": sns.split("."), "name": sname},
+            "destination": {"namespace": dns.split("."),
+                            "name": dname}})
+
 
 # ---------------------------------------------------------------------------
 # serving twin
@@ -395,6 +472,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._err(409, "AlreadyExistsException", str(e))
         except TableAlreadyExists as e:
             self._err(409, "TableAlreadyExistsException", str(e))
+        except NoSuchView as e:
+            self._err(404, "NoSuchViewException", str(e))
+        except ViewAlreadyExists as e:
+            self._err(409, "ViewAlreadyExistsException", str(e))
         except NamespaceNotEmpty as e:
             self._err(409, "NamespaceNotEmptyException", str(e))
         except CommitConflict as e:
@@ -609,6 +690,89 @@ class _Handler(BaseHTTPRequestHandler):
             (".".join(d["namespace"]), d["name"]))
         self._send(204)
 
+    # -- view endpoints (REST spec createView/loadView/replaceView/
+    #    dropView/renameView; server-side metadata authoring like
+    #    _create_table) ------------------------------------------------
+
+    def _list_views(self, raw):
+        ns = _ns_from_url(raw)
+        if not self.cat.namespace_exists(ns):
+            raise NoSuchNamespace(ns)
+        self._send_page("identifiers", [
+            {"namespace": vns.split("."), "name": name}
+            for vns, name in sorted(self.cat.list_views(ns))])
+
+    def _create_view(self, raw):
+        from sling_cli_spark.sources.iceberg_views import (
+            author_view_metadata, _view_metadata_path)
+
+        body = self._body()
+        ns = _ns_from_url(raw)
+        name = body["name"]
+        ident = (ns, name)
+        if self.cat.view_exists(ident) or self.cat.table_exists(ident):
+            raise ViewAlreadyExists(f"{ns}.{name}")
+        location = body.get("location") or \
+            self.cat.default_location(ident)
+        schema = dict(body["schema"])
+        if schema.get("schema-id", -1) == -1:
+            schema["schema-id"] = 0
+        meta = author_view_metadata(
+            location, schema, dict(body["view-version"]),
+            body.get("properties") or {})
+        fs = fsio.get_fs(location)
+        fs.mkdirs(fsio.join(location, "metadata"))
+        ml = _view_metadata_path(location, 1)
+        fs.create_exclusive(ml, json.dumps(meta).encode())
+        self.cat.register_view(ident, ml)
+        self._send(200, {"metadata-location": ml, "metadata": meta})
+
+    def _load_view(self, raw, name):
+        ml = self.cat.load_view((_ns_from_url(raw), name))
+        self._send(200, {"metadata-location": ml,
+                         "metadata": _read_meta(ml)})
+
+    def _view_exists(self, raw, name):
+        self.cat.load_view((_ns_from_url(raw), name))
+        self._send(204)
+
+    def _drop_view(self, raw, name):
+        self.cat.drop_view((_ns_from_url(raw), name))
+        self._send(204)
+
+    def _commit_view(self, raw, name):
+        """Spec replaceView: validate requirements against the current
+        pointer, apply the update actions, write the next metadata
+        file, CAS the pointer."""
+        from sling_cli_spark.sources.iceberg_views import (
+            _meta_seq, _view_metadata_path, apply_view_updates)
+
+        body = self._body()
+        ident = (_ns_from_url(raw), name)
+        ml = self.cat.load_view(ident)
+        cur = _read_meta(ml)
+        for req in body.get("requirements") or []:
+            if req.get("type") == "assert-view-uuid":
+                if req.get("uuid") != cur.get("view-uuid"):
+                    raise CommitConflict(
+                        f"view-uuid is {cur.get('view-uuid')}")
+            # unknown assertion types: ignored (same policy as tables)
+        new = apply_view_updates(cur, body.get("updates") or [])
+        location = new["location"]
+        new_ml = _view_metadata_path(location, _meta_seq(ml) + 1)
+        fsio.get_fs(location).create_exclusive(
+            new_ml, json.dumps(new).encode())
+        self.cat.commit_view(ident, ml, new_ml)
+        self._send(200, {"metadata-location": new_ml, "metadata": new})
+
+    def _rename_view(self):
+        body = self._body()
+        s, d = body["source"], body["destination"]
+        self.cat.rename_view(
+            (".".join(s["namespace"]), s["name"]),
+            (".".join(d["namespace"]), d["name"]))
+        self._send(204)
+
 
 _NS = r"([^/]+)"
 _ROUTES: list[tuple[re.Pattern, dict]] = [
@@ -626,6 +790,12 @@ _ROUTES: list[tuple[re.Pattern, dict]] = [
      {"GET": _Handler._load_table, "HEAD": _Handler._table_exists,
       "DELETE": _Handler._drop_table, "POST": _Handler._commit_table}),
     (re.compile(r"^/v1/tables/rename$"), {"POST": _Handler._rename}),
+    (re.compile(rf"^/v1/namespaces/{_NS}/views$"),
+     {"GET": _Handler._list_views, "POST": _Handler._create_view}),
+    (re.compile(rf"^/v1/namespaces/{_NS}/views/([^/]+)$"),
+     {"GET": _Handler._load_view, "HEAD": _Handler._view_exists,
+      "DELETE": _Handler._drop_view, "POST": _Handler._commit_view}),
+    (re.compile(r"^/v1/views/rename$"), {"POST": _Handler._rename_view}),
 ]
 
 
