@@ -335,6 +335,39 @@ def cmd_catalog(args: argparse.Namespace) -> int:
         cat.swap_tables(args.src, args.dst)
     elif op == "repair":
         print(ic.repair_pointer(cat, args.table))
+    elif op == "ls-views":
+        for ns, name in cat.list_views(args.namespace):
+            print(f"{ns}.{name}")
+    elif op == "load-view":
+        print(cat.load_view(args.view))
+    elif op == "drop-view":
+        cat.drop_view(args.view)
+    elif op == "rename-view":
+        cat.rename_view(args.src, args.dst)
+    elif op == "create-view":
+        from sling_cli_spark.sources import iceberg_views as iv
+        spark = _get_spark(args.debug)
+        if args.or_replace and cat.view_exists(args.view):
+            ml = iv.replace_view(cat, spark, args.view, args.sql,
+                                 dialect=args.dialect)
+        else:
+            ml = iv.create_view(cat, spark, args.view, args.sql,
+                                dialect=args.dialect)
+        print(json.dumps({"view": args.view,
+                          "metadata_location": ml}))
+    elif op == "read-view":
+        from sling_cli_spark.sources import iceberg_views as iv
+        spark = _get_spark(args.debug)
+        df = iv.read_view(cat, spark, args.view,
+                          version_id=args.version)
+        for row in df.limit(args.limit).toJSON().collect():
+            print(row)
+    elif op == "view-versions":
+        from sling_cli_spark.sources import iceberg_views as iv
+        spark = _get_spark(args.debug)
+        for row in iv.view_versions(
+                cat, spark, args.view).toJSON().collect():
+            print(row)
     return 0
 
 
@@ -947,6 +980,7 @@ def build_parser() -> argparse.ArgumentParser:
     cc = ca.add_subparsers(dest="cat_cmd", required=True)
 
     def _cat_common(sp):
+        sp.add_argument("-d", "--debug", action="store_true")
         sp.add_argument("--db", help="sqlite catalog store path")
         sp.add_argument("--uri", help="REST catalog endpoint")
         sp.add_argument("--token", help="bearer token (rest)")
@@ -973,6 +1007,12 @@ def build_parser() -> argparse.ArgumentParser:
             ("swap", "exchange two tables' pointers", ["src", "dst"]),
             ("repair", "roll the pointer forward to the table hint",
              ["table"]),
+            ("load-view", "print a view's metadata location",
+             ["view"]),
+            ("drop-view", "drop a view from the catalog", ["view"]),
+            ("rename-view", "rename a view", ["src", "dst"]),
+            ("view-versions", "print a view's version history",
+             ["view"]),
     ]:
         sp = cc.add_parser(name, help=hlp)
         for a in pos:
@@ -982,6 +1022,26 @@ def build_parser() -> argparse.ArgumentParser:
         _cat_common(sp)
     sp = cc.add_parser("ls", help="list tables")
     sp.add_argument("namespace", nargs="?", default=None)
+    _cat_common(sp)
+    sp = cc.add_parser("ls-views", help="list views")
+    sp.add_argument("namespace", nargs="?", default=None)
+    _cat_common(sp)
+    sp = cc.add_parser(
+        "create-view",
+        help="create (or replace) a view from a SQL text — the "
+             "schema is analyzed against the catalog's tables")
+    sp.add_argument("view")
+    sp.add_argument("sql")
+    sp.add_argument("--or-replace", action="store_true")
+    sp.add_argument("--dialect", default="spark")
+    _cat_common(sp)
+    sp = cc.add_parser(
+        "read-view",
+        help="resolve + run a view's SQL; prints JSON rows")
+    sp.add_argument("view")
+    sp.add_argument("--version", type=int, default=None,
+                    help="pin a retained historical version")
+    sp.add_argument("--limit", type=int, default=20)
     _cat_common(sp)
     sp = cc.add_parser("serve",
                        help="serve a sqlite store over the REST API")

@@ -649,6 +649,59 @@ def test_cli_catalog_verbs_sql_and_serve(spark, tmp_path, capsys):
         srv.stop()
 
 
+def test_cli_catalog_view_verbs(spark, tmp_path, capsys):
+    """r10: view lifecycle through the CLI (create-view analyzes the
+    SQL against catalog tables, read-view resolves + runs it,
+    --or-replace appends a retained version)."""
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+
+    db = str(tmp_path / "c.db")
+    wh = str(tmp_path / "wh")
+    loc = str(tmp_path / "t")
+    write_iceberg(spark.range(6).selectExpr(
+        "id", "id % 2 as k"), loc)
+    assert main(["catalog", "create-namespace", "db", "--db", db,
+                 "--warehouse", wh]) == 0
+    ml = os.path.join(loc, "metadata", "v1.metadata.json")
+    assert main(["catalog", "register", "db.t", ml, "--db", db]) == 0
+
+    assert main(["catalog", "create-view", "db.agg",
+                 "SELECT k, COUNT(*) AS n FROM db.t GROUP BY k",
+                 "--db", db, "--warehouse", wh]) == 0
+    assert json.loads(capsys.readouterr().out)["view"] == "db.agg"
+    assert main(["catalog", "ls-views", "--db", db]) == 0
+    assert capsys.readouterr().out.split() == ["db.agg"]
+    assert main(["catalog", "read-view", "db.agg", "--db", db]) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.splitlines()]
+    assert sorted((r["k"], r["n"]) for r in rows) == [(0, 3), (1, 3)]
+    assert main(["catalog", "create-view", "db.agg",
+                 "SELECT MAX(id) AS mx FROM db.t", "--or-replace",
+                 "--db", db]) == 0
+    capsys.readouterr()
+    assert main(["catalog", "read-view", "db.agg", "--db", db]) == 0
+    assert json.loads(capsys.readouterr().out)["mx"] == 5
+    # the replaced version is retained, pinnable history
+    assert main(["catalog", "read-view", "db.agg", "--version", "1",
+                 "--db", db]) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.splitlines()]
+    assert sorted((r["k"], r["n"]) for r in rows) == [(0, 3), (1, 3)]
+    assert main(["catalog", "view-versions", "db.agg", "--db",
+                 db]) == 0
+    vv = [json.loads(line) for line in
+          capsys.readouterr().out.splitlines()]
+    assert [v["version_id"] for v in vv] == [1, 2]
+    assert main(["catalog", "rename-view", "db.agg", "db.agg2",
+                 "--db", db]) == 0
+    assert main(["catalog", "load-view", "db.agg2", "--db", db]) == 0
+    assert capsys.readouterr().out.strip().endswith(".metadata.json")
+    assert main(["catalog", "drop-view", "db.agg2", "--db", db]) == 0
+    assert main(["catalog", "ls-views", "--db", db]) == 0
+    assert capsys.readouterr().out.split() == []
+
+
 def test_cli_lake_checksum(spark, tmp_path, capsys):
     """r9: `lake checksum` verifies the {v}.crc chain; exit 3 on
     mismatch."""
