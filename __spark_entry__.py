@@ -1475,6 +1475,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             srv.stop()
 
+    def bm25_rank_docs(spark, sf):
+        """BM25 relevance scoring (operators/ranking.py round 10;
+        public Robertson BM25 as in Lucene). Scale shape: no explode,
+        no data-sized shuffle — tokenization is an array projection in
+        whole-stage codegen, corpus stats are one broadcast single-row
+        aggregate, the score is a projection."""
+        from sling_cli_spark.operators.ranking import bm25_rank
+
+        return bm25_rank(_t(spark, sf, "documents"),
+                         ["hash", "join", "merge"],
+                         persist_doc_stats=False)
+
+    def tfidf_keywords_docs(spark, sf):
+        """Smoothed-TF-IDF keyword extraction, top-3 per document
+        (operators/ranking.py round 10): one explode + one map-side-
+        combining shuffle into the (doc,term,tf) frame; doc lengths,
+        N and df all derive from that frame — the corpus text is read
+        once. Ties break on the term, so ranks are deterministic
+        across engines."""
+        from sling_cli_spark.operators.ranking import tfidf_keywords
+
+        return tfidf_keywords(_t(spark, sf, "documents"), top_n=3,
+                              min_doc_tokens=10)
+
     def iceberg_view_roundtrip(spark, sf):
         """Iceberg views (iceberg_views.py round 10; public View Spec
         v1 — beyond the reference, whose Iceberg connection is
@@ -4132,6 +4156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_version_checksum": delta_version_checksum,
         "iceberg_view_roundtrip": iceberg_view_roundtrip,
         "rest_view_roundtrip": rest_view_roundtrip,
+        "bm25_rank_docs": bm25_rank_docs,
+        "tfidf_keywords_docs": tfidf_keywords_docs,
         "iceberg_row_lineage": iceberg_row_lineage,
         "catalog_wap_el": catalog_wap_el,
         "rest_wap_el": rest_wap_el,
@@ -5192,6 +5218,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS INTEGER) AS current_version
             FROM customer
             GROUP BY c_mktsegment
+        """,
+        "bm25_rank_docs": """
+            WITH toks AS (
+              SELECT doc_id, t AS term
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(lower(text),
+                                  '[^a-z0-9]+')) AS t
+                    FROM documents)
+              WHERE t <> ''
+            ), dl AS (
+              SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+            ), stats AS (
+              SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks
+              WHERE term IN ('hash','join','merge')
+              GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), idf AS (
+              SELECT term,
+                     ln(1 + (n_docs - df + 0.5)/(df + 0.5)) AS idf
+              FROM dfreq, stats
+            )
+            SELECT tf.doc_id,
+                   ROUND(SUM(idf * tf * (1.2 + 1.0) /
+                         (tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl))),
+                         4) AS score
+            FROM tf JOIN dl USING (doc_id) JOIN idf USING (term),
+                 stats
+            GROUP BY tf.doc_id
+        """,
+        "tfidf_keywords_docs": """
+            WITH toks AS (
+              SELECT doc_id, t AS term
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(lower(text),
+                                  '[^a-z0-9]+')) AS t
+                    FROM documents)
+              WHERE t <> ''
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks
+              GROUP BY doc_id, term
+            ), dl AS (
+              SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+            ), n AS (SELECT COUNT(*) AS n_docs FROM dl),
+            dfreq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), idf AS (
+              SELECT term, ln((n_docs + 1.0)/(df + 1.0)) + 1.0 AS idf
+              FROM dfreq, n
+            ), scored AS (
+              SELECT tf.doc_id, tf.term,
+                     ROUND(tf * idf, 6) AS score
+              FROM tf JOIN idf USING (term)
+              WHERE tf.doc_id IN
+                    (SELECT doc_id FROM dl WHERE dl >= 10)
+            ), ranked AS (
+              SELECT doc_id, term, score,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, term) AS rank
+              FROM scored
+            )
+            SELECT doc_id, CAST(rank AS INT) AS rank, term, score
+            FROM ranked WHERE rank <= 3
         """,
         "iceberg_variant_nested": """
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
