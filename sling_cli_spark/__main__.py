@@ -689,16 +689,25 @@ def cmd_lake(args: argparse.Namespace) -> int:
         from sling_cli_spark.sources.delta_py import (
             latest_version, read_change_feed)
         start = args.starting_version
-        if start is None:
+        if start is None and args.starting_timestamp is None:
             # default to the LATEST commit's changes: starting at 0
             # would try to re-derive history whose files vacuum may
             # already have reclaimed
             start = latest_version(path)
-        df = read_change_feed(spark, path, starting_version=start)
+        df = read_change_feed(
+            spark, path, starting_version=start or 0,
+            starting_timestamp_ms=args.starting_timestamp,
+            ending_timestamp_ms=args.ending_timestamp)
     else:
         if args.starting_version is not None:
             print("--starting-version is a Delta option; Iceberg "
                   "tables take --from-snapshot", file=sys.stderr)
+            return 2
+        if args.starting_timestamp is not None or \
+                args.ending_timestamp is not None:
+            print("--starting/ending-timestamp are Delta options; "
+                  "Iceberg tables take --from-snapshot",
+                  file=sys.stderr)
             return 2
         from sling_cli_spark.sources.iceberg_py import iceberg_changelog
         df = iceberg_changelog(
@@ -967,6 +976,11 @@ def build_parser() -> argparse.ArgumentParser:
     lc.add_argument("path")
     lc.add_argument("--starting-version", type=int,
                     help="delta change-feed start version")
+    lc.add_argument("--starting-timestamp", type=int,
+                    help="delta change-feed start instant (epoch ms; "
+                         "first commit at or after — ICT-aware)")
+    lc.add_argument("--ending-timestamp", type=int,
+                    help="delta change-feed end instant (epoch ms)")
     lc.add_argument("--from-snapshot", type=int,
                     help="iceberg changelog start snapshot id")
     for sp in (lo, lv, le, lc, lh, ld, lf, lp, lsn, lmf, len_, lrf,

@@ -70,6 +70,9 @@ class SourceOptions:
     change_feed: bool = False           # delta/iceberg: read change rows
     starting_version: int | None = None  # delta change_feed range start
     starting_snapshot_id: int | None = None  # iceberg changelog start
+    starting_timestamp: int | None = None  # delta CDF start (epoch ms,
+    #   resolved to the first commit at or after — ICT-aware)
+    ending_timestamp: int | None = None    # delta CDF end (epoch ms)
 
 
 @dataclass

@@ -4756,13 +4756,34 @@ def _read_cdf_actions(
         extra_cols=[("_change_type", "string")] if cdc else None)
 
 
+def first_version_at_or_after(path: str, ts_ms: int) -> int | None:
+    """The EARLIEST version whose commit timestamp is >= ``ts_ms`` —
+    delta-spark's ``startingTimestamp`` resolution rule (the mirror of
+    :func:`version_at_timestamp`). ICT-aware via
+    :func:`commit_timestamp_ms`. None when every commit predates the
+    instant."""
+    for v in _list_versions(path):
+        if commit_timestamp_ms(path, v) >= ts_ms:
+            return v
+    return None
+
+
 def read_change_feed(
     spark: SparkSession, path: str, starting_version: int = 0,
     ending_version: int | None = None,
+    starting_timestamp_ms: int | None = None,
+    ending_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """The table's row-level changes across a version range — data
     columns + ``_change_type`` / ``_commit_version`` /
     ``_commit_timestamp`` (delta-spark's ``table_changes`` surface).
+
+    Timestamp bounds (delta-spark ``startingTimestamp`` /
+    ``endingTimestamp``) resolve to versions through the commit
+    timestamps — the monotonic ``inCommitTimestamp`` on ICT tables,
+    else the logged wall clock: start = first commit AT OR AFTER the
+    instant (errors when the instant is past the latest commit, same
+    as delta-spark), end = last commit at or before it.
 
     Commits carrying ``cdc`` actions read exactly those files
     (update_preimage/postimage fidelity); commits without them derive
@@ -4782,6 +4803,20 @@ def read_change_feed(
     meta, _ = replay_log(path)  # reader-protocol gate + schema
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
+    if starting_timestamp_ms is not None:
+        sv = first_version_at_or_after(path, starting_timestamp_ms)
+        if sv is None:
+            raise ValueError(
+                f"startingTimestamp {starting_timestamp_ms} is after "
+                f"the latest commit of {path}")
+        starting_version = sv
+    if ending_timestamp_ms is not None:
+        ev = version_at_timestamp(path, ending_timestamp_ms)
+        if ev is None:
+            raise ValueError(
+                f"endingTimestamp {ending_timestamp_ms} predates the "
+                f"first commit of {path}")
+        ending_version = ev
     fs = fsio.get_fs(path)
     versions = [v for v in _list_versions(path)
                 if v >= starting_version

@@ -155,7 +155,11 @@ def read_files(
             return read_change_feed(
                 spark, path,
                 starting_version=getattr(
-                    opts, "starting_version", None) or 0)
+                    opts, "starting_version", None) or 0,
+                starting_timestamp_ms=getattr(
+                    opts, "starting_timestamp", None),
+                ending_timestamp_ms=getattr(
+                    opts, "ending_timestamp", None))
         from sling_cli_spark.sources.iceberg_py import iceberg_changelog
 
         return iceberg_changelog(

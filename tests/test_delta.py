@@ -1756,6 +1756,52 @@ def test_change_data_feed_partitioned(spark, tmp_path):
             for r in tail.collect()] == [("insert", 9, 11)]
 
 
+def test_change_feed_timestamp_range(spark, tmp_path):
+    """r10: CDF by TIMESTAMP bounds (delta-spark startingTimestamp/
+    endingTimestamp) — resolved through the monotonic
+    inCommitTimestamp on an ICT table: start = first commit at or
+    after, end = last commit at or before; out-of-range instants
+    refuse loudly."""
+    import pytest as _pytest
+
+    from sling_cli_spark.sources.delta_py import (
+        commit_timestamp_ms, read_change_feed, set_table_properties,
+        write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string"), t)
+    set_table_properties(t, {
+        "delta.enableChangeDataFeed": "true",
+        "delta.enableInCommitTimestamps": "true"})       # v1
+    write_delta(spark.createDataFrame(
+        [(2, "b")], "id long, v string"), t, mode="append")  # v2
+    write_delta(spark.createDataFrame(
+        [(3, "c")], "id long, v string"), t, mode="append")  # v3
+    t2, t3 = (commit_timestamp_ms(t, 2), commit_timestamp_ms(t, 3))
+    got = read_change_feed(spark, t, starting_timestamp_ms=t2,
+                           ending_timestamp_ms=t3 - 1)
+    assert [(r["id"], r["_change_type"], r["_commit_version"])
+            for r in got.collect()] == [(2, "insert", 2)]
+    # start instant between commits rounds FORWARD, end rounds BACK
+    got = read_change_feed(spark, t, starting_timestamp_ms=t2 + 1)
+    assert {r["id"] for r in got.collect()} == {3}
+    with _pytest.raises(ValueError, match="after the latest"):
+        read_change_feed(spark, t, starting_timestamp_ms=t3 + 10_000)
+    with _pytest.raises(ValueError, match="predates the first"):
+        read_change_feed(spark, t, starting_version=2,
+                         ending_timestamp_ms=0)
+    # the EL surface carries the same bounds
+    from sling_cli_spark.config import Source, SourceOptions
+    from sling_cli_spark.sources.files import read_source
+    got = read_source(spark, Source(
+        stream=t, options=SourceOptions(
+            format="delta", change_feed=True,
+            starting_timestamp=t2, ending_timestamp=t2)))
+    assert [(r["id"], r["_commit_version"])
+            for r in got.collect()] == [(2, 2)]
+
+
 def test_cdf_enable_upgrades_protocol(spark, tmp_path):
     """Enabling delta.enableChangeDataFeed on a legacy-protocol table
     commits a conforming v7 protocol listing the changeDataFeed writer
