@@ -68,12 +68,26 @@ _SPARK_TO_BOUND = {"long": "long", "integer": "int", "double": "double",
                    "timestamp_ntz": "timestamp"}
 
 
-def _main_chain(meta: dict) -> list[dict]:
-    """Main-branch snapshots, oldest first, by walking parent ids from
-    the current head — the lineage a rollback or branch write never
-    contaminates."""
+def _main_chain(meta: dict, branch: str | None = None) -> list[dict]:
+    """Branch snapshots, oldest first, by walking parent ids from the
+    branch head (default: main via current-snapshot-id) — the lineage
+    a rollback or another branch's write never contaminates. A named
+    ``branch`` streams a WAP/audit line before publish (spec §Refs;
+    Spark-Iceberg's ``option("branch", ...)``). Tags are immutable —
+    a stream over one would never advance, so they refuse."""
     by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
-    cur = meta.get("current-snapshot-id")
+    if branch:
+        ref = (meta.get("refs") or {}).get(branch)
+        if ref is None:
+            raise ValueError(
+                f"iceberg_stream: no ref named {branch!r}")
+        if (ref.get("type") or "branch") != "branch":
+            raise ValueError(
+                f"iceberg_stream: ref {branch!r} is a tag — immutable; "
+                "streams read branches")
+        cur = ref.get("snapshot-id")
+    else:
+        cur = meta.get("current-snapshot-id")
     chain: list[dict] = []
     while cur is not None and cur in by_id:
         s = by_id[cur]
@@ -83,7 +97,8 @@ def _main_chain(meta: dict) -> list[dict]:
 
 
 def _require_chain_coverage(meta: dict, start: int, end: int,
-                            path: str) -> None:
+                            path: str,
+                            branch: str | None = None) -> None:
     """A micro-batch covers sequence numbers (start, end]; snapshots
     EXPIRED out of that range would silently drop their rows from the
     stream (the iceberg sibling of delta's retention-cleaned commits,
@@ -95,7 +110,7 @@ def _require_chain_coverage(meta: dict, start: int, end: int,
     follows main parents only)."""
     if end <= start:
         return
-    chain = _main_chain(meta)
+    chain = _main_chain(meta, branch)
     if not chain:
         return
     oldest = chain[0]
@@ -224,6 +239,7 @@ class _IceStreamReader(DataSourceStreamReader):
         self._starting = int(options.get("startingsequence",
                                          options.get("startingSequence",
                                                      0)))
+        self._branch = options.get("branch") or None
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
@@ -235,7 +251,7 @@ class _IceStreamReader(DataSourceStreamReader):
         from sling_cli_spark.sources.iceberg_py import _current_metadata
 
         _, meta = _current_metadata(self._path)
-        chain = _main_chain(meta)
+        chain = _main_chain(meta, self._branch)
         if not chain:
             return {"seq": 0}
         head = int(chain[-1].get("sequence-number") or 0)
@@ -279,13 +295,13 @@ class _IceStreamReader(DataSourceStreamReader):
         self._last_end = end["seq"]
         _, meta = _current_metadata(self._path)
         _require_chain_coverage(meta, start["seq"], end["seq"],
-                                self._path)
+                                self._path, self._branch)
         schema = _spark_schema(meta)
         schema_json = schema.json()
         field_types = {f.name: f.dataType.typeName()
                        for f in schema.fields}
         parts: list[_IceFilePart] = []
-        for snap in _main_chain(meta):
+        for snap in _main_chain(meta, self._branch):
             seq = int(snap.get("sequence-number") or 0)
             if not (start["seq"] < seq <= end["seq"]):
                 continue
@@ -377,13 +393,13 @@ class _IceChangelogStreamReader(_IceStreamReader):
         self._last_end = end["seq"]
         _, meta = _current_metadata(self._path)
         _require_chain_coverage(meta, start["seq"], end["seq"],
-                                self._path)
+                                self._path, self._branch)
         schema = _spark_schema(meta)
         schema_json = schema.json()
         field_types = {f.name: f.dataType.typeName()
                        for f in schema.fields}
         parts: list[_IceFilePart] = []
-        for snap in _main_chain(meta):
+        for snap in _main_chain(meta, self._branch):
             seq = int(snap.get("sequence-number") or 0)
             if not (start["seq"] < seq <= end["seq"]):
                 continue

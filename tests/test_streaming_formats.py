@@ -519,6 +519,46 @@ def test_iceberg_stream_source_incremental(spark, tmp_path):
     assert raised, "destructive snapshot must fail the append-only stream"
 
 
+def test_iceberg_stream_from_branch(spark, tmp_path):
+    """r10: option("branch", name) streams a branch's lineage — a WAP
+    audit line is consumable BEFORE publish, while a main stream never
+    sees staged rows; tags (immutable) refuse."""
+    from sling_cli_spark.sources.iceberg_py import (
+        create_branch, create_tag, write_iceberg)
+    from sling_cli_spark.streaming.iceberg_source import (
+        register_iceberg_stream)
+
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), t)
+    create_branch(t, "audit")
+    write_iceberg(spark.createDataFrame(
+        [(2, "staged")], "id long, v string").coalesce(1), t,
+        mode="append", branch="audit")
+
+    def drain(out, ck, **opts):
+        r = spark.readStream.format("iceberg_stream").option("path", t)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (r.load().writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {x["id"] for x in spark.read.parquet(out).collect()}
+
+    assert drain(str(tmp_path / "o1"), str(tmp_path / "c1"),
+                 branch="audit") == {1, 2}
+    # main lineage never sees the staged branch snapshot
+    assert drain(str(tmp_path / "o2"), str(tmp_path / "c2")) == {1}
+    create_tag(t, "pin")
+    with pytest.raises(Exception, match="tag"):
+        drain(str(tmp_path / "o3"), str(tmp_path / "c3"), branch="pin")
+    with pytest.raises(Exception, match="no ref"):
+        drain(str(tmp_path / "o4"), str(tmp_path / "c4"),
+              branch="ghost")
+
+
 def test_iceberg_stream_source_partitioned_and_evolved(spark, tmp_path):
     """Identity-partition values attach from the manifest entry's
     partition struct; files predating an evolved column stream it as
