@@ -195,6 +195,24 @@ class _DeltaStreamReader(DataSourceStreamReader):
         ).lower() == "true"
         self._starting = int(options.get("startingversion",
                                          options.get("startingVersion", 0)))
+        # delta-spark's startingTimestamp twin: epoch ms resolved to
+        # the first commit AT OR AFTER the instant through the commit
+        # timestamps (monotonic inCommitTimestamp on ICT tables).
+        # startingVersion wins when both are given (delta-spark errors
+        # there; one deterministic precedence is kinder to configs
+        # templated from defaults).
+        st = options.get("startingtimestamp",
+                         options.get("startingTimestamp"))
+        if st is not None and "startingversion" not in options \
+                and "startingVersion" not in options:
+            from sling_cli_spark.sources.delta_py import (
+                first_version_at_or_after, latest_version)
+            sv = first_version_at_or_after(self._path, int(st))
+            # past the latest commit -> start AFTER the head (stream
+            # begins empty and picks up future commits — the streaming
+            # reading of "from this instant on")
+            self._starting = latest_version(self._path) + 1 \
+                if sv is None else sv
         # admission control: at most N table versions per micro-batch,
         # so a source that BURSTS (a backfill writer, a compactor
         # replaying history) cannot make one trigger the whole backlog
