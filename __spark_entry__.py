@@ -1499,6 +1499,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tfidf_keywords(_t(spark, sf, "documents"), top_n=3,
                               min_doc_tokens=10)
 
+    def line_dedup_docs(spark, sf):
+        """Corpus-wide line dedup (operators/dedup.py line_dedup,
+        round 10 — the Dolma/CCNet preprocessing step; C4's analogue
+        works on 3-sentence spans). The synthetic docs are single-line,
+        so the query first builds multi-line documents by
+        concatenating each 4-doc group in doc_id order — the corpus's
+        planted exact-duplicate texts then become duplicate LINES
+        across groups, and every copy after the first (gid, pos)
+        occurrence is removed. Duplicate stats are a map-side-combined
+        groupBy(line), never a window over line partitions (a 10M-copy
+        boilerplate line must not sort in one task)."""
+        from sling_cli_spark.operators.dedup import line_dedup
+
+        grouped = (
+            _t(spark, sf, "documents")
+            .select(F.expr("doc_id DIV 4").alias("gid"),
+                    "doc_id", "text")
+            .groupBy("gid")
+            .agg(F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("doc_id", "text"))),
+                    lambda s: s["text"])).alias("text")))
+        return line_dedup(grouped, id_col="gid").select(
+            "gid", "text", "lines_kept", "lines_removed")
+
     def iceberg_view_roundtrip(spark, sf):
         """Iceberg views (iceberg_views.py round 10; public View Spec
         v1 — beyond the reference, whose Iceberg connection is
@@ -4158,6 +4185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rest_view_roundtrip": rest_view_roundtrip,
         "bm25_rank_docs": bm25_rank_docs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
+        "line_dedup_docs": line_dedup_docs,
         "iceberg_row_lineage": iceberg_row_lineage,
         "catalog_wap_el": catalog_wap_el,
         "rest_wap_el": rest_wap_el,
@@ -5200,6 +5228,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
                    c_name, c_mktsegment
             FROM customer
+        """,
+        "line_dedup_docs": """
+            WITH grouped AS (
+              SELECT doc_id // 4 AS gid,
+                     string_agg(text, chr(10) ORDER BY doc_id) AS text
+              FROM documents GROUP BY 1
+            ), lines AS (
+              SELECT gid,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(
+                         string_split(text, chr(10)), 1) AS pos
+              FROM grouped
+            ), ranked AS (
+              SELECT gid, pos, line,
+                     COUNT(*) OVER (PARTITION BY line) AS cnt,
+                     ROW_NUMBER() OVER (PARTITION BY line
+                                        ORDER BY gid, pos) AS rn
+              FROM lines WHERE trim(line) <> ''
+            ), keep AS (
+              SELECT gid, pos, line FROM ranked
+              WHERE cnt < 2 OR rn = 1
+              UNION ALL
+              SELECT gid, pos, line FROM lines WHERE trim(line) = ''
+            ), rebuilt AS (
+              SELECT gid,
+                     string_agg(line, chr(10) ORDER BY pos) AS text,
+                     COUNT(*) AS lines_kept
+              FROM keep GROUP BY gid
+            ), n AS (
+              SELECT gid, COUNT(*) AS n_lines FROM lines GROUP BY gid
+            )
+            SELECT g.gid, COALESCE(r.text, '') AS text,
+                   COALESCE(r.lines_kept, 0) AS lines_kept,
+                   COALESCE(n.n_lines - r.lines_kept, 0)
+                       AS lines_removed
+            FROM grouped g
+            LEFT JOIN rebuilt r USING (gid)
+            LEFT JOIN n USING (gid)
         """,
         "iceberg_view_roundtrip": """
             SELECT o_orderstatus, COUNT(*) AS n,

@@ -593,3 +593,64 @@ def exact_substring_dedup(
         .filter(F.col(id_col) > F.col("__min_id"))
         .select(id_col).distinct())
     return df.join(dropped, on=id_col, how="left_anti")
+
+
+def line_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_count: int = 2, keep_first: bool = True, sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide LINE-level dedup (the Dolma/CCNet preprocessing
+    step; C4 does it at three-sentence spans): a non-empty line
+    appearing in >= ``min_count`` places across the whole corpus is
+    removed from every document — except its first occurrence (by
+    ``(id, position)``) when ``keep_first``. Documents come back with
+    ``text`` reassembled in original line order plus
+    ``lines_kept`` / ``lines_removed`` counts (empty-after-trim lines
+    never participate: they are structure, not content, and every
+    blank line would otherwise count as a duplicate of every other).
+
+    100 TB posture: duplicate statistics come from a map-side-
+    combining ``groupBy(line)`` — count plus ``min(struct(id, pos))``
+    for the first occurrence — NOT a window over line partitions, so
+    a boilerplate line repeated 10M times collapses to one row per
+    upstream partition before it ever shuffles (windows would sort
+    all 10M copies in one task). The stats join back by line (AQE
+    handles residual skew: the probe side streams), and reassembly is
+    one groupBy(doc) of (pos, line) structs."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("__pos", "__line"))
+    content = lines.filter(F.trim("__line") != "")
+    stats = content.groupBy("__line").agg(
+        F.count("*").alias("__cnt"),
+        F.min(F.struct(F.col(id_col), F.col("__pos")))
+        .alias("__first"))
+    keep = (F.col("__cnt") < min_count)
+    if keep_first:
+        keep = keep | ((F.col("__first")[id_col] == F.col(id_col)) &
+                       (F.col("__first")["__pos"] == F.col("__pos")))
+    kept_content = (content.join(stats, "__line")
+                    .filter(keep)
+                    .select(id_col, "__pos", "__line"))
+    blank = lines.filter(F.trim("__line") == "")
+    kept = kept_content.unionByName(blank.select(
+        id_col, "__pos", "__line"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(sep, F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("__pos"), F.col("__line")))),
+            lambda s: s["__line"])).alias("__new_text"),
+        F.count("*").alias("lines_kept"))
+    n_lines = lines.groupBy(id_col).agg(
+        F.count("*").alias("__n_lines"))
+    out = (df.join(rebuilt, id_col, "left")
+           .join(n_lines, id_col, "left"))
+    return (out
+            .withColumn("lines_kept",
+                        F.coalesce("lines_kept", F.lit(0)))
+            .withColumn("lines_removed",
+                        F.coalesce(F.col("__n_lines") -
+                                   F.col("lines_kept"), F.lit(0)))
+            .withColumn(text_col, F.coalesce("__new_text", F.lit("")))
+            .drop("__new_text", "__n_lines"))

@@ -342,6 +342,36 @@ def test_gopher_quality_filter_rules(spark):
     assert out[5]["ok_alpha"] is False and out[5]["ok_stops"] is True
 
 
+def test_line_dedup_corpus_wide(spark):
+    """r10: Dolma/CCNet-style line dedup — a non-empty line appearing
+    >= min_count times across the corpus is removed everywhere but its
+    first (id, pos) occurrence; blanks are structure and never
+    participate; text reassembles in original order."""
+    from sling_cli_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame([
+        (1, "hello world\nboilerplate footer\nunique one"),
+        (2, "another doc\nboilerplate footer\n\nunique two"),
+        (3, "boilerplate footer\nsomething else"),
+        (4, ""),
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.lines_kept, r.lines_removed)
+           for r in line_dedup(df).collect()}
+    assert got[1] == (
+        "hello world\nboilerplate footer\nunique one", 3, 0)
+    assert got[2] == ("another doc\n\nunique two", 3, 1)
+    assert got[3] == ("something else", 1, 1)
+    assert got[4] == ("", 1, 0)
+    # keep_first=False removes every copy, including the first
+    got = {r.doc_id: r.text
+           for r in line_dedup(df, keep_first=False).collect()}
+    assert got[1] == "hello world\nunique one"
+    # min_count=3: a line needs 3 appearances to be a duplicate
+    got = {r.doc_id: r.lines_removed
+           for r in line_dedup(df, min_count=4).collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
 def test_exact_substring_dedup(spark):
     """A document sharing any full 20-token window with a LOWER-id
     document drops; partial overlap below the window length survives."""
