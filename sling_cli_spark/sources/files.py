@@ -339,6 +339,13 @@ def read_source(
             open_catalog_url, read_table)
 
         cat, ident = open_catalog_url(stream)
+        if hasattr(cat, "view_exists") and cat.view_exists(ident):
+            # catalog VIEW as an EL source (r10): resolve + run its
+            # SQL; the underlying table scans prune through their own
+            # reads, and the caller's incremental row filter pushes
+            # into the view's plan wherever Catalyst can
+            from sling_cli_spark.sources.iceberg_views import read_view
+            return read_view(cat, spark, ident)
         return read_table(cat, spark, ident, skip_filters=skip_filters)
     from sling_cli_spark.sources.remote import is_remote, stage_remote
 

@@ -145,3 +145,43 @@ def test_ignore_existing_catalog_target(spark, tmp_path, caturl):
     assert run(spark, Config.from_dict(cfg)).rows == 0
     cat, ident = _cat(url)
     assert read_table(cat, spark, ident).count() == 4
+
+
+def test_catalog_view_as_el_source(spark, tmp_path, caturl):
+    """r10: a catalog VIEW is a first-class EL source — the runner
+    resolves + runs its SQL and lands the result; the view's own
+    replace history stays queryable behind the same URL."""
+    from sling_cli_spark.sources import iceberg_views as V
+    from sling_cli_spark.sources.iceberg_catalog import (
+        create_table, write_table)
+
+    url = caturl("db.by_k")
+    cat, _ = _cat(url)
+    cat.create_namespace("db")
+    df = spark.range(20).selectExpr("id", "id % 4 as k")
+    create_table(cat, "db.base", df.schema)
+    write_table(df, cat, "db.base")
+    V.create_view(cat, spark, "db.by_k",
+                  "SELECT k, COUNT(*) AS n, SUM(id) AS total "
+                  "FROM db.base GROUP BY k")
+
+    out = str(tmp_path / "out.parquet")
+    r = run(spark, Config.from_dict({
+        "source": {"stream": url},
+        "target": {"object": out},
+        "mode": "full-refresh"}))
+    assert r.rows == 4
+    got = {(x.k, x.n, x.total)
+           for x in spark.read.parquet(out).collect()}
+    assert got == {(0, 5, 40), (1, 5, 45), (2, 5, 50), (3, 5, 55)}
+
+    # replacing the view changes what the SAME source url loads
+    V.replace_view(cat, spark, "db.by_k",
+                   "SELECT k, MAX(id) AS mx FROM db.base GROUP BY k")
+    out2 = str(tmp_path / "out2.parquet")
+    run(spark, Config.from_dict({
+        "source": {"stream": url},
+        "target": {"object": out2},
+        "mode": "full-refresh"}))
+    assert {(x.k, x.mx) for x in spark.read.parquet(out2).collect()} \
+        == {(0, 16), (1, 17), (2, 18), (3, 19)}
