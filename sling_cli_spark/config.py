@@ -90,6 +90,10 @@ class TargetOptions:
     file_bytes_per_row: int | None = None  # sizing hint for file_max_bytes
     batch_limit: int | None = None
     add_new_columns: bool = True
+    replace_where: str | None = None    # delta/iceberg selective
+    #   overwrite: delete rows matching this predicate + insert the
+    #   batch, one commit (delta-spark replaceWhere / iceberg
+    #   overwrite-by-filter)
     adjust_column_type: bool = False
     column_casing: str | None = None    # source|target|snake|upper|lower|camel
     table_keys: dict[str, list[str]] = field(default_factory=dict)

@@ -280,6 +280,33 @@ def write_files(
     if fmt in ("delta", "iceberg"):
         from sling_cli_spark.sources.files import is_missing_datasource
 
+        if getattr(opts, "replace_where", None):
+            # selective overwrite: the target range the batch covers
+            # is deleted + replaced in ONE commit (delta-spark
+            # replaceWhere / iceberg overwrite-by-filter) — the
+            # backfill-target shape. A missing target degenerates to
+            # a plain create (nothing to replace), like delta-spark.
+            if fmt == "delta":
+                from sling_cli_spark.sources.delta_py import (
+                    is_delta_table, replace_where_delta, write_delta)
+
+                if not is_delta_table(uri):
+                    write_delta(df, uri, partition_by=part_cols or None)
+                else:
+                    replace_where_delta(df.sparkSession, uri, df,
+                                        opts.replace_where)
+            else:
+                from sling_cli_spark.sources.iceberg_py import (
+                    is_iceberg_table, overwrite_where_iceberg,
+                    write_iceberg)
+
+                if not is_iceberg_table(uri):
+                    write_iceberg(df, uri,
+                                  partition_by=part_cols or None)
+                else:
+                    overwrite_where_iceberg(df.sparkSession, uri, df,
+                                            opts.replace_where)
+            return
         if opts.txn_app_id is not None:
             # idempotent EL retry (delta: PROTOCOL.md §Transaction
             # Identifiers; iceberg: snapshot summary keys) needs the

@@ -3212,6 +3212,103 @@ def delete_missing_delta(
             "kept": len(active) - len(adds), "version": version}
 
 
+def replace_where_delta(
+    spark: SparkSession, path: str, df: DataFrame, predicate: str,
+    validate: bool = True, skip_filters=None,
+) -> dict:
+    """delta-spark's ``replaceWhere`` — selective overwrite: delete
+    every row matching ``predicate`` and insert ``df``, atomically in
+    ONE commit (the backfill-target shape: reload a date range without
+    touching the rest of the table). ``validate`` (delta-spark's
+    default) refuses a batch carrying rows OUTSIDE the predicate.
+
+    File handling is stats-driven CoW: ``skip_filters`` (``(col, op,
+    value)`` conjuncts) prunes candidate files from per-file skipping
+    stats before any read; surviving candidates probe row-level —
+    files with no matching row are untouched, files whose every
+    live row matches are plain removes, partially-matching files
+    rewrite only their non-matching rows. Row-tracking tables keep
+    rewritten rows' ids/versions (pure rearrangement — the scan
+    materializes lineage straight into the rewrite). CDF tables stage
+    delete rows for the overwritten range + insert rows for the batch.
+
+    Returns {"touched": n, "new_files": n, "version": v}."""
+    from pyspark.sql import functions as F
+
+    wprot = check_writer_protocol(path, removes_files=True)
+    meta, files = replay_log(path)
+    if meta is None:
+        raise FileNotFoundError(f"not a delta table: {path}")
+    part_cols = meta.get("partitionColumns") or []
+    pred_true = F.coalesce(F.expr(predicate), F.lit(False))
+    if validate and df.filter(~pred_true).limit(1).count():
+        raise ValueError(
+            f"replaceWhere: written data contains rows not matching "
+            f"{predicate!r} (pass validate=False to allow)")
+
+    candidates = dict(files)
+    if skip_filters:
+        candidates = prune_files_by_stats(
+            candidates, skip_filters, part_cols or ())
+    touched_rel: list[str] = []
+    if candidates:
+        amap = _add_key_map(path, files)
+        scan = _read_files_mor(spark, path, meta, files,
+                               sorted(candidates), keep_fp=True)
+        hits = (scan.filter(pred_true)
+                .select("__fp").distinct().collect())
+        touched_rel = sorted(amap[r["__fp"]] for r in hits)
+
+    kept = pre = None
+    if touched_rel:
+        pre = _read_files_mor(spark, path, meta, files, touched_rel)
+        rid_col, rcv_col = _rt_cols(meta)
+        if row_tracking_enabled(meta) and rid_col:
+            # unchanged rows keep id AND commit version: materialize
+            # lineage straight off the scan (no pk needed — this is a
+            # pure filter, not a keyed transform)
+            kept = _scan_with_row_ids(
+                spark, path, meta, files, touched_rel, rid_col,
+                rcv_col or "__rw_rcv")
+            if not rcv_col:
+                kept = kept.drop("__rw_rcv")
+        else:
+            kept = pre
+        kept = kept.filter(~pred_true)
+
+    actions = _evolve_schema_actions(df, meta)
+    adds = _stage_data_files(df, path, part_cols or None)
+    if kept is not None and kept.limit(1).count():
+        for c, t in df.dtypes:  # evolved columns read null in kept
+            if c not in kept.columns:
+                kept = kept.withColumn(c, F.lit(None).cast(t))
+        adds += _stage_data_files(kept, path, part_cols or None)
+
+    cdc_actions: list[dict] = []
+    if cdf_enabled(meta):
+        ins = df.withColumn("_change_type", F.lit("insert"))
+        cdf = ins
+        if pre is not None:
+            dels = pre.filter(pred_true)
+            for c, t in df.dtypes:
+                if c not in dels.columns:
+                    dels = dels.withColumn(c, F.lit(None).cast(t))
+            cdf = dels.withColumn(
+                "_change_type", F.lit("delete")).unionByName(ins)
+        cdc_actions = _stage_cdc_actions(cdf, path, part_cols or None)
+
+    now = int(time.time() * 1000)
+    removes = [_remove_action(p, files[p], now) for p in touched_rel]
+    version = latest_version(path) + 1
+    actions += _assign_fresh_row_ids(path, adds, version,
+                                     protocol=wprot)
+    version = _commit_with_retry(
+        path, version, actions + removes + adds + cdc_actions,
+        read_files=set(files))
+    return {"touched": len(removes), "new_files": len(adds),
+            "version": version}
+
+
 def _walk_data_files(fs, path: str, rel: str = "") -> list[str]:
     out: list[str] = []
     base = fsio.join(path, rel) if rel else path

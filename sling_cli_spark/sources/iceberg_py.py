@@ -1535,6 +1535,63 @@ def delete_missing_iceberg(
             "kept": len(keep), "snapshot_id": snapshot_id}
 
 
+def overwrite_where_iceberg(
+    spark: SparkSession, path: str, df: DataFrame, predicate: str,
+    validate: bool = True, skip_filters=None, branch: str = "main",
+) -> dict:
+    """Overwrite-by-filter (the spec's ``overwrite`` operation;
+    Spark-Iceberg's ``overwritePartitions``/``option("overwrite-
+    filter")``, delta's ``replaceWhere`` twin): delete every row
+    matching ``predicate`` and insert ``df`` in ONE snapshot.
+    ``validate`` refuses batch rows outside the predicate.
+
+    Bounds-driven CoW: ``skip_filters`` prunes candidates from
+    manifest value bounds / transformed partition values before any
+    read; candidates probe row-level; files with no match carry
+    forward, partially-matching files rewrite only non-matching rows.
+    v3 tables preserve kept rows' lineage (the MoR scan materializes
+    ``_row_id``/``_last_updated_sequence_number`` straight into the
+    rewrite — a pure filter needs no key join); batch rows read fresh
+    ids from their files' ``first_row_id``."""
+    from pyspark.sql import functions as F
+
+    _, meta = _current_metadata(path, for_write=True)
+    active, pos_dels, eq_dels = _active_entries(
+        path, meta, _branch_head(meta, branch))
+    pred_true = F.coalesce(F.expr(predicate), F.lit(False))
+    if validate and df.filter(~pred_true).limit(1).count():
+        raise ValueError(
+            f"overwrite_where: batch contains rows not matching "
+            f"{predicate!r} (pass validate=False to allow)")
+    candidates = active
+    if skip_filters:
+        candidates = prune_files_by_bounds(active, skip_filters, meta)
+    touched: set = set()
+    if candidates:
+        scan = _mor_read(spark, path, meta, candidates, pos_dels,
+                         eq_dels, keep_file_col=True)
+        touched = {_canon(r["__file"]) for r in
+                   scan.filter(pred_true)
+                   .select("__file").distinct().collect()}
+    touched_entries = [f for f in active
+                       if _canon(f["file_path"]) in touched]
+    keep = [f for f in active if _canon(f["file_path"]) not in touched]
+    replacement = df
+    if touched_entries:
+        v3 = int(meta.get("format-version", 1)) >= 3
+        kept_rows = _mor_read(
+            spark, path, meta, touched_entries, pos_dels, eq_dels,
+            with_row_ids=v3).filter(~pred_true)
+        replacement = df.unionByName(kept_rows,
+                                     allowMissingColumns=True)
+    snapshot_id = _commit_snapshot(
+        replacement, path, meta, carried=keep, operation="overwrite",
+        carried_deletes=_live_delete_files(keep, pos_dels, eq_dels),
+        branch=branch)
+    return {"touched": len(touched_entries), "kept": len(keep),
+            "snapshot_id": snapshot_id}
+
+
 def upsert_iceberg(
     spark: SparkSession,
     path: str,

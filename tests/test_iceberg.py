@@ -2154,3 +2154,51 @@ def test_expire_and_orphans_older_than(spark, tmp_path):
     assert os.path.exists(fresh) and not os.path.exists(old)
     # read still intact
     assert read_iceberg(spark, t).count() == 4
+
+
+def test_overwrite_where_iceberg(spark, tmp_path):
+    """r10: overwrite-by-filter (spec 'overwrite' operation; the
+    replaceWhere twin) — untouched files carry forward, partial files
+    rewrite only non-matching rows, v3 lineage survives the rewrite,
+    skip_filters prunes candidates from manifest bounds."""
+    import pytest as _pytest
+
+    from sling_cli_spark.sources.iceberg_py import (
+        overwrite_where_iceberg, read_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")],
+        "id long, bucket long, v string").coalesce(1), t,
+        format_version=3)
+    write_iceberg(spark.createDataFrame(
+        [(3, 20, "c"), (4, 30, "d")],
+        "id long, bucket long, v string").coalesce(1), t,
+        mode="append")
+
+    new = spark.createDataFrame([(9, 20, "NEW")],
+                                "id long, bucket long, v string")
+    with _pytest.raises(ValueError, match="not matching"):
+        overwrite_where_iceberg(
+            spark, t, new.union(spark.createDataFrame(
+                [(8, 10, "x")], "id long, bucket long, v string")),
+            "bucket = 20")
+    before = {r.id: r._row_id for r in read_iceberg(
+        spark, t, with_row_ids=True).collect()}
+    stats = overwrite_where_iceberg(spark, t, new, "bucket = 20")
+    assert stats["touched"] == 1 and stats["kept"] == 1
+    got = {(r.id, r.bucket, r.v)
+           for r in read_iceberg(spark, t).collect()}
+    assert got == {(1, 10, "a"), (2, 10, "b"), (4, 30, "d"),
+                   (9, 20, "NEW")}
+    after = {r.id: r._row_id for r in read_iceberg(
+        spark, t, with_row_ids=True).collect()}
+    assert after[4] == before[4]  # rewritten survivor keeps its id
+    assert after[1] == before[1]
+    # bounds-pruned rerun still lands correctly
+    overwrite_where_iceberg(
+        spark, t, spark.createDataFrame(
+            [(7, 30, "B")], "id long, bucket long, v string"),
+        "bucket = 30", skip_filters=[("bucket", "=", 30)])
+    got = {(r.id, r.v) for r in read_iceberg(spark, t).collect()}
+    assert (7, "B") in got and (4, "d") not in got

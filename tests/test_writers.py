@@ -411,3 +411,44 @@ def test_el_wap_merge_path(spark, tmp_path):
         == {1: "a", 2: "B2", 3: "c"}
     assert read_iceberg(spark, t, ref="audit") \
         .filter("v = 'BAD'").count() == 1
+
+
+def test_el_replace_where_backfill_shape(spark, tmp_path):
+    """r10: target option replace_where — a backfill reload of one
+    range replaces exactly that range in ONE commit; a missing target
+    degenerates to a plain create."""
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+    from sling_cli_spark.sources.delta_py import (
+        latest_version, read_delta)
+
+    src1 = str(tmp_path / "s1.parquet")
+    spark.createDataFrame(
+        [(i, i % 3, f"old{i}") for i in range(9)],
+        "id long, day long, v string").write.parquet(src1)
+    t = str(tmp_path / "t")
+    # create through the replace_where path (no table yet)
+    run(spark, Config.from_dict({
+        "source": {"stream": src1},
+        "target": {"object": t,
+                   "options": {"format": "delta",
+                               "replace_where": "day >= 0"}},
+        "mode": "full-refresh"}))
+    assert read_delta(spark, t).count() == 9
+    # reload ONLY day=1 from a corrected source
+    src2 = str(tmp_path / "s2.parquet")
+    spark.createDataFrame(
+        [(100, 1, "fixed")], "id long, day long, v string") \
+        .write.parquet(src2)
+    v_before = latest_version(t)
+    run(spark, Config.from_dict({
+        "source": {"stream": src2},
+        "target": {"object": t,
+                   "options": {"format": "delta",
+                               "replace_where": "day = 1"}},
+        "mode": "full-refresh"}))
+    assert latest_version(t) == v_before + 1  # ONE commit
+    got = {(r.id, r.day) for r in read_delta(spark, t).collect()}
+    assert (100, 1) in got
+    assert len([g for g in got if g[1] == 1]) == 1  # old day-1 gone
+    assert len([g for g in got if g[1] != 1]) == 6  # others intact
