@@ -1499,6 +1499,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tfidf_keywords(_t(spark, sf, "documents"), top_n=3,
                               min_doc_tokens=10)
 
+    def delta_replace_where(spark, sf):
+        """replaceWhere selective overwrite (delta_py round 10;
+        delta-spark's backfill-target shape): load orders to Delta
+        partitioned by status, then reload ONLY status 'F' from a
+        corrected batch (price doubled) in one commit — untouched
+        partitions carry forward physically."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            read_delta, replace_where_delta, write_delta)
+
+        d = tempfile.mkdtemp(prefix="sling_rw_")
+        t = os.path.join(d, "t")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long"),
+            F.col("o_totalprice").cast("double"),
+            "o_orderstatus")
+        write_delta(o, t, partition_by=["o_orderstatus"])
+        fixed = o.where("o_orderstatus = 'F'").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2.0)
+        stats = replace_where_delta(spark, t, fixed,
+                                    "o_orderstatus = 'F'")
+        return read_delta(spark, t).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus",
+            F.lit(int(stats["version"])).cast("int").alias("version"))
+
+    def iceberg_overwrite_where(spark, sf):
+        """The Iceberg twin (spec 'overwrite' operation): same
+        selective reload over manifest-bounds-pruned copy-on-write;
+        v3 table so kept rows' lineage survives (pinned by pytest)."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            overwrite_where_iceberg, read_iceberg, write_iceberg)
+
+        d = tempfile.mkdtemp(prefix="sling_ow_")
+        t = os.path.join(d, "t")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long"),
+            F.col("o_totalprice").cast("double"),
+            "o_orderstatus")
+        write_iceberg(o, t, partition_by=["o_orderstatus"],
+                      format_version=3)
+        fixed = o.where("o_orderstatus = 'F'").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2.0)
+        overwrite_where_iceberg(spark, t, fixed,
+                                "o_orderstatus = 'F'")
+        return read_iceberg(spark, t).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus")
+
     def line_dedup_docs(spark, sf):
         """Corpus-wide line dedup (operators/dedup.py line_dedup,
         round 10 — the Dolma/CCNet preprocessing step; C4's analogue
@@ -4186,6 +4236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank_docs": bm25_rank_docs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "line_dedup_docs": line_dedup_docs,
+        "delta_replace_where": delta_replace_where,
+        "iceberg_overwrite_where": iceberg_overwrite_where,
         "iceberg_row_lineage": iceberg_row_lineage,
         "catalog_wap_el": catalog_wap_el,
         "rest_wap_el": rest_wap_el,
@@ -5228,6 +5280,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
                    c_name, c_mktsegment
             FROM customer
+        """,
+        "delta_replace_where": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(o_totalprice AS DOUBLE) * 2.0
+                        ELSE CAST(o_totalprice AS DOUBLE)
+                   END AS o_totalprice,
+                   o_orderstatus,
+                   CAST(1 AS INTEGER) AS version
+            FROM orders
+        """,
+        "iceberg_overwrite_where": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(o_totalprice AS DOUBLE) * 2.0
+                        ELSE CAST(o_totalprice AS DOUBLE)
+                   END AS o_totalprice,
+                   o_orderstatus
+            FROM orders
         """,
         "line_dedup_docs": """
             WITH grouped AS (
