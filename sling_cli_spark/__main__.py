@@ -610,6 +610,15 @@ def cmd_lake(args: argparse.Namespace) -> int:
         from sling_cli_spark.sources.iceberg_py import iceberg_partitions
         _stream_csv_stdout(iceberg_partitions(spark, path))
         return 0
+    if op == "position-deletes":
+        if is_delta:
+            print("position-deletes applies to Iceberg tables",
+                  file=sys.stderr)
+            return 2
+        from sling_cli_spark.sources.iceberg_py import (
+            iceberg_position_deletes)
+        _stream_csv_stdout(iceberg_position_deletes(spark, path))
+        return 0
     if op == "history":
         if is_delta:
             from sling_cli_spark.sources.delta_py import describe_history
@@ -857,6 +866,11 @@ def build_parser() -> argparse.ArgumentParser:
     lf = ls.add_parser("files",
                        help="iceberg: files metadata table as CSV")
     lf.add_argument("path")
+    lpd = ls.add_parser(
+        "position-deletes",
+        help="iceberg: live deleted positions (parquet + puffin DV)")
+    lpd.add_argument("path")
+    lpd.add_argument("-d", "--debug", action="store_true")
     lp = ls.add_parser("partitions",
                        help="iceberg: partitions metadata table as CSV "
                             "(manifest-only per-partition stats)")

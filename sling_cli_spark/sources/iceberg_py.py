@@ -3085,6 +3085,45 @@ def iceberg_files(spark: SparkSession, path: str,
         "spec_id int, sequence_number long"))
 
 
+def iceberg_position_deletes(
+    spark: SparkSession, path: str, snapshot_id: int | None = None,
+) -> DataFrame:
+    """``position_deletes`` metadata-table twin (Spark-Iceberg's
+    ``SELECT * FROM t.position_deletes``): one row per live deleted
+    position of the (current or named) snapshot — the data file it
+    targets, the position, and which delete file (parquet position
+    deletes and v3 Puffin deletion vectors both) carries it. DV blobs
+    expand executor-side (mapInPandas over compressed roaring bytes),
+    parquet delete files read natively — the result is delete-sized,
+    never data-sized."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    _, meta = _current_metadata(path)
+    _, pos_dels, _ = _active_entries(path, meta, snapshot_id)
+    schema = ("file_path string, pos long, delete_file_path string, "
+              "file_format string")
+    branches = []
+    for f in pos_dels:
+        fmt = (f.get("file_format") or "PARQUET").upper()
+        if fmt == "PUFFIN":
+            rows = _expand_dvs(spark, [f]).select(
+                F.col("__fp").alias("file_path"),
+                F.col("__pos").cast("long").alias("pos"))
+        else:
+            rows = spark.read.parquet(f["file_path"]).select(
+                _norm_path_col(F.col("file_path")).alias("file_path"),
+                F.col("pos").cast("long").alias("pos"))
+        branches.append(
+            rows.withColumn("delete_file_path",
+                            F.lit(f["file_path"]))
+            .withColumn("file_format", F.lit(fmt.lower())))
+    if not branches:
+        return spark.createDataFrame([], schema)
+    return reduce(lambda a, b: a.unionByName(b), branches)
+
+
 def iceberg_partitions(spark: SparkSession, path: str,
                        snapshot_id: int | None = None) -> DataFrame:
     """``partitions`` metadata-table twin (Spark-Iceberg's

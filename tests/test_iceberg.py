@@ -2202,3 +2202,33 @@ def test_overwrite_where_iceberg(spark, tmp_path):
         "bucket = 30", skip_filters=[("bucket", "=", 30)])
     got = {(r.id, r.v) for r in read_iceberg(spark, t).collect()}
     assert (7, "B") in got and (4, "d") not in got
+
+
+def test_position_deletes_metadata_twin(spark, tmp_path):
+    """r10: position_deletes metadata table — one row per live deleted
+    position with its carrying delete file; Puffin DVs expand, and a
+    CoW rewrite that folds the deletes empties the table."""
+    from sling_cli_spark.sources.iceberg_py import (
+        compact_iceberg, delete_missing_iceberg,
+        iceberg_position_deletes, read_iceberg, write_iceberg)
+
+    t = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)],
+        "id long, v string").coalesce(1), t, format_version=3)
+    # drop ids 3,7 via deletion vectors (v3 default MoR path)
+    delete_missing_iceberg(
+        spark, t,
+        spark.createDataFrame([(i,) for i in range(10) if i not in
+                               (3, 7)], "id long"), "id",
+        use_dvs=True)
+    pd = iceberg_position_deletes(spark, t).collect()
+    assert sorted(r.pos for r in pd) == [3, 7]
+    assert all(r.file_format == "puffin" for r in pd)
+    assert all(r.delete_file_path.endswith(".puffin") or
+               "puffin" in r.file_format for r in pd)
+    assert read_iceberg(spark, t).count() == 8
+    # a DV purge rewrite folds the deletes in -> no live positions
+    compact_iceberg(spark, t, purge_dvs=True, dv_purge_ratio=0.1)
+    assert iceberg_position_deletes(spark, t).count() == 0
+    assert read_iceberg(spark, t).count() == 8
