@@ -1668,6 +1668,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             srv.stop()
 
+    def catalog_txn_commit(spark, sf):
+        """Multi-table transaction (iceberg_catalog round 10; the REST
+        spec's commitTransaction): two catalog tables written under
+        run_committed_many — every pointer swaps in ONE atomic SQL
+        transaction, so a reader can never observe orders advanced
+        while customer lags. The query reads both back through the
+        pointers and unions them with a source tag."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_catalog import (
+            SqlCatalog, create_table, read_table, run_committed_many)
+        from sling_cli_spark.sources.iceberg_py import write_iceberg
+
+        d = tempfile.mkdtemp(prefix="sling_txn_")
+        cat = SqlCatalog(os.path.join(d, "c.db"),
+                         warehouse=os.path.join(d, "wh"))
+        cat.create_namespace("db")
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            F.col("o_totalprice").cast("double").alias("v"))
+        c = _t(spark, sf, "customer").select(
+            F.col("c_custkey").cast("long").alias("k"),
+            F.col("c_acctbal").cast("double").alias("v"))
+        create_table(cat, "db.orders", o.schema)
+        create_table(cat, "db.customer", c.schema)
+        run_committed_many(cat, [
+            ("db.orders",
+             lambda loc: write_iceberg(o, loc, mode="append")),
+            ("db.customer",
+             lambda loc: write_iceberg(c, loc, mode="append")),
+        ])
+        return (read_table(cat, spark, "db.orders")
+                .withColumn("src", F.lit("orders"))
+                .unionByName(read_table(cat, spark, "db.customer")
+                             .withColumn("src", F.lit("customer"))))
+
     def iceberg_incremental_lineage(spark, sf):
         """Incremental consumption by row lineage (iceberg_py round
         10, read_iceberg_incremental; spec v3 §Row Lineage — the
@@ -4238,6 +4274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": line_dedup_docs,
         "delta_replace_where": delta_replace_where,
         "iceberg_overwrite_where": iceberg_overwrite_where,
+        "catalog_txn_commit": catalog_txn_commit,
         "iceberg_row_lineage": iceberg_row_lineage,
         "catalog_wap_el": catalog_wap_el,
         "rest_wap_el": rest_wap_el,
@@ -5279,6 +5316,17 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_rest_catalog": """
             SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
                    c_name, c_mktsegment
+            FROM customer
+        """,
+        "catalog_txn_commit": """
+            SELECT CAST(o_orderkey AS BIGINT) AS k,
+                   CAST(o_totalprice AS DOUBLE) AS v,
+                   'orders' AS src
+            FROM orders
+            UNION ALL
+            SELECT CAST(c_custkey AS BIGINT) AS k,
+                   CAST(c_acctbal AS DOUBLE) AS v,
+                   'customer' AS src
             FROM customer
         """,
         "delta_replace_where": """

@@ -346,6 +346,53 @@ class SqlCatalog:
                     "table_name = ?",
                     (other[0], other[1], self.name, ns, name))
 
+    def commit_many(self, changes) -> None:
+        """ATOMIC multi-table pointer CAS (the REST spec's
+        commitTransaction): every ``(ident, expected_ml, new_ml)``
+        applies or none does — one SQL transaction, so a reader can
+        never observe table A advanced while table B lags (the
+        cross-table consistency a multi-stream replication commit
+        needs). ``expected_ml=None`` registers a new table inside the
+        same transaction."""
+        with self._conn() as c:
+            for ident, expected, new in changes:
+                ns, name = split_ident(ident)
+                if expected is None:
+                    _check_name("table", name)
+                    try:
+                        c.execute(
+                            "INSERT INTO iceberg_tables (catalog_name,"
+                            " table_namespace, table_name, "
+                            "metadata_location, "
+                            "previous_metadata_location, iceberg_type)"
+                            " VALUES (?, ?, ?, ?, NULL, 'TABLE')",
+                            (self.name, ns, name, new))
+                    except sqlite3.IntegrityError:
+                        raise TableAlreadyExists(
+                            f"{ns}.{name}") from None
+                    continue
+                cur = c.execute(
+                    "UPDATE iceberg_tables SET metadata_location = ?,"
+                    " previous_metadata_location = ? WHERE "
+                    "catalog_name = ? AND table_namespace = ? AND "
+                    "table_name = ? AND metadata_location = ? AND " +
+                    _KIND_TABLE,
+                    (new, expected, self.name, ns, name, expected))
+                if cur.rowcount == 0:
+                    row = c.execute(
+                        "SELECT metadata_location FROM iceberg_tables"
+                        " WHERE catalog_name = ? AND "
+                        "table_namespace = ? AND table_name = ?",
+                        (self.name, ns, name)).fetchone()
+                    # raising inside the connection context rolls the
+                    # whole transaction back — earlier CAS wins undo
+                    if not row:
+                        raise NoSuchTable(f"{ns}.{name}")
+                    raise CommitConflict(
+                        f"transaction: {ns}.{name} expected "
+                        f"{expected}, catalog holds {row[0]} — no "
+                        "table moved")
+
     # -- views (Iceberg View Spec v1 pointers; the pyiceberg/JDBC-
     #    catalog convention keeps them in iceberg_tables rows with
     #    iceberg_type='VIEW' — same CAS contract as tables) -----------
@@ -556,6 +603,55 @@ def run_committed(catalog, ident, fn):
                                 f"v{v}.metadata.json"))
         raise
     return out
+
+
+def run_committed_many(catalog, ops):
+    """Multi-table transaction: run each ``(ident, fn)`` hint-advancing
+    operation on its table's storage, then swap EVERY advanced pointer
+    in ONE atomic ``commit_many`` — all tables move or none do. On a
+    lost race every staged table's hint rolls back and its
+    uncommitted metadata files are withdrawn (the same failed-commit
+    contract as :func:`run_committed`, applied to the whole set).
+    Returns the list of ``fn`` results."""
+    staged = []   # (ident, expected_ml, location, hint_v, new_v)
+    results = []
+    try:
+        for ident, fn in ops:
+            expected_ml = catalog.load_table(ident)
+            meta = _read_meta(expected_ml)
+            location = meta["location"]
+            expected_v = _meta_version(expected_ml)
+            hint_v = _hint_version(location)
+            if hint_v != expected_v:
+                raise CommitConflict(
+                    f"table at {location}: hint v{hint_v} != catalog "
+                    f"pointer v{expected_v} — reconcile with "
+                    "repair_pointer()")
+            results.append(fn(location))
+            new_v = _hint_version(location)
+            if new_v != hint_v:
+                staged.append(
+                    (ident, expected_ml, location, hint_v, new_v))
+        catalog.commit_many([
+            (ident, expected_ml,
+             fsio.join(location, "metadata",
+                       f"v{new_v}.metadata.json"))
+            for ident, expected_ml, location, hint_v, new_v
+            in staged])
+        return results
+    except Exception:
+        for _ident, _exp, location, hint_v, new_v in staged:
+            fs = fsio.get_fs(location)
+            fs.write_bytes(
+                fsio.join(location, "metadata", "version-hint.text"),
+                str(hint_v).encode())
+            for v in range(hint_v + 1, new_v + 1):
+                try:
+                    fs.delete(fsio.join(location, "metadata",
+                                        f"v{v}.metadata.json"))
+                except FileNotFoundError:
+                    pass
+        raise
 
 
 def write_table(df, catalog, ident, mode: str = "append", **kw) -> int:

@@ -251,14 +251,26 @@ class RestCatalog:
              "properties": properties or {}})
         return got["metadata-location"]
 
-    def commit_table(self, ident, expected_metadata_location,
-                     new_metadata_location: str) -> None:
-        """Spec commit: requirements + updates derived by diffing the
-        staged metadata against the expected base (both on shared
-        storage). The server validates and CAS-advances."""
+    def commit_many(self, changes) -> None:
+        """Spec commitTransaction (POST /v1/transactions/commit):
+        every table's requirements + updates in ONE request; the
+        server applies all pointer swaps atomically or none."""
+        creates = [(i, n) for i, e, n in changes if e is None]
+        for ident, new in creates:  # spec: register is per-table
+            self.register_table(ident, new)
+        body = {"table-changes": [
+            self._table_change(ident, expected, new)
+            for ident, expected, new in changes
+            if expected is not None]}
+        if body["table-changes"]:
+            self._req("POST", "/v1/transactions/commit", body)
+
+    def _table_change(self, ident, expected_metadata_location,
+                      new_metadata_location) -> dict:
+        """One CommitTableRequest: requirements + updates derived by
+        diffing the staged metadata against the expected base (both
+        on shared storage)."""
         ns, name = split_ident(ident)
-        if expected_metadata_location is None:
-            return self.register_table(ident, new_metadata_location)
         base = _read_meta(expected_metadata_location)
         new = _read_meta(new_metadata_location)
         have = {int(s["snapshot-id"])
@@ -285,10 +297,21 @@ class RestCatalog:
              if base_cur is None or int(base_cur) == -1
              else int(base_cur)},
         ]
+        return {
+            "identifier": {"namespace": ns.split("."), "name": name},
+            "requirements": requirements, "updates": updates}
+
+    def commit_table(self, ident, expected_metadata_location,
+                     new_metadata_location: str) -> None:
+        """Spec commit: one CommitTableRequest, validated and
+        CAS-advanced server-side."""
+        ns, name = split_ident(ident)
+        if expected_metadata_location is None:
+            return self.register_table(ident, new_metadata_location)
         self._req(
             "POST", f"/v1/namespaces/{_ns_to_url(ns)}/tables/{name}",
-            {"identifier": {"namespace": ns.split("."), "name": name},
-             "requirements": requirements, "updates": updates})
+            self._table_change(ident, expected_metadata_location,
+                               new_metadata_location))
 
     def drop_table(self, ident) -> None:
         ns, name = split_ident(ident)
@@ -633,6 +656,28 @@ class _Handler(BaseHTTPRequestHandler):
     def _commit_table(self, raw, name):
         body = self._body()
         ident = (_ns_from_url(raw), name)
+        ml, new_ml, new = self._validated_change(ident, body)
+        self.cat.commit_table(ident, ml, new_ml)
+        self._send(200, {"metadata-location": new_ml, "metadata": new})
+
+    def _commit_txn(self):
+        """Spec commitTransaction: validate EVERY table-change against
+        its current pointer, then apply all pointer swaps in the
+        store's single atomic commit_many — all tables move or none
+        (a failed requirement on the last table leaves the first
+        untouched)."""
+        body = self._body()
+        validated = []
+        for ch in body.get("table-changes") or []:
+            ident_d = ch.get("identifier") or {}
+            ident = (".".join(ident_d.get("namespace") or []),
+                     ident_d.get("name"))
+            ml, new_ml, _ = self._validated_change(ident, ch)
+            validated.append((ident, ml, new_ml))
+        self.cat.commit_many(validated)
+        self._send(204)
+
+    def _validated_change(self, ident, body):
         ml = self.cat.load_table(ident)
         cur = _read_meta(ml)
         for req in body.get("requirements") or []:
@@ -675,8 +720,7 @@ class _Handler(BaseHTTPRequestHandler):
                 raise CommitConflict(
                     f"staged metadata {new_ml} lacks snapshot "
                     f"{upd['snapshot']['snapshot-id']}")
-        self.cat.commit_table(ident, ml, new_ml)
-        self._send(200, {"metadata-location": new_ml, "metadata": new})
+        return ml, new_ml, new
 
     def _table_exists(self, raw, name):
         self.cat.load_table((_ns_from_url(raw), name))
@@ -796,6 +840,8 @@ _ROUTES: list[tuple[re.Pattern, dict]] = [
      {"GET": _Handler._load_view, "HEAD": _Handler._view_exists,
       "DELETE": _Handler._drop_view, "POST": _Handler._commit_view}),
     (re.compile(r"^/v1/views/rename$"), {"POST": _Handler._rename_view}),
+    (re.compile(r"^/v1/transactions/commit$"),
+     {"POST": _Handler._commit_txn}),
 ]
 
 

@@ -215,3 +215,84 @@ def test_register_existing_path_table(cat, spark, tmp_path):
     assert read_table(cat, spark, "db.ext").count() == 4
     meta = json.loads(open(cat.load_table("db.ext")).read())
     assert meta["location"]
+
+
+def test_commit_many_atomic(cat, tmp_path):
+    """r10: multi-table pointer CAS is all-or-nothing — a stale
+    expectation on the SECOND table rolls the first back too."""
+    from sling_cli_spark.sources.iceberg_catalog import CommitConflict
+
+    cat.create_namespace("db")
+    cat.register_table("db.a", "/wh/a/metadata/v1.metadata.json")
+    cat.register_table("db.b", "/wh/b/metadata/v1.metadata.json")
+    cat.commit_many([
+        ("db.a", "/wh/a/metadata/v1.metadata.json",
+         "/wh/a/metadata/v2.metadata.json"),
+        ("db.b", "/wh/b/metadata/v1.metadata.json",
+         "/wh/b/metadata/v2.metadata.json")])
+    assert cat.load_table("db.a").endswith("v2.metadata.json")
+    assert cat.load_table("db.b").endswith("v2.metadata.json")
+    import pytest as _pytest
+    with _pytest.raises(CommitConflict, match="no table moved"):
+        cat.commit_many([
+            ("db.a", "/wh/a/metadata/v2.metadata.json",
+             "/wh/a/metadata/v3.metadata.json"),
+            ("db.b", "/wh/b/metadata/v1.metadata.json",  # STALE
+             "/wh/b/metadata/v3.metadata.json")])
+    # table a did NOT move despite its CAS matching
+    assert cat.load_table("db.a").endswith("v2.metadata.json")
+    assert cat.load_table("db.b").endswith("v2.metadata.json")
+    # creation inside the transaction
+    cat.commit_many([
+        ("db.c", None, "/wh/c/metadata/v1.metadata.json"),
+        ("db.a", "/wh/a/metadata/v2.metadata.json",
+         "/wh/a/metadata/v3.metadata.json")])
+    assert cat.load_table("db.c").endswith("v1.metadata.json")
+    assert cat.load_table("db.a").endswith("v3.metadata.json")
+
+
+def test_run_committed_many_writes_and_rollback(cat, spark):
+    """r10: two tables written under ONE transaction; a conflict
+    injected at commit time withdraws BOTH tables' staged metadata
+    and rolls their hints back."""
+    import pytest as _pytest
+
+    from sling_cli_spark.sources.iceberg_catalog import (
+        CommitConflict, run_committed_many)
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+
+    cat.create_namespace("db")
+    a = spark.range(5).selectExpr("id", "id * 2 as x")
+    create_table(cat, "db.a", a.schema)
+    create_table(cat, "db.b", a.schema)
+    out = run_committed_many(cat, [
+        ("db.a", lambda loc: write_iceberg(a, loc, mode="append")),
+        ("db.b", lambda loc: write_iceberg(a, loc, mode="append")),
+    ])
+    assert len(out) == 2
+    assert read_table(cat, spark, "db.a").count() == 5
+    assert read_table(cat, spark, "db.b").count() == 5
+
+    # sabotage: move db.b's pointer behind the transaction's back
+    ml_b = cat.load_table("db.b")
+    hint_a = cat.load_table("db.a")
+
+    class _Sabotage:
+        def __getattr__(self, k):
+            return getattr(cat, k)
+
+        def commit_many(self, changes):
+            raise CommitConflict("injected")
+
+    with _pytest.raises(CommitConflict):
+        run_committed_many(_Sabotage(), [
+            ("db.a", lambda loc: write_iceberg(a, loc,
+                                               mode="append")),
+            ("db.b", lambda loc: write_iceberg(a, loc,
+                                               mode="append")),
+        ])
+    # pointers unmoved, hints rolled back, counts unchanged
+    assert cat.load_table("db.a") == hint_a
+    assert cat.load_table("db.b") == ml_b
+    assert read_table(cat, spark, "db.a").count() == 5
+    assert read_table(cat, spark, "db.b").count() == 5

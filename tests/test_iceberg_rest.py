@@ -278,3 +278,58 @@ def test_rest_catalog_wap_el(served, spark, tmp_path):
     meta = _read_meta(cat.load_table("db.t"))
     staged = read_iceberg(spark, meta["location"], ref="audit")
     assert staged.filter("id IS NULL").count() == 1
+
+
+def test_rest_commit_transaction(spark, tmp_path):
+    """r10: POST /v1/transactions/commit — two tables' staged writes
+    land under ONE atomic server-side commit; a stale requirement on
+    the second table leaves the first untouched."""
+    import pytest as _pytest
+
+    from sling_cli_spark.sources.iceberg_catalog import (
+        CommitConflict, SqlCatalog, create_table, read_table,
+        run_committed_many)
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+    from sling_cli_spark.sources.iceberg_rest import (
+        RestCatalog, RestCatalogServer)
+
+    store = SqlCatalog(str(tmp_path / "c.db"),
+                       warehouse=str(tmp_path / "wh"))
+    srv = RestCatalogServer(store, token="t").start()
+    try:
+        cat = RestCatalog(srv.uri, token="t")
+        cat.create_namespace("db")
+        df = spark.range(4).selectExpr("id", "id * 3 as x")
+        create_table(cat, "db.a", df.schema)
+        create_table(cat, "db.b", df.schema)
+        run_committed_many(cat, [
+            ("db.a", lambda loc: write_iceberg(df, loc,
+                                               mode="append")),
+            ("db.b", lambda loc: write_iceberg(df, loc,
+                                               mode="append")),
+        ])
+        assert read_table(cat, spark, "db.a").count() == 4
+        assert read_table(cat, spark, "db.b").count() == 4
+        # a VALID staged change on db.a + a failing requirement on
+        # db.b -> 409 -> db.a's pointer must NOT move either
+        a_ml, b_ml = cat.load_table("db.a"), cat.load_table("db.b")
+        a_loc = a_ml.rsplit("/metadata/", 1)[0]
+        write_iceberg(df, a_loc, mode="append")  # staged, uncommitted
+        good = cat._table_change(
+            "db.a", a_ml, a_ml.replace("v2", "v3"))
+        bad = {"identifier": {"namespace": ["db"], "name": "b"},
+               "requirements": [
+                   {"type": "assert-table-uuid", "uuid": "nope"}],
+               "updates": []}
+        with _pytest.raises(CommitConflict):
+            cat._req("POST", "/v1/transactions/commit",
+                     {"table-changes": [good, bad]})
+        assert cat.load_table("db.a") == a_ml
+        assert cat.load_table("db.b") == b_ml
+        # without the bad change the same transaction lands
+        cat._req("POST", "/v1/transactions/commit",
+                 {"table-changes": [good]})
+        assert cat.load_table("db.a").endswith("v3.metadata.json")
+        assert read_table(cat, spark, "db.a").count() == 8
+    finally:
+        srv.stop()
