@@ -4323,6 +4323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # was judge-re-run green in r9 (VERDICT r9: 154/154).
     window = [
         # --- new in r10 (never driver-checked) ---
+        "iceberg_view_roundtrip", "rest_view_roundtrip",
+        "bm25_rank_docs", "tfidf_keywords_docs", "line_dedup_docs",
+        "delta_replace_where", "iceberg_overwrite_where",
+        "catalog_txn_commit",
         "iceberg_row_lineage", "catalog_wap_el", "rest_wap_el",
         "iceberg_incremental_lineage", "delta_incremental_rowtracking",
         # --- never driver-checked (r9 late additions) ---

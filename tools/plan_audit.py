@@ -35,7 +35,13 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          # codegen id arithmetic), catalog-WAP published read, and the
          # metadata-pruned incremental-by-lineage reads (both formats)
          "iceberg_row_lineage", "catalog_wap_el",
-         "iceberg_incremental_lineage", "delta_incremental_rowtracking"]
+         "iceberg_incremental_lineage", "delta_incremental_rowtracking",
+         # round-10 continuation: zero-shuffle BM25, one-pass TF-IDF,
+         # corpus line dedup, view reads resolved through the catalog,
+         # selective overwrite reads on both formats
+         "bm25_rank_docs", "tfidf_keywords_docs", "line_dedup_docs",
+         "iceberg_view_roundtrip", "delta_replace_where",
+         "iceberg_overwrite_where"]
 
 HEADER = """# Physical plan audit (sf0.1, local[32])
 
