@@ -209,6 +209,9 @@ class IcebergStreamSource(DataSource):
 
 
 class _IceStreamReader(DataSourceStreamReader):
+    _branch: str | None = None  # class default: ad-hoc constructions
+    #   (tests build via __new__) read main unless told otherwise
+
     def __init__(self, options):
         self._path = options["path"]
         self._ignore_changes = str(
