@@ -46,6 +46,10 @@ class ReplicationConfig:
     env: dict[str, str] = field(default_factory=dict)
 
     hooks: dict[str, list] = field(default_factory=dict)
+    # atomic: true -> every stream's catalog pointer commit defers to
+    # ONE commit_many at the end (all streams land or none); requires
+    # every target to be a catalog:// URL
+    atomic: bool = False
 
     @classmethod
     def from_yaml(cls, text_or_path: str) -> "ReplicationConfig":
@@ -70,6 +74,7 @@ class ReplicationConfig:
             streams=d.get("streams") or {},
             env=d.get("env") or {},
             hooks=d.get("hooks") or {},
+            atomic=bool(d.get("atomic")),
         )
 
 
@@ -204,7 +209,36 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = ""):
 
     run_hooks("start")
     results = {}
-    for cfg in compile_replication(rc):
+    compiled = list(compile_replication(rc))
+    if rc.atomic:
+        # atomic replications defer every stream's catalog pointer
+        # commit to ONE commit_many (iceberg_catalog.CatalogTransaction
+        # — routed through run_committed, so merges, WAP publishes and
+        # plain loads all participate). Non-catalog targets have no
+        # pointer to defer — refuse loudly rather than silently
+        # landing them stream-by-stream.
+        from sling_cli_spark.sources.iceberg_catalog import (
+            CatalogTransaction, is_catalog_url)
+
+        bad = [c.target.object for c in compiled
+               if not is_catalog_url(c.target.object or "")]
+        if bad:
+            raise ValueError(
+                f"atomic replication needs catalog:// targets for "
+                f"every stream; got {bad[:3]}")
+        with CatalogTransaction():
+            for cfg in compiled:
+                stream_env = {
+                    "stream_name": cfg.source.stream or "",
+                    "object_name": cfg.target.object or ""}
+                run_hooks("pre", stream_env)
+                result = run(spark, cfg)
+                results[cfg.source.stream] = result
+                run_hooks("post", {**stream_env,
+                                   "rows": str(result.rows)})
+        run_hooks("end")
+        return results
+    for cfg in compiled:
         if base_output and not os.path.isabs(cfg.target.object or ""):
             cfg.target.object = os.path.join(base_output, cfg.target.object)
         stream_env = {"stream_name": cfg.source.stream or "",

@@ -566,6 +566,112 @@ def create_table(catalog, ident, schema, partition_by=None,
     return location
 
 
+_ACTIVE_TXN: list = []  # CatalogTransaction stack (with-block nesting)
+
+
+class CatalogTransaction:
+    """Defer every catalog pointer commit inside a ``with`` block and
+    swap them ALL atomically at exit (:meth:`SqlCatalog.commit_many` /
+    the REST spec's commitTransaction) — the cross-table consistency a
+    multi-stream replication needs: no reader ever observes stream A
+    landed while stream B lags, and a failure anywhere (a later
+    stream, a failing WAP gate, the final CAS) withdraws every staged
+    table. Operations on the SAME table chain (each stages on top of
+    the previous hint); tables of ONE catalog only (atomicity cannot
+    span stores). Table/namespace CREATION stays immediate — pointers
+    are the transactional unit, like the REST spec."""
+
+    def __init__(self):
+        # (ns, name) -> [catalog, ident, expected_ml, location,
+        #                pointer_v, new_v]
+        self._staged: dict = {}
+        self._catkey = None
+
+    @staticmethod
+    def current() -> "CatalogTransaction | None":
+        return _ACTIVE_TXN[-1] if _ACTIVE_TXN else None
+
+    def __enter__(self):
+        _ACTIVE_TXN.append(self)
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        _ACTIVE_TXN.pop()
+        if exc_type is not None:
+            self.rollback()
+            return False
+        try:
+            self.commit()
+        except Exception:
+            self.rollback()
+            raise
+        return False
+
+    def _key_of(self, catalog):
+        return (type(catalog).__name__,
+                getattr(catalog, "uri", None),
+                getattr(catalog, "name", None))
+
+    def stage(self, catalog, ident, fn):
+        """run_committed's staging half: run the hint-advancing op,
+        record the pointer change for the transaction's commit."""
+        key = self._key_of(catalog)
+        if self._catkey is None:
+            self._catkey = key
+        elif key != self._catkey:
+            raise CatalogError(
+                "atomic transaction cannot span catalogs "
+                f"({self._catkey} vs {key})")
+        ns_name = tuple(split_ident(ident))
+        prior = self._staged.get(ns_name)
+        expected_ml = catalog.load_table(ident)
+        meta = _read_meta(expected_ml)
+        location = meta["location"]
+        pointer_v = _meta_version(expected_ml)
+        base_v = prior[5] if prior else pointer_v
+        hint_v = _hint_version(location)
+        if hint_v != base_v:
+            raise CommitConflict(
+                f"table at {location}: hint v{hint_v} != expected "
+                f"v{base_v} — reconcile with repair_pointer()")
+        out = fn(location)
+        new_v = _hint_version(location)
+        if new_v != base_v:
+            if prior:
+                prior[5] = new_v  # chain: same txn, one final CAS
+            else:
+                self._staged[ns_name] = [catalog, ident, expected_ml,
+                                         location, pointer_v, new_v]
+        return out
+
+    def commit(self) -> None:
+        if not self._staged:
+            return
+        catalog = next(iter(self._staged.values()))[0]
+        catalog.commit_many([
+            (ident, expected_ml,
+             fsio.join(location, "metadata",
+                       f"v{new_v}.metadata.json"))
+            for _cat, ident, expected_ml, location, _pv, new_v
+            in self._staged.values()])
+        self._staged.clear()
+
+    def rollback(self) -> None:
+        for _cat, _ident, _exp, location, pointer_v, new_v \
+                in self._staged.values():
+            fs = fsio.get_fs(location)
+            fs.write_bytes(
+                fsio.join(location, "metadata", "version-hint.text"),
+                str(pointer_v).encode())
+            for v in range(pointer_v + 1, new_v + 1):
+                try:
+                    fs.delete(fsio.join(location, "metadata",
+                                        f"v{v}.metadata.json"))
+                except FileNotFoundError:
+                    pass
+        self._staged.clear()
+
+
 def run_committed(catalog, ident, fn):
     """Run ANY hint-advancing table operation (write, merge,
     delete_missing, upsert, compaction...) under the catalog's
@@ -575,7 +681,15 @@ def run_committed(catalog, ident, fn):
     pre-run version and the local metadata files are withdrawn, so
     path-readers never see the un-committed snapshots; data files
     stay as orphans for maintenance (exactly Iceberg's failed-commit
-    contract). Returns ``fn``'s result."""
+    contract). Returns ``fn``'s result.
+
+    Inside an active :class:`CatalogTransaction` the pointer swap is
+    DEFERRED to the transaction's atomic commit — every catalog commit
+    path (plain write, merge, delete_missing, WAP publish) becomes
+    transactional through this one seam."""
+    txn = CatalogTransaction.current()
+    if txn is not None:
+        return txn.stage(catalog, ident, fn)
     expected_ml = catalog.load_table(ident)
     meta = _read_meta(expected_ml)
     location = meta["location"]

@@ -267,3 +267,67 @@ def test_metadata_sql_renders_for_all_dialects():
                         ("columns", {"schema": "s", "table": "t"})):
             sql = d.metadata_sql(key, **kw)
             assert "{" not in sql and "}" not in sql, (name, key)
+
+
+def test_atomic_replication_all_or_nothing(spark, sf_dir, tmp_path):
+    """r10: `atomic: true` — every stream's catalog pointer commit
+    defers to ONE commit_many; a failing later stream withdraws the
+    earlier streams' staged commits (pointers AND table storage)."""
+    import pytest as _pytest
+
+    from sling_cli_spark.sources.iceberg_catalog import (
+        SqlCatalog, read_table)
+
+    db = str(tmp_path / "c.db")
+    wh = str(tmp_path / "wh")
+    cat = SqlCatalog(db, warehouse=wh)
+    cat.create_namespace("db")
+    url = f"db={db}&warehouse={wh}"
+    yaml_ok = f"""
+source: LOCAL
+target: CAT
+atomic: true
+streams:
+  {sf_dir}/nation.parquet:
+    object: catalog://db.nation?{url}
+  {sf_dir}/region.parquet:
+    object: catalog://db.region?{url}
+"""
+    rc = ReplicationConfig.from_yaml(yaml_ok)
+    assert rc.atomic
+    results = run_replication(spark, rc)
+    assert len(results) == 2
+    assert read_table(cat, spark, "db.nation").count() == 25
+    assert read_table(cat, spark, "db.region").count() == 5
+    n_ml = cat.load_table("db.nation")
+
+    # second stream fails -> the first stream's append must NOT land
+    yaml_bad = f"""
+source: LOCAL
+target: CAT
+atomic: true
+streams:
+  {sf_dir}/nation.parquet:
+    object: catalog://db.nation?{url}
+    mode: incremental
+  {tmp_path}/nope.parquet:
+    object: catalog://db.broken?{url}
+"""
+    with _pytest.raises(Exception):
+        run_replication(spark, ReplicationConfig.from_yaml(yaml_bad))
+    assert cat.load_table("db.nation") == n_ml  # pointer unmoved
+    assert read_table(cat, spark, "db.nation").count() == 25
+
+    # non-catalog target refuses loudly instead of silently
+    # committing stream-by-stream
+    yaml_mixed = f"""
+source: LOCAL
+target: CAT
+atomic: true
+streams:
+  {sf_dir}/region.parquet:
+    object: {tmp_path}/plain.parquet
+"""
+    with _pytest.raises(ValueError, match="catalog://"):
+        run_replication(spark,
+                        ReplicationConfig.from_yaml(yaml_mixed))
