@@ -1704,6 +1704,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .unionByName(read_table(cat, spark, "db.customer")
                              .withColumn("src", F.lit("customer"))))
 
+    def atomic_replication_el(spark, sf):
+        """Atomic multi-stream replication (plans/replication.py round
+        10; 'atomic: true'): two streams load into catalog tables with
+        every pointer commit deferred to ONE commit_many — all streams
+        land or none. The query reads both tables back through the
+        pointers."""
+        import tempfile
+
+        from sling_cli_spark.plans.replication import (
+            ReplicationConfig, run_replication)
+        from sling_cli_spark.sources.iceberg_catalog import (
+            SqlCatalog, read_table)
+
+        d = tempfile.mkdtemp(prefix="sling_arepl_")
+        db, wh = os.path.join(d, "c.db"), os.path.join(d, "wh")
+        cat = SqlCatalog(db, warehouse=wh)
+        cat.create_namespace("db")
+        q = f"db={db}&warehouse={wh}"
+        rc = ReplicationConfig.from_yaml(f"""
+source: LOCAL
+target: CAT
+atomic: true
+streams:
+  {sf}/nation.parquet:
+    object: catalog://db.nation?{q}
+  {sf}/region.parquet:
+    object: catalog://db.region?{q}
+""")
+        run_replication(spark, rc)
+        n = read_table(cat, spark, "db.nation").select(
+            F.col("n_nationkey").cast("long").alias("k"),
+            F.col("n_name").alias("name"),
+            F.lit("nation").alias("src"))
+        r = read_table(cat, spark, "db.region").select(
+            F.col("r_regionkey").cast("long").alias("k"),
+            F.col("r_name").alias("name"),
+            F.lit("region").alias("src"))
+        return n.unionByName(r)
+
     def iceberg_incremental_lineage(spark, sf):
         """Incremental consumption by row lineage (iceberg_py round
         10, read_iceberg_incremental; spec v3 §Row Lineage — the
@@ -4275,6 +4314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_replace_where": delta_replace_where,
         "iceberg_overwrite_where": iceberg_overwrite_where,
         "catalog_txn_commit": catalog_txn_commit,
+        "atomic_replication_el": atomic_replication_el,
         "iceberg_row_lineage": iceberg_row_lineage,
         "catalog_wap_el": catalog_wap_el,
         "rest_wap_el": rest_wap_el,
@@ -4326,7 +4366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_view_roundtrip", "rest_view_roundtrip",
         "bm25_rank_docs", "tfidf_keywords_docs", "line_dedup_docs",
         "delta_replace_where", "iceberg_overwrite_where",
-        "catalog_txn_commit",
+        "catalog_txn_commit", "atomic_replication_el",
         "iceberg_row_lineage", "catalog_wap_el", "rest_wap_el",
         "iceberg_incremental_lineage", "delta_incremental_rowtracking",
         # --- never driver-checked (r9 late additions) ---
@@ -5321,6 +5361,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
                    c_name, c_mktsegment
             FROM customer
+        """,
+        "atomic_replication_el": """
+            SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+                   'nation' AS src
+            FROM nation
+            UNION ALL
+            SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name,
+                   'region' AS src
+            FROM region
         """,
         "catalog_txn_commit": """
             SELECT CAST(o_orderkey AS BIGINT) AS k,
