@@ -270,3 +270,101 @@ def test_three_processes_race_rest_catalog_commits(spark, tmp_path):
         assert got.count() == 600
     finally:
         srv.stop()
+
+
+_TXN_WORKER = textwrap.dedent("""
+    import json, os, sys, time
+    sys.path.insert(0, {repo!r})
+    wid = int(sys.argv[1])
+    base = sys.argv[2]
+    out_path = sys.argv[3]
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[2]")
+             .appName(f"txn-w{{wid}}")
+             .config("spark.sql.shuffle.partitions", "2")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+
+    from sling_cli_spark.sources.iceberg_catalog import (
+        CommitConflict, SqlCatalog, run_committed_many)
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+
+    cat = SqlCatalog(os.path.join(base, "cat.db"),
+                     warehouse=os.path.join(base, "wh"))
+    retries = 0
+    errors = []
+
+    def batch(r):
+        lo = wid * 10_000 + r * 1_000
+        return spark.createDataFrame(
+            [(lo + i, f"w{{wid}}r{{r}}") for i in range(50)],
+            "id long, v string")
+
+    for r in range(3):
+        df = batch(r)
+        for attempt in range(40):
+            try:
+                # BOTH tables advance in one atomic pointer swap
+                run_committed_many(cat, [
+                    ("ns.a", lambda loc: write_iceberg(
+                        df, loc, mode="append")),
+                    ("ns.b", lambda loc: write_iceberg(
+                        df, loc, mode="append")),
+                ])
+                break
+            except (CommitConflict, FileExistsError):
+                retries += 1
+                time.sleep(0.05 * (wid + 1))
+        else:
+            errors.append(f"round {{r}}: retries exhausted")
+
+    with open(out_path, "w") as f:
+        json.dump({{"retries": retries, "errors": errors}}, f)
+    spark.stop()
+""")
+
+
+def test_processes_race_atomic_two_table_txns(spark, tmp_path):
+    """r10: OS processes race ATOMIC two-table transactions
+    (run_committed_many): losers retry on CommitConflict only, and the
+    tables can never diverge — equal exact row counts at the end."""
+    import json as _json
+    import os as _os
+
+    from sling_cli_spark.sources.iceberg_catalog import (
+        SqlCatalog, create_table, read_table)
+
+    base = str(tmp_path)
+    cat = SqlCatalog(_os.path.join(base, "cat.db"),
+                     warehouse=_os.path.join(base, "wh"))
+    cat.create_namespace("ns")
+    schema = spark.createDataFrame([], "id long, v string").schema
+    create_table(cat, "ns.a", schema)
+    create_table(cat, "ns.b", schema)
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(
+        __file__)))
+    script = _TXN_WORKER.format(repo=repo)
+    procs, outs = [], []
+    for wid in range(2):
+        out = _os.path.join(base, f"w{wid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", script, str(wid), base, out],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-800:]
+
+    total_retries = 0
+    for out in outs:
+        got = _json.loads(open(out).read())
+        assert got["errors"] == [], got["errors"]
+        total_retries += got["retries"]
+    a = read_table(cat, spark, "ns.a")
+    b = read_table(cat, spark, "ns.b")
+    # 2 workers x 3 rounds x 50 rows, in BOTH tables — exact
+    assert a.count() == 300 and b.count() == 300
+    assert {r.id for r in a.collect()} == {r.id for r in b.collect()}
+    print(f"atomic txn stress: {total_retries} retries")
