@@ -356,12 +356,25 @@ def _resolve_sql(catalog, spark, sql: str, default_namespace: str,
 
 
 def read_view(catalog, spark, ident, version_id: int | None = None,
+              as_of_timestamp_ms: int | None = None,
               _seen: frozenset | None = None):
     """SELECT * FROM the view — resolve the (current or pinned)
     version's SQL against the catalog and let Catalyst plan it.
     ``version_id`` time-travels across replaces (spec: versions are
-    retained history)."""
+    retained history); ``as_of_timestamp_ms`` picks the latest
+    retained version at or before the instant (the table time-travel
+    rule applied to view definitions)."""
     meta = load_view_metadata(catalog, ident)
+    if version_id is None and as_of_timestamp_ms is not None:
+        cands = [v for v in meta["versions"]
+                 if int(v["timestamp-ms"]) <= as_of_timestamp_ms]
+        if not cands:
+            raise CatalogError(
+                f"view {ident}: instant {as_of_timestamp_ms} predates "
+                "every retained version")
+        version_id = max(
+            cands, key=lambda v: (int(v["timestamp-ms"]),
+                                  v["version-id"]))["version-id"]
     if version_id is None:
         version = current_version(meta)
     else:

@@ -114,6 +114,14 @@ def test_replace_and_version_pinning(cat, spark, orders):
     assert vv[2].operation == "replace" and vv[2].is_current
     with pytest.raises(CatalogError):
         V.read_view(cat, spark, "db.agg", version_id=9)
+    # time travel by instant: latest version at or before
+    meta = V.load_view_metadata(cat, "db.agg")
+    t1 = int(meta["versions"][0]["timestamp-ms"])
+    assert V.read_view(cat, spark, "db.agg",
+                       as_of_timestamp_ms=t1).collect()[0].total \
+        == 60.0
+    with pytest.raises(CatalogError, match="predates"):
+        V.read_view(cat, spark, "db.agg", as_of_timestamp_ms=t1 - 10)
 
 
 def test_nested_views_and_cycle_guard(cat, spark, orders):
