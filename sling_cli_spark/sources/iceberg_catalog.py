@@ -194,6 +194,41 @@ class SqlCatalog:
                 "AND namespace = ?", (self.name, ns)).fetchall()
         return dict(rows)
 
+    def update_namespace_properties(
+            self, ns: str, updates: dict | None = None,
+            removals: list | None = None) -> dict:
+        """The REST spec's updateProperties: set + remove namespace
+        properties in one transaction; returns
+        {"updated": [...], "removed": [...], "missing": [...]}."""
+        if not self.namespace_exists(ns):
+            raise NoSuchNamespace(ns)
+        updates = {k: str(v) for k, v in (updates or {}).items()}
+        removals = list(removals or [])
+        overlap = set(updates) & set(removals)
+        if overlap:
+            raise CatalogError(
+                f"properties both updated and removed: "
+                f"{sorted(overlap)}")
+        missing = []
+        with self._conn() as c:
+            for k in removals:
+                cur = c.execute(
+                    "DELETE FROM iceberg_namespace_properties WHERE "
+                    "catalog_name = ? AND namespace = ? AND "
+                    "property_key = ?", (self.name, ns, k))
+                if cur.rowcount == 0:
+                    missing.append(k)
+            for k, v in updates.items():
+                c.execute(
+                    "INSERT INTO iceberg_namespace_properties VALUES "
+                    "(?, ?, ?, ?) ON CONFLICT (catalog_name, "
+                    "namespace, property_key) DO UPDATE SET "
+                    "property_value = excluded.property_value",
+                    (self.name, ns, k, v))
+        return {"updated": sorted(updates), "removed":
+                [k for k in removals if k not in missing],
+                "missing": missing}
+
     def drop_namespace(self, ns: str) -> None:
         with self._conn() as c:
             n = c.execute(

@@ -203,6 +203,20 @@ class RestCatalog:
     def drop_namespace(self, ns: str) -> None:
         self._req("DELETE", f"/v1/namespaces/{_ns_to_url(ns)}")
 
+    def update_namespace_properties(
+            self, ns: str, updates: dict | None = None,
+            removals: list | None = None) -> dict:
+        """Spec updateProperties (POST
+        /v1/namespaces/{ns}/properties)."""
+        got = self._req(
+            "POST", f"/v1/namespaces/{_ns_to_url(ns)}/properties",
+            {"updates": {k: str(v)
+                         for k, v in (updates or {}).items()},
+             "removals": list(removals or [])})
+        return {"updated": got.get("updated") or [],
+                "removed": got.get("removed") or [],
+                "missing": got.get("missing") or []}
+
     # -- tables --
 
     def list_tables(self, ns: str | None = None) \
@@ -585,6 +599,13 @@ class _Handler(BaseHTTPRequestHandler):
         self.cat.drop_namespace(_ns_from_url(raw))
         self._send(204)
 
+    def _update_ns_props(self, raw):
+        body = self._body()
+        got = self.cat.update_namespace_properties(
+            _ns_from_url(raw), body.get("updates"),
+            body.get("removals"))
+        self._send(200, got)
+
     def _list_tables(self, raw):
         ns = _ns_from_url(raw)
         if not self.cat.namespace_exists(ns):
@@ -826,6 +847,8 @@ _ROUTES: list[tuple[re.Pattern, dict]] = [
     (re.compile(rf"^/v1/namespaces/{_NS}$"),
      {"GET": _Handler._get_ns, "HEAD": _Handler._get_ns,
       "DELETE": _Handler._drop_ns}),
+    (re.compile(rf"^/v1/namespaces/{_NS}/properties$"),
+     {"POST": _Handler._update_ns_props}),
     (re.compile(rf"^/v1/namespaces/{_NS}/tables$"),
      {"GET": _Handler._list_tables, "POST": _Handler._create_table}),
     (re.compile(rf"^/v1/namespaces/{_NS}/register$"),

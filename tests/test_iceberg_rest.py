@@ -333,3 +333,37 @@ def test_rest_commit_transaction(spark, tmp_path):
         assert read_table(cat, spark, "db.a").count() == 8
     finally:
         srv.stop()
+
+
+def test_namespace_properties_update(tmp_path):
+    """r10: spec updateProperties — set + remove in one transaction,
+    missing removals reported, update/remove overlap refused; same
+    verb over SQL and REST."""
+    import pytest as _pytest
+
+    from sling_cli_spark.sources.iceberg_catalog import (
+        CatalogError, SqlCatalog)
+    from sling_cli_spark.sources.iceberg_rest import (
+        RestCatalog, RestCatalogServer)
+
+    store = SqlCatalog(str(tmp_path / "c.db"))
+    store.create_namespace("db", {"owner": "etl"})
+    got = store.update_namespace_properties(
+        "db", {"owner": "ml", "tier": "gold"}, ["nope"])
+    assert got == {"updated": ["owner", "tier"], "removed": [],
+                   "missing": ["nope"]}
+    assert store.namespace_properties("db")["owner"] == "ml"
+    with _pytest.raises(CatalogError, match="both"):
+        store.update_namespace_properties("db", {"x": 1}, ["x"])
+
+    srv = RestCatalogServer(store, token="t").start()
+    try:
+        cat = RestCatalog(srv.uri, token="t")
+        got = cat.update_namespace_properties(
+            "db", {"tier": "silver"}, ["owner"])
+        assert got["updated"] == ["tier"] and got["removed"] == \
+            ["owner"]
+        props = cat.namespace_properties("db")
+        assert props["tier"] == "silver" and "owner" not in props
+    finally:
+        srv.stop()
