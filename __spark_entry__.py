@@ -1549,6 +1549,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return read_iceberg(spark, t).select(
             "o_orderkey", "o_totalprice", "o_orderstatus")
 
+    def token_budget_docs(spark, sf):
+        """Token-budget corpus selection (operators/training.py round
+        10): fill a 20k-token budget PER LANGUAGE with the longest
+        documents (n_chars as the quality score) — greedy by score
+        desc, deterministic id tie-break, running-total window; the
+        curation shape behind 'give me the best N tokens of this
+        corpus'."""
+        from sling_cli_spark.operators.training import (
+            token_budget_select)
+
+        return token_budget_select(
+            _t(spark, sf, "documents"), 20_000,
+            score_col="n_chars", strata_col="lang").select(
+            "doc_id", "lang", "n_chars", "n_tokens", "cum_tokens")
+
     def line_dedup_docs(spark, sf):
         """Corpus-wide line dedup (operators/dedup.py line_dedup,
         round 10 — the Dolma/CCNet preprocessing step; C4's analogue
@@ -4311,6 +4326,7 @@ streams:
         "bm25_rank_docs": bm25_rank_docs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "line_dedup_docs": line_dedup_docs,
+        "token_budget_docs": token_budget_docs,
         "delta_replace_where": delta_replace_where,
         "iceberg_overwrite_where": iceberg_overwrite_where,
         "catalog_txn_commit": catalog_txn_commit,
@@ -4365,6 +4381,7 @@ streams:
         # --- new in r10 (never driver-checked) ---
         "iceberg_view_roundtrip", "rest_view_roundtrip",
         "bm25_rank_docs", "tfidf_keywords_docs", "line_dedup_docs",
+        "token_budget_docs",
         "delta_replace_where", "iceberg_overwrite_where",
         "catalog_txn_commit", "atomic_replication_el",
         "iceberg_row_lineage", "catalog_wap_el", "rest_wap_el",
@@ -5400,6 +5417,24 @@ def oracle_sql() -> dict[str, str]:
                    END AS o_totalprice,
                    o_orderstatus
             FROM orders
+        """,
+        "token_budget_docs": """
+            WITH toks AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(len(list_filter(
+                         string_split_regex(text, '\\s+'),
+                         t -> t <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), ranked AS (
+              SELECT *, CAST(SUM(n_tokens) OVER (
+                  PARTITION BY lang
+                  ORDER BY n_chars DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM toks
+            )
+            SELECT doc_id, lang, n_chars, n_tokens, cum_tokens
+            FROM ranked
+            WHERE cum_tokens <= 20000 OR cum_tokens = n_tokens
         """,
         "line_dedup_docs": """
             WITH grouped AS (

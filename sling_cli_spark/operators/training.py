@@ -21,6 +21,7 @@ __all__ = [
     "chunk_documents", "stratified_sample", "repetition_stats",
     "pii_redact", "shard_assign", "PII_PATTERNS",
     "decontaminate", "pack_sequences", "mix_corpora", "c4_line_filter",
+    "token_budget_select",
 ]
 
 
@@ -395,3 +396,43 @@ def c4_line_filter(
         F.size(kept_lines).cast("long").alias("n_kept"),
         page_ok.alias("kept"),
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str | None = None,
+    strata_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill a TOKEN budget with the best documents — the curation move
+    behind "give me the top 10B tokens of this corpus": rank docs by
+    ``score_col`` descending (ties break on id, so any engine
+    reproduces the exact set), take the running token total in that
+    order, keep every document whose inclusion still fits the budget
+    (the first doc always qualifies even when it alone overflows —
+    an empty result is never the right answer to "fill a budget").
+    With ``strata_col`` the budget applies PER STRATUM (per language /
+    source bucket). Without ``score_col`` docs rank by stable
+    ``md5(id)`` — a reproducible uniform draw.
+
+    Returns the selected rows + ``n_tokens`` + ``cum_tokens``. One
+    whitespace-token projection and ONE window pass; the same heavy-
+    stratum caveat as :func:`stratified_sample` applies (pre-filter by
+    a score threshold before ranking billions of rows in one
+    stratum)."""
+    n_tok = F.size(F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")))
+    order = ([F.col(score_col).desc()] if score_col
+             else [F.md5(F.col(id_col).cast("string"))])
+    part = Window.partitionBy(strata_col) if strata_col \
+        else Window.partitionBy()
+    w = part.orderBy(*order, F.col(id_col)) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (df.withColumn("n_tokens", n_tok.cast("long"))
+           .withColumn("cum_tokens",
+                       F.sum("n_tokens").over(w).cast("long"))
+           .filter((F.col("cum_tokens") <= budget_tokens) |
+                   (F.col("cum_tokens") == F.col("n_tokens"))))
+    return out

@@ -285,3 +285,33 @@ def test_c4_line_filter_rules(spark):
     assert out[3]["kept"] is False                    # curly brace
     assert out[4]["kept"] is False and out[4]["n_kept"] == 0
     assert out[4]["clean_text"] == ""
+
+
+def test_token_budget_select(spark):
+    """r10: fill a token budget with the best-scoring docs — greedy by
+    score desc with deterministic id tie-break; the first doc always
+    qualifies; per-stratum budgets with strata_col."""
+    from sling_cli_spark.operators.training import token_budget_select
+
+    df = spark.createDataFrame([
+        (1, "a b c d", 0.9, "en"),        # 4 tokens
+        (2, "e f", 0.8, "en"),            # 2
+        (3, "g h i j k l", 0.7, "en"),    # 6
+        (4, "m n o", 0.95, "de"),         # 3
+    ], "doc_id long, text string, q double, lang string")
+    got = {r.doc_id: (r.n_tokens, r.cum_tokens) for r in
+           token_budget_select(df, 7, score_col="q").collect()}
+    # order by q desc: 4(3), 1(4) -> cum 7; 2 would hit 9 -> out
+    assert got == {4: (3, 3), 1: (4, 7)}
+    # budget smaller than the best doc: that doc still returns
+    got = {r.doc_id for r in
+           token_budget_select(df, 1, score_col="q").collect()}
+    assert got == {4}
+    # per-stratum budgets
+    got = {r.doc_id for r in token_budget_select(
+        df, 6, score_col="q", strata_col="lang").collect()}
+    assert got == {4, 1, 2}  # en: 1(4)+2(2)=6; de: 4(3)
+    # no score: stable md5 order, reproducible
+    a = [r.doc_id for r in token_budget_select(df, 6).collect()]
+    b = [r.doc_id for r in token_budget_select(df, 6).collect()]
+    assert a == b and a
