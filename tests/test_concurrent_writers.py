@@ -303,7 +303,14 @@ _TXN_WORKER = textwrap.dedent("""
 
     for r in range(3):
         df = batch(r)
-        for attempt in range(40):
+        # generous budget: a rival txn holds the hint for the length
+        # of TWO Spark writes, which under a loaded machine is many
+        # seconds — exhaustion here must mean livelock, not load.
+        # FileNotFoundError is retryable too: a loser withdrawing its
+        # staged metadata can momentarily vanish a file a racer's
+        # re-read had just listed — the same claim race.
+        deadline = time.time() + 300
+        while True:
             try:
                 # BOTH tables advance in one atomic pointer swap
                 run_committed_many(cat, [
@@ -313,11 +320,13 @@ _TXN_WORKER = textwrap.dedent("""
                         df, loc, mode="append")),
                 ])
                 break
-            except (CommitConflict, FileExistsError):
+            except (CommitConflict, FileExistsError,
+                    FileNotFoundError):
                 retries += 1
-                time.sleep(0.05 * (wid + 1))
-        else:
-            errors.append(f"round {{r}}: retries exhausted")
+                if time.time() > deadline:
+                    errors.append(f"round {{r}}: retries exhausted")
+                    break
+                time.sleep(0.1 * (wid + 1))
 
     with open(out_path, "w") as f:
         json.dump({{"retries": retries, "errors": errors}}, f)
