@@ -335,6 +335,16 @@ def cmd_catalog(args: argparse.Namespace) -> int:
         cat.swap_tables(args.src, args.dst)
     elif op == "repair":
         print(ic.repair_pointer(cat, args.table))
+    elif op == "update-namespace":
+        updates = {}
+        for kv in args.set:
+            k, sep, v = kv.partition("=")
+            if not sep:
+                print(f"--set needs K=V, got {kv!r}", file=sys.stderr)
+                return 2
+            updates[k] = v
+        print(json.dumps(cat.update_namespace_properties(
+            args.namespace, updates, args.remove)))
     elif op == "ls-views":
         for ns, name in cat.list_views(args.namespace):
             print(f"{ns}.{name}")
@@ -1053,6 +1063,15 @@ def build_parser() -> argparse.ArgumentParser:
     _cat_common(sp)
     sp = cc.add_parser("ls-views", help="list views")
     sp.add_argument("namespace", nargs="?", default=None)
+    _cat_common(sp)
+    sp = cc.add_parser(
+        "update-namespace",
+        help="set/remove namespace properties in one transaction")
+    sp.add_argument("namespace")
+    sp.add_argument("--set", action="append", default=[],
+                    metavar="K=V")
+    sp.add_argument("--remove", action="append", default=[],
+                    metavar="K")
     _cat_common(sp)
     sp = cc.add_parser(
         "create-view",

@@ -743,3 +743,35 @@ def test_cli_lake_fast_forward(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["ref"] == "main" and out["head_snapshot_id"]
     assert {r["id"] for r in read_iceberg(spark, t).collect()} == {1, 2}
+
+
+def test_cli_catalog_update_namespace(tmp_path, capsys):
+    """r10: `catalog update-namespace --set K=V --remove K` over the
+    SQL store and the REST twin."""
+    from sling_cli_spark.__main__ import main
+    from sling_cli_spark.sources.iceberg_catalog import SqlCatalog
+    from sling_cli_spark.sources.iceberg_rest import RestCatalogServer
+
+    db = str(tmp_path / "c.db")
+    store = SqlCatalog(db)
+    store.create_namespace("db", {"owner": "etl"})
+    assert main(["catalog", "update-namespace", "db",
+                 "--set", "tier=gold", "--remove", "owner",
+                 "--db", db]) == 0
+    got = json.loads(capsys.readouterr().out)
+    assert got["updated"] == ["tier"] and got["removed"] == ["owner"]
+    assert store.namespace_properties("db") == {
+        "exists": "true", "tier": "gold"}
+    srv = RestCatalogServer(store, token="t").start()
+    try:
+        assert main(["catalog", "update-namespace", "db",
+                     "--set", "tier=silver", "--uri", srv.uri,
+                     "--token", "t"]) == 0
+        assert json.loads(
+            capsys.readouterr().out)["updated"] == ["tier"]
+        assert store.namespace_properties("db")["tier"] == "silver"
+    finally:
+        srv.stop()
+    # malformed --set refuses
+    assert main(["catalog", "update-namespace", "db",
+                 "--set", "oops", "--db", db]) == 2
