@@ -1549,6 +1549,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return read_iceberg(spark, t).select(
             "o_orderkey", "o_totalprice", "o_orderstatus")
 
+    def ngram_novelty_docs(spark, sf):
+        """Per-doc n-gram novelty (operators/dedup.py round 10): the
+        fraction of a doc's distinct 3-gram shingles appearing in no
+        other document — boilerplate scores ~0, fresh prose ~1. One
+        long-hashed shingle explode, map-side-combined doc-frequency,
+        gram-bucketed join back; md5-60bit hashing so the oracle
+        re-derives the exact sets."""
+        from sling_cli_spark.operators.dedup import (
+            md5_hash60, ngram_novelty)
+
+        return ngram_novelty(_t(spark, sf, "documents"),
+                             hasher=md5_hash60)
+
     def token_budget_docs(spark, sf):
         """Token-budget corpus selection (operators/training.py round
         10): fill a 20k-token budget PER LANGUAGE with the longest
@@ -4327,6 +4340,7 @@ streams:
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "line_dedup_docs": line_dedup_docs,
         "token_budget_docs": token_budget_docs,
+        "ngram_novelty_docs": ngram_novelty_docs,
         "delta_replace_where": delta_replace_where,
         "iceberg_overwrite_where": iceberg_overwrite_where,
         "catalog_txn_commit": catalog_txn_commit,
@@ -4381,7 +4395,7 @@ streams:
         # --- new in r10 (never driver-checked) ---
         "iceberg_view_roundtrip", "rest_view_roundtrip",
         "bm25_rank_docs", "tfidf_keywords_docs", "line_dedup_docs",
-        "token_budget_docs",
+        "token_budget_docs", "ngram_novelty_docs",
         "delta_replace_where", "iceberg_overwrite_where",
         "catalog_txn_commit", "atomic_replication_el",
         "iceberg_row_lineage", "catalog_wap_el", "rest_wap_el",
@@ -5417,6 +5431,17 @@ def oracle_sql() -> dict[str, str]:
                    END AS o_totalprice,
                    o_orderstatus
             FROM orders
+        """,
+        "ngram_novelty_docs": f"""
+            WITH {_shingle_ctes()}, dfq AS (
+              SELECT h, COUNT(*) AS dfc FROM hs GROUP BY h
+            )
+            SELECT hs.doc_id,
+                   ROUND(AVG(CASE WHEN dfc = 1 THEN 1.0
+                             ELSE 0.0 END), 4) AS novelty,
+                   COUNT(*) AS n_grams
+            FROM hs JOIN dfq USING (h)
+            GROUP BY hs.doc_id
         """,
         "token_budget_docs": """
             WITH toks AS (

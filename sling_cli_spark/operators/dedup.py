@@ -654,3 +654,33 @@ def line_dedup(
                                    F.col("lines_kept"), F.lit(0)))
             .withColumn(text_col, F.coalesce("__new_text", F.lit("")))
             .drop("__new_text", "__n_lines"))
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    gram_n: int = 3, hasher=None, round_to: int = 4,
+) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a document's DISTINCT
+    word ``gram_n``-grams that appear in NO other document — the
+    boilerplate-vs-original signal corpus audits rank by (a page of
+    templated text scores ~0, fresh prose ~1), and the natural
+    prioritizer for near-dup triage. Returns
+    ``(id, novelty, n_grams)``.
+
+    100 TB shape: the one shingle explode hashes to 8-byte longs
+    before anything shuffles, per-doc distinct + per-gram document
+    frequency are map-side-combining aggregates, the join back is
+    bucketed by the gram hash (AQE handles boilerplate-gram skew — the
+    probe side streams), and the final mean is one doc-keyed
+    aggregate. ``hasher`` defaults to xxhash64; pass
+    :func:`md5_hash60` for oracle-reproducible runs."""
+    from pyspark.storagelevel import StorageLevel
+
+    hs = (shingle_hash_table(df, text_col, id_col, gram_n, hasher)
+          .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    dfreq = hs.groupBy("__h").agg(F.count("*").alias("__df"))
+    return (hs.join(dfreq, "__h")
+            .groupBy(id_col)
+            .agg(F.round(F.avg((F.col("__df") == 1).cast("double")),
+                         round_to).alias("novelty"),
+                 F.count("*").alias("n_grams")))

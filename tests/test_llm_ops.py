@@ -463,3 +463,31 @@ def test_pq_refine_restores_exact_ranking(spark):
                for r in pq_topk(emb, q, k=5, m=4, ksub=8,
                                 refine=60).collect()}
     assert refined == exact
+
+
+def test_ngram_novelty(spark):
+    """r10: per-doc n-gram novelty — boilerplate-heavy docs score low,
+    unique docs score 1.0; distinct-set semantics (repeats inside one
+    doc don't inflate)."""
+    from sling_cli_spark.operators.dedup import ngram_novelty
+
+    df = spark.createDataFrame([
+        (1, "the quick brown fox jumps high"),           # unique
+        (2, "common header text plus unique tail one"),
+        (3, "common header text plus unique tail two"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.novelty, r.n_grams)
+           for r in ngram_novelty(df).collect()}
+    assert got[1] == (1.0, 4)      # 6 tokens -> 4 trigrams, all unique
+    # docs 2/3 share 4 of their 5 trigrams ("common header text",
+    # "header text plus", "text plus unique", "plus unique tail");
+    # only the last differs
+    assert got[2] == (0.2, 5) and got[3] == (0.2, 5)
+    # repeating a shared gram within one doc cannot raise/lower its
+    # novelty (distinct-set semantics)
+    df2 = spark.createDataFrame([
+        (1, "a b c a b c"), (2, "a b c x y z")],
+        "doc_id long, text string")
+    got2 = {r.doc_id: r.novelty
+            for r in ngram_novelty(df2).collect()}
+    assert got2[1] < 1.0 and got2[2] < 1.0
