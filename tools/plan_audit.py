@@ -41,7 +41,8 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          # selective overwrite reads on both formats
          "bm25_rank_docs", "tfidf_keywords_docs", "line_dedup_docs",
          "iceberg_view_roundtrip", "delta_replace_where",
-         "iceberg_overwrite_where"]
+         "iceberg_overwrite_where", "token_budget_docs",
+         "ngram_novelty_docs", "atomic_replication_el"]
 
 HEADER = """# Physical plan audit (sf0.1, local[32])
 
