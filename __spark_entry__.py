@@ -1577,6 +1577,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             score_col="n_chars", strata_col="lang").select(
             "doc_id", "lang", "n_chars", "n_tokens", "cum_tokens")
 
+    def token_budget_global_docs(spark, sf):
+        """GLOBAL (no-strata) token-budget selection (operators/
+        training.py round 11, closing the r10 verdict's one weak item):
+        fill a corpus-wide 40k-token budget with the longest documents.
+        The running total is a bucketed TWO-PHASE cumulative sum —
+        per-score-range-bucket windows in parallel, a prefix sum over
+        the <=256-row bucket-totals frame, offsets broadcast back —
+        never a single-partition window over the corpus; byte-identical
+        to the oracle's SUM() OVER (ORDER BY ...) because bucket order
+        refines row order."""
+        from sling_cli_spark.operators.training import (
+            token_budget_select)
+
+        return token_budget_select(
+            _t(spark, sf, "documents"), 40_000,
+            score_col="n_chars").select(
+            "doc_id", "n_chars", "n_tokens", "cum_tokens")
+
     def line_dedup_docs(spark, sf):
         """Corpus-wide line dedup (operators/dedup.py line_dedup,
         round 10 — the Dolma/CCNet preprocessing step; C4's analogue
@@ -4340,6 +4358,7 @@ streams:
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "line_dedup_docs": line_dedup_docs,
         "token_budget_docs": token_budget_docs,
+        "token_budget_global_docs": token_budget_global_docs,
         "ngram_novelty_docs": ngram_novelty_docs,
         "delta_replace_where": delta_replace_where,
         "iceberg_overwrite_where": iceberg_overwrite_where,
@@ -5460,6 +5479,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars, n_tokens, cum_tokens
             FROM ranked
             WHERE cum_tokens <= 20000 OR cum_tokens = n_tokens
+        """,
+        "token_budget_global_docs": """
+            WITH toks AS (
+              SELECT doc_id, n_chars,
+                     CAST(len(list_filter(
+                         string_split_regex(text, '\\s+'),
+                         t -> t <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), ranked AS (
+              SELECT *, CAST(SUM(n_tokens) OVER (
+                  ORDER BY n_chars DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM toks
+            )
+            SELECT doc_id, n_chars, n_tokens, cum_tokens
+            FROM ranked
+            WHERE cum_tokens <= 40000 OR cum_tokens = n_tokens
         """,
         "line_dedup_docs": """
             WITH grouped AS (

@@ -315,3 +315,51 @@ def test_token_budget_select(spark):
     a = [r.doc_id for r in token_budget_select(df, 6).collect()]
     b = [r.doc_id for r in token_budget_select(df, 6).collect()]
     assert a == b and a
+
+
+def test_token_budget_global_two_phase_matches_single_window(spark):
+    """r11 (closes the r10 verdict's weak item): the global (no-strata)
+    mode is a bucketed two-phase cumulative sum, never a global window.
+    It must be byte-identical to the naive SUM() OVER (ORDER BY ...)
+    form, and its physical plan must contain no SinglePartition
+    exchange over the corpus-sized frame."""
+    from pyspark.sql.window import Window
+
+    from sling_cli_spark.operators.training import token_budget_select
+
+    rows = [(i, " ".join(["t"] * (1 + i % 17)),
+             float((i * 37) % 101), "en") for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, q double, lang string")
+
+    def reference(score_col):
+        n_tok = F.size(F.split(F.col("text"), r"\s+"))
+        order = ([F.col(score_col).desc()] if score_col
+                 else [F.md5(F.col("doc_id").cast("string"))])
+        w = Window.partitionBy().orderBy(*order, F.col("doc_id")) \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return (df.withColumn("n_tokens", n_tok.cast("long"))
+                .withColumn("cum_tokens",
+                            F.sum("n_tokens").over(w).cast("long"))
+                .filter((F.col("cum_tokens") <= 900) |
+                        (F.col("cum_tokens") == F.col("n_tokens"))))
+
+    for score in ("q", None):
+        got = {(r.doc_id, r.n_tokens, r.cum_tokens) for r in
+               token_budget_select(df, 900, score_col=score).collect()}
+        want = {(r.doc_id, r.n_tokens, r.cum_tokens) for r in
+                reference(score).collect()}
+        assert got == want and got, f"score_col={score}"
+
+    # plan shape: the only SinglePartition exchange allowed is the one
+    # over the <=256-row bucket-totals frame (its window sorts __bkt);
+    # a SinglePartition exchange feeding a Window over the DATA frame
+    # (ordering by the score/md5 key) is the r10 defect.
+    plan = token_budget_select(
+        df, 900, score_col="q")._jdf.queryExecution().executedPlan() \
+        .toString()
+    import re
+    for m in re.finditer(r"Exchange SinglePartition[\s\S]{0,400}", plan):
+        seg = m.group(0)
+        assert "__btot" in seg or "__bkt" in seg, (
+            "SinglePartition exchange over the data frame:\n" + seg)
