@@ -226,6 +226,12 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = ""):
             raise ValueError(
                 f"atomic replication needs catalog:// targets for "
                 f"every stream; got {bad[:3]}")
+        # per-stream 'post' hooks report COMMITTED state, so they fire
+        # only after the transaction's single commit_many lands (r11
+        # advice fix: they used to fire inside the with-block, claiming
+        # success for streams whose pointer never moved if the final
+        # atomic commit then failed)
+        post_envs = []
         with CatalogTransaction():
             for cfg in compiled:
                 stream_env = {
@@ -234,8 +240,10 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = ""):
                 run_hooks("pre", stream_env)
                 result = run(spark, cfg)
                 results[cfg.source.stream] = result
-                run_hooks("post", {**stream_env,
-                                   "rows": str(result.rows)})
+                post_envs.append({**stream_env,
+                                  "rows": str(result.rows)})
+        for env in post_envs:
+            run_hooks("post", env)
         run_hooks("end")
         return results
     for cfg in compiled:

@@ -137,6 +137,15 @@ class SqlCatalog:
                         property_value TEXT,
                         PRIMARY KEY (catalog_name, namespace,
                                      property_key))""")
+                # migrate stores created before the views feature: the
+                # Java JDBC catalog ALTERs this column in when missing;
+                # without it every list/load/commit on an old store
+                # raises 'no such column: iceberg_type'
+                cols = {r[1] for r in c.execute(
+                    "PRAGMA table_info(iceberg_tables)")}
+                if "iceberg_type" not in cols:
+                    c.execute("ALTER TABLE iceberg_tables ADD COLUMN "
+                              "iceberg_type TEXT DEFAULT 'TABLE'")
 
     def _conn(self):
         c = sqlite3.connect(self.uri, timeout=30)

@@ -268,7 +268,15 @@ class RestCatalog:
     def commit_many(self, changes) -> None:
         """Spec commitTransaction (POST /v1/transactions/commit):
         every table's requirements + updates in ONE request; the
-        server applies all pointer swaps atomically or none."""
+        server applies all pointer swaps atomically or none.
+
+        Creates (expected=None) have no REST transaction verb — the
+        spec's registerTable is per-table — so they are registered
+        first and ROLLED BACK (dropped, data left in place) if the
+        transaction POST then fails, keeping the all-or-none contract
+        the SqlCatalog twin gets from its single SQL transaction
+        (r11 advice fix: previously a failed transaction left the
+        registered creates behind)."""
         creates = [(i, n) for i, e, n in changes if e is None]
         for ident, new in creates:  # spec: register is per-table
             self.register_table(ident, new)
@@ -277,7 +285,15 @@ class RestCatalog:
             for ident, expected, new in changes
             if expected is not None]}
         if body["table-changes"]:
-            self._req("POST", "/v1/transactions/commit", body)
+            try:
+                self._req("POST", "/v1/transactions/commit", body)
+            except Exception:
+                for ident, _ in creates:
+                    try:  # best-effort unwind; original error wins
+                        self.drop_table(ident)
+                    except Exception:
+                        pass
+                raise
 
     def _table_change(self, ident, expected_metadata_location,
                       new_metadata_location) -> dict:

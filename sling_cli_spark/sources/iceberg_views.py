@@ -30,9 +30,9 @@ query exactly as if the user had written it against the temp views.
 Identifier resolution contract (documented, not inferred): qualified
 ``ns.name`` references resolve against the whole catalog;
 bare-name references resolve against the version's
-``default-namespace`` only in FROM/JOIN position. References inside
-string literals are not distinguished — quote a literal that collides
-with a catalog identifier.
+``default-namespace`` only in FROM/JOIN position. String literals,
+comments, and backtick-quoted identifiers are masked from resolution
+(r11) — a catalog identifier appearing inside one is left verbatim.
 """
 
 from __future__ import annotations
@@ -313,14 +313,46 @@ def load_view_metadata(catalog, ident) -> dict:
 # ---------------------------------------------------------------------------
 # read path
 
-_TMP_SEQ = [0]
+# SQL spans a catalog identifier must never be rewritten inside:
+# quoted literals (with doubled-quote escapes), comments, and
+# backtick-quoted identifiers (r11 advice fix — substitution used to
+# run over the raw text, silently rewriting matches inside literals)
+_PROTECTED = re.compile(
+    r"'(?:[^']|'')*'"
+    r'|"(?:[^"]|"")*"'
+    r"|--[^\n]*"
+    r"|/\*[\s\S]*?\*/"
+    r"|`[^`]*`")
+
+
+def _sub_code_spans(pattern: str, repl: str, text: str) -> str:
+    """re.sub applied only OUTSIDE protected spans."""
+    out, last = [], 0
+    for m in _PROTECTED.finditer(text):
+        out.append(re.sub(pattern, repl, text[last:m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(re.sub(pattern, repl, text[last:]))
+    return "".join(out)
+
+
+def _search_code_spans(pattern: str, text: str) -> bool:
+    last = 0
+    for m in _PROTECTED.finditer(text):
+        if re.search(pattern, text[last:m.start()]):
+            return True
+        last = m.end()
+    return bool(re.search(pattern, text[last:]))
 
 
 def _resolve_sql(catalog, spark, sql: str, default_namespace: str,
                  seen: frozenset):
     """Rewrite catalog identifiers in ``sql`` to registered temp views
     and hand the text to ``spark.sql``. Longest identifiers substitute
-    first so ``ns.orders_v2`` never half-matches ``ns.orders``."""
+    first so ``ns.orders_v2`` never half-matches ``ns.orders``;
+    literals/comments/backticked identifiers are masked from both the
+    match and the substitution. Temp-view names come from uuid4 —
+    unique per resolution, safe under concurrent sessions threads."""
     refs = [(ns, name, "table") for ns, name in catalog.list_tables()]
     refs += [(ns, name, "view") for ns, name in catalog.list_views()]
     refs.sort(key=lambda r: -len(f"{r[0]}.{r[1]}"))
@@ -337,7 +369,7 @@ def _resolve_sql(catalog, spark, sql: str, default_namespace: str,
                         re.escape(name) + r"(?![\w.])")
             pats.append(r"(?i)(?<=\bjoin\s)" + r"\s*" +
                         re.escape(name) + r"(?![\w.])")
-        if not any(re.search(p, rewritten) for p in pats):
+        if not any(_search_code_spans(p, rewritten) for p in pats):
             continue
         if kind == "view":
             if (ns, name) in seen:
@@ -347,11 +379,10 @@ def _resolve_sql(catalog, spark, sql: str, default_namespace: str,
                            _seen=seen | {(ns, name)})
         else:
             df = read_table(catalog, spark, (ns, name))
-        _TMP_SEQ[0] += 1
-        tmp = f"__sling_view_ref_{_TMP_SEQ[0]}"
+        tmp = f"__sling_view_ref_{uuid.uuid4().hex[:12]}"
         df.createOrReplaceTempView(tmp)
         for p in pats:
-            rewritten = re.sub(p, tmp, rewritten)
+            rewritten = _sub_code_spans(p, tmp, rewritten)
     return spark.sql(rewritten)
 
 

@@ -296,3 +296,41 @@ def test_run_committed_many_writes_and_rollback(cat, spark):
     assert cat.load_table("db.b") == ml_b
     assert read_table(cat, spark, "db.a").count() == 5
     assert read_table(cat, spark, "db.b").count() == 5
+
+
+def test_pre_views_store_migrates_iceberg_type(tmp_path):
+    """r11 advice fix: catalog DBs created before the views feature
+    lack the iceberg_type column; init must ALTER it in (the Java JDBC
+    catalog migrates the same way), or every list/load/commit on an
+    old store dies with 'no such column: iceberg_type'."""
+    import sqlite3
+
+    db = str(tmp_path / "old.db")
+    with sqlite3.connect(db) as c:
+        c.execute("""
+            CREATE TABLE iceberg_tables (
+                catalog_name TEXT NOT NULL,
+                table_namespace TEXT NOT NULL,
+                table_name TEXT NOT NULL,
+                metadata_location TEXT,
+                previous_metadata_location TEXT,
+                PRIMARY KEY (catalog_name, table_namespace,
+                             table_name))""")
+        c.execute("""
+            CREATE TABLE iceberg_namespace_properties (
+                catalog_name TEXT NOT NULL,
+                namespace TEXT NOT NULL,
+                property_key TEXT NOT NULL,
+                property_value TEXT,
+                PRIMARY KEY (catalog_name, namespace, property_key))""")
+        c.execute("INSERT INTO iceberg_namespace_properties VALUES "
+                  "('sling', 'db', 'exists', 'true')")
+        c.execute("INSERT INTO iceberg_tables VALUES "
+                  "('sling', 'db', 'legacy', '/nowhere/v1.json', NULL)")
+    cat = SqlCatalog(db, warehouse=str(tmp_path / "wh"))
+    assert cat.list_tables("db") == [("db", "legacy")]  # was: OperationalError
+    assert cat.load_table("db.legacy") == "/nowhere/v1.json"
+    cat.commit_table("db.legacy", "/nowhere/v1.json", "/nowhere/v2.json")
+    assert cat.load_table("db.legacy") == "/nowhere/v2.json"
+    # re-init on the migrated store is a no-op
+    assert SqlCatalog(db).list_tables("db") == [("db", "legacy")]

@@ -367,3 +367,55 @@ def test_namespace_properties_update(tmp_path):
         assert props["tier"] == "silver" and "owner" not in props
     finally:
         srv.stop()
+
+
+def test_rest_commit_many_unwinds_creates_on_txn_failure(spark, tmp_path):
+    """r11 advice fix: commit_many registers creates (expected=None)
+    per-table BEFORE the atomic transaction POST (the spec has no
+    transactional register). If the transaction then fails, the
+    registered creates must be rolled back so the call stays
+    all-or-none like the SqlCatalog twin."""
+    import pytest as _pytest
+
+    from sling_cli_spark.sources.iceberg_catalog import (
+        CommitConflict, SqlCatalog, create_table)
+    from sling_cli_spark.sources.iceberg_py import write_iceberg
+    from sling_cli_spark.sources.iceberg_rest import (
+        RestCatalog, RestCatalogServer)
+
+    store = SqlCatalog(str(tmp_path / "c.db"),
+                       warehouse=str(tmp_path / "wh"))
+    srv = RestCatalogServer(store, token="t").start()
+    try:
+        cat = RestCatalog(srv.uri, token="t")
+        cat.create_namespace("db")
+        df = spark.range(3).selectExpr("id", "id * 2 as x")
+        create_table(cat, "db.existing", df.schema)
+        import glob as _glob
+        v1 = cat.load_table("db.existing")
+        loc = v1.rsplit("/metadata/", 1)[0]
+        # advance the table out-of-band so v1 goes stale (both
+        # metadata files exist on shared storage)
+        write_iceberg(df, loc, mode="append")
+        v2 = sorted(_glob.glob(loc + "/metadata/*.metadata.json"))[-1]
+        cat.commit_table("db.existing", v1, v2)
+        ml = cat.load_table("db.existing")
+        # stage a fresh table out-of-catalog for the create leg
+        new_loc = str(tmp_path / "wh" / "db" / "fresh")
+        write_iceberg(df, new_loc, mode="overwrite")
+        import glob
+        new_ml = sorted(glob.glob(new_loc + "/metadata/*.metadata.json"))[-1]
+        # change leg asserts the STALE v1 base -> 409
+        with _pytest.raises(CommitConflict):
+            cat.commit_many([
+                ("db.fresh", None, new_ml),
+                ("db.existing", v1, v2),
+            ])
+        assert not cat.table_exists("db.fresh"), \
+            "registered create must unwind when the transaction fails"
+        assert cat.load_table("db.existing") == ml
+        # the same creates-only call (no table-changes) still lands
+        cat.commit_many([("db.fresh", None, new_ml)])
+        assert cat.table_exists("db.fresh")
+    finally:
+        srv.stop()

@@ -222,3 +222,30 @@ def test_rest_view_lifecycle(cat, spark, orders, rest):
 def test_rest_create_collides_with_table(cat, spark, orders, rest):
     with pytest.raises(ViewAlreadyExists):
         V.create_view(rest, spark, "db.orders", "SELECT 1 AS x")
+
+
+def test_view_sql_literals_and_comments_not_rewritten(tmp_path, spark):
+    """r11 advice fix: a catalog identifier inside a string literal,
+    comment, or backticked identifier must survive resolution
+    verbatim — only code spans rewrite to temp views."""
+    from sling_cli_spark.sources.iceberg_catalog import (
+        SqlCatalog, create_table, write_table)
+    from sling_cli_spark.sources.iceberg_views import (
+        create_view, read_view)
+
+    cat = SqlCatalog(str(tmp_path / "c.db"),
+                     warehouse=str(tmp_path / "wh"))
+    cat.create_namespace("db")
+    df = spark.range(3).selectExpr("id", "id * 2 as x")
+    create_table(cat, "db.t", df.schema)
+    write_table(df, cat, "db.t", mode="append")
+    create_view(
+        cat, spark, "db.v",
+        "SELECT id, x, 'db.t' AS src,  -- db.t stays in this comment\n"
+        "       /* join db.t here? no */ 'from db.t' AS note\n"
+        "FROM db.t",
+        default_namespace="db")
+    rows = read_view(cat, spark, "db.v").orderBy("id").collect()
+    assert [r.id for r in rows] == [0, 1, 2]
+    assert rows[0].src == "db.t", "literal was rewritten"
+    assert rows[0].note == "from db.t", "literal after FROM rewritten"

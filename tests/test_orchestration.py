@@ -331,3 +331,59 @@ streams:
     with _pytest.raises(ValueError, match="catalog://"):
         run_replication(spark,
                         ReplicationConfig.from_yaml(yaml_mixed))
+
+
+def test_atomic_replication_post_hooks_report_committed_state(
+        spark, sf_dir, tmp_path):
+    """r11 advice fix: in an atomic replication, per-stream 'post'
+    hooks report rows LANDED — they must fire only after the deferred
+    commit_many moves the pointers. A failing later stream therefore
+    suppresses every post hook; a successful transaction fires them
+    all (after the with-block, in stream order)."""
+    import pytest as _pytest
+
+    from sling_cli_spark.sources.iceberg_catalog import SqlCatalog
+
+    db = str(tmp_path / "c.db")
+    wh = str(tmp_path / "wh")
+    SqlCatalog(db, warehouse=wh).create_namespace("db")
+    url = f"db={db}&warehouse={wh}"
+    marker = tmp_path / "hooklog"
+    hooks = f"""
+hooks:
+  post:
+    - type: command
+      command: [python, -c, 'open("{marker}", "a").write("post {{stream_name}} {{rows}}" + chr(10))']
+"""
+    yaml_bad = f"""
+source: LOCAL
+target: CAT
+atomic: true
+{hooks}
+streams:
+  {sf_dir}/nation.parquet:
+    object: catalog://db.nation?{url}
+  {tmp_path}/nope.parquet:
+    object: catalog://db.broken?{url}
+"""
+    with _pytest.raises(Exception):
+        run_replication(spark, ReplicationConfig.from_yaml(yaml_bad))
+    assert not marker.exists(), \
+        "post hook fired for a stream whose commit never landed"
+
+    yaml_ok = f"""
+source: LOCAL
+target: CAT
+atomic: true
+{hooks}
+streams:
+  {sf_dir}/nation.parquet:
+    object: catalog://db.nation?{url}
+  {sf_dir}/region.parquet:
+    object: catalog://db.region?{url}
+"""
+    run_replication(spark, ReplicationConfig.from_yaml(yaml_ok))
+    lines = marker.read_text().strip().split("\n")
+    assert len(lines) == 2
+    assert "nation.parquet" in lines[0] and lines[0].endswith(" 25")
+    assert "region.parquet" in lines[1] and lines[1].endswith(" 5")
