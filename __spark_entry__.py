@@ -1836,6 +1836,124 @@ streams:
             F.col("_last_updated_sequence_number")
             .alias("last_updated_seq"))
 
+    def stream_lineage_iceberg(spark, sf):
+        """STREAMING consumption by row lineage (round 11, verdict ask
+        #3 — streaming/iceberg_source.py withRowLineage): nation lands
+        as a v3 table (seq 1 = the consumer's watermark, row ids
+        0-24), then two appends commit (seq 2 ids 25/26, seq 3 ids
+        27/28). A format("iceberg_stream") reader with
+        option("withRowLineage", true) and startingSequence=watermark
+        drains availableNow; each micro-batch carries _row_id /
+        _last_updated_sequence_number derived from manifest metadata
+        (first_row_id + position / data sequence number) — no data-
+        sized shuffle, the id arithmetic is per-file column math. The
+        in-query assertion pins the stream to its batch twin
+        read_iceberg(with_row_ids=True) filtered past the watermark.
+        Oracle: the appended rows with their deterministic ids."""
+        import tempfile
+
+        from sling_cli_spark.sources.iceberg_py import (
+            _current_metadata, read_iceberg, write_iceberg)
+        from sling_cli_spark.streaming.iceberg_source import (
+            register_iceberg_stream)
+
+        register_iceberg_stream(spark)
+        base = tempfile.mkdtemp(prefix="sling_strl_")
+        t = os.path.join(base, "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_iceberg(n.coalesce(1).sortWithinPartitions("n_nationkey"),
+                      t, format_version=3)
+        wm = int(_current_metadata(t)[1]["last-sequence-number"])
+        for batch in ([(90, "APPENDLAND_A", 0), (91, "APPENDLAND_B", 1)],
+                      [(92, "APPENDLAND_C", 2), (93, "APPENDLAND_D", 3)]):
+            write_iceberg(
+                spark.createDataFrame(
+                    batch,
+                    "n_nationkey long, n_name string, n_regionkey long")
+                .coalesce(1).sortWithinPartitions("n_nationkey"),
+                t, mode="append")
+        out_dir, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+        q = (spark.readStream.format("iceberg_stream")
+             .option("path", t)
+             .option("withRowLineage", "true")
+             .option("startingSequence", wm).load()
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        streamed = spark.read.parquet(out_dir).select(
+            "n_nationkey", "n_name", "n_regionkey",
+            F.col("_row_id").alias("row_id"),
+            F.col("_last_updated_sequence_number")
+            .alias("last_updated_seq"))
+        batch_twin = read_iceberg(spark, t, with_row_ids=True) \
+            .filter(F.col("_last_updated_sequence_number") > wm)
+        assert {tuple(r) for r in streamed.collect()} == {
+            (r.n_nationkey, r.n_name, r.n_regionkey, r._row_id,
+             r._last_updated_sequence_number)
+            for r in batch_twin.collect()}, \
+            "stream must hash-match the batch lineage twin"
+        return streamed
+
+    def stream_rowtracking_delta(spark, sf):
+        """Delta format twin of stream_lineage_iceberg (round 11 —
+        streaming/delta_source.py withRowIds): nation lands (ids
+        backfilled 0-24 when delta.enableRowTracking turns on), two
+        appends assign 25/26 then 27/28; the stream from
+        startingVersion=enable+1 emits _row_id /
+        _row_commit_version from each add's (baseRowId,
+        defaultRowCommitVersion) — the PROTOCOL.md §Row Tracking
+        streaming read. Pinned to read_delta(with_row_ids=True)."""
+        import tempfile
+
+        from sling_cli_spark.sources.delta_py import (
+            latest_version, read_delta, set_table_properties,
+            write_delta)
+        from sling_cli_spark.streaming.delta_source import (
+            register_delta_stream)
+
+        register_delta_stream(spark)
+        base = tempfile.mkdtemp(prefix="sling_strd_")
+        t = os.path.join(base, "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_delta(n.coalesce(1).sortWithinPartitions("n_nationkey"), t)
+        set_table_properties(t, {"delta.enableRowTracking": "true"})
+        wm_v = latest_version(t)
+        for batch in ([(90, "APPENDLAND_A", 0), (91, "APPENDLAND_B", 1)],
+                      [(92, "APPENDLAND_C", 2), (93, "APPENDLAND_D", 3)]):
+            write_delta(
+                spark.createDataFrame(
+                    batch,
+                    "n_nationkey long, n_name string, n_regionkey long")
+                .coalesce(1).sortWithinPartitions("n_nationkey"),
+                t, mode="append")
+        out_dir, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+        q = (spark.readStream.format("delta_stream")
+             .option("path", t)
+             .option("withRowIds", "true")
+             .option("startingVersion", wm_v + 1).load()
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        streamed = spark.read.parquet(out_dir).select(
+            "n_nationkey", "n_name", "n_regionkey",
+            F.col("_row_id").alias("row_id"),
+            F.col("_row_commit_version").alias("row_commit_version"))
+        batch_twin = read_delta(spark, t, with_row_ids=True) \
+            .filter(F.col("_row_commit_version") > wm_v)
+        assert {tuple(r) for r in streamed.collect()} == {
+            (r.n_nationkey, r.n_name, r.n_regionkey, r._row_id,
+             r._row_commit_version) for r in batch_twin.collect()}, \
+            "stream must hash-match the batch row-tracking twin"
+        return streamed
+
     def rest_wap_el(spark, sf):
         """WAP through a REST-catalog EL target (round 10 — composes
         _write_catalog_wap with the RestCatalog's requirements/updates
@@ -4369,6 +4487,8 @@ streams:
         "rest_wap_el": rest_wap_el,
         "iceberg_incremental_lineage": iceberg_incremental_lineage,
         "delta_incremental_rowtracking": delta_incremental_rowtracking,
+        "stream_lineage_iceberg": stream_lineage_iceberg,
+        "stream_rowtracking_delta": stream_rowtracking_delta,
         "convert_inplace_roundtrip": convert_inplace_roundtrip,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
@@ -5309,6 +5429,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT 90, 'APPENDLAND_A', 0, 50, 3
             UNION ALL
             SELECT 91, 'APPENDLAND_B', 1, 51, 3
+        """,
+        "stream_lineage_iceberg": """
+            SELECT CAST(c0 AS BIGINT) AS n_nationkey, c1 AS n_name,
+                   CAST(c2 AS BIGINT) AS n_regionkey,
+                   CAST(c3 AS BIGINT) AS row_id,
+                   CAST(c4 AS BIGINT) AS last_updated_seq
+            FROM (VALUES (90, 'APPENDLAND_A', 0, 25, 2),
+                         (91, 'APPENDLAND_B', 1, 26, 2),
+                         (92, 'APPENDLAND_C', 2, 27, 3),
+                         (93, 'APPENDLAND_D', 3, 28, 3))
+                 AS t(c0, c1, c2, c3, c4)
+        """,
+        "stream_rowtracking_delta": """
+            SELECT CAST(c0 AS BIGINT) AS n_nationkey, c1 AS n_name,
+                   CAST(c2 AS BIGINT) AS n_regionkey,
+                   CAST(c3 AS BIGINT) AS row_id,
+                   CAST(c4 AS BIGINT) AS row_commit_version
+            FROM (VALUES (90, 'APPENDLAND_A', 0, 25, 2),
+                         (91, 'APPENDLAND_B', 1, 26, 2),
+                         (92, 'APPENDLAND_C', 2, 27, 3),
+                         (93, 'APPENDLAND_D', 3, 28, 3))
+                 AS t(c0, c1, c2, c3, c4)
         """,
         # v3 row lineage: write reserves ids 0-24 (sorted single file:
         # id == key), merge keeps ids / bumps updated rows' seq to 2,

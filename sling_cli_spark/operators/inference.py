@@ -66,7 +66,76 @@ _DT_LAYOUTS: list[tuple[re.Pattern, str, str]] = [
      "yyyy-MM-dd HH:mm", "datetime"),
     (re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}$"),
      "yyyy-MM-dd'T'HH:mm", "datetime"),
+    # r11, ported from the reference's dateLayouts
+    # (stream_processor.go:216-276) after its datatype_test.go vectors:
+    # Oracle exports (dd-MON-yy, with and without the 07.01.59.000000 PM
+    # time), US slash dates, and DuckDB's hour-only-offset zone form
+    (re.compile(r"^\d{2}-[A-Za-z]{3}-\d{2}$"), "dd-MMM-yy", "date"),
+    (re.compile(r"^\d{2}-[A-Za-z]{3}-\d{2} \d{2}\.\d{2}\.\d{2}\.\d{6}"
+                r" [AP]M$"), "dd-MMM-yy hh.mm.ss.SSSSSS a", "datetime"),
+    (re.compile(r"^\d{1,2}/\d{1,2}/\d{2}$"), "M/d/yy", "date"),
+    (re.compile(r"^\d{1,2}/\d{1,2}/\d{4}$"), "M/d/yyyy", "date"),
+    (re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6} [+-]\d{2}$"),
+     "yyyy-MM-dd HH:mm:ss.SSSSSS X", "datetimez"),
+    (re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} [+-]\d{2}$"),
+     "yyyy-MM-dd HH:mm:ss X", "datetimez"),
 ]
+
+# Spark's datetime parser is case-sensitive for month names ("OCT"
+# fails where "Oct" parses); Oracle exports scream. One chained
+# replace per month keeps the fix inside codegen.
+_MONTHS_UC = ("JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+              "JUL", "AUG", "SEP", "OCT", "NOV", "DEC")
+
+
+def _titlecase_months(col: Column) -> Column:
+    for mo in _MONTHS_UC:
+        col = F.replace(col, F.lit(mo), F.lit(mo.title()))
+    return col
+
+
+def count_digits(number: str) -> tuple[int, int]:
+    """StreamProcessor.CountDigits port (stream_processor.go:1069-1081):
+    precision = characters excluding the dots, scale = characters after
+    the FIRST dot — intentionally naive (non-digits count; the caller
+    classified the value as numeric first)."""
+    precision = scale = 0
+    in_dec = False
+    for c in number:
+        if c == ".":
+            in_dec = True
+            continue
+        if in_dec:
+            scale += 1
+        precision += 1
+    return precision, scale
+
+
+def truncate_decimal_string(number: str, dec_count: int) -> str:
+    """StreamProcessor.TruncateDecimalString port
+    (stream_processor.go:1084-1117): cut the decimal part to
+    ``dec_count`` digits WITHOUT numeric conversion (no rounding —
+    value-preserving prefix). A second decimal point ends the value; a
+    non-digit (other than sign) returns the input verbatim."""
+    in_dec = False
+    scale = 0
+    for i, c in enumerate(number):
+        if c in "0123456789":
+            if in_dec:
+                scale += 1
+                if scale > dec_count:
+                    return number[:i]
+        elif c == "-":
+            pass
+        elif c == ".":
+            if in_dec:
+                return number[:i]
+            in_dec = True
+            if dec_count <= 0:
+                return number[:i]
+        else:
+            return number
+    return number
 
 
 def _looks_like_json(s: str) -> bool:
@@ -201,20 +270,35 @@ def cast_expr(name: str, ctype: ColumnType, st: ColStats) -> Column:
         scale = min(st.max_dec_len, prec - 1) if prec > 1 else 0
         return c.try_cast(
             to_spark_type(ColumnType.DECIMAL, prec, scale)).alias(name)
+    def _src(fmt: str) -> Column:
+        # month-name formats get the SCREAMING-month normalization
+        return _titlecase_months(c) if "MMM" in fmt else c
+
+    def _parse(fmt: str) -> Column:
+        ts = F.try_to_timestamp(_src(fmt), F.lit(fmt))
+        if "yy" in fmt and "yyyy" not in fmt:
+            # two-digit years: Java's 'yy' resolves into 2000-2099;
+            # the reference (Go '06', POSIX) maps 69-99 to 19xx —
+            # '31-DEC-99' is 1999, not 2099
+            ts = F.when(F.year(ts) >= 2069,
+                        ts - F.make_interval(F.lit(100))).otherwise(ts)
+        return ts
+
     if ctype in (ColumnType.DATETIME, ColumnType.TIMESTAMP):
         fmts = sorted(st.dt_formats, key=st.dt_formats.get, reverse=True)
         # try the sampled formats first; final try_cast fallback handles
         # variant fraction lengths (e.g. '.000' vs '.000000')
-        attempts = [F.try_to_timestamp(F.col(f"`{name}`"), F.lit(f))
-                    .cast("timestamp_ntz") for f in fmts]
+        attempts = [_parse(f).cast("timestamp_ntz") for f in fmts]
         attempts.append(c.try_cast("timestamp_ntz"))
         return F.coalesce(*attempts).alias(name)
     if ctype == ColumnType.TIMESTAMPZ:
-        return c.try_cast("timestamp").alias(name)
+        fmts = sorted(st.dt_formats, key=st.dt_formats.get, reverse=True)
+        attempts = [_parse(f) for f in fmts]
+        attempts.append(c.try_cast("timestamp"))
+        return F.coalesce(*attempts).alias(name)
     if ctype == ColumnType.DATE:
         fmts = sorted(st.dt_formats, key=st.dt_formats.get, reverse=True)
-        attempts = [F.try_to_timestamp(F.col(f"`{name}`"), F.lit(f))
-                    .cast("date") for f in fmts]
+        attempts = [_parse(f).cast("date") for f in fmts]
         attempts.append(c.try_cast("date"))
         return F.coalesce(*attempts).alias(name)
     if ctype in (ColumnType.STRING, ColumnType.TEXT, ColumnType.JSON,

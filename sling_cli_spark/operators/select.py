@@ -134,6 +134,16 @@ def _normalize(name: str) -> str:
     return re.sub(r"_+", "_", s).strip("_")
 
 
+def clean_name(name: str) -> str:
+    """Exact CleanName port (datatype.go:871-878): trim, collapse each
+    run of non-[_0-9a-zA-Z] to one underscore, prefix a leading digit
+    with '_'. Unlike ``_normalize`` (the 'normalize' casing policy,
+    which also strips edge underscores), this is the header cleaner
+    CSV ingestion applies."""
+    s = re.sub(r"[^_0-9a-zA-Z]+", "_", name.strip())
+    return "_" + s if re.match(r"^\d", s) else s
+
+
 def apply_casing(df: DataFrame, casing: str | None) -> DataFrame:
     """snake | upper | lower | camel | normalize | source (no-op)."""
     if not casing or casing in ("source", "target"):

@@ -31,6 +31,14 @@ from pyspark.sql import types as T
 DDL_MIN_DEC_PRECISION = 20
 DDL_MAX_DEC_PRECISION = 38
 DDL_MIN_DEC_SCALE = 4
+
+# the reference's env safety floors for UNSOURCED decimal DDL sizing
+# (env.go:90-93) — used by DecimalTyping.apply_column, the exact
+# DecimalColumnTyping.Apply port
+REF_MIN_DEC_LENGTH = 24
+REF_MAX_DEC_LENGTH = 38
+REF_MIN_DEC_SCALE = 6
+REF_MAX_DEC_SCALE = 24
 DDL_MAX_DEC_SCALE = 24
 DEFAULT_STRING_MAX = 4000  # datatype.go:2548 "some safe large max"
 
@@ -91,6 +99,48 @@ class DecimalTyping:
             scale = min(scale, precision - 1)
         return precision, scale
 
+    def apply_column(self, db_precision: int = 0, db_scale: int = 0,
+                     sourced: bool = False, max_len: int = 0,
+                     max_dec_len: int = 0) -> tuple[int, int]:
+        """Exact port of DecimalColumnTyping.Apply
+        (datatype.go:2587-2637) for DDL sizing from full column
+        context: source-declared (p, s) when ``sourced``, else
+        inference-stat-derived with the reference's env safety floors
+        (DdlMinDecLength 24 / DdlMinDecScale 6, env.go:90-93) and the
+        unsourced precision re-derivation that widens by the scale
+        surplus. ``apply`` above stays the lightweight clamp used on
+        already-typed DataFrame decimals."""
+        min_p_stats = max_len
+        precision, scale = db_precision, db_scale
+        if precision == 0:
+            if scale == 0:
+                scale = max(scale, REF_MIN_DEC_SCALE, max_dec_len)
+            precision = max(precision, scale * 2,
+                            REF_MIN_DEC_LENGTH, min_p_stats)
+        mn_p, mx_p = self.min_precision, self.max_precision
+        mn_s, mx_s = self.min_scale, self.max_scale
+        if not sourced:
+            mn_s = REF_MIN_DEC_SCALE if mn_s is None else mn_s
+            mx_s = mx_s or REF_MAX_DEC_SCALE
+            mn_p = REF_MIN_DEC_LENGTH if mn_p is None else mn_p
+            mx_p = mx_p or REF_MAX_DEC_LENGTH
+            p_delta = max(precision - REF_MIN_DEC_LENGTH, 0)
+            s_delta = max(scale - REF_MIN_DEC_SCALE, 0)
+            # safe re-derivation: min length + surplus digits + surplus
+            # scale (room for the integer part when scale is deep)
+            precision = REF_MIN_DEC_LENGTH + p_delta + s_delta
+        if mn_p is not None and precision < mn_p:
+            precision = mn_p
+        if precision < min_p_stats:
+            precision = min_p_stats
+        if mx_p and precision > mx_p:
+            precision = mx_p
+        if mn_s is not None and scale < mn_s:
+            scale = mn_s
+        if mx_s and scale > mx_s:
+            scale = mx_s
+        return precision, scale
+
 
 @dataclass
 class BooleanTyping:
@@ -110,6 +160,18 @@ class ColumnTyping:
     decimal: DecimalTyping | None = None
     boolean: BooleanTyping | None = None
     json: JsonTyping | None = None
+
+    def max_decimals(self) -> int:
+        """ColumnTyping.MaxDecimals port (datatype.go): the effective
+        decimal-scale bound the CSV/JSON writers truncate to; -1 = no
+        bound. max_scale wins over min_scale."""
+        if self.decimal is None:
+            return -1
+        if self.decimal.max_scale > 0:
+            return self.decimal.max_scale
+        if self.decimal.min_scale is not None:
+            return self.decimal.min_scale
+        return -1
 
     @classmethod
     def from_dict(cls, d: dict[str, Any] | None) -> "ColumnTyping":

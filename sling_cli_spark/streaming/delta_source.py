@@ -52,6 +52,11 @@ class _FilePart(InputPartition):
         # column-mapped tables: logical name -> PHYSICAL parquet column
         # name (files store physical; the stream schema is logical)
         self.phys = phys
+        # (baseRowId, defaultRowCommitVersion, rid_col, rcv_col) —
+        # withRowIds partitions; the last two are the table's
+        # materialized row-tracking column names (rewrites thread the
+        # original ids through them) or None
+        self.lineage = None
 
 
 def _phys_map(meta: dict) -> dict | None:
@@ -167,15 +172,28 @@ class DeltaStreamSource(DataSource):
                 f"not a delta table: {self.options['path']}")
         base = T.StructType.fromJson(json.loads(meta["schemaString"]))
         if self._cdf():
+            if self._row_ids():
+                raise ValueError(
+                    "delta_stream: withRowIds composes with the plain "
+                    "append stream only — the change feed carries its "
+                    "own identity columns")
             return base.add("_change_type", "string") \
                 .add("_commit_version", "long") \
                 .add("_commit_timestamp", "long")
+        if self._row_ids():
+            return base.add("_row_id", "long") \
+                .add("_row_commit_version", "long")
         return base
 
     def _cdf(self) -> bool:
         return str(self.options.get(
             "readchangefeed",
             self.options.get("readChangeFeed", "false"))).lower() == "true"
+
+    def _row_ids(self) -> bool:
+        return str(self.options.get(
+            "withrowids",
+            self.options.get("withRowIds", "false"))).lower() == "true"
 
     def streamReader(self, schema):
         if self._cdf():
@@ -237,6 +255,15 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self._max_bytes = int(
             options.get("maxbytespertrigger",
                         options.get("maxBytesPerTrigger", 0))) or None
+        # withRowIds (PROTOCOL.md §Row Tracking): micro-batches carry
+        # _row_id / _row_commit_version derived from each add's
+        # (baseRowId, defaultRowCommitVersion) — log metadata the
+        # partition planner already reads; the streaming twin of
+        # read_delta(with_row_ids=True)
+        self._with_row_ids = str(
+            options.get("withrowids",
+                        options.get("withRowIds", "false"))
+        ).lower() == "true"
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
@@ -295,6 +322,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
 
         self._last_end = end["version"]
         meta, _ = replay_log(self._path)
+        current_files = None  # lazy: only withRowIds backfill needs it
         schema_json = meta["schemaString"]
         fields = {f["name"]: f for f in
                   json.loads(schema_json).get("fields") or []}
@@ -329,9 +357,36 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     c: (fields.get(c, {}).get("type", "string"),
                         raw.get((phys or {}).get(c, c), raw.get(c)))
                     for c in part_cols}
-                parts.append(_FilePart(
+                part = _FilePart(
                     _add_uri(self._path, add["path"]), schema_json, pv,
-                    dv=_dv_payload(self._path, add), phys=phys))
+                    dv=_dv_payload(self._path, add), phys=phys)
+                if getattr(self, "_with_row_ids", False):
+                    src = add
+                    if src.get("baseRowId") is None:
+                        # the version's own add predates row tracking;
+                        # the enable-time backfill RE-ADDED the file
+                        # with its assigned baseRowId — the current
+                        # replayed state is authoritative per file
+                        if current_files is None:
+                            _, current_files = replay_log(self._path)
+                        src = current_files.get(add["path"], add)
+                    if src.get("baseRowId") is None:
+                        # same loud refusal as the batch
+                        # _scan_with_row_ids: a null id would silently
+                        # break a lineage consumer downstream
+                        raise ValueError(
+                            f"delta_stream: add {add['path']} carries "
+                            "no baseRowId — withRowIds needs row "
+                            "tracking; enable it via "
+                            "set_table_properties to backfill")
+                    from sling_cli_spark.sources.delta_py import (
+                        _rt_cols)
+                    rid_col, rcv_col = _rt_cols(meta)
+                    part.lineage = (
+                        int(src["baseRowId"]),
+                        int(src.get("defaultRowCommitVersion") or v),
+                        rid_col, rcv_col)
+                parts.append(part)
         return parts
 
     def read(self, partition: _FilePart):
@@ -340,6 +395,9 @@ class _DeltaStreamReader(DataSourceStreamReader):
 
         fields = json.loads(partition.schema_json).get("fields") or []
         tbl = pq.read_table(partition.uri)
+        # row positions must be captured BEFORE the DV filter — a row's
+        # id is baseRowId + its position in the PHYSICAL file
+        positions = range(tbl.num_rows)
         if partition.dv is not None:
             import numpy as np
 
@@ -350,6 +408,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
             keep = np.ones(tbl.num_rows, dtype=bool)
             keep[doomed[doomed < tbl.num_rows]] = False
             tbl = tbl.filter(pa.array(keep))
+            positions = np.arange(len(keep))[keep]
         n = tbl.num_rows
         cols, names = [], []
         for f in fields:
@@ -378,6 +437,30 @@ class _DeltaStreamReader(DataSourceStreamReader):
             names += ["_commit_version", "_commit_timestamp"]
             cols.append(pa.array([cv] * n, type=pa.int64()))
             cols.append(pa.array([cts] * n, type=pa.int64()))
+        if partition.lineage is not None:
+            import pyarrow.compute as pc
+
+            base_rid, default_rcv, rid_col, rcv_col = partition.lineage
+            fresh_rid = pa.array([base_rid + int(p) for p in positions],
+                                 type=pa.int64())
+            fresh_rcv = pa.array([default_rcv] * n, type=pa.int64())
+            # materialized columns win when the physical file carries
+            # them (rewrites thread original ids through) — PROTOCOL.md
+            # §Row Tracking: materialized value, else base + position
+            if rid_col and rid_col in tbl.column_names:
+                rid = pc.coalesce(
+                    tbl.column(rid_col).combine_chunks()
+                    .cast(pa.int64()), fresh_rid)
+            else:
+                rid = fresh_rid
+            if rcv_col and rcv_col in tbl.column_names:
+                rcv = pc.coalesce(
+                    tbl.column(rcv_col).combine_chunks()
+                    .cast(pa.int64()), fresh_rcv)
+            else:
+                rcv = fresh_rcv
+            names += ["_row_id", "_row_commit_version"]
+            cols += [rid, rcv]
         yield from pa.table(dict(zip(names, cols))).to_batches()
 
     def commit(self, end: dict) -> None:

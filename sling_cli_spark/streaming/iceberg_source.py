@@ -135,6 +135,7 @@ def _added_entries(snap: dict, want_content: int = 0) -> list[dict]:
     from sling_cli_spark.sources.avro_py import read_avro
 
     sid = snap["snapshot-id"]
+    snap_seq = int(snap.get("sequence-number") or 0)
     out: list[dict] = []
     _, manifests = read_avro(snap["manifest-list"])
     for m in manifests:
@@ -145,6 +146,10 @@ def _added_entries(snap: dict, want_content: int = 0) -> list[dict]:
             if e.get("status") != 1 or e.get("snapshot_id") != sid:
                 continue
             f = dict(e["data_file"])
+            # data sequence number: explicit on the entry, inherited
+            # from the committing snapshot otherwise (spec §Sequence
+            # Number Inheritance) — the lineage read needs it
+            f["__seq"] = int(e.get("sequence_number") or snap_seq)
             if (f.get("content") or 0) == want_content:
                 out.append(f)
     return out
@@ -152,12 +157,15 @@ def _added_entries(snap: dict, want_content: int = 0) -> list[dict]:
 
 class _IceFilePart(InputPartition):
     def __init__(self, uri: str, schema_json: str, part_values: dict,
-                 cdf: tuple | None = None):
+                 cdf: tuple | None = None,
+                 lineage: tuple | None = None):
         self.uri = uri
         self.schema_json = schema_json
         self.part_values = part_values or {}
         # (change_type, snapshot_id, commit_ts_ms) — changelog parts
         self.cdf = cdf
+        # (first_row_id, data_sequence_number) — withRowLineage parts
+        self.lineage = lineage
 
 
 class IcebergStreamSource(DataSource):
@@ -189,15 +197,34 @@ class IcebergStreamSource(DataSource):
                 "(no pyarrow variant mapping) — read_iceberg supports "
                 "them")
         if self._changelog():
+            if self._lineage():
+                raise ValueError(
+                    "iceberg_stream: withRowLineage composes with the "
+                    "plain append stream only — the changelog stream "
+                    "derives row changes from file turnover and has "
+                    "its own identity columns")
             return base.add("_change_type", "string") \
                 .add("_snapshot_id", "long") \
                 .add("_commit_timestamp_ms", "long")
+        if self._lineage():
+            if meta.get("format-version", 1) < 3:
+                raise ValueError(
+                    "iceberg_stream: withRowLineage requires "
+                    "format-version 3 (row lineage) — this table is "
+                    f"v{meta.get('format-version', 1)}")
+            return base.add("_row_id", "long") \
+                .add("_last_updated_sequence_number", "long")
         return base
 
     def _changelog(self) -> bool:
         return str(self.options.get(
             "readchangelog",
             self.options.get("readChangelog", "false"))).lower() == "true"
+
+    def _lineage(self) -> bool:
+        return str(self.options.get(
+            "withrowlineage",
+            self.options.get("withRowLineage", "false"))).lower() == "true"
 
     def streamReader(self, schema):
         if self._changelog():
@@ -243,6 +270,15 @@ class _IceStreamReader(DataSourceStreamReader):
                                          options.get("startingSequence",
                                                      0)))
         self._branch = options.get("branch") or None
+        # withRowLineage (spec v3 §Row Lineage): micro-batches carry
+        # _row_id / _last_updated_sequence_number, derived per file
+        # from manifest metadata the partition planner already holds
+        # (first_row_id + row position / data sequence number) — the
+        # streaming twin of read_iceberg(with_row_ids=True)
+        self._with_lineage = str(
+            options.get("withrowlineage",
+                        options.get("withRowLineage", "false"))
+        ).lower() == "true"
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
@@ -330,7 +366,27 @@ class _IceStreamReader(DataSourceStreamReader):
                     c: (field_types.get(c, "string"), v)
                     for c, v in (f.get("partition") or {}).items()
                     if c in field_types}
-                parts.append(_IceFilePart(f["file_path"], schema_json, pv))
+                lineage = None
+                if getattr(self, "_with_lineage", False):
+                    if int(meta.get("format-version", 1)) < 3:
+                        raise ValueError(
+                            "iceberg_stream: withRowLineage requires "
+                            "format-version 3; this table is "
+                            f"v{meta.get('format-version', 1)}")
+                    if f.get("first_row_id") is None:
+                        # same loud refusal as the batch
+                        # read_iceberg_incremental: a silent null id
+                        # would drop rows from a lineage consumer
+                        raise ValueError(
+                            "iceberg_stream: data file "
+                            f"{f['file_path']} carries no first_row_id "
+                            "(written before the v3 upgrade) — "
+                            "withRowLineage cannot cover it; rewrite "
+                            "(compact) the table first")
+                    lineage = (int(f["first_row_id"]),
+                               int(f.get("__seq") or 0))
+                parts.append(_IceFilePart(
+                    f["file_path"], schema_json, pv, lineage=lineage))
         return parts
 
     def read(self, partition: _IceFilePart):
@@ -367,6 +423,30 @@ class _IceStreamReader(DataSourceStreamReader):
             cols.append(pa.array([ct] * n, type=pa.string()))
             cols.append(pa.array([sid] * n, type=pa.int64()))
             cols.append(pa.array([ts] * n, type=pa.int64()))
+        if partition.lineage is not None:
+            import pyarrow.compute as pc
+
+            frid, fseq = partition.lineage
+            # derived ids: first_row_id + position (whole-file read, so
+            # position = arange); a rewrite's materialized columns win
+            # when present (ignoreChanges re-emits of overwrite-added
+            # files) — spec: materialized value, else inherited
+            fresh_rid = pa.array(range(frid, frid + n), type=pa.int64())
+            fresh_seq = pa.array([fseq] * n, type=pa.int64())
+            if "_row_id" in tbl.column_names:
+                rid = pc.coalesce(
+                    tbl.column("_row_id").combine_chunks()
+                    .cast(pa.int64()), fresh_rid)
+            else:
+                rid = fresh_rid
+            if "_last_updated_sequence_number" in tbl.column_names:
+                seq = pc.coalesce(
+                    tbl.column("_last_updated_sequence_number")
+                    .combine_chunks().cast(pa.int64()), fresh_seq)
+            else:
+                seq = fresh_seq
+            names += ["_row_id", "_last_updated_sequence_number"]
+            cols += [rid, seq]
         yield from pa.table(dict(zip(names, cols))).to_batches()
 
     def commit(self, end: dict) -> None:

@@ -1,0 +1,257 @@
+"""Inference/casting vectors PORTED from the reference's strongest unit
+corpus: core/dbio/iop/datatype_test.go (TestParseDate, TestParseDecimal,
+TestParseString, TestColumnTyping, TestColumnTypingJSON/Boolean/
+MaxDecimals, TestCleanName) and stream_processor_test.go
+(TestStreamProcessor_countDigits, TestStreamProcessor_TruncateDecimalString)
+— r11, closing VERDICT r10 ask #5 (SURVEY §7 names dirty-CSV inference
+parity the #1 hard/risky item).
+
+Deliberate divergences from the Go behavior, documented per-case below:
+- D1: a value failing its sample-decided cast degrades to NULL (Spark
+  try_cast) instead of raising mid-stream (the reference pauses and
+  widens the schema; we decide types pre-flight — module docstring of
+  operators/inference.py).
+- D2: boolean cast_as with an invalid value RAISES (loud) where the Go
+  Apply silently leaves the column unchanged.
+- D3: Go's bool-as-string Apply also pins DbPrecision=10 (a VARCHAR DDL
+  width) — DDL width is a writer concern here, not a cast concern.
+"""
+
+import pytest
+
+from sling_cli_spark.operators.inference import (
+    ColStats, classify_value, count_digits, decide_type,
+    truncate_decimal_string)
+from sling_cli_spark.operators.select import clean_name
+from sling_cli_spark.operators.typing_policy import (
+    ColumnTyping, DecimalTyping, StringTyping)
+from sling_cli_spark.types import ColumnType
+
+
+def _classify(*values: str) -> ColumnType:
+    st = ColStats()
+    for v in values:
+        classify_value(v, st)
+    return decide_type(st)
+
+
+# --- TestParseDate / TestParseString (datatype_test.go:289-327,699-714) --
+
+@pytest.mark.parametrize("value,expected", [
+    ("17-OCT-20 07.01.59.000000 PM", ColumnType.DATETIME),  # oracle export
+    ("17-OCT-20", ColumnType.DATE),                          # oracle date
+    ("1/17/20", ColumnType.DATE),                            # US slash
+    ("0001-01-01 00:00:00.000", ColumnType.DATETIME),
+    # Go CastToTime errors on the zero date; we classify by shape and
+    # the cast degrades it to NULL (divergence D1, asserted below)
+    ("0000-00-00 00:00:00.000", ColumnType.DATETIME),
+    ("1697104406", ColumnType.INTEGER),   # epoch-like int is an INT, not a date
+    ("2024-04-24 14:49:58", ColumnType.DATETIME),
+    ("2024-04-24 13:49:58.000000 -03", ColumnType.TIMESTAMPZ),  # duckdb zone
+    ("2024-05-05 09:10:09.000000 -07", ColumnType.TIMESTAMPZ),
+])
+def test_parse_vectors_classify(value, expected):
+    assert _classify(value) == expected
+
+
+# --- TestParseDecimal (datatype_test.go:318-327) -------------------------
+
+def test_parse_decimal_vectors():
+    assert _classify("1.2") == ColumnType.DECIMAL
+    assert _classify("1.2.3") in (ColumnType.STRING, ColumnType.TEXT)
+    # int cast of "1.2" must not silently succeed: mixed int+dec widens
+    assert _classify("1", "1.2") == ColumnType.DECIMAL
+
+
+def test_cast_vectors_end_to_end(spark):
+    """The classified vectors must CAST correctly through the cast_expr
+    projection (infer_and_cast), including the SCREAMING Oracle month
+    and the hour-only zone offset; the zero date nulls (D1)."""
+    from sling_cli_spark.operators.inference import infer_and_cast
+
+    df = spark.createDataFrame(
+        [("17-OCT-20 07.01.59.000000 PM",)], "ts string")
+    out = infer_and_cast(df)
+    row = out.collect()[0]
+    assert str(row["ts"]) == "2020-10-17 19:01:59"
+    assert dict(out.dtypes)["ts"] == "timestamp_ntz"
+
+    df = spark.createDataFrame([("17-OCT-20",), ("03-JAN-99",)],
+                               "d string")
+    got = [str(r["d"]) for r in infer_and_cast(df).orderBy("d").collect()]
+    assert got == ["1999-01-03", "2020-10-17"]
+
+    df = spark.createDataFrame([("1/17/20",), ("12/31/99",)], "d string")
+    got = {str(r["d"]) for r in infer_and_cast(df).collect()}
+    assert got == {"2020-01-17", "1999-12-31"}
+
+    # valid min date parses; the zero date degrades to NULL (D1 — the
+    # Go CastToTime returns an error there)
+    df = spark.createDataFrame(
+        [("0001-01-01 00:00:00.000",), ("0000-00-00 00:00:00.000",)],
+        "ts string")
+    got = [r["ts"] for r in infer_and_cast(df).collect()]
+    assert sum(v is None for v in got) == 1
+    assert any(v is not None and v.year == 1 for v in got)
+
+    # zoned duckdb exports normalize to UTC instants (Go: Location UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        df = spark.createDataFrame(
+            [("2024-04-24 13:49:58.000000 -03",)], "ts string")
+        out = infer_and_cast(df)
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        assert str(out.collect()[0]["ts"]) == "2024-04-24 16:49:58"
+    finally:
+        spark.conf.unset("spark.sql.session.timeZone")
+
+    # epoch-like digits stay integral (TestParseString's first assert)
+    df = spark.createDataFrame([("1697104406",)], "v string")
+    out = infer_and_cast(df)
+    assert out.collect()[0]["v"] == 1697104406
+
+
+# --- TestStreamProcessor_countDigits (stream_processor_test.go:50-185) ---
+
+@pytest.mark.parametrize("number,precision,scale", [
+    ("5", 1, 0), ("12345", 5, 0), ("0", 1, 0), ("9876543210", 10, 0),
+    ("123.45", 5, 2), ("0.123", 4, 3), ("123.450", 6, 3),
+    ("00123.45", 7, 2), ("0.000001", 7, 6), ("123.456789012345", 15, 12),
+    ("", 0, 0), (".", 0, 0), (".123", 3, 3), ("123.", 3, 0),
+    ("12.34.56", 6, 4), ("1.23e+10", 7, 6),
+    ("1234567.89", 9, 2), ("99.99", 4, 2),
+])
+def test_count_digits_vectors(number, precision, scale):
+    assert count_digits(number) == (precision, scale)
+
+
+# --- TestStreamProcessor_TruncateDecimalString (:188-395) ----------------
+
+@pytest.mark.parametrize("number,dec_count,expected", [
+    ("123.456789", 2, "123.45"), ("123.456789", 1, "123.4"),
+    ("123.456789", 0, "123"),
+    ("123.45", 2, "123.45"), ("123.4", 3, "123.4"),
+    ("123", 2, "123"),
+    ("123.450000", 2, "123.45"), ("123.001234", 3, "123.001"),
+    ("0.123456", 2, "0.12"), ("0", 2, "0"),
+    ("1234567890.123456789", 4, "1234567890.1234"),
+    ("0.000001234", 6, "0.000001"),
+    ("123.", 2, "123."), (".123456", 2, ".12"),
+    ("", 2, ""), (".", 2, "."),
+    ("abc", 2, "abc"), ("123.45abc", 2, "123.45abc"),
+    ("12.34.56", 1, "12.3"),
+    ("-123.456", 2, "-123.45"),
+    ("1.23e+10", 2, "1.23e+10"),
+    ("123.456", 100, "123.456"), ("123.456", -1, "123"),
+    ("123", 0, "123"),
+    ("1.123456789012345678901234567890", 10, "1.1234567890"),
+])
+def test_truncate_decimal_string_vectors(number, dec_count, expected):
+    assert truncate_decimal_string(number, dec_count) == expected
+
+
+# --- TestColumnTyping (datatype_test.go:329-496) -------------------------
+# maxStringLength = 1000 in the Go table
+
+@pytest.mark.parametrize("name,kw,length,expected", [
+    ("string_basic_length", {}, 50, 50),
+    ("string_length_factor", {"length_factor": 2}, 50, 100),
+    ("string_length_factor_exceeds_max", {"length_factor": 2}, 600, 1000),
+    ("string_min_length", {"min_length": 50}, 10, 50),
+    ("string_max_length", {"max_length": 150}, 200, 150),
+    ("string_use_max", {"use_max": True}, 50, 1000),
+    ("string_use_max_with_custom_max",
+     {"use_max": True, "max_length": 2000}, 50, 2000),
+    ("string_min_length_with_factor",
+     {"length_factor": 2, "min_length": 50}, 10, 50),
+    # sourced: the Go harness feeds DbPrecision as the length
+    ("string_sourced_precision", {}, 100, 100),
+    ("string_sourced_precision_with_factor", {"length_factor": 2},
+     50, 100),
+])
+def test_column_typing_string_vectors(name, kw, length, expected):
+    assert StringTyping(**kw).apply(length, 1000) == expected
+
+
+@pytest.mark.parametrize("name,kw,col,expected", [
+    ("decimal_sourced_precision_scale", {},
+     dict(db_precision=10, db_scale=2, sourced=True), (10, 2)),
+    ("decimal_min_precision_scale",
+     {"min_precision": 10, "min_scale": 3},
+     dict(db_precision=5, db_scale=1, sourced=False), (24, 3)),
+    ("decimal_max_precision_scale",
+     {"max_precision": 20, "max_scale": 10},
+     dict(db_precision=50, db_scale=15, sourced=False), (20, 10)),
+    ("decimal_with_stats", {},
+     dict(max_len=8, max_dec_len=3, sourced=False), (24, 6)),
+    ("decimal_zero_precision_scale", {},
+     dict(db_precision=0, db_scale=0, sourced=False), (24, 6)),
+    ("decimal_delta", {},
+     dict(db_precision=0, db_scale=19, sourced=False), (38, 19)),
+    # the original hardcoded backward-compat case
+    ("decimal_sourced_p10_s0", {},
+     dict(db_precision=10, db_scale=0, sourced=True), (10, 0)),
+])
+def test_column_typing_decimal_vectors(name, kw, col, expected):
+    assert DecimalTyping(**kw).apply_column(**col) == expected
+
+
+# --- TestColumnTypingJSON / Boolean (datatype_test.go:550-610) -----------
+
+def test_json_as_text_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.operators.typing_policy import apply_column_typing
+
+    df = spark.range(1).select(
+        F.struct(F.lit(1).alias("a")).alias("j"))
+    out = apply_column_typing(df, {"json": {"as_text": False}})
+    assert dict(out.dtypes)["j"].startswith("struct")
+    out = apply_column_typing(df, {"json": {"as_text": True}})
+    assert dict(out.dtypes)["j"] == "string"
+
+
+def test_boolean_cast_vectors(spark):
+    from sling_cli_spark.operators.typing_policy import apply_column_typing
+
+    df = spark.createDataFrame([(True,)], "b boolean")
+    # no cast: unchanged
+    assert dict(apply_column_typing(
+        df, {"boolean": {"cast_as": ""}}).dtypes)["b"] == "boolean"
+    for spelled in ("integer", "INTEGER"):
+        assert dict(apply_column_typing(
+            df, {"boolean": {"cast_as": spelled}}).dtypes)["b"] \
+            == "smallint"
+    for spelled in ("string", "STRING"):
+        assert dict(apply_column_typing(
+            df, {"boolean": {"cast_as": spelled}}).dtypes)["b"] \
+            == "string"
+    # divergence D2: invalid cast_as raises instead of no-op
+    with pytest.raises(ValueError, match="invalid"):
+        apply_column_typing(df, {"boolean": {"cast_as": "invalid"}})
+
+
+# --- TestColumnTypingMaxDecimals (datatype_test.go:612-653) --------------
+
+@pytest.mark.parametrize("ct,expected", [
+    (ColumnTyping(), -1),
+    (ColumnTyping(decimal=DecimalTyping(max_scale=5)), 5),
+    (ColumnTyping(decimal=DecimalTyping(min_scale=3)), 3),
+    (ColumnTyping(decimal=DecimalTyping(max_scale=5, min_scale=3)), 5),
+    (ColumnTyping(decimal=DecimalTyping()), -1),
+])
+def test_max_decimals_vectors(ct, expected):
+    assert ct.max_decimals() == expected
+
+
+# --- TestCleanName (datatype_test.go:680-697) ----------------------------
+
+@pytest.mark.parametrize("name,expected", [
+    ("great-one!9", "great_one_9"),
+    ("great-one,9", "great_one_9"),
+    ("gag|hello", "gag_hello"),
+    ("Seller(s)", "Seller_s_"),
+    ("1Seller(s) \n cool", "_1Seller_s_cool"),
+])
+def test_clean_name_vectors(name, expected):
+    assert clean_name(name) == expected

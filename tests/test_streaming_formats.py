@@ -1098,3 +1098,104 @@ def test_delta_stream_caps_admit_through_log_holes(spark, tmp_path):
         _require_full_range([v for v in (0, 2, 3)
                              if 0 < v <= end["version"]],
                             0, end["version"], src)
+
+
+def test_iceberg_stream_with_row_lineage(spark, tmp_path):
+    """r11 (verdict ask #3): option("withRowLineage", true) on
+    format("iceberg_stream") materializes _row_id /
+    _last_updated_sequence_number per micro-batch from manifest
+    metadata (first_row_id + position / data sequence number). The
+    streamed ids must equal the batch read_iceberg(with_row_ids=True)
+    twin; v2 tables and changelog composition refuse loudly."""
+    from sling_cli_spark.sources.iceberg_py import (
+        read_iceberg, write_iceberg)
+    from sling_cli_spark.streaming.iceberg_source import (
+        register_iceberg_stream)
+
+    register_iceberg_stream(spark)
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1), t,
+        format_version=3)
+    write_iceberg(spark.createDataFrame(
+        [(3, "c")], "id long, v string").coalesce(1), t, mode="append")
+
+    q = (spark.readStream.format("iceberg_stream").option("path", t)
+         .option("withRowLineage", "true").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = {(r["id"], r["_row_id"],
+                 r["_last_updated_sequence_number"])
+                for r in spark.read.parquet(out).collect()}
+    batch = {(r["id"], r["_row_id"],
+              r["_last_updated_sequence_number"])
+             for r in read_iceberg(spark, t, with_row_ids=True)
+             .collect()}
+    assert streamed == batch and len(streamed) == 3
+    assert all(rid is not None and seq is not None
+               for _, rid, seq in streamed)
+
+    # v2 table refuses
+    t2 = str(tmp_path / "t2")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), t2,
+        format_version=2)
+    with pytest.raises(Exception, match="format-version 3"):
+        (spark.readStream.format("iceberg_stream").option("path", t2)
+         .option("withRowLineage", "true").load())
+    # changelog composition refuses
+    with pytest.raises(Exception, match="changelog|compose"):
+        (spark.readStream.format("iceberg_stream").option("path", t)
+         .option("withRowLineage", "true")
+         .option("readChangelog", "true").load())
+
+
+def test_delta_stream_with_row_ids(spark, tmp_path):
+    """r11 (verdict ask #3, format twin): option("withRowIds", true)
+    on format("delta_stream") emits _row_id / _row_commit_version from
+    each add's (baseRowId, defaultRowCommitVersion); equals the batch
+    read_delta(with_row_ids=True); refuses without row tracking."""
+    from sling_cli_spark.sources.delta_py import (
+        read_delta, set_table_properties, write_delta)
+    from sling_cli_spark.streaming.delta_source import (
+        register_delta_stream)
+
+    register_delta_stream(spark)
+    t = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    write_delta(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1), t)
+    set_table_properties(t, {"delta.enableRowTracking": "true"})
+    write_delta(spark.createDataFrame(
+        [(3, "c")], "id long, v string").coalesce(1), t, mode="append")
+
+    q = (spark.readStream.format("delta_stream").option("path", t)
+         .option("withRowIds", "true").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = {(r["id"], r["_row_id"], r["_row_commit_version"])
+                for r in spark.read.parquet(out).collect()}
+    batch = {(r["id"], r["_row_id"], r["_row_commit_version"])
+             for r in read_delta(spark, t, with_row_ids=True)
+             .collect()}
+    assert streamed == batch and len(streamed) == 3
+
+    # a table without row tracking refuses at planning time
+    t2 = str(tmp_path / "t2")
+    write_delta(spark.createDataFrame(
+        [(1, "a")], "id long, v string").coalesce(1), t2)
+    with pytest.raises(Exception, match="baseRowId|row tracking"):
+        q2 = (spark.readStream.format("delta_stream")
+              .option("path", t2).option("withRowIds", "true").load()
+              .writeStream.format("parquet")
+              .option("path", str(tmp_path / "o2"))
+              .option("checkpointLocation", str(tmp_path / "c2"))
+              .trigger(availableNow=True).start())
+        q2.awaitTermination()
