@@ -213,9 +213,23 @@ def main() -> None:
     # self-sufficient even when the chunk series above is clipped.
     # Values rounded to 2dp to keep the line short (~4 KB); the exact
     # 3dp copy lives in BENCH_LOCAL.json and the chunks.
+    # r11 (VERDICT r10 ask #6): BENCH_r10's tail kept only the END of
+    # this line (front-clipped mid-map), so order by ASCENDING cost —
+    # whatever survives a front clip is the expensive queries a perf
+    # reviewer needs; the cheap ones are what truncation drops.
     print(json.dumps({
         "metric": "bench_all_queries",
-        "queries": {n: round(timings[n], 2) for n in sorted(timings)}},
+        "queries": {n: round(timings[n], 2)
+                    for n in sorted(timings,
+                                    key=lambda n: (timings[n], n))}},
+        separators=(",", ":")))
+    # ...and the 30 slowest as their own SHORT line (~1 KB — never
+    # clipped) so the tail always parses them even if every longer
+    # line above is lost
+    slowest = sorted(timings, key=lambda n: -timings[n])[:30]
+    print(json.dumps({
+        "metric": "bench_slowest30",
+        "queries": {n: timings[n] for n in slowest}},
         separators=(",", ":")))
     # the full HEADLINE map in one short line, right before the summary,
     # so the round-over-round comparison set always survives tail capture

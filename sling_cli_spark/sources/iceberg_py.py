@@ -1148,19 +1148,27 @@ def _rl_attach_preserved(
                         with_row_ids=True).select(
         *pk, F.col("_row_id").alias("__rl_rid"),
         F.col("_last_updated_sequence_number").alias("__rl_seq"))
-    out = replacement.join(mapping, on=pk, how="left") \
-        .withColumn("_row_id", F.col("__rl_rid"))
     drop = ["__rl_rid", "__rl_seq"]
     if updated_keys is not None:
-        out = out.join(
+        # mark updated keys on the MAPPING side (touched-rows-sized,
+        # batch-key join AQE broadcasts) so the replacement pays ONE
+        # join, not two — r11, shaving the v3-merge lineage overhead
+        # the r10 bench flagged. Insert rows miss the mapping entirely:
+        # rid AND seq read null -> fresh from the new file, the same
+        # result the two-join form produced.
+        mapping = mapping.join(
             updated_keys.select(*pk).distinct()
             .withColumn("__rl_hit", F.lit(1)), on=pk, how="left")
-        out = out.withColumn("_last_updated_sequence_number", F.when(
-            F.col("__rl_hit").isNull(), F.col("__rl_seq")))
+        out = replacement.join(mapping, on=pk, how="left") \
+            .withColumn("_row_id", F.col("__rl_rid")) \
+            .withColumn("_last_updated_sequence_number", F.when(
+                F.col("__rl_hit").isNull(), F.col("__rl_seq")))
         drop.append("__rl_hit")
     else:
-        out = out.withColumn(
-            "_last_updated_sequence_number", F.col("__rl_seq"))
+        out = replacement.join(mapping, on=pk, how="left") \
+            .withColumn("_row_id", F.col("__rl_rid")) \
+            .withColumn(
+                "_last_updated_sequence_number", F.col("__rl_seq"))
     return out.drop(*drop)
 
 
@@ -1615,7 +1623,17 @@ def upsert_iceberg(
     Unpartitioned targets only: these delete files are partition-global
     and our delete manifests claim spec 0 — on a partitioned table a
     strict foreign reader could scope them wrongly (merge_iceberg
-    covers partitioned upserts CoW/DV)."""
+    covers partitioned upserts CoW/DV).
+
+    v3 ROW-LINEAGE interaction (spec §Row Lineage permits delete+insert
+    identity loss; pinned in tests/test_iceberg_row_lineage.py): because
+    the target is never scanned, an upserted row cannot carry its old
+    ``_row_id`` — the equality delete retires the old identity and the
+    re-inserted row gets a FRESH id from the commit's first_row_id
+    range, with ``_last_updated_sequence_number`` = the new commit's
+    seq. Lineage-dependent consumers (incremental-by-lineage readers,
+    CDC downstreams keyed on _row_id) should use :func:`merge_iceberg`,
+    which preserves ids through its rewrite."""
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
     _, meta = _current_metadata(path, for_write=True)
     if int(meta.get("format-version", 1)) < 2:

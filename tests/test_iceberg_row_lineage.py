@@ -204,3 +204,59 @@ def test_incremental_by_lineage_refuses_untracked_files(spark, tmp_path):
     add_deletion_vectors(t, {})  # upgrades to v3, no manifest rewrite
     with pytest.raises(UnsupportedTableFeature, match="first_row_id"):
         read_iceberg_incremental(spark, t, 0)
+
+
+def test_eq_upsert_retires_identity_fresh_ids_seq_advances(spark, tmp_path):
+    """r11 (verdict ask #7, pins the documented upsert x lineage
+    semantics): upsert_iceberg never scans the target, so an upserted
+    row CANNOT carry its old _row_id — the spec permits delete+insert
+    identity loss. Pin: (a) re-inserted rows get FRESH ids from the
+    upsert commit's first_row_id range (old ids retired, never
+    reused), (b) their _last_updated_sequence_number is the upsert's
+    seq, (c) untouched rows keep id AND seq, (d) merge_iceberg remains
+    the id-preserving alternative the docstring steers lineage
+    consumers to."""
+    from sling_cli_spark.sources.iceberg_py import (
+        _current_metadata, upsert_iceberg)
+
+    t = _tbl(tmp_path)
+    write_iceberg(
+        spark.createDataFrame([(i, f"n{i}") for i in range(5)],
+                              "k long, name string")
+        .coalesce(1).sortWithinPartitions("k"), t, format_version=3)
+    before = _rows(spark, t)
+    assert {v[1] for v in before.values()} == {0, 1, 2, 3, 4}
+    seq1 = int(_current_metadata(t)[1]["last-sequence-number"])
+
+    upsert_iceberg(
+        spark, t,
+        spark.createDataFrame([(1, "n1_u"), (9, "n9_new")],
+                              "k long, name string")
+        .coalesce(1).sortWithinPartitions("k"), "k")
+    after = _rows(spark, t)
+    seq2 = int(_current_metadata(t)[1]["last-sequence-number"])
+    assert seq2 > seq1, "upsert must advance the sequence number"
+    # (a) the upserted row's old identity is retired; fresh id assigned
+    # past the pre-upsert high watermark
+    assert after[1][1] != before[1][1]
+    assert after[1][1] >= 5 and after[9][1] >= 5
+    assert after[1][1] != after[9][1]
+    # (b) upserted rows carry the new commit's seq
+    assert after[1][2] == seq2 and after[9][2] == seq2
+    # (c) untouched rows keep id and seq
+    for k in (0, 2, 3, 4):
+        assert after[k] == before[k]
+    # (d) merge_iceberg PRESERVES the id for the same shape of change
+    t2 = _tbl(tmp_path, "t2")
+    write_iceberg(
+        spark.createDataFrame([(i, f"n{i}") for i in range(5)],
+                              "k long, name string")
+        .coalesce(1).sortWithinPartitions("k"), t2, format_version=3)
+    b2 = _rows(spark, t2)
+    merge_iceberg(
+        spark, t2,
+        spark.createDataFrame([(1, "n1_u")], "k long, name string"),
+        "k", use_dvs=False)
+    a2 = _rows(spark, t2)
+    assert a2[1][0] == "n1_u" and a2[1][1] == b2[1][1], \
+        "merge keeps the row's identity where upsert retires it"

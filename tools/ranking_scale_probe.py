@@ -1,13 +1,18 @@
-"""Scale probe for the r10 ranking/line-dedup operators: run each at
-sf0.01 and sf0.1 (10x rows) and report wall-clock scaling plus the
-plan properties the 100 TB argument rests on (no explode / no
-data-sized shuffle for BM25; single corpus scan for TF-IDF).
+"""Scale probe for the r10 ranking/line-dedup operators and (r11) the
+ngram-novelty + token-budget rows: run each at sf0.001 / sf0.01 / sf0.1
+(1x / 10x / 100x rows) and report wall-clock scaling, SHUFFLE WRITE
+BYTES (from the Spark status REST API, diffed per op), and the plan
+properties the 100 TB argument rests on (no explode / no data-sized
+shuffle for BM25; single corpus scan for TF-IDF; no single-partition
+stage for the global token budget).
 
 Usage: python tools/ranking_scale_probe.py
 Prints one JSON line per operator:
-  {"op": ..., "sf001_s": ..., "sf01_s": ..., "ratio": ...,
-   "plan": {"generates": n, "hash_exchanges": n, "broadcasts": n}}
-A ratio near (or below) 10 on 10x rows means per-row cost held or
+  {"op": ..., "times_s": {sf: s}, "ratio_10x": ..., "ratio_100x": ...,
+   "shuffle_mb": {sf: mb},
+   "plan": {"generates": n, "hash_exchanges": n, "broadcasts": n,
+            "single_partition": n}}
+A time ratio near (or below) the row ratio means per-row cost held or
 fell; plan counters prove the shape rather than asserting it.
 """
 
@@ -17,6 +22,7 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,21 +31,40 @@ def _plan_counts(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {"generates": plan.count("Generate"),
             "hash_exchanges": plan.count("hashpartitioning"),
-            "broadcasts": plan.count("BroadcastExchange")}
+            "broadcasts": plan.count("BroadcastExchange"),
+            "single_partition": plan.count("Exchange SinglePartition")}
+
+
+def _shuffle_write_bytes(ui: str) -> int:
+    """Cumulative shuffle write bytes across completed stages."""
+    try:
+        apps = json.load(urllib.request.urlopen(
+            f"{ui}/api/v1/applications", timeout=10))
+        app = apps[0]["id"]
+        stages = json.load(urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete",
+            timeout=10))
+        return sum(int(s.get("shuffleWriteBytes") or 0) for s in stages)
+    except Exception:
+        return -1
 
 
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    from sling_cli_spark.operators.dedup import line_dedup
+    from sling_cli_spark.operators.dedup import (
+        line_dedup, md5_hash60, ngram_novelty)
     from sling_cli_spark.operators.ranking import (
         bm25_rank, tfidf_keywords)
+    from sling_cli_spark.operators.training import token_budget_select
 
     spark = (SparkSession.builder.master(
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4057")
         .appName("ranking_scale_probe").getOrCreate())
+    ui = "http://localhost:4057"
 
     def docs(sf):
         return spark.read.parquet(
@@ -51,22 +76,36 @@ def main() -> None:
         "tfidf_keywords": lambda d: tfidf_keywords(
             d, top_n=3, min_doc_tokens=10),
         "line_dedup": lambda d: line_dedup(d),
+        "ngram_novelty": lambda d: ngram_novelty(d, hasher=md5_hash60),
+        # the r11 two-phase GLOBAL cumulative sum (no strata) — the
+        # budget scales with sf so a fixed fraction of rows selects
+        "token_budget_global": lambda d: token_budget_select(
+            d, 10_000_000, score_col="n_chars"),
     }
+    sfs = ("sf0.001", "sf0.01", "sf0.1")
     for name, fn in ops.items():
-        times = {}
-        for sf in ("sf0.01", "sf0.1"):
-            best = None
+        times, shuffle_mb = {}, {}
+        for sf in sfs:
+            best, sbytes = None, None
             for _ in range(3):  # min-of-3: contention-resistant
+                spark.catalog.clearCache()
+                b0 = _shuffle_write_bytes(ui)
                 t0 = time.time()
                 fn(docs(sf)).count()
                 dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                if best is None or dt < best:
+                    best = dt
+                    b1 = _shuffle_write_bytes(ui)
+                    sbytes = (b1 - b0) if (b0 >= 0 and b1 >= 0) else -1
             times[sf] = round(best, 3)
+            shuffle_mb[sf] = round(sbytes / 1e6, 2) if sbytes >= 0 else -1
         print(json.dumps({
-            "op": name, "sf001_s": times["sf0.01"],
-            "sf01_s": times["sf0.1"],
-            "ratio_10x_rows": round(times["sf0.1"] /
-                                    max(times["sf0.01"], 1e-9), 2),
+            "op": name, "times_s": times,
+            "ratio_10x": round(times["sf0.01"] /
+                               max(times["sf0.001"], 1e-9), 2),
+            "ratio_100x": round(times["sf0.1"] /
+                                max(times["sf0.001"], 1e-9), 2),
+            "shuffle_mb": shuffle_mb,
             "plan": _plan_counts(fn(docs("sf0.1")))}))
     spark.stop()
 
