@@ -53,56 +53,100 @@ def parse_select_expr(expr: str) -> tuple[str, str | None, str | None, bool]:
 
 
 def apply_select(df: DataFrame, select: list[str]) -> DataFrame:
-    """Apply sling select semantics; returns df unchanged for empty select."""
+    """Apply sling select semantics; returns df unchanged for empty
+    select. Exact ApplySelect algorithm port (datatype.go:2172-2312,
+    vectors ported in tests/test_select_ported.py):
+
+    - RENAMES DON'T PIN: ``["*", "a as b"]`` keeps the column at its
+      source-order position under the new name; only BARE exact names
+      pin (``["id", "*", "email"]`` pins email to the back).
+    - ``*`` / globs expand in source order, skipping pinned + excluded
+      + already-emitted fields; duplicates dedupe.
+    - Matching is case-insensitive, source casing preserved.
+    - A missing bare name errors only without ``*``; a missing RENAME
+      errors even with ``*``; a missing exclusion is silent.
+    - ``-name as alias`` is a parse error (cannot combine).
+
+    Our extensions kept: ``col:type`` casts; a select of ONLY
+    exclusions behaves as ``["*", ...exclusions]`` (the EL configs'
+    shorthand; the Go caller injects the star upstream)."""
     if not select:
         return df
     cols = df.columns
-    lower_map = {c.lower(): c for c in cols}
 
-    excludes: set[str] = set()
-    positives: list[tuple[str, str | None, str | None]] = []  # (name, alias, cast)
-    saw_star = False
+    excluded_exact: set[str] = set()
+    exclude_globs: list[str] = []
+    renames: dict[str, str] = {}
+    casts: dict[str, str] = {}
+    pinned: set[str] = set()
+    has_star = any(s.strip() == "*" for s in select)
+    entries: list[tuple[str, str, str | None]] = []
     for raw in select:
-        name, alias, cast, exc = parse_select_expr(raw)
-        if name == "*" and not exc:
-            saw_star = True
-            positives.append(("*", None, None))
+        raw = (raw or "").strip()
+        if not raw:
             continue
-        matched = _glob_match(name, cols, lower_map)
+        name, alias, cast, exc = parse_select_expr(raw)
         if exc:
-            excludes.update(matched)
-        else:
+            if alias:
+                raise ValueError(
+                    f"select: cannot combine exclusion and rename: "
+                    f"{raw!r}")
             if "*" in name or "?" in name:
-                for c in matched:
-                    positives.append((c, None, cast))
+                exclude_globs.append(name.lower())
             else:
-                if not matched:
-                    raise ValueError(f"select: column not found: {name!r}")
-                positives.append((matched[0], alias, cast))
-
-    only_exclusions = not [p for p in positives if p[0] != "*"]
-    out: list[Column] = []
-    pinned = {p[0] for p in positives if p[0] != "*"}
-
-    def col_expr(name: str, alias: str | None, cast: str | None) -> Column:
-        c = F.col(f"`{name}`")
+                excluded_exact.add(name.lower())
+            entries.append(("exclude", name, None))
+            continue
         if cast:
-            c = c.cast(to_spark_type(cast))
-        return c.alias(alias or name)
+            casts[name.lower()] = cast
+        if alias:
+            renames[name.lower()] = alias
+        elif name and name != "*" and "*" not in name and "?" not in name:
+            pinned.add(name.lower())
+        entries.append(("include", name, alias))
 
-    if only_exclusions:
-        keep = [c for c in cols if c not in excludes]
-        return df.select(*[F.col(f"`{c}`") for c in keep])
+    def is_excluded(low: str) -> bool:
+        return low in excluded_exact or any(
+            fnmatch.fnmatchcase(low, g) for g in exclude_globs)
 
-    for name, alias, cast in positives:
-        if name == "*":
+    if all(k == "exclude" for k, _, _ in entries):
+        return df.select(*[F.col(f"`{c}`") for c in cols
+                           if not is_excluded(c.lower())])
+
+    emitted: set[str] = set()
+    out: list[Column] = []
+
+    def emit(src: str) -> None:
+        low = src.lower()
+        emitted.add(low)
+        c = F.col(f"`{src}`")
+        if low in casts:
+            c = c.cast(to_spark_type(casts[low]))
+        out.append(c.alias(renames.get(low, src)))
+
+    for kind, name, alias in entries:
+        if kind == "exclude":
+            continue
+        if name == "*" or "*" in name or "?" in name:
+            pat = None if name == "*" else name.lower()
             for c in cols:
-                if c not in pinned and c not in excludes:
-                    out.append(F.col(f"`{c}`"))
-        elif name not in excludes:
-            out.append(col_expr(name, alias, cast))
-    if not saw_star and excludes and not positives:
-        out = [F.col(f"`{c}`") for c in cols if c not in excludes]
+                low = c.lower()
+                if low in emitted or low in pinned or is_excluded(low):
+                    continue
+                if pat is None or fnmatch.fnmatchcase(low, pat):
+                    emit(c)
+            continue
+        matched = next(
+            (c for c in cols if c.lower() == name.lower()), None)
+        if matched is None:
+            if alias:
+                raise ValueError(
+                    f"select: column not found for rename: {name!r}")
+            if not has_star:
+                raise ValueError(f"select: column not found: {name!r}")
+            continue
+        if matched.lower() not in emitted:
+            emit(matched)
     return df.select(*out)
 
 
