@@ -1898,6 +1898,62 @@ streams:
             "stream must hash-match the batch lineage twin"
         return streamed
 
+    def lineage_el_incremental(spark, sf):
+        """State-backed EL consumption by ROW LINEAGE (round 11 —
+        source.options.incremental_by_lineage + runner.run_with_state):
+        nation lands as a v3 iceberg table; EL run 1 moves all 25 rows
+        and records the lineage watermark in the JSON state store; a
+        merge updates keys < 3 and an append adds key 90; EL run 2
+        moves ONLY the 4 changed rows — files at or below the
+        watermark prune from manifest METADATA (the update_key
+        defaulted to _last_updated_sequence_number, so the write
+        observation advanced the store without a second scan). Returns
+        run 2's landed increment. Oracle: CASE arithmetic on the
+        key."""
+        import tempfile
+
+        from sling_cli_spark.config import Config as _Cfg
+        from sling_cli_spark.runner import run_with_state
+        from sling_cli_spark.sources.iceberg_py import (
+            merge_iceberg, write_iceberg)
+        from sling_cli_spark.state import StateStore
+
+        base = tempfile.mkdtemp(prefix="sling_lel_")
+        t = os.path.join(base, "t")
+        n = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_iceberg(n.coalesce(1).sortWithinPartitions("n_nationkey"),
+                      t, format_version=3)
+        store = StateStore(os.path.join(base, "state.json"))
+        cfg = _Cfg.from_dict({
+            "source": {"stream": t,
+                       "options": {"incremental_by_lineage": True}},
+            "target": {"object": os.path.join(base, "out1.parquet")},
+            "mode": "incremental"})
+        r1 = run_with_state(spark, cfg, store)
+        assert r1.rows == 25 and store.get(t) is not None, \
+            "run 1 must land everything and advance the state watermark"
+        merge_iceberg(
+            spark, t,
+            n.filter("n_nationkey < 3")
+            .withColumn("n_name", F.concat("n_name", F.lit("_u"))),
+            "n_nationkey", use_dvs=False)
+        write_iceberg(
+            spark.createDataFrame(
+                [(90, "APPENDLAND_A", 0)],
+                "n_nationkey long, n_name string, n_regionkey long")
+            .coalesce(1), t, mode="append")
+        cfg.target.object = os.path.join(base, "out2.parquet")
+        r2 = run_with_state(spark, cfg, store)
+        assert r2.rows == 4, "increment = 3 updates + 1 insert"
+        return spark.read.parquet(cfg.target.object).select(
+            "n_nationkey", "n_name", "n_regionkey",
+            F.col("_row_id").alias("row_id"),
+            F.col("_last_updated_sequence_number")
+            .alias("last_updated_seq"))
+
     def stream_rowtracking_delta(spark, sf):
         """Delta format twin of stream_lineage_iceberg (round 11 —
         streaming/delta_source.py withRowIds): nation lands (ids
@@ -4489,6 +4545,7 @@ streams:
         "delta_incremental_rowtracking": delta_incremental_rowtracking,
         "stream_lineage_iceberg": stream_lineage_iceberg,
         "stream_rowtracking_delta": stream_rowtracking_delta,
+        "lineage_el_incremental": lineage_el_incremental,
         "convert_inplace_roundtrip": convert_inplace_roundtrip,
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
@@ -4538,6 +4595,7 @@ streams:
         # --- new in r11 (never driver-checked) ---
         "token_budget_global_docs",
         "stream_lineage_iceberg", "stream_rowtracking_delta",
+        "lineage_el_incremental",
         # --- last driver-checked r7 (the verdict's list of 20) ---
         "bucketed_join_agg", "c4_filter_docs", "decontaminate_docs",
         "dedup_clusters_docs", "dedup_store_docs", "delta_dv_merge",
@@ -4562,7 +4620,7 @@ streams:
         "delta_clustering_skipping", "delta_dv_produce",
         "delta_identity_generated", "delta_rename_evolution",
         "delta_roundtrip", "delta_row_tracking", "delta_shallow_clone",
-        "delta_uniform", "delta_zorder_skipping",
+        "delta_uniform",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     missing = [k for k in window if k not in d]
@@ -5433,6 +5491,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 90, 'APPENDLAND_A', 0, 50, 3
             UNION ALL
             SELECT 91, 'APPENDLAND_B', 1, 51, 3
+        """,
+        "lineage_el_incremental": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   n_name || '_u' AS n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   CAST(n_nationkey AS BIGINT) AS row_id,
+                   CAST(2 AS BIGINT) AS last_updated_seq
+            FROM nation WHERE n_nationkey < 3
+            UNION ALL
+            SELECT 90, 'APPENDLAND_A', 0, 50, 3
         """,
         "stream_lineage_iceberg": """
             SELECT CAST(c0 AS BIGINT) AS n_nationkey, c1 AS n_name,

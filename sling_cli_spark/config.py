@@ -68,6 +68,13 @@ class SourceOptions:
     infer_schema: bool = True           # sample-classify text sources
     merge_schemas: bool = False         # reconcile drift across files
     change_feed: bool = False           # delta/iceberg: read change rows
+    incremental_by_lineage: bool = False  # delta/iceberg INCREMENTAL
+    #   sources consume by ROW LINEAGE (iceberg v3 _row_id /
+    #   _last_updated_sequence_number; delta row tracking _row_id /
+    #   _row_commit_version) instead of an update_key — files at or
+    #   below the watermark prune from manifest/log METADATA, no
+    #   change-data files needed; update_key defaults to the lineage
+    #   sequence column so state-backed runs advance automatically
     starting_version: int | None = None  # delta change_feed range start
     starting_snapshot_id: int | None = None  # iceberg changelog start
     starting_timestamp: int | None = None  # delta CDF start (epoch ms,

@@ -62,6 +62,19 @@ def build_read_plan(
     the incremental batch (reference: core.delete_where_not_exist runs its
     own source scan, config.go:1838-1876).
     """
+    # lineage-incremental sources (r11): update_key defaults to the
+    # format's lineage sequence column, so the generic watermark filter,
+    # the write observation's max(update_key), and run_with_state's
+    # advance all work unchanged — while the skip-filter below carries
+    # the watermark into the incremental readers' METADATA pruning
+    if getattr(cfg.source.options, "incremental_by_lineage", False) \
+            and not cfg.source.update_key:
+        from sling_cli_spark.sources.files import detect_format
+
+        fmt = detect_format(cfg.source.stream or "", cfg.source.options)
+        cfg.source.update_key = (
+            "_row_commit_version" if fmt == "delta"
+            else "_last_updated_sequence_number")
     # incremental watermark doubles as a Delta stats skip-filter: files
     # whose add.stats bound update_key <= watermark are never opened
     # (row-level filtering below stays authoritative)

@@ -145,6 +145,27 @@ def read_files(
         from sling_cli_spark.sources.arrow import read_arrow
 
         return read_arrow(spark, path)
+    if getattr(opts, "incremental_by_lineage", False) \
+            and fmt in ("delta", "iceberg"):
+        # lineage-incremental EL (r11): the source is the rows created
+        # or updated past the lineage watermark — the runner threads
+        # the state watermark in as a skip-filter conjunct on the
+        # lineage sequence column; the incremental readers prune files
+        # at or below it from manifest/log METADATA (never opened)
+        since = 0
+        for c, op, v in (skip_filters or []):
+            if op == ">" and c in ("_last_updated_sequence_number",
+                                   "_row_commit_version"):
+                since = int(v)
+        if fmt == "iceberg":
+            from sling_cli_spark.sources.iceberg_py import (
+                read_iceberg_incremental)
+
+            return read_iceberg_incremental(spark, path, since)
+        from sling_cli_spark.sources.delta_py import (
+            read_delta_incremental)
+
+        return read_delta_incremental(spark, path, since)
     if getattr(opts, "change_feed", False) and fmt in ("delta", "iceberg"):
         # CDC-style EL: the source is the table's CHANGE FEED, not its
         # state — rows arrive with _change_type (+ version/snapshot

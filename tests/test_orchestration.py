@@ -387,3 +387,72 @@ streams:
     assert len(lines) == 2
     assert "nation.parquet" in lines[0] and lines[0].endswith(" 25")
     assert "region.parquet" in lines[1] and lines[1].endswith(" 5")
+
+
+def test_incremental_by_lineage_el(spark, sf_dir, tmp_path):
+    """r11: source.options.incremental_by_lineage — state-backed EL
+    consumption of a v3 iceberg table by ROW LINEAGE (and the Delta
+    row-tracking twin): run 1 loads everything and records the lineage
+    watermark; after a merge + append, run 2 moves ONLY the updated +
+    inserted rows; a no-change run 3 moves nothing."""
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.runner import run_with_state
+    from sling_cli_spark.sources.delta_py import (
+        set_table_properties, write_delta)
+    from sling_cli_spark.sources.iceberg_py import (
+        merge_iceberg, write_iceberg)
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name", F.col("n_regionkey").cast("long").alias("n_regionkey"))
+
+    # --- iceberg v3 ---
+    t = str(tmp_path / "ice")
+    write_iceberg(n.coalesce(1), t, format_version=3)
+    store = StateStore(str(tmp_path / "state.json"))
+    cfg = Config.from_dict({
+        "source": {"stream": t,
+                   "options": {"incremental_by_lineage": True}},
+        "target": {"object": str(tmp_path / "out_ice.parquet")},
+        "mode": "incremental"})
+    r1 = run_with_state(spark, cfg, store)
+    assert r1.rows == 25 and r1.watermark is not None
+    merge_iceberg(
+        spark, t,
+        n.filter("n_nationkey < 3")
+        .withColumn("n_name", F.concat("n_name", F.lit("_u"))),
+        "n_nationkey", use_dvs=False)
+    write_iceberg(spark.createDataFrame(
+        [(90, "NEW", 0)],
+        "n_nationkey long, n_name string, n_regionkey long")
+        .coalesce(1), t, mode="append")
+    cfg.target.object = str(tmp_path / "out_ice2.parquet")
+    r2 = run_with_state(spark, cfg, store)
+    assert r2.rows == 4  # 3 updated + 1 inserted
+    got = spark.read.parquet(cfg.target.object)
+    assert {r.n_nationkey for r in got.collect()} == {0, 1, 2, 90}
+    assert "_row_id" in got.columns
+    cfg.target.object = str(tmp_path / "out_ice3.parquet")
+    assert run_with_state(spark, cfg, store).rows == 0
+
+    # --- delta row-tracking twin ---
+    td = str(tmp_path / "dl")
+    write_delta(n.coalesce(1), td)
+    set_table_properties(td, {"delta.enableRowTracking": "true"})
+    cfg_d = Config.from_dict({
+        "source": {"stream": td,
+                   "options": {"incremental_by_lineage": True}},
+        "target": {"object": str(tmp_path / "out_dl.parquet")},
+        "mode": "incremental"})
+    r1 = run_with_state(spark, cfg_d, store)
+    assert r1.rows == 25
+    write_delta(spark.createDataFrame(
+        [(91, "NEWD", 1)],
+        "n_nationkey long, n_name string, n_regionkey long")
+        .coalesce(1), td, mode="append")
+    cfg_d.target.object = str(tmp_path / "out_dl2.parquet")
+    r2 = run_with_state(spark, cfg_d, store)
+    assert r2.rows == 1
+    assert spark.read.parquet(cfg_d.target.object) \
+        .collect()[0].n_nationkey == 91
