@@ -1577,6 +1577,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             score_col="n_chars", strata_col="lang").select(
             "doc_id", "lang", "n_chars", "n_tokens", "cum_tokens")
 
+    def dsir_select_docs(spark, sf):
+        """DSIR importance resampling (operators/training.py round 11;
+        Xie et al. 2023): select the 200 documents whose hashed
+        unigram+bigram profile best matches the English-language slice
+        of the corpus — the public data-selection method behind
+        domain-matched pretraining mixes. Per-corpus bucket counts are
+        one explode + a map-side-combining groupBy into a <=4096-row
+        frame; log-ratios broadcast; doc scores are one doc-keyed sum;
+        selection is a distributed top-k (TakeOrderedAndProject). The
+        md5-hash60 bucket hash keeps the whole pipeline DuckDB-
+        reproducible. Returns the selected ids."""
+        from sling_cli_spark.operators.training import dsir_select
+
+        docs = _t(spark, sf, "documents")
+        out = dsir_select(
+            docs, docs.filter("lang = 'en'"), 200, n_buckets=4096)
+        return out.select("doc_id").orderBy("doc_id")
+
     def token_budget_global_docs(spark, sf):
         """GLOBAL (no-strata) token-budget selection (operators/
         training.py round 11, closing the r10 verdict's one weak item):
@@ -4533,6 +4551,7 @@ streams:
         "line_dedup_docs": line_dedup_docs,
         "token_budget_docs": token_budget_docs,
         "token_budget_global_docs": token_budget_global_docs,
+        "dsir_select_docs": dsir_select_docs,
         "ngram_novelty_docs": ngram_novelty_docs,
         "delta_replace_where": delta_replace_where,
         "iceberg_overwrite_where": iceberg_overwrite_where,
@@ -4593,7 +4612,7 @@ streams:
     # (VERDICT r10: 170/170).
     window = [
         # --- new in r11 (never driver-checked) ---
-        "token_budget_global_docs",
+        "token_budget_global_docs", "dsir_select_docs",
         "stream_lineage_iceberg", "stream_rowtracking_delta",
         "lineage_el_incremental",
         # --- last driver-checked r7 (the verdict's list of 20) ---
@@ -4620,7 +4639,6 @@ streams:
         "delta_clustering_skipping", "delta_dv_produce",
         "delta_identity_generated", "delta_rename_evolution",
         "delta_roundtrip", "delta_row_tracking", "delta_shallow_clone",
-        "delta_uniform",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     missing = [k for k in window if k not in d]
@@ -5693,6 +5711,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars, n_tokens, cum_tokens
             FROM ranked
             WHERE cum_tokens <= 20000 OR cum_tokens = n_tokens
+        """,
+        "dsir_select_docs": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(
+                         trim(regexp_replace(text, '\s+', ' ', 'g')),
+                         ' '), t -> t <> '') AS tk
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, lang, unnest(tk) AS t,
+                     generate_subscripts(tk, 1) AS p
+              FROM tok
+            ), grams AS (
+              SELECT doc_id, lang, t AS g FROM pos
+              UNION ALL
+              SELECT doc_id, lang, g FROM (
+                SELECT doc_id, lang,
+                       t || ' ' || LEAD(t) OVER (
+                           PARTITION BY doc_id ORDER BY p) AS g
+                FROM pos) WHERE g IS NOT NULL
+            ), bux AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS b
+              FROM grams
+            ), raw AS (SELECT b, COUNT(*) AS n FROM bux GROUP BY b),
+            tgt AS (SELECT b, COUNT(*) AS n FROM bux
+                    WHERE lang = 'en' GROUP BY b),
+            tot AS (SELECT (SELECT SUM(n) FROM raw) AS rt,
+                           (SELECT SUM(n) FROM tgt) AS tt),
+            lam AS (
+              SELECT COALESCE(raw.b, tgt.b) AS b,
+                     ln((COALESCE(tgt.n, 0) + 1.0) / (tot.tt + 4096.0))
+                     - ln((COALESCE(raw.n, 0) + 1.0) / (tot.rt + 4096.0))
+                     AS l
+              FROM raw FULL JOIN tgt ON raw.b = tgt.b, tot
+            ), scores AS (
+              SELECT bux.doc_id,
+                     ROUND(SUM(lam.l), 6) AS dsir_score
+              FROM bux JOIN lam ON bux.b = lam.b
+              GROUP BY bux.doc_id
+            )
+            SELECT doc_id FROM scores
+            ORDER BY dsir_score DESC, doc_id LIMIT 200
         """,
         "token_budget_global_docs": """
             WITH toks AS (

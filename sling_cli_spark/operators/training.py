@@ -21,7 +21,7 @@ __all__ = [
     "chunk_documents", "stratified_sample", "repetition_stats",
     "pii_redact", "shard_assign", "PII_PATTERNS",
     "decontaminate", "pack_sequences", "mix_corpora", "c4_line_filter",
-    "token_budget_select",
+    "token_budget_select", "dsir_select",
 ]
 
 
@@ -533,3 +533,97 @@ def _global_budget_two_phase(
                    (F.col("cum_tokens") == F.col("n_tokens")))
            .select("__id", "n_tokens", "cum_tokens"))
     return df.join(sel, F.col(id_col) == F.col("__id")).drop("__id")
+
+
+def _hashed_ngram_buckets(
+    text: Column, n_buckets: int, hasher=None,
+) -> Column:
+    """Unigram + bigram hashed-bucket array for a document — the DSIR
+    feature map (hashed bag of n-grams). Pure codegen: split,
+    sequence-indexed bigram assembly, per-gram hash modulo bucket
+    count. ``hasher`` defaults to :func:`dedup.md5_hash60` so the
+    whole pipeline stays oracle-reproducible (DuckDB twin:
+    ``('0x'||substr(md5(g),1,15))::BIGINT % B``)."""
+    from sling_cli_spark.operators.dedup import md5_hash60
+
+    hasher = hasher or md5_hash60
+    norm = _ws_norm(text)
+    toks = F.when(F.length(norm) == 0,
+                  F.array().cast("array<string>")) \
+        .otherwise(F.split(norm, " "))
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) — a single-token
+    # doc would index element_at(toks, 0), an ANSI error
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    return F.transform(grams, lambda g: F.pmod(hasher(g),
+                                               F.lit(n_buckets)))
+
+
+def dsir_select(
+    df: DataFrame,
+    target_df: DataFrame,
+    n_docs: int,
+    n_buckets: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    hasher=None,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, public): pick the ``n_docs`` raw-corpus documents whose
+    hashed-n-gram profile looks most like a TARGET corpus. Each corpus
+    fits a bag-of-hashed-ngrams model (unigram+bigram buckets,
+    Laplace-smoothed); a document's importance weight is the sum over
+    its gram occurrences of ``log p_target(bucket) - log p_raw(bucket)``;
+    the top ``n_docs`` by weight (id tie-break) are selected. The
+    deterministic top-k variant (vs gumbel resampling) so any engine
+    reproduces the exact set.
+
+    100 TB shape: per-corpus bucket counts are ONE explode + a map-side
+    combining groupBy into a <= ``n_buckets``-row frame; the log-ratio
+    frame broadcasts; doc scores are one explode + broadcast join + a
+    doc-keyed sum; selection is a distributed top-k
+    (TakeOrderedAndProject — never a global sort). Nothing shuffles at
+    corpus size except the doc-keyed score sum.
+
+    Returns the selected rows + ``dsir_score`` (rounded to 6dp for
+    cross-engine float stability)."""
+    b = F.explode(
+        _hashed_ngram_buckets(F.col(text_col), n_buckets, hasher)
+    ).alias("__b")
+
+    def bucket_counts(frame: DataFrame) -> DataFrame:
+        return frame.select(b).groupBy("__b") \
+            .agg(F.count(F.lit(1)).alias("__n"))
+
+    # persisted: each <= n_buckets rows, but each is derived from a
+    # full corpus explode — the totals collect below and the log-ratio
+    # join must not re-scan the corpus to re-derive them
+    raw_counts = bucket_counts(df).persist()
+    tgt_counts = bucket_counts(target_df).persist()
+    raw_total = raw_counts.agg(F.sum("__n")).collect()[0][0] or 0
+    tgt_total = tgt_counts.agg(F.sum("__n")).collect()[0][0] or 0
+    s, btot = float(smoothing), float(n_buckets)
+    lam = (raw_counts.withColumnRenamed("__n", "__raw")
+           .join(tgt_counts.withColumnRenamed("__n", "__tgt"),
+                 "__b", "full")
+           .select(
+               "__b",
+               (F.log((F.coalesce(F.col("__tgt"), F.lit(0)) + s)
+                      / F.lit(float(tgt_total) + s * btot))
+                - F.log((F.coalesce(F.col("__raw"), F.lit(0)) + s)
+                        / F.lit(float(raw_total) + s * btot))
+                ).alias("__lam")))
+    scores = (df.select(F.col(id_col), b)
+              .join(F.broadcast(lam), "__b")
+              .groupBy(id_col)
+              .agg(F.round(F.sum("__lam"), 6).alias("dsir_score")))
+    top = scores.orderBy(F.col("dsir_score").desc(), F.col(id_col)) \
+        .limit(n_docs)
+    return df.join(top, id_col)

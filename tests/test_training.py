@@ -363,3 +363,51 @@ def test_token_budget_global_two_phase_matches_single_window(spark):
         seg = m.group(0)
         assert "__btot" in seg or "__bkt" in seg, (
             "SinglePartition exchange over the data frame:\n" + seg)
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """r11: DSIR importance resampling — docs whose hashed-ngram
+    profile matches the target corpus outrank off-domain docs; the
+    selection is deterministic and reproducible."""
+    from sling_cli_spark.operators.training import dsir_select
+
+    raw = spark.createDataFrame([
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "quantum flux capacitor regression tensor"),
+        (4, "stochastic gradient descent tensor calculus"),
+        (5, "the cat and the dog sat"),
+    ], "doc_id long, text string")
+    target = spark.createDataFrame([
+        (101, "the cat sat quietly"),
+        (102, "a dog sat on a mat"),
+    ], "doc_id long, text string")
+
+    kw = dict(n_buckets=512, smoothing=0.01)  # tiny corpus: light smoothing
+    got = dsir_select(raw, target, 2, **kw)
+    ids = {r.doc_id for r in got.collect()}
+    assert ids <= {1, 2, 5} and len(ids) == 2, ids
+    # deterministic: same call, same set and scores
+    again = dsir_select(raw, target, 2, **kw)
+    assert {(r.doc_id, r.dsir_score) for r in got.collect()} == \
+        {(r.doc_id, r.dsir_score) for r in again.collect()}
+    # off-domain docs score below in-domain ones
+    scores = {r.doc_id: r.dsir_score
+              for r in dsir_select(raw, target, 5, **kw).collect()}
+    assert min(scores[1], scores[2], scores[5]) > \
+        max(scores[3], scores[4])
+    # n_docs larger than the corpus returns everything
+    assert dsir_select(raw, target, 99, **kw).count() == 5
+
+
+def test_dsir_single_and_empty_docs_no_error(spark):
+    """sequence(1,0) descends in Spark — single-token and empty docs
+    must featurize without an ANSI element_at(_, 0) error."""
+    from sling_cli_spark.operators.training import dsir_select
+
+    raw = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b")], "doc_id long, text string")
+    tgt = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    got = dsir_select(raw, tgt, 3, n_buckets=64, smoothing=0.01)
+    # the empty doc has no grams -> no score row -> excluded
+    assert {r.doc_id for r in got.collect()} == {1, 3}
