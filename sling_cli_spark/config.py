@@ -9,6 +9,7 @@ implemented as str.format-style substitution on the driver.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 from dataclasses import dataclass, field
@@ -39,6 +40,34 @@ class MergeStrategy(str, Enum):
     HISTORY_INSERT = "history_insert"
     CHANGE_CAPTURE = "change_capture"
     CHANGE_CAPTURE_SOFT = "change_capture_soft"
+
+
+def decode_json_if_base64(val: str) -> str:
+    """DecodeJSONIfBase64 port (reference env/connection handling;
+    vectors in datatype_test.go:774-851): connection properties like
+    Google service-account keys may arrive base64-wrapped — if the
+    string is valid base64 whose decoded bytes are valid JSON, return
+    the decoded JSON; otherwise the input passes through verbatim
+    (already-JSON, not-base64, and base64-of-non-JSON all no-op)."""
+    import base64
+    import binascii
+
+    if not val:
+        return val
+    s = val.strip()
+    if s.startswith("{") or s.startswith("["):
+        try:
+            json.loads(s)
+            return val
+        except (ValueError, TypeError):
+            pass
+    try:
+        decoded = base64.b64decode(val, validate=True).decode("utf-8")
+        json.loads(decoded)
+        return decoded
+    except (ValueError, TypeError, binascii.Error,
+            UnicodeDecodeError):
+        return val
 
 
 @dataclass
