@@ -1577,6 +1577,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             score_col="n_chars", strata_col="lang").select(
             "doc_id", "lang", "n_chars", "n_tokens", "cum_tokens")
 
+    def url_dedup_docs(spark, sf):
+        """URL canonicalization + dedup (operators/text.py round 11 —
+        the Dolma/CCNet crawl-dedup step): documents get deterministic
+        URLs derived from (source, doc_id%40) wearing three different
+        disguises — tracking params (utm_/fbclid), shuffled param
+        order, mixed-case scheme+host, an explicit :443, a #fragment —
+        and canonicalization must collapse every disguise so exactly
+        one doc per (source, slot) survives (lowest id). Dedup is a
+        map-side-combining groupBy(canonical) + semi-join, never a
+        window over URL partitions. Returns the kept (doc_id,
+        canonical_url)."""
+        from sling_cli_spark.operators.text import url_dedup
+
+        d = _t(spark, sf, "documents")
+        slot = (F.col("doc_id") % 40).cast("string")
+        url = F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("https://"))
+            .otherwise(F.lit("HTTPS://")),
+            F.when(F.col("doc_id") % 4 == 0, F.upper("source"))
+            .otherwise(F.col("source")),
+            F.lit(".example.com"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(":443"))
+            .otherwise(F.lit("")),
+            F.lit("/docs/"), slot,
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("?utm_source=feed&page=2&sort=asc"))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.lit("?sort=asc&page=2&fbclid=xyz"))
+            .otherwise(F.lit("?page=2&sort=asc#frag")))
+        out = url_dedup(d.withColumn("url", url))
+        return out.select("doc_id", "canonical_url")
+
     def dsir_select_docs(spark, sf):
         """DSIR importance resampling (operators/training.py round 11;
         Xie et al. 2023): select the 200 documents whose hashed
@@ -4552,6 +4584,7 @@ streams:
         "token_budget_docs": token_budget_docs,
         "token_budget_global_docs": token_budget_global_docs,
         "dsir_select_docs": dsir_select_docs,
+        "url_dedup_docs": url_dedup_docs,
         "ngram_novelty_docs": ngram_novelty_docs,
         "delta_replace_where": delta_replace_where,
         "iceberg_overwrite_where": iceberg_overwrite_where,
@@ -4613,6 +4646,7 @@ streams:
     window = [
         # --- new in r11 (never driver-checked) ---
         "token_budget_global_docs", "dsir_select_docs",
+        "url_dedup_docs",
         "stream_lineage_iceberg", "stream_rowtracking_delta",
         "lineage_el_incremental",
         # --- last driver-checked r7 (the verdict's list of 20) ---
@@ -4638,7 +4672,7 @@ streams:
         "delete_missing_iceberg", "delta_clone_partitioned",
         "delta_clustering_skipping", "delta_dv_produce",
         "delta_identity_generated", "delta_rename_evolution",
-        "delta_roundtrip", "delta_row_tracking", "delta_shallow_clone",
+        "delta_roundtrip", "delta_row_tracking",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     missing = [k for k in window if k not in d]
@@ -5711,6 +5745,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars, n_tokens, cum_tokens
             FROM ranked
             WHERE cum_tokens <= 20000 OR cum_tokens = n_tokens
+        """,
+        "url_dedup_docs": """
+            WITH urls AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'https://'
+                           ELSE 'HTTPS://' END)
+                     || (CASE WHEN doc_id % 4 = 0 THEN upper(source)
+                              ELSE source END)
+                     || '.example.com'
+                     || (CASE WHEN doc_id % 5 = 0 THEN ':443'
+                              ELSE '' END)
+                     || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+                     || (CASE WHEN doc_id % 3 = 0
+                              THEN '?utm_source=feed&page=2&sort=asc'
+                          WHEN doc_id % 3 = 1
+                              THEN '?sort=asc&page=2&fbclid=xyz'
+                          ELSE '?page=2&sort=asc#frag' END) AS url
+              FROM documents
+            ), canon AS (
+              SELECT doc_id,
+                lower(regexp_extract(url,
+                    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+                || regexp_replace(
+                     lower(regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                     CASE WHEN lower(regexp_extract(url,
+                              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                              = 'https' THEN ':443$'
+                          WHEN lower(regexp_extract(url,
+                              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                              = 'http' THEN ':80$'
+                          ELSE 'x^' END, '')
+                || regexp_replace(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                     '/+$', '')
+                || (CASE WHEN array_to_string(list_sort(list_filter(
+                        string_split(regexp_extract(
+                            url, '\?([^#]*)', 1), '&'),
+                        p -> p <> ''
+                             AND NOT starts_with(
+                                 split_part(p, '=', 1), 'utm_')
+                             AND split_part(p, '=', 1) NOT IN
+                                 ('fbclid', 'gclid', 'mc_cid',
+                                  'mc_eid', 'igshid', 'ref_src'))),
+                        '&') <> ''
+                    THEN '?' || array_to_string(list_sort(list_filter(
+                        string_split(regexp_extract(
+                            url, '\?([^#]*)', 1), '&'),
+                        p -> p <> ''
+                             AND NOT starts_with(
+                                 split_part(p, '=', 1), 'utm_')
+                             AND split_part(p, '=', 1) NOT IN
+                                 ('fbclid', 'gclid', 'mc_cid',
+                                  'mc_eid', 'igshid', 'ref_src'))),
+                        '&')
+                    ELSE '' END) AS canonical_url
+              FROM urls
+            )
+            SELECT c.doc_id, c.canonical_url
+            FROM canon c
+            JOIN (SELECT canonical_url, MIN(doc_id) AS doc_id
+                  FROM canon GROUP BY canonical_url) k
+              ON c.doc_id = k.doc_id
+             AND c.canonical_url = k.canonical_url
         """,
         "dsir_select_docs": """
             WITH tok AS (

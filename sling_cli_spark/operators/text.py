@@ -338,3 +338,69 @@ def gopher_quality_filter(
         *[c.alias(name) for name, c in rules.items()],
         passed.alias("pass"),
     )
+
+# ----------------------------------------------------------------------
+# URL canonicalization + dedup (r11 — the Dolma/CCNet URL-dedup
+# preprocessing step: crawls re-fetch the same page under tracking
+# params, mixed-case hosts, default ports, and param-order jitter)
+
+_TRACKING_NAMES = ("fbclid", "gclid", "mc_cid", "mc_eid", "igshid",
+                   "ref_src")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL — pure Catalyst (regexp_extract /
+    split / array_sort), reproducible verbatim in any SQL engine:
+
+    - scheme + host lowercase; default ports stripped (:80 for http,
+      :443 for https)
+    - fragment stripped; trailing path slashes stripped ('' and '/'
+      are the same resource)
+    - tracking params dropped (name starts with ``utm_`` or is one of
+      fbclid/gclid/mc_cid/mc_eid/igshid/ref_src); survivors SORTED so
+      param order never distinguishes two fetches of one page
+    """
+    u = F.trim(url)
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.when(scheme == "http",
+                  F.regexp_replace(host, ":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(host, ":443$", "")) \
+        .otherwise(host)
+    path = F.regexp_replace(
+        F.regexp_extract(
+            u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+        "/+$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+
+    def _kept(p: Column) -> Column:
+        name = F.substring_index(p, "=", 1)
+        cond = (p != "") & ~name.startswith("utm_")
+        for t in _TRACKING_NAMES:
+            cond = cond & (name != t)
+        return cond
+
+    params = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), _kept)), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(params != "", F.concat(F.lit("?"), params))
+        .otherwise(F.lit("")))
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ONE document per canonical URL (the lowest id — the
+    first-fetch convention). One projection + one map-side-combining
+    groupBy(canonical) into a min(id) keeper set + a semi-join back —
+    the exact-dedup shape keyed by canonical URL, never a window over
+    URL partitions (a hot page with millions of re-fetches must not
+    sort in one task)."""
+    canon = df.withColumn("canonical_url",
+                          canonicalize_url(F.col(url_col)))
+    keep = canon.groupBy("canonical_url") \
+        .agg(F.min(F.col(id_col)).alias(id_col))
+    return canon.join(keep, [id_col, "canonical_url"], "left_semi")

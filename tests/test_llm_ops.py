@@ -491,3 +491,32 @@ def test_ngram_novelty(spark):
     got2 = {r.doc_id: r.novelty
             for r in ngram_novelty(df2).collect()}
     assert got2[1] < 1.0 and got2[2] < 1.0
+
+
+def test_canonicalize_url_and_dedup(spark):
+    """r11: URL canonicalization — tracking params drop, survivors
+    sort, hosts lowercase, default ports and trailing slashes strip —
+    and url_dedup keeps one doc per canonical page."""
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.operators.text import canonicalize_url, url_dedup
+
+    df = spark.createDataFrame([
+        (1, "https://Example.com:443/a/b/?utm_source=x&z=1&a=2"),
+        (2, "https://example.com/a/b?a=2&z=1&fbclid=abc"),
+        (3, "http://example.com:80/a/b?a=2&z=1#frag"),   # http != https
+        (4, "https://example.com/a/b?a=2&z=1&ref=keep"),  # extra real param
+        (5, "https://other.com/a/b?a=2&z=1"),
+        (6, "HTTPS://EXAMPLE.COM/a/b?z=1&a=2"),
+    ], "doc_id long, url string")
+    out = df.select("doc_id",
+                    canonicalize_url(F.col("url")).alias("c")) \
+        .collect()
+    canon = {r.doc_id: r.c for r in out}
+    assert canon[1] == canon[2] == canon[6] \
+        == "https://example.com/a/b?a=2&z=1"
+    assert canon[3] == "http://example.com/a/b?a=2&z=1"
+    assert canon[4].endswith("?a=2&ref=keep&z=1")   # sorted, kept
+    assert canon[5].startswith("https://other.com")
+    kept = {r.doc_id for r in url_dedup(df).collect()}
+    assert kept == {1, 3, 4, 5}   # 2 and 6 collapse into 1

@@ -42,7 +42,13 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          "bm25_rank_docs", "tfidf_keywords_docs", "line_dedup_docs",
          "iceberg_view_roundtrip", "delta_replace_where",
          "iceberg_overwrite_where", "token_budget_docs",
-         "ngram_novelty_docs", "atomic_replication_el"]
+         "ngram_novelty_docs", "atomic_replication_el",
+         # round 11: the two-phase global token budget (the fixed weak
+         # item — its only SinglePartition exchange must be the
+         # bucket-totals window), DSIR featurize/score/top-k, and the
+         # lineage-incremental EL read
+         "token_budget_global_docs", "dsir_select_docs",
+         "lineage_el_incremental"]
 
 HEADER = """# Physical plan audit (sf0.1, local[32])
 
