@@ -196,14 +196,21 @@ def vocab_topk(
 
     single = isinstance(n, int)
     ns = (n,) if single else tuple(n)
-    toks = F.filter(_lower_tokens(F.col(text_col)), lambda t: t != "")
+    # token array as a REAL column before the n-gram lambdas: subexpr
+    # elimination is off inside HOF lambdas, so an inline tokenization
+    # would re-split the text per slice() call — quadratic in doc
+    # length (r11; same fix as training._hashed_ngram_buckets)
+    tokd = spread_small_input(df).select(
+        F.filter(_lower_tokens(F.col(text_col)),
+                 lambda t: t != "").alias("__tk"))
+    toks = F.col("__tk")
 
     def _tag(i):  # closure factory: HOF lambdas must take exactly 1 arg
         return lambda t: F.struct(F.lit(i).alias("n"), t.alias("term"))
 
     tagged = F.flatten(F.array(*[
         F.transform(_ngram_terms(toks, i), _tag(i)) for i in ns]))
-    agg = (spread_small_input(df)
+    agg = (tokd
            .select(F.explode(tagged).alias("g"))
            .select("g.n", "g.term")
            .groupBy("n", "term").agg(F.count("*").alias("cnt")))
