@@ -2264,6 +2264,69 @@ streams:
             "user_id", F.col("value").alias("val"),
             F.col("event_id").alias("seq"))
 
+    def cdc_stream_iceberg_upsert(spark, sf):
+        """Streaming CDC into an ICEBERG target (round 11 — the
+        Flink-style twin of cdc_foreachbatch_merge): the same Debezium
+        JSONL stream, but each micro-batch commits ONE O(batch)
+        equality-delete upsert — upserts re-insert, 'd' ops ride the
+        same eq-delete files with no data rows, the target is NEVER
+        scanned (per-trigger cost flat at 100 TB; contrast the Delta
+        twin's CoW merge which probes candidate files). Readers pay
+        merge-on-read until compaction. Same oracle: last-op-wins
+        window dedup, deletes dropped."""
+        import shutil
+        import tempfile
+        import time as _time
+
+        from pyspark.sql import types as T
+
+        from sling_cli_spark.sources.iceberg_py import (
+            read_iceberg, write_iceberg)
+        from sling_cli_spark.streaming.cdc import run_cdc_pipeline
+
+        base = tempfile.mkdtemp(prefix="sling_cdci_")
+        src_dir = os.path.join(base, "in")
+        os.makedirs(src_dir)
+        ev = _t(spark, sf, "events").select("event_id", "user_id",
+                                            "value", "event_type")
+        img = F.struct("user_id", "value", "event_id")
+        env = F.to_json(F.struct(
+            F.when(F.col("event_type") == "error", img).alias("before"),
+            F.when(F.col("event_type") != "error", img).alias("after"),
+            F.when(F.col("event_type") == "signup", F.lit("c"))
+            .when(F.col("event_type") == "error", F.lit("d"))
+            .otherwise(F.lit("u")).alias("op"),
+            F.col("event_id").alias("ts_ms")))
+        now = _time.time()
+        for k in range(3):
+            stage = os.path.join(base, f"stage{k}")
+            # split BY USER (the Kafka partition-ordering contract: one
+            # key's ops never straddle batches) so micro-batch arrival
+            # order cannot change the result
+            ev.filter(F.col("user_id") % 3 == k).select(
+                env.alias("value")).coalesce(1) \
+                .write.mode("overwrite").text(stage)
+            part = next(f for f in sorted(os.listdir(stage))
+                        if f.startswith("part-"))
+            dest = os.path.join(src_dir, f"b{k:03d}.jsonl")
+            shutil.move(os.path.join(stage, part), dest)
+            os.utime(dest, (now + 10 * k, now + 10 * k))
+        row_schema = T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_id", T.LongType())])
+        target = os.path.join(base, "t")
+        write_iceberg(spark.createDataFrame([], row_schema), target)
+        run_cdc_pipeline(
+            spark,
+            {"format": "json", "envelope": "debezium", "path": src_dir,
+             "max_files_per_trigger": 1},
+            row_schema, target, "user_id",
+            checkpoint=os.path.join(base, "ckpt"))
+        return read_iceberg(spark, target).select(
+            "user_id", F.col("value").alias("val"),
+            F.col("event_id").alias("seq"))
+
     def delta_stats_skipping(spark, sf):
         """Stats-based data skipping (delta_py round 7, PROTOCOL.md
         Per-file Statistics): orders lands as a delta table in 4
@@ -4585,6 +4648,7 @@ streams:
         "token_budget_global_docs": token_budget_global_docs,
         "dsir_select_docs": dsir_select_docs,
         "url_dedup_docs": url_dedup_docs,
+        "cdc_stream_iceberg_upsert": cdc_stream_iceberg_upsert,
         "ngram_novelty_docs": ngram_novelty_docs,
         "delta_replace_where": delta_replace_where,
         "iceberg_overwrite_where": iceberg_overwrite_where,
@@ -4646,7 +4710,7 @@ streams:
     window = [
         # --- new in r11 (never driver-checked) ---
         "token_budget_global_docs", "dsir_select_docs",
-        "url_dedup_docs",
+        "url_dedup_docs", "cdc_stream_iceberg_upsert",
         "stream_lineage_iceberg", "stream_rowtracking_delta",
         "lineage_el_incremental",
         # --- last driver-checked r7 (the verdict's list of 20) ---
@@ -4672,7 +4736,7 @@ streams:
         "delete_missing_iceberg", "delta_clone_partitioned",
         "delta_clustering_skipping", "delta_dv_produce",
         "delta_identity_generated", "delta_rename_evolution",
-        "delta_roundtrip", "delta_row_tracking",
+        "delta_roundtrip",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     missing = [k for k in window if k not in d]
@@ -6057,6 +6121,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # last-op-wins per user by event_id; a final 'error' (op d)
         # deletes the row — base.yaml:81-126 window-dedup semantics
+        "cdc_stream_iceberg_upsert": """
+            SELECT user_id, val, seq FROM (
+                SELECT user_id, value AS val, event_id AS seq, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
         "cdc_foreachbatch_merge": """
             SELECT user_id, val, seq FROM (
                 SELECT user_id, value AS val, event_id AS seq, event_type,

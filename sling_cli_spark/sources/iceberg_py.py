@@ -1606,6 +1606,7 @@ def upsert_iceberg(
     src: DataFrame,
     primary_key,
     branch: str = "main",
+    delete_keys: DataFrame | None = None,
 ) -> dict:
     """Flink-style streaming UPSERT via EQUALITY DELETES (spec v2
     §Equality Delete Files): one snapshot commits (a) equality-delete
@@ -1619,6 +1620,10 @@ def upsert_iceberg(
     the batch cannot delete itself, and successive upserts are
     last-write-wins by sequence order. Readers pay the MoR anti-join
     until :func:`compact_iceberg` folds the deletes in.
+
+    ``delete_keys`` (r11): PK-only frame of rows to retire WITHOUT
+    re-insert — the CDC 'd' op; their keys ride the same eq-delete
+    files, so a delete costs O(keys) like everything else here.
 
     Unpartitioned targets only: these delete files are partition-global
     and our delete manifests claim spec 0 — on a partitioned table a
@@ -1659,6 +1664,10 @@ def upsert_iceberg(
     fs.mkdirs(data_dir)
     tmp = fsio.join(data_dir, f".eqstage_{uuid.uuid4().hex[:8]}")
     keys = src.select(*pk).distinct()
+    if delete_keys is not None:
+        # CDC 'd' ops: PKs retired WITHOUT re-insert — they join the
+        # batch's equality-delete files but contribute no data rows
+        keys = keys.unionByName(delete_keys.select(*pk)).distinct()
     keys.write.parquet(tmp)
     ice_keys = _ice_schema_for(
         keys, base=current, last_column_id=meta.get("last-column-id", 0))

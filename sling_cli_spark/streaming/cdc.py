@@ -226,9 +226,43 @@ def run_cdc_stream(
     from sling_cli_spark.operators.merge import merge_change_capture
     from sling_cli_spark.sources.delta_py import (
         is_delta_table, merge_delta, optimize_delta)
+    from sling_cli_spark.sources.iceberg_py import (
+        compact_iceberg, is_iceberg_table)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
+        if is_iceberg_table(target_path):
+            # Flink-style streaming upsert (r11): each micro-batch is
+            # ONE O(batch) equality-delete commit — last-op-wins dedup
+            # inside the batch, upserts re-insert, deletes ride the
+            # same eq-delete files with no data rows; the target is
+            # never scanned, the property that keeps per-trigger cost
+            # flat on a 100 TB table. Readers pay MoR until the
+            # periodic compaction folds the delete debt.
+            from pyspark.sql.window import Window
+
+            from sling_cli_spark.sources.iceberg_py import (
+                _current_metadata, _current_schema, upsert_iceberg)
+
+            w = Window.partitionBy(*(
+                [primary_key] if isinstance(primary_key, str)
+                else list(primary_key))) \
+                .orderBy(F.col(seq_col).desc())
+            latest = batch.withColumn(
+                "__rn", F.row_number().over(w)).filter("__rn = 1")
+            _, meta = _current_metadata(target_path)
+            cols = [f["name"] for f in
+                    (_current_schema(meta) or {"fields": []})["fields"]]
+            ups = latest.filter(
+                F.coalesce(F.col(op_col), F.lit("")) != "D") \
+                .select(*[c for c in cols if c in latest.columns])
+            dels = latest.filter(F.col(op_col) == "D")
+            upsert_iceberg(sess, target_path, ups, primary_key,
+                           delete_keys=dels)
+            if compact_every and batch_id > 0 \
+                    and batch_id % compact_every == 0:
+                compact_iceberg(sess, target_path)
+            return
         if is_delta_table(target_path):
             merge_delta(
                 sess, target_path, batch, primary_key,

@@ -1,6 +1,7 @@
 """Property-based tests (hypothesis) for the pure driver-side logic:
 type widening, select parsing, partition masks, state store, intervals."""
 
+import re
 import string
 
 from hypothesis import given, settings
@@ -284,3 +285,72 @@ def test_temporal_transforms_are_monotone_consistent(d):
     assert y == d.year - 1970
     assert m == (d.year - 1970) * 12 + d.month - 1
     assert datetime.date(1970, 1, 1) + datetime.timedelta(days=dd) == d
+
+
+# --- r11 ported helpers: property coverage -------------------------------
+
+_decimal_str = st.from_regex(r"-?[0-9]{1,12}(\.[0-9]{1,12})?",
+                             fullmatch=True)
+
+
+@given(_decimal_str, st.integers(min_value=-2, max_value=15))
+def test_truncate_decimal_is_value_preserving_prefix(num, dec):
+    from sling_cli_spark.operators.inference import (
+        truncate_decimal_string)
+
+    out = truncate_decimal_string(num, dec)
+    assert num.startswith(out)
+    # decimal places in the result never exceed the requested count
+    if "." in out and dec >= 0:
+        assert len(out.split(".", 1)[1]) <= dec
+
+
+@given(_decimal_str)
+def test_count_digits_consistency(num):
+    from sling_cli_spark.operators.inference import count_digits
+
+    precision, scale = count_digits(num)
+    assert precision == len(num.replace(".", "").replace("-", "")) \
+        + num.count("-")  # '-' counts as a char in the Go port
+    assert 0 <= scale <= precision
+
+
+@given(st.text(min_size=0, max_size=40))
+def test_clean_name_shape_and_idempotence(name):
+    from sling_cli_spark.operators.select import clean_name
+
+    out = clean_name(name)
+    assert re.fullmatch(r"[_0-9A-Za-z]*", out) is not None
+    assert not re.match(r"^\d", out)          # never digit-led
+    assert clean_name(out) == out             # idempotent
+
+
+@given(st.text(min_size=0, max_size=60))
+def test_decode_json_if_base64_total_and_idempotent(s):
+    import json as _json
+
+    from sling_cli_spark.config import decode_json_if_base64 as dec
+
+    out = dec(s)   # never raises, whatever arrives
+    if out != s:   # a rewrite only ever produces valid JSON
+        _json.loads(out)
+    assert dec(out) == out  # idempotent
+
+
+@given(st.integers(min_value=0, max_value=50),
+       st.integers(min_value=0, max_value=30),
+       st.booleans(),
+       st.integers(min_value=0, max_value=20),
+       st.integers(min_value=0, max_value=10))
+def test_decimal_apply_column_respects_bounds(p, s, sourced, max_len,
+                                              max_dec_len):
+    from sling_cli_spark.operators.typing_policy import DecimalTyping
+
+    dct = DecimalTyping(max_precision=20, max_scale=8)
+    precision, scale = dct.apply_column(
+        db_precision=p, db_scale=s, sourced=sourced,
+        max_len=max_len, max_dec_len=max_dec_len)
+    # explicit maxima always bind (the stats floor yields to them)
+    assert precision <= max(20, max_len)
+    assert scale <= 8
+    assert precision >= 1 or (p == 0 and max_len == 0)

@@ -1199,3 +1199,62 @@ def test_delta_stream_with_row_ids(spark, tmp_path):
               .option("checkpointLocation", str(tmp_path / "c2"))
               .trigger(availableNow=True).start())
         q2.awaitTermination()
+
+
+def test_cdc_stream_into_iceberg_eq_upsert(spark, tmp_path):
+    """r11: streaming CDC into an ICEBERG target — each micro-batch
+    commits ONE Flink-style equality-delete upsert (upserts re-insert,
+    'd' ops ride the same eq-delete files with no data rows; the
+    target is never scanned). Result matches the Delta foreachBatch
+    merge twin's semantics: last op wins per key across batches."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from sling_cli_spark.sources.iceberg_py import (
+        read_iceberg, write_iceberg)
+    from sling_cli_spark.streaming.cdc import run_cdc_pipeline
+
+    src_dir = str(tmp_path / "in")
+    _os.makedirs(src_dir)
+
+    def env(op, uid, val, seq):
+        img = {"user_id": uid, "value": val, "event_id": seq}
+        return _json.dumps({
+            "before": img if op == "d" else None,
+            "after": None if op == "d" else img,
+            "op": op, "ts_ms": seq})
+
+    batches = [
+        [env("c", 1, 1.0, 1), env("c", 2, 2.0, 2), env("c", 3, 3.0, 3)],
+        [env("u", 1, 10.0, 4), env("d", 2, 2.0, 5)],
+        # delete then re-create inside one batch: last op wins
+        [env("d", 3, 3.0, 6), env("c", 3, 30.0, 7), env("c", 4, 4.0, 8)],
+    ]
+    import time as _time
+    now = _time.time()
+    for k, lines in enumerate(batches):
+        p = _os.path.join(src_dir, f"b{k:03d}.jsonl")
+        with open(p, "w") as f:
+            f.write("\n".join(lines))
+        # the file source orders micro-batches by MODIFICATION TIME and
+        # same-second ties break arbitrarily — pin distinct mtimes so
+        # the cross-batch last-write-wins assertion is deterministic
+        _os.utime(p, (now + 10 * k, now + 10 * k))
+
+    row_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("event_id", T.LongType())])
+    target = str(tmp_path / "t")
+    write_iceberg(spark.createDataFrame([], row_schema), target)
+    run_cdc_pipeline(
+        spark,
+        {"format": "json", "envelope": "debezium", "path": src_dir,
+         "max_files_per_trigger": 1},
+        row_schema, target, "user_id",
+        checkpoint=str(tmp_path / "ck"))
+    got = {r.user_id: (r.value, r.event_id)
+           for r in read_iceberg(spark, target).collect()}
+    assert got == {1: (10.0, 4), 3: (30.0, 7), 4: (4.0, 8)}, got
