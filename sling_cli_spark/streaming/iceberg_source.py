@@ -558,6 +558,12 @@ class _IceStreamWriter(DataSourceStreamWriter):
         fsio.local_path(self._path)  # executors write with plain I/O
         self._app = options.get("txnappid") or options.get("txnAppId") \
             or f"iceberg_stream-{_uuid.uuid4().hex[:12]}"
+        # table format version when the SINK creates the target
+        # (r11): 3 makes every micro-batch commit assign row-lineage
+        # first_row_id ranges — the lineage stream reader's input
+        self._format_version = int(
+            options.get("formatversion",
+                        options.get("formatVersion", 2)))
         self._schema = schema
         bad = [f.name for f in schema.fields
                if f.dataType.typeName() not in _SINK_SIMPLE]
@@ -715,8 +721,9 @@ class _IceStreamWriter(DataSourceStreamWriter):
                 if snap is not None:
                     reuse = read_avro(snap["manifest-list"])[1]
             else:
-                meta = _init_meta(shim, self._path, self._part_cols,
-                                  format_version=2)
+                meta = _init_meta(
+                    shim, self._path, self._part_cols,
+                    format_version=getattr(self, "_format_version", 2))
             seen = self._committed_batch(meta)
             if seen is not None and seen >= batchId:
                 self._cleanup(messages)  # engine re-ran a committed batch

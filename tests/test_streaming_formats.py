@@ -1258,3 +1258,48 @@ def test_cdc_stream_into_iceberg_eq_upsert(spark, tmp_path):
     got = {r.user_id: (r.value, r.event_id)
            for r in read_iceberg(spark, target).collect()}
     assert got == {1: (10.0, 4), 3: (30.0, 7), 4: (4.0, 8)}, got
+
+
+def test_iceberg_stream_pipe_v3_lineage_roundtrip(spark, tmp_path):
+    """r11: the FULL streaming lineage loop — a v3 source streams
+    through an iceberg->iceberg pipe whose SINK creates the target at
+    formatVersion=3 (every micro-batch commit assigns first_row_id
+    ranges), then a withRowLineage stream READ of the target yields
+    dense non-null ids that match the batch read."""
+    from sling_cli_spark.sources.iceberg_py import (
+        read_iceberg, write_iceberg)
+    from sling_cli_spark.streaming.iceberg_source import (
+        register_iceberg_stream)
+
+    register_iceberg_stream(spark)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_iceberg(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1), src,
+        format_version=3)
+    write_iceberg(spark.createDataFrame(
+        [(3, "c")], "id long, v string").coalesce(1), src,
+        mode="append")
+
+    q = (spark.readStream.format("iceberg_stream").option("path", src)
+         .load()
+         .writeStream.format("iceberg_stream").option("path", dst)
+         .option("formatVersion", "3")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    batch = read_iceberg(spark, dst, with_row_ids=True)
+    rows = {(r.id, r._row_id) for r in batch.collect()}
+    assert len(rows) == 3
+    assert sorted(rid for _, rid in rows) == [0, 1, 2], rows
+
+    out = str(tmp_path / "out")
+    q2 = (spark.readStream.format("iceberg_stream").option("path", dst)
+          .option("withRowLineage", "true").load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", str(tmp_path / "ck2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    streamed = {(r.id, r._row_id)
+                for r in spark.read.parquet(out).collect()}
+    assert streamed == rows
