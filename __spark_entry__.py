@@ -4703,7 +4703,16 @@ streams:
     # readers -> delta/iceberg stream + cdc queries; the regression
     # watch list -> delta_restore / iceberg_v3_dv_produce; the pinned
     # upsert semantics -> iceberg_eq_upsert), alphabetical r8 fill
-    # after. The 23 remaining r8-checked queries rotate to r12's lead.
+    # after. The 27 remaining r8-checked queries rotate to r12's lead
+    # (delta_row_tracking, delta_shallow_clone, delta_uniform,
+    # delta_zorder_skipping, distinct_rows, exact_dedup_docs,
+    # excel_roundtrip, iceberg_delta_sync, iceberg_partition_evolution,
+    # iceberg_partitions_meta, iceberg_refs, iceberg_rollback,
+    # iceberg_roundtrip, lang_id_docs, merge_file_granular,
+    # merge_partitioned_delta, merge_update_insert_delta,
+    # percentile_orders, quality_docs, row_constraints, sas_roundtrip,
+    # sql_on_files, star_join_agg, stream_sessionize_events,
+    # stream_window_watermark_events, token_count_docs, ws_token_docs).
     # Every query outside the window is re-verified locally each round
     # (tools/check_correctness.py) and was judge-re-run green in r10
     # (VERDICT r10: 170/170).
