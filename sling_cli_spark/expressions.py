@@ -55,11 +55,26 @@ DEFAULT_PREFIXES = (
 
 # ---------------------------------------------------------------- matches
 
-def _find_spans(text: str) -> list[tuple[int, int, str]]:
-    """``(start, end, expr)`` for each ``{...}`` span (end exclusive,
-    braces included in [start, end)): skips JSON object-key braces,
-    honors nesting and double quotes (transforms.go FindMatches)."""
-    out: list[tuple[int, int, str]] = []
+class _Span:
+    """One ``{...}`` span: [start, end) includes the braces; ``raw`` is
+    the interior verbatim (un-stripped, transforms.go returns it raw);
+    ``nested`` means the interior contains a ``{`` OUTSIDE double quotes
+    — the reference recurses into such spans (GraphQL bodies) instead of
+    treating them as one expression."""
+
+    __slots__ = ("start", "end", "raw", "nested")
+
+    def __init__(self, start: int, end: int, raw: str, nested: bool):
+        self.start, self.end, self.raw, self.nested = start, end, raw, nested
+
+
+def _scan_spans(text: str, strict: bool = False) -> list[_Span]:
+    """Spans for each ``{...}`` in ``text``: skips JSON object-key braces,
+    honors nesting and double quotes (transforms.go FindMatches). With
+    ``strict`` an unterminated ``{`` raises (reference behavior); the
+    lenient mode treats it as literal text (render paths see arbitrary
+    SQL/YAML where a stray brace must not be fatal)."""
+    out: list[_Span] = []
     n, i = len(text), 0
     while i < n:
         if text[i] != "{":
@@ -79,7 +94,7 @@ def _find_spans(text: str) -> list[tuple[int, int, str]]:
             if k < n and text[k] == ":":
                 i += 1  # scan inside the JSON object for nested spans
                 continue
-        depth, k, in_str = 1, i + 1, False
+        depth, k, in_str, nested = 1, i + 1, False, False
         while k < n and depth:
             c = text[k]
             if c == "\\" and k + 1 < n:
@@ -90,17 +105,25 @@ def _find_spans(text: str) -> list[tuple[int, int, str]]:
             elif not in_str:
                 if c == "{":
                     depth += 1
+                    nested = True
                 elif c == "}":
                     depth -= 1
             k += 1
         if depth == 0:
-            expr = text[i + 1:k - 1].strip()
-            if expr:
-                out.append((i, k, expr))
+            out.append(_Span(i, k, text[i + 1:k - 1], nested))
             i = k
+        elif strict:
+            raise ExpressionError(f"unclosed bracket in: {text}")
         else:
             i += 1
     return out
+
+
+def _find_spans(text: str) -> list[tuple[int, int, str]]:
+    """Back-compat view: ``(start, end, stripped_expr)`` per span,
+    empty expressions dropped (lenient render-path contract)."""
+    return [(sp.start, sp.end, sp.raw.strip())
+            for sp in _scan_spans(text) if sp.raw.strip()]
 
 
 def find_matches(text: str) -> list[str]:
@@ -111,25 +134,53 @@ def find_matches(text: str) -> list[str]:
 
 _IDENT = r"[A-Za-z_]\w*"
 _PATH_RE = re.compile(
-    rf"^{_IDENT}(\.{_IDENT}|\[-?\d+\]|\[\*\])*$")
+    rf"^{_IDENT}(\.{_IDENT}|\[-?\d+\]|\[\*\]|\[\?[^\]]+\])*$")
+_FILTER_RE = re.compile(r"^(\w+)\s*(==|!=)\s*(.+?)\s*$")
+
+
+def _filter_literal(tok: str) -> Any:
+    """JMESPath filter RHS: `json` backtick literal, 'raw' string, or a
+    bare number/identifier."""
+    tok = tok.strip()
+    if len(tok) >= 2 and tok[0] == "`" and tok[-1] == "`":
+        try:
+            return json.loads(tok[1:-1])
+        except ValueError:
+            return tok[1:-1]
+    if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
+        return tok[1:-1]
+    try:
+        return json.loads(tok)
+    except ValueError:
+        return tok
 
 
 def search_path(path: str, state: Mapping) -> Any:
     """jmespath-subset lookup: dotted keys, ``[n]`` indexing (negative
-    ok), ``[*]`` projection. Returns None on any miss (jmespath
-    contract), never raises."""
-    toks = re.findall(rf"{_IDENT}|\[-?\d+\]|\[\*\]", path)
+    ok), ``[*]`` projection, ``[?field == `lit`]`` filters (the subset
+    the reference's specs/tests exercise). Returns None on any miss
+    (jmespath contract), never raises."""
+    toks = re.findall(rf"{_IDENT}|\[-?\d+\]|\[\*\]|\[\?[^\]]+\]", path)
     cur: Any = state
 
     def descend(node: Any, toks: list[str]) -> Any:
         for t_i, t in enumerate(toks):
             if node is None:
                 return None
-            if t == "[*]":
+            if t == "[*]" or t.startswith("[?"):
                 if not isinstance(node, list):
                     return None
+                items = node
+                if t.startswith("[?"):
+                    m = _FILTER_RE.match(t[2:-1])
+                    if not m:
+                        return None
+                    key, op, rhs = m.group(1), m.group(2), \
+                        _filter_literal(m.group(3))
+                    items = [x for x in node if isinstance(x, Mapping)
+                             and ((x.get(key) == rhs) == (op == "=="))]
                 rest = toks[t_i + 1:]
-                vals = [descend(x, rest) for x in node]
+                vals = [descend(x, rest) for x in items]
                 return [v for v in vals if v is not None]
             if t.startswith("["):
                 if not isinstance(node, (list, tuple)):
@@ -147,13 +198,18 @@ def search_path(path: str, state: Mapping) -> Any:
 
 # ----------------------------------------------------------- function map
 
+def _json_compact(v: Any) -> str:
+    """Go ``json.Marshal`` shape: no spaces, map keys sorted."""
+    return json.dumps(v, separators=(",", ":"), sort_keys=True, default=str)
+
+
 def _to_str(v: Any) -> str:
     if v is None:
         return _NIL_STR
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, (dict, list)):
-        return json.dumps(v, default=str)
+        return _json_compact(v)
     return str(v)
 
 
@@ -236,7 +292,34 @@ def default_functions() -> dict[str, Callable]:
             _to_str(s).encode()).decode(),
         "decode_base64": lambda s: __import__("base64").b64decode(
             _to_str(s)).decode(),
+        "cast": _cast,
+        "concat": lambda *a: "".join(_to_str(x) for x in a),
+        "format": _format,
     }
+
+
+def _cast(v: Any, typ: str) -> Any:
+    """cast(value, "string"|"int"|"float"|"bool") — transforms_test.go's
+    ``cast(state.limit, "string")`` census."""
+    t = str(typ).lower()
+    if t in ("string", "str", "text"):
+        return _to_str(v) if v is not None else None
+    if t in ("int", "integer", "bigint"):
+        return int(float(v))
+    if t in ("float", "double", "decimal", "number"):
+        return float(v)
+    if t in ("bool", "boolean"):
+        return _truthy(v) if not isinstance(v, str) else \
+            v.strip().lower() in ("true", "1", "yes", "y", "t")
+    raise ExpressionError(f"cast: unknown type {typ!r}")
+
+
+def _format(fmt: Any, *args: Any) -> str:
+    """Go-style ``format("a {} b", x)``: positional ``{}`` fill-ins."""
+    out = _to_str(fmt)
+    for a in args:
+        out = out.replace("{}", _to_str(a), 1)
+    return out
 
 
 def _jmespath_on(obj: Any, path: str) -> Any:
@@ -539,6 +622,7 @@ class Evaluator:
         var_prefixes: tuple[str, ...] = DEFAULT_PREFIXES,
         functions: Mapping[str, Callable] | None = None,
         keep_missing: bool = False,
+        allow_no_prefix: bool | None = None,
     ):
         self.state = dict(state or {})
         self.prefixes = tuple(var_prefixes)
@@ -546,6 +630,12 @@ class Evaluator:
         if functions:
             self.functions.update(functions)
         self.keep_missing = keep_missing
+        # AllowNoPrefix (transforms.go): True renders bare `{MY_VAR}`
+        # spans from root state (missing -> nil); False never renders
+        # bare-identifier spans. None = auto: render only when the bare
+        # name is present in state (the engine's internal contract —
+        # `{stream_table}` runtime vars stay intact for config.render_vars).
+        self.allow_no_prefix = allow_no_prefix
 
     # -- public -----------------------------------------------------------
 
@@ -569,9 +659,12 @@ class Evaluator:
 
     def render(self, value: Any, extras: Mapping | None = None) -> Any:
         """RenderPayload: recurse into dict/list; strings get expression
-        spans rendered (typed when the whole string is one span)."""
+        spans rendered (typed when the whole string is one span).
+        Non-string map keys stringify (Go round-trips payloads through
+        json.Marshal, so ``123``/``true`` keys become ``"123"``/``"true"``)."""
         if isinstance(value, Mapping):
-            return {k: self.render(v, extras) for k, v in value.items()}
+            return {(k if isinstance(k, str) else _to_str(k)):
+                    self.render(v, extras) for k, v in value.items()}
         if isinstance(value, (list, tuple)):
             return [self.render(v, extras) for v in value]
         if not isinstance(value, str):
@@ -583,10 +676,114 @@ class Evaluator:
         if out is None:
             return ""
         if isinstance(out, (dict, list)):
-            return json.dumps(out, default=str)
+            return _json_compact(out)
         if isinstance(out, bool):
             return "true" if out else "false"
         return str(out)
+
+    def check(self, expression: str) -> None:
+        """transforms.go Check(): reject single-quoted strings, unclosed
+        double quotes, and unbalanced parentheses. Quote errors win over
+        parenthesis errors (the reference validates quotes first)."""
+        in_str, depth = False, 0
+        i, n = 0, len(expression)
+        while i < n:
+            c = expression[i]
+            if in_str:
+                if c == "\\":
+                    i += 2
+                    continue
+                if c == '"':
+                    in_str = False
+            elif c == '"':
+                in_str = True
+            elif c == "'":
+                raise ExpressionError(
+                    "cannot use single quotes (') for strings in "
+                    f'expression, use double quotes ("): {expression}')
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth < 0:
+                    raise ExpressionError(
+                        f"unmatched closing parenthesis in: {expression}")
+            i += 1
+        if in_str:
+            raise ExpressionError(
+                f"unclosed double quote in: {expression}")
+        if depth > 0:
+            raise ExpressionError(f"unclosed parenthesis in: {expression}")
+
+    def find_matches(self, text: str) -> list[str]:
+        """transforms.go Evaluator.FindMatches: raw (un-stripped) span
+        interiors; spans whose interior holds an unquoted ``{`` are
+        recursed into instead of returned whole (GraphQL bodies); raises
+        on an unclosed ``{``."""
+        out: list[str] = []
+
+        def walk(t: str) -> None:
+            for sp in _scan_spans(t, strict=True):
+                if sp.nested:
+                    walk(sp.raw)
+                else:
+                    out.append(sp.raw)
+
+        walk(text)
+        return out
+
+    def extract_vars(self, expr: str) -> list[str]:
+        """transforms.go ExtractVars: dotted references under a known
+        prefix (duplicates preserved), skipping string-literal contents;
+        with ``allow_no_prefix`` also bare identifiers that are not
+        prefixes, functions, keywords, or call heads."""
+        masked = re.sub(r'"(?:\\.|[^"\\])*"', '""', expr)
+        out: list[str] = []
+        for m in re.finditer(rf"\b({_IDENT})((?:\.{_IDENT})*)", masked):
+            head, rest = m.group(1), m.group(2)
+            if rest:
+                if head in self.prefixes:
+                    out.append(head + rest)
+                continue
+            if not self.allow_no_prefix:
+                continue
+            if head in self.prefixes or head in self.functions or \
+                    head in ("true", "false", "null", "nil"):
+                continue
+            if re.match(r"\s*\(", masked[m.end():]):
+                continue  # function-call head
+            out.append(head)
+        return out
+
+    def fill_missing_keys(
+        self, initial_state: Mapping | None, vars_to_check: list[str],
+    ) -> dict:
+        """transforms.go FillMissingKeys: ensure every referenced var
+        resolves (missing leaves -> None) so evaluation sees nil instead
+        of erroring. Unknown prefixes and non-map intermediates skip."""
+        state = initial_state if initial_state is not None else {}
+        for var in vars_to_check:
+            parts = var.split(".")
+            if len(parts) == 1:
+                if self.allow_no_prefix and parts[0] not in self.prefixes:
+                    state.setdefault(parts[0], None)
+                continue
+            if parts[0] not in self.prefixes:
+                continue
+            node = state
+            ok = True
+            for p in parts[:-1]:
+                nxt = node.get(p)
+                if nxt is None:
+                    nxt = {}
+                    node[p] = nxt
+                elif not isinstance(nxt, dict):
+                    ok = False
+                    break
+                node = nxt
+            if ok and parts[-1] not in node:
+                node[parts[-1]] = None
+        return state
 
     # -- internals --------------------------------------------------------
 
@@ -604,27 +801,55 @@ class Evaluator:
     def _renderable(self, expr: str) -> bool:
         """canRender: known prefix usage, a registered function call, or
         evaluation operators. Bare ``{stream_table}`` spans are left for
-        the runtime-var renderer."""
+        the runtime-var renderer unless ``allow_no_prefix`` is True
+        (then every bare identifier renders, missing -> nil) or auto
+        (None: render only names present in state)."""
         for p in self.prefixes:
             if re.search(rf"\b{p}\.", expr):
                 return True
         if self._calls_function(expr):
             return True
         head = expr.split(".", 1)[0]
-        if head in self.state or head in self.prefixes:
+        if head in self.prefixes:
+            return True
+        if self.allow_no_prefix is False:
+            pass  # bare identifiers never render
+        elif self.allow_no_prefix and re.fullmatch(_IDENT, expr):
+            return True
+        elif self.allow_no_prefix is None and head in self.state:
             return True
         return bool(_OPS_HINT.search(_strip_strings(expr)))
 
+    def _has_missing_var(self, expr: str, extras: Mapping | None) -> bool:
+        """KeepMissingExpr gate: does the expression reference a
+        prefixed variable absent from (or nil in) the state? The
+        reference keeps the whole span intact in that case, even when
+        the expression would evaluate (``{ upper(state.email) }``)."""
+        state = self._merged(extras)
+        return any(search_path(var, state) is None
+                   for var in self.extract_vars(expr))
+
     def _render_str(self, text: str, extras: Mapping | None) -> Any:
-        spans = _find_spans(text)
+        spans = _scan_spans(text)
         if not spans:
             return text
-        whole = (len(spans) == 1
-                 and text.strip() == text[spans[0][0]:spans[0][1]])
+        whole = (len(spans) == 1 and not spans[0].nested
+                 and text.strip() == text[spans[0].start:spans[0].end])
         pieces: list[str] = []
         last = 0
-        for start, end, expr in spans:
-            if not self._renderable(expr):
+        for sp in spans:
+            if sp.nested:
+                # unquoted nested braces (GraphQL bodies): recurse into
+                # the interior, preserve the outer braces verbatim
+                inner = self._render_str(sp.raw, extras)
+                pieces.append(text[last:sp.start])
+                pieces.append("{" + _render_piece(inner) + "}")
+                last = sp.end
+                continue
+            expr = sp.raw.strip()
+            if not expr or not self._renderable(expr):
+                continue
+            if self.keep_missing and self._has_missing_var(expr, extras):
                 continue
             try:
                 value = self.evaluate(expr, extras)
@@ -634,15 +859,22 @@ class Evaluator:
                 raise
             if whole:
                 return value  # typed passthrough
-            pieces.append(text[last:start])
-            pieces.append("" if value is None else (
-                json.dumps(value, default=str)
-                if isinstance(value, (dict, list)) else
-                ("true" if value is True else
-                 "false" if value is False else str(value))))
-            last = end
+            pieces.append(text[last:sp.start])
+            pieces.append("" if value is None else _render_piece(value))
+            last = sp.end
         pieces.append(text[last:])
         return "".join(pieces)
+
+
+def _render_piece(value: Any) -> str:
+    """String form of a rendered value inside a larger string."""
+    if isinstance(value, (dict, list)):
+        return _json_compact(value)
+    if value is True:
+        return "true"
+    if value is False:
+        return "false"
+    return str(value)
 
 
 def _strip_strings(expr: str) -> str:

@@ -182,6 +182,28 @@ def load_pipeline(text_or_path: str) -> list[dict[str, Any]]:
     return d.get("steps") or []
 
 
+def _fill_step_vars(evaluator, payload: Any) -> None:
+    """FillMissingKeys over every expression span in the step payload
+    (reference: transforms.go RenderAny runs ExtractVars + FillMissingKeys
+    when KeepMissingExpr is off) — missing env/state refs become nil
+    leaves so functions like coalesce see them instead of erroring."""
+    from sling_cli_spark.expressions import find_matches
+
+    def walk(v: Any) -> None:
+        if isinstance(v, dict):
+            for x in v.values():
+                walk(x)
+        elif isinstance(v, (list, tuple)):
+            for x in v:
+                walk(x)
+        elif isinstance(v, str):
+            for expr in find_matches(v):
+                evaluator.fill_missing_keys(
+                    evaluator.state, evaluator.extract_vars(expr))
+
+    walk(payload)
+
+
 def run_pipeline(
     spark, steps: list[dict[str, Any]], env: dict[str, str] | None = None,
 ) -> list[Any]:
@@ -195,15 +217,21 @@ def run_pipeline(
 
     ctx: dict[str, str] = dict(env or {})
     state_ns: dict[str, Any] = {}  # TYPED step results, keyed by step id
+    # keep_missing=False + fill-missing-first is the reference's render
+    # mode for owned namespaces (transforms.go RenderAny: `if
+    # !e.KeepMissingExpr { stateMap = e.FillMissingKeys(...) }`) — a
+    # missing env/state var evaluates as nil so `coalesce(env.X, "d")`
+    # falls back instead of keeping the span. Unprefixed runtime vars
+    # ({stream_table}) are non-renderable and stay intact regardless.
     evaluator = Evaluator(
         state={"env": dict(env or {}), "state": state_ns},
-        keep_missing=True,  # later-stage spans (runtime vars) stay intact
     )
     results: list[Any] = []
     for i, step in enumerate(steps):
         # `{ expr }` rendering over env/state namespaces (reference routes
         # every hook payload through the Evaluator, transforms.go:729+);
         # flat `{state.N}` render_vars below stays for legacy templates
+        _fill_step_vars(evaluator, step)
         step = evaluator.render(step)
         kind = step.get("type")
         if kind not in _STEP_TYPES:

@@ -126,10 +126,16 @@ def test_empty_array_jmespath_is_nil():
 
 
 def test_keep_missing_leaves_expression():
+    # reference semantics (transforms_test.go TestEvaluatorKeepMissingExpr):
+    # a span referencing a missing var stays INTACT, it does not render ""
     ev2 = Evaluator(state={}, keep_missing=True)
-    assert ev2.render("Value: {state.missing_var}") == "Value: "
+    assert ev2.render("Value: {state.missing_var}") == \
+        "Value: {state.missing_var}"
     # hard failures (unknown function) keep the span instead of raising
     assert ev2.render("X: {whatever_fn(1)}") == "X: {whatever_fn(1)}"
+    # without keep_missing, the missing var renders empty
+    assert Evaluator(state={}).render("Value: {state.missing_var}") == \
+        "Value: "
 
 
 def test_extras_override(ev):
