@@ -30,7 +30,19 @@ from pyspark.sql import types as T
 # transform implementations (reference file:line cited per entry)
 
 # printable-hygiene regex: control chars except \t \n \r
-_NON_PRINTABLE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+# ReplaceNonPrintable (transforms.go): control chars 1-8 and 14-31 and
+# NBSP become a SPACE; NUL/DEL/C1 controls, zero-width + directional
+# marks, soft hyphen, object/replacement chars, and every other
+# non-graphic rune are REMOVED; \t \n \x0b \x0c \r stay verbatim.
+_NP_TO_SPACE = "[\\x01-\\x08\\x0e-\\x1f\\u00a0]"
+_NP_REMOVE = ("[\\x00\\x7f\\x80-\\x9f\\u00ad\\u200b-\\u200f"
+              "\\u202a-\\u202e\\u2060\\ufeff\\ufffc\\ufffd"
+              "\\p{Cf}\\p{Co}\\p{Cn}\\p{Zl}\\p{Zp}]")
+
+
+def _replace_non_printable(c: Column) -> Column:
+    out = F.regexp_replace(c, _NP_TO_SPACE, " ")
+    return F.regexp_replace(out, _NP_REMOVE, "")
 
 _ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
 _ACCENT_DST = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY"
@@ -83,15 +95,41 @@ _FIX_TAGS = {
     1: "account", 6: "avg_px", 8: "begin_string", 9: "body_length",
     10: "check_sum", 11: "cl_ord_id", 14: "cum_qty", 15: "currency",
     17: "exec_id", 20: "exec_trans_type", 21: "handl_inst",
-    22: "security_id_source", 31: "last_px", 32: "last_qty",
-    34: "msg_seq_num", 35: "msg_type", 37: "order_id", 38: "order_qty",
-    39: "ord_status", 40: "ord_type", 41: "orig_cl_ord_id", 44: "price",
+    22: "security_id_source", 30: "last_mkt", 31: "last_px",
+    32: "last_qty", 34: "msg_seq_num", 35: "msg_type", 37: "order_id",
+    38: "order_qty", 39: "ord_status", 40: "ord_type",
+    41: "orig_cl_ord_id", 44: "price", 47: "rule80_a",
     48: "security_id", 49: "sender_comp_id", 52: "sending_time",
     54: "side", 55: "symbol", 56: "target_comp_id", 58: "text",
-    59: "time_in_force", 60: "transact_time", 75: "trade_date",
-    100: "ex_destination", 150: "exec_type", 151: "leaves_qty",
-    167: "security_type", 207: "security_exchange",
+    59: "time_in_force", 60: "transact_time", 63: "settl_type",
+    64: "settl_date", 75: "trade_date", 76: "exec_broker",
+    98: "encrypt_method", 100: "ex_destination", 108: "heart_bt_int",
+    110: "min_qty", 115: "on_behalf_of_comp_id",
+    116: "on_behalf_of_sub_id", 119: "settl_curr_amt",
+    120: "settl_currency", 126: "expire_time", 128: "deliver_to_comp_id",
+    129: "deliver_to_sub_id", 150: "exec_type", 151: "leaves_qty",
+    152: "cash_order_qty", 167: "security_type",
+    207: "security_exchange",
 }
+
+
+# A hex PAIR (one byte) that marks data as "binary" per the reference's
+# BinaryToDecimal scan: >0x7F, or a control char other than \t \n \r.
+# Anchored by consuming whole pairs from the string start so a pattern
+# can't straddle two bytes.
+_BINARY_PAIR = r"^(?:[0-9A-F]{2})*?(?:[89A-F][0-9A-F]|0[0-8BCEF]|1[0-9A-F])"
+
+
+def _binary_to_decimal(c: Column) -> Column:
+    """MySQL BIT -> decimal string (transforms.go BinaryToDecimal):
+    1-8 bytes of binary-looking data convert big-endian to an unsigned
+    decimal; longer values and plain printable text pass through as-is
+    (``b"hello"`` stays ``"hello"``). All-JVM: hex + one anchored regexp."""
+    h = F.hex(c)
+    return F.when(
+        (F.length(c) > 0) & (F.length(c) <= 8) & h.rlike(_BINARY_PAIR),
+        F.conv(h, 16, 10),
+    ).otherwise(c.cast("string"))
 
 
 def _parse_fix(c: Column) -> Column:
@@ -104,6 +142,7 @@ def _parse_fix(c: Column) -> Column:
     s = F.trim(c.cast("string"))
     s = F.regexp_replace(s, "[\x01|\n]+", "\x01")
     s = F.regexp_replace(s, r"\s+(?=[0-9]+=)", "\x01")  # space-delimited FIX
+    s = F.regexp_replace(s, "\x01+", "\x01")  # " | " forms leave runs
     s = F.regexp_replace(s, "^\x01+|\x01+$", "")
     m = F.str_to_map(s, F.lit("\x01"), F.lit("="))
     tag_names = F.create_map(
@@ -165,15 +204,14 @@ _REGISTRY: dict[str, tuple[Callable[[Column], Column], str]] = {
     "replace_accents": (
         lambda c: F.translate(c, _ACCENT_SRC, _ACCENT_DST), "string"),
     "replace_0x00": (lambda c: F.regexp_replace(c, "\x00", ""), "string"),
-    "replace_non_printable": (
-        lambda c: F.regexp_replace(c, _NON_PRINTABLE, ""), "string"),
+    "replace_non_printable": (_replace_non_printable, "string"),
     "empty_as_null": (_empty_as_null, "string"),
     # parsing (transforms.go:303-365)
     "parse_uuid": (_parse_uuid, "binary"),
     "parse_ms_uuid": (_parse_ms_uuid, "binary"),
     "parse_bit": (_parse_bit, "binary"),
-    "binary_to_hex": (lambda c: F.lower(F.hex(c)), "binary"),
-    "binary_to_decimal": (lambda c: F.conv(F.hex(c), 16, 10), "binary"),
+    "binary_to_hex": (lambda c: F.hex(c), "binary"),
+    "binary_to_decimal": (_binary_to_decimal, "binary"),
     # list/json (transforms.go:231-236 duckdb_list_to_text)
     "list_to_text": (lambda c: F.concat_ws(",", c), "any"),
     # FIX protocol -> JSON (transforms.go:344-348, 429-521, 621-628)

@@ -35,7 +35,9 @@ def test_empty_as_null(spark):
 
 
 def test_replace_non_printable(spark):
-    assert _one(spark, "a\x01b\x02c", "replace_non_printable") == "abc"
+    # reference ReplaceNonPrintable: control chars 1-8/14-31 become a
+    # SPACE (not removed) — transforms.go `newVal.WriteRune(' ')`
+    assert _one(spark, "a\x01b\x02c", "replace_non_printable") == "a b c"
 
 
 def test_replace_accents(spark):
