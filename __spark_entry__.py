@@ -1645,6 +1645,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             score_col="n_chars").select(
             "doc_id", "n_chars", "n_tokens", "cum_tokens")
 
+    def quality_classifier_docs(spark, sf):
+        """fastText-style hashed linear quality scorer (operators/
+        text.py classifier_score, round 11 continuation; Joulin et al.
+        2016 public): score = sigmoid(mean over unigram+bigram grams of
+        w[md5hash60(gram) % 4096]) — the model-based quality-filter
+        stage of CCNet/RedPajama pipelines. Deterministic Weyl-sequence
+        weights stand in for trained coefficients so the DuckDB twin
+        recomputes identical scores. 100 TB shape: ZERO explode, ZERO
+        shuffle — tokenize/bucket/weighted-mean are array projections
+        in whole-stage codegen; one column-pruned corpus scan."""
+        from sling_cli_spark.operators.text import classifier_score
+
+        return classifier_score(_t(spark, sf, "documents"))
+
+    def normalize_text_docs(spark, sf):
+        """Unicode NFC normalization (operators/text.py normalize_text,
+        round 11 continuation) — the canonicalize-before-dedup step
+        (Dolma/CCNet): byte-different but canonically-equal strings
+        must hash identically downstream. The corpus is ASCII, so the
+        query first plants decomposed sequences ('a' -> 'a' + COMBINING
+        ACUTE U+0301); NFC must compose every one back to U+00E1. The
+        normalization itself is the documented Arrow-batched pandas-UDF
+        slow path over the text column only (Spark has no NFC builtin);
+        all other columns pass through untouched."""
+        from sling_cli_spark.operators.text import normalize_text
+
+        d = _t(spark, sf, "documents").where("text IS NOT NULL")
+        d = d.withColumn(
+            "text", F.replace(F.col("text"), F.lit("a"),
+                              F.lit("a\u0301")))  # decomposed a + acute
+        return normalize_text(d, form="NFC").select(
+            "doc_id", F.col("text").alias("norm_text"))
+
+    def orc_roundtrip(spark, sf):
+        """ORC write+read through the engine's file surface (sources/
+        files.py orc branch + sinks/writers orc entry) — the third
+        columnar format next to parquet/arrow: same pushdown/pruning
+        contract (ORC carries bloom + min-max indexes), splittable
+        scans. Writes supplier to .orc, reads it back via read_files
+        format detection, hash-matches the original rows."""
+        import tempfile
+
+        from sling_cli_spark.config import SourceOptions
+        from sling_cli_spark.sources.files import read_files
+
+        path = os.path.join(tempfile.mkdtemp(prefix="sling_orc_"),
+                            "s.orc")
+        _t(spark, sf, "supplier").write.mode("overwrite").orc(path)
+        return read_files(spark, path, SourceOptions())
+
     def line_dedup_docs(spark, sf):
         """Corpus-wide line dedup (operators/dedup.py line_dedup,
         round 10 — the Dolma/CCNet preprocessing step; C4's analogue
@@ -4648,6 +4698,9 @@ streams:
         "token_budget_global_docs": token_budget_global_docs,
         "dsir_select_docs": dsir_select_docs,
         "url_dedup_docs": url_dedup_docs,
+        "quality_classifier_docs": quality_classifier_docs,
+        "normalize_text_docs": normalize_text_docs,
+        "orc_roundtrip": orc_roundtrip,
         "cdc_stream_iceberg_upsert": cdc_stream_iceberg_upsert,
         "ngram_novelty_docs": ngram_novelty_docs,
         "delta_replace_where": delta_replace_where,
@@ -4717,11 +4770,14 @@ streams:
     # (tools/check_correctness.py) and was judge-re-run green in r10
     # (VERDICT r10: 170/170).
     window = [
-        # --- new in r11 (never driver-checked) ---
+        # --- new in r11 (never driver-checked; the continuation session
+        # added quality_classifier/normalize_text/orc_roundtrip — the 3
+        # r8-fill entries they displace join the r12 lead list) ---
         "token_budget_global_docs", "dsir_select_docs",
         "url_dedup_docs", "cdc_stream_iceberg_upsert",
         "stream_lineage_iceberg", "stream_rowtracking_delta",
-        "lineage_el_incremental",
+        "lineage_el_incremental", "quality_classifier_docs",
+        "normalize_text_docs", "orc_roundtrip",
         # --- last driver-checked r7 (the verdict's list of 20) ---
         "bucketed_join_agg", "c4_filter_docs", "decontaminate_docs",
         "dedup_clusters_docs", "dedup_store_docs", "delta_dv_merge",
@@ -5882,6 +5938,41 @@ def oracle_sql() -> dict[str, str]:
                   FROM canon GROUP BY canonical_url) k
               ON c.doc_id = k.doc_id
              AND c.canonical_url = k.canonical_url
+        """,
+        "quality_classifier_docs": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                         trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                         ' '), t -> t <> '') AS tk
+              FROM documents WHERE text IS NOT NULL
+            ), g AS (
+              SELECT doc_id,
+                     list_concat(tk, list_transform(range(1, len(tk)),
+                         i -> tk[i] || ' ' || tk[i + 1])) AS grams
+              FROM tok WHERE len(tk) > 0
+            ), w AS (
+              SELECT doc_id,
+                     list_transform(grams, gr ->
+                         ((('0x' || substr(md5(gr), 1, 15))::BIGINT
+                           % 4096) * 2654435761 % 4096)::DOUBLE
+                         / 4096.0 - 0.5) AS ws,
+                     len(grams) AS n
+              FROM g
+            )
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 + exp(-(list_sum(ws) / n))), 6)
+                       AS quality_score
+            FROM w
+        """,
+        "normalize_text_docs": """
+            SELECT doc_id,
+                   nfc_normalize(replace(text, 'a', 'a' || chr(769)))
+                       AS norm_text
+            FROM documents WHERE text IS NOT NULL
+        """,
+        "orc_roundtrip": """
+            SELECT * FROM supplier
         """,
         "dsir_select_docs": """
             WITH tok AS (

@@ -411,3 +411,104 @@ def url_dedup(
     keep = canon.groupBy("canonical_url") \
         .agg(F.min(F.col(id_col)).alias(id_col))
     return canon.join(keep, [id_col, "canonical_url"], "left_semi")
+
+
+# --------------------------------------------------------------------------
+# fastText-style hashed linear quality classifier (beyond-reference §2.10)
+
+# Weyl-sequence stand-in for trained coefficients: deterministic,
+# engine-agnostic integer arithmetic (bucket * odd constant, fits well
+# under 2^63 for any realistic bucket count), mapped to [-0.5, 0.5).
+_WEYL = 2654435761
+
+
+def _bucket_weight(b: Column, n_buckets: int) -> Column:
+    return (F.pmod(b * F.lit(_WEYL), F.lit(n_buckets))
+            .cast("double") / F.lit(float(n_buckets))) - F.lit(0.5)
+
+
+def classifier_score(
+    df: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[int, float] | None = None,
+) -> DataFrame:
+    """fastText-style hashed linear scorer (Joulin et al. 2016, public):
+    ``score = sigmoid(mean over unigram+bigram grams of w[h(gram) % B])``
+    — the standard "model-based quality filter" stage of a training-data
+    pipeline (CCNet/RedPajama score-and-threshold).
+
+    ``weights`` maps bucket -> coefficient from a real training run
+    (applied as a broadcast map literal); when omitted, a deterministic
+    Weyl-sequence weight stands in so any engine reproduces the exact
+    scores (the DuckDB oracle twin recomputes it with the same integer
+    arithmetic).
+
+    100 TB shape: ZERO explode, ZERO shuffle — tokenization, hashed
+    bucketing, and the weighted mean are all array projections inside
+    whole-stage codegen (``F.aggregate`` folds the gram array
+    sequentially, so summation order is reproducible cross-engine).
+    One corpus scan, column-pruned to (id, text)."""
+    from sling_cli_spark.operators.training import (
+        _hashed_ngram_buckets, _tokens)
+
+    toks = _tokens(F.col(text_col))
+    out = df.select(F.col(id_col), toks.alias("__tk")) \
+        .where(F.size(F.col("__tk")) > 0)
+    buckets = _hashed_ngram_buckets(F.col("__tk"), n_buckets)
+    if weights is None:
+        def w(b: Column) -> Column:
+            return _bucket_weight(b, n_buckets)
+    else:
+        wmap = F.create_map(
+            *[F.lit(x) for k, v in sorted(weights.items())
+              for x in (k, float(v))])
+
+        def w(b: Column) -> Column:
+            return F.coalesce(wmap[b], F.lit(0.0))
+
+    mean = (F.aggregate(buckets, F.lit(0.0),
+                        lambda acc, b: acc + w(b))
+            / F.size(buckets).cast("double"))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 6)
+    return out.select(F.col(id_col), score.alias("quality_score"))
+
+
+# --------------------------------------------------------------------------
+# unicode normalization (beyond-reference §2.10: normalize-before-dedup)
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD) — the
+    canonicalization step that runs BEFORE any hashing/dedup stage so
+    byte-different but canonically-equal strings (composed vs combining
+    accents, fullwidth forms) collapse to one representation (Dolma/
+    CCNet preprocessing).
+
+    Spark has no normalization builtin, so this is the documented
+    Arrow-batched pandas-UDF slow path: one scalar UDF over the text
+    column only — every other column passes through untouched, and the
+    scan stays column-pruned. Null-safe (None -> None)."""
+    import pandas as pd  # noqa: F401 — resolves the UDF type hints
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    def _norm_fn(s):
+        import unicodedata
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize(form, x))
+
+    # explicit (non-string) annotations: `from __future__ import
+    # annotations` stringifies inline hints and pandas_udf can't
+    # resolve them against a function-local pandas import
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = pandas_udf(_norm_fn, "string")
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))

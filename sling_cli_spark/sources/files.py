@@ -35,6 +35,7 @@ _EXT_FORMAT = {
     ".ndjson": "jsonl", ".parquet": "parquet", ".avro": "avro",
     ".xml": "xml", ".xlsx": "excel", ".sas7bdat": "sas7bdat",
     ".arrow": "arrow", ".feather": "arrow", ".arrows": "arrow",
+    ".orc": "orc",
 }
 
 
@@ -94,6 +95,12 @@ def read_files(
             # (reference: dataflow MergeColumns on multi-file streams)
             return spark.read.option("mergeSchema", "true").parquet(path)
         return spark.read.parquet(path)
+    if fmt == "orc":
+        # native columnar twin of the parquet path: same pushdown/pruning
+        # (ORC bloom/min-max indexes), splittable scans
+        if opts.merge_schemas:
+            return spark.read.option("mergeSchema", "true").orc(path)
+        return spark.read.orc(path)
     if fmt == "csv":
         reader = (
             spark.read.option("header", str(opts.header).lower())

@@ -520,3 +520,93 @@ def test_canonicalize_url_and_dedup(spark):
     assert canon[5].startswith("https://other.com")
     kept = {r.doc_id for r in url_dedup(df).collect()}
     assert kept == {1, 3, 4, 5}   # 2 and 6 collapse into 1
+
+
+# ---------------------------------------------------------------- round 11c
+
+def test_classifier_score_deterministic_and_bounded(spark):
+    from pyspark.sql import Row
+
+    from sling_cli_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox"),
+        Row(doc_id=2, text="lorem ipsum dolor sit amet"),
+        Row(doc_id=3, text=None),       # no tokens -> excluded
+        Row(doc_id=4, text="   "),      # empty after norm -> excluded
+        Row(doc_id=5, text="the quick brown fox"),  # dup of 1
+    ])
+    out = {r["doc_id"]: r["quality_score"]
+           for r in classifier_score(df).collect()}
+    assert set(out) == {1, 2, 5}
+    assert out[1] == out[5]              # pure function of text
+    assert all(0.0 < v < 1.0 for v in out.values())
+    # stable across runs (no RNG, no partition-order dependence)
+    again = {r["doc_id"]: r["quality_score"]
+             for r in classifier_score(df).collect()}
+    assert out == again
+
+
+def test_classifier_score_trained_weights_path(spark):
+    from pyspark.sql import Row
+
+    from sling_cli_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame([Row(doc_id=1, text="spam spam spam")])
+    base = classifier_score(df, n_buckets=64).collect()[0]["quality_score"]
+    # a trained-weights map overrides the Weyl stand-in: all-zero weights
+    # pin the score at sigmoid(0) = 0.5
+    flat = classifier_score(
+        df, n_buckets=64, weights={b: 0.0 for b in range(64)})
+    assert flat.collect()[0]["quality_score"] == 0.5
+    assert base != 0.5 or True  # base uses Weyl weights (any value ok)
+
+
+def test_classifier_plan_no_shuffle(spark):
+    from pyspark.sql import Row
+
+    from sling_cli_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    plan = classifier_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero-shuffle projection
+
+
+def test_normalize_text_nfc_nfkc(spark):
+    from pyspark.sql import Row
+
+    from sling_cli_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a\u0301 b"),      # decomposed -> U+00E1
+        Row(doc_id=2, text="\uff28\uff49"),  # fullwidth "Hi" (NFKC)
+        Row(doc_id=3, text=None),
+    ])
+    nfc = {r["doc_id"]: r["text"]
+           for r in normalize_text(df, form="NFC").collect()}
+    assert nfc[1] == "\u00e1 b"
+    assert nfc[2] == "\uff28\uff49"  # NFC leaves compatibility forms
+    assert nfc[3] is None
+    nfkc = {r["doc_id"]: r["text"]
+            for r in normalize_text(df, form="NFKC").collect()}
+    assert nfkc[2] == "Hi"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="normalization form"):
+        normalize_text(df, form="NFX")
+
+
+def test_orc_read_write_roundtrip(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from sling_cli_spark.config import SourceOptions
+    from sling_cli_spark.sources.files import detect_format, read_files
+
+    path = str(tmp_path / "t.orc")
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=2, b="y")])
+    df.write.mode("overwrite").orc(path)
+    assert detect_format(path, SourceOptions()) == "orc"
+    back = read_files(spark, path, SourceOptions())
+    assert sorted((r["a"], r["b"]) for r in back.collect()) == \
+        [(1, "x"), (2, "y")]
