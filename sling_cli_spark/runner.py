@@ -38,6 +38,21 @@ from sling_cli_spark.sinks.writers import prepare_for_mode, write_files
 from sling_cli_spark.sources.files import read_source
 
 
+def _as_datetime(v):
+    """Coerce a watermark/backfill bound to datetime for partition-URI
+    pruning; raises TypeError/ValueError for non-temporal keys (callers
+    fall back to reading all partitions)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    if isinstance(v, str):
+        return _dt.datetime.fromisoformat(v)
+    raise TypeError(f"not a temporal bound: {v!r}")
+
+
 @dataclass
 class TaskResult:
     rows: int
@@ -82,7 +97,30 @@ def build_read_plan(
     if (not full_source and watermark is not None and cfg.source.update_key
             and cfg.mode in (Mode.INCREMENTAL, Mode.CHANGE_CAPTURE)):
         skip = [(cfg.source.update_key, ">", watermark)]
-    df = read_source(spark, cfg.source, skip_filters=skip)
+    if "{part_" in (cfg.source.stream or "") and not cfg.source.is_sql:
+        # {part_*}-masked file source: expand the mask to the exact
+        # partition URI list for the run's time range (backfill bounds,
+        # or watermark..now for incremental) — partition pruning BEFORE
+        # any filesystem listing; the row filters below stay
+        # authoritative (reference: GeneratePartURIsFromRange)
+        from sling_cli_spark.sources.files import read_masked_source
+
+        rng = None
+        try:
+            if cfg.mode == Mode.BACKFILL and backfill_range:
+                rng = (_as_datetime(backfill_range[0]),
+                       _as_datetime(backfill_range[1]))
+            elif (not full_source and watermark is not None
+                    and cfg.mode in (Mode.INCREMENTAL,
+                                     Mode.CHANGE_CAPTURE)):
+                import datetime as _dt
+
+                rng = (_as_datetime(watermark), _dt.datetime.now())
+        except (TypeError, ValueError):
+            rng = None  # non-temporal key: glob all partitions
+        df = read_masked_source(spark, cfg.source, time_range=rng)
+    else:
+        df = read_source(spark, cfg.source, skip_filters=skip)
     df = _maybe_infer(df, cfg)
     if cfg.source.select:
         df = apply_select(df, cfg.source.select)

@@ -232,8 +232,13 @@ def write_files(
 
     part_cols: list[str] = list(opts.partition_by)
     for mask, col in masks:
-        df = df.withColumn(mask, _PART_FUNCS[mask](F.col(col)))
-        part_cols.append(mask)
+        # hive-style dirs named <source_col>_<level>=<value> — exactly
+        # the reference's GetPartitionDateMap layout (partition.go:431),
+        # so paths written here parse back with
+        # partitions.extract_partition_time_value
+        part_col = f"{col}_{mask[len('part_'):]}"
+        df = df.withColumn(part_col, _PART_FUNCS[mask](F.col(col)))
+        part_cols.append(part_col)
 
     if fmt == "iceberg" and opts.audit_branch:
         return _write_audit_publish(df, uri, mode, opts, part_cols)

@@ -23,6 +23,7 @@ raise with a clear message (plumbing is real: pandas -> createDataFrame).
 from __future__ import annotations
 
 import os
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -384,6 +385,60 @@ def read_source(
     path = stream if os.path.isabs(stream) else os.path.join(base_dir, stream)
     return read_files(spark, path, source.options,
                       skip_filters=skip_filters)
+
+
+def _path_exists(spark: SparkSession, uri: str) -> bool:
+    if "://" not in uri or uri.startswith("file:"):
+        return os.path.exists(uri.removeprefix("file:"))
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(uri)
+    return p.getFileSystem(conf).exists(p)
+
+
+def read_masked_source(
+    spark: SparkSession, source: Source, base_dir: str = "",
+    time_range: tuple | None = None,
+) -> DataFrame:
+    """Read a ``{part_*}``-masked file source (reference:
+    GeneratePartURIsFromRange consumers in task_run_read.go).
+
+    With a ``time_range`` (backfill bounds, or watermark..now for
+    incremental runs) the mask expands to the exact partition URI list
+    and ONLY those directories are opened — at 100 TB the prefix
+    listing alone is the bottleneck, so pruning happens before any
+    filesystem walk; the row-level watermark/backfill filters applied
+    downstream stay authoritative. Without a range the mask degrades
+    to a glob over all partitions."""
+    from sling_cli_spark.partitions import generate_part_uris_from_range
+
+    stream = source.stream or ""
+    if not os.path.isabs(stream) and "://" not in stream:
+        stream = os.path.join(base_dir, stream)
+    if time_range is None:
+        return read_files(
+            spark, re.sub(r"\{part_[^}]+\}", "*", stream),
+            source.options)
+    uris = generate_part_uris_from_range(
+        stream, source.update_key or "", *time_range)
+    existing = [u for u in uris if _path_exists(spark, u)]
+    if not existing:
+        raise FileNotFoundError(
+            f"no partition URIs exist for {stream} in "
+            f"[{time_range[0]}, {time_range[1]}] "
+            f"({len(uris)} candidates)")
+    fmt = detect_format(existing[0], source.options)
+    if fmt == "parquet":
+        return spark.read.parquet(*existing)
+    if fmt == "orc":
+        return spark.read.orc(*existing)
+    # option-bearing formats reuse the single-path reader per URI
+    out = None
+    for u in existing:
+        part = read_files(spark, u, source.options)
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True)
+    return out
 
 
 def list_file_nodes(spark: SparkSession, path: str) -> DataFrame:

@@ -45,10 +45,17 @@ def test_partitioned_write_layout(spark, tmp_path):
     target = Target(conn="local", object=out, options=TargetOptions())
     write_files(_events(spark), target, Mode.FULL_REFRESH, fmt="parquet")
     base = str(tmp_path / "events")
-    dirs = sorted(d for d in os.listdir(base) if d.startswith("part_year_month="))
-    assert dirs == ["part_year_month=2024-01", "part_year_month=2024-02"]
+    # hive dirs are <source_col>_<level>=<value> — the reference's
+    # GetPartitionDateMap layout (partition.go:431), parseable back via
+    # partitions.extract_partition_time_value
+    dirs = sorted(d for d in os.listdir(base) if d.startswith("ts_year_month="))
+    assert dirs == ["ts_year_month=2024-01", "ts_year_month=2024-02"]
     back = spark.read.parquet(base)
     assert back.count() == 2
+    from sling_cli_spark.partitions import extract_partition_time_value
+    got = extract_partition_time_value(
+        base + "/{part_year_month}", base + "/" + dirs[0])
+    assert got == datetime.datetime(2024, 1, 1)
 
 
 def test_csv_roundtrip(spark, tmp_path):
@@ -452,3 +459,49 @@ def test_el_replace_where_backfill_shape(spark, tmp_path):
     assert (100, 1) in got
     assert len([g for g in got if g[1] == 1]) == 1  # old day-1 gone
     assert len([g for g in got if g[1] != 1]) == 6  # others intact
+
+
+def test_masked_source_backfill_prunes_partitions(spark, tmp_path):
+    """{part_*}-masked SOURCE reads (runner.build_read_plan +
+    files.read_masked_source): a backfill range expands the mask via
+    generate_part_uris_from_range and opens ONLY matching partition
+    dirs; row-level backfill_filter stays authoritative inside them."""
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import build_read_plan
+
+    base = str(tmp_path / "events")
+    out = base + "/{part_year_month(ts)}"
+    df = spark.createDataFrame([
+        Row(id=1, ts=datetime.datetime(2024, 1, 5), v="a"),
+        Row(id=2, ts=datetime.datetime(2024, 2, 6), v="b"),
+        Row(id=3, ts=datetime.datetime(2024, 3, 7), v="c"),
+    ])
+    write_files(df, Target(conn="local", object=out,
+                           options=TargetOptions()),
+                Mode.FULL_REFRESH, fmt="parquet")
+    assert sorted(d for d in os.listdir(base)
+                  if d.startswith("ts_year_month=")) == [
+        "ts_year_month=2024-01", "ts_year_month=2024-02",
+        "ts_year_month=2024-03"]
+
+    cfg = Config.from_dict({
+        "source": {"stream": base + "/{part_year_month}",
+                   "update_key": "ts"},
+        "target": {"object": str(tmp_path / "never")},
+        "mode": "backfill"})
+    plan = build_read_plan(
+        spark, cfg,
+        backfill_range=(datetime.datetime(2024, 1, 1),
+                        datetime.datetime(2024, 2, 28)))
+    rows = sorted(r["id"] for r in plan.collect())
+    assert rows == [1, 2]
+    # the March partition never appears in the scan
+    scan = plan._jdf.queryExecution().executedPlan().toString()
+    assert "2024-03" not in scan
+
+    # no range (full read): mask degrades to a glob over every partition
+    cfg2 = Config.from_dict({
+        "source": {"stream": base + "/{part_year_month}"},
+        "target": {"object": str(tmp_path / "never2")},
+        "mode": "full-refresh"})
+    assert build_read_plan(spark, cfg2).count() == 3
