@@ -83,8 +83,10 @@ class SourceOptions:
     multi_line: bool = False            # quoted embedded newlines (unsplittable!)
     skip_lines: int = 0
     null_if: str | None = None
+    empty_field_as_null: bool = True    # "" -> NULL (stream_processor.go)
+    clean_header: bool = True           # CleanHeaderRow on csv headers
     compression: str | None = None
-    datetime_format: str | None = None
+    datetime_format: str | None = None  # ISO-8601 tokens (DD-MM-YYYY ...)
     flatten: bool | int = False         # False | True (full) | max depth
     jmespath: str | None = None         # record-extraction path for JSON
     sheet: str | None = None            # excel "Sheet1!A1:C100"

@@ -167,7 +167,47 @@ class ColStats:
     dt_formats: dict = field(default_factory=dict)  # spark pattern -> count
 
 
-def classify_value(v: str | None, st: ColStats, null_if: str | None = None) -> None:
+_ISO_TOKEN_RX = {
+    "YYYY": r"\d{4}", "YY": r"\d{2}", "MMM": "[A-Za-z]{3}",
+    "MM": r"\d{2}", "DD": r"\d{2}", "DDD": r"\d{3}",
+    "HH": r"\d{2}", "hh": r"\d{2}", "mm": r"\d{2}",
+    ".ss": r"\.\d+", "ss": r"\d{2}", ".s": r"\.\d+",
+}
+
+
+def custom_layout(datetime_format: str):
+    """Build a (regex, spark-pattern, kind) classification layout from a
+    config ``datetime_format`` in ISO-8601 tokens (the reference feeds
+    the configured layout into its date parser ahead of the built-in
+    table — stream_processor.go SetConfig 'datetime_format')."""
+    from sling_cli_spark.partitions import iso8601_to_spark_layout
+
+    fmt = datetime_format.strip()
+    rx, i = "", 0
+    while i < len(fmt):
+        for tok in (".ss", ".s", "YYYY", "YY", "MMM", "MM", "DDD", "DD",
+                    "HH", "hh", "mm", "ss"):
+            if fmt.startswith(tok, i):
+                rx += _ISO_TOKEN_RX[tok]
+                i += len(tok)
+                break
+        else:
+            if fmt[i] == "Z":  # zulu or offset suffix
+                rx += r"(Z|[+-]\d{2}:?\d{2})"
+                m = re.match(r"Z\d\d:?\d\d", fmt[i:])
+                i += len(m.group(0)) if m else 1
+            else:
+                rx += re.escape(fmt[i])
+                i += 1
+    has_time = "HH" in fmt or "hh" in fmt
+    has_tz = "Z" in fmt or "TZD" in fmt
+    kind = "datetimez" if has_tz else ("datetime" if has_time else "date")
+    return (re.compile("^" + rx + "$"),
+            iso8601_to_spark_layout(datetime_format), kind)
+
+
+def classify_value(v: str | None, st: ColStats, null_if: str | None = None,
+                   layouts=None) -> None:
     st.total += 1
     if v is None or v == "" or (null_if is not None and v == null_if):
         st.nulls += 1
@@ -191,7 +231,8 @@ def classify_value(v: str | None, st: ColStats, null_if: str | None = None) -> N
     if s.lower() in _BOOL:
         st.bools += 1
         return
-    for rx, pattern, kind in _DT_LAYOUTS:
+    for rx, pattern, kind in (layouts if layouts is not None
+                              else _DT_LAYOUTS):
         if rx.match(s):
             if kind == "date":
                 st.dates += 1
@@ -242,14 +283,20 @@ def decide_type(st: ColStats) -> ColumnType:
 
 def infer_schema(
     df: DataFrame, sample_size: int = SAMPLE_SIZE, null_if: str | None = None,
+    datetime_format: str | None = None,
 ) -> dict[str, tuple[ColumnType, ColStats]]:
-    """Classify a driver-side sample; returns per-column (type, stats)."""
+    """Classify a driver-side sample; returns per-column (type, stats).
+    A configured ``datetime_format`` (ISO-8601 tokens) classifies ahead
+    of the built-in layout table."""
+    layouts = ([custom_layout(datetime_format)] + _DT_LAYOUTS
+               if datetime_format else None)
     sample = df.limit(sample_size).collect()
     stats = {c: ColStats() for c in df.columns}
     for row in sample:
         for c in df.columns:
             v = row[c]
-            classify_value(None if v is None else str(v), stats[c], null_if)
+            classify_value(None if v is None else str(v), stats[c],
+                           null_if, layouts)
     return {c: (decide_type(st), st) for c, st in stats.items()}
 
 
@@ -310,13 +357,14 @@ def cast_expr(name: str, ctype: ColumnType, st: ColStats) -> Column:
 def infer_and_cast(
     df: DataFrame, sample_size: int = SAMPLE_SIZE, null_if: str | None = None,
     overrides: dict[str, str] | None = None,
+    datetime_format: str | None = None,
 ) -> DataFrame:
     """Full pipeline: sample -> classify -> one cast projection.
 
     ``overrides`` is the config ``columns: {name: type}`` coercion surface
     (reference: Columns.Coerce, applied after inference).
     """
-    inferred = infer_schema(df, sample_size, null_if)
+    inferred = infer_schema(df, sample_size, null_if, datetime_format)
     overrides = {k.lower(): v for k, v in (overrides or {}).items()}
     exprs = []
     for name in df.columns:

@@ -188,6 +188,42 @@ def clean_name(name: str) -> str:
     return "_" + s if re.match(r"^\d", s) else s
 
 
+def clean_header_row(header: list[str]) -> list[str]:
+    """Exact CleanHeaderRow port (csv.go:43-81) — the cleaner every CSV
+    / sheet header passes through: trim + strip wrapping quotes, strip
+    accents (NFD, drop combining marks, NFC), replace EACH disallowed
+    char with '_' (runs are NOT collapsed — csv.go substitutes
+    per-character), trim the replacement char at the edges, prefix a
+    leading digit with '_', empty -> 'col', de-duplicate with numeric
+    suffixes, and LOWERCASE the result."""
+    import unicodedata
+
+    seen: dict[str, bool] = {}
+    out = []
+    for field in header:
+        f = field.strip()
+        if f.startswith('"'):
+            f = f[1:]
+        if f.endswith('"'):
+            f = f[:-1]
+        f = "".join(c for c in unicodedata.normalize("NFD", f)
+                    if unicodedata.category(c) != "Mn")
+        f = unicodedata.normalize("NFC", f)
+        f = re.sub(r"[^\w]", "`", f)  # \w == \p{L}\p{N}_ (csv.go regexAllow)
+        f = f.strip("`").replace("`", "_")
+        if re.match(r"^\d", f):
+            f = "_" + f
+        if not f:
+            f = "col"
+        new, j = f, 1
+        while new in seen:
+            new = f"{f}{j}"
+            j += 1
+        seen[new] = True
+        out.append(new.lower())
+    return out
+
+
 def apply_casing(df: DataFrame, casing: str | None) -> DataFrame:
     """snake | upper | lower | camel | normalize | source (no-op)."""
     if not casing or casing in ("source", "target"):

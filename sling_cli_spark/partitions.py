@@ -69,6 +69,27 @@ _STRFTIME = {
 }
 
 
+def iso8601_to_spark_layout(date_format: str) -> str:
+    """ISO-8601 layout tokens -> a Spark ``DateTimeFormatter`` pattern —
+    the Spark twin of ``Iso8601ToGoLayout`` (partition.go:548-571), so
+    config layouts like ``DD-MM-YYYY HH:mm:ss.s`` work verbatim. Same
+    replacement order as the reference; offsets map to Spark's
+    ``XX``/``xx`` (``Z``-or-``+hhmm`` / signed ``+hhmm``), a trailing
+    bare ``Z`` parses-and-prints as ``XX``."""
+    s = date_format.strip()
+    s = s.replace("TZD", "XXX")
+    s = s.replace("ISO8601", "yyyy-MM-dd'T'HH:mm:ssXX")
+    s = s.replace("DDTHH", "DD'T'HH")  # quote the ISO 'T' separator
+    s = s.replace("YYYY", "yyyy").replace("YY", "yy")
+    s = s.replace("DD", "dd")
+    s = s.replace(".ss", ".SSS").replace(".s", ".SSS")
+    s = re.sub(r"Z\d\d:?\d\d$", "XX", s)
+    s = re.sub(r"-\d\d:?\d\d$", "xx", s)
+    s = re.sub(r"\+\d\d:?\d\d$", "xx", s)
+    s = re.sub(r"Z$", "XX", s)
+    return s
+
+
 def is_valid_level(level: str) -> bool:
     return level in PART_LEVELS_ASC
 

@@ -192,7 +192,8 @@ def _maybe_infer(df: DataFrame, cfg: Config) -> DataFrame:
     from sling_cli_spark.operators.inference import infer_and_cast
 
     overrides = {s.name: s.type.value for s in specs} if specs else None
-    df = infer_and_cast(df, null_if=opts.null_if, overrides=overrides)
+    df = infer_and_cast(df, null_if=opts.null_if, overrides=overrides,
+                        datetime_format=opts.datetime_format)
     if specs and any(s.precision is not None or s.length for s in specs):
         # refine to the declared decimal(p,s) widths (inference casts by
         # base type only)

@@ -85,6 +85,89 @@ def detect_format(path: str, opts: SourceOptions) -> str:
     return "parquet"
 
 
+def _sample_head(spark: SparkSession, path: str,
+                 encoding: str = "utf-8", nbytes: int = 16384) -> str:
+    """First ``nbytes`` of the first file under ``path`` (file, dir, or
+    glob) decoded for delimiter sniffing. Compressed files refuse (the
+    caller falls back to the configured delimiter)."""
+    import glob as _glob
+
+    if any(path.endswith(e) for e in _COMPRESS_EXTS):
+        raise ValueError("compressed sample")
+    if "://" not in path or path.startswith("file:"):
+        p = path.removeprefix("file:")
+        cands = ([p] if os.path.isfile(p) else
+                 sorted(f for f in _glob.glob(p) if os.path.isfile(f)) or
+                 sorted(f for f in _glob.glob(os.path.join(p, "*"))
+                        if os.path.isfile(f)))
+        if not cands:
+            raise FileNotFoundError(path)
+        with open(cands[0], "rb") as f:
+            raw = f.read(nbytes)
+    else:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        hp = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hp.getFileSystem(conf)
+        statuses = fs.globStatus(hp) or []
+        target = None
+        for st in statuses:
+            if st.isFile():
+                target = st.getPath()
+                break
+            for sub in fs.listStatus(st.getPath()):
+                if sub.isFile():
+                    target = sub.getPath()
+                    break
+            if target:
+                break
+        if target is None:
+            raise FileNotFoundError(path)
+        stream = fs.open(target)
+        try:
+            buf = bytearray(nbytes)
+            n = stream.read(buf)
+            raw = bytes(buf[:max(n, 0)])
+        finally:
+            stream.close()
+    if b"\x00" in raw:
+        raise ValueError("binary sample")
+    return raw.decode(encoding or "utf-8", "replace")
+
+
+def detect_delimiter(specified: str | None, sample: str) -> tuple[str, int]:
+    """Pick the delimiter whose CSV parse of the sample yields the
+    highest average column count (csv.go detectDelimiter). The
+    configured delimiter is tried FIRST (wins ties) but a clearly
+    better candidate overrides it. Returns (delimiter, max_columns);
+    raises when nothing splits the sample into >1 column."""
+    import csv as _csv
+    import io
+
+    cands = [",", "\t", "|", ";"]
+    if specified:
+        cands = [specified[0]] + cands
+    lines = sample.split("\n")
+    if len(lines) > 2:  # drop the (possibly truncated) last line
+        sample = "\n".join(lines[:-1])
+    best, best_avg, num_cols, failures = cands[0], 0.0, 0, 0
+    for d in cands:
+        total = count = mx = 0
+        try:
+            for row in _csv.reader(io.StringIO(sample), delimiter=d):
+                total += len(row)
+                count += 1
+                mx = max(mx, len(row))
+        except _csv.Error:
+            failures += 1
+            continue
+        if count and total / count > best_avg:
+            best_avg, best, num_cols = total / count, d, mx
+    if num_cols <= 1 or failures == len(cands):
+        raise ValueError("could not detect delimiter")
+    return best, num_cols
+
+
 def read_files(
     spark: SparkSession, path: str, opts: SourceOptions,
     skip_filters=None,
@@ -103,9 +186,20 @@ def read_files(
             return spark.read.option("mergeSchema", "true").orc(path)
         return spark.read.orc(path)
     if fmt == "csv":
+        # delimiter detection from a driver-side sample (csv.go
+        # detectDelimiter): the configured delimiter is a SUGGESTION the
+        # sample can override — the reference reads a comma file
+        # correctly even when '\t' was configured. Compressed or
+        # unreadable samples fall back to the configured value.
+        sep = opts.delimiter or ","
+        try:
+            sample = _sample_head(spark, path, opts.encoding)
+            sep, _ = detect_delimiter(opts.delimiter, sample)
+        except Exception:
+            pass
         reader = (
             spark.read.option("header", str(opts.header).lower())
-            .option("sep", opts.delimiter)
+            .option("sep", sep)
             .option("quote", opts.quote)
             .option("escape", opts.escape)
             .option("encoding", opts.encoding)
@@ -119,15 +213,32 @@ def read_files(
         if opts.null_if is not None:
             reader = reader.option("nullValue", opts.null_if)
         if opts.datetime_format:
-            reader = reader.option("timestampFormat", opts.datetime_format)
+            from sling_cli_spark.partitions import iso8601_to_spark_layout
+
+            reader = reader.option(
+                "timestampFormat",
+                iso8601_to_spark_layout(opts.datetime_format))
         # read as strings; operators/inference.py supplies the casts
         # (reference: 900-row sample classifier, dataset.go:422-610)
         reader = reader.option("inferSchema", "false")
         if opts.skip_lines:
             # Spark CSV has no skip-rows option: drop the first N physical
             # lines per file from a text read, then parse the remainder.
-            return _read_csv_skip_lines(spark, path, opts, reader)
-        return reader.csv(path)
+            df = _read_csv_skip_lines(spark, path, opts, reader)
+        else:
+            df = reader.csv(path)
+        if opts.header and opts.clean_header:
+            # csv.go:350 — every CSV header row passes CleanHeaderRow
+            from sling_cli_spark.operators.select import clean_header_row
+
+            df = df.toDF(*clean_header_row(list(df.columns)))
+        if not opts.empty_field_as_null and opts.null_if is None:
+            # empty_field_as_null=false (stream_processor.go): an empty
+            # CSV field IS the empty string, not NULL — and in CSV text
+            # every absent value is an empty field, so the string-typed
+            # read coalesces nulls back to ""
+            df = df.na.fill("")
+        return df
     if fmt in ("json", "jsonl"):
         reader = spark.read.option("multiLine", "true" if fmt == "json" else "false")
         df = reader.json(path)
