@@ -60,8 +60,15 @@ _DT_LAYOUTS: list[tuple[re.Pattern, str, str]] = [
      "yyyy-MM-dd HH:mm:ss.SSSSSS", "datetime"),
     (re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{1,6}$"),
      "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", "datetime"),
+    # zulu / zero-offset suffix is plain DATETIME (dataset_test.go: an
+    # offset of 0 carries no zone information — only a NONZERO offset
+    # types as timestampz)
+    (re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?"
+                r"(Z|[+-]00:?00)$"), "", "datetime"),
     (re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?"
                 r"(Z|[+-]\d{2}:?\d{2})$"), "", "datetimez"),
+    (re.compile(r"^\d{1,2}/\d{1,2}/\d{4} \d{2}:\d{2}:\d{2}$"),
+     "M/d/yyyy HH:mm:ss", "datetime"),
     (re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}$"),
      "yyyy-MM-dd HH:mm", "datetime"),
     (re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}$"),
