@@ -255,18 +255,14 @@ def render_env(obj: Any) -> Any:
 
 
 def runtime_vars(cfg: Config, now: datetime | None = None) -> dict[str, str]:
-    """The ``{stream_table}`` / ``{run_timestamp}`` substitution map."""
+    """The ``{stream_table}`` / ``{run_timestamp}`` substitution map
+    (reference: config.go:1046-1313 — table vars with case variants,
+    file vars with extension handling, object-side names)."""
     now = now or datetime.now(timezone.utc)
     stream = cfg.source.stream or ""
-    parts = stream.replace("`", "").replace('"', "").split(".")
-    table = parts[-1]
-    schema = parts[-2] if len(parts) > 1 else ""
-    file_name = os.path.basename(stream.rstrip("/")) if "/" in stream else ""
-    return {
-        "stream_name": stream,
-        "stream_schema": schema,
-        "stream_table": table,
-        "stream_file_name": file_name,
+    is_file = "/" in stream or "://" in stream
+    out = {
+        "stream_name": stream.lower() if is_file else stream,
         "object_name": cfg.target.object or "",
         "run_timestamp": now.strftime("%Y_%m_%d_%H%M%S"),
         "YYYY": now.strftime("%Y"),
@@ -274,6 +270,47 @@ def runtime_vars(cfg: Config, now: datetime | None = None) -> dict[str, str]:
         "DD": now.strftime("%d"),
         "HH": now.strftime("%H"),
     }
+    if is_file:
+        # file stream: path/folder/name/ext vars (config.go:1185-1240);
+        # stream_file_name EXCLUDES the extension, compression double
+        # extensions (csv.gz) collapse into it as "csv_gz"
+        path = stream.split("://", 1)[-1].strip("/")
+        out["stream_full_name"] = stream
+        out["stream_file_path"] = path
+        parts = path.split("/")
+        file_name = parts[-1]
+        if len(parts) > 1:
+            out["stream_file_folder"] = parts[-2]
+        bits = file_name.split(".")
+        if len(bits) > 1:
+            ext = bits[-1]
+            if len(bits) >= 3 and ext in ("gz", "zst", "snappy"):
+                ext = bits[-2] + "_" + bits[-1]
+            out["stream_file_ext"] = ext
+            file_name = file_name[: -len("." + ext.replace("_", "."))]
+        out["stream_file_name"] = file_name
+    else:
+        parts = stream.replace("`", "").replace('"', "").split(".")
+        table = parts[-1]
+        schema = parts[-2] if len(parts) > 1 else ""
+        out.update({
+            "stream_schema": schema,
+            "stream_schema_lower": schema.lower(),
+            "stream_schema_upper": schema.upper(),
+            "stream_table": table,
+            "stream_table_lower": table.lower(),
+            "stream_table_upper": table.upper(),
+            "stream_full_name": f"{schema}.{table}" if schema else table,
+            "stream_file_name": "",
+        })
+    obj = (cfg.target.object or "").replace("`", "").replace('"', "")
+    if obj and "/" not in obj and "://" not in obj and "{" not in obj:
+        o_parts = obj.split(".")
+        out["object_table"] = o_parts[-1]
+        out["object_schema"] = o_parts[-2] if len(o_parts) > 1 else ""
+        out["object_full_name"] = obj
+        out["target_table"] = o_parts[-1]  # legacy alias
+    return out
 
 
 def render_vars(text: str, vars: dict[str, str]) -> str:

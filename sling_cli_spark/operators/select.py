@@ -52,6 +52,30 @@ def parse_select_expr(expr: str) -> tuple[str, str | None, str | None, bool]:
     return expr, alias, cast, exclude
 
 
+def expand_select_columns(select_list, columns):
+    """``@columns`` token expansion (replication.go expandSelectColumns,
+    vectors in replication_test.go:822): the token must come FIRST and
+    expands to the known column list in declared order; names repeated
+    after the token dedupe; a token without known columns errors."""
+    if not select_list:
+        return select_list
+    if "@columns" not in select_list:
+        return select_list
+    if select_list[0] != "@columns":
+        raise ValueError("@columns token must be the first select entry")
+    if not columns:
+        raise ValueError("@columns token requires known source columns")
+    out = list(columns)
+    seen = {c.lower() for c in out}
+    for entry in select_list[1:]:
+        if entry == "@columns":
+            continue
+        if entry.lower() in seen:
+            continue
+        out.append(entry)
+    return out
+
+
 def apply_select(df: DataFrame, select: list[str]) -> DataFrame:
     """Apply sling select semantics; returns df unchanged for empty
     select. Exact ApplySelect algorithm port (datatype.go:2172-2312,
@@ -72,6 +96,8 @@ def apply_select(df: DataFrame, select: list[str]) -> DataFrame:
     shorthand; the Go caller injects the star upstream)."""
     if not select:
         return df
+    if "@columns" in select:
+        select = expand_select_columns(select, df.columns)
     cols = df.columns
 
     excluded_exact: set[str] = set()

@@ -158,11 +158,21 @@ def compile_replication(rc: ReplicationConfig) -> list[Config]:
         o = _merged(rc.defaults, overrides or {})
         if o.get("disabled"):
             continue
-        object_tmpl = o.get("object") or "{stream_file_name}"
+        # default object = the stream's basename WITH extension (the
+        # {stream_file_name} var itself now excludes the extension, per
+        # the reference's var semantics — config.go:1230-1239)
+        object_tmpl = o.get("object") or (
+            os.path.basename((stream or "").rstrip("/")) or
+            "{stream_file_name}")
+        # a stream-level `sql:` makes the SOURCE a query (reference:
+        # ReplicationStreamConfig.SQL -> Source.Query,
+        # replication_test.go "sql_query"); the stream keeps its NAME
+        # for {stream_*} runtime vars
+        source_stream = o.get("sql") or stream
         cfg = Config.from_dict({
             "source": {
                 "conn": rc.source,
-                "stream": stream,
+                "stream": source_stream,
                 "primary_key": o.get("primary_key"),
                 "update_key": o.get("update_key"),
                 "select": o.get("select"),
@@ -178,7 +188,18 @@ def compile_replication(rc: ReplicationConfig) -> list[Config]:
             "mode": o.get("mode") or "full-refresh",
             "env": rc.env,
         })
-        cfg.target.object = render_vars(cfg.target.object, runtime_vars(cfg))
+        if o.get("sql"):
+            # {stream_*} vars derive from the stream NAME, not the query
+            import copy
+
+            vcfg = copy.copy(cfg)
+            vcfg.source = copy.copy(cfg.source)
+            vcfg.source.stream = stream
+            cfg.target.object = render_vars(
+                cfg.target.object, runtime_vars(vcfg))
+        else:
+            cfg.target.object = render_vars(
+                cfg.target.object, runtime_vars(cfg))
         cfgs.append(cfg)
     return cfgs
 
