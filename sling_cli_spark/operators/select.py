@@ -187,6 +187,11 @@ def _glob_match(pattern: str, cols: list[str], lower_map: dict[str, str]) -> lis
 # column casing
 
 
+def _snake_split(name: str) -> str:
+    # the reference's matchAllCap: lower/digit -> upper boundary only
+    return re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", name)
+
+
 def _snake(name: str) -> str:
     s = re.sub(r"(.)([A-Z][a-z]+)", r"\1_\2", name)
     s = re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", s)
@@ -250,16 +255,57 @@ def clean_header_row(header: list[str]) -> list[str]:
     return out
 
 
-def apply_casing(df: DataFrame, casing: str | None) -> DataFrame:
-    """snake | upper | lower | camel | normalize | source (no-op)."""
-    if not casing or casing in ("source", "target"):
+# dialects whose unquoted identifiers fold UPPER (dbio_types.go
+# DBNameUpperCase default set; templates may override via the
+# variable.column_upper key, which these three set)
+_UPPER_DIALECTS = {"oracle", "snowflake", "exasol"}
+
+
+def _dialect_case(name: str, dialect: str | None) -> str:
+    return (name.upper() if (dialect or "").lower() in _UPPER_DIALECTS
+            else name.lower())
+
+
+def _has_varied_case(text: str) -> bool:
+    return any(c.isupper() for c in text) and \
+        any(c.islower() for c in text)
+
+
+def _has_strange_char(text: str) -> bool:
+    return re.search(r"[^a-zA-Z0-9_]", text) is not None
+
+
+def apply_casing(df: DataFrame, casing: str | None,
+                 dialect: str | None = None) -> DataFrame:
+    """snake | upper | lower | camel | normalize | target | source —
+    exact ColumnCasing.Apply semantics (datatype.go:1862-1900,
+    config_test.go TestColumnCasing vectors):
+
+    - ``source``: names untouched.
+    - ``normalize``: single-cased, clean names adopt the TARGET
+      dialect's unquoted-identifier case (UPPER on snowflake/oracle/
+      exasol, lower elsewhere); mixed-case or strange-char names stay
+      as-is (so queries needn't quote them).
+    - ``snake``: camelCase boundaries split, CleanName, dialect case.
+    - ``target``: CleanName, dialect case (no camel splitting).
+    - ``upper``/``lower``/``camel``: CleanName then the fixed casing.
+    """
+    if not casing or casing == "source":
         return df
+
+    def norm(name: str) -> str:
+        if _has_varied_case(name) or _has_strange_char(name):
+            return name
+        return _dialect_case(name, dialect)
+
     fn = {
-        "snake": _snake,
-        "upper": str.upper,
-        "lower": str.lower,
-        "camel": _camel,
-        "normalize": _normalize,
+        "snake": lambda n: _dialect_case(clean_name(_snake_split(n)),
+                                         dialect),
+        "target": lambda n: _dialect_case(clean_name(n), dialect),
+        "upper": lambda n: clean_name(n).upper(),
+        "lower": lambda n: clean_name(n).lower(),
+        "camel": lambda n: _camel(clean_name(n)),
+        "normalize": norm,
     }.get(casing)
     if fn is None:
         raise ValueError(f"unknown column casing: {casing!r}")

@@ -157,7 +157,15 @@ def build_read_plan(
             if keep is not None:
                 df = df.filter(keep)
     if cfg.target.options.column_casing:
-        df = apply_casing(df, cfg.target.options.column_casing)
+        # snake/target/normalize casing folds to the TARGET dialect's
+        # unquoted-identifier case (datatype.go ColumnCasing.Apply)
+        tgt_dialect = None
+        if (cfg.target.conn or "").startswith("jdbc:"):
+            from sling_cli_spark.sources.jdbc import dialect_from_url
+
+            tgt_dialect = dialect_from_url(cfg.target.conn)
+        df = apply_casing(df, cfg.target.options.column_casing,
+                          tgt_dialect)
     if cfg.target.options.column_typing:
         from sling_cli_spark.operators.typing_policy import apply_column_typing
 

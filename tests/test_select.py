@@ -65,3 +65,25 @@ def test_casing_snake(spark):
 def test_casing_none_is_identity(spark):
     df = _df(spark)
     assert apply_casing(df, None).columns == df.columns
+
+
+def test_column_casing_dialect_aware_ported(spark):
+    """config_test.go TestColumnCasing vectors (core/sling/:43-86)."""
+    def one(name, casing, dialect):
+        df = spark.createDataFrame([(1,)], f"`{name}` int")
+        return apply_casing(df, casing, dialect).columns[0]
+
+    assert one("myCol", "source", "snowflake") == "myCol"
+    assert one("myCol", "snake", "snowflake") == "MY_COL"
+    assert one("hey-hey", "snake", "snowflake") == "HEY_HEY"
+    assert one("myCol", "normalize", "snowflake") == "myCol"
+    assert one("hey-hey", "normalize", "snowflake") == "hey-hey"
+    assert one("myCol", "target", "snowflake") == "MYCOL"
+    assert one("DHL OriginalTracking-Number", "target", "duckdb") == \
+        "dhl_originaltracking_number"
+    assert one("DHL OriginalTracking-Number", "snake", "duckdb") == \
+        "dhl_original_tracking_number"
+    assert one("DHL OriginalTracking-Number", "normalize", "duckdb") == \
+        "DHL OriginalTracking-Number"
+    assert one("HAPPY", "normalize", "duckdb") == "happy"
+    assert one("HAPPY", "normalize", "snowflake") == "HAPPY"
