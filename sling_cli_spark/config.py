@@ -141,6 +141,7 @@ class TargetOptions:
     delete_missing: str | None = None   # None | "hard" | "soft"
     eq_upsert: bool = False  # iceberg: equality-delete upsert, no scan
     column_typing: dict | None = None   # string/decimal/boolean/json policy
+    json_columns: list[str] = field(default_factory=list)  # inline raw JSON
     file_granular_merge: bool = True    # rewrite only touched parquet files
     partition_by: list[str] = field(default_factory=list)
     bucket_by: list[str] = field(default_factory=list)  # co-located joins

@@ -266,6 +266,14 @@ def run(
         pk = specs_primary_key(specs)
         if pk:  # columns: {id: "bigint primary_key"} defaults the stream PK
             cfg.source.primary_key = pk
+    if specs and not cfg.target.options.json_columns:
+        # columns: {payload: json} + a JSON target -> inline raw JSON
+        # (reference: Column.Type==JsonType drives encodeRowAsJSONObject)
+        from sling_cli_spark.types import ColumnType
+
+        jcols = [s.name for s in specs if s.type == ColumnType.JSON]
+        if jcols:
+            cfg.target.options.json_columns = jcols
 
     if cfg.target.options.pre_sql:
         spark.sql(cfg.target.options.pre_sql)

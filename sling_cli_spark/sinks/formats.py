@@ -93,3 +93,34 @@ def write_excel(df: DataFrame, path: str, sheet: str = "Sheet1") -> None:
         df, "xlsx write (sinks/formats)",
         "csv/parquet output (xlsx caps at 1,048,576 rows per sheet)")]
     write_xlsx(rows, list(df.columns), path, sheet=sheet)
+
+
+def json_inline_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Inline JSON-typed string columns for JSON/JSONL targets
+    (reference: datastream.go encodeRowAsJSONObject, vectors in
+    datastream_test.go:68): a value that IS valid JSON embeds raw
+    ({"payload":{"k":1}}), anything else stays a quoted string
+    ({"payload":"{not-json"}), literal "null" becomes JSON null, SQL
+    NULL stays a JSON null field.
+
+    All-JVM via VariantType: ``try_parse_json`` inlines the valid
+    values; the quoted fallback round-trips through
+    ``parse_json(to_json(array(c)))`` so escaping is the JSON
+    encoder's, never string surgery."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for name in cols:
+        if name not in df.columns:
+            continue
+        c = F.col(f"`{name}`").cast("string")
+        inline = F.try_parse_json(c)
+        quoted = F.variant_get(
+            F.parse_json(F.to_json(F.array(c))), "$[0]", "variant")
+        out = out.withColumn(
+            name,
+            F.when(c.isNull(),
+                   F.lit(None).cast("variant"))
+            .when(inline.isNotNull(), inline)
+            .otherwise(quoted))
+    return out

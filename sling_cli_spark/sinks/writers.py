@@ -240,6 +240,11 @@ def write_files(
         df = df.withColumn(part_col, _PART_FUNCS[mask](F.col(col)))
         part_cols.append(part_col)
 
+    if fmt in ("json", "jsonl") and opts.json_columns:
+        from sling_cli_spark.sinks.formats import json_inline_columns
+
+        df = json_inline_columns(df, list(opts.json_columns))
+
     if fmt == "iceberg" and opts.audit_branch:
         return _write_audit_publish(df, uri, mode, opts, part_cols)
 
@@ -280,8 +285,14 @@ def write_files(
             .option("sep", opts.delimiter)
         if opts.datetime_format:
             writer = writer.option("timestampFormat", opts.datetime_format)
-    if fmt in ("json", "jsonl") and opts.datetime_format:
-        writer = writer.option("timestampFormat", opts.datetime_format)
+    if fmt in ("json", "jsonl"):
+        # reference JSON writer shape (datastream.go
+        # encodeRowAsJSONObject): null fields are EXPLICIT, and
+        # json-typed columns inline raw (valid JSON embeds, anything
+        # else stays a quoted string)
+        writer = writer.option("ignoreNullFields", "false")
+        if opts.datetime_format:
+            writer = writer.option("timestampFormat", opts.datetime_format)
     if fmt in ("delta", "iceberg"):
         from sling_cli_spark.sources.files import is_missing_datasource
 
@@ -413,7 +424,8 @@ def _write_bucketed(df, uri: str, fmt: str, mode: Mode, opts) -> None:
      .saveAsTable(name))
 
 
-_WRITERS = {"parquet": "parquet", "csv": "csv", "json": "json", "orc": "orc"}
+_WRITERS = {"parquet": "parquet", "csv": "csv", "json": "json",
+            "jsonl": "json", "orc": "orc"}
 
 
 # Catalyst-style default width per type (JVM defaultSize, strings bumped to

@@ -505,3 +505,45 @@ def test_masked_source_backfill_prunes_partitions(spark, tmp_path):
         "target": {"object": str(tmp_path / "never2")},
         "mode": "full-refresh"})
     assert build_read_plan(spark, cfg2).count() == 3
+
+
+def test_json_target_inlines_declared_json_columns(spark, tmp_path):
+    """datastream_test.go:68 TestEncodeRowAsJSONObject, through the EL
+    surface: a `columns: {payload: json}` spec + JSON target inlines
+    valid JSON raw, keeps invalid values quoted, literal 'null' and SQL
+    NULL write as explicit JSON nulls, column order preserved."""
+    import glob
+    import json as _json
+
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(1, '{"k":1}', "tail"), (2, "[1,2,3]", "t2"),
+         (3, "null", "t3"), (4, None, "t4"), (5, "hello", "t5"),
+         (6, "{not-json", "t6")],
+        "id long, payload string, tag string").write.parquet(src)
+    out = str(tmp_path / "o.jsonl")
+    run(spark, Config.from_dict({
+        "source": {"stream": src,
+                   "options": {"columns": {"payload": "json"}}},
+        "target": {"object": out, "options": {"format": "jsonl"}},
+        "mode": "full-refresh"}))
+    lines = []
+    for p in sorted(glob.glob(out + "/part-*")):
+        lines += [ln for ln in open(p).read().splitlines() if ln]
+    by_id = {}
+    for ln in lines:
+        rec = _json.loads(ln)
+        by_id[rec["id"]] = (rec, ln)
+    assert by_id[1][0]["payload"] == {"k": 1}
+    assert '"payload":{"k":1}' in by_id[1][1]          # inlined raw
+    assert by_id[2][0]["payload"] == [1, 2, 3]
+    assert by_id[3][0]["payload"] is None
+    assert '"payload":null' in by_id[4][1]             # explicit null
+    assert by_id[5][0]["payload"] == "hello"           # quoted
+    assert by_id[6][0]["payload"] == "{not-json"       # malformed quoted
+    # declared order preserved (not alphabetical)
+    assert by_id[1][1].index('"id"') < by_id[1][1].index('"payload"') \
+        < by_id[1][1].index('"tag"')
