@@ -82,10 +82,34 @@ class Queue:
             self._fh.flush()
 
     def append(self, item: Any) -> None:
+        # queue.go Append explodes slices into elements (bytes stay one
+        # item, base64-encoded, like Go's json.Marshal of []byte)
+        if isinstance(item, (list, tuple)):
+            self.extend(item)
+            return
+        if isinstance(item, (bytes, bytearray)):
+            import base64 as _b64
+
+            item = _b64.b64encode(bytes(item)).decode()
         with self._cond:
             self._items.append(item)
             self._persist(item)
             self._cond.notify_all()
+
+    def reset(self) -> None:
+        """queue.go Reset: rewind the read cursor to the start."""
+        self._cursor = 0
+
+    def next(self) -> tuple[Any, bool]:
+        """queue.go Next: sequential (item, has_more) read after a
+        reset; (None, False) once drained."""
+        cur = getattr(self, "_cursor", 0)
+        with self._cond:
+            if cur >= len(self._items):
+                return None, False
+            item = self._items[cur]
+        self._cursor = cur + 1
+        return item, True
 
     def extend(self, items) -> None:
         with self._cond:

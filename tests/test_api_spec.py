@@ -470,3 +470,71 @@ def test_durable_queue_survives_restart(tmp_path):
     q2.mark_done()
     assert [i["page"] for i in q2.consume()] == [1, 2, 3, 4]
     q2.close()
+
+
+# ------------------------------------------------ queue_test.go vectors
+
+def test_queue_append_explodes_slices_ported():
+    # queue_test.go:84 — slices explode into elements; byte payloads
+    # stay ONE item, base64-encoded (Go json.Marshal of []byte)
+    q = Queue("test-queue-slice-int")
+    q.append([1, 2, 3])
+    q.reset()
+    for expected in (1, 2, 3):
+        item, has_more = q.next()
+        assert has_more and item == expected
+    _, has_more = q.next()
+    assert not has_more
+
+    q2 = Queue("test-queue-byteslice")
+    q2.append(b"hello")
+    q2.reset()
+    item, has_more = q2.next()
+    assert has_more and item == "aGVsbG8="
+    _, has_more = q2.next()
+    assert not has_more
+
+
+def test_queue_reset_rewinds_ported():
+    # queue_test.go:158 — Reset replays from the start
+    q = Queue("test-reset")
+    q.extend(["a", "b"])
+    q.reset()
+    assert q.next() == ("a", True)
+    assert q.next() == ("b", True)
+    assert q.next()[1] is False
+    q.reset()
+    assert q.next() == ("a", True)  # rewound
+
+
+def test_queue_write_then_read_then_write_ported():
+    # queue_test.go:193/229 — reads interleave with writes; items
+    # written after a drain surface on the next read
+    q = Queue("test-wr")
+    q.append("x")
+    q.reset()
+    assert q.next() == ("x", True)
+    assert q.next()[1] is False
+    q.append("y")
+    assert q.next() == ("y", True)
+    assert q.next()[1] is False
+
+
+def test_queue_empty_ported():
+    # queue_test.go:482
+    q = Queue("empty")
+    q.reset()
+    assert q.next() == (None, False)
+
+
+def test_queue_durable_close_and_reopen_ported(tmp_path):
+    # queue_test.go:501 — a reopened file-backed queue replays items
+    p = str(tmp_path / "q.jsonl")
+    q = Queue("jobs", path=p)
+    q.append([{"id": 1}, {"id": 2}])
+    q.close()
+    q2 = Queue("jobs", path=p)
+    q2.reset()
+    assert q2.next() == ({"id": 1}, True)
+    assert q2.next() == ({"id": 2}, True)
+    assert q2.next()[1] is False
