@@ -48,7 +48,12 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          # bucket-totals window), DSIR featurize/score/top-k, and the
          # lineage-incremental EL read
          "token_budget_global_docs", "dsir_select_docs",
-         "lineage_el_incremental"]
+         "lineage_el_incremental",
+         # round-11 continuation: zero-shuffle hashed classifier, the
+         # pandas-UDF normalization column (everything else must stay a
+         # pass-through projection), native ORC scan
+         "quality_classifier_docs", "normalize_text_docs",
+         "orc_roundtrip"]
 
 HEADER = """# Physical plan audit (sf0.1, local[32])
 
