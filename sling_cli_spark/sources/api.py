@@ -40,21 +40,39 @@ def _default_transport(url: str, params: dict, headers: dict):
 
 
 def _extract_path(obj: Any, path: str | None) -> Any:
-    """Dotted-path extraction (``data.items``) — the spec's jmespath
-    subset that covers the reference's own test specs."""
+    """Dotted-path extraction (``data.items``) with JMESPath flatten
+    segments (``data[]``, ``[]``) — the subset the reference's own
+    specs and tests use (spec_test.go specs are full of ``data[]``)."""
     if not path:
         return obj
     cur = obj
     for seg in path.split("."):
-        if cur is None:
-            return None
-        if isinstance(cur, list):
-            try:
-                cur = cur[int(seg)]
-                continue
-            except (ValueError, IndexError):
+        flatten = seg.endswith("[]")
+        if flatten:
+            seg = seg[:-2]
+        if seg:
+            if cur is None:
                 return None
-        cur = cur.get(seg) if isinstance(cur, dict) else None
+            if isinstance(cur, list):
+                try:
+                    cur = cur[int(seg)]
+                except (ValueError, IndexError):
+                    return None
+            else:
+                cur = cur.get(seg) if isinstance(cur, dict) else None
+        if flatten:
+            if cur is None:
+                return None
+            if not isinstance(cur, list):
+                return None
+            # JMESPath []: flatten one level of nested lists
+            flat = []
+            for x in cur:
+                if isinstance(x, list):
+                    flat.extend(x)
+                else:
+                    flat.append(x)
+            cur = flat
     return cur
 
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import base64
 import itertools
+import logging
 import re
 import threading
 import time
@@ -466,33 +467,106 @@ class APIConnection:
 
     # -- dependency ordering ----------------------------------------------
 
-    def _deps(self, ep: dict[str, Any]) -> set[str]:
+    def _queue_producers(self) -> dict[str, list[str]]:
+        """queue name -> sorted producer endpoint names (endpoints whose
+        ``response.processors[].output`` writes ``queue.X`` — spec.go
+        ProducerQueueNames/HasUpstreams)."""
+        eps = self.spec.get("endpoints") or {}
+        out: dict[str, set[str]] = {}
+        for name, ep in eps.items():
+            procs = (((ep or {}).get("response") or {})
+                     .get("processors")) or []
+            for proc in procs:
+                target = str(proc.get("output") or "").strip()
+                if target.startswith("queue."):
+                    out.setdefault(target[len("queue."):], set()).add(name)
+        return {q: sorted(v) for q, v in out.items()}
+
+    def _deps(self, name: str, ep: dict[str, Any]) -> set[str]:
+        """Upstreams = explicit depends_on + the PRODUCERS of any queue
+        this endpoint iterates over (spec.go HasUpstreams; a queue named
+        after an endpoint keeps the legacy implicit-queue reading)."""
         deps = set(ep.get("depends_on") or [])
         over = ((ep.get("iterate") or {}).get("over")) or ""
         if isinstance(over, str) and over.strip().startswith("queue."):
-            deps.add(over.strip().split(".", 1)[1].split(".", 1)[0])
+            qname = over.strip()[len("queue."):].split(".", 1)[0]
+            producers = self._queue_producers().get(qname)
+            if producers:
+                deps.update(p for p in producers if p != name)
+            else:
+                deps.add(qname)  # legacy: queue.<endpoint>
         return deps
 
     def _topo_order(self, names: list[str]) -> list[str]:
+        """Kahn's sort with ALPHABETICAL tie-break among ready nodes
+        (spec.go topologicalSort — stable ordering the reference tests
+        pin); nodes stuck in a cycle append alphabetically at the end
+        instead of erroring (the reference's lenient stance)."""
         eps = self.spec.get("endpoints") or {}
+        # pull dependencies in transitively: running just the consumer
+        # must run its producers first (the legacy DFS did this)
+        pulled = set(names)
+        frontier = list(pulled)
+        while frontier:
+            n = frontier.pop()
+            for d in self._deps(n, eps.get(n) or {}):
+                if d in eps and d not in pulled:
+                    pulled.add(d)
+                    frontier.append(d)
+        names = sorted(pulled)
+        deps = {n: {d for d in self._deps(n, eps.get(n) or {})
+                    if d in names and d != n} for n in names}
+        indeg = {n: len(deps[n]) for n in names}
+        rev: dict[str, list[str]] = {n: [] for n in names}
+        for n, ds in deps.items():
+            for d in ds:
+                rev[d].append(n)
+        ready = sorted(n for n in names if indeg[n] == 0)
         order: list[str] = []
-        seen: dict[str, int] = {}  # 0=visiting 1=done
-
-        def visit(n: str):
-            if seen.get(n) == 1:
-                return
-            if seen.get(n) == 0:
-                raise ValueError(f"endpoint dependency cycle at {n!r}")
-            seen[n] = 0
-            for d in self._deps(eps.get(n) or {}):
-                if d in eps:
-                    visit(d)
-            seen[n] = 1
-            order.append(n)
-
-        for n in names:
-            visit(n)
+        while ready:
+            cur = ready.pop(0)
+            order.append(cur)
+            newly = []
+            for dep in rev[cur]:
+                indeg[dep] -= 1
+                if indeg[dep] == 0:
+                    newly.append(dep)
+            ready.extend(sorted(newly))
+        if len(order) != len(names):  # cycle: append leftovers, warn
+            leftover = sorted(n for n in names if n not in set(order))
+            logging.getLogger(__name__).warning(
+                "endpoint dependency cycle among %s; appending as-is",
+                leftover)
+            order.extend(leftover)
         return order
+
+    def _run_processors(self, ep: dict[str, Any],
+                        records: list[dict]) -> None:
+        """response.processors: evaluate ``expression`` per record and
+        route to ``queue.X`` (append) or ``state.X`` (last value wins) —
+        the producer side of the reference's queue DAG."""
+        procs = ((ep.get("response") or {}).get("processors")) or []
+        for proc in procs:
+            expr = proc.get("expression")
+            target = str(proc.get("output") or "").strip()
+            if not expr or not target:
+                continue
+            vals = []
+            for rec in records:
+                try:
+                    v = self.evaluator.evaluate(
+                        expr, extras={"record": rec,
+                                      "state": dict(self.state)})
+                except Exception:
+                    v = None
+                if v is not None:
+                    vals.append(v)
+            if target.startswith("queue."):
+                qname = target[len("queue."):]
+                q = self.queues.setdefault(qname, Queue(qname))
+                q.extend(vals)
+            elif target.startswith("state.") and vals:
+                self.state[target[len("state."):]] = vals[-1]
 
     # -- request execution ------------------------------------------------
 
@@ -678,6 +752,8 @@ class APIConnection:
         q = self.queues.setdefault(name, Queue(name))
         it = ep.get("iterate") or {}
         into = it.get("into", "value")
+        if into.startswith("state."):  # reference: into: "state.cid"
+            into = into[len("state."):]
         over = it.get("over")
 
         if over is None:
@@ -685,7 +761,17 @@ class APIConnection:
         elif isinstance(over, str) and over.strip().startswith("queue."):
             parent = over.strip().split(".", 1)[1]
             deferred = (it.get("consume", "deferred") != "immediate")
-            src = self.queues[parent].consume(deferred=deferred)
+            if parent not in self.queues:
+                raise KeyError(
+                    f"queue {parent!r} has no producer that ran; "
+                    f"producers: {self._queue_producers().get(parent)}")
+            src_q = self.queues[parent]
+            if not src_q.done and parent not in (
+                    self.spec.get("endpoints") or {}):
+                # a NAMED queue consumed outside run(): the caller
+                # sequenced the producers manually — don't deadlock
+                src_q.mark_done()
+            src = src_q.consume(deferred=deferred)
             iter_states = [{into: v} for v in src]
         else:
             vals = self.evaluator.render(over, {"state": dict(self.state)})
@@ -703,6 +789,7 @@ class APIConnection:
                     lambda st: self._fetch_iteration(ep, st), iter_states))
         records = self._postprocess_records(
             ep, list(itertools.chain.from_iterable(batches)))
+        self._run_processors(ep, records)  # producer side of named queues
         q.extend(records)
         q.mark_done()
         return records
@@ -715,10 +802,18 @@ class APIConnection:
         each endpoint's records land as a DataFrame (flattened like the
         JSON file path); without, raw record lists are returned."""
         eps = self.spec.get("endpoints") or {}
-        names = endpoints or list(eps)
+        names = endpoints or [
+            n for n, ep in eps.items() if not (ep or {}).get("disabled")]
+        # named-queue completion: a queue is done when ALL its producers
+        # have fetched (consumers wait on done in deferred mode)
+        pending = {q: set(p) for q, p in self._queue_producers().items()}
         out: dict[str, Any] = {}
         for name in self._topo_order(names):
             records = self.fetch_endpoint(name)
+            for qname, ps in pending.items():
+                ps.discard(name)
+                if not ps and qname in self.queues:
+                    self.queues[qname].mark_done()
             if spark is None:
                 out[name] = records
                 continue

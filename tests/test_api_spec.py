@@ -161,12 +161,18 @@ def test_endpoint_dag_parent_feeds_child():
 
 
 def test_dependency_cycle_detected():
+    # reference semantics (spec.go topologicalSort + spec_test.go:994):
+    # a cycle does NOT error — the stuck endpoints append alphabetically
+    # after the sortable ones, with a warning
     spec = {"endpoints": {
         "a": {"depends_on": ["b"], "request": {"url": "x"}},
         "b": {"depends_on": ["a"], "request": {"url": "x"}},
+        "c": {"request": {"url": "x"}},
     }}
-    with pytest.raises(ValueError, match="cycle"):
-        APIConnection(spec, transport=lambda *a: (200, {})).run()
+    conn = APIConnection(spec, transport=lambda *a: (200, {}))
+    assert conn._topo_order(["a", "b", "c"]) == ["c", "a", "b"]
+    out = conn.run()
+    assert set(out) == {"a", "b", "c"}  # all still execute
 
 
 def test_iterate_over_expression():
@@ -538,3 +544,164 @@ def test_queue_durable_close_and_reopen_ported(tmp_path):
     assert q2.next() == ({"id": 1}, True)
     assert q2.next() == ({"id": 2}, True)
     assert q2.next()[1] is False
+
+
+# -------------------------------------------- spec_test.go DAG vectors
+
+CUSTOMER_INVOICE_SPEC = {
+    "name": "Test API",
+    "queues": ["customer_ids", "invoice_ids"],
+    "endpoints": {
+        "customer": {
+            "request": {"url": "http://x/customers"},
+            "response": {
+                "records": {"jmespath": "data[]"},
+                "processors": [
+                    {"expression": "record.id",
+                     "output": "queue.customer_ids"}]}},
+        "customer_balance": {
+            "iterate": {"over": "queue.customer_ids",
+                        "into": "state.customer_id"},
+            "request": {"url": "http://x/balance"},
+            "response": {"records": {"jmespath": "data[]"}}},
+        "invoice": {
+            "request": {"url": "http://x/invoices"},
+            "response": {
+                "records": {"jmespath": "data[]"},
+                "processors": [
+                    {"expression": "record.id",
+                     "output": "queue.invoice_ids"}]}},
+        "invoice_line_item": {
+            "iterate": {"over": "queue.invoice_ids",
+                        "into": "state.invoice_id"},
+            "request": {"url": "http://x/lines"},
+            "response": {"records": {"jmespath": "data[]"}}},
+        "charge": {
+            "request": {"url": "http://x/charges"},
+            "response": {"records": {"jmespath": "data[]"}}},
+    },
+}
+
+
+def _conn(spec):
+    return APIConnection(spec, {}, transport=lambda *a, **k: (200, {}))
+
+
+def test_build_dependency_map_ported():
+    # spec_test.go:442 — queue consumers depend on queue PRODUCERS
+    c = _conn(CUSTOMER_INVOICE_SPEC)
+    eps = CUSTOMER_INVOICE_SPEC["endpoints"]
+    assert c._deps("customer_balance", eps["customer_balance"]) == \
+        {"customer"}
+    assert c._deps("invoice_line_item", eps["invoice_line_item"]) == \
+        {"invoice"}
+    assert c._deps("customer", eps["customer"]) == set()
+    assert c._deps("charge", eps["charge"]) == set()
+
+
+TOPO_CASES = [
+    ("simple chain", ["a", "b", "c"],
+     {"a": set(), "b": {"a"}, "c": {"b"}}, ["a", "b", "c"]),
+    ("diamond dependency", ["a", "b", "c", "d"],
+     {"a": set(), "b": {"a"}, "c": {"a"}, "d": {"b", "c"}},
+     ["a", "b", "c", "d"]),
+    ("no dependencies", ["z", "a", "m"],
+     {"z": set(), "a": set(), "m": set()}, ["a", "m", "z"]),
+    ("multiple roots", ["a", "b", "c", "d", "e"],
+     {"a": set(), "b": set(), "c": {"a"}, "d": {"b"}, "e": {"c", "d"}},
+     ["a", "b", "c", "d", "e"]),
+]
+
+
+@pytest.mark.parametrize("name,names,deps,expected", TOPO_CASES,
+                         ids=[c[0] for c in TOPO_CASES])
+def test_topological_sort_ported(name, names, deps, expected, monkeypatch):
+    # spec_test.go:518 — Kahn's with alphabetical tie-break
+    spec = {"endpoints": {n: {} for n in names}}
+    c = _conn(spec)
+    monkeypatch.setattr(type(c), "_deps",
+                        lambda self, n, ep: deps.get(n, set()))
+    assert c._topo_order(names) == expected
+
+
+def test_topo_order_full_spec_and_circular():
+    # spec_test.go:257/994 — consumers follow producers; a cycle appends
+    # leftovers alphabetically instead of erroring
+    c = _conn(CUSTOMER_INVOICE_SPEC)
+    order = c._topo_order(list(CUSTOMER_INVOICE_SPEC["endpoints"]))
+    assert order.index("customer") < order.index("customer_balance")
+    assert order.index("invoice") < order.index("invoice_line_item")
+    assert order == ["charge", "customer", "invoice",
+                     "customer_balance", "invoice_line_item"]
+
+    cyc = _conn({"endpoints": {
+        "a": {"depends_on": ["b"]}, "b": {"depends_on": ["a"]},
+        "c": {}}})
+    assert cyc._topo_order(["a", "b", "c"]) == ["c", "a", "b"]
+
+
+def test_multiple_producers_for_same_queue_ported():
+    # spec_test.go:1019 — the consumer depends on EVERY producer
+    spec = {"endpoints": {
+        "p1": {"response": {"processors": [
+            {"expression": "record.id", "output": "queue.shared"}]}},
+        "p2": {"response": {"processors": [
+            {"expression": "record.id", "output": "queue.shared"}]}},
+        "consumer": {"iterate": {"over": "queue.shared"}},
+    }}
+    c = _conn(spec)
+    assert c._deps("consumer", spec["endpoints"]["consumer"]) == \
+        {"p1", "p2"}
+    order = c._topo_order(["p1", "p2", "consumer"])
+    assert order == ["p1", "p2", "consumer"]
+
+
+def test_disabled_endpoints_skipped_ported():
+    # spec_test.go:1094
+    spec = {"endpoints": {
+        "on": {"request": {"url": "http://x/on"},
+               "response": {"records": {"jmespath": "data[]"}}},
+        "off": {"disabled": True,
+                "request": {"url": "http://x/off"},
+                "response": {"records": {"jmespath": "data[]"}}},
+    }}
+    calls = []
+
+    def transport(url, *a, **k):
+        calls.append(url)
+        return 200, {"data": [{"id": 1}]}
+
+    out = APIConnection(spec, {}, transport=transport).run()
+    assert "on" in out and "off" not in out
+    assert all("off" not in u for u in calls)
+
+
+def test_queue_producer_consumer_end_to_end():
+    # the full producer->named-queue->consumer flow through run()
+    hits = []
+
+    def transport(url, params=None, headers=None, **k):
+        hits.append((url, dict(params or {})))
+        if "customers" in url:
+            return 200, {"data": [{"id": 7}, {"id": 9}]}
+        return 200, {"data": [{"cust": (params or {}).get("cid"),
+                               "bal": 10}]}
+
+    spec = {
+        "endpoints": {
+            "customer": {
+                "request": {"url": "http://x/customers"},
+                "response": {
+                    "records": {"jmespath": "data[]"},
+                    "processors": [{"expression": "record.id",
+                                    "output": "queue.customer_ids"}]}},
+            "customer_balance": {
+                "iterate": {"over": "queue.customer_ids",
+                            "into": "state.cid"},
+                "request": {"url": "http://x/balance",
+                            "parameters": {"cid": "{state.cid}"}},
+                "response": {"records": {"jmespath": "data[]"}}},
+        },
+    }
+    out = APIConnection(spec, {}, transport=transport).run()
+    assert [r["cust"] for r in out["customer_balance"]] == [7, 9]
