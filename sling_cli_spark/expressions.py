@@ -134,7 +134,7 @@ def find_matches(text: str) -> list[str]:
 
 _IDENT = r"[A-Za-z_]\w*"
 _PATH_RE = re.compile(
-    rf"^{_IDENT}(\.{_IDENT}|\[-?\d+\]|\[\*\]|\[\?[^\]]+\])*$")
+    rf"^{_IDENT}(\.{_IDENT}|\[-?\d+\]|\[\*\]|\[\]|\[\?[^\]]+\])*$")
 _FILTER_RE = re.compile(r"^(\w+)\s*(==|!=)\s*(.+?)\s*$")
 
 
@@ -160,13 +160,26 @@ def search_path(path: str, state: Mapping) -> Any:
     ok), ``[*]`` projection, ``[?field == `lit`]`` filters (the subset
     the reference's specs/tests exercise). Returns None on any miss
     (jmespath contract), never raises."""
-    toks = re.findall(rf"{_IDENT}|\[-?\d+\]|\[\*\]|\[\?[^\]]+\]", path)
+    toks = re.findall(rf"{_IDENT}|\[-?\d+\]|\[\*\]|\[\]|\[\?[^\]]+\]",
+                      path)
     cur: Any = state
 
     def descend(node: Any, toks: list[str]) -> Any:
         for t_i, t in enumerate(toks):
             if node is None:
                 return None
+            if t == "[]":
+                # JMESPath flatten-projection: flatten one level, then
+                # project the rest over the elements
+                if not isinstance(node, list):
+                    return None
+                flat: list = []
+                for x in node:
+                    flat.extend(x) if isinstance(x, list) \
+                        else flat.append(x)
+                rest = toks[t_i + 1:]
+                vals = [descend(x, rest) for x in flat]
+                return [v for v in vals if v is not None]
             if t == "[*]" or t.startswith("[?"):
                 if not isinstance(node, list):
                     return None

@@ -451,7 +451,13 @@ class APIConnection:
     ):
         self.spec = spec
         self.transport = transport or _default_transport
-        self.state: dict[str, Any] = dict(spec.get("state") or {})
+        # defaults.state seeds the run state (reference spec YAMLs:
+        # `defaults: {state: {base_url: ...}}`); a top-level state
+        # block overrides
+        self.state: dict[str, Any] = {
+            **(((spec.get("defaults") or {}).get("state")) or {}),
+            **(spec.get("state") or {}),
+        }
         self.evaluator = Evaluator(
             state={
                 "env": dict(env or {}),
@@ -657,7 +663,9 @@ class APIConnection:
         out: list[dict] = []
         offset, cursor = 0, None
         for _page in range(max_pages):
-            st = dict(iter_state)
+            # endpoint-level state underlays the iteration state —
+            # dynamic endpoints carry their iteration value there
+            st = {**(ep.get("state") or {}), **iter_state}
             st["offset"], st["cursor"] = offset, cursor
             url = self._render(req.get("url", ""), st)
             params = self._render(dict(req.get("parameters") or {}), st)
@@ -744,6 +752,119 @@ class APIConnection:
             records = records[: int(limit)]
         return records
 
+    def render_dynamic_endpoints(self) -> list[str]:
+        """Materialize ``dynamic_endpoints`` into concrete endpoints
+        (reference: api.go RenderDynamicEndpoints:860-1023 +
+        renderEndpointTemplate:768). Each definition optionally runs a
+        SETUP sequence (requests whose processors write state, with
+        ``aggregation: flatten``), resolves ``iterate`` (inline list,
+        JSON literal string, or a state path), then stamps one endpoint
+        per item: only name/description/docs render NOW (keep-missing
+        evaluator — runtime spans stay intact); the iteration value
+        lands in the endpoint's own ``state`` for request-time
+        rendering. Duplicate generated names error."""
+        import copy
+        import json as _json
+
+        from sling_cli_spark.expressions import search_path
+
+        dyns = self.spec.get("dynamic_endpoints") or []
+        if not dyns or self.spec.get("__dynamic_rendered__"):
+            return []
+        eps = self.spec.setdefault("endpoints", {})
+        generated: list[str] = []
+        for idx, dyn in enumerate(dyns):
+            setup_state = dict(self.state)
+            for step in dyn.get("setup") or []:
+                req = step.get("request") or {}
+                extras = {"state": setup_state}
+                url = self.evaluator.render_string(
+                    req.get("url", ""), extras)
+                params = self.evaluator.render(
+                    dict(req.get("parameters") or {}), extras)
+                headers = self.evaluator.render(
+                    dict(req.get("headers") or {}), extras)
+                status, body = self._request(url, params, headers)
+                if status >= 400:
+                    raise RuntimeError(
+                        f"dynamic endpoint setup failed ({status}): {url}")
+                procs = ((step.get("response") or {})
+                         .get("processors")) or []
+                for proc in procs:
+                    expr = proc.get("expression")
+                    target = str(proc.get("output") or "").strip()
+                    if not expr or not target.startswith("state."):
+                        continue
+                    val = self.evaluator.evaluate(expr, extras={
+                        "response": {"json": body, "status": status},
+                        "state": dict(setup_state)})
+                    if proc.get("aggregation") == "flatten" and \
+                            isinstance(val, list):
+                        flat: list = []
+                        for x in val:
+                            flat.extend(x) if isinstance(x, list) \
+                                else flat.append(x)
+                        val = flat
+                    setup_state[target[len("state."):]] = val
+            it = dyn.get("iterate")
+            if it is None:
+                raise ValueError(
+                    f"dynamic endpoint definition {idx + 1}: "
+                    "'iterate' is required")
+            if isinstance(it, list):
+                items = list(it)
+            elif isinstance(it, dict):
+                items = [it]
+            else:
+                t = str(it).strip()
+                if not t.startswith(("[", "{")) and "{" in t:
+                    t = str(self.evaluator.render_string(
+                        t, {"state": setup_state})).strip()
+                if t.startswith(("[", "{")):
+                    parsed = _json.loads(t)
+                    items = parsed if isinstance(parsed, list) else [parsed]
+                else:
+                    got = search_path(t, {"state": setup_state})
+                    if got is None:
+                        got = []
+                    items = got if isinstance(got, list) else [got]
+            if not items:
+                logging.getLogger(__name__).warning(
+                    "dynamic endpoint definition %d: iterate returned "
+                    "an empty list", idx + 1)
+                continue
+            into = str(dyn.get("into") or "")
+            bits = into.split(".")
+            if len(bits) != 2 or bits[0] != "state":
+                raise ValueError(
+                    f"invalid 'into' variable: {into!r} (must be "
+                    "'state.variable_name')")
+            key = bits[1]
+            tmpl = dyn.get("endpoint") or {}
+            keep_ev = Evaluator(keep_missing=True)
+            for val in items:
+                st = {**setup_state, key: val}
+                ep_new = copy.deepcopy(tmpl)
+                extras = {"state": st}
+                name = str(keep_ev.render_string(
+                    ep_new.get("name", ""), extras))
+                if name in eps:
+                    raise ValueError(
+                        f"duplicate endpoint name generated: {name}")
+                ep_new["name"] = name
+                for fld in ("description", "docs"):
+                    if ep_new.get(fld):
+                        ep_new[fld] = keep_ev.render_string(
+                            ep_new[fld], extras)
+                ep_state = dict(ep_new.get("state") or {})
+                for k, v in st.items():
+                    ep_state.setdefault(k, v)
+                ep_new["state"] = ep_state
+                eps[name] = ep_new
+                generated.append(name)
+        self.spec["__dynamic_rendered__"] = True
+        return generated
+
     def fetch_endpoint(self, name: str) -> list[dict]:
         """All records for one endpoint: resolve the iteration source,
         fan out sequences over a bounded pool, feed this endpoint's
@@ -801,6 +922,7 @@ class APIConnection:
         """Execute endpoints in dependency order. With ``spark``,
         each endpoint's records land as a DataFrame (flattened like the
         JSON file path); without, raw record lists are returned."""
+        self.render_dynamic_endpoints()
         eps = self.spec.get("endpoints") or {}
         names = endpoints or [
             n for n, ep in eps.items() if not (ep or {}).get("disabled")]

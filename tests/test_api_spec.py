@@ -705,3 +705,98 @@ def test_queue_producer_consumer_end_to_end():
     }
     out = APIConnection(spec, {}, transport=transport).run()
     assert [r["cust"] for r in out["customer_balance"]] == [7, 9]
+
+
+# --------------------------------------- dynamic endpoints (spec_test.go)
+
+def test_dynamic_endpoints_basic_ported():
+    # spec_test.go:1343 — one endpoint per item of a JSON-literal list
+    hits = []
+
+    def transport(url, params=None, headers=None, **k):
+        hits.append(url)
+        return 200, {"data": [{"u": url}]}
+
+    spec = {
+        "name": "Test Dynamic API",
+        "defaults": {"state": {"base_url": "http://api"}},
+        "dynamic_endpoints": [{
+            "iterate": '["users", "orders", "products"]',
+            "into": "state.resource_type",
+            "endpoint": {
+                "name": "{state.resource_type}",
+                "description": "Endpoint for {state.resource_type}",
+                "request": {"url": "{state.base_url}/{state.resource_type}"},
+                "response": {"records": {"jmespath": "data[]"}}},
+        }],
+    }
+    conn = APIConnection(spec, transport=transport)
+    generated = conn.render_dynamic_endpoints()
+    assert generated == ["users", "orders", "products"]
+    eps = conn.spec["endpoints"]
+    assert eps["users"]["description"] == "Endpoint for users"
+    out = conn.run()
+    assert set(out) == {"users", "orders", "products"}
+    assert sorted(hits) == ["http://api/orders", "http://api/products",
+                            "http://api/users"]
+
+
+def test_dynamic_endpoints_with_setup_ported():
+    # spec_test.go:1378 — setup request discovers the iterate list
+    def transport(url, params=None, headers=None, **k):
+        if url.endswith("/metadata/tables"):
+            return 200, {"tables": [{"name": "t1"}, {"name": "t2"}]}
+        return 200, {"rows": [{"id": 1, "src": url}]}
+
+    spec = {
+        "defaults": {"state": {"base_url": "http://api"}},
+        "dynamic_endpoints": [{
+            "setup": [{
+                "request": {"url": "{state.base_url}/metadata/tables"},
+                "response": {"processors": [{
+                    "expression": "response.json.tables[].name",
+                    "output": "state.available_tables",
+                    "aggregation": "flatten"}]},
+            }],
+            "iterate": "state.available_tables",
+            "into": "state.table_name",
+            "endpoint": {
+                "name": "table_{state.table_name}",
+                "request": {"url": "{state.base_url}/tables/{state.table_name}"},
+                "response": {"records": {"jmespath": "rows[]"}}},
+        }],
+    }
+    conn = APIConnection(spec, transport=transport)
+    out = conn.run()
+    assert set(out) == {"table_t1", "table_t2"}
+    assert out["table_t1"][0]["src"] == "http://api/tables/t1"
+
+
+def test_dynamic_endpoints_duplicate_name_errors():
+    spec = {"dynamic_endpoints": [{
+        "iterate": '["x", "x"]', "into": "state.r",
+        "endpoint": {"name": "{state.r}",
+                     "request": {"url": "http://a/{state.r}"}}}]}
+    conn = APIConnection(spec, {}, transport=lambda *a, **k: (200, {}))
+    with pytest.raises(ValueError, match="duplicate endpoint name"):
+        conn.render_dynamic_endpoints()
+
+
+def test_dynamic_endpoints_mixed_with_static():
+    # spec_test.go:1466 — dynamic endpoints join the static ones
+    def transport(url, params=None, headers=None, **k):
+        return 200, {"data": [{"u": url}]}
+
+    spec = {
+        "endpoints": {
+            "static_one": {"request": {"url": "http://a/static"},
+                           "response": {"records": {"jmespath": "data[]"}}}},
+        "dynamic_endpoints": [{
+            "iterate": ["d1", "d2"],  # native YAML list form
+            "into": "state.n",
+            "endpoint": {"name": "dyn_{state.n}",
+                         "request": {"url": "http://a/{state.n}"},
+                         "response": {"records": {"jmespath": "data[]"}}}}],
+    }
+    out = APIConnection(spec, {}, transport=transport).run()
+    assert set(out) == {"static_one", "dyn_d1", "dyn_d2"}
