@@ -1540,3 +1540,182 @@ def table_keys_ddl(
                 {"index": dialect.quote(name[:63]), "table": table,
                  "cols": dialect.quote(spec.name)}))
     return stmts
+
+
+# ---------------------------------------------------------------------------
+# identifier / SQL text parsing (reference: database/schemata.go:861-1425,
+# vectors ported in tests/test_schemata_ported.py)
+
+# dialects whose unquoted identifiers fold UPPER (dbio DBNameUpperCase)
+_UPPER_FOLD = {"oracle", "snowflake", "exasol"}
+
+
+def parse_table_name(text: str, dialect: str = "") -> dict:
+    """ParseTableName (schemata.go:861-930): split a table identifier
+    into database/schema/name with the dialect's quote char; any
+    unquoted whitespace/paren/quote makes the whole text SQL. Case
+    rule: quoted parts keep their case; unquoted parts with ANY
+    uppercase letter keep theirs; all-lowercase unquoted parts fold to
+    the dialect's identifier case (UPPER on snowflake/oracle/exasol,
+    lower elsewhere)."""
+    d = (dialect or "").lower()
+    quote = "`" if d in ("mysql", "mariadb", "starrocks", "bigquery",
+                         "bigtable") else '"'
+    out = {"database": "", "schema": "", "name": "", "sql": ""}
+    raw = text
+    low = text.lower()
+    if ("select" in low and "from" in low
+            and (" " in text or "\n" in text) and quote not in text):
+        out["sql"] = text.strip()
+        return out
+
+    words: list[str] = []
+    word = ""
+    in_quote = False
+
+    def add_word(case_as_is: bool) -> None:
+        nonlocal word
+        if word == "":
+            return
+        w = word
+        if not case_as_is and not any(c.isupper() for c in w):
+            w = w.upper() if d in _UPPER_FOLD else w.lower()
+        words.append(w)
+        word = ""
+
+    for ch in raw:
+        if ch == quote:
+            if in_quote:
+                add_word(True)
+            in_quote = not in_quote
+            continue
+        if ch == "." and not in_quote:
+            add_word(False)
+            continue
+        if ch in " \n\t\r()'" and not in_quote:
+            out["sql"] = raw.strip()
+            return out
+        word += ch
+    add_word(False)
+
+    if len(words) == 1:
+        out["name"] = words[0]
+    elif len(words) == 2:
+        out["schema"], out["name"] = words
+    elif len(words) >= 3:
+        out["database"], out["schema"], out["name"] = words[-3:]
+    return out
+
+
+def trim_sql_comments(sql: str) -> str:
+    """TrimSQLComments (schemata.go): strip ``--`` line comments (the
+    newline survives) and ``/* */`` block comments (non-nesting),
+    respecting single-quoted strings with ``''`` escapes. Unterminated
+    strings or block comments raise."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    in_quote = in_line = in_block = False
+    while i < n:
+        c = sql[i]
+        if in_line:
+            if c == "\n":
+                in_line = False
+                out.append(c)
+            i += 1
+            continue
+        if in_block:
+            if c == "*" and i + 1 < n and sql[i + 1] == "/":
+                in_block = False
+                i += 2
+                continue
+            i += 1
+            continue
+        if in_quote:
+            out.append(c)
+            if c == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                in_quote = False
+            i += 1
+            continue
+        if c == "'":
+            in_quote = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "-" and i + 1 < n and sql[i + 1] == "-":
+            in_line = True
+            i += 2
+            continue
+        if c == "/" and i + 1 < n and sql[i + 1] == "*":
+            in_block = True
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    if in_quote:
+        raise ValueError("unterminated quote in SQL")
+    if in_block:
+        raise ValueError("unterminated block comment in SQL")
+    return "".join(out)
+
+
+def parse_sql_multi_statements(sql: str, dialect: str = "") -> list[str]:
+    """ParseSQLMultiStatements (schemata.go:1310-1407): split on ``;``
+    outside strings/comments. Procedural forms (BEGIN..END /
+    DECLARE..END / PREPARE+EXECUTE / CREATE PROCEDURE|FUNCTION) stay
+    ONE statement; SQL Server keeps trailing semicolons (its separator
+    is GO, not ``;``)."""
+    d = (dialect or "").lower()
+    low = sql.strip().lower().rstrip(";")
+    if (low.startswith("begin") and low.endswith("end")) or \
+            (low.startswith("declare") and low.endswith("end")) or \
+            ("prepare " in low and "execute " in low) or \
+            ("create procedure" in low) or ("create function" in low):
+        return [sql]
+
+    is_sqlserver = d in ("sqlserver", "azuresql", "azuredwh")
+    sqls: list[str] = []
+    cur: list[str] = []
+    in_quote = in_line = in_block = False
+    n = len(sql)
+    i = 0
+    while i < n:
+        c = sql[i]
+        cur.append(c)
+        if not in_line and not in_block:
+            if c == "'" and not in_quote:
+                in_quote = True
+            elif c == "'" and in_quote:
+                if i + 1 < n and sql[i + 1] == "'":
+                    cur.append("'")
+                    i += 2
+                    continue
+                in_quote = False
+        if not in_quote:
+            if i > 0 and c == "-" and sql[i - 1] == "-" and not in_block:
+                in_line = True
+            if i > 0 and c == "*" and sql[i - 1] == "/" and not in_line:
+                in_block = True
+            if i > 0 and c == "/" and sql[i - 1] == "*" and in_block:
+                in_block = False
+        if c == "\n" and in_line:
+            in_line = False
+        if c == ";" and not in_quote and not in_line and not in_block:
+            stmt = "".join(cur).strip()
+            cur = []
+            if stmt and stmt != ";":
+                if not is_sqlserver:
+                    stmt = stmt.rstrip(";")
+                if stmt:
+                    sqls.append(stmt)
+        i += 1
+    remaining = "".join(cur).strip()
+    if remaining:
+        if not is_sqlserver:
+            remaining = remaining.rstrip(";")
+        if remaining:
+            sqls.append(remaining)
+    return sqls

@@ -38,6 +38,23 @@ from sling_cli_spark.sinks.writers import prepare_for_mode, write_files
 from sling_cli_spark.sources.files import read_source
 
 
+def _exec_sql(spark, sql: str) -> None:
+    """pre_sql/post_sql hooks accept MULTIPLE ;-separated statements
+    (schemata.go ParseSQLMultiStatements semantics: strings/comments
+    respected, procedural blocks stay whole); comment-only fragments
+    are skipped."""
+    from sling_cli_spark.dialects import (
+        parse_sql_multi_statements, trim_sql_comments)
+
+    for stmt in parse_sql_multi_statements(sql):
+        try:
+            bare = trim_sql_comments(stmt).strip()
+        except ValueError:
+            bare = stmt
+        if bare:
+            spark.sql(stmt)
+
+
 def _as_datetime(v):
     """Coerce a watermark/backfill bound to datetime for partition-URI
     pruning; raises TypeError/ValueError for non-temporal keys (callers
@@ -276,7 +293,7 @@ def run(
             cfg.target.options.json_columns = jcols
 
     if cfg.target.options.pre_sql:
-        spark.sql(cfg.target.options.pre_sql)
+        _exec_sql(spark, cfg.target.options.pre_sql)
 
     watermark = None
     if cfg.mode == Mode.INCREMENTAL and cfg.source.update_key and target_df is not None:
@@ -420,7 +437,7 @@ def run(
                             mode=cfg.mode.value, watermark=vals.get("wm"),
                             merge_stats=stats)
         if cfg.target.options.post_sql:
-            spark.sql(cfg.target.options.post_sql)
+            _exec_sql(spark, cfg.target.options.post_sql)
         return result
     if needs_merge and _file_merge_eligible(spark, cfg, target_df, df):
         # copy-on-write at file granularity: only parquet files holding
@@ -450,7 +467,7 @@ def run(
                             mode=cfg.mode.value, watermark=vals.get("wm"),
                             merge_stats=stats)
         if cfg.target.options.post_sql:
-            spark.sql(cfg.target.options.post_sql)
+            _exec_sql(spark, cfg.target.options.post_sql)
         return result
     if needs_merge:
         from sling_cli_spark.operators.evolution import reconcile_schemas
@@ -494,7 +511,7 @@ def run(
                             mode=cfg.mode.value, watermark=vals.get("wm"))
 
     if cfg.target.options.post_sql:
-        spark.sql(cfg.target.options.post_sql)
+        _exec_sql(spark, cfg.target.options.post_sql)
     return result
 
 

@@ -1,0 +1,171 @@
+"""schemata_test.go vectors, ported (reference: core/dbio/database/).
+
+- TestParseTableName          (:15)  -> dialects.parse_table_name
+- TestParseSQLMultiStatements (:206) -> dialects.parse_sql_multi_statements
+- TestTrimSQLComments         (:430) -> dialects.trim_sql_comments
+
+Pure driver-side logic — no Spark needed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sling_cli_spark.dialects import (
+    parse_sql_multi_statements, parse_table_name, trim_sql_comments)
+
+PTN_CASES = [
+    ("schema.table", "snowflake",
+     {"schema": "SCHEMA", "name": "TABLE"}),
+    ("schema.*", "snowflake", {"schema": "SCHEMA", "name": "*"}),
+    ("*", "snowflake", {"name": "*"}),
+    ('"ScheMa".table', "snowflake", {"schema": "ScheMa", "name": "TABLE"}),
+    ('"ScheMa Name".table', "snowflake",
+     {"schema": "ScheMa Name", "name": "TABLE"}),
+    ("`db-4`.table", "mysql", {"schema": "db-4", "name": "table"}),
+    ("DB-4.table", "mysql", {"schema": "DB-4", "name": "table"}),
+    ("`DB-4`.table", "mysql", {"schema": "DB-4", "name": "table"}),
+    ("schema.`Table Name`", "mysql",
+     {"schema": "schema", "name": "Table Name"}),
+    ('"ScheMa Name"."Table Name"', "snowflake",
+     {"schema": "ScheMa Name", "name": "Table Name"}),
+    ('ScheMa-Name."Table Name"', "snowflake",
+     {"schema": "ScheMa-Name", "name": "Table Name"}),
+    ("select 1 from table ", "snowflake",
+     {"sql": "select 1 from table"}),
+]
+
+
+@pytest.mark.parametrize("text,dialect,want", PTN_CASES,
+                         ids=[c[0] for c in PTN_CASES])
+def test_parse_table_name_ported(text, dialect, want):
+    got = parse_table_name(text, dialect)
+    full = {"database": "", "schema": "", "name": "", "sql": ""}
+    full.update(want)
+    assert got == full
+
+
+MULTI_CASES = [
+    ("simple single statement", "SELECT * FROM users", "postgres",
+     ["SELECT * FROM users"]),
+    ("simple multiple statements",
+     "SELECT * FROM users; INSERT INTO logs VALUES (1);", "postgres",
+     ["SELECT * FROM users", "INSERT INTO logs VALUES (1)"]),
+    ("with trailing whitespace", "SELECT * FROM users;  \n  ",
+     "postgres", ["SELECT * FROM users"]),
+    ("statements with comments",
+     "SELECT * FROM users; -- Get all users\n"
+     "INSERT INTO logs VALUES (1); /* Add log */", "postgres",
+     ["SELECT * FROM users",
+      "-- Get all users\nINSERT INTO logs VALUES (1)", "/* Add log */"]),
+    ("semicolon in quoted string",
+     "SELECT * FROM users WHERE name = 'user;name';", "postgres",
+     ["SELECT * FROM users WHERE name = 'user;name'"]),
+    ("semicolon in comments",
+     "SELECT * FROM users /* ; */ WHERE id = 1;", "postgres",
+     ["SELECT * FROM users /* ; */ WHERE id = 1"]),
+    ("sql server with trailing semicolon", "SELECT * FROM users;",
+     "sqlserver", ["SELECT * FROM users;"]),
+    ("begin end block",
+     "BEGIN UPDATE users SET active = 1; "
+     "INSERT INTO logs VALUES (1); END;", "postgres",
+     ["BEGIN UPDATE users SET active = 1; "
+      "INSERT INTO logs VALUES (1); END;"]),
+    ("declare begin end block",
+     "DECLARE v_x NUMBER; BEGIN v_x := 1; "
+     "INSERT INTO logs VALUES (v_x); END;", "oracle",
+     ["DECLARE v_x NUMBER; BEGIN v_x := 1; "
+      "INSERT INTO logs VALUES (v_x); END;"]),
+    ("prepare execute statement",
+     "PREPARE stmt AS SELECT * FROM users; EXECUTE stmt;", "postgres",
+     ["PREPARE stmt AS SELECT * FROM users; EXECUTE stmt;"]),
+    ("create procedure",
+     "CREATE PROCEDURE get_users() BEGIN SELECT * FROM users; END;",
+     "postgres",
+     ["CREATE PROCEDURE get_users() BEGIN SELECT * FROM users; END;"]),
+    ("create function",
+     "CREATE FUNCTION get_user_count() RETURNS INT BEGIN RETURN "
+     "(SELECT COUNT(*) FROM users); END;", "postgres",
+     ["CREATE FUNCTION get_user_count() RETURNS INT BEGIN RETURN "
+      "(SELECT COUNT(*) FROM users); END;"]),
+    ("single quotes with escape",
+     "SELECT * FROM users WHERE name = 'O''Connor'; "
+     "SELECT * FROM logs;", "postgres",
+     ["SELECT * FROM users WHERE name = 'O''Connor'",
+      "SELECT * FROM logs"]),
+    ("empty statements should be skipped",
+     ";;SELECT * FROM users;;;;SELECT * FROM logs;;;", "postgres",
+     ["SELECT * FROM users", "SELECT * FROM logs"]),
+]
+
+
+@pytest.mark.parametrize("name,sql,dialect,want", MULTI_CASES,
+                         ids=[c[0] for c in MULTI_CASES])
+def test_parse_sql_multi_statements_ported(name, sql, dialect, want):
+    assert parse_sql_multi_statements(sql, dialect) == want
+
+
+TRIM_CASES = [
+    ("no comments", "SELECT * FROM users WHERE id = 1",
+     "SELECT * FROM users WHERE id = 1", False),
+    ("line comment at end", "SELECT * FROM users -- This is a comment",
+     "SELECT * FROM users ", False),
+    ("line comment in middle", "SELECT * -- Get all users\nFROM users",
+     "SELECT * \nFROM users", False),
+    ("block comment at end",
+     "SELECT * FROM users /* This is a block comment */",
+     "SELECT * FROM users ", False),
+    ("block comment in middle", "SELECT * /* Get all users */ FROM users",
+     "SELECT *  FROM users", False),
+    ("mixed comments",
+     "SELECT * /* Block comment */ FROM users -- Line comment\n"
+     "WHERE id = 1",
+     "SELECT *  FROM users \nWHERE id = 1", False),
+    ("comment inside quoted string",
+     "SELECT * FROM users WHERE comment = '-- Not a comment'",
+     "SELECT * FROM users WHERE comment = '-- Not a comment'", False),
+    ("escaped quotes",
+     "SELECT * FROM users WHERE name = 'O''Connor' -- Comment",
+     "SELECT * FROM users WHERE name = 'O''Connor' ", False),
+    ("unterminated quote", "SELECT * FROM users WHERE name = 'O",
+     None, True),
+    ("unterminated block comment",
+     "SELECT * FROM users /* Comment without end", None, True),
+    ("nested-looking comments",
+     "SELECT * /* outer /* inner */ comment */ FROM users",
+     "SELECT *  comment */ FROM users", False),
+    ("empty input", "", "", False),
+]
+
+
+@pytest.mark.parametrize("name,sql,want,err", TRIM_CASES,
+                         ids=[c[0] for c in TRIM_CASES])
+def test_trim_sql_comments_ported(name, sql, want, err):
+    if err:
+        with pytest.raises(ValueError):
+            trim_sql_comments(sql)
+    else:
+        assert trim_sql_comments(sql) == want
+
+
+def test_pre_post_sql_multi_statements_e2e(spark, tmp_path):
+    """pre_sql/post_sql accept ;-separated statements with comments
+    (wired through runner._exec_sql)."""
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .write.parquet(src)
+    out = str(tmp_path / "out.parquet")
+    run(spark, Config.from_dict({
+        "source": {"stream": src},
+        "target": {"object": out, "options": {
+            "pre_sql": ("CREATE OR REPLACE TEMP VIEW presql_probe AS "
+                        "SELECT 1 AS one; -- a comment\n"
+                        "CREATE OR REPLACE TEMP VIEW presql_probe2 AS "
+                        "SELECT 2 AS two; /* trailing comment */"),
+        }},
+        "mode": "full-refresh"}))
+    assert spark.table("presql_probe").collect()[0]["one"] == 1
+    assert spark.table("presql_probe2").collect()[0]["two"] == 2
