@@ -1607,6 +1607,44 @@ def parse_table_name(text: str, dialect: str = "") -> dict:
     return out
 
 
+def parse_column_name(text: str, dialect: str = "") -> str:
+    """ParseColumnName (schemata.go, vectors :113-206): the LAST
+    dot-part of a possibly-qualified identifier. Folding differs from
+    table parsing: only VARIED-case unquoted names keep their case —
+    an ALL-UPPER name folds to the dialect's identifier case
+    (``TABLE-4`` -> ``table-4`` on mysql), while quoted parts always
+    keep theirs."""
+    d = (dialect or "").lower()
+    quote = "`" if d in ("mysql", "mariadb", "starrocks", "bigquery",
+                         "bigtable") else '"'
+    words: list[tuple[str, bool]] = []  # (word, quoted)
+    word = ""
+    in_quote = False
+    for ch in text:
+        if ch == quote:
+            if in_quote:
+                words.append((word, True))
+                word = ""
+            in_quote = not in_quote
+            continue
+        if ch == "." and not in_quote:
+            if word:
+                words.append((word, False))
+                word = ""
+            continue
+        word += ch
+    if word:
+        words.append((word, False))
+    if not words:
+        return ""
+    last, quoted = words[-1]
+    has_upper = any(c.isupper() for c in last)
+    has_lower = any(c.islower() for c in last)
+    if quoted or (has_upper and has_lower):
+        return last
+    return last.upper() if d in _UPPER_FOLD else last.lower()
+
+
 def trim_sql_comments(sql: str) -> str:
     """TrimSQLComments (schemata.go): strip ``--`` line comments (the
     newline survives) and ``/* */`` block comments (non-nesting),

@@ -169,3 +169,30 @@ def test_pre_post_sql_multi_statements_e2e(spark, tmp_path):
         "mode": "full-refresh"}))
     assert spark.table("presql_probe").collect()[0]["one"] == 1
     assert spark.table("presql_probe2").collect()[0]["two"] == 2
+
+
+PCN_CASES = [
+    ("schema.table.col1", "snowflake", "COL1"),
+    ("schema.*", "snowflake", "*"),
+    ("*", "snowflake", "*"),
+    ('"ScheMa".table', "snowflake", "TABLE"),
+    ("table", "snowflake", "TABLE"),
+    ("table", "mysql", "table"),
+    ("TABLE", "mysql", "table"),
+    ("TaBLE", "mysql", "TaBLE"),
+    ('"ScheMa Name".table', "snowflake", "TABLE"),
+    ("`table-4`", "mysql", "table-4"),
+    ("TABLE-4", "mysql", "table-4"),
+    ("TABLe-4", "mysql", "TABLe-4"),
+    ("schema.`Table Name`", "mysql", "Table Name"),
+    ('"ScheMa Name"."Table Name"', "snowflake", "Table Name"),
+    ("ScheMa-Name.Table-Name", "snowflake", "Table-Name"),
+]
+
+
+@pytest.mark.parametrize("text,dialect,want", PCN_CASES,
+                         ids=[f"{c[0]}|{c[1]}" for c in PCN_CASES])
+def test_parse_column_name_ported(text, dialect, want):
+    from sling_cli_spark.dialects import parse_column_name
+
+    assert parse_column_name(text, dialect) == want
