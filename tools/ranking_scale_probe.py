@@ -56,7 +56,15 @@ def main() -> None:
         line_dedup, md5_hash60, ngram_novelty)
     from sling_cli_spark.operators.ranking import (
         bm25_rank, tfidf_keywords)
+    from sling_cli_spark.operators.text import (
+        classifier_score, normalize_text)
     from sling_cli_spark.operators.training import token_budget_select
+
+    def _classifier(d):
+        return classifier_score(d)
+
+    def _normalize(d):
+        return normalize_text(d, form="NFC").select("doc_id", "text")
 
     spark = (SparkSession.builder.master(
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -81,6 +89,9 @@ def main() -> None:
         # budget scales with sf so a fixed fraction of rows selects
         "token_budget_global": lambda d: token_budget_select(
             d, 10_000_000, score_col="n_chars"),
+        # r11c: zero-shuffle hashed classifier + pandas-UDF NFC column
+        "quality_classifier": lambda d: _classifier(d),
+        "normalize_text": lambda d: _normalize(d),
     }
     sfs = ("sf0.001", "sf0.01", "sf0.1")
     for name, fn in ops.items():
