@@ -1392,10 +1392,14 @@ def create_table_ddl(
     schema,
     max_lens: dict[str, int] | None = None,
     column_typing=None,
+    primary_key: list[str] | None = None,
 ) -> str:
     """CREATE TABLE from a Spark schema; ``max_lens`` carries observed
     string lengths for stats-driven varchar sizing, ``column_typing``
-    the user policy (reference ``column_typing`` target option)."""
+    the user policy (reference ``column_typing`` target option),
+    ``primary_key`` injects the constraint into the column list
+    (schemata.go AddPrimaryKeyToDDL — survives WITH/PARTITION BY
+    suffixes)."""
     from sling_cli_spark.operators.typing_policy import ColumnTyping
 
     if isinstance(column_typing, dict):
@@ -1405,8 +1409,13 @@ def create_table_ddl(
         f"{dialect.quote(f.name)} "
         f"{native_type_for(dialect, f.dataType, max_lens.get(f.name), column_typing)}"
         for f in schema.fields)
-    return render(dialect.template("create_table"),
-                  {"table": table, "col_types": cols})
+    ddl = render(dialect.template("create_table"),
+                 {"table": table, "col_types": cols})
+    if primary_key:
+        ddl = add_primary_key_to_ddl(
+            ddl, list(primary_key), dialect.name,
+            table.split(".")[-1].strip('"`'))
+    return ddl
 
 
 # fast-loader template key per dialect (reference: per-DB bulk import —
@@ -1757,3 +1766,41 @@ def parse_sql_multi_statements(sql: str, dialect: str = "") -> list[str]:
         if remaining:
             sqls.append(remaining)
     return sqls
+
+
+def add_primary_key_to_ddl(ddl: str, pk_cols: list[str],
+                           dialect: str = "",
+                           table_name: str = "") -> str:
+    """AddPrimaryKeyToDDL (schemata.go, vectors :337-430): inject
+    ``primary key (...)`` as the LAST entry of the column list —
+    before the close paren that matches the first open paren, so
+    suffix clauses (``WITH (...)``, ``PARTITION BY ...``) and nested
+    parens in column types (``decimal(10,2)``) survive. Oracle names
+    the constraint ``<table>_pkey``."""
+    if not pk_cols:
+        return ddl
+    d = (dialect or "").lower()
+    quote = "`" if d in ("mysql", "mariadb", "starrocks", "bigquery",
+                         "bigtable") else '"'
+    start = ddl.find("(")
+    if start < 0:
+        raise ValueError(f"no column list in DDL: {ddl}")
+    depth = 0
+    close = -1
+    for j in range(start, len(ddl)):
+        if ddl[j] == "(":
+            depth += 1
+        elif ddl[j] == ")":
+            depth -= 1
+            if depth == 0:
+                close = j
+                break
+    if close < 0:
+        raise ValueError(f"unbalanced parens in DDL: {ddl}")
+    cols = ", ".join(f"{quote}{c}{quote}" for c in pk_cols)
+    if d == "oracle":
+        name = (table_name or "table").lower()
+        clause = f", constraint {name}_pkey primary key ({cols})"
+    else:
+        clause = f", primary key ({cols})"
+    return ddl[:close] + clause + ddl[close:]

@@ -196,3 +196,73 @@ def test_parse_column_name_ported(text, dialect, want):
     from sling_cli_spark.dialects import parse_column_name
 
     assert parse_column_name(text, dialect) == want
+
+
+PK_DDL_CASES = [
+    ("simple DDL without WITH clause", "sqlserver",
+     'create table "dbo"."test" ("col1" nvarchar(10), "col2" nvarchar(6))',
+     ["col1", "col2"],
+     'create table "dbo"."test" ("col1" nvarchar(10), "col2" nvarchar(6)'
+     ', primary key ("col1", "col2"))'),
+    ("DDL with WITH clause (GitHub issue 694)", "sqlserver",
+     'create table "dbo"."test" ("col1" nvarchar(10), "col2" nvarchar(6))'
+     ' WITH (data_compression=page)',
+     ["col1", "col2"],
+     'create table "dbo"."test" ("col1" nvarchar(10), "col2" nvarchar(6)'
+     ', primary key ("col1", "col2")) WITH (data_compression=page)'),
+    ("DDL with multiple WITH options", "sqlserver",
+     'create table "dbo"."test" ("col1" int, "col2" int)'
+     ' WITH (PAD_INDEX = ON, FILLFACTOR = 90)',
+     ["col1"],
+     'create table "dbo"."test" ("col1" int, "col2" int'
+     ', primary key ("col1")) WITH (PAD_INDEX = ON, FILLFACTOR = 90)'),
+    ("DDL with nested parentheses in column type", "sqlserver",
+     'create table "dbo"."test" ("col1" decimal(10,2), "col2" varchar(100))'
+     ' WITH (LOCK_ESCALATION = TABLE)',
+     ["col1"],
+     'create table "dbo"."test" ("col1" decimal(10,2), "col2" varchar(100)'
+     ', primary key ("col1")) WITH (LOCK_ESCALATION = TABLE)'),
+    ("Postgres DDL without suffix", "postgres",
+     'create table if not exists "public"."test" ("col1" integer, "col2" text)',
+     ["col1"],
+     'create table if not exists "public"."test" ("col1" integer, "col2" text'
+     ', primary key ("col1"))'),
+    ("Postgres DDL with PARTITION BY clause", "postgres",
+     'create table if not exists "public"."test" ("col1" integer, "col2" date)'
+     ' PARTITION BY RANGE (col2)',
+     ["col1"],
+     'create table if not exists "public"."test" ("col1" integer, "col2" date'
+     ', primary key ("col1")) PARTITION BY RANGE (col2)'),
+    ("Oracle DDL with named constraint", "oracle",
+     'create table "SCHEMA"."TEST" ("COL1" NUMBER, "COL2" VARCHAR2(100))',
+     ["COL1"],
+     'create table "SCHEMA"."TEST" ("COL1" NUMBER, "COL2" VARCHAR2(100)'
+     ', constraint test_pkey primary key ("COL1"))'),
+    ("no primary key columns", "sqlserver",
+     'create table "dbo"."test" ("col1" int, "col2" int)'
+     ' WITH (FILLFACTOR = 90)',
+     [],
+     'create table "dbo"."test" ("col1" int, "col2" int)'
+     ' WITH (FILLFACTOR = 90)'),
+]
+
+
+@pytest.mark.parametrize("name,dialect,ddl,pk,want", PK_DDL_CASES,
+                         ids=[c[0] for c in PK_DDL_CASES])
+def test_add_primary_key_to_ddl_ported(name, dialect, ddl, pk, want):
+    from sling_cli_spark.dialects import add_primary_key_to_ddl
+
+    assert add_primary_key_to_ddl(ddl, pk, dialect, "test") == want
+
+
+def test_create_table_ddl_with_primary_key():
+    from pyspark.sql import types as T
+
+    from sling_cli_spark.dialects import create_table_ddl, get_dialect
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType())])
+    ddl = create_table_ddl(get_dialect("postgres"), "public.t", schema,
+                           primary_key=["id"])
+    assert ddl.endswith(', primary key ("id"))')
