@@ -360,6 +360,110 @@ class OAuth2AuthorizationCode(Authenticator):
         return True
 
 
+class HMACAuth(Authenticator):
+    """Per-request HMAC signing (reference: auth.go AuthenticatorHMAC
+    :817-1000, vectors api_test.go:1820+): a ``signing_string`` template
+    over request facts (method, path, body hashes, canonical query,
+    timestamps, optional nonce) signs with HMAC-SHA256/512; rendered
+    ``request_headers`` carry ``{signature}`` and friends."""
+
+    def __init__(
+        self,
+        secret: str,
+        algorithm: str = "sha256",
+        secret_encoding: str = "",
+        signing_string: str = "",
+        request_headers: dict[str, str] | None = None,
+        nonce_length: int = 0,
+    ):
+        super().__init__()
+        import binascii
+
+        enc = (secret_encoding or "").lower()
+        if enc == "hex":
+            try:
+                self._secret = bytes.fromhex(secret)
+            except ValueError as e:
+                raise ValueError(
+                    "could not decode hex-encoded secret for HMAC "
+                    "authentication") from e
+        elif enc == "base64":
+            try:
+                self._secret = base64.b64decode(secret, validate=True)
+            except (binascii.Error, ValueError) as e:
+                raise ValueError(
+                    "could not decode base64-encoded secret for HMAC "
+                    "authentication") from e
+        elif enc in ("", "raw"):
+            self._secret = secret.encode()
+        else:
+            raise ValueError(
+                f"invalid secret_encoding {secret_encoding!r}, only "
+                "'hex', 'base64', or 'raw' are supported")
+        self.algorithm = (algorithm or "sha256").lower()
+        if self.algorithm not in ("sha256", "sha512"):
+            raise ValueError(
+                f"invalid algorithm ({algorithm}), only 'sha256' and "
+                "'sha512' are supported")
+        self.signing_string = signing_string
+        self.request_headers = dict(request_headers or {})
+        self.nonce_length = int(nonce_length or 0)
+
+    def sign(self, method: str, url: str,
+             params: dict | None = None) -> dict[str, str]:
+        """Headers to add to ONE request."""
+        import datetime as _dt
+        import hashlib
+        import hmac as _hmac
+        import os as _os
+        import time as _time
+        from email.utils import format_datetime
+        from urllib.parse import quote, urlsplit
+
+        body = b""  # GET-style requests carry no body
+        parts = urlsplit(url)
+        pairs = [(k, str(v)) for k, v in (params or {}).items()]
+        if parts.query:
+            pairs = [tuple(kv.split("=", 1)) if "=" in kv else (kv, "")
+                     for kv in parts.query.split("&")] + pairs
+        query = "&".join(f"{k}={v}" for k, v in pairs)
+        path = parts.path + (f"?{query}" if query else "")
+        canonical = "&".join(
+            f"{quote(k, safe='')}={quote(v, safe='')}"
+            for k, v in sorted(pairs))
+        now = _dt.datetime.now(_dt.timezone.utc)
+        nonce = (_os.urandom(self.nonce_length).hex()
+                 if self.nonce_length > 0 else "")
+        tmpl = {
+            "http_method": method.upper(),
+            "http_path": path,
+            "http_body_md5": hashlib.md5(body).hexdigest(),
+            "http_body_sha1": hashlib.sha1(body).hexdigest(),
+            "http_body_sha256": hashlib.sha256(body).hexdigest(),
+            "http_body_sha512": hashlib.sha512(body).hexdigest(),
+            "http_body_raw": body.decode("utf-8", "replace"),
+            "http_query": canonical,
+            "http_headers": "",
+            "unix_time": str(int(_time.time())),
+            "unix_time_ms": str(int(_time.time() * 1000)),
+            "date_iso": now.isoformat(timespec="seconds"),
+            "date_rfc1123": format_datetime(now, usegmt=True),
+            "nonce": nonce,
+        }
+
+        def render(s: str) -> str:
+            for k, v in tmpl.items():
+                s = s.replace("{%s}" % k, v)
+            return s
+
+        digest = (hashlib.sha256 if self.algorithm == "sha256"
+                  else hashlib.sha512)
+        mac = _hmac.new(self._secret, render(self.signing_string).encode(),
+                        digest)
+        tmpl["signature"] = mac.hexdigest()
+        return {k: render(v) for k, v in self.request_headers.items()}
+
+
 def make_authenticator(
     auth: dict[str, Any] | None,
     evaluator: Evaluator | None = None,
@@ -379,6 +483,15 @@ def make_authenticator(
         a = BasicAuth(r(auth.get("username", "")), r(auth.get("password", "")))
     elif kind == "static":
         a = StaticAuth({k: r(v) for k, v in (auth.get("headers") or {}).items()})
+    elif kind == "hmac":
+        a = HMACAuth(
+            r(auth.get("secret", "")),
+            algorithm=auth.get("algorithm", "sha256"),
+            secret_encoding=auth.get("secret_encoding", ""),
+            signing_string=auth.get("signing_string", ""),
+            request_headers=auth.get("request_headers") or {},
+            nonce_length=auth.get("nonce_length", 0),
+        )
     elif kind in ("oauth2", "oauth2_client_credentials"):
         flow = (auth.get("flow") or "client_credentials").lower()
         if flow == "client_credentials":
@@ -585,6 +698,9 @@ class APIConnection:
 
     def _request(self, url: str, params: dict, headers: dict) -> tuple[int, Any]:
         hdrs = {**self.auth.headers, **(headers or {})}
+        if isinstance(self.auth, HMACAuth):
+            # per-request signing (auth.go state.Sign closure)
+            hdrs.update(self.auth.sign("GET", url, params))
         status, body = self.transport(url, params, hdrs)
         if status == 401 and self.auth.handle_unauthorized():
             hdrs = {**self.auth.headers, **(headers or {})}

@@ -800,3 +800,109 @@ def test_dynamic_endpoints_mixed_with_static():
     }
     out = APIConnection(spec, {}, transport=transport).run()
     assert set(out) == {"static_one", "dyn_d1", "dyn_d2"}
+
+
+# ----------------------------------------- HMAC auth (api_test.go:1820+)
+
+def _hmac_sig(secret, algo, string_to_sign):
+    import hashlib
+    import hmac as _hmac
+
+    digest = hashlib.sha256 if algo == "sha256" else hashlib.sha512
+    return _hmac.new(secret, string_to_sign.encode(), digest).hexdigest()
+
+
+def test_hmac_sha256_basic_ported():
+    import hashlib
+
+    from sling_cli_spark.sources.api_spec import HMACAuth
+
+    a = HMACAuth("test_secret_key", algorithm="sha256",
+                 signing_string="{http_method}{http_path}{http_body_sha256}",
+                 request_headers={"X-Signature": "{signature}"})
+    hdrs = a.sign("GET", "http://x/api/items", {"a": "1"})
+    body_hash = hashlib.sha256(b"").hexdigest()
+    want = _hmac_sig(b"test_secret_key", "sha256",
+                     "GET/api/items?a=1" + body_hash)
+    assert hdrs["X-Signature"] == want
+
+
+def test_hmac_sha512_with_timestamp_ported():
+    from sling_cli_spark.sources.api_spec import HMACAuth
+
+    a = HMACAuth("test_secret_512", algorithm="sha512",
+                 signing_string="{http_method}{http_path}{unix_time}",
+                 request_headers={"X-Signature": "{signature}",
+                                  "X-Timestamp": "{unix_time}"})
+    hdrs = a.sign("GET", "http://x/v1/data", {})
+    ts = hdrs["X-Timestamp"]
+    assert ts.isdigit()
+    want = _hmac_sig(b"test_secret_512", "sha512", "GET/v1/data" + ts)
+    assert hdrs["X-Signature"] == want
+
+
+def test_hmac_with_nonce_ported():
+    from sling_cli_spark.sources.api_spec import HMACAuth
+
+    a = HMACAuth("nonce_secret", algorithm="sha256",
+                 signing_string="{http_method}{nonce}{unix_time}",
+                 request_headers={"X-Signature": "{signature}",
+                                  "X-Nonce": "{nonce}",
+                                  "X-Timestamp": "{unix_time}"},
+                 nonce_length=16)
+    hdrs = a.sign("GET", "http://x/p", {})
+    nonce = hdrs["X-Nonce"]
+    assert len(nonce) == 32 and all(c in "0123456789abcdef" for c in nonce)
+    want = _hmac_sig(b"nonce_secret", "sha256",
+                     "GET" + nonce + hdrs["X-Timestamp"])
+    assert hdrs["X-Signature"] == want
+    # nonces are fresh per request
+    assert a.sign("GET", "http://x/p", {})["X-Nonce"] != nonce
+
+
+def test_hmac_secret_encodings_ported():
+    from sling_cli_spark.sources.api_spec import HMACAuth
+
+    raw = b"\x01\x02secret\xff"
+    hex_a = HMACAuth(raw.hex(), secret_encoding="hex",
+                     signing_string="{http_method}",
+                     request_headers={"S": "{signature}"})
+    import base64 as _b64
+    b64_a = HMACAuth(_b64.b64encode(raw).decode(), secret_encoding="base64",
+                     signing_string="{http_method}",
+                     request_headers={"S": "{signature}"})
+    want = _hmac_sig(raw, "sha256", "GET")
+    assert hex_a.sign("GET", "http://x/", {})["S"] == want
+    assert b64_a.sign("GET", "http://x/", {})["S"] == want
+    # api_test.go TestHMACSecretEncodingErrors
+    with pytest.raises(ValueError, match="hex-encoded"):
+        HMACAuth("zz-not-hex", secret_encoding="hex")
+    with pytest.raises(ValueError, match="base64-encoded"):
+        HMACAuth("!!!", secret_encoding="base64")
+    with pytest.raises(ValueError, match="secret_encoding"):
+        HMACAuth("x", secret_encoding="rot13")
+    # api_test.go TestHMACAuthenticationErrors: bad algorithm
+    with pytest.raises(ValueError, match="algorithm"):
+        HMACAuth("x", algorithm="md5")
+
+
+def test_hmac_through_connection_request():
+    # the signer fires per request via the authentication: block
+    seen = {}
+
+    def transport(url, params=None, headers=None, **k):
+        seen.update(headers or {})
+        return 200, {"data": [{"ok": 1}]}
+
+    spec = {
+        "authentication": {
+            "type": "hmac", "secret": "k1",
+            "signing_string": "{http_method}{http_path}",
+            "request_headers": {"X-Sig": "{signature}"}},
+        "endpoints": {
+            "e": {"request": {"url": "http://h/api/e"},
+                  "response": {"records": {"jmespath": "data[]"}}}},
+    }
+    out = APIConnection(spec, {}, transport=transport).run()
+    assert out["e"] == [{"ok": 1}]
+    assert seen["X-Sig"] == _hmac_sig(b"k1", "sha256", "GET/api/e")
