@@ -76,7 +76,11 @@ class SourceOptions:
 
     format: str | None = None           # csv | json | jsonl | parquet | avro | xml
     header: bool = True
-    delimiter: str = ","
+    # None = not configured -> delimiter auto-detection runs on a sample
+    # (csv.go:243-256: detection only assigns when c.Delimiter == "").
+    # Any configured value — including "," — is authoritative and is
+    # never overridden by the sample.
+    delimiter: str | None = None
     quote: str = '"'
     escape: str = '"'
     encoding: str = "utf-8"

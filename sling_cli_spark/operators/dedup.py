@@ -581,12 +581,12 @@ def exact_substring_dedup(
     aggregate, ownership join) would otherwise re-run the explode.
     ``hasher`` defaults to xxhash64; pass :func:`md5_hash60` for
     oracle-reproducible runs. Returns the surviving rows of ``df``."""
-    from pyspark.storagelevel import StorageLevel
+    from sling_cli_spark.caching import persist_tracked
 
     hasher = hasher if hasher is not None else F.xxhash64
-    sh = shingle_table(df, text_col, id_col, gram_n).select(
+    sh = persist_tracked(shingle_table(df, text_col, id_col, gram_n).select(
         F.col(id_col), hasher(F.col("shingle")).alias("__h"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     mins = sh.groupBy("__h").agg(F.min(id_col).alias("__min_id"))
     dropped = (
         sh.join(mins, on="__h")
@@ -674,10 +674,11 @@ def ngram_novelty(
     probe side streams), and the final mean is one doc-keyed
     aggregate. ``hasher`` defaults to xxhash64; pass
     :func:`md5_hash60` for oracle-reproducible runs."""
-    from pyspark.storagelevel import StorageLevel
+    from sling_cli_spark.caching import persist_tracked
 
-    hs = (shingle_hash_table(df, text_col, id_col, gram_n, hasher)
-          .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    hs = persist_tracked(
+        shingle_hash_table(df, text_col, id_col, gram_n, hasher)
+        .distinct())
     dfreq = hs.groupBy("__h").agg(F.count("*").alias("__df"))
     return (hs.join(dfreq, "__h")
             .groupBy(id_col)

@@ -98,8 +98,8 @@ def bm25_rank(
                        *tf_cols)
                .filter(F.col("dl") > 0))
     if persist_doc_stats:
-        from pyspark import StorageLevel
-        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+        from sling_cli_spark.caching import persist_tracked
+        per_doc = persist_tracked(per_doc)
     stats = per_doc.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -150,11 +150,11 @@ def tfidf_keywords(
     other input — doc lengths (Σtf per doc), N (single-row aggregate,
     broadcast), per-term df — derives from it rather than re-scanning
     text."""
-    from pyspark import StorageLevel
+    from sling_cli_spark.caching import persist_tracked
 
     toks = _tokens(df, text_col, id_col)
-    tf = (toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    tf = persist_tracked(
+        toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")))
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     n_docs = dl.agg(F.count("*").alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))

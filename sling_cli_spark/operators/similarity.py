@@ -317,16 +317,16 @@ def semdedup(
     not per consumer (Catalyst does not canonicalize the identical
     subtrees to a ReusedExchange; same lesson as the r6 jaccard plan).
     """
-    from pyspark.storagelevel import StorageLevel
+    from sling_cli_spark.caching import persist_tracked
 
     if centroids is None:
         if n_clusters is None:
             n_clusters = max(16, min(8192, df.count() // 1024 or 16))
         centroids = kmeans_centroids(df, vec_col, n_clusters=n_clusters)
-    base = df.select(
+    base = persist_tracked(df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"),
         _assign_udf(centroids)(F.col(vec_col)).alias("__cl"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     pair_dot = _pair_dot_udf()
     a = base.select(F.col("__cl"), F.col(id_col).alias("__id_a"),
                     F.col("__v").alias("__va"), norm("__v").alias("__na"))

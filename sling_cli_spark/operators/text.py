@@ -250,11 +250,12 @@ def unigram_surprisal(
     if vocab_df is None:
         # persisted: the LM aggregate feeds BOTH the total-count
         # collect and the broadcast join — without it the full corpus
-        # tokenize+aggregate would run twice
-        from pyspark.storagelevel import StorageLevel
+        # tokenize+aggregate would run twice. Tracked: released by
+        # caching.release_operator_caches() (caller contract).
+        from sling_cli_spark.caching import persist_tracked
 
-        vocab_df = vocab_topk(df, text_col, k=vocab_size, n=1) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        vocab_df = persist_tracked(
+            vocab_topk(df, text_col, k=vocab_size, n=1))
     n_total = vocab_df.agg(F.sum("cnt")).collect()[0][0] or 0
     denom = float(n_total + vocab_size + 1)  # add-one over V + one OOV bin
 
@@ -501,9 +502,9 @@ def normalize_text(
         raise ValueError(f"unknown normalization form: {form!r}")
 
     def _norm_fn(s):
-        import unicodedata
-        return s.map(lambda x: None if x is None
-                     else unicodedata.normalize(form, x))
+        # pandas' vectorized normalizer (null-safe: None stays None) —
+        # no per-element Python lambda in the batch hot loop
+        return s.str.normalize(form)
 
     # explicit (non-string) annotations: `from __future__ import
     # annotations` stringifies inline hints and pandas_udf can't

@@ -500,15 +500,22 @@ def _global_budget_two_phase(
         okey = F.md5(F.col(id_col).cast("string"))
         bkt = F.conv(F.substring(okey, 1, 2), 16, 10).cast("int")
         key_desc = False
-    # persisted: two consumers (local window + bucket totals) must not
-    # each rescan the corpus to re-derive token counts — the slim frame
-    # is a few ints per row, the text it derives from is the 100 TB
+    # materialized ONCE via eager localCheckpoint: two consumers (local
+    # window + bucket totals) must not each rescan the corpus to
+    # re-derive token counts — the slim frame is a few ints per row,
+    # the text it derives from is the 100 TB. localCheckpoint (not
+    # .persist()) so the blocks are released automatically by the
+    # ContextCleaner when the returned DataFrame is dropped — a plain
+    # persist with no reachable unpersist point would accrete cached
+    # partitions across calls in a long-lived session. Tradeoff: the
+    # lineage is truncated, so a lost executor fails the job instead
+    # of recomputing — acceptable for a frame this slim.
     slim = (df.select(
         F.col(id_col).alias("__id"),
         okey.alias("__okey"),
         n_tok.cast("long").alias("n_tokens"),
         bkt.cast("int").alias("__bkt"),
-    )).persist()
+    )).localCheckpoint(eager=True)
     order = [F.col("__okey").desc() if key_desc
              else F.col("__okey").asc()]
     w_local = Window.partitionBy("__bkt") \
@@ -618,22 +625,33 @@ def dsir_select(
 
     # persisted: each <= n_buckets rows, but each is derived from a
     # full corpus explode — the totals collect below and the log-ratio
-    # join must not re-scan the corpus to re-derive them
+    # join must not re-scan the corpus to re-derive them. Both are
+    # UNPERSISTED in-function once the (tiny) log-ratio frame is
+    # materialized to the driver, so repeated calls in a long-lived
+    # session never accrete cached partitions.
     raw_counts = bucket_counts(df).persist()
     tgt_counts = bucket_counts(target_df).persist()
-    raw_total = raw_counts.agg(F.sum("__n")).collect()[0][0] or 0
-    tgt_total = tgt_counts.agg(F.sum("__n")).collect()[0][0] or 0
-    s, btot = float(smoothing), float(n_buckets)
-    lam = (raw_counts.withColumnRenamed("__n", "__raw")
-           .join(tgt_counts.withColumnRenamed("__n", "__tgt"),
-                 "__b", "full")
-           .select(
-               "__b",
-               (F.log((F.coalesce(F.col("__tgt"), F.lit(0)) + s)
-                      / F.lit(float(tgt_total) + s * btot))
-                - F.log((F.coalesce(F.col("__raw"), F.lit(0)) + s)
-                        / F.lit(float(raw_total) + s * btot))
-                ).alias("__lam")))
+    try:
+        raw_total = raw_counts.agg(F.sum("__n")).collect()[0][0] or 0
+        tgt_total = tgt_counts.agg(F.sum("__n")).collect()[0][0] or 0
+        s, btot = float(smoothing), float(n_buckets)
+        lam_rows = (raw_counts.withColumnRenamed("__n", "__raw")
+                    .join(tgt_counts.withColumnRenamed("__n", "__tgt"),
+                          "__b", "full")
+                    .select(
+                        "__b",
+                        (F.log((F.coalesce(F.col("__tgt"), F.lit(0)) + s)
+                               / F.lit(float(tgt_total) + s * btot))
+                         - F.log((F.coalesce(F.col("__raw"), F.lit(0)) + s)
+                                 / F.lit(float(raw_total) + s * btot))
+                         ).alias("__lam"))).collect()
+    finally:
+        raw_counts.unpersist()
+        tgt_counts.unpersist()
+    # literal <= n_buckets-row frame: broadcasts below with no lineage
+    # back to either corpus (and no live cache references)
+    lam = df.sparkSession.createDataFrame(
+        lam_rows, schema="__b bigint, __lam double")
     scores = (tokenized(df, id_col).select(F.col(id_col), b)
               .join(F.broadcast(lam), "__b")
               .groupBy(id_col)

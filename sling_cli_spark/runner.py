@@ -114,7 +114,9 @@ def build_read_plan(
     if (not full_source and watermark is not None and cfg.source.update_key
             and cfg.mode in (Mode.INCREMENTAL, Mode.CHANGE_CAPTURE)):
         skip = [(cfg.source.update_key, ">", watermark)]
-    if "{part_" in (cfg.source.stream or "") and not cfg.source.is_sql:
+    from sling_cli_spark.sources.files import has_mask_tokens
+
+    if has_mask_tokens(cfg.source.stream or "") and not cfg.source.is_sql:
         # {part_*}-masked file source: expand the mask to the exact
         # partition URI list for the run's time range (backfill bounds,
         # or watermark..now for incremental) — partition pruning BEFORE
@@ -122,17 +124,29 @@ def build_read_plan(
         # authoritative (reference: GeneratePartURIsFromRange)
         from sling_cli_spark.sources.files import read_masked_source
 
+        import datetime as _dt
+
+        def _naive_utc(d: _dt.datetime) -> _dt.datetime:
+            # partition URIs are stamped in UTC; compare naive-UTC to
+            # naive-UTC so (a) a UTC-negative driver clock never prunes
+            # the newest hour/day partitions and (b) a tz-aware
+            # watermark never hits aware-vs-naive TypeError inside
+            # generate_part_uris_from_range
+            if d.tzinfo is not None:
+                d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return d
+
         rng = None
         try:
             if cfg.mode == Mode.BACKFILL and backfill_range:
-                rng = (_as_datetime(backfill_range[0]),
-                       _as_datetime(backfill_range[1]))
+                rng = (_naive_utc(_as_datetime(backfill_range[0])),
+                       _naive_utc(_as_datetime(backfill_range[1])))
             elif (not full_source and watermark is not None
                     and cfg.mode in (Mode.INCREMENTAL,
                                      Mode.CHANGE_CAPTURE)):
-                import datetime as _dt
-
-                rng = (_as_datetime(watermark), _dt.datetime.now())
+                rng = (_naive_utc(_as_datetime(watermark)),
+                       _dt.datetime.now(_dt.timezone.utc)
+                       .replace(tzinfo=None))
         except (TypeError, ValueError):
             rng = None  # non-temporal key: glob all partitions
         df = read_masked_source(spark, cfg.source, time_range=rng)

@@ -282,9 +282,17 @@ def write_files(
         writer = writer.partitionBy(*part_cols)
     if fmt == "csv":
         writer = writer.option("header", str(opts.header).lower()) \
-            .option("sep", opts.delimiter)
+            .option("sep", opts.delimiter or ",")
         if opts.datetime_format:
-            writer = writer.option("timestampFormat", opts.datetime_format)
+            # datetime_format is the reference's ISO-8601 token layout
+            # (DD-MM-YYYY …); Spark's timestampFormat is a Java
+            # DateTimeFormatter pattern where DD = day-of-YEAR — convert
+            # on write exactly like the read path does
+            from sling_cli_spark.partitions import iso8601_to_spark_layout
+
+            writer = writer.option(
+                "timestampFormat",
+                iso8601_to_spark_layout(opts.datetime_format))
     if fmt in ("json", "jsonl"):
         # reference JSON writer shape (datastream.go
         # encodeRowAsJSONObject): null fields are EXPLICIT, and
@@ -292,7 +300,11 @@ def write_files(
         # else stays a quoted string)
         writer = writer.option("ignoreNullFields", "false")
         if opts.datetime_format:
-            writer = writer.option("timestampFormat", opts.datetime_format)
+            from sling_cli_spark.partitions import iso8601_to_spark_layout
+
+            writer = writer.option(
+                "timestampFormat",
+                iso8601_to_spark_layout(opts.datetime_format))
     if fmt in ("delta", "iceberg"):
         from sling_cli_spark.sources.files import is_missing_datasource
 

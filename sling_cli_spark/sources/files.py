@@ -123,11 +123,17 @@ def _sample_head(spark: SparkSession, path: str,
                 break
         if target is None:
             raise FileNotFoundError(path)
+        # Py4J passes a Python bytearray to Java BY VALUE: the JVM fills
+        # its own copy and the Python buffer stays zeroed, so
+        # stream.read(buf) can never work across the gateway. Read via a
+        # Java helper that RETURNS byte[] (converted to Python bytes):
+        # BoundedInputStream caps the read at nbytes so a multi-GB file
+        # is never slurped.
         stream = fs.open(target)
         try:
-            buf = bytearray(nbytes)
-            n = stream.read(buf)
-            raw = bytes(buf[:max(n, 0)])
+            bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
+                stream, nbytes)
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(bounded))
         finally:
             stream.close()
     if b"\x00" in raw:
@@ -186,17 +192,20 @@ def read_files(
             return spark.read.option("mergeSchema", "true").orc(path)
         return spark.read.orc(path)
     if fmt == "csv":
-        # delimiter detection from a driver-side sample (csv.go
-        # detectDelimiter): the configured delimiter is a SUGGESTION the
-        # sample can override — the reference reads a comma file
-        # correctly even when '\t' was configured. Compressed or
-        # unreadable samples fall back to the configured value.
+        # delimiter detection from a driver-side sample (csv.go:243-256):
+        # detection runs ONLY when no delimiter was configured
+        # (c.Delimiter == "") — a configured delimiter, including ',',
+        # is authoritative and never overridden by the sample (a
+        # pipe-delimited file with comma-laden text fields must not be
+        # silently re-parsed on ','). Compressed or unreadable samples
+        # fall back to ','.
         sep = opts.delimiter or ","
-        try:
-            sample = _sample_head(spark, path, opts.encoding)
-            sep, _ = detect_delimiter(opts.delimiter, sample)
-        except Exception:
-            pass
+        if not opts.delimiter:
+            try:
+                sample = _sample_head(spark, path, opts.encoding)
+                sep, _ = detect_delimiter(None, sample)
+            except Exception:
+                pass
         reader = (
             spark.read.option("header", str(opts.header).lower())
             .option("sep", sep)
@@ -224,7 +233,7 @@ def read_files(
         if opts.skip_lines:
             # Spark CSV has no skip-rows option: drop the first N physical
             # lines per file from a text read, then parse the remainder.
-            df = _read_csv_skip_lines(spark, path, opts, reader)
+            df = _read_csv_skip_lines(spark, path, opts, reader, sep)
         else:
             df = reader.csv(path)
         if opts.header and opts.clean_header:
@@ -354,7 +363,9 @@ def _apply_record_path(df: DataFrame, path: str) -> DataFrame:
     return df
 
 
-def _read_csv_skip_lines(spark: SparkSession, path: str, opts, reader) -> DataFrame:
+def _read_csv_skip_lines(
+    spark: SparkSession, path: str, opts, reader, sep: str | None = None,
+) -> DataFrame:
     """Skip the first ``skip_lines`` physical lines of each file.
 
     All-JVM plan: text scan -> per-file window filter -> ``from_csv``
@@ -391,8 +402,9 @@ def _read_csv_skip_lines(spark: SparkSession, path: str, opts, reader) -> DataFr
     head = kept.filter(F.col("__rn") == first_data).select("value").limit(1).collect()
     if not head:
         return spark.range(0).drop("id")
+    sep = sep or opts.delimiter or ","
     fields = next(_csv.reader(
-        [head[0]["value"]], delimiter=opts.delimiter, quotechar=opts.quote))
+        [head[0]["value"]], delimiter=sep, quotechar=opts.quote))
     if opts.header:
         names = fields
         body = kept.filter(F.col("__rn") > first_data)
@@ -400,7 +412,7 @@ def _read_csv_skip_lines(spark: SparkSession, path: str, opts, reader) -> DataFr
         names = [f"_c{i}" for i in range(len(fields))]
         body = kept
     schema = ", ".join(f"`{n}` string" for n in names)
-    csv_opts = {"sep": opts.delimiter, "quote": opts.quote,
+    csv_opts = {"sep": sep, "quote": opts.quote,
                 "escape": opts.escape, "mode": "PERMISSIVE"}
     if opts.null_if is not None:
         csv_opts["nullValue"] = opts.null_if
@@ -507,6 +519,23 @@ def _path_exists(spark: SparkSession, uri: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
+# every mask token the reference's partition layer understands
+# (partition.go): named {part_*} tokens plus bare time-format tokens.
+# Order matters: longer alternatives first so {MMM} never half-matches
+# as {MM}.
+_MASK_TOKEN_RE = (
+    r"\{(part_[^}]+|YYYY|YY|MMM|MM|DDD|DD|HH|hh|mm|ss)\}")
+
+
+def has_mask_tokens(path: str) -> bool:
+    """True when ``path`` carries any partition-mask token — the gate
+    ``runner.build_read_plan`` uses to route reads through
+    :func:`read_masked_source` (a '{part_'-only gate would leave pure
+    time-token masks as literal braces that Hadoop globbing treats as
+    alternation)."""
+    return re.search(_MASK_TOKEN_RE, path or "") is not None
+
+
 def read_masked_source(
     spark: SparkSession, source: Source, base_dir: str = "",
     time_range: tuple | None = None,
@@ -527,8 +556,12 @@ def read_masked_source(
     if not os.path.isabs(stream) and "://" not in stream:
         stream = os.path.join(base_dir, stream)
     if time_range is None:
+        # full-refresh over a masked source: rewrite EVERY mask token —
+        # {part_*} AND bare time tokens ({YYYY}/{MM}/…) — to '*'. A
+        # literal {...} left in the path would be parsed by Hadoop
+        # globbing as alternation and match nothing.
         return read_files(
-            spark, re.sub(r"\{part_[^}]+\}", "*", stream),
+            spark, re.sub(_MASK_TOKEN_RE, "*", stream),
             source.options)
     uris = generate_part_uris_from_range(
         stream, source.update_key or "", *time_range)
