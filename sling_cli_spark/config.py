@@ -103,6 +103,8 @@ class SourceOptions:
     infer_schema: bool = True           # sample-classify text sources
     merge_schemas: bool = False         # reconcile drift across files
     change_feed: bool = False           # delta/iceberg: read change rows
+    range: str | None = None            # backfill bounds "start,end"
+                                        # (config.go source options range)
     incremental_by_lineage: bool = False  # delta/iceberg INCREMENTAL
     #   sources consume by ROW LINEAGE (iceberg v3 _row_id /
     #   _last_updated_sequence_number; delta row tracking _row_id /
@@ -141,7 +143,11 @@ class TargetOptions:
     table_keys: dict[str, list[str]] = field(default_factory=dict)
     pre_sql: str | None = None
     post_sql: str | None = None
-    merge_strategy: MergeStrategy = MergeStrategy.UPDATE_INSERT
+    # None = not configured: file/lake targets default to update_insert;
+    # DATABASE targets use the dialect's default_merge_strategy
+    # (reference: database.go:3186 variable.default_merge_strategy —
+    # duckdb/mysql default delete_insert, postgres update_insert)
+    merge_strategy: MergeStrategy | None = None
     delete_missing: str | None = None   # None | "hard" | "soft"
     eq_upsert: bool = False  # iceberg: equality-delete upsert, no scan
     column_typing: dict | None = None   # string/decimal/boolean/json policy

@@ -38,6 +38,7 @@ from typing import Any, Mapping
 _BASE_CORE = {
     # reference base.yaml:2-49
     "drop_table": "drop table {table}",
+    "drop_view": "drop view {view}",
     "create_schema": "create schema {schema}",
     "create_table": "create table {table} ({col_types})",
     "create_index": "create index {index} on {table} ({cols})",
@@ -168,8 +169,12 @@ _DIALECT_SPECS: dict[str, dict] = {
         "batch_rows": 2000,
         "core": {
             "drop_table": "drop table if exists {table}",
+            "drop_view": "drop view if exists {view}",  # duckdb.yaml:3
             "create_table": "create table if not exists {table} ({col_types})",
             "truncate_table": "delete from {table}",
+            "modify_column": (
+                "alter table {table} alter column {column} "
+                "set data type {type}"),
             # DuckDB: INSERT OR REPLACE needs a PK constraint sling never
             # creates -> update_insert unsupported (duckdb.yaml:52-54)
             "merge_update_insert": None,
@@ -1386,6 +1391,49 @@ def native_type_for(
     return dialect.types[gen]
 
 
+def general_type_from_native(native: str) -> str:
+    """Classify a database NATIVE type name back to the sling general
+    type — the reverse of the per-dialect ``types`` map (reference:
+    per-dialect ``native_type_map`` sections, base.yaml:480-560).
+    Drives schema discovery (``validation_types`` in the golden e2e
+    suite) and add_new_columns/adjust_column_type comparisons."""
+    n = (native or "").strip().lower()
+    base = n.split("(")[0].strip()
+    if "timestamp" in base or base in ("datetime", "datetime2",
+                                       "smalldatetime"):
+        if "with time zone" in n or base.endswith("tz"):
+            return "timestampz"
+        return "timestamp"
+    if base == "date":
+        return "date"
+    if base.startswith("time"):
+        return "timez" if "with time zone" in n else "time"
+    if base in ("boolean", "bool", "bit"):
+        return "bool"
+    if base in ("tinyint", "smallint", "int2"):
+        return "smallint"
+    if base in ("integer", "int", "int4", "mediumint"):
+        return "integer"
+    if base in ("bigint", "int8", "hugeint"):
+        return "bigint"
+    if base in ("decimal", "numeric", "number", "money"):
+        return "decimal"
+    if base in ("double", "double precision", "float8", "real",
+                "float4", "float", "binary_double", "binary_float"):
+        return "float"
+    if base in ("json", "jsonb", "variant", "super"):
+        return "json"
+    if base in ("blob", "bytea", "binary", "varbinary", "raw",
+                "bytes", "image"):
+        return "binary"
+    if base in ("text", "clob", "nclob", "longtext", "mediumtext",
+                "ntext", "longvarchar"):
+        return "text"
+    if base == "uuid":
+        return "uuid"
+    return "string"  # varchar/char/character varying/unknown
+
+
 def create_table_ddl(
     dialect: Dialect,
     table: str,
@@ -1393,22 +1441,32 @@ def create_table_ddl(
     max_lens: dict[str, int] | None = None,
     column_typing=None,
     primary_key: list[str] | None = None,
+    general_overrides: dict[str, str] | None = None,
 ) -> str:
     """CREATE TABLE from a Spark schema; ``max_lens`` carries observed
     string lengths for stats-driven varchar sizing, ``column_typing``
     the user policy (reference ``column_typing`` target option),
     ``primary_key`` injects the constraint into the column list
     (schemata.go AddPrimaryKeyToDDL — survives WITH/PARTITION BY
-    suffixes)."""
+    suffixes). ``general_overrides`` maps column -> general type for
+    semantics Spark's type system can't carry (a ``json`` column is a
+    Spark string; the reference keeps Column.Type=json through DDL)."""
     from sling_cli_spark.operators.typing_policy import ColumnTyping
 
     if isinstance(column_typing, dict):
         column_typing = ColumnTyping.from_dict(column_typing)
     max_lens = max_lens or {}
+    overrides = {k.lower(): v for k, v in (general_overrides or {}).items()}
+
+    def _native(f) -> str:
+        gen = overrides.get(f.name.lower())
+        if gen and gen in dialect.types and gen not in ("string", "decimal"):
+            return dialect.types[gen]
+        return native_type_for(dialect, f.dataType,
+                               max_lens.get(f.name), column_typing)
+
     cols = ", ".join(
-        f"{dialect.quote(f.name)} "
-        f"{native_type_for(dialect, f.dataType, max_lens.get(f.name), column_typing)}"
-        for f in schema.fields)
+        f"{dialect.quote(f.name)} {_native(f)}" for f in schema.fields)
     ddl = render(dialect.template("create_table"),
                  {"table": table, "col_types": cols})
     if primary_key:

@@ -279,13 +279,54 @@ _ARG_REGISTRY: dict[str, Callable[[Column, str], Column]] = {
 _CALL_RE = re.compile(r"^([a-z_0-9]+)\((.*)\)$")
 
 
+def _split_call_args(arg: str) -> list[str]:
+    """Split a call's argument text on top-level commas (quoted runs
+    stay intact)."""
+    parts, buf, q = [], [], None
+    for ch in arg:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "\"'":
+            q = ch
+            buf.append(ch)
+        elif ch == ",":
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _unquote(s: str) -> str:
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "\"'":
+        return s[1:-1]
+    return s
+
+
 def transform_column(col: Column, name: str) -> Column:
-    """Apply one named transform (possibly with ``name(arg)`` syntax)."""
+    """Apply one named transform (possibly with ``name(args)`` syntax).
+
+    The stage-transform expression form ``fn(value, "literal")`` —
+    where ``value`` stands for the current column — is accepted too:
+    the leading ``value`` token drops (the column is already the first
+    argument) and quoted literals unquote. The reference OSS build
+    STUBS stage transforms entirely (transforms.go:126 "please use the
+    official release"); the suite's case-1 ``date_timezone(value,
+    "America/New_York")`` runs here for real."""
     m = _CALL_RE.match(name.strip())
     if m:
         fn_name, arg = m.group(1), m.group(2)
         if fn_name in _ARG_REGISTRY:
-            return _ARG_REGISTRY[fn_name](col, arg)
+            args = _split_call_args(arg)
+            if args and args[0] == "value":
+                args = args[1:]
+            return _ARG_REGISTRY[fn_name](
+                col, ", ".join(_unquote(a) for a in args))
         raise ValueError(f"unknown transform: {fn_name!r}")
     if name not in _REGISTRY:
         raise ValueError(f"unknown transform: {name!r}")

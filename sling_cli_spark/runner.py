@@ -25,7 +25,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sling_cli_spark.config import Config, Mode
+from sling_cli_spark.config import Config, MergeStrategy, Mode
 from sling_cli_spark.operators.incremental import (
     apply_limit_offset,
     backfill_filter,
@@ -114,6 +114,12 @@ def build_read_plan(
     if (not full_source and watermark is not None and cfg.source.update_key
             and cfg.mode in (Mode.INCREMENTAL, Mode.CHANGE_CAPTURE)):
         skip = [(cfg.source.update_key, ">", watermark)]
+    elif (not full_source and cfg.mode == Mode.BACKFILL and backfill_range
+            and cfg.source.update_key):
+        # backfill bounds prune exactly like the watermark: delta/iceberg
+        # metadata file-skipping, DB sources a pushed WHERE range
+        skip = [(cfg.source.update_key, ">=", backfill_range[0]),
+                (cfg.source.update_key, "<=", backfill_range[1])]
     from sling_cli_spark.sources.files import has_mask_tokens
 
     if has_mask_tokens(cfg.source.stream or "") and not cfg.source.is_sql:
@@ -312,6 +318,11 @@ def run(
     watermark = None
     if cfg.mode == Mode.INCREMENTAL and cfg.source.update_key and target_df is not None:
         watermark = max_watermark(target_df, cfg.source.update_key)
+    if backfill_range is None and cfg.mode == Mode.BACKFILL \
+            and cfg.source.options.range:
+        # source.options.range: "start,end" (reference config.go backfill)
+        backfill_range = tuple(
+            s.strip() for s in cfg.source.options.range.split(",", 1))
 
     df = build_read_plan(spark, cfg, watermark=watermark,
                          backfill_range=backfill_range)
@@ -345,7 +356,7 @@ def run(
             from sling_cli_spark.config import MergeStrategy
             from sling_cli_spark.sources.iceberg_py import upsert_iceberg
             if cfg.target.options.merge_strategy not in (
-                    MergeStrategy.UPDATE_INSERT,):
+                    None, MergeStrategy.UPDATE_INSERT):
                 raise ValueError(
                     "eq_upsert implements update_insert semantics only")
 
@@ -396,7 +407,8 @@ def run(
             mkw = {"branch": audit} if audit else {}
             stats = _merge(
                 spark, uri, df, cfg.source.primary_key,
-                strategy=cfg.target.options.merge_strategy,
+                strategy=(cfg.target.options.merge_strategy
+                          or MergeStrategy.UPDATE_INSERT),
                 update_key=update_key, **mkw)
             if cfg.target.options.delete_missing:
                 # CoW delete: only files holding a PK absent from the
@@ -472,7 +484,8 @@ def run(
             vals = df.agg(*_write_aggs(cfg, df.columns)).collect()[0].asDict()
             stats = merge_files(
                 spark, uri, df, cfg.source.primary_key,
-                strategy=cfg.target.options.merge_strategy,
+                strategy=(cfg.target.options.merge_strategy
+                          or MergeStrategy.UPDATE_INSERT),
                 update_key=update_key,
             )
         finally:
@@ -495,7 +508,8 @@ def run(
         )
         merged = merge_dataframes(
             target_df, df, cfg.source.primary_key,
-            strategy=cfg.target.options.merge_strategy,
+            strategy=(cfg.target.options.merge_strategy
+                          or MergeStrategy.UPDATE_INSERT),
             update_key=update_key,
         )
         if cfg.target.options.delete_missing:

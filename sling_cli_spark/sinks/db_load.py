@@ -1,0 +1,532 @@
+"""Database-target task execution (reference: ``task_run_write.go:228-868``).
+
+The reference's DB-target lifecycle, re-expressed Spark-first:
+
+1. ``pre_sql`` hook (multi-statement, ``parse_sql_multi_statements``)
+2. incremental watermark probe — ``select max(update_key)`` on the
+   LIVE target table (``task_run_read.go:141``)
+3. the Spark read plan (``runner.build_read_plan`` — identical to file
+   targets: select/where/limit, watermark filter, transforms, casing,
+   sample-inference, column DSL)
+4. the batch STAGES as parquet written by the executors; the database
+   ingests the staged files directly (``read_parquet`` /
+   ``fast_load_sql`` COPY) — the reference's per-DB bulk loaders
+   (``database_postgres.go:450``, ``database_duckdb.go``) are the same
+   shape: no row ever crosses back through the engine, so at 100 TB
+   the only data movement is the embarrassingly-parallel staging write
+   plus the DB's own file-direct ingest
+5. typed DDL from the inferred Spark schema (``create_table_ddl``),
+   schema evolution against the live table (``add_new_columns`` →
+   ``core.add_column``; ``adjust_column_type`` → ``core.modify_column``
+   when the incoming general type strictly widens; reference
+   ``database.go:3832-3890`` / ``OptimizeTable`` :3556-3574)
+6. mode SQL:
+   - full-refresh: load a temp table, then drop-final + rename — the
+     target keeps serving until the atomic swap (``task_run_write.go``
+     temp-table full refresh)
+   - truncate: ``core.truncate_table`` then append (table kept)
+   - snapshot / incremental-without-PK: plain append
+   - incremental/backfill with PK: ``staged_db_load`` — temp-table
+     staging, landed-count validation, dialect-rendered merge strategy
+     (unset strategy = the dialect's ``default_merge_strategy``,
+     reference ``database.go:3186``), ``delete_missing`` against a
+     FULL-source keyset stage
+7. ``table_keys`` index DDL (``table_keys_ddl``)
+8. ``post_sql`` hook
+
+``DuckDBTarget`` is the in-process warehouse twin (the reference embeds
+DuckDB the same way); the identical orchestration runs over live JDBC
+in ``tests/test_jdbc_live.py`` (Derby). Both end in ``execute`` /
+``fetch_one`` callables, so any DB-API/JDBC connection can drive it.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+import re
+import shutil
+import tempfile
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+from sling_cli_spark.config import Config, Mode
+from sling_cli_spark.dialects import (
+    create_table_ddl,
+    general_type_from_native,
+    get_dialect,
+    native_type_for,
+    parse_sql_multi_statements,
+    parse_table_name,
+    render,
+)
+from sling_cli_spark.runner import TaskResult, _column_specs, build_read_plan
+from sling_cli_spark.sinks.writers import prepare_for_mode
+from sling_cli_spark.sources.jdbc import staged_db_load
+
+
+class DuckDBTarget:
+    """A database target backed by an in-process DuckDB connection."""
+
+    def __init__(self, path: str | None = None):
+        import duckdb
+
+        self.path = path
+        self.con = duckdb.connect(path or ":memory:")
+        self.dialect = get_dialect("duckdb")
+
+    # -- DB-API surface (what staged_db_load needs) --------------------
+    def execute(self, sql: str) -> None:
+        self.con.execute(sql)
+
+    def fetch_one(self, sql: str):
+        return self.con.execute(sql).fetchone()
+
+    def fetch_all(self, sql: str):
+        return self.con.execute(sql).fetchall()
+
+    def close(self) -> None:
+        self.con.close()
+
+    # -- catalog probes -------------------------------------------------
+    def _parsed(self, table: str) -> dict:
+        p = parse_table_name(table, self.dialect.name)
+        if not p["schema"]:
+            p["schema"] = "main"
+        return p
+
+    def table_exists(self, table: str) -> bool:
+        p = self._parsed(table)
+        row = self.fetch_one(
+            "select count(*) from information_schema.tables "
+            f"where table_schema = '{p['schema']}' "
+            f"and table_name = '{p['name']}'")
+        return bool(row and row[0])
+
+    def ensure_schema(self, table: str) -> None:
+        p = self._parsed(table)
+        if p["schema"] and p["schema"] != "main":
+            self.execute(f"create schema if not exists \"{p['schema']}\"")
+
+    def columns(self, table: str) -> list[tuple[str, str]]:
+        """[(name, native_type)] in ordinal order."""
+        p = self._parsed(table)
+        return [
+            (r[0], r[1]) for r in self.fetch_all(
+                self.dialect.metadata_sql(
+                    "columns", schema=p["schema"], table=p["name"]))
+        ]
+
+    def get_count(self, table: str) -> int:
+        return int(self.fetch_one(f"select count(*) from {table}")[0])
+
+
+def open_duckdb(conn: str) -> DuckDBTarget:
+    """``duckdb://<path>`` / ``duckdb:<path>`` → a live connection
+    (empty path = in-memory). DuckDB shares one database instance per
+    path within a process, so a source connection and a target
+    connection on the same file coexist."""
+    path = conn
+    for prefix in ("duckdb://", "duckdb:"):
+        if path.startswith(prefix):
+            path = path[len(prefix):]
+            break
+    return DuckDBTarget(path or None)
+
+
+def read_db_source(spark: SparkSession, source, skip_filters=None,
+                   db=None):
+    """Database SOURCE scan (reference: task_run_read.go:141-261).
+
+    Renders the SELECT — a bare table gets ``select *`` plus the
+    pushed incremental/backfill WHERE; SQL text gets its
+    ``{incremental_where_cond}`` token substituted (``1=1`` on the
+    first run, exactly the reference's behavior) — then exports the
+    result via the dialect's file-direct COPY TO staged parquet and
+    returns a distributed scan over the staged files. The export is
+    the same shape as the reference's bulk unload (duckdb.yaml
+    copy_to_local); at warehouse scale the chunked-JDBC reader
+    (sources/jdbc.read_jdbc) is the parallel twin."""
+    from sling_cli_spark.dialects import sql_literal
+
+    db = db or open_duckdb(source.conn or "")
+    d = db.dialect
+    parsed = parse_table_name(source.stream or "", d.name)
+    cond = "1=1"
+    if skip_filters:
+        cond = " and ".join(
+            f"{d.quote(c)} {op} {sql_literal(v)}"
+            for c, op, v in skip_filters)
+    if parsed["sql"]:
+        sql = parsed["sql"].replace("{incremental_where_cond}", cond)
+    else:
+        sql = f"select * from {source.stream}"
+        if skip_filters:
+            sql += f" where {cond}"
+    stage = tempfile.mkdtemp(prefix="sling_dbsrc_")
+    path = os.path.join(stage, "src.parquet")
+    db.execute(f"COPY ({sql}) TO '{path}' (FORMAT 'parquet')")
+    return spark.read.parquet(path)
+
+
+def discover_db(db, pattern: str = "", level: str = "table"):
+    """Discovery over the live catalog (reference: connection.Discover,
+    suite ``mode: discover`` cases — levels schema/table/column, glob
+    patterns like ``schema.tbl_v*``)."""
+    d = db.dialect
+    if level == "schema":
+        return [r[0] for r in db.fetch_all(d.metadata_sql("schemas"))]
+    p = parse_table_name(pattern or "", d.name)
+    if level == "column":
+        if "*" in (p["name"] or ""):
+            # wildcard: columns of every matching table in the schema
+            out = []
+            for tbl in discover_db(db, pattern, "table"):
+                full = (f"{p['schema']}.{tbl}" if p["schema"] else tbl)
+                for name, native in db.columns(full):
+                    out.append({
+                        "table_name": tbl, "column_name": name,
+                        "data_type": native,
+                        "general_type": general_type_from_native(native)})
+            return out
+        return [
+            {"column_name": name, "data_type": native,
+             "general_type": general_type_from_native(native)}
+            for name, native in db.columns(pattern)
+        ]
+    schema = p["schema"] or "main"
+    names = [r[1] for r in db.fetch_all(
+        d.metadata_sql("tables", schema=schema))]
+    names += [r[1] for r in db.fetch_all(
+        d.metadata_sql("views", schema=schema))]
+    pat = p["name"] or "*"
+    return sorted(n for n in names
+                  if fnmatch.fnmatch(n.lower(), pat.lower()))
+
+
+def _exec_hook(db, sql: str) -> None:
+    for stmt in parse_sql_multi_statements(sql, db.dialect.name):
+        if stmt.strip():
+            db.execute(stmt)
+
+
+def _widen_needed(existing_native: str, incoming_general: str) -> bool:
+    """True when the incoming general type strictly widens the live
+    column (reference OptimizeTable: int→decimal→string, widening only
+    — never narrow a column under the user's data)."""
+    from sling_cli_spark.types import ColumnType, widen
+
+    try:
+        ex = ColumnType(general_type_from_native(existing_native))
+        inc = ColumnType(incoming_general)
+    except ValueError:
+        return False
+    if ex == inc:
+        return False
+    return widen(ex, inc) == inc
+
+
+def _json_string_columns(db, glob: str, df, limit: int = 900) -> list[str]:
+    """String columns whose sampled values all parse as JSON objects/
+    arrays — the reference keeps Column.Type=json through to DDL
+    (dataset.go:611 looksLikeJson); a Spark string column loses that,
+    so re-classify on the staged batch DB-side (one sample scan)."""
+    out = []
+    str_cols = [f.name for f in df.schema.fields
+                if f.dataType.typeName() == "string"]
+    for c in str_cols:
+        q = db.dialect.quote(c)
+        row = db.fetch_one(
+            f"select count(*) filter (where {q} is not null), "
+            f"count(*) filter (where {q} is not null "
+            f"  and left(trim({q}), 1) in ('{{', '[') "
+            f"  and try_cast({q} as json) is not null) "
+            f"from (select {q} from read_parquet('{glob}') limit {limit})")
+        if row and row[0] and row[0] == row[1]:
+            out.append(c)
+    return out
+
+
+_DECIMAL_RE = re.compile(r"(?:decimal|numeric)\((\d+)\s*,\s*(\d+)\)")
+
+
+def _exec_modify(db, table: str, stmt: str) -> None:
+    """Run an ALTER COLUMN; DuckDB refuses to alter a table with
+    dependent indexes ("entries that depend on it"), so on failure the
+    indexes drop, the ALTER runs, and they recreate from their stored
+    DDL — the same table_keys the loader created."""
+    try:
+        db.execute(stmt)
+        return
+    except Exception:
+        p = db._parsed(table) if hasattr(db, "_parsed") else None
+        if p is None:
+            raise
+    idx = db.fetch_all(
+        "select index_name, sql from duckdb_indexes() "
+        f"where table_name = '{p['name']}' "
+        f"and schema_name = '{p['schema']}'")
+    for name, _sql in idx:
+        db.execute(f'drop index "{p["schema"]}"."{name}"')
+    db.execute(stmt)
+    for _name, sql in idx:
+        if sql:
+            db.execute(sql)
+
+
+def _widen_decimal(db, table: str, col: str, existing_native: str,
+                   inc_type, glob: str | None) -> None:
+    """Grow a target decimal's precision/scale when the staged batch
+    carries wider values — the reference's OptimizeTable compares
+    column stats and ALTERs before the merge (database.go:3556-3574),
+    which is exactly why suite case 9 can upsert ``rating=1234567``
+    into a column inferred decimal(6,3) from the first file."""
+    m = _DECIMAL_RE.search(existing_native.lower())
+    if not m or not glob:
+        return
+    p1, s1 = int(m.group(1)), int(m.group(2))
+    q = db.dialect.quote(col)
+    row = db.fetch_one(
+        f"select max(abs({q}::double)) from read_parquet('{glob}')")
+    if not row or row[0] is None:
+        return
+    need_int = len(str(int(row[0]))) if row[0] >= 1 else 1
+    s2 = (inc_type.scale if inc_type.typeName() == "decimal"
+          else 6 if inc_type.typeName() in ("double", "float") else 0)
+    s = max(s1, s2)
+    int_digits = max(p1 - s1, need_int)
+    p = min(int_digits + s, 38)
+    if p > p1 or s > s1:
+        _exec_modify(db, table, render(
+            db.dialect.template("modify_column"), {
+                "table": table, "column": q,
+                "type": db.dialect.types["decimal"].format(p=p, s=s)}))
+
+
+def _align_schema(db, table: str, df, opts, max_lens, column_typing,
+                  general_overrides=None, glob: str | None = None):
+    """add_new_columns / adjust_column_type against the live table;
+    returns the insertable column list (df ∩ target when
+    add_new_columns is off)."""
+    from sling_cli_spark.dialects import _SPARK_TO_GENERAL
+
+    d = db.dialect
+    overrides = {k.lower(): v for k, v in (general_overrides or {}).items()}
+    existing = {n.lower(): nat for n, nat in db.columns(table)}
+    insertable = []
+    for f in df.schema.fields:
+        gen_override = overrides.get(f.name.lower())
+        if gen_override and gen_override in d.types \
+                and gen_override not in ("string", "decimal"):
+            nat = d.types[gen_override]
+        else:
+            nat = native_type_for(d, f.dataType, max_lens.get(f.name),
+                                  column_typing)
+        if f.name.lower() not in existing:
+            if not opts.add_new_columns:
+                continue  # column silently dropped from the load
+            db.execute(render(d.template("add_column"), {
+                "table": table, "column": d.quote(f.name), "type": nat}))
+        elif opts.adjust_column_type:
+            gen = _SPARK_TO_GENERAL.get(f.dataType.typeName(), "string")
+            if f.dataType.typeName() == "decimal":
+                gen = "decimal"
+            ex_native = existing[f.name.lower()]
+            ex_gen = general_type_from_native(ex_native)
+            if ex_gen == "decimal" and gen in (
+                    "decimal", "bigint", "integer", "smallint", "float"):
+                _widen_decimal(db, table, f.name, ex_native,
+                               f.dataType, glob)
+            elif _widen_needed(ex_native, gen) \
+                    and d.template("modify_column"):
+                _exec_modify(db, table, render(
+                    d.template("modify_column"), {
+                        "table": table, "column": d.quote(f.name),
+                        "type": nat}))
+        insertable.append(f.name)
+    return insertable
+
+
+def run_db(spark: SparkSession, cfg: Config, db) -> TaskResult:
+    """Execute a task config whose TARGET is a database table."""
+    d = db.dialect
+    opts = cfg.target.options
+    table = cfg.target.object or ""
+    if opts.pre_sql:
+        _exec_hook(db, opts.pre_sql)
+
+    # PK defaulting from the column DSL (same as runner.run)
+    specs = _column_specs(cfg)
+    if specs and not cfg.source.primary_key:
+        from sling_cli_spark.operators.column_modifiers import (
+            specs_primary_key)
+
+        pk_dsl = specs_primary_key(specs)
+        if pk_dsl:
+            cfg.source.primary_key = pk_dsl
+    pk = list(cfg.source.primary_key or
+              (opts.table_keys or {}).get("primary") or [])
+
+    exists = db.table_exists(table)
+    watermark = None
+    uk = cfg.source.update_key
+    if cfg.mode in (Mode.INCREMENTAL, Mode.CHANGE_CAPTURE) and uk and exists:
+        live_cols = {n.lower() for n, _ in db.columns(table)}
+        if uk.lower() in live_cols:
+            watermark = db.fetch_one(
+                f"select max({d.quote(uk)}) from {table}")[0]
+
+    backfill_range = None
+    if cfg.mode == Mode.BACKFILL and cfg.source.options.range:
+        backfill_range = tuple(
+            s.strip() for s in cfg.source.options.range.split(",", 1))
+    df = build_read_plan(spark, cfg, watermark=watermark,
+                         backfill_range=backfill_range)
+    run_ts = datetime.now(timezone.utc)
+    df = prepare_for_mode(df, cfg.mode, run_ts=run_ts)
+    # FileToDB loads stamp _sling_loaded_at by default — unix seconds,
+    # SLING_LOADED_AT_COLUMN=timestamp switches to a timestamp, =false
+    # disables (reference config.go:436-437, task.go:344-352)
+    src_is_db = (cfg.source.conn or "").startswith(("duckdb:", "jdbc:"))
+    loaded_env = os.environ.get("SLING_LOADED_AT_COLUMN", "")
+    if (not src_is_db and cfg.mode != Mode.SNAPSHOT
+            and "_sling_loaded_at" not in df.columns
+            and loaded_env.lower() not in ("false", "0")):
+        from pyspark.sql import functions as F
+
+        val = (F.lit(run_ts) if loaded_env == "timestamp"
+               else F.lit(int(run_ts.timestamp())))
+        df = df.withColumn("_sling_loaded_at", val)
+
+    # stage the batch: executors write parquet, the DB ingests the files
+    stage = tempfile.mkdtemp(prefix="sling_dbstage_")
+    try:
+        df.write.mode("overwrite").parquet(stage)
+        glob = os.path.join(stage, "*.parquet")
+        stream_count = int(db.fetch_one(
+            f"select count(*) from read_parquet('{glob}')")[0])
+
+        max_lens = {s.name: s.length for s in specs if s.length}
+        column_typing = opts.column_typing
+        gen_overrides = {c: "json" for c in
+                         _json_string_columns(db, glob, df)}
+        for s in specs:  # declared DSL types win over re-classification
+            gen_overrides[s.name] = s.type.value
+
+        def ddl_for(tbl: str) -> str:
+            return create_table_ddl(
+                d, tbl, df.schema, max_lens=max_lens,
+                column_typing=column_typing,
+                primary_key=pk if (opts.table_keys or {}).get("primary")
+                else None,
+                general_overrides=gen_overrides)
+
+        def insert_from_stage(tbl: str, columns=None) -> None:
+            fl = ", ".join(d.quote(c) for c in (columns or df.columns))
+            db.execute(f"insert into {tbl} ({fl}) "
+                       f"select {fl} from read_parquet('{glob}')")
+
+        db.ensure_schema(table)
+        p = parse_table_name(table, d.name)
+        strategy = opts.merge_strategy.value if opts.merge_strategy else None
+
+        if cfg.mode in (Mode.FULL_REFRESH, Mode.SNAPSHOT,
+                        Mode.DEFINITION_ONLY) and (
+                cfg.mode == Mode.FULL_REFRESH or not exists):
+            if cfg.mode == Mode.FULL_REFRESH:
+                # temp-table swap: the live target serves until the swap
+                tmp = (f"\"{p['schema']}\"." if p["schema"] != "main"
+                       else "") + f"{p['name']}_sling_swap_tmp"
+                db.execute(render(d.template("drop_table"), {"table": tmp}))
+                db.execute(ddl_for(tmp))
+                insert_from_stage(tmp)
+                db.execute(render(d.template("drop_table"),
+                                  {"table": table}))
+                db.execute(f"alter table {tmp} rename to "
+                           f"\"{p['name']}\"")
+            else:
+                db.execute(ddl_for(table))
+                if cfg.mode != Mode.DEFINITION_ONLY:
+                    insert_from_stage(table)
+        elif cfg.mode == Mode.TRUNCATE:
+            if exists:
+                db.execute(render(d.template("truncate_table"),
+                                  {"table": table}))
+                cols = _align_schema(db, table, df, opts, max_lens,
+                                     column_typing, gen_overrides, glob)
+            else:
+                db.execute(ddl_for(table))
+                cols = df.columns
+            insert_from_stage(table, cols)
+        elif not exists:
+            # first incremental/backfill/snapshot-append run: plain create
+            db.execute(ddl_for(table))
+            insert_from_stage(table)
+        elif not pk:
+            # append (incremental without PK, snapshot onto existing)
+            cols = _align_schema(db, table, df, opts, max_lens,
+                                 column_typing, gen_overrides, glob)
+            insert_from_stage(table, cols)
+        else:
+            # staged merge: temp table, count validation, rendered
+            # strategy (dialect default when unset), delete_missing
+            cols = _align_schema(db, table, df, opts, max_lens,
+                                 column_typing, gen_overrides, glob)
+            keyset_tmp = None
+            ks_stage = None
+            if opts.delete_missing == "soft":
+                # soft delete marks rows via _sling_synced_op = 'D'
+                # (update_where_not_exist template); self-provision the
+                # marker column. NOTE: the OSS reference STUBS
+                # delete_missing entirely (task_run.go:30 warn-only) —
+                # this engine implements it.
+                live = {n.lower() for n, _ in db.columns(table)}
+                if "_sling_synced_op" not in live:
+                    db.execute(render(d.template("add_column"), {
+                        "table": table,
+                        "column": d.quote("_sling_synced_op"),
+                        "type": d.types["string"].format(len=1)}))
+            if opts.delete_missing:
+                # keyset = the FULL source snapshot, never the batch
+                ks_stage = tempfile.mkdtemp(prefix="sling_dbks_")
+                ks = build_read_plan(spark, cfg, full_source=True) \
+                    .select(*pk)
+                ks.write.mode("overwrite").parquet(ks_stage)
+                keyset_tmp = f"{p['name']}_sling_keyset_tmp"
+                db.execute(f"create or replace temp table {keyset_tmp} as "
+                           "select * from read_parquet("
+                           f"'{os.path.join(ks_stage, '*.parquet')}')")
+
+            def write_stage(tmp_table: str) -> None:
+                db.execute(ddl_for(tmp_table))
+                insert_from_stage(tmp_table, cols)
+
+            try:
+                staged_db_load(
+                    db.execute, db.fetch_one, d.name, table,
+                    cols, pk, write_stage,
+                    strategy=strategy, expect_count=stream_count,
+                    delete_missing=opts.delete_missing,
+                    keyset_table=keyset_tmp)
+            finally:
+                if keyset_tmp:
+                    db.execute(f"drop table if exists {keyset_tmp}")
+                if ks_stage:
+                    shutil.rmtree(ks_stage, ignore_errors=True)
+
+        if opts.table_keys:
+            from sling_cli_spark.dialects import table_keys_ddl
+
+            for stmt in table_keys_ddl(d, table, opts.table_keys, specs):
+                try:
+                    db.execute(stmt)
+                except Exception:
+                    pass  # index already exists from a prior run
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    if opts.post_sql:
+        _exec_hook(db, opts.post_sql)
+    return TaskResult(rows=stream_count, columns=list(df.columns),
+                      mode=cfg.mode.value, watermark=watermark)

@@ -141,6 +141,51 @@ def _sample_head(spark: SparkSession, path: str,
     return raw.decode(encoding or "utf-8", "replace")
 
 
+def _read_parquet_nanos(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet with TIMESTAMP(NANOS) columns — Spark has no nano
+    precision, so read them as longs (``legacy.parquet.nanosAsLong``)
+    and convert to µs timestamps (adjusted-UTC nanos → timestamp,
+    local-semantics nanos → timestamp_ntz), exactly the truncation the
+    reference's Arrow bridge applies."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    p = path.removeprefix("file:")
+    first = p if os.path.isfile(p) else next(
+        iter(sorted(_glob.glob(os.path.join(p, "**", "*.parquet"),
+                               recursive=True)
+                    or _glob.glob(p))), None)
+    if first and os.path.isfile(first):
+        import pyarrow as pa
+
+        sch = pq.read_schema(first)
+        for field in sch:
+            t = field.type
+            if pa.types.is_timestamp(t) and t.unit == "ns" \
+                    and field.name in df.columns:
+                micros = F.timestamp_micros(
+                    (F.col(field.name) / 1000).cast("long"))
+                df = df.withColumn(
+                    field.name,
+                    micros if t.tz else micros.cast("timestamp_ntz"))
+    return df
+
+
+def sample_has_quoted_newlines(sample: str, quote: str = '"') -> bool:
+    """True when a physical line of the sample carries an ODD number of
+    quote chars — a quoted field is spanning the line break (escaped
+    quotes double up, so they count even). Conservative: the truncated
+    final line is dropped before counting."""
+    lines = sample.split("\n")
+    if len(lines) > 1:
+        lines = lines[:-1]
+    return any(ln.count(quote) % 2 == 1 for ln in lines)
+
+
 def detect_delimiter(specified: str | None, sample: str) -> tuple[str, int]:
     """Pick the delimiter whose CSV parse of the sample yields the
     highest average column count (csv.go detectDelimiter). The
@@ -184,7 +229,14 @@ def read_files(
             # drift across files: union of all file schemas
             # (reference: dataflow MergeColumns on multi-file streams)
             return spark.read.option("mergeSchema", "true").parquet(path)
-        return spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force footer read so nano timestamps fail HERE
+            return df
+        except Exception as e:
+            if "PARQUET_TYPE_ILLEGAL" not in str(e):
+                raise
+            return _read_parquet_nanos(spark, path)
     if fmt == "orc":
         # native columnar twin of the parquet path: same pushdown/pruning
         # (ORC bloom/min-max indexes), splittable scans
@@ -192,20 +244,33 @@ def read_files(
             return spark.read.option("mergeSchema", "true").orc(path)
         return spark.read.orc(path)
     if fmt == "csv":
-        # delimiter detection from a driver-side sample (csv.go:243-256):
-        # detection runs ONLY when no delimiter was configured
-        # (c.Delimiter == "") — a configured delimiter, including ',',
-        # is authoritative and never overridden by the sample (a
-        # pipe-delimited file with comma-laden text fields must not be
-        # silently re-parsed on ','). Compressed or unreadable samples
-        # fall back to ','.
+        # driver-side head sample serves two sniffs (csv.go:243-256):
+        # 1. delimiter detection — ONLY when none was configured
+        #    (c.Delimiter == ""); a configured delimiter, including ',',
+        #    is authoritative and never overridden (a pipe-delimited
+        #    file with comma-laden text must not re-parse on ',')
+        # 2. quoted embedded newlines — the reference's streaming Go
+        #    csv reader handles them by DEFAULT; Spark needs multiLine,
+        #    which costs scan splittability, so it auto-enables only
+        #    when the sample proves a quoted field spans lines
+        # Compressed or unreadable samples fall back to the configured
+        # values.
         sep = opts.delimiter or ","
-        if not opts.delimiter:
-            try:
-                sample = _sample_head(spark, path, opts.encoding)
-                sep, _ = detect_delimiter(None, sample)
-            except Exception:
-                pass
+        multi_line = opts.multi_line
+        sample = None
+        try:
+            sample = _sample_head(spark, path, opts.encoding)
+        except Exception:
+            pass
+        if sample is not None:
+            if not opts.delimiter:
+                try:
+                    sep, _ = detect_delimiter(None, sample)
+                except Exception:
+                    pass
+            if not multi_line and sample_has_quoted_newlines(
+                    sample, opts.quote):
+                multi_line = True
         reader = (
             spark.read.option("header", str(opts.header).lower())
             .option("sep", sep)
@@ -213,10 +278,10 @@ def read_files(
             .option("escape", opts.escape)
             .option("encoding", opts.encoding)
             # multiLine makes each file a single unsplittable task — at scale
-            # this serializes the scan. Off by default; opt in only for CSVs
-            # with quoted embedded newlines (reference parses those by
-            # default, but pays the same single-reader price per file).
-            .option("multiLine", str(opts.multi_line).lower())
+            # this serializes the scan. Off unless configured OR the head
+            # sample proves quoted embedded newlines (reference parses
+            # those by default, but pays the same single-reader price).
+            .option("multiLine", str(multi_line).lower())
             .option("mode", "PERMISSIVE")
         )
         if opts.null_if is not None:
@@ -478,6 +543,13 @@ def read_source(
     stats-based FILE pruning; other formats ignore them (parquet gets
     row-group skipping from the pushed row filter instead)."""
     stream = source.stream or ""
+    if (source.conn or "").startswith("duckdb:"):
+        # database SOURCE: SELECT rendered with incremental/backfill
+        # pushdown, exported via the dialect's file-direct COPY TO
+        # staged parquet, scanned distributed (sinks/db_load.py)
+        from sling_cli_spark.sinks.db_load import read_db_source
+
+        return read_db_source(spark, source, skip_filters=skip_filters)
     if source.is_sql:
         return spark.sql(stream)
     from sling_cli_spark.sources.iceberg_catalog import is_catalog_url
