@@ -521,6 +521,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("O_ORDERSTATUS").alias("o_orderstatus"),
             F.col("O_TOTALPRICE").alias("o_totalprice"))
 
+    def suite_db_lifecycle(spark, sf):
+        """GOLDEN-SUITE e2e scenario under the DuckDB oracle (the
+        reference's own suite.db cases 1/9/26-29 shape —
+        tests/test_suite_ported.py drives all 48 template cases; this
+        registers the lifecycle for the driver): full-refresh a header
+        CSV into a DuckDB DATABASE through sinks/db_load.run_db with a
+        columns DSL (bigint primary_key + string(10)), an
+        expression-form stage transform (lower(value) — the OSS
+        reference stubs stage transforms, transforms.go:126), and a
+        table_keys unique index; then incremental-merge an upsert
+        batch that carries a NEW json column (add_new_columns +
+        adjust_column_type decimal widening) under duckdb's DEFAULT
+        merge strategy (delete_insert, database.go:3186). The final
+        table reads back through the DB-source export path (COPY TO
+        staged parquet). Reference: suite.db.template.yaml,
+        sling_test.go:643-850."""
+        import tempfile
+
+        from sling_cli_spark.config import Config, Source
+        from sling_cli_spark.sinks.db_load import (
+            DuckDBTarget, read_db_source, run_db)
+
+        base = tempfile.mkdtemp(prefix="sling_suite_q_")
+        o = _t(spark, sf, "orders")
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice"]
+        o.filter("o_orderkey < 800").select(*cols).coalesce(1) \
+            .write.option("header", True).option("escape", '"') \
+            .mode("overwrite").csv(base + "/full")
+        (o.filter("o_orderkey between 500 and 999").select(*cols)
+         .withColumn("o_totalprice", F.col("o_totalprice") + 10000)
+         .withColumn("note", F.concat(
+             F.lit('{"k":'), (F.col("o_orderkey") % 7).cast("string"),
+             F.lit("}")))
+         .coalesce(1).write.option("header", True)
+         .option("escape", '"').mode("overwrite")
+         .csv(base + "/upsert"))
+        db = DuckDBTarget(base + "/t.db")
+        run_db(spark, Config.from_dict({
+            "source": {"stream": base + "/full", "options": {
+                "columns": {"o_orderkey": "bigint primary_key",
+                            "o_custkey": "bigint",
+                            "o_orderstatus": "string(10)"},
+                "transforms": {"o_orderstatus": "lower(value)"}}},
+            "target": {"object": "suite.orders_t", "options": {
+                "table_keys": {"unique": [["o_orderkey"]]}}},
+            "mode": "full-refresh"}), db)
+        run_db(spark, Config.from_dict({
+            "source": {"stream": base + "/upsert",
+                       "primary_key": "o_orderkey",
+                       "options": {"columns": {"o_custkey": "bigint"}}},
+            "target": {"object": "suite.orders_t", "options": {
+                "add_new_columns": True, "adjust_column_type": True}},
+            "mode": "incremental"}), db)
+        out = read_db_source(spark, Source(
+            conn=f"duckdb://{base}/t.db", stream="suite.orders_t"))
+        return out.select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.col("o_orderstatus").cast("string")
+            .alias("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(18,2)")
+            .cast("double").alias("o_totalprice"),
+            F.col("note").cast("string").alias("note"),
+        ).orderBy("o_orderkey")
+
+    def suite_db_backfill(spark, sf):
+        """Golden-suite BACKFILL shape (suite.db cases 16/22): a DuckDB
+        database is both SOURCE and TARGET. The target pre-seeds with
+        every order OUTSIDE the window; mode=backfill with
+        source.options.range then merges the window rows — the range
+        pushes into the DB SELECT as skip-filters (read_db_source
+        renders the WHERE; the same bounds re-filter Spark-side) and
+        the merge runs as a staged delete_insert. Seed ∪ backfill must
+        reconstruct the orders table EXACTLY — any boundary slip
+        breaks the hash."""
+        import tempfile
+
+        from sling_cli_spark.config import Config, Source
+        from sling_cli_spark.sinks.db_load import (
+            DuckDBTarget, read_db_source, run_db)
+
+        base = tempfile.mkdtemp(prefix="sling_suite_bf_")
+        db = DuckDBTarget(base + "/t.db")
+        import os as _os
+
+        run_db(spark, Config.from_dict({
+            "source": {"stream": _os.path.join(sf, "orders.parquet")},
+            "target": {"object": "suite.src_orders"},
+            "mode": "full-refresh"}), db)
+        run_db(spark, Config.from_dict({
+            "source": {"conn": f"duckdb://{base}/t.db",
+                       "stream": "suite.src_orders",
+                       "where": ("o_orderdate < '1995-01-01' or "
+                                 "o_orderdate > '1996-12-31'")},
+            "target": {"object": "suite.tgt_orders"},
+            "mode": "full-refresh"}), db)
+        run_db(spark, Config.from_dict({
+            "source": {"conn": f"duckdb://{base}/t.db",
+                       "stream": "suite.src_orders",
+                       "primary_key": "o_orderkey",
+                       "update_key": "o_orderdate",
+                       "options": {
+                           "range": "1995-01-01,1996-12-31"}},
+            "target": {"object": "suite.tgt_orders"},
+            "mode": "backfill"}), db)
+        out = read_db_source(spark, Source(
+            conn=f"duckdb://{base}/t.db", stream="suite.tgt_orders"))
+        return out.select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_orderstatus").cast("string")
+            .alias("o_orderstatus"),
+            F.col("o_orderdate").cast("timestamp_ntz")
+            .alias("o_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)")
+            .cast("double").alias("o_totalprice"),
+        ).orderBy("o_orderkey")
+
     def delta_deletion_vectors(spark, sf):
         """Read a Delta table bearing deletion vectors (reader protocol
         v3 + deletionVectors, PROTOCOL.md; sources/delta_dv.py parses
@@ -4721,6 +4839,8 @@ streams:
         "delta_cdf_mapped": delta_cdf_mapped,
         "jdbc_live_roundtrip": jdbc_live_roundtrip,
         "jdbc_live_merge": jdbc_live_merge,
+        "suite_db_lifecycle": suite_db_lifecycle,
+        "suite_db_backfill": suite_db_backfill,
         "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
         "iceberg_v3_dv": iceberg_v3_dv,
         "iceberg_v3_defaults": iceberg_v3_defaults,
@@ -4771,39 +4891,39 @@ streams:
     # Every query outside the window is re-verified locally each round
     # (tools/check_correctness.py) and was judge-re-run green in r10
     # (VERDICT r10: 170/170).
+    # Round-12 rotation (per VERDICT r11 ask #2): lead with the 2
+    # never-driver-checked suite-scenario queries new this round, then
+    # ALL 30 queries last driver-checked in r8 (the verdict's exact
+    # list), then the 18 alphabetically-first of the 50 r9-checked (the
+    # remaining 32 r9 names lead r13's window). Every query outside the
+    # window is re-verified locally each round
+    # (tools/check_correctness.py) and the judge re-ran all 180 green
+    # in r11.
     window = [
-        # --- new in r11 (never driver-checked; the continuation session
-        # added quality_classifier/normalize_text/orc_roundtrip — the 3
-        # r8-fill entries they displace join the r12 lead list) ---
-        "token_budget_global_docs", "dsir_select_docs",
-        "url_dedup_docs", "cdc_stream_iceberg_upsert",
-        "stream_lineage_iceberg", "stream_rowtracking_delta",
-        "lineage_el_incremental", "quality_classifier_docs",
-        "normalize_text_docs", "orc_roundtrip",
-        # --- last driver-checked r7 (the verdict's list of 20) ---
-        "bucketed_join_agg", "c4_filter_docs", "decontaminate_docs",
-        "dedup_clusters_docs", "dedup_store_docs", "delta_dv_merge",
-        "delta_stats_skipping", "distro_date_orders",
-        "distro_date_wide_orders", "distro_group_orders",
-        "exact_substring_dedup_docs", "field_stat_approx_orders",
-        "field_stat_len_orders", "gopher_filter_docs",
-        "iceberg_bounds_skipping", "iceberg_changelog",
-        "mix_corpora_docs", "pack_chunks_docs", "text_stats_docs",
-        "wds_roundtrip",
-        # --- r8-checked, code touched this round first ---
-        "csv_inference_roundtrip", "delta_stream_source",
-        "iceberg_stream_source", "delta_cdf_stream",
-        "iceberg_changelog_stream", "delta_restore",
-        "iceberg_v3_dv_produce", "iceberg_eq_upsert",
-        "cdc_foreachbatch_merge",
-        # --- r8-checked fill (alphabetical) ---
-        "ann_pq_refine", "ann_pq_topk", "avro_roundtrip",
-        "column_typing_clamp", "constraint_dsl_filter",
-        "copy_load_duckdb", "delete_missing_delta",
-        "delete_missing_iceberg", "delta_clone_partitioned",
-        "delta_clustering_skipping", "delta_dv_produce",
+        # --- new in r12 (never driver-checked) ---
+        "suite_db_lifecycle", "suite_db_backfill",
+        # --- last driver-checked r8 (the verdict's list of 30) ---
         "delta_identity_generated", "delta_rename_evolution",
-        "delta_roundtrip",
+        "delta_roundtrip", "delta_row_tracking", "delta_shallow_clone",
+        "delta_uniform", "delta_zorder_skipping", "distinct_rows",
+        "exact_dedup_docs", "excel_roundtrip", "iceberg_delta_sync",
+        "iceberg_partition_evolution", "iceberg_partitions_meta",
+        "iceberg_refs", "iceberg_rollback", "iceberg_roundtrip",
+        "lang_id_docs", "merge_file_granular",
+        "merge_partitioned_delta", "merge_update_insert_delta",
+        "percentile_orders", "quality_docs", "row_constraints",
+        "sas_roundtrip", "sql_on_files", "star_join_agg",
+        "stream_sessionize_events", "stream_window_watermark_events",
+        "token_count_docs", "ws_token_docs",
+        # --- r9-checked fill (alphabetical; rest lead r13) ---
+        "asof_events", "backfill_range", "checksum_lineitem",
+        "column_casing_upper", "convert_inplace_roundtrip",
+        "dedup_last_event", "definition_only", "delete_missing",
+        "delta_cdf_mapped", "delta_column_mapping",
+        "delta_log_compaction", "delta_v2_checkpoint_write",
+        "distro_priority", "field_stat_deep_li", "field_stat_orders",
+        "fill_rate_orders", "flatten_json_extract",
+        "iceberg_catalog_roundtrip",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     missing = [k for k in window if k not in d]
@@ -5480,6 +5600,47 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o_orderkey >= 600 THEN 10000
                         ELSE 0 END AS o_totalprice
             FROM orders WHERE o_orderkey < 1000
+        """,
+        # full refresh (keys < 800, status lowered by the stage
+        # transform) then delete_insert upsert of 500..999 at +10000
+        # carrying a new json note column (untouched rows keep NULL)
+        "suite_db_lifecycle": """
+            WITH fullb AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                       CAST(o_custkey AS BIGINT) AS o_custkey,
+                       lower(o_orderstatus) AS o_orderstatus,
+                       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                       CAST(NULL AS VARCHAR) AS note
+                FROM orders WHERE o_orderkey < 800
+            ), ups AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                       CAST(o_custkey AS BIGINT) AS o_custkey,
+                       o_orderstatus,
+                       CAST(o_totalprice AS DOUBLE) + 10000
+                           AS o_totalprice,
+                       '{"k":' || CAST(o_orderkey % 7 AS VARCHAR) || '}'
+                           AS note
+                FROM orders WHERE o_orderkey BETWEEN 500 AND 999
+            )
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                       AS o_totalprice,
+                   note
+            FROM (
+                SELECT * FROM fullb WHERE o_orderkey NOT IN
+                    (SELECT o_orderkey FROM ups)
+                UNION ALL SELECT * FROM ups
+            ) ORDER BY o_orderkey
+        """,
+        # seed = everything outside [1995-01-01, 1996-12-31], backfill
+        # merges the window back -> the union must equal orders exactly
+        "suite_db_backfill": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderstatus,
+                   CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                       AS o_totalprice
+            FROM orders ORDER BY o_orderkey
         """,
         "delta_deletion_vectors": """
             SELECT o_orderkey, o_orderpriority FROM (

@@ -132,6 +132,11 @@ class TargetOptions:
     file_max_rows: int | None = None
     file_max_bytes: int | None = None
     file_bytes_per_row: int | None = None  # sizing hint for file_max_bytes
+    # stream_config single (reference): exactly ONE output file at the
+    # exact target path. Deliberately opt-in — one task writes
+    # everything, an anti-scale shape; the default stays the
+    # distributed directory layout
+    single: bool = False
     batch_limit: int | None = None
     add_new_columns: bool = True
     replace_where: str | None = None    # delta/iceberg selective

@@ -321,12 +321,14 @@ def transform_column(col: Column, name: str) -> Column:
     m = _CALL_RE.match(name.strip())
     if m:
         fn_name, arg = m.group(1), m.group(2)
+        args = _split_call_args(arg)
+        if args and args[0] == "value":
+            args = args[1:]
         if fn_name in _ARG_REGISTRY:
-            args = _split_call_args(arg)
-            if args and args[0] == "value":
-                args = args[1:]
             return _ARG_REGISTRY[fn_name](
                 col, ", ".join(_unquote(a) for a in args))
+        if fn_name in _REGISTRY and not args:
+            return _REGISTRY[fn_name][0](col)  # e.g. lower(value)
         raise ValueError(f"unknown transform: {fn_name!r}")
     if name not in _REGISTRY:
         raise ValueError(f"unknown transform: {name!r}")

@@ -353,7 +353,6 @@ def run(
             # new data, never scanning the target — O(batch) per
             # micro-batch at any table size (update_insert semantics
             # only; the MoR read pays until compaction)
-            from sling_cli_spark.config import MergeStrategy
             from sling_cli_spark.sources.iceberg_py import upsert_iceberg
             if cfg.target.options.merge_strategy not in (
                     None, MergeStrategy.UPDATE_INSERT):

@@ -371,7 +371,19 @@ def run_db(spark: SparkSession, cfg: Config, db) -> TaskResult:
     exists = db.table_exists(table)
     watermark = None
     uk = cfg.source.update_key
-    if cfg.mode in (Mode.INCREMENTAL, Mode.CHANGE_CAPTURE) and uk and exists:
+    src_is_db_conn = (cfg.source.conn or "").startswith(
+        ("duckdb:", "jdbc:"))
+    if (not src_is_db_conn and uk == "_sling_loaded_at"
+            and cfg.mode == Mode.INCREMENTAL):
+        # FILE source incremental by _sling_loaded_at is the reference's
+        # file-level state incremental (config.go:383): new FILES since
+        # the last run load in full — the watermark lives in the run
+        # STATE (file mtimes), never in the target's column values. No
+        # state here -> every file is new; state-carrying runs go
+        # through runner.run_with_state.
+        pass
+    elif cfg.mode in (Mode.INCREMENTAL, Mode.CHANGE_CAPTURE) and uk \
+            and exists:
         live_cols = {n.lower() for n, _ in db.columns(table)}
         if uk.lower() in live_cols:
             watermark = db.fetch_one(
@@ -422,10 +434,21 @@ def run_db(spark: SparkSession, cfg: Config, db) -> TaskResult:
                 else None,
                 general_overrides=gen_overrides)
 
+        _json_cols = {k.lower() for k, v in gen_overrides.items()
+                      if v == "json"}
+
         def insert_from_stage(tbl: str, columns=None) -> None:
-            fl = ", ".join(d.quote(c) for c in (columns or df.columns))
+            cols_ = list(columns or df.columns)
+            fl = ", ".join(d.quote(c) for c in cols_)
+            # json columns PARSE on ingest (try_cast to JSON): duckdb's
+            # implicit varchar->json on insert would re-encode the text
+            # as a JSON *string* value instead of the object it spells
+            sel = ", ".join(
+                f"try_cast({d.quote(c)} as json)"
+                if c.lower() in _json_cols else d.quote(c)
+                for c in cols_)
             db.execute(f"insert into {tbl} ({fl}) "
-                       f"select {fl} from read_parquet('{glob}')")
+                       f"select {sel} from read_parquet('{glob}')")
 
         db.ensure_schema(table)
         p = parse_table_name(table, d.name)

@@ -229,6 +229,9 @@ def write_files(
         return _write_catalog(df, target.object, mode, opts)
     uri, masks = parse_partition_mask(target.object or "", update_key)
     fmt = fmt or opts.format or _detect_format(uri)
+    if opts.single and fmt in ("csv", "json", "jsonl", "parquet",
+                               "orc", "xml", "avro"):
+        return _write_single(df, uri, fmt, mode, target, update_key)
 
     part_cols: list[str] = list(opts.partition_by)
     for mask, col in masks:
@@ -281,8 +284,12 @@ def write_files(
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     if fmt == "csv":
+        # escape = quote: standard RFC-4180 quote DOUBLING ("") — Spark's
+        # default backslash-escape writes \" which the reference's (and
+        # our own) readers would mis-parse
         writer = writer.option("header", str(opts.header).lower()) \
-            .option("sep", opts.delimiter or ",")
+            .option("sep", opts.delimiter or ",") \
+            .option("quote", '"').option("escape", '"')
         if opts.datetime_format:
             # datetime_format is the reference's ISO-8601 token layout
             # (DD-MM-YYYY …); Spark's timestampFormat is a Java
@@ -411,6 +418,39 @@ def write_files(
         write_excel(df, uri)
         return
     getattr(writer, _WRITERS[fmt])(uri)
+
+
+def _write_single(df, uri: str, fmt: str, mode: Mode, target,
+                  update_key) -> None:
+    """``single: true``: exactly ONE file at the exact target path
+    (reference stream_config single; extension-named DB-export targets
+    like ``folder/table.csv``). coalesce(1) + directory write + rename
+    — one task writes everything, so this is opt-in, never the
+    default."""
+    import dataclasses
+    import glob as _glob
+    import shutil
+
+    tmp = uri.rstrip("/") + ".__single_tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    t2 = dataclasses.replace(
+        target, object=tmp,
+        options=dataclasses.replace(target.options, single=False))
+    write_files(df.coalesce(1), t2, mode, fmt=fmt, update_key=update_key)
+    parts = [p for p in sorted(_glob.glob(os.path.join(tmp, "part-*")))
+             if not p.endswith(".crc")]
+    if not parts:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise FileNotFoundError(f"single-file write produced no part: {tmp}")
+    parent = os.path.dirname(uri)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    if os.path.isdir(uri):
+        shutil.rmtree(uri)
+    elif os.path.exists(uri):
+        os.remove(uri)
+    shutil.move(parts[0], uri)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _write_bucketed(df, uri: str, fmt: str, mode: Mode, opts) -> None:

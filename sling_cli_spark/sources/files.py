@@ -81,6 +81,24 @@ def detect_format(path: str, opts: SourceOptions) -> str:
         return "delta"
     if os.path.isfile(os.path.join(base, "metadata", "version-hint.text")):
         return "iceberg"
+    # plain directory: the first child file's extension decides (the
+    # reference streams folder sources per-file by extension)
+    if os.path.isdir(base):
+        import glob as _glob
+
+        for child in sorted(_glob.glob(os.path.join(base, "*"))):
+            # skip markers with no data extension (_SUCCESS, checksums)
+            if not os.path.isfile(child):
+                continue
+            c = child
+            for cext in _COMPRESS_EXTS:
+                if c.endswith(cext):
+                    c = c[: -len(cext)]
+                    break
+            for ext, fmt in sorted(_EXT_FORMAT.items(),
+                                   key=lambda kv: -len(kv[0])):
+                if c.endswith(ext):
+                    return fmt
     # directory of parquet is the common lake layout
     return "parquet"
 
@@ -94,12 +112,19 @@ def _sample_head(spark: SparkSession, path: str,
 
     if any(path.endswith(e) for e in _COMPRESS_EXTS):
         raise ValueError("compressed sample")
+    def _is_data_file(f: str) -> bool:
+        # skip write markers (_SUCCESS, .crc) and empty files — an
+        # empty sample would silently disable both sniffs
+        b = os.path.basename(f)
+        return (os.path.isfile(f) and not b.startswith(("_", "."))
+                and os.path.getsize(f) > 0)
+
     if "://" not in path or path.startswith("file:"):
         p = path.removeprefix("file:")
         cands = ([p] if os.path.isfile(p) else
-                 sorted(f for f in _glob.glob(p) if os.path.isfile(f)) or
+                 sorted(f for f in _glob.glob(p) if _is_data_file(f)) or
                  sorted(f for f in _glob.glob(os.path.join(p, "*"))
-                        if os.path.isfile(f)))
+                        if _is_data_file(f)))
         if not cands:
             raise FileNotFoundError(path)
         with open(cands[0], "rb") as f:
