@@ -89,6 +89,24 @@ def save_connections(conns: dict) -> None:
         yaml.safe_dump(doc, f, sort_keys=True)
 
 
+def _truthy(v: str) -> bool:
+    return v.strip().lower() in ("1", "true", "yes", "on")
+
+
+def _spool_stdin() -> str:
+    """Spool piped stdin bytes to a temp file for the Spark reader —
+    gzip magic keeps a .gz suffix so the scan decompresses (reference:
+    `cat x.csv.gz | sling run`, suite.cli.yaml cases 4/8)."""
+    import tempfile
+
+    data = sys.stdin.buffer.read()
+    suffix = ".csv.gz" if data[:2] == b"\x1f\x8b" else ".csv"
+    fd, path = tempfile.mkstemp(prefix="sling_stdin_", suffix=suffix)
+    with os.fdopen(fd, "wb") as f:
+        f.write(data)
+    return path
+
+
 def resolve_conn(name: str | None, stream: str | None) -> tuple[str | None, str | None]:
     """(resolved_stream_or_object, jdbc_url). File-type connections
     prefix the relative path with their url/base dir; database
@@ -144,8 +162,20 @@ def cmd_run(args: argparse.Namespace) -> int:
         return 0
 
     if not args.src_stream:
-        print("either -r or --src-stream is required", file=sys.stderr)
-        return 2
+        # no stream + piped stdin = the reference's `cat x.csv | sling
+        # run` shape: spool stdin to a temp file (gzip detected from
+        # the magic bytes so Spark decompresses on read)
+        try:
+            if not sys.stdin.isatty():
+                spooled = _spool_stdin()
+                if os.path.getsize(spooled) > 0:
+                    args.src_stream = spooled
+        except OSError:
+            pass  # no usable stdin (e.g. captured test harness)
+        if not args.src_stream:
+            print("either -r or --src-stream is required",
+                  file=sys.stderr)
+            return 2
 
     stream, src_jdbc = resolve_conn(args.src_conn, args.src_stream)
     obj, tgt_jdbc = resolve_conn(args.tgt_conn, args.tgt_object)
@@ -179,10 +209,32 @@ def cmd_run(args: argparse.Namespace) -> int:
         _stream_csv_stdout(df)
         return 0
 
-    from sling_cli_spark.runner import run
+    from sling_cli_spark.runner import build_read_plan, run
 
-    res = run(spark, cfg)
+    if not _truthy(os.environ.get("SLING_ALLOW_EMPTY", "")):
+        # reference task_run_write.go:33/414: an EMPTY stream warns and
+        # does nothing unless SLING_ALLOW_EMPTY — a cheap limit-1 probe
+        if build_read_plan(spark, cfg).isEmpty():
+            print("no data or records found in stream. Nothing to do. "
+                  "To allow empty loads, set SLING_ALLOW_EMPTY=TRUE",
+                  file=sys.stderr)
+            print("execution succeeded")
+            return 0
+
+    if (cfg.target.conn or "").startswith("duckdb:"):
+        # database target: the DB-load lifecycle (staged ingest +
+        # dialect merge SQL), not the file writer
+        from sling_cli_spark.sinks.db_load import open_duckdb, run_db
+
+        db = open_duckdb(cfg.target.conn)
+        try:
+            res = run_db(spark, cfg, db)
+        finally:
+            db.close()
+    else:
+        res = run(spark, cfg)
     print(f"{res.rows} rows -> {cfg.target.object} ({res.mode})")
+    print("execution succeeded")
     return 0
 
 
@@ -756,7 +808,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--where", help="row filter expression")
     r.add_argument("--primary-key", help="comma-separated PK columns")
     r.add_argument("--update-key", help="incremental watermark column")
-    r.add_argument("--limit", type=int)
+    r.add_argument("-l", "--limit", type=int)
     r.add_argument("--stdout", action="store_true",
                    help="print result as CSV instead of writing the target")
     r.add_argument("-d", "--debug", action="store_true")
@@ -1102,7 +1154,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    if argv is not None and not argv:
+        # bare `sling`: print the top-level help like the reference
+        # (suite.cli.yaml case 1)
+        parser.print_help()
+        return 0
+    args = parser.parse_args(argv)
+    if not hasattr(args, "fn"):
+        parser.print_help()
+        return 0
     return args.fn(args)
 
 

@@ -110,7 +110,8 @@ def _sample_head(spark: SparkSession, path: str,
     caller falls back to the configured delimiter)."""
     import glob as _glob
 
-    if any(path.endswith(e) for e in _COMPRESS_EXTS):
+    if any(path.endswith(e) for e in _COMPRESS_EXTS) \
+            and not path.endswith(".gz"):
         raise ValueError("compressed sample")
     def _is_data_file(f: str) -> bool:
         # skip write markers (_SUCCESS, .crc) and empty files — an
@@ -127,8 +128,16 @@ def _sample_head(spark: SparkSession, path: str,
                         if _is_data_file(f)))
         if not cands:
             raise FileNotFoundError(path)
-        with open(cands[0], "rb") as f:
-            raw = f.read(nbytes)
+        if cands[0].endswith(".gz"):
+            # gzip head decompresses driver-side so gz CSVs keep both
+            # sniffs (delimiter + quoted-newline) — other codecs refuse
+            import gzip as _gzip
+
+            with _gzip.open(cands[0], "rb") as f:
+                raw = f.read(nbytes)
+        else:
+            with open(cands[0], "rb") as f:
+                raw = f.read(nbytes)
     else:
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -331,6 +340,11 @@ def read_files(
             from sling_cli_spark.operators.select import clean_header_row
 
             df = df.toDF(*clean_header_row(list(df.columns)))
+        if not opts.header:
+            # headerless files get the reference's dummy names col_001..
+            # (csv.go:299 CreateDummyFields), not Spark's _c0..
+            df = df.toDF(*[f"col_{i + 1:03d}"
+                           for i in range(len(df.columns))])
         if not opts.empty_field_as_null and opts.null_if is None:
             # empty_field_as_null=false (stream_processor.go): an empty
             # CSV field IS the empty string, not NULL — and in CSV text
@@ -499,7 +513,7 @@ def _read_csv_skip_lines(
         names = fields
         body = kept.filter(F.col("__rn") > first_data)
     else:
-        names = [f"_c{i}" for i in range(len(fields))]
+        names = [f"col_{i + 1:03d}" for i in range(len(fields))]
         body = kept
     schema = ", ".join(f"`{n}` string" for n in names)
     csv_opts = {"sep": sep, "quote": opts.quote,
