@@ -159,6 +159,37 @@ def main() -> None:
         elif err is not None:
             failures[name] = err
 
+    # r12 (VERDICT r11 ask #3): a committed "quiet" artifact must not
+    # ship contended readings. Any query whose fresh min exceeds 1.5x
+    # its PRIOR committed min gets up to two extra spaced re-runs; if
+    # it still reads high, the artifact carries an explicit contention
+    # annotation instead of silently presenting the outlier as truth.
+    contended: dict[str, dict] = {}
+    prior: dict[str, float] = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json")) as f:
+            prior = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        pass
+    for name in list(timings):
+        pmin = prior.get(name)
+        if not pmin or timings[name] <= 1.5 * pmin:
+            continue
+        for _ in range(2):
+            time.sleep(1)  # give a transient stall a chance to clear
+            try:
+                extra = run_once(ordered[name])
+            except Exception:
+                break
+            run_log[name].append(round(extra, 3))
+            timings[name] = round(min(timings[name], extra), 3)
+            if timings[name] <= 1.5 * pmin:
+                break
+        if timings[name] > 1.5 * pmin:
+            contended[name] = {"prior_min": pmin, "min": timings[name],
+                               "runs": run_log[name]}
+
     total = round(sum(timings[n] for n in BENCH_QUERIES if n in timings), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
@@ -176,6 +207,8 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
+    if contended:
+        out["contended"] = contended
     # Write the COMPLETE record to the repo as well: r7's driver artifact
     # lost the first ~58 per-query times to log-capture truncation, so
     # the authoritative copy lives in a committed file the capture can't
@@ -232,11 +265,20 @@ def main() -> None:
         "queries": {n: timings[n] for n in slowest}},
         separators=(",", ":")))
     # the full HEADLINE map in one short line, right before the summary,
-    # so the round-over-round comparison set always survives tail capture
+    # so the round-over-round comparison set always survives tail
+    # capture. r12 (VERDICT r11 ask #8): carry min AND per-run spread so
+    # a contended reading is diagnosable from the artifact alone.
     print(json.dumps({
         "metric": "bench_headline_chunk",
         "queries": {n: timings[n] for n in BENCH_QUERIES
-                    if n in timings}}))
+                    if n in timings},
+        "run_times": {n: run_log[n] for n in BENCH_QUERIES
+                      if n in run_log}},
+        separators=(",", ":")))
+    if contended:
+        print(json.dumps({"metric": "bench_contended",
+                          "contended": contended},
+                         separators=(",", ":")))
     # short, self-contained summary as the FINAL line so the headline
     # number always survives tail capture
     print(json.dumps({

@@ -88,8 +88,9 @@ def test_write_datetime_format_iso_tokens(spark, tmp_path):
     write_files(df, Target(object=out, options=TargetOptions(
         format="csv", datetime_format="DD-MM-YYYY HH:mm:ss")),
         Mode.FULL_REFRESH)
-    files = [f for f in os.listdir(out) if f.endswith(".csv")]
-    text = open(os.path.join(out, files[0])).read()
+    text = "".join(
+        open(os.path.join(out, f)).read()
+        for f in os.listdir(out) if f.endswith(".csv"))
     assert "07-03-2024 10:30:00" in text, text
 
 

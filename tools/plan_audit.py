@@ -53,7 +53,13 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          # pandas-UDF normalization column (everything else must stay a
          # pass-through projection), native ORC scan
          "quality_classifier_docs", "normalize_text_docs",
-         "orc_roundtrip"]
+         "orc_roundtrip",
+         # round 12: the golden-suite scenario queries — both return
+         # the final DB table through the staged COPY-TO-parquet
+         # export, so the audited plan is the distributed scan over
+         # the staged files plus the ordering projection (the DB-side
+         # lifecycle is SQL, audited by tests/test_suite_ported.py)
+         "suite_db_lifecycle", "suite_db_backfill"]
 
 HEADER = """# Physical plan audit (sf0.1, local[32])
 
