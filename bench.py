@@ -161,17 +161,23 @@ def main() -> None:
 
     # r12 (VERDICT r11 ask #3): a committed "quiet" artifact must not
     # ship contended readings. Any query whose fresh min exceeds 1.5x
-    # its PRIOR committed min gets up to two extra spaced re-runs; if
-    # it still reads high, the artifact carries an explicit contention
-    # annotation instead of silently presenting the outlier as truth.
+    # its ACROSS-ROUND best (BENCH_BEST.json — rolling per-query
+    # minima over every committed run) gets up to two extra spaced
+    # re-runs; if it still reads high, the artifact carries an
+    # explicit contention annotation instead of silently presenting
+    # the outlier as truth.
     contended: dict[str, dict] = {}
+    repo = os.path.dirname(os.path.abspath(__file__))
     prior: dict[str, float] = {}
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json")) as f:
+        with open(os.path.join(repo, "BENCH_BEST.json")) as f:
             prior = json.load(f).get("queries", {})
     except (OSError, ValueError):
-        pass
+        try:
+            with open(os.path.join(repo, "BENCH_LOCAL.json")) as f:
+                prior = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            pass
     for name in list(timings):
         pmin = prior.get(name)
         if not pmin or timings[name] <= 1.5 * pmin:
@@ -209,6 +215,21 @@ def main() -> None:
         out["failures"] = failures
     if contended:
         out["contended"] = contended
+    # roll the per-query minima forward so the NEXT run's contention
+    # baseline stays the all-time best, not whatever the last (possibly
+    # contended) run read
+    new_best = dict(prior)
+    for n, t in timings.items():
+        new_best[n] = min(new_best.get(n, t), t)
+    try:
+        with open(os.path.join(repo, "BENCH_BEST.json"), "w") as f:
+            json.dump({
+                "note": ("rolling per-query across-round minima "
+                         "(bench.py contention baseline); updated by "
+                         "every bench run"),
+                "queries": new_best}, f, indent=1)
+    except OSError:
+        pass
     # Write the COMPLETE record to the repo as well: r7's driver artifact
     # lost the first ~58 per-query times to log-capture truncation, so
     # the authoritative copy lives in a committed file the capture can't

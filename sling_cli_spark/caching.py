@@ -25,10 +25,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-# strong refs on purpose: unpersist() needs the object. Bounded by the
-# release contract, and each entry is an operator-internal SLIM frame
-# (ids + hashes/counts), never the corpus text.
+# strong refs on purpose: unpersist() needs the object. Bounded two
+# ways: the release contract, plus a hard cap — when a caller never
+# releases, the OLDEST tracked cache (its consumer has long since run)
+# unpersists to make room, so even a release-free session can never
+# accrete more than _MAX_TRACKED operator caches. Each entry is an
+# operator-internal SLIM frame (ids + hashes/counts), never the corpus
+# text.
 _TRACKED: list[DataFrame] = []
+_MAX_TRACKED = 64
 
 
 def persist_tracked(
@@ -37,6 +42,12 @@ def persist_tracked(
     """Persist an operator-internal frame and register it for
     :func:`release_operator_caches`. Use ONLY for frames referenced by
     the operator's returned plan (no in-function release point)."""
+    while len(_TRACKED) >= _MAX_TRACKED:
+        old = _TRACKED.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     out = df.persist(level)
     _TRACKED.append(out)
     return out

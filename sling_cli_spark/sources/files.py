@@ -86,8 +86,10 @@ def detect_format(path: str, opts: SourceOptions) -> str:
     if os.path.isdir(base):
         import glob as _glob
 
-        for child in sorted(_glob.glob(os.path.join(base, "*"))):
-            # skip markers with no data extension (_SUCCESS, checksums)
+        # bounded scan: markers (_SUCCESS, .crc) skip, first recognized
+        # data extension decides; cap the walk so a huge extension-less
+        # directory costs O(50), not O(children)
+        for child in sorted(_glob.glob(os.path.join(base, "*")))[:50]:
             if not os.path.isfile(child):
                 continue
             c = child

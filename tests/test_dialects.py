@@ -733,3 +733,59 @@ def test_bigtable_prometheus_vertica_generic():
         sql = generate_merge_sql(d, "s", "t", COLS, ["id"],
                                  "update_insert")
         assert "{" not in sql and "}" not in sql
+
+
+def test_general_type_from_native_classifier():
+    # reverse of the per-dialect types map (r12: validation_types +
+    # add_new_columns comparisons in sinks/db_load)
+    from sling_cli_spark.dialects import general_type_from_native as g
+
+    assert g("TIMESTAMP WITH TIME ZONE") == "timestampz"
+    assert g("timestamptz") == "timestampz"
+    assert g("TIMESTAMP") == "timestamp"
+    assert g("datetime2") == "timestamp"
+    assert g("DATE") == "date"
+    assert g("TIME") == "time"
+    assert g("BOOLEAN") == "bool"
+    assert g("DECIMAL(18,4)") == "decimal"
+    assert g("NUMERIC") == "decimal"
+    assert g("DOUBLE PRECISION") == "float"
+    assert g("BIGINT") == "bigint"
+    assert g("INT2") == "smallint"
+    assert g("JSON") == "json"
+    assert g("BYTEA") == "binary"
+    assert g("CLOB") == "text"
+    assert g("VARCHAR(100)") == "string"
+    assert g("UUID") == "uuid"
+    assert g("made_up_type") == "string"
+
+
+def test_duckdb_drop_view_and_modify_column_templates():
+    d = get_dialect("duckdb")
+    assert render(d.template("drop_view"), {"view": "s.v"}) == \
+        "drop view if exists s.v"
+    assert render(d.template("modify_column"),
+                  {"table": "t", "column": '"c"', "type": "varchar"}) == \
+        'alter table t alter column "c" set data type varchar'
+    # base keeps the reference's bare drop (base.yaml:3)
+    assert render(get_dialect("vertica").template("drop_view"),
+                  {"view": "v1"}) == "drop view v1"
+
+
+def test_create_table_ddl_general_overrides_json():
+    from pyspark.sql import types as T
+
+    from sling_cli_spark.dialects import create_table_ddl
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.StringType()),
+    ])
+    d = get_dialect("duckdb")
+    ddl = create_table_ddl(d, "t1", schema,
+                           general_overrides={"payload": "json"})
+    assert '"payload" json' in ddl
+    # string/decimal overrides defer to sized native_type_for
+    ddl2 = create_table_ddl(d, "t1", schema,
+                            general_overrides={"payload": "string"})
+    assert "varchar" in ddl2
