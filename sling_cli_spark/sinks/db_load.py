@@ -121,6 +121,217 @@ class DuckDBTarget:
     def get_count(self, table: str) -> int:
         return int(self.fetch_one(f"select count(*) from {table}")[0])
 
+    # -- staged-batch surface (engine-specific; SQLiteTarget is the
+    # driver-side twin — proving run_db's orchestration is not
+    # DuckDB-coupled) --------------------------------------------------
+    def count_staged(self, glob: str) -> int:
+        return int(self.fetch_one(
+            f"select count(*) from read_parquet('{glob}')")[0])
+
+    def classify_json(self, glob: str, str_cols: list[str],
+                      limit: int = 900) -> list[str]:
+        """String columns whose sampled staged values all parse as JSON
+        objects/arrays (dataset.go:611 looksLikeJson at DDL time)."""
+        out = []
+        for c in str_cols:
+            q = self.dialect.quote(c)
+            row = self.fetch_one(
+                f"select count(*) filter (where {q} is not null), "
+                f"count(*) filter (where {q} is not null "
+                f"  and left(trim({q}), 1) in ('{{', '[') "
+                f"  and try_cast({q} as json) is not null) "
+                f"from (select {q} from read_parquet('{glob}') "
+                f"limit {limit})")
+            if row and row[0] and row[0] == row[1]:
+                out.append(c)
+        return out
+
+    def max_abs(self, glob: str, col: str):
+        row = self.fetch_one(
+            f"select max(abs({self.dialect.quote(col)}::double)) "
+            f"from read_parquet('{glob}')")
+        return row[0] if row else None
+
+    def ingest(self, table: str, columns: list[str], glob: str,
+               json_cols=()) -> None:
+        """Bulk-load staged parquet into ``table`` — file-direct, no
+        row crosses the driver. json columns parse on ingest (duckdb's
+        implicit varchar->json would re-encode the text as a JSON
+        string value instead of the object it spells)."""
+        d = self.dialect
+        jl = {c.lower() for c in json_cols}
+        fl = ", ".join(d.quote(c) for c in columns)
+        sel = ", ".join(
+            f"try_cast({d.quote(c)} as json)" if c.lower() in jl
+            else d.quote(c) for c in columns)
+        self.execute(f"insert into {table} ({fl}) "
+                     f"select {sel} from read_parquet('{glob}')")
+
+    def stage_keyset(self, name: str, glob: str) -> None:
+        self.execute(f"create or replace temp table {name} as "
+                     f"select * from read_parquet('{glob}')")
+
+    def rename_table(self, tmp: str, final_name: str) -> None:
+        self.execute(f'alter table {tmp} rename to "{final_name}"')
+
+
+class SQLiteTarget:
+    """The same DB-target lifecycle over stdlib sqlite3 — a SECOND live
+    embedded engine (the reference ships a sqlite dialect,
+    sqlite.yaml). SQLite cannot read parquet, so the staged batch
+    ingests via batched executemany from a pyarrow scan — exactly the
+    reference's generic prepared-statement loader
+    (database.go:2437-2503); temporal/decimal values serialize to ISO /
+    text (sqlite's text affinity, sqlite.yaml:280-296)."""
+
+    def __init__(self, path: str | None = None):
+        import sqlite3
+
+        self.path = path
+        self.con = sqlite3.connect(path or ":memory:")
+        self.dialect = get_dialect("sqlite")
+
+    def execute(self, sql: str) -> None:
+        self.con.execute(sql)
+        self.con.commit()
+
+    def fetch_one(self, sql: str):
+        return self.con.execute(sql).fetchone()
+
+    def fetch_all(self, sql: str):
+        return self.con.execute(sql).fetchall()
+
+    def close(self) -> None:
+        self.con.close()
+
+    def _parsed(self, table: str) -> dict:
+        p = parse_table_name(table, self.dialect.name)
+        if not p["schema"]:
+            p["schema"] = "main"
+        return p
+
+    def _bare(self, table: str) -> str:
+        # sqlite has no user schemas: fold schema.table -> table
+        return self._parsed(table)["name"]
+
+    def table_exists(self, table: str) -> bool:
+        row = self.fetch_one(
+            "select count(*) from sqlite_master where type = 'table' "
+            f"and name = '{self._bare(table)}'")
+        return bool(row and row[0])
+
+    def ensure_schema(self, table: str) -> None:
+        pass  # no schemas in sqlite
+
+    def columns(self, table: str) -> list[tuple[str, str]]:
+        return [(r[1], r[2] or "text") for r in self.fetch_all(
+            f"pragma table_info(\"{self._bare(table)}\")")]
+
+    def get_count(self, table: str) -> int:
+        return int(self.fetch_one(
+            f"select count(*) from \"{self._bare(table)}\"")[0])
+
+    # -- staged-batch surface -------------------------------------------
+    def _scan(self, glob: str):
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        for f in sorted(_glob.glob(glob)):
+            yield pq.read_table(f)
+
+    def count_staged(self, glob: str) -> int:
+        return sum(t.num_rows for t in self._scan(glob))
+
+    def classify_json(self, glob: str, str_cols: list[str],
+                      limit: int = 900) -> list[str]:
+        import json as _json
+
+        out = []
+        for c in str_cols:
+            seen = ok = 0
+            for t in self._scan(glob):
+                if c not in t.column_names:
+                    break
+                for v in t.column(c).to_pylist()[:limit - seen]:
+                    if v is None:
+                        continue
+                    seen += 1
+                    s = str(v).strip()
+                    if s[:1] in ("{", "["):
+                        try:
+                            _json.loads(s)
+                            ok += 1
+                            continue
+                        except ValueError:
+                            pass
+                if seen >= limit:
+                    break
+            if seen and seen == ok:
+                out.append(c)
+        return out
+
+    def max_abs(self, glob: str, col: str):
+        mx = None
+        for t in self._scan(glob):
+            if col not in t.column_names:
+                return None
+            for v in t.column(col).to_pylist():
+                if v is None:
+                    continue
+                a = abs(float(v))
+                mx = a if mx is None else max(mx, a)
+        return mx
+
+    @staticmethod
+    def _adapt(v):
+        from datetime import date, datetime as _dt
+        from decimal import Decimal
+
+        if isinstance(v, _dt):
+            return v.isoformat(sep=" ")
+        if isinstance(v, date):
+            return v.isoformat()
+        if isinstance(v, Decimal):
+            return str(v)
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        return v
+
+    def ingest(self, table: str, columns: list[str], glob: str,
+               json_cols=(), batch_rows: int = 5000) -> None:
+        q = self.dialect.quote
+        tname = f'"{self._bare(table)}"'
+        sql = (f"insert into {tname} "
+               f"({', '.join(q(c) for c in columns)}) values "
+               f"({', '.join('?' for _ in columns)})")
+        cur = self.con.cursor()
+        for t in self._scan(glob):
+            cols = [t.column(c).to_pylist() if c in t.column_names
+                    else [None] * t.num_rows for c in columns]
+            rows = [tuple(self._adapt(col[i]) for col in cols)
+                    for i in range(t.num_rows)]
+            for i in range(0, len(rows), batch_rows):
+                cur.executemany(sql, rows[i:i + batch_rows])
+        self.con.commit()
+
+    def stage_keyset(self, name: str, glob: str) -> None:
+        # derive the keyset temp table's shape from the first file
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(_glob.glob(glob))
+        sch = pq.read_schema(files[0])
+        self.execute(f"drop table if exists {name}")
+        self.execute(f"create table {name} "
+                     f"({', '.join(chr(34) + f.name + chr(34) for f in sch)})")
+        self.ingest(name, [f.name for f in sch], glob)
+
+    def rename_table(self, tmp: str, final_name: str) -> None:
+        self.execute(f"alter table \"{self._bare(tmp)}\" rename to "
+                     f"\"{final_name}\"")
+
 
 def open_duckdb(conn: str) -> DuckDBTarget:
     """``duckdb://<path>`` / ``duckdb:<path>`` → a live connection
@@ -231,21 +442,12 @@ def _json_string_columns(db, glob: str, df, limit: int = 900) -> list[str]:
     """String columns whose sampled values all parse as JSON objects/
     arrays — the reference keeps Column.Type=json through to DDL
     (dataset.go:611 looksLikeJson); a Spark string column loses that,
-    so re-classify on the staged batch DB-side (one sample scan)."""
-    out = []
+    so re-classify on the staged batch (engine-specific sample scan)."""
     str_cols = [f.name for f in df.schema.fields
                 if f.dataType.typeName() == "string"]
-    for c in str_cols:
-        q = db.dialect.quote(c)
-        row = db.fetch_one(
-            f"select count(*) filter (where {q} is not null), "
-            f"count(*) filter (where {q} is not null "
-            f"  and left(trim({q}), 1) in ('{{', '[') "
-            f"  and try_cast({q} as json) is not null) "
-            f"from (select {q} from read_parquet('{glob}') limit {limit})")
-        if row and row[0] and row[0] == row[1]:
-            out.append(c)
-    return out
+    if not str_cols:
+        return []
+    return db.classify_json(glob, str_cols, limit)
 
 
 _DECIMAL_RE = re.compile(r"(?:decimal|numeric)\((\d+)\s*,\s*(\d+)\)")
@@ -282,16 +484,18 @@ def _widen_decimal(db, table: str, col: str, existing_native: str,
     column stats and ALTERs before the merge (database.go:3556-3574),
     which is exactly why suite case 9 can upsert ``rating=1234567``
     into a column inferred decimal(6,3) from the first file."""
+    tmpl = db.dialect.template("modify_column") or ""
+    if "alter" not in tmpl.lower():
+        return  # dialect cannot ALTER a column type (e.g. sqlite)
     m = _DECIMAL_RE.search(existing_native.lower())
     if not m or not glob:
         return
     p1, s1 = int(m.group(1)), int(m.group(2))
     q = db.dialect.quote(col)
-    row = db.fetch_one(
-        f"select max(abs({q}::double)) from read_parquet('{glob}')")
-    if not row or row[0] is None:
+    mx = db.max_abs(glob, col)
+    if mx is None:
         return
-    need_int = len(str(int(row[0]))) if row[0] >= 1 else 1
+    need_int = len(str(int(mx))) if mx >= 1 else 1
     s2 = (inc_type.scale if inc_type.typeName() == "decimal"
           else 6 if inc_type.typeName() in ("double", "float") else 0)
     s = max(s1, s2)
@@ -339,7 +543,8 @@ def _align_schema(db, table: str, df, opts, max_lens, column_typing,
                 _widen_decimal(db, table, f.name, ex_native,
                                f.dataType, glob)
             elif _widen_needed(ex_native, gen) \
-                    and d.template("modify_column"):
+                    and "alter" in (d.template("modify_column")
+                                    or "").lower():
                 _exec_modify(db, table, render(
                     d.template("modify_column"), {
                         "table": table, "column": d.quote(f.name),
@@ -416,8 +621,7 @@ def run_db(spark: SparkSession, cfg: Config, db) -> TaskResult:
     try:
         df.write.mode("overwrite").parquet(stage)
         glob = os.path.join(stage, "*.parquet")
-        stream_count = int(db.fetch_one(
-            f"select count(*) from read_parquet('{glob}')")[0])
+        stream_count = db.count_staged(glob)
 
         max_lens = {s.name: s.length for s in specs if s.length}
         column_typing = opts.column_typing
@@ -438,17 +642,8 @@ def run_db(spark: SparkSession, cfg: Config, db) -> TaskResult:
                       if v == "json"}
 
         def insert_from_stage(tbl: str, columns=None) -> None:
-            cols_ = list(columns or df.columns)
-            fl = ", ".join(d.quote(c) for c in cols_)
-            # json columns PARSE on ingest (try_cast to JSON): duckdb's
-            # implicit varchar->json on insert would re-encode the text
-            # as a JSON *string* value instead of the object it spells
-            sel = ", ".join(
-                f"try_cast({d.quote(c)} as json)"
-                if c.lower() in _json_cols else d.quote(c)
-                for c in cols_)
-            db.execute(f"insert into {tbl} ({fl}) "
-                       f"select {sel} from read_parquet('{glob}')")
+            db.ingest(tbl, list(columns or df.columns), glob,
+                      json_cols=_json_cols)
 
         db.ensure_schema(table)
         p = parse_table_name(table, d.name)
@@ -466,8 +661,7 @@ def run_db(spark: SparkSession, cfg: Config, db) -> TaskResult:
                 insert_from_stage(tmp)
                 db.execute(render(d.template("drop_table"),
                                   {"table": table}))
-                db.execute(f"alter table {tmp} rename to "
-                           f"\"{p['name']}\"")
+                db.rename_table(tmp, p["name"])
             else:
                 db.execute(ddl_for(table))
                 if cfg.mode != Mode.DEFINITION_ONLY:
@@ -517,9 +711,8 @@ def run_db(spark: SparkSession, cfg: Config, db) -> TaskResult:
                     .select(*pk)
                 ks.write.mode("overwrite").parquet(ks_stage)
                 keyset_tmp = f"{p['name']}_sling_keyset_tmp"
-                db.execute(f"create or replace temp table {keyset_tmp} as "
-                           "select * from read_parquet("
-                           f"'{os.path.join(ks_stage, '*.parquet')}')")
+                db.stage_keyset(keyset_tmp,
+                                os.path.join(ks_stage, "*.parquet"))
 
             def write_stage(tmp_table: str) -> None:
                 db.execute(ddl_for(tmp_table))
