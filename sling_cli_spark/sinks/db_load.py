@@ -371,13 +371,34 @@ def read_db_source(spark: SparkSession, source, skip_filters=None,
             for c, op, v in skip_filters)
     if parsed["sql"]:
         sql = parsed["sql"].replace("{incremental_where_cond}", cond)
+        where_pushed = True
     else:
+        sql = f"select * from {source.stream}"
+        conds = [cond] if skip_filters else []
+        # source.where pushes into the DB SELECT like the reference
+        # (task_run_read.go fills cfg.Source.Where into the rendered
+        # SQL); the Spark-side filter downstream stays authoritative,
+        # so a dialect-incompatible expression falls back to a full
+        # export instead of failing the run
+        if source.where:
+            conds.append(f"({source.where})")
+        sql += f" where {' and '.join(conds)}" if conds else ""
+        where_pushed = bool(source.where)
+    # staged under the OS temp root; the scan reads it lazily so the
+    # files must outlive this call — tempdirs are reaped by the OS, and
+    # each export is batch-sized, never target-sized
+    stage = tempfile.mkdtemp(prefix="sling_dbsrc_")
+    path = os.path.join(stage, "src.parquet")
+    try:
+        db.execute(f"COPY ({sql}) TO '{path}' (FORMAT 'parquet')")
+    except Exception:
+        if not where_pushed or parsed["sql"]:
+            raise
+        # retry without the pushed where (Spark re-filters)
         sql = f"select * from {source.stream}"
         if skip_filters:
             sql += f" where {cond}"
-    stage = tempfile.mkdtemp(prefix="sling_dbsrc_")
-    path = os.path.join(stage, "src.parquet")
-    db.execute(f"COPY ({sql}) TO '{path}' (FORMAT 'parquet')")
+        db.execute(f"COPY ({sql}) TO '{path}' (FORMAT 'parquet')")
     return spark.read.parquet(path)
 
 
