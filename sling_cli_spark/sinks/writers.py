@@ -286,10 +286,14 @@ def write_files(
     if fmt == "csv":
         # escape = quote: standard RFC-4180 quote DOUBLING ("") — Spark's
         # default backslash-escape writes \" which the reference's (and
-        # our own) readers would mis-parse
+        # our own) readers would mis-parse. Whitespace is DATA: Spark's
+        # write default trims leading/trailing whitespace (the reference
+        # writes values verbatim), so both trims are off.
         writer = writer.option("header", str(opts.header).lower()) \
             .option("sep", opts.delimiter or ",") \
-            .option("quote", '"').option("escape", '"')
+            .option("quote", '"').option("escape", '"') \
+            .option("ignoreLeadingWhiteSpace", "false") \
+            .option("ignoreTrailingWhiteSpace", "false")
         if opts.datetime_format:
             # datetime_format is the reference's ISO-8601 token layout
             # (DD-MM-YYYY …); Spark's timestampFormat is a Java
