@@ -213,8 +213,24 @@ def cmd_run(args: argparse.Namespace) -> int:
 
     if not _truthy(os.environ.get("SLING_ALLOW_EMPTY", "")):
         # reference task_run_write.go:33/414: an EMPTY stream warns and
-        # does nothing unless SLING_ALLOW_EMPTY — a cheap limit-1 probe
-        if build_read_plan(spark, cfg).isEmpty():
+        # does nothing unless SLING_ALLOW_EMPTY — a cheap limit-1 probe.
+        # DB sources get a dedicated LIMIT-1 SQL probe: isEmpty() on a
+        # DB-source plan would trigger a FULL COPY-TO export just for
+        # the check, doubling every run's export (ADVICE r12).
+        if (cfg.source.conn or "").startswith("duckdb:"):
+            from sling_cli_spark.sinks.db_load import db_source_is_empty
+
+            empty = db_source_is_empty(spark, cfg.source)
+        else:
+            from sling_cli_spark.sinks.db_load import (
+                dbsrc_stage_mark, release_db_source_stages)
+
+            mark = dbsrc_stage_mark()
+            try:
+                empty = build_read_plan(spark, cfg).isEmpty()
+            finally:
+                release_db_source_stages(mark)
+        if empty:
             print("no data or records found in stream. Nothing to do. "
                   "To allow empty loads, set SLING_ALLOW_EMPTY=TRUE",
                   file=sys.stderr)

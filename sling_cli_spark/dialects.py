@@ -1098,6 +1098,18 @@ class Dialect:
         q = self.quote_char
         return f"{q}{name}{q}"
 
+    def quote_table(self, table: str) -> str:
+        """Fully-quoted form of a possibly-qualified identifier —
+        every identifier interpolated into SQL goes through here
+        (the reference renders through its quoting helpers,
+        schemata.go:861-930; config-supplied names are data, not SQL).
+        SQL text (subqueries) passes through untouched."""
+        p = parse_table_name(table, self.name)
+        if p["sql"]:
+            return table
+        parts = [p["database"], p["schema"], p["name"]]
+        return ".".join(self.quote(x) for x in parts if x)
+
     def template(self, key: str) -> str | None:
         """None means the dialect explicitly doesn't support the op."""
         return self.core[key] if key in self.core else _BASE_CORE.get(key)

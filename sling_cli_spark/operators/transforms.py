@@ -261,8 +261,11 @@ _REGISTRY: dict[str, tuple[Callable[[Column], Column], str]] = {
         ).geo_udfs()[1](c), "string"),
 }
 
-# argument-taking transforms: name(arg)
-_ARG_REGISTRY: dict[str, Callable[[Column, str], Column]] = {
+# argument-taking transforms: name(arg, ...) — each function receives
+# the PARSED argument list (one str per top-level comma, quotes already
+# stripped), never a re-joined comma string: a quoted literal containing
+# a comma (replace(value, "a,b", "x")) must survive intact (ADVICE r12).
+_ARG_REGISTRY: dict[str, Callable[..., Column]] = {
     # date/time formatting seen in the reference test suite
     # (tests/suite.db.template.yaml:6)
     "date_format": lambda c, fmt: F.date_format(c, fmt),
@@ -270,10 +273,11 @@ _ARG_REGISTRY: dict[str, Callable[[Column, str], Column]] = {
     "date_trunc": lambda c, unit: F.date_trunc(unit, c),
     "date_timezone": lambda c, tz: F.from_utc_timestamp(c, tz),
     "cast": lambda c, t: c.cast(t),
-    "replace": lambda c, arg: F.regexp_replace(
-        c, *[a.strip() for a in arg.split(",", 1)]),
-    "substring": lambda c, arg: F.substring(
-        c, *[int(a) for a in arg.split(",", 1)]),
+    # args arrive pre-stripped (unquoted) or verbatim (quoted) from
+    # _split_call_args — no re-splitting, quoted commas stay literal
+    "replace": lambda c, pat, rep="": F.regexp_replace(c, pat, rep),
+    "substring": lambda c, start, length: F.substring(
+        c, int(start), int(length)),
 }
 
 _CALL_RE = re.compile(r"^([a-z_0-9]+)\((.*)\)$")
@@ -325,8 +329,7 @@ def transform_column(col: Column, name: str) -> Column:
         if args and args[0] == "value":
             args = args[1:]
         if fn_name in _ARG_REGISTRY:
-            return _ARG_REGISTRY[fn_name](
-                col, ", ".join(_unquote(a) for a in args))
+            return _ARG_REGISTRY[fn_name](col, *[_unquote(a) for a in args])
         if fn_name in _REGISTRY and not args:
             return _REGISTRY[fn_name][0](col)  # e.g. lower(value)
         raise ValueError(f"unknown transform: {fn_name!r}")

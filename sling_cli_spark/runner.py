@@ -280,7 +280,26 @@ def run(
     Row counts come from ``Observation`` piggybacked on the write — one
     materialization, never a separate ``count()`` pass over the plan
     (the reference counts rows as they stream for the same reason).
+
+    The write action happens inside, so any DB-source staging dirs the
+    read plan created are released on exit (sinks/db_load contract).
     """
+    from sling_cli_spark.sinks.db_load import (
+        dbsrc_stage_mark, release_db_source_stages)
+
+    mark = dbsrc_stage_mark()
+    try:
+        return _run_impl(spark, cfg, target_df, backfill_range)
+    finally:
+        release_db_source_stages(mark)
+
+
+def _run_impl(
+    spark: SparkSession,
+    cfg: Config,
+    target_df: DataFrame | None = None,
+    backfill_range: tuple | None = None,
+) -> TaskResult:
     from pyspark.sql import Observation
 
     if cfg.target.options.ignore_existing and _target_has_data(spark, cfg):
@@ -643,7 +662,22 @@ def _run_with_watermark(
 ) -> TaskResult:
     """run() minus the target-side probe: the caller supplies the
     watermark (state store path). The NEW watermark rides the write's
-    Observation — one materialization, no second source scan."""
+    Observation — one materialization, no second source scan. The
+    write happens inside, so DB-source staging dirs are released on
+    exit (sinks/db_load contract)."""
+    from pyspark.sql import Observation
+
+    from sling_cli_spark.sinks.db_load import (
+        dbsrc_stage_mark, release_db_source_stages)
+
+    mark = dbsrc_stage_mark()
+    try:
+        return _watermark_write(spark, cfg, watermark)
+    finally:
+        release_db_source_stages(mark)
+
+
+def _watermark_write(spark, cfg, watermark) -> TaskResult:
     from pyspark.sql import Observation
 
     df = build_read_plan(spark, cfg, watermark=watermark)

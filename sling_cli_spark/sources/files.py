@@ -177,37 +177,67 @@ def _sample_head(spark: SparkSession, path: str,
     return raw.decode(encoding or "utf-8", "replace")
 
 
+def _first_parquet_file(path: str) -> str | None:
+    """First physical .parquet file under ``path`` (local paths only;
+    None for remote/unreadable), for driver-side footer inspection."""
+    import glob as _glob
+
+    p = path.removeprefix("file:")
+    if os.path.isfile(p):
+        return p
+    return next(
+        iter(sorted(_glob.glob(os.path.join(p, "**", "*.parquet"),
+                               recursive=True)
+                    or _glob.glob(p))), None)
+
+
+def _parquet_nano_fields(path: str) -> list:
+    """timestamp[ns] fields in the parquet footer of the first file
+    under ``path`` — empty for non-nano (or remote/unreadable) inputs.
+    Footer-based routing means the nano-conversion path runs on EVERY
+    ns read, not just the first one in a session (the exception-based
+    route stops firing once ``nanosAsLong`` has been set)."""
+    first = _first_parquet_file(path)
+    if not first or not os.path.isfile(first):
+        return []
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        sch = pq.read_schema(first)
+    except Exception:
+        return []
+    return [f for f in sch
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
 def _read_parquet_nanos(spark: SparkSession, path: str) -> DataFrame:
     """Parquet with TIMESTAMP(NANOS) columns — Spark has no nano
     precision, so read them as longs (``legacy.parquet.nanosAsLong``)
     and convert to µs timestamps (adjusted-UTC nanos → timestamp,
     local-semantics nanos → timestamp_ntz), exactly the truncation the
-    reference's Arrow bridge applies."""
-    import glob as _glob
+    reference's Arrow bridge applies.
 
-    import pyarrow.parquet as pq
+    The conf is intentionally NOT restored after the read: the returned
+    DataFrame is lazy, and the parquet scan re-consults the conf at
+    action time — flipping it back would make the scan fail (or
+    mis-type) when the caller finally materializes. Leaving it set is
+    safe because routing is footer-based (``_parquet_nano_fields``), so
+    every ns read goes through this conversion and non-ns reads are
+    unaffected by the flag."""
     from pyspark.sql import functions as F
 
+    nano_fields = _parquet_nano_fields(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    p = path.removeprefix("file:")
-    first = p if os.path.isfile(p) else next(
-        iter(sorted(_glob.glob(os.path.join(p, "**", "*.parquet"),
-                               recursive=True)
-                    or _glob.glob(p))), None)
-    if first and os.path.isfile(first):
-        import pyarrow as pa
-
-        sch = pq.read_schema(first)
-        for field in sch:
-            t = field.type
-            if pa.types.is_timestamp(t) and t.unit == "ns" \
-                    and field.name in df.columns:
-                micros = F.timestamp_micros(
-                    (F.col(field.name) / 1000).cast("long"))
-                df = df.withColumn(
-                    field.name,
-                    micros if t.tz else micros.cast("timestamp_ntz"))
+    for field in nano_fields:
+        t = field.type
+        if field.name in df.columns:
+            micros = F.timestamp_micros(
+                (F.col(field.name) / 1000).cast("long"))
+            df = df.withColumn(
+                field.name,
+                micros if t.tz else micros.cast("timestamp_ntz"))
     return df
 
 
@@ -265,6 +295,14 @@ def read_files(
             # drift across files: union of all file schemas
             # (reference: dataflow MergeColumns on multi-file streams)
             return spark.read.option("mergeSchema", "true").parquet(path)
+        # footer-based nano routing: once nanosAsLong has been set for
+        # the session, a second ns read no longer raises — it would
+        # silently return raw longs, so the exception can't be the
+        # router (ADVICE r12). The footer check is authoritative; the
+        # exception fallback only covers remote paths the driver-side
+        # pyarrow probe can't reach.
+        if _parquet_nano_fields(path):
+            return _read_parquet_nanos(spark, path)
         try:
             df = spark.read.parquet(path)
             df.schema  # force footer read so nano timestamps fail HERE

@@ -1,0 +1,194 @@
+"""Round-13 ADVICE + VERDICT hygiene fixes.
+
+- parquet nano-timestamp routing is footer-based, so the SECOND ns read
+  in a session converts too (exception-based routing stopped firing once
+  ``nanosAsLong`` was set) — ADVICE r12 medium
+- expression-form transform args pass as a parsed list; a quoted literal
+  containing a comma survives intact — ADVICE r12 low
+- mode=snapshot onto an existing table APPENDS even when a primary_key
+  is configured (merge would destroy snapshot history) — ADVICE r12 low
+- read_db_source staging dirs are tracked and released after the
+  consuming action (run_db / run), not leaked per-read — ADVICE r12 low
+- the CLI's SLING_ALLOW_EMPTY probe uses a LIMIT-1 SQL probe for DB
+  sources instead of a full COPY-TO export — ADVICE r12 low
+- db_load interpolated identifiers render through Dialect.quote_table —
+  VERDICT r12 "What's wrong" #1
+- table_keys DDL failures: duplicate-index passes, anything else is
+  logged, never silently swallowed — VERDICT r12 "What's wrong" #2
+"""
+
+import os
+
+import pytest
+
+from sling_cli_spark.config import Config
+
+
+def _ns_parquet(tmp_path, name, ts_us):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([ts_us * 1000, (ts_us + 1_000_000) * 1000,
+                        (ts_us + 2_000_000) * 1000],
+                       pa.timestamp("ns")),
+    })
+    p = str(tmp_path / name)
+    pq.write_table(t, p, store_schema=False)
+    return p
+
+
+def test_second_nano_read_still_converts(spark, tmp_path):
+    from sling_cli_spark.config import SourceOptions
+    from sling_cli_spark.sources.files import read_files
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in µs
+    p1 = _ns_parquet(tmp_path, "a.parquet", base_us)
+    p2 = _ns_parquet(tmp_path, "b.parquet", base_us)
+    df1 = read_files(spark, p1, SourceOptions(format="parquet"))
+    df2 = read_files(spark, p2, SourceOptions(format="parquet"))
+    for df in (df1, df2):
+        assert dict(df.dtypes)["ts"].startswith("timestamp"), \
+            "ns column must convert on EVERY read, not just the first"
+        vals = [r.ts for r in df.orderBy("id").collect()]
+        assert vals[0].year >= 2023
+
+
+def test_transform_replace_quoted_comma_literal(spark):
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.operators.transforms import transform_column
+
+    df = spark.createDataFrame([("xa,by",)], ["s"])
+    out = df.select(
+        transform_column(F.col("s"), 'replace(value, "a,b", "Z")')
+        .alias("s")).first()
+    assert out.s == "xZy"
+
+
+def test_transform_replace_two_plain_args(spark):
+    from pyspark.sql import functions as F
+
+    from sling_cli_spark.operators.transforms import transform_column
+
+    df = spark.createDataFrame([("hello",)], ["s"])
+    out = df.select(
+        transform_column(F.col("s"), "replace(l, L)").alias("s")).first()
+    assert out.s == "heLLo"
+
+
+def test_snapshot_with_pk_appends(spark, tmp_path, sf_dir):
+    """snapshot + configured primary_key must append, never merge."""
+    from sling_cli_spark.sinks.db_load import DuckDBTarget, run_db
+
+    db = DuckDBTarget()
+    src = os.path.join(tmp_path, "src.parquet")
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .select("o_orderkey", "o_totalprice").limit(50) \
+        .write.mode("overwrite").parquet(src)
+    cfg = {
+        "source": {"stream": src, "primary_key": ["o_orderkey"]},
+        "target": {"object": "main.snap_tgt"},
+        "mode": "snapshot",
+    }
+    run_db(spark, Config.from_dict(cfg), db)
+    n1 = db.get_count("main.snap_tgt")
+    run_db(spark, Config.from_dict(cfg), db)
+    n2 = db.get_count("main.snap_tgt")
+    assert n1 == 50 and n2 == 100, \
+        f"snapshot must keep history: {n1} -> {n2}"
+    # two distinct _sling_loaded_at stamps = two snapshot generations
+    stamps = db.fetch_one(
+        "select count(distinct _sling_loaded_at) from main.snap_tgt")
+    assert stamps[0] >= 1
+    db.close()
+
+
+def test_dbsrc_stage_released_after_run_db(spark, tmp_path):
+    import duckdb
+
+    from sling_cli_spark.sinks import db_load as dbl
+
+    dbfile = str(tmp_path / "src.duckdb")
+    con = duckdb.connect(dbfile)
+    con.execute("create table t as select range as id from range(10)")
+    con.close()
+
+    before = dbl.dbsrc_stage_mark()
+    tgt = str(tmp_path / "out.parquet")
+    cfg = Config.from_dict({
+        "source": {"conn": f"duckdb://{dbfile}", "stream": "t"},
+        "target": {"object": tgt},
+        "mode": "full-refresh",
+    })
+    from sling_cli_spark.runner import run
+
+    res = run(spark, cfg)
+    assert res.rows == 10
+    assert dbl.dbsrc_stage_mark() == before, \
+        "run() must release the DB-source staging dirs it created"
+
+
+def test_db_source_is_empty_probe(tmp_path):
+    import duckdb
+
+    from sling_cli_spark.config import Source
+    from sling_cli_spark.sinks import db_load as dbl
+
+    dbfile = str(tmp_path / "probe.duckdb")
+    con = duckdb.connect(dbfile)
+    con.execute("create table full_t as select range as id from range(5)")
+    con.execute("create table empty_t (id int)")
+    con.close()
+
+    mark = dbl.dbsrc_stage_mark()
+    assert dbl.db_source_is_empty(
+        None, Source(conn=f"duckdb://{dbfile}", stream="empty_t")) is True
+    assert dbl.db_source_is_empty(
+        None, Source(conn=f"duckdb://{dbfile}", stream="full_t")) is False
+    # where pushes into the probe
+    assert dbl.db_source_is_empty(
+        None, Source(conn=f"duckdb://{dbfile}", stream="full_t",
+                     where="id > 100")) is True
+    assert dbl.dbsrc_stage_mark() == mark, \
+        "the probe must not stage an export"
+
+
+def test_quote_table_renders_qualified():
+    from sling_cli_spark.dialects import get_dialect
+
+    d = get_dialect("duckdb")
+    assert d.quote_table("main.tgt") == '"main"."tgt"'
+    assert d.quote_table("tgt") == '"tgt"'
+    assert d.quote_table('"Main"."Tgt"') == '"Main"."Tgt"'
+    # SQL text passes through untouched
+    sql = "select * from x where a = 1"
+    assert d.quote_table(sql) == sql
+    m = get_dialect("mysql")
+    assert m.quote_table("db.t") == "`db`.`t`"
+
+
+def test_table_keys_failure_logged_not_swallowed(spark, tmp_path, caplog):
+    """A typo'd key column must surface in the log (and not abort)."""
+    import logging
+
+    from sling_cli_spark.sinks.db_load import DuckDBTarget, run_db
+
+    db = DuckDBTarget()
+    src = str(tmp_path / "s.parquet")
+    spark.range(5).withColumnRenamed("id", "k") \
+        .write.mode("overwrite").parquet(src)
+    cfg = Config.from_dict({
+        "source": {"stream": src},
+        "target": {"object": "main.tk_tgt",
+                   "options": {"table_keys": {"index": ["no_such_col"]}}},
+        "mode": "full-refresh",
+    })
+    with caplog.at_level(logging.WARNING,
+                         logger="sling_cli_spark.sinks.db_load"):
+        run_db(spark, cfg, db)
+    assert any("table_keys" in r.message for r in caplog.records), \
+        "bad table_keys DDL must be logged"
+    assert db.get_count("main.tk_tgt") == 5
+    db.close()
