@@ -153,7 +153,10 @@ class TargetOptions:
     # (reference: database.go:3186 variable.default_merge_strategy —
     # duckdb/mysql default delete_insert, postgres update_insert)
     merge_strategy: MergeStrategy | None = None
-    delete_missing: str | None = None   # None | "hard" | "soft"
+    # None | "hard" | "soft" | extended dict {type, where, source_where,
+    # target_where} (reference DeleteMissingConfig, config.go:1837-1905;
+    # scoped-deletion contract pinned by r.104.delete_missing_where.yaml)
+    delete_missing: str | dict | None = None
     eq_upsert: bool = False  # iceberg: equality-delete upsert, no scan
     column_typing: dict | None = None   # string/decimal/boolean/json policy
     json_columns: list[str] = field(default_factory=list)  # inline raw JSON
@@ -333,3 +336,18 @@ def render_vars(text: str, vars: dict[str, str]) -> str:
     for k, v in vars.items():
         text = text.replace("{" + k + "}", v)
     return text
+
+
+def delete_missing_config(v) -> dict | None:
+    """Normalize ``target_options.delete_missing`` (reference
+    GetDeleteMissingConfig, config.go:1861-1905): a bare string is the
+    type; the dict form adds scoping — ``where`` applies to both sides
+    unless ``source_where``/``target_where`` override it."""
+    if not v:
+        return None
+    if isinstance(v, str):
+        return {"type": v, "source_where": "", "target_where": ""}
+    w = v.get("where") or ""
+    return {"type": v.get("type") or "soft",
+            "source_where": v.get("source_where") or w,
+            "target_where": v.get("target_where") or w}

@@ -1272,6 +1272,7 @@ def delete_missing_sql(
     primary_key: list[str],
     soft: bool = False,
     where: str = "1=1",
+    soft_fields: str | None = None,
 ) -> str:
     """delete_missing pushed to the DB (reference:
     core.delete_where_not_exist / update_where_not_exist,
@@ -1284,7 +1285,7 @@ def delete_missing_sql(
         return render(dialect.template("update_where_not_exist"), {
             "target_table": target_table,
             "temp_table": keyset_table,
-            "set_fields": "_sling_synced_op = 'D'",
+            "set_fields": soft_fields or "_sling_synced_op = 'D'",
             "where": where,
             "join_where": join_where,
         })

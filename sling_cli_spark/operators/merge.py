@@ -117,22 +117,29 @@ def merge_change_capture(
 
 def delete_missing(
     target: DataFrame, src: DataFrame, primary_key, soft: bool = False,
-    op_col: str = OP_COL,
+    op_col: str = OP_COL, where: str | None = None,
 ) -> DataFrame:
     """Remove (or soft-flag) target rows whose PK is absent from the source
     snapshot (reference: core/sling/config.go:1838-1876, templates
-    ``core.delete_where_not_exist`` base.yaml:13-27)."""
+    ``core.delete_where_not_exist`` base.yaml:13-27). ``where`` scopes
+    which TARGET rows are delete candidates (the extended
+    delete_missing config's target_where, config.go:1854-1860 — rows
+    outside the scope are never touched even when their PK is missing,
+    r.104.delete_missing_where.yaml)."""
     pk = _pk(primary_key)
-    if not soft:
-        return target.join(src.select(*pk), on=pk, how="left_semi")
+    scope = F.expr(where) if where else F.lit(True)
     missing_flag = target.join(
-        src.select(*pk).withColumn("__present", F.lit(1)),
+        src.select(*pk).dropDuplicates(pk).withColumn("__present", F.lit(1)),
         on=pk, how="left",
     )
+    gone = F.col("__present").isNull() & F.coalesce(scope, F.lit(False))
+    if not soft:
+        cols = [F.col(f"`{c}`") for c in target.columns]
+        return missing_flag.filter(~gone).select(*cols)
     cols = [c for c in target.columns if c != op_col]
     return missing_flag.select(
         *[F.col(f"`{c}`") for c in cols],
-        F.when(F.col("__present").isNull(), F.lit("D"))
+        F.when(gone, F.lit("D"))
         .otherwise(F.col(f"`{op_col}`") if op_col in target.columns
                    else F.lit(None).cast("string"))
         .alias(op_col),

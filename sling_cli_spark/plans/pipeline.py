@@ -42,13 +42,74 @@ class StepError(RuntimeError):
     pass
 
 
-def _step_log(spark, step, ctx):
+class CheckFailed(StepError):
+    """A ``check`` step's expression evaluated false."""
+
+
+class PipelineRuntime:
+    """Shared state for one pipeline run — the reference's hook-engine
+    namespaces (hooks.go): ``store`` (values set by ``into:`` /
+    ``type: store``), ``execution`` (run status the caller injects),
+    ``source``/``target`` (connection descriptors), plus the live
+    connection registry used by ``type: query`` steps with a
+    ``connection:`` key.
+
+    ``connections`` maps lower-cased connection names (or URLs) to
+    objects exposing ``execute(sql)`` / ``fetch_dicts(sql)``. An
+    unknown name resolves to a scratch in-memory DuckDB (the
+    reference resolves from env.yaml; tests inject live twins).
+    """
+
+    def __init__(self, connections=None, state=None, env=None):
+        self.connections = {}
+        for k, v in (connections or {}).items():
+            self.connections[str(k)] = v
+            self.connections[str(k).lower()] = v
+        self.store: dict[str, Any] = {}
+        self.state_extra = dict(state or {})
+        self.env = dict(env or {})
+        self.broke = False          # a check with on_failure: break fired
+        self.evaluator = None       # set by run_pipeline
+        self._scratch = None
+
+    def resolve_conn(self, name: str):
+        name = str(name or "")
+        key = name if name in self.connections else name.lower()
+        if key in self.connections:
+            return self.connections[key]
+        if self._scratch is None:
+            from sling_cli_spark.sinks.db_load import DuckDBTarget
+
+            self._scratch = DuckDBTarget()
+        return self._scratch
+
+
+def _step_log(spark, step, ctx, rt=None):
     msg = render_vars(str(step.get("message", "")), ctx)
     log.info(msg)
     return msg
 
 
-def _step_query(spark, step, ctx):
+def _step_query(spark, step, ctx, rt=None):
+    if step.get("connection") is not None and rt is not None:
+        # reference hook kind `query` with a named connection
+        # (hooks.go; tests/replications/r.*.yaml): run the (possibly
+        # multi-statement) SQL on that connection; `into:` captures the
+        # LAST statement's rows into {store.<name>}
+        from sling_cli_spark.dialects import parse_sql_multi_statements
+
+        db = rt.resolve_conn(step["connection"])
+        sql = render_vars(str(step.get("query") or step.get("sql")), ctx)
+        stmts = [s for s in parse_sql_multi_statements(sql) if s.strip()]
+        rows = None
+        for i, s in enumerate(stmts):
+            if step.get("into") and i == len(stmts) - 1:
+                rows = _fetch_dicts(db, s)
+            else:
+                db.execute(s)
+        if step.get("into") is not None:
+            rt.store[str(step["into"])] = rows
+        return rows
     df = spark.sql(render_vars(step["sql"], ctx))
     if step.get("into"):
         df.createOrReplaceTempView(step["into"])
@@ -57,7 +118,25 @@ def _step_query(spark, step, ctx):
     return [r.asDict() for r in df.limit(int(step.get("limit", 100))).collect()]
 
 
-def _step_copy(spark, step, ctx):
+def _fetch_dicts(db, sql: str) -> list[dict]:
+    """Rows as dicts with the connection's own column names (what the
+    reference's store records carry)."""
+    if hasattr(db, "fetch_dicts"):
+        return db.fetch_dicts(sql)
+    cur = db.con.execute(sql)
+    names = [d[0] for d in cur.description or []]
+    return [dict(zip(names, r)) for r in cur.fetchall()]
+
+
+def _step_store(spark, step, ctx, rt=None):
+    """`type: store` (reference hooks.go kind ``store``): stash a value
+    under {store.<key>} for later steps / stream-SQL rendering."""
+    if rt is not None:
+        rt.store[str(step["key"])] = step.get("value")
+    return step.get("value")
+
+
+def _step_copy(spark, step, ctx, rt=None):
     src = render_vars(step["from"], ctx)
     dst = render_vars(step["to"], ctx)
     if os.path.isdir(src):
@@ -68,7 +147,7 @@ def _step_copy(spark, step, ctx):
     return dst
 
 
-def _step_delete(spark, step, ctx):
+def _step_delete(spark, step, ctx, rt=None):
     p = render_vars(step["path"], ctx)
     if os.path.isdir(p):
         shutil.rmtree(p, ignore_errors=True)
@@ -77,7 +156,7 @@ def _step_delete(spark, step, ctx):
     return p
 
 
-def _step_inspect(spark, step, ctx):
+def _step_inspect(spark, step, ctx, rt=None):
     p = render_vars(step["path"], ctx)
     from sling_cli_spark.sources.files import list_file_nodes
 
@@ -86,7 +165,21 @@ def _step_inspect(spark, step, ctx):
             "bytes": sum(r["size"] for r in nodes)}
 
 
-def _step_check(spark, step, ctx):
+def _step_check(spark, step, ctx, rt=None):
+    if "check" in step and rt is not None:
+        # reference check kind (hooks.go; suite/replication yamls):
+        # the expression runs through the Evaluator's goval-style
+        # language over {env, state, store, execution, ...} — e.g.
+        # `int_parse(store.cnt[0].n) == 3`, `execution.status.error != 0`
+        rt.evaluator.fill_missing_keys(
+            rt.evaluator.state,
+            rt.evaluator.extract_vars(str(step["check"])))
+        ok = bool(rt.evaluator.evaluate(str(step["check"])))
+        if not ok:
+            msg = step.get("failure_message") or step.get("message") \
+                or step["check"]
+            raise CheckFailed(f"check failed: {msg}")
+        return True
     vars_ = {**ctx, **{k: v for k, v in (step.get("vars") or {}).items()}}
     # evaluate via Spark SQL on a literal row — same expression language
     # as everywhere else, no Python eval
@@ -110,7 +203,7 @@ def _sql_lit(v: Any) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
-def _step_http(spark, step, ctx):
+def _step_http(spark, step, ctx, rt=None):
     """http hook (reference hooks.go kind ``http``): one request, the
     JSON/status lands in step state. ``transport`` is injectable via the
     step dict for tests; the default uses the api source's urllib
@@ -127,7 +220,7 @@ def _step_http(spark, step, ctx):
     return {"status": status, "json": body}
 
 
-def _step_command(spark, step, ctx):
+def _step_command(spark, step, ctx, rt=None):
     """command hook (reference hooks.go kind ``command``): run a local
     process, capture output. Commands come from the user's own pipeline
     YAML — same trust model as the reference."""
@@ -143,7 +236,7 @@ def _step_command(spark, step, ctx):
     return {"returncode": proc.returncode, "stdout": proc.stdout.strip()}
 
 
-def _step_replication(spark, step, ctx):
+def _step_replication(spark, step, ctx, rt=None):
     from sling_cli_spark.plans.replication import (
         ReplicationConfig, run_replication)
 
@@ -154,6 +247,7 @@ def _step_replication(spark, step, ctx):
 
 _STEP_TYPES = {
     "log": _step_log,
+    "store": _step_store,
     "query": _step_query,
     "copy": _step_copy,
     "delete": _step_delete,
@@ -206,16 +300,23 @@ def _fill_step_vars(evaluator, payload: Any) -> None:
 
 def run_pipeline(
     spark, steps: list[dict[str, Any]], env: dict[str, str] | None = None,
+    runtime: PipelineRuntime | None = None,
 ) -> list[Any]:
     """Execute steps in order with per-step retry / on_failure semantics
-    (reference: pipeline.go:18-123 — retries, continue/abort, step ids).
+    (reference: pipeline.go:18-123 — retries, continue/break/abort, step
+    ids; hooks.go step kinds).
 
     Step results land in the context as ``{state.<id>}`` strings for
-    downstream ``render_vars`` templating.
+    downstream ``render_vars`` templating, and typed under
+    ``{state.<id>}`` / ``{store.<key>}`` for expression rendering. Pass
+    a :class:`PipelineRuntime` to supply live connections and the
+    ``execution``/``source``/``target`` namespaces (the replication
+    harness path); without one the Spark-SQL step forms run as before.
     """
     from sling_cli_spark.expressions import Evaluator
 
-    ctx: dict[str, str] = dict(env or {})
+    rt = runtime or PipelineRuntime(env=env)
+    ctx: dict[str, str] = {**rt.env, **(env or {})}
     state_ns: dict[str, Any] = {}  # TYPED step results, keyed by step id
     # keep_missing=False + fill-missing-first is the reference's render
     # mode for owned namespaces (transforms.go RenderAny: `if
@@ -224,10 +325,25 @@ def run_pipeline(
     # falls back instead of keeping the span. Unprefixed runtime vars
     # ({stream_table}) are non-renderable and stay intact regardless.
     evaluator = Evaluator(
-        state={"env": dict(env or {}), "state": state_ns},
+        state={"env": {**rt.env, **(env or {})}, "state": state_ns,
+               "store": rt.store, **rt.state_extra},
     )
+    rt.evaluator = evaluator
     results: list[Any] = []
     for i, step in enumerate(steps):
+        # `if:` gate (reference hook field `If`): skipped steps record
+        # None and the pipeline moves on
+        cond = step.get("if")
+        if cond is not None:
+            # missing refs fill to nil first (the reference's
+            # FillMissingKeys pass), so `!is_empty(stream.table)` with
+            # no stream namespace gates false instead of erroring
+            evaluator.fill_missing_keys(
+                evaluator.state, evaluator.extract_vars(str(cond)))
+            if not bool(evaluator.evaluate(str(cond))):
+                results.append(None)
+                state_ns[str(step.get("id", i))] = None
+                continue
         # `{ expr }` rendering over env/state namespaces (reference routes
         # every hook payload through the Evaluator, transforms.go:729+);
         # flat `{state.N}` render_vars below stays for legacy templates
@@ -240,7 +356,7 @@ def run_pipeline(
         attempt = 0
         while True:
             try:
-                out = _STEP_TYPES[kind](spark, step, ctx)
+                out = _STEP_TYPES[kind](spark, step, ctx, rt)
                 break
             except Exception:
                 attempt += 1
@@ -249,6 +365,13 @@ def run_pipeline(
                 if step.get("on_failure") == "continue":
                     out = None
                     break
+                if step.get("on_failure") == "break":
+                    # stop the pipeline without erroring (the reference's
+                    # guard pattern: `check: execution.status.error == 0 /
+                    # on_failure: break` skips verification after a failed
+                    # run; the caller reads runtime.broke)
+                    rt.broke = True
+                    return results
                 raise
         results.append(out)
         state_ns[str(step.get("id", i))] = out

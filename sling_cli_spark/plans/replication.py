@@ -136,16 +136,41 @@ def expand_db_wildcards(
     return out
 
 
+def _merge_columns(defaults_cols: dict | None,
+                   stream_cols: dict | None) -> dict:
+    """Stream-level ``columns:`` vs defaults (reference semantics pinned
+    by tests/replications/r.107.columns_merge_defaults.yaml):
+
+    - plain keys REPLACE the defaults set entirely (legacy behavior)
+    - ``+col: type`` keys MERGE over the defaults
+    - ``+col: ~`` (null) UNSETS the inherited default
+    """
+    if not stream_cols:
+        return dict(defaults_cols or {})
+    plus = {k[1:]: v for k, v in stream_cols.items() if k.startswith("+")}
+    plain = {k: v for k, v in stream_cols.items() if not k.startswith("+")}
+    out = dict(defaults_cols or {}) if (plus and not plain) else dict(plain)
+    for k, v in plus.items():
+        if v is None:
+            out.pop(k, None)
+        else:
+            out[k] = v
+    return out
+
+
 def _merged(defaults: dict[str, Any], overrides: dict[str, Any]) -> dict[str, Any]:
     """defaults <- overrides, one level deep for the *_options dicts
     (reference merges stream config over defaults the same way,
-    replication.go:1223-1310)."""
+    replication.go:1223-1310); ``columns`` follows the +prefix merge
+    contract (:func:`_merge_columns`)."""
     merged = dict(defaults)
     for k, v in overrides.items():
         if k in ("source_options", "target_options") and isinstance(v, dict):
             base = dict(defaults.get(k) or {})
             base.update(v)
             merged[k] = base
+        elif k == "columns" and isinstance(v, dict):
+            merged[k] = _merge_columns(defaults.get(k), v)
         else:
             merged[k] = v
     return merged
@@ -169,6 +194,14 @@ def compile_replication(rc: ReplicationConfig) -> list[Config]:
         # replication_test.go "sql_query"); the stream keeps its NAME
         # for {stream_*} runtime vars
         source_stream = o.get("sql") or stream
+        src_opts = dict(o.get("source_options") or {})
+        if o.get("columns"):
+            # stream/defaults-level `columns:` DSL rides source options
+            # (reference: ReplicationStreamConfig.Columns -> cfg.Target
+            # columns; this engine parses it from source.options.columns)
+            src_opts["columns"] = o["columns"]
+        if o.get("transforms") and "transforms" not in src_opts:
+            src_opts["transforms"] = o["transforms"]
         cfg = Config.from_dict({
             "source": {
                 "conn": rc.source,
@@ -178,7 +211,7 @@ def compile_replication(rc: ReplicationConfig) -> list[Config]:
                 "select": o.get("select"),
                 "where": o.get("where"),
                 "limit": o.get("limit"),
-                "options": o.get("source_options") or {},
+                "options": src_opts,
             },
             "target": {
                 "conn": rc.target,
@@ -204,7 +237,9 @@ def compile_replication(rc: ReplicationConfig) -> list[Config]:
     return cfgs
 
 
-def run_replication(spark, rc: ReplicationConfig, base_output: str = ""):
+def run_replication(spark, rc: ReplicationConfig, base_output: str = "",
+                    connections=None, runtime=None,
+                    continue_on_error: bool = False):
     """Execute every compiled stream; returns {stream: TaskResult}.
 
     Sequential like the reference's default (it parallelizes with a
@@ -214,19 +249,52 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = ""):
     Replication-level hooks (reference: HookMap, ``hooks.go:49-56`` +
     ``replication.go:518-560``): ``start`` runs before the first stream,
     ``end`` after the last, ``pre``/``post`` around every stream — each a
-    pipeline-step list sharing one expression state, with per-stream
-    runtime vars exposed as ``{stream_name}``/``{object_name}`` and the
-    finished stream's rows as ``{state.<id>}``.
+    pipeline-step list sharing ONE :class:`PipelineRuntime` (so ``into:``
+    results persist from start hooks to end hooks under ``{store.*}``),
+    with ``{source.name}``/``{target.name}`` and the run's
+    ``{execution.status.error}`` exposed exactly like the reference's
+    hook namespaces. Per-stream runtime vars appear as
+    ``{stream_name}``/``{object_name}``.
+
+    DB-conn targets (``duckdb:``) route through the DB-load lifecycle
+    (``sinks.db_load.run_db``) — the handle comes from ``connections``
+    (registered under the conn name or URL) or opens fresh. With
+    ``continue_on_error`` a failed stream records into
+    ``execution.status.error`` and the run proceeds (the reference's
+    replication loop keeps going so end hooks can assert on the
+    failure); default is fail-fast.
     """
-    from sling_cli_spark.plans.pipeline import run_pipeline
+    from sling_cli_spark.plans.pipeline import PipelineRuntime, run_pipeline
     from sling_cli_spark.runner import run
 
     hooks = rc.hooks or {}
+    rt = runtime or PipelineRuntime(connections=connections, env=rc.env)
+    status = rt.state_extra.setdefault(
+        "execution", {"status": {"error": 0, "success": 0}})["status"]
+    rt.state_extra.setdefault("source", {"name": rc.source})
+    rt.state_extra.setdefault("target", {"name": rc.target})
+
+    def _run_stream(cfg):
+        if (cfg.target.conn or "").startswith("duckdb:"):
+            from sling_cli_spark.sinks.db_load import open_duckdb, run_db
+
+            db = (rt.connections.get(cfg.target.conn)
+                  or rt.connections.get((rc.target or "").lower()))
+            own = db is None
+            if own:
+                db = open_duckdb(cfg.target.conn)
+            try:
+                return run_db(spark, cfg, db)
+            finally:
+                if own:
+                    db.close()
+        return run(spark, cfg)
 
     def run_hooks(stage: str, extra_env: dict | None = None):
         steps = hooks.get(stage) or []
         if steps:
-            run_pipeline(spark, steps, env={**rc.env, **(extra_env or {})})
+            run_pipeline(spark, steps, env={**rc.env, **(extra_env or {})},
+                         runtime=rt)
 
     run_hooks("start")
     results = {}
@@ -268,12 +336,21 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = ""):
         run_hooks("end")
         return results
     for cfg in compiled:
-        if base_output and not os.path.isabs(cfg.target.object or ""):
+        if base_output and not os.path.isabs(cfg.target.object or "") \
+                and not (cfg.target.conn or "").startswith("duckdb:"):
             cfg.target.object = os.path.join(base_output, cfg.target.object)
         stream_env = {"stream_name": cfg.source.stream or "",
                       "object_name": cfg.target.object or ""}
         run_hooks("pre", stream_env)
-        result = run(spark, cfg)
+        try:
+            result = _run_stream(cfg)
+        except Exception:
+            status["error"] += 1
+            if not continue_on_error:
+                raise
+            results[cfg.source.stream] = None
+            continue
+        status["success"] += 1
         results[cfg.source.stream] = result
         run_hooks("post", {**stream_env, "rows": str(result.rows)})
     run_hooks("end")

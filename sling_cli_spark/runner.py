@@ -25,7 +25,8 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sling_cli_spark.config import Config, MergeStrategy, Mode
+from sling_cli_spark.config import (
+    Config, MergeStrategy, Mode, delete_missing_config)
 from sling_cli_spark.operators.incremental import (
     apply_limit_offset,
     backfill_filter,
@@ -266,6 +267,45 @@ def _column_specs(cfg: Config):
     return cached
 
 
+class ConstraintViolationError(RuntimeError):
+    """SLING_ON_CONSTRAINT_FAILURE=abort tripped on a violating row."""
+
+
+def enforce_constraint_policy(cfg: Config, df: DataFrame) -> None:
+    """Column-constraint failure policy (reference task_run.go:140-147 +
+    env SLING_ON_CONSTRAINT_FAILURE; pinned by the replication corpus
+    r.101/r.102: abort fails on the FIRST violation — even past the
+    reference's 20-violation log cap — with nothing landed).
+
+    ``skip`` is applied lazily inside build_read_plan (rows drop in the
+    same scan); ``abort`` necessarily runs one eager validation pass
+    over the batch BEFORE any write so the failure path never touches
+    the target; ``warn`` (the default) stays free — rows flow through.
+    """
+    specs = _column_specs(cfg)
+    if not specs:
+        return
+    from sling_cli_spark.operators.column_modifiers import specs_constraints
+
+    cons = {c: e for c, e in specs_constraints(specs).items()
+            if c in df.columns}
+    if not cons:
+        return
+    mode = (cfg.source.options.constraint_mode
+            or (cfg.env or {}).get("SLING_ON_CONSTRAINT_FAILURE")
+            or os.environ.get("SLING_ON_CONSTRAINT_FAILURE")
+            or "warn").lower()
+    if mode != "abort":
+        return
+    from sling_cli_spark.operators.constraints import constraint_violations
+
+    bad = {c: n for c, n in
+           constraint_violations(df.select(*cons), cons).items() if n}
+    if bad:
+        raise ConstraintViolationError(
+            f"constraint failure (abort mode): {bad}")
+
+
 def run(
     spark: SparkSession,
     cfg: Config,
@@ -345,6 +385,7 @@ def _run_impl(
 
     df = build_read_plan(spark, cfg, watermark=watermark,
                          backfill_range=backfill_range)
+    enforce_constraint_policy(cfg, df)
 
     run_ts = datetime.now(timezone.utc)
     df = prepare_for_mode(df, cfg.mode, run_ts=run_ts)
@@ -428,7 +469,8 @@ def _run_impl(
                 strategy=(cfg.target.options.merge_strategy
                           or MergeStrategy.UPDATE_INSERT),
                 update_key=update_key, **mkw)
-            if cfg.target.options.delete_missing:
+            dmc = delete_missing_config(cfg.target.options.delete_missing)
+            if dmc:
                 # CoW delete: only files holding a PK absent from the
                 # FULL source snapshot rewrite (same keyset contract as
                 # the swap path — never the incremental batch)
@@ -450,9 +492,11 @@ def _run_impl(
                             lambda loc: _inner_dm(spark_, loc, ks_,
                                                   pk_, **kw3))
                 keyset = build_read_plan(spark, cfg, full_source=True)
+                if dmc["source_where"]:
+                    keyset = keyset.filter(F.expr(dmc["source_where"]))
                 stats["delete_missing"] = _dm_lake(
                     spark, uri, keyset, cfg.source.primary_key,
-                    soft=cfg.target.options.delete_missing == "soft",
+                    soft=dmc["type"] == "soft",
                     **mkw)
         finally:
             df.unpersist()
@@ -530,15 +574,19 @@ def _run_impl(
                           or MergeStrategy.UPDATE_INSERT),
             update_key=update_key,
         )
-        if cfg.target.options.delete_missing:
+        dmc = delete_missing_config(cfg.target.options.delete_missing)
+        if dmc:
             # NEVER delete against the incremental batch: after the first
             # run `df` is watermark-filtered, so its PK set is a tiny
             # subset of the source and a semi-join against it would wipe
             # the target. The keyset is a fresh full-source read.
             keyset = build_read_plan(spark, cfg, full_source=True)
+            if dmc["source_where"]:
+                keyset = keyset.filter(F.expr(dmc["source_where"]))
             merged = delete_missing(
                 merged, keyset, cfg.source.primary_key,
-                soft=cfg.target.options.delete_missing == "soft",
+                soft=dmc["type"] == "soft",
+                where=dmc["target_where"] or None,
             )
         obs = Observation("write_stats")
         merged = merged.observe(obs, *_write_aggs(cfg, merged.columns))

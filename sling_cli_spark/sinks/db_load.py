@@ -53,7 +53,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
 
-from sling_cli_spark.config import Config, Mode
+from sling_cli_spark.config import Config, Mode, delete_missing_config
 from sling_cli_spark.dialects import (
     create_table_ddl,
     general_type_from_native,
@@ -707,6 +707,9 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
             s.strip() for s in cfg.source.options.range.split(",", 1))
     df = build_read_plan(spark, cfg, watermark=watermark,
                          backfill_range=backfill_range)
+    from sling_cli_spark.runner import enforce_constraint_policy
+
+    enforce_constraint_policy(cfg, df)
     run_ts = datetime.now(timezone.utc)
     df = prepare_for_mode(df, cfg.mode, run_ts=run_ts)
     # FileToDB loads stamp _sling_loaded_at by default — unix seconds,
@@ -804,23 +807,39 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
                                  column_typing, gen_overrides, glob)
             keyset_tmp = None
             ks_stage = None
-            if opts.delete_missing == "soft":
-                # soft delete marks rows via _sling_synced_op = 'D'
-                # (update_where_not_exist template); self-provision the
-                # marker column. NOTE: the OSS reference STUBS
-                # delete_missing entirely (task_run.go:30 warn-only) —
-                # this engine implements it.
+            dmc = delete_missing_config(opts.delete_missing)
+            soft_fields = None
+            if dmc and dmc["type"] == "soft":
+                # soft delete marks rows via _sling_synced_op = 'D' AND
+                # stamps _sling_deleted_at (the reference's reserved
+                # DeletedAt field, env.go:79; the r.104 corpus asserts
+                # on it); self-provision both marker columns. NOTE: the
+                # OSS reference STUBS delete_missing entirely
+                # (task_run.go:30 warn-only) — this engine implements it.
                 live = {n.lower() for n, _ in db.columns(table)}
                 if "_sling_synced_op" not in live:
                     db.execute(render(d.template("add_column"), {
                         "table": table,
                         "column": d.quote("_sling_synced_op"),
                         "type": d.types["string"].format(len=1)}))
-            if opts.delete_missing:
-                # keyset = the FULL source snapshot, never the batch
+                if "_sling_deleted_at" not in live:
+                    db.execute(render(d.template("add_column"), {
+                        "table": table,
+                        "column": d.quote("_sling_deleted_at"),
+                        "type": d.types["timestamp"]}))
+                soft_fields = ("_sling_synced_op = 'D', "
+                               "_sling_deleted_at = current_timestamp")
+            if dmc:
+                # keyset = the FULL source snapshot, never the batch;
+                # source_where scopes which source rows count as present
+                # (extended config, config.go:1846-1852)
                 ks_stage = tempfile.mkdtemp(prefix="sling_dbks_")
-                ks = build_read_plan(spark, cfg, full_source=True) \
-                    .select(*pk)
+                ks = build_read_plan(spark, cfg, full_source=True)
+                if dmc["source_where"]:
+                    from pyspark.sql import functions as F
+
+                    ks = ks.filter(F.expr(dmc["source_where"]))
+                ks = ks.select(*pk)
                 ks.write.mode("overwrite").parquet(ks_stage)
                 keyset_tmp = f"{p['name']}_sling_keyset_tmp"
                 db.stage_keyset(keyset_tmp,
@@ -835,8 +854,10 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
                     db.execute, db.fetch_one, d.name, table,
                     cols, pk, write_stage,
                     strategy=strategy, expect_count=stream_count,
-                    delete_missing=opts.delete_missing,
-                    keyset_table=keyset_tmp)
+                    delete_missing=dmc["type"] if dmc else None,
+                    keyset_table=keyset_tmp,
+                    delete_where=(dmc or {}).get("target_where") or None,
+                    soft_fields=soft_fields)
             finally:
                 if keyset_tmp:
                     db.execute("drop table if exists "

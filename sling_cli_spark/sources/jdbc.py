@@ -178,6 +178,8 @@ def staged_db_load(
     expect_count: int | None = None,
     delete_missing: str | None = None,
     keyset_table: str | None = None,
+    delete_where: str | None = None,
+    soft_fields: str | None = None,
 ) -> dict:
     """Temp-table transactional staging for DB targets (reference:
     ``task_run_write.go:228-498``): bulk-load a temp table, validate the
@@ -218,7 +220,9 @@ def staged_db_load(
         if delete_missing:
             for stmt in split_sql_statements(delete_missing_sql(
                     d, target_table, keyset_table or temp, primary_key,
-                    soft=delete_missing == "soft")):
+                    soft=delete_missing == "soft",
+                    where=delete_where or "1=1",
+                    soft_fields=soft_fields)):
                 execute(stmt)
     finally:
         execute(f"drop table if exists {temp}")

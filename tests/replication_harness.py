@@ -1,0 +1,277 @@
+"""Reference regression-replication corpus harness — drives the
+reference's OWN ``tests/replications/r.*.yaml`` configs (142 configs;
+the named-feature regression suite for sling's replication lifecycle)
+through this engine: ``plans/replication.py`` compile + ``run_db`` /
+``runner.run`` execution + the reference's hook-engine assertions
+(``plans/pipeline.py`` query/check/log/store steps over live
+connections and the {store.*}/{execution.*} namespaces).
+
+Backend substitutions (documented divergences — same policy as the r12
+golden-suite port in tests/suite_harness.py):
+
+- every named warehouse connection (postgres / MSSQL / mysql / oracle /
+  snowflake / ...) → its own DuckDB database FILE under the case's tmp
+  dir. The reference parametrizes the corpus over live warehouses; the
+  in-process DuckDB twin runs the same lifecycle SQL. Dialect-rendered
+  SQL for the real engines is covered by tests/test_dialects.py.
+- ``target: local`` → file target (objects resolve under the tmp dir
+  via ``{env.output_dir}``-style vars the cases already use).
+- hook SQL written in a warehouse dialect is normalized to DuckDB with
+  the ADAPT_SQL rules below (IF OBJECT_ID→DROP IF EXISTS, DATEADD →
+  interval arithmetic, NVARCHAR/DATETIME/NUMBER/VARCHAR2/NCLOB type
+  spellings, backtick quoting, SELECT INTO). Each rule is a spelling
+  translation, never a semantics change.
+- information_schema ``data_type`` strings differ per engine; cases
+  asserting postgres type names get their probe query wrapped with
+  ``_GENERAL_TYPE_SQL`` (a general-type fold, the same equivalence the
+  reference harness applies per-dialect in sling_test.go:870-960).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import yaml
+
+REF_REPL = "/root/reference/tests/replications"
+
+# ---------------------------------------------------------------------------
+# dialect-spelling normalization (documented divergence: spelling only)
+
+_ADAPT_SQL = [
+    # MSSQL
+    (re.compile(r"IF OBJECT_ID\('([^']+)',\s*'U'\)\s+IS NOT NULL\s+"
+                r"DROP TABLE \1", re.I),
+     r"DROP TABLE IF EXISTS \1"),
+    (re.compile(r"DATEADD\(\s*(\w+)\s*,\s*(-?\d+)\s*,\s*GETDATE\(\)\s*\)",
+                re.I),
+     r"(now() + INTERVAL (\2) \1)"),
+    (re.compile(r"\bGETDATE\(\)", re.I), "now()"),
+    (re.compile(r"\bSELECT\s+\*\s+INTO\s+(\S+)\s+FROM\b", re.I),
+     r"CREATE TABLE \1 AS SELECT * FROM"),
+    (re.compile(r"\bNVARCHAR\b", re.I), "VARCHAR"),
+    (re.compile(r"\bDATETIME2?\b", re.I), "TIMESTAMP"),
+    # Oracle
+    (re.compile(r"BEGIN\s+EXECUTE IMMEDIATE\s+'DROP TABLE ([^']+)';\s*"
+                r"EXCEPTION WHEN OTHERS THEN NULL;\s*END;?", re.I | re.S),
+     r"DROP TABLE IF EXISTS \1;"),
+    (re.compile(r"\bNUMBER\((\d+)\)"), r"DECIMAL(\1,0)"),
+    (re.compile(r"\bNUMBER\((\d+),\s*(\d+)\)"), r"DECIMAL(\1,\2)"),
+    (re.compile(r"\bVARCHAR2\b", re.I), "VARCHAR"),
+    (re.compile(r"\bNCLOB\b", re.I), "TEXT"),
+    # MySQL backtick identifiers
+    (re.compile(r"`([^`]+)`"), r'"\1"'),
+    # Postgres artifacts DuckDB lacks
+    (re.compile(r"\bCASCADE\b", re.I), ""),
+]
+
+# general-type fold for information_schema.data_type probes: maps each
+# engine's native spelling onto the postgres names the corpus asserts
+_GENERAL_TYPE_SQL = (
+    "case when lower(data_type) like 'decimal%' "
+    "       or lower(data_type) in ('numeric','hugeint') then 'numeric' "
+    "     when lower(data_type) in ('bigint','int64','long') then 'bigint' "
+    "     when lower(data_type) in ('integer','int','int32') then 'integer' "
+    "     when lower(data_type) like 'varchar%' "
+    "       or lower(data_type) in ('text','string') then 'text' "
+    "     when lower(data_type) like 'timestamp%' then 'timestamp' "
+    "     when lower(data_type) in ('boolean','bool') then 'boolean' "
+    "     else lower(data_type) end as data_type")
+
+
+def adapt_sql(text: str) -> str:
+    for rx, repl in _ADAPT_SQL:
+        text = rx.sub(repl, text)
+    return text
+
+
+def adapt_type_probe(text: str) -> str:
+    """Rewrite ``select column_name, data_type from
+    information_schema.columns`` probes to fold data_type onto general
+    type names (what the corpus asserts against postgres)."""
+    return re.sub(r"\bdata_type\b(?!\s*\))", _GENERAL_TYPE_SQL, text,
+                  count=1) if "information_schema.columns" in text else text
+
+
+# ---------------------------------------------------------------------------
+# case loading + connection remapping
+
+_DB_CONN_RE = re.compile(r"^[A-Za-z][\w]*$")
+
+
+def load_case(name: str, text_adapt=None) -> dict:
+    path = os.path.join(REF_REPL, name)
+    with open(path) as f:
+        text = f.read()
+    if text_adapt:
+        text = text_adapt(text)
+    return yaml.safe_load(text)
+
+
+class ReplicationCase:
+    """One compiled-and-executable corpus case.
+
+    ``env`` entries default the case's own env block; extra entries
+    (e.g. ``output_dir``) can be injected for ``{env.*}`` rendering.
+    """
+
+    def __init__(self, spark, doc: dict, tmp: str,
+                 env: dict | None = None, adapt=True):
+        from sling_cli_spark.plans.pipeline import PipelineRuntime
+        from sling_cli_spark.sinks.db_load import DuckDBTarget
+
+        self.spark = spark
+        self.doc = doc
+        self.tmp = str(tmp)
+        self.adapt = adapt
+        self.env = {**(doc.get("env") or {}), **(env or {})}
+
+        self.conns: dict[str, object] = {}
+        self.conn_urls: dict[str, str] = {}
+
+        def register(name: str | None):
+            if not name or name.lower() in ("local",):
+                return None
+            key = name.lower()
+            if key not in self.conn_urls:
+                path = os.path.join(self.tmp, f"{key}.duckdb")
+                self.conn_urls[key] = f"duckdb://{path}"
+                self.conns[key] = DuckDBTarget(path)
+            return self.conn_urls[key]
+
+        self.source_name = doc.get("source") or ""
+        self.target_name = doc.get("target") or ""
+        self.source_url = register(self.source_name)
+        self.target_url = register(self.target_name)
+        # hook-level connections (e.g. `connection: duckdb`)
+        for stage in (doc.get("hooks") or {}).values():
+            for step in stage or []:
+                c = step.get("connection")
+                if isinstance(c, str) and _DB_CONN_RE.match(c):
+                    register(c)
+
+        registry = dict(self.conns)
+        for key, url in self.conn_urls.items():
+            registry[url] = self.conns[key]
+        # {source.name}/{target.name} render to the original names
+        self.rt = PipelineRuntime(
+            connections=registry,
+            state={"execution": {"status": {"error": 0, "success": 0}},
+                   "source": {"name": self.source_name},
+                   "target": {"name": self.target_name}},
+            env=self.env)
+
+    # -- pieces ----------------------------------------------------------
+
+    def _steps(self, stage: str) -> list[dict]:
+        steps = (self.doc.get("hooks") or {}).get(stage) or []
+        if not self.adapt:
+            return steps
+        out = []
+        for step in steps:
+            step = dict(step)
+            if step.get("type") == "query" and step.get("query"):
+                q = adapt_sql(str(step["query"]))
+                if step.get("into"):
+                    q = adapt_type_probe(q)
+                step["query"] = q
+            if step.get("type") == "command":
+                # shell helpers (mkdir) run as-is; anything else skips
+                cmd = step.get("command")
+                if isinstance(cmd, str):
+                    step["command"] = ["bash", "-c", cmd]
+            out.append(step)
+        return out
+
+    def _ensure_schemas(self):
+        """Pre-create every schema the case references (the reference's
+        live warehouses have them provisioned)."""
+        schemas = set(re.findall(
+            r"\b(?:TABLE|EXISTS|INTO|FROM|into)\s+(\w+)\.\w+",
+            yaml.safe_dump(self.doc)))
+        schemas |= {"public", "dbo", "main"}
+        for db in self.conns.values():
+            for s in schemas - {"main", "temp", "information_schema"}:
+                try:
+                    db.execute(f'create schema if not exists "{s}"')
+                except Exception:
+                    pass
+
+    def replication_config(self):
+        from sling_cli_spark.plans.replication import ReplicationConfig
+
+        d = dict(self.doc)
+        streams = {}
+        for k, v in (d.get("streams") or {}).items():
+            v = dict(v or {})
+            if self.adapt:
+                if v.get("sql"):
+                    v["sql"] = adapt_sql(str(v["sql"]))
+                dm = (v.get("target_options") or {}).get("delete_missing")
+                if isinstance(dm, dict):
+                    dm = {kk: (adapt_sql(vv) if isinstance(vv, str) else vv)
+                          for kk, vv in dm.items()}
+                    v["target_options"] = {**v["target_options"],
+                                           "delete_missing": dm}
+            streams[k] = v
+        defaults = dict(d.get("defaults") or {})
+        rc = ReplicationConfig(
+            source=self.source_url or None,
+            target=self.target_url or None,
+            defaults=defaults,
+            streams=streams,
+            env={str(k): str(v) for k, v in self.env.items()},
+            hooks={},  # hooks run through self.run_hooks with the registry
+        )
+        return rc
+
+    def run_hooks(self, stage: str) -> None:
+        from sling_cli_spark.plans.pipeline import run_pipeline
+
+        steps = self._steps(stage)
+        if steps:
+            run_pipeline(self.spark, steps, env=self.rt.env,
+                         runtime=self.rt)
+
+    def run_streams(self) -> dict:
+        from sling_cli_spark.plans.replication import run_replication
+
+        rc = self.replication_config()
+        return run_replication(
+            self.spark, rc, base_output=self.tmp,
+            runtime=self.rt, continue_on_error=True)
+
+    # -- the whole lifecycle ----------------------------------------------
+
+    def run(self) -> dict:
+        """start hooks → streams → end hooks. Check steps raise
+        ``CheckFailed`` on violation — that IS the assertion. Returns
+        {stream: TaskResult|None}."""
+        self._ensure_schemas()
+        self.run_hooks("start")
+        results = self.run_streams()
+        self.run_hooks("end")
+        return results
+
+    @property
+    def errors(self) -> int:
+        return self.rt.state_extra["execution"]["status"]["error"]
+
+    def close(self):
+        for db in self.conns.values():
+            try:
+                db.close()
+            except Exception:
+                pass
+
+
+def run_case(spark, name: str, tmp, env: dict | None = None,
+             text_adapt=None) -> ReplicationCase:
+    doc = load_case(name, text_adapt=text_adapt)
+    case = ReplicationCase(spark, doc, tmp, env=env)
+    try:
+        case.run()
+    finally:
+        case.close()
+    return case
