@@ -175,9 +175,23 @@ _DIALECT_SPECS: dict[str, dict] = {
             "modify_column": (
                 "alter table {table} alter column {column} "
                 "set data type {type}"),
-            # DuckDB: INSERT OR REPLACE needs a PK constraint sling never
-            # creates -> update_insert unsupported (duckdb.yaml:52-54)
-            "merge_update_insert": None,
+            # The reference nulls this (duckdb.yaml:52-54) because its
+            # INSERT OR REPLACE path needs a PK constraint sling never
+            # creates. Beyond-reference: modern DuckDB runs UPDATE..FROM
+            # + anti-INSERT, the constraint-free two-statement
+            # update_insert (same shape the reference uses for pre-15
+            # postgres) — both statements run inside staged_db_load's
+            # merge transaction.
+            "merge_update_insert": (
+                "UPDATE {tgt_table} tgt\n"
+                "SET {set_fields}\n"
+                "FROM {src_table} src\n"
+                "WHERE {src_tgt_pk_equal};\n"
+                "INSERT INTO {tgt_table} ({insert_fields})\n"
+                "SELECT {src_fields} FROM {src_table} src\n"
+                "WHERE NOT EXISTS (\n"
+                "  SELECT 1 FROM {tgt_table} tgt WHERE {src_tgt_pk_equal}\n"
+                ")"),
             # fast loader: file-direct COPY (duckdb.yaml:15-35 exports;
             # the import twin reads staged parquet/csv straight in)
             "copy_from_local": (
@@ -825,6 +839,9 @@ _DIALECT_SPECS: dict[str, dict] = {
         "inherits": "duckdb",
         "core": {
             "merge_update": None,
+            # the beyond-reference duckdb two-statement update_insert
+            # needs UPDATE..FROM, which ducklake's lake storage lacks
+            "merge_update_insert": None,
             "create_temporary_table": (
                 "create temp table if not exists {table} ({col_types})"),
         },

@@ -250,6 +250,19 @@ def _date_format(v: Any, fmt: str) -> str:
     return d.strftime(fmt)
 
 
+def _date_parse_fn(v: Any, fmt: str | None = None) -> Any:
+    """date_parse(value[, layout]) -> datetime (layout optional: the
+    shared _parse_dt sniffer covers the corpus's ISO shapes)."""
+    if fmt:
+        import datetime as _dt
+
+        if "%" not in fmt:
+            for tok, rep in _FMT_TOKENS:
+                fmt = fmt.replace(tok, rep)
+        return _dt.datetime.strptime(str(v), fmt)
+    return _parse_dt(v)
+
+
 def default_functions() -> dict[str, Callable]:
     """The GlobalFunctionMap census (observed across api_test.go and the
     reference docs; exact Go implementations are not in the public tree,
@@ -286,6 +299,12 @@ def default_functions() -> dict[str, Callable]:
         "substring": lambda s, a, b=None: _to_str(s)[int(a):None if b is None else int(b)],
         "int_parse": lambda v: int(float(v)),
         "float_parse": float,
+        # bool_parse / date_parse: goval casts used across the
+        # reference's replication corpus checks (r.75, r.120)
+        "bool_parse": lambda v: (
+            v if isinstance(v, bool)
+            else str(v).strip().lower() in ("true", "1", "t", "yes")),
+        "date_parse": _date_parse_fn,
         "uuid": lambda: str(_uuid.uuid4()),
         "is_null": lambda v: v is None,
         "is_empty": lambda v: v is None or v == "" or v == [] or v == {},

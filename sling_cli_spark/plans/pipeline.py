@@ -220,13 +220,34 @@ def _step_http(spark, step, ctx, rt=None):
     return {"status": status, "json": body}
 
 
+def _step_list(spark, step, ctx, rt=None):
+    """list hook (reference hooks.go kind ``list``): file listing at a
+    location; ``only: files`` filters directories out. The reference's
+    `local/` connection prefix maps to the local filesystem."""
+    import glob as _glob
+
+    loc = render_vars(str(step.get("location") or step.get("path")), ctx)
+    loc = loc.removeprefix("local/")
+    if os.path.isdir(loc):
+        paths = sorted(_glob.glob(os.path.join(loc, "*")))
+    else:
+        paths = sorted(_glob.glob(loc))
+    if step.get("only") == "files":
+        paths = [p for p in paths if os.path.isfile(p)]
+    return paths
+
+
 def _step_command(spark, step, ctx, rt=None):
     """command hook (reference hooks.go kind ``command``): run a local
     process, capture output. Commands come from the user's own pipeline
-    YAML — same trust model as the reference."""
+    YAML — same trust model as the reference. A string command runs
+    through the shell (the corpus's `command: rm -rf ...` form)."""
     import subprocess
 
-    cmd = [render_vars(str(c), ctx) for c in step["command"]]
+    raw = step["command"]
+    if isinstance(raw, str):
+        raw = ["bash", "-c", raw]
+    cmd = [render_vars(str(c), ctx) for c in raw]
     proc = subprocess.run(
         cmd, capture_output=True, text=True,
         timeout=int(step.get("timeout", 300)), check=False)
@@ -255,8 +276,25 @@ _STEP_TYPES = {
     "check": _step_check,
     "http": _step_http,
     "command": _step_command,
+    "list": _step_list,
     "replication": _step_replication,
 }
+
+
+def _normalize_step(step: dict) -> dict:
+    """Accept the reference's SHORTHAND step forms (hooks.go unmarshal:
+    the kind may BE the key) — ``- check: expr``, ``- log: msg``,
+    ``- query: sql`` normalize to the explicit ``type:`` form."""
+    if step.get("type"):
+        return step
+    for kind in ("check", "log", "query", "store", "copy", "delete",
+                 "inspect", "http", "command", "replication", "list"):
+        if kind in step:
+            step = {**step, "type": kind}
+            if kind == "log" and isinstance(step.get("log"), str):
+                step["message"] = step.pop("log")
+            return step
+    return step
 
 
 def load_pipeline(text_or_path: str) -> list[dict[str, Any]]:
@@ -349,6 +387,7 @@ def run_pipeline(
         # flat `{state.N}` render_vars below stays for legacy templates
         _fill_step_vars(evaluator, step)
         step = evaluator.render(step)
+        step = _normalize_step(step)
         kind = step.get("type")
         if kind not in _STEP_TYPES:
             raise ValueError(f"unknown step type: {kind!r}")

@@ -298,6 +298,26 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = "",
 
     run_hooks("start")
     results = {}
+    if (rc.source or "").startswith("duckdb:") and any(
+            any(ch in s for ch in "*?[") for s in rc.streams):
+        # DB-source wildcards expand against the live catalog
+        # (replication.go:293-518 — the reference's schemata query fan-
+        # out; an explicit stream entry overrides its wildcard match,
+        # so `schema.t3: {disabled: true}` still drops t3)
+        from sling_cli_spark.sinks.db_load import open_duckdb
+
+        src_db = rt.connections.get(rc.source)
+        own_src = src_db is None
+        if own_src:
+            src_db = open_duckdb(rc.source)
+        try:
+            rc = ReplicationConfig(
+                source=rc.source, target=rc.target, defaults=rc.defaults,
+                streams=expand_db_wildcards(rc.streams, src_db.fetch_all),
+                env=rc.env, hooks=rc.hooks, atomic=rc.atomic)
+        finally:
+            if own_src:
+                src_db.close()
     compiled = list(compile_replication(rc))
     if rc.atomic:
         # atomic replications defer every stream's catalog pointer
@@ -344,8 +364,10 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = "",
         run_hooks("pre", stream_env)
         try:
             result = _run_stream(cfg)
-        except Exception:
+        except Exception as e:
             status["error"] += 1
+            status.setdefault("failures", []).append(
+                f"{cfg.source.stream}: {e!r}")
             if not continue_on_error:
                 raise
             results[cfg.source.stream] = None

@@ -95,6 +95,20 @@ def build_read_plan(
     the incremental batch (reference: core.delete_where_not_exist runs its
     own source scan, config.go:1838-1876).
     """
+    if "{fields}" in (cfg.source.stream or ""):
+        # `{fields}` placeholder in a SQL stream: the `select:` list
+        # renders INTO the query and is consumed there (reference:
+        # sling's fields placeholder, pinned by the corpus cases
+        # r.75.fields_placeholder_select / r.95 tests 4+6) — pushdown
+        # of projections AND select-expressions to the source DB
+        import copy
+
+        sel = [s for s in (cfg.source.select or [])]
+        cfg = copy.copy(cfg)
+        cfg.source = copy.copy(cfg.source)
+        cfg.source.stream = cfg.source.stream.replace(
+            "{fields}", ", ".join(sel) if sel else "*")
+        cfg.source.select = []
     # lineage-incremental sources (r11): update_key defaults to the
     # format's lineage sequence column, so the generic watermark filter,
     # the write observation's max(update_key), and run_with_state's

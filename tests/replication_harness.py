@@ -44,9 +44,14 @@ _ADAPT_SQL = [
     (re.compile(r"IF OBJECT_ID\('([^']+)',\s*'U'\)\s+IS NOT NULL\s+"
                 r"DROP TABLE \1", re.I),
      r"DROP TABLE IF EXISTS \1"),
+    # sign-aware: `now() - INTERVAL 30 DAY` parses in BOTH Spark SQL
+    # (the keyset filter) and DuckDB (hook SQL); `INTERVAL (-30)` in
+    # neither
     (re.compile(r"DATEADD\(\s*(\w+)\s*,\s*(-?\d+)\s*,\s*GETDATE\(\)\s*\)",
                 re.I),
-     r"(now() + INTERVAL (\2) \1)"),
+     lambda m: (f"(now() - INTERVAL {m.group(2)[1:]} {m.group(1)})"
+                if m.group(2).startswith("-")
+                else f"(now() + INTERVAL {m.group(2)} {m.group(1)})")),
     (re.compile(r"\bGETDATE\(\)", re.I), "now()"),
     (re.compile(r"\bSELECT\s+\*\s+INTO\s+(\S+)\s+FROM\b", re.I),
      r"CREATE TABLE \1 AS SELECT * FROM"),
@@ -90,8 +95,10 @@ def adapt_type_probe(text: str) -> str:
     """Rewrite ``select column_name, data_type from
     information_schema.columns`` probes to fold data_type onto general
     type names (what the corpus asserts against postgres)."""
+    if "information_schema.columns" not in text.lower():
+        return text
     return re.sub(r"\bdata_type\b(?!\s*\))", _GENERAL_TYPE_SQL, text,
-                  count=1) if "information_schema.columns" in text else text
+                  count=1, flags=re.I)
 
 
 # ---------------------------------------------------------------------------
@@ -135,7 +142,10 @@ class ReplicationCase:
                 return None
             key = name.lower()
             if key not in self.conn_urls:
-                path = os.path.join(self.tmp, f"{key}.duckdb")
+                # `_twin` suffix: the duckdb CATALOG takes the file's
+                # basename, which must not collide with schema names
+                # the cases use (e.g. a `mysql` schema on conn `mysql`)
+                path = os.path.join(self.tmp, f"{key}_twin.duckdb")
                 self.conn_urls[key] = f"duckdb://{path}"
                 self.conns[key] = DuckDBTarget(path)
             return self.conn_urls[key]
@@ -198,12 +208,47 @@ class ReplicationCase:
                 except Exception:
                     pass
 
+    def _qualify(self, stream: str) -> str:
+        """The reference resolves unqualified table streams against the
+        connection's default schema (env.yaml ``schema:``; postgres =
+        public, mssql = dbo). The DuckDB twin's default is main, so an
+        unqualified name that lives in another schema is qualified from
+        the live catalog — spelling resolution, not semantics."""
+        if ("." in stream or "/" in stream or " " in stream
+                or not self.source_url):
+            return stream
+        db = self.conns.get(self.source_name.lower())
+        if db is None:
+            return stream
+        try:
+            rows = db.fetch_all(
+                "select table_schema from information_schema.tables "
+                f"where table_name = '{stream}'")
+        except Exception:
+            return stream
+        schemas = [r[0] for r in rows]
+        if schemas and "main" not in schemas:
+            return f"{schemas[0]}.{stream}"
+        return stream
+
     def replication_config(self):
+        from sling_cli_spark.expressions import Evaluator
         from sling_cli_spark.plans.replication import ReplicationConfig
 
         d = dict(self.doc)
+        # `{env.*}` spans in streams/defaults render against the case
+        # env (the reference renders the whole payload; from_yaml does
+        # the same — the harness builds the config directly)
+        ev = Evaluator(state={"env": dict(self.env)}, keep_missing=True)
+        d = {"streams": ev.render(d.get("streams") or {}),
+             "defaults": ev.render(d.get("defaults") or {})}
         streams = {}
         for k, v in (d.get("streams") or {}).items():
+            k = self._qualify(str(k))
+            if ("/" in k and not k.startswith(("/", "file://"))
+                    and os.path.exists(os.path.join("/root/reference", k))):
+                # corpus file streams are relative to the reference repo
+                k = os.path.join("/root/reference", k)
             v = dict(v or {})
             if self.adapt:
                 if v.get("sql"):

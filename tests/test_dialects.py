@@ -24,10 +24,17 @@ def test_render_fills_everything():
     assert out == "select * from t"
 
 
-def test_duckdb_update_insert_unsupported():
+def test_duckdb_update_insert_two_statement():
+    # the reference nulls duckdb update_insert (duckdb.yaml:52-54:
+    # INSERT OR REPLACE needs a PK constraint); beyond-reference, this
+    # engine composes UPDATE..FROM + anti-INSERT (r.100 corpus parity)
     d = get_dialect("duckdb")
-    with pytest.raises(ValueError, match="delete_insert"):
-        generate_merge_sql(d, "src", "tgt", COLS, ["id"], "update_insert")
+    sql = generate_merge_sql(d, "src", "tgt", COLS, ["id"], "update_insert")
+    assert "UPDATE tgt" in sql and "NOT EXISTS" in sql
+    # ducklake keeps it off: no UPDATE..FROM over lake storage
+    with pytest.raises(ValueError):
+        generate_merge_sql(get_dialect("ducklake"), "src", "tgt", COLS,
+                           ["id"], "update_insert")
 
 
 def test_mysql_update_unsupported():
@@ -359,7 +366,10 @@ def test_new_dialects_registered():
     ("oracle", {"insert", "update", "update_insert", "delete_insert",
                 "change_capture"}),
     ("mysql", {"insert", "delete_insert", "change_capture"}),
-    ("duckdb", {"insert", "update", "delete_insert", "change_capture"}),
+    # duckdb adds the beyond-reference two-statement update_insert
+    # (reference duckdb.yaml nulls it; see dialects.py duckdb core)
+    ("duckdb", {"insert", "update", "update_insert", "delete_insert",
+                "change_capture"}),
 ])
 def test_supported_merge_strategy_parity(name, strategies):
     assert set(get_dialect(name).supported_merge_strategies()) == strategies
@@ -592,8 +602,9 @@ def test_r4_dialects_registered():
                   "change_capture"}),       # azuresql.yaml:51-80
     ("fabric", {"insert", "update", "update_insert", "delete_insert",
                 "change_capture"}),         # fabric.yaml:68-96
-    ("motherduck", {"insert", "update", "delete_insert",
-                    "change_capture"}),     # duckdb-inherited
+    ("motherduck", {"insert", "update", "update_insert", "delete_insert",
+                    "change_capture"}),     # duckdb-inherited (incl. the
+                                            # beyond-reference update_insert)
     ("ducklake", {"insert", "delete_insert",
                   "change_capture"}),       # ducklake: no complex UPDATE
     ("d1", {"insert", "update", "update_insert", "delete_insert",
