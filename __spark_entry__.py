@@ -639,6 +639,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("double").alias("o_totalprice"),
         ).orderBy("o_orderkey")
 
+    def replication_multistream(spark, sf):
+        """A REPLICATION-COMPILED multi-stream run end-to-end
+        (plans/replication.py: defaults merge, table stream with
+        where+select pushdown, `sql:` stream, disabled stream, DB
+        target routing through run_db, per-stream run-state registry)
+        — the corpus-port twin registered for the driver
+        (tests/test_replications_ported.py drives 25 of the
+        reference's own r.*.yaml configs; reference:
+        tests/replications/, replication.go:1117-1354). Both target
+        tables read back through the DB-source export and union with a
+        stream tag under the oracle."""
+        import tempfile
+
+        from sling_cli_spark.config import Source
+        from sling_cli_spark.plans.replication import (
+            ReplicationConfig, run_replication)
+        from sling_cli_spark.sinks.db_load import (
+            DuckDBTarget, read_db_source)
+
+        base = tempfile.mkdtemp(prefix="sling_repl_q_")
+        url = f"duckdb://{base}/t.db"
+        db = DuckDBTarget(base + "/t.db")
+        db.execute("create schema if not exists repl")
+        db.execute(
+            "create table repl.src_orders as select * from "
+            f"'{os.path.join(sf, 'orders.parquet')}'")
+        rc = ReplicationConfig(
+            source=url, target=url,
+            defaults={"mode": "full-refresh"},
+            streams={
+                "repl.src_orders": {
+                    "object": "repl.s_full",
+                    "select": ["o_orderkey", "o_totalprice"],
+                    "where": "o_orderkey <= 200",
+                },
+                "s_sql": {
+                    "sql": ("select o_orderkey, o_orderpriority "
+                            "from repl.src_orders "
+                            "where o_orderkey between 300 and 400"),
+                    "object": "repl.s_sql",
+                },
+                "repl.never_runs": {"disabled": True,
+                                    "object": "repl.nope"},
+            })
+        results = run_replication(spark, rc,
+                                  connections={url: db})
+        assert "repl.never_runs" not in results
+        full = read_db_source(spark, Source(conn=url,
+                                            stream="repl.s_full"), db=db)
+        sql_s = read_db_source(spark, Source(conn=url,
+                                             stream="repl.s_sql"), db=db)
+        out = full.select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.lit("full").alias("stream_tag"),
+            F.col("o_totalprice").cast("double").alias("val_price"),
+            F.lit(None).cast("string").alias("val_priority"),
+        ).unionByName(sql_s.select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.lit("sql").alias("stream_tag"),
+            F.lit(None).cast("double").alias("val_price"),
+            F.col("o_orderpriority").cast("string")
+            .alias("val_priority"),
+        ))
+        return out.orderBy("stream_tag", "o_orderkey")
+
     def delta_deletion_vectors(spark, sf):
         """Read a Delta table bearing deletion vectors (reader protocol
         v3 + deletionVectors, PROTOCOL.md; sources/delta_dv.py parses
@@ -4841,6 +4906,7 @@ streams:
         "jdbc_live_merge": jdbc_live_merge,
         "suite_db_lifecycle": suite_db_lifecycle,
         "suite_db_backfill": suite_db_backfill,
+        "replication_multistream": replication_multistream,
         "iceberg_v2_merge_mor": iceberg_v2_merge_mor,
         "iceberg_v3_dv": iceberg_v3_dv,
         "iceberg_v3_defaults": iceberg_v3_defaults,
@@ -4891,39 +4957,39 @@ streams:
     # Every query outside the window is re-verified locally each round
     # (tools/check_correctness.py) and was judge-re-run green in r10
     # (VERDICT r10: 170/170).
-    # Round-12 rotation (per VERDICT r11 ask #2): lead with the 2
-    # never-driver-checked suite-scenario queries new this round, then
-    # ALL 30 queries last driver-checked in r8 (the verdict's exact
-    # list), then the 18 alphabetically-first of the 50 r9-checked (the
-    # remaining 32 r9 names lead r13's window). Every query outside the
-    # window is re-verified locally each round
-    # (tools/check_correctness.py) and the judge re-ran all 180 green
-    # in r11.
+    # Round-13 rotation (per VERDICT r12 ask #2): lead with the 1
+    # never-driver-checked query new this round (the replication-corpus
+    # twin), then ALL 32 queries last driver-checked in r9 (the
+    # verdict's exact list), then the 17 alphabetically-first of the 50
+    # r10-checked (the remaining 33 r10 names lead r14's window). Every
+    # query outside the window is re-verified locally each round
+    # (tools/check_correctness.py) and the judge re-ran all 182 green
+    # in r12.
     window = [
-        # --- new in r12 (never driver-checked) ---
-        "suite_db_lifecycle", "suite_db_backfill",
-        # --- last driver-checked r8 (the verdict's list of 30) ---
-        "delta_identity_generated", "delta_rename_evolution",
-        "delta_roundtrip", "delta_row_tracking", "delta_shallow_clone",
-        "delta_uniform", "delta_zorder_skipping", "distinct_rows",
-        "exact_dedup_docs", "excel_roundtrip", "iceberg_delta_sync",
-        "iceberg_partition_evolution", "iceberg_partitions_meta",
-        "iceberg_refs", "iceberg_rollback", "iceberg_roundtrip",
-        "lang_id_docs", "merge_file_granular",
-        "merge_partitioned_delta", "merge_update_insert_delta",
-        "percentile_orders", "quality_docs", "row_constraints",
-        "sas_roundtrip", "sql_on_files", "star_join_agg",
-        "stream_sessionize_events", "stream_window_watermark_events",
-        "token_count_docs", "ws_token_docs",
-        # --- r9-checked fill (alphabetical; rest lead r13) ---
-        "asof_events", "backfill_range", "checksum_lineitem",
-        "column_casing_upper", "convert_inplace_roundtrip",
-        "dedup_last_event", "definition_only", "delete_missing",
-        "delta_cdf_mapped", "delta_column_mapping",
-        "delta_log_compaction", "delta_v2_checkpoint_write",
-        "distro_priority", "field_stat_deep_li", "field_stat_orders",
-        "fill_rate_orders", "flatten_json_extract",
-        "iceberg_catalog_roundtrip",
+        # --- new in r13 (never driver-checked) ---
+        "replication_multistream",
+        # --- last driver-checked r9 (the verdict's list of 32) ---
+        "iceberg_fast_append", "iceberg_manifests_meta",
+        "iceberg_ndv_stats", "iceberg_rest_catalog",
+        "iceberg_snapshots_meta", "iceberg_sort_order",
+        "iceberg_transform_merge", "iceberg_transform_partitioning",
+        "iceberg_v2_eq_delete", "iceberg_v2_pos_delete",
+        "iceberg_variant_nested", "incremental_watermark",
+        "jdbc_live_merge", "join_match", "limit_order",
+        "merge_change_capture", "merge_delete_insert",
+        "merge_history_insert", "merge_insert", "merge_sql_render",
+        "merge_update", "merge_update_insert", "row_num_events",
+        "select_project", "sessionize_events", "snapshot_stamp",
+        "stream_dedup_events", "test_pk_lineitem", "transforms_hash",
+        "union_drift", "where_filter", "window_agg_events",
+        # --- r10-checked fill (alphabetical; rest lead r14) ---
+        "ann_ivf_topk", "ann_lsh_topk", "ann_topk",
+        "atomic_replication_el", "bm25_rank_docs", "catalog_txn_commit",
+        "catalog_wap_el", "chunk_docs", "delta_change_feed",
+        "delta_deletion_vectors", "delta_dv_mapped", "delta_id_mapping",
+        "delta_incremental_rowtracking", "delta_replace_where",
+        "delta_type_widening", "delta_v2_checkpoint",
+        "delta_version_checksum",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     missing = [k for k in window if k not in d]
@@ -5641,6 +5707,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
                        AS o_totalprice
             FROM orders ORDER BY o_orderkey
+        """,
+        "replication_multistream": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   'full' AS stream_tag,
+                   CAST(o_totalprice AS DOUBLE) AS val_price,
+                   CAST(NULL AS VARCHAR) AS val_priority
+            FROM orders WHERE o_orderkey <= 200
+            UNION ALL
+            SELECT CAST(o_orderkey AS BIGINT),
+                   'sql',
+                   CAST(NULL AS DOUBLE),
+                   o_orderpriority
+            FROM orders WHERE o_orderkey BETWEEN 300 AND 400
+            ORDER BY stream_tag, o_orderkey
         """,
         "delta_deletion_vectors": """
             SELECT o_orderkey, o_orderpriority FROM (

@@ -153,6 +153,10 @@ class TargetOptions:
     # (reference: database.go:3186 variable.default_merge_strategy —
     # duckdb/mysql default delete_insert, postgres update_insert)
     merge_strategy: MergeStrategy | None = None
+    # custom CREATE TABLE template for DB targets (reference
+    # TargetOptions.TableDDL, config.go:1757; r.57 uses it with
+    # {object.full_name}/{col_types} placeholders, multi-statement)
+    table_ddl: str | None = None
     # None | "hard" | "soft" | extended dict {type, where, source_where,
     # target_where} (reference DeleteMissingConfig, config.go:1837-1905;
     # scoped-deletion contract pinned by r.104.delete_missing_where.yaml)
@@ -165,6 +169,9 @@ class TargetOptions:
     bucket_by: list[str] = field(default_factory=list)  # co-located joins
     bucket_count: int | None = None     # buckets per bucket_by table
     ignore_existing: bool = False       # skip the load if target has data
+    # accepted for config parity: the staged parquet ingest IS the bulk
+    # path here (reference use_bulk switches loader implementations)
+    use_bulk: bool = True
     txn_app_id: str | None = None       # delta idempotent writes (r9):
     txn_version: int | None = None      # a re-run committed batch no-ops
     audit_branch: str | None = None     # iceberg WAP: stage the load here

@@ -48,8 +48,8 @@ _NIL_STR = "nil"  # how nil renders inside string concatenation
 
 DEFAULT_PREFIXES = (
     "env", "state", "secrets", "auth", "response", "request", "sync",
-    "store", "source", "target", "stream", "object", "run", "timestamp",
-    "execution", "loop",
+    "store", "source", "target", "stream", "object", "run", "runs",
+    "timestamp", "execution", "loop",
 )
 
 
@@ -409,6 +409,7 @@ def _translate(expr: str) -> str:
             i += 1
     s = "".join(out)
     s = _sub_outside_strings(s, r"\bnull\b", "None")
+    s = _sub_outside_strings(s, r"\bnil\b", "None")
     s = _sub_outside_strings(s, r"\btrue\b", "True")
     s = _sub_outside_strings(s, r"\bfalse\b", "False")
     # function names that are Python keywords: if(...) -> if_(...)
@@ -441,7 +442,10 @@ def _rewrite_ternary(s: str) -> str:
                 break
         i += 1
     if q_pos < 0:
-        return s
+        # no top-level '?' — but a PARENTHESIZED ternary hides its '?'
+        # at depth>0 (`a ? b : (c ? d : e)`): rewrite inside each
+        # top-level paren group (corpus r.44 nested-ternary transforms)
+        return _rewrite_ternary_in_groups(s)
     # find the matching top-level ':'
     depth, in_str = 0, False
     j = q_pos + 1
@@ -462,7 +466,43 @@ def _rewrite_ternary(s: str) -> str:
     cond = s[:q_pos].strip()
     a = _rewrite_ternary(s[q_pos + 1:j].strip())
     b = _rewrite_ternary(s[j + 1:].strip())
-    return f"(({a}) if ({cond}) else ({b}))"
+    return f"(({a}) if ({_rewrite_ternary_in_groups(cond)}) else ({b}))"
+
+
+def _rewrite_ternary_in_groups(s: str) -> str:
+    """Apply :func:`_rewrite_ternary` inside every top-level ``(...)``
+    group of ``s`` (quote-aware); no-op when no '?' is present."""
+    if "?" not in s:
+        return s
+    out, i, n = [], 0, len(s)
+    in_str = False
+    while i < n:
+        c = s[i]
+        if c == '"':
+            in_str = not in_str
+            out.append(c)
+            i += 1
+            continue
+        if c == "(" and not in_str:
+            depth, j = 1, i + 1
+            q = False
+            while j < n and depth:
+                cj = s[j]
+                if cj == '"':
+                    q = not q
+                elif not q:
+                    if cj == "(":
+                        depth += 1
+                    elif cj == ")":
+                        depth -= 1
+                j += 1
+            inner = s[i + 1:j - 1]
+            out.append("(" + _rewrite_ternary(inner) + ")")
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 _ALLOWED_NODES = (

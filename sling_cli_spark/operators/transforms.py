@@ -206,6 +206,9 @@ _REGISTRY: dict[str, tuple[Callable[[Column], Column], str]] = {
     "replace_0x00": (lambda c: F.regexp_replace(c, "\x00", ""), "string"),
     "replace_non_printable": (_replace_non_printable, "string"),
     "empty_as_null": (_empty_as_null, "string"),
+    # is_empty -> boolean (the expression function surfaced as a stream
+    # transform; r.35.transform_functions_test.yaml)
+    "is_empty": (lambda c: c.isNull() | (c.cast("string") == ""), "any"),
     # parsing (transforms.go:303-365)
     "parse_uuid": (_parse_uuid, "binary"),
     "parse_ms_uuid": (_parse_ms_uuid, "binary"),
@@ -272,7 +275,12 @@ _ARG_REGISTRY: dict[str, Callable[..., Column]] = {
     "date_add": lambda c, n: F.date_add(c, int(n)),
     "date_trunc": lambda c, unit: F.date_trunc(unit, c),
     "date_timezone": lambda c, tz: F.from_utc_timestamp(c, tz),
-    "cast": lambda c, t: c.cast(t),
+    # bare "decimal" must not collapse to Spark's decimal(10,0): use the
+    # engine's default sizing (matches expr_compile._CAST_TYPES)
+    "cast": lambda c, t: c.cast(
+        {"decimal": "decimal(24,6)", "integer": "bigint", "int": "bigint",
+         "float": "double", "text": "string", "datetime": "timestamp",
+         "bool": "boolean"}.get(t.strip().lower(), t)),
     # args arrive pre-stripped (unquoted) or verbatim (quoted) from
     # _split_call_args — no re-splitting, quoted commas stay literal
     "replace": lambda c, pat, rep="": F.regexp_replace(c, pat, rep),
@@ -358,6 +366,16 @@ def apply_transforms(df: DataFrame, transforms) -> DataFrame:
     """
     if not transforms:
         return df
+    if isinstance(transforms, list) and transforms \
+            and all(isinstance(t, dict) for t in transforms):
+        # STAGED form (list of dicts): goval expressions over
+        # value/record.*, new computed columns, "*" wildcards —
+        # compiled per stage to one Catalyst projection
+        # (operators/expr_compile.py; corpus r.44/r.97)
+        from sling_cli_spark.operators.expr_compile import (
+            apply_staged_transforms)
+
+        return apply_staged_transforms(df, transforms)
     per_col: dict[str, list[str]] = {}
     if isinstance(transforms, dict):
         lower_map = {c.lower(): c for c in df.columns}

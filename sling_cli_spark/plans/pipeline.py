@@ -148,7 +148,8 @@ def _step_copy(spark, step, ctx, rt=None):
 
 
 def _step_delete(spark, step, ctx, rt=None):
-    p = render_vars(step["path"], ctx)
+    p = render_vars(str(step.get("path") or step.get("location")), ctx)
+    p = p.removeprefix("local/")
     if os.path.isdir(p):
         shutil.rmtree(p, ignore_errors=True)
     elif os.path.exists(p):
@@ -234,7 +235,18 @@ def _step_list(spark, step, ctx, rt=None):
         paths = sorted(_glob.glob(loc))
     if step.get("only") == "files":
         paths = [p for p in paths if os.path.isfile(p)]
-    return paths
+    # the reference's list-hook state shape: {state.<id>.result}
+    return {"result": paths, "count": len(paths)}
+
+
+def _step_write(spark, step, ctx, rt=None):
+    """write hook (reference hooks.go kind ``write``): write literal
+    content to a file; `local/` prefix = local filesystem."""
+    to = render_vars(str(step["to"]), ctx).removeprefix("local/")
+    os.makedirs(os.path.dirname(os.path.abspath(to)), exist_ok=True)
+    with open(to, "w") as f:
+        f.write(str(step.get("content", "")))
+    return to
 
 
 def _step_command(spark, step, ctx, rt=None):
@@ -277,6 +289,7 @@ _STEP_TYPES = {
     "http": _step_http,
     "command": _step_command,
     "list": _step_list,
+    "write": _step_write,
     "replication": _step_replication,
 }
 
@@ -288,7 +301,8 @@ def _normalize_step(step: dict) -> dict:
     if step.get("type"):
         return step
     for kind in ("check", "log", "query", "store", "copy", "delete",
-                 "inspect", "http", "command", "replication", "list"):
+                 "inspect", "http", "command", "replication", "list",
+                 "write"):
         if kind in step:
             step = {**step, "type": kind}
             if kind == "log" and isinstance(step.get("log"), str):

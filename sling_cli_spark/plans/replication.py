@@ -230,9 +230,22 @@ def compile_replication(rc: ReplicationConfig) -> list[Config]:
             vcfg.source.stream = stream
             cfg.target.object = render_vars(
                 cfg.target.object, runtime_vars(vcfg))
+            # the SQL body renders the same runtime vars (reference:
+            # `sql: select * from {stream_schema}.{stream_table}`,
+            # r.52.parquet_file_splitting.yaml)
+            cfg.source.stream = render_vars(
+                cfg.source.stream, runtime_vars(vcfg))
         else:
             cfg.target.object = render_vars(
                 cfg.target.object, runtime_vars(cfg))
+        if o.get("hooks"):
+            # STREAM-level hooks (reference ReplicationStreamConfig.Hooks)
+            # ride the compiled config; run_replication fires them
+            # around THIS stream only
+            object.__setattr__(cfg, "_stream_hooks", o["hooks"])
+        # the stream's NAME (the yaml key) — distinct from source.stream
+        # when `sql:` replaces the query text; keys results and {runs.*}
+        object.__setattr__(cfg, "_stream_name", stream)
         cfgs.append(cfg)
     return cfgs
 
@@ -273,6 +286,61 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = "",
         "execution", {"status": {"error": 0, "success": 0}})["status"]
     rt.state_extra.setdefault("source", {"name": rc.source})
     rt.state_extra.setdefault("target", {"name": rc.target})
+    # per-stream run-state registry, `{runs.<stream_key>.*}` in hook
+    # expressions (reference RunState — the executable spec is
+    # tests/replications/r.57.run_state_test.yaml: id, stream{name,
+    # schema,table}, object{full_name,schema,table}, total_rows,
+    # total_bytes, status success/error, start/end_time, duration,
+    # error, config)
+    runs_ns = rt.state_extra.setdefault("runs", {})
+
+    def _run_entry(cfg):
+        import re as _re
+        import time
+        import uuid
+
+        from sling_cli_spark.dialects import get_dialect, parse_table_name
+
+        d = get_dialect("duckdb")
+        stream_name = getattr(cfg, "_stream_name", None) \
+            or cfg.source.stream or ""
+        sp = parse_table_name(stream_name, d.name)
+        op = parse_table_name(cfg.target.object or "", d.name)
+        key = _re.sub(r"\W", "_", stream_name).strip("_")
+        entry = {
+            "id": uuid.uuid4().hex,
+            "stream": {"name": stream_name,
+                       "schema": sp["schema"], "table": sp["name"],
+                       "full_name": d.quote_table(stream_name)
+                       if not sp["sql"] else stream_name},
+            "object": {"full_name": d.quote_table(cfg.target.object or "")
+                       if not op["sql"] else (cfg.target.object or ""),
+                       "schema": op["schema"], "table": op["name"],
+                       "name": op["name"]},
+            "config": {"mode": cfg.mode.value,
+                       "object": cfg.target.object or ""},
+            "status": "running", "total_rows": 0, "total_bytes": 0,
+            "start_time": time.time(), "end_time": None,
+            "duration": None, "error": None,
+        }
+        runs_ns[key] = entry
+        return entry
+
+    def _finish_entry(entry, result=None, error=None):
+        import time
+
+        entry["end_time"] = time.time()
+        entry["duration"] = round(entry["end_time"] - entry["start_time"], 6)
+        if error is not None:
+            entry["status"] = "error"
+            entry["error"] = str(error)
+        else:
+            entry["status"] = "success"
+            entry["total_rows"] = result.rows
+            entry["total_bytes"] = getattr(result, "bytes", 0)
+            # the watermark the incremental run used/observed
+            # (r.57: `!is_null(run.incremental_value)`)
+            entry["incremental_value"] = result.watermark
 
     def _run_stream(cfg):
         if (cfg.target.conn or "").startswith("duckdb:"):
@@ -357,14 +425,21 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = "",
         return results
     for cfg in compiled:
         if base_output and not os.path.isabs(cfg.target.object or "") \
+                and "://" not in (cfg.target.object or "") \
                 and not (cfg.target.conn or "").startswith("duckdb:"):
             cfg.target.object = os.path.join(base_output, cfg.target.object)
         stream_env = {"stream_name": cfg.source.stream or "",
                       "object_name": cfg.target.object or ""}
+        stream_hooks = getattr(cfg, "_stream_hooks", None) or {}
         run_hooks("pre", stream_env)
+        if stream_hooks.get("pre"):
+            run_pipeline(spark, stream_hooks["pre"],
+                         env={**rc.env, **stream_env}, runtime=rt)
+        entry = _run_entry(cfg)
         try:
             result = _run_stream(cfg)
         except Exception as e:
+            _finish_entry(entry, error=e)
             status["error"] += 1
             status.setdefault("failures", []).append(
                 f"{cfg.source.stream}: {e!r}")
@@ -372,8 +447,14 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = "",
                 raise
             results[cfg.source.stream] = None
             continue
+        _finish_entry(entry, result=result)
+        rt.state_extra["run"] = entry  # `{run.*}` = CURRENT stream's run
         status["success"] += 1
         results[cfg.source.stream] = result
+        if stream_hooks.get("post"):
+            run_pipeline(spark, stream_hooks["post"],
+                         env={**rc.env, **stream_env,
+                              "rows": str(result.rows)}, runtime=rt)
         run_hooks("post", {**stream_env, "rows": str(result.rows)})
     run_hooks("end")
     return results

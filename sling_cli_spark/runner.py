@@ -78,6 +78,7 @@ class TaskResult:
     mode: str
     watermark: object = None  # max(update_key) observed during the write
     merge_stats: dict | None = None  # file-granular merge: touched/kept
+    bytes: int = 0  # staged/written bytes where cheaply known (run_db)
 
 
 def build_read_plan(

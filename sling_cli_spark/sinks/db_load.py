@@ -648,6 +648,13 @@ def _align_schema(db, table: str, df, opts, max_lens, column_typing,
     return insertable
 
 
+def _exec_ddl(db, ddl: str) -> None:
+    """DDL may be multi-statement when table_ddl is a custom template."""
+    for stmt in parse_sql_multi_statements(ddl):
+        if stmt.strip():
+            db.execute(stmt)
+
+
 def run_db(spark: SparkSession, cfg: Config, db) -> TaskResult:
     """Execute a task config whose TARGET is a database table.
 
@@ -716,8 +723,11 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
     # SLING_LOADED_AT_COLUMN=timestamp switches to a timestamp, =false
     # disables (reference config.go:436-437, task.go:344-352)
     src_is_db = (cfg.source.conn or "").startswith(("duckdb:", "jdbc:"))
-    loaded_env = os.environ.get("SLING_LOADED_AT_COLUMN", "")
-    if (not src_is_db and cfg.mode != Mode.SNAPSHOT
+    loaded_env = (cfg.env or {}).get(
+        "SLING_LOADED_AT_COLUMN",
+        os.environ.get("SLING_LOADED_AT_COLUMN", ""))
+    explicit_loaded = loaded_env.lower() not in ("", "false", "0")
+    if ((not src_is_db or explicit_loaded) and cfg.mode != Mode.SNAPSHOT
             and "_sling_loaded_at" not in df.columns
             and loaded_env.lower() not in ("false", "0")):
         from pyspark.sql import functions as F
@@ -732,6 +742,9 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
         df.write.mode("overwrite").parquet(stage)
         glob = os.path.join(stage, "*.parquet")
         stream_count = db.count_staged(glob)
+        import glob as _glob
+
+        stage_bytes = sum(os.path.getsize(f) for f in _glob.glob(glob))
 
         max_lens = {s.name: s.length for s in specs if s.length}
         column_typing = opts.column_typing
@@ -741,12 +754,29 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
             gen_overrides[s.name] = s.type.value
 
         def ddl_for(tbl: str) -> str:
-            return create_table_ddl(
+            ddl = create_table_ddl(
                 d, d.quote_table(tbl), df.schema, max_lens=max_lens,
                 column_typing=column_typing,
                 primary_key=pk if (opts.table_keys or {}).get("primary")
                 else None,
                 general_overrides=gen_overrides)
+            if opts.table_ddl:
+                # custom DDL template (TableDDL, config.go:1757 /
+                # task_run_write.go:714): {object.full_name} and
+                # {col_types} render; the generated DDL's column list
+                # is reused so typing stays stats-driven
+                col_types = ddl[ddl.index("(") + 1:ddl.rindex(")")]
+                # dotted placeholders pre-substitute (the template
+                # renderer's {name} grammar is flat)
+                tpl = (opts.table_ddl
+                       .replace("{object.full_name}", d.quote_table(tbl))
+                       .replace("{object.name}",
+                                parse_table_name(tbl, d.name)["name"]))
+                ddl = render(tpl, {
+                    "col_types": col_types,
+                    "table": d.quote_table(tbl),
+                })
+            return ddl
 
         _json_cols = {k.lower() for k, v in gen_overrides.items()
                       if v == "json"}
@@ -768,13 +798,13 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
                        else "") + f"{p['name']}_sling_swap_tmp"
                 db.execute(render(d.template("drop_table"),
                                   {"table": d.quote_table(tmp)}))
-                db.execute(ddl_for(tmp))
+                _exec_ddl(db, ddl_for(tmp))
                 insert_from_stage(tmp)
                 db.execute(render(d.template("drop_table"),
                                   {"table": d.quote_table(table)}))
                 db.rename_table(tmp, p["name"])
             else:
-                db.execute(ddl_for(table))
+                _exec_ddl(db, ddl_for(table))
                 if cfg.mode != Mode.DEFINITION_ONLY:
                     insert_from_stage(table)
         elif cfg.mode == Mode.TRUNCATE:
@@ -784,12 +814,12 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
                 cols = _align_schema(db, table, df, opts, max_lens,
                                      column_typing, gen_overrides, glob)
             else:
-                db.execute(ddl_for(table))
+                _exec_ddl(db, ddl_for(table))
                 cols = df.columns
             insert_from_stage(table, cols)
         elif not exists:
             # first incremental/backfill/snapshot-append run: plain create
-            db.execute(ddl_for(table))
+            _exec_ddl(db, ddl_for(table))
             insert_from_stage(table)
         elif not pk or cfg.mode == Mode.SNAPSHOT:
             # append (incremental without PK, snapshot onto existing).
@@ -886,4 +916,5 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
     if opts.post_sql:
         _exec_hook(db, opts.post_sql)
     return TaskResult(rows=stream_count, columns=list(df.columns),
-                      mode=cfg.mode.value, watermark=watermark)
+                      mode=cfg.mode.value, watermark=watermark,
+                      bytes=stage_bytes)

@@ -436,25 +436,29 @@ def _write_single(df, uri: str, fmt: str, mode: Mode, target,
     import shutil
 
     tmp = uri.rstrip("/") + ".__single_tmp__"
-    shutil.rmtree(tmp, ignore_errors=True)
+    # Spark accepts the file:// form; the local rename/glob below needs
+    # plain paths
+    ltmp = tmp.removeprefix("file://")
+    luri = uri.rstrip("/").removeprefix("file://")
+    shutil.rmtree(ltmp, ignore_errors=True)
     t2 = dataclasses.replace(
         target, object=tmp,
         options=dataclasses.replace(target.options, single=False))
     write_files(df.coalesce(1), t2, mode, fmt=fmt, update_key=update_key)
-    parts = [p for p in sorted(_glob.glob(os.path.join(tmp, "part-*")))
+    parts = [p for p in sorted(_glob.glob(os.path.join(ltmp, "part-*")))
              if not p.endswith(".crc")]
     if not parts:
-        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(ltmp, ignore_errors=True)
         raise FileNotFoundError(f"single-file write produced no part: {tmp}")
-    parent = os.path.dirname(uri)
+    parent = os.path.dirname(luri)
     if parent:
         os.makedirs(parent, exist_ok=True)
-    if os.path.isdir(uri):
-        shutil.rmtree(uri)
-    elif os.path.exists(uri):
-        os.remove(uri)
-    shutil.move(parts[0], uri)
-    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.isdir(luri):
+        shutil.rmtree(luri)
+    elif os.path.exists(luri):
+        os.remove(luri)
+    shutil.move(parts[0], luri)
+    shutil.rmtree(ltmp, ignore_errors=True)
 
 
 def _write_bucketed(df, uri: str, fmt: str, mode: Mode, opts) -> None:

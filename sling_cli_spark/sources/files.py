@@ -191,24 +191,35 @@ def _first_parquet_file(path: str) -> str | None:
                     or _glob.glob(p))), None)
 
 
-def _parquet_nano_fields(path: str) -> list:
-    """timestamp[ns] fields in the parquet footer of the first file
+def _parquet_nano_fields(path: str) -> list[tuple[str, bool]]:
+    """``(column, is_adjusted_to_utc)`` for every top-level INT64
+    TIMESTAMP(NANOS) column in the parquet footer of the first file
     under ``path`` — empty for non-nano (or remote/unreadable) inputs.
     Footer-based routing means the nano-conversion path runs on EVERY
     ns read, not just the first one in a session (the exception-based
-    route stops firing once ``nanosAsLong`` has been set)."""
+    route stops firing once ``nanosAsLong`` has been set). Checked at
+    the PARQUET schema level, not arrow's: pyarrow reports legacy INT96
+    timestamps (Spark's own default output) as timestamp[ns] too, and
+    those Spark reads natively."""
     first = _first_parquet_file(path)
     if not first or not os.path.isfile(first):
         return []
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     try:
-        sch = pq.read_schema(first)
+        sch = pq.ParquetFile(first).schema
     except Exception:
         return []
-    return [f for f in sch
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    out = []
+    for i in range(len(sch)):
+        col = sch.column(i)
+        lt = col.logical_type
+        if (col.physical_type == "INT64" and lt.type == "TIMESTAMP"
+                and "timeUnit=nanoseconds" in str(lt)
+                and "." not in col.path):
+            out.append((col.name,
+                        "isAdjustedToUTC=true" in str(lt)))
+    return out
 
 
 def _read_parquet_nanos(spark: SparkSession, path: str) -> DataFrame:
@@ -230,15 +241,34 @@ def _read_parquet_nanos(spark: SparkSession, path: str) -> DataFrame:
     nano_fields = _parquet_nano_fields(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for field in nano_fields:
-        t = field.type
-        if field.name in df.columns:
-            micros = F.timestamp_micros(
-                (F.col(field.name) / 1000).cast("long"))
-            df = df.withColumn(
-                field.name,
-                micros if t.tz else micros.cast("timestamp_ntz"))
+    long_types = dict(df.dtypes)
+    for name, adjusted_utc in nano_fields:
+        if long_types.get(name) != "bigint":
+            continue  # already a native read (defensive)
+        micros = F.timestamp_micros((F.col(name) / 1000).cast("long"))
+        df = df.withColumn(
+            name, micros if adjusted_utc else micros.cast("timestamp_ntz"))
     return df
+
+
+# the reference's Encoding enum names (transforms.go:130-146) mapped to
+# the charset names the JVM CSV reader accepts
+_ENCODING_ALIASES = {
+    "utf8": "UTF-8", "utf-8": "UTF-8", "utf8_bom": "UTF-8",
+    "utf16": "UTF-16", "utf-16": "UTF-16",
+    "latin1": "ISO-8859-1", "latin5": "ISO-8859-9",
+    "latin9": "ISO-8859-15",
+    "windows1250": "windows-1250", "windows1252": "windows-1252",
+    "ascii": "US-ASCII",
+}
+
+
+def normalize_encoding(enc: str | None) -> str:
+    """Accept the reference's encoding spellings (``utf8``, ``latin1``,
+    transforms.go:130-146) anywhere a JVM charset name is needed."""
+    if not enc:
+        return "UTF-8"
+    return _ENCODING_ALIASES.get(enc.strip().lower(), enc)
 
 
 def sample_has_quoted_newlines(sample: str, quote: str = '"') -> bool:
@@ -350,7 +380,7 @@ def read_files(
             .option("sep", sep)
             .option("quote", opts.quote)
             .option("escape", opts.escape)
-            .option("encoding", opts.encoding)
+            .option("encoding", normalize_encoding(opts.encoding))
             # multiLine makes each file a single unsplittable task — at scale
             # this serializes the scan. Off unless configured OR the head
             # sample proves quoted embedded newlines (reference parses

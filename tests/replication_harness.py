@@ -138,7 +138,9 @@ class ReplicationCase:
         self.conn_urls: dict[str, str] = {}
 
         def register(name: str | None):
-            if not name or name.lower() in ("local",):
+            if not name or name.lower() in ("local",) \
+                    or "/" in name or "{" in name:
+                # path-ish / env-templated targets are FILE targets
                 return None
             key = name.lower()
             if key not in self.conn_urls:
@@ -204,7 +206,11 @@ class ReplicationCase:
         for db in self.conns.values():
             for s in schemas - {"main", "temp", "information_schema"}:
                 try:
-                    db.execute(f'create schema if not exists "{s}"')
+                    # lowercase: duckdb stores the creation-time case in
+                    # information_schema, and the corpus's probes match
+                    # lowercase names
+                    db.execute(
+                        f'create schema if not exists "{s.lower()}"')
                 except Exception:
                     pass
 
@@ -239,12 +245,15 @@ class ReplicationCase:
         # `{env.*}` spans in streams/defaults render against the case
         # env (the reference renders the whole payload; from_yaml does
         # the same — the harness builds the config directly)
-        ev = Evaluator(state={"env": dict(self.env)}, keep_missing=True)
+        # env keys render BOTH prefixed ({env.x}) and bare ({x}) — the
+        # reference exposes replication env vars as bare spans too
+        ev = Evaluator(state={"env": dict(self.env), **self.env},
+                       keep_missing=True, allow_no_prefix=True)
         d = {"streams": ev.render(d.get("streams") or {}),
              "defaults": ev.render(d.get("defaults") or {})}
         streams = {}
         for k, v in (d.get("streams") or {}).items():
-            k = self._qualify(str(k))
+            k = self._qualify(str(ev.render(str(k))))
             if ("/" in k and not k.startswith(("/", "file://"))
                     and os.path.exists(os.path.join("/root/reference", k))):
                 # corpus file streams are relative to the reference repo
@@ -259,6 +268,16 @@ class ReplicationCase:
                           for kk, vv in dm.items()}
                     v["target_options"] = {**v["target_options"],
                                            "delete_missing": dm}
+            if not self.target_url:
+                # sling semantics: an extension-named object on a file
+                # target is ONE file; this engine's layout switch is the
+                # `single` target option
+                obj = str(v.get("object") or "")
+                if re.search(r"\.(csv|tsv|json|jsonl|ndjson|parquet|xlsx)$",
+                             obj):
+                    to = dict(v.get("target_options") or {})
+                    to.setdefault("single", True)
+                    v["target_options"] = to
             streams[k] = v
         defaults = dict(d.get("defaults") or {})
         rc = ReplicationConfig(

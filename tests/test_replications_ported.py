@@ -174,3 +174,215 @@ def test_r91_definition_only_file_source(spark, tmp_path):
                     tmp_path)
     assert case.errors == 0
     assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.31 columns-DSL string casts keep timestamps unquoted in parquet
+
+def test_r31_timestamp_string_quotes(spark, tmp_path):
+    case = run_case(spark, "r.31.timestamp_string_quotes.yaml", tmp_path)
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.32 CSV date column forced to string via columns DSL (encoding: utf8
+# alias accepted; select + column_casing + adjust_column_type)
+
+def test_r32_columns_cast_to_string(spark, tmp_path):
+    case = run_case(spark, "r.32.columns_cast_to_string.yaml", tmp_path)
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.35 transform functions over a CSV -> CSV stream.
+# Divergence: the verification read pins all_varchar so value checks
+# compare text (DuckDB's auto-detect would type the bool column).
+
+def test_r35_transform_functions(spark, tmp_path):
+    case = run_case(
+        spark, "r.35.transform_functions_test.yaml", tmp_path,
+        env={"test_dir": f"{tmp_path}/tt"},
+        text_adapt=lambda t: t.replace(
+            "read_csv('{env.test_dir}/output.csv', header=true)",
+            "read_csv('{env.test_dir}/output.csv', header=true, "
+            "all_varchar=true)"))
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.44 STAGED transforms (goval expressions over value/record.*, new
+# computed columns, "*" wildcards, legacy list/dict forms) — compiled to
+# Catalyst projections (operators/expr_compile.py); the case's own
+# stream-level post hooks assert every transformed value.
+# Divergence: mysql string literals fold \x to x; duckdb keeps the
+# backslash, so the seeded literal is pre-folded.
+
+def test_r44_staged_transforms(spark, tmp_path):
+    case = run_case(
+        spark, "r.44.staged_transforms_test.yaml", tmp_path,
+        text_adapt=lambda t: t.replace(
+            r"test with\x00null", "test withx00null"))
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.97 transforms must NOT break delete_missing (the keyset projects PK
+# only; the computed column prunes away instead of erroring)
+
+def test_r97_delete_missing_with_transforms(spark, tmp_path):
+    case = run_case(spark, "r.97.delete_missing_with_transforms.yaml",
+                    tmp_path)
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.57 run-state registry: {runs.<key>.*} / {run.*} namespaces, custom
+# table_ddl with {object.full_name}/{col_types}, incremental 0-row
+# re-run with incremental_value.
+# Divergence: `replica identity full` is a postgres-ism the DuckDB twin
+# lacks — replaced by a no-op statement in the same multi-statement DDL.
+
+def test_r57_run_state(spark, tmp_path):
+    case = run_case(
+        spark, "r.57.run_state_test.yaml", tmp_path,
+        text_adapt=lambda t: t.replace(
+            "alter table {object.full_name} replica identity full",
+            "select 1"))
+    assert case.errors == 0
+    assert not case.rt.broke
+    runs = case.rt.state_extra["runs"]
+    assert runs["public_run_state_test"]["total_rows"] == 10
+    assert runs["public_run_state_test_incremental"]["total_rows"] == 0
+
+
+# ---------------------------------------------------------------------------
+# r.62 add_new_columns: false — extra source column must NOT be added
+
+def test_r62_add_columns_false(spark, tmp_path):
+    case = run_case(spark, "r.62.mssql_postgres_add_columns_false.yaml",
+                    tmp_path)
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.86 mixed-case record keys in transform expressions (record.dateadded
+# refers to column "DateAdded"); parquet file target
+
+def test_r86_record_key_casing(spark, tmp_path):
+    case = run_case(spark, "r.86.record_key_casing.yaml", tmp_path,
+                    env={"output_dir": f"{tmp_path}/od"})
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.107 columns-DSL defaults merge: plain replace / +col merge /
+# +col: ~ unset — per-stream against shared defaults
+
+def test_r107_columns_merge_defaults(spark, tmp_path):
+    case = run_case(spark, "r.107.columns_merge_defaults.yaml", tmp_path)
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.120 explicit timestampz cast via columns DSL survives streaming
+
+def test_r120_explicit_cast_datetime(spark, tmp_path):
+    case = run_case(spark, "r.120.explicit_cast_datetime.yaml", tmp_path)
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.39/r.40 _sling_loaded_at stays TIMESTAMP when columns: {"*": string}
+# casts everything (DB source and CSV source).
+# Divergence: snowflake's TIMESTAMP_TZ/UPPER-folded catalog names map to
+# the DuckDB twin's lowercase timestamp.
+
+def _fold_snowflake(t: str) -> str:
+    return (t.replace('== "TIMESTAMP_TZ"', '== "timestamp"')
+            .replace("TABLE_SCHEMA = 'PUBLIC'", "TABLE_SCHEMA = 'public'")
+            .replace("TABLE_NAME = 'TEST_SLING_LOADED_AT_CAST'",
+                     "TABLE_NAME = 'test_sling_loaded_at_cast'")
+            .replace("TABLE_NAME = 'TEST_SLING_LOADED_AT'",
+                     "TABLE_NAME = 'test_sling_loaded_at'")
+            .replace("COLUMN_NAME = '_SLING_LOADED_AT'",
+                     "COLUMN_NAME = '_sling_loaded_at'"))
+
+
+def test_r39_loaded_at_string_cast_db_source(spark, tmp_path):
+    case = run_case(spark, "r.39.sling_loaded_at_string_cast.yaml",
+                    tmp_path, text_adapt=_fold_snowflake)
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+def test_r40_loaded_at_string_cast_csv_source(spark, tmp_path):
+    case = run_case(spark, "r.40.sling_loaded_at_csv_string_cast.yaml",
+                    tmp_path, text_adapt=_fold_snowflake)
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.52 file_max_rows splitting: 1000 rows / 100 per file -> 10 parts
+# (+ the write marker) under the {stream_schema}/{stream_table} layout;
+# the stream SQL renders {stream_*} runtime vars.
+# Divergence: the reference CI seeds public.test1k_athena_pg; seeded
+# here. The 11th file is Spark's _SUCCESS marker standing in for the
+# reference's manifest.
+
+def test_r52_parquet_file_splitting(spark, tmp_path):
+    from tests.replication_harness import ReplicationCase, load_case
+
+    doc = load_case("r.52.parquet_file_splitting.yaml")
+    case = ReplicationCase(spark, doc, tmp_path,
+                           env={"my_target": str(tmp_path),
+                                "MY_TARGET": str(tmp_path)})
+    src = case.conns["postgres"]
+    src.execute("create schema if not exists public")
+    src.execute("create table public.test1k_athena_pg as "
+                "select range as id, 'n'||range as name from range(1000)")
+    try:
+        case.run()
+    finally:
+        case.close()
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.106 chunked read must respect the where clause (issue: chunking
+# ignored `where`). The case ships no end hooks — the row-count
+# assertion here IS the bug's contract.
+# Divergence: the reference CI seeds oracle.test1k_duckdb_pg; seeded.
+
+def test_r106_chunk_where_clause(spark, tmp_path):
+    from tests.replication_harness import ReplicationCase, load_case
+
+    doc = load_case("r.106.chunk_where_clause.yaml")
+    case = ReplicationCase(spark, doc, tmp_path)
+    src = case.conns["oracle"]
+    src.execute('create schema if not exists "oracle"')
+    src.execute("create table oracle.test1k_duckdb_pg as "
+                "select range as id, 'n'||range as name from range(1, 1001)")
+    try:
+        case.run()
+    finally:
+        case.close()
+    assert case.errors == 0
+    tgt = case.conns["mssql"]
+    # re-open: handles are closed by case.close()
+    from sling_cli_spark.sinks.db_load import DuckDBTarget
+
+    tgt = DuckDBTarget(f"{tmp_path}/mssql_twin.duckdb")
+    assert tgt.get_count("dbo.test1k_chunk_where_bug") == 100, \
+        "where must bound the chunked read"
+    tgt.close()
