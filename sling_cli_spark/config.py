@@ -93,6 +93,7 @@ class SourceOptions:
     datetime_format: str | None = None  # ISO-8601 tokens (DD-MM-YYYY ...)
     flatten: bool | int = False         # False | True (full) | max depth
     jmespath: str | None = None         # record-extraction path for JSON
+    jq: str | None = None               # jq-style alias (p.12: ".data[]")
     sheet: str | None = None            # excel "Sheet1!A1:C100"
     row_tag: str = "row"                # xml element per record
     chunk_size: str | None = None

@@ -49,7 +49,7 @@ _NIL_STR = "nil"  # how nil renders inside string concatenation
 DEFAULT_PREFIXES = (
     "env", "state", "secrets", "auth", "response", "request", "sync",
     "store", "source", "target", "stream", "object", "run", "runs",
-    "timestamp", "execution", "loop",
+    "timestamp", "execution", "loop", "params",
 )
 
 
@@ -250,6 +250,12 @@ def _date_format(v: Any, fmt: str) -> str:
     return d.strftime(fmt)
 
 
+def _date_diff_fn(a: Any, b: Any, unit: str = "s") -> float:
+    """date_diff(later, earlier, unit) in s/m/h/d."""
+    secs = (_parse_dt(a) - _parse_dt(b)).total_seconds()
+    return secs / {"s": 1, "m": 60, "h": 3600, "d": 86400}.get(unit, 1)
+
+
 def _date_parse_fn(v: Any, fmt: str | None = None) -> Any:
     """date_parse(value[, layout]) -> datetime (layout optional: the
     shared _parse_dt sniffer covers the corpus's ISO shapes)."""
@@ -319,6 +325,17 @@ def default_functions() -> dict[str, Callable]:
         "greatest": lambda *a: max(a),
         "least": lambda *a: min(a),
         "pretty_table": lambda rows: json.dumps(rows, indent=2, default=str),
+        # pipeline-corpus functions (p.33 regex assertions, p.36 timing)
+        "regex_match": lambda s, pat: bool(
+            re.search(pat, "" if s is None else str(s))),
+        "date_diff": _date_diff_fn,
+        "type_of": lambda v: (
+            "nil" if v is None else
+            "bool" if isinstance(v, bool) else
+            "int64" if isinstance(v, int) else
+            "float64" if isinstance(v, float) else
+            "string" if isinstance(v, str) else
+            type(v).__name__),
         "encode_url": lambda s: __import__("urllib.parse", fromlist=["quote"]).quote(_to_str(s), safe=""),
         "encode_base64": lambda s: __import__("base64").b64encode(
             _to_str(s).encode()).decode(),
@@ -925,8 +942,13 @@ class Evaluator:
                 continue
             try:
                 value = self.evaluate(expr, extras)
-            except ExpressionError:
+            except ExpressionError as e:
                 if self.keep_missing:
+                    continue
+                if "could not parse expression" in str(e):
+                    # non-expression braces (a yaml/json-ish literal
+                    # like `{ type: local, url: file:///base }`, p.17)
+                    # stay verbatim — the reference's canRender gate
                     continue
                 raise
             if whole:

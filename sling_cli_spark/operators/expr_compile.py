@@ -92,6 +92,7 @@ class _ColumnCompiler:
 
     def __init__(self, df: DataFrame, value_col: str | None):
         self.columns = {c.lower(): c for c in df.columns}
+        self._dtypes = df.dtypes
         self.str_cols = {f.name for f in df.schema.fields
                          if f.dataType.typeName() == "string"}
         self.str_cols |= {f.name.lower() for f in df.schema.fields
@@ -186,8 +187,18 @@ class _ColumnCompiler:
                 return left % right
             raise ExprCompileError("unsupported operator")
         if isinstance(n, ast.IfExp):
+            body, orelse = self._walk(n.body), self._walk(n.orelse)
+            sb = _is_stringy(n.body, self.str_cols)
+            so = _is_stringy(n.orelse, self.str_cols)
+            if sb != so:
+                # goval ternaries are untyped; Spark's branch coercion
+                # would promote string-vs-decimal to DOUBLE and mangle
+                # values ("1" -> "1.0") — cast both branches to string
+                # explicitly (transform results are text in the
+                # reference's stream processor)
+                body, orelse = body.cast("string"), orelse.cast("string")
             return F.when(self._as_bool(self._walk(n.test)),
-                          self._walk(n.body)).otherwise(self._walk(n.orelse))
+                          body).otherwise(orelse)
         if isinstance(n, ast.Call) and isinstance(n.func, ast.Name):
             return self._call(n.func.id, n)
         raise ExprCompileError(
@@ -206,6 +217,31 @@ class _ColumnCompiler:
     @staticmethod
     def _as_str(c: Column) -> Column:
         return F.coalesce(c.cast("string"), F.lit(""))
+
+    def _static_type_of(self, node: ast.AST) -> str:
+        """goval type names for the operand's compile-time Spark type."""
+        name = None
+        if isinstance(node, ast.Name):
+            name = self.value_col if node.id == "value" else node.id
+        elif isinstance(node, ast.Attribute) and isinstance(
+                node.value, ast.Name) and node.value.id == "record":
+            name = node.attr
+        if name is None:
+            return "string"
+        actual = self.columns.get(name.lower())
+        if actual is None:
+            return "nil"
+        from pyspark.sql import functions as _F  # noqa: F401
+        t = dict(self._dtypes).get(actual, "string")
+        if t in ("bigint", "int", "smallint", "tinyint", "long"):
+            return "int64"
+        if t in ("double", "float") or t.startswith("decimal"):
+            return "float64"
+        if t == "boolean":
+            return "bool"
+        if t.startswith("timestamp") or t == "date":
+            return "time"
+        return "string"
 
     # -- function registry --------------------------------------------------
 
@@ -267,6 +303,12 @@ class _ColumnCompiler:
             if algo in ("sha512", "sha-512"):
                 return F.sha2(s, 512)
             raise ExprCompileError(f"hash: unknown algo {algo!r}")
+        if name == "type_of":
+            # STATIC: the operand's Spark type is known at compile time,
+            # so the branch folds to a literal — goval's non-short-
+            # circuit ternary bug (p.23.ternary_length_mixed_types)
+            # cannot reproduce: the dead branch never runs
+            return F.lit(self._static_type_of(n.args[0]))
         if name == "is_null":
             return a[0].isNull()
         if name == "is_empty":
@@ -314,7 +356,11 @@ def apply_staged_transforms(df: DataFrame, stages: list[dict]) -> DataFrame:
         for col, spec in (stage or {}).items():
             if col == "*":
                 for c in df.columns:
-                    exprs[c] = _stage_expr(df, c, str(spec))
+                    # wildcard outputs are STRINGS (the reference's
+                    # stream processor passes transform results as
+                    # text; p.23 asserts int columns read back as '1')
+                    exprs[c] = _stage_expr(df, c, str(spec)) \
+                        .cast("string")
                 continue
             actual = next((c for c in df.columns
                            if c.lower() == str(col).lower()), str(col))

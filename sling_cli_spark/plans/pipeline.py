@@ -60,17 +60,48 @@ class PipelineRuntime:
     reference resolves from env.yaml; tests inject live twins).
     """
 
-    def __init__(self, connections=None, state=None, env=None):
+    def __init__(self, connections=None, state=None, env=None,
+                 conn_urls=None):
         self.connections = {}
         for k, v in (connections or {}).items():
             self.connections[str(k)] = v
             self.connections[str(k).lower()] = v
+        # name -> duckdb:// URL, for rewriting conn NAMES inside inline
+        # replication configs to live twins
+        self.conn_urls = {str(k).lower(): v
+                          for k, v in (conn_urls or {}).items()}
         self.store: dict[str, Any] = {}
         self.state_extra = dict(state or {})
         self.env = dict(env or {})
         self.broke = False          # a check with on_failure: break fired
         self.evaluator = None       # set by run_pipeline
         self._scratch = None
+        # v2 (pipeline corpus): shared typed state across nested groups/
+        # routines, the {loop.*} namespace, warn counting for status
+        # propagation, and deferred failures (on_failure: defer)
+        self.state_ns: dict[str, Any] = {}
+        self.loop_ns: dict[str, Any] = {}
+        self.warn_count = 0
+        self.deferred: list[str] = []
+        self._routines: dict | None = None
+
+    def routines(self) -> dict:
+        """Named step groups from $SLING_ROUTINES_DIR/routines.yaml
+        (reference: routine hooks; tests/pipelines/routines.yaml is the
+        executable spec)."""
+        if self._routines is None:
+            import yaml as _yaml
+
+            d = self.env.get("SLING_ROUTINES_DIR") \
+                or os.environ.get("SLING_ROUTINES_DIR") or ""
+            path = os.path.join(d, "routines.yaml")
+            if d and os.path.exists(path):
+                with open(path) as f:
+                    self._routines = (_yaml.safe_load(f) or {}) \
+                        .get("routines") or {}
+            else:
+                self._routines = {}
+        return self._routines
 
     def resolve_conn(self, name: str):
         name = str(name or "")
@@ -130,10 +161,31 @@ def _fetch_dicts(db, sql: str) -> list[dict]:
 
 def _step_store(spark, step, ctx, rt=None):
     """`type: store` (reference hooks.go kind ``store``): stash a value
-    under {store.<key>} for later steps / stream-SQL rendering."""
-    if rt is not None:
-        rt.store[str(step["key"])] = step.get("value")
+    under {store.<key>} for later steps / stream-SQL rendering. The
+    ``map:`` form sets several keys at once; ``env.X`` keys write into
+    the runtime env (p.17 defines connections that way)."""
+    if rt is None:
+        return step.get("value")
+    if isinstance(step.get("map"), dict):
+        for k, v in step["map"].items():
+            k = str(k)
+            if k.startswith("env."):
+                rt.env[k[4:]] = v
+            else:
+                rt.store[k] = v
+        return dict(step["map"])
+    rt.store[str(step["key"])] = step.get("value")
     return step.get("value")
+
+
+def _step_read(spark, step, ctx, rt=None):
+    """read hook: file contents into {store.<into>} (p.07/p.33)."""
+    frm = render_vars(str(step["from"]), ctx).removeprefix("local/")
+    with open(frm) as f:
+        body = f.read()
+    if rt is not None and step.get("into"):
+        rt.store[str(step["into"])] = body
+    return body
 
 
 def _step_copy(spark, step, ctx, rt=None):
@@ -158,12 +210,70 @@ def _step_delete(spark, step, ctx, rt=None):
 
 
 def _step_inspect(spark, step, ctx, rt=None):
-    p = render_vars(step["path"], ctx)
+    """inspect hook: `location: <conn>/<table>` probes a DB table's
+    catalog (exists/schema/columns incl. precision+scale/column_map/
+    fdqn); `local/<path>` (or a bare path) stats a file. Executable
+    spec: tests/pipelines/p.04.test_inspect_hook.yaml."""
+    loc = render_vars(str(step.get("location") or step.get("path")), ctx)
+    conn, _, rest = loc.partition("/")
+    if rt is not None and conn and conn.lower() in rt.connections \
+            and conn.lower() not in ("local",):
+        return _inspect_db(rt.resolve_conn(conn), rest)
+    if conn.lower() == "local":
+        p = rest
+        exists = os.path.exists(p)
+        out = {"exists": exists, "path": p, "uri": f"file://{p}",
+               "name": os.path.basename(p.rstrip("/")),
+               "size": os.path.getsize(p) if os.path.isfile(p) else 0,
+               "is_dir": os.path.isdir(p)}
+        if os.path.isdir(p):
+            files = dirs = total = 0
+            if step.get("recursive"):
+                for root, ds, fs in os.walk(p):
+                    dirs += len(ds)
+                    files += len(fs)
+                    total += sum(os.path.getsize(os.path.join(root, f))
+                                 for f in fs)
+            else:
+                for child in os.listdir(p):
+                    cp = os.path.join(p, child)
+                    if os.path.isdir(cp):
+                        dirs += 1
+                    else:
+                        files += 1
+                        total += os.path.getsize(cp)
+            out.update({"size": total, "file_count": files,
+                        "folder_count": dirs,
+                        "node_count": files + dirs})
+        return out
+    p = loc
     from sling_cli_spark.sources.files import list_file_nodes
 
     nodes = list_file_nodes(spark, p).collect()
     return {"exists": bool(nodes), "files": len(nodes),
             "bytes": sum(r["size"] for r in nodes)}
+
+
+def _inspect_db(db, table: str) -> dict:
+    from sling_cli_spark.dialects import parse_table_name
+
+    p = parse_table_name(table, db.dialect.name)
+    schema = p["schema"] or "main"
+    exists = db.table_exists(table)
+    cols = []
+    if exists:
+        rows = db.fetch_all(
+            "select column_name, data_type, numeric_precision, "
+            "numeric_scale from information_schema.columns "
+            f"where table_schema = '{schema}' "
+            f"and table_name = '{p['name']}' order by ordinal_position")
+        cols = [{"name": r[0], "type": str(r[1]).lower(),
+                 "precision": r[2], "scale": r[3]} for r in rows]
+    return {"exists": exists, "database": "", "schema": schema,
+            "name": p["name"],
+            "fdqn": db.dialect.quote_table(table),
+            "columns": cols,
+            "column_map": {c["name"]: c for c in cols}}
 
 
 def _step_check(spark, step, ctx, rt=None):
@@ -218,6 +328,13 @@ def _step_http(spark, step, ctx, rt=None):
     ok_codes = step.get("expect_status") or range(200, 300)
     if status not in ok_codes:
         raise StepError(f"http step got {status} from {url}")
+    if step.get("write_to"):
+        import json as _json
+
+        to = render_vars(str(step["write_to"]), ctx).removeprefix("local/")
+        os.makedirs(os.path.dirname(os.path.abspath(to)), exist_ok=True)
+        with open(to, "w") as f:
+            f.write(body if isinstance(body, str) else _json.dumps(body))
     return {"status": status, "json": body}
 
 
@@ -266,16 +383,139 @@ def _step_command(spark, step, ctx, rt=None):
     if proc.returncode != 0 and not step.get("ignore_error"):
         raise StepError(
             f"command {cmd!r} exited {proc.returncode}: {proc.stderr[:500]}")
-    return {"returncode": proc.returncode, "stdout": proc.stdout.strip()}
+    if step.get("print"):
+        # output routes through the LOGGER, never raw stdout — so log
+        # sinks capture it (p.42.command_print_log_sink contract)
+        for line in proc.stdout.splitlines():
+            log.info(line)
+        for line in proc.stderr.splitlines():
+            log.info(line)
+    capture = step.get("capture", True)
+    return {"returncode": proc.returncode,
+            "stdout": proc.stdout.strip() if capture else "",
+            "output": {"stdout": proc.stdout if capture else "",
+                       "stderr": proc.stderr if capture else ""}}
 
 
 def _step_replication(spark, step, ctx, rt=None):
+    """replication hook: `path:` (or shorthand `replication: <path>`)
+    loads a YAML file; `replication: {inline dict}` runs an embedded
+    config (p.01/p.12 shapes). A step-level `env:` overlays the
+    replication env."""
+    import yaml as _yaml
+
     from sling_cli_spark.plans.replication import (
         ReplicationConfig, run_replication)
 
-    rc = ReplicationConfig.from_yaml(render_vars(step["path"], ctx))
-    return {k: r.rows for k, r in
-            run_replication(spark, rc, step.get("base_output", "")).items()}
+    conf = step.get("replication") if "path" not in step else None
+    if isinstance(conf, dict):
+        rc = ReplicationConfig.from_yaml(_yaml.safe_dump(conf))
+    else:
+        path = str(step.get("path") or conf or "")
+        path = render_vars(path, ctx).removeprefix("file://")
+        rc = ReplicationConfig.from_yaml(path)
+    if step.get("env"):
+        rc.env = {**rc.env, **{str(k): str(v)
+                               for k, v in step["env"].items()}}
+    if rt is not None:
+        rc.env = {**{k: str(v) for k, v in rt.env.items()}, **rc.env}
+        # conn NAMES referenced by inline configs resolve to the
+        # runtime's live twins — unless the env DEFINES them as local
+        # base-path connections (run_replication resolves those)
+        from sling_cli_spark.plans.replication import _local_conn_base
+
+        if rc.source and rc.source.lower() in rt.conn_urls \
+                and not _local_conn_base(rc.source, rc.env):
+            rc.source = rt.conn_urls[rc.source.lower()]
+        if rc.target and rc.target.lower() in rt.conn_urls \
+                and not _local_conn_base(rc.target, rc.env):
+            rc.target = rt.conn_urls[rc.target.lower()]
+    out = run_replication(
+        spark, rc, step.get("base_output", ""),
+        connections=(rt.connections if rt is not None else None),
+        runtime=rt if rt is not None else None)
+    return {k: (r.rows if r else None) for k, r in out.items()}
+
+
+def _step_group(spark, step, ctx, rt=None):
+    """group hook: nested step list, optional `loop:` (a literal list or
+    a state expression) exposing {loop.value}/{loop.index}. A group
+    whose substep WARNED reports status "warning"; substep failures
+    with on_failure: defer run every remaining step/iteration and raise
+    once at group end (p.35/p.38 contracts)."""
+    steps = step.get("steps") or []
+    loop = step.get("loop")
+    if isinstance(loop, str) and rt is not None:
+        rt.evaluator.fill_missing_keys(
+            rt.evaluator.state, rt.evaluator.extract_vars(loop))
+        loop = rt.evaluator.evaluate(loop)
+    iters = loop if isinstance(loop, list) else [None]
+    has_loop = isinstance(loop, list)
+    warn_before = rt.warn_count if rt else 0
+    defer_before = len(rt.deferred) if rt else 0
+    prev_loop = dict(rt.loop_ns) if rt else {}
+    concurrency = int(step.get("concurrency", 1))
+    try:
+        if concurrency > 1 and has_loop and rt is not None:
+            # parallel iterations (p.36.group_concurrency): each gets
+            # its OWN loop namespace + evaluator view; store/state/
+            # connections stay shared (dict writes are GIL-atomic, and
+            # Spark driver calls are thread-safe)
+            import copy as _copy
+            from concurrent.futures import ThreadPoolExecutor
+
+            def run_iter(pair):
+                idx, val = pair
+                sub = _copy.copy(rt)
+                sub.loop_ns = {"value": val, "index": idx}
+                run_pipeline(spark, steps, env=rt.env, runtime=sub,
+                             _nested=True)
+                rt.warn_count = max(rt.warn_count, sub.warn_count)
+
+            with ThreadPoolExecutor(max_workers=concurrency) as ex:
+                list(ex.map(run_iter, list(enumerate(iters))))
+        else:
+            for idx, val in enumerate(iters):
+                if has_loop and rt is not None:
+                    rt.loop_ns.clear()
+                    rt.loop_ns.update({"value": val, "index": idx})
+                run_pipeline(spark, steps, env=rt.env if rt else None,
+                             runtime=rt, _nested=True)
+    finally:
+        if rt is not None:
+            rt.loop_ns.clear()
+            rt.loop_ns.update(prev_loop)
+    if rt is not None and len(rt.deferred) > defer_before:
+        msgs = rt.deferred[defer_before:]
+        del rt.deferred[defer_before:]
+        raise StepError("deferred failure(s): " + "; ".join(msgs))
+    warned = rt is not None and rt.warn_count > warn_before
+    return {"status": "warning" if warned else "success"}
+
+
+def _step_routine(spark, step, ctx, rt=None):
+    """routine hook: a named reusable step group from
+    $SLING_ROUTINES_DIR/routines.yaml with a {params.*} namespace
+    (p.37; tests/pipelines/routines.yaml is the executable spec)."""
+    if rt is None:
+        raise StepError("routine steps need a PipelineRuntime")
+    name = str(step.get("routine") or step.get("name"))
+    routines = rt.routines()
+    if name not in routines:
+        raise StepError(f"unknown routine: {name!r}")
+    warn_before = rt.warn_count
+    prev = rt.state_extra.get("params")
+    rt.state_extra["params"] = step.get("params") or {}
+    try:
+        run_pipeline(spark, routines[name], env=rt.env, runtime=rt,
+                     _nested=True)
+    finally:
+        if prev is None:
+            rt.state_extra.pop("params", None)
+        else:
+            rt.state_extra["params"] = prev
+    return {"status": "warning" if rt.warn_count > warn_before
+            else "success"}
 
 
 _STEP_TYPES = {
@@ -291,6 +531,9 @@ _STEP_TYPES = {
     "list": _step_list,
     "write": _step_write,
     "replication": _step_replication,
+    "group": _step_group,
+    "routine": _step_routine,
+    "read": _step_read,
 }
 
 
@@ -302,7 +545,7 @@ def _normalize_step(step: dict) -> dict:
         return step
     for kind in ("check", "log", "query", "store", "copy", "delete",
                  "inspect", "http", "command", "replication", "list",
-                 "write"):
+                 "write", "routine", "group", "read"):
         if kind in step:
             step = {**step, "type": kind}
             if kind == "log" and isinstance(step.get("log"), str):
@@ -350,9 +593,23 @@ def _fill_step_vars(evaluator, payload: Any) -> None:
     walk(payload)
 
 
+def _state_entry(kind: str, step: dict, out: Any) -> Any:
+    """The reference's per-step state shapes (routines.yaml /
+    p.35/p.42 contracts): connection queries expose {state.<id>.result},
+    logs {state.<id>.message}; dict results (command/inspect/list/group/
+    routine/http) pass through; the legacy Spark-SQL query form keeps
+    its raw value for existing templates."""
+    if kind == "query" and step.get("connection") is not None \
+            and not step.get("into"):
+        return {"result": out}
+    if kind == "log":
+        return {"message": out}
+    return out
+
+
 def run_pipeline(
     spark, steps: list[dict[str, Any]], env: dict[str, str] | None = None,
-    runtime: PipelineRuntime | None = None,
+    runtime: PipelineRuntime | None = None, _nested: bool = False,
 ) -> list[Any]:
     """Execute steps in order with per-step retry / on_failure semantics
     (reference: pipeline.go:18-123 — retries, continue/break/abort, step
@@ -369,7 +626,9 @@ def run_pipeline(
 
     rt = runtime or PipelineRuntime(env=env)
     ctx: dict[str, str] = {**rt.env, **(env or {})}
-    state_ns: dict[str, Any] = {}  # TYPED step results, keyed by step id
+    state_ns = rt.state_ns  # TYPED step results, keyed by step id —
+    # SHARED across nested groups/routines so {state.<id>} from a group
+    # substep resolves at the top level (p.35)
     # keep_missing=False + fill-missing-first is the reference's render
     # mode for owned namespaces (transforms.go RenderAny: `if
     # !e.KeepMissingExpr { stateMap = e.FillMissingKeys(...) }`) — a
@@ -378,7 +637,7 @@ def run_pipeline(
     # ({stream_table}) are non-renderable and stay intact regardless.
     evaluator = Evaluator(
         state={"env": {**rt.env, **(env or {})}, "state": state_ns,
-               "store": rt.store, **rt.state_extra},
+               "store": rt.store, "loop": rt.loop_ns, **rt.state_extra},
     )
     rt.evaluator = evaluator
     results: list[Any] = []
@@ -407,18 +666,37 @@ def run_pipeline(
             raise ValueError(f"unknown step type: {kind!r}")
         retries = int(step.get("retries", 0))
         attempt = 0
+        failed_entry = None
         while True:
             try:
                 out = _STEP_TYPES[kind](spark, step, ctx, rt)
                 break
-            except Exception:
+            except Exception as e:
                 attempt += 1
                 if attempt <= retries:
                     continue
-                if step.get("on_failure") == "continue":
+                of = step.get("on_failure")
+                if of == "continue":
                     out = None
+                    failed_entry = {"status": "error", "error": str(e)}
                     break
-                if step.get("on_failure") == "break":
+                if of == "warn":
+                    # warning status propagates up through groups
+                    # (p.35.on_failure_warn_status contract)
+                    rt.warn_count += 1
+                    out = None
+                    failed_entry = {"status": "warning",
+                                    "error": str(e)}
+                    break
+                if of == "defer":
+                    # keep running; the enclosing group (or this
+                    # pipeline's end) raises the collected failures
+                    # (p.38.on_failure_defer contract)
+                    rt.deferred.append(str(e))
+                    out = None
+                    failed_entry = {"status": "error", "error": str(e)}
+                    break
+                if of == "break":
                     # stop the pipeline without erroring (the reference's
                     # guard pattern: `check: execution.status.error == 0 /
                     # on_failure: break` skips verification after a failed
@@ -427,6 +705,12 @@ def run_pipeline(
                     return results
                 raise
         results.append(out)
-        state_ns[str(step.get("id", i))] = out
-        ctx[f"state.{step.get('id', i)}"] = str(out)
+        sid = str(step.get("id", i))
+        state_ns[sid] = failed_entry if failed_entry is not None \
+            else _state_entry(kind, step, out)
+        ctx[f"state.{sid}"] = str(out)
+    if not _nested and rt.deferred:
+        msgs = list(rt.deferred)
+        rt.deferred.clear()
+        raise StepError("deferred failure(s): " + "; ".join(msgs))
     return results

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import re
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -238,6 +239,17 @@ def compile_replication(rc: ReplicationConfig) -> list[Config]:
         else:
             cfg.target.object = render_vars(
                 cfg.target.object, runtime_vars(cfg))
+        if not cfg.target.conn or cfg.target.conn == "local":
+            # sling semantics: an extension-named object on a FILE
+            # target is ONE file (p.17 `object: output.csv`; DB-export
+            # targets like folder/table.csv) — this engine's layout
+            # switch is the `single` option, defaulted here unless the
+            # stream configured it explicitly
+            if cfg.target.options.single is False and re.search(
+                    r"\.(csv|tsv|json|jsonl|ndjson|parquet|xlsx)$",
+                    (cfg.target.object or "")) \
+                    and "single" not in (o.get("target_options") or {}):
+                cfg.target.options.single = True
         if o.get("hooks"):
             # STREAM-level hooks (reference ReplicationStreamConfig.Hooks)
             # ride the compiled config; run_replication fires them
@@ -248,6 +260,23 @@ def compile_replication(rc: ReplicationConfig) -> list[Config]:
         object.__setattr__(cfg, "_stream_name", stream)
         cfgs.append(cfg)
     return cfgs
+
+
+def _local_conn_base(name: str | None, env: dict) -> str | None:
+    """Base path of a local connection DEFINED IN ENV (reference env.yaml
+    connection specs: ``NAME: { type: local, url: file:///base }``)."""
+    if not name or "://" in name or "/" in name:
+        return None
+    raw = env.get(name) or env.get(name.upper()) or env.get(name.lower())
+    if not isinstance(raw, str) or "type" not in raw:
+        return None
+    try:
+        spec = yaml.safe_load(raw)
+    except Exception:
+        return None
+    if isinstance(spec, dict) and spec.get("type") == "local":
+        return (spec.get("url") or "").removeprefix("file://") or None
+    return None
 
 
 def run_replication(spark, rc: ReplicationConfig, base_output: str = "",
@@ -366,6 +395,26 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = "",
 
     run_hooks("start")
     results = {}
+    # a conn NAME whose env value is a local-connection spec
+    # (`{ type: local, url: file:///base }`) resolves to a BASE PATH:
+    # relative stream/object paths anchor there (reference issue #712,
+    # p.17.unc_local_path)
+    env_all = {**{k: str(v) for k, v in rt.env.items()}, **rc.env}
+    src_base = _local_conn_base(rc.source, env_all)
+    tgt_base = _local_conn_base(rc.target, env_all)
+    if src_base is not None:
+        rc = ReplicationConfig(
+            source=None, target=rc.target, defaults=rc.defaults,
+            streams={(s if os.path.isabs(s) or "://" in s
+                      else os.path.join(src_base, s)): v
+                     for s, v in rc.streams.items()},
+            env=rc.env, hooks=rc.hooks, atomic=rc.atomic)
+    if tgt_base is not None:
+        rc = ReplicationConfig(
+            source=rc.source, target=None, defaults=rc.defaults,
+            streams=rc.streams, env=rc.env, hooks=rc.hooks,
+            atomic=rc.atomic)
+        base_output = base_output or tgt_base
     if (rc.source or "").startswith("duckdb:") and any(
             any(ch in s for ch in "*?[") for s in rc.streams):
         # DB-source wildcards expand against the live catalog

@@ -425,8 +425,14 @@ def read_files(
     if fmt in ("json", "jsonl"):
         reader = spark.read.option("multiLine", "true" if fmt == "json" else "false")
         df = reader.json(path)
-        if opts.jmespath:
-            df = _apply_record_path(df, opts.jmespath)
+        rec_path = opts.jmespath or (
+            # jq alias: ".data[]" spells the same record extraction
+            # (leading dot drops; "[]" stays — _apply_record_path
+            # explodes it)
+            (opts.jq or "").strip().lstrip(".")
+            if getattr(opts, "jq", None) else None)
+        if rec_path:
+            df = _apply_record_path(df, rec_path)
         if opts.flatten:
             depth = 0 if opts.flatten is True else int(opts.flatten)
             df = flatten(df, max_depth=depth)

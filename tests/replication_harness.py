@@ -56,6 +56,8 @@ _ADAPT_SQL = [
     (re.compile(r"\bSELECT\s+\*\s+INTO\s+(\S+)\s+FROM\b", re.I),
      r"CREATE TABLE \1 AS SELECT * FROM"),
     (re.compile(r"\bNVARCHAR\b", re.I), "VARCHAR"),
+    (re.compile(r"\bSERIAL PRIMARY KEY\b", re.I),
+     "INTEGER PRIMARY KEY DEFAULT nextval('serial_seq')"),
     (re.compile(r"\bDATETIME2?\b", re.I), "TIMESTAMP"),
     # Oracle
     (re.compile(r"BEGIN\s+EXECUTE IMMEDIATE\s+'DROP TABLE ([^']+)';\s*"
@@ -69,6 +71,9 @@ _ADAPT_SQL = [
     (re.compile(r"`([^`]+)`"), r'"\1"'),
     # Postgres artifacts DuckDB lacks
     (re.compile(r"\bCASCADE\b", re.I), ""),
+    # a bare COMMIT without an open txn errors on duckdb (oracle
+    # sources issue these after INSERTs)
+    (re.compile(r"^\s*COMMIT\s*;?\s*$", re.I), "SELECT 1"),
 ]
 
 # general-type fold for information_schema.data_type probes: maps each
@@ -334,6 +339,126 @@ def run_case(spark, name: str, tmp, env: dict | None = None,
              text_adapt=None) -> ReplicationCase:
     doc = load_case(name, text_adapt=text_adapt)
     case = ReplicationCase(spark, doc, tmp, env=env)
+    try:
+        case.run()
+    finally:
+        case.close()
+    return case
+
+
+# ---------------------------------------------------------------------------
+# pipeline corpus (tests/pipelines/p.*.yaml) — same substitution policy
+
+REF_PIPE = "/root/reference/tests/pipelines"
+
+
+class PipelineCase:
+    """One reference pipeline config driven through
+    ``plans/pipeline.run_pipeline`` with live DuckDB twins for every
+    named connection and ``aws_s3/``-style cloud prefixes remapped under
+    the case tmp dir (documented divergence: cloud filesystems are
+    environmental; the step semantics are what the corpus pins)."""
+
+    def __init__(self, spark, name: str, tmp, env: dict | None = None,
+                 text_adapt=None):
+        from sling_cli_spark.plans.pipeline import PipelineRuntime
+        from sling_cli_spark.sinks.db_load import DuckDBTarget
+
+        self.spark = spark
+        self.tmp = str(tmp)
+        path = os.path.join(REF_PIPE, name)
+        with open(path) as f:
+            text = f.read()
+        # cloud conn prefixes -> local dirs under tmp
+        for cloud in ("aws_s3", "azure_storage", "sftp"):
+            text = text.replace(f"{cloud}/", f"local/{self.tmp}/{cloud}/")
+        # reference-repo-relative fixture paths
+        text = text.replace("file://tests/", "file:///root/reference/tests/")
+        if text_adapt:
+            text = text_adapt(text)
+        doc = yaml.safe_load(text)
+        self.doc = doc
+        self.env = {**{str(k): str(v)
+                       for k, v in (doc.get("env") or {}).items()},
+                    **(env or {})}
+
+        # connection registry: every `connection:` name + inline
+        # replication source/target names -> DuckDB twins
+        names = set()
+
+        def scan(v):
+            if isinstance(v, dict):
+                c = v.get("connection")
+                if isinstance(c, str) and _DB_CONN_RE.match(c):
+                    names.add(c.lower())
+                r = v.get("replication")
+                if isinstance(r, dict):
+                    for key in ("source", "target"):
+                        n = r.get(key)
+                        if isinstance(n, str) and _DB_CONN_RE.match(n) \
+                                and n.lower() != "local":
+                            names.add(n.lower())
+                for x in v.values():
+                    scan(x)
+            elif isinstance(v, list):
+                for x in v:
+                    scan(x)
+
+        scan(doc)
+        self.conns, conn_urls = {}, {}
+        for n in names:
+            p = os.path.join(self.tmp, f"{n}_twin.duckdb")
+            self.conns[n] = DuckDBTarget(p)
+            conn_urls[n] = f"duckdb://{p}"
+        registry = dict(self.conns)
+        for n, url in conn_urls.items():
+            registry[url] = self.conns[n]
+        self.rt = PipelineRuntime(
+            connections=registry, conn_urls=conn_urls,
+            state={"execution": {"status": {"error": 0, "success": 0}}},
+            env=self.env)
+
+    def steps(self) -> list[dict]:
+        out = []
+        for step in self.doc.get("steps") or []:
+            step = dict(step)
+            if step.get("query"):
+                q = adapt_sql(str(step["query"]))
+                if step.get("into") or step.get("id"):
+                    q = adapt_type_probe(q)
+                step["query"] = q
+            out.append(step)
+        return out
+
+    def run(self):
+        from sling_cli_spark.plans.pipeline import run_pipeline
+
+        # the corpus schemas (public/dbo/...) are provisioned in CI
+        schemas = {"public", "dbo", "demo", "system", "oracle", "mysql"}
+        schemas |= {s.lower() for s in re.findall(
+            r"\b(?:TABLE|EXISTS|INTO|FROM)\s+(\w+)\.\w+",
+            yaml.safe_dump(self.doc))}
+        for db in self.conns.values():
+            db.execute("create sequence if not exists serial_seq")
+            for s in schemas - {"main", "temp", "information_schema"}:
+                try:
+                    db.execute(f'create schema if not exists "{s}"')
+                except Exception:
+                    pass
+        return run_pipeline(self.spark, self.steps(), env=self.env,
+                            runtime=self.rt)
+
+    def close(self):
+        for db in self.conns.values():
+            try:
+                db.close()
+            except Exception:
+                pass
+
+
+def run_pipeline_case(spark, name: str, tmp, env: dict | None = None,
+                      text_adapt=None) -> PipelineCase:
+    case = PipelineCase(spark, name, tmp, env=env, text_adapt=text_adapt)
     try:
         case.run()
     finally:
