@@ -414,8 +414,27 @@ _DIALECT_SPECS: dict[str, dict] = {
         "quote_char": '"',
         "default_merge_strategy": "update_insert",
         "batch_rows": 500,
+        # sqlite has no information_schema: discovery rides
+        # sqlite_master + pragma table functions (sqlite.yaml:111-141)
+        "metadata": {
+            "schemas": ("select name as schema_name "
+                        "from pragma_database_list() order by name"),
+            "tables": ("select 'main' as schema_name, name as "
+                       "table_name, 'false' as is_view from "
+                       "sqlite_master where type='table' "
+                       "order by table_name"),
+            "views": ("select 'main' as schema_name, name as "
+                      "table_name, 'true' as is_view from "
+                      "sqlite_master where type='view' "
+                      "order by table_name"),
+            "columns": ("select name as column_name, "
+                        "lower(type) as data_type "
+                        "from pragma_table_info('{table}')"),
+        },
         "core": {
             "drop_table": "drop table if exists {table}",
+            "drop_view": "drop view if exists {view}",  # sqlite.yaml:3
+            "drop_index": "drop index if exists {index}",
             "truncate_table": "delete from {table}",
             "merge_insert": (
                 "INSERT INTO {tgt_table} ({insert_fields})\n"
@@ -1421,7 +1440,16 @@ def native_type_for(
     return dialect.types[gen]
 
 
-def general_type_from_native(native: str) -> str:
+# per-dialect native->general overrides (reference native_type_map
+# sections) where the generic classifier would disagree — sqlite maps
+# real BACK to decimal (sqlite.yaml:275: its decimal DDL is `real`)
+_NATIVE_OVERRIDES = {
+    "sqlite": {"real": "decimal"},
+    "d1": {"real": "decimal"},
+}
+
+
+def general_type_from_native(native: str, dialect: str = "") -> str:
     """Classify a database NATIVE type name back to the sling general
     type — the reverse of the per-dialect ``types`` map (reference:
     per-dialect ``native_type_map`` sections, base.yaml:480-560).
@@ -1429,6 +1457,9 @@ def general_type_from_native(native: str) -> str:
     suite) and add_new_columns/adjust_column_type comparisons."""
     n = (native or "").strip().lower()
     base = n.split("(")[0].strip()
+    override = _NATIVE_OVERRIDES.get((dialect or "").lower(), {}).get(base)
+    if override:
+        return override
     if "timestamp" in base or base in ("datetime", "datetime2",
                                        "smalldatetime"):
         if "with time zone" in n or base.endswith("tz"):
@@ -1618,6 +1649,10 @@ def table_keys_ddl(
         return out
 
     bare = table.replace('"', "").replace("`", "").replace(".", "_")
+    if dialect.name in ("sqlite", "d1"):
+        # sqlite qualifies the INDEX name, never the table (`CREATE
+        # INDEX db.idx ON tbl`): render the bare table
+        table = parse_table_name(table, dialect.name)["name"] or table
     stmts: list[str] = []
     for kind, tmpl_key in (("index", "create_index"),
                            ("unique", "create_unique_index")):

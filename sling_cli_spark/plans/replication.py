@@ -372,14 +372,14 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = "",
             entry["incremental_value"] = result.watermark
 
     def _run_stream(cfg):
-        if (cfg.target.conn or "").startswith("duckdb:"):
-            from sling_cli_spark.sinks.db_load import open_duckdb, run_db
+        if (cfg.target.conn or "").startswith(("duckdb:", "sqlite:")):
+            from sling_cli_spark.sinks.db_load import open_db, run_db
 
             db = (rt.connections.get(cfg.target.conn)
                   or rt.connections.get((rc.target or "").lower()))
             own = db is None
             if own:
-                db = open_duckdb(cfg.target.conn)
+                db = open_db(cfg.target.conn)
             try:
                 return run_db(spark, cfg, db)
             finally:
@@ -475,7 +475,8 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = "",
     for cfg in compiled:
         if base_output and not os.path.isabs(cfg.target.object or "") \
                 and "://" not in (cfg.target.object or "") \
-                and not (cfg.target.conn or "").startswith("duckdb:"):
+                and not (cfg.target.conn or "").startswith(
+                    ("duckdb:", "sqlite:")):
             cfg.target.object = os.path.join(base_output, cfg.target.object)
         stream_env = {"stream_name": cfg.source.stream or "",
                       "object_name": cfg.target.object or ""}

@@ -172,6 +172,13 @@ class DuckDBTarget:
         self.execute(f"insert into {d.quote_table(table)} ({fl}) "
                      f"select {sel} from read_parquet('{glob}')")
 
+    def export_sql(self, sql: str, path: str,
+                   table_hint: str | None = None) -> None:
+        """Bulk-unload a SELECT to parquet — duckdb's file-direct COPY
+        (duckdb.yaml copy_to_local shape; typed natively, no hint
+        needed)."""
+        self.execute(f"COPY ({sql}) TO '{path}' (FORMAT 'parquet')")
+
     def stage_keyset(self, name: str, glob: str) -> None:
         q = self.dialect.quote_table(name)
         self.execute(f"create or replace temp table {q} as "
@@ -336,6 +343,53 @@ class SQLiteTarget:
                      f"({', '.join(chr(34) + f.name + chr(34) for f in sch)})")
         self.ingest(name, [f.name for f in sch], glob)
 
+    def export_sql(self, sql: str, path: str,
+                   table_hint: str | None = None) -> None:
+        """Bulk-unload a SELECT to parquet — sqlite has no file-direct
+        COPY, so rows batch through arrow on the driver (the same
+        generic path the reference uses for engines without unload,
+        database.go StreamRows -> filesys write). ``table_hint``
+        recovers DECLARED column types the cursor can't see (sqlite
+        stores booleans as ints; the declared type is the contract)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        declared = {}
+        if table_hint:
+            try:
+                # pragma rows: (cid, name, type, notnull, dflt, pk)
+                declared = {r[1].lower(): (r[2] or "").lower()
+                            for r in self.fetch_all(
+                                f"pragma table_info(\"{table_hint}\")")}
+            except Exception:
+                declared = {}
+        cur = self.con.execute(sql)
+        names = [d[0] for d in cur.description or []]
+        writer = None
+        while True:
+            rows = cur.fetchmany(10000)
+            if not rows:
+                break
+            cols = list(zip(*rows)) if rows else [[] for _ in names]
+            arrays = {}
+            for n, c in zip(names, cols):
+                vals = list(c)
+                if declared.get(n.lower(), "").startswith("bool"):
+                    vals = [None if v is None else bool(v) for v in vals]
+                arrays[n] = vals
+            t = pa.table(arrays)
+            if writer is None:
+                writer = pq.ParquetWriter(path, t.schema)
+            writer.write_table(t)
+        if writer is None:
+            # empty result: schema-only file from a LIMIT 0 re-run
+            cur = self.con.execute(f"select * from ({sql}) limit 0")
+            names = [d[0] for d in cur.description or []]
+            t = pa.table({n: pa.array([], pa.string()) for n in names})
+            writer = pq.ParquetWriter(path, t.schema)
+            writer.write_table(t)
+        writer.close()
+
     def rename_table(self, tmp: str, final_name: str) -> None:
         self.execute(f"alter table \"{self._bare(tmp)}\" rename to "
                      f"\"{final_name}\"")
@@ -423,7 +477,7 @@ def db_source_is_empty(spark: SparkSession, source, db=None) -> bool:
     trigger just to learn whether any row exists (ADVICE r12). A probe
     that errors reports non-empty: the real run owns the failure."""
     own = db is None
-    db = db or open_duckdb(source.conn or "")
+    db = db or open_db(source.conn or "")
     try:
         sql, _, _ = _render_db_source_sql(source, db.dialect)
         try:
@@ -436,6 +490,21 @@ def db_source_is_empty(spark: SparkSession, source, db=None) -> bool:
             db.close()
 
 
+def open_db(conn: str):
+    """Open a DB-source/target handle by URL scheme: ``duckdb://`` /
+    ``duckdb:`` or ``sqlite://`` / ``sqlite:`` (both live embedded
+    twins of the reference's connection registry)."""
+    c = conn or ""
+    if c.startswith(("sqlite://", "sqlite:")):
+        path = c
+        for prefix in ("sqlite://", "sqlite:"):
+            if path.startswith(prefix):
+                path = path[len(prefix):]
+                break
+        return SQLiteTarget(path or None)
+    return open_duckdb(c)
+
+
 def read_db_source(spark: SparkSession, source, skip_filters=None,
                    db=None):
     """Database SOURCE scan (reference: task_run_read.go:141-261).
@@ -446,7 +515,7 @@ def read_db_source(spark: SparkSession, source, skip_filters=None,
     the same shape as the reference's bulk unload (duckdb.yaml
     copy_to_local); at warehouse scale the chunked-JDBC reader
     (sources/jdbc.read_jdbc) is the parallel twin."""
-    db = db or open_duckdb(source.conn or "")
+    db = db or open_db(source.conn or "")
     d = db.dialect
     sql, where_pushed, parsed = _render_db_source_sql(
         source, d, skip_filters)
@@ -457,8 +526,9 @@ def read_db_source(spark: SparkSession, source, skip_filters=None,
     stage = tempfile.mkdtemp(prefix="sling_dbsrc_")
     _DBSRC_STAGES.append(stage)
     path = os.path.join(stage, "src.parquet")
+    hint = {} if parsed["sql"] else {"table_hint": parsed["name"]}
     try:
-        db.execute(f"COPY ({sql}) TO '{path}' (FORMAT 'parquet')")
+        db.export_sql(sql, path, **hint)
     except Exception:
         if not where_pushed or parsed["sql"]:
             raise
@@ -472,7 +542,7 @@ def read_db_source(spark: SparkSession, source, skip_filters=None,
         sql = f"select * from {source.stream}"
         if skip_filters:
             sql += f" where {cond}"
-        db.execute(f"COPY ({sql}) TO '{path}' (FORMAT 'parquet')")
+        db.export_sql(sql, path)
     return spark.read.parquet(path)
 
 
@@ -494,11 +564,11 @@ def discover_db(db, pattern: str = "", level: str = "table"):
                     out.append({
                         "table_name": tbl, "column_name": name,
                         "data_type": native,
-                        "general_type": general_type_from_native(native)})
+                        "general_type": general_type_from_native(native, d.name)})
             return out
         return [
             {"column_name": name, "data_type": native,
-             "general_type": general_type_from_native(native)}
+             "general_type": general_type_from_native(native, d.name)}
             for name, native in db.columns(pattern)
         ]
     schema = p["schema"] or "main"
@@ -632,7 +702,7 @@ def _align_schema(db, table: str, df, opts, max_lens, column_typing,
             if f.dataType.typeName() == "decimal":
                 gen = "decimal"
             ex_native = existing[f.name.lower()]
-            ex_gen = general_type_from_native(ex_native)
+            ex_gen = general_type_from_native(ex_native, d.name)
             if ex_gen == "decimal" and gen in (
                     "decimal", "bigint", "integer", "smallint", "float"):
                 _widen_decimal(db, table, f.name, ex_native,
@@ -690,7 +760,7 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
     watermark = None
     uk = cfg.source.update_key
     src_is_db_conn = (cfg.source.conn or "").startswith(
-        ("duckdb:", "jdbc:"))
+        ("duckdb:", "jdbc:", "sqlite:"))
     if (not src_is_db_conn and uk == "_sling_loaded_at"
             and cfg.mode == Mode.INCREMENTAL):
         # FILE source incremental by _sling_loaded_at is the reference's
@@ -722,7 +792,8 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
     # FileToDB loads stamp _sling_loaded_at by default — unix seconds,
     # SLING_LOADED_AT_COLUMN=timestamp switches to a timestamp, =false
     # disables (reference config.go:436-437, task.go:344-352)
-    src_is_db = (cfg.source.conn or "").startswith(("duckdb:", "jdbc:"))
+    src_is_db = (cfg.source.conn or "").startswith(
+        ("duckdb:", "jdbc:", "sqlite:"))
     loaded_env = (cfg.env or {}).get(
         "SLING_LOADED_AT_COLUMN",
         os.environ.get("SLING_LOADED_AT_COLUMN", ""))
@@ -876,8 +947,19 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
                                 os.path.join(ks_stage, "*.parquet"))
 
             def write_stage(tmp_table: str) -> None:
-                db.execute(ddl_for(tmp_table))
+                _exec_ddl(db, ddl_for(tmp_table))
                 insert_from_stage(tmp_table, cols)
+
+            if d.name in ("sqlite", "d1"):
+                # sqlite upserts ride INSERT..ON CONFLICT, which needs
+                # a UNIQUE constraint on the PK — the loader provisions
+                # the unique index (the reference's sqlite loader does
+                # the same; see dialects.py sqlite comment)
+                bare = parse_table_name(table, d.name)["name"]
+                idx = f"uq_{bare}_{'_'.join(pk)}"[:63]
+                db.execute(
+                    f'create unique index if not exists "{idx}" '
+                    f'on "{bare}" ({", ".join(d.quote(c) for c in pk)})')
 
             try:
                 staged_db_load(

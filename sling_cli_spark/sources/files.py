@@ -658,7 +658,7 @@ def read_source(
     stats-based FILE pruning; other formats ignore them (parquet gets
     row-group skipping from the pushed row filter instead)."""
     stream = source.stream or ""
-    if (source.conn or "").startswith("duckdb:"):
+    if (source.conn or "").startswith(("duckdb:", "sqlite:")):
         # database SOURCE: SELECT rendered with incremental/backfill
         # pushdown, exported via the dialect's file-direct COPY TO
         # staged parquet, scanned distributed (sinks/db_load.py)

@@ -275,10 +275,17 @@ def check_validation_types(db, table: str, env: dict) -> None:
     want = env["validation_types"]
     got = {c["column_name"].lower(): c["general_type"]
            for c in discover_db(db, table, level="column")}
+    dialect = db.dialect.name
     for col, expected in want.items():
         actual = got.get(col.lower())
         assert actual is not None, f"validation_types: {col} missing"
-        ok = actual in _TYPE_EQUIV.get(expected, {expected})
+        accepted = set(_TYPE_EQUIV.get(expected, {expected}))
+        if dialect in ("sqlite", "d1") and expected in (
+                "timestamp", "timestampz", "datetime", "date"):
+            # sqlite's temporal DDL IS text (sqlite.yaml:280-296 text
+            # affinity) — discovery cannot see through it
+            accepted |= {"string", "text"}
+        ok = actual in accepted
         assert ok, f"validation_types: {col} expected {expected}, got {actual}"
 
 

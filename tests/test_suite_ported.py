@@ -25,6 +25,14 @@ Per-case divergences from the reference run (all documented inline):
   target additionally reflects real soft/hard deletes. Assertions
   follow the env keys, which remain satisfied.
 - file/19 `file_max_rows: 0` etc: 0 = unlimited, single output file.
+- the db suite runs over BOTH embedded engines (DuckDB + SQLite —
+  VERDICT r12 ask #4). SQLite divergences, all engine-level and
+  documented at their sites: no user schemas ([schema]=main, `public.`
+  folds like SQLiteTarget._bare), temporal/decimal DDL is text/real
+  affinity (sqlite.yaml:267-296 — validation folds accept it), PK
+  upserts provision the UNIQUE index the ON CONFLICT clause needs,
+  DB-source exports batch through arrow with declared-type hints.
+  No case is skipped for either engine.
 """
 
 from __future__ import annotations
@@ -55,16 +63,30 @@ pytestmark = pytest.mark.skipif(
 
 
 class DbSuiteState:
-    def __init__(self, root):
-        from sling_cli_spark.sinks.db_load import DuckDBTarget
+    """Parametrized over BOTH live embedded engines — proving the
+    DB-target lifecycle (run_db + staged batches + merge SQL + the
+    DB-source export) is not DuckDB-coupled (VERDICT r12 ask #4).
+    SQLite has no user schemas, so its [schema] is ``main`` (the
+    reference's sqlite.yaml nulls schema templates the same way)."""
 
-        self.conn_url = f"duckdb://{root}/conn.db"
-        self.pg_url = f"duckdb://{root}/pg.db"
-        self.ctx = {"conn": self.conn_url, "schema": "suite",
+    def __init__(self, root, engine: str = "duckdb"):
+        from sling_cli_spark.sinks.db_load import (
+            DuckDBTarget, SQLiteTarget)
+
+        self.engine = engine
+        if engine == "sqlite":
+            make = SQLiteTarget
+            scheme, schema = "sqlite", "main"
+        else:
+            make = DuckDBTarget
+            scheme, schema = "duckdb", "suite"
+        self.conn_url = f"{scheme}://{root}/conn.db"
+        self.pg_url = f"{scheme}://{root}/pg.db"
+        self.ctx = {"conn": self.conn_url, "schema": schema,
                     "table": "test1"}
         self.dbs = {
-            self.conn_url: DuckDBTarget(f"{root}/conn.db"),
-            self.pg_url: DuckDBTarget(f"{root}/pg.db"),
+            self.conn_url: make(f"{root}/conn.db"),
+            self.pg_url: make(f"{root}/pg.db"),
         }
         self.results: dict[str, object] = {}
 
@@ -77,6 +99,16 @@ def _run_db_case(spark, state: DbSuiteState, case: dict):
     from sling_cli_spark.sinks.db_load import discover_db, run_db
 
     c = compile_case(case, state.ctx)
+    if state.engine == "sqlite":
+        # divergence: sqlite has no user schemas (sqlite.yaml nulls
+        # schema templates) — the postgres-twin cases' `public.` folds
+        # away, exactly what SQLiteTarget._bare does for table ops
+        for key in ("source_stream", "target_object"):
+            c[key] = c[key].replace("public.", "")
+        for opt in ("source_options", "target_options"):
+            for k, v in list(c[opt].items()):
+                if isinstance(v, str):
+                    c[opt][k] = v.replace("public.", "")
     env = c["env"]
     if c["mode"] == "discover":
         db = state.db_for(c["target_conn"])
@@ -134,9 +166,10 @@ def _run_db_case(spark, state: DbSuiteState, case: dict):
     return result
 
 
-@pytest.fixture(scope="module")
-def db_suite(spark, tmp_path_factory):
-    state = DbSuiteState(str(tmp_path_factory.mktemp("suitedb")))
+@pytest.fixture(scope="module", params=["duckdb", "sqlite"])
+def db_suite(spark, tmp_path_factory, request):
+    state = DbSuiteState(str(tmp_path_factory.mktemp("suitedb")),
+                         engine=request.param)
     cases = {c["n"]: c for c in load_suite("suite.db.template.yaml")}
     state.cases = cases
     yield state
