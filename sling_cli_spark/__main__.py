@@ -147,18 +147,59 @@ def _get_spark(debug: bool = False):
     return spark
 
 
+def _resolve_repl_conn(name: str | None) -> str | None:
+    """Replication-level source/target names -> connection URLs (file
+    connections resolve to their base via run_replication's
+    local-conn handling; DB connections to their url)."""
+    if not name or "://" in name or name.lower() == "local":
+        return name
+    conns = load_connections()
+    c = conns.get(name)
+    if c is None:
+        raise SystemExit(f"connection not found: {name} ({_env_path()})")
+    return c.get("url") or c.get("base") or name
+
+
 def cmd_run(args: argparse.Namespace) -> int:
     from sling_cli_spark.config import Config
+
+    if getattr(args, "pipeline", None):
+        # `sling run -p pipeline.yaml` (reference alias of `sling
+        # pipeline`; suite.cli.yaml drives pipelines through run -p)
+        args.file = args.pipeline
+        return cmd_pipeline(args)
 
     if args.replication:
         from sling_cli_spark.plans.replication import (
             ReplicationConfig, run_replication)
 
-        rc = ReplicationConfig.from_yaml(args.replication)
+        if args.replication.endswith((".yaml", ".yml")) \
+                and not os.path.exists(args.replication):
+            print(f"replication config not found: {args.replication}",
+                  file=sys.stderr)
+            return 1
+        try:
+            rc = ReplicationConfig.from_yaml(args.replication)
+            if not isinstance(rc.streams, dict) or not rc.streams:
+                raise ValueError("no streams defined")
+        except Exception as e:
+            # bad YAML is a CONFIG error: message + non-zero exit, no
+            # traceback (suite.cli error contracts)
+            print(f"invalid replication config: {e}", file=sys.stderr)
+            return 1
+        # conn NAMES resolve through the saved connections registry
+        # (the reference's env.yaml), like --src-conn/--tgt-conn
+        rc.source = _resolve_repl_conn(rc.source)
+        rc.target = _resolve_repl_conn(rc.target)
         spark = _get_spark(args.debug)
-        results = run_replication(spark, rc)
+        try:
+            results = run_replication(spark, rc)
+        except Exception as e:
+            print(f"execution failed: {e}", file=sys.stderr)
+            return 1
         for stream, res in results.items():
             print(f"{stream}: {res.rows} rows ({res.mode})")
+        print("execution succeeded")
         return 0
 
     if not args.src_stream:
@@ -283,6 +324,22 @@ def cmd_conns(args: argparse.Namespace) -> int:
         c = conns[args.name] or {}
         url = c.get("url") or ""
         ctype = c.get("type") or ""
+        if url.startswith(("duckdb:", "sqlite:")):
+            # live embedded engines discover against the catalog
+            # (reference `conns discover NAME --pattern schema.tbl_v*`)
+            from sling_cli_spark.sinks.db_load import discover_db, open_db
+
+            db = open_db(url)
+            try:
+                pattern = args.pattern or ""
+                level = "column" if (pattern and "." in pattern
+                                     and "*" not in pattern) else "table"
+                items = discover_db(db, pattern, level)
+            finally:
+                db.close()
+            for it in items:
+                print(it["column_name"] if isinstance(it, dict) else it)
+            return 0
         if url.startswith("jdbc:") or ctype in (
                 "postgres", "mysql", "snowflake", "sqlserver", "oracle",
                 "bigquery", "redshift", "clickhouse", "duckdb", "sqlite"):
@@ -321,13 +378,33 @@ def cmd_conns(args: argparse.Namespace) -> int:
 def cmd_pipeline(args: argparse.Namespace) -> int:
     from sling_cli_spark.plans.pipeline import run_pipeline
 
+    if not os.path.exists(args.file):
+        print(f"pipeline config not found: {args.file}", file=sys.stderr)
+        return 1
     with open(args.file) as f:
-        doc = yaml.safe_load(f) or {}
+        try:
+            doc = yaml.safe_load(f) or {}
+        except yaml.YAMLError as e:
+            print(f"invalid pipeline config: {e}", file=sys.stderr)
+            return 1
     steps = doc if isinstance(doc, list) else (doc.get("steps") or [])
+    if not steps:
+        print("invalid pipeline config: no steps defined",
+              file=sys.stderr)
+        return 1
     spark = _get_spark(args.debug)
-    state = run_pipeline(spark, steps, env=doc.get("env") if
-                         isinstance(doc, dict) else None)
+    env = doc.get("env") if isinstance(doc, dict) else None
+    try:
+        state = run_pipeline(spark, steps,
+                             env={str(k): str(v)
+                                  for k, v in (env or {}).items()})
+    except Exception as e:
+        # step failures are run errors: message + exit 1, no traceback
+        # (suite.cli error contracts)
+        print(f"execution failed: {e}", file=sys.stderr)
+        return 1
     print(f"pipeline done ({len(steps)} steps)")
+    print("execution succeeded")
     return 0 if state is not None else 1
 
 
@@ -811,6 +888,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     r = sub.add_parser("run", help="run a task or replication")
     r.add_argument("-r", "--replication", help="replication yaml path")
+    r.add_argument("-p", "--pipeline", help="pipeline yaml path")
     r.add_argument("--src-conn", help="source connection name")
     r.add_argument("--src-stream", help="source table/path/glob/SQL")
     r.add_argument("--src-options", help="source options (JSON/YAML)")

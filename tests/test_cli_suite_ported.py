@@ -221,3 +221,136 @@ def test_cli_error_exit_bad_mode(home):
     with pytest.raises(SystemExit) as e:
         main(["run", "--src-stream", "x", "--mode", "bogus"])
     assert e.value.code == 2
+
+
+# ---------------------------------------------------------------------------
+# round-13 additions (VERDICT r12 ask #5): `run -r` multi-stream /
+# wildcard, `run -p`, live `conns discover --pattern`, and the
+# error-exit contracts of bad YAML (suite.cli.yaml:2569-2596 shapes)
+
+
+def _write(p, text):
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(text)
+    return str(p)
+
+
+def test_cli_run_r_multistream(home, pgtwin, spark, capsys, tmp_path):
+    # sling run -r replication.yaml with TWO streams into the DB twin
+    _write(tmp_path / "in" / "a.csv", "id,v\n1,x\n2,y\n")
+    _write(tmp_path / "in" / "b.csv", "id,v\n3,z\n")
+    repl = _write(tmp_path / "r.yaml", f"""
+source: local
+target: POSTGRES
+defaults:
+  mode: full-refresh
+streams:
+  {tmp_path}/in/a.csv:
+    object: public.tbl_a
+  {tmp_path}/in/b.csv:
+    object: public.tbl_b
+""")
+    assert main(["run", "-r", repl]) == 0
+    out = capsys.readouterr().out
+    assert "execution succeeded" in out
+    assert _count(home, "public.tbl_a") == 2
+    assert _count(home, "public.tbl_b") == 1
+
+
+def test_cli_run_r_wildcard_stream(home, pgtwin, spark, capsys, tmp_path):
+    # file wildcard fans out to N streams (replication.go:293-518)
+    for i in range(3):
+        _write(tmp_path / "w" / f"part{i}.csv", f"id\n{i}\n")
+    repl = _write(tmp_path / "rw.yaml", f"""
+source: local
+target: local
+defaults:
+  mode: full-refresh
+  object: {tmp_path}/out/{{stream_file_name}}.parquet
+streams:
+  {tmp_path}/w/part*.csv: {{}}
+""")
+    assert main(["run", "-r", repl]) == 0
+    out = capsys.readouterr().out
+    assert out.count("rows (full-refresh)") == 3
+    import glob
+
+    assert len(glob.glob(f"{tmp_path}/out/part*.parquet")) == 3
+
+
+def test_cli_run_p_pipeline(home, pgtwin, spark, capsys, tmp_path):
+    # sling run -p pipeline.yaml (the suite.cli drive shape)
+    pl = _write(tmp_path / "p.yaml", """
+steps:
+  - type: query
+    sql: SELECT 41 + 1 AS answer
+    id: probe
+  - type: check
+    expr: '{ jmespath(state.probe, "[0].answer") } = 42'
+""")
+    assert main(["run", "-p", pl]) == 0
+    assert "execution succeeded" in capsys.readouterr().out
+
+
+def test_cli_run_p_failing_check_exits_1(home, spark, capsys, tmp_path):
+    pl = _write(tmp_path / "pf.yaml",
+                "steps:\n  - type: check\n    expr: 1 = 2\n")
+    assert main(["run", "-p", pl]) == 1
+    assert "execution failed" in capsys.readouterr().err
+
+
+def test_cli_run_r_bad_yaml_exits_1(home, capsys, tmp_path):
+    bad = _write(tmp_path / "bad.yaml", "streams: [:::\n  - {broken\n")
+    assert main(["run", "-r", bad]) == 1
+    assert "invalid replication config" in capsys.readouterr().err
+
+
+def test_cli_run_r_no_streams_exits_1(home, capsys, tmp_path):
+    empty = _write(tmp_path / "empty.yaml", "source: local\ntarget: local\n")
+    assert main(["run", "-r", empty]) == 1
+    assert "invalid replication config" in capsys.readouterr().err
+
+
+def test_cli_run_r_missing_file_exits_1(home, capsys):
+    assert main(["run", "-r", "/nope/missing.yaml"]) == 1
+    assert "not found" in capsys.readouterr().err
+
+
+def test_cli_run_p_missing_file_exits_1(home, capsys):
+    assert main(["run", "-p", "/nope/missing.yaml"]) == 1
+    assert "not found" in capsys.readouterr().err
+
+
+def test_cli_conns_discover_db_pattern(home, pgtwin, spark, capsys):
+    # live table discovery with a glob pattern (reference
+    # `conns discover NAME --pattern schema.tbl_v*`)
+    import duckdb
+
+    con = duckdb.connect(f"{home}/pg.db")
+    con.execute("create schema if not exists disco")
+    con.execute("create table disco.tbl_v1 (id int)")
+    con.execute("create table disco.tbl_v2 (id int)")
+    con.execute("create table disco.other (id int)")
+    con.close()
+    assert main(["conns", "discover", "POSTGRES",
+                 "--pattern", "disco.tbl_v*"]) == 0
+    out = capsys.readouterr().out
+    assert "tbl_v1" in out and "tbl_v2" in out and "other" not in out
+
+
+def test_cli_conns_discover_columns(home, pgtwin, spark, capsys):
+    import duckdb
+
+    con = duckdb.connect(f"{home}/pg.db")
+    con.execute("create schema if not exists disco2")
+    con.execute("create table disco2.t (id int, name varchar)")
+    con.close()
+    assert main(["conns", "discover", "POSTGRES",
+                 "--pattern", "disco2.t"]) == 0
+    out = capsys.readouterr().out
+    assert "id" in out and "name" in out
+
+
+def test_cli_conns_discover_unknown_exits_1(home, capsys):
+    assert main(["conns", "discover", "NOPE"]) == 1
+    assert "connection not found" in capsys.readouterr().err
