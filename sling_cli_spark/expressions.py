@@ -534,6 +534,36 @@ _ALLOWED_NODES = (
 )
 
 
+def _loose_eq(a, b) -> bool:
+    """goval-style coerced equality: database records surface as typed
+    OR stringly values depending on the driver, and the corpus compares
+    both ways (`store.x[0].cnt == 0` vs `int_parse(store.x[0].cnt)`,
+    `exec_rendered == "true"` on a bool) — bool<->"true"/"false" and
+    number<->numeric-string coerce before comparing."""
+    if a == b:
+        return True
+    if isinstance(a, bool) or isinstance(b, bool):
+        def as_bool(v):
+            if isinstance(v, bool):
+                return v
+            if isinstance(v, str) and v.strip().lower() in (
+                    "true", "false"):
+                return v.strip().lower() == "true"
+            if isinstance(v, (int, float)) and v in (0, 1):
+                return bool(v)
+            return None
+        ab, bb = as_bool(a), as_bool(b)
+        if ab is not None and bb is not None:
+            return ab == bb
+        return False
+    if isinstance(a, (int, float)) != isinstance(b, (int, float)):
+        try:
+            return float(a) == float(b)
+        except (TypeError, ValueError):
+            return False
+    return False
+
+
 class _Interp(ast.NodeVisitor):
     """Whitelist interpreter over the translated AST: names resolve in
     the state map (missing -> None), attributes navigate dicts,
@@ -654,9 +684,9 @@ class _Interp(ast.NodeVisitor):
         for op, cmp_node in zip(node.ops, node.comparators):
             rhs = self.visit(cmp_node)
             if isinstance(op, ast.Eq):
-                ok = lhs == rhs
+                ok = _loose_eq(lhs, rhs)
             elif isinstance(op, ast.NotEq):
-                ok = lhs != rhs
+                ok = not _loose_eq(lhs, rhs)
             elif isinstance(op, ast.In):
                 ok = rhs is not None and lhs in rhs
             elif isinstance(op, ast.NotIn):
@@ -945,10 +975,15 @@ class Evaluator:
             except ExpressionError as e:
                 if self.keep_missing:
                     continue
-                if "could not parse expression" in str(e):
-                    # non-expression braces (a yaml/json-ish literal
-                    # like `{ type: local, url: file:///base }`, p.17)
-                    # stay verbatim — the reference's canRender gate
+                if "could not parse expression" in str(e) and not any(
+                        re.search(rf"\b{p}\.", expr)
+                        for p in self.prefixes):
+                    # non-expression braces WITHOUT namespace refs (a
+                    # yaml/json-ish literal like `{ type: local, url:
+                    # file:///base }`, p.17) stay verbatim; a broken
+                    # expression that DOES reference state/env still
+                    # errors (transforms_test.go invalid_expression
+                    # vector)
                     continue
                 raise
             if whole:

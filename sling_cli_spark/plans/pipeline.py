@@ -599,9 +599,10 @@ def _state_entry(kind: str, step: dict, out: Any) -> Any:
     logs {state.<id>.message}; dict results (command/inspect/list/group/
     routine/http) pass through; the legacy Spark-SQL query form keeps
     its raw value for existing templates."""
-    if kind == "query" and step.get("connection") is not None \
-            and not step.get("into"):
-        return {"result": out}
+    if kind == "query" and step.get("connection") is not None:
+        # reference step metadata: {state.<id>.status} renders even for
+        # into-steps (r.116 asserts it inside stream SQL)
+        return {"result": out, "status": "success"}
     if kind == "log":
         return {"message": out}
     return out

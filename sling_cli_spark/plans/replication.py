@@ -395,6 +395,26 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = "",
 
     run_hooks("start")
     results = {}
+    # stream SQL re-renders AFTER start hooks over the hook-engine
+    # namespaces — {execution.start_time} (shared across streams),
+    # {store.*} set by start hooks, {state.<id>.*} step metadata
+    # (reference cfg.RenderStreamSQL, sling_run.go; executable spec
+    # r.116.stream_sql_runtime_vars.yaml)
+    from datetime import datetime as _dt
+
+    from sling_cli_spark.expressions import Evaluator as _Ev
+
+    status_ns = rt.state_extra["execution"]
+    status_ns.setdefault("start_time", _dt.now().isoformat())
+    _sql_ev = _Ev(state={"env": {**rt.env, **rc.env},
+                         "store": rt.store, "state": rt.state_ns,
+                         **rt.state_extra}, keep_missing=True)
+    rc = ReplicationConfig(
+        source=rc.source, target=rc.target, defaults=rc.defaults,
+        streams={k: ({**v, "sql": _sql_ev.render_string(v["sql"])}
+                     if isinstance(v, dict) and v.get("sql") else v)
+                 for k, v in rc.streams.items()},
+        env=rc.env, hooks=rc.hooks, atomic=rc.atomic)
     # a conn NAME whose env value is a local-connection spec
     # (`{ type: local, url: file:///base }`) resolves to a BASE PATH:
     # relative stream/object paths anchor there (reference issue #712,

@@ -386,3 +386,23 @@ def test_r106_chunk_where_clause(spark, tmp_path):
     assert tgt.get_count("dbo.test1k_chunk_where_bug") == 100, \
         "where must bound the chunked read"
     tgt.close()
+
+
+# ---------------------------------------------------------------------------
+# r.116 stream-SQL runtime vars: {execution.start_time} (shared across
+# streams), {store.*} from start hooks, {state.<id>.status} — rendered
+# into the stream SQL after start hooks run.
+# Divergence: duckdb's `~` is a FULL regex match (postgres' is partial)
+# — the probe folds to regexp_matches.
+
+def test_r116_stream_sql_runtime_vars(spark, tmp_path):
+    import re
+
+    def adapt(text):
+        return re.sub(r"\(([\w.]+) ~ '([^']+)'\)",
+                      r"regexp_matches(\1, '\2')", text)
+
+    case = run_case(spark, "r.116.stream_sql_runtime_vars.yaml",
+                    tmp_path, text_adapt=adapt)
+    assert case.errors == 0
+    assert not case.rt.broke

@@ -54,6 +54,9 @@ AUDIT = ["star_join_agg", "where_filter", "merge_update_insert",
          # pass-through projection), native ORC scan
          "quality_classifier_docs", "normalize_text_docs",
          "orc_roundtrip",
+         # round 13: the replication-corpus twin — two staged DB
+         # exports scanned distributed, a unionByName, and the order
+         "replication_multistream",
          # round 12: the golden-suite scenario queries — both return
          # the final DB table through the staged COPY-TO-parquet
          # export, so the audited plan is the distributed scan over
