@@ -505,6 +505,66 @@ def open_db(conn: str):
     return open_duckdb(c)
 
 
+def _chunk_bounds(lo, hi, chunk_size=None, chunk_count=None):
+    """Range boundaries for a chunked DB read (reference
+    replication.go:688-933 ProcessChunks): ``chunk_size`` is a span —
+    numeric, or temporal with d/h/m/y units (``10d``, ``2m``);
+    ``chunk_count`` splits evenly. Returns [(lo, hi), ...] half-open
+    except the last (inclusive), covering [lo, hi]."""
+    import datetime as _dt
+
+    if lo is None or hi is None or lo == hi:
+        return [(lo, hi)]
+    temporal = isinstance(lo, (_dt.date, _dt.datetime))
+    if chunk_count:
+        n = max(1, int(chunk_count))
+        if temporal:
+            span = (hi - lo) / n
+            edges = [lo + span * i for i in range(n)] + [hi]
+        else:
+            span = (float(hi) - float(lo)) / n
+            edges = [float(lo) + span * i for i in range(n)] + [float(hi)]
+        return [(edges[i], edges[i + 1]) for i in range(n)]
+    s = str(chunk_size).strip().lower()
+    if temporal:
+        unit, num = s[-1], float(s[:-1] or 1)
+        if unit == "m":      # months
+            def add(dt, k):
+                mo = dt.month - 1 + int(num) * k
+                return dt.replace(year=dt.year + mo // 12,
+                                  month=mo % 12 + 1, day=1)
+            edges, k = [lo], 1
+            while edges[-1] < hi:
+                nxt = add(lo, k)
+                edges.append(min(nxt, hi) if nxt > lo else hi)
+                k += 1
+                if len(edges) > 10000:
+                    break
+            return [(edges[i], edges[i + 1])
+                    for i in range(len(edges) - 1)] or [(lo, hi)]
+        step = _dt.timedelta(**{
+            "d": {"days": num}, "h": {"hours": num},
+            "w": {"weeks": num}, "y": {"days": num * 365}}.get(
+                unit, {"days": num}))
+        edges = [lo]
+        while edges[-1] < hi:
+            edges.append(min(edges[-1] + step, hi))
+            if len(edges) > 10000:
+                break
+        return [(edges[i], edges[i + 1])
+                for i in range(len(edges) - 1)] or [(lo, hi)]
+    width = float(s)
+    if width <= 0:
+        return [(lo, hi)]
+    edges = [float(lo)]
+    while edges[-1] < float(hi):
+        edges.append(min(edges[-1] + width, float(hi)))
+        if len(edges) > 100000:
+            break
+    return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)] \
+        or [(lo, hi)]
+
+
 def read_db_source(spark: SparkSession, source, skip_filters=None,
                    db=None):
     """Database SOURCE scan (reference: task_run_read.go:141-261).
@@ -514,7 +574,14 @@ def read_db_source(spark: SparkSession, source, skip_filters=None,
     returns a distributed scan over the staged files. The export is
     the same shape as the reference's bulk unload (duckdb.yaml
     copy_to_local); at warehouse scale the chunked-JDBC reader
-    (sources/jdbc.read_jdbc) is the parallel twin."""
+    (sources/jdbc.read_jdbc) is the parallel twin.
+
+    With ``chunk_size``/``chunk_count`` + an ``update_key`` the export
+    SPLITS into ranged unloads over the rendered SELECT (so `where` and
+    the incremental/backfill conditions bound every chunk — the r.106
+    contract), one staged file per range: independent statements a
+    cluster can fan out, and the resulting scan starts with one split
+    per chunk (reference ProcessChunks, replication.go:688-933)."""
     db = db or open_db(source.conn or "")
     d = db.dialect
     sql, where_pushed, parsed = _render_db_source_sql(
@@ -527,6 +594,28 @@ def read_db_source(spark: SparkSession, source, skip_filters=None,
     _DBSRC_STAGES.append(stage)
     path = os.path.join(stage, "src.parquet")
     hint = {} if parsed["sql"] else {"table_hint": parsed["name"]}
+    uk = source.update_key
+    opts = getattr(source, "options", None)
+    if uk and opts is not None and (opts.chunk_size or opts.chunk_count):
+        from sling_cli_spark.dialects import sql_literal
+
+        row = db.fetch_one(
+            f"select min({d.quote(uk)}), max({d.quote(uk)}) "
+            f"from ({sql}) as _sling_b")
+        ranges = _chunk_bounds(row[0] if row else None,
+                               row[1] if row else None,
+                               opts.chunk_size, opts.chunk_count)
+        if len(ranges) > 1:
+            for i, (clo, chi) in enumerate(ranges):
+                last = i == len(ranges) - 1
+                cond = (f"{d.quote(uk)} >= {sql_literal(clo)} and "
+                        f"{d.quote(uk)} "
+                        f"{'<=' if last else '<'} {sql_literal(chi)}")
+                db.export_sql(
+                    f"select * from ({sql}) as _sling_c where {cond}",
+                    os.path.join(stage, f"chunk_{i:05d}.parquet"),
+                    **hint)
+            return spark.read.parquet(stage)
     try:
         db.export_sql(sql, path, **hint)
     except Exception:

@@ -406,3 +406,68 @@ def test_r116_stream_sql_runtime_vars(spark, tmp_path):
                     tmp_path, text_adapt=adapt)
     assert case.errors == 0
     assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.98 chunking + custom SQL + {stream_table} object var: the temp/
+# final table name must expand the runtime var, chunks must cover the
+# full table (chunk_count over the rendered SQL with
+# {incremental_where_cond}).
+# Divergence: the reference CI seeds public.test1k_clickhouse_pg.
+
+def test_r98_chunking_stream_table_var(spark, tmp_path):
+    from tests.replication_harness import ReplicationCase, load_case
+
+    doc = load_case("r.98.chunking_stream_table_var.yaml")
+    case = ReplicationCase(spark, doc, tmp_path)
+    src = case.conns["postgres"]
+    src.execute("create schema if not exists public")
+    src.execute("create schema if not exists sling")
+    src.execute("create table public.test1k_clickhouse_pg as "
+                "select range as id, 'n'||range as name "
+                "from range(1, 1001)")
+    try:
+        case.run()
+    finally:
+        case.close()
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.20-shape chunked reads (r.20.chunking.yaml parametrizes over live
+# warehouses + a MODE env matrix; the chunk semantics it pins — size in
+# rows/days/months, count, backfill ranges composing with chunks — are
+# pinned here directly against the embedded twin): every chunking form
+# must reproduce the table EXACTLY and respect where/range bounds.
+
+@pytest.mark.parametrize("src_extra,expect", [
+    ({"update_key": "id", "options": {"chunk_size": 200}}, 1000),
+    ({"update_key": "id", "where": "id <= 100",
+      "options": {"chunk_size": 50}}, 100),            # r.106 contract
+    ({"update_key": "update_dt", "options": {"chunk_size": "10d"}}, 1000),
+    ({"update_key": "update_dt", "options": {"chunk_size": "2m"}}, 1000),
+    ({"update_key": "id", "options": {"chunk_count": 3}}, 1000),
+    ({"update_key": "id", "options": {"chunk_size": 200,
+                                      "range": "1,800"}}, 800),
+])
+def test_r20_shape_chunked_reads(spark, tmp_path, src_extra, expect):
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.sinks.db_load import DuckDBTarget, run_db
+
+    db = DuckDBTarget(f"{tmp_path}/s.db")
+    db.execute("create schema if not exists public")
+    db.execute("create table public.t1k as select range as id, "
+               "timestamp '2018-11-01' + interval (range % 120) day "
+               "as update_dt, 'v'||range as v from range(1, 1001)")
+    mode = "backfill" if "range" in src_extra.get("options", {}) \
+        else "full-refresh"
+    cfg = Config.from_dict({
+        "source": {"conn": f"duckdb://{tmp_path}/s.db",
+                   "stream": "public.t1k", **src_extra},
+        "target": {"object": "main.tgt"},
+        "mode": mode})
+    r = run_db(spark, cfg, db)
+    assert r.rows == expect
+    assert db.get_count("main.tgt") == expect
+    db.close()
