@@ -782,7 +782,12 @@ class Evaluator:
         Non-string map keys stringify (Go round-trips payloads through
         json.Marshal, so ``123``/``true`` keys become ``"123"``/``"true"``)."""
         if isinstance(value, Mapping):
-            return {(k if isinstance(k, str) else _to_str(k)):
+            # string KEYS render too (replication stream keys like
+            # `file://{env.WORK}/src.json`, p.33); non-renderable spans
+            # ({part_*} masks, runtime vars) stay intact as always
+            return {(self.render_string(k, extras) if isinstance(k, str)
+                     and "{" in k else
+                     k if isinstance(k, str) else _to_str(k)):
                     self.render(v, extras) for k, v in value.items()}
         if isinstance(value, (list, tuple)):
             return [self.render(v, extras) for v in value]

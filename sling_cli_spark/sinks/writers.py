@@ -459,6 +459,26 @@ def _write_single(df, uri: str, fmt: str, mode: Mode, target,
         os.remove(luri)
     shutil.move(parts[0], luri)
     shutil.rmtree(ltmp, ignore_errors=True)
+    if fmt == "json":
+        # a .json FILE is a JSON ARRAY document in the reference
+        # (datastream.go NewJsonWriter wraps rows in [...]); Spark's
+        # json source emits JSONL — wrap the single file (streaming
+        # line rewrite; single-file writes are driver-bound by
+        # contract). .jsonl keeps lines. Pinned by p.33.
+        tmp2 = luri + ".__arr__"
+        with open(luri) as fin, open(tmp2, "w") as fout:
+            fout.write("[")
+            first = True
+            for line in fin:
+                line = line.strip()
+                if not line:
+                    continue
+                if not first:
+                    fout.write(",")
+                fout.write(line)
+                first = False
+            fout.write("]")
+        os.replace(tmp2, luri)
 
 
 def _write_bucketed(df, uri: str, fmt: str, mode: Mode, opts) -> None:

@@ -436,7 +436,7 @@ def read_files(
         if opts.flatten:
             depth = 0 if opts.flatten is True else int(opts.flatten)
             df = flatten(df, max_depth=depth)
-        return df
+        return _reorder_to_source_keys(df, path)
     if fmt == "avro":
         try:
             return spark.read.format("avro").load(path)
@@ -518,6 +518,67 @@ def read_files(
     if fmt in ("excel", "sas7bdat"):
         return _read_via_pandas(spark, path, fmt, opts)
     raise ValueError(f"unsupported source format: {fmt!r}")
+
+
+def _first_object_keys(path: str, nbytes: int = 65536) -> list[str]:
+    """Top-level keys of the FIRST JSON object in source order, from a
+    driver-side head peek (the reference's jsonStream peeks raw bytes
+    via RawMessage + FirstObjectKeysInOrder before unmarshaling —
+    Spark's schema inference sorts keys alphabetically, losing the
+    order `*` expansion must keep; pinned by p.33). Empty on remote or
+    unparseable inputs (callers keep Spark's order)."""
+    import glob as _glob
+    import json as _json
+
+    p = path.removeprefix("file:")
+    first = p if os.path.isfile(p) else next(
+        iter(sorted(f for f in _glob.glob(os.path.join(p, "*"))
+                    if os.path.isfile(f))
+             or sorted(_glob.glob(p))), None)
+    if not first or not os.path.isfile(first):
+        return []
+    try:
+        with open(first, "rb") as f:
+            raw = f.read(nbytes).decode("utf-8", "replace")
+    except OSError:
+        return []
+    start = raw.find("{")
+    if start < 0:
+        return []
+    keys: list[str] = []
+
+    def hook(pairs):
+        if not keys:
+            keys.extend(k for k, _ in pairs)
+        return dict(pairs)
+
+    dec = _json.JSONDecoder(object_pairs_hook=hook)
+    try:
+        dec.raw_decode(raw, start)
+    except ValueError:
+        pass  # truncated head still filled `keys` from the first hook
+    return keys
+
+
+def _reorder_to_source_keys(df: DataFrame, path: str) -> DataFrame:
+    """Project ``df``'s columns into the source's first-object key
+    order (flattened children follow their parent; unknown columns
+    keep Spark's order at the end). A pure projection — Catalyst
+    collapses it into the scan."""
+    keys = _first_object_keys(path)
+    if not keys:
+        return df
+    pos = {k.lower(): i for i, k in enumerate(keys)}
+
+    def rank(c: str):
+        base = c.split("__", 1)[0].lower()
+        return (pos.get(base, len(pos)),)
+
+    ordered = sorted(df.columns, key=lambda c: (rank(c),
+                                                df.columns.index(c)))
+    if ordered == list(df.columns):
+        return df
+    return df.select(*[f"`{c}`" for c in ordered])
 
 
 def _apply_record_path(df: DataFrame, path: str) -> DataFrame:

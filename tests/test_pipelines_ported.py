@@ -208,3 +208,19 @@ def test_p23_ternary_length_mixed_types(spark, tmp_path):
                              "p.23.ternary_length_mixed_types.yaml",
                              tmp_path, text_adapt=adapt)
     # the case's own checks assert truncation + untouched non-strings
+
+
+# ---------------------------------------------------------------------------
+# p.33 select grammar on a JSON file source: explicit lists narrow AND
+# order, glob exclusions with implicit `*` keep SOURCE key order
+# (recovered from the raw head bytes — FirstObjectKeysInOrder; Spark's
+# inference sorts keys), renames drop the old name, front pins + `*` +
+# back pins reorder. Raw-byte regex assertions, array-document .json
+# output.
+
+def test_p33_select_json_file_source(spark, tmp_path):
+    case = run_pipeline_case(spark, "p.33.select_json_file_source.yaml",
+                             tmp_path, env={"WORK": f"{tmp_path}/p33"})
+    body = case.rt.store["case2_body"]
+    assert body.startswith('[{"id":')
+    assert "internal_score" not in body
