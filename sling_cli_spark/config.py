@@ -162,6 +162,9 @@ class TargetOptions:
     # target_where} (reference DeleteMissingConfig, config.go:1837-1905;
     # scoped-deletion contract pinned by r.104.delete_missing_where.yaml)
     delete_missing: str | dict | None = None
+    # output charset for text formats (reference target_options.encoding,
+    # r.33.encoding_target_test.yaml); accepts the reference spellings
+    encoding: str | None = None
     eq_upsert: bool = False  # iceberg: equality-delete upsert, no scan
     column_typing: dict | None = None   # string/decimal/boolean/json policy
     json_columns: list[str] = field(default_factory=list)  # inline raw JSON

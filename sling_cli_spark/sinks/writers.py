@@ -294,6 +294,17 @@ def write_files(
             .option("quote", '"').option("escape", '"') \
             .option("ignoreLeadingWhiteSpace", "false") \
             .option("ignoreTrailingWhiteSpace", "false")
+        if getattr(opts, "encoding", None):
+            # output charset (target_options.encoding, r.33) — the
+            # reference's encoding spellings normalize to JVM names.
+            # Spark's CSV writer accepts a FIXED charset set; anything
+            # else (windows-1252 etc.) writes utf-8 here and transcodes
+            # in the single-file assembly (_write_single)
+            from sling_cli_spark.sources.files import normalize_encoding
+
+            enc = normalize_encoding(opts.encoding)
+            if enc.lower() in _SPARK_CSV_CHARSETS:
+                writer = writer.option("encoding", enc)
         if opts.datetime_format:
             # datetime_format is the reference's ISO-8601 token layout
             # (DD-MM-YYYY …); Spark's timestampFormat is a Java
@@ -424,6 +435,11 @@ def write_files(
     getattr(writer, _WRITERS[fmt])(uri)
 
 
+# the CSV writer's charset whitelist (Spark CSVOptions)
+_SPARK_CSV_CHARSETS = {"iso-8859-1", "us-ascii", "utf-16", "utf-16be",
+                       "utf-16le", "utf-32", "utf-8"}
+
+
 def _write_single(df, uri: str, fmt: str, mode: Mode, target,
                   update_key) -> None:
     """``single: true``: exactly ONE file at the exact target path
@@ -459,6 +475,20 @@ def _write_single(df, uri: str, fmt: str, mode: Mode, target,
         os.remove(luri)
     shutil.move(parts[0], luri)
     shutil.rmtree(ltmp, ignore_errors=True)
+    enc = getattr(target.options, "encoding", None)
+    if fmt == "csv" and enc:
+        from sling_cli_spark.sources.files import normalize_encoding
+
+        jvm_enc = normalize_encoding(enc)
+        if jvm_enc.lower() not in _SPARK_CSV_CHARSETS:
+            # charsets outside Spark's CSV whitelist (windows-1252,
+            # latin5/9 ... — r.33): the part wrote utf-8; transcode the
+            # assembled single file driver-side
+            with open(luri, encoding="utf-8") as fin:
+                text = fin.read()
+            with open(luri, "w", encoding=jvm_enc,
+                      errors="replace") as fout:
+                fout.write(text)
     if fmt == "json":
         # a .json FILE is a JSON ARRAY document in the reference
         # (datastream.go NewJsonWriter wraps rows in [...]); Spark's

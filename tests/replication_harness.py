@@ -149,6 +149,15 @@ class ReplicationCase:
                 return None
             key = name.lower()
             if key not in self.conn_urls:
+                if key == "sqlite":
+                    # a SQLITE conn runs on the REAL embedded sqlite
+                    # (r.71) — not the duckdb twin
+                    from sling_cli_spark.sinks.db_load import SQLiteTarget
+
+                    path = os.path.join(self.tmp, f"{key}_twin.db")
+                    self.conn_urls[key] = f"sqlite://{path}"
+                    self.conns[key] = SQLiteTarget(path)
+                    return self.conn_urls[key]
                 # `_twin` suffix: the duckdb CATALOG takes the file's
                 # basename, which must not collide with schema names
                 # the cases use (e.g. a `mysql` schema on conn `mysql`)

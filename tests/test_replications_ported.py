@@ -471,3 +471,52 @@ def test_r20_shape_chunked_reads(spark, tmp_path, src_extra, expect):
     assert r.rows == expect
     assert db.get_count("main.tgt") == expect
     db.close()
+
+
+# ---------------------------------------------------------------------------
+# r.71 nested JSON glob -> SQLITE target (the REAL embedded sqlite, not
+# the duckdb twin): flatten + snake column_casing + mixed-case key
+# merge across files.
+
+def test_r71_json_sqlite_nested(spark, tmp_path):
+    case = run_case(
+        spark, "r.71.json_sqlite_nested.yaml", tmp_path,
+        text_adapt=lambda t: t.replace(
+            "bash tests/replications/",
+            "bash /root/reference/tests/replications/"))
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.37 decimal precision/scale survive a truncate load (DECIMAL(10,2)
+# etc. keep their values through staging)
+
+def test_r37_decimal_to_string_cast(spark, tmp_path):
+    case = run_case(spark, "r.37.decimal_to_string_cast.yaml", tmp_path)
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.34 encoding round-trips: latin1 source read with encoding produces
+# clean text; the SAME bytes without the option garble (the case's own
+# grep contracts assert both)
+
+def test_r34_encoding_garbled(spark, tmp_path):
+    case = run_case(spark, "r.34.encoding_garbled_test.yaml", tmp_path,
+                    env={"TEST_DIR": f"{tmp_path}/enc"})
+    assert case.errors == 0
+    assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.33 target-side encoding: CSV outputs in latin1 / utf8 /
+# windows1252 (the last outside Spark's CSV charset whitelist —
+# transcoded in the single-file assembly)
+
+def test_r33_encoding_target(spark, tmp_path):
+    case = run_case(spark, "r.33.encoding_target_test.yaml", tmp_path,
+                    env={"TEST_DIR": f"{tmp_path}/enc33"})
+    assert case.errors == 0
+    assert not case.rt.broke
