@@ -520,3 +520,40 @@ def test_r33_encoding_target(spark, tmp_path):
                     env={"TEST_DIR": f"{tmp_path}/enc33"})
     assert case.errors == 0
     assert not case.rt.broke
+
+
+# ---------------------------------------------------------------------------
+# r.88 custom table_ddl with an inline PRIMARY KEY (+ a WITH clause
+# after the column list, GitHub #694): the PK must land inside the
+# column parens and survive the load.
+# Divergences: the sys.indexes PK probe folds to duckdb_constraints();
+# DATA_COMPRESSION is an mssql storage option the twin lacks — the
+# WITH clause (and its check) drop, the PK-placement contract stays.
+
+def test_r88_table_ddl_with_clause(spark, tmp_path):
+    import re
+
+    pk_probe = """
+        SELECT unnest(constraint_column_names) AS column_name
+        FROM duckdb_constraints()
+        WHERE table_name = '{T}' AND constraint_type = 'PRIMARY KEY'
+"""
+
+    def adapt(t):
+        t = re.sub(
+            r"SELECT\s+c\.name AS column_name\s+FROM sys\.indexes.*?"
+            r"ORDER BY ic\.key_ordinal",
+            lambda m: pk_probe.format(
+                T="test_ddl_pk_tgt_88_with"
+                if "tgt_88_with" in m.group(0) else "test_ddl_pk_tgt_88"),
+            t, flags=re.S)
+        t = t.replace(") WITH (DATA_COMPRESSION = PAGE)", ")")
+        start = t.index(
+            "    # Verify Stream 2: table has DATA_COMPRESSION enabled")
+        end = t.index("    # Cleanup")
+        return t[:start] + t[end:]
+
+    case = run_case(spark, "r.88.table_ddl_with_clause.yaml", tmp_path,
+                    text_adapt=adapt)
+    assert case.errors == 0
+    assert not case.rt.broke
