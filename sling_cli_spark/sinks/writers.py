@@ -616,9 +616,12 @@ def promote_swap(spark, uri: str, tmp_uri: str) -> None:
 
 
 def _detect_format(uri: str) -> str:
-    for ext in ("parquet", "csv", "json", "orc"):
+    # longest first so .jsonl never half-matches as .json
+    for ext, fmt in (("parquet", "parquet"), ("jsonl", "jsonl"),
+                     ("ndjson", "jsonl"), ("tsv", "csv"),
+                     ("csv", "csv"), ("json", "json"), ("orc", "orc")):
         if uri.endswith(f".{ext}") or uri.endswith(f".{ext}/"):
-            return ext
+            return fmt
     return "parquet"
 
 

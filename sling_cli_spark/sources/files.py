@@ -545,19 +545,22 @@ def _first_object_keys(path: str, nbytes: int = 65536) -> list[str]:
     start = raw.find("{")
     if start < 0:
         return []
-    keys: list[str] = []
+    # object_pairs_hook fires INNERMOST-first: the OUTERMOST (= last)
+    # call carries the record's top-level keys
+    calls: list[list[str]] = []
 
     def hook(pairs):
-        if not keys:
-            keys.extend(k for k, _ in pairs)
+        calls.append([k for k, _ in pairs])
         return dict(pairs)
 
     dec = _json.JSONDecoder(object_pairs_hook=hook)
     try:
         dec.raw_decode(raw, start)
     except ValueError:
-        pass  # truncated head still filled `keys` from the first hook
-    return keys
+        # truncated head: only nested objects decoded — their keys
+        # would be WRONG for the record; keep Spark's order instead
+        return []
+    return calls[-1] if calls else []
 
 
 def _reorder_to_source_keys(df: DataFrame, path: str) -> DataFrame:

@@ -192,3 +192,85 @@ def test_table_keys_failure_logged_not_swallowed(spark, tmp_path, caplog):
         "bad table_keys DDL must be logged"
     assert db.get_count("main.tk_tgt") == 5
     db.close()
+
+
+def test_json_source_key_order_recovered(spark, tmp_path):
+    """Spark's JSON inference sorts keys; `*` expansion must keep the
+    SOURCE order (head-peek = the reference's FirstObjectKeysInOrder)."""
+    from sling_cli_spark.config import SourceOptions
+    from sling_cli_spark.sources.files import read_files
+
+    p = tmp_path / "src.json"
+    p.write_text('[{"zeta": 1, "alpha": 2, "mid": {"b": 3, "a": 4}}]')
+    df = read_files(spark, str(p),
+                    SourceOptions(format="json", flatten=True))
+    assert df.columns[:2] == ["zeta", "alpha"]
+    assert df.columns[2].startswith("mid")
+
+
+def test_single_json_file_is_array_document(spark, tmp_path):
+    """A single .json FILE is a JSON ARRAY (the reference's json
+    writer); .jsonl stays line-delimited."""
+    import json
+
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]) \
+        .write.mode("overwrite").parquet(src)
+    for ext, is_array in (("json", True), ("jsonl", False)):
+        out = f"{tmp_path}/out.{ext}"
+        run(spark, Config.from_dict({
+            "source": {"stream": src},
+            "target": {"object": out, "options": {"single": True}},
+            "mode": "full-refresh"}))
+        body = open(out).read()
+        assert body.lstrip().startswith("[") == is_array
+        if is_array:
+            assert {r["id"] for r in json.loads(body)} == {1, 2}
+
+
+def test_csv_target_encoding_transcodes(spark, tmp_path):
+    """target_options.encoding outside Spark's CSV charset whitelist
+    (windows1252) transcodes in the single-file assembly."""
+    from sling_cli_spark.config import Config
+    from sling_cli_spark.runner import run
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(1, "José—Café")], ["id", "name"]) \
+        .write.mode("overwrite").parquet(src)
+    out = f"{tmp_path}/out.csv"
+    run(spark, Config.from_dict({
+        "source": {"stream": src},
+        "target": {"object": out,
+                   "options": {"single": True,
+                               "encoding": "windows1252"}},
+        "mode": "full-refresh"}))
+    raw = open(out, "rb").read()
+    assert "José—Café".encode("windows-1252") in raw
+
+
+def test_chunked_export_parallel_files(spark, tmp_path):
+    """chunk_size splits the DB unload into one staged file per range
+    (independently issuable statements; one scan split per chunk)."""
+    import glob
+
+    from sling_cli_spark.config import Source
+    from sling_cli_spark.sinks import db_load as dbl
+
+    db = dbl.DuckDBTarget(f"{tmp_path}/s.db")
+    db.execute("create table t as select range as id from range(1, 401)")
+    mark = dbl.dbsrc_stage_mark()
+    df = dbl.read_db_source(
+        spark, Source(conn=f"duckdb://{tmp_path}/s.db", stream="t",
+                      update_key="id",
+                      options=__import__(
+                          "sling_cli_spark.config",
+                          fromlist=["SourceOptions"]).SourceOptions(
+                              chunk_size=100)), db=db)
+    assert df.count() == 400
+    stage = dbl._DBSRC_STAGES[mark]
+    assert len(glob.glob(f"{stage}/chunk_*.parquet")) >= 4
+    dbl.release_db_source_stages(mark)
+    db.close()
