@@ -5000,30 +5000,37 @@ streams:
     # query outside the window is re-verified locally each round
     # (tools/check_correctness.py) and the judge re-ran all 182 green
     # in r12.
+    # Round-14 rotation (per VERDICT r13 ask #2): ALL 34 queries last
+    # driver-checked in r10 (the verdict's exact list), filled to 50
+    # with the 16 alphabetically-first of the 50 r11-checked (the
+    # remaining 34 r11 names lead r15's window). Every query outside
+    # the window is re-verified locally each round
+    # (tools/check_correctness.py) and the judge re-ran all 184 green
+    # in r13.
     window = [
-        # --- new in r13 (never driver-checked) ---
-        "replication_multistream", "staged_transforms_orders",
-        # --- last driver-checked r9 (the verdict's list of 32) ---
-        "iceberg_fast_append", "iceberg_manifests_meta",
-        "iceberg_ndv_stats", "iceberg_rest_catalog",
-        "iceberg_snapshots_meta", "iceberg_sort_order",
-        "iceberg_transform_merge", "iceberg_transform_partitioning",
-        "iceberg_v2_eq_delete", "iceberg_v2_pos_delete",
-        "iceberg_variant_nested", "incremental_watermark",
-        "jdbc_live_merge", "join_match", "limit_order",
-        "merge_change_capture", "merge_delete_insert",
-        "merge_history_insert", "merge_insert", "merge_sql_render",
-        "merge_update", "merge_update_insert", "row_num_events",
-        "select_project", "sessionize_events", "snapshot_stamp",
-        "stream_dedup_events", "test_pk_lineitem", "transforms_hash",
-        "union_drift", "where_filter", "window_agg_events",
-        # --- r10-checked fill (16, alphabetical; rest lead r14) ---
-        "ann_ivf_topk", "ann_lsh_topk", "ann_topk",
-        "atomic_replication_el", "bm25_rank_docs", "catalog_txn_commit",
-        "catalog_wap_el", "chunk_docs", "delta_change_feed",
-        "delta_deletion_vectors", "delta_dv_mapped", "delta_id_mapping",
-        "delta_incremental_rowtracking", "delta_replace_where",
-        "delta_type_widening", "delta_v2_checkpoint",
+        # --- last driver-checked r10 (the verdict's list of 34) ---
+        "delta_version_checksum", "embedding_near_dup",
+        "fingerprint_docs", "geo_convert", "iceberg_all_meta",
+        "iceberg_incremental_lineage", "iceberg_overwrite_where",
+        "iceberg_row_lineage", "iceberg_v2_merge_mor",
+        "iceberg_v3_defaults", "iceberg_v3_dv", "iceberg_v3_merge",
+        "iceberg_view_roundtrip", "iceberg_wap_el",
+        "iceberg_wap_publish", "jaccard_dedup_docs",
+        "jdbc_live_roundtrip", "line_dedup_docs", "minhash_dedup_docs",
+        "multimodal_bytes", "ngram_novelty_docs", "pii_redact_docs",
+        "repetition_docs", "rest_view_roundtrip", "rest_wap_el",
+        "semdedup_docs", "shard_docs", "simhash_dedup_docs",
+        "stratified_sample_docs", "surprisal_docs",
+        "tfidf_keywords_docs", "token_budget_docs",
+        "training_pipeline_docs", "vocab_topk_docs",
+        # --- r11-checked fill (16, alphabetical; rest lead r15) ---
+        "ann_pq_refine", "ann_pq_topk", "avro_roundtrip",
+        "bucketed_join_agg", "c4_filter_docs", "cdc_foreachbatch_merge",
+        "cdc_stream_iceberg_upsert", "column_typing_clamp",
+        "constraint_dsl_filter", "copy_load_duckdb",
+        "csv_inference_roundtrip", "decontaminate_docs",
+        "dedup_clusters_docs", "dedup_store_docs",
+        "delete_missing_delta", "delete_missing_iceberg",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     missing = [k for k in window if k not in d]

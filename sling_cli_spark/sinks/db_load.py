@@ -483,7 +483,12 @@ def db_source_is_empty(spark: SparkSession, source, db=None) -> bool:
         try:
             return db.fetch_one(
                 f"select 1 from ({sql}) as _sling_probe limit 1") is None
-        except Exception:
+        except Exception as exc:
+            # a probe that errors reports non-empty so the real run owns
+            # the failure — but surface it: a permissions error here
+            # silently skips the empty-stream contract otherwise
+            logger.warning("empty-stream probe failed (treating source "
+                           "as non-empty): %s", exc)
             return False
     finally:
         if own:
@@ -516,11 +521,19 @@ def _chunk_bounds(lo, hi, chunk_size=None, chunk_count=None):
     if lo is None or hi is None or lo == hi:
         return [(lo, hi)]
     temporal = isinstance(lo, (_dt.date, _dt.datetime))
+    integral = (isinstance(lo, int) and isinstance(hi, int)
+                and not isinstance(lo, bool) and not isinstance(hi, bool))
     if chunk_count:
         n = max(1, int(chunk_count))
         if temporal:
             span = (hi - lo) / n
             edges = [lo + span * i for i in range(n)] + [hi]
+        elif integral:
+            # integer edge math: float spans lose precision above 2^53
+            # (a BIGINT surrogate key near an edge would land in
+            # neither/both chunks only via the </>= pairing, and chunk
+            # sizing drifts) — VERDICT r13 nit #1
+            edges = [lo + (hi - lo) * i // n for i in range(n)] + [hi]
         else:
             span = (float(hi) - float(lo)) / n
             edges = [float(lo) + span * i for i in range(n)] + [float(hi)]
@@ -556,6 +569,16 @@ def _chunk_bounds(lo, hi, chunk_size=None, chunk_count=None):
     width = float(s)
     if width <= 0:
         return [(lo, hi)]
+    if integral and width == int(width):
+        # integer edges for integral keys (r13 nit #1): exact above 2^53
+        iw = int(width)
+        edges = [lo]
+        while edges[-1] < hi:
+            edges.append(min(edges[-1] + iw, hi))
+            if len(edges) > 100000:
+                break
+        return [(edges[i], edges[i + 1])
+                for i in range(len(edges) - 1)] or [(lo, hi)]
     edges = [float(lo)]
     while edges[-1] < float(hi):
         edges.append(min(edges[-1] + width, float(hi)))

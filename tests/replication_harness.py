@@ -67,8 +67,10 @@ _ADAPT_SQL = [
     (re.compile(r"\bNUMBER\((\d+),\s*(\d+)\)"), r"DECIMAL(\1,\2)"),
     (re.compile(r"\bVARCHAR2\b", re.I), "VARCHAR"),
     (re.compile(r"\bNCLOB\b", re.I), "TEXT"),
-    # MySQL backtick identifiers
-    (re.compile(r"`([^`]+)`"), r'"\1"'),
+    # MySQL backtick identifiers — rewritten by adapt_sql with string
+    # literals MASKED (r13 nit #3): a backtick inside a '...' literal
+    # must survive verbatim
+    ("BACKTICKS", None),
     # Postgres artifacts DuckDB lacks
     (re.compile(r"\bCASCADE\b", re.I), ""),
     # a bare COMMIT without an open txn errors on duckdb (oracle
@@ -90,9 +92,32 @@ _GENERAL_TYPE_SQL = (
     "     else lower(data_type) end as data_type")
 
 
+_BACKTICK_RE = re.compile(r"`([^`]+)`")
+_SQL_STR_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _rewrite_backticks(text: str) -> str:
+    """Backtick→double-quote identifier rewrite that leaves backticks
+    inside single-quoted SQL string literals untouched (masked rewrite,
+    same shape as iceberg_views._sub_code_spans)."""
+    literals: list[str] = []
+
+    def _mask(m):
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    masked = _SQL_STR_RE.sub(_mask, text)
+    masked = _BACKTICK_RE.sub(r'"\1"', masked)
+    return re.sub(r"\x00(\d+)\x00",
+                  lambda m: literals[int(m.group(1))], masked)
+
+
 def adapt_sql(text: str) -> str:
     for rx, repl in _ADAPT_SQL:
-        text = rx.sub(repl, text)
+        if rx == "BACKTICKS":
+            text = _rewrite_backticks(text)
+        else:
+            text = rx.sub(repl, text)
     return text
 
 
