@@ -256,9 +256,51 @@ def _date_diff_fn(a: Any, b: Any, unit: str = "s") -> float:
     return secs / {"s": 1, "m": 60, "h": 3600, "d": 86400}.get(unit, 1)
 
 
+class RequireError(ValueError):
+    """Raised by the ``require()`` spec function when a mandatory input
+    or secret is missing (api.go: spec `require(inputs.x, "msg")`)."""
+
+
+def _require_fn(v: Any, msg: str | None = None) -> Any:
+    if v is None or v == "":
+        raise RequireError(msg or "required value is missing")
+    return v
+
+
+def _object_rename_fn(obj: Any, old: str, new: str) -> Any:
+    """object_rename(record, "a", "b"): rename a key preserving the
+    record's key order (the reference's processor function used by
+    tests/specs/api_select_columns — the renamed key keeps its slot)."""
+    if not isinstance(obj, Mapping):
+        return obj
+    return {(new if k == old else k): v for k, v in obj.items()}
+
+
+def _date_add_fn(v: Any, n, unit: str = "day") -> str:
+    """date_add(value, n, unit) — calendar-aware for year/month (Go
+    AddDate semantics the stripe/github specs rely on:
+    ``date_add(now(), -1, "year")``), timedelta for day/hour/…"""
+    d = _parse_dt(v)
+    n = int(n)
+    if unit in ("year", "month"):
+        months = n * 12 if unit == "year" else n
+        mo = d.month - 1 + months
+        year, month = d.year + mo // 12, mo % 12 + 1
+        import calendar as _cal
+
+        day = min(d.day, _cal.monthrange(year, month)[1])
+        return d.replace(year=year, month=month, day=day).isoformat()
+    return (d + _dt.timedelta(**{
+        {"day": "days", "hour": "hours", "minute": "minutes",
+         "second": "seconds", "week": "weeks"}[unit]: n})).isoformat()
+
+
 def _date_parse_fn(v: Any, fmt: str | None = None) -> Any:
     """date_parse(value[, layout]) -> datetime (layout optional: the
-    shared _parse_dt sniffer covers the corpus's ISO shapes)."""
+    shared _parse_dt sniffer covers the corpus's ISO shapes). A null
+    input returns null (the specs wrap it in coalesce())."""
+    if v is None or v == "":
+        return None
     if fmt:
         import datetime as _dt
 
@@ -286,11 +328,7 @@ def default_functions() -> dict[str, Callable]:
         "today": lambda: _dt.datetime.now(_dt.timezone.utc)
                         .strftime("%Y-%m-%d"),
         "date_format": _date_format,
-        "date_add": lambda v, n, unit="day": (
-            _parse_dt(v) + _dt.timedelta(**{
-                {"day": "days", "hour": "hours", "minute": "minutes",
-                 "second": "seconds", "week": "weeks"}[unit]: n})
-        ).isoformat(),
+        "date_add": _date_add_fn,
         "int_range": lambda a, b, step=1: list(range(int(a), int(b) + (1 if step > 0 else -1), int(step))),
         "length": lambda v: len(v) if v is not None else 0,
         "log": _to_str,  # returns its rendering; callers print via logging
@@ -311,6 +349,13 @@ def default_functions() -> dict[str, Callable]:
             v if isinstance(v, bool)
             else str(v).strip().lower() in ("true", "1", "t", "yes")),
         "date_parse": _date_parse_fn,
+        "require": _require_fn,
+        "json_parse": lambda s: (
+            s if not isinstance(s, (str, bytes)) else json.loads(s)),
+        "object_rename": _object_rename_fn,
+        # object("k1", v1, "k2", v2) -> dict (github.yaml queue payloads)
+        "object": lambda *a: {str(a[i]): a[i + 1]
+                              for i in range(0, len(a) - 1, 2)},
         "uuid": lambda: str(_uuid.uuid4()),
         "is_null": lambda v: v is None,
         "is_empty": lambda v: v is None or v == "" or v == [] or v == {},

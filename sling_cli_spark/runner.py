@@ -176,7 +176,20 @@ def build_read_plan(
         df = read_source(spark, cfg.source, skip_filters=skip)
     df = _maybe_infer(df, cfg)
     if cfg.source.select:
-        df = apply_select(df, cfg.source.select)
+        sel = list(cfg.source.select)
+        if "@columns" in sel:
+            # `@columns` expands to the DECLARED `columns:` names in
+            # declaration order (replication.go expandSelectColumns;
+            # the api_select_columns case-9/10 contract) — falling back
+            # to df.columns inside apply_select only when no columns
+            # block exists
+            specs = _column_specs(cfg)
+            if specs:
+                from sling_cli_spark.operators.select import (
+                    expand_select_columns)
+
+                sel = expand_select_columns(sel, [s.name for s in specs])
+        df = apply_select(df, sel)
     if cfg.source.where:
         df = df.filter(F.expr(cfg.source.where))
     if not full_source:

@@ -31,20 +31,89 @@ from pyspark.sql import DataFrame, SparkSession
 Transport = Callable[[str, dict, dict], tuple[int, Any]]
 
 
-def _default_transport(url: str, params: dict, headers: dict):
-    qs = urllib.parse.urlencode(params or {})
+def _default_transport(url: str, params: dict, headers: dict,
+                       method: str = "GET", payload=None):
+    """urllib transport. Extended signature (method + JSON payload for
+    GraphQL/POST specs); returns ``(status, body, resp_headers, text)``
+    when called with the extended kwargs by ``api_spec._call_transport``
+    — plain 3-arg calls still get the legacy ``(status, body)`` pair."""
+    qs = urllib.parse.urlencode(
+        {k: v for k, v in (params or {}).items() if v is not None})
     full = f"{url}?{qs}" if qs else url
-    req = urllib.request.Request(full, headers=headers or {})
-    with urllib.request.urlopen(req) as resp:  # nosec - user-configured URL
-        return resp.status, _json.loads(resp.read().decode("utf-8"))
+    data = None
+    hdrs = dict(headers or {})
+    if payload is not None:
+        data = _json.dumps(payload).encode("utf-8")
+        hdrs.setdefault("Content-Type", "application/json")
+    req = urllib.request.Request(full, data=data, headers=hdrs,
+                                 method=(method or "GET").upper())
+    try:
+        resp = urllib.request.urlopen(req)  # nosec - user-configured URL
+        status = resp.status
+        raw = resp.read().decode("utf-8", errors="replace")
+        resp_headers = dict(resp.headers.items())
+        resp.close()
+    except urllib.error.HTTPError as e:  # non-2xx: surface, don't raise
+        status = e.code
+        raw = (e.read() or b"").decode("utf-8", errors="replace")
+        resp_headers = dict(e.headers.items()) if e.headers else {}
+    try:
+        body = _json.loads(raw) if raw else None
+    except ValueError:
+        body = None
+    return status, body, resp_headers, raw
+
+
+def normalize_response(res) -> tuple[int, Any, dict, str]:
+    """Fold any transport's return shape — ``(status, body)`` legacy
+    2-tuple (test mocks), 3-tuple with headers, or the default
+    transport's 4-tuple — onto ``(status, body, headers, text)``."""
+    if isinstance(res, tuple):
+        if len(res) == 2:
+            status, body = res
+            return status, body, {}, _json.dumps(body, default=str)
+        if len(res) == 3:
+            status, body, hdrs = res
+            return status, body, dict(hdrs or {}), \
+                _json.dumps(body, default=str)
+        status, body, hdrs, text = res
+        return status, body, dict(hdrs or {}), text or ""
+    raise TypeError(f"transport returned {type(res).__name__}, "
+                    "expected a tuple")
+
+
+def call_transport(transport, url: str, params: dict, headers: dict,
+                   method: str = "GET", payload=None):
+    """Invoke a transport with the extended signature when it accepts
+    one, else the legacy 3-arg form; returns the normalized 4-tuple."""
+    try:
+        res = transport(url, params, headers, method=method,
+                        payload=payload)
+    except TypeError as e:
+        if "argument" not in str(e) and "method" not in str(e):
+            raise
+        res = transport(url, params, headers)
+    return normalize_response(res)
 
 
 def _extract_path(obj: Any, path: str | None) -> Any:
     """Dotted-path extraction (``data.items``) with JMESPath flatten
     segments (``data[]``, ``[]``) — the subset the reference's own
-    specs and tests use (spec_test.go specs are full of ``data[]``)."""
+    specs and tests use (spec_test.go specs are full of ``data[]``).
+
+    Paths the simple parser can't express (multiselect hashes like
+    ``[{id: id, owner_login: owner.login}]``, ``@``, filters, slices —
+    the production specs in api/specs/*.yaml use all of these) route
+    through the full ``jmespath`` library."""
     if not path:
         return obj
+    if any(ch in path for ch in "{?@|&*["):
+        try:
+            import jmespath
+
+            return jmespath.search(path, obj)
+        except Exception:
+            pass  # fall back to the simple parser
     cur = obj
     for seg in path.split("."):
         flatten = seg.endswith("[]")
@@ -99,7 +168,7 @@ def iter_records(
         elif ptype == "cursor" and cursor is not None:
             p[pag.get("cursor_param", "cursor")] = cursor
         for attempt in range(retries + 1):
-            status, body = transport(url, p, headers)
+            status, body, _, _ = call_transport(transport, url, p, headers)
             if status < 500 or attempt == retries:
                 break  # success, client error, or retries exhausted
         if status >= 400:

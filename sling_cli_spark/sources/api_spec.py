@@ -43,6 +43,63 @@ from sling_cli_spark.expressions import Evaluator
 from sling_cli_spark.sources.api import Transport, _default_transport, _extract_path
 
 
+def _apply_jq(body: Any, program: str) -> Any:
+    """Tiny jq-subset interpreter for ``response.records.jq`` — the
+    shapes the reference's own specs use
+    (tests/specs/api_select_columns/spec.yaml:84):
+    ``.items[] | {id: .id, label: .full_name}`` — dotted navigation,
+    ``[]`` explode, and object construction from dotted paths. A jq
+    binary is environmental; this covers the corpus's programs."""
+    def nav(obj: Any, path: str) -> Any:
+        path = path.strip().lstrip(".")
+        return _extract_path(obj, path) if path else obj
+
+    cur: Any = body
+    exploded = False
+    for stage in _split_jq(program):
+        stage = stage.strip()
+        if stage.startswith("{") and stage.endswith("}"):
+            pairs = []
+            for part in stage[1:-1].split(","):
+                k, _, v = part.partition(":")
+                pairs.append((k.strip().strip('"'), v.strip()))
+
+            def build(item):
+                return {k: nav(item, v) for k, v in pairs}
+
+            cur = [build(x) for x in cur] if exploded and \
+                isinstance(cur, list) else build(cur)
+        else:
+            explode_it = stage.endswith("[]")
+            path = stage[:-2] if explode_it else stage
+            if exploded and isinstance(cur, list):
+                cur = [nav(x, path) for x in cur]
+            else:
+                cur = nav(cur, path)
+            if explode_it:
+                exploded = True
+                if not isinstance(cur, list):
+                    cur = [] if cur is None else [cur]
+    return cur
+
+
+def _split_jq(program: str) -> list[str]:
+    """Split a jq program on top-level ``|`` (pipes inside ``{}`` stay)."""
+    out, depth, buf = [], 0, []
+    for ch in program:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        if ch == "|" and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return out
+
+
 # ------------------------------------------------------------------ queue
 
 class Queue:
@@ -477,6 +534,10 @@ def make_authenticator(
     ev = evaluator or Evaluator()
     r = ev.render_string
     kind = (auth.get("type") or "").lower()
+    if not kind and auth.get("headers"):
+        # type-less `authentication: {headers: ...}` is static-header
+        # auth (github.yaml:15 — the production specs' common shape)
+        kind = "static"
     if kind == "bearer":
         a: Authenticator = BearerAuth(r(auth.get("token", "")))
     elif kind == "basic":
@@ -561,6 +622,8 @@ class APIConnection:
         env: dict[str, str] | None = None,
         secrets: dict[str, Any] | None = None,
         transport: Transport | None = None,
+        inputs: dict[str, Any] | None = None,
+        sync: dict[str, Any] | None = None,
     ):
         self.spec = spec
         self.transport = transport or _default_transport
@@ -571,18 +634,75 @@ class APIConnection:
             **(((spec.get("defaults") or {}).get("state")) or {}),
             **(spec.get("state") or {}),
         }
+        # `sync` = incremental keys persisted from the PREVIOUS run
+        # (api.go: endpoint `sync: [last_updated]` lists state keys to
+        # save; `{sync.x}` reads last run's value). sync_out collects
+        # this run's values for the caller to persist.
+        self.sync_in: dict[str, Any] = dict(sync or {})
+        self.sync_out: dict[str, Any] = {}
         self.evaluator = Evaluator(
             state={
                 "env": dict(env or {}),
                 "secrets": dict(secrets or {}),
+                "inputs": dict(inputs or {}),
                 "state": self.state,
-                "sync": {},
+                "sync": self.sync_in,
             },
             keep_missing=False,
         )
         self.auth = make_authenticator(
             spec.get("authentication"), self.evaluator, self.transport)
         self.queues: dict[str, Queue] = {}
+        self._last_response: dict[str, Any] = {
+            "json": None, "status": 0, "headers": {}, "text": ""}
+        self._proc_lock = threading.Lock()
+        self._proc_first_seen: set = set()
+        self._proc_agg_seen: set = set()
+        self._fetched: dict[str, list] = {}
+        # top-level `queues:` pre-declares named queues (github.yaml:5)
+        for qname in spec.get("queues") or []:
+            self.queues.setdefault(str(qname), Queue(str(qname)))
+        # defaults.state expressions may reference inputs/sync — render
+        # them now (api.go renders connection state at load; values
+        # with runtime-only spans like {response.*} stay literal)
+        for k, v in list(self.state.items()):
+            if isinstance(v, str) and "{" in v and "response" not in v:
+                try:
+                    self.state[k] = self.evaluator.render(v)
+                except Exception:
+                    pass  # runtime-rendered later per request
+
+    # -- defaults merging --------------------------------------------------
+
+    @staticmethod
+    def _deep_merge(base: dict, over: dict) -> dict:
+        out = dict(base or {})
+        for k, v in (over or {}).items():
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k] = APIConnection._deep_merge(out[k], v)
+            else:
+                out[k] = v
+        return out
+
+    def _merged(self, ep: dict[str, Any]) -> dict[str, Any]:
+        """Endpoint with connection ``defaults`` folded in (api.go
+        applies defaults.request/response/pagination/state under every
+        endpoint; an endpoint-level ``pagination:`` key — even ``{}`` —
+        REPLACES the default pagination, which is how github.yaml's
+        single-page endpoints opt out of the next_state default)."""
+        d = self.spec.get("defaults") or {}
+        out = dict(ep or {})
+        out["request"] = self._deep_merge(
+            d.get("request") or {}, ep.get("request") or {})
+        out["response"] = self._deep_merge(
+            d.get("response") or {}, ep.get("response") or {})
+        if "pagination" in ep:
+            out["pagination"] = ep.get("pagination") or {}
+        elif d.get("pagination"):
+            out["pagination"] = d["pagination"]
+        # endpoint state overlays defaults.state (already in self.state);
+        # keep the endpoint's own block as-is
+        return out
 
     # -- dependency ordering ----------------------------------------------
 
@@ -660,32 +780,101 @@ class APIConnection:
         return order
 
     def _run_processors(self, ep: dict[str, Any],
-                        records: list[dict]) -> None:
+                        records: list[dict],
+                        iter_state: dict[str, Any] | None = None,
+                        ) -> list[dict]:
         """response.processors: evaluate ``expression`` per record and
-        route to ``queue.X`` (append) or ``state.X`` (last value wins) —
-        the producer side of the reference's queue DAG."""
+        route to ``queue.X`` (append), ``state.X`` (with ``aggregation``
+        last/first/flatten/maximum/minimum — api.go processor
+        aggregations), ``record.X`` (set a field on every record), or
+        bare ``record`` (replace the record — the object_rename shape in
+        tests/specs/api_select_columns). Runs BEFORE select/order
+        (spec.go's fixed ordering: processors → select), so a
+        processor-produced key is selectable. Returns the (possibly
+        rewritten) records. ``iter_state`` overlays the run state so an
+        iteration-scoped value (``state.repo``) is visible — processors
+        run per iteration in the reference's streaming order."""
         procs = ((ep.get("response") or {}).get("processors")) or []
+        proc_state = {**self.state, **(iter_state or {})}
+        lock = self._proc_lock
         for proc in procs:
             expr = proc.get("expression")
             target = str(proc.get("output") or "").strip()
-            if not expr or not target:
+            if not expr:
+                continue
+            if target in ("record",):
+                out_recs = []
+                for rec in records:
+                    try:
+                        v = self.evaluator.evaluate(
+                            expr, extras={"record": rec,
+                                          "state": dict(proc_state)})
+                    except Exception:
+                        v = rec
+                    out_recs.append(v if isinstance(v, dict) else rec)
+                records = out_recs
+                continue
+            if target.startswith("record."):
+                field = target[len("record."):]
+                for rec in records:
+                    try:
+                        rec[field] = self.evaluator.evaluate(
+                            expr, extras={"record": rec,
+                                          "state": dict(proc_state)})
+                    except Exception:
+                        rec[field] = None
                 continue
             vals = []
             for rec in records:
                 try:
                     v = self.evaluator.evaluate(
                         expr, extras={"record": rec,
-                                      "state": dict(self.state)})
+                                      "state": dict(proc_state)})
                 except Exception:
                     v = None
                 if v is not None:
                     vals.append(v)
+            if not target:
+                continue  # log-only processor: evaluated for effect
             if target.startswith("queue."):
                 qname = target[len("queue."):]
-                q = self.queues.setdefault(qname, Queue(qname))
+                with lock:
+                    q = self.queues.setdefault(qname, Queue(qname))
                 q.extend(vals)
             elif target.startswith("state.") and vals:
-                self.state[target[len("state."):]] = vals[-1]
+                agg = str(proc.get("aggregation") or "last").lower()
+                key = target[len("state."):]
+                with lock:
+                    # fold into state ACROSS iteration batches (the
+                    # reference aggregates over the whole endpoint run)
+                    if agg == "first":
+                        if key not in self._proc_first_seen:
+                            self.state[key] = vals[0]
+                            self._proc_first_seen.add(key)
+                    elif agg in ("maximum", "max"):
+                        prev = [self.state[key]] \
+                            if key in self._proc_agg_seen else []
+                        self.state[key] = max(prev + vals)
+                        self._proc_agg_seen.add(key)
+                    elif agg in ("minimum", "min"):
+                        prev = [self.state[key]] \
+                            if key in self._proc_agg_seen else []
+                        self.state[key] = min(prev + vals)
+                        self._proc_agg_seen.add(key)
+                    elif agg == "flatten":
+                        flat: list = []
+                        for v in vals:
+                            flat.extend(v) if isinstance(v, list) \
+                                else flat.append(v)
+                        if key in self._proc_agg_seen and \
+                                isinstance(self.state.get(key), list):
+                            self.state[key] = self.state[key] + flat
+                        else:
+                            self.state[key] = flat
+                        self._proc_agg_seen.add(key)
+                    else:  # last
+                        self.state[key] = vals[-1]
+        return records
 
     # -- request execution ------------------------------------------------
 
@@ -696,16 +885,37 @@ class APIConnection:
         }
         return self.evaluator.render(val, extras)
 
-    def _request(self, url: str, params: dict, headers: dict) -> tuple[int, Any]:
+    def _request(self, url: str, params: dict, headers: dict,
+                 method: str = "GET", payload=None) -> tuple[int, Any]:
+        s, b, _, _ = self._request_full(url, params, headers,
+                                        method=method, payload=payload)
+        return s, b
+
+    def _request_full(
+        self, url: str, params: dict, headers: dict,
+        method: str = "GET", payload=None,
+    ) -> tuple[int, Any, dict, str]:
+        """(status, body, resp_headers, text) — resp_headers keys are
+        folded to lower_snake so rule conditions can say
+        ``response.headers.content_type`` (api.go's header namespace)."""
+        from sling_cli_spark.sources.api import call_transport
+
+        params = {k: v for k, v in (params or {}).items() if v is not None}
         hdrs = {**self.auth.headers, **(headers or {})}
         if isinstance(self.auth, HMACAuth):
             # per-request signing (auth.go state.Sign closure)
-            hdrs.update(self.auth.sign("GET", url, params))
-        status, body = self.transport(url, params, hdrs)
+            hdrs.update(self.auth.sign(method or "GET", url, params))
+        status, body, rh, text = call_transport(
+            self.transport, url, params, hdrs, method=method or "GET",
+            payload=payload)
         if status == 401 and self.auth.handle_unauthorized():
             hdrs = {**self.auth.headers, **(headers or {})}
-            status, body = self.transport(url, params, hdrs)
-        return status, body
+            status, body, rh, text = call_transport(
+                self.transport, url, params, hdrs, method=method or "GET",
+                payload=payload)
+        rh = {str(k).lower().replace("-", "_"): v
+              for k, v in (rh or {}).items()}
+        return status, body, rh, text
 
     _BACKOFFS = {
         "": lambda base, n: 0.0,
@@ -719,18 +929,24 @@ class APIConnection:
     def _request_with_rules(
         self, url: str, params: dict, headers: dict,
         rules: list[dict], retries: int, iter_state: dict,
+        method: str = "GET", payload=None,
     ) -> tuple[int, Any, str]:
         """One request under the response-rule machinery (reference
         spec.go Rule: actions retry / continue / stop / break / fail /
-        skip, condition expressions over the response namespace, backoff
-        constant / linear / exponential / jitter). Default rules —
-        retry on 5xx, fail on 4xx — run after the custom list, matching
-        the reference's hardcoded tail rules."""
+        skip, condition expressions over the response namespace —
+        ``response.{json,status,headers,text}`` + ``request.attempts``,
+        backoff constant / linear / exponential / jitter). Default
+        rules — retry on 5xx, fail on 4xx — run after the custom list,
+        matching the reference's hardcoded tail rules."""
         attempt = 0
         while True:
             attempt += 1
-            status, body = self._request(url, params, headers)
-            extras = {"response": {"json": body, "status": status},
+            status, body, rh, text = self._request_full(
+                url, params, headers, method=method, payload=payload)
+            self._last_response = {"json": body, "status": status,
+                                   "headers": rh, "text": text}
+            extras = {"response": dict(self._last_response),
+                      "request": {"attempts": attempt},
                       "state": {**self.state, **iter_state},
                       "auth": self.auth.state()}
             action = "continue"
@@ -764,28 +980,56 @@ class APIConnection:
     def _fetch_iteration(
         self, ep: dict[str, Any], iter_state: dict[str, Any],
     ) -> list[dict]:
-        """One request sequence (all pages) for one iteration state."""
-        req = {**(self.spec.get("defaults", {}).get("request") or {}),
-               **(ep.get("request") or {})}
+        """One request sequence (all pages) for one iteration state.
+
+        ``ep`` arrives defaults-merged (:meth:`_merged`). Pagination
+        types: none / offset / cursor / **next_state** (the production
+        specs' style — github.yaml:71, stripe.yaml:56: each page renders
+        the ``next_state`` expressions over the response and folds them
+        into the page state, with ``stop_condition`` gating; the
+        ``response.records`` namespace exposes the page's extracted
+        records to the stop expression)."""
+        req = ep.get("request") or {}
         resp_cfg = ep.get("response") or {}
-        records_path = ((resp_cfg.get("records") or {}).get("jmespath")
-                        or ep.get("records_path"))
+        rec_cfg = resp_cfg.get("records") or {}
+        records_path = rec_cfg.get("jmespath") or ep.get("records_path")
+        records_jq = rec_cfg.get("jq")
         pag = ep.get("pagination") or {}
-        ptype = pag.get("type", "none")
+        ptype = pag.get("type")
+        if ptype is None:
+            ptype = "next_state" if pag.get("next_state") else (
+                "cursor" if pag.get("cursor_path") else (
+                    "offset" if pag.get("offset_param") else (
+                        "none" if not pag.get("stop_condition")
+                        else "next_state")))
         page_size = int(pag.get("page_size", 100))
         max_pages = int(pag.get("max_pages", 10_000))
         retries = int(ep.get("retries", 2))
+        method = str(req.get("method") or "GET").upper()
 
         out: list[dict] = []
         offset, cursor = 0, None
+        # page_state persists across pages of THIS iteration: endpoint
+        # state underlays, next_state writes overlay
+        page_state: dict[str, Any] = {}
+        for k, v in (ep.get("state") or {}).items():
+            if isinstance(v, str) and "{" in v:
+                try:
+                    v = self.evaluator.render(
+                        v, {"state": dict(self.state)})
+                except Exception:
+                    pass
+            page_state[k] = v
         for _page in range(max_pages):
-            # endpoint-level state underlays the iteration state —
-            # dynamic endpoints carry their iteration value there
-            st = {**(ep.get("state") or {}), **iter_state}
-            st["offset"], st["cursor"] = offset, cursor
+            st = {**page_state, **iter_state}
+            st.setdefault("offset", offset)
+            st.setdefault("cursor", cursor)
             url = self._render(req.get("url", ""), st)
             params = self._render(dict(req.get("parameters") or {}), st)
             headers = self._render(dict(req.get("headers") or {}), st)
+            payload = None
+            if req.get("payload") is not None:
+                payload = self._render_payload(req["payload"], st)
             if ptype == "offset":
                 params[pag.get("limit_param", "limit")] = page_size
                 params[pag.get("offset_param", "offset")] = offset
@@ -794,12 +1038,15 @@ class APIConnection:
             status, body, action = self._request_with_rules(
                 url, params, headers,
                 rules=(resp_cfg.get("rules") or []), retries=retries,
-                iter_state=st)
+                iter_state=st, method=method, payload=payload)
             if action == "fail":
                 raise RuntimeError(f"API error {status} from {url}")
             if action in ("stop", "break"):
                 break
-            records = _extract_path(body, records_path)
+            if records_jq:
+                records = _apply_jq(body, records_jq)
+            else:
+                records = _extract_path(body, records_path)
             records = [] if records is None else (
                 [records] if isinstance(records, dict) else list(records))
             if action != "skip":  # skip: drop records, keep paginating
@@ -807,7 +1054,8 @@ class APIConnection:
             # stop_condition renders with the response namespace
             stop = pag.get("stop_condition")
             if stop:
-                extras = {"response": {"json": body, "status": status},
+                extras = {"response": {**self._last_response,
+                                       "records": records},
                           "state": {**self.state, **st},
                           "auth": self.auth.state()}
                 # reference stop_condition is a bare expression; braces
@@ -816,7 +1064,24 @@ class APIConnection:
                        else self.evaluator.evaluate(stop, extras))
                 if val is True or val == "true":
                     break
-            if ptype == "none" or not records:
+            if ptype == "none":
+                break
+            if ptype == "next_state":
+                nxt = pag.get("next_state") or {}
+                if not nxt or (not records and not stop):
+                    break
+                extras = {"response": {**self._last_response,
+                                       "records": records},
+                          "state": {**self.state, **st},
+                          "auth": self.auth.state()}
+                for k, expr in nxt.items():
+                    page_state[k] = (
+                        self.evaluator.render(expr, extras)
+                        if isinstance(expr, str) and "{" in expr
+                        else (self.evaluator.evaluate(expr, extras)
+                              if isinstance(expr, str) else expr))
+                continue
+            if not records:
                 break
             if ptype == "offset":
                 if len(records) < page_size:
@@ -826,7 +1091,29 @@ class APIConnection:
                 cursor = _extract_path(body, pag.get("cursor_path", "next_cursor"))
                 if not cursor:
                     break
-        return out
+        # processors run with THIS iteration's state in scope (the
+        # reference streams them per batch; record.repository-style
+        # outputs need state.repo from the iteration)
+        return self._run_processors(
+            ep, out, iter_state={**page_state, **iter_state})
+
+    def _render_payload(self, payload: Any, st: dict[str, Any]) -> Any:
+        """Render a request payload (GraphQL ``{query, variables}``):
+        strings render; ``variables`` values keep their native types
+        (ints stay ints, a null cursor stays null)."""
+        if isinstance(payload, dict):
+            return {k: self._render_payload(v, st)
+                    for k, v in payload.items()}
+        if isinstance(payload, list):
+            return [self._render_payload(v, st) for v in payload]
+        if isinstance(payload, str) and "{" in payload \
+                and "\n" not in payload:
+            # single-line strings render ({state.limit} → 250, typed);
+            # multi-line strings are GraphQL query bodies whose braces
+            # are literal — they pass through untouched (the specs never
+            # interpolate state into the query text, only `variables`)
+            return self._render(payload, st)
+        return payload
 
     def _postprocess_records(
         self, ep: dict[str, Any], records: list[dict],
@@ -867,6 +1154,54 @@ class APIConnection:
         if limit:
             records = records[: int(limit)]
         return records
+
+    def run_setup(self) -> None:
+        """Connection-level ``defaults.setup`` sequence (github.yaml:84:
+        a rate-limit probe whose processors seed state and whose rules
+        can abort the whole run). Each step: one request, jmespath
+        record extraction, processors (state outputs honor
+        ``aggregation``), then rules — a matched ``stop``/``fail``
+        raises with the rule's message. Runs once per connection."""
+        steps = ((self.spec.get("defaults") or {}).get("setup")) or []
+        if not steps or self.spec.get("__setup_ran__"):
+            return
+        for step in steps:
+            req = step.get("request") or {}
+            st = dict(self.state)
+            url = self._render(req.get("url", ""), st)
+            params = self._render(dict(req.get("parameters") or {}), st)
+            headers = self._render(dict(req.get("headers") or {}), st)
+            status, body, rh, text = self._request_full(
+                url, params, headers,
+                method=str(req.get("method") or "GET").upper())
+            if status >= 400:
+                raise RuntimeError(
+                    f"setup request failed ({status}): {url}")
+            resp_cfg = step.get("response") or {}
+            path = (resp_cfg.get("records") or {}).get("jmespath")
+            records = _extract_path(body, path)
+            records = [] if records is None else (
+                [records] if isinstance(records, dict)
+                else list(records))
+            self._run_processors(step, records)
+            extras = {"response": {"json": body, "status": status,
+                                   "headers": rh, "text": text,
+                                   "records": records},
+                      "state": dict(self.state),
+                      "auth": self.auth.state()}
+            for rule in resp_cfg.get("rules") or []:
+                cond = rule.get("condition") or "true"
+                val = (self.evaluator.render(cond, extras)
+                       if "{" in cond
+                       else self.evaluator.evaluate(cond, extras))
+                if val is True or val == "true":
+                    action = (rule.get("action") or "continue").lower()
+                    if action in ("stop", "fail", "break"):
+                        raise RuntimeError(
+                            rule.get("message")
+                            or f"setup rule matched: {action}")
+                    break
+        self.spec["__setup_ran__"] = True
 
     def render_dynamic_endpoints(self) -> list[str]:
         """Materialize ``dynamic_endpoints`` into concrete endpoints
@@ -985,8 +1320,15 @@ class APIConnection:
         """All records for one endpoint: resolve the iteration source,
         fan out sequences over a bounded pool, feed this endpoint's
         queue as records arrive."""
-        ep = (self.spec.get("endpoints") or {})[name]
+        if name in getattr(self, "_fetched", {}):
+            # one fetch per endpoint per connection lifetime: two
+            # consumer streams sharing a producer must not re-run it
+            # (the producer's queue broadcasts to every consumer)
+            return self._fetched[name]
+        ep = self._merged((self.spec.get("endpoints") or {})[name])
         q = self.queues.setdefault(name, Queue(name))
+        self._proc_first_seen.clear()
+        self._proc_agg_seen.clear()
         it = ep.get("iterate") or {}
         into = it.get("into", "value")
         if into.startswith("state."):  # reference: into: "state.cid"
@@ -1011,7 +1353,19 @@ class APIConnection:
             src = src_q.consume(deferred=deferred)
             iter_states = [{into: v} for v in src]
         else:
-            vals = self.evaluator.render(over, {"state": dict(self.state)})
+            # braces render; a bare string is an EXPRESSION
+            # (github.yaml: over: 'require(inputs.repositories, "...")')
+            if isinstance(over, str) and "{" not in over:
+                vals = self.evaluator.evaluate(
+                    over, extras={"state": dict(self.state)})
+            else:
+                vals = self.evaluator.render(
+                    over, {"state": dict(self.state)})
+            if isinstance(vals, str):
+                # a comma-separated inputs value iterates per item
+                # (api.go splits string repository lists)
+                vals = [s for s in
+                        (x.strip() for x in vals.split(",")) if s]
             if not isinstance(vals, (list, tuple)):
                 raise ValueError(
                     f"iterate.over must yield a list, got {type(vals).__name__}")
@@ -1024,11 +1378,25 @@ class APIConnection:
             with ThreadPoolExecutor(max_workers=conc) as pool:
                 batches = list(pool.map(
                     lambda st: self._fetch_iteration(ep, st), iter_states))
+        # spec.go's fixed ordering: processors (already run per
+        # iteration inside _fetch_iteration) FIRST, then select /
+        # pk-dedup / casing / limit — so a processor-produced key is
+        # selectable and a renamed key survives (api_select_columns
+        # probes A/B)
         records = self._postprocess_records(
             ep, list(itertools.chain.from_iterable(batches)))
-        self._run_processors(ep, records)  # producer side of named queues
+        # endpoint `sync:` keys — capture this run's values for the
+        # caller to persist (api.go incremental sync state)
+        for key in ep.get("sync") or []:
+            if key in self.state:
+                self.sync_out[key] = self.state[key]
+        if ep.get("queue_only"):
+            # queue_only producer (tests/specs/queue_only_omdb): runs
+            # for its queue writes, emits NO records downstream
+            records = []
         q.extend(records)
         q.mark_done()
+        self._fetched[name] = records
         return records
 
     def run(
@@ -1038,6 +1406,7 @@ class APIConnection:
         """Execute endpoints in dependency order. With ``spark``,
         each endpoint's records land as a DataFrame (flattened like the
         JSON file path); without, raw record lists are returned."""
+        self.run_setup()
         self.render_dynamic_endpoints()
         eps = self.spec.get("endpoints") or {}
         names = endpoints or [
@@ -1067,3 +1436,144 @@ class APIConnection:
                 df = flatten(df)
             out[name] = df
         return out
+
+
+# ---------------------------------------------------------------------------
+# replication bridge: API connections as EL sources
+#
+# The reference registers API connections (type: api, spec: path.yaml,
+# secrets/inputs) in env.yaml and uses them as replication sources whose
+# streams are endpoint names (api.go + sling_run.go). This engine's twin:
+# `register_api_conn` returns an `api://<name>` URL for the connection
+# registry / replication `source:`; `sources.files.read_source` routes
+# `api://` conns here. An unregistered `api://<path>.yaml` loads the spec
+# file directly (no secrets/inputs).
+
+_API_CONNS: dict[str, dict] = {}
+
+
+def register_api_conn(
+    name: str,
+    spec=None,
+    spec_path: str | None = None,
+    env: dict | None = None,
+    secrets: dict | None = None,
+    inputs: dict | None = None,
+    state: dict | None = None,
+    sync: dict | None = None,
+    transport=None,
+) -> str:
+    """Register an API connection under ``api://<name>``; returns the
+    URL. ``state`` overlays the spec's top-level state (e.g. pointing
+    ``base_url`` at a test server — the spec's own override channel)."""
+    import yaml as _yaml
+
+    if spec is None:
+        if not spec_path:
+            raise ValueError("register_api_conn: spec or spec_path required")
+        with open(spec_path) as f:
+            spec = _yaml.safe_load(f)
+    _API_CONNS[name.lower()] = {
+        "spec": spec, "env": env or {}, "secrets": secrets or {},
+        "inputs": inputs or {}, "state": state or {}, "sync": sync or {},
+        "transport": transport, "conn": None,
+    }
+    return f"api://{name}"
+
+
+def clear_api_conns() -> None:
+    _API_CONNS.clear()
+
+
+def open_api_conn(conn_url: str) -> "APIConnection":
+    """Resolve ``api://<name-or-spec-path>`` to a (cached, stateful)
+    APIConnection. The cache keeps producer queues and fetched-endpoint
+    results shared across the streams of one replication run."""
+    import copy as _copy
+
+    import yaml as _yaml
+
+    key = conn_url.removeprefix("api://")
+    reg = _API_CONNS.get(key.lower())
+    if reg is None:
+        if not (key.endswith((".yaml", ".yml")) and os.path.exists(key)):
+            raise KeyError(
+                f"unknown API connection {conn_url!r} (register_api_conn, "
+                "or point api:// at a spec YAML path)")
+        with open(key) as f:
+            spec = _yaml.safe_load(f)
+        reg = {"spec": spec, "env": {}, "secrets": {}, "inputs": {},
+               "state": {}, "sync": {}, "transport": None, "conn": None}
+        _API_CONNS[key.lower()] = reg
+    if reg["conn"] is None:
+        spec = _copy.deepcopy(reg["spec"])
+        if reg["state"]:
+            spec["state"] = {**(spec.get("state") or {}), **reg["state"]}
+        reg["conn"] = APIConnection(
+            spec, env=reg["env"], secrets=reg["secrets"],
+            transport=reg["transport"], inputs=reg["inputs"],
+            sync=reg["sync"])
+    return reg["conn"]
+
+
+def reset_api_conn(name: str) -> None:
+    """Drop the cached live connection (fresh queues on next open) —
+    called between replication RUNS sharing one registration."""
+    reg = _API_CONNS.get(name.lower().removeprefix("api://"))
+    if reg is not None:
+        reg["conn"] = None
+
+
+def records_to_df(spark, records: list[dict], flatten_level=None):
+    """Record dicts -> DataFrame with ALPHABETICAL column order (the
+    reference's documented `*`/unselected ordering for API streams —
+    tests/specs/api_select_columns pipeline.yaml case 4: pins go where
+    listed, the remainder is alphabetized). Spark's JSON inference is
+    already alphabetical; the explicit sort pins the contract."""
+    import json as _json
+
+    df = spark.read.json(
+        spark.sparkContext.parallelize(
+            [_json.dumps(r, default=str) for r in records], 1))
+    if flatten_level:
+        from sling_cli_spark.operators.flatten import flatten
+
+        df = flatten(df, 0 if flatten_level is True else int(flatten_level))
+    return df.select(*sorted(df.columns))
+
+
+def read_api_source(spark, source):
+    """EL read of one endpoint from an ``api://`` connection (the
+    reference's API-source task path, task_run_read.go -> api.go
+    ReadDataflow): run the endpoint (producers pulled transitively via
+    the topo order), land records as a DataFrame. Endpoint-level
+    ``overrides.select`` applies when the stream sets no select of its
+    own (the api_select_columns case-3 contract)."""
+    conn = open_api_conn(source.conn or "")
+    stream = source.stream or ""
+    eps = conn.spec.get("endpoints") or {}
+    if stream not in eps:
+        conn.render_dynamic_endpoints()
+        eps = conn.spec.get("endpoints") or {}
+    if stream not in eps:
+        raise KeyError(f"API endpoint {stream!r} not in spec "
+                       f"(has: {sorted(eps)})")
+    conn.run(endpoints=[stream])
+    records = conn._fetched.get(stream) or []
+    opts = getattr(source, "options", None)
+    flatten_level = getattr(opts, "flatten", None) if opts else None
+    if not records:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField("_empty", T.StringType())])
+        ).drop("_empty")
+    df = records_to_df(spark, records, flatten_level=flatten_level)
+    if not source.select:
+        ov_sel = ((eps.get(stream) or {}).get("overrides") or {}) \
+            .get("select")
+        if ov_sel:
+            from sling_cli_spark.operators.select import apply_select
+
+            df = apply_select(df, list(ov_sel))
+    return df

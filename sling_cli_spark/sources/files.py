@@ -722,6 +722,12 @@ def read_source(
     stats-based FILE pruning; other formats ignore them (parquet gets
     row-group skipping from the pushed row filter instead)."""
     stream = source.stream or ""
+    if (source.conn or "").startswith("api://"):
+        # spec-driven API connection: stream = endpoint name (reference
+        # task_run_read.go API-source path; sources/api_spec bridge)
+        from sling_cli_spark.sources.api_spec import read_api_source
+
+        return read_api_source(spark, source)
     if (source.conn or "").startswith(("duckdb:", "sqlite:")):
         # database SOURCE: SELECT rendered with incremental/backfill
         # pushdown, exported via the dialect's file-direct COPY TO
