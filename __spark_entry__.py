@@ -418,6 +418,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         write_delta(n, t)
         return read_delta(spark, t)
 
+    def api_spec_el(spark, sf):
+        """LIVE API-source EL under the oracle (r14): a local HTTP
+        server pages the orders table as JSON ({data, has_more} with an
+        offset param); a spec-driven API connection (sources/api_spec —
+        the reference's api.go surface) walks it with NEXT_STATE
+        pagination + stop_condition, and the records land through the
+        api:// replication bridge (files.read_source ->
+        read_api_source) exactly like a `source: MY_API` stream.
+        Hash-matched against DuckDB on the same parquet. The fetch is
+        driver-side by nature (HTTP); distribution starts at the
+        DataFrame, matching the reference's API task path."""
+        import json as _json
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import parse_qs, urlparse
+
+        import duckdb as _dk
+
+        from sling_cli_spark.config import Source, SourceOptions
+        from sling_cli_spark.sources.api_spec import (
+            clear_api_conns, read_api_source, register_api_conn)
+
+        rows = _dk.sql(
+            "select o_orderkey, o_orderstatus, o_totalprice, "
+            "cast(o_orderdate as date) as o_orderdate "
+            f"from read_parquet('{sf}/orders.parquet') "
+            "where o_orderkey <= 2000 order by o_orderkey").fetchall()
+        payload = [
+            {"o_orderkey": r[0], "o_orderstatus": r[1],
+             "o_totalprice": r[2], "o_orderdate": r[3].isoformat()}
+            for r in rows]
+        page = 100
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # noqa: N802
+                pass
+
+            def do_GET(self):  # noqa: N802
+                qs = {k: v[0] for k, v in parse_qs(
+                    urlparse(self.path).query).items()}
+                off = int(qs.get("offset") or 0)
+                body = _json.dumps({
+                    "data": payload[off:off + page],
+                    "has_more": off + page < len(payload)}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        spec = {
+            "name": "orders_api",
+            "defaults": {"state": {"base_url": base, "off": 0}},
+            "endpoints": {"orders": {
+                "request": {"url": "{state.base_url}/orders",
+                            "parameters": {"offset": "{state.off}"}},
+                "pagination": {
+                    "next_state": {"off": "{state.off + 100}"},
+                    "stop_condition":
+                        "response.json.has_more == false"},
+                "response": {"records": {"jmespath": "data[]",
+                                         "primary_key": ["o_orderkey"]}},
+            }},
+        }
+        try:
+            clear_api_conns()
+            register_api_conn("ORDERS_API_EL", spec=spec)
+            df = read_api_source(spark, Source(
+                conn="api://ORDERS_API_EL", stream="orders",
+                options=SourceOptions()))
+            # records_to_df materializes driver-side before return, so
+            # the server can come down here
+            return df.select(
+                F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                "o_orderstatus",
+                F.col("o_totalprice").cast("double")
+                .alias("o_totalprice"),
+                F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
     def jdbc_live_roundtrip(spark, sf):
         """LIVE JDBC under the oracle: write nation into an embedded
         Apache Derby database (batched executor inserts, sources/jdbc.py
@@ -4935,6 +5020,7 @@ streams:
         "delta_type_widening": delta_type_widening,
         "delta_change_feed": delta_change_feed,
         "delta_cdf_mapped": delta_cdf_mapped,
+        "api_spec_el": api_spec_el,
         "jdbc_live_roundtrip": jdbc_live_roundtrip,
         "jdbc_live_merge": jdbc_live_merge,
         "suite_db_lifecycle": suite_db_lifecycle,
@@ -5008,6 +5094,8 @@ streams:
     # (tools/check_correctness.py) and the judge re-ran all 184 green
     # in r13.
     window = [
+        # --- new in r14 (never driver-checked) ---
+        "api_spec_el",
         # --- last driver-checked r10 (the verdict's list of 34) ---
         "delta_version_checksum", "embedding_near_dup",
         "fingerprint_docs", "geo_convert", "iceberg_all_meta",
@@ -5023,14 +5111,14 @@ streams:
         "stratified_sample_docs", "surprisal_docs",
         "tfidf_keywords_docs", "token_budget_docs",
         "training_pipeline_docs", "vocab_topk_docs",
-        # --- r11-checked fill (16, alphabetical; rest lead r15) ---
+        # --- r11-checked fill (15, alphabetical; rest lead r15) ---
         "ann_pq_refine", "ann_pq_topk", "avro_roundtrip",
         "bucketed_join_agg", "c4_filter_docs", "cdc_foreachbatch_merge",
         "cdc_stream_iceberg_upsert", "column_typing_clamp",
         "constraint_dsl_filter", "copy_load_duckdb",
         "csv_inference_roundtrip", "decontaminate_docs",
         "dedup_clusters_docs", "dedup_store_docs",
-        "delete_missing_delta", "delete_missing_iceberg",
+        "delete_missing_delta",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     missing = [k for k in window if k not in d]
@@ -5696,6 +5784,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation
+        """,
+        "api_spec_el": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderstatus,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                   CAST(o_orderdate AS DATE) AS o_orderdate
+            FROM orders WHERE o_orderkey <= 2000
         """,
         # target keys < 750; update_insert +10000 on 500..999, then
         # delete_insert +20000 on 250..599 (later write wins in range)

@@ -409,7 +409,12 @@ def _step_replication(spark, step, ctx, rt=None):
 
     conf = step.get("replication") if "path" not in step else None
     if isinstance(conf, dict):
-        rc = ReplicationConfig.from_yaml(_yaml.safe_dump(conf))
+        # sort_keys=False: safe_dump alphabetizes mappings by default,
+        # which would corrupt declaration-order-sensitive blocks
+        # (`columns:` drives @columns expansion ORDER — the
+        # api_select_columns case-9 contract)
+        rc = ReplicationConfig.from_yaml(
+            _yaml.safe_dump(conf, sort_keys=False))
     else:
         path = str(step.get("path") or conf or "")
         path = render_vars(path, ctx).removeprefix("file://")

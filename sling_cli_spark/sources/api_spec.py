@@ -1563,11 +1563,14 @@ def read_api_source(spark, source):
     opts = getattr(source, "options", None)
     flatten_level = getattr(opts, "flatten", None) if opts else None
     if not records:
+        # zero-record endpoint (queue_only producers always land here):
+        # keep ONE nullable column so file writers accept the schema —
+        # zero rows write an empty document either way
         from pyspark.sql import types as T
 
         return spark.createDataFrame(
-            [], T.StructType([T.StructField("_empty", T.StringType())])
-        ).drop("_empty")
+            [], T.StructType(
+                [T.StructField("_sling_empty", T.StringType())]))
     df = records_to_df(spark, records, flatten_level=flatten_level)
     if not source.select:
         ov_sel = ((eps.get(stream) or {}).get("overrides") or {}) \
