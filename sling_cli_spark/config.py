@@ -174,8 +174,11 @@ class TargetOptions:
     bucket_count: int | None = None     # buckets per bucket_by table
     ignore_existing: bool = False       # skip the load if target has data
     # accepted for config parity: the staged parquet ingest IS the bulk
-    # path here (reference use_bulk switches loader implementations)
+    # path here (reference use_bulk switches loader implementations);
+    # direct_insert skips the temp-table swap in the reference — here
+    # the swap is a metadata-cheap atomic rename, same end state (r.65)
     use_bulk: bool = True
+    direct_insert: bool = False
     txn_app_id: str | None = None       # delta idempotent writes (r9):
     txn_version: int | None = None      # a re-run committed batch no-ops
     audit_branch: str | None = None     # iceberg WAP: stage the load here
@@ -340,12 +343,24 @@ def runtime_vars(cfg: Config, now: datetime | None = None) -> dict[str, str]:
         out["object_schema"] = o_parts[-2] if len(o_parts) > 1 else ""
         out["object_full_name"] = obj
         out["target_table"] = o_parts[-1]  # legacy alias
+    # CleanName every var VALUE except the full-name/path carriers
+    # (config.go:945-963: `test1.result.csv` -> stream_file_name
+    # `test1_result`, so a rendered object never grows extra dots)
+    keep_raw = {"stream_full_name", "object_full_name", "object_name",
+                "stream_name", "stream_file_path"}
+    for k, v in out.items():
+        if k not in keep_raw and isinstance(v, str):
+            cleaned = re.sub(r"[^0-9a-zA-Z_]+", "_", v.strip())
+            if cleaned and cleaned[0].isdigit():
+                cleaned = "_" + cleaned
+            out[k] = cleaned
     return out
 
 
 def render_vars(text: str, vars: dict[str, str]) -> str:
     for k, v in vars.items():
-        text = text.replace("{" + k + "}", v)
+        # env blocks may carry native YAML scalars (SLING_THREADS: 3)
+        text = text.replace("{" + k + "}", str(v))
     return text
 
 

@@ -23,8 +23,11 @@ DELIM = "__"
 
 
 def _clean(name: str) -> str:
-    """Header cleanup matching the reference's key normalization."""
-    return re.sub(r"[^0-9a-zA-Z_]+", "_", name).lower()
+    """Header cleanup matching the reference's key normalization
+    (json.go preserves key CASE — camelCase survives flatten so a
+    downstream `column_casing: snake` can see the humps and emit
+    user_id, the r.67 contract; only invalid chars fold to _)."""
+    return re.sub(r"[^0-9a-zA-Z_]+", "_", name)
 
 
 def flatten(df: DataFrame, max_depth: int = 0) -> DataFrame:

@@ -79,21 +79,35 @@ class ReplicationConfig:
         )
 
 
-def expand_wildcards(streams: dict[str, Any]) -> dict[str, Any]:
+def expand_wildcards(streams: dict[str, Any],
+                     defaults: dict[str, Any] | None = None,
+                     ) -> dict[str, Any]:
     """Expand glob patterns to concrete file streams (reference:
     replication.go:293-518 — DB `schema.*` uses schemata queries; file
     globs use the filesystem listing; both fan out to N streams with the
-    pattern's own overrides)."""
+    pattern's own overrides).
+
+    The reference's gate (replication.go:306-332): a glob stream
+    expands per-file only when the effective OBJECT template carries
+    stream runtime vars (``{stream_file_name}`` etc.) — an object
+    without vars reads all matched files as ONE stream (r.55's
+    ``*.json`` -> one table vs r.07's per-file tables); an explicit
+    ``single: true`` also keeps the pattern whole."""
     out: dict[str, Any] = {}
+    defaults = defaults or {}
     for pattern, overrides in streams.items():
-        if any(ch in pattern for ch in "*?[") and not (
-            overrides or {}
-        ).get("no_expand"):
-            matches = sorted(_glob.glob(pattern))
+        o = {**defaults, **(overrides or {})}
+        obj = str(o.get("object") or "")
+        expand = (any(ch in pattern for ch in "*?[")
+                  and not o.get("no_expand") and not o.get("single")
+                  and (not obj or "{stream_" in obj or "{part_" in obj))
+        if expand:
+            prefix = "file://" if pattern.startswith("file://") else ""
+            matches = sorted(_glob.glob(pattern.removeprefix("file://")))
             if matches:
                 for m in matches:
-                    out[m] = dict(overrides or {})
-                continue  # unmatched glob -> stream dropped, like the ref
+                    out[prefix + m] = dict(overrides or {})
+                continue
         out[pattern] = dict(overrides or {})
     return out
 
@@ -180,7 +194,8 @@ def _merged(defaults: dict[str, Any], overrides: dict[str, Any]) -> dict[str, An
 def compile_replication(rc: ReplicationConfig) -> list[Config]:
     """YAML defaults+streams -> one Config per enabled stream."""
     cfgs: list[Config] = []
-    for stream, overrides in expand_wildcards(rc.streams).items():
+    for stream, overrides in expand_wildcards(
+            rc.streams, defaults=rc.defaults).items():
         o = _merged(rc.defaults, overrides or {})
         if o.get("disabled"):
             continue

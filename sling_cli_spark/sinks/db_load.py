@@ -310,6 +310,12 @@ class SQLiteTarget:
             return str(v)
         if isinstance(v, (bytes, bytearray)):
             return bytes(v)
+        if isinstance(v, (dict, list)):
+            # nested struct/array columns land as JSON text (the
+            # reference's row-store writers serialize the same way)
+            import json as _json
+
+            return _json.dumps(v, default=str)
         return v
 
     def ingest(self, table: str, columns: list[str], glob: str,

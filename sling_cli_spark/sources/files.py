@@ -512,12 +512,50 @@ def read_files(
 
             return read_iceberg(spark, path, skip_filters=skip_filters)
     if fmt == "xml":
-        # native in Spark 4 (SPARK-44265)
-        return spark.read.format("xml") \
+        # native in Spark 4 (SPARK-44265). The reference's XML reader
+        # auto-detects the record element (xml.go walks the doc); Spark
+        # needs an explicit rowTag — sniff the repeated depth-2 element
+        # when the configured tag yields nothing (r.51: <data><element>)
+        df = spark.read.format("xml") \
             .option("rowTag", opts.row_tag).load(path)
+        if not df.columns or df.columns == ["_corrupt_record"]:
+            tag = _sniff_xml_row_tag(path)
+            if tag and tag != opts.row_tag:
+                df = spark.read.format("xml") \
+                    .option("rowTag", tag).load(path)
+        return df
     if fmt in ("excel", "sas7bdat"):
         return _read_via_pandas(spark, path, fmt, opts)
     raise ValueError(f"unsupported source format: {fmt!r}")
+
+
+def _sniff_xml_row_tag(path: str, nbytes: int = 65536) -> str | None:
+    """First repeated child element under the XML root — the record tag
+    the reference's reader infers implicitly. Driver-side head peek,
+    same budget as the JSON key-order sniff."""
+    import glob as _glob
+    import re as _re
+
+    p = path.removeprefix("file:")
+    first = p if os.path.isfile(p) else next(
+        iter(sorted(_glob.glob(os.path.join(p, "*"))
+                    or _glob.glob(p))), None)
+    if not first or not os.path.isfile(first):
+        return None
+    try:
+        with open(first, "rb") as f:
+            raw = f.read(nbytes).decode("utf-8", "replace")
+    except OSError:
+        return None
+    tags = _re.findall(r"<([A-Za-z_][\w.-]*)[\s>]", raw)
+    if len(tags) < 2:
+        return None
+    root, depth2 = tags[0], tags[1] if len(tags) > 1 else None
+    if not depth2:
+        return None
+    # confirm repetition (a single child is ambiguous but still the
+    # best guess for a record element)
+    return depth2 if depth2 != root else None
 
 
 def _first_object_keys(path: str, nbytes: int = 65536) -> list[str]:

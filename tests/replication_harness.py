@@ -56,6 +56,11 @@ _ADAPT_SQL = [
     (re.compile(r"\bSELECT\s+\*\s+INTO\s+(\S+)\s+FROM\b", re.I),
      r"CREATE TABLE \1 AS SELECT * FROM"),
     (re.compile(r"\bNVARCHAR\b", re.I), "VARCHAR"),
+    # MSSQL unicode string literals: N'...' -> '...' (runs before the
+    # literal-masking backtick pass; the N prefix is never data)
+    (re.compile(r"\bN'"), "'"),
+    # postgres hex-decode -> duckdb unhex (both return the blob type)
+    (re.compile(r"\bdecode\(([^;]+?),\s*'hex'\)", re.I), r"unhex(\1)"),
     (re.compile(r"\bSERIAL PRIMARY KEY\b", re.I),
      "INTEGER PRIMARY KEY DEFAULT nextval('serial_seq')"),
     (re.compile(r"\bDATETIME2?\b", re.I), "TIMESTAMP"),
@@ -64,6 +69,7 @@ _ADAPT_SQL = [
                 r"EXCEPTION WHEN OTHERS THEN NULL;\s*END;?", re.I | re.S),
      r"DROP TABLE IF EXISTS \1;"),
     (re.compile(r"\bNUMBER\((\d+)\)"), r"DECIMAL(\1,0)"),
+    (re.compile(r"\bNUMBER\b(?!\()"), "DECIMAL(38,9)"),
     (re.compile(r"\bNUMBER\((\d+),\s*(\d+)\)"), r"DECIMAL(\1,\2)"),
     (re.compile(r"\bVARCHAR2\b", re.I), "VARCHAR"),
     (re.compile(r"\bNCLOB\b", re.I), "TEXT"),
@@ -89,6 +95,10 @@ _GENERAL_TYPE_SQL = (
     "       or lower(data_type) in ('text','string') then 'text' "
     "     when lower(data_type) like 'timestamp%' then 'timestamp' "
     "     when lower(data_type) in ('boolean','bool') then 'boolean' "
+    "     when lower(data_type) = 'time' "
+    "       then 'time without time zone' "
+    "     when lower(data_type) in ('blob','varbinary','binary') "
+    "       then 'bytea' "
     "     else lower(data_type) end as data_type")
 
 
@@ -127,6 +137,10 @@ def adapt_type_probe(text: str) -> str:
     type names (what the corpus asserts against postgres)."""
     if "information_schema.columns" not in text.lower():
         return text
+    # collapse a self-alias first (`data_type as data_type`) so the
+    # fold's own `end as data_type` doesn't double-alias
+    text = re.sub(r"\bdata_type\s+as\s+data_type\b", "data_type", text,
+                  flags=re.I)
     return re.sub(r"\bdata_type\b(?!\s*\))", _GENERAL_TYPE_SQL, text,
                   count=1, flags=re.I)
 
@@ -232,6 +246,10 @@ class ReplicationCase:
                 cmd = step.get("command")
                 if isinstance(cmd, str):
                     step["command"] = ["bash", "-c", cmd]
+            if step.pop("continue_on_error", None):
+                # the corpus's per-step flag maps onto this engine's
+                # on_failure: continue (same semantics: record, go on)
+                step.setdefault("on_failure", "continue")
             out.append(step)
         return out
 
