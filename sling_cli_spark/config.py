@@ -179,6 +179,9 @@ class TargetOptions:
     # the swap is a metadata-cheap atomic rename, same end state (r.65)
     use_bulk: bool = True
     direct_insert: bool = False
+    # accepted for parity: per-txn isolation is a live-driver knob
+    # (reference database.go transaction options)
+    isolation_level: str | None = None
     txn_app_id: str | None = None       # delta idempotent writes (r9):
     txn_version: int | None = None      # a re-run committed batch no-ops
     audit_branch: str | None = None     # iceberg WAP: stage the load here

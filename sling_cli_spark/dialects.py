@@ -1235,18 +1235,29 @@ def merge_placeholder_map(
     tgt_table: str,
     columns: list[str],
     primary_key: list[str],
+    strategy: str | None = None,
 ) -> dict[str, str]:
     """Build the placeholder map GenerateMergeConfigWithStrategy builds.
 
     We stage the temp table with the target's exact schema, so the
     reference's cast-on-select machinery reduces to quoted references.
+    The ``_sling_synced_op`` metadata column flips to 'U' on the update
+    branch (database.go:3147-3152) — except for change-capture
+    strategies, which preserve the source's op.
     """
     q = dialect.quote
     pk = list(primary_key)
     pk_equal = [f"src.{q(c)} = tgt.{q(c)}" for c in pk]
-    set_fields = [f"{q(c)} = src.{q(c)}" for c in columns if c not in pk]
+
+    def set_expr(c: str) -> str:
+        if c.lower() == "_sling_synced_op" and strategy not in (
+                "change_capture", "change_capture_soft"):
+            return f"{q(c)} = 'U'"
+        return f"{q(c)} = src.{q(c)}"
+
+    set_fields = [set_expr(c) for c in columns if c not in pk]
     if not set_fields:  # PK spans every column
-        set_fields = [f"{q(c)} = src.{q(c)}" for c in columns]
+        set_fields = [set_expr(c) for c in columns]
     src_tgt_pk_equal = " and ".join(pk_equal)
     temp_table = re.sub(r"\W", "_", tgt_table) + "_upd_tmp"
     return {
@@ -1268,7 +1279,11 @@ def merge_placeholder_map(
         "set_fields_excluded": ", ".join(set_fields).replace(
             "src.", "excluded."),
         "set_fields_values": ", ".join(
-            f"{q(c)} = VALUES({q(c)})" for c in columns if c not in pk),
+            ("%s = 'U'" % q(c)
+             if c.lower() == "_sling_synced_op" and strategy not in
+             ("change_capture", "change_capture_soft")
+             else f"{q(c)} = VALUES({q(c)})")
+            for c in columns if c not in pk),
         "temp_table": temp_table,
         "temp_table_index_sql": (
             f"create index {temp_table}_idx on {temp_table} "
@@ -1297,7 +1312,8 @@ def generate_merge_sql(
             f"merge strategy {strategy!r} not supported for {dialect.name} "
             f"(supported: {', '.join(dialect.supported_merge_strategies())})")
     values = merge_placeholder_map(
-        dialect, src_table, tgt_table, columns, primary_key)
+        dialect, src_table, tgt_table, columns, primary_key,
+        strategy=strategy)
     return render(tmpl, values)
 
 

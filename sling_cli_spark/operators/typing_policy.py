@@ -209,7 +209,13 @@ def apply_column_typing(
             changed = True
         elif isinstance(dt, T.DecimalType) and ct.decimal:
             if ct.decimal.cast_as:
-                col = col.cast(ct.decimal.cast_as)
+                # the reference's "float" GENERAL type is a float64
+                # (postgres double precision) — Spark's bare "float"
+                # is 32-bit and would corrupt DECIMAL(6,5) values
+                # (r.70: 1.23450 -> 1.2345000505…)
+                tgt = {"float": "double"}.get(
+                    ct.decimal.cast_as.lower(), ct.decimal.cast_as)
+                col = col.cast(tgt)
                 changed = True
             else:
                 p, s = ct.decimal.apply(dt.precision, dt.scale)

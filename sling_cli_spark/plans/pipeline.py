@@ -121,7 +121,76 @@ def _step_log(spark, step, ctx, rt=None):
     return msg
 
 
+def _generate_data_sql(params: dict) -> str:
+    """The reference's ``operation: generate_data`` query op
+    (database/transaction.go:754-890): a table of synthetic rows from a
+    {name: general_type} map, columns SORTED alphabetically, per-type
+    fake values. Deterministic here (seeded by row index) — the corpus
+    only asserts counts/NULL handling, never the fake values."""
+    table = str(params.get("table") or "")
+    n = int(params.get("rows") or 100)
+    cols = dict(params.get("columns") or {})
+    if not table or not cols:
+        raise ValueError("generate_data: 'table' and 'columns' required")
+    names = sorted(cols)
+    ddl_types = {
+        "bigint": "BIGINT", "integer": "INTEGER", "smallint": "SMALLINT",
+        "decimal": "DECIMAL(24,9)", "float": "DOUBLE", "bool": "BOOLEAN",
+        "boolean": "BOOLEAN", "date": "DATE", "datetime": "TIMESTAMP",
+        "timestamp": "TIMESTAMP", "timestampz": "TIMESTAMPTZ",
+        "string": "VARCHAR", "text": "VARCHAR", "json": "JSON",
+        "uuid": "UUID", "binary": "BLOB", "time": "TIME",
+    }
+
+    def val(t: str, i: int) -> str:
+        t = str(t).lower()
+        if t == "bigint":
+            return str(1000000 + i * 9973)
+        if t == "integer":
+            return str(1 + i * 37 % 1000000)
+        if t == "smallint":
+            return str(1 + i % 32767)
+        if t in ("decimal", "float"):
+            return f"{(i * 117.13) % 10000:.2f}"
+        if t in ("bool", "boolean"):
+            return "true" if i % 2 else "false"
+        if t == "date":
+            return f"DATE '2024-01-01' + INTERVAL {i % 365} DAY"
+        if t in ("datetime", "timestamp", "timestampz"):
+            return (f"TIMESTAMP '2024-01-01 00:00:00' "
+                    f"+ INTERVAL {i % 86400} SECOND")
+        if t == "time":
+            return f"TIME '00:00:00' + INTERVAL {i % 86400} SECOND"
+        if t == "uuid":
+            return f"'00000000-0000-4000-8000-{i:012d}'"
+        if t == "json":
+            return f"""'{{"id": {i}, "name": "row {i}"}}'"""
+        if t == "text":
+            return f"'lorem ipsum row {i},\twith text'"
+        return f"'value {i}'"
+
+    col_defs = ", ".join(
+        f'"{c}" {ddl_types.get(str(cols[c]).lower(), "VARCHAR")}'
+        for c in names)
+    rows_sql = ",\n".join(
+        "(" + ", ".join(val(cols[c], i) for c in names) + ")"
+        for i in range(n))
+    return (f"CREATE OR REPLACE TABLE {table} ({col_defs});\n"
+            f"INSERT INTO {table} (" +
+            ", ".join(f'"{c}"' for c in names) +
+            f") VALUES\n{rows_sql}")
+
+
 def _step_query(spark, step, ctx, rt=None):
+    if step.get("operation") == "generate_data" and rt is not None:
+        db = rt.resolve_conn(step["connection"])
+        from sling_cli_spark.dialects import parse_sql_multi_statements
+
+        for s in parse_sql_multi_statements(
+                _generate_data_sql(step.get("params") or {})):
+            if s.strip():
+                db.execute(s)
+        return None
     if step.get("connection") is not None and rt is not None:
         # reference hook kind `query` with a named connection
         # (hooks.go; tests/replications/r.*.yaml): run the (possibly

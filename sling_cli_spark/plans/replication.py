@@ -395,8 +395,24 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = "",
             own = db is None
             if own:
                 db = open_db(cfg.target.conn)
+            # pre_merge/post_merge stream hooks bracket the merge
+            # statement itself (reference HookMap; r.61's
+            # SET IDENTITY_INSERT ON/OFF pair)
+            sh = getattr(cfg, "_stream_hooks", None) or {}
+
+            def _mk(stage):
+                steps = sh.get(stage)
+                if not steps:
+                    return None
+
+                def fire():
+                    run_pipeline(spark, steps, env=rc.env, runtime=rt)
+                return fire
+
             try:
-                return run_db(spark, cfg, db)
+                return run_db(spark, cfg, db,
+                              merge_hooks=(_mk("pre_merge"),
+                                           _mk("post_merge")))
             finally:
                 if own:
                     db.close()
@@ -521,6 +537,8 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = "",
             run_pipeline(spark, stream_hooks["pre"],
                          env={**rc.env, **stream_env}, runtime=rt)
         entry = _run_entry(cfg)
+        # `{run.*}` visible to pre/merge hooks DURING the stream
+        rt.state_extra["run"] = entry
         try:
             result = _run_stream(cfg)
         except Exception as e:

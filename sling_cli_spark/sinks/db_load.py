@@ -843,19 +843,21 @@ def _exec_ddl(db, ddl: str) -> None:
             db.execute(stmt)
 
 
-def run_db(spark: SparkSession, cfg: Config, db) -> TaskResult:
+def run_db(spark: SparkSession, cfg: Config, db,
+           merge_hooks=None) -> TaskResult:
     """Execute a task config whose TARGET is a database table.
 
     Owns the consuming actions for every plan it builds, so DB-source
     staging dirs created during the run are released on exit."""
     mark = dbsrc_stage_mark()
     try:
-        return _run_db_impl(spark, cfg, db)
+        return _run_db_impl(spark, cfg, db, merge_hooks=merge_hooks)
     finally:
         release_db_source_stages(mark)
 
 
-def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
+def _run_db_impl(spark: SparkSession, cfg: Config, db,
+                 merge_hooks=None) -> TaskResult:
     d = db.dialect
     opts = cfg.target.options
     table = cfg.target.object or ""
@@ -912,11 +914,29 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
     # disables (reference config.go:436-437, task.go:344-352)
     src_is_db = (cfg.source.conn or "").startswith(
         ("duckdb:", "jdbc:", "sqlite:"))
+    # SLING_SYNCED_AT_COLUMN=true switches to the synced-at metadata
+    # pair: _sling_synced_at (run-start timestamp) + _sling_synced_op
+    # ('I' on insert; merges flip matched rows to 'U', soft
+    # delete_missing stamps 'D') — reference task.go:343-347,
+    # config.go:173-179 (it also REPLACES loaded_at, and DeletedAt
+    # folds onto SyncedAt). Pinned by r.85.
+    synced_env = str((cfg.env or {}).get(
+        "SLING_SYNCED_AT_COLUMN",
+        os.environ.get("SLING_SYNCED_AT_COLUMN", ""))).lower()
+    synced_on = synced_env in ("true", "1", "yes")
+    if synced_on and cfg.mode != Mode.SNAPSHOT:
+        from pyspark.sql import functions as F
+
+        if "_sling_synced_at" not in df.columns:
+            df = df.withColumn("_sling_synced_at", F.lit(run_ts))
+        if "_sling_synced_op" not in df.columns:
+            df = df.withColumn("_sling_synced_op", F.lit("I"))
     loaded_env = (cfg.env or {}).get(
         "SLING_LOADED_AT_COLUMN",
         os.environ.get("SLING_LOADED_AT_COLUMN", ""))
     explicit_loaded = loaded_env.lower() not in ("", "false", "0")
-    if ((not src_is_db or explicit_loaded) and cfg.mode != Mode.SNAPSHOT
+    if (not synced_on and (not src_is_db or explicit_loaded)
+            and cfg.mode != Mode.SNAPSHOT
             and "_sling_loaded_at" not in df.columns
             and loaded_env.lower() not in ("false", "0")):
         from pyspark.sql import functions as F
@@ -1036,18 +1056,23 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
                 # OSS reference STUBS delete_missing entirely
                 # (task_run.go:30 warn-only) — this engine implements it.
                 live = {n.lower() for n, _ in db.columns(table)}
+                # synced-at mode folds DeletedAt onto SyncedAt
+                # (config.go:176) — the 'D' stamp lands in
+                # _sling_synced_at, not _sling_deleted_at (r.85)
+                stamp_col = ("_sling_synced_at" if synced_on
+                             else "_sling_deleted_at")
                 if "_sling_synced_op" not in live:
                     db.execute(render(d.template("add_column"), {
                         "table": table,
                         "column": d.quote("_sling_synced_op"),
                         "type": d.types["string"].format(len=1)}))
-                if "_sling_deleted_at" not in live:
+                if stamp_col not in live:
                     db.execute(render(d.template("add_column"), {
                         "table": table,
-                        "column": d.quote("_sling_deleted_at"),
+                        "column": d.quote(stamp_col),
                         "type": d.types["timestamp"]}))
                 soft_fields = ("_sling_synced_op = 'D', "
-                               "_sling_deleted_at = current_timestamp")
+                               f"{stamp_col} = current_timestamp")
             if dmc:
                 # keyset = the FULL source snapshot, never the batch;
                 # source_where scopes which source rows count as present
@@ -1080,6 +1105,12 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
                     f'on "{bare}" ({", ".join(d.quote(c) for c in pk)})')
 
             try:
+                # stream-level pre_merge/post_merge hooks fire AROUND
+                # the merge statement (reference HookMap stages; r.61's
+                # SET IDENTITY_INSERT bracket) — the staging above and
+                # cleanup below stay outside them
+                if merge_hooks and merge_hooks[0]:
+                    merge_hooks[0]()
                 staged_db_load(
                     db.execute, db.fetch_one, d.name, table,
                     cols, pk, write_stage,
@@ -1088,6 +1119,8 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db) -> TaskResult:
                     keyset_table=keyset_tmp,
                     delete_where=(dmc or {}).get("target_where") or None,
                     soft_fields=soft_fields)
+                if merge_hooks and merge_hooks[1]:
+                    merge_hooks[1]()
             finally:
                 if keyset_tmp:
                     db.execute("drop table if exists "

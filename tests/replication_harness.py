@@ -56,6 +56,11 @@ _ADAPT_SQL = [
     (re.compile(r"\bSELECT\s+\*\s+INTO\s+(\S+)\s+FROM\b", re.I),
      r"CREATE TABLE \1 AS SELECT * FROM"),
     (re.compile(r"\bNVARCHAR\b", re.I), "VARCHAR"),
+    # MSSQL identity columns + identity-insert brackets (r.61)
+    (re.compile(r"\bINT\s+IDENTITY\(\d+\s*,\s*\d+\)\s+PRIMARY\s+KEY", re.I),
+     "INTEGER PRIMARY KEY DEFAULT nextval('serial_seq')"),
+    (re.compile(r"^\s*SET\s+IDENTITY_INSERT\s+.*?(ON|OFF)\s*;?\s*$",
+                re.I | re.M), "SELECT 1"),
     # MSSQL unicode string literals: N'...' -> '...' (runs before the
     # literal-masking backtick pass; the N prefix is never data)
     (re.compile(r"\bN'"), "'"),
@@ -64,6 +69,18 @@ _ADAPT_SQL = [
     (re.compile(r"\bSERIAL PRIMARY KEY\b", re.I),
      "INTEGER PRIMARY KEY DEFAULT nextval('serial_seq')"),
     (re.compile(r"\bDATETIME2?\b", re.I), "TIMESTAMP"),
+    # duckdb TIME takes no precision modifier (TIME(3) -> TIME, r.46)
+    (re.compile(r"\bTIME\((\d+)\)", re.I), "TIME"),
+    # MSSQL money types -> their documented decimal shapes (r.69)
+    (re.compile(r"\bSMALLMONEY\b", re.I), "DECIMAL(10,4)"),
+    (re.compile(r"\bMONEY\b", re.I), "DECIMAL(19,4)"),
+    (re.compile(r"\bVARBINARY\(MAX\)", re.I), "BLOB"),
+    (re.compile(r"\bN?VARCHAR\(MAX\)", re.I), "TEXT"),
+    # MSSQL 0x... binary literals -> unhex (r.112)
+    (re.compile(r"\b0x([0-9A-Fa-f]{8,})\b"), r"unhex('\1')"),
+    # MSSQL BIT is a boolean (duckdb BIT is a bitstring — r.82/r.83)
+    (re.compile(r"\bBIT\b", re.I), "BOOLEAN"),
+    (re.compile(r"\bchar_length\(", re.I), "length("),
     # Oracle
     (re.compile(r"BEGIN\s+EXECUTE IMMEDIATE\s+'DROP TABLE ([^']+)';\s*"
                 r"EXCEPTION WHEN OTHERS THEN NULL;\s*END;?", re.I | re.S),
@@ -99,6 +116,8 @@ _GENERAL_TYPE_SQL = (
     "       then 'time without time zone' "
     "     when lower(data_type) in ('blob','varbinary','binary') "
     "       then 'bytea' "
+    "     when lower(data_type) in ('double','float8','float64') "
+    "       then 'double precision' "
     "     else lower(data_type) end as data_type")
 
 
@@ -233,6 +252,9 @@ class ReplicationCase:
         steps = (self.doc.get("hooks") or {}).get(stage) or []
         if not self.adapt:
             return steps
+        return self._adapt_steps(steps)
+
+    def _adapt_steps(self, steps: list[dict]) -> list[dict]:
         out = []
         for step in steps:
             step = dict(step)
@@ -261,6 +283,10 @@ class ReplicationCase:
             yaml.safe_dump(self.doc)))
         schemas |= {"public", "dbo", "main"}
         for db in self.conns.values():
+            try:
+                db.execute("create sequence if not exists serial_seq")
+            except Exception:
+                pass  # sqlite twins have no sequences
             for s in schemas - {"main", "temp", "information_schema"}:
                 try:
                     # lowercase: duckdb stores the creation-time case in
@@ -317,6 +343,12 @@ class ReplicationCase:
                 k = os.path.join("/root/reference", k)
             v = dict(v or {})
             if self.adapt:
+                if v.get("hooks"):
+                    # STREAM-level hooks get the same dialect-spelling
+                    # pass as replication-level ones (r.61 pre_merge)
+                    v["hooks"] = {
+                        stage: self._adapt_steps(list(hs or []))
+                        for stage, hs in v["hooks"].items()}
                 if v.get("sql"):
                     v["sql"] = adapt_sql(str(v["sql"]))
                 dm = (v.get("target_options") or {}).get("delete_missing")
