@@ -375,6 +375,42 @@ def cmd_conns(args: argparse.Namespace) -> int:
     return 2
 
 
+def _cli_args_map(argv: list[str]) -> dict:
+    """Explicitly-passed CLI flags -> {flag: typed value} (reference
+    p.41 contract: hyphens fold to underscores, ``--streams`` parses to
+    an ARRAY of selectors, numerics are typed, flags NOT passed have NO
+    key). Derived from the raw vector — argparse can't distinguish
+    "passed" from "defaulted"."""
+    out: dict = {}
+    alias = {"p": "pipeline", "r": "replication", "l": "limit",
+             "d": "debug"}
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        key = None
+        if tok.startswith("--"):
+            key = tok[2:]
+        elif tok.startswith("-") and len(tok) == 2 and tok != "-":
+            key = alias.get(tok[1], tok[1])
+        if key is None:
+            i += 1
+            continue
+        key = key.replace("-", "_")
+        val: object = True
+        if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+            raw = argv[i + 1]
+            i += 1
+            if raw.lstrip("-").isdigit():
+                val = int(raw)
+            else:
+                val = raw
+        if key == "streams" and isinstance(val, str):
+            val = [s.strip() for s in val.split(",") if s.strip()]
+        out[key] = val
+        i += 1
+    return out
+
+
 def cmd_pipeline(args: argparse.Namespace) -> int:
     from sling_cli_spark.plans.pipeline import run_pipeline
 
@@ -394,10 +430,20 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
         return 1
     spark = _get_spark(args.debug)
     env = doc.get("env") if isinstance(doc, dict) else None
+    from sling_cli_spark.plans.pipeline import PipelineRuntime
+
+    rt = PipelineRuntime(
+        state={"execution": {
+            "id": __import__("uuid").uuid4().hex,
+            "file_name": os.path.basename(args.file),
+            "cli_args": _cli_args_map(getattr(args, "_raw_argv", [])),
+            "status": {"error": 0, "success": 0, "count": 0}}},
+        env={str(k): str(v) for k, v in (env or {}).items()})
     try:
         state = run_pipeline(spark, steps,
                              env={str(k): str(v)
-                                  for k, v in (env or {}).items()})
+                                  for k, v in (env or {}).items()},
+                             runtime=rt)
     except Exception as e:
         # step failures are run errors: message + exit 1, no traceback
         # (suite.cli error contracts)
@@ -903,6 +949,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--primary-key", help="comma-separated PK columns")
     r.add_argument("--update-key", help="incremental watermark column")
     r.add_argument("-l", "--limit", type=int)
+    r.add_argument("--streams", help="comma-separated stream selectors "
+                   "(names or tag:x), exposed to pipelines via "
+                   "execution.cli_args.streams")
     r.add_argument("--stdout", action="store_true",
                    help="print result as CSV instead of writing the target")
     r.add_argument("-d", "--debug", action="store_true")
@@ -1255,6 +1304,10 @@ def main(argv: list[str] | None = None) -> int:
         parser.print_help()
         return 0
     args = parser.parse_args(argv)
+    # raw vector for the `execution.cli_args` pipeline namespace
+    # (reference: p.41 — pipelines read the flags they were invoked
+    # with; hyphens fold to underscores)
+    args._raw_argv = list(argv) if argv is not None else sys.argv[1:]
     if not hasattr(args, "fn"):
         parser.print_help()
         return 0

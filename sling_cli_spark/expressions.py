@@ -362,6 +362,10 @@ def default_functions() -> dict[str, Callable]:
         "get": lambda obj, key, default=None: (
             obj.get(key, default) if isinstance(obj, Mapping) else default),
         "keys": lambda obj: sorted(obj.keys()) if isinstance(obj, Mapping) else [],
+        # pluck(rows, "col") -> [row[col], ...] (p.32 ordinal checks)
+        "pluck": lambda rows, key: [
+            r.get(key) if isinstance(r, Mapping) else None
+            for r in (rows or [])],
         "values": lambda obj: list(obj.values()) if isinstance(obj, Mapping) else [],
         "min": lambda *a: min(a[0] if len(a) == 1 else a),
         "max": lambda *a: max(a[0] if len(a) == 1 else a),

@@ -258,8 +258,9 @@ def _step_read(spark, step, ctx, rt=None):
 
 
 def _step_copy(spark, step, ctx, rt=None):
-    src = render_vars(step["from"], ctx)
-    dst = render_vars(step["to"], ctx)
+    # `local/<path>` connection prefix = local filesystem (hooks.go)
+    src = render_vars(step["from"], ctx).removeprefix("local/")
+    dst = render_vars(step["to"], ctx).removeprefix("local/")
     if os.path.isdir(src):
         shutil.copytree(src, dst, dirs_exist_ok=True)
     else:
@@ -421,8 +422,15 @@ def _step_list(spark, step, ctx, rt=None):
         paths = sorted(_glob.glob(loc))
     if step.get("only") == "files":
         paths = [p for p in paths if os.path.isfile(p)]
-    # the reference's list-hook state shape: {state.<id>.result}
-    return {"result": paths, "count": len(paths)}
+    # the reference's list-hook state shape: {state.<id>.result} with
+    # RICH entries — p.02/p.03 loop over {loop.value.location}/.name
+    entries = [{
+        "location": p, "path": p, "name": os.path.basename(p),
+        "size": os.path.getsize(p) if os.path.isfile(p) else 0,
+        "type": "file" if os.path.isfile(p) else "directory",
+    } for p in paths]
+    return {"result": entries, "count": len(entries),
+            "paths": paths}
 
 
 def _step_write(spark, step, ctx, rt=None):
@@ -733,8 +741,18 @@ def run_pipeline(
         # `{ expr }` rendering over env/state namespaces (reference routes
         # every hook payload through the Evaluator, transforms.go:729+);
         # flat `{state.N}` render_vars below stays for legacy templates
+        # nested `steps:` (group/routine bodies) and the `loop:`
+        # expression render INSIDE _step_group per iteration — an outer
+        # render would bake {loop.*} spans to nil before the loop
+        # namespace exists (p.03: copy from {loop.value.location})
+        raw_nested = step.get("steps")
+        raw_loop = step.get("loop")
         _fill_step_vars(evaluator, step)
         step = evaluator.render(step)
+        if raw_nested is not None:
+            step["steps"] = raw_nested
+        if raw_loop is not None:
+            step["loop"] = raw_loop
         step = _normalize_step(step)
         kind = step.get("type")
         if kind not in _STEP_TYPES:
@@ -780,6 +798,10 @@ def run_pipeline(
                     return results
                 raise
         results.append(out)
+        ex = rt.state_extra.get("execution")
+        if isinstance(ex, dict) and isinstance(ex.get("status"), dict):
+            # executed-step counter (p.41: execution.status.count > 0)
+            ex["status"]["count"] = ex["status"].get("count", 0) + 1
         sid = str(step.get("id", i))
         state_ns[sid] = failed_entry if failed_entry is not None \
             else _state_entry(kind, step, out)

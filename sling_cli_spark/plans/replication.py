@@ -254,7 +254,7 @@ def compile_replication(rc: ReplicationConfig) -> list[Config]:
         else:
             cfg.target.object = render_vars(
                 cfg.target.object, runtime_vars(cfg))
-        if not cfg.target.conn or cfg.target.conn == "local":
+        if not cfg.target.conn or cfg.target.conn.lower() == "local":
             # sling semantics: an extension-named object on a FILE
             # target is ONE file (p.17 `object: output.csv`; DB-export
             # targets like folder/table.csv) — this engine's layout
@@ -409,10 +409,36 @@ def run_replication(spark, rc: ReplicationConfig, base_output: str = "",
                     run_pipeline(spark, steps, env=rc.env, runtime=rt)
                 return fire
 
+            # SLING_STATE: CONN/schema -> the DB-backed watermark
+            # store replaces the target max() probe (p.17 contract)
+            state_spec = (cfg.env or {}).get("SLING_STATE") \
+                or rc.env.get("SLING_STATE")
+            store = None
+            if state_spec and cfg.mode == Mode.INCREMENTAL \
+                    and cfg.source.update_key:
+                from sling_cli_spark.sinks.db_load import (
+                    open_state_store)
+
+                def _resolve(name):
+                    n = str(name).lower()
+                    return (rt.connections.get(n)
+                            or (open_db(rt.conn_urls[n])
+                                if n in rt.conn_urls else None))
+
+                store = open_state_store(state_spec,
+                                         resolve_conn=_resolve)
             try:
-                return run_db(spark, cfg, db,
-                              merge_hooks=(_mk("pre_merge"),
-                                           _mk("post_merge")))
+                skey = getattr(cfg, "_stream_name", None) \
+                    or cfg.source.stream or ""
+                wm = store.get(skey) if store is not None else None
+                res = run_db(spark, cfg, db,
+                             merge_hooks=(_mk("pre_merge"),
+                                          _mk("post_merge")),
+                             watermark_override=wm,
+                             want_new_watermark=store is not None)
+                if store is not None and res.watermark is not None:
+                    store.set(skey, res.watermark)
+                return res
             finally:
                 if own:
                     db.close()

@@ -844,20 +844,24 @@ def _exec_ddl(db, ddl: str) -> None:
 
 
 def run_db(spark: SparkSession, cfg: Config, db,
-           merge_hooks=None) -> TaskResult:
+           merge_hooks=None, watermark_override=None,
+           want_new_watermark=False) -> TaskResult:
     """Execute a task config whose TARGET is a database table.
 
     Owns the consuming actions for every plan it builds, so DB-source
     staging dirs created during the run are released on exit."""
     mark = dbsrc_stage_mark()
     try:
-        return _run_db_impl(spark, cfg, db, merge_hooks=merge_hooks)
+        return _run_db_impl(spark, cfg, db, merge_hooks=merge_hooks,
+                            watermark_override=watermark_override,
+                            want_new_watermark=want_new_watermark)
     finally:
         release_db_source_stages(mark)
 
 
 def _run_db_impl(spark: SparkSession, cfg: Config, db,
-                 merge_hooks=None) -> TaskResult:
+                 merge_hooks=None, watermark_override=None,
+                 want_new_watermark=False) -> TaskResult:
     d = db.dialect
     opts = cfg.target.options
     table = cfg.target.object or ""
@@ -881,7 +885,12 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db,
     uk = cfg.source.update_key
     src_is_db_conn = (cfg.source.conn or "").startswith(
         ("duckdb:", "jdbc:", "sqlite:"))
-    if (not src_is_db_conn and uk == "_sling_loaded_at"
+    if watermark_override is not None:
+        # SLING_STATE-backed runs carry the watermark from the state
+        # store instead of a target max() probe (reference
+        # setIncrementalValueViaState; p.17's executable contract)
+        watermark = watermark_override
+    elif (not src_is_db_conn and uk == "_sling_loaded_at"
             and cfg.mode == Mode.INCREMENTAL):
         # FILE source incremental by _sling_loaded_at is the reference's
         # file-level state incremental (config.go:383): new FILES since
@@ -1148,6 +1157,101 @@ def _run_db_impl(spark: SparkSession, cfg: Config, db,
 
     if opts.post_sql:
         _exec_hook(db, opts.post_sql)
+    if want_new_watermark and uk and uk in df.columns:
+        # state-backed runs persist the POST-load high-water mark (the
+        # file path derives it from the write Observation; here the
+        # landed table answers it directly)
+        try:
+            row = db.fetch_one(
+                f"select max({d.quote(uk)}) "
+                f"from {d.quote_table(table)}")
+            if row and row[0] is not None:
+                watermark = row[0]
+        except Exception:
+            pass
     return TaskResult(rows=stream_count, columns=list(df.columns),
                       mode=cfg.mode.value, watermark=watermark,
                       bytes=stage_bytes)
+
+
+class DbStateStore:
+    """DB-backed incremental state (reference ``SLING_STATE:
+    CONN/schema`` — setIncrementalValueViaState / getIncrementalValue
+    ViaState, task_run.go): watermarks persist in a
+    ``<schema>._sling_state`` table keyed by source stream, with the
+    value serialized as text plus its ``column_type`` so the next run
+    re-parses it correctly (p.17 asserts column_type='datetime')."""
+
+    def __init__(self, db, schema: str = "sling_state"):
+        self.db = db
+        self.schema = schema
+        db.execute(f'create schema if not exists "{schema}"')
+        db.execute(
+            f'create table if not exists "{schema}"."_sling_state" ('
+            "source_stream varchar, value varchar, column_type varchar, "
+            "updated_at timestamp)")
+
+    def get(self, key: str):
+        row = self.db.fetch_one(
+            f'select value, column_type from "{self.schema}"'
+            f'."_sling_state" where source_stream = \'{key}\'')
+        if not row or row[0] is None:
+            return None
+        val, ctype = row[0], (row[1] or "").lower()
+        if ctype in ("datetime", "timestamp"):
+            from datetime import datetime as _dt
+
+            try:
+                return _dt.fromisoformat(val)
+            except ValueError:
+                return val
+        if ctype in ("integer", "bigint"):
+            return int(val)
+        if ctype in ("float", "decimal"):
+            return float(val)
+        return val
+
+    def set(self, key: str, watermark) -> None:
+        import datetime as _dt
+
+        if isinstance(watermark, _dt.datetime):
+            ctype, val = "datetime", watermark.isoformat(sep=" ")
+        elif isinstance(watermark, _dt.date):
+            ctype, val = "date", watermark.isoformat()
+        elif isinstance(watermark, bool):
+            ctype, val = "boolean", str(watermark).lower()
+        elif isinstance(watermark, int):
+            ctype, val = "integer", str(watermark)
+        elif isinstance(watermark, float):
+            ctype, val = "float", repr(watermark)
+        else:
+            ctype, val = "string", str(watermark)
+        key_sql = key.replace("'", "''")
+        val_sql = val.replace("'", "''")
+        self.db.execute(
+            f'delete from "{self.schema}"."_sling_state" '
+            f"where source_stream = '{key_sql}'")
+        self.db.execute(
+            f'insert into "{self.schema}"."_sling_state" values '
+            f"('{key_sql}', '{val_sql}', '{ctype}', current_timestamp)")
+
+
+def open_state_store(spec: str, resolve_conn=None):
+    """``SLING_STATE`` env value -> state store. ``CONN/schema`` = the
+    DB-backed table (resolve_conn maps conn names to live handles; a
+    duckdb:// / sqlite:// URL opens directly); a filesystem path = the
+    JSON file store (runner.FileStateStore shape)."""
+    spec = str(spec or "")
+    if "/" in spec and not spec.startswith(("/", "file://", ".")):
+        conn_name, _, schema = spec.partition("/")
+        db = resolve_conn(conn_name) if resolve_conn else None
+        if db is None and conn_name.lower().startswith(
+                ("duckdb:", "sqlite:")):
+            db = open_db(conn_name)
+        if db is None:
+            raise KeyError(f"SLING_STATE connection not found: "
+                           f"{conn_name!r}")
+        return DbStateStore(db, schema or "sling_state")
+    from sling_cli_spark.state import StateStore
+
+    return StateStore(spec.removeprefix("file://"))

@@ -81,9 +81,12 @@ _ADAPT_SQL = [
     # MSSQL BIT is a boolean (duckdb BIT is a bitstring — r.82/r.83)
     (re.compile(r"\bBIT\b", re.I), "BOOLEAN"),
     (re.compile(r"\bchar_length\(", re.I), "length("),
-    # Oracle
-    (re.compile(r"BEGIN\s+EXECUTE IMMEDIATE\s+'DROP TABLE ([^']+)';\s*"
-                r"EXCEPTION WHEN OTHERS THEN NULL;\s*END;?", re.I | re.S),
+    # Oracle (both guard shapes: WHEN OTHERS THEN NULL and the
+    # SQLCODE != -942 RAISE variant; PURGE folds away)
+    (re.compile(r"BEGIN\s+EXECUTE IMMEDIATE\s+'DROP TABLE ([^']+?)"
+                r"(?:\s+PURGE)?';\s*EXCEPTION\s+WHEN OTHERS THEN\s+"
+                r"(?:NULL;|IF SQLCODE != -942 THEN RAISE;\s*END IF;)"
+                r"\s*END;?", re.I | re.S),
      r"DROP TABLE IF EXISTS \1;"),
     (re.compile(r"\bNUMBER\((\d+)\)"), r"DECIMAL(\1,0)"),
     (re.compile(r"\bNUMBER\b(?!\()"), "DECIMAL(38,9)"),
@@ -453,6 +456,15 @@ class PipelineCase:
         path = os.path.join(REF_PIPE, name)
         with open(path) as f:
             text = f.read()
+        # `{env.X}` conn-name spans render from the case's own env
+        # block BEFORE the conn scan (p.14/p.17: `connection:
+        # '{env.SOURCE}'` must register the named twin)
+        try:
+            _pre = yaml.safe_load(text) or {}
+        except Exception:
+            _pre = {}
+        for _k, _v in {**(_pre.get("env") or {}), **(env or {})}.items():
+            text = text.replace("{env.%s}" % _k, str(_v))
         # cloud conn prefixes -> local dirs under tmp
         for cloud in ("aws_s3", "azure_storage", "sftp"):
             text = text.replace(f"{cloud}/", f"local/{self.tmp}/{cloud}/")
@@ -503,22 +515,26 @@ class PipelineCase:
             env=self.env)
 
     def steps(self) -> list[dict]:
-        out = []
-        for step in self.doc.get("steps") or []:
+        def adapt_step(step: dict) -> dict:
             step = dict(step)
             if step.get("query"):
                 q = adapt_sql(str(step["query"]))
                 if step.get("into") or step.get("id"):
                     q = adapt_type_probe(q)
                 step["query"] = q
-            out.append(step)
-        return out
+            if isinstance(step.get("steps"), list):
+                # group/routine bodies get the same dialect pass (p.10)
+                step["steps"] = [adapt_step(s) for s in step["steps"]]
+            return step
+
+        return [adapt_step(s) for s in self.doc.get("steps") or []]
 
     def run(self):
         from sling_cli_spark.plans.pipeline import run_pipeline
 
         # the corpus schemas (public/dbo/...) are provisioned in CI
-        schemas = {"public", "dbo", "demo", "system", "oracle", "mysql"}
+        schemas = {"public", "dbo", "demo", "system", "oracle",
+                   "mysql", "mariadb", "starrocks"}
         schemas |= {s.lower() for s in re.findall(
             r"\b(?:TABLE|EXISTS|INTO|FROM)\s+(\w+)\.\w+",
             yaml.safe_dump(self.doc))}
