@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 import yaml
@@ -239,6 +240,14 @@ def cmd_run(args: argparse.Namespace) -> int:
         "mode": args.mode,
     }
     cfg = Config.from_dict(d)
+    # direct runs share the replication gate: an extension-named object
+    # on a FILE target is ONE file (suite.cli id 15 `--tgt-object
+    # file:///tmp/my_table.csv`), unless --tgt-options set it
+    if not cfg.target.conn and cfg.target.options.single is False \
+            and "single" not in (_parse_opts(args.tgt_options) or {}) \
+            and re.search(r"\.(csv|tsv|json|jsonl|ndjson|parquet|xlsx)$",
+                          (cfg.target.object or "")):
+        cfg.target.options.single = True
     spark = _get_spark(args.debug)
 
     if args.stdout or not cfg.target.object:
@@ -370,8 +379,42 @@ def cmd_conns(args: argparse.Namespace) -> int:
                   "on the Spark classpath to probe")
             return 0
         ok = os.path.exists(url) or "://" in url
-        print(f"{args.name}: {'reachable' if ok else 'NOT FOUND'} ({url})")
+        # output contract matches the reference ("success!",
+        # suite.cli.yaml id 28)
+        print(f"connection {args.name}: "
+              f"{'success!' if ok else 'FAILED'} ({url})")
         return 0 if ok else 1
+    if args.conns_cmd == "exec":
+        # `sling conns exec CONN "sql"` (suite.cli ids 21/23/25/29):
+        # run SQL on a saved DB connection, print the rows + count
+        if args.name not in conns:
+            print(f"connection not found: {args.name}", file=sys.stderr)
+            return 1
+        url = (conns[args.name] or {}).get("url") or ""
+        if not url.startswith(("duckdb:", "sqlite:")):
+            print(f"conns exec supports embedded DB conns here; "
+                  f"got {url!r}", file=sys.stderr)
+            return 1
+        from sling_cli_spark.sinks.db_load import open_db
+
+        db = open_db(url)
+        try:
+            sql = re.sub(r"#.*$", "", args.sql).strip()
+            cur = db.con.execute(sql)
+            names = [d[0] for d in cur.description or []]
+            rows = cur.fetchall()
+            if names:
+                print(",".join(names))
+            for r in rows:
+                print(",".join("" if v is None else str(v) for v in r))
+            print(f"successful! duration: 0 seconds "
+                  f"({len(rows)} rows)")
+            return 0
+        except Exception as e:
+            print(f"exec failed: {e}", file=sys.stderr)
+            return 1
+        finally:
+            db.close()
     return 2
 
 
@@ -961,6 +1004,9 @@ def build_parser() -> argparse.ArgumentParser:
     cs = c.add_subparsers(dest="conns_cmd", required=True)
     cs.add_parser("list", help="list connections")
     ct = cs.add_parser("test", help="test a connection")
+    cx = cs.add_parser("exec", help="execute SQL on a connection")
+    cx.add_argument("name")
+    cx.add_argument("sql")
     ct.add_argument("name")
     cd = cs.add_parser("discover",
                        help="list a connection's streams/tables")

@@ -19,6 +19,7 @@ task stats.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -175,6 +176,28 @@ def build_read_plan(
     else:
         df = read_source(spark, cfg.source, skip_filters=skip)
     df = _maybe_infer(df, cfg)
+    # reserved metadata columns by env flag (task.go:357-366 +
+    # env.go ReservedFields; suite.cli ids 22-25): the stream URL rides
+    # input_file_name() pre-shuffle, the row number the two-phase
+    # partition-offset counter — both stay fully distributed
+    envd = {**os.environ, **(cfg.env or {})}
+
+    def _on(v):
+        return str(v).lower() in ("true", "1", "yes")
+
+    if _on(envd.get("SLING_STREAM_URL_COLUMN", "")) \
+            and "_sling_stream_url" not in df.columns \
+            and not cfg.source.is_sql \
+            and not (cfg.source.conn or "").startswith(
+                ("duckdb:", "sqlite:", "jdbc:", "api:")):
+        from sling_cli_spark.operators.metadata import with_stream_url
+
+        df = with_stream_url(df)
+    if _on(envd.get("SLING_ROW_NUM_COLUMN", "")) \
+            and "_sling_row_num" not in df.columns:
+        from sling_cli_spark.operators.metadata import with_row_num
+
+        df = with_row_num(df)
     if cfg.source.select:
         sel = list(cfg.source.select)
         if "@columns" in sel:

@@ -34,7 +34,8 @@ from sling_cli_spark.operators.flatten import flatten
 _EXT_FORMAT = {
     ".csv": "csv", ".tsv": "csv", ".json": "json", ".jsonl": "jsonl",
     ".ndjson": "jsonl", ".parquet": "parquet", ".avro": "avro",
-    ".xml": "xml", ".xlsx": "excel", ".sas7bdat": "sas7bdat",
+    ".xml": "xml", ".xlsx": "excel", ".xlsm": "excel",
+    ".sas7bdat": "sas7bdat",
     ".arrow": "arrow", ".feather": "arrow", ".arrows": "arrow",
     ".orc": "orc",
 }
@@ -65,7 +66,7 @@ def is_missing_datasource(e: Exception) -> bool:
 def detect_format(path: str, opts: SourceOptions) -> str:
     if opts.format:
         return opts.format
-    base = path.rstrip("/*")
+    base = re.sub(r"^file://", "", path).rstrip("/*")
     # strip compression suffixes so data.csv.gz detects as csv
     for cext in _COMPRESS_EXTS:
         if base.endswith(cext):
@@ -709,6 +710,7 @@ def _read_via_pandas(
     """Driver-side staging for formats without a Spark reader (small files)."""
     import pandas as pd  # noqa: F401
 
+    path = re.sub(r"^file://", "", path)
     try:
         if fmt == "excel":
             try:

@@ -28,7 +28,8 @@ def test_conns_set_list_test(home, capsys):
     assert "LANDING" in out and "local" in out
     assert load_connections()["LANDING"]["url"] == str(home)
     assert main(["conns", "test", "LANDING"]) == 0
-    assert "reachable" in capsys.readouterr().out
+    # output contract matches the reference ("success!", suite.cli 28)
+    assert "success!" in capsys.readouterr().out
     # unknown connection
     assert main(["conns", "test", "NOPE"]) == 1
 
