@@ -20,6 +20,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sling_cli_spark.localframe import local_df as _ldf
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df_path = os.path.join(sf_dir, f"{name}.parquet")
@@ -884,7 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         add_deletion_vectors(t, dv_rows)
         batch = n.filter("n_nationkey < 5") \
             .withColumn("n_name", F.concat("n_name", F.lit("_u"))) \
-            .unionByName(spark.createDataFrame(
+            .unionByName(_ldf(spark, 
                 [(99, "NEWLAND", 0)],
                 "n_nationkey long, n_name string, n_regionkey long"))
         merge_delta(spark, t, batch, "n_nationkey")
@@ -1047,7 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         batch = (
             n.filter("n_nationkey < 4")
             .withColumn("n_name", F.concat("n_name", F.lit("_u")))
-            .unionByName(spark.createDataFrame(
+            .unionByName(_ldf(spark, 
                 [(99, "NEWLAND", 0)],
                 "n_nationkey long, n_name string, n_regionkey long")))
         res = merge_delta(spark, t, batch, "n_nationkey")
@@ -1095,7 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assert res.get("dv_files") == 1 and before <= set(
             replay_log(t)[1]), "update-only merge must DV, not rewrite"
         write_delta(
-            spark.createDataFrame(
+            _ldf(spark, 
                 [(90, "APPENDLAND_A", 0), (91, "APPENDLAND_B", 1)],
                 "n_nationkey long, n_name string, n_regionkey long")
             .coalesce(1).sortWithinPartitions("n_nationkey"),
@@ -1140,7 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("n_name", F.concat("n_name", F.lit("_u"))),
             "n_nationkey")
         write_delta(
-            spark.createDataFrame(
+            _ldf(spark, 
                 [(90, "APPENDLAND_A", 0), (91, "APPENDLAND_B", 1)],
                 "n_nationkey long, n_name string, n_regionkey long")
             .coalesce(1).sortWithinPartitions("n_nationkey"),
@@ -1193,7 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assert res["compacted"] >= 1 and pre == post, \
             "row ids must survive the compaction rewrite verbatim"
         write_iceberg(
-            spark.createDataFrame(
+            _ldf(spark, 
                 [(90, "APPENDLAND_A", 0), (91, "APPENDLAND_B", 1)],
                 "n_nationkey long, n_name string, n_regionkey long")
             .coalesce(1).sortWithinPartitions("n_nationkey"),
@@ -1226,7 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         create_tag(t, "v1", s1)
         write_iceberg(n.filter("n_nationkey >= 12"), t)
         write_iceberg(
-            spark.createDataFrame(
+            _ldf(spark, 
                 [(90, "BRANCHLAND_A"), (91, "BRANCHLAND_B")],
                 "n_nationkey long, n_name string"),
             t, branch="audit")
@@ -1306,7 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, dst,
             n.filter("n_nationkey < 3")
             .withColumn("n_name", F.concat("n_name", F.lit("_c")))
-            .unionByName(spark.createDataFrame(
+            .unionByName(_ldf(spark, 
                 [(99, "CLONELAND")], "n_nationkey long, n_name string")),
             "n_nationkey")
         src_now = {r["n_nationkey"] for r in
@@ -1370,7 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, t,
             n.filter("n_nationkey < 4")
             .withColumn("n_name", F.concat("n_name", F.lit("_u")))
-            .unionByName(spark.createDataFrame(
+            .unionByName(_ldf(spark, 
                 [(99, "UNILAND")], "n_nationkey long, n_name string")),
             "n_nationkey")
         sync_uniform(t)
@@ -1700,7 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         analyze_iceberg(spark, t, columns=cols,
                         max_exact_distinct=200_000)
         got = iceberg_ndv(t)
-        return spark.createDataFrame(
+        return _ldf(spark, 
             [(c, int(got[c])) for c in cols],
             "column_name string, ndv long")
 
@@ -2225,7 +2227,7 @@ streams:
             .withColumn("n_name", F.concat("n_name", F.lit("_u"))),
             "n_nationkey", use_dvs=False)
         write_iceberg(
-            spark.createDataFrame(
+            _ldf(spark, 
                 [(90, "APPENDLAND_A", 0), (91, "APPENDLAND_B", 1)],
                 "n_nationkey long, n_name string, n_regionkey long")
             .coalesce(1).sortWithinPartitions("n_nationkey"),
@@ -2271,7 +2273,7 @@ streams:
         for batch in ([(90, "APPENDLAND_A", 0), (91, "APPENDLAND_B", 1)],
                       [(92, "APPENDLAND_C", 2), (93, "APPENDLAND_D", 3)]):
             write_iceberg(
-                spark.createDataFrame(
+                _ldf(spark, 
                     batch,
                     "n_nationkey long, n_name string, n_regionkey long")
                 .coalesce(1).sortWithinPartitions("n_nationkey"),
@@ -2342,7 +2344,7 @@ streams:
             .withColumn("n_name", F.concat("n_name", F.lit("_u"))),
             "n_nationkey", use_dvs=False)
         write_iceberg(
-            spark.createDataFrame(
+            _ldf(spark, 
                 [(90, "APPENDLAND_A", 0)],
                 "n_nationkey long, n_name string, n_regionkey long")
             .coalesce(1), t, mode="append")
@@ -2385,7 +2387,7 @@ streams:
         for batch in ([(90, "APPENDLAND_A", 0), (91, "APPENDLAND_B", 1)],
                       [(92, "APPENDLAND_C", 2), (93, "APPENDLAND_D", 3)]):
             write_delta(
-                spark.createDataFrame(
+                _ldf(spark, 
                     batch,
                     "n_nationkey long, n_name string, n_regionkey long")
                 .coalesce(1).sortWithinPartitions("n_nationkey"),
@@ -2604,7 +2606,7 @@ streams:
             T.StructField("event_id", T.LongType())])
         target = os.path.join(base, "t")
         write_delta(
-            spark.createDataFrame([], row_schema), target)
+            _ldf(spark, [], row_schema), target)
         run_cdc_pipeline(
             spark,
             {"format": "json", "envelope": "debezium", "path": src_dir,
@@ -2667,7 +2669,7 @@ streams:
             T.StructField("value", T.DoubleType()),
             T.StructField("event_id", T.LongType())])
         target = os.path.join(base, "t")
-        write_iceberg(spark.createDataFrame([], row_schema), target)
+        write_iceberg(_ldf(spark, [], row_schema), target)
         run_cdc_pipeline(
             spark,
             {"format": "json", "envelope": "debezium", "path": src_dir,
@@ -2817,7 +2819,7 @@ streams:
         D._write_checkpoint(t, _fsio.get_fs(t), 2)
         for v in (0, 1, 2):
             os.remove(os.path.join(t, "_delta_log", f"{v:020d}.json"))
-        D.write_delta(spark.createDataFrame(
+        D.write_delta(_ldf(spark, 
             [(99, "NEWLAND", 0)],
             "n_nationkey long, n_name string, n_regionkey long"),
             t, mode="append")
@@ -3171,7 +3173,7 @@ streams:
         os.remove(p)
         assert D.verify_checksum(t, version=2)["seeded"] is True
         assert D.verify_checksum(t, version=2)["ok"] is True
-        return spark.createDataFrame(
+        return _ldf(spark, 
             rows, "version int, ok boolean, seeded boolean, n_files int")
 
     def delta_type_widening(spark, sf):
@@ -3234,7 +3236,7 @@ streams:
         set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
         batch = n.filter("n_nationkey < 5") \
             .withColumn("n_name", F.concat("n_name", F.lit("_u"))) \
-            .unionByName(spark.createDataFrame(
+            .unionByName(_ldf(spark, 
                 [(99, "NEWLAND")], "n_nationkey long, n_name string"))
         stats = merge_delta(spark, t, batch, "n_nationkey")
         return read_change_feed(
@@ -3270,7 +3272,7 @@ streams:
             .withColumnRenamed("n_name", "nation_name") \
             .withColumn("nation_name",
                         F.concat("nation_name", F.lit("_u"))) \
-            .unionByName(spark.createDataFrame(
+            .unionByName(_ldf(spark, 
                 [(99, "NEWLAND", 0)],
                 "n_nationkey long, nation_name string, n_regionkey long"))
         stats = merge_delta(spark, t, batch, "n_nationkey")
@@ -3305,7 +3307,7 @@ streams:
         set_table_properties(t, {"delta.enableChangeDataFeed": "true"})
         merge_delta(spark, t, n.filter("n_nationkey < 5")
                     .withColumn("n_name", F.concat("n_name", F.lit("_u")))
-                    .unionByName(spark.createDataFrame(
+                    .unionByName(_ldf(spark, 
                         [(99, "NEWLAND")],
                         "n_nationkey long, n_name string")),
                     "n_nationkey")
@@ -3531,7 +3533,7 @@ streams:
                  "pos": [r["pos"] for r in victims]}))
         batch = n.filter("n_nationkey < 5") \
             .withColumn("n_name", F.concat("n_name", F.lit("_u"))) \
-            .unionByName(spark.createDataFrame(
+            .unionByName(_ldf(spark, 
                 [(99, "NEWLAND", 0)],
                 "n_nationkey long, n_name string, n_regionkey long"))
         I.merge_iceberg(spark, t, batch, "n_nationkey")
@@ -3604,7 +3606,7 @@ streams:
         I.add_deletion_vectors(t, dv_rows)
         batch = n.filter("n_nationkey < 5") \
             .withColumn("n_name", F.concat("n_name", F.lit("_u"))) \
-            .unionByName(spark.createDataFrame(
+            .unionByName(_ldf(spark, 
                 [(99, "NEWLAND", 0)],
                 "n_nationkey long, n_name string, n_regionkey long"))
         I.merge_iceberg(spark, t, batch, "n_nationkey")
@@ -3629,7 +3631,7 @@ streams:
         s1 = I.write_iceberg(n.coalesce(1), t)
         batch = n.filter("n_nationkey < 5") \
             .withColumn("n_name", F.concat("n_name", F.lit("_u"))) \
-            .unionByName(spark.createDataFrame(
+            .unionByName(_ldf(spark, 
                 [(99, "NEWLAND")], "n_nationkey long, n_name string"))
         I.merge_iceberg(spark, t, batch, "n_nationkey")
         return I.iceberg_changelog(spark, t, from_snapshot_id=s1).select(
@@ -3662,7 +3664,7 @@ streams:
         I.merge_iceberg(spark, t, n.filter("n_nationkey < 5")
                         .withColumn("n_name",
                                     F.concat("n_name", F.lit("_u")))
-                        .unionByName(spark.createDataFrame(
+                        .unionByName(_ldf(spark, 
                             [(99, "NEWLAND")],
                             "n_nationkey long, n_name string")),
                         "n_nationkey")
@@ -3990,7 +3992,7 @@ streams:
         b1, b2 = e.agg(F.expr(
             "percentile(ts_us, array(0.34, 0.67))")).first()[0]
         late = e.filter(F.col("ts_us") <= b1)
-        flush = spark.createDataFrame(
+        flush = _ldf(spark, 
             [("___flush", 8.0e15)], "event_type string, ts_us double")
         slices = [e.filter(F.col("ts_us") <= b1),
                   e.filter((F.col("ts_us") > b1)

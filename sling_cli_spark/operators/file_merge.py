@@ -52,6 +52,8 @@ import uuid
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+
+from sling_cli_spark.localframe import local_df
 from pyspark.sql import functions as F
 
 from sling_cli_spark.config import MergeStrategy
@@ -190,7 +192,7 @@ def merge_files(
         if touched:
             touched_rows = _read(*touched)
         else:
-            touched_rows = spark.createDataFrame([], target.schema)
+            touched_rows = local_df(spark, [], target.schema)
         replacement = merge_dataframes(
             touched_rows, src, pk, strategy=strategy, update_key=update_key)
 

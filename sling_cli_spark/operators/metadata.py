@@ -19,6 +19,8 @@ would break pushdown and repeatability).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from sling_cli_spark.localframe import local_df
 from pyspark.sql import functions as F
 
 
@@ -60,7 +62,7 @@ def with_row_num(
         offsets.append((p, acc))
         acc += c
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "pid bigint, __off bigint")
+    off_df = local_df(spark, offsets, "pid bigint, __off bigint")
     out = (
         df.withColumn("__pid", pid)
         .join(F.broadcast(off_df), F.col("__pid") == F.col("pid"), "left")

@@ -23,6 +23,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
+
+from sling_cli_spark.localframe import local_df
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -122,4 +124,4 @@ def make_fake_media(spark, n: int = 100, media_type: str = "image") -> DataFrame
         blob = bytes(((i * 37 + j * 11) % 256) for j in range(64 + (i % 5) * 16))
         rows.append((i, media_type, f"{media_type}/fake", 8, 8,
                      1000 * (1 + i % 4), blob))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return local_df(spark, rows, MEDIA_SCHEMA)

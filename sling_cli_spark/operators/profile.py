@@ -19,6 +19,8 @@ into a single agg); distro_field is a groupBy on the profiled field only
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from sling_cli_spark.localframe import local_df
 from pyspark.sql import functions as F
 
 
@@ -54,7 +56,7 @@ def field_stat(
             cnt - dst,
         ))
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_df(spark, 
         out,
         "field string, total_cnt bigint, cnt bigint, null_cnt bigint, "
         "uniq_cnt bigint, null_prct double, uniq_prct double, dup_cnt bigint",
@@ -90,7 +92,7 @@ def percentile_stat(
             out.append((f, float(p), v))
         out.append((f, 0.0, row[f"__mn_{f}"]))
         out.append((f, 1.0, row[f"__mx_{f}"]))
-    return df.sparkSession.createDataFrame(
+    return local_df(df.sparkSession, 
         out, "field string, prob double, value double")
 
 
@@ -142,7 +144,7 @@ def field_stat_deep(df: DataFrame, fields: list[str]) -> DataFrame:
         out.append((
             f, cnt, row[f"__min_{f}"], row[f"__max_{f}"], s, avg,
         ))
-    return df.sparkSession.createDataFrame(
+    return local_df(df.sparkSession, 
         out, "field string, cnt bigint, min_val double, max_val double, "
              "sum_val double, avg_val double")
 
@@ -163,7 +165,7 @@ def field_stat_len(
     row = df.agg(*aggs).collect()[0]
     out = [(f, row["__total"],
             row[f"__min_{f}"], row[f"__max_{f}"]) for f in fields]
-    return df.sparkSession.createDataFrame(
+    return local_df(df.sparkSession, 
         out, "field string, tot_cnt bigint, "
              "f_min_len bigint, f_max_len bigint")
 
@@ -251,7 +253,7 @@ def fill_rate(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
     total = row["__total"]
     out = [(f, row[f], round(100.0 * row[f] / total, 2) if total else 0.0)
            for f in fields]
-    return df.sparkSession.createDataFrame(
+    return local_df(df.sparkSession, 
         out, "field string, fill_cnt bigint, fill_rate double")
 
 

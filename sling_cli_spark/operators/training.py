@@ -14,6 +14,8 @@ per-stratum rank).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from sling_cli_spark.localframe import local_df
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -650,7 +652,7 @@ def dsir_select(
         tgt_counts.unpersist()
     # literal <= n_buckets-row frame: broadcasts below with no lineage
     # back to either corpus (and no live cache references)
-    lam = df.sparkSession.createDataFrame(
+    lam = local_df(df.sparkSession, 
         lam_rows, schema="__b bigint, __lam double")
     scores = (tokenized(df, id_col).select(F.col(id_col), b)
               .join(F.broadcast(lam), "__b")

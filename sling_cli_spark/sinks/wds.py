@@ -31,6 +31,8 @@ import os
 import tarfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+from sling_cli_spark.localframe import local_df
 from pyspark.sql import functions as F
 
 _OUT_SCHEMA = "shard int, path string, n_samples long, n_bytes long"
@@ -86,7 +88,7 @@ def write_webdataset(
                 16, 10).cast("long") % shards).cast("int"))
     out = staged.groupBy("__shard").applyInPandas(_write, _OUT_SCHEMA)
     spark = df.sparkSession
-    return spark.createDataFrame(out.collect(), _OUT_SCHEMA)
+    return local_df(spark, out.collect(), _OUT_SCHEMA)
 
 
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
@@ -118,6 +120,6 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(
                     {"key": keys, "ext": exts, "data": datas})
 
-    src = spark.createDataFrame([(p,) for p in paths], "path string") \
+    src = local_df(spark, [(p,) for p in paths], "path string") \
         .repartition(len(paths), "path")
     return src.mapInPandas(_read, "key string, ext string, data binary")

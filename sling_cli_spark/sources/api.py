@@ -233,8 +233,16 @@ def read_api(
     records = list(iter_records(spec, transport))
     if not records:
         raise ValueError(f"API returned no records for {spec.get('url')!r}")
+    # slice count scales with the record volume (about 2k records per
+    # slice), not defaultParallelism: API pages accumulate driver-side,
+    # so a handful of records would otherwise fan into one near-empty
+    # python partition per core — and schema inference + the read each
+    # pay a worker round trip per slice (guide §4)
+    slices = max(1, min(len(records) // 2000 + 1,
+                        spark.sparkContext.defaultParallelism))
     df = spark.read.json(
-        spark.sparkContext.parallelize([_json.dumps(r) for r in records]))
+        spark.sparkContext.parallelize(
+            [_json.dumps(r) for r in records], slices))
     if flatten_records:
         from sling_cli_spark.operators.flatten import flatten
 

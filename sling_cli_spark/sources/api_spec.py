@@ -40,6 +40,8 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Iterator
 
 from sling_cli_spark.expressions import Evaluator
+
+from sling_cli_spark.localframe import local_df
 from sling_cli_spark.sources.api import Transport, _default_transport, _extract_path
 
 
@@ -1426,10 +1428,12 @@ class APIConnection:
                 continue
             import json as _json
             if not records:
-                out[name] = spark.createDataFrame([], "skipped string")
+                out[name] = local_df(spark, [], "skipped string")
                 continue
             df = spark.read.json(spark.sparkContext.parallelize(
-                [_json.dumps(r) for r in records]))
+                [_json.dumps(r) for r in records],
+                max(1, min(len(records) // 2000 + 1,
+                           spark.sparkContext.defaultParallelism))))
             if flatten_records:
                 from sling_cli_spark.operators.flatten import flatten
 
@@ -1568,7 +1572,7 @@ def read_api_source(spark, source):
         # zero rows write an empty document either way
         from pyspark.sql import types as T
 
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], T.StructType(
                 [T.StructField("_sling_empty", T.StringType())]))
     df = records_to_df(spark, records, flatten_level=flatten_level)

@@ -29,6 +29,8 @@ import struct
 import zlib
 from typing import Any
 
+from sling_cli_spark.localframe import local_df
+
 MAGIC = b"Obj\x01"
 
 
@@ -469,4 +471,4 @@ def read_avro_df(spark, path: str):
             if f["name"] in converters and r[f["name"]] is not None
             else r[f["name"]]
             for f in schema["fields"]))
-    return spark.createDataFrame(data, ddl)
+    return local_df(spark, data, ddl)

@@ -63,6 +63,8 @@ from typing import Any
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..localframe import local_df
 from pyspark.sql import functions as F
 
 from sling_cli_spark import fsio
@@ -1499,6 +1501,26 @@ def _stage_data_files(
 
     walk("")
     fs.delete(tmp, True)
+    if len(adds) > 1:
+        # a multi-file stage can include zero-row part files (empty
+        # post-shuffle partitions); committing them is pure noise — an
+        # empty add carries no data yet consumes a row-id reservation
+        # (max(1, numRecords) in _assign_fresh_row_ids) and bloats the
+        # log. Drop them (delta-spark never commits empty adds either);
+        # the all-empty single-file stage stays, so empty-frame writes
+        # keep their one marker file.
+        def _is_empty(a: dict) -> bool:
+            try:
+                return json.loads(a["add"].get("stats") or "{}") \
+                    .get("numRecords") == 0
+            except (ValueError, TypeError):
+                return False
+        nonempty = [a for a in adds if not _is_empty(a)]
+        if nonempty and len(nonempty) < len(adds):
+            for a in adds:
+                if _is_empty(a):
+                    fs.delete(fsio.join(path, a["add"]["path"]), False)
+            adds = nonempty
     return adds
 
 
@@ -1848,7 +1870,7 @@ def read_delta(
                     "time travel there")
             # full history retained: the instant truly predates v0
             from pyspark.sql import types as T
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [], T.StructType.fromJson(json.loads(meta["schemaString"])))
     meta, files = replay_log(path, version)
     if meta is None:
@@ -1868,7 +1890,7 @@ def read_delta(
         # mapping handled inside the scan (mapped+partitioned refuses)
         return _scan_with_row_ids(spark, path, meta, files, sorted(files))
     if not files:
-        return spark.createDataFrame([], logical)
+        return local_df(spark, [], logical)
 
     dvs = {rel: add["deletionVector"] for rel, add in files.items()
            if add.get("deletionVector")}
@@ -2071,7 +2093,7 @@ def _dv_deleted_df(spark, path: str, dvs: dict[str, dict]) -> DataFrame:
         # adds point outside the table root, where a relative key
         # cannot match)
         rows.append((_abs_of_add(path, rel), json.dumps(desc), blob64))
-    src = spark.createDataFrame(rows, "__fp string, __dv string, __b string")
+    src = local_df(spark, rows, "__fp string, __dv string, __b string")
     if len(rows) > 1:
         src = src.repartition(min(len(rows), 64), "__fp")
 
@@ -2113,7 +2135,7 @@ def _read_files_mor(
     if not rels:
         out = T.StructType(list(logical.fields) + (
             [T.StructField("__fp", T.StringType())] if keep_fp else []))
-        return spark.createDataFrame([], out)
+        return local_df(spark, [], out)
     dvs = {rel: files[rel]["deletionVector"] for rel in rels
            if files[rel].get("deletionVector")}
     cm = _column_mapping_mode(meta)
@@ -2215,7 +2237,7 @@ def _scan_log_partitioned(
         v = (files[r].get("partitionValues") or {}).get(c)
         return None if v is None or v == _HIVE_NULL else v
 
-    pmap = spark.createDataFrame(
+    pmap = local_df(spark, 
         [tuple([_abs_of_add(path, r)] + [_pv(r, c) for c in parts])
          for r in rels],
         T.StructType(
@@ -2552,7 +2574,7 @@ def _scan_with_row_ids(
         T.StructField(rid_out, T.LongType()),
         T.StructField(rcv_out, T.LongType())])
     if not rels:
-        return spark.createDataFrame([], out)
+        return local_df(spark, [], out)
     missing = [r for r in rels if files[r].get("baseRowId") is None]
     if missing:
         raise UnsupportedTableFeature(
@@ -2609,7 +2631,7 @@ def _scan_with_row_ids(
     if dvs:
         df = df.join(_dv_deleted_df(spark, path, dvs),
                      ["__fp", "__pos"], "left_anti")
-    fmap = spark.createDataFrame(
+    fmap = local_df(spark, 
         [(_abs_of_add(path, r), int(files[r]["baseRowId"]),
           int(files[r].get("defaultRowCommitVersion") or 0))
          for r in rels],
@@ -4301,7 +4323,7 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
         sorted(prot.get("readerFeatures") or []),
         sorted(prot.get("writerFeatures") or []),
     )
-    return spark.createDataFrame([row], (
+    return local_df(spark, [row], (
         "format string, id string, location string, created_time long, "
         "version long, partition_columns array<string>, "
         "clustering_columns array<string>, num_files long, "
@@ -4417,7 +4439,7 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
         if ts is None:
             ts = commit_timestamp_ms(path, v)
         rows.append((v, int(ts), op, n_add, n_remove, n_cdc))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "version long, timestamp_ms long, operation string, "
               "n_added long, n_removed long, n_change_files long")
 
@@ -4959,6 +4981,6 @@ def read_change_feed(
             .add("_change_type", "string") \
             .add("_commit_version", "long") \
             .add("_commit_timestamp", "long")
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), branches)

@@ -28,6 +28,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sling_cli_spark.localframe import local_df
+
 from sling_cli_spark.config import Source, SourceOptions
 from sling_cli_spark.operators.flatten import flatten
 
@@ -899,4 +901,4 @@ def list_file_nodes(spark: SparkSession, path: str) -> DataFrame:
                 s.getPath().toString(), int(s.getLen()),
                 int(s.getModificationTime()),
             ))
-    return spark.createDataFrame(rows, "path string, size bigint, modified_ms bigint")
+    return local_df(spark, rows, "path string, size bigint, modified_ms bigint")

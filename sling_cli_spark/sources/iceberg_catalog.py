@@ -38,6 +38,8 @@ import time
 
 from sling_cli_spark import fsio
 
+from sling_cli_spark.localframe import local_df
+
 
 class CatalogError(Exception):
     pass
@@ -842,7 +844,7 @@ def read_table(catalog, spark, ident, **kw):
         return read_iceberg(spark, location, **kw)
     snap = meta.get("current-snapshot-id")
     if snap is None or int(snap) == -1:
-        return spark.createDataFrame([], _spark_schema(meta))
+        return local_df(spark, [], _spark_schema(meta))
     return read_iceberg(spark, location,
                         snapshot_id=int(snap), **kw)
 

@@ -63,6 +63,8 @@ from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..localframe import local_df
+
 from sling_cli_spark import fsio
 from sling_cli_spark.sources.avro_py import read_avro, write_avro
 from sling_cli_spark.sources.delta_py import (
@@ -754,7 +756,7 @@ def _apply_equality_deletes(
 
     seq_rows = [(_canon(f["file_path"]), int(f["__seq"] or 0))
                 for f in data_files]
-    seq_df = spark.createDataFrame(seq_rows, "__fp string, __seq long")
+    seq_df = local_df(spark, seq_rows, "__fp string, __seq long")
     # left join + loud null check: an inner join would silently DROP any
     # data row whose path failed to match the manifest (e.g. an escaping
     # quirk between _canon and _norm_path_col) — losing rows beats
@@ -869,7 +871,7 @@ def _expand_dvs(spark, dvs: list[dict]) -> DataFrame:
                 f"({len(blob)} of {size} bytes)")
         rows.append((_canon(ref), base64.b64encode(blob).decode(),
                      int(d.get("record_count") or 0)))
-    src = spark.createDataFrame(rows, "__fp string, __b string, __n long")
+    src = local_df(spark, rows, "__fp string, __b string, __n long")
     if len(rows) > 1:
         src = src.repartition(min(len(rows), 64), "__fp")
 
@@ -973,7 +975,7 @@ def _mor_read(
         if with_row_ids:
             sch = T.StructType(list(sch.fields) + [
                 T.StructField(c, T.LongType()) for c in _LINEAGE_COLS])
-        df = spark.createDataFrame([], sch)
+        df = local_df(spark, [], sch)
         return df.withColumn("__file", F.lit(None).cast("string")) \
             if keep_file_col else df
     defaults = _initial_defaults(meta) \
@@ -1040,7 +1042,7 @@ def _mor_read(
         if with_row_ids and "__pos" not in df.columns:
             df = df.withColumn("__pos", F.col("_metadata.row_index"))
     if with_row_ids:
-        fmap = spark.createDataFrame(
+        fmap = local_df(spark, 
             [(_canon(f["file_path"]),
               None if f.get("first_row_id") is None
               else int(f["first_row_id"]),
@@ -1263,7 +1265,7 @@ def read_iceberg(
         eligible = [s for s in meta.get("snapshots") or []
                     if s.get("timestamp-ms", 0) <= as_of_timestamp_ms]
         if not eligible:
-            return spark.createDataFrame([], _spark_schema(meta))
+            return local_df(spark, [], _spark_schema(meta))
         snapshot_id = max(
             eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
     files, pos_dels, eq_dels = _active_entries(path, meta, snapshot_id)
@@ -3106,7 +3108,7 @@ def iceberg_files(spark: SparkSession, path: str,
                 int(f.get("__spec_id") or 0),
                 int(f.get("__seq") or 0),
             ))
-    return spark.createDataFrame(rows, (
+    return local_df(spark, rows, (
         "content string, file_path string, file_format string, "
         "record_count long, file_size_in_bytes long, partition string, "
         "spec_id int, sequence_number long"))
@@ -3147,7 +3149,7 @@ def iceberg_position_deletes(
                             F.lit(f["file_path"]))
             .withColumn("file_format", F.lit(fmt.lower())))
     if not branches:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     return reduce(lambda a, b: a.unionByName(b), branches)
 
 
@@ -3191,7 +3193,7 @@ def iceberg_partitions(spark: SparkSession, path: str,
              b["equality_delete_record_count"],
              sorted(b["spec_ids"]))
             for b in agg.values()]
-    return spark.createDataFrame(rows, (
+    return local_df(spark, rows, (
         "partition string, record_count long, file_count long, "
         "total_size_bytes long, position_delete_record_count long, "
         "equality_delete_record_count long, spec_ids array<int>"))
@@ -3209,7 +3211,7 @@ def iceberg_history(spark: SparkSession, path: str) -> DataFrame:
              (s.get("summary") or {}).get("operation"),
              s["snapshot-id"] == cur)
             for s in meta.get("snapshots") or []]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "snapshot_id long, timestamp_ms long, "
               "sequence_number long, operation string, is_current boolean")
 
@@ -3242,7 +3244,7 @@ def iceberg_detail(spark: SparkSession, path: str) -> DataFrame:
             f"{sf.get('null-order', 'nulls-first')}"
             for sf in _default_sort_fields(meta)),
     )
-    return spark.createDataFrame([row], (
+    return local_df(spark, [row], (
         "format string, id string, location string, format_version int, "
         "partition_spec string, num_files long, size_in_bytes long, "
         "num_records long, num_delete_files long, num_snapshots long, "
@@ -3266,7 +3268,7 @@ def iceberg_snapshots(spark: SparkSession, path: str) -> DataFrame:
              s.get("manifest-list"),
              json.dumps(s.get("summary") or {}, sort_keys=True))
             for s in meta.get("snapshots") or []]
-    return spark.createDataFrame(rows, (
+    return local_df(spark, rows, (
         "committed_at_ms long, snapshot_id long, parent_id long, "
         "operation string, manifest_list string, summary string"))
 
@@ -3287,7 +3289,7 @@ def iceberg_refs_meta(spark: SparkSession, path: str) -> DataFrame:
              r.get("min-snapshots-to-keep"),
              r.get("max-snapshot-age-ms"))
             for name, r in sorted(refs.items())]
-    return spark.createDataFrame(rows, (
+    return local_df(spark, rows, (
         "name string, type string, snapshot_id long, "
         "max_reference_age_in_ms long, min_snapshots_to_keep int, "
         "max_snapshot_age_in_ms long"))
@@ -3327,7 +3329,7 @@ def iceberg_manifests(spark: SparkSession, path: str,
                 counts[(2, "data")],
                 counts[(1, "delete")], counts[(0, "delete")],
                 counts[(2, "delete")]))
-    return spark.createDataFrame(rows, (
+    return local_df(spark, rows, (
         "content int, path string, length long, partition_spec_id int, "
         "added_snapshot_id long, added_data_files_count int, "
         "existing_data_files_count int, deleted_data_files_count int, "
@@ -3366,7 +3368,7 @@ def iceberg_entries(spark: SparkSession, path: str,
                     int(df_.get("file_size_in_bytes") or 0),
                     json.dumps(df_.get("partition") or {},
                                sort_keys=True)))
-    return spark.createDataFrame(rows, (
+    return local_df(spark, rows, (
         "status int, snapshot_id long, sequence_number long, "
         "content int, file_path string, record_count long, "
         "file_size_in_bytes long, partition string"))
@@ -3390,7 +3392,7 @@ def iceberg_all_manifests(spark: SparkSession, path: str) -> DataFrame:
                 int(m.get("partition_spec_id") or 0),
                 int(m.get("added_snapshot_id") or 0),
                 int(s["snapshot-id"])))
-    return spark.createDataFrame(rows, (
+    return local_df(spark, rows, (
         "content int, path string, length long, partition_spec_id int, "
         "added_snapshot_id long, reference_snapshot_id long"))
 
@@ -3423,7 +3425,7 @@ def iceberg_all_files(spark: SparkSession, path: str) -> DataFrame:
                 int(df_.get("file_size_in_bytes") or 0),
                 int((mseq if seq is None else seq) or 0),
                 json.dumps(df_.get("partition") or {}, sort_keys=True)))
-    return spark.createDataFrame(rows, (
+    return local_df(spark, rows, (
         "content int, file_path string, file_format string, "
         "record_count long, file_size_in_bytes long, "
         "sequence_number long, partition string"))
@@ -3805,10 +3807,10 @@ def iceberg_statistics(spark: SparkSession, path: str) -> DataFrame:
                 spath,
                 int(s.get("file-size-in-bytes") or 0),
             ))
-    return spark.createDataFrame(rows, (
+    return local_df(spark, rows, (
         "snapshot_id long, column string, blob_type string, ndv long, "
         "statistics_path string, file_size_in_bytes long")) \
-        if rows else spark.createDataFrame([], (
+        if rows else local_df(spark, [], (
             "snapshot_id long, column string, blob_type string, "
             "ndv long, statistics_path string, file_size_in_bytes long"))
 
@@ -4547,7 +4549,7 @@ def iceberg_changelog(
             .add("_change_type", "string") \
             .add("_snapshot_id", "long") \
             .add("_commit_timestamp_ms", "long")
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     # allowMissingColumns: branches over a schema-evolved range carry
     # different column sets; older branches fill the new columns null
     return reduce(

@@ -43,6 +43,8 @@ import time
 import uuid
 
 from sling_cli_spark import fsio
+
+from sling_cli_spark.localframe import local_df
 from sling_cli_spark.sources.iceberg_catalog import (
     CatalogError,
     NoSuchNamespace,
@@ -438,7 +440,7 @@ def view_versions(catalog, spark, ident):
              v["version-id"] == cur)
             for v in sorted(meta["versions"],
                             key=lambda v: v["version-id"])]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "version_id int, schema_id int, timestamp_ms long, "
               "operation string, sql string, default_namespace string, "
               "is_current boolean")
