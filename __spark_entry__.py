@@ -3879,12 +3879,14 @@ streams:
         per-key state machine is user code). events split into 4
         chronological micro-batch files (+ a flush batch whose
         far-future event closes every open session), the stream groups
-        by user and emits a row per CLOSED session; the processing-time
-        timeout (1h wall) never fires inside the run, so the emitted
+        by user and emits a row per CLOSED session; the idle-session
+        timeout is disabled (timeout_conf="none" — the flush batch
+        closes everything, and a registered processing-time timeout
+        would keep an availableNow run alive forever), so the emitted
         set is deterministic and equals the batch window-twin
-        (operators/asof.sessionize — the poll target AND the oracle).
-        Timestamps ride as exact µs-integer doubles (< 2^53) so the
-        gap comparison is exact on both engines."""
+        (operators/asof.sessionize — the assert target AND the
+        oracle). Timestamps ride as exact µs-integer doubles (< 2^53)
+        so the gap comparison is exact on both engines."""
         import shutil
         import tempfile
         import time as _time
@@ -3892,15 +3894,15 @@ streams:
 
         from sling_cli_spark.operators.asof import sessionize
         from sling_cli_spark.streaming.sessions import sessionize_stream
+        from sling_cli_spark.streaming.tuning import (
+            BYTES_PER_PYTHON_STATE_PARTITION, scoped_shuffle_partitions,
+            stream_state_partitions)
 
         GAP_US = 3_600_000_000.0  # 1 hour of data time, in µs
         e = _t(spark, sf, "events").select(
             "user_id",
             F.unix_micros(F.col("ts").cast("timestamp"))
             .cast("double").alias("ts_us"))
-        expected = sessionize(e, "user_id", "ts_us", gap=GAP_US) \
-            .groupBy("user_id").agg(F.max("session_id").alias("m")) \
-            .agg(F.sum("m")).first()[0]
 
         base = tempfile.mkdtemp(prefix="sling_ssn_")
         src = os.path.join(base, "src")
@@ -3933,25 +3935,39 @@ streams:
         stream = spark.readStream.schema(
             "user_id long, ts_us double") \
             .option("maxFilesPerTrigger", "1").json(src)
+        # r14 (guide §1.2/§2.2): timeout_conf="none" — the flush batch
+        # closes every session, so the idle timeout contributes nothing,
+        # and WITH it registered an availableNow run never terminates
+        # (Spark keeps scheduling no-data batches while processing-time
+        # timeouts exist; measured 308s = the awaitTermination cap).
+        # availableNow replaces the 0.25s-granularity polling loop whose
+        # count() probes contended with the micro-batches; state
+        # partitions are sized from the actual source bytes (see
+        # streaming/tuning.py) instead of the batch session constant.
         out = sessionize_stream(
             stream, gap_seconds=GAP_US, ts_col="ts_us",
-            key_col="user_id")
+            key_col="user_id", timeout_conf="none")
         qn = "ssn_" + _uuid.uuid4().hex[:8]
-        q = out.writeStream.format("memory").queryName(qn) \
-            .outputMode("append") \
-            .option("checkpointLocation", os.path.join(base, "ckpt")) \
-            .start()
-        got = 0
-        try:
-            deadline = _time.time() + 300
-            while _time.time() < deadline:
-                got = spark.sql(
-                    f"SELECT count(*) AS c FROM {qn}").first()["c"]
-                if got >= expected:
-                    break
-                _time.sleep(0.25)
-        finally:
-            q.stop()
+        src_bytes = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src))
+        with scoped_shuffle_partitions(
+                spark, stream_state_partitions(
+                    spark, src_bytes,
+                    BYTES_PER_PYTHON_STATE_PARTITION)):
+            q = out.writeStream.format("memory").queryName(qn) \
+                .outputMode("append") \
+                .option("checkpointLocation", os.path.join(base, "ckpt")) \
+                .trigger(availableNow=True) \
+                .start()
+            # the batch twin only reads the events table, so it runs
+            # WHILE the stream drains (guide §2.6 — independent jobs
+            # overlap; FIFO scheduling back-fills the stream's tail)
+            expected = sessionize(e, "user_id", "ts_us", gap=GAP_US) \
+                .groupBy("user_id").agg(F.max("session_id").alias("m")) \
+                .agg(F.sum("m")).first()[0]
+            q.awaitTermination(300)
+        got = spark.sql(f"SELECT count(*) AS c FROM {qn}").first()["c"]
         assert got == expected, \
             f"streaming closed {got} sessions, batch twin says {expected}"
         return spark.table(qn).select(
@@ -3980,6 +3996,8 @@ streams:
         import time as _time
         import uuid as _uuid
 
+        from sling_cli_spark.streaming.tuning import (
+            scoped_shuffle_partitions, stream_state_partitions)
         from sling_cli_spark.streaming.windows import tumbling_agg
 
         e = _t(spark, sf, "events").select(
@@ -4019,10 +4037,20 @@ streams:
         out = tumbling_agg(stream, "ts", "1 hour",
                            keys=["event_type"], watermark="0 seconds")
         qn = "wmk_" + _uuid.uuid4().hex[:8]
-        (out.writeStream.format("memory").queryName(qn)
-         .outputMode("append")
-         .option("checkpointLocation", os.path.join(base, "ckpt"))
-         .trigger(availableNow=True).start().awaitTermination(300))
+        # r14 (guide §2.2): state partitions sized from actual source
+        # bytes — the session's batch-sized shuffle count made every
+        # micro-batch pay 32 state-store commits (measured 9-17s for
+        # this 5-batch stream vs 2.1-2.4s size-derived; results are
+        # partition-count independent). See streaming/tuning.py.
+        src_bytes = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src))
+        with scoped_shuffle_partitions(
+                spark, stream_state_partitions(spark, src_bytes)):
+            (out.writeStream.format("memory").queryName(qn)
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(base, "ckpt"))
+             .trigger(availableNow=True).start().awaitTermination(300))
         raw = spark.table(qn)
         assert raw.filter("event_type = '___flush'").count() == 0, \
             "flush window must still be OPEN (nothing advances the " \
@@ -4050,6 +4078,8 @@ streams:
         import uuid as _uuid
 
         from sling_cli_spark.streaming.cdc import stream_dedup_latest
+        from sling_cli_spark.streaming.tuning import (
+            scoped_shuffle_partitions, stream_state_partitions)
 
         e = _t(spark, sf, "events").select(
             F.col("event_id").cast("long").alias("event_id"),
@@ -4088,10 +4118,17 @@ streams:
             stream, "event_id", seq_col=None,
             watermark_col="ts", delay="3650 days")
         qn = "sdd_" + _uuid.uuid4().hex[:8]
-        (out.writeStream.format("memory").queryName(qn)
-         .outputMode("append")
-         .option("checkpointLocation", os.path.join(base, "ckpt"))
-         .trigger(availableNow=True).start().awaitTermination(300))
+        # r14 (guide §2.2): size-derived state partitions, same rationale
+        # and measurement as stream_window_watermark_events.
+        src_bytes = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src))
+        with scoped_shuffle_partitions(
+                spark, stream_state_partitions(spark, src_bytes)):
+            (out.writeStream.format("memory").queryName(qn)
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(base, "ckpt"))
+             .trigger(availableNow=True).start().awaitTermination(300))
         raw = spark.table(qn)
         n_distinct = e.select("event_id").distinct().count()
         assert raw.count() == n_distinct, \

@@ -32,6 +32,7 @@ STATE_SCHEMA = T.StructType([
 def sessionize_stream(
     events: DataFrame, gap_seconds: float = 1800.0,
     ts_col: str = "ts_sec", key_col: str = "user_id",
+    timeout_conf: str = "processing",
 ) -> DataFrame:
     """events(user_id, ts_sec) stream -> closed-session rows.
 
@@ -39,7 +40,18 @@ def sessionize_stream(
     open session or closes it (emitting a row) when the gap is exceeded;
     the processing-time timeout closes idle sessions. The grouping
     shuffles by key exactly once per micro-batch; state is per-key O(1).
+
+    ``timeout_conf="none"`` disables the idle-session processing-time
+    timeout (r14, guide §1.2): with ANY processing-time timeout
+    registered, Spark schedules no-data micro-batches forever in case
+    state expires (``FlatMapGroupsWithStateExec.shouldRunAnotherBatch``
+    is unconditionally true), so a ``Trigger.AvailableNow`` run never
+    terminates — measured 308 s (the caller's awaitTermination cap)
+    vs ~3 s. Callers that close every session with a flush event and
+    drain with availableNow get identical output from ``"none"``,
+    because the timeout branch never contributes rows within a run.
     """
+    use_timeout = timeout_conf != "none"
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -68,7 +80,8 @@ def sessionize_stream(
             last = max(last, t)
             count += 1
         state.update((start, last, count))
-        state.setTimeoutDuration(int(gap_seconds * 1000))
+        if use_timeout:
+            state.setTimeoutDuration(int(gap_seconds * 1000))
         if closed:
             yield pd.DataFrame(closed)
 
@@ -77,5 +90,6 @@ def sessionize_stream(
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout if use_timeout
+                     else GroupStateTimeout.NoTimeout),
     )

@@ -103,3 +103,61 @@ def test_streaming_sessionize(spark, tmp_path):
         q.stop()
     # only user 1's first session closed within the batch
     assert want in got
+
+
+def test_streaming_sessionize_no_timeout_available_now(spark, tmp_path):
+    """r14: timeout_conf="none" lets an availableNow run TERMINATE (with
+    any processing-time timeout registered, Spark schedules no-data
+    batches forever) and, when a flush event closes every session, emits
+    the identical row set."""
+    from pyspark.sql import types as T
+    from sling_cli_spark.streaming.sessions import sessionize_stream
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    rows = [
+        {"user_id": 1, "ts_sec": 0.0}, {"user_id": 1, "ts_sec": 100.0},
+        {"user_id": 1, "ts_sec": 5000.0},   # closes session 1 (gap>1800)
+        {"user_id": 2, "ts_sec": 50.0},
+        # flush: far-future event per user closes the open sessions
+        {"user_id": 1, "ts_sec": 1e12}, {"user_id": 2, "ts_sec": 1e12},
+    ]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_sec", T.DoubleType())])
+    stream = spark.readStream.schema(schema).json(src)
+    sessions = sessionize_stream(stream, gap_seconds=1800.0,
+                                 timeout_conf="none")
+    q = sessions.writeStream.format("memory").queryName("sess_nt") \
+        .outputMode("append") \
+        .option("checkpointLocation", str(tmp_path / "ckpt")) \
+        .trigger(availableNow=True).start()
+    terminated = q.awaitTermination(120)
+    assert terminated, "availableNow + NoTimeout must self-terminate"
+    got = {(r["user_id"], r["session_start"], r["session_end"],
+            r["n_events"])
+           for r in spark.sql("SELECT * FROM sess_nt").collect()}
+    assert got == {(1, 0.0, 100.0, 2), (1, 5000.0, 5000.0, 1),
+                   (2, 50.0, 50.0, 1)}
+
+
+def test_stream_state_partitions_sizing(spark):
+    """r14: size-derived stream state partitioning — floor 1, linear in
+    source bytes, capped by the session shuffle setting."""
+    from sling_cli_spark.streaming.tuning import (
+        scoped_shuffle_partitions, stream_state_partitions)
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert stream_state_partitions(spark, 0) == 1
+    assert stream_state_partitions(spark, 1) == 1
+    assert stream_state_partitions(spark, 64 << 20) == min(1, cap) or \
+        stream_state_partitions(spark, 64 << 20) == 1
+    assert stream_state_partitions(spark, (64 << 20) + 1) == min(2, cap)
+    assert stream_state_partitions(spark, 10 ** 18) == cap
+    with scoped_shuffle_partitions(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == cap
