@@ -1927,7 +1927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = _t(spark, sf, "documents")
         out = dsir_select(
-            docs, docs.filter("lang = 'en'"), 200, n_buckets=4096)
+            docs, None, 200, n_buckets=4096,
+            target_filter="lang = 'en'")
         return out.select("doc_id").orderBy("doc_id")
 
     def token_budget_global_docs(spark, sf):

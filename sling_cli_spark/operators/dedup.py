@@ -452,7 +452,9 @@ def connected_components(
     Rounds needed = graph diameter; near-dup candidate graphs are
     star-shaped around bucket minima (diameter ~2 per bucket chain), so
     3-5 rounds is typical. Convergence = zero labels changed this round
-    (a short-circuiting ``limit(1)`` probe join, type-agnostic — node
+    (a short-circuiting ``limit(1)`` filter over the round's own
+    checkpointed output — the old label rides through the aggregate,
+    so the probe never joins or shuffles; type-agnostic — node
     ids can be strings/UUIDs, not just numbers); exhausting
     ``max_iterations`` without a fixpoint raises instead of returning a
     half-propagated labeling. For adversarially deep chain graphs,
@@ -464,20 +466,26 @@ def connected_components(
     ).distinct().localCheckpoint()
     labels = sym.select(F.col("a").alias("id")).distinct() \
         .withColumn("label", F.col("id"))
+    null_id = F.lit(None).cast(sym.schema["a"].dataType)
     for _ in range(max_iterations):
         neighbor = (
             sym.join(labels.withColumnRenamed("id", "a"), "a")
-            .select(F.col("b").alias("id"), "label"))
-        new_labels = (
-            labels.unionByName(neighbor)
-            .groupBy("id").agg(F.min("label").alias("label"))
+            .select(F.col("b").alias("id"), "label",
+                    null_id.alias("__old")))
+        # carry each node's OLD label through the min-aggregate (every
+        # id has exactly one labels row, so min(__old) IS the old
+        # label) — the convergence probe below is then a plain filter
+        # over the checkpointed partitions instead of a join+shuffle
+        # per round (r14, guide §2.4)
+        merged = (
+            labels.select("id", "label", F.col("label").alias("__old"))
+            .unionByName(neighbor)
+            .groupBy("id").agg(F.min("label").alias("label"),
+                               F.min("__old").alias("__old"))
         ).localCheckpoint()
-        changed = (
-            new_labels.select("id", F.col("label").alias("__new"))
-            .join(labels, "id")
-            .filter(F.col("__new") != F.col("label"))
-            .limit(1).count())
-        labels = new_labels
+        changed = merged.filter(
+            F.col("label") != F.col("__old")).limit(1).count()
+        labels = merged.select("id", "label")
         if changed == 0:
             return labels
     raise RuntimeError(

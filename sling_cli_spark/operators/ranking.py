@@ -155,23 +155,28 @@ def tfidf_keywords(
     toks = _tokens(df, text_col, id_col)
     tf = persist_tracked(
         toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    n_docs = dl.agg(F.count("*").alias("n_docs"))
+    n_docs = tf.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = dfreq.join(F.broadcast(n_docs)).select(
         "term",
         (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
         .alias("idf"))
-    scored = (tf.join(dl.filter(F.col("dl") >= min_doc_tokens)
-                      .select(id_col), id_col)  # doc-length gate
-              .join(idf, "term")
-              .select(id_col, "term",
+    scored = (tf.join(idf, "term")
+              .select(id_col, "term", "tf",
                       F.round(F.col("tf") * F.col("idf"),
                               round_to).alias("score")))
+    # doc-length gate rides the SAME hashpartitioning(id) exchange as
+    # the rank window (an unbounded sum-window instead of a separate
+    # groupBy + semi-join back — r14, guide §2.4): dropping whole docs
+    # after ranking yields identical per-doc ranks
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("term"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= top_n)
+    w_dl = Window.partitionBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return (scored.withColumn("__dl", F.sum("tf").over(w_dl))
+            .withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") <= top_n)
+                    & (F.col("__dl") >= min_doc_tokens))
             .select(id_col, "rank", "term", "score"))
 
 

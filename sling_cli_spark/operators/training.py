@@ -584,13 +584,14 @@ def _hashed_ngram_buckets(toks: Column, n_buckets: int,
 
 def dsir_select(
     df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame | None,
     n_docs: int,
     n_buckets: int = 8192,
     text_col: str = "text",
     id_col: str = "doc_id",
     smoothing: float = 1.0,
     hasher=None,
+    target_filter: Column | str | None = None,
 ) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al.
     2023, public): pick the ``n_docs`` raw-corpus documents whose
@@ -609,47 +610,58 @@ def dsir_select(
     (TakeOrderedAndProject — never a global sort). Nothing shuffles at
     corpus size except the doc-keyed score sum.
 
+    ``target_filter`` (r14, guide §1.2 — remove a full corpus pass):
+    when the target corpus is a PREDICATE over ``df`` itself (the
+    common DSIR deployment: "docs whose lang/domain/label matches"),
+    pass the predicate instead of a second frame and BOTH per-corpus
+    bucket-count tables come out of ONE tokenize+explode pass
+    (count + conditional count per bucket) instead of two. The
+    <= ``n_buckets``-row count frames collect once and the log-ratios
+    are computed driver-side — identical math, one fewer corpus scan,
+    no persisted intermediates.
+
     Returns the selected rows + ``dsir_score`` (rounded to 6dp for
     cross-engine float stability)."""
+    import math
+
     b = F.explode(
         _hashed_ngram_buckets(F.col("__tk"), n_buckets, hasher)
     ).alias("__b")
 
-    def tokenized(frame: DataFrame, *extra: str) -> DataFrame:
+    def tokenized(frame: DataFrame, *extra) -> DataFrame:
         # token array as a REAL column: the bigram lambda's element_at
         # calls must read a materialized array, not re-split the text
         return frame.select(
             *extra, _tokens(F.col(text_col)).alias("__tk"))
 
-    def bucket_counts(frame: DataFrame) -> DataFrame:
-        return tokenized(frame).select(b).groupBy("__b") \
-            .agg(F.count(F.lit(1)).alias("__n"))
-
-    # persisted: each <= n_buckets rows, but each is derived from a
-    # full corpus explode — the totals collect below and the log-ratio
-    # join must not re-scan the corpus to re-derive them. Both are
-    # UNPERSISTED in-function once the (tiny) log-ratio frame is
-    # materialized to the driver, so repeated calls in a long-lived
-    # session never accrete cached partitions.
-    raw_counts = bucket_counts(df).persist()
-    tgt_counts = bucket_counts(target_df).persist()
-    try:
-        raw_total = raw_counts.agg(F.sum("__n")).collect()[0][0] or 0
-        tgt_total = tgt_counts.agg(F.sum("__n")).collect()[0][0] or 0
-        s, btot = float(smoothing), float(n_buckets)
-        lam_rows = (raw_counts.withColumnRenamed("__n", "__raw")
-                    .join(tgt_counts.withColumnRenamed("__n", "__tgt"),
-                          "__b", "full")
-                    .select(
-                        "__b",
-                        (F.log((F.coalesce(F.col("__tgt"), F.lit(0)) + s)
-                               / F.lit(float(tgt_total) + s * btot))
-                         - F.log((F.coalesce(F.col("__raw"), F.lit(0)) + s)
-                                 / F.lit(float(raw_total) + s * btot))
-                         ).alias("__lam"))).collect()
-    finally:
-        raw_counts.unpersist()
-        tgt_counts.unpersist()
+    # bucket -> (raw_n, tgt_n), <= n_buckets rows on the driver
+    if target_filter is not None:
+        flag = (F.expr(target_filter) if isinstance(target_filter, str)
+                else target_filter)
+        counts = {
+            r["__b"]: (r["__raw"], r["__tgt"])
+            for r in tokenized(df, flag.alias("__t")).select("__t", b)
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__raw"),
+                 F.count(F.when(F.col("__t"), 1)).alias("__tgt"))
+            .collect()}
+    else:
+        raw = {r["__b"]: r["__n"] for r in tokenized(df).select(b)
+               .groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+               .collect()}
+        tgt = {r["__b"]: r["__n"] for r in tokenized(target_df).select(b)
+               .groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+               .collect()}
+        counts = {k: (raw.get(k, 0), tgt.get(k, 0))
+                  for k in raw.keys() | tgt.keys()}
+    raw_total = sum(v[0] for v in counts.values())
+    tgt_total = sum(v[1] for v in counts.values())
+    s, btot = float(smoothing), float(n_buckets)
+    lam_rows = [
+        (k,
+         math.log((tn + s) / (float(tgt_total) + s * btot))
+         - math.log((rn + s) / (float(raw_total) + s * btot)))
+        for k, (rn, tn) in counts.items()]
     # literal <= n_buckets-row frame: broadcasts below with no lineage
     # back to either corpus (and no live cache references)
     lam = local_df(df.sparkSession, 
