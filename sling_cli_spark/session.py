@@ -54,6 +54,10 @@ def get_spark(
         # --- parquet: keep ntz semantics stable, enable aggregate pushdown ---
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # deprecated INT96 timestamps carry no footer statistics (so
+        # every timestamp bound would need a re-scan) and both lake
+        # specs require int64 micros; values are identical either way
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # quieter local runs
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -1349,29 +1349,105 @@ def _collated_cols(meta: dict | None) -> set[str]:
                    for k in (f.get("metadata") or {}))}
 
 
+def _footer_delta_stats(
+    footer: dict[str, dict], coltypes: list[tuple[str, str]],
+) -> dict[str, str]:
+    """Footer-derived add.stats (the zero-extra-job fast path of
+    :func:`_staged_stats`): data columns come straight from the parquet
+    footers (exact-or-absent — see footer_stats.py); partition columns
+    are synthesized from the Hive dir value, which is EXACT by
+    construction (every row in the file holds that literal value), for
+    the types whose dir rendering parses back losslessly. A NaN bound
+    (parquet records NaN into max exactly like Spark's ``max``) is
+    omitted, matching the Spark-job path."""
+    import datetime as _dt
+    import math
+
+    def _nan(x):
+        return isinstance(x, float) and math.isnan(x)
+
+    def _from_dir(tn: str, raw: str):
+        if tn == "string":
+            return raw
+        if tn in ("long", "integer", "short", "byte"):
+            return int(raw)
+        if tn == "date":
+            return _dt.date.fromisoformat(raw)
+        if tn == "boolean":
+            return raw == "true"
+        if tn in ("double", "float"):
+            return float(raw)
+        if tn in ("timestamp", "timestamp_ntz"):
+            return _dt.datetime.fromisoformat(raw)
+        raise ValueError(tn)
+
+    out: dict[str, str] = {}
+    for key, fst in footer.items():
+        if fst["num_rows"] == 0:
+            out[key] = json.dumps({"numRecords": 0})
+            continue
+        pvals = _partition_values(fst["rel_dir"])
+        mins, maxs, nulls = {}, {}, {}
+        for c, tn in coltypes:
+            ent = fst["cols"].get(c)
+            if ent is not None:
+                mn, mx = ent.get("mn"), ent.get("mx")
+                if mn is not None and not _nan(mn) and not _nan(mx):
+                    mins[c] = _stats_serializable(mn)
+                    maxs[c] = _stats_serializable(mx)
+                if "nulls" in ent:
+                    nulls[c] = ent["nulls"]
+            elif c in pvals:
+                raw = pvals[c]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    nulls[c] = fst["num_rows"]
+                    continue
+                nulls[c] = 0
+                try:
+                    v = _from_dir(tn, raw)
+                except (ValueError, TypeError):
+                    continue  # unparseable rendering: bounds omitted
+                if not _nan(v):
+                    mins[c] = maxs[c] = _stats_serializable(v)
+        out[key] = json.dumps({
+            "numRecords": fst["num_rows"], "minValues": mins,
+            "maxValues": maxs, "nullCount": nulls})
+    return out
+
+
 def _staged_stats(
     df: DataFrame, tmp: str, exclude: set[str] | None = None,
 ) -> dict[str, str]:
     """Per-staged-file skipping stats (PROTOCOL.md Per-file Statistics:
     numRecords / minValues / maxValues / nullCount over the first
     ``_STATS_MAX_COLS`` atomic columns), keyed by canonical staged
-    path. ONE Spark job over the just-written files; failure degrades
-    to no stats, never a failed commit. ``exclude`` drops columns whose
-    bounds must not be recorded (collated strings: binary min/max can
-    disagree with the collation's ordering)."""
+    path. Served from the freshly written parquet FOOTERS when the
+    stage is on a local filesystem (no extra job — the writer already
+    computed them; re-reading 100% of staged bytes to recompute stats
+    is exactly the re-scan guide §6 warns about); otherwise ONE Spark
+    job over the just-written files. Failure degrades to no stats,
+    never a failed commit. ``exclude`` drops columns whose bounds must
+    not be recorded (collated strings: binary min/max can disagree with
+    the collation's ordering)."""
     from pyspark.sql import functions as F
 
     # decimals are deliberately EXCLUDED: serializing them as float can
     # collapse >2^53 values onto one double, and a collapsed bound could
     # wrongly disprove a watermark — conservative no-stats beats that
-    cols = [f.name for f in df.schema.fields
-            if f.name not in (exclude or ())
-            and f.dataType.typeName() in (
-                "long", "integer", "short", "byte", "double", "float",
-                "string", "date", "timestamp", "timestamp_ntz",
-                "boolean")][:_STATS_MAX_COLS]
+    coltypes = [(f.name, f.dataType.typeName()) for f in df.schema.fields
+                if f.name not in (exclude or ())
+                and f.dataType.typeName() in (
+                    "long", "integer", "short", "byte", "double", "float",
+                    "string", "date", "timestamp", "timestamp_ntz",
+                    "boolean")][:_STATS_MAX_COLS]
+    cols = [c for c, _ in coltypes]
     if not cols:
         return {}
+    from sling_cli_spark.sources.footer_stats import staged_footer_stats
+
+    footer = staged_footer_stats(tmp)
+    if footer is not None:
+        return _footer_delta_stats(footer, coltypes)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         col = F.col(f"`{c}`")

@@ -1888,6 +1888,67 @@ def _walk_parquet(fs, base: str, rel: str = "") -> list[str]:
     return out
 
 
+def _footer_ice_stats(
+    footer: dict[str, dict], cols: list[tuple[str, str, str]],
+) -> dict[str, dict]:
+    """Footer-derived data_file stats (the zero-extra-job fast path of
+    :func:`_staged_file_stats`): record counts and bounds straight from
+    the parquet footers (exact-or-absent, footer_stats.py); identity-
+    partition columns are synthesized from the Hive dir value — exact
+    by construction — for the losslessly-parseable types.
+    ``_encode_bound`` keeps its NaN guard, so a NaN footer max omits
+    the bound pair exactly like the Spark-job path."""
+    import datetime as _dt
+
+    def _from_dir(t: str, raw: str):
+        if t == "string":
+            return raw
+        if t in ("int", "long"):
+            return int(raw)
+        if t == "date":
+            return _dt.date.fromisoformat(raw)
+        if t == "boolean":
+            return raw == "true"
+        if t in ("timestamp", "timestamptz"):
+            # dir renders in the UTC-pinned session tz, micros precision
+            return _dt.datetime.fromisoformat(raw)
+        raise ValueError(t)
+
+    out: dict[str, dict] = {}
+    for key, fst in footer.items():
+        pvals = {}
+        for seg in fst["rel_dir"].split("/"):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                pvals[k] = unquote(v)
+        lo, hi = {}, {}
+        if fst["num_rows"]:
+            for name, fid, t in cols:
+                ent = fst["cols"].get(name)
+                if ent is not None:
+                    mn, mx = ent.get("mn"), ent.get("mx")
+                elif name in pvals:
+                    raw = pvals[name]
+                    if raw == "__HIVE_DEFAULT_PARTITION__":
+                        continue
+                    try:
+                        mn = mx = _from_dir(t, raw)
+                    except (ValueError, TypeError):
+                        continue
+                else:
+                    continue
+                try:
+                    lb = _encode_bound(t, mn)
+                    ub = _encode_bound(t, mx)
+                except Exception:
+                    lb = ub = None
+                if lb is not None and ub is not None:
+                    lo[fid], hi[fid] = lb, ub
+        out[key] = {"n": int(fst["num_rows"]),
+                    "lower": lo or None, "upper": hi or None}
+    return out
+
+
 def _staged_file_stats(
     df: DataFrame, tmp: str, ice_schema: dict,
 ) -> dict[str, dict]:
@@ -1895,18 +1956,25 @@ def _staged_file_stats(
     canonical path: row count (required data_file stat in v2 — foreign
     engines trust it for metadata-only count(*)) plus value bounds for
     the boundable columns (spec data_file.lower_bounds/upper_bounds,
-    keyed by field id, single-value binary serialization). ONE Spark
-    job — the count and every min/max batch into a single hash
-    aggregate over the files just written — and fs-agnostic, unlike a
-    local pyarrow footer read (a commit to hdfs://-style storage would
-    otherwise record 0). Failure degrades to no stats, never a failed
-    commit."""
+    keyed by field id, single-value binary serialization). Served from
+    the freshly written parquet FOOTERS when the stage is on local
+    disk (no extra job — re-reading 100% of staged bytes to recompute
+    what the writer already recorded is the guide-§6 anti-pattern);
+    otherwise ONE fs-agnostic Spark job — the count and every min/max
+    batch into a single hash aggregate over the files just written (a
+    commit to hdfs://-style storage keeps exact stats this way).
+    Failure degrades to no stats, never a failed commit."""
     from pyspark.sql import functions as F
 
     cols = [(f["name"], str(f["id"]), f["type"])
             for f in ice_schema.get("fields", [])
             if isinstance(f.get("type"), str)
             and f["type"] in _BOUND_TYPES and f["name"] in df.columns]
+    from sling_cli_spark.sources.footer_stats import staged_footer_stats
+
+    footer = staged_footer_stats(tmp)
+    if footer is not None:
+        return _footer_ice_stats(footer, cols)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (name, _, _t) in enumerate(cols):
         c = F.col(f"`{name}`")
