@@ -44,6 +44,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(df_path)
 
 
+def _stage_json_batches(df: DataFrame, src_dir: str, n: int) -> None:
+    """Write ``n`` micro-batch JSONL files in ONE Spark job.
+
+    ``df`` holds the JSON line in its first column plus an integer
+    bucket column named ``b`` (0..n-1); a single partitionBy text write
+    replaces n sequential filter+coalesce(1) jobs, so the source table
+    is scanned once instead of n times (guide §1.2: remove passes —
+    the n-job staging dominated these fixed-overhead streaming
+    queries). Files are renamed to ``bNNN.jsonl`` with strictly
+    increasing mtimes so FileStreamSource batches them in bucket order;
+    a bucket with no rows still produces an (empty) file so the
+    micro-batch count stays deterministic. The single-task write sorts
+    rows by the partition column only (stable), so within-bucket row
+    order is the scan order — byte-identical across buckets fed the
+    same rows (the replay-batch contract in stream_dedup_events)."""
+    import shutil
+    import time as _time
+
+    stage = src_dir.rstrip("/") + "__stage"
+    df.coalesce(1).write.mode("overwrite").partitionBy("b").text(stage)
+    now = _time.time()
+    for k in range(n):
+        dstf = os.path.join(src_dir, f"b{k:03d}.jsonl")
+        pdir = os.path.join(stage, f"b={k}")
+        part = next((f for f in sorted(os.listdir(pdir))
+                     if f.startswith("part-")), None) \
+            if os.path.isdir(pdir) else None
+        if part is None:
+            open(dstf, "w").close()
+        else:
+            shutil.move(os.path.join(pdir, part), dstf)
+        os.utime(dstf, (now + k, now + k))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def _iceberg_v2_upgrade(
     t: str, content: int, del_table, equality_ids=None, seq=None,
 ) -> None:
@@ -2571,7 +2606,6 @@ streams:
         batches, so batch arrival order cannot change the result).
         maxFilesPerTrigger=1 forces 3 separate foreachBatch merges.
         Oracle: last-op-wins window dedup, deletes dropped."""
-        import shutil
         import tempfile
 
         from pyspark.sql import types as T
@@ -2592,15 +2626,12 @@ streams:
             .when(F.col("event_type") == "error", F.lit("d"))
             .otherwise(F.lit("u")).alias("op"),
             F.col("event_id").alias("ts_ms")))
-        for k in range(3):
-            stage = os.path.join(base, f"stage{k}")
-            ev.filter(F.col("user_id") % 3 == k).select(
-                env.alias("value")).coalesce(1) \
-                .write.mode("overwrite").text(stage)
-            part = next(f for f in sorted(os.listdir(stage))
-                        if f.startswith("part-"))
-            shutil.move(os.path.join(stage, part),
-                        os.path.join(src_dir, f"b{k:03d}.jsonl"))
+        # one partitionBy job stages all 3 per-user-bucket batch files
+        # (r14, guide §1.2: was 3 sequential filter+coalesce(1) scans)
+        _stage_json_batches(
+            ev.select(env.alias("v"),
+                      (F.col("user_id") % 3).cast("int").alias("b")),
+            src_dir, 3)
         row_schema = T.StructType([
             T.StructField("user_id", T.LongType()),
             T.StructField("value", T.DoubleType()),
@@ -2628,9 +2659,7 @@ streams:
         twin's CoW merge which probes candidate files). Readers pay
         merge-on-read until compaction. Same oracle: last-op-wins
         window dedup, deletes dropped."""
-        import shutil
         import tempfile
-        import time as _time
 
         from pyspark.sql import types as T
 
@@ -2651,20 +2680,14 @@ streams:
             .when(F.col("event_type") == "error", F.lit("d"))
             .otherwise(F.lit("u")).alias("op"),
             F.col("event_id").alias("ts_ms")))
-        now = _time.time()
-        for k in range(3):
-            stage = os.path.join(base, f"stage{k}")
-            # split BY USER (the Kafka partition-ordering contract: one
-            # key's ops never straddle batches) so micro-batch arrival
-            # order cannot change the result
-            ev.filter(F.col("user_id") % 3 == k).select(
-                env.alias("value")).coalesce(1) \
-                .write.mode("overwrite").text(stage)
-            part = next(f for f in sorted(os.listdir(stage))
-                        if f.startswith("part-"))
-            dest = os.path.join(src_dir, f"b{k:03d}.jsonl")
-            shutil.move(os.path.join(stage, part), dest)
-            os.utime(dest, (now + 10 * k, now + 10 * k))
+        # one partitionBy job stages all 3 batch files, split BY USER
+        # (the Kafka partition-ordering contract: one key's ops never
+        # straddle batches) so micro-batch arrival order cannot change
+        # the result (r14, guide §1.2: was 3 filter+coalesce(1) scans)
+        _stage_json_batches(
+            ev.select(env.alias("v"),
+                      (F.col("user_id") % 3).cast("int").alias("b")),
+            src_dir, 3)
         row_schema = T.StructType([
             T.StructField("user_id", T.LongType()),
             T.StructField("value", T.DoubleType()),
@@ -3888,9 +3911,7 @@ streams:
         (operators/asof.sessionize — the assert target AND the
         oracle). Timestamps ride as exact µs-integer doubles (< 2^53)
         so the gap comparison is exact on both engines."""
-        import shutil
         import tempfile
-        import time as _time
         import uuid as _uuid
 
         from sling_cli_spark.operators.asof import sessionize
@@ -3912,26 +3933,19 @@ streams:
             "percentile(ts_us, array(0.25, 0.5, 0.75))")).first()[0]
         flush = e.select("user_id").distinct() \
             .withColumn("ts_us", F.lit(8.0e15))  # > any epoch, < 2^53
-        slices, lo = [], None
-        for hi in list(bounds) + [None]:
-            c = F.lit(True) if lo is None else (F.col("ts_us") > lo)
-            if hi is not None:
-                c = c & (F.col("ts_us") <= hi)
-            slices.append(e.filter(c))
-            lo = hi
-        slices.append(flush)
-        now = _time.time()
-        for k, sl in enumerate(slices):
-            stage = os.path.join(base, f"st{k}")
-            sl.select(F.to_json(F.struct("user_id", "ts_us"))
-                      .alias("v")).coalesce(1) \
-                .write.mode("overwrite").text(stage)
-            part = next(f for f in sorted(os.listdir(stage))
-                        if f.startswith("part-"))
-            dstf = os.path.join(src, f"b{k:03d}.jsonl")
-            shutil.move(os.path.join(stage, part), dstf)
-            # FileStreamSource batches in modification-time order
-            os.utime(dstf, (now + k, now + k))
+        # one partitionBy job stages all 5 micro-batch files (r14,
+        # guide §1.2: the 5 sequential filter+coalesce(1) writes were
+        # 5 scans of events); bucket = which quantile slice a row
+        # falls in, flush rides as bucket 4
+        b0, b1, b2 = bounds
+        j = F.to_json(F.struct("user_id", "ts_us")).alias("v")
+        bucket = F.when(F.col("ts_us") <= b0, 0) \
+            .when(F.col("ts_us") <= b1, 1) \
+            .when(F.col("ts_us") <= b2, 2).otherwise(3)
+        _stage_json_batches(
+            e.select(j, bucket.alias("b"))
+            .unionByName(flush.select(j, F.lit(4).alias("b"))),
+            src, 5)
 
         stream = spark.readStream.schema(
             "user_id long, ts_us double") \
@@ -3992,9 +4006,7 @@ streams:
         batch's own window stays OPEN (nothing later advances the
         watermark past it) — asserted absent from the append
         output."""
-        import shutil
         import tempfile
-        import time as _time
         import uuid as _uuid
 
         from sling_cli_spark.streaming.tuning import (
@@ -4010,25 +4022,22 @@ streams:
         os.makedirs(src)
         b1, b2 = e.agg(F.expr(
             "percentile(ts_us, array(0.34, 0.67))")).first()[0]
-        late = e.filter(F.col("ts_us") <= b1)
-        flush = _ldf(spark, 
+        flush = _ldf(spark,
             [("___flush", 8.0e15)], "event_type string, ts_us double")
-        slices = [e.filter(F.col("ts_us") <= b1),
-                  e.filter((F.col("ts_us") > b1)
-                           & (F.col("ts_us") <= b2)),
-                  e.filter(F.col("ts_us") > b2),
-                  late, flush]
-        now = _time.time()
-        for k, sl in enumerate(slices):
-            stage = os.path.join(base, f"st{k}")
-            sl.select(F.to_json(F.struct("event_type", "ts_us"))
-                      .alias("v")).coalesce(1) \
-                .write.mode("overwrite").text(stage)
-            part = next(f for f in sorted(os.listdir(stage))
-                        if f.startswith("part-"))
-            dstf = os.path.join(src, f"b{k:03d}.jsonl")
-            shutil.move(os.path.join(stage, part), dstf)
-            os.utime(dstf, (now + k, now + k))  # batch = mod-time order
+        # one partitionBy job stages all 5 micro-batch files (r14,
+        # guide §1.2: was 5 sequential filter+coalesce(1) scans of
+        # events). The LATE batch (b003) replays the earliest slice:
+        # rows with ts_us <= b1 explode into buckets {0, 3}; the flush
+        # row rides as bucket 4.
+        j = F.to_json(F.struct("event_type", "ts_us")).alias("v")
+        buckets = F.when(F.col("ts_us") <= b1,
+                         F.array(F.lit(0), F.lit(3))) \
+            .when(F.col("ts_us") <= b2, F.array(F.lit(1))) \
+            .otherwise(F.array(F.lit(2)))
+        _stage_json_batches(
+            e.select(j, F.explode(buckets).alias("b"))
+            .unionByName(flush.select(j, F.lit(4).alias("b"))),
+            src, 5)
 
         stream = spark.readStream.schema(
             "event_type string, ts_us double") \
@@ -4073,9 +4082,7 @@ streams:
         every replayed row is provably dropped by keyed state — the
         assert pins output rows == distinct event_ids, and the final
         set hash-matches plain DISTINCT."""
-        import shutil
         import tempfile
-        import time as _time
         import uuid as _uuid
 
         from sling_cli_spark.streaming.cdc import stream_dedup_latest
@@ -4093,22 +4100,20 @@ streams:
         os.makedirs(src)
         b1, b2 = e.agg(F.expr(
             "percentile(ts_us, array(0.34, 0.67))")).first()[0]
-        slices = [e.filter(F.col("ts_us") <= b1),
-                  e.filter((F.col("ts_us") > b1)
-                           & (F.col("ts_us") <= b2)),
-                  e.filter(F.col("ts_us") > b2),
-                  e.filter(F.col("ts_us") <= b1)]  # the replay
-        now = _time.time()
+        # one partitionBy job stages all 4 micro-batch files (r14,
+        # guide §1.2: was 4 sequential filter+coalesce(1) scans of
+        # events). The replay batch (b003) is the earliest slice again:
+        # rows with ts_us <= b1 explode into buckets {0, 3}, and the
+        # single-task write's stable partition sort keeps both buckets
+        # in scan order — b003 stays byte-identical to b000.
         cols = ["event_id", "user_id", "event_type", "ts_us"]
-        for k, sl in enumerate(slices):
-            stage = os.path.join(base, f"st{k}")
-            sl.select(F.to_json(F.struct(*cols)).alias("v")).coalesce(1) \
-                .write.mode("overwrite").text(stage)
-            part = next(f for f in sorted(os.listdir(stage))
-                        if f.startswith("part-"))
-            dstf = os.path.join(src, f"b{k:03d}.jsonl")
-            shutil.move(os.path.join(stage, part), dstf)
-            os.utime(dstf, (now + k, now + k))  # batch = mod-time order
+        j = F.to_json(F.struct(*cols)).alias("v")
+        buckets = F.when(F.col("ts_us") <= b1,
+                         F.array(F.lit(0), F.lit(3))) \
+            .when(F.col("ts_us") <= b2, F.array(F.lit(1))) \
+            .otherwise(F.array(F.lit(2)))
+        _stage_json_batches(
+            e.select(j, F.explode(buckets).alias("b")), src, 4)
         stream = spark.readStream.schema(
             "event_id long, user_id long, event_type string, "
             "ts_us double") \
