@@ -237,9 +237,15 @@ def minhash_signature_table(
         hashed = shingle_hash_table(df, text_col, id_col, shingle_n, hasher)
     shingled = hashed.select(
         id_col, F.pmod(F.col("__h"), F.lit(_P)).alias("__h"))
-    h = F.col("__h")
+    # SQL-text expressions, one parse each (r14, guide §1.2 driver
+    # overhead): the Column-API form issued ~6 py4j roundtrips per slot
+    # (~400 for k=64) and measured ~1.1s of driver time PER RUN just
+    # building the expression tree. Literal types and operator
+    # semantics are identical (a,b,_P < 2^31 parse as INT and promote
+    # against BIGINT __h exactly like F.lit ints; a*h+b < 2^62 so no
+    # overflow either way) — slot values are byte-identical.
     aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"__s{i}")
+        F.expr(f"min(({a} * __h + {b}) % {_P}) AS __s{i}")
         for i, (a, b) in enumerate(_hash_coeffs(num_hashes))
     ]
     return shingled.groupBy(id_col).agg(*aggs)
@@ -253,15 +259,17 @@ def lsh_band_table(
     (id, band_id, band_hash) candidate-bucket table."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(i).alias("band_id"),
-            F.xxhash64(F.concat_ws(
-                ",", *[F.col(f"__s{i * r + j}").cast("string")
-                       for j in range(r)])).alias("band_hash"),
-        )
-        for i in range(bands)
-    ])
+    # one SQL-text parse for the whole band array (r14, guide §1.2):
+    # the nested Column-API struct/concat/cast build was ~350 py4j
+    # roundtrips (~0.95s driver time per run); CAST(.. AS STRING),
+    # concat_ws and xxhash64 (default seed 42) are the same functions,
+    # so band hashes are byte-identical.
+    band_structs = F.expr("array(" + ", ".join(
+        f"struct({i} AS band_id, xxhash64(concat_ws(',', "
+        + ", ".join(f"CAST(__s{i * r + j} AS STRING)"
+                    for j in range(r))
+        + ")) AS band_hash)"
+        for i in range(bands)) + ")")
     return (
         sig.select(F.col(id_col), F.explode(band_structs).alias("b"))
         .select(id_col, "b.band_id", "b.band_hash")
@@ -363,20 +371,25 @@ def simhash_table(
         F.col(id_col),
         F.explode_outer(tokens_col(F.col(text_col))).alias("__t"),
     ).select(id_col, hasher(F.coalesce(F.col("__t"), F.lit(""))).alias("__h"))
-    h = F.col("__h")
+    # SQL-text expressions, one parse per aggregate and ONE for the
+    # whole sign-bit packing reduction (r14, guide §1.2): the
+    # Column-API build was ~900 py4j roundtrips (~1.5s of driver time
+    # per run). Semantics are identical — `& 1` promotes INT against
+    # the BIGINT shift exactly like bitwiseAND(F.lit(1)), and
+    # shiftleft(1L, i) reproduces every packing weight including bit
+    # 63's -(1<<63) (shifts wrap, no ANSI overflow check) — so both
+    # the per-bit sums and the packed signature are byte-identical.
     aggs = [
-        F.sum(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("long")
-              * 2 - 1).alias(f"__b{i}")
+        F.expr(f"sum(CAST(shiftrightunsigned(__h, {i}) & 1 AS BIGINT)"
+               f" * 2 - 1) AS __b{i}")
         for i in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*aggs)
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        weight = (1 << i) if i < 63 else -(1 << 63)
-        out = out.bitwiseOR(
-            F.when(F.col(f"__b{i}") > 0, F.lit(weight).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
-    return agg.select(F.col(id_col), out.alias("__sh"))
+    packed = " | ".join(
+        f"(CASE WHEN __b{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits))
+    return agg.select(F.col(id_col), F.expr(packed).alias("__sh"))
 
 
 def simhash_dedup(
