@@ -27,9 +27,23 @@ construction — the fast path is an execution detail.
 
 from __future__ import annotations
 
+import datetime as _dt
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _container_naive_dt(v) -> bool:
+    """A NAIVE datetime nested inside a container value — the one shape
+    the Arrow fast path cannot reproduce classic semantics for (classic
+    interprets naive as OS-local; Arrow as the session tz)."""
+    if isinstance(v, _dt.datetime):
+        return v.tzinfo is None
+    if isinstance(v, (list, tuple)):
+        return any(_container_naive_dt(x) for x in v)
+    if isinstance(v, dict):
+        return any(_container_naive_dt(x) for x in v.values())
+    return False
 
 
 def local_df(spark: SparkSession, rows: Iterable[Any], schema) -> DataFrame:
@@ -40,6 +54,18 @@ def local_df(spark: SparkSession, rows: Iterable[Any], schema) -> DataFrame:
     ``LocalTableScan`` when the values are Arrow-expressible; falls back
     to the classic path otherwise (dict rows, inferred schemas, exotic
     nesting).
+
+    Naive datetimes (ADVICE r14): classic ``createDataFrame`` interprets
+    a naive datetime under TimestampType in the OS-LOCAL tz
+    (``TimestampType.toInternal`` -> ``time.mktime``), while the
+    Arrow/pandas path uses the SESSION tz — different instants on a
+    non-UTC driver. To keep the documented value-identity, a naive
+    datetime at a top-level TimestampType position is localized
+    (``astimezone()`` attaches the OS tz, preserving the classic
+    instant) before the Arrow conversion; TimestampNTZ positions are
+    wall-time on both paths and stay untouched; any other naive-datetime
+    shape (nested in a container, non-timestamp field) falls back to the
+    classic path verbatim.
     """
     rows = list(rows)
     if schema is not None and (not rows or not isinstance(rows[0], dict)):
@@ -49,6 +75,41 @@ def local_df(spark: SparkSession, rows: Iterable[Any], schema) -> DataFrame:
             if rows:
                 tuples = [tuple(r) for r in rows]
                 ncols = len(tuples[0])
+                naive_cols: set[int] = set()
+                nested_naive = False
+                for t in tuples:
+                    for i, v in enumerate(t):
+                        if isinstance(v, _dt.datetime):
+                            if v.tzinfo is None:
+                                naive_cols.add(i)
+                        elif isinstance(v, (list, tuple, dict)) \
+                                and _container_naive_dt(v):
+                            nested_naive = True
+                if nested_naive:
+                    raise ValueError("naive datetime in container")
+                if naive_cols:
+                    from pyspark.sql.types import (
+                        StructType, TimestampNTZType, TimestampType,
+                        _parse_datatype_string)
+
+                    st = schema if isinstance(schema, StructType) \
+                        else _parse_datatype_string(schema)
+                    if len(st.fields) != ncols:
+                        raise ValueError("schema width mismatch")
+                    conv = set()
+                    for i in naive_cols:
+                        dt = st.fields[i].dataType
+                        if isinstance(dt, TimestampType):
+                            conv.add(i)  # localize to the classic instant
+                        elif not isinstance(dt, TimestampNTZType):
+                            raise ValueError(
+                                "naive datetime under non-timestamp type")
+                    if conv:
+                        tuples = [tuple(
+                            v.astimezone() if i in conv
+                            and isinstance(v, _dt.datetime)
+                            and v.tzinfo is None else v
+                            for i, v in enumerate(t)) for t in tuples]
                 pdf = pd.DataFrame({
                     i: pd.Series([t[i] for t in tuples], dtype=object)
                     for i in range(ncols)

@@ -444,7 +444,12 @@ def read_avro_df(spark, path: str):
         avro_t = branch(avro_t)
         lt = avro_t.get("logicalType") if isinstance(avro_t, dict) else None
         if lt == "timestamp-micros":
-            return lambda v: _dt.datetime.fromtimestamp(v // 1_000_000) \
+            # tz-AWARE UTC (ADVICE r14): an aware datetime is the same
+            # instant on the classic and Arrow createDataFrame paths;
+            # the old naive-local rendering shifted by the UTC offset
+            # on a non-UTC driver under the Arrow fast path
+            return lambda v: _dt.datetime.fromtimestamp(
+                v // 1_000_000, _dt.timezone.utc) \
                 + _dt.timedelta(microseconds=v % 1_000_000)
         if lt == "local-timestamp-micros":
             epoch = _dt.datetime(1970, 1, 1)

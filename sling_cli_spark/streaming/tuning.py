@@ -59,7 +59,16 @@ def stream_state_partitions(
 def scoped_shuffle_partitions(spark: SparkSession, n: int) -> Iterator[None]:
     """Temporarily pin ``spark.sql.shuffle.partitions`` (e.g. for the
     lifetime of one streaming query, start through awaitTermination —
-    the stateful exchange captures the value at its first batch)."""
+    the stateful exchange captures the value at its first batch).
+
+    The toggle mutates the SESSION-global conf: any query planned
+    concurrently in the same session inside the scope (including a
+    batch twin deliberately overlapped with the stream drain) plans
+    with the reduced count. That is intentional for the single-driver
+    usage here — results are partition-count independent and the small
+    twin is cheaper at the reduced count too — but callers sharing one
+    session across threads with large concurrent batch work should
+    scope per-query (``spark.newSession()``) instead (ADVICE r14)."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
     try:
