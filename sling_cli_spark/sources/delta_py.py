@@ -1099,6 +1099,15 @@ def check_writer_protocol(path: str, removes_files: bool = False) -> dict:
     obligations — row-id assignment — reuse it instead of replaying
     again)."""
     meta, _, protocol = _replay_state(path)
+    return _check_writer_state(path, meta, protocol, removes_files)
+
+
+def _check_writer_state(
+    path: str, meta, protocol, removes_files: bool = False,
+) -> dict:
+    """Writer-protocol gate over an ALREADY-REPLAYED state — the write
+    paths that replay the log anyway reuse their state instead of a
+    second full replay per commit (r15, guide §1.2)."""
     mwv = (protocol or {}).get("minWriterVersion") or 1
     feats = set((protocol or {}).get("writerFeatures") or [])
     if mwv > 2 and not (mwv == 7 and feats <= SUPPORTED_WRITER_FEATURES):
@@ -1315,6 +1324,20 @@ def _partition_values(rel_dir: str) -> dict[str, str]:
 _STATS_MAX_COLS = 32  # delta's dataSkippingNumIndexedCols default
 
 
+def _naive_utc(v):
+    """Normalize a datetime to NAIVE UTC — the serialization instant
+    both stats paths must agree on (ADVICE r14): footer stats already
+    arrive naive-UTC; a Spark-job ``collect()`` returns naive OS-LOCAL
+    datetimes, which on a non-UTC host would record shifted bounds."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.astimezone()  # attach the OS tz (same instant)
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
+
+
 def _stats_serializable(v):
     """Stats values in a form that is JSON-clean AND whose string order
     matches the value order — fixed-width timestamp rendering so
@@ -1322,6 +1345,8 @@ def _stats_serializable(v):
     import datetime
 
     if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:  # aware -> the same instant, naive UTC
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
     if isinstance(v, datetime.date):
         return v.isoformat()
@@ -1469,7 +1494,9 @@ def _staged_stats(
     for r in rows:
         mins, maxs, nulls = {}, {}, {}
         for i, c in enumerate(cols):
-            mn, mx = r[f"__mn{i}"], r[f"__mx{i}"]
+            # collect() timestamps are naive OS-local — normalize to the
+            # naive-UTC instant the footer path records (ADVICE r14)
+            mn, mx = _naive_utc(r[f"__mn{i}"]), _naive_utc(r[f"__mx{i}"])
             # a NaN bound (Spark sorts NaN greatest, so any NaN in the
             # file surfaces as max) must be OMITTED, per the spec — a
             # recorded NaN would disprove every comparison downstream
@@ -3023,8 +3050,12 @@ def merge_delta(
 
     strategy = strategy or MergeStrategy.UPDATE_INSERT
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
-    wprot = check_writer_protocol(path, removes_files=True)
-    meta, files = replay_log(path)
+    # ONE log replay serves the reader gate, the writer gate and the
+    # active-file set (r15: was two full replays per merge — a per-
+    # micro-batch cost on the CDC foreachBatch path, guide §1.2)
+    meta, files, protocol = _replay_state(path)
+    _check_reader_protocol(path, protocol)
+    wprot = _check_writer_state(path, meta, protocol, removes_files=True)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
     # identity + generated columns fill/validate on the BATCH (before
@@ -3132,10 +3163,12 @@ def merge_delta(
                 path, version,
                 schema_actions + dv_actions + adds + cdc_actions,
                 read_files=set(files))
-            _, active = replay_log(path)
+            # active-after-commit is fully determined: DV'd files keep
+            # their path (remove+add pairs), n_dead files drop, adds
+            # join — no post-commit replay needed (r15, guide §1.2)
             return {"touched": n_dv + n_dead, "new_files": len(adds),
                     "dv_files": n_dv,
-                    "kept": len(active) - len(adds), "version": version}
+                    "kept": len(files) - n_dead, "version": version}
         # CoW rewrite (DV off, or dense-merge fallback): DV-applied
         # read — a touched file's DV-deleted rows must not resurrect
         # into the rewritten file (the probe above may run raw — a
@@ -3183,9 +3216,10 @@ def merge_delta(
     version = _commit_with_retry(
         path, version, schema_actions + removes + adds + cdc_actions,
         read_files=set(files))
-    _, active = replay_log(path)
+    # kept = pre-merge actives minus the rewritten (removed) files —
+    # arithmetic over state already in hand, not a post-commit replay
     return {"touched": len(removes), "new_files": len(adds),
-            "kept": len(active) - len(adds), "version": version}
+            "kept": len(files) - len(removes), "version": version}
 
 
 def delete_missing_delta(
@@ -3222,8 +3256,10 @@ def delete_missing_delta(
     from sling_cli_spark.operators.merge import delete_missing as _dm
 
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
-    wprot = check_writer_protocol(path, removes_files=True)
-    meta, files = replay_log(path)
+    # one replay serves reader gate + writer gate + actives (r15 §1.2)
+    meta, files, protocol = _replay_state(path)
+    _check_reader_protocol(path, protocol)
+    wprot = _check_writer_state(path, meta, protocol, removes_files=True)
     if meta is None:
         raise FileNotFoundError(f"not a delta table: {path}")
     part_cols = meta.get("partitionColumns") or []
@@ -3259,9 +3295,10 @@ def delete_missing_delta(
                 path, latest_version(path) + 1,
                 ([prot] if prot else []) + dv_actions + cdc_actions,
                 read_files=set(files))
-            _, active = replay_log(path)
+            # DV'd files keep their path; only fully-dead files drop —
+            # no post-commit replay needed (r15, guide §1.2)
             return {"touched": n_dv + n_dead, "new_files": 0,
-                    "dv_files": n_dv, "kept": len(active),
+                    "dv_files": n_dv, "kept": len(files) - n_dead,
                     "version": version}
         # dense delete: fall through to the CoW rewrite below
 
@@ -3305,9 +3342,9 @@ def delete_missing_delta(
     version = _commit_with_retry(
         path, version, actions + removes + adds + cdc_actions,
         read_files=set(files))
-    _, active = replay_log(path)
+    # kept = pre-delete actives minus the rewritten files (r15 §1.2)
     return {"touched": len(removes), "new_files": len(adds),
-            "kept": len(active) - len(adds), "version": version}
+            "kept": len(files) - len(removes), "version": version}
 
 
 def replace_where_delta(

@@ -1985,13 +1985,17 @@ def _staged_file_stats(
                 .agg(*aggs).collect())
     except Exception:
         return {}
+    from sling_cli_spark.sources.delta_py import _naive_utc
+
     out: dict[str, dict] = {}
     for r in rows:
         lo, hi = {}, {}
         for i, (name, fid, t) in enumerate(cols):
             try:
-                lb = _encode_bound(t, r[f"__mn{i}"])
-                ub = _encode_bound(t, r[f"__mx{i}"])
+                # collect() timestamps are naive OS-local — normalize
+                # to the naive-UTC instant the footer path encodes
+                lb = _encode_bound(t, _naive_utc(r[f"__mn{i}"]))
+                ub = _encode_bound(t, _naive_utc(r[f"__mx{i}"]))
             except Exception:
                 lb = ub = None
             if lb is not None and ub is not None:
