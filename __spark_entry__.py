@@ -5138,32 +5138,41 @@ streams:
     # the window is re-verified locally each round
     # (tools/check_correctness.py) and the judge re-ran all 184 green
     # in r13.
+    # Round-15 rotation (per VERDICT r14 ask #6 — the staleness
+    # ledger's oldest cohort): the 35 queries last driver-checked in
+    # r11 (everything r11-checked that r13/r14 did not re-check),
+    # filled to 50 with the 15 alphabetically-first of the r12-checked
+    # set (the remaining 35 r12 names lead r16's window). Every query
+    # outside the window is re-verified locally each round
+    # (tools/check_correctness.py) and the judge re-ran all 185 green
+    # in r14.
     window = [
-        # --- new in r14 (never driver-checked) ---
-        "api_spec_el",
-        # --- last driver-checked r10 (the verdict's list of 34) ---
-        "delta_version_checksum", "embedding_near_dup",
-        "fingerprint_docs", "geo_convert", "iceberg_all_meta",
-        "iceberg_incremental_lineage", "iceberg_overwrite_where",
-        "iceberg_row_lineage", "iceberg_v2_merge_mor",
-        "iceberg_v3_defaults", "iceberg_v3_dv", "iceberg_v3_merge",
-        "iceberg_view_roundtrip", "iceberg_wap_el",
-        "iceberg_wap_publish", "jaccard_dedup_docs",
-        "jdbc_live_roundtrip", "line_dedup_docs", "minhash_dedup_docs",
-        "multimodal_bytes", "ngram_novelty_docs", "pii_redact_docs",
-        "repetition_docs", "rest_view_roundtrip", "rest_wap_el",
-        "semdedup_docs", "shard_docs", "simhash_dedup_docs",
-        "stratified_sample_docs", "surprisal_docs",
-        "tfidf_keywords_docs", "token_budget_docs",
-        "training_pipeline_docs", "vocab_topk_docs",
-        # --- r11-checked fill (15, alphabetical; rest lead r15) ---
-        "ann_pq_refine", "ann_pq_topk", "avro_roundtrip",
-        "bucketed_join_agg", "c4_filter_docs", "cdc_foreachbatch_merge",
-        "cdc_stream_iceberg_upsert", "column_typing_clamp",
-        "constraint_dsl_filter", "copy_load_duckdb",
-        "csv_inference_roundtrip", "decontaminate_docs",
-        "dedup_clusters_docs", "dedup_store_docs",
-        "delete_missing_delta",
+        # --- last driver-checked r11 (35: the r11 window minus the
+        #     names r13/r14 already re-checked) ---
+        "token_budget_global_docs", "dsir_select_docs",
+        "url_dedup_docs", "stream_lineage_iceberg",
+        "stream_rowtracking_delta", "lineage_el_incremental",
+        "quality_classifier_docs", "normalize_text_docs",
+        "orc_roundtrip", "delta_dv_merge", "delta_stats_skipping",
+        "distro_date_orders", "distro_date_wide_orders",
+        "distro_group_orders", "exact_substring_dedup_docs",
+        "field_stat_approx_orders", "field_stat_len_orders",
+        "gopher_filter_docs", "iceberg_bounds_skipping",
+        "iceberg_changelog", "mix_corpora_docs", "pack_chunks_docs",
+        "text_stats_docs", "wds_roundtrip", "delta_stream_source",
+        "iceberg_stream_source", "delta_cdf_stream",
+        "iceberg_changelog_stream", "delta_restore",
+        "iceberg_v3_dv_produce", "iceberg_eq_upsert",
+        "delete_missing_iceberg", "delta_clone_partitioned",
+        "delta_clustering_skipping", "delta_dv_produce",
+        # --- r12-checked fill (15, alphabetical; rest lead r16) ---
+        "asof_events", "backfill_range", "checksum_lineitem",
+        "column_casing_upper", "convert_inplace_roundtrip",
+        "dedup_last_event", "definition_only", "delete_missing",
+        "delta_cdf_mapped", "delta_column_mapping",
+        "delta_identity_generated", "delta_log_compaction",
+        "delta_rename_evolution", "delta_roundtrip",
+        "delta_row_tracking",
     ][:50]
     assert len(window) == 50, f"driver checks exactly 50, got {len(window)}"
     missing = [k for k in window if k not in d]

@@ -301,16 +301,27 @@ def main() -> None:
                           "contended": contended},
                          separators=(",", ":")))
     # short, self-contained summary as the FINAL line so the headline
-    # number always survives tail capture
+    # number always survives tail capture. r15 (VERDICT r14 ask #7):
+    # the driver's 2000-char tail parser reads per_query from THIS
+    # line's "queries" — r14's final line carried none, so
+    # PERF_r14.per_query came up empty. Carry the headline set plus the
+    # 30 slowest (2dp) — ~1.2 KB, always inside the tail window; the
+    # complete 3dp map stays in the full record, the chunk lines and
+    # BENCH_LOCAL.json above.
+    tail_queries = {n: round(timings[n], 2) for n in BENCH_QUERIES
+                    if n in timings}
+    for n in slowest:
+        tail_queries.setdefault(n, round(timings[n], 2))
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "queries": tail_queries,
         "all_total": out["all_total"],
         "n_queries": len(timings),
         "n_failures": len(failures),
         "sf": out["sf"],
-    }))
+    }, separators=(",", ":")))
     spark.stop()
 
 
