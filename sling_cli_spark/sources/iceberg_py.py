@@ -1670,7 +1670,7 @@ def upsert_iceberg(
         # CDC 'd' ops: PKs retired WITHOUT re-insert — they join the
         # batch's equality-delete files but contribute no data rows
         keys = keys.unionByName(delete_keys.select(*pk)).distinct()
-    keys.write.parquet(tmp)
+    keys.write.option("compression", "zstd").parquet(tmp)
     ice_keys = _ice_schema_for(
         keys, base=current, last_column_id=meta.get("last-column-id", 0))
     staged = _staged_file_stats(keys, tmp, ice_keys)
@@ -2180,7 +2180,9 @@ def _commit_snapshot(
             stage_df = stage_df.sortWithinPartitions(
                 *[F2.col(f"`{c}`") for c in part_cols], *sort_exprs)
             sort_oid = int(meta.get("default-sort-order-id") or 0)
-        writer = stage_df.write
+        # zstd staged data files (guide §6; same rationale and pinned
+        # byte-cut test as delta_py._stage_data_files)
+        writer = stage_df.write.option("compression", "zstd")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(tmp)

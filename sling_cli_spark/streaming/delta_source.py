@@ -681,13 +681,15 @@ class _DeltaStreamWriter(DataSourceStreamWriter):
                 f"{c}={quote(pv[c], safe='')}" for c in pc)
             ddir = _os.path.join(base, subdir) if subdir else base
             _os.makedirs(ddir, exist_ok=True)
-            rel = f"part-{_uuid.uuid4().hex}.snappy.parquet"
+            rel = f"part-{_uuid.uuid4().hex}.zstd.parquet"
             rel = f"{subdir}/{rel}" if subdir else rel
             dest = _os.path.join(base, rel)
             tbl = pa.Table.from_pylist(
                 [{k: v for k, v in r.items() if k not in pc}
                  for r in grp], schema=aschema)
-            pq.write_table(tbl, dest, compression="snappy")
+            # zstd (guide §6): 20-33% fewer bytes than snappy at flat
+            # write time; see tests/test_staged_codec.py
+            pq.write_table(tbl, dest, compression="zstd")
             files.append({"rel": rel, "size": _os.path.getsize(dest),
                           "n": len(grp), "partitionValues": pv})
         return _SinkMsg(None, 0, 0, files=files)

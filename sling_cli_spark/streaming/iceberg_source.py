@@ -647,7 +647,9 @@ class _IceStreamWriter(DataSourceStreamWriter):
             tbl = pa.Table.from_pylist(
                 [{k: v for k, v in r.items() if k not in pc_cols}
                  for r in grp], schema=aschema)
-            pq.write_table(tbl, dest, compression="snappy")
+            # zstd (guide §6): 20-33% fewer bytes than snappy at flat
+            # write time; see tests/test_staged_codec.py
+            pq.write_table(tbl, dest, compression="zstd")
             bounds = {}
             for f in self._schema.fields:
                 if f.name in pc_cols \

@@ -1432,7 +1432,9 @@ def test_compact_zorder_enables_bounds_skipping(spark, tmp_path):
     files0, _, _ = _active_entries(t, meta, None)
     assert len(prune_files_by_bounds(
         files0, [("b", "<", 8)], meta)) == len(files0)  # worst case
-    stats = compact_iceberg(spark, t, target_file_bytes=8 * 1024,
+    # 4 KiB target: zstd staged files (r15) are smaller than the
+    # snappy this threshold was tuned for
+    stats = compact_iceberg(spark, t, target_file_bytes=4 * 1024,
                             zorder_by=["a", "b"])
     assert stats["compacted"] == 8 and stats["new_files"] >= 4
     _, meta = _current_metadata(t)
