@@ -4894,25 +4894,26 @@ def _cdf_diff(pre: DataFrame, post: DataFrame, pk: list[str]) -> DataFrame:
     p = pre.select(*pk, F.struct(*rest).alias("__pre"))
     q = post.select(*pk, F.struct(*rest).alias("__post"))
     j = p.join(q, on=pk, how="full_outer")
-
-    def unpack(side, ct):
-        return (j.filter(side_filters[ct])
-                .select(*pk,
-                        *[F.col(f"{side}.{c}").alias(c) for c in rest])
-                .withColumn("_change_type", F.lit(ct)))
-
-    side_filters = {
-        "delete": F.col("__post").isNull() & F.col("__pre").isNotNull(),
-        "insert": F.col("__pre").isNull() & F.col("__post").isNotNull(),
-        "update_preimage":
-            F.col("__pre").isNotNull() & F.col("__post").isNotNull()
-            & ~F.col("__pre").eqNullSafe(F.col("__post")),
-    }
-    side_filters["update_postimage"] = side_filters["update_preimage"]
-    out = unpack("__pre", "delete") \
-        .unionByName(unpack("__post", "insert")) \
-        .unionByName(unpack("__pre", "update_preimage")) \
-        .unionByName(unpack("__post", "update_postimage"))
+    # ONE pass over the joined rows (r15, guide §1.2/§2.4): the old
+    # shape unioned four filter branches over `j`, so the outer join
+    # (and both file reads under it) executed FOUR times per stage
+    # write. explode() of a per-row change-type array emits the same
+    # rows from a single join execution: delete/insert one row,
+    # update two (pre+post image), identical zero.
+    cts = (
+        F.when(F.col("__post").isNull() & F.col("__pre").isNotNull(),
+               F.array(F.lit("delete")))
+        .when(F.col("__pre").isNull() & F.col("__post").isNotNull(),
+              F.array(F.lit("insert")))
+        .when(~F.col("__pre").eqNullSafe(F.col("__post")),
+              F.array(F.lit("update_preimage"),
+                      F.lit("update_postimage")))
+        .otherwise(F.array().cast("array<string>")))
+    e = j.select(*pk, "__pre", "__post",
+                 F.explode(cts).alias("_change_type"))
+    img = F.when(F.col("_change_type").isin("delete", "update_preimage"),
+                 F.col("__pre")).otherwise(F.col("__post"))
+    out = e.select(*pk, *[img[c].alias(c) for c in rest], "_change_type")
     return out.select(*cols, "_change_type")
 
 
