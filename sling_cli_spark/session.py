@@ -58,6 +58,19 @@ def get_spark(
         # every timestamp bound would need a re-scan) and both lake
         # specs require int64 micros; values are identical either way
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # --- output commit: v2 renames task output at TASK commit ---
+        # v1's job commit is a serial, driver-side O(task-outputs) rename
+        # pass — measured ~0.06-0.08 s of the ~0.30 s cost of every tiny
+        # staged-write job here, and minutes of commit tail at
+        # 100 TB / thousands of tasks. Safe for every write this engine
+        # issues: lake stages land in private per-stage UUID dirs that
+        # are walked only after the job SUCCEEDS (exceptions delete the
+        # dir), and plain-parquet targets go through stage-and-swap
+        # (promote_swap) — v2's partial-output-on-job-failure caveat
+        # never becomes reader-visible. _SUCCESS markers stay on (a
+        # ported replication case counts them).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
         # quieter local runs
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

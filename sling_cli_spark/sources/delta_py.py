@@ -1515,6 +1515,7 @@ def _staged_stats(
 def _stage_data_files(
     df: DataFrame, path: str, partition_by: list[str] | None = None,
     data_change: bool = True, subdir: str | None = None,
+    small: bool = False,
 ) -> list[dict]:
     """Write ``df`` as parquet part files INTO the table dir (unique
     names; invisible until committed) -> list of add actions carrying
@@ -1522,7 +1523,15 @@ def _stage_data_files(
     layout is preserved and each add carries its ``partitionValues``.
     ``data_change=False`` marks rearrangement-only adds (compaction);
     ``subdir`` places files under a table subdirectory (the CDF path
-    stages change files under ``_change_data/``)."""
+    stages change files under ``_change_data/``).
+
+    ``small=True`` asserts the CALLER PROVED the frame small (a counted
+    micro-batch, or a byte bound from the log): the stage collects via
+    Arrow and writes one file driver-side instead of paying a
+    distributed write job (r15, guide §1.2/§5 —
+    sources/driver_stage.py); everything downstream (footer stats,
+    rename walk, add actions) is identical, and any fast-path failure
+    falls back to the normal write."""
     try:  # v0 (new table): nothing recorded yet to honor
         meta0 = _replay_state(path)[0]
     except Exception:
@@ -1545,11 +1554,21 @@ def _stage_data_files(
     # tables at flat write wall time; tests/test_staged_codec.py pins
     # the byte cut). Scoped here, not session-wide, so plain parquet
     # roundtrip fixtures keep their own codecs.
+    staged_fast = False
+    if small and not partition_by and (
+            meta0 is None or _column_mapping_mode(meta0) == "none"):
+        # (column-mapped tables keep the Spark write: their physical
+        # files carry parquet field-id metadata the Arrow path would
+        # not reproduce)
+        from sling_cli_spark.sources.driver_stage import (
+            driver_stage_parquet)
+        staged_fast = driver_stage_parquet(df, tmp)
     writer = df.write.option("compression", "zstd")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     try:
-        writer.parquet(tmp)
+        if not staged_fast:
+            writer.parquet(tmp)
     except Exception as e:
         # surface an inline constraint-guard trip (raise_error during
         # the write pass) as the typed violation, not a Py4J wall
@@ -3027,11 +3046,19 @@ def merge_delta(
     op_col: str | None = None,
     use_dvs: bool | None = None,
     max_dv_rows: int = 4_000_000,
+    batch_rows: int | None = None,
 ) -> dict:
     """MERGE: rewrite only data files holding matched PKs, committed
     atomically as remove+add (reference semantics: base.yaml:52-126
     merge strategies; delta-spark MERGE INTO is the jar-backed
     equivalent).
+
+    ``batch_rows`` (r15, perf hint only — never changes results): the
+    caller's materialized count of ``src`` (the CDC foreachBatch path
+    counts every micro-batch anyway). Together with the touched files'
+    ``add.size`` from the log it PROVES the replacement frame small, so
+    the stage writes driver-side instead of paying a distributed write
+    job per micro-batch (guide §1.2/§5; sources/driver_stage.py).
 
     On a partitioned table, the touched-file probe reads only files
     whose ``partitionValues`` match a partition present in the batch —
@@ -3070,6 +3097,14 @@ def merge_delta(
         _with_identity_columns(_with_column_defaults(src, meta), meta),
         meta)
     part_cols = meta.get("partitionColumns") or []
+
+    from sling_cli_spark.sources.driver_stage import (
+        DRIVER_STAGE_BYTES, DRIVER_STAGE_ROWS)
+    small_batch = (batch_rows is not None
+                   and 0 <= batch_rows <= DRIVER_STAGE_ROWS)
+
+    def _bytes_of(rels) -> int:
+        return sum(int(files[p].get("size") or 0) for p in rels)
 
     touched_rel: list[str] = []
     if strategy == MergeStrategy.INSERT:
@@ -3147,12 +3182,20 @@ def merge_delta(
                 appended = _rt_attach_preserved(
                     spark, path, meta, files, doomed_rels, appended,
                     src, pk)
-            adds = _stage_data_files(appended, path, part_cols or None)
+            adds = _stage_data_files(
+                appended, path, part_cols or None,
+                # appended <= doomed files' rows + batch rows
+                small=small_batch
+                and _bytes_of(doomed_rels) <= DRIVER_STAGE_BYTES)
             cdc_actions = []
             if cdf_enabled(meta):
                 cdc_actions = _stage_cdc_actions(
                     _cdf_diff(matched_rows, data_appended, pk), path,
-                    part_cols or None)
+                    part_cols or None,
+                    # diff <= doomed pre-image + staged post-image
+                    small=_bytes_of(doomed_rels)
+                    + sum(int(a["add"].get("size") or 0) for a in adds)
+                    <= DRIVER_STAGE_BYTES)
             prot = _dv_protocol_action(path) if dv_actions else None
             evolve = _evolve_schema_actions(data_appended, meta)
             hwm = _identity_hwm_action(
@@ -3192,7 +3235,10 @@ def merge_delta(
         # (pk in the batch) reset to the new commit's version
         replacement = _rt_attach_preserved(
             spark, path, meta, files, touched_rel, replacement, src, pk)
-    adds = _stage_data_files(replacement, path, part_cols or None)
+    adds = _stage_data_files(
+        replacement, path, part_cols or None,
+        # replacement <= touched files' rows + batch rows (both proven)
+        small=small_batch and _bytes_of(touched_rel) <= DRIVER_STAGE_BYTES)
     now = int(time.time() * 1000)
     removes = [_remove_action(p, files[p], now) for p in touched_rel]
     # CDF (PROTOCOL.md Change Data Files): a rewriting commit on a
@@ -3204,7 +3250,12 @@ def merge_delta(
     if cdf_enabled(meta) and touched_rel:
         cdc_actions = _stage_cdc_actions(
             _cdf_diff(touched_rows, data_repl, pk), path,
-            part_cols or None)
+            part_cols or None,
+            # diff <= touched pre-image + staged post-image, both sizes
+            # already in hand — no batch hint needed
+            small=_bytes_of(touched_rel)
+            + sum(int(a["add"].get("size") or 0) for a in adds)
+            <= DRIVER_STAGE_BYTES)
     # a batch carrying new columns evolves the table schema with the
     # same commit (mergeSchema semantics; untouched files read the new
     # columns as nulls); an identity watermark advance rides the same
@@ -3270,6 +3321,11 @@ def delete_missing_delta(
     part_cols = meta.get("partitionColumns") or []
     keys = keyset.select(*pk).distinct()
 
+    from sling_cli_spark.sources.driver_stage import DRIVER_STAGE_BYTES
+
+    def _bytes_of(rels) -> int:
+        return sum(int(files[p].get("size") or 0) for p in rels)
+
     if files and not soft and _dv_writes_enabled(meta, use_dvs) \
             and not (part_cols and _has_foreign_adds(files)):
         # DV path: the census over ALL files doubles as the
@@ -3294,7 +3350,10 @@ def delete_missing_delta(
                 cdc_actions = _stage_cdc_actions(
                     _cdf_diff(touched_live,
                               _dm(touched_live, keys, pk), pk),
-                    path, part_cols or None)
+                    path, part_cols or None,
+                    # diff <= 2x the doomed files' pre-image bytes
+                    small=2 * _bytes_of(doomed_rels)
+                    <= DRIVER_STAGE_BYTES)
             prot = _dv_protocol_action(path)
             version = _commit_with_retry(
                 path, latest_version(path) + 1,
@@ -3334,14 +3393,21 @@ def delete_missing_delta(
         replacement = _rt_attach_preserved(
             spark, path, meta, files, touched_rel, replacement, upd, pk)
     actions: list[dict] = _evolve_schema_actions(data_repl, meta)
-    adds = _stage_data_files(replacement, path, part_cols or None)
+    adds = _stage_data_files(
+        replacement, path, part_cols or None,
+        # delete_missing only drops/flags rows: replacement is bounded
+        # by the touched files' own bytes — no caller hint needed
+        small=_bytes_of(touched_rel) <= DRIVER_STAGE_BYTES)
     now = int(time.time() * 1000)
     removes = [_remove_action(p, files[p], now) for p in touched_rel]
     cdc_actions: list[dict] = []
     if cdf_enabled(meta):  # deletes (or soft-delete flips) per row
         cdc_actions = _stage_cdc_actions(
             _cdf_diff(touched_rows, data_repl, pk), path,
-            part_cols or None)
+            part_cols or None,
+            small=_bytes_of(touched_rel)
+            + sum(int(a["add"].get("size") or 0) for a in adds)
+            <= DRIVER_STAGE_BYTES)
     version = latest_version(path) + 1
     actions += _assign_fresh_row_ids(path, adds, version, protocol=wprot)
     version = _commit_with_retry(
@@ -4919,13 +4985,17 @@ def _cdf_diff(pre: DataFrame, post: DataFrame, pk: list[str]) -> DataFrame:
 
 def _stage_cdc_actions(
     cdf: DataFrame, path: str, part_cols: list[str] | None,
+    small: bool = False,
 ) -> list[dict]:
     """Stage a change DataFrame under ``_change_data/`` -> ``cdc``
     actions (PROTOCOL.md Add CDC File: change files never count as
-    data, so ``dataChange`` is false and replay ignores them)."""
+    data, so ``dataChange`` is false and replay ignores them).
+    ``small``: the caller proved the change set byte-bounded (pre-image
+    file sizes + staged add sizes, both already in hand from the log)
+    — see _stage_data_files."""
     staged = _stage_data_files(
         cdf, path, partition_by=part_cols or None,
-        data_change=False, subdir="_change_data")
+        data_change=False, subdir="_change_data", small=small)
     return [{"cdc": {
         "path": a["add"]["path"],
         "partitionValues": a["add"]["partitionValues"],

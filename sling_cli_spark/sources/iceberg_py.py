@@ -1609,6 +1609,7 @@ def upsert_iceberg(
     primary_key,
     branch: str = "main",
     delete_keys: DataFrame | None = None,
+    batch_rows: int | None = None,
 ) -> dict:
     """Flink-style streaming UPSERT via EQUALITY DELETES (spec v2
     §Equality Delete Files): one snapshot commits (a) equality-delete
@@ -1640,7 +1641,13 @@ def upsert_iceberg(
     range, with ``_last_updated_sequence_number`` = the new commit's
     seq. Lineage-dependent consumers (incremental-by-lineage readers,
     CDC downstreams keyed on _row_id) should use :func:`merge_iceberg`,
-    which preserves ids through its rewrite."""
+    which preserves ids through its rewrite.
+
+    ``batch_rows`` (r15, perf hint only — never changes results): the
+    caller's materialized count of the micro-batch; when small it
+    stages the eq-delete key file and the data files driver-side
+    instead of paying two distributed write jobs per micro-batch
+    (guide §1.2/§5; delta_py twin: merge_delta's ``batch_rows``)."""
     pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
     _, meta = _current_metadata(path, for_write=True)
     if int(meta.get("format-version", 1)) < 2:
@@ -1670,7 +1677,14 @@ def upsert_iceberg(
         # CDC 'd' ops: PKs retired WITHOUT re-insert — they join the
         # batch's equality-delete files but contribute no data rows
         keys = keys.unionByName(delete_keys.select(*pk)).distinct()
-    keys.write.option("compression", "zstd").parquet(tmp)
+    from sling_cli_spark.sources.driver_stage import (
+        DRIVER_STAGE_ROWS, driver_stage_parquet)
+    small_batch = (batch_rows is not None
+                   and 0 <= batch_rows <= DRIVER_STAGE_ROWS)
+    # keys <= the batch's distinct PKs: when the caller proved the
+    # batch small, the key file writes driver-side (r15, guide §1.2/§5)
+    if not (small_batch and driver_stage_parquet(keys, tmp)):
+        keys.write.option("compression", "zstd").parquet(tmp)
     ice_keys = _ice_schema_for(
         keys, base=current, last_column_id=meta.get("last-column-id", 0))
     staged = _staged_file_stats(keys, tmp, ice_keys)
@@ -1696,7 +1710,8 @@ def upsert_iceberg(
     snapshot_id = _commit_snapshot(
         src, path, meta, carried=active, operation="overwrite",
         carried_deletes=_live_delete_files(active, pos_dels, eq_dels),
-        new_deletes=del_entries, branch=branch)
+        new_deletes=del_entries, branch=branch,
+        small_rows=batch_rows if small_batch else None)
     return {"touched": 0, "new_files":
             len(_active_files(path, meta, snapshot_id)) - len(active),
             "eq_delete_files": len(del_entries), "kept": len(active),
@@ -2024,6 +2039,7 @@ def _commit_snapshot(
     summary_extra: dict | None = None,
     apply_sort: bool = True,
     reuse_manifests: list[dict] | None = None,
+    small_rows: int | None = None,
 ) -> int:
     """Stage ``df`` as new data files, write manifest(s) +
     manifest-list, bump the metadata version; ``carried`` files join the
@@ -2182,10 +2198,22 @@ def _commit_snapshot(
             sort_oid = int(meta.get("default-sort-order-id") or 0)
         # zstd staged data files (guide §6; same rationale and pinned
         # byte-cut test as delta_py._stage_data_files)
-        writer = stage_df.write.option("compression", "zstd")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(tmp)
+        staged_fast = False
+        if small_rows is not None and not part_cols \
+                and sort_exprs is None and dist not in ("hash", "range"):
+            # caller proved the frame small (a counted micro-batch):
+            # one driver-side Arrow write instead of a distributed
+            # write job (r15, guide §1.2/§5; delta twin in
+            # _stage_data_files)
+            from sling_cli_spark.sources.driver_stage import (
+                DRIVER_STAGE_ROWS, driver_stage_parquet)
+            if small_rows <= DRIVER_STAGE_ROWS:
+                staged_fast = driver_stage_parquet(stage_df, tmp)
+        if not staged_fast:
+            writer = stage_df.write.option("compression", "zstd")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(tmp)
         # the schema this commit will record (stable field ids by name,
         # fresh ids for new columns) — shared by the bounds stats below
         # and the schema-evolution branch at the end

@@ -246,13 +246,16 @@ def run_cdc_stream(
             # every downstream join then plans against the batch's REAL
             # KB-scale stats and broadcasts statically — without this
             # the first action (the merge's probe) still plans the
-            # batch side as an unknown-size stream and shuffles it
-            batch.count()
-            _apply_inner(batch, batch_id)
+            # batch side as an unknown-size stream and shuffles it.
+            # The count doubles as the merge/upsert's small-stage proof
+            # (r15, sources/driver_stage.py).
+            n = batch.count()
+            _apply_inner(batch, batch_id, n)
         finally:
             batch.unpersist()
 
-    def _apply_inner(batch: DataFrame, batch_id: int) -> None:
+    def _apply_inner(batch: DataFrame, batch_id: int,
+                     batch_rows: int) -> None:
         sess = batch.sparkSession
         if is_iceberg_table(target_path):
             # Flink-style streaming upsert (r11): each micro-batch is
@@ -290,7 +293,7 @@ def run_cdc_stream(
                 .select(*[c for c in cols if c in latest.columns])
             dels = latest.filter(F.col(op_col) == "D")
             upsert_iceberg(sess, target_path, ups, primary_key,
-                           delete_keys=dels)
+                           delete_keys=dels, batch_rows=batch_rows)
             if compact_every and batch_id > 0 \
                     and batch_id % compact_every == 0:
                 compact_iceberg(sess, target_path)
@@ -300,7 +303,7 @@ def run_cdc_stream(
                 sess, target_path, batch, primary_key,
                 strategy=MergeStrategy.CHANGE_CAPTURE_SOFT if soft
                 else MergeStrategy.CHANGE_CAPTURE,
-                seq_col=seq_col, op_col=op_col)
+                seq_col=seq_col, op_col=op_col, batch_rows=batch_rows)
             if compact_every and batch_id > 0 \
                     and batch_id % compact_every == 0:
                 optimize_delta(sess, target_path)
