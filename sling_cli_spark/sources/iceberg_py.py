@@ -699,6 +699,20 @@ def _active_files(path: str, meta: dict, snapshot_id: int | None) -> list[dict]:
     return _active_entries(path, meta, snapshot_id)[0]
 
 
+def _added_files_of(meta: dict, snapshot_id: int) -> int:
+    """Added-data-file count of a snapshot committed from THIS ``meta``
+    (``_commit_snapshot`` appends the snapshot with its Appendix-F
+    summary) — O(1) from the summary instead of the O(table-files)
+    post-commit manifest replay the write paths used to run just to
+    report ``new_files`` (r15, guide §1.2: on a 100 TB table that
+    replay re-reads every manifest once per micro-batch commit)."""
+    for s in reversed(meta.get("snapshots") or []):
+        if s["snapshot-id"] == snapshot_id:
+            return int((s.get("summary") or {})
+                       .get("added-data-files") or 0)
+    return 0
+
+
 def _live_delete_files(
     keep: list[dict], pos_dels: list[dict], eq_dels: list[dict],
 ) -> list[dict]:
@@ -1398,8 +1412,7 @@ def merge_iceberg(
                 operation="overwrite", carried_deletes=cd,
                 new_deletes=nd, snapshot_id=snapshot_id, branch=branch)
             return {"touched": len(dv_rows) + len(dead),
-                    "new_files": len(_active_files(path, meta, sid))
-                    - len(carried),
+                    "new_files": _added_files_of(meta, sid),
                     "dv_files": len(dv_rows), "kept": len(carried),
                     "snapshot_id": sid}
         # CoW (or dense-fallback) probe: delete-applied so a row that
@@ -1440,7 +1453,7 @@ def merge_iceberg(
         # never be republished as if it were a pure append)
         operation="overwrite", branch=branch)
     return {"touched": len(touched),
-            "new_files": len(_active_files(path, meta, snapshot_id)) - len(keep),
+            "new_files": _added_files_of(meta, snapshot_id),
             "kept": len(keep), "snapshot_id": snapshot_id}
 
 
@@ -1541,7 +1554,7 @@ def delete_missing_iceberg(
         carried_deletes=_live_delete_files(keep, pos_dels, eq_dels),
         branch=branch)
     return {"touched": len(touched),
-            "new_files": len(_active_files(path, meta, snapshot_id)) - len(keep),
+            "new_files": _added_files_of(meta, snapshot_id),
             "kept": len(keep), "snapshot_id": snapshot_id}
 
 
@@ -1712,8 +1725,8 @@ def upsert_iceberg(
         carried_deletes=_live_delete_files(active, pos_dels, eq_dels),
         new_deletes=del_entries, branch=branch,
         small_rows=batch_rows if small_batch else None)
-    return {"touched": 0, "new_files":
-            len(_active_files(path, meta, snapshot_id)) - len(active),
+    return {"touched": 0,
+            "new_files": _added_files_of(meta, snapshot_id),
             "eq_delete_files": len(del_entries), "kept": len(active),
             "snapshot_id": snapshot_id}
 
@@ -4247,8 +4260,7 @@ def compact_iceberg(
         # order must not re-order the staged rows out of z-span
         apply_sort=not zorder_by)
     return {"compacted": len(todo),
-            "new_files": len(_active_files(path, meta, snapshot_id))
-            - len(keep),
+            "new_files": _added_files_of(meta, snapshot_id),
             "snapshot_id": snapshot_id}
 
 
