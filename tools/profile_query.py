@@ -95,9 +95,11 @@ def main() -> None:
         for line in s.getvalue().splitlines():
             print(line)
         if do_explain:
+            tag = os.environ.get("PROFILE_PLAN_TAG", "profile")
             out = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                "plans", "r14", f"{name}_profile.txt")
+                "plans", os.environ.get("PROFILE_PLAN_DIR", "r15"),
+                f"{name}_{tag}.txt")
             os.makedirs(os.path.dirname(out), exist_ok=True)
             df = fn(spark, sf_dir)
             mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
