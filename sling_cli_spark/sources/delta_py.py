@@ -2468,48 +2468,47 @@ def _raw_position_scan(spark, path: str, meta: dict, rels) -> DataFrame:
              .withColumn("__pos", F.col("_metadata.row_index"))
 
 
-def _dv_census(
+def _doomed_coords(
     spark, path: str, meta: dict, rels, pk: list[str], keys: DataFrame,
-    doom_matched: bool,
-) -> dict[str, tuple[int, int]]:
-    """One aggregate pass over the raw scan of ``rels``:
-    {rel: (physical_rows, doomed_rows)}. ``doom_matched=True`` dooms
-    rows whose PK appears in ``keys`` (merge: matched rows move to new
-    files); False dooms rows whose PK is ABSENT (delete_missing).
-    Counts only — positions are collected in a second pass restricted
-    to the files the caller decides to DV, so a dense delete never
-    pulls positions to the driver just to discard them."""
-    scan = _raw_position_scan(spark, path, meta, rels)
-    marked = scan.join(
-        keys.select(*pk).distinct().withColumn("__hit", F.lit(1)),
-        on=pk, how="left")
-    doomed = F.col("__hit").isNotNull() if doom_matched \
-        else F.col("__hit").isNull()
-    rows = marked.groupBy("__fp").agg(
-        F.count(F.lit(1)).alias("__phys"),
-        F.count(F.when(doomed, 1)).alias("__doom")).collect()
-    amap = _add_key_map(path, rels)
-    return {amap[_uri_abs(r["__fp"])]: (r["__phys"], r["__doom"])
-            for r in rows}
+    doom_matched: bool, max_dv_rows: int,
+) -> tuple[dict[str, int], dict[str, list[int]] | None]:
+    """ONE scan+join pass over ``rels``: ``(doomed counts per rel,
+    doomed positions per rel — or None when the delete is dense)``.
+    ``doom_matched=True`` dooms rows whose PK appears in ``keys``
+    (merge: matched rows move to new files); False dooms rows whose PK
+    is ABSENT (delete_missing).
 
+    The doomed (file, position) coordinates are persisted so the count
+    action and the positions action share the single scan+join (guide
+    §1.2: the former census/positions split scanned and joined the
+    candidate files TWICE). The DRIVER collect of positions stays
+    gated on the counts — a dense delete (> ``max_dv_rows`` doomed)
+    returns ``(counts, None)`` without ever pulling positions, the
+    same bound as before; keep that gate if you touch this — an
+    unbounded positions collect is the 100 TB failure mode. The
+    executor-side cache holds only the doomed coordinates (~16 B/row,
+    disk-spillable), which a dense delete's CoW fallback was going to
+    rewrite in full anyway."""
+    from pyspark.storagelevel import StorageLevel
 
-def _dv_positions(
-    spark, path: str, meta: dict, rels, pk: list[str], keys: DataFrame,
-    doom_matched: bool,
-) -> dict[str, list[int]]:
-    """Physical row positions of doomed rows, per file — the second
-    pass, run only for files the census marked sparse enough to DV.
-    Driver memory is bounded by the doomed cardinality the caller
-    already capped."""
     scan = _raw_position_scan(spark, path, meta, rels)
     keyset = keys.select(*pk).distinct()
     how = "left_semi" if doom_matched else "left_anti"
-    rows = scan.join(keyset, on=pk, how=how) \
-        .groupBy("__fp") \
-        .agg(F.sort_array(F.collect_list("__pos")).alias("__ps")) \
-        .collect()
-    amap = _add_key_map(path, rels)
-    return {amap[_uri_abs(r["__fp"])]: list(r["__ps"]) for r in rows}
+    coords = scan.join(keyset, on=pk, how=how).select("__fp", "__pos")
+    coords.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        amap = _add_key_map(path, rels)
+        doom = {amap[_uri_abs(r["__fp"])]: r["count"]
+                for r in coords.groupBy("__fp").count().collect()}
+        if not doom or sum(doom.values()) > max_dv_rows:
+            return doom, None
+        rows = coords.groupBy("__fp") \
+            .agg(F.sort_array(F.collect_list("__pos")).alias("__ps")) \
+            .collect()
+        return doom, {amap[_uri_abs(r["__fp"])]: list(r["__ps"])
+                      for r in rows}
+    finally:
+        coords.unpersist()
 
 
 def _loosen_stats(stats_json: str | None) -> str | None:
@@ -2543,17 +2542,23 @@ def _produce_dv_actions(
     wall time below CoW while writing 917 bytes instead of 134 MB).
     Returns ``(actions, n_dv, n_dead, doomed_rels)``, or None when the
     delete is dense enough (> ``max_dv_rows`` doomed positions) that a
-    CoW rewrite is the better plan — the caller falls back."""
+    CoW rewrite is the better plan — the caller falls back.
+
+    The doomed coordinates come from ONE scan+join
+    (:func:`_doomed_coords`; guide §1.2 — the former census/positions
+    split scanned and joined the candidates twice), and the physical
+    row count needed for the fully-dead check comes from the log's own
+    ``add.stats``/parquet footer (:func:`_add_num_records`) instead of
+    a counting pass over the data."""
     from . import delta_dv
 
-    census = _dv_census(spark, path, meta, rels, pk, keys, doom_matched)
-    doomed_rels = [r for r, (_, d) in census.items() if d]
-    if not doomed_rels:
+    doom, positions = _doomed_coords(
+        spark, path, meta, rels, pk, keys, doom_matched, max_dv_rows)
+    if not doom:
         return [], 0, 0, []
-    if sum(census[r][1] for r in doomed_rels) > max_dv_rows:
+    if positions is None:  # dense delete: CoW rewrite is the better plan
         return None
-    positions = _dv_positions(
-        spark, path, meta, doomed_rels, pk, keys, doom_matched)
+    doomed_rels = sorted(doom)
     dv_rows: dict[str, list[int]] = {}
     dead: list[str] = []
     for rel in doomed_rels:
@@ -2561,7 +2566,7 @@ def _produce_dv_actions(
         desc = files[rel].get("deletionVector")
         if desc:
             merged |= {int(i) for i in delta_dv.dv_indices(path, desc)}
-        if len(merged) >= census[rel][0]:
+        if len(merged) >= _add_num_records(path, files[rel]):
             dead.append(rel)  # every physical row deleted -> drop file
         else:
             dv_rows[rel] = sorted(merged)

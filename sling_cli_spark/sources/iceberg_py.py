@@ -4321,8 +4321,10 @@ def _produce_dvs_ice(
     ``touched_entries`` (spec v3 §Deletion Vectors: one DV per data
     file; a new DV must supersede the old by merging its positions).
 
-    Census pass counts physical/doomed rows per file; positions are
-    collected only for doomed files. Returns ``(dv_rows, superseded,
+    One scan+join pass yields the doomed coordinates; the driver
+    pulls positions only after the doomed COUNT passes the density
+    gate, and the fully-dead check reads physical row counts from the
+    manifest's ``record_count``. Returns ``(dv_rows, superseded,
     dead)`` — merged positions per surviving file (existing DV
     positions unioned in: one DV per file, the new vector supersedes
     the old), the ``(file_path, content_offset)`` keys of replaced DV
@@ -4337,34 +4339,53 @@ def _produce_dvs_ice(
 
     from sling_cli_spark.sources import puffin
 
+    from pyspark.storagelevel import StorageLevel
+
+    # ONE scan+join pass (guide §1.2: the former census/positions
+    # split scanned and joined the touched files TWICE). The doomed
+    # (file, position) coordinates persist so the count action and the
+    # positions action share the single join; the DRIVER collect of
+    # positions stays gated on the counts — a dense delete
+    # (> max_dv_rows doomed) returns None (CoW fallback) without ever
+    # pulling positions. Keep that gate if you touch this: an
+    # unbounded positions collect is the 100 TB failure mode. The
+    # executor cache holds only doomed coordinates (~16 B/row,
+    # disk-spillable), which a dense delete's CoW fallback was going
+    # to rewrite in full anyway.
     scan = _raw_position_scan_ice(spark, path, meta, touched_entries)
     keyset = keys.select(*pk).distinct()
-    marked = scan.join(
-        keyset.withColumn("__hit", F.lit(1)), on=pk, how="left")
-    doomed = F.col("__hit").isNotNull() if doom_matched \
-        else F.col("__hit").isNull()
-    census = {r["__fp"]: (r["__phys"], r["__doom"]) for r in
-              marked.groupBy("__fp").agg(
-                  F.count(F.lit(1)).alias("__phys"),
-                  F.count(F.when(doomed, 1)).alias("__doom")).collect()}
-    doomed_fps = {fp for fp, (_, d) in census.items() if d}
-    if not doomed_fps:
-        return {}, set(), set()
-    if sum(census[fp][1] for fp in doomed_fps) > max_dv_rows:
-        return None
-    by_fp = {_canon(f["file_path"]): f for f in touched_entries}
-    doomed_entries = [by_fp[fp] for fp in sorted(doomed_fps)]
     how = "left_semi" if doom_matched else "left_anti"
-    # driver-side collect is BOUNDED by max_dv_rows (the census gate
-    # above already returned None — CoW fallback — for dense deletes),
-    # so this holds <= max_dv_rows int64 positions, never O(table).
-    # Keep that gate if you touch this: an unbounded collect here is
-    # the 100 TB failure mode.
-    pos_rows = _raw_position_scan_ice(spark, path, meta, doomed_entries) \
-        .join(keyset, on=pk, how=how) \
-        .groupBy("__fp") \
-        .agg(F.sort_array(F.collect_list("__pos")).alias("__ps")).collect()
-    positions = {r["__fp"]: list(r["__ps"]) for r in pos_rows}
+    coords = scan.join(keyset, on=pk, how=how).select("__fp", "__pos")
+    coords.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        doom = {r["__fp"]: r["count"]
+                for r in coords.groupBy("__fp").count().collect()}
+        if not doom:
+            return {}, set(), set()
+        if sum(doom.values()) > max_dv_rows:
+            return None
+        pos_rows = coords.groupBy("__fp") \
+            .agg(F.sort_array(F.collect_list("__pos")).alias("__ps")) \
+            .collect()
+        positions = {r["__fp"]: list(r["__ps"]) for r in pos_rows}
+    finally:
+        coords.unpersist()
+    doomed_fps = set(doom)
+    by_fp = {_canon(f["file_path"]): f for f in touched_entries}
+
+    def _phys_rows(fp: str) -> int:
+        # the manifest's record_count is the file's physical row count
+        # (spec: "Number of records in this file"); footer fallback
+        # when a foreign writer omitted it
+        n = int(by_fp[fp].get("record_count") or 0)
+        if n > 0:
+            return n
+        import io as _io
+
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(_io.BytesIO(
+            fsio.get_fs(fp).read_bytes(fp))).metadata.num_rows
 
     # merge existing DV positions (one DV per file: the new vector
     # supersedes the old, which must not carry forward)
@@ -4385,7 +4406,7 @@ def _produce_dvs_ice(
                 int(old["content_size_in_bytes"]))
             merged |= {int(i) for i in puffin.dv_blob_indices(blob)}
             superseded.add((old["file_path"], old["content_offset"]))
-        if len(merged) >= census[fp][0]:
+        if len(merged) >= _phys_rows(fp):
             dead.add(fp)  # every physical row deleted -> drop the file
         else:
             dv_rows[fp] = sorted(merged)
