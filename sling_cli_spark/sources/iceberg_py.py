@@ -956,6 +956,45 @@ def _fill_initial_defaults(df, files: list[dict], defaults: dict):
     return df
 
 
+# driver-side footer probe cap for _merge_schema_reader: above this
+# many files the distributed footer merge amortizes its job cost and
+# serial driver reads would not (guide §5 — the driver does O(small)
+# work only)
+_FOOTER_PROBE_MAX = 32
+
+
+def _merge_schema_reader(spark, paths: list[str]):
+    """A parquet reader over ``paths`` with mergeSchema SEMANTICS.
+
+    ``mergeSchema=true`` runs a distributed footer-merge job at read
+    DEFINITION time — measured ~0.10 s of driver wait per call
+    regardless of data size, and iceberg operators build several such
+    reads per call. When every footer carries the IDENTICAL parquet
+    schema, the merge is the identity, and Spark's default inference
+    (first footer, driver-side) returns the same schema with no job —
+    so probe cheaply first: a single file is trivially uniform, and up
+    to ``_FOOTER_PROBE_MAX`` local files are compared by their raw
+    parquet schema (physical + logical types — stricter than the
+    Spark-visible schema, never wrong). Non-local paths, bigger sets,
+    diverse footers, or probe failures keep the distributed merge
+    (guide §1.2: remove the job only when provably redundant)."""
+    if len(paths) > 1:
+        uniform = False
+        if len(paths) <= _FOOTER_PROBE_MAX:
+            try:
+                import pyarrow.parquet as pq
+
+                schemas = {
+                    str(pq.read_metadata(fsio.local_path(p)).schema)
+                    for p in paths}
+                uniform = len(schemas) == 1
+            except Exception:
+                uniform = False
+        if not uniform:
+            return spark.read.option("mergeSchema", "true")
+    return spark.read
+
+
 def _mor_read(
     spark, path: str, meta: dict, files: list[dict],
     pos_dels: list[dict], eq_dels: list[dict],
@@ -1015,7 +1054,8 @@ def _mor_read(
             spark, meta, files, need_fp,
             need_pos=bool(pos_dels) or with_row_ids)
     else:
-        reader = spark.read.option("mergeSchema", "true")
+        fpaths = sorted(f["file_path"] for f in files)
+        reader = _merge_schema_reader(spark, fpaths)
         shape = next(iter(shapes))
         identity = {f["name"] for s in meta.get("partition-specs") or []
                     for f in (s.get("fields") or [])
@@ -1041,7 +1081,7 @@ def _mor_read(
                        for f in files):
                     reader = reader.option("basePath", base)
                     break
-        df = reader.parquet(*sorted(f["file_path"] for f in files))
+        df = reader.parquet(*fpaths)
         if shape:
             # dir inference types partition columns from their string
             # values (int for "10"); the table schema is authoritative
@@ -1123,8 +1163,8 @@ def _grouped_partition_read(
     branches = []
     for key, grp in sorted(groups.items(),
                            key=lambda kv: tuple(map(str, kv[0]))):
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *sorted(g["file_path"] for g in grp))
+        gpaths = sorted(g["file_path"] for g in grp)
+        df = _merge_schema_reader(spark, gpaths).parquet(*gpaths)
         if need_fp:
             df = df.withColumn(
                 "__fp", _norm_path_col(F.col("_metadata.file_path")))
@@ -4301,12 +4341,13 @@ def _raw_position_scan_ice(spark, path: str, meta: dict,
     address. Mirrors :func:`_mor_read`'s reader options."""
     from pyspark.sql import functions as F
 
-    reader = spark.read.option("mergeSchema", "true")
+    epaths = sorted(f["file_path"] for f in entries)
+    reader = _merge_schema_reader(spark, epaths)
     part = _part_cols(meta)
     if part and set(part) <= _identity_part_cols(meta):
         reader = reader.option(
             "basePath", _absolute(fsio.join(path, "data")))
-    df = reader.parquet(*sorted(f["file_path"] for f in entries))
+    df = reader.parquet(*epaths)
     return df.withColumn(
         "__fp", _norm_path_col(F.col("_metadata.file_path"))) \
         .withColumn("__pos", F.col("_metadata.row_index"))
