@@ -978,21 +978,24 @@ def _merge_schema_reader(spark, paths: list[str]):
     Spark-visible schema, never wrong). Non-local paths, bigger sets,
     diverse footers, or probe failures keep the distributed merge
     (guide §1.2: remove the job only when provably redundant)."""
-    if len(paths) > 1:
-        uniform = False
-        if len(paths) <= _FOOTER_PROBE_MAX:
-            try:
-                import pyarrow.parquet as pq
-
-                schemas = {
-                    str(pq.read_metadata(fsio.local_path(p)).schema)
-                    for p in paths}
-                uniform = len(schemas) == 1
-            except Exception:
-                uniform = False
-        if not uniform:
-            return spark.read.option("mergeSchema", "true")
+    if len(paths) > 1 and not _footers_uniform(paths):
+        return spark.read.option("mergeSchema", "true")
     return spark.read
+
+
+def _footers_uniform(paths: list[str]) -> bool:
+    """True when every footer carries the identical raw parquet schema
+    (so a mergeSchema union would be the identity). False on non-local
+    paths, sets above ``_FOOTER_PROBE_MAX``, or any probe failure."""
+    if len(paths) > _FOOTER_PROBE_MAX:
+        return False
+    try:
+        import pyarrow.parquet as pq
+
+        return len({str(pq.read_metadata(fsio.local_path(p)).schema)
+                    for p in paths}) == 1
+    except Exception:
+        return False
 
 
 def _mor_read(
