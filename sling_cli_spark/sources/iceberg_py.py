@@ -992,8 +992,14 @@ def _footers_uniform(paths: list[str]) -> bool:
     try:
         import pyarrow.parquet as pq
 
-        return len({str(pq.read_metadata(fsio.local_path(p)).schema)
-                    for p in paths}) == 1
+        first = None
+        for p in paths:
+            s = pq.read_metadata(fsio.local_path(p)).schema
+            if first is None:
+                first = s
+            elif not first.equals(s):
+                return False
+        return True
     except Exception:
         return False
 
